@@ -1,13 +1,663 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.functions.{Cleaning, TextFunctions}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query here is (a) a thin harness over an operator module in
+  * graft.operators / graft.functions, and (b) paired with an ANSI-SQL
+  * oracle in [[oracleSql]] that DuckDB runs over the same parquet tables.
+  *
+  * Determinism rules that make Spark/DuckDB hash-compare possible:
+  *  - float aggregation goes through exact DECIMAL(38,6) (order-independent,
+  *    bit-identical once cast back to double);
+  *  - dot products use DECIMAL(18,9) elements (see operators.Similarity);
+  *  - all hashing is md5-based (functions.Hashing) — never Spark's hash();
+  *  - timestamps are compared as epoch microseconds (events.ts is parquet
+  *    NANOS: Spark truncates ns→µs exactly like DuckDB's epoch_us);
+  *  - every query ORDER BYs its full key and aliases every output column
+  *    identically in both dialects.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val dec6 = DecimalType(38, 6)
+  /** Exact decimal sum rendered back to double — order-independent. */
+  private def dsum(c: Column): Column = sum(c.cast(dec6)).cast("double")
+  /** DuckDB rendering of [[dsum]]. */
+  private def dsumSql(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * Star join: revenue per region across customer⋈nation⋈region⋈orders. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region")
+    val o = Tables.load(spark, dir, "orders")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(o("o_totalprice")).as("revenue"))
+      .orderBy("r_name")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.4 aggregation over a filtered scan (TPC-H Q1 shape)
+    "q01_pricing_agg" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      l.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // §2.2 predicate pushdown to the parquet scan (TPC-H Q6 shape)
+    "q02_filter_pushdown" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      l.filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.08 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // §2.3 broadcast dim joins (customer⋈nation⋈region)
+    "q03_join_dims" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // §2.3 fact-fact join (orders⋈lineitem), shuffle on the join key
+    "q04_join_fact" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // §2.3 left-semi join
+    "q05_semi_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // §2.3 left-anti join (set-difference-style filtering)
+    "q06_anti_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+      c.join(o.filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.8 top-k (TakeOrderedAndProject — no full sort at scale)
+    "q07_topk" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+    }),
+
+    // §2.8 window ranking
+    "q08_window_rank" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // §2.8 running aggregate over an ordered stream (exact decimal)
+    "q09_window_running" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select(col("user_id"), col("event_id"), col("ts_us"),
+          sum(col("value").cast(dec6)).over(w).cast("double").as("run_total"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // §2.8 set op: EXCEPT via distinct difference
+    "q10_setop_except" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val sup = Tables.load(s, dir, "supplier")
+      c.select(col("c_nationkey").as("nationkey")).distinct()
+        .except(sup.select(col("s_nationkey").as("nationkey")).distinct())
+        .orderBy("nationkey")
+    }),
+
+    // §2.4 distinct (hash aggregate)
+    "q11_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // §2.5 wide→long EAV unpivot (the reference's signature operator)
+    "q12_unpivot_eav" -> ((s, dir) => {
+      UnpivotEav.floats(Tables.load(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("l_orderkey", "l_linenumber", "mdrm")
+    }),
+
+    // §2.4 single-pass type inference (converter.py detector semantics)
+    "q13_type_inference" -> ((s, dir) => {
+      TypeInference.infer(Tables.load(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus"))
+        .orderBy("col_name")
+    }),
+
+    // §2.7 text-cleaning chain (strip html, CR entity, CR, collapse \n\n)
+    "q14_clean_text" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val cleaned = Cleaning.cleanText(col("text"))
+      d.select(col("doc_id"), md5(cleaned).as("text_md5"),
+          length(cleaned).cast("long").as("n_chars_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.7 date extraction + grouped agg
+    "q15_date_extract" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"),
+          quarter(col("o_orderdate")).as("o_quarter"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_year", "o_quarter")
+    }),
+
+    // §2.7 JSON scalar extraction (semi-structured props)
+    "q16_json_extract" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"), countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy("event_type")
+    }),
+
+    // §2.8/2.9 gap sessionization (lag + cumulative flag)
+    "q17_sessionize" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      Sessionize.withSessionId(e, col("user_id"), col("ts_us"), col("event_id"), 600000000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min("ts_us").as("start_us"),
+          max("ts_us").as("end_us"), dsum(col("value")).as("total_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // §2.8 marker-based segmentation (the PDF state-machine shape)
+    "q18_segment_markers" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      e.withColumn("seg_id", Segmentation.segmentId(
+            Seq(col("user_id")), Seq(col("ts_us"), col("event_id")),
+            col("event_type") === "error"))
+        .groupBy(col("user_id"), col("seg_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("min_event_id"),
+          Segmentation.orderedConcat(struct(col("ts_us"), col("event_id")),
+            col("event_type"), ",").as("types_csv"))
+        .orderBy("user_id", "seg_id")
+    }),
+
+    // §2.6 hierarchy flattening: iterative parent-pointer path expansion
+    "q19_hierarchy" -> ((s, dir) => {
+      val edges = Tables.load(s, dir, "part")
+        .select(col("p_partkey").as("child"), expr("p_partkey div 10").as("parent"))
+        .filter(col("child") > 0)
+      Hierarchy.pathsToRoot(edges)
+        .select(col("node").as("p_node"), col("root"), col("depth"), col("path"))
+        .orderBy("p_node")
+    }),
+
+    // LLM ops — exact dedup by content hash
+    "q20_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.load(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("text_md5")
+    }),
+
+    // LLM ops — n-gram Jaccard near-dup pairs (blocked by source)
+    "q21_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), col("source"), n = 3, minJ = 0.12)
+        .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+          col("n_common"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // LLM ops — MinHash + LSH banding candidate pairs
+    "q22_minhash_lsh" -> ((s, dir) => {
+      Dedup.lshCandidatePairs(Dedup.minhashBands(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), numHashes = 16, bands = 4, shingleN = 3))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // LLM ops — 32-bit SimHash fingerprints
+    "q23_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.load(s, dir, "documents"), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — IVF coarse quantization (nearest-centroid assignment)
+    "q30_centroid_assign" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") % 1009 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Similarity.centroidAssign(emb.select(col("vec_id"), col("embedding")), cents)
+        .withColumn("score", col("score_d").cast("string")).drop("score_d")
+        .orderBy("vec_id")
+    }),
+
+    // LLM ops — exact top-k neighbor search within label blocks
+    "q31_knn_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("label"), col("embedding").as("qvec"))
+      val c = emb.select(col("vec_id").as("cid"), col("label"), col("embedding").as("cvec"))
+      val scored = q.join(c, Seq("label")).filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          Similarity.dotDecimal(col("qvec"), col("cvec")).as("score_d"))
+      val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("cid"),
+          col("score_d").cast("string").as("score"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // LLM ops — text quality metrics
+    "q40_text_quality" -> ((s, dir) => {
+      val ws = TextFunctions.tokens(col("text"))
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(ws).as("n_tokens"),
+          size(array_distinct(ws)).cast("long").as("n_distinct_tokens"),
+          (TextFunctions.totalTokenChars(ws).cast("double") /
+            greatest(size(ws), lit(1)).cast("double")).as("avg_token_len"),
+          TextFunctions.stopwordRatio(ws, stops).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — vocabulary-voting language id
+    "q41_langid" -> ((s, dir) => {
+      val ws = TextFunctions.tokens(col("text"))
+      val sDe = TextFunctions.vocabHits(ws, Seq("der", "die", "und", "nicht"))
+      val sEn = TextFunctions.vocabHits(ws, Seq("the", "a", "is", "and"))
+      val sEs = TextFunctions.vocabHits(ws, Seq("el", "la", "y", "de"))
+      val sFr = TextFunctions.vocabHits(ws, Seq("le", "la", "et", "les"))
+      val pred = when(sDe >= sEn && sDe >= sEs && sDe >= sFr, "de")
+        .when(sEn >= sEs && sEn >= sFr, "en")
+        .when(sEs >= sFr, "es").otherwise("fr")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), pred.as("pred_lang"), col("lang"),
+          (pred === col("lang")).as("is_match"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — canonical document fingerprint
+    "q42_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.fingerprint(col("text")).as("fingerprint"),
+          length(TextFunctions.normalizeWs(col("text"))).cast("long").as("n_chars_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — multimodal: opaque binary + typed metadata + stub decode
+    "q43_multimodal_meta" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("bin", encode(col("text"), "UTF-8"))
+        .withColumn("n_bytes", length(col("bin")).cast("long"))
+        .select(col("doc_id"), col("n_bytes"), md5(col("text")).as("content_md5"),
+          (col("n_bytes") % 64 + 100).as("frame_w"),
+          (expr("n_bytes div 7") % 64 + 100).as("frame_h"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.9 tumbling event-time window (streaming-ready groupBy(window))
+    "q50_tumbling_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(unix_micros(col("w.start")).as("wstart_us"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy("wstart_us", "event_type")
+    }),
+
+    // §2.9 native session window (gap-merge semantics: new session at gap >= g)
+    "q51_session_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"), col("n_events"))
+        .orderBy("user_id", "start_us")
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${dsumSql("l_quantity")} / COUNT(*) AS avg_qty,
+         |  ${dsumSql("l_extendedprice")} / COUNT(*) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+         |  AND l_discount >= 0.02 AND l_discount <= 0.08 AND l_quantity < 24""".stripMargin,
+
+    "q03_join_dims" ->
+      s"""SELECT r_name, n_name, COUNT(*) AS n_customers, ${dsumSql("c_acctbal")} AS acctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q04_join_fact" ->
+      s"""SELECT o_orderpriority,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders, COUNT(*) AS n_items
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q08_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q09_window_running" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q10_setop_except" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q11_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q12_unpivot_eav" ->
+      """SELECT l_orderkey, l_linenumber, mdrm, float_data FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS mdrm, l_quantity AS float_data FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |WHERE float_data IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber, mdrm""".stripMargin,
+
+    "q13_type_inference" -> {
+      def numCase(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CASE WHEN list_sort(list(DISTINCT $c)) = [0.0, 1.0] THEN 'bool'
+           |       WHEN SUM(DISTINCT $c) % 1 = 0 THEN 'int' ELSE 'float' END AS data_type
+           |FROM lineitem""".stripMargin
+      def strCase(c: String) = s"SELECT '$c' AS col_name, 'str' AS data_type"
+      Seq(numCase("l_quantity"), numCase("l_extendedprice"), numCase("l_discount"),
+        numCase("l_tax"), strCase("l_returnflag"), strCase("l_linestatus"))
+        .mkString("SELECT col_name, data_type FROM (\n", "\nUNION ALL ", "\n) ORDER BY col_name")
+    },
+
+    "q14_clean_text" ->
+      """SELECT doc_id, md5(cleaned) AS text_md5, length(cleaned) AS n_chars_clean FROM (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text, '<[^<]+?>', '', 'g'), '&#x0D;', '', 'g'), chr(13), '', 'g'),
+        |    chr(10) || chr(10), chr(10), 'g') AS cleaned
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q15_date_extract" ->
+      s"""SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(date_part('quarter', o_orderdate) AS INTEGER) AS o_quarter,
+         |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total_price
+         |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_quarter""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
+        |  COUNT(DISTINCT k) AS n_distinct_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q17_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+        |                   OR ts_us - LAG(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q18_segment_markers" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |seg AS (
+        |  SELECT *, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_id
+        |  FROM e)
+        |SELECT user_id, seg_id, COUNT(*) AS n_events, MIN(event_id) AS min_event_id,
+        |  string_agg(event_type, ',' ORDER BY ts_us, event_id) AS types_csv
+        |FROM seg GROUP BY user_id, seg_id ORDER BY user_id, seg_id""".stripMargin,
+
+    "q19_hierarchy" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT p_partkey AS child, p_partkey // 10 AS parent FROM part WHERE p_partkey > 0),
+        |r AS (
+        |  SELECT child AS p_node, parent AS cur, 1 AS depth,
+        |    CAST(child AS VARCHAR) || '/' || CAST(parent AS VARCHAR) AS path FROM e
+        |  UNION ALL
+        |  SELECT r.p_node, e.parent, r.depth + 1, r.path || '/' || CAST(e.parent AS VARCHAR)
+        |  FROM r JOIN e ON r.cur = e.child)
+        |SELECT p_node, cur AS root, depth, path FROM r WHERE cur = 0 ORDER BY p_node""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
+
+    "q21_jaccard_pairs" ->
+      """WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |ex AS (SELECT doc_id, source, CAST(len(shingles) AS BIGINT) AS n_sh,
+        |         ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shh FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+        |    COUNT(*) AS n_common
+        |  FROM ex a JOIN ex b ON a.source = b.source AND a.shh = b.shh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b, n_a, n_b, n_common,
+        |  CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+        |FROM pairs
+        |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.12
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q22_minhash_lsh" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |ex AS (SELECT doc_id, unnest(shingles) AS sgl FROM sh),
+        |hx AS (SELECT doc_id, i,
+        |         MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sgl), 1, 15))::BIGINT) AS mh
+        |       FROM ex, range(16) t(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band_id,
+        |            md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bucket
+        |          FROM hx GROUP BY doc_id, i // 4)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM bands a JOIN bands b
+        |  ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q23_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM th, range(32) t(b) GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q30_centroid_assign" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 1009 = 0),
+        |p AS (SELECT e.vec_id, c.centroid_id, unnest(e.embedding) AS x, unnest(c.cvec) AS y
+        |      FROM embeddings e CROSS JOIN c),
+        |d AS (SELECT vec_id, centroid_id,
+        |        SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS dp
+        |      FROM p GROUP BY vec_id, centroid_id),
+        |r AS (SELECT vec_id, centroid_id, dp,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, centroid_id ASC) AS rn
+        |      FROM d)
+        |SELECT vec_id, centroid_id, CAST(dp AS VARCHAR) AS score FROM r WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    "q31_knn_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, label, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS cid, label, embedding AS cvec FROM embeddings),
+        |p AS (SELECT qid, cid, unnest(qvec) AS x, unnest(cvec) AS y
+        |      FROM q JOIN c USING (label) WHERE qid <> cid),
+        |d AS (SELECT qid, cid,
+        |        SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS dp
+        |      FROM p GROUP BY qid, cid),
+        |r AS (SELECT qid, cid, dp,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp DESC, cid ASC) AS rnk
+        |      FROM d)
+        |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, CAST(dp AS VARCHAR) AS score
+        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "q40_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+        |    / CAST(GREATEST(len(w), 1) AS DOUBLE) AS avg_token_len,
+        |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
+        |    / CAST(GREATEST(len(w), 1) AS DOUBLE) AS stopword_ratio
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q41_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+        |  lang,
+        |  (CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |        WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS is_match
+        |FROM (SELECT doc_id, lang,
+        |    CAST(len(list_filter(w, x -> list_contains(['der','die','und','nicht'], x))) AS BIGINT) AS s_de,
+        |    CAST(len(list_filter(w, x -> list_contains(['the','a','is','and'], x))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(w, x -> list_contains(['el','la','y','de'], x))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(w, x -> list_contains(['le','la','et','les'], x))) AS BIGINT) AS s_fr
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q42_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q43_multimodal_meta" ->
+      """SELECT doc_id, n_bytes, content_md5,
+        |  n_bytes % 64 + 100 AS frame_w, (n_bytes // 7) % 64 + 100 AS frame_h
+        |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |        md5(text) AS content_md5 FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q50_tumbling_window" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS wstart_us, event_type,
+         |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY wstart_us, event_type""".stripMargin,
+
+    "q51_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+        |                   OR ts_us - LAG(ts_us) OVER w >= 600000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + 600000000 AS end_us,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, start_us""".stripMargin
+  )
 }

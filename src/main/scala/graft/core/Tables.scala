@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver test tables (`/root/testdata/sf*`, see TESTDATA.md).
+  *
+  * All tables are plain Parquet. The one wrinkle is `events.ts`, written as
+  * parquet TIMESTAMP(NANOS): Spark's `TimestampType` is microsecond-precision
+  * and (depending on version/conf) either refuses nanos or needs
+  * `spark.sql.legacy.parquet.nanosAsLong`. We normalize to a µs-precision
+  * `ts` column via `timestamp_micros(floor(ns / 1000))` so engine semantics
+  * are deterministic and oracle-comparable via `epoch_us`.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table; `dir` is e.g. /root/testdata/sf0.001. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Events with `ts` as a microsecond TimestampType (truncated from nanos,
+    * floor division — matches DuckDB `epoch_us` on the same file). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      // With nanosAsLong the ts column arrives as LongType nanoseconds.
+      // Without (native nanos support), it is already a timestamp.
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // exact integer floor division — double division rounds up for
+          // ns remainders >= ~875 and would disagree with DuckDB epoch_us
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  /** Register every table as a temp view named after itself. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-level cleaning library — the scalar-function surface of the
+  * reference's MDRM dictionary pipeline, re-expressed as pure
+  * codegen-friendly Catalyst expressions (no UDFs).
+  *
+  * Reference semantics (cited into /root/reference/):
+  *  - stripHtml:        mdrm_data_collect_process.py:92-97
+  *  - removeBadChars:   mdrm_data_collect_process.py:60-73 (literal `&#x0D;`)
+  *  - removeCr:         mdrm_data_collect_process.py:84-89
+  *  - collapseNewlines: mdrm_data_collect_process.py:76-81 (single pass, NOT
+  *                      a fixpoint — "\n\n\n" becomes "\n\n", matching the
+  *                      reference exactly)
+  *  - parseFedTimestamp/toYyyymmdd: mdrm_data_collect_process.py:29-39
+  *  - nanToNull:        mdrm_data_collect_process.py:42-57
+  *  - ynToBool:         mdrm_data_collect_process.py:196
+  *  - splitToArray:     mdrm_data_collect_process.py:211 (null -> empty array)
+  */
+object Cleaning {
+
+  /** Remove HTML/XML tags: regex `<[^<]+?>` (same pattern as the reference). */
+  def stripHtml(c: Column): Column = regexp_replace(c, "<[^<]+?>", "")
+
+  /** Remove the escaped carriage-return entity `&#x0D;` (literal match). */
+  def removeBadChars(c: Column): Column = regexp_replace(c, "&#x0D;", "")
+
+  /** Strip raw carriage returns. */
+  def removeCr(c: Column): Column = regexp_replace(c, "\r", "")
+
+  /** Collapse double newlines to one — single pass, not a fixpoint. */
+  def collapseNewlines(c: Column): Column = regexp_replace(c, "\n\n", "\n")
+
+  /** The full text-cleaning chain in reference application order
+    * (strip tags, drop CR entity, drop raw CR, collapse newlines). */
+  def cleanText(c: Column): Column =
+    collapseNewlines(removeCr(removeBadChars(stripHtml(c))))
+
+  /** Float NaN -> null (pandas-NaN parity for numeric columns). */
+  def nanToNull(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
+
+  /** Parse the Fed's `M/d/yyyy h:mm:ss a` timestamps. */
+  def parseFedTimestamp(c: Column): Column =
+    to_timestamp(c, "M/d/yyyy h:mm:ss a")
+
+  /** Fed timestamp string -> zero-padded `yyyyMMdd` string. */
+  def toYyyymmdd(c: Column): Column =
+    date_format(parseFedTimestamp(c), "yyyyMMdd")
+
+  /** `'Y'` -> true, anything else -> false. */
+  def ynToBool(c: Column): Column = c === "Y"
+
+  /** Comma-split to array<string>; null input -> empty array (reference
+    * emits `[]`, not null, for missing reporting-form lists). */
+  def splitToArray(c: Column, sep: String = ","): Column =
+    when(c.isNull, array().cast("array<string>")).otherwise(split(c, sep))
+
+  /** Lowercase all column names (converter.py:200). */
+  def lowercaseColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+
+  /** Rename headers to snake_case: trim, lower, spaces/punct -> `_`. */
+  def snakeCaseColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(c =>
+      c.trim.toLowerCase.replaceAll("[^a-z0-9]+", "_").stripPrefix("_").stripSuffix("_")): _*)
+}

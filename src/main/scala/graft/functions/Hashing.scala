@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic, engine-portable hashing built on md5.
+  *
+  * Spark's `hash`/`xxhash64` are Spark-specific; md5 is bit-identical across
+  * Spark, DuckDB, and everything else, which makes oracle verification and
+  * cross-system reproducibility possible. The 15-hex-char prefix fits in a
+  * signed 64-bit long (max 2^60 - 1), always non-negative.
+  *
+  * DuckDB equivalent of [[hexLong]]: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+  */
+object Hashing {
+
+  /** First 60 bits of md5(c) as a non-negative long. */
+  def hexLong(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Salted variant: md5(salt || ':' || c) — independent hash families for
+    * minhash (one per permutation index). */
+  def saltedHexLong(salt: Column, c: Column): Column =
+    hexLong(concat(salt.cast("string"), lit(":"), c))
+}

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline operators
+  * (tokenize, shingles, quality metrics, language id, fingerprinting).
+  * All pure Catalyst expressions — distributed, codegen-friendly, and
+  * oracle-portable (same results as the equivalent DuckDB list functions).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (simple split on single space — the driver
+    * corpus is single-space separated; see normalizeWs for raw text). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Collapse all whitespace runs to single spaces and trim. */
+  def normalizeWs(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** A BPE-ish subword count heuristic: words + punctuation clusters.
+    * Counts regex token occurrences without materializing the tokens. */
+  def tokenCountRegex(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Word n-gram shingles joined by single spaces. Empty array when the
+    * document has fewer than n tokens (guards Spark's descending
+    * `sequence` when size-n < 0). */
+  def shingles(ws: Column, n: Int): Column = {
+    val gram = (i: Column) => concat_ws(" ",
+      (0 until n).map(j => element_at(ws, (i + lit(j + 1)).cast("int"))): _*)
+    when(size(ws) >= n, transform(sequence(lit(0), size(ws) - n), gram))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct word n-gram shingles (set semantics for Jaccard). */
+  def distinctShingles(text: Column, n: Int): Column =
+    array_distinct(shingles(tokens(text), n))
+
+  /** Token count as long (portable vs DuckDB len()). */
+  def tokenCount(ws: Column): Column = size(ws).cast("long")
+
+  /** Sum of token lengths (exact integer arithmetic). */
+  def totalTokenChars(ws: Column): Column =
+    aggregate(ws, lit(0L), (acc, x) => acc + length(x).cast("long"))
+
+  /** Fraction of tokens found in `stopwords` — exact int/int division. */
+  def stopwordRatio(ws: Column, stopwords: Seq[String]): Column = {
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(ws, t => array_contains(stops, t))).cast("double") /
+      greatest(size(ws), lit(1)).cast("double")
+  }
+
+  /** Count of tokens present in a fixed vocabulary list (lang-id voting). */
+  def vocabHits(ws: Column, vocab: Seq[String]): Column = {
+    val v = array(vocab.map(lit): _*)
+    size(filter(ws, t => array_contains(v, t))).cast("long")
+  }
+
+  /** Canonical document fingerprint: md5 of the whitespace-normalized,
+    * lowercased text. Identical duplicates collide regardless of spacing
+    * and case. */
+  def fingerprint(c: Column): Column = md5(lower(normalizeWs(c)))
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, TextFunctions}
+
+/** Deduplication operators for the LLM-data-pipeline surface: exact,
+  * n-gram Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * All hashing is md5-based ([[graft.functions.Hashing]]) so results are
+  * bit-identical across engines and runs — a requirement both for the
+  * DuckDB oracle and for reproducible 100 TB dedup jobs.
+  *
+  * Scale design:
+  *  - exact: one hash-aggregate shuffle on the content hash (not the full
+  *    text — hash first, group on the 32-byte digest).
+  *  - Jaccard: shingle-explode + self-equi-join on shingle. The join key is
+  *    the shingle string; at 100 TB you'd hash shingles to longs first
+  *    (done here) and optionally block by a cheap key to bound pairs.
+  *  - MinHash/LSH: signatures are a narrow map + one groupBy(doc, band);
+  *    candidate pairs come from an equi-join on (band, bucket) — the whole
+  *    point of LSH is that this join is sparse, vs the quadratic Jaccard.
+  *  - SimHash: narrow map + two aggregations; near-dup = hamming distance
+  *    on 64-bit longs, joinable by bit-band blocking.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by content hash.
+    * Output: (text_md5, canonical_id = min id, n_dups). */
+  def exactGroups(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(md5(text).as("text_md5"), id.as("id"))
+      .groupBy("text_md5")
+      .agg(min("id").as("canonical_id"), count(lit(1)).as("n_dups"))
+
+  /** Pairwise n-gram Jaccard similarity >= minJ between documents sharing
+    * `block` (blocking bounds the candidate set; pass a constant to compare
+    * all pairs).
+    *
+    * Output: (doc_a, doc_b, n_a, n_b, n_common, jaccard) with doc_a < doc_b.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
+                        block: Column, n: Int, minJ: Double): DataFrame = {
+    val base = docs.select(id.as("id"), block.as("block"),
+      TextFunctions.distinctShingles(text, n).as("shingles"))
+      .withColumn("n_sh", size(col("shingles")).cast("long"))
+    val exploded = base.select(col("id"), col("block"), col("n_sh"),
+      explode(col("shingles")).as("sh"))
+      // hash shingles to longs: smaller shuffle + cheaper join key
+      .withColumn("shh", Hashing.hexLong(col("sh"))).drop("sh")
+    val a = exploded.toDF("doc_a", "block", "n_a", "shh")
+    val b = exploded.toDF("doc_b", "block", "n_b", "shh")
+    val common = a.join(b, Seq("block", "shh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+  }
+
+  /** MinHash signatures banded for LSH.
+    * Output: (id, band_id, bucket) — `bucket` is the md5 of the band's
+    * signature slice; docs sharing (band_id, bucket) are candidate pairs. */
+  def minhashBands(docs: DataFrame, id: Column, text: Column,
+                   numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val sh = docs.select(id.as("id"),
+        explode(TextFunctions.distinctShingles(text, shingleN)).as("sh"))
+      .select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"), col("sh"))
+      .select(col("id"), col("i"),
+        Hashing.saltedHexLong(col("i"), col("sh")).as("h"))
+    val sigs = sh.groupBy("id", "i").agg(min("h").as("mh"))
+    val perBand = numHashes / bands
+    sigs
+      .withColumn("band_id", (col("i") / perBand).cast("long"))
+      .groupBy("id", "band_id")
+      .agg(md5(graft.operators.Segmentation.orderedConcat(
+        col("i"), col("mh").cast("string"), ":")).as("bucket"))
+  }
+
+  /** LSH candidate pairs: distinct (doc_a < doc_b) sharing any band bucket. */
+  def lshCandidatePairs(bandedSigs: DataFrame): DataFrame = {
+    val a = bandedSigs.toDF("doc_a", "band_id", "bucket")
+    val b = bandedSigs.toDF("doc_b", "band_id", "bucket")
+    a.join(b, Seq("band_id", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** 32-bit SimHash over distinct tokens (unit weights).
+    * Output: (id, simhash long). */
+  def simhash(docs: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
+    val toks = docs.select(id.as("id"),
+        explode(array_distinct(TextFunctions.tokens(text))).as("tok"))
+      .select(col("id"), Hashing.hexLong(col("tok")).as("h"))
+    val perBit = toks
+      .select(col("id"), explode(sequence(lit(0), lit(bits - 1))).as("b"), col("h"))
+      .groupBy("id", "b")
+      .agg(sum(when(expr("(h >> b) & 1") === 1, 1L).otherwise(-1L)).as("s"))
+    perBit.groupBy("id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(0L))
+        .cast("long").as("simhash"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hierarchy flattening: parent-pointer chasing over an edge table — the
+  * Spark-first re-expression of the reference's
+  * `networkx.all_simple_paths(G, leaf, root)` walk
+  * (`cdr_taxonomy_processor.py:133-165`).
+  *
+  * For tree-shaped hierarchies every node has one parent, so "all simple
+  * paths to root" is exactly iterated self-join parent expansion. The loop
+  * runs on the driver but every iteration is a distributed join; depth is
+  * bounded (regulatory taxonomies are <= ~7 levels), and `localCheckpoint`
+  * truncates lineage so plans don't grow exponentially.
+  *
+  * Scale: the edge table shuffles on `child`/`parent` once per level; for a
+  * shallow tree over 100 TB of facts the edge dim is tiny — broadcast it —
+  * while the frontier stays partitioned. Here edges are the frontier, so we
+  * broadcast the (small) edge set each round.
+  */
+object Hierarchy {
+
+  /** Root nodes: appear as parent but never as child (left-anti join —
+    * cheaper than EXCEPT: no double distinct). */
+  def roots(edges: DataFrame): DataFrame =
+    edges.select(col("parent").as("node")).distinct()
+      .join(edges.select(col("child").as("node")).distinct(), Seq("node"), "left_anti")
+
+  /** Leaves: appear as child but never as parent. */
+  def leaves(edges: DataFrame): DataFrame =
+    edges.select(col("child").as("node")).distinct()
+      .join(edges.select(col("parent").as("node")).distinct(), Seq("node"), "left_anti")
+
+  /** Expand every node's path to its root.
+    *
+    * @param edges (child, parent) long columns, forest-shaped (each child
+    *              has exactly one parent; cycles would loop past maxDepth
+    *              and error).
+    * @return (node, root, depth, path) where path is "node/.../root" and
+    *         depth = number of edges traversed.
+    */
+  def pathsToRoot(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
+    val spark = edges.sparkSession
+    val rootSet = roots(edges)
+
+    // frontier: (node, cur, depth, path); done rows have cur ∈ roots
+    var frontier = edges
+      .select(col("child").as("node"), col("parent").as("cur"),
+        lit(1).as("depth"),
+        concat_ws("/", col("child").cast("string"), col("parent").cast("string")).as("path"))
+      .localCheckpoint()
+    var done = frontier.join(rootSet.withColumnRenamed("node", "cur"), Seq("cur"), "left_semi")
+    var active = frontier.join(rootSet.withColumnRenamed("node", "cur"), Seq("cur"), "left_anti")
+      .localCheckpoint()
+    var depth = 1
+    while (!active.isEmpty) {
+      depth += 1
+      require(depth <= maxDepth, s"hierarchy deeper than $maxDepth — cycle?")
+      val stepped = active
+        .join(broadcast(edges.withColumnRenamed("child", "cur")), Seq("cur"))
+        .select(col("node"), col("parent").as("cur"),
+          (col("depth") + 1).as("depth"),
+          concat_ws("/", col("path"), col("parent").cast("string")).as("path"))
+        .localCheckpoint()
+      done = done.unionByName(
+        stepped.join(rootSet.withColumnRenamed("node", "cur"), Seq("cur"), "left_semi"))
+      active = stepped
+        .join(rootSet.withColumnRenamed("node", "cur"), Seq("cur"), "left_anti")
+        .localCheckpoint()
+    }
+    done.select(col("node"), col("cur").as("root"), col("depth"), col("path"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-stream segmentation — the window-function re-expression of the
+  * reference's PDF span state machine (`app.py:55-112`): "current page" =
+  * carry-forward of the last marker seen; "record" = the run of rows between
+  * markers (a running marker count is the segment id).
+  *
+  * Everything is expressed over `Window.partitionBy(part).orderBy(ord)`:
+  * distributed by partition key, ordered within partitions by an explicit
+  * position column — never by physical row order (SURVEY §7.4 risk 5).
+  */
+object Segmentation {
+
+  /** Running count of marker rows = segment id (marker row starts its own
+    * segment). `sum` over an unbounded-preceding frame; cast long for
+    * engine portability. */
+  def segmentId(part: Seq[Column], ord: Seq[Column], isMarker: Column): Column =
+    sum(isMarker.cast("long"))
+      .over(Window.partitionBy(part: _*).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** Carry the last non-null value forward in order (page-name / title
+    * semantics: `app.py:61-67`). */
+  def carryForward(part: Seq[Column], ord: Seq[Column], value: Column): Column =
+    last(value, ignoreNulls = true)
+      .over(Window.partitionBy(part: _*).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** Deterministic in-order concatenation of a column within a group:
+    * collect (ord, value) structs, sort by ord, join. Use in a groupBy agg —
+    * `collect_list` alone has NO deterministic order. */
+  def orderedConcat(ord: Column, value: Column, sep: String): Column =
+    array_join(
+      transform(array_sort(collect_list(struct(ord.as("o"), value.as("v")))),
+        x => x.getField("v")),
+      sep)
+}

@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization over an event stream (batch form; the streaming
+  * form is `session_window` / `flatMapGroupsWithState` — see
+  * graft.streaming). Session id = running count of "gap exceeded" flags,
+  * the classic lag+cumsum formulation (one shuffle on the partition key,
+  * then two window passes that reuse the same sort).
+  */
+object Sessionize {
+
+  /** Add `session_id` (long, 1-based per partition key): a new session
+    * starts when the gap since the previous event exceeds `gapMicros`.
+    *
+    * @param tsMicros event time as epoch microseconds (exact integer
+    *                 comparisons — float-free and oracle-portable)
+    * @param tiebreak total order within equal timestamps
+    */
+  def withSessionId(df: DataFrame, part: Column, tsMicros: Column,
+                    tiebreak: Column, gapMicros: Long): DataFrame = {
+    val w = Window.partitionBy(part).orderBy(tsMicros, tiebreak)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(tsMicros, 1).over(w)
+    val isNew = when(prev.isNull || (tsMicros - prev) > gapMicros, 1L).otherwise(0L)
+    df.withColumn("session_id", sum(isNew).over(run))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Embedding similarity search: brute-force exact top-k as the baseline and
+  * an IVF-style coarse-quantization path for scale.
+  *
+  * Arithmetic: dot products are computed in exact DECIMAL, not float. Two
+  * reasons: (1) results are order-independent and bit-identical across
+  * engines/runs (float summation is neither — the oracle would flap);
+  * (2) ranking near-ties become deterministic. Elements are float32 cast to
+  * DECIMAL(18,9); products are DECIMAL(37,18); sums DECIMAL(38,18) — no
+  * overflow for unit-scale embeddings at any realistic dimension.
+  *
+  * Scale design (100 TB of vectors):
+  *  - brute force is O(Q×N) — fine when one side is small (broadcast it).
+  *  - IVF: assign every vector to its nearest centroid (small centroid set,
+  *    broadcast join), then search only within the probe's centroid cell —
+  *    turns the N×N pair space into N×(N/cells).
+  *  - LSH alternative for cosine: SimHash bucketing (see Dedup.simhash) —
+  *    same banding trick as text near-dup.
+  */
+object Similarity {
+
+  private val elemDec = DecimalType(18, 9)
+  // Accumulator precision is chosen so `acc + x` stays within 38 digits
+  // after Spark's decimal-addition widening (p -> max(p1-s1,p2-s2)+s+1);
+  // the re-cast keeps the SAME scale (18), so it can never round — only
+  // overflow, which is impossible for unit-scale embeddings.
+  private val accDec = DecimalType(30, 18)
+
+  /** Exact decimal dot product of two float-array columns (same length). */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast(elemDec) * y.cast(elemDec)).cast(accDec)),
+      lit(0).cast(accDec),
+      (acc, x) => (acc + x).cast(accDec))
+
+  /** Dot product as a deterministic double (exact decimal, then one cast). */
+  def dot(a: Column, b: Column): Column = dotDecimal(a, b).cast("double")
+
+  /** Exact decimal squared-norm. */
+  def normSqDecimal(a: Column): Column = dotDecimal(a, a)
+
+  /** Cosine similarity, deterministic: exact decimal dot and norms, a
+    * single IEEE sqrt+divide at the end. */
+  def cosine(a: Column, b: Column): Column =
+    dotDecimal(a, b).cast("double") /
+      (sqrt(normSqDecimal(a).cast("double")) * sqrt(normSqDecimal(b).cast("double")))
+
+  /** Brute-force top-k by dot product.
+    *
+    * @param queries    (qid long, qvec array<float>) — the smaller side;
+    *                   broadcast.
+    * @param candidates (cid long, cvec array<float>)
+    * @return (qid, rank, cid, score) — rank 1..k by score desc, cid asc.
+    */
+  def dotTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              excludeSelf: Boolean = true): DataFrame = {
+    val pairs = candidates.join(broadcast(queries),
+      if (excludeSelf) col("qid") =!= col("cid") else lit(true))
+    val scored = pairs.select(col("qid"), col("cid"),
+      dotDecimal(col("qvec"), col("cvec")).as("score_d"))
+    val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"),
+        col("score_d").cast("double").as("score"))
+  }
+
+  /** IVF coarse quantization: assign each vector to its nearest centroid by
+    * dot product (tiebreak: smallest centroid id).
+    *
+    * @param vectors   (vec_id, embedding)
+    * @param centroids (centroid_id, cvec) — small; broadcast.
+    * @return (vec_id, centroid_id, score_d exact decimal) — cast score_d to
+    *         double for display, or to string for bit-exact comparison.
+    */
+  def centroidAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"),
+        dotDecimal(col("embedding"), col("cvec")).as("score_d"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("score_d").desc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("score_d"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column type inference with the reference's detector semantics
+  * (`converter.py:23-94`), fused into a single aggregation pass.
+  *
+  * Reference rules per column:
+  *   - non-numeric (object) dtype            -> "str"
+  *   - sorted distinct non-null == [0.0,1.0] -> "bool"  (converter.py:23-51)
+  *   - sum(distinct non-null) % 1 == 0       -> "int"   (converter.py:54-73)
+  *   - otherwise                             -> "float"
+  *
+  * Known reference quirk we preserve: an all-{0,1} column is always called
+  * bool even if it is semantically numeric (converter.py:27-29 docstring).
+  *
+  * Scale note (100 TB): this is ONE whole-table aggregate job producing a
+  * struct per column — never N per-column scans. `collect_set` is bounded by
+  * short-circuiting on the bool test only when the distinct set is tiny; for
+  * huge cardinality columns the `sort_array(collect_set)` bool probe would
+  * blow up, so we cap it with `slice(..., 1, 3)`: any column with >2 distinct
+  * values cannot be bool, and 3 collected values are enough to prove that.
+  */
+object TypeInference {
+
+  /** Per-column inference expression (numeric column). Returns a string
+    * verdict "bool" | "int" | "float". */
+  private def numericVerdict(c: String): Column = {
+    val nn = when(col(c).isNotNull && !isnan(col(c)), col(c).cast(DoubleType))
+    // distinct set probe, capped at 3 elements (enough to refute bool)
+    val probe = slice(sort_array(collect_set(nn)), 1, 3)
+    val isBool = probe === array(lit(0.0), lit(1.0))
+    val isInt = (sum_distinct(nn) % 1.0) === 0.0
+    when(isBool, "bool").when(isInt, "int").otherwise("float")
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** Infer every requested column's type in one aggregate pass.
+    * Output: (col_name string, data_type string), one row per column. */
+  def infer(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val verdicts: Seq[Column] = cols.map { c =>
+      df.schema(c).dataType match {
+        case dt if isNumeric(dt) => numericVerdict(c).as(c)
+        case _ => first(lit("str")).as(c) // non-numeric -> str, still one pass
+      }
+    }
+    val wide = df.agg(verdicts.head, verdicts.tail: _*)
+    // one row, N columns -> N rows (col_name, data_type)
+    wide.select(explode(map_from_arrays(
+      array(cols.map(lit): _*),
+      array(cols.map(col): _*))).as(Seq("col_name", "data_type")))
+  }
+
+  /** Spark DataType for a verdict string. */
+  def verdictType(v: String): DataType = v match {
+    case "bool" => BooleanType
+    case "int" => LongType
+    case "float" => DoubleType
+    case _ => StringType
+  }
+
+  /** Apply inferred types: returns the frame with each inferred column cast
+    * to its verdict type (bool via the reference truth-set semantics). */
+  def castTo(df: DataFrame, verdicts: Map[String, String]): DataFrame =
+    verdicts.foldLeft(df) { case (d, (c, v)) =>
+      v match {
+        case "bool" => d.withColumn(c, col(c).cast(DoubleType) === 1.0)
+        case "int" => d.withColumn(c, col(c).cast(LongType))
+        case "float" => d.withColumn(c, col(c).cast(DoubleType))
+        case _ => d.withColumn(c, col(c).cast(StringType))
+      }
+    }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Wide -> long (EAV) unpivot — the reference's signature operator
+  * (`converter.py:130-182`, `assemble_output`), built on Spark's native
+  * `unpivot` (a Generator: narrow, codegen-friendly, no shuffle).
+  *
+  * Reference EAV semantics we preserve exactly (converter.py:152-176):
+  *   - bool columns  -> ALWAYS emit a record; value from the truth set
+  *                      {1, true, "true", "True", "TRUE", "1"}; null -> false
+  *   - int/float/str -> emit only non-null cells (null records are dropped;
+  *                      note converter.py:171-173 builds then discards the
+  *                      str-null record — net behavior is a drop)
+  *   - attribute name = lowercased source column name ("mdrm")
+  *
+  * Scale note: unpivot multiplies row count by #measure columns but stays a
+  * narrow map-side op; at 100 TB the output should be written partitioned by
+  * `quarter` so downstream joins prune partitions.
+  */
+object UnpivotEav {
+
+  /** Simple homogeneous unpivot: all `valueCols` coerced to double.
+    * Output: idCols ++ (mdrm string, float_data double), nulls dropped. */
+  def floats(df: DataFrame, idCols: Seq[String], valueCols: Seq[String]): DataFrame =
+    df.unpivot(idCols.map(col).toArray,
+        valueCols.map(c => col(c).cast(DoubleType).as(c.toLowerCase)).toArray,
+        "mdrm", "float_data")
+      .filter(col("float_data").isNotNull)
+
+  private val truthSet = Seq("1", "true", "True", "TRUE", "1.0")
+
+  /** Truth-set boolean coercion of an arbitrary column (converter.py:154). */
+  def truthy(c: Column): Column =
+    coalesce(c.cast(StringType).isin(truthSet: _*), lit(false))
+
+  /** Full typed EAV with per-type routing.
+    *
+    * @param types column -> "bool"|"int"|"float"|"str" (e.g. from
+    *              [[TypeInference]])
+    * @return idCols ++ (mdrm, data_type, bool_data, int_data, float_data,
+    *         str_data) with exactly one *_data non-null per row (bool rows
+    *         always present, others null-dropped).
+    */
+  def typed(df: DataFrame, idCols: Seq[String], types: Map[String, String]): DataFrame = {
+    val ids = idCols.map(col)
+    def group(kind: String): Seq[String] =
+      types.collect { case (c, k) if k == kind => c }.toSeq.sorted
+
+    def part(kind: String, dataCol: String, coerce: Column => Column,
+             dropNulls: Boolean): Option[DataFrame] = {
+      val cols = group(kind)
+      if (cols.isEmpty) None
+      else {
+        val vals = cols.map(c => coerce(col(c)).as(c.toLowerCase))
+        val up = df.unpivot(ids.toArray, vals.toArray, "mdrm", dataCol)
+          .withColumn("data_type", lit(kind))
+        Some(if (dropNulls) up.filter(col(dataCol).isNotNull) else up)
+      }
+    }
+
+    val parts = Seq(
+      part("bool", "bool_data", truthy, dropNulls = false),
+      part("int", "int_data", _.cast(LongType), dropNulls = true),
+      part("float", "float_data", _.cast(DoubleType), dropNulls = true),
+      part("str", "str_data", _.cast(StringType), dropNulls = true)
+    ).flatten
+
+    require(parts.nonEmpty, "no typed columns to unpivot")
+    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val withAll = Seq("bool_data" -> BooleanType, "int_data" -> LongType,
+      "float_data" -> DoubleType, "str_data" -> StringType)
+      .foldLeft(unioned) { case (d, (c, t)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(t))
+      }
+    withAll.select((ids :+ col("mdrm") :+ col("data_type") :+
+      col("bool_data") :+ col("int_data") :+
+      col("float_data") :+ col("str_data")): _*)
+  }
+}

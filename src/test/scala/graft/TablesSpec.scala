@@ -1,0 +1,19 @@
+package graft
+
+import graft.core.Tables
+
+class TablesSpec extends SparkSpec {
+  test("all test tables load at sf0.001") {
+    for (n <- Tables.names) {
+      val df = Tables.load(spark, sfDir, n)
+      assert(df.count() > 0, s"table $n is empty")
+    }
+  }
+
+  test("events.ts is microsecond TimestampType") {
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.schema("ts").dataType.typeName.startsWith("timestamp"))
+    val first = ev.orderBy("event_id").select("ts").first().get(0)
+    assert(first != null)
+  }
+}
