@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Cleaning
+
+/** Literal cases from SURVEY §2.7 / §5 (reference: mdrm_data_collect_process.py). */
+class CleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(c: org.apache.spark.sql.Column, input: String): String =
+    Seq(input).toDF("x").select(c.as("y")).first().getString(0)
+
+  test("stripHtml removes tags") {
+    assert(run(Cleaning.stripHtml(col("x")), "<b>x</b>") == "x")
+    assert(run(Cleaning.stripHtml(col("x")), "<p>a</p><br/>b") == "ab")
+    assert(run(Cleaning.stripHtml(col("x")), "no tags") == "no tags")
+  }
+
+  test("removeBadChars drops the &#x0D; entity literally") {
+    assert(run(Cleaning.removeBadChars(col("x")), "a&#x0D;b") == "ab")
+  }
+
+  test("removeCr strips carriage returns") {
+    assert(run(Cleaning.removeCr(col("x")), "a\rb\r") == "ab")
+  }
+
+  test("collapseNewlines is a single pass, not a fixpoint") {
+    assert(run(Cleaning.collapseNewlines(col("x")), "a\n\nb") == "a\nb")
+    // reference semantics: one pass over \n\n\n leaves \n\n
+    assert(run(Cleaning.collapseNewlines(col("x")), "a\n\n\nb") == "a\n\nb")
+    assert(run(Cleaning.collapseNewlines(col("x")), "a\n\n\n\nb") == "a\n\nb")
+  }
+
+  test("toYyyymmdd parses Fed M/d/yyyy h:mm:ss a format zero-padded") {
+    assert(run(Cleaning.toYyyymmdd(col("x")), "9/30/2016 12:00:00 AM") == "20160930")
+    assert(run(Cleaning.toYyyymmdd(col("x")), "12/31/9999 12:00:00 AM") == "99991231")
+  }
+
+  test("ynToBool maps Y to true, others false") {
+    val out = Seq("Y", "N", "x").toDF("x")
+      .select(Cleaning.ynToBool(col("x"))).as[Boolean].collect()
+    assert(out.toSeq == Seq(true, false, false))
+  }
+
+  test("splitToArray: comma split, null becomes empty array") {
+    val out = Seq(Some("a,b"), None).toDF("x")
+      .select(Cleaning.splitToArray(col("x"))).as[Seq[String]].collect()
+    assert(out(0) == Seq("a", "b"))
+    assert(out(1) == Seq.empty)
+  }
+
+  test("snakeCaseColumns normalizes headers") {
+    val df = Seq((1, 2)).toDF("Item Code", "Start  Date!")
+    assert(Cleaning.snakeCaseColumns(df).columns.toSeq == Seq("item_code", "start_date"))
+  }
+}

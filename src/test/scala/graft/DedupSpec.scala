@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup family on crafted near/exact duplicates (SURVEY north-star ops). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog", "a"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog", "a"), // near dup
+    (4L, "completely different words entirely here now", "a"),
+    (5L, "the quick brown fox jumps over the lazy dog", "b") // dup, other block
+  ).toDF("doc_id", "text", "source")
+
+  test("exactGroups collapses identical texts to min id") {
+    val g = Dedup.exactGroups(docs, col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g(1L) == 3L) // docs 1,2,5 identical
+    assert(g(3L) == 1L)
+    assert(g(4L) == 1L)
+  }
+
+  test("ngramJaccardPairs finds exact and near dups within a block") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        col("source"), n = 3, minJ = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(pairs((1L, 2L)) == 1.0) // identical -> jaccard exactly 1
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((1L, 4L))) // unrelated text below threshold
+    assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L }) // other block
+  }
+
+  test("LSH candidate pairs include exact duplicates") {
+    val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashBands(docs, col("doc_id"), col("text"), 16, 4, 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical docs have identical signatures in every band
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs hash equal; near dups within small hamming distance") {
+    val h = Dedup.simhash(docs, col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L) && h(1L) == h(5L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+  }
+}

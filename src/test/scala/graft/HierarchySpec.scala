@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Hierarchy
+
+/** Parent-pointer path expansion (SURVEY §2.6). */
+class HierarchySpec extends SparkSpec {
+  import spark.implicits._
+
+  //        0
+  //      /   \
+  //     1     2
+  //    / \     \
+  //   11  12    21
+  //   |
+  //   111
+  private lazy val edges = Seq(
+    (1L, 0L), (2L, 0L), (11L, 1L), (12L, 1L), (21L, 2L), (111L, 11L)
+  ).toDF("child", "parent")
+
+  test("roots and leaves via anti-joins") {
+    assert(Hierarchy.roots(edges).as[Long].collect().toSet == Set(0L))
+    assert(Hierarchy.leaves(edges).as[Long].collect().toSet == Set(12L, 21L, 111L))
+  }
+
+  test("pathsToRoot expands every node to the root with depth and path") {
+    val out = Hierarchy.pathsToRoot(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == (0L, 1, "1/0"))
+    assert(out(111L) == (0L, 3, "111/11/1/0"))
+    assert(out(21L) == (0L, 2, "21/2/0"))
+    assert(out.size == 6) // every non-root node exactly once (tree)
+  }
+
+  test("multi-root forest resolves each tree separately") {
+    val forest = Seq((1L, 0L), (11L, 1L), (3L, 2L)).toDF("child", "parent")
+    val out = Hierarchy.pathsToRoot(forest).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 11L -> 0L, 3L -> 2L))
+  }
+}

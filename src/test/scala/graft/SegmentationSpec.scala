@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Segmentation, Sessionize}
+
+/** Ordered-stream segmentation — the PDF state-machine shape (SURVEY §2.8,
+  * fixture from FIXTURES.md A4). */
+class SegmentationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FIXTURES A4 span stream: page marker (size 16), title (14 bold),
+  // item (12 bold), NARRATIVE/FORMULA sections of size-10 text
+  private lazy val spans = Seq(
+    (1L, 16.0, "Helvetica", "Summary Ratios"),
+    (2L, 14.0, "Helvetica-Bold", "Net Income"),
+    (3L, 12.0, "Helvetica-Bold", "1 UBPRE001"),
+    (4L, 10.0, "Helvetica", "NARRATIVE"),
+    (5L, 10.0, "Helvetica", "Net income after taxes"),
+    (6L, 10.0, "Helvetica", "FORMULA"),
+    (7L, 10.0, "Helvetica", "UBPR4340 / UBPRE002")
+  ).toDF("pos", "size", "font", "text")
+
+  test("carryForward: current page name = last size-16 text seen") {
+    val page = Segmentation.carryForward(Seq(lit(1)), Seq(col("pos")),
+      when(col("size") === 16.0, col("text")))
+    val out = spans.withColumn("page", page).orderBy("pos")
+      .select("page").as[String].collect()
+    assert(out.forall(_ == "Summary Ratios"))
+  }
+
+  test("segmentId: running marker count opens a segment per item") {
+    val seg = Segmentation.segmentId(Seq(lit(1)), Seq(col("pos")),
+      col("size") === 12.0 && col("font") === "Helvetica-Bold")
+    val out = spans.withColumn("seg", seg).orderBy("pos")
+      .select("seg").as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 1L, 1L, 1L, 1L, 1L))
+  }
+
+  test("orderedConcat assembles section text deterministically in pos order") {
+    val seg = Segmentation.segmentId(Seq(lit(1)), Seq(col("pos")),
+      col("text") === "NARRATIVE" || col("text") === "FORMULA")
+    val sections = spans.withColumn("seg", seg)
+      .groupBy("seg")
+      .agg(Segmentation.orderedConcat(col("pos"), col("text"), " ").as("txt"))
+      .orderBy("seg").select("txt").as[String].collect().toSeq
+    assert(sections == Seq(
+      "Summary Ratios Net Income 1 UBPRE001",
+      "NARRATIVE Net income after taxes",
+      "FORMULA UBPR4340 / UBPRE002"))
+  }
+
+  test("sessionize: gap threshold splits sessions, ties continue") {
+    val ev = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 701L, 3L), (2L, 0L, 4L))
+      .toDF("user", "ts_us", "id")
+    val out = Sessionize.withSessionId(ev, col("user"), col("ts_us"), col("id"), 600L)
+      .orderBy("user", "ts_us")
+      .select("user", "session_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+}

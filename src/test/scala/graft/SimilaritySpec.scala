@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dot product is exact for representable values") {
+    val d = vecs.filter($"vec_id" === 0L)
+      .select(Similarity.dot(col("embedding"), col("embedding")))
+      .first().getDouble(0)
+    assert(d == 1.0)
+  }
+
+  test("cosine of identical vectors is 1") {
+    val c = vecs.filter($"vec_id" === 2L)
+      .select(Similarity.cosine(col("embedding"), col("embedding")))
+      .first().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("dotTopK ranks nearest neighbors, excludes self") {
+    val q = vecs.filter($"vec_id" === 0L).select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val c = vecs.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val top = Similarity.dotTopK(q, c, k = 2).orderBy("rank")
+      .select("cid").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L)) // 1 is closest; 2 and 3 tie at 0, cid asc wins
+  }
+
+  test("centroidAssign picks argmax-dot centroid with id tiebreak") {
+    val cents = vecs.filter($"vec_id".isin(0L, 2L))
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cvec"))
+    val assign = Similarity.centroidAssign(vecs.select($"vec_id", $"embedding"), cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L))
+    // vec 3 dots to 0 with both centroids -> tiebreak smallest centroid id
+  }
+}

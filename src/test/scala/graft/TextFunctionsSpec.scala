@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: trigrams in order, empty when fewer than n tokens") {
+    val out = Seq("a b c d", "a b").toDF("t")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("t")), 3))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+  }
+
+  test("fingerprint is whitespace- and case-insensitive") {
+    val fps = Seq("Hello  World", "hello world", "hello  world\t", "other")
+      .toDF("t").select(TextFunctions.fingerprint(col("t"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(1) == fps(2))
+    assert(fps(3) != fps(0))
+  }
+
+  test("tokenCountRegex counts words and punctuation clusters") {
+    val n = Seq("hi, there! 42").toDF("t")
+      .select(TextFunctions.tokenCountRegex(col("t"))).as[Long].head()
+    assert(n == 5L) // hi , there ! 42
+  }
+
+  test("stopwordRatio and vocabHits") {
+    val df = Seq("the cat is the best").toDF("t")
+      .select(TextFunctions.tokens(col("t")).as("w"))
+    val ratio = df.select(TextFunctions.stopwordRatio(col("w"), Seq("the", "is")))
+      .as[Double].head()
+    assert(ratio == 0.6)
+    val hits = df.select(TextFunctions.vocabHits(col("w"), Seq("the")))
+      .as[Long].head()
+    assert(hits == 2L)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.TypeInference
+
+/** Detector semantics from converter.py:23-94 (SURVEY §2.4, §7.4 risk 2). */
+class TypeInferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def verdicts(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+    TypeInference.infer(df, df.columns.toSeq).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("bool / int / float / str verdicts") {
+    val df = Seq(
+      (1.0, 1.0, 1.5, "x"),
+      (0.0, 2.0, 2.5, "y"),
+      (1.0, 3.0, 3.25, "z")
+    ).toDF("b", "i", "f", "s")
+    assert(verdicts(df) == Map("b" -> "bool", "i" -> "int", "f" -> "float", "s" -> "str"))
+  }
+
+  test("reference quirk: all-zeros column is int (not bool), single value {1} is int") {
+    val df = Seq((0.0, 1.0), (0.0, 1.0)).toDF("zeros", "ones")
+    assert(verdicts(df) == Map("zeros" -> "int", "ones" -> "int"))
+  }
+
+  test("integral-sum float column votes int (sum of DISTINCT values)") {
+    // distinct {0.5, 1.5} sums to 2.0 -> int by the reference's rule
+    val df = Seq(0.5, 1.5, 0.5).toDF("halfs")
+    assert(verdicts(df) == Map("halfs" -> "int"))
+  }
+
+  test("nulls and NaN are ignored; all-null column votes int (empty sum = 0)") {
+    val df = Seq(
+      (Some(1.0), Option.empty[Double], Double.NaN),
+      (Some(0.0), Option.empty[Double], 1.25)
+    ).toDF("b", "allnull", "withnan")
+    assert(verdicts(df) == Map("b" -> "bool", "allnull" -> "int", "withnan" -> "float"))
+  }
+
+  test("castTo applies verdict types with 0/1 bool semantics") {
+    val df = Seq((1.0, 2.0), (0.0, 3.0)).toDF("b", "i")
+    val out = TypeInference.castTo(df, Map("b" -> "bool", "i" -> "int"))
+    assert(out.schema("b").dataType.typeName == "boolean")
+    assert(out.schema("i").dataType.typeName == "long")
+    assert(out.select("b").as[Boolean].collect().toSeq == Seq(true, false))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.UnpivotEav
+
+/** EAV semantics from converter.py:130-182 via FIXTURES.md A2 (SURVEY §7.4
+  * risk 1: bools always emitted, int/float/str nulls dropped). */
+class UnpivotEavSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FIXTURES A2 wide fixture
+  private lazy val wide = Seq(
+    (20010331L, 123456L, Some(1.0), Some(1234567.0), Some("ABC BANK"), Some(1.0)),
+    (20010331L, 777777L, Some(2.0), Option.empty[Double], Option.empty[String], Some(0.0))
+  ).toDF("date", "rssd", "RSSD9001", "RCON2170", "TEXT9999", "FLAG0001")
+
+  test("typed EAV: bool always emitted, numeric/str nulls dropped, names lowercased") {
+    val out = UnpivotEav.typed(wide, Seq("rssd", "date"),
+      Map("RSSD9001" -> "float", "RCON2170" -> "float",
+        "TEXT9999" -> "str", "FLAG0001" -> "bool"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+    // bank 777777: RCON2170 (null float) and TEXT9999 (null str) dropped,
+    // FLAG0001 false still present
+    assert(rows.contains((777777L, "flag0001", "bool")))
+    assert(!rows.contains((777777L, "rcon2170", "float")))
+    assert(!rows.contains((777777L, "text9999", "str")))
+    assert(rows.contains((123456L, "rcon2170", "float")))
+    val flag777 = out.filter($"rssd" === 777777L && $"mdrm" === "flag0001")
+      .select("bool_data").first().getBoolean(0)
+    assert(!flag777) // 0.0 is not in the truth set
+    val flag123 = out.filter($"rssd" === 123456L && $"mdrm" === "flag0001")
+      .select("bool_data").first().getBoolean(0)
+    assert(flag123) // 1.0 -> "1.0" in truth set
+    // exactly one *_data column non-null per row
+    out.collect().foreach { r =>
+      val nonNull = Seq("bool_data", "int_data", "float_data", "str_data")
+        .count(c => !r.isNullAt(r.fieldIndex(c)))
+      assert(nonNull == 1, s"row $r")
+    }
+  }
+
+  test("floats unpivot drops nulls and keeps values") {
+    val out = UnpivotEav.floats(wide, Seq("rssd"), Seq("RSSD9001", "RCON2170"))
+    assert(out.count() == 3) // 777777's RCON2170 null dropped
+    val v = out.filter($"rssd" === 123456L && $"mdrm" === "rcon2170")
+      .select("float_data").first().getDouble(0)
+    assert(v == 1234567.0)
+  }
+
+  test("round-trip: unpivot then pivot-back equals original modulo dropped nulls") {
+    val eav = UnpivotEav.floats(wide, Seq("rssd"), Seq("RSSD9001", "RCON2170"))
+    val back = eav.groupBy("rssd").pivot("mdrm").sum("float_data")
+    val m = back.collect().map(r => r.getLong(0) ->
+      (Option(r.get(r.fieldIndex("rcon2170"))), Option(r.get(r.fieldIndex("rssd9001"))))).toMap
+    assert(m(123456L) == (Some(1234567.0), Some(1.0)))
+    assert(m(777777L) == (None, Some(2.0)))
+  }
+}
