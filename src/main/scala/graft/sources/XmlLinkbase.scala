@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.xml.{Elem, Node, XML}
+
+/** XBRL linkbase XML → normalized relational tables — the ingest side of the
+  * reference's taxonomy processor (`cdr_taxonomy_processor.py:100-130,
+  * 167-168, 235-250`), re-expressed as driver-side XML parse (linkbase
+  * files are single-digit MBs) feeding DataFrames that all downstream work
+  * joins distributedly.
+  *
+  * Faithful quirks:
+  *  - attribute names vary across taxonomy versions, so reference keys are
+  *    discovered by substring ('schedule' / 'line' / 'column' in the key),
+  *    exactly like the reference's runtime key search (`:235-240`);
+  *  - arc order is preserved as an `idx` column — the reference's
+  *    "last match wins" label resolution needs a deterministic order.
+  */
+object XmlLinkbase {
+
+  private def localName(n: Node): String = n.label
+  private def attr(n: Node, local: String): Option[String] =
+    n.attributes.collectFirst {
+      case a if a.key == local || a.key.endsWith(s":$local") => a.value.text
+    } orElse n.attributes.asAttrMap.collectFirst {
+      case (k, v) if k == local || k.endsWith(s":$local") => v
+    }
+
+  private def descendants(root: Elem, suffix: String): Seq[Node] =
+    (root \\ "_").filter(n => localName(n).toLowerCase.contains(suffix.toLowerCase))
+
+  /** (idx, from, to) rows for every element whose local name contains
+    * `arcName` (e.g. "presentationArc", "labelArc"). */
+  def arcs(spark: SparkSession, xml: Elem, arcName: String): DataFrame = {
+    import spark.implicits._
+    descendants(xml, arcName).zipWithIndex.flatMap { case (n, i) =>
+      for (f <- attr(n, "from"); t <- attr(n, "to")) yield (i.toLong, f, t)
+    }.toDF("idx", "from", "to")
+  }
+
+  /** (idx, label, text) for `<label>` elements (the label resource nodes,
+    * not the labelArc elements). */
+  def labels(spark: SparkSession, xml: Elem): DataFrame = {
+    import spark.implicits._
+    descendants(xml, "label")
+      .filter(n => !localName(n).toLowerCase.contains("arc") &&
+        !localName(n).toLowerCase.contains("link"))
+      .zipWithIndex.flatMap { case (n, i) =>
+        attr(n, "label").map(l => (i.toLong, l, n.text))
+      }.toDF("idx", "label", "text")
+  }
+
+  /** (label, schedule, line, column) for `<reference>` elements; the
+    * schedule/line/column attribute keys are discovered by substring. */
+  def references(spark: SparkSession, xml: Elem): DataFrame = {
+    import spark.implicits._
+    val refs = descendants(xml, "reference")
+      .filter(n => !localName(n).toLowerCase.contains("link") &&
+        !localName(n).toLowerCase.contains("arc"))
+    def bySubstring(n: Node, sub: String): Option[String] = {
+      val elemHit = n.child.collectFirst {
+        case c if localName(c).toLowerCase.contains(sub) => c.text
+      }
+      elemHit orElse n.attributes.asAttrMap.collectFirst {
+        case (k, v) if k.toLowerCase.contains(sub) => v
+      }
+    }
+    refs.flatMap { n =>
+      attr(n, "label").map { l =>
+        (l, bySubstring(n, "schedule").orNull,
+          bySubstring(n, "line").orNull, bySubstring(n, "column").orNull)
+      }
+    }.toDF("label", "schedule", "line", "column")
+  }
+
+  /** Extract (formNumber, quarter) from the roleRef href, reference
+    * semantics (`cdr_taxonomy_processor.py:114-117`):
+    * "...call-report-031-2022-06-30.xsd" -> ("031", "2022-06-30"). */
+  def formAndQuarter(xml: Elem): Option[(String, String)] =
+    descendants(xml, "roleRef").headOption.flatMap(attr(_, "href")).map { href =>
+      val base = href.split('.').head.replace("call-report", "")
+      val parts = base.split('-').filter(_.nonEmpty)
+      (parts.head, parts.tail.mkString("-"))
+    }
+
+  def parse(path: String): Elem = XML.loadFile(path)
+  def parseString(s: String): Elem = XML.loadString(s)
+}

@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.charset.Charset
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** SAS XPORT (transport format v5) reader — the ingest side of the
+  * reference's converter (`converter.py:96-127`), implemented from the
+  * public format spec (SAS technical note TS-140): 80-byte records, NAMESTR
+  * variable descriptors, observations packed as truncated IBM-360 floating
+  * point and fixed-width character fields.
+  *
+  * Reference behaviors preserved:
+  *  - decode character data as WINDOWS-1252, retrying the whole file as
+  *    ISO-8859-1 on failure (`converter.py:110-119`);
+  *  - SAS missing numerics ('.', 'A'-'Z', '_' sentinel bytes) -> null.
+  *
+  * The parse is driver-side (regulatory XPORT files are megabytes); the
+  * result is a DataFrame that downstream type inference / unpivot process
+  * distributedly. The 100 TB path is a DSv2 source with per-member splits
+  * and column pruning at npos offsets — the binary layout (fixed row
+  * length, per-variable offsets) supports it directly; staged here because
+  * the driver corpus has no XPORT data to bench against.
+  */
+object XportReader {
+
+  final case class Variable(name: String, isNumeric: Boolean, length: Int, position: Int)
+
+  private val RecordLen = 80
+
+  /** Parse NAMESTR variable descriptors + observation byte range. */
+  def parseLayout(bytes: Array[Byte]): (Seq[Variable], Int) = {
+    def recordAt(i: Int): String =
+      new String(bytes, i * RecordLen, RecordLen, Charset.forName("US-ASCII"))
+    require(recordAt(0).startsWith("HEADER RECORD*******LIBRARY HEADER RECORD"),
+      "not an XPORT v5 file")
+    // locate NAMESTR header record
+    val nRecords = bytes.length / RecordLen
+    val namestrIdx = (0 until nRecords)
+      .find(i => recordAt(i).startsWith("HEADER RECORD*******NAMESTR HEADER RECORD"))
+      .getOrElse(sys.error("NAMESTR header record not found"))
+    val nVars = recordAt(namestrIdx).slice(54, 58).trim.toInt
+    val namestrStart = (namestrIdx + 1) * RecordLen
+
+    def short(off: Int): Int =
+      ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    def int4(off: Int): Int =
+      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+
+    val vars = (0 until nVars).map { v =>
+      val o = namestrStart + v * 140
+      val ntype = short(o)
+      val nlng = short(o + 4)
+      val name = new String(bytes, o + 8, 8, Charset.forName("US-ASCII")).trim
+      val npos = int4(o + 132)
+      Variable(name, ntype == 1, nlng, npos)
+    }
+
+    // observations start after the OBS header record following the namestrs
+    val obsIdx = (namestrIdx + 1 until nRecords)
+      .find(i => recordAt(i).startsWith("HEADER RECORD*******OBS"))
+      .getOrElse(sys.error("OBS header record not found"))
+    (vars, (obsIdx + 1) * RecordLen)
+  }
+
+  /** Truncated IBM-360 double at `off` (len 2-8 bytes) -> Some(ieee) or
+    * None for SAS missing values. */
+  def ibmToIeee(bytes: Array[Byte], off: Int, len: Int): Option[Double] = {
+    val b0 = bytes(off) & 0xff
+    val restZero = (1 until len).forall(i => bytes(off + i) == 0)
+    if (restZero && (b0 == '.' || b0 == '_' || (b0 >= 'A' && b0 <= 'Z')))
+      return None // SAS missing sentinel
+    if (b0 == 0 && restZero) return Some(0.0)
+    var frac = 0L
+    for (i <- 1 until 8)
+      frac = (frac << 8) | (if (i < len) bytes(off + i) & 0xffL else 0L)
+    if (frac == 0L) return Some(0.0)
+    val sign = if ((b0 & 0x80) != 0) -1.0 else 1.0
+    val exp16 = b0 & 0x7f
+    Some(sign * Math.scalb(frac.toDouble, 4 * (exp16 - 64) - 56))
+  }
+
+  /** Decode the whole file into (schema, rows). */
+  def decode(bytes: Array[Byte], charset: Charset): (StructType, Seq[Row]) = {
+    val (vars, obsStart) = parseLayout(bytes)
+    val rowLen = vars.map(_.length).sum
+    require(rowLen > 0, "empty XPORT row layout")
+    val schema = StructType(vars.map(v =>
+      StructField(v.name, if (v.isNumeric) DoubleType else StringType)))
+
+    def allBlank(off: Int, len: Int): Boolean =
+      (off until off + len).forall(i => bytes(i) == ' '.toByte)
+
+    val rows = Iterator.from(0)
+      .map(obsStart + _ * rowLen)
+      .takeWhile(off => off + rowLen <= bytes.length && !allBlank(off, rowLen))
+      .map { off =>
+        Row.fromSeq(vars.map { v =>
+          val fo = off + v.position
+          if (v.isNumeric) ibmToIeee(bytes, fo, v.length).orNull
+          else {
+            val s = new String(bytes, fo, v.length, charset)
+            val t = s.replaceAll("\\s+$", "")
+            if (t.isEmpty) null else t
+          }
+        })
+      }.toVector
+    (schema, rows)
+  }
+
+  /** Read an XPORT file with the reference's encoding-fallback behavior. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val (schema, rows) =
+      try decode(bytes, Charset.forName("WINDOWS-1252"))
+      catch { case _: java.nio.charset.CharacterCodingException =>
+        decode(bytes, Charset.forName("ISO-8859-1"))
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+  }
+}

@@ -23,7 +23,9 @@ class HierarchySpec extends SparkSpec {
   }
 
   test("pathsToRoot expands every node to the root with depth and path") {
-    val out = Hierarchy.pathsToRoot(edges).collect()
+    import org.apache.spark.sql.functions.{array_join, col}
+    val out = Hierarchy.pathsToRoot(edges)
+      .withColumn("path", array_join(col("path"), "/")).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getString(3))).toMap
     assert(out(1L) == (0L, 1, "1/0"))
     assert(out(111L) == (0L, 3, "111/11/1/0"))

@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipelines.MdrmDictionary
+import graft.sources.CsvWithSkipRows
+
+/** EP3 end-to-end on the FIXTURES.md A1 fixture. */
+class MdrmDictionarySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val csv =
+    """MDRM Data Dictionary Export
+      |Mnemonic,Item Code,Start Date,End Date,Item Name,Confidentiality,ItemType,Reporting Form,Description,SeriesGlossary,
+      |AAAA,FS87,9/30/2016 12:00:00 AM,12/31/9999 12:00:00 AM,ADJUSTMENT,N,F,"FFIEC 101,FR Y-9C",<p>desc one</p>, Advanced Approaches,
+      |AAAA,FS87,9/30/2016 12:00:00 AM,12/31/9999 12:00:00 AM,ADJUSTMENT,N,F,"FFIEC 101,FR Y-9C",<p>desc one</p>, Advanced Approaches,
+      |BBBB,1234,1/1/2001 12:00:00 AM,3/31/2005 12:00:00 AM,OLD ITEM,Y,R,,plain,gloss,
+      |""".stripMargin
+
+  private lazy val dict = {
+    val f = Files.createTempFile("mdrm", ".csv")
+    Files.writeString(f, csv)
+    MdrmDictionary.clean(CsvWithSkipRows.read(spark, f.toString, skipLines = 1))
+  }
+
+  test("cleans, renames, enriches, dedups, splits reporting forms") {
+    assert(dict.count() == 2) // exact duplicate dropped
+    val r = dict.filter($"mdrm" === "AAAAFS87").first()
+    assert(r.getAs[String]("description") == "desc one") // html stripped
+    assert(r.getAs[String]("item_type_explain") == "Financial reported")
+    assert(!r.getAs[Boolean]("is_conf"))
+    assert(r.getAs[collection.Seq[String]]("reporting_forms").toSeq == Seq("FFIEC 101", "FR Y-9C"))
+    val old = dict.filter($"mdrm" === "BBBB1234").first()
+    assert(old.getAs[Boolean]("is_conf"))
+    assert(old.getAs[collection.Seq[String]]("reporting_forms").toSeq == Seq.empty)
+  }
+
+  test("activeFieldsPerForm counts only sentinel end dates") {
+    val active = MdrmDictionary.activeFieldsPerForm(dict).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(active == Map("FFIEC 101" -> 1L, "FR Y-9C" -> 1L)) // BBBB expired
+  }
+}

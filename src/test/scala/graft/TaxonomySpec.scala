@@ -1,0 +1,94 @@
+package graft
+
+import graft.pipelines.Taxonomy
+import graft.sources.XmlLinkbase
+
+/** EP2 on a synthesized mini-linkbase (FIXTURES.md A3; the reference's
+  * input blob is absent upstream, so expected output is hand-derived). */
+class TaxonomySpec extends SparkSpec {
+
+  // presentation tree (arcs parent -> child; reference reverses):
+  //   root -> sch-RC -> colset-RC -> column_a-RC -> cc_RCON2170
+  //   root -> sch-RI -> line_1-RI -> cc_RCON2170   (same concept, 2nd schedule)
+  private lazy val presXml = XmlLinkbase.parseString(
+    """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink">
+      |<presentationLink>
+      |  <presentationArc xlink:from="root" xlink:to="sch-RC"/>
+      |  <presentationArc xlink:from="sch-RC" xlink:to="colset-RC"/>
+      |  <presentationArc xlink:from="colset-RC" xlink:to="column_a-RC"/>
+      |  <presentationArc xlink:from="column_a-RC" xlink:to="cc_RCON2170"/>
+      |  <presentationArc xlink:from="root" xlink:to="sch-RI"/>
+      |  <presentationArc xlink:from="sch-RI" xlink:to="line_1-RI"/>
+      |  <presentationArc xlink:from="line_1-RI" xlink:to="cc_RCON2170"/>
+      |</presentationLink>
+      |</linkbase>""".stripMargin)
+
+  private lazy val capXml = XmlLinkbase.parseString(
+    """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink">
+      |<labelLink>
+      |  <labelArc xlink:from="sch-RC" xlink:to="lbl1"/>
+      |  <label xlink:label="lbl1">Balance Sheet</label>
+      |  <labelArc xlink:from="column_a-RC" xlink:to="lbl2"/>
+      |  <label xlink:label="lbl2">Column A</label>
+      |  <labelArc xlink:from="sch-RC" xlink:to="lbl3"/>
+      |  <label xlink:label="lbl3">Balance Sheet v2</label>
+      |</labelLink>
+      |</linkbase>""".stripMargin)
+
+  private lazy val refXml = XmlLinkbase.parseString(
+    """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink">
+      |<referenceLink>
+      |  <reference xlink:label="cc_RCON2170_ref">
+      |    <ScheduleRef>RC</ScheduleRef><LineRef>1.a</LineRef><ColumnRef>A</ColumnRef>
+      |  </reference>
+      |</referenceLink>
+      |<roleRef xlink:href="call-report-031-2022-06-30.xsd"/>
+      |</linkbase>""".stripMargin)
+
+  private lazy val structured = Taxonomy.structure(
+    XmlLinkbase.arcs(spark, presXml, "presentationArc"),
+    XmlLinkbase.arcs(spark, capXml, "labelArc"),
+    XmlLinkbase.labels(spark, capXml),
+    XmlLinkbase.references(spark, refXml))
+
+  test("XmlLinkbase normalizes arcs, labels, references, role") {
+    assert(XmlLinkbase.arcs(spark, presXml, "presentationArc").count() == 7)
+    assert(XmlLinkbase.labels(spark, capXml).count() == 3)
+    val ref = XmlLinkbase.references(spark, refXml).first()
+    assert(ref.getString(1) == "RC" && ref.getString(2) == "1.a" && ref.getString(3) == "A")
+    assert(XmlLinkbase.formAndQuarter(refXml).contains(("031", "2022-06-30")))
+  }
+
+  test("structure: one row per (mdrm, schedule) with ordered labeled chains") {
+    val rows = structured.collect().map(r => (r.getString(1), r.getString(2)) -> r).toMap
+    assert(rows.keySet == Set("RC" -> "column_ids", "RI" -> "line_ids"))
+
+    val rc = rows("RC" -> "column_ids")
+    val ids = rc.getSeq[org.apache.spark.sql.Row](3)
+    assert(ids.map(_.getString(0)) == Seq("schedule", "colset", "column"))
+    assert(ids.head.getString(1) == "sch-RC")
+    // last-match-wins label resolution (document order)
+    assert(ids.head.getString(2) == "Balance Sheet v2")
+    assert(ids(2).getString(2) == "Column A")
+    assert(ids(1).getString(2) == null) // colset has no label resource
+    assert(rc.getString(4) == "1.a" && rc.getString(5) == "A")
+
+    val ri = rows("RI" -> "line_ids")
+    assert(ri.getSeq[org.apache.spark.sql.Row](3).map(_.getString(0)) ==
+      Seq("schedule", "extra_col_0"))
+  }
+
+  test("toJsonDocument assembles the reference envelope") {
+    val json = Taxonomy.toJsonDocument(structured, "031", "2022-06-30")
+    assert(json.contains("\"form_number\": \"031\""))
+    assert(json.contains("\"quarter\": \"2022-06-30\""))
+    assert(json.contains("\"cc_RCON2170\""))
+    assert(json.contains("\"column_ids\""))
+    assert(json.contains("\"reference\""))
+    // valid JSON (parse with Spark's bundled Jackson)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(json)
+    assert(tree.get("data").get("cc_RCON2170").get("RC").get("reference")
+      .get("line").asText() == "1.a")
+  }
+}

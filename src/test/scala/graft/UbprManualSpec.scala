@@ -1,0 +1,54 @@
+package graft
+
+import graft.pipelines.UbprManual
+
+/** EP4 on the FIXTURES.md A4 span stream, extended to two records and a
+  * sticky Referenced Concepts marker. */
+class UbprManualSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val spans = Seq(
+    (1L, 1L, 16.0, "Helvetica", "Summary Ratios"),
+    (1L, 2L, 14.0, "Helvetica-Bold", "Net Income"),
+    (1L, 3L, 12.0, "Helvetica-Bold", "1 UBPRE001"),
+    (1L, 4L, 10.0, "Helvetica", "NARRATIVE"),
+    (1L, 5L, 10.0, "Helvetica", "Net income after"),
+    (1L, 6L, 10.0, "Helvetica", "taxes"),
+    (1L, 7L, 10.0, "Helvetica", "FORMULA"),
+    (1L, 8L, 10.0, "Helvetica", "UBPR4340 / UBPRE002"),
+    // second record, same page, new title; has DESCRIPTION too
+    (1L, 9L, 14.0, "Helvetica-Bold", "Referenced Concepts"),
+    (1L, 10L, 12.0, "Helvetica-Bold", "UBPRX999"),
+    (1L, 11L, 10.0, "Helvetica", "DESCRIPTION"),
+    (1L, 12L, 10.0, "Helvetica", "A derived concept"),
+    (1L, 13L, 10.0, "Helvetica", "FORMULA"),
+    (1L, 14L, 10.0, "Helvetica", "UBPRE001 + 1"),
+    // third item with no FORMULA -> never emitted
+    (1L, 15L, 12.0, "Helvetica-Bold", "3 UBPRZ000"),
+    (1L, 16L, 10.0, "Helvetica", "NARRATIVE"),
+    (1L, 17L, 10.0, "Helvetica", "dangling")
+  ).toDF("doc_id", "pos", "size", "font", "text")
+
+  test("state machine emits one record per FORMULA-closed item") {
+    val recs = UbprManual.toRecords(spans).orderBy("record_id").collect()
+    assert(recs.length == 2)
+
+    val r1 = recs(0)
+    assert(r1.getAs[String]("page_name") == "Summary Ratios")
+    assert(r1.getAs[String]("title") == "Net Income")
+    assert(r1.getAs[String]("item_number") == "1")
+    assert(r1.getAs[String]("mdrm") == "UBPRE001")
+    assert(r1.getAs[String]("narrative") == "Net income after taxes")
+    assert(r1.getAs[String]("description") == null)
+    assert(r1.getAs[String]("formula") == "UBPR4340 / UBPRE002")
+    assert(!r1.getAs[Boolean]("is_referenced_concepts"))
+
+    val r2 = recs(1)
+    assert(r2.getAs[String]("title") == "Referenced Concepts")
+    assert(r2.getAs[String]("item_number") == null) // single-token line
+    assert(r2.getAs[String]("mdrm") == "UBPRX999")
+    assert(r2.getAs[String]("description") == "A derived concept")
+    assert(r2.getAs[String]("formula") == "UBPRE001 + 1")
+    assert(r2.getAs[Boolean]("is_referenced_concepts")) // sticky flag
+  }
+}
