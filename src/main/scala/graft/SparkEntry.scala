@@ -553,9 +553,9 @@ object SparkEntry {
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
-        |ex AS (SELECT doc_id, unnest(shingles) AS sgl FROM sh),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT % 1000000007 AS hp FROM sh),
         |hx AS (SELECT doc_id, i,
-        |         MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || sgl), 1, 15))::BIGINT) AS mh
+        |         MIN(((2*i + 1) * hp + (i*i + 7919)) % 1000000007) AS mh
         |       FROM ex, range(16) t(i) GROUP BY doc_id, i),
         |bands AS (SELECT doc_id, i // 4 AS band_id,
         |            md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bucket

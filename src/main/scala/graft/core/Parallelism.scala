@@ -1,0 +1,20 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Input-width guard for compute-heavy narrow stages.
+  *
+  * A small parquet file scans as ONE partition, so every narrow op after it
+  * (shingling, hashing, dot products — the expensive per-row work in this
+  * engine) runs on one core no matter how many the cluster has. At real
+  * scale inputs arrive wide and this is a no-op; on small dims it buys the
+  * full machine for the cost of shuffling a few MB.
+  */
+object Parallelism {
+
+  /** Repartition up to the session's default parallelism — never down. */
+  def ensureWidth(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}

@@ -40,37 +40,61 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
                         block: Column, n: Int, minJ: Double): DataFrame = {
-    val base = docs.select(id.as("id"), block.as("block"),
-      TextFunctions.distinctShingles(text, n).as("shingles"))
-      .withColumn("n_sh", size(col("shingles")).cast("long"))
-    val exploded = base.select(col("id"), col("block"), col("n_sh"),
-      explode(col("shingles")).as("sh"))
+    // Plan-shape notes (both matter ~10x, measured at sf0.1):
+    //  - tokenize into a named column in its own projection — inlining
+    //    split() into the shingle lambda re-splits the text per element_at
+    //    reference (multi-referenced non-cheap aliases don't collapse);
+    //  - explode the shingle transform INLINE in the same select — routing
+    //    the array through a named column first costs 10x (the generator
+    //    fusion is lost and the array is materialized per row).
+    // Per-doc shingle counts are therefore derived from the exploded
+    // stream (one extra tiny aggregate) instead of size(array).
+    val toks = graft.core.Parallelism.ensureWidth(
+      docs.select(id.as("id"), block.as("block"), TextFunctions.tokens(text).as("ws")))
+    val exploded = toks.select(col("id"), col("block"),
+        explode(array_distinct(TextFunctions.shingles(col("ws"), n))).as("sh"))
       // hash shingles to longs: smaller shuffle + cheaper join key
-      .withColumn("shh", Hashing.hexLong(col("sh"))).drop("sh")
-    val a = exploded.toDF("doc_a", "block", "n_a", "shh")
-    val b = exploded.toDF("doc_b", "block", "n_b", "shh")
+      .select(col("id"), col("block"), Hashing.hexLong(col("sh")).as("shh"))
+    val counts = exploded.groupBy("id").agg(count(lit(1)).as("n_sh"))
+
+    val a = exploded.toDF("doc_a", "block", "shh")
+    val b = exploded.toDF("doc_b", "block", "shh")
     val common = a.join(b, Seq("block", "shh"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
     common
+      .join(broadcast(counts.toDF("doc_a", "n_a")), Seq("doc_a"))
+      .join(broadcast(counts.toDF("doc_b", "n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
   }
 
   /** MinHash signatures banded for LSH.
     * Output: (id, band_id, bucket) — `bucket` is the md5 of the band's
     * signature slice; docs sharing (band_id, bucket) are candidate pairs. */
+  /** Modulus for the minhash permutation family (fits all intermediate
+    * products in a long under ANSI overflow checking). */
+  val MinhashP = 1000000007L
+
   def minhashBands(docs: DataFrame, id: Column, text: Column,
                    numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val sh = docs.select(id.as("id"),
-        explode(TextFunctions.distinctShingles(text, shingleN)).as("sh"))
-      .select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"), col("sh"))
+    // One md5 per shingle; the numHashes "permutations" are cheap modular
+    // linear transforms of that base hash (h_i = (2i+1)*h + i^2+7919 mod P)
+    // — the md5 supplies the uniformity, the transforms the family.
+    val toks = graft.core.Parallelism.ensureWidth(
+      docs.select(id.as("id"), TextFunctions.tokens(text).as("ws")))
+    val sh = toks.select(col("id"),
+        explode(array_distinct(TextFunctions.shingles(col("ws"), shingleN))).as("sh"))
+      .select(col("id"), (Hashing.hexLong(col("sh")) % MinhashP).as("hp"))
+      .select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"), col("hp"))
       .select(col("id"), col("i"),
-        Hashing.saltedHexLong(col("i"), col("sh")).as("h"))
+        (((lit(2) * col("i") + 1) * col("hp") + (col("i") * col("i") + 7919)) % MinhashP).as("h"))
     val sigs = sh.groupBy("id", "i").agg(min("h").as("mh"))
     val perBand = numHashes / bands
     sigs
@@ -92,8 +116,8 @@ object Dedup {
   /** 32-bit SimHash over distinct tokens (unit weights).
     * Output: (id, simhash long). */
   def simhash(docs: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
-    val toks = docs.select(id.as("id"),
-        explode(array_distinct(TextFunctions.tokens(text))).as("tok"))
+    val toks = graft.core.Parallelism.ensureWidth(docs.select(id.as("id"),
+        explode(array_distinct(TextFunctions.tokens(text))).as("tok")))
       .select(col("id"), Hashing.hexLong(col("tok")).as("h"))
     val perBit = toks
       .select(col("id"), explode(sequence(lit(0), lit(bits - 1))).as("b"), col("h"))

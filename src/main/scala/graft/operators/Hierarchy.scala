@@ -43,29 +43,35 @@ object Hierarchy {
     *         an array [node, ..., root], `depth` its edge count.
     */
   def pathsToRoot(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
-    val rootSet = roots(edges)
-    def isRoot(df: DataFrame, how: String) =
-      df.join(rootSet.withColumnRenamed("node", "cur"), Seq("cur"), how)
+    // one broadcast root-flag left-join per level (instead of separate
+    // semi + anti joins), and each level persisted so the next builds on
+    // cached partitions — one job per level, lineage depth bounded
+    val rootFlag = broadcast(roots(edges).withColumnRenamed("node", "cur")
+      .withColumn("is_root", lit(true)))
+    val edgesByChild = broadcast(edges.withColumnRenamed("child", "cur"))
+    def mark(df: DataFrame) = df.join(rootFlag, Seq("cur"), "left")
 
-    val start = edges
+    var done = List.empty[DataFrame]
+    var active = mark(edges
       .select(col("child").as("node"), col("parent").as("cur"),
-        lit(1).as("depth"), array(col("child"), col("parent")).as("path"))
-      .localCheckpoint()
-    var done = isRoot(start, "left_semi")
-    var active = isRoot(start, "left_anti").localCheckpoint()
+        lit(1).as("depth"), array(col("child"), col("parent")).as("path")))
     var depth = 1
-    while (!active.isEmpty) {
-      depth += 1
-      require(depth <= maxDepth, s"hierarchy deeper than $maxDepth — cycle?")
-      val stepped = active
-        .join(broadcast(edges.withColumnRenamed("child", "cur")), Seq("cur"))
-        .select(col("node"), col("parent").as("cur"),
-          (col("depth") + 1).as("depth"),
-          concat(col("path"), array(col("parent"))).as("path"))
-        .localCheckpoint()
-      done = done.unionByName(isRoot(stepped, "left_semi"))
-      active = isRoot(stepped, "left_anti").localCheckpoint()
+    var remaining = true
+    while (remaining) {
+      val level = active.persist()
+      done ::= level.filter(col("is_root")).drop("is_root")
+      val next = level.filter(col("is_root").isNull).drop("is_root")
+      if (next.isEmpty) remaining = false
+      else {
+        depth += 1
+        require(depth <= maxDepth, s"hierarchy deeper than $maxDepth — cycle?")
+        active = mark(next.join(edgesByChild, Seq("cur"))
+          .select(col("node"), col("parent").as("cur"),
+            (col("depth") + 1).as("depth"),
+            concat(col("path"), array(col("parent"))).as("path")))
+      }
     }
-    done.select(col("node"), col("cur").as("root"), col("depth"), col("path"))
+    done.reduce(_ unionByName _)
+      .select(col("node"), col("cur").as("root"), col("depth"), col("path"))
   }
 }

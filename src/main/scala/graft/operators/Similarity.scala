@@ -60,7 +60,8 @@ object Similarity {
     */
   def dotTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               excludeSelf: Boolean = true): DataFrame = {
-    val pairs = candidates.join(broadcast(queries),
+    val wide = graft.core.Parallelism.ensureWidth(candidates)
+    val pairs = wide.join(broadcast(queries),
       if (excludeSelf) col("qid") =!= col("cid") else lit(true))
     val scored = pairs.select(col("qid"), col("cid"),
       dotDecimal(col("qvec"), col("cvec")).as("score_d"))
@@ -80,7 +81,7 @@ object Similarity {
     *         double for display, or to string for bit-exact comparison.
     */
   def centroidAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
+    val scored = graft.core.Parallelism.ensureWidth(vectors).crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("centroid_id"),
         dotDecimal(col("embedding"), col("cvec")).as("score_d"))
     val w = Window.partitionBy("vec_id")

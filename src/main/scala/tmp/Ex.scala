@@ -1,0 +1,26 @@
+package tmp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+object Ex extends App {
+  val spark = SparkSession.builder().master("local[32]")
+    .config("spark.sql.shuffle.partitions","32").config("spark.ui.enabled","false").getOrCreate()
+  spark.sparkContext.setLogLevel("ERROR")
+  val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+  docs.count()
+  def time(name: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime(); val n = f
+    println(f"$name: ${(System.nanoTime()-t0)/1e9}%.2f s ($n)")
+  }
+  val toks = docs.repartition(32).select(col("doc_id"), split(col("text")," ").as("ws"))
+  time("split_only")(toks.select(explode(col("ws"))).count())
+  val sh = toks.select(explode(TextFunctions.shingles(col("ws"),3)).as("sh"))
+  time("shingles_inline_explode")(sh.count())
+  val shCol = toks.select(TextFunctions.shingles(col("ws"),3).as("shingles"))
+  time("shingles_as_column")(shCol.select(explode(col("shingles"))).count())
+  val shDist = toks.select(array_distinct(TextFunctions.shingles(col("ws"),3)).as("shingles"))
+  time("distinct_shingles_col")(shDist.select(explode(col("shingles"))).count())
+  time("md5_on_shingles")(sh.select(md5(col("sh"))).filter(col("sh").isNotNull).count())
+  time("hexlong_on_shingles")(sh.select(conv(substring(md5(col("sh")),1,15),16,10).cast("long").as("h")).filter(col("h") > 0).count())
+  spark.stop()
+}
