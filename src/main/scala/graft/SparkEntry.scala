@@ -353,6 +353,59 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // §2.4 rollup (grouping-sets family; cube/grouping sets are the same
+    // machinery)
+    "q24_rollup" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("int").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // §2.5 pivot (long->wide, the inverse of the EAV unpivot)
+    "q25_pivot" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P")).count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // §2.8 UNION ALL (pd.concat parity)
+    "q26_union_all" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey"), lit("customer").as("side"))
+      val sup = Tables.load(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey"), lit("supplier").as("side"))
+      c.unionByName(sup).groupBy("nationkey")
+        .agg(count(lit(1)).as("n"), countDistinct(col("side")).as("n_sides"))
+        .orderBy("nationkey")
+    }),
+
+    // §2.8 INTERSECT
+    "q27_intersect" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val sup = Tables.load(s, dir, "supplier")
+      c.select(col("c_nationkey").as("nationkey")).distinct()
+        .intersect(sup.select(col("s_nationkey").as("nationkey")).distinct())
+        .orderBy("nationkey")
+    }),
+
+    // §2.4 approx distinct (HLL) — engine-specific sketch values, so no
+    // SQL oracle: the driver records the weaker rows-only check. The exact
+    // counterpart is oracle-checked in q16/q04.
+    "q28_approx_distinct" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+    }),
+
     // §2.9 tumbling event-time window (streaming-ready groupBy(window))
     "q50_tumbling_window" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -641,6 +694,33 @@ object SparkEntry {
         |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |        md5(text) AS content_md5 FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q24_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q25_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q26_union_all" ->
+      """SELECT nationkey, COUNT(*) AS n, COUNT(DISTINCT side) AS n_sides FROM (
+        |  SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "q27_intersect" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
 
     "q50_tumbling_window" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS wstart_us, event_type,

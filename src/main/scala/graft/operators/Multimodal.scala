@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: media as opaque `binary` payloads with a typed
+  * metadata struct, plus batched decode/feature plumbing.
+  *
+  * Pattern (north-star requirement): the engine never interprets media
+  * bytes in Catalyst — payloads stay opaque binary; metadata (content
+  * hash, byte length, declared format, decode outputs) is relational and
+  * columnar. Decode runs batched per partition (`mapPartitions` — the
+  * JVM-side equivalent of the Arrow-batched python UDF pattern) so a real
+  * codec would amortize init per batch, and partitioning/pushdown operate
+  * on metadata without touching payloads.
+  *
+  * The decoder here is a clearly-marked deterministic STUB — the container
+  * ships no image/audio codecs. The Spark-side plumbing (schema, batch
+  * shape, partition parallelism, null handling) is real and tested; swap
+  * `stubDecode` for a codec call to productionize.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("format", StringType),
+    StructField("n_bytes", LongType),
+    StructField("content_md5", StringType)))
+
+  /** Wrap a binary column as a media frame with metadata columns. */
+  def ingest(df: DataFrame, id: String, payload: String, format: String): DataFrame =
+    df.select(col(id).cast(LongType).as("media_id"),
+      col(payload).cast(BinaryType).as("payload"),
+      col(format).cast(StringType).as("format"),
+      length(col(payload)).cast(LongType).as("n_bytes"),
+      md5(col(payload)).as("content_md5"))
+
+  final case class DecodedFrame(media_id: Long, width: Int, height: Int,
+                                n_channels: Int, feature: Array[Float])
+
+  /** STUB decode: deterministic pseudo-decode from payload bytes. A real
+    * implementation calls a codec here, once per partition batch. */
+  private[operators] def stubDecode(mediaId: Long, payload: Array[Byte]): DecodedFrame = {
+    val n = if (payload == null) 0 else payload.length
+    val width = 100 + (n % 64)
+    val height = 100 + ((n / 7) % 64)
+    // fake 8-dim feature: byte histogram over 8 buckets, normalized
+    val hist = new Array[Float](8)
+    if (payload != null) payload.foreach(b => hist((b & 0xff) / 32) += 1f)
+    val feat = hist.map(h => if (n == 0) 0f else h / n)
+    DecodedFrame(mediaId, width, height, 3, feat)
+  }
+
+  /** Batched decode over partitions — real parallel plumbing around the
+    * stub. Output joins back to the media frame on media_id. */
+  def decodeFrames(media: DataFrame): Dataset[DecodedFrame] = {
+    import media.sparkSession.implicits._
+    graft.core.Parallelism.ensureWidth(media)
+      .select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        // per-batch codec init would go here
+        rows.map(r => stubDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+  }
+}

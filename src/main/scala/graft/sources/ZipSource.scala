@@ -1,0 +1,45 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+import java.util.zip.ZipInputStream
+
+/** ZIP container access — the reference's member-selection pattern
+  * (`mdrm_data_collect_process.py:117-127`, `cdr_taxonomy_processor
+  * .py:86-99`, `converter.py:235-250`): open an archive, list entries,
+  * select members by name predicate, extract bytes.
+  *
+  * Driver-side: the reference's archives are single small files (an MDRM
+  * CSV, four linkbase XMLs, one XPORT member). For many-archive corpora at
+  * scale, the same two functions run inside `binaryFile`-source
+  * `mapPartitions` — entry listing and extraction are stream-based and
+  * need no temp files.
+  */
+object ZipSource {
+
+  /** Entry names in archive order. */
+  def entries(zipBytes: Array[Byte]): Seq[String] = {
+    val zin = new ZipInputStream(new java.io.ByteArrayInputStream(zipBytes))
+    Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .filterNot(_.isDirectory).map(_.getName).toList
+  }
+
+  /** Extract the first member whose name satisfies `pred` (the reference
+    * selects by substring: `'-cap' in x`, `'xpt' in x`). */
+  def member(zipBytes: Array[Byte], pred: String => Boolean): Option[(String, Array[Byte])] = {
+    val zin = new ZipInputStream(new java.io.ByteArrayInputStream(zipBytes))
+    Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .find(e => !e.isDirectory && pred(e.getName))
+      .map { e =>
+        val out = new ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        Iterator.continually(zin.read(buf)).takeWhile(_ > 0)
+          .foreach(n => out.write(buf, 0, n))
+        (e.getName, out.toByteArray)
+      }
+  }
+
+  def entriesOf(path: String): Seq[String] = entries(Files.readAllBytes(Paths.get(path)))
+  def memberOf(path: String, pred: String => Boolean): Option[(String, Array[Byte])] =
+    member(Files.readAllBytes(Paths.get(path)), pred)
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming forms of the engine's event-time operators
+  * (SURVEY §2.9). Batch-first implementations live in graft.operators
+  * (Sessionize, Segmentation); these wrappers are streaming-native:
+  * `readStream -> transform -> writeStream` with watermarks for state
+  * cleanup, and `flatMapGroupsWithState` where running state (the PDF-style
+  * marker segmentation) can't be expressed as a windowed aggregate.
+  *
+  * All transforms work unchanged on batch frames too (Spark's unified
+  * API) — the specs exercise both paths.
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts + sums. With a watermark, late data
+    * beyond `watermarkDelay` is dropped and window state is evicted. */
+  def tumblingCounts(events: DataFrame, windowLength: String,
+                     watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based session windows per user (Spark merges overlapping
+    * [ts, ts+gap) intervals; new session when gap >= gapDuration). */
+  def sessionCounts(events: DataFrame, gapDuration: String,
+                    watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gapDuration).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  final case class Ev(user_id: Long, ts_us: Long, event_type: String)
+  final case class Segmented(user_id: Long, ts_us: Long, event_type: String, seg_id: Long)
+  final case class SegState(segId: Long, lastTsUs: Long)
+
+  /** Stateful marker segmentation (the PDF state machine, §2.8) as custom
+    * streaming state: per user, the running count of marker events is the
+    * segment id, carried across micro-batches in `GroupState`.
+    *
+    * Within each invocation the batch iterator is sorted by (ts_us) —
+    * event-time order inside a micro-batch is not otherwise guaranteed;
+    * cross-batch order is the source's responsibility (use a watermark
+    * upstream to bound disorder).
+    */
+  def markerSegments(events: Dataset[Ev], isMarker: Ev => Boolean): Dataset[Segmented] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SegState, Segmented](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[SegState]) =>
+          var st = state.getOption.getOrElse(SegState(0L, Long.MinValue))
+          val out = it.toSeq.sortBy(e => (e.ts_us, e.event_type)).map { e =>
+            if (isMarker(e)) st = SegState(st.segId + 1, e.ts_us)
+            else st = st.copy(lastTsUs = e.ts_us)
+            Segmented(user, e.ts_us, e.event_type, st.segId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

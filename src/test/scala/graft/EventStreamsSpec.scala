@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** Streaming operators driven through an actual streaming query
+  * (MemoryStream source -> memory sink), plus batch-mode parity. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tumblingCounts over a real stream with watermark") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = src.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(events, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      src.addData((t("2024-01-01 00:10:00"), "click", 1.0),
+        (t("2024-01-01 00:50:00"), "click", 2.0),
+        (t("2024-01-01 01:10:00"), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L),
+        ("2024-01-01 01:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionCounts merges gap-overlapping events per user (streaming)") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = src.toDF().toDF("ts", "user_id")
+    val q = EventStreams.sessionCounts(events, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      src.addData((t("2024-01-01 00:00:00"), 1L), (t("2024-01-01 00:05:00"), 1L),
+        (t("2024-01-01 00:30:00"), 1L), (t("2024-01-01 00:00:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toList.sorted
+      assert(rows == List((1L, 1L), (1L, 2L), (2L, 1L))) // user1: 2 sessions
+    } finally q.stop()
+  }
+
+  test("markerSegments keeps state across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val segs = EventStreams.markerSegments(src.toDS(), _.event_type == "error")
+    val q = segs.writeStream.format("memory").queryName("segs")
+      .outputMode("append").start()
+    try {
+      src.addData(Ev(1, 100, "view"), Ev(1, 200, "error"), Ev(1, 300, "click"))
+      q.processAllAvailable()
+      src.addData(Ev(1, 400, "error"), Ev(1, 500, "view")) // second batch
+      q.processAllAvailable()
+      val rows = spark.table("segs").collect()
+        .map(r => (r.getLong(1), r.getLong(3))).toList.sorted
+      // segment id carries across batches: 0,1,1 then 2,2
+      assert(rows == List((100L, 0L), (200L, 1L), (300L, 1L), (400L, 2L), (500L, 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming transforms run identically on batch frames") {
+    val batch = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), "view", 3.0)
+    ).toDF("ts", "event_type", "value")
+    val out = EventStreams.tumblingCounts(batch, "1 hour", "30 minutes")
+      .orderBy("window_start").collect()
+    assert(out.length == 2 && out(0).getLong(2) == 1L)
+  }
+}

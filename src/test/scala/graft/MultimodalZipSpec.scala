@@ -1,0 +1,46 @@
+package graft
+
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.sources.ZipSource
+
+class MultimodalZipSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal ingest + batched stub decode") {
+    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+      .withColumn("bin", encode(col("text"), "UTF-8"))
+      .withColumn("fmt", lit("text/plain"))
+    val media = Multimodal.ingest(docs, "doc_id", "bin", "fmt")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "payload", "format", "n_bytes", "content_md5"))
+    val m1 = media.filter($"media_id" === 1L).first()
+    assert(m1.getAs[Long]("n_bytes") == 11L)
+
+    val frames = Multimodal.decodeFrames(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(frames(1L).width == 100 + 11 % 64)
+    assert(frames(1L).feature.length == 8)
+    assert(math.abs(frames(1L).feature.sum - 1.0f) < 1e-6) // normalized histogram
+    assert(frames(2L).feature.forall(_ == 0f)) // empty payload
+  }
+
+  test("zip member selection by substring predicate") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    for ((name, content) <- Seq("a-cap.xml" -> "<cap/>", "a-pres.xml" -> "<pres/>",
+        "data.xpt" -> "XPT")) {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    val bytes = bos.toByteArray
+    assert(ZipSource.entries(bytes) == Seq("a-cap.xml", "a-pres.xml", "data.xpt"))
+    val Some((name, content)) = ZipSource.member(bytes, _.contains("-pres"))
+    assert(name == "a-pres.xml" && new String(content, "UTF-8") == "<pres/>")
+    assert(ZipSource.member(bytes, _.contains("nope")).isEmpty)
+  }
+}

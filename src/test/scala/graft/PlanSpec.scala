@@ -1,0 +1,51 @@
+package graft
+
+/** Physical-plan assertions: the optimizations we rely on at scale must
+  * actually appear in the executed plan — pushdown reaching the parquet
+  * scan, dims broadcast, narrow ops staying shuffle-free, top-k not
+  * globally sorting. Guards against regressions that stay correct but
+  * destroy the 100 TB story. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02: filters are pushed down to the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    // plan strings truncate filter lists; assert the scan carries pushed
+    // predicates at all (IsNotNull + at least one range filter)
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual("), p.take(2000))
+  }
+
+  test("q01: scan reads only referenced columns") {
+    val p = plan("q01_pricing_agg")
+    assert(!p.contains("l_partkey") && !p.contains("l_suppkey"), "column pruning lost")
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan("q03_join_dims")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q07: top-k uses TakeOrderedAndProject (no global sort)") {
+    val p = plan("q07_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q12: unpivot is a narrow plan — no exchange before the sort") {
+    val p = SparkEntry.queries("q12_unpivot_eav")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the one feeding the final presentation
+    // ORDER BY (rangepartitioning); the unpivot itself must not shuffle
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"unpivot introduced extra shuffles:\n${p.take(1500)}")
+    assert(p.contains("Expand") || p.contains("Generate"), "unpivot operator missing")
+  }
+
+  test("q30: centroid side is broadcast") {
+    val p = plan("q30_centroid_assign")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+}
