@@ -305,6 +305,41 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // LLM ops — exact cosine top-k (decimal dot + precomputed norms; all
+    // IEEE ops after the exact decimals, so doubles are bit-identical)
+    "q32_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .withColumn("nrm", sqrt(Similarity.normSqDecimal(col("embedding")).cast("double")))
+      val q = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("label"),
+          col("embedding").as("qvec"), col("nrm").as("qn"))
+      val c = emb.select(col("vec_id").as("cid"), col("label"),
+        col("embedding").as("cvec"), col("nrm").as("cn"))
+      val scored = q.join(c, Seq("label")).filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          (Similarity.dotDecimal(col("qvec"), col("cvec")).cast("double") /
+            (col("qn") * col("cn"))).as("cosine"))
+        // engines can differ in the last ulp of the decimal->double cast:
+        // rank on the 9-decimal rounding (cid tiebreak) and emit a fixed
+        // 9-decimal string so the comparison is representation-stable
+        .withColumn("cos_r", round(col("cosine"), 9))
+      val w = Window.partitionBy("qid").orderBy(col("cos_r").desc, col("cid").asc)
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("cid"),
+          format_string("%.9f", col("cosine")).as("cosine"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // LLM ops — incremental rolling-hash document signature
+    "q44_rolling_hash" -> ((s, dir) => {
+      val toks = core.Parallelism.ensureWidth(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws")))
+      toks.select(col("doc_id"),
+          TextFunctions.rollingHash(col("ws")).as("rolling_hash"))
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — text quality metrics
     "q40_text_quality" -> ((s, dir) => {
       val ws = TextFunctions.tokens(col("text"))
@@ -653,6 +688,35 @@ object SparkEntry {
         |      FROM d)
         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, CAST(dp AS VARCHAR) AS score
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "q32_cosine_topk" ->
+      """WITH nrm AS (
+        |  SELECT vec_id, sqrt(CAST(SUM(
+        |    CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+        |  ) AS DOUBLE)) AS nv
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+        |q AS (SELECT vec_id AS qid, label, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id AS cid, label, embedding AS cvec FROM embeddings),
+        |p AS (SELECT qid, cid, unnest(qvec) AS x, unnest(cvec) AS y
+        |      FROM q JOIN c USING (label) WHERE qid <> cid),
+        |d AS (SELECT qid, cid,
+        |        SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS dp
+        |      FROM p GROUP BY qid, cid),
+        |j AS (SELECT qid, cid, CAST(dp AS DOUBLE) / (nq.nv * nc.nv) AS cosine
+        |      FROM d JOIN nrm nq ON nq.vec_id = d.qid JOIN nrm nc ON nc.vec_id = d.cid),
+        |r AS (SELECT qid, cid, cosine,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY round(cosine, 9) DESC, cid ASC) AS rnk
+        |      FROM j)
+        |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, printf('%.9f', cosine) AS cosine
+        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "q44_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '),
+        |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q40_text_quality" ->
       """SELECT doc_id,

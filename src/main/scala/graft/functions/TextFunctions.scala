@@ -61,4 +61,15 @@ object TextFunctions {
     * lowercased text. Identical duplicates collide regardless of spacing
     * and case. */
   def fingerprint(c: Column): Column = md5(lower(normalizeWs(c)))
+
+  /** Order-sensitive polynomial rolling hash over tokens:
+    * fold (acc*31 + md5_60(token) mod p) mod p. Unlike [[fingerprint]]
+    * this is incremental (chunk hashes combine) and integer-typed —
+    * the shape used for shift-resistant document signatures. p is chosen
+    * so every intermediate fits a long (p < 2^31). */
+  def rollingHash(ws: Column, p: Long = 1000000007L): Column =
+    aggregate(
+      transform(ws, t => Hashing.hexLong(t) % p),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % p)
 }

@@ -27,6 +27,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(n == 5L) // hi , there ! 42
   }
 
+  test("rollingHash is order-sensitive, stable, and bounded by p") {
+    val hs = Seq("a b c", "c b a", "a b c", "")
+      .toDF("t").select(TextFunctions.rollingHash(TextFunctions.tokens(col("t"))))
+      .as[Long].collect()
+    assert(hs(0) == hs(2))          // deterministic
+    assert(hs(0) != hs(1))          // order matters
+    assert(hs.forall(h => h >= 0 && h < 1000000007L))
+  }
+
   test("stopwordRatio and vocabHits") {
     val df = Seq("the cat is the best").toDF("t")
       .select(TextFunctions.tokens(col("t")).as("w"))
