@@ -349,7 +349,8 @@ object SparkEntry {
           size(array_distinct(ws)).cast("long").as("n_distinct_tokens"),
           (TextFunctions.totalTokenChars(ws).cast("double") /
             greatest(size(ws), lit(1)).cast("double")).as("avg_token_len"),
-          TextFunctions.stopwordRatio(ws, stops).as("stopword_ratio"))
+          TextFunctions.stopwordRatio(ws, stops).as("stopword_ratio"),
+          TextFunctions.tokenCountRegex(col("text")).as("n_regex_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -725,8 +726,9 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
         |    / CAST(GREATEST(len(w), 1) AS DOUBLE) AS avg_token_len,
         |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
-        |    / CAST(GREATEST(len(w), 1) AS DOUBLE) AS stopword_ratio
-        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |    / CAST(GREATEST(len(w), 1) AS DOUBLE) AS stopword_ratio,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_regex_tokens
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
     "q41_langid" ->

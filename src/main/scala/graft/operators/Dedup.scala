@@ -113,6 +113,28 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Embedding-cosine near-duplicate pairs within a block: documents whose
+    * embedding cosine similarity meets `minCosine`. Exact-decimal dots
+    * (see [[Similarity]]); block to bound the pair space, or LSH-bucket
+    * first (simhash of the embedding signs) at scale.
+    *
+    * @param docs (id, block, embedding array<float>)
+    * @return (doc_a, doc_b, cosine) with doc_a < doc_b
+    */
+  def embeddingNearDupPairs(docs: DataFrame, id: Column, block: Column,
+                            embedding: Column, minCosine: Double): DataFrame = {
+    val base = graft.core.Parallelism.ensureWidth(
+      docs.select(id.as("id"), block.as("block"), embedding.as("emb")))
+      .withColumn("nrm", sqrt(Similarity.normSqDecimal(col("emb")).cast("double")))
+    val a = base.toDF("doc_a", "block", "emb_a", "nrm_a")
+    val b = base.toDF("doc_b", "block", "emb_b", "nrm_b")
+    a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (Similarity.dotDecimal(col("emb_a"), col("emb_b")).cast("double") /
+          (col("nrm_a") * col("nrm_b"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** 32-bit SimHash over distinct tokens (unit weights).
     * Output: (id, simhash long). */
   def simhash(docs: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {

@@ -42,6 +42,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("embeddingNearDupPairs finds same-direction vectors within blocks") {
+    val vecs = Seq(
+      (1L, "a", Array(1.0f, 0.0f)),
+      (2L, "a", Array(0.99f, 0.01f)), // near-dup of 1
+      (3L, "a", Array(0.0f, 1.0f)),   // orthogonal
+      (4L, "b", Array(1.0f, 0.0f))    // other block
+    ).toDF("doc_id", "source", "emb")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, col("doc_id"), col("source"),
+        col("emb"), minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("simhash: identical docs hash equal; near dups within small hamming distance") {
     val h = Dedup.simhash(docs, col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
