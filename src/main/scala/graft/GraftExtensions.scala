@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.expressions.FloatVectorDot
+
+/** Engine extension point — the sanctioned way to add native expressions
+  * to a session: `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` or `--conf spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * Currently registers:
+  *  - `float_vector_dot(array<float>, array<float>) -> double` — codegen'd
+  *    dot product ([[graft.expressions.FloatVectorDot]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_vector_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_vector_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "float_vector_dot takes exactly 2 arguments")
+        FloatVectorDot(children.head, children(1))
+      }))
+  }
+}

@@ -1,0 +1,31 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine session defaults (SURVEY §7.1). Everything here is a default —
+  * callers' explicit confs win. */
+object SparkSessionFactory {
+
+  /** Apply the engine's scale-oriented defaults to a builder:
+    *  - AQE on (runtime coalescing, skew-join splitting, plan re-opt);
+    *  - UTC session time zone (regulatory timestamps are zone-less);
+    *  - broadcast threshold high enough that every reference dim
+    *    (MDRM dictionary, taxonomy linkbases, nation/region) broadcasts;
+    *  - shuffle partitions default to cluster parallelism, not 200 —
+    *    AQE coalesces down, but the ceiling should track the machine.
+    */
+  def configure(b: SparkSession.Builder, parallelism: Int): SparkSession.Builder =
+    b.config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.shuffle.partitions", parallelism.toString)
+
+  /** Local session for tools/tests, with the engine's native functions
+    * registered via [[graft.GraftExtensions]]. */
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cores]").appName(appName), cores)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+}

@@ -1,0 +1,86 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native codegen'd dot product over two `array<float>` columns.
+  *
+  * Why a custom Catalyst expression (the only place in this engine where
+  * built-ins genuinely fall short): the declarative formulation
+  * `aggregate(zip_with(a, b, _*_), 0, _+_)` runs through higher-order
+  * function machinery that is interpreted per element (lambda variables,
+  * boxed accumulators); this generated tight primitive loop over the two
+  * array buffers is what brute-force ANN needs at scale.
+  *
+  * Semantics: elements widen float→double (exact); products sum
+  * left-to-right in doubles — deterministic for a given engine (fixed
+  * order) but NOT order-independent like
+  * [[graft.operators.Similarity.dotDecimal]]; use the decimal form where
+  * cross-engine bit-equality matters, this one where throughput does.
+  * Arrays are expected equal-length (extra elements on either side are
+  * ignored); null input → null.
+  *
+  * Registered as SQL function `float_vector_dot` by
+  * [[graft.GraftExtensions]] (SparkSessionExtensions.injectFunction).
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vector_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatVectorDot {
+  /** Column-API entry point. Requires the session to carry
+    * [[graft.GraftExtensions]] (resolved through the function registry). */
+  def dotFast(a: Column, b: Column): Column =
+    call_function("float_vector_dot", a, b)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.FloatVectorDot
+import graft.operators.Similarity
+
+/** Custom codegen'd expression: correctness vs the decimal reference
+  * implementation, plan integration, and a sanity throughput check. */
+class FloatVectorDotSpec extends AnyFunSuite {
+
+  // own session: needs GraftExtensions (SparkSpec's shared session doesn't)
+  private lazy val spark: SparkSession = graft.core.SparkSessionFactory.local(4, "dot-test")
+  import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+
+  test("float_vector_dot matches the decimal-exact dot to float precision") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, -0.5f), Array(0.25f, 4.0f, 2.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+    val out = vecs.select(col("id"),
+        FloatVectorDot.dotFast(col("a"), col("b")).as("fast"),
+        Similarity.dot(col("a"), col("b")).as("exact"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    for ((_, fast, exact) <- out)
+      assert(math.abs(fast - exact) < 1e-9, s"fast=$fast exact=$exact")
+    assert(out.find(_._1 == 1L).get._2 == 1.0 * 0.25 + 2.0 * 4.0 + -0.5 * 2.0)
+  }
+
+  test("usable from SQL and survives codegen") {
+    Seq((Array(1.0f, 1.0f), Array(2.0f, 3.0f))).toDF("a", "b")
+      .createOrReplaceTempView("v")
+    val r = spark.sql("SELECT float_vector_dot(a, b) AS d FROM v").first().getDouble(0)
+    assert(r == 5.0)
+  }
+
+  test("null propagation and type checking") {
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+    val r = df.select(FloatVectorDot.dotFast(col("a"), col("b"))).first()
+    assert(r.isNullAt(0))
+    val bad = Seq((Array(1.0), Array(1.0f))).toDF("a", "b") // array<double> lhs
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      bad.select(FloatVectorDot.dotFast(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("faster than the interpreted HOF formulation on repeated evaluation") {
+    import spark.implicits.newLongEncoder
+    val n = 20000
+    val dim = 64
+    val vecs = spark.range(n).select(col("id"),
+        transform(sequence(lit(1), lit(dim)),
+          i => (i.cast("float") * 0.001f + col("id").cast("float") * 0.0001f)).as("v"))
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+      .repartition(4).cache()
+    vecs.count()
+    def timeIt(c: org.apache.spark.sql.Column): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val cnt = vecs.select(c.as("d")).filter(col("d") > -1e18).count()
+      ((System.nanoTime() - t0) / 1e9, cnt)
+    }
+    timeIt(FloatVectorDot.dotFast(col("v"), col("v"))) // warm both paths
+    timeIt(Similarity.dot(col("v"), col("v")))
+    val (fast, c1) = timeIt(FloatVectorDot.dotFast(col("v"), col("v")))
+    val (slow, c2) = timeIt(Similarity.dot(col("v"), col("v")))
+    assert(c1 == c2 && c1 == n)
+    info(f"codegen dot: $fast%.3f s, HOF decimal dot: $slow%.3f s (${slow / fast}%.1fx)")
+    assert(fast < slow, s"expected codegen ($fast) faster than HOF ($slow)")
+  }
+}
