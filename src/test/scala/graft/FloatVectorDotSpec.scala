@@ -1,18 +1,14 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
 import graft.expressions.FloatVectorDot
 import graft.operators.Similarity
 
 /** Custom codegen'd expression: correctness vs the decimal reference
   * implementation, plan integration, and a sanity throughput check. */
-class FloatVectorDotSpec extends AnyFunSuite {
+class FloatVectorDotSpec extends SparkSpec {
 
-  // own session: needs GraftExtensions (SparkSpec's shared session doesn't)
-  private lazy val spark: SparkSession = graft.core.SparkSessionFactory.local(4, "dot-test")
   import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
 
   test("float_vector_dot matches the decimal-exact dot to float precision") {
