@@ -1,0 +1,176 @@
+package graft.sources.xport
+
+import java.nio.charset.Charset
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.XportReader
+import graft.sources.XportReader.Variable
+
+/** DataSource V2 for SAS XPORT v5 (`spark.read.format("xport").load(path)`)
+  * — the scale path for the reference's single-threaded chunked reader
+  * (`converter.py:96-127`, SURVEY §2.1):
+  *
+  *  - **column pruning** (`SupportsPushDownRequiredColumns`): observations
+  *    are fixed-width with per-variable offsets (NAMESTR `npos`), so a
+  *    pruned scan decodes ONLY the requested fields — no full-row decode;
+  *  - **intra-file splits**: the observation region is `rowLen`-periodic,
+  *    so one file fans out into row-aligned chunks read in parallel —
+  *    the format needs no scan to find split points;
+  *  - header parsing happens once on the driver (a few KB); executors
+  *    seek straight to their chunk.
+  *
+  * Options: `path` (single file), `encoding` (charset for character data,
+  * default WINDOWS-1252), `chunkRows` (rows per partition; default sized
+  * to ~64 MB chunks). Trailing all-blank padding rows are skipped.
+  */
+class XportDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "xport"
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "xport source requires a single 'path' option")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    XportTable.schemaFor(XportTable.layoutFor(pathOf(options))._1)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new XportTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object XportTable {
+  def layoutFor(path: String): (Seq[Variable], Int) =
+    XportReader.parseLayout(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  def schemaFor(vars: Seq[Variable]): StructType =
+    StructType(vars.map(v =>
+      StructField(v.name, if (v.isNumeric) DoubleType else StringType)))
+}
+
+class XportTable(path: String, tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"xport:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new XportScanBuilder(path, tableSchema,
+      Option(options.get("encoding")).getOrElse("WINDOWS-1252"),
+      Option(options.get("chunkRows")).map(_.toInt))
+}
+
+class XportScanBuilder(path: String, fullSchema: StructType, encoding: String,
+                       chunkRows: Option[Int])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new XportScan(path, required, encoding, chunkRows)
+}
+
+final case class XportChunk(path: String, chunkStart: Long, rowLen: Int,
+                            numRows: Long, vars: Array[Variable],
+                            encoding: String) extends InputPartition
+
+class XportScan(path: String, required: StructType, encoding: String,
+                chunkRows: Option[Int]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"XportScan(path=$path, columns=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (vars, obsStart) = XportTable.layoutFor(path)
+    val rowLen = vars.map(_.length).sum
+    val fileLen = java.nio.file.Files.size(java.nio.file.Paths.get(path))
+    val totalRows = if (rowLen == 0) 0L else (fileLen - obsStart) / rowLen
+    val prunedVars = required.fieldNames.map(n => vars.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"unknown XPORT column $n")))
+    val perChunk = chunkRows.map(_.toLong)
+      .getOrElse(math.max(1L, (64L << 20) / math.max(rowLen, 1)))
+    (0L until totalRows by perChunk).map { startRow =>
+      XportChunk(path, obsStart + startRow * rowLen, rowLen,
+        math.min(perChunk, totalRows - startRow), prunedVars, encoding)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XportReaderFactory
+}
+
+class XportReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new XportChunkReader(partition.asInstanceOf[XportChunk])
+}
+
+class XportChunkReader(chunk: XportChunk) extends PartitionReader[InternalRow] {
+  private val charset = Charset.forName(chunk.encoding)
+  private val in = {
+    val ch = java.nio.file.Files.newByteChannel(java.nio.file.Paths.get(chunk.path))
+    ch.position(chunk.chunkStart)
+    ch
+  }
+  private val buf = java.nio.ByteBuffer.allocate(chunk.rowLen)
+  private val rowBytes = new Array[Byte](chunk.rowLen)
+  private var rowsRead = 0L
+  private var current: InternalRow = _
+
+  private def allBlank(b: Array[Byte]): Boolean = b.forall(_ == ' '.toByte)
+
+  override def next(): Boolean = {
+    while (rowsRead < chunk.numRows) {
+      buf.clear()
+      var n = 0
+      while (n < chunk.rowLen) {
+        val r = in.read(buf)
+        if (r < 0) return false
+        n += r
+      }
+      rowsRead += 1
+      System.arraycopy(buf.array(), 0, rowBytes, 0, chunk.rowLen)
+      if (!allBlank(rowBytes)) { // trailing 80-byte padding
+        val row = new GenericInternalRow(chunk.vars.length)
+        var i = 0
+        while (i < chunk.vars.length) {
+          val v = chunk.vars(i)
+          if (v.isNumeric) {
+            XportReader.ibmToIeee(rowBytes, v.position, v.length) match {
+              case Some(d) => row.setDouble(i, d)
+              case None => row.setNullAt(i)
+            }
+          } else {
+            val s = new String(rowBytes, v.position, v.length, charset)
+              .replaceAll("\\s+$", "")
+            if (s.isEmpty) row.setNullAt(i)
+            else row.update(i, UTF8String.fromString(s))
+          }
+          i += 1
+        }
+        current = row
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 xport format: schema inference, values, column pruning,
+  * and parallel row-aligned splits. */
+class XportDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val path = XportFixture.writeTemp()
+
+  test("format(xport) infers schema and reads observations") {
+    val df = spark.read.format("xport").load(path)
+    assert(df.columns.toSeq == Seq("DATE", "ENTITY", "RCON2170", "FLAG0001", "TEXT9999"))
+    assert(df.count() == 2)
+    val r = df.filter($"ENTITY" === 123456.0).first()
+    assert(r.getDouble(r.fieldIndex("RCON2170")) == 1234567.5)
+    assert(r.getString(r.fieldIndex("TEXT9999")) == "ABC BANK")
+    val miss = df.filter($"ENTITY" === 777777.0).first()
+    assert(miss.isNullAt(miss.fieldIndex("RCON2170")))
+  }
+
+  test("column pruning reaches the scan") {
+    val df = spark.read.format("xport").load(path).select("ENTITY")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=ENTITY"), plan.take(800))
+    assert(df.as[Double].collect().toSet == Set(123456.0, 777777.0))
+  }
+
+  test("intra-file splits: chunked read returns every row exactly once") {
+    val big = XportFixture.writeTempN(1000)
+    val df = spark.read.format("xport").option("chunkRows", "64").load(big)
+    assert(df.rdd.getNumPartitions == math.ceil(1000 / 64.0).toInt)
+    assert(df.count() == 1000)
+    assert(df.agg(sum($"RCON2170")).first().getDouble(0) == (0 until 1000).sum.toDouble)
+    val flags = df.groupBy("FLAG0001").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(flags == Map(1.0 -> 500L, 0.0 -> 500L))
+  }
+}

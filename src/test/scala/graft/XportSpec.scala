@@ -11,78 +11,9 @@ import graft.sources.XportReader
 class XportSpec extends SparkSpec {
   import spark.implicits._
 
-  // --- fixture builder -----------------------------------------------------
-  private def rec(s: String): Array[Byte] = {
-    require(s.length <= 80)
-    (s + " " * (80 - s.length)).getBytes("US-ASCII")
-  }
-
-  /** IEEE double -> 8-byte IBM-360 float (exact for dyadic test values). */
-  private def ibm(v: Double): Array[Byte] = {
-    if (v == 0.0) return Array.fill(8)(0.toByte)
-    val sign = if (v < 0) 0x80 else 0x00
-    var m = math.abs(v)
-    var e = 0
-    while (m >= 1.0) { m /= 16.0; e += 1 }
-    while (m < 1.0 / 16.0) { m *= 16.0; e -= 1 }
-    var frac = math.round(m * math.pow(2, 56))
-    if (frac == (1L << 56)) { frac >>= 4; e += 1 }
-    val out = new Array[Byte](8)
-    out(0) = ((sign | (e + 64)) & 0xff).toByte
-    for (i <- 0 until 7)
-      out(7 - i) = ((frac >> (8 * i)) & 0xff).toByte
-    out
-  }
-
-  private def missing: Array[Byte] = ('.'.toByte) +: Array.fill(7)(0.toByte)
-
-  private def namestr(ntype: Int, len: Int, name: String, pos: Int): Array[Byte] = {
-    val b = new Array[Byte](140)
-    def short(off: Int, v: Int): Unit = { b(off) = (v >> 8).toByte; b(off + 1) = v.toByte }
-    short(0, ntype); short(4, len)
-    name.padTo(8, ' ').getBytes("US-ASCII").copyToArray(b, 8)
-    b(132) = (pos >> 24).toByte; b(133) = (pos >> 16).toByte
-    b(134) = (pos >> 8).toByte; b(135) = pos.toByte
-    b
-  }
-
-  private lazy val xptBytes: Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    out.write(rec("HEADER RECORD*******LIBRARY HEADER RECORD!!!!!!!" + "0" * 30))
-    out.write(rec("SAS     SAS     SASLIB  9.4     Linux"))
-    out.write(rec("01JAN26:00:00:00"))
-    out.write(rec("HEADER RECORD*******MEMBER  HEADER RECORD!!!!!!!" + "0" * 17 + "1600000000140"))
-    out.write(rec("HEADER RECORD*******DSCRPTR HEADER RECORD!!!!!!!" + "0" * 30))
-    out.write(rec("SAS     TESTDS  SASDATA 9.4     Linux"))
-    out.write(rec("01JAN26:00:00:00"))
-    out.write(rec("HEADER RECORD*******NAMESTR HEADER RECORD!!!!!!!" + "000000" + "0005" + "0" * 20))
-    // vars: DATE n8 @0, ENTITY n8 @8, RCON2170 n8 @16, FLAG0001 n8 @24, TEXT9999 c8 @32
-    val ns = Seq(
-      namestr(1, 8, "DATE", 0), namestr(1, 8, "ENTITY", 8),
-      namestr(1, 8, "RCON2170", 16), namestr(1, 8, "FLAG0001", 24),
-      namestr(2, 8, "TEXT9999", 32))
-    ns.foreach(out.write)
-    val nsLen = ns.map(_.length).sum
-    out.write(Array.fill((80 - nsLen % 80) % 80)(' '.toByte)) // pad to boundary
-    out.write(rec("HEADER RECORD*******OBS     HEADER RECORD!!!!!!!" + "0" * 30))
-    // obs 1: 20010331, 123456, 1234567.5, 1.0, "ABC BANK"
-    out.write(ibm(20010331.0)); out.write(ibm(123456.0))
-    out.write(ibm(1234567.5)); out.write(ibm(1.0))
-    out.write("ABC BANK".getBytes("US-ASCII"))
-    // obs 2: 20010331, 777777, missing, 0.0, blanks
-    out.write(ibm(20010331.0)); out.write(ibm(777777.0))
-    out.write(missing); out.write(ibm(0.0))
-    out.write("        ".getBytes("US-ASCII"))
-    val tail = out.size() % 80
-    if (tail != 0) out.write(Array.fill(80 - tail)(' '.toByte))
-    out.toByteArray
-  }
-
-  private lazy val xptPath: String = {
-    val f = Files.createTempFile("fixture", ".xpt")
-    Files.write(f, xptBytes)
-    f.toString
-  }
+  private def ibm(v: Double): Array[Byte] = XportFixture.ibm(v)
+  private def missing: Array[Byte] = XportFixture.missing
+  private lazy val xptPath: String = XportFixture.writeTemp()
 
   // --- tests ---------------------------------------------------------------
 
