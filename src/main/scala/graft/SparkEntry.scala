@@ -305,6 +305,35 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // §2.3 backward as-of join (union + carry-forward, no pair explosion)
+    "q33_asof_join" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val left = e.select(col("user_id"), col("event_id"), col("ts_us"))
+      val right = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("rts"),
+          col("event_id").as("prev_purchase_id"),
+          col("value").as("prev_purchase_value"))
+      AsOfJoin.backward(left, right, Seq("user_id"), col("ts_us"), col("rts"),
+          Seq("prev_purchase_id", "prev_purchase_value"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("prev_purchase_id"), col("prev_purchase_value"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // §2.3 range join (point-in-interval via bucketed equi-join)
+    "q34_range_join" -> ((s, dir) => {
+      val iv = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("sd"))
+      val pts = Tables.load(s, dir, "lineitem")
+        .select(expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("d"))
+      RangeJoin.pointInInterval(pts, col("d"), iv, col("sd"), col("sd") + 30,
+          bucketWidth = 30L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped"))
+        .orderBy("o_orderkey")
+    }),
+
     // LLM ops — exact cosine top-k (decimal dot + precomputed norms; all
     // IEEE ops after the exact decimals, so doubles are bit-identical)
     "q32_cosine_topk" -> ((s, dir) => {
@@ -689,6 +718,31 @@ object SparkEntry {
         |      FROM d)
         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, CAST(dp AS VARCHAR) AS score
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "q33_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS t, 1 AS side, event_id,
+        |    CAST(NULL AS BIGINT) AS pid, CAST(NULL AS DOUBLE) AS pval FROM events
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, NULL, event_id, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, t, side, event_id,
+        |    LAST_VALUE(pid IGNORE NULLS) OVER w AS prev_purchase_id,
+        |    LAST_VALUE(pval IGNORE NULLS) OVER w AS prev_purchase_value
+        |  FROM u WINDOW w AS (
+        |    PARTITION BY user_id ORDER BY t, side, pid NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, t AS ts_us, prev_purchase_id, prev_purchase_value
+        |FROM c WHERE side = 1 ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q34_range_join" ->
+      """WITH iv AS (SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS sd
+        |            FROM orders WHERE o_orderkey % 1000 = 0),
+        |pts AS (SELECT epoch_us(l_shipdate) // 86400000000 AS d FROM lineitem)
+        |SELECT o_orderkey, COUNT(*) AS n_shipped
+        |FROM iv JOIN pts ON pts.d >= iv.sd AND pts.d < iv.sd + 30
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q32_cosine_topk" ->
       """WITH nrm AS (

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row, the latest right row with
+  * `rightTime <= leftTime` in the same key group.
+  *
+  * Spark has no native as-of join; the idiomatic composition is the
+  * union + ordered carry-forward trick (one shuffle on the key, one sort —
+  * same cost as a window query, NO row-pair explosion):
+  * tag both sides, union, sort by (time, side) with right rows ordering
+  * before left rows at equal times (inclusive semantics), then
+  * `last(payload, ignoreNulls)` over the running frame carries the most
+  * recent right payload onto each left row.
+  *
+  * Scale: the union shuffles once on `keys`; skewed keys behave exactly
+  * like any window query (AQE/salting apply). Compare a naive
+  * join-then-rank, which materializes |L|x|R| pairs per key.
+  *
+  * @param payload right-side columns to carry (must not collide with left
+  *                column names)
+  */
+object AsOfJoin {
+
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: Column, rightTime: Column,
+               payload: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val l = left
+      .withColumn("__t", leftTime)
+      .withColumn("__side", lit(1))
+      .withColumns(payload.map(p => p -> lit(null)).toMap)
+    val r = right
+      .withColumn("__t", rightTime)
+      .withColumn("__side", lit(0))
+    val rAligned = l.columns.foldLeft(r) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*)
+
+    // right rows (side 0) order before left rows at the same time ->
+    // inclusive (<=) as-of; ties among right rows resolved by the first
+    // payload column so the carry is deterministic
+    val ord = Seq(col("__t"), col("__side")) ++ payload.headOption.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = payload.foldLeft(l.unionByName(rAligned)) { (d, p) =>
+      d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__t", "__side")
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join via bucketing.
+  *
+  * A pure range predicate (no equi key) gives Spark only a
+  * BroadcastNestedLoopJoin — O(|P|x|I|). The standard scale trick: quantize
+  * the range dimension into width-`w` buckets, explode each interval to
+  * the buckets it overlaps, equi-join points on their bucket, then apply
+  * the exact range predicate as a residual filter. Join cost drops to
+  * O(|P| + |I| * avgSpan + matches) with a plain shuffled hash join that
+  * AQE can plan and skew-split.
+  *
+  * Bucket width should be on the order of the typical interval length:
+  * shorter -> more interval replicas; longer -> more residual false
+  * positives per bucket.
+  */
+object RangeJoin {
+
+  /** Join each point row to every interval row with
+    * `start <= point < end` (plus optional extra equi keys).
+    *
+    * @param points    frame with `point` (long — epoch units, days, ids…)
+    * @param intervals frame with `start`/`end` (long, end exclusive)
+    * @param bucketWidth quantization width in the same units
+    */
+  def pointInInterval(points: DataFrame, point: Column,
+                      intervals: DataFrame, start: Column, end: Column,
+                      bucketWidth: Long,
+                      extraKeys: Seq[String] = Seq.empty): DataFrame = {
+    val p = points.withColumn("__bucket", floor(point / bucketWidth).cast("long"))
+      .withColumn("__p", point)
+    // explode each interval across every bucket it overlaps
+    val i = intervals
+      .withColumn("__s", start).withColumn("__e", end)
+      .withColumn("__bucket",
+        explode(sequence(floor(col("__s") / bucketWidth).cast("long"),
+          floor((col("__e") - 1) / bucketWidth).cast("long"))))
+    p.join(i, Seq("__bucket") ++ extraKeys)
+      .filter(col("__p") >= col("__s") && col("__p") < col("__e"))
+      .drop("__bucket", "__p", "__s", "__e")
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, RangeJoin}
+
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof backward: latest right at or before each left time, per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 10L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 30L, 300L), (3L, 5L, 999L))
+      .toDF("k", "rt", "pid")
+    val out = AsOfJoin.backward(left, right, Seq("k"), col("t"), col("rt"), Seq("pid"))
+      .select("tag", "pid").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("a").contains(100L)) // inclusive: rt == t matches
+    assert(out("b").contains(100L))
+    assert(out("c").contains(300L))
+    assert(out("d").isEmpty)        // key 2 has no right rows
+  }
+
+  test("asof backward: tie among right rows resolved by payload order") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L)).toDF("k", "rt", "pid")
+    val out = AsOfJoin.backward(left, right, Seq("k"), col("t"), col("rt"), Seq("pid"))
+      .select("pid").first().getLong(0)
+    assert(out == 9L) // last in (t, side, pid) order
+  }
+
+  test("range join: points land in the right intervals across buckets") {
+    val pts = Seq(5L, 15L, 29L, 30L, 45L, 99L).toDF("d")
+    val iv = Seq((1L, 0L, 30L), (2L, 25L, 55L), (3L, 90L, 95L)).toDF("id", "s", "e")
+    val out = RangeJoin.pointInInterval(pts, col("d"), iv, col("s"), col("e"), 30L)
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L)) // id 3: point 99 outside [90,95)? 99>=95 -> no match
+    // cross-bucket: point 29 (bucket 0) in interval 2 [25,55) spanning buckets 0-1
+  }
+}
