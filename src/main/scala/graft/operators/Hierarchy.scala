@@ -45,10 +45,14 @@ object Hierarchy {
   def pathsToRoot(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
     // one broadcast root-flag left-join per level (instead of separate
     // semi + anti joins), and each level persisted so the next builds on
-    // cached partitions — one job per level, lineage depth bounded
-    val rootFlag = broadcast(roots(edges).withColumnRenamed("node", "cur")
-      .withColumn("is_root", lit(true)))
-    val edgesByChild = broadcast(edges.withColumnRenamed("child", "cur"))
+    // cached partitions — one job per level, lineage depth bounded.
+    // Root set and edges are computed once and cached: without this every
+    // level's materialization re-runs the scan + distincts + anti-join.
+    val rootsDf = roots(edges).withColumnRenamed("node", "cur")
+      .withColumn("is_root", lit(true)).persist()
+    val edgesCached = edges.withColumnRenamed("child", "cur").persist()
+    val rootFlag = broadcast(rootsDf)
+    val edgesByChild = broadcast(edgesCached)
     def mark(df: DataFrame) = df.join(rootFlag, Seq("cur"), "left")
 
     var done = List.empty[DataFrame]
@@ -71,7 +75,11 @@ object Hierarchy {
             concat(col("path"), array(col("parent"))).as("path")))
       }
     }
-    done.reduce(_ unionByName _)
+    val out = done.reduce(_ unionByName _)
       .select(col("node"), col("cur").as("root"), col("depth"), col("path"))
+    // level frames stay cached (they back `out`); the helpers don't
+    rootsDf.unpersist(blocking = false)
+    edgesCached.unpersist(blocking = false)
+    out
   }
 }
