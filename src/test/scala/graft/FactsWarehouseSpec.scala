@@ -1,0 +1,32 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.UnpivotEav
+import graft.pipelines.FactsWarehouse
+
+class FactsWarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("EAV facts round-trip through quarter-partitioned parquet with pruning") {
+    val wide = Seq(
+      (20010331, 1L, 1.5), (20010331, 2L, 2.5), (20010630, 1L, 3.5)
+    ).toDF("quarter", "rssd", "RCON0001")
+    val facts = UnpivotEav.floats(wide, Seq("quarter", "rssd"), Seq("RCON0001"))
+    val dir = Files.createTempDirectory("facts").toString
+    FactsWarehouse.write(facts, dir)
+
+    // physical layout: one directory per quarter
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("quarter=20010331", "quarter=20010630"))
+
+    val back = FactsWarehouse.read(spark, dir)
+    assert(back.count() == 3)
+    // partition pruning reaches the scan
+    val pruned = back.filter($"quarter" === 20010331)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(quarter"), plan.take(1200))
+    assert(pruned.count() == 2)
+  }
+}
