@@ -369,6 +369,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM ops — full IVF search: probe nprobe nearest cells, exact top-k
+    // inside them (approximate ANN, yet deterministic and oracle-checked)
+    "q35_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") % 211 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("ctr"))
+      val vecs = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(vecs, cents, qs, k = 3, nprobe = 2)
+        .select(col("qid"), col("rnk"), col("cid"),
+          col("score_d").cast("string").as("score"))
+        .orderBy("qid", "rnk")
+    }),
+
     // LLM ops — text quality metrics
     "q40_text_quality" -> ((s, dir) => {
       val ws = TextFunctions.tokens(col("text"))
@@ -772,6 +787,36 @@ object SparkEntry {
         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q35_ivf_topk" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ctr
+        |              FROM embeddings WHERE vec_id % 211 = 0),
+        |ap AS (SELECT e.vec_id, c.centroid_id, unnest(e.embedding) AS x, unnest(c.ctr) AS y
+        |       FROM embeddings e CROSS JOIN cent c),
+        |ad AS (SELECT vec_id, centroid_id,
+        |         SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS dp
+        |       FROM ap GROUP BY vec_id, centroid_id),
+        |cells AS (SELECT vec_id AS cid, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, centroid_id ASC) AS rn
+        |    FROM ad) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, centroid_id ASC) AS pr
+        |    FROM ad WHERE vec_id % 100 = 0) WHERE pr <= 2),
+        |pairs AS (SELECT p.qid, cl.cid FROM probes p JOIN cells cl USING (centroid_id)
+        |          WHERE p.qid <> cl.cid),
+        |px AS (SELECT pairs.qid, pairs.cid, unnest(q.embedding) AS x, unnest(v.embedding) AS y
+        |       FROM pairs JOIN embeddings q ON q.vec_id = pairs.qid
+        |                  JOIN embeddings v ON v.vec_id = pairs.cid),
+        |d2 AS (SELECT qid, cid,
+        |         SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS dp
+        |       FROM px GROUP BY qid, cid),
+        |r AS (SELECT qid, cid, dp,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp DESC, cid ASC) AS rnk
+        |      FROM d2)
+        |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, CAST(dp AS VARCHAR) AS score
+        |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
 
     "q40_text_quality" ->
       """SELECT doc_id,

@@ -72,6 +72,48 @@ object Similarity {
         col("score_d").cast("double").as("score"))
   }
 
+  /** Full IVF search: coarse-quantize all vectors into centroid cells,
+    * probe each query's `nprobe` nearest cells, exact top-k inside the
+    * probed cells only. The scale path for ANN: pair count drops from
+    * |Q|x|N| to |Q| x (nprobe x |N|/cells), and every stage is a broadcast
+    * or cell-equi join.
+    *
+    * Deterministic end-to-end (decimal dots everywhere), so even though
+    * results are approximate w.r.t. exhaustive search, they are exactly
+    * reproducible and oracle-checkable.
+    *
+    * @param vectors   (cid, cvec) candidate corpus
+    * @param centroids (centroid_id, ctr) small; broadcast
+    * @param queries   (qid, qvec) probe set
+    * @return (qid, rnk, cid, score_d) — top-k by dot desc, cid asc
+    */
+  def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    // cell assignment for the corpus (argmax dot, centroid-id tiebreak)
+    val cells = centroidAssign(
+        vectors.select(col("cid").as("vec_id"), col("cvec").as("embedding")),
+        centroids.select(col("centroid_id"), col("ctr").as("cvec")))
+      .select(col("vec_id").as("cid"), col("centroid_id"))
+    // nprobe nearest cells per query
+    val probeScores = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("centroid_id"),
+        dotDecimal(col("qvec"), col("ctr")).as("pscore"))
+    val pw = Window.partitionBy("qid").orderBy(col("pscore").desc, col("centroid_id").asc)
+    val probes = probeScores.withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("centroid_id"))
+    // exact search within probed cells
+    val cand = probes
+      .join(cells, Seq("centroid_id"))
+      .join(vectors, Seq("cid"))
+      .filter(col("qid") =!= col("cid"))
+      // no dedup needed: each cid lives in exactly one cell (rn=1 assign)
+      .select(col("qid"), col("cid"), dotDecimal(col("qvec"), col("cvec")).as("score_d"))
+    val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+    cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score_d"))
+  }
+
   /** IVF coarse quantization: assign each vector to its nearest centroid by
     * dot product (tiebreak: smallest centroid id).
     *
