@@ -1,0 +1,93 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.SparkSessionFactory
+import graft.pipelines.{MdrmDictionary, Taxonomy, XportFacts}
+import graft.sources.{CsvWithSkipRows, XmlLinkbase, ZipSource}
+
+/** Drop-in command-line surface for the reference's four scripts
+  * (README parity: a scripts-toolkit user can run the same jobs here).
+  *
+  *   mdrm <csv|zip> <out-dir>      — MDRM dictionary -> JSON records
+  *                                   (mdrm_data_collect_process.py)
+  *   xport <xpt|zip> <out-dir>     — SAS XPORT -> typed EAV facts JSON
+  *                                   (sas_xport_converter/converter.py)
+  *   taxonomy <zip> <out-dir>      — XBRL taxonomy -> <form>_<quarter>.json
+  *                                   (cdr_taxonomy_processor.py)
+  *
+  * The reference's HTTP download step is a pre-step here (zero-egress
+  * environments fetch out-of-band); ubpr needs a PDF span extractor —
+  * the pipeline (`pipelines.UbprManual`) is ready, the codec is not
+  * shipped in this container.
+  */
+object Cli {
+
+  private def session(): SparkSession =
+    SparkSessionFactory.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-cli")
+
+  /** If `path` is a ZIP, extract the first member matching `pred` to a
+    * temp file; otherwise return the path unchanged. */
+  private def maybeUnzip(path: String, pred: String => Boolean, suffix: String): String =
+    if (!path.toLowerCase.endsWith(".zip")) path
+    else {
+      val (name, bytes) = ZipSource.memberOf(path, pred)
+        .getOrElse(sys.error(s"no matching member in $path"))
+      val tmp = Files.createTempFile("graft-", s"-${Paths.get(name).getFileName}$suffix")
+      Files.write(tmp, bytes)
+      tmp.toString
+    }
+
+  def runMdrm(spark: SparkSession, in: String, outDir: String): Unit = {
+    val csv = maybeUnzip(in, _.toLowerCase.endsWith(".csv"), "")
+    MdrmDictionary.clean(CsvWithSkipRows.read(spark, csv, skipLines = 1))
+      .write.mode("overwrite").json(outDir)
+  }
+
+  def runXport(spark: SparkSession, in: String, outDir: String): Unit = {
+    val xpt = maybeUnzip(in, _.toLowerCase.endsWith(".xpt"), "")
+    XportFacts.fromFile(spark, xpt)
+      .write.mode("overwrite").json(outDir)
+  }
+
+  def runTaxonomy(spark: SparkSession, zipPath: String, outDir: String): String = {
+    def parse(tag: String) = {
+      val (_, bytes) = ZipSource.memberOf(zipPath, _.contains(tag))
+        .getOrElse(sys.error(s"member *$tag* missing in $zipPath"))
+      XmlLinkbase.parseString(new String(bytes, "UTF-8"))
+    }
+    val cap = parse("-cap")
+    val pres = parse("-pres")
+    val ref = parse("-ref")
+    val structured = Taxonomy.structure(
+      XmlLinkbase.arcs(spark, pres, "presentationArc"),
+      XmlLinkbase.arcs(spark, cap, "labelArc"),
+      XmlLinkbase.labels(spark, cap),
+      XmlLinkbase.references(spark, ref))
+    val (form, quarter) = Seq(cap, pres, ref).view.flatMap(XmlLinkbase.formAndQuarter)
+      .headOption.getOrElse(("unknown", "unknown"))
+    val json = Taxonomy.toJsonDocument(structured, form, quarter)
+    Files.createDirectories(Paths.get(outDir))
+    val out = Paths.get(outDir, s"${form}_$quarter.json")
+    Files.writeString(out, json)
+    out.toString
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "mdrm" :: in :: out :: Nil =>
+      val s = session(); try runMdrm(s, in, out) finally s.stop()
+    case "xport" :: in :: out :: Nil =>
+      val s = session(); try runXport(s, in, out) finally s.stop()
+    case "taxonomy" :: in :: out :: Nil =>
+      val s = session(); try println(runTaxonomy(s, in, out)) finally s.stop()
+    case _ =>
+      System.err.println(
+        """usage: graft.cli.Cli <command> <in> <out>
+          |  mdrm <csv|zip> <out-dir>    MDRM data dictionary -> JSON records
+          |  xport <xpt|zip> <out-dir>   SAS XPORT -> typed EAV facts JSON
+          |  taxonomy <zip> <out-dir>    XBRL taxonomy -> <form>_<quarter>.json""".stripMargin)
+      sys.exit(2)
+  }
+}

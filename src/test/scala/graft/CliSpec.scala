@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.cli.Cli
+
+/** The reference-parity CLI surface, driven end-to-end on fixtures —
+  * including ZIP-container inputs like the Fed ships. */
+class CliSpec extends SparkSpec {
+
+  private def zipOf(entries: (String, Array[Byte])*): String = {
+    val f = Files.createTempFile("cli", ".zip")
+    val z = new ZipOutputStream(Files.newOutputStream(f))
+    for ((name, bytes) <- entries) {
+      z.putNextEntry(new ZipEntry(name)); z.write(bytes); z.closeEntry()
+    }
+    z.close()
+    f.toString
+  }
+
+  test("xport command: zip input to EAV facts JSON") {
+    val zip = zipOf("call0101.xpt" -> XportFixture.bytes)
+    val out = Files.createTempDirectory("facts").toString
+    Cli.runXport(spark, zip, out)
+    val facts = spark.read.json(out)
+    assert(facts.count() > 0)
+    assert(facts.columns.contains("mdrm") && facts.columns.contains("quarter"))
+    assert(facts.filter(facts("mdrm") === "rcon2170").count() == 1)
+  }
+
+  test("taxonomy command: linkbase zip to form_quarter.json document") {
+    val pres =
+      """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink"><presentationLink>
+        |<presentationArc xlink:from="root" xlink:to="sch-RC"/>
+        |<presentationArc xlink:from="sch-RC" xlink:to="line_1-RC"/>
+        |<presentationArc xlink:from="line_1-RC" xlink:to="cc_RCON2170"/>
+        |</presentationLink>
+        |<roleRef xlink:href="call-report-031-2022-06-30.xsd"/></linkbase>""".stripMargin
+    val cap =
+      """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink"><labelLink>
+        |<labelArc xlink:from="sch-RC" xlink:to="l1"/>
+        |<label xlink:label="l1">Balance Sheet</label>
+        |</labelLink></linkbase>""".stripMargin
+    val ref =
+      """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink"><referenceLink>
+        |<reference xlink:label="cc_RCON2170_r"><ScheduleRef>RC</ScheduleRef>
+        |<LineRef>1</LineRef><ColumnRef>A</ColumnRef></reference>
+        |</referenceLink></linkbase>""".stripMargin
+    val zip = zipOf(
+      "t-cap.xml" -> cap.getBytes("UTF-8"),
+      "t-pres.xml" -> pres.getBytes("UTF-8"),
+      "t-ref.xml" -> ref.getBytes("UTF-8"))
+    val outDir = Files.createTempDirectory("tax").toString
+    val written = Cli.runTaxonomy(spark, zip, outDir)
+    assert(written.endsWith("031_2022-06-30.json")) // reference file naming
+    val json = Files.readString(java.nio.file.Paths.get(written))
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(tree.get("form_number").asText() == "031")
+    assert(tree.get("data").has("cc_RCON2170"))
+  }
+}
