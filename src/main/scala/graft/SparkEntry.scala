@@ -359,6 +359,27 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // LLM ops — TF-IDF over the document corpus (exact counts; the final
+    // log-weighted score as a fixed-format string — libm ln may differ in
+    // the last ulp across engines)
+    "q45_tfidf" -> ((s, dir) => {
+      val docs = core.Parallelism.ensureWidth(Tables.load(s, dir, "documents"))
+        .filter(col("doc_id") % 10 === 0)
+      val terms = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+      val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_occ"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.count()
+      tf.join(broadcast(docLen), Seq("doc_id"))
+        .join(broadcast(df), Seq("term"))
+        .select(col("doc_id"), col("term"), col("n_occ"), col("n_tokens"), col("df"),
+          format_string("%.6f",
+            (col("n_occ").cast("double") / col("n_tokens").cast("double")) *
+              log(lit(nDocs.toDouble) / col("df").cast("double"))).as("tfidf"))
+        .orderBy("doc_id", "term")
+    }),
+
     // LLM ops — incremental rolling-hash document signature
     "q44_rolling_hash" -> ((s, dir) => {
       val toks = core.Parallelism.ensureWidth(
@@ -779,6 +800,19 @@ object SparkEntry {
         |      FROM j)
         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, printf('%.9f', cosine) AS cosine
         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    "q45_tfidf" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d),
+        |dl AS (SELECT doc_id, COUNT(*) AS n_tokens FROM terms GROUP BY doc_id),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS n_occ FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM d)
+        |SELECT tf.doc_id, tf.term, tf.n_occ, dl.n_tokens, df.df,
+        |  printf('%.6f', (CAST(tf.n_occ AS DOUBLE) / CAST(dl.n_tokens AS DOUBLE)) *
+        |    ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))) AS tfidf
+        |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+        |ORDER BY doc_id, term""".stripMargin,
 
     "q44_rolling_hash" ->
       """SELECT doc_id,
