@@ -371,8 +371,10 @@ object SparkEntry {
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_occ"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.count()
-      tf.join(broadcast(docLen), Seq("doc_id"))
-        .join(broadcast(df), Seq("term"))
+      // docLen/df cardinality is unbounded (docs/vocabulary) — let AQE
+      // pick broadcast when small rather than forcing it with a hint
+      tf.join(docLen, Seq("doc_id"))
+        .join(df, Seq("term"))
         .select(col("doc_id"), col("term"), col("n_occ"), col("n_tokens"), col("df"),
           format_string("%.6f",
             (col("n_occ").cast("double") / col("n_tokens").cast("double")) *
@@ -758,18 +760,19 @@ object SparkEntry {
     "q33_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, epoch_us(ts) AS t, 1 AS side, event_id,
-        |    CAST(NULL AS BIGINT) AS pid, CAST(NULL AS DOUBLE) AS pval FROM events
+        |    CAST(NULL AS STRUCT(pid BIGINT, pval DOUBLE)) AS p FROM events
         |  UNION ALL
-        |  SELECT user_id, epoch_us(ts), 0, NULL, event_id, value
+        |  SELECT user_id, epoch_us(ts), 0, NULL,
+        |    struct_pack(pid := event_id, pval := value)
         |  FROM events WHERE event_type = 'purchase'),
         |c AS (
         |  SELECT user_id, t, side, event_id,
-        |    LAST_VALUE(pid IGNORE NULLS) OVER w AS prev_purchase_id,
-        |    LAST_VALUE(pval IGNORE NULLS) OVER w AS prev_purchase_value
+        |    LAST_VALUE(p IGNORE NULLS) OVER w AS cp
         |  FROM u WINDOW w AS (
-        |    PARTITION BY user_id ORDER BY t, side, pid NULLS FIRST
+        |    PARTITION BY user_id ORDER BY t, side, p NULLS FIRST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT user_id, event_id, t AS ts_us, prev_purchase_id, prev_purchase_value
+        |SELECT user_id, event_id, t AS ts_us,
+        |  cp.pid AS prev_purchase_id, cp.pval AS prev_purchase_value
         |FROM c WHERE side = 1 ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q34_range_join" ->

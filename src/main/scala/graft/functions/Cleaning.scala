@@ -49,8 +49,9 @@ object Cleaning {
   def toYyyymmdd(c: Column): Column =
     date_format(parseFedTimestamp(c), "yyyyMMdd")
 
-  /** `'Y'` -> true, anything else -> false. */
-  def ynToBool(c: Column): Column = c === "Y"
+  /** `'Y'` -> true, anything else INCLUDING null -> false (the reference's
+    * `x == 'Y'` comparison is false for NaN too). */
+  def ynToBool(c: Column): Column = coalesce(c === "Y", lit(false))
 
   /** Comma-split to array<string>; null input -> empty array (reference
     * emits `[]`, not null, for missing reporting-form lists). */

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Backward as-of join: for every left row, the latest right row with
   * `rightTime <= leftTime` in the same key group.
@@ -11,16 +12,21 @@ import org.apache.spark.sql.functions._
   * union + ordered carry-forward trick (one shuffle on the key, one sort —
   * same cost as a window query, NO row-pair explosion):
   * tag both sides, union, sort by (time, side) with right rows ordering
-  * before left rows at equal times (inclusive semantics), then
-  * `last(payload, ignoreNulls)` over the running frame carries the most
-  * recent right payload onto each left row.
+  * before left rows at equal times (inclusive semantics), then carry the
+  * most recent right payload onto each left row.
+  *
+  * The payload is carried as ONE struct, not per column: independent
+  * per-column `last(ignoreNulls)` carries would splice fields from
+  * different right rows whenever a payload field is genuinely null
+  * (the matched row's null would be replaced by a stale older value).
   *
   * Scale: the union shuffles once on `keys`; skewed keys behave exactly
   * like any window query (AQE/salting apply). Compare a naive
   * join-then-rank, which materializes |L|x|R| pairs per key.
   *
-  * @param payload right-side columns to carry (must not collide with left
-  *                column names)
+  * @param payload right-side columns to attach (must not collide with
+  *                left column names); ties among right rows at the same
+  *                time resolve by payload struct order (field by field)
   */
 object AsOfJoin {
 
@@ -28,27 +34,31 @@ object AsOfJoin {
                leftTime: Column, rightTime: Column,
                payload: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
+    val pType = StructType(payload.map(p => right.schema(p)))
     val l = left
       .withColumn("__t", leftTime)
       .withColumn("__side", lit(1))
-      .withColumns(payload.map(p => p -> lit(null)).toMap)
+      .withColumn("__p", lit(null).cast(pType))
     val r = right
       .withColumn("__t", rightTime)
       .withColumn("__side", lit(0))
+      .withColumn("__p", struct(payload.map(col): _*))
+      .drop(payload: _*)
     val rAligned = l.columns.foldLeft(r) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
     }.select(l.columns.map(col): _*)
 
     // right rows (side 0) order before left rows at the same time ->
-    // inclusive (<=) as-of; ties among right rows resolved by the first
-    // payload column so the carry is deterministic
-    val ord = Seq(col("__t"), col("__side")) ++ payload.headOption.map(col)
-    val w = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
+    // inclusive (<=) as-of; the struct itself is the deterministic
+    // tiebreak among simultaneous right rows
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t"), col("__side"), col("__p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = payload.foldLeft(l.unionByName(rAligned)) { (d, p) =>
-      d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+    val carried = l.unionByName(rAligned)
+      .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    payload.foldLeft(carried)((d, p) => d.withColumn(p, col("__carry").getField(p)))
+      .drop("__t", "__side", "__p", "__carry")
   }
 }

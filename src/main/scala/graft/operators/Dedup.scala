@@ -63,9 +63,11 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(broadcast(counts.toDF("doc_a", "n_a")), Seq("doc_a"))
-      .join(broadcast(counts.toDF("doc_b", "n_b")), Seq("doc_b"))
+    common // counts is one row per doc — unbounded at scale, so no
+      // broadcast hint (a hint always wins over the size threshold);
+      // AQE broadcasts it when it is actually small
+      .join(counts.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(counts.toDF("doc_b", "n_b"), Seq("doc_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))

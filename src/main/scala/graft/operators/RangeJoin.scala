@@ -32,9 +32,13 @@ object RangeJoin {
                       extraKeys: Seq[String] = Seq.empty): DataFrame = {
     val p = points.withColumn("__bucket", floor(point / bucketWidth).cast("long"))
       .withColumn("__p", point)
-    // explode each interval across every bucket it overlaps
+    // explode each interval across every bucket it overlaps; empty or
+    // inverted intervals (end <= start) match nothing and MUST be dropped
+    // here — sequence() would otherwise generate a DESCENDING bucket range
+    // (potentially huge) for them
     val i = intervals
       .withColumn("__s", start).withColumn("__e", end)
+      .filter(col("__e") > col("__s"))
       .withColumn("__bucket",
         explode(sequence(floor(col("__s") / bucketWidth).cast("long"),
           floor((col("__e") - 1) / bucketWidth).cast("long"))))

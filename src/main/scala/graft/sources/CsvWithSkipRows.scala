@@ -11,12 +11,11 @@ import org.apache.spark.sql.functions._
   * the first N lines by global position, and parse the remainder with the
   * csv source from an in-plan dataset.
   *
-  * Scale note: `zipWithIndex`-style global ordering is only needed for the
-  * first partition; for a single smallish dim file (the MDRM CSV is a few
-  * MB) this is one narrow pass. For huge multi-file loads, skipping applies
-  * per file, which is what `monotonically_increasing_id` within the first
-  * partition gives here — documents with title lines per file still work
-  * because ids are per-partition-prefixed.
+  * Contract: ONE file per call — the skip is by global line position, so
+  * a glob of several title-bearing files would only skip the first file's
+  * title (the rest would parse their title/header lines as data). The
+  * reference reads exactly one export at a time; for multi-file corpora,
+  * map this reader over the file list.
   */
 object CsvWithSkipRows {
 

@@ -94,16 +94,20 @@ object XportReader {
     def allBlank(off: Int, len: Int): Boolean =
       (off until off + len).forall(i => bytes(i) == ' '.toByte)
 
+    // skip (not stop at) all-blank rows: padding only occurs in the final
+    // 80-byte record, but a legitimate observation whose char fields are
+    // all blank must not truncate the read (and the DSv2 reader skips too,
+    // so both paths return identical data)
     val rows = Iterator.from(0)
       .map(obsStart + _ * rowLen)
-      .takeWhile(off => off + rowLen <= bytes.length && !allBlank(off, rowLen))
+      .takeWhile(off => off + rowLen <= bytes.length)
+      .filterNot(off => allBlank(off, rowLen))
       .map { off =>
         Row.fromSeq(vars.map { v =>
           val fo = off + v.position
           if (v.isNumeric) ibmToIeee(bytes, fo, v.length).orNull
           else {
-            val s = new String(bytes, fo, v.length, charset)
-            val t = s.replaceAll("\\s+$", "")
+            val t = decodeStrict(bytes, fo, v.length, charset).replaceAll("\\s+$", "")
             if (t.isEmpty) null else t
           }
         })
@@ -111,7 +115,21 @@ object XportReader {
     (schema, rows)
   }
 
-  /** Read an XPORT file with the reference's encoding-fallback behavior. */
+  /** Strict charset decode: throws on malformed/unmappable bytes instead
+    * of silently substituting U+FFFD — the plain `new String(bytes,
+    * charset)` constructor NEVER throws, which would make the reference's
+    * whole-file encoding retry unreachable. */
+  private[sources] def decodeStrict(bytes: Array[Byte], off: Int, len: Int,
+                                    charset: Charset): String = {
+    val dec = charset.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes, off, len)).toString
+  }
+
+  /** Read an XPORT file with the reference's encoding-fallback behavior:
+    * WINDOWS-1252 first; on any undecodable character field, retry the
+    * whole file as ISO-8859-1 (which maps every byte). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val bytes = Files.readAllBytes(Paths.get(path))
     val (schema, rows) =

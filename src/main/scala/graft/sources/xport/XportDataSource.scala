@@ -53,8 +53,29 @@ class XportDataSource extends TableProvider with DataSourceRegister {
 }
 
 object XportTable {
-  def layoutFor(path: String): (Seq[Variable], Int) =
-    XportReader.parseLayout(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+  /** Parse the layout from the file HEADER only — never the whole file
+    * (observation regions can exceed driver memory). Reads a growing
+    * prefix until the OBS header record is inside it. */
+  def layoutFor(path: String): (Seq[Variable], Int) = {
+    val p = java.nio.file.Paths.get(path)
+    val fileLen = java.nio.file.Files.size(p)
+    var want = math.min(fileLen, 1L << 20).toInt // 1 MB fits ~7400 variables
+    while (true) {
+      val buf = new Array[Byte](want)
+      val ch = java.nio.file.Files.newByteChannel(p)
+      try {
+        val bb = java.nio.ByteBuffer.wrap(buf)
+        while (bb.hasRemaining && ch.read(bb) >= 0) {}
+      } finally ch.close()
+      try return XportReader.parseLayout(buf)
+      catch {
+        case e: RuntimeException if want < fileLen =>
+          want = math.min(fileLen, want.toLong * 4).toInt // header larger: grow
+        case e: RuntimeException => throw e
+      }
+    }
+    sys.error("unreachable")
+  }
 
   def schemaFor(vars: Seq[Variable]): StructType =
     StructType(vars.map(v =>

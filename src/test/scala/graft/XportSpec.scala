@@ -36,6 +36,44 @@ class XportSpec extends SparkSpec {
     assert(r1.getString(r1.fieldIndex("TEXT9999")) == "ABC BANK")
   }
 
+  test("encoding fallback: undecodable WINDOWS-1252 byte retries as ISO-8859-1") {
+    // 0x81 is undefined in WINDOWS-1252 but maps in ISO-8859-1
+    val bytes = XportFixture.bytes.clone()
+    val obsStart = XportFixture.headerLen
+    bytes(obsStart + 32) = 0x81.toByte // first char byte of TEXT9999, row 1
+    val f = Files.createTempFile("enc", ".xpt")
+    Files.write(f, bytes)
+    val df = XportReader.read(spark, f.toString)
+    val t = df.filter($"ENTITY" === 123456.0).first().getString(4)
+    assert(t.charAt(0) == '\u0081') // latin-1 decoded, not U+FFFD
+  }
+
+  test("all-blank rows are skipped, not treated as end of data") {
+    // char-only layout where an interior observation is entirely blank
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(XportFixture.rec("HEADER RECORD*******LIBRARY HEADER RECORD!!!!!!!" + "0" * 30))
+    out.write(XportFixture.rec("SAS     SAS     SASLIB  9.4     Linux"))
+    out.write(XportFixture.rec("01JAN26:00:00:00"))
+    out.write(XportFixture.rec("HEADER RECORD*******MEMBER  HEADER RECORD!!!!!!!" + "0" * 17 + "1600000000140"))
+    out.write(XportFixture.rec("HEADER RECORD*******DSCRPTR HEADER RECORD!!!!!!!" + "0" * 30))
+    out.write(XportFixture.rec("SAS     TESTDS  SASDATA 9.4     Linux"))
+    out.write(XportFixture.rec("01JAN26:00:00:00"))
+    out.write(XportFixture.rec("HEADER RECORD*******NAMESTR HEADER RECORD!!!!!!!" + "000000" + "0001" + "0" * 20))
+    out.write(XportFixture.namestr(2, 8, "NAME", 0))
+    out.write(Array.fill(80 - 140 % 80)(' '.toByte))
+    out.write(XportFixture.rec("HEADER RECORD*******OBS     HEADER RECORD!!!!!!!" + "0" * 30))
+    out.write("AAAAAAAA".getBytes("US-ASCII"))
+    out.write("        ".getBytes("US-ASCII")) // interior all-blank record
+    out.write("BBBBBBBB".getBytes("US-ASCII"))
+    val tail = out.size() % 80
+    if (tail != 0) out.write(Array.fill(80 - tail)(' '.toByte))
+    val f = Files.createTempFile("blank", ".xpt")
+    Files.write(f, out.toByteArray)
+    val names = XportReader.read(spark, f.toString)
+      .collect().map(_.getString(0)).toSet
+    assert(names == Set("AAAAAAAA", "BBBBBBBB")) // blank skipped, BBBB kept
+  }
+
   test("EP1 facts: typed EAV with reference semantics (FIXTURES A2)") {
     val facts = XportFacts.fromFile(spark, xptPath)
     val rows = facts.collect().map(r =>
