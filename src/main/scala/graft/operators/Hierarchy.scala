@@ -55,6 +55,7 @@ object Hierarchy {
     val edgesByChild = broadcast(edgesCached)
     def mark(df: DataFrame) = df.join(rootFlag, Seq("cur"), "left")
 
+    var levels = List.empty[DataFrame]
     var done = List.empty[DataFrame]
     var active = mark(edges
       .select(col("child").as("node"), col("parent").as("cur"),
@@ -63,6 +64,7 @@ object Hierarchy {
     var remaining = true
     while (remaining) {
       val level = active.persist()
+      levels ::= level
       done ::= level.filter(col("is_root")).drop("is_root")
       val next = level.filter(col("is_root").isNull).drop("is_root")
       if (next.isEmpty) remaining = false
@@ -75,11 +77,14 @@ object Hierarchy {
             concat(col("path"), array(col("parent"))).as("path")))
       }
     }
+    // materialize the result once, then release every intermediate cache —
+    // repeated calls must not accumulate executor storage for the
+    // application lifetime
     val out = done.reduce(_ unionByName _)
       .select(col("node"), col("cur").as("root"), col("depth"), col("path"))
-    // level frames stay cached (they back `out`); the helpers don't
-    rootsDf.unpersist(blocking = false)
-    edgesCached.unpersist(blocking = false)
+      .persist()
+    out.count()
+    (levels :+ rootsDf :+ edgesCached).foreach(_.unpersist(blocking = false))
     out
   }
 }
