@@ -509,6 +509,36 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
     }),
 
+    // LLM ops — deterministic hash-based stratified sampling (reproducible
+    // across runs/engines, unlike RNG sampling; the standard trick for
+    // stable train/eval splits)
+    "q46_hash_sample" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("bucket", graft.functions.Hashing.hexLong(col("doc_id").cast("string")) % 10)
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("bucket") === 0, 1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
+    // LLM ops — corpus curation pipeline: clean -> quality filter ->
+    // exact-dedup (canonical keeper) -> per-source yield accounting
+    "q47_curation_pipeline" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("clean_text", Cleaning.cleanText(col("text")))
+        .withColumn("n_tokens", size(TextFunctions.tokens(col("clean_text"))).cast("long"))
+        .withColumn("passes_quality", col("n_tokens") >= 40)
+      val w = Window.partitionBy(md5(col("clean_text")))
+      val flagged = d.withColumn("canonical_id", min("doc_id").over(w))
+        .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(!col("passes_quality"), 1)).as("n_dropped_quality"),
+          count(when(col("passes_quality") && !col("is_canonical"), 1)).as("n_dropped_dup"),
+          count(when(col("passes_quality") && col("is_canonical"), 1)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // §2.9 tumbling event-time window (streaming-ready groupBy(window))
     "q50_tumbling_window" -> ((s, dir) => {
       Tables.load(s, dir, "events")
@@ -923,6 +953,30 @@ object SparkEntry {
         |INTERSECT
         |SELECT DISTINCT s_nationkey AS nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "q46_hash_sample" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+        |             THEN 1 END) AS n_sampled
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q47_curation_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      text, '<[^<]+?>', '', 'g'), '&#x0D;', '', 'g'), chr(13), '', 'g'),
+        |      chr(10) || chr(10), chr(10), 'g') AS clean_text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(clean_text, ' ')) >= 40 AS passes_quality,
+        |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(clean_text)) AS is_canonical
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(CASE WHEN NOT passes_quality THEN 1 END) AS n_dropped_quality,
+        |  COUNT(CASE WHEN passes_quality AND NOT is_canonical THEN 1 END) AS n_dropped_dup,
+        |  COUNT(CASE WHEN passes_quality AND is_canonical THEN 1 END) AS n_kept
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "q50_tumbling_window" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS wstart_us, event_type,
