@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * When one join key carries a disproportionate share of rows, the shuffle
+  * sends that entire key to ONE reducer. Salting splits it: the skewed
+  * side gets a deterministic salt in [0, factor), the other side is
+  * replicated across all `factor` salt values, and the join key becomes
+  * (keys, salt) — the hot key now spreads over `factor` reducers at the
+  * cost of replicating the small side `factor`x.
+  *
+  * AQE's skew-join splitting handles sort-merge joins automatically; use
+  * this when you need deterministic control (e.g. skewed aggregation
+  * inputs, or join types AQE's splitter doesn't cover).
+  *
+  * The salt must be DETERMINISTIC (derived from row content, e.g.
+  * `Hashing.hexLong` of a unique id) — `rand()` salts break retries and
+  * reproducibility.
+  */
+object SkewJoin {
+
+  /** Inner equi-join with the skewed side salted.
+    *
+    * @param skewed the large/skewed side
+    * @param other  the side to replicate (must be the smaller one)
+    * @param keys   equi-join columns present on both sides
+    * @param salt   deterministic non-negative long column on `skewed`
+    *               (e.g. Hashing.hexLong of a unique id)
+    */
+  def saltedInner(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+                  salt: Column, factor: Int): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    val l = skewed.withColumn("__salt", pmod(salt, lit(factor.toLong)))
+    val r = other.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor.toLong - 1))))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+}

@@ -27,6 +27,21 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == 9L) // last in (t, side, pid) order
   }
 
+  test("salted join equals the plain join on a skewed key") {
+    import graft.functions.Hashing
+    import graft.operators.SkewJoin
+    // hot key 1 has 100 rows; dim has one row per key
+    val big = spark.range(100).select(lit(1L).as("k"), col("id"))
+      .union(spark.range(5).select((col("id") + 2).as("k"), col("id")))
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "label")
+    val salted = SkewJoin.saltedInner(big, dim, Seq("k"),
+      Hashing.hexLong(col("id").cast("string")), factor = 8)
+    val plain = big.join(dim, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "id", "label").except(
+      plain.select("k", "id", "label")).isEmpty)
+  }
+
   test("range join: points land in the right intervals across buckets") {
     val pts = Seq(5L, 15L, 29L, 30L, 45L, 99L).toDF("d")
     val iv = Seq((1L, 0L, 30L), (2L, 25L, 55L), (3L, 90L, 95L)).toDF("id", "s", "e")
