@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{Cleaning, Hashing, TextFunctions}
+import graft.operators.{Sessionize, TypeInference, UnpivotEav}
+
+/** Property-based checks (SURVEY §5 item 2). Each property evaluates a
+  * whole generated batch in ONE DataFrame, so a property run is a handful
+  * of Spark jobs, not hundreds. */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val word: Gen[String] = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val doc: Gen[List[String]] = Gen.listOfN(12, word)
+
+  property("fingerprint is invariant to whitespace runs and case") =
+    forAll(Gen.listOfN(20, doc), Gen.choose(1, 4)) { (docs, pad) =>
+      val rows = docs.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "), ws.mkString(" " * pad).toUpperCase + "  ")
+      }
+      val df = rows.toDF("id", "a", "b")
+        .select(TextFunctions.fingerprint(col("a")).as("fa"),
+          TextFunctions.fingerprint(col("b")).as("fb"))
+      df.filter(col("fa") =!= col("fb")).isEmpty
+    }
+
+  property("hexLong is total, non-negative, and below 2^60") =
+    forAll(Gen.listOfN(50, Gen.asciiPrintableStr)) { ss =>
+      val out = ss.toDF("s").select(Hashing.hexLong(col("s"))).as[Long].collect()
+      out.length == ss.length && out.forall(h => h >= 0L && h < (1L << 60))
+    }
+
+  property("rollingHash stays within [0, p) and is length-total") =
+    forAll(Gen.listOfN(20, Gen.listOf(word))) { docs =>
+      val out = docs.map(_.mkString(" ")).toDF("t")
+        .select(TextFunctions.rollingHash(TextFunctions.tokens(col("t"))))
+        .as[Long].collect()
+      out.length == docs.length && out.forall(h => h >= 0L && h < 1000000007L)
+    }
+
+  property("unpivot round-trips: pivot-back equals original modulo dropped nulls") =
+    forAll(Gen.listOfN(15, Gen.zip(Gen.option(Gen.choose(-1e6, 1e6)),
+      Gen.option(Gen.choose(-1e6, 1e6))))) { rows =>
+      val wide = rows.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "ca", "cb")
+      val eav = UnpivotEav.floats(wide, Seq("id"), Seq("ca", "cb"))
+      val back = eav.groupBy("id").pivot("mdrm", Seq("ca", "cb")).sum("float_data")
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)).map(_.asInstanceOf[Double]),
+            Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+      rows.zipWithIndex.forall { case ((a, b), i) =>
+        // rows whose cells are all null vanish entirely (every record dropped)
+        if (a.isEmpty && b.isEmpty) !back.contains(i.toLong)
+        else back(i.toLong) == ((a, b))
+      }
+    }
+
+  property("type inference is total: every column gets exactly one verdict") =
+    forAll(Gen.listOfN(20, Gen.oneOf(
+      Gen.choose(0.0, 1.0).map(v => math.rint(v)), // bool-ish 0/1
+      Gen.choose(-100, 100).map(_.toDouble),       // integral
+      Gen.choose(-100.0, 100.0)))) { vals =>      // arbitrary floats
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v, s"s$i") }
+        .toDF("id", "num", "str")
+      val verdicts = TypeInference.infer(df, Seq("num", "str")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      verdicts.size == 2 &&
+        Set("bool", "int", "float").contains(verdicts("num")) &&
+        verdicts("str") == "str"
+    }
+
+  property("sessionize: ids start at 1, are contiguous, and never decrease in time") =
+    forAll(Gen.listOfN(40, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 5000L)))) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+        .toDF("u", "t", "id")
+      val out = Sessionize.withSessionId(df, col("u"), col("t"), col("id"), 500L)
+        .select("u", "t", "id", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      out.groupBy(_._1).values.forall { group =>
+        val ordered = group.sortBy(e => (e._2, e._3)).map(_._4)
+        ordered.head == 1L &&
+          ordered.sliding(2).forall(p => p.length < 2 || p(1) - p(0) == 0 || p(1) - p(0) == 1)
+      }
+    }
+}
