@@ -77,13 +77,15 @@ object Hierarchy {
             concat(col("path"), array(col("parent"))).as("path")))
       }
     }
-    // materialize the result once, then release every intermediate cache —
-    // repeated calls must not accumulate executor storage for the
-    // application lifetime
+    // Materialize the result via an eager localCheckpoint (not persist):
+    // checkpoint blocks are released by the ContextCleaner once the result
+    // becomes unreachable, whereas a persist() here would pin executor
+    // storage until someone called unpersist — which no caller does
+    // (repeated pathsToRoot calls must not accumulate storage). Only then
+    // release every per-level cache.
     val out = done.reduce(_ unionByName _)
       .select(col("node"), col("cur").as("root"), col("depth"), col("path"))
-      .persist()
-    out.count()
+      .localCheckpoint(true)
     (levels :+ rootsDf :+ edgesCached).foreach(_.unpersist(blocking = false))
     out
   }

@@ -9,12 +9,23 @@ import org.apache.spark.sql.types._
   * `unpivot` (a Generator: narrow, codegen-friendly, no shuffle).
   *
   * Reference EAV semantics we preserve exactly (converter.py:152-176):
-  *   - bool columns  -> ALWAYS emit a record; value from the truth set
-  *                      {1, true, "true", "True", "TRUE", "1"}; null -> false
+  *   - bool columns  -> emit NO records. The reference's bool branch
+  *                      (converter.py:153-157) builds the record with
+  *                      truth-set coercion but — unlike the int/float/str
+  *                      branches — never calls `output_dict_list.append`,
+  *                      so its net output contains zero bool rows. Parity
+  *                      mode (`emitBools = false`, the default) reproduces
+  *                      that net behavior.
   *   - int/float/str -> emit only non-null cells (null records are dropped;
   *                      note converter.py:171-173 builds then discards the
   *                      str-null record — net behavior is a drop)
   *   - attribute name = lowercased source column name ("mdrm")
+  *
+  * Engine extension: `emitBools = true` emits what the reference's bool
+  * branch *constructs* — a record for EVERY cell (nulls included), value
+  * from the truth set {1, true, "true", "True", "TRUE", "1"}, null -> false
+  * — i.e. the behavior the reference code clearly intended before the
+  * missing append.
   *
   * Scale note: unpivot multiplies row count by #measure columns but stays a
   * narrow map-side op; at 100 TB the output should be written partitioned by
@@ -40,11 +51,14 @@ object UnpivotEav {
     *
     * @param types column -> "bool"|"int"|"float"|"str" (e.g. from
     *              [[TypeInference]])
+    * @param emitBools false (default) = reference net-behavior parity: bool
+    *                  columns produce no records. true = engine extension:
+    *                  bool columns always emit (null -> false).
     * @return idCols ++ (mdrm, data_type, bool_data, int_data, float_data,
-    *         str_data) with exactly one *_data non-null per row (bool rows
-    *         always present, others null-dropped).
+    *         str_data) with exactly one *_data non-null per row.
     */
-  def typed(df: DataFrame, idCols: Seq[String], types: Map[String, String]): DataFrame = {
+  def typed(df: DataFrame, idCols: Seq[String], types: Map[String, String],
+            emitBools: Boolean = false): DataFrame = {
     val ids = idCols.map(col)
     def group(kind: String): Seq[String] =
       types.collect { case (c, k) if k == kind => c }.toSeq.sorted
@@ -62,14 +76,21 @@ object UnpivotEav {
     }
 
     val parts = Seq(
-      part("bool", "bool_data", truthy, dropNulls = false),
+      if (emitBools) part("bool", "bool_data", truthy, dropNulls = false) else None,
       part("int", "int_data", _.cast(LongType), dropNulls = true),
       part("float", "float_data", _.cast(DoubleType), dropNulls = true),
       part("str", "str_data", _.cast(StringType), dropNulls = true)
     ).flatten
 
-    require(parts.nonEmpty, "no typed columns to unpivot")
-    val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // All-bool input under parity mode yields zero records (as the
+    // reference does) — an empty frame with the full EAV schema.
+    val unioned = parts match {
+      case Seq() => df.filter(lit(false))
+        .select(ids: _*)
+        .withColumn("mdrm", lit(null).cast(StringType))
+        .withColumn("data_type", lit(null).cast(StringType))
+      case ps => ps.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
     val withAll = Seq("bool_data" -> BooleanType, "int_data" -> LongType,
       "float_data" -> DoubleType, "str_data" -> StringType)
       .foldLeft(unioned) { case (d, (c, t)) =>

@@ -14,6 +14,11 @@ import graft.sources.XportReader
   * Two Spark jobs total: the inference aggregate and the output pass —
   * vs the reference's per-cell `iterrows()` loop (its acknowledged slow
   * path, converter.py:330-333).
+  *
+  * Bool columns: reference parity — no records. converter.py:153-157
+  * coerces bool cells but never appends them to the output list, so the
+  * reference's JSON contains zero bool rows; we reproduce that net
+  * behavior (see [[graft.operators.UnpivotEav.typed]] `emitBools`).
   */
 object XportFacts {
 

@@ -1,34 +1,67 @@
 package graft.sources
 
+import java.util.UUID
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** CSV reader that skips N leading physical lines before the header — the
   * reference's `pd.read_csv(..., skiprows=1)` (mdrm_data_collect_process
   * .py:147: line 1 of the Fed's MDRM export is a title, line 2 the header).
   *
-  * Spark's csv source has no skip-lines option, so we read as text, drop
-  * the first N lines by global position, and parse the remainder with the
-  * csv source from an in-plan dataset.
+  * Spark's csv source has no skip-lines option. Splitting the file into
+  * text lines and re-parsing would corrupt quoted fields with embedded
+  * newlines (the MDRM export contains them — the reference strips `\r` and
+  * collapses `\n\n` from *parsed cell values*, which only exist under a
+  * multiline-aware parser). So instead we byte-copy the file minus its
+  * first N physical lines to a staging file and parse that with the csv
+  * source in multiLine mode — record structure is preserved exactly.
   *
-  * Contract: ONE file per call — the skip is by global line position, so
-  * a glob of several title-bearing files would only skip the first file's
-  * title (the rest would parse their title/header lines as data). The
-  * reference reads exactly one export at a time; for multi-file corpora,
-  * map this reader over the file list.
+  * Skipping is byte-level (count `\n`), matching pandas' `skiprows`
+  * semantics of physical file lines, and the remainder is copied verbatim
+  * (no decode/re-encode).
+  *
+  * Contract: ONE file per call, like the reference (one Fed export at a
+  * time). The staging copy is driver-side streaming I/O via the Hadoop
+  * FileSystem API; by default it lands in the source file's filesystem
+  * under a temp name so executors can read it on a real cluster (pass
+  * `stagingDir` to redirect, e.g. to a scratch bucket). multiLine CSV is
+  * unsplittable in Spark regardless, so the copy costs no parallelism.
   */
 object CsvWithSkipRows {
 
   def read(spark: SparkSession, path: String, skipLines: Int,
-           options: Map[String, String] = Map.empty): DataFrame = {
-    import spark.implicits._
-    val lines = spark.read.textFile(path)
-      .rdd.zipWithIndex()
-      .filter { case (_, i) => i >= skipLines }
-      .map(_._1)
-    val ds = spark.createDataset(lines)
+           options: Map[String, String] = Map.empty,
+           stagingDir: Option[String] = None): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new Path(path)
+    val srcFs = src.getFileSystem(conf)
+    val stageParent = stagingDir.map(new Path(_)).getOrElse(src.getParent)
+    val stageFs = stageParent.getFileSystem(conf)
+    // NB: must not start with '.' or '_' — FileInputFormat hides those.
+    val staged = new Path(stageParent,
+      s"${src.getName}-skip$skipLines-${UUID.randomUUID().toString.take(8)}.csv")
+
+    val in = srcFs.open(src)
+    try {
+      var toSkip = skipLines
+      while (toSkip > 0) {
+        val b = in.read()
+        if (b < 0) toSkip = 0 // fewer lines than skipLines: empty remainder
+        else if (b == '\n') toSkip -= 1
+      }
+      val out = stageFs.create(staged, true)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally out.close()
+    } finally in.close()
+    stageFs.deleteOnExit(staged)
+
     spark.read
-      .options(Map("header" -> "true", "mode" -> "PERMISSIVE") ++ options)
-      .csv(ds)
+      .options(Map("header" -> "true", "mode" -> "PERMISSIVE",
+        "multiLine" -> "true", "escape" -> "\"") ++ options)
+      .csv(staged.toString)
   }
 }

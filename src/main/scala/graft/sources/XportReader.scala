@@ -127,6 +127,37 @@ object XportReader {
     dec.decode(java.nio.ByteBuffer.wrap(bytes, off, len)).toString
   }
 
+  /** Stream the observation region and choose the charset exactly the way
+    * [[read]] does — WINDOWS-1252 if every character field strictly
+    * decodes, else the whole file falls back to ISO-8859-1 (which maps all
+    * 256 bytes) — without loading the file into memory. Used by the DSv2
+    * source at planning time so both ingest paths return identical data
+    * (per-file fallback, converter.py:110-119). */
+  def detectCharset(path: String, vars: Seq[Variable], obsStart: Long,
+                    rowLen: Int): Charset = {
+    val w1252 = Charset.forName("WINDOWS-1252")
+    val charVars = vars.filterNot(_.isNumeric)
+    if (charVars.isEmpty || rowLen <= 0) return w1252
+    val ch = Files.newByteChannel(Paths.get(path))
+    try {
+      ch.position(obsStart)
+      val buf = java.nio.ByteBuffer.allocate(rowLen)
+      val arr = new Array[Byte](rowLen)
+      var ok = true
+      var eof = false
+      while (ok && !eof) {
+        buf.clear()
+        while (buf.hasRemaining && !eof) if (ch.read(buf) < 0) eof = true
+        if (!buf.hasRemaining) {
+          buf.flip(); buf.get(arr)
+          try charVars.foreach(v => decodeStrict(arr, v.position, v.length, w1252))
+          catch { case _: java.nio.charset.CharacterCodingException => ok = false }
+        }
+      }
+      if (ok) w1252 else Charset.forName("ISO-8859-1")
+    } finally ch.close()
+  }
+
   /** Read an XPORT file with the reference's encoding-fallback behavior:
     * WINDOWS-1252 first; on any undecodable character field, retry the
     * whole file as ISO-8859-1 (which maps every byte). */

@@ -29,9 +29,15 @@ import graft.sources.XportReader.Variable
   *  - header parsing happens once on the driver (a few KB); executors
   *    seek straight to their chunk.
   *
-  * Options: `path` (single file), `encoding` (charset for character data,
-  * default WINDOWS-1252), `chunkRows` (rows per partition; default sized
-  * to ~64 MB chunks). Trailing all-blank padding rows are skipped.
+  * Options: `path` (single file), `encoding` (charset for character data;
+  * when omitted the planner streams the file once and applies the
+  * reference's per-file fallback — WINDOWS-1252, or ISO-8859-1 if any
+  * character field fails a strict decode — so this path returns byte-for-
+  * byte the same data as [[XportReader.read]]), `chunkRows` (rows per
+  * partition; default sized to ~64 MB chunks). Character fields are
+  * decoded STRICTLY on executors; a malformed byte under a user-forced
+  * `encoding` raises a descriptive error instead of silently substituting
+  * U+FFFD. Trailing all-blank padding rows are skipped.
   */
 class XportDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "xport"
@@ -90,11 +96,11 @@ class XportTable(path: String, tableSchema: StructType) extends Table with Suppo
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new XportScanBuilder(path, tableSchema,
-      Option(options.get("encoding")).getOrElse("WINDOWS-1252"),
+      Option(options.get("encoding")),
       Option(options.get("chunkRows")).map(_.toInt))
 }
 
-class XportScanBuilder(path: String, fullSchema: StructType, encoding: String,
+class XportScanBuilder(path: String, fullSchema: StructType, encoding: Option[String],
                        chunkRows: Option[Int])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
@@ -111,7 +117,7 @@ final case class XportChunk(path: String, chunkStart: Long, rowLen: Int,
                             numRows: Long, vars: Array[Variable],
                             encoding: String) extends InputPartition
 
-class XportScan(path: String, required: StructType, encoding: String,
+class XportScan(path: String, required: StructType, encoding: Option[String],
                 chunkRows: Option[Int]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -125,11 +131,15 @@ class XportScan(path: String, required: StructType, encoding: String,
     val totalRows = if (rowLen == 0) 0L else (fileLen - obsStart) / rowLen
     val prunedVars = required.fieldNames.map(n => vars.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"unknown XPORT column $n")))
+    // Match XportReader.read's whole-file encoding fallback unless the
+    // user forced a charset: one streaming validation pass on the driver.
+    val resolvedEncoding = encoding.getOrElse(
+      XportReader.detectCharset(path, vars, obsStart, rowLen).name())
     val perChunk = chunkRows.map(_.toLong)
       .getOrElse(math.max(1L, (64L << 20) / math.max(rowLen, 1)))
     (0L until totalRows by perChunk).map { startRow =>
       XportChunk(path, obsStart + startRow * rowLen, rowLen,
-        math.min(perChunk, totalRows - startRow), prunedVars, encoding)
+        math.min(perChunk, totalRows - startRow), prunedVars, resolvedEncoding)
     }.toArray
   }
 
@@ -178,8 +188,18 @@ class XportChunkReader(chunk: XportChunk) extends PartitionReader[InternalRow] {
               case None => row.setNullAt(i)
             }
           } else {
-            val s = new String(rowBytes, v.position, v.length, charset)
-              .replaceAll("\\s+$", "")
+            // Strict decode: identical data to XportReader.read (which the
+            // planner's charset detection already guarantees for the
+            // default path); a user-forced encoding that can't decode a
+            // byte fails loudly rather than substituting U+FFFD.
+            val s = try
+              XportReader.decodeStrict(rowBytes, v.position, v.length, charset)
+                .replaceAll("\\s+$", "")
+            catch { case e: java.nio.charset.CharacterCodingException =>
+              throw new java.io.IOException(
+                s"xport: field ${v.name} has bytes not valid in ${chunk.encoding}; " +
+                  "omit the 'encoding' option for automatic ISO-8859-1 fallback", e)
+            }
             if (s.isEmpty) row.setNullAt(i)
             else row.update(i, UTF8String.fromString(s))
           }

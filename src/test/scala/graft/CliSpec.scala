@@ -27,6 +27,9 @@ class CliSpec extends SparkSpec {
     assert(facts.count() > 0)
     assert(facts.columns.contains("mdrm") && facts.columns.contains("quarter"))
     assert(facts.filter(facts("mdrm") === "rcon2170").count() == 1)
+    // Reference parity: bool-typed columns (FLAG0001, detected from its
+    // {0,1} domain) yield NO records — converter.py:153-157 never appends.
+    assert(facts.filter(facts("mdrm") === "flag0001").count() == 0)
   }
 
   test("taxonomy command: linkbase zip to form_quarter.json document") {

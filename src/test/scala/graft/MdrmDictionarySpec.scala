@@ -35,6 +35,26 @@ class MdrmDictionarySpec extends SparkSpec {
     assert(old.getAs[collection.Seq[String]]("reporting_forms").toSeq == Seq.empty)
   }
 
+  test("quoted fields with embedded newlines survive the skip (multiline parse)") {
+    // The real MDRM export carries \r and blank lines INSIDE quoted cells —
+    // the reference's remove_cr / new_line_char_conv cleaners only make
+    // sense if the parser kept such cells whole (ADVICE r1).
+    val multi =
+      """Title line to skip
+        |Mnemonic,Item Code,Start Date,End Date,Item Name,Confidentiality,ItemType,Reporting Form,Description,SeriesGlossary,
+        |CCCC,9999,1/1/2001 12:00:00 AM,12/31/9999 12:00:00 AM,MULTI,N,F,,"line one
+        |
+        |line two",gloss,
+        |""".stripMargin
+    val f = Files.createTempFile("mdrm-multi", ".csv")
+    Files.writeString(f, multi)
+    val out = MdrmDictionary.clean(CsvWithSkipRows.read(spark, f.toString, skipLines = 1))
+    assert(out.count() == 1) // one logical record despite 3 physical lines
+    val r = out.filter($"mdrm" === "CCCC9999").first()
+    // cell kept whole, then \n\n collapsed to \n by the cleaning chain
+    assert(r.getAs[String]("description") == "line one\nline two")
+  }
+
   test("activeFieldsPerForm counts only sentinel end dates") {
     val active = MdrmDictionary.activeFieldsPerForm(dict).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

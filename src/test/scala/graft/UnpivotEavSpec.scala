@@ -4,7 +4,9 @@ import org.apache.spark.sql.Row
 import graft.operators.UnpivotEav
 
 /** EAV semantics from converter.py:130-182 via FIXTURES.md A2 (SURVEY §7.4
-  * risk 1: bools always emitted, int/float/str nulls dropped). */
+  * risk 1): int/float/str nulls dropped; bool columns emit NOTHING in
+  * parity mode (the reference's bool branch, converter.py:153-157, never
+  * appends to its output list) and always-emit in extension mode. */
 class UnpivotEavSpec extends SparkSpec {
   import spark.implicits._
 
@@ -14,17 +16,31 @@ class UnpivotEavSpec extends SparkSpec {
     (20010331L, 777777L, Some(2.0), Option.empty[Double], Option.empty[String], Some(0.0))
   ).toDF("date", "rssd", "RSSD9001", "RCON2170", "TEXT9999", "FLAG0001")
 
-  test("typed EAV: bool always emitted, numeric/str nulls dropped, names lowercased") {
-    val out = UnpivotEav.typed(wide, Seq("rssd", "date"),
-      Map("RSSD9001" -> "float", "RCON2170" -> "float",
-        "TEXT9999" -> "str", "FLAG0001" -> "bool"))
+  private val types = Map("RSSD9001" -> "float", "RCON2170" -> "float",
+    "TEXT9999" -> "str", "FLAG0001" -> "bool")
+
+  test("typed EAV parity: bool columns emit no records (converter.py missing append)") {
+    val out = UnpivotEav.typed(wide, Seq("rssd", "date"), types)
     val rows = out.collect().map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
-    // bank 777777: RCON2170 (null float) and TEXT9999 (null str) dropped,
-    // FLAG0001 false still present
-    assert(rows.contains((777777L, "flag0001", "bool")))
+    assert(!rows.exists(_._3 == "bool")) // reference net behavior: zero bool rows
+    // bank 777777: RCON2170 (null float) and TEXT9999 (null str) dropped
     assert(!rows.contains((777777L, "rcon2170", "float")))
     assert(!rows.contains((777777L, "text9999", "str")))
     assert(rows.contains((123456L, "rcon2170", "float")))
+    assert(rows.contains((123456L, "text9999", "str")))
+  }
+
+  test("typed EAV all-bool input in parity mode is empty with full schema") {
+    val out = UnpivotEav.typed(wide, Seq("rssd"), Map("FLAG0001" -> "bool"))
+    assert(out.columns.toSeq == Seq("rssd", "mdrm", "data_type",
+      "bool_data", "int_data", "float_data", "str_data"))
+    assert(out.count() == 0)
+  }
+
+  test("typed EAV extension: emitBools=true always emits with truth-set coercion") {
+    val out = UnpivotEav.typed(wide, Seq("rssd", "date"), types, emitBools = true)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+    assert(rows.contains((777777L, "flag0001", "bool"))) // null/0.0 still present
     val flag777 = out.filter($"rssd" === 777777L && $"mdrm" === "flag0001")
       .select("bool_data").first().getBoolean(0)
     assert(!flag777) // 0.0 is not in the truth set

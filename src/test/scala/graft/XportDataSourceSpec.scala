@@ -27,6 +27,37 @@ class XportDataSourceSpec extends SparkSpec {
     assert(df.as[Double].collect().toSet == Set(123456.0, 777777.0))
   }
 
+  test("encoding fallback parity: DSv2 and XportReader.read agree on bytes undefined in WINDOWS-1252") {
+    // 0x81 is undefined in WINDOWS-1252; the reference (and XportReader
+    // .read) then re-reads the whole file as ISO-8859-1, where 0x81 is a
+    // C1 control char. The DSv2 planner must detect the same fallback.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(XportFixture.bytes, 0, XportFixture.headerLen)
+    out.write(XportFixture.ibm(20010331.0)); out.write(XportFixture.ibm(1.0))
+    out.write(XportFixture.ibm(2.0)); out.write(XportFixture.ibm(0.0))
+    out.write(Array[Byte]('A', 0x81.toByte, 'B', ' ', ' ', ' ', ' ', ' '))
+    val tail = out.size() % 80
+    if (tail != 0) out.write(Array.fill(80 - tail)(' '.toByte))
+    val f = java.nio.file.Files.createTempFile("enc", ".xpt")
+    java.nio.file.Files.write(f, out.toByteArray)
+
+    val viaReader = graft.sources.XportReader.read(spark, f.toString)
+      .select("TEXT9999").first().getString(0)
+    val viaDsv2 = spark.read.format("xport").load(f.toString)
+      .select("TEXT9999").first().getString(0)
+    assert(viaDsv2 == viaReader) // both fell back to ISO-8859-1
+    assert(viaDsv2 == ("A" + "\u0081" + "B"))
+    // forcing the bad charset fails loudly instead of emitting U+FFFD
+    val e = intercept[Exception] {
+      spark.read.format("xport").option("encoding", "WINDOWS-1252")
+        .load(f.toString).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("TEXT9999"))))
+  }
+
   test("intra-file splits: chunked read returns every row exactly once") {
     val big = XportFixture.writeTempN(1000)
     val df = spark.read.format("xport").option("chunkRows", "64").load(big)
