@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.FloatVectorDot
+import graft.expressions.{Dec9Dot, FloatVecScale9, FloatVectorDot}
 
 /** Engine extension point — the sanctioned way to add native expressions
   * to a session: `SparkSession.builder().withExtensions(new
@@ -12,7 +12,11 @@ import graft.expressions.FloatVectorDot
   *
   * Currently registers:
   *  - `float_vector_dot(array<float>, array<float>) -> double` — codegen'd
-  *    dot product ([[graft.expressions.FloatVectorDot]]).
+  *    dot product ([[graft.expressions.FloatVectorDot]]);
+  *  - `float_vec_scale9(array<float>) -> array<bigint>` and
+  *    `dec9_dot(array<bigint>, array<bigint>) -> decimal(30,18)` — the
+  *    exact-decimal dot product as primitive loops
+  *    ([[graft.expressions.DecimalVectorOps]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -22,6 +26,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "float_vector_dot takes exactly 2 arguments")
         FloatVectorDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("float_vec_scale9"),
+      new ExpressionInfo(classOf[FloatVecScale9].getName, "float_vec_scale9"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "float_vec_scale9 takes exactly 1 argument")
+        FloatVecScale9(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dec9_dot"),
+      new ExpressionInfo(classOf[Dec9Dot].getName, "dec9_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "dec9_dot takes exactly 2 arguments")
+        Dec9Dot(children.head, children(1))
       }))
   }
 }

@@ -292,12 +292,15 @@ object SparkEntry {
     // LLM ops — exact top-k neighbor search within label blocks
     "q31_knn_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
+      // scale to decimal form once per row, BEFORE the label-block fan-out
       val q = emb.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("label"), col("embedding").as("qvec"))
-      val c = emb.select(col("vec_id").as("cid"), col("label"), col("embedding").as("cvec"))
+        .select(col("vec_id").as("qid"), col("label"),
+          Similarity.scale9(col("embedding")).as("qvec9"))
+      val c = emb.select(col("vec_id").as("cid"), col("label"),
+        Similarity.scale9(col("embedding")).as("cvec9"))
       val scored = q.join(c, Seq("label")).filter(col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
-          Similarity.dotDecimal(col("qvec"), col("cvec")).as("score_d"))
+          Similarity.dot9(col("qvec9"), col("cvec9")).as("score_d"))
       val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
       scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
         .select(col("qid"), col("rnk"), col("cid"),
@@ -338,15 +341,16 @@ object SparkEntry {
     // IEEE ops after the exact decimals, so doubles are bit-identical)
     "q32_cosine_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-        .withColumn("nrm", sqrt(Similarity.normSqDecimal(col("embedding")).cast("double")))
+        .withColumn("e9", Similarity.scale9(col("embedding")))
+        .withColumn("nrm", sqrt(Similarity.dot9(col("e9"), col("e9")).cast("double")))
       val q = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("label"),
-          col("embedding").as("qvec"), col("nrm").as("qn"))
+          col("e9").as("qvec9"), col("nrm").as("qn"))
       val c = emb.select(col("vec_id").as("cid"), col("label"),
-        col("embedding").as("cvec"), col("nrm").as("cn"))
+        col("e9").as("cvec9"), col("nrm").as("cn"))
       val scored = q.join(c, Seq("label")).filter(col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
-          (Similarity.dotDecimal(col("qvec"), col("cvec")).cast("double") /
+          (Similarity.dot9(col("qvec9"), col("cvec9")).cast("double") /
             (col("qn") * col("cn"))).as("cosine"))
         // engines can differ in the last ulp of the decimal->double cast:
         // rank on the 9-decimal rounding (cid tiebreak) and emit a fixed

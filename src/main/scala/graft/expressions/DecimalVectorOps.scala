@@ -1,0 +1,168 @@
+package graft.expressions
+
+import java.math.{BigInteger, RoundingMode}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Exact decimal dot products at native speed.
+  *
+  * [[graft.operators.Similarity.dotDecimal]] defines the engine's
+  * deterministic dot product as
+  * `aggregate(zip_with(a.cast(dec(18,9)), b.cast(dec(18,9)), _*_), 0,
+  * _+_)` over `array<float>` — bit-exact and order-independent, but the
+  * higher-order functions run interpreted per element with boxed Decimals.
+  * These two expressions compute the IDENTICAL result as primitive loops:
+  *
+  *  - [[FloatVecScale9]]: `array<float> -> array<long>` — each element's
+  *    scale-9 unscaled value, exactly Spark's float->decimal(18,9) cast
+  *    (BigDecimal.valueOf(shortest-repr double), HALF_UP at 9 digits).
+  *    Elements that the cast would null out (NaN/Inf/overflow) become
+  *    null elements.
+  *  - [[Dec9Dot]]: `(array<long>, array<long>) -> decimal(30,18)` — sum
+  *    of element products as a scale-18 unscaled integer. Products and
+  *    sums of scale-9/scale-9 decimals are EXACT at scale 18 (the
+  *    decimal chain above never rounds either), so a long
+  *    multiply-accumulate — with a BigInteger fallback on the rare
+  *    overflow past 2^63 — reproduces the decimal aggregate bit for bit.
+  *
+  * The split matters for join fan-out: scale the vectors ONCE per row
+  * before an N x Q pair join, and the per-pair work drops to a long MAC
+  * loop — the conversion cost amortizes across every pair the row
+  * appears in (SURVEY §2: brute-force ANN / IVF at 100 TB).
+  *
+  * Null semantics (same as the HOF chain): null array -> null; arrays of
+  * different lengths -> null (zip_with pads with null, nulling the sum);
+  * any null element -> null.
+  *
+  * Registered as `float_vec_scale9` / `dec9_dot` by [[graft.GraftExtensions]].
+  */
+object DecimalVectorOps {
+
+  val outType: DecimalType = DecimalType(30, 18)
+
+  /** Spark's float->decimal(18,9) cast as a scale-9 unscaled long:
+    * shortest decimal representation of the widened double, rounded
+    * HALF_UP at 9 fractional digits. Long.MinValue marks "cast is null"
+    * (NaN/Inf/precision overflow) — callers translate to a null element. */
+  def scale9(f: Float): Long = {
+    val d = f.toDouble
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return Long.MinValue
+    val bd = java.math.BigDecimal.valueOf(d).setScale(9, RoundingMode.HALF_UP)
+    if (bd.precision > 18) return Long.MinValue // decimal(18,9) overflow -> null
+    bd.unscaledValue().longValueExact() // precision <= 18 always fits a long
+  }
+
+  def scale9Array(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val v = scale9(a.getFloat(i))
+        out(i) = if (v == Long.MinValue) null else java.lang.Long.valueOf(v)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Exact dot of two scale-9 unscaled vectors as decimal(30,18), or null
+    * (length mismatch / null element). Fast path: long MAC; overflow of
+    * the scale-18 accumulator past 2^63 falls back to BigInteger. */
+  def dot9(a: ArrayData, b: ArrayData): org.apache.spark.sql.types.Decimal = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var big: BigInteger = null
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getLong(i)
+      val y = b.getLong(i)
+      if (big == null) {
+        val hi = Math.multiplyHigh(x, y)
+        val lo = x * y
+        // product fits a long iff hi is just the sign-extension of lo
+        if (hi == (lo >> 63)) {
+          val sum = acc + lo
+          // two's-complement overflow check (same sign in, different out)
+          if (((acc ^ sum) & (lo ^ sum)) < 0)
+            big = BigInteger.valueOf(acc).add(BigInteger.valueOf(lo))
+          else acc = sum
+        } else {
+          big = BigInteger.valueOf(acc)
+            .add(BigInteger.valueOf(x).multiply(BigInteger.valueOf(y)))
+        }
+      } else {
+        big = big.add(BigInteger.valueOf(x).multiply(BigInteger.valueOf(y)))
+      }
+      i += 1
+    }
+    val bd = new java.math.BigDecimal(if (big == null) BigInteger.valueOf(acc) else big, 18)
+    if (bd.precision > 30) null // decimal(30,18) overflow -> null, like the cast
+    else Decimal(bd, 30, 18)
+  }
+
+  /** Column-API entry points (session must carry [[graft.GraftExtensions]]). */
+  def scale9Col(a: Column): Column = call_function("float_vec_scale9", a)
+  def dot9Col(a: Column, b: Column): Column = call_function("dec9_dot", a, b)
+  /** The full exact dot product: scale both sides, multiply-accumulate. */
+  def dotCol(a: Column, b: Column): Column = dot9Col(scale9Col(a), scale9Col(b))
+}
+
+case class FloatVecScale9(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "float_vec_scale9"
+
+  override def nullSafeEval(a: Any): Any =
+    DecimalVectorOps.scale9Array(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.DecimalVectorOps.scale9Array($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecScale9 =
+    copy(child = newChild)
+}
+
+case class Dec9Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = DecimalVectorOps.outType
+  override def prettyName: String = "dec9_dot"
+  // dot9 returns null for length-mismatched inputs even when both are non-null
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecimalVectorOps.dot9(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.expressions.DecimalVectorOps.dot9($a, $b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Dec9Dot =
+    copy(left = newLeft, right = newRight)
+}

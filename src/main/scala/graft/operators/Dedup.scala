@@ -125,14 +125,16 @@ object Dedup {
     */
   def embeddingNearDupPairs(docs: DataFrame, id: Column, block: Column,
                             embedding: Column, minCosine: Double): DataFrame = {
+    // decimal-scale each embedding once, before the block self-join fan-out
     val base = graft.core.Parallelism.ensureWidth(
-      docs.select(id.as("id"), block.as("block"), embedding.as("emb")))
-      .withColumn("nrm", sqrt(Similarity.normSqDecimal(col("emb")).cast("double")))
+      docs.select(id.as("id"), block.as("block"),
+        Similarity.scale9(embedding).as("emb9")))
+      .withColumn("nrm", sqrt(Similarity.dot9(col("emb9"), col("emb9")).cast("double")))
     val a = base.toDF("doc_a", "block", "emb_a", "nrm_a")
     val b = base.toDF("doc_b", "block", "emb_b", "nrm_b")
     a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (Similarity.dotDecimal(col("emb_a"), col("emb_b")).cast("double") /
+        (Similarity.dot9(col("emb_a"), col("emb_b")).cast("double") /
           (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }

@@ -32,12 +32,30 @@ object Similarity {
   // overflow, which is impossible for unit-scale embeddings.
   private val accDec = DecimalType(30, 18)
 
-  /** Exact decimal dot product of two float-array columns (same length). */
-  def dotDecimal(a: Column, b: Column): Column =
+  /** The defining formulation of the exact decimal dot product — pure
+    * built-ins, order-independent, bit-exact. Kept as the executable spec
+    * that [[graft.expressions.DecimalVectorOps]] must match; the HOFs run
+    * interpreted per element, so hot paths use [[dotDecimal]] instead. */
+  def dotDecimalHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast(elemDec) * y.cast(elemDec)).cast(accDec)),
       lit(0).cast(accDec),
       (acc, x) => (acc + x).cast(accDec))
+
+  /** Exact decimal dot product of two float-array columns (same length):
+    * identical results to [[dotDecimalHof]] via the native scale-9 MAC
+    * expressions. When a vector side fans out through a join, prefer
+    * [[scale9]] + [[dot9]] so the decimal conversion runs once per row,
+    * not once per pair. */
+  def dotDecimal(a: Column, b: Column): Column =
+    graft.expressions.DecimalVectorOps.dotCol(a, b)
+
+  /** Per-element scale-9 unscaled decimal form of a float vector —
+    * precompute BEFORE join fan-out. */
+  def scale9(a: Column): Column = graft.expressions.DecimalVectorOps.scale9Col(a)
+
+  /** Exact decimal(30,18) dot of two [[scale9]] vectors. */
+  def dot9(a: Column, b: Column): Column = graft.expressions.DecimalVectorOps.dot9Col(a, b)
 
   /** Dot product as a deterministic double (exact decimal, then one cast). */
   def dot(a: Column, b: Column): Column = dotDecimal(a, b).cast("double")
@@ -60,11 +78,15 @@ object Similarity {
     */
   def dotTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               excludeSelf: Boolean = true): DataFrame = {
+    // scale to decimal form ONCE per row on each side; the pair loop is
+    // then a primitive long multiply-accumulate
     val wide = graft.core.Parallelism.ensureWidth(candidates)
-    val pairs = wide.join(broadcast(queries),
+      .select(col("cid"), scale9(col("cvec")).as("cvec9"))
+    val q9 = queries.select(col("qid"), scale9(col("qvec")).as("qvec9"))
+    val pairs = wide.join(broadcast(q9),
       if (excludeSelf) col("qid") =!= col("cid") else lit(true))
     val scored = pairs.select(col("qid"), col("cid"),
-      dotDecimal(col("qvec"), col("cvec")).as("score_d"))
+      dot9(col("qvec9"), col("cvec9")).as("score_d"))
     val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -89,26 +111,33 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
+    // every vector side is scaled to decimal form exactly once up front
+    val vecs9 = graft.core.Parallelism.ensureWidth(vectors)
+      .select(col("cid"), scale9(col("cvec")).as("cvec9"))
+    val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
+    val qs9 = queries.select(col("qid"), scale9(col("qvec")).as("qvec9"))
     // cell assignment for the corpus (argmax dot, centroid-id tiebreak)
-    val cells = centroidAssign(
-        vectors.select(col("cid").as("vec_id"), col("cvec").as("embedding")),
-        centroids.select(col("centroid_id"), col("ctr").as("cvec")))
-      .select(col("vec_id").as("cid"), col("centroid_id"))
+    val aw = Window.partitionBy("cid").orderBy(col("ascore").desc, col("centroid_id").asc)
+    val cells = vecs9.crossJoin(broadcast(cents9))
+      .select(col("cid"), col("centroid_id"),
+        dot9(col("cvec9"), col("ctr9")).as("ascore"))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .select(col("cid"), col("centroid_id"))
     // nprobe nearest cells per query
-    val probeScores = queries.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qvec"), col("centroid_id"),
-        dotDecimal(col("qvec"), col("ctr")).as("pscore"))
     val pw = Window.partitionBy("qid").orderBy(col("pscore").desc, col("centroid_id").asc)
-    val probes = probeScores.withColumn("pr", row_number().over(pw))
+    val probes = qs9.crossJoin(broadcast(cents9))
+      .select(col("qid"), col("qvec9"), col("centroid_id"),
+        dot9(col("qvec9"), col("ctr9")).as("pscore"))
+      .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qvec"), col("centroid_id"))
+      .select(col("qid"), col("qvec9"), col("centroid_id"))
     // exact search within probed cells
     val cand = probes
       .join(cells, Seq("centroid_id"))
-      .join(vectors, Seq("cid"))
+      .join(vecs9, Seq("cid"))
       .filter(col("qid") =!= col("cid"))
       // no dedup needed: each cid lives in exactly one cell (rn=1 assign)
-      .select(col("qid"), col("cid"), dotDecimal(col("qvec"), col("cvec")).as("score_d"))
+      .select(col("qid"), col("cid"), dot9(col("qvec9"), col("cvec9")).as("score_d"))
     val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
     cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), col("score_d"))
@@ -123,9 +152,12 @@ object Similarity {
     *         double for display, or to string for bit-exact comparison.
     */
   def centroidAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = graft.core.Parallelism.ensureWidth(vectors).crossJoin(broadcast(centroids))
+    val v9 = graft.core.Parallelism.ensureWidth(vectors)
+      .select(col("vec_id"), scale9(col("embedding")).as("embedding9"))
+    val c9 = centroids.select(col("centroid_id"), scale9(col("cvec")).as("cvec9"))
+    val scored = v9.crossJoin(broadcast(c9))
       .select(col("vec_id"), col("centroid_id"),
-        dotDecimal(col("embedding"), col("cvec")).as("score_d"))
+        dot9(col("embedding9"), col("cvec9")).as("score_d"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("score_d").desc, col("centroid_id").asc)
     scored.withColumn("rn", row_number().over(w))

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The native scale-9 MAC expressions must reproduce the HOF decimal
+  * formulation bit for bit — the HOF chain is the executable spec. */
+class DecimalVectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def both(a: Seq[Float], b: Seq[Float]): (String, String) = {
+    val df = Seq((a, b)).toDF("a", "b")
+    val r = df.select(
+      Similarity.dotDecimalHof(col("a"), col("b")).cast("string").as("hof"),
+      Similarity.dotDecimal(col("a"), col("b")).cast("string").as("fast")).first()
+    (r.getString(0), r.getString(1))
+  }
+
+  test("matches the HOF decimal dot on hand-picked values") {
+    for ((a, b) <- Seq(
+      (Seq(0.1f, -0.2f, 0.3f), Seq(0.4f, 0.5f, -0.6f)),
+      (Seq(0.0f, 0.0f), Seq(0.0f, 0.0f)),
+      (Seq(1.0f, -1.0f), Seq(1.0f, 1.0f)),
+      (Seq(0.57736f, 0.51938826f), Seq(-0.5773654f, 0.1f)),
+      (Seq.empty[Float], Seq.empty[Float]))) {
+      val (hof, fast) = both(a, b)
+      assert(fast == hof, s"a=$a b=$b")
+    }
+  }
+
+  test("bit-identical to the HOF for many random float vectors (one batch job)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(80)
+      val a = Seq.fill(n)(rnd.nextFloat() * 2f - 1f)
+      (i, a, a.map(x => -x * 0.7f))
+    }
+    val df = rows.toDF("i", "a", "b")
+    val bad = df.select(col("i"),
+        Similarity.dotDecimalHof(col("a"), col("b")).cast("string").as("hof"),
+        Similarity.dotDecimal(col("a"), col("b")).cast("string").as("fast"))
+      .filter(col("hof") =!= col("fast") ||
+        (col("hof").isNull =!= col("fast").isNull))
+    assert(bad.isEmpty, bad.collect().take(3).mkString("; "))
+  }
+
+  test("null and length-mismatch semantics match the HOF (null result)") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+    val r = df.select(
+      Similarity.dotDecimalHof(col("a"), col("b")).as("hof"),
+      Similarity.dotDecimal(col("a"), col("b")).as("fast")).first()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val nulls = spark.sql("SELECT CAST(NULL AS ARRAY<FLOAT>) AS a, ARRAY(CAST(1.0 AS FLOAT)) AS b")
+    val rn = nulls.select(Similarity.dotDecimal(col("a"), col("b"))).first()
+    assert(rn.isNullAt(0))
+  }
+
+  test("scale9 handles NaN/Inf/overflow like the float->decimal cast (null elements)") {
+    val df = Seq(Seq(Float.NaN, Float.PositiveInfinity, 2.0e9f, 0.5f)).toDF("a")
+    val out = df.select(Similarity.scale9(col("a"))).first().getSeq[Any](0)
+    assert(out(0) == null && out(1) == null && out(2) == null)
+    assert(out(3) == 500000000L)
+    // and a null element nullifies the dot, as the HOF chain does
+    val dot = df.select(Similarity.dotDecimal(col("a"), col("a"))).first()
+    assert(dot.isNullAt(0))
+  }
+}
