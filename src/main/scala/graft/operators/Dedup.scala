@@ -89,21 +89,28 @@ object Dedup {
     // One md5 per shingle; the numHashes "permutations" are cheap modular
     // linear transforms of that base hash (h_i = (2i+1)*h + i^2+7919 mod P)
     // — the md5 supplies the uniformity, the transforms the family.
+    //
+    // All numHashes minima are separate aggregates of ONE groupBy(id):
+    // a shingle row shuffles once with numHashes derived columns, versus
+    // the naive explode-by-hash-index shape (numHashes x the rows through
+    // TWO shuffles). Map-side partial aggregation collapses each mapper
+    // to one row per doc, so shuffle bytes are O(docs x numHashes).
     val toks = graft.core.Parallelism.ensureWidth(
       docs.select(id.as("id"), TextFunctions.tokens(text).as("ws")))
-    val sh = toks.select(col("id"),
+    val base = toks.select(col("id"),
         explode(array_distinct(TextFunctions.shingles(col("ws"), shingleN))).as("sh"))
       .select(col("id"), (Hashing.hexLong(col("sh")) % MinhashP).as("hp"))
-      .select(col("id"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"), col("hp"))
-      .select(col("id"), col("i"),
-        (((lit(2) * col("i") + 1) * col("hp") + (col("i") * col("i") + 7919)) % MinhashP).as("h"))
-    val sigs = sh.groupBy("id", "i").agg(min("h").as("mh"))
+    val minExprs = (0 until numHashes).map(i =>
+      min((lit(2L * i + 1) * col("hp") + lit(i.toLong * i + 7919)) % MinhashP).as(s"mh$i"))
+    val sigs = base.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
     val perBand = numHashes / bands
-    sigs
-      .withColumn("band_id", (col("i") / perBand).cast("long"))
-      .groupBy("id", "band_id")
-      .agg(md5(graft.operators.Segmentation.orderedConcat(
-        col("i"), col("mh").cast("string"), ":")).as("bucket"))
+    val bandCols = (0 until bands).map { b =>
+      val slice = (b * perBand until (b + 1) * perBand)
+        .map(i => col(s"mh$i").cast("string"))
+      struct(lit(b.toLong).as("band_id"), md5(concat_ws(":", slice: _*)).as("bucket"))
+    }
+    sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band_id").as("band_id"), col("bb.bucket").as("bucket"))
   }
 
   /** LSH candidate pairs: distinct (doc_a < doc_b) sharing any band bucket. */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Hierarchy flattening: parent-pointer chasing over an edge table — the
   * Spark-first re-expression of the reference's
@@ -39,15 +40,69 @@ object Hierarchy {
 
   /** Expand every node's simple path(s) to a root.
     *
+    * Strategy is size-based, like Spark's own join selection: when the
+    * edge set is small enough to ship to every executor (taxonomies are —
+    * thousands of arcs), the whole multi-level walk happens in ONE
+    * distributed pass over a broadcast parent map
+    * ([[pathsToRootBroadcast]]); otherwise the generic iterative
+    * broadcast-join expansion runs one level per job
+    * ([[pathsToRootIterative]]).
+    *
     * @return (node, root, depth, path) — one row per simple path; `path` is
     *         an array [node, ..., root], `depth` its edge count.
     */
-  def pathsToRoot(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
-    // one broadcast root-flag left-join per level (instead of separate
-    // semi + anti joins), and each level persisted so the next builds on
-    // cached partitions — one job per level, lineage depth bounded.
-    // Root set and edges are computed once and cached: without this every
-    // level's materialization re-runs the scan + distincts + anti-join.
+  def pathsToRoot(edges: DataFrame, maxDepth: Int = 32,
+                  broadcastMaxEdges: Int = 2000000): DataFrame = {
+    // bounded probe: counts at most broadcastMaxEdges + 1 rows
+    val small = broadcastMaxEdges > 0 &&
+      edges.limit(broadcastMaxEdges + 1).count() <= broadcastMaxEdges
+    if (small) pathsToRootBroadcast(edges, maxDepth)
+    else pathsToRootIterative(edges, maxDepth)
+  }
+
+  /** Small-edge-set fast path: collect the (tiny) edge list, broadcast a
+    * child -> parents map, and enumerate every simple path in a single
+    * narrow pass — no per-level driver round-trips at all. The start rows
+    * stay distributed, so path enumeration parallelizes over the frontier
+    * even though the edge map is replicated. */
+  def pathsToRootBroadcast(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
+    val spark = edges.sparkSession
+    val childType = edges.schema("child").dataType
+    val pairs = edges.select(col("child"), col("parent"))
+    val parentsOf: Map[Any, Array[Any]] = pairs.collect()
+      .groupBy(_.get(0)).map { case (c, rs) => c -> rs.map(_.get(1)) }
+    val bc = spark.sparkContext.broadcast(parentsOf)
+    val out = pairs.rdd.mapPartitions { it =>
+      val pm = bc.value
+      it.flatMap { r =>
+        val acc = Seq.newBuilder[org.apache.spark.sql.Row]
+        def walk(cur: Any, path: Vector[Any]): Unit = {
+          require(path.length - 1 <= maxDepth,
+            s"hierarchy deeper than $maxDepth — cycle?")
+          pm.get(cur) match {
+            case None => acc += org.apache.spark.sql.Row(
+              path.head, cur, path.length - 1, path)
+            case Some(ps) => ps.foreach(p => walk(p, path :+ p))
+          }
+        }
+        walk(r.get(1), Vector(r.get(0), r.get(1)))
+        acc.result()
+      }
+    }
+    spark.createDataFrame(out, types.StructType(Seq(
+      types.StructField("node", childType),
+      types.StructField("root", childType),
+      types.StructField("depth", types.IntegerType, nullable = false),
+      types.StructField("path", types.ArrayType(childType)))))
+  }
+
+  /** Generic path: one broadcast root-flag left-join per level (instead
+    * of separate semi + anti joins), each level persisted so the next
+    * builds on cached partitions — one job per level, lineage depth
+    * bounded. Root set and edges are computed once and cached: without
+    * this every level's materialization re-runs the scan + distincts +
+    * anti-join. */
+  def pathsToRootIterative(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
     val rootsDf = roots(edges).withColumnRenamed("node", "cur")
       .withColumn("is_root", lit(true)).persist()
     val edgesCached = edges.withColumnRenamed("child", "cur").persist()

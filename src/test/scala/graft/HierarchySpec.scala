@@ -39,4 +39,28 @@ class HierarchySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 0L, 11L -> 0L, 3L -> 2L))
   }
+
+  test("broadcast and iterative strategies agree (incl. DAG fan-out)") {
+    import org.apache.spark.sql.functions.{array_join, col}
+    // 5 has TWO parents -> two simple paths to the root, like a colset
+    // node shared between schedules in the taxonomy
+    val dag = Seq((5L, 3L), (5L, 4L), (3L, 0L), (4L, 0L)).toDF("child", "parent")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("path", array_join(col("path"), "/")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))).toSet
+    val bcast = rows(Hierarchy.pathsToRootBroadcast(dag))
+    val iter = rows(Hierarchy.pathsToRootIterative(dag))
+    assert(bcast == iter)
+    assert(bcast.contains((5L, 0L, 2, "5/3/0")) && bcast.contains((5L, 0L, 2, "5/4/0")))
+    // the size-based dispatcher picks broadcast for a tiny edge set and
+    // iterative when the cap is off
+    assert(rows(Hierarchy.pathsToRoot(dag)) == bcast)
+    assert(rows(Hierarchy.pathsToRoot(dag, broadcastMaxEdges = 0)) == bcast)
+  }
+
+  test("cycle detection in both strategies") {
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("child", "parent")
+    intercept[Exception](Hierarchy.pathsToRootBroadcast(cyc, maxDepth = 8).collect())
+    intercept[Exception](Hierarchy.pathsToRootIterative(cyc, maxDepth = 8).collect())
+  }
 }
