@@ -513,6 +513,95 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
     }),
 
+    // §2.4 grouping sets — the general form of rollup/cube, one Expand pass
+    "q29_grouping_sets" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("int").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // LLM ops — embedding-cosine near-dup pairs within label blocks
+    // (exact decimal dots; block join bounds the pair space)
+    "q36_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(Tables.load(s, dir, "embeddings"),
+          col("vec_id"), col("label"), col("embedding"), minCosine = 0.35)
+        .select(col("doc_a"), col("doc_b"),
+          format_string("%.9f", col("cosine")).as("cosine"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // LLM ops — SimHash near-dup pairs: bit-band LSH blocking + exact
+    // hamming verification (popcount of XOR). 60-bit fingerprints with
+    // 15-bit bands: this corpus is dense with near-dups, so the wider
+    // bands keep the candidate join sparse.
+    "q37_simhash_neardup" -> ((s, dir) => {
+      val sigs = Dedup.simhash(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("text"), bits = 60)
+      Dedup.simhashNearDupPairs(sigs, bits = 60, bands = 4, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // §2.3 forward as-of join (earliest right at-or-after each left row)
+    "q38_asof_forward" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val left = e.select(col("user_id"), col("event_id"), col("ts_us"))
+      val right = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("rts"),
+          col("event_id").as("next_purchase_id"),
+          col("value").as("next_purchase_value"))
+      AsOfJoin.forward(left, right, Seq("user_id"), col("ts_us"), col("rts"),
+          Seq("next_purchase_id", "next_purchase_value"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("next_purchase_id"), col("next_purchase_value"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // §2.4 exact quantiles per group (dyadic fractions only, so linear
+    // interpolation is bit-exact across engines)
+    "q39_quantiles" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"))
+        .select(col("l_returnflag"), col("n_items"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
+    // §2.3 fact-fact month-over-month self-join (the flagship regulatory
+    // quarter-over-quarter shape: sort-merge on (entity, period))
+    "q48_mom_revenue" -> ((s, dir) => {
+      val rev = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"),
+          trunc(to_date(col("o_orderdate")), "month").as("m"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val prev = rev.select(col("o_custkey"), add_months(col("m"), 1).as("m"),
+        col("rev").as("prev_rev"))
+      rev.join(prev, Seq("o_custkey", "m"))
+        .select(col("o_custkey"), date_format(col("m"), "yyyy-MM").as("month"),
+          col("rev"), col("prev_rev"), (col("rev") - col("prev_rev")).as("delta"))
+        .orderBy("o_custkey", "month")
+    }),
+
+    // §2.9 sliding window (10 min size, 5 min slide -> each event in
+    // exactly two epoch-aligned windows)
+    "q49_sliding_window" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(unix_micros(col("w.start")).as("wstart_us"),
+          col("n_events"), col("total_value"))
+        .orderBy("wstart_us")
+    }),
+
     // LLM ops — deterministic hash-based stratified sampling (reproducible
     // across runs/engines, unlike RNG sampling; the standard trick for
     // stable train/eval splits)
@@ -981,6 +1070,89 @@ object SparkEntry {
         |  COUNT(CASE WHEN passes_quality AND NOT is_canonical THEN 1 END) AS n_dropped_dup,
         |  COUNT(CASE WHEN passes_quality AND is_canonical THEN 1 END) AS n_kept
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "q29_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+         |  ${dsumSql("l_extendedprice")} AS sum_price,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q36_embedding_neardup" ->
+      """WITH nrm AS (
+        |  SELECT vec_id, sqrt(CAST(SUM(
+        |    CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+        |  ) AS DOUBLE)) AS nv
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+        |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        |      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |d AS (SELECT doc_a, doc_b,
+        |        SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS dp
+        |      FROM p GROUP BY doc_a, doc_b),
+        |j AS (SELECT doc_a, doc_b, CAST(dp AS DOUBLE) / (na.nv * nb.nv) AS cosine
+        |      FROM d JOIN nrm na ON na.vec_id = d.doc_a JOIN nrm nb ON nb.vec_id = d.doc_b)
+        |SELECT doc_a, doc_b, printf('%.9f', cosine) AS cosine
+        |FROM j WHERE cosine >= 0.35 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q37_simhash_neardup" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (SELECT doc_id, b,
+        |           SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM th, range(60) t(b) GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, b AS band_id,
+        |             (simhash >> CAST(b * 15 AS INTEGER)) & 32767 AS band_val
+        |           FROM sh, range(4) t(b)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+        |          FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+        |            AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q38_asof_forward" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+        |u AS (
+        |  SELECT user_id, event_id, ts_us, 0 AS side,
+        |    CAST(NULL AS BIGINT) AS pid, CAST(NULL AS DOUBLE) AS pval FROM e
+        |  UNION ALL
+        |  SELECT user_id, NULL, ts_us, 1, event_id, value FROM e WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT *, first_value(pid IGNORE NULLS) OVER w AS next_purchase_id,
+        |         first_value(pval IGNORE NULLS) OVER w AS next_purchase_value
+        |  FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, pid
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, ts_us, next_purchase_id, next_purchase_value
+        |FROM c WHERE side = 0 ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q39_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q48_mom_revenue" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         |    ${dsumSql("o_totalprice")} AS rev
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT a.o_custkey, strftime(a.m, '%Y-%m') AS month, a.rev,
+         |  b.rev AS prev_rev, a.rev - b.rev AS delta
+         |FROM rev a JOIN rev b
+         |  ON a.o_custkey = b.o_custkey AND a.m = b.m + INTERVAL 1 MONTH
+         |ORDER BY a.o_custkey, month""".stripMargin,
+
+    "q49_sliding_window" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+         |w AS (
+         |  SELECT us - us % 300000000 AS ws, value FROM e
+         |  UNION ALL
+         |  SELECT us - us % 300000000 - 300000000 AS ws, value FROM e)
+         |SELECT ws AS wstart_us, COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q50_tumbling_window" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS wstart_us, event_type,

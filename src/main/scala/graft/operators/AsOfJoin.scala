@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
-/** Backward as-of join: for every left row, the latest right row with
-  * `rightTime <= leftTime` in the same key group.
+/** As-of joins: for every left row, the latest right row with
+  * `rightTime <= leftTime` (backward) or the earliest right row with
+  * `rightTime >= leftTime` (forward) in the same key group.
   *
   * Spark has no native as-of join; the idiomatic composition is the
   * union + ordered carry-forward trick (one shuffle on the key, one sort —
@@ -58,6 +59,41 @@ object AsOfJoin {
     val carried = l.unionByName(rAligned)
       .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    payload.foldLeft(carried)((d, p) => d.withColumn(p, col("__carry").getField(p)))
+      .drop("__t", "__side", "__p", "__carry")
+  }
+
+  /** Forward as-of join: for every left row, the EARLIEST right row with
+    * `rightTime >= leftTime` in the same key group — the mirror of
+    * [[backward]]: left rows order before right rows at equal times
+    * (inclusive >=), and the first following right payload is carried
+    * back over a [current, unbounded following] frame. Same single
+    * shuffle + sort; no pair explosion. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: Column, rightTime: Column,
+              payload: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val pType = StructType(payload.map(p => right.schema(p)))
+    val l = left
+      .withColumn("__t", leftTime)
+      .withColumn("__side", lit(0))
+      .withColumn("__p", lit(null).cast(pType))
+    val r = right
+      .withColumn("__t", rightTime)
+      .withColumn("__side", lit(1))
+      .withColumn("__p", struct(payload.map(col): _*))
+      .drop(payload: _*)
+    val rAligned = l.columns.foldLeft(r) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
+    }.select(l.columns.map(col): _*)
+
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t"), col("__side"), col("__p"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val carried = l.unionByName(rAligned)
+      .withColumn("__carry", first(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
     payload.foldLeft(carried)((d, p) => d.withColumn(p, col("__carry").getField(p)))
       .drop("__t", "__side", "__p", "__carry")
   }

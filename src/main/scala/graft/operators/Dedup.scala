@@ -161,4 +161,41 @@ object Dedup {
         expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(0L))
         .cast("long").as("simhash"))
   }
+
+  /** SimHash near-duplicate pairs via bit-band blocking: split each
+    * `bits`-wide fingerprint into `bands` contiguous bands; two documents
+    * are candidates iff they share at least one exact band (pigeonhole: a
+    * pair with hamming distance < `bands` always does), then candidates
+    * are verified against `maxHamming` with an exact popcount of the XOR.
+    *
+    * Scale: the band join is sparse — |pairs| is driven by real
+    * collisions, never |docs|^2 — and its key is a small (band_id, long)
+    * tuple; the verification is a per-pair bit op, no text access.
+    *
+    * @param sigs (id, simhash) from [[simhash]]
+    * @return (doc_a, doc_b, hamming) with doc_a < doc_b, one row per pair
+    */
+  def simhashNearDupPairs(sigs: DataFrame, bits: Int = 32, bands: Int = 4,
+                          maxHamming: Int = 6): DataFrame = {
+    require(bits % bands == 0, "bits must divide into bands")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b.toLong).as("band_id"),
+        shiftrightunsigned(col("simhash"), b * w).bitwiseAND(mask).as("band_val"))
+    }
+    val banded = sigs.select(col("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+    val a = banded.toDF("doc_a", "sim_a", "band_id", "band_val")
+    val b = banded.toDF("doc_b", "sim_b", "band_id", "band_val")
+    a.join(b, Seq("band_id", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct() // multi-band hits once
+      .withColumn("hamming",
+        expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
 }

@@ -55,6 +55,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhashNearDupPairs: band blocking finds exact and near fingerprint pairs") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon eta"),  // near dup
+      (4L, "one two three four five six seven")    // unrelated
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs, col("doc_id"), col("text"), bits = 60)
+    val pairs = Dedup.simhashNearDupPairs(sigs, bits = 60, bands = 4, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L)              // identical fingerprints
+    assert(pairs.get((1L, 4L)).isEmpty)        // unrelated: no shared band or too far
+    assert(pairs.keySet.forall { case (a, b) => a < b })
+    // a pair present must actually be within the hamming bound
+    assert(pairs.values.forall(_ <= 12L))
+  }
+
   test("simhash: identical docs hash equal; near dups within small hamming distance") {
     val h = Dedup.simhash(docs, col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

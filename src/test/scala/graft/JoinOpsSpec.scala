@@ -27,6 +27,27 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == 9L) // last in (t, side, pid) order
   }
 
+  test("asof forward: earliest right at or after each left time, per key") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 10L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 30L, 300L), (3L, 5L, 999L))
+      .toDF("k", "rt", "pid")
+    val out = AsOfJoin.forward(left, right, Seq("k"), col("t"), col("rt"), Seq("pid"))
+      .select("tag", "pid").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("a").contains(100L)) // inclusive: rt == t matches
+    assert(out("b").contains(300L))
+    assert(out("c").isEmpty)        // nothing after t=35
+    assert(out("d").isEmpty)        // key 2 has no right rows
+  }
+
+  test("asof forward: tie among right rows resolved by payload order") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 7L), (1L, 10L, 9L)).toDF("k", "rt", "pid")
+    val out = AsOfJoin.forward(left, right, Seq("k"), col("t"), col("rt"), Seq("pid"))
+      .select("pid").first().getLong(0)
+    assert(out == 7L) // first in (t, side, pid) order
+  }
+
   test("salted join equals the plain join on a skewed key") {
     import graft.functions.Hashing
     import graft.operators.SkewJoin
