@@ -146,20 +146,26 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
   }
 
-  /** 32-bit SimHash over distinct tokens (unit weights).
-    * Output: (id, simhash long). */
+  /** SimHash over distinct tokens (unit weights), default 32 bits.
+    * Output: (id, simhash long).
+    *
+    * All `bits` per-bit vote sums are separate aggregates of ONE
+    * groupBy(id) — a token row shuffles once with derived columns rather
+    * than exploding bits-fold through two shuffles (same shape as
+    * [[minhashBands]]); the fingerprint assembles from the vote columns
+    * in a plain projection. */
   def simhash(docs: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 63, "simhash bits must be in [1, 63]")
     val toks = graft.core.Parallelism.ensureWidth(docs.select(id.as("id"),
         explode(array_distinct(TextFunctions.tokens(text))).as("tok")))
       .select(col("id"), Hashing.hexLong(col("tok")).as("h"))
-    val perBit = toks
-      .select(col("id"), explode(sequence(lit(0), lit(bits - 1))).as("b"), col("h"))
-      .groupBy("id", "b")
-      .agg(sum(when(expr("(h >> b) & 1") === 1, 1L).otherwise(-1L)).as("s"))
-    perBit.groupBy("id")
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(cast(1 as bigint), cast(b as int))")).otherwise(0L))
-        .cast("long").as("simhash"))
+    val voteExprs = (0 until bits).map(b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b"))
+    val votes = toks.groupBy("id").agg(voteExprs.head, voteExprs.tail: _*)
+    val fingerprint = (0 until bits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    votes.select(col("id"), fingerprint.cast("long").as("simhash"))
   }
 
   /** SimHash near-duplicate pairs via bit-band blocking: split each
@@ -192,10 +198,12 @@ object Dedup {
     val b = banded.toDF("doc_b", "sim_b", "band_id", "band_val")
     a.join(b, Seq("band_id", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct() // multi-band hits once
       .withColumn("hamming",
         expr("cast(bit_count(sim_a ^ sim_b) as bigint)"))
+      // verify BEFORE deduplicating multi-band hits: the popcount is a
+      // per-row bit op, while distinct shuffles — filter first so only
+      // true near-dups reach the exchange
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
   }
 }
