@@ -64,4 +64,57 @@ object Multimodal {
         rows.map(r => stubDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
       }
   }
+
+  final case class ResizedFrame(media_id: Long, width: Int, height: Int,
+                                payload: Array[Byte])
+
+  /** STUB resize: deterministic byte down/up-sampling to width*height
+    * bytes. A real implementation calls an image library per batch. */
+  private[operators] def stubResize(mediaId: Long, payload: Array[Byte],
+                                    width: Int, height: Int): ResizedFrame = {
+    val n = width * height
+    val src = if (payload == null) Array.emptyByteArray else payload
+    val out = new Array[Byte](n)
+    if (src.nonEmpty) {
+      var i = 0
+      while (i < n) { out(i) = src((i.toLong * src.length / n).toInt); i += 1 }
+    }
+    ResizedFrame(mediaId, width, height, out)
+  }
+
+  /** Batched resize-to-fixed-dims: the normalization step before feature
+    * extraction in an image pipeline. Stub math, real batch plumbing. */
+  def resizeFrames(media: DataFrame, width: Int, height: Int): Dataset[ResizedFrame] = {
+    import media.sparkSession.implicits._
+    graft.core.Parallelism.ensureWidth(media)
+      .select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map(r => stubResize(r.getLong(0), r.getAs[Array[Byte]](1), width, height))
+      }
+  }
+
+  final case class SampledFrame(media_id: Long, frame_idx: Int,
+                                frame_payload: Array[Byte])
+
+  /** STUB frame sampling: treat the payload as `frameSize`-byte frames
+    * (a fake fixed-size-frame container) and keep every `everyNth` frame
+    * — the video-pipeline sampling shape (1-in-N frame extraction). Real
+    * plumbing: one input row fans out to a bounded set of frame rows,
+    * batched per partition; a real demuxer replaces the slicing. */
+  def sampleFrames(media: DataFrame, frameSize: Int, everyNth: Int): Dataset[SampledFrame] = {
+    require(frameSize > 0 && everyNth > 0)
+    import media.sparkSession.implicits._
+    graft.core.Parallelism.ensureWidth(media)
+      .select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val src = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          val nFrames = src.length / frameSize
+          (0 until nFrames by everyNth).iterator.map { f =>
+            SampledFrame(id, f, src.slice(f * frameSize, (f + 1) * frameSize))
+          }
+        }
+      }
+  }
 }

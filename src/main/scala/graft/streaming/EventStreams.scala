@@ -26,6 +26,16 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding (overlapping) event-time windows: size `windowLength`, a new
+    * window every `slideLength` — each event lands in size/slide windows.
+    * Same watermark-driven state eviction as [[tumblingCounts]]. */
+  def slidingCounts(events: DataFrame, windowLength: String, slideLength: String,
+                    watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength, slideLength).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("total_value"))
+
   /** Gap-based session windows per user (Spark merges overlapping
     * [ts, ts+gap) intervals; new session when gap >= gapDuration). */
   def sessionCounts(events: DataFrame, gapDuration: String,

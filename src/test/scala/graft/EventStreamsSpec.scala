@@ -31,6 +31,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingCounts: each event lands in size/slide overlapping windows") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = src.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.slidingCounts(events, "10 minutes", "5 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      src.addData((t("2024-01-01 00:07:00"), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sliding").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+      // one event -> two windows: [00:00,00:10) and [00:05,00:15)
+      assert(rows == Set(("2024-01-01 00:00:00.0", 1L), ("2024-01-01 00:05:00.0", 1L)))
+    } finally q.stop()
+  }
+
   test("sessionCounts merges gap-overlapping events per user (streaming)") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[(java.sql.Timestamp, Long)]

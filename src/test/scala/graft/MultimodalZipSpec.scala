@@ -27,6 +27,34 @@ class MultimodalZipSpec extends SparkSpec {
     assert(frames(2L).feature.forall(_ == 0f)) // empty payload
   }
 
+  test("batched stub resize normalizes every payload to width*height bytes") {
+    val docs = Seq((1L, "0123456789abcdef"), (2L, "xy"), (3L, ""))
+      .toDF("doc_id", "text")
+      .withColumn("bin", encode(col("text"), "UTF-8"))
+      .withColumn("fmt", lit("image/fake"))
+    val media = Multimodal.ingest(docs, "doc_id", "bin", "fmt")
+    val out = Multimodal.resizeFrames(media, 4, 2).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out.values.forall(f => f.payload.length == 8 && f.width == 4 && f.height == 2))
+    assert(out(1L).payload(0) == '0'.toByte) // down-sample keeps first byte
+    assert(out(2L).payload.toSeq == "xxxxyyyy".getBytes("UTF-8").toSeq) // up-sample repeats
+    assert(out(3L).payload.forall(_ == 0)) // empty payload -> zero frame
+  }
+
+  test("frame sampling keeps every Nth fixed-size frame") {
+    val docs = Seq((1L, "AAAABBBBCCCCDDDDEEEE"), (2L, "AAA")) // 5 frames of 4; <1 frame
+      .toDF("doc_id", "text")
+      .withColumn("bin", encode(col("text"), "UTF-8"))
+      .withColumn("fmt", lit("video/fake"))
+    val media = Multimodal.ingest(docs, "doc_id", "bin", "fmt")
+    val out = Multimodal.sampleFrames(media, frameSize = 4, everyNth = 2).collect()
+    val byId = out.groupBy(_.media_id)
+    assert(byId(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    assert(new String(byId(1L).minBy(_.frame_idx).frame_payload, "UTF-8") == "AAAA")
+    assert(new String(byId(1L).maxBy(_.frame_idx).frame_payload, "UTF-8") == "EEEE")
+    assert(!byId.contains(2L)) // payload shorter than one frame -> no rows
+  }
+
   test("zip member selection by substring predicate") {
     val bos = new java.io.ByteArrayOutputStream()
     val z = new ZipOutputStream(bos)

@@ -48,4 +48,35 @@ class PlanSpec extends SparkSpec {
     val p = plan("q30_centroid_assign")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("q29: grouping sets expand in a single pass (one Expand, one agg shuffle)") {
+    val p = plan("q29_grouping_sets")
+    assert("Expand".r.findAllIn(p).length == 1, p.take(1500))
+    // Expand then partial+final agg: exactly one hashpartitioning exchange
+    // (+ the presentation sort's rangepartitioning)
+    assert("hashpartitioning".r.findAllIn(p).length <= 1, p.take(1500))
+  }
+
+  test("q48: the month-over-month self-join keys on (custkey, month)") {
+    val p = plan("q48_mom_revenue")
+    // either join strategy is fine at this size, but the join must be an
+    // equi-join on both derived keys — no cross/theta shape
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("q31/q35: decimal scaling happens before the join (scale9 below the join)") {
+    // the scale9 projection must sit under the join in the plan tree:
+    // its fan-out side would otherwise re-convert per pair. Heuristic
+    // check: the executed plan contains the native expressions, and the
+    // join inputs are projections containing float_vec_scale9.
+    val p = plan("q31_knn_topk")
+    assert(p.contains("float_vec_scale9") && p.contains("dec9_dot"), p.take(1500))
+    val joinIdx = p.indexOf("SortMergeJoin") max p.indexOf("BroadcastHashJoin")
+    val scaleIdx = p.lastIndexOf("float_vec_scale9")
+    assert(joinIdx >= 0 && scaleIdx > joinIdx,
+      "scale9 should appear in operators BELOW the join (later in plan text)")
+  }
 }
