@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 import graft.core.SparkSessionFactory
-import graft.pipelines.{MdrmDictionary, Taxonomy, XportFacts}
+import graft.pipelines.{MdrmDictionary, Taxonomy, UbprManual, XportFacts}
 import graft.sources.{CsvWithSkipRows, XmlLinkbase, ZipSource}
 
 /** Drop-in command-line surface for the reference's four scripts
@@ -17,11 +17,15 @@ import graft.sources.{CsvWithSkipRows, XmlLinkbase, ZipSource}
   *                                   (sas_xport_converter/converter.py)
   *   taxonomy <zip> <out-dir>      — XBRL taxonomy -> <form>_<quarter>.json
   *                                   (cdr_taxonomy_processor.py)
+  *   ubpr <spans.json> <out-dir>   — UBPR manual span stream -> records
+  *                                   (ubpr_technical_manual_parser/app.py)
   *
   * The reference's HTTP download step is a pre-step here (zero-egress
-  * environments fetch out-of-band); ubpr needs a PDF span extractor —
-  * the pipeline (`pipelines.UbprManual`) is ready, the codec is not
-  * shipped in this container.
+  * environments fetch out-of-band). For ubpr, PDF text extraction is
+  * likewise a pre-step: no PDF codec ships in this container, so the
+  * command consumes the extractor's span stream — JSON lines of
+  * (doc_id, pos, text, size, font) in reading order, which is exactly
+  * what a PyMuPDF/PDFBox `get_text("dict")` walk emits.
   */
 object Cli {
 
@@ -75,6 +79,18 @@ object Cli {
     out.toString
   }
 
+  /** Span stream (JSON lines: doc_id, pos, text, size, font) -> UBPR
+    * manual records as JSON. */
+  def runUbpr(spark: SparkSession, spansJson: String, outDir: String): Unit = {
+    import org.apache.spark.sql.types._
+    val spanSchema = StructType(Seq(
+      StructField("doc_id", StringType), StructField("pos", LongType),
+      StructField("text", StringType), StructField("size", DoubleType),
+      StructField("font", StringType)))
+    UbprManual.toRecords(spark.read.schema(spanSchema).json(spansJson))
+      .write.mode("overwrite").json(outDir)
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "mdrm" :: in :: out :: Nil =>
       val s = session(); try runMdrm(s, in, out) finally s.stop()
@@ -82,12 +98,15 @@ object Cli {
       val s = session(); try runXport(s, in, out) finally s.stop()
     case "taxonomy" :: in :: out :: Nil =>
       val s = session(); try println(runTaxonomy(s, in, out)) finally s.stop()
+    case "ubpr" :: in :: out :: Nil =>
+      val s = session(); try runUbpr(s, in, out) finally s.stop()
     case _ =>
       System.err.println(
         """usage: graft.cli.Cli <command> <in> <out>
           |  mdrm <csv|zip> <out-dir>    MDRM data dictionary -> JSON records
           |  xport <xpt|zip> <out-dir>   SAS XPORT -> typed EAV facts JSON
-          |  taxonomy <zip> <out-dir>    XBRL taxonomy -> <form>_<quarter>.json""".stripMargin)
+          |  taxonomy <zip> <out-dir>    XBRL taxonomy -> <form>_<quarter>.json
+          |  ubpr <spans.json> <out-dir> extracted span stream -> manual records""".stripMargin)
       sys.exit(2)
   }
 }

@@ -51,10 +51,16 @@ object Dedup {
     // stream (one extra tiny aggregate) instead of size(array).
     val toks = graft.core.Parallelism.ensureWidth(
       docs.select(id.as("id"), block.as("block"), TextFunctions.tokens(text).as("ws")))
+    // The exploded shingle stream feeds BOTH self-join sides and the
+    // per-doc counts — three references. DataFrame plans are trees, so
+    // without materialization the tokenize+shingle+md5 work would run
+    // three times; one eager localCheckpoint computes it once (blocks are
+    // freed by the ContextCleaner when the result is dropped).
     val exploded = toks.select(col("id"), col("block"),
         explode(array_distinct(TextFunctions.shingles(col("ws"), n))).as("sh"))
       // hash shingles to longs: smaller shuffle + cheaper join key
       .select(col("id"), col("block"), Hashing.hexLong(col("sh")).as("shh"))
+      .localCheckpoint(true)
     val counts = exploded.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
     val a = exploded.toDF("doc_a", "block", "shh")
@@ -115,8 +121,11 @@ object Dedup {
 
   /** LSH candidate pairs: distinct (doc_a < doc_b) sharing any band bucket. */
   def lshCandidatePairs(bandedSigs: DataFrame): DataFrame = {
-    val a = bandedSigs.toDF("doc_a", "band_id", "bucket")
-    val b = bandedSigs.toDF("doc_b", "band_id", "bucket")
+    // both self-join sides read the signatures: materialize the (small,
+    // docs x bands) frame once instead of re-running minhashing twice
+    val sigs = bandedSigs.localCheckpoint(true)
+    val a = sigs.toDF("doc_a", "band_id", "bucket")
+    val b = sigs.toDF("doc_b", "band_id", "bucket")
     a.join(b, Seq("band_id", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -132,11 +141,14 @@ object Dedup {
     */
   def embeddingNearDupPairs(docs: DataFrame, id: Column, block: Column,
                             embedding: Column, minCosine: Double): DataFrame = {
-    // decimal-scale each embedding once, before the block self-join fan-out
+    // decimal-scale each embedding once, before the block self-join
+    // fan-out; materialized so the scaling+norm pass isn't duplicated
+    // into both sides of the join tree
     val base = graft.core.Parallelism.ensureWidth(
       docs.select(id.as("id"), block.as("block"),
         Similarity.scale9(embedding).as("emb9")))
       .withColumn("nrm", sqrt(Similarity.dot9(col("emb9"), col("emb9")).cast("double")))
+      .localCheckpoint(true)
     val a = base.toDF("doc_a", "block", "emb_a", "nrm_a")
     val b = base.toDF("doc_b", "block", "emb_b", "nrm_b")
     a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
@@ -190,10 +202,13 @@ object Dedup {
       struct(lit(b.toLong).as("band_id"),
         shiftrightunsigned(col("simhash"), b * w).bitwiseAND(mask).as("band_val"))
     }
+    // materialize once: both self-join sides would otherwise recompute
+    // the whole simhash aggregation in their duplicated subtrees
     val banded = sigs.select(col("id"), col("simhash"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"),
         col("bb.band_id").as("band_id"), col("bb.band_val").as("band_val"))
+      .localCheckpoint(true)
     val a = banded.toDF("doc_a", "sim_a", "band_id", "band_val")
     val b = banded.toDF("doc_b", "sim_b", "band_id", "band_val")
     a.join(b, Seq("band_id", "band_val"))

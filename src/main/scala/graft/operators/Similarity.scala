@@ -111,9 +111,12 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
-    // every vector side is scaled to decimal form exactly once up front
+    // every vector side is scaled to decimal form exactly once up front;
+    // the corpus frame feeds both the cell assignment and the candidate
+    // join, so it is materialized rather than recomputed per reference
     val vecs9 = graft.core.Parallelism.ensureWidth(vectors)
       .select(col("cid"), scale9(col("cvec")).as("cvec9"))
+      .localCheckpoint(true)
     val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
     val qs9 = queries.select(col("qid"), scale9(col("qvec")).as("qvec9"))
     // cell assignment for the corpus (argmax dot, centroid-id tiebreak)

@@ -32,6 +32,27 @@ class CliSpec extends SparkSpec {
     assert(facts.filter(facts("mdrm") === "flag0001").count() == 0)
   }
 
+  test("ubpr command: span-stream JSON to manual records") {
+    val spans = Seq(
+      """{"doc_id":"m1","pos":1,"text":"Summary Ratios","size":16.0,"font":"Helvetica"}""",
+      """{"doc_id":"m1","pos":2,"text":"Net Income","size":14.0,"font":"Helvetica-Bold"}""",
+      """{"doc_id":"m1","pos":3,"text":"1 UBPRE001","size":12.0,"font":"Helvetica-Bold"}""",
+      """{"doc_id":"m1","pos":4,"text":"NARRATIVE","size":10.0,"font":"Helvetica"}""",
+      """{"doc_id":"m1","pos":5,"text":"Net income after taxes","size":10.0,"font":"Helvetica"}""",
+      """{"doc_id":"m1","pos":6,"text":"FORMULA","size":10.0,"font":"Helvetica"}""",
+      """{"doc_id":"m1","pos":7,"text":"UBPR4340 / UBPRE002","size":10.0,"font":"Helvetica"}""")
+    val in = Files.createTempFile("spans", ".json")
+    Files.writeString(in, spans.mkString("\n"))
+    val out = Files.createTempDirectory("ubpr").toString
+    Cli.runUbpr(spark, in.toString, out)
+    val recs = spark.read.json(out)
+    assert(recs.count() == 1)
+    val r = recs.first()
+    assert(r.getAs[String]("mdrm") == "UBPRE001")
+    assert(r.getAs[String]("formula") == "UBPR4340 / UBPRE002")
+    assert(r.getAs[String]("page_name") == "Summary Ratios")
+  }
+
   test("taxonomy command: linkbase zip to form_quarter.json document") {
     val pres =
       """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink"><presentationLink>
