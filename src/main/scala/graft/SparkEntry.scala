@@ -369,10 +369,14 @@ object SparkEntry {
     "q45_tfidf" -> ((s, dir) => {
       val docs = core.Parallelism.ensureWidth(Tables.load(s, dir, "documents"))
         .filter(col("doc_id") % 10 === 0)
+      // terms feeds docLen + tf, and tf feeds df + the final join — two
+      // diamonds; materialize each shared frame once (plans are trees)
       val terms = docs.select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
+        .localCheckpoint(true)
       val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
       val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_occ"))
+        .localCheckpoint(true)
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.count()
       // docLen/df cardinality is unbounded (docs/vocabulary) — let AQE

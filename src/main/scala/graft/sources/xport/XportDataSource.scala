@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,6 +24,12 @@ import graft.sources.XportReader.Variable
   *  - **column pruning** (`SupportsPushDownRequiredColumns`): observations
   *    are fixed-width with per-variable offsets (NAMESTR `npos`), so a
   *    pruned scan decodes ONLY the requested fields — no full-row decode;
+  *  - **filter pushdown** (`SupportsPushDownFilters`): comparison/null
+  *    predicates are evaluated at the binary layer by decoding just the
+  *    referenced fields (which need not be in the projection) — rows
+  *    failing the predicate are skipped before any output decode. Spark
+  *    still re-applies every filter post-scan, so this is purely a
+  *    row-skip optimization, never a semantics change;
   *  - **intra-file splits**: the observation region is `rowLen`-periodic,
   *    so one file fans out into row-aligned chunks read in parallel —
   *    the format needs no scan to find split points;
@@ -102,27 +109,59 @@ class XportTable(path: String, tableSchema: StructType) extends Table with Suppo
 
 class XportScanBuilder(path: String, fullSchema: StructType, encoding: Option[String],
                        chunkRows: Option[Int])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  private def has(col: String): Boolean = fullSchema.fieldNames.contains(col)
+  private def leafOk(col: String, v: Any): Boolean = has(col) && (v match {
+    case _: Number => fullSchema(col).dataType == DoubleType
+    case _: String => fullSchema(col).dataType == StringType
+    case _ => false
+  })
+  private def supported(f: Filter): Boolean = f match {
+    case sources.EqualTo(a, v) => leafOk(a, v)
+    case sources.GreaterThan(a, v) => leafOk(a, v)
+    case sources.GreaterThanOrEqual(a, v) => leafOk(a, v)
+    case sources.LessThan(a, v) => leafOk(a, v)
+    case sources.LessThanOrEqual(a, v) => leafOk(a, v)
+    case sources.IsNull(a) => has(a)
+    case sources.IsNotNull(a) => has(a)
+    case sources.And(l, r) => supported(l) && supported(r)
+    case sources.Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(supported)
+    // pushdown here is a row-SKIP optimization at the binary layer; Spark
+    // re-evaluates every filter post-scan, so semantics can't drift
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan =
-    new XportScan(path, required, encoding, chunkRows)
+    new XportScan(path, required, encoding, chunkRows, pushed)
 }
 
 final case class XportChunk(path: String, chunkStart: Long, rowLen: Int,
                             numRows: Long, vars: Array[Variable],
+                            filterVars: Array[Variable], filters: Array[Filter],
                             encoding: String) extends InputPartition
 
 class XportScan(path: String, required: StructType, encoding: Option[String],
-                chunkRows: Option[Int]) extends Scan with Batch {
+                chunkRows: Option[Int],
+                filters: Array[Filter] = Array.empty) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"XportScan(path=$path, columns=${required.fieldNames.mkString(",")})"
+    s"XportScan(path=$path, columns=${required.fieldNames.mkString(",")}" +
+      (if (filters.isEmpty) ")" else s", pushed=${filters.mkString(",")})")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (vars, obsStart) = XportTable.layoutFor(path)
@@ -137,9 +176,14 @@ class XportScan(path: String, required: StructType, encoding: Option[String],
       XportReader.detectCharset(path, vars, obsStart, rowLen).name())
     val perChunk = chunkRows.map(_.toLong)
       .getOrElse(math.max(1L, (64L << 20) / math.max(rowLen, 1)))
+    // filters may reference columns outside the projection: resolve their
+    // vars so the reader can decode just those fields for the row test
+    val filterVars = filters.flatMap(_.references).distinct
+      .flatMap(n => vars.find(_.name == n))
     (0L until totalRows by perChunk).map { startRow =>
       XportChunk(path, obsStart + startRow * rowLen, rowLen,
-        math.min(perChunk, totalRows - startRow), prunedVars, resolvedEncoding)
+        math.min(perChunk, totalRows - startRow), prunedVars,
+        filterVars, filters, resolvedEncoding)
     }.toArray
   }
 
@@ -166,6 +210,44 @@ class XportChunkReader(chunk: XportChunk) extends PartitionReader[InternalRow] {
 
   private def allBlank(b: Array[Byte]): Boolean = b.forall(_ == ' '.toByte)
 
+  private val filterVarByName: Map[String, Variable] =
+    chunk.filterVars.map(v => v.name -> v).toMap
+
+  /** Decode one field of the current row for filter evaluation: Some(v)
+    * for a present value (java.lang.Double or String), None for null. */
+  private def fieldValue(name: String): Option[Any] = {
+    val v = filterVarByName(name)
+    if (v.isNumeric) XportReader.ibmToIeee(rowBytes, v.position, v.length)
+    else {
+      val s = XportReader.decodeStrict(rowBytes, v.position, v.length, charset)
+        .replaceAll("\\s+$", "")
+      if (s.isEmpty) None else Some(s)
+    }
+  }
+
+  private def cmp(name: String, lit: Any): Option[Int] = fieldValue(name).map {
+    case d: java.lang.Double =>
+      java.lang.Double.compare(d, lit.asInstanceOf[Number].doubleValue())
+    case d: Double => java.lang.Double.compare(d, lit.asInstanceOf[Number].doubleValue())
+    case s: String => s.compareTo(lit.toString)
+  }
+
+  /** SQL-semantics row test with unknown-as-false: a row is skipped only
+    * when the pushed predicate cannot evaluate to TRUE, which is exactly
+    * when Spark's post-scan filter would drop it too. */
+  private def passes(f: Filter): Boolean = f match {
+    case sources.EqualTo(a, v) => cmp(a, v).contains(0)
+    case sources.GreaterThan(a, v) => cmp(a, v).exists(_ > 0)
+    case sources.GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+    case sources.LessThan(a, v) => cmp(a, v).exists(_ < 0)
+    case sources.LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
+    case sources.IsNull(a) => fieldValue(a).isEmpty
+    case sources.IsNotNull(a) => fieldValue(a).nonEmpty
+    case sources.And(l, r) => passes(l) && passes(r)
+    case sources.Or(l, r) => passes(l) || passes(r)
+    case _ => true // unreachable: pushFilters only accepts the above
+  }
+
   override def next(): Boolean = {
     while (rowsRead < chunk.numRows) {
       buf.clear()
@@ -177,7 +259,7 @@ class XportChunkReader(chunk: XportChunk) extends PartitionReader[InternalRow] {
       }
       rowsRead += 1
       System.arraycopy(buf.array(), 0, rowBytes, 0, chunk.rowLen)
-      if (!allBlank(rowBytes)) { // trailing 80-byte padding
+      if (!allBlank(rowBytes) && chunk.filters.forall(passes)) { // trailing 80-byte padding
         val row = new GenericInternalRow(chunk.vars.length)
         var i = 0
         while (i < chunk.vars.length) {

@@ -58,6 +58,24 @@ class XportDataSourceSpec extends SparkSpec {
       causes(e).exists(c => Option(c.getMessage).exists(_.contains("TEXT9999"))))
   }
 
+  test("filter pushdown reaches the binary scan and skips rows correctly") {
+    val big = XportFixture.writeTempN(100)
+    val df = spark.read.format("xport").load(big)
+      .filter($"RCON2170" >= 90.0 && $"FLAG0001" === 1.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=") && plan.contains("GreaterThanOrEqual(RCON2170"),
+      plan.take(1200))
+    // RCON2170 = i (0..99), FLAG0001 = 1 for even i -> 90,92,94,96,98
+    assert(df.select("RCON2170").as[Double].collect().sorted.toSeq ==
+      Seq(90.0, 92.0, 94.0, 96.0, 98.0))
+    // filter on a column OUTSIDE the projection still prunes the scan
+    val pruned = spark.read.format("xport").load(big)
+      .filter($"TEXT9999" === "BANK0007").select("ENTITY")
+    val p2 = pruned.queryExecution.executedPlan.toString
+    assert(p2.contains("columns=ENTITY"), p2.take(1200))
+    assert(pruned.as[Double].collect().toSeq == Seq(1007.0))
+  }
+
   test("intra-file splits: chunked read returns every row exactly once") {
     val big = XportFixture.writeTempN(1000)
     val df = spark.read.format("xport").option("chunkRows", "64").load(big)
