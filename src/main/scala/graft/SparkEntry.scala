@@ -595,6 +595,15 @@ object SparkEntry {
         .orderBy("o_custkey", "month")
     }),
 
+    // LLM ops — dedup group resolution: connected components over the
+    // LSH candidate pairs (transitive closure of a~b near-dup matches)
+    "q52_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.lshCandidatePairs(Dedup.minhashBands(
+        Tables.load(s, dir, "documents"),
+        col("doc_id"), col("text"), numHashes = 16, bands = 4, shingleN = 3))
+      Dedup.connectedComponents(pairs).orderBy("doc_id")
+    }),
+
     // §2.9 sliding window (10 min size, 5 min slide -> each event in
     // exactly two epoch-aligned windows)
     "q49_sliding_window" -> ((s, dir) => {
@@ -831,6 +840,29 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.12
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q52_dedup_components" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT % 1000000007 AS hp FROM sh),
+        |hx AS (SELECT doc_id, i,
+        |         MIN(((2*i + 1) * hp + (i*i + 7919)) % 1000000007) AS mh
+        |       FROM ex, range(16) t(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band_id,
+        |            md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bucket
+        |          FROM hx GROUP BY doc_id, i // 4),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b
+        |            ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst)
+        |SELECT node AS doc_id, MIN(lbl) AS component_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "q22_minhash_lsh" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

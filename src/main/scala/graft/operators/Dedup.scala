@@ -180,6 +180,51 @@ object Dedup {
     votes.select(col("id"), fingerprint.cast("long").as("simhash"))
   }
 
+  /** Connected components over a near-duplicate pair list — the dedup
+    * GROUP RESOLUTION step: LSH/banding emits pairwise matches, but
+    * keep-one-per-group needs the transitive closure (a~b, b~c => one
+    * group). Iterative min-label propagation: every node starts as its
+    * own label; each round takes the min of its own and all neighbors'
+    * labels; converged when no label changes. Rounds needed = graph
+    * diameter (near-dup clusters are shallow); each round is one
+    * shuffle-join + aggregate, materialized via localCheckpoint so
+    * lineage stays flat. Deterministic: labels are min ids.
+    *
+    * @param pairs (doc_a, doc_b) undirected near-dup edges
+    * @return (doc_id, component_id) for every doc in `pairs`;
+    *         component_id = min doc id reachable
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 32): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every iteration
+    var labels = sym.groupBy(col("src").as("doc_id"))
+      .agg(min(least(col("src"), col("dst"))).as("component_id"))
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged) {
+      iters += 1
+      require(iters <= maxIters, s"components did not converge in $maxIters rounds")
+      // candidate label per node: min over neighbors' labels
+      val viaNeighbors = sym
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("component_id")).as("n_lbl"))
+      // one materialization yields both the new labels and the
+      // convergence signal (#nodes whose label improved)
+      val step = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("component_id"),
+          coalesce(col("n_lbl"), col("component_id")).as("n_lbl"))
+        .localCheckpoint(true)
+      converged = step.filter(col("n_lbl") < col("component_id")).isEmpty
+      labels = step.select(col("doc_id"),
+        least(col("component_id"), col("n_lbl")).as("component_id"))
+    }
+    labels
+  }
+
   /** SimHash near-duplicate pairs via bit-band blocking: split each
     * `bits`-wide fingerprint into `bands` contiguous bands; two documents
     * are candidates iff they share at least one exact band (pigeonhole: a

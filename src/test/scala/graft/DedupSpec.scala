@@ -55,6 +55,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connectedComponents resolves transitive near-dup groups to min ids") {
+    import graft.operators.Dedup
+    // chain 1-2-3, separate pair 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents handles a long chain (diameter > 1 round)") {
+    import graft.operators.Dedup
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 12 && out.values.forall(_ == 1L))
+  }
+
   test("simhashNearDupPairs: band blocking finds exact and near fingerprint pairs") {
     import graft.operators.Dedup
     val docs = Seq(
