@@ -445,6 +445,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM ops — n-gram language-ID: char-trigram profile scoring (the
+    // classic Cavnar-Trenkle shape; profiles here are tiny demo sets)
+    "q53_langid_ngram" -> ((s, dir) => {
+      val t = col("text")
+      val sA = TextFunctions.ngramProfileHits(t, Seq("the", "que", "spa"))
+      val sB = TextFunctions.ngramProfileHits(t, Seq("agg", "joi", "sca"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), sA.as("s_a"), sB.as("s_b"),
+          when(sA >= sB, "a").otherwise("b").as("pred_profile"))
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — canonical document fingerprint
     "q42_fingerprint" -> ((s, dir) => {
       Tables.load(s, dir, "documents").select(col("doc_id"),
@@ -1042,6 +1054,22 @@ object SparkEntry {
         |    CAST(len(list_filter(w, x -> list_contains(['le','la','et','les'], x))) AS BIGINT) AS s_fr
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    "q53_langid_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(t) - 1),
+        |      i -> substr(t, CAST(i AS INTEGER), 3)) AS grams
+        |  FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |        FROM documents)),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(grams, x -> list_contains(['the','que','spa'], x))) AS BIGINT) AS s_a,
+        |    CAST(len(list_filter(grams, x -> list_contains(['agg','joi','sca'], x))) AS BIGINT) AS s_b
+        |  FROM g)
+        |SELECT doc_id, s_a, s_b,
+        |  CASE WHEN s_a >= s_b THEN 'a' ELSE 'b' END AS pred_profile
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q42_fingerprint" ->
       """SELECT doc_id,

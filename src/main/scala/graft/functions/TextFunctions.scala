@@ -57,6 +57,23 @@ object TextFunctions {
     size(filter(ws, t => array_contains(v, t))).cast("long")
   }
 
+  /** Character n-grams of the lowercased, whitespace-normalized text —
+    * the unit of the classic n-gram language-ID profile. Empty array for
+    * text shorter than n. */
+  def charNgrams(c: Column, n: Int): Column = {
+    val t = lower(normalizeWs(c))
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** N-gram language-ID score: occurrences of profile n-grams in the
+    * text's char n-gram stream (with repetition — frequency matters). */
+  def ngramProfileHits(c: Column, profile: Seq[String], n: Int = 3): Column = {
+    val p = array(profile.map(lit): _*)
+    size(filter(charNgrams(c, n), g => array_contains(p, g))).cast("long")
+  }
+
   /** Canonical document fingerprint: md5 of the whitespace-normalized,
     * lowercased text. Identical duplicates collide regardless of spacing
     * and case. */

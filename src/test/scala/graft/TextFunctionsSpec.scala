@@ -14,6 +14,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(1) == Seq.empty)
   }
 
+  test("charNgrams: sliding char trigrams, normalized, empty when too short") {
+    val out = Seq("The  cat", "ab").toDF("t")
+      .select(TextFunctions.charNgrams(col("t"), 3))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("the", "he ", "e c", " ca", "cat")) // ws collapsed, lowered
+    assert(out(1) == Seq.empty)
+    val hits = Seq("the theme").toDF("t")
+      .select(TextFunctions.ngramProfileHits(col("t"), Seq("the")))
+      .as[Long].collect()
+    assert(hits(0) == 2L) // frequency counts, not set membership
+  }
+
   test("fingerprint is whitespace- and case-insensitive") {
     val fps = Seq("Hello  World", "hello world", "hello  world\t", "other")
       .toDF("t").select(TextFunctions.fingerprint(col("t"))).as[String].collect()
