@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
-import graft.functions.{Cleaning, TextFunctions}
+import graft.functions.{Cleaning, Hashing, TextFunctions}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -607,6 +607,22 @@ object SparkEntry {
         .orderBy("o_custkey", "month")
     }),
 
+    // §2.3 skewed-key join: deterministic salting spreads 5 hot keys over
+    // factor x reducers; results must equal the plain join (the oracle)
+    "q54_skew_join" -> ((s, dir) => {
+      val big = Tables.load(s, dir, "lineitem")
+        .select((col("l_orderkey") % 5).as("k"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+      val dim = Tables.load(s, dir, "region")
+        .select(col("r_regionkey").cast("long").as("k"), col("r_name"))
+      SkewJoin.saltedInner(big, dim, Seq("k"),
+          Hashing.hexLong(concat_ws(":", col("l_orderkey"), col("l_linenumber"))),
+          factor = 8)
+        .groupBy("k", "r_name")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("k")
+    }),
+
     // LLM ops — dedup group resolution: connected components over the
     // LSH candidate pairs (transitive closure of a~b near-dup matches)
     "q52_dedup_components" -> ((s, dir) => {
@@ -852,6 +868,12 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.12
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q54_skew_join" ->
+      s"""SELECT l.l_orderkey % 5 AS k, r.r_name, COUNT(*) AS n_items,
+         |  ${dsumSql("l.l_quantity")} AS sum_qty
+         |FROM lineitem l JOIN region r ON l.l_orderkey % 5 = r.r_regionkey
+         |GROUP BY 1, 2 ORDER BY k""".stripMargin,
 
     "q52_dedup_components" ->
       """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
