@@ -102,10 +102,13 @@ object Taxonomy {
   def toJsonDocument(structured: DataFrame, formNumber: String, quarter: String): String = {
     val nested = structured.groupBy("mdrm", "schedule")
       .agg(map_from_entries(collect_list(struct(col("kind"),
+          // keep null labels explicit ("label": null) — the reference's
+          // golden document carries them for unlabeled nodes
           to_json(map_from_entries(transform(col("ids"),
             x => struct(x.getField("role"),
               struct(x.getField("code").as("code"),
-                x.getField("label").as("label"))))))))).as("kinds"),
+                x.getField("label").as("label"))))),
+            Map("ignoreNullFields" -> "false"))))).as("kinds"),
         first(col("ref_line"), ignoreNulls = true).as("rl"),
         first(col("ref_column"), ignoreNulls = true).as("rc"))
     val rows = nested.collect()

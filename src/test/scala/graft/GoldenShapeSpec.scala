@@ -1,0 +1,102 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import graft.pipelines.Taxonomy
+import graft.sources.XmlLinkbase
+
+/** Structural parity with the reference's ONE shipped verification
+  * artifact (SURVEY §5): `031_2022-06-30.json`, 2,428 MDRM entries. The
+  * input ZIP is absent upstream, so the output can't be regenerated —
+  * instead this spec defines the document GRAMMAR once and asserts that
+  * both the golden file and our `Taxonomy.toJsonDocument` output conform
+  * to it: same envelope, same entry shape, same leaf fields.
+  */
+class GoldenShapeSpec extends SparkSpec {
+
+  private val goldenPath =
+    "/root/reference/python/cdr_taxonomy_xbrl_to_json/example/031_2022-06-30.json"
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def fields(n: JsonNode): Set[String] = {
+    val it = n.fieldNames()
+    val b = Set.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** The taxonomy-document grammar shared by reference and engine:
+    * {form_number, quarter, data: {mdrm: {sched: {line_ids|column_ids|
+    * reference}}}}; id maps hold {schedule|colset|column|extra_col_N} ->
+    * {code, label}; reference holds {line, column}. */
+  private def assertGrammar(root: JsonNode, source: String): Unit = {
+    assert(fields(root) == Set("form_number", "quarter", "data"), source)
+    val data = root.get("data")
+    val mdrms = fields(data)
+    assert(mdrms.nonEmpty, source)
+    for (m <- mdrms) {
+      val entry = data.get(m)
+      for (sched <- fields(entry)) {
+        val obj = entry.get(sched)
+        val sections = fields(obj)
+        assert(sections.nonEmpty && sections.subsetOf(
+          Set("line_ids", "column_ids", "reference")), s"$source $m/$sched: $sections")
+        for (sec <- sections if sec != "reference") {
+          val ids = obj.get(sec)
+          for (member <- fields(ids)) {
+            assert(member == "schedule" || member == "colset" ||
+              member == "column" || member.startsWith("extra_col_"),
+              s"$source $m/$sched/$sec: $member")
+            assert(fields(ids.get(member)) == Set("code", "label"),
+              s"$source $m/$sched/$sec/$member")
+          }
+          assert(fields(ids).contains("schedule"), s"$source $m/$sched/$sec")
+        }
+        if (sections.contains("reference"))
+          assert(fields(obj.get("reference")).subsetOf(Set("line", "column")),
+            s"$source $m/$sched/reference")
+      }
+    }
+  }
+
+  test("the reference's golden file conforms to the shared grammar (2,428 entries)") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(goldenPath)),
+      "reference golden file not present")
+    val root = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(goldenPath)))
+    assertGrammar(root, "golden")
+    assert(fields(root.get("data")).size == 2428)
+    assert(root.get("form_number").asText() == "031")
+    assert(root.get("quarter").asText() == "2022-06-30")
+  }
+
+  test("our taxonomy document conforms to the same grammar") {
+    val pres = XmlLinkbase.parseString(
+      """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink"><presentationLink>
+        |<presentationArc xlink:from="root" xlink:to="sch-RC"/>
+        |<presentationArc xlink:from="sch-RC" xlink:to="colset-RC"/>
+        |<presentationArc xlink:from="colset-RC" xlink:to="column_a-RC"/>
+        |<presentationArc xlink:from="column_a-RC" xlink:to="cc_RCON2170"/>
+        |<presentationArc xlink:from="root" xlink:to="sch-RI"/>
+        |<presentationArc xlink:from="sch-RI" xlink:to="line_1-RI"/>
+        |<presentationArc xlink:from="line_1-RI" xlink:to="cc_RCON2170"/>
+        |</presentationLink></linkbase>""".stripMargin)
+    val cap = XmlLinkbase.parseString(
+      """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink"><labelLink>
+        |<labelArc xlink:from="sch-RC" xlink:to="l1"/>
+        |<label xlink:label="l1">Balance Sheet</label>
+        |</labelLink></linkbase>""".stripMargin)
+    val ref = XmlLinkbase.parseString(
+      """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink"><referenceLink>
+        |<reference xlink:label="cc_RCON2170_r"><ScheduleRef>RC</ScheduleRef>
+        |<LineRef>1</LineRef><ColumnRef>A</ColumnRef></reference>
+        |</referenceLink></linkbase>""".stripMargin)
+    val structured = Taxonomy.structure(
+      XmlLinkbase.arcs(spark, pres, "presentationArc"),
+      XmlLinkbase.arcs(spark, cap, "labelArc"),
+      XmlLinkbase.labels(spark, cap),
+      XmlLinkbase.references(spark, ref))
+    val json = Taxonomy.toJsonDocument(structured, "031", "2022-06-30")
+    assertGrammar(mapper.readTree(json), "engine")
+  }
+}
