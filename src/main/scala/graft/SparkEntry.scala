@@ -599,12 +599,48 @@ object SparkEntry {
         .groupBy(col("o_custkey"),
           trunc(to_date(col("o_orderdate")), "month").as("m"))
         .agg(dsum(col("o_totalprice")).as("rev"))
+        .localCheckpoint(true) // feeds both self-join sides
       val prev = rev.select(col("o_custkey"), add_months(col("m"), 1).as("m"),
         col("rev").as("prev_rev"))
       rev.join(prev, Seq("o_custkey", "m"))
         .select(col("o_custkey"), date_format(col("m"), "yyyy-MM").as("month"),
           col("rev"), col("prev_rev"), (col("rev") - col("prev_rev")).as("delta"))
         .orderBy("o_custkey", "month")
+    }),
+
+    // §2.4 cube — all 2^n grouping combinations in one Expand pass
+    "q55_cube" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"),
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("int").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // §2.8 RANGE window frame — per-user trailing 1-hour event-time sum
+    // (value-based frame bounds, not row counts)
+    "q56_range_frame" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      e.select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          sum(col("value").cast(DecimalType(38, 6))).over(w)
+            .cast("double").as("sum_trailing_1h"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // §2.8 lag/lead — per-user deltas between consecutive events (the
+    // quarter-over-quarter shape at event granularity)
+    "q57_lag_delta" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      e.select(col("user_id"), col("event_id"), col("ts_us"),
+          (col("ts_us") - lag("ts_us", 1).over(w)).as("us_since_prev"),
+          (lead("ts_us", 1).over(w) - col("ts_us")).as("us_until_next"),
+          (col("value") - lag("value", 1).over(w)).as("value_delta"))
+        .orderBy("user_id", "ts_us", "event_id")
     }),
 
     // §2.3 skewed-key join: deterministic salting spreads 5 hot keys over
@@ -868,6 +904,31 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.12
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q55_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS total_price,
+         |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q56_range_frame" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  COUNT(*) OVER w AS n_trailing_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_trailing_1h
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q57_lag_delta" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  ts_us - LAG(ts_us, 1) OVER w AS us_since_prev,
+        |  LEAD(ts_us, 1) OVER w - ts_us AS us_until_next,
+        |  value - LAG(value, 1) OVER w AS value_delta
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q54_skew_join" ->
       s"""SELECT l.l_orderkey % 5 AS k, r.r_name, COUNT(*) AS n_items,
