@@ -608,6 +608,21 @@ object SparkEntry {
         .orderBy("o_custkey", "month")
     }),
 
+    // Ops — order-insensitive table checksum for cross-engine data
+    // reconciliation (verify a migrated table matches the source without
+    // moving rows): md5 each row's canonical serialization, fold with
+    // commutative aggregates. Doubles excluded — their string rendering
+    // is engine-specific; int/string/date columns serialize portably.
+    "q58_table_checksum" -> ((s, dir) => {
+      Tables.load(s, dir, "orders")
+        .select(Hashing.hexLong(concat_ws("|",
+          col("o_orderkey").cast("string"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_orderdate").cast("string"))).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_check"),
+          sum(col("h") % lit(1000000007L)).as("sum_check"))
+    }),
+
     // §2.4 cube — all 2^n grouping combinations in one Expand pass
     "q55_cube" -> ((s, dir) => {
       Tables.load(s, dir, "orders")
@@ -904,6 +919,14 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.12
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q58_table_checksum" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(
+        |    CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+        |    o_orderpriority || '|' || CAST(o_orderdate AS VARCHAR)
+        |  ), 1, 15))::BIGINT AS h FROM orders)
+        |SELECT COUNT(*) AS n_rows, bit_xor(h) AS xor_check,
+        |  CAST(SUM(h % 1000000007) AS BIGINT) AS sum_check FROM h""".stripMargin,
 
     "q55_cube" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
