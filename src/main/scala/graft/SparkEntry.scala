@@ -608,6 +608,18 @@ object SparkEntry {
         .orderBy("o_custkey", "month")
     }),
 
+    // LLM ops — SRP-LSH bucketing for embeddings: the cosine analogue of
+    // MinHash banding (candidate pairs via bucket equi-join instead of
+    // the full pair space); deterministic hyperplanes + exact decimal
+    // dots make the bucket ids engine-portable
+    "q59_srp_buckets" -> ((s, dir) => {
+      val planes = Similarity.srpPlanes(numPlanes = 8, dim = 64)
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Similarity.srpBucket(Similarity.scale9(col("embedding")), planes).as("bucket"))
+        .orderBy("vec_id")
+    }),
+
     // Ops — order-insensitive table checksum for cross-engine data
     // reconciliation (verify a migrated table matches the source without
     // moving rows): md5 each row's canonical serialization, fold with
@@ -919,6 +931,23 @@ object SparkEntry {
         |FROM pairs
         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.12
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q59_srp_buckets" -> {
+      val planes = graft.operators.Similarity.srpPlanes(numPlanes = 8, dim = 64)
+      val branches = planes.zipWithIndex.map { case (p, j) =>
+        val lits = p.map(v => f"$v%.3f").mkString("[", ", ", "]")
+        s"SELECT vec_id, $j AS j, unnest(embedding) AS x, unnest($lits) AS p FROM embeddings"
+      }.mkString("\n    UNION ALL ")
+      s"""WITH d AS (
+         |  SELECT vec_id, j,
+         |    SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * p) AS dp
+         |  FROM (
+         |    $branches)
+         |  GROUP BY vec_id, j)
+         |SELECT vec_id,
+         |  CAST(SUM(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+         |FROM d GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
 
     "q58_table_checksum" ->
       """WITH h AS (SELECT ('0x' || substr(md5(

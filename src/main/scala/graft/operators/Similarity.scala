@@ -146,6 +146,30 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("score_d"))
   }
 
+  /** Deterministic sign-random-projection hyperplanes for [[srpBuckets]]:
+    * plane j, dimension i gets an exact-3-decimal value in (-1, 1) from a
+    * fixed mixing constant — reproducible everywhere (no RNG), and exact
+    * in decimal arithmetic so bucket signs are engine-portable. */
+  def srpPlanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { j =>
+      (0 until dim).map { i =>
+        val h = (2654435761L * (j * dim + i + 1)) % 1999
+        (h - 999) / 1000.0
+      }
+    }
+
+  /** SRP-LSH bucket id: bit j of the bucket is the sign of the exact
+    * decimal dot of the vector with hyperplane j. Vectors in the same
+    * bucket agree on every hyperplane side — the cosine-LSH analogue of
+    * MinHash banding; candidate pairs come from a bucket equi-join
+    * instead of the |N|x|Q| pair space. `vec9` must be a [[scale9]]
+    * column; zero dots count as non-negative. */
+  def srpBucket(vec9: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val p9 = typedLit(p.map(v => math.round(v * 1e9)))
+      when(dot9(vec9, p9) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** IVF coarse quantization: assign each vector to its nearest centroid by
     * dot product (tiebreak: smallest centroid id).
     *

@@ -35,6 +35,22 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Seq(1L, 2L)) // 1 is closest; 2 and 3 tie at 0, cid asc wins
   }
 
+  test("srpBucket: deterministic; opposite vectors land in complementary buckets") {
+    val dim = 8
+    val planes = Similarity.srpPlanes(numPlanes = 6, dim = dim)
+    assert(planes.length == 6 && planes.forall(_.length == dim))
+    assert(planes.flatten.forall(v => v > -1.0 && v < 1.0))
+    val v = Seq.tabulate(dim)(i => (i + 1) * 0.1f)
+    val df = Seq((1L, v), (2L, v), (3L, v.map(-_)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", Similarity.srpBucket(Similarity.scale9($"embedding"), planes).as("b"))
+    val b = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(2L)) // identical vectors share the bucket
+    // -v flips every strictly-nonzero sign; with these planes all dots
+    // are nonzero, so buckets are bitwise complements over 6 bits
+    assert((b(1L) ^ b(3L)) == 63L)
+  }
+
   test("centroidAssign picks argmax-dot centroid with id tiebreak") {
     val cents = vecs.filter($"vec_id".isin(0L, 2L))
       .select($"vec_id".as("centroid_id"), $"embedding".as("cvec"))
