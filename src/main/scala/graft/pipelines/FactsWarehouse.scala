@@ -28,4 +28,18 @@ object FactsWarehouse {
   /** Read back with partition pruning available on `quarter`. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Catalog-managed variant bucketed by `rssd`: two tables bucketed the
+    * same way join WITHOUT a shuffle (bucket-wise sort-merge) — the
+    * co-located-join layout for recurring fact-fact work like
+    * quarter-over-quarter comparisons, where re-shuffling 100 TB per
+    * query would dominate. Bucketing requires the catalog
+    * (`saveAsTable`); plain-path parquet keeps no bucket metadata. */
+  def writeBucketed(facts: DataFrame, table: String, buckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    facts.write.mode(mode)
+      .bucketBy(buckets, "rssd")
+      .sortBy("rssd", "mdrm")
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -29,4 +29,36 @@ class FactsWarehouseSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(quarter"), plan.take(1200))
     assert(pruned.count() == 2)
   }
+
+  test("bucketed fact tables join without a shuffle") {
+    val mk = (q: Int) => UnpivotEav.floats(
+      Seq.tabulate(20)(i => (q, i.toLong % 7, i * 1.0))
+        .toDF("quarter", "rssd", "RCON0001"),
+      Seq("quarter", "rssd"), Seq("RCON0001"))
+    FactsWarehouse.writeBucketed(mk(20010331), "facts_q1", buckets = 4)
+    FactsWarehouse.writeBucketed(mk(20010630), "facts_q2", buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-or-not decision to matter (tiny test tables
+      // would otherwise broadcast and bypass bucketing entirely)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = spark.table("facts_q1")
+      val b = spark.table("facts_q2")
+        .groupBy($"rssd").agg(sum($"float_data").as("prev_total"))
+      // join keys = the bucket column -> bucket-wise SMJ; b's groupBy on
+      // the bucket column ALSO reuses bucket partitioning, so the whole
+      // aggregate-then-join plan runs with zero exchanges
+      val joined = a.join(b, Seq("rssd"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 0, plan.take(1500))
+      assert(plan.contains("Bucketed: true"), plan.take(1500))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS facts_q1")
+      spark.sql("DROP TABLE IF EXISTS facts_q2")
+    }
+  }
 }
