@@ -60,10 +60,10 @@ object Cleaning {
 
   /** Lowercase all column names (converter.py:200). */
   def lowercaseColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
 
   /** Rename headers to snake_case: trim, lower, spaces/punct -> `_`. */
   def snakeCaseColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(c =>
+    df.toDF(df.columns.toIndexedSeq.map(c =>
       c.trim.toLowerCase.replaceAll("[^a-z0-9]+", "_").stripPrefix("_").stripSuffix("_")): _*)
 }

@@ -47,7 +47,7 @@ object AsOfJoin {
       .drop(payload: _*)
     val rAligned = l.columns.foldLeft(r) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
 
     // right rows (side 0) order before left rows at the same time ->
     // inclusive (<=) as-of; the struct itself is the deterministic
@@ -85,7 +85,7 @@ object AsOfJoin {
       .drop(payload: _*)
     val rAligned = l.columns.foldLeft(r) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
 
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col("__t"), col("__side"), col("__p"))

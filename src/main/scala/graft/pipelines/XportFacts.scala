@@ -26,7 +26,7 @@ object XportFacts {
     * columns (any case); everything else is treated as an MDRM column. */
   def toFacts(wide: DataFrame): DataFrame = {
     // lowercase headers, entity -> rssd (converter.py:200-206)
-    val lower = wide.toDF(wide.columns.map(_.toLowerCase): _*)
+    val lower = wide.toDF(wide.columns.toIndexedSeq.map(_.toLowerCase): _*)
     val quarter = lower.select(col("date").cast("long")).first().getLong(0).toInt
     val base = lower.withColumnRenamed("entity", "rssd").drop("date")
 
