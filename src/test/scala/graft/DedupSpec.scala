@@ -66,6 +66,21 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents fixpoint: relabeling the result is the identity") {
+    import graft.operators.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+    // edges rewritten to (node, component) must resolve to the same labels
+    val again = Dedup.connectedComponents(
+      labels.toDF("doc_a", "doc_b").filter($"doc_a" =!= $"doc_b"))
+    val first = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val second = again.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every non-root node agrees; roots (label == self) drop out of the
+    // second edge set but their members still resolve to them
+    assert(second.forall { case (n, c) => first(n) == c })
+  }
+
   test("connectedComponents handles a long chain (diameter > 1 round)") {
     import graft.operators.Dedup
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

@@ -48,6 +48,23 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == 7L) // first in (t, side, pid) order
   }
 
+  test("asof duality: forward equals backward under time negation (no ties)") {
+    // with all times distinct, the earliest right at-or-after t is the
+    // latest right at-or-before -t on the negated axis
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 60).map(i => (i.toLong % 3, rnd.nextInt(10000).toLong * 2, i.toLong))
+      .toDF("k", "t", "lid")
+    val right = (0 until 40).map(i => (i.toLong % 3, rnd.nextInt(10000).toLong * 2 + 1, 100L + i))
+      .toDF("k", "rt", "pid")
+    val fwd = AsOfJoin.forward(left, right, Seq("k"), col("t"), col("rt"), Seq("pid"))
+      .select("k", "lid", "pid")
+    val bwd = AsOfJoin.backward(
+        left.withColumn("t", -col("t")), right.withColumn("rt", -col("rt")),
+        Seq("k"), col("t"), col("rt"), Seq("pid"))
+      .select("k", "lid", "pid")
+    assert(fwd.except(bwd).isEmpty && bwd.except(fwd).isEmpty)
+  }
+
   test("salted join equals the plain join on a skewed key") {
     import graft.functions.Hashing
     import graft.operators.SkewJoin
