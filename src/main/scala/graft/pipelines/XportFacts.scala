@@ -44,4 +44,26 @@ object XportFacts {
   /** File -> facts, with the reference's encoding fallback. */
   def fromFile(spark: SparkSession, path: String): DataFrame =
     toFacts(XportReader.read(spark, path))
+
+  /** The canonical EAV fact record (converter.py:152-176) as a case
+    * class — the typed API surface for fact-level logic: compile-time
+    * field checking and pattern-matchable rows where DataFrame columns
+    * would be stringly-typed. Exactly one `*Data` field is non-None per
+    * record. */
+  final case class Fact(rssd: Long, mdrm: String, quarter: Int,
+                        data_type: String, bool_data: Option[Boolean],
+                        int_data: Option[Long], float_data: Option[Double],
+                        str_data: Option[String]) {
+    /** The populated payload, whatever its type. */
+    def value: Any = bool_data.orElse(int_data).orElse(float_data)
+      .orElse(str_data).orNull
+  }
+
+  /** Typed view of [[toFacts]] output (or any frame with the canonical
+    * fact schema). Encoders make downstream `map`/`filter`/`groupByKey`
+    * logic compile-checked; the DataFrame remains the relational path. */
+  def typed(facts: DataFrame): org.apache.spark.sql.Dataset[Fact] = {
+    import facts.sparkSession.implicits._
+    facts.as[Fact]
+  }
 }

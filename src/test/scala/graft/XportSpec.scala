@@ -83,4 +83,19 @@ class XportSpec extends SparkSpec {
     assert(!rows.exists(t => t._1 == 777777L && t._2 == "rcon2170")) // null dropped
     assert(!rows.exists(t => t._1 == 777777L && t._2 == "text9999")) // null str dropped
   }
+
+  test("typed Dataset[Fact] view: exactly one payload per record, usable in typed ops") {
+    val facts = XportFacts.typed(XportFacts.fromFile(spark, xptPath))
+    val collected = facts.collect()
+    assert(collected.nonEmpty)
+    collected.foreach { f =>
+      val populated = Seq(f.bool_data, f.int_data, f.float_data, f.str_data).count(_.isDefined)
+      assert(populated == 1, f.toString)
+      assert(f.value != null)
+    }
+    // typed groupByKey compiles against fields, not column names
+    val byType = facts.groupByKey(_.data_type).count().collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(byType.keySet.subsetOf(Set("bool", "int", "float", "str")))
+  }
 }
