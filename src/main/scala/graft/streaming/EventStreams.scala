@@ -50,6 +50,30 @@ object EventStreams {
   final case class Segmented(user_id: Long, ts_us: Long, event_type: String, seg_id: Long)
   final case class SegState(segId: Long, lastTsUs: Long)
 
+  final case class ValEv(user_id: Long, ts_us: Long, value: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double,
+                             last_ts_us: Long)
+
+  /** Per-user lifetime running totals via `mapGroupsWithState` — the
+    * one-output-row-per-key-per-batch state API (vs
+    * [[markerSegments]]' flatMap variant which emits per event). State
+    * carries across micro-batches; each batch's rows fold into it and
+    * the updated snapshot is emitted. */
+  def runningTotals(events: Dataset[ValEv]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0.0, Long.MinValue))
+          val next = it.foldLeft(prev) { (acc, e) =>
+            UserTotal(user, acc.n_events + 1, acc.total_value + e.value,
+              math.max(acc.last_ts_us, e.ts_us))
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** Stateful marker segmentation (the PDF state machine, §2.8) as custom
     * streaming state: per user, the running count of marker events is the
     * segment id, carried across micro-batches in `GroupState`.

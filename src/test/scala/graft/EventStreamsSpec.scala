@@ -67,6 +67,27 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningTotals (mapGroupsWithState) folds state across micro-batches") {
+    import graft.streaming.EventStreams.ValEv
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[ValEv]
+    val q = EventStreams.runningTotals(src.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      src.addData(ValEv(1, 100, 2.0), ValEv(1, 200, 3.0), ValEv(2, 50, 1.0))
+      q.processAllAvailable()
+      src.addData(ValEv(1, 300, 5.0)) // second batch builds on carried state
+      q.processAllAvailable()
+      val rows = spark.table("totals").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      // last snapshot per user across update-mode emissions
+      val latest = rows.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+      assert(latest(1L) == (1L, 3L, 10.0, 300L))
+      assert(latest(2L) == (2L, 1L, 1.0, 50L))
+    } finally q.stop()
+  }
+
   test("markerSegments keeps state across micro-batches") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[Ev]
