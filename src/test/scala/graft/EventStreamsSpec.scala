@@ -67,6 +67,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode (state eviction works)") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = src.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      src.addData((t("2024-01-01 01:10:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the 01:00 window so it finalizes
+      src.addData((t("2024-01-01 03:10:00"), "click", 1.0))
+      q.processAllAvailable()
+      // this event is HOURS behind the watermark: must be dropped
+      src.addData((t("2024-01-01 01:20:00"), "click", 99.0))
+      q.processAllAvailable()
+      // push the 03:00 window out too
+      src.addData((t("2024-01-01 05:10:00"), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("late").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+      assert(rows("2024-01-01 01:00:00.0") == 1L) // late row NOT counted
+      assert(rows("2024-01-01 03:00:00.0") == 1L)
+    } finally q.stop()
+  }
+
   test("runningTotals (mapGroupsWithState) folds state across micro-batches") {
     import graft.streaming.EventStreams.ValEv
     implicit val sc = spark.sqlContext
