@@ -940,7 +940,7 @@ object SparkEntry {
       }.mkString("\n    UNION ALL ")
       s"""WITH d AS (
          |  SELECT vec_id, j,
-         |    SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * p) AS dp
+         |    SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * p) AS dp
          |  FROM (
          |    $branches)
          |  GROUP BY vec_id, j)
@@ -1041,7 +1041,7 @@ object SparkEntry {
         |p AS (SELECT e.vec_id, c.centroid_id, unnest(e.embedding) AS x, unnest(c.cvec) AS y
         |      FROM embeddings e CROSS JOIN c),
         |d AS (SELECT vec_id, centroid_id,
-        |        SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS dp
+        |        SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS dp
         |      FROM p GROUP BY vec_id, centroid_id),
         |r AS (SELECT vec_id, centroid_id, dp,
         |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, centroid_id ASC) AS rn
@@ -1055,7 +1055,7 @@ object SparkEntry {
         |p AS (SELECT qid, cid, unnest(qvec) AS x, unnest(cvec) AS y
         |      FROM q JOIN c USING (label) WHERE qid <> cid),
         |d AS (SELECT qid, cid,
-        |        SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS dp
+        |        SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS dp
         |      FROM p GROUP BY qid, cid),
         |r AS (SELECT qid, cid, dp,
         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp DESC, cid ASC) AS rnk
@@ -1092,7 +1092,7 @@ object SparkEntry {
     "q32_cosine_topk" ->
       """WITH nrm AS (
         |  SELECT vec_id, sqrt(CAST(SUM(
-        |    CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+        |    CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
         |  ) AS DOUBLE)) AS nv
         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
         |q AS (SELECT vec_id AS qid, label, embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
@@ -1100,7 +1100,7 @@ object SparkEntry {
         |p AS (SELECT qid, cid, unnest(qvec) AS x, unnest(cvec) AS y
         |      FROM q JOIN c USING (label) WHERE qid <> cid),
         |d AS (SELECT qid, cid,
-        |        SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS dp
+        |        SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS dp
         |      FROM p GROUP BY qid, cid),
         |j AS (SELECT qid, cid, CAST(dp AS DOUBLE) / (nq.nv * nc.nv) AS cosine
         |      FROM d JOIN nrm nq ON nq.vec_id = d.qid JOIN nrm nc ON nc.vec_id = d.cid),
@@ -1137,7 +1137,7 @@ object SparkEntry {
         |ap AS (SELECT e.vec_id, c.centroid_id, unnest(e.embedding) AS x, unnest(c.ctr) AS y
         |       FROM embeddings e CROSS JOIN cent c),
         |ad AS (SELECT vec_id, centroid_id,
-        |         SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS dp
+        |         SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS dp
         |       FROM ap GROUP BY vec_id, centroid_id),
         |cells AS (SELECT vec_id AS cid, centroid_id FROM (
         |    SELECT vec_id, centroid_id,
@@ -1153,7 +1153,7 @@ object SparkEntry {
         |       FROM pairs JOIN embeddings q ON q.vec_id = pairs.qid
         |                  JOIN embeddings v ON v.vec_id = pairs.cid),
         |d2 AS (SELECT qid, cid,
-        |         SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS dp
+        |         SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS dp
         |       FROM px GROUP BY qid, cid),
         |r AS (SELECT qid, cid, dp,
         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp DESC, cid ASC) AS rnk
@@ -1281,13 +1281,13 @@ object SparkEntry {
     "q36_embedding_neardup" ->
       """WITH nrm AS (
         |  SELECT vec_id, sqrt(CAST(SUM(
-        |    CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9))
+        |    CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
         |  ) AS DOUBLE)) AS nv
         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
         |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, unnest(a.embedding) AS x, unnest(b.embedding) AS y
         |      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
         |d AS (SELECT doc_a, doc_b,
-        |        SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(18,9))) AS dp
+        |        SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS dp
         |      FROM p GROUP BY doc_a, doc_b),
         |j AS (SELECT doc_a, doc_b, CAST(dp AS DOUBLE) / (na.nv * nb.nv) AS cosine
         |      FROM d JOIN nrm na ON na.vec_id = d.doc_a JOIN nrm nb ON nb.vec_id = d.doc_b)
