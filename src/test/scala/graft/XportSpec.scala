@@ -84,6 +84,32 @@ class XportSpec extends SparkSpec {
     assert(!rows.exists(t => t._1 == 777777L && t._2 == "text9999")) // null str dropped
   }
 
+  test("hostile inputs fail loudly, not silently") {
+    import java.nio.file.Files
+    // not an XPORT file at all
+    val junk = Files.createTempFile("junk", ".xpt")
+    Files.write(junk, Array.fill[Byte](400)('x'.toByte))
+    val e1 = intercept[Exception](XportReader.read(spark, junk.toString))
+    assert(e1.getMessage != null && e1.getMessage.contains("not an XPORT"))
+    // DSv2 schema inference on the same junk
+    val e2 = intercept[Exception](
+      spark.read.format("xport").load(junk.toString).schema)
+    assert(e2.getMessage == null || !e2.getMessage.contains("NullPointer"))
+    // truncated file: header only, no NAMESTR — must raise, not loop
+    val trunc = Files.createTempFile("trunc", ".xpt")
+    Files.write(trunc, XportFixture.bytes.take(160))
+    intercept[Exception](XportReader.read(spark, trunc.toString))
+  }
+
+  test("partial trailing observation (torn write) is dropped, not mis-parsed") {
+    import java.nio.file.Files
+    // append 20 junk bytes (less than one 40-byte row) to the fixture
+    val torn = Files.createTempFile("torn", ".xpt")
+    Files.write(torn, XportFixture.bytes ++ Array.fill[Byte](20)(1))
+    val df = XportReader.read(spark, torn.toString)
+    assert(df.count() == 2) // the two real observations only
+  }
+
   test("typed Dataset[Fact] view: exactly one payload per record, usable in typed ops") {
     val facts = XportFacts.typed(XportFacts.fromFile(spark, xptPath))
     val collected = facts.collect()
