@@ -689,6 +689,15 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // LLM ops — the full scalable near-dup pipeline: LSH candidates,
+    // exact Jaccard verification on candidates only
+    "q60_lsh_verified_jaccard" -> ((s, dir) => {
+      Dedup.lshVerifiedJaccardPairs(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          numHashes = 16, bands = 4, shingleN = 3, minJ = 0.2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // LLM ops — dedup group resolution: connected components over the
     // LSH candidate pairs (transitive closure of a~b near-dup matches)
     "q52_dedup_components" -> ((s, dir) => {
@@ -990,6 +999,33 @@ object SparkEntry {
          |  ${dsumSql("l.l_quantity")} AS sum_qty
          |FROM lineitem l JOIN region r ON l.l_orderkey % 5 = r.r_regionkey
          |GROUP BY 1, 2 ORDER BY k""".stripMargin,
+
+    "q60_lsh_verified_jaccard" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shh FROM sh),
+        |exp AS (SELECT doc_id, shh % 1000000007 AS hp FROM ex),
+        |hx AS (SELECT doc_id, i,
+        |         MIN(((2*i + 1) * hp + (i*i + 7919)) % 1000000007) AS mh
+        |       FROM exp, range(16) t(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band_id,
+        |            md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bucket
+        |          FROM hx GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
+        |com AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |        FROM cand c
+        |        JOIN ex a ON a.doc_id = c.doc_a
+        |        JOIN ex b ON b.doc_id = c.doc_b AND b.shh = a.shh
+        |        GROUP BY c.doc_a, c.doc_b)
+        |SELECT com.doc_a, com.doc_b, ca.n_sh AS n_a, cb.n_sh AS n_b, com.n_common,
+        |  CAST(com.n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - com.n_common AS DOUBLE) AS jaccard
+        |FROM com JOIN cnt ca ON ca.doc_id = com.doc_a JOIN cnt cb ON cb.doc_id = com.doc_b
+        |WHERE CAST(com.n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - com.n_common AS DOUBLE) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q52_dedup_components" ->
       """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -180,6 +180,44 @@ object Dedup {
     votes.select(col("id"), fingerprint.cast("long").as("simhash"))
   }
 
+  /** The full scalable near-dup pipeline: MinHash+LSH candidate pairs,
+    * then EXACT n-gram Jaccard verification restricted to candidates —
+    * the 100 TB shape (vs [[ngramJaccardPairs]], which scores every pair
+    * within a block). Join cost is |candidates| x shingles-per-doc, never
+    * |docs|^2; LSH recall is tunable via bands/hashes.
+    *
+    * Output: (doc_a, doc_b, n_a, n_b, n_common, jaccard) with
+    * jaccard >= minJ, doc_a < doc_b.
+    */
+  def lshVerifiedJaccardPairs(docs: DataFrame, id: Column, text: Column,
+                              numHashes: Int, bands: Int, shingleN: Int,
+                              minJ: Double): DataFrame = {
+    val cand = lshCandidatePairs(
+      minhashBands(docs, id, text, numHashes, bands, shingleN))
+    // shingle stream reused by the pair-restricted join on BOTH sides and
+    // by the per-doc counts: materialize once
+    val sh = graft.core.Parallelism.ensureWidth(
+        docs.select(id.as("id"), TextFunctions.tokens(text).as("ws")))
+      .select(col("id"),
+        explode(array_distinct(TextFunctions.shingles(col("ws"), shingleN))).as("s"))
+      .select(col("id"), Hashing.hexLong(col("s")).as("shh"))
+      .localCheckpoint(true)
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.toDF("doc_a", "shh"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "shh"), Seq("doc_b", "shh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(counts.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
+  }
+
   /** Connected components over a near-duplicate pair list — the dedup
     * GROUP RESOLUTION step: LSH/banding emits pairwise matches, but
     * keep-one-per-group needs the transitive closure (a~b, b~c => one

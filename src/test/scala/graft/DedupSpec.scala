@@ -55,6 +55,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("lshVerifiedJaccardPairs: exact dups found with jaccard 1.0; verification is exact") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy cat tonight"), // near dup
+      (4L, "completely different words about spark engines and data")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lshVerifiedJaccardPairs(docs, col("doc_id"), col("text"),
+        numHashes = 16, bands = 8, shingleN = 2, minJ = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(out((1L, 2L)) == 1.0) // identical shingle sets
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // any (1,3)/(2,3) pair that survives LSH must carry the EXACT jaccard
+    out.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0))
+  }
+
   test("connectedComponents resolves transitive near-dup groups to min ids") {
     import graft.operators.Dedup
     // chain 1-2-3, separate pair 10-11, triangle 20-21-22
