@@ -77,6 +77,42 @@ object GraftProperties extends Properties("graft") {
         verdicts("str") == "str"
     }
 
+  property("charNgrams: count = normalized-length - n + 1, each gram has length n") =
+    forAll(Gen.listOfN(15, doc), Gen.choose(2, 4)) { (docs, n) =>
+      val out = docs.map(_.mkString(" ")).toDF("t")
+        .select(length(lower(TextFunctions.normalizeWs(col("t")))).as("len"),
+          TextFunctions.charNgrams(col("t"), n).as("g"))
+        .collect()
+      out.forall { r =>
+        val len = r.getInt(0)
+        val grams = r.getSeq[String](1)
+        grams.length == math.max(0, len - n + 1) && grams.forall(_.length == n)
+      }
+    }
+
+  property("srpBucket is total and within [0, 2^planes)") =
+    forAll(Gen.listOfN(10, Gen.listOfN(16, Gen.choose(-1.0f, 1.0f)))) { vecs =>
+      import graft.operators.Similarity
+      val planes = Similarity.srpPlanes(numPlanes = 5, dim = 16)
+      val out = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+        .select(Similarity.srpBucket(Similarity.scale9(col("v")), planes).as("b"))
+        .as[Long].collect()
+      out.forall(b => b >= 0L && b < 32L)
+    }
+
+  property("table checksum aggregates are row-order invariant") =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0L, 1000L), word))) { rows =>
+      def check(rs: Seq[(Long, String)]) = {
+        val df = rs.toDF("k", "s")
+          .select(Hashing.hexLong(concat_ws("|", col("k").cast("string"), col("s"))).as("h"))
+        df.agg(expr("bit_xor(h)"), sum(col("h") % 1000000007L)).first()
+      }
+      val a = check(rows)
+      val b = check(scala.util.Random.shuffle(rows))
+      a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1)
+    }
+
   property("sessionize: ids start at 1, are contiguous, and never decrease in time") =
     forAll(Gen.listOfN(40, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 5000L)))) { evs =>
       val df = evs.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
