@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{Dec9Dot, FloatVecScale9, FloatVectorDot}
+import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot}
 
 /** Engine extension point — the sanctioned way to add native expressions
   * to a session: `SparkSession.builder().withExtensions(new
@@ -16,7 +16,10 @@ import graft.expressions.{Dec9Dot, FloatVecScale9, FloatVectorDot}
   *  - `float_vec_scale9(array<float>) -> array<bigint>` and
   *    `dec9_dot(array<bigint>, array<bigint>) -> decimal(30,18)` — the
   *    exact-decimal dot product as primitive loops
-  *    ([[graft.expressions.DecimalVectorOps]]).
+  *    ([[graft.expressions.DecimalVectorOps]]);
+  *  - the [[graft.expressions.DecimalDotRewrite]] optimizer rule, which
+  *    substitutes that native form wherever a query spells out the
+  *    declarative `aggregate(zip_with(...))` decimal dot.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -41,5 +44,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "dec9_dot takes exactly 2 arguments")
         Dec9Dot(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => DecimalDotRewrite)
   }
 }

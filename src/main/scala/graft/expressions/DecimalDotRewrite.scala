@@ -1,0 +1,97 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite the declarative exact-decimal dot product —
+  * `aggregate(zip_with(a, b, (x, y) -> cast(cast(x as decimal(18,9)) *
+  * cast(y as decimal(18,9)) as decimal(30,18))), 0, (acc, v) ->
+  * cast(acc + v as decimal(30,18)))` over two `array<float>` columns —
+  * into the native [[Dec9Dot]]([[FloatVecScale9]]) form.
+  *
+  * This is the engine's optimizer-extension showcase (SURVEY §4): users
+  * (and [[graft.operators.Similarity.dotDecimalHof]]) write the pure
+  * built-in formulation; the planner substitutes the codegen'd
+  * primitive-loop implementation, which is bit-identical by construction
+  * (spec-enforced in DecimalVectorOpsSpec). The match is intentionally
+  * EXACT — any deviation in scales, zero, merge shape, or element types
+  * leaves the expression untouched, so the rule can never change
+  * semantics, only representation.
+  *
+  * Registered via `SparkSessionExtensions.injectOptimizerRule` in
+  * [[graft.GraftExtensions]].
+  */
+object DecimalDotRewrite extends Rule[LogicalPlan] {
+
+  private val d18_9 = DecimalType(18, 9)
+  private val d30_18 = DecimalType(30, 18)
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isZero(e: Expression): Boolean = e match {
+    case Literal(v: Decimal, dt: DecimalType) =>
+      dt == d30_18 && v.toBigDecimal.signum == 0
+    case c: Cast if c.dataType == d30_18 => isZero(c.child)
+    case Literal(0, _) => true
+    case _ => false
+  }
+
+  private def castToOf(e: Expression, dt: DecimalType,
+                       v: NamedLambdaVariable): Boolean = e match {
+    case c: Cast => c.dataType == dt && (c.child match {
+      case u: NamedLambdaVariable => u.exprId == v.exprId
+      case _ => false
+    })
+    case _ => false
+  }
+
+  /** (x, y) -> cast(cast(x as d18_9) * cast(y as d18_9) as d30_18) */
+  private def isProduct(lf: LambdaFunction): Boolean = lf match {
+    case LambdaFunction(c: Cast, Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)
+      if c.dataType == d30_18 =>
+      c.child match {
+        case m: Multiply =>
+          (castToOf(m.left, d18_9, x) && castToOf(m.right, d18_9, y)) ||
+            (castToOf(m.left, d18_9, y) && castToOf(m.right, d18_9, x))
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** (acc, v) -> cast(acc + v as d30_18) */
+  private def isMerge(lf: LambdaFunction): Boolean = lf match {
+    case LambdaFunction(c: Cast, Seq(a: NamedLambdaVariable, b: NamedLambdaVariable), _)
+      if c.dataType == d30_18 =>
+      c.child match {
+        case ad: Add =>
+          def isVar(e: Expression, v: NamedLambdaVariable) = e match {
+            case u: NamedLambdaVariable => u.exprId == v.exprId
+            case _ => false
+          }
+          (isVar(ad.left, a) && isVar(ad.right, b)) ||
+            (isVar(ad.left, b) && isVar(ad.right, a))
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def isIdentity(lf: LambdaFunction): Boolean = lf match {
+    case LambdaFunction(body: NamedLambdaVariable, Seq(v: NamedLambdaVariable), _) =>
+      body.exprId == v.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+        ZipWith(l, r, prod: LambdaFunction), zero,
+        merge: LambdaFunction, finish: LambdaFunction)
+      if isFloatArray(l) && isFloatArray(r) && isZero(zero) &&
+        isProduct(prod) && isMerge(merge) && isIdentity(finish) =>
+      Dec9Dot(FloatVecScale9(l), FloatVecScale9(r))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The optimizer rule must substitute the native decimal dot exactly
+  * where the declarative HOF formulation appears — and nowhere else. */
+class DecimalDotRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("HOF decimal dot is rewritten to dec9_dot(float_vec_scale9) in the plan") {
+    val df = emb.select(col("vec_id"),
+      Similarity.dotDecimalHof(col("embedding"), col("embedding")).as("d"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("dec9_dot") && plan.contains("float_vec_scale9"),
+      plan.take(1200))
+    assert(!plan.contains("aggregate(zip_with"), plan.take(1200))
+  }
+
+  test("rewritten results equal the direct native form bit for bit") {
+    val viaHof = emb.select(col("vec_id"),
+        Similarity.dotDecimalHof(col("embedding"), col("embedding"))
+          .cast("string").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaNative = emb.select(col("vec_id"),
+        Similarity.dotDecimal(col("embedding"), col("embedding"))
+          .cast("string").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaHof == viaNative)
+  }
+
+  test("non-matching shapes are left untouched") {
+    // different element scale (18,8): not the engine's decimal dot
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.DecimalType
+    def otherDot(a: Column, b: Column): Column =
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast(DecimalType(18, 8)) * y.cast(DecimalType(18, 8)))
+            .cast(DecimalType(30, 18))),
+        lit(0).cast(DecimalType(30, 18)),
+        (acc, v) => (acc + v).cast(DecimalType(30, 18)))
+    val plan = emb.select(otherDot(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("dec9_dot"), plan.take(1200))
+    // a sum (not product) zip should also be untouched
+    val sumPlan = emb.select(aggregate(
+        zip_with(col("embedding"), col("embedding"), (x, y) =>
+          (x.cast(DecimalType(18, 9)) + y.cast(DecimalType(18, 9)))
+            .cast(DecimalType(30, 18))),
+        lit(0).cast(DecimalType(30, 18)),
+        (acc, v) => (acc + v).cast(DecimalType(30, 18))).as("d"))
+      .queryExecution.optimizedPlan.toString
+    assert(!sumPlan.contains("dec9_dot"), sumPlan.take(1200))
+  }
+}
