@@ -115,6 +115,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: a restarted query resumes state, no duplicates") {
+    // a REPLAYABLE source (files) is required for recovery — MemoryStream
+    // offsets die with the instance
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("in").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val outDir = Files.createTempDirectory("sink").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    def startQuery() = EventStreams.tumblingCounts(
+        spark.readStream.schema(schema)
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").json(inDir),
+        "1 hour", "10 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    Files.writeString(java.nio.file.Paths.get(inDir, "b1.json"),
+      """{"ts":"2024-01-01 01:10:00","event_type":"click","value":1.0}
+        |{"ts":"2024-01-01 03:10:00","event_type":"click","value":2.0}""".stripMargin)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // second incarnation, SAME checkpoint: resumes past b1, sees only b2
+    Files.writeString(java.nio.file.Paths.get(inDir, "b2.json"),
+      """{"ts":"2024-01-01 05:10:00","event_type":"view","value":3.0}""")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    // each finalized window appears exactly once across both incarnations
+    assert(out.toSet == Set(
+      ("2024-01-01 01:00:00.0", "click", 1L),
+      ("2024-01-01 03:00:00.0", "click", 1L)))
+    assert(out.length == out.toSet.size) // no duplicate emissions
+  }
+
   test("markerSegments keeps state across micro-batches") {
     implicit val sc = spark.sqlContext
     val src = MemoryStream[Ev]
