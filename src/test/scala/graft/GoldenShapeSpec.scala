@@ -70,6 +70,48 @@ class GoldenShapeSpec extends SparkSpec {
     assert(root.get("quarter").asText() == "2022-06-30")
   }
 
+  test("taxonomy pipeline at golden scale: 2,400 concepts, 30 schedules") {
+    import org.apache.spark.sql.functions.col
+    // synthesize a presentation forest shaped like the real taxonomy:
+    // root -> schedule -> (colset -> column | line) -> concept, 80
+    // concepts per schedule x 30 schedules
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = (0 until 30).flatMap { s =>
+      val sched = s"sch-S$s"
+      Seq("root" -> sched) ++ (0 until 80).flatMap { c =>
+        val concept = f"cc_RCON$s%02d$c%03d"
+        if (c % 2 == 0) {
+          val colset = s"colset-$s-$c"; val column = s"column_a-$s-$c"
+          Seq(sched -> colset, colset -> column, column -> concept)
+        } else {
+          val line = s"line_${c}-S$s"
+          Seq(sched -> line, line -> concept)
+        }
+      }
+    }.map { case (p, c) => (c, p) } // child -> parent
+    val pres = edges.toDF("to", "from") // arcs parent->child use (from, to)
+      .select(col("from"), col("to"))
+      .withColumn("idx", org.apache.spark.sql.functions
+        .monotonically_increasing_id())
+      .select("idx", "from", "to")
+    val labels = Seq.empty[(Long, String, String)].toDF("idx", "from", "to")
+    val labelRes = Seq.empty[(String, String)].toDF("label", "text")
+    val refs = Seq.empty[(String, String, String, String)]
+      .toDF("label", "schedule", "line", "column")
+
+    val structured = graft.pipelines.Taxonomy.structure(pres, labels, labelRes, refs)
+    // one row per (concept, schedule, kind); every concept appears once
+    assert(structured.count() == 30L * 80L)
+    val kinds = structured.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds == Map("column_ids" -> 30L * 40L, "line_ids" -> 30L * 40L))
+    val json = graft.pipelines.Taxonomy.toJsonDocument(structured, "031", "2022-06-30")
+    val tree = mapper.readTree(json)
+    assert(fields(tree.get("data")).size == 2400)
+    assertGrammar(tree, "scale")
+  }
+
   test("our taxonomy document conforms to the same grammar") {
     val pres = XmlLinkbase.parseString(
       """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink"><presentationLink>
