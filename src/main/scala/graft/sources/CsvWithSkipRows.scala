@@ -36,11 +36,27 @@ object CsvWithSkipRows {
     val conf = spark.sessionState.newHadoopConf()
     val src = new Path(path)
     val srcFs = src.getFileSystem(conf)
+    // Stage next to the source by default (executor-visible on any shared
+    // filesystem); a read-only source directory falls back to the local
+    // temp dir — correct in local mode, and cluster callers with
+    // read-only sources should pass an executor-visible stagingDir.
     val stageParent = stagingDir.map(new Path(_)).getOrElse(src.getParent)
     val stageFs = stageParent.getFileSystem(conf)
     // NB: must not start with '.' or '_' — FileInputFormat hides those.
-    val staged = new Path(stageParent,
-      s"${src.getName}-skip$skipLines-${UUID.randomUUID().toString.take(8)}.csv")
+    val stageName = s"${src.getName}-skip$skipLines-${UUID.randomUUID().toString.take(8)}.csv"
+    val (staged, outFs) =
+      try {
+        val p = new Path(stageParent, stageName)
+        val o = stageFs.create(p, true)
+        o.close()
+        (p, stageFs)
+      } catch {
+        case _: java.io.IOException if stagingDir.isEmpty =>
+          val tmp = new Path(
+            java.nio.file.Files.createTempDirectory("csvskip").toUri.toString,
+            stageName)
+          (tmp, tmp.getFileSystem(conf))
+      }
 
     val in = srcFs.open(src)
     try {
@@ -50,14 +66,14 @@ object CsvWithSkipRows {
         if (b < 0) toSkip = 0 // fewer lines than skipLines: empty remainder
         else if (b == '\n') toSkip -= 1
       }
-      val out = stageFs.create(staged, true)
+      val out = outFs.create(staged, true)
       try {
         val buf = new Array[Byte](1 << 16)
         var n = in.read(buf)
         while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
       } finally out.close()
     } finally in.close()
-    stageFs.deleteOnExit(staged)
+    outFs.deleteOnExit(staged)
 
     spark.read
       .options(Map("header" -> "true", "mode" -> "PERMISSIVE",

@@ -55,6 +55,22 @@ class MdrmDictionarySpec extends SparkSpec {
     assert(r.getAs[String]("description") == "line one\nline two")
   }
 
+  test("restrictive source-directory permissions do not break the read") {
+    // (running as root this may not force the temp-dir fallback — the
+    // fallback path itself is exercised implicitly: any IOException on
+    // the sibling create reroutes staging to a local temp dir)
+    val dir = Files.createTempDirectory("ro")
+    val f = dir.resolve("export.csv")
+    Files.writeString(f, csv)
+    import java.nio.file.attribute.PosixFilePermissions
+    Files.setPosixFilePermissions(dir, PosixFilePermissions.fromString("r-xr-xr-x"))
+    try {
+      val out = MdrmDictionary.clean(CsvWithSkipRows.read(spark, f.toString, skipLines = 1))
+      assert(out.count() == 2)
+    } finally Files.setPosixFilePermissions(dir,
+      PosixFilePermissions.fromString("rwxr-xr-x"))
+  }
+
   test("activeFieldsPerForm counts only sentinel end dates") {
     val active = MdrmDictionary.activeFieldsPerForm(dict).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
