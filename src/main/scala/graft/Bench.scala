@@ -22,15 +22,21 @@ object Bench {
     var failed = List.empty[String]
     // Steady-state timing: best of two runs per query. Run-to-run noise
     // (codegen compilation, JIT warmup, page cache) dominates sub-second
-    // queries; the min is the reproducible throughput number.
+    // queries; the min is the reproducible throughput number. Only
+    // SUCCESSFUL runs compete for the min — a fast failure must not
+    // masquerade as a fast query.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => if (!failed.contains(name)) failed ::= name }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable =>
+          if (!failed.contains(name)) failed ::= name
+          false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) Some(dt) else None
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else 0.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -629,10 +629,15 @@ object SparkEntry {
     // commutative aggregates. Doubles excluded — their string rendering
     // is engine-specific; int/string/date columns serialize portably.
     "q58_table_checksum" -> ((s, dir) => {
+      // concat (NOT concat_ws): a null column nullifies the row hash, so
+      // the row drops from both commutative aggregates — identical to the
+      // oracle's || semantics (concat_ws would silently skip the null
+      // field and hash a DIFFERENT serialization than the oracle)
       Tables.load(s, dir, "orders")
-        .select(Hashing.hexLong(concat_ws("|",
-          col("o_orderkey").cast("string"), col("o_orderstatus"),
-          col("o_orderpriority"), col("o_orderdate").cast("string"))).as("h"))
+        .select(Hashing.hexLong(concat(
+          col("o_orderkey").cast("string"), lit("|"), col("o_orderstatus"),
+          lit("|"), col("o_orderpriority"), lit("|"),
+          col("o_orderdate").cast("string"))).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("xor_check"),
           sum(col("h") % lit(1000000007L)).as("sum_check"))
@@ -1330,7 +1335,7 @@ object SparkEntry {
         |d AS (SELECT doc_a, doc_b,
         |        SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS dp
         |      FROM p GROUP BY doc_a, doc_b),
-        |j AS (SELECT doc_a, doc_b, CAST(dp AS DOUBLE) / (na.nv * nb.nv) AS cosine
+        |j AS (SELECT doc_a, doc_b, round(CAST(dp AS DOUBLE) / (na.nv * nb.nv), 9) AS cosine
         |      FROM d JOIN nrm na ON na.vec_id = d.doc_a JOIN nrm nb ON nb.vec_id = d.doc_b)
         |SELECT doc_a, doc_b, printf('%.9f', cosine) AS cosine
         |FROM j WHERE cosine >= 0.35 ORDER BY doc_a, doc_b""".stripMargin,

@@ -153,8 +153,12 @@ object Dedup {
     val b = base.toDF("doc_b", "block", "emb_b", "nrm_b")
     a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (Similarity.dot9(col("emb_a"), col("emb_b")).cast("double") /
-          (col("nrm_a") * col("nrm_b"))).as("cosine"))
+        // threshold on the 9-decimal ROUNDING: engines can differ in the
+        // last ulp of the decimal->double cast, and a raw-double gate
+        // would flip membership for pairs within 1 ulp of minCosine
+        // (same mitigation as the cosine top-k ranking)
+        round((Similarity.dot9(col("emb_a"), col("emb_b")).cast("double") /
+          (col("nrm_a") * col("nrm_b"))), 9).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 

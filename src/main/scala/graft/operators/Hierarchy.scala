@@ -53,26 +53,39 @@ object Hierarchy {
     */
   def pathsToRoot(edges: DataFrame, maxDepth: Int = 32,
                   broadcastMaxEdges: Int = 2000000): DataFrame = {
-    // bounded probe: counts at most broadcastMaxEdges + 1 rows
-    val small = broadcastMaxEdges > 0 &&
-      edges.limit(broadcastMaxEdges + 1).count() <= broadcastMaxEdges
-    if (small) pathsToRootBroadcast(edges, maxDepth)
+    // ONE bounded evaluation decides the strategy AND supplies the
+    // broadcast path's edge list — the probe rows are reused, never
+    // re-derived from the (possibly expensive) upstream plan
+    val probe =
+      if (broadcastMaxEdges > 0)
+        edges.select(col("child"), col("parent")).limit(broadcastMaxEdges + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (broadcastMaxEdges > 0 && probe.length <= broadcastMaxEdges)
+      pathsToRootCollected(edges.sparkSession, probe,
+        edges.schema("child").dataType, maxDepth)
     else pathsToRootIterative(edges, maxDepth)
   }
 
   /** Small-edge-set fast path: collect the (tiny) edge list, broadcast a
     * child -> parents map, and enumerate every simple path in a single
     * narrow pass — no per-level driver round-trips at all. The start rows
-    * stay distributed, so path enumeration parallelizes over the frontier
-    * even though the edge map is replicated. */
-  def pathsToRootBroadcast(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
-    val spark = edges.sparkSession
-    val childType = edges.schema("child").dataType
-    val pairs = edges.select(col("child"), col("parent"))
-    val parentsOf: Map[Any, Array[Any]] = pairs.collect()
-      .groupBy(_.get(0)).map { case (c, rs) => c -> rs.map(_.get(1)) }
+    * are re-distributed, so path enumeration parallelizes over the
+    * frontier even though the edge map is replicated. */
+  def pathsToRootBroadcast(edges: DataFrame, maxDepth: Int = 32): DataFrame =
+    pathsToRootCollected(edges.sparkSession,
+      edges.select(col("child"), col("parent")).collect(),
+      edges.schema("child").dataType, maxDepth)
+
+  private def pathsToRootCollected(spark: org.apache.spark.sql.SparkSession,
+                                   pairs: Array[org.apache.spark.sql.Row],
+                                   childType: types.DataType,
+                                   maxDepth: Int): DataFrame = {
+    val parentsOf: Map[Any, Array[Any]] =
+      pairs.groupBy(_.get(0)).map { case (c, rs) => c -> rs.map(_.get(1)) }
     val bc = spark.sparkContext.broadcast(parentsOf)
-    val out = pairs.rdd.mapPartitions { it =>
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      pairs.length))
+    val out = spark.sparkContext.parallelize(pairs.toSeq, slices).mapPartitions { it =>
       val pm = bc.value
       it.flatMap { r =>
         val acc = Seq.newBuilder[org.apache.spark.sql.Row]

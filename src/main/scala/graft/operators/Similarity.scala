@@ -163,11 +163,16 @@ object Similarity {
     * bucket agree on every hyperplane side — the cosine-LSH analogue of
     * MinHash banding; candidate pairs come from a bucket equi-join
     * instead of the |N|x|Q| pair space. `vec9` must be a [[scale9]]
-    * column; zero dots count as non-negative. */
+    * column; zero dots count as non-negative. A vector whose dimension
+    * doesn't match the planes yields a NULL bucket (not a silent bucket
+    * 0 that would collapse candidate generation). */
   def srpBucket(vec9: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val p9 = typedLit(p.map(v => math.round(v * 1e9)))
-      when(dot9(vec9, p9) >= 0, lit(1L << j)).otherwise(lit(0L))
+      val d = dot9(vec9, p9)
+      // no `otherwise`: a null dot (length mismatch / null element)
+      // propagates null through the sum instead of counting as bit 0
+      when(d >= 0, lit(1L << j)).when(d < 0, lit(0L))
     }.reduce(_ + _)
 
   /** IVF coarse quantization: assign each vector to its nearest centroid by

@@ -23,9 +23,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Contract: ONE file per call, like the reference (one Fed export at a
   * time). The staging copy is driver-side streaming I/O via the Hadoop
-  * FileSystem API; by default it lands in the source file's filesystem
-  * under a temp name so executors can read it on a real cluster (pass
-  * `stagingDir` to redirect, e.g. to a scratch bucket). multiLine CSV is
+  * FileSystem API into a private temp directory (never beside the
+  * source); on a real cluster pass `stagingDir` pointing at storage the
+  * executors can read, e.g. a scratch bucket. multiLine CSV is
   * unsplittable in Spark regardless, so the copy costs no parallelism.
   */
 object CsvWithSkipRows {
@@ -36,27 +36,18 @@ object CsvWithSkipRows {
     val conf = spark.sessionState.newHadoopConf()
     val src = new Path(path)
     val srcFs = src.getFileSystem(conf)
-    // Stage next to the source by default (executor-visible on any shared
-    // filesystem); a read-only source directory falls back to the local
-    // temp dir — correct in local mode, and cluster callers with
-    // read-only sources should pass an executor-visible stagingDir.
-    val stageParent = stagingDir.map(new Path(_)).getOrElse(src.getParent)
-    val stageFs = stageParent.getFileSystem(conf)
+    // Stage in a PRIVATE temp directory, never beside the source: a
+    // sibling copy would feed duplicate records to any later directory or
+    // glob read of the source location (and pollute read-mostly data
+    // dirs). Default = driver-local temp (correct in local mode and for
+    // driver-side parses); cluster callers whose executors must read the
+    // staged file pass an executor-visible stagingDir.
+    val stageParent = stagingDir.map(new Path(_)).getOrElse(
+      new Path(java.nio.file.Files.createTempDirectory("csvskip").toUri.toString))
+    val outFs = stageParent.getFileSystem(conf)
     // NB: must not start with '.' or '_' — FileInputFormat hides those.
-    val stageName = s"${src.getName}-skip$skipLines-${UUID.randomUUID().toString.take(8)}.csv"
-    val (staged, outFs) =
-      try {
-        val p = new Path(stageParent, stageName)
-        val o = stageFs.create(p, true)
-        o.close()
-        (p, stageFs)
-      } catch {
-        case _: java.io.IOException if stagingDir.isEmpty =>
-          val tmp = new Path(
-            java.nio.file.Files.createTempDirectory("csvskip").toUri.toString,
-            stageName)
-          (tmp, tmp.getFileSystem(conf))
-      }
+    val staged = new Path(stageParent,
+      s"${src.getName}-skip$skipLines-${UUID.randomUUID().toString.take(8)}.csv")
 
     val in = srcFs.open(src)
     try {

@@ -133,8 +133,22 @@ object XportReader {
     * 256 bytes) — without loading the file into memory. Used by the DSv2
     * source at planning time so both ingest paths return identical data
     * (per-file fallback, converter.py:110-119). */
+  private val charsetCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), String]()
+
   def detectCharset(path: String, vars: Seq[Variable], obsStart: Long,
                     rowLen: Int): Charset = {
+    // one validation pass per (path, size, mtime): repeated scans of the
+    // same file (every query re-plans) must not re-stream it through the
+    // driver
+    val p = Paths.get(path)
+    val key = (path, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    Charset.forName(charsetCache.computeIfAbsent(key,
+      _ => detectCharsetUncached(path, vars, obsStart, rowLen).name()))
+  }
+
+  private def detectCharsetUncached(path: String, vars: Seq[Variable],
+                                    obsStart: Long, rowLen: Int): Charset = {
     val w1252 = Charset.forName("WINDOWS-1252")
     val charVars = vars.filterNot(_.isNumeric)
     if (charVars.isEmpty || rowLen <= 0) return w1252

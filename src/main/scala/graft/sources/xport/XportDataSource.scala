@@ -214,13 +214,20 @@ class XportChunkReader(chunk: XportChunk) extends PartitionReader[InternalRow] {
     chunk.filterVars.map(v => v.name -> v).toMap
 
   /** Decode one field of the current row for filter evaluation: Some(v)
-    * for a present value (java.lang.Double or String), None for null. */
+    * for a present value (java.lang.Double or String), None for null.
+    * Same strict-decode error contract as the projection path. */
   private def fieldValue(name: String): Option[Any] = {
     val v = filterVarByName(name)
     if (v.isNumeric) XportReader.ibmToIeee(rowBytes, v.position, v.length)
     else {
-      val s = XportReader.decodeStrict(rowBytes, v.position, v.length, charset)
-        .replaceAll("\\s+$", "")
+      val s = try
+        XportReader.decodeStrict(rowBytes, v.position, v.length, charset)
+          .replaceAll("\\s+$", "")
+      catch { case e: java.nio.charset.CharacterCodingException =>
+        throw new java.io.IOException(
+          s"xport: field ${v.name} has bytes not valid in ${chunk.encoding}; " +
+            "omit the 'encoding' option for automatic ISO-8859-1 fallback", e)
+      }
       if (s.isEmpty) None else Some(s)
     }
   }

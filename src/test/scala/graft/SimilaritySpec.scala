@@ -49,6 +49,11 @@ class SimilaritySpec extends SparkSpec {
     // -v flips every strictly-nonzero sign; with these planes all dots
     // are nonzero, so buckets are bitwise complements over 6 bits
     assert((b(1L) ^ b(3L)) == 63L)
+    // dimension mismatch -> NULL bucket, never a silent bucket 0
+    val wrongDim = Seq((9L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.srpBucket(Similarity.scale9($"embedding"), planes).as("b"))
+      .first()
+    assert(wrongDim.isNullAt(0))
   }
 
   test("centroidAssign picks argmax-dot centroid with id tiebreak") {
