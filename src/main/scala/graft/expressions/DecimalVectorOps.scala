@@ -40,11 +40,26 @@ import org.apache.spark.sql.types._
   * different lengths -> null (zip_with pads with null, nulling the sum);
   * any null element -> null.
   *
+  * Error semantics (same as the HOF chain, per step): the declarative form
+  * casts EVERY intermediate — each element to decimal(18,9), each product
+  * and each running prefix sum to decimal(30,18) — and under ANSI mode
+  * (the Spark 4 default) any of those casts failing raises, while with
+  * ANSI off it nulls the result. Both expressions therefore carry the
+  * session's `ansiEnabled` flag and check each step: NaN/Inf elements and
+  * |element| >= 1e9 fail the scale-9 cast; any product or prefix sum with
+  * |value| >= 1e12 (1e30 unscaled at scale 18) fails the decimal(30,18)
+  * cast. Only the CHOICE of exception when several steps would fail can
+  * differ from the HOF (zip_with computes all products before the sum
+  * runs; the MAC loop interleaves them) — never failure vs success.
+  *
   * Registered as `float_vec_scale9` / `dec9_dot` by [[graft.GraftExtensions]].
   */
 object DecimalVectorOps {
 
   val outType: DecimalType = DecimalType(30, 18)
+
+  /** decimal(30,18) overflow boundary as an unscaled integer. */
+  private val Ten30 = BigInteger.TEN.pow(30)
 
   /** Spark's float->decimal(18,9) cast as a scale-9 unscaled long:
     * shortest decimal representation of the widened double, rounded
@@ -58,24 +73,51 @@ object DecimalVectorOps {
     bd.unscaledValue().longValueExact() // precision <= 18 always fits a long
   }
 
-  def scale9Array(a: ArrayData): ArrayData = {
+  def scale9Array(a: ArrayData, ansi: Boolean): ArrayData = {
     val n = a.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
-        val v = scale9(a.getFloat(i))
-        out(i) = if (v == Long.MinValue) null else java.lang.Long.valueOf(v)
+        val f = a.getFloat(i)
+        val v = scale9(f)
+        if (v == Long.MinValue) {
+          if (ansi) {
+            // mirror the ANSI float->decimal(18,9) cast: invalid input
+            // (NaN/Inf) and precision overflow raise instead of nulling
+            if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
+              throw new NumberFormatException(
+                s"invalid input for cast of $f to DECIMAL(18,9) (ANSI mode); " +
+                  "set spark.sql.ansi.enabled=false for NULL-on-error semantics")
+            throw new ArithmeticException(
+              s"$f cannot be represented as DECIMAL(18,9) (ANSI mode); " +
+                "set spark.sql.ansi.enabled=false for NULL-on-error semantics")
+          }
+          out(i) = null
+        } else out(i) = java.lang.Long.valueOf(v)
       }
       i += 1
     }
     new GenericArrayData(out)
   }
 
+  /** A product or prefix sum overflowed the per-step decimal(30,18) cast:
+    * raise under ANSI, signal null-the-result otherwise. Values within
+    * long range never reach here (|long| < 9.3e18 << 1e30), so only the
+    * BigInteger paths check. */
+  private def stepOverflows(v: BigInteger, what: String, ansi: Boolean): Boolean =
+    if (v.abs.compareTo(Ten30) < 0) false
+    else if (ansi) throw new ArithmeticException(
+      s"$what ${new java.math.BigDecimal(v, 18).toPlainString} cannot be " +
+        "represented as DECIMAL(30,18) (ANSI mode); " +
+        "set spark.sql.ansi.enabled=false for NULL-on-error semantics")
+    else true
+
   /** Exact dot of two scale-9 unscaled vectors as decimal(30,18), or null
-    * (length mismatch / null element). Fast path: long MAC; overflow of
-    * the scale-18 accumulator past 2^63 falls back to BigInteger. */
-  def dot9(a: ArrayData, b: ArrayData): org.apache.spark.sql.types.Decimal = {
+    * (length mismatch / null element / — with ANSI off — any per-step
+    * decimal(30,18) overflow; with ANSI on, overflow raises). Fast path:
+    * long MAC; past 2^63 falls back to BigInteger with per-step checks. */
+  def dot9(a: ArrayData, b: ArrayData, ansi: Boolean): org.apache.spark.sql.types.Decimal = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0L
@@ -96,17 +138,20 @@ object DecimalVectorOps {
             big = BigInteger.valueOf(acc).add(BigInteger.valueOf(lo))
           else acc = sum
         } else {
-          big = BigInteger.valueOf(acc)
-            .add(BigInteger.valueOf(x).multiply(BigInteger.valueOf(y)))
+          val p = BigInteger.valueOf(x).multiply(BigInteger.valueOf(y))
+          if (stepOverflows(p, "product", ansi)) return null
+          big = BigInteger.valueOf(acc).add(p)
         }
       } else {
-        big = big.add(BigInteger.valueOf(x).multiply(BigInteger.valueOf(y)))
+        val p = BigInteger.valueOf(x).multiply(BigInteger.valueOf(y))
+        if (stepOverflows(p, "product", ansi)) return null
+        big = big.add(p)
       }
+      if (big != null && stepOverflows(big, "sum", ansi)) return null
       i += 1
     }
-    val bd = new java.math.BigDecimal(if (big == null) BigInteger.valueOf(acc) else big, 18)
-    if (bd.precision > 30) null // decimal(30,18) overflow -> null, like the cast
-    else Decimal(bd, 30, 18)
+    Decimal(new java.math.BigDecimal(
+      if (big == null) BigInteger.valueOf(acc) else big, 18), 30, 18)
   }
 
   /** Column-API entry points (session must carry [[graft.GraftExtensions]]). */
