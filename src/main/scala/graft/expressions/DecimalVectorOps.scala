@@ -48,9 +48,14 @@ import org.apache.spark.sql.types._
   * session's `ansiEnabled` flag and check each step: NaN/Inf elements and
   * |element| >= 1e9 fail the scale-9 cast; any product or prefix sum with
   * |value| >= 1e12 (1e30 unscaled at scale 18) fails the decimal(30,18)
-  * cast. Only the CHOICE of exception when several steps would fail can
-  * differ from the HOF (zip_with computes all products before the sum
-  * runs; the MAC loop interleaves them) — never failure vs success.
+  * cast. Exception: NaN/Inf elements become null even under ANSI —
+  * Spark's float->decimal cast nulls non-finite input in BOTH modes
+  * (verified empirically on 4.1.2: `CAST(float('NaN') AS DECIMAL(18,9))`
+  * is NULL with ansi on; only range overflow raises
+  * NUMERIC_VALUE_OUT_OF_RANGE). Only the CHOICE of exception when several
+  * steps would fail can differ from the HOF (zip_with computes all
+  * products before the sum runs; the MAC loop interleaves them) — never
+  * failure vs success.
   *
   * Registered as `float_vec_scale9` / `dec9_dot` by [[graft.GraftExtensions]].
   */
@@ -80,21 +85,19 @@ object DecimalVectorOps {
     while (i < n) {
       if (!a.isNullAt(i)) {
         val f = a.getFloat(i)
-        val v = scale9(f)
-        if (v == Long.MinValue) {
-          if (ansi) {
-            // mirror the ANSI float->decimal(18,9) cast: invalid input
-            // (NaN/Inf) and precision overflow raise instead of nulling
-            if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
-              throw new NumberFormatException(
-                s"invalid input for cast of $f to DECIMAL(18,9) (ANSI mode); " +
-                  "set spark.sql.ansi.enabled=false for NULL-on-error semantics")
-            throw new ArithmeticException(
+        if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f)) {
+          // Spark's float->decimal cast nulls non-finite input in BOTH
+          // ANSI modes (only range overflow raises) — match it exactly
+          out(i) = null
+        } else {
+          val v = scale9(f)
+          if (v == Long.MinValue) {
+            if (ansi) throw new ArithmeticException(
               s"$f cannot be represented as DECIMAL(18,9) (ANSI mode); " +
                 "set spark.sql.ansi.enabled=false for NULL-on-error semantics")
-          }
-          out(i) = null
-        } else out(i) = java.lang.Long.valueOf(v)
+            out(i) = null
+          } else out(i) = java.lang.Long.valueOf(v)
+        }
       }
       i += 1
     }
@@ -161,7 +164,11 @@ object DecimalVectorOps {
   def dotCol(a: Column, b: Column): Column = dot9Col(scale9Col(a), scale9Col(b))
 }
 
-case class FloatVecScale9(child: Expression) extends UnaryExpression {
+/** `ansiEnabled` is captured at planning time (companion `apply` reads
+  * `SQLConf.get` on the driver — executor-side `SQLConf.get` is not
+  * reliable) and spliced into codegen as a literal. */
+case class FloatVecScale9(child: Expression, ansiEnabled: Boolean)
+    extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
@@ -171,17 +178,24 @@ case class FloatVecScale9(child: Expression) extends UnaryExpression {
   override def prettyName: String = "float_vec_scale9"
 
   override def nullSafeEval(a: Any): Any =
-    DecimalVectorOps.scale9Array(a.asInstanceOf[ArrayData])
+    DecimalVectorOps.scale9Array(a.asInstanceOf[ArrayData], ansiEnabled)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.expressions.DecimalVectorOps.scale9Array($a);")
+      s"${ev.value} = graft.expressions.DecimalVectorOps.scale9Array($a, $ansiEnabled);")
 
   override protected def withNewChildInternal(newChild: Expression): FloatVecScale9 =
     copy(child = newChild)
 }
 
-case class Dec9Dot(left: Expression, right: Expression) extends BinaryExpression {
+object FloatVecScale9 {
+  def apply(child: Expression): FloatVecScale9 =
+    FloatVecScale9(child, org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+}
+
+/** `ansiEnabled`: see [[FloatVecScale9]]. */
+case class Dec9Dot(left: Expression, right: Expression, ansiEnabled: Boolean)
+    extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
       case ArrayType(LongType, _) => true
@@ -198,16 +212,21 @@ case class Dec9Dot(left: Expression, right: Expression) extends BinaryExpression
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    DecimalVectorOps.dot9(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    DecimalVectorOps.dot9(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ansiEnabled)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |${ev.value} = graft.expressions.DecimalVectorOps.dot9($a, $b);
+         |${ev.value} = graft.expressions.DecimalVectorOps.dot9($a, $b, $ansiEnabled);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Dec9Dot =
     copy(left = newLeft, right = newRight)
+}
+
+object Dec9Dot {
+  def apply(left: Expression, right: Expression): Dec9Dot =
+    Dec9Dot(left, right, org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
 }

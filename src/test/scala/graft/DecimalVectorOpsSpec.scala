@@ -56,13 +56,95 @@ class DecimalVectorOpsSpec extends SparkSpec {
     assert(rn.isNullAt(0))
   }
 
-  test("scale9 handles NaN/Inf/overflow like the float->decimal cast (null elements)") {
-    val df = Seq(Seq(Float.NaN, Float.PositiveInfinity, 2.0e9f, 0.5f)).toDF("a")
-    val out = df.select(Similarity.scale9(col("a"))).first().getSeq[Any](0)
-    assert(out(0) == null && out(1) == null && out(2) == null)
-    assert(out(3) == 500000000L)
-    // and a null element nullifies the dot, as the HOF chain does
-    val dot = df.select(Similarity.dotDecimal(col("a"), col("a"))).first()
-    assert(dot.isNullAt(0))
+  private def withAnsi(on: Boolean)(f: => Unit): Unit = {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", on.toString)
+    try f finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("scale9 ANSI off: NaN/Inf/overflow become null elements like the cast") {
+    withAnsi(false) {
+      val df = Seq(Seq(Float.NaN, Float.PositiveInfinity, 2.0e9f, 0.5f)).toDF("a")
+      val out = df.select(Similarity.scale9(col("a"))).first().getSeq[Any](0)
+      assert(out(0) == null && out(1) == null && out(2) == null)
+      assert(out(3) == 500000000L)
+      // and a null element nullifies the dot, as the HOF chain does
+      val dot = df.select(Similarity.dotDecimal(col("a"), col("a"))).first()
+      assert(dot.isNullAt(0))
+    }
+  }
+
+  test("scale9 ANSI on: NaN/Inf null (like the cast), precision overflow raises") {
+    withAnsi(true) {
+      // Spark's float->decimal cast nulls non-finite input even under ANSI
+      for (nonFinite <- Seq(Float.NaN, Float.PositiveInfinity)) {
+        val df = Seq((Seq(nonFinite, 0.5f), Seq(1.0f, 1.0f))).toDF("a", "b")
+        val (hof, fast) = both(Seq(nonFinite, 0.5f), Seq(1.0f, 1.0f))
+        assert(hof == null && fast == null)
+        val out = df.select(Similarity.scale9(col("a"))).first().getSeq[Any](0)
+        assert(out(0) == null && out(1) == 500000000L)
+      }
+      // ...but decimal(18,9) range overflow raises in both formulations
+      val big = Seq(Seq(2.0e9f, 0.5f)).toDF("a")
+      intercept[Exception] {
+        big.select(Similarity.dotDecimalHof(col("a"), col("a")).cast("string")).first()
+      }
+      intercept[Exception] {
+        big.select(Similarity.scale9(col("a"))).first()
+      }
+    }
+  }
+
+  test("per-step decimal(30,18) overflow matches the HOF under both ANSI settings") {
+    // elements ~1e6..1e9: each fits decimal(18,9), but a single product
+    // (|x*y| >= 1e12) overflows the per-step decimal(30,18) cast. Mixed
+    // signs would cancel in plain arithmetic — the HOF still nulls/raises,
+    // and so must the native MAC (the ADVICE medium finding).
+    val cancelling = Seq(
+      (Seq(2.0e6f, -2.0e6f), Seq(3.0e6f, 3.0e6f)),   // +6e12, -6e12 -> products overflow
+      (Seq(1.0e9f - 64f, 1.0f), Seq(1.0e9f - 64f, 1.0f)), // huge square product
+      (Seq(9.0e5f, -9.0e5f), Seq(9.0e5f, 9.0e5f)))   // 8.1e11 < 1e12: NO overflow
+    withAnsi(false) {
+      for ((a, b) <- cancelling) {
+        val (hof, fast) = both(a, b)
+        assert(fast == hof, s"ansi=off a=$a b=$b")
+      }
+    }
+    withAnsi(true) {
+      // the no-overflow pair still agrees under ANSI
+      val (hof, fast) = both(Seq(9.0e5f, -9.0e5f), Seq(9.0e5f, 9.0e5f))
+      assert(fast == hof)
+      // overflowing pairs: both forms must RAISE (never a silent finite value)
+      for ((a, b) <- cancelling.take(2)) {
+        val df = Seq((a, b)).toDF("a", "b")
+        intercept[Exception] {
+          df.select(Similarity.dotDecimalHof(col("a"), col("b")).cast("string")).first()
+        }
+        intercept[Exception] {
+          df.select(Similarity.dotDecimal(col("a"), col("b")).cast("string")).first()
+        }
+      }
+    }
+  }
+
+  test("random large-magnitude vectors agree with the HOF (ANSI off)") {
+    withAnsi(false) {
+      val rnd = new scala.util.Random(7)
+      val rows = (0 until 120).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        // magnitudes spanning 1e3..1e8 with mixed signs: some rows overflow
+        // per-step (both forms null), some don't (both forms finite)
+        val a = Seq.fill(n)((rnd.nextFloat() * 2f - 1f) * math.pow(10, 3 + rnd.nextInt(6)).toFloat)
+        val b = Seq.fill(n)((rnd.nextFloat() * 2f - 1f) * math.pow(10, 3 + rnd.nextInt(6)).toFloat)
+        (i, a, b)
+      }
+      val df = rows.toDF("i", "a", "b")
+      val bad = df.select(col("i"),
+          Similarity.dotDecimalHof(col("a"), col("b")).cast("string").as("hof"),
+          Similarity.dotDecimal(col("a"), col("b")).cast("string").as("fast"))
+        .filter(col("hof") =!= col("fast") ||
+          (col("hof").isNull =!= col("fast").isNull))
+      assert(bad.isEmpty, bad.collect().take(3).mkString("; "))
+    }
   }
 }
