@@ -425,7 +425,9 @@ object SparkEntry {
           (TextFunctions.totalTokenChars(ws).cast("double") /
             greatest(size(ws), lit(1)).cast("double")).as("avg_token_len"),
           TextFunctions.stopwordRatio(ws, stops).as("stopword_ratio"),
-          (size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0)))
+          // count punctuation by length difference — no per-char array
+          ((length(col("text")) -
+            length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))
             .cast("double") /
             greatest(length(col("text")), lit(1)).cast("double")).as("punct_ratio"),
           TextFunctions.tokenCountRegex(col("text")).as("n_regex_tokens"))
@@ -1213,9 +1215,9 @@ object SparkEntry {
         |    / CAST(GREATEST(len(w), 1) AS DOUBLE) AS avg_token_len,
         |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE)
         |    / CAST(GREATEST(len(w), 1) AS DOUBLE) AS stopword_ratio,
-        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
         |    / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_regex_tokens
+        |  CAST(length(regexp_replace(regexp_replace(text, '[A-Za-z0-9]+', 'x', 'g'), '\s', '', 'g')) AS BIGINT) AS n_regex_tokens
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
         |ORDER BY doc_id""".stripMargin,
 

@@ -157,9 +157,32 @@ object DecimalVectorOps {
       if (big == null) BigInteger.valueOf(acc) else big, 18), 30, 18)
   }
 
-  /** Column-API entry points (session must carry [[graft.GraftExtensions]]). */
-  def scale9Col(a: Column): Column = call_function("float_vec_scale9", a)
-  def dot9Col(a: Column, b: Column): Column = call_function("dec9_dot", a, b)
+  /** True when the thread's active session (if any) has the engine's
+    * native functions registered via [[graft.GraftExtensions]]. With no
+    * active session the check is inconclusive — assume available. */
+  def nativeAvailable: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.forall(
+      _.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("dec9_dot")))
+
+  private def requireExtensions(fn: String): Unit =
+    if (!nativeAvailable) throw new IllegalStateException(
+      s"$fn requires graft.GraftExtensions on the SparkSession; build it with " +
+        ".withExtensions(new graft.GraftExtensions) or " +
+        "--conf spark.sql.extensions=graft.GraftExtensions " +
+        "(or use Similarity.dotDecimalHof, the pure-built-in form)")
+
+  /** Column-API entry points (session must carry [[graft.GraftExtensions]];
+    * checked eagerly so the failure is a descriptive error at Column
+    * construction, not an UNRESOLVED_ROUTINE at analysis). */
+  def scale9Col(a: Column): Column = {
+    requireExtensions("float_vec_scale9")
+    call_function("float_vec_scale9", a)
+  }
+  def dot9Col(a: Column, b: Column): Column = {
+    requireExtensions("dec9_dot")
+    call_function("dec9_dot", a, b)
+  }
   /** The full exact dot product: scale both sides, multiply-accumulate. */
   def dotCol(a: Column, b: Column): Column = dot9Col(scale9Col(a), scale9Col(b))
 }

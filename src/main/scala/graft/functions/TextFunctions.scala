@@ -18,10 +18,13 @@ object TextFunctions {
   def normalizeWs(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
-  /** A BPE-ish subword count heuristic: words + punctuation clusters.
-    * Counts regex token occurrences without materializing the tokens. */
+  /** A BPE-ish subword count heuristic: words + punctuation clusters
+    * (the match count of `[A-Za-z0-9]+|[^A-Za-z0-9\s]`). Counted WITHOUT
+    * materializing a token array: collapse each alphanumeric run to one
+    * sentinel char, strip whitespace, take the length — one remaining
+    * char per token, no per-match allocations. */
   def tokenCountRegex(c: Column): Column =
-    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    length(regexp_replace(regexp_replace(c, "[A-Za-z0-9]+", "x"), "\\s", "")).cast("long")
 
   /** Word n-gram shingles joined by single spaces. Empty array when the
     * document has fewer than n tokens (guards Spark's descending

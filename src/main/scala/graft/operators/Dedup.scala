@@ -196,6 +196,7 @@ object Dedup {
   def lshVerifiedJaccardPairs(docs: DataFrame, id: Column, text: Column,
                               numHashes: Int, bands: Int, shingleN: Int,
                               minJ: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     val cand = lshCandidatePairs(
       minhashBands(docs, id, text, numHashes, bands, shingleN))
     // shingle stream reused by the pair-restricted join on BOTH sides and

@@ -52,7 +52,7 @@ object Hierarchy {
     *         an array [node, ..., root], `depth` its edge count.
     */
   def pathsToRoot(edges: DataFrame, maxDepth: Int = 32,
-                  broadcastMaxEdges: Int = 2000000): DataFrame = {
+                  broadcastMaxEdges: Int = 100000): DataFrame = {
     // ONE bounded evaluation decides the strategy AND supplies the
     // broadcast path's edge list — the probe rows are reused, never
     // re-derived from the (possibly expensive) upstream plan

@@ -46,9 +46,13 @@ object Similarity {
     * identical results to [[dotDecimalHof]] via the native scale-9 MAC
     * expressions. When a vector side fans out through a join, prefer
     * [[scale9]] + [[dot9]] so the decimal conversion runs once per row,
-    * not once per pair. */
+    * not once per pair. Sessions built WITHOUT [[graft.GraftExtensions]]
+    * transparently get the (bit-identical, slower) HOF form instead of an
+    * opaque UNRESOLVED_ROUTINE failure. */
   def dotDecimal(a: Column, b: Column): Column =
-    graft.expressions.DecimalVectorOps.dotCol(a, b)
+    if (graft.expressions.DecimalVectorOps.nativeAvailable)
+      graft.expressions.DecimalVectorOps.dotCol(a, b)
+    else dotDecimalHof(a, b)
 
   /** Per-element scale-9 unscaled decimal form of a float vector —
     * precompute BEFORE join fan-out. */
@@ -119,13 +123,17 @@ object Similarity {
       .localCheckpoint(true)
     val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
     val qs9 = queries.select(col("qid"), scale9(col("qvec")).as("qvec9"))
-    // cell assignment for the corpus (argmax dot, centroid-id tiebreak)
-    val aw = Window.partitionBy("cid").orderBy(col("ascore").desc, col("centroid_id").asc)
+    // cell assignment for the corpus: argmax dot (centroid-id tiebreak) as
+    // a max_by AGGREGATE, not a window — partial aggregation collapses the
+    // N x C fan-out map-side, so the exchange carries one row per vector
+    // instead of sorting all N x C scored rows (the window formulation
+    // shuffles C x more bytes; a scale-killer at 100 TB)
     val cells = vecs9.crossJoin(broadcast(cents9))
       .select(col("cid"), col("centroid_id"),
         dot9(col("cvec9"), col("ctr9")).as("ascore"))
-      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
-      .select(col("cid"), col("centroid_id"))
+      .groupBy("cid")
+      .agg(max_by(col("centroid_id"),
+        struct(col("ascore"), -col("centroid_id"))).as("centroid_id"))
     // nprobe nearest cells per query
     val pw = Window.partitionBy("qid").orderBy(col("pscore").desc, col("centroid_id").asc)
     val probes = qs9.crossJoin(broadcast(cents9))
@@ -187,13 +195,16 @@ object Similarity {
     val v9 = graft.core.Parallelism.ensureWidth(vectors)
       .select(col("vec_id"), scale9(col("embedding")).as("embedding9"))
     val c9 = centroids.select(col("centroid_id"), scale9(col("cvec")).as("cvec9"))
-    val scored = v9.crossJoin(broadcast(c9))
+    // argmax via max_by aggregate (not a window): map-side partial
+    // aggregation collapses the N x C scored fan-out to one row per
+    // vector BEFORE the exchange — see [[ivfTopK]]'s cell stage
+    v9.crossJoin(broadcast(c9))
       .select(col("vec_id"), col("centroid_id"),
         dot9(col("embedding9"), col("cvec9")).as("score_d"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("score_d").desc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("score_d"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("centroid_id"), col("score_d")),
+        struct(col("score_d"), -col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        col("best.score_d").as("score_d"))
   }
 }

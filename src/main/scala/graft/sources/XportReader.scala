@@ -77,7 +77,10 @@ object XportReader {
     var frac = 0L
     for (i <- 1 until 8)
       frac = (frac << 8) | (if (i < len) bytes(off + i) & 0xffL else 0L)
-    if (frac == 0L) return Some(0.0)
+    // IBM "negative zero" (sign bit, zero fraction) maps to IEEE -0.0 —
+    // the same value a sign*magnitude decode produces; Spark SQL compares
+    // -0.0 == 0.0, and the pushdown normalizes before ordering
+    if (frac == 0L) return Some(if ((b0 & 0x80) != 0) -0.0 else 0.0)
     val sign = if ((b0 & 0x80) != 0) -1.0 else 1.0
     val exp16 = b0 & 0x7f
     Some(sign * Math.scalb(frac.toDouble, 4 * (exp16 - 64) - 56))

@@ -232,10 +232,16 @@ class XportChunkReader(chunk: XportChunk) extends PartitionReader[InternalRow] {
     }
   }
 
+  // Spark SQL treats -0.0 == 0.0 but Double.compare orders -0.0 < 0.0;
+  // normalize so the pushdown never skips a row the post-scan filter
+  // would keep (pushdown is a correctness surface, not an optimization)
+  private def normZero(d: Double): Double = if (d == 0.0) 0.0 else d
+
   private def cmp(name: String, lit: Any): Option[Int] = fieldValue(name).map {
     case d: java.lang.Double =>
-      java.lang.Double.compare(d, lit.asInstanceOf[Number].doubleValue())
-    case d: Double => java.lang.Double.compare(d, lit.asInstanceOf[Number].doubleValue())
+      java.lang.Double.compare(normZero(d), normZero(lit.asInstanceOf[Number].doubleValue()))
+    case d: Double =>
+      java.lang.Double.compare(normZero(d), normZero(lit.asInstanceOf[Number].doubleValue()))
     case s: String => s.compareTo(lit.toString)
   }
 

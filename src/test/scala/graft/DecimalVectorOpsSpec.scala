@@ -127,6 +127,25 @@ class DecimalVectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("without GraftExtensions: dotDecimal falls back to the HOF, scale9 raises descriptively") {
+    val reg = spark.sessionState.functionRegistry
+    val fid = org.apache.spark.sql.catalyst.FunctionIdentifier("dec9_dot")
+    val info = reg.lookupFunction(fid).get
+    val builder = reg.lookupFunctionBuilder(fid).get
+    assert(reg.dropFunction(fid))
+    try {
+      assert(!graft.expressions.DecimalVectorOps.nativeAvailable)
+      // dotDecimal transparently takes the (bit-identical) pure-built-in path
+      val df = Seq((Seq(0.5f, 2.0f), Seq(0.5f, 1.0f))).toDF("a", "b")
+      val r = df.select(Similarity.dotDecimal(col("a"), col("b")).cast("string")).first()
+      assert(r.getString(0) == "2.250000000000000000")
+      // the unscaled-form entry points fail fast with a pointer to the fix
+      val e = intercept[IllegalStateException] { Similarity.scale9(col("a")) }
+      assert(e.getMessage.contains("GraftExtensions"))
+    } finally reg.registerFunction(fid, info, builder)
+    assert(graft.expressions.DecimalVectorOps.nativeAvailable)
+  }
+
   test("random large-magnitude vectors agree with the HOF (ANSI off)") {
     withAnsi(false) {
       val rnd = new scala.util.Random(7)

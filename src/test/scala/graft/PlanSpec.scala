@@ -49,6 +49,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("q30/q35: centroid argmax is a partial aggregate, not a window exchange") {
+    // the N x C scored fan-out must collapse map-side (HashAggregate with
+    // partial max_by) before any exchange — a Window over the fan-out
+    // would shuffle and sort C x more rows
+    for (q <- Seq("q30_centroid_assign", "q35_ivf_topk")) {
+      val p = plan(q)
+      assert(p.contains("max_by"), s"$q: argmax should be max_by\n${p.take(1500)}")
+    }
+    // q30 is pure assignment: no window at all may appear
+    assert(!plan("q30_centroid_assign").contains("Window"),
+      "q30 must not use a window for argmax")
+  }
+
   test("q29: grouping sets expand in a single pass (one Expand, one agg shuffle)") {
     val p = plan("q29_grouping_sets")
     assert("Expand".r.findAllIn(p).length == 1, p.take(1500))

@@ -76,6 +76,33 @@ class XportDataSourceSpec extends SparkSpec {
     assert(pruned.as[Double].collect().toSeq == Seq(1007.0))
   }
 
+  test("pushdown keeps rows whose IBM float decodes to negative zero") {
+    // IBM "negative zero" (sign bit set, zero fraction) decodes to IEEE
+    // -0.0. Spark SQL treats -0.0 == 0.0, so a pushed EqualTo(_, 0.0)
+    // must NOT skip the row (Double.compare alone would order -0.0 < 0.0).
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(XportFixture.bytes, 0, XportFixture.headerLen)
+    o.write(XportFixture.ibm(20010331.0)); o.write(XportFixture.ibm(42.0))
+    o.write(Array(0x80.toByte) ++ Array.fill(7)(0.toByte)) // RCON2170 = -0.0
+    o.write(XportFixture.ibm(1.0)); o.write("NEGZERO ".getBytes("US-ASCII"))
+    val tail = o.size() % 80
+    if (tail != 0) o.write(Array.fill(80 - tail)(' '.toByte))
+    val f = java.nio.file.Files.createTempFile("negzero", ".xpt")
+    java.nio.file.Files.write(f, o.toByteArray)
+    val df = spark.read.format("xport").load(f.toString)
+    // the decode really produces -0.0 (sign bit preserved), not +0.0 —
+    // otherwise this test would be vacuous
+    val raw = df.select("RCON2170").first().getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(raw) == java.lang.Double.doubleToRawLongBits(-0.0))
+    for (pred <- Seq($"RCON2170" === 0.0, $"RCON2170" >= 0.0, $"RCON2170" <= 0.0)) {
+      val q = df.filter(pred)
+      assert(q.queryExecution.executedPlan.toString.contains("pushed="))
+      assert(q.count() == 1, s"pushdown dropped the -0.0 row for $pred")
+    }
+    assert(df.filter($"RCON2170" < 0.0).count() == 0)
+    assert(df.filter($"RCON2170" > 0.0).count() == 0)
+  }
+
   test("intra-file splits: chunked read returns every row exactly once") {
     val big = XportFixture.writeTempN(1000)
     val df = spark.read.format("xport").option("chunkRows", "64").load(big)
