@@ -3,6 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Median wall time of the successful runs (lower middle for even
+    * counts — conservative, never an outlier). */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.size - 1) / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,6 +20,8 @@ object Bench {
       .withExtensions(new GraftExtensions) // native engine expressions
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     // Warm up JIT/codegen paths (scan, join, window, text, arrays) on the
     // smallest SF so the first timed query doesn't absorb startup cost.
     Seq("q01_pricing_agg", "q04_join_fact", "q08_window_rank", "q21_jaccard_pairs")
@@ -20,29 +30,44 @@ object Bench {
         catch { case _: Throwable => () }
       }
     var failed = List.empty[String]
-    // Steady-state timing: best of two runs per query. Run-to-run noise
-    // (codegen compilation, JIT warmup, page cache) dominates sub-second
-    // queries; the min is the reproducible throughput number. Only
-    // SUCCESSFUL runs compete for the min — a fast failure must not
-    // masquerade as a fast query.
+    // Steady-state timing: per-query MEDIAN of three runs (not min, not a
+    // single shot) so one loaded-machine outlier can't dominate, with the
+    // matching process-CPU delta reported alongside — wall >> cpu/cores
+    // across the board means external load polluted the run, and the
+    // artifact self-diagnoses it. Only SUCCESSFUL runs compete — a fast
+    // failure must not masquerade as a fast query.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val runs = (1 to 3).flatMap { _ =>
+        // drop cached blocks accumulated by localCheckpoint-ing queries so
+        // earlier queries' storage doesn't skew later measurements
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable =>
           if (!failed.contains(name)) failed ::= name
           false
         }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) Some(dt) else None
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        if (ok) Some((wall, cpu)) else None
       }
-      name -> (if (times.nonEmpty) times.min else 0.0)
+      if (runs.isEmpty) name -> (0.0, 0.0)
+      else {
+        val medWall = median(runs.map(_._1))
+        // the CPU delta of the run whose wall time IS the median
+        val cpu = runs.find(_._1 == medWall).map(_._2).getOrElse(0.0)
+        name -> (medWall, cpu)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qsCpu = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val cpuTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"cores":$cpus,"queries":$qs,"queries_cpu":$qsCpu,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
