@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.core.SparkSessionFactory
 import graft.pipelines.{MdrmDictionary, Taxonomy, UbprManual, XportFacts}
-import graft.sources.{CsvWithSkipRows, XmlLinkbase, ZipSource}
+import graft.sources.{CsvWithSkipRows, HttpFetch, XmlLinkbase, ZipSource}
 
 /** Drop-in command-line surface for the reference's four scripts
   * (README parity: a scripts-toolkit user can run the same jobs here).
@@ -20,17 +20,23 @@ import graft.sources.{CsvWithSkipRows, XmlLinkbase, ZipSource}
   *   ubpr <spans.json> <out-dir>   — UBPR manual span stream -> records
   *                                   (ubpr_technical_manual_parser/app.py)
   *
-  * The reference's HTTP download step is a pre-step here (zero-egress
-  * environments fetch out-of-band). For ubpr, PDF text extraction is
-  * likewise a pre-step: no PDF codec ships in this container, so the
-  * command consumes the extractor's span stream — JSON lines of
-  * (doc_id, pos, text, size, font) in reading order, which is exactly
-  * what a PyMuPDF/PDFBox `get_text("dict")` walk emits.
+  * Every `<in>` argument also accepts an http(s):// URL — the reference's
+  * download step ([[graft.sources.HttpFetch]]) stages it to a temp file
+  * first. For ubpr, PDF text extraction is likewise a pre-step: no PDF
+  * codec ships in this container, so the command consumes the extractor's
+  * span stream — JSON lines of (doc_id, pos, text, size, font) in reading
+  * order, which is exactly what a PyMuPDF/PDFBox `get_text("dict")` walk
+  * emits.
   */
 object Cli {
 
   private def session(): SparkSession =
     SparkSessionFactory.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt, "graft-cli")
+
+  /** Stage http(s) inputs locally (the reference's download step);
+    * filesystem paths pass through untouched. */
+  private def maybeFetch(in: String): String =
+    if (HttpFetch.isHttp(in)) HttpFetch.fetchToTemp(in) else in
 
   /** If `path` is a ZIP, extract the first member matching `pred` to a
     * temp file; otherwise return the path unchanged. */
@@ -45,18 +51,19 @@ object Cli {
     }
 
   def runMdrm(spark: SparkSession, in: String, outDir: String): Unit = {
-    val csv = maybeUnzip(in, _.toLowerCase.endsWith(".csv"), "")
+    val csv = maybeUnzip(maybeFetch(in), _.toLowerCase.endsWith(".csv"), "")
     MdrmDictionary.clean(CsvWithSkipRows.read(spark, csv, skipLines = 1))
       .write.mode("overwrite").json(outDir)
   }
 
   def runXport(spark: SparkSession, in: String, outDir: String): Unit = {
-    val xpt = maybeUnzip(in, _.toLowerCase.endsWith(".xpt"), "")
+    val xpt = maybeUnzip(maybeFetch(in), _.toLowerCase.endsWith(".xpt"), "")
     XportFacts.fromFile(spark, xpt)
       .write.mode("overwrite").json(outDir)
   }
 
-  def runTaxonomy(spark: SparkSession, zipPath: String, outDir: String): String = {
+  def runTaxonomy(spark: SparkSession, zipIn: String, outDir: String): String = {
+    val zipPath = maybeFetch(zipIn)
     def parse(tag: String) = {
       val (_, bytes) = ZipSource.memberOf(zipPath, _.contains(tag))
         .getOrElse(sys.error(s"member *$tag* missing in $zipPath"))
@@ -87,7 +94,7 @@ object Cli {
       StructField("doc_id", StringType), StructField("pos", LongType),
       StructField("text", StringType), StructField("size", DoubleType),
       StructField("font", StringType)))
-    UbprManual.toRecords(spark.read.schema(spanSchema).json(spansJson))
+    UbprManual.toRecords(spark.read.schema(spanSchema).json(maybeFetch(spansJson)))
       .write.mode("overwrite").json(outDir)
   }
 

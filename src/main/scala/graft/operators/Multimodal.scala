@@ -37,6 +37,28 @@ object Multimodal {
       length(col(payload)).cast(LongType).as("n_bytes"),
       md5(col(payload)).as("content_md5"))
 
+  /** Distributed archive ingestion: every member of every ZIP matching
+    * `glob` becomes a media row (archives fan out across tasks via the
+    * binaryFile source; see [[graft.sources.ZipSource.readMembers]] — for
+    * ONE huge archive feed [[graft.sources.ZipSource.readMembersParallel]]
+    * through [[ingestMembers]] instead). media_id is a stable hash of
+    * (archive, entry), so re-ingestion is idempotent; the source archive
+    * and member name ride along for lineage. */
+  def ingestZip(spark: org.apache.spark.sql.SparkSession, glob: String,
+                format: String, pred: String => Boolean = _ => true): DataFrame =
+    ingestMembers(graft.sources.ZipSource.readMembers(spark, glob, pred), format)
+
+  /** (archive, entry, payload) rows -> media frame. */
+  def ingestMembers(members: DataFrame, format: String): DataFrame =
+    members.select(
+      graft.functions.Hashing.hexLong(
+        concat_ws("::", col("archive"), col("entry"))).as("media_id"),
+      col("payload").cast(BinaryType).as("payload"),
+      lit(format).as("format"),
+      length(col("payload")).cast(LongType).as("n_bytes"),
+      md5(col("payload")).as("content_md5"),
+      col("archive"), col("entry"))
+
   final case class DecodedFrame(media_id: Long, width: Int, height: Int,
                                 n_channels: Int, feature: Array[Float])
 

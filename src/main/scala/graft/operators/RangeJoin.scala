@@ -25,11 +25,18 @@ object RangeJoin {
     * @param points    frame with `point` (long — epoch units, days, ids…)
     * @param intervals frame with `start`/`end` (long, end exclusive)
     * @param bucketWidth quantization width in the same units
+    * @param broadcastIntervals hint the (exploded) interval side for a
+    *        broadcast hash join — when the interval set is small (calendar
+    *        quarters, rate windows, a dim-sized schedule), this removes
+    *        the shuffle of the big point side entirely; the explode
+    *        multiplies the broadcast by avgSpan/bucketWidth, so keep the
+    *        product well under the driver/executor broadcast budget
     */
   def pointInInterval(points: DataFrame, point: Column,
                       intervals: DataFrame, start: Column, end: Column,
                       bucketWidth: Long,
-                      extraKeys: Seq[String] = Seq.empty): DataFrame = {
+                      extraKeys: Seq[String] = Seq.empty,
+                      broadcastIntervals: Boolean = false): DataFrame = {
     val p = points.withColumn("__bucket", floor(point / bucketWidth).cast("long"))
       .withColumn("__p", point)
     // explode each interval across every bucket it overlaps; empty or
@@ -42,7 +49,7 @@ object RangeJoin {
       .withColumn("__bucket",
         explode(sequence(floor(col("__s") / bucketWidth).cast("long"),
           floor((col("__e") - 1) / bucketWidth).cast("long"))))
-    p.join(i, Seq("__bucket") ++ extraKeys)
+    p.join(if (broadcastIntervals) broadcast(i) else i, Seq("__bucket") ++ extraKeys)
       .filter(col("__p") >= col("__s") && col("__p") < col("__e"))
       .drop("__bucket", "__p", "__s", "__e")
   }

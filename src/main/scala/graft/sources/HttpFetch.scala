@@ -1,0 +1,75 @@
+package graft.sources
+
+import java.io.{FileOutputStream, InputStream}
+import java.net.{HttpURLConnection, URI}
+import java.nio.file.{Files, Path, Paths}
+
+/** Driver-side URL -> local staging, mirroring the reference's download
+  * pre-step (`mdrm_data_collect_process.py:100-115` `requests.get` and
+  * `app.py:8-10` urlretrieve): fetch once on the driver, then hand the
+  * staged path to the distributed readers.
+  *
+  * JDK `HttpURLConnection` only — no added dependency. Redirects are
+  * followed (across schemes too, which the JDK refuses by default);
+  * non-2xx terminal responses fail loudly with the status code. Staged
+  * file names never start with '.' or '_' — FileInputFormat hides such
+  * files from Spark reads.
+  */
+object HttpFetch {
+
+  def isHttp(s: String): Boolean =
+    s.startsWith("http://") || s.startsWith("https://")
+
+  /** Download `url` to `dest`, creating parent dirs. Returns `dest`. */
+  def fetch(url: String, dest: Path, timeoutMs: Int = 60000,
+            maxRedirects: Int = 5): Path = {
+    var current = url
+    var redirects = 0
+    while (true) {
+      val conn = new URI(current).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setInstanceFollowRedirects(false) // handled here: JDK won't cross schemes
+      val code = conn.getResponseCode
+      if (code >= 300 && code < 400 && conn.getHeaderField("Location") != null) {
+        redirects += 1
+        if (redirects > maxRedirects)
+          sys.error(s"too many redirects fetching $url (last: $current)")
+        current = new URI(current).resolve(conn.getHeaderField("Location")).toString
+        conn.disconnect()
+      } else if (code >= 200 && code < 300) {
+        if (dest.getParent != null) Files.createDirectories(dest.getParent)
+        val in = conn.getInputStream
+        try copy(in, dest) finally { in.close(); conn.disconnect() }
+        return dest
+      } else {
+        conn.disconnect()
+        sys.error(s"HTTP $code fetching $current")
+      }
+    }
+    dest // unreachable
+  }
+
+  /** Download to a temp file whose name keeps the URL's file name and
+    * extension (so downstream suffix sniffing — .zip/.csv/.xpt — works). */
+  def fetchToTemp(url: String, timeoutMs: Int = 60000): String = {
+    val name = Paths.get(new URI(url).getPath match {
+      case null | "" | "/" => "download"
+      case p => p
+    }).getFileName.toString
+    // never let the staged name start with '.' or '_' (hidden to Spark)
+    val safe = if (name.startsWith(".") || name.startsWith("_")) s"f$name" else name
+    val dir = Files.createTempDirectory("graft-fetch-")
+    fetch(url, dir.resolve(safe), timeoutMs).toString
+  }
+
+  private def copy(in: InputStream, dest: Path): Unit = {
+    val out = new FileOutputStream(dest.toFile)
+    try {
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally out.close()
+  }
+}

@@ -2,18 +2,27 @@ package graft.sources
 
 import java.io.ByteArrayOutputStream
 import java.nio.file.{Files, Paths}
-import java.util.zip.ZipInputStream
+import java.util.zip.{ZipFile, ZipInputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** ZIP container access — the reference's member-selection pattern
   * (`mdrm_data_collect_process.py:117-127`, `cdr_taxonomy_processor
   * .py:86-99`, `converter.py:235-250`): open an archive, list entries,
   * select members by name predicate, extract bytes.
   *
-  * Driver-side: the reference's archives are single small files (an MDRM
-  * CSV, four linkbase XMLs, one XPORT member). For many-archive corpora at
-  * scale, the same two functions run inside `binaryFile`-source
-  * `mapPartitions` — entry listing and extraction are stream-based and
-  * need no temp files.
+  * Three tiers, by corpus shape:
+  *  - [[member]]/[[entries]]: driver-side single small archive (the
+  *    reference's MDRM CSV / linkbase XML / XPORT cases);
+  *  - [[readMembers]]: MANY archives — each `binaryFile` row (one
+  *    archive) unzips inside its task, so archives distribute across the
+  *    cluster; archives themselves are never split (the ZIP central
+  *    directory isn't splittable);
+  *  - [[readMembersParallel]]: ONE huge archive — list the central
+  *    directory once (no payload reads), distribute entry names, and let
+  *    each task re-open the archive with random access and extract only
+  *    its entries.
   */
 object ZipSource {
 
@@ -42,4 +51,86 @@ object ZipSource {
   def entriesOf(path: String): Seq[String] = entries(Files.readAllBytes(Paths.get(path)))
   def memberOf(path: String, pred: String => Boolean): Option[(String, Array[Byte])] =
     member(Files.readAllBytes(Paths.get(path)), pred)
+
+  /** Stream EVERY member matching `pred` out of in-memory archive bytes. */
+  def memberRows(zipBytes: Array[Byte],
+                 pred: String => Boolean): Iterator[(String, Array[Byte])] = {
+    val zin = new ZipInputStream(new java.io.ByteArrayInputStream(zipBytes))
+    Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .filter(e => !e.isDirectory && pred(e.getName))
+      .map { e =>
+        val out = new ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        Iterator.continually(zin.read(buf)).takeWhile(_ > 0)
+          .foreach(n => out.write(buf, 0, n))
+        (e.getName, out.toByteArray)
+      }
+  }
+
+  /** Distributed many-archive ingestion: one (archive, entry, payload) row
+    * per member of every archive matching `glob`. Each archive unzips
+    * inside the task that owns its `binaryFile` row — archives spread
+    * across the cluster, payloads never pass through the driver. `pred`
+    * must be serializable (plain function literals are). */
+  def readMembers(spark: SparkSession, glob: String,
+                  pred: String => Boolean = _ => true): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        memberRows(bytes, pred).map { case (e, b) => (p, e, b) } }
+      .toDF("archive", "entry", "payload")
+  }
+
+  /** Central-directory listing via random access — no payload reads, so a
+    * multi-GB archive lists in milliseconds. Requires a locally-readable
+    * path (local disk / NFS); for object stores use [[readMembers]]. */
+  def entriesLocal(path: String): Seq[String] = {
+    val zf = new ZipFile(stripFileScheme(path))
+    try {
+      val it = zf.entries()
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (it.hasMoreElements) {
+        val e = it.nextElement()
+        if (!e.isDirectory) out += e.getName
+      }
+      out.toList
+    } finally zf.close()
+  }
+
+  private def stripFileScheme(p: String): String =
+    if (p.startsWith("file:")) new java.io.File(new java.net.URI(p)).getPath else p
+
+  /** Single-huge-archive ingestion: per-ENTRY parallel extraction. The
+    * central directory is listed once (driver, metadata only); entry
+    * names are distributed over `parallelism` tasks; each task re-opens
+    * the archive with [[java.util.zip.ZipFile]] (random access through
+    * the central directory) and extracts only its own entries — members
+    * of one archive decompress concurrently even though the container
+    * format is not splittable. */
+  def readMembersParallel(spark: SparkSession, path: String,
+                          pred: String => Boolean = _ => true,
+                          parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val names = entriesLocal(path).filter(pred)
+    val par = math.max(1, if (parallelism > 0) parallelism
+      else math.min(spark.sparkContext.defaultParallelism, names.size))
+    val localPath = stripFileScheme(path)
+    spark.createDataset(names).repartition(par)
+      .mapPartitions { es =>
+        val zf = new ZipFile(localPath)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => zf.close()))
+        es.map { name =>
+          val in = zf.getInputStream(zf.getEntry(name))
+          val out = new ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          try Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+            .foreach(n => out.write(buf, 0, n))
+          finally in.close()
+          (path, name, out.toByteArray)
+        }
+      }
+      .toDF("archive", "entry", "payload")
+  }
 }

@@ -53,6 +53,49 @@ class CliSpec extends SparkSpec {
     assert(r.getAs[String]("page_name") == "Summary Ratios")
   }
 
+  test("http inputs: the download pre-step stages and the pipeline runs end-to-end") {
+    // local HTTP fixture — serves an MDRM-style zipped CSV like the Fed's
+    // bulk endpoint (the reference's requests.get step), plus a redirect
+    val csv = "PUBLIC MICRO DATA REFERENCE MANUAL\n" +
+      "Mnemonic,Item Code,Start Date,End Date,Item Name,Confidentiality," +
+      "ItemType,Reporting Form,Description,SeriesGlossary\n" +
+      "RCON,2170,1/1/1984 12:00:00 AM,12/31/9999 12:00:00 AM,TOTAL ASSETS,N," +
+      "F,031;041,\"Total assets\",\n"
+    val zipBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(zipOf("mdrm-data.csv" -> csv.getBytes("UTF-8"))))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def serve(path: String, code: Int, body: Array[Byte],
+              headers: (String, String)*): Unit =
+      server.createContext(path, exchange => {
+        headers.foreach { case (k, v) => exchange.getResponseHeaders.add(k, v) }
+        exchange.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+        if (body.nonEmpty) exchange.getResponseBody.write(body)
+        exchange.close()
+      })
+    serve("/mdrm.zip", 200, zipBytes)
+    serve("/moved.zip", 302, Array.emptyByteArray, "Location" -> "/mdrm.zip")
+    serve("/missing.zip", 404, Array.emptyByteArray)
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val out = Files.createTempDirectory("mdrm-http").toString
+      Cli.runMdrm(spark, s"$base/mdrm.zip", out)
+      val dict = spark.read.json(out)
+      assert(dict.count() == 1)
+      assert(dict.select("mdrm").first().getString(0) == "RCON2170")
+      // redirects are followed
+      val staged = graft.sources.HttpFetch.fetchToTemp(s"$base/moved.zip")
+      assert(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(staged)).sameElements(zipBytes))
+      // errors carry the status code, not a cryptic stream failure
+      val e = intercept[RuntimeException] {
+        graft.sources.HttpFetch.fetchToTemp(s"$base/missing.zip")
+      }
+      assert(e.getMessage.contains("404"))
+    } finally server.stop(0)
+  }
+
   test("taxonomy command: linkbase zip to form_quarter.json document") {
     val pres =
       """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink"><presentationLink>

@@ -89,4 +89,18 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 3L)) // id 3: point 99 outside [90,95)? 99>=95 -> no match
     // cross-bucket: point 29 (bucket 0) in interval 2 [25,55) spanning buckets 0-1
   }
+
+  test("range join: broadcastIntervals hints a broadcast hash join, same rows") {
+    val pts = Seq(5L, 15L, 29L, 30L, 45L, 99L).toDF("d")
+    val iv = Seq((1L, 0L, 30L), (2L, 25L, 55L), (3L, 90L, 95L)).toDF("id", "s", "e")
+    val bc = RangeJoin.pointInInterval(pts, col("d"), iv, col("s"), col("e"), 30L,
+      broadcastIntervals = true)
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(1200))
+    val plain = RangeJoin.pointInInterval(pts, col("d"), iv, col("s"), col("e"), 30L)
+    assert(bc.select("d", "id").except(plain.select("d", "id")).isEmpty)
+    assert(plain.select("d", "id").except(bc.select("d", "id")).isEmpty)
+  }
 }

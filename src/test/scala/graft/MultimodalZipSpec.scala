@@ -55,6 +55,57 @@ class MultimodalZipSpec extends SparkSpec {
     assert(!byId.contains(2L)) // payload shorter than one frame -> no rows
   }
 
+  private def writeZip(dir: java.nio.file.Path, name: String,
+                       members: Seq[(String, String)]): java.nio.file.Path = {
+    val f = dir.resolve(name)
+    val z = new ZipOutputStream(java.nio.file.Files.newOutputStream(f))
+    for ((n, content) <- members) {
+      z.putNextEntry(new ZipEntry(n))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    f
+  }
+
+  test("distributed zip: readMembers unzips each archive inside its task") {
+    val dir = java.nio.file.Files.createTempDirectory("zips")
+    writeZip(dir, "a.zip", Seq("x1.txt" -> "alpha", "x2.txt" -> "beta", "skip.bin" -> "no"))
+    writeZip(dir, "b.zip", Seq("y1.txt" -> "gamma"))
+    val out = ZipSource.readMembers(spark, dir.toString + "/*.zip", _.endsWith(".txt"))
+      .collect().map(r => (r.getString(1), new String(r.getAs[Array[Byte]](2), "UTF-8")))
+      .toMap
+    assert(out == Map("x1.txt" -> "alpha", "x2.txt" -> "beta", "y1.txt" -> "gamma"))
+  }
+
+  test("distributed zip: one archive's members extract across >1 task") {
+    val dir = java.nio.file.Files.createTempDirectory("bigzip")
+    val members = (0 until 20).map(i => f"m$i%02d.txt" -> s"content-$i")
+    val f = writeZip(dir, "big.zip", members)
+    val df = ZipSource.readMembersParallel(spark, f.toString, parallelism = 4)
+    assert(df.rdd.getNumPartitions == 4, "entries must spread over multiple tasks")
+    val got = df.collect()
+      .map(r => (r.getString(1), new String(r.getAs[Array[Byte]](2), "UTF-8"))).toMap
+    assert(got == members.toMap)
+    // predicate filters at the central-directory listing, before any read
+    assert(ZipSource.readMembersParallel(spark, f.toString, _.contains("m01")).count() == 1)
+  }
+
+  test("ingestZip builds a media frame with stable ids and lineage columns") {
+    val dir = java.nio.file.Files.createTempDirectory("mediazip")
+    writeZip(dir, "imgs.zip", Seq("a.fake" -> "payloadA", "b.fake" -> "payloadBB"))
+    val media = Multimodal.ingestZip(spark, dir.toString + "/*.zip", "image/fake")
+    assert(media.columns.toSeq == Seq("media_id", "payload", "format", "n_bytes",
+      "content_md5", "archive", "entry"))
+    val rows = media.collect().map(r => r.getAs[String]("entry") -> r).toMap
+    assert(rows("a.fake").getAs[Long]("n_bytes") == 8L)
+    assert(rows("b.fake").getAs[Long]("n_bytes") == 9L)
+    assert(rows.values.map(_.getAs[Long]("media_id")).toSet.size == 2) // distinct, stable
+    // media frame feeds the batched decode plumbing unchanged
+    val frames = Multimodal.decodeFrames(media).collect()
+    assert(frames.length == 2 && frames.forall(_.feature.length == 8))
+  }
+
   test("zip member selection by substring predicate") {
     val bos = new java.io.ByteArrayOutputStream()
     val z = new ZipOutputStream(bos)
