@@ -17,16 +17,16 @@ import graft.sources.{CsvWithSkipRows, HttpFetch, XmlLinkbase, ZipSource}
   *                                   (sas_xport_converter/converter.py)
   *   taxonomy <zip> <out-dir>      — XBRL taxonomy -> <form>_<quarter>.json
   *                                   (cdr_taxonomy_processor.py)
-  *   ubpr <spans.json> <out-dir>   — UBPR manual span stream -> records
+  *   ubpr <pdf|spans.json> <out-dir> — UBPR manual -> records
   *                                   (ubpr_technical_manual_parser/app.py)
   *
   * Every `<in>` argument also accepts an http(s):// URL — the reference's
   * download step ([[graft.sources.HttpFetch]]) stages it to a temp file
-  * first. For ubpr, PDF text extraction is likewise a pre-step: no PDF
-  * codec ships in this container, so the command consumes the extractor's
-  * span stream — JSON lines of (doc_id, pos, text, size, font) in reading
-  * order, which is exactly what a PyMuPDF/PDFBox `get_text("dict")` walk
-  * emits.
+  * first. ubpr extracts text spans from the PDF itself with the built-in
+  * minimal extractor ([[graft.sources.PdfSpans]]); a pre-extracted span
+  * stream (JSON lines of doc_id, pos, text, size, font in reading order —
+  * what a PyMuPDF/PDFBox `get_text("dict")` walk emits) is also accepted
+  * for scanned/CID documents beyond the extractor's scope.
   */
 object Cli {
 
@@ -86,16 +86,25 @@ object Cli {
     out.toString
   }
 
-  /** Span stream (JSON lines: doc_id, pos, text, size, font) -> UBPR
-    * manual records as JSON. */
-  def runUbpr(spark: SparkSession, spansJson: String, outDir: String): Unit = {
-    import org.apache.spark.sql.types._
-    val spanSchema = StructType(Seq(
-      StructField("doc_id", StringType), StructField("pos", LongType),
-      StructField("text", StringType), StructField("size", DoubleType),
-      StructField("font", StringType)))
-    UbprManual.toRecords(spark.read.schema(spanSchema).json(maybeFetch(spansJson)))
-      .write.mode("overwrite").json(outDir)
+  /** UBPR manual -> records JSON. Accepts either the manual PDF itself
+    * (built-in minimal extractor, [[graft.sources.PdfSpans]] — the
+    * reference's PyMuPDF walk) or a pre-extracted span stream (JSON
+    * lines: doc_id, pos, text, size, font). */
+  def runUbpr(spark: SparkSession, in: String, outDir: String): Unit = {
+    val local = maybeFetch(in)
+    val spans =
+      if (local.toLowerCase.endsWith(".pdf")) {
+        val docId = Paths.get(local).getFileName.toString.stripSuffix(".pdf")
+        graft.sources.PdfSpans.spansDf(spark, local, docId)
+      } else {
+        import org.apache.spark.sql.types._
+        val spanSchema = StructType(Seq(
+          StructField("doc_id", StringType), StructField("pos", LongType),
+          StructField("text", StringType), StructField("size", DoubleType),
+          StructField("font", StringType)))
+        spark.read.schema(spanSchema).json(local)
+      }
+    UbprManual.toRecords(spans).write.mode("overwrite").json(outDir)
   }
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -113,7 +122,7 @@ object Cli {
           |  mdrm <csv|zip> <out-dir>    MDRM data dictionary -> JSON records
           |  xport <xpt|zip> <out-dir>   SAS XPORT -> typed EAV facts JSON
           |  taxonomy <zip> <out-dir>    XBRL taxonomy -> <form>_<quarter>.json
-          |  ubpr <spans.json> <out-dir> extracted span stream -> manual records""".stripMargin)
+          |  ubpr <pdf|spans.json> <out-dir>  UBPR manual -> records""".stripMargin)
       sys.exit(2)
   }
 }

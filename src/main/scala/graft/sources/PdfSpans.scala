@@ -1,0 +1,449 @@
+package graft.sources
+
+import java.util.zip.Inflater
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal PDF text-span extractor — the engine-side counterpart of the
+  * reference's PyMuPDF walk (`ubpr_technical_manual_parser/app.py:16-42`,
+  * `page.get_text("dict")` -> span `{text, size, font}` records): parse
+  * the PDF object graph, walk the page tree in document order, decode
+  * each page's content stream (FlateDecode via `java.util.zip.Inflater`),
+  * and interpret the text operators —
+  *
+  *   - `/F1 12 Tf`   sets the active font alias + size (resolved to the
+  *                   font object's /BaseFont, subset prefix stripped);
+  *   - `Tj`, `'`, `"` show a literal/hex string;
+  *   - `TJ`          shows an array of strings with kerning numbers
+  *                   (numbers are positioning only — text concatenates);
+  *   - `BT`/`ET`     bound a text block.
+  *
+  * Consecutive shows with the SAME font+size inside one text block merge
+  * into one span (the PyMuPDF behavior for a styled run); a font/size
+  * change or block boundary starts the next span. Spans are emitted in
+  * content-stream order with a document-wide `pos`, which is exactly the
+  * `(doc_id, pos, text, size, font)` stream
+  * [[graft.pipelines.UbprManual.toRecords]] consumes.
+  *
+  * Scope (documented, not hidden): simple 8-bit fonts read as Latin-1 —
+  * no CMap/ToUnicode decoding, no encryption, no object streams
+  * (/ObjStm), FlateDecode only. That covers text-first report PDFs like
+  * the UBPR manual; scanned or CID-keyed documents need a full codec.
+  * Driver-side by design — one manual at a time, like the reference; for
+  * a PDF corpus run it per row inside `binaryFile` tasks.
+  */
+object PdfSpans {
+
+  final case class Span(doc_id: String, pos: Long, text: String,
+                        size: Double, font: String)
+
+  // ---- PDF object model -------------------------------------------------
+
+  private sealed trait PVal
+  private case class PNum(v: Double) extends PVal
+  private case class PName(v: String) extends PVal
+  private case class PStr(bytes: Array[Byte]) extends PVal
+  private case class PArr(items: Vector[PVal]) extends PVal
+  private case class PDict(m: Map[String, PVal]) extends PVal
+  private case class PRef(num: Int) extends PVal
+  private case class POp(name: String) extends PVal // content-stream operator
+  private case object PNull extends PVal
+
+  private final case class PdfObject(dict: PVal, stream: Option[Array[Byte]])
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0
+  private def isDelim(b: Byte): Boolean =
+    "()<>[]{}/%".indexOf(b.toChar) >= 0
+
+  /** Streaming lexer/parser over raw PDF bytes (shared by the object
+    * graph and content streams — content adds operator tokens). */
+  private final class Lexer(bytes: Array[Byte], var pos: Int) {
+    def eof: Boolean = pos >= bytes.length
+    def skipWs(): Unit = {
+      var go = true
+      while (go && !eof) {
+        if (isWs(bytes(pos))) pos += 1
+        else if (bytes(pos) == '%') { // comment to EOL
+          while (!eof && bytes(pos) != '\n' && bytes(pos) != '\r') pos += 1
+        } else go = false
+      }
+    }
+
+    private def bareToken(): String = {
+      val sb = new StringBuilder
+      while (!eof && !isWs(bytes(pos)) && !isDelim(bytes(pos))) {
+        sb.append(bytes(pos).toChar); pos += 1
+      }
+      sb.toString
+    }
+
+    private def name(): PName = { // after '/'
+      val sb = new StringBuilder
+      while (!eof && !isWs(bytes(pos)) && !isDelim(bytes(pos))) {
+        if (bytes(pos) == '#' && pos + 2 < bytes.length) {
+          sb.append(Integer.parseInt(
+            new String(bytes, pos + 1, 2, "ISO-8859-1"), 16).toChar)
+          pos += 3
+        } else { sb.append(bytes(pos).toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def literalString(): PStr = { // after '('
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (!eof && depth > 0) {
+        val b = bytes(pos); pos += 1
+        b match {
+          case '(' => depth += 1; out.write(b)
+          case ')' => depth -= 1; if (depth > 0) out.write(b)
+          case '\\' if !eof =>
+            val e = bytes(pos); pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '\n' => () // line continuation
+              case '\r' => if (!eof && bytes(pos) == '\n') pos += 1
+              case d if d >= '0' && d <= '7' => // up to 3 octal digits
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && !eof && bytes(pos) >= '0' && bytes(pos) <= '7') {
+                  v = v * 8 + (bytes(pos) - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other)
+            }
+          case _ => out.write(b)
+        }
+      }
+      PStr(out.toByteArray)
+    }
+
+    private def hexString(): PStr = { // after '<' (single)
+      val out = new java.io.ByteArrayOutputStream()
+      val hex = new StringBuilder
+      while (!eof && bytes(pos) != '>') {
+        val c = bytes(pos).toChar
+        if (!isWs(bytes(pos))) hex.append(c)
+        pos += 1
+      }
+      if (!eof) pos += 1 // '>'
+      val h = if (hex.length % 2 == 1) hex.append('0') else hex
+      var i = 0
+      while (i < h.length) {
+        out.write(Integer.parseInt(h.substring(i, i + 2), 16)); i += 2
+      }
+      PStr(out.toByteArray)
+    }
+
+    /** Next value. In `content` mode bare words become POp operators. */
+    def value(content: Boolean): PVal = {
+      skipWs()
+      if (eof) return PNull
+      bytes(pos) match {
+        case '<' if pos + 1 < bytes.length && bytes(pos + 1) == '<' =>
+          pos += 2
+          val m = mutable.LinkedHashMap.empty[String, PVal]
+          var done = false
+          while (!done) {
+            skipWs()
+            if (eof) done = true
+            else if (bytes(pos) == '>' && pos + 1 < bytes.length && bytes(pos + 1) == '>') {
+              pos += 2; done = true
+            } else value(content) match {
+              case PName(k) => m(k) = value(content)
+              case _ => done = true // malformed key: bail out of the dict
+            }
+          }
+          PDict(m.toMap)
+        case '<' => pos += 1; hexString()
+        case '(' => pos += 1; literalString()
+        case '/' => pos += 1; name()
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PVal]
+          var done = false
+          while (!done) {
+            skipWs()
+            if (eof || bytes(pos) == ']') { if (!eof) pos += 1; done = true }
+            else items += value(content)
+          }
+          PArr(items.result())
+        case ']' | ')' | '>' | '}' => pos += 1; PNull // stray delimiter
+        case '{' => pos += 1; PNull
+        case b if b == '+' || b == '-' || b == '.' || (b >= '0' && b <= '9') =>
+          val start = pos
+          val tok = bareToken()
+          val n = try tok.toDouble catch { case _: NumberFormatException =>
+            return if (content) POp(tok) else PNull }
+          // "N G R" indirect reference lookahead (object mode only)
+          if (!content && n >= 0 && n == n.floor) {
+            val save = pos
+            skipWs()
+            val genStart = pos
+            val gen = bareToken()
+            skipWs()
+            if (gen.nonEmpty && gen.forall(_.isDigit) && !eof && bytes(pos) == 'R' &&
+                (pos + 1 >= bytes.length || isWs(bytes(pos + 1)) || isDelim(bytes(pos + 1)))) {
+              pos += 1
+              return PRef(n.toInt)
+            }
+            pos = save
+            val _ = (start, genStart)
+          }
+          PNum(n)
+        case _ =>
+          val tok = bareToken()
+          tok match {
+            case "true" | "false" => PNum(if (tok == "true") 1 else 0)
+            case "null" | "" => if (tok.isEmpty) { pos += 1; PNull } else PNull
+            case other => if (content) POp(other) else PNull
+          }
+      }
+    }
+  }
+
+  // ---- object graph -----------------------------------------------------
+
+  /** Scan `N G obj ... endobj` occurrences (more tolerant than trusting
+    * the xref table, which repaired/appended files often break). */
+  private def scanObjects(bytes: Array[Byte]): Map[Int, PdfObject] = {
+    val text = new String(bytes, "ISO-8859-1")
+    val objRe = """(?s)(\d+)\s+(\d+)\s+obj\b""".r
+    val out = mutable.Map.empty[Int, PdfObject]
+    for (m <- objRe.findAllMatchIn(text)) {
+      val num = m.group(1).toInt
+      val lx = new Lexer(bytes, m.end)
+      val dict = lx.value(content = false)
+      lx.skipWs()
+      val stream =
+        if (text.startsWith("stream", lx.pos)) {
+          var s = lx.pos + "stream".length
+          if (s < bytes.length && bytes(s) == '\r') s += 1
+          if (s < bytes.length && bytes(s) == '\n') s += 1
+          val len = dict match {
+            case PDict(d) => d.get("Length") match {
+              case Some(PNum(n)) => Some(n.toInt)
+              case _ => None // indirect /Length: fall back to endstream scan
+            }
+            case _ => None
+          }
+          val end = len.map(l => s + l).filter(e =>
+              e <= bytes.length && text.indexOf("endstream", e) >= 0)
+            .getOrElse(text.indexOf("endstream", s) match {
+              case -1 => s
+              case e => // trim the EOL the writer put before the keyword
+                var t = e
+                if (t > s && bytes(t - 1) == '\n') t -= 1
+                if (t > s && bytes(t - 1) == '\r') t -= 1
+                t
+            })
+          Some(java.util.Arrays.copyOfRange(bytes, s, math.max(s, end)))
+        } else None
+      // later definitions win (incremental updates append re-definitions)
+      out(num) = PdfObject(dict, stream)
+    }
+    out.toMap
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && inf.needsDictionary()) sys.error("zlib preset dictionary unsupported")
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  private def decodeStream(obj: PdfObject): Array[Byte] = {
+    val data = obj.stream.getOrElse(Array.emptyByteArray)
+    val filters = obj.dict match {
+      case PDict(d) => d.get("Filter") match {
+        case Some(PName(f)) => Seq(f)
+        case Some(PArr(fs)) => fs.collect { case PName(f) => f }
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+    filters.foldLeft(data) {
+      case (acc, "FlateDecode") => inflate(acc)
+      case (_, other) => sys.error(s"unsupported PDF stream filter /$other")
+    }
+  }
+
+  // ---- page tree --------------------------------------------------------
+
+  private def resolve(v: PVal, objs: Map[Int, PdfObject]): PVal = v match {
+    case PRef(n) => objs.get(n).map(_.dict).getOrElse(PNull)
+    case other => other
+  }
+
+  private def dictOf(v: PVal, objs: Map[Int, PdfObject]): Map[String, PVal] =
+    resolve(v, objs) match { case PDict(m) => m; case _ => Map.empty }
+
+  /** Leaf /Page dicts in document order (cycle-guarded Kids walk). */
+  private def pagesInOrder(objs: Map[Int, PdfObject]): Seq[Map[String, PVal]] = {
+    val catalog = objs.values.map(_.dict).collectFirst {
+      case PDict(m) if m.get("Type").contains(PName("Catalog")) => m
+    }.getOrElse(return Seq.empty)
+    val seen = mutable.Set.empty[Int]
+    def walk(node: PVal): Seq[Map[String, PVal]] = {
+      node match {
+        case PRef(n) if !seen.add(n) => return Seq.empty
+        case _ => ()
+      }
+      val d = dictOf(node, objs)
+      d.get("Type") match {
+        case Some(PName("Page")) => Seq(d)
+        case _ => d.get("Kids") match {
+          case Some(kids) => resolve(kids, objs) match {
+            case PArr(ks) => ks.flatMap(walk)
+            case _ => Seq.empty
+          }
+          case None => Seq.empty
+        }
+      }
+    }
+    catalog.get("Pages").map(walk).getOrElse(Seq.empty)
+  }
+
+  /** /Resources is inheritable: absent on the page, look up the /Parent
+    * chain (bounded — malformed files may cycle). */
+  private def inheritedResources(page: Map[String, PVal],
+                                 objs: Map[Int, PdfObject]): PVal = {
+    var d = page
+    var depth = 0
+    while (depth < 32) {
+      d.get("Resources") match {
+        case Some(r) => return r
+        case None => d.get("Parent") match {
+          case Some(p) => d = dictOf(p, objs); depth += 1
+          case None => return PNull
+        }
+      }
+    }
+    PNull
+  }
+
+  /** Font alias -> BaseFont name for a page (subset prefix stripped). */
+  private def fontMap(page: Map[String, PVal],
+                      objs: Map[Int, PdfObject]): Map[String, String] =
+    dictOf(inheritedResources(page, objs), objs)
+      .get("Font").map(f => dictOf(f, objs)).getOrElse(Map.empty)
+      .map { case (alias, fv) =>
+        val base = dictOf(fv, objs).get("BaseFont") match {
+          case Some(PName(b)) => b.replaceFirst("^[A-Z]{6}\\+", "")
+          case _ => alias
+        }
+        alias -> base
+      }
+
+  private def pageContent(page: Map[String, PVal],
+                          objs: Map[Int, PdfObject]): Array[Byte] = {
+    def streamsOf(v: PVal): Seq[Array[Byte]] = v match {
+      case PRef(n) => objs.get(n).toSeq.map(decodeStream)
+      case PArr(items) => items.flatMap(streamsOf)
+      case _ => Seq.empty
+    }
+    val parts = page.get("Contents").map(streamsOf).getOrElse(Seq.empty)
+    if (parts.isEmpty) Array.emptyByteArray
+    else parts.reduce((a, b) => a ++ Array[Byte]('\n') ++ b)
+  }
+
+  // ---- content-stream interpretation ------------------------------------
+
+  private def showText(b: Array[Byte]): String = new String(b, "ISO-8859-1")
+
+  /** One page's content -> (text, size, font) spans in stream order. */
+  private def pageSpans(content: Array[Byte],
+                        fonts: Map[String, String]): Seq[(String, Double, String)] = {
+    val lx = new Lexer(content, 0)
+    val operands = mutable.ArrayBuffer.empty[PVal]
+    val spans = mutable.ArrayBuffer.empty[(String, Double, String)]
+    var fontAlias = ""
+    var fontSize = 0.0
+    val current = new StringBuilder
+    var currentFont = ""
+    var currentSize = 0.0
+    def flush(): Unit = {
+      if (current.nonEmpty) {
+        spans += ((current.toString, currentSize, currentFont))
+        current.clear()
+      }
+    }
+    def show(s: String): Unit = {
+      val f = fonts.getOrElse(fontAlias, fontAlias)
+      if (current.nonEmpty && (f != currentFont || fontSize != currentSize)) flush()
+      currentFont = f; currentSize = fontSize
+      current.append(s)
+    }
+    while (!lx.eof) {
+      lx.value(content = true) match {
+        case POp(op) =>
+          op match {
+            case "Tf" => operands.toList match {
+              case List(PName(a), PNum(s)) => fontAlias = a; fontSize = s
+              case _ => ()
+            }
+            case "Tj" | "'" => operands.lastOption match {
+              case Some(PStr(b)) => show(showText(b))
+              case _ => ()
+            }
+            case "\"" => operands.lastOption match {
+              case Some(PStr(b)) => show(showText(b))
+              case _ => ()
+            }
+            case "TJ" => operands.lastOption match {
+              case Some(PArr(items)) =>
+                show(items.collect { case PStr(b) => showText(b) }.mkString)
+              case _ => ()
+            }
+            case "BT" | "ET" => flush()
+            case _ => () // graphics/positioning operators don't affect spans
+          }
+          operands.clear()
+        case PNull if lx.eof => ()
+        case v => operands += v
+      }
+    }
+    flush()
+    spans.toSeq
+  }
+
+  // ---- public API -------------------------------------------------------
+
+  /** Extract ordered text spans from PDF bytes. */
+  def extract(bytes: Array[Byte], docId: String): Seq[Span] = {
+    val objs = scanObjects(bytes)
+    var pos = 0L
+    pagesInOrder(objs).flatMap { page =>
+      pageSpans(pageContent(page, objs), fontMap(page, objs)).map {
+        case (text, size, font) =>
+          pos += 1
+          Span(docId, pos, text, size, font)
+      }
+    }
+  }
+
+  def extractFile(path: String, docId: String): Seq[Span] =
+    extract(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), docId)
+
+  /** Span stream as a DataFrame — the [[graft.pipelines.UbprManual]]
+    * input contract (doc_id, pos, text, size, font). */
+  def spansDf(spark: SparkSession, path: String, docId: String): DataFrame = {
+    import spark.implicits._
+    extractFile(path, docId).toDF()
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.util.zip.Deflater
+
+/** Spec-built two-page PDF fixture exercising the extractor surface:
+  * uncompressed + FlateDecode content streams, literal strings with
+  * octal/paren escapes, TJ kerning arrays, hex strings, a subset-prefixed
+  * BaseFont, inherited /Resources, and a valid xref/trailer. The span
+  * content mirrors the UBPR-manual shape so the stream round-trips
+  * through UbprManual.toRecords. */
+object PdfFixture {
+
+  private def deflate(s: String): Array[Byte] = {
+    val input = s.getBytes("ISO-8859-1")
+    val d = new Deflater()
+    d.setInput(input); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Page 1, uncompressed: heading/title/item/NARRATIVE spans. */
+  private val content1: String =
+    """BT /F1 16 Tf 72 720 Td (Summary Ratios) Tj ET
+      |BT /F2 14 Tf 72 700 Td (Net Income) Tj ET
+      |BT /F2 12 Tf 72 680 Td (1 UBPRE001) Tj ET
+      |BT /F1 10 Tf 72 660 Td (NARRATIVE) Tj ET
+      |BT /F1 10 Tf 72 640 Td (Net income after taxes) Tj ET
+      |""".stripMargin
+
+  /** Page 2, Flate-compressed: TJ kerning array, octal escape for '/',
+    * escaped parens, a hex string, same-block same-style merging. */
+  private val content2: String =
+    """BT /F1 10 Tf 72 720 Td [(FOR) -120 (MULA)] TJ ET
+      |BT /F1 10 Tf 72 700 Td (UBPR4340 \057 UBPRE002) Tj ET
+      |BT /F1 10 Tf 72 680 Td (\(see) Tj ( also\)) Tj <20416E6E6578> Tj ET
+      |""".stripMargin
+
+  /** Assemble the file with correct xref offsets. */
+  lazy val bytes: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def obj(body: => Unit): Unit = { offsets += out.size(); body }
+    w("%PDF-1.4\n")
+    obj { w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n") }
+    obj { w("2 0 obj\n<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 " +
+      "/Resources << /Font << /F1 7 0 R /F2 8 0 R >> >> >>\nendobj\n") }
+    // page 1 carries its own Resources; page 2 inherits from the Pages node
+    obj { w("3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 7 0 R /F2 8 0 R >> >> " +
+      "/MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n") }
+    obj {
+      w(s"4 0 obj\n<< /Length ${content1.length} >>\nstream\n")
+      w(content1)
+      w("endstream\nendobj\n")
+    }
+    obj { w("5 0 obj\n<< /Type /Page /Parent 2 0 R " +
+      "/MediaBox [0 0 612 792] /Contents 6 0 R >>\nendobj\n") }
+    val c2 = deflate(content2)
+    obj {
+      w(s"6 0 obj\n<< /Length ${c2.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(c2)
+      w("\nendstream\nendobj\n")
+    }
+    obj { w("7 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n") }
+    obj { w("8 0 obj\n<< /Type /Font /Subtype /Type1 " +
+      "/BaseFont /ABCDEF+Helvetica-Bold >>\nendobj\n") }
+    val xref = out.size()
+    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  def writeTemp(): String = {
+    val f = java.nio.file.Files.createTempFile("manual", ".pdf")
+    java.nio.file.Files.write(f, bytes)
+    f.toString
+  }
+}

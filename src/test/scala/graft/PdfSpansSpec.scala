@@ -1,0 +1,53 @@
+package graft
+
+import graft.sources.PdfSpans
+
+/** The minimal PDF extractor against the spec-built fixture: page order,
+  * font/size resolution, string escapes, Flate streams, and the full
+  * PDF -> spans -> UbprManual.toRecords round-trip via the CLI. */
+class PdfSpansSpec extends SparkSpec {
+
+  private lazy val spans = PdfSpans.extract(PdfFixture.bytes, "m1")
+
+  test("extracts spans in document order with resolved fonts and sizes") {
+    val got = spans.map(s => (s.pos, s.text, s.size, s.font))
+    assert(got == Seq(
+      (1L, "Summary Ratios", 16.0, "Helvetica"),
+      (2L, "Net Income", 14.0, "Helvetica-Bold"), // subset prefix stripped
+      (3L, "1 UBPRE001", 12.0, "Helvetica-Bold"),
+      (4L, "NARRATIVE", 10.0, "Helvetica"),
+      (5L, "Net income after taxes", 10.0, "Helvetica"),
+      // page 2 is FlateDecode-compressed and inherits /Resources
+      (6L, "FORMULA", 10.0, "Helvetica"), // TJ kerning array concatenates
+      (7L, "UBPR4340 / UBPRE002", 10.0, "Helvetica"), // octal \057 -> '/'
+      // escaped parens + hex string, merged within one same-style block
+      (8L, "(see also) Annex", 10.0, "Helvetica")))
+  }
+
+  test("ubpr command accepts the PDF itself and emits the manual record") {
+    val pdf = PdfFixture.writeTemp()
+    val out = java.nio.file.Files.createTempDirectory("ubpr-pdf").toString
+    graft.cli.Cli.runUbpr(spark, pdf, out)
+    val recs = spark.read.json(out)
+    assert(recs.count() == 1)
+    val r = recs.first()
+    assert(r.getAs[String]("page_name") == "Summary Ratios")
+    assert(r.getAs[String]("title") == "Net Income")
+    assert(r.getAs[String]("item_number") == "1")
+    assert(r.getAs[String]("mdrm") == "UBPRE001")
+    assert(r.getAs[String]("narrative") == "Net income after taxes")
+    assert(r.getAs[String]("formula") == "UBPR4340 / UBPRE002 (see also) Annex")
+  }
+
+  test("tolerates incremental updates: a re-defined object wins") {
+    // append a redefinition of the page-1 content stream (what an
+    // incremental-update writer does); the later object must win
+    val patch = ("4 0 obj\n<< /Length 40 >>\nstream\n" +
+      "BT /F1 16 Tf (Patched Heading) Tj ET\n" +
+      "endstream\nendobj\n").getBytes("ISO-8859-1")
+    val patched = PdfFixture.bytes ++ patch
+    val got = PdfSpans.extract(patched, "m2")
+    assert(got.head.text == "Patched Heading" && got.head.size == 16.0)
+    assert(got.map(_.text).contains("FORMULA")) // page 2 unaffected
+  }
+}
