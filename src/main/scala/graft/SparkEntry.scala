@@ -705,6 +705,20 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // LLM ops — symmetric int8 quantization for embedding storage (4x
+    // scan-bandwidth cut at 100 TB); integer code stats so the oracle is
+    // exact across engines
+    "q61_quantize_int8" -> ((s, dir) => {
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qs"))
+        .select(col("vec_id"),
+          size(col("qs.q")).as("n_dims"),
+          aggregate(col("qs.q"), lit(0L), (a, v) => a + v).as("q_sum"),
+          array_max(col("qs.q")).cast("long").as("q_max"),
+          array_min(col("qs.q")).cast("long").as("q_min"))
+        .orderBy("vec_id")
+    }),
+
     // LLM ops — dedup group resolution: connected components over the
     // LSH candidate pairs (transitive closure of a~b near-dup matches)
     "q52_dedup_components" -> ((s, dir) => {
@@ -1033,6 +1047,21 @@ object SparkEntry {
         |FROM com JOIN cnt ca ON ca.doc_id = com.doc_a JOIN cnt cb ON cb.doc_id = com.doc_b
         |WHERE CAST(com.n_common AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - com.n_common AS DOUBLE) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q61_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |q AS (SELECT vec_id,
+        |    CASE WHEN scale > 0
+        |      THEN list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))
+        |      ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv FROM s)
+        |SELECT vec_id, CAST(len(qv) AS INTEGER) AS n_dims,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q52_dedup_components" ->
       """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -154,6 +154,34 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("score_d"))
   }
 
+  /** Symmetric per-vector int8 quantization for embedding STORAGE: 4x
+    * smaller than float32 on the wire and on disk — at 100 TB of vectors
+    * the scan bandwidth, not the arithmetic, is the ANN bottleneck, and
+    * candidate generation (IVF cells, SRP buckets) tolerates quantized
+    * precision; only the final re-rank needs the float originals.
+    *
+    * Deterministic everywhere: codes are `floor(x * 127 / max|x| + 0.5)`
+    * (half-up via floor — IEEE-identical across engines, no
+    * locale/rounding-mode surface). All-zero vectors quantize to zeros
+    * with scale 0.
+    *
+    * @return struct(scale double, q array<int> in [-127, 127])
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = array_max(transform(vec, x => abs(x.cast("double"))))
+    val q = when(scale > 0d,
+        transform(vec, x =>
+          floor(x.cast("double") * lit(127.0) / scale + lit(0.5)).cast("int")))
+      .otherwise(transform(vec, x => lit(0)))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Reconstruct floats from [[quantizeInt8]] output; per-element error is
+    * at most scale/254 (half a quantization step). */
+  def dequantInt8(qs: Column): Column =
+    transform(qs.getField("q"),
+      v => (v.cast("double") * qs.getField("scale") / lit(127.0)).cast("float"))
+
   /** Deterministic sign-random-projection hyperplanes for [[srpBuckets]]:
     * plane j, dimension i gets an exact-3-decimal value in (-1, 1) from a
     * fixed mixing constant — reproducible everywhere (no RNG), and exact

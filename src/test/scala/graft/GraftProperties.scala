@@ -46,6 +46,18 @@ object GraftProperties extends Properties("graft") {
       out.length == docs.length && out.forall(h => h >= 0L && h < 1000000007L)
     }
 
+  property("PdfSpans round-trips arbitrary literal-string span text") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.choose(' ', '~')).map(_.mkString))) { texts0 =>
+      val texts = texts0.take(20)
+      val content = texts
+        .map(t => s"BT /F1 10 Tf 72 700 Td (${PdfFixture.pdfEscape(t)}) Tj ET")
+        .mkString("\n")
+      val spans = graft.sources.PdfSpans.extract(PdfFixture.onePage(content), "p")
+      spans.map(_.text) == texts &&
+        spans.forall(s => s.size == 10.0 && s.font == "Helvetica")
+    }
+
   property("unpivot round-trips: pivot-back equals original modulo dropped nulls") =
     forAll(Gen.listOfN(15, Gen.zip(Gen.option(Gen.choose(-1e6, 1e6)),
       Gen.option(Gen.choose(-1e6, 1e6))))) { rows =>

@@ -76,6 +76,34 @@ object PdfFixture {
     out.toByteArray
   }
 
+  /** A single-page, uncompressed PDF around arbitrary content — for
+    * property tests over the content-stream interpreter. */
+  def onePage(content: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+    w(content)
+    w("\nendstream\nendobj\n")
+    w("5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    w("trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Escape a string for a PDF literal string token. */
+  def pdfEscape(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '(' => "\\("
+    case ')' => "\\)"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case c => c.toString
+  }
+
   def writeTemp(): String = {
     val f = java.nio.file.Files.createTempFile("manual", ".pdf")
     java.nio.file.Files.write(f, bytes)

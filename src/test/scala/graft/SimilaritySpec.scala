@@ -56,6 +56,34 @@ class SimilaritySpec extends SparkSpec {
     assert(wrongDim.isNullAt(0))
   }
 
+  test("int8 quantize/dequant: codes in [-127,127], error within half a step") {
+    val rows = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(1e-4f, -1e-4f, 3e-5f)),
+      (3L, Seq(0.0f, 0.0f)), // all-zero: scale 0, codes 0
+      (4L, Seq(-2.5f)))
+      .toDF("vec_id", "embedding")
+    val out = rows.select($"vec_id", $"embedding",
+        Similarity.quantizeInt8($"embedding").as("qs"))
+      .select($"vec_id", $"qs.scale".as("scale"), $"qs.q".as("q"),
+        Similarity.dequantInt8($"qs").as("deq"), $"embedding")
+    for (r <- out.collect()) {
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      val deq = r.getSeq[Float](3)
+      val orig = r.getSeq[Float](4)
+      assert(q.forall(v => v >= -127 && v <= 127), s"codes out of range: $q")
+      if (scale == 0.0) assert(q.forall(_ == 0) && deq.forall(_ == 0f))
+      else orig.zip(deq).foreach { case (o, d) =>
+        // half a quantization step, plus float32 representation slack
+        assert(math.abs(o - d) <= scale / 254.0 * 1.001, s"|$o - $d| > step/2")
+      }
+    }
+    // the max-|x| element always hits a full-scale code
+    val full = out.filter($"vec_id" === 1L).select($"q").first().getSeq[Int](0)
+    assert(full.contains(-127))
+  }
+
   test("centroidAssign picks argmax-dot centroid with id tiebreak") {
     val cents = vecs.filter($"vec_id".isin(0L, 2L))
       .select($"vec_id".as("centroid_id"), $"embedding".as("cvec"))
