@@ -46,6 +46,21 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Streaming exact dedup — the streaming form of the batch
+    * `Dedup.exactGroups` keep-one policy: the first arrival of each key
+    * passes, re-arrivals are dropped. `dropDuplicatesWithinWatermark`
+    * bounds the per-key state by the watermark horizon, so the dedup set
+    * is evicted as event time advances — a plain `dropDuplicates` on an
+    * unbounded stream would grow state forever (the 100 TB streaming
+    * failure mode). Keys re-arriving AFTER the horizon pass again: pick
+    * `watermarkDelay` at least as long as the duplicate window the
+    * pipeline actually produces (retries, replays, at-least-once
+    * sources). */
+  def dedupFirstArrival(docs: DataFrame, keyCols: Seq[String],
+                        watermarkDelay: String): DataFrame =
+    docs.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class Ev(user_id: Long, ts_us: Long, event_type: String)
   final case class Segmented(user_id: Long, ts_us: Long, event_type: String, seg_id: Long)
   final case class SegState(segId: Long, lastTsUs: Long)

@@ -94,6 +94,28 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupFirstArrival keeps first arrivals across micro-batches, drops re-arrivals") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String, String)]
+    val docs = src.toDF().toDF("ts", "digest", "text")
+    val q = EventStreams.dedupFirstArrival(docs, Seq("digest"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      src.addData((t("2024-01-01 00:00:00"), "d1", "first"),
+        (t("2024-01-01 00:01:00"), "d1", "dup-same-batch"),
+        (t("2024-01-01 00:02:00"), "d2", "other"))
+      q.processAllAvailable()
+      // a later micro-batch re-delivers d1 within the watermark horizon
+      src.addData((t("2024-01-01 00:03:00"), "d1", "dup-next-batch"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(rows == Set("d1" -> "first", "d2" -> "other"))
+    } finally q.stop()
+  }
+
   test("runningTotals (mapGroupsWithState) folds state across micro-batches") {
     import graft.streaming.EventStreams.ValEv
     implicit val sc = spark.sqlContext
