@@ -1,0 +1,269 @@
+package graft.sources.zip
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 for ZIP archives
+  * (`spark.read.format("zip").load(path)`) — the planner-integrated form
+  * of [[graft.sources.ZipSource]] (SURVEY §2.1 stretch goal). Schema:
+  *
+  *   archive string, entry string, n_bytes long, payload binary
+  *
+  * Scale behaviors a plain mapPartitions unzip can't give you:
+  *
+  *  - **planning-time entry pruning** (`SupportsPushDownFilters`):
+  *    equality/prefix/suffix/contains predicates on `entry`/`archive`
+  *    are applied against the central directory BEFORE partitions are
+  *    created — a member-select query opens only matching members, and
+  *    archives with no survivors contribute no tasks at all;
+  *  - **decompression-skipping column pruning**
+  *    (`SupportsPushDownRequiredColumns`): when `payload` is not in the
+  *    projection (entry listings, size audits), readers never open the
+  *    archives — rows come straight from the central-directory metadata
+  *    gathered at planning;
+  *  - **per-entry parallelism**: one archive's members spread over many
+  *    partitions, chunked by UNCOMPRESSED size (`targetChunkBytes`,
+  *    default 64 MB), so one huge archive fans out like
+  *    [[graft.sources.ZipSource.readMembersParallel]].
+  *
+  * `path` may be a single archive, a directory (every `*.zip` inside),
+  * or a glob on the file name. Paths must be locally readable (local
+  * disk / NFS); for object stores use `ZipSource.readMembers` over the
+  * binaryFile source. The central directory is read once on the driver
+  * — metadata only, payloads stay on executors.
+  */
+class ZipDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "zip"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZipTable.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val p = properties.get("path")
+    require(p != null, "zip source requires a single 'path' option")
+    new ZipTable(p)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object ZipTable {
+  val schema: StructType = StructType(Seq(
+    StructField("archive", StringType, nullable = false),
+    StructField("entry", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  private def stripFileScheme(p: String): String =
+    if (p.startsWith("file:")) new java.io.File(new java.net.URI(p)).getPath else p
+
+  /** Archives for `path`: the file itself, a directory's *.zip members,
+    * or a file-name glob. Sorted for deterministic partition order. */
+  def archivesFor(path: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(stripFileScheme(path))
+    if (Files.isRegularFile(p)) Seq(p.toString)
+    else if (Files.isDirectory(p)) listDir(p, "*.zip")
+    else if (p.getParent != null && Files.isDirectory(p.getParent))
+      listDir(p.getParent, p.getFileName.toString)
+    else sys.error(s"zip source: no archive at $path")
+  }
+
+  private def listDir(dir: java.nio.file.Path, glob: String): Seq[String] = {
+    val ds = java.nio.file.Files.newDirectoryStream(dir, glob)
+    try {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      ds.forEach(f => out += f.toString)
+      out.toList.sorted
+    } finally ds.close()
+  }
+
+  /** (entry, uncompressedSize) from the central directory — no payload
+    * reads. Size -1 (not recorded) surfaces as null n_bytes. */
+  def entriesWithSizes(archive: String): Seq[(String, Long)] = {
+    val zf = new java.util.zip.ZipFile(stripFileScheme(archive))
+    try {
+      val it = zf.entries()
+      val out = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+      while (it.hasMoreElements) {
+        val e = it.nextElement()
+        if (!e.isDirectory) out += ((e.getName, e.getSize))
+      }
+      out.toList
+    } finally zf.close()
+  }
+}
+
+class ZipTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"zip:$path"
+  override def schema(): StructType = ZipTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZipScanBuilder(path,
+      Option(options.get("targetChunkBytes")).map(_.toLong).getOrElse(64L << 20))
+}
+
+class ZipScanBuilder(path: String, targetChunkBytes: Long)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var required: StructType = ZipTable.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  private def stringCol(a: String) = a == "entry" || a == "archive"
+  private def supported(f: Filter): Boolean = f match {
+    case sources.EqualTo(a, _: String) => stringCol(a)
+    case sources.StringStartsWith(a, _) => stringCol(a)
+    case sources.StringEndsWith(a, _) => stringCol(a)
+    case sources.StringContains(a, _) => stringCol(a)
+    case sources.IsNotNull(a) => stringCol(a)
+    case sources.In(a, vs) => stringCol(a) && vs.forall(_.isInstanceOf[String])
+    case sources.And(l, r) => supported(l) && supported(r)
+    case sources.Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(supported)
+    // planning-time entry pruning; Spark re-applies every filter
+    // post-scan, so this can only skip work, never change results
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ZipScan(path, required, pushed, targetChunkBytes)
+}
+
+/** One partition: a slice of one archive's (pre-pruned) entries. When
+  * `needPayload` is false the reader emits central-directory metadata
+  * only and never opens the archive. */
+final case class ZipSlice(archive: String, entries: Array[String],
+                          sizes: Array[Long], needPayload: Boolean,
+                          fields: Array[String]) extends InputPartition
+
+class ZipScan(path: String, required: StructType, filters: Array[Filter],
+              targetChunkBytes: Long) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ZipScan(path=$path, columns=${required.fieldNames.mkString(",")}" +
+      (if (filters.isEmpty) ")" else s", pushed=${filters.mkString(",")})")
+
+  /** Exact evaluation on non-null (archive, entry) — an entry is skipped
+    * only when the pushed predicate cannot be TRUE for it, which is
+    * exactly when Spark's post-scan filter would drop the row. */
+  private def passes(archive: String, entry: String, f: Filter): Boolean = {
+    def v(a: String) = if (a == "entry") entry else archive
+    f match {
+      case sources.EqualTo(a, x: String) => v(a) == x
+      case sources.StringStartsWith(a, p) => v(a).startsWith(p)
+      case sources.StringEndsWith(a, s) => v(a).endsWith(s)
+      case sources.StringContains(a, s) => v(a).contains(s)
+      case sources.IsNotNull(_) => true
+      case sources.In(a, vs) => vs.contains(v(a))
+      case sources.And(l, r) => passes(archive, entry, l) && passes(archive, entry, r)
+      case sources.Or(l, r) => passes(archive, entry, l) || passes(archive, entry, r)
+      case _ => true
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val needPayload = required.fieldNames.contains("payload")
+    val fields = required.fieldNames
+    ZipTable.archivesFor(path).flatMap { archive =>
+      val kept = ZipTable.entriesWithSizes(archive)
+        .filter { case (e, _) => filters.forall(passes(archive, e, _)) }
+      if (kept.isEmpty) Seq.empty
+      else if (!needPayload) {
+        // metadata-only: one partition per archive is plenty
+        Seq(ZipSlice(archive, kept.map(_._1).toArray, kept.map(_._2).toArray,
+          needPayload = false, fields))
+      } else {
+        // chunk by uncompressed size so one huge archive fans out
+        val slices = scala.collection.mutable.ListBuffer.empty[ZipSlice]
+        val cur = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+        var bytes = 0L
+        def flush(): Unit = if (cur.nonEmpty) {
+          slices += ZipSlice(archive, cur.map(_._1).toArray, cur.map(_._2).toArray,
+            needPayload = true, fields)
+          cur.clear(); bytes = 0L
+        }
+        for ((e, sz) <- kept) {
+          cur += ((e, sz)); bytes += math.max(sz, 0L)
+          if (bytes >= targetChunkBytes) flush()
+        }
+        flush()
+        slices.toList
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZipReaderFactory
+}
+
+class ZipReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ZipSliceReader(partition.asInstanceOf[ZipSlice])
+}
+
+class ZipSliceReader(slice: ZipSlice) extends PartitionReader[InternalRow] {
+  private var i = -1
+  private var current: InternalRow = _
+  // opened lazily, ONLY when payloads are projected
+  private var zf: java.util.zip.ZipFile = _
+
+  private def payloadOf(entry: String): Array[Byte] = {
+    if (zf == null) zf = new java.util.zip.ZipFile(
+      if (slice.archive.startsWith("file:"))
+        new java.io.File(new java.net.URI(slice.archive)).getPath
+      else slice.archive)
+    val in = zf.getInputStream(zf.getEntry(entry))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try Iterator.continually(in.read(buf)).takeWhile(_ > 0)
+      .foreach(n => out.write(buf, 0, n))
+    finally in.close()
+    out.toByteArray
+  }
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= slice.entries.length) return false
+    val entry = slice.entries(i)
+    val row = new GenericInternalRow(slice.fields.length)
+    var j = 0
+    while (j < slice.fields.length) {
+      slice.fields(j) match {
+        case "archive" => row.update(j, UTF8String.fromString(slice.archive))
+        case "entry" => row.update(j, UTF8String.fromString(entry))
+        case "n_bytes" =>
+          if (slice.sizes(i) >= 0) row.setLong(j, slice.sizes(i))
+          else row.setNullAt(j)
+        case "payload" => row.update(j, payloadOf(entry))
+      }
+      j += 1
+    }
+    current = row
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = if (zf != null) zf.close()
+}

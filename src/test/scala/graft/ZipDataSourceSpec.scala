@@ -1,0 +1,78 @@
+package graft
+
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 zip format: member rows, planning-time entry pruning,
+  * decompression-skipping column pruning, per-entry fan-out. */
+class ZipDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeZip(dir: java.nio.file.Path, name: String,
+                       members: Seq[(String, String)]): java.nio.file.Path = {
+    val f = dir.resolve(name)
+    val z = new ZipOutputStream(java.nio.file.Files.newOutputStream(f))
+    for ((n, content) <- members) {
+      z.putNextEntry(new ZipEntry(n))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    f
+  }
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("zipdsv2")
+    writeZip(d, "a.zip", Seq("x1.txt" -> "alpha", "x2.txt" -> "beta", "img.bin" -> "IMG"))
+    writeZip(d, "b.zip", Seq("y1.txt" -> "gamma"))
+    d
+  }
+
+  test("format(zip) reads every member with metadata and payload") {
+    val df = spark.read.format("zip").load(dir.toString)
+    assert(df.columns.toSeq == Seq("archive", "entry", "n_bytes", "payload"))
+    val rows = df.collect().map(r => r.getAs[String]("entry") ->
+      (r.getAs[Long]("n_bytes"), new String(r.getAs[Array[Byte]]("payload"), "UTF-8"))).toMap
+    assert(rows == Map("x1.txt" -> (5L, "alpha"), "x2.txt" -> (4L, "beta"),
+      "img.bin" -> (3L, "IMG"), "y1.txt" -> (5L, "gamma")))
+  }
+
+  test("entry predicates prune at planning time (pushed into the scan)") {
+    val df = spark.read.format("zip").load(dir.toString)
+      .filter($"entry".endsWith(".txt") && $"entry".startsWith("x"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=") && plan.contains("StringEndsWith(entry"),
+      plan.take(1200))
+    assert(df.select("entry").as[String].collect().sorted.toSeq ==
+      Seq("x1.txt", "x2.txt"))
+    // an archive with no surviving entries contributes no partitions
+    val only = spark.read.format("zip").load(dir.toString)
+      .filter($"entry" === "y1.txt")
+    assert(only.rdd.getNumPartitions == 1)
+    assert(only.select("entry").as[String].collect().toSeq == Seq("y1.txt"))
+  }
+
+  test("metadata-only projection never decompresses (column pruning)") {
+    val df = spark.read.format("zip").load(dir.toString)
+      .select("archive", "entry", "n_bytes")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=archive,entry,n_bytes"), plan.take(1200))
+    assert(!plan.contains("payload"), "payload must be pruned from the scan")
+    assert(df.count() == 4)
+    val sizes = df.groupBy("archive").agg(sum("n_bytes").as("b"))
+      .collect().map(r => r.getAs[String]("archive").endsWith("a.zip") -> r.getLong(1)).toMap
+    assert(sizes == Map(true -> 12L, false -> 5L))
+  }
+
+  test("one big archive fans out over multiple partitions by chunk bytes") {
+    val d2 = java.nio.file.Files.createTempDirectory("bigzip2")
+    val members = (0 until 10).map(i => f"m$i%02d.txt" -> ("x" * 1000))
+    writeZip(d2, "big.zip", members)
+    val df = spark.read.format("zip")
+      .option("targetChunkBytes", "2500").load(d2.toString + "/big.zip")
+    assert(df.rdd.getNumPartitions > 1, "must split one archive into slices")
+    assert(df.count() == 10)
+    assert(df.agg(sum(length($"payload"))).first().getLong(0) == 10000L)
+  }
+}
