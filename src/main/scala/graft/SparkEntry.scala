@@ -719,6 +719,30 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // LLM ops — benchmark decontamination: flag training documents
+    // sharing word 3-grams with a held-out benchmark set (doc_id % 20 ==
+    // 0 stands in for the benchmark). Grams are hashed to longs BEFORE
+    // the join so the shuffle carries 8-byte keys, not strings; overlap
+    // is a bucketed equi-join, never an all-pairs scan.
+    "q62_decontaminate" -> ((s, dir) => {
+      val grams = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(TextFunctions.shingles(
+          TextFunctions.tokens(col("text")), 3))).as("g"))
+        .select(col("doc_id"), Hashing.hexLong(col("g")).as("gh"))
+        .localCheckpoint(true) // feeds benchmark, counts, and overlap sides
+      val bench = grams.filter(col("doc_id") % 20 === 0).select("gh").distinct()
+      val cand = grams.filter(col("doc_id") % 20 =!= 0)
+      val counts = cand.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val overlap = cand.join(bench, Seq("gh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      counts.join(overlap, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("contamination"))
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — dedup group resolution: connected components over the
     // LSH candidate pairs (transitive closure of a~b near-dup matches)
     "q52_dedup_components" -> ((s, dir) => {
@@ -1062,6 +1086,22 @@ object SparkEntry {
         |  CAST(list_max(qv) AS BIGINT) AS q_max,
         |  CAST(list_min(qv) AS BIGINT) AS q_min
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q62_decontaminate" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS gh FROM sh),
+        |bench AS (SELECT DISTINCT gh FROM ex WHERE doc_id % 20 = 0),
+        |cand AS (SELECT * FROM ex WHERE doc_id % 20 <> 0),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM cand GROUP BY doc_id),
+        |ovl AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |        FROM cand c JOIN bench b ON b.gh = c.gh GROUP BY c.doc_id)
+        |SELECT cnt.doc_id, cnt.n_grams,
+        |  COALESCE(ovl.n_overlap, 0) AS n_overlap,
+        |  CAST(COALESCE(ovl.n_overlap, 0) AS DOUBLE) / CAST(cnt.n_grams AS DOUBLE) AS contamination
+        |FROM cnt LEFT JOIN ovl ON ovl.doc_id = cnt.doc_id
+        |ORDER BY cnt.doc_id""".stripMargin,
 
     "q52_dedup_components" ->
       """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -446,4 +446,26 @@ object PdfSpans {
     import spark.implicits._
     extractFile(path, docId).toDF()
   }
+
+  /** Distributed extraction over a PDF corpus: every file matching
+    * `glob` parses inside the task that owns its `binaryFile` row —
+    * documents spread across the cluster, bytes never pass through the
+    * driver. doc_id is the file name (without .pdf); span `pos` restarts
+    * per document, matching the per-document contract of
+    * [[graft.pipelines.UbprManual.toRecords]] (which partitions by
+    * doc_id). A malformed PDF yields zero spans rather than failing the
+    * corpus job. */
+  def extractAll(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val name = p.substring(p.lastIndexOf('/') + 1).stripSuffix(".pdf")
+        try extract(bytes, name)
+        catch { case _: Exception => Seq.empty }
+      }
+      .toDF()
+  }
 }

@@ -39,6 +39,26 @@ class PdfSpansSpec extends SparkSpec {
     assert(r.getAs[String]("formula") == "UBPR4340 / UBPRE002 (see also) Annex")
   }
 
+  test("extractAll parses a PDF corpus inside binaryFile tasks") {
+    val dir = java.nio.file.Files.createTempDirectory("pdfcorpus")
+    java.nio.file.Files.write(dir.resolve("manual1.pdf"), PdfFixture.bytes)
+    java.nio.file.Files.write(dir.resolve("manual2.pdf"),
+      PdfFixture.onePage("BT /F1 16 Tf (Second Doc) Tj ET"))
+    java.nio.file.Files.write(dir.resolve("broken.pdf"),
+      "not a pdf at all".getBytes("US-ASCII"))
+    val df = PdfSpans.extractAll(spark, dir.toString + "/*.pdf")
+    val byDoc = df.collect().groupBy(_.getAs[String]("doc_id"))
+    assert(byDoc.keySet == Set("manual1", "manual2")) // broken -> zero spans
+    assert(byDoc("manual1").length == 8)
+    assert(byDoc("manual2").map(r => (r.getAs[String]("text"),
+      r.getAs[Double]("size"))).toSeq == Seq(("Second Doc", 16.0)))
+    // per-document pos restarts at 1 — the UbprManual partition contract
+    assert(byDoc.values.forall(_.map(_.getAs[Long]("pos")).min == 1L))
+    // the corpus frame feeds toRecords unchanged
+    val recs = graft.pipelines.UbprManual.toRecords(df)
+    assert(recs.filter(recs("doc_id") === "manual1").count() == 1)
+  }
+
   test("tolerates incremental updates: a re-defined object wins") {
     // append a redefinition of the page-1 content stream (what an
     // incremental-update writer does); the later object must win
