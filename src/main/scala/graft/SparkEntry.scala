@@ -725,7 +725,7 @@ object SparkEntry {
     // the join so the shuffle carries 8-byte keys, not strings; overlap
     // is a bucketed equi-join, never an all-pairs scan.
     "q62_decontaminate" -> ((s, dir) => {
-      val grams = Tables.load(s, dir, "documents")
+      val grams = graft.core.Parallelism.ensureWidth(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), explode(array_distinct(TextFunctions.shingles(
           TextFunctions.tokens(col("text")), 3))).as("g"))
         .select(col("doc_id"), Hashing.hexLong(col("g")).as("gh"))
