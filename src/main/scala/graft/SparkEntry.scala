@@ -743,6 +743,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM ops — domain mixing: downsample each language to its mixture
+    // weight with a stable doc_id hash, so re-runs keep exactly the same
+    // documents (no RNG, no state) and the sample is reproducible across
+    // engines and cluster sizes
+    "q63_domain_mix" -> ((s, dir) => {
+      val rates = typedLit(Map("en" -> 300L, "de" -> 700L, "fr" -> 900L))
+      Tables.load(s, dir, "documents")
+        .withColumn("h", Hashing.hexLong(col("doc_id").cast("string")) % 1000)
+        .withColumn("rate", coalesce(element_at(rates, col("lang")), lit(1000L)))
+        .filter(col("h") < col("rate"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+        .orderBy("lang")
+    }),
+
+    // LLM ops — intra-document repetition: fraction of duplicated word
+    // 2-grams per document, the curation signal that drops loop-y/
+    // boilerplate docs (narrow per-row arrays; no shuffle before the agg)
+    "q64_repetition" -> ((s, dir) => {
+      val grams = TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), size(grams).as("n_grams"),
+          size(array_distinct(grams)).as("n_distinct"))
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"),
+          col("n_grams").cast("long").as("n_grams"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") /
+            col("n_grams").cast("double")).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — dedup group resolution: connected components over the
     // LSH candidate pairs (transitive closure of a~b near-dup matches)
     "q52_dedup_components" -> ((s, dir) => {
@@ -1102,6 +1134,26 @@ object SparkEntry {
         |  CAST(COALESCE(ovl.n_overlap, 0) AS DOUBLE) / CAST(cnt.n_grams AS DOUBLE) AS contamination
         |FROM cnt LEFT JOIN ovl ON ovl.doc_id = cnt.doc_id
         |ORDER BY cnt.doc_id""".stripMargin,
+
+    "q63_domain_mix" ->
+      """SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        |FROM (SELECT lang, n_chars,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS h,
+        |        CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 700 WHEN 'fr' THEN 900
+        |                  ELSE 1000 END AS rate
+        |      FROM documents)
+        |WHERE h < rate GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q64_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(range(1, len(w)),
+        |           i -> w[i] || ' ' || w[i+1]) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+        |      / CAST(len(grams) AS DOUBLE) AS rep_ratio
+        |FROM g WHERE len(grams) > 0 ORDER BY doc_id""".stripMargin,
 
     "q52_dedup_components" ->
       """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
