@@ -323,6 +323,24 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // §2.3 as-of join with a staleness tolerance: purchases older than
+    // 1h at event time yield nulls instead of a stale carry (the pandas
+    // merge_asof `tolerance` semantic)
+    "q65_asof_tolerance" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val left = e.select(col("user_id"), col("event_id"), col("ts_us"))
+      val right = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("rts"),
+          col("event_id").as("prev_purchase_id"),
+          col("value").as("prev_purchase_value"))
+      AsOfJoin.backward(left, right, Seq("user_id"), col("ts_us"), col("rts"),
+          Seq("prev_purchase_id", "prev_purchase_value"),
+          tolerance = Some(lit(3600000000L)))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("prev_purchase_id"), col("prev_purchase_value"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
     // §2.3 range join (point-in-interval via bucketed equi-join)
     "q34_range_join" -> ((s, dir) => {
       val iv = Tables.load(s, dir, "orders")
@@ -1246,6 +1264,25 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, event_id, t AS ts_us,
         |  cp.pid AS prev_purchase_id, cp.pval AS prev_purchase_value
+        |FROM c WHERE side = 1 ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q65_asof_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS t, 1 AS side, event_id,
+        |    CAST(NULL AS STRUCT(mt BIGINT, pid BIGINT, pval DOUBLE)) AS p FROM events
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, NULL,
+        |    struct_pack(mt := epoch_us(ts), pid := event_id, pval := value)
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, t, side, event_id,
+        |    LAST_VALUE(p IGNORE NULLS) OVER w AS cp
+        |  FROM u WINDOW w AS (
+        |    PARTITION BY user_id ORDER BY t, side, p NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, t AS ts_us,
+        |  CASE WHEN t - cp.mt <= 3600000000 THEN cp.pid END AS prev_purchase_id,
+        |  CASE WHEN t - cp.mt <= 3600000000 THEN cp.pval END AS prev_purchase_value
         |FROM c WHERE side = 1 ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q34_range_join" ->

@@ -3,11 +3,12 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of joins: for every left row, the latest right row with
   * `rightTime <= leftTime` (backward) or the earliest right row with
-  * `rightTime >= leftTime` (forward) in the same key group.
+  * `rightTime >= leftTime` (forward) in the same key group, optionally
+  * within a staleness `tolerance`.
   *
   * Spark has no native as-of join; the idiomatic composition is the
   * union + ordered carry-forward trick (one shuffle on the key, one sort —
@@ -20,48 +21,32 @@ import org.apache.spark.sql.types.StructType
   * per-column `last(ignoreNulls)` carries would splice fields from
   * different right rows whenever a payload field is genuinely null
   * (the matched row's null would be replaced by a stale older value).
+  * The matched right time rides in the struct too, so a `tolerance`
+  * bound (the pandas `merge_asof` feature: a match older/newer than the
+  * bound yields nulls, not a stale carry) is a post-carry null-out —
+  * no extra shuffle or join.
   *
   * Scale: the union shuffles once on `keys`; skewed keys behave exactly
   * like any window query (AQE/salting apply). Compare a naive
   * join-then-rank, which materializes |L|x|R| pairs per key.
   *
-  * @param payload right-side columns to attach (must not collide with
-  *                left column names); ties among right rows at the same
-  *                time resolve by payload struct order (field by field)
+  * @param payload   right-side columns to attach (must not collide with
+  *                  left column names); ties among right rows at the same
+  *                  time resolve by payload struct order (field by field)
+  * @param tolerance maximum allowed `leftTime - rightTime` (backward) /
+  *                  `rightTime - leftTime` (forward), inclusive, as a
+  *                  Column literal in the time columns' own arithmetic
+  *                  (e.g. `lit(3600000000L)` for 1h over epoch-µs longs);
+  *                  None = unbounded
   */
 object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: Column, rightTime: Column,
-               payload: Seq[String]): DataFrame = {
-    val keyCols = keys.map(col)
-    val pType = StructType(payload.map(p => right.schema(p)))
-    val l = left
-      .withColumn("__t", leftTime)
-      .withColumn("__side", lit(1))
-      .withColumn("__p", lit(null).cast(pType))
-    val r = right
-      .withColumn("__t", rightTime)
-      .withColumn("__side", lit(0))
-      .withColumn("__p", struct(payload.map(col): _*))
-      .drop(payload: _*)
-    val rAligned = l.columns.foldLeft(r) { (d, c) =>
-      if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
-    }.select(l.columns.toIndexedSeq.map(col): _*)
-
-    // right rows (side 0) order before left rows at the same time ->
-    // inclusive (<=) as-of; the struct itself is the deterministic
-    // tiebreak among simultaneous right rows
-    val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__t"), col("__side"), col("__p"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val carried = l.unionByName(rAligned)
-      .withColumn("__carry", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-    payload.foldLeft(carried)((d, p) => d.withColumn(p, col("__carry").getField(p)))
-      .drop("__t", "__side", "__p", "__carry")
-  }
+               payload: Seq[String],
+               tolerance: Option[Column] = None): DataFrame =
+    asOf(left, right, keys, leftTime, rightTime, payload, tolerance,
+      backward = true)
 
   /** Forward as-of join: for every left row, the EARLIEST right row with
     * `rightTime >= leftTime` in the same key group — the mirror of
@@ -71,30 +56,63 @@ object AsOfJoin {
     * shuffle + sort; no pair explosion. */
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
               leftTime: Column, rightTime: Column,
-              payload: Seq[String]): DataFrame = {
+              payload: Seq[String],
+              tolerance: Option[Column] = None): DataFrame =
+    asOf(left, right, keys, leftTime, rightTime, payload, tolerance,
+      backward = false)
+
+  private def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: Column, rightTime: Column, payload: Seq[String],
+                   tolerance: Option[Column], backward: Boolean): DataFrame = {
     val keyCols = keys.map(col)
     val pType = StructType(payload.map(p => right.schema(p)))
+    val mtType = right.select(rightTime).schema.head.dataType
+    val carryType = StructType(Seq(
+      StructField("__mt", mtType), StructField("__pay", pType)))
+    // in BACKWARD mode right rows (side 0) order before left rows at the
+    // same time -> inclusive <=; FORWARD mirrors (left side 0 first)
+    val (lSide, rSide) = if (backward) (1, 0) else (0, 1)
     val l = left
       .withColumn("__t", leftTime)
-      .withColumn("__side", lit(0))
-      .withColumn("__p", lit(null).cast(pType))
+      .withColumn("__side", lit(lSide))
+      .withColumn("__p", lit(null).cast(carryType))
     val r = right
       .withColumn("__t", rightTime)
-      .withColumn("__side", lit(1))
-      .withColumn("__p", struct(payload.map(col): _*))
+      .withColumn("__side", lit(rSide))
+      .withColumn("__p", struct(rightTime.as("__mt"),
+        struct(payload.map(col): _*).as("__pay")))
       .drop(payload: _*)
     val rAligned = l.columns.foldLeft(r) { (d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
     }.select(l.columns.toIndexedSeq.map(col): _*)
 
+    // the struct is the deterministic tiebreak among simultaneous right
+    // rows (__mt equals __t there, so payload order decides)
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col("__t"), col("__side"), col("__p"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-
     val carried = l.unionByName(rAligned)
-      .withColumn("__carry", first(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 0)
-    payload.foldLeft(carried)((d, p) => d.withColumn(p, col("__carry").getField(p)))
+      .withColumn("__carry",
+        if (backward)
+          last(col("__p"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        else
+          first(col("__p"), ignoreNulls = true)
+            .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("__side") === lSide)
+
+    // staleness bound: a match outside tolerance nulls the payload (a null
+    // __carry already nulls the comparison, and so the result)
+    def extracted(p: String): Column = {
+      val raw = col("__carry").getField("__pay").getField(p)
+      tolerance match {
+        case Some(tol) if backward =>
+          when(col("__t") - col("__carry").getField("__mt") <= tol, raw)
+        case Some(tol) =>
+          when(col("__carry").getField("__mt") - col("__t") <= tol, raw)
+        case None => raw
+      }
+    }
+    payload.foldLeft(carried)((d, p) => d.withColumn(p, extracted(p)))
       .drop("__t", "__side", "__p", "__carry")
   }
 }

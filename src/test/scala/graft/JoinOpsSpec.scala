@@ -80,6 +80,26 @@ class JoinOpsSpec extends SparkSpec {
       plain.select("k", "id", "label")).isEmpty)
   }
 
+  test("as-of join tolerance: stale matches yield nulls, in-range matches keep payload") {
+    val left = Seq((1L, 100L), (1L, 106L), (1L, 200L)).toDF("k", "t")
+    val right = Seq((1L, 99L, "a"), (1L, 103L, "b")).toDF("k", "rt", "v")
+    def run(tol: Option[Long]) =
+      AsOfJoin.backward(left, right, Seq("k"), col("t"), col("rt"), Seq("v"),
+          tolerance = tol.map(lit(_)))
+        .collect().map(r => r.getLong(1) -> Option(r.getString(2))).toMap
+    assert(run(None) == Map(100L -> Some("a"), 106L -> Some("b"), 200L -> Some("b")))
+    // t=200 matched rt=103 but is 97 units stale -> null under tolerance 5
+    assert(run(Some(5L)) == Map(100L -> Some("a"), 106L -> Some("b"), 200L -> None))
+    // tolerance is inclusive: t=106 vs rt=103 is exactly 3 <= 3
+    assert(run(Some(3L))(106L) == Some("b"))
+    assert(run(Some(2L))(106L) == None)
+    // forward mirror
+    val fwd = AsOfJoin.forward(left, right, Seq("k"), col("t"), col("rt"), Seq("v"),
+        tolerance = Some(lit(3L)))
+      .collect().map(r => r.getLong(1) -> Option(r.getString(2))).toMap
+    assert(fwd == Map(100L -> Some("b"), 106L -> None, 200L -> None))
+  }
+
   test("range join: points land in the right intervals across buckets") {
     val pts = Seq(5L, 15L, 29L, 30L, 45L, 99L).toDF("d")
     val iv = Seq((1L, 0L, 30L), (2L, 25L, 55L), (3L, 90L, 95L)).toDF("id", "s", "e")
