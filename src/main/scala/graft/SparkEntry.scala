@@ -341,6 +341,20 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     }),
 
+    // §2.4 data profiling — fixed-width histogram over the exact global
+    // range: one agg pass for min/max (broadcast as a 1-row frame), one
+    // bucketing pass; the standard two-pass exact histogram at scale
+    "q66_histogram" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("x"))
+      val mm = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      li.crossJoin(broadcast(mm))
+        .select(least(floor((col("x") - col("lo")) /
+            ((col("hi") - col("lo")) / 10.0)), lit(9L)).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     // §2.3 range join (point-in-interval via bucketed equi-join)
     "q34_range_join" -> ((s, dir) => {
       val iv = Tables.load(s, dir, "orders")
@@ -1284,6 +1298,14 @@ object SparkEntry {
         |  CASE WHEN t - cp.mt <= 3600000000 THEN cp.pid END AS prev_purchase_id,
         |  CASE WHEN t - cp.mt <= 3600000000 THEN cp.pval END AS prev_purchase_value
         |FROM c WHERE side = 1 ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q66_histogram" ->
+      """WITH mm AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+        |                   MAX(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem)
+        |SELECT CAST(LEAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
+        |         / ((hi - lo) / 10.0)), 9) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM lineitem, mm GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q34_range_join" ->
       """WITH iv AS (SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS sd

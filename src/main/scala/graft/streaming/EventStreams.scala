@@ -61,6 +61,25 @@ object EventStreams {
     docs.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same key whose time lies in
+    * `[leftTs - lookback, leftTs + lookahead]`. Both sides carry
+    * watermarks and the join condition bounds event-time distance in
+    * BOTH directions, so Spark can size and evict the per-side join
+    * state — an unbounded-range stream-stream join would buffer forever.
+    * Columns: left (ts, key, ...) joined to right (rts, key, rpayload...);
+    * callers alias right columns to avoid collisions. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   lookback: String, lookahead: String,
+                   watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+    val r = right.withWatermark("rts", watermarkDelay)
+    l.join(r, expr(
+      s"""$key = r_$key AND
+         |rts >= ts - INTERVAL $lookback AND
+         |rts <= ts + INTERVAL $lookahead""".stripMargin))
+  }
+
   final case class Ev(user_id: Long, ts_us: Long, event_type: String)
   final case class Segmented(user_id: Long, ts_us: Long, event_type: String, seg_id: Long)
   final case class SegState(segId: Long, lastTsUs: Long)

@@ -116,6 +116,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the time bounds") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val l = clicks.toDF().toDF("ts", "user_id")
+    val r = buys.toDF().toDF("rts", "r_user_id", "amount")
+    val q = EventStreams.intervalJoin(l, r, "user_id",
+        lookback = "5 minutes", lookahead = "10 minutes",
+        watermarkDelay = "30 minutes")
+      .select("user_id", "ts", "rts", "amount")
+      .writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      clicks.addData((t("2024-01-01 00:10:00"), 1L), (t("2024-01-01 00:10:00"), 2L))
+      buys.addData(
+        (t("2024-01-01 00:07:00"), 1L, 5.0),  // 3 min before: within 5m lookback
+        (t("2024-01-01 00:18:00"), 1L, 7.0),  // 8 min after: within 10m lookahead
+        (t("2024-01-01 00:30:00"), 1L, 9.0),  // 20 min after: outside
+        (t("2024-01-01 00:02:00"), 2L, 3.0))  // 8 min before: outside lookback
+      q.processAllAvailable()
+      val rows = spark.table("ivjoin").collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toSet
+      assert(rows == Set((1L, 5.0), (1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("runningTotals (mapGroupsWithState) folds state across micro-batches") {
     import graft.streaming.EventStreams.ValEv
     implicit val sc = spark.sqlContext
