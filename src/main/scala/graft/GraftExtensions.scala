@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot}
+import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot, Md5Long}
 
 /** Engine extension point — the sanctioned way to add native expressions
   * to a session: `SparkSession.builder().withExtensions(new
@@ -17,6 +17,8 @@ import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVecto
   *    `dec9_dot(array<bigint>, array<bigint>) -> decimal(30,18)` — the
   *    exact-decimal dot product as primitive loops
   *    ([[graft.expressions.DecimalVectorOps]]);
+  *  - `md5_long(string) -> bigint` — the portable 60-bit hash computed
+  *    straight from digest bytes ([[graft.expressions.Md5Long]]);
   *  - the [[graft.expressions.DecimalDotRewrite]] optimizer rule, which
   *    substitutes that native form wherever a query spells out the
   *    declarative `aggregate(zip_with(...))` decimal dot.
@@ -43,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "dec9_dot takes exactly 2 arguments")
         Dec9Dot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "md5_long"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "md5_long takes exactly 1 argument")
+        Md5Long(children.head)
       }))
     ext.injectOptimizerRule(_ => DecimalDotRewrite)
   }

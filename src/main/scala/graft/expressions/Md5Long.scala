@@ -1,0 +1,55 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel for [[Md5Long]] — also called from generated Java. */
+object HashOps {
+  private val mdPool: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 60 bits of md5(utf8 bytes) as a non-negative long — the value
+    * of `conv(substring(md5(s), 1, 15), 16, 10)`: 15 hex digits are the
+    * top 7.5 digest bytes, i.e. the first 8 bytes shifted right a
+    * nibble. */
+  def md5Long(s: UTF8String): Long = {
+    val md = mdPool.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
+/** `md5_long(string) -> bigint`: the engine's portable 60-bit document/
+  * shingle hash ([[graft.functions.Hashing.hexLong]]) as ONE native
+  * expression. The built-in spelling — `conv(substring(md5(s), 1, 15),
+  * 16, 10)` — materializes a 32-char hex UTF8String, slices it, and
+  * re-parses base-16 per row; this computes the same value straight from
+  * the digest bytes. Hot in every shingle/minhash/dedup query (SURVEY §2
+  * LLM ops), where it runs once per shingle, not once per document.
+  * Registered by [[graft.GraftExtensions]]. */
+case class Md5Long(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_long"
+
+  override def nullSafeEval(s: Any): Any =
+    HashOps.md5Long(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expressions.HashOps.md5Long($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long =
+    copy(child = newChild)
+}

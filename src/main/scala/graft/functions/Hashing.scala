@@ -15,9 +15,19 @@ import org.apache.spark.sql.types.LongType
   */
 object Hashing {
 
-  /** First 60 bits of md5(c) as a non-negative long. */
+  private def nativeAvailable: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.forall(
+      _.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("md5_long")))
+
+  /** First 60 bits of md5(c) as a non-negative long. Sessions carrying
+    * [[graft.GraftExtensions]] get the native [[graft.expressions.Md5Long]]
+    * (same value straight from the digest bytes — no 32-char hex string
+    * materialized and re-parsed per row); others get the equivalent
+    * built-in chain. */
   def hexLong(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    if (nativeAvailable) call_function("md5_long", c)
+    else conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Salted variant: md5(salt || ':' || c) — independent hash families for
     * minhash (one per permutation index). */
