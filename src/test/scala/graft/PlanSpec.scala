@@ -80,6 +80,21 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q62: gram frame is materialized once; benchmark side broadcasts") {
+    val p = plan("q62_decontaminate")
+    // the localCheckpoint shows as ExistingRDD scans — the shingle+hash
+    // stage must never re-run per consumer
+    assert(p.contains("ExistingRDD"), p.take(1500))
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+  }
+
+  test("q66: min/max range joins the scan as a broadcast, not a shuffle") {
+    val p = plan("q66_histogram")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q31/q35: decimal scaling happens before the join (scale9 below the join)") {
     // the scale9 projection must sit under the join in the plan tree:
     // its fan-out side would otherwise re-convert per pair. Heuristic
