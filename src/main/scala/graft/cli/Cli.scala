@@ -94,7 +94,8 @@ object Cli {
     val local = maybeFetch(in)
     val spans =
       if (local.toLowerCase.endsWith(".pdf")) {
-        val docId = Paths.get(local).getFileName.toString.stripSuffix(".pdf")
+        val file = Paths.get(local).getFileName.toString
+        val docId = file.substring(0, file.length - 4) // case-insensitive .pdf strip
         graft.sources.PdfSpans.spansDf(spark, local, docId)
       } else {
         import org.apache.spark.sql.types._

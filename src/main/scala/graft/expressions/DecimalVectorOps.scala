@@ -157,16 +157,27 @@ object DecimalVectorOps {
       if (big == null) BigInteger.valueOf(acc) else big, 18), 30, 18)
   }
 
-  /** True when the thread's active session (if any) has the engine's
+  /** CONFIRMED available: the thread's active session has the engine's
     * native functions registered via [[graft.GraftExtensions]]. With no
-    * active session the check is inconclusive — assume available. */
+    * active session the check is inconclusive -> false, so callers with
+    * a fallback ([[graft.operators.Similarity.dotDecimal]]) take the
+    * always-correct HOF path instead of emitting a call_function that
+    * an extension-less session cannot resolve. */
   def nativeAvailable: Boolean =
-    org.apache.spark.sql.SparkSession.getActiveSession.forall(
+    org.apache.spark.sql.SparkSession.getActiveSession.exists(
       _.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("dec9_dot")))
 
+  /** CONFIRMED missing: an active session lacks the function — only then
+    * does the eager descriptive error fire (with no session we cannot
+    * know, and a spurious error would be wrong). */
+  private def nativeMissing: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+      !s.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("dec9_dot")))
+
   private def requireExtensions(fn: String): Unit =
-    if (!nativeAvailable) throw new IllegalStateException(
+    if (nativeMissing) throw new IllegalStateException(
       s"$fn requires graft.GraftExtensions on the SparkSession; build it with " +
         ".withExtensions(new graft.GraftExtensions) or " +
         "--conf spark.sql.extensions=graft.GraftExtensions " +

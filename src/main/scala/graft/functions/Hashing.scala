@@ -15,8 +15,12 @@ import org.apache.spark.sql.types.LongType
   */
 object Hashing {
 
+  // `exists`, not `forall`: with NO active session on this thread we
+  // cannot confirm registration, and the built-in chain is always
+  // correct — assuming "available" would emit an unresolvable
+  // call_function for sessions without GraftExtensions
   private def nativeAvailable: Boolean =
-    org.apache.spark.sql.SparkSession.getActiveSession.forall(
+    org.apache.spark.sql.SparkSession.getActiveSession.exists(
       _.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier("md5_long")))
 

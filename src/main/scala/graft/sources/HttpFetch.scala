@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{FileOutputStream, InputStream}
+import java.io.FileOutputStream
 import java.net.{HttpURLConnection, URI}
 import java.nio.file.{Files, Path, Paths}
 
@@ -41,7 +41,9 @@ object HttpFetch {
       } else if (code >= 200 && code < 300) {
         if (dest.getParent != null) Files.createDirectories(dest.getParent)
         val in = conn.getInputStream
-        try copy(in, dest) finally { in.close(); conn.disconnect() }
+        val out = new FileOutputStream(dest.toFile)
+        try in.transferTo(out)
+        finally { out.close(); in.close(); conn.disconnect() }
         return dest
       } else {
         conn.disconnect()
@@ -64,12 +66,4 @@ object HttpFetch {
     fetch(url, dir.resolve(safe), timeoutMs).toString
   }
 
-  private def copy(in: InputStream, dest: Path): Unit = {
-    val out = new FileOutputStream(dest.toFile)
-    try {
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } finally out.close()
-  }
 }

@@ -29,7 +29,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scope (documented, not hidden): simple 8-bit fonts read as Latin-1 —
   * no CMap/ToUnicode decoding, no encryption, no object streams
-  * (/ObjStm), FlateDecode only. That covers text-first report PDFs like
+  * (/ObjStm), FlateDecode only; inline images (BI..ID..EI) are skipped,
+  * not decoded. That covers text-first report PDFs like
   * the UBPR manual; scanned or CID-keyed documents need a full codec.
   * Driver-side by design — one manual at a time, like the reference; for
   * a PDF corpus run it per row inside `binaryFile` tasks.
@@ -211,19 +212,54 @@ object PdfSpans {
 
   // ---- object graph -----------------------------------------------------
 
+  /** Zero-copy Latin-1 view of the file bytes for regex/indexOf — a PDF
+    * can be hundreds of MB and [[extractAll]] runs per task; a real
+    * `new String(bytes)` would add 2 bytes/char of peak memory. */
+  private final class ByteCharSeq(bytes: Array[Byte], start: Int, end: Int)
+      extends CharSequence {
+    def this(bytes: Array[Byte]) = this(bytes, 0, bytes.length)
+    override def length(): Int = end - start
+    override def charAt(i: Int): Char = (bytes(start + i) & 0xff).toChar
+    override def subSequence(a: Int, b: Int): CharSequence =
+      new ByteCharSeq(bytes, start + a, start + b)
+    override def toString: String = new String(bytes, start, end - start, "ISO-8859-1")
+  }
+
+  private def indexOfAscii(bytes: Array[Byte], needle: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = bytes.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && bytes(i + j) == needle.charAt(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def startsWithAscii(bytes: Array[Byte], needle: String, at: Int): Boolean =
+    at + needle.length <= bytes.length && {
+      var j = 0
+      while (j < needle.length && bytes(at + j) == needle.charAt(j)) j += 1
+      j == needle.length
+    }
+
   /** Scan `N G obj ... endobj` occurrences (more tolerant than trusting
-    * the xref table, which repaired/appended files often break). */
+    * the xref table, which repaired/appended files often break). Matches
+    * that fall INSIDE a previous object's stream payload are skipped —
+    * uncompressed payloads can contain PDF-looking text, and a garbage
+    * match must not clobber the real object. */
   private def scanObjects(bytes: Array[Byte]): Map[Int, PdfObject] = {
-    val text = new String(bytes, "ISO-8859-1")
     val objRe = """(?s)(\d+)\s+(\d+)\s+obj\b""".r
     val out = mutable.Map.empty[Int, PdfObject]
-    for (m <- objRe.findAllMatchIn(text)) {
+    var coveredUntil = 0 // end of the last fully-parsed object's extent
+    for (m <- objRe.findAllMatchIn(new ByteCharSeq(bytes)) if m.start >= coveredUntil) {
       val num = m.group(1).toInt
       val lx = new Lexer(bytes, m.end)
       val dict = lx.value(content = false)
       lx.skipWs()
       val stream =
-        if (text.startsWith("stream", lx.pos)) {
+        if (startsWithAscii(bytes, "stream", lx.pos)) {
           var s = lx.pos + "stream".length
           if (s < bytes.length && bytes(s) == '\r') s += 1
           if (s < bytes.length && bytes(s) == '\n') s += 1
@@ -235,8 +271,8 @@ object PdfSpans {
             case _ => None
           }
           val end = len.map(l => s + l).filter(e =>
-              e <= bytes.length && text.indexOf("endstream", e) >= 0)
-            .getOrElse(text.indexOf("endstream", s) match {
+              e <= bytes.length && indexOfAscii(bytes, "endstream", e) >= 0)
+            .getOrElse(indexOfAscii(bytes, "endstream", s) match {
               case -1 => s
               case e => // trim the EOL the writer put before the keyword
                 var t = e
@@ -244,8 +280,15 @@ object PdfSpans {
                 if (t > s && bytes(t - 1) == '\r') t -= 1
                 t
             })
+          coveredUntil = indexOfAscii(bytes, "endstream", end) match {
+            case -1 => end
+            case e => e + "endstream".length
+          }
           Some(java.util.Arrays.copyOfRange(bytes, s, math.max(s, end)))
-        } else None
+        } else {
+          coveredUntil = lx.pos
+          None
+        }
       // later definitions win (incremental updates append re-definitions)
       out(num) = PdfObject(dict, stream)
     }
@@ -411,6 +454,17 @@ object PdfSpans {
               case _ => ()
             }
             case "BT" | "ET" => flush()
+            case "BI" =>
+              // inline image: BI <dict entries> ID <raw binary> EI — the
+              // binary would otherwise be lexed as tokens (a '(' inside it
+              // opens a string that swallows real text). Skip to the EI
+              // delimiter: whitespace-EI-whitespace/EOF past the ID marker.
+              var e = indexOfAscii(content, "EI", lx.pos)
+              while (e > 0 && !(isWs(content(e - 1)) &&
+                  (e + 2 >= content.length || isWs(content(e + 2)) ||
+                    isDelim(content(e + 2)))))
+                e = indexOfAscii(content, "EI", e + 1)
+              lx.pos = if (e < 0) content.length else e + 2
             case _ => () // graphics/positioning operators don't affect spans
           }
           operands.clear()
@@ -462,7 +516,10 @@ object PdfSpans {
         org.apache.spark.sql.functions.col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        val name = p.substring(p.lastIndexOf('/') + 1).stripSuffix(".pdf")
+        val file = p.substring(p.lastIndexOf('/') + 1)
+        // case-insensitive strip: B.PDF -> "B", like a.pdf -> "a"
+        val name = if (file.toLowerCase.endsWith(".pdf"))
+          file.substring(0, file.length - 4) else file
         try extract(bytes, name)
         catch { case _: Exception => Seq.empty }
       }

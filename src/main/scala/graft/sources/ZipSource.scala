@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.ByteArrayOutputStream
 import java.nio.file.{Files, Paths}
 import java.util.zip.{ZipFile, ZipInputStream}
 
@@ -39,13 +38,8 @@ object ZipSource {
     val zin = new ZipInputStream(new java.io.ByteArrayInputStream(zipBytes))
     Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
       .find(e => !e.isDirectory && pred(e.getName))
-      .map { e =>
-        val out = new ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        Iterator.continually(zin.read(buf)).takeWhile(_ > 0)
-          .foreach(n => out.write(buf, 0, n))
-        (e.getName, out.toByteArray)
-      }
+      // readAllBytes on a ZipInputStream stops at the entry boundary
+      .map(e => (e.getName, zin.readAllBytes()))
   }
 
   def entriesOf(path: String): Seq[String] = entries(Files.readAllBytes(Paths.get(path)))
@@ -58,13 +52,7 @@ object ZipSource {
     val zin = new ZipInputStream(new java.io.ByteArrayInputStream(zipBytes))
     Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
       .filter(e => !e.isDirectory && pred(e.getName))
-      .map { e =>
-        val out = new ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        Iterator.continually(zin.read(buf)).takeWhile(_ > 0)
-          .foreach(n => out.write(buf, 0, n))
-        (e.getName, out.toByteArray)
-      }
+      .map(e => (e.getName, zin.readAllBytes()))
   }
 
   /** Distributed many-archive ingestion: one (archive, entry, payload) row
@@ -98,7 +86,9 @@ object ZipSource {
     } finally zf.close()
   }
 
-  private def stripFileScheme(p: String): String =
+  /** `file:` URI -> plain path; shared by every local-archive entry point
+    * (also the DSv2 zip source). */
+  private[sources] def stripFileScheme(p: String): String =
     if (p.startsWith("file:")) new java.io.File(new java.net.URI(p)).getPath else p
 
   /** Single-huge-archive ingestion: per-ENTRY parallel extraction. The
@@ -123,12 +113,8 @@ object ZipSource {
           .foreach(_.addTaskCompletionListener[Unit](_ => zf.close()))
         es.map { name =>
           val in = zf.getInputStream(zf.getEntry(name))
-          val out = new ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          try Iterator.continually(in.read(buf)).takeWhile(_ > 0)
-            .foreach(n => out.write(buf, 0, n))
-          finally in.close()
-          (path, name, out.toByteArray)
+          val payload = try in.readAllBytes() finally in.close()
+          (path, name, payload)
         }
       }
       .toDF("archive", "entry", "payload")

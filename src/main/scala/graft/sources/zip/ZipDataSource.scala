@@ -65,14 +65,11 @@ object ZipTable {
     StructField("n_bytes", LongType, nullable = true),
     StructField("payload", BinaryType, nullable = true)))
 
-  private def stripFileScheme(p: String): String =
-    if (p.startsWith("file:")) new java.io.File(new java.net.URI(p)).getPath else p
-
   /** Archives for `path`: the file itself, a directory's *.zip members,
     * or a file-name glob. Sorted for deterministic partition order. */
   def archivesFor(path: String): Seq[String] = {
     import java.nio.file.{Files, Paths}
-    val p = Paths.get(stripFileScheme(path))
+    val p = Paths.get(graft.sources.ZipSource.stripFileScheme(path))
     if (Files.isRegularFile(p)) Seq(p.toString)
     else if (Files.isDirectory(p)) listDir(p, "*.zip")
     else if (p.getParent != null && Files.isDirectory(p.getParent))
@@ -92,7 +89,7 @@ object ZipTable {
   /** (entry, uncompressedSize) from the central directory — no payload
     * reads. Size -1 (not recorded) surfaces as null n_bytes. */
   def entriesWithSizes(archive: String): Seq[(String, Long)] = {
-    val zf = new java.util.zip.ZipFile(stripFileScheme(archive))
+    val zf = new java.util.zip.ZipFile(graft.sources.ZipSource.stripFileScheme(archive))
     try {
       val it = zf.entries()
       val out = scala.collection.mutable.ListBuffer.empty[(String, Long)]
@@ -231,16 +228,9 @@ class ZipSliceReader(slice: ZipSlice) extends PartitionReader[InternalRow] {
 
   private def payloadOf(entry: String): Array[Byte] = {
     if (zf == null) zf = new java.util.zip.ZipFile(
-      if (slice.archive.startsWith("file:"))
-        new java.io.File(new java.net.URI(slice.archive)).getPath
-      else slice.archive)
+      graft.sources.ZipSource.stripFileScheme(slice.archive))
     val in = zf.getInputStream(zf.getEntry(entry))
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    try Iterator.continually(in.read(buf)).takeWhile(_ > 0)
-      .foreach(n => out.write(buf, 0, n))
-    finally in.close()
-    out.toByteArray
+    try in.readAllBytes() finally in.close()
   }
 
   override def next(): Boolean = {

@@ -67,8 +67,11 @@ object EventStreams {
     * watermarks and the join condition bounds event-time distance in
     * BOTH directions, so Spark can size and evict the per-side join
     * state — an unbounded-range stream-stream join would buffer forever.
-    * Columns: left (ts, key, ...) joined to right (rts, key, rpayload...);
-    * callers alias right columns to avoid collisions. */
+    *
+    * Column CONTRACT: the left frame carries event time as `ts` and the
+    * key as `<key>`; the right frame carries event time as `rts` and the
+    * key as `r_<key>` (alias right-side columns — including the key — so
+    * nothing collides across the join). */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    lookback: String, lookahead: String,
                    watermarkDelay: String): DataFrame = {
