@@ -34,6 +34,38 @@ object SparkEntry {
   private def dsumSql(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
 
+  /** DuckDB rendering of Spark's float->decimal(18,9) cast (VARCHAR
+    * mediation matches Spark's HALF_UP on the shortest double repr). */
+  private def dec9Sql(x: String): String =
+    s"CAST(CAST(CAST($x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))"
+
+  /** DuckDB argmax-dot assignment CTE body for [[operators.Similarity]]
+    * oracles: every embedding against centroid set `cents(centroid_id,
+    * cvec)` -> (vec_id, centroid_id), exact decimal dots, id tiebreak. */
+  private def kmAssignSql(cents: String): String =
+    s"""SELECT vec_id, centroid_id FROM (
+       |  SELECT vec_id, centroid_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, centroid_id ASC) AS rn
+       |  FROM (SELECT vec_id, centroid_id, SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+       |        FROM (SELECT e.vec_id, c.centroid_id, unnest(e.embedding) AS x, unnest(c.cvec) AS y
+       |              FROM embeddings e CROSS JOIN $cents c)
+       |        GROUP BY vec_id, centroid_id)) WHERE rn = 1""".stripMargin
+
+  /** DuckDB per-cell elementwise mean CTE body: exact scale-9 unscaled
+    * BIGINT sums, one double divide, float result — mirrors
+    * [[operators.Similarity.kmeansFit]]'s update step. */
+  private def kmMeansSql(assign: String): String =
+    s"""SELECT centroid_id, list(cx ORDER BY pos) AS cvec FROM (
+       |  SELECT centroid_id, pos,
+       |    CAST(CAST(CAST(SUM(u) AS BIGINT) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) / 1.0E9 AS FLOAT) AS cx
+       |  FROM (SELECT a.centroid_id, t.pos, CAST(${dec9Sql("t.x")} * 1000000000 AS BIGINT) AS u
+       |        FROM $assign a JOIN (
+       |          SELECT vec_id, unnest(embedding) AS x,
+       |                 generate_subscripts(embedding, 1) AS pos
+       |          FROM embeddings) t USING (vec_id))
+       |  GROUP BY centroid_id, pos) GROUP BY centroid_id""".stripMargin
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Star join: revenue per region across customer⋈nation⋈region⋈orders. */
   def entry(spark: SparkSession): DataFrame = {
@@ -339,6 +371,18 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts_us"),
           col("prev_purchase_id"), col("prev_purchase_value"))
         .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // LLM ops — k-means centroid training completing the IVF pipeline
+    // (train -> assign); integer member stats per cell so the oracle is
+    // exact while the full decimal assignment arithmetic is exercised
+    "q67_kmeans" -> ((s, dir) => {
+      val vecs = Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = Similarity.kmeansFit(vecs, k = 4, iters = 2)
+      Similarity.centroidAssign(vecs, cents)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_vec_ids"))
+        .orderBy("centroid_id")
     }),
 
     // §2.4 data profiling — fixed-width histogram over the exact global
@@ -1298,6 +1342,22 @@ object SparkEntry {
         |  CASE WHEN t - cp.mt <= 3600000000 THEN cp.pid END AS prev_purchase_id,
         |  CASE WHEN t - cp.mt <= 3600000000 THEN cp.pval END AS prev_purchase_value
         |FROM c WHERE side = 1 ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q67_kmeans" ->
+      s"""WITH seeds AS (
+         |  SELECT centroid_id, cvec FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY
+         |        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) - 1
+         |      AS centroid_id, embedding AS cvec
+         |    FROM embeddings) WHERE centroid_id < 4),
+         |a1 AS (${kmAssignSql("seeds")}),
+         |c1 AS (${kmMeansSql("a1")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmMeansSql("a2")}),
+         |a3 AS (${kmAssignSql("c2")})
+         |SELECT centroid_id, COUNT(*) AS n_members,
+         |  CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids
+         |FROM a3 GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
 
     "q66_histogram" ->
       """WITH mm AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,

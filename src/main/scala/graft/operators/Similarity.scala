@@ -154,6 +154,60 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("score_d"))
   }
 
+  /** Deterministic Lloyd's k-means over an embedding column — trains the
+    * coarse-quantizer centroids that [[ivfTopK]] and [[centroidAssign]]
+    * consume, completing the IVF pipeline (train -> assign -> search)
+    * inside the engine.
+    *
+    * Deterministic end-to-end, like every similarity op here:
+    *  - seeding: the k vectors with the smallest (md5-hash, vec_id) —
+    *    spread pseudo-randomly but identical on every run/engine;
+    *  - assignment: exact decimal dot argmax (centroid-id tiebreak),
+    *    the same arithmetic as [[centroidAssign]];
+    *  - update: per-cell elementwise mean computed over EXACT scale-9
+    *    unscaled longs (one long sum per (cell, dim)), with a single
+    *    double divide at the end — no float-summation order dependence.
+    *
+    * Scale: each iteration is one broadcast fan-out (N x k dots with
+    * map-side max_by argmax) plus one (cell, dim)-keyed aggregation of
+    * long values — no all-pairs stage, no driver collect. Runs a FIXED
+    * `iters` (no convergence probe: deterministic job count). Cells that
+    * lose all members drop out (standard Lloyd's behavior).
+    *
+    * @param vectors (vec_id long, embedding array<float>)
+    * @return (centroid_id long in [0, k), cvec array<float>)
+    */
+  def kmeansFit(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0)
+    val vecs = graft.core.Parallelism.ensureWidth(vectors)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // reused every iteration (assign + update)
+    val seedW = Window.orderBy(
+      graft.functions.Hashing.hexLong(col("vec_id").cast("string")), col("vec_id"))
+    var cents = vecs
+      .withColumn("centroid_id", row_number().over(seedW).cast("long") - 1)
+      .filter(col("centroid_id") < k)
+      .select(col("centroid_id"), col("embedding").as("cvec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assign = centroidAssign(vecs, cents).select("vec_id", "centroid_id")
+      val unscaled = vecs.join(assign, Seq("vec_id"))
+        .select(col("centroid_id"),
+          posexplode(scale9(col("embedding"))).as(Seq("pos", "u")))
+      val means = unscaled.groupBy("centroid_id", "pos")
+        .agg(sum(col("u")).as("s"), count(lit(1)).as("n"))
+        .select(col("centroid_id"), col("pos"),
+          (col("s").cast("double") / col("n").cast("double") / lit(1e9))
+            .cast("float").as("cx"))
+      cents = means.groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cx")))),
+          s => s.getField("cx")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** Symmetric per-vector int8 quantization for embedding STORAGE: 4x
     * smaller than float32 on the wire and on disk — at 100 TB of vectors
     * the scan bandwidth, not the arithmetic, is the ANN bottleneck, and

@@ -84,6 +84,28 @@ class SimilaritySpec extends SparkSpec {
     assert(full.contains(-127))
   }
 
+  test("kmeansFit recovers two well-separated clusters deterministically") {
+    // two tight clusters on opposite axes; k=2 must split them exactly
+    val rows = (0 until 10).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f) else Seq(0.0f, 1.0f)
+      val eps = 0.01f * (i / 2)
+      (i.toLong, Seq(base(0) + (if (i % 2 == 0) eps else 0f),
+        base(1) + (if (i % 2 == 1) eps else 0f)))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(rows, k = 2, iters = 3)
+    assert(cents.count() == 2)
+    val assign = Similarity.centroidAssign(rows, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val even = (0 until 10 by 2).map(i => assign(i.toLong)).toSet
+    val odd = (1 until 10 by 2).map(i => assign(i.toLong)).toSet
+    assert(even.size == 1 && odd.size == 1 && even != odd,
+      s"clusters not separated: $assign")
+    // deterministic: a second fit produces identical centroids
+    val again = Similarity.kmeansFit(rows, k = 2, iters = 3)
+    assert(cents.select("centroid_id", "cvec").except(again).isEmpty &&
+      again.except(cents.select("centroid_id", "cvec")).isEmpty)
+  }
+
   test("centroidAssign picks argmax-dot centroid with id tiebreak") {
     val cents = vecs.filter($"vec_id".isin(0L, 2L))
       .select($"vec_id".as("centroid_id"), $"embedding".as("cvec"))
