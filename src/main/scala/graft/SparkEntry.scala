@@ -839,7 +839,7 @@ object SparkEntry {
     // boilerplate docs (narrow per-row arrays; no shuffle before the agg)
     "q64_repetition" -> ((s, dir) => {
       val grams = TextFunctions.shingles(TextFunctions.tokens(col("text")), 2)
-      Tables.load(s, dir, "documents")
+      graft.core.Parallelism.ensureWidth(Tables.load(s, dir, "documents"))
         .select(col("doc_id"), size(grams).as("n_grams"),
           size(array_distinct(grams)).as("n_distinct"))
         .filter(col("n_grams") > 0)
