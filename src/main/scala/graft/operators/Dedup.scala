@@ -25,6 +25,21 @@ import graft.functions.{Hashing, TextFunctions}
   */
 object Dedup {
 
+  /** Keep the winning row per key — upsert/CDC compaction semantics:
+    * of all versions sharing `keys`, the one with the greatest `ord`
+    * tuple survives whole. ONE aggregation with map-side partial max_by
+    * (each partition contributes at most one candidate per key before
+    * the exchange) — never a window sort over the full history.
+    * `ord` must be a TOTAL order per key (append a unique id as the
+    * last tiebreak); ties would otherwise resolve arbitrarily. */
+  def keepLatest(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && ord.nonEmpty)
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, struct(ord: _*)).as("__r"))
+      .select(df.columns.map(c => col("__r").getField(c).as(c)).toIndexedSeq: _*)
+  }
+
   /** Exact duplicate groups keyed by content hash.
     * Output: (text_md5, canonical_id = min id, n_dups). */
   def exactGroups(docs: DataFrame, id: Column, text: Column): DataFrame =

@@ -29,6 +29,42 @@ object FactsWarehouse {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Small-files compaction — the operational counterpart of [[write]]:
+    * incremental appends (one file per micro-batch/quarter-drop) decay a
+    * partition into thousands of KB-sized files, and at 100 TB the
+    * resulting task-per-file scheduling and footer overhead dominate
+    * scans. Rewrites `srcPath` into `destPath` with files sized toward
+    * `targetFileBytes` (estimated from the source's on-disk bytes),
+    * preserving the quarter partitioning and rssd clustering.
+    *
+    * Writes to a NEW directory rather than in place: an in-place rewrite
+    * that fails midway loses data; callers swap directories after
+    * success (the atomic-publish pattern).
+    *
+    * @return number of output data files written
+    */
+  def compact(spark: SparkSession, srcPath: String, destPath: String,
+              targetFileBytes: Long = 128L << 20): Long = {
+    val src = spark.read.parquet(srcPath)
+    val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(srcPath))
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    val nFiles = math.max(1L, (onDisk + targetFileBytes - 1) / targetFileBytes).toInt
+    // range-partition on (quarter, rssd): a quarter larger than the
+    // target splits across tasks (unlike hash-by-quarter, which pins a
+    // whole quarter to one file), and range locality keeps each task's
+    // rows inside one (or few) partition dirs with rssd runs intact
+    src.repartitionByRange(nFiles, col("quarter"), col("rssd"))
+      .sortWithinPartitions("rssd", "mdrm")
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy("quarter")
+      .parquet(destPath)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(destPath))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .count()
+  }
+
   /** Catalog-managed variant bucketed by `rssd`: two tables bucketed the
     * same way join WITHOUT a shuffle (bucket-wise sort-merge) — the
     * co-located-join layout for recurring fact-fact work like

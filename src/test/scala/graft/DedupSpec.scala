@@ -131,4 +131,22 @@ class DedupSpec extends SparkSpec {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
   }
+
+  test("keepLatest keeps exactly the newest version per key") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val versions = Seq(
+      ("k1", 1L, "v1-old"), ("k1", 3L, "v1-new"), ("k1", 2L, "v1-mid"),
+      ("k2", 5L, "v2-only"),
+      ("k3", 7L, "v3-a"), ("k3", 7L, "v3-b") // tie on ts -> text tiebreak
+    ).toDF("key", "ts", "text")
+    val kept = Dedup.keepLatest(versions, Seq("key"), Seq(col("ts"), col("text")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(kept == Map(
+      "k1" -> (3L, "v1-new"), "k2" -> (5L, "v2-only"), "k3" -> (7L, "v3-b")))
+    // partial aggregation shape: no Window in the plan
+    val plan = Dedup.keepLatest(versions, Seq("key"), Seq(col("ts"), col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("max_by") && !plan.contains("Window"), plan.take(800))
+  }
 }

@@ -61,4 +61,25 @@ class FactsWarehouseSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS facts_q2")
     }
   }
+
+  test("compact rewrites a many-small-files layout into few files, data intact") {
+    import spark.implicits._
+    val rows = (0 until 400).map(i =>
+      (1000L + i % 7, s"mdrm$i", i.toDouble, if (i % 2 == 0) "2022-03-31" else "2022-06-30"))
+      .toDF("rssd", "mdrm", "float_data", "quarter")
+    val src = java.nio.file.Files.createTempDirectory("facts-small").toString + "/t"
+    // simulate micro-batch appends: many tiny files per partition
+    rows.repartition(40).write.partitionBy("quarter").parquet(src)
+    def files(p: String) = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      .filter(f => f.getFileName.toString.endsWith(".parquet")).count()
+    assert(files(src) >= 40, s"fixture should be fragmented, got ${files(src)}")
+    val dest = java.nio.file.Files.createTempDirectory("facts-compact").toString + "/t"
+    val n = FactsWarehouse.compact(spark, src, dest, targetFileBytes = 512L << 20)
+    assert(n < files(src) / 4, s"compaction wrote $n files")
+    // identical data and preserved partition column
+    val a = spark.read.parquet(src).select("rssd", "mdrm", "float_data", "quarter")
+    val b = spark.read.parquet(dest).select("rssd", "mdrm", "float_data", "quarter")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assert(spark.read.parquet(dest).filter($"quarter" === "2022-03-31").count() == 200)
+  }
 }

@@ -80,6 +80,15 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q08: rank filter collapses to partial+final WindowGroupLimit") {
+    // Spark 4's InferWindowGroupLimit keeps only k rows per group per
+    // partition BEFORE the exchange — the declarative row_number + filter
+    // form IS the scalable top-k-per-group; guard that it stays inferred
+    val p = plan("q08_window_rank")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"),
+      p.take(1500))
+  }
+
   test("q62: gram frame is materialized once; benchmark side broadcasts") {
     val p = plan("q62_decontaminate")
     // the localCheckpoint shows as ExistingRDD scans — the shingle+hash
