@@ -27,12 +27,20 @@ object TextFunctions {
     length(regexp_replace(regexp_replace(c, "[A-Za-z0-9]+", "x"), "\\s", "")).cast("long")
 
   /** Word n-gram shingles joined by single spaces. Empty array when the
-    * document has fewer than n tokens (guards Spark's descending
-    * `sequence` when size-n < 0). */
+    * document has fewer than n tokens.
+    *
+    * Implementation note (the hot path of every shingle/minhash query):
+    * the gram lambda must NOT reference `ws` — an expression inside a
+    * higher-order-function lambda re-evaluates per ELEMENT, so an
+    * element_at(ws, ...) form re-runs the upstream tokenizer (the whole
+    * split) for every gram: O(tokens^2) per document. Instead the array
+    * is bound into n shifted slices ONCE per row (arrays_zip), and the
+    * lambda touches only its zipped struct element. */
   def shingles(ws: Column, n: Int): Column = {
-    val gram = (i: Column) => concat_ws(" ",
-      (0 until n).map(j => element_at(ws, (i + lit(j + 1)).cast("int"))): _*)
-    when(size(ws) >= n, transform(sequence(lit(0), size(ws) - n), gram))
+    val m = (size(ws) - (n - 1)).cast("int") // gram count when size >= n
+    val zipped = arrays_zip((0 until n).map(j => slice(ws, lit(j + 1), m).as(s"g$j")): _*)
+    when(size(ws) >= n,
+      transform(zipped, s => concat_ws(" ", (0 until n).map(j => s.getField(s"g$j")): _*)))
       .otherwise(array().cast("array<string>"))
   }
 
