@@ -55,33 +55,42 @@ object TextFunctions {
   def totalTokenChars(ws: Column): Column =
     aggregate(ws, lit(0L), (acc, x) => acc + length(x).cast("long"))
 
-  /** Fraction of tokens found in `stopwords` — exact int/int division. */
+  /** Fraction of tokens found in `stopwords` — exact int/int division.
+    * The stopword set is one cached array literal, not re-built per token. */
   def stopwordRatio(ws: Column, stopwords: Seq[String]): Column = {
-    val stops = array(stopwords.map(lit): _*)
+    val stops = typedLit(stopwords)
     size(filter(ws, t => array_contains(stops, t))).cast("double") /
       greatest(size(ws), lit(1)).cast("double")
   }
 
   /** Count of tokens present in a fixed vocabulary list (lang-id voting). */
   def vocabHits(ws: Column, vocab: Seq[String]): Column = {
-    val v = array(vocab.map(lit): _*)
+    val v = typedLit(vocab) // one cached array literal, not rebuilt per token
     size(filter(ws, t => array_contains(v, t))).cast("long")
   }
 
   /** Character n-grams of the lowercased, whitespace-normalized text —
     * the unit of the classic n-gram language-ID profile. Empty array for
-    * text shorter than n. */
-  def charNgrams(c: Column, n: Int): Column = {
-    val t = lower(normalizeWs(c))
-    when(length(t) >= n,
-      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * text shorter than n.
+    *
+    * The normalized text is LET-BOUND through a one-element array before
+    * the per-index lambda touches it: referencing the computed expression
+    * inside the lambda directly would re-run the whole
+    * lower(regexp_replace(...)) normalization for EVERY n-gram —
+    * O(len^2) with a regex per character position. */
+  def charNgrams(c: Column, n: Int): Column =
+    transform(array(lower(normalizeWs(c))), t =>
+      when(length(t) >= n,
+        transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    ).getItem(0)
 
   /** N-gram language-ID score: occurrences of profile n-grams in the
-    * text's char n-gram stream (with repetition — frequency matters). */
+    * text's char n-gram stream (with repetition — frequency matters).
+    * The profile is a single cached array literal (typedLit), not a
+    * per-element CreateArray of the profile strings. */
   def ngramProfileHits(c: Column, profile: Seq[String], n: Int = 3): Column = {
-    val p = array(profile.map(lit): _*)
+    val p = typedLit(profile)
     size(filter(charNgrams(c, n), g => array_contains(p, g))).cast("long")
   }
 

@@ -221,20 +221,26 @@ object Similarity {
     *
     * @return struct(scale double, q array<int> in [-127, 127])
     */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = array_max(transform(vec, x => abs(x.cast("double"))))
-    val q = when(scale > 0d,
-        transform(vec, x =>
-          floor(x.cast("double") * lit(127.0) / scale + lit(0.5)).cast("int")))
-      .otherwise(transform(vec, x => lit(0)))
-    struct(scale.as("scale"), q.as("q"))
-  }
+  def quantizeInt8(vec: Column): Column =
+    // the scale is LET-BOUND through a one-element array: referencing the
+    // array_max expression inside the per-element lambda would re-scan
+    // the whole vector for every component (O(d^2) per vector)
+    transform(array(array_max(transform(vec, x => abs(x.cast("double"))))), sc =>
+      struct(sc.as("scale"),
+        when(sc > 0d,
+          transform(vec, x =>
+            floor(x.cast("double") * lit(127.0) / sc + lit(0.5)).cast("int")))
+          .otherwise(transform(vec, x => lit(0))).as("q"))
+    ).getItem(0)
 
   /** Reconstruct floats from [[quantizeInt8]] output; per-element error is
-    * at most scale/254 (half a quantization step). */
+    * at most scale/254 (half a quantization step). `qs` is let-bound so a
+    * computed struct argument is evaluated once, not per component. */
   def dequantInt8(qs: Column): Column =
-    transform(qs.getField("q"),
-      v => (v.cast("double") * qs.getField("scale") / lit(127.0)).cast("float"))
+    transform(array(qs), q0 =>
+      transform(q0.getField("q"),
+        v => (v.cast("double") * q0.getField("scale") / lit(127.0)).cast("float"))
+    ).getItem(0)
 
   /** Deterministic sign-random-projection hyperplanes for [[srpBuckets]]:
     * plane j, dimension i gets an exact-3-decimal value in (-1, 1) from a
