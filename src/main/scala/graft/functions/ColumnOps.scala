@@ -1,0 +1,18 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared across the function library. */
+object ColumnOps {
+
+  /** Let-bind a computed expression for use inside higher-order-function
+    * lambdas. An expression referenced directly inside a HOF lambda
+    * re-evaluates PER ELEMENT (an `element_at(split(text), i)` gram
+    * lambda re-runs the tokenizer for every gram — O(n^2) per row);
+    * routing it through a one-element array makes the lambda body read a
+    * lambda VARIABLE, which is a cheap slot access. The array wrapper is
+    * one tiny allocation per row, evaluated lazily per `when` branch. */
+  def bound(e: Column)(f: Column => Column): Column =
+    transform(array(e), f).getItem(0)
+}

@@ -73,17 +73,16 @@ object TextFunctions {
     * the unit of the classic n-gram language-ID profile. Empty array for
     * text shorter than n.
     *
-    * The normalized text is LET-BOUND through a one-element array before
-    * the per-index lambda touches it: referencing the computed expression
-    * inside the lambda directly would re-run the whole
-    * lower(regexp_replace(...)) normalization for EVERY n-gram —
+    * The normalized text is let-bound ([[ColumnOps.bound]]): referencing
+    * the computed expression inside the lambda directly would re-run the
+    * whole lower(regexp_replace(...)) normalization for EVERY n-gram —
     * O(len^2) with a regex per character position. */
   def charNgrams(c: Column, n: Int): Column =
-    transform(array(lower(normalizeWs(c))), t =>
+    ColumnOps.bound(lower(normalizeWs(c))) { t =>
       when(length(t) >= n,
         transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
         .otherwise(array().cast("array<string>"))
-    ).getItem(0)
+    }
 
   /** N-gram language-ID score: occurrences of profile n-grams in the
     * text's char n-gram stream (with repetition — frequency matters).

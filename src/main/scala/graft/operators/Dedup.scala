@@ -34,10 +34,14 @@ object Dedup {
     * last tiebreak); ties would otherwise resolve arbitrarily. */
   def keepLatest(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
     require(keys.nonEmpty && ord.nonEmpty)
+    // collision-free intermediate name (a grouping key named "__r" would
+    // make the post-agg reference ambiguous)
+    val tmp = Iterator.from(0).map(i => s"__r$i")
+      .find(n => !df.columns.contains(n)).get
     val payload = struct(df.columns.map(col).toIndexedSeq: _*)
     df.groupBy(keys.map(col): _*)
-      .agg(max_by(payload, struct(ord: _*)).as("__r"))
-      .select(df.columns.map(c => col("__r").getField(c).as(c)).toIndexedSeq: _*)
+      .agg(max_by(payload, struct(ord: _*)).as(tmp))
+      .select(df.columns.map(c => col(tmp).getField(c).as(c)).toIndexedSeq: _*)
   }
 
   /** Exact duplicate groups keyed by content hash.

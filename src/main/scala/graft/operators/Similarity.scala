@@ -179,33 +179,52 @@ object Similarity {
     */
   def kmeansFit(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0)
-    val vecs = graft.core.Parallelism.ensureWidth(vectors)
-      .select(col("vec_id"), col("embedding"))
-      .localCheckpoint(true) // reused every iteration (assign + update)
-    val seedW = Window.orderBy(
-      graft.functions.Hashing.hexLong(col("vec_id").cast("string")), col("vec_id"))
-    var cents = vecs
-      .withColumn("centroid_id", row_number().over(seedW).cast("long") - 1)
-      .filter(col("centroid_id") < k)
-      .select(col("centroid_id"), col("embedding").as("cvec"))
+    // the corpus is scaled to decimal form ONCE, before the loop — the
+    // per-iteration assignment and update both consume the scale-9 form
+    // (the ivfTopK rule: never re-convert on the fan-out side)
+    val v9 = graft.core.Parallelism.ensureWidth(vectors)
+      .select(col("vec_id"), col("embedding"), scale9(col("embedding")).as("e9"))
+      .localCheckpoint(true)
+    // seeding: k smallest (hash, id) rows via a distributed top-k
+    // (TakeOrderedAndProject) — a partition-less row_number window here
+    // would globally sort the whole corpus through one task
+    val seeds = v9
+      .withColumn("__h", graft.functions.Hashing.hexLong(col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id")).limit(k)
+    // k rows only: the global window is over the already-collected top-k.
+    // cents carry BOTH forms: the float cvec is the public contract, the
+    // scale-9 c9 drives iteration arithmetic (a float->scale9->float
+    // roundtrip is not bit-exact for sub-5e-10 components)
+    var cents9 = seeds
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col("__h"), col("vec_id"))).cast("long") - 1)
+      .select(col("centroid_id"), col("embedding").as("cvec"), col("e9").as("c9"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val assign = centroidAssign(vecs, cents).select("vec_id", "centroid_id")
-      val unscaled = vecs.join(assign, Seq("vec_id"))
-        .select(col("centroid_id"),
-          posexplode(scale9(col("embedding"))).as(Seq("pos", "u")))
+      // same argmax arithmetic as centroidAssign, on pre-scaled vectors
+      val assign = v9.crossJoin(broadcast(cents9))
+        .select(col("vec_id"), col("centroid_id"),
+          dot9(col("e9"), col("c9")).as("score"))
+        .groupBy("vec_id")
+        .agg(max_by(col("centroid_id"),
+          struct(col("score"), -col("centroid_id"))).as("centroid_id"))
+      val unscaled = v9.join(assign, Seq("vec_id"))
+        .select(col("centroid_id"), posexplode(col("e9")).as(Seq("pos", "u")))
+      // decimal(38,0) sum: exact at any cell size (a long sum would wrap
+      // past ~9.2e9 near-unit members); identical double rendering below
       val means = unscaled.groupBy("centroid_id", "pos")
-        .agg(sum(col("u")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("u").cast(DecimalType(38, 0))).as("s"), count(lit(1)).as("n"))
         .select(col("centroid_id"), col("pos"),
           (col("s").cast("double") / col("n").cast("double") / lit(1e9))
             .cast("float").as("cx"))
-      cents = means.groupBy("centroid_id")
+      cents9 = means.groupBy("centroid_id")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("cx")))),
           s => s.getField("cx")).as("cvec"))
+        .select(col("centroid_id"), col("cvec"), scale9(col("cvec")).as("c9"))
         .localCheckpoint(true)
     }
-    cents
+    cents9.select(col("centroid_id"), col("cvec"))
   }
 
   /** Symmetric per-vector int8 quantization for embedding STORAGE: 4x
@@ -222,25 +241,26 @@ object Similarity {
     * @return struct(scale double, q array<int> in [-127, 127])
     */
   def quantizeInt8(vec: Column): Column =
-    // the scale is LET-BOUND through a one-element array: referencing the
-    // array_max expression inside the per-element lambda would re-scan
-    // the whole vector for every component (O(d^2) per vector)
-    transform(array(array_max(transform(vec, x => abs(x.cast("double"))))), sc =>
+    // scale is let-bound (ColumnOps.bound): referencing the array_max
+    // expression inside the per-element lambda would re-scan the whole
+    // vector for every component (O(d^2) per vector)
+    graft.functions.ColumnOps.bound(
+      array_max(transform(vec, x => abs(x.cast("double"))))) { sc =>
       struct(sc.as("scale"),
         when(sc > 0d,
           transform(vec, x =>
             floor(x.cast("double") * lit(127.0) / sc + lit(0.5)).cast("int")))
           .otherwise(transform(vec, x => lit(0))).as("q"))
-    ).getItem(0)
+    }
 
   /** Reconstruct floats from [[quantizeInt8]] output; per-element error is
     * at most scale/254 (half a quantization step). `qs` is let-bound so a
     * computed struct argument is evaluated once, not per component. */
   def dequantInt8(qs: Column): Column =
-    transform(array(qs), q0 =>
+    graft.functions.ColumnOps.bound(qs) { q0 =>
       transform(q0.getField("q"),
         v => (v.cast("double") * q0.getField("scale") / lit(127.0)).cast("float"))
-    ).getItem(0)
+    }
 
   /** Deterministic sign-random-projection hyperplanes for [[srpBuckets]]:
     * plane j, dimension i gets an exact-3-decimal value in (-1, 1) from a

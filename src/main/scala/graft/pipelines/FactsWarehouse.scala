@@ -45,24 +45,33 @@ object FactsWarehouse {
     */
   def compact(spark: SparkSession, srcPath: String, destPath: String,
               targetFileBytes: Long = 128L << 20): Long = {
+    def parquetBytes(dir: String, sizes: Boolean): Long = {
+      // Files.walk must be closed (it holds directory handles open)
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try stream
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .mapToLong(p => if (sizes) java.nio.file.Files.size(p) else 1L).sum()
+      finally stream.close()
+    }
     val src = spark.read.parquet(srcPath)
-    val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(srcPath))
-      .filter(p => java.nio.file.Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    val onDisk = parquetBytes(srcPath, sizes = true)
     val nFiles = math.max(1L, (onDisk + targetFileBytes - 1) / targetFileBytes).toInt
     // range-partition on (quarter, rssd): a quarter larger than the
     // target splits across tasks (unlike hash-by-quarter, which pins a
     // whole quarter to one file), and range locality keeps each task's
-    // rows inside one (or few) partition dirs with rssd runs intact
+    // rows inside one (or few) partition dirs with rssd runs intact.
+    // The sort leads with quarter: tasks span quarter boundaries, and a
+    // dynamic-partition write re-sorts by the partition column anyway —
+    // leading with it satisfies the writer's required ordering (no
+    // second sort) and makes the rssd clustering explicit, not an
+    // artifact of the writer's internal sort stability
     src.repartitionByRange(nFiles, col("quarter"), col("rssd"))
-      .sortWithinPartitions("rssd", "mdrm")
+      .sortWithinPartitions("quarter", "rssd", "mdrm")
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy("quarter")
       .parquet(destPath)
-    java.nio.file.Files.walk(java.nio.file.Paths.get(destPath))
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .count()
+    parquetBytes(destPath, sizes = false)
   }
 
   /** Catalog-managed variant bucketed by `rssd`: two tables bucketed the
