@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot, Md5Long}
+import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot, Md5Long, VecSum9Agg}
 
 /** Engine extension point — the sanctioned way to add native expressions
   * to a session: `SparkSession.builder().withExtensions(new
@@ -19,6 +19,10 @@ import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVecto
   *    ([[graft.expressions.DecimalVectorOps]]);
   *  - `md5_long(string) -> bigint` — the portable 60-bit hash computed
   *    straight from digest bytes ([[graft.expressions.Md5Long]]);
+  *  - `vec_sum9(array<bigint>) -> array<decimal(38,0)>` — exact
+  *    elementwise vector-sum aggregate (128-bit per element), the
+  *    one-shuffle replacement for posexplode + per-position sums
+  *    ([[graft.expressions.VecSum9Agg]]);
   *  - the [[graft.expressions.DecimalDotRewrite]] optimizer rule, which
   *    substitutes that native form wherever a query spells out the
   *    declarative `aggregate(zip_with(...))` decimal dot.
@@ -52,6 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "md5_long takes exactly 1 argument")
         Md5Long(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sum9"),
+      new ExpressionInfo(classOf[VecSum9Agg].getName, "vec_sum9"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "vec_sum9 takes exactly 1 argument")
+        VecSum9Agg(children.head)
       }))
     ext.injectOptimizerRule(_ => DecimalDotRewrite)
   }

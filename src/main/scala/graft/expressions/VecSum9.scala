@@ -1,0 +1,194 @@
+package graft.expressions
+
+import java.math.BigInteger
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Exact 128-bit elementwise accumulator for [[VecSum9Agg]].
+  *
+  * Each vector position is a signed 128-bit integer held as (hi, lo) long
+  * words in two's complement — wide enough for ~1.8e19 rows of maximal
+  * long elements, so the sum of scale-9 embedding components can never
+  * wrap at any corpus size (the long-sum formulation wraps past ~9.2e9
+  * near-unit members; the decimal(38,0) formulation is exact but boxes a
+  * BigDecimal per element per row).
+  *
+  * `nonNull(i)` tracks whether ANY row contributed a non-null element at
+  * position `i` — positions that only ever saw nulls must render as NULL
+  * (like `SUM` over an empty group), not 0.
+  */
+final class VecSum128 {
+  var hi: Array[Long] = Array.emptyLongArray
+  var lo: Array[Long] = Array.emptyLongArray
+  var nonNull: Array[Boolean] = Array.emptyBooleanArray
+  var seen: Boolean = false // any non-null input array
+
+  private def ensure(n: Int): Unit = if (n > hi.length) {
+    hi = java.util.Arrays.copyOf(hi, n)
+    lo = java.util.Arrays.copyOf(lo, n)
+    nonNull = java.util.Arrays.copyOf(nonNull, n)
+  }
+
+  /** 128-bit signed add of long `v` (sign-extended) into position `i`. */
+  private def add(i: Int, v: Long): Unit = {
+    val l0 = lo(i)
+    val l1 = l0 + v
+    lo(i) = l1
+    // unsigned carry out of the low word: l0 + v wrapped iff result <u l0
+    val carry = if (java.lang.Long.compareUnsigned(l1, l0) < 0) 1L else 0L
+    hi(i) += (v >> 63) + carry // (v >> 63) is the sign-extension high word
+    nonNull(i) = true
+  }
+
+  def update(a: ArrayData): Unit = {
+    seen = true
+    val n = a.numElements()
+    ensure(n)
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) add(i, a.getLong(i))
+      i += 1
+    }
+  }
+
+  def merge(o: VecSum128): Unit = {
+    if (!o.seen) return
+    seen = true
+    ensure(o.hi.length)
+    var i = 0
+    while (i < o.hi.length) {
+      val l0 = lo(i)
+      val l1 = l0 + o.lo(i)
+      lo(i) = l1
+      val carry = if (java.lang.Long.compareUnsigned(l1, l0) < 0) 1L else 0L
+      hi(i) += o.hi(i) + carry
+      nonNull(i) |= o.nonNull(i)
+      i += 1
+    }
+  }
+
+  def valueAt(i: Int): BigInteger = {
+    val bytes = ByteBuffer.allocate(16).putLong(hi(i)).putLong(lo(i)).array()
+    new BigInteger(bytes) // big-endian two's complement == (hi, lo) signed
+  }
+
+  def serialize(): Array[Byte] = {
+    val n = hi.length
+    val buf = ByteBuffer.allocate(1 + 4 + n * 17)
+    buf.put(if (seen) 1.toByte else 0.toByte).putInt(n)
+    var i = 0
+    while (i < n) {
+      buf.putLong(hi(i)).putLong(lo(i)).put(if (nonNull(i)) 1.toByte else 0.toByte)
+      i += 1
+    }
+    buf.array()
+  }
+}
+
+object VecSum128 {
+  def deserialize(bytes: Array[Byte]): VecSum128 = {
+    val buf = ByteBuffer.wrap(bytes)
+    val b = new VecSum128
+    b.seen = buf.get() == 1
+    val n = buf.getInt()
+    b.hi = new Array[Long](n)
+    b.lo = new Array[Long](n)
+    b.nonNull = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      b.hi(i) = buf.getLong()
+      b.lo(i) = buf.getLong()
+      b.nonNull(i) = buf.get() == 1
+      i += 1
+    }
+    b
+  }
+}
+
+/** `vec_sum9(array<bigint>) -> array<decimal(38,0)>` — exact elementwise
+  * sum of long vectors as ONE aggregate, replacing the
+  * `posexplode -> groupBy(key, pos) -> sum -> re-assemble` shape: no N x d
+  * row blow-up, no second shuffle to collect positions back into a vector,
+  * and map-side partial aggregation ships one (hi, lo) array per group per
+  * mapper instead of d decimal rows.
+  *
+  * Semantics match the explode formulation exactly:
+  *  - null input arrays are skipped (all-null group -> NULL result);
+  *  - null ELEMENTS are skipped; a position with no non-null contribution
+  *    anywhere renders NULL (sum-over-empty), not 0;
+  *  - rows may have different lengths — the result is as long as the
+  *    longest input, shorter rows simply not contributing to the tail
+  *    (exactly what exploding positions produces);
+  *  - arithmetic is exact at any group size (128-bit per element); a value
+  *    outside decimal(38,0) — needs ~1.7e19 maximal-long rows — nulls that
+  *    element like the overflowed decimal sum it stands in for.
+  *
+  * The primary consumer is `Similarity.kmeansFit`'s per-cell mean update
+  * (ref behavior: call-report query aggregation over per-entity vectors);
+  * registered as `vec_sum9` by [[graft.GraftExtensions]].
+  */
+case class VecSum9Agg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecSum128] with UnaryLike[Expression] {
+
+  private val Ten38 = BigInteger.TEN.pow(38)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(DecimalType(38, 0), containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sum9"
+
+  override def createAggregationBuffer(): VecSum128 = new VecSum128
+
+  override def update(buffer: VecSum128, input: InternalRow): VecSum128 = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[ArrayData])
+    buffer
+  }
+
+  override def merge(buffer: VecSum128, input: VecSum128): VecSum128 = {
+    buffer.merge(input)
+    buffer
+  }
+
+  override def eval(buffer: VecSum128): Any = {
+    if (!buffer.seen) return null
+    val n = buffer.hi.length
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (buffer.nonNull(i)) {
+        val v = buffer.valueAt(i)
+        // parity with an overflowed decimal(38,0) SUM: null, never wrap
+        if (v.abs.compareTo(Ten38) < 0)
+          out(i) = Decimal(new java.math.BigDecimal(v), 38, 0)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: VecSum128): Array[Byte] = buffer.serialize()
+  override def deserialize(storageFormat: Array[Byte]): VecSum128 =
+    VecSum128.deserialize(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSum9Agg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSum9Agg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VecSum9Agg =
+    copy(child = newChild)
+}

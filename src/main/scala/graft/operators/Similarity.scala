@@ -208,19 +208,20 @@ object Similarity {
         .groupBy("vec_id")
         .agg(max_by(col("centroid_id"),
           struct(col("score"), -col("centroid_id"))).as("centroid_id"))
-      val unscaled = v9.join(assign, Seq("vec_id"))
-        .select(col("centroid_id"), posexplode(col("e9")).as(Seq("pos", "u")))
-      // decimal(38,0) sum: exact at any cell size (a long sum would wrap
-      // past ~9.2e9 near-unit members); identical double rendering below
-      val means = unscaled.groupBy("centroid_id", "pos")
-        .agg(sum(col("u").cast(DecimalType(38, 0))).as("s"), count(lit(1)).as("n"))
-        .select(col("centroid_id"), col("pos"),
-          (col("s").cast("double") / col("n").cast("double") / lit(1e9))
-            .cast("float").as("cx"))
-      cents9 = means.groupBy("centroid_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("cx")))),
-          s => s.getField("cx")).as("cvec"))
+      // per-cell elementwise sum as ONE native aggregate (vec_sum9,
+      // 128-bit exact per element — can never wrap at any cell size):
+      // no N x d posexplode, no second shuffle to re-assemble positions
+      // into a vector — partial aggregation ships one accumulator array
+      // per (cell, mapper). Rendering is identical to the decimal(38,0)
+      // per-position sum it replaces: one double divide per element.
+      val means = v9.join(assign, Seq("vec_id"))
+        .groupBy("centroid_id")
+        .agg(call_function("vec_sum9", col("e9")).as("s"), count(lit(1)).as("n"))
+      cents9 = means
+        .select(col("centroid_id"),
+          transform(col("s"), u =>
+            (u.cast("double") / col("n").cast("double") / lit(1e9))
+              .cast("float")).as("cvec"))
         .select(col("centroid_id"), col("cvec"), scale9(col("cvec")).as("c9"))
         .localCheckpoint(true)
     }

@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling harness: run ONE named query (or a comma list) N times
+  * against a SF dir and print per-run wall/CPU — for isolating a single
+  * query's cost outside the full [[graft.Bench]] sweep.
+  *
+  * Usage: runMain graft.tools.QueryRunner q67_kmeans[,q35_ivf_topk] [sfDir] [runs]
+  */
+object QueryRunner {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.getOrElse("q01_pricing_agg").split(",").toSeq
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.SparkSessionFactory.configure(
+        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    for (name <- names) {
+      val fn = graft.SparkEntry.queries(name)
+      (1 to runs).foreach { i =>
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        val c0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        println(f"$name run $i: rows=$n wall=$wall%.3f cpu=$cpu%.2f")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+class VecSum9Spec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  /** The formulation vec_sum9 replaces: explode positions, decimal(38,0)
+    * sum per (key, pos), re-assemble in position order. */
+  private def explodedSum(df: DataFrame): DataFrame =
+    df.select(col("k"), posexplode(col("v")).as(Seq("pos", "u")))
+      .groupBy("k", "pos")
+      .agg(sum(col("u").cast(DecimalType(38, 0))).as("s"))
+      .groupBy("k")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        e => e.getField("s")).as("sums"))
+
+  private def nativeSum(df: DataFrame): DataFrame =
+    df.groupBy("k").agg(call_function("vec_sum9", col("v")).as("sums"))
+
+  private def asMap(df: DataFrame): Map[Long, Seq[Option[BigDecimal]]] =
+    df.collect().map { r =>
+      r.getLong(0) -> r.getSeq[java.math.BigDecimal](1).map(Option(_).map(BigDecimal(_)))
+    }.toMap
+
+  test("matches the exploded decimal-sum on plain vectors") {
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L, 3L)),
+      (1L, Seq[java.lang.Long](10L, 20L, 30L)),
+      (2L, Seq[java.lang.Long](-5L, 0L, 5L))
+    ).toDF("k", "v")
+    assert(asMap(nativeSum(df)) == asMap(explodedSum(df)))
+    assert(asMap(nativeSum(df))(1L) == Seq(Some(BigDecimal(11)), Some(BigDecimal(22)), Some(BigDecimal(33))))
+  }
+
+  test("128-bit carries: sums past Long range are exact (vs BigInt reference)") {
+    val big = Long.MaxValue
+    val rows = Seq.fill(5)((1L, Seq[java.lang.Long](big, -big, big - 1)))
+    val df = rows.toDF("k", "v")
+    val got = asMap(nativeSum(df))(1L)
+    val want = Seq(
+      Some(BigDecimal(BigInt(big) * 5)),
+      Some(BigDecimal(BigInt(-big) * 5)),
+      Some(BigDecimal(BigInt(big - 1) * 5)))
+    assert(got == want)
+    // the exploded decimal form agrees
+    assert(asMap(explodedSum(df))(1L) == want)
+  }
+
+  test("negative/positive alternation exercises both carry directions") {
+    val vals = Seq(Long.MinValue + 1, Long.MaxValue, -1L, 1L, Long.MinValue / 2, Long.MaxValue / 3)
+    val rows = vals.zipWithIndex.map { case (v, i) => (1L, Seq[java.lang.Long](v, -v)) }
+    val df = rows.toDF("k", "v")
+    val want = Seq(
+      Some(BigDecimal(vals.map(BigInt(_)).sum)),
+      Some(BigDecimal(-vals.map(BigInt(_)).sum)))
+    assert(asMap(nativeSum(df))(1L) == want)
+  }
+
+  test("null elements skipped; all-null positions render NULL like SUM-over-empty") {
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, null, null)),
+      (1L, Seq[java.lang.Long](2L, 5L, null))
+    ).toDF("k", "v")
+    val got = asMap(nativeSum(df))(1L)
+    assert(got == Seq(Some(BigDecimal(3)), Some(BigDecimal(5)), None))
+    assert(got == asMap(explodedSum(df))(1L))
+  }
+
+  test("ragged lengths: result spans the longest vector, like exploded positions") {
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L)),
+      (1L, Seq[java.lang.Long](10L, 20L, 30L, 40L))
+    ).toDF("k", "v")
+    val got = asMap(nativeSum(df))(1L)
+    assert(got == Seq(Some(BigDecimal(11)), Some(BigDecimal(22)), Some(BigDecimal(30)), Some(BigDecimal(40))))
+    assert(got == asMap(explodedSum(df))(1L))
+  }
+
+  test("null arrays skipped; group of only nulls yields NULL") {
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L)),
+      (1L, null),
+      (2L, null)
+    ).toDF("k", "v")
+    val native = nativeSum(df).collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(native(2L) == null)
+    assert(asMap(nativeSum(df).filter(col("k") === 1L))(1L) ==
+      Seq(Some(BigDecimal(1)), Some(BigDecimal(2))))
+  }
+
+  test("randomized property: native == exploded decimal sum") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      val k = (i % 7).toLong
+      val n = rnd.nextInt(6)
+      val v: Seq[java.lang.Long] = (0 until n).map { _ =>
+        if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextLong() >> rnd.nextInt(40))
+      }
+      (k, v)
+    }
+    val df = rows.toDF("k", "v")
+    assert(asMap(nativeSum(df)) == asMap(explodedSum(df)))
+  }
+
+  test("partial-aggregate path: merge across many partitions agrees") {
+    val rows = (1L to 1000L).map(i => (i % 3, Seq[java.lang.Long](i, -i, i * i)))
+    val df = spark.createDataFrame(rows).toDF("k", "v").repartition(32)
+    assert(asMap(nativeSum(df)) == asMap(explodedSum(df)))
+  }
+}
