@@ -98,6 +98,30 @@ object TextFunctions {
     * and case. */
   def fingerprint(c: Column): Column = md5(lower(normalizeWs(c)))
 
+  /** PII patterns for [[redactPii]] — deliberately conservative shapes
+    * that parse identically under Java regex (Spark) and RE2 (DuckDB,
+    * Go tooling): no lookarounds, no backrefs, ASCII classes only. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction for training-corpus scrubbing: replace emails, IPv4
+    * addresses and NANP-style phone numbers with typed placeholder
+    * tokens. Order matters and is fixed: emails first (their domains
+    * contain dots that the IP pattern must never see), then IPs, then
+    * phones. Pure regexp_replace chain — codegen'd, no UDF, no arrays
+    * materialized. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  /** Match count of a PII pattern (for redaction audit metrics). */
+  def piiCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern)).cast("long")
+
   /** Order-sensitive polynomial rolling hash over tokens:
     * fold (acc*31 + md5_60(token) mod p) mod p. Unlike [[fingerprint]]
     * this is incremental (chunk hashes combine) and integer-typed —

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training batches: lay documents head-to-tail
+  * in a deterministic order and cut the stream into fixed-capacity
+  * context windows ("concat-and-chunk"). A document's bin is the window
+  * its FIRST token lands in — the standard deterministic approximation
+  * of greedy packing (no per-bin capacity search, so it stays a single
+  * window function instead of an iterative driver loop).
+  *
+  * Scale shape: packing is inherently sequential WITHIN a stream, so the
+  * operator packs per SHARD (language, source, hash bucket — any column
+  * with enough distinct values to spread the cluster). Each shard is one
+  * window partition: Spark sorts shard-locally after one hash exchange,
+  * and the running sum is a streaming frame (ROWS UNBOUNDED PRECEDING)
+  * that never buffers the partition. At 100 TB: thousands of shards,
+  * each a few GB — no global sort, no driver state. A single global
+  * stream (shard = lit(1)) works but funnels through one task; callers
+  * choose the tradeoff.
+  */
+object SequencePack {
+
+  /** Assign each document to its context-window bin.
+    *
+    * @param docs     input frame
+    * @param shard    packing stream key (documents never share a bin
+    *                 across shards)
+    * @param order    total order within the shard (must be unique per row
+    *                 for deterministic packing — e.g. doc_id)
+    * @param nTokens  token count column (long)
+    * @param capacity context window size in tokens
+    * @return docs + `bin` (long, 0-based within shard): the window this
+    *         document STARTS in; a document longer than `capacity`
+    *         spills into following windows, exactly like real packing.
+    */
+  def packBins(docs: DataFrame, shard: Column, order: Column,
+               nTokens: Column, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val w = Window.partitionBy(shard).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("__cum", sum(nTokens).over(w))
+      .withColumn("bin", floor((col("__cum") - nTokens) / lit(capacity.toLong)))
+      .drop("__cum")
+  }
+}
