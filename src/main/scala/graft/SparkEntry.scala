@@ -919,6 +919,55 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
           unix_micros(col("w.end")).as("end_us"), col("n_events"))
         .orderBy("user_id", "start_us")
+    }),
+
+    // LLM ops — sequence packing (concat-and-chunk context windows):
+    // documents laid head-to-tail per source shard in doc_id order, cut
+    // into 256-token windows; a doc's bin is where its first token lands
+    "q68_sequence_pack" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCountRegex(col("text")).as("n_tokens"))
+      SequencePack.packBins(d, col("source"), col("doc_id"), col("n_tokens"),
+          capacity = 256)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("bin"))
+        .orderBy("source", "doc_id")
+    }),
+
+    // LLM ops — PII redaction for corpus scrubbing. The corpus has no
+    // real PII, so each doc is augmented with a deterministic synthetic
+    // email + IPv4 + phone derived from doc_id (both engines build the
+    // same string), then redacted; counts audit each pattern on the raw
+    // augmented text. Order dependence (emails before IPs) is exercised
+    // because every email domain contains dots the IP pattern must skip.
+    "q69_pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."),
+        (col("doc_id") % 200).cast("string"), lit(".0."),
+        (col("doc_id") % 250 + 1).cast("string"),
+        lit(" tel 555-"), format_string("%03d", col("doc_id") % 1000),
+        lit("-0199"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.redactPii(aug).as("redacted"),
+          TextFunctions.piiCount(aug, TextFunctions.EmailPattern).as("n_emails"),
+          TextFunctions.piiCount(aug, TextFunctions.Ipv4Pattern).as("n_ips"),
+          TextFunctions.piiCount(aug, TextFunctions.PhonePattern).as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — packing audit: per-bin doc count, token load and fill
+    // rate (>1.0 marks a window whose last doc spills into the next)
+    "q70_pack_stats" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCountRegex(col("text")).as("n_tokens"))
+      SequencePack.binStats(d, col("source"), col("doc_id"), col("n_tokens"),
+          capacity = 256)
+        .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+          format_string("%.9f", col("fill_rate")).as("fill_rate"))
+        .orderBy("shard", "bin")
     })
   )
 
@@ -1658,6 +1707,56 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) + 600000000 AS end_us,
         |  COUNT(*) AS n_events
-        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, start_us""".stripMargin
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, start_us""".stripMargin,
+
+    "q68_sequence_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(regexp_replace(regexp_replace(text, '[A-Za-z0-9]+', 'x', 'g'),
+        |      '\s', '', 'g')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 256
+        |    AS BIGINT) AS bin
+        |FROM d ORDER BY source, doc_id""".stripMargin,
+
+    "q69_pii_redact" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.com from 10.'
+        |      || (doc_id % 200) || '.0.' || (doc_id % 250 + 1)
+        |      || ' tel 555-' || printf('%03d', doc_id % 1000) || '-0199' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q70_pack_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(regexp_replace(regexp_replace(text, '[A-Za-z0-9]+', 'x', 'g'),
+        |      '\s', '', 'g')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT source AS shard, n_tokens,
+        |    (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 256
+        |      AS bin
+        |  FROM d)
+        |SELECT shard, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+        |  -- hugeint sums land as float64 in pandas; BIGINT keeps them exact
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  printf('%.9f', SUM(n_tokens) / 256.0) AS fill_rate
+        |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
   )
 }

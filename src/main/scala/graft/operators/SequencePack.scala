@@ -23,14 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object SequencePack {
 
+  /** First column name in the `base`-family not already taken in `df`. */
+  private def freeName(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
+      .find(n => !df.columns.contains(n)).get
+
   /** Assign each document to its context-window bin.
+    *
+    * Bin arithmetic is exact long math (`div`, not double division), so
+    * there is no 2^53 precision cliff; the only bound is the running sum
+    * itself overflowing a long (9.2e18 tokens per shard — unreachable).
+    * Negative or null token counts have no packing semantics and raise
+    * at execution time rather than silently corrupting bins.
     *
     * @param docs     input frame
     * @param shard    packing stream key (documents never share a bin
     *                 across shards)
     * @param order    total order within the shard (must be unique per row
     *                 for deterministic packing — e.g. doc_id)
-    * @param nTokens  token count column (long)
+    * @param nTokens  token count column (long, non-negative, non-null)
     * @param capacity context window size in tokens
     * @return docs + `bin` (long, 0-based within shard): the window this
     *         document STARTS in; a document longer than `capacity`
@@ -39,11 +50,32 @@ object SequencePack {
   def packBins(docs: DataFrame, shard: Column, order: Column,
                nTokens: Column, capacity: Int): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    val nCol = freeName(docs, "__graft_pack_n")
+    val cumCol = freeName(docs, "__graft_pack_cum")
     val w = Window.partitionBy(shard).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val guarded = when(nTokens.isNull || nTokens < 0,
+        raise_error(lit("packBins: nTokens must be a non-negative long")))
+      .otherwise(nTokens.cast("long"))
     docs
-      .withColumn("__cum", sum(nTokens).over(w))
-      .withColumn("bin", floor((col("__cum") - nTokens) / lit(capacity.toLong)))
-      .drop("__cum")
+      .withColumn(nCol, guarded)
+      .withColumn(cumCol, sum(col(nCol)).over(w))
+      .withColumn("bin", expr(s"(`$cumCol` - `$nCol`) div ${capacity.toLong}L"))
+      .drop(nCol, cumCol)
+  }
+
+  /** Per-bin packing stats: documents, token load, and fill rate against
+    * `capacity`. Token spill past the window (a long document crossing
+    * bins) counts toward the bin it starts in, so `fill_rate` can exceed
+    * 1.0 — exactly the overflow a packing audit needs to see. One extra
+    * aggregation after [[packBins]]; grouping on (shard, bin) reuses the
+    * shard hash distribution. */
+  def binStats(docs: DataFrame, shard: Column, order: Column,
+               nTokens: Column, capacity: Int): DataFrame = {
+    val packed = packBins(docs, shard, order, nTokens, capacity)
+    packed.groupBy(shard.as("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTokens.cast("long")).as("n_tokens"),
+        (sum(nTokens.cast("long")) / lit(capacity.toDouble)).as("fill_rate"))
   }
 }

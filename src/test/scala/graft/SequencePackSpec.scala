@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SequencePack
+
+/** Concat-and-chunk sequence packing (LLM batch prep). Bin semantics:
+  * a document's bin is the window its FIRST token lands in. */
+class SequencePackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pack(rows: Seq[(Long, String, Long)], capacity: Int) =
+    SequencePack.packBins(rows.toDF("doc_id", "shard", "n"),
+        col("shard"), col("doc_id"), col("n"), capacity)
+      .select("shard", "doc_id", "bin").as[(String, Long, Long)]
+      .collect().map { case (s, d, b) => (s, d) -> b }.toMap
+
+  test("packs greedily in order within each shard, independently across shards") {
+    // shard a: cum-starts 0,100,200,300 with cap 256 -> bins 0,0,0,1
+    // shard b: independent stream restarts at 0
+    val bins = pack(Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), (4L, "a", 100L),
+      (10L, "b", 200L), (11L, "b", 100L)), capacity = 256)
+    assert(bins(("a", 1L)) == 0L && bins(("a", 2L)) == 0L)
+    assert(bins(("a", 3L)) == 0L) // starts at 200 < 256, spills into bin 1
+    assert(bins(("a", 4L)) == 1L) // starts at 300
+    assert(bins(("b", 10L)) == 0L && bins(("b", 11L)) == 0L)
+  }
+
+  test("a document longer than capacity spills; followers start past it") {
+    // doc 2 is 1000 tokens starting at 50: occupies bins 0..4 (cap 256);
+    // doc 3 starts at token 1050 -> bin 4, doc 4 at 1060 -> bin 4
+    val bins = pack(Seq(
+      (1L, "a", 50L), (2L, "a", 1000L), (3L, "a", 10L), (4L, "a", 10L)),
+      capacity = 256)
+    assert(bins(("a", 1L)) == 0L)
+    assert(bins(("a", 2L)) == 0L) // starts in bin 0 even though it spans 5 bins
+    assert(bins(("a", 3L)) == 4L) // 1050 div 256 = 4
+    assert(bins(("a", 4L)) == 4L)
+  }
+
+  test("capacity 1: every token boundary is a bin boundary") {
+    val bins = pack(Seq((1L, "a", 3L), (2L, "a", 2L), (3L, "a", 0L)), capacity = 1)
+    assert(bins(("a", 1L)) == 0L)
+    assert(bins(("a", 2L)) == 3L)
+    assert(bins(("a", 3L)) == 5L) // empty doc sits at the running position
+  }
+
+  test("empty input and empty-shard-safety: no rows, no failure") {
+    val out = SequencePack.packBins(
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "shard", "n"),
+      col("shard"), col("doc_id"), col("n"), 256)
+    assert(out.count() == 0L)
+    assert(out.columns.contains("bin"))
+  }
+
+  test("input columns named like the temp columns are not clobbered") {
+    val df = Seq((1L, "a", 5L, "keep")).toDF("doc_id", "shard", "n", "__graft_pack_n")
+    val out = SequencePack.packBins(df, col("shard"), col("doc_id"), col("n"), 16)
+    assert(out.columns.count(_ == "__graft_pack_n") == 1)
+    assert(out.select("__graft_pack_n").as[String].head() == "keep")
+  }
+
+  test("negative and null token counts raise instead of corrupting bins") {
+    val neg = Seq((1L, "a", -5L)).toDF("doc_id", "shard", "n")
+    val exNeg = intercept[Exception] { // SparkRuntimeException locally, SparkException via tasks
+      SequencePack.packBins(neg, col("shard"), col("doc_id"), col("n"), 16).collect()
+    }
+    assert(exNeg.getMessage.contains("non-negative"))
+    val nul = Seq((1L, "a", Some(5L)), (2L, "a", None))
+      .toDF("doc_id", "shard", "n")
+    val exNul = intercept[Exception] {
+      SequencePack.packBins(nul, col("shard"), col("doc_id"), col("n"), 16).collect()
+    }
+    assert(exNul.getMessage.contains("non-negative"))
+  }
+
+  test("rejects non-positive capacity") {
+    val df = Seq((1L, "a", 5L)).toDF("doc_id", "shard", "n")
+    intercept[IllegalArgumentException] {
+      SequencePack.packBins(df, col("shard"), col("doc_id"), col("n"), 0)
+    }
+  }
+
+  test("binStats reports docs, token load and fill rate per (shard, bin)") {
+    val df = Seq(
+      (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), // bin 0 holds 300 tokens
+      (4L, "a", 50L), // starts at 300 -> bin 1
+      (10L, "b", 10L)).toDF("doc_id", "shard", "n")
+    val stats = SequencePack.binStats(df, col("shard"), col("doc_id"), col("n"), 256)
+      .select("shard", "bin", "n_docs", "n_tokens", "fill_rate")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map { case (s, b, nd, nt, fr) => (s, b) -> ((nd, nt, fr)) }.toMap
+    assert(stats(("a", 0L)) == ((3L, 300L, 300.0 / 256.0))) // fill > 1: spill visible
+    assert(stats(("a", 1L)) == ((1L, 50L, 50.0 / 256.0)))
+    assert(stats(("b", 0L)) == ((1L, 10L, 10.0 / 256.0)))
+  }
+}

@@ -58,4 +58,40 @@ class TextFunctionsSpec extends SparkSpec {
       .as[Long].head()
     assert(hits == 2L)
   }
+
+  private def redact(s: String): String =
+    Seq(s).toDF("t").select(TextFunctions.redactPii(col("t"))).as[String].head()
+
+  test("redactPii replaces emails, IPv4s and phones with typed tokens") {
+    assert(redact("mail a.b+c@sub.example.org now") == "mail <EMAIL> now")
+    assert(redact("host 192.168.0.1 up") == "host <IP> up")
+    assert(redact("call 555-867-5309 today") == "call <PHONE> today")
+    assert(redact("x user@ex.com y 10.0.0.1 z 555-123-4567")
+      == "x <EMAIL> y <IP> z <PHONE>")
+  }
+
+  test("redactPii order dependence: email domains never leak as IPs") {
+    // the dotted-quad INSIDE this domain would be eaten by the IP pattern
+    // if IPs ran first, splitting the email in two
+    assert(redact("a bob@10.0.0.1.example.com b") == "a <EMAIL> b")
+    // a bare IP (no letter TLD to rescue it) still redacts as an IP
+    assert(redact("a 1.2.3.44 b") == "a <IP> b")
+  }
+
+  test("redactPii leaves non-PII digit shapes alone") {
+    assert(redact("version 1.2.3 and 12345-678 stay") == "version 1.2.3 and 12345-678 stay")
+    // \b guards: digits embedded in longer runs are not phones
+    assert(redact("id 1555-123-45678 ok") == "id 1555-123-45678 ok")
+  }
+
+  test("piiCount audits each pattern on the raw text") {
+    val df = Seq("a@b.co and c@d.org via 10.0.0.1 call 555-111-2222 or 555-333-4444")
+      .toDF("t")
+    val (e, i, p) = df.select(
+        TextFunctions.piiCount(col("t"), TextFunctions.EmailPattern),
+        TextFunctions.piiCount(col("t"), TextFunctions.Ipv4Pattern),
+        TextFunctions.piiCount(col("t"), TextFunctions.PhonePattern))
+      .as[(Long, Long, Long)].head()
+    assert((e, i, p) == ((2L, 1L, 2L)))
+  }
 }
