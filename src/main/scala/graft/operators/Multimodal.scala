@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -11,14 +16,15 @@ import org.apache.spark.sql.types._
   * bytes in Catalyst — payloads stay opaque binary; metadata (content
   * hash, byte length, declared format, decode outputs) is relational and
   * columnar. Decode runs batched per partition (`mapPartitions` — the
-  * JVM-side equivalent of the Arrow-batched python UDF pattern) so a real
-  * codec would amortize init per batch, and partitioning/pushdown operate
-  * on metadata without touching payloads.
+  * JVM-side equivalent of the Arrow-batched python UDF pattern) so codec
+  * init amortizes per batch, and partitioning/pushdown operate on
+  * metadata without touching payloads.
   *
-  * The decoder here is a clearly-marked deterministic STUB — the container
-  * ships no image/audio codecs. The Spark-side plumbing (schema, batch
-  * shape, partition parallelism, null handling) is real and tested; swap
-  * `stubDecode` for a codec call to productionize.
+  * Image decode and resize are REAL: `javax.imageio` (PNG/JPEG/BMP/GIF/
+  * WBMP — the formats the JDK ships) and `java.awt.Graphics2D` bilinear
+  * scaling, so no external library is needed. Only video frame sampling
+  * ([[sampleFrames]]) remains a labeled stub — the JDK has no container
+  * demuxer.
   */
 object Multimodal {
 
@@ -62,56 +68,96 @@ object Multimodal {
   final case class DecodedFrame(media_id: Long, width: Int, height: Int,
                                 n_channels: Int, feature: Array[Float])
 
-  /** STUB decode: deterministic pseudo-decode from payload bytes. A real
-    * implementation calls a codec here, once per partition batch. */
-  private[operators] def stubDecode(mediaId: Long, payload: Array[Byte]): DecodedFrame = {
-    val n = if (payload == null) 0 else payload.length
-    val width = 100 + (n % 64)
-    val height = 100 + ((n / 7) % 64)
-    // fake 8-dim feature: byte histogram over 8 buckets, normalized
+  /** One-time per-JVM codec setup: ImageIO's default disk cache would
+    * write a temp file per image — pure overhead for byte-array streams
+    * in executor tasks. Touched lazily from inside each partition batch. */
+  private lazy val imageIoReady: Boolean = { ImageIO.setUseCache(false); true }
+
+  /** Decode an image payload via the JDK codecs. None for null/empty
+    * payloads, unsupported formats, and truncated/corrupt streams —
+    * undecodable media is a data fact, not a job failure. */
+  private[operators] def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+    if (payload == null || payload.isEmpty) None
+    else try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** 8-bin normalized luminance histogram (integer Rec.601 weights), read
+    * row-by-row so the pixel buffer stays one scanline regardless of
+    * image size. */
+  private[operators] def luminanceHistogram(img: BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
     val hist = new Array[Float](8)
-    if (payload != null) payload.foreach(b => hist((b & 0xff) / 32) += 1f)
-    val feat = hist.map(h => if (n == 0) 0f else h / n)
-    DecodedFrame(mediaId, width, height, 3, feat)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        val lum = ((p >> 16 & 0xff) * 299 + (p >> 8 & 0xff) * 587 + (p & 0xff) * 114) / 1000
+        hist(lum >> 5) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    hist.map(_ / n)
   }
 
-  /** Batched decode over partitions — real parallel plumbing around the
-    * stub. Output joins back to the media frame on media_id. */
+  /** Batched image decode over partitions: real `javax.imageio` decode,
+    * one row per DECODABLE payload (undecodable media simply yields no
+    * frame — filter on the metadata frame to audit drop counts). Output
+    * joins back to the media frame on media_id. */
   def decodeFrames(media: DataFrame): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     graft.core.Parallelism.ensureWidth(media)
       .select("media_id", "payload")
       .mapPartitions { rows: Iterator[Row] =>
-        // per-batch codec init would go here
-        rows.map(r => stubDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+        require(imageIoReady) // per-batch codec init
+        rows.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]](1)).map { img =>
+            DecodedFrame(r.getLong(0), img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, luminanceHistogram(img))
+          }
+        }
       }
   }
 
   final case class ResizedFrame(media_id: Long, width: Int, height: Int,
                                 payload: Array[Byte])
 
-  /** STUB resize: deterministic byte down/up-sampling to width*height
-    * bytes. A real implementation calls an image library per batch. */
-  private[operators] def stubResize(mediaId: Long, payload: Array[Byte],
-                                    width: Int, height: Int): ResizedFrame = {
-    val n = width * height
-    val src = if (payload == null) Array.emptyByteArray else payload
-    val out = new Array[Byte](n)
-    if (src.nonEmpty) {
-      var i = 0
-      while (i < n) { out(i) = src((i.toLong * src.length / n).toInt); i += 1 }
-    }
-    ResizedFrame(mediaId, width, height, out)
+  /** Bilinear resize to exact target dims via Graphics2D, re-encoded as
+    * PNG (lossless, so tests and downstream decodes see exact pixels). */
+  private[operators] def resizeImage(img: BufferedImage, width: Int,
+                                     height: Int): Array[Byte] = {
+    val dst = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, width, height, null)
+    } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", bos)
+    bos.toByteArray
   }
 
   /** Batched resize-to-fixed-dims: the normalization step before feature
-    * extraction in an image pipeline. Stub math, real batch plumbing. */
+    * extraction in an image pipeline. Real decode + bilinear scale;
+    * undecodable payloads yield no row. */
   def resizeFrames(media: DataFrame, width: Int, height: Int): Dataset[ResizedFrame] = {
+    require(width > 0 && height > 0)
     import media.sparkSession.implicits._
     graft.core.Parallelism.ensureWidth(media)
       .select("media_id", "payload")
       .mapPartitions { rows: Iterator[Row] =>
-        rows.map(r => stubResize(r.getLong(0), r.getAs[Array[Byte]](1), width, height))
+        require(imageIoReady) // per-batch codec init
+        rows.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]](1)).map { img =>
+            ResizedFrame(r.getLong(0), width, height, resizeImage(img, width, height))
+          }
+        }
       }
   }
 

@@ -1,6 +1,9 @@
 package graft
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
 import java.util.zip.{ZipEntry, ZipOutputStream}
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
@@ -9,36 +12,72 @@ import graft.sources.ZipSource
 class MultimodalZipSpec extends SparkSpec {
   import spark.implicits._
 
-  test("multimodal ingest + batched stub decode") {
-    val docs = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
-      .withColumn("bin", encode(col("text"), "UTF-8"))
-      .withColumn("fmt", lit("text/plain"))
+  /** Real PNG bytes: w×h image colored per-pixel by `rgb(x, y)`. */
+  private def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal ingest + real ImageIO decode of PNG payloads") {
+    // 6x4, left half black (luminance 0 -> bin 0), right half white (bin 7)
+    val halfAndHalf = png(6, 4, (x, _) => if (x < 3) 0x000000 else 0xffffff)
+    val docs = Seq(
+      (1L, halfAndHalf),
+      (2L, "not an image at all".getBytes("UTF-8")),
+      (3L, Array.emptyByteArray),
+      (4L, halfAndHalf.take(20))) // truncated PNG stream
+      .toDF("doc_id", "bin").withColumn("fmt", lit("image/png"))
     val media = Multimodal.ingest(docs, "doc_id", "bin", "fmt")
     assert(media.schema.fieldNames.toSeq ==
       Seq("media_id", "payload", "format", "n_bytes", "content_md5"))
-    val m1 = media.filter($"media_id" === 1L).first()
-    assert(m1.getAs[Long]("n_bytes") == 11L)
 
     val frames = Multimodal.decodeFrames(media).collect()
       .map(f => f.media_id -> f).toMap
-    assert(frames(1L).width == 100 + 11 % 64)
-    assert(frames(1L).feature.length == 8)
-    assert(math.abs(frames(1L).feature.sum - 1.0f) < 1e-6) // normalized histogram
-    assert(frames(2L).feature.forall(_ == 0f)) // empty payload
+    // only the decodable payload yields a frame; garbage/empty/truncated drop
+    assert(frames.keySet == Set(1L))
+    val f1 = frames(1L)
+    assert(f1.width == 6 && f1.height == 4 && f1.n_channels == 3)
+    assert(f1.feature.length == 8)
+    assert(math.abs(f1.feature(0) - 0.5f) < 1e-6) // black half
+    assert(math.abs(f1.feature(7) - 0.5f) < 1e-6) // white half
+    assert(math.abs(f1.feature.sum - 1.0f) < 1e-6) // normalized histogram
   }
 
-  test("batched stub resize normalizes every payload to width*height bytes") {
-    val docs = Seq((1L, "0123456789abcdef"), (2L, "xy"), (3L, ""))
-      .toDF("doc_id", "text")
-      .withColumn("bin", encode(col("text"), "UTF-8"))
-      .withColumn("fmt", lit("image/fake"))
+  test("real bilinear resize: exact target dims, pixels survive a round-trip") {
+    val red = png(10, 6, (_, _) => 0xff0000)
+    val docs = Seq((1L, red), (2L, "junk".getBytes("UTF-8")))
+      .toDF("doc_id", "bin").withColumn("fmt", lit("image/png"))
     val media = Multimodal.ingest(docs, "doc_id", "bin", "fmt")
     val out = Multimodal.resizeFrames(media, 4, 2).collect()
       .map(f => f.media_id -> f).toMap
-    assert(out.values.forall(f => f.payload.length == 8 && f.width == 4 && f.height == 2))
-    assert(out(1L).payload(0) == '0'.toByte) // down-sample keeps first byte
-    assert(out(2L).payload.toSeq == "xxxxyyyy".getBytes("UTF-8").toSeq) // up-sample repeats
-    assert(out(3L).payload.forall(_ == 0)) // empty payload -> zero frame
+    assert(out.keySet == Set(1L)) // undecodable payload yields no row
+    val r = out(1L)
+    assert(r.width == 4 && r.height == 2)
+    // the resized payload is a real PNG: decode it back and check pixels
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    assert(back.getWidth == 4 && back.getHeight == 2)
+    // bilinear scaling of a solid color is that color everywhere
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert((back.getRGB(x, y) & 0xffffff) == 0xff0000)
+  }
+
+  test("resize upscales too, and luminance features track the new image") {
+    val grey = png(2, 2, (_, _) => 0x808080)
+    val media = Multimodal.ingest(
+      Seq((7L, grey)).toDF("doc_id", "bin").withColumn("fmt", lit("image/png")),
+      "doc_id", "bin", "fmt")
+    val up = Multimodal.resizeFrames(media, 8, 8).collect().head
+    val back = ImageIO.read(new java.io.ByteArrayInputStream(up.payload))
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    assert((back.getRGB(3, 3) & 0xffffff) == 0x808080)
+    // feed the resized frame back through decode: 0x80 luminance -> bin 4
+    val redecoded = Multimodal.decodeFrames(
+      Multimodal.ingest(Seq((7L, up.payload)).toDF("doc_id", "bin")
+        .withColumn("fmt", lit("image/png")), "doc_id", "bin", "fmt")).collect().head
+    assert(redecoded.width == 8 && redecoded.feature(4) == 1.0f)
   }
 
   test("frame sampling keeps every Nth fixed-size frame") {
@@ -91,19 +130,33 @@ class MultimodalZipSpec extends SparkSpec {
     assert(ZipSource.readMembersParallel(spark, f.toString, _.contains("m01")).count() == 1)
   }
 
-  test("ingestZip builds a media frame with stable ids and lineage columns") {
+  test("ingestZip -> real decode end-to-end: PNG corpus in an archive") {
     val dir = java.nio.file.Files.createTempDirectory("mediazip")
-    writeZip(dir, "imgs.zip", Seq("a.fake" -> "payloadA", "b.fake" -> "payloadBB"))
-    val media = Multimodal.ingestZip(spark, dir.toString + "/*.zip", "image/fake")
+    val a = png(5, 3, (_, _) => 0xffffff)
+    val b = png(7, 2, (_, _) => 0x000000)
+    val f = dir.resolve("imgs.zip")
+    val z = new ZipOutputStream(java.nio.file.Files.newOutputStream(f))
+    for ((n, bytes) <- Seq("a.png" -> a, "b.png" -> b, "notes.txt" -> "hi".getBytes("UTF-8"))) {
+      z.putNextEntry(new ZipEntry(n)); z.write(bytes); z.closeEntry()
+    }
+    z.close()
+    val media = Multimodal.ingestZip(spark, dir.toString + "/*.zip", "image/png",
+      _.endsWith(".png"))
     assert(media.columns.toSeq == Seq("media_id", "payload", "format", "n_bytes",
       "content_md5", "archive", "entry"))
     val rows = media.collect().map(r => r.getAs[String]("entry") -> r).toMap
-    assert(rows("a.fake").getAs[Long]("n_bytes") == 8L)
-    assert(rows("b.fake").getAs[Long]("n_bytes") == 9L)
+    assert(rows.keySet == Set("a.png", "b.png"))
+    assert(rows("a.png").getAs[Long]("n_bytes") == a.length.toLong)
     assert(rows.values.map(_.getAs[Long]("media_id")).toSet.size == 2) // distinct, stable
-    // media frame feeds the batched decode plumbing unchanged
+    // archive -> media frame -> REAL decode: dims come back per entry
     val frames = Multimodal.decodeFrames(media).collect()
-    assert(frames.length == 2 && frames.forall(_.feature.length == 8))
+      .map(df => df.media_id -> df).toMap
+    val dims = rows.map { case (e, r) =>
+      e -> frames(r.getAs[Long]("media_id")) }
+    assert(dims("a.png").width == 5 && dims("a.png").height == 3)
+    assert(dims("b.png").width == 7 && dims("b.png").height == 2)
+    assert(dims("a.png").feature(7) == 1.0f) // all white
+    assert(dims("b.png").feature(0) == 1.0f) // all black
   }
 
   test("zip member selection by substring predicate") {
