@@ -67,7 +67,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val cpuTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"cores":$cpus,"queries":$qs,"queries_cpu":$qsCpu,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"cores":$cpus,"queries":$qs,"queries_cpu":$qsCpu,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line verbatim: the driver scrapes sbt stdout, which
+    // both r4 and r5 artifacts show arriving as "parsed": null — a plain
+    // file is the load-proof channel.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -126,16 +126,31 @@ object VecSum128 {
   *  - rows may have different lengths — the result is as long as the
   *    longest input, shorter rows simply not contributing to the tail
   *    (exactly what exploding positions produces);
+  *  - a group containing only EMPTY arrays returns an empty array — the
+  *    exploded formulation produces no row at all for that group (there
+  *    is nothing to explode), so callers joining on the group key see
+  *    `[]` here vs an absent key there (pinned by VecSum9Spec);
   *  - arithmetic is exact at any group size (128-bit per element); a value
-  *    outside decimal(38,0) — needs ~1.7e19 maximal-long rows — nulls that
-  *    element like the overflowed decimal sum it stands in for.
+  *    outside decimal(38,0) — which needs ~1.7e19 maximal-long rows, so it
+  *    is unreachable in practice — follows the decimal SUM it stands in
+  *    for: NULL in non-ANSI mode, ArithmeticException under ANSI
+  *    (`ansiEnabled` is captured at planning time by the companion apply,
+  *    same pattern as [[FloatVecScale9]]).
   *
   * The primary consumer is `Similarity.kmeansFit`'s per-cell mean update
   * (ref behavior: call-report query aggregation over per-entity vectors);
   * registered as `vec_sum9` by [[graft.GraftExtensions]].
   */
+object VecSum9Agg {
+  /** Planning-time capture of the session's ANSI flag (SQLConf.get is
+    * thread-local to the planning session; executors see the literal). */
+  def apply(child: Expression): VecSum9Agg =
+    VecSum9Agg(child, org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+}
+
 case class VecSum9Agg(
     child: Expression,
+    ansiEnabled: Boolean,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[VecSum128] with UnaryLike[Expression] {
@@ -172,9 +187,13 @@ case class VecSum9Agg(
     while (i < n) {
       if (buffer.nonNull(i)) {
         val v = buffer.valueAt(i)
-        // parity with an overflowed decimal(38,0) SUM: null, never wrap
+        // parity with an overflowed decimal(38,0) SUM: null (non-ANSI) or
+        // throw (ANSI) — never wrap. Unreachable below ~1.7e19 rows.
         if (v.abs.compareTo(Ten38) < 0)
           out(i) = Decimal(new java.math.BigDecimal(v), 38, 0)
+        else if (ansiEnabled)
+          throw new ArithmeticException(
+            s"vec_sum9: element $i overflows decimal(38,0)")
       }
       i += 1
     }

@@ -55,10 +55,23 @@ object Dedup {
     * `block` (blocking bounds the candidate set; pass a constant to compare
     * all pairs).
     *
+    * SCALE TRAP — this is the EXACT all-pairs form: work grows with the
+    * SQUARE of the largest block's document count, so one dominant block
+    * (or a constant `block`) at corpus scale is quadratic. The production
+    * near-dup path is [[lshVerifiedJaccardPairs]] (q60): banded-LSH
+    * candidates, exact Jaccard verified on candidates only. To keep the
+    * trap from firing silently, any block holding more than
+    * `maxBlockDocs` documents fails the job BEFORE the self-join emits
+    * its first pair: block cardinalities are one cheap narrow aggregate,
+    * broadcast-joined onto the join input with a row-level raise — no
+    * extra driver action, laziness preserved.
+    *
     * Output: (doc_a, doc_b, n_a, n_b, n_common, jaccard) with doc_a < doc_b.
     */
   def ngramJaccardPairs(docs: DataFrame, id: Column, text: Column,
-                        block: Column, n: Int, minJ: Double): DataFrame = {
+                        block: Column, n: Int, minJ: Double,
+                        maxBlockDocs: Int = 10000): DataFrame = {
+    require(maxBlockDocs > 0, s"maxBlockDocs must be positive, got $maxBlockDocs")
     // Plan-shape notes (both matter ~10x, measured at sf0.1):
     //  - tokenize into a named column in its own projection — inlining
     //    split() into the shingle lambda re-splits the text per element_at
@@ -82,7 +95,24 @@ object Dedup {
       .localCheckpoint(true)
     val counts = exploded.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
+    // Oversized-block guard: per-block doc counts come from the raw docs
+    // frame (narrow scan + one agg — no shingle work), keep only the
+    // violating blocks (normally 0 rows, always <= #blocks), and raise on
+    // the first a-side row of such a block. The guard sits BELOW the
+    // self-join, so it fires while rows flow INTO the join, before any
+    // quadratic output exists.
+    val oversized = docs.select(block.as("block"))
+      .groupBy("block").agg(count(lit(1)).as("__n_docs"))
+      .filter(col("__n_docs") > maxBlockDocs.toLong)
     val a = exploded.toDF("doc_a", "block", "shh")
+      .join(oversized, Seq("block"), "left")
+      .withColumn("doc_a", when(col("__n_docs").isNotNull,
+          raise_error(lit(s"ngramJaccardPairs: a block exceeds maxBlockDocs=" +
+            s"$maxBlockDocs documents - all-pairs Jaccard is quadratic in " +
+            "block size; use lshVerifiedJaccardPairs (the LSH-verified " +
+            "path) or raise maxBlockDocs explicitly")))
+        .otherwise(col("doc_a")))
+      .drop("__n_docs")
     val b = exploded.toDF("doc_b", "block", "shh")
     val common = a.join(b, Seq("block", "shh"))
       .filter(col("doc_a") < col("doc_b"))

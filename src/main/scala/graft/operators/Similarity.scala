@@ -178,6 +178,11 @@ object Similarity {
     * @return (centroid_id long in [0, k), cvec array<float>)
     */
   def kmeansFit(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    // FIXED-LENGTH ASSUMPTION: the mean update divides every element of
+    // the vec_sum9 cell sum by the cell's ROW count, which equals the
+    // per-position contribution count only when all embeddings have the
+    // same length (true of any embedding table; ragged inputs would need
+    // the old per-(cell,pos) exploded divisor).
     require(k > 0 && iters >= 0)
     // the corpus is scaled to decimal form ONCE, before the loop — the
     // per-iteration assignment and update both consume the scale-9 form

@@ -33,6 +33,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L }) // other block
   }
 
+  test("ngramJaccardPairs fails fast when a block exceeds maxBlockDocs") {
+    // block "a" holds 4 docs; a cap of 3 must kill the job before the
+    // quadratic self-join, pointing at the LSH-verified production path
+    val ex = intercept[Exception] {
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+        col("source"), n = 3, minJ = 0.3, maxBlockDocs = 3).collect()
+    }
+    assert(ex.getMessage.contains("lshVerifiedJaccardPairs"))
+    // a cap equal to the largest block passes untouched
+    val ok = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      col("source"), n = 3, minJ = 0.3, maxBlockDocs = 4).count()
+    assert(ok > 0)
+  }
+
   test("LSH candidate pairs include exact duplicates") {
     val pairs = Dedup.lshCandidatePairs(
         Dedup.minhashBands(docs, col("doc_id"), col("text"), 16, 4, 3))

@@ -107,6 +107,21 @@ class VecSum9Spec extends SparkSpec with TableDrivenPropertyChecks {
     assert(asMap(nativeSum(df)) == asMap(explodedSum(df)))
   }
 
+  test("group of only empty arrays: empty array natively, NO ROW exploded") {
+    // the one documented divergence from the exploded formulation: there
+    // is nothing to posexplode, so the exploded form loses the group key
+    // entirely while the native aggregate keeps it with a [] sum
+    val df = Seq(
+      (1L, Seq.empty[java.lang.Long]),
+      (1L, Seq.empty[java.lang.Long]),
+      (2L, Seq[java.lang.Long](7L))
+    ).toDF("k", "v")
+    val native = asMap(nativeSum(df))
+    assert(native(1L) == Seq.empty)
+    assert(native(2L) == Seq(Some(BigDecimal(7))))
+    assert(asMap(explodedSum(df)).keySet == Set(2L)) // group 1 vanished
+  }
+
   test("partial-aggregate path: merge across many partitions agrees") {
     val rows = (1L to 1000L).map(i => (i % 3, Seq[java.lang.Long](i, -i, i * i)))
     val df = spark.createDataFrame(rows).toDF("k", "v").repartition(32)

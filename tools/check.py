@@ -69,6 +69,10 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
                 print("spark:\n", g[rows].head(5))
                 print("oracle:\n", x[rows].head(5))
             n_fail += 1
+    if only:
+        # the exit code below reflects ONLY the selected subset — make it
+        # impossible to mistake a filtered run for a full certification
+        print(f"\nFILTERED ({n_pass + n_fail} of {len(oracle)} queries)")
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
