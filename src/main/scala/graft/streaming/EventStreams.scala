@@ -111,6 +111,44 @@ object EventStreams {
       }
   }
 
+  final case class Doc(shard: String, doc_id: Long, n_tokens: Long)
+  final case class PackedDoc(shard: String, doc_id: Long, n_tokens: Long, bin: Long)
+  final case class PackState(cumTokens: Long)
+
+  /** Streaming sequence packing — the streaming form of
+    * [[graft.operators.SequencePack.packBins]]: per shard, the running
+    * token position carries across micro-batches in `GroupState`, so a
+    * document's bin is where its first token lands in the shard's
+    * ever-growing concat stream. Bin ids never reset: a training-batch
+    * consumer can window them downstream.
+    *
+    * Same semantics as batch packBins on the same arrival order
+    * (bin = positionBefore div capacity, spill past capacity included);
+    * within a micro-batch documents sort by doc_id, cross-batch order is
+    * the source's responsibility — exactly [[markerSegments]]' contract.
+    * Negative token counts raise, matching the batch guard. State is one
+    * long per shard — no timeout needed (a shard's packing position is
+    * permanent, not a session). */
+  def packStream(docs: Dataset[Doc], capacity: Int): Dataset[PackedDoc] = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, it, state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cumTokens).getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            if (d.n_tokens < 0) throw new IllegalArgumentException(
+              s"packStream: n_tokens must be non-negative, got ${d.n_tokens}")
+            val bin = cum / capacity
+            cum += d.n_tokens
+            PackedDoc(shard, d.doc_id, d.n_tokens, bin)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
   /** Stateful marker segmentation (the PDF state machine, §2.8) as custom
     * streaming state: per user, the running count of marker events is the
     * segment id, carried across micro-batches in `GroupState`.

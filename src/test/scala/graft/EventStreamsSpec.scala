@@ -224,6 +224,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("packStream carries the packing position across micro-batches") {
+    import graft.streaming.EventStreams.Doc
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val q = EventStreams.packStream(src.toDS(), capacity = 256)
+      .writeStream.format("memory").queryName("packed")
+      .outputMode("append").start()
+    try {
+      src.addData(Doc("a", 1, 100), Doc("a", 2, 100), Doc("b", 9, 50))
+      q.processAllAvailable()
+      // batch 2 resumes shard a at position 200, shard b at 50
+      src.addData(Doc("a", 3, 100), Doc("a", 4, 10), Doc("b", 10, 300))
+      q.processAllAvailable()
+      val bins = spark.table("packed").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(bins(("a", 1L)) == 0L && bins(("a", 2L)) == 0L)
+      assert(bins(("a", 3L)) == 0L) // starts at 200, spills past 256
+      assert(bins(("a", 4L)) == 1L) // starts at 300
+      assert(bins(("b", 9L)) == 0L && bins(("b", 10L)) == 0L)
+    } finally q.stop()
+  }
+
+  test("packStream on a single batch agrees with batch packBins") {
+    import graft.streaming.EventStreams.Doc
+    val docs = Seq(Doc("a", 1, 50), Doc("a", 2, 1000), Doc("a", 3, 10),
+      Doc("b", 7, 300), Doc("b", 8, 10))
+    val streaming = EventStreams.packStream(docs.toDS(), capacity = 256)
+      .collect().map(p => (p.shard, p.doc_id) -> p.bin).toMap
+    val batch = graft.operators.SequencePack.packBins(
+        docs.toDF("shard", "doc_id", "n"),
+        col("shard"), col("doc_id"), col("n"), 256)
+      .select("shard", "doc_id", "bin").as[(String, Long, Long)]
+      .collect().map { case (s, d, b) => (s, d) -> b }.toMap
+    assert(streaming == batch)
+    assert(streaming(("a", 3L)) == 4L) // spill past a 1000-token doc
+  }
+
   test("streaming transforms run identically on batch frames") {
     val batch = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
