@@ -968,6 +968,39 @@ object SparkEntry {
         .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
           format_string("%.9f", col("fill_rate")).as("fill_rate"))
         .orderBy("shard", "bin")
+    }),
+
+    // LLM ops — overlapping token-window chunk manifest (chunk 64, stride
+    // 48 -> 16-token overlap): narrow sequence+explode fan-out, no shuffle
+    "q71_chunking" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCountRegex(col("text")).as("n_tokens"))
+      Chunking.chunkBounds(d, col("n_tokens"), chunkSize = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("start_token"), col("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // LLM ops — stratified deterministic sampling (domain mixing by
+    // language): per-stratum keep rates as exact md5-hash thresholds —
+    // reproducible across engines/runs, plain codegen'd filter
+    "q72_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedHashSample(Tables.load(s, dir, "documents"),
+          col("doc_id").cast("string"), col("lang"),
+          Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — per-source token-budget curation: longest docs first
+    // until 1000 tokens; the one straddling doc is kept (packBins rule)
+    "q73_token_budget" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCountRegex(col("text")).as("n_tokens"))
+      SequencePack.takeTokenBudget(d, col("source"),
+          Seq(col("n_tokens").desc, col("doc_id")), col("n_tokens"), budget = 1000L)
+        .select(col("source"), col("doc_id"), col("n_tokens"))
+        .orderBy("source", "doc_id")
     })
   )
 
@@ -1757,6 +1790,38 @@ object SparkEntry {
         |  -- hugeint sums land as float64 in pandas; BIGINT keeps them exact
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
         |  printf('%.9f', SUM(n_tokens) / 256.0) AS fill_rate
-        |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+        |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    "q71_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(regexp_replace(text, '[A-Za-z0-9]+', 'x', 'g'),
+        |      '\s', '', 'g')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n, unnest(range(0, n, 48)) AS start_token
+        |      FROM d WHERE n > 0)
+        |SELECT doc_id, CAST(start_token // 48 AS BIGINT) AS chunk_idx,
+        |  CAST(start_token AS BIGINT) AS start_token,
+        |  CAST(LEAST(64, n - start_token) AS BIGINT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q72_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+        |  < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 100000 ELSE 250000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q73_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(regexp_replace(regexp_replace(text, '[A-Za-z0-9]+', 'x', 'g'),
+        |      '\s', '', 'g')) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, SUM(n) OVER (PARTITION BY source ORDER BY n DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, doc_id, n AS n_tokens
+        |FROM r WHERE cum - n < 1000 ORDER BY source, doc_id""".stripMargin
   )
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Token-window chunk manifests for LLM context preparation: split each
+  * document into fixed-size chunks of `chunkSize` tokens starting every
+  * `stride` tokens (stride < chunkSize ⇒ overlapping chunks, the RAG /
+  * long-context training shape).
+  *
+  * Emits chunk BOUNDS (start + length), not token arrays — the manifest
+  * is what a downstream tokenizer-aware reader consumes, and bounds keep
+  * the fan-out narrow: one `sequence` + `explode` per row, zero shuffles,
+  * output size ~ n/stride rows per doc. At 100 TB this is a map-only
+  * stage that AQE never has to think about.
+  */
+object Chunking {
+
+  /** Add one row per (doc, chunk): `chunk_idx` (0-based), `start_token`,
+    * `chunk_tokens` (= chunkSize except a shorter tail). Chunks start at
+    * every multiple of `stride` below the doc's token count, so trailing
+    * chunks may be short; empty documents emit no chunk.
+    *
+    * @param nTokens precomputed token count column (reference a real
+    *                column, not an inline expression — it is evaluated
+    *                per chunk row)
+    */
+  def chunkBounds(docs: DataFrame, nTokens: Column, chunkSize: Int,
+                  stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride > 0, s"stride must be positive, got $stride")
+    val n = nTokens.cast("long")
+    docs
+      .withColumn("start_token",
+        explode(when(n > 0, sequence(lit(0L), n - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<long>"))))
+      .withColumn("chunk_idx", expr(s"start_token div ${stride.toLong}L"))
+      .withColumn("chunk_tokens", least(lit(chunkSize.toLong), n - col("start_token")))
+      .select(docs.columns.map(col).toIndexedSeq :+ col("chunk_idx") :+
+        col("start_token") :+ col("chunk_tokens"): _*)
+  }
+}

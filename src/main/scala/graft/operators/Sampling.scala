@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Deterministic sampling operators for corpus curation. All decisions
+  * are pure functions of a row's key hash — no RNG state, no seed
+  * plumbing, identical keep-sets on every run, every engine, and every
+  * cluster size (the property that makes train/eval splits and domain
+  * mixes reproducible). Plain filters: no shuffle, fully pushdown- and
+  * codegen-friendly.
+  */
+object Sampling {
+
+  /** Threshold denominator: rates are exact integer thresholds out of
+    * 1e6, so an engine computing `hash % 1e6 < rate*1e6` agrees bit-wise
+    * with any other engine implementing the same md5-derived hash. */
+  val Denom = 1000000L
+
+  private def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    math.round(rate * Denom)
+  }
+
+  /** Keep a row iff `hexLong(key) % 1e6 < rate * 1e6` — the q46 hash
+    * split generalized to any rate. */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(Hashing.hexLong(key) % Denom < threshold(rate))
+
+  /** Stratified deterministic sampling: per-stratum keep rates (domain
+    * mixing, language rebalancing). A row keeps iff its key hash falls
+    * under its OWN stratum's threshold; strata not in `rates` use
+    * `defaultRate`. One chained CASE over the (small) rate map — the
+    * stratum column never shuffles. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           rates: Map[String, Double],
+                           defaultRate: Double): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (s, r)) => when(stratum === s, lit(threshold(r))).otherwise(acc)
+    }
+    df.filter(Hashing.hexLong(key) % Denom < thr)
+  }
+}

@@ -64,6 +64,34 @@ object SequencePack {
       .drop(nCol, cumCol)
   }
 
+  /** Per-shard token-budget curation: walk each shard's documents in
+    * `order` (highest-priority first — e.g. quality descending) and keep
+    * documents while the budget lasts: a document survives iff its FIRST
+    * token is inside the budget, mirroring [[packBins]]' bin rule, so
+    * exactly one document may straddle the boundary. The "best B tokens
+    * per domain" mix step; same single-window shape and token guards as
+    * packBins (one hash exchange, streaming frame, exact long math).
+    *
+    * @param order within-shard priority; include a unique tiebreaker
+    *              (e.g. `desc(quality), doc_id`) for determinism
+    */
+  def takeTokenBudget(docs: DataFrame, shard: Column, order: Seq[Column],
+                      nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val nCol = freeName(docs, "__graft_budget_n")
+    val cumCol = freeName(docs, "__graft_budget_cum")
+    val w = Window.partitionBy(shard).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val guarded = when(nTokens.isNull || nTokens < 0,
+        raise_error(lit("takeTokenBudget: nTokens must be a non-negative long")))
+      .otherwise(nTokens.cast("long"))
+    docs
+      .withColumn(nCol, guarded)
+      .withColumn(cumCol, sum(col(nCol)).over(w))
+      .filter(col(cumCol) - col(nCol) < budget)
+      .drop(nCol, cumCol)
+  }
+
   /** Per-bin packing stats: documents, token load, and fill rate against
     * `capacity`. Token spill past the window (a long document crossing
     * bins) counts toward the bin it starts in, so `fill_rate` can exceed

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Chunking
+
+/** Token-window chunk manifests (chunk bounds, overlap, tails). */
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunks(n: Long, size: Int, stride: Int): Seq[(Long, Long, Long)] =
+    Chunking.chunkBounds(Seq((1L, n)).toDF("doc_id", "n"), col("n"), size, stride)
+      .select("chunk_idx", "start_token", "chunk_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+  test("overlapping chunks: starts every stride, full size until the tail") {
+    // n=100, size=64, stride=48 -> starts 0, 48, 96
+    assert(chunks(100L, 64, 48) == Seq(
+      (0L, 0L, 64L),   // [0, 64)
+      (1L, 48L, 52L),  // [48, 100) — doc ends before the full 64
+      (2L, 96L, 4L)))  // short tail
+    // a doc long enough that the middle chunk IS full-size
+    assert(chunks(150L, 64, 48) == Seq(
+      (0L, 0L, 64L), (1L, 48L, 64L), (2L, 96L, 54L), (3L, 144L, 6L)))
+  }
+
+  test("non-overlapping when stride == chunkSize; exact fit has no tail") {
+    assert(chunks(128L, 64, 64) == Seq((0L, 0L, 64L), (1L, 64L, 64L)))
+  }
+
+  test("document shorter than one chunk yields a single short chunk") {
+    assert(chunks(10L, 64, 48) == Seq((0L, 0L, 10L)))
+  }
+
+  test("empty document yields no chunks; other columns ride along") {
+    val df = Seq((1L, "a", 0L), (2L, "b", 50L)).toDF("doc_id", "tag", "n")
+    val out = Chunking.chunkBounds(df, col("n"), 64, 48)
+      .select("doc_id", "tag", "chunk_idx").as[(Long, String, Long)].collect()
+    // 50 > stride 48, so doc 2 gets a 2-token tail chunk too; doc 1 none
+    assert(out.toSeq.sorted == Seq((2L, "b", 0L), (2L, "b", 1L)))
+  }
+
+  test("rejects non-positive chunkSize / stride") {
+    val df = Seq((1L, 5L)).toDF("doc_id", "n")
+    intercept[IllegalArgumentException](Chunking.chunkBounds(df, col("n"), 0, 1))
+    intercept[IllegalArgumentException](Chunking.chunkBounds(df, col("n"), 1, 0))
+  }
+}

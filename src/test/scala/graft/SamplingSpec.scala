@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+import graft.functions.Hashing
+
+/** Deterministic hash sampling (flat + stratified). */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (1L to 2000L).map(i =>
+    (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "zh" else "de"))
+  private lazy val df = rows.toDF("id", "lang")
+
+  test("hashSample keeps ~rate of rows, deterministically") {
+    val kept = Sampling.hashSample(df, col("id").cast("string"), 0.3)
+    val n = kept.count()
+    assert(n > 450 && n < 750) // ~600 expected, md5 is uniform
+    // same call, same keep-set — no RNG state
+    val again = Sampling.hashSample(df, col("id").cast("string"), 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(kept.select("id").as[Long].collect().toSet == again)
+    // rate 0 keeps nothing; rate 1 keeps everything
+    assert(Sampling.hashSample(df, col("id").cast("string"), 0.0).count() == 0L)
+    assert(Sampling.hashSample(df, col("id").cast("string"), 1.0).count() == 2000L)
+  }
+
+  test("stratifiedHashSample applies each stratum's own rate") {
+    val kept = Sampling.stratifiedHashSample(df, col("id").cast("string"),
+        col("lang"), Map("en" -> 1.0, "zh" -> 0.0), defaultRate = 0.5)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") == 500L)          // rate 1.0: all of en
+    assert(!kept.contains("zh"))        // rate 0.0: none of zh
+    val de = kept("de")
+    assert(de > 380 && de < 620)        // default 0.5 of 1000
+  }
+
+  test("stratum membership decides the threshold, not the hash family") {
+    // a row's keep-hash is lang-independent: the SAME key kept under
+    // rate r in one stratum is kept in another stratum with rate >= r
+    val keyHash = df.select(col("id"),
+        (Hashing.hexLong(col("id").cast("string")) % Sampling.Denom).as("h"))
+      .filter(col("h") < 250000).select("id").as[Long].collect().toSet
+    val kept = Sampling.stratifiedHashSample(df, col("id").cast("string"),
+        col("lang"), Map.empty, defaultRate = 0.25)
+      .select("id").as[Long].collect().toSet
+    assert(kept == keyHash)
+  }
+
+  test("rejects rates outside [0,1]") {
+    intercept[IllegalArgumentException](
+      Sampling.hashSample(df, col("id").cast("string"), 1.5))
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedHashSample(df, col("id").cast("string"), col("lang"),
+        Map("en" -> -0.1), 0.5))
+  }
+}

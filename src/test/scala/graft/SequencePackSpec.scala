@@ -81,6 +81,31 @@ class SequencePackSpec extends SparkSpec {
     }
   }
 
+  test("takeTokenBudget keeps priority order until the budget, one straddler") {
+    val df = Seq(
+      (1L, "a", 500L), (2L, "a", 400L), (3L, "a", 300L), (4L, "a", 10L),
+      (9L, "b", 50L)).toDF("doc_id", "shard", "n")
+    // order by n desc: 500 (cum-start 0) + 400 (500) + 300 (starts at 900
+    // < 1000: straddles, kept) + 10 (starts at 1200: dropped)
+    val kept = SequencePack.takeTokenBudget(df, col("shard"),
+        Seq(col("n").desc, col("doc_id")), col("n"), budget = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 9L))
+  }
+
+  test("takeTokenBudget guards match packBins (negative raises, budget > 0)") {
+    val df = Seq((1L, "a", -1L)).toDF("doc_id", "shard", "n")
+    val ex = intercept[Exception] {
+      SequencePack.takeTokenBudget(df, col("shard"), Seq(col("doc_id")),
+        col("n"), 100L).collect()
+    }
+    assert(ex.getMessage.contains("non-negative"))
+    intercept[IllegalArgumentException] {
+      SequencePack.takeTokenBudget(df, col("shard"), Seq(col("doc_id")),
+        col("n"), 0L)
+    }
+  }
+
   test("binStats reports docs, token load and fill rate per (shard, bin)") {
     val df = Seq(
       (1L, "a", 100L), (2L, "a", 100L), (3L, "a", 100L), // bin 0 holds 300 tokens
