@@ -116,4 +116,28 @@ class PlanSpec extends SparkSpec {
     assert(joinIdx >= 0 && scaleIdx > joinIdx,
       "scale9 should appear in operators BELOW the join (later in plan text)")
   }
+
+  test("q68/q73: packing is ONE hash exchange (shard window) + presentation sort") {
+    // the running-sum frame must stay a streaming window after a single
+    // shard exchange — any extra shuffle means the packing re-partitioned
+    for (q <- Seq("q68_sequence_pack", "q73_token_budget")) {
+      val p = plan(q)
+      val hashEx = "hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 1, s"$q: expected exactly 1 hash exchange, got $hashEx\n${p.take(1500)}")
+      assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(1500))
+    }
+  }
+
+  test("q71: chunk fan-out is map-only — no exchange except the final sort") {
+    val p = plan("q71_chunking")
+    assert(!p.contains("hashpartitioning"),
+      s"chunking must not shuffle:\n${p.take(1500)}")
+    assert(p.contains("Generate"), "sequence+explode fan-out missing")
+  }
+
+  test("q72: stratified sample is a plain filter over the scan — no shuffle, no join") {
+    val p = plan("q72_stratified_sample")
+    assert(!p.contains("hashpartitioning") && !p.contains("Join"), p.take(1500))
+    assert(p.contains("Filter"), p.take(1500))
+  }
 }
