@@ -23,6 +23,9 @@ import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVecto
   *    elementwise vector-sum aggregate (128-bit per element), the
   *    one-shuffle replacement for posexplode + per-position sums
   *    ([[graft.expressions.VecSum9Agg]]);
+  *  - `bloom_might_contain(binary, bigint) -> boolean` — Spark's internal
+  *    runtime-filter membership test exposed for explicit bloom
+  *    prefilters ([[graft.operators.Decontaminate]]);
   *  - the [[graft.expressions.DecimalDotRewrite]] optimizer rule, which
   *    substitutes that native form wherever a query spells out the
   *    declarative `aggregate(zip_with(...))` decimal dot.
@@ -63,6 +66,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "vec_sum9 takes exactly 1 argument")
         VecSum9Agg(children.head)
+      }))
+    // Spark's own runtime-filter membership expression (codegen'd), made
+    // callable so operators can bloom-prefilter a join side explicitly
+    // (Decontaminate.mightContain). Reuses the engine-internal class —
+    // no new evaluation code to maintain, and the expression's contract
+    // (binary bloom must be a constant / scalar subquery) matches our
+    // usage: the serialized filter is always a plan literal.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "bloom_might_contain takes exactly 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => DecimalDotRewrite)
   }

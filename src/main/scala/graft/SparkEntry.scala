@@ -1001,6 +1001,73 @@ object SparkEntry {
           Seq(col("n_tokens").desc, col("doc_id")), col("n_tokens"), budget = 1000L)
         .select(col("source"), col("doc_id"), col("n_tokens"))
         .orderBy("source", "doc_id")
+    }),
+
+    // LLM ops — bloom-prefiltered decontamination: q62's overlap join
+    // with the candidate side filtered map-side through a bloom over the
+    // benchmark gram hashes BEFORE the shuffle; the exact join then
+    // drops false positives, so the result is bit-identical to the plain
+    // join while the exchange carries only might-match grams (the 100 TB
+    // shape — see operators.Decontaminate)
+    "q74_decontaminate_bloom" -> ((s, dir) => {
+      val grams = graft.core.Parallelism.ensureWidth(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), explode(array_distinct(TextFunctions.shingles(
+          TextFunctions.tokens(col("text")), 3))).as("g"))
+        .select(col("doc_id"), Hashing.hexLong(col("g")).as("gh"))
+        .localCheckpoint(true) // feeds the bloom build AND both join sides
+      val bench = grams.filter(col("doc_id") % 20 === 0).select("gh")
+      val cand = grams.filter(col("doc_id") % 20 =!= 0)
+      graft.operators.Decontaminate.overlapCounts(cand, bench,
+          expectedItems = 1L << 18, fpp = 0.01)
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — exactly-k-per-stratum deterministic sample (eval-set
+    // construction: fixed 8 docs per language, hash-ranked). The
+    // rank<=k filter becomes partial+final WindowGroupLimit, so map
+    // tasks forward at most k rows per stratum into the one exchange
+    "q75_exact_k_sample" -> ((s, dir) => {
+      Sampling.exactKPerStratum(Tables.load(s, dir, "documents"),
+          col("lang"), col("doc_id").cast("string"), k = 8)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // LLM ops — exact duplicated-span detection (dedup exact substrings):
+    // 20-token sliding windows hashed and grouped; windows in >=2
+    // distinct docs mark duplicated spans. Narrow fan-out + one hash
+    // aggregate + semi-join — never an all-pairs product
+    "q76_duplicate_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), windowTokens = 20)
+        .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+          format_string("%.9f", col("dup_ratio")).as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — corpus shuffle + global training-order index: dense
+    // 0-based position in deterministic hash order via the two-job
+    // zipWithIndex shape (a global row_number window would collapse the
+    // corpus into ONE task — see operators.GlobalIndex)
+    "q77_corpus_shuffle" -> ((s, dir) => {
+      graft.operators.GlobalIndex.shuffleIndex(
+          Tables.load(s, dir, "documents").select(col("doc_id")),
+          col("doc_id").cast("string"))
+        .select(col("doc_id"), col("global_idx"))
+        .orderBy("global_idx")
+    }),
+
+    // LLM ops — tokenizer-vocabulary induction: corpus term frequencies
+    // (total occurrences + document frequency), top 50 by count. One
+    // explode + one map-side-combined aggregate + TakeOrdered — the
+    // vocab-seed step of BPE training at corpus scale
+    "q78_vocab_topk" -> ((s, dir) => {
+      graft.core.Parallelism.ensureWidth(Tables.load(s, dir, "documents"))
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
+        .orderBy(col("n_occ").desc, col("tok"))
+        .limit(50)
     })
   )
 
@@ -1822,6 +1889,61 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM d)
         |SELECT source, doc_id, n AS n_tokens
-        |FROM r WHERE cum - n < 1000 ORDER BY source, doc_id""".stripMargin
+        |FROM r WHERE cum - n < 1000 ORDER BY source, doc_id""".stripMargin,
+
+    // identical gram pipeline to q62; only documents with >=1 overlap —
+    // the bloom prefilter on the Spark side must not change the result
+    "q74_decontaminate_bloom" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS gh FROM sh),
+        |bench AS (SELECT DISTINCT gh FROM ex WHERE doc_id % 20 = 0),
+        |cand AS (SELECT * FROM ex WHERE doc_id % 20 <> 0)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |FROM cand c JOIN bench b ON b.gh = c.gh
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+
+    "q75_exact_k_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |             CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE rn <= 8 ORDER BY lang, doc_id""".stripMargin,
+
+    "q76_duplicate_spans" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wl AS (SELECT doc_id,
+        |         CAST(GREATEST(len(w) - 19, 0) AS BIGINT) AS n_windows,
+        |         list_transform(range(1, len(w) - 18),
+        |           i -> ('0x' || substr(md5(array_to_string(list_slice(w, i, i + 19), ' ')), 1, 15))::BIGINT) AS whs
+        |       FROM ws),
+        |win AS (SELECT doc_id, unnest(whs) AS wh FROM wl),
+        |shared AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+        |        FROM win WHERE wh IN (SELECT wh FROM shared) GROUP BY doc_id)
+        |SELECT wl.doc_id, wl.n_windows,
+        |  COALESCE(dup.n_dup_windows, 0) AS n_dup_windows,
+        |  printf('%.9f', CASE WHEN wl.n_windows > 0
+        |    THEN CAST(COALESCE(dup.n_dup_windows, 0) AS DOUBLE) / wl.n_windows
+        |    ELSE 0.0 END) AS dup_ratio
+        |FROM wl LEFT JOIN dup ON dup.doc_id = wl.doc_id
+        |ORDER BY wl.doc_id""".stripMargin,
+
+    "q77_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |             CAST(doc_id AS VARCHAR)) - 1 AS global_idx
+        |FROM documents ORDER BY global_idx""".stripMargin,
+
+    "q78_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM toks GROUP BY tok
+        |ORDER BY n_occ DESC, tok LIMIT 50""".stripMargin
   )
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-prefiltered benchmark decontamination — the 100 TB shape of the
+  * gram-overlap join (q62).
+  *
+  * The plain equi-join decontamination shuffles EVERY training-corpus
+  * gram to its join partition, even though at real scale well under 1%
+  * of corpus grams appear in the (small, fixed) held-out benchmark set.
+  * Here the benchmark gram hashes are folded into a bloom filter once,
+  * shipped to every task as a plan literal, and applied as a map-side
+  * filter BELOW the join: the shuffle then carries only the grams that
+  * might match (true overlaps + the fpp fraction of false positives),
+  * and the exact equi-join that follows removes the false positives —
+  * so the final result is bit-identical to the unfiltered join and
+  * remains fully oracle-checkable.
+  *
+  * Membership testing is Spark's own codegen'd Catalyst expression
+  * (`BloomFilterMightContain`, the one `InjectRuntimeFilter` uses),
+  * registered as `bloom_might_contain` by [[graft.GraftExtensions]] —
+  * no UDF, stays inside whole-stage codegen. The filter bytes ride the
+  * task binary, which Spark torrent-broadcasts once per executor; at a
+  * typical 1-2 bytes/item a 100M-gram benchmark set is ~150 MB — within
+  * broadcast range, and far cheaper than shuffling 100 TB of grams.
+  */
+object Decontaminate {
+
+  /** Build and serialize a bloom filter over a LongType column (a
+    * distributed treeAggregate; only the fixed-size bitmask returns to
+    * the driver). `fpp` trades bitmask size against the fraction of
+    * non-matching grams that survive to the join — the JOIN keeps the
+    * result exact regardless. */
+  def buildBloom(keys: DataFrame, key: String, expectedItems: Long,
+                 fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    val bf = keys.stat.bloomFilter(key, expectedItems, fpp)
+    val os = new ByteArrayOutputStream()
+    bf.writeTo(os)
+    os.toByteArray
+  }
+
+  /** Membership predicate over a serialized bloom (native expression;
+    * requires a session built with [[graft.GraftExtensions]]). */
+  def mightContain(bloom: Array[Byte], value: Column): Column =
+    call_function("bloom_might_contain", lit(bloom), value)
+
+  /** Per-document overlap counts of `cand` grams against `bench` grams,
+    * bloom-prefiltered before the exact verify join. Inputs are
+    * `(doc_id, gh)` gram-hash frames (`bench` need not be distinct).
+    * Output: `(doc_id, n_overlap)` for documents with ≥1 overlapping
+    * gram — exact, as if the bloom were not there. */
+  def overlapCounts(cand: DataFrame, bench: DataFrame, gh: String = "gh",
+                    expectedItems: Long = 1 << 20,
+                    fpp: Double = 0.01): DataFrame = {
+    val benchSet = bench.select(gh).distinct()
+    val bloom = buildBloom(benchSet, gh, expectedItems, fpp)
+    cand.filter(mightContain(bloom, col(gh)))
+      .join(benchSet, Seq(gh)) // exact verify: false positives drop here
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+  }
+}

@@ -358,4 +358,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming").distinct()
   }
+
+  /** Exact duplicated-span detection (the "dedup exact substrings"
+    * pipeline of Lee et al. 2021, re-expressed as window-hash blocking):
+    * every `windowTokens`-token sliding window of every document is
+    * hashed; a window whose hash occurs in ≥2 DISTINCT documents is a
+    * duplicated span. Output per document: total windows, duplicated
+    * windows, and their ratio — the signal used to drop or trim
+    * boilerplate-heavy documents before training.
+    *
+    * Scale shape: one narrow posexplode fan-out (~n_tokens rows per doc,
+    * 8-byte keys), one groupBy on the window hash with map-side partial
+    * aggregation, and one semi-join back — never an all-pairs product.
+    * A suffix-array would find variable-length spans; fixed windows with
+    * stride 1 find every duplicated run of ≥ `windowTokens` tokens (any
+    * such run contains a duplicated window) at a fraction of the
+    * machinery, and the window hash frame is exactly the
+    * shuffle-friendly representation a 1000-executor job wants.
+    *
+    * Output: (doc_id, n_windows, n_dup_windows, dup_ratio); documents
+    * shorter than `windowTokens` report 0 windows and ratio 0.0.
+    */
+  def duplicateSpans(docs: DataFrame, id: Column, text: Column,
+                     windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    // tokenize in its own projection (multi-referenced alias rule — see
+    // ngramJaccardPairs), explode the window transform inline to keep
+    // generator fusion, hash to 8-byte keys before any exchange
+    val toks = graft.core.Parallelism.ensureWidth(
+      docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("ws")))
+    // feeds per-doc counts AND the shared-window groupBy AND the
+    // semi-join probe — materialize once
+    val win = toks.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("ws"), windowTokens)).as("w"))
+      .select(col("doc_id"), Hashing.hexLong(col("w")).as("wh"))
+      .localCheckpoint(true)
+    val counts = toks.select(col("doc_id"),
+      greatest(size(col("ws")) - (windowTokens - 1), lit(0))
+        .cast("long").as("n_windows"))
+    // window hashes seen in >= 2 distinct docs; count(distinct) here is
+    // over a key already grouped (wh), so it is one Expand-free
+    // two-level aggregate at most
+    val shared = win.groupBy("wh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("wh")
+    val dups = win.join(shared, Seq("wh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    counts.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        when(col("n_windows") > 0,
+          col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Global training-order assignment: give every row a dense 0-based
+  * index in a deterministic shuffle order (order by a key hash — the
+  * "shuffle the corpus once, then stream it" step every epoch-based
+  * trainer wants).
+  *
+  * A global `row_number()` window is the SCALE TRAP here: an empty
+  * `partitionBy` collapses the whole corpus into ONE task. The scalable
+  * shape is Spark's own two-job `zipWithIndex`: (1) range-shuffle sort
+  * by the order columns, (2) a tiny count-per-partition job, then each
+  * partition stamps `offset + local position` map-side. Job 2 scans
+  * nothing twice — it counts the sorted partitions — and the stamped
+  * output never re-shuffles. This is the sanctioned imperative-RDD
+  * exception (per-partition positional state has no Catalyst
+  * equivalent); everything before and after stays a DataFrame.
+  *
+  * Determinism: the caller's `order` must be a total order (tie-break
+  * on a unique key) — then the index is reproducible run-over-run and
+  * cluster-size-over-cluster-size, unlike `monotonically_increasing_id`
+  * (partition-layout-dependent) or RAND-based shuffles.
+  */
+object GlobalIndex {
+
+  /** Sort `df` by `order` and append `idxCol` = 0-based global position. */
+  def withGlobalIndex(df: DataFrame, order: Seq[Column],
+                      idxCol: String = "global_idx"): DataFrame = {
+    require(order.nonEmpty, "order must name at least one column")
+    require(!df.columns.contains(idxCol), s"column $idxCol already exists")
+    val sorted = df.sort(order: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(idxCol, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(indexed, schema)
+  }
+
+  /** The corpus-shuffle special case: order by the md5 hash of `key`
+    * (ties broken by the key itself) — a deterministic, uniform,
+    * engine-portable permutation of the corpus. */
+  def shuffleIndex(df: DataFrame, key: Column,
+                   idxCol: String = "global_idx"): DataFrame =
+    withGlobalIndex(df, Seq(graft.functions.Hashing.hexLong(key), key), idxCol)
+}

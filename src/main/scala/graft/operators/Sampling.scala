@@ -42,4 +42,26 @@ object Sampling {
     }
     df.filter(Hashing.hexLong(key) % Denom < thr)
   }
+
+  /** EXACTLY `k` rows per stratum (eval-set construction wants fixed
+    * sizes, not fixed rates): rank rows within each stratum by their key
+    * hash (key itself as tiebreak — fully deterministic) and keep the
+    * first `k`. Strata holding fewer than `k` rows keep everything.
+    *
+    * One hash exchange on the stratum; the rank-≤-k filter is the shape
+    * Spark rewrites into partial+final WindowGroupLimit, so each map
+    * task forwards at most `k` rows per stratum into the exchange —
+    * the shuffle carries O(strata × k), not the corpus
+    * (plan-guarded in PlanSpec). */
+  def exactKPerStratum(df: DataFrame, stratum: Column, key: Column,
+                       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // deterministic temp name that cannot collide with user columns
+    val rn = Iterator.from(0).map(i => if (i == 0) "__graft_rn" else s"__graft_rn_$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(stratum).orderBy(Hashing.hexLong(key), key)))
+      .filter(col(rn) <= k).drop(rn)
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Decontaminate
+
+/** Bloom-prefiltered decontamination: the bloom may only ever ADD
+  * candidate rows (false positives) before the exact verify join — it
+  * must never lose a true overlap, and the joined result must be
+  * bit-identical to the unfiltered equi-join. */
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val cand = (1L to 5000L).map(i => (i % 50, i)).toDF("doc_id", "gh")
+  private lazy val bench = (1L to 5000L by 7).map(i => Tuple1(i)).toDF("gh")
+
+  test("bloom has no false negatives over its build set") {
+    val bloom = Decontaminate.buildBloom(bench, "gh", expectedItems = 1000, fpp = 0.01)
+    val misses = bench.filter(!Decontaminate.mightContain(bloom, col("gh"))).count()
+    assert(misses == 0L, "a bloom filter can never miss an inserted key")
+  }
+
+  test("bloom fpp is in the configured ballpark on non-members") {
+    val bloom = Decontaminate.buildBloom(bench, "gh", expectedItems = 1000, fpp = 0.01)
+    val nonMembers = (100001L to 110000L).map(Tuple1(_)).toDF("gh")
+    val fp = nonMembers.filter(Decontaminate.mightContain(bloom, col("gh"))).count()
+    assert(fp < 300L, s"~1% fpp expected over 10k probes, got $fp")
+  }
+
+  test("overlapCounts equals the plain exact join (bloom cannot change the result)") {
+    val viaBloom = Decontaminate.overlapCounts(cand, bench,
+        expectedItems = 1000, fpp = 0.05)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = cand.join(bench.distinct(), Seq("gh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaBloom == plain)
+  }
+
+  test("plan shape: the bloom membership filter sits BELOW the verify join") {
+    // localCheckpoint the input: a pure LocalRelation would let the
+    // optimizer evaluate the filter at plan time (ConvertToLocalRelation)
+    // and no Filter node would remain to assert on
+    val plan = Decontaminate.overlapCounts(cand.localCheckpoint(true), bench,
+        expectedItems = 1000)
+      .queryExecution.executedPlan.toString
+    val filterAt = plan.indexOf("might_contain")
+    val joinAt = math.max(plan.indexOf("SortMergeJoin"),
+      math.max(plan.indexOf("ShuffledHashJoin"), plan.indexOf("BroadcastHashJoin")))
+    assert(filterAt >= 0, "bloom filter missing from the physical plan")
+    assert(joinAt >= 0, "verify join missing from the physical plan")
+    // plan trees print top-down: appearing AFTER the join node means the
+    // filter executes before it (deeper in the tree)
+    assert(filterAt > joinAt, "bloom prefilter must be on the join input side")
+  }
+
+  test("rejects a non-positive capacity") {
+    intercept[IllegalArgumentException](
+      Decontaminate.buildBloom(bench, "gh", expectedItems = 0))
+  }
+}

@@ -86,6 +86,42 @@ class DedupSpec extends SparkSpec {
     out.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0))
   }
 
+  test("duplicateSpans flags windows shared across docs, not within-doc repeats") {
+    val d = Seq(
+      // docs 1 and 2 share the 4-token run "alpha beta gamma delta"
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two alpha beta gamma delta three"),
+      // doc 3 repeats a window INTERNALLY only — not a cross-doc dup
+      (3L, "x y z w x y z w"),
+      // doc 4 is shorter than the window — zero windows, ratio 0
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(d, col("doc_id"), col("text"), windowTokens = 4)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // doc 1: 3 windows, exactly one ("alpha beta gamma delta") shared
+    assert(r(1L) == ((3L, 1L, 1.0 / 3)))
+    // doc 2: 4 windows, one shared
+    assert(r(2L) == ((4L, 1L, 0.25)))
+    // doc 3: 5 windows, none shared with ANOTHER doc (distinct-doc rule)
+    assert(r(3L) == ((5L, 0L, 0.0)))
+    // doc 4: no windows at all
+    assert(r(4L) == ((0L, 0L, 0.0)))
+    intercept[IllegalArgumentException](
+      Dedup.duplicateSpans(d, col("doc_id"), col("text"), windowTokens = 0))
+  }
+
+  test("duplicateSpans: every duplicated run of >= window length is caught") {
+    // a 6-token duplicated run with window 4 must flag 3 windows per doc
+    val d = Seq(
+      (1L, "p q a b c d e f r s"),
+      (2L, "m a b c d e f n")
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(d, col("doc_id"), col("text"), windowTokens = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    // run "a b c d e f" contains windows abcd, bcde, cdef in both docs
+    assert(r(1L) == 3L && r(2L) == 3L)
+  }
+
   test("connectedComponents resolves transitive near-dup groups to min ids") {
     import graft.operators.Dedup
     // chain 1-2-3, separate pair 10-11, triangle 20-21-22

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GlobalIndex
+
+/** Global training-order assignment: dense, 0-based, deterministic. */
+class GlobalIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = (1L to 1000L).map(i => (i, s"doc-$i"))
+    .toDF("id", "text").repartition(7) // deliberately scattered input
+
+  test("withGlobalIndex assigns exactly 0..n-1 in the requested order") {
+    val idx = GlobalIndex.withGlobalIndex(df, Seq(col("id").desc))
+    val got = idx.select("id", "global_idx").as[(Long, Long)].collect().sortBy(_._2)
+    // order by id desc: id 1000 -> 0, id 999 -> 1, ...
+    assert(got.map(_._2).toSeq == (0L until 1000L))
+    assert(got.forall { case (id, i) => i == 1000L - id })
+  }
+
+  test("shuffleIndex is a deterministic permutation, stable across runs") {
+    val a = GlobalIndex.shuffleIndex(df, col("id").cast("string"))
+      .select("id", "global_idx").as[(Long, Long)].collect().toMap
+    val b = GlobalIndex.shuffleIndex(df.repartition(3), col("id").cast("string"))
+      .select("id", "global_idx").as[(Long, Long)].collect().toMap
+    assert(a == b, "index must not depend on input partition layout")
+    assert(a.values.toSeq.sorted == (0L until 1000L))
+    // it really permutes: identity order would be astronomically unlikely
+    assert(a.count { case (id, i) => i == id - 1 } < 50)
+  }
+
+  test("rejects an index column name that already exists and an empty order") {
+    intercept[IllegalArgumentException](
+      GlobalIndex.withGlobalIndex(df, Seq(col("id")), idxCol = "text"))
+    intercept[IllegalArgumentException](
+      GlobalIndex.withGlobalIndex(df, Seq.empty))
+  }
+}

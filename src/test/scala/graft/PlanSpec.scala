@@ -140,4 +140,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning") && !p.contains("Join"), p.take(1500))
     assert(p.contains("Filter"), p.take(1500))
   }
+
+  test("q74: bloom membership filter executes below the verify join") {
+    val p = plan("q74_decontaminate_bloom")
+    val filterAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin") max
+      p.indexOf("BroadcastHashJoin")
+    assert(filterAt >= 0, "bloom prefilter missing from the plan")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      "might_contain must prefilter a join INPUT (deeper than the join node)")
+  }
+
+  test("q75: rank-filter sampling compiles to partial+final WindowGroupLimit") {
+    // map tasks must forward at most k rows per stratum into the
+    // exchange — without the partial WindowGroupLimit the whole corpus
+    // shuffles just to be discarded by the rank filter
+    val p = plan("q75_exact_k_sample")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"expected partial AND final WindowGroupLimit:\n${p.take(1500)}")
+  }
+
+  test("q76: duplicate-span exchanges carry hashed keys; dup verify is a semi-join") {
+    // the Generate fan-out itself sits behind the localCheckpoint (plan
+    // truncates at Scan ExistingRDD), so assert on what the downstream
+    // plan CAN show: the shared-window verify is a semi-join and no
+    // exchange is keyed on the raw 20-token window string column
+    val p = plan("q76_duplicate_spans")
+    assert(p.contains("LeftSemi"), s"shared-window semi-join missing:\n${p.take(1500)}")
+    assert(!p.contains("hashpartitioning(w#"),
+      s"exchange keyed on raw window strings:\n${p.take(1500)}")
+  }
 }

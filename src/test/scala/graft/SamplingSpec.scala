@@ -47,6 +47,31 @@ class SamplingSpec extends SparkSpec {
     assert(kept == keyHash)
   }
 
+  test("exactKPerStratum: exactly k per stratum, deterministic, short strata intact") {
+    val kept = Sampling.exactKPerStratum(df, col("lang"), col("id").cast("string"), 25)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 25L, "zh" -> 25L, "de" -> 25L))
+    // deterministic: the same 75 ids every run
+    val again = Sampling.exactKPerStratum(df, col("lang"), col("id").cast("string"), 25)
+    assert(kept.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+    // k larger than a stratum keeps the whole stratum, no padding
+    val all = Sampling.exactKPerStratum(df, col("lang"), col("id").cast("string"), 10000)
+    assert(all.count() == 2000L)
+    // temp rank column does not leak into the output
+    assert(kept.columns.toSeq == df.columns.toSeq)
+    intercept[IllegalArgumentException](
+      Sampling.exactKPerStratum(df, col("lang"), col("id").cast("string"), 0))
+  }
+
+  test("exactKPerStratum survives a user column named __graft_rn") {
+    val clash = df.withColumn("__graft_rn", lit("keep-me"))
+    val kept = Sampling.exactKPerStratum(clash, col("lang"), col("id").cast("string"), 5)
+    assert(kept.columns.contains("__graft_rn"))
+    assert(kept.select("__graft_rn").distinct().as[String].collect().toSeq == Seq("keep-me"))
+  }
+
   test("rejects rates outside [0,1]") {
     intercept[IllegalArgumentException](
       Sampling.hashSample(df, col("id").cast("string"), 1.5))
