@@ -149,6 +149,39 @@ object EventStreams {
       }
   }
 
+  /** Streaming per-shard token-budget curation — the streaming face of
+    * [[graft.operators.SequencePack.takeTokenBudget]]: emit arriving
+    * documents while the shard's cumulative token count is still under
+    * `budget`, then drop forever. The one straddling document (the one
+    * that crosses the budget line) is KEPT — same rule as the batch op,
+    * so a shard fed the same docs in the same order yields the same
+    * keep-set whether it runs batch or streaming.
+    *
+    * Batch order-by-any-column is not available to a stream; admission
+    * is arrival order (doc_id within a micro-batch — deterministic for
+    * replay). State per shard is ONE long, so a million shards hold a
+    * million longs — state size never tracks corpus size, exactly what
+    * an always-on ingestion curator needs. */
+  def budgetStream(docs: Dataset[Doc], budget: Long): Dataset[Doc] = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, Doc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[PackState]) =>
+          var cum = state.getOption.map(_.cumTokens).getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).flatMap { d =>
+            if (d.n_tokens < 0) throw new IllegalArgumentException(
+              s"budgetStream: n_tokens must be non-negative, got ${d.n_tokens}")
+            val keep = cum < budget // straddler crosses the line but is kept
+            cum += d.n_tokens
+            if (keep) Some(d) else None
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
   /** Stateful marker segmentation (the PDF state machine, §2.8) as custom
     * streaming state: per user, the running count of marker events is the
     * segment id, carried across micro-batches in `GroupState`.

@@ -261,6 +261,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(streaming(("a", 3L)) == 4L) // spill past a 1000-token doc
   }
 
+  test("budgetStream enforces the shard budget across micro-batches, straddler kept") {
+    import graft.streaming.EventStreams.Doc
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val q = EventStreams.budgetStream(src.toDS(), budget = 250)
+      .writeStream.format("memory").queryName("budgeted")
+      .outputMode("append").start()
+    try {
+      src.addData(Doc("a", 1, 100), Doc("a", 2, 100), Doc("b", 9, 400))
+      q.processAllAvailable()
+      // batch 2: shard a resumes at 200 (<250): doc 3 straddles and is
+      // kept; doc 4 arrives with the budget exhausted and is dropped;
+      // shard b burned the whole budget on its straddler in batch 1
+      src.addData(Doc("a", 3, 500), Doc("a", 4, 1), Doc("b", 10, 1))
+      q.processAllAvailable()
+      val kept = spark.table("budgeted").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(kept == Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 9L)))
+    } finally q.stop()
+  }
+
+  test("budgetStream single batch agrees with batch takeTokenBudget in doc_id order") {
+    import graft.streaming.EventStreams.Doc
+    val docs = Seq(Doc("a", 1, 50), Doc("a", 2, 1000), Doc("a", 3, 10),
+      Doc("b", 7, 300), Doc("b", 8, 10))
+    val streaming = EventStreams.budgetStream(docs.toDS(), budget = 100)
+      .collect().map(d => (d.shard, d.doc_id)).toSet
+    val batch = graft.operators.SequencePack.takeTokenBudget(
+        docs.toDF("shard", "doc_id", "n"),
+        col("shard"), Seq(col("doc_id")), col("n"), budget = 100L)
+      .select("shard", "doc_id").as[(String, Long)].collect().toSet
+    assert(streaming == batch)
+    // shard a: doc 1 (50) + straddler doc 2 (1000); doc 3 dropped
+    assert(streaming == Set(("a", 1L), ("a", 2L), ("b", 7L)))
+  }
+
   test("streaming transforms run identically on batch frames") {
     val batch = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
