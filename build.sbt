@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] runs executors as threads in THIS heap: shuffle buffers,
+  // broadcast blocks and localCheckpoint storage all compete for it. 8g
+  // was enough for correctness but produced intermittent GC storms in
+  // full-suite benches at sf0.1/local[32] (a query's process-CPU jumping
+  // 10x run-to-run with the slow query moving around); the box has
+  // 128 GiB, so default high and let CI override downward if needed.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

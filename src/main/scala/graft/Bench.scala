@@ -36,7 +36,14 @@ object Bench {
     // across the board means external load polluted the run, and the
     // artifact self-diagnoses it. Only SUCCESSFUL runs compete — a fast
     // failure must not masquerade as a fast query.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional dev filter (comma list of query names): isolate a query's
+    // steady-state timing without benching the whole suite. The driver
+    // passes no args, so its artifact always covers every query.
+    val only = if (args.nonEmpty) args(0).split(",").toSet else Set.empty[String]
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to 3).flatMap { _ =>
         // drop cached blocks accumulated by localCheckpoint-ing queries so
         // earlier queries' storage doesn't skew later measurements

@@ -122,6 +122,35 @@ class DedupSpec extends SparkSpec {
     assert(r(1L) == 3L && r(2L) == 3L)
   }
 
+  test("duplicateSpans property: agrees with brute force on random corpora") {
+    // fixed-seed random corpora over a tiny vocabulary (guaranteed
+    // cross-doc window collisions), checked against a direct in-memory
+    // computation of the same ">= 2 distinct docs" rule
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val w = 3
+      val corpus = (1L to 12L).map { id =>
+        val n = 2 + rnd.nextInt(12)
+        id -> Seq.fill(n)(('a' + rnd.nextInt(4)).toChar.toString).mkString(" ")
+      }
+      val expected = {
+        val windows = corpus.map { case (id, text) =>
+          id -> text.split(" ").sliding(w).filter(_.length == w)
+            .map(_.mkString(" ")).toSeq
+        }
+        val docsPerWindow = windows.flatMap { case (id, ws) => ws.map(_ -> id) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct.size }
+        windows.map { case (id, ws) =>
+          id -> ((ws.size.toLong, ws.count(docsPerWindow(_) >= 2).toLong))
+        }.toMap
+      }
+      val got = Dedup.duplicateSpans(corpus.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), windowTokens = w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"trial $trial mismatch")
+    }
+  }
+
   test("connectedComponents resolves transitive near-dup groups to min ids") {
     import graft.operators.Dedup
     // chain 1-2-3, separate pair 10-11, triangle 20-21-22
