@@ -1068,6 +1068,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_occ"), countDistinct("doc_id").as("n_docs"))
         .orderBy(col("n_occ").desc, col("tok"))
         .limit(50)
+    }),
+
+    // LLM ops — packed-payload materialization: the q68 bin manifest
+    // turned into actual training sequences (per-bin ordered text
+    // concat). Payload size is bounded by bin capacity, so the per-group
+    // concat is bounded no matter the corpus size
+    "q79_pack_payloads" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          TextFunctions.tokenCountRegex(col("text")).as("n_tokens"))
+      SequencePack.packBins(d, col("source"), col("doc_id"), col("n_tokens"),
+          capacity = 256)
+        .groupBy(col("source").as("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              s => s.getField("text")), " ")).as("payload_md5"))
+        .orderBy("shard", "bin")
+    }),
+
+    // LLM ops — corpus integerization: top-50 induced vocab broadcast as
+    // ONE map row, ids via per-row transform (OOV -> -1); the corpus
+    // never shuffles to get its ids
+    "q80_tokenize_ids" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val vocab = graft.operators.Tokenize.vocabMap(d, col("text"), topK = 50)
+      graft.operators.Tokenize.integerize(
+          d.select(col("doc_id"), col("text")), col("text"), vocab)
+        .select(col("doc_id"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          size(filter(col("ids"), i => i === -1L)).cast("long").as("n_oov"),
+          md5(array_join(transform(col("ids"), i => i.cast("string")), ","))
+            .as("ids_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1944,6 +1979,40 @@ object SparkEntry {
         |SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM toks GROUP BY tok
-        |ORDER BY n_occ DESC, tok LIMIT 50""".stripMargin
+        |ORDER BY n_occ DESC, tok LIMIT 50""".stripMargin,
+
+    "q79_pack_payloads" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(length(regexp_replace(regexp_replace(text, '[A-Za-z0-9]+', 'x', 'g'),
+        |      '\s', '', 'g')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT source AS shard, doc_id, text, n,
+        |    CAST((SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n) // 256
+        |      AS BIGINT) AS bin
+        |  FROM d)
+        |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(text, ' ' ORDER BY doc_id)) AS payload_md5
+        |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    "q80_tokenize_ids" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (
+        |  SELECT tok, ROW_NUMBER() OVER (ORDER BY n_occ DESC, tok) - 1 AS id
+        |  FROM (SELECT tok, COUNT(*) AS n_occ FROM toks GROUP BY tok
+        |        ORDER BY n_occ DESC, tok LIMIT 50)),
+        |m AS (SELECT map_from_entries(list(row(tok, id))) AS vocab FROM v),
+        |ids AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> coalesce(m.vocab[t][1], CAST(-1 AS BIGINT))) AS ids
+        |  FROM documents, m)
+        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(ids, x -> x = -1)) AS BIGINT) AS n_oov,
+        |  md5(array_to_string(ids, ',')) AS ids_md5
+        |FROM ids ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus integerization — the "tokenize to ids" stage between text
+  * curation and sequence packing: induce a vocabulary from the corpus
+  * (or take one), then map every document's token stream to an id array
+  * with a single broadcast lookup.
+  *
+  * Scale shape: vocabulary induction is one explode + one map-side-
+  * combined aggregate + a distributed top-k (the q78 plan); the lookup
+  * side is a crossJoin(broadcast(one-row map)) followed by a per-row
+  * `transform` — the corpus itself never shuffles to get its ids, which
+  * is the property that matters when the corpus is 100 TB and the vocab
+  * is a few MB. OOV tokens map to -1 (callers can count them cheaply).
+  */
+object Tokenize {
+
+  /** Induce the top-`topK` vocabulary by total occurrences (ties broken
+    * by token text) and return it as ONE row holding a `token -> id` map
+    * (`vocab`), ids dense 0-based in rank order. The ranking window runs
+    * over `topK` rows post-limit — bounded by construction, same pattern
+    * as the k-means seed ranking. */
+  def vocabMap(docs: DataFrame, text: Column, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    graft.core.Parallelism.ensureWidth(docs)
+      .select(explode(TextFunctions.tokens(text)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("tok")).limit(topK)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("n_occ").desc, col("tok")))
+          .cast("long") - 1)
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("id"))))
+        .as("vocab"))
+  }
+
+  /** Append `idsCol`: the document's token stream as vocab ids, OOV as
+    * -1. `vocab` is a one-row frame from [[vocabMap]] (or any one-row
+    * frame with a `vocab` map column) — broadcast, so the lookup is
+    * map-side only. */
+  def integerize(docs: DataFrame, text: Column, vocab: DataFrame,
+                 idsCol: String = "ids"): DataFrame = {
+    require(!docs.columns.contains(idsCol), s"column $idsCol already exists")
+    docs.crossJoin(broadcast(vocab))
+      .withColumn(idsCol,
+        transform(TextFunctions.tokens(text),
+          t => coalesce(element_at(col("vocab"), t), lit(-1L))))
+      .drop("vocab")
+  }
+}

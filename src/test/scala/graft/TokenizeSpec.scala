@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Tokenize
+
+/** Vocabulary induction + broadcast integerization. */
+class TokenizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b a c"),
+    (2L, "a b zz"),
+    (3L, "c a")
+  ).toDF("doc_id", "text")
+
+  test("vocabMap ranks by count desc then token asc, dense 0-based ids") {
+    val m = Tokenize.vocabMap(docs, col("text"), topK = 3)
+      .select(explode(col("vocab"))).as[(String, Long)].collect().toMap
+    // counts: a=4, b=2, c=2, zz=1 -> top3: a(0), b(1), c(2) (b before c by text)
+    assert(m == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("integerize maps tokens in order, OOV -> -1, corpus side never shuffles") {
+    val vocab = Tokenize.vocabMap(docs, col("text"), topK = 3)
+    val ids = Tokenize.integerize(docs, col("text"), vocab)
+      .select("doc_id", "ids").as[(Long, Seq[Long])].collect().toMap
+    assert(ids(1L) == Seq(0L, 1L, 0L, 2L))
+    assert(ids(2L) == Seq(0L, 1L, -1L)) // zz is OOV at topK=3
+    assert(ids(3L) == Seq(2L, 0L))
+    // plan: the lookup is a broadcast join — no exchange on the corpus side
+    val plan = Tokenize.integerize(docs.localCheckpoint(true), col("text"), vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("rejects an existing ids column and non-positive topK") {
+    val vocab = Tokenize.vocabMap(docs, col("text"), topK = 2)
+    intercept[IllegalArgumentException](
+      Tokenize.integerize(docs.withColumn("ids", lit(1)), col("text"), vocab))
+    intercept[IllegalArgumentException](
+      Tokenize.vocabMap(docs, col("text"), topK = 0))
+  }
+}
