@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity.{dot9, scale9}
+
+/** Persistent IVF index — the deployment shape of [[Similarity.ivfTopK]]:
+  * the corpus is assigned to centroid cells ONCE and stored as parquet
+  * `partitionBy(centroid_id)`, so every later search scans only its
+  * probed cells — partition pruning does the cell selection at the FILE
+  * level, before a byte of vector data is read. At 100 TB with 1024
+  * cells and nprobe=8, a query batch touches <1% of the files; the
+  * unstored variant re-assigns the whole corpus per search.
+  *
+  * Vectors are stored in BOTH forms: `cvec` (float, the public payload)
+  * and `cvec9` (scale-9 unscaled longs) so searches never re-run the
+  * float→decimal conversion over the corpus (the ivfTopK rule: scale
+  * once, before any fan-out).
+  */
+object IvfIndex {
+
+  /** Assign each vector to its nearest centroid (same max_by partial-agg
+    * argmax arithmetic as [[Similarity.ivfTopK]] — bit-identical cells)
+    * and write the index to `outDir` partitioned by cell. */
+  def write(vectors: DataFrame, centroids: DataFrame, outDir: String): Unit = {
+    val vecs9 = graft.core.Parallelism.ensureWidth(vectors)
+      .select(col("cid"), col("cvec"), scale9(col("cvec")).as("cvec9"))
+      .localCheckpoint(true) // feeds assignment AND the stored payload
+    val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
+    val cells = vecs9.crossJoin(broadcast(cents9))
+      .select(col("cid"), col("centroid_id"),
+        dot9(col("cvec9"), col("ctr9")).as("ascore"))
+      .groupBy("cid")
+      .agg(max_by(col("centroid_id"),
+        struct(col("ascore"), -col("centroid_id"))).as("centroid_id"))
+    vecs9.join(cells, Seq("cid"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(outDir)
+  }
+
+  /** Exact top-k over the stored index, scanning only probed cells.
+    *
+    * The probed-cell set is collected to the driver to become a literal
+    * partition filter — bounded by |queries| × nprobe cell ids (NOT data
+    * volume), and it is exactly what enables scan-level pruning: an
+    * `isin` over the partition column prunes directories at planning
+    * time (spec-asserted via PartitionFilters + inputFiles).
+    *
+    * @param queries (qid, qvec) probe set
+    * @return (qid, rnk, cid, score_d) — same contract as ivfTopK
+    */
+  def searchStored(spark: SparkSession, indexDir: String, queries: DataFrame,
+                   centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
+    val qs9 = queries.select(col("qid"), scale9(col("qvec")).as("qvec9"))
+    val pw = Window.partitionBy("qid").orderBy(col("pscore").desc, col("centroid_id").asc)
+    val probes = qs9.crossJoin(broadcast(cents9))
+      .select(col("qid"), col("qvec9"), col("centroid_id"),
+        dot9(col("qvec9"), col("ctr9")).as("pscore"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec9"), col("centroid_id"))
+      .localCheckpoint(true) // feeds the cell-id collect AND the join
+    val probedCells = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: <= |queries| * nprobe
+    val corpus = spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(probedCells: _*))
+    val cand = probes.join(corpus, Seq("centroid_id"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), dot9(col("qvec9"), col("cvec9")).as("score_d"))
+    val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+    cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score_d"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, Similarity}
+
+/** Stored IVF index: cell-partitioned layout, scan-level pruning, and
+  * bit-parity with the unstored ivfTopK search. */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val vectors = graft.core.Tables.load(spark, sfDir, "embeddings")
+    .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+  private lazy val centroids = Similarity.kmeansFit(
+    graft.core.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")), k = 4, iters = 2)
+    .select(col("centroid_id"), col("cvec").as("ctr"))
+  private lazy val queries = graft.core.Tables.load(spark, sfDir, "embeddings")
+    .filter(col("vec_id") % 100 === 0)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def withIndex[T](f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    try { IvfIndex.write(vectors, centroids, dir); f(dir) }
+    finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("stored layout is partitioned by cell; search matches unstored ivfTopK") {
+    withIndex { dir =>
+      // layout: one directory per centroid cell
+      val cellDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+      assert(cellDirs.nonEmpty && cellDirs.forall(_.matches("centroid_id=\\d+")))
+
+      val stored = IvfIndex.searchStored(spark, dir, queries, centroids,
+          k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDecimal(3)))).toMap
+      val unstored = Similarity.ivfTopK(vectors, centroids, queries,
+          k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getDecimal(3)))).toMap
+      assert(stored == unstored, "stored search must be bit-identical to ivfTopK")
+    }
+  }
+
+  test("probes prune cells at the SCAN: partition filters present, files skipped") {
+    withIndex { dir =>
+      val one = queries.limit(1)
+      val df = IvfIndex.searchStored(spark, dir, one, centroids, k = 3, nprobe = 1)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+        plan.take(2000))
+      // nprobe=1 of 4 cells: the pruned scan must READ fewer files than
+      // the full index (inputFiles ignores pruning — use the executed
+      // scan's numFiles metric, populated after an action)
+      def filesRead(d: org.apache.spark.sql.DataFrame): Long = {
+        d.collect() // executes THIS dataset's plan, populating its metrics
+        d.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+      }
+      val all = filesRead(spark.read.parquet(dir))
+      val pruned = filesRead(spark.read.parquet(dir).filter(col("centroid_id") === 0L))
+      assert(all >= 4, s"expected >=4 cell files, got $all")
+      assert(pruned < all, s"partition filter must reduce files read ($pruned vs $all)")
+    }
+  }
+}
