@@ -22,9 +22,10 @@ import org.apache.spark.sql.types._
   *
   * Image decode and resize are REAL: `javax.imageio` (PNG/JPEG/BMP/GIF/
   * WBMP — the formats the JDK ships) and `java.awt.Graphics2D` bilinear
-  * scaling, so no external library is needed. Only video frame sampling
-  * ([[sampleFrames]]) remains a labeled stub — the JDK has no container
-  * demuxer.
+  * scaling, so no external library is needed. Audio decode is REAL too:
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM) with a streaming RMS feature
+  * ([[decodeAudio]]). Only video frame sampling ([[sampleFrames]])
+  * remains a labeled stub — the JDK has no container demuxer.
   */
 object Multimodal {
 
@@ -160,6 +161,71 @@ object Multimodal {
         }
       }
   }
+
+  final case class DecodedAudio(media_id: Long, sample_rate: Float,
+                                n_channels: Int, n_frames: Long,
+                                duration_sec: Double, rms: Float)
+
+  /** Batched audio decode — REAL, via the JDK's `javax.sound.sampled`
+    * (WAV/AIFF/AU with PCM payloads — the formats the JDK ships, the
+    * same standard-library stance as the ImageIO image path). Emits
+    * stream metadata plus an RMS amplitude feature (the standard
+    * loudness/silence signal an audio curation pipeline filters on).
+    * Undecodable payloads yield no row, like [[decodeFrames]]. */
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    graft.core.Parallelism.ensureWidth(media)
+      .select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          decodeAudioBytes(r.getAs[Array[Byte]](1)).map { a =>
+            DecodedAudio(r.getLong(0), a._1, a._2, a._3, a._4, a._5)
+          }
+        }
+      }
+  }
+
+  /** Decode one audio payload: (sampleRate, channels, frames, seconds,
+    * rms). RMS is computed over 16-bit signed samples normalized to
+    * [-1, 1], streaming one frame buffer at a time (constant memory in
+    * stream length). None for non-audio/truncated payloads. */
+  private[operators] def decodeAudioBytes(
+      payload: Array[Byte]): Option[(Float, Int, Long, Double, Float)] =
+    if (payload == null || payload.isEmpty) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        // normalize to 16-bit signed PCM for a format-independent RMS
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels,
+          fmt.getChannels * 2, fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val buf = new Array[Byte](4096)
+        var sumSq = 0.0
+        var nSamples = 0L
+        var read = pcm.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + 1 < read) {
+            val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort / 32768.0
+            sumSq += s * s
+            nSamples += 1
+            i += 2
+          }
+          read = pcm.read(buf)
+        }
+        val frames = nSamples / math.max(fmt.getChannels, 1)
+        val dur = frames.toDouble / fmt.getSampleRate
+        val rms = if (nSamples == 0) 0f else math.sqrt(sumSq / nSamples).toFloat
+        Some((fmt.getSampleRate, fmt.getChannels, frames, dur, rms))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
 
   final case class SampledFrame(media_id: Long, frame_idx: Int,
                                 frame_payload: Array[Byte])

@@ -80,6 +80,42 @@ class MultimodalZipSpec extends SparkSpec {
     assert(redecoded.width == 8 && redecoded.feature(4) == 1.0f)
   }
 
+  /** Real WAV bytes: mono 16-bit PCM sine at `hz` for `n` samples. */
+  private def wav(sampleRate: Float, hz: Double, amp: Double, n: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate, 16, 1, 2, sampleRate, false)
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * hz * i / sampleRate) * amp * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real javax.sound audio decode: WAV metadata + RMS; garbage drops") {
+    val sine = wav(8000f, hz = 440, amp = 0.5, n = 8000) // 1 second
+    val docs = Seq(
+      (1L, sine),
+      (2L, "definitely not audio".getBytes("UTF-8")),
+      (3L, sine.take(16))) // truncated header
+      .toDF("doc_id", "bin").withColumn("fmt", lit("audio/wav"))
+    val media = Multimodal.ingest(docs, "doc_id", "bin", "fmt")
+    val decoded = Multimodal.decodeAudio(media).collect()
+      .map(a => a.media_id -> a).toMap
+    assert(decoded.keySet == Set(1L)) // only the real WAV decodes
+    val a = decoded(1L)
+    assert(a.sample_rate == 8000f && a.n_channels == 1)
+    assert(a.n_frames == 8000L && math.abs(a.duration_sec - 1.0) < 1e-9)
+    // RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ~ 0.3536
+    assert(math.abs(a.rms - 0.3536f) < 0.01f, s"rms=${a.rms}")
+  }
+
   test("frame sampling keeps every Nth fixed-size frame") {
     val docs = Seq((1L, "AAAABBBBCCCCDDDDEEEE"), (2L, "AAA")) // 5 frames of 4; <1 frame
       .toDF("doc_id", "text")
