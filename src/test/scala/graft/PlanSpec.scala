@@ -160,6 +160,21 @@ class PlanSpec extends SparkSpec {
       s"expected partial AND final WindowGroupLimit:\n${p.take(1500)}")
   }
 
+  test("q77: corpus shuffle never funnels through a global window") {
+    // the index comes from the two-job zipWithIndex path; a plan
+    // containing a Window here would mean the global row_number trap
+    // crept back in
+    val p = plan("q77_corpus_shuffle")
+    assert(!p.contains("Window"), s"global window reappeared:\n${p.take(1500)}")
+  }
+
+  test("q80: the vocab lookup is broadcast; the corpus never sort-merge joins") {
+    val p = plan("q80_tokenize_ids")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("q76: duplicate-span exchanges carry hashed keys; dup verify is a semi-join") {
     // the Generate fan-out itself sits behind the localCheckpoint (plan
     // truncates at Scan ExistingRDD), so assert on what the downstream
