@@ -1103,6 +1103,22 @@ object SparkEntry {
           md5(array_join(transform(col("ids"), i => i.cast("string")), ","))
             .as("ids_md5"))
         .orderBy("doc_id")
+    }),
+
+    // LLM ops — curriculum binning: quartile of a quality proxy (doc
+    // length) WITHIN each language via ntile. Per-stratum window (never a
+    // global ntile — that single-tasks the corpus); deterministic
+    // tie-break on doc_id
+    "q81_curriculum_bins" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("bin", ntile(4).over(w))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("lang", "bin")
     })
   )
 
@@ -2013,6 +2029,15 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
         |  CAST(len(list_filter(ids, x -> x = -1)) AS BIGINT) AS n_oov,
         |  md5(array_to_string(ids, ',')) AS ids_md5
-        |FROM ids ORDER BY doc_id""".stripMargin
+        |FROM ids ORDER BY doc_id""".stripMargin,
+
+    "q81_curriculum_bins" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+        |  FROM documents)
+        |SELECT lang, CAST(bin AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
   )
 }

@@ -61,6 +61,26 @@ object EventStreams {
     docs.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Incremental-ingestion dedup: drop arriving documents whose content
+    * digest already exists in the STORED corpus — a stream-static LEFT
+    * ANTI join against the warehouse digest table. The static side is
+    * re-read per micro-batch (so a compaction/upsert of the corpus is
+    * picked up without restarting the stream) and the join is
+    * broadcast-or-shuffle per batch with NO streaming state at all:
+    * dedup-vs-history costs zero state because the history lives in the
+    * warehouse, not in the stream. Combine with [[dedupFirstArrival]]
+    * upstream to also collapse duplicates WITHIN the arriving stream.
+    *
+    * @param arriving      streaming frame carrying `text`
+    * @param corpusDigests static frame with a `text_md5` column (e.g.
+    *                      `Dedup.exactGroups` output)
+    */
+  def dedupAgainstCorpus(arriving: DataFrame,
+                         corpusDigests: DataFrame): DataFrame =
+    arriving
+      .withColumn("text_md5", org.apache.spark.sql.functions.md5(col("text")))
+      .join(corpusDigests.select("text_md5"), Seq("text_md5"), "left_anti")
+
   /** Stream-stream interval join: each left event pairs with right
     * events of the same key whose time lies in
     * `[leftTs - lookback, leftTs + lookahead]`. Both sides carry

@@ -261,6 +261,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(streaming(("a", 3L)) == 4L) // spill past a 1000-token doc
   }
 
+  test("dedupAgainstCorpus drops docs already in the static digest table") {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq("seen before", "also known").toDF("text")
+      .select(md5(col("text")).as("text_md5"))
+    val src = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupAgainstCorpus(
+        src.toDS().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("fresh")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, "seen before"), (2L, "genuinely new"))
+      q.processAllAvailable()
+      src.addData((3L, "also known"), (4L, "another new one"))
+      q.processAllAvailable()
+      val kept = spark.table("fresh").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 4L), "only unseen content may pass")
+    } finally q.stop()
+  }
+
   test("budgetStream enforces the shard budget across micro-batches, straddler kept") {
     import graft.streaming.EventStreams.Doc
     implicit val sc = spark.sqlContext
