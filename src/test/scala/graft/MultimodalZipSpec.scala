@@ -195,6 +195,32 @@ class MultimodalZipSpec extends SparkSpec {
     assert(dims("b.png").feature(0) == 1.0f) // all black
   }
 
+  test("ingestZip -> real audio decode end-to-end: WAV corpus in an archive") {
+    val dir = java.nio.file.Files.createTempDirectory("audiozip")
+    val loud = wav(16000f, hz = 220, amp = 0.8, n = 4000)  // 0.25 s
+    val quiet = wav(8000f, hz = 440, amp = 0.1, n = 16000) // 2 s
+    val f = dir.resolve("clips.zip")
+    val z = new ZipOutputStream(java.nio.file.Files.newOutputStream(f))
+    for ((n, bytes) <- Seq("loud.wav" -> loud, "quiet.wav" -> quiet,
+        "readme.md" -> "x".getBytes("UTF-8"))) {
+      z.putNextEntry(new ZipEntry(n)); z.write(bytes); z.closeEntry()
+    }
+    z.close()
+    val media = Multimodal.ingestZip(spark, dir.toString + "/*.zip", "audio/wav",
+      _.endsWith(".wav"))
+    val byEntry = media.collect().map(r =>
+      r.getAs[String]("entry") -> r.getAs[Long]("media_id")).toMap
+    assert(byEntry.keySet == Set("loud.wav", "quiet.wav"))
+    val decoded = Multimodal.decodeAudio(media).collect()
+      .map(a => a.media_id -> a).toMap
+    val l = decoded(byEntry("loud.wav"))
+    val q = decoded(byEntry("quiet.wav"))
+    assert(l.sample_rate == 16000f && math.abs(l.duration_sec - 0.25) < 1e-9)
+    assert(q.sample_rate == 8000f && math.abs(q.duration_sec - 2.0) < 1e-9)
+    // the loudness signal a curation filter would use: 0.8 vs 0.1 amplitude
+    assert(l.rms > 4 * q.rms, s"rms loud=${l.rms} quiet=${q.rms}")
+  }
+
   test("zip member selection by substring predicate") {
     val bos = new java.io.ByteArrayOutputStream()
     val z = new ZipOutputStream(bos)
