@@ -1,0 +1,13 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Collision-free helper-column naming for operators that add temporary
+  * columns to caller frames (window ranks, running sums, digests). */
+object Names {
+
+  /** First column name in the `base`-family not already taken in `df`. */
+  def free(df: DataFrame, base: String): String =
+    Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
+      .find(n => !df.columns.contains(n)).get
+}

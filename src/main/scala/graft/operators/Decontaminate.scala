@@ -56,7 +56,10 @@ object Decontaminate {
   def overlapCounts(cand: DataFrame, bench: DataFrame, gh: String = "gh",
                     expectedItems: Long = 1 << 20,
                     fpp: Double = 0.01): DataFrame = {
-    val benchSet = bench.select(gh).distinct()
+    // the distinct bench set feeds the bloom build (an action) AND the
+    // verify join — materialize once so the bench scan + distinct
+    // exchange never run twice
+    val benchSet = bench.select(gh).distinct().localCheckpoint(true)
     val bloom = buildBloom(benchSet, gh, expectedItems, fpp)
     cand.filter(mightContain(bloom, col(gh)))
       .join(benchSet, Seq(gh)) // exact verify: false positives drop here

@@ -384,11 +384,14 @@ object Dedup {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
     // tokenize in its own projection (multi-referenced alias rule — see
     // ngramJaccardPairs), explode the window transform inline to keep
-    // generator fusion, hash to 8-byte keys before any exchange
+    // generator fusion, hash to 8-byte keys before any exchange.
+    // toks feeds BOTH the window stream and the per-doc counts —
+    // materialize it so the scan + split never run twice
     val toks = graft.core.Parallelism.ensureWidth(
       docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("ws")))
-    // feeds per-doc counts AND the shared-window groupBy AND the
-    // semi-join probe — materialize once
+      .localCheckpoint(true)
+    // feeds the shared-window groupBy AND the semi-join probe —
+    // materialize once
     val win = toks.select(col("doc_id"),
         explode(TextFunctions.shingles(col("ws"), windowTokens)).as("w"))
       .select(col("doc_id"), Hashing.hexLong(col("w")).as("wh"))

@@ -21,21 +21,16 @@ import graft.operators.Similarity.{dot9, scale9}
   */
 object IvfIndex {
 
-  /** Assign each vector to its nearest centroid (same max_by partial-agg
-    * argmax arithmetic as [[Similarity.ivfTopK]] — bit-identical cells)
-    * and write the index to `outDir` partitioned by cell. */
+  /** Assign each vector to its nearest centroid (THE [[Similarity
+    * .assignCells]] helper ivfTopK uses — bit-identical cells by
+    * construction, not by parallel maintenance) and write the index to
+    * `outDir` partitioned by cell. */
   def write(vectors: DataFrame, centroids: DataFrame, outDir: String): Unit = {
     val vecs9 = graft.core.Parallelism.ensureWidth(vectors)
       .select(col("cid"), col("cvec"), scale9(col("cvec")).as("cvec9"))
       .localCheckpoint(true) // feeds assignment AND the stored payload
     val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
-    val cells = vecs9.crossJoin(broadcast(cents9))
-      .select(col("cid"), col("centroid_id"),
-        dot9(col("cvec9"), col("ctr9")).as("ascore"))
-      .groupBy("cid")
-      .agg(max_by(col("centroid_id"),
-        struct(col("ascore"), -col("centroid_id"))).as("centroid_id"))
-    vecs9.join(cells, Seq("cid"))
+    vecs9.join(Similarity.assignCells(vecs9, cents9), Seq("cid"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(outDir)
   }
 
@@ -54,13 +49,7 @@ object IvfIndex {
                    centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
     val qs9 = queries.select(col("qid"), scale9(col("qvec")).as("qvec9"))
-    val pw = Window.partitionBy("qid").orderBy(col("pscore").desc, col("centroid_id").asc)
-    val probes = qs9.crossJoin(broadcast(cents9))
-      .select(col("qid"), col("qvec9"), col("centroid_id"),
-        dot9(col("qvec9"), col("ctr9")).as("pscore"))
-      .withColumn("pr", row_number().over(pw))
-      .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qvec9"), col("centroid_id"))
+    val probes = Similarity.probeCells(qs9, cents9, nprobe)
       .localCheckpoint(true) // feeds the cell-id collect AND the join
     val probedCells = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq // bounded: <= |queries| * nprobe

@@ -197,6 +197,10 @@ object Multimodal {
         new ByteArrayInputStream(payload))
       try {
         val fmt = in.getFormat
+        // a corrupt header can declare sample rate 0 (the JDK parser
+        // accepts it) — duration would be NaN/Infinity; treat as
+        // undecodable like any other corrupt payload
+        if (!(fmt.getSampleRate > 0f) || fmt.getChannels <= 0) return None
         // normalize to 16-bit signed PCM for a format-independent RMS
         val target = new javax.sound.sampled.AudioFormat(
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,

@@ -57,8 +57,7 @@ object Sampling {
                        k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     // deterministic temp name that cannot collide with user columns
-    val rn = Iterator.from(0).map(i => if (i == 0) "__graft_rn" else s"__graft_rn_$i")
-      .find(n => !df.columns.contains(n)).get
+    val rn = graft.core.Names.free(df, "__graft_rn")
     df.withColumn(rn, row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(stratum).orderBy(Hashing.hexLong(key), key)))

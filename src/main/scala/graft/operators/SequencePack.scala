@@ -25,8 +25,7 @@ object SequencePack {
 
   /** First column name in the `base`-family not already taken in `df`. */
   private def freeName(df: DataFrame, base: String): String =
-    Iterator.from(0).map(i => if (i == 0) base else s"${base}_$i")
-      .find(n => !df.columns.contains(n)).get
+    graft.core.Names.free(df, base)
 
   /** Assign each document to its context-window bin.
     *

@@ -113,6 +113,36 @@ object Similarity {
     * @param queries   (qid, qvec) probe set
     * @return (qid, rnk, cid, score_d) — top-k by dot desc, cid asc
     */
+  /** Cell assignment for a scale-9 corpus `(cid, cvec9)` against scale-9
+    * centroids `(centroid_id, ctr9)`: argmax dot (centroid-id tiebreak)
+    * as a max_by AGGREGATE, not a window — partial aggregation collapses
+    * the N x C fan-out map-side, so the exchange carries one row per
+    * vector instead of sorting all N x C scored rows (the window
+    * formulation shuffles C x more bytes; a scale-killer at 100 TB).
+    * Shared by [[ivfTopK]] and [[IvfIndex.write]] so stored and unstored
+    * searches can never drift apart. */
+  private[operators] def assignCells(vecs9: DataFrame, cents9: DataFrame): DataFrame =
+    vecs9.crossJoin(broadcast(cents9))
+      .select(col("cid"), col("centroid_id"),
+        dot9(col("cvec9"), col("ctr9")).as("ascore"))
+      .groupBy("cid")
+      .agg(max_by(col("centroid_id"),
+        struct(col("ascore"), -col("centroid_id"))).as("centroid_id"))
+
+  /** The `nprobe` nearest cells per scale-9 query `(qid, qvec9)` —
+    * broadcast centroid fan-out, per-query rank. Shared by [[ivfTopK]]
+    * and [[IvfIndex.searchStored]]. */
+  private[operators] def probeCells(qs9: DataFrame, cents9: DataFrame,
+                                    nprobe: Int): DataFrame = {
+    val pw = Window.partitionBy("qid").orderBy(col("pscore").desc, col("centroid_id").asc)
+    qs9.crossJoin(broadcast(cents9))
+      .select(col("qid"), col("qvec9"), col("centroid_id"),
+        dot9(col("qvec9"), col("ctr9")).as("pscore"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec9"), col("centroid_id"))
+  }
+
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, queries: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
     // every vector side is scaled to decimal form exactly once up front;
@@ -123,25 +153,8 @@ object Similarity {
       .localCheckpoint(true)
     val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
     val qs9 = queries.select(col("qid"), scale9(col("qvec")).as("qvec9"))
-    // cell assignment for the corpus: argmax dot (centroid-id tiebreak) as
-    // a max_by AGGREGATE, not a window — partial aggregation collapses the
-    // N x C fan-out map-side, so the exchange carries one row per vector
-    // instead of sorting all N x C scored rows (the window formulation
-    // shuffles C x more bytes; a scale-killer at 100 TB)
-    val cells = vecs9.crossJoin(broadcast(cents9))
-      .select(col("cid"), col("centroid_id"),
-        dot9(col("cvec9"), col("ctr9")).as("ascore"))
-      .groupBy("cid")
-      .agg(max_by(col("centroid_id"),
-        struct(col("ascore"), -col("centroid_id"))).as("centroid_id"))
-    // nprobe nearest cells per query
-    val pw = Window.partitionBy("qid").orderBy(col("pscore").desc, col("centroid_id").asc)
-    val probes = qs9.crossJoin(broadcast(cents9))
-      .select(col("qid"), col("qvec9"), col("centroid_id"),
-        dot9(col("qvec9"), col("ctr9")).as("pscore"))
-      .withColumn("pr", row_number().over(pw))
-      .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("qvec9"), col("centroid_id"))
+    val cells = assignCells(vecs9, cents9)
+    val probes = probeCells(qs9, cents9, nprobe)
     // exact search within probed cells
     val cand = probes
       .join(cells, Seq("centroid_id"))

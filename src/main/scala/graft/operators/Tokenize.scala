@@ -45,6 +45,8 @@ object Tokenize {
   def integerize(docs: DataFrame, text: Column, vocab: DataFrame,
                  idsCol: String = "ids"): DataFrame = {
     require(!docs.columns.contains(idsCol), s"column $idsCol already exists")
+    require(!docs.columns.contains("vocab"),
+      "docs already has a 'vocab' column - it would collide with the broadcast map")
     docs.crossJoin(broadcast(vocab))
       .withColumn(idsCol,
         transform(TextFunctions.tokens(text),

@@ -76,10 +76,15 @@ object EventStreams {
     *                      `Dedup.exactGroups` output)
     */
   def dedupAgainstCorpus(arriving: DataFrame,
-                         corpusDigests: DataFrame): DataFrame =
+                         corpusDigests: DataFrame): DataFrame = {
+    // digest under a collision-free temp name so an existing text_md5
+    // column on the stream is neither clobbered nor leaked into output
+    val d = graft.core.Names.free(arriving, "__graft_digest")
     arriving
-      .withColumn("text_md5", org.apache.spark.sql.functions.md5(col("text")))
-      .join(corpusDigests.select("text_md5"), Seq("text_md5"), "left_anti")
+      .withColumn(d, org.apache.spark.sql.functions.md5(col("text")))
+      .join(corpusDigests.select(col("text_md5").as(d)), Seq(d), "left_anti")
+      .drop(d)
+  }
 
   /** Stream-stream interval join: each left event pairs with right
     * events of the same key whose time lies in

@@ -277,6 +277,8 @@ class EventStreamsSpec extends SparkSpec {
       q.processAllAvailable()
       val kept = spark.table("fresh").select("doc_id").collect().map(_.getLong(0)).toSet
       assert(kept == Set(2L, 4L), "only unseen content may pass")
+      // the helper digest column must not leak into the output schema
+      assert(spark.table("fresh").columns.toSeq == Seq("doc_id", "text"))
     } finally q.stop()
   }
 

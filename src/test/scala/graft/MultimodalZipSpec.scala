@@ -116,6 +116,17 @@ class MultimodalZipSpec extends SparkSpec {
     assert(math.abs(a.rms - 0.3536f) < 0.01f, s"rms=${a.rms}")
   }
 
+  test("a WAV whose header declares 0 Hz drops instead of emitting NaN duration") {
+    val broken = wav(8000f, hz = 440, amp = 0.5, n = 100).clone()
+    // zero the fmt-chunk sample-rate field (bytes 24-27) — the JDK
+    // parser accepts the header, so the guard must catch it
+    for (i <- 24 to 27) broken(i) = 0
+    val media = Multimodal.ingest(
+      Seq((1L, broken)).toDF("doc_id", "bin").withColumn("fmt", lit("audio/wav")),
+      "doc_id", "bin", "fmt")
+    assert(Multimodal.decodeAudio(media).collect().isEmpty)
+  }
+
   test("frame sampling keeps every Nth fixed-size frame") {
     val docs = Seq((1L, "AAAABBBBCCCCDDDDEEEE"), (2L, "AAA")) // 5 frames of 4; <1 frame
       .toDF("doc_id", "text")
