@@ -30,21 +30,45 @@ object Bench {
         catch { case _: Throwable => () }
       }
     var failed = List.empty[String]
-    // Steady-state timing: per-query MEDIAN of three runs (not min, not a
-    // single shot) so one loaded-machine outlier can't dominate, with the
-    // matching process-CPU delta reported alongside — wall >> cpu/cores
-    // across the board means external load polluted the run, and the
-    // artifact self-diagnoses it. Only SUCCESSFUL runs compete — a fast
-    // failure must not masquerade as a fast query.
     // optional dev filter (comma list of query names): isolate a query's
     // steady-state timing without benching the whole suite. The driver
-    // passes no args, so its artifact always covers every query.
+    // passes no args, so its artifact always covers every query. A name
+    // that matches nothing is an error — a typo must not produce a
+    // plausible-looking empty artifact (total 0.0, no failures).
     val only = if (args.nonEmpty) args(0).split(",").toSet else Set.empty[String]
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"Bench: unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
-    val results = selected.map { case (name, fn) =>
-      val runs = (1 to 3).flatMap { _ =>
+    // Steady-state timing: per-query MEDIAN of three runs, but the three
+    // runs are INTERLEAVED as three full passes over the whole suite rather
+    // than back-to-back repetitions of one query. Rationale (observed r5/r6):
+    // a JVM storm — GC/JIT churn burning in-process CPU — can pin a single
+    // query at 100-200× its steady-state cost for a stretch that easily
+    // spans three consecutive repetitions, so back-to-back median AND min
+    // both absorb it. Spreading a query's samples across passes puts
+    // minutes between them; a localized storm then pollutes at most one of
+    // the three samples and the median stays truthful. Per-pass totals are
+    // reported so a polluted pass is visible in the artifact itself.
+    // Only SUCCESSFUL runs compete — a fast failure must not masquerade as
+    // a fast query. Query order within a pass is the stable Map iteration
+    // order (identical across passes) so cross-pass samples see the same
+    // predecessors.
+    val names = selected.keys.toSeq
+    val passes = 3
+    // samples(name) accumulates (wall, cpu) per pass
+    val samples = scala.collection.mutable.Map[String, List[(Double, Double)]]()
+      .withDefaultValue(Nil)
+    val passTotals = (1 to passes).map { _ =>
+      var passWall = 0.0
+      names.foreach { name =>
+        val fn = selected(name)
         // drop cached blocks accumulated by localCheckpoint-ing queries so
         // earlier queries' storage doesn't skew later measurements
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
@@ -57,20 +81,24 @@ object Bench {
         }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-        if (ok) Some((wall, cpu)) else None
+        passWall += wall
+        if (ok) samples(name) = samples(name) :+ ((wall, cpu))
       }
+      passWall
+    }
+    val results = names.map { name =>
+      val runs = samples(name)
       if (runs.isEmpty) name -> (0.0, 0.0, 0.0)
       else {
         val medWall = median(runs.map(_._1))
         // the CPU delta of the run whose wall time IS the median
         val cpu = runs.find(_._1 == medWall).map(_._2).getOrElse(0.0)
-        // min wall alongside the median: on a shared box a load burst can
-        // straddle 2 of 3 runs and pollute the median; min >> typical
-        // medians elsewhere in the suite flags that, without switching
-        // the headline metric to best-case
+        // min wall alongside the median: if one pass was polluted, the gap
+        // between a query's median and min (and between pass totals) shows
+        // it without switching the headline metric to best-case
         name -> (medWall, cpu, runs.map(_._1).min)
       }
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val qsCpu = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
@@ -81,7 +109,8 @@ object Bench {
     val cpuTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val minTotal = if (results.nonEmpty) results.values.map(_._3).sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"min_sec":$minTotal,"cores":$cpus,"queries":$qs,"queries_cpu":$qsCpu,"queries_min":$qsMin,"failed":$failedJson,"sf":"$sfDir"}"""
+    val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"min_sec":$minTotal,"cores":$cpus,"pass_totals":$passJson,"queries":$qs,"queries_cpu":$qsCpu,"queries_min":$qsMin,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line verbatim: the driver scrapes sbt stdout, which
     // both r4 and r5 artifacts show arriving as "parsed": null — a plain
