@@ -24,8 +24,12 @@ import org.apache.spark.sql.types._
   * WBMP — the formats the JDK ships) and `java.awt.Graphics2D` bilinear
   * scaling, so no external library is needed. Audio decode is REAL too:
   * `javax.sound.sampled` (WAV/AIFF/AU PCM) with a streaming RMS feature
-  * ([[decodeAudio]]). Only video frame sampling ([[sampleFrames]])
-  * remains a labeled stub — the JDK has no container demuxer.
+  * ([[decodeAudio]]). Video frame sampling ([[sampleFrames]]) is REAL
+  * for motion-JPEG in a RIFF/AVI container: a from-scratch RIFF chunk
+  * walker ([[demuxAviFrames]]) extracts the `movi` stream's frame
+  * chunks, each of which is a plain JPEG the ImageIO path decodes —
+  * the same no-external-library stance as the PDF parser at
+  * [[graft.sources.PdfSpans]].
   */
 object Multimodal {
 
@@ -207,25 +211,27 @@ object Multimodal {
           fmt.getSampleRate, 16, fmt.getChannels,
           fmt.getChannels * 2, fmt.getSampleRate, false)
         val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-        val buf = new Array[Byte](4096)
-        var sumSq = 0.0
-        var nSamples = 0L
-        var read = pcm.read(buf)
-        while (read > 0) {
-          var i = 0
-          while (i + 1 < read) {
-            val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort / 32768.0
-            sumSq += s * s
-            nSamples += 1
-            i += 2
+        try {
+          val buf = new Array[Byte](4096)
+          var sumSq = 0.0
+          var nSamples = 0L
+          var read = pcm.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort / 32768.0
+              sumSq += s * s
+              nSamples += 1
+              i += 2
+            }
+            read = pcm.read(buf)
           }
-          read = pcm.read(buf)
-        }
-        val frames = nSamples / math.max(fmt.getChannels, 1)
-        val dur = frames.toDouble / fmt.getSampleRate
-        val rms = if (nSamples == 0) 0f else math.sqrt(sumSq / nSamples).toFloat
-        Some((fmt.getSampleRate, fmt.getChannels, frames, dur, rms))
-      } finally in.close()
+          val frames = nSamples / math.max(fmt.getChannels, 1)
+          val dur = frames.toDouble / fmt.getSampleRate
+          val rms = if (nSamples == 0) 0f else math.sqrt(sumSq / nSamples).toFloat
+          Some((fmt.getSampleRate, fmt.getChannels, frames, dur, rms))
+        } finally pcm.close() // closes the conversion wrapper AND `in` beneath it
+      } finally in.close()   // idempotent; covers the pre-conversion failure paths
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
@@ -234,23 +240,99 @@ object Multimodal {
   final case class SampledFrame(media_id: Long, frame_idx: Int,
                                 frame_payload: Array[Byte])
 
-  /** STUB frame sampling: treat the payload as `frameSize`-byte frames
-    * (a fake fixed-size-frame container) and keep every `everyNth` frame
-    * — the video-pipeline sampling shape (1-in-N frame extraction). Real
-    * plumbing: one input row fans out to a bounded set of frame rows,
-    * batched per partition; a real demuxer replaces the slicing. */
-  def sampleFrames(media: DataFrame, frameSize: Int, everyNth: Int): Dataset[SampledFrame] = {
-    require(frameSize > 0 && everyNth > 0)
+  /** Little-endian int32 at `i` (RIFF sizes are LE). */
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** Walk one RIFF chunk sequence over `buf[off0, end)`, calling `f`
+    * with (fourcc, dataStart, dataLen, truncated) per chunk. Chunks are
+    * padded to even offsets per the RIFF spec. A chunk whose declared
+    * size overruns the buffer is delivered CLAMPED to the available
+    * bytes with `truncated = true`, then the walk stops — so a caller
+    * can still descend into a cut-off LIST (keeping the frames before
+    * the cut) while dropping the partial leaf chunk itself. A truncated
+    * container is a data fact, not a job failure. */
+  private def walkChunks(buf: Array[Byte], off0: Int, end: Int)
+                        (f: (String, Int, Int, Boolean) => Unit): Unit = {
+    var off = off0
+    var ok = true
+    while (ok && off + 8 <= end) {
+      val cc = new String(buf, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val len = le32(buf, off + 4)
+      val dataStart = off + 8
+      if (len < 0 || len > end - dataStart) {
+        f(cc, dataStart, end - dataStart, true)
+        ok = false
+      } else {
+        f(cc, dataStart, len, false)
+        off = dataStart + len + (len & 1)
+      }
+    }
+  }
+
+  /** From-scratch RIFF/AVI demuxer (pure JDK — no container library
+    * exists in the standard library, so this walks the format directly,
+    * like the PDF object-graph parser in [[graft.sources.PdfSpans]]).
+    *
+    * Structure walked: `RIFF('AVI ' LIST('hdrl' …) LIST('movi' frames))`
+    * where each frame chunk's fourcc is `##dc`/`##db` (compressed /
+    * uncompressed frame of stream ##), optionally grouped under nested
+    * `LIST('rec ')` chunks. Frames of the FIRST video stream seen are
+    * returned in container order; for an MJPEG AVI each returned payload
+    * is a standalone JPEG that [[decodeImage]] handles. Non-RIFF,
+    * non-AVI, and header-truncated payloads yield no frames. */
+  private[operators] def demuxAviFrames(payload: Array[Byte]): Vector[Array[Byte]] = {
+    if (payload == null || payload.length < 12) return Vector.empty
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    if (new String(payload, 0, 4, iso) != "RIFF" ||
+        new String(payload, 8, 4, iso) != "AVI ") return Vector.empty
+    // RIFF size counts from byte 8 (the form fourcc onward); tolerate a
+    // size field larger than the actual buffer (truncated file)
+    val end = math.min(payload.length.toLong, 8L + (le32(payload, 4) & 0xffffffffL)).toInt
+    val frames = Vector.newBuilder[Array[Byte]]
+    var stream: String = null
+    def visitMovi(start: Int, stop: Int): Unit =
+      walkChunks(payload, start, stop) { (cc, ds, len, cut) =>
+        if (cc == "LIST" && len >= 4 && new String(payload, ds, 4, iso) == "rec ")
+          visitMovi(ds + 4, ds + len) // rec-grouped frames sit one level down
+        else if (!cut && cc(0).isDigit && cc(1).isDigit &&
+                 (cc.endsWith("dc") || cc.endsWith("db"))) {
+          // a clamped (partially-written) frame is dropped, not emitted
+          val sid = cc.substring(0, 2)
+          if (stream == null) stream = sid
+          if (sid == stream)
+            frames += java.util.Arrays.copyOfRange(payload, ds, ds + len)
+        }
+      }
+    walkChunks(payload, 12, end) { (cc, ds, len, _) =>
+      if (cc == "LIST" && len >= 4 && new String(payload, ds, 4, iso) == "movi")
+        visitMovi(ds + 4, ds + len)
+    }
+    frames.result()
+  }
+
+  /** REAL video frame sampling: demux each payload as a RIFF/AVI
+    * container and keep every `everyNth` frame of its first video
+    * stream (1-in-N extraction — the standard video-curation sampling
+    * shape). `frame_idx` is the frame's position in the container, so
+    * downstream joins can reconstruct timing from the AVI frame rate.
+    * Each sampled payload is the raw codec frame (a standalone JPEG for
+    * MJPEG) — re-[[ingest]] the output and run [[decodeFrames]] /
+    * [[resizeFrames]] for pixels. Undecodable payloads yield no rows,
+    * like every other decode path here. One input row fans out to a
+    * bounded set of frame rows, batched per partition. */
+  def sampleFrames(media: DataFrame, everyNth: Int): Dataset[SampledFrame] = {
+    require(everyNth > 0)
     import media.sparkSession.implicits._
     graft.core.Parallelism.ensureWidth(media)
       .select("media_id", "payload")
       .mapPartitions { rows: Iterator[Row] =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val src = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-          val nFrames = src.length / frameSize
-          (0 until nFrames by everyNth).iterator.map { f =>
-            SampledFrame(id, f, src.slice(f * frameSize, (f + 1) * frameSize))
+          val frames = demuxAviFrames(r.getAs[Array[Byte]](1))
+          (0 until frames.size by everyNth).iterator.map { i =>
+            SampledFrame(id, i, frames(i))
           }
         }
       }

@@ -127,18 +127,110 @@ class MultimodalZipSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(media).collect().isEmpty)
   }
 
-  test("frame sampling keeps every Nth fixed-size frame") {
-    val docs = Seq((1L, "AAAABBBBCCCCDDDDEEEE"), (2L, "AAA")) // 5 frames of 4; <1 frame
-      .toDF("doc_id", "text")
-      .withColumn("bin", encode(col("text"), "UTF-8"))
-      .withColumn("fmt", lit("video/fake"))
+  // ---- AVI fixture builder: a real (minimal) MJPEG AVI container ----
+
+  private def le32b(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def riffChunk(cc: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+    cc.getBytes("ISO-8859-1") ++ le32b(data.length) ++ data ++ pad
+  }
+
+  private def riffList(typ: String, body: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("ISO-8859-1") ++ body)
+
+  /** JPEG bytes for a solid-color w×h image. */
+  private def jpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal spec-valid MJPEG AVI: RIFF('AVI ' LIST(hdrl avih
+    * LIST(strl strh strf)) LIST(movi frames)). `streamCc` lets a test
+    * inject chunks of a second stream; `recGroup` wraps frames in a
+    * LIST('rec ') the way interleaved AVIs do. */
+  private def avi(frames: Seq[Array[Byte]], w: Int, h: Int,
+                  extra: Seq[(String, Array[Byte])] = Nil,
+                  recGroup: Boolean = false): Array[Byte] = {
+    val avih = riffChunk("avih",
+      le32b(40000) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++ // usec/frame, maxbytes, pad, flags
+      le32b(frames.size) ++ le32b(0) ++ le32b(1) ++ le32b(0) ++ // total, initial, streams, bufsize
+      le32b(w) ++ le32b(h) ++ new Array[Byte](16))
+    val strh = riffChunk("strh",
+      "vids".getBytes("ISO-8859-1") ++ "MJPG".getBytes("ISO-8859-1") ++
+      new Array[Byte](48))
+    val strf = riffChunk("strf", // BITMAPINFOHEADER
+      le32b(40) ++ le32b(w) ++ le32b(h) ++ Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++
+      "MJPG".getBytes("ISO-8859-1") ++ new Array[Byte](20))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val frameChunks = frames.zipWithIndex.flatMap { case (f, i) =>
+      val own = riffChunk("00dc", f)
+      val withExtra = own ++ extra.flatMap { case (cc, d) => riffChunk(cc, d) }
+      if (recGroup) riffList("rec ", withExtra) else withExtra
+    }.toArray
+    val movi = riffList("movi", frameChunks)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32b(body.length) ++ body
+  }
+
+  test("real AVI demux: every-Nth MJPEG frame extraction, frames decode via ImageIO") {
+    // 5 frames, 16x8, distinct colors so sampled frames are identifiable
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+    val frames = colors.map(jpeg(16, 8, _))
+    val clip = avi(frames, 16, 8)
+    val docs = Seq((1L, clip), (2L, "not a video".getBytes("UTF-8")))
+      .toDF("doc_id", "bin").withColumn("fmt", lit("video/avi"))
     val media = Multimodal.ingest(docs, "doc_id", "bin", "fmt")
-    val out = Multimodal.sampleFrames(media, frameSize = 4, everyNth = 2).collect()
+    val out = Multimodal.sampleFrames(media, everyNth = 2).collect()
     val byId = out.groupBy(_.media_id)
+    assert(!byId.contains(2L)) // non-AVI payload yields no rows
     assert(byId(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
-    assert(new String(byId(1L).minBy(_.frame_idx).frame_payload, "UTF-8") == "AAAA")
-    assert(new String(byId(1L).maxBy(_.frame_idx).frame_payload, "UTF-8") == "EEEE")
-    assert(!byId.contains(2L)) // payload shorter than one frame -> no rows
+    // sampled payloads are the exact JPEG bytes that went in
+    val byIdx = byId(1L).map(f => f.frame_idx -> f.frame_payload).toMap
+    assert(byIdx(0).sameElements(frames(0)) && byIdx(4).sameElements(frames(4)))
+    // and they are REAL JPEGs: re-ingest the sampled frames and decode
+    val frameMedia = Multimodal.ingest(
+      byId(1L).toSeq.map(f => (f.frame_idx.toLong, f.frame_payload))
+        .toDF("doc_id", "bin").withColumn("fmt", lit("image/jpeg")),
+      "doc_id", "bin", "fmt")
+    val decoded = Multimodal.decodeFrames(frameMedia).collect()
+    assert(decoded.length == 3)
+    assert(decoded.forall(d => d.width == 16 && d.height == 8))
+  }
+
+  test("AVI demux: rec-grouped frames, second-stream and audio chunks excluded") {
+    val frames = Seq(jpeg(8, 8, 0xff0000), jpeg(8, 8, 0x00ff00), jpeg(8, 8, 0x0000ff))
+    // interleave an audio chunk (01wb) and a second video stream (01dc)
+    // after every frame; group each interleave unit in LIST('rec ')
+    val clip = avi(frames, 8, 8,
+      extra = Seq("01wb" -> Array[Byte](1, 2, 3), "01dc" -> Array[Byte](9, 9)),
+      recGroup = true)
+    val media = Multimodal.ingest(
+      Seq((5L, clip)).toDF("doc_id", "bin").withColumn("fmt", lit("video/avi")),
+      "doc_id", "bin", "fmt")
+    val out = Multimodal.sampleFrames(media, everyNth = 1).collect()
+    assert(out.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2)) // stream 00 only
+    assert(out.find(_.frame_idx == 1).get.frame_payload.sameElements(frames(1)))
+  }
+
+  test("AVI demux: truncated container keeps frames before the cut; junk yields none") {
+    val frames = Seq(jpeg(8, 8, 0xff0000), jpeg(8, 8, 0x00ff00), jpeg(8, 8, 0x0000ff))
+    val clip = avi(frames, 8, 8)
+    // cut mid-way through the last frame chunk: first two frames survive
+    val truncated = clip.take(clip.length - frames(2).length / 2)
+    val media = Multimodal.ingest(
+      Seq((1L, truncated), (2L, clip.take(10)), (3L, Array.emptyByteArray))
+        .toDF("doc_id", "bin").withColumn("fmt", lit("video/avi")),
+      "doc_id", "bin", "fmt")
+    val out = Multimodal.sampleFrames(media, everyNth = 1).collect()
+    val byId = out.groupBy(_.media_id)
+    assert(byId.keySet == Set(1L))
+    assert(byId(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 1))
   }
 
   private def writeZip(dir: java.nio.file.Path, name: String,
