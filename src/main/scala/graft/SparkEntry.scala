@@ -546,7 +546,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // LLM ops — multimodal: opaque binary + typed metadata + stub decode
+    // LLM ops — multimodal: opaque binary + typed metadata (the REAL
+    // decode paths behind this frame are certified by q82/q83 and
+    // MultimodalZipSpec)
     "q43_multimodal_meta" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .withColumn("bin", encode(col("text"), "UTF-8"))
@@ -1119,6 +1121,85 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
         .orderBy("lang", "bin")
+    }),
+
+    // LLM ops — REAL image decode under the oracle gate. The query
+    // synthesizes a deterministic PNG corpus driver-side (12 solid-gray
+    // images whose dims and gray level are closed-form in media_id, so
+    // the bounded driver work is by construction, like q34's interval
+    // fixture), pushes it through the real ImageIO decode path on
+    // executors, and emits only a-priori-known facts: dims, channel
+    // count, and the histogram bin that must hold ALL the luminance
+    // mass. The oracle recomputes the same closed forms from range() —
+    // so a decode regression (dims, channels, feature math) breaks the
+    // driver's hash gate, not just a spec.
+    "q82_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (1 to 12).map { i =>
+        val w = (i % 5) * 3 + 4
+        val h = 3 + (i % 4) * 2
+        val g = (i * 21) % 256 // solid gray => luminance == g exactly
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (i.toLong, bos.toByteArray)
+      }
+      val media = Multimodal.ingest(
+        fixtures.toDF("doc_id", "bin").withColumn("fmt", lit("image/png")),
+        "doc_id", "bin", "fmt")
+      Multimodal.decodeFrames(media).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_channels").cast("long").as("n_channels"),
+          // a solid image puts exactly 1.0 of the normalized histogram
+          // in bin (gray >> 5); array_position is 1-based
+          (array_position(col("feature"), lit(1.0f)) - 1).cast("long").as("lum_bin"))
+        .orderBy("media_id")
+    }),
+
+    // LLM ops — REAL audio decode under the oracle gate: deterministic
+    // WAV corpus (constant-sample PCM, so every emitted fact is exact
+    // integer math), decoded by the real javax.sound path; the oracle
+    // replays the closed forms. is_silent pins the RMS feature without
+    // putting a float in the hash.
+    "q83_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (1 to 8).map { i =>
+        val sr = 8000 * (1 + i % 3)
+        val ch = 1 + i % 2
+        val ms = 50 + i * 10
+        val frames = sr / 1000 * ms
+        val amp = if (i % 4 == 0) 0 else 1000 // silent every 4th clip
+        val pcm = new Array[Byte](frames * ch * 2)
+        for (j <- 0 until frames * ch) {
+          pcm(2 * j) = (amp & 0xff).toByte
+          pcm(2 * j + 1) = ((amp >> 8) & 0xff).toByte
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          sr.toFloat, 16, ch, ch * 2, sr.toFloat, false)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (i.toLong, bos.toByteArray)
+      }
+      val media = Multimodal.ingest(
+        fixtures.toDF("doc_id", "bin").withColumn("fmt", lit("audio/wav")),
+        "doc_id", "bin", "fmt")
+      Multimodal.decodeAudio(media).toDF()
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_channels").cast("long").as("n_channels"),
+          col("n_frames"),
+          expr("(n_frames * 1000) div cast(sample_rate as bigint)").as("duration_ms"),
+          (col("rms") === 0f).as("is_silent"))
+        .orderBy("media_id")
     })
   )
 
@@ -2038,6 +2119,27 @@ object SparkEntry {
         |  FROM documents)
         |SELECT lang, CAST(bin AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
-        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+        |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    // q82/q83: the oracle recomputes the fixture corpus' closed-form
+    // facts independently of any decode — if the engine's real decode
+    // disagrees (dims, channels, histogram mass, frame counts), the
+    // hash gate fails.
+    "q82_image_decode" ->
+      """SELECT i AS media_id,
+        |  CAST((i % 5) * 3 + 4 AS BIGINT) AS width,
+        |  CAST(3 + (i % 4) * 2 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS n_channels,
+        |  CAST(((i * 21) % 256) // 32 AS BIGINT) AS lum_bin
+        |FROM range(1, 13) t(i) ORDER BY media_id""".stripMargin,
+
+    "q83_audio_decode" ->
+      """SELECT i AS media_id,
+        |  CAST(8000 * (1 + i % 3) AS BIGINT) AS sample_rate,
+        |  CAST(1 + i % 2 AS BIGINT) AS n_channels,
+        |  CAST((8000 * (1 + i % 3) // 1000) * (50 + i * 10) AS BIGINT) AS n_frames,
+        |  CAST(50 + i * 10 AS BIGINT) AS duration_ms,
+        |  (i % 4 = 0) AS is_silent
+        |FROM range(1, 9) t(i) ORDER BY media_id""".stripMargin
   )
 }
