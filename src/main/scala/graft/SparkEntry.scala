@@ -1200,6 +1200,16 @@ object SparkEntry {
           expr("(n_frames * 1000) div cast(sample_rate as bigint)").as("duration_ms"),
           (col("rms") === 0f).as("is_silent"))
         .orderBy("media_id")
+    }),
+
+    // LLM ops — BPE merge induction (tokenizer training): bounded
+    // driver loop (≤24 merges); each round is one map-side-combined
+    // pair count over the DISTINCT-WORD table (round cost tracks
+    // vocabulary, never corpus size) + a 1-row collect + a map-only
+    // merge rewrite. Deterministic tie-break (count desc, left, right)
+    "q84_bpe_merges" -> ((s, dir) => {
+      Tokenize.bpeMerges(Tables.load(s, dir, "documents"), col("text"), nMerges = 24)
+        .orderBy("rank")
     })
   )
 
@@ -2140,6 +2150,38 @@ object SparkEntry {
         |  CAST((8000 * (1 + i % 3) // 1000) * (50 + i * 10) AS BIGINT) AS n_frames,
         |  CAST(50 + i * 10 AS BIGINT) AS duration_ms,
         |  (i % 4 = 0) AS is_silent
-        |FROM range(1, 9) t(i) ORDER BY media_id""".stripMargin
+        |FROM range(1, 9) t(i) ORDER BY media_id""".stripMargin,
+
+    // Replays the BPE loop in SQL: a recursive CTE carries the corpus
+    // state (distinct words as sentinel-delimited symbol strings); each
+    // level picks the top pair with the same (count desc, left, right)
+    // tie-break and applies it via left-to-right `replace` — the exact
+    // restart-after-merge semantics of the engine's Catalyst fold
+    // (Tokenize.mergePair). chr(31) sentinels make multi-char symbol
+    // boundaries unambiguous.
+    "q84_bpe_merges" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY word),
+        |enc AS (SELECT n, list_aggregate(list_transform(string_split(word, ''),
+        |          c -> chr(31)||c||chr(31)), 'string_agg', '') AS s
+        |        FROM words WHERE length(word) > 0),
+        |st(iter, n, s, lft, rgt, cnt) AS (
+        |  SELECT 0, n, s, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM enc
+        |  UNION ALL
+        |  SELECT iter+1, n,
+        |    replace(s, chr(31)||bp.l||chr(31)||chr(31)||bp.r||chr(31), chr(31)||bp.l||bp.r||chr(31)),
+        |    bp.l, bp.r, bp.c
+        |  FROM st, (
+        |    SELECT l, r, CAST(SUM(n) AS BIGINT) AS c FROM (
+        |      SELECT w.n, w.syms[i] AS l, w.syms[i+1] AS r
+        |      FROM (SELECT n, string_split(trim(s, chr(31)), chr(31)||chr(31)) AS syms FROM st) w,
+        |           UNNEST(range(1, len(w.syms))) AS t(i)
+        |    ) GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1
+        |  ) bp
+        |  WHERE iter < 24
+        |)
+        |SELECT DISTINCT CAST(iter - 1 AS BIGINT) AS rank, lft AS "left", rgt AS "right", cnt AS n_pairs
+        |FROM st WHERE iter >= 1 ORDER BY rank""".stripMargin
   )
 }

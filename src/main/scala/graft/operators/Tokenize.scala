@@ -53,4 +53,120 @@ object Tokenize {
           t => coalesce(element_at(col("vocab"), t), lit(-1L))))
       .drop("vocab")
   }
+
+  /** BPE-style merge induction — the iterative half of tokenizer
+    * training that [[vocabMap]]'s word-level top-k stops short of:
+    * start from characters, then repeat (count adjacent symbol pairs
+    * across the corpus → pick the most frequent → merge it everywhere)
+    * `nMerges` times. Returns the merge table
+    * `(rank, left, right, n_pairs)` in merge order — exactly what a
+    * BPE tokenizer persists.
+    *
+    * Scale shape: the corpus first compresses to DISTINCT WORDS with
+    * counts (one shuffle — the classic BPE trick: pair statistics are
+    * word-frequency-weighted, so round cost tracks vocabulary size,
+    * never corpus size). Each round is then one map-side-combined pair
+    * aggregate + a single-row collect + a map-only merge rewrite — the
+    * same bounded-driver-loop discipline as
+    * [[Similarity.kmeansFit]]'s centroid updates. Ties break
+    * deterministically on (count desc, left, right). Stops early if
+    * every word is down to one symbol. */
+  def bpeMerges(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The corpus-sized shuffle happens exactly once, HERE, under the
+    // caller's session settings (full width, AQE as configured): the
+    // eager checkpoint materializes the distinct-word table — a few MB
+    // regardless of corpus size, the classic BPE compression — before
+    // the loop flips any conf. coalesce(8) narrows the checkpointed
+    // state so each of the ~nMerges round-trip jobs schedules a handful
+    // of tasks instead of a full partition fan.
+    val wordTable = graft.core.Parallelism.ensureWidth(docs)
+      .select(explode(TextFunctions.tokens(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("n"), split(col("word"), "").as("syms"))
+      .coalesce(8)
+      .localCheckpoint(true)
+    // AQE is a net loss inside the loop itself: every round is a tiny
+    // shuffle whose plan is already final, and AQE's per-stage
+    // materialization adds driver round-trips to each of the nMerges
+    // sequential jobs. Same for wide shuffles: the state is a few MB,
+    // so pin the loop's shuffles narrow. Both settings are restored.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try bpeMergesLoop(wordTable, nMerges)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", shuffleBefore)
+    }
+  }
+
+  private def bpeMergesLoop(wordTable: DataFrame, nMerges: Int): DataFrame = {
+    val spark = wordTable.sparkSession
+    import spark.implicits._
+    var words = wordTable
+    var lastCheckpoint = words
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    var sinceCheckpoint = 0
+    while (rank < nMerges && !exhausted) {
+      val top = words
+        .filter(size(col("syms")) >= 2) // single-symbol words carry no pairs
+        .select(col("n"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (l, r) => struct(l.as("lft"), r.as("rgt")))).as("p"))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum(col("n")).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("lft"), col("rgt"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank.toLong, l, r, c))
+        words = words.withColumn("syms", mergePair(col("syms"), l, r))
+        sinceCheckpoint += 1
+        // truncate lineage every few rounds, not every round: a handful
+        // of chained merge folds stay optimizer-friendly, and halving
+        // the per-round job count matters when the table is tiny and
+        // scheduling dominates
+        if (sinceCheckpoint == 4) {
+          words = words.localCheckpoint(true)
+          lastCheckpoint.unpersist(blocking = false)
+          lastCheckpoint = words
+          sinceCheckpoint = 0
+        }
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "n_pairs")
+  }
+
+  /** One BPE merge pass over a symbol array: left-to-right,
+    * non-overlapping, restarting AFTER each merge — so merging (a,a)
+    * on [a,a,a] yields [aa, a], the semantics of a string `replace`
+    * over a delimited rendering (which is how the DuckDB oracle
+    * replays it). Pure Catalyst fold (`aggregate` HOF), no UDF: the
+    * accumulator carries the emitted prefix plus one pending symbol. */
+  private[operators] def mergePair(syms: Column, left: String, right: String): Column = {
+    def push(out: Column, pend: Column) = struct(out.as("out"), pend.as("pend"))
+    val nullStr = lit(null).cast("string")
+    aggregate(
+      syms,
+      push(array().cast("array<string>"), nullStr),
+      (acc, s) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pend")
+        when(pend.isNull, push(out, s))
+          .when(pend === left && s === right,
+            push(concat(out, array(lit(left + right))), nullStr))
+          .otherwise(push(concat(out, array(pend)), s))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+  }
 }

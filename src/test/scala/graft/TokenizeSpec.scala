@@ -42,4 +42,40 @@ class TokenizeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Tokenize.vocabMap(docs, col("text"), topK = 0))
   }
+
+  test("bpeMerges replays the classic merge sequence on a known corpus") {
+    // words: aaab x2, ab x1
+    //   round 0: (a,a) appears 2x in each aaab -> 4; (a,b) -> 2+1 = 3
+    //            merge (a,a): aaab -> [aa, a, b] (left-to-right restart)
+    //   round 1: (aa,a) -> 2; (a,b) -> 2+1 = 3  -> merge (a,b)
+    //            aaab -> [aa, ab]; ab -> [ab]
+    //   round 2: (aa,ab) -> 2 -> merge; everything is one symbol, stop
+    val corpus = Seq((1L, "aaab ab"), (2L, "aaab")).toDF("doc_id", "text")
+    val merges = Tokenize.bpeMerges(corpus, col("text"), nMerges = 10)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(merges == Seq(
+      (0L, "a", "a", 4L),
+      (1L, "a", "b", 3L),
+      (2L, "aa", "ab", 2L))) // early stop: fewer merges than requested
+  }
+
+  test("bpeMerges ties break lexicographically on (left, right)") {
+    // xy and yx both contribute exactly one pair -> tie at count 1;
+    // (x,y) < (y,x) so it must merge first
+    val corpus = Seq((1L, "xy yx")).toDF("doc_id", "text")
+    val merges = Tokenize.bpeMerges(corpus, col("text"), nMerges = 1)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges == Seq((0L, "x", "y", 1L)))
+  }
+
+  test("bpeMerges merge pass restarts after a merge (no overlap) and is bounded") {
+    // aaaa: pairs (a,a) x3 -> merge once: [aa, aa] (not [aa,[aa],..] overlaps)
+    // next round: (aa,aa) x1 -> aaaa as one symbol; then exhausted
+    val corpus = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val merges = Tokenize.bpeMerges(corpus, col("text"), nMerges = 99)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(merges == Seq((0L, "a", "a", 3L), (1L, "aa", "aa", 1L)))
+    intercept[IllegalArgumentException](
+      Tokenize.bpeMerges(corpus, col("text"), nMerges = 0))
+  }
 }
