@@ -1210,6 +1210,22 @@ object SparkEntry {
     "q84_bpe_merges" -> ((s, dir) => {
       Tokenize.bpeMerges(Tables.load(s, dir, "documents"), col("text"), nMerges = 24)
         .orderBy("rank")
+    }),
+
+    // LLM ops — ANN recall audit: the acceptance metric every ANN
+    // deployment needs. IVF search (q35's exact setup: nprobe=2 of the
+    // %211 centroid set) scored against the exhaustive top-3; the
+    // recall join is O(|Q| x k) regardless of corpus size
+    "q85_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") % 211 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("ctr"))
+      val vecs = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val approx = Similarity.ivfTopK(vecs, cents, qs, k = 3, nprobe = 2)
+      val exact = Similarity.dotTopK(qs, vecs, k = 3)
+      Similarity.recallAtK(approx, exact, k = 3).orderBy("qid")
     })
   )
 
@@ -2182,6 +2198,49 @@ object SparkEntry {
         |  WHERE iter < 24
         |)
         |SELECT DISTINCT CAST(iter - 1 AS BIGINT) AS rank, lft AS "left", rgt AS "right", cnt AS n_pairs
-        |FROM st WHERE iter >= 1 ORDER BY rank""".stripMargin
+        |FROM st WHERE iter >= 1 ORDER BY rank""".stripMargin,
+
+    // IVF results (q35's chain verbatim) joined against the exhaustive
+    // top-3; COUNT of matches per query over the 3 exact rows, so
+    // zero-recall queries still appear.
+    "q85_ivf_recall" ->
+      s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ctr
+         |              FROM embeddings WHERE vec_id % 211 = 0),
+         |ap AS (SELECT e.vec_id, c.centroid_id, unnest(e.embedding) AS x, unnest(c.ctr) AS y
+         |       FROM embeddings e CROSS JOIN cent c),
+         |ad AS (SELECT vec_id, centroid_id,
+         |         SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+         |       FROM ap GROUP BY vec_id, centroid_id),
+         |cells AS (SELECT vec_id AS cid, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, centroid_id ASC) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, centroid_id ASC) AS pr
+         |    FROM ad WHERE vec_id % 100 = 0) WHERE pr <= 2),
+         |pairs AS (SELECT p.qid, cl.cid FROM probes p JOIN cells cl USING (centroid_id)
+         |          WHERE p.qid <> cl.cid),
+         |px AS (SELECT pairs.qid, pairs.cid, unnest(q.embedding) AS x, unnest(v.embedding) AS y
+         |       FROM pairs JOIN embeddings q ON q.vec_id = pairs.qid
+         |                  JOIN embeddings v ON v.vec_id = pairs.cid),
+         |d2 AS (SELECT qid, cid,
+         |         SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+         |       FROM px GROUP BY qid, cid),
+         |ivf AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp DESC, cid ASC) AS rnk
+         |    FROM d2) WHERE rnk <= 3),
+         |bp AS (SELECT q.vec_id AS qid, v.vec_id AS cid, unnest(q.embedding) AS x, unnest(v.embedding) AS y
+         |       FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+         |       WHERE q.vec_id % 100 = 0),
+         |bd AS (SELECT qid, cid, SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+         |       FROM bp GROUP BY qid, cid),
+         |ex AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp DESC, cid ASC) AS rnk
+         |    FROM bd) WHERE rnk <= 3)
+         |SELECT e.qid, CAST(COUNT(i.cid) AS BIGINT) AS n_hit,
+         |  CAST(COUNT(i.cid) AS DOUBLE) / 3 AS recall
+         |FROM ex e LEFT JOIN ivf i ON i.qid = e.qid AND i.cid = e.cid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin
   )
 }

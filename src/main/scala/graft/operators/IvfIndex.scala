@@ -25,13 +25,28 @@ object IvfIndex {
     * .assignCells]] helper ivfTopK uses — bit-identical cells by
     * construction, not by parallel maintenance) and write the index to
     * `outDir` partitioned by cell. */
-  def write(vectors: DataFrame, centroids: DataFrame, outDir: String): Unit = {
+  def write(vectors: DataFrame, centroids: DataFrame, outDir: String): Unit =
+    assignAndStore(vectors, centroids, outDir, "overwrite")
+
+  /** Incremental maintenance: assign ONLY the new vectors (against the
+    * SAME centroids the index was built with) and append their rows to
+    * the stored cell layout — `partitionBy` routes each new vector into
+    * its cell directory, so the index stays prunable and a search over
+    * (initial write + appends) is bit-identical to a fresh full write
+    * (spec-pinned). Cost tracks the BATCH, never the stored corpus: the
+    * 100 TB index absorbs a daily delta without a rewrite. Re-training
+    * centroids invalidates cell geometry — that is a [[write]]. */
+  def append(vectors: DataFrame, centroids: DataFrame, indexDir: String): Unit =
+    assignAndStore(vectors, centroids, indexDir, "append")
+
+  private def assignAndStore(vectors: DataFrame, centroids: DataFrame,
+                             outDir: String, mode: String): Unit = {
     val vecs9 = graft.core.Parallelism.ensureWidth(vectors)
       .select(col("cid"), col("cvec"), scale9(col("cvec")).as("cvec9"))
       .localCheckpoint(true) // feeds assignment AND the stored payload
     val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
     vecs9.join(Similarity.assignCells(vecs9, cents9), Seq("cid"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(outDir)
+      .write.mode(mode).partitionBy("centroid_id").parquet(outDir)
   }
 
   /** Exact top-k over the stored index, scanning only probed cells.
@@ -54,7 +69,12 @@ object IvfIndex {
     val probedCells = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq // bounded: <= |queries| * nprobe
     val corpus = spark.read.parquet(indexDir)
+      // prune on the RAW partition column (the proven scan-level path),
+      // THEN normalize its type: partition-column inference types small
+      // ids as int while probes carry long — without the cast the join
+      // would run through implicit casts and drift if ids outgrow int
       .filter(col("centroid_id").isin(probedCells: _*))
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
     val cand = probes.join(corpus, Seq("centroid_id"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), dot9(col("qvec9"), col("cvec9")).as("score_d"))

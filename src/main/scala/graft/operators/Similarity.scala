@@ -167,6 +167,33 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("score_d"))
   }
 
+  /** Recall@k audit — the acceptance metric of every ANN deployment:
+    * per query, what fraction of the EXACT top-k did the approximate
+    * search return? This is how the nprobe/recall tradeoff is certified
+    * numerically (raise nprobe until recall clears the bar, then stop
+    * paying for more cells).
+    *
+    * Both inputs are top-k RESULT SETS carrying `(qid, cid)` (extra
+    * columns ignored): `approx` from [[ivfTopK]] /
+    * [[IvfIndex.searchStored]] / any candidate generator, `exact` from
+    * [[dotTopK]]. Queries where the approximate search missed
+    * everything still appear, with recall 0.
+    *
+    * Scale shape: both sides are O(|Q| x k) rows no matter the corpus
+    * size — the expensive searches already happened; this join is
+    * always small and broadcast-able. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val hits = exact.select("qid", "cid")
+      .join(approx.select("qid", "cid"), Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** Deterministic Lloyd's k-means over an embedding column — trains the
     * coarse-quantizer centroids that [[ivfTopK]] and [[centroidAssign]]
     * consume, completing the IVF pipeline (train -> assign -> search)

@@ -42,27 +42,87 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  // inputFiles ignores pruning — use the executed scan's numFiles
+  // metric, populated after an action on THIS dataset's plan. AQE wraps
+  // the plan in adaptive/stage nodes whose children are not visible to
+  // collectLeaves, so walk through them explicitly.
+  private def filesRead(d: org.apache.spark.sql.DataFrame): Long = {
+    d.collect() // executes THIS dataset's plan, populating its metrics
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        walk(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value
+      case other => other.children.map(walk).sum
+    }
+    walk(d.queryExecution.executedPlan)
+  }
+
   test("probes prune cells at the SCAN: partition filters present, files skipped") {
     withIndex { dir =>
       val one = queries.limit(1)
       val df = IvfIndex.searchStored(spark, dir, one, centroids, k = 3, nprobe = 1)
+      // measure the files the SEARCH's own scan read (nprobe=1 of 4
+      // cells), then assert its plan carries a NON-EMPTY partition
+      // filter on centroid_id — FileSourceScanExec always prints a
+      // "PartitionFilters: [...]" line, so a bare contains() check
+      // would pass on an unpruned scan too
+      val searched = filesRead(df)
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(plan).isDefined,
         plan.take(2000))
-      // nprobe=1 of 4 cells: the pruned scan must READ fewer files than
-      // the full index (inputFiles ignores pruning — use the executed
-      // scan's numFiles metric, populated after an action)
-      def filesRead(d: org.apache.spark.sql.DataFrame): Long = {
-        d.collect() // executes THIS dataset's plan, populating its metrics
-        d.queryExecution.executedPlan.collectLeaves().collect {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-            f.metrics("numFiles").value
-        }.sum
-      }
       val all = filesRead(spark.read.parquet(dir))
-      val pruned = filesRead(spark.read.parquet(dir).filter(col("centroid_id") === 0L))
       assert(all >= 4, s"expected >=4 cell files, got $all")
-      assert(pruned < all, s"partition filter must reduce files read ($pruned vs $all)")
+      assert(searched > 0 && searched < all,
+        s"searchStored's scan must read fewer files ($searched vs $all)")
+    }
+  }
+
+  test("append: search over write+append is bit-identical to a fresh full write") {
+    val even = vectors.filter(col("cid") % 2 === 0)
+    val odd = vectors.filter(col("cid") % 2 =!= 0)
+    val inc = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    try {
+      IvfIndex.write(even, centroids, inc)
+      IvfIndex.append(odd, centroids, inc) // batch-sized work, no rewrite
+      IvfIndex.write(vectors, centroids, full)
+      def search(dir: String) =
+        IvfIndex.searchStored(spark, dir, queries, centroids, k = 3, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+            ((r.getLong(2), r.getDecimal(3)))).toMap
+      val incR = search(inc)
+      assert(incR.nonEmpty && incR == search(full),
+        "append must be indistinguishable from a full rebuild")
+      // appended rows landed inside the existing cell directories
+      val cellDirs = new java.io.File(inc).listFiles()
+        .filter(_.getName.startsWith("centroid_id=")).map(_.getName).toSet
+      assert(cellDirs == new java.io.File(full).listFiles()
+        .filter(_.getName.startsWith("centroid_id=")).map(_.getName).toSet)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(inc))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(full))
+    }
+  }
+
+  test("recallAtK certifies the nprobe tradeoff against brute force") {
+    withIndex { dir =>
+      val exact = Similarity.dotTopK(queries, vectors, k = 3)
+      def recall(nprobe: Int): Double = {
+        val approx = IvfIndex.searchStored(spark, dir, queries, centroids,
+          k = 3, nprobe = nprobe)
+        Similarity.recallAtK(approx, exact, k = 3)
+          .agg(avg(col("recall"))).collect().head.getDouble(0)
+      }
+      val r1 = recall(1)
+      val r4 = recall(4) // all 4 cells probed == exhaustive within cells
+      assert(r1 <= r4, s"recall must not fall as nprobe rises ($r1 vs $r4)")
+      assert(r4 == 1.0, s"probing every cell must recover the exact top-k, got $r4")
+      assert(r1 > 0.0, s"nprobe=1 should still find some true neighbors, got $r1")
     }
   }
 }
