@@ -359,13 +359,21 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming").distinct()
   }
 
-  /** Exact duplicated-span detection (the "dedup exact substrings"
-    * pipeline of Lee et al. 2021, re-expressed as window-hash blocking):
-    * every `windowTokens`-token sliding window of every document is
-    * hashed; a window whose hash occurs in ≥2 DISTINCT documents is a
+  /** Duplicated-span detection (the "dedup exact substrings" pipeline
+    * of Lee et al. 2021, re-expressed as window-hash blocking): every
+    * `windowTokens`-token sliding window of every document is hashed;
+    * a window whose hash occurs in ≥2 DISTINCT documents is a
     * duplicated span. Output per document: total windows, duplicated
     * windows, and their ratio — the signal used to drop or trim
     * boilerplate-heavy documents before training.
+    *
+    * EXACT UP TO 60-BIT HASH COLLISIONS: windows compare by their
+    * [[graft.functions.Hashing.hexLong]] hash with no raw-window verify
+    * join (unlike [[Decontaminate]], which verifies). At trillions of
+    * windows — the 100 TB regime — birthday collisions WILL mark a few
+    * false duplicated windows (~N²/2⁶¹ expected); acceptable for a
+    * drop/trim ratio signal, but callers needing certainty should add a
+    * verify join on the raw window text for hash-matched groups.
     *
     * Scale shape: one narrow posexplode fan-out (~n_tokens rows per doc,
     * 8-byte keys), one groupBy on the window hash with map-side partial

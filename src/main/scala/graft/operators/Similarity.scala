@@ -73,7 +73,14 @@ object Similarity {
     dotDecimal(a, b).cast("double") /
       (sqrt(normSqDecimal(a).cast("double")) * sqrt(normSqDecimal(b).cast("double")))
 
-  /** Brute-force top-k by dot product.
+  /** Brute-force top-k by dot product — the documented O(|Q|×|N|)
+    * recall BASELINE next to [[ivfTopK]]/[[IvfIndex.searchStored]] (and
+    * the exact side of [[recallAtK]]), not the scale path.
+    *
+    * BOUND: `queries` is broadcast, so |Q| must fit in one executor's
+    * broadcast budget — thousands of probe vectors, not millions; and
+    * every candidate row is scored against every query, so corpus cost
+    * multiplies by |Q|. Past that, use the IVF path.
     *
     * @param queries    (qid long, qvec array<float>) — the smaller side;
     *                   broadcast.
