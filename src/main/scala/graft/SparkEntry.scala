@@ -1226,6 +1226,57 @@ object SparkEntry {
       val approx = Similarity.ivfTopK(vecs, cents, qs, k = 3, nprobe = 2)
       val exact = Similarity.dotTopK(qs, vecs, k = 3)
       Similarity.recallAtK(approx, exact, k = 3).orderBy("qid")
+    }),
+
+    // LLM ops — REAL video demux under the oracle gate (closing the
+    // loop on q82/q83): deterministic MJPEG-AVI fixtures (frame count
+    // and JPEG dims closed-form in media_id), demuxed by the RIFF
+    // walker, every 2nd frame re-ingested and decoded by the ImageIO
+    // path. The oracle replays the closed forms, including the 1-in-2
+    // sampling arithmetic.
+    "q86_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (1 to 6).map { i =>
+        val nFrames = 2 + i             // 3..8 frames
+        val w = 8 + (i % 3) * 4         // 8/12/16
+        val h = 6 + (i % 2) * 2         // 6/8
+        val frames = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = img.createGraphics()
+          try { g2.setColor(new java.awt.Color(40 * f % 256, 20 * i % 256, 7)); g2.fillRect(0, 0, w, h) }
+          finally g2.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        // minimal spec-shaped AVI: RIFF('AVI ' LIST('movi' 00dc...));
+        // the demuxer needs no hdrl, and q's facts come from the frames
+        def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        def chunk(cc: String, d: Array[Byte]) =
+          cc.getBytes("ISO-8859-1") ++ le32(d.length) ++ d ++
+            (if (d.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+        val movi = chunk("LIST", "movi".getBytes("ISO-8859-1") ++
+          frames.flatMap(fb => chunk("00dc", fb)).toArray)
+        val body = "AVI ".getBytes("ISO-8859-1") ++ movi
+        (i.toLong, "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body)
+      }
+      val media = Multimodal.ingest(
+        fixtures.toDF("doc_id", "bin").withColumn("fmt", lit("video/avi")),
+        "doc_id", "bin", "fmt")
+      val sampled = Multimodal.sampleFrames(media, everyNth = 2).toDF()
+      // each sampled frame is a standalone JPEG: re-ingest and decode
+      val frameMedia = Multimodal.ingest(
+        sampled.select((col("media_id") * 1000 + col("frame_idx")).as("fid"),
+          col("frame_payload"), lit("image/jpeg").as("fmt")),
+        "fid", "frame_payload", "fmt")
+      Multimodal.decodeFrames(frameMedia).toDF()
+        .select(expr("media_id div 1000").as("media_id"),
+          (col("media_id") % 1000).cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy("media_id", "frame_idx")
     })
   )
 
@@ -2241,6 +2292,16 @@ object SparkEntry {
          |SELECT e.qid, CAST(COUNT(i.cid) AS BIGINT) AS n_hit,
          |  CAST(COUNT(i.cid) AS DOUBLE) / 3 AS recall
          |FROM ex e LEFT JOIN ivf i ON i.qid = e.qid AND i.cid = e.cid
-         |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    // Every-2nd-frame sampling of an (2+i)-frame clip with closed-form
+    // JPEG dims — the oracle replays the fixture arithmetic including
+    // the 1-in-2 selection.
+    "q86_video_decode" ->
+      """SELECT i AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(8 + (i % 3) * 4 AS BIGINT) AS width,
+        |  CAST(6 + (i % 2) * 2 AS BIGINT) AS height
+        |FROM range(1, 7) t(i), UNNEST(range(0, 2 + i, 2)) AS u(f)
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 }
