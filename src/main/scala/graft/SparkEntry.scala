@@ -1277,6 +1277,21 @@ object SparkEntry {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // LLM ops — two-stage quantized search: coarse int8 integer-dot
+    // top-10 per query (4x less scan bandwidth; WindowGroupLimit caps
+    // the exchange), exact decimal re-rank to top-3. The deployment
+    // pattern q61's quantization exists for
+    "q87_quantized_rerank" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val vecs = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.quantizedRerank(qs, vecs, k = 3, m = 10)
+        .select(col("qid"), col("rnk"), col("cid"),
+          col("score_d").cast("string").as("score"))
+        .orderBy("qid", "rnk")
     })
   )
 
@@ -2302,6 +2317,35 @@ object SparkEntry {
         |  CAST(8 + (i % 3) * 4 AS BIGINT) AS width,
         |  CAST(6 + (i % 2) * 2 AS BIGINT) AS height
         |FROM range(1, 7) t(i), UNNEST(range(0, 2 + i, 2)) AS u(f)
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Replays both stages: q61's quantization formulas, the integer
+    // coarse dot ordered by idot x candidate_scale (cid tiebreak), the
+    // m=10 cut, then the exact decimal re-rank of the survivors.
+    "q87_quantized_rerank" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+         |q8 AS (SELECT vec_id, scale, CASE WHEN scale > 0
+         |    THEN list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))
+         |    ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv FROM s),
+         |qry AS (SELECT vec_id AS qid, qv AS qqv FROM q8 WHERE vec_id % 100 = 0),
+         |cand AS (SELECT vec_id AS cid, scale AS cscale, qv AS cqv FROM q8),
+         |ap AS (SELECT qid, cid, cscale,
+         |         list_sum(list_transform(range(1, len(qqv) + 1), i -> qqv[i] * cqv[i])) AS idot
+         |       FROM qry JOIN cand ON cid <> qid),
+         |am AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY CAST(idot AS DOUBLE) * cscale DESC, cid) AS rm
+         |    FROM ap) WHERE rm <= 10),
+         |px AS (SELECT am.qid, am.cid, unnest(q.embedding) AS x, unnest(v.embedding) AS y
+         |       FROM am JOIN embeddings q ON q.vec_id = am.qid
+         |                 JOIN embeddings v ON v.vec_id = am.cid),
+         |d2 AS (SELECT qid, cid, SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+         |       FROM px GROUP BY qid, cid),
+         |r AS (SELECT qid, cid, dp,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp DESC, cid ASC) AS rnk
+         |      FROM d2)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, CAST(dp AS VARCHAR) AS score
+         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   )
 }

@@ -306,6 +306,51 @@ object Similarity {
           .otherwise(transform(vec, x => lit(0))).as("q"))
     }
 
+  /** Two-stage quantized search — the deployment pattern [[quantizeInt8]]
+    * exists for: a COARSE pass scores every candidate with the integer
+    * dot of the int8 codes (exact long arithmetic over payloads 4x
+    * smaller than float — at 100 TB the scan bandwidth is the bottleneck,
+    * and this stage reads only codes), keeps the top `m` per query, then
+    * an EXACT decimal re-rank of those m survivors yields the top `k`.
+    * Recall loss is bounded by quantization error and shrinks as m/k
+    * grows — audit it numerically with [[recallAtK]].
+    *
+    * Coarse ordering uses `int_dot x candidate_scale` (the query's scale
+    * is a positive per-query constant, so it cannot change that query's
+    * order and is skipped); ties break on cid, so the m-cut is
+    * deterministic and oracle-replayable. Same broadcast query-count
+    * bound as [[dotTopK]].
+    *
+    * @return (qid, rnk, cid, score_d) — same contract as ivfTopK
+    */
+  def quantizedRerank(queries: DataFrame, candidates: DataFrame,
+                      k: Int, m: Int): DataFrame = {
+    require(k > 0 && m >= k, s"need m >= k > 0, got k=$k m=$m")
+    // in deployment the codes are STORED (quantize once at ingest); here
+    // both forms are derived once and materialized, like ivfTopK's vecs9
+    val cq = graft.core.Parallelism.ensureWidth(candidates)
+      .select(col("cid"), scale9(col("cvec")).as("cvec9"),
+        quantizeInt8(col("cvec")).as("cq"))
+      .localCheckpoint(true)
+    val qq = queries.select(col("qid"), scale9(col("qvec")).as("qvec9"),
+      quantizeInt8(col("qvec")).as("qq"))
+    val idot = aggregate(
+      zip_with(col("qq.q"), col("cq.q"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val coarse = cq.join(broadcast(qq), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), col("qvec9"), col("cvec9"),
+        (idot.cast("double") * col("cq.scale")).as("approx"))
+    val wm = Window.partitionBy("qid").orderBy(col("approx").desc, col("cid").asc)
+    val survivors = coarse.withColumn("rm", row_number().over(wm))
+      .filter(col("rm") <= m) // partial+final WindowGroupLimit: the
+      // exchange carries O(|Q| x m) rows, and only they pay decimal dots
+    val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("cid").asc)
+    survivors
+      .select(col("qid"), col("cid"), dot9(col("qvec9"), col("cvec9")).as("score_d"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("score_d"))
+  }
+
   /** Reconstruct floats from [[quantizeInt8]] output; per-element error is
     * at most scale/254 (half a quantization step). `qs` is let-bound so a
     * computed struct argument is evaluated once, not per component. */

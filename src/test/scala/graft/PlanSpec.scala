@@ -185,4 +185,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(w#"),
       s"exchange keyed on raw window strings:\n${p.take(1500)}")
   }
+
+  test("q87: quantized coarse stage caps its exchange with WindowGroupLimit") {
+    // the m-cut must happen partial+final: map tasks forward at most m
+    // coarse candidates per query, so the |Q| x |N| fan-out never
+    // reaches an exchange; queries stay broadcast at both stages
+    val p = plan("q87_quantized_rerank")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"expected partial AND final WindowGroupLimit:\n${p.take(1500)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
 }

@@ -84,6 +84,33 @@ class SimilaritySpec extends SparkSpec {
     assert(full.contains(-127))
   }
 
+  test("quantizedRerank: coarse-keep-all equals brute force; small m stays ranked") {
+    val many = (0L until 20L).map { i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 1.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = many.filter($"vec_id" % 7 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val c = many.select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // m = |N|: the coarse stage keeps everything, so the exact re-rank
+    // IS brute force — bit-identical to dotTopK
+    val full = asMap(Similarity.quantizedRerank(q, c, k = 3, m = 20)
+      .select(col("qid"), col("rnk"), col("cid")))
+    val exact = asMap(Similarity.dotTopK(q, c, k = 3)
+      .select(col("qid"), col("rank"), col("cid")))
+    assert(full == exact, "m=|N| must equal exhaustive search")
+    // small m: still k ranked rows per query, and recall vs exact is
+    // measurable through the standard audit
+    val narrow = Similarity.quantizedRerank(q, c, k = 3, m = 4)
+    val perQ = narrow.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(perQ.nonEmpty && perQ.forall(_ == 3L))
+    val rec = Similarity.recallAtK(narrow, Similarity.dotTopK(q, c, k = 3), k = 3)
+      .agg(min(col("recall"))).collect().head.getDouble(0)
+    assert(rec > 0.0, "int8 coarse at m=4 should keep most true neighbors")
+    intercept[IllegalArgumentException](Similarity.quantizedRerank(q, c, k = 3, m = 2))
+  }
+
   test("kmeansFit recovers two well-separated clusters deterministically") {
     // two tight clusters on opposite axes; k=2 must split them exactly
     val rows = (0 until 10).map { i =>
