@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, InputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** TAR container access — the other archive format large corpora ship
+  * in (web-scrape dumps and image/audio shards are `.tar` / `.tar.gz`
+  * at least as often as `.zip`). Pure JDK: the standard library has no
+  * tar reader, so this walks the 512-byte-block ustar format directly —
+  * the same from-scratch stance as the AVI demuxer
+  * ([[graft.operators.Multimodal.demuxAviFrames]]) and the PDF parser
+  * ([[PdfSpans]]).
+  *
+  * Supported: POSIX ustar names (name + prefix fields), GNU `L`
+  * long-name extensions, regular files (typeflag '0'/NUL). Directories,
+  * links, and pax metadata entries ('x'/'g') are skipped structurally
+  * (their data blocks are consumed, never parsed). Header checksums are
+  * VERIFIED — junk bytes fail the first checksum and yield zero rows
+  * instead of garbage entries. A truncated archive yields the members
+  * before the cut, like every other decode path in the engine. gzip
+  * compression is auto-detected by magic and stream-decompressed: tar
+  * is a sequential format, so `.tar.gz` costs one streaming pass and
+  * needs no random access.
+  *
+  * Like [[ZipSource]]: [[entries]]/[[member]] serve the driver-side
+  * small-archive case; [[readMembers]] fans MANY archives out across
+  * tasks via `binaryFile` (archives are never split — compressed tar
+  * has no splittable index; shard corpora as many medium archives, the
+  * layout webdataset-style pipelines already use). Output columns match
+  * [[ZipSource.readMembers]], so
+  * [[graft.operators.Multimodal.ingestMembers]] consumes either. */
+object TarSource {
+
+  /** Parse an octal header field; 0 for blank/malformed fields. (GNU
+    * base-256 large-size encoding is not needed below 8 GiB members.) */
+  private def octal(hdr: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = off
+    val end = off + len
+    var stop = false
+    while (i < end && !stop) {
+      val c = hdr(i)
+      if (c >= '0' && c <= '7') v = v * 8 + (c - '0')
+      else if (!(c == ' ' && v == 0)) stop = true // trailing space/NUL ends the field
+      i += 1
+    }
+    v
+  }
+
+  /** NUL/space-terminated string field. */
+  private def str(hdr: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    while (end < off + len && hdr(end) != 0) end += 1
+    new String(hdr, off, end - off, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Header checksum: byte sum with the chksum field read as spaces. */
+  private def checksumOk(hdr: Array[Byte]): Boolean = {
+    var sum = 0L
+    var i = 0
+    while (i < 512) {
+      sum += (if (i >= 148 && i < 156) ' '.toInt else hdr(i) & 0xff)
+      i += 1
+    }
+    sum == octal(hdr, 148, 8)
+  }
+
+  private def maybeGunzip(in: InputStream, bytes: Array[Byte]): InputStream =
+    if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte)
+      new GZIPInputStream(in)
+    else in
+
+  /** Stream every regular-file member matching `pred` out of in-memory
+    * archive bytes (tar or tar.gz), lazily — non-matching payloads are
+    * skipped, not buffered. */
+  def memberRows(tarBytes: Array[Byte],
+                 pred: String => Boolean): Iterator[(String, Array[Byte])] =
+    new scala.collection.AbstractIterator[(String, Array[Byte])] {
+      private val in = maybeGunzip(new ByteArrayInputStream(tarBytes), tarBytes)
+      private var longName: String = null
+      private var nextItem: (String, Array[Byte]) = _
+      advance()
+
+      private def skipFully(n: Long): Boolean = {
+        var left = n
+        while (left > 0) {
+          val s = in.skip(left)
+          if (s > 0) left -= s
+          else if (in.read() >= 0) left -= 1 // skip() can return 0 mid-stream
+          else return false
+        }
+        true
+      }
+
+      private def advance(): Unit = {
+        nextItem = null
+        var done = false
+        while (nextItem == null && !done) {
+          val hdr = in.readNBytes(512)
+          // end of archive: zero block, short read, or corrupt header
+          if (hdr.length < 512 || hdr.forall(_ == 0) || !checksumOk(hdr)) done = true
+          else {
+            val size = octal(hdr, 124, 12)
+            val pad = (512 - size % 512) % 512
+            hdr(156) match {
+              case 'L' => // GNU long name: data IS the next entry's name
+                val nm = in.readNBytes(size.toInt)
+                if (nm.length < size) done = true
+                else {
+                  var end = nm.length
+                  while (end > 0 && nm(end - 1) == 0) end -= 1
+                  longName = new String(nm, 0, end,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  if (!skipFully(pad)) done = true
+                }
+              case '0' | 0 =>
+                val prefix = if (str(hdr, 257, 6).startsWith("ustar"))
+                  str(hdr, 345, 155) else ""
+                val base = str(hdr, 0, 100)
+                val name =
+                  if (longName != null) longName
+                  else if (prefix.nonEmpty) prefix + "/" + base
+                  else base
+                longName = null
+                if (pred(name)) {
+                  val data = in.readNBytes(size.toInt)
+                  if (data.length < size) done = true // truncated payload drops
+                  else { nextItem = (name, data); if (!skipFully(pad)) done = true }
+                } else if (!skipFully(size + pad)) done = true
+              case _ => // dir/link/pax metadata: consume data, emit nothing
+                longName = null
+                if (!skipFully(size + pad)) done = true
+            }
+          }
+        }
+      }
+
+      def hasNext: Boolean = nextItem != null
+      def next(): (String, Array[Byte]) = {
+        val r = nextItem; advance(); r
+      }
+    }
+
+  /** Regular-file entry names in archive order. */
+  def entries(tarBytes: Array[Byte]): Seq[String] =
+    memberRows(tarBytes, _ => true).map(_._1).toList
+
+  /** First member whose name satisfies `pred`. */
+  def member(tarBytes: Array[Byte],
+             pred: String => Boolean): Option[(String, Array[Byte])] = {
+    val it = memberRows(tarBytes, pred)
+    if (it.hasNext) Some(it.next()) else None
+  }
+
+  /** Distributed many-archive ingestion: one (archive, entry, payload)
+    * row per member of every tar/tar.gz matching `glob` — each archive
+    * unpacks inside the task that owns its `binaryFile` row, payloads
+    * never pass through the driver. Same contract as
+    * [[ZipSource.readMembers]]. */
+  def readMembers(spark: SparkSession, glob: String,
+                  pred: String => Boolean = _ => true): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        memberRows(bytes, pred).map { case (e, b) => (p, e, b) } }
+      .toDF("archive", "entry", "payload")
+  }
+}
