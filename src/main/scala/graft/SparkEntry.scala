@@ -1292,6 +1292,21 @@ object SparkEntry {
         .select(col("qid"), col("rnk"), col("cid"),
           col("score_d").cast("string").as("score"))
         .orderBy("qid", "rnk")
+    }),
+
+    // LLM ops — domain-mix resampling: the largest corpus achievable at
+    // a 4:2:1:1 target over src0-3 without upsampling, kept via the
+    // map-only hash threshold (no corpus shuffle); unweighted sources
+    // drop. ids_md5 pins the exact keep-set, not just its size
+    "q88_domain_mix_sample" -> ((s, dir) => {
+      Sampling.sampleToMix(Tables.load(s, dir, "documents"),
+          col("doc_id").cast("string"), col("source"),
+          Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(array_sort(collect_list(col("doc_id").cast("string"))),
+            ",")).as("ids_md5"))
+        .orderBy("source")
     })
   )
 
@@ -2346,6 +2361,27 @@ object SparkEntry {
          |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp DESC, cid ASC) AS rnk
          |      FROM d2)
          |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, CAST(dp AS VARCHAR) AS score
-         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+
+    // Replays sampleToMix's arithmetic in the same operation order:
+    // normalized weights, T = min(floor(n/p)), per-stratum threshold
+    // floor(LEAST(1, T*p/n)*1e6 + 0.5) (= Scala math.round), then the
+    // q72 hash-threshold keep.
+    "q88_domain_mix_sample" ->
+      """WITH w(source, p) AS (VALUES
+        |    ('src0', 4.0 / 8.0), ('src1', 2.0 / 8.0),
+        |    ('src2', 1.0 / 8.0), ('src3', 1.0 / 8.0)),
+        |c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+        |      FROM documents GROUP BY source),
+        |t AS (SELECT MIN(floor(n / p)) AS t FROM c JOIN w USING (source)),
+        |thr AS (SELECT source,
+        |          CAST(floor(LEAST(1.0, t * p / n) * 1000000 + 0.5) AS BIGINT) AS thr
+        |        FROM c JOIN w USING (source), t),
+        |kept AS (SELECT doc_id, source FROM documents JOIN thr USING (source)
+        |         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |               % 1000000 < thr)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))) AS ids_md5
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin
   )
 }

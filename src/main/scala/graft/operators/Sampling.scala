@@ -43,6 +43,43 @@ object Sampling {
     df.filter(Hashing.hexLong(key) % Denom < thr)
   }
 
+  /** Resample the corpus to a TARGET mixture — the "data mixing" step of
+    * every pretraining pipeline: given target proportions per stratum
+    * (domain weights, language weights), keep the LARGEST corpus
+    * achievable at exactly those proportions without upsampling, chosen
+    * deterministically.
+    *
+    * With `n_s` rows in stratum s and normalized target `p_s`, the
+    * achievable total is `T = min_s floor(n_s / p_s)` (the binding
+    * stratum keeps everything; abundant strata sample down). Each
+    * stratum then keeps ~`T*p_s` rows via the same hash-threshold
+    * filter as [[stratifiedHashSample]] — map-only, no shuffle on the
+    * corpus, binomially approximate counts (the at-scale tradeoff;
+    * [[exactKPerStratum]] gives exact counts for eval-sized sets).
+    * Strata absent from `weights` are dropped (rate 0); weights naming
+    * strata with no rows fail fast rather than silently emptying the
+    * result. The per-stratum count collect is bounded by |strata|.
+    */
+  def sampleToMix(df: DataFrame, key: Column, stratum: Column,
+                  weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one stratum")
+    require(weights.values.forall(_ > 0), s"weights must be positive: $weights")
+    val wsum = weights.values.sum
+    val counts = df.groupBy(stratum.as("__graft_s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val absent = weights.keySet.diff(counts.keySet)
+    require(absent.isEmpty,
+      s"weighted strata absent from the data (target unachievable): $absent")
+    // floor/min/round arithmetic in this exact operation order is
+    // replayed by the DuckDB oracle — keep them in sync
+    val t = weights.map { case (s, w) =>
+      math.floor(counts(s) / (w / wsum)) }.min
+    val rates = weights.map { case (s, w) =>
+      // the binding stratum's rate is 1 up to float wobble — clamp
+      s -> math.min(1.0, t * (w / wsum) / counts(s)) }
+    stratifiedHashSample(df, key, stratum, rates, defaultRate = 0.0)
+  }
+
   /** EXACTLY `k` rows per stratum (eval-set construction wants fixed
     * sizes, not fixed rates): rank rows within each stratum by their key
     * hash (key itself as tiebreak — fully deterministic) and keep the

@@ -79,4 +79,42 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedHashSample(df, col("id").cast("string"), col("lang"),
         Map("en" -> -0.1), 0.5))
   }
+
+  test("sampleToMix reshapes a skewed corpus to the target proportions") {
+    // 4000 web / 1000 books / 400 code, target 1:1:2 -> books binds at
+    // p=0.25: T = 1000/0.25 = 4000 is NOT achievable from code (400/0.5
+    // = 800 caps T) -> T=800: web 200, books 200, code 400
+    val skew = ((1L to 4000L).map((_, "web")) ++
+      (10001L to 11000L).map((_, "books")) ++
+      (20001L to 20400L).map((_, "code"))).toDF("id", "src")
+    val kept = Sampling.sampleToMix(skew, col("id").cast("string"), col("src"),
+      Map("web" -> 1.0, "books" -> 1.0, "code" -> 2.0))
+    val by = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // code is the binding stratum: keeps EVERYTHING (rate clamps to 1)
+    assert(by("code") == 400L, s"binding stratum must keep all rows: $by")
+    // sampled strata land near their targets (hash-threshold binomial)
+    assert(math.abs(by("web") - 200L) < 60, s"web ~200: $by")
+    assert(math.abs(by("books") - 200L) < 60, s"books ~200: $by")
+    // deterministic: the keep-set is identical on a second run
+    val ids = kept.select("id").as[Long].collect().toSet
+    assert(Sampling.sampleToMix(skew, col("id").cast("string"), col("src"),
+      Map("web" -> 1.0, "books" -> 1.0, "code" -> 2.0))
+      .select("id").as[Long].collect().toSet == ids)
+  }
+
+  test("sampleToMix drops unweighted strata and rejects absent ones") {
+    val kept = Sampling.sampleToMix(df, col("id").cast("string"), col("lang"),
+      Map("en" -> 1.0, "zh" -> 1.0))
+    assert(kept.filter(col("lang") === "de").count() == 0L) // unweighted -> dropped
+    assert(kept.filter(col("lang") === "en").count() > 0L)
+    // a weighted stratum with no rows would silently empty the result -
+    // fail fast instead
+    intercept[IllegalArgumentException](
+      Sampling.sampleToMix(df, col("id").cast("string"), col("lang"),
+        Map("en" -> 1.0, "martian" -> 1.0)))
+    intercept[IllegalArgumentException](
+      Sampling.sampleToMix(df, col("id").cast("string"), col("lang"),
+        Map.empty[String, Double]))
+  }
 }
