@@ -1307,6 +1307,17 @@ object SparkEntry {
           md5(array_join(array_sort(collect_list(col("doc_id").cast("string"))),
             ",")).as("ids_md5"))
         .orderBy("source")
+    }),
+
+    // LLM ops — reference-model coverage scoring (a CCNet-shaped
+    // quality filter): top-500 bigram model trained in one agg +
+    // distributed top-k, broadcast as ONE row; every document scored
+    // by a per-row transform — the corpus never shuffles to be scored
+    "q89_lm_coverage" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val model = Tokenize.bigramModel(d, col("text"), topK = 500)
+      Tokenize.coverageScore(d, col("doc_id"), col("text"), model)
+        .orderBy("doc_id")
     })
   )
 
@@ -2382,6 +2393,24 @@ object SparkEntry {
         |               % 1000000 < thr)
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))) AS ids_md5
-        |FROM kept GROUP BY source ORDER BY source""".stripMargin
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    // Replays the bigram model (count desc, gram asc, limit 500) and the
+    // per-doc multiplicity-counted hits; bigram-less docs surface with 0.
+    "q89_lm_coverage" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+        |       FROM ws, UNNEST(range(1, len(toks))) AS t(i)),
+        |top AS (SELECT g FROM (SELECT g, COUNT(*) AS n FROM bg GROUP BY g
+        |         ORDER BY n DESC, g LIMIT 500)),
+        |h AS (SELECT bg.doc_id, COUNT(*) AS nb, COUNT(top.g) AS nh
+        |      FROM bg LEFT JOIN top ON bg.g = top.g GROUP BY bg.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(nh, 0) AS BIGINT) AS n_hits,
+        |  CASE WHEN COALESCE(nb, 0) > 0
+        |       THEN CAST(nh AS DOUBLE) / CAST(nb AS DOUBLE) ELSE 0.0 END AS coverage
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -54,6 +54,54 @@ object Tokenize {
       .drop("vocab")
   }
 
+  /** Top-`topK` word-BIGRAM reference model, as ONE broadcastable row
+    * holding a `bigram -> count` map (`grams`) — the n-gram-LM-style
+    * quality reference a CCNet-shaped filter scores against: text whose
+    * bigrams rarely appear in a trusted corpus is boilerplate, OCR
+    * noise, or out-of-domain. Same scale shape as [[vocabMap]]: one
+    * explode + map-side-combined aggregate + distributed top-k; the
+    * post-limit rows are bounded by `topK`. */
+  def bigramModel(docs: DataFrame, text: Column, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    graft.core.Parallelism.ensureWidth(docs)
+      .select(explode(bigrams(text)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("g")).limit(topK)
+      .agg(map_from_entries(collect_list(struct(col("g"), col("n"))))
+        .as("grams"))
+  }
+
+  /** A document's word bigrams as `"w1 w2"` strings (empty for
+    * single-token documents). */
+  private def bigrams(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (l, r) => concat_ws(" ", l, r))
+  }
+
+  /** Score every document against a [[bigramModel]]: bigram count,
+    * model hits (with multiplicity), and their ratio — the coverage
+    * quality signal. The model rides one broadcast row; scoring is a
+    * per-row transform, so the corpus NEVER shuffles to be scored
+    * (the [[integerize]] rule). Documents with no bigrams score 0. */
+  def coverageScore(docs: DataFrame, id: Column, text: Column,
+                    model: DataFrame): DataFrame = {
+    require(!docs.columns.contains("grams"),
+      "docs already has a 'grams' column - it would collide with the broadcast model")
+    docs.select(id.as("doc_id"), bigrams(text).as("bs"))
+      .crossJoin(broadcast(model))
+      .select(col("doc_id"),
+        size(col("bs")).cast("long").as("n_bigrams"),
+        size(filter(col("bs"), b => element_at(col("grams"), b).isNotNull))
+          .cast("long").as("n_hits"))
+      .withColumn("coverage",
+        when(col("n_bigrams") > 0,
+          col("n_hits").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** BPE-style merge induction — the iterative half of tokenizer
     * training that [[vocabMap]]'s word-level top-k stops short of:
     * start from characters, then repeat (count adjacent symbol pairs

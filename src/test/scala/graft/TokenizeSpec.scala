@@ -43,6 +43,33 @@ class TokenizeSpec extends SparkSpec {
       Tokenize.vocabMap(docs, col("text"), topK = 0))
   }
 
+  test("bigramModel + coverageScore: hand-checked model, multiplicity hits, edge docs") {
+    val corpus = Seq(
+      (1L, "a b a b c"), // bigrams: "a b"x2, "b a", "b c"
+      (2L, "a b"),
+      (3L, "solo"),      // no bigrams -> coverage 0
+      (4L, "x y")        // bigram outside a small model
+    ).toDF("doc_id", "text")
+    // counts: "a b"->3, "b a"->1, "b c"->1, "x y"->1; top2 by (count
+    // desc, gram asc) = {"a b", "b a"}
+    val model = Tokenize.bigramModel(corpus, col("text"), topK = 2)
+    val grams = model.select(explode(col("grams"))).as[(String, Long)].collect().toMap
+    assert(grams == Map("a b" -> 3L, "b a" -> 1L))
+    val scores = Tokenize.coverageScore(corpus, col("doc_id"), col("text"), model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(scores(1L) == ((4L, 3L, 0.75))) // "a b","b a","a b" hit; "b c" misses
+    assert(scores(2L) == ((1L, 1L, 1.0)))
+    assert(scores(3L) == ((0L, 0L, 0.0))) // bigram-less doc scores 0, not null
+    assert(scores(4L) == ((1L, 0L, 0.0)))
+    // corpus side never shuffles: model rides a broadcast
+    val plan = Tokenize.coverageScore(corpus.localCheckpoint(true),
+      col("doc_id"), col("text"), model).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
   test("bpeMerges replays the classic merge sequence on a known corpus") {
     // words: aaab x2, ab x1
     //   round 0: (a,a) appears 2x in each aaab -> 4; (a,b) -> 2+1 = 3
