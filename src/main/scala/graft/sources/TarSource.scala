@@ -104,6 +104,9 @@ object TarSource {
           if (hdr.length < 512 || hdr.forall(_ == 0) || !checksumOk(hdr)) done = true
           else {
             val size = octal(hdr, 124, 12)
+            // a checksum-valid header can still carry a nonsense size
+            // (hand-crafted archive); stop rather than overflow .toInt
+            if (size < 0 || size > Int.MaxValue) return ()
             val pad = (512 - size % 512) % 512
             hdr(156) match {
               case 'L' => // GNU long name: data IS the next entry's name
