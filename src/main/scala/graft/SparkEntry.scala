@@ -1318,6 +1318,20 @@ object SparkEntry {
       val model = Tokenize.bigramModel(d, col("text"), topK = 500)
       Tokenize.coverageScore(d, col("doc_id"), col("text"), model)
         .orderBy("doc_id")
+    }),
+
+    // LLM ops — the dedup DECISION: q52's near-dup clusters resolved to
+    // one canonical keeper per component (longest doc, id tiebreak) and
+    // a drop list for the rest. Aggregate + equi-join on component ids;
+    // cost tracks clustered docs, never the corpus
+    "q90_dedup_droplist" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val pairs = Dedup.lshCandidatePairs(Dedup.minhashBands(
+        d, col("doc_id"), col("text"), numHashes = 16, bands = 4, shingleN = 3))
+      Dedup.canonicalize(
+          Dedup.connectedComponents(pairs),
+          d.select(col("doc_id"), col("n_chars").as("priority")))
+        .orderBy("doc_id")
     })
   )
 
@@ -2411,6 +2425,41 @@ object SparkEntry {
         |  CASE WHEN COALESCE(nb, 0) > 0
         |       THEN CAST(nh AS DOUBLE) / CAST(nb AS DOUBLE) ELSE 0.0 END AS coverage
         |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q52's component replay extended with the canonical pick: per
+    // component, max n_chars with doc_id-asc tiebreak.
+    "q90_dedup_droplist" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT % 1000000007 AS hp FROM sh),
+        |hx AS (SELECT doc_id, i,
+        |         MIN(((2*i + 1) * hp + (i*i + 7919)) % 1000000007) AS mh
+        |       FROM ex, range(16) t(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band_id,
+        |            md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bucket
+        |          FROM hx GROUP BY doc_id, i // 4),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b
+        |            ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+        |comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+        |         FROM reach GROUP BY node),
+        |pr AS (SELECT c.doc_id, c.component_id, d.n_chars
+        |       FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+        |can AS (SELECT component_id, doc_id AS canonical_id FROM (
+        |    SELECT component_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY component_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |    FROM pr) WHERE rn = 1)
+        |SELECT pr.doc_id, pr.component_id, can.canonical_id,
+        |  (pr.doc_id = can.canonical_id) AS is_canonical
+        |FROM pr JOIN can ON pr.component_id = can.component_id
+        |ORDER BY pr.doc_id""".stripMargin
   )
 }

@@ -317,6 +317,32 @@ object Dedup {
     labels
   }
 
+  /** Canonical selection + drop list — the step that turns
+    * [[connectedComponents]] output into an actionable dedup decision:
+    * keep exactly ONE document per near-dup cluster (the max-`priority`
+    * member, smallest doc_id on ties — deterministic), flag the rest
+    * for dropping. Priority is caller-defined: length, quality score,
+    * recency — whatever "best copy" means for the corpus.
+    *
+    * Scale shape: one map-side-combined `max_by` aggregate per
+    * component plus one equi-join back on component_id — both keyed on
+    * cluster ids, never all-pairs; cost tracks the CLUSTERED docs (the
+    * input), not the corpus.
+    *
+    * @param components (doc_id, component_id) from [[connectedComponents]]
+    * @param priority   (doc_id, priority) — higher wins
+    * @return (doc_id, component_id, canonical_id, is_canonical)
+    */
+  def canonicalize(components: DataFrame, priority: DataFrame): DataFrame = {
+    val joined = components.join(priority, Seq("doc_id"))
+    val canon = joined.groupBy("component_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("priority"), -col("doc_id"))).as("canonical_id"))
+    joined.join(canon, Seq("component_id"))
+      .select(col("doc_id"), col("component_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+  }
+
   /** SimHash near-duplicate pairs via bit-band blocking: split each
     * `bits`-wide fingerprint into `bands` contiguous bands; two documents
     * are candidates iff they share at least one exact band (pigeonhole: a

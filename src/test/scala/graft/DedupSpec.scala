@@ -177,6 +177,25 @@ class DedupSpec extends SparkSpec {
     assert(second.forall { case (n, c) => first(n) == c })
   }
 
+  test("canonicalize keeps one max-priority doc per cluster, id tiebreak, drop list flagged") {
+    import graft.operators.Dedup
+    val components = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component_id")
+    val priority = Seq((1L, 50L), (2L, 90L), (3L, 90L), (10L, 5L), (11L, 5L))
+      .toDF("doc_id", "priority")
+    val out = Dedup.canonicalize(components, priority).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // cluster 1: docs 2 and 3 tie at priority 90 -> smaller id 2 wins
+    assert(out(1L) == ((1L, 2L, false)))
+    assert(out(2L) == ((1L, 2L, true)))
+    assert(out(3L) == ((1L, 2L, false)))
+    // cluster 10: tie at 5 -> doc 10
+    assert(out(10L) == ((10L, 10L, true)))
+    assert(out(11L) == ((10L, 10L, false)))
+    // exactly one canonical per cluster
+    assert(out.values.count(_._3) == 2)
+  }
+
   test("connectedComponents handles a long chain (diameter > 1 round)") {
     import graft.operators.Dedup
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
