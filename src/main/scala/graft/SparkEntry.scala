@@ -602,14 +602,26 @@ object SparkEntry {
         .orderBy("nationkey")
     }),
 
-    // §2.4 approx distinct (HLL) — engine-specific sketch values, so no
-    // SQL oracle: the driver records the weaker rows-only check. The exact
-    // counterpart is oracle-checked in q16/q04.
+    // §2.4 approx distinct (HLL) — sketch VALUES are engine-specific, so
+    // the oracle can't replay the estimates themselves; instead it BOUNDS
+    // them. The query emits the exact distinct counts plus one boolean per
+    // sketch asserting |approx − exact| / exact <= 3 × rsd (rsd = 0.05,
+    // Spark's default), and DuckDB emits the same exact counts with TRUE
+    // literals: a hash match certifies the HLL estimates sat inside their
+    // published error bound. (The exact counts here are the gate's audit
+    // instrument — at 100 TB you'd run only the sketch.)
     "q28_approx_distinct" -> ((s, dir) => {
       Tables.load(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        count(lit(1)).as("n_rows"))
+          approx_count_distinct(col("l_orderkey")).as("a_o"),
+          approx_count_distinct(col("l_partkey")).as("a_p"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n_rows"))
+        .select(col("exact_orders"), col("exact_parts"), col("n_rows"),
+          (abs(col("a_o") - col("exact_orders")).cast("double") /
+            col("exact_orders").cast("double") <= 0.15).as("orders_within_bound"),
+          (abs(col("a_p") - col("exact_parts")).cast("double") /
+            col("exact_parts").cast("double") <= 0.15).as("parts_within_bound"))
     }),
 
     // §2.4 grouping sets — the general form of rollup/cube, one Expand pass
@@ -1332,6 +1344,49 @@ object SparkEntry {
           Dedup.connectedComponents(pairs),
           d.select(col("doc_id"), col("n_chars").as("priority")))
         .orderBy("doc_id")
+    }),
+
+    // LLM ops — the PRODUCTION "what do I actually delete" pipeline: LSH
+    // candidates VERIFIED by exact n-gram Jaccard (q60's operator) before
+    // clustering, then components → canonical + drop list. q90 clusters
+    // raw banding candidates; at 100 TB banding false positives chain
+    // transitively and over-drop — verification before the transitive
+    // closure is what keeps the drop list honest (the engine-wide
+    // verify-don't-trust stance; cf. reference converter.py:76-94
+    // re-inferring types rather than trusting the first guess).
+    "q91_verified_droplist" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val pairs = Dedup.lshVerifiedJaccardPairs(d, col("doc_id"), col("text"),
+          numHashes = 16, bands = 4, shingleN = 3, minJ = 0.2)
+        .select("doc_a", "doc_b")
+      Dedup.canonicalize(
+          Dedup.connectedComponents(pairs),
+          d.select(col("doc_id"), col("n_chars").as("priority")))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — the full IVF deployment loop in ONE query: train the
+    // coarse quantizer (Lloyd's, q67's arithmetic), persist the corpus
+    // partitioned by cell (IvfIndex.write — file-level pruning), search
+    // the STORED index (q35's contract), and certify the result with the
+    // recall@k audit against exhaustive search (q85's metric). Each stage
+    // was oracle-checked separately; this row proves the composition:
+    // train → store → search → audit with no drift between the stored and
+    // unstored paths. The index lands in a per-run temp dir (tiny at test
+    // SF; in deployment it IS the persistent artifact).
+    "q92_ivf_e2e" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val vecs = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cents = Similarity.kmeansFit(
+          emb.select(col("vec_id"), col("embedding")), k = 4, iters = 2)
+        .select(col("centroid_id"), col("cvec").as("ctr"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_q92_ivf").toString
+      IvfIndex.write(vecs, cents, idx)
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val approx = IvfIndex.searchStored(s, idx, qs, cents, k = 3, nprobe = 2)
+      val exact = Similarity.dotTopK(qs, vecs, k = 3)
+      Similarity.recallAtK(approx, exact, k = 3).orderBy("qid")
     })
   )
 
@@ -2460,6 +2515,119 @@ object SparkEntry {
         |SELECT pr.doc_id, pr.component_id, can.canonical_id,
         |  (pr.doc_id = can.canonical_id) AS is_canonical
         |FROM pr JOIN can ON pr.component_id = can.component_id
-        |ORDER BY pr.doc_id""".stripMargin
+        |ORDER BY pr.doc_id""".stripMargin,
+
+    // Bounded-error HLL gate: DuckDB computes the exact distinct counts
+    // and TRUE flags; the Spark side computes the same exacts plus the
+    // |approx-exact|/exact <= 3*rsd booleans — a hash match certifies the
+    // sketch estimates landed inside their published bound.
+    "q28_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(*) AS n_rows,
+        |  TRUE AS orders_within_bound,
+        |  TRUE AS parts_within_bound
+        |FROM lineitem""".stripMargin,
+
+    // q60's verified-pair CTEs (banded LSH candidates -> exact Jaccard
+    // verify) feeding q90's component + canonical tail.
+    "q91_verified_droplist" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shh FROM sh),
+        |exp AS (SELECT doc_id, shh % 1000000007 AS hp FROM ex),
+        |hx AS (SELECT doc_id, i,
+        |         MIN(((2*i + 1) * hp + (i*i + 7919)) % 1000000007) AS mh
+        |       FROM exp, range(16) t(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band_id,
+        |            md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bucket
+        |          FROM hx GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
+        |com AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |        FROM cand c
+        |        JOIN ex a ON a.doc_id = c.doc_a
+        |        JOIN ex b ON b.doc_id = c.doc_b AND b.shh = a.shh
+        |        GROUP BY c.doc_a, c.doc_b),
+        |vp AS (SELECT com.doc_a, com.doc_b
+        |       FROM com JOIN cnt ca ON ca.doc_id = com.doc_a
+        |                JOIN cnt cb ON cb.doc_id = com.doc_b
+        |       WHERE CAST(com.n_common AS DOUBLE)
+        |         / CAST(ca.n_sh + cb.n_sh - com.n_common AS DOUBLE) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+        |          UNION SELECT doc_b, doc_a FROM vp),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+        |comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+        |         FROM reach GROUP BY node),
+        |pr AS (SELECT c.doc_id, c.component_id, d.n_chars
+        |       FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+        |can AS (SELECT component_id, doc_id AS canonical_id FROM (
+        |    SELECT component_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY component_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |    FROM pr) WHERE rn = 1)
+        |SELECT pr.doc_id, pr.component_id, can.canonical_id,
+        |  (pr.doc_id = can.canonical_id) AS is_canonical
+        |FROM pr JOIN can ON pr.component_id = can.component_id
+        |ORDER BY pr.doc_id""".stripMargin,
+
+    // Replays the whole loop: q67's deterministic Lloyd's (seeds -> two
+    // assign/mean rounds) trains cent = c2, then q85's tail — cell
+    // assignment, nprobe=2 probes, in-cell exact top-3, exhaustive top-3,
+    // recall — over those trained centroids. Storage is transparent to
+    // the oracle: searchStored is spec-pinned bit-identical to ivfTopK.
+    "q92_ivf_e2e" ->
+      s"""WITH seeds AS (
+         |  SELECT centroid_id, cvec FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY
+         |        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) - 1
+         |      AS centroid_id, embedding AS cvec
+         |    FROM embeddings) WHERE centroid_id < 4),
+         |a1 AS (${kmAssignSql("seeds")}),
+         |c1 AS (${kmMeansSql("a1")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmMeansSql("a2")}),
+         |cent AS (SELECT centroid_id, cvec AS ctr FROM c2),
+         |ap AS (SELECT e.vec_id, c.centroid_id, unnest(e.embedding) AS x, unnest(c.ctr) AS y
+         |       FROM embeddings e CROSS JOIN cent c),
+         |ad AS (SELECT vec_id, centroid_id,
+         |         SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+         |       FROM ap GROUP BY vec_id, centroid_id),
+         |cells AS (SELECT vec_id AS cid, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, centroid_id ASC) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, centroid_id ASC) AS pr
+         |    FROM ad WHERE vec_id % 100 = 0) WHERE pr <= 2),
+         |pairs AS (SELECT p.qid, cl.cid FROM probes p JOIN cells cl USING (centroid_id)
+         |          WHERE p.qid <> cl.cid),
+         |px AS (SELECT pairs.qid, pairs.cid, unnest(q.embedding) AS x, unnest(v.embedding) AS y
+         |       FROM pairs JOIN embeddings q ON q.vec_id = pairs.qid
+         |                  JOIN embeddings v ON v.vec_id = pairs.cid),
+         |d2 AS (SELECT qid, cid,
+         |         SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+         |       FROM px GROUP BY qid, cid),
+         |ivf AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp DESC, cid ASC) AS rnk
+         |    FROM d2) WHERE rnk <= 3),
+         |bp AS (SELECT q.vec_id AS qid, v.vec_id AS cid, unnest(q.embedding) AS x, unnest(v.embedding) AS y
+         |       FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+         |       WHERE q.vec_id % 100 = 0),
+         |bd AS (SELECT qid, cid, SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+         |       FROM bp GROUP BY qid, cid),
+         |ex AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dp DESC, cid ASC) AS rnk
+         |    FROM bd) WHERE rnk <= 3)
+         |SELECT e.qid, CAST(COUNT(i.cid) AS BIGINT) AS n_hit,
+         |  CAST(COUNT(i.cid) AS DOUBLE) / 3 AS recall
+         |FROM ex e LEFT JOIN ivf i ON i.qid = e.qid AND i.cid = e.cid
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin
   )
 }

@@ -329,15 +329,27 @@ object Dedup {
     * cluster ids, never all-pairs; cost tracks the CLUSTERED docs (the
     * input), not the corpus.
     *
+    * COVERAGE CONTRACT: every clustered doc_id appears in the output
+    * even when `priority` has no row for it (LEFT join — an inner join
+    * would silently drop such docs from both the keep AND drop lists,
+    * so a consumer applying the drop list would retain a near-duplicate
+    * unawares). Docs without a priority lose the canonical election to
+    * any doc that has one; a cluster where NO member has a priority
+    * still elects deterministically (smallest doc_id).
+    *
     * @param components (doc_id, component_id) from [[connectedComponents]]
     * @param priority   (doc_id, priority) — higher wins
     * @return (doc_id, component_id, canonical_id, is_canonical)
     */
   def canonicalize(components: DataFrame, priority: DataFrame): DataFrame = {
-    val joined = components.join(priority, Seq("doc_id"))
+    val joined = components.join(priority, Seq("doc_id"), "left")
+    // has-priority flag leads the ordering struct so a NULL priority
+    // explicitly loses to any present one (not left to engine-specific
+    // NULL placement inside struct comparisons)
     val canon = joined.groupBy("component_id")
       .agg(max_by(col("doc_id"),
-        struct(col("priority"), -col("doc_id"))).as("canonical_id"))
+        struct(col("priority").isNotNull.as("has_p"),
+          col("priority").as("p"), (-col("doc_id")).as("tie"))).as("canonical_id"))
     joined.join(canon, Seq("component_id"))
       .select(col("doc_id"), col("component_id"), col("canonical_id"),
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
@@ -393,13 +405,16 @@ object Dedup {
     * windows, and their ratio — the signal used to drop or trim
     * boilerplate-heavy documents before training.
     *
-    * EXACT UP TO 60-BIT HASH COLLISIONS: windows compare by their
-    * [[graft.functions.Hashing.hexLong]] hash with no raw-window verify
-    * join (unlike [[Decontaminate]], which verifies). At trillions of
+    * EXACT UP TO 60-BIT HASH COLLISIONS by default: windows compare by
+    * their [[graft.functions.Hashing.hexLong]] hash. At trillions of
     * windows — the 100 TB regime — birthday collisions WILL mark a few
     * false duplicated windows (~N²/2⁶¹ expected); acceptable for a
-    * drop/trim ratio signal, but callers needing certainty should add a
-    * verify join on the raw window text for hash-matched groups.
+    * drop/trim ratio signal. Callers needing certainty pass
+    * `verify = true`: hash-matched windows are re-grouped on their RAW
+    * text (the [[Decontaminate]] pattern — the expensive string only
+    * flows for the tiny hash-matched fraction, never the full corpus),
+    * so a colliding pair of distinct windows is rejected and the result
+    * is exact, full stop.
     *
     * Scale shape: one narrow posexplode fan-out (~n_tokens rows per doc,
     * 8-byte keys), one groupBy on the window hash with map-side partial
@@ -414,7 +429,18 @@ object Dedup {
     * shorter than `windowTokens` report 0 windows and ratio 0.0.
     */
   def duplicateSpans(docs: DataFrame, id: Column, text: Column,
-                     windowTokens: Int): DataFrame = {
+                     windowTokens: Int, verify: Boolean = false): DataFrame =
+    duplicateSpansWithHash(docs, id, text, windowTokens, verify, Hashing.hexLong)
+
+  /** [[duplicateSpans]] with an injectable window-hash function — the
+    * test seam that lets a spec feed a deliberately COLLIDING hash and
+    * prove the verify path rejects false duplicates (real md5-prefix
+    * collisions cannot be crafted in a unit test). Production callers
+    * use [[duplicateSpans]]; the default hash is the only one the
+    * oracle replays. */
+  private[graft] def duplicateSpansWithHash(
+      docs: DataFrame, id: Column, text: Column, windowTokens: Int,
+      verify: Boolean, hashFn: Column => Column): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
     // tokenize in its own projection (multi-referenced alias rule — see
     // ngramJaccardPairs), explode the window transform inline to keep
@@ -425,10 +451,11 @@ object Dedup {
       docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("ws")))
       .localCheckpoint(true)
     // feeds the shared-window groupBy AND the semi-join probe —
-    // materialize once
+    // materialize once; carries ONLY (doc_id, hash): the raw window
+    // string never enters this exchange, in either mode
     val win = toks.select(col("doc_id"),
         explode(TextFunctions.shingles(col("ws"), windowTokens)).as("w"))
-      .select(col("doc_id"), Hashing.hexLong(col("w")).as("wh"))
+      .select(col("doc_id"), hashFn(col("w")).as("wh"))
       .localCheckpoint(true)
     val counts = toks.select(col("doc_id"),
       greatest(size(col("ws")) - (windowTokens - 1), lit(0))
@@ -439,8 +466,27 @@ object Dedup {
     val shared = win.groupBy("wh")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2).select("wh")
-    val dups = win.join(shared, Seq("wh"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    val dups = if (!verify) {
+      win.join(shared, Seq("wh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    } else {
+      // exact-verify mode: re-derive (doc_id, raw window, hash) from the
+      // checkpointed token frame, semi-join down to the hash-matched rows
+      // FIRST (so raw text flows only for the collision-candidate
+      // fraction — the Decontaminate shape), then require the RAW window
+      // itself to span >= 2 distinct docs. A 60-bit collision between
+      // different windows dies at the (wh, w) re-group.
+      val candidates = toks.select(col("doc_id"),
+          explode(TextFunctions.shingles(col("ws"), windowTokens)).as("w"))
+        .select(col("doc_id"), col("w"), hashFn(col("w")).as("wh"))
+        .join(shared, Seq("wh"), "left_semi")
+        .localCheckpoint(true) // feeds the verified-set build AND the probe
+      val verified = candidates.groupBy("wh", "w")
+        .agg(countDistinct("doc_id").as("ndv"))
+        .filter(col("ndv") >= 2).select("wh", "w")
+      candidates.join(verified, Seq("wh", "w"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    }
     counts.join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))

@@ -278,10 +278,19 @@ object Multimodal {
     * Structure walked: `RIFF('AVI ' LIST('hdrl' …) LIST('movi' frames))`
     * where each frame chunk's fourcc is `##dc`/`##db` (compressed /
     * uncompressed frame of stream ##), optionally grouped under nested
-    * `LIST('rec ')` chunks. Frames of the FIRST video stream seen are
-    * returned in container order; for an MJPEG AVI each returned payload
-    * is a standalone JPEG that [[decodeImage]] handles. Non-RIFF,
-    * non-AVI, and header-truncated payloads yield no frames. */
+    * `LIST('rec ')` chunks. The video stream is selected from the
+    * `hdrl` header list — the index of the first `strl` whose `strh`
+    * declares fccType 'vids' — so an audio chunk leading `movi`
+    * (e.g. `01wb` before `00dc`) cannot hijack the selection; headerless
+    * containers fall back to the first `##dc`/`##db` stream id seen.
+    * Frames are returned in container order; for an MJPEG AVI each
+    * payload is a standalone JPEG that [[decodeImage]] handles.
+    * Non-RIFF, non-AVI, and header-truncated payloads yield no frames.
+    *
+    * The `movi`/`rec ` descent is an explicit worklist, not recursion:
+    * a crafted container nesting ~12-byte `rec ` lists thousands deep
+    * must exhaust its own byte budget, not the executor stack (corrupt
+    * media is a data fact, not a job failure). */
   private[operators] def demuxAviFrames(payload: Array[Byte]): Vector[Array[Byte]] = {
     if (payload == null || payload.length < 12) return Vector.empty
     val iso = java.nio.charset.StandardCharsets.ISO_8859_1
@@ -291,25 +300,156 @@ object Multimodal {
     // size field larger than the actual buffer (truncated file)
     val end = math.min(payload.length.toLong, 8L + (le32(payload, 4) & 0xffffffffL)).toInt
     val frames = Vector.newBuilder[Array[Byte]]
-    var stream: String = null
-    def visitMovi(start: Int, stop: Int): Unit =
-      walkChunks(payload, start, stop) { (cc, ds, len, cut) =>
-        if (cc == "LIST" && len >= 4 && new String(payload, ds, 4, iso) == "rec ")
-          visitMovi(ds + 4, ds + len) // rec-grouped frames sit one level down
-        else if (!cut && cc(0).isDigit && cc(1).isDigit &&
-                 (cc.endsWith("dc") || cc.endsWith("db"))) {
-          // a clamped (partially-written) frame is dropped, not emitted
-          val sid = cc.substring(0, 2)
-          if (stream == null) stream = sid
-          if (sid == stream)
-            frames += java.util.Arrays.copyOfRange(payload, ds, ds + len)
+    // hdrl pass: stream ids are the ZERO-BASED ORDER of strl lists; the
+    // first one declaring 'vids' is the video stream
+    var headerStream: String = null
+    var strlIdx = -1
+    walkChunks(payload, 12, end) { (cc, ds, len, _) =>
+      if (cc == "LIST" && len >= 4 && new String(payload, ds, 4, iso) == "hdrl")
+        walkChunks(payload, ds + 4, ds + len) { (hc, hds, hlen, _) =>
+          if (hc == "LIST" && hlen >= 4 && new String(payload, hds, 4, iso) == "strl") {
+            strlIdx += 1
+            walkChunks(payload, hds + 4, hds + hlen) { (sc, sds, slen, _) =>
+              if (sc == "strh" && slen >= 4 && headerStream == null &&
+                  new String(payload, sds, 4, iso) == "vids")
+                headerStream = f"$strlIdx%02d"
+            }
+          }
+        }
+    }
+    var stream: String = headerStream
+    // movi pass, iterative: `work` holds (offset, end) segments still to
+    // scan; entering a nested 'rec ' list pushes the parent's remainder
+    // and continues inside the child, preserving container order at any
+    // nesting depth with O(depth) heap instead of O(depth) stack
+    def visitMovi(start0: Int, stop0: Int): Unit = {
+      var work = List((start0, stop0))
+      while (work.nonEmpty) {
+        var (off, segEnd) = work.head
+        work = work.tail
+        var scanning = true
+        while (scanning && off + 8 <= segEnd) {
+          val cc = new String(payload, off, 4, iso)
+          val len = le32(payload, off + 4)
+          val ds = off + 8
+          if (len < 0 || len > segEnd - ds) scanning = false // clamped leaf: drop
+          else {
+            if (cc == "LIST" && len >= 4 && new String(payload, ds, 4, iso) == "rec ") {
+              work = (ds + len + (len & 1), segEnd) :: work // parent's remainder
+              segEnd = ds + len                             // descend into child
+              off = ds + 4
+            } else {
+              if (cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
+                  (cc.endsWith("dc") || cc.endsWith("db"))) {
+                val sid = cc.substring(0, 2)
+                if (stream == null) stream = sid // headerless fallback
+                if (sid == stream)
+                  frames += java.util.Arrays.copyOfRange(payload, ds, ds + len)
+              }
+              off = ds + len + (len & 1)
+            }
+          }
         }
       }
+    }
     walkChunks(payload, 12, end) { (cc, ds, len, _) =>
       if (cc == "LIST" && len >= 4 && new String(payload, ds, 4, iso) == "movi")
         visitMovi(ds + 4, ds + len)
     }
     frames.result()
+  }
+
+  /** The four standard Huffman tables of the JPEG spec (ITU T.81 Annex
+    * K.3), packed as one ready-to-insert DHT segment (marker + length +
+    * DC/AC luminance + DC/AC chrominance). MJPEG muxers very commonly
+    * OMIT the DHT segment from each frame (decoders are expected to
+    * supply these defaults), but ImageIO refuses such frames — so
+    * [[sampleFrames]] splices this segment into DHT-less frame JPEGs to
+    * keep the advertised AVI→pixels path real for real-world files. */
+  private[graft] lazy val standardDhtSegment: Array[Byte] = {
+    val dcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = 0 to 11 // same symbol set for both DC tables
+    val dcChrBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+    val acLumBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    val acLumVals = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+      0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+      0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+      0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+      0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+      0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+      0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+    val acChrBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+    val acChrVals = Array(
+      0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+      0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+      0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+      0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+      0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+      0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+      0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+      0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+      0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+      0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+      0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+      0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+      0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+    val body = new ByteArrayOutputStream()
+    def table(tcTh: Int, bits: Array[Int], vals: Iterable[Int]): Unit = {
+      body.write(tcTh)
+      bits.foreach(body.write)
+      vals.foreach(body.write)
+    }
+    table(0x00, dcLumBits, dcVals)
+    table(0x10, acLumBits, acLumVals)
+    table(0x01, dcChrBits, dcVals)
+    table(0x11, acChrBits, acChrVals)
+    val b = body.toByteArray
+    val seg = new ByteArrayOutputStream()
+    seg.write(0xff); seg.write(0xc4) // DHT marker
+    val len = b.length + 2
+    seg.write((len >> 8) & 0xff); seg.write(len & 0xff)
+    seg.write(b, 0, b.length)
+    seg.toByteArray
+  }
+
+  /** If `payload` is a JPEG with no DHT segment before SOS, return a
+    * copy with [[standardDhtSegment]] spliced in immediately before the
+    * first SOS marker; otherwise return it unchanged. Non-JPEG and
+    * malformed payloads pass through untouched (the decode stage already
+    * treats them as undecodable data facts). */
+  private[graft] def ensureJpegHuffman(payload: Array[Byte]): Array[Byte] = {
+    if (payload == null || payload.length < 4 ||
+        (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8)
+      return payload
+    var i = 2
+    while (i + 4 <= payload.length) {
+      if ((payload(i) & 0xff) != 0xff) return payload // desynced: leave as-is
+      val marker = payload(i + 1) & 0xff
+      marker match {
+        case 0xc4 => return payload              // has DHT: nothing to do
+        case 0xda =>                             // SOS with no DHT seen: splice
+          val out = new Array[Byte](payload.length + standardDhtSegment.length)
+          System.arraycopy(payload, 0, out, 0, i)
+          System.arraycopy(standardDhtSegment, 0, out, i, standardDhtSegment.length)
+          System.arraycopy(payload, i, out, i + standardDhtSegment.length,
+            payload.length - i)
+          return out
+        case 0xd9 => return payload              // EOI before SOS: malformed
+        case m if m == 0x01 || (m >= 0xd0 && m <= 0xd8) => i += 2 // standalone
+        case _ =>
+          i += 2 + (((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff))
+      }
+    }
+    payload
   }
 
   /** REAL video frame sampling: demux each payload as a RIFF/AVI
@@ -318,10 +458,13 @@ object Multimodal {
     * shape). `frame_idx` is the frame's position in the container, so
     * downstream joins can reconstruct timing from the AVI frame rate.
     * Each sampled payload is the raw codec frame (a standalone JPEG for
-    * MJPEG) — re-[[ingest]] the output and run [[decodeFrames]] /
-    * [[resizeFrames]] for pixels. Undecodable payloads yield no rows,
-    * like every other decode path here. One input row fans out to a
-    * bounded set of frame rows, batched per partition. */
+    * MJPEG — with the spec-default Huffman tables spliced in when the
+    * muxer omitted them, via [[ensureJpegHuffman]], so every emitted
+    * frame is standalone-decodable) — re-[[ingest]] the output and run
+    * [[decodeFrames]] / [[resizeFrames]] for pixels. Undecodable
+    * payloads yield no rows, like every other decode path here. One
+    * input row fans out to a bounded set of frame rows, batched per
+    * partition. */
   def sampleFrames(media: DataFrame, everyNth: Int): Dataset[SampledFrame] = {
     require(everyNth > 0)
     import media.sparkSession.implicits._
@@ -332,7 +475,7 @@ object Multimodal {
           val id = r.getLong(0)
           val frames = demuxAviFrames(r.getAs[Array[Byte]](1))
           (0 until frames.size by everyNth).iterator.map { i =>
-            SampledFrame(id, i, frames(i))
+            SampledFrame(id, i, ensureJpegHuffman(frames(i)))
           }
         }
       }

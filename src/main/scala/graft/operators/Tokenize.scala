@@ -140,21 +140,24 @@ object Tokenize {
     // shuffle whose plan is already final, and AQE's per-stage
     // materialization adds driver round-trips to each of the nMerges
     // sequential jobs. Same for wide shuffles: the state is a few MB,
-    // so pin the loop's shuffles narrow. Both settings are restored.
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val shuffleBefore = spark.conf.get("spark.sql.shuffle.partitions", "32")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try bpeMergesLoop(wordTable, nMerges)
-    finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      spark.conf.set("spark.sql.shuffle.partitions", shuffleBefore)
-    }
+    // so pin the loop's shuffles narrow. The pins live on a CLONED
+    // session (same SparkContext, cached blocks, and checkpointed
+    // state; independent SQLConf) — a query running concurrently on the
+    // caller's session never sees them, and an exception mid-loop
+    // cannot strand them (the clone is simply dropped).
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    loopSession.conf.set("spark.sql.shuffle.partitions", "8")
+    // re-bind the (already materialized) word table to the clone: a
+    // row re-wrap of the checkpointed blocks, vocabulary-sized
+    val loopTable = loopSession.createDataFrame(wordTable.rdd, wordTable.schema)
+    val merges = try bpeMergesLoop(loopTable, nMerges)
+    finally wordTable.unpersist(blocking = false)
+    merges.toDF("rank", "left", "right", "n_pairs")
   }
 
-  private def bpeMergesLoop(wordTable: DataFrame, nMerges: Int): DataFrame = {
-    val spark = wordTable.sparkSession
-    import spark.implicits._
+  private def bpeMergesLoop(wordTable: DataFrame,
+                            nMerges: Int): Seq[(Long, String, String, Long)] = {
     var words = wordTable
     var lastCheckpoint = words
     val merges = Seq.newBuilder[(Long, String, String, Long)]
@@ -191,7 +194,7 @@ object Tokenize {
         rank += 1
       }
     }
-    merges.result().toDF("rank", "left", "right", "n_pairs")
+    merges.result()
   }
 
   /** One BPE merge pass over a symbol array: left-to-right,

@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions.col
 object TarSource {
 
   /** Parse an octal header field; 0 for blank/malformed fields. (GNU
-    * base-256 large-size encoding is not needed below 8 GiB members.) */
+    * base-256 large-size encoding — only reachable for members over
+    * 8 GiB — is detected by its 0x80 marker in [[memberRows]] and
+    * treated as an explicit unsupported-entry stop, never parsed here:
+    * silently reading such a field as octal-0 would desync the block
+    * walk and drop the rest of the archive with no signal.) */
   private def octal(hdr: Array[Byte], off: Int, len: Int): Long = {
     var v = 0L
     var i = off
@@ -73,16 +77,29 @@ object TarSource {
       new GZIPInputStream(in)
     else in
 
-  /** Stream every regular-file member matching `pred` out of in-memory
-    * archive bytes (tar or tar.gz), lazily — non-matching payloads are
-    * skipped, not buffered. */
-  def memberRows(tarBytes: Array[Byte],
-                 pred: String => Boolean): Iterator[(String, Array[Byte])] =
-    new scala.collection.AbstractIterator[(String, Array[Byte])] {
-      private val in = maybeGunzip(new ByteArrayInputStream(tarBytes), tarBytes)
+  /** Core streaming walker over an already-opened (possibly gunzipped)
+    * tar stream: emits `(name, size, payload)` for every regular-file
+    * member satisfying `keep`, in archive order. With
+    * `withPayload = false` the data blocks of EVERY member are skipped,
+    * never buffered (payload is null) — the metadata-only path the DSv2
+    * column pruning uses. The iterator OWNS `in` and closes it when the
+    * walk ends — end-of-archive, corrupt header, or unsupported entry —
+    * releasing a GZIPInputStream's native Inflater eagerly instead of
+    * at GC; a caller abandoning the walk mid-archive should `close()`
+    * it (idempotent). */
+  private[sources] def entryRows(in0: InputStream, keep: String => Boolean,
+      withPayload: Boolean): Iterator[(String, Long, Array[Byte])] with AutoCloseable =
+    new scala.collection.AbstractIterator[(String, Long, Array[Byte])] with AutoCloseable {
+      private val in = in0
       private var longName: String = null
-      private var nextItem: (String, Array[Byte]) = _
+      private var nextItem: (String, Long, Array[Byte]) = _
+      private var closed = false
       advance()
+
+      def close(): Unit = if (!closed) {
+        closed = true
+        try in.close() catch { case _: java.io.IOException => () }
+      }
 
       private def skipFully(n: Long): Boolean = {
         var left = n
@@ -102,60 +119,106 @@ object TarSource {
           val hdr = in.readNBytes(512)
           // end of archive: zero block, short read, or corrupt header
           if (hdr.length < 512 || hdr.forall(_ == 0) || !checksumOk(hdr)) done = true
+          // GNU base-256 size (0x80 marker): the member exceeds the octal
+          // field's 8 GiB ceiling. Unsupported — stop EXPLICITLY rather
+          // than parse the field as octal 0 and silently desync the walk
+          else if ((hdr(124) & 0x80) != 0) done = true
           else {
             val size = octal(hdr, 124, 12)
             // a checksum-valid header can still carry a nonsense size
             // (hand-crafted archive); stop rather than overflow .toInt
-            if (size < 0 || size > Int.MaxValue) return ()
-            val pad = (512 - size % 512) % 512
-            hdr(156) match {
-              case 'L' => // GNU long name: data IS the next entry's name
-                val nm = in.readNBytes(size.toInt)
-                if (nm.length < size) done = true
-                else {
-                  var end = nm.length
-                  while (end > 0 && nm(end - 1) == 0) end -= 1
-                  longName = new String(nm, 0, end,
-                    java.nio.charset.StandardCharsets.UTF_8)
-                  if (!skipFully(pad)) done = true
-                }
-              case '0' | 0 =>
-                val prefix = if (str(hdr, 257, 6).startsWith("ustar"))
-                  str(hdr, 345, 155) else ""
-                val base = str(hdr, 0, 100)
-                val name =
-                  if (longName != null) longName
-                  else if (prefix.nonEmpty) prefix + "/" + base
-                  else base
-                longName = null
-                if (pred(name)) {
-                  val data = in.readNBytes(size.toInt)
-                  if (data.length < size) done = true // truncated payload drops
-                  else { nextItem = (name, data); if (!skipFully(pad)) done = true }
-                } else if (!skipFully(size + pad)) done = true
-              case _ => // dir/link/pax metadata: consume data, emit nothing
-                longName = null
-                if (!skipFully(size + pad)) done = true
+            if (size < 0 || size > Int.MaxValue) done = true
+            else {
+              val pad = (512 - size % 512) % 512
+              hdr(156) match {
+                case 'L' => // GNU long name: data IS the next entry's name
+                  val nm = in.readNBytes(size.toInt)
+                  if (nm.length < size) done = true
+                  else {
+                    var end = nm.length
+                    while (end > 0 && nm(end - 1) == 0) end -= 1
+                    longName = new String(nm, 0, end,
+                      java.nio.charset.StandardCharsets.UTF_8)
+                    if (!skipFully(pad)) done = true
+                  }
+                case '0' | 0 =>
+                  val prefix = if (str(hdr, 257, 6).startsWith("ustar"))
+                    str(hdr, 345, 155) else ""
+                  val base = str(hdr, 0, 100)
+                  val name =
+                    if (longName != null) longName
+                    else if (prefix.nonEmpty) prefix + "/" + base
+                    else base
+                  longName = null
+                  if (!keep(name)) {
+                    if (!skipFully(size + pad)) done = true
+                  } else if (withPayload) {
+                    val data = in.readNBytes(size.toInt)
+                    if (data.length < size) done = true // truncated payload drops
+                    else {
+                      nextItem = (name, size, data)
+                      if (!skipFully(pad)) done = true
+                    }
+                  } else { // metadata-only: skip the data, emit the header
+                    if (skipFully(size + pad)) nextItem = (name, size, null)
+                    else done = true
+                  }
+                case _ => // dir/link/pax metadata: consume data, emit nothing
+                  longName = null
+                  if (!skipFully(size + pad)) done = true
+              }
             }
           }
         }
+        if (done) close() // walk over: release the stream eagerly
       }
 
       def hasNext: Boolean = nextItem != null
-      def next(): (String, Array[Byte]) = {
+      def next(): (String, Long, Array[Byte]) = {
         val r = nextItem; advance(); r
       }
     }
 
+  /** Open a tar / tar.gz FILE as a decompressed stream (gzip detected
+    * by magic, like [[maybeGunzip]] for in-memory bytes). */
+  private[sources] def openArchive(path: String): InputStream = {
+    val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(path)), 2)
+    val b0 = pb.read()
+    val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb) else pb
+  }
+
+  /** Stream every regular-file member matching `pred` out of in-memory
+    * archive bytes (tar or tar.gz), lazily — non-matching payloads are
+    * skipped, not buffered. Closes itself when the walk ends; `close()`
+    * explicitly if abandoning it mid-archive (see [[entryRows]]). */
+  def memberRows(tarBytes: Array[Byte],
+                 pred: String => Boolean): Iterator[(String, Array[Byte])] with AutoCloseable = {
+    val core = entryRows(
+      maybeGunzip(new ByteArrayInputStream(tarBytes), tarBytes), pred,
+      withPayload = true)
+    new scala.collection.AbstractIterator[(String, Array[Byte])] with AutoCloseable {
+      def hasNext: Boolean = core.hasNext
+      def next(): (String, Array[Byte]) = { val (n, _, p) = core.next(); (n, p) }
+      def close(): Unit = core.close()
+    }
+  }
+
   /** Regular-file entry names in archive order. */
-  def entries(tarBytes: Array[Byte]): Seq[String] =
-    memberRows(tarBytes, _ => true).map(_._1).toList
+  def entries(tarBytes: Array[Byte]): Seq[String] = {
+    val it = memberRows(tarBytes, _ => true)
+    try it.map(_._1).toList finally it.close()
+  }
 
   /** First member whose name satisfies `pred`. */
   def member(tarBytes: Array[Byte],
              pred: String => Boolean): Option[(String, Array[Byte])] = {
     val it = memberRows(tarBytes, pred)
-    if (it.hasNext) Some(it.next()) else None
+    try if (it.hasNext) Some(it.next()) else None
+    finally it.close() // first-match exit abandons the rest of the archive
   }
 
   /** Distributed many-archive ingestion: one (archive, entry, payload)

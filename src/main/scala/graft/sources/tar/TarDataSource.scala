@@ -1,0 +1,232 @@
+package graft.sources.tar
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.TarSource
+
+/** DataSource V2 for TAR archives
+  * (`spark.read.format("tar").load(path)`) — surface parity with the
+  * ZIP and XPORT DSv2 planners ([[graft.sources.zip.ZipDataSource]],
+  * [[graft.sources.xport.XportDataSource]]). Schema (same as zip):
+  *
+  *   archive string, entry string, n_bytes long, payload binary
+  *
+  * PLANNING-TIME LIMITS, STATED HONESTLY: tar has no central directory
+  * — member names and sizes are interleaved with the data, and `.tar.gz`
+  * is a single non-seekable gzip stream — so unlike the ZIP source this
+  * planner CANNOT prune entries or chunk one archive at planning time.
+  * What it still does:
+  *
+  *  - **planning-time ARCHIVE pruning**: pushed predicates that
+  *    constrain only the `archive` column eliminate whole files before
+  *    any partition exists;
+  *  - **read-time member filtering** (`SupportsPushDownFilters`):
+  *    `entry`/`archive` predicates are evaluated against each 512-byte
+  *    header as the sequential walk proceeds — non-matching members'
+  *    data blocks are SKIPPED, never read into memory;
+  *  - **payload-skipping column pruning**
+  *    (`SupportsPushDownRequiredColumns`): when `payload` is not in the
+  *    projection (entry listings, size audits) the reader walks headers
+  *    only and skips every data block (for plain `.tar` the skip is a
+  *    seek; `.tar.gz` must still decompress through — a format fact,
+  *    not a planner gap);
+  *  - **per-archive parallelism**: one partition per archive. Shard
+  *    corpora as many medium archives (the webdataset layout) — the
+  *    same guidance as [[TarSource.readMembers]].
+  *
+  * `path` may be a single archive, a directory (every `*.tar` /
+  * `*.tar.gz` / `*.tgz` inside), or a file-name glob. Paths must be
+  * locally readable (local disk / NFS); for object stores use
+  * `TarSource.readMembers` over the binaryFile source. Archives are
+  * STREAMED from disk (never fully buffered), so a partition's memory
+  * high-water mark is its largest matching member.
+  */
+class TarDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "tar"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TarTable.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val p = properties.get("path")
+    require(p != null, "tar source requires a single 'path' option")
+    new TarTable(p)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object TarTable {
+  val schema: StructType = StructType(Seq(
+    StructField("archive", StringType, nullable = false),
+    StructField("entry", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Archives for `path`: the file itself, a directory's tar-like
+    * members, or a file-name glob. Sorted for deterministic partition
+    * order. */
+  def archivesFor(path: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(graft.sources.ZipSource.stripFileScheme(path))
+    if (Files.isRegularFile(p)) Seq(p.toString)
+    else if (Files.isDirectory(p)) listDir(p, "*.{tar,tar.gz,tgz}")
+    else if (p.getParent != null && Files.isDirectory(p.getParent))
+      listDir(p.getParent, p.getFileName.toString)
+    else sys.error(s"tar source: no archive at $path")
+  }
+
+  private def listDir(dir: java.nio.file.Path, glob: String): Seq[String] = {
+    val ds = java.nio.file.Files.newDirectoryStream(dir, glob)
+    try {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      ds.forEach(f => out += f.toString)
+      out.toList.sorted
+    } finally ds.close()
+  }
+}
+
+class TarTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"tar:$path"
+  override def schema(): StructType = TarTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TarScanBuilder(path)
+}
+
+class TarScanBuilder(path: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var required: StructType = TarTable.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  private def stringCol(a: String) = a == "entry" || a == "archive"
+  private def supported(f: Filter): Boolean = f match {
+    case sources.EqualTo(a, _: String) => stringCol(a)
+    case sources.StringStartsWith(a, _) => stringCol(a)
+    case sources.StringEndsWith(a, _) => stringCol(a)
+    case sources.StringContains(a, _) => stringCol(a)
+    case sources.IsNotNull(a) => stringCol(a)
+    case sources.In(a, vs) => stringCol(a) && vs.forall(_.isInstanceOf[String])
+    case sources.And(l, r) => supported(l) && supported(r)
+    case sources.Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(supported)
+    // archive pruning happens at planning, member filtering at read
+    // time; Spark re-applies every filter post-scan, so pushing can
+    // only skip work, never change results
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new TarScan(path, required, pushed)
+}
+
+/** One partition: one whole archive (tar is sequential — it cannot be
+  * sliced without reading it). `fields` is the pruned projection. */
+final case class TarArchivePartition(archive: String, needPayload: Boolean,
+                                     fields: Array[String],
+                                     filters: Array[Filter]) extends InputPartition
+
+object TarScan {
+  /** Tri-state planning/read-time filter evaluation. `entry = null`
+    * means "unknown" (planning time, before the archive is opened): a
+    * predicate on `entry` is then TRUE-able, so only archive-only
+    * predicates can prune whole files — exactly the set whose falsity
+    * is entry-independent. With a concrete entry the evaluation is
+    * exact, mirroring the ZIP source's `passes`. */
+  private[tar] def passes(archive: String, entry: String, f: Filter): Boolean = {
+    def v(a: String) = if (a == "entry") entry else archive
+    f match {
+      case sources.EqualTo(a, x: String) => v(a) == null || v(a) == x
+      case sources.StringStartsWith(a, p) => v(a) == null || v(a).startsWith(p)
+      case sources.StringEndsWith(a, s) => v(a) == null || v(a).endsWith(s)
+      case sources.StringContains(a, s) => v(a) == null || v(a).contains(s)
+      case sources.IsNotNull(_) => true
+      case sources.In(a, vs) => v(a) == null || vs.contains(v(a))
+      case sources.And(l, r) => passes(archive, entry, l) && passes(archive, entry, r)
+      case sources.Or(l, r) => passes(archive, entry, l) || passes(archive, entry, r)
+      case _ => true
+    }
+  }
+}
+
+class TarScan(path: String, required: StructType,
+              filters: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"TarScan(path=$path, columns=${required.fieldNames.mkString(",")}" +
+      (if (filters.isEmpty) ")" else s", pushed=${filters.mkString(",")})")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val needPayload = required.fieldNames.contains("payload")
+    val fields = required.fieldNames
+    TarTable.archivesFor(path)
+      // archive-level pruning: entry unknown at planning time
+      .filter(a => filters.forall(TarScan.passes(a, null, _)))
+      .map(a => TarArchivePartition(a, needPayload, fields, filters): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TarReaderFactory
+}
+
+class TarReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TarArchiveReader(partition.asInstanceOf[TarArchivePartition])
+}
+
+class TarArchiveReader(part: TarArchivePartition) extends PartitionReader[InternalRow] {
+  // read-time member filter: exact predicate evaluation per header, so
+  // non-matching members' data blocks are skipped, never buffered
+  private val walk = TarSource.entryRows(
+    TarSource.openArchive(part.archive),
+    name => part.filters.forall(TarScan.passes(part.archive, name, _)),
+    withPayload = part.needPayload)
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!walk.hasNext) false
+    else {
+      val (entry, size, payload) = walk.next()
+      val row = new GenericInternalRow(part.fields.length)
+      var j = 0
+      while (j < part.fields.length) {
+        part.fields(j) match {
+          case "archive" => row.update(j, UTF8String.fromString(part.archive))
+          case "entry" => row.update(j, UTF8String.fromString(entry))
+          case "n_bytes" => row.setLong(j, size)
+          case "payload" => row.update(j, payload)
+        }
+        j += 1
+      }
+      current = row
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = walk.close()
+}

@@ -196,6 +196,54 @@ class DedupSpec extends SparkSpec {
     assert(out.values.count(_._3) == 2)
   }
 
+  test("canonicalize covers clustered docs missing from the priority frame") {
+    import graft.operators.Dedup
+    // doc 3 has no priority row; cluster {20,21} has NO priorities at all
+    val components = Seq((1L, 1L), (2L, 1L), (3L, 1L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "component_id")
+    val priority = Seq((1L, 50L), (2L, 90L)).toDF("doc_id", "priority")
+    val out = Dedup.canonicalize(components, priority).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // COVERAGE: every clustered doc appears — doc 3 is on the drop list,
+    // not silently vanished (an inner join would lose it and a consumer
+    // applying the drop list would keep a near-duplicate unawares)
+    assert(out.keySet == Set(1L, 2L, 3L, 20L, 21L))
+    assert(out(3L) == ((2L, false))) // missing priority loses the election
+    assert(out(2L) == ((2L, true)))
+    // a cluster with no priorities still elects deterministically (min id)
+    assert(out(20L) == ((20L, true)) && out(21L) == ((20L, false)))
+  }
+
+  test("duplicateSpans verify mode rejects window-hash collisions") {
+    import graft.operators.Dedup
+    // a deliberately colliding "hash" (window length) stands in for the
+    // unconstructible md5 60-bit collision: docs 1 and 2 share NO window
+    // text, but every same-length window collides under it
+    val d = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "ee ff gg hh")
+    ).toDF("doc_id", "text")
+    val collide: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      w => length(w).cast("long")
+    val loose = Dedup.duplicateSpansWithHash(d, col("doc_id"), col("text"),
+        windowTokens = 2, verify = false, collide)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose == Map(1L -> 3L, 2L -> 3L), "collisions count without verify")
+    val strict = Dedup.duplicateSpansWithHash(d, col("doc_id"), col("text"),
+        windowTokens = 2, verify = true, collide)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(strict == Map(1L -> 0L, 2L -> 0L), "verify kills every false dup")
+    // and with the REAL hash, verify mode equals the default on true dups
+    val base = Seq((1L, "alpha beta gamma delta"), (2L, "x alpha beta y"))
+      .toDF("doc_id", "text")
+    val a = Dedup.duplicateSpans(base, col("doc_id"), col("text"), windowTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Dedup.duplicateSpans(base, col("doc_id"), col("text"), windowTokens = 2,
+        verify = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
   test("connectedComponents handles a long chain (diameter > 1 round)") {
     import graft.operators.Dedup
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

@@ -233,6 +233,123 @@ class MultimodalZipSpec extends SparkSpec {
     assert(byId(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 1))
   }
 
+  /** LIST('strl' strh(fccType)...) — one stream header for [[aviMulti]]. */
+  private def strl(fccType: String): Array[Byte] =
+    riffList("strl", riffChunk("strh",
+      fccType.getBytes("ISO-8859-1") ++ "MJPG".getBytes("ISO-8859-1") ++
+        new Array[Byte](48)) ++ riffChunk("strf", new Array[Byte](40)))
+
+  /** AVI with an explicit stream table and hand-ordered movi chunks. */
+  private def aviMulti(streams: Seq[String],
+                       movi: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", new Array[Byte](56)) ++ streams.flatMap(strl).toArray)
+    val m = riffList("movi",
+      movi.flatMap { case (cc, d) => riffChunk(cc, d) }.toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ m
+    "RIFF".getBytes("ISO-8859-1") ++ le32b(body.length) ++ body
+  }
+
+  test("hdrl stream selection: a leading foreign dc chunk cannot hijack the video stream") {
+    val frames = Seq(jpeg(8, 8, 0xff0000), jpeg(8, 8, 0x00ff00))
+    // case 1: stream 00 is video per hdrl, but movi LEADS with 01dc junk
+    // — first-fourcc-seen would lock onto stream 01 and drop every frame
+    val clip1 = aviMulti(Seq("vids", "auds"),
+      Seq("01dc" -> Array[Byte](9, 9, 9), "00dc" -> frames(0),
+        "01dc" -> Array[Byte](8, 8), "00dc" -> frames(1)))
+    // case 2: video is NOT stream 00 — hdrl says (auds, vids), so the
+    // video frames live in 01dc and 00wb audio leads the container
+    val clip2 = aviMulti(Seq("auds", "vids"),
+      Seq("00wb" -> Array[Byte](1, 2, 3), "01dc" -> frames(0),
+        "00wb" -> Array[Byte](4), "01dc" -> frames(1)))
+    val media = Multimodal.ingest(
+      Seq((1L, clip1), (2L, clip2)).toDF("doc_id", "bin")
+        .withColumn("fmt", lit("video/avi")),
+      "doc_id", "bin", "fmt")
+    val out = Multimodal.sampleFrames(media, everyNth = 1).collect()
+    val byId = out.groupBy(_.media_id)
+    assert(byId(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 1))
+    assert(byId(1L).find(_.frame_idx == 0).get.frame_payload.sameElements(frames(0)))
+    assert(byId(2L).map(_.frame_idx).sorted.toSeq == Seq(0, 1))
+    assert(byId(2L).find(_.frame_idx == 1).get.frame_payload.sameElements(frames(1)))
+  }
+
+  test("deeply nested rec lists walk iteratively, no executor stack overflow") {
+    // 100k levels of LIST('rec ') around one frame: recursion would blow
+    // any JVM thread stack; the worklist walk must return the frame.
+    // Nested rec headers are a contiguous prefix, so the fixture builds
+    // in one forward pass (wrapping arrays would be quadratic).
+    val frame = jpeg(8, 8, 0x123456)
+    val frameChunk = riffChunk("00dc", frame)
+    val depth = 100000
+    val totals = new Array[Int](depth + 1)
+    totals(0) = frameChunk.length
+    for (k <- 1 to depth) totals(k) = 12 + totals(k - 1)
+    val bos = new ByteArrayOutputStream()
+    for (k <- depth to 1 by -1) {
+      bos.write("LIST".getBytes("ISO-8859-1")); bos.write(le32b(4 + totals(k - 1)))
+      bos.write("rec ".getBytes("ISO-8859-1"))
+    }
+    bos.write(frameChunk)
+    val movi = riffList("movi", bos.toByteArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ movi
+    val clip = "RIFF".getBytes("ISO-8859-1") ++ le32b(body.length) ++ body
+    val media = Multimodal.ingest(
+      Seq((7L, clip)).toDF("doc_id", "bin").withColumn("fmt", lit("video/avi")),
+      "doc_id", "bin", "fmt")
+    val out = Multimodal.sampleFrames(media, everyNth = 1).collect()
+    assert(out.length == 1 && out.head.frame_payload.sameElements(frame))
+  }
+
+  /** Remove every DHT (0xFFC4) segment — what most MJPEG muxers ship. */
+  private def stripDht(jpg: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(jpg, 0, 2) // SOI
+    var i = 2
+    while (i + 4 <= jpg.length) {
+      val marker = jpg(i + 1) & 0xff
+      if (marker == 0xda) { out.write(jpg, i, jpg.length - i); i = jpg.length }
+      else {
+        val len = ((jpg(i + 2) & 0xff) << 8) | (jpg(i + 3) & 0xff)
+        if (marker != 0xc4) out.write(jpg, i, 2 + len)
+        i += 2 + len
+      }
+    }
+    out.toByteArray
+  }
+
+  test("DHT-less MJPEG frames decode after sampling (standard tables spliced in)") {
+    val full = jpeg(16, 8, 0x20a040)
+    val dhtless = stripDht(full)
+    assert(dhtless.length < full.length, "fixture must actually drop the DHT")
+    // the splice inserts exactly the standard DHT segment (many JPEG
+    // decoders — though not this JDK's lenient one — refuse tableless
+    // frames, so emitted frames must be standalone spec-valid JPEGs)
+    val spliced = Multimodal.ensureJpegHuffman(dhtless)
+    assert(spliced.length == dhtless.length + Multimodal.standardDhtSegment.length)
+    // idempotent: a frame that HAS tables passes through byte-identical
+    assert(Multimodal.ensureJpegHuffman(full) eq full)
+    assert(Multimodal.ensureJpegHuffman(spliced) eq spliced)
+    // non-JPEG payloads pass through untouched
+    val junk = Array[Byte](1, 2, 3)
+    assert(Multimodal.ensureJpegHuffman(junk) eq junk)
+    // end-to-end: frames sampleFrames emits carry the tables and decode
+    val clip = avi(Seq(dhtless, dhtless), 16, 8)
+    val media = Multimodal.ingest(
+      Seq((3L, clip)).toDF("doc_id", "bin").withColumn("fmt", lit("video/avi")),
+      "doc_id", "bin", "fmt")
+    val sampled = Multimodal.sampleFrames(media, everyNth = 1).collect()
+    assert(sampled.length == 2)
+    assert(sampled.forall(_.frame_payload.sameElements(spliced)),
+      "emitted frames must carry the spliced tables")
+    val decoded = Multimodal.decodeFrames(Multimodal.ingest(
+      sampled.toSeq.map(f => (f.frame_idx.toLong, f.frame_payload))
+        .toDF("doc_id", "bin").withColumn("fmt", lit("image/jpeg")),
+      "doc_id", "bin", "fmt")).collect()
+    assert(decoded.length == 2)
+    assert(decoded.forall(d => d.width == 16 && d.height == 8))
+  }
+
   private def writeZip(dir: java.nio.file.Path, name: String,
                        members: Seq[(String, String)]): java.nio.file.Path = {
     val f = dir.resolve(name)

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.TarFixture.{gz, tar}
+
+/** DataSource V2 tar format: member rows, planning-time ARCHIVE pruning
+  * (tar has no central directory, so entry pruning happens at read
+  * time), payload-skipping column pruning, per-archive partitions. */
+class TarDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("tardsv2")
+    java.nio.file.Files.write(d.resolve("a.tar"), tar(
+      "x1.txt" -> "alpha".getBytes("UTF-8"),
+      "x2.txt" -> "beta".getBytes("UTF-8"),
+      "img.bin" -> "IMG".getBytes("UTF-8")))
+    java.nio.file.Files.write(d.resolve("b.tar.gz"), gz(tar(
+      "y1.txt" -> "gamma".getBytes("UTF-8"))))
+    d
+  }
+
+  test("format(tar) reads every member with metadata and payload") {
+    val df = spark.read.format("tar").load(dir.toString)
+    assert(df.columns.toSeq == Seq("archive", "entry", "n_bytes", "payload"))
+    val rows = df.collect().map(r => r.getAs[String]("entry") ->
+      (r.getAs[Long]("n_bytes"), new String(r.getAs[Array[Byte]]("payload"), "UTF-8"))).toMap
+    assert(rows == Map("x1.txt" -> (5L, "alpha"), "x2.txt" -> (4L, "beta"),
+      "img.bin" -> (3L, "IMG"), "y1.txt" -> (5L, "gamma")))
+  }
+
+  test("entry predicates push into the scan; members filter at read time") {
+    val df = spark.read.format("tar").load(dir.toString)
+      .filter($"entry".endsWith(".txt") && $"entry".startsWith("x"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=") && plan.contains("StringEndsWith(entry"),
+      plan.take(1200))
+    assert(df.select("entry").as[String].collect().sorted.toSeq ==
+      Seq("x1.txt", "x2.txt"))
+    // entry filters CANNOT drop archives at planning (no central
+    // directory): both archives still contribute a partition
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("archive-only predicates prune whole archives at planning time") {
+    val only = spark.read.format("tar").load(dir.toString)
+      .filter($"archive".endsWith("b.tar.gz"))
+    assert(only.rdd.getNumPartitions == 1, "a.tar must be pruned before planning")
+    assert(only.select("entry").as[String].collect().toSeq == Seq("y1.txt"))
+  }
+
+  test("metadata-only projection skips every payload (column pruning)") {
+    val df = spark.read.format("tar").load(dir.toString)
+      .select("archive", "entry", "n_bytes")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=archive,entry,n_bytes"), plan.take(1200))
+    assert(!plan.contains("payload"), "payload must be pruned from the scan")
+    assert(df.count() == 4)
+    val sizes = df.groupBy("archive").agg(sum("n_bytes").as("b"))
+      .collect().map(r => r.getAs[String]("archive").endsWith("a.tar") -> r.getLong(1)).toMap
+    assert(sizes == Map(true -> 12L, false -> 5L))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.GZIPOutputStream
+
+/** Hand-built spec-valid ustar fixtures, shared by [[TarSourceSpec]]
+  * (walker) and [[TarDataSourceSpec]] (DSv2 planner). */
+object TarFixture {
+
+  def tarEntry(name: String, data: Array[Byte],
+               typeflag: Byte = '0'): Array[Byte] = {
+    val hdr = new Array[Byte](512)
+    def put(s: String, off: Int): Unit = {
+      val b = s.getBytes("ISO-8859-1"); System.arraycopy(b, 0, hdr, off, b.length)
+    }
+    put(name, 0)
+    put("0000644", 100); put("0000000", 108); put("0000000", 116)
+    put(f"${data.length}%011o", 124) // size, octal
+    put("00000000000", 136)         // mtime
+    hdr(156) = typeflag
+    put("ustar", 257); put("00", 263)
+    checksum(hdr)
+    val pad = (512 - data.length % 512) % 512
+    hdr ++ data ++ new Array[Byte](pad)
+  }
+
+  /** (Re)compute the header checksum in place — lets a test patch header
+    * fields (e.g. a base-256 size marker) and keep the header
+    * checksum-valid so the patched FIELD is what the walker judges. */
+  def checksum(hdr: Array[Byte]): Unit = {
+    java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+    val sum = hdr.map(_ & 0xff).sum
+    val b = f"$sum%06o".getBytes("ISO-8859-1")
+    System.arraycopy(b, 0, hdr, 148, b.length)
+    hdr(154) = 0; hdr(155) = ' '
+  }
+
+  def tar(members: (String, Array[Byte])*): Array[Byte] =
+    members.toArray.flatMap { case (n, d) => tarEntry(n, d) } ++
+      new Array[Byte](1024) // end-of-archive zero blocks
+
+  def gz(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(bytes); g.close()
+    bos.toByteArray
+  }
+}
