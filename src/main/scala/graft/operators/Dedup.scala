@@ -139,22 +139,34 @@ object Dedup {
   val MinhashP = 1000000007L
 
   def minhashBands(docs: DataFrame, id: Column, text: Column,
-                   numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
+                   numHashes: Int, bands: Int, shingleN: Int): DataFrame =
+    minhashBandsFromHashes(
+      graft.core.Parallelism.ensureWidth(
+          docs.select(id.as("id"), TextFunctions.tokens(text).as("ws")))
+        .select(col("id"),
+          explode(array_distinct(TextFunctions.shingles(col("ws"), shingleN))).as("sh"))
+        .select(col("id"), Hashing.hexLong(col("sh")).as("shh")),
+      numHashes, bands)
+
+  /** [[minhashBands]] from a pre-hashed distinct-shingle stream
+    * `(id, shh)` — the shared-scan form: [[lshVerifiedJaccardPairs]]
+    * computes the shingle-hash stream ONCE and feeds both the signature
+    * aggregation here and the exact-verify join (two full corpus
+    * tokenize+shingle+md5 passes would otherwise run at 100 TB).
+    *
+    * One md5 per shingle; the numHashes "permutations" are cheap modular
+    * linear transforms of that base hash (h_i = (2i+1)*h + i^2+7919 mod P)
+    * — the md5 supplies the uniformity, the transforms the family.
+    *
+    * All numHashes minima are separate aggregates of ONE groupBy(id):
+    * a shingle row shuffles once with numHashes derived columns, versus
+    * the naive explode-by-hash-index shape (numHashes x the rows through
+    * TWO shuffles). Map-side partial aggregation collapses each mapper
+    * to one row per doc, so shuffle bytes are O(docs x numHashes). */
+  private[graft] def minhashBandsFromHashes(sh: DataFrame, numHashes: Int,
+                                            bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    // One md5 per shingle; the numHashes "permutations" are cheap modular
-    // linear transforms of that base hash (h_i = (2i+1)*h + i^2+7919 mod P)
-    // — the md5 supplies the uniformity, the transforms the family.
-    //
-    // All numHashes minima are separate aggregates of ONE groupBy(id):
-    // a shingle row shuffles once with numHashes derived columns, versus
-    // the naive explode-by-hash-index shape (numHashes x the rows through
-    // TWO shuffles). Map-side partial aggregation collapses each mapper
-    // to one row per doc, so shuffle bytes are O(docs x numHashes).
-    val toks = graft.core.Parallelism.ensureWidth(
-      docs.select(id.as("id"), TextFunctions.tokens(text).as("ws")))
-    val base = toks.select(col("id"),
-        explode(array_distinct(TextFunctions.shingles(col("ws"), shingleN))).as("sh"))
-      .select(col("id"), (Hashing.hexLong(col("sh")) % MinhashP).as("hp"))
+    val base = sh.select(col("id"), (col("shh") % MinhashP).as("hp"))
     val minExprs = (0 until numHashes).map(i =>
       min((lit(2L * i + 1) * col("hp") + lit(i.toLong * i + 7919)) % MinhashP).as(s"mh$i"))
     val sigs = base.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
@@ -246,16 +258,18 @@ object Dedup {
                               numHashes: Int, bands: Int, shingleN: Int,
                               minJ: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val cand = lshCandidatePairs(
-      minhashBands(docs, id, text, numHashes, bands, shingleN))
-    // shingle stream reused by the pair-restricted join on BOTH sides and
-    // by the per-doc counts: materialize once
+    // ONE corpus tokenize+shingle+md5 pass, materialized, feeds all four
+    // consumers: the minhash signature aggregation, both sides of the
+    // pair-restricted verify join, and the per-doc shingle counts. (The
+    // naive composition ran the whole pass twice — once inside
+    // minhashBands, once here — i.e. two full corpus scans at 100 TB.)
     val sh = graft.core.Parallelism.ensureWidth(
         docs.select(id.as("id"), TextFunctions.tokens(text).as("ws")))
       .select(col("id"),
         explode(array_distinct(TextFunctions.shingles(col("ws"), shingleN))).as("s"))
       .select(col("id"), Hashing.hexLong(col("s")).as("shh"))
       .localCheckpoint(true)
+    val cand = lshCandidatePairs(minhashBandsFromHashes(sh, numHashes, bands))
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.toDF("doc_a", "shh"), Seq("doc_a"))
