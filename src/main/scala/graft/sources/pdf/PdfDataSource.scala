@@ -1,0 +1,225 @@
+package graft.sources.pdf
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.PdfSpans
+
+/** DataSource V2 for PDF text spans
+  * (`spark.read.format("pdf").load(path)`) — surface parity with the
+  * ZIP / XPORT / TAR DSv2 planners, over the same from-scratch parser
+  * as [[graft.sources.PdfSpans.extractAll]] (reference:
+  * ubpr_data_collect_process.py's pdfplumber extraction stage). Schema:
+  *
+  *   doc_id string, pos long, text string, size double, font string
+  *
+  * `doc_id` is the file name without its `.pdf` extension — fully known
+  * at PLANNING time, so unlike the tar source every pushed `doc_id`
+  * predicate prunes whole FILES before a single byte is read (the same
+  * strength as zip's central-directory entry pruning). One partition
+  * per document: a PDF's object graph is self-contained, so documents
+  * fan out across the cluster while each parse stays task-local.
+  *
+  * Column pruning here is projection-narrowing only: span extraction
+  * must walk the full page tree regardless (even a doc_id-only count
+  * needs the number of spans), so the scan always parses, then emits
+  * just the required fields. A malformed PDF contributes zero rows
+  * rather than failing the corpus job — same contract as `extractAll`.
+  *
+  * `path` may be a single file, a directory (every `*.pdf` inside), or
+  * a file-name glob; paths must be locally readable (local disk / NFS).
+  * For object stores use `PdfSpans.extractAll` over the binaryFile
+  * source.
+  */
+class PdfDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "pdf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PdfTable.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val p = properties.get("path")
+    require(p != null, "pdf source requires a single 'path' option")
+    new PdfTable(p)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object PdfTable {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("size", DoubleType, nullable = true),
+    StructField("font", StringType, nullable = true)))
+
+  /** PDF files for `path`: the file itself, a directory's `*.pdf`
+    * members, or a file-name glob. Sorted for deterministic partition
+    * order. */
+  def filesFor(path: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(graft.sources.ZipSource.stripFileScheme(path))
+    if (Files.isRegularFile(p)) Seq(p.toString)
+    else if (Files.isDirectory(p)) listDir(p, "*.pdf")
+    else if (p.getParent != null && Files.isDirectory(p.getParent))
+      listDir(p.getParent, p.getFileName.toString)
+    else sys.error(s"pdf source: no file at $path")
+  }
+
+  private def listDir(dir: java.nio.file.Path, glob: String): Seq[String] = {
+    val ds = java.nio.file.Files.newDirectoryStream(dir, glob)
+    try {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      ds.forEach(f => out += f.toString)
+      out.toList.sorted
+    } finally ds.close()
+  }
+
+  /** File name without a case-insensitive `.pdf` extension — the
+    * `doc_id` contract shared with [[PdfSpans.extractAll]]. */
+  def docIdFor(file: String): String = {
+    val name = file.substring(file.lastIndexOf('/') + 1)
+    if (name.toLowerCase.endsWith(".pdf")) name.substring(0, name.length - 4)
+    else name
+  }
+}
+
+class PdfTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"pdf:$path"
+  override def schema(): StructType = PdfTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PdfScanBuilder(path)
+}
+
+class PdfScanBuilder(path: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var required: StructType = PdfTable.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // only doc_id predicates are accepted: they alone are decidable at
+  // planning time (doc_id = file name), and planning-time FILE pruning
+  // is the only work a pushed filter can actually skip here — the parse
+  // is all-or-nothing per document
+  private def supported(f: Filter): Boolean = f match {
+    case sources.EqualTo("doc_id", _: String) => true
+    case sources.StringStartsWith("doc_id", _) => true
+    case sources.StringEndsWith("doc_id", _) => true
+    case sources.StringContains("doc_id", _) => true
+    case sources.IsNotNull("doc_id") => true
+    case sources.In("doc_id", vs) => vs.forall(_.isInstanceOf[String])
+    case sources.And(l, r) => supported(l) && supported(r)
+    case sources.Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(supported)
+    // Spark re-applies every filter post-scan: pushing only skips work
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new PdfScan(path, required, pushed)
+}
+
+/** One partition: one PDF document. `fields` is the pruned projection. */
+final case class PdfFilePartition(file: String, docId: String,
+                                  fields: Array[String]) extends InputPartition
+
+object PdfScan {
+  /** Exact predicate evaluation against a concrete doc_id — complete at
+    * planning time, unlike the tar source's tri-state `passes`. */
+  private[pdf] def passes(docId: String, f: Filter): Boolean = f match {
+    case sources.EqualTo("doc_id", x: String) => docId == x
+    case sources.StringStartsWith("doc_id", p) => docId.startsWith(p)
+    case sources.StringEndsWith("doc_id", s) => docId.endsWith(s)
+    case sources.StringContains("doc_id", s) => docId.contains(s)
+    case sources.IsNotNull("doc_id") => true
+    case sources.In("doc_id", vs) => vs.contains(docId)
+    case sources.And(l, r) => passes(docId, l) && passes(docId, r)
+    case sources.Or(l, r) => passes(docId, l) || passes(docId, r)
+    case _ => true
+  }
+}
+
+class PdfScan(path: String, required: StructType,
+              filters: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PdfScan(path=$path, columns=${required.fieldNames.mkString(",")}" +
+      (if (filters.isEmpty) ")" else s", pushed=${filters.mkString(",")})")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fields = required.fieldNames
+    PdfTable.filesFor(path)
+      .map(f => f -> PdfTable.docIdFor(f))
+      // doc_id is concrete here: pushed predicates prune whole files
+      .filter { case (_, id) => filters.forall(PdfScan.passes(id, _)) }
+      .map { case (f, id) => PdfFilePartition(f, id, fields): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PdfReaderFactory
+}
+
+class PdfReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PdfFileReader(partition.asInstanceOf[PdfFilePartition])
+}
+
+class PdfFileReader(part: PdfFilePartition) extends PartitionReader[InternalRow] {
+  // parse lazily on first next(): a planning-pruned partition that is
+  // never read costs nothing; a malformed document yields zero rows
+  private var spans: Iterator[PdfSpans.Span] = _
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (spans == null)
+      spans =
+        (try PdfSpans.extractFile(part.file, part.docId)
+         catch { case _: Exception => Seq.empty[PdfSpans.Span] }).iterator
+    if (!spans.hasNext) false
+    else {
+      val s = spans.next()
+      val row = new GenericInternalRow(part.fields.length)
+      var j = 0
+      while (j < part.fields.length) {
+        part.fields(j) match {
+          case "doc_id" => row.update(j, UTF8String.fromString(s.doc_id))
+          case "pos" => row.setLong(j, s.pos)
+          case "text" => row.update(j, UTF8String.fromString(s.text))
+          case "size" => row.setDouble(j, s.size)
+          case "font" => row.update(j, UTF8String.fromString(s.font))
+        }
+        j += 1
+      }
+      current = row
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

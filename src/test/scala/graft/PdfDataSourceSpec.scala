@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 pdf format: span rows, planning-time FILE pruning on
+  * doc_id predicates (doc_id = file name, fully known before reading),
+  * projection pruning, one partition per document, malformed files
+  * contribute zero rows. */
+class PdfDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("pdfdsv2")
+    java.nio.file.Files.write(d.resolve("manual.pdf"), PdfFixture.bytes)
+    java.nio.file.Files.write(d.resolve("note.pdf"), PdfFixture.onePage(
+      "BT /F1 12 Tf 72 720 Td (Standalone note) Tj ET\n"))
+    java.nio.file.Files.write(d.resolve("broken.pdf"),
+      "%PDF-1.4 this is not a real pdf".getBytes("ISO-8859-1"))
+    d
+  }
+
+  test("format(pdf) reads ordered spans from every document") {
+    val df = spark.read.format("pdf").load(dir.toString)
+    assert(df.columns.toSeq == Seq("doc_id", "pos", "text", "size", "font"))
+    // one partition per document, including the malformed one
+    assert(df.rdd.getNumPartitions == 3)
+    val byDoc = df.collect().groupBy(_.getAs[String]("doc_id"))
+    assert(!byDoc.contains("broken"), "malformed pdf must yield zero rows")
+    assert(byDoc("note").map(_.getAs[String]("text")).toSeq == Seq("Standalone note"))
+    val manual = byDoc("manual").sortBy(_.getAs[Long]("pos"))
+    assert(manual.head.getAs[String]("text") == "Summary Ratios")
+    assert(manual.head.getAs[Double]("size") == 16.0)
+    // matches the binaryFile-based extractor row-for-row
+    val viaHelper = graft.sources.PdfSpans
+      .extractAll(spark, dir.resolve("*.pdf").toString)
+    assert(df.orderBy("doc_id", "pos").collect().toSeq ==
+      viaHelper.orderBy("doc_id", "pos").collect().toSeq)
+  }
+
+  test("doc_id predicates prune whole files at planning time") {
+    val df = spark.read.format("pdf").load(dir.toString)
+      .filter($"doc_id" === "note")
+    assert(df.rdd.getNumPartitions == 1,
+      "manual.pdf and broken.pdf must be pruned before planning")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=") && plan.contains("EqualTo(doc_id"),
+      plan.take(1200))
+    assert(df.select("text").as[String].collect().toSeq == Seq("Standalone note"))
+  }
+
+  test("projection narrows the scan schema") {
+    val df = spark.read.format("pdf").load(dir.toString)
+      .select("doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=doc_id,text"), plan.take(1200))
+    assert(df.filter($"doc_id" === "manual").count() ==
+      graft.sources.PdfSpans.extract(PdfFixture.bytes, "manual").size)
+  }
+
+  test("single-file and glob paths resolve like the directory form") {
+    val one = spark.read.format("pdf").load(dir.resolve("note.pdf").toString)
+    assert(one.select("doc_id").distinct().as[String].collect().toSeq == Seq("note"))
+    val glob = spark.read.format("pdf").load(dir.resolve("m*.pdf").toString)
+    assert(glob.select("doc_id").distinct().as[String].collect().toSeq == Seq("manual"))
+  }
+}
