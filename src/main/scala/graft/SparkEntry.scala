@@ -1387,6 +1387,29 @@ object SparkEntry {
       val approx = IvfIndex.searchStored(s, idx, qs, cents, k = 3, nprobe = 2)
       val exact = Similarity.dotTopK(qs, vecs, k = 3)
       Similarity.recallAtK(approx, exact, k = 3).orderBy("qid")
+    }),
+
+    // LLM ops — SEMANTIC dedup (SemDeDup-shaped): cluster the embedding
+    // space (Lloyd's, q67's arithmetic), search cosine near-dups only
+    // WITHIN each trained cluster (pair space = sum of cell sizes
+    // squared, never corpus squared — the trained analogue of q36's
+    // label blocking), then resolve matches to a canonical keeper + drop
+    // list. Keeper rule: the member closest to its centroid (max
+    // assignment dot, id tiebreak) — "keep the most central copy" —
+    // exact decimal, so the election is deterministic and replayable.
+    "q93_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val vecs = emb.select(col("vec_id"), col("embedding"))
+      val cents = Similarity.kmeansFit(vecs, k = 4, iters = 2)
+      val assigned = Similarity.centroidAssign(vecs, cents)
+      val blocked = vecs.join(assigned.select("vec_id", "centroid_id"), Seq("vec_id"))
+      val pairs = Dedup.embeddingNearDupPairs(blocked, col("vec_id"),
+          col("centroid_id"), col("embedding"), minCosine = 0.35)
+        .select("doc_a", "doc_b")
+      Dedup.canonicalize(
+          Dedup.connectedComponents(pairs),
+          assigned.select(col("vec_id").as("doc_id"), col("score_d").as("priority")))
+        .orderBy("doc_id")
     })
   )
 
@@ -2628,6 +2651,62 @@ object SparkEntry {
          |SELECT e.qid, CAST(COUNT(i.cid) AS BIGINT) AS n_hit,
          |  CAST(COUNT(i.cid) AS DOUBLE) / 3 AS recall
          |FROM ex e LEFT JOIN ivf i ON i.qid = e.qid AND i.cid = e.cid
-         |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+
+    // q67's deterministic Lloyd's trains the cluster blocking, the final
+    // assignment keeps its dot (the keeper priority), q36's exact-decimal
+    // cosine runs within clusters only, then q90's component + canonical
+    // tail — ordered by assignment dot instead of n_chars.
+    "q93_semantic_dedup" ->
+      s"""WITH RECURSIVE seeds AS (
+         |  SELECT centroid_id, cvec FROM (
+         |    SELECT ROW_NUMBER() OVER (ORDER BY
+         |        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) - 1
+         |      AS centroid_id, embedding AS cvec
+         |    FROM embeddings) WHERE centroid_id < 4),
+         |a1 AS (${kmAssignSql("seeds")}),
+         |c1 AS (${kmMeansSql("a1")}),
+         |a2 AS (${kmAssignSql("c1")}),
+         |c2 AS (${kmMeansSql("a2")}),
+         |ap AS (SELECT e.vec_id, c.centroid_id, unnest(e.embedding) AS x, unnest(c.cvec) AS y
+         |       FROM embeddings e CROSS JOIN c2 c),
+         |ad AS (SELECT vec_id, centroid_id,
+         |         SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+         |       FROM ap GROUP BY vec_id, centroid_id),
+         |asg AS (SELECT vec_id, centroid_id, dp FROM (
+         |    SELECT vec_id, centroid_id, dp,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, centroid_id ASC) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |nrm AS (
+         |  SELECT vec_id, sqrt(CAST(SUM(${dec9Sql("x")} * ${dec9Sql("x")}) AS DOUBLE)) AS nv
+         |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+         |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, unnest(a.embedding) AS x, unnest(b.embedding) AS y
+         |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |      JOIN asg aa ON aa.vec_id = a.vec_id
+         |      JOIN asg bb ON bb.vec_id = b.vec_id AND bb.centroid_id = aa.centroid_id),
+         |d AS (SELECT doc_a, doc_b,
+         |        SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+         |      FROM p GROUP BY doc_a, doc_b),
+         |j AS (SELECT doc_a, doc_b
+         |      FROM d JOIN nrm na ON na.vec_id = d.doc_a JOIN nrm nb ON nb.vec_id = d.doc_b
+         |      WHERE round(CAST(dp AS DOUBLE) / (na.nv * nb.nv), 9) >= 0.35),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM j
+         |          UNION SELECT doc_b, doc_a FROM j),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+         |comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+         |         FROM reach GROUP BY node),
+         |pr AS (SELECT c.doc_id, c.component_id, a.dp
+         |       FROM comp c JOIN asg a ON a.vec_id = c.doc_id),
+         |can AS (SELECT component_id, doc_id AS canonical_id FROM (
+         |    SELECT component_id, doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY component_id ORDER BY dp DESC, doc_id ASC) AS rn
+         |    FROM pr) WHERE rn = 1)
+         |SELECT pr.doc_id, pr.component_id, can.canonical_id,
+         |  (pr.doc_id = can.canonical_id) AS is_canonical
+         |FROM pr JOIN can ON pr.component_id = can.component_id
+         |ORDER BY pr.doc_id""".stripMargin
   )
 }
