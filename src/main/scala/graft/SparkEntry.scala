@@ -1400,7 +1400,10 @@ object SparkEntry {
     "q93_semantic_dedup" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       val vecs = emb.select(col("vec_id"), col("embedding"))
-      val cents = Similarity.kmeansFit(vecs, k = 4, iters = 2)
+      // k sizes the blocking: pair space is sum-of-cell^2, so MORE cells
+      // = quadratically less cosine work (k=16 vs 4: ~4x fewer pairs at
+      // equal corpus). In deployment k tracks N (SemDeDup uses N/1000s).
+      val cents = Similarity.kmeansFit(vecs, k = 16, iters = 2)
       val assigned = Similarity.centroidAssign(vecs, cents)
       val blocked = vecs.join(assigned.select("vec_id", "centroid_id"), Seq("vec_id"))
       val pairs = Dedup.embeddingNearDupPairs(blocked, col("vec_id"),
@@ -1410,6 +1413,25 @@ object SparkEntry {
           Dedup.connectedComponents(pairs),
           assigned.select(col("vec_id").as("doc_id"), col("score_d").as("priority")))
         .orderBy("doc_id")
+    }),
+
+    // LLM ops — INCREMENTAL dedup: the stored corpus' LSH signatures
+    // persist (LshIndex, the IvfIndex pattern for near-dup); today's
+    // batch signatures ITSELF only and probes the store via a
+    // broadcast join — corpus text is never re-scanned, corpus
+    // signatures never shuffle. Emits exactly the candidate pairs a
+    // full corpus+delta recompute would emit that involve a delta doc
+    // (LshIndexSpec pins the parity; this row oracle-checks it).
+    "q94_incremental_dedup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val delta = d.filter(col("doc_id") % 5 === 0)
+      val idx = java.nio.file.Files.createTempDirectory("graft_q94_lsh").toString
+      LshIndex.write(corpus, col("doc_id"), col("text"),
+        numHashes = 16, bands = 4, shingleN = 3, outDir = idx)
+      LshIndex.deltaCandidatePairs(s, idx, delta, col("doc_id"), col("text"),
+          numHashes = 16, bands = 4, shingleN = 3)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -2663,7 +2685,7 @@ object SparkEntry {
          |    SELECT ROW_NUMBER() OVER (ORDER BY
          |        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) - 1
          |      AS centroid_id, embedding AS cvec
-         |    FROM embeddings) WHERE centroid_id < 4),
+         |    FROM embeddings) WHERE centroid_id < 16),
          |a1 AS (${kmAssignSql("seeds")}),
          |c1 AS (${kmMeansSql("a1")}),
          |a2 AS (${kmAssignSql("c1")}),
@@ -2707,6 +2729,27 @@ object SparkEntry {
          |SELECT pr.doc_id, pr.component_id, can.canonical_id,
          |  (pr.doc_id = can.canonical_id) AS is_canonical
          |FROM pr JOIN can ON pr.component_id = can.component_id
-         |ORDER BY pr.doc_id""".stripMargin
+         |ORDER BY pr.doc_id""".stripMargin,
+
+    // q90's banding CTEs over the FULL corpus, filtered to pairs that
+    // involve a delta doc (doc_id % 5 = 0) — the store+probe composition
+    // must be indistinguishable from the monolithic recompute.
+    "q94_incremental_dedup" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT % 1000000007 AS hp FROM sh),
+        |hx AS (SELECT doc_id, i,
+        |         MIN(((2*i + 1) * hp + (i*i + 7919)) % 1000000007) AS mh
+        |       FROM ex, range(16) t(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band_id,
+        |            md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bucket
+        |          FROM hx GROUP BY doc_id, i // 4),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b
+        |            ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b FROM pairs
+        |WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent MinHash-LSH signature store — the INCREMENTAL dedup shape
+  * (the [[IvfIndex]] pattern applied to near-dup detection): the corpus
+  * is tokenized, shingled, and minhashed ONCE and its banded signatures
+  * stored as parquet; each later batch ("today's crawl") computes
+  * signatures for ITS docs only and probes the store. At 100 TB the
+  * alternative — re-running [[Dedup.minhashBands]] over corpus+delta per
+  * ingest — re-scans the corpus daily for signatures that cannot have
+  * changed.
+  *
+  * Scale shape of [[deltaCandidatePairs]]: the delta's signature frame
+  * (|delta| × bands rows — bounded by the BATCH, never the corpus) is
+  * BROADCAST to the stored side, so the corpus signatures stream through
+  * a broadcast hash join without ever shuffling; only the sparse
+  * candidate-pair output exchanges. Reference analogue: the toolkit
+  * re-derives everything per run (`mdrm_data_collect_process.py` has no
+  * incremental path) — this operator is what replaces that rerun at
+  * scale.
+  *
+  * Signature storage is `partitionBy(band_id)` (bands are few and
+  * equal-sized, so files stay balanced); the store carries ONLY
+  * `(id, bucket, band_id)` — 8-byte ids and 32-char md5 band buckets,
+  * never text — so a 100 TB corpus stores ~O(docs × bands) small rows.
+  * Appending an accepted batch keeps the store current; append-parity
+  * with a fresh full write is spec-pinned (LshIndexSpec).
+  */
+object LshIndex {
+
+  /** Signature the corpus and (over)write the store at `outDir`. */
+  def write(docs: DataFrame, id: Column, text: Column,
+            numHashes: Int, bands: Int, shingleN: Int, outDir: String): Unit =
+    store(Dedup.minhashBands(docs, id, text, numHashes, bands, shingleN),
+      outDir, "overwrite")
+
+  /** Append a batch's signatures to an existing store. Use the SAME
+    * (numHashes, bands, shingleN) the store was written with — mixed
+    * parameters make buckets incomparable (same rule as re-training
+    * centroids invalidating an [[IvfIndex]]). Cost tracks the batch. */
+  def append(docs: DataFrame, id: Column, text: Column,
+             numHashes: Int, bands: Int, shingleN: Int, indexDir: String): Unit =
+    store(Dedup.minhashBands(docs, id, text, numHashes, bands, shingleN),
+      indexDir, "append")
+
+  private def store(sigs: DataFrame, outDir: String, mode: String): Unit =
+    sigs.select(col("id"), col("bucket"), col("band_id"))
+      .write.mode(mode).partitionBy("band_id").parquet(outDir)
+
+  /** Candidate near-dup pairs for a NEW batch against the stored corpus
+    * plus within the batch itself — exactly the pairs
+    * [[Dedup.lshCandidatePairs]] over (corpus ∪ delta) would emit that
+    * involve at least one delta doc, without touching corpus text.
+    *
+    * Output: (doc_a, doc_b), doc_a < doc_b, distinct — the
+    * [[Dedup.lshCandidatePairs]] contract, so the verify / components /
+    * canonicalize tail composes unchanged (feed `canonicalize` a
+    * priority favoring stored docs to implement "keep the corpus copy,
+    * drop the crawl copy").
+    *
+    * Set `broadcastDelta = false` only when the batch is too large to
+    * broadcast (then both sides shuffle on (band_id, bucket) — still
+    * corpus-scan-free). */
+  def deltaCandidatePairs(spark: SparkSession, indexDir: String,
+                          delta: DataFrame, id: Column, text: Column,
+                          numHashes: Int, bands: Int, shingleN: Int,
+                          broadcastDelta: Boolean = true): DataFrame = {
+    // one signature pass over the batch feeds BOTH the store probe and
+    // the batch-internal candidate join
+    val deltaSigs = Dedup.minhashBands(delta, id, text, numHashes, bands, shingleN)
+      .localCheckpoint(true)
+    // partition-column inference types band_id as int; normalize to the
+    // long the in-memory signatures carry
+    val stored = spark.read.parquet(indexDir)
+      .select(col("id").as("sid"), col("band_id").cast("long").as("band_id"),
+        col("bucket"))
+    val probe0 = deltaSigs.select(col("id").as("did"), col("band_id"), col("bucket"))
+    val probe = if (broadcastDelta) broadcast(probe0) else probe0
+    val cross = stored.join(probe, Seq("band_id", "bucket"))
+      .filter(col("sid") =!= col("did"))
+      .select(least(col("sid"), col("did")).as("doc_a"),
+        greatest(col("sid"), col("did")).as("doc_b"))
+    val internal = Dedup.lshCandidatePairs(deltaSigs)
+    cross.unionByName(internal).distinct()
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, LshIndex}
+
+/** Persistent LSH signature store: delta-vs-store candidates match the
+  * full recompute, append keeps the store identical to a fresh write,
+  * and the delta side broadcasts (the corpus never shuffles). */
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 16; private val B = 4; private val N = 3
+
+  // corpus: three exact/near groups plus singletons; delta: one doc
+  // near-duplicating corpus doc 3, an internal dup pair, one unique
+  private def doc(words: String*) = words.mkString(" ")
+  private lazy val corpus = Seq(
+    (1L, doc("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog")),
+    (2L, doc("pack", "my", "box", "with", "five", "dozen", "liquor", "jugs", "now")),
+    (3L, doc("sphinx", "of", "black", "quartz", "judge", "my", "vow", "tonight", "ok")),
+    (4L, doc("how", "vexingly", "quick", "daft", "zebras", "jump", "high", "today", "yes")),
+    (5L, doc("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog"))
+  ).toDF("doc_id", "text")
+  private lazy val delta = Seq(
+    (9L, doc("sphinx", "of", "black", "quartz", "judge", "my", "vow", "tonight", "ok")),
+    (10L, doc("waltz", "bad", "nymph", "for", "quick", "jigs", "vex", "him", "often")),
+    (11L, doc("waltz", "bad", "nymph", "for", "quick", "jigs", "vex", "him", "often")),
+    (12L, doc("completely", "unrelated", "content", "about", "parquet", "files", "and", "spark", "plans"))
+  ).toDF("doc_id", "text")
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+  test("delta candidates against the store match the full recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    LshIndex.write(corpus, col("doc_id"), col("text"), H, B, N, dir)
+    val got = pairsOf(LshIndex.deltaCandidatePairs(spark, dir, delta,
+      col("doc_id"), col("text"), H, B, N))
+    val full = pairsOf(Dedup.lshCandidatePairs(Dedup.minhashBands(
+      corpus.unionByName(delta), col("doc_id"), col("text"), H, B, N)))
+    val deltaIds = Set(9L, 10L, 11L, 12L)
+    val expected = full.filter(p => deltaIds(p._1) || deltaIds(p._2))
+    assert(got == expected)
+    // sanity: the fixture actually exercises both paths
+    assert(got.contains((3L, 9L)), "cross store-delta near-dup expected")
+    assert(got.contains((10L, 11L)), "delta-internal dup expected")
+    assert(!got.exists(p => p._1 == 12L || p._2 == 12L), "unique doc must not pair")
+  }
+
+  test("append keeps the store bit-identical to a fresh full write") {
+    val incr = java.nio.file.Files.createTempDirectory("lshincr").toString
+    val fresh = java.nio.file.Files.createTempDirectory("lshfresh").toString
+    LshIndex.write(corpus, col("doc_id"), col("text"), H, B, N, incr)
+    LshIndex.append(delta, col("doc_id"), col("text"), H, B, N, incr)
+    LshIndex.write(corpus.unionByName(delta), col("doc_id"), col("text"), H, B, N, fresh)
+    def rows(d: String) = spark.read.parquet(d)
+      .select(col("id"), col("band_id").cast("long"), col("bucket"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(rows(incr) == rows(fresh))
+  }
+
+  test("the delta probe broadcasts; the stored corpus never shuffles") {
+    val dir = java.nio.file.Files.createTempDirectory("lshplan").toString
+    LshIndex.write(corpus, col("doc_id"), col("text"), H, B, N, dir)
+    val cands = LshIndex.deltaCandidatePairs(spark, dir, delta,
+      col("doc_id"), col("text"), H, B, N)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+}
