@@ -180,6 +180,37 @@ object Dedup {
       .select(col("id"), col("bb.band_id").as("band_id"), col("bb.bucket").as("bucket"))
   }
 
+  /** [[minhashBands]] computed entirely PER ROW with array higher-order
+    * functions — no groupBy — so it runs inside an append-mode STREAM as
+    * a stateless map (the batch form's signature aggregation would
+    * demand watermarked streaming state). The batch form stays
+    * preferable for batch jobs: explode+groupBy is whole-stage-codegen'd
+    * with map-side combine, while higher-order lambdas are interpreted —
+    * but a stream's work is per-ARRIVING-doc anyway, so the per-row cost
+    * is the right trade there. Bit-identical rows to [[minhashBands]]
+    * (DedupSpec parity test), including dropping zero-shingle docs. */
+  def minhashBandsPerRow(docs: DataFrame, id: Column, text: Column,
+                         numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val perBand = numHashes / bands
+    val withSh = docs.select(id.as("id"),
+        array_distinct(TextFunctions.shingles(
+          TextFunctions.tokens(text), shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        transform(col("sh"), s => Hashing.hexLong(s) % MinhashP).as("hps"))
+    val mhs = (0 until numHashes).map { i =>
+      array_min(transform(col("hps"),
+        h => (lit(2L * i + 1) * h + lit(i.toLong * i + 7919)) % MinhashP))
+    }
+    val bandStructs = (0 until bands).map { b =>
+      val slice = (b * perBand until (b + 1) * perBand).map(i => mhs(i).cast("string"))
+      struct(lit(b.toLong).as("band_id"), md5(concat_ws(":", slice: _*)).as("bucket"))
+    }
+    withSh.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band_id").as("band_id"), col("bb.bucket").as("bucket"))
+  }
+
   /** LSH candidate pairs: distinct (doc_a < doc_b) sharing any band bucket. */
   def lshCandidatePairs(bandedSigs: DataFrame): DataFrame = {
     // both self-join sides read the signatures: materialize the (small,

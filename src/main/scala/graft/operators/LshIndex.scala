@@ -85,4 +85,31 @@ object LshIndex {
     val internal = Dedup.lshCandidatePairs(deltaSigs)
     cross.unionByName(internal).distinct()
   }
+
+  /** STREAMING store probe: each arriving doc's signature collisions
+    * with the stored corpus, one row per (arriving doc, stored doc,
+    * band). Signatures come from [[Dedup.minhashBandsPerRow]] — a
+    * stateless per-row map, so the whole probe is an append-mode
+    * stream-static equi-join with ZERO streaming state (the
+    * [[graft.streaming.EventStreams.dedupAgainstCorpus]] stance: history
+    * lives in the store, not in stream state). The arriving micro-batch
+    * is broadcast — the batch is small by construction, the store is
+    * not — and the store re-reads per micro-batch, so [[append]]s from a
+    * parallel ingest are picked up without restarting the stream.
+    *
+    * Output is NOT distinct'd across bands (distinct on a stream needs
+    * watermarked state): downstream either treats any match as "flag for
+    * review" or runs `dropDuplicatesWithinWatermark`. */
+  def streamingMatches(spark: SparkSession, indexDir: String,
+                       arriving: DataFrame, id: Column, text: Column,
+                       numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
+    val sigs = Dedup.minhashBandsPerRow(arriving, id, text,
+      numHashes, bands, shingleN)
+    val stored = spark.read.parquet(indexDir)
+      .select(col("id").as("corpus_id"),
+        col("band_id").cast("long").as("band_id"), col("bucket"))
+    broadcast(sigs).join(stored, Seq("band_id", "bucket"))
+      .filter(col("corpus_id") =!= col("id"))
+      .select(col("id").as("doc_id"), col("corpus_id"), col("band_id"))
+  }
 }

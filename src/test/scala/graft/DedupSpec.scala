@@ -47,6 +47,19 @@ class DedupSpec extends SparkSpec {
     assert(ok > 0)
   }
 
+  test("minhashBandsPerRow is bit-identical to the batch aggregation form") {
+    // include a doc too short to shingle: BOTH forms must drop it
+    val withShort = docs.unionByName(Seq((6L, "too short", "a"))
+      .toDF("doc_id", "text", "source"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "band_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = rows(Dedup.minhashBands(withShort, col("doc_id"), col("text"), 16, 4, 3))
+    val perRow = rows(Dedup.minhashBandsPerRow(withShort, col("doc_id"), col("text"), 16, 4, 3))
+    assert(perRow == batch)
+    assert(!perRow.exists(_._1 == 6L), "zero-shingle docs must drop in both forms")
+  }
+
   test("LSH candidate pairs include exact duplicates") {
     val pairs = Dedup.lshCandidatePairs(
         Dedup.minhashBands(docs, col("doc_id"), col("text"), 16, 4, 3))

@@ -60,6 +60,32 @@ class LshIndexSpec extends SparkSpec {
     assert(rows(incr) == rows(fresh))
   }
 
+  test("streamingMatches probes the store per micro-batch with zero state") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lshstream").toString
+    LshIndex.write(corpus, col("doc_id"), col("text"), H, B, N, dir)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = LshIndex.streamingMatches(spark, dir, src.toDS().toDF("doc_id", "text"),
+        col("doc_id"), col("text"), H, B, N)
+      .writeStream.format("memory").queryName("lsh_matches")
+      .outputMode("append").start()
+    try {
+      src.addData(delta.as[(Long, String)].collect().toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("lsh_matches")
+        .select("doc_id", "corpus_id").distinct()
+        .as[(Long, Long)].collect().toSet
+      // exactly the store-vs-batch half of the batch operator's output
+      // (internal batch pairs are dedupFirstArrival's job upstream)
+      val expected = pairsOf(LshIndex.deltaCandidatePairs(spark, dir, delta,
+          col("doc_id"), col("text"), H, B, N))
+        .filter { case (a, b) => !(Set(9L, 10L, 11L, 12L)(a) && Set(9L, 10L, 11L, 12L)(b)) }
+        .map { case (a, b) => if (a >= 9L) (a, b) else (b, a) }
+      assert(got == expected)
+      assert(got.contains((9L, 3L)), "arriving doc 9 must flag stored doc 3")
+    } finally q.stop()
+  }
+
   test("the delta probe broadcasts; the stored corpus never shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("lshplan").toString
     LshIndex.write(corpus, col("doc_id"), col("text"), H, B, N, dir)
