@@ -1404,7 +1404,9 @@ object SparkEntry {
       // = quadratically less cosine work (k=16 vs 4: ~4x fewer pairs at
       // equal corpus). In deployment k tracks N (SemDeDup uses N/1000s).
       val cents = Similarity.kmeansFit(vecs, k = 16, iters = 2)
-      val assigned = Similarity.centroidAssign(vecs, cents)
+      // assignment feeds BOTH the blocking join and the election
+      // priority: materialize once, or the corpus x k argmax runs twice
+      val assigned = Similarity.centroidAssign(vecs, cents).localCheckpoint(true)
       val blocked = vecs.join(assigned.select("vec_id", "centroid_id"), Seq("vec_id"))
       val pairs = Dedup.embeddingNearDupPairs(blocked, col("vec_id"),
           col("centroid_id"), col("embedding"), minCosine = 0.35)

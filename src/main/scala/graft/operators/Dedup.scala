@@ -170,13 +170,22 @@ object Dedup {
     val minExprs = (0 until numHashes).map(i =>
       min((lit(2L * i + 1) * col("hp") + lit(i.toLong * i + 7919)) % MinhashP).as(s"mh$i"))
     val sigs = base.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
+    explodeBandBuckets(sigs, i => col(s"mh$i"), numHashes, bands)
+  }
+
+  /** Band-bucket encoding shared by the batch ([[minhashBandsFromHashes]])
+    * and per-row ([[minhashBandsPerRow]]) signature forms — THE wire
+    * format of an [[LshIndex]] store (band b's bucket = md5 of its
+    * signature slice joined by ":"). One copy, so a store written by one
+    * form and probed by the other can never silently stop colliding. */
+  private def explodeBandBuckets(withId: DataFrame, mh: Int => Column,
+                                 numHashes: Int, bands: Int): DataFrame = {
     val perBand = numHashes / bands
     val bandCols = (0 until bands).map { b =>
-      val slice = (b * perBand until (b + 1) * perBand)
-        .map(i => col(s"mh$i").cast("string"))
+      val slice = (b * perBand until (b + 1) * perBand).map(i => mh(i).cast("string"))
       struct(lit(b.toLong).as("band_id"), md5(concat_ws(":", slice: _*)).as("bucket"))
     }
-    sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    withId.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band_id").as("band_id"), col("bb.bucket").as("bucket"))
   }
 
@@ -188,11 +197,14 @@ object Dedup {
     * with map-side combine, while higher-order lambdas are interpreted —
     * but a stream's work is per-ARRIVING-doc anyway, so the per-row cost
     * is the right trade there. Bit-identical rows to [[minhashBands]]
-    * (DedupSpec parity test), including dropping zero-shingle docs. */
+    * (DedupSpec parity test), including dropping zero-shingle docs —
+    * PROVIDED ids are unique within the frame: the batch form MERGES
+    * duplicate-id rows into one signature over their union of shingles,
+    * which a per-row map cannot; dedup ids upstream
+    * (`dedupFirstArrival`) before this form. */
   def minhashBandsPerRow(docs: DataFrame, id: Column, text: Column,
                          numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val perBand = numHashes / bands
     val withSh = docs.select(id.as("id"),
         array_distinct(TextFunctions.shingles(
           TextFunctions.tokens(text), shingleN)).as("sh"))
@@ -203,19 +215,20 @@ object Dedup {
       array_min(transform(col("hps"),
         h => (lit(2L * i + 1) * h + lit(i.toLong * i + 7919)) % MinhashP))
     }
-    val bandStructs = (0 until bands).map { b =>
-      val slice = (b * perBand until (b + 1) * perBand).map(i => mhs(i).cast("string"))
-      struct(lit(b.toLong).as("band_id"), md5(concat_ws(":", slice: _*)).as("bucket"))
-    }
-    withSh.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band_id").as("band_id"), col("bb.bucket").as("bucket"))
+    explodeBandBuckets(withSh, mhs, numHashes, bands)
   }
 
   /** LSH candidate pairs: distinct (doc_a < doc_b) sharing any band bucket. */
-  def lshCandidatePairs(bandedSigs: DataFrame): DataFrame = {
+  def lshCandidatePairs(bandedSigs: DataFrame): DataFrame =
     // both self-join sides read the signatures: materialize the (small,
     // docs x bands) frame once instead of re-running minhashing twice
-    val sigs = bandedSigs.localCheckpoint(true)
+    lshCandidatePairsFrom(bandedSigs.localCheckpoint(true))
+
+  /** [[lshCandidatePairs]] over an ALREADY-materialized signature frame
+    * — callers that checkpointed `sigs` for their own reuse (e.g.
+    * [[LshIndex.deltaCandidatePairs]]) skip a second identical
+    * materialization. */
+  private[operators] def lshCandidatePairsFrom(sigs: DataFrame): DataFrame = {
     val a = sigs.toDF("doc_a", "band_id", "bucket")
     val b = sigs.toDF("doc_b", "band_id", "bucket")
     a.join(b, Seq("band_id", "bucket"))

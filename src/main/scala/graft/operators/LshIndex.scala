@@ -54,6 +54,13 @@ object LshIndex {
     * [[Dedup.lshCandidatePairs]] over (corpus ∪ delta) would emit that
     * involve at least one delta doc, without touching corpus text.
     *
+    * PRECONDITION: delta ids are DISJOINT from stored ids. A re-crawled
+    * doc must arrive under a fresh id (or be removed from the store
+    * first): the monolithic recompute would MERGE same-id rows into one
+    * signature over the union of their shingles, which a store probe
+    * cannot replicate — and same-id collisions are deliberately dropped
+    * here rather than emitted as self-pairs.
+    *
     * Output: (doc_a, doc_b), doc_a < doc_b, distinct — the
     * [[Dedup.lshCandidatePairs]] contract, so the verify / components /
     * canonicalize tail composes unchanged (feed `canonicalize` a
@@ -82,7 +89,9 @@ object LshIndex {
       .filter(col("sid") =!= col("did"))
       .select(least(col("sid"), col("did")).as("doc_a"),
         greatest(col("sid"), col("did")).as("doc_b"))
-    val internal = Dedup.lshCandidatePairs(deltaSigs)
+    // deltaSigs is already checkpointed above — skip the public
+    // entry point's second materialization
+    val internal = Dedup.lshCandidatePairsFrom(deltaSigs)
     cross.unionByName(internal).distinct()
   }
 
@@ -94,8 +103,17 @@ object LshIndex {
     * [[graft.streaming.EventStreams.dedupAgainstCorpus]] stance: history
     * lives in the store, not in stream state). The arriving micro-batch
     * is broadcast — the batch is small by construction, the store is
-    * not — and the store re-reads per micro-batch, so [[append]]s from a
-    * parallel ingest are picked up without restarting the stream.
+    * not.
+    *
+    * STALENESS CONTRACT (verified behavior, not aspiration): the static
+    * side's FILE LISTING is pinned when the stream is defined — existing
+    * files' contents are re-read per micro-batch, but files added by a
+    * parallel [[append]] are NOT discovered. Restart the stream after
+    * appending, or run the probe inside `foreachBatch` (re-calling
+    * `spark.read.parquet` per batch re-lists the directory). Doc ids
+    * must be unique within each micro-batch
+    * ([[Dedup.minhashBandsPerRow]]'s contract) — put
+    * `dedupFirstArrival` upstream.
     *
     * Output is NOT distinct'd across bands (distinct on a stream needs
     * watermarked state): downstream either treats any match as "flag for

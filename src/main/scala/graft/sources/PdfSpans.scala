@@ -516,13 +516,19 @@ object PdfSpans {
         org.apache.spark.sql.functions.col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        val file = p.substring(p.lastIndexOf('/') + 1)
-        // case-insensitive strip: B.PDF -> "B", like a.pdf -> "a"
-        val name = if (file.toLowerCase.endsWith(".pdf"))
-          file.substring(0, file.length - 4) else file
+        val name = docIdOf(p.substring(p.lastIndexOf('/') + 1))
         try extract(bytes, name)
         catch { case _: Exception => Seq.empty }
       }
       .toDF()
   }
+
+  /** doc_id for a PDF file name: strip a case-insensitive `.pdf`
+    * extension (B.PDF -> "B", a.pdf -> "a"). THE shared contract between
+    * this corpus extractor and the `format("pdf")` DSv2 planner
+    * ([[graft.sources.pdf.PdfTable.docIdFor]]) — one implementation so
+    * the two paths cannot drift. */
+  def docIdOf(file: String): String =
+    if (file.toLowerCase.endsWith(".pdf")) file.substring(0, file.length - 4)
+    else file
 }

@@ -66,34 +66,46 @@ object PdfTable {
     StructField("font", StringType, nullable = true)))
 
   /** PDF files for `path`: the file itself, a directory's `*.pdf`
-    * members, or a file-name glob. Sorted for deterministic partition
-    * order. */
+    * members (extension matched case-insensitively — scanned-document
+    * dumps commonly carry `.PDF`), or a file-name glob. Sorted for
+    * deterministic partition order. A glob that matches NOTHING is an
+    * error, matching Spark's file sources ("Path does not exist") — a
+    * typo'd file name must not become a silently-empty scan. An empty
+    * DIRECTORY is a legitimate empty corpus. */
   def filesFor(path: String): Seq[String] = {
     import java.nio.file.{Files, Paths}
     val p = Paths.get(graft.sources.ZipSource.stripFileScheme(path))
     if (Files.isRegularFile(p)) Seq(p.toString)
-    else if (Files.isDirectory(p)) listDir(p, "*.pdf")
-    else if (p.getParent != null && Files.isDirectory(p.getParent))
-      listDir(p.getParent, p.getFileName.toString)
-    else sys.error(s"pdf source: no file at $path")
+    else if (Files.isDirectory(p))
+      listDir(p, n => n.toLowerCase.endsWith(".pdf"))
+    else if (p.getParent != null && Files.isDirectory(p.getParent)) {
+      val m = java.nio.file.FileSystems.getDefault
+        .getPathMatcher("glob:" + p.getFileName.toString)
+      val hits = listDir(p.getParent, n => m.matches(Paths.get(n)))
+      if (hits.isEmpty) sys.error(s"pdf source: no file matches $path")
+      hits
+    } else sys.error(s"pdf source: no file at $path")
   }
 
-  private def listDir(dir: java.nio.file.Path, glob: String): Seq[String] = {
-    val ds = java.nio.file.Files.newDirectoryStream(dir, glob)
+  private def listDir(dir: java.nio.file.Path,
+                      keep: String => Boolean): Seq[String] = {
+    val ds = java.nio.file.Files.newDirectoryStream(dir)
     try {
       val out = scala.collection.mutable.ListBuffer.empty[String]
-      ds.forEach(f => out += f.toString)
+      ds.forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f) &&
+            keep(f.getFileName.toString)) out += f.toString
+      }
       out.toList.sorted
     } finally ds.close()
   }
 
   /** File name without a case-insensitive `.pdf` extension — the
-    * `doc_id` contract shared with [[PdfSpans.extractAll]]. */
-  def docIdFor(file: String): String = {
-    val name = file.substring(file.lastIndexOf('/') + 1)
-    if (name.toLowerCase.endsWith(".pdf")) name.substring(0, name.length - 4)
-    else name
-  }
+    * `doc_id` contract shared with [[PdfSpans.extractAll]] (one
+    * implementation, [[PdfSpans.docIdOf]], so the DSv2 and binaryFile
+    * paths cannot drift). */
+  def docIdFor(file: String): String =
+    PdfSpans.docIdOf(file.substring(file.lastIndexOf('/') + 1))
 }
 
 class PdfTable(path: String) extends Table with SupportsRead {

@@ -63,12 +63,15 @@ object EventStreams {
 
   /** Incremental-ingestion dedup: drop arriving documents whose content
     * digest already exists in the STORED corpus — a stream-static LEFT
-    * ANTI join against the warehouse digest table. The static side is
-    * re-read per micro-batch (so a compaction/upsert of the corpus is
-    * picked up without restarting the stream) and the join is
+    * ANTI join against the warehouse digest table. The join is
     * broadcast-or-shuffle per batch with NO streaming state at all:
     * dedup-vs-history costs zero state because the history lives in the
-    * warehouse, not in the stream. Combine with [[dedupFirstArrival]]
+    * warehouse, not in the stream. STALENESS: existing files' CONTENTS
+    * re-read per micro-batch, but the static side's file listing is
+    * pinned at stream definition — files added or replaced by a corpus
+    * upsert/compaction are not discovered until the stream restarts (or
+    * run the join inside `foreachBatch`, re-reading the digest table per
+    * batch). Combine with [[dedupFirstArrival]]
     * upstream to also collapse duplicates WITHIN the arriving stream.
     *
     * @param arriving      streaming frame carrying `text`

@@ -63,4 +63,19 @@ class PdfDataSourceSpec extends SparkSpec {
     val glob = spark.read.format("pdf").load(dir.resolve("m*.pdf").toString)
     assert(glob.select("doc_id").distinct().as[String].collect().toSeq == Seq("manual"))
   }
+
+  test("directory listing matches the extension case-insensitively") {
+    val d2 = java.nio.file.Files.createTempDirectory("pdfcase")
+    java.nio.file.Files.write(d2.resolve("LEGACY.PDF"), PdfFixture.onePage(
+      "BT /F1 10 Tf 72 720 Td (Old scan) Tj ET\n"))
+    val df = spark.read.format("pdf").load(d2.toString)
+    assert(df.select("doc_id").distinct().as[String].collect().toSeq == Seq("LEGACY"))
+  }
+
+  test("a glob or file name matching nothing is an error, not an empty scan") {
+    val e = intercept[Exception] {
+      spark.read.format("pdf").load(dir.resolve("manaul.pdf").toString).collect()
+    }
+    assert(e.getMessage.contains("no file matches"), e.getMessage)
+  }
 }
