@@ -1434,6 +1434,25 @@ object SparkEntry {
       LshIndex.deltaCandidatePairs(s, idx, delta, col("doc_id"), col("text"),
           numHashes = 16, bands = 4, shingleN = 3)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // LLM ops — candidate TRIAGE without text: q94's incremental
+    // candidates ranked by the signature-agreement Jaccard estimate
+    // (fraction of equal minhash positions, read from the store's sigs
+    // half + the batch's own single scan). At 100 TB this sits between
+    // cheap banding and the expensive exact verify join — threshold on
+    // est_jaccard, verify only survivors. The estimate is exact
+    // arithmetic (k/16), so it hash-matches the oracle's replay.
+    "q95_store_estimate" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val delta = d.filter(col("doc_id") % 5 === 0)
+      val idx = java.nio.file.Files.createTempDirectory("graft_q95_lsh").toString
+      LshIndex.write(corpus, col("doc_id"), col("text"),
+        numHashes = 16, bands = 4, shingleN = 3, outDir = idx)
+      LshIndex.deltaCandidatesWithEstimate(s, idx, delta, col("doc_id"), col("text"),
+          numHashes = 16, bands = 4, shingleN = 3)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -2752,6 +2771,32 @@ object SparkEntry {
         |            ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b FROM pairs
         |WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q94's candidate CTEs + the signature-agreement estimate: join the
+    // two docs' per-position minhashes (hx) and count equal positions.
+    "q95_store_estimate" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT % 1000000007 AS hp FROM sh),
+        |hx AS (SELECT doc_id, i,
+        |         MIN(((2*i + 1) * hp + (i*i + 7919)) % 1000000007) AS mh
+        |       FROM ex, range(16) t(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band_id,
+        |            md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bucket
+        |          FROM hx GROUP BY doc_id, i // 4),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b
+        |            ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |cand AS (SELECT doc_a, doc_b FROM pairs
+        |         WHERE doc_a % 5 = 0 OR doc_b % 5 = 0)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+        |FROM cand c
+        |JOIN hx a ON a.doc_id = c.doc_a
+        |JOIN hx b ON b.doc_id = c.doc_b AND b.i = a.i
+        |GROUP BY c.doc_a, c.doc_b
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin
   )
 }

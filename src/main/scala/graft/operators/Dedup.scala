@@ -166,18 +166,55 @@ object Dedup {
   private[graft] def minhashBandsFromHashes(sh: DataFrame, numHashes: Int,
                                             bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    explodeBandBuckets(minhashSigTable(sh, numHashes),
+      i => col(s"mh$i"), numHashes, bands)
+  }
+
+  /** Per-doc minhash signature table (id, mh0..mh{n-1}) from a hashed
+    * distinct-shingle stream — the shared core of band bucketing
+    * ([[minhashBandsFromHashes]]) and whole-signature export
+    * ([[minhashSignatures]]). */
+  private def minhashSigTable(sh: DataFrame, numHashes: Int): DataFrame = {
     val base = sh.select(col("id"), (col("shh") % MinhashP).as("hp"))
     val minExprs = (0 until numHashes).map(i =>
       min((lit(2L * i + 1) * col("hp") + lit(i.toLong * i + 7919)) % MinhashP).as(s"mh$i"))
-    val sigs = base.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
-    explodeBandBuckets(sigs, i => col(s"mh$i"), numHashes, bands)
+    base.groupBy("id").agg(minExprs.head, minExprs.tail: _*)
   }
 
-  /** Band-bucket encoding shared by the batch ([[minhashBandsFromHashes]])
-    * and per-row ([[minhashBandsPerRow]]) signature forms — THE wire
-    * format of an [[LshIndex]] store (band b's bucket = md5 of its
-    * signature slice joined by ":"). One copy, so a store written by one
-    * form and probed by the other can never silently stop colliding. */
+  /** Whole minhash signatures, one array per doc: (id, sig array<long>
+    * of length numHashes). The signature IS a Jaccard sketch — the
+    * fraction of equal positions between two docs' arrays is an
+    * unbiased estimate of their shingle-set Jaccard — so candidates can
+    * be RANKED/thresholded without touching text (see
+    * [[LshIndex.deltaCandidatesWithEstimate]]); estimate, then spend
+    * the exact verify join only where it matters. */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column,
+                        numHashes: Int, shingleN: Int): DataFrame =
+    minhashSigTable(
+        graft.core.Parallelism.ensureWidth(
+            docs.select(id.as("id"), TextFunctions.tokens(text).as("ws")))
+          .select(col("id"),
+            explode(array_distinct(TextFunctions.shingles(col("ws"), shingleN))).as("sh"))
+          .select(col("id"), Hashing.hexLong(col("sh")).as("shh")),
+        numHashes)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+
+  /** Band buckets derived from a whole-signature frame (id, sig) — the
+    * [[LshIndex]] write path: signatures are the stored artifact, bands
+    * derive from them, so the two store halves can never disagree. Bit-
+    * identical buckets to [[minhashBands]] (same longs, same encoding). */
+  def bandsFromSignatures(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    explodeBandBuckets(sigs, i => col("sig")(i), numHashes, bands)
+  }
+
+  /** Band-bucket encoding shared by the batch ([[minhashBandsFromHashes]]),
+    * per-row ([[minhashBandsPerRow]]), and signature-derived
+    * ([[bandsFromSignatures]]) forms — THE wire format of an [[LshIndex]]
+    * store (band b's bucket = md5 of its signature slice joined by ":").
+    * One copy, so a store written by one form and probed by another can
+    * never silently stop colliding. */
   private def explodeBandBuckets(withId: DataFrame, mh: Int => Column,
                                  numHashes: Int, bands: Int): DataFrame = {
     val perBand = numHashes / bands

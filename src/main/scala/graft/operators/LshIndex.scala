@@ -5,36 +5,40 @@ import org.apache.spark.sql.functions._
 
 /** Persistent MinHash-LSH signature store — the INCREMENTAL dedup shape
   * (the [[IvfIndex]] pattern applied to near-dup detection): the corpus
-  * is tokenized, shingled, and minhashed ONCE and its banded signatures
-  * stored as parquet; each later batch ("today's crawl") computes
-  * signatures for ITS docs only and probes the store. At 100 TB the
-  * alternative — re-running [[Dedup.minhashBands]] over corpus+delta per
-  * ingest — re-scans the corpus daily for signatures that cannot have
-  * changed.
+  * is tokenized, shingled, and minhashed ONCE and its signatures stored
+  * as parquet; each later batch ("today's crawl") computes signatures
+  * for ITS docs only and probes the store. At 100 TB the alternative —
+  * re-running [[Dedup.minhashBands]] over corpus+delta per ingest —
+  * re-scans the corpus daily for signatures that cannot have changed.
   *
-  * Scale shape of [[deltaCandidatePairs]]: the delta's signature frame
+  * Store layout (two halves, both derived from ONE whole-signature
+  * frame so they can never disagree):
+  *
+  *  - `<dir>/sigs`  — (id, sig array<long>[numHashes]): the full
+  *    minhash signature, a per-doc Jaccard sketch. ~numHashes longs per
+  *    doc, never text.
+  *  - `<dir>/bands` — (id, bucket, band_id), `partitionBy(band_id)`:
+  *    the LSH blocking structure derived from `sigs`
+  *    ([[Dedup.bandsFromSignatures]]).
+  *
+  * Scale shape of [[deltaCandidatePairs]]: the delta's band frame
   * (|delta| × bands rows — bounded by the BATCH, never the corpus) is
-  * BROADCAST to the stored side, so the corpus signatures stream through
-  * a broadcast hash join without ever shuffling; only the sparse
-  * candidate-pair output exchanges. Reference analogue: the toolkit
-  * re-derives everything per run (`mdrm_data_collect_process.py` has no
+  * BROADCAST to the stored side, so the corpus bands stream through a
+  * broadcast hash join without ever shuffling; only the sparse
+  * candidate-pair output exchanges. [[deltaCandidatesWithEstimate]]
+  * then ranks candidates by the signature-agreement Jaccard estimate —
+  * still zero text access. Reference analogue: the toolkit re-derives
+  * everything per run (`mdrm_data_collect_process.py` has no
   * incremental path) — this operator is what replaces that rerun at
-  * scale.
-  *
-  * Signature storage is `partitionBy(band_id)` (bands are few and
-  * equal-sized, so files stay balanced); the store carries ONLY
-  * `(id, bucket, band_id)` — 8-byte ids and 32-char md5 band buckets,
-  * never text — so a 100 TB corpus stores ~O(docs × bands) small rows.
-  * Appending an accepted batch keeps the store current; append-parity
-  * with a fresh full write is spec-pinned (LshIndexSpec).
+  * scale. Appending an accepted batch keeps the store current;
+  * append-parity with a fresh full write is spec-pinned (LshIndexSpec).
   */
 object LshIndex {
 
   /** Signature the corpus and (over)write the store at `outDir`. */
   def write(docs: DataFrame, id: Column, text: Column,
             numHashes: Int, bands: Int, shingleN: Int, outDir: String): Unit =
-    store(Dedup.minhashBands(docs, id, text, numHashes, bands, shingleN),
-      outDir, "overwrite")
+    store(docs, id, text, numHashes, bands, shingleN, outDir, "overwrite")
 
   /** Append a batch's signatures to an existing store. Use the SAME
     * (numHashes, bands, shingleN) the store was written with — mixed
@@ -42,12 +46,27 @@ object LshIndex {
     * centroids invalidating an [[IvfIndex]]). Cost tracks the batch. */
   def append(docs: DataFrame, id: Column, text: Column,
              numHashes: Int, bands: Int, shingleN: Int, indexDir: String): Unit =
-    store(Dedup.minhashBands(docs, id, text, numHashes, bands, shingleN),
-      indexDir, "append")
+    store(docs, id, text, numHashes, bands, shingleN, indexDir, "append")
 
-  private def store(sigs: DataFrame, outDir: String, mode: String): Unit =
-    sigs.select(col("id"), col("bucket"), col("band_id"))
-      .write.mode(mode).partitionBy("band_id").parquet(outDir)
+  private def store(docs: DataFrame, id: Column, text: Column,
+                    numHashes: Int, bands: Int, shingleN: Int,
+                    outDir: String, mode: String): Unit = {
+    // one corpus scan: signatures materialize once, bands derive from
+    // them (never recomputed from text, so the halves cannot drift)
+    val sigs = Dedup.minhashSignatures(docs, id, text, numHashes, shingleN)
+      .localCheckpoint(true)
+    sigs.write.mode(mode).parquet(s"$outDir/sigs")
+    Dedup.bandsFromSignatures(sigs, numHashes, bands)
+      .select(col("id"), col("bucket"), col("band_id"))
+      .write.mode(mode).partitionBy("band_id").parquet(s"$outDir/bands")
+  }
+
+  private def storedBands(spark: SparkSession, indexDir: String): DataFrame =
+    // partition-column inference types band_id as int; normalize to the
+    // long the in-memory signatures carry
+    spark.read.parquet(s"$indexDir/bands")
+      .select(col("id").as("sid"), col("band_id").cast("long").as("band_id"),
+        col("bucket"))
 
   /** Candidate near-dup pairs for a NEW batch against the stored corpus
     * plus within the batch itself — exactly the pairs
@@ -74,25 +93,60 @@ object LshIndex {
                           delta: DataFrame, id: Column, text: Column,
                           numHashes: Int, bands: Int, shingleN: Int,
                           broadcastDelta: Boolean = true): DataFrame = {
-    // one signature pass over the batch feeds BOTH the store probe and
-    // the batch-internal candidate join
     val deltaSigs = Dedup.minhashBands(delta, id, text, numHashes, bands, shingleN)
       .localCheckpoint(true)
-    // partition-column inference types band_id as int; normalize to the
-    // long the in-memory signatures carry
-    val stored = spark.read.parquet(indexDir)
-      .select(col("id").as("sid"), col("band_id").cast("long").as("band_id"),
-        col("bucket"))
-    val probe0 = deltaSigs.select(col("id").as("did"), col("band_id"), col("bucket"))
+    candidatesFromBands(spark, indexDir, deltaSigs, broadcastDelta)
+  }
+
+  /** Candidate pairs from an already-computed delta band frame. */
+  private def candidatesFromBands(spark: SparkSession, indexDir: String,
+                                  deltaBands: DataFrame,
+                                  broadcastDelta: Boolean): DataFrame = {
+    val probe0 = deltaBands.select(col("id").as("did"), col("band_id"), col("bucket"))
     val probe = if (broadcastDelta) broadcast(probe0) else probe0
-    val cross = stored.join(probe, Seq("band_id", "bucket"))
+    val cross = storedBands(spark, indexDir).join(probe, Seq("band_id", "bucket"))
       .filter(col("sid") =!= col("did"))
       .select(least(col("sid"), col("did")).as("doc_a"),
         greatest(col("sid"), col("did")).as("doc_b"))
-    // deltaSigs is already checkpointed above — skip the public
-    // entry point's second materialization
-    val internal = Dedup.lshCandidatePairsFrom(deltaSigs)
+    // deltaBands is materialized by the caller — skip the public entry
+    // point's second materialization
+    val internal = Dedup.lshCandidatePairsFrom(deltaBands)
     cross.unionByName(internal).distinct()
+  }
+
+  /** [[deltaCandidatePairs]] plus a per-pair Jaccard ESTIMATE — the
+    * fraction of equal minhash positions between the two signatures, an
+    * unbiased estimator of shingle-set Jaccard with no text access at
+    * all: corpus signatures come from `<dir>/sigs`, delta signatures
+    * from the batch's own (single) scan. At 100 TB this is the triage
+    * stage between cheap banding and the expensive exact verify join —
+    * rank/threshold on `est_jaccard` (granularity 1/numHashes) and
+    * verify only what survives.
+    *
+    * The candidate set is BROADCAST into both signature lookups, so the
+    * corpus sig table streams without shuffling — the estimate join is
+    * bounded by |candidates|, which LSH keeps sparse by construction.
+    *
+    * Output: (doc_a, doc_b, est_jaccard double), doc_a < doc_b. */
+  def deltaCandidatesWithEstimate(spark: SparkSession, indexDir: String,
+                                  delta: DataFrame, id: Column, text: Column,
+                                  numHashes: Int, bands: Int, shingleN: Int,
+                                  broadcastDelta: Boolean = true): DataFrame = {
+    // ONE delta scan: whole signatures materialize, bands derive
+    val deltaSigs = Dedup.minhashSignatures(delta, id, text, numHashes, shingleN)
+      .localCheckpoint(true)
+    val deltaBands = Dedup.bandsFromSignatures(deltaSigs, numHashes, bands)
+      .localCheckpoint(true)
+    val cand = candidatesFromBands(spark, indexDir, deltaBands, broadcastDelta)
+    val allSigs = spark.read.parquet(s"$indexDir/sigs").unionByName(deltaSigs)
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
+    allSigs.toDF("doc_a", "sig_a").join(broadcast(cand), Seq("doc_a"))
+      .join(allSigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / numHashes).as("est_jaccard"))
   }
 
   /** STREAMING store probe: each arriving doc's signature collisions
@@ -123,9 +177,8 @@ object LshIndex {
                        numHashes: Int, bands: Int, shingleN: Int): DataFrame = {
     val sigs = Dedup.minhashBandsPerRow(arriving, id, text,
       numHashes, bands, shingleN)
-    val stored = spark.read.parquet(indexDir)
-      .select(col("id").as("corpus_id"),
-        col("band_id").cast("long").as("band_id"), col("bucket"))
+    val stored = storedBands(spark, indexDir)
+      .select(col("sid").as("corpus_id"), col("band_id"), col("bucket"))
     broadcast(sigs).join(stored, Seq("band_id", "bucket"))
       .filter(col("corpus_id") =!= col("id"))
       .select(col("id").as("doc_id"), col("corpus_id"), col("band_id"))

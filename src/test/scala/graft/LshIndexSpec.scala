@@ -48,16 +48,43 @@ class LshIndexSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 12L || p._2 == 12L), "unique doc must not pair")
   }
 
-  test("append keeps the store bit-identical to a fresh full write") {
+  test("append keeps BOTH store halves bit-identical to a fresh full write") {
     val incr = java.nio.file.Files.createTempDirectory("lshincr").toString
     val fresh = java.nio.file.Files.createTempDirectory("lshfresh").toString
     LshIndex.write(corpus, col("doc_id"), col("text"), H, B, N, incr)
     LshIndex.append(delta, col("doc_id"), col("text"), H, B, N, incr)
     LshIndex.write(corpus.unionByName(delta), col("doc_id"), col("text"), H, B, N, fresh)
-    def rows(d: String) = spark.read.parquet(d)
+    def bands(d: String) = spark.read.parquet(s"$d/bands")
       .select(col("id"), col("band_id").cast("long"), col("bucket"))
       .as[(Long, Long, String)].collect().sorted.toSeq
-    assert(rows(incr) == rows(fresh))
+    def sigs(d: String) = spark.read.parquet(s"$d/sigs")
+      .select(col("id"), col("sig"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(bands(incr) == bands(fresh))
+    assert(sigs(incr) == sigs(fresh))
+    // the bands half derives from the sigs half AND matches the batch
+    // operator's buckets (the wire-format pin, third form)
+    val direct = Dedup.minhashBands(corpus.unionByName(delta),
+        col("doc_id"), col("text"), H, B, N)
+      .select(col("id"), col("band_id"), col("bucket"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(bands(fresh) == direct)
+  }
+
+  test("deltaCandidatesWithEstimate: exact dups estimate 1.0, no text access") {
+    val dir = java.nio.file.Files.createTempDirectory("lshest").toString
+    LshIndex.write(corpus, col("doc_id"), col("text"), H, B, N, dir)
+    val est = LshIndex.deltaCandidatesWithEstimate(spark, dir, delta,
+        col("doc_id"), col("text"), H, B, N)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // same candidate set as the pair operator
+    assert(est.keySet == pairsOf(LshIndex.deltaCandidatePairs(spark, dir, delta,
+      col("doc_id"), col("text"), H, B, N)))
+    // identical texts agree at every minhash position
+    assert(est((3L, 9L)) == 1.0 && est((10L, 11L)) == 1.0)
+    // estimates are k/numHashes fractions in (0, 1]
+    assert(est.values.forall(v => v > 0.0 && v <= 1.0 &&
+      (v * H).round.toDouble == v * H))
   }
 
   test("streamingMatches probes the store per micro-batch with zero state") {
