@@ -1453,6 +1453,25 @@ object SparkEntry {
       LshIndex.deltaCandidatesWithEstimate(s, idx, delta, col("doc_id"), col("text"),
           numHashes = 16, bands = 4, shingleN = 3)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // LLM ops — the BPE loop CLOSED: train the merge table (q84's
+    // exact arithmetic), then ENCODE documents with it — each word
+    // folds the ranked merges through the same mergePair expression the
+    // trainer used, per row, zero shuffles on the encode side. The
+    // oracle re-derives the merges (q84's recursive CTE) and replays
+    // the encoding fold per word with the sentinel-replace idiom, so a
+    // hash match certifies train AND apply agree end-to-end.
+    "q96_bpe_encode" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val merges = Tokenize.bpeMerges(d, col("text"), nMerges = 24)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Tokenize.bpeEncode(d.filter(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"), merges)
+        .select(col("id").as("doc_id"), size(col("tokens")).as("n_tokens"),
+          concat_ws(" ", col("tokens")).as("encoded"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2797,6 +2816,59 @@ object SparkEntry {
         |JOIN hx a ON a.doc_id = c.doc_a
         |JOIN hx b ON b.doc_id = c.doc_b AND b.i = a.i
         |GROUP BY c.doc_a, c.doc_b
-        |ORDER BY c.doc_a, c.doc_b""".stripMargin
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+
+    // q84's training CTEs re-derive the merge list, then a second
+    // recursive CTE replays the encode fold per (doc, word): one
+    // sentinel-replace per rank, in order — exactly the mergePair
+    // semantics (left-to-right, non-overlapping, restart after merge).
+    "q96_bpe_encode" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY word),
+        |enc AS (SELECT n, list_aggregate(list_transform(string_split(word, ''),
+        |          c -> chr(31)||c||chr(31)), 'string_agg', '') AS s
+        |        FROM words WHERE length(word) > 0),
+        |st(iter, n, s, lft, rgt, cnt) AS (
+        |  SELECT 0, n, s, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM enc
+        |  UNION ALL
+        |  SELECT iter+1, n,
+        |    replace(s, chr(31)||bp.l||chr(31)||chr(31)||bp.r||chr(31), chr(31)||bp.l||bp.r||chr(31)),
+        |    bp.l, bp.r, bp.c
+        |  FROM st, (
+        |    SELECT l, r, CAST(SUM(n) AS BIGINT) AS c FROM (
+        |      SELECT w.n, w.syms[i] AS l, w.syms[i+1] AS r
+        |      FROM (SELECT n, string_split(trim(s, chr(31)), chr(31)||chr(31)) AS syms FROM st) w,
+        |           UNNEST(range(1, len(w.syms))) AS t(i)
+        |    ) GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1
+        |  ) bp
+        |  WHERE iter < 24
+        |),
+        |mg AS (SELECT DISTINCT iter - 1 AS rank, lft AS l, rgt AS r
+        |       FROM st WHERE iter >= 1),
+        |dw AS (SELECT doc_id, pos, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |           generate_subscripts(string_split(text, ' '), 1) AS pos
+        |    FROM documents WHERE doc_id % 10 = 0)
+        |  WHERE length(word) > 0),
+        |ap(doc_id, pos, s, step) AS (
+        |  SELECT doc_id, pos,
+        |    list_aggregate(list_transform(string_split(word, ''),
+        |      c -> chr(31)||c||chr(31)), 'string_agg', ''), 0
+        |  FROM dw
+        |  UNION ALL
+        |  SELECT a.doc_id, a.pos,
+        |    replace(a.s, chr(31)||m.l||chr(31)||chr(31)||m.r||chr(31), chr(31)||m.l||m.r||chr(31)),
+        |    a.step + 1
+        |  FROM ap a JOIN mg m ON m.rank = a.step
+        |  WHERE a.step < 24
+        |),
+        |fin AS (SELECT doc_id, pos,
+        |          string_split(trim(s, chr(31)), chr(31)||chr(31)) AS wtoks
+        |        FROM ap WHERE step = 24)
+        |SELECT doc_id,
+        |  CAST(SUM(len(wtoks)) AS INTEGER) AS n_tokens,
+        |  string_agg(list_aggregate(wtoks, 'string_agg', ' '), ' ' ORDER BY pos) AS encoded
+        |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -197,6 +197,31 @@ object Tokenize {
     merges.result()
   }
 
+  /** APPLY a trained merge list — the encode side of [[bpeMerges]]'
+    * train side, closing the BPE loop the way IvfIndex closes the IVF
+    * one. Each word splits to characters, then every merge applies in
+    * RANK ORDER, exhaustively per rank (the standard BPE apply), via
+    * the SAME [[mergePair]] fold the trainer uses — one implementation,
+    * so train and encode cannot disagree on merge semantics. Entirely
+    * per-row Catalyst (a fold of nMerges aggregate HOFs inside a
+    * transform), so it streams, scales with the corpus, and never
+    * shuffles; `merges` is driver-side and vocabulary-sized by
+    * construction. Empty words (split artifacts) are dropped.
+    *
+    * @param merges (left, right) pairs in rank order, e.g.
+    *               `bpeMerges(...).orderBy("rank")` collected
+    * @return (id, tokens array<string>)
+    */
+  def bpeEncode(docs: DataFrame, id: Column, text: Column,
+                merges: Seq[(String, String)]): DataFrame = {
+    val encodeWord: Column => Column = w =>
+      merges.foldLeft(split(w, ""))((syms, m) => mergePair(syms, m._1, m._2))
+    docs.select(id.as("id"),
+      flatten(transform(
+        filter(TextFunctions.tokens(text), w => length(w) > 0),
+        encodeWord)).as("tokens"))
+  }
+
   /** One BPE merge pass over a symbol array: left-to-right,
     * non-overlapping, restarting AFTER each merge — so merging (a,a)
     * on [a,a,a] yields [aa, a], the semantics of a string `replace`

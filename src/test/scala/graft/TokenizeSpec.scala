@@ -105,4 +105,31 @@ class TokenizeSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Tokenize.bpeMerges(corpus, col("text"), nMerges = 0))
   }
+
+  test("bpeEncode applies merges in rank order with trainer semantics") {
+    val docs = Seq((1L, "aaab aab b"), (2L, "")).toDF("doc_id", "text")
+    val out = Tokenize.bpeEncode(docs, col("doc_id"), col("text"),
+        Seq(("a", "a"), ("aa", "b")))
+      .as[(Long, Seq[String])].collect().toMap
+    // aaab: [a,a,a,b] -(a,a, restart-after-merge)-> [aa,a,b]; (aa,b) has
+    // no adjacent occurrence -> stays. aab: [a,a,b] -> [aa,b] -> [aab].
+    assert(out(1L) == Seq("aa", "a", "b", "aab", "b"))
+    assert(out(2L) == Seq.empty, "empty text encodes to zero tokens")
+    // round-trip: concatenating tokens per word reconstructs the words
+    assert(out(1L).mkString == "aaabaabb")
+  }
+
+  test("bpeEncode with trained merges reconstructs text losslessly") {
+    val corpus = Seq((1L, "low lower lowest"), (2L, "low low newest")).toDF("doc_id", "text")
+    val merges = Tokenize.bpeMerges(corpus, col("text"), nMerges = 6)
+      .orderBy("rank").as[(Long, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val enc = Tokenize.bpeEncode(corpus, col("doc_id"), col("text"), merges)
+      .as[(Long, Seq[String])].collect().toMap
+    // tokens concatenate back to the original words, in order
+    assert(enc(1L).mkString == "lowlowerlowest")
+    assert(enc(2L).mkString == "lowlownewest")
+    // training compressed: fewer tokens than characters
+    assert(enc(1L).length < "lowlowerlowest".length)
+  }
 }
