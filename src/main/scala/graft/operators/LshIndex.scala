@@ -143,8 +143,11 @@ object LshIndex {
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
       lit(0), (acc, x) => acc + x)
-    allSigs.toDF("doc_a", "sig_a").join(broadcast(cand), Seq("doc_a"))
-      .join(allSigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
+    // both lookups keep the candidate-bounded side on the build/broadcast
+    // end so the corpus sig scan streams in BOTH joins (the second hint
+    // covers candidates + sig_a — still O(|candidates|) rows)
+    val withA = allSigs.toDF("doc_a", "sig_a").join(broadcast(cand), Seq("doc_a"))
+    broadcast(withA).join(allSigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / numHashes).as("est_jaccard"))
   }
