@@ -1472,6 +1472,36 @@ object SparkEntry {
         .select(col("id").as("doc_id"), size(col("tokens")).as("n_tokens"),
           concat_ws(" ", col("tokens")).as("encoded"))
         .orderBy("doc_id")
+    }),
+
+    // LLM ops — the FULL ingest decision, every incremental stage in
+    // one query: persistent store probe (q94) → signature-estimate
+    // triage (q95, threshold 0.5) → exact Jaccard verify of SURVIVORS
+    // only (shingling only docs that appear in candidates) → connected
+    // components → canonical election where STORED COPIES WIN (priority
+    // 1 for corpus, 0 for the arriving batch; id tiebreak). The output
+    // is the operational answer to "what do I do with today's crawl":
+    // is_canonical=false on a delta doc means drop it, keep the corpus
+    // copy. Each stage costs what its input is — store probe tracks the
+    // batch, verify tracks the triaged candidates, election tracks the
+    // clustered docs. Never the corpus.
+    "q97_ingest_decision" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val delta = d.filter(col("doc_id") % 5 === 0)
+      val idx = java.nio.file.Files.createTempDirectory("graft_q97_lsh").toString
+      LshIndex.write(corpus, col("doc_id"), col("text"),
+        numHashes = 16, bands = 4, shingleN = 3, outDir = idx)
+      val triaged = LshIndex.deltaCandidatesWithEstimate(s, idx, delta,
+          col("doc_id"), col("text"), numHashes = 16, bands = 4, shingleN = 3)
+        .filter(col("est_jaccard") >= 0.5)
+      val verified = Dedup.verifyJaccardPairs(triaged, d,
+        col("doc_id"), col("text"), shingleN = 3, minJ = 0.2)
+      Dedup.canonicalize(
+          Dedup.connectedComponents(verified.select("doc_a", "doc_b")),
+          d.select(col("doc_id"),
+            when(col("doc_id") % 5 =!= 0, 1L).otherwise(0L).as("priority")))
+        .orderBy("doc_id")
     })
   )
 
@@ -2869,6 +2899,64 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(SUM(len(wtoks)) AS INTEGER) AS n_tokens,
         |  string_agg(list_aggregate(wtoks, 'string_agg', ' '), ' ' ORDER BY pos) AS encoded
-        |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q95's candidate+estimate CTEs (threshold 0.5), then the exact
+    // verify on raw shingle hashes restricted to triaged pairs
+    // (jaccard >= 0.2), then q91's component tail with a corpus-wins
+    // priority (1 for stored docs, 0 for the batch, id tiebreak).
+    "q97_ingest_decision" ->
+      """WITH RECURSIVE ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |exr AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shh FROM sh),
+        |exp AS (SELECT doc_id, shh % 1000000007 AS hp FROM exr),
+        |hx AS (SELECT doc_id, i,
+        |         MIN(((2*i + 1) * hp + (i*i + 7919)) % 1000000007) AS mh
+        |       FROM exp, range(16) t(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band_id,
+        |            md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bucket
+        |          FROM hx GROUP BY doc_id, i // 4),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM bands a JOIN bands b
+        |            ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |cand AS (SELECT doc_a, doc_b FROM pairs
+        |         WHERE doc_a % 5 = 0 OR doc_b % 5 = 0),
+        |est AS (SELECT c.doc_a, c.doc_b
+        |        FROM cand c
+        |        JOIN hx a ON a.doc_id = c.doc_a
+        |        JOIN hx b ON b.doc_id = c.doc_b AND b.i = a.i
+        |        GROUP BY c.doc_a, c.doc_b
+        |        HAVING CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16 >= 0.5),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM exr GROUP BY doc_id),
+        |com AS (SELECT e.doc_a, e.doc_b, COUNT(*) AS n_common
+        |        FROM est e
+        |        JOIN exr a ON a.doc_id = e.doc_a
+        |        JOIN exr b ON b.doc_id = e.doc_b AND b.shh = a.shh
+        |        GROUP BY e.doc_a, e.doc_b),
+        |vp AS (SELECT com.doc_a, com.doc_b
+        |       FROM com JOIN cnt ca ON ca.doc_id = com.doc_a
+        |                JOIN cnt cb ON cb.doc_id = com.doc_b
+        |       WHERE CAST(com.n_common AS DOUBLE)
+        |         / CAST(ca.n_sh + cb.n_sh - com.n_common AS DOUBLE) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+        |          UNION SELECT doc_b, doc_a FROM vp),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+        |comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+        |         FROM reach GROUP BY node),
+        |pr AS (SELECT doc_id, component_id,
+        |         CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS priority
+        |       FROM comp),
+        |can AS (SELECT component_id, doc_id AS canonical_id FROM (
+        |    SELECT component_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY component_id ORDER BY priority DESC, doc_id ASC) AS rn
+        |    FROM pr) WHERE rn = 1)
+        |SELECT pr.doc_id, pr.component_id, can.canonical_id,
+        |  (pr.doc_id = can.canonical_id) AS is_canonical
+        |FROM pr JOIN can ON pr.component_id = can.component_id
+        |ORDER BY pr.doc_id""".stripMargin
   )
 }

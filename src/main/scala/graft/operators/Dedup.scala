@@ -367,6 +367,50 @@ object Dedup {
         col("n_common"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard verification of an ARBITRARY candidate pair
+    * list — the generic verify stage: candidates may come from LSH
+    * banding ([[lshCandidatePairs]]), a persistent store probe
+    * ([[LshIndex.deltaCandidatePairs]]), an estimate triage
+    * ([[LshIndex.deltaCandidatesWithEstimate]] thresholded), simhash
+    * bit-bands, or anywhere else. Only docs that APPEAR in `pairs` are
+    * tokenized and shingled (semi-join prune before the corpus scan
+    * fans out), so verify cost tracks the CANDIDATES, never the corpus
+    * — at 100 TB the triage threshold directly prices this stage.
+    *
+    * @param pairs (doc_a, doc_b) candidates, doc_a < doc_b
+    * @return (doc_a, doc_b, n_a, n_b, n_common, jaccard) with
+    *         jaccard >= minJ — the [[lshVerifiedJaccardPairs]] contract
+    */
+  def verifyJaccardPairs(pairs: DataFrame, docs: DataFrame, id: Column,
+                         text: Column, shingleN: Int, minJ: Double): DataFrame = {
+    val cand = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    val ids = cand.select(col("doc_a").as("id"))
+      .unionByName(cand.select(col("doc_b").as("id"))).distinct()
+    // shingle ONLY candidate docs: the id set is candidate-bounded, so
+    // broadcast it into the corpus scan as a semi-join prune
+    val sh = graft.core.Parallelism.ensureWidth(
+        docs.select(id.as("id"), TextFunctions.tokens(text).as("ws"))
+          .join(broadcast(ids), Seq("id"), "left_semi"))
+      .select(col("id"),
+        explode(array_distinct(TextFunctions.shingles(col("ws"), shingleN))).as("s"))
+      .select(col("id"), Hashing.hexLong(col("s")).as("shh"))
+      .localCheckpoint(true)
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.toDF("doc_a", "shh"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "shh"), Seq("doc_b", "shh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(counts.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"))
+  }
+
   /** Connected components over a near-duplicate pair list — the dedup
     * GROUP RESOLUTION step: LSH/banding emits pairwise matches, but
     * keep-one-per-group needs the transitive closure (a~b, b~c => one

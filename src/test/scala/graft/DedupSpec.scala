@@ -60,6 +60,22 @@ class DedupSpec extends SparkSpec {
     assert(!perRow.exists(_._1 == 6L), "zero-shingle docs must drop in both forms")
   }
 
+  test("verifyJaccardPairs verifies an arbitrary candidate list exactly") {
+    // candidates from ANY source: here one true dup pair and one
+    // unrelated pair — verify keeps the dup at 1.0, rejects the other
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.verifyJaccardPairs(pairs, docs, col("doc_id"), col("text"),
+        shingleN = 3, minJ = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L)) == 1.0)
+    // agrees with the fused operator on the pairs both consider
+    val fused = Dedup.lshVerifiedJaccardPairs(docs, col("doc_id"), col("text"),
+        16, 4, 3, minJ = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(fused.get((1L, 2L)).contains(1.0))
+  }
+
   test("LSH candidate pairs include exact duplicates") {
     val pairs = Dedup.lshCandidatePairs(
         Dedup.minhashBands(docs, col("doc_id"), col("text"), 16, 4, 3))
