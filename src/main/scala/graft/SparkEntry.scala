@@ -2895,11 +2895,15 @@ object SparkEntry {
         |),
         |fin AS (SELECT doc_id, pos,
         |          string_split(trim(s, chr(31)), chr(31)||chr(31)) AS wtoks
-        |        FROM ap WHERE step = 24)
-        |SELECT doc_id,
-        |  CAST(SUM(len(wtoks)) AS INTEGER) AS n_tokens,
-        |  string_agg(list_aggregate(wtoks, 'string_agg', ' '), ' ' ORDER BY pos) AS encoded
-        |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |        FROM ap WHERE step = (SELECT COUNT(*) FROM mg)),
+        |agg AS (SELECT doc_id,
+        |          CAST(SUM(len(wtoks)) AS INTEGER) AS n_tokens,
+        |          string_agg(list_aggregate(wtoks, 'string_agg', ' '), ' ' ORDER BY pos) AS encoded
+        |        FROM fin GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+        |  COALESCE(a.encoded, '') AS encoded
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // q95's candidate+estimate CTEs (threshold 0.5), then the exact
     // verify on raw shingle hashes restricted to triaged pairs

@@ -351,6 +351,15 @@ object Dedup {
       .select(col("id"), Hashing.hexLong(col("s")).as("shh"))
       .localCheckpoint(true)
     val cand = lshCandidatePairs(minhashBandsFromHashes(sh, numHashes, bands))
+    jaccardFromShingles(cand, sh, minJ)
+  }
+
+  /** Shared verify tail: exact Jaccard of candidate pairs against a
+    * (id, shh) shingle-hash table, keeping pairs at or above `minJ`.
+    * `cand` must be DISTINCT (doc_a, doc_b) rows — a repeated pair would
+    * multiply its common-shingle count and inflate jaccard. */
+  private def jaccardFromShingles(cand: DataFrame, sh: DataFrame,
+                                  minJ: Double): DataFrame = {
     val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.toDF("doc_a", "shh"), Seq("doc_a"))
@@ -377,13 +386,18 @@ object Dedup {
     * fans out), so verify cost tracks the CANDIDATES, never the corpus
     * — at 100 TB the triage threshold directly prices this stage.
     *
-    * @param pairs (doc_a, doc_b) candidates, doc_a < doc_b
+    * @param pairs (doc_a, doc_b) candidates, doc_a < doc_b; repeats are
+    *              tolerated (deduped here — a multi-band probe like
+    *              [[LshIndex.streamingMatches]] legitimately emits the
+    *              same pair once per matching band)
     * @return (doc_a, doc_b, n_a, n_b, n_common, jaccard) with
     *         jaccard >= minJ — the [[lshVerifiedJaccardPairs]] contract
     */
   def verifyJaccardPairs(pairs: DataFrame, docs: DataFrame, id: Column,
                          text: Column, shingleN: Int, minJ: Double): DataFrame = {
-    val cand = pairs.select("doc_a", "doc_b").localCheckpoint(true)
+    // distinct BEFORE the verify join: a duplicated candidate row would
+    // double-count every common shingle (jaccard could exceed 1.0)
+    val cand = pairs.select("doc_a", "doc_b").distinct().localCheckpoint(true)
     val ids = cand.select(col("doc_a").as("id"))
       .unionByName(cand.select(col("doc_b").as("id"))).distinct()
     // shingle ONLY candidate docs: the id set is candidate-bounded, so
@@ -395,20 +409,7 @@ object Dedup {
         explode(array_distinct(TextFunctions.shingles(col("ws"), shingleN))).as("s"))
       .select(col("id"), Hashing.hexLong(col("s")).as("shh"))
       .localCheckpoint(true)
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val common = cand
-      .join(sh.toDF("doc_a", "shh"), Seq("doc_a"))
-      .join(sh.toDF("doc_b", "shh"), Seq("doc_b", "shh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(counts.toDF("doc_a", "n_a"), Seq("doc_a"))
-      .join(counts.toDF("doc_b", "n_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= minJ)
-      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
-        col("n_common"), col("jaccard"))
+    jaccardFromShingles(cand, sh, minJ)
   }
 
   /** Connected components over a near-duplicate pair list — the dedup

@@ -123,9 +123,13 @@ object LshIndex {
     * rank/threshold on `est_jaccard` (granularity 1/numHashes) and
     * verify only what survives.
     *
-    * The candidate set is BROADCAST into both signature lookups, so the
+    * With `broadcastDelta=true` (the default, for ingest-sized batches)
+    * the candidate set is BROADCAST into both signature lookups, so the
     * corpus sig table streams without shuffling — the estimate join is
     * bounded by |candidates|, which LSH keeps sparse by construction.
+    * `broadcastDelta=false` drops the hints EVERYWHERE — band probe and
+    * both estimate joins become shuffled sort-merge joins — for a delta
+    * (and hence candidate set) too large for the 8 GB broadcast bound.
     *
     * Output: (doc_a, doc_b, est_jaccard double), doc_a < doc_b. */
   def deltaCandidatesWithEstimate(spark: SparkSession, indexDir: String,
@@ -145,9 +149,13 @@ object LshIndex {
       lit(0), (acc, x) => acc + x)
     // both lookups keep the candidate-bounded side on the build/broadcast
     // end so the corpus sig scan streams in BOTH joins (the second hint
-    // covers candidates + sig_a — still O(|candidates|) rows)
-    val withA = allSigs.toDF("doc_a", "sig_a").join(broadcast(cand), Seq("doc_a"))
-    broadcast(withA).join(allSigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
+    // covers candidates + sig_a — still O(|candidates|) rows); the
+    // caller's broadcastDelta opt-out applies here too — a candidate set
+    // scaling with a huge delta must not be forced through the driver
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastDelta) broadcast(df) else df
+    val withA = allSigs.toDF("doc_a", "sig_a").join(hint(cand), Seq("doc_a"))
+    hint(withA).join(allSigs.toDF("doc_b", "sig_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / numHashes).as("est_jaccard"))
   }

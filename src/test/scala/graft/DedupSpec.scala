@@ -76,6 +76,20 @@ class DedupSpec extends SparkSpec {
     assert(fused.get((1L, 2L)).contains(1.0))
   }
 
+  test("verifyJaccardPairs tolerates repeated candidate rows") {
+    // a multi-band probe (e.g. LshIndex.streamingMatches) emits the same
+    // pair once per matching band; a repeat must NOT inflate n_common
+    // (pre-fix, a doubled pair doubled every common shingle: jaccard
+    // 2c/(a+b-2c), which can exceed 1.0 and falsely pass minJ)
+    val repeated = Seq((1L, 2L), (1L, 2L), (1L, 2L), (1L, 4L), (1L, 4L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.verifyJaccardPairs(repeated, docs, col("doc_id"), col("text"),
+        shingleN = 3, minJ = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(out.keySet == Set((1L, 2L)), "repeats must not create or drop pairs")
+    assert(out((1L, 2L)) == 1.0, "jaccard must be computed once per distinct pair")
+  }
+
   test("LSH candidate pairs include exact duplicates") {
     val pairs = Dedup.lshCandidatePairs(
         Dedup.minhashBands(docs, col("doc_id"), col("text"), 16, 4, 3))
