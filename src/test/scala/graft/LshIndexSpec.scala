@@ -121,4 +121,24 @@ class LshIndexSpec extends SparkSpec {
     val plan = cands.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
+
+  test("broadcastDelta=false removes every broadcast from the estimate path") {
+    // the opt-out exists for deltas past the 8 GB broadcast bound: with
+    // the hints dropped AND auto-broadcast off (tiny test frames would
+    // otherwise re-broadcast on size), the whole probe+estimate plan
+    // must contain zero broadcast joins — and still compute the same
+    // estimates as the broadcast path
+    val dir = java.nio.file.Files.createTempDirectory("lshnobc").toString
+    LshIndex.write(corpus, col("doc_id"), col("text"), H, B, N, dir)
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val est = LshIndex.deltaCandidatesWithEstimate(spark, dir, delta,
+        col("doc_id"), col("text"), H, B, N, broadcastDelta = false)
+      val rows = est.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val plan = est.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(1500))
+      assert(rows((3L, 9L)) == 1.0 && rows((10L, 11L)) == 1.0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
 }
