@@ -1502,6 +1502,25 @@ object SparkEntry {
           d.select(col("doc_id"),
             when(col("doc_id") % 5 =!= 0, 1L).otherwise(0L).as("priority")))
         .orderBy("doc_id")
+    }),
+
+    // LLM ops — fasttext-shaped linear classifier with INTEGER weights:
+    // train per-token class-share counts on the doc_id%3==0 split
+    // (positive class = English), score the HELD-OUT docs map-only
+    // against the one-row broadcast model. score = pos_hits/all_hits
+    // (one IEEE division of exact integers); the prediction threshold
+    // is the cross-multiplied integer comparison against the
+    // vocabulary-wide prior — no float weights anywhere, so the oracle
+    // replays the arithmetic bit-for-bit (HUGEINT on the DuckDB side).
+    "q98_class_share_classifier" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val model = Tokenize.classShareModel(d.filter(col("doc_id") % 3 === 0),
+        col("text"), col("lang") === "en", topK = 512)
+      Tokenize.classShareScore(d.filter(col("doc_id") % 3 =!= 0),
+          col("text"), model)
+        .select(col("doc_id"), (col("lang") === "en").as("is_en"),
+          col("pos_hits"), col("all_hits"), col("score"), col("pred_pos"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2961,6 +2980,36 @@ object SparkEntry {
         |SELECT pr.doc_id, pr.component_id, can.canonical_id,
         |  (pr.doc_id = can.canonical_id) AS is_canonical
         |FROM pr JOIN can ON pr.component_id = can.component_id
-        |ORDER BY pr.doc_id""".stripMargin
+        |ORDER BY pr.doc_id""".stripMargin,
+
+    // Integer class-share replay: top-512 train-split vocabulary by
+    // total count (ties on token), per-doc occurrence-weighted sums via
+    // a left join (OOV = 0), one double division for the score, HUGEINT
+    // cross-multiplication against the vocabulary prior for the
+    // prediction — the exact arithmetic the Spark side runs.
+    "q98_class_share_classifier" ->
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_all,
+        |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |       FROM toks WHERE doc_id % 3 = 0 GROUP BY tok
+        |       ORDER BY n_all DESC, tok LIMIT 512),
+        |pri AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p_pos,
+        |          CAST(SUM(n_all) AS BIGINT) AS p_all FROM tr),
+        |sc AS (SELECT t.doc_id,
+        |         CAST(SUM(COALESCE(tr.n_pos, 0)) AS BIGINT) AS pos_hits,
+        |         CAST(SUM(COALESCE(tr.n_all, 0)) AS BIGINT) AS all_hits
+        |       FROM toks t LEFT JOIN tr ON tr.tok = t.tok
+        |       WHERE t.doc_id % 3 <> 0 GROUP BY t.doc_id)
+        |SELECT s.doc_id, (d.lang = 'en') AS is_en, s.pos_hits, s.all_hits,
+        |  CASE WHEN s.all_hits > 0
+        |       THEN CAST(s.pos_hits AS DOUBLE) / CAST(s.all_hits AS DOUBLE)
+        |       ELSE 0.0 END AS score,
+        |  (CAST(s.pos_hits AS HUGEINT) * p.p_all
+        |     > CAST(p.p_pos AS HUGEINT) * s.all_hits) AS pred_pos
+        |FROM sc s
+        |JOIN documents d ON d.doc_id = s.doc_id
+        |CROSS JOIN pri p
+        |ORDER BY s.doc_id""".stripMargin
   )
 }

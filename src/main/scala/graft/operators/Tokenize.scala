@@ -102,6 +102,70 @@ object Tokenize {
           .otherwise(lit(0.0)))
   }
 
+  /** Class-share linear classifier MODEL — the fasttext-shaped label /
+    * quality filter (CCNet trains one to pick "Wikipedia-like" text)
+    * with INTEGER weights, so scoring is hash-exact across engines: per
+    * token of the training split, its total occurrence count (`n_all`)
+    * and its occurrences inside the positive class (`n_pos`), capped to
+    * the top-`topK` vocabulary by `n_all` (ties on token text) to bound
+    * the broadcast. Returned as ONE row: `pos_counts` / `all_counts`
+    * token->count maps plus the vocabulary-wide totals `prior_pos` /
+    * `prior_all` (the decision threshold — a doc is predicted positive
+    * when its token mix is MORE positive-weighted than the vocabulary
+    * at large). Same scale shape as [[vocabMap]] / [[bigramModel]]: one
+    * explode + map-side-combined aggregate + distributed top-k. */
+  def classShareModel(docs: DataFrame, text: Column, isPos: Column,
+                      topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    graft.core.Parallelism.ensureWidth(docs)
+      .select(explode(TextFunctions.tokens(text)).as("tok"),
+        isPos.cast("boolean").as("p"))
+      .groupBy("tok").agg(count(lit(1)).as("n_all"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("n_pos"))
+      .orderBy(col("n_all").desc, col("tok")).limit(topK)
+      .agg(
+        map_from_entries(collect_list(struct(col("tok"), col("n_pos"))))
+          .as("pos_counts"),
+        map_from_entries(collect_list(struct(col("tok"), col("n_all"))))
+          .as("all_counts"),
+        sum(col("n_pos")).as("prior_pos"),
+        sum(col("n_all")).as("prior_all"))
+  }
+
+  /** Score every document against a [[classShareModel]], appending
+    * `pos_hits` / `all_hits` (integer sums of the model counts over the
+    * doc's token occurrences; OOV contributes 0), `score` =
+    * pos_hits/all_hits (0.0 when the doc hits nothing — one IEEE
+    * double division of two exact integers, so bit-identical in any
+    * engine), and `pred_pos`: score > prior, evaluated as the
+    * cross-multiplied INTEGER comparison
+    * `pos_hits * prior_all > prior_pos * all_hits` in decimal(37,0) —
+    * no float threshold anywhere, exact below 1e18 total occurrences.
+    * The model rides one broadcast row and scoring is a per-row fold:
+    * the corpus never shuffles to be classified (the [[integerize]]
+    * rule). */
+  def classShareScore(docs: DataFrame, text: Column,
+                      model: DataFrame): DataFrame = {
+    val clash = Seq("pos_counts", "all_counts", "prior_pos", "prior_all")
+      .filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"docs columns ${clash.mkString(", ")} collide with the broadcast model")
+    def hits(m: String) = aggregate(TextFunctions.tokens(text), lit(0L),
+      (a, t) => a + coalesce(element_at(col(m), t), lit(0L)))
+    val d18 = (c: Column) => c.cast("decimal(18,0)")
+    docs.crossJoin(broadcast(model))
+      .withColumn("pos_hits", hits("pos_counts"))
+      .withColumn("all_hits", hits("all_counts"))
+      .withColumn("score",
+        when(col("all_hits") > 0,
+          col("pos_hits").cast("double") / col("all_hits").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("pred_pos",
+        d18(col("pos_hits")) * d18(col("prior_all")) >
+          d18(col("prior_pos")) * d18(col("all_hits")))
+      .drop("pos_counts", "all_counts", "prior_pos", "prior_all")
+  }
+
   /** BPE-style merge induction — the iterative half of tokenizer
     * training that [[vocabMap]]'s word-level top-k stops short of:
     * start from characters, then repeat (count adjacent symbol pairs

@@ -70,6 +70,43 @@ class TokenizeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
+  test("classShareModel + classShareScore: hand-checked integer model") {
+    // train: doc 1 positive ("good" class), doc 2 negative
+    val train = Seq(
+      (1L, "spark spark data", true),
+      (2L, "data noise noise", false)
+    ).toDF("doc_id", "text", "good")
+    val model = Tokenize.classShareModel(train, col("text"), col("good"), topK = 10)
+    val row = model.collect().head
+    val pos = row.getMap[String, Long](0)
+    val all = row.getMap[String, Long](1)
+    // counts: spark 2/2 pos, data 2/1 pos, noise 2/0 pos
+    assert(all == Map("spark" -> 2L, "data" -> 2L, "noise" -> 2L))
+    assert(pos == Map("spark" -> 2L, "data" -> 1L, "noise" -> 0L))
+    assert(row.getLong(2) == 3L && row.getLong(3) == 6L) // priors 3/6
+    val scored = Tokenize.classShareScore(Seq(
+        (10L, "spark spark"),   // 4/4 hits, score 1.0 > 3/6 prior
+        (11L, "noise data"),    // 1/4, below prior
+        (12L, "data data"),     // 2/4 = prior exactly: NOT strictly above
+        (13L, "unseen words")   // OOV only: 0 hits, score 0.0, pred false
+      ).toDF("doc_id", "text"), col("text"), model)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("pos_hits"), r.getAs[Long]("all_hits"),
+          r.getAs[Double]("score"), r.getAs[Boolean]("pred_pos")))).toMap
+    assert(scored(10L) == ((4L, 4L, 1.0, true)))
+    assert(scored(11L) == ((1L, 4L, 0.25, false)))
+    assert(scored(12L) == ((2L, 4L, 0.5, false)), "at-prior must not predict positive")
+    assert(scored(13L) == ((0L, 0L, 0.0, false)))
+    // the corpus never shuffles to be classified: model rides a broadcast
+    val plan = Tokenize.classShareScore(
+        Seq((10L, "spark")).toDF("doc_id", "text").localCheckpoint(true),
+        col("text"), model)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
   test("bpeMerges replays the classic merge sequence on a known corpus") {
     // words: aaab x2, ab x1
     //   round 0: (a,a) appears 2x in each aaab -> 4; (a,b) -> 2+1 = 3
