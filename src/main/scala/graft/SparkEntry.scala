@@ -1521,10 +1521,57 @@ object SparkEntry {
         .select(col("doc_id"), (col("lang") === "en").as("is_en"),
           col("pos_hits"), col("all_hits"), col("score"), col("pred_pos"))
         .orderBy("doc_id")
+    }),
+
+    // LLM ops — the classifier's acceptance instrument (q85's recall
+    // audit, transposed to quality filtering): exact integer confusion
+    // counts + derived metrics for TWO vocabulary sizes side by side,
+    // so the eval prices topK the way recallAtK prices nprobe. All
+    // metrics are single divisions of exact integers — the oracle
+    // replays both models and the confusion arithmetic end to end.
+    "q99_classifier_eval" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val train = d.filter(col("doc_id") % 3 === 0)
+      val held = d.filter(col("doc_id") % 3 =!= 0)
+      def evalK(k: Int) = Tokenize.evalBinary(
+          Tokenize.classShareScore(held, col("text"),
+            Tokenize.classShareModel(train, col("text"),
+              col("lang") === "en", topK = k)),
+          col("lang") === "en", col("pred_pos"))
+        .withColumn("model_k", lit(k.toLong))
+      evalK(8).unionByName(evalK(512)).orderBy("model_k")
     })
   )
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** The q98 class-share CTE chain for one vocabulary size, suffixed so
+    * two sizes can coexist in q99's single WITH clause. Ends with
+    * `ev$k`: the BIGINT confusion counts of the size-k model over the
+    * held-out split. */
+  private def classShareCtes(k: Int): String =
+    s"""tr$k AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_all,
+       |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |       FROM toks WHERE doc_id % 3 = 0 GROUP BY tok
+       |       ORDER BY n_all DESC, tok LIMIT $k),
+       |pri$k AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p_pos,
+       |          CAST(SUM(n_all) AS BIGINT) AS p_all FROM tr$k),
+       |sc$k AS (SELECT t.doc_id,
+       |         CAST(SUM(COALESCE(tr.n_pos, 0)) AS BIGINT) AS pos_hits,
+       |         CAST(SUM(COALESCE(tr.n_all, 0)) AS BIGINT) AS all_hits
+       |       FROM toks t LEFT JOIN tr$k tr ON tr.tok = t.tok
+       |       WHERE t.doc_id % 3 <> 0 GROUP BY t.doc_id),
+       |cls$k AS (SELECT (d.lang = 'en') AS is_en,
+       |         (CAST(s.pos_hits AS HUGEINT) * p.p_all
+       |            > CAST(p.p_pos AS HUGEINT) * s.all_hits) AS pred
+       |       FROM sc$k s JOIN documents d ON d.doc_id = s.doc_id
+       |       CROSS JOIN pri$k p),
+       |ev$k AS (SELECT CAST($k AS BIGINT) AS model_k,
+       |         CAST(SUM(CASE WHEN is_en AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(SUM(CASE WHEN NOT is_en AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |         CAST(SUM(CASE WHEN is_en AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |         CAST(SUM(CASE WHEN NOT is_en AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |       FROM cls$k)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -3010,6 +3057,30 @@ object SparkEntry {
         |FROM sc s
         |JOIN documents d ON d.doc_id = s.doc_id
         |CROSS JOIN pri p
-        |ORDER BY s.doc_id""".stripMargin
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // Both class-share models replayed end to end (q98's CTEs at k=32
+    // and k=512), then the confusion counts and single-division
+    // metrics exactly as evalBinary computes them.
+    "q99_classifier_eval" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |              FROM documents),
+         |${classShareCtes(8)},
+         |${classShareCtes(512)}
+         |SELECT model_k, tp, fp, fn, tn, tp + fp + fn + tn AS n,
+         |  CASE WHEN tp + fp + fn + tn > 0
+         |       THEN CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+         |       ELSE 0.0 END AS accuracy,
+         |  CASE WHEN tp + fp > 0
+         |       THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+         |       ELSE 0.0 END AS precision,
+         |  CASE WHEN tp + fn > 0
+         |       THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+         |       ELSE 0.0 END AS recall,
+         |  CASE WHEN tp * 2 + fp + fn > 0
+         |       THEN CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE)
+         |       ELSE 0.0 END AS f1
+         |FROM (SELECT * FROM ev8 UNION ALL SELECT * FROM ev512)
+         |ORDER BY model_k""".stripMargin
   )
 }

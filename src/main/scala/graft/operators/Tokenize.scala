@@ -166,6 +166,29 @@ object Tokenize {
       .drop("pos_counts", "all_counts", "prior_pos", "prior_all")
   }
 
+  /** Binary-classification evaluation — the acceptance instrument that
+    * prices a [[classShareModel]]'s `topK` (the way `recallAtK` prices
+    * IVF's nprobe): exact integer confusion counts in ONE map-side-
+    * combined aggregate over the scored frame, metrics derived as
+    * single IEEE divisions of those integers (hash-exact in any
+    * engine; 0.0 when a denominator is empty). Output: one row
+    * (tp, fp, fn, tn, n, accuracy, precision, recall, f1). */
+  def evalBinary(scored: DataFrame, actual: Column, pred: Column): DataFrame = {
+    def n(a: Column, p: Column) = sum(when(a && p, 1L).otherwise(0L))
+    def ratio(num: Column, den: Column) =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    scored.agg(
+        n(actual, pred).as("tp"), n(!actual, pred).as("fp"),
+        n(actual, !pred).as("fn"), n(!actual, !pred).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
+        ratio(col("tp") + col("tn"),
+          col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy"),
+        ratio(col("tp"), col("tp") + col("fp")).as("precision"),
+        ratio(col("tp"), col("tp") + col("fn")).as("recall"),
+        ratio(col("tp") * 2, col("tp") * 2 + col("fp") + col("fn")).as("f1"))
+  }
+
   /** BPE-style merge induction — the iterative half of tokenizer
     * training that [[vocabMap]]'s word-level top-k stops short of:
     * start from characters, then repeat (count adjacent symbol pairs

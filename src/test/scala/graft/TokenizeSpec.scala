@@ -107,6 +107,29 @@ class TokenizeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
+  test("evalBinary: hand-checked confusion counts and single-division metrics") {
+    val scored = Seq(
+      (true, true), (true, true), (true, false),   // 2 tp, 1 fn
+      (false, true), (false, false), (false, false) // 1 fp, 2 tn
+    ).toDF("actual", "pred")
+    val r = Tokenize.evalBinary(scored, col("actual"), col("pred")).collect().head
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn"), r.getAs[Long]("n")) ==
+      ((2L, 1L, 1L, 2L, 6L)))
+    assert(r.getAs[Double]("accuracy") == 4.0 / 6.0)
+    assert(r.getAs[Double]("precision") == 2.0 / 3.0)
+    assert(r.getAs[Double]("recall") == 2.0 / 3.0)
+    assert(r.getAs[Double]("f1") == 4.0 / 6.0)
+    // degenerate frame: no positives predicted or present -> metrics 0.0,
+    // never null/NaN
+    val none = Tokenize.evalBinary(
+        Seq((false, false)).toDF("actual", "pred"), col("actual"), col("pred"))
+      .collect().head
+    assert(none.getAs[Double]("precision") == 0.0 &&
+      none.getAs[Double]("recall") == 0.0 && none.getAs[Double]("f1") == 0.0)
+    assert(none.getAs[Double]("accuracy") == 1.0)
+  }
+
   test("bpeMerges replays the classic merge sequence on a known corpus") {
     // words: aaab x2, ab x1
     //   round 0: (a,a) appears 2x in each aaab -> 4; (a,b) -> 2+1 = 3
