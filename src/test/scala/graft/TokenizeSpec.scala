@@ -107,6 +107,37 @@ class TokenizeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
+  test("classShareScore works unchanged on a stream (stateless, batch parity)") {
+    // the model is a static one-row broadcast and scoring is a per-row
+    // fold, so the SAME operator runs in a streaming query with zero
+    // state — the dedupAgainstCorpus stance: knowledge lives in the
+    // (static) model, not in stream state
+    implicit val sc = spark.sqlContext
+    val train = Seq((1L, "spark spark data", true), (2L, "data noise noise", false))
+      .toDF("doc_id", "text", "good")
+    val model = Tokenize.classShareModel(train, col("text"), col("good"), topK = 10)
+      .localCheckpoint(true)
+    val batchDocs = Seq((10L, "spark spark"), (11L, "noise data"), (13L, "unseen"))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Tokenize.classShareScore(src.toDS().toDF("doc_id", "text"),
+        col("text"), model)
+      .writeStream.format("memory").queryName("cls_stream")
+      .outputMode("append").start()
+    try {
+      src.addData(batchDocs: _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "pos_hits", "all_hits", "score", "pred_pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4))).toSet
+      val streamed = rows(spark.table("cls_stream"))
+      val batch = rows(Tokenize.classShareScore(
+        batchDocs.toDF("doc_id", "text"), col("text"), model))
+      assert(streamed == batch)
+      assert(streamed.exists { case (id, _, _, s, p) => id == 10L && s == 1.0 && p })
+    } finally q.stop()
+  }
+
   test("evalBinary: hand-checked confusion counts and single-division metrics") {
     val scored = Seq(
       (true, true), (true, true), (true, false),   // 2 tp, 1 fn
