@@ -1540,6 +1540,36 @@ object SparkEntry {
           col("lang") === "en", col("pred_pos"))
         .withColumn("model_k", lit(k.toLong))
       evalK(8).unionByName(evalK(512)).orderBy("model_k")
+    }),
+
+    // LLM ops — filter-impact audit: the distribution-shift check a
+    // curation pipeline runs after ANY filter lands — per language,
+    // docs and tokens before vs after the classifier's keep decision,
+    // with retention ratios. Integer counts + single divisions, so the
+    // oracle replays exactly; one aggregate over the scored corpus
+    // (strata count = |langs|, never corpus-sized).
+    "q100_filter_impact" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val model = Tokenize.classShareModel(d.filter(col("doc_id") % 3 === 0),
+        col("text"), col("lang") === "en", topK = 512)
+      Tokenize.classShareScore(d.filter(col("doc_id") % 3 =!= 0),
+          col("text"), model)
+        .select(col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("nt"),
+          col("pred_pos"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pred_pos"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("nt")).as("n_tokens"),
+          sum(when(col("pred_pos"), col("nt")).otherwise(0L)).as("n_tokens_kept"))
+        .select(col("lang"), col("n_docs"), col("n_kept"),
+          col("n_tokens"), col("n_tokens_kept"),
+          (col("n_kept").cast("double") / col("n_docs").cast("double"))
+            .as("doc_retention"),
+          when(col("n_tokens") > 0,
+            col("n_tokens_kept").cast("double") / col("n_tokens").cast("double"))
+            .otherwise(lit(0.0)).as("token_retention"))
+        .orderBy("lang")
     })
   )
 
@@ -3081,6 +3111,30 @@ object SparkEntry {
          |       THEN CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE)
          |       ELSE 0.0 END AS f1
          |FROM (SELECT * FROM ev8 UNION ALL SELECT * FROM ev512)
-         |ORDER BY model_k""".stripMargin
+         |ORDER BY model_k""".stripMargin,
+
+    // The k=512 class-share chain, then per-language doc/token counts
+    // split by the keep decision, retention ratios as single divisions.
+    "q100_filter_impact" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |              FROM documents),
+         |${classShareCtes(512)},
+         |pred AS (SELECT s.doc_id, d.lang,
+         |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+         |           (CAST(s.pos_hits AS HUGEINT) * p.p_all
+         |              > CAST(p.p_pos AS HUGEINT) * s.all_hits) AS keep
+         |         FROM sc512 s JOIN documents d ON d.doc_id = s.doc_id
+         |         CROSS JOIN pri512 p)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS doc_retention,
+         |  CASE WHEN SUM(nt) > 0
+         |       THEN CAST(SUM(CASE WHEN keep THEN nt ELSE 0 END) AS DOUBLE)
+         |            / CAST(SUM(nt) AS DOUBLE)
+         |       ELSE 0.0 END AS token_retention
+         |FROM pred GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
