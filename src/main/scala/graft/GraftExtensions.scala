@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot, Md5Long, VecSum9Agg}
+import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot, FreqSketchAgg, Md5Long, VecSum9Agg}
 
 /** Engine extension point — the sanctioned way to add native expressions
   * to a session: `SparkSession.builder().withExtensions(new
@@ -23,6 +23,9 @@ import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVecto
   *    elementwise vector-sum aggregate (128-bit per element), the
   *    one-shuffle replacement for posexplode + per-position sums
   *    ([[graft.expressions.VecSum9Agg]]);
+  *  - `freq_sketch(string, k) -> struct<n, items>` — mergeable
+  *    Misra–Gries frequent-items summary; exchange volume O(partitions×k)
+  *    instead of a distinct-key shuffle ([[graft.expressions.FreqSketchAgg]]);
   *  - `bloom_might_contain(binary, bigint) -> boolean` — Spark's internal
   *    runtime-filter membership test exposed for explicit bloom
   *    prefilters ([[graft.operators.Decontaminate]]);
@@ -66,6 +69,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "vec_sum9 takes exactly 1 argument")
         VecSum9Agg(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketchAgg].getName, "freq_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "freq_sketch takes exactly 2 arguments")
+        FreqSketchAgg(children.head, children(1))
       }))
     // Spark's own runtime-filter membership expression (codegen'd), made
     // callable so operators can bloom-prefilter a join side explicitly

@@ -1570,6 +1570,40 @@ object SparkEntry {
             col("n_tokens_kept").cast("double") / col("n_tokens").cast("double"))
             .otherwise(lit(0.0)).as("token_retention"))
         .orderBy("lang")
+    }),
+
+    // §2.10 / LLM ops — bounded-memory frequent-items mining with the
+    // native mergeable Misra–Gries aggregate (freq_sketch). The exact
+    // formulation shuffles every distinct key; the sketch ships ONE
+    // k-entry buffer per partition (exchange O(partitions × k), corpus- and
+    // cardinality-independent). Sketch ESTIMATES are order-dependent, so —
+    // the q28 pattern — the gate hashes only its deterministic guarantees:
+    // every key with true count > n/(k+1) must be present (in_sketch), and
+    // its estimate must sit in [true − (n − S)/(k+1), true] (within_bound).
+    // The exact counts computed here are the audit instrument; at 100 TB
+    // you'd run only the sketch side.
+    "q101_heavy_hitters" -> ((s, dir) => {
+      val k = 16
+      val keys = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(substring(col("w"), 1, 1).as("x"))
+        .localCheckpoint(true) // one scan feeds both the sketch and the audit
+      val sketch = keys
+        .agg(call_function("freq_sketch", col("x"), lit(k)).as("s"))
+        .select(col("s.n").as("sk_n"),
+          aggregate(col("s.items"), lit(0L), (acc, e) => acc + e.getField("est"))
+            .as("sk_mass"),
+          map_from_entries(col("s.items")).as("ests"))
+      keys.groupBy("x").agg(count(lit(1)).as("true_cnt"))
+        .crossJoin(broadcast(sketch)) // sketch is ONE row
+        .filter(col("true_cnt") * (k + 1) > col("sk_n"))
+        .select(col("x"), col("true_cnt"), col("sk_n"),
+          element_at(col("ests"), col("x")).isNotNull.as("in_sketch"),
+          (element_at(col("ests"), col("x")) <= col("true_cnt") &&
+            (col("true_cnt") - element_at(col("ests"), col("x"))) * (k + 1) <=
+              col("sk_n") - col("sk_mass")).as("within_bound"))
+        .orderBy(col("true_cnt").desc, col("x"))
     })
   )
 
@@ -3135,6 +3169,22 @@ object SparkEntry {
          |       THEN CAST(SUM(CASE WHEN keep THEN nt ELSE 0 END) AS DOUBLE)
          |            / CAST(SUM(nt) AS DOUBLE)
          |       ELSE 0.0 END AS token_retention
-         |FROM pred GROUP BY lang ORDER BY lang""".stripMargin
+         |FROM pred GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Bounded-error sketch gate (the q28 pattern): DuckDB computes the
+    // exact per-key counts and the exact total, selects the keys above the
+    // n/(k+1) heavy-hitter threshold, and emits TRUE for the two sketch
+    // guarantees; the Spark side emits the sketch-derived booleans. A hash
+    // match certifies the Misra–Gries invariants held on this run.
+    "q101_heavy_hitters" ->
+      """WITH s AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |w0 AS (SELECT unnest(ws) AS w FROM s),
+        |w AS (SELECT substr(w, 1, 1) AS x FROM w0 WHERE len(w) > 0),
+        |c AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM w GROUP BY x),
+        |t AS (SELECT CAST(SUM(true_cnt) AS BIGINT) AS n FROM c)
+        |SELECT c.x, c.true_cnt, t.n AS sk_n,
+        |  TRUE AS in_sketch, TRUE AS within_bound
+        |FROM c CROSS JOIN t WHERE c.true_cnt * 17 > t.n
+        |ORDER BY c.true_cnt DESC, c.x""".stripMargin
   )
 }

@@ -1,0 +1,231 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable Misra–Gries frequent-items summary for [[FreqSketchAgg]].
+  *
+  * Holds at most `k` (item → count) counters. The classic stream update:
+  * a present item increments its counter; an absent item claims a free
+  * slot if one exists; otherwise EVERY counter decrements by one (zeros
+  * evicted) and the arrival goes uncounted. Each decrement event destroys
+  * exactly `k + 1` units of mass (k stored + 1 uncounted arrival), which
+  * is what buys the guarantee below.
+  *
+  * Merge (Agarwal et al., "Mergeable Summaries", PODS 2012): sum counts
+  * pointwise, then subtract the (k+1)-th largest resulting count from
+  * every counter and evict the non-positives. At most k counters can
+  * exceed that pivot, so the result fits; the ≥ k+1 counters at or above
+  * the pivot each lose ≥ pivot mass, so the mass/error invariant is
+  * preserved under ANY merge tree — exactly what Spark's partial
+  * aggregation needs (partition streams merge in task order, which is
+  * nondeterministic; the GUARANTEES are not).
+  *
+  * Invariant carried by induction over updates and merges, with `n` the
+  * total stream mass this summary has absorbed and `S = Σ counts`:
+  * for every item, `est ≤ true` and `true − est ≤ (n − S) / (k + 1)`.
+  * Hence any item with true frequency above `n / (k+1)` is GUARANTEED
+  * present, regardless of arrival or merge order.
+  */
+final class MGSummary(val k: Int) {
+  val counts = new java.util.HashMap[String, Long](k * 2)
+  var n: Long = 0L // total non-null arrivals absorbed (incl. uncounted)
+
+  def update(item: String): Unit = {
+    n += 1
+    val cur = counts.get(item)
+    if (cur != 0L) counts.put(item, cur + 1)
+    else if (counts.size < k) counts.put(item, 1L)
+    else {
+      // full and absent: decrement-all, evict zeros, arrival uncounted.
+      // O(k) here, but a full sweep only fires once per k+1 arrivals of
+      // absent items — amortized O(1) per stream element.
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1)
+      }
+    }
+  }
+
+  def merge(o: MGSummary): Unit = {
+    n += o.n
+    val it = o.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      counts.merge(e.getKey, e.getValue, (a, b) => a + b)
+    }
+    if (counts.size > k) {
+      // pivot = (k+1)-th largest count; subtract it everywhere.
+      val vals = new Array[Long](counts.size)
+      var i = 0
+      val vi = counts.values().iterator()
+      while (vi.hasNext) { vals(i) = vi.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val pivot = vals(vals.length - (k + 1))
+      val ei = counts.entrySet().iterator()
+      while (ei.hasNext) {
+        val e = ei.next()
+        if (e.getValue <= pivot) ei.remove() else e.setValue(e.getValue - pivot)
+      }
+    }
+  }
+
+  def storedMass: Long = {
+    var s = 0L
+    val vi = counts.values().iterator()
+    while (vi.hasNext) s += vi.next()
+    s
+  }
+
+  def serialize(): Array[Byte] = {
+    val entries = new java.util.ArrayList[(Array[Byte], Long)](counts.size)
+    var bytes = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val b = e.getKey.getBytes(StandardCharsets.UTF_8)
+      entries.add((b, e.getValue))
+      bytes += b.length
+    }
+    val buf = ByteBuffer.allocate(4 + 8 + 4 + entries.size * 12 + bytes)
+    buf.putInt(k).putLong(n).putInt(entries.size)
+    var i = 0
+    while (i < entries.size) {
+      val (b, c) = entries.get(i)
+      buf.putInt(b.length).put(b).putLong(c)
+      i += 1
+    }
+    buf.array()
+  }
+}
+
+object MGSummary {
+  def deserialize(bytes: Array[Byte]): MGSummary = {
+    val buf = ByteBuffer.wrap(bytes)
+    val s = new MGSummary(buf.getInt())
+    s.n = buf.getLong()
+    val sz = buf.getInt()
+    var i = 0
+    while (i < sz) {
+      val b = new Array[Byte](buf.getInt())
+      buf.get(b)
+      s.counts.put(new String(b, StandardCharsets.UTF_8), buf.getLong())
+      i += 1
+    }
+    s
+  }
+}
+
+/** `freq_sketch(string, k) -> struct<n: bigint, items: array<struct<item:
+  * string, est: bigint>>>` — bounded-memory frequent-items aggregate
+  * (mergeable Misra–Gries, k counters).
+  *
+  * The 100 TB problem it solves: "which n-grams / URLs / shingles are
+  * frequent" via exact `groupBy(key).count` shuffles EVERY DISTINCT KEY —
+  * at corpus scale that is trillions of rows through the exchange for an
+  * answer whose interesting part is a few dozen keys. This aggregate
+  * keeps a k-entry summary per partition (map-side partial aggregation),
+  * ships ONE k-sized buffer per partition through the shuffle, and merges
+  * them associatively — exchange volume is O(partitions × k), independent
+  * of both corpus size and distinct-key count.
+  *
+  * What the result means (and what it deliberately does not): `est` is
+  * order-dependent (streams and merge trees are nondeterministic in
+  * Spark), so raw estimates are NOT hash-stable across runs. The
+  * GUARANTEES are deterministic, and they are what callers should
+  * consume: `est ≤ true`, `true − est ≤ (n − Σest)/(k+1)`, and every key
+  * with true count > n/(k+1) is present. q101 gates exactly those
+  * invariants against DuckDB-exact counts (the q28 bounded-error
+  * pattern). A null input contributes nothing; an all-null/empty group
+  * yields `(0, [])`. Output items are sorted (est desc, item asc) so the
+  * struct itself is canonical for a GIVEN summary state.
+  *
+  * Reference analogue: the toolkit's pandas `value_counts()` probes
+  * (mdrm_data_collect_process.py) — exact and fine at MB scale, the
+  * thing this replaces at TB scale.
+  */
+case class FreqSketchAgg(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MGSummary] with BinaryLike[Expression] {
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+
+  private lazy val k: Int = kExpr.eval(null).asInstanceOf[Number].intValue()
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string child, got ${child.dataType.catalogString}")
+    else if (!kExpr.foldable ||
+        !Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal integer k")
+    else if (kExpr.eval(null) == null || kExpr.eval(null).asInstanceOf[Number].intValue() < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("items", ArrayType(StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("est", LongType, nullable = false))), containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_sketch"
+
+  override def createAggregationBuffer(): MGSummary = new MGSummary(k)
+
+  override def update(buffer: MGSummary, input: InternalRow): MGSummary = {
+    val v = child.eval(input)
+    // UTF8String buffers are reused by the scan — copy via toString.
+    if (v != null) buffer.update(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: MGSummary, input: MGSummary): MGSummary = {
+    buffer.merge(input)
+    buffer
+  }
+
+  override def eval(buffer: MGSummary): Any = {
+    val entries = new java.util.ArrayList[java.util.Map.Entry[String, Long]](
+      buffer.counts.entrySet())
+    entries.sort { (a, b) =>
+      val c = java.lang.Long.compare(b.getValue, a.getValue)
+      if (c != 0) c else a.getKey.compareTo(b.getKey)
+    }
+    val items = new Array[Any](entries.size)
+    var i = 0
+    while (i < entries.size) {
+      val e = entries.get(i)
+      items(i) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      i += 1
+    }
+    InternalRow(buffer.n, new GenericArrayData(items))
+  }
+
+  override def serialize(buffer: MGSummary): Array[Byte] = buffer.serialize()
+  override def deserialize(storageFormat: Array[Byte]): MGSummary =
+    MGSummary.deserialize(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FreqSketchAgg =
+    copy(child = newLeft, kExpr = newRight)
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.expressions.MGSummary
+
+class FreqSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (n, Map(item -> est)) from the single-row sketch result. */
+  private def sketchOf(items: Seq[String], k: Int, parts: Int): (Long, Map[String, Long]) = {
+    val row = items.toDF("w").repartition(parts)
+      .agg(call_function("freq_sketch", col("w"), lit(k)).as("s"))
+      .select(col("s.n"), col("s.items")).head()
+    val ests = row.getSeq[Row](1).map(r => r.getString(0) -> r.getLong(1)).toMap
+    (row.getLong(0), ests)
+  }
+
+  private def checkGuarantees(items: Seq[String], k: Int, parts: Int): Unit = {
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = items.size.toLong
+    val (sn, ests) = sketchOf(items, k, parts)
+    assert(sn == n, "sketch n must equal stream mass")
+    assert(ests.size <= k, "at most k counters survive")
+    val stored = ests.values.sum
+    val bound = (n - stored).toDouble / (k + 1)
+    for ((item, est) <- ests) {
+      val t = truth.getOrElse(item, 0L)
+      assert(est <= t, s"overestimate for $item: est=$est true=$t")
+      assert(t - est <= bound + 1e-9, s"undercount bound broken for $item")
+    }
+    // every item above n/(k+1) is guaranteed present (and so within bound)
+    for ((item, t) <- truth if t * (k + 1) > n)
+      assert(ests.contains(item), s"heavy hitter $item (true=$t, n=$n) missing")
+  }
+
+  test("distinct <= k: the sketch IS the exact count, any partitioning") {
+    val items = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++ Seq.fill(7)("c")
+    for (parts <- Seq(1, 3, 8)) {
+      val (n, ests) = sketchOf(scala.util.Random.shuffle(items), 4, parts)
+      assert(n == 72L)
+      assert(ests == Map("a" -> 40L, "b" -> 25L, "c" -> 7L))
+    }
+  }
+
+  test("k below distinct: guarantees hold under decrement pressure") {
+    // 1 dominant item diluted by 20 distinct light items
+    val items = Seq.fill(60)("hot") ++ (1 to 20).flatMap(i => Seq.fill(3)(s"w$i"))
+    for (parts <- Seq(1, 4)) checkGuarantees(items, 4, parts)
+  }
+
+  test("merge pressure: partitions with disjoint vocabularies") {
+    // each partition's local summary is exact; all error comes from merges
+    val items = (1 to 8).flatMap(p => (1 to 6).map(i => s"p${p}_$i")) ++ Seq.fill(30)("hh")
+    checkGuarantees(items, 5, 8)
+  }
+
+  test("seeded random streams: guarantees at several k and partitionings") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      // zipf-ish: item id = floor(80 / (1 + rnd * 25)), heavy head
+      val items = Seq.fill(600)(s"i${80 / (1 + rnd.nextInt(26))}")
+      for (k <- Seq(2, 5, 11); parts <- Seq(1, 7)) checkGuarantees(items, k, parts)
+    }
+  }
+
+  test("nulls skipped; empty group yields (0, [])") {
+    val (n, ests) = {
+      val row = Seq[(Integer, String)]((1, "x"), (2, null), (3, "x"))
+        .toDF("id", "w")
+        .agg(call_function("freq_sketch", col("w"), lit(3)).as("s"))
+        .select(col("s.n"), col("s.items")).head()
+      (row.getLong(0), row.getSeq[Row](1).map(r => r.getString(0) -> r.getLong(1)).toMap)
+    }
+    assert(n == 2L && ests == Map("x" -> 2L))
+    val empty = spark.sql("SELECT freq_sketch(w, 3) AS s FROM VALUES (CAST(NULL AS STRING)) t(w)")
+      .select(col("s.n"), size(col("s.items"))).head()
+    assert(empty.getLong(0) == 0L && empty.getInt(1) == 0)
+  }
+
+  test("output items are canonically ordered (est desc, item asc)") {
+    val items = Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(9)("z")
+    val got = items.toDF("w")
+      .agg(call_function("freq_sketch", col("w"), lit(8)).as("s"))
+      .select(col("s.items")).head().getSeq[Row](0).map(_.getString(0))
+    assert(got == Seq("z", "a", "b"))
+  }
+
+  test("buffer serialization round-trips (the partial->final shuffle path)") {
+    val s = new MGSummary(3)
+    Seq("a", "a", "b", "c", "d", "a").foreach(s.update)
+    val back = MGSummary.deserialize(s.serialize())
+    assert(back.k == 3 && back.n == s.n)
+    assert(back.counts == s.counts)
+    // and a merge of round-tripped halves preserves the invariants
+    val t = new MGSummary(3)
+    Seq("a", "e", "e", "f").foreach(t.update)
+    back.merge(MGSummary.deserialize(t.serialize()))
+    assert(back.n == 10L)
+    assert(back.counts.size <= 3)
+  }
+
+  test("SQL surface and per-group aggregation") {
+    val df = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g2", "z")).toDF("g", "w")
+    df.createOrReplaceTempView("fs_words")
+    val got = spark.sql(
+      """SELECT g, freq_sketch(w, 4).items AS items
+        |FROM fs_words GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(got.length == 2)
+    assert(got(0).getSeq[Row](1).map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("x", 2L), ("y", 1L)))
+    assert(got(1).getSeq[Row](1).map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("z", 1L)))
+  }
+}
