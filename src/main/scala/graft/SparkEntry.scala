@@ -1604,6 +1604,82 @@ object SparkEntry {
             (col("true_cnt") - element_at(col("ests"), col("x"))) * (k + 1) <=
               col("sk_n") - col("sk_mass")).as("within_bound"))
         .orderBy(col("true_cnt").desc, col("x"))
+    }),
+
+    // LLM ops — the CURATION FUNNEL: every certified filter stage of a
+    // production "raw crawl → training corpus" pipeline composed in ONE
+    // query, with the per-stage retention audit (docs + tokens) that a
+    // data team actually reads. Stages: language-consistency vote (q41),
+    // quality thresholds (q40's signals), repetition cap (q64), exact
+    // dedup (q20), VERIFIED near-dup droplist (q91's composition), and
+    // decontamination against the held-out benchmark split (q62).
+    // Thresholds compare via integer cross-multiplication (5·punct ≤ len,
+    // 20·dup2grams ≤ grams, 5·overlap ≤ grams) — no float-compare drift
+    // between engines. Scale shape: one checkpointed corpus scan feeds
+    // every row-local stage; the only shuffles are the content-hash
+    // groupBy, the banded-LSH chain (candidates only are verified), and
+    // the benchmark-shingle join; each stage audit is a one-row agg.
+    "q102_curation_funnel" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val ws = TextFunctions.tokens(col("text"))
+      val sDe = TextFunctions.vocabHits(ws, Seq("der", "die", "und", "nicht"))
+      val sEn = TextFunctions.vocabHits(ws, Seq("the", "a", "is", "and"))
+      val sEs = TextFunctions.vocabHits(ws, Seq("el", "la", "y", "de"))
+      val sFr = TextFunctions.vocabHits(ws, Seq("le", "la", "et", "les"))
+      val pred = when(sDe >= sEn && sDe >= sEs && sDe >= sFr, "de")
+        .when(sEn >= sEs && sEn >= sFr, "en")
+        .when(sEs >= sFr, "es").otherwise("fr")
+      val g2 = TextFunctions.shingles(ws, 2)
+      val nPunct = length(col("text")) -
+        length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))
+      val flags = graft.core.Parallelism.ensureWidth(d)
+        .filter(col("doc_id") % 20 =!= 0) // %20==0 is the held-out benchmark
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          size(ws).cast("long").as("nt"),
+          (pred === col("lang")).as("keep1"),
+          (nPunct * 5 <= length(col("text"))).as("punct_ok"),
+          (size(g2) > 0 &&
+            (size(g2) - size(array_distinct(g2))) * 20 <= size(g2)).as("rep_ok"))
+        .withColumn("keep2", col("keep1") && col("nt") >= 30 && col("punct_ok"))
+        .withColumn("keep3", col("keep2") && col("rep_ok"))
+        .localCheckpoint(true) // one corpus scan feeds all seven stage audits
+      val s3 = flags.filter(col("keep3")).select("doc_id", "text", "n_chars", "nt")
+      // stage 4: exact dedup — min doc_id per content hash wins
+      val keepIds = s3.groupBy(md5(col("text")).as("m"))
+        .agg(min("doc_id").as("doc_id")).drop("m")
+      val s4 = s3.join(keepIds, Seq("doc_id"), "left_semi").localCheckpoint(true)
+      // stage 5: verified near-dup droplist (q91 on the survivors)
+      val pairs = Dedup.lshVerifiedJaccardPairs(s4, col("doc_id"), col("text"),
+          numHashes = 16, bands = 4, shingleN = 3, minJ = 0.2)
+        .select("doc_a", "doc_b")
+      val canon = Dedup.canonicalize(Dedup.connectedComponents(pairs),
+        s4.select(col("doc_id"), col("n_chars").as("priority")))
+      val s5 = s4.join(canon.filter(!col("is_canonical")).select("doc_id"),
+        Seq("doc_id"), "left_anti").localCheckpoint(true)
+      // stage 6: decontaminate vs the benchmark split (q62's shape)
+      def sh3(df: DataFrame): DataFrame = df.select(col("doc_id"),
+          explode(array_distinct(TextFunctions.shingles(
+            TextFunctions.tokens(col("text")), 3))).as("g"))
+        .select(col("doc_id"), Hashing.hexLong(col("g")).as("gh"))
+      val bench = sh3(d.filter(col("doc_id") % 20 === 0)).select("gh").distinct()
+      val grams = sh3(s5).localCheckpoint(true)
+      val contaminated = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(grams.join(bench, Seq("gh"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap")), Seq("doc_id"))
+        .filter(col("n_overlap") * 5 > col("n_grams")).select("doc_id")
+      val s6 = s5.join(contaminated, Seq("doc_id"), "left_anti")
+      def stageRow(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("nt"), lit(0L)).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stageRow("0_ingest", flags)
+        .unionAll(stageRow("1_langid", flags.filter(col("keep1"))))
+        .unionAll(stageRow("2_quality", flags.filter(col("keep2"))))
+        .unionAll(stageRow("3_repetition", s3))
+        .unionAll(stageRow("4_exact_dedup", s4))
+        .unionAll(stageRow("5_near_dedup", s5))
+        .unionAll(stageRow("6_decontam", s6))
+        .orderBy("stage")
     })
   )
 
@@ -3185,6 +3261,107 @@ object SparkEntry {
         |SELECT c.x, c.true_cnt, t.n AS sk_n,
         |  TRUE AS in_sketch, TRUE AS within_bound
         |FROM c CROSS JOIN t WHERE c.true_cnt * 17 > t.n
-        |ORDER BY c.true_cnt DESC, c.x""".stripMargin
+        |ORDER BY c.true_cnt DESC, c.x""".stripMargin,
+
+    // Replays all six stages: q41's vote, integer-ratio quality and
+    // repetition thresholds, min-doc_id-per-md5 exact dedup, q91's
+    // verified-pair + recursive-components + election chain over the
+    // stage-4 survivors, and q62's benchmark-overlap decontamination —
+    // then aggregates each survivor set to one (stage, n_docs, n_tokens)
+    // audit row.
+    "q102_curation_funnel" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, text, n_chars, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |f0 AS (SELECT doc_id, lang, text, n_chars, w, CAST(len(w) AS BIGINT) AS nt,
+        |  len(list_filter(w, x -> list_contains(['der','die','und','nicht'], x))) AS s_de,
+        |  len(list_filter(w, x -> list_contains(['the','a','is','and'], x))) AS s_en,
+        |  len(list_filter(w, x -> list_contains(['el','la','y','de'], x))) AS s_es,
+        |  len(list_filter(w, x -> list_contains(['le','la','et','les'], x))) AS s_fr,
+        |  length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS np,
+        |  length(text) AS nc,
+        |  len(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g2,
+        |  len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS g2d
+        | FROM base),
+        |f AS (SELECT doc_id, text, n_chars, nt, w,
+        |   ((CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |          WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang) AS keep1,
+        |   (nt >= 30 AND np * 5 <= nc) AS q_ok,
+        |   (g2 > 0 AND (g2 - g2d) * 20 <= g2) AS rep_ok
+        | FROM f0),
+        |s3 AS (SELECT doc_id, text, n_chars, nt, w FROM f WHERE keep1 AND q_ok AND rep_ok),
+        |ke AS (SELECT MIN(doc_id) AS doc_id FROM s3 GROUP BY md5(text)),
+        |s4 AS (SELECT s3.* FROM s3 JOIN ke ON ke.doc_id = s3.doc_id),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM s4),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shh FROM sh),
+        |exp AS (SELECT doc_id, shh % 1000000007 AS hp FROM ex),
+        |hx AS (SELECT doc_id, i,
+        |         MIN(((2*i + 1) * hp + (i*i + 7919)) % 1000000007) AS mh
+        |       FROM exp, range(16) t(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band_id,
+        |            md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bucket
+        |          FROM hx GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
+        |com AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        |        FROM cand c
+        |        JOIN ex a ON a.doc_id = c.doc_a
+        |        JOIN ex b ON b.doc_id = c.doc_b AND b.shh = a.shh
+        |        GROUP BY c.doc_a, c.doc_b),
+        |vp AS (SELECT com.doc_a, com.doc_b
+        |       FROM com JOIN cnt ca ON ca.doc_id = com.doc_a
+        |                JOIN cnt cb ON cb.doc_id = com.doc_b
+        |       WHERE CAST(com.n_common AS DOUBLE)
+        |         / CAST(ca.n_sh + cb.n_sh - com.n_common AS DOUBLE) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+        |          UNION SELECT doc_b, doc_a FROM vp),
+        |reach(node, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst),
+        |comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id
+        |         FROM reach GROUP BY node),
+        |pr AS (SELECT c.doc_id, c.component_id, s4.n_chars
+        |       FROM comp c JOIN s4 ON s4.doc_id = c.doc_id),
+        |can AS (SELECT component_id, doc_id AS canonical_id FROM (
+        |    SELECT component_id, doc_id,
+        |      ROW_NUMBER() OVER (PARTITION BY component_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |    FROM pr) WHERE rn = 1),
+        |drops AS (SELECT pr.doc_id FROM pr JOIN can ON pr.component_id = can.component_id
+        |          WHERE pr.doc_id <> can.canonical_id),
+        |s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        |bw AS (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 20 = 0),
+        |bsh AS (SELECT list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM bw),
+        |bench AS (SELECT DISTINCT ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS gh FROM bsh),
+        |g5 AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS gh
+        |       FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM s5)),
+        |gc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g5 GROUP BY doc_id),
+        |go AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        |       FROM g5 g JOIN bench b ON b.gh = g.gh GROUP BY g.doc_id),
+        |bad AS (SELECT gc.doc_id FROM gc JOIN go ON go.doc_id = gc.doc_id
+        |        WHERE go.n_overlap * 5 > gc.n_grams),
+        |s6 AS (SELECT * FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+        |SELECT * FROM (
+        |  SELECT '0_ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens FROM f
+        |  UNION ALL SELECT '1_langid', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM f WHERE keep1
+        |  UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM f WHERE keep1 AND q_ok
+        |  UNION ALL SELECT '3_repetition', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s3
+        |  UNION ALL SELECT '4_exact_dedup', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s4
+        |  UNION ALL SELECT '5_near_dedup', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s5
+        |  UNION ALL SELECT '6_decontam', CAST(COUNT(*) AS BIGINT),
+        |         CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s6)
+        |ORDER BY stage""".stripMargin
   )
 }
