@@ -1621,27 +1621,11 @@ object SparkEntry {
     // the benchmark-shingle join; each stage audit is a one-row agg.
     "q102_curation_funnel" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      val ws = TextFunctions.tokens(col("text"))
-      val sDe = TextFunctions.vocabHits(ws, Seq("der", "die", "und", "nicht"))
-      val sEn = TextFunctions.vocabHits(ws, Seq("the", "a", "is", "and"))
-      val sEs = TextFunctions.vocabHits(ws, Seq("el", "la", "y", "de"))
-      val sFr = TextFunctions.vocabHits(ws, Seq("le", "la", "et", "les"))
-      val pred = when(sDe >= sEn && sDe >= sEs && sDe >= sFr, "de")
-        .when(sEn >= sEs && sEn >= sFr, "en")
-        .when(sEs >= sFr, "es").otherwise("fr")
-      val g2 = TextFunctions.shingles(ws, 2)
-      val nPunct = length(col("text")) -
-        length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))
-      val flags = graft.core.Parallelism.ensureWidth(d)
-        .filter(col("doc_id") % 20 =!= 0) // %20==0 is the held-out benchmark
-        .select(col("doc_id"), col("text"), col("n_chars"),
-          size(ws).cast("long").as("nt"),
-          (pred === col("lang")).as("keep1"),
-          (nPunct * 5 <= length(col("text"))).as("punct_ok"),
-          (size(g2) > 0 &&
-            (size(g2) - size(array_distinct(g2))) * 20 <= size(g2)).as("rep_ok"))
-        .withColumn("keep2", col("keep1") && col("nt") >= 30 && col("punct_ok"))
-        .withColumn("keep3", col("keep2") && col("rep_ok"))
+      val flags = Curation.stageFlags(
+          graft.core.Parallelism.ensureWidth(d)
+            .filter(col("doc_id") % 20 =!= 0), // %20==0 is the held-out benchmark
+          col("text"), col("lang"))
+        .select("doc_id", "text", "n_chars", "nt", "keep1", "keep2", "keep3")
         .localCheckpoint(true) // one corpus scan feeds all seven stage audits
       val s3 = flags.filter(col("keep3")).select("doc_id", "text", "n_chars", "nt")
       // stage 4: exact dedup — min doc_id per content hash wins

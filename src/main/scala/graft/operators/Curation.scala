@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The row-local curation gate: the filter stages of the raw-crawl →
+  * training-corpus funnel that need NO state and NO shuffle — language
+  * consistency (vocabulary vote, q41's rule), quality thresholds (token
+  * count + punctuation ratio, q40's signals), and intra-document
+  * repetition (duplicated 2-gram fraction, q64's signal).
+  *
+  * One implementation serves both execution modes (the BPE train/encode
+  * stance): q102 runs it in the batch funnel, and because every flag is a
+  * per-row expression the SAME operator runs in a streaming query with
+  * zero state — EventStreamsSpec pins stream-vs-batch row equality. The
+  * stateful funnel stages have their own streaming counterparts: exact
+  * dedup → [[graft.streaming.EventStreams.dedupFirstArrival]] /
+  * `dedupAgainstCorpus`, near-dup → [[LshIndex.streamingMatches]] (stored
+  * signature probe); decontamination needs either a bloom of the
+  * benchmark shingles riding the plan as a literal
+  * ([[Decontaminate.mightContain]]) or a foreachBatch exact join — the
+  * per-doc overlap AGGREGATE itself is not expressible without state.
+  *
+  * Thresholds compare via integer cross-multiplication (5·punct ≤ chars,
+  * 20·dup2grams ≤ grams) — exact, no float-boundary drift between engines
+  * or between batch and stream.
+  *
+  * Reference analogue: the toolkit's row-wise cleaning predicates
+  * (mdrm_data_collect_process.py's per-row regex filters) — here
+  * composed into a single-scan, codegen-friendly gate.
+  */
+object Curation {
+
+  /** Appends `nt` (token count) and cumulative stage flags `keep1` (lang
+    * vote matches `lang`), `keep2` (keep1 ∧ quality), `keep3` (keep2 ∧
+    * repetition cap) to `docs`. Pure projection: no shuffle, no state,
+    * stream-safe. */
+  def stageFlags(docs: DataFrame, text: Column, lang: Column,
+                 minTokens: Int = 30): DataFrame = {
+    val ws = TextFunctions.tokens(text)
+    val sDe = TextFunctions.vocabHits(ws, Seq("der", "die", "und", "nicht"))
+    val sEn = TextFunctions.vocabHits(ws, Seq("the", "a", "is", "and"))
+    val sEs = TextFunctions.vocabHits(ws, Seq("el", "la", "y", "de"))
+    val sFr = TextFunctions.vocabHits(ws, Seq("le", "la", "et", "les"))
+    val pred = when(sDe >= sEn && sDe >= sEs && sDe >= sFr, "de")
+      .when(sEn >= sEs && sEn >= sFr, "en")
+      .when(sEs >= sFr, "es").otherwise("fr")
+    val g2 = TextFunctions.shingles(ws, 2)
+    val nPunct = length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
+    docs
+      .withColumn("nt", size(ws).cast("long"))
+      .withColumn("keep1", pred === lang)
+      .withColumn("keep2", col("keep1") && col("nt") >= minTokens &&
+        nPunct * 5 <= length(text))
+      .withColumn("keep3", col("keep2") &&
+        size(g2) > 0 && (size(g2) - size(array_distinct(g2))) * 20 <= size(g2))
+  }
+}

@@ -318,6 +318,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(streaming == Set(("a", 1L), ("a", 2L), ("b", 7L)))
   }
 
+  test("curation gate runs unchanged on a stream (stateless, batch parity)") {
+    // Curation.stageFlags is pure projection — the SAME operator that
+    // gates q102's batch funnel scores an arriving stream with zero
+    // state. Edge cases ride along: empty text (nt=1 from split, fails
+    // min-tokens), punct-heavy (fails the 5·punct ≤ chars rule), and a
+    // loop-y doc (fails the 20·dup2grams ≤ grams cap).
+    val docs = Seq(
+      (1L, "the a is and " + (1 to 40).map(i => s"w$i").mkString(" "), "en"), // passes all
+      (2L, "the a is and", "en"),                     // en vote, too short
+      (3L, "der die und nicht", "en"),                // vote says de, label en
+      (4L, "", "fr"),                                 // empty text
+      (5L, ("!! ?? ## " * 20) + "le et " * 20, "fr"), // punct-heavy
+      (6L, Array.fill(40)("le la").mkString(" ") + " et", "fr")) // repetitive
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, String, String)]
+    val q = graft.operators.Curation.stageFlags(src.toDS().toDF("doc_id", "text", "lang"),
+        col("text"), col("lang"))
+      .writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    try {
+      src.addData(docs: _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "nt", "keep1", "keep2", "keep3")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4))).toSet
+      val streamed = rows(spark.table("cur_stream"))
+      val batch = rows(graft.operators.Curation.stageFlags(docs.toDF("doc_id", "text", "lang"),
+        col("text"), col("lang")))
+      assert(streamed == batch)
+      val byId = streamed.map(t => t._1 -> t).toMap
+      assert(byId(1L)._5, "clean doc must clear every stage")
+      assert(byId(2L)._3 && !byId(2L)._4, "short doc stops at quality")
+      assert(!byId(3L)._3, "language-inconsistent doc stops at the vote")
+      assert(!byId(4L)._4, "empty text stops at quality")
+      assert(byId(5L)._3 && !byId(5L)._4, "punct-heavy doc stops at quality")
+      assert(byId(6L)._4 && !byId(6L)._5, "repetitive doc stops at the 2-gram cap")
+    } finally q.stop()
+  }
+
   test("streaming transforms run identically on batch frames") {
     val batch = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "click", 1.0),
