@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot, FreqSketchAgg, Md5Long, VecSum9Agg}
+import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot, FreqSketchAgg, Md5Long, QDigestAgg, VecSum9Agg}
 
 /** Engine extension point — the sanctioned way to add native expressions
   * to a session: `SparkSession.builder().withExtensions(new
@@ -26,6 +26,10 @@ import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVecto
   *  - `freq_sketch(string, k) -> struct<n, items>` — mergeable
   *    Misra–Gries frequent-items summary; exchange volume O(partitions×k)
   *    instead of a distinct-key shuffle ([[graft.expressions.FreqSketchAgg]]);
+  *  - `qdigest(bigint, b, k) -> struct<n, nodes>` — mergeable q-digest
+  *    quantile summary over `[0, 2^b)` with a deterministic `b·⌊n/k⌋`
+  *    rank-error bound; one pass, O(k) per group through the exchange
+  *    ([[graft.expressions.QDigestAgg]]);
   *  - `bloom_might_contain(binary, bigint) -> boolean` — Spark's internal
   *    runtime-filter membership test exposed for explicit bloom
   *    prefilters ([[graft.operators.Decontaminate]]);
@@ -76,6 +80,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "freq_sketch takes exactly 2 arguments")
         FreqSketchAgg(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("qdigest"),
+      new ExpressionInfo(classOf[QDigestAgg].getName, "qdigest"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "qdigest takes exactly 3 arguments")
+        QDigestAgg(children.head, children(1), children(2))
       }))
     // Spark's own runtime-filter membership expression (codegen'd), made
     // callable so operators can bloom-prefilter a join side explicitly

@@ -1664,6 +1664,60 @@ object SparkEntry {
         .unionAll(stageRow("5_near_dedup", s5))
         .unionAll(stageRow("6_decontam", s6))
         .orderBy("stage")
+    }),
+
+    // LLM ops — one-pass quantile sketch over the token-count
+    // distribution (expressions.QDigestAgg): the bounded-memory answer to
+    // "the p99 document length, per corpus/domain" at 100 TB — one scan,
+    // O(k) exchange bytes per group, mergeable through Spark's
+    // nondeterministic partial-agg order. Like q101/q28, the gate checks
+    // the DETERMINISTIC guarantee, not the engine-specific sketch state:
+    // the traversal estimate for target rank t satisfies cumLE(est) >= t
+    // EXACTLY and cumLT(est) <= t-1 + b*floor(n/k) (each straddling node
+    // is an ancestor of est's leaf: <= b of them, each <= floor(n/k)).
+    // Both sides also emit the exact rank-quantiles, which the oracle
+    // replays. Scale shape: the traversal window runs over <= 3k sketch
+    // nodes (never the corpus), the exact side's value window over the
+    // <= 2^b-bounded DOMAIN — both independent of corpus size; the only
+    // corpus-sized work is the one checkpointed scan.
+    "q103_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val b = 20; val k = 256
+      val nts = Tables.load(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("nt"))
+        .localCheckpoint(true) // one corpus scan feeds sketch + exact side
+      val sketch = nts
+        .agg(call_function("qdigest", col("nt"), lit(b), lit(k)).as("s"))
+        .select(col("s.n").as("n"), col("s.nodes").as("nodes"))
+      // sketch traversal: running mass in (rmax, rsize) order — the eval's
+      // canonical node order, so posexplode position IS the walk order
+      val walk = sketch.select(col("n"), posexplode(col("nodes")).as(Seq("i", "node")))
+        .select(col("n"), col("node.rmax").as("rmax"),
+          sum(col("node.cnt")).over(Window.orderBy("i")).as("cum"))
+      val targets = Seq(1, 25, 50, 75, 99).toDF("p")
+      val ests = walk.crossJoin(broadcast(targets))
+        .withColumn("t", expr("(p * n + 99) div 100")) // ceil(p*n/100), exact
+        .filter(col("cum") >= col("t"))
+        .groupBy("p", "n", "t").agg(min("rmax").as("est"))
+      // exact ranks of the estimates (5 rows broadcast against value counts)
+      val cnts = nts.groupBy("nt").agg(count(lit(1)).as("c"))
+      val bounds = cnts.crossJoin(broadcast(ests))
+        .groupBy("p", "n", "t", "est")
+        .agg(coalesce(sum(when(col("nt") <= col("est"), col("c"))), lit(0L)).as("cum_le"),
+          coalesce(sum(when(col("nt") < col("est"), col("c"))), lit(0L)).as("cum_lt"))
+        .select(col("p"), col("n"),
+          (col("cum_le") >= col("t")).as("lower_ok"),
+          (col("cum_lt") <= col("t") - 1 + lit(b) * expr("n div " + k)).as("upper_ok"))
+      // exact quantiles under the same rank definition (min value with
+      // cumulative count >= t) — the oracle-replayable half of the output
+      val cw = cnts.withColumn("cum", sum("c").over(Window.orderBy("nt")))
+      val exact = cw.crossJoin(broadcast(targets))
+        .join(ests.select("p", "t"), Seq("p"))
+        .filter(col("cum") >= col("t"))
+        .groupBy("p").agg(min("nt").as("exact_q"))
+      bounds.join(exact, Seq("p"))
+        .select("p", "n", "exact_q", "lower_ok", "upper_ok")
+        .orderBy("p")
     })
   )
 
@@ -3346,6 +3400,25 @@ object SparkEntry {
         |         CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s5
         |  UNION ALL SELECT '6_decontam', CAST(COUNT(*) AS BIGINT),
         |         CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM s6)
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+
+    // The sketch state is engine-specific; the gate is its deterministic
+    // guarantee (q28/q101 stance). DuckDB replays the EXACT half — n and
+    // the rank-definition quantiles (min value whose cumulative count
+    // reaches t = ceil(p*n/100)) — and emits TRUE for the bound columns
+    // the Spark side computes from exact ranks of its sketch estimates.
+    "q103_quantile_sketch" ->
+      """WITH nt AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |            FROM documents),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nt),
+        |c AS (SELECT nt, CAST(COUNT(*) AS BIGINT) AS c FROM nt GROUP BY nt),
+        |cw AS (SELECT nt, SUM(c) OVER (ORDER BY nt) AS cum FROM c),
+        |p(p) AS (VALUES (1), (25), (50), (75), (99)),
+        |tgt AS (SELECT p.p, tot.n, (p.p * tot.n + 99) // 100 AS t
+        |        FROM p CROSS JOIN tot),
+        |ex AS (SELECT tgt.p, tgt.n, CAST(MIN(cw.nt) AS BIGINT) AS exact_q
+        |       FROM tgt JOIN cw ON cw.cum >= tgt.t GROUP BY tgt.p, tgt.n)
+        |SELECT p, n, exact_q, TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM ex ORDER BY p""".stripMargin
   )
 }

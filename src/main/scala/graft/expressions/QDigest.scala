@@ -1,0 +1,254 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.TernaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Mergeable q-digest quantile summary for [[QDigestAgg]] (Shrivastava
+  * et al., "Medians and Beyond", SenSys 2004; merge rule per Agarwal et
+  * al., "Mergeable Summaries", PODS 2012).
+  *
+  * The universe is the integer range `[0, 2^b)`, organized as a complete
+  * binary tree in heap numbering: root = 1, the leaf for value `x` is
+  * `2^b + x`, and the node `v` at depth `d` covers the `2^(b-d)` values
+  * starting at `(v - 2^d) << (b - d)`. The summary is a sparse
+  * (node → count) map.
+  *
+  * Updates count at the leaf. Compression walks depths bottom-up and
+  * folds a child pair into its parent whenever
+  * `count(v) + count(sibling) + count(parent) ≤ ⌊n/k⌋` — so every
+  * INTERNAL node ever written holds ≤ ⌊n/k⌋ mass (n is monotone, so the
+  * invariant can only loosen). Merge is pointwise count addition followed
+  * by compression: `⌊n₁/k⌋ + ⌊n₂/k⌋ ≤ ⌊(n₁+n₂)/k⌋` keeps the invariant
+  * through any merge tree, which is exactly what Spark's nondeterministic
+  * partial-aggregation order requires. Post-compression size is O(k)
+  * nodes (a kept pair witnesses > ⌊n/k⌋ mass in its 3-node neighborhood,
+  * and each unit of mass is witnessed by ≤ 3 neighborhoods).
+  *
+  * Deterministic guarantee consumed by the q103 gate: reading nodes in
+  * (rmax asc, range-size asc) order with a running count sum, the
+  * estimate for target rank `t` is the first node where the running sum
+  * reaches `t`. Every node at or before it holds values ≤ its rmax, so
+  * `|{x ≤ est}| ≥ t` holds EXACTLY; values < est that were not yet
+  * summed live only in nodes straddling est — ancestors of its leaf, at
+  * most `b` of them, each ≤ ⌊n/k⌋ — so `|{x < est}| ≤ t − 1 + b·⌊n/k⌋`.
+  * Both bounds hold for every stream and every merge order even though
+  * the sketch CONTENT is order-dependent (the q101/q28 stance: gate the
+  * guarantee, not the engine-specific state).
+  */
+final class QDigestSummary(val b: Int, val k: Int) {
+  val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+  var n: Long = 0L
+
+  private def leafBase: Long = 1L << b
+
+  /** Values outside [0, 2^b) clamp to the nearest edge — at corpus scale
+    * one outlier must not fail the job; pick `b` so the domain fits and
+    * no clamping occurs (the gate's corpus does). */
+  def update(x: Long): Unit = {
+    val v = math.min(math.max(x, 0L), leafBase - 1L)
+    n += 1
+    counts.merge(leafBase + v, 1L, (a, c) => a + c)
+    if (counts.size > 6 * k) compress()
+  }
+
+  def merge(o: QDigestSummary): Unit = {
+    require(o.b == b && o.k == k, s"qdigest param mismatch: ($b,$k) vs (${o.b},${o.k})")
+    n += o.n
+    val it = o.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      counts.merge(e.getKey, e.getValue, (a, c) => a + c)
+    }
+    compress()
+  }
+
+  def compress(): Unit = {
+    val t = n / k
+    if (t == 0L) return // nothing can fold yet; map is small at tiny n
+    var depth = b
+    while (depth >= 1) {
+      val lo = 1L << depth
+      val hi = (1L << (depth + 1)) - 1
+      // snapshot this depth's ids: folds only create nodes at depth-1,
+      // which the next loop iteration scans fresh.
+      val ids = new java.util.ArrayList[Long]()
+      val ki = counts.keySet().iterator()
+      while (ki.hasNext) {
+        val id = ki.next().longValue()
+        if (id >= lo && id <= hi && (id & 1L) == 0L) ids.add(id)
+        else if (id >= lo && id <= hi && !counts.containsKey(java.lang.Long.valueOf(id & ~1L)))
+          ids.add(id & ~1L) // odd child without its even sibling: one rep per pair
+      }
+      var i = 0
+      while (i < ids.size) {
+        val r = ids.get(i)
+        val cv = Option(counts.get(java.lang.Long.valueOf(r))).map(_.longValue()).getOrElse(0L)
+        val cs = Option(counts.get(java.lang.Long.valueOf(r | 1L))).map(_.longValue()).getOrElse(0L)
+        val p = java.lang.Long.valueOf(r >>> 1)
+        val cp = Option(counts.get(p)).map(_.longValue()).getOrElse(0L)
+        if (cv + cs + cp <= t && cv + cs > 0L) {
+          counts.remove(java.lang.Long.valueOf(r))
+          counts.remove(java.lang.Long.valueOf(r | 1L))
+          counts.put(p, cv + cs + cp)
+        }
+        i += 1
+      }
+      depth -= 1
+    }
+  }
+
+  /** (rmax, rangeSize) of a node id. */
+  def range(id: Long): (Long, Long) = {
+    val d = 63 - java.lang.Long.numberOfLeadingZeros(id)
+    val size = 1L << (b - d)
+    val min = (id - (1L << d)) << (b - d)
+    (min + size - 1, size)
+  }
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 4 + 8 + 4 + counts.size * 16)
+    buf.putInt(b).putInt(k).putLong(n).putInt(counts.size)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buf.putLong(e.getKey.longValue()).putLong(e.getValue.longValue())
+    }
+    buf.array()
+  }
+}
+
+object QDigestSummary {
+  def deserialize(bytes: Array[Byte]): QDigestSummary = {
+    val buf = ByteBuffer.wrap(bytes)
+    val s = new QDigestSummary(buf.getInt(), buf.getInt())
+    s.n = buf.getLong()
+    val sz = buf.getInt()
+    var i = 0
+    while (i < sz) {
+      s.counts.put(java.lang.Long.valueOf(buf.getLong()),
+        java.lang.Long.valueOf(buf.getLong()))
+      i += 1
+    }
+    s
+  }
+}
+
+/** `qdigest(bigint, b, k) -> struct<n: bigint, nodes: array<struct<rmax:
+  * bigint, rsize: bigint, cnt: bigint>>>` — one-pass mergeable quantile
+  * summary over the integer universe `[0, 2^b)` with the DETERMINISTIC
+  * rank guarantee `ε = b·⌊n/k⌋` (see [[QDigestSummary]]).
+  *
+  * The 100 TB problem it solves: distribution questions ("the p99 of
+  * document token counts, per domain") via exact quantiles need either a
+  * full sort or a per-(group, value) shuffle; q39's two-pass broadcast
+  * range histogram needs a second corpus scan. This aggregate is ONE
+  * scan, O(k·6) heap per partition, O(k)-sized partial through the
+  * exchange per group — and because it is mergeable it composes with
+  * partial aggregation and `groupBy` for free: per-group sketches cost
+  * the same shuffle as a `count(*)`.
+  *
+  * Output nodes carry materialized ranges `(rmax, rsize, cnt)` sorted
+  * (rmax asc, rsize asc) — the query-side traversal order — so consumers
+  * need no bit arithmetic; the estimate for target rank `t` is the first
+  * node whose running `cnt` sum reaches `t`, and its rank error is
+  * bounded as documented even though node contents are merge-order-
+  * dependent. Nulls are skipped; an empty group yields `(0, [])`.
+  *
+  * Reference analogue: the toolkit's pandas `describe()` probes — exact
+  * and fine at MB scale; this is the bounded-memory replacement.
+  */
+case class QDigestAgg(
+    child: Expression,
+    bExpr: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QDigestSummary] with TernaryLike[Expression] {
+
+  override def first: Expression = child
+  override def second: Expression = bExpr
+  override def third: Expression = kExpr
+
+  private lazy val b: Int = bExpr.eval(null).asInstanceOf[Number].intValue()
+  private lazy val k: Int = kExpr.eval(null).asInstanceOf[Number].intValue()
+
+  private def intLit(e: Expression): Boolean =
+    e.foldable && Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+      .contains(e.dataType) && e.eval(null) != null
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(child.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an integral child, got ${child.dataType.catalogString}")
+    else if (!intLit(bExpr) || bExpr.eval(null).asInstanceOf[Number].intValue() < 1 ||
+        bExpr.eval(null).asInstanceOf[Number].intValue() > 62)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal 1 <= b <= 62")
+    else if (!intLit(kExpr) || kExpr.eval(null).asInstanceOf[Number].intValue() < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal k >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("nodes", ArrayType(StructType(Seq(
+      StructField("rmax", LongType, nullable = false),
+      StructField("rsize", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "qdigest"
+
+  override def createAggregationBuffer(): QDigestSummary = new QDigestSummary(b, k)
+
+  override def update(buffer: QDigestSummary, input: InternalRow): QDigestSummary = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Number].longValue())
+    buffer
+  }
+
+  override def merge(buffer: QDigestSummary, input: QDigestSummary): QDigestSummary = {
+    buffer.merge(input)
+    buffer
+  }
+
+  override def eval(buffer: QDigestSummary): Any = {
+    buffer.compress()
+    val entries = new java.util.ArrayList[(Long, Long, Long)](buffer.counts.size)
+    val it = buffer.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (rmax, rsize) = buffer.range(e.getKey.longValue())
+      entries.add((rmax, rsize, e.getValue.longValue()))
+    }
+    entries.sort { (a, b2) =>
+      val c = java.lang.Long.compare(a._1, b2._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b2._2)
+    }
+    val items = new Array[Any](entries.size)
+    var i = 0
+    while (i < entries.size) {
+      val e = entries.get(i)
+      items(i) = InternalRow(e._1, e._2, e._3)
+      i += 1
+    }
+    InternalRow(buffer.n, new GenericArrayData(items))
+  }
+
+  override def serialize(buffer: QDigestSummary): Array[Byte] = buffer.serialize()
+  override def deserialize(storageFormat: Array[Byte]): QDigestSummary =
+    QDigestSummary.deserialize(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QDigestAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QDigestAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): QDigestAgg =
+    copy(child = newFirst, bExpr = newSecond, kExpr = newThird)
+}

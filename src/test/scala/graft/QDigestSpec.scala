@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.expressions.QDigestSummary
+
+class QDigestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (n, nodes as (rmax, rsize, cnt)) from the single-row sketch. */
+  private def sketchOf(xs: Seq[Long], b: Int, k: Int, parts: Int): (Long, Seq[(Long, Long, Long)]) = {
+    val row = xs.toDF("x").repartition(parts)
+      .agg(call_function("qdigest", col("x"), lit(b), lit(k)).as("s"))
+      .select(col("s.n"), col("s.nodes")).head()
+    (row.getLong(0), row.getSeq[Row](1).map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
+  /** Estimate for target rank t: first node in (rmax, rsize) order whose
+    * running cnt sum reaches t — the documented traversal. */
+  private def estimate(nodes: Seq[(Long, Long, Long)], t: Long): Long = {
+    var cum = 0L
+    for ((rmax, _, cnt) <- nodes) {
+      cum += cnt
+      if (cum >= t) return rmax
+    }
+    nodes.last._1
+  }
+
+  /** Asserts the two deterministic q-digest bounds for several targets:
+    * cumLE(est) >= t exactly, and cumLT(est) <= t - 1 + b*floor(n/k). */
+  private def checkGuarantees(xs: Seq[Long], b: Int, k: Int, parts: Int): Unit = {
+    val (n, nodes) = sketchOf(xs, b, k, parts)
+    assert(n == xs.size.toLong, "sketch n must equal stream mass")
+    val sorted = xs.sorted
+    val eps = b.toLong * (n / k)
+    for (p <- Seq(1, 10, 25, 50, 75, 90, 99)) {
+      val t = (p * n + 99) / 100 // ceil(p*n/100), integer arithmetic
+      val est = estimate(nodes, t)
+      val cumLE = sorted.count(_ <= est).toLong
+      val cumLT = sorted.count(_ < est).toLong
+      assert(cumLE >= t, s"p$p: cumLE($est)=$cumLE < t=$t (exact lower bound broken)")
+      assert(cumLT <= t - 1 + eps,
+        s"p$p: cumLT($est)=$cumLT > ${t - 1 + eps} (upper bound broken, eps=$eps)")
+    }
+    // total node mass equals n, and node counts fold into the invariant:
+    assert(nodes.map(_._3).sum == n, "node mass must equal n")
+    // every internal (rsize > 1) node holds <= floor(n/k)
+    for ((rmax, rsize, cnt) <- nodes if rsize > 1)
+      assert(cnt <= n / k, s"internal node ($rmax,$rsize) count $cnt > ${n / k}")
+  }
+
+  test("no compression pressure: the sketch answers exact quantiles") {
+    // k large vs n: nothing folds, every node is a leaf => exact CDF
+    val xs = Seq.fill(30)(7L) ++ Seq.fill(20)(19L) ++ Seq.fill(10)(3L)
+    for (parts <- Seq(1, 4)) {
+      val (n, nodes) = sketchOf(scala.util.Random.shuffle(xs), 8, 256, parts)
+      assert(n == 60L)
+      assert(nodes == Seq((3L, 1L, 10L), (7L, 1L, 30L), (19L, 1L, 20L)))
+      assert(estimate(nodes, (50 * n + 99) / 100) == 7L) // median
+      assert(estimate(nodes, (99 * n + 99) / 100) == 19L)
+    }
+  }
+
+  test("compression pressure: bounds hold at small k") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(2000)(rnd.nextInt(1 << 12).toLong)
+    for (k <- Seq(8, 32, 128); parts <- Seq(1, 8)) checkGuarantees(xs, 12, k, parts)
+  }
+
+  test("skewed stream: a heavy value plus a long uniform tail") {
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(1500)(100L) ++ Seq.fill(500)(rnd.nextInt(1 << 16).toLong)
+    for (parts <- Seq(1, 6)) checkGuarantees(xs, 16, 16, parts)
+  }
+
+  test("merge pressure: partitions with disjoint ranges") {
+    // each partition holds one narrow band; all folding happens in merges
+    val xs = (0 until 8).flatMap(p => Seq.fill(100)((p * 1000 + p).toLong))
+    checkGuarantees(xs, 13, 4, 8)
+  }
+
+  test("values outside [0, 2^b) clamp to the edges") {
+    val (n, nodes) = sketchOf(Seq(-5L, 0L, 300L, 1000L), 8, 64, 1)
+    assert(n == 4L)
+    // -5 clamps to 0; 300 and 1000 clamp to 255
+    assert(nodes == Seq((0L, 1L, 2L), (255L, 1L, 2L)))
+  }
+
+  test("nulls skipped; empty group yields (0, [])") {
+    val row = Seq[(Int, java.lang.Long)]((1, 5L), (2, null), (3, 5L)).toDF("id", "x")
+      .agg(call_function("qdigest", col("x"), lit(8), lit(16)).as("s"))
+      .select(col("s.n"), col("s.nodes")).head()
+    assert(row.getLong(0) == 2L)
+    assert(row.getSeq[Row](1).map(r => (r.getLong(0), r.getLong(2))) == Seq((5L, 2L)))
+    val empty = spark.sql("SELECT qdigest(x, 8, 16) AS s FROM VALUES (CAST(NULL AS BIGINT)) t(x)")
+      .select(col("s.n"), size(col("s.nodes"))).head()
+    assert(empty.getLong(0) == 0L && empty.getInt(1) == 0)
+  }
+
+  test("buffer serialization round-trips (the partial->final shuffle path)") {
+    val s = new QDigestSummary(10, 4)
+    (1 to 200).foreach(i => s.update((i * 37 % 1024).toLong))
+    val back = QDigestSummary.deserialize(s.serialize())
+    assert(back.b == 10 && back.k == 4 && back.n == s.n)
+    assert(back.counts == s.counts)
+    val t = new QDigestSummary(10, 4)
+    (1 to 100).foreach(i => t.update((i * 91 % 1024).toLong))
+    back.merge(QDigestSummary.deserialize(t.serialize()))
+    assert(back.n == 300L)
+    var mass = 0L
+    back.counts.values().forEach(c => mass += c)
+    assert(mass == 300L, "merge must conserve mass")
+  }
+
+  test("mismatched sketch parameters refuse to merge") {
+    val a = new QDigestSummary(10, 4)
+    val b = new QDigestSummary(12, 4)
+    a.update(1L); b.update(1L)
+    intercept[IllegalArgumentException](a.merge(b))
+  }
+
+  test("SQL surface and per-group aggregation") {
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 100L), ("g2", 7L)).toDF("g", "x")
+    df.createOrReplaceTempView("qd_vals")
+    val got = spark.sql(
+      """SELECT g, qdigest(x, 10, 16).nodes AS nodes
+        |FROM qd_vals GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(got.length == 2)
+    assert(got(0).getSeq[Row](1).map(r => (r.getLong(0), r.getLong(2))) ==
+      Seq((1L, 1L), (2L, 1L), (100L, 1L)))
+    assert(got(1).getSeq[Row](1).map(r => (r.getLong(0), r.getLong(2))) == Seq((7L, 1L)))
+  }
+}
