@@ -1718,6 +1718,23 @@ object SparkEntry {
       bounds.join(exact, Seq("p"))
         .select("p", "n", "exact_q", "lower_ok", "upper_ok")
         .orderBy("p")
+    }),
+
+    // Warehouse layout — z-order (Morton) clustering keys
+    // (operators.ZOrder): interleaved-bit sort keys + tile ids, so range
+    // predicates on EITHER of two keys prune whole tiles at planning
+    // time (ZOrderSpec proves the numFiles pruning on a written store;
+    // this query certifies the ARITHMETIC, which is pure integer
+    // bit-spreading and hash-matches the oracle's replay). Projection
+    // only — no shuffle; the top-k is TakeOrderedAndProject.
+    "q104_zorder" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val z = ZOrder.zvalue(col("l_partkey"), col("l_suppkey"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), z.as("z"),
+          ZOrder.tile(z, 4).as("z_tile"))
+        .orderBy(col("z").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
     })
   )
 
@@ -3419,6 +3436,24 @@ object SparkEntry {
         |ex AS (SELECT tgt.p, tgt.n, CAST(MIN(cw.nt) AS BIGINT) AS exact_q
         |       FROM tgt JOIN cw ON cw.cum >= tgt.t GROUP BY tgt.p, tgt.n)
         |SELECT p, n, exact_q, TRUE AS lower_ok, TRUE AS upper_ok
-        |FROM ex ORDER BY p""".stripMargin
+        |FROM ex ORDER BY p""".stripMargin,
+
+    // Replays the 5-step Morton bit-spread with DuckDB's bitwise ops
+    // (parenthesized: DuckDB's | binds tighter than <<), clamp included
+    // for exact parity with the Spark operator.
+    "q104_zorder" -> {
+      def spread(v: String): String = Seq(
+        (16, "281470681808895"), (8, "71777214294589695"),
+        (4, "1085102592571150095"), (2, "3689348814741910323"),
+        (1, "6148914691236517205"))
+        .foldLeft(v) { case (e, (sh, m)) => s"((($e) | (($e) << $sh)) & $m)" }
+      val za = spread("LEAST(GREATEST(CAST(l_partkey AS BIGINT), 0), 2147483647)")
+      val zb = spread("LEAST(GREATEST(CAST(l_suppkey AS BIGINT), 0), 2147483647)")
+      s"""WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ($za | ($zb << 1)) AS z FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, z,
+         |  (z >> 54) AS z_tile
+         |FROM z ORDER BY z DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+    }
   )
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering: multi-column data layout for the
+  * warehouse, so range predicates on EITHER key prune at planning time.
+  *
+  * A single-column sort gives perfect pruning on that column and none on
+  * any other; interleaving the bits of two keys gives a space-filling
+  * curve where a contiguous z-range is a tile in (a, b) space — sorting
+  * and tiling by z serves range queries on `a`, on `b`, or on both, each
+  * touching only the tiles its box overlaps (the Delta/Iceberg OPTIMIZE
+  * ZORDER idea, built here from plain parquet + partition pruning).
+  *
+  * All arithmetic is integer bit-spreading (the classic 5-step Morton
+  * masks), expressible identically in Spark built-ins and the DuckDB
+  * oracle — q104 hash-matches the full z computation. Inputs clamp into
+  * `[0, 2^31)` so a corrupt outlier sorts to an edge tile instead of
+  * failing the job (the Multimodal "data fact, not job failure" stance);
+  * the z-value occupies bits 0..61, never touching the sign bit.
+  *
+  * Scale shape: `zvalue` is a pure projection (codegen'd, no shuffle);
+  * [[write]] shuffles once on the tile id — the same exchange a
+  * date-partitioned warehouse write pays; [[read]] enumerates the tiles
+  * overlapping the query box ON THE DRIVER (O(tiles in box), bounded by
+  * 4^tileBits, never data-sized) and prunes them as partition filters,
+  * so the scan reads only overlapping tiles — spec-proven via the
+  * FileSourceScanExec numFiles metric, the IvfIndex pattern.
+  *
+  * Reference analogue: the toolkit keeps facts as single-key CSV dumps
+  * (call_report_data_collect_process.py writes one file per period);
+  * this is the layout that answer's a second key without a second copy.
+  */
+object ZOrder {
+
+  private val steps = Seq(
+    (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+    (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+    (1, 0x5555555555555555L))
+
+  /** Spreads the low 31 bits of a non-negative long into even bit
+    * positions (…b₂b₁b₀ → …0b₂0b₁0b₀). */
+  private def spread(c: Column): Column =
+    steps.foldLeft(c) { case (x, (sh, mask)) =>
+      x.bitwiseOR(shiftleft(x, sh)).bitwiseAND(lit(mask))
+    }
+
+  private def clamp(c: Column): Column =
+    least(greatest(c.cast("long"), lit(0L)), lit((1L << 31) - 1))
+
+  /** Driver-side twin of [[spread]] for tile enumeration. */
+  private def spreadLong(x0: Long): Long =
+    steps.foldLeft(x0) { case (x, (sh, mask)) => (x | (x << sh)) & mask }
+
+  /** The 62-bit Morton code of `(a, b)`: a's bits at even positions, b's
+    * at odd. Monotone in each argument when the other is fixed. */
+  def zvalue(a: Column, b: Column): Column =
+    spread(clamp(a)).bitwiseOR(shiftleft(spread(clamp(b)), 1))
+
+  /** The top `2*tileBits` bits of a z-value: the id of the
+    * (2^(31-tileBits))²-sized tile the point falls in. */
+  def tile(z: Column, tileBits: Int): Column = {
+    require(tileBits >= 1 && tileBits <= 15, s"tileBits in [1,15], got $tileBits")
+    shiftright(z, 62 - 2 * tileBits)
+  }
+
+  /** Writes `df` clustered by the z-order of `(a, b)`: parquet
+    * partitioned by `z_tile` (one directory per tile the data touches),
+    * rows z-sorted within each file so row-group stats stay tight. One
+    * shuffle on the tile id; tasks then write only their own tiles. */
+  def write(df: DataFrame, path: String, a: Column, b: Column,
+            tileBits: Int = 4): Unit = {
+    val z = zvalue(a, b)
+    df.withColumn("z", z).withColumn("z_tile", tile(z, tileBits))
+      .repartition(col("z_tile"))
+      // lead the sort with the partition column: the dynamic-partition
+      // writer re-sorts unsorted input by it (unstably), which would
+      // scramble z inside each tile
+      .sortWithinPartitions("z_tile", "z")
+      .write.mode("overwrite").partitionBy("z_tile").parquet(path)
+  }
+
+  /** Reads back exactly the rows with `a ∈ [aMin,aMax] ∧ b ∈ [bMin,bMax]`
+    * from a [[write]]-produced store, scanning ONLY the tiles the box
+    * overlaps. Tile enumeration is exact, not a curve-range
+    * over-approximation: a tile is the interleave of the keys' top
+    * `tileBits`, so the overlapping set is the cross product of the two
+    * top-bit ranges — O(|box| in tile units) driver work, ≤ 4^tileBits. */
+  def read(spark: SparkSession, path: String, aCol: String, bCol: String,
+           aRange: (Long, Long), bRange: (Long, Long),
+           tileBits: Int = 4): DataFrame = {
+    val shift = 31 - tileBits
+    def tileSpan(r: (Long, Long)): Seq[Long] = {
+      val lo = math.min(math.max(r._1, 0L), (1L << 31) - 1) >> shift
+      val hi = math.min(math.max(r._2, 0L), (1L << 31) - 1) >> shift
+      lo to hi
+    }
+    val tiles = for (ta <- tileSpan(aRange); tb <- tileSpan(bRange))
+      yield spreadLong(ta) | (spreadLong(tb) << 1)
+    spark.read.parquet(path)
+      .filter(col("z_tile").isin(tiles: _*))
+      .filter(col(aCol).between(aRange._1, aRange._2) &&
+        col(bCol).between(bRange._1, bRange._2))
+  }
+}

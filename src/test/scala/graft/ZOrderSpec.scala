@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ZOrder
+
+/** Z-order clustering: Morton arithmetic, tiled store layout, exact
+  * box-read parity, and scan-level tile pruning. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Bit-by-bit reference interleave (independent of the 5-step masks). */
+  private def refZ(a: Long, b: Long): Long = {
+    def cl(x: Long) = math.min(math.max(x, 0L), (1L << 31) - 1)
+    var z = 0L
+    for (i <- 0 until 31)
+      z |= (((cl(a) >> i) & 1L) << (2 * i)) | (((cl(b) >> i) & 1L) << (2 * i + 1))
+    z
+  }
+
+  test("zvalue matches the bit-by-bit reference on random and edge pairs") {
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), ((1L << 31) - 1, (1L << 31) - 1),
+      (12345L, 678L)) ++ Seq.fill(200)((rnd.nextLong().abs % (1L << 31),
+      rnd.nextLong().abs % (1L << 31)))
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zvalue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((a, b) <- pairs)
+      assert(got((a, b)) == refZ(a, b), s"z($a,$b)")
+  }
+
+  test("out-of-range inputs clamp to the edges instead of failing") {
+    val got = Seq((-5L, 10L), (1L << 40, 3L)).toDF("a", "b")
+      .select(ZOrder.zvalue(col("a"), col("b")).as("z")).collect().map(_.getLong(0))
+    assert(got(0) == refZ(0L, 10L))
+    assert(got(1) == refZ((1L << 31) - 1, 3L))
+  }
+
+  test("tile is the interleave of the keys' top bits") {
+    val a = 0x5A5A5A5AL & ((1L << 31) - 1)
+    val b = 0x33CC33CCL & ((1L << 31) - 1)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(ZOrder.tile(ZOrder.zvalue(col("a"), col("b")), 4).as("t"))
+      .head().getLong(0)
+    assert(got == refZ(a, b) >> 54, "tile = top 8 z bits at tileBits=4")
+  }
+
+  private lazy val points = {
+    // keys span the full [0, 2^31) domain so the top tileBits vary —
+    // tiling keys against their actual domain is the caller's contract
+    val rnd = new scala.util.Random(99)
+    Seq.fill(4000)((rnd.nextLong().abs % (1L << 31), rnd.nextLong().abs % (1L << 31)))
+      .zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+  }
+
+  private def withStore[T](f: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    try { ZOrder.write(points, dir, col("a"), col("b"), tileBits = 3); f(dir) }
+    finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  // the executed scan's numFiles metric (AQE-aware walk) — inputFiles
+  // ignores partition pruning
+  private def filesRead(d: org.apache.spark.sql.DataFrame): Long = {
+    d.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(s.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => walk(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics("numFiles").value
+      case other => other.children.map(walk).sum
+    }
+    walk(d.queryExecution.executedPlan)
+  }
+
+  test("box read returns exactly the brute-force filter rows") {
+    withStore { dir =>
+      val aR = (1L << 28, 3L << 28); val bR = (1L << 30, (1L << 31) - 1)
+      val got = ZOrder.read(spark, dir, "a", "b", aR, bR, tileBits = 3)
+        .select("id").as[Long].collect().sorted
+      val want = points.filter(col("a").between(aR._1, aR._2) &&
+          col("b").between(bR._1, bR._2))
+        .select("id").as[Long].collect().sorted
+      assert(got.sameElements(want), s"${got.length} vs ${want.length} rows")
+    }
+  }
+
+  test("box read prunes tiles at the SCAN: fewer files, real partition filter") {
+    withStore { dir =>
+      // tileBits=3 over full-domain keys: 8x8 = 64 populated tiles; a
+      // quarter-box in each dimension overlaps ~3x3 of them and must
+      // read strictly fewer files than the full store
+      val all = filesRead(spark.read.parquet(dir))
+      val df = ZOrder.read(spark, dir, "a", "b",
+        (0L, 1L << 29), (0L, 1L << 29), tileBits = 3)
+      val pruned = filesRead(df)
+      assert(pruned > 0 && pruned < all, s"pruned=$pruned all=$all")
+      val plan = df.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*z_tile".r.findFirstIn(plan).isDefined,
+        "scan must carry a non-trivial z_tile partition filter")
+    }
+  }
+
+  test("store layout: one directory per populated tile, z-sorted files") {
+    withStore { dir =>
+      val tileDirs = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("z_tile=")).map(_.getName)
+      assert(tileDirs.nonEmpty && tileDirs.forall(_.matches("z_tile=\\d+")))
+      // within one tile file, z is nondecreasing (row-group stats tight)
+      val one = spark.read.parquet(dir + "/" + tileDirs.head)
+      val zs = one.select("z").as[Long].collect()
+      assert(zs.sameElements(zs.sorted), "rows inside a tile are z-sorted")
+    }
+  }
+}
