@@ -1735,6 +1735,64 @@ object SparkEntry {
           ZOrder.tile(z, 4).as("z_tile"))
         .orderBy(col("z").desc, col("l_orderkey"), col("l_linenumber"))
         .limit(100)
+    }),
+
+    // LLM ops — the GROUPED sketch profile, q103's production shape:
+    // per-language token-count p50/p99 from ONE corpus scan. Because
+    // qdigest is mergeable, the per-group sketches ride the SAME
+    // map-side-combined exchange as a count(*) — O(k) bytes per group —
+    // where exact per-group quantiles would shuffle every (group, value)
+    // pair. Gate stance as q103: exact-rank bound booleans + the
+    // oracle-replayed exact quantiles; traversal windows partition BY
+    // GROUP over sketch nodes (≤ 3k rows each), never corpus rows.
+    "q105_grouped_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val b = 20; val k = 64
+      val nts = Tables.load(s, dir, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nt"))
+        .localCheckpoint(true) // one corpus scan feeds sketch + exact side
+      val sk = nts.groupBy("lang")
+        .agg(call_function("qdigest", col("nt"), lit(b), lit(k)).as("s"))
+        .select(col("lang"), col("s.n").as("n"), col("s.nodes").as("nodes"))
+      val walk = sk.select(col("lang"), col("n"),
+          posexplode(col("nodes")).as(Seq("i", "node")))
+        .select(col("lang"), col("n"), col("node.rmax").as("rmax"),
+          sum(col("node.cnt")).over(Window.partitionBy("lang").orderBy("i")).as("cum"))
+      val targets = Seq(50, 99).toDF("p")
+      val ests = walk.crossJoin(broadcast(targets))
+        .withColumn("t", expr("(p * n + 99) div 100"))
+        .filter(col("cum") >= col("t"))
+        .groupBy("lang", "p", "n", "t").agg(min("rmax").as("est"))
+      val cnts = nts.groupBy("lang", "nt").agg(count(lit(1)).as("c"))
+      val bounds = cnts.join(broadcast(ests), Seq("lang"))
+        .groupBy("lang", "p", "n", "t", "est")
+        .agg(coalesce(sum(when(col("nt") <= col("est"), col("c"))), lit(0L)).as("cum_le"),
+          coalesce(sum(when(col("nt") < col("est"), col("c"))), lit(0L)).as("cum_lt"))
+        .select(col("lang"), col("p"), col("n"),
+          (col("cum_le") >= col("t")).as("lower_ok"),
+          (col("cum_lt") <= col("t") - 1 + lit(b) * expr("n div " + k)).as("upper_ok"))
+      val cw = cnts.withColumn("cum",
+        sum("c").over(Window.partitionBy("lang").orderBy("nt")))
+      val exact = cw.crossJoin(broadcast(targets))
+        .join(broadcast(ests.select("lang", "p", "t")), Seq("lang", "p"))
+        .filter(col("cum") >= col("t"))
+        .groupBy("lang", "p").agg(min("nt").as("exact_q"))
+      bounds.join(exact, Seq("lang", "p"))
+        .select("lang", "p", "n", "exact_q", "lower_ok", "upper_ok")
+        .orderBy("lang", "p")
+    }),
+
+    // LLM ops — boilerplate REMOVAL (Dedup.removeBoilerplateBlocks):
+    // the apply side of q76's duplicated-span detection. Cross-document
+    // repeated 8-token blocks are dropped everywhere except their
+    // canonical first occurrence (min (doc_id, idx) election) and the
+    // corpus is REWRITTEN — detection prices the problem, this emits
+    // the cleaned text a training pipeline actually consumes.
+    "q106_boilerplate_removal" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Dedup.removeBoilerplateBlocks(d, col("doc_id"), col("text"),
+          w = 8, minDocs = 2)
+        .orderBy("doc_id")
     })
   )
 
@@ -3454,6 +3512,49 @@ object SparkEntry {
          |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, z,
          |  (z >> 54) AS z_tile
          |FROM z ORDER BY z DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
-    }
+    },
+
+    // q103's oracle per group: exact rank-definition quantiles per
+    // language + TRUE bound literals.
+    "q105_grouped_quantiles" ->
+      """WITH nt AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |            FROM documents),
+        |tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM nt GROUP BY lang),
+        |c AS (SELECT lang, nt, CAST(COUNT(*) AS BIGINT) AS c FROM nt GROUP BY lang, nt),
+        |cw AS (SELECT lang, nt, SUM(c) OVER (PARTITION BY lang ORDER BY nt) AS cum FROM c),
+        |p(p) AS (VALUES (50), (99)),
+        |tgt AS (SELECT tot.lang, p.p, tot.n, (p.p * tot.n + 99) // 100 AS t
+        |        FROM p CROSS JOIN tot),
+        |ex AS (SELECT tgt.lang, tgt.p, tgt.n, CAST(MIN(cw.nt) AS BIGINT) AS exact_q
+        |       FROM tgt JOIN cw ON cw.lang = tgt.lang AND cw.cum >= tgt.t
+        |       GROUP BY tgt.lang, tgt.p, tgt.n)
+        |SELECT lang, p, n, exact_q, TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM ex ORDER BY lang, p""".stripMargin,
+
+    // Replays the disjoint 8-token blocking, the hexLong block hash,
+    // the distinct-doc boilerplate test, the min-(doc_id, idx) keeper
+    // election, and the ordered reassembly (string_agg ORDER BY replays
+    // Spark's array_sort(collect_list) — both sort on (idx, b)).
+    "q106_boilerplate_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ix AS (SELECT doc_id, ws, unnest(range((len(ws) + 7) // 8)) AS i FROM t),
+        |blk AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
+        |          array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS b FROM ix),
+        |h AS (SELECT doc_id, idx, b,
+        |        ('0x' || substr(md5(b), 1, 15))::BIGINT AS bh FROM blk),
+        |st AS (SELECT bh FROM h GROUP BY bh HAVING COUNT(DISTINCT doc_id) >= 2),
+        |keep AS (SELECT bh, doc_id AS kdoc, idx AS kidx FROM (
+        |    SELECT bh, doc_id, idx,
+        |      ROW_NUMBER() OVER (PARTITION BY bh ORDER BY doc_id, idx) AS rn
+        |    FROM h) WHERE rn = 1),
+        |ap AS (SELECT h.doc_id, h.idx, h.b,
+        |         (st.bh IS NULL OR (h.doc_id = k.kdoc AND h.idx = k.kidx)) AS survive
+        |       FROM h LEFT JOIN st ON st.bh = h.bh
+        |              LEFT JOIN keep k ON k.bh = h.bh)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN survive THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(b, ' ' ORDER BY idx) FILTER (WHERE survive), '')
+        |    AS clean_text
+        |FROM ap GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

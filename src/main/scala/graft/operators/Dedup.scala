@@ -635,4 +635,69 @@ object Dedup {
           col("n_dup_windows").cast("double") / col("n_windows").cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** The APPLY side of [[duplicateSpans]]: REWRITE the corpus with
+    * cross-document boilerplate removed (the RefinedWeb/CCNet "repeated
+    * header/footer/navigation" cleanup — detection alone only prices the
+    * problem; training pipelines need the cleaned text back).
+    *
+    * Each document splits into consecutive disjoint `w`-token blocks
+    * (the last block may be shorter). A block whose 60-bit text hash
+    * occurs in ≥ `minDocs` distinct documents is boilerplate; every
+    * instance is dropped EXCEPT the canonical first occurrence (min
+    * (doc_id, block index), a deterministic min-struct aggregate — the
+    * [[canonicalize]] election shape at block granularity). Survivors
+    * reassemble in block order. Intra-document repeats in a single doc
+    * do NOT trigger (distinct-doc count, by design — in-doc repetition
+    * is q64's signal).
+    *
+    * Hash stance (same as [[duplicateSpans]] default): exact up to
+    * hexLong collisions, ~N²/2⁶¹ expected false boilerplate blocks at N
+    * total blocks; acceptable for corpus cleanup — a collision costs
+    * one w-token block, not a document. Raise `w` or run
+    * [[duplicateSpans]] `verify = true` first where certainty matters.
+    *
+    * Scale shape: one narrow block fan-out from the checkpointed token
+    * scan; the boilerplate-stats exchange carries ONLY (hash, doc_id,
+    * idx) — never text; the single text-carrying shuffle is the final
+    * per-document reassembly, which any corpus rewrite must pay. No
+    * all-pairs stage anywhere; cost tracks total blocks.
+    *
+    * Output: (doc_id, n_blocks, n_dropped, clean_text), one row per
+    * input document, clean_text `''` when every block dropped.
+    */
+  def removeBoilerplateBlocks(docs: DataFrame, id: Column, text: Column,
+                              w: Int, minDocs: Int = 2): DataFrame = {
+    require(w > 0, s"block width must be positive, got $w")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = graft.core.Parallelism.ensureWidth(
+      docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("ws")))
+    // disjoint blocks with their index; the guard keeps a hypothetical
+    // empty token array from producing a negative sequence bound
+    val blocksArr = when(size(col("ws")) > 0,
+      transform(
+        sequence(lit(0), expr(s"((size(ws) + ${w - 1}) div $w) - 1")),
+        i => array_join(slice(col("ws"), i * w + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val blk = toks.select(col("doc_id"), posexplode(blocksArr).as(Seq("idx", "b")))
+      .select(col("doc_id"), col("idx"), col("b"), Hashing.hexLong(col("b")).as("bh"))
+      .localCheckpoint(true) // feeds the stats aggregate AND the apply join
+    val boiler = blk.select("bh", "doc_id", "idx") // no text in this exchange
+      .groupBy("bh")
+      .agg(countDistinct("doc_id").as("nd"),
+        min(struct(col("doc_id"), col("idx"))).as("keeper"))
+      .filter(col("nd") >= minDocs)
+      .select(col("bh"), col("keeper.doc_id").as("kdoc"), col("keeper.idx").as("kidx"))
+    blk.join(boiler, Seq("bh"), "left")
+      .withColumn("survive", col("kdoc").isNull ||
+        (col("doc_id") === col("kdoc") && col("idx") === col("kidx")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(!col("survive"), lit(1L)).otherwise(lit(0L))).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("survive"),
+              struct(col("idx"), col("b"))))),
+            x => x.getField("b")), " ").as("clean_text"))
+  }
 }

@@ -338,4 +338,56 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("max_by") && !plan.contains("Window"), plan.take(800))
   }
+
+  test("removeBoilerplateBlocks drops shared blocks except the first occurrence") {
+    // block width 2: "x y" is shared by docs 1,2,3; doc 1 (min doc_id,
+    // min idx) keeps its first instance, every other instance drops —
+    // including doc 1's own SECOND instance of the shared block
+    val docs = Seq(
+      (1L, "x y a b x y"),  // blocks: [x y][a b][x y]
+      (2L, "c d x y"),      // blocks: [c d][x y]
+      (3L, "x y e f"),      // blocks: [x y][e f]
+      (4L, "g h")           // untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateBlocks(docs, col("doc_id"), col("text"),
+        w = 2, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 3L, 1L, "x y a b"),
+      (2L, 2L, 1L, "c d"),
+      (3L, 2L, 1L, "e f"),
+      (4L, 1L, 0L, "g h")))
+  }
+
+  test("removeBoilerplateBlocks: intra-doc repetition alone does not trigger") {
+    // "p q" repeats 3x inside doc 1 but appears in no other doc:
+    // distinct-doc count is 1 < minDocs, everything survives
+    val docs = Seq((1L, "p q p q p q"), (2L, "r s")).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateBlocks(docs, col("doc_id"), col("text"),
+        w = 2, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got === Array((1L, 0L, "p q p q p q"), (2L, 0L, "r s")))
+  }
+
+  test("removeBoilerplateBlocks: a fully-boilerplate doc rewrites to ''") {
+    val docs = Seq((7L, "x y"), (9L, "x y")).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateBlocks(docs, col("doc_id"), col("text"),
+        w = 2, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array((7L, 1L, 0L, "x y"), (9L, 1L, 1L, "")))
+  }
+
+  test("removeBoilerplateBlocks: ragged last block participates like any other") {
+    // w=2 over 3 tokens: doc 5 = [m n][o]; the short tail block "o"
+    // is shared with doc 6's tail and dedups by the same election
+    val docs = Seq((5L, "m n o"), (6L, "z z o")).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplateBlocks(docs, col("doc_id"), col("text"),
+        w = 2, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got === Array((5L, 0L, "m n o"), (6L, 1L, "z z")))
+  }
 }
