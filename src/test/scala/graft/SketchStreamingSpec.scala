@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The mergeable sketches on STREAMS: freq_sketch and qdigest are
+  * TypedImperativeAggregates, so a streaming groupBy carries their
+  * buffer in the state store and MERGES each micro-batch's partials
+  * into it — exactly the path the Agarwal-et-al merge rules were chosen
+  * for. Sketch CONTENT is merge-order-dependent (a stream interleaves
+  * differently than a batch), so these specs assert what the operators
+  * actually promise: the deterministic guarantees hold on the streamed
+  * result after multiple micro-batches, and stream mass is exact.
+  */
+class SketchStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("freq_sketch guarantees survive micro-batch state merges") {
+    val batches = Seq(
+      Seq.fill(40)("hh") ++ (1 to 12).map(i => s"a$i"),
+      Seq.fill(35)("hh") ++ (1 to 12).map(i => s"b$i"),
+      Seq.fill(25)("hh") ++ Seq.fill(30)("warm") ++ (1 to 12).map(i => s"c$i"))
+    val k = 4
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[String]
+    val q = src.toDS().toDF("w")
+      .groupBy() // global sketch; state store merges each batch's partial
+      .agg(call_function("freq_sketch", col("w"), lit(k)).as("s"))
+      .select(col("s.n").as("n"), col("s.items").as("items"))
+      .writeStream.format("memory").queryName("fs_stream")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      val row = spark.table("fs_stream").head()
+      val n = row.getLong(0)
+      val ests = row.getSeq[Row](1).map(r => r.getString(0) -> r.getLong(1)).toMap
+      val all = batches.flatten
+      val truth = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(n == all.size.toLong, "stream mass is exact across batches")
+      assert(ests.size <= k)
+      val bound = (n - ests.values.sum).toDouble / (k + 1)
+      for ((item, est) <- ests) {
+        val t = truth.getOrElse(item, 0L)
+        assert(est <= t, s"overestimate for $item")
+        assert(t - est <= bound + 1e-9, s"undercount bound broken for $item")
+      }
+      for ((item, t) <- truth if t * (k + 1) > n)
+        assert(ests.contains(item), s"heavy hitter $item missing after streaming")
+    } finally q.stop()
+  }
+
+  test("qdigest guarantees survive micro-batch state merges") {
+    val rnd = new scala.util.Random(21)
+    val batches = Seq.fill(3)(Seq.fill(400)(rnd.nextInt(1 << 10).toLong))
+    val b = 10; val k = 16
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Long]
+    val q = src.toDS().toDF("x")
+      .groupBy()
+      .agg(call_function("qdigest", col("x"), lit(b), lit(k)).as("s"))
+      .select(col("s.n").as("n"), col("s.nodes").as("nodes"))
+      .writeStream.format("memory").queryName("qd_stream")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { xs => src.addData(xs: _*); q.processAllAvailable() }
+      val row = spark.table("qd_stream").head()
+      val n = row.getLong(0)
+      val nodes = row.getSeq[Row](1)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val all = batches.flatten.sorted
+      assert(n == all.size.toLong, "stream mass is exact across batches")
+      assert(nodes.map(_._3).sum == n, "node mass conserved through state merges")
+      val eps = b.toLong * (n / k)
+      for (p <- Seq(25, 50, 90, 99)) {
+        val t = (p * n + 99) / 100
+        var cum = 0L
+        val est = nodes.collectFirst {
+          case (rmax, _, cnt) if { cum += cnt; cum >= t } => rmax
+        }.getOrElse(nodes.last._1)
+        val cumLE = all.count(_ <= est).toLong
+        val cumLT = all.count(_ < est).toLong
+        assert(cumLE >= t, s"p$p: exact lower bound broken on streamed sketch")
+        assert(cumLT <= t - 1 + eps, s"p$p: upper bound broken on streamed sketch")
+      }
+    } finally q.stop()
+  }
+}
