@@ -1793,6 +1793,28 @@ object SparkEntry {
       Dedup.removeBoilerplateBlocks(d, col("doc_id"), col("text"),
           w = 8, minDocs = 2)
         .orderBy("doc_id")
+    }),
+
+    // §2.3 skew, adaptively: q54 salts a KNOWN hot-key list; here the
+    // hot keys are DETECTED in one pass by the Misra-Gries sketch
+    // (SkewJoin.heavyKeys — anything above n/(k+1) is guaranteed
+    // caught) and ONLY their rows take the salted path; light keys join
+    // plain. 75% of lineitem lands on key 0 by construction. The oracle
+    // is the plain join — salting is a partitioning decision, invisible
+    // in results by design.
+    "q107_adaptive_skew_join" -> ((s, dir) => {
+      val big = Tables.load(s, dir, "lineitem")
+        .select(when(col("l_orderkey") % 4 =!= 0, lit(0L))
+            .otherwise(col("l_orderkey") % 25).as("k"),
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val dim = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+      SkewJoin.adaptiveSaltedInner(big, dim, Seq("k"),
+          Hashing.hexLong(concat_ws(":", col("l_orderkey"), col("l_linenumber"))),
+          factor = 8, k = 16, threshDiv = 10)
+        .groupBy("k", "n_name")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("k", "n_name")
     })
   )
 
@@ -3555,6 +3577,15 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN survive THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
         |  COALESCE(string_agg(b, ' ' ORDER BY idx) FILTER (WHERE survive), '')
         |    AS clean_text
-        |FROM ap GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM ap GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q107_adaptive_skew_join" ->
+      s"""SELECT CASE WHEN l.l_orderkey % 4 <> 0 THEN 0
+         |       ELSE l.l_orderkey % 25 END AS k,
+         |  n.n_name, COUNT(*) AS n_items, ${dsumSql("l.l_quantity")} AS sum_qty
+         |FROM lineitem l JOIN nation n
+         |  ON (CASE WHEN l.l_orderkey % 4 <> 0 THEN 0
+         |      ELSE l.l_orderkey % 25 END) = n.n_nationkey
+         |GROUP BY 1, 2 ORDER BY k, n_name""".stripMargin
   )
 }

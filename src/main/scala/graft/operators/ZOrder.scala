@@ -70,7 +70,22 @@ object ZOrder {
     * rows z-sorted within each file so row-group stats stay tight. One
     * shuffle on the tile id; tasks then write only their own tiles. */
   def write(df: DataFrame, path: String, a: Column, b: Column,
-            tileBits: Int = 4): Unit = {
+            tileBits: Int = 4): Unit =
+    writeMode(df, path, a, b, tileBits, "overwrite")
+
+  /** Appends a new batch into an existing store: each batch's rows land
+    * in their tiles as additional z-sorted files, so tile pruning and
+    * box reads keep working over old + new data without rewriting
+    * history — the IvfIndex/LshIndex incremental-store shape. Per-tile
+    * file count grows with batches; compact by re-[[write]]-ing a read
+    * of the store when it matters. `tileBits` must match the original
+    * write (same tile grid), which [[read]] relies on. */
+  def append(df: DataFrame, path: String, a: Column, b: Column,
+             tileBits: Int = 4): Unit =
+    writeMode(df, path, a, b, tileBits, "append")
+
+  private def writeMode(df: DataFrame, path: String, a: Column, b: Column,
+                        tileBits: Int, mode: String): Unit = {
     val z = zvalue(a, b)
     df.withColumn("z", z).withColumn("z_tile", tile(z, tileBits))
       .repartition(col("z_tile"))
@@ -78,7 +93,7 @@ object ZOrder {
       // writer re-sorts unsorted input by it (unstably), which would
       // scramble z inside each tile
       .sortWithinPartitions("z_tile", "z")
-      .write.mode("overwrite").partitionBy("z_tile").parquet(path)
+      .write.mode(mode).partitionBy("z_tile").parquet(path)
   }
 
   /** Reads back exactly the rows with `a ∈ [aMin,aMax] ∧ b ∈ [bMin,bMax]`

@@ -80,6 +80,28 @@ class JoinOpsSpec extends SparkSpec {
       plain.select("k", "id", "label")).isEmpty)
   }
 
+  test("adaptive salted join: sketch finds the hot key, result equals plain join") {
+    import graft.functions.Hashing
+    import graft.operators.SkewJoin
+    // key 1 carries 200 of 230 rows — far above n/100; keys 2..31 are light
+    val big = spark.range(200).select(lit(1L).as("k"), col("id"))
+      .union(spark.range(30).select((col("id") % 30 + 2).as("k"), col("id") + 200))
+    val dim = (1 to 31).map(i => (i.toLong, s"lbl$i")).toDF("k", "label")
+    // detection: the hot key is flagged, light keys are not
+    val hot = SkewJoin.heavyKeys(big, Seq("k"), k = 16, threshDiv = 100)
+      .collect().map(_.getString(0))
+    assert(hot.contains("1"), s"hot key missing from ${hot.toSeq}")
+    assert(hot.length < 16, "light keys must not all be flagged")
+    val adaptive = SkewJoin.adaptiveSaltedInner(big, dim, Seq("k"),
+      Hashing.hexLong(col("id").cast("string")), factor = 8, k = 16)
+    val plain = big.join(dim, Seq("k"))
+    assert(adaptive.count() == plain.count())
+    assert(adaptive.select("k", "id", "label").except(
+      plain.select("k", "id", "label")).isEmpty)
+    assert(plain.select("k", "id", "label").except(
+      adaptive.select("k", "id", "label")).isEmpty)
+  }
+
   test("as-of join tolerance: stale matches yield nulls, in-range matches keep payload") {
     val left = Seq((1L, 100L), (1L, 106L), (1L, 200L)).toDF("k", "t")
     val right = Seq((1L, 99L, "a"), (1L, 103L, "b")).toDF("k", "rt", "v")

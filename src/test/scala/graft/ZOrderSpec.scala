@@ -104,6 +104,28 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("append: box reads over old+new batches match a fresh combined write") {
+    val split = 3000
+    val first = points.filter(col("id") < split)
+    val delta = points.filter(col("id") >= split)
+    val dir = java.nio.file.Files.createTempDirectory("zorder_app").toString
+    try {
+      ZOrder.write(first, dir, col("a"), col("b"), tileBits = 3)
+      ZOrder.append(delta, dir, col("a"), col("b"), tileBits = 3)
+      val aR = (1L << 29, 3L << 29); val bR = (0L, 1L << 30)
+      val got = ZOrder.read(spark, dir, "a", "b", aR, bR, tileBits = 3)
+        .select("id").as[Long].collect().sorted
+      val want = points.filter(col("a").between(aR._1, aR._2) &&
+          col("b").between(bR._1, bR._2))
+        .select("id").as[Long].collect().sorted
+      assert(got.sameElements(want), s"${got.length} vs ${want.length} rows")
+      // pruning still holds over the appended store
+      val all = filesRead(spark.read.parquet(dir))
+      val pruned = filesRead(ZOrder.read(spark, dir, "a", "b", aR, bR, tileBits = 3))
+      assert(pruned > 0 && pruned < all, s"pruned=$pruned all=$all")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("store layout: one directory per populated tile, z-sorted files") {
     withStore { dir =>
       val tileDirs = new java.io.File(dir).listFiles()
