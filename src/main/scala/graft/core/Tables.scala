@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver test tables (`/root/testdata/sf*`, see TESTDATA.md).
   *
-  * All tables are plain Parquet. The one wrinkle is `events.ts`, written as
-  * parquet TIMESTAMP(NANOS): Spark's `TimestampType` is microsecond-precision
-  * and (depending on version/conf) either refuses nanos or needs
-  * `spark.sql.legacy.parquet.nanosAsLong`. We normalize to a µs-precision
-  * `ts` column via `timestamp_micros(floor(ns / 1000))` so engine semantics
-  * are deterministic and oracle-comparable via `epoch_us`.
+  * All tables are plain Parquet. The one wrinkle is `events.ts`, whose
+  * physical annotation has varied across driver generations: TIMESTAMP(NANOS)
+  * (needs `spark.sql.legacy.parquet.nanosAsLong`, arrives as LongType ns) or
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as TimestampNTZType,
+  * which µs-instant functions like `unix_micros` refuse). Either way we
+  * normalize to a µs-precision zoned `TimestampType` column whose instant is
+  * the file's wall-clock read as UTC — bit-identical to DuckDB's `epoch_us`
+  * on the same file (the session time zone is pinned UTC in
+  * [[SparkSessionFactory]], so the NTZ→timestamp cast is exact).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -36,6 +39,11 @@ object Tables {
           // exact integer floor division — double division rounds up for
           // ns remainders >= ~875 and would disagree with DuckDB epoch_us
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // µs NTZ file: reinterpret the wall-clock as a UTC instant (the
+          // session tz is UTC, so this cast is a pure re-tag, no shift)
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw
       }
     } finally prev match {
