@@ -1815,6 +1815,25 @@ object SparkEntry {
         .groupBy("k", "n_name")
         .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("k", "n_name")
+    }),
+
+    // LLM ops — BM25 ranked retrieval (Retrieval.bm25TopK): the corpus
+    // scans ONCE into postings, the query set rides a BROADCAST join
+    // that prunes postings to queried terms before any shuffle, and the
+    // top-k is a rank-limited window (partial WindowGroupLimit caps the
+    // exchange at k per map partition). Per-term contributions are
+    // rounded to 6 decimals then summed as EXACT decimal — the score is
+    // an order-independent sum, never a float accumulation.
+    "q108_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val q = Seq(
+        (1L, "spark"), (1L, "join"), (1L, "fast"),
+        (2L, "window"), (2L, "sort"), (2L, "key"),
+        (3L, "stream"), (3L, "batch"), (3L, "slow"))
+        .toDF("query_id", "term")
+      Retrieval.bm25TopK(d, col("doc_id"), col("text"), q, k = 5)
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -3586,6 +3605,33 @@ object SparkEntry {
          |FROM lineitem l JOIN nation n
          |  ON (CASE WHEN l.l_orderkey % 4 <> 0 THEN 0
          |      ELSE l.l_orderkey % 25 END) = n.n_nationkey
-         |GROUP BY 1, 2 ORDER BY k, n_name""".stripMargin
+         |GROUP BY 1, 2 ORDER BY k, n_name""".stripMargin,
+
+    "q108_bm25_topk" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_occ FROM terms GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM terms GROUP BY doc_id),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM dl),
+        |q(query_id, term) AS (VALUES (1,'spark'),(1,'join'),(1,'fast'),
+        |  (2,'window'),(2,'sort'),(2,'key'),(3,'stream'),(3,'batch'),(3,'slow')),
+        |sc AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id,
+        |    SUM(CAST(printf('%.6f',
+        |      (ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |          / (CAST(df.df AS DOUBLE) + 0.5))
+        |       * (CAST(tf.n_occ AS DOUBLE) * 2.2))
+        |      / (CAST(tf.n_occ AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.n_tokens AS DOUBLE)
+        |         / (CAST(st.total_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+        |    ) AS DECIMAL(30,6))) AS score_d
+        |  FROM tf JOIN q ON q.term = tf.term
+        |  JOIN dl USING (doc_id) JOIN df ON df.term = tf.term CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_d,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_d DESC, doc_id ASC) AS rnk
+        |  FROM sc)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id,
+        |  CAST(score_d AS VARCHAR) AS score
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   )
 }

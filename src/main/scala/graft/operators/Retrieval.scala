@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Ranked text retrieval over an inverted-postings shape — the stage a
+  * curation pipeline runs to pull benchmark-relevant or topic-relevant
+  * documents out of a corpus (and the scoring half of any retrieval
+  * eval). The reference has no retrieval surface at all; this is part
+  * of the LLM-pipeline mandate, built Spark-first.
+  *
+  * Shape at 100 TB: the corpus is scanned ONCE into postings
+  * (doc, term, tf) + doc lengths; the query set rides a BROADCAST join
+  * onto the postings (queries are human-sized — thousands of terms at
+  * most), so only postings whose term appears in SOME query survive
+  * past the scan. The per-(query, doc) score aggregation shuffles
+  * matched postings only, and the final top-k runs as a rank-limited
+  * window (partial WindowGroupLimit caps each map partition at k before
+  * the exchange). Nothing in the plan is corpus²: cost tracks
+  * |matched postings| + |queries|·k.
+  *
+  * Determinism (the Spark/DuckDB hash-compare contract): every
+  * per-(doc, term) BM25 contribution is ONE double expression over
+  * exact integer inputs (tf, dl, df, N — identical in both engines),
+  * formatted to 6 decimals and summed as exact DECIMAL — so the
+  * per-document score is an order-independent sum of identically
+  * rounded terms, never a float accumulation.
+  */
+object Retrieval {
+
+  /** BM25 top-k documents per query.
+    *
+    * score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Robertson +1 form,
+    * never negative) — constants k1 = 1.2, b = 0.75 fixed so the oracle
+    * can replay the arithmetic literally.
+    *
+    * @param docs       corpus
+    * @param id         document id column
+    * @param text       whitespace-tokenizable text column
+    * @param queryTerms (query_id, term) rows — one row per query term;
+    *                   repeated terms in one query count once (standard
+    *                   boolean bag-of-words query)
+    * @param k          results per query
+    * @return (query_id, rnk, doc_id, score) — score rendered as the
+    *         exact decimal string of the 6-decimal term sum
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               queryTerms: DataFrame, k: Int): DataFrame = {
+    // one corpus scan feeds tf and dl (a diamond — materialize it)
+    val terms = graft.core.Parallelism.ensureWidth(
+        docs.select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("term")))
+      .localCheckpoint(true)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint(true)
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // O(1) driver-side stats: corpus size and mean doc length. One row.
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs.toDouble
+    val q = queryTerms.select(col("query_id"), col("term")).distinct()
+    // per-(query, doc, term) contribution: one double expression over
+    // exact integers, rounded to 6 decimals, then summed EXACTLY
+    val contrib =
+      (log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+        (col("n_occ").cast("double") * lit(2.2)) /
+        (col("n_occ").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("n_tokens").cast("double") / lit(avgdl))))
+    val scored = tf
+      .join(broadcast(q), Seq("term")) // postings prune: only queried terms survive
+      .join(dl, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        format_string("%.6f", contrib).cast("decimal(30,6)").as("c"))
+      .groupBy("query_id", "doc_id").agg(sum("c").as("score_d"))
+    val w = Window.partitionBy("query_id").orderBy(col("score_d").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("score_d").cast("string").as("score"))
+  }
+}

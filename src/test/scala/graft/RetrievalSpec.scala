@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b a c"),
+    (2L, "b b d"),
+    (3L, "a d d e")
+  ).toDF("doc_id", "text")
+
+  /** Independent driver-side BM25 model: same formula, same 6-decimal
+    * term rounding, exact BigDecimal sum — no Spark code shared. */
+  private def model(corpus: Seq[(Long, String)], qterms: Seq[String], k: Int)
+      : Seq[(Long, BigDecimal)] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = toks.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n.toDouble
+    val dfm = toks.flatMap { case (_, ws) => ws.distinct }.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    toks.flatMap { case (id, ws) =>
+      val dl = ws.size
+      val contribs = qterms.distinct.flatMap { t =>
+        val tf = ws.count(_ == t)
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (n.toDouble - dfm(t).toDouble + 0.5) / (dfm(t).toDouble + 0.5))
+          val c = (idf * (tf.toDouble * 2.2)) /
+            (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl))
+          Some(BigDecimal(String.format(java.util.Locale.ROOT, "%.6f", Double.box(c))))
+        }
+      }
+      // docs matching no query term never enter the posting join
+      if (contribs.isEmpty) None else Some(id -> contribs.sum)
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  test("bm25TopK matches an independent exact model (scores and ranking)") {
+    val corpus = Seq((1L, "a b a c"), (2L, "b b d"), (3L, "a d d e"))
+    val q = Seq((7L, "a"), (7L, "d")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(docs, col("doc_id"), col("text"), q, k = 3)
+      .orderBy("rnk")
+      .select("doc_id", "score").as[(Long, String)].collect().toSeq
+    val exp = model(corpus, Seq("a", "d"), 3)
+    assert(got.map(_._1) == exp.map(_._1))
+    got.zip(exp).foreach { case ((_, s), (_, m)) =>
+      assert(BigDecimal(s) == m, s"score $s != model $m")
+    }
+  }
+
+  test("repeated query terms count once; docs without any query term are absent") {
+    val q = Seq((1L, "e"), (1L, "e"), (1L, "e")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(docs, col("doc_id"), col("text"), q, k = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L)) // only doc 3 contains 'e', counted once
+  }
+
+  test("top-k truncates per query independently") {
+    val q = Seq((1L, "a"), (2L, "d")).toDF("query_id", "term")
+    val got = Retrieval.bm25TopK(docs, col("doc_id"), col("text"), q, k = 1)
+      .orderBy("query_id")
+      .select("query_id", "rnk").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1), (2L, 1)))
+  }
+
+  test("plan: query terms ride a broadcast join; top-k is a rank-limited window") {
+    val q = Seq((1L, "a")).toDF("query_id", "term")
+    val plan = Retrieval.bm25TopK(docs, col("doc_id"), col("text"), q, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+}
