@@ -1834,6 +1834,26 @@ object SparkEntry {
         .toDF("query_id", "term")
       Retrieval.bm25TopK(d, col("doc_id"), col("text"), q, k = 5)
         .orderBy("query_id", "rnk")
+    }),
+
+    // Graph — fixed-iteration PageRank (PageRank.run) over the
+    // who-buys-from-whom graph (customer⋈supplier via orders⋈lineitem,
+    // symmetrized; parity-tagged node ids keep the two key spaces
+    // disjoint). INTEGER fixed-point arithmetic end to end — floor
+    // divisions and one multiply-divide damping step — so every
+    // iteration is bit-replayable by the oracle's unrolled CTEs. Edges
+    // partition by src once; each round is one join + one aggregate.
+    "q109_pagerank" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val p = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+      // symmetrize: the two directions are disjoint (parity), so plain
+      // union of the distinct pair set is already duplicate-free
+      val e = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      PageRank.run(e, iters = 4).orderBy("node")
     })
   )
 
@@ -1866,6 +1886,18 @@ object SparkEntry {
        |         CAST(SUM(CASE WHEN is_en AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
        |         CAST(SUM(CASE WHEN NOT is_en AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
        |       FROM cls$k)""".stripMargin
+
+  /** One PageRank power iteration as a DuckDB CTE: floor-divided
+    * contributions summed per target, integer damping — mirrors
+    * [[operators.PageRank.run]]'s loop body exactly (base 150000000 =
+    * 1e9·15/100; dangling mass leaks, absent targets coalesce to 0). */
+  private def prIterSql(prev: String, out: String): String =
+    s"""$out AS (SELECT n.node,
+       |    CAST(150000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+       |  FROM prnodes n LEFT JOIN (
+       |    SELECT e.dst AS node, SUM(r.pr // o.outdeg) AS m
+       |    FROM pre e JOIN $prev r ON r.node = e.src JOIN prod o ON o.src = e.src
+       |    GROUP BY e.dst) s USING (node))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -3632,6 +3664,20 @@ object SparkEntry {
         |  FROM sc)
         |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id,
         |  CAST(score_d AS VARCHAR) AS score
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q109_pagerank" ->
+      s"""WITH prp AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) * 2 AS src,
+         |              CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS dst
+         |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |pre AS (SELECT src, dst FROM prp UNION ALL SELECT dst, src FROM prp),
+         |prnodes AS (SELECT src AS node FROM pre UNION SELECT dst FROM pre),
+         |prod AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM pre GROUP BY src),
+         |pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM prnodes),
+         |${prIterSql("pr0", "pr1")},
+         |${prIterSql("pr1", "pr2")},
+         |${prIterSql("pr2", "pr3")},
+         |${prIterSql("pr3", "pr4")}
+         |SELECT node, pr FROM pr4 ORDER BY node""".stripMargin
   )
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge list — the classic link-graph
+  * quality signal a web-crawl curation pipeline feeds into document
+  * scoring (harvest-rank / seed-quality weighting), and the engine's
+  * general graph-centrality operator. The reference has no graph
+  * analytics beyond hierarchy flattening; this is LLM-mandate surface.
+  *
+  * INTEGER-SCALED arithmetic end to end: ranks are unscaled longs
+  * (`scale` = 1.0), per-edge contributions are floor divisions, and the
+  * damping step is one integer multiply-divide — so results are
+  * bit-identical across engines, retries, and partition orders (no
+  * float accumulation anywhere), and a DuckDB oracle replays every
+  * iteration exactly. Overflow bound: `dampNum · Σ rank` must stay
+  * under Long.Max — with the default scale 1e9 that is ~10^8 nodes;
+  * lower `scale` for larger graphs.
+  *
+  * Dangling nodes (no out-edges) LEAK their mass — the standard
+  * simplification; total rank then shrinks monotonically instead of
+  * being conserved. Nodes are derived from the edge list (src ∪ dst);
+  * isolated corpus nodes that appear in no edge hold rank
+  * base = scale·(dampDen−dampNum)/dampDen by definition and can be
+  * unioned in by the caller afterwards.
+  *
+  * Shape at 100 TB: each iteration is one equi-join of edges to the
+  * current rank vector on `src` (edges are hash-partitioned on src
+  * ONCE and reused — the rank vector, |nodes|-sized, moves to it) plus
+  * one aggregation by `dst`. Rounds are a fixed small count (PageRank
+  * converges geometrically; 10-20 suffices at damping 0.85), each
+  * localCheckpoint'd so lineage stays flat — the same discipline as
+  * [[Dedup.connectedComponents]].
+  *
+  * @param edges (src, dst) directed edges; parallel edges count once
+  *              only if the CALLER distincts them (multiplicity is a
+  *              legitimate weighting choice, so it is not forced here)
+  * @param iters number of power iterations (≥ 1)
+  * @param scale initial per-node rank (1.0 in fixed-point units)
+  * @return (node, pr) — pr in the same fixed-point units
+  */
+object PageRank {
+
+  def run(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
+          dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    // partition edges by the join key ONCE; every iteration reuses it
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("pr", lit(scale))
+    for (_ <- 1 to iters) {
+      val sums = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($dampNum * coalesce(m, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

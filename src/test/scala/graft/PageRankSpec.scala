@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.PageRank
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent driver-side fixed-point model: same integer semantics,
+    * plain Scala maps — no Spark code shared with the operator. */
+  private def model(edges: Seq[(Long, Long)], iters: Int,
+                    scale: Long = 1000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = (scale * 15L) / 100L
+    var pr = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => pr(s) / out(s) }.sum
+      }
+      pr = nodes.map(n => n -> (base + (85L * in.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    pr
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    PageRank.run(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("cycle is a fixed point: every node keeps exactly scale") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = run(edges, iters = 5)
+    assert(got == Map(1L -> 1000000000L, 2L -> 1000000000L, 3L -> 1000000000L))
+  }
+
+  test("star graph matches the independent model over several iterations") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+    for (it <- Seq(1, 3, 7)) assert(run(edges, it) == model(edges, it))
+  }
+
+  test("random graph matches the model; hub outranks leaves") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = (Seq.tabulate(60) { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }.filter { case (a, b) => a != b } ++
+      // every node links to the hub (node 0)
+      (1 until n).map(i => (i.toLong, 0L))).distinct
+    val got = run(edges, iters = 6)
+    assert(got == model(edges, 6))
+    assert(got(0L) == got.values.max, "the all-linked-to hub must rank highest")
+  }
+
+  test("dangling node leaks mass: total rank shrinks, dangling keeps inflow") {
+    val edges = Seq((1L, 2L)) // 2 has no out-edges
+    val got = run(edges, iters = 2)
+    assert(got == model(edges, 2))
+    assert(got(1L) == 150000000L)          // no inflow: base only
+    assert(got.values.sum < 2L * 1000000000L) // mass left the system
+  }
+}
