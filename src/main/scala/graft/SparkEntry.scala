@@ -1854,6 +1854,18 @@ object SparkEntry {
       // union of the distinct pair set is already duplicate-free
       val e = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       PageRank.run(e, iters = 4).orderBy("node")
+    }),
+
+    // LLM ops — asymmetric containment near-dup (Dedup.containmentPairs):
+    // the relation Jaccard cannot see (a short doc quoted inside a long
+    // one). Prefix filtering (AllPairs/PPJoin): only each doc's RAREST
+    // (1-c)|A|+1 shingles join the postings — a sparse equi-join, never
+    // all-pairs — then an exact integer-cross-multiplied verify.
+    "q110_containment" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Dedup.containmentPairs(d, col("doc_id"), col("text"),
+          shingleN = 3, cNum = 7, cDen = 10)
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -3678,6 +3690,31 @@ object SparkEntry {
          |${prIterSql("pr1", "pr2")},
          |${prIterSql("pr2", "pr3")},
          |${prIterSql("pr3", "pr4")}
-         |SELECT node, pr FROM pr4 ORDER BY node""".stripMargin
+         |SELECT node, pr FROM pr4 ORDER BY node""".stripMargin,
+
+    "q110_containment" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shh FROM sh0),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
+        |gdf AS (SELECT shh, CAST(COUNT(*) AS BIGINT) AS gdf FROM ex GROUP BY shh),
+        |pref AS (SELECT doc_id AS doc_a, shh FROM (
+        |    SELECT e.doc_id, e.shh, c.n_sh,
+        |      ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY g.gdf ASC, e.shh ASC) AS pos
+        |    FROM ex e JOIN gdf g USING (shh) JOIN cnt c USING (doc_id)) t
+        |  WHERE pos <= n_sh - ((7 * n_sh + 9) // 10) + 1),
+        |cand AS (SELECT DISTINCT p.doc_a, b.doc_id AS doc_b
+        |         FROM pref p JOIN ex b USING (shh) WHERE p.doc_a <> b.doc_id),
+        |com AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        |        FROM cand c JOIN ex a ON a.doc_id = c.doc_a
+        |        JOIN ex b ON b.doc_id = c.doc_b AND b.shh = a.shh
+        |        GROUP BY c.doc_a, c.doc_b)
+        |SELECT com.doc_a, com.doc_b, ca.n_sh AS n_a, cb.n_sh AS n_b, com.n_common,
+        |  CAST(com.n_common AS DOUBLE) / CAST(ca.n_sh AS DOUBLE) AS containment
+        |FROM com JOIN cnt ca ON ca.doc_id = com.doc_a
+        |JOIN cnt cb ON cb.doc_id = com.doc_b
+        |WHERE com.n_common * 10 >= ca.n_sh * 7
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -412,6 +412,71 @@ object Dedup {
     jaccardFromShingles(cand, sh, minJ)
   }
 
+  /** Asymmetric CONTAINMENT near-dup: directed pairs (doc_a, doc_b)
+    * where |A∩B| / |A| ≥ cNum/cDen over distinct n-gram shingle sets —
+    * the relation Jaccard cannot see: a short doc fully quoted inside a
+    * much larger one has tiny Jaccard but containment 1.0. Training
+    * corpora drop the contained copy (it adds no new text).
+    *
+    * Candidate generation is PREFIX FILTERING (the AllPairs/PPJoin
+    * family, Bayardo et al. WWW'07): order every doc's shingles by
+    * ascending global document frequency (rarest first, hash tiebreak);
+    * if containment(A in B) ≥ c then B covers ≥ ceil(c·|A|) of A's
+    * shingles, so ANY (|A| − ceil(c·|A|) + 1)-subset of A's shingles
+    * intersects B — in particular A's rare-first prefix of that length.
+    * Only prefix rows join the postings, and because they are the
+    * RAREST shingles their posting lists are the short ones: the pair
+    * space is a sparse equi-join, never all-pairs. Exact verification
+    * (integer cross-multiplied threshold — no float cut) then removes
+    * every false positive; the filter is lossless by the bound above,
+    * which the spec pins against a brute-force oracle.
+    *
+    * Cost at 100 TB: one shingle scan (shared shape with
+    * [[lshVerifiedJaccardPairs]]), one vocabulary-sized df aggregate,
+    * prefix rows ≈ (1−c)·Σ|doc| joined against rare postings, verify
+    * bounded by candidates.
+    *
+    * @return (doc_a, doc_b, n_a, n_b, n_common, containment) — doc_a is
+    *         the contained side; both directions are evaluated
+    *         independently and may both appear
+    */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+                       shingleN: Int, cNum: Int, cDen: Int): DataFrame = {
+    require(cNum > 0 && cNum <= cDen, "threshold must be in (0,1]")
+    val sh = graft.core.Parallelism.ensureWidth(
+        docs.select(id.as("id"), TextFunctions.tokens(text).as("ws")))
+      .select(col("id"),
+        explode(array_distinct(TextFunctions.shingles(col("ws"), shingleN))).as("s"))
+      .select(col("id"), Hashing.hexLong(col("s")).as("shh"))
+      .localCheckpoint(true) // feeds df, prefixes, postings, and verify
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true)
+    val gdf = sh.groupBy("shh").agg(count(lit(1)).as("gdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("gdf").asc, col("shh").asc)
+    val prefix = sh.join(gdf, Seq("shh"))
+      .withColumn("pos", row_number().over(w))
+      .join(counts, Seq("id"))
+      // prefix length |A| - ceil(c*|A|) + 1, ceil as integer arithmetic
+      .filter(col("pos") <=
+        col("n_sh") - expr(s"($cNum * n_sh + $cDen - 1) div $cDen") + 1)
+      .select(col("id").as("doc_a"), col("shh"))
+    val cand = prefix
+      .join(sh.toDF("doc_b", "shh"), Seq("shh"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val common = cand
+      .join(sh.toDF("doc_a", "shh"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "shh"), Seq("doc_b", "shh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(counts.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .filter(col("n_common") * cDen >= col("n_a") * cNum)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") / col("n_a").cast("double")).as("containment"))
+  }
+
   /** Connected components over a near-duplicate pair list — the dedup
     * GROUP RESOLUTION step: LSH/banding emits pairwise matches, but
     * keep-one-per-group needs the transitive closure (a~b, b~c => one

@@ -390,4 +390,58 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
     assert(got === Array((5L, 0L, "m n o"), (6L, 1L, "z z")))
   }
+
+  /** Brute-force containment model: distinct 3-shingle sets, all
+    * ordered pairs — the lossless-filter oracle for containmentPairs. */
+  private def bruteContainment(corpus: Seq[(Long, String)], n: Int,
+                               c: Double): Map[(Long, Long), Double] = {
+    val sets = corpus.map { case (id, t) =>
+      id -> t.split(" ").toSeq.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a != b && sa.nonEmpty
+      cont = (sa & sb).size.toDouble / sa.size.toDouble
+      if cont >= c
+    } yield (a, b) -> cont).toMap
+  }
+
+  test("containmentPairs matches brute force exactly (prefix filter is lossless)") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // doc 2 contains doc 1's text verbatim inside a longer doc
+      (2L, "intro words alpha beta gamma delta epsilon zeta eta theta tail words here"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (4L, "totally unrelated content with different tokens inside"),
+      (5L, "alpha beta gamma delta nothing else shared here at all"))
+    val gotMap = Dedup.containmentPairs(corpus.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), shingleN = 3, cNum = 7, cDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    val exp = bruteContainment(corpus, 3, 0.7)
+    assert(gotMap.keySet == exp.keySet,
+      s"got ${gotMap.keySet}, expected ${exp.keySet}")
+    gotMap.foreach { case (k, v) => assert(v == exp(k), s"containment at $k") }
+    // the asymmetry: 1 is fully inside 2, but 2 is not inside 1
+    assert(gotMap.contains((1L, 2L)) && gotMap((1L, 2L)) == 1.0)
+    assert(!gotMap.contains((2L, 1L)))
+    assert(gotMap((1L, 3L)) == 1.0 && gotMap((3L, 1L)) == 1.0) // exact dup: both ways
+    assert(!gotMap.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("containmentPairs: threshold is an exact integer cut, no float drift") {
+    // |A| = 10 shingles, 7 shared: containment exactly 0.7 passes c=7/10,
+    // fails c=3/4 — the boundary case a float epsilon would wobble on
+    val a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12" // 10 3-shingles
+    val b = "t1 t2 t3 t4 t5 t6 t7 t8 t9 x1 x2 x3"    // shares shingles t1..t7 starts
+    val corpus = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val exp = bruteContainment(Seq((1L, a), (2L, b)), 3, 0.0)
+    val at07 = Dedup.containmentPairs(corpus, col("doc_id"), col("text"), 3, 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at34 = Dedup.containmentPairs(corpus, col("doc_id"), col("text"), 3, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exp((1L, 2L)) == 0.7, s"fixture drift: ${exp((1L, 2L))}")
+    assert(at07.contains((1L, 2L)))
+    assert(!at34.contains((1L, 2L)))
+  }
 }
