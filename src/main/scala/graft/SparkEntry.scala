@@ -1864,7 +1864,7 @@ object SparkEntry {
     "q110_containment" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       Dedup.containmentPairs(d, col("doc_id"), col("text"),
-          shingleN = 3, cNum = 7, cDen = 10)
+          shingleN = 4, cNum = 7, cDen = 10)
         .orderBy("doc_a", "doc_b")
     })
   )
@@ -3694,8 +3694,8 @@ object SparkEntry {
 
     "q110_containment" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles FROM ws),
+        |sh0 AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingles FROM ws),
         |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shh FROM sh0),
         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
         |gdf AS (SELECT shh, CAST(COUNT(*) AS BIGINT) AS gdf FROM ex GROUP BY shh),

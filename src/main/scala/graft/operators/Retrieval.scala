@@ -50,32 +50,33 @@ object Retrieval {
     */
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
                queryTerms: DataFrame, k: Int): DataFrame = {
-    // one corpus scan feeds tf and dl (a diamond — materialize it)
-    val terms = graft.core.Parallelism.ensureWidth(
+    // ONE corpus scan collapses straight to postings; doc lengths, doc
+    // freqs, and global stats all derive from the postings table (which
+    // is |docs|·|distinct terms per doc| — far smaller than the raw
+    // token stream), so only tf is materialized for the diamond
+    val tf = graft.core.Parallelism.ensureWidth(
         docs.select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("term")))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n_occ"))
       .localCheckpoint(true)
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_occ"))
-      .localCheckpoint(true)
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val dl = tf.groupBy("doc_id").agg(sum("n_occ").as("n_tokens"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // O(1) driver-side stats: corpus size and mean doc length. One row.
+    // corpus stats stay a lazy one-row broadcast — no driver action
     val st = dl.agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
-      .head()
-    val nDocs = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / nDocs.toDouble
     val q = queryTerms.select(col("query_id"), col("term")).distinct()
     // per-(query, doc, term) contribution: one double expression over
     // exact integers, rounded to 6 decimals, then summed EXACTLY
     val contrib =
-      (log(lit(1.0) + (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+      (log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5))) *
         (col("n_occ").cast("double") * lit(2.2)) /
         (col("n_occ").cast("double") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * col("n_tokens").cast("double") / lit(avgdl))))
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("n_tokens").cast("double") /
+            (col("total_tokens").cast("double") / col("n_docs").cast("double")))))
     val scored = tf
       .join(broadcast(q), Seq("term")) // postings prune: only queried terms survive
       .join(dl, Seq("doc_id"))
       .join(df, Seq("term"))
+      .crossJoin(broadcast(st))
       .select(col("query_id"), col("doc_id"),
         format_string("%.6f", contrib).cast("decimal(30,6)").as("c"))
       .groupBy("query_id", "doc_id").agg(sum("c").as("score_d"))
