@@ -1866,6 +1866,27 @@ object SparkEntry {
       Dedup.containmentPairs(d, col("doc_id"), col("text"),
           shingleN = 4, cNum = 7, cDen = 10)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // §2.9-adjacent — ordered conversion funnel with a conversion
+    // window (EventAnalytics.funnel): earliest-completion semantics,
+    // each later step one user-keyed equi-join against the shrinking
+    // reached set. Exact µs-integer time arithmetic end to end.
+    "q111_funnel" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      EventAnalytics.funnel(ev, col("user_id"), unix_micros(col("ts")),
+        col("event_type"), Seq("signup", "view", "click", "purchase"),
+        windowUs = Some(2L * 86400L * 1000000L))
+    }),
+
+    // §2.9-adjacent — retention cohort matrix
+    // (EventAnalytics.retentionCohorts): integer week buckets, one
+    // min-aggregate + one distinct + one user join; output is
+    // |cohorts|x|offsets|, never user-sized.
+    "q112_retention" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      EventAnalytics.retentionCohorts(ev, col("user_id"),
+        unix_micros(col("ts")), maxOffset = 8)
     })
   )
 
@@ -3715,6 +3736,31 @@ object SparkEntry {
         |FROM com JOIN cnt ca ON ca.doc_id = com.doc_a
         |JOIN cnt cb ON cb.doc_id = com.doc_b
         |WHERE com.n_common * 10 >= ca.n_sh * 7
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q111_funnel" ->
+      """WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS tp FROM events),
+        |s1 AS (SELECT u, MIN(t) AS tk, MIN(t) AS t1 FROM ev WHERE tp = 'signup' GROUP BY u),
+        |s2 AS (SELECT e.u, MIN(e.t) AS tk, MIN(s.t1) AS t1 FROM ev e JOIN s1 s ON s.u = e.u
+        |       WHERE e.tp = 'view' AND e.t > s.tk AND e.t <= s.t1 + 172800000000 GROUP BY e.u),
+        |s3 AS (SELECT e.u, MIN(e.t) AS tk, MIN(s.t1) AS t1 FROM ev e JOIN s2 s ON s.u = e.u
+        |       WHERE e.tp = 'click' AND e.t > s.tk AND e.t <= s.t1 + 172800000000 GROUP BY e.u),
+        |s4 AS (SELECT e.u, MIN(e.t) AS tk, MIN(s.t1) AS t1 FROM ev e JOIN s3 s ON s.u = e.u
+        |       WHERE e.tp = 'purchase' AND e.t > s.tk AND e.t <= s.t1 + 172800000000 GROUP BY e.u)
+        |SELECT 1 AS step, 'signup' AS step_type, (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+        |UNION ALL SELECT 2, 'view', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s4)
+        |ORDER BY step""".stripMargin,
+
+    "q112_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id AS u,
+        |              epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT u, MIN(wk) AS cohort_week FROM ev GROUP BY u)
+        |SELECT c.cohort_week, e.wk - c.cohort_week AS "offset",
+        |  CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM ev e JOIN c ON c.u = e.u
+        |WHERE e.wk - c.cohort_week <= 8
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

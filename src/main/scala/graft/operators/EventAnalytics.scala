@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequential event-analytics operators over a (user, time, type) event
+  * stream: conversion funnels and retention cohorts — the two queries
+  * every large event warehouse runs daily. Nothing in the reference
+  * covers ordered-sequence analytics; these compose with the
+  * sessionization/windowing family (SURVEY §2.9).
+  *
+  * Both operators are exact-integer end to end (epoch-µs longs, integer
+  * week buckets, counts) — deterministic across engines and replayable
+  * by a DuckDB oracle with no float anywhere.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: for each user, step i counts only if an
+    * event of step i's type occurs STRICTLY AFTER the user's step-(i−1)
+    * completion time (earliest-completion semantics: each step binds to
+    * its minimum qualifying time, which maximizes downstream
+    * conversions — the standard funnel definition), and, with
+    * `windowUs` set, within that window of the step-1 time (the
+    * "converted within 7 days" business form).
+    *
+    * Shape at scale: step 1 is one user-keyed aggregate; each later
+    * step is one equi-join on user_id against the (shrinking) set of
+    * users who reached the previous step, then a min-aggregate. All
+    * k−1 joins share the user_id hash partitioning; no window
+    * functions, no self-join fan-out — cost is k passes over the
+    * step-filtered slices, each far smaller than the stream.
+    *
+    * @param events   event stream
+    * @param user     user/entity id column
+    * @param ts       event-time column (µs epoch long)
+    * @param tpe      event-type column
+    * @param steps    ordered step types (≥ 1)
+    * @param windowUs optional: step k must land within windowUs of the
+    *                 user's step-1 time
+    * @return (step, step_type, n_users) — users reaching each step;
+    *         n_users is non-increasing in step
+    */
+  def funnel(events: DataFrame, user: Column, ts: Column, tpe: Column,
+             steps: Seq[String], windowUs: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(user.as("u"), ts.as("t"), tpe.as("tp"))
+    // (user, completion time of step so far); t1 kept for the window cut
+    var reached = ev.filter(col("tp") === steps.head)
+      .groupBy("u").agg(min("t").as("tk"))
+      .withColumn("t1", col("tk"))
+      .localCheckpoint(true)
+    val counts = Seq.newBuilder[DataFrame]
+    counts += reached.agg(lit(1).as("step"), lit(steps.head).as("step_type"),
+      count(lit(1)).as("n_users"))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val next = ev.filter(col("tp") === s)
+        .join(reached.select("u", "tk", "t1"), Seq("u"))
+        .filter(col("t") > col("tk"))
+        .filter(windowUs.map(w => col("t") <= col("t1") + lit(w)).getOrElse(lit(true)))
+        .groupBy("u").agg(min("t").as("tk2"), min("t1").as("t1"))
+        .select(col("u"), col("tk2").as("tk"), col("t1"))
+        .localCheckpoint(true)
+      counts += next.agg(lit(i + 1).as("step"), lit(s).as("step_type"),
+        count(lit(1)).as("n_users"))
+      reached = next
+    }
+    counts.result().reduce(_.unionByName(_)).orderBy("step")
+  }
+
+  /** Retention cohort matrix: users cohorted by the week of their FIRST
+    * event; cell (cohort, offset) counts the cohort's users active in
+    * week cohort+offset. Weeks are integer buckets of epoch-µs
+    * (floor(t / 7·86400·10⁶)) — exact, zone-free arithmetic.
+    *
+    * Shape at scale: one user-keyed min-aggregate (cohorts), one
+    * (user, week) distinct — both map-side combined — and one equi-join
+    * on user_id; the output is |cohorts|·|offsets|, never user-sized.
+    *
+    * @return (cohort_week, offset, n_active) for offset ∈ [0, maxOffset]
+    */
+  def retentionCohorts(events: DataFrame, user: Column, ts: Column,
+                       maxOffset: Int): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    // integral floor division — double division would round, not floor
+    val ev = events.select(user.as("u"), ts.as("t"))
+      .select(col("u"), expr(s"t div $weekUs").as("wk"))
+    val active = ev.distinct().localCheckpoint(true) // feeds cohorts AND activity
+    val cohorts = active.groupBy("u").agg(min("wk").as("cohort_week"))
+    active.join(cohorts, Seq("u"))
+      .select(col("cohort_week"), (col("wk") - col("cohort_week")).as("offset"))
+      .filter(col("offset") <= maxOffset)
+      .groupBy("cohort_week", "offset").agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_week", "offset")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def funnelCounts(ev: Seq[(Long, Long, String)],
+                           steps: Seq[String],
+                           window: Option[Long] = None): Map[Int, Long] =
+    EventAnalytics.funnel(ev.toDF("u", "t", "tp"),
+        col("u"), col("t"), col("tp"), steps, window)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+
+  test("funnel: ordered completion, out-of-order and pre-step events don't count") {
+    val ev = Seq(
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "click"),   // full path
+      (2L, 5L, "view"), (2L, 10L, "signup"),                        // view BEFORE signup
+      (3L, 10L, "signup"), (3L, 20L, "view"), (3L, 15L, "click"),   // click before view-time
+      (4L, 10L, "view"), (4L, 20L, "click"))                        // never signed up
+    val got = funnelCounts(ev, Seq("signup", "view", "click"))
+    assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("funnel: same-timestamp events are not strictly after (excluded)") {
+    val ev = Seq((1L, 10L, "signup"), (1L, 10L, "view"))
+    val got = funnelCounts(ev, Seq("signup", "view"))
+    assert(got == Map(1 -> 1L, 2 -> 0L))
+  }
+
+  test("funnel: conversion window cuts against the STEP-1 time") {
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 10L, "view"), (1L, 200L, "click"),
+      (2L, 0L, "signup"), (2L, 10L, "view"), (2L, 90L, "click"))
+    assert(funnelCounts(ev, Seq("signup", "view", "click")) ==
+      Map(1 -> 2L, 2 -> 2L, 3 -> 2L)) // no window: both convert
+    assert(funnelCounts(ev, Seq("signup", "view", "click"), Some(100L)) ==
+      Map(1 -> 2L, 2 -> 2L, 3 -> 1L)) // user 1's click at 200 > 0+100
+  }
+
+  test("funnel: earliest completion binds — a later retry cannot resurrect a path") {
+    // step-2 happens twice; the EARLIER one (t=20) is the binding time,
+    // so a step-3 at t=25 counts even though another view came at t=30
+    val ev = Seq((1L, 10L, "signup"), (1L, 20L, "view"),
+      (1L, 30L, "view"), (1L, 25L, "click"))
+    assert(funnelCounts(ev, Seq("signup", "view", "click")) ==
+      Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("retentionCohorts: hand-checked matrix, offset cap enforced") {
+    val wk = 7L * 86400L * 1000000L
+    def at(w: Long, off: Long = 1L) = w * wk + off
+    val ev = Seq(
+      (1L, at(0)), (1L, at(1)), (1L, at(3)), (1L, at(3, 99L)), // dup week collapses
+      (2L, at(1)), (2L, at(2)),
+      (3L, at(0)))
+      .toDF("u", "t")
+    val got = EventAnalytics.retentionCohorts(ev, col("u"), col("t"), maxOffset = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+    val capped = EventAnalytics.retentionCohorts(ev, col("u"), col("t"), maxOffset = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((0L, 3L)))
+  }
+}
