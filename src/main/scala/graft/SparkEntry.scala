@@ -1887,6 +1887,21 @@ object SparkEntry {
       val ev = Tables.load(s, dir, "events")
       EventAnalytics.retentionCohorts(ev, col("user_id"),
         unix_micros(col("ts")), maxOffset = 8)
+    }),
+
+    // Graph — exact triangle count + clustering coefficient
+    // (Triangles.triangleStats) over the parts-co-purchased-in-one-order
+    // graph. Degree orientation bounds the wedge fan-out by O(m^1.5)
+    // no matter how popular the hub part is — the property that keeps a
+    // 100 TB co-occurrence graph join-shaped. The oracle counts the
+    // same triangles with an id-ordered triple join (any total order
+    // yields the same count; the orientation is a COST choice).
+    "q113_triangles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
+        .filter(col("u") < col("v")).select("u", "v")
+      Triangles.triangleStats(e)
     })
   )
 
@@ -3761,6 +3776,24 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_active
         |FROM ev e JOIN c ON c.u = e.u
         |WHERE e.wk - c.cohort_week <= 8
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q113_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS lo, b.p AS hi FROM ps a JOIN ps b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM (SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+        |        GROUP BY node),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        |        FROM e ab JOIN e bc ON bc.lo = ab.hi
+        |        JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+        |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |               CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT agg.n_nodes, (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  agg.n_wedges, tri.t AS n_triangles,
+        |  CASE WHEN agg.n_wedges > 0
+        |    THEN 3.0 * CAST(tri.t AS DOUBLE) / CAST(agg.n_wedges AS DOUBLE)
+        |    ELSE 0.0 END AS clustering
+        |FROM agg, tri""".stripMargin
   )
 }

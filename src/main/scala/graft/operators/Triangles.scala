@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting + global clustering coefficient over an
+  * undirected graph — the standard graph-structure audit (how clustered
+  * is the co-occurrence graph a curation pipeline builds from
+  * co-purchases, co-citations, shared hosts, …).
+  *
+  * Algorithm: DEGREE ORIENTATION (Schank–Wagner; the MapReduce form is
+  * Cohen's / Suri–Vassilvitskii's): orient every undirected edge from
+  * its lower-(degree, id) endpoint to the higher one. The orientation
+  * is acyclic and every triangle has exactly ONE node with two
+  * out-edges, so counting (wedge = two out-edges of one node) ∩
+  * (closing oriented edge) counts each triangle exactly once — and the
+  * wedge fan-out is Σ outdeg², which orientation bounds by O(m^1.5)
+  * REGARDLESS of hub degrees (a hub's edges point INTO it, so its
+  * out-degree stays ≤ √m-ish). Without orientation a single celebrity
+  * node makes Σ deg² quadratic; with it, 100 TB co-occurrence graphs
+  * stay join-shaped: two shuffles (wedge self-join on src, closing
+  * equi-join on the (x, y) pair), no state.
+  *
+  * Everything is exact integers; the one double is the final clustering
+  * ratio (a single division, engine-identical).
+  */
+object Triangles {
+
+  /** One-row graph audit: (n_nodes, n_edges, n_wedges, n_triangles,
+    * clustering) where n_wedges = Σ C(deg, 2) (computed arithmetically
+    * from exact degrees, not from the join) and clustering =
+    * 3·triangles / wedges (0 when the graph has no wedge).
+    *
+    * @param edges (u, v) pairs; self-loops dropped, direction and
+    *              duplicates ignored (normalized + distinct here)
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("u"), col("v")).as("lo"),
+        greatest(col("u"), col("v")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint(true) // feeds degrees, orientation, and the close join
+    val deg = und.select(col("lo").as("node"))
+      .unionByName(und.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // orient by (deg, id): src is the strictly smaller endpoint key
+    val oriented = und
+      .join(deg.toDF("lo", "deg_lo"), Seq("lo"))
+      .join(deg.toDF("hi", "deg_hi"), Seq("hi"))
+      .select(
+        when(struct(col("deg_lo"), col("lo")) < struct(col("deg_hi"), col("hi")),
+          struct(col("lo").as("src"), col("hi").as("dst"),
+            col("deg_hi").as("deg_dst")))
+          .otherwise(struct(col("hi").as("src"), col("lo").as("dst"),
+            col("deg_lo").as("deg_dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.deg_dst").as("deg_dst"))
+      .localCheckpoint(true)
+    // wedges at the unique low node of each triangle: out-neighbor pairs
+    // ordered by the SAME (deg, id) key, so the closing edge — if present
+    // — is oriented x -> y and one equi-join finds it
+    val a = oriented.toDF("src", "x", "deg_x")
+    val b = oriented.toDF("src", "y", "deg_y")
+    val wedgePairs = a.join(b, Seq("src"))
+      .filter(struct(col("deg_x"), col("x")) < struct(col("deg_y"), col("y")))
+      .select(col("x").as("src"), col("y").as("dst"))
+    val tri = wedgePairs.join(oriented.select("src", "dst"), Seq("src", "dst"), "left_semi")
+    val nTri = tri.agg(count(lit(1)).as("n_triangles"))
+    val stats = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges")))
+      .crossJoin(nTri)
+    stats.select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+      when(col("n_wedges") > 0,
+        lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"))
+        .otherwise(lit(0.0)).as("clustering"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Triangles
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) = {
+    val r = Triangles.triangleStats(edges.toDF("u", "v")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  /** Independent brute-force model over node triples. */
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Long = {
+    val e = edges.map { case (a, b) => (a min b, a max b) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    nodes.combinations(3).count { case Seq(a, b, c) =>
+      e((a, b)) && e((b, c)) && e((a, c))
+    }
+  }
+
+  test("K3: one triangle, clustering 1.0") {
+    assert(stats(Seq((1L, 2L), (2L, 3L), (3L, 1L))) == (3L, 3L, 3L, 1L, 1.0))
+  }
+
+  test("K4: four triangles, clustering 1.0") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(stats(k4) == (4L, 6L, 12L, 4L, 1.0))
+  }
+
+  test("star: hub wedges, zero triangles; duplicate/reversed/self edges normalize") {
+    val star = Seq((9L, 1L), (1L, 9L), (9L, 2L), (9L, 3L), (9L, 9L), (9L, 3L))
+    val (n, m, w, t, c) = stats(star)
+    assert((n, m, w, t, c) == (4L, 3L, 3L, 0L, 0.0))
+  }
+
+  test("random graph matches the brute-force model (orientation counts exactly once)") {
+    val rnd = new scala.util.Random(11)
+    // a hub-heavy graph: node 0 connects to everything (the degenerate
+    // case degree orientation exists for)
+    val edges = ((1L to 30L).map(i => (0L, i)) ++
+      Seq.tabulate(120) { _ => (rnd.nextInt(31).toLong, rnd.nextInt(31).toLong) })
+      .filter { case (a, b) => a != b }
+    val (_, _, _, t, _) = stats(edges)
+    assert(t == bruteTriangles(edges))
+  }
+}
