@@ -1902,6 +1902,21 @@ object SparkEntry {
       val e = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
         .filter(col("u") < col("v")).select("u", "v")
       Triangles.triangleStats(e)
+    }),
+
+    // §2.3 joins — interval×interval OVERLAP join
+    // (RangeJoin.intervalOverlapJoin): tiled equi-join with the
+    // max-start-tile trick, so a pair sharing k tiles is emitted once
+    // WITHOUT a distinct exchange. Never a BroadcastNestedLoopJoin.
+    "q114_interval_overlap" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+      val l = o.filter(col("o_orderkey") % 1000 === 0)
+        .select(col("o_orderkey").as("l_id"), day.as("ls"), (day + 30).as("le"))
+      val r = o.filter(col("o_orderkey") % 777 === 0)
+        .select(col("o_orderkey").as("r_id"), day.as("rs"), (day + 45).as("re"))
+      RangeJoin.intervalOverlapJoin(l, r, tileWidth = 32L)
+        .orderBy("l_id", "r_id")
     })
   )
 
@@ -3794,6 +3809,18 @@ object SparkEntry {
         |  CASE WHEN agg.n_wedges > 0
         |    THEN 3.0 * CAST(tri.t AS DOUBLE) / CAST(agg.n_wedges AS DOUBLE)
         |    ELSE 0.0 END AS clustering
-        |FROM agg, tri""".stripMargin
+        |FROM agg, tri""".stripMargin,
+
+    "q114_interval_overlap" ->
+      """WITH l AS (SELECT l_id, ls, ls + 30 AS le FROM (
+        |    SELECT o_orderkey AS l_id, epoch_us(o_orderdate) // 86400000000 AS ls
+        |    FROM orders WHERE o_orderkey % 1000 = 0)),
+        |r AS (SELECT r_id, rs, rs + 45 AS re FROM (
+        |    SELECT o_orderkey AS r_id, epoch_us(o_orderdate) // 86400000000 AS rs
+        |    FROM orders WHERE o_orderkey % 777 = 0))
+        |SELECT l.l_id, r.r_id, l.ls, l.le, r.rs, r.re,
+        |  LEAST(l.le, r.re) - GREATEST(l.ls, r.rs) AS overlap
+        |FROM l JOIN r ON l.ls < r.re AND r.rs < l.le
+        |ORDER BY l_id, r_id""".stripMargin
   )
 }

@@ -53,4 +53,41 @@ object RangeJoin {
       .filter(col("__p") >= col("__s") && col("__p") < col("__e"))
       .drop("__bucket", "__p", "__s", "__e")
   }
+
+  /** Interval×interval OVERLAP join: every (left, right) pair whose
+    * half-open intervals intersect (`ls < re AND rs < le`), plus the
+    * overlap length. The same tiling trick as [[pointInInterval]], with
+    * the classic duplicate-free twist: a pair sharing k tiles would
+    * surface k times, so a match is emitted ONLY from the tile holding
+    * `greatest(ls, rs)` — each qualifying pair has exactly one such
+    * tile, so no distinct-exchange is ever paid.
+    *
+    * Tile width trades interval replication (≈ len/width per row)
+    * against residual false pairs per tile; set it near the typical
+    * interval length. Cost is O(Σ len/width + pairs-per-tile) with a
+    * plain AQE-plannable shuffled hash join — never the
+    * BroadcastNestedLoopJoin a raw range predicate forces.
+    *
+    * @param left  frame with columns (l_id, ls, le) — le exclusive
+    * @param right frame with columns (r_id, rs, re) — re exclusive
+    * @return (l_id, r_id, ls, le, rs, re, overlap) —
+    *         overlap = least(le, re) − greatest(ls, rs) > 0
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          tileWidth: Long): DataFrame = {
+    require(tileWidth > 0, "tileWidth must be positive")
+    def tiled(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s)) // empty intervals match nothing
+      .withColumn("__tile",
+        explode(sequence(floor(col(s) / tileWidth).cast("long"),
+          floor((col(e) - 1) / tileWidth).cast("long"))))
+    tiled(left, "ls", "le").join(tiled(right, "rs", "re"), Seq("__tile"))
+      .filter(col("ls") < col("re") && col("rs") < col("le"))
+      // dedup-free: count the pair only in its max-start tile
+      .filter(col("__tile") ===
+        floor(greatest(col("ls"), col("rs")) / tileWidth).cast("long"))
+      .select(col("l_id"), col("r_id"), col("ls"), col("le"),
+        col("rs"), col("re"),
+        (least(col("le"), col("re")) - greatest(col("ls"), col("rs"))).as("overlap"))
+  }
 }

@@ -145,4 +145,34 @@ class JoinOpsSpec extends SparkSpec {
     assert(bc.select("d", "id").except(plain.select("d", "id")).isEmpty)
     assert(plain.select("d", "id").except(bc.select("d", "id")).isEmpty)
   }
+
+  test("interval overlap join: brute-force parity across tile widths, pairs counted once") {
+    val rnd = new scala.util.Random(3)
+    val left = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(200).toLong; (i.toLong, s, s + 1 + rnd.nextInt(60))
+    }
+    val right = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(200).toLong; (i.toLong, s, s + 1 + rnd.nextInt(60))
+    }
+    val exp = (for {
+      (li, ls, le) <- left; (ri, rs, re) <- right
+      if ls < re && rs < le
+    } yield (li, ri)).sorted
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = RangeJoin.intervalOverlapJoin(
+          left.toDF("l_id", "ls", "le"), right.toDF("r_id", "rs", "re"), w)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == exp, s"width $w: ${got.size} vs ${exp.size}")
+    }
+  }
+
+  test("interval overlap join: touching half-open intervals do not overlap; empties drop") {
+    val l = Seq((1L, 0L, 10L), (2L, 5L, 5L)).toDF("l_id", "ls", "le") // 2 is empty
+    val r = Seq((7L, 10L, 20L), (8L, 9L, 10L), (9L, 0L, 100L)).toDF("r_id", "rs", "re")
+    val got = RangeJoin.intervalOverlapJoin(l, r, 4L)
+      .select("l_id", "r_id", "overlap").as[(Long, Long, Long)].collect().toSet
+    // [0,10) vs [10,20): touching, no overlap; [0,10) vs [9,10): 1 unit;
+    // [0,10) vs [0,100): long interval spans many tiles yet appears ONCE
+    assert(got == Set((1L, 8L, 1L), (1L, 9L, 10L)))
+  }
 }
