@@ -1917,6 +1917,33 @@ object SparkEntry {
         .select(col("o_orderkey").as("r_id"), day.as("rs"), (day + 45).as("re"))
       RangeJoin.intervalOverlapJoin(l, r, tileWidth = 32L)
         .orderBy("l_id", "r_id")
+    }),
+
+    // LLM ops — LSH banding RECALL audit against a deterministic exact
+    // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
+    // the 16/4 banding's candidate set. The instrument that prices the
+    // banding parameters the way q85 prices nprobe — banding recall is
+    // the S-curve 1-(1-s^4)^4, and this measures it on REAL data. The
+    // oracle brute-forces the exact pairs via a full shingle self-join,
+    // independently re-proving the prefix filter lossless at the query
+    // level. 4-token shingles keep prefix postings rare (measured: 315
+    // candidates for 256 true pairs at sf0.1), so the exact side stays
+    // cheap on the FULL corpus.
+    "q115_lsh_recall_audit" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val exact = Dedup.prefixJaccardPairs(d, col("doc_id"), col("text"),
+        shingleN = 4, cNum = 1, cDen = 2)
+      val lsh = Dedup.lshCandidatePairs(Dedup.minhashBands(
+          d, col("doc_id"), col("text"), numHashes = 16, bands = 4, shingleN = 4))
+        .withColumn("found", lit(1L))
+      exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .select(expr("(10 * n_common) div (n_a + n_b - n_common)").as("j_bucket"),
+          coalesce(col("found"), lit(0L)).as("f"))
+        .groupBy("j_bucket")
+        .agg(count(lit(1)).as("n_exact"), sum("f").as("n_found"))
+        .withColumn("recall",
+          col("n_found").cast("double") / col("n_exact").cast("double"))
+        .orderBy("j_bucket")
     })
   )
 
@@ -3821,6 +3848,38 @@ object SparkEntry {
         |SELECT l.l_id, r.r_id, l.ls, l.le, r.rs, r.re,
         |  LEAST(l.le, r.re) - GREATEST(l.ls, r.rs) AS overlap
         |FROM l JOIN r ON l.ls < r.re AND r.rs < l.le
-        |ORDER BY l_id, r_id""".stripMargin
+        |ORDER BY l_id, r_id""".stripMargin,
+
+    "q115_lsh_recall_audit" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 2),
+        |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingles FROM ws),
+        |ex AS (SELECT doc_id, ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS shh FROM sh),
+        |exp AS (SELECT doc_id, shh % 1000000007 AS hp FROM ex),
+        |hx AS (SELECT doc_id, i,
+        |         MIN(((2*i + 1) * hp + (i*i + 7919)) % 1000000007) AS mh
+        |       FROM exp, range(16) t(i) GROUP BY doc_id, i),
+        |bands AS (SELECT doc_id, i // 4 AS band_id,
+        |            md5(string_agg(CAST(mh AS VARCHAR), ':' ORDER BY i)) AS bucket
+        |          FROM hx GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
+        |com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        |        FROM ex a JOIN ex b ON b.shh = a.shh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2),
+        |jac AS (SELECT com.doc_a, com.doc_b, com.n_common,
+        |          ca.n_sh AS n_a, cb.n_sh AS n_b
+        |        FROM com JOIN cnt ca ON ca.doc_id = com.doc_a
+        |        JOIN cnt cb ON cb.doc_id = com.doc_b
+        |        WHERE com.n_common * 2 >= (ca.n_sh + cb.n_sh - com.n_common) * 1)
+        |SELECT (10 * n_common) // (n_a + n_b - n_common) AS j_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        |  CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS recall
+        |FROM jac LEFT JOIN cand c USING (doc_a, doc_b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -477,6 +477,65 @@ object Dedup {
         (col("n_common").cast("double") / col("n_a").cast("double")).as("containment"))
   }
 
+  /** Exact Jaccard self-join via the same lossless prefix filter as
+    * [[containmentPairs]] — the DETERMINISTIC-RECALL alternative to LSH
+    * banding: banding's recall at threshold c is the probabilistic
+    * S-curve 1−(1−s^r)^b (pairs near the threshold are MISSED with
+    * substantial probability), while the prefix filter finds every
+    * qualifying pair by construction (J ≥ c ⇒ |A∩B|/|A| ≥ c, so A's
+    * c-prefix intersects B). The price is prefix-join fan-out instead
+    * of band buckets — use it when recall must be 1.0 (legal/contract
+    * dedup, audit baselines); use banding when approximate recall at
+    * lower cost is the right trade. q115 uses this as the exact
+    * baseline that MEASURES banding's recall.
+    *
+    * @return (doc_a, doc_b, n_a, n_b, n_common, jaccard) with
+    *         doc_a < doc_b and jaccard ≥ cNum/cDen — the exact integer
+    *         cut n_common·cDen ≥ (n_a+n_b−n_common)·cNum
+    */
+  def prefixJaccardPairs(docs: DataFrame, id: Column, text: Column,
+                         shingleN: Int, cNum: Int, cDen: Int): DataFrame = {
+    require(cNum > 0 && cNum <= cDen, "threshold must be in (0,1]")
+    val sh = graft.core.Parallelism.ensureWidth(
+        docs.select(id.as("id"), TextFunctions.tokens(text).as("ws")))
+      .select(col("id"),
+        explode(array_distinct(TextFunctions.shingles(col("ws"), shingleN))).as("s"))
+      .select(col("id"), Hashing.hexLong(col("s")).as("shh"))
+      .localCheckpoint(true)
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true)
+    val gdf = sh.groupBy("shh").agg(count(lit(1)).as("gdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("gdf").asc, col("shh").asc)
+    val prefix = sh.join(gdf, Seq("shh"))
+      .withColumn("pos", row_number().over(w))
+      .join(counts, Seq("id"))
+      .filter(col("pos") <=
+        col("n_sh") - expr(s"($cNum * n_sh + $cDen - 1) div $cDen") + 1)
+      .select(col("id").as("pid"), col("shh"))
+    // J >= c implies containment in BOTH directions >= c, so the
+    // prefix×postings join catches every pair from its prefix side at
+    // least; normalize to doc_a < doc_b
+    val cand = prefix
+      .join(sh.toDF("oid", "shh"), Seq("shh"))
+      .filter(col("pid") =!= col("oid"))
+      .select(least(col("pid"), col("oid")).as("doc_a"),
+        greatest(col("pid"), col("oid")).as("doc_b"))
+      .distinct()
+    val common = cand
+      .join(sh.toDF("doc_a", "shh"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "shh"), Seq("doc_b", "shh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(counts.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(counts.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .filter(col("n_common") * cDen >=
+        (col("n_a") + col("n_b") - col("n_common")) * cNum)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+  }
+
   /** Connected components over a near-duplicate pair list — the dedup
     * GROUP RESOLUTION step: LSH/banding emits pairwise matches, but
     * keep-one-per-group needs the transitive closure (a~b, b~c => one

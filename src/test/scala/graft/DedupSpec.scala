@@ -444,4 +444,29 @@ class DedupSpec extends SparkSpec {
     assert(at07.contains((1L, 2L)))
     assert(!at34.contains((1L, 2L)))
   }
+
+  test("prefixJaccardPairs: deterministic recall 1.0 vs a brute-force Jaccard model") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (4L, "totally unrelated content with different tokens inside"),
+      (5L, "alpha beta gamma delta some other long tail here present"))
+    val sets = corpus.map { case (id, t) =>
+      id -> t.split(" ").toSeq.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val exp = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+      if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size.toDouble
+      if j >= 0.3
+    } yield (a, b) -> j).toMap
+    val got = Dedup.prefixJaccardPairs(corpus.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), shingleN = 3, cNum = 3, cDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(got.keySet == exp.keySet, s"got ${got.keySet}, expected ${exp.keySet}")
+    got.foreach { case (k, v) => assert(v == exp(k), s"jaccard at $k") }
+    assert(got((1L, 3L)) == 1.0)
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) < 1.0)
+  }
 }
