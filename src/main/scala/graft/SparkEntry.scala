@@ -1898,9 +1898,7 @@ object SparkEntry {
     // yields the same count; the orientation is a COST choice).
     "q113_triangles" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = li.toDF("o", "u").join(li.toDF("o", "v"), Seq("o"))
-        .filter(col("u") < col("v")).select("u", "v")
+      val e = Triangles.coOccurrenceEdges(li, col("l_orderkey"), col("l_partkey"))
       Triangles.triangleStats(e)
     }),
 

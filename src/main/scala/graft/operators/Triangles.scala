@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact triangle counting + global clustering coefficient over an
@@ -25,6 +25,36 @@ import org.apache.spark.sql.functions._
   * ratio (a single division, engine-identical).
   */
 object Triangles {
+
+  /** Co-occurrence edge list: items sharing a group become an
+    * undirected edge (u < v, distinct) — the standard projection that
+    * turns transactional data (order→parts, doc→hosts, session→pages)
+    * into the graph [[triangleStats]] / [[PageRank]] consume. The pair
+    * space is quadratic PER GROUP, so a group holding more than
+    * `maxGroupItems` distinct items fails the job BEFORE the self-join
+    * emits — the [[Dedup.ngramJaccardPairs]] fail-fast stance: at
+    * 100 TB a single celebrity group (one order holding every part)
+    * would otherwise silently dominate the whole job.
+    */
+  def coOccurrenceEdges(rows: DataFrame, group: Column, item: Column,
+                        maxGroupItems: Int = 10000): DataFrame = {
+    require(maxGroupItems > 0, "maxGroupItems must be positive")
+    val g = rows.select(group.as("g"), item.as("i")).distinct()
+      .localCheckpoint(true)
+    val oversized = g.groupBy("g").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxGroupItems.toLong)
+    val a = g.toDF("g", "u").join(oversized, Seq("g"), "left")
+      .withColumn("u", when(col("__n").isNotNull,
+          raise_error(lit(s"coOccurrenceEdges: a group exceeds maxGroupItems=" +
+            s"$maxGroupItems distinct items - the projection is quadratic in " +
+            "group size; cap or pre-filter dense groups, or raise " +
+            "maxGroupItems explicitly")))
+        .otherwise(col("u")))
+      .drop("__n")
+    a.join(g.toDF("g", "v"), Seq("g"))
+      .filter(col("u") < col("v"))
+      .select("u", "v").distinct()
+  }
 
   /** One-row graph audit: (n_nodes, n_edges, n_wedges, n_triangles,
     * clustering) where n_wedges = Σ C(deg, 2) (computed arithmetically

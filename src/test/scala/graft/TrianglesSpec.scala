@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.Triangles
 
 class TrianglesSpec extends SparkSpec {
@@ -33,6 +34,20 @@ class TrianglesSpec extends SparkSpec {
     val star = Seq((9L, 1L), (1L, 9L), (9L, 2L), (9L, 3L), (9L, 9L), (9L, 3L))
     val (n, m, w, t, c) = stats(star)
     assert((n, m, w, t, c) == (4L, 3L, 3L, 0L, 0.0))
+  }
+
+  test("coOccurrenceEdges projects groups to distinct u<v pairs; dense group fails fast") {
+    val rows = Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 10L), // dup item collapses
+      (2L, 20L), (2L, 30L), (3L, 99L))                          // singleton: no edge
+    val got = graft.operators.Triangles.coOccurrenceEdges(
+        rows.toDF("g", "i"), col("g"), col("i"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 20L), (10L, 30L), (20L, 30L)))
+    val ex = intercept[Exception] {
+      graft.operators.Triangles.coOccurrenceEdges(
+        rows.toDF("g", "i"), col("g"), col("i"), maxGroupItems = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxGroupItems"))
   }
 
   test("random graph matches the brute-force model (orientation counts exactly once)") {
