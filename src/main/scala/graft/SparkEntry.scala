@@ -1899,7 +1899,7 @@ object SparkEntry {
     "q113_triangles" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val e = Triangles.coOccurrenceEdges(li, col("l_orderkey"), col("l_partkey"))
-      Triangles.triangleStats(e)
+      Triangles.triangleStats(e, normalized = true)
     }),
 
     // §2.3 joins — interval×interval OVERLAP join

@@ -63,12 +63,16 @@ object Triangles {
     *
     * @param edges (u, v) pairs; self-loops dropped, direction and
     *              duplicates ignored (normalized + distinct here)
+    * @param normalized the input is ALREADY distinct u < v pairs (e.g.
+    *              straight from [[coOccurrenceEdges]]) — skips a full
+    *              normalize+distinct shuffle of the edge list
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
-    val und = edges.select(least(col("u"), col("v")).as("lo"),
-        greatest(col("u"), col("v")).as("hi"))
-      .filter(col("lo") =!= col("hi"))
-      .distinct()
+  def triangleStats(edges: DataFrame, normalized: Boolean = false): DataFrame = {
+    val und = (if (normalized) edges.select(col("u").as("lo"), col("v").as("hi"))
+      else edges.select(least(col("u"), col("v")).as("lo"),
+          greatest(col("u"), col("v")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct())
       .localCheckpoint(true) // feeds degrees, orientation, and the close join
     val deg = und.select(col("lo").as("node"))
       .unionByName(und.select(col("hi").as("node")))

@@ -28,6 +28,10 @@ class TrianglesSpec extends SparkSpec {
   test("K4: four triangles, clustering 1.0") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     assert(stats(k4) == (4L, 6L, 12L, 4L, 1.0))
+    // the normalized fast path (input already distinct u<v) agrees
+    val r = Triangles.triangleStats(k4.toDF("u", "v"), normalized = true).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      == (4L, 6L, 12L, 4L, 1.0))
   }
 
   test("star: hub wedges, zero triangles; duplicate/reversed/self edges normalize") {
