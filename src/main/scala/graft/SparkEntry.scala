@@ -1917,6 +1917,25 @@ object SparkEntry {
         .orderBy("l_id", "r_id")
     }),
 
+    // Graph — PERSONALIZED PageRank (PageRank.personalized): teleport
+    // mass lands only on the seed set (customers of nation 1), so rank
+    // measures proximity to the seeds — the crawl seed-expansion
+    // primitive. Same integer fixed-point loop as q109, replayed
+    // exactly by the oracle's unrolled CTEs.
+    "q116_personalized_pagerank" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val p = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+      val e = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.load(s, dir, "customer")
+        .filter(col("c_nationkey") === 1)
+        .select((col("c_custkey").cast("long") * 2).as("node"))
+      PageRank.personalized(e, seeds, iters = 4).orderBy("node")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -1983,6 +2002,16 @@ object SparkEntry {
     s"""$out AS (SELECT n.node,
        |    CAST(150000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
        |  FROM prnodes n LEFT JOIN (
+       |    SELECT e.dst AS node, SUM(r.pr // o.outdeg) AS m
+       |    FROM pre e JOIN $prev r ON r.node = e.src JOIN prod o ON o.src = e.src
+       |    GROUP BY e.dst) s USING (node))""".stripMargin
+
+  /** One PERSONALIZED PageRank iteration as a DuckDB CTE — the [[prIterSql]]
+    * shape with the damping base gated on the seed flag. */
+  private def pprIterSql(prev: String, out: String): String =
+    s"""$out AS (SELECT n.node,
+       |    CAST(n.seed * 150000000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS pr
+       |  FROM pprnodes n LEFT JOIN (
        |    SELECT e.dst AS node, SUM(r.pr // o.outdeg) AS m
        |    FROM pre e JOIN $prev r ON r.node = e.src JOIN prod o ON o.src = e.src
        |    GROUP BY e.dst) s USING (node))""".stripMargin
@@ -3767,6 +3796,25 @@ object SparkEntry {
          |${prIterSql("pr2", "pr3")},
          |${prIterSql("pr3", "pr4")}
          |SELECT node, pr FROM pr4 ORDER BY node""".stripMargin,
+
+    "q116_personalized_pagerank" ->
+      s"""WITH prp AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) * 2 AS src,
+         |              CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS dst
+         |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |pre AS (SELECT src, dst FROM prp UNION ALL SELECT dst, src FROM prp),
+         |prnodes AS (SELECT src AS node FROM pre UNION SELECT dst FROM pre),
+         |prod AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM pre GROUP BY src),
+         |sd AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) * 2 AS node
+         |       FROM customer WHERE c_nationkey = 1),
+         |pprnodes AS (SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS seed
+         |  FROM prnodes n LEFT JOIN sd s ON s.node = n.node),
+         |ppr0 AS (SELECT node, CAST(seed * 1000000000 AS BIGINT) AS pr FROM pprnodes),
+         |${pprIterSql("ppr0", "ppr1")},
+         |${pprIterSql("ppr1", "ppr2")},
+         |${pprIterSql("ppr2", "ppr3")},
+         |${pprIterSql("ppr3", "ppr4")}
+         |SELECT node, pr FROM ppr4 ORDER BY node""".stripMargin,
 
     "q110_containment" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

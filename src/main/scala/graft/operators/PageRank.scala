@@ -71,4 +71,50 @@ object PageRank {
     }
     ranks
   }
+
+  /** PERSONALIZED PageRank: the teleport lands ONLY on `seeds`, so rank
+    * measures proximity to the seed set — the crawl/corpus primitive for
+    * seed-set expansion ("find pages like my trusted seeds") and
+    * topic-conditioned quality. Same exact integer fixed-point semantics
+    * and per-iteration join shape as [[run]]; non-seed nodes start at 0
+    * and receive mass only through edges, seeds get the damping base
+    * every round. Seeds not present in the edge list are ignored (they
+    * have no edges to push mass through).
+    *
+    * @param seeds one column `node`
+    * @return (node, pr) for every node of the graph (0 = unreached)
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+                   scale: Long = 1000000000L, dampNum: Long = 85L,
+                   dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
+    val base = (scale * (dampDen - dampNum)) / dampDen
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .join(seeds.select(col("node")).distinct().withColumn("__seed", lit(1L)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("seed"))
+      .localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"), (col("seed") * scale).as("pr"))
+    for (_ <- 1 to iters) {
+      val sums = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (col("seed") * base +
+            expr(s"($dampNum * coalesce(m, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -50,6 +50,23 @@ class PageRankSpec extends SparkSpec {
     assert(got(0L) == got.values.max, "the all-linked-to hub must rank highest")
   }
 
+  test("personalized with ALL nodes as seeds degenerates to plain PageRank") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (3L, 2L))
+    val all = edges.flatMap { case (a, b) => Seq(a, b) }.distinct.toDF("node")
+    val ppr = PageRank.personalized(edges.toDF("src", "dst"), all, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr == run(edges, 5))
+  }
+
+  test("personalized: rank decays with distance from the seed; unreachable stays 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)) // 4,5 disconnected from seed 1
+    val ppr = PageRank.personalized(edges.toDF("src", "dst"),
+        Seq(1L).toDF("node"), iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr(1L) > ppr(2L) && ppr(2L) > ppr(3L) && ppr(3L) > 0L)
+    assert(ppr(4L) == 0L && ppr(5L) == 0L)
+  }
+
   test("dangling node leaks mass: total rank shrinks, dangling keeps inflow") {
     val edges = Seq((1L, 2L)) // 2 has no out-edges
     val got = run(edges, iters = 2)
