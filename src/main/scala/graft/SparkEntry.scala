@@ -1936,6 +1936,22 @@ object SparkEntry {
       PageRank.personalized(e, seeds, iters = 4).orderBy("node")
     }),
 
+    // Graph — deterministic label-propagation communities
+    // (LabelPropagation.run): synchronous rounds, most-frequent
+    // neighbor label, ties to the SMALLEST label — a pure function of
+    // the edge list, so the oracle replays every round. The soft
+    // alternative to q52's connected components.
+    "q117_label_propagation" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val p = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+      val e = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      LabelPropagation.run(e, iters = 3).orderBy("node")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -2015,6 +2031,22 @@ object SparkEntry {
        |    SELECT e.dst AS node, SUM(r.pr // o.outdeg) AS m
        |    FROM pre e JOIN $prev r ON r.node = e.src JOIN prod o ON o.src = e.src
        |    GROUP BY e.dst) s USING (node))""".stripMargin
+
+  /** One synchronous label-propagation round as a DuckDB CTE: vote
+    * counts per (node, label), winner by (count desc, label asc),
+    * no-in-edge nodes keep their previous label — mirrors
+    * [[operators.LabelPropagation.run]]'s loop body exactly. */
+  private def lpIterSql(prev: String, out: String): String =
+    s"""$out AS (SELECT p.node, COALESCE(w.label, p.label) AS label
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT node, label FROM (
+       |      SELECT v.node, v.label,
+       |        ROW_NUMBER() OVER (PARTITION BY v.node
+       |          ORDER BY v.c DESC, v.label ASC) AS rn
+       |      FROM (SELECT e.dst AS node, r.label, COUNT(*) AS c
+       |            FROM pre e JOIN $prev r ON r.node = e.src
+       |            GROUP BY 1, 2) v) WHERE rn = 1) w
+       |  ON w.node = p.node)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -3815,6 +3847,18 @@ object SparkEntry {
          |${pprIterSql("ppr2", "ppr3")},
          |${pprIterSql("ppr3", "ppr4")}
          |SELECT node, pr FROM ppr4 ORDER BY node""".stripMargin,
+
+    "q117_label_propagation" ->
+      s"""WITH prp AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) * 2 AS src,
+         |              CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS dst
+         |            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |pre AS (SELECT src, dst FROM prp UNION ALL SELECT dst, src FROM prp),
+         |prnodes AS (SELECT src AS node FROM pre UNION SELECT dst FROM pre),
+         |lp0 AS (SELECT node, node AS label FROM prnodes),
+         |${lpIterSql("lp0", "lp1")},
+         |${lpIterSql("lp1", "lp2")},
+         |${lpIterSql("lp2", "lp3")}
+         |SELECT node, label FROM lp3 ORDER BY node""".stripMargin,
 
     "q110_containment" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. 2007) made
+  * DETERMINISTIC: every node starts as its own label; each round every
+  * node adopts the label most frequent among its IN-neighBors, ties
+  * broken by the SMALLEST label; updates are synchronous (all nodes
+  * read round t, write round t+1) and the round count is fixed — so
+  * the result is a pure function of the edge list, replayable by an
+  * oracle, stable across retries and partition orders. (The classic
+  * formulation breaks ties randomly and updates asynchronously — both
+  * are non-starters for a certified pipeline.)
+  *
+  * Communities are the soft alternative to [[Dedup.connectedComponents]]:
+  * components give the transitive closure (any path merges groups),
+  * LPA keeps densely-linked clusters apart even when a stray edge
+  * connects them — the right grouping when near-dup edges are noisy.
+  *
+  * Shape at scale: per round, one equi-join of edges to the label
+  * vector on `src` (edges partitioned ONCE and reused), one
+  * (node, label) count aggregate, and one max_by argmax — partial
+  * aggregation collapses each mapper to one row per (node, label) and
+  * then per node, so shuffle bytes track nodes, never edges. Same
+  * localCheckpoint-per-round lineage discipline as the other loops.
+  *
+  * @param edges (src, dst) directed votes: src's label is a vote FOR
+  *              dst. Symmetrize for undirected graphs. A node with no
+  *              in-edges keeps its current label.
+  */
+object LabelPropagation {
+
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val winner = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        // argmax by (count desc, label asc): max of (c, -label) — a
+        // map-side-combined aggregate, never a window over the votes
+        .groupBy("node")
+        .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("nl")))
+          .as("win"))
+      labels = labels.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("win"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+}

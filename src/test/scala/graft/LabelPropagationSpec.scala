@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.LabelPropagation
+
+class LabelPropagationSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent synchronous model: most-frequent in-neighbor label,
+    * ties to smallest, no-in-edge nodes keep their label. */
+  private def model(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var lab = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      val incoming = edges.groupBy(_._2)
+      lab = nodes.map { n =>
+        incoming.get(n) match {
+          case None => n -> lab(n)
+          case Some(es) =>
+            val votes = es.map { case (s, _) => lab(s) }
+              .groupBy(identity).map { case (l, xs) => l -> xs.size }
+            n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }.toMap
+    }
+    lab
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    LabelPropagation.run(edges.toDF("src", "dst"), iters)
+      .as[(Long, Long)].collect().toMap
+
+  private def sym(e: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    e ++ e.map { case (a, b) => (b, a) }
+
+  test("two disjoint triangles converge to their min labels") {
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L)))
+    val got = run(edges, 3)
+    assert(got == model(edges, 3))
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(7L) == 7L && got(8L) == 7L && got(9L) == 7L)
+  }
+
+  test("node with no in-edges keeps its own label") {
+    val got = run(Seq((1L, 2L)), 4) // only 1 -> 2
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("random graph matches the independent model across round counts") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.tabulate(150) { _ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)
+    }.filter { case (a, b) => a != b }.distinct
+    for (it <- Seq(1, 2, 4)) assert(run(edges, it) == model(edges, it), s"iters=$it")
+  }
+}
