@@ -1952,6 +1952,26 @@ object SparkEntry {
       LabelPropagation.run(e, iters = 3).orderBy("node")
     }),
 
+    // Ops — one-pass data-quality audit (DataQuality): N row rules fold
+    // into ONE aggregate over ONE scan (a rule is a counter, not a
+    // pass); uniqueness is the one unavoidable key shuffle; referential
+    // integrity is one anti-join. Exact integer counts — the audit
+    // frame is oracle-replayable like any query.
+    "q118_quality_audit" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      DataQuality.rowRules(li, Seq(
+          "l_discount_range" -> (col("l_discount") >= 0.0 && col("l_discount") <= 0.5),
+          "l_quantity_positive" -> (col("l_quantity") > 0),
+          "l_returnflag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+        .unionByName(DataQuality.uniqueness(li,
+          Seq("l_orderkey", "l_linenumber"), "lineitem_pk_unique"))
+        .unionByName(DataQuality.referentialIntegrity(li, o.toDF()
+            .select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "lineitem_orderkey_ri"))
+        .orderBy("rule")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -3859,6 +3879,34 @@ object SparkEntry {
          |${lpIterSql("lp1", "lp2")},
          |${lpIterSql("lp2", "lp3")}
          |SELECT node, label FROM lp3 ORDER BY node""".stripMargin,
+
+    "q118_quality_audit" ->
+      """WITH rr AS (
+        |  SELECT 'l_discount_range' AS rule, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0.0 AND l_discount <= 0.5, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity_positive', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN NOT COALESCE(l_quantity > 0, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag_domain', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_pk_unique', CAST(SUM(c) AS BIGINT),
+        |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL
+        |  SELECT 'lineitem_orderkey_ri',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
+        |SELECT rule, n_rows, n_violations, n_violations = 0 AS pass
+        |FROM rr ORDER BY rule""".stripMargin,
 
     "q110_containment" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass data-quality audit — the Deequ/dbt-tests shape: declare
+  * rules, get back one row per rule with exact violation counts. The
+  * reference's scripts validate ad-hoc (regex checks, manual nulls);
+  * a 100 TB warehouse needs the checks as a FIRST-CLASS operator whose
+  * cost model is explicit:
+  *
+  *  - row rules (null / range / regex / cross-column) fold into ONE
+  *    map-side-combined aggregate over ONE scan, however many rules —
+  *    adding a rule adds a counter, not a pass;
+  *  - uniqueness is one groupBy on the key (the one unavoidable
+  *    shuffle, same cost as the dedup it guards);
+  *  - referential integrity is one anti-join (broadcast when the
+  *    parent is a dim).
+  *
+  * All counts are exact integers — the audit frame itself is
+  * oracle-replayable like any other query.
+  */
+object DataQuality {
+
+  /** Evaluate row-local rules in one aggregate pass.
+    * @param rules (name, predicate) — predicate TRUE means the row is
+    *              GOOD; null predicate results count as violations
+    *              (a null check result is a failed check)
+    * @return (rule, n_rows, n_violations, pass) one row per rule, in
+    *         rule order
+    */
+  def rowRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), lit(0L)).otherwise(lit(1L)))
+        .as(s"__v_$name")
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = rules.map { case (name, _) =>
+      one.select(lit(name).as("rule"), col("__n").as("n_rows"),
+        coalesce(col(s"__v_$name"), lit(0L)).as("n_violations"))
+    }
+    rows.reduce(_.unionByName(_))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** Uniqueness check: violations = rows carrying a key that occurs
+    * more than once (every row of a duplicated key counts, the
+    * convention that makes n_violations/n_rows a duplication rate). */
+  def uniqueness(df: DataFrame, keys: Seq[String],
+                 ruleName: String): DataFrame = {
+    val g = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+    g.agg(lit(ruleName).as("rule"),
+      coalesce(sum("__c"), lit(0L)).as("n_rows"),
+      coalesce(sum(when(col("__c") > 1, col("__c")).otherwise(lit(0L))), lit(0L))
+        .as("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** Referential integrity: child rows whose key set has no match in
+    * the parent (null keys violate — an orphan is an orphan). One
+    * anti-join; broadcast the parent when it is dim-sized. */
+  def referentialIntegrity(child: DataFrame, parent: DataFrame,
+                           keys: Seq[String], ruleName: String,
+                           broadcastParent: Boolean = false): DataFrame = {
+    val p = parent.select(keys.map(col): _*).distinct()
+    val orphans = child.join(if (broadcastParent) broadcast(p) else p,
+      keys, "left_anti")
+    child.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_violations")))
+      .select(lit(ruleName).as("rule"), col("n_rows"), col("n_violations"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DataQuality
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rowRules: exact counts, null predicate results are violations") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "A"), (-2L, "N"), (null, "R"), (4L, "X"))
+      .toDF("v", "flag")
+    val got = DataQuality.rowRules(df, Seq(
+        "v_positive" -> (col("v") > 0),          // -2 fails, null fails
+        "flag_domain" -> col("flag").isin("A", "N", "R"))) // X fails
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got("v_positive") == ((4L, 2L, false)))
+    assert(got("flag_domain") == ((4L, 1L, false)))
+  }
+
+  test("rowRules: an all-pass rule reports pass=true; empty frame is zero rows") {
+    val df = Seq((1L, "a")).toDF("v", "s")
+    val ok = DataQuality.rowRules(df, Seq("always" -> lit(true))).head()
+    assert((ok.getLong(1), ok.getLong(2), ok.getBoolean(3)) == ((1L, 0L, true)))
+    val empty = DataQuality.rowRules(df.filter(lit(false)),
+      Seq("r" -> (col("v") > 0))).head()
+    assert((empty.getLong(1), empty.getLong(2), empty.getBoolean(3)) == ((0L, 0L, true)))
+  }
+
+  test("uniqueness: every row of a duplicated key counts as a violation") {
+    val df = Seq((1L, 1), (1L, 1), (1L, 1), (2L, 1), (3L, 2)).toDF("k", "sub")
+    val got = DataQuality.uniqueness(df, Seq("k", "sub"), "pk").head()
+    // key (1,1) has 3 rows -> 3 violations out of 5
+    assert((got.getLong(1), got.getLong(2), got.getBoolean(3)) == ((5L, 3L, false)))
+  }
+
+  test("referentialIntegrity: orphans and null keys violate; broadcast path agrees") {
+    val child = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (9L, "c"), (null, "d"))
+      .toDF("k", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("k")
+    val plain = DataQuality.referentialIntegrity(child, parent, Seq("k"), "ri").head()
+    assert((plain.getLong(1), plain.getLong(2), plain.getBoolean(3)) == ((4L, 2L, false)))
+    val bc = DataQuality.referentialIntegrity(child, parent, Seq("k"), "ri",
+      broadcastParent = true).head()
+    assert((bc.getLong(1), bc.getLong(2), bc.getBoolean(3)) == ((4L, 2L, false)))
+  }
+}
