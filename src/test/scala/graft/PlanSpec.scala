@@ -197,4 +197,29 @@ class PlanSpec extends SparkSpec {
       s"query side must broadcast:\n${p.take(1500)}")
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
+
+  test("q114: interval overlap is pure equi-joins — no nested-loop, no cartesian") {
+    // the whole point of tiling: a raw range-overlap predicate forces
+    // BroadcastNestedLoopJoin; the tiled form must plan as hash joins
+    val p = plan("q114_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q113: triangle close is a LeftSemi equi-join, never a cartesian") {
+    // the one-row stat frames legitimately cross-join (BNLJ over single
+    // rows); what must NOT appear is a cartesian over DATA: the wedge
+    // self-join and close join are hash equi-joins, the close a LeftSemi
+    val p = plan("q113_triangles")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin).*LeftSemi".r
+      .findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("q108: BM25 top-k caps its exchange with partial+final WindowGroupLimit") {
+    val p = plan("q108_bm25_topk")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000)) // query-term prune
+  }
 }
