@@ -1972,6 +1972,18 @@ object SparkEntry {
         .orderBy("rule")
     }),
 
+    // §2.9-adjacent — time-grid resample with carry-forward
+    // (Segmentation.resampleCarryForward): daily snapshots from an
+    // event-sourced stream via the as-of union+carry trick — no
+    // point×observation join, one key-partitioned window pass.
+    "q119_resample" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      Segmentation.resampleCarryForward(ev, col("user_id"),
+          unix_micros(col("ts")), col("value"), step = 86400000000L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "grid_ts")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -3907,6 +3919,23 @@ object SparkEntry {
         |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
         |SELECT rule, n_rows, n_violations, n_violations = 0 AS pass
         |FROM rr ORDER BY rule""".stripMargin,
+
+    "q119_resample" ->
+      """WITH obs AS (SELECT user_id AS k, epoch_us(ts) AS t, MAX(value) AS v
+        |             FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, (MIN(t) + 86400000000 - 1) // 86400000000 AS lo,
+        |             MAX(t) // 86400000000 AS hi FROM obs GROUP BY k),
+        |grid AS (SELECT k, unnest(range(lo, hi + 1)) * 86400000000 AS gt
+        |         FROM b WHERE hi >= lo),
+        |u AS (SELECT k, gt AS t, CAST(NULL AS DOUBLE) AS v, 1 AS isg, gt FROM grid
+        |      UNION ALL
+        |      SELECT k, t, v, 0, NULL FROM obs),
+        |w AS (SELECT k, gt, isg,
+        |        last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, isg
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+        |      FROM u)
+        |SELECT k AS user_id, gt AS grid_ts, fv AS value
+        |FROM w WHERE isg = 1 ORDER BY user_id, grid_ts""".stripMargin,
 
     "q110_containment" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

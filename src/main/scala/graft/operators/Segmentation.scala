@@ -38,4 +38,45 @@ object Segmentation {
       transform(array_sort(collect_list(struct(ord.as("o"), value.as("v")))),
         x => x.getField("v")),
       sep)
+
+  /** Regularize an irregular time series onto a fixed-step grid with
+    * carry-forward fill — gap filling, the warehouse op behind "daily
+    * snapshot from event-sourced state". Grid points are the multiples
+    * of `step` inside [min(t), max(t)] per key; each carries the value
+    * of the LAST observation at or before it.
+    *
+    * Shape at scale: no per-key collect and no point×observation join —
+    * the grid UNIONS with the observations and ONE ordered window pass
+    * (the as-of union+carry trick) fills every grid point; cost is
+    * observations + span/step generated rows, all inside a single
+    * key-partitioned window. Observations sharing an exact timestamp
+    * collapse to max(value) first (documented tie rule) so the window
+    * order (t, is_grid) is total and engine-portable.
+    *
+    * @return (key, grid_ts, value) — value never null (the first grid
+    *         point is at or after the first observation)
+    */
+  def resampleCarryForward(df: DataFrame, key: Column, ts: Column,
+                           value: Column, step: Long): DataFrame = {
+    require(step > 0, "step must be positive")
+    val obs = df.select(key.as("k"), ts.as("t"), value.as("v"))
+      .groupBy("k", "t").agg(max("v").as("v"))
+      .localCheckpoint(true) // feeds bounds AND the union
+    val bounds = obs.groupBy("k").agg(
+      expr(s"(min(t) + $step - 1) div $step").as("lo"),
+      expr(s"max(t) div $step").as("hi"))
+    val grid = bounds.filter(col("hi") >= col("lo"))
+      .select(col("k"), explode(sequence(col("lo"), col("hi"))).as("gk"))
+      .select(col("k"), (col("gk") * step).as("gt"))
+    val u = grid
+      .select(col("k"), col("gt").as("t"),
+        lit(null).cast("double").as("v"), lit(1).as("isg"), col("gt"))
+      .unionByName(obs.select(col("k"), col("t"), col("v").cast("double").as("v"),
+        lit(0).as("isg"), lit(null).cast("long").as("gt")))
+    val w = Window.partitionBy("k").orderBy(col("t"), col("isg"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("fv", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("isg") === 1)
+      .select(col("k").as("key"), col("gt").as("grid_ts"), col("fv").as("value"))
+  }
 }

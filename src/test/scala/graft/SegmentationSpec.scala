@@ -57,4 +57,20 @@ class SegmentationSpec extends SparkSpec {
       .select("user", "session_id").as[(Long, Long)].collect().toSeq
     assert(out == Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L)))
   }
+
+  test("resampleCarryForward: grid inside [min,max], carry-forward, max-on-tie") {
+    val obs = Seq(
+      (1L, 10L, 5.0), (1L, 25L, 7.0),        // grid 10, 20 at step 10
+      (2L, 8L, 1.0), (2L, 8L, 3.0), (2L, 12L, 2.0), // same-ts tie -> max 3.0 at grid 10
+      (3L, 11L, 9.0), (3L, 13L, 9.5))        // no multiple of 10 in [11,13]: no rows
+      .toDF("k", "t", "v")
+    val got = graft.operators.Segmentation.resampleCarryForward(
+        obs, col("k"), col("t"), col("v"), step = 10L)
+      .orderBy("key", "grid_ts")
+      .as[(Long, Long, Double)].collect().toSeq
+    // key 1: grid 10 takes the obs AT 10 (<=), grid 20 carries it forward;
+    // key 2: grid 10 carries the max of the t=8 tie, not the later 12;
+    // key 3: empty grid emits nothing
+    assert(got == Seq((1L, 10L, 5.0), (1L, 20L, 5.0), (2L, 10L, 3.0)))
+  }
 }
