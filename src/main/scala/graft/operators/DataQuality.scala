@@ -46,7 +46,9 @@ object DataQuality {
 
   /** Uniqueness check: violations = rows carrying a key that occurs
     * more than once (every row of a duplicated key counts, the
-    * convention that makes n_violations/n_rows a duplication rate). */
+    * convention that makes n_violations/n_rows a duplication rate).
+    * Null keys GROUP TOGETHER — two null-keyed rows are duplicates
+    * (GROUP BY semantics, stricter than SQL UNIQUE's null-distinct). */
   def uniqueness(df: DataFrame, keys: Seq[String],
                  ruleName: String): DataFrame = {
     val g = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))

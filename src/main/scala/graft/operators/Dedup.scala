@@ -440,8 +440,15 @@ object Dedup {
     *         the contained side; both directions are evaluated
     *         independently and may both appear
     */
-  def containmentPairs(docs: DataFrame, id: Column, text: Column,
-                       shingleN: Int, cNum: Int, cDen: Int): DataFrame = {
+  /** Shared machinery of the prefix-filter family ([[containmentPairs]],
+    * [[prefixJaccardPairs]]): hashed distinct shingles, per-doc sizes,
+    * rare-first (global-df, hash tiebreak) prefixes of length
+    * |A| − ceil(c·|A|) + 1, and per-pair common counts for a candidate
+    * frame — ONE implementation so a fix cannot miss a copy.
+    * Returns (sh, counts, prefix, commonOf). */
+  private def prefixFilterParts(docs: DataFrame, id: Column, text: Column,
+                                shingleN: Int, cNum: Int, cDen: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame => DataFrame) = {
     require(cNum > 0 && cNum <= cDen, "threshold must be in (0,1]")
     val sh = graft.core.Parallelism.ensureWidth(
         docs.select(id.as("id"), TextFunctions.tokens(text).as("ws")))
@@ -460,18 +467,24 @@ object Dedup {
       // prefix length |A| - ceil(c*|A|) + 1, ceil as integer arithmetic
       .filter(col("pos") <=
         col("n_sh") - expr(s"($cNum * n_sh + $cDen - 1) div $cDen") + 1)
-      .select(col("id").as("doc_a"), col("shh"))
-    val cand = prefix
-      .join(sh.toDF("doc_b", "shh"), Seq("shh"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val common = cand
+    val commonOf = (cand: DataFrame) => cand
       .join(sh.toDF("doc_a", "shh"), Seq("doc_a"))
       .join(sh.toDF("doc_b", "shh"), Seq("doc_b", "shh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    common
       .join(counts.toDF("doc_a", "n_a"), Seq("doc_a"))
       .join(counts.toDF("doc_b", "n_b"), Seq("doc_b"))
+    (sh, counts, prefix, commonOf)
+  }
+
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+                       shingleN: Int, cNum: Int, cDen: Int): DataFrame = {
+    val (sh, _, prefix, commonOf) =
+      prefixFilterParts(docs, id, text, shingleN, cNum, cDen)
+    val cand = prefix.select(col("id").as("doc_a"), col("shh"))
+      .join(sh.toDF("doc_b", "shh"), Seq("shh"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    commonOf(cand)
       .filter(col("n_common") * cDen >= col("n_a") * cNum)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"),
         (col("n_common").cast("double") / col("n_a").cast("double")).as("containment"))
@@ -495,40 +508,18 @@ object Dedup {
     */
   def prefixJaccardPairs(docs: DataFrame, id: Column, text: Column,
                          shingleN: Int, cNum: Int, cDen: Int): DataFrame = {
-    require(cNum > 0 && cNum <= cDen, "threshold must be in (0,1]")
-    val sh = graft.core.Parallelism.ensureWidth(
-        docs.select(id.as("id"), TextFunctions.tokens(text).as("ws")))
-      .select(col("id"),
-        explode(array_distinct(TextFunctions.shingles(col("ws"), shingleN))).as("s"))
-      .select(col("id"), Hashing.hexLong(col("s")).as("shh"))
-      .localCheckpoint(true)
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-      .localCheckpoint(true)
-    val gdf = sh.groupBy("shh").agg(count(lit(1)).as("gdf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("gdf").asc, col("shh").asc)
-    val prefix = sh.join(gdf, Seq("shh"))
-      .withColumn("pos", row_number().over(w))
-      .join(counts, Seq("id"))
-      .filter(col("pos") <=
-        col("n_sh") - expr(s"($cNum * n_sh + $cDen - 1) div $cDen") + 1)
-      .select(col("id").as("pid"), col("shh"))
+    val (sh, _, prefix, commonOf) =
+      prefixFilterParts(docs, id, text, shingleN, cNum, cDen)
     // J >= c implies containment in BOTH directions >= c, so the
     // prefix×postings join catches every pair from its prefix side at
     // least; normalize to doc_a < doc_b
-    val cand = prefix
+    val cand = prefix.select(col("id").as("pid"), col("shh"))
       .join(sh.toDF("oid", "shh"), Seq("shh"))
       .filter(col("pid") =!= col("oid"))
       .select(least(col("pid"), col("oid")).as("doc_a"),
         greatest(col("pid"), col("oid")).as("doc_b"))
       .distinct()
-    val common = cand
-      .join(sh.toDF("doc_a", "shh"), Seq("doc_a"))
-      .join(sh.toDF("doc_b", "shh"), Seq("doc_b", "shh"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(counts.toDF("doc_a", "n_a"), Seq("doc_a"))
-      .join(counts.toDF("doc_b", "n_b"), Seq("doc_b"))
+    commonOf(cand)
       .filter(col("n_common") * cDen >=
         (col("n_a") + col("n_b") - col("n_common")) * cNum)
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"),
