@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot, FreqSketchAgg, Md5Long, QDigestAgg, VecSum9Agg}
+import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot, FreqSketchAgg, KmvSketchAgg, Md5Long, QDigestAgg, VecSum9Agg}
 
 /** Engine extension point — the sanctioned way to add native expressions
   * to a session: `SparkSession.builder().withExtensions(new
@@ -30,6 +30,10 @@ import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVecto
   *    quantile summary over `[0, 2^b)` with a deterministic `b·⌊n/k⌋`
   *    rank-error bound; one pass, O(k) per group through the exchange
   *    ([[graft.expressions.QDigestAgg]]);
+  *  - `kmv_theta(bigint, k) -> struct<n, mins>` — bottom-k distinct-count
+  *    sketch over pre-hashed longs whose buffer is a PURE FUNCTION of the
+  *    input set (replayable value-for-value by an oracle, unlike HLL's
+  *    engine-private registers) ([[graft.expressions.KmvSketchAgg]]);
   *  - `bloom_might_contain(binary, bigint) -> boolean` — Spark's internal
   *    runtime-filter membership test exposed for explicit bloom
   *    prefilters ([[graft.operators.Decontaminate]]);
@@ -87,6 +91,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 3, "qdigest takes exactly 3 arguments")
         QDigestAgg(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_theta"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_theta"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "kmv_theta takes exactly 2 arguments")
+        KmvSketchAgg(children.head, children(1))
       }))
     // Spark's own runtime-filter membership expression (codegen'd), made
     // callable so operators can bloom-prefilter a join side explicitly

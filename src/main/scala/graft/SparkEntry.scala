@@ -1984,6 +1984,38 @@ object SparkEntry {
         .orderBy("user_id", "grid_ts")
     }),
 
+    // §2.4 sketches — KMV/bottom-k distinct count (expressions.KmvSketchAgg):
+    // the sketch whose BUFFER is a pure function of the input set, so the
+    // oracle replays it value-for-value (ORDER BY hash LIMIT k) — a hash
+    // gate, not a tolerance (contrast q28's HLL bound gate). merge_exact
+    // proves mergeability literally: two half-corpus sketches union (plain
+    // array ops) into EXACTLY the global sketch.
+    "q120_kmv_distinct" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val hashed = li.select(col("l_orderkey"), col("l_partkey"),
+          Hashing.hexLong(col("l_partkey").cast("string")).as("hv"))
+        .localCheckpoint(true) // one scan feeds global, halves, and exact
+      val g = hashed.agg(call_function("kmv_theta", col("hv"), lit(256)).as("s"))
+        .select(col("s.mins").as("gmins"))
+      val halves = hashed.groupBy((col("l_orderkey") % 2).as("h"))
+        .agg(call_function("kmv_theta", col("hv"), lit(256)).as("s"))
+        .agg(collect_list(col("s.mins")).as("hm"))
+        .select(slice(array_sort(array_distinct(flatten(col("hm")))), 1, 256)
+          .as("umins"))
+      val ex = hashed.agg(countDistinct("l_partkey").as("exact_distinct"))
+      val kSeen = size(col("gmins"))
+      val est = when(kSeen < 256, kSeen.cast("double"))
+        .otherwise(lit(255.0) * lit(math.pow(2, 60)) /
+          element_at(col("gmins"), 256).cast("double"))
+      g.crossJoin(halves).crossJoin(ex)
+        .select(col("exact_distinct"), kSeen.as("k_seen"),
+          format_string("%.6f", est).as("est"),
+          (abs(est - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double") <= lit(3.0) / sqrt(lit(254.0)))
+            .as("within_bound"),
+          (col("gmins") === col("umins")).as("merge_exact"))
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -3936,6 +3968,31 @@ object SparkEntry {
         |      FROM u)
         |SELECT k AS user_id, gt AS grid_ts, fv AS value
         |FROM w WHERE isg = 1 ORDER BY user_id, grid_ts""".stripMargin,
+
+    "q120_kmv_distinct" ->
+      """WITH h AS (SELECT l_orderkey, l_partkey,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |gm AS (SELECT list(hv ORDER BY hv) AS gmins FROM (
+        |    SELECT hv FROM (SELECT DISTINCT hv FROM h) ORDER BY hv LIMIT 256)),
+        |hm AS (SELECT hh, list(hv ORDER BY hv) AS m FROM (
+        |    SELECT hh, hv, ROW_NUMBER() OVER (PARTITION BY hh ORDER BY hv) AS rn
+        |    FROM (SELECT DISTINCT l_orderkey % 2 AS hh, hv FROM h))
+        |  WHERE rn <= 256 GROUP BY hh),
+        |um AS (SELECT (list_sort(list_distinct(flatten(list(m)))))[1:256] AS umins
+        |       FROM hm),
+        |ex AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+        |       FROM lineitem),
+        |est AS (SELECT len(gmins) AS k_seen, gmins,
+        |    CASE WHEN len(gmins) < 256 THEN CAST(len(gmins) AS DOUBLE)
+        |         ELSE 255.0 * power(2, 60) / CAST(gmins[256] AS DOUBLE) END AS e
+        |  FROM gm)
+        |SELECT ex.exact_distinct, CAST(est.k_seen AS INTEGER) AS k_seen,
+        |  printf('%.6f', est.e) AS est,
+        |  abs(est.e - CAST(ex.exact_distinct AS DOUBLE))
+        |    / CAST(ex.exact_distinct AS DOUBLE) <= 3.0 / sqrt(254.0) AS within_bound,
+        |  est.gmins = um.umins AS merge_exact
+        |FROM est, um, ex""".stripMargin,
 
     "q110_containment" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1,0 +1,151 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** K-minimum-values (KMV / bottom-k theta) distinct-count summary for
+  * [[KmvSketchAgg]]: the k smallest DISTINCT hash values seen.
+  *
+  * The property that sets KMV apart from the other mergeable summaries
+  * here (Misra–Gries, q-digest): the buffer content is a PURE FUNCTION
+  * OF THE INPUT SET — duplicates collapse by set semantics and any
+  * merge tree yields exactly "the k smallest distinct hashes of the
+  * union". So not only the guarantee but the ENTIRE RESULT is
+  * deterministic across partitionings, retries, and merge orders, and
+  * an oracle can replay it value-for-value (ORDER BY hash LIMIT k).
+  *
+  * Distinct estimate (Bar-Yossef et al. 2002; Beyer et al. 2007
+  * unbiased form): with hashes uniform on [0, M) and h_k the k-th
+  * smallest, D ≈ (k−1)·M / h_k, relative error ~1/√(k−2). When fewer
+  * than k distinct hashes exist the summary IS the distinct set and
+  * the count is exact. Set algebra falls out of the same structure:
+  * union = k smallest of the concatenated buffers (plain array ops),
+  * intersection via the Jaccard of the union's min-set.
+  */
+final class KmvSummary(val k: Int) {
+  // bounded sorted set of the k smallest distinct values
+  val mins = new java.util.TreeSet[java.lang.Long]()
+  var n: Long = 0L // non-null arrivals absorbed (telemetry only)
+
+  def update(v: Long): Unit = {
+    n += 1
+    if (mins.size < k) { mins.add(v); () }
+    else if (v < mins.last()) {
+      if (mins.add(v)) { mins.remove(mins.last()); () }
+    }
+  }
+
+  def merge(o: KmvSummary): Unit = {
+    n += o.n
+    val it = o.mins.iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      if (mins.size < k) mins.add(v)
+      else if (v < mins.last() && mins.add(v)) mins.remove(mins.last())
+    }
+  }
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 8 + 4 + mins.size * 8)
+    buf.putInt(k).putLong(n).putInt(mins.size)
+    val it = mins.iterator()
+    while (it.hasNext) buf.putLong(it.next())
+    buf.array()
+  }
+}
+
+object KmvSummary {
+  def deserialize(bytes: Array[Byte]): KmvSummary = {
+    val buf = ByteBuffer.wrap(bytes)
+    val s = new KmvSummary(buf.getInt())
+    s.n = buf.getLong()
+    val sz = buf.getInt()
+    var i = 0
+    while (i < sz) { s.mins.add(buf.getLong()); i += 1 }
+    s
+  }
+}
+
+/** `kmv_theta(hash_bigint, k) -> struct<n: bigint, mins: array<bigint>>`
+  * — bounded-memory distinct-count sketch over PRE-HASHED long values
+  * (pair with [[graft.functions.Hashing]]`.hexLong`, uniform on
+  * [0, 2^60)).
+  *
+  * The 100 TB problem: `COUNT(DISTINCT key)` shuffles every distinct
+  * key; `approx_count_distinct` (HLL) answers but its register content
+  * is engine-private, so a cross-engine gate can only bound the error
+  * (q28). KMV ships one ≤k-long buffer per partition — O(partitions·k)
+  * exchange — AND its buffer is replayable value-for-value by any
+  * engine: the correctness gate is a hash MATCH, not a tolerance.
+  * `mins` comes back sorted ascending; estimate arithmetic stays in
+  * the query so the oracle mirrors it symbolically.
+  */
+case class KmvSketchAgg(
+    child: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvSummary] with BinaryLike[Expression] {
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+
+  private lazy val k: Int = kExpr.eval(null).asInstanceOf[Number].intValue()
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a bigint child (pre-hashed), got ${child.dataType.catalogString}")
+    else if (!kExpr.foldable ||
+        !Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal integer k")
+    else if (kExpr.eval(null) == null || kExpr.eval(null).asInstanceOf[Number].intValue() < 2)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 2")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("mins", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_theta"
+
+  override def createAggregationBuffer(): KmvSummary = new KmvSummary(k)
+
+  override def update(buffer: KmvSummary, input: InternalRow): KmvSummary = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvSummary, input: KmvSummary): KmvSummary = {
+    buffer.merge(input)
+    buffer
+  }
+
+  override def eval(buffer: KmvSummary): Any = {
+    val arr = new Array[Any](buffer.mins.size)
+    var i = 0
+    val it = buffer.mins.iterator() // TreeSet iterates ascending
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    InternalRow(buffer.n, new GenericArrayData(arr))
+  }
+
+  override def serialize(buffer: KmvSummary): Array[Byte] = buffer.serialize()
+  override def deserialize(storageFormat: Array[Byte]): KmvSummary =
+    KmvSummary.deserialize(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KmvSketchAgg =
+    copy(child = newLeft, kExpr = newRight)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.KmvSummary
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mins(values: Seq[Long], k: Int, parts: Int): Seq[Long] =
+    values.toDF("hv").repartition(parts)
+      .agg(call_function("kmv_theta", col("hv"), lit(k)).as("s"))
+      .select(col("s.mins")).as[Seq[Long]].head()
+
+  test("buffer is the k smallest distinct values — exact below k, capped above") {
+    val vs = Seq(50L, 10L, 30L, 10L, 40L, 20L, 30L)
+    assert(mins(vs, k = 10, parts = 3) == Seq(10L, 20L, 30L, 40L, 50L))
+    assert(mins(vs, k = 3, parts = 3) == Seq(10L, 20L, 30L))
+  }
+
+  test("pure function of the input set: identical across partition layouts") {
+    val rnd = new scala.util.Random(5)
+    val vs = Seq.fill(5000)(rnd.nextLong(1L << 60))
+    val expected = vs.distinct.sorted.take(64)
+    for (p <- Seq(1, 7, 32)) assert(mins(vs, 64, p) == expected, s"parts=$p")
+  }
+
+  test("n counts arrivals; empty group yields (0, []); nulls ignored") {
+    val r = Seq[java.lang.Long](5L, null, 7L).toDF("hv")
+      .agg(call_function("kmv_theta", col("hv"), lit(4)).as("s"))
+      .select(col("s.n"), col("s.mins")).head()
+    assert(r.getLong(0) == 2L && r.getSeq[Long](1) == Seq(5L, 7L))
+    val e = Seq.empty[Long].toDF("hv")
+      .agg(call_function("kmv_theta", col("hv"), lit(4)).as("s"))
+      .select(col("s.n"), col("s.mins")).head()
+    assert(e.getLong(0) == 0L && e.getSeq[Long](1).isEmpty)
+  }
+
+  test("summary serialization round-trips") {
+    val s = new KmvSummary(4)
+    Seq(9L, 1L, 5L, 1L, 7L, 3L).foreach(s.update)
+    val back = KmvSummary.deserialize(s.serialize())
+    assert(back.k == 4 && back.n == 6L)
+    assert(back.mins.toArray.toSeq == s.mins.toArray.toSeq)
+    assert(s.mins.toArray(Array.empty[java.lang.Long]).toSeq.map(Long.unbox)
+      == Seq(1L, 3L, 5L, 7L))
+  }
+
+  test("SQL surface and estimate arithmetic on a known universe") {
+    Seq.tabulate(1000)(i => i.toLong).toDF("hv").createOrReplaceTempView("kmv_in")
+    val m = spark.sql("SELECT kmv_theta(hv, 16).mins AS m FROM kmv_in")
+      .as[Seq[Long]].head()
+    assert(m == (0L until 16L)) // k smallest of 0..999
+  }
+
+  test("k < 2 is rejected") {
+    val ex = intercept[Exception] {
+      Seq(1L).toDF("hv").agg(call_function("kmv_theta", col("hv"), lit(1))).collect()
+    }
+    assert(ex.getMessage.contains("k >= 2"))
+  }
+}

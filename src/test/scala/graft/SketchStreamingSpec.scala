@@ -85,4 +85,28 @@ class SketchStreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("kmv_theta streamed equals batch EXACTLY (pure function of the set)") {
+    // stronger than the bound-style promises above: KMV's buffer is the
+    // k smallest distinct values of the union, so however micro-batches
+    // interleave and merge, the streamed result is bit-identical to a
+    // batch run over the concatenation
+    val rnd = new scala.util.Random(31)
+    val batches = Seq.fill(3)(Seq.fill(700)(rnd.nextLong(1L << 40)))
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Long]
+    val q = src.toDS().toDF("hv")
+      .groupBy()
+      .agg(call_function("kmv_theta", col("hv"), lit(32)).as("s"))
+      .select(col("s.n").as("n"), col("s.mins").as("mins"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { xs => src.addData(xs: _*); q.processAllAvailable() }
+      val row = spark.table("kmv_stream").head()
+      val all = batches.flatten
+      assert(row.getLong(0) == all.size.toLong)
+      assert(row.getSeq[Long](1) == all.distinct.sorted.take(32))
+    } finally q.stop()
+  }
 }
