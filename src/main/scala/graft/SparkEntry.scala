@@ -2016,6 +2016,51 @@ object SparkEntry {
           (col("gmins") === col("umins")).as("merge_exact"))
     }),
 
+    // §2.4 sketches — KMV set ALGEBRA (q120's sketch put to work): how
+    // many distinct parts do two supplier groups have in common, with
+    // ZERO distinct-join — union = k smallest of the two min-sets
+    // (array ops), intersection via the standard KMV ratio ρ·est_union
+    // where ρ = fraction of the union min-set present in BOTH sketches.
+    // Everything after the two sketches is array arithmetic, so the
+    // whole row hash-matches; exact counts ride along for comparison.
+    "q121_kmv_setops" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      // orders shipping in 1996 vs 1997: straddlers land in both sets
+      // (~44% overlap at sf0.1) — the estimator has something to measure
+      val withH = li.select(col("l_orderkey"),
+          expr("unix_micros(cast(l_shipdate as timestamp))").as("sus"),
+          Hashing.hexLong(col("l_orderkey").cast("string")).as("hv"))
+        .localCheckpoint(true)
+      val a = withH.filter(col("sus") >= 820454400000000L &&
+        col("sus") < 852076800000000L)
+      val b = withH.filter(col("sus") >= 852076800000000L &&
+        col("sus") < 883612800000000L)
+      def sketch(df: DataFrame, out: String) =
+        df.agg(call_function("kmv_theta", col("hv"), lit(256)).as("s"))
+          .select(col("s.mins").as(out))
+      def estOf(c: Column) = when(size(c) < 256, size(c).cast("double"))
+        .otherwise(lit(255.0) * lit(math.pow(2, 60)) /
+          element_at(c, 256).cast("double"))
+      val exA = a.agg(countDistinct("l_orderkey").as("exact_a"))
+      val exB = b.agg(countDistinct("l_orderkey").as("exact_b"))
+      val exI = a.select("l_orderkey").distinct()
+        .intersect(b.select("l_orderkey").distinct())
+        .agg(count(lit(1)).as("exact_inter"))
+      val mu = slice(array_sort(array_distinct(concat(col("ma"), col("mb")))), 1, 256)
+      val rows = sketch(a, "ma").crossJoin(sketch(b, "mb"))
+        .select(col("ma"), col("mb"), mu.as("mu"))
+        .select(col("ma"), col("mb"), col("mu"),
+          (size(filter(col("mu"), x =>
+            array_contains(col("ma"), x) && array_contains(col("mb"), x)))
+            .cast("double") / size(col("mu")).cast("double")).as("rho"))
+      rows.crossJoin(exA).crossJoin(exB).crossJoin(exI)
+        .select(col("exact_a"), col("exact_b"), col("exact_inter"),
+          format_string("%.6f", estOf(col("ma"))).as("est_a"),
+          format_string("%.6f", estOf(col("mb"))).as("est_b"),
+          format_string("%.6f", estOf(col("mu"))).as("est_union"),
+          format_string("%.6f", col("rho") * estOf(col("mu"))).as("est_inter"))
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -3993,6 +4038,47 @@ object SparkEntry {
         |    / CAST(ex.exact_distinct AS DOUBLE) <= 3.0 / sqrt(254.0) AS within_bound,
         |  est.gmins = um.umins AS merge_exact
         |FROM est, um, ex""".stripMargin,
+
+    "q121_kmv_setops" ->
+      """WITH h AS (SELECT l_orderkey, epoch_us(l_shipdate) AS sus,
+        |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM lineitem),
+        |ma AS (SELECT list(hv ORDER BY hv) AS m FROM (
+        |    SELECT hv FROM (SELECT DISTINCT hv FROM h
+        |      WHERE sus >= 820454400000000 AND sus < 852076800000000)
+        |    ORDER BY hv LIMIT 256)),
+        |mb AS (SELECT list(hv ORDER BY hv) AS m FROM (
+        |    SELECT hv FROM (SELECT DISTINCT hv FROM h
+        |      WHERE sus >= 852076800000000 AND sus < 883612800000000)
+        |    ORDER BY hv LIMIT 256)),
+        |mu AS (SELECT (list_sort(list_distinct(flatten([ma.m, mb.m]))))[1:256] AS m
+        |       FROM ma, mb),
+        |exa AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_a
+        |        FROM h WHERE sus >= 820454400000000 AND sus < 852076800000000),
+        |exb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_b
+        |        FROM h WHERE sus >= 852076800000000 AND sus < 883612800000000),
+        |exi AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+        |    SELECT DISTINCT l_orderkey FROM h
+        |      WHERE sus >= 820454400000000 AND sus < 852076800000000
+        |    INTERSECT
+        |    SELECT DISTINCT l_orderkey FROM h
+        |      WHERE sus >= 852076800000000 AND sus < 883612800000000)),
+        |est AS (SELECT
+        |    CASE WHEN len(ma.m) < 256 THEN CAST(len(ma.m) AS DOUBLE)
+        |         ELSE 255.0 * power(2, 60) / CAST(ma.m[256] AS DOUBLE) END AS ea,
+        |    CASE WHEN len(mb.m) < 256 THEN CAST(len(mb.m) AS DOUBLE)
+        |         ELSE 255.0 * power(2, 60) / CAST(mb.m[256] AS DOUBLE) END AS eb,
+        |    CASE WHEN len(mu.m) < 256 THEN CAST(len(mu.m) AS DOUBLE)
+        |         ELSE 255.0 * power(2, 60) / CAST(mu.m[256] AS DOUBLE) END AS eu,
+        |    CAST(len(list_filter(mu.m, x -> list_contains(ma.m, x)
+        |        AND list_contains(mb.m, x))) AS DOUBLE)
+        |      / CAST(len(mu.m) AS DOUBLE) AS rho
+        |  FROM ma, mb, mu)
+        |SELECT exa.exact_a, exb.exact_b, exi.exact_inter,
+        |  printf('%.6f', est.ea) AS est_a, printf('%.6f', est.eb) AS est_b,
+        |  printf('%.6f', est.eu) AS est_union,
+        |  printf('%.6f', est.rho * est.eu) AS est_inter
+        |FROM est, exa, exb, exi""".stripMargin,
 
     "q110_containment" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
