@@ -2061,6 +2061,20 @@ object SparkEntry {
           format_string("%.6f", col("rho") * estOf(col("mu"))).as("est_inter"))
     }),
 
+    // LLM ops — systematic PPS sampling (Sampling.systematicPps):
+    // documents drawn proportional to TOKEN COUNT — the weighted draw a
+    // token-budgeted pipeline needs; hash sampling treats a 10-token
+    // and a 10k-token doc alike. Deterministic (no randomness — stride
+    // boundaries over exact integer prefix sums), never a global
+    // window: range-partition + local window + O(partitions) offsets.
+    "q122_pps_sample" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Sampling.systematicPps(d, col("doc_id"), col("n_tokens"), k = 40)
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -4079,6 +4093,21 @@ object SparkEntry {
         |  printf('%.6f', est.eu) AS est_union,
         |  printf('%.6f', est.rho * est.eu) AS est_inter
         |FROM est, exa, exb, exi""".stripMargin,
+
+    "q122_pps_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(n_tokens) OVER () AS total
+        |  FROM d WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens,
+        |  cum // (total // 40) - (cum - n_tokens) // (total // 40) AS hits
+        |FROM w
+        |WHERE cum // (total // 40) > (cum - n_tokens) // (total // 40)
+        |ORDER BY doc_id""".stripMargin,
 
     "q110_containment" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -100,4 +100,60 @@ object Sampling {
           .partitionBy(stratum).orderBy(Hashing.hexLong(key), key)))
       .filter(col(rn) <= k).drop(rn)
   }
+
+  /** Systematic PPS (probability-proportional-to-size) sampling:
+    * ~`k` rows drawn with inclusion probability ∝ `weight` — "sample
+    * documents proportional to token count", the weighted draw a
+    * token-budgeted pipeline needs where hash sampling would treat a
+    * 10-token and a 10k-token doc alike.
+    *
+    * Classic systematic design over exact integers: lay all weights on
+    * a line in `id` order (ids must be unique), stride s = ⌊T/k⌋, and
+    * select every row whose weight span crosses a stride boundary;
+    * `hits` = number of boundaries inside the span (a row heavier than
+    * s is drawn with multiplicity — the PPS convention). Deterministic:
+    * no randomness anywhere, the same input yields the same sample on
+    * any cluster, and an oracle replays it with one window prefix sum.
+    *
+    * Scale shape: the global prefix sum never runs as a global window —
+    * rows range-partition by `id`, each partition prefix-sums locally
+    * (one ordered window WITHIN each partition), and the per-partition
+    * totals (O(partitions), collected like [[sampleToMix]]'s strata)
+    * broadcast back as offsets. Two narrow jobs; the corpus shuffles
+    * once for the range partitioning.
+    *
+    * @return input rows selected, plus `hits` (≥ 1 multiplicity)
+    */
+  def systematicPps(df: DataFrame, id: Column, weight: Column,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ranged = df.withColumn("__graft_wt", weight.cast("long"))
+      .filter(col("__graft_wt") > 0)
+      .withColumn("__graft_id", id)
+      .repartitionByRange(col("__graft_id"))
+      .withColumn("__graft_pid", spark_partition_id())
+      .localCheckpoint(true) // pins partitions so pid is stable across jobs
+    val partTotals = ranged.groupBy("__graft_pid")
+      .agg(sum("__graft_wt").as("pw"), count(lit(1)).as("pc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = partTotals.map(_._2).sum
+    require(total >= k, s"total weight $total < k=$k (stride would be 0)")
+    val stride = total / k
+    val offsets = partTotals.scanLeft((0, 0L)) { case ((_, acc), (pid, pw)) =>
+      (pid, acc + pw) }
+    val offMap = (partTotals.map(_._1) zip offsets.map(_._2)).toMap
+    val offCol = offMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("__graft_pid") === pid, lit(off)).otherwise(acc) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__graft_pid").orderBy("__graft_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ranged
+      .withColumn("__graft_cum", offCol + sum("__graft_wt").over(w))
+      .withColumn("hits",
+        expr(s"__graft_cum div $stride") -
+          expr(s"(__graft_cum - __graft_wt) div $stride"))
+      .filter(col("hits") > 0)
+      .drop("__graft_wt", "__graft_id", "__graft_pid", "__graft_cum")
+  }
 }

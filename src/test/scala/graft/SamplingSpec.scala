@@ -117,4 +117,42 @@ class SamplingSpec extends SparkSpec {
       Sampling.sampleToMix(df, col("id").cast("string"), col("lang"),
         Map.empty[String, Double]))
   }
+
+  test("systematicPps: hand-checked stride crossings, multiplicity, zero-weight drop") {
+    // weights on a line in id order: cums 10,11,12,13,20; T=20, k=4, s=5;
+    // boundaries 5,10,15,20: row 1 spans (0,10] -> hits 2; rows 2-4 cross
+    // none; row 5 spans (13,20] -> hits 2. Σhits = k exactly.
+    val df = Seq((1L, 10L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 7L), (6L, 0L))
+      .toDF("id", "w")
+    val got = Sampling.systematicPps(df, col("id"), col("w"), k = 4)
+      .select("id", "hits").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 2L), (5L, 2L)))
+    // deterministic across input partition layouts (the offsets job)
+    val got13 = Sampling.systematicPps(df.repartition(13), col("id"), col("w"), k = 4)
+      .select("id", "hits").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got13 == got)
+    intercept[IllegalArgumentException](
+      Sampling.systematicPps(df, col("id"), col("w"), k = 100)) // stride 0
+  }
+
+  test("systematicPps matches a driver-side prefix-sum model on a random corpus") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.tabulate(500)(i => (i.toLong, 1L + rnd.nextInt(200).toLong))
+    val k = 25
+    val total = rows.map(_._2).sum
+    val s = total / k
+    var cum = 0L
+    val expected = rows.flatMap { case (id, w) =>
+      val before = cum; cum += w
+      val hits = cum / s - before / s
+      if (hits > 0) Some((id, hits)) else None
+    }
+    val got = Sampling.systematicPps(rows.toDF("id", "w").repartition(7),
+        col("id"), col("w"), k)
+      .select("id", "hits").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expected)
+    // systematic design: Σhits = ⌊T/s⌋ = number of stride boundaries in
+    // (0, T] — at least k, can exceed it when s does not divide T
+    assert(got.map(_._2).sum == total / s && total / s >= k)
+  }
 }
