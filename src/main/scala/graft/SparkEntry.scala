@@ -2075,6 +2075,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM ops — host/domain rollup (WebCuration.hostRollup): the "drop
+    // spammy hosts" curation step. URLs derive deterministically from
+    // (source, doc_id) — parse_url extracts + normalizes the host
+    // (lowercase, www-strip), per-host evidence is all exact integers
+    // (doc count, token mass, language spread, exact-dup mass via md5
+    // distinct), and the blocklist drops via one broadcast anti-join.
+    // Host-keyed, so the block decision joins |hosts|, never |docs|.
+    "q123_host_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 7 < 2, lit("www.")).otherwise(lit("")),
+          col("source"), lit(".example.com/p/"), col("doc_id")))
+      val block = Seq("src1.example.com", "WWW.src3.example.com").toDF("host")
+      WebCuration.hostRollup(d, col("url"), col("text"), col("lang"), block)
+        .orderBy("host")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -4108,6 +4126,31 @@ object SparkEntry {
         |FROM w
         |WHERE cum // (total // 40) > (cum - n_tokens) // (total // 40)
         |ORDER BY doc_id""".stripMargin,
+
+    "q123_host_rollup" ->
+      """WITH d AS (SELECT lang, text,
+        |    'https://' || (CASE WHEN doc_id % 7 < 2 THEN 'www.' ELSE '' END)
+        |      || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (SELECT lang, text,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host
+        |  FROM d),
+        |b AS (SELECT regexp_replace(lower(host), '^www\.', '') AS host
+        |  FROM (VALUES ('src1.example.com'), ('WWW.src3.example.com')) t(host)),
+        |r AS (SELECT host, COUNT(*) AS n_docs,
+        |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+        |  FROM h WHERE host IS NOT NULL GROUP BY host)
+        |SELECT host,
+        |  CASE WHEN len(string_split(host, '.')) >= 2
+        |       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |       ELSE host END AS domain,
+        |  n_docs, n_tokens, n_langs, n_dup_docs
+        |FROM r
+        |WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.host = r.host)
+        |ORDER BY host""".stripMargin,
 
     "q110_containment" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

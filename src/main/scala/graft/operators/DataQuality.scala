@@ -36,11 +36,17 @@ object DataQuality {
         .as(s"__v_$name")
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = rules.map { case (name, _) =>
-      one.select(lit(name).as("rule"), col("__n").as("n_rows"),
+    // unpivot the one-row aggregate with a single explode so the plan
+    // PROVABLY holds one scan — a per-rule select unioned N times would
+    // only collapse back to one scan if ReuseExchange dedupes the N
+    // identical aggregate subtrees
+    val pairs = rules.map { case (name, _) =>
+      struct(lit(name).as("rule"),
         coalesce(col(s"__v_$name"), lit(0L)).as("n_violations"))
     }
-    rows.reduce(_.unionByName(_))
+    one.select(col("__n").as("n_rows"), explode(array(pairs: _*)).as("__r"))
+      .select(col("__r.rule").as("rule"), col("n_rows"),
+        col("__r.n_violations").as("n_violations"))
       .withColumn("pass", col("n_violations") === 0L)
   }
 

@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact integer floor division ⌊x/w⌋ for long columns. `div`
+    * (IntegralDivide) truncates toward zero, so shift x down onto the
+    * grid first with pmod — never route through double: floor(x / w)
+    * is inexact for |x| > 2^53 (e.g. raw epoch-µs endpoints with small
+    * tile widths would mis-tile and drop/duplicate pairs). */
+  private def floorDiv(x: Column, w: Long): Column = {
+    val xl = x.cast("long")
+    call_function("div", xl - pmod(xl, lit(w)), lit(w))
+  }
+
   /** Join each point row to every interval row with
     * `start <= point < end` (plus optional extra equi keys).
     *
@@ -37,7 +47,7 @@ object RangeJoin {
                       bucketWidth: Long,
                       extraKeys: Seq[String] = Seq.empty,
                       broadcastIntervals: Boolean = false): DataFrame = {
-    val p = points.withColumn("__bucket", floor(point / bucketWidth).cast("long"))
+    val p = points.withColumn("__bucket", floorDiv(point, bucketWidth))
       .withColumn("__p", point)
     // explode each interval across every bucket it overlaps; empty or
     // inverted intervals (end <= start) match nothing and MUST be dropped
@@ -47,8 +57,8 @@ object RangeJoin {
       .withColumn("__s", start).withColumn("__e", end)
       .filter(col("__e") > col("__s"))
       .withColumn("__bucket",
-        explode(sequence(floor(col("__s") / bucketWidth).cast("long"),
-          floor((col("__e") - 1) / bucketWidth).cast("long"))))
+        explode(sequence(floorDiv(col("__s"), bucketWidth),
+          floorDiv(col("__e") - 1, bucketWidth))))
     p.join(if (broadcastIntervals) broadcast(i) else i, Seq("__bucket") ++ extraKeys)
       .filter(col("__p") >= col("__s") && col("__p") < col("__e"))
       .drop("__bucket", "__p", "__s", "__e")
@@ -79,13 +89,13 @@ object RangeJoin {
     def tiled(df: DataFrame, s: String, e: String) = df
       .filter(col(e) > col(s)) // empty intervals match nothing
       .withColumn("__tile",
-        explode(sequence(floor(col(s) / tileWidth).cast("long"),
-          floor((col(e) - 1) / tileWidth).cast("long"))))
+        explode(sequence(floorDiv(col(s), tileWidth),
+          floorDiv(col(e) - 1, tileWidth))))
     tiled(left, "ls", "le").join(tiled(right, "rs", "re"), Seq("__tile"))
       .filter(col("ls") < col("re") && col("rs") < col("le"))
       // dedup-free: count the pair only in its max-start tile
       .filter(col("__tile") ===
-        floor(greatest(col("ls"), col("rs")) / tileWidth).cast("long"))
+        floorDiv(greatest(col("ls"), col("rs")), tileWidth))
       .select(col("l_id"), col("r_id"), col("ls"), col("le"),
         col("rs"), col("re"),
         (least(col("le"), col("re")) - greatest(col("ls"), col("rs"))).as("overlap"))

@@ -28,6 +28,16 @@ import graft.functions.TextFunctions
   * formatted to 6 decimals and summed as exact DECIMAL — so the
   * per-document score is an order-independent sum of identically
   * rounded terms, never a float accumulation.
+  *
+  * Known tie caveat in the 6-decimal rounding step: Java's
+  * `format_string("%.6f")` rounds HALF_UP on the double's shortest
+  * decimal form, while DuckDB's `printf` rounds ties-to-even on the
+  * double's EXACT decimal expansion — a contribution landing exactly
+  * on a 5e-7 tie could round apart by 1e-6. Accepted: log-derived
+  * doubles essentially never land on an exact decimal tie (none
+  * observed across any gate run), and the alternative — replaying
+  * `floor(x·1e6 + 0.5)` micro-unit arithmetic in both engines —
+  * trades a theoretical tie for real churn in a verified contract.
   */
 object Retrieval {
 

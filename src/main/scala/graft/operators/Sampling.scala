@@ -115,45 +115,69 @@ object Sampling {
     * no randomness anywhere, the same input yields the same sample on
     * any cluster, and an oracle replays it with one window prefix sum.
     *
-    * Scale shape: the global prefix sum never runs as a global window —
-    * rows range-partition by `id`, each partition prefix-sums locally
-    * (one ordered window WITHIN each partition), and the per-partition
-    * totals (O(partitions), collected like [[sampleToMix]]'s strata)
-    * broadcast back as offsets. Two narrow jobs; the corpus shuffles
-    * once for the range partitioning.
+    * Scale shape: the global prefix sum never runs as a global window,
+    * and it never touches PHYSICAL layout — no `spark_partition_id`,
+    * no checkpoint pin. Bucket boundaries are a pure function of the
+    * DATA: a deterministic hash-sample of `id` keys (the same
+    * hash-threshold trick as [[hashSample]]) yields ~`buckets` sorted
+    * boundary keys; every row's bucket is "#boundaries < id" — an
+    * expression over the row's own `id`. Each bucket prefix-sums
+    * locally (one ordered window WITHIN the bucket), and the
+    * O(buckets) bucket totals are collected and broadcast back as
+    * offsets KEYED ON THE BUCKET VALUE. Because bucketing is monotone
+    * in `id`, the assembled `cum` equals the global prefix sum in `id`
+    * order for ANY boundary set — the result is invariant to boundary
+    * choice, partition layout, and cluster size. Four narrow jobs
+    * (count, boundary sample, bucket totals, final window); the corpus
+    * shuffles once, on the bucket key.
     *
+    * @param buckets target parallelism of the prefix sum — bound the
+    *        per-task window at T/buckets rows; raise for huge corpora
     * @return input rows selected, plus `hits` (≥ 1 multiplicity)
     */
   def systematicPps(df: DataFrame, id: Column, weight: Column,
-                    k: Int): DataFrame = {
+                    k: Int, buckets: Int = 64): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val ranged = df.withColumn("__graft_wt", weight.cast("long"))
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val d = df.withColumn("__graft_wt", weight.cast("long"))
       .filter(col("__graft_wt") > 0)
       .withColumn("__graft_id", id)
-      .repartitionByRange(col("__graft_id"))
-      .withColumn("__graft_pid", spark_partition_id())
-      .localCheckpoint(true) // pins partitions so pid is stable across jobs
-    val partTotals = ranged.groupBy("__graft_pid")
-      .agg(sum("__graft_wt").as("pw"), count(lit(1)).as("pc"))
+    // boundary job: hash-sample ~32*buckets ids (pure function of the
+    // data — no layout, no RNG), sort in-engine, keep every step-th
+    val n = d.count()
+    val target = 32L * buckets
+    val thr = if (n <= target) Denom else math.max(1L, target * Denom / n)
+    val sampled = d
+      .filter(Hashing.hexLong(col("__graft_id").cast("string")) % Denom < thr)
+      .select("__graft_id").distinct().orderBy("__graft_id")
+      .collect().map(_.get(0))
+    val step = math.max(1, math.ceil(sampled.length.toDouble / buckets).toInt)
+    val bounds = sampled.indices.collect {
+      case i if i % step == step - 1 => sampled(i) }
+    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__graft_id") > lit(b), 1).otherwise(0) }
+    val bucketed = d.withColumn("__graft_b", bucketCol)
+    val bucketTotals = bucketed.groupBy("__graft_b")
+      .agg(sum("__graft_wt").as("pw"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val total = partTotals.map(_._2).sum
+    val total = bucketTotals.map(_._2).sum
     require(total >= k, s"total weight $total < k=$k (stride would be 0)")
     val stride = total / k
-    val offsets = partTotals.scanLeft((0, 0L)) { case ((_, acc), (pid, pw)) =>
-      (pid, acc + pw) }
-    val offMap = (partTotals.map(_._1) zip offsets.map(_._2)).toMap
-    val offCol = offMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__graft_pid") === pid, lit(off)).otherwise(acc) }
+    val offsets = bucketTotals.scanLeft((0, 0L)) { case ((_, acc), (b, pw)) =>
+      (b, acc + pw) }
+    val offMap = (bucketTotals.map(_._1) zip offsets.map(_._2)).toMap
+    val offCol = offMap.foldLeft(lit(0L)) { case (acc, (b, off)) =>
+      when(col("__graft_b") === b, lit(off)).otherwise(acc) }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__graft_pid").orderBy("__graft_id")
+      .partitionBy("__graft_b").orderBy("__graft_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    ranged
+    bucketed
       .withColumn("__graft_cum", offCol + sum("__graft_wt").over(w))
       .withColumn("hits",
         expr(s"__graft_cum div $stride") -
           expr(s"(__graft_cum - __graft_wt) div $stride"))
       .filter(col("hits") > 0)
-      .drop("__graft_wt", "__graft_id", "__graft_pid", "__graft_cum")
+      .drop("__graft_wt", "__graft_id", "__graft_b", "__graft_cum")
   }
 }

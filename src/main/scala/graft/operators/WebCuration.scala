@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Host/domain rollup — the "drop spammy hosts" step every crawl
+  * pipeline runs between language id and dedup: aggregate per-host
+  * evidence (volume, token mass, language spread, exact-dup rate), then
+  * remove blocklisted hosts with one anti-join. Operating on HOSTS
+  * instead of documents is what makes the stage cheap — the rollup is
+  * one map-side-combined aggregate on the host key, the block step
+  * joins |hosts| rows (millions) rather than |docs| (billions), and a
+  * curation decision made per host applies to every document it serves
+  * via one more broadcast-able semi/anti join.
+  *
+  * All emitted measures are exact integers (counts, sums, distincts) —
+  * the rollup frame hash-replays in any engine, the contract every
+  * driver-gated query in this repo keeps.
+  *
+  * Reference analogue: none — the toolkit has no web-corpus stage; this
+  * is part of the beyond-reference LLM-curation mandate (SURVEY §2's
+  * curation funnel family, alongside [[Curation.stageFlags]]).
+  */
+object WebCuration {
+
+  /** Canonical host of a URL: `try_parse_url(..., "HOST")` (codegen'd,
+    * no UDF; the try_ form — ANSI `parse_url` THROWS on malformed
+    * input, and a crawl corpus always holds malformed URLs), lowercased,
+    * with one leading `www.` stripped — the normalization that makes
+    * `www.example.com` and `example.com` roll up together. Null for
+    * malformed URLs (no scheme/authority). */
+  def host(url: Column): Column =
+    normalizeHost(try_parse_url(url, lit("HOST")))
+
+  /** The normalization [[host]] applies after extraction — lowercase,
+    * strip one leading `www.` — exposed so bare-host inputs (blocklists,
+    * allowlists) canonicalize identically without a URL parse (which
+    * would null them: a bare host has no scheme). */
+  def normalizeHost(h: Column): Column =
+    regexp_replace(lower(h), "^www\\.", "")
+
+  /** Registrable-domain heuristic: the last two dot-labels of a host
+    * (`docs.example.com` → `example.com`). A real pipeline substitutes
+    * the public-suffix list here; the shape — group several hosts under
+    * one owner — is what the rollup needs. Hosts with fewer than two
+    * labels pass through unchanged. */
+  def domain(h: Column): Column = {
+    val labels = split(h, "\\.")
+    when(size(labels) >= 2, array_join(slice(labels, -2, 2), "."))
+      .otherwise(h)
+  }
+
+  /** Per-host evidence rollup + blocklist anti-join.
+    *
+    * @param docs      corpus
+    * @param url       URL column (host is derived via [[host]])
+    * @param text      document text — token mass and exact-dup evidence
+    * @param lang      language id column
+    * @param blocklist frame with a `host` column; matching hosts (after
+    *                  the same normalization the rollup applies) are
+    *                  dropped. Blocklists are curated dim-sized data —
+    *                  broadcast by default
+    * @return (host, domain, n_docs, n_tokens, n_langs, n_dup_docs) one
+    *         row per surviving host; `n_dup_docs` = docs minus distinct
+    *         text fingerprints — the per-host exact-duplication mass
+    *         that flags mirror/spam hosts
+    */
+  def hostRollup(docs: DataFrame, url: Column, text: Column, lang: Column,
+                 blocklist: DataFrame,
+                 broadcastBlocklist: Boolean = true): DataFrame = {
+    val h = docs.withColumn("__graft_host", host(url))
+      .filter(col("__graft_host").isNotNull)
+    val rolled = h.groupBy(col("__graft_host").as("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(text, " ")).cast("long")).as("n_tokens"),
+        countDistinct(lang).as("n_langs"),
+        (count(lit(1)) - countDistinct(md5(text))).as("n_dup_docs"))
+      .withColumn("domain", domain(col("host")))
+      .select("host", "domain", "n_docs", "n_tokens", "n_langs", "n_dup_docs")
+    val b = blocklist.select(normalizeHost(col("host")).as("host")).distinct()
+    rolled.join(if (broadcastBlocklist) broadcast(b) else b,
+      Seq("host"), "left_anti")
+  }
+}

@@ -28,6 +28,18 @@ class DataQualitySpec extends SparkSpec {
     assert((empty.getLong(1), empty.getLong(2), empty.getBoolean(3)) == ((0L, 0L, true)))
   }
 
+  test("rowRules plan holds ONE aggregate over ONE scan, however many rules") {
+    val df = spark.range(100).selectExpr("id AS v", "CAST(id % 3 AS STRING) AS s")
+    val plan = DataQuality.rowRules(df, Seq(
+        "a" -> (col("v") >= 0), "b" -> (col("s") =!= "9"),
+        "c" -> (col("v") < 1000), "d" -> col("s").isNotNull))
+      .queryExecution.executedPlan.toString
+    // the unpivot is an explode over the one-row aggregate — adding a
+    // rule must add a counter, not a pass over the input
+    assert(plan.sliding("Range (".length).count(_ == "Range (") == 1, plan)
+    assert(!plan.contains("Union"), plan)
+  }
+
   test("uniqueness: every row of a duplicated key counts as a violation") {
     val df = Seq((1L, 1), (1L, 1), (1L, 1), (2L, 1), (3L, 2)).toDF("k", "sub")
     val got = DataQuality.uniqueness(df, Seq("k", "sub"), "pk").head()

@@ -175,4 +175,28 @@ class JoinOpsSpec extends SparkSpec {
     // [0,10) vs [0,100): long interval spans many tiles yet appears ONCE
     assert(got == Set((1L, 8L, 1L), (1L, 9L, 10L)))
   }
+
+  test("tiling is exact beyond 2^53 and below zero (integer floor division)") {
+    // raw epoch-µs-scale endpoints: double floor(x/w) is inexact past
+    // 2^53 and would mis-tile; negative endpoints need FLOOR (not
+    // truncate-toward-zero) semantics
+    val base = (1L << 60) + 12345L
+    val left = Seq((1L, base, base + 10L), (2L, -107L, -96L))
+      .toDF("l_id", "ls", "le")
+    val right = Seq((7L, base + 9L, base + 50L), (8L, base + 10L, base + 11L),
+        (9L, -100L, -99L), (10L, -96L, -90L))
+      .toDF("r_id", "rs", "re")
+    for (w <- Seq(3L, 10L, 1000L)) {
+      val got = RangeJoin.intervalOverlapJoin(left, right, w)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      // (1,7): 1-unit overlap at the huge offset; (1,8) touch — no;
+      // (2,9): inside; (2,10) touch at -96 — no
+      assert(got == Set((1L, 7L), (2L, 9L)), s"width $w")
+      val pts = Seq((20L, base + 9L), (21L, -97L)).toDF("p_id", "pt")
+      val gotP = RangeJoin.pointInInterval(pts, col("pt"),
+          right.withColumnRenamed("r_id", "i_id"), col("rs"), col("re"), w)
+        .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+      assert(gotP == Set((20L, 7L)), s"point width $w")
+    }
+  }
 }

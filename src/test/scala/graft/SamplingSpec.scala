@@ -155,4 +155,61 @@ class SamplingSpec extends SparkSpec {
     // (0, T] — at least k, can exceed it when s does not divide T
     assert(got.map(_._2).sum == total / s && total / s >= k)
   }
+
+  test("systematicPps is invariant to bucket count and handles string ids") {
+    // the prefix sum must be a pure function of (id order, weights):
+    // any boundary set / bucket count yields the identical sample
+    val rnd = new scala.util.Random(29)
+    val rows = Seq.tabulate(300)(i => (f"doc$i%04d", 1L + rnd.nextInt(99).toLong))
+    val df = rows.toDF("id", "w")
+    val base = Sampling.systematicPps(df, col("id"), col("w"), k = 20)
+      .select("id", "hits").as[(String, Long)].collect().toSeq.sortBy(_._1)
+    for (b <- Seq(1, 3, 7, 256)) {
+      val got = Sampling.systematicPps(df.repartition(5), col("id"), col("w"),
+          k = 20, buckets = b)
+        .select("id", "hits").as[(String, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == base, s"buckets=$b diverged")
+    }
+    // matches the driver-side model in id (string) order
+    var cum = 0L
+    val total = rows.map(_._2).sum
+    val s = total / 20
+    val expected = rows.sortBy(_._1).flatMap { case (id, w) =>
+      val before = cum; cum += w
+      val hits = cum / s - before / s
+      if (hits > 0) Some((id, hits)) else None
+    }
+    assert(base == expected)
+  }
+
+  test("systematicPps determinism stress: AQE × shuffle.partitions × session age") {
+    // the r8 driver-only q122 hash mismatch lived exactly here: the old
+    // construction routed through spark_partition_id() and a checkpoint
+    // pin, so nothing guarded it across AQE state, shuffle partition
+    // counts, or rdd-id drift in a long-lived session. The rebuilt
+    // operator is a pure function of the rows — prove it under all of
+    // those axes at once, over a multi-file parquet input.
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.tabulate(5000)(i => (i.toLong, 1L + rnd.nextInt(500).toLong))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pps_stress").toString
+    rows.toDF("id", "w").repartition(16).write.mode("overwrite").parquet(dir)
+    def run(s: org.apache.spark.sql.SparkSession, aqe: Boolean,
+            parts: Int): Seq[(Long, Long)] = {
+      s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      Sampling.systematicPps(s.read.parquet(dir), col("id"), col("w"), k = 100)
+        .select("id", "hits").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    }
+    val base = run(spark.newSession(), aqe = true, parts = 32)
+    assert(base.nonEmpty && base.map(_._2).sum >= 100)
+    for (aqe <- Seq(true, false); p <- Seq(1, 8, 200))
+      assert(run(spark.newSession(), aqe, p) == base,
+        s"diverged at aqe=$aqe parts=$p")
+    // session age: 50 unrelated jobs first shift rdd ids (the seed of
+    // any layout-derived sampling) before the operator runs
+    val aged = spark.newSession()
+    (1 to 50).foreach(i => aged.range(i * 10L).count())
+    assert(run(aged, aqe = true, parts = 200) == base, "aged session diverged")
+  }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.WebCuration
+
+class WebCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("host: parse_url extraction, lowercase, single www strip, null on garbage") {
+    val got = Seq(
+        "https://www.Example.COM/path?q=1",
+        "http://docs.example.com/",
+        "https://www.www.tricky.org/x", // only ONE leading www. strips
+        "not a url")
+      .toDF("u").select(WebCuration.host(col("u"))).as[String].collect()
+    assert(got(0) == "example.com")
+    assert(got(1) == "docs.example.com")
+    assert(got(2) == "www.tricky.org")
+    assert(got(3) == null)
+  }
+
+  test("domain: last two labels; short hosts pass through") {
+    val got = Seq("a.b.example.com", "example.com", "localhost")
+      .toDF("h").select(WebCuration.domain(col("h"))).as[String].collect()
+    assert(got.toSeq == Seq("example.com", "example.com", "localhost"))
+  }
+
+  test("hostRollup: exact per-host evidence, blocklist normalizes then drops") {
+    val docs = Seq(
+      // spam.com: 3 docs, 2 identical texts -> 1 dup, langs {en}
+      (1L, "https://spam.com/a", "buy now cheap", "en"),
+      (2L, "https://www.spam.com/b", "buy now cheap", "en"),
+      (3L, "https://spam.com/c", "other text here today", "en"),
+      // good.org: 2 docs, distinct texts, langs {en, de}
+      (4L, "https://good.org/x", "a fine document", "en"),
+      (5L, "http://good.org/y", "ein feines dokument", "de"),
+      // blocked.net: present in the blocklist (listed with www/case)
+      (6L, "https://blocked.net/z", "zzz", "en"),
+      // malformed URL rows drop before the rollup
+      (7L, "nope", "ignored", "en"))
+      .toDF("id", "url", "text", "lang")
+    val block = Seq("WWW.Blocked.NET").toDF("host")
+    val got = WebCuration.hostRollup(docs, col("url"), col("text"),
+        col("lang"), block)
+      .orderBy("host")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("good.org", "good.org", 2L, 6L, 2L, 0L),
+      ("spam.com", "spam.com", 3L, 10L, 1L, 1L)))
+  }
+
+  test("hostRollup plan: blocklist side is a broadcast anti-join") {
+    val docs = Seq((1L, "https://a.com/x", "t", "en")).toDF("id", "url", "text", "lang")
+    val block = Seq("b.com").toDF("host")
+    val plan = WebCuration.hostRollup(docs, col("url"), col("text"),
+        col("lang"), block)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+  }
+}
