@@ -31,6 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object LabelPropagation {
 
+  /** One synchronous vote round — the loop body of [[run]], factored out
+    * so PlanSpec can pin its physical shape: `e` arrives checkpointed
+    * WITH its hash(src) partitioning, so the per-round plan must contain
+    * no Exchange above the edge-side scan — only the label vector and
+    * the two vote aggregations may shuffle. */
+  private[graft] def voteRound(e: DataFrame, labels: DataFrame): DataFrame =
+    e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy(col("dst").as("node"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc): max of (c, -label) — a
+      // map-side-combined aggregate, never a window over the votes
+      .groupBy("node")
+      .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("nl")))
+        .as("win"))
+
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col("src"), col("dst"))
@@ -40,15 +55,7 @@ object LabelPropagation {
       .distinct().localCheckpoint(true)
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
-      val winner = e
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("c"))
-        // argmax by (count desc, label asc): max of (c, -label) — a
-        // map-side-combined aggregate, never a window over the votes
-        .groupBy("node")
-        .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("nl")))
-          .as("win"))
+      val winner = voteRound(e, labels)
       labels = labels.join(winner, Seq("node"), "left")
         .select(col("node"), coalesce(col("win"), col("label")).as("label"))
         .localCheckpoint(true)

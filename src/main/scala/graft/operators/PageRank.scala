@@ -42,6 +42,19 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** One power-iteration contribution pass — the loop body of [[run]]
+    * and [[personalized]], factored out so PlanSpec can pin its physical
+    * shape: `e` and `outdeg` arrive checkpointed WITH their hash(src)
+    * partitioning, so the per-round plan must contain no Exchange above
+    * either edge-side scan — only the |nodes|-sized rank vector and the
+    * dst aggregation may shuffle. */
+  private[graft] def contribRound(e: DataFrame, outdeg: DataFrame,
+                                  ranks: DataFrame): DataFrame =
+    e.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      .join(outdeg, Seq("src"))
+      .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+      .groupBy("node").agg(sum("c").as("m"))
+
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
           dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
@@ -57,11 +70,7 @@ object PageRank {
       .localCheckpoint(true)
     var ranks = nodes.withColumn("pr", lit(scale))
     for (_ <- 1 to iters) {
-      val sums = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
-        .groupBy("node").agg(sum("c").as("m"))
+      val sums = contribRound(e, outdeg, ranks)
       ranks = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
@@ -103,11 +112,7 @@ object PageRank {
       .localCheckpoint(true)
     var ranks = nodes.select(col("node"), (col("seed") * scale).as("pr"))
     for (_ <- 1 to iters) {
-      val sums = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
-        .groupBy("node").agg(sum("c").as("m"))
+      val sums = contribRound(e, outdeg, ranks)
       ranks = nodes.join(sums, Seq("node"), "left")
         .select(col("node"),
           (col("seed") * base +

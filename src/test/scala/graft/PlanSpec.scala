@@ -222,4 +222,43 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).length >= 2, p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(2000)) // query-term prune
   }
+
+  test("q109/q116/q117: iterations reuse the once-partitioned edge side") {
+    // the iterative loops (PageRank, personalized PR, label propagation)
+    // hash-partition the edge list on src ONCE, checkpoint it, and join
+    // the rank/label vector to it every round — shuffle bytes must track
+    // nodes, never edges. Pin that: in one round's physical plan, no
+    // Exchange may sit above a checkpointed scan (a per-round edge
+    // re-shuffle is exactly the regression this guards), and the total
+    // exchange count stays at the aggregate-side minimum.
+    import org.apache.spark.sql.functions._
+    import graft.operators.{LabelPropagation, PageRank}
+    val edges = spark.range(0, 5000)
+      .selectExpr("id % 97 AS src", "(id * 31) % 89 AS dst")
+    val e = edges.repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    // an Exchange whose direct child is a checkpointed scan = the edge
+    // (or vector) frame being re-shuffled into its consumer
+    val reshuffled = "Exchange[^\\n]*\\n[^\\n]*Scan ExistingRDD".r
+    val pr = PageRank.contribRound(e, outdeg,
+      nodes.withColumn("pr", lit(1000000000L)))
+      .queryExecution.executedPlan.toString
+    assert(pr.contains("Scan ExistingRDD"), pr.take(2000))
+    assert(reshuffled.findFirstIn(pr).isEmpty,
+      s"a checkpointed frame is re-shuffled per round:\n${pr.take(3000)}")
+    // allowed: ONE exchange, for the dst contribution aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(pr).length <= 1,
+      pr.take(3000))
+    val lpa = LabelPropagation.voteRound(e, nodes.withColumn("label", col("node")))
+      .queryExecution.executedPlan.toString
+    assert(reshuffled.findFirstIn(lpa).isEmpty,
+      s"a checkpointed frame is re-shuffled per round:\n${lpa.take(3000)}")
+    // allowed: (dst,label) vote count + per-node argmax
+    assert("Exchange hashpartitioning".r.findAllIn(lpa).length <= 2,
+      lpa.take(3000))
+  }
 }
