@@ -61,6 +61,18 @@ object Triangles {
     * from exact degrees, not from the join) and clustering =
     * 3·triangles / wedges (0 when the graph has no wedge).
     *
+    * Constant-factor note: triangleStats only COUNTS — node identity
+    * never reaches the output — so when ids are integral in [0, 2^32)
+    * and max degree < 2^31 the whole pipeline runs in PACKED key space:
+    * `key = deg·2^32 + id` is injective and orders exactly like
+    * (deg, id), so orientation is `least/greatest` of two longs and the
+    * wedge join ships 3 longs per row with a single long compare,
+    * instead of (src, x, deg_x, y, deg_y) and two struct comparisons —
+    * the wedge shuffle, the dominant cost, roughly halves its bytes.
+    * Range check is one scalar agg over the (checkpointed) degree
+    * frame; out-of-range or non-integral ids take the general
+    * struct-keyed path with identical semantics.
+    *
     * @param edges (u, v) pairs; self-loops dropped, direction and
     *              duplicates ignored (normalized + distinct here)
     * @param normalized the input is ALREADY distinct u < v pairs (e.g.
@@ -78,28 +90,47 @@ object Triangles {
       .unionByName(und.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
-    // orient by (deg, id): src is the strictly smaller endpoint key
-    val oriented = und
-      .join(deg.toDF("lo", "deg_lo"), Seq("lo"))
-      .join(deg.toDF("hi", "deg_hi"), Seq("hi"))
-      .select(
-        when(struct(col("deg_lo"), col("lo")) < struct(col("deg_hi"), col("hi")),
-          struct(col("lo").as("src"), col("hi").as("dst"),
-            col("deg_hi").as("deg_dst")))
-          .otherwise(struct(col("hi").as("src"), col("lo").as("dst"),
-            col("deg_lo").as("deg_dst"))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"),
-        col("e.deg_dst").as("deg_dst"))
-      .localCheckpoint(true)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = und.schema("lo").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val packable = integral && {
+      val r = deg.selectExpr("min(cast(node as bigint))",
+        "max(cast(node as bigint))", "max(deg)").head()
+      !r.isNullAt(0) && r.getLong(0) >= 0 &&
+        r.getLong(1) < (1L << 32) && r.getLong(2) < (1L << 31)
+    }
+    val oriented = (if (packable) {
+      // key = deg·2^32 + id: injective, same total order as (deg, id)
+      val keyed = und
+        .join(deg.toDF("lo", "deg_lo"), Seq("lo"))
+        .join(deg.toDF("hi", "deg_hi"), Seq("hi"))
+        .select(
+          (shiftleft(col("deg_lo"), 32) + col("lo").cast("long")).as("klo"),
+          (shiftleft(col("deg_hi"), 32) + col("hi").cast("long")).as("khi"))
+      keyed.select(least(col("klo"), col("khi")).as("src"),
+        greatest(col("klo"), col("khi")).as("dst"))
+    } else {
+      // general path: orient by the (deg, id) struct; carry the dst key
+      // parts so the wedge filter can compare without a re-join
+      val klo = struct(col("deg_lo").as("d"), col("lo").as("i"))
+      val khi = struct(col("deg_hi").as("d"), col("hi").as("i"))
+      und
+        .join(deg.toDF("lo", "deg_lo"), Seq("lo"))
+        .join(deg.toDF("hi", "deg_hi"), Seq("hi"))
+        .select(
+          when(klo < khi, struct(klo.as("src"), khi.as("dst")))
+            .otherwise(struct(khi.as("src"), klo.as("dst"))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }).localCheckpoint(true)
     // wedges at the unique low node of each triangle: out-neighbor pairs
     // ordered by the SAME (deg, id) key, so the closing edge — if present
     // — is oriented x -> y and one equi-join finds it
-    val a = oriented.toDF("src", "x", "deg_x")
-    val b = oriented.toDF("src", "y", "deg_y")
-    val wedgePairs = a.join(b, Seq("src"))
-      .filter(struct(col("deg_x"), col("x")) < struct(col("deg_y"), col("y")))
+    val wedgePairs = oriented.toDF("src", "x").join(oriented.toDF("src", "y"), Seq("src"))
+      .filter(col("x") < col("y"))
       .select(col("x").as("src"), col("y").as("dst"))
-    val tri = wedgePairs.join(oriented.select("src", "dst"), Seq("src", "dst"), "left_semi")
+    val tri = wedgePairs.join(oriented, Seq("src", "dst"), "left_semi")
     val nTri = tri.agg(count(lit(1)).as("n_triangles"))
     val stats = und.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),

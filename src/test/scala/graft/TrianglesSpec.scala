@@ -64,4 +64,25 @@ class TrianglesSpec extends SparkSpec {
     val (_, _, _, t, _) = stats(edges)
     assert(t == bruteTriangles(edges))
   }
+
+  test("packed and struct-keyed orientation agree on the same graph shape") {
+    // small non-negative longs take the packed deg<<32|id fast path;
+    // shifting every id past 2^32 (or below 0, or to strings) forces the
+    // struct-keyed fallback over an ISOMORPHIC graph — all four paths
+    // must report identical stats
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.tabulate(200) { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong) }
+      .filter { case (a, b) => a != b }
+    val base = stats(edges)
+    assert(base._4 == bruteTriangles(edges))
+    val big = edges.map { case (a, b) => (a + (1L << 33), b + (1L << 33)) }
+    assert(stats(big) == base, "ids past 2^32 (struct fallback) diverged")
+    val neg = edges.map { case (a, b) => (a - 100L, b - 100L) }
+    assert(stats(neg) == base, "negative ids (struct fallback) diverged")
+    val str = edges.map { case (a, b) => (f"n$a%03d", f"n$b%03d") }
+    val r = Triangles.triangleStats(str.toDF("u", "v")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == base, "string ids (struct fallback) diverged")
+  }
 }
