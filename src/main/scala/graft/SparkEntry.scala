@@ -2093,6 +2093,51 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // Sources — WARC web-crawl ingest (format("warc"), the Common Crawl
+    // container): a deterministic .warc.gz corpus is materialized from
+    // the documents table (one gzip member per record — the CC layout;
+    // request + warcinfo records interleaved so read-time filtering is
+    // real), then read back through the DSv2 planner with a pushed
+    // warc_type predicate, http-split payloads, and a per-host rollup.
+    // The oracle replays the same evidence straight from documents —
+    // certifying the full write→gzip→parse→http-split→aggregate loop.
+    "q124_warc_ingest" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"), col("text"))
+        .collect()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_q124")
+      val date = "2026-08-14T00:00:00Z"
+      docs.groupBy(r => (r.getLong(0) % 4).toInt).foreach { case (shard, rows) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(WarcSource.gzipMember(WarcSource.record("warcinfo",
+          s"<urn:uuid:info-$shard>", "", date, "application/warc-fields",
+          WarcSource.utf8("software: graft\r\n"))))
+        rows.sortBy(_.getLong(0)).foreach { r =>
+          val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
+          val uri = s"https://$src.example.com/p/$id"
+          bos.write(WarcSource.gzipMember(WarcSource.record("request",
+            s"<urn:uuid:rq-$id>", uri, date,
+            "application/http; msgtype=request",
+            WarcSource.utf8(s"GET /p/$id HTTP/1.1\r\n"))))
+          val status = if (id % 17 == 0) 404 else 200
+          bos.write(WarcSource.gzipMember(WarcSource.responseRecord(uri,
+            s"<urn:uuid:$id>", date, status, "text/html",
+            WarcSource.utf8(text))))
+        }
+        java.nio.file.Files.write(tmp.resolve(s"shard-$shard.warc.gz"),
+          bos.toByteArray)
+      }
+      s.read.format("warc").load(tmp.toString)
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .groupBy(WebCuration.host(col("target_uri")).as("host"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(length(col("payload")).cast("long")).as("n_bytes"),
+          countDistinct(md5(col("payload"))).as("n_uniq"))
+        .orderBy("host")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -4151,6 +4196,15 @@ object SparkEntry {
         |FROM r
         |WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.host = r.host)
         |ORDER BY host""".stripMargin,
+
+    "q124_warc_ingest" ->
+      """SELECT source || '.example.com' AS host,
+        |  COUNT(*) AS n_pages,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_uniq
+        |FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id % 17 <> 0
+        |GROUP BY source ORDER BY host""".stripMargin,
 
     "q110_containment" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

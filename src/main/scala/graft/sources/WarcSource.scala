@@ -1,0 +1,295 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** WARC (Web ARChive, ISO 28500) access — the container web crawls ship
+  * in (Common Crawl publishes ~100 TB-scale dumps as `.warc.gz`), which
+  * makes it the single most important ingest format for an LLM
+  * pretraining pipeline. Pure JDK, from scratch — the same stance as
+  * the TAR walker ([[TarSource]]) and the PDF parser ([[PdfSpans]]).
+  *
+  * Format facts this reader exploits or respects:
+  *  - a WARC file is a SEQUENCE of records: a `WARC/1.x` version line,
+  *    CRLF-terminated `Name: value` headers (continuation lines fold),
+  *    a blank line, `Content-Length` octets of block, and two CRLFs;
+  *  - `.warc.gz` compresses EACH RECORD as its own gzip member
+  *    (that is what makes Common Crawl offsets seekable); Java's
+  *    `GZIPInputStream` reads concatenated members transparently, so
+  *    one streaming pass decodes the whole file;
+  *  - a `response` record's block is an HTTP/1.x response — status
+  *    line, headers, blank line, body. [[parseHttp]] splits it so
+  *    consumers get the PAYLOAD (the html/text the pipeline wants),
+  *    not the wire bytes.
+  *
+  * Truncation tolerance matches the TAR walker: a corrupt version
+  * line, unparsable header, or short block ends the walk with the
+  * records seen so far — a 100 TB crawl always contains damaged files,
+  * and one bad shard must cost its tail, not the job.
+  *
+  * [[records]]/[[recordRows]] serve in-memory bytes; [[readRecords]]
+  * fans many archives out across tasks via `binaryFile` (a `.warc.gz`
+  * cannot be split mid-stream without the external offset index;
+  * crawls ship as many ~1 GiB files, which IS the parallelism). The
+  * DSv2 planner over this walker is
+  * [[graft.sources.warc.WarcDataSource]] (`format("warc")`).
+  */
+object WarcSource {
+
+  /** Parsed record headers — everything filterable before the block is
+    * read. `contentLength` is the block size in octets. */
+  final case class WarcHeader(recordId: String, warcType: String,
+                              targetUri: String, warcDate: String,
+                              contentType: String, contentLength: Long)
+
+  /** Split an HTTP response block: (status, content-type, body). A
+    * block that does not start with `HTTP/` comes back unparsed as
+    * (None, None, block) — resource/metadata/request records and
+    * non-http responses flow through whole. */
+  def parseHttp(block: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
+    if (block == null || block.length < 12 ||
+        !new String(block, 0, 5, ISO_8859_1).equals("HTTP/"))
+      return (None, None, block)
+    // header/body split: first CRLFCRLF (tolerate bare LFLF)
+    var split = -1
+    var bodyOff = 0
+    var i = 0
+    while (split < 0 && i < block.length - 1) {
+      if (block(i) == '\n') {
+        if (block(i + 1) == '\n') { split = i; bodyOff = i + 2 }
+        else if (i + 2 < block.length && block(i + 1) == '\r' &&
+          block(i + 2) == '\n') { split = i; bodyOff = i + 3 }
+      }
+      i += 1
+    }
+    if (split < 0) { split = block.length; bodyOff = block.length }
+    val head = new String(block, 0, split, ISO_8859_1)
+    val lines = head.split("\r?\n")
+    // status line: HTTP/1.x SP status SP reason
+    val status = lines.headOption.flatMap { l =>
+      val parts = l.split(" ", 3)
+      if (parts.length >= 2 && parts(1).forall(_.isDigit) && parts(1).nonEmpty)
+        Some(parts(1).toInt)
+      else None
+    }
+    if (status.isEmpty) return (None, None, block)
+    val ctype = lines.drop(1).collectFirst {
+      case l if l.toLowerCase.startsWith("content-type:") =>
+        l.substring("content-type:".length).trim
+    }
+    (status, ctype, java.util.Arrays.copyOfRange(block, bodyOff, block.length))
+  }
+
+  private def maybeGunzip(in: InputStream, bytes: Array[Byte]): InputStream =
+    if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte)
+      new GZIPInputStream(in)
+    else in
+
+  /** One CRLF-terminated header line (CR stripped; bare LF tolerated);
+    * None at EOF. Header lines are ASCII per spec — decoded ISO-8859-1
+    * so arbitrary bytes cannot throw. */
+  private def readLine(in: InputStream): Option[String] = {
+    val buf = new ByteArrayOutputStream(96)
+    var b = in.read()
+    if (b < 0) return None
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    val arr = buf.toByteArray
+    val len = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1
+      else arr.length
+    Some(new String(arr, 0, len, ISO_8859_1))
+  }
+
+  private def skipFully(in: InputStream, n: Long): Boolean = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() >= 0) left -= 1
+      else return false
+    }
+    true
+  }
+
+  /** Core streaming walker: emits `(header, block)` for every record
+    * satisfying `keep`, in file order. With `withBlock = false` every
+    * block is skipped, never buffered (block is null) — the
+    * metadata-only path DSv2 column pruning uses. The iterator OWNS
+    * `in` and closes it when the walk ends (see [[TarSource.entryRows]]
+    * for the eager-close rationale). */
+  private[sources] def recordRows(in0: InputStream, keep: WarcHeader => Boolean,
+      withBlock: Boolean): Iterator[(WarcHeader, Array[Byte])] with AutoCloseable =
+    new scala.collection.AbstractIterator[(WarcHeader, Array[Byte])] with AutoCloseable {
+      private val in = in0
+      private var nextItem: (WarcHeader, Array[Byte]) = _
+      private var closed = false
+      advance()
+
+      def close(): Unit = if (!closed) {
+        closed = true
+        try in.close() catch { case _: java.io.IOException => () }
+      }
+
+      private def advance(): Unit = {
+        nextItem = null
+        var done = false
+        while (nextItem == null && !done) {
+          // version line; empty lines between records (the record's two
+          // trailing CRLFs) are consumed here
+          var line = readLine(in)
+          while (line.contains("")) line = readLine(in)
+          line match {
+            case None => done = true // clean EOF
+            case Some(v) if !v.startsWith("WARC/") => done = true // corrupt
+            case Some(_) =>
+              // headers until the blank line; simple continuation folding
+              val hdrs = scala.collection.mutable.Map.empty[String, String]
+              var lastName: String = null
+              var bad = false
+              var headerDone = false
+              while (!headerDone && !bad) {
+                readLine(in) match {
+                  case None => bad = true // EOF inside headers: truncated
+                  case Some("") => headerDone = true
+                  case Some(l) if l.head == ' ' || l.head == '\t' =>
+                    if (lastName == null) bad = true
+                    else hdrs(lastName) = hdrs(lastName) + " " + l.trim
+                  case Some(l) =>
+                    val c = l.indexOf(':')
+                    if (c <= 0) bad = true
+                    else {
+                      lastName = l.substring(0, c).trim.toLowerCase
+                      hdrs(lastName) = l.substring(c + 1).trim
+                    }
+                }
+              }
+              val len = hdrs.get("content-length").flatMap(s =>
+                try Some(s.toLong) catch { case _: NumberFormatException => None })
+              if (bad || len.isEmpty || len.get < 0 || len.get > Int.MaxValue)
+                done = true
+              else {
+                val h = WarcHeader(
+                  hdrs.getOrElse("warc-record-id", ""),
+                  hdrs.getOrElse("warc-type", ""),
+                  hdrs.getOrElse("warc-target-uri", ""),
+                  hdrs.getOrElse("warc-date", ""),
+                  hdrs.getOrElse("content-type", ""),
+                  len.get)
+                if (!keep(h)) {
+                  if (!skipFully(in, h.contentLength)) done = true
+                } else if (withBlock) {
+                  val block = in.readNBytes(h.contentLength.toInt)
+                  if (block.length < h.contentLength) done = true // truncated
+                  else nextItem = (h, block)
+                } else {
+                  if (skipFully(in, h.contentLength)) nextItem = (h, null)
+                  else done = true
+                }
+              }
+          }
+        }
+        if (done) close()
+      }
+
+      def hasNext: Boolean = nextItem != null
+      def next(): (WarcHeader, Array[Byte]) = {
+        val r = nextItem; advance(); r
+      }
+    }
+
+  /** Open a warc / warc.gz FILE as a decompressed stream (gzip by
+    * magic; multi-member streams decode transparently). */
+  private[sources] def openArchive(path: String): InputStream = {
+    val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(new java.io.FileInputStream(path)), 2)
+    val b0 = pb.read()
+    val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb) else pb
+  }
+
+  /** All records of in-memory warc/warc.gz bytes satisfying `keep`,
+    * lazily; closes itself at walk end (close() if abandoning early). */
+  def records(warcBytes: Array[Byte],
+              keep: WarcHeader => Boolean = _ => true): Iterator[(WarcHeader, Array[Byte])] with AutoCloseable =
+    recordRows(maybeGunzip(new ByteArrayInputStream(warcBytes), warcBytes),
+      keep, withBlock = true)
+
+  /** Distributed many-archive ingestion: one row per record of every
+    * warc/warc.gz matching `glob` — each archive parses inside the task
+    * that owns its `binaryFile` row. Columns: (archive, record_id,
+    * warc_type, target_uri, warc_date, content_type, n_bytes,
+    * http_status, http_content_type, payload) — payload is the HTTP
+    * body for http responses, the raw block otherwise. */
+  def readRecords(spark: SparkSession, glob: String,
+                  keep: WarcHeader => Boolean = _ => true): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        records(bytes, keep).map { case (h, block) =>
+          val (st, ct, body) = parseHttp(block)
+          (p, h.recordId, h.warcType, h.targetUri, h.warcDate, h.contentType,
+            h.contentLength, st.map(Integer.valueOf).orNull,
+            ct.orNull, body)
+        }
+      }
+      .toDF("archive", "record_id", "warc_type", "target_uri", "warc_date",
+        "content_type", "n_bytes", "http_status", "http_content_type",
+        "payload")
+  }
+
+  // ---- writer helpers (fixtures, tests, round-trips) ----
+
+  /** Serialize one WARC record (version line, headers, block, two
+    * trailing CRLFs). Content-Length is computed here. */
+  def record(warcType: String, recordId: String, targetUri: String,
+             date: String, contentType: String,
+             block: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append("WARC-Type: ").append(warcType).append("\r\n")
+    sb.append("WARC-Record-ID: ").append(recordId).append("\r\n")
+    sb.append("WARC-Date: ").append(date).append("\r\n")
+    if (targetUri.nonEmpty)
+      sb.append("WARC-Target-URI: ").append(targetUri).append("\r\n")
+    sb.append("Content-Type: ").append(contentType).append("\r\n")
+    sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes(ISO_8859_1)
+    val out = new ByteArrayOutputStream(head.length + block.length + 4)
+    out.write(head)
+    out.write(block)
+    out.write("\r\n\r\n".getBytes(ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** A `response` record whose block is an HTTP/1.1 response carrying
+    * `body` — the shape Common Crawl stores a fetched page as. */
+  def responseRecord(targetUri: String, recordId: String, date: String,
+                     status: Int, httpContentType: String,
+                     body: Array[Byte]): Array[Byte] = {
+    val http = new ByteArrayOutputStream(body.length + 128)
+    http.write((s"HTTP/1.1 $status OK\r\nContent-Type: $httpContentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1))
+    http.write(body)
+    record("response", recordId, targetUri, date,
+      "application/http; msgtype=response", http.toByteArray)
+  }
+
+  /** Gzip one record as ITS OWN member — concatenating these yields the
+    * standard `.warc.gz` layout. */
+  def gzipMember(recordBytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(recordBytes.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(recordBytes)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** UTF-8 convenience for text bodies. */
+  def utf8(s: String): Array[Byte] = s.getBytes(UTF_8)
+}

@@ -1,0 +1,244 @@
+package graft.sources.warc
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.WarcSource
+import graft.sources.WarcSource.WarcHeader
+
+/** DataSource V2 for WARC web-crawl archives
+  * (`spark.read.format("warc").load(path)`) — surface parity with the
+  * ZIP/TAR/XPORT/PDF planners. Schema:
+  *
+  *   archive string, record_id string, warc_type string,
+  *   target_uri string, warc_date string, content_type string,
+  *   n_bytes long, http_status int, http_content_type string,
+  *   payload binary
+  *
+  * `payload` is the HTTP BODY for records whose block parses as an
+  * HTTP response (http_status/http_content_type come from the same
+  * parse), and the raw block otherwise — so `format("warc")` hands a
+  * text pipeline the page bytes directly.
+  *
+  * WARC is sequential like tar (`.warc.gz` is a non-seekable member
+  * stream without the external index), so the planner mirrors
+  * [[graft.sources.tar.TarDataSource]]'s honest limits:
+  *
+  *  - **planning-time ARCHIVE pruning** from pushed `archive`
+  *    predicates;
+  *  - **read-time record filtering**: pushed predicates over the
+  *    header columns (record_id, warc_type, target_uri, content_type)
+  *    are evaluated per record header — non-matching records' blocks
+  *    are SKIPPED, never buffered (the big one: `warc_type = 'response'`
+  *    skips every request/metadata record unread);
+  *  - **block-skipping column pruning**: when none of
+  *    payload/http_status/http_content_type are projected (URI
+  *    inventories, type/date audits) the walk never buffers a block;
+  *  - **per-archive parallelism**: one partition per file — crawls
+  *    ship as many ~1 GiB archives, which is the parallelism.
+  *
+  * Paths must be locally readable (local disk / NFS); for object
+  * stores use [[WarcSource.readRecords]] over binaryFile.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcTable.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val p = properties.get("path")
+    require(p != null, "warc source requires a single 'path' option")
+    new WarcTable(p)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object WarcTable {
+  val schema: StructType = StructType(Seq(
+    StructField("archive", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = false),
+    StructField("warc_type", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("warc_date", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  def archivesFor(path: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(graft.sources.ZipSource.stripFileScheme(path))
+    if (Files.isRegularFile(p)) Seq(p.toString)
+    else if (Files.isDirectory(p)) listDir(p, "*.{warc,warc.gz}")
+    else if (p.getParent != null && Files.isDirectory(p.getParent))
+      listDir(p.getParent, p.getFileName.toString)
+    else sys.error(s"warc source: no archive at $path")
+  }
+
+  private def listDir(dir: java.nio.file.Path, glob: String): Seq[String] = {
+    val ds = java.nio.file.Files.newDirectoryStream(dir, glob)
+    try {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      ds.forEach(f => out += f.toString)
+      out.toList.sorted
+    } finally ds.close()
+  }
+}
+
+class WarcTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"warc:$path"
+  override def schema(): StructType = WarcTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(path)
+}
+
+class WarcScanBuilder(path: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var required: StructType = WarcTable.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  private def headerCol(a: String) = a == "archive" || a == "record_id" ||
+    a == "warc_type" || a == "target_uri" || a == "content_type"
+  private def supported(f: Filter): Boolean = f match {
+    case sources.EqualTo(a, _: String) => headerCol(a)
+    case sources.StringStartsWith(a, _) => headerCol(a)
+    case sources.StringEndsWith(a, _) => headerCol(a)
+    case sources.StringContains(a, _) => headerCol(a)
+    case sources.IsNotNull(a) => headerCol(a)
+    case sources.In(a, vs) => headerCol(a) && vs.forall(_.isInstanceOf[String])
+    case sources.And(l, r) => supported(l) && supported(r)
+    case sources.Or(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(supported)
+    // Spark re-applies every filter post-scan; pushing only skips work
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new WarcScan(path, required, pushed)
+}
+
+final case class WarcArchivePartition(archive: String, needBlock: Boolean,
+                                      fields: Array[String],
+                                      filters: Array[Filter]) extends InputPartition
+
+object WarcScan {
+  /** Tri-state filter evaluation, mirroring TarScan.passes: a null
+    * header means planning time (only archive-only predicates can
+    * prune); with a concrete header the evaluation is exact. */
+  private[warc] def passes(archive: String, h: WarcHeader, f: Filter): Boolean = {
+    def v(a: String): String =
+      if (a == "archive") archive
+      else if (h == null) null
+      else a match {
+        case "record_id" => h.recordId
+        case "warc_type" => h.warcType
+        case "target_uri" => h.targetUri
+        case "content_type" => h.contentType
+        case _ => null
+      }
+    f match {
+      case sources.EqualTo(a, x: String) => v(a) == null || v(a) == x
+      case sources.StringStartsWith(a, p) => v(a) == null || v(a).startsWith(p)
+      case sources.StringEndsWith(a, s) => v(a) == null || v(a).endsWith(s)
+      case sources.StringContains(a, s) => v(a) == null || v(a).contains(s)
+      case sources.IsNotNull(_) => true
+      case sources.In(a, vs) => v(a) == null || vs.contains(v(a))
+      case sources.And(l, r) => passes(archive, h, l) && passes(archive, h, r)
+      case sources.Or(l, r) => passes(archive, h, l) || passes(archive, h, r)
+      case _ => true
+    }
+  }
+}
+
+class WarcScan(path: String, required: StructType,
+               filters: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"WarcScan(path=$path, columns=${required.fieldNames.mkString(",")}" +
+      (if (filters.isEmpty) ")" else s", pushed=${filters.mkString(",")})")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val needBlock = required.fieldNames.exists(f =>
+      f == "payload" || f == "http_status" || f == "http_content_type")
+    val fields = required.fieldNames
+    WarcTable.archivesFor(path)
+      .filter(a => filters.forall(WarcScan.passes(a, null, _)))
+      .map(a => WarcArchivePartition(a, needBlock, fields, filters): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory
+}
+
+class WarcReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcArchiveReader(partition.asInstanceOf[WarcArchivePartition])
+}
+
+class WarcArchiveReader(part: WarcArchivePartition) extends PartitionReader[InternalRow] {
+  private val walk = WarcSource.recordRows(
+    WarcSource.openArchive(part.archive),
+    h => part.filters.forall(WarcScan.passes(part.archive, h, _)),
+    withBlock = part.needBlock)
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!walk.hasNext) false
+    else {
+      val (h, block) = walk.next()
+      val (st, ct, body) =
+        if (part.needBlock) WarcSource.parseHttp(block) else (None, None, null)
+      val row = new GenericInternalRow(part.fields.length)
+      var j = 0
+      while (j < part.fields.length) {
+        part.fields(j) match {
+          case "archive" => row.update(j, UTF8String.fromString(part.archive))
+          case "record_id" => row.update(j, UTF8String.fromString(h.recordId))
+          case "warc_type" => row.update(j, UTF8String.fromString(h.warcType))
+          case "target_uri" => row.update(j, UTF8String.fromString(h.targetUri))
+          case "warc_date" => row.update(j, UTF8String.fromString(h.warcDate))
+          case "content_type" => row.update(j, UTF8String.fromString(h.contentType))
+          case "n_bytes" => row.setLong(j, h.contentLength)
+          case "http_status" =>
+            if (st.isDefined) row.setInt(j, st.get) else row.update(j, null)
+          case "http_content_type" =>
+            row.update(j, ct.map(UTF8String.fromString).orNull)
+          case "payload" => row.update(j, body)
+        }
+        j += 1
+      }
+      current = row
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = walk.close()
+}

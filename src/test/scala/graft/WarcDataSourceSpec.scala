@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.WarcSource.{gzipMember, record, responseRecord, utf8}
+
+/** DataSource V2 warc format: record rows with http split, archive
+  * pruning at planning time, read-time record filtering (warc has no
+  * index — same honest stance as tar), block-skipping column pruning,
+  * per-archive partitions. */
+class WarcDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val date = "2026-08-14T00:00:00Z"
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("warcdsv2")
+    java.nio.file.Files.write(d.resolve("a.warc"),
+      record("warcinfo", "<urn:uuid:w>", "", date, "application/warc-fields",
+        utf8("software: graft\r\n")) ++
+      responseRecord("http://a.example/1", "<urn:uuid:1>", date, 200,
+        "text/html", utf8("<html>a1</html>")) ++
+      record("request", "<urn:uuid:rq>", "http://a.example/1", date,
+        "application/http; msgtype=request", utf8("GET /1 HTTP/1.1\r\n")) ++
+      responseRecord("http://a.example/2", "<urn:uuid:2>", date, 404,
+        "text/plain", utf8("nope")))
+    java.nio.file.Files.write(d.resolve("b.warc.gz"),
+      gzipMember(responseRecord("http://b.example/3", "<urn:uuid:3>", date,
+        200, "text/html", utf8("b-three"))) ++
+      gzipMember(responseRecord("http://b.example/4", "<urn:uuid:4>", date,
+        200, "text/html", utf8("b-four!"))))
+    d
+  }
+
+  test("format(warc) reads every record with http split applied") {
+    val df = spark.read.format("warc").load(dir.toString)
+    assert(df.columns.toSeq == Seq("archive", "record_id", "warc_type",
+      "target_uri", "warc_date", "content_type", "n_bytes", "http_status",
+      "http_content_type", "payload"))
+    val rows = df.collect().map(r => r.getAs[String]("record_id") ->
+      ((r.getAs[String]("warc_type"), r.getAs[Any]("http_status"),
+        Option(r.getAs[Array[Byte]]("payload"))
+          .map(new String(_, "UTF-8")).orNull))).toMap
+    assert(rows.size == 6)
+    assert(rows("<urn:uuid:1>") == (("response", 200, "<html>a1</html>")))
+    assert(rows("<urn:uuid:2>") == (("response", 404, "nope")))
+    assert(rows("<urn:uuid:3>") == (("response", 200, "b-three")))
+    assert(rows("<urn:uuid:4>") == (("response", 200, "b-four!")))
+    assert(rows("<urn:uuid:rq>")._2 == null) // request block is not a response
+    assert(rows("<urn:uuid:w>")._1 == "warcinfo")
+  }
+
+  test("warc_type predicate pushes into the scan and filters at read time") {
+    val df = spark.read.format("warc").load(dir.toString)
+      .filter($"warc_type" === "response" && $"http_status" === 200)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=") && plan.contains("EqualTo(warc_type,response)"),
+      plan.take(1500))
+    assert(df.select("record_id").as[String].collect().sorted.toSeq ==
+      Seq("<urn:uuid:1>", "<urn:uuid:3>", "<urn:uuid:4>"))
+    // record filters cannot prune archives (no index): both partitions remain
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("archive-only predicates prune whole archives at planning time") {
+    val only = spark.read.format("warc").load(dir.toString)
+      .filter($"archive".endsWith("b.warc.gz"))
+    assert(only.rdd.getNumPartitions == 1, "a.warc must be pruned before planning")
+    assert(only.select("record_id").as[String].collect().sorted.toSeq ==
+      Seq("<urn:uuid:3>", "<urn:uuid:4>"))
+  }
+
+  test("header-only projection skips every block (column pruning)") {
+    val df = spark.read.format("warc").load(dir.toString)
+      .select("warc_type", "target_uri", "n_bytes")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=warc_type,target_uri,n_bytes"), plan.take(1500))
+    assert(!plan.contains("payload"), "payload must be pruned from the scan")
+    assert(df.count() == 6)
+    // n_bytes is the BLOCK length (http wire bytes), available without
+    // buffering any block
+    assert(df.filter($"warc_type" === "response").count() == 4)
+  }
+}

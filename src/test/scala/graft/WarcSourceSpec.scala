@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.sources.WarcSource
+import graft.sources.WarcSource.{gzipMember, record, responseRecord, utf8}
+
+/** WARC parser unit coverage: record walk, http response split,
+  * multi-member gzip, truncation tolerance, header folding. */
+class WarcSourceSpec extends SparkSpec {
+
+  private def cat(parts: Array[Byte]*): Array[Byte] =
+    parts.reduce(_ ++ _)
+
+  private val date = "2026-08-14T00:00:00Z"
+
+  test("walks plain warc records in order; parses the http response") {
+    val bytes = cat(
+      record("warcinfo", "<urn:uuid:0>", "", date,
+        "application/warc-fields", utf8("software: graft\r\n")),
+      responseRecord("http://a.example/p1", "<urn:uuid:1>", date, 200,
+        "text/html; charset=utf-8", utf8("<html>one</html>")),
+      responseRecord("http://a.example/p2", "<urn:uuid:2>", date, 404,
+        "text/plain", utf8("gone")))
+    val it = WarcSource.records(bytes)
+    val got = try it.toList finally it.close()
+    assert(got.map(_._1.warcType) == List("warcinfo", "response", "response"))
+    assert(got.map(_._1.recordId) ==
+      List("<urn:uuid:0>", "<urn:uuid:1>", "<urn:uuid:2>"))
+    val (h1, b1) = got(1)
+    assert(h1.targetUri == "http://a.example/p1")
+    val (st, ct, body) = WarcSource.parseHttp(b1)
+    assert(st.contains(200) && ct.contains("text/html; charset=utf-8"))
+    assert(new String(body, UTF_8) == "<html>one</html>")
+    val (st2, _, body2) = WarcSource.parseHttp(got(2)._2)
+    assert(st2.contains(404) && new String(body2, UTF_8) == "gone")
+    // non-http block flows through unparsed
+    val (st0, ct0, b0) = WarcSource.parseHttp(got(0)._2)
+    assert(st0.isEmpty && ct0.isEmpty &&
+      new String(b0, UTF_8) == "software: graft\r\n")
+  }
+
+  test("warc.gz: one gzip member per record (the Common Crawl layout)") {
+    val bytes = cat(
+      gzipMember(responseRecord("http://b.example/1", "<urn:uuid:a>", date,
+        200, "text/html", utf8("alpha"))),
+      gzipMember(responseRecord("http://b.example/2", "<urn:uuid:b>", date,
+        200, "text/html", utf8("beta"))),
+      gzipMember(responseRecord("http://b.example/3", "<urn:uuid:c>", date,
+        301, "text/html", utf8(""))))
+    val it = WarcSource.records(bytes)
+    val got = try it.toList finally it.close()
+    assert(got.map(_._1.targetUri) ==
+      List("http://b.example/1", "http://b.example/2", "http://b.example/3"))
+    assert(got.map(g => WarcSource.parseHttp(g._2)._1.get) == List(200, 200, 301))
+  }
+
+  test("keep predicate skips blocks without buffering; truncation drops the tail") {
+    val bytes = cat(
+      responseRecord("http://c.example/keep", "<urn:uuid:k>", date, 200,
+        "text/html", utf8("kept")),
+      record("request", "<urn:uuid:r>", "http://c.example/keep", date,
+        "application/http; msgtype=request", utf8("GET / HTTP/1.1\r\n")),
+      responseRecord("http://c.example/keep2", "<urn:uuid:k2>", date, 200,
+        "text/html", utf8("kept2")))
+    val it = WarcSource.records(bytes, _.warcType == "response")
+    val got = try it.toList finally it.close()
+    assert(got.map(_._1.recordId) == List("<urn:uuid:k>", "<urn:uuid:k2>"))
+    // cut mid-block of the second record: first record still comes back
+    val cut = java.util.Arrays.copyOfRange(bytes, 0,
+      responseRecord("http://c.example/keep", "<urn:uuid:k>", date, 200,
+        "text/html", utf8("kept")).length + 40)
+    val it2 = WarcSource.records(cut)
+    val got2 = try it2.toList finally it2.close()
+    assert(got2.map(_._1.recordId) == List("<urn:uuid:k>"))
+    // garbage after a valid record ends the walk cleanly (no throw),
+    // keeping the records before the corruption
+    val rec1 = responseRecord("http://c.example/keep", "<urn:uuid:k>", date,
+      200, "text/html", utf8("kept"))
+    val it3 = WarcSource.records(cat(rec1, utf8("NOT A WARC LINE\r\n")))
+    val got3 = try it3.toList finally it3.close()
+    assert(got3.map(_._1.recordId) == List("<urn:uuid:k>"))
+  }
+
+  test("header continuation lines fold; missing content-length stops the walk") {
+    val folded = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:f>\r\n" +
+      "WARC-Date: " + date + "\r\n" +
+      "WARC-Target-URI: http://long.example/a\r\n" +
+      "\t-continued-path\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      "Content-Length: 4\r\n\r\nBODY\r\n\r\n").getBytes("ISO-8859-1")
+    val it = WarcSource.records(folded)
+    val got = try it.toList finally it.close()
+    assert(got.size == 1)
+    assert(got.head._1.targetUri == "http://long.example/a -continued-path")
+    assert(new String(got.head._2, UTF_8) == "BODY")
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\nxx\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val it2 = WarcSource.records(noLen)
+    assert((try it2.toList finally it2.close()) == Nil)
+  }
+
+  test("readRecords fans archives out via binaryFile with http parsing") {
+    val d = java.nio.file.Files.createTempDirectory("warcsrc")
+    java.nio.file.Files.write(d.resolve("one.warc"),
+      cat(responseRecord("http://d.example/1", "<urn:uuid:1>", date, 200,
+        "text/html", utf8("aaa")),
+        responseRecord("http://d.example/2", "<urn:uuid:2>", date, 500,
+          "text/plain", utf8("err"))))
+    java.nio.file.Files.write(d.resolve("two.warc.gz"),
+      cat(gzipMember(record("warcinfo", "<urn:uuid:w>", "", date,
+        "application/warc-fields", utf8("x: y\r\n"))),
+        gzipMember(responseRecord("http://d.example/3", "<urn:uuid:3>", date,
+          200, "text/html", utf8("cccc")))))
+    val df = WarcSource.readRecords(spark, d.toString + "/*")
+    val rows = df.collect().map(r => r.getAs[String]("record_id") ->
+      ((r.getAs[String]("warc_type"), r.getAs[Any]("http_status"),
+        Option(r.getAs[Array[Byte]]("payload")).map(new String(_, UTF_8)).orNull)))
+      .toMap
+    assert(rows("<urn:uuid:1>") == (("response", 200, "aaa")))
+    assert(rows("<urn:uuid:2>") == (("response", 500, "err")))
+    assert(rows("<urn:uuid:3>") == (("response", 200, "cccc")))
+    assert(rows("<urn:uuid:w>")._1 == "warcinfo" &&
+      rows("<urn:uuid:w>")._2 == null)
+  }
+}
