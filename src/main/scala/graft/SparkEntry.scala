@@ -2138,6 +2138,27 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // LLM ops — Gopher-rule repetition evidence (Repetition.stats over
+    // word 2-grams): top-n-gram character coverage + duplicated-n-gram
+    // character mass per document, the quality filter that catches
+    // loop-y/SEO-spam text before dedup pays for it. Exact integer
+    // evidence; the two ratios are single divisions of exact longs.
+    "q125_topgram_coverage" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Repetition.stats(d, col("doc_id"),
+          TextFunctions.shingles(TextFunctions.tokens(col("text")), 2))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — the same repetition core over TOKENS (most-common-word
+    // coverage, Gopher's unigram variant) — a second input shape
+    // through Repetition.stats under the oracle gate.
+    "q126_token_coverage" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Repetition.stats(d, col("doc_id"), TextFunctions.tokens(col("text")))
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -4205,6 +4226,57 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 3 = 0 AND doc_id % 17 <> 0
         |GROUP BY source ORDER BY host""".stripMargin,
+
+    "q125_topgram_coverage" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |           i -> w[i] || ' ' || w[i+1])) AS item
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |c AS (SELECT doc_id, item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM g GROUP BY doc_id, item),
+        |a AS (SELECT doc_id,
+        |        CAST(SUM(cnt) AS BIGINT) AS n_items,
+        |        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |        CAST(SUM(cnt * length(item)) AS BIGINT) AS total_chars,
+        |        CAST(COALESCE(SUM(CASE WHEN cnt >= 2
+        |          THEN cnt * length(item) END), 0) AS BIGINT) AS dup_chars
+        |      FROM c GROUP BY doc_id),
+        |t AS (SELECT doc_id, item AS top_item, cnt AS top_count FROM (
+        |        SELECT doc_id, item, cnt, ROW_NUMBER() OVER (
+        |          PARTITION BY doc_id ORDER BY cnt DESC, item DESC) AS rn
+        |        FROM c) WHERE rn = 1)
+        |SELECT a.doc_id, n_items, n_distinct, top_item, top_count,
+        |  CAST(top_count * length(top_item) AS BIGINT) AS top_chars,
+        |  dup_chars, total_chars,
+        |  CAST(top_count * length(top_item) AS DOUBLE)
+        |    / CAST(total_chars AS DOUBLE) AS top_frac,
+        |  CAST(dup_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) AS dup_frac
+        |FROM a JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q126_token_coverage" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS item
+        |  FROM documents),
+        |c AS (SELECT doc_id, item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM g GROUP BY doc_id, item),
+        |a AS (SELECT doc_id,
+        |        CAST(SUM(cnt) AS BIGINT) AS n_items,
+        |        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |        CAST(SUM(cnt * length(item)) AS BIGINT) AS total_chars,
+        |        CAST(COALESCE(SUM(CASE WHEN cnt >= 2
+        |          THEN cnt * length(item) END), 0) AS BIGINT) AS dup_chars
+        |      FROM c GROUP BY doc_id),
+        |t AS (SELECT doc_id, item AS top_item, cnt AS top_count FROM (
+        |        SELECT doc_id, item, cnt, ROW_NUMBER() OVER (
+        |          PARTITION BY doc_id ORDER BY cnt DESC, item DESC) AS rn
+        |        FROM c) WHERE rn = 1)
+        |SELECT a.doc_id, n_items, n_distinct, top_item, top_count,
+        |  CAST(top_count * length(top_item) AS BIGINT) AS top_chars,
+        |  dup_chars, total_chars,
+        |  CAST(top_count * length(top_item) AS DOUBLE)
+        |    / CAST(total_chars AS DOUBLE) AS top_frac,
+        |  CAST(dup_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) AS dup_frac
+        |FROM a JOIN t USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q110_containment" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

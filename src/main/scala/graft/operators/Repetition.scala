@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Intra-document repetition evidence — the Gopher-rules family of
+  * quality filters (Rae et al. 2021 §A1.1): "fraction of characters in
+  * the most frequent n-gram", "fraction of characters in duplicated
+  * n-grams", "fraction of duplicated lines". Loop-y generations, SEO
+  * spam, and boilerplate-heavy pages all light up on these signals
+  * before any cross-document work happens, which is why every major
+  * curation pipeline runs them FIRST — they need no joins, no global
+  * state, and drop the worst documents before dedup pays for them.
+  *
+  * One generic core, [[stats]], over any per-document ITEMS array
+  * (word n-grams, tokens, physical lines — the caller picks the unit):
+  * explode → count per (doc, item) → one map-side-combined rollup per
+  * doc. All evidence is exact integers (counts and char masses); the
+  * two ratios are single divisions of exact longs, bit-identical
+  * across engines. Shape at 100 TB: cost is O(total items) with
+  * partial aggregation collapsing each mapper to one row per
+  * (doc, item) — no windows, no self-joins, and the doc key is the
+  * only shuffle.
+  *
+  * Reference analogue: none — the toolkit has no corpus-quality stage;
+  * this is beyond-reference LLM-curation surface (SURVEY §2 curation
+  * family, alongside [[Curation]] and [[WebCuration]]).
+  */
+object Repetition {
+
+  /** Per-document repetition rollup over `items`.
+    *
+    * Output per document (docs whose items array is empty drop out —
+    * they have no repetition evidence; filter upstream if they must
+    * appear): `n_items`, `n_distinct`, `top_item` (most frequent item;
+    * ties break to the lexicographically GREATEST item — deterministic
+    * and replayable), `top_count`, `top_chars` = top_count ×
+    * len(top_item), `dup_chars` = Σ over items seen ≥2 times of
+    * count × len, `total_chars` = Σ count × len, plus `top_frac` and
+    * `dup_frac` (exact-long divisions).
+    */
+  def stats(docs: DataFrame, id: Column, items: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(items).as("item"))
+      .groupBy("doc_id", "item").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_items"),
+        count(lit(1)).as("n_distinct"),
+        max_by(struct(col("cnt"), col("item")),
+          struct(col("cnt"), col("item"))).as("top"),
+        sum(col("cnt") * length(col("item")).cast("long")).as("total_chars"),
+        coalesce(sum(when(col("cnt") >= 2,
+          col("cnt") * length(col("item")).cast("long"))), lit(0L))
+          .as("dup_chars"))
+      .select(col("doc_id"),
+        col("n_items").cast("long").as("n_items"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("top.item").as("top_item"),
+        col("top.cnt").cast("long").as("top_count"),
+        (col("top.cnt") * length(col("top.item")).cast("long"))
+          .as("top_chars"),
+        col("dup_chars"), col("total_chars"),
+        (col("top.cnt") * length(col("top.item")).cast("long"))
+          .cast("double")./(col("total_chars").cast("double")).as("top_frac"),
+        col("dup_chars").cast("double")
+          ./(col("total_chars").cast("double")).as("dup_frac"))
+
+  /** Physical lines of a text column (for the duplicate-line rules on
+    * corpora that HAVE lines; blank lines drop — they are separators,
+    * not content). */
+  def lines(text: Column): Column =
+    filter(split(text, "\n"), l => length(l) > 0)
+}

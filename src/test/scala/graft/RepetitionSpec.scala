@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Repetition
+
+/** Gopher-rule repetition evidence: hand-checked coverage arithmetic,
+  * deterministic tie-break, line mode over real multi-line text. */
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(items: Seq[String]) =
+    Repetition.stats(Seq((1L, items)).toDF("id", "xs"),
+      col("id"), col("xs")).head()
+
+  test("hand-checked counts, char masses, and fractions") {
+    // a=3, b=2, c=1: top (3,"a"); dup mass 3*1 + 2*1 = 5; total 6
+    val r = one(Seq("a", "b", "a", "c", "a", "b"))
+    assert(r.getAs[Long]("n_items") == 6L)
+    assert(r.getAs[Long]("n_distinct") == 3L)
+    assert(r.getAs[String]("top_item") == "a")
+    assert(r.getAs[Long]("top_count") == 3L)
+    assert(r.getAs[Long]("top_chars") == 3L)
+    assert(r.getAs[Long]("dup_chars") == 5L)
+    assert(r.getAs[Long]("total_chars") == 6L)
+    assert(r.getAs[Double]("top_frac") == 0.5)
+    assert(r.getAs[Double]("dup_frac") == 5.0 / 6.0)
+  }
+
+  test("ties break to the lexicographically greatest item") {
+    assert(one(Seq("x", "y", "x", "y")).getAs[String]("top_item") == "y")
+  }
+
+  test("char mass weighs item LENGTH, not just count") {
+    // "looong" once (6 chars) vs "ab" twice (4 chars): top by COUNT is
+    // ab, but total_chars counts both masses
+    val r = one(Seq("looong", "ab", "ab"))
+    assert(r.getAs[String]("top_item") == "ab")
+    assert(r.getAs[Long]("top_chars") == 4L)
+    assert(r.getAs[Long]("dup_chars") == 4L)
+    assert(r.getAs[Long]("total_chars") == 10L)
+  }
+
+  test("line mode: duplicate-line fraction over real multi-line text") {
+    val df = Seq(
+      (1L, "hello world\nfoo\nhello world\n\nbar"),
+      (2L, "only one line"),
+      (3L, "")).toDF("id", "text")
+    val got = Repetition.stats(df, col("id"), Repetition.lines(col("text")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_items") == 4L) // blank line dropped
+    assert(r1.getAs[Long]("n_distinct") == 3L)
+    assert(r1.getAs[String]("top_item") == "hello world")
+    assert(r1.getAs[Long]("dup_chars") == 22L)
+    assert(r1.getAs[Long]("total_chars") == 28L)
+    assert(got(2L).getAs[Long]("n_items") == 1L)
+    assert(got(2L).getAs[Long]("dup_chars") == 0L)
+    assert(!got.contains(3L), "empty docs have no repetition evidence")
+  }
+}
