@@ -2159,6 +2159,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Graphs — k-core peel (KCore.run) over the part co-occurrence
+    // graph: three synchronous peel rounds at a SELF-SCALING threshold
+    // k = ceil(median degree) — the dense-subgraph audit that flags
+    // link-farm/mirror clusters (organic neighborhoods dissolve under
+    // peeling, spam cores survive). Same once-partitioned-edges
+    // iterative discipline as PageRank; the oracle unrolls the exact
+    // three rounds.
+    "q127_kcore" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val e = Triangles.coOccurrenceEdges(li, col("l_orderkey"), col("l_partkey"))
+        .localCheckpoint(true)
+      val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val k = deg.agg(ceil(expr("percentile(deg, 0.5)"))).head().getLong(0)
+      KCore.run(e, k.toInt, iters = 3)
+        .withColumn("k", lit(k))
+        .orderBy("node")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -4226,6 +4245,36 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 3 = 0 AND doc_id % 17 <> 0
         |GROUP BY source ORDER BY host""".stripMargin,
+
+    "q127_kcore" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM ps a
+        |       JOIN ps b ON a.o = b.o AND a.p < b.p),
+        |dg0 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |        (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |        GROUP BY node),
+        |kk AS (SELECT CAST(ceil(quantile_cont(deg, 0.5)) AS BIGINT) AS k FROM dg0),
+        |a1 AS (SELECT node FROM dg0, kk WHERE deg >= k),
+        |e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT node FROM a1)
+        |                             AND v IN (SELECT node FROM a1)),
+        |dg1 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |        (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+        |        GROUP BY node),
+        |a2 AS (SELECT node FROM dg1, kk WHERE deg >= k),
+        |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM a2)
+        |                             AND v IN (SELECT node FROM a2)),
+        |dg2 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |        (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+        |        GROUP BY node),
+        |a3 AS (SELECT node FROM dg2, kk WHERE deg >= k),
+        |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM a3)
+        |                             AND v IN (SELECT node FROM a3)),
+        |dg3 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |        (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+        |        GROUP BY node)
+        |SELECT a3.node, COALESCE(dg3.deg, 0) AS deg, kk.k AS k
+        |FROM a3 LEFT JOIN dg3 USING (node), kk
+        |ORDER BY node""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KCore
+
+/** k-core peeling: hand-checked cores, fixpoint parity with an
+  * independent driver-side model, cascade behavior, coreness levels. */
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent model: peel to the fixpoint, return (node -> degree)
+    * of the k-core. */
+  private def model(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var e = edges.map { case (a, b) => (a min b, a max b) }
+      .filter(p => p._1 != p._2).distinct
+    var stable = false
+    while (!stable) {
+      val deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val alive = deg.filter(_._2 >= k).keySet
+      val e2 = e.filter(p => alive(p._1) && alive(p._2))
+      stable = e2.size == e.size
+      e = e2
+    }
+    e.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)], k: Int, iters: Int): Map[Long, Long] =
+    KCore.run(edges.toDF("u", "v"), k, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4 with a pendant path: 2-core strips the path, keeps K4") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L)) // pendant path 4-5-6
+    assert(run(edges, 2, 10) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=4: K4 is only a 3-core; everything dissolves
+    assert(run(edges, 4, 10) == Map.empty)
+  }
+
+  test("cascade: removing one node re-triggers peeling down a chain") {
+    // chain 1-2-3-4-5 at k=2: endpoints peel, then their neighbors,
+    // until nothing is left — needs one round per layer
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(run(chain, 2, 10) == Map.empty)
+    // with too few rounds the peel is mid-cascade: after 1 round the
+    // endpoints are gone, survivors 2,3,4 hold degrees 1,2,1
+    assert(run(chain, 2, 1) == Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("random graph matches the fixpoint model at several k") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.tabulate(260) { _ =>
+      (rnd.nextInt(45).toLong, rnd.nextInt(45).toLong) }
+      .filter { case (a, b) => a != b }
+    for (k <- Seq(2, 4, 6, 9))
+      assert(run(edges, k, 30) == model(edges, k), s"k=$k diverged")
+  }
+
+  test("coreness levels: triangle with a tail") {
+    val got = KCore.coreness(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+        .toDF("u", "v"), maxK = 3, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 1))
+  }
+}
