@@ -2178,6 +2178,105 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // LLM ops — DSIR importance resampling (Xie et al. 2023): pick the
+    // raw-corpus docs whose hashed-unigram distribution looks most like
+    // a TARGET corpus (here: the src2 slice) — "make the crawl look
+    // like Wikipedia". Models are B-row hashed-n-gram tables (size
+    // independent of vocabulary), the log-ratio table broadcasts onto
+    // ONE raw-corpus scan, per-doc sums are exact decimals of
+    // 6-decimal-rounded terms (order-independent), selection is a
+    // TakeOrderedAndProject top-k. The oracle replays the md5
+    // bucketing, the smoothed LLR, and the exact-decimal sum.
+    "q128_dsir_resample" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Dsir.importanceTopK(d, col("doc_id"), col("text"),
+        d.filter(col("source") === "src2"), col("text"),
+        buckets = 64, k = 40)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM ops — stupid-backoff bigram LM scoring (Brants et al. 2007):
+    // the CCNet-style fluency signal, trained on the src1 slice and
+    // scoring the whole corpus. The model IS two count tables (one
+    // map-side-combined aggregate each); scoring is one transition
+    // stream joined on the bigram key + two unigram legs + one doc_id
+    // aggregate. Per-transition ln S rounded to 6 decimals once, summed
+    // as exact decimal — order-independent; the oracle replays the
+    // counts and the backoff arithmetic.
+    "q129_lm_score" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      NgramLm.scoreByBigramModel(d.filter(col("source") === "src1"), col("text"),
+          d, col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — URL canonicalization + URL-level dedup: RFC 3986
+    // syntax normalization (case, default ports, empty path, fragment,
+    // userinfo) plus the tracking-param strip + param sort, then ONE
+    // map-side-combined aggregate on the canonical key. Messy URL
+    // variants are built deterministically from doc fields (case /
+    // www / :443 / tracker / fragment variants, 4 docs per canonical
+    // target); the oracle computes the expected canonical form
+    // ANALYTICALLY from the same fields — an independent check of the
+    // whole normalization, not a replay of the regex chain.
+    "q130_url_dedup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("url", concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+          lit("://"),
+          when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          lit("Example.COM"),
+          when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+          lit("/p/"), expr("doc_id div 4"),
+          when(col("doc_id") % 2 === 0, lit("?utm_source=x&b=2&a=1"))
+            .otherwise(lit("?a=1&b=2&fbclid=zz")),
+          when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit(""))))
+      WebCuration.canonicalUrlDedup(d, col("url"), col("doc_id"))
+        .orderBy("canon_url")
+    }),
+
+    // Warehouse — SCD2 dimension build (Kimball type 2): the events
+    // stream read as per-user CDC updates becomes a versioned dimension
+    // with [eff_from, eff_to) validity, no-change collapse (consecutive
+    // same-type updates extend the interval), current flags, version
+    // numbers. ONE shuffle on the key; the collapse lag and the
+    // validity lead share a single Exchange+Sort (plan-pinned in
+    // Scd2Spec). The oracle replays the two windows.
+    "q131_scd2_dimension" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+      Scd2.build(e, col("user_id"), col("ts"), col("event_id"),
+          Seq("event_type" -> col("event_type")))
+        .select(col("key").as("user_id"), col("event_type"),
+          unix_micros(col("eff_from")).as("eff_from_us"),
+          unix_micros(col("eff_to")).as("eff_to_us"), col("is_current"),
+          col("version").cast("long").as("version"))
+        .orderBy("user_id", "version")
+    }),
+
+    // LLM ops — link-graph construction: the bridge between WARC
+    // ingest and the graph family. HTML is synthesized deterministically
+    // per doc (one always-link, one www/case-mangled link on even ids,
+    // a relative link on odd ids that must NOT extract, self-links that
+    // must drop); linkEdges extracts absolute hrefs row-locally and
+    // rolls up host-level weighted edges. The oracle computes the
+    // expected edge list ANALYTICALLY from the doc fields — independent
+    // of the regex/normalization chain under test.
+    "q132_link_graph" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/p/"), col("doc_id")))
+        .withColumn("html", concat(
+          lit("<html><body><p>"), col("text"), lit("</p><a href=\"https://src"),
+          col("doc_id") % 20, lit(".example.com/x\">l1</a>"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("<a href=\"https://WWW.src"), (col("doc_id") + 7) % 20,
+              lit(".Example.com/y\">l2</a>")))
+            .otherwise(lit("<a href=\"/rel\">r</a>")),
+          lit("</body></html>")))
+      WebCuration.linkEdges(d, col("url"), col("html"))
+        .orderBy("src_host", "dst_host")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -4275,6 +4374,100 @@ object SparkEntry {
         |SELECT a3.node, COALESCE(dg3.deg, 0) AS deg, kk.k AS k
         |FROM a3 LEFT JOIN dg3 USING (node), kk
         |ORDER BY node""".stripMargin,
+
+    "q128_dsir_resample" ->
+      """WITH tt AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents WHERE source = 'src2')),
+        |rt AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |tc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_cnt FROM tt GROUP BY bucket),
+        |rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_cnt FROM rt GROUP BY bucket),
+        |b AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(64)),
+        |m AS (SELECT b.bucket, COALESCE(t_cnt, 0) AS t_cnt, COALESCE(r_cnt, 0) AS r_cnt
+        |      FROM b LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+        |tot AS (SELECT CAST(SUM(t_cnt) AS DOUBLE) AS t_tot,
+        |               CAST(SUM(r_cnt) AS DOUBLE) AS r_tot FROM m),
+        |lr AS (SELECT bucket, CAST(printf('%.6f',
+        |         ln((CAST(t_cnt AS DOUBLE) + 1.0) / (t_tot + 64.0)) -
+        |         ln((CAST(r_cnt AS DOUBLE) + 1.0) / (r_tot + 64.0)))
+        |         AS DECIMAL(30,6)) AS llr
+        |       FROM m, tot),
+        |d AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        |sc AS (SELECT doc_id, SUM(llr) AS w, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |       FROM d JOIN lr USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, CAST(w AS VARCHAR) AS weight, n_tokens
+        |FROM sc ORDER BY w DESC, doc_id LIMIT 40""".stripMargin,
+
+    "q129_lm_score" ->
+      """WITH tw AS (SELECT string_split(text, ' ') AS w
+        |            FROM documents WHERE source = 'src1'),
+        |uni AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS c1
+        |        FROM (SELECT unnest(w) AS wd FROM tw) GROUP BY wd),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t_total,
+        |               CAST(COUNT(*) AS BIGINT) AS v_size FROM uni),
+        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+        |         SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+        |                unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+        |         FROM tw) GROUP BY w1, w2),
+        |tr AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |c AS (SELECT doc_id,
+        |        CAST(printf('%.6f', CASE WHEN c2 IS NOT NULL
+        |          THEN ln(CAST(c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+        |          ELSE ln(0.4 * (CAST(COALESCE(u2.c1, 0) AS DOUBLE) + 1.0) /
+        |                  (CAST(t_total AS DOUBLE) + CAST(v_size AS DOUBLE))) END)
+        |          AS DECIMAL(30,6)) AS cc,
+        |        CASE WHEN c2 IS NULL THEN 1 ELSE 0 END AS backoff
+        |      FROM tr LEFT JOIN bi ON tr.w1 = bi.w1 AND tr.w2 = bi.w2
+        |        LEFT JOIN uni u1 ON tr.w1 = u1.wd
+        |        LEFT JOIN uni u2 ON tr.w2 = u2.wd, tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+        |  CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+        |  CAST(SUM(cc) AS VARCHAR) AS ll,
+        |  CAST(SUM(cc) AS DOUBLE) / COUNT(*) AS avg_ll
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q130_url_dedup" ->
+      """SELECT 'https://example.com/p/' ||
+        |    CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2' AS canon_url,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+        |FROM documents GROUP BY 1 ORDER BY canon_url""".stripMargin,
+
+    "q131_scd2_dimension" ->
+      """WITH f AS (SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |v AS (SELECT user_id, ts AS eff_from, event_id, event_type
+        |      FROM f WHERE prev IS NULL OR prev <> event_type),
+        |w AS (SELECT user_id, event_type, eff_from,
+        |        LEAD(eff_from) OVER (PARTITION BY user_id
+        |          ORDER BY eff_from, event_id) AS eff_to,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |          ORDER BY eff_from, event_id) AS version
+        |      FROM v)
+        |SELECT user_id, event_type, epoch_us(eff_from) AS eff_from_us,
+        |  epoch_us(eff_to) AS eff_to_us,
+        |  eff_to IS NULL AS is_current, CAST(version AS BIGINT) AS version
+        |FROM w ORDER BY user_id, version""".stripMargin,
+
+    "q132_link_graph" ->
+      """WITH l AS (
+        |  SELECT source || '.example.com' AS src_host,
+        |    'src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS dst_host
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT source || '.example.com',
+        |    'src' || CAST((doc_id + 7) % 20 AS VARCHAR) || '.example.com'
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+        |FROM l WHERE src_host <> dst_host
+        |GROUP BY src_host, dst_host ORDER BY src_host, dst_host""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

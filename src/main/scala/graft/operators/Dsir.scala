@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFunctions}
+
+/** Data Selection via Importance Resampling (DSIR-shaped; Xie et al.,
+  * NeurIPS 2023, arXiv:2302.03169): select raw-corpus documents whose
+  * hashed-n-gram distribution looks like a TARGET corpus — the standard
+  * "make CommonCrawl look like Wikipedia" pretraining curation step.
+  * The reference has no notion of this; it is part of the LLM-pipeline
+  * mandate, built Spark-first.
+  *
+  * Both the target and raw language models are bag-of-hashed-unigrams
+  * over B buckets with add-one smoothing; a document's importance
+  * weight is the sum over its tokens of
+  * `ln((t_b + 1)/(T + B)) − ln((r_b + 1)/(R + B))` where `b` is the
+  * token's bucket, `t_b`/`r_b` the bucket counts and `T`/`R` the total
+  * token counts of the target/raw corpora. Top-weight documents are the
+  * selection.
+  *
+  * Shape at 100 TB: the two models are B-row tables built by one
+  * map-side-combined aggregate per corpus (the hashing trick is exactly
+  * what makes the model size independent of vocabulary — B is fixed),
+  * so the per-bucket log-likelihood-ratio table BROADCASTs onto the raw
+  * token stream. Scoring is one corpus scan + one shuffle keyed by
+  * doc_id (map-side combine on the exact-decimal partial sums); the
+  * selection is a TakeOrderedAndProject top-k, never a global sort.
+  * Nothing grows with |vocabulary| or |corpus|².
+  *
+  * Determinism (Spark/DuckDB hash-compare contract, the
+  * [[Retrieval]] stance): every per-bucket log-ratio is ONE double
+  * expression over exact integer inputs, rounded to 6 decimals ONCE and
+  * summed per document as exact DECIMAL — an order-independent sum of
+  * identically rounded terms. Hashing is the engine-portable
+  * [[Hashing.hexLong]] (md5), so DuckDB replays the bucketing exactly.
+  */
+object Dsir {
+
+  /** Hashed-unigram bucket counts: (bucket, cnt) with EVERY bucket in
+    * [0, buckets) present (zeros included) — the smoothed model needs
+    * the empty buckets. */
+  def bucketCounts(docs: DataFrame, text: Column, buckets: Int): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.tokens(text)).as("tok"))
+      .select((Hashing.hexLong(col("tok")) % buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    docs.sparkSession.range(buckets).toDF("bucket")
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** The B-row per-bucket importance table: (bucket, llr) where llr is
+    * the 6-decimal-rounded log-likelihood ratio of the add-one-smoothed
+    * target vs raw hashed-unigram models. B rows — always broadcastable. */
+  def bucketLogRatio(raw: DataFrame, rawText: Column,
+                     target: DataFrame, targetText: Column,
+                     buckets: Int): DataFrame = {
+    val t = bucketCounts(target, targetText, buckets)
+      .withColumnRenamed("cnt", "t_cnt")
+    val r = bucketCounts(raw, rawText, buckets)
+      .withColumnRenamed("cnt", "r_cnt")
+    // totals stay lazy one-row broadcasts — no driver action
+    val tTot = t.agg(sum("t_cnt").as("t_tot"))
+    val rTot = r.agg(sum("r_cnt").as("r_tot"))
+    val llr =
+      log((col("t_cnt").cast("double") + lit(1.0)) /
+          (col("t_tot").cast("double") + lit(buckets.toDouble))) -
+      log((col("r_cnt").cast("double") + lit(1.0)) /
+          (col("r_tot").cast("double") + lit(buckets.toDouble)))
+    t.join(r, Seq("bucket"))
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        format_string("%.6f", llr).cast("decimal(30,6)").as("llr"))
+  }
+
+  /** Importance weight per raw document: (doc_id, weight, n_tokens)
+    * where weight is the exact-decimal sum of its tokens' bucket llrs. */
+  def importanceWeights(raw: DataFrame, id: Column, text: Column,
+                        target: DataFrame, targetText: Column,
+                        buckets: Int): DataFrame = {
+    val lr = bucketLogRatio(raw, text, target, targetText, buckets)
+    graft.core.Parallelism.ensureWidth(
+        raw.select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("tok")))
+      .select(col("doc_id"), (Hashing.hexLong(col("tok")) % buckets).as("bucket"))
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("llr").as("weight_d"), count(lit(1)).as("n_tokens"))
+  }
+
+  /** The selection: top-k raw documents by importance weight
+    * (deterministic tie-break by doc_id). Returns
+    * (doc_id, weight, n_tokens) with weight rendered as the exact
+    * decimal string of the 6-decimal term sum. */
+  def importanceTopK(raw: DataFrame, id: Column, text: Column,
+                     target: DataFrame, targetText: Column,
+                     buckets: Int, k: Int): DataFrame =
+    importanceWeights(raw, id, text, target, targetText, buckets)
+      .orderBy(col("weight_d").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("weight_d").cast("string").as("weight"),
+        col("n_tokens"))
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Count-based bigram language-model scoring with stupid backoff
+  * (Brants et al., EMNLP 2007 — "Large Language Models in Machine
+  * Translation"): the CCNet-style "perplexity" quality signal a
+  * pretraining pipeline uses to keep fluent text and drop gibberish,
+  * computed entirely from corpus counts — no external model artifact.
+  * The reference has no LM surface; this is part of the LLM-pipeline
+  * mandate, built Spark-first.
+  *
+  * Score of a transition w1→w2 given a training corpus:
+  * {{{
+  *   S(w2 | w1) = c(w1 w2) / c(w1)                   if c(w1 w2) > 0
+  *              = 0.4 · (c(w2) + 1) / (T + V)        otherwise
+  * }}}
+  * (the classic backoff factor α = 0.4; the unigram leg is add-one
+  * smoothed over T = total training tokens, V = training vocabulary,
+  * so out-of-vocabulary words score finite). A document's
+  * log-likelihood is the sum of ln S over its n−1 transitions.
+  *
+  * Shape at 100 TB: the model IS two count tables built by one
+  * map-side-combined aggregate each over the training slice — the
+  * bigram table is bounded by the training token stream, never
+  * |vocab|². Scoring joins the scored corpus's transition stream
+  * against the model on the bigram key (shuffle tracks the token
+  * stream) and against the two unigram legs, then one aggregate keyed
+  * by doc_id. Nothing is corpus²; nothing collects to the driver.
+  *
+  * Determinism (the [[Retrieval]] stance): each transition's ln S is
+  * ONE double expression over exact integer counts, rounded to 6
+  * decimals ONCE, and the per-document log-likelihood is the exact
+  * DECIMAL sum of those identically rounded terms — order-independent.
+  * `avg_ll` is a single division of the exact sum by the exact count.
+  */
+object NgramLm {
+
+  /** (doc_id, w1, w2) transition stream: one row per adjacent token
+    * pair of `text`, in document order (documents with <2 tokens emit
+    * nothing). */
+  def transitions(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("w"))
+      .select(col("doc_id"), posexplode(slice(col("w"), lit(1), greatest(
+        size(col("w")) - 1, lit(0)))).as(Seq("i", "w1")), col("w"))
+      .select(col("doc_id"), col("w1"),
+        element_at(col("w"), col("i") + 2).as("w2"))
+
+  /** Score every document of `docs` under the stupid-backoff bigram
+    * model trained on `train`. Returns one row per document with ≥1
+    * transition: (doc_id, n_trans, n_backoff, ll, avg_ll) — ll the
+    * exact-decimal sum of 6-decimal-rounded per-transition ln S (as a
+    * string), avg_ll = ll / n_trans. */
+  def scoreByBigramModel(train: DataFrame, trainText: Column,
+                         docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val trainToks = train.select(explode(TextFunctions.tokens(trainText)).as("w"))
+    val uni = trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
+    // totals stay a lazy one-row broadcast — T = tokens, V = vocabulary
+    val tot = uni.agg(sum("c1").as("t_total"), count(lit(1)).as("v_size"))
+    val bi = transitions(train, lit(0L), trainText)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val contrib = when(col("c2").isNotNull,
+        log(col("c2").cast("double") / col("c1_w1").cast("double")))
+      .otherwise(log(lit(0.4) *
+        (coalesce(col("c1_w2"), lit(0L)).cast("double") + lit(1.0)) /
+        (col("t_total").cast("double") + col("v_size").cast("double"))))
+    transitions(docs, id, text)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1_w1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1_w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        format_string("%.6f", contrib).cast("decimal(30,6)").as("c"),
+        when(col("c2").isNull, lit(1L)).otherwise(lit(0L)).as("backoff"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trans"), sum("backoff").as("n_backoff"),
+        sum("c").as("ll_d"))
+      .select(col("doc_id"), col("n_trans"), col("n_backoff"),
+        col("ll_d").cast("string").as("ll"),
+        (col("ll_d").cast("double") / col("n_trans").cast("double")).as("avg_ll"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension build (Kimball SCD2): turn a CDC
+  * update stream `(key, ts, attributes…)` into versioned dimension rows
+  * with `[eff_from, eff_to)` validity intervals, a current-row flag,
+  * and a per-key version number — the standard warehouse construction
+  * downstream of [[Dedup.keepLatest]] (which keeps only the LAST
+  * version; SCD2 keeps the full history queryable by as-of semantics).
+  *
+  * Shape at 100 TB: ONE shuffle on the dimension key; both windows
+  * (the change-collapse lag and the validity lead) share the same
+  * partitioning and ordering, so Catalyst plans a single Exchange +
+  * Sort and runs the two WindowExecs back to back. No self-joins, no
+  * driver state. Per-key history fits a window frame by construction —
+  * dimension keys are entities, not events.
+  *
+  * Semantics:
+  *  - updates ordered per key by `(ts, tieBreak)` — the tie-break makes
+  *    same-timestamp updates deterministic (CDC logs carry a sequence)
+  *  - `changesOnly = true` (the SCD2 norm) collapses consecutive
+  *    updates whose tracked attributes are unchanged: a no-op update
+  *    extends the current interval instead of opening a version
+  *  - `eff_to` = next version's `eff_from`, null for the open (current)
+  *    version; `version` numbers from 1 in order
+  */
+object Scd2 {
+
+  /** @param updates  CDC update stream
+    * @param key      dimension key
+    * @param ts       update effective timestamp
+    * @param tieBreak deterministic order within equal `ts`
+    * @param tracked  (name, column) attributes carried into the
+    *                 dimension; a change in ANY of them opens a version
+    * @return (key, tracked…, eff_from, eff_to, is_current, version) */
+  def build(updates: DataFrame, key: Column, ts: Column, tieBreak: Column,
+            tracked: Seq[(String, Column)],
+            changesOnly: Boolean = true): DataFrame = {
+    val base = updates.select(
+      Seq(key.as("key"), ts.as("eff_from"), tieBreak.as("__graft_seq")) ++
+        tracked.map { case (n, c) => c.as(n) }: _*)
+    val order = Window.partitionBy("key")
+      .orderBy(col("eff_from"), col("__graft_seq"))
+    val trackedStruct = struct(tracked.map { case (n, _) => col(n) }: _*)
+    val versions =
+      if (!changesOnly) base
+      else base
+        .withColumn("__graft_prev", lag(trackedStruct, 1).over(order))
+        // null-safe: the first row per key has no predecessor and always
+        // opens version 1; null attribute values compare via <=>
+        .filter(col("__graft_prev").isNull ||
+          !(col("__graft_prev") <=> trackedStruct))
+        .drop("__graft_prev")
+    versions
+      .withColumn("eff_to", lead(col("eff_from"), 1).over(order))
+      .withColumn("is_current", col("eff_to").isNull)
+      .withColumn("version", row_number().over(order))
+      .drop("__graft_seq")
+  }
+}

@@ -50,6 +50,80 @@ object WebCuration {
       .otherwise(h)
   }
 
+  /** Canonical form of a URL — the normalization a crawl frontier and a
+    * URL-level dedup both need before comparing anything (RFC 3986 §6
+    * syntax-based normalization plus the tracking-parameter strip every
+    * production pipeline adds):
+    *
+    *  - scheme and host lowercased; userinfo and one leading `www.`
+    *    dropped; trailing host dot dropped
+    *  - default ports removed (`:80` for http, `:443` for https)
+    *  - empty path becomes `/`; fragment dropped
+    *  - tracking query params removed (`utm_*`, `gclid`, `fbclid`,
+    *    `msclkid`, `mc_eid`, `ref`), remaining params sorted so
+    *    parameter order never splits a dedup group
+    *
+    * Pure codegen'd column expression (regexp + higher-order array
+    * functions — no UDF); NULL for URLs with no `scheme://host`.
+    * Deliberately NOT applied: trailing-slash or percent-encoding
+    * normalization — both change semantics on real servers. */
+  def canonicalizeUrl(url: Column): Column = {
+    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?([^#]*))?"
+    val scheme = lower(regexp_extract(url, pat, 1))
+    val hp = regexp_replace(regexp_extract(url, pat, 2), "^[^@]*@", "")
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(hp, "^([^:]*)", 1)), "\\.$", ""), "^www\\.", "")
+    val port = regexp_extract(hp, ":([0-9]+)$", 1)
+    val portPart = when(port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = regexp_extract(url, pat, 3)
+    val pathPart = when(path === "", lit("/")).otherwise(path)
+    val tracker = "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_eid|ref)(=.*)?$"
+    val params = array_sort(filter(split(regexp_extract(url, pat, 5), "&"),
+      p => p =!= "" && !p.rlike(tracker)))
+    val queryPart = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(scheme === "" || host === "", lit(null))
+      .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
+  }
+
+  /** URL-level dedup: group by [[canonicalizeUrl]], keep the smallest
+    * doc id per canonical URL. One map-side-combined aggregate on the
+    * canonical key — the cheapest dedup a crawl pipeline runs, upstream
+    * of any content hashing. Returns (canon_url, n_docs, keep_doc_id);
+    * malformed URLs (null canonical) are dropped. */
+  def canonicalUrlDedup(docs: DataFrame, url: Column, id: Column): DataFrame =
+    docs.select(canonicalizeUrl(url).as("canon_url"), id.as("doc_id"))
+      .filter(col("canon_url").isNotNull)
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+
+  /** Host-level hyperlink edges from raw HTML — the link-graph
+    * construction between WARC ingest and the graph family
+    * ([[PageRank]], [[KCore]], [[LabelPropagation]] all consume this
+    * shape). Extracts absolute http(s) `href="…"` targets with ONE
+    * codegen'd `regexp_extract_all` (relative-URL resolution is
+    * deliberately out — it needs a per-document base-URL join and
+    * crawls index absolute URLs), maps both ends through the same
+    * [[host]] normalization, drops self-links and unparseable ends,
+    * and rolls up to weighted edges.
+    *
+    * Shape at 100 TB: extraction is row-local (no shuffle); the only
+    * exchange is the (src_host, dst_host) rollup — map-side combined,
+    * output tracks |host pairs|, never |links|.
+    *
+    * @return (src_host, dst_host, n_links) */
+  def linkEdges(docs: DataFrame, url: Column, html: Column): DataFrame =
+    docs.select(host(url).as("src_host"),
+        explode(regexp_extract_all(html,
+          lit("href=\"(https?://[^\"]*)\""), lit(1))).as("link"))
+      .select(col("src_host"), host(col("link")).as("dst_host"))
+      .filter(col("src_host").isNotNull && col("dst_host").isNotNull &&
+        col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))
+
   /** Per-host evidence rollup + blocklist anti-join.
     *
     * @param docs      corpus

@@ -1,0 +1,94 @@
+package graft
+
+import java.math.{BigDecimal => JBD, RoundingMode}
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dsir
+
+/** DSIR importance resampling: independent driver-side model parity,
+  * the target==raw zero invariant, smoothing of empty buckets, and the
+  * ranking direction (target-like docs outrank raw-like docs). */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val B = 16
+
+  /** Independent model: md5-prefix bucket, add-one smoothed LLR rounded
+    * HALF_UP to 6 decimals, exact BigDecimal sum per doc. */
+  private def modelWeights(raw: Seq[(Long, String)], target: Seq[String])
+  : Map[Long, (JBD, Long)] = {
+    def bucket(tok: String): Int = {
+      val hex = MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16) % B).toInt
+    }
+    def counts(tokens: Seq[String]): Map[Int, Long] =
+      tokens.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val tToks = target.flatMap(_.split(" ", -1).toSeq)
+    val rToks = raw.flatMap(_._2.split(" ", -1).toSeq)
+    val (tc, rc) = (counts(tToks), counts(rToks))
+    val (tT, rT) = (tToks.size.toDouble, rToks.size.toDouble)
+    val llr: Map[Int, JBD] = (0 until B).map { b =>
+      val v = math.log((tc.getOrElse(b, 0L) + 1.0) / (tT + B)) -
+        math.log((rc.getOrElse(b, 0L) + 1.0) / (rT + B))
+      b -> new JBD(String.format("%.6f", Double.box(v)))
+    }.toMap
+    raw.map { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val sum = toks.map(t => llr(bucket(t)))
+        .foldLeft(JBD.ZERO)(_.add(_))
+      id -> (sum.setScale(6, RoundingMode.UNNECESSARY), toks.size.toLong)
+    }.toMap
+  }
+
+  test("weights match an independent BigDecimal model") {
+    val raw = Seq(1L -> "apple banana cherry", 2L -> "dog emu dog fox",
+      3L -> "apple apple banana", 4L -> "zebra yak xylophone emu")
+    val target = Seq("apple banana", "banana cherry apple")
+    val exp = modelWeights(raw, target)
+    val got = Dsir.importanceWeights(raw.toDF("doc_id", "text"),
+        col("doc_id"), col("text"),
+        target.toDF("text"), col("text"), B)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDecimal(1).setScale(6), r.getLong(2))).toMap
+    assert(got.keySet == exp.keySet)
+    for ((id, (w, n)) <- exp) {
+      assert(got(id)._2 == n, s"doc $id token count")
+      assert(got(id)._1.compareTo(w) == 0,
+        s"doc $id weight got=${got(id)._1} exp=$w")
+    }
+  }
+
+  test("target == raw: every weight is exactly zero") {
+    val docs = Seq(1L -> "a b c", 2L -> "d e f g", 3L -> "a a a")
+      .toDF("doc_id", "text")
+    val out = Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+      docs, col("text"), B).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDecimal(1).signum == 0,
+      s"doc ${r.getLong(0)} weight ${r.getDecimal(1)}"))
+  }
+
+  test("bucket table is complete: every bucket present, zeros kept") {
+    val docs = Seq(1L -> "one two").toDF("doc_id", "text")
+    val bc = Dsir.bucketCounts(docs, col("text"), B).collect()
+    assert(bc.map(_.getLong(0)).sorted.toSeq == (0L until B))
+    assert(bc.map(_.getLong(1)).sum == 2L)
+    val lr = Dsir.bucketLogRatio(docs, col("text"), docs, col("text"), B)
+    assert(lr.count() == B)
+  }
+
+  test("ranking: the target-vocabulary doc wins, off-target doc loses") {
+    val raw = Seq(1L -> "alpha beta alpha beta", 2L -> "gamma delta gamma delta",
+      3L -> "alpha delta beta gamma").toDF("doc_id", "text")
+    val target = Seq("alpha beta alpha", "beta alpha").toDF("text")
+    val top = Dsir.importanceTopK(raw, col("doc_id"), col("text"),
+      target, col("text"), 64, 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L),
+      top.map(r => (r.getLong(0), r.getString(1))).mkString(", "))
+    // weight column renders the full 6-decimal form
+    top.foreach(r => assert(r.getString(1).matches("-?\\d+\\.\\d{6}")))
+  }
+}

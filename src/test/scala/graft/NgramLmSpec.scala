@@ -1,0 +1,72 @@
+package graft
+
+import java.math.{BigDecimal => JBD}
+
+import org.apache.spark.sql.functions._
+import graft.operators.NgramLm
+
+/** Stupid-backoff bigram LM scoring: independent driver-side model
+  * parity, backoff accounting, transition extraction, short-doc drop. */
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent model: exact counts, %.6f-rounded ln terms, BigDecimal
+    * sum — (n_trans, n_backoff, ll). */
+  private def model(train: Seq[String], doc: String): (Long, Long, JBD) = {
+    val tToks = train.flatMap(_.split(" ", -1).toSeq)
+    val c1 = tToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = train.flatMap(_.split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (t, v) = (tToks.size.toDouble, c1.size.toDouble)
+    val trans = doc.split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))).toSeq
+    var (nb, ll) = (0L, JBD.ZERO)
+    trans.foreach { case (w1, w2) =>
+      val s = c2.get((w1, w2)) match {
+        case Some(c) => math.log(c.toDouble / c1(w1).toDouble)
+        case None => nb += 1
+          math.log(0.4 * (c1.getOrElse(w2, 0L) + 1.0) / (t + v))
+      }
+      ll = ll.add(new JBD(String.format("%.6f", Double.box(s))))
+    }
+    (trans.size.toLong, nb, ll)
+  }
+
+  private val train = Seq("the cat sat", "the cat ran", "a dog sat")
+
+  test("scores match an independent model, seen and backoff paths") {
+    val docs = Seq(1L -> "the cat sat", 2L -> "the dog sat",
+      3L -> "zebra the cat", 4L -> "purple monkey dishwasher")
+    val out = NgramLm.scoreByBigramModel(train.toDF("text"), col("text"),
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), new JBD(r.getString(3)))).toMap
+    assert(out.keySet == docs.map(_._1).toSet)
+    docs.foreach { case (id, text) =>
+      val (n, nb, ll) = model(train, text)
+      assert(out(id)._1 == n, s"doc $id n_trans")
+      assert(out(id)._2 == nb, s"doc $id n_backoff")
+      assert(out(id)._3.compareTo(ll) == 0,
+        s"doc $id ll got=${out(id)._3} exp=$ll")
+    }
+    // "the cat sat" is all seen bigrams; the nonsense doc is all backoff
+    assert(out(1L)._2 == 0L)
+    assert(out(4L)._2 == 2L)
+  }
+
+  test("transitions: ordered adjacent pairs; short docs emit nothing") {
+    val docs = Seq(1L -> "a b c d", 2L -> "solo", 3L -> "").toDF("doc_id", "text")
+    val tr = NgramLm.transitions(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(tr.toSet == Set((1L, "a", "b"), (1L, "b", "c"), (1L, "c", "d")))
+  }
+
+  test("avg_ll is the exact sum divided by the transition count") {
+    val docs = Seq(1L -> "the cat sat ran").toDF("doc_id", "text")
+    val r = NgramLm.scoreByBigramModel(train.toDF("text"), col("text"),
+      docs, col("doc_id"), col("text")).head()
+    val ll = new JBD(r.getString(3))
+    assert(r.getDouble(4) == ll.doubleValue() / r.getLong(1))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scd2
+
+/** SCD2 dimension build: interval chaining, no-change collapse,
+  * same-ts tie-break, null-attribute transitions, single-shuffle plan. */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Int) = new Timestamp(s * 1000L)
+
+  private val updates = Seq(
+    // key 1: v, then a no-op update, then a real change
+    (1L, t(10), 1L, "bronze"), (1L, t(20), 2L, "bronze"), (1L, t(30), 3L, "gold"),
+    // key 2: one update only
+    (2L, t(15), 4L, "silver"),
+    // key 3: same-ts updates — seq breaks the tie; later seq wins history order
+    (3L, t(40), 6L, "a"), (3L, t(40), 5L, "z"))
+    .toDF("id", "ts", "seq", "tier")
+
+  private def run(changesOnly: Boolean) =
+    Scd2.build(updates, col("id"), col("ts"), col("seq"),
+        Seq("tier" -> col("tier")), changesOnly)
+      .select("key", "tier", "eff_from", "eff_to", "is_current", "version")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean, Int)]
+      .collect().toSet
+
+  test("changesOnly: no-op updates extend the interval, changes open versions") {
+    assert(run(changesOnly = true) == Set(
+      (1L, "bronze", t(10), Some(t(30)), false, 1),
+      (1L, "gold", t(30), None, true, 2),
+      (2L, "silver", t(15), None, true, 1),
+      (3L, "z", t(40), Some(t(40)), false, 1),
+      (3L, "a", t(40), None, true, 2)))
+  }
+
+  test("changesOnly=false keeps every update as a version") {
+    val got = run(changesOnly = false)
+    assert(got.count(_._1 == 1L) == 3)
+    assert(got == Set(
+      (1L, "bronze", t(10), Some(t(20)), false, 1),
+      (1L, "bronze", t(20), Some(t(30)), false, 2),
+      (1L, "gold", t(30), None, true, 3),
+      (2L, "silver", t(15), None, true, 1),
+      (3L, "z", t(40), Some(t(40)), false, 1),
+      (3L, "a", t(40), None, true, 2)))
+  }
+
+  test("null attribute values: null->null collapses, null->x opens") {
+    val u = Seq((1L, t(1), 1L, Option.empty[String]),
+      (1L, t(2), 2L, Option.empty[String]),
+      (1L, t(3), 3L, Some("x")), (1L, t(4), 4L, Option.empty[String]))
+      .toDF("id", "ts", "seq", "tier")
+    val got = Scd2.build(u, col("id"), col("ts"), col("seq"),
+        Seq("tier" -> col("tier")))
+      .select("tier", "version").as[(Option[String], Int)].collect().toSet
+    assert(got == Set((None, 1), (Some("x"), 2), (None, 3)))
+  }
+
+  test("plan: both windows share ONE exchange (one shuffle on the key)") {
+    val plan = Scd2.build(updates, col("id"), col("ts"), col("seq"),
+      Seq("tier" -> col("tier"))).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange:\n$plan")
+  }
+}

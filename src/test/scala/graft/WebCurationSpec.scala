@@ -49,6 +49,70 @@ class WebCurationSpec extends SparkSpec {
       ("spam.com", "spam.com", 3L, 10L, 1L, 1L)))
   }
 
+  test("canonicalizeUrl: every normalization rule, one by one") {
+    val cases = Seq(
+      // scheme + host case, www, trailing dot
+      "HTTPS://WWW.Example.COM./path" -> "https://example.com/path",
+      // default ports drop; non-default ports survive
+      "https://example.com:443/a" -> "https://example.com/a",
+      "http://example.com:80/a" -> "http://example.com/a",
+      "http://example.com:8080/a" -> "http://example.com:8080/a",
+      "https://example.com:80/a" -> "https://example.com:80/a",
+      // empty path -> "/"; fragment drops
+      "https://example.com" -> "https://example.com/",
+      "https://example.com/p#section-2" -> "https://example.com/p",
+      // userinfo drops
+      "https://user:pw@example.com/p" -> "https://example.com/p",
+      // trackers drop, survivors sort, empty query collapses
+      "https://example.com/p?utm_source=x&b=2&a=1" -> "https://example.com/p?a=1&b=2",
+      "https://example.com/p?b=2&a=1&fbclid=zz&gclid=q" -> "https://example.com/p?a=1&b=2",
+      "https://example.com/p?utm_campaign=c" -> "https://example.com/p",
+      "https://example.com/p?ref=hn&x=1" -> "https://example.com/p?x=1",
+      // a param merely CONTAINING a tracker name is kept
+      "https://example.com/p?myref=1" -> "https://example.com/p?myref=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(WebCuration.canonicalizeUrl(col("url"))).as[String].collect()
+    cases.zip(got).foreach { case ((in, exp), g) =>
+      assert(g == exp, s"canonicalizeUrl($in)")
+    }
+    // malformed: no scheme, or no host -> null
+    val bad = Seq("nope", "example.com/p", "https:///p", "://x")
+      .toDF("url").select(WebCuration.canonicalizeUrl(col("url")))
+    assert(bad.collect().forall(_.isNullAt(0)))
+  }
+
+  test("canonicalUrlDedup groups variants and keeps the min doc id") {
+    val docs = Seq(
+      (10L, "https://www.Example.com/p?b=2&a=1&utm_source=t"),
+      (11L, "https://example.com:443/p?a=1&b=2"),
+      (12L, "https://example.com/p?a=1&b=2#frag"),
+      (13L, "https://example.com/q"),
+      (14L, "garbage")).toDF("doc_id", "url")
+    val got = WebCuration.canonicalUrlDedup(docs, col("url"), col("doc_id"))
+      .orderBy("canon_url").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("https://example.com/p?a=1&b=2", 3L, 10L),
+      ("https://example.com/q", 1L, 13L)))
+  }
+
+  test("linkEdges: absolute hrefs only, host-normalized, self-links drop") {
+    val docs = Seq(
+      (1L, "https://a.com/page",
+        """<p>x</p><a href="https://b.com/1">t</a> <a href="https://WWW.C.com/2">u</a>
+          |<a href="/relative">r</a> <a href="ftp://d.com/f">f</a>
+          |<a href="https://a.com/self">s</a> <a href="https://b.com/3">again</a>""".stripMargin),
+      (2L, "https://www.b.com/p", """<a href="https://a.com/x">back</a>"""),
+      (3L, "notaurl", """<a href="https://a.com/x">dropped: bad src</a>"""),
+      (4L, "https://e.com/p", "no links at all"))
+      .toDF("doc_id", "url", "html")
+    val got = WebCuration.linkEdges(docs, col("url"), col("html"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("a.com", "b.com", 2L),   // two b.com links from doc 1
+      ("a.com", "c.com", 1L),   // www/case-normalized target
+      ("b.com", "a.com", 1L)))  // www-normalized source
+  }
+
   test("hostRollup plan: blocklist side is a broadcast anti-join") {
     val docs = Seq((1L, "https://a.com/x", "t", "en")).toDF("id", "url", "text", "lang")
     val block = Seq("b.com").toDF("host")
