@@ -2277,6 +2277,47 @@ object SparkEntry {
         .orderBy("src_host", "dst_host")
     }),
 
+    // LLM ops — MMR diversified rerank (Carbonell & Goldstein 1998) at
+    // λ=1/2: greedy k-round selection over a candidate set (the label-3
+    // cell, standing in for an ANN result list), relevance and
+    // similarity both exact scale-18 decimal dot products so every
+    // argmax is an exact comparison. The oracle replays the greedy
+    // EXACTLY as a 3-round unroll (the q127 discipline) — same decimal
+    // arithmetic, same tie-breaks.
+    "q133_mmr_rerank" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .head().getSeq[Float](1)
+      val cand = e.filter(col("label") === 3)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      // scores re-rendered at 9 decimals for the cross-engine compare:
+      // a float element sitting exactly on a scale-9 decimal tie rounds
+      // HALF_UP in Spark but HALF_EVEN in DuckDB (1e-9 on one element,
+      // ~1e-17 on a dot product) — the q32 stance; selection still runs
+      // on exact decimals inside the operator
+      Similarity.mmrSelect(cand, qv, k = 3)
+        .select(col("rnk"), col("cid"),
+          format_string("%.9f", col("rel").cast("double")).as("rel"),
+          format_string("%.9f", col("mmr").cast("double")).as("mmr"))
+        .orderBy("rnk")
+    }),
+
+    // §2.4 — exact weighted quantiles in ONE pass: quantity-weighted
+    // price quartiles per return flag. Integer cross-multiplied targets
+    // (cumW·den ≥ num·totW), RANGE-frame running sum so value ties
+    // share one cumulative weight, every quantile a min(when(...))
+    // conditional aggregate over the same window — k quantiles, one
+    // shuffle. The emitted values are input doubles verbatim (never
+    // arithmetic), so the hash compare is exact.
+    "q134_weighted_quantiles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      WeightedQuantiles.quantiles(li,
+        Seq("flag" -> col("l_returnflag")),
+        col("l_extendedprice"), col("l_quantity"),
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)))
+        .orderBy("flag")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -4468,6 +4509,58 @@ object SparkEntry {
         |SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
         |FROM l WHERE src_host <> dst_host
         |GROUP BY src_host, dst_host ORDER BY src_host, dst_host""".stripMargin,
+
+    "q133_mmr_rerank" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE label = 3),
+        |rel AS (SELECT cid, CAST(SUM(
+        |    CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) *
+        |    CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)))
+        |    AS DECIMAL(30,18)) AS rel
+        |  FROM (SELECT cid, unnest(cv) AS x, unnest(qv) AS y FROM c, q)
+        |  GROUP BY cid),
+        |dp AS (SELECT ca, cb, CAST(SUM(
+        |    CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)) *
+        |    CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)))
+        |    AS DECIMAL(30,18)) AS dp
+        |  FROM (SELECT a.cid AS ca, b.cid AS cb, unnest(a.cv) AS x, unnest(b.cv) AS y
+        |        FROM c a, c b) GROUP BY ca, cb),
+        |s1 AS (SELECT cid, rel FROM rel ORDER BY rel DESC, cid LIMIT 1),
+        |m2 AS (SELECT r.cid, r.rel, r.rel - d.dp AS mmr FROM rel r
+        |       JOIN dp d ON d.ca = r.cid AND d.cb = (SELECT cid FROM s1)
+        |       WHERE r.cid <> (SELECT cid FROM s1)),
+        |s2 AS (SELECT cid, rel, mmr FROM m2 ORDER BY mmr DESC, cid LIMIT 1),
+        |m3 AS (SELECT r.cid, r.rel,
+        |         r.rel - GREATEST(d1.dp, d2.dp) AS mmr
+        |       FROM rel r
+        |       JOIN dp d1 ON d1.ca = r.cid AND d1.cb = (SELECT cid FROM s1)
+        |       JOIN dp d2 ON d2.ca = r.cid AND d2.cb = (SELECT cid FROM s2)
+        |       WHERE r.cid <> (SELECT cid FROM s1) AND r.cid <> (SELECT cid FROM s2)),
+        |s3 AS (SELECT cid, rel, mmr FROM m3 ORDER BY mmr DESC, cid LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS rnk, cid,
+        |  printf('%.9f', CAST(rel AS DOUBLE)) AS rel,
+        |  printf('%.9f', CAST(rel AS DOUBLE)) AS mmr FROM s1
+        |UNION ALL SELECT 2, cid, printf('%.9f', CAST(rel AS DOUBLE)),
+        |  printf('%.9f', CAST(mmr AS DOUBLE)) FROM s2
+        |UNION ALL SELECT 3, cid, printf('%.9f', CAST(rel AS DOUBLE)),
+        |  printf('%.9f', CAST(mmr AS DOUBLE)) FROM s3
+        |ORDER BY rnk""".stripMargin,
+
+    "q134_weighted_quantiles" ->
+      """WITH b AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0),
+        |c AS (SELECT flag, v, w,
+        |    SUM(w) OVER (PARTITION BY flag ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY flag) AS tw
+        |  FROM b)
+        |SELECT flag,
+        |  MIN(CASE WHEN cw * 4 >= tw * 1 THEN v END) AS p25,
+        |  MIN(CASE WHEN cw * 2 >= tw * 1 THEN v END) AS p50,
+        |  MIN(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS p75,
+        |  CAST(SUM(w) AS BIGINT) AS total_w
+        |FROM c GROUP BY flag ORDER BY flag""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -413,4 +413,55 @@ object Similarity {
       .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
         col("best.score_d").as("score_d"))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    * SIGIR 1998) at λ = 1/2 — the diversified RERANK stage a RAG
+    * pipeline runs after ANN retrieval: greedily pick the candidate
+    * maximizing `rel(d) − max_{s∈S} sim(d, s)` (at λ = 1/2 the
+    * classic `λ·rel − (1−λ)·max sim` argmax reduces to this exact
+    * difference — no float weights anywhere; relevance and similarity
+    * are both exact scale-18 decimal dot products, ties break by id).
+    *
+    * BOUND / shape: this is a k-round greedy — each round is one tiny
+    * distributed job over the CANDIDATE set (|C| rows scored against
+    * ≤ k broadcast selected vectors) plus a 1-row driver collect.
+    * Candidates are the top-N output of [[dotTopK]] / [[ivfTopK]]
+    * (hundreds), never a corpus: cost is k·|C|·k dot products. The
+    * candidate frame is checkpointed once and reused every round.
+    *
+    * @param candidates (cid long, cvec array<float>)
+    * @param queryVec   the query embedding
+    * @param k          selections
+    * @return (rnk, cid, rel, mmr) — rel/mmr as exact scale-18 decimal
+    *         strings; mmr of the first pick is its relevance
+    */
+  def mmrSelect(candidates: DataFrame, queryVec: Seq[Float], k: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    val q9 = scale9(typedLit(queryVec))
+    val cand = graft.core.Parallelism.ensureWidth(candidates)
+      .select(col("cid"), scale9(col("cvec")).as("cvec9"))
+      .withColumn("rel", dot9(col("cvec9"), q9))
+      .localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String, String)]
+    for (rnk <- 1 to k) {
+      val already = picked.map(_._2)
+      val remaining = cand.filter(!col("cid").isin(already.toSeq: _*))
+      val next =
+        if (already.isEmpty)
+          remaining.select(col("cid"), col("rel"), col("rel").as("mmr"))
+        else {
+          val sel = cand.filter(col("cid").isin(already.toSeq: _*))
+            .select(col("cid").as("sid"), col("cvec9").as("svec9"))
+          remaining.crossJoin(broadcast(sel))
+            .groupBy("cid", "rel")
+            .agg(max(dot9(col("cvec9"), col("svec9"))).as("maxsim"))
+            .select(col("cid"), col("rel"), (col("rel") - col("maxsim")).as("mmr"))
+        }
+      next.orderBy(col("mmr").desc, col("cid").asc).limit(1).collect()
+        .foreach(r => picked += ((rnk, r.getLong(0),
+          r.getDecimal(1).toPlainString, r.getDecimal(2).toPlainString)))
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rnk", "cid", "rel", "mmr")
+  }
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact weighted quantiles per group in ONE pass — "the token-count-
+  * weighted median document length per language" shape: each row
+  * carries an integer weight (tokens, bytes, multiplicity) and the
+  * quantile is taken over the weight mass, not the row count.
+  * Complements the sketch family ([[graft.expressions.QDigestAgg]]
+  * gives mergeable ε-approximate per-group quantiles; THIS gives exact
+  * answers when a per-group sort is affordable) and the unweighted
+  * exact path (q39/q66).
+  *
+  * Definition (the standard left-continuous weighted quantile): for
+  * q = num/den, the smallest value v whose cumulative weight
+  * (including all rows with value ≤ v) satisfies cumW·den ≥ num·totW —
+  * integer cross-multiplication, no float thresholds, so the answer is
+  * always an actual input value and hash-replays in any engine.
+  *
+  * Shape at 100 TB: ONE shuffle on the group key; the cumulative
+  * weight is a RANGE-frame running sum (peers share cumW, so ties are
+  * handled by construction), every requested quantile is a
+  * `min(when(...))` conditional aggregate over the SAME windowed frame
+  * — k quantiles cost one window + one aggregate, never k sorts.
+  * The per-group sort is the window's; nothing collects to the driver.
+  * Zero-weight rows are dropped up front (they carry no mass and must
+  * not be selectable).
+  */
+object WeightedQuantiles {
+
+  /** @param df     input
+    * @param groups (name, column) group keys
+    * @param value  the quantile domain (any orderable type; emitted
+    *               verbatim — never arithmetically combined, so doubles
+    *               stay bit-exact)
+    * @param weight nonnegative integer weight (cast to long)
+    * @param qs     (outName, num, den) requested quantiles, 0 < num ≤ den
+    * @return one row per group: (groups…, outName…, total_w) */
+  def quantiles(df: DataFrame, groups: Seq[(String, Column)], value: Column,
+                weight: Column, qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, n, d) => n > 0 && n <= d },
+      s"quantiles must satisfy 0 < num <= den: $qs")
+    val gNames = groups.map(_._1)
+    val base = df.select(
+        groups.map { case (n, c) => c.as(n) } ++
+          Seq(value.as("__v"), weight.cast("long").as("__w")): _*)
+      .filter(col("__w") > 0)
+    val frame = Window.partitionBy(gNames.map(col): _*).orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(gNames.map(col): _*)
+    val cum = base
+      .withColumn("__cw", sum("__w").over(frame))
+      .withColumn("__tw", sum("__w").over(whole))
+    val aggs = qs.map { case (name, num, den) =>
+      min(when(col("__cw") * den >= col("__tw") * num, col("__v"))).as(name)
+    } :+ sum("__w").as("total_w")
+    cum.groupBy(gNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -141,4 +141,30 @@ class SimilaritySpec extends SparkSpec {
     assert(assign == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L))
     // vec 3 dots to 0 with both centroids -> tiebreak smallest centroid id
   }
+
+  test("mmrSelect diversifies: redundant runner-up demoted below the distinct one") {
+    // query (1,0); A top-relevant, B nearly a copy of A, C less relevant
+    // but orthogonal-ish. Pure relevance ranks A,B,C; MMR ranks A,C,B:
+    //   round 2: B: 0.89 - sim(B,A)=0.812 -> 0.078 < C: 0.5 - 0.40 -> 0.10
+    val cand = Seq(
+      (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.89f, 0.11f)), (3L, Seq(0.5f, -0.5f)))
+      .toDF("cid", "cvec")
+    val got = Similarity.mmrSelect(cand, Seq(1.0f, 0.0f), 3).collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 1L), (2, 3L), (3, 2L)))
+    // first pick's mmr IS its relevance; all values render scale-18 plain
+    assert(got(0).getString(2) == got(0).getString(3))
+    got.foreach(r => assert(r.getString(3).matches("-?\\d+\\.\\d{18}"), r.toString))
+    // later mmr values are strictly below the first relevance (penalized)
+    assert(new java.math.BigDecimal(got(1).getString(3))
+      .compareTo(new java.math.BigDecimal(got(0).getString(3))) < 0)
+  }
+
+  test("mmrSelect: k past the candidate count returns every candidate once") {
+    val cand = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.5f, 0.5f))).toDF("cid", "cvec")
+    val got = Similarity.mmrSelect(cand, Seq(1.0f, 1.0f), 5).collect()
+    assert(got.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
 }

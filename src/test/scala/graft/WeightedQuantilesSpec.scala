@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.WeightedQuantiles
+
+/** Exact weighted quantiles: hand-checked cases incl. ties and
+  * zero-weight rows, plus a random-input parity check against an
+  * independent brute-force model. */
+class WeightedQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Double, Long)],
+                  qs: Seq[(String, Int, Int)]) =
+    WeightedQuantiles.quantiles(rows.toDF("g", "v", "w"),
+      Seq("g" -> col("g")), col("v"), col("w"), qs)
+
+  test("weighted median: mass, not row count, decides") {
+    // group a: value 1 carries 9/10 of the mass -> every quantile <= .9 is 1
+    val rows = Seq(("a", 1.0, 9L), ("a", 100.0, 1L),
+      ("b", 1.0, 1L), ("b", 2.0, 1L), ("b", 3.0, 2L))
+    val got = run(rows, Seq(("p50", 1, 2), ("p90", 9, 10)))
+      .orderBy("g").as[(String, Double, Double, Long)].collect().toSeq
+    // b: cum 1->1, 2->2, 3->4; p50 target 2 -> value 2; p90 target 3.6 -> 3
+    assert(got == Seq(("a", 1.0, 1.0, 10L), ("b", 2.0, 3.0, 4L)))
+  }
+
+  test("ties share cumulative weight; zero-weight rows are never selected") {
+    // three rows of value 2 (the RANGE frame must give them ONE cumW);
+    // a zero-weight value 1.5 row must not become any quantile
+    val rows = Seq(("g", 1.0, 2L), ("g", 1.5, 0L), ("g", 2.0, 1L),
+      ("g", 2.0, 1L), ("g", 2.0, 1L), ("g", 9.0, 1L))
+    val got = run(rows, Seq(("p25", 1, 4), ("p50", 1, 2), ("p99", 99, 100)))
+      .as[(String, Double, Double, Double, Long)].head()
+    assert(got == (("g", 1.0, 2.0, 9.0, 6L)))
+  }
+
+  test("random inputs match an independent brute-force model") {
+    val rnd = new scala.util.Random(20260814)
+    val qs = Seq(("p10", 1, 10), ("p50", 1, 2), ("p75", 3, 4), ("p100", 1, 1))
+    for (_ <- 1 to 3) {
+      val rows = Seq.fill(60)((if (rnd.nextBoolean()) "x" else "y",
+        rnd.nextInt(21).toDouble, rnd.nextInt(6).toLong))
+      val got = run(rows, qs).collect()
+        .map(r => r.getString(0) -> (1 to 4).map(r.getDouble).toSeq).toMap
+      val exp = rows.filter(_._3 > 0).groupBy(_._1).map { case (g, rs) =>
+        val vw = rs.map(r => (r._2, r._3))
+        val tot = vw.map(_._2).sum
+        g -> qs.map { case (_, num, den) =>
+          vw.map(_._1).distinct.sorted
+            .find(v => vw.filter(_._1 <= v).map(_._2).sum * den >= num * tot)
+            .get
+        }
+      }
+      assert(got == exp)
+    }
+  }
+}
