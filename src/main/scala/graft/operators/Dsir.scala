@@ -89,6 +89,32 @@ object Dsir {
       .agg(sum("llr").as("weight_d"), count(lit(1)).as("n_tokens"))
   }
 
+  /** The B-row llr table as a bucket→llr MAP LITERAL — the broadcast
+    * form [[weightExpr]] consumes. The collect is bounded by B (the
+    * model size, fixed and small by construction), the one driver
+    * action the hashing trick earns: the whole model becomes a literal
+    * in the plan, so scoring needs no join at all. */
+  def llrMapLiteral(lr: DataFrame): Column = {
+    val entries = lr.collect()
+    map(entries.flatMap(r =>
+      Seq(lit(r.getLong(0)), lit(r.getDecimal(1)))): _*)
+  }
+
+  /** Row-local scoring: the importance weight as ONE expression over
+    * the document's own text and the literal bucket→llr map — no
+    * explode, no shuffle, no state. This is both the streaming form
+    * (score documents as they arrive — stateless, so any output mode
+    * works) and the preferred batch form when the per-doc weight is
+    * consumed row-wise (filters, curriculum bins) rather than globally
+    * ranked. Exact-decimal accumulation in document order — same exact
+    * sum as [[importanceWeights]] (spec-pinned). */
+  def weightExpr(text: Column, llrMap: Column, buckets: Int): Column =
+    aggregate(
+      TextFunctions.tokens(text),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,6)"),
+      (acc, t) => (acc +
+        element_at(llrMap, Hashing.hexLong(t) % buckets)).cast("decimal(38,6)"))
+
   /** The selection: top-k raw documents by importance weight
     * (deterministic tie-break by doc_id). Returns
     * (doc_id, weight, n_tokens) with weight rendered as the exact

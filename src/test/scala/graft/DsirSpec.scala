@@ -80,6 +80,37 @@ class DsirSpec extends SparkSpec {
     assert(lr.count() == B)
   }
 
+  test("weightExpr: row-local form equals the shuffled form, batch and stream") {
+    val raw = Seq(1L -> "apple banana cherry", 2L -> "dog emu dog fox",
+      3L -> "apple apple banana", 4L -> "zebra yak xylophone emu")
+    val rawDf = raw.toDF("doc_id", "text")
+    val target = Seq("apple banana", "banana cherry apple").toDF("text")
+    val lrMap = Dsir.llrMapLiteral(
+      Dsir.bucketLogRatio(rawDf, col("text"), target, col("text"), B))
+    val exp = Dsir.importanceWeights(rawDf, col("doc_id"), col("text"),
+        target, col("text"), B)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).setScale(6)).toMap
+    // batch, row-local: no explode, no join — and the same exact sums
+    val batch = rawDf.select(col("doc_id"),
+        Dsir.weightExpr(col("text"), lrMap, B).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).setScale(6)).toMap
+    assert(batch == exp)
+    // streaming: the same expression over a MemoryStream, stateless
+    implicit val sc = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), Dsir.weightExpr(col("text"), lrMap, B).as("w"))
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      src.addData(raw: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream")
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1).setScale(6)).toMap
+      assert(streamed == exp)
+    } finally q.stop()
+  }
+
   test("ranking: the target-vocabulary doc wins, off-target doc loses") {
     val raw = Seq(1L -> "alpha beta alpha beta", 2L -> "gamma delta gamma delta",
       3L -> "alpha delta beta gamma").toDF("doc_id", "text")

@@ -261,4 +261,25 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(lpa).length <= 2,
       lpa.take(3000))
   }
+
+  test("q128: the DSIR scoring join is a broadcast of the B-row model") {
+    val p = plan("q128_dsir_resample")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // top-k select never globally sorts
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q134: k weighted quantiles cost ONE shuffle on the group key") {
+    val p = plan("q134_weighted_quantiles")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(3000))
+    // and a single window computes every cumulative frame
+    assert("Window ".r.findAllIn(p).length <= 2, p.take(3000))
+  }
+
+  test("q129: LM scoring plan has no cartesian beyond the 1-row stats frame") {
+    val p = plan("q129_lm_score")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000)) // the one-row totals ride a broadcast
+  }
 }
