@@ -19,6 +19,9 @@ import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVecto
   *    ([[graft.expressions.DecimalVectorOps]]);
   *  - `md5_long(string) -> bigint` — the portable 60-bit hash computed
   *    straight from digest bytes ([[graft.expressions.Md5Long]]);
+  *  - `deflate_len(string) -> bigint` — compressed size at pinned
+  *    deflate level 6: the compression-ratio quality signal's numerator
+  *    ([[graft.expressions.DeflateLen]]);
   *  - `vec_sum9(array<bigint>) -> array<decimal(38,0)>` — exact
   *    elementwise vector-sum aggregate (128-bit per element), the
   *    one-shuffle replacement for posexplode + per-position sums
@@ -70,6 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "md5_long takes exactly 1 argument")
         Md5Long(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[graft.expressions.DeflateLen].getName, "deflate_len"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "deflate_len takes exactly 1 argument")
+        graft.expressions.DeflateLen(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("vec_sum9"),

@@ -2318,6 +2318,26 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // LLM ops — leakage-safe train/eval split: the split is hashed on
+    // the HOST, never the row, so every document of a host lands on
+    // ONE side (a row-hashed split puts mirror pages of one host on
+    // both sides of the holdout boundary). Map-only — one salted md5
+    // per row, no shuffle. The rollup certifies the bucketing and the
+    // per-side evidence; the oracle replays the salted hash on the
+    // analytically-known host.
+    "q135_group_split" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/p/"), col("doc_id")))
+        .withColumn("host", WebCuration.host(col("url")))
+      Sampling.withGroupSplit(d, col("host"), nBuckets = 10, trainBuckets = 8)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .orderBy("split", "lang")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -4561,6 +4581,17 @@ object SparkEntry {
         |  MIN(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS p75,
         |  CAST(SUM(w) AS BIGINT) AS total_w
         |FROM c GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "q135_group_split" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    source || '.example.com' AS host FROM documents),
+        |s AS (SELECT *, CASE WHEN
+        |    ('0x' || substr(md5('split:' || host), 1, 15))::BIGINT % 10 < 8
+        |    THEN 'train' ELSE 'eval' END AS split FROM d)
+        |SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

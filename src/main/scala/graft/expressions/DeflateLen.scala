@@ -1,0 +1,64 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel for [[DeflateLen]] — also called from generated Java. */
+object DeflateOps {
+  // Deflater instances are expensive (native zlib state); pool per thread
+  // and reset per row. Level 6 (zlib default) pinned — the ratio is a
+  // SIGNAL, so it must be one fixed, reproducible compressor everywhere.
+  private val pool: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() =>
+      new java.util.zip.Deflater(6, /* nowrap = */ true))
+
+  /** Deflate length of the utf8 bytes at level 6 (raw deflate, no zlib
+    * header — the header would add constant bytes that dilute short
+    * texts). Deterministic: zlib's output for a fixed level/strategy and
+    * input is fully specified by its implementation, and the JDK bundles
+    * one zlib. */
+  def deflateLen(s: UTF8String): Long = {
+    val in = s.getBytes
+    val d = pool.get()
+    d.reset()
+    d.setInput(in)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+}
+
+/** `deflate_len(string) -> bigint`: compressed size of the text at a
+  * pinned deflate level — the numerator of the compression-ratio
+  * quality signal (Rae et al. 2021 use it to drop both gibberish,
+  * which compresses badly, and template spam, which compresses
+  * suspiciously well; `deflate_len(text) / octet_length(text)` is the
+  * ratio). No Spark built-in computes this and a UDF would break
+  * whole-stage codegen, so it is a native expression with `doGenCode`
+  * — per-row cost is one zlib pass over the document, pooled Deflater
+  * per thread, zero allocations beyond the staging buffer.
+  * Registered by [[graft.GraftExtensions]]. */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_len"
+
+  override def nullSafeEval(s: Any): Any =
+    DeflateOps.deflateLen(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expressions.DeflateOps.deflateLen($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+}

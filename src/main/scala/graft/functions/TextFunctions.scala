@@ -132,4 +132,15 @@ object TextFunctions {
       transform(ws, t => Hashing.hexLong(t) % p),
       lit(0L),
       (acc, x) => (acc * 31L + x) % p)
+
+  /** Compression-ratio quality signal (Rae et al. 2021): deflate bytes
+    * over raw utf8 bytes. Suspiciously LOW = template/repetitive spam;
+    * near or above 1 = high-entropy gibberish (or already-compressed
+    * payloads pasted as text). One single division of a codegen'd
+    * native count — requires [[graft.GraftExtensions]] (`deflate_len`).
+    * Null/empty-safe: empty text yields null, not a division by zero. */
+  def compressionRatio(c: Column): Column =
+    when(octet_length(c) > 0,
+      call_function("deflate_len", c).cast("double") /
+        octet_length(c).cast("double"))
 }

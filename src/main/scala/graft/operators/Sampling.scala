@@ -43,6 +43,32 @@ object Sampling {
     df.filter(Hashing.hexLong(key) % Denom < thr)
   }
 
+  /** Leakage-safe train/eval split: the split is decided by the GROUP
+    * (host, domain, author, dedup-cluster id), never the row, so every
+    * document of a group lands on the same side — the standard guard
+    * against near-duplicate leakage across a holdout boundary (a
+    * row-hashed split puts mirror pages of one host in both train and
+    * eval; a group-hashed split cannot). Map-only: one salted hash of
+    * the group key per row, no shuffle, no group materialization.
+    *
+    * @param nBuckets     hash space (e.g. 10)
+    * @param salt         split family — change to re-draw independently
+    * @return the group's bucket in [0, nBuckets) */
+  def groupBucket(group: Column, nBuckets: Int, salt: String = "split"): Column =
+    Hashing.saltedHexLong(lit(salt), group) % nBuckets
+
+  /** [[groupBucket]] applied: adds `split_bucket` and a train/eval
+    * `split` label (buckets < trainBuckets are "train"). */
+  def withGroupSplit(df: DataFrame, group: Column, nBuckets: Int,
+                     trainBuckets: Int, salt: String = "split"): DataFrame = {
+    require(nBuckets > 0 && trainBuckets >= 0 && trainBuckets <= nBuckets,
+      s"need 0 <= trainBuckets <= nBuckets, got $trainBuckets/$nBuckets")
+    df.withColumn("split_bucket", groupBucket(group, nBuckets, salt))
+      .withColumn("split",
+        when(col("split_bucket") < trainBuckets, lit("train"))
+          .otherwise(lit("eval")))
+  }
+
   /** Resample the corpus to a TARGET mixture — the "data mixing" step of
     * every pretraining pipeline: given target proportions per stratum
     * (domain weights, language weights), keep the LARGEST corpus

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** deflate_len native expression + compression-ratio signal: parity
+  * with an independent java.util.zip reference, signal direction,
+  * codegen path, null/empty handling, SQL surface. */
+class DeflateLenSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference: raw deflate, level 6 — the pinned contract. */
+  private def ref(s: String): Long = {
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(s.getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end(); n
+  }
+
+  test("matches the java.util.zip reference byte count exactly") {
+    val texts = Seq("hello world", "a" * 500,
+      "the quick brown fox jumps over the lazy dog " * 20,
+      (1 to 200).map(i => s"tok${i * 7919 % 1000}").mkString(" "),
+      "üñïçödé ∂éfláté 文字圧縮")
+    val got = texts.toDF("t")
+      .select(call_function("deflate_len", col("t"))).as[Long].collect()
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == ref(t), s"deflate_len mismatch for ${t.take(30)}")
+    }
+  }
+
+  test("signal direction: repetitive text compresses far below prose") {
+    val rows = Seq(("rep", "spam " * 200), ("prose",
+      (1 to 200).map(i => s"w${i * 104729 % 99991}").mkString(" ")))
+      .toDF("kind", "t")
+      .select(col("kind"), TextFunctions.compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("rep") < 0.1, s"repetitive ratio ${rows("rep")}")
+    assert(rows("prose") > 0.4, s"prose ratio ${rows("prose")}")
+  }
+
+  test("null and empty inputs: null through, no division by zero") {
+    val out = Seq(Option("abc"), Option(""), None).toDF("t")
+      .select(col("t"), TextFunctions.compressionRatio(col("t")).as("r"),
+        call_function("deflate_len", col("t")).as("n"))
+      .collect()
+    assert(!out(0).isNullAt(1) && out(0).getLong(2) == ref("abc"))
+    assert(out(1).isNullAt(1)) // empty text: null ratio, not div-by-zero
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
+  test("SQL surface and whole-stage codegen evaluation agree with eval") {
+    val sql = spark.sql("SELECT deflate_len('abcabcabcabc')").head().getLong(0)
+    assert(sql == ref("abcabcabcabc"))
+    // force both paths over the same rows: a filter keeps codegen hot
+    val df = (1 to 50).map(i => "block " * i).toDF("t")
+    val viaExpr = df.filter(length(col("t")) > 0)
+      .select(call_function("deflate_len", col("t"))).as[Long].collect()
+    assert(viaExpr.toSeq == (1 to 50).map(i => ref("block " * i)))
+  }
+}

@@ -212,4 +212,31 @@ class SamplingSpec extends SparkSpec {
     (1 to 50).foreach(i => aged.range(i * 10L).count())
     assert(run(aged, aqe = true, parts = 200) == base, "aged session diverged")
   }
+
+  test("withGroupSplit: a group is never on both sides of the boundary") {
+    import spark.implicits._
+    // 200 rows across 30 hosts — every host must land on exactly one side
+    val rows = (1 to 200).map(i => (i.toLong, s"host${i % 30}.com"))
+      .toDF("doc_id", "host")
+    val out = Sampling.withGroupSplit(rows, col("host"), 10, 8)
+    val sides = out.groupBy("host")
+      .agg(countDistinct(col("split")).as("n"), countDistinct(col("split_bucket")).as("nb"))
+      .collect()
+    assert(sides.forall(r => r.getLong(1) == 1L && r.getLong(2) == 1L))
+    // both sides populated at 8/10 (probabilistic but fixed by md5 — exact here)
+    val bySide = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.keySet == Set("train", "eval") && bySide.values.sum == 200L)
+    // a different salt redraws the assignment
+    val other = Sampling.withGroupSplit(rows, col("host"), 10, 8, salt = "v2")
+      .select("host", "split").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val first = out.select("host", "split").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(other != first, "independent salt produced the identical split")
+    // degenerate bounds refuse
+    intercept[IllegalArgumentException] {
+      Sampling.withGroupSplit(rows, col("host"), 10, 11)
+    }
+  }
 }
