@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot, FreqSketchAgg, KmvSketchAgg, Md5Long, QDigestAgg, VecSum9Agg}
+import graft.expressions.{CmsSketchAgg, Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVectorDot, FreqSketchAgg, KmvSketchAgg, Md5Long, QDigestAgg, VecSum9Agg}
 
 /** Engine extension point — the sanctioned way to add native expressions
   * to a session: `SparkSession.builder().withExtensions(new
@@ -37,6 +37,11 @@ import graft.expressions.{Dec9Dot, DecimalDotRewrite, FloatVecScale9, FloatVecto
   *    sketch over pre-hashed longs whose buffer is a PURE FUNCTION of the
   *    input set (replayable value-for-value by an oracle, unlike HLL's
   *    engine-private registers) ([[graft.expressions.KmvSketchAgg]]);
+  *  - `cms_sketch(string, depth, width) -> struct<n, counters>` —
+  *    mergeable count-min sketch for point-frequency estimates of keys
+  *    chosen AFTER the scan; the buffer is a pure function of the input
+  *    multiset, so the whole counter array hash-gates against an md5
+  *    replay ([[graft.expressions.CmsSketchAgg]]);
   *  - `bloom_might_contain(binary, bigint) -> boolean` — Spark's internal
   *    runtime-filter membership test exposed for explicit bloom
   *    prefilters ([[graft.operators.Decontaminate]]);
@@ -101,6 +106,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 3, "qdigest takes exactly 3 arguments")
         QDigestAgg(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3, "cms_sketch takes exactly 3 arguments")
+        CmsSketchAgg(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("kmv_theta"),

@@ -2338,6 +2338,147 @@ object SparkEntry {
         .orderBy("split", "lang")
     }),
 
+    // Warehouse — interval coalescing: per-supplier ship-activity
+    // intervals [ship_day, ship_day + linenumber) merged into maximal
+    // disjoint coverage spans (overlaps AND touching fold; half-open),
+    // rolled up to the per-entity audit row. The O(n log n) sweep —
+    // running-max window + span-id running count + two aggregates, all
+    // sharing ONE key-partitioned Exchange (plan-pinned in
+    // IntervalsSpec); the naive O(n²)-per-key overlaps self-join never
+    // appears. Endpoints are exact integer days.
+    "q136_interval_coalesce" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("start_day",
+          datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+            .cast("long"))
+        .withColumn("end_day", col("start_day") + col("l_linenumber"))
+      Intervals.coverage(li, col("l_suppkey"), col("start_day"), col("end_day"))
+        .withColumnRenamed("key", "l_suppkey")
+        .orderBy("l_suppkey")
+    }),
+
+    // Graph — multi-source BFS hop distance: crawl depth from a seed
+    // set over the part co-purchase graph (seeds = the p_size=50
+    // parts). Level-synchronous frontier expansion: edges symmetrized
+    // + partitioned ONCE and reused every round, each round shuffles
+    // only the frontier (nodes, never edges) — the repo's iterative-
+    // graph discipline. Deterministic (min-hop has no ties to break);
+    // the oracle replays the rounds as a fixed unroll.
+    "q137_bfs_hops" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val e = Triangles.coOccurrenceEdges(li, col("l_orderkey"), col("l_partkey"))
+      Bfs.hopDistance(e,
+          p.filter(col("p_size") === 50).select(col("p_partkey").as("node")),
+          maxHops = 3)
+        .orderBy("node")
+    }),
+
+    // Sketches — count-min point-frequency estimates (Cormode &
+    // Muthukrishnan 2005): the "how often does THIS key occur" sketch,
+    // completing the shelf (freq_sketch = which keys, kmv = how many
+    // distinct, qdigest = where values sit). Buffer is a pure function
+    // of the token multiset (pointwise-summed counters), so unlike
+    // MG/HLL the ESTIMATES hash-gate exactly: the oracle replays every
+    // md5 bucket and the min-over-rows lookup. Probes are the exact
+    // top-30 tokens; est ≥ exact always, overestimate ≤ 2n/width w.h.p.
+    "q138_cms_freq" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val sk = toks.agg(expr("cms_sketch(tok, 4, 256)").as("sk"))
+        .select(col("sk.n").as("n_total"), col("sk.counters").as("counters"))
+      val probes = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(30)
+      probes.crossJoin(broadcast(sk))
+        .withColumn("cms_est", expr(
+          """aggregate(sequence(0, 3), 9223372036854775807L,
+            |  (acc, i) -> least(acc, element_at(counters,
+            |    cast(i * 256 + pmod(md5_long(concat(cast(i as string), ':', tok)),
+            |         256) as int) + 1)))""".stripMargin))
+        .select(col("tok"), col("exact_cnt"), col("cms_est"), col("n_total"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    }),
+
+    // Monitoring — rolling z-score outlier flags in EXACT integers:
+    // per-user trailing-20-event window over the events stream, flag
+    // when (W·x − S1)² > 9·(W·S2 − S1²) (the cross-multiplied 3σ test —
+    // no division, no floating point, 128-bit decimal intermediates).
+    // ONE shuffle: the rolling sums and the per-user rollup share the
+    // key-partitioned sort. The id-sum witnesses WHICH rows flagged.
+    "q139_rolling_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v_u", floor(col("value") * lit(1000000.0)))
+      Outliers.audit(ev, col("user_id"), Seq(col("ts"), col("event_id")),
+          col("v_u"), col("event_id"), windowRows = 20, kSigma = 3)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id")
+    }),
+
+    // Warehouse — keyed snapshot diff (the CDC primitive feeding SCD2
+    // and incremental refreshes): yesterday's orders vs a
+    // deterministically mutated today (status rewrite on %7 keys, %13
+    // keys dropped, %17 keys re-inserted under shifted ids), classified
+    // added/removed/changed/unchanged by ONE full outer join + a
+    // null-safe tracked-column compare; presence via per-side literal
+    // flags so null keys can never masquerade as absence. The oracle
+    // replays the mutation and the diff in DuckDB's own full outer.
+    "q140_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val mutated = o.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(o.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+      SnapshotDiff.audit(o, mutated, "o_orderkey",
+          Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy("change_type")
+    }),
+
+    // Crawl — robots.txt gate: RFC 9309 group parsing (stacked agents,
+    // merged duplicate groups, comments/unknown directives ignored,
+    // bare Disallow = no-op) + wildcard/`$`-anchor patterns compiled to
+    // regexes in pure codegen'd expressions, then the longest-match /
+    // allow-wins decision as ONE max-of-struct aggregate per URL after
+    // a host-keyed join (per-host rule lists are tiny — never a cross
+    // join). Robots bodies and URL paths are synthesized
+    // deterministically per host; the oracle computes every decision
+    // ANALYTICALLY from (source, doc_id) — fully independent of the
+    // parser and matcher.
+    "q141_robots_filter" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val hosts = d.select(col("source")).distinct()
+        .withColumn("host", concat(col("source"), lit(".example.com")))
+        .withColumn("txt",
+          when(col("source") === "src0",
+            lit("User-agent: badbot\nDisallow: /\n"))
+          .when(regexp_extract(col("source"), "(\\d+)$", 1).cast("int")
+              % 2 === 0,
+            lit("# policy\nUser-agent: *\nDisallow: /private\n" +
+              "Allow: /private/open\nDisallow: /*.x$\n"))
+          .otherwise(lit("User-agent: *\nDisallow: /tmp\n")))
+      val rules = Robots.rules(hosts, col("host"), col("txt"))
+      val urls = d
+        .withColumn("host", concat(col("source"), lit(".example.com")))
+        .withColumn("path",
+          when(col("doc_id") % 5 === 0, concat(lit("/private/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("/private/open/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 2, concat(lit("/tmp/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 3, concat(lit("/pub/"), col("doc_id")))
+          .otherwise(concat(lit("/a/"), col("doc_id"), lit(".x"))))
+      Robots.decide(urls, col("host"), col("path"), rules)
+        .withColumn("doc_id",
+          regexp_extract(col("path"), "([0-9]+)", 1).cast("long"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("allowed"), 0L).otherwise(1L)).as("n_blocked"),
+          sum(when(!col("allowed"), col("doc_id")).otherwise(0L))
+            .as("blocked_id_sum"))
+        .orderBy("host")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -4592,6 +4733,136 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    "q136_interval_coalesce" ->
+      """WITH iv AS (SELECT l_suppkey AS key,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |         CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |         CAST(l_shipdate AS DATE)) + l_linenumber AS BIGINT) AS e
+        |  FROM lineitem),
+        |f AS (SELECT * FROM iv WHERE e > s),
+        |m AS (SELECT key, s, e, MAX(e) OVER (PARTITION BY key ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |      FROM f),
+        |g AS (SELECT key, s, e,
+        |        SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY key ORDER BY s, e
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |      FROM m),
+        |sp AS (SELECT key, span_id, MIN(s) AS ss, MAX(e) AS se,
+        |         CAST(COUNT(*) AS BIGINT) AS nm
+        |       FROM g GROUP BY key, span_id)
+        |SELECT key AS l_suppkey,
+        |  CAST(SUM(nm) AS BIGINT) AS n_intervals,
+        |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(se - ss) AS BIGINT) AS covered_len,
+        |  CAST(MAX(se - ss) AS BIGINT) AS max_span_len
+        |FROM sp GROUP BY key ORDER BY l_suppkey""".stripMargin,
+
+    "q137_bfs_hops" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM ps a
+        |       JOIN ps b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u AS src, v AS dst FROM e0
+        |        UNION ALL SELECT v, u FROM e0),
+        |d0 AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_size = 50),
+        |f1 AS (SELECT DISTINCT dst AS node FROM sym JOIN d0 ON sym.src = d0.node
+        |       WHERE dst NOT IN (SELECT node FROM d0)),
+        |s1_ AS (SELECT node FROM d0 UNION ALL SELECT node FROM f1),
+        |f2 AS (SELECT DISTINCT dst AS node FROM sym JOIN f1 ON sym.src = f1.node
+        |       WHERE dst NOT IN (SELECT node FROM s1_)),
+        |s2_ AS (SELECT node FROM s1_ UNION ALL SELECT node FROM f2),
+        |f3 AS (SELECT DISTINCT dst AS node FROM sym JOIN f2 ON sym.src = f2.node
+        |       WHERE dst NOT IN (SELECT node FROM s2_))
+        |SELECT node, CAST(0 AS BIGINT) AS hop FROM d0
+        |UNION ALL SELECT node, CAST(1 AS BIGINT) FROM f1
+        |UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2
+        |UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3
+        |ORDER BY node""".stripMargin,
+
+    "q138_cms_freq" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |ex AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |       FROM toks GROUP BY tok),
+        |probes AS (SELECT tok, exact_cnt FROM ex
+        |           ORDER BY exact_cnt DESC, tok LIMIT 30),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks),
+        |dd AS (SELECT CAST(range AS BIGINT) AS i FROM range(4)),
+        |bk AS (SELECT i, ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok),
+        |         1, 15))::BIGINT % 256 AS bucket
+        |       FROM toks, dd),
+        |cnts AS (SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |         FROM bk GROUP BY i, bucket),
+        |pe AS (SELECT p.tok, p.exact_cnt, CAST(MIN(c.c) AS BIGINT) AS cms_est
+        |       FROM probes p JOIN dd ON TRUE
+        |       JOIN cnts c ON c.i = dd.i AND c.bucket =
+        |         ('0x' || substr(md5(CAST(dd.i AS VARCHAR) || ':' || p.tok),
+        |          1, 15))::BIGINT % 256
+        |       GROUP BY p.tok, p.exact_cnt)
+        |SELECT pe.tok, pe.exact_cnt, pe.cms_est, tot.n_total
+        |FROM pe, tot ORDER BY exact_cnt DESC, tok""".stripMargin,
+
+    "q139_rolling_outliers" ->
+      """WITH ev AS (SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS x FROM events),
+        |w AS (SELECT user_id, event_id, x,
+        |        COUNT(*) OVER win AS n,
+        |        SUM(x) OVER win AS s1,
+        |        SUM(CAST(x AS HUGEINT) * x) OVER win AS s2
+        |      FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT user_id, event_id,
+        |        (n = 20 AND
+        |         (20 * CAST(x AS HUGEINT) - s1) * (20 * CAST(x AS HUGEINT) - s1)
+        |           > 9 * (20 * s2 - CAST(s1 AS HUGEINT) * s1)) AS is_outlier
+        |      FROM w)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(COALESCE(SUM(CASE WHEN is_outlier THEN event_id END), 0)
+        |    AS BIGINT) AS outlier_id_sum
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q140_snapshot_diff" ->
+      """WITH olds AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+        |              o_orderpriority AS p FROM orders),
+        |news AS (SELECT o_orderkey AS k,
+        |           CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+        |                ELSE o_orderstatus END AS s,
+        |           o_orderpriority AS p
+        |         FROM orders WHERE o_orderkey % 13 <> 0
+        |         UNION ALL
+        |         SELECT o_orderkey + 10000000, o_orderstatus, o_orderpriority
+        |         FROM orders WHERE o_orderkey % 17 = 0),
+        |j AS (SELECT COALESCE(n.k, o.k) AS k,
+        |        CASE WHEN o.k IS NULL THEN 'added'
+        |             WHEN n.k IS NULL THEN 'removed'
+        |             WHEN o.s IS NOT DISTINCT FROM n.s
+        |              AND o.p IS NOT DISTINCT FROM n.p THEN 'unchanged'
+        |             ELSE 'changed' END AS change_type
+        |      FROM olds o FULL OUTER JOIN news n ON o.k = n.k)
+        |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(k) AS BIGINT) AS key_sum
+        |FROM j GROUP BY change_type ORDER BY change_type""".stripMargin,
+
+    "q141_robots_filter" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    source || '.example.com' AS host,
+        |    CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS sn,
+        |    doc_id % 5 AS m
+        |  FROM documents),
+        |dec AS (SELECT host, doc_id,
+        |    CASE WHEN source = 'src0' THEN TRUE
+        |         WHEN sn % 2 = 0 THEN (m IN (1, 2, 3))
+        |         ELSE m <> 2 END AS allowed
+        |  FROM d)
+        |SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+        |  CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_blocked,
+        |  CAST(COALESCE(SUM(CASE WHEN NOT allowed THEN doc_id END), 0)
+        |    AS BIGINT) AS blocked_id_sum
+        |FROM dec GROUP BY host ORDER BY host""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -1,0 +1,155 @@
+package graft.expressions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.TernaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable count-min buffer for [[CmsSketchAgg]]: `depth × width`
+  * counters in one row-major long array plus the absorbed mass `n`.
+  * Update adds 1 to one counter per row (depth hashes); merge is
+  * pointwise sum — both commutative and associative, so the buffer is a
+  * PURE FUNCTION of the input multiset under any partitioning or merge
+  * tree. That is the property the q138 gate leans on: unlike Misra–Gries
+  * (whose estimates are stream-order-dependent, q101), a CMS is
+  * bit-identical across runs and replayable by any engine that can md5.
+  */
+final class CmsBuffer(val depth: Int, val width: Int) {
+  val counters = new Array[Long](depth * width)
+  var n: Long = 0L
+
+  def update(item: UTF8String): Unit = {
+    n += 1
+    var i = 0
+    while (i < depth) {
+      val h = HashOps.md5Long(UTF8String.fromString(i.toString + ":" + item))
+      counters(i * width + (h % width).toInt) += 1
+      i += 1
+    }
+  }
+
+  def merge(o: CmsBuffer): Unit = {
+    n += o.n
+    var i = 0
+    while (i < counters.length) { counters(i) += o.counters(i); i += 1 }
+  }
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 4 + 8 + counters.length * 8)
+    buf.putInt(depth).putInt(width).putLong(n)
+    var i = 0
+    while (i < counters.length) { buf.putLong(counters(i)); i += 1 }
+    buf.array()
+  }
+}
+
+object CmsBuffer {
+  def deserialize(bytes: Array[Byte]): CmsBuffer = {
+    val buf = ByteBuffer.wrap(bytes)
+    val b = new CmsBuffer(buf.getInt(), buf.getInt())
+    b.n = buf.getLong()
+    var i = 0
+    while (i < b.counters.length) { b.counters(i) = buf.getLong(); i += 1 }
+    b
+  }
+}
+
+/** `cms_sketch(string, depth, width) -> struct<n: bigint,
+  * counters: array<bigint>>` — mergeable count-min sketch (Cormode &
+  * Muthukrishnan 2005): `depth` hash rows of `width` counters; the
+  * frequency estimate of any key is `min_i counters[i*width + h_i(key)]`,
+  * always ≥ the true count, with overestimate ≤ 2n/width at probability
+  * 1 − 2^−depth.
+  *
+  * The 100 TB role: point-frequency estimates for ARBITRARY keys chosen
+  * after the scan — "how often does this URL / shingle / token occur" —
+  * without the groupBy-every-distinct-key shuffle. Map-side partials
+  * ship ONE depth×width buffer per partition through the exchange
+  * (exchange volume independent of corpus and vocabulary size), and the
+  * same buffer merges across streaming micro-batches.
+  *
+  * Hash contract (engine-portable, the repo's standard): row `i` buckets
+  * key `x` at `md5_long(i || ':' || x) % width`, i.e. DuckDB's
+  * `('0x' || substr(md5(i || ':' || x), 1, 15))::BIGINT % width` — so an
+  * external engine can replay the ENTIRE sketch and q138 gates the
+  * counters with a full hash match, not a tolerance. Nulls contribute
+  * nothing; an empty group yields `(0, zeros)`. Complements the sketch
+  * shelf: freq_sketch = which keys are frequent, cms = how frequent is
+  * this key, kmv = how many distinct, qdigest = where do values sit.
+  */
+case class CmsSketchAgg(
+    child: Expression,
+    depthExpr: Expression,
+    widthExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CmsBuffer] with TernaryLike[Expression] {
+
+  override def first: Expression = child
+  override def second: Expression = depthExpr
+  override def third: Expression = widthExpr
+
+  private def lit(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+  private lazy val depth: Int = lit(depthExpr)
+  private lazy val width: Int = lit(widthExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val intTypes = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string child, got ${child.dataType.catalogString}")
+    else if (!depthExpr.foldable || !intTypes.contains(depthExpr.dataType) ||
+        !widthExpr.foldable || !intTypes.contains(widthExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires literal integer depth and width")
+    else if (depthExpr.eval(null) == null || lit(depthExpr) < 1 ||
+        widthExpr.eval(null) == null || lit(widthExpr) < 1 ||
+        lit(depthExpr).toLong * lit(widthExpr) > (1 << 22))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires depth >= 1, width >= 1, depth*width <= 2^22")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("counters", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch"
+
+  override def createAggregationBuffer(): CmsBuffer = new CmsBuffer(depth, width)
+
+  override def update(buffer: CmsBuffer, input: InternalRow): CmsBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[UTF8String])
+    buffer
+  }
+
+  override def merge(buffer: CmsBuffer, input: CmsBuffer): CmsBuffer = {
+    buffer.merge(input)
+    buffer
+  }
+
+  override def eval(buffer: CmsBuffer): Any =
+    InternalRow(buffer.n,
+      new GenericArrayData(buffer.counters.map(java.lang.Long.valueOf(_): Any)))
+
+  override def serialize(buffer: CmsBuffer): Array[Byte] = buffer.serialize()
+  override def deserialize(storageFormat: Array[Byte]): CmsBuffer =
+    CmsBuffer.deserialize(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CmsSketchAgg =
+    copy(child = newFirst, depthExpr = newSecond, widthExpr = newThird)
+}

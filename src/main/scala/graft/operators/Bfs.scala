@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source BFS hop distance over an undirected graph — "how far is
+  * every node from the seed set", the crawl-frontier / link-distance
+  * primitive: crawl depth from trusted hosts, blast radius of a spam
+  * seed list, k-hop neighborhoods for graph features. The seeded dual
+  * of [[PageRank.personalized]] (which weights by visit probability;
+  * this reports the exact hop count).
+  *
+  * Algorithm: level-synchronous frontier expansion. Round h joins the
+  * hop-(h−1) frontier to the symmetrized edge list, anti-joins nodes
+  * already settled, and settles the remainder at hop h. Every settled
+  * node's hop is the TRUE shortest hop — a node is settled the first
+  * round any neighbor reaches it — so the result is a pure function of
+  * (graph, seeds, maxHops): deterministic, no tie-breaking, replayable
+  * by an oracle as a fixed unroll of rounds.
+  *
+  * Shape at 100 TB — the repo's iterative-graph discipline
+  * ([[PageRank]], [[KCore]], [[LabelPropagation]]): edges are
+  * symmetrized and hash-partitioned on `src` ONCE, checkpointed, and
+  * reused by every round's join, so each round shuffles only the
+  * frontier (which tracks nodes, never edges); per-round
+  * `localCheckpoint` keeps lineage flat. Frontiers are deduped BEFORE
+  * the edge join (one aggregate on node ids) so a dense round cannot
+  * fan the same node into the join twice.
+  *
+  * @param edges   (u, v) undirected; self-loops dropped, duplicates and
+  *                direction normalized here
+  * @param seeds   one column of seed node ids (hop 0); seeds absent
+  *                from the graph still report hop 0
+  * @param maxHops number of expansion rounds; nodes further than this
+  *                (or unreachable) are absent from the result
+  * @return (node, hop) — minimal hops from the nearest seed, 0 ≤ hop ≤
+  *         maxHops
+  */
+object Bfs {
+
+  def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val und = edges.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src")).localCheckpoint(true)
+
+    var settled = seeds.select(seeds.columns.head).toDF("node")
+      .distinct().withColumn("hop", lit(0L))
+      .localCheckpoint(true)
+    var frontier = settled.select("node")
+    var h = 1L
+    while (h <= maxHops && !frontier.isEmpty) {
+      val reached = sym
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+      frontier = reached
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      settled = settled
+        .unionByName(frontier.withColumn("hop", lit(h)))
+        .localCheckpoint(true)
+      h += 1
+    }
+    settled
+  }
+}

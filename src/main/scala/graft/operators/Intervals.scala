@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval coalescing — merge overlapping (and touching) half-open
+  * intervals `[start, end)` per key into maximal disjoint coverage spans.
+  *
+  * The warehouse op behind "total covered time per entity", SLA uptime
+  * stitching, validity-range compaction, and coverage audits of
+  * event-sourced state — the reference's span bookkeeping
+  * (`call-report/scripts-toolkit` `app.py:55-112`) is the one-key special
+  * case of this, re-expressed here as the standard sweep:
+  *
+  *   1. ONE shuffle on the key; within each key order by (start, end).
+  *   2. A new span begins where `start` exceeds the running max of all
+  *      PREVIOUS ends (touching intervals, start == prev_end, merge — the
+  *      half-open convention).
+  *   3. The running count of span-starts is the span id; min(start)/
+  *      max(end) per (key, span) are the span bounds.
+  *
+  * Scale shape: the running-max and the span-id windows and the final
+  * span aggregate all share the SAME (key)-hash-partitioned sort — one
+  * Exchange, one Sort, no self-join (the naive "overlaps" self-join is
+  * O(n²) per key and never appears here). The sweep is the textbook
+  * O(n log n) interval-union; per-key data never collects to the driver.
+  *
+  * Endpoints are caller-supplied integers (days, epoch seconds, µs…):
+  * exact comparisons, engine-portable, no timezone arithmetic inside.
+  */
+object Intervals {
+
+  /** Coalesce `[start, end)` intervals per key.
+    *
+    * @return one row per maximal span: (key, span_start, span_end,
+    *         n_merged) — n_merged = input intervals folded into the span.
+    *         Empty/negative intervals (end <= start) are dropped first:
+    *         they cover nothing and would otherwise seed zero-length
+    *         spans.
+    */
+  def coalesce(df: DataFrame, key: Column, start: Column, end: Column)
+      : DataFrame = {
+    val base = df
+      .filter(end > start)
+      .select(key.as("key"), start.cast("long").as("start"),
+        end.cast("long").as("end"))
+    val w = Window.partitionBy(col("key")).orderBy(col("start"), col("end"))
+    val prevMaxEnd = max(col("end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spanId = sum(col("new_span").cast("long"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base
+      .withColumn("new_span",
+        functions.coalesce(col("start") > prevMaxEnd, lit(true)))
+      .withColumn("span_id", spanId)
+      .groupBy(col("key"), col("span_id"))
+      .agg(min(col("start")).as("span_start"),
+        max(col("end")).as("span_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("span_id")
+  }
+
+  /** Per-key coverage rollup over the coalesced spans: how many raw
+    * intervals, how many disjoint spans they fold into, total covered
+    * length, and the longest span. The audit row a pipeline logs per
+    * entity. One extra map-side-combined aggregate over `coalesce`'s
+    * output — same single shuffle (span rows are already keyed). */
+  def coverage(df: DataFrame, key: Column, start: Column, end: Column)
+      : DataFrame =
+    coalesce(df, key, start, end)
+      .groupBy(col("key"))
+      .agg(sum(col("n_merged")).as("n_intervals"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("covered_len"),
+        max(col("span_end") - col("span_start")).as("max_span_len"))
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rolling z-score outlier flags in EXACT integer arithmetic — the
+  * monitoring primitive behind metric-anomaly alerts, sensor-spike
+  * triage, and fraud pre-screens: flag a point whose deviation from its
+  * own trailing window exceeds k sample standard deviations.
+  *
+  * The trick that makes it hash-gateable (and engine-portable): never
+  * divide. With S1 = Σx, S2 = Σx² over the trailing W rows (current row
+  * included) the test
+  *
+  *   |x − S1/W| > k·σ,   σ² = (W·S2 − S1²)/W²
+  *
+  * cross-multiplies to the INTEGER comparison
+  *
+  *   (W·x − S1)² > k²·(W·S2 − S1²)
+  *
+  * — no floating point anywhere, so Spark and any oracle agree bit for
+  * bit. Inputs are caller-scaled integers (e.g. µ-units via
+  * `floor(value * 1e6)`); the squares run in decimal so 128-bit
+  * intermediates never overflow.
+  *
+  * Shape at scale: ONE shuffle on the key; both rolling sums and the
+  * final per-key rollup share the same partitioned sort (the
+  * [[Intervals]] discipline). Warm-up rows (fewer than W trailing rows)
+  * are never flagged — the window must be full, so every flag means the
+  * same thing at any scale factor.
+  */
+object Outliers {
+
+  /** Per-row flags: input plus `is_outlier`. `value` must be an
+    * integral column (scale doubles yourself — exactness is the
+    * caller's contract). */
+  def flags(df: DataFrame, key: Column, ord: Seq[Column], value: Column,
+            windowRows: Int, kSigma: Int): DataFrame = {
+    require(windowRows >= 2, "windowRows must be >= 2")
+    require(kSigma >= 1, "kSigma must be >= 1")
+    val w = Window.partitionBy(key).orderBy(ord: _*)
+      .rowsBetween(-(windowRows - 1), Window.currentRow)
+    val x = value.cast("long")
+    val dec = DataTypes.dec38
+    val n = count(lit(1)).over(w)
+    val s1 = sum(x).over(w).cast(dec)
+    val s2 = sum(x.cast(dec) * x.cast(dec)).over(w)
+    val wBig = lit(windowRows.toLong).cast(dec)
+    val dev = wBig * x.cast(dec) - s1
+    val varW2 = wBig * s2 - s1 * s1 // W² · σ², always ≥ 0
+    df.withColumn("is_outlier",
+      n === windowRows.toLong &&
+        dev * dev > lit(kSigma.toLong * kSigma).cast(dec) * varW2)
+  }
+
+  /** Per-key audit rollup: events seen, rows with a full window, flags,
+    * and an id-sum witness of WHICH rows flagged (order-independent). */
+  def audit(df: DataFrame, key: Column, ord: Seq[Column], value: Column,
+            id: Column, windowRows: Int, kSigma: Int): DataFrame =
+    flags(df, key, ord, value, windowRows, kSigma)
+      .groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(col("is_outlier"), id.cast("long")).otherwise(0L))
+          .as("outlier_id_sum"))
+}
+
+private object DataTypes {
+  val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and URL filtering — the crawl-pipeline gate that
+  * sits between frontier and fetch (and, for training corpora, the
+  * retroactive "would robots have allowed this page" audit that CC-style
+  * pipelines run before a corpus ships).
+  *
+  * Semantics implemented (RFC 9309, the practical subset):
+  *  - groups: consecutive `User-agent:` lines stack onto the group of
+  *    rules that follows; a group applies to agent `a` if any of its
+  *    stacked agents is `*` or equals `a` (case-insensitive). When
+  *    several groups apply their rules MERGE (the Google-documented
+  *    behavior for duplicate groups).
+  *  - rules: `Allow:` / `Disallow:` path patterns; `*` matches any run
+  *    of characters, a TRAILING `$` anchors end-of-path, both per RFC
+  *    9309 §2.2.3; any other character is literal. An empty pattern
+  *    matches nothing (so the classic bare `Disallow:` = no restriction).
+  *  - decision: the rule with the LONGEST pattern string wins; at equal
+  *    length `Allow` beats `Disallow`; no matching rule → allowed.
+  *  - comments (`#` to end of line), blank lines, unknown directives
+  *    (Crawl-delay, Sitemap, …) are ignored.
+  *
+  * Shape at scale: parsing is row-local per robots file (posexplode of
+  * lines + two windows keyed by host — ONE Exchange; group-id and
+  * group-applicability reuse the same host-partitioned sort). The
+  * filter is a prefix-pattern join on HOST (per-host rule lists are
+  * tens of rows — the join fans each URL out by its own host's rules
+  * only, never a cross join) followed by one max-of-struct aggregate
+  * per URL: `max(struct(len, allow))` IS the RFC tie-break — longest
+  * first, allow over disallow at equal length. Patterns compile to
+  * regexes with pure codegen'd expressions (escape, `*`→`.*`, trailing
+  * `$`→anchor); no UDF anywhere.
+  */
+object Robots {
+
+  /** Parse robots.txt bodies into the applicable rule list for `agent`:
+    * (host, allow ∈ {0,1}, pattern, rx) — `rx` is the compiled anchored
+    * regex used by [[decide]]. */
+  def rules(robots: DataFrame, host: Column, text: Column,
+            agent: String = "*"): DataFrame = {
+    val lines = robots.select(host.as("host"), text.as("t"))
+      .select(col("host"), posexplode(split(col("t"), "\n")).as(Seq("idx", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .withColumn("directive",
+        lower(trim(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1))))
+      .withColumn("value",
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:\\s*(.*)$", 1)))
+      // blank / comment-only lines vanish BEFORE grouping, so a blank
+      // line between stacked User-agent lines does not split the stack
+      // (the parsers-in-practice behavior)
+      .filter(length(col("line")) > 0)
+    val wOrd = Window.partitionBy(col("host")).orderBy(col("idx"))
+    val isUa = col("directive") === "user-agent"
+    // a User-agent line NOT preceded by another User-agent line opens a
+    // new group (stacked agents share the group); rules bind to the
+    // group of the last User-agent block above them
+    val grouped = lines
+      .withColumn("new_group",
+        isUa && !lag(isUa, 1, false).over(wOrd))
+      .withColumn("gid", sum(col("new_group").cast("long")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wGroup = Window.partitionBy(col("host"), col("gid"))
+    grouped
+      .withColumn("applies", max(when(isUa &&
+          (col("value") === "*" || lower(col("value")) === agent.toLowerCase),
+          1L).otherwise(0L)).over(wGroup) === 1L)
+      .filter(col("applies") && col("directive").isin("allow", "disallow") &&
+        length(col("value")) > 0)
+      .select(col("host"),
+        when(col("directive") === "allow", 1L).otherwise(0L).as("allow"),
+        col("value").as("pattern"),
+        compile(col("value")).as("rx"))
+  }
+
+  /** RFC 9309 pattern → anchored Java regex, in pure expressions:
+    * escape regex metacharacters, `*` → `.*`, trailing `$` → `$` (a
+    * trailing dollar is ALWAYS the end anchor per §2.2.3, so stripping
+    * it unconditionally is exact). */
+  private[operators] def compile(pattern: Column): Column = {
+    val anchored = pattern.endsWith("$")
+    val body = regexp_replace(pattern, "\\$$", "")
+    val escaped = regexp_replace(body,
+      "[\\.\\^\\$\\+\\?\\(\\)\\{\\}\\[\\]\\|\\\\]", "\\\\$0")
+    concat(lit("^"),
+      regexp_replace(escaped, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Filter URLs: (url cols…, allowed boolean). `urls` must expose the
+    * URL's host and path; rules join on host only (per-host rule lists
+    * are small), the longest-pattern/allow-wins decision is ONE
+    * max-of-struct aggregate per URL. URLs on hosts with no robots file
+    * (or no matching rule) are allowed. */
+  def decide(urls: DataFrame, host: Column, path: Column,
+             rulesDf: DataFrame): DataFrame = {
+    val u = urls.select(host.as("host"), path.as("path")).distinct()
+    val joined = u.join(rulesDf, Seq("host"), "left")
+      .withColumn("hit",
+        col("rx").isNotNull && regexp_like(col("path"), col("rx")))
+    joined
+      .groupBy(col("host"), col("path"))
+      .agg(max(when(col("hit"),
+        struct(length(col("pattern")).as("l"), col("allow").as("a"))))
+        .as("winner"))
+      .withColumn("allowed",
+        col("winner").isNull || col("winner.a") === 1L)
+      .drop("winner")
+  }
+}

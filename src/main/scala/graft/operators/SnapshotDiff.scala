@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyed snapshot diff — the warehouse CDC primitive: given two
+  * snapshots of the same keyed table (yesterday's load vs today's),
+  * classify every key as `added` / `removed` / `changed` / `unchanged`
+  * and produce both the per-key status stream (feeds [[Scd2]] and
+  * incremental downstream refreshes) and the one-row-per-status audit
+  * the load job logs.
+  *
+  * Mechanics: ONE full outer join on the key; presence is tracked by
+  * per-side literal flags (not key nullness, so null-keyed rows can
+  * never masquerade as absence — they are dropped up front with the
+  * standard "null keys never join" contract); change detection is a
+  * null-safe `<=>` conjunction over the tracked columns, so NULL → value
+  * and value → NULL transitions count as changes and NULL ≡ NULL does
+  * not.
+  *
+  * Shape at 100 TB: the join shuffles each snapshot once on the key —
+  * for bucketed warehouse tables ([[graft.pipelines.FactsWarehouse]])
+  * even that exchange vanishes. The audit rollup is one
+  * map-side-combined aggregate over the statuses; nothing collects.
+  * Tracked-column comparison happens AFTER the join on exactly the
+  * joined row — no pre-hashing pass over either snapshot, so each
+  * snapshot is scanned exactly once.
+  */
+object SnapshotDiff {
+
+  /** Per-key diff: (key, change_type) plus the tracked columns from the
+    * side that survives (new side for added/changed/unchanged, old side
+    * for removed). `tracked` are the value columns compared null-safely. */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+           tracked: Seq[String]): DataFrame = {
+    require(tracked.nonEmpty, "tracked columns must be non-empty")
+    val o = oldSnap.filter(col(key).isNotNull)
+      .select((key +: tracked).map(c => col(c).as(s"o_$c")) :+ lit(true).as("in_old"): _*)
+    val n = newSnap.filter(col(key).isNotNull)
+      .select((key +: tracked).map(c => col(c).as(s"n_$c")) :+ lit(true).as("in_new"): _*)
+    val same = tracked.map(c => col(s"o_$c") <=> col(s"n_$c")).reduce(_ && _)
+    val joined = o.join(n, col(s"o_$key") === col(s"n_$key"), "full_outer")
+    val status = when(col("in_old").isNull, "added")
+      .when(col("in_new").isNull, "removed")
+      .when(same, "unchanged")
+      .otherwise("changed")
+    joined
+      .withColumn("change_type", status)
+      .withColumn(key, coalesce(col(s"n_$key"), col(s"o_$key")))
+      .select(col(key) +: col("change_type") +:
+        tracked.map(c => coalesce(col(s"n_$c"), col(s"o_$c")).as(c)): _*)
+  }
+
+  /** Audit rollup: one row per change_type with count and key-sum
+    * witness (order-independent identity proof of WHICH keys landed in
+    * each class). */
+  def audit(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+            tracked: Seq[String]): DataFrame =
+    diff(oldSnap, newSnap, key, tracked)
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(key).cast("long")).as("key_sum"))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bfs
+
+/** Multi-source BFS: hand-checked hop distances, min-hop under multiple
+  * paths, maxHops truncation, seeds-off-graph, and a random parity check
+  * against an independent in-memory BFS. */
+class BfsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int) =
+    Bfs.hopDistance(edges.toDF("u", "v"), seeds.toDF("node"), maxHops)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain: hops count from the nearest seed; maxHops truncates") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(run(chain, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(run(chain, Seq(1L), 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
+  test("multi-seed min-hop; direction-insensitive; off-graph seed kept") {
+    val edges = Seq((1L, 2L), (3L, 2L), (4L, 3L))
+    // seeds at both ends: node 2 and 3 reachable from either, min wins
+    assert(run(edges, Seq(1L, 4L), 3) ==
+      Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L))
+    // a seed with no edges still reports hop 0
+    assert(run(edges, Seq(99L), 2) == Map(99L -> 0L))
+  }
+
+  test("self-loops and duplicate edges are normalized away") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L))
+    assert(run(edges, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("random graphs match an independent BFS") {
+    val rnd = new scala.util.Random(137)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(60)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val seeds = Seq.fill(3)(rnd.nextInt(25).toLong).distinct
+      val adj = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val exp = collection.mutable.Map(seeds.map(_ -> 0L): _*)
+      var frontier = seeds.toSet
+      for (h <- 1 to 4) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .filterNot(exp.contains)
+        frontier.foreach(n => exp(n) = h.toLong)
+      }
+      assert(run(edges, seeds, 4) == exp.toMap)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expressions.HashOps
+
+/** Count-min sketch: buffer purity (bit-identical under any split /
+  * partitioning), the md5 bucket contract an oracle replays, estimate
+  * guarantees (est ≥ true, row mass conservation), and null/empty
+  * semantics. */
+class CmsSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val D = 4
+  private val W = 32
+
+  private def sketch(words: Seq[String], parts: Int = 4): (Long, Seq[Long]) = {
+    val row = words.toDF("w").repartition(parts)
+      .agg(call_function("cms_sketch", col("w"), lit(D), lit(W)).as("s"))
+      .select(col("s.n"), col("s.counters")).head()
+    (row.getLong(0), row.getSeq[Long](1))
+  }
+
+  /** The documented contract: row i buckets x at md5_long(i:x) % W. */
+  private def bucket(i: Int, x: String): Int =
+    (HashOps.md5Long(UTF8String.fromString(s"$i:$x")) % W).toInt
+
+  test("counters are the exact md5-bucket histogram; mass conserved per row") {
+    val words = Seq("a", "b", "a", "c", "a", "b")
+    val (n, cs) = sketch(words)
+    assert(n == 6L)
+    val expected = Array.fill(D * W)(0L)
+    for (x <- words; i <- 0 until D) expected(i * W + bucket(i, x)) += 1
+    assert(cs == expected.toSeq)
+    for (i <- 0 until D)
+      assert(cs.slice(i * W, (i + 1) * W).sum == words.size.toLong,
+        s"row $i mass")
+  }
+
+  test("buffer is a pure function of the multiset: any split merges identically") {
+    val rnd = new scala.util.Random(138)
+    val words = Seq.fill(500)(s"tok${rnd.nextInt(60)}")
+    val a = sketch(words, parts = 1)
+    val b = sketch(words, parts = 7)
+    val c = sketch(rnd.shuffle(words), parts = 13)
+    assert(a == b && b == c)
+  }
+
+  test("estimate = min over rows is always >= the true count") {
+    val rnd = new scala.util.Random(239)
+    val words = Seq.fill(800)(s"w${rnd.nextInt(40)}")
+    val (_, cs) = sketch(words)
+    val truth = words.groupBy(identity).view.mapValues(_.size.toLong)
+    for ((x, t) <- truth) {
+      val est = (0 until D).map(i => cs(i * W + bucket(i, x))).min
+      assert(est >= t, s"CMS must never underestimate ($x)")
+    }
+    // an absent key's estimate is bounded by collisions, not negative
+    val est0 = (0 until D).map(i => cs(i * W + bucket(i, "absent-key"))).min
+    assert(est0 >= 0L)
+  }
+
+  test("nulls contribute nothing; empty group is (0, zeros)") {
+    val (n1, cs1) = {
+      val row = Seq(Some("x"), None, Some("x"), None).toDF("w")
+        .agg(call_function("cms_sketch", col("w"), lit(D), lit(W)).as("s"))
+        .select(col("s.n"), col("s.counters")).head()
+      (row.getLong(0), row.getSeq[Long](1))
+    }
+    assert(n1 == 2L && cs1.sum == 2L * D)
+    val row0 = Seq.empty[String].toDF("w")
+      .agg(call_function("cms_sketch", col("w"), lit(D), lit(W)).as("s"))
+      .select(col("s.n"), col("s.counters")).head()
+    assert(row0.getLong(0) == 0L && row0.getSeq[Long](1).forall(_ == 0L))
+  }
+
+  test("streamed micro-batch merges are bit-identical to batch") {
+    val batches = Seq(
+      (1 to 30).map(i => s"s${i % 7}"),
+      (1 to 40).map(i => s"s${i % 11}"),
+      (1 to 20).map(i => s"s${i % 5}"))
+    implicit val sc = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = src.toDS().toDF("w")
+      .groupBy()
+      .agg(call_function("cms_sketch", col("w"), lit(D), lit(W)).as("s"))
+      .select(col("s.n"), col("s.counters"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      val row = spark.table("cms_stream").head()
+      val streamed = (row.getLong(0), row.getSeq[Long](1))
+      assert(streamed == sketch(batches.flatten))
+    } finally q.stop()
+  }
+}

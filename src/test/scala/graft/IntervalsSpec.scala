@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Intervals
+
+/** Interval coalescing: hand-checked merge cases (overlap, touching,
+  * containment, disjoint, empty-interval drop), a random-input parity
+  * check against an independent brute-force sweep, and a plan pin that
+  * the whole op is ONE shuffle. */
+class IntervalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def spans(rows: Seq[(String, Long, Long)]) =
+    Intervals.coalesce(rows.toDF("k", "s", "e"), col("k"), col("s"), col("e"))
+      .orderBy("key", "span_start")
+      .as[(String, Long, Long, Long)].collect().toSeq
+
+  test("overlap, touching, containment, disjoint") {
+    val rows = Seq(
+      ("a", 0L, 5L), ("a", 3L, 8L),    // overlap -> [0,8)
+      ("a", 8L, 10L),                  // touching (half-open) -> [0,10)
+      ("a", 1L, 4L),                   // contained
+      ("a", 20L, 25L),                 // disjoint second span
+      ("b", 7L, 9L))                   // other key untouched
+    assert(spans(rows) == Seq(
+      ("a", 0L, 10L, 4L), ("a", 20L, 25L, 1L), ("b", 7L, 9L, 1L)))
+  }
+
+  test("empty and negative intervals are dropped, not zero-length spans") {
+    val rows = Seq(("k", 5L, 5L), ("k", 9L, 2L), ("k", 1L, 2L))
+    assert(spans(rows) == Seq(("k", 1L, 2L, 1L)))
+  }
+
+  test("coverage rollup: counts, total and max span length") {
+    val rows = Seq(("k", 0L, 5L), ("k", 3L, 8L), ("k", 10L, 11L))
+    val got = Intervals.coverage(rows.toDF("k", "s", "e"),
+      col("k"), col("s"), col("e"))
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(got == (("k", 3L, 2L, 9L, 8L)))
+  }
+
+  test("random inputs match an independent brute-force union") {
+    val rnd = new scala.util.Random(136)
+    for (_ <- 1 to 3) {
+      val rows = Seq.fill(80)((if (rnd.nextBoolean()) "x" else "y",
+        rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      // brute force: per key, the covered point set; spans = maximal runs
+      val exp = rows.filter(r => r._3 > r._2).groupBy(_._1).map { case (k, rs) =>
+        val pts = rs.flatMap(r => r._2 until r._3).toSet
+        val runs = pts.toSeq.sorted.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: t, p) if p == e => (s, p + 1) :: t
+          case (acc, p) => (p, p + 1) :: acc
+        }.reverse
+        k -> runs
+      }
+      val got = spans(rows).groupBy(_._1)
+        .map { case (k, ss) => k -> ss.map(s => (s._2, s._3)) }
+      assert(got == exp)
+    }
+  }
+
+  test("plan: one Exchange feeds windows and the span aggregate") {
+    val df = Intervals.coverage(
+      Seq(("k", 0L, 5L), ("k", 3L, 8L)).toDF("k", "s", "e"),
+      col("k"), col("s"), col("e"))
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+}

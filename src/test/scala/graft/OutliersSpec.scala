@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Outliers
+
+/** Rolling integer z-score flags: hand-checked spike detection, warm-up
+  * suppression, constant-window behavior, a brute-force parity check of
+  * the cross-multiplied test, and the one-shuffle plan pin. */
+class OutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flags(rows: Seq[(String, Long, Long)], w: Int, k: Int) =
+    Outliers.flags(rows.toDF("g", "t", "x"), col("g"), Seq(col("t")),
+        col("x"), w, k)
+      .orderBy("g", "t")
+      .select(col("t"), col("is_outlier")).as[(Long, Boolean)].collect().toSeq
+
+  test("a spike against a stable window flags; warm-up never flags") {
+    // A lone spike sits INSIDE its own trailing window, inflating the
+    // variance it is tested against: with W-1 stable values it flags
+    // iff (W-1) > k². Window 4, k=1 here; rows 1..3 are warm-up.
+    val rows = Seq[(String, Long, Long)](
+      ("g", 1, 100), ("g", 2, 5000), ("g", 3, 100), ("g", 4, 100),
+      ("g", 5, 100), ("g", 6, 100), ("g", 7, 100), ("g", 8, 5000))
+    val got = flags(rows, 4, 1)
+    assert(!got.take(3).exists(_._2), "warm-up rows must not flag")
+    assert(got(7) == ((8L, true)), "spike after a flat window flags")
+    assert(!got.slice(3, 7).exists(_._2),
+      "flat rows (and the spike's wake) do not flag")
+  }
+
+  test("the k² threshold is exact: (W-1) > k² flags, (W-1) <= k² cannot") {
+    // one deviating current row after a constant run: dev² = (W-1)²d²,
+    // W·S2 - S1² = (W-1)d² — the test reduces to (W-1) > k² exactly.
+    val rows = (1L to 6L).map(t => ("g", t, 7L)) :+ (("g", 7L, 8L))
+    assert(flags(rows, 3, 1).last._2, "W-1=2 > k²=1 flags")
+    assert(!flags(rows, 3, 2).last._2, "W-1=2 <= k²=4 cannot flag")
+    assert(!flags(rows.init, 3, 1).exists(_._2), "constant runs never flag")
+  }
+
+  test("random inputs match the brute-force definition") {
+    val rnd = new scala.util.Random(139)
+    val w = 5; val k = 2
+    val rows = (1L to 80L).map(t =>
+      (if (t % 2 == 0) "a" else "b", t, rnd.nextInt(1000).toLong))
+    val got = flags(rows, w, k).toMap
+    for (g <- Seq("a", "b")) {
+      val xs = rows.filter(_._1 == g).sortBy(_._2)
+      for (i <- xs.indices) {
+        val win = xs.slice(i - w + 1, i + 1).map(_._3)
+        val exp = win.size == w && {
+          val s1 = BigInt(win.sum); val s2 = win.map(v => BigInt(v) * v).sum
+          val dev = BigInt(w) * win.last - s1
+          dev * dev > BigInt(k.toLong * k) * (BigInt(w) * s2 - s1 * s1)
+        }
+        assert(got(xs(i)._2) == exp, s"row ${xs(i)._2}")
+      }
+    }
+  }
+
+  test("audit rollup counts and id-sum witness") {
+    val rows = Seq[(String, Long, Long)](
+      ("g", 1, 10), ("g", 2, 10), ("g", 3, 10), ("g", 4, 999), ("g", 5, 10))
+    val got = Outliers.audit(rows.toDF("g", "t", "x"), col("g"),
+        Seq(col("t")), col("x"), col("t"), windowRows = 3, kSigma = 1)
+      .as[(String, Long, Long, Long)].head()
+    assert(got == (("g", 5L, 1L, 4L)))
+  }
+
+  test("plan: one Exchange feeds the rolling windows and the rollup") {
+    val df = Outliers.audit(
+      Seq(("g", 1L, 10L), ("g", 2L, 11L)).toDF("g", "t", "x"),
+      col("g"), Seq(col("t")), col("x"), col("t"), 2, 3)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+}

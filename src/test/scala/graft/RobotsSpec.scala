@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Robots
+
+/** robots.txt parsing + decisions: group stacking across blank lines,
+  * comment/unknown-directive tolerance, bare-Disallow no-op, wildcard
+  * and end-anchor patterns, longest-match with allow-wins ties, and
+  * per-agent group selection. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val robotsTxt =
+    """# corpus policy
+      |User-agent: badbot
+      |Disallow: /
+      |
+      |User-agent: googlebot
+      |
+      |User-agent: *
+      |Disallow: /private
+      |Allow: /private/open
+      |Disallow: /*.pdf$
+      |Crawl-delay: 10
+      |Disallow:
+      |Sitemap: https://h/sitemap.xml
+      |
+      |User-agent: *
+      |Disallow: /tmp
+      |""".stripMargin
+
+  private def robotsDf = Seq(("h", robotsTxt)).toDF("host", "txt")
+
+  private def decisions(paths: Seq[(String, String)], agent: String = "*") = {
+    val rules = Robots.rules(robotsDf, col("host"), col("txt"), agent)
+    Robots.decide(paths.toDF("host", "path"), col("host"), col("path"), rules)
+      .select("path", "allowed").as[(String, Boolean)].collect().toMap
+  }
+
+  test("parse: groups stack across blanks; comments/unknown/bare lines drop") {
+    val got = Robots.rules(robotsDf, col("host"), col("txt"))
+      .select("allow", "pattern").as[(Long, String)].collect().toSet
+    // the badbot group is excluded; googlebot stacks with * so its group
+    // applies; bare `Disallow:` and non-rule directives vanish; BOTH
+    // `*` groups merge
+    assert(got == Set((0L, "/private"), (1L, "/private/open"),
+      (0L, "/*.pdf$"), (0L, "/tmp")))
+  }
+
+  test("decide: longest pattern wins, allow beats disallow on ties") {
+    val got = decisions(Seq(
+      ("h", "/pub/page"),            // no rule -> allowed
+      ("h", "/private/x"),           // /private -> disallowed
+      ("h", "/private/open/a"),      // longer allow overrides
+      ("h", "/tmp/y"),               // second * group merged in
+      ("h", "/docs/report.pdf"),     // wildcard + anchor hits
+      ("h", "/docs/report.pdfx")))   // anchor rejects the suffix
+    assert(got == Map(
+      "/pub/page" -> true, "/private/x" -> false, "/private/open/a" -> true,
+      "/tmp/y" -> false, "/docs/report.pdf" -> false,
+      "/docs/report.pdfx" -> true))
+  }
+
+  test("a host with no robots file is fully allowed") {
+    val rules = Robots.rules(robotsDf, col("host"), col("txt"))
+    val got = Robots.decide(Seq(("h", "/private/x"), ("other", "/private/x"))
+        .toDF("host", "path"), col("host"), col("path"), rules)
+      .select("host", "allowed").as[(String, Boolean)].collect().toMap
+    assert(got == Map("h" -> false, "other" -> true))
+  }
+
+  test("equal-length allow and disallow: allow wins") {
+    val r = Seq(("h", "User-agent: *\nAllow: /dir\nDisallow: /dir\n"))
+      .toDF("host", "txt")
+    val rules = Robots.rules(r, col("host"), col("txt"))
+    val got = Robots.decide(Seq(("h", "/dir/x")).toDF("host", "path"),
+        col("host"), col("path"), rules)
+      .select("allowed").as[Boolean].head()
+    assert(got, "RFC tie-break: allow wins at equal pattern length")
+  }
+
+  test("agent-specific groups: badbot is shut out entirely") {
+    val got = decisions(Seq(("h", "/pub/page"), ("h", "/private/open/a")),
+      agent = "BadBot")
+    // badbot's group (Disallow: /) applies AND the * groups apply;
+    // /private/open allow (len 13) still beats / (len 1) — but /pub
+    // matches only Disallow: / -> blocked
+    assert(got == Map("/pub/page" -> false, "/private/open/a" -> true))
+  }
+}

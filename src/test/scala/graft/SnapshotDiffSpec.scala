@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.SnapshotDiff
+
+/** Keyed snapshot diff: every transition class, null-value semantics
+  * (NULL→v / v→NULL are changes, NULL≡NULL is not), null-key drop, and
+  * the audit rollup with its key-sum witness. */
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val oldS = Seq(
+    (1L, Some("a"), "p1"),             // unchanged
+    (2L, Some("b"), "p2"),             // value change
+    (3L, Some("c"), "p3"),             // removed
+    (4L, None: Option[String], "p4"),  // NULL -> value = changed
+    (5L, Some("e"), "p5"),             // value -> NULL = changed
+    (6L, None: Option[String], "p6")   // NULL ≡ NULL = unchanged
+  ).toDF("k", "v", "p")
+
+  private val newS = Seq(
+    (1L, Some("a"), "p1"),
+    (2L, Some("B"), "p2"),
+    (4L, Some("d"), "p4"),
+    (5L, None: Option[String], "p5"),
+    (6L, None: Option[String], "p6"),
+    (7L, Some("g"), "p7")              // added
+  ).toDF("k", "v", "p")
+
+  test("every transition class lands in the right status") {
+    val got = SnapshotDiff.diff(oldS, newS, "k", Seq("v", "p"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "changed", 6L -> "unchanged", 7L -> "added"))
+  }
+
+  test("surviving values come from the new side; removed keep the old") {
+    val got = SnapshotDiff.diff(oldS, newS, "k", Seq("v", "p"))
+      .select("k", "v").as[(Long, Option[String])].collect().toMap
+    assert(got(2L).contains("B"), "changed rows carry the new value")
+    assert(got(3L).contains("c"), "removed rows carry the old value")
+    assert(got(7L).contains("g"))
+  }
+
+  test("null keys are dropped, never misread as added/removed") {
+    val o = Seq((Some(1L), "a"), (None: Option[Long], "x")).toDF("k", "v")
+    val n = Seq((Some(1L), "a"), (None: Option[Long], "y")).toDF("k", "v")
+    val got = SnapshotDiff.diff(o, n, "k", Seq("v"))
+      .select("k").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("audit rollup counts and key sums per status") {
+    val got = SnapshotDiff.audit(oldS, newS, "k", Seq("v", "p"))
+      .orderBy("change_type")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("added", 1L, 7L), ("changed", 3L, 11L),
+      ("removed", 1L, 3L), ("unchanged", 2L, 7L)))
+  }
+}
