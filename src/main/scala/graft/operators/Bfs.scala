@@ -48,23 +48,28 @@ object Bfs {
       .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
       .repartition(col("src")).localCheckpoint(true)
 
-    var settled = seeds.select(seeds.columns.head).toDF("node")
-      .distinct().withColumn("hop", lit(0L))
-      .localCheckpoint(true)
-    var frontier = settled.select("node")
+    // each round checkpoints ONLY its frontier; the settled set is a
+    // union of those already-materialized frontiers, so no round
+    // re-materializes the cumulative state
+    val seed = seeds.select(seeds.columns.head).toDF("node")
+      .distinct().localCheckpoint(true)
+    var frontiers = List(0L -> seed)
+    var frontier = seed
+    var settled = seed
     var h = 1L
     while (h <= maxHops && !frontier.isEmpty) {
       val reached = sym
         .join(frontier.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .select(col("dst").as("node")).distinct()
       frontier = reached
-        .join(settled.select("node"), Seq("node"), "left_anti")
+        .join(settled, Seq("node"), "left_anti")
         .localCheckpoint(true)
-      settled = settled
-        .unionByName(frontier.withColumn("hop", lit(h)))
-        .localCheckpoint(true)
+      frontiers ::= h -> frontier
+      settled = settled.unionByName(frontier)
       h += 1
     }
-    settled
+    frontiers.reverse
+      .map { case (hop, f) => f.withColumn("hop", lit(hop)) }
+      .reduce(_ unionByName _)
   }
 }
