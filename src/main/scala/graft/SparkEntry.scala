@@ -2479,6 +2479,72 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // LLM ops — token-distribution entropy per document: the
+    // information-density quality signal (keyword stuffing and template
+    // spam collapse entropy before length/ratio filters notice). Two
+    // doc-keyed map-side-combined aggregates; every c·ln c term rounds
+    // to 6 decimals ONCE and sums as exact decimal (order-independent),
+    // the repo's ln discipline. The oracle replays counts and
+    // arithmetic literally.
+    "q142_token_entropy" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Entropy.tokenEntropy(d, col("doc_id"), col("text"))
+        // decimals ship as strings at the gate (the repo's established
+        // cross-engine comparison contract for exact decimals)
+        .withColumn("cln_sum", col("cln_sum").cast("string"))
+        .withColumn("entropy", col("entropy").cast("string"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM ops — reciprocal-rank fusion (Cormack et al. 2009): the
+    // hybrid-retrieval combiner between retrieval and rerank. Fuses the
+    // BM25 lexical top-20 (q108's engine) with an exact-decimal
+    // semantic top-20 (query-by-example over the embeddings, anchors
+    // vec 7/142/399) in the SHARED doc⇔vec id space; each 1/(60+rank)
+    // term rounds to 6 decimals once and sums exactly, so fusion is
+    // order-independent and replayed literally by the oracle. Cost
+    // tracks the RESULT lists, never the corpus.
+    "q143_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val qterms = Seq(
+        (1L, "spark"), (1L, "join"), (1L, "fast"),
+        (2L, "window"), (2L, "sort"), (2L, "key"),
+        (3L, "stream"), (3L, "batch"), (3L, "slow"))
+        .toDF("query_id", "term")
+      val lex = Retrieval.bm25TopK(d, col("doc_id"), col("text"), qterms, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rnk"))
+      val qvecs = e.filter(col("vec_id").isin(7L, 142L, 399L))
+        .select(when(col("vec_id") === 7L, 1L)
+            .when(col("vec_id") === 142L, 2L).otherwise(3L).as("qid"),
+          col("embedding").as("qvec"))
+      val sem = Similarity.dotTopK(qvecs,
+          e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          k = 20, excludeSelf = false)
+        .select(col("qid").as("query_id"), col("cid").as("doc_id"),
+          col("rank").as("rnk"))
+      Retrieval.rrfFuse(Seq(lex, sem), rrfK = 60, k = 10)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Monitoring — corpus drift per source vs the full-corpus reference:
+    // cross-scaled L1 over hashed-unigram histograms (64 md5 buckets),
+    // Σ_b |c_s·N_r − c_r·N_s| in EXACT integers (decimal(38,0) products
+    // so petabyte counts can't overflow), normalized Σ|p−q| as one
+    // 6-decimal division at the end. ONE corpus scan: the reference
+    // histogram derives from the per-slice counts. The oracle replays
+    // the md5 bucketing and the integer arithmetic.
+    "q144_corpus_drift" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Drift.l1Drift(d, col("source"), col("text"), buckets = 64)
+        // gate casts: the exact-integer statistic fits long at any test
+        // SF; the normalized decimal ships as a string
+        .withColumn("l1_cross", col("l1_cross").cast("long"))
+        .withColumn("drift", col("drift").cast("string"))
+        .orderBy("slice")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -4863,6 +4929,110 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(CASE WHEN NOT allowed THEN doc_id END), 0)
         |    AS BIGINT) AS blocked_id_sum
         |FROM dec GROUP BY host ORDER BY host""".stripMargin,
+
+    "q142_token_entropy" ->
+      """WITH c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |t AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |        SUM(CAST(printf('%.6f',
+        |          CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+        |          AS DECIMAL(30,6))) AS s6
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(CAST(s6 AS DECIMAL(30,6)) AS VARCHAR) AS cln_sum,
+        |  printf('%.6f', ln(CAST(n_tokens AS DOUBLE))
+        |       - CAST(s6 AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS entropy
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q143_rrf_fusion" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |       FROM toks GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |       FROM toks GROUP BY doc_id),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM dl),
+        |q(query_id, term) AS (VALUES (1,'spark'),(1,'join'),(1,'fast'),
+        |  (2,'window'),(2,'sort'),(2,'key'),(3,'stream'),(3,'batch'),(3,'slow')),
+        |sc AS (SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id,
+        |    SUM(CAST(printf('%.6f',
+        |      (ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |          / (CAST(df.df AS DOUBLE) + 0.5))
+        |       * (CAST(tf.n_occ AS DOUBLE) * 2.2))
+        |      / (CAST(tf.n_occ AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl.n_tokens AS DOUBLE)
+        |         / (CAST(st.total_tokens AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))
+        |    ) AS DECIMAL(30,6))) AS score_d
+        |  FROM tf JOIN q ON q.term = tf.term
+        |  JOIN dl USING (doc_id) JOIN df ON df.term = tf.term CROSS JOIN st
+        |  GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_d DESC, doc_id ASC) AS rnk
+        |  FROM sc),
+        |qv AS (SELECT CASE vec_id WHEN 7 THEN 1 WHEN 142 THEN 2 ELSE 3 END AS query_id,
+        |         embedding AS qvec
+        |       FROM embeddings WHERE vec_id IN (7, 142, 399)),
+        |p AS (SELECT query_id, vec_id AS doc_id, unnest(qvec) AS x,
+        |        unnest(embedding) AS y
+        |      FROM qv CROSS JOIN embeddings),
+        |dots AS (SELECT query_id, doc_id,
+        |    SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+        |      * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))) AS dp
+        |  FROM p GROUP BY 1, 2),
+        |sem AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dp DESC, doc_id ASC) AS rnk
+        |  FROM dots),
+        |rt AS (SELECT query_id, doc_id,
+        |    CAST(printf('%.6f', 1.0/(60 + rnk)) AS DECIMAL(30,6)) AS c
+        |  FROM lex WHERE rnk <= 20
+        |  UNION ALL SELECT query_id, doc_id,
+        |    CAST(printf('%.6f', 1.0/(60 + rnk)) AS DECIMAL(30,6))
+        |  FROM sem WHERE rnk <= 20),
+        |fused AS (SELECT query_id, doc_id, SUM(c) AS score_d,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lists
+        |  FROM rt GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_d, n_lists,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_d DESC, doc_id ASC) AS rnk
+        |  FROM fused)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id,
+        |  CAST(score_d AS VARCHAR) AS score, n_lists
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "q144_corpus_drift" ->
+      """WITH toks AS (SELECT source AS slice,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS bucket
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |sc AS (SELECT slice, bucket, CAST(COUNT(*) AS BIGINT) AS c_s
+        |       FROM toks GROUP BY slice, bucket),
+        |rc AS (SELECT bucket, CAST(SUM(c_s) AS BIGINT) AS c_r
+        |       FROM sc GROUP BY bucket),
+        |stot AS (SELECT slice, CAST(SUM(c_s) AS BIGINT) AS n_s
+        |         FROM sc GROUP BY slice),
+        |rtot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r FROM rc),
+        |b AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(64)),
+        |g AS (SELECT st.slice, st.n_s, rt.n_r, b.bucket,
+        |        COALESCE(sc.c_s, 0) AS c_s, COALESCE(rc.c_r, 0) AS c_r
+        |      FROM stot st CROSS JOIN b
+        |      LEFT JOIN sc ON sc.slice = st.slice AND sc.bucket = b.bucket
+        |      LEFT JOIN rc ON rc.bucket = b.bucket
+        |      CROSS JOIN rtot rt),
+        |a AS (SELECT slice, MIN(n_s) AS n_s, MIN(n_r) AS n_r,
+        |        SUM(ABS(CAST(c_s AS HUGEINT) * n_r
+        |          - CAST(c_r AS HUGEINT) * n_s)) AS l1
+        |      FROM g GROUP BY slice)
+        |SELECT slice, CAST(n_s AS BIGINT) AS n_tokens,
+        |  CAST(l1 AS BIGINT) AS l1_cross,
+        |  printf('%.6f', CAST(l1 AS DOUBLE)
+        |    / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE))) AS drift
+        |FROM a ORDER BY slice""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

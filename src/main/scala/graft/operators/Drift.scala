@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Hashing, TextFunctions}
+
+/** Corpus drift monitor — "did this slice's token distribution move away
+  * from the reference": the check a crawl pipeline runs per source /
+  * per ingest day before mixing new data into a training corpus, and
+  * the alarm that catches a scraper gone wrong (one template repeated a
+  * billion times) or an upstream language shift.
+  *
+  * Statistic: cross-scaled L1 distance over hashed-unigram histograms.
+  * With slice counts c_s,b (N_s total) and reference counts c_r,b (N_r):
+  *
+  *   L1×(s) = Σ_b | c_s,b·N_r − c_r,b·N_s |
+  *
+  * — the numerator of Σ|p_b − q_b| on the common denominator N_s·N_r,
+  * so it is EXACT INTEGER arithmetic end to end; the normalized
+  * Σ|p−q| ∈ [0,2] is emitted as one 6-decimal division of the exact
+  * parts. Same hashed-bucket trick as [[Dsir]] (B buckets, md5-derived,
+  * replayable by any engine): model size is B, independent of
+  * vocabulary, and the reference histogram DERIVES from the per-slice
+  * counts (one groupBy rollup) — the corpus is scanned exactly once.
+  *
+  * Shape at 100 TB: one explode → one (slice, bucket) aggregate
+  * (map-side combined: at most |slices|·B partial rows per task), a
+  * B-row rollup, and a dense slices×B grid join against two tiny
+  * broadcast sides. Products run in decimal(38,0) so petabyte-scale
+  * token counts (c·N up to ~10²⁴) cannot overflow long arithmetic.
+  */
+object Drift {
+
+  /** @return (slice, n_tokens, l1_cross, drift) per slice — l1_cross
+    *         the exact integer statistic (decimal(38,0)), drift the
+    *         6-decimal normalized Σ|p−q| ∈ [0,2]. Slices with zero
+    *         tokens are absent (they have no distribution to drift). */
+  def l1Drift(docs: DataFrame, slice: Column, text: Column,
+              buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val dec = DecimalType(38, 0)
+    val sliceCounts = docs
+      .select(slice.as("slice"), explode(TextFunctions.tokens(text)).as("tok"))
+      .select(col("slice"), (Hashing.hexLong(col("tok")) % buckets).as("bucket"))
+      .groupBy("slice", "bucket").agg(count(lit(1)).as("c_s"))
+    val refCounts = sliceCounts.groupBy("bucket")
+      .agg(sum("c_s").as("c_r"))
+    val sliceTotals = sliceCounts.groupBy("slice")
+      .agg(sum("c_s").as("n_s"))
+    val refTotal = refCounts.agg(sum("c_r").as("n_r"))
+    // dense slice×bucket grid: missing buckets still contribute
+    // |0·N_r − c_r,b·N_s|
+    val grid = sliceTotals
+      .crossJoin(broadcast(
+        docs.sparkSession.range(buckets).toDF("bucket")))
+      .join(sliceCounts, Seq("slice", "bucket"), "left")
+      .join(broadcast(refCounts), Seq("bucket"), "left")
+      .crossJoin(broadcast(refTotal))
+      .select(col("slice"), col("n_s"), col("n_r"),
+        coalesce(col("c_s"), lit(0L)).as("c_s"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"))
+    grid
+      .groupBy("slice")
+      .agg(first(col("n_s")).as("n_tokens"),
+        sum(abs(col("c_s").cast(dec) * col("n_r").cast(dec) -
+          col("c_r").cast(dec) * col("n_s").cast(dec))).as("l1_cross"),
+        first(col("n_s").cast(dec) * col("n_r").cast(dec)).as("den"))
+      .withColumn("l1_cross", col("l1_cross").cast(dec))
+      .withColumn("drift", format_string("%.6f",
+          col("l1_cross").cast("double") / col("den").cast("double"))
+        .cast(DecimalType(30, 6)))
+      .drop("den")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions
+
+/** Token-distribution entropy per document — the information-density
+  * quality signal that complements [[Repetition]]'s coverage rules and
+  * the surface heuristics in [[graft.functions.TextFunctions]]: keyword
+  * stuffing, boilerplate loops, and template spam all collapse entropy
+  * long before simple length/ratio filters notice, while natural prose
+  * at a given length sits in a narrow entropy band (the C4/Gopher-family
+  * intuition).
+  *
+  * H(doc) = ln N − (Σ_t c_t·ln c_t)/N  (nats), computed as ONE
+  * explode → (doc, token) count → per-doc aggregate — two
+  * map-side-combined shuffles, both keyed by doc id, nothing corpus-wide.
+  *
+  * Determinism contract (the repo's ln discipline, as in
+  * [[Dsir]]/[[NgramLm]]): every c·ln c term is rounded to 6 decimals
+  * ONCE and summed as exact decimal — order-independent under any
+  * partitioning — and the final entropy is one double expression over
+  * that exact sum, rounded to 6 decimals. 1-ulp `ln` differences across
+  * engines are absorbed by the rounding (exact 5e-7 ties essentially
+  * never occur in log-derived doubles; same stance as
+  * `Retrieval.scala:32`).
+  */
+object Entropy {
+
+  /** @return (doc_id, n_tokens, n_distinct, cln_sum, entropy) — cln_sum
+    *         is the exact-decimal Σ round6(c·ln c) witness, entropy the
+    *         6-decimal nats value. Empty docs (no tokens) are absent. */
+  def tokenEntropy(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val counts = docs
+      .select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(format_string("%.6f",
+            col("c").cast("double") * log(col("c").cast("double")))
+          .cast(DecimalType(30, 6))).as("cln_sum"))
+      .withColumn("cln_sum", col("cln_sum").cast(DecimalType(30, 6)))
+      .withColumn("entropy", format_string("%.6f",
+          log(col("n_tokens").cast("double")) -
+            col("cln_sum").cast("double") / col("n_tokens").cast("double"))
+        .cast(DecimalType(30, 6)))
+  }
+}

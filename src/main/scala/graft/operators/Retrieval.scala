@@ -96,4 +96,42 @@ object Retrieval {
       .select(col("query_id"), col("rnk"), col("doc_id"),
         col("score_d").cast("string").as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: fuse ANY number of ranked
+    * lists (BM25, ANN, recency, …) by score(d) = Σ_l 1/(K + rank_l(d)),
+    * no score calibration across lists needed. The RAG stage between
+    * retrieval and rerank.
+    *
+    * Determinism: each 1/(K+rank) term is rounded to 6 decimals ONCE
+    * and the per-document sum runs in EXACT decimal, so the fused score
+    * is independent of list order and merge order for any list count,
+    * and an oracle replays it literally; final ties break by doc id.
+    *
+    * Shape at scale: lists are top-k results (bounded), so the union +
+    * one grouped aggregate + one per-query window is bounded by
+    * Σ|lists| rows — cost tracks the RESULT lists, never a corpus.
+    *
+    * @param lists each (query_id, doc_id, rnk) — ranks 1-based
+    * @param rrfK  the K constant (60 in the paper)
+    * @param k     fused results per query
+    * @return (query_id, rnk, doc_id, score, n_lists) — n_lists = how
+    *         many input lists voted for the document
+    */
+  def rrfFuse(lists: Seq[DataFrame], rrfK: Int, k: Int): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one list")
+    val terms = lists.map(_.select(col("query_id"), col("doc_id"),
+        format_string("%.6f",
+          lit(1.0) / (lit(rrfK.toDouble) + col("rnk").cast("double")))
+          .cast("decimal(30,6)").as("c")))
+      .reduce(_ unionByName _)
+    val fused = terms.groupBy("query_id", "doc_id")
+      .agg(sum("c").as("score_d"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_d").desc, col("doc_id").asc)
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("score_d").cast("string").as("score"), col("n_lists"))
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Entropy
+
+/** Token entropy: hand-checked distributions, the spam-vs-prose
+  * ordering the signal exists for, and partitioning invariance of the
+  * rounded-term sum. */
+class EntropySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], parts: Int = 4) =
+    Entropy.tokenEntropy(rows.toDF("doc_id", "text").repartition(parts),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy").cast("string"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("hand-checked: uniform, constant, and skewed distributions") {
+    val got = run(Seq(
+      (1L, "a b c d"),       // uniform over 4: H = ln 4
+      (2L, "x x x x"),       // constant: H = 0
+      (3L, "a a a b")))      // skewed: ln4 - (3 ln 3)/4
+    assert(got(0) == ((1L, 4L, 4L, "1.386294")))
+    assert(got(1) == ((2L, 4L, 1L, "0.000000")))
+    // ln 4 - 3*ln 3/4 = 1.386294 - 0.823959... = 0.562335
+    assert(got(2) == ((3L, 4L, 2L, "0.562335")))
+  }
+
+  test("template spam scores below natural-looking prose") {
+    val spam = (1 to 50).map(_ => "buy now cheap").mkString(" ")
+    val prose = "the quick brown fox jumps over a lazy dog while many " +
+      "other words appear just once in this sentence stream today"
+    val got = run(Seq((1L, spam), (2L, prose)))
+      .map(r => r._1 -> BigDecimal(r._4)).toMap
+    assert(got(1L) < got(2L), s"spam ${got(1L)} must be below prose ${got(2L)}")
+  }
+
+  test("rounded-term sum is partitioning-invariant") {
+    val rnd = new scala.util.Random(142)
+    val docs = (1L to 30L).map(i =>
+      i -> Seq.fill(40)(s"w${rnd.nextInt(12)}").mkString(" "))
+    assert(run(docs, parts = 1) == run(docs, parts = 13))
+  }
+}

@@ -73,4 +73,33 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast in:\n$plan")
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
+
+  test("rrfFuse: hand-checked fusion, consensus beats a single #1") {
+    // list A: d10 > d20 > d30 ; list B: d20 > d10 > d40
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 20L, 1), (1L, 10L, 2), (1L, 40L, 3))
+      .toDF("query_id", "doc_id", "rnk")
+    val got = Retrieval.rrfFuse(Seq(a, b), rrfK = 60, k = 10)
+      .orderBy("rnk")
+      .select("rnk", "doc_id", "score", "n_lists")
+      .as[(Int, Long, String, Long)].collect().toSeq
+    // 1/(60+r) rounded to 6dp: r1=0.016393, r2=0.016129, r3=0.015873
+    assert(got == Seq(
+      (1, 10L, "0.032522", 2L), // 0.016393+0.016129 — ties to d20...
+      (2, 20L, "0.032522", 2L), // same sum, id tiebreak
+      (3, 30L, "0.015873", 1L),
+      (4, 40L, "0.015873", 1L)))
+  }
+
+  test("rrfFuse: list count and order of lists do not matter") {
+    val a = Seq((1L, 5L, 1), (1L, 6L, 2)).toDF("query_id", "doc_id", "rnk")
+    val b = Seq((1L, 6L, 1), (1L, 7L, 2)).toDF("query_id", "doc_id", "rnk")
+    val c = Seq((1L, 7L, 1), (1L, 5L, 2)).toDF("query_id", "doc_id", "rnk")
+    val x = Retrieval.rrfFuse(Seq(a, b, c), 60, 5).orderBy("rnk", "doc_id")
+      .select("doc_id", "score").as[(Long, String)].collect().toSeq
+    val y = Retrieval.rrfFuse(Seq(c, a, b), 60, 5).orderBy("rnk", "doc_id")
+      .select("doc_id", "score").as[(Long, String)].collect().toSeq
+    assert(x == y)
+  }
 }
