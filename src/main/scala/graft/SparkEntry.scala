@@ -2545,6 +2545,41 @@ object SparkEntry {
         .orderBy("slice")
     }),
 
+    // Multimodal × dedup — image near-dup via dHash: REAL ImageIO
+    // decode of synthetic 9×8 gray PNGs (10 gradient families × 3
+    // variants; variants perturb one pixel, flipping ≤2 gradient
+    // signs), 64-bit difference hash per image, then near-dup pairing
+    // rides the EXACT same signature algebra as text simhash
+    // (simhashNearDupPairs: 4×16-bit band join + popcount verify — no
+    // pixels ever shuffle). The oracle replays pixel values, gradient
+    // signs, per-band diff counts, and the hamming threshold
+    // analytically — fully independent of ImageIO and the bit packing.
+    "q145_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (0 until 30).map { i =>
+        val g = i / 3; val r = i % 3
+        val img = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 8; x <- 0 until 9) {
+          val p = if (r > 0 && x == r + 1 && y == r) 100 else 0
+          // 29+31g wraps mod 256 at family-specific x positions, so
+          // every family's gradient-sign pattern is distinct (a
+          // non-wrapping ramp would dHash every image to all-ones)
+          val v = (x * (29 + 31 * g) + y * 23 + p) % 256
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (i.toLong, bos.toByteArray)
+      }
+      val media = Multimodal.ingest(fixtures.toDF("doc_id", "bin")
+        .withColumn("fmt", lit("image/png")), "doc_id", "bin", "fmt")
+      val sigs = Multimodal.dhashFrames(media).toDF()
+        .select(col("media_id").as("id"), col("dhash").as("simhash"))
+      Dedup.simhashNearDupPairs(sigs, bits = 64, bands = 4, maxHamming = 6)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -5033,6 +5068,30 @@ object SparkEntry {
         |  printf('%.6f', CAST(l1 AS DOUBLE)
         |    / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE))) AS drift
         |FROM a ORDER BY slice""".stripMargin,
+
+    "q145_image_dhash" ->
+      """WITH g AS (SELECT CAST(range AS BIGINT) AS i FROM range(30)),
+        |xs AS (SELECT CAST(range AS BIGINT) AS x FROM range(9)),
+        |ys AS (SELECT CAST(range AS BIGINT) AS y FROM range(8)),
+        |px AS (SELECT i, x, y,
+        |    (x * (29 + 31 * (i // 3)) + y * 23 +
+        |     CASE WHEN i % 3 > 0 AND x = i % 3 + 1 AND y = i % 3
+        |          THEN 100 ELSE 0 END) % 256 AS v
+        |  FROM g, xs, ys),
+        |bits AS (SELECT a.i, a.y * 8 + a.x AS k,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM px a JOIN px b ON b.i = a.i AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8),
+        |diffs AS (SELECT ba.i AS a, bb.i AS b, ba.k // 16 AS band,
+        |    SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS d
+        |  FROM bits ba JOIN bits bb ON ba.k = bb.k AND ba.i < bb.i
+        |  GROUP BY 1, 2, 3),
+        |agg AS (SELECT a, b, CAST(SUM(d) AS BIGINT) AS hamming,
+        |    MAX(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS shares
+        |  FROM diffs GROUP BY a, b)
+        |SELECT a AS doc_a, b AS doc_b, hamming FROM agg
+        |WHERE shares = 1 AND hamming <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

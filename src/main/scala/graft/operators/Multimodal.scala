@@ -166,6 +166,59 @@ object Multimodal {
       }
   }
 
+  final case class ImageHash(media_id: Long, width: Int, height: Int,
+                             dhash: Long)
+
+  /** 64-bit difference hash (dHash) of an image: luminance on a 9×8
+    * grid, bit (y·8+x) set iff lum(x+1,y) > lum(x,y) — the standard
+    * perceptual fingerprint for image near-dup (gradient signs survive
+    * re-encoding, mild crops, and brightness shifts that break exact
+    * byte/pixel hashes). Images already 9×8 hash their true pixels
+    * (no resample — exactness for the oracle gate); anything else goes
+    * through the same bilinear resize as [[resizeFrames]]. Luminance is
+    * the integer Rec.601 form shared with [[luminanceHistogram]]. */
+  private[operators] def dhashOf(img: BufferedImage): Long = {
+    val small =
+      if (img.getWidth == 9 && img.getHeight == 8) img
+      else decodeImage(resizeImage(img, 9, 8)).get // PNG round-trip is lossless
+    var h = 0L
+    val row = new Array[Int](9)
+    var y = 0
+    while (y < 8) {
+      small.getRGB(0, y, 9, 1, row, 0, 9)
+      var x = 0
+      while (x < 8) {
+        val l = ((row(x) >> 16 & 0xff) * 299 + (row(x) >> 8 & 0xff) * 587 +
+          (row(x) & 0xff) * 114) / 1000
+        val r = ((row(x + 1) >> 16 & 0xff) * 299 + (row(x + 1) >> 8 & 0xff) * 587 +
+          (row(x + 1) & 0xff) * 114) / 1000
+        if (r > l) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Batched dHash over a media frame: (media_id, original dims, 64-bit
+    * dhash). Near-dup pairing is then pure signature algebra —
+    * [[Dedup.simhashNearDupPairs]] with bits=64 consumes this output
+    * directly (band join + popcount verify), so image near-dup rides
+    * the SAME scale path as text simhash: no pixels ever shuffle. */
+  def dhashFrames(media: DataFrame): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    graft.core.Parallelism.ensureWidth(media)
+      .select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        require(imageIoReady) // per-batch codec init
+        rows.flatMap { r =>
+          decodeImage(r.getAs[Array[Byte]](1)).map { img =>
+            ImageHash(r.getLong(0), img.getWidth, img.getHeight, dhashOf(img))
+          }
+        }
+      }
+  }
+
   final case class DecodedAudio(media_id: Long, sample_rate: Float,
                                 n_channels: Int, n_frames: Long,
                                 duration_sec: Double, rms: Float)

@@ -457,4 +457,35 @@ class MultimodalZipSpec extends SparkSpec {
     assert(name == "a-pres.xml" && new String(content, "UTF-8") == "<pres/>")
     assert(ZipSource.member(bytes, _.contains("nope")).isEmpty)
   }
+
+  test("dHash: gradient signs, perturbation flips, and resize stability") {
+    import spark.implicits._
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    // 9×8 already-sized images hash their true pixels
+    val flat = png(9, 8, (_, _) => gray(128))            // no gradients -> 0
+    val ramp = png(9, 8, (x, _) => gray(x * 20))         // rising -> all ones
+    val bump = png(9, 8, (x, y) =>                       // one bumped pixel
+      gray(if (x == 4 && y == 2) 200 else x * 20))
+    val docs = Seq((1L, flat), (2L, ramp), (3L, bump))
+      .toDF("doc_id", "bin").withColumn("fmt", lit("image/png"))
+    val media = graft.operators.Multimodal.ingest(docs, "doc_id", "bin", "fmt")
+    val got = graft.operators.Multimodal.dhashFrames(media)
+      .collect().map(h => h.media_id -> h.dhash).toMap
+    assert(got(1L) == 0L, "flat image has no rising gradients")
+    assert(got(2L) == -1L, "monotone ramp sets all 64 bits")
+    // bump at (4,2): bit (2*8+3) flips to 0 (200 > 80 left edge keeps 1,
+    // drop 200 -> 100 flips bit 4's left compare)... verify by popcount:
+    // exactly the two comparisons touching (4,2) can change
+    val flipped = java.lang.Long.bitCount(got(2L) ^ got(3L))
+    assert(flipped >= 1 && flipped <= 2, s"bump flips 1-2 bits, got $flipped")
+    // a 90×80 scaled-up ramp must land near the 9×8 ramp's hash after
+    // the real bilinear resize (identical gradient structure)
+    val big = Seq((9L, png(90, 80, (x, _) => gray((x / 10) * 20))))
+      .toDF("doc_id", "bin").withColumn("fmt", lit("image/png"))
+    val bigHash = graft.operators.Multimodal.dhashFrames(
+      graft.operators.Multimodal.ingest(big, "doc_id", "bin", "fmt"))
+      .collect().head.dhash
+    assert(java.lang.Long.bitCount(bigHash ^ got(2L)) <= 8,
+      "resized ramp stays within 8 bits of the native-size ramp")
+  }
 }
