@@ -2580,6 +2580,40 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Event analytics — last-touch attribution (the third classic after
+    // funnel/retention): every purchase credits the most recent
+    // preceding click by the same user within 7 days, else "organic".
+    // ONE user-keyed window pass (the as-of union+carry trick) — no
+    // join, no per-conversion search; values in exact cents; the
+    // deterministic tie rule (same-µs touch counts) is pinned by the
+    // side ordering. Channels derive from the click's JSON props.
+    "q146_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("t_us", unix_micros(col("ts")))
+      EventAnalytics.lastTouchAttribution(ev,
+          user = col("user_id"), ts = col("t_us"),
+          isTouch = col("event_type") === "click",
+          isConversion = col("event_type") === "purchase",
+          channel = concat(lit("ch"),
+            get_json_object(col("props"), "$.k").cast("long") % 4),
+          value = floor(col("value") * lit(100.0)),
+          lookbackUs = 7L * 86400L * 1000000L)
+        .orderBy("channel")
+    }),
+
+    // LLM ops — PMI collocation mining (Church & Hanks 1990): adjacent
+    // word pairs ranked by ln(c_xy·N²/(P·c_x·c_y)) with a min-count
+    // floor — the phrase-discovery pass complementing BPE's
+    // frequency-driven merges. Two counting aggregates over one read;
+    // the PMI double is ONE division of fixed-association products so
+    // both engines compute bit-identical ratios; ranking uses the
+    // 6-decimal ROUNDED value with the bigram tiebreak.
+    "q147_pmi_collocations" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Collocations.topPmi(d, col("text"), minCount = 5L, k = 30)
+        .orderBy(col("pmi").cast(DecimalType(30, 6)).desc, col("bg"))
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -5092,6 +5126,54 @@ object SparkEntry {
         |SELECT a AS doc_a, b AS doc_b, hamming FROM agg
         |WHERE shares = 1 AND hamming <= 6
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q146_attribution" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type, props,
+        |      CAST(floor(value * 100) AS BIGINT) AS cents
+        |    FROM events WHERE event_type IN ('click', 'purchase')),
+        |u AS (SELECT user_id, t,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+        |    CASE WHEN event_type = 'click' THEN
+        |      struct_pack(tt := t, ch := 'ch' ||
+        |        (CAST(json_extract_string(props, '$.k') AS BIGINT) % 4))
+        |    END AS touch,
+        |    CASE WHEN event_type = 'purchase' THEN cents END AS v
+        |  FROM ev),
+        |c AS (SELECT user_id, t, side, v,
+        |    LAST_VALUE(touch IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY t, side, touch NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+        |  FROM u),
+        |a AS (SELECT CASE WHEN lt IS NOT NULL AND lt.tt >= t - 604800000000
+        |      THEN lt.ch ELSE 'organic' END AS channel, v
+        |  FROM c WHERE side = 1)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(v) AS BIGINT) AS value_sum
+        |FROM a GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "q147_pmi_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |toks AS (SELECT unnest(ws) AS tok FROM w),
+        |bgs AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |          i -> ws[i] || ' ' || ws[i+1])) AS bg FROM w),
+        |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM toks GROUP BY tok),
+        |tot AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS n_toks,
+        |               (SELECT CAST(COUNT(*) AS BIGINT) FROM bgs) AS n_pairs),
+        |cand AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |         FROM bgs GROUP BY bg HAVING COUNT(*) >= 5),
+        |sp AS (SELECT bg, c_xy, split_part(bg, ' ', 1) AS x,
+        |         split_part(bg, ' ', 2) AS y FROM cand),
+        |j AS (SELECT sp.bg, sp.c_xy, ux.c AS c_x, uy.c AS c_y,
+        |        tot.n_toks, tot.n_pairs
+        |      FROM sp JOIN uni ux ON ux.tok = sp.x
+        |      JOIN uni uy ON uy.tok = sp.y CROSS JOIN tot),
+        |p AS (SELECT bg, c_xy, c_x, c_y,
+        |    CAST(printf('%.6f', ln(((CAST(c_xy AS DOUBLE) * n_toks) * n_toks)
+        |      / ((CAST(n_pairs AS DOUBLE) * c_x) * c_y))) AS DECIMAL(30,6)) AS pmi6
+        |  FROM j)
+        |SELECT bg, c_xy, c_x, c_y, CAST(pmi6 AS VARCHAR) AS pmi
+        |FROM p ORDER BY pmi6 DESC, bg LIMIT 30""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions
+
+/** PMI collocation mining — "which adjacent word pairs belong together"
+  * (Church & Hanks 1990): the phrase-discovery pass a tokenizer/corpus
+  * pipeline runs to decide merge candidates and stop-phrase lists,
+  * complementing [[Tokenize]]'s frequency-driven BPE merges with an
+  * association-strength ranking:
+  *
+  *   PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) )
+  *            = ln( (c_xy·N²) / (P·c_x·c_y) )
+  *
+  * with c_xy the adjacent-pair count (P pairs total) and c_x/c_y
+  * unigram counts (N tokens total). A `minCount` floor keeps the
+  * rare-pair artifacts out (PMI's known failure mode).
+  *
+  * Shape at scale: two map-side-combined counting aggregates (unigrams,
+  * bigrams) over one corpus read; the candidate set after `minCount` is
+  * small, so the two unigram legs join against it broadcast-style and
+  * the top-k is one TakeOrderedAndProject. Determinism: the PMI double
+  * is ONE division of two fixed-association products (engine-identical
+  * IEEE ops), rounded to 6 decimals; ordering uses the ROUNDED decimal
+  * with the bigram string as tiebreak, so ranking is engine-portable
+  * (the repo's ln discipline).
+  */
+object Collocations {
+
+  /** @return top-k (bigram, c_xy, c_x, c_y, pmi) by PMI desc, bigram
+    *         asc; pmi is the 6-decimal string. */
+  def topPmi(docs: DataFrame, text: Column, minCount: Long, k: Int)
+      : DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount and k must be >= 1")
+    val toksArr = TextFunctions.tokens(text)
+    val toks = docs.select(explode(toksArr).as("tok"))
+    val pairs = docs.select(
+      explode(TextFunctions.shingles(toksArr, 2)).as("bg"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = toks.agg(count(lit(1)).as("n_toks"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+    val cand = pairs.groupBy("bg").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+      .withColumn("x", substring_index(col("bg"), " ", 1))
+      .withColumn("y", substring_index(col("bg"), " ", -1))
+    val num = (col("c_xy").cast("double") * col("n_toks").cast("double")) *
+      col("n_toks").cast("double")
+    val den = (col("n_pairs").cast("double") * col("c_x").cast("double")) *
+      col("c_y").cast("double")
+    cand
+      .join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi6",
+        format_string("%.6f", log(num / den)).cast(DecimalType(30, 6)))
+      .orderBy(col("pmi6").desc, col("bg").asc)
+      .limit(k)
+      .select(col("bg"), col("c_xy"), col("c_x"), col("c_y"),
+        col("pmi6").cast("string").as("pmi"))
+  }
+}

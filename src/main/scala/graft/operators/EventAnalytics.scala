@@ -92,4 +92,62 @@ object EventAnalytics {
       .groupBy("cohort_week", "offset").agg(count(lit(1)).as("n_active"))
       .orderBy("cohort_week", "offset")
   }
+
+  /** Last-touch attribution — the third classic alongside [[funnel]]
+    * and [[retentionCohorts]]: every conversion credits the MOST RECENT
+    * preceding touch by the same user within `lookbackUs`; conversions
+    * with no in-window touch credit `"organic"`. Touches at the exact
+    * conversion timestamp count (arrival order within one µs is not
+    * observable; the deterministic tie rule, stated here, is
+    * touch-before-conversion).
+    *
+    * Mechanics: the as-of union+carry trick ([[AsOfJoin]]'s core) — ONE
+    * user-keyed window pass carries the latest touch (ts, channel)
+    * struct onto each conversion; the lookback test is a plain comparison
+    * on the carried timestamp. No join, no per-conversion search.
+    *
+    * @param events      stream
+    * @param user        entity id
+    * @param ts          event time (µs epoch long)
+    * @param isTouch     row is a creditable touch
+    * @param isConversion row is a conversion
+    * @param channel     touch's channel label (evaluated on touch rows)
+    * @param value       conversion's value in EXACT integer units
+    *                    (cents/µ-units — caller scales; evaluated on
+    *                    conversion rows)
+    * @param lookbackUs  attribution window
+    * @return one row per channel incl. "organic": (channel,
+    *         n_conversions, value_sum)
+    */
+  def lastTouchAttribution(events: DataFrame, user: Column, ts: Column,
+                           isTouch: Column, isConversion: Column,
+                           channel: Column, value: Column,
+                           lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    // the trailing touch struct totalizes the order: same-µs touches
+    // with different channels resolve to the greatest struct (stated
+    // tie rule), never to physical arrival order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u"))
+      .orderBy(col("t"), col("side"), col("touch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tagged = events
+      .filter(isTouch || isConversion)
+      .select(user.as("u"), ts.cast("long").as("t"),
+        // touches sort before a same-µs conversion: the stated tie rule
+        when(isTouch, 0).otherwise(1).as("side"),
+        when(isTouch, struct(ts.cast("long").as("tt"),
+          channel.cast("string").as("ch"))).as("touch"),
+        when(isConversion, value.cast("long")).as("v"))
+    val carried = tagged
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .withColumn("channel",
+        when(col("last_touch").isNotNull &&
+          col("last_touch.tt") >= col("t") - lookbackUs,
+          col("last_touch.ch")).otherwise(lit("organic")))
+    carried.groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("v")).as("value_sum"))
+  }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Collocations
+
+/** PMI collocations: hand-checked association ranking, min-count floor,
+  * and parity with an independent brute-force model. */
+class CollocationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a bound phrase outranks a chance pairing; min-count floors") {
+    // "strong coffee" always adjacent; "the the" frequent but unbound;
+    // "rare gem" appears once (floored out at minCount 2)
+    val docs = Seq(
+      (1 to 6).map(_ => "strong coffee").mkString(" "),
+      "the a the b the c the d the e the f rare gem"
+    ).map(Tuple1(_)).toDF("text")
+    val got = Collocations.topPmi(docs, col("text"), minCount = 2L, k = 10)
+      .select("bg").as[String].collect().toSeq
+    assert(got.head == "strong coffee", s"got $got")
+    assert(!got.contains("rare gem"), "minCount must floor singletons")
+  }
+
+  test("matches an independent brute-force PMI model") {
+    val rnd = new scala.util.Random(147)
+    val docs = (1 to 20).map(_ =>
+      Seq.fill(30)(s"w${rnd.nextInt(8)}").mkString(" ")).map(Tuple1(_))
+      .toDF("text")
+    val got = Collocations.topPmi(docs, col("text"), minCount = 3L, k = 50)
+      .select("bg", "c_xy", "pmi").as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // independent model
+    val texts = docs.select("text").as[String].collect()
+    val toks = texts.flatMap(_.split(" "))
+    val pairs = texts.flatMap(t => t.split(" ").sliding(2)
+      .filter(_.size == 2).map(_.mkString(" ")))
+    val uni = toks.groupBy(identity).view.mapValues(_.size.toLong)
+    val n = toks.size.toDouble; val p = pairs.size.toDouble
+    val exp = pairs.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 3L).map { case (bg, cxy) =>
+        val Array(x, y) = bg.split(" ")
+        val pmi = math.log(((cxy.toDouble * n) * n) / ((p * uni(x)) * uni(y)))
+        bg -> ((cxy, f"$pmi%.6f"))
+      }.toMap
+    assert(got == exp.filter { case (k, _) => got.contains(k) })
+    assert(got.keySet.subsetOf(exp.keySet))
+  }
+}

@@ -65,4 +65,29 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!capped.contains((0L, 3L)))
   }
+
+  test("lastTouchAttribution: credit, lookback expiry, organic, same-µs tie") {
+    // (user, t, type, channel, cents)
+    val rows = Seq(
+      (1L, 100L, "touch", "a", 0L),
+      (1L, 200L, "conv", null, 10L),    // credits a (within 50? no: lookback below)
+      (1L, 600L, "conv", null, 20L),    // a is 500 old -> organic at lookback 300
+      (2L, 100L, "touch", "a", 0L),
+      (2L, 150L, "touch", "b", 0L),     // later touch overrides
+      (2L, 200L, "conv", null, 40L),    // credits b
+      (3L, 500L, "conv", null, 80L),    // no touch ever -> organic
+      (4L, 100L, "touch", "a", 0L),
+      (4L, 100L, "touch", "c", 0L),     // same-µs tie -> greatest struct (c)
+      (4L, 100L, "conv", null, 160L)    // same-µs touch counts (tie rule)
+    ).toDF("u", "t", "tpe", "ch", "cents")
+    val got = EventAnalytics.lastTouchAttribution(rows,
+        user = col("u"), ts = col("t"),
+        isTouch = col("tpe") === "touch",
+        isConversion = col("tpe") === "conv",
+        channel = col("ch"), value = col("cents"), lookbackUs = 300L)
+      .orderBy("channel")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 10L), ("b", 1L, 40L), ("c", 1L, 160L),
+      ("organic", 2L, 100L)))
+  }
 }
