@@ -66,6 +66,69 @@ object SparkEntry {
        |          FROM embeddings) t USING (vec_id))
        |  GROUP BY centroid_id, pos) GROUP BY centroid_id""".stripMargin
 
+  /** [[kmAssignSql]] over ONE PQ subspace: embeddings sliced to
+    * [lo, hi] (DuckDB 1-based inclusive) against subspace centroids. */
+  private def pqAssignSql(cents: String, lo: Int, hi: Int): String =
+    s"""SELECT vec_id, centroid_id FROM (
+       |  SELECT vec_id, centroid_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, centroid_id ASC) AS rn
+       |  FROM (SELECT vec_id, centroid_id, SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+       |        FROM (SELECT e.vec_id, c.centroid_id, unnest(e.embedding[$lo:$hi]) AS x, unnest(c.cvec) AS y
+       |              FROM embeddings e CROSS JOIN $cents c)
+       |        GROUP BY vec_id, centroid_id)) WHERE rn = 1""".stripMargin
+
+  /** [[kmMeansSql]] over one PQ subspace slice. */
+  private def pqMeansSql(assign: String, lo: Int, hi: Int): String =
+    s"""SELECT centroid_id, list(cx ORDER BY pos) AS cvec FROM (
+       |  SELECT centroid_id, pos,
+       |    CAST(CAST(CAST(SUM(u) AS BIGINT) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) / 1.0E9 AS FLOAT) AS cx
+       |  FROM (SELECT a.centroid_id, t.pos, CAST(${dec9Sql("t.x")} * 1000000000 AS BIGINT) AS u
+       |        FROM $assign a JOIN (
+       |          SELECT vec_id, unnest(embedding[$lo:$hi]) AS x,
+       |                 generate_subscripts(embedding[$lo:$hi], 1) AS pos
+       |          FROM embeddings) t USING (vec_id))
+       |  GROUP BY centroid_id, pos) GROUP BY centroid_id""".stripMargin
+
+  /** The full PQ replay (q148): shared 8-seed set, then per subspace m
+    * ∈ 0..3 two Lloyd's iterations + the encode assignment — the exact
+    * unroll of [[operators.Pq.train]]/encode at m=4, subDim=16, k=8,
+    * iters=2 — plus per-query LUTs and the ADC sum. */
+  private def pqChainSql: String = {
+    val per = (0 until 4).map { mi =>
+      val lo = mi * 16 + 1; val hi = (mi + 1) * 16
+      s"""s${mi}0 AS (SELECT centroid_id, embedding[$lo:$hi] AS cvec FROM seeds8),
+         |a${mi}1 AS (${pqAssignSql(s"s${mi}0", lo, hi)}),
+         |c${mi}1 AS (${pqMeansSql(s"a${mi}1", lo, hi)}),
+         |a${mi}2 AS (${pqAssignSql(s"c${mi}1", lo, hi)}),
+         |c${mi}2 AS (${pqMeansSql(s"a${mi}2", lo, hi)}),
+         |enc$mi AS (SELECT vec_id, CAST($mi AS BIGINT) AS m, centroid_id AS code
+         |           FROM (${pqAssignSql(s"c${mi}2", lo, hi)})),
+         |lut$mi AS (SELECT qid, CAST($mi AS BIGINT) AS m, centroid_id AS code,
+         |    SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+         |  FROM (SELECT q.qid, c.centroid_id, unnest(q.qvec[$lo:$hi]) AS x,
+         |          unnest(c.cvec) AS y
+         |        FROM qs q CROSS JOIN c${mi}2 c)
+         |  GROUP BY qid, centroid_id)""".stripMargin
+    }.mkString(",\n")
+    s"""seeds8 AS (
+       |  SELECT centroid_id, embedding FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY
+       |        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) - 1
+       |      AS centroid_id, embedding
+       |    FROM embeddings) WHERE centroid_id < 8),
+       |qs AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+       |       WHERE vec_id IN (7, 142, 399)),
+       |$per,
+       |codes AS (SELECT * FROM enc0 UNION ALL SELECT * FROM enc1
+       |          UNION ALL SELECT * FROM enc2 UNION ALL SELECT * FROM enc3),
+       |lut AS (SELECT * FROM lut0 UNION ALL SELECT * FROM lut1
+       |        UNION ALL SELECT * FROM lut2 UNION ALL SELECT * FROM lut3),
+       |adc AS (SELECT l.qid, cd.vec_id, SUM(l.dp) AS score_d
+       |        FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+       |        GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Star join: revenue per region across customer⋈nation⋈region⋈orders. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2612,6 +2675,43 @@ object SparkEntry {
       val d = Tables.load(s, dir, "documents")
       Collocations.topPmi(d, col("text"), minCount = 5L, k = 30)
         .orderBy(col("pmi").cast(DecimalType(30, 6)).desc, col("bg"))
+    }),
+
+    // ANN — product quantization with ADC search (Jégou et al. 2011):
+    // the compressed-domain path completing IVF (coarse cells) and
+    // int8 (scalar codes). 64-dim vectors → 4 subspaces × 8-entry
+    // codebooks (two Lloyd's rounds each, the SAME deterministic
+    // kmeans as q67, on sliced views); each vector stores 4 code ids;
+    // queries score via a broadcast LUT of exact decimal dots and the
+    // score is the exact sum of 4 LUT entries — search never touches a
+    // raw vector. The oracle replays the ENTIRE thing: shared seeds,
+    // per-subspace iterations, encode assignments, LUTs, ADC sums.
+    "q148_pq_adc" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val cb = Pq.train(e, m = 4, subDim = 16, k = 8, iters = 2)
+      val codes = Pq.encode(e, cb, m = 4, subDim = 16)
+      val qs = e.filter(col("vec_id").isin(7L, 142L, 399L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Pq.adcTopK(codes, cb, qs, m = 4, subDim = 16, k = 10)
+        .orderBy("qid", "rnk")
+    }),
+
+    // ANN — PQ recall@10 vs exhaustive search: the instrument that
+    // prices the compression (4×8 codebooks = 12 bits/vector here) the
+    // way q85 prices IVF's nprobe. Exact side is the full decimal-dot
+    // top-10 (self included — ADC does not exclude it either);
+    // recallAtK joins the two lists. The oracle replays BOTH sides.
+    "q149_pq_recall" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val cb = Pq.train(e, m = 4, subDim = 16, k = 8, iters = 2)
+      val codes = Pq.encode(e, cb, m = 4, subDim = 16)
+      val qs = e.filter(col("vec_id").isin(7L, 142L, 399L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val approx = Pq.adcTopK(codes, cb, qs, m = 4, subDim = 16, k = 10)
+      val exact = Similarity.dotTopK(qs,
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        k = 10, excludeSelf = false)
+      Similarity.recallAtK(approx, exact, k = 10).orderBy("qid")
     }),
 
     // LLM ops — LSH banding RECALL audit against a deterministic exact
@@ -5174,6 +5274,35 @@ object SparkEntry {
         |  FROM j)
         |SELECT bg, c_xy, c_x, c_y, CAST(pmi6 AS VARCHAR) AS pmi
         |FROM p ORDER BY pmi6 DESC, bg LIMIT 30""".stripMargin,
+
+    "q148_pq_adc" ->
+      s"""WITH $pqChainSql,
+         |r AS (SELECT qid, vec_id, score_d,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY score_d DESC, vec_id ASC) AS rnk
+         |  FROM adc)
+         |SELECT qid, CAST(rnk AS INTEGER) AS rnk, vec_id AS cid,
+         |  CAST(score_d AS VARCHAR) AS score
+         |FROM r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    "q149_pq_recall" ->
+      s"""WITH $pqChainSql,
+         |r AS (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+         |        ORDER BY score_d DESC, vec_id ASC) AS rnk FROM adc),
+         |ap AS (SELECT qid, vec_id AS cid FROM r WHERE rnk <= 10),
+         |p2 AS (SELECT q.qid, e.vec_id AS cid, unnest(q.qvec) AS x,
+         |         unnest(e.embedding) AS y
+         |       FROM qs q CROSS JOIN embeddings e),
+         |d2 AS (SELECT qid, cid, SUM(${dec9Sql("x")} * ${dec9Sql("y")}) AS dp
+         |       FROM p2 GROUP BY qid, cid),
+         |ex AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY dp DESC, cid ASC) AS rnk FROM d2) WHERE rnk <= 10),
+         |h AS (SELECT ex.qid, CAST(COUNT(ap.cid) AS BIGINT) AS n_hit
+         |      FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.cid = ex.cid
+         |      GROUP BY ex.qid)
+         |SELECT qid, n_hit, CAST(n_hit AS DOUBLE) / 10 AS recall
+         |FROM h ORDER BY qid""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+  * compressed-domain ANN path that completes the shelf next to
+  * [[IvfIndex]] (coarse cells) and [[Similarity.quantizeInt8]] (scalar
+  * codes): split each d-dim vector into M subspaces, learn a k-entry
+  * codebook per subspace, store each vector as M small code ids
+  * (M·log₂k bits instead of 4d bytes), and score queries against codes
+  * via ADC — a per-query lookup table of exact per-subspace dots, so
+  * search never touches raw vectors.
+  *
+  * This is the DOT-PRODUCT form (assignment = argmax dot, the same
+  * spherical rule as [[Similarity.kmeansFit]]/centroidAssign, scores =
+  * Σ_m dot(q_m, c_m[code_m])): one consistent metric across train /
+  * encode / search, and every dot runs in scale-9 exact decimals — the
+  * whole pipeline is bit-replayable by an external oracle, codebooks
+  * included (q148 hash-gates the ADC lists against a full DuckDB replay
+  * of the subspace kmeans).
+  *
+  * Scale shape: training is M independent [[Similarity.kmeansFit]] runs
+  * over sliced views (documented M scans — train is offline and rare);
+  * encoding is ONE corpus pass (posexplode to (vec, m) sub-vectors +
+  * broadcast codebooks + one max_by aggregate); search joins the code
+  * table against a BROADCAST per-query LUT (Q·M·k rows) and sums M
+  * decimal entries per (query, vector) — no vector arithmetic at query
+  * time, which is the entire point of PQ at 100 TB.
+  */
+object Pq {
+
+  /** Train per-subspace codebooks. @return (m, centroid_id, cvec) —
+    * M·k rows, always broadcastable. */
+  def train(vectors: DataFrame, m: Int, subDim: Int, k: Int, iters: Int)
+      : DataFrame = {
+    require(m >= 1 && subDim >= 1 && k >= 1 && iters >= 0)
+    (0 until m).map { mi =>
+      val sliced = vectors.select(col("vec_id"),
+        slice(col("embedding"), mi * subDim + 1, subDim).as("embedding"))
+      Similarity.kmeansFit(sliced, k, iters)
+        .withColumn("m", lit(mi.toLong))
+        .select("m", "centroid_id", "cvec")
+    }.reduce(_ unionByName _)
+  }
+
+  private def subSplit(vec: Column, m: Int, subDim: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      mi => slice(vec, mi * subDim + lit(1), lit(subDim)))
+
+  /** Encode the corpus: ONE pass — posexplode each vector into its M
+    * sub-vectors, argmax-dot against the broadcast codebooks (id
+    * tiebreak, the centroidAssign rule). @return (vec_id, m, code) in
+    * the exploded form ADC consumes directly. */
+  def encode(vectors: DataFrame, codebooks: DataFrame, m: Int, subDim: Int)
+      : DataFrame = {
+    val sub = graft.core.Parallelism.ensureWidth(vectors)
+      .select(col("vec_id"),
+        posexplode(subSplit(col("embedding"), m, subDim)).as(Seq("m", "sub")))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        Similarity.scale9(col("sub")).as("s9"))
+    val cb9 = codebooks.select(col("m"), col("centroid_id"),
+      Similarity.scale9(col("cvec")).as("c9"))
+    sub.join(broadcast(cb9), Seq("m"))
+      .select(col("vec_id"), col("m"), col("centroid_id"),
+        Similarity.dot9(col("s9"), col("c9")).as("dp"))
+      .groupBy("vec_id", "m")
+      .agg(max_by(col("centroid_id"),
+        struct(col("dp"), -col("centroid_id"))).as("code"))
+  }
+
+  /** ADC top-k: the per-query LUT (exact decimal dot of each query
+    * sub-vector against each codebook entry — Q·M·k rows, broadcast)
+    * joins the code table on (m, code); the score is the EXACT decimal
+    * sum of M LUT entries. @return (qid, rnk, cid, score) — score the
+    * scale-18 decimal string, rank by score desc / cid asc. */
+  def adcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+              m: Int, subDim: Int, k: Int): DataFrame = {
+    val qSub = queries.select(col("qid"),
+        posexplode(subSplit(col("qvec"), m, subDim)).as(Seq("m", "sub")))
+      .select(col("qid"), col("m").cast("long").as("m"),
+        Similarity.scale9(col("sub")).as("q9"))
+    val cb9 = codebooks.select(col("m"), col("centroid_id").as("code"),
+      Similarity.scale9(col("cvec")).as("c9"))
+    val lut = qSub.join(cb9, Seq("m"))
+      .select(col("qid"), col("m"), col("code"),
+        Similarity.dot9(col("q9"), col("c9")).as("dp"))
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("dp")).as("score_d"))
+    val w = Window.partitionBy("qid").orderBy(col("score_d").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id").as("cid"),
+        col("score_d").cast("string").as("score"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, Similarity}
+
+/** Product quantization: codebook shape, encode determinism and
+  * nearest-code semantics, ADC = dot-with-reconstruction (checked by an
+  * independent driver-side model), and a duplicate query ranking its
+  * own code top-1. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12 vectors, d=4, two clearly separated sub-patterns per 2-dim
+  // subspace: [1,0]-ish vs [0,1]-ish halves
+  private lazy val vecs = (0L until 12L).map { i =>
+    val a = if (i % 2 == 0) Array(1f, 0f) else Array(0f, 1f)
+    val b = if (i % 3 == 0) Array(1f, 0f) else Array(0f, 1f)
+    // small per-vector jitter keeps vectors distinct but clustered
+    val j = (i * 0.001f)
+    (i, (a ++ b).map(_ + j))
+  }.toDF("vec_id", "embedding")
+
+  private lazy val cb = Pq.train(vecs, m = 2, subDim = 2, k = 2, iters = 2)
+  private lazy val codes = Pq.encode(vecs, cb, m = 2, subDim = 2)
+
+  test("codebooks: m x k rows of subDim-wide centroids") {
+    val rows = cb.collect()
+    assert(rows.length <= 4 && rows.nonEmpty)
+    assert(rows.forall(_.getSeq[Float](2).length == 2), "subDim width")
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
+  test("encode: every vector gets one code per subspace, codes in range") {
+    val c = codes.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.length == 24, "12 vectors x 2 subspaces")
+    assert(c.forall(x => x._3 >= 0 && x._3 < 2))
+    // identical sub-patterns (up to jitter ordering) cluster: all even
+    // ids share subspace-0 code, all odd ids share the other
+    val s0 = c.filter(_._2 == 0L).groupBy(_._1 % 2).view.mapValues(_.map(_._3).toSet)
+    assert(s0(0L).size == 1 && s0(1L).size == 1 && s0(0L) != s0(1L))
+  }
+
+  test("ADC score equals dot(query, reconstruction) — independent model") {
+    val qs = vecs.filter(col("vec_id") === 5L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Pq.adcTopK(codes, cb, qs, m = 2, subDim = 2, k = 12)
+      .select("cid", "score").as[(Long, String)].collect().toMap
+    // driver-side model with the same scale-9 decimal contract
+    def d9(f: Float): BigDecimal =
+      BigDecimal(f.toDouble.toString).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val cbm = cb.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getSeq[Float](2)).toMap
+    val cm = codes.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap)
+    val q = vecs.filter(col("vec_id") === 5L).select("embedding")
+      .as[Array[Float]].head()
+    for ((cid, score) <- got) {
+      val exp = (0 until 2).map { m =>
+        val sub = q.slice(m * 2, m * 2 + 2)
+        val cent = cbm((m.toLong, cm(cid)(m.toLong)))
+        sub.zip(cent).map { case (x, y) => d9(x) * d9(y) }.sum
+      }.sum
+      assert(BigDecimal(score) == exp, s"cid $cid")
+    }
+  }
+
+  test("a duplicate of the query ranks top-1; results partition-invariant") {
+    val qs = vecs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Pq.adcTopK(codes, cb, qs, 2, 2, k = 3)
+      .orderBy("rnk").select("cid").as[Long].head()
+    // vec 0's own codes reconstruct closest to itself among its cell
+    val codesSame = Pq.encode(vecs.repartition(7), cb, 2, 2)
+    assert(codes.orderBy("vec_id", "m").collect().toSeq ==
+      codesSame.orderBy("vec_id", "m").collect().toSeq)
+    // top-1 must share vec 0's codes (same cell in both subspaces)
+    val cm = codes.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap).toMap
+    assert(cm(top) == cm(0L), "top hit reconstructs from vec 0's cells")
+  }
+}
