@@ -2714,6 +2714,65 @@ object SparkEntry {
       Similarity.recallAtK(approx, exact, k = 10).orderBy("qid")
     }),
 
+    // Event analytics — first-order Markov transition matrix ("after a
+    // view, what happens next"): every consecutive per-user event pair
+    // under a (ts, id) total order contributes one (from → to) count;
+    // ONE window pass + one pair count + a broadcast rollup join.
+    // Probabilities are one rounded division of exact longs.
+    "q150_event_transitions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("t_us", unix_micros(col("ts")))
+      EventAnalytics.transitionMatrix(ev, col("user_id"), col("t_us"),
+          col("event_type"), col("event_id"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // LLM ops — Flesch reading ease from exact integer counts (words,
+    // [.!?]+ sentence runs floored at 1, vowel-group syllables floored
+    // at 1 per word): the classic prose-quality signal next to
+    // stopword ratio and entropy — absurd scores flag non-prose. One
+    // explode + one doc-keyed aggregate; the score is ONE fixed-form
+    // double expression over exact longs, rounded once.
+    "q151_readability" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextFunctions.sentenceCount(col("text")).as("n_sentences"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "n_sentences")
+        .agg(count(lit(1)).as("n_words"),
+          sum(TextFunctions.syllables(col("tok"))).as("n_syllables"))
+        .withColumn("flesch", format_string("%.6f",
+          lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))))
+        .orderBy("doc_id")
+    }),
+
+    // Governance — k-anonymity audit (Sweeney 2002): every
+    // (nation, segment, balance-band) quasi-identifier class with its
+    // size and the <k risk flag — the release gate before a table
+    // leaves the warehouse. ONE groupBy on the QI columns; the band
+    // derives from exact floor division.
+    "q152_k_anonymity" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      DataQuality.kAnonymity(c,
+          Seq(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / lit(2000.0)).as("bal_band")), k = 5L)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    }),
+
+    // Governance — Benford first-digit audit on order amounts: the
+    // fraud/synthetic-data smell test. Digits come from the INTEGER
+    // cents rendering (never float formatting); observed/expected
+    // frequencies are single rounded divisions, log10 spelled ln/ln on
+    // both engines.
+    "q153_benford" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      DataQuality.benford(li, floor(col("l_extendedprice") * lit(100.0)))
+        .orderBy("digit")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -5303,6 +5362,58 @@ object SparkEntry {
          |      GROUP BY ex.qid)
          |SELECT qid, n_hit, CAST(n_hit AS DOUBLE) / 10 AS recall
          |FROM h ORDER BY qid""".stripMargin,
+
+    "q150_event_transitions" ->
+      """WITH o AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |p AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        |      FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n, t.n_from,
+        |  printf('%.6f', CAST(p.n AS DOUBLE) / t.n_from) AS prob
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q151_readability" ->
+      """WITH s AS (SELECT doc_id,
+        |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+        |    string_split(text, ' ') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, n_sentences, unnest(ws) AS tok FROM s),
+        |a AS (SELECT doc_id, CAST(MIN(n_sentences) AS BIGINT) AS n_sentences,
+        |        CAST(COUNT(*) AS BIGINT) AS n_words,
+        |        CAST(SUM(GREATEST(1,
+        |          len(regexp_extract_all(lower(tok), '[aeiouy]+')))) AS BIGINT)
+        |          AS n_syllables
+        |      FROM w GROUP BY doc_id)
+        |SELECT doc_id, n_sentences, n_words, n_syllables,
+        |  printf('%.6f', 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) AS flesch
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q152_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+        |  CAST(COUNT(*) AS BIGINT) AS group_size,
+        |  COUNT(*) < 5 AS is_risky
+        |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q153_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |    FROM lineitem
+        |    WHERE CAST(floor(l_extendedprice * 100) AS BIGINT) > 0),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
+        |SELECT digit, n,
+        |  printf('%.6f', CAST(n AS DOUBLE) / n_total) AS freq,
+        |  printf('%.6f', ln(1.0 + 1.0 / digit) / ln(10)) AS expected,
+        |  printf('%.6f', abs(CAST(n AS DOUBLE) / n_total
+        |    - ln(1.0 + 1.0 / digit) / ln(10))) AS abs_gap
+        |FROM c, t ORDER BY digit""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -139,6 +139,27 @@ object TextFunctions {
     * payloads pasted as text). One single division of a codegen'd
     * native count — requires [[graft.GraftExtensions]] (`deflate_len`).
     * Null/empty-safe: empty text yields null, not a division by zero. */
+  /** Syllable estimate for one word: vowel-group count, floored at 1 —
+    * the standard readability heuristic (each maximal [aeiouy]+ run ≈
+    * one syllable). Exact integer, engine-portable (`regexp_extract_all`
+    * exists on both sides of the oracle gate). */
+  def syllables(word: Column): Column =
+    greatest(lit(1L),
+      size(regexp_extract_all(lower(word), lit("[aeiouy]+"), lit(0)))
+        .cast("long"))
+
+  /** Flesch reading ease from exact integer counts: 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words). Word count from
+    * [[tokens]], sentence count = [.!?]+ runs floored at 1, syllables =
+    * Σ [[syllables]] per token — all exact longs; the score is ONE
+    * fixed-form double expression over them, rounded to 6 decimals by
+    * the caller (the repo's formula discipline). Low scores flag
+    * dense/degenerate text; absurd scores flag non-prose — a standard
+    * corpus quality signal next to [[stopwordRatio]] and entropy. */
+  def sentenceCount(c: Column): Column =
+    greatest(lit(1L),
+      size(regexp_extract_all(c, lit("[.!?]+"), lit(0))).cast("long"))
+
   def compressionRatio(c: Column): Column =
     when(octet_length(c) > 0,
       call_function("deflate_len", c).cast("double") /

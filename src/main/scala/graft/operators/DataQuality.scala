@@ -79,4 +79,51 @@ object DataQuality {
       .select(lit(ruleName).as("rule"), col("n_rows"), col("n_violations"))
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** k-anonymity audit (Sweeney 2002) — the data-governance check
+    * before a table leaves the warehouse: every quasi-identifier
+    * combination must describe at least k individuals, or those rows
+    * are re-identifiable. ONE groupBy on the QI columns (the same
+    * shuffle `uniqueness` pays) emits every equivalence class with its
+    * size and risk flag; the caller's release gate is
+    * `filter(is_risky)` — empty means safe to ship.
+    *
+    * @return one row per QI class: (qi…, group_size, is_risky) */
+  def kAnonymity(df: DataFrame, qi: Seq[Column], k: Long): DataFrame = {
+    require(qi.nonEmpty && k >= 1, "need QI columns and k >= 1")
+    df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("is_risky", col("group_size") < k)
+  }
+
+  /** Benford first-digit audit — the fraud/synthetic-data smell test:
+    * naturally occurring multi-magnitude amounts follow
+    * P(d) = log10(1 + 1/d); fabricated or truncated columns do not.
+    * The first significant digit comes from the INTEGER rendering of
+    * caller-scaled units (never from float formatting), so the digit
+    * assignment is exact and engine-portable; observed and expected
+    * frequencies are each ONE rounded division.
+    *
+    * @param units strictly positive exact integer amounts (e.g. cents);
+    *              non-positive rows are excluded (they have no first
+    *              significant digit)
+    * @return 9 rows: (digit, n, freq, expected, abs_gap) */
+  def benford(df: DataFrame, units: Column): DataFrame = {
+    val digits = df.select(units.cast("long").as("u"))
+      .filter(col("u") > 0L)
+      .select(substring(col("u").cast("string"), 1, 1).cast("long").as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("n_total"))
+    // log10 spelled as ln/ln on BOTH engine sides (a native log10 may
+    // differ from the quotient by an ulp; one spelling, one rounding)
+    val expected = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    counts.crossJoin(broadcast(total))
+      .withColumn("freq", format_string("%.6f",
+        col("n").cast("double") / col("n_total").cast("double")))
+      .withColumn("expected", format_string("%.6f", expected))
+      .withColumn("abs_gap", format_string("%.6f",
+        abs(col("n").cast("double") / col("n_total").cast("double") - expected)))
+      .drop("n_total")
+  }
 }

@@ -119,6 +119,37 @@ object EventAnalytics {
     * @return one row per channel incl. "organic": (channel,
     *         n_conversions, value_sum)
     */
+  /** First-order Markov transition matrix over per-user event
+    * sequences — "after a view, what happens next": the product-
+    * analytics complement of [[funnel]] (which checks ONE prescribed
+    * path; this measures every observed step). Each user's stream,
+    * ordered by (ts, id) (a total order — physical arrival can never
+    * decide adjacency), contributes one (type → next_type) pair per
+    * consecutive event pair; output is counts plus the 6-decimal row
+    * probability.
+    *
+    * Shape: ONE user-keyed window pass (lead) + one map-side-combined
+    * pair count + a tiny per-source-type rollup joined back broadcast
+    * (|event types|² rows at most). Probability is one double division
+    * of two exact longs, rounded once — engine-portable.
+    *
+    * @return (from_type, to_type, n, n_from, prob) */
+  def transitionMatrix(events: DataFrame, user: Column, ts: Column,
+                       tpe: Column, id: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("t"), col("i"))
+    val pairs = events
+      .select(user.as("u"), ts.cast("long").as("t"), id.as("i"),
+        tpe.cast("string").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .withColumn("prob", format_string("%.6f",
+        col("n").cast("double") / col("n_from").cast("double")))
+  }
+
   def lastTouchAttribution(events: DataFrame, user: Column, ts: Column,
                            isTouch: Column, isConversion: Column,
                            channel: Column, value: Column,

@@ -57,4 +57,26 @@ class DataQualitySpec extends SparkSpec {
       broadcastParent = true).head()
     assert((bc.getLong(1), bc.getLong(2), bc.getBoolean(3)) == ((4L, 2L, false)))
   }
+
+  test("kAnonymity: class sizes and the <k risk flag") {
+    val df = Seq(("us", "a"), ("us", "a"), ("us", "a"),
+      ("us", "b"), ("fr", "a")).toDF("country", "seg")
+    val got = DataQuality.kAnonymity(df, Seq(col("country"), col("seg")), k = 2L)
+      .orderBy("country", "seg")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("fr", "a", 1L, true), ("us", "a", 3L, false),
+      ("us", "b", 1L, true)))
+  }
+
+  test("benford: exact digit binning, frequencies, and the known constants") {
+    // units spanning magnitudes: first digits 1,1,2,9; zero/negative drop
+    val df = Seq(123L, 1L, 250L, 900L, 0L, -5L).toDF("u")
+    val got = DataQuality.benford(df, col("u"))
+      .orderBy("digit")
+      .as[(Long, Long, String, String, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 2L, "0.500000"), (2L, 1L, "0.250000"), (9L, 1L, "0.250000")))
+    // Benford constants: P(1)=log10(2)=0.301030, P(9)=log10(10/9)=0.045757
+    assert(got.head._4 == "0.301030" && got.last._4 == "0.045757")
+  }
 }

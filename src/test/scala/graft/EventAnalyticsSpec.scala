@@ -90,4 +90,19 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq(("a", 1L, 10L), ("b", 1L, 40L), ("c", 1L, 160L),
       ("organic", 2L, 100L)))
   }
+
+  test("transitionMatrix: per-user adjacency, counts and probabilities") {
+    // user 1: a->b->a->c ; user 2: a->b (last events emit no pair)
+    val rows = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "a"),
+      (1L, 40L, 4L, "c"), (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b")
+    ).toDF("u", "t", "i", "tpe")
+    val got = EventAnalytics.transitionMatrix(rows, col("u"), col("t"),
+        col("tpe"), col("i"))
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 3L, "0.666667"), ("a", "c", 1L, 3L, "0.333333"),
+      ("b", "a", 1L, 1L, "1.000000")))
+  }
 }

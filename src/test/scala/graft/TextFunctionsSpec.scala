@@ -94,4 +94,20 @@ class TextFunctionsSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert((e, i, p) == ((2L, 1L, 2L)))
   }
+
+  test("syllables: vowel-group heuristic with the 1 floor") {
+    val got = Seq("strength", "banana", "xyz", "QUEUE", "idea")
+      .toDF("w").select(TextFunctions.syllables(col("w")))
+      .as[Long].collect().toSeq
+    // strength: 'e' -> 1; banana: a/a/a -> 3; xyz: y -> 1 (y is a
+    // vowel here); QUEUE: one 'ueue' run -> 1; idea: 'i','ea' -> 2
+    assert(got == Seq(1L, 3L, 1L, 1L, 2L))
+  }
+
+  test("sentenceCount: [.!?]+ runs, floored at 1") {
+    val got = Seq("One. Two! Three?? End", "no punctuation at all")
+      .toDF("t").select(TextFunctions.sentenceCount(col("t")))
+      .as[Long].collect().toSeq
+    assert(got == Seq(3L, 1L))
+  }
 }
