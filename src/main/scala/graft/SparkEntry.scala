@@ -129,6 +129,28 @@ object SparkEntry {
        |        GROUP BY 1, 2)""".stripMargin
   }
 
+  /** One q154 profile row in DuckDB: nulls/min/max plus the exact
+    * bottom-k hash set and the KMV estimator arithmetic for column `c`
+    * of lineitem. */
+  private def profileColSql(c: String, k: Int): String =
+    s"""SELECT '$c' AS "column", nn.n_rows, nn.n_nulls, nn.min_s, nn.max_s,
+       |  CAST(len(m.mins) AS BIGINT) AS k_seen,
+       |  CASE WHEN len(m.mins) > 0 THEN m.mins[len(m.mins)] END AS kth_min,
+       |  printf('%.6f', CASE WHEN len(m.mins) < $k
+       |    THEN CAST(len(m.mins) AS DOUBLE)
+       |    ELSE ${(k - 1).toDouble} * power(2, 60)
+       |      / CAST(m.mins[len(m.mins)] AS DOUBLE) END) AS ndv_est
+       |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |        CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       |        CAST(MIN($c) AS VARCHAR) AS min_s,
+       |        CAST(MAX($c) AS VARCHAR) AS max_s
+       |      FROM lineitem) nn,
+       |     (SELECT list(hv ORDER BY hv) AS mins FROM (
+       |        SELECT hv FROM (SELECT DISTINCT
+       |            ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT AS hv
+       |          FROM lineitem WHERE $c IS NOT NULL)
+       |        ORDER BY hv LIMIT $k)) m""".stripMargin
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0.
     * Star join: revenue per region across customer⋈nation⋈region⋈orders. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2773,6 +2795,20 @@ object SparkEntry {
         .orderBy("digit")
     }),
 
+    // Warehouse — one-pass table profiler (the ANALYZE surface): per
+    // column null counts, native-typed min/max, and a REPLAYABLE
+    // kmv_theta NDV estimate — ONE scan, ONE aggregate, rows
+    // materialized by exploding the aggregate row (the rowRules
+    // discipline: a new column adds counters, never a pass). The
+    // oracle replays each column's nulls, min/max renderings, exact
+    // k-minimum set, and the estimator arithmetic.
+    "q154_table_profile" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      Profiler.profile(li, Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_linestatus"), k = 256)
+        .orderBy("column")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -5414,6 +5450,12 @@ object SparkEntry {
         |  printf('%.6f', abs(CAST(n AS DOUBLE) / n_total
         |    - ln(1.0 + 1.0 / digit) / ln(10))) AS abs_gap
         |FROM c, t ORDER BY digit""".stripMargin,
+
+    "q154_table_profile" ->
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_linestatus")
+        .map(c => s"(${profileColSql(c, 256)})")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
 
     "q125_topgram_coverage" ->
       """WITH g AS (

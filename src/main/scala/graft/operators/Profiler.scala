@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** One-pass table profiler — the ANALYZE-TABLE surface: per-column null
+  * counts, min/max, and a REPLAYABLE distinct-count estimate, all from
+  * ONE scan and ONE map-side-combined aggregate. The warehouse runs
+  * this after every load; at 100 TB the difference between "one pass,
+  * one accumulator row per mapper" and "one groupBy per column" is the
+  * whole job.
+  *
+  * NDV rides [[graft.expressions.KmvSketchAgg]] (`kmv_theta`) over the
+  * repo's md5-derived 60-bit hash, so unlike HLL's engine-private
+  * registers the estimate — and the k-th minimum itself — hash-gates
+  * exactly against an external replay (q154). Profile rows materialize
+  * by exploding the one aggregate row, the [[DataQuality.rowRules]]
+  * discipline: adding a column adds counters, never a pass.
+  *
+  * Rendering contract: min/max aggregate on the NATIVE type (never
+  * lexicographically on strings) and cast to string afterwards; callers
+  * profile columns whose string rendering is engine-portable (integers,
+  * strings — floats/timestamps need caller-side formatting).
+  */
+object Profiler {
+
+  /** @return one row per column: (column, n_rows, n_nulls, min_s,
+    *         max_s, k_seen, kth_min, ndv_est) */
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+    require(cols.nonEmpty && k >= 2, "need columns and k >= 2")
+    val aggs = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"),
+        call_function("kmv_theta",
+          Hashing.hexLong(col(c).cast("string")), lit(k)).as("kmv"))
+        .as(s"__p_$c")
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val kSeen = size(col("p.kmv.mins"))
+    // element_at(_, 0) throws: an all-null column has an empty min-set
+    val kth = when(kSeen > 0, element_at(col("p.kmv.mins"), kSeen))
+    val est = when(kSeen < k, kSeen.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+        kth.cast("double"))
+    one
+      .select(col("__n").as("n_rows"),
+        explode(array(cols.map(c => col(s"__p_$c")): _*)).as("p"))
+      .select(col("p.column").as("column"), col("n_rows"),
+        col("p.n_nulls").as("n_nulls"),
+        col("p.min_s").as("min_s"), col("p.max_s").as("max_s"),
+        kSeen.cast("long").as("k_seen"),
+        kth.as("kth_min"),
+        format_string("%.6f", est).as("ndv_est"))
+  }
+}

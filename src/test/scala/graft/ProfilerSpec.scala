@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expressions.HashOps
+import graft.operators.Profiler
+
+/** One-pass profiler: nulls, native-typed min/max, exact bottom-k hash
+  * set, under-k exact NDV, and the all-null edge. */
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    (Some(10L), Some("b")), (Some(2L), Some("a")), (None, Some("a")),
+    (Some(2L), None), (Some(100L), Some("c")))
+  private lazy val df = rows.toDF("num", "s")
+
+  test("nulls, min/max on the native type, under-k NDV is exact") {
+    val got = Profiler.profile(df, Seq("num", "s"), k = 16)
+      .orderBy("column")
+      .as[(String, Long, Long, String, String, Long, Option[Long], String)]
+      .collect().toSeq
+    val num = got.head
+    // native min/max: 2 < 10 < 100 (a lexicographic min would say "10")
+    assert(num == (("num", 5L, 1L, "2", "100", 3L,
+      num._7, "3.000000")))
+    val kthNum = Seq(10L, 2L, 100L)
+      .map(v => HashOps.md5Long(UTF8String.fromString(v.toString))).sorted.last
+    assert(num._7.contains(kthNum), "kth_min is the exact 3rd-smallest hash")
+    val s = got(1)
+    assert(s == (("s", 5L, 1L, "a", "c", 3L, s._7, "3.000000")))
+  }
+
+  test("an all-null column profiles to an empty sketch, not an error") {
+    val d2 = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "v")
+    val got = Profiler.profile(d2, Seq("v"), k = 8)
+      .as[(String, Long, Long, Option[String], Option[String], Long,
+        Option[Long], String)].head()
+    assert(got == (("v", 2L, 2L, None, None, 0L, None, "0.000000")))
+  }
+}
