@@ -2809,6 +2809,61 @@ object SparkEntry {
         .orderBy("column")
     }),
 
+    // LLM ops — quantile normalization across slices: every doc's
+    // length mapped to the GLOBAL distribution's value at its
+    // within-language percentile (the cross-language calibration step
+    // for quality gates). Nearest-rank in EXACT integers (floor
+    // rational index, `div` never `/`), reference indexed by the
+    // zipWithIndex global order (a global row_number window is the
+    // documented scale trap), one equi-join lookup. Ties carry equal
+    // values so tie order cannot change outputs.
+    "q155_quantile_normalize" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Normalize.quantileNormalize(d, col("lang"), col("n_chars"),
+          col("doc_id"), d.select(col("n_chars")))
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("slice", "lang")
+        .withColumnRenamed("value", "n_chars")
+        .withColumnRenamed("norm", "norm_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Governance — chi-square independence audit (lang × source): the
+    // label-bias test before training. Exact-integer cells/margins,
+    // (O·N − R·C)²/(N·R·C) per cell in decimal(38,0) with ONE double
+    // division, 6-decimal rounded terms summed as exact decimal —
+    // observed-zero cells included via the margins' cross join.
+    "q156_chi_square" -> ((s, dir) => {
+      DataQuality.chiSquare(Tables.load(s, dir, "documents"),
+        col("lang"), col("source"))
+    }),
+
+    // Record linkage — blocked edit-distance join: deterministic typo
+    // variants (one letter planted in the always-'0' digit run) matched
+    // back to the master on a corruption-stable suffix block, verified
+    // by the THRESHOLD levenshtein (banded early-exit DP). The
+    // analytic oracle derives every match from the corruption rule —
+    // fully independent of the blocking and the DP.
+    "q157_fuzzy_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val variants = c
+        .withColumn("p", (col("c_custkey") % 3 + 11).cast("int"))
+        .withColumn("letter", element_at(
+          array(lit("A"), lit("B"), lit("C")),
+          (col("c_custkey") % 3).cast("int") + 1))
+        .select((col("c_custkey") + 1000000L).as("v_id"),
+          expr("concat(substring(c_name, 1, p - 1), letter," +
+            " substring(c_name, p + 1, 100))").as("v_name"))
+      FuzzyJoin.editDistanceJoin(
+          variants, c,
+          col("v_id"), col("v_name"), substring(col("v_name"), 15, 4),
+          col("c_custkey"), col("c_name"), substring(col("c_name"), 15, 4),
+          maxDist = 1)
+        .select(col("l_id").as("v_id"), col("r_id").as("c_custkey"),
+          col("dist"))
+        .orderBy("v_id")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -5456,6 +5511,51 @@ object SparkEntry {
         "l_linestatus")
         .map(c => s"(${profileColSql(c, 256)})")
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
+
+    "q155_quantile_normalize" ->
+      """WITH r AS (SELECT n_chars AS v,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars) AS idx FROM documents),
+        |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ref FROM r),
+        |s AS (SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS ns
+        |  FROM documents),
+        |m AS (SELECT doc_id, lang, n_chars,
+        |    CASE WHEN ns > 1 THEN ((rn - 1) * (n_ref - 1)) // (ns - 1) + 1
+        |         ELSE (n_ref + 1) // 2 END AS idx
+        |  FROM s, nr)
+        |SELECT m.doc_id, m.lang, m.n_chars, r.v AS norm_chars
+        |FROM m JOIN r USING (idx) ORDER BY doc_id""".stripMargin,
+
+    "q156_chi_square" ->
+      """WITH cells AS (SELECT lang AS a, source AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |g AS (SELECT ra.a, cb.b, ra.r, cb.c, t.n, COALESCE(cells.o, 0) AS o
+        |      FROM ra CROSS JOIN cb
+        |      LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+        |      CROSS JOIN t),
+        |terms AS (SELECT n, a, b,
+        |    CAST(printf('%.6f',
+        |      CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |         * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE))
+        |      AS DECIMAL(30,6)) AS term
+        |  FROM g)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT a) AS BIGINT) AS a_cats,
+        |  CAST(COUNT(DISTINCT b) AS BIGINT) AS b_cats,
+        |  CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT) AS dof,
+        |  CAST(CAST(SUM(term) AS DECIMAL(30,6)) AS VARCHAR) AS chi2
+        |FROM terms""".stripMargin,
+
+    "q157_fuzzy_join" ->
+      """SELECT c_custkey + 1000000 AS v_id, c_custkey,
+        |  CAST(1 AS BIGINT) AS dist
+        |FROM customer ORDER BY v_id""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -96,6 +96,44 @@ object DataQuality {
       .withColumn("is_risky", col("group_size") < k)
   }
 
+  /** Chi-square independence audit between two categorical columns —
+    * "is language independent of source": the drift/bias test run on
+    * label distributions before training. Exact-integer core: with
+    * observed O_ij, margins R_i/C_j and total N, each cell's statistic
+    * is (O·N − R·C)²/(N·R·C) — the numerator runs in decimal(38,0) (an
+    * (O·N)² at warehouse scale overflows long), ONE double division per
+    * cell, each term rounded to 6 decimals and summed as exact decimal
+    * (order-independent). Observed-zero cells with live margins are
+    * included via the margins' cross join (tiny: |A|×|B| categories).
+    *
+    * @return one row: (n, a_cats, b_cats, dof, chi2) */
+  def chiSquare(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec6 = org.apache.spark.sql.types.DecimalType(30, 6)
+    val cells = df.select(a.as("a"), b.as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum("o").as("r"))
+    val cb = cells.groupBy("b").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("n"))
+    val grid = ra.crossJoin(broadcast(cb))
+      .join(cells, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val num = col("o").cast(dec) * col("n").cast(dec) -
+      col("r").cast(dec) * col("c").cast(dec)
+    val den = col("n").cast(dec) * col("r").cast(dec) * col("c").cast(dec)
+    val term = format_string("%.6f",
+      (num * num).cast("double") / den.cast("double")).cast(dec6)
+    grid.agg(
+        max(col("n")).as("n"),
+        countDistinct(col("a")).as("a_cats"),
+        countDistinct(col("b")).as("b_cats"),
+        sum(term).cast(dec6).as("chi2_d"))
+      .select(col("n"), col("a_cats"), col("b_cats"),
+        ((col("a_cats") - 1L) * (col("b_cats") - 1L)).as("dof"),
+        col("chi2_d").cast("string").as("chi2"))
+  }
+
   /** Benford first-digit audit — the fraud/synthetic-data smell test:
     * naturally occurring multi-magnitude amounts follow
     * P(d) = log10(1 + 1/d); fabricated or truncated columns do not.

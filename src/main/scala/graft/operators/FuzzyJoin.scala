@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked edit-distance join — the record-linkage primitive: match
+  * dirty keys (typos, OCR noise, transliteration slips) to a master
+  * table without the all-pairs cartesian that literal fuzzy matching
+  * implies.
+  *
+  * Contract: candidates come ONLY from equal `block` keys — the caller
+  * chooses a blocking expression that survives the expected corruption
+  * (a corruption-stable suffix/phonetic/q-gram key; the classic
+  * literature trade: recall is decided by blocking, precision by the
+  * verify). Verification is Spark's codegen'd `levenshtein` with the
+  * THRESHOLD form — the banded O(maxDist·len) early-exit DP, not the
+  * full O(len²) matrix — so per-candidate cost tracks the bound, and
+  * join cost tracks real block collisions, never |L|·|R|.
+  */
+object FuzzyJoin {
+
+  /** @return (l_key, r_key, dist) for block-sharing pairs with
+    *         levenshtein(l_key, r_key) <= maxDist, plus the caller's id
+    *         columns. */
+  def editDistanceJoin(left: DataFrame, right: DataFrame,
+                       leftId: Column, leftKey: Column, leftBlock: Column,
+                       rightId: Column, rightKey: Column, rightBlock: Column,
+                       maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val l = left.select(leftId.as("l_id"), leftKey.as("l_key"),
+      leftBlock.as("block"))
+    val r = right.select(rightId.as("r_id"), rightKey.as("r_key"),
+      rightBlock.as("block"))
+    l.join(r, Seq("block"))
+      .withColumn("dist",
+        levenshtein(col("l_key"), col("r_key"), maxDist))
+      // the threshold form returns -1 past the bound
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("l_id"), col("r_id"), col("l_key"), col("r_key"),
+        col("dist").cast("long").as("dist"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quantile normalization — map every value in a slice onto the
+  * REFERENCE distribution's value at the same percentile: the
+  * cross-slice calibration step behind "compare quality scores across
+  * languages" (a 40th-percentile German doc should gate like a
+  * 40th-percentile English doc, whatever the raw score scales are) and
+  * the microarray-style quantile-normalize from statistics.
+  *
+  * Nearest-rank form, EXACT integers end to end: a slice row at
+  * (1-based) rank rn of n_s maps to reference index
+  *
+  *   idx = ((rn − 1)·(N_ref − 1)) div (n_s − 1) + 1     (n_s > 1)
+  *
+  * — floor rational interpolation with no floating point; a singleton
+  * slice maps to the reference median (N_ref + 1) div 2. The result is
+  * the reference VALUE at idx, fetched by equi-join.
+  *
+  * Scale shape: slice ranks are per-slice windows (keyed Exchange);
+  * the reference index comes from [[GlobalIndex.withGlobalIndex]]'s
+  * zipWithIndex (a global row_number window here would collapse the
+  * reference into ONE task — the documented scale trap); the final
+  * lookup is one equi-join on idx. Ties in the reference order carry
+  * equal values, so tie order cannot change any output value.
+  */
+object Normalize {
+
+  /** @return df's (id, slice, value) plus `norm` = the reference value
+    *         at the matched percentile. `reference` is one value column
+    *         (often the unsliced corpus itself). */
+  def quantileNormalize(df: DataFrame, slice: Column, value: Column,
+                        id: Column, reference: DataFrame): DataFrame = {
+    val refCol = reference.columns.head
+    val ref = GlobalIndex.withGlobalIndex(
+        reference.select(col(refCol).as("__ref_v")), Seq(col("__ref_v")),
+        idxCol = "__ref_i")
+      .select((col("__ref_i") + 1L).as("idx"), col("__ref_v").as("norm"))
+    val nRef = ref.agg(count(lit(1)).as("n_ref"))
+    val w = Window.partitionBy(col("slice")).orderBy(col("value"), col("id"))
+    val ranked = df
+      .select(id.as("id"), slice.as("slice"), value.as("value"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("slice"))))
+      .crossJoin(broadcast(nRef))
+      // `div`, not `/`: Column./ on longs is DOUBLE division
+      .withColumn("idx",
+        when(col("ns") > 1L,
+          expr("((rn - 1) * (n_ref - 1)) div (ns - 1) + 1"))
+        .otherwise(expr("(n_ref + 1) div 2")))
+    ranked.join(ref, Seq("idx"))
+      .select(col("id"), col("slice"), col("value"), col("norm"))
+  }
+}

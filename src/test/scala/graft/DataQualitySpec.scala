@@ -79,4 +79,20 @@ class DataQualitySpec extends SparkSpec {
     // Benford constants: P(1)=log10(2)=0.301030, P(9)=log10(10/9)=0.045757
     assert(got.head._4 == "0.301030" && got.last._4 == "0.045757")
   }
+
+  test("chiSquare: independent and dependent tables, zero cells included") {
+    // perfectly independent 2x2: chi2 = 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    val g0 = DataQuality.chiSquare(ind, col("u"), col("v"))
+      .as[(Long, Long, Long, Long, String)].head()
+    assert(g0 == ((4L, 2L, 2L, 1L, "0.000000")))
+    // perfectly dependent 2x2 (diagonal): chi2 = N = 4, and the
+    // observed-zero off-diagonal cells must contribute
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "v")
+    val g1 = DataQuality.chiSquare(dep, col("u"), col("v"))
+      .as[(Long, Long, Long, Long, String)].head()
+    assert(g1 == ((4L, 2L, 2L, 1L, "4.000000")))
+  }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.FuzzyJoin
+
+/** Blocked edit-distance join: threshold semantics, blocking as the
+  * recall boundary, and exact distances. */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val master = Seq((1L, "smith"), (2L, "smyth"), (3L, "jones"))
+    .toDF("id", "name")
+
+  test("matches within the bound, exact distances, misses beyond it") {
+    val dirty = Seq((10L, "smith"), (11L, "smiht"), (12L, "janes"),
+      (13L, "totally-different")).toDF("id", "name")
+    val got = FuzzyJoin.editDistanceJoin(
+        dirty, master,
+        col("id"), col("name"), substring(col("name"), 1, 1),
+        col("id"), col("name"), substring(col("name"), 1, 1),
+        maxDist = 2)
+      .select("l_id", "r_id", "dist").as[(Long, Long, Long)]
+      .collect().toSet
+    // smith: exact to 1 (0), one sub to smyth (1); smiht: the ht swap
+    // is 2 subs to smith but lev(smiht, smyth) = 3 — past the bound;
+    // janes -> jones is one sub
+    assert(got == Set((10L, 1L, 0L), (10L, 2L, 1L), (11L, 1L, 2L),
+      (12L, 3L, 1L)))
+  }
+
+  test("blocking bounds recall: cross-block pairs never match") {
+    val dirty = Seq((20L, "smith")).toDF("id", "name")
+    val got = FuzzyJoin.editDistanceJoin(
+        dirty, master,
+        col("id"), col("name"), lit("blockA"),
+        col("id"), col("name"), lit("blockB"),
+        maxDist = 0)
+      .count()
+    assert(got == 0L, "different blocks produce no candidates at all")
+  }
+}

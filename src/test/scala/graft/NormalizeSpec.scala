@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Normalize
+
+/** Quantile normalization: hand-checked nearest-rank mapping,
+  * singleton-slice median rule, self-normalization identity, and
+  * partitioning invariance. */
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String, Long)], ref: Seq[Long],
+                  parts: Int = 4) =
+    Normalize.quantileNormalize(
+        rows.toDF("id", "g", "v").repartition(parts),
+        col("g"), col("v"), col("id"), ref.toDF("v"))
+      .orderBy("id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+
+  test("nearest-rank mapping against a hand-built reference") {
+    // reference sorted: [10, 20, 30, 40, 50] (N=5)
+    // slice a has 3 rows -> ranks 1,2,3 map to idx 1,3,5 -> 10,30,50
+    val rows = Seq((1L, "a", 7L), (2L, "a", 8L), (3L, "a", 9L))
+    val got = run(rows, Seq(50L, 10L, 30L, 20L, 40L))
+    assert(got.map(_._4) == Seq(10L, 30L, 50L))
+  }
+
+  test("a singleton slice maps to the reference median") {
+    val got = run(Seq((1L, "solo", 999L)), Seq(10L, 20L, 30L, 40L, 50L))
+    assert(got.head._4 == 30L)
+  }
+
+  test("normalizing a slice against itself is the identity") {
+    val vals = Seq(5L, 1L, 9L, 3L, 7L)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+    val got = run(rows, vals)
+    assert(got.map(r => r._3 -> r._4).forall { case (v, n) => v == n })
+  }
+
+  test("partitioning cannot change the mapping") {
+    val rnd = new scala.util.Random(155)
+    val rows = (1L to 60L).map(i =>
+      (i, if (i % 2 == 0) "x" else "y", rnd.nextInt(100).toLong))
+    val ref = Seq.fill(41)(rnd.nextInt(100).toLong)
+    assert(run(rows, ref, parts = 1) == run(rows, ref, parts = 13))
+  }
+}
