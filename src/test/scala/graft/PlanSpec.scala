@@ -282,4 +282,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(2000)) // the one-row totals ride a broadcast
   }
+
+  test("q148: PQ encode/search join codebooks and LUT via broadcast only") {
+    val p = plan("q148_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q141: robots decision is a host equi-join, never a cross join") {
+    val p = plan("q141_robots_filter")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("q143: RRF cost tracks result lists — no corpus-sized exchange after retrieval") {
+    val p = plan("q143_rrf_fusion")
+    // the fused aggregate + one window; no cartesian anywhere
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p.take(2000))
+  }
+
+  test("q157: fuzzy join is a block equi-join (hash join), not a nested loop") {
+    val p = plan("q157_fuzzy_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("HashJoin"), p.take(2000))
+  }
+
+  test("q140: snapshot diff is ONE full outer join") {
+    val p = plan("q140_snapshot_diff")
+    assert("FullOuter".r.findAllIn(p).length == 1, p.take(3000))
+  }
 }
