@@ -2864,6 +2864,19 @@ object SparkEntry {
         .orderBy("v_id")
     }),
 
+    // LLM ops — skip-gram co-occurrence counts (the word2vec/GloVe
+    // corpus builder): (center, context) pairs within 3 positions,
+    // symmetric contexts, min-count 5. The per-document positional
+    // SELF-JOIN never appears: `window` LEAD columns over ONE
+    // doc-keyed ordered pass fan each token into its pairs map-side;
+    // the only shuffle is the final count.
+    "q158_skipgram" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Collocations.skipgramCounts(d, col("doc_id"), col("text"), window = 3)
+        .filter(col("n") >= 5L)
+        .orderBy("center", "context")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -5556,6 +5569,22 @@ object SparkEntry {
       """SELECT c_custkey + 1000000 AS v_id, c_custkey,
         |  CAST(1 AS BIGINT) AS dist
         |FROM customer ORDER BY v_id""".stripMargin,
+
+    "q158_skipgram" ->
+      """WITH t AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+        |    unnest(ws) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |l AS (SELECT tok, LEAD(tok, 1) OVER w AS l1,
+        |    LEAD(tok, 2) OVER w AS l2, LEAD(tok, 3) OVER w AS l3
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |p0 AS (SELECT tok AS center, unnest([l1, l2, l3]) AS context FROM l),
+        |p1 AS (SELECT center, context FROM p0 WHERE context IS NOT NULL),
+        |p AS (SELECT center, context FROM p1
+        |      UNION ALL SELECT context, center FROM p1),
+        |c AS (SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM p GROUP BY 1, 2)
+        |SELECT center, context, n FROM c WHERE n >= 5
+        |ORDER BY center, context""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -61,4 +61,35 @@ object Collocations {
       .select(col("bg"), col("c_xy"), col("c_x"), col("c_y"),
         col("pmi6").cast("string").as("pmi"))
   }
+
+  /** Skip-gram co-occurrence counts — the word2vec/GloVe corpus
+    * builder: every (center, context) token pair within `window`
+    * positions, counted over the corpus. The scale trap is the
+    * per-document positional SELF-JOIN (|doc|·window candidate rows
+    * through a join); this emits pairs with `window` LEAD columns over
+    * ONE (doc)-keyed ordered window pass instead — each token row fans
+    * into ≤window pairs map-side, and the only shuffle is the final
+    * count. Both directions are emitted ((a,b) and (b,a)), the standard
+    * symmetric-context convention.
+    *
+    * @return (center, context, n) */
+  def skipgramCounts(docs: DataFrame, id: Column, text: Column,
+                     window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(id.as("doc_id"),
+      posexplode(TextFunctions.tokens(text)).as(Seq("pos", "tok")))
+    val withLeads = (1 to window).foldLeft(toks) { (df, d) =>
+      df.withColumn(s"lead_$d", lead(col("tok"), d).over(w))
+    }
+    val pairs = withLeads.select(col("tok").as("center"),
+      explode(array((1 to window).map(d => col(s"lead_$d")): _*))
+        .as("context"))
+      .filter(col("context").isNotNull)
+    pairs.select(col("center"), col("context"))
+      .unionByName(pairs.select(col("context").as("center"),
+        col("center").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+  }
 }

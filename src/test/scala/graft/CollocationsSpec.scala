@@ -45,4 +45,19 @@ class CollocationsSpec extends SparkSpec {
     assert(got == exp.filter { case (k, _) => got.contains(k) })
     assert(got.keySet.subsetOf(exp.keySet))
   }
+
+  test("skipgramCounts: window reach, symmetry, doc boundaries") {
+    val docs = Seq((1L, "a b c d"), (2L, "a x")).toDF("id", "text")
+    val got = Collocations.skipgramCounts(docs, col("id"), col("text"),
+        window = 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // doc1 pairs within 2: (a,b)(a,c)(b,c)(b,d)(c,d); doc2: (a,x)
+    assert(got(("a", "b")) == 1L && got(("a", "c")) == 1L)
+    assert(!got.contains(("a", "d")), "window 2 cannot reach 3 positions")
+    assert(!got.contains(("d", "x")), "pairs never cross documents")
+    assert(got(("a", "x")) == 1L && got(("x", "a")) == 1L, "symmetric")
+    assert(got.forall { case ((c1, c2), n) => got((c2, c1)) == n },
+      "every pair is counted in both directions")
+  }
 }
