@@ -2152,11 +2152,51 @@ object SparkEntry {
     // and a 10k-token doc alike. Deterministic (no randomness — stride
     // boundaries over exact integer prefix sums), never a global
     // window: range-partition + local window + O(partitions) offsets.
+    // r10: n_tokens is spelled as LENGTH ARITHMETIC on both gate sides
+    // (TextFunctions.spaceTokenCount = #spaces+1 ≡ split count for every
+    // string) — no split/list semantics anywhere in the gated pair, the
+    // engine-version-invariant form. Values are unchanged.
     "q122_pps_sample" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          TextFunctions.spaceTokenCount(col("text")).as("n_tokens"))
       Sampling.systematicPps(d, col("doc_id"), col("n_tokens"), k = 40)
+        .orderBy("doc_id")
+    }),
+
+    // Diagnostic stage gates for q122 (r10): the driver environment
+    // hash-rejected q122 in r8 AND r9 while every local replay passes
+    // bit-exact, so the pipeline is decomposed into separately-oracled
+    // stages — whichever sub-query goes red in the next CORRECTNESS
+    // artifact names the diverging stage (inputs / scalars / prefix sum
+    // / stride selection).
+    // q122a — stage 1, the raw per-doc inputs: (doc_id, n_tokens).
+    "q122a_pps_tokens" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.spaceTokenCount(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .orderBy("doc_id")),
+
+    // q122b — stage 2, the three scalars the stride selection hangs off:
+    // total weight, stride = total div k, surviving row count.
+    "q122b_pps_scalars" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(TextFunctions.spaceTokenCount(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .agg(sum("n_tokens").as("total"), count(lit(1)).as("n_rows"))
+        .select(col("total"), expr("total div 40").as("stride"),
+          col("n_rows"))),
+
+    // q122c — stage 3, the distributed global prefix sum on its own
+    // (Sampling.weightedPrefixSum — the exact stage systematicPps
+    // selects from, minus the stride arithmetic).
+    "q122c_pps_prefix" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.spaceTokenCount(col("text")).as("n_tokens"))
+      Sampling.weightedPrefixSum(d, col("doc_id"), col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("cum"))
         .orderBy("doc_id")
     }),
 
@@ -2167,6 +2207,9 @@ object SparkEntry {
     // (doc count, token mass, language spread, exact-dup mass via md5
     // distinct), and the blocklist drops via one broadcast anti-join.
     // Host-keyed, so the block decision joins |hosts|, never |docs|.
+    // r10: WebCuration.host is now a regex authority extraction (no
+    // try_parse_url — the one version-young API the r9 red pair used)
+    // and the token mass is length arithmetic; values are unchanged.
     "q123_host_rollup" -> ((s, dir) => {
       import s.implicits._
       val d = Tables.load(s, dir, "documents")
@@ -2176,6 +2219,38 @@ object SparkEntry {
       val block = Seq("src1.example.com", "WWW.src3.example.com").toDF("host")
       WebCuration.hostRollup(d, col("url"), col("text"), col("lang"), block)
         .orderBy("host")
+    }),
+
+    // Diagnostic stage gates for q123 (r10) — same rationale as q122a-c:
+    // localize the driver-environment divergence to a stage.
+    // q123a — the host extraction alone, per doc.
+    "q123a_host_extract" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 7 < 2, lit("www.")).otherwise(lit("")),
+          col("source"), lit(".example.com/p/"), col("doc_id")))
+        .select(col("doc_id"), WebCuration.host(col("url")).as("host"))
+        .orderBy("doc_id")),
+
+    // q123b — the full evidence rollup WITHOUT the blocklist anti-join
+    // (empty blocklist through the same operator path).
+    "q123b_rollup_noblock" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 7 < 2, lit("www.")).otherwise(lit("")),
+          col("source"), lit(".example.com/p/"), col("doc_id")))
+      val empty = Seq.empty[String].toDF("host")
+      WebCuration.hostRollup(d, col("url"), col("text"), col("lang"), empty)
+        .orderBy("host")
+    }),
+
+    // q123c — the normalized blocklist keys the anti-join matches on.
+    "q123c_block_keys" -> ((s, dir) => {
+      import s.implicits._
+      Seq("src1.example.com", "WWW.src3.example.com").toDF("host")
+        .select(WebCuration.normalizeHost(col("host")).as("host"))
+        .distinct().orderBy("host")
     }),
 
     // Sources — WARC web-crawl ingest (format("warc"), the Common Crawl
@@ -4896,14 +4971,20 @@ object SparkEntry {
         |  printf('%.6f', est.rho * est.eu) AS est_inter
         |FROM est, exa, exb, exi""".stripMargin,
 
+    // r10 invariant spelling: token count = length(text) − length without
+    // spaces + 1 (pure length arithmetic — identical in any engine; equals
+    // the old string_split count for every string), and every intermediate
+    // is CAST to BIGINT so no HUGEINT/engine-widening enters the hash.
     "q122_pps_sample" ->
       """WITH d AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens
         |  FROM documents),
         |w AS (SELECT doc_id, n_tokens,
-        |    SUM(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    SUM(n_tokens) OVER () AS total
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
         |  FROM d WHERE n_tokens > 0)
         |SELECT doc_id, n_tokens,
         |  cum // (total // 40) - (cum - n_tokens) // (total // 40) AS hits
@@ -4911,6 +4992,41 @@ object SparkEntry {
         |WHERE cum // (total // 40) > (cum - n_tokens) // (total // 40)
         |ORDER BY doc_id""".stripMargin,
 
+    "q122a_pps_tokens" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |    AS BIGINT) AS n_tokens
+        |FROM documents
+        |WHERE length(text) - length(replace(text, ' ', '')) + 1 > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q122b_pps_scalars" ->
+      """WITH d AS (SELECT
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM d WHERE n_tokens > 0)
+        |SELECT total, CAST(total // 40 AS BIGINT) AS stride, n_rows
+        |FROM t""".stripMargin,
+
+    "q122c_pps_prefix" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum
+        |FROM d WHERE n_tokens > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // r10 invariant spellings: token mass via length arithmetic (no
+    // string_split), every SUM/COUNT cast to BIGINT, and the domain's
+    // label-count test via a dot count (no list len) — mirroring the
+    // Spark side's regex/arithmetic one-for-one.
     "q123_host_rollup" ->
       """WITH d AS (SELECT lang, text,
         |    'https://' || (CASE WHEN doc_id % 7 < 2 THEN 'www.' ELSE '' END)
@@ -4922,18 +5038,56 @@ object SparkEntry {
         |  FROM d),
         |b AS (SELECT regexp_replace(lower(host), '^www\.', '') AS host
         |  FROM (VALUES ('src1.example.com'), ('WWW.src3.example.com')) t(host)),
-        |r AS (SELECT host, COUNT(*) AS n_docs,
-        |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
-        |    COUNT(DISTINCT lang) AS n_langs,
-        |    COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+        |r AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
         |  FROM h WHERE host IS NOT NULL GROUP BY host)
         |SELECT host,
-        |  CASE WHEN len(string_split(host, '.')) >= 2
+        |  CASE WHEN length(host) - length(replace(host, '.', '')) >= 1
         |       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
         |       ELSE host END AS domain,
         |  n_docs, n_tokens, n_langs, n_dup_docs
         |FROM r
         |WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.host = r.host)
+        |ORDER BY host""".stripMargin,
+
+    "q123a_host_extract" ->
+      """WITH d AS (SELECT doc_id,
+        |    'https://' || (CASE WHEN doc_id % 7 < 2 THEN 'www.' ELSE '' END)
+        |      || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(lower(regexp_extract(url,
+        |    '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q123b_rollup_noblock" ->
+      """WITH d AS (SELECT lang, text,
+        |    'https://' || (CASE WHEN doc_id % 7 < 2 THEN 'www.' ELSE '' END)
+        |      || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |h AS (SELECT lang, text,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host
+        |  FROM d),
+        |r AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+        |  FROM h WHERE host IS NOT NULL GROUP BY host)
+        |SELECT host,
+        |  CASE WHEN length(host) - length(replace(host, '.', '')) >= 1
+        |       THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |       ELSE host END AS domain,
+        |  n_docs, n_tokens, n_langs, n_dup_docs
+        |FROM r ORDER BY host""".stripMargin,
+
+    "q123c_block_keys" ->
+      """SELECT DISTINCT regexp_replace(lower(host), '^www\.', '') AS host
+        |FROM (VALUES ('src1.example.com'), ('WWW.src3.example.com')) t(host)
         |ORDER BY host""".stripMargin,
 
     "q124_warc_ingest" ->

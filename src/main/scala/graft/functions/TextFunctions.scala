@@ -139,6 +139,11 @@ object TextFunctions {
     * payloads pasted as text). One single division of a codegen'd
     * native count — requires [[graft.GraftExtensions]] (`deflate_len`).
     * Null/empty-safe: empty text yields null, not a division by zero. */
+  def compressionRatio(c: Column): Column =
+    when(octet_length(c) > 0,
+      call_function("deflate_len", c).cast("double") /
+        octet_length(c).cast("double"))
+
   /** Syllable estimate for one word: vowel-group count, floored at 1 —
     * the standard readability heuristic (each maximal [aeiouy]+ run ≈
     * one syllable). Exact integer, engine-portable (`regexp_extract_all`
@@ -148,20 +153,29 @@ object TextFunctions {
       size(regexp_extract_all(lower(word), lit("[aeiouy]+"), lit(0)))
         .cast("long"))
 
-  /** Flesch reading ease from exact integer counts: 206.835 −
-    * 1.015·(words/sentences) − 84.6·(syllables/words). Word count from
-    * [[tokens]], sentence count = [.!?]+ runs floored at 1, syllables =
-    * Σ [[syllables]] per token — all exact longs; the score is ONE
-    * fixed-form double expression over them, rounded to 6 decimals by
-    * the caller (the repo's formula discipline). Low scores flag
-    * dense/degenerate text; absurd scores flag non-prose — a standard
-    * corpus quality signal next to [[stopwordRatio]] and entropy. */
+  /** Sentence count for Flesch reading ease (206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words)): [.!?]+ runs
+    * floored at 1 — an exact long; the score itself is ONE fixed-form
+    * double expression the caller assembles from [[tokens]],
+    * [[syllables]] and this count, rounded to 6 decimals (the repo's
+    * formula discipline). Low scores flag dense/degenerate text; absurd
+    * scores flag non-prose — a standard corpus quality signal next to
+    * [[stopwordRatio]] and entropy. */
   def sentenceCount(c: Column): Column =
     greatest(lit(1L),
       size(regexp_extract_all(c, lit("[.!?]+"), lit(0))).cast("long"))
 
-  def compressionRatio(c: Column): Column =
-    when(octet_length(c) > 0,
-      call_function("deflate_len", c).cast("double") /
-        octet_length(c).cast("double"))
+  /** Single-space token count as PURE LENGTH ARITHMETIC:
+    * `length(text) − length(replace(text, " ", "")) + 1` = #spaces + 1,
+    * which equals `size(split(text, " "))` for EVERY non-null string
+    * (Spark's split keeps trailing empties at its default limit, so both
+    * are spaces+1; the empty string counts 1 either way). The point of
+    * this spelling is engine-version invariance for driver-gated
+    * queries: no split/regex/list semantics on either side of the
+    * oracle — only length() and replace(), whose difference counts the
+    * literal spaces identically in any engine and any Unicode-length
+    * convention. It is also cheaper than [[tokens]]+size: no array is
+    * materialized. Null text yields null. */
+  def spaceTokenCount(c: Column): Column =
+    (length(c) - length(replace(c, lit(" "), lit(""))) + 1).cast("long")
 }

@@ -164,6 +164,36 @@ object Sampling {
   def systematicPps(df: DataFrame, id: Column, weight: Column,
                     k: Int, buckets: Int = 64): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    val (bucketed, total) = prefixParts(df, id, weight, buckets)
+    require(total >= k, s"total weight $total < k=$k (stride would be 0)")
+    val stride = total / k
+    bucketed
+      .withColumn("hits",
+        expr(s"__graft_cum div $stride") -
+          expr(s"(__graft_cum - __graft_wt) div $stride"))
+      .filter(col("hits") > 0)
+      .drop("__graft_wt", "__graft_id", "__graft_b", "__graft_cum")
+  }
+
+  /** The distributed prefix-sum stage of [[systematicPps]] on its own:
+    * every positive-weight row plus `cum` = the GLOBAL running sum of
+    * `weight` in `id` order — computed without a global window (the
+    * boundary-sample / bucket / offset construction documented on
+    * [[systematicPps]]). Exposed publicly so the driver gate can certify
+    * the stage separately from the stride selection (q122c) and so other
+    * cumulative operators can reuse it. */
+  def weightedPrefixSum(df: DataFrame, id: Column, weight: Column,
+                        buckets: Int = 64): DataFrame =
+    prefixParts(df, id, weight, buckets)._1
+      .withColumnRenamed("__graft_cum", "cum")
+      .drop("__graft_wt", "__graft_id", "__graft_b")
+
+  /** Shared core: bucketed frame carrying `__graft_wt`/`__graft_id`/
+    * `__graft_b`/`__graft_cum` (the assembled global prefix sum), plus
+    * the exact total weight (already in hand from the O(buckets) offset
+    * collect — no extra job). */
+  private def prefixParts(df: DataFrame, id: Column, weight: Column,
+                          buckets: Int): (DataFrame, Long) = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val d = df.withColumn("__graft_wt", weight.cast("long"))
       .filter(col("__graft_wt") > 0)
@@ -187,8 +217,6 @@ object Sampling {
       .agg(sum("__graft_wt").as("pw"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val total = bucketTotals.map(_._2).sum
-    require(total >= k, s"total weight $total < k=$k (stride would be 0)")
-    val stride = total / k
     val offsets = bucketTotals.scanLeft((0, 0L)) { case ((_, acc), (b, pw)) =>
       (b, acc + pw) }
     val offMap = (bucketTotals.map(_._1) zip offsets.map(_._2)).toMap
@@ -198,12 +226,7 @@ object Sampling {
       .partitionBy("__graft_b").orderBy("__graft_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    bucketed
-      .withColumn("__graft_cum", offCol + sum("__graft_wt").over(w))
-      .withColumn("hits",
-        expr(s"__graft_cum div $stride") -
-          expr(s"(__graft_cum - __graft_wt) div $stride"))
-      .filter(col("hits") > 0)
-      .drop("__graft_wt", "__graft_id", "__graft_b", "__graft_cum")
+    (bucketed.withColumn("__graft_cum", offCol + sum("__graft_wt").over(w)),
+      total)
   }
 }

@@ -23,14 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object WebCuration {
 
-  /** Canonical host of a URL: `try_parse_url(..., "HOST")` (codegen'd,
-    * no UDF; the try_ form — ANSI `parse_url` THROWS on malformed
-    * input, and a crawl corpus always holds malformed URLs), lowercased,
-    * with one leading `www.` stripped — the normalization that makes
+  /** Canonical host of a URL — regex authority extraction (the SAME
+    * pattern family [[canonicalizeUrl]] uses: scheme `://` authority,
+    * userinfo and port stripped, trailing dot dropped), lowercased, with
+    * one leading `www.` stripped — the normalization that makes
     * `www.example.com` and `example.com` roll up together. Null for
-    * malformed URLs (no scheme/authority). */
-  def host(url: Column): Column =
-    normalizeHost(try_parse_url(url, lit("HOST")))
+    * malformed URLs (no scheme/authority).
+    *
+    * Deliberately NOT `try_parse_url`: the regex spelling mirrors the
+    * oracle's `regexp_extract` one-for-one (RE2-safe pattern — no
+    * lookarounds/backrefs), so the driver gate has zero dependence on
+    * any engine's URL-parser version; the chain is codegen'd either
+    * way. */
+  def host(url: Column): Column = {
+    val auth = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    val noUser = regexp_replace(auth, "^[^@]*@", "")
+    val h = regexp_replace(regexp_extract(noUser, "^([^:]*)", 1), "\\.$", "")
+    normalizeHost(when(h === "", lit(null)).otherwise(h))
+  }
 
   /** The normalization [[host]] applies after extraction — lowercase,
     * strip one leading `www.` — exposed so bare-host inputs (blocklists,
@@ -147,7 +158,10 @@ object WebCuration {
     val rolled = h.groupBy(col("__graft_host").as("host"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(text, " ")).cast("long")).as("n_tokens"),
+        // length arithmetic, not split: engine-version-invariant AND
+        // array-free (graft.functions.TextFunctions.spaceTokenCount)
+        sum(graft.functions.TextFunctions.spaceTokenCount(text))
+          .as("n_tokens"),
         countDistinct(lang).as("n_langs"),
         (count(lit(1)) - countDistinct(md5(text))).as("n_dup_docs"))
       .withColumn("domain", domain(col("host")))

@@ -213,6 +213,27 @@ class SamplingSpec extends SparkSpec {
     assert(run(aged, aqe = true, parts = 200) == base, "aged session diverged")
   }
 
+  test("weightedPrefixSum: global running sum in id order, layout-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(50).toLong))
+    var acc = 0L
+    val model = rows.filter(_._2 > 0).map { case (id, w) =>
+      acc += w; (id, acc) }
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedPrefixSum(df.repartition(7), col("id"), col("w"))
+      .select("id", "cum").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == model)
+    // original columns survive; internals do not
+    val cols = Sampling.weightedPrefixSum(df, col("id"), col("w")).columns.toSeq
+    assert(cols == Seq("id", "w", "cum"))
+    // invariant to bucket count (boundary-set independence)
+    val b3 = Sampling.weightedPrefixSum(df.repartition(11), col("id"), col("w"),
+        buckets = 3)
+      .select("id", "cum").as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(b3 == model)
+  }
+
   test("withGroupSplit: a group is never on both sides of the boundary") {
     import spark.implicits._
     // 200 rows across 30 hosts — every host must land on exactly one side

@@ -110,4 +110,23 @@ class TextFunctionsSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(got == Seq(3L, 1L))
   }
+
+  test("spaceTokenCount ≡ size(split) on every edge shape") {
+    // the invariant the r10 gate spelling rests on: #spaces+1 equals the
+    // single-space split count for EVERY string — empties, doubles,
+    // leading/trailing spaces, unicode — because Spark's split keeps
+    // trailing empty strings at its default limit
+    val cases = Seq("", " ", "a", "a b", "a  b", "a ", " a", "  ",
+      "héllo wörld", "a b c d e", "\ttab\tonly")
+    val df = cases.toDF("t")
+      .select(TextFunctions.spaceTokenCount(col("t")).as("arith"),
+        size(split(col("t"), " ")).cast("long").as("split"))
+    df.collect().zip(cases).foreach { case (r, c) =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch on '$c'")
+    }
+    // null stays null
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(TextFunctions.spaceTokenCount(col("t"))).collect()
+    assert(n(0).isNullAt(0))
+  }
 }
