@@ -1,8 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also writes `_column_checksums.json` — ONE tiny order-insensitive
+  * checksum row per query (per-column xor of md5-derived value hashes +
+  * null counts, the q58 table-checksum construction applied per column).
+  * Purpose: when a driver-environment hash mismatch recurs (q122/q123
+  * were red in r8+r9 while every local replay passed), diffing the
+  * driver's checksum file against a local run names the COLUMN that
+  * moved — the all-or-nothing per-query gate can't. The leading `_`
+  * keeps it out of the driver's query-directory pairing.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
@@ -17,14 +28,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (selected(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,9 +40,55 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    val checksums = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (selected(name))
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // per-column checksum over the EXACT bytes just written (read
+          // back, not recomputed — certifies what the driver will hash):
+          // xor of hexLong(value as string) skips nulls (null hash is
+          // null), so nulls are reported separately; all aggregates are
+          // commutative — row order never enters.
+          val written = spark.read.parquet(s"$outDir/$name")
+          // xor alone cancels on even multiplicities of one value — the
+          // mod-prime sum (q58's second channel) catches those.
+          val perCol = written.columns.flatMap { c =>
+            Seq(
+              expr(s"bit_xor(${colHash(c)})").as(s"x:$c"),
+              expr(s"sum(${colHash(c)} % 1000000007)").as(s"s:$c"),
+              count(when(col(c).isNull, 1)).as(s"n:$c"))
+          }
+          val row = written.agg(count(lit(1)).as("rows"), perCol.toSeq: _*)
+            .collect()(0)
+          val fields = ("rows" -> row.get(0).toString) +:
+            written.columns.toSeq.flatMap { c =>
+              Seq(
+                s"xor:$c" -> String.valueOf(row.get(row.fieldIndex(s"x:$c"))),
+                s"sum:$c" -> String.valueOf(row.get(row.fieldIndex(s"s:$c"))),
+                s"nulls:$c" -> String.valueOf(row.get(row.fieldIndex(s"n:$c"))))
+            }
+          checksums(name) =
+            fields.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+              .mkString("{", ", ", "}")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/_column_checksums.json"),
+      checksums.map { case (k, v) => s"${q(k)}: $v" }
+        .mkString("{\n", ",\n", "\n}"))
     spark.stop()
   }
+
+  /** SQL fragment hashing one column's value: md5-derived long of the
+    * string rendering (see functions.Hashing.hexLong — this is its SQL
+    * spelling, usable inside an `expr` aggregate). Backtick-quoted so
+    * any column name survives. */
+  private def colHash(c: String): String =
+    s"cast(conv(substring(md5(cast(`$c` as string)), 1, 15), 16, 10) as bigint)"
 }
