@@ -5664,7 +5664,9 @@ object SparkEntry {
         |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
         |    FROM lineitem
         |    WHERE CAST(floor(l_extendedprice * 100) AS BIGINT) > 0),
-        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |o AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |c AS (SELECT CAST(s.range AS BIGINT) AS digit, COALESCE(o.n, 0) AS n
+        |  FROM range(1, 10) s LEFT JOIN o ON CAST(s.range AS BIGINT) = o.digit),
         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c)
         |SELECT digit, n,
         |  printf('%.6f', CAST(n AS DOUBLE) / n_total) AS freq,

@@ -145,12 +145,17 @@ object DataQuality {
     * @param units strictly positive exact integer amounts (e.g. cents);
     *              non-positive rows are excluded (they have no first
     *              significant digit)
-    * @return 9 rows: (digit, n, freq, expected, abs_gap) */
+    * @return 9 rows — ALWAYS: digits a skewed column never produces
+    *         still report (digit, n=0, freq=0, expected, abs_gap) via
+    *         the 1..9 spine, so the gap evidence is complete */
   def benford(df: DataFrame, units: Column): DataFrame = {
     val digits = df.select(units.cast("long").as("u"))
       .filter(col("u") > 0L)
       .select(substring(col("u").cast("string"), 1, 1).cast("long").as("digit"))
-    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+    val observed = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val counts = spine.join(broadcast(observed), Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
     val total = counts.agg(sum("n").as("n_total"))
     // log10 spelled as ln/ln on BOTH engine sides (a native log10 may
     // differ from the quotient by an ulp; one spelling, one rounding)

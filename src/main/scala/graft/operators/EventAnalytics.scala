@@ -93,32 +93,6 @@ object EventAnalytics {
       .orderBy("cohort_week", "offset")
   }
 
-  /** Last-touch attribution — the third classic alongside [[funnel]]
-    * and [[retentionCohorts]]: every conversion credits the MOST RECENT
-    * preceding touch by the same user within `lookbackUs`; conversions
-    * with no in-window touch credit `"organic"`. Touches at the exact
-    * conversion timestamp count (arrival order within one µs is not
-    * observable; the deterministic tie rule, stated here, is
-    * touch-before-conversion).
-    *
-    * Mechanics: the as-of union+carry trick ([[AsOfJoin]]'s core) — ONE
-    * user-keyed window pass carries the latest touch (ts, channel)
-    * struct onto each conversion; the lookback test is a plain comparison
-    * on the carried timestamp. No join, no per-conversion search.
-    *
-    * @param events      stream
-    * @param user        entity id
-    * @param ts          event time (µs epoch long)
-    * @param isTouch     row is a creditable touch
-    * @param isConversion row is a conversion
-    * @param channel     touch's channel label (evaluated on touch rows)
-    * @param value       conversion's value in EXACT integer units
-    *                    (cents/µ-units — caller scales; evaluated on
-    *                    conversion rows)
-    * @param lookbackUs  attribution window
-    * @return one row per channel incl. "organic": (channel,
-    *         n_conversions, value_sum)
-    */
   /** First-order Markov transition matrix over per-user event
     * sequences — "after a view, what happens next": the product-
     * analytics complement of [[funnel]] (which checks ONE prescribed
@@ -150,6 +124,37 @@ object EventAnalytics {
         col("n").cast("double") / col("n_from").cast("double")))
   }
 
+  /** Last-touch attribution — the third classic alongside [[funnel]]
+    * and [[retentionCohorts]]: every conversion credits the MOST RECENT
+    * preceding touch by the same user within `lookbackUs`; conversions
+    * with no in-window touch credit `"organic"`. Touches at the exact
+    * conversion timestamp count (arrival order within one µs is not
+    * observable; the deterministic tie rule, stated here, is
+    * touch-before-conversion). A row satisfying BOTH predicates plays
+    * both roles: it is a creditable touch AND a counted conversion
+    * (credited to its own channel — its touch is at-or-before its own
+    * conversion instant).
+    *
+    * Mechanics: the as-of union+carry trick ([[AsOfJoin]]'s core) — ONE
+    * user-keyed window pass carries the latest touch (ts, channel)
+    * struct onto each conversion; the lookback test is a plain comparison
+    * on the carried timestamp. No join, no per-conversion search;
+    * dual-role rows fan out via a 1-or-2-element role explode, still one
+    * scan.
+    *
+    * @param events      stream
+    * @param user        entity id
+    * @param ts          event time (µs epoch long)
+    * @param isTouch     row is a creditable touch
+    * @param isConversion row is a conversion
+    * @param channel     touch's channel label (evaluated on touch rows)
+    * @param value       conversion's value in EXACT integer units
+    *                    (cents/µ-units — caller scales; evaluated on
+    *                    conversion rows)
+    * @param lookbackUs  attribution window
+    * @return one row per channel incl. "organic": (channel,
+    *         n_conversions, value_sum)
+    */
   def lastTouchAttribution(events: DataFrame, user: Column, ts: Column,
                            isTouch: Column, isConversion: Column,
                            channel: Column, value: Column,
@@ -165,11 +170,18 @@ object EventAnalytics {
     val tagged = events
       .filter(isTouch || isConversion)
       .select(user.as("u"), ts.cast("long").as("t"),
-        // touches sort before a same-µs conversion: the stated tie rule
-        when(isTouch, 0).otherwise(1).as("side"),
-        when(isTouch, struct(ts.cast("long").as("tt"),
-          channel.cast("string").as("ch"))).as("touch"),
-        when(isConversion, value.cast("long")).as("v"))
+        channel.cast("string").as("ch0"), value.cast("long").as("v0"),
+        // one row per ROLE: a touch-only or conversion-only row emits
+        // itself once; a dual-role row emits a touch copy AND a
+        // conversion copy, so its conversion is never silently dropped.
+        // Touch copies (side 0) sort before a same-µs conversion copy:
+        // the stated tie rule.
+        explode(filter(array(when(isTouch, 0), when(isConversion, 1)),
+          r => r.isNotNull)).as("side"))
+      .select(col("u"), col("t"), col("side"),
+        when(col("side") === 0, struct(col("t").as("tt"),
+          col("ch0").as("ch"))).as("touch"),
+        when(col("side") === 1, col("v0")).as("v"))
     val carried = tagged
       .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)

@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * — no floating point anywhere, so Spark and any oracle agree bit for
   * bit. Inputs are caller-scaled integers (e.g. µ-units via
-  * `floor(value * 1e6)`); the squares run in decimal so 128-bit
-  * intermediates never overflow.
+  * `floor(value * 1e6)`); sums and squares run in decimal(38,0), which
+  * provably cannot overflow while |x| < 10¹⁹ / (W · max(2, k)) — both
+  * dev² ≤ 4W²·max|x|² and k²·(W·S2 − S1²) ≤ k²W²·max|x|² then stay
+  * under 10³⁸. A row outside that domain fails LOUDLY (row-local
+  * assert fused into the flag expression — no extra pass), never
+  * silently wraps.
   *
   * Shape at scale: ONE shuffle on the key; both rolling sums and the
   * final per-key rollup share the same partitioned sort (the
@@ -44,13 +48,28 @@ object Outliers {
     val x = value.cast("long")
     val dec = DataTypes.dec38
     val n = count(lit(1)).over(w)
-    val s1 = sum(x).over(w).cast(dec)
+    // sum in decimal (like s2), not long-then-cast: a LongType rolling
+    // sum could silently wrap for large caller-scaled values, breaking
+    // the "128-bit intermediates never overflow" contract
+    val s1 = sum(x.cast(dec)).over(w)
     val s2 = sum(x.cast(dec) * x.cast(dec)).over(w)
     val wBig = lit(windowRows.toLong).cast(dec)
     val dev = wBig * x.cast(dec) - s1
     val varW2 = wBig * s2 - s1 * s1 // W² · σ², always ≥ 0
+    // the proven no-overflow input domain (see object doc); Long.Max
+    // caps the expressible bound
+    val limit = (BigInt(10).pow(19) /
+      (BigInt(windowRows) * BigInt(math.max(2, kSigma))))
+      .min(BigInt(Long.MaxValue)).toLong
+    val guarded = assert_true(abs(x) < lit(limit),
+      lit(s"Outliers.flags: |value| must be < $limit for " +
+        s"windowRows=$windowRows, kSigma=$kSigma (decimal(38,0) " +
+        "no-overflow domain) — rescale the input"))
     df.withColumn("is_outlier",
-      n === windowRows.toLong &&
+      // assert_true returns null (or throws): the isNull wrap fuses the
+      // domain check into the same codegen'd projection
+      guarded.isNull &&
+        n === windowRows.toLong &&
         dev * dev > lit(kSigma.toLong * kSigma).cast(dec) * varW2)
   }
 

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Semantics implemented (RFC 9309, the practical subset):
   *  - groups: consecutive `User-agent:` lines stack onto the group of
-  *    rules that follows; a group applies to agent `a` if any of its
-  *    stacked agents is `*` or equals `a` (case-insensitive). When
-  *    several groups apply their rules MERGE (the Google-documented
-  *    behavior for duplicate groups).
+  *    rules that follows. Group selection is the RFC 9309 §2.2.1
+  *    most-specific-match: if ANY group on the host names agent `a`
+  *    (case-insensitive), only the groups naming `a` apply and every
+  *    `*` group is ignored; otherwise the `*` groups apply. When
+  *    several groups of the selected specificity apply their rules
+  *    MERGE (the Google-documented behavior for duplicate groups).
   *  - rules: `Allow:` / `Disallow:` path patterns; `*` matches any run
   *    of characters, a TRAILING `$` anchors end-of-path, both per RFC
   *    9309 §2.2.3; any other character is literal. An empty pattern
@@ -64,10 +66,22 @@ object Robots {
       .withColumn("gid", sum(col("new_group").cast("long")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val wGroup = Window.partitionBy(col("host"), col("gid"))
+    // RFC 9309 §2.2.1 most-specific group selection: `*` groups are
+    // ignored whenever any group on the host names the agent. Both
+    // flags ride the same host-partitioned sort as the grouping — the
+    // host-level max adds no Exchange.
+    val wHost = Window.partitionBy(col("host"))
+    val isSpecific = isUa && lower(col("value")) === agent.toLowerCase
+    val isStar = isUa && col("value") === "*"
     grouped
-      .withColumn("applies", max(when(isUa &&
-          (col("value") === "*" || lower(col("value")) === agent.toLowerCase),
-          1L).otherwise(0L)).over(wGroup) === 1L)
+      .withColumn("g_specific",
+        max(when(isSpecific, 1L).otherwise(0L)).over(wGroup) === 1L)
+      .withColumn("g_star",
+        max(when(isStar, 1L).otherwise(0L)).over(wGroup) === 1L)
+      .withColumn("host_specific",
+        max(when(isSpecific, 1L).otherwise(0L)).over(wHost) === 1L)
+      .withColumn("applies",
+        col("g_specific") || (col("g_star") && !col("host_specific")))
       .filter(col("applies") && col("directive").isin("allow", "disallow") &&
         length(col("value")) > 0)
       .select(col("host"),

@@ -74,10 +74,18 @@ class DataQualitySpec extends SparkSpec {
     val got = DataQuality.benford(df, col("u"))
       .orderBy("digit")
       .as[(Long, Long, String, String, String)].collect().toSeq
-    assert(got.map(r => (r._1, r._2, r._3)) ==
-      Seq((1L, 2L, "0.500000"), (2L, 1L, "0.250000"), (9L, 1L, "0.250000")))
+    // the 1..9 spine: ALL nine digits report, unseen ones with n=0 —
+    // their abs_gap IS the expected frequency (complete gap evidence)
+    assert(got.map(_._1) == (1L to 9L))
+    val byDigit = got.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byDigit(1L) == ((2L, "0.500000")))
+    assert(byDigit(2L) == ((1L, "0.250000")))
+    assert(byDigit(9L) == ((1L, "0.250000")))
+    (3L to 8L).foreach(d => assert(byDigit(d) == ((0L, "0.000000")), s"digit $d"))
     // Benford constants: P(1)=log10(2)=0.301030, P(9)=log10(10/9)=0.045757
     assert(got.head._4 == "0.301030" && got.last._4 == "0.045757")
+    val zero = got.find(_._1 == 5L).get
+    assert(zero._5 == zero._4, "zero-count digit: abs_gap == expected")
   }
 
   test("chiSquare: independent and dependent tables, zero cells included") {

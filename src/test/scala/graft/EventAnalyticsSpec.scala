@@ -91,6 +91,25 @@ class EventAnalyticsSpec extends SparkSpec {
       ("organic", 2L, 100L)))
   }
 
+  test("lastTouchAttribution: a row that is BOTH touch and conversion plays both roles") {
+    // user 1: event at t=100 is simultaneously a touch (channel a) and a
+    // conversion (10) — it must COUNT as a conversion (credited to its
+    // own channel) and still credit the later conversion at t=200
+    val rows = Seq(
+      (1L, 100L, true, true, "a", 10L),
+      (1L, 200L, false, true, null, 20L),
+      (2L, 300L, true, false, "b", 0L),   // plain touch, no conversion
+      (2L, 400L, false, true, null, 40L)
+    ).toDF("u", "t", "touch", "conv", "ch", "cents")
+    val got = EventAnalytics.lastTouchAttribution(rows,
+        user = col("u"), ts = col("t"),
+        isTouch = col("touch"), isConversion = col("conv"),
+        channel = col("ch"), value = col("cents"), lookbackUs = 300L)
+      .orderBy("channel")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 30L), ("b", 1L, 40L)))
+  }
+
   test("transitionMatrix: per-user adjacency, counts and probabilities") {
     // user 1: a->b->a->c ; user 2: a->b (last events emit no pair)
     val rows = Seq(

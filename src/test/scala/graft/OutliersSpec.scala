@@ -38,6 +38,21 @@ class OutliersSpec extends SparkSpec {
     assert(!flags(rows.init, 3, 1).exists(_._2), "constant runs never flag")
   }
 
+  test("huge caller-scaled values: decimal S1, loud out-of-domain failure") {
+    // 1e18 is inside the proven domain for W=3,k=1 (|x| < 10^19/6): a
+    // LongType rolling sum over W=3 would wrap (3e18+ risk at W more
+    // rows) — the decimal S1 keeps "equal values never flag" exact
+    val big = 1_000_000_000_000_000_000L
+    val rows = (1L to 4L).map(t => ("g", t, big))
+    assert(!flags(rows, 3, 1).exists(_._2),
+      "constant huge values flagged — S1 overflowed")
+    // 4e18 is OUTSIDE the domain (would overflow W*S2 in decimal(38,0)):
+    // the fused row guard must fail loudly, never wrap silently
+    val tooBig = (1L to 4L).map(t => ("g", t, 4_000_000_000_000_000_000L))
+    val e = intercept[Exception](flags(tooBig, 3, 1))
+    assert(e.getMessage.contains("rescale the input"), e.getMessage)
+  }
+
   test("random inputs match the brute-force definition") {
     val rnd = new scala.util.Random(139)
     val w = 5; val k = 2

@@ -80,11 +80,23 @@ class RobotsSpec extends SparkSpec {
   }
 
   test("agent-specific groups: badbot is shut out entirely") {
+    // RFC 9309 §2.2.1: the host HAS a group naming badbot, so ONLY that
+    // group applies — the * groups (including Allow: /private/open) are
+    // ignored, and Disallow: / blocks everything
     val got = decisions(Seq(("h", "/pub/page"), ("h", "/private/open/a")),
       agent = "BadBot")
-    // badbot's group (Disallow: /) applies AND the * groups apply;
-    // /private/open allow (len 13) still beats / (len 1) — but /pub
-    // matches only Disallow: / -> blocked
-    assert(got == Map("/pub/page" -> false, "/private/open/a" -> true))
+    assert(got == Map("/pub/page" -> false, "/private/open/a" -> false))
+  }
+
+  test("most-specific selection is per host; agents w/o a named group fall back to *") {
+    // googlebot stacks onto the * group, so for googlebot that stacked
+    // group is SPECIFIC and other star-only groups are ignored
+    val got = decisions(Seq(("h", "/private/x"), ("h", "/tmp/y")),
+      agent = "googlebot")
+    assert(got == Map("/private/x" -> false, "/tmp/y" -> true))
+    // an agent named nowhere falls back to BOTH * groups (merged)
+    val fallback = decisions(Seq(("h", "/private/x"), ("h", "/tmp/y")),
+      agent = "nicebot")
+    assert(fallback == Map("/private/x" -> false, "/tmp/y" -> false))
   }
 }
