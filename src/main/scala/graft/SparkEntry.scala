@@ -2952,6 +2952,32 @@ object SparkEntry {
         .orderBy("center", "context")
     }),
 
+    // LLM ops — HTML main-content extraction (MainContent.extract, the
+    // jusText/trafilatura-shaped boilerplate remover between WARC
+    // ingest and quality filtering): each document's text is wrapped in
+    // a deterministic page (head+title+style, a link-dense nav, the
+    // article <p>, a link-dense footer) and the extractor must recover
+    // EXACTLY the article — the oracle replays the expected evidence
+    // straight from `text` (the q124 certification stance: the
+    // template's constant blocks classify identically for every page,
+    // proven block-by-block in MainContentSpec).
+    "q159_html_extract" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .withColumn("html", concat(
+          lit("<html><head><title>News</title><style>p{margin:0}</style>" +
+            "</head><body><div><a href=\"/\">Home</a> <a href=\"/tags\">" +
+            "Tags</a> <a href=\"/about\">About</a></div><p>"),
+          col("text"),
+          lit("</p><div><a href=\"/terms\">Terms of Service</a> " +
+            "<a href=\"/privacy\">Privacy Policy</a> (c) 2026</div>" +
+            "</body></html>")))
+      MainContent.extract(d, col("doc_id"), col("html"))
+        .select(col("doc_id"), col("n_blocks"), col("n_content"),
+          col("content_chars"), md5(col("main_text")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -5741,6 +5767,25 @@ object SparkEntry {
         |      FROM p GROUP BY 1, 2)
         |SELECT center, context, n FROM c WHERE n >= 5
         |ORDER BY center, context""".stripMargin,
+
+    // The page template's constant blocks (title 4 chars; nav 15 chars
+    // / 13 link chars; footer 40 chars / 30 link chars) are boilerplate
+    // under the 25-char/30% rules for EVERY document (proven
+    // block-by-block in MainContentSpec), so the expected extraction is
+    // a pure function of `text`: 4 blocks, the article kept iff it
+    // reaches 25 chars (its only neighbors — nav and footer — fail the
+    // density rule, so promotion can never rescue a shorter article).
+    "q159_html_extract" ->
+      """SELECT doc_id,
+        |  CAST(4 AS BIGINT) AS n_blocks,
+        |  CAST(CASE WHEN length(text) >= 25 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_content,
+        |  CAST(CASE WHEN length(text) >= 25 THEN length(text) ELSE 0 END
+        |    AS BIGINT) AS content_chars,
+        |  CASE WHEN length(text) >= 25 THEN md5(text) ELSE md5('') END
+        |    AS content_md5
+        |FROM documents WHERE length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MainContent
+
+/** HTML main-content extraction: noise stripping, entity decode, block
+  * segmentation, the integer length/density rules, neighbor promotion,
+  * and end-to-end reassembly. */
+class MainContentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def page(body: String) =
+    "<html><head><title>News</title><style>p{margin:0}</style></head>" +
+      s"<body>$body</body></html>"
+
+  private val nav =
+    """<div><a href="/">Home</a> <a href="/tags">Tags</a> <a href="/about">About</a></div>"""
+  private val footer =
+    """<div><a href="/terms">Terms of Service</a> <a href="/privacy">Privacy Policy</a> (c) 2026</div>"""
+
+  test("stripNoise: script/style bodies and comments vanish; text keeps") {
+    val got = Seq(
+      "a<script type=\"x\">var q = '<p>sneaky</p>';</script>b",
+      "a<style>p { color: red }</style>b",
+      "a<!-- secret\nnote -->b",
+      "a<noscript>enable js</noscript>b")
+      .toDF("h").select(MainContent.blockText(MainContent.stripNoise(col("h"))))
+      .as[String].collect().toSeq
+    assert(got == Seq("a b", "a b", "a b", "a b"))
+  }
+
+  test("decodeEntities: named set; &amp; decodes last (one level only)") {
+    val got = Seq("a &lt;b&gt; &quot;c&quot; &#39;d&apos; x&nbsp;y &amp;lt;")
+      .toDF("t").select(MainContent.decodeEntities(col("t")))
+      .as[String].head()
+    assert(got == "a <b> \"c\" 'd' x y &lt;")
+  }
+
+  test("blocks: segmentation at block tags, dense idx, exact text/link evidence") {
+    val html = page(nav + "<p>A proper paragraph of body text.</p>" + footer)
+    val got = MainContent.blocks(Seq((7L, html)).toDF("id", "h"),
+        col("id"), col("h"))
+      .orderBy("block_idx")
+      .select("doc_id", "block_idx", "text", "text_len", "link_len")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (7L, 0L, "News", 4L, 0L),
+      (7L, 1L, "Home Tags About", 15L, 13L),
+      (7L, 2L, "A proper paragraph of body text.", 32L, 0L),
+      (7L, 3L, "Terms of Service Privacy Policy (c) 2026", 40L, 30L)))
+  }
+
+  test("classify: length rule, density rule, and neighbor promotion") {
+    // headline (17 chars, no links) is short of minChars=25 but sits
+    // next to a content paragraph -> promoted; nav fails density so it
+    // can never promote; title (4 chars) is under promoteMin
+    val html = page(nav + "<h1>Big News Headline</h1>" +
+      "<p>A proper paragraph of body text.</p>" + footer)
+    val got = MainContent.classify(
+        MainContent.blocks(Seq((1L, html)).toDF("id", "h"), col("id"), col("h")))
+      .orderBy("block_idx")
+      .select("text", "is_content").as[(String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("News", false),
+      ("Home Tags About", false),
+      ("Big News Headline", true),          // promoted by the neighbor
+      ("A proper paragraph of body text.", true),
+      ("Terms of Service Privacy Policy (c) 2026", false)))
+    // the same headline with no content neighbor stays boilerplate
+    val alone = page(nav + "<h1>Big News Headline</h1>" + footer)
+    val g2 = MainContent.classify(
+        MainContent.blocks(Seq((1L, alone)).toDF("id", "h"), col("id"), col("h")))
+      .filter(col("text") === "Big News Headline")
+      .select("is_content").as[Boolean].head()
+    assert(!g2)
+  }
+
+  test("extract: reassembly in document order; all-boilerplate page keeps nothing") {
+    val html = page(nav + "<h1>Big News Headline</h1>" +
+      "<p>First paragraph of the body text.</p>" +
+      "<p>Second paragraph, also long enough to keep.</p>" + footer)
+    val got = MainContent.extract(Seq((1L, html)).toDF("id", "h"),
+        col("id"), col("h"))
+      .as[(Long, Long, Long, Long, String)].head()
+    assert(got == ((1L, 6L, 3L, 17L + 33L + 43L,
+      "Big News Headline First paragraph of the body text. " +
+        "Second paragraph, also long enough to keep.")))
+    val junk = MainContent.extract(Seq((2L, page(nav + footer)))
+        .toDF("id", "h"), col("id"), col("h"))
+      .as[(Long, Long, Long, Long, String)].head()
+    assert(junk == ((2L, 3L, 0L, 0L, "")))
+  }
+
+  test("malformed HTML never throws; unclosed tags degrade to text or strip") {
+    val rows = Seq(
+      (1L, "<p>unclosed paragraph with enough characters here"),
+      (2L, "no markup at all but plenty of text to keep around"),
+      (3L, "<div class=\"x\"><p>broken <b>nest</div> tail text of useful length</p>"),
+      (4L, "<a href=\"/x\">dangling anchor"),
+      (5L, ""))
+      .toDF("id", "h")
+    val got = MainContent.extract(rows, col("id"), col("h"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_content").as[(Long, Long)].collect().toSeq
+    // doc 5 has no blocks at all -> no output row (groupBy over nothing)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(got(0)._2 == 1L && got(1)._2 == 1L && got(2)._2 >= 1L)
+  }
+}

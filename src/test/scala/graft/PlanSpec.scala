@@ -313,4 +313,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("q140_snapshot_diff")
     assert("FullOuter".r.findAllIn(p).length == 1, p.take(3000))
   }
+
+  test("q159: main-content extraction exchanges ONLY on the doc id (window + agg share it)") {
+    val p = plan("q159_html_extract")
+    // all the regex scoring is row-local: the only hash exchanges carry
+    // doc_id (adjacency window, reassembly aggregate — same key), plus
+    // the final presentation sort; no join appears at all
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("doc_id")), s"unexpected exchanges $exchanges\n${p.take(2000)}")
+    assert(!p.contains("Join"), "no join belongs in this plan")
+  }
 }
