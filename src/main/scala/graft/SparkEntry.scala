@@ -2978,6 +2978,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM ops — PSL registrable domains (WebCuration.pslDomains): the
+    // publicsuffix.org algorithm as a broadcast rule join; five host
+    // shapes (gTLD, co.uk multi-part suffix, *.ck wildcard, !www.ck
+    // exception, unlisted-TLD fallback) derived deterministically from
+    // (source, doc_id). The oracle states each branch's closed-form
+    // registrable domain — every rule kind is exercised per source.
+    "q160_psl_domains" -> ((s, dir) => {
+      import s.implicits._
+      val psl = Seq("com", "uk", "co.uk", "*.ck", "!www.ck").toDF("rule")
+      val hosts = Tables.load(s, dir, "documents")
+        .select(concat(col("source"),
+          when(col("doc_id") % 5 === 0, lit(".example.com"))
+            .when(col("doc_id") % 5 === 1, lit(".example.co.uk"))
+            .when(col("doc_id") % 5 === 2, lit(".web.ck"))
+            .when(col("doc_id") % 5 === 3, lit(".www.ck"))
+            .otherwise(lit(".internal"))).as("host"))
+        .distinct()
+      WebCuration.pslDomains(hosts, col("host"), psl)
+        .orderBy("host")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -5786,6 +5807,26 @@ object SparkEntry {
         |    AS content_md5
         |FROM documents WHERE length(text) > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // Closed-form registrable domain per host shape: com → 1-label
+    // suffix, co.uk → 2-label suffix, *.ck → wildcard (whole host is
+    // registrable), !www.ck → exception (www.ck itself registrable),
+    // .internal → implicit-* fallback.
+    "q160_psl_domains" ->
+      """WITH h AS (SELECT DISTINCT
+        |    source || CASE doc_id % 5
+        |      WHEN 0 THEN '.example.com' WHEN 1 THEN '.example.co.uk'
+        |      WHEN 2 THEN '.web.ck' WHEN 3 THEN '.www.ck'
+        |      ELSE '.internal' END AS host,
+        |    doc_id % 5 AS m, source
+        |  FROM documents)
+        |SELECT host, CASE m
+        |    WHEN 0 THEN 'example.com'
+        |    WHEN 1 THEN 'example.co.uk'
+        |    WHEN 2 THEN source || '.web.ck'
+        |    WHEN 3 THEN 'www.ck'
+        |    ELSE source || '.internal' END AS psl_domain
+        |FROM h ORDER BY host""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

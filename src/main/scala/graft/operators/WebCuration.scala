@@ -61,6 +61,85 @@ object WebCuration {
       .otherwise(h)
   }
 
+  /** Public-suffix-list registrable domains — the PSL-accurate
+    * replacement for the [[domain]] heuristic (which wrongly collapses
+    * `a.co.uk` to `co.uk` and pollutes host rollups / group splits on
+    * ccTLD corpora). Implements the publicsuffix.org algorithm over a
+    * RULES DIM FRAME (one column of raw PSL lines — `com`, `co.uk`,
+    * `*.ck`, `!www.ck`; comments `//…` and blanks tolerated):
+    *
+    *  - candidates: every dot-suffix of the host (row-local explode,
+    *    ≤ label-count rows) emitted under TWO join keys — itself (plain
+    *    and exception rules match it) and its parent (wildcard rules
+    *    match one extra label) — so rule matching is ONE broadcast hash
+    *    equi-join, never a pattern scan;
+    *  - prevailing rule: an exception rule wins outright (public suffix
+    *    = the rule minus its first label); otherwise the longest match;
+    *    no match at all falls back to the implicit `*` rule (public
+    *    suffix = the last label — exactly the old heuristic, so
+    *    uncovered hosts degrade to the previous behavior);
+    *  - registrable domain = public suffix + one label; hosts that ARE
+    *    a public suffix (or single-label hosts) yield null.
+    *
+    * Shape at 100 TB: meant for HOST-level frames (the [[hostRollup]]
+    * output, a link graph's vertex set) — the explode fans each host to
+    * ~2× its label count, the PSL side broadcasts (~10k rules), and the
+    * winner aggregate groups on the host key the frame already carries.
+    *
+    * @param hosts frame of distinct hosts (extra columns pass through)
+    * @param host  normalized host column ([[normalizeHost]] form)
+    * @param psl   raw PSL lines, first column used
+    * @return input columns + `psl_domain`
+    */
+  def pslDomains(hosts: DataFrame, host: Column, psl: DataFrame): DataFrame = {
+    val rawCol = col(psl.columns.head)
+    val rules = psl
+      .select(trim(lower(rawCol)).as("raw"))
+      .filter(length(col("raw")) > 0 && !col("raw").startsWith("//"))
+      .select(
+        when(col("raw").startsWith("!"), lit("x"))
+          .when(col("raw").startsWith("*."), lit("w"))
+          .otherwise(lit("p")).as("kind"),
+        regexp_replace(col("raw"), "^(!|\\*\\.)", "").as("__graft_key"))
+    val h = hosts.withColumn("__graft_host", host)
+    val labels = split(col("__graft_host"), "\\.")
+    // each candidate suffix under two keys: via=0 keyed on itself
+    // (plain/exception rules), via=1 keyed on its parent (wildcard
+    // rules — the candidate's extra first label is the '*')
+    val cands = h.select(col("__graft_host"),
+      explode(flatten(transform(sequence(lit(1), size(labels)), i => {
+        val cand = array_join(slice(labels, lit(0) - i, i), ".")
+        array(
+          struct(i.as("nl"), lit(0).as("via"), cand.as("__graft_key")),
+          struct(i.as("nl"), lit(1).as("via"),
+            // the candidate's parent (strip one label) — only defined
+            // from two labels up
+            when(i >= 2, regexp_replace(cand, "^[^.]+\\.", ""))
+              .as("__graft_key")))
+      }))).as("c"))
+      .select(col("__graft_host"), col("c.nl"), col("c.via"), col("c.__graft_key"))
+      .filter(col("__graft_key").isNotNull)
+    val matched = cands.join(broadcast(rules), Seq("__graft_key"))
+      .filter((col("via") === 0 && col("kind").isin("p", "x")) ||
+        (col("via") === 1 && col("kind") === "w"))
+    val winners = matched.groupBy("__graft_host")
+      .agg(
+        // exception rule prevails: public suffix = rule minus one label
+        max(when(col("kind") === "x" && col("via") === 0, col("nl") - 1))
+          .as("__graft_ex"),
+        max(when(col("kind") =!= "x", col("nl"))).as("__graft_mx"))
+      .select(col("__graft_host"),
+        coalesce(col("__graft_ex"), col("__graft_mx"), lit(1))
+          .as("__graft_ps"))
+    h.join(winners, Seq("__graft_host"), "left")
+      .withColumn("__graft_ps", coalesce(col("__graft_ps"), lit(1)))
+      .withColumn("psl_domain",
+        when(size(labels) > col("__graft_ps"),
+          array_join(slice(labels, -(col("__graft_ps") + 1).cast("int"),
+            (col("__graft_ps") + 1).cast("int")), ".")))
+      .drop("__graft_host", "__graft_ps")
+  }
+
   /** Canonical form of a URL — the normalization a crawl frontier and a
     * URL-level dedup both need before comparing anything (RFC 3986 §6
     * syntax-based normalization plus the tracking-parameter strip every

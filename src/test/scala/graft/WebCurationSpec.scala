@@ -25,6 +25,41 @@ class WebCurationSpec extends SparkSpec {
     assert(got.toSeq == Seq("example.com", "example.com", "localhost"))
   }
 
+  test("pslDomains: publicsuffix.org algorithm — plain, wildcard, exception, fallback") {
+    val psl = Seq("// comment line", "", "com", "uk", "co.uk", "org",
+      "*.ck", "!www.ck").toDF("rule")
+    val cases = Seq(
+      "a.co.uk"        -> "a.co.uk",        // co.uk suffix: the heuristic's failure case
+      "docs.a.co.uk"   -> "a.co.uk",        // deep subdomain under co.uk
+      "example.com"    -> "example.com",
+      "www.ck"         -> "www.ck",         // exception rule: registrable itself
+      "foo.www.ck"     -> "www.ck",         // exception beats the *.ck wildcard
+      "bar.ck"         -> null,             // wildcard: bar.ck IS a public suffix
+      "x.bar.ck"       -> "x.bar.ck",       // one label under a wildcard suffix
+      "unknowntld.zz"  -> "unknowntld.zz",  // no rule: implicit * fallback (= heuristic)
+      "a.b.zz"         -> "b.zz",
+      "localhost"      -> null)             // single label: no registrable domain
+    val got = WebCuration.pslDomains(cases.map(_._1).toDF("host"),
+        col("host"), psl)
+      .select("host", "psl_domain").as[(String, String)].collect()
+      .map { case (h, d) => h -> Option(d).orNull }.toMap
+    cases.foreach { case (h, exp) =>
+      assert(got(h) == exp, s"pslDomains($h): got ${got(h)}, want $exp")
+    }
+    // extra columns pass through untouched
+    val cols = WebCuration.pslDomains(
+      Seq(("a.co.uk", 7L)).toDF("host", "n"), col("host"), psl).columns.toSeq
+    assert(cols == Seq("host", "n", "psl_domain"))
+  }
+
+  test("pslDomains plan: the rules side joins broadcast") {
+    val psl = Seq("com", "co.uk").toDF("rule")
+    val plan = WebCuration.pslDomains(Seq("a.co.uk").toDF("host"),
+        col("host"), psl)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("hostRollup: exact per-host evidence, blocklist normalizes then drops") {
     val docs = Seq(
       // spam.com: 3 docs, 2 identical texts -> 1 dup, langs {en}
