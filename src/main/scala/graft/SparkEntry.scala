@@ -1775,7 +1775,9 @@ object SparkEntry {
         .agg(call_function("qdigest", col("nt"), lit(b), lit(k)).as("s"))
         .select(col("s.n").as("n"), col("s.nodes").as("nodes"))
       // sketch traversal: running mass in (rmax, rsize) order — the eval's
-      // canonical node order, so posexplode position IS the walk order
+      // canonical node order, so posexplode position IS the walk order.
+      // BOUNDED(k=256): the unpartitioned window walks ONE sketch row's
+      // ≤ k nodes, never corpus rows
       val walk = sketch.select(col("n"), posexplode(col("nodes")).as(Seq("i", "node")))
         .select(col("n"), col("node.rmax").as("rmax"),
           sum(col("node.cnt")).over(Window.orderBy("i")).as("cum"))
@@ -1794,7 +1796,10 @@ object SparkEntry {
           (col("cum_le") >= col("t")).as("lower_ok"),
           (col("cum_lt") <= col("t") - 1 + lit(b) * expr("n div " + k)).as("upper_ok"))
       // exact quantiles under the same rank definition (min value with
-      // cumulative count >= t) — the oracle-replayable half of the output
+      // cumulative count >= t) — the oracle-replayable half of the output.
+      // BOUNDED(|distinct token counts|): the unpartitioned window runs
+      // over the VALUE-grouped frame (one row per distinct doc length —
+      // thousands at any corpus scale), never over documents
       val cw = cnts.withColumn("cum", sum("c").over(Window.orderBy("nt")))
       val exact = cw.crossJoin(broadcast(targets))
         .join(ests.select("p", "t"), Seq("p"))

@@ -243,7 +243,8 @@ object Similarity {
     val seeds = v9
       .withColumn("__h", graft.functions.Hashing.hexLong(col("vec_id").cast("string")))
       .orderBy(col("__h"), col("vec_id")).limit(k)
-    // k rows only: the global window is over the already-collected top-k.
+    // BOUNDED(k): the unpartitioned window runs over the limit(k) seed
+    // frame only — keep the limit immediately upstream.
     // cents carry BOTH forms: the float cvec is the public contract, the
     // scale-9 c9 drives iteration arithmetic (a float->scale9->float
     // roundtrip is not bit-exact for sub-5e-10 components)

@@ -31,6 +31,9 @@ object Tokenize {
       .select(explode(TextFunctions.tokens(text)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("tok")).limit(topK)
+      // BOUNDED(topK): this unpartitioned window's input is the
+      // limit(topK) result above — keep the limit IMMEDIATELY upstream
+      // or the window becomes a global corpus sort
       .withColumn("id",
         row_number().over(Window.orderBy(col("n_occ").desc, col("tok")))
           .cast("long") - 1)
