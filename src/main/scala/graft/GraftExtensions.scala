@@ -42,6 +42,10 @@ import graft.expressions.{CmsSketchAgg, Dec9Dot, DecimalDotRewrite, FloatVecScal
   *    chosen AFTER the scan; the buffer is a pure function of the input
   *    multiset, so the whole counter array hash-gates against an md5
   *    replay ([[graft.expressions.CmsSketchAgg]]);
+  *  - `unicode_norm(string, form) -> string` — NFC/NFD/NFKC/NFKD
+  *    normalization (java.text.Normalizer with an isNormalized fast
+  *    path), the pre-hash canonicalization dedup needs
+  *    ([[graft.expressions.UnicodeNorm]]);
   *  - `bloom_might_contain(binary, bigint) -> boolean` — Spark's internal
   *    runtime-filter membership test exposed for explicit bloom
   *    prefilters ([[graft.operators.Decontaminate]]);
@@ -120,6 +124,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "kmv_theta takes exactly 2 arguments")
         KmvSketchAgg(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[graft.expressions.UnicodeNorm].getName, "unicode_norm"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "unicode_norm takes exactly 2 arguments")
+        graft.expressions.UnicodeNorm(children.head, children(1))
       }))
     // Spark's own runtime-filter membership expression (codegen'd), made
     // callable so operators can bloom-prefilter a join side explicitly

@@ -3004,6 +3004,26 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // Functions — native Unicode NFC normalization (unicode_norm, the
+    // codegen'd java.text.Normalizer wrap): each document gets a prefix
+    // holding DECOMPOSED sequences (e+U+0301, i+U+0308) plus an already
+    // composed U+00E9; the gate hashes the normalized text against
+    // DuckDB's independent nfc_normalize — two unrelated Unicode
+    // implementations must agree byte-for-byte, and the char counts
+    // prove composition actually happened (pre_len > post_len).
+    "q161_unicode_nfc" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("cafe\u0301 nai\u0308ve \u00e9 "),
+            substring(col("text"), 1, 40)).as("raw"))
+      d.select(col("doc_id"),
+          length(col("raw")).cast("long").as("pre_len"),
+          length(TextFunctions.unicodeNorm(col("raw"))).cast("long")
+            .as("post_len"),
+          md5(TextFunctions.unicodeNorm(col("raw"))).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -5832,6 +5852,19 @@ object SparkEntry {
         |    WHEN 3 THEN 'www.ck'
         |    ELSE source || '.internal' END AS psl_domain
         |FROM h ORDER BY host""".stripMargin,
+
+    // chr(769)=U+0301 combining acute, chr(776)=U+0308 combining
+    // diaeresis, chr(233)=U+00E9 — the same prefix the Spark side
+    // builds; nfc_normalize is DuckDB's own Unicode implementation.
+    "q161_unicode_nfc" ->
+      """WITH d AS (SELECT doc_id,
+        |    'cafe' || chr(769) || ' nai' || chr(776) || 've ' ||
+        |      chr(233) || ' ' || substr(text, 1, 40) AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS pre_len,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS post_len,
+        |  md5(nfc_normalize(raw)) AS norm_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

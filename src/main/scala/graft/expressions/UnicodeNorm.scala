@@ -1,0 +1,79 @@
+package graft.expressions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel for [[UnicodeNorm]] — also called from generated Java. */
+object UnicodeOps {
+  /** Normalize to the given form. Fast path: `isNormalized` is a cheap
+    * scan (pure ASCII short-circuits immediately) that avoids the
+    * String→UTF8String round-trip for the overwhelmingly-normalized
+    * real corpus; only rows actually carrying decomposed/compatibility
+    * sequences pay for normalization. */
+  def normalize(s: UTF8String, form: Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(Normalizer.normalize(str, form))
+  }
+}
+
+/** `unicode_norm(string, form) -> string`: Unicode normalization (NFC /
+  * NFD / NFKC / NFKD) as a native codegen'd expression — the
+  * text-canonicalization step every dedup/fingerprint pass needs before
+  * hashing: `café` as `e`+U+0301 and as U+00E9 are byte-different,
+  * md5-different, and dedup-invisible until normalized; NFKC
+  * additionally folds compatibility forms (ﬁ→fi, ①→1, ﾊﾟ→パ) that spam
+  * uses to evade filters. Spark has no built-in normalizer and a UDF
+  * would break whole-stage codegen, so this wraps `java.text.Normalizer`
+  * with `doGenCode` (the [[DeflateLen]] pattern). The form argument must
+  * be a foldable string — it resolves to the enum ONCE at plan time.
+  * Registered by [[graft.GraftExtensions]]; NFC output hash-gates
+  * against DuckDB's `nfc_normalize` (q161). */
+case class UnicodeNorm(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if !right.foldable =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName form must be a constant string")
+      case (StringType, StringType) =>
+        formName match {
+          case "NFC" | "NFD" | "NFKC" | "NFKD" =>
+            TypeCheckResult.TypeCheckSuccess
+          case f => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName form must be one of NFC/NFD/NFKC/NFKD, got '$f'")
+        }
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  private lazy val formName: String = right.eval() match {
+    case s: UTF8String => s.toString.toUpperCase
+    case _ => ""
+  }
+  private lazy val form: Normalizer.Form = Normalizer.Form.valueOf(formName)
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_norm"
+
+  override def nullSafeEval(s: Any, f: Any): Any =
+    UnicodeOps.normalize(s.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("form", form,
+      classOf[Normalizer.Form].getName)
+    nullSafeCodeGen(ctx, ev, (s, _) =>
+      s"${ev.value} = graft.expressions.UnicodeOps.normalize($s, $formRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnicodeNorm =
+    copy(left = newLeft, right = newRight)
+}

@@ -165,6 +165,15 @@ object TextFunctions {
     greatest(lit(1L),
       size(regexp_extract_all(c, lit("[.!?]+"), lit(0))).cast("long"))
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — the pre-hash
+    * canonicalization dedup needs: `café` spelled e+U+0301 vs U+00E9 is
+    * byte-different and dedup-invisible until normalized; NFKC also
+    * folds the compatibility forms (ﬁ→fi, ①→1, fullwidth→ASCII) spam
+    * uses to evade filters. Native codegen'd expression — requires
+    * [[graft.GraftExtensions]] (`unicode_norm`). */
+  def unicodeNorm(c: Column, form: String = "NFC"): Column =
+    call_function("unicode_norm", c, lit(form))
+
   /** Single-space token count as PURE LENGTH ARITHMETIC:
     * `length(text) − length(replace(text, " ", "")) + 1` = #spaces + 1,
     * which equals `size(split(text, " "))` for EVERY non-null string

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** unicode_norm native expression: the four forms, fast-path identity,
+  * nulls, SQL surface, and argument validation. All non-ASCII is
+  * spelled in \\u escapes so composed vs decomposed are visibly
+  * distinct in the source. */
+class UnicodeNormSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val composed = "caf\u00e9"          // e-acute, one code point
+  private val decomposed = "cafe\u0301"       // e + combining acute
+
+  private def norm(s: String, form: String): String =
+    Seq(s).toDF("t").select(TextFunctions.unicodeNorm(col("t"), form))
+      .as[String].head()
+
+  test("NFC composes; NFD decomposes; composed/ASCII are fixpoints") {
+    assert(norm(decomposed, "NFC") == composed)
+    assert(norm(composed, "NFC") == composed)
+    assert(norm(composed, "NFD") == decomposed)
+    assert(norm("plain ascii stays put", "NFC") == "plain ascii stays put")
+    // the dedup motivation: byte-different spellings converge
+    val fps = Seq(composed, decomposed).toDF("t")
+      .select(md5(TextFunctions.unicodeNorm(col("t"))))
+      .as[String].collect().toSet
+    assert(fps.size == 1, "NFC-normalized fingerprints must collide")
+  }
+
+  test("NFKC folds compatibility forms (ligature, circled digit, fullwidth)") {
+    assert(norm("\ufb01le", "NFKC") == "file")          // fi ligature
+    assert(norm("\u2460 result", "NFKC") == "1 result") // circled one
+    assert(norm("\uff21\uff22\uff23", "NFKC") == "ABC") // fullwidth
+    // NFC deliberately does NOT fold compatibility forms
+    assert(norm("\ufb01le", "NFC") == "\ufb01le")
+  }
+
+  test("nulls pass through; SQL surface works; bad args fail at analysis") {
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(TextFunctions.unicodeNorm(col("t"))).collect()
+    assert(n(0).isNullAt(0))
+    val viaSql = spark.sql("SELECT unicode_norm('cafe\u0301', 'nfc')")
+      .as[String].head()
+    assert(viaSql == composed) // form is case-insensitive
+    intercept[Exception] {
+      Seq("x").toDF("t")
+        .select(TextFunctions.unicodeNorm(col("t"), "BOGUS")).collect()
+    }
+    intercept[Exception] { // non-foldable form
+      Seq(("x", "NFC")).toDF("t", "f")
+        .select(call_function("unicode_norm", col("t"), col("f"))).collect()
+    }
+  }
+}
