@@ -3024,6 +3024,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Profiling — exact Pearson correlation matrix
+    // (Profiler.correlationMatrix): all 6 pairs of 4 caller-scaled
+    // lineitem measures from ONE map-side-combined aggregate; every
+    // moment is decimal(38,0), cov/var are cross-multiplied integers,
+    // r is one rounded double division — the oracle replays the exact
+    // same moments and arithmetic.
+    "q162_correlation" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      Profiler.correlationMatrix(li, Seq(
+          "qty" -> col("l_quantity").cast("long"),
+          "price" -> floor(col("l_extendedprice") * lit(100.0)).cast("long"),
+          "disc" -> floor(col("l_discount") * lit(100.0)).cast("long"),
+          "tax" -> floor(col("l_tax") * lit(100.0)).cast("long")))
+        .orderBy("col_a", "col_b")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -5865,6 +5881,43 @@ object SparkEntry {
         |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS post_len,
         |  md5(nfc_normalize(raw)) AS norm_md5
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q162_correlation" ->
+      """WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS dc,
+        |    CAST(floor(l_tax * 100) AS BIGINT) AS t
+        |  FROM lineitem),
+        |s AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        |    SUM(CAST(q AS DECIMAL(38,0))) AS sq,
+        |    SUM(CAST(p AS DECIMAL(38,0))) AS sp,
+        |    SUM(CAST(dc AS DECIMAL(38,0))) AS sd,
+        |    SUM(CAST(t AS DECIMAL(38,0))) AS st,
+        |    SUM(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))) AS sqq,
+        |    SUM(CAST(p AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0))) AS spp,
+        |    SUM(CAST(dc AS DECIMAL(38,0)) * CAST(dc AS DECIMAL(38,0))) AS sdd,
+        |    SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS stt,
+        |    SUM(CAST(q AS DECIMAL(38,0)) * CAST(p AS DECIMAL(38,0))) AS sqp,
+        |    SUM(CAST(q AS DECIMAL(38,0)) * CAST(dc AS DECIMAL(38,0))) AS sqd,
+        |    SUM(CAST(q AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS sqt,
+        |    SUM(CAST(p AS DECIMAL(38,0)) * CAST(dc AS DECIMAL(38,0))) AS spd,
+        |    SUM(CAST(p AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS spt,
+        |    SUM(CAST(dc AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))) AS sdt
+        |  FROM d),
+        |pairs AS (
+        |  SELECT 'qty' AS col_a, 'price' AS col_b, n, sq AS sx, sp AS sy,
+        |    sqq AS sxx, spp AS syy, sqp AS sxy FROM s
+        |  UNION ALL SELECT 'qty', 'disc', n, sq, sd, sqq, sdd, sqd FROM s
+        |  UNION ALL SELECT 'qty', 'tax', n, sq, st, sqq, stt, sqt FROM s
+        |  UNION ALL SELECT 'price', 'disc', n, sp, sd, spp, sdd, spd FROM s
+        |  UNION ALL SELECT 'price', 'tax', n, sp, st, spp, stt, spt FROM s
+        |  UNION ALL SELECT 'disc', 'tax', n, sd, st, sdd, stt, sdt FROM s)
+        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    printf('%.6f', CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE))) END AS r
+        |FROM pairs ORDER BY col_a, col_b""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

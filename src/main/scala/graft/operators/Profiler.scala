@@ -57,4 +57,67 @@ object Profiler {
         kth.as("kth_min"),
         format_string("%.6f", est).as("ndv_est"))
   }
+
+  /** Pairwise Pearson correlation matrix in EXACT integer arithmetic —
+    * the profiler's second-moment companion (feature redundancy before
+    * training, drifted-sensor detection, schema forensics): with
+    * caller-scaled integer columns (the [[Outliers]] contract — scale
+    * doubles yourself), every sum (Σx, Σx², Σxy) accumulates as
+    * decimal(38,0), the covariance and variances are the textbook
+    * cross-multiplied integers n·Σxy−Σx·Σy and n·Σx²−(Σx)², and r is
+    * ONE double division rounded to 6 decimals at the very end — the
+    * repo's formula discipline, so any engine replays the row hash.
+    * Null-bearing rows are excluded PAIRWISE (each pair's counters
+    * gate on both columns being present — the standard pairwise-
+    * deletion Pearson).
+    *
+    * ONE scan, ONE map-side-combined aggregate for ALL O(k²) pairs
+    * (the [[profile]] discipline: a new column adds counters, never a
+    * pass); rows materialize by exploding the aggregate row. Degenerate
+    * pairs (a constant column: zero variance) report null r.
+    *
+    * No-overflow domain (the [[Outliers]] honesty contract): every
+    * cross term is ≤ n²·max|x|², so decimal(38,0) is exact while
+    * n·max|x| < 10¹⁹ — e.g. 10¹² rows of |x| ≤ 10⁷-scaled units.
+    * Pearson r is scale-invariant: rescale the units down, never up.
+    *
+    * @param cols (name, caller-scaled integral column) pairs
+    * @return one row per unordered pair, (col_a, col_b, n, r) with
+    *         col_a < col_b in the given order */
+  def correlationMatrix(df: DataFrame,
+                        cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    require(cols.map(_._1).distinct.size == cols.size, "duplicate column names")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.map { case (((na, a), (nb, b)), idx) =>
+      // pairwise deletion: all five counters gate on BOTH sides present
+      val both = a.isNotNull && b.isNotNull
+      val xa = when(both, a.cast("long").cast(dec))
+      val xb = when(both, b.cast("long").cast(dec))
+      struct(
+        lit(na).as("col_a"), lit(nb).as("col_b"),
+        count(when(both, 1)).as("n"),
+        sum(xa).as("sx"), sum(xb).as("sy"),
+        sum(xa * xa).as("sxx"), sum(xb * xb).as("syy"),
+        sum(xa * xb).as("sxy"))
+        .as(s"__c_$idx")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("p.n").cast(dec)
+    val cov = n * col("p.sxy") - col("p.sx") * col("p.sy")
+    val va = n * col("p.sxx") - col("p.sx") * col("p.sx")
+    val vb = n * col("p.syy") - col("p.sy") * col("p.sy")
+    one
+      .select(explode(array(pairs.indices.map(i => col(s"__c_$i")): _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("p.n").as("n"),
+        when(va > 0 && vb > 0,
+          format_string("%.6f",
+            cov.cast("double") /
+              sqrt(va.cast("double") * vb.cast("double"))))
+          .as("r"))
+  }
 }

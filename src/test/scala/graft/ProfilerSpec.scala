@@ -39,4 +39,41 @@ class ProfilerSpec extends SparkSpec {
         Option[Long], String)].head()
     assert(got == (("v", 2L, 2L, None, None, 0L, None, "0.000000")))
   }
+
+  test("correlationMatrix: perfect/anti/constant cases, exact arithmetic") {
+    // y = 2x (r=1), z = -x (r=-1 vs x, -1 vs y), c constant (null r)
+    val d = Seq((1L, 2L, -1L, 5L), (2L, 4L, -2L, 5L),
+      (3L, 6L, -3L, 5L), (4L, 8L, -4L, 5L)).toDF("x", "y", "z", "c")
+    val got = Profiler.correlationMatrix(d, Seq(
+        "x" -> col("x"), "y" -> col("y"), "z" -> col("z"), "c" -> col("c")))
+      .as[(String, String, Long, Option[String])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("x", "y")) == ((4L, Some("1.000000"))))
+    assert(got(("x", "z")) == ((4L, Some("-1.000000"))))
+    assert(got(("y", "z")) == ((4L, Some("-1.000000"))))
+    // constant column: zero variance -> null r, never a division blowup
+    assert(got(("x", "c")) == ((4L, None)))
+    assert(got.size == 6)
+  }
+
+  test("correlationMatrix: pairwise null deletion and BigDecimal model parity") {
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.tabulate(300) { i =>
+      (if (i % 7 == 0) None else Some(rnd.nextInt(1000).toLong),
+        if (i % 11 == 0) None else Some(rnd.nextInt(1000).toLong))
+    }
+    val d = rows.toDF("a", "b")
+    val got = Profiler.correlationMatrix(d, Seq("a" -> col("a"), "b" -> col("b")))
+      .as[(String, String, Long, String)].head()
+    // independent model over the pairwise-complete rows
+    val both = rows.collect { case (Some(a), Some(b)) => (a, b) }
+    val n = BigDecimal(both.size)
+    val sx = BigDecimal(both.map(_._1).sum); val sy = BigDecimal(both.map(_._2).sum)
+    val sxx = BigDecimal(both.map(p => p._1 * p._1).sum)
+    val syy = BigDecimal(both.map(p => p._2 * p._2).sum)
+    val sxy = BigDecimal(both.map(p => p._1 * p._2).sum)
+    val r = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    assert(got == (("a", "b", both.size.toLong, f"$r%.6f")))
+  }
 }
