@@ -3040,6 +3040,50 @@ object SparkEntry {
         .orderBy("col_a", "col_b")
     }),
 
+    // Warehouse — MERGE INTO upsert (Merge.upsert): one CDC batch
+    // (updates for keys %5=0, deletes for %7=3, inserts at key+2e7 for
+    // %11=0) applied to the orders snapshot in ONE full outer join; the
+    // oracle reconstructs the merged table ANALYTICALLY from the batch
+    // rules — fully independent of the join mechanics.
+    "q163_merge_upsert" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val upd = o.filter(col("o_orderkey") % 5 === 0 &&
+          col("o_orderkey") % 7 =!= 3)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          col("o_orderpriority"), (col("cents") + 1L).as("cents"),
+          lit(false).as("del"))
+      val dels = o.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("string").as("o_orderpriority"),
+          lit(null).cast("long").as("cents"), lit(true).as("del"))
+      val ins = o.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"), col("cents"),
+          lit(false).as("del"))
+      Merge.upsert(o, upd.unionByName(dels).unionByName(ins), "o_orderkey",
+          Seq("o_orderstatus", "o_orderpriority", "cents"),
+          isDelete = col("del"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Governance — l-diversity audit (DataQuality.lDiversity):
+    // k-anonymity's homogeneity-attack companion over customer QI
+    // classes (segment × nation bucket) with the nation itself as the
+    // sensitive attribute — classes covering fewer than 4 distinct
+    // nations flag.
+    "q164_l_diversity" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_mktsegment").as("segment"),
+          (col("c_nationkey") % 8).as("nbucket"), col("c_nationkey"))
+      DataQuality.lDiversity(c, Seq(col("segment"), col("nbucket")),
+          col("c_nationkey"), l = 4)
+        .orderBy("segment", "nbucket")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -5918,6 +5962,32 @@ object SparkEntry {
         |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
         |           CAST(n * syy - sy * sy AS DOUBLE))) END AS r
         |FROM pairs ORDER BY col_a, col_b""".stripMargin,
+
+    "q163_merge_upsert" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS s,
+        |    o_orderpriority AS p,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT k AS o_orderkey,
+        |    CASE WHEN k % 5 = 0 AND k % 7 <> 3 THEN 'U' ELSE s END
+        |      AS o_orderstatus,
+        |    p AS o_orderpriority,
+        |    cents + CASE WHEN k % 5 = 0 AND k % 7 <> 3 THEN 1 ELSE 0 END
+        |      AS cents
+        |  FROM b WHERE k % 7 <> 3
+        |  UNION ALL
+        |  SELECT k + 20000000, s, p, cents FROM b WHERE k % 11 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q164_l_diversity" ->
+      """SELECT c_mktsegment AS segment,
+        |  c_nationkey % 8 AS nbucket,
+        |  CAST(COUNT(*) AS BIGINT) AS group_size,
+        |  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_sensitive,
+        |  COUNT(DISTINCT c_nationkey) < 4 AS is_risky
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY segment, nbucket""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -96,6 +96,29 @@ object DataQuality {
       .withColumn("is_risky", col("group_size") < k)
   }
 
+  /** l-diversity audit (Machanavajjhala 2007) — k-anonymity's necessary
+    * companion: a QI class can be large yet still leak if every member
+    * shares the same SENSITIVE value (the homogeneity attack — "all ten
+    * patients in this class have cancer"). Each class reports its size
+    * and the number of distinct sensitive values; risky when distinct
+    * count < l. Same single groupBy shuffle as [[kAnonymity]] — run
+    * both from one pass by composing the aggregates if needed. Null
+    * sensitive values count as one value ("unknown" is itself a
+    * disclosure class): countDistinct skips nulls, so a null-bearing
+    * class adds `max(has_null)` back.
+    *
+    * @return one row per QI class: (qi…, group_size, n_sensitive,
+    *         is_risky) */
+  def lDiversity(df: DataFrame, qi: Seq[Column], sensitive: Column,
+                 l: Long): DataFrame = {
+    require(qi.nonEmpty && l >= 1, "need QI columns and l >= 1")
+    df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("group_size"),
+        (countDistinct(sensitive) +
+          max(when(sensitive.isNull, 1L).otherwise(0L))).as("n_sensitive"))
+      .withColumn("is_risky", col("n_sensitive") < l)
+  }
+
   /** Chi-square independence audit between two categorical columns —
     * "is language independent of source": the drift/bias test run on
     * label distributions before training. Exact-integer core: with

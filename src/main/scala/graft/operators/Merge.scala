@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO semantics for keyed snapshots — the warehouse upsert
+  * primitive that closes the CDC loop around [[SnapshotDiff]] (classify)
+  * and [[Scd2]] (historize): apply one batch of keyed changes — updates,
+  * inserts, deletes — to the current snapshot and produce the next one.
+  *
+  *  - matched key, delete flag false → the batch's values (UPDATE)
+  *  - matched key, delete flag true  → row removed (DELETE)
+  *  - unmatched batch key, flag false → row added (INSERT)
+  *  - unmatched batch key, flag true  → no-op (delete of an absent key)
+  *  - base key absent from the batch  → row passes through untouched
+  *
+  * Contracts: at most one batch row per key (audit with
+  * [[DataQuality.uniqueness]] upstream — last-writer-wins ambiguity is
+  * refused, not resolved silently); null keys never participate (the
+  * join contract, as in [[SnapshotDiff]]).
+  *
+  * Shape at 100 TB: ONE full outer join on the key — the batch is
+  * usually day-sized against a corpus-sized base, so Spark/AQE picks a
+  * broadcast or one-sided shuffle automatically; on bucketed warehouse
+  * tables ([[graft.pipelines.FactsWarehouse]]) the base-side exchange
+  * vanishes. Values switch by side PRESENCE (never value coalesce, the
+  * [[SnapshotDiff]] rule), so a batch row updating a column TO null
+  * lands that null.
+  */
+object Merge {
+
+  /** @param base      current snapshot, one row per key
+    * @param updates   change batch, one row per key
+    * @param key       join key column name (present in both frames)
+    * @param valueCols value column names (present in both frames)
+    * @param isDelete  predicate over the BATCH row marking deletions
+    * @return the next snapshot: (key, valueCols…) */
+  def upsert(base: DataFrame, updates: DataFrame, key: String,
+             valueCols: Seq[String],
+             isDelete: Column = lit(false)): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    val o = base.filter(col(key).isNotNull)
+      .select((key +: valueCols).map(c => col(c).as(s"o_$c")) :+
+        lit(true).as("in_old"): _*)
+    val u = updates.filter(col(key).isNotNull)
+      .select((key +: valueCols).map(c => col(c).as(s"n_$c")) :+
+        lit(true).as("in_new") :+ isDelete.as("__graft_del"): _*)
+    o.join(u, col(s"o_$key") === col(s"n_$key"), "full_outer")
+      // deletes drop matched rows; a delete of an absent key is a no-op
+      // (in_old null) and contributes nothing
+      .filter(!(col("in_new").isNotNull && coalesce(col("__graft_del"), lit(false))))
+      .select(coalesce(col(s"n_$key"), col(s"o_$key")).as(key) +:
+        valueCols.map(c => when(col("in_new").isNotNull, col(s"n_$c"))
+          .otherwise(col(s"o_$c")).as(c)): _*)
+  }
+}

@@ -48,7 +48,11 @@ object SnapshotDiff {
       .withColumn("change_type", status)
       .withColumn(key, coalesce(col(s"n_$key"), col(s"o_$key")))
       .select(col(key) +: col("change_type") +:
-        tracked.map(c => coalesce(col(s"n_$c"), col(s"o_$c")).as(c)): _*)
+        // side-of-truth by PRESENCE, not value coalesce: a changed row
+        // whose new value is NULL must carry that NULL (coalesce would
+        // resurrect the old value and contradict the new-side contract)
+        tracked.map(c => when(col("in_new").isNotNull, col(s"n_$c"))
+          .otherwise(col(s"o_$c")).as(c)): _*)
   }
 
   /** Audit rollup: one row per change_type with count and key-sum

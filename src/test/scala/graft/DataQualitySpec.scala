@@ -68,6 +68,21 @@ class DataQualitySpec extends SparkSpec {
       ("us", "b", 1L, true)))
   }
 
+  test("lDiversity: homogeneous classes flag even when k-anonymous; nulls count once") {
+    val df = Seq(
+      ("us", "cancer"), ("us", "cancer"), ("us", "cancer"), // big but homogeneous
+      ("fr", "flu"), ("fr", "cancer"),                       // diverse
+      ("de", "flu"), ("de", null))                           // null is a value
+      .toDF("country", "dx")
+    val got = DataQuality.lDiversity(df, Seq(col("country")), col("dx"), l = 2)
+      .orderBy("country")
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("de", 2L, 2L, false),   // {flu, null} — null IS a disclosure class
+      ("fr", 2L, 2L, false),
+      ("us", 3L, 1L, true)))   // k-anonymous at k=3, still leaks
+  }
+
   test("benford: exact digit binning, frequencies, and the known constants") {
     // units spanning magnitudes: first digits 1,1,2,9; zero/negative drop
     val df = Seq(123L, 1L, 250L, 900L, 0L, -5L).toDF("u")

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+
+/** MERGE upsert: update/insert/delete/no-op-delete/pass-through, the
+  * update-to-null side-of-truth, null-key exclusion, and the one-join
+  * plan. */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, Some("a"), 10L), // untouched
+    (2L, Some("b"), 20L), // updated
+    (3L, Some("c"), 30L), // deleted
+    (4L, Some("d"), 40L)  // updated TO null
+  ).toDF("k", "v", "n")
+
+  private val batch = Seq(
+    (2L, Some("B"), 21L, false),
+    (3L, Option.empty[String], 0L, true),   // delete
+    (4L, Option.empty[String], 41L, false), // v -> null
+    (5L, Some("e"), 50L, false),            // insert
+    (9L, Option.empty[String], 0L, true)    // delete of an absent key: no-op
+  ).toDF("k", "v", "n", "del")
+
+  test("update, insert, delete, absent-key delete, pass-through") {
+    val got = Merge.upsert(base, batch, "k", Seq("v", "n"), col("del"))
+      .orderBy("k")
+      .as[(Long, Option[String], Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("a"), 10L),
+      (2L, Some("B"), 21L),
+      (4L, None, 41L),      // the batch's null WINS (side-of-truth by presence)
+      (5L, Some("e"), 50L)))
+  }
+
+  test("null keys never participate on either side") {
+    val b2 = Seq((Some(1L), "a"), (None, "ghost")).toDF("k", "v")
+    val u2 = Seq((Some(1L), "A"), (None, "spook")).toDF("k", "v")
+    val got = Merge.upsert(b2, u2, "k", Seq("v"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "A")))
+  }
+
+  test("plan: exactly one join, and it is the full outer") {
+    val p = Merge.upsert(base, batch, "k", Seq("v", "n"), col("del"))
+      .queryExecution.executedPlan.toString
+    assert("FullOuter".r.findAllIn(p).length == 1, p.take(2000))
+  }
+}

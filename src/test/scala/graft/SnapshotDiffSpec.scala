@@ -39,6 +39,9 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got(2L).contains("B"), "changed rows carry the new value")
     assert(got(3L).contains("c"), "removed rows carry the old value")
     assert(got(7L).contains("g"))
+    // side-of-truth by PRESENCE: a value→NULL change carries the new
+    // side's NULL — coalesce would silently resurrect the old value
+    assert(got(5L).isEmpty, "v→NULL change must carry the NULL")
   }
 
   test("null keys are dropped, never misread as added/removed") {
