@@ -42,6 +42,10 @@ import graft.expressions.{CmsSketchAgg, Dec9Dot, DecimalDotRewrite, FloatVecScal
   *    chosen AFTER the scan; the buffer is a pure function of the input
   *    multiset, so the whole counter array hash-gates against an md5
   *    replay ([[graft.expressions.CmsSketchAgg]]);
+  *  - `phrase_hits(string, array<string>) -> bigint` — Aho–Corasick
+  *    blocklist matcher: total phrase occurrences at one automaton step
+  *    per byte, built once at plan time from the constant phrase array
+  *    ([[graft.expressions.PhraseHits]]);
   *  - `unicode_norm(string, form) -> string` — NFC/NFD/NFKC/NFKD
   *    normalization (java.text.Normalizer with an isNormalized fast
   *    path), the pre-hash canonicalization dedup needs
@@ -124,6 +128,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "kmv_theta takes exactly 2 arguments")
         KmvSketchAgg(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("phrase_hits"),
+      new ExpressionInfo(classOf[graft.expressions.PhraseHits].getName, "phrase_hits"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "phrase_hits takes exactly 2 arguments")
+        graft.expressions.PhraseHits(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("unicode_norm"),

@@ -3084,6 +3084,21 @@ object SparkEntry {
         .orderBy("segment", "nbucket")
     }),
 
+    // Functions — Aho–Corasick blocklist gate (phrase_hits): total
+    // occurrences of a constant phrase list at one automaton step per
+    // byte (the C4 dirty-word-list stage; regex alternation backtracks
+    // per position and stops scaling with list size). The oracle
+    // replays every count with pure replace/length arithmetic — the
+    // contract holds exactly for border-free phrases, which these are.
+    "q165_blocklist_hits" -> ((s, dir) => {
+      val phrases = Seq("spark", "data", "fast table")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.phraseHits(col("text"), phrases).as("n_hits"))
+        .withColumn("flagged", col("n_hits") >= 8L)
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -5988,6 +6003,22 @@ object SparkEntry {
         |  COUNT(DISTINCT c_nationkey) < 4 AS is_risky
         |FROM customer GROUP BY 1, 2
         |ORDER BY segment, nbucket""".stripMargin,
+
+    // Per-phrase occurrence counts as replace/length arithmetic — each
+    // term runs on the ORIGINAL text, so terms are independent exactly
+    // like the automaton's per-phrase counts; `//` floor division is
+    // exact because the length delta is a multiple of the phrase length.
+    "q165_blocklist_hits" ->
+      """SELECT doc_id,
+        |  CAST((length(text) - length(replace(text, 'spark', ''))) // 5
+        |     + (length(text) - length(replace(text, 'data', ''))) // 4
+        |     + (length(text) - length(replace(text, 'fast table', ''))) // 10
+        |    AS BIGINT) AS n_hits,
+        |  (length(text) - length(replace(text, 'spark', ''))) // 5
+        |     + (length(text) - length(replace(text, 'data', ''))) // 4
+        |     + (length(text) - length(replace(text, 'fast table', ''))) // 10
+        |    >= 8 AS flagged
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

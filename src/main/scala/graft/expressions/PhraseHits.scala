@@ -1,0 +1,138 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick automaton over UTF-8 BYTES — built once at plan time,
+  * shared by all rows ([[PhraseHits]]'s kernel, also called from
+  * generated Java). Byte-level matching is exact for UTF-8: the
+  * encoding is self-synchronizing, so a valid phrase byte sequence can
+  * only match at character boundaries. Dense 256-way goto arrays —
+  * node count is the summed phrase length, so a thousand-phrase
+  * blocklist is a few hundred KB and O(1) per input byte. */
+final class PhraseAutomaton(phrases: Array[Array[Byte]]) extends Serializable {
+  private val maxNodes = phrases.map(_.length).sum + 1
+  private val next = Array.fill(maxNodes * 256)(-1)
+  private val fail = new Array[Int](maxNodes)
+  private val ends = new Array[Int](maxNodes)  // phrases ending exactly here
+  private val hits = new Array[Int](maxNodes)  // ends summed along fail chain
+  private var nNodes = 1
+
+  // trie
+  phrases.foreach { p =>
+    require(p.length > 0, "empty phrase")
+    var s = 0
+    p.foreach { b =>
+      val c = b & 0xff
+      if (next(s * 256 + c) == -1) { next(s * 256 + c) = nNodes; nNodes += 1 }
+      s = next(s * 256 + c)
+    }
+    ends(s) += 1
+  }
+  // BFS fail links + goto completion (the classic automaton closure:
+  // after it, next() is total and matching needs no fallback loop)
+  locally {
+    val queue = new java.util.ArrayDeque[Integer]()
+    var c = 0
+    while (c < 256) {
+      val v = next(c)
+      if (v == -1) next(c) = 0
+      else { fail(v) = 0; queue.add(v) }
+      c += 1
+    }
+    while (!queue.isEmpty) {
+      val u = queue.poll()
+      hits(u) = ends(u) + hits(fail(u))
+      var c2 = 0
+      while (c2 < 256) {
+        val v = next(u * 256 + c2)
+        if (v == -1) next(u * 256 + c2) = next(fail(u) * 256 + c2)
+        else { fail(v) = next(fail(u) * 256 + c2); queue.add(v) }
+        c2 += 1
+      }
+    }
+  }
+
+  /** Total occurrences (overlapping, per phrase independently) of any
+    * phrase in the text — one pass, O(1) per byte. */
+  def count(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    var s = 0
+    var total = 0L
+    var i = 0
+    while (i < bytes.length) {
+      s = next(s * 256 + (bytes(i) & 0xff))
+      total += hits(s)
+      i += 1
+    }
+    total
+  }
+}
+
+/** `phrase_hits(string, array<string>) -> bigint`: total occurrences of
+  * any of the (constant) phrases in the text — the blocklist /
+  * "dirty word list" gate every curation pipeline runs (C4 drops pages
+  * on a ~400-phrase list), and the shape where the regex-alternation
+  * spelling stops scaling: `rlike('(p1|p2|…|p400)')` backtracks per
+  * position, while Aho–Corasick is one automaton step per byte
+  * regardless of phrase count. The phrase array must be foldable — the
+  * automaton builds ONCE at plan time and ships to executors as a
+  * reference object. Matching is case-sensitive over raw bytes (callers
+  * lower/normalize first — compose with `lower` / `unicode_norm`).
+  * Counts are per-phrase independent and overlapping, so for phrases
+  * that cannot self-overlap the count equals the replace-arithmetic
+  * spelling `(length(t) − length(replace(t, p, ''))) / length(p)`
+  * summed over phrases — the oracle-replayable contract q165 gates.
+  * Registered by [[graft.GraftExtensions]]. */
+case class PhraseHits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StringType, _)) if !right.foldable =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName phrases must be a constant array")
+      case (StringType, ArrayType(StringType, _)) =>
+        if (phraseBytes.isEmpty)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName needs at least one phrase")
+        else if (phraseBytes.exists(_.length == 0))
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName phrases must be non-empty")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, array<string>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  private lazy val phraseBytes: Array[Array[Byte]] = right.eval() match {
+    case a: ArrayData =>
+      (0 until a.numElements()).toArray.map { i =>
+        if (a.isNullAt(i)) Array.emptyByteArray
+        else a.getUTF8String(i).getBytes
+      }
+    case _ => Array.empty
+  }
+  private lazy val automaton = new PhraseAutomaton(phraseBytes)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phrase_hits"
+
+  override def nullSafeEval(t: Any, p: Any): Any =
+    automaton.count(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("automaton", automaton,
+      classOf[PhraseAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = $ref.count($t);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PhraseHits =
+    copy(left = newLeft, right = newRight)
+}

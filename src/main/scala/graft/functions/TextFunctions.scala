@@ -174,6 +174,14 @@ object TextFunctions {
   def unicodeNorm(c: Column, form: String = "NFC"): Column =
     call_function("unicode_norm", c, lit(form))
 
+  /** Blocklist phrase-occurrence count via the native Aho–Corasick
+    * expression (`phrase_hits`) — one automaton step per byte no matter
+    * how many phrases; compose with [[normalizeWs]]/`lower`/
+    * [[unicodeNorm]] upstream for the usual case-folded gate. Requires
+    * [[graft.GraftExtensions]]. */
+  def phraseHits(c: Column, phrases: Seq[String]): Column =
+    call_function("phrase_hits", c, typedLit(phrases))
+
   /** Single-space token count as PURE LENGTH ARITHMETIC:
     * `length(text) − length(replace(text, " ", "")) + 1` = #spaces + 1,
     * which equals `size(split(text, " "))` for EVERY non-null string

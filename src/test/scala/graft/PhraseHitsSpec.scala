@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** phrase_hits Aho–Corasick matcher: occurrence counting (incl.
+  * overlapping and shared-suffix phrases), UTF-8 alignment, the
+  * replace-arithmetic parity contract, nulls, and argument
+  * validation. */
+class PhraseHitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hits(text: String, phrases: Seq[String]): Long =
+    Seq(text).toDF("t")
+      .select(TextFunctions.phraseHits(col("t"), phrases))
+      .as[Long].head()
+
+  test("counts every occurrence of every phrase, independently") {
+    assert(hits("the cat and the hat", Seq("the")) == 2L)
+    assert(hits("the cat and the hat", Seq("the", "at")) == 4L) // 2×the + cat,hat
+    assert(hits("no match here", Seq("xyz")) == 0L)
+    // overlapping self-occurrences all count (A-C semantics)
+    assert(hits("aaaa", Seq("aa")) == 3L)
+    // one phrase a suffix of another: both fire at the same end position
+    assert(hits("abcd", Seq("abc", "bc")) == 2L)
+  }
+
+  test("matching is byte-exact for UTF-8 (no mid-character false hits)") {
+    assert(hits("café drinkers", Seq("café")) == 1L)
+    // a phrase that is a byte-suffix of a multi-byte char must not match:
+    // U+00E9 is 0xC3 0xA9; search for the standalone byte string of U+00A9
+    assert(hits("café", Seq("©")) == 0L)
+  }
+
+  test("parity with the replace-arithmetic spelling for border-free phrases") {
+    val rnd = new scala.util.Random(71)
+    val words = Seq("spark", "data", "table", "fast", "scan", "row")
+    val texts = Seq.tabulate(50)(_ =>
+      Seq.fill(30)(words(rnd.nextInt(words.size))).mkString(" "))
+    val phrases = Seq("spark", "data", "fast table")
+    val df = texts.toDF("t")
+    val got = df.select(
+        TextFunctions.phraseHits(col("t"), phrases).as("ac"),
+        phrases.map(p =>
+          ((length(col("t")) - length(replace(col("t"), lit(p), lit("")))) /
+            p.length).cast("long"))
+          .reduce(_ + _).as("arith"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (ac, arith) => assert(ac == arith) }
+    assert(got.map(_._1).sum > 0, "test corpus must actually contain hits")
+  }
+
+  test("nulls pass through; SQL surface; bad arguments fail at analysis") {
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(TextFunctions.phraseHits(col("t"), Seq("x"))).collect()
+    assert(n(0).isNullAt(0))
+    val viaSql = spark.sql(
+      "SELECT phrase_hits('spam and ham', array('spam', 'ham'))")
+      .as[Long].head()
+    assert(viaSql == 2L)
+    intercept[Exception] { // empty phrase list
+      Seq("x").toDF("t")
+        .select(TextFunctions.phraseHits(col("t"), Seq.empty)).collect()
+    }
+    intercept[Exception] { // empty phrase
+      Seq("x").toDF("t")
+        .select(TextFunctions.phraseHits(col("t"), Seq(""))).collect()
+    }
+    intercept[Exception] { // non-foldable phrases
+      Seq(("x", Seq("a"))).toDF("t", "p")
+        .select(call_function("phrase_hits", col("t"), col("p"))).collect()
+    }
+  }
+}
