@@ -3099,6 +3099,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM ops — C4 line rules (LineRules.withCleanLines): a 5-line page
+    // manufactured around each document (an article fragment with a
+    // terminal close, a too-short nav line, a javascript-blocked line,
+    // a second proper sentence, a bare footer); the cleaner must keep
+    // exactly the two proper lines. Row-local (no shuffle) — the oracle
+    // rebuilds the expected kept text analytically: the constant lines'
+    // verdicts are constants, and the article lines provably pass the
+    // word floor (30/18 chars of ≤8-char corpus words + the appended
+    // tails).
+    "q166_line_rules" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("page", concat(
+          substring(col("text"), 1, 30), lit(" tail one.\n"),
+          lit("Click here\n"),
+          lit("Enable javascript to continue here.\n"),
+          substring(col("text"), 31, 18), lit(" and yet more here?\n"),
+          lit("Sign in")))
+      LineRules.withCleanLines(d, col("page"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -6019,6 +6042,16 @@ object SparkEntry {
         |     + (length(text) - length(replace(text, 'fast table', ''))) // 10
         |    >= 8 AS flagged
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q166_line_rules" ->
+      """WITH d AS (SELECT doc_id,
+        |    substr(text, 1, 30) || ' tail one.' AS l1,
+        |    substr(text, 31, 18) || ' and yet more here?' AS l4
+        |  FROM documents)
+        |SELECT doc_id, CAST(5 AS BIGINT) AS n_lines,
+        |  CAST(2 AS BIGINT) AS n_kept,
+        |  md5(l1 || chr(10) || l4) AS clean_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

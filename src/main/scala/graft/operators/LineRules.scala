@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4-style line-level cleaning (Raffel et al. 2020 §2.2) — the rule
+  * pass between HTML extraction ([[MainContent]]) and page-level
+  * quality scoring: a page's LINES are individually kept or dropped,
+  * and page-level evidence (total vs kept) feeds the page gate
+  * ("fewer than 3 kept lines → drop the page").
+  *
+  * Rules per (trimmed) line, each a C4 original:
+  *  - at least `minWords` whitespace-separated words;
+  *  - ends in terminal punctuation (`.` `!` `?` `"` `'` — the
+  *    "ended in a terminal punctuation mark" rule);
+  *  - contains none of `dropTokens` case-insensitively (C4 drops
+  *    lines with the word "javascript").
+  *
+  * Entirely row-local — split, one higher-order filter, rejoin; no
+  * shuffle, no UDF. Compose with [[graft.functions.TextFunctions
+  * .phraseHits]] for the page-level dirty-word gate and with
+  * [[Dedup]]'s span machinery for C4's three-sentence dedup.
+  */
+object LineRules {
+
+  val DefaultMinWords = 5
+  val DefaultTerminal = "[.!?\"']$"
+
+  /** Append `n_lines` (nonempty lines), `n_kept`, and `clean_text`
+    * (the kept lines rejoined with newlines, in order). */
+  def withCleanLines(docs: DataFrame, text: Column,
+                     minWords: Int = DefaultMinWords,
+                     terminalPattern: String = DefaultTerminal,
+                     dropTokens: Seq[String] = Seq("javascript")): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val lines = split(text, "\n")
+    def keepRule(l: Column): Column = {
+      val t = trim(l)
+      val blocked = dropTokens
+        .map(tok => lower(t).contains(tok.toLowerCase))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      size(split(t, "\\s+")) >= minWords &&
+        t.rlike(terminalPattern) && !blocked
+    }
+    val kept = filter(lines, keepRule(_))
+    docs
+      .withColumn("n_lines",
+        size(filter(lines, l => length(trim(l)) > 0)).cast("long"))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("clean_text", array_join(kept, "\n"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LineRules
+
+/** C4 line rules: each rule in isolation, order preservation, empty
+  * lines, and the page-evidence counters. */
+class LineRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clean(text: String): (Long, Long, String) =
+    LineRules.withCleanLines(Seq(text).toDF("t"), col("t"))
+      .select("n_lines", "n_kept", "clean_text")
+      .as[(Long, Long, String)].head()
+
+  test("each rule drops exactly its target line; order is preserved") {
+    val page = Seq(
+      "This line has enough words and ends properly.",  // kept
+      "Too short.",                                      // < 5 words
+      "this line has plenty of words but no terminal",   // no punctuation
+      "Please enable JavaScript to use this site.",      // blocked token
+      "",                                                // empty: not counted
+      "Another proper sentence closes the page?"         // kept
+    ).mkString("\n")
+    val (nLines, nKept, cleanText) = clean(page)
+    assert(nLines == 5L) // the empty line is not a line
+    assert(nKept == 2L)
+    assert(cleanText ==
+      "This line has enough words and ends properly.\n" +
+        "Another proper sentence closes the page?")
+  }
+
+  test("quote and apostrophe terminals count; whitespace runs are one separator") {
+    val (_, k1, _) = clean("He said the last word was \"done\"")
+    assert(k1 == 1L)
+    val (_, k2, _) = clean("many   spaced    words   still   count   here.")
+    assert(k2 == 1L)
+  }
+
+  test("an all-junk page keeps nothing and reports it") {
+    val (n, k, t) = clean("Sign in\nMenu\nCookie settings")
+    assert(n == 3L && k == 0L && t == "")
+  }
+}
