@@ -3122,6 +3122,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Web curation — CIDR/geo enrichment (WebCuration.ipv4ToLong +
+    // RangeJoin.pointInInterval): per-doc IPv4 addresses derived
+    // arithmetically, turned into 32-bit longs, and joined to 8
+    // /8-aligned region blocks via the tiled range join with the block
+    // dim BROADCAST — the big side never shuffles for the lookup. The
+    // oracle recomputes each doc's region straight from the first
+    // octet's arithmetic, independent of the join mechanics.
+    "q167_geoip" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("ip", concat_ws(".",
+          (col("doc_id") % 223 + 1).cast("string"),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          ((col("doc_id") * 13) % 256).cast("string"),
+          (col("doc_id") % 251).cast("string")))
+        .withColumn("ip_num", WebCuration.ipv4ToLong(col("ip")))
+      val blocks = s.range(0, 8)
+        .select(concat(lit("r"), col("id")).as("region"),
+          (col("id") * 28L * 16777216L).as("start_ip"),
+          ((col("id") + 1L) * 28L * 16777216L).as("end_ip"))
+      RangeJoin.pointInInterval(
+          d.select(col("doc_id"), col("ip"), col("ip_num")), col("ip_num"),
+          blocks, col("start_ip"), col("end_ip"),
+          bucketWidth = 28L * 16777216L, broadcastIntervals = true)
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_docs"), min("ip").as("sample_ip"))
+        .orderBy("region")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -6052,6 +6080,22 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS n_kept,
         |  md5(l1 || chr(10) || l4) AS clean_md5
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Region = first octet // 28 — straight arithmetic, independent of
+    // the tiled join; sample_ip is a lexicographic string min (ASCII
+    // digits/dots order identically in both engines).
+    "q167_geoip" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(doc_id % 223 + 1 AS VARCHAR) || '.' ||
+        |    CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+        |    CAST((doc_id * 13) % 256 AS VARCHAR) || '.' ||
+        |    CAST(doc_id % 251 AS VARCHAR) AS ip,
+        |    (doc_id % 223 + 1) // 28 AS rb
+        |  FROM documents)
+        |SELECT 'r' || CAST(rb AS VARCHAR) AS region,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  min(ip) AS sample_ip
+        |FROM d GROUP BY rb ORDER BY region""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -61,6 +61,24 @@ object WebCuration {
       .otherwise(h)
   }
 
+  /** Dotted-quad IPv4 address → its unsigned 32-bit value as a long —
+    * the key that turns CIDR/geo enrichment into a plain
+    * point-in-interval [[RangeJoin]] (every crawl pipeline geo-tags
+    * hosts; a CIDR block [base, base+2^(32−prefix)) is just a long
+    * interval). Null for anything malformed: wrong shape, extra
+    * labels, octets > 255. Leading zeros parse as decimal (the
+    * inet_aton-compatible reading). Pure regexp + arithmetic —
+    * codegen'd, and mirrored 1:1 by an oracle's integer arithmetic. */
+  def ipv4ToLong(ip: Column): Column = {
+    val pat = "^([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$"
+    val parts = (1 to 4).map { i =>
+      val s = regexp_extract(ip, pat, i)
+      when(s =!= "", s.cast("long")) // no-match "" never reaches the cast
+    }
+    val ok = parts.map(p => p.isNotNull && p <= 255L).reduce(_ && _)
+    when(ok, parts.reduce((a, b) => a * 256L + b))
+  }
+
   /** Public-suffix-list registrable domains — the PSL-accurate
     * replacement for the [[domain]] heuristic (which wrongly collapses
     * `a.co.uk` to `co.uk` and pollutes host rollups / group splits on

@@ -52,6 +52,22 @@ class WebCurationSpec extends SparkSpec {
     assert(cols == Seq("host", "n", "psl_domain"))
   }
 
+  test("ipv4ToLong: exact value, octet bounds, malformed shapes") {
+    val got = Seq(
+      "0.0.0.0", "255.255.255.255", "10.0.0.1", "192.168.001.004",
+      "256.1.1.1",     // octet out of range
+      "1.2.3",         // too few labels
+      "1.2.3.4.5",     // too many labels
+      "a.b.c.d", "", "1.2.3.x")
+      .toDF("ip").select(WebCuration.ipv4ToLong(col("ip")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got(0).contains(0L))
+    assert(got(1).contains(4294967295L))
+    assert(got(2).contains(10L * 16777216L + 1L))
+    assert(got(3).contains(192L * 16777216L + 168L * 65536L + 256L + 4L))
+    assert(got.drop(4).forall(_.isEmpty))
+  }
+
   test("pslDomains plan: the rules side joins broadcast") {
     val psl = Seq("com", "co.uk").toDF("rule")
     val plan = WebCuration.pslDomains(Seq("a.co.uk").toDF("host"),
