@@ -39,6 +39,27 @@ object SparkEntry {
   private def dec9Sql(x: String): String =
     s"CAST(CAST(CAST($x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))"
 
+  /** Shared input of the q168-q171 eval family: each document scored by
+    * its English-stopword share (scaled 1e6; the token count is the
+    * invariant length arithmetic) plus the binary en label. */
+  private def evalScored(s: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    val hits = TextFunctions.vocabHits(TextFunctions.tokens(col("text")), stops)
+    val toks = TextFunctions.spaceTokenCount(col("text")) // always >= 1
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), (col("lang") === "en").as("y"),
+        call_function("div", lit(1000000L) * hits, toks).as("score"))
+  }
+
+  /** The q168-q171 oracle spelling of [[evalScored]]. */
+  private val evalScoredSql: String =
+    """sc AS (SELECT lang, (lang = 'en') AS y,
+      |    (1000000 * CAST(len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','of','and','to','in','is'))) AS BIGINT))
+      |      // CAST(length(text) - length(replace(text, ' ', '')) + 1
+      |        AS BIGINT) AS score
+      |  FROM documents)""".stripMargin
+
   /** DuckDB argmax-dot assignment CTE body for [[operators.Similarity]]
     * oracles: every embedding against centroid set `cents(centroid_id,
     * cvec)` -> (vec_id, centroid_id), exact decimal dots, id tiebreak. */
@@ -3150,6 +3171,35 @@ object SparkEntry {
         .orderBy("region")
     }),
 
+    // Eval family (operators.Evaluation) — a deterministic
+    // stopword-share score (scaled 1e6, length-arithmetic token count)
+    // against the en label drives four metrics, each exact integers
+    // with one rounded division: reliability bins, the collapsed-
+    // numerator ECE, tie-corrected Mann-Whitney AUC (value-grouped
+    // sweep — never a corpus window), and Cohen's kappa vs a
+    // thresholded second labeler.
+    "q168_calibration_bins" -> ((s, dir) => {
+      val d = evalScored(s, dir)
+      Evaluation.calibrationBins(d, col("score"), col("y"), bins = 10)
+        .orderBy("bin")
+    }),
+
+    "q169_ece" -> ((s, dir) => {
+      val d = evalScored(s, dir)
+      Evaluation.ece(d, col("score"), col("y"), bins = 10)
+    }),
+
+    "q170_auc" -> ((s, dir) => {
+      val d = evalScored(s, dir)
+      Evaluation.aucExact(d, col("score"), col("y"))
+    }),
+
+    "q171_kappa" -> ((s, dir) => {
+      val d = evalScored(s, dir)
+      Evaluation.cohenKappa(d, col("lang"),
+        when(col("score") >= 60000L, lit("en")).otherwise(lit("xx")))
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -6096,6 +6146,73 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  min(ip) AS sample_ip
         |FROM d GROUP BY rb ORDER BY region""".stripMargin,
+
+    "q168_calibration_bins" ->
+      s"""WITH $evalScoredSql,
+         |b AS (SELECT LEAST((score * 10) // 1000001, 9) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(SUM(score) AS BIGINT) AS sum_score
+         |  FROM sc GROUP BY 1)
+         |SELECT bin, n, n_pos, sum_score,
+         |  printf('%.6f', CAST(sum_score AS DOUBLE)
+         |    / CAST(n * 1000000 AS DOUBLE)) AS conf,
+         |  printf('%.6f', CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS acc
+         |FROM b ORDER BY bin""".stripMargin,
+
+    "q169_ece" ->
+      s"""WITH $evalScoredSql,
+         |b AS (SELECT LEAST((score * 10) // 1000001, 9) AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(SUM(score) AS BIGINT) AS sum_score
+         |  FROM sc GROUP BY 1)
+         |SELECT CAST(SUM(n) AS BIGINT) AS n,
+         |  CAST(SUM(abs(n_pos * 1000000 - sum_score)) AS BIGINT) AS num,
+         |  printf('%.6f', CAST(SUM(abs(n_pos * 1000000 - sum_score)) AS DOUBLE)
+         |    / CAST(SUM(n) * 1000000 AS DOUBLE)) AS ece
+         |FROM b""".stripMargin,
+
+    "q170_auc" ->
+      s"""WITH $evalScoredSql,
+         |g AS (SELECT score AS s,
+         |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg
+         |  FROM sc GROUP BY 1),
+         |c AS (SELECT pos, neg,
+         |    CAST(SUM(neg) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - neg
+         |      AS BIGINT) AS cumneg
+         |  FROM g)
+         |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |  CAST(SUM(neg) AS BIGINT) AS n_neg,
+         |  CAST(SUM(pos * (2 * cumneg + neg)) AS BIGINT) AS u2,
+         |  CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+         |    printf('%.6f', CAST(SUM(pos * (2 * cumneg + neg)) AS DOUBLE)
+         |      / CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE)) END AS auc
+         |FROM c""".stripMargin,
+
+    "q171_kappa" ->
+      s"""WITH $evalScoredSql,
+         |t AS (SELECT lang AS a,
+         |    CASE WHEN score >= 60000 THEN 'en' ELSE 'xx' END AS b
+         |  FROM sc),
+         |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         |  FROM t),
+         |ma AS (SELECT a, COUNT(*) AS ca FROM t GROUP BY a),
+         |mb AS (SELECT b, COUNT(*) AS cb FROM t GROUP BY b),
+         |ch AS (SELECT COALESCE(SUM(CAST(ca AS DECIMAL(38,0))
+         |      * CAST(cb AS DECIMAL(38,0))), CAST(0 AS DECIMAL(38,0))) AS c
+         |  FROM ma JOIN mb ON ma.a = mb.b)
+         |SELECT n, n_agree,
+         |  CASE WHEN CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) <> c
+         |    THEN printf('%.6f',
+         |      CAST(CAST(n AS DECIMAL(38,0)) * CAST(n_agree AS DECIMAL(38,0))
+         |        - c AS DOUBLE)
+         |      / CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+         |        - c AS DOUBLE)) END AS kappa
+         |FROM base, ch""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier evaluation beyond the confusion matrix — the metrics a
+  * quality-filter pipeline needs before trusting model scores at 100 TB
+  * (complementing `Tokenize.evalBinary`'s accuracy/precision/recall):
+  * calibration (is a 0.9 score right 90% of the time — the property
+  * threshold-based curation actually relies on), threshold-free ranking
+  * quality (exact AUC), and chance-corrected agreement (Cohen's κ,
+  * for comparing two labelers/models). Every metric here is EXACT
+  * integer/rational arithmetic with ONE rounded division at the end —
+  * the repo's hash-gate discipline; scores enter as caller-scaled
+  * integers in [0, scale].
+  */
+object Evaluation {
+
+  /** Reliability-diagram bins: scores quantized to `bins` equal-width
+    * buckets; each bin reports exact integer evidence plus its rounded
+    * confidence (mean score / scale) and accuracy. One
+    * map-side-combined aggregate; bins with no rows emit no row (they
+    * carry no evidence — unlike [[DataQuality.benford]]'s spine, an
+    * empty calibration bin has no accuracy to report).
+    *
+    * @param score caller-scaled integer score in [0, scale]
+    * @return (bin, n, n_pos, sum_score, conf, acc) */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+                      bins: Int, scale: Long = 1000000L): DataFrame = {
+    require(bins >= 2 && scale >= 1, s"bad bins=$bins scale=$scale")
+    val s = score.cast("long")
+    // exact integral divide (never a double floor); the least() clamp
+    // only fires for s == scale, which lands in the top bin
+    val bin = least(call_function("div", s * bins, lit(scale + 1)),
+      lit(bins - 1L))
+    df.select(bin.as("bin"), s.as("__graft_s"),
+        when(label, 1L).otherwise(0L).as("__graft_y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum("__graft_y").as("n_pos"),
+        sum("__graft_s").as("sum_score"))
+      .withColumn("conf", format_string("%.6f",
+        col("sum_score").cast("double") /
+          (col("n") * scale).cast("double")))
+      .withColumn("acc", format_string("%.6f",
+        col("n_pos").cast("double") / col("n").cast("double")))
+  }
+
+  /** Expected calibration error over [[calibrationBins]] — with
+    * integer scores the classic Σ (n_b/N)·|acc_b − conf_b| collapses to
+    * ONE exact integer numerator:
+    * ECE = Σ_b |n_pos_b·scale − sum_score_b| / (N·scale).
+    * @return one row: (n, num, ece) — `num` is the exact numerator */
+  def ece(df: DataFrame, score: Column, label: Column,
+          bins: Int, scale: Long = 1000000L): DataFrame =
+    calibrationBins(df, score, label, bins, scale)
+      .agg(sum("n").as("n"),
+        sum(abs(col("n_pos") * scale - col("sum_score"))).as("num"))
+      .withColumn("ece", format_string("%.6f",
+        col("num").cast("double") / (col("n") * scale).cast("double")))
+
+  /** Exact AUC (Mann–Whitney with tie correction) without a global
+    * window: fold rows by DISTINCT SCORE first (one aggregate), then
+    * the cumulative-negative sweep runs over the value-grouped frame —
+    * bounded by |distinct scores| (≤ scale+1), never corpus rows; the
+    * doubled statistic U2 = Σ_g pos_g·(2·cumNeg_< + neg_g) stays
+    * integral under ties, and AUC = U2 / (2·P·N) is one division.
+    *
+    * @return one row: (n_pos, n_neg, u2, auc) */
+  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val byScore = df
+      .select(score.cast("long").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+    // BOUNDED(|distinct scores|): the unpartitioned window runs over
+    // the value-grouped frame, never over input rows
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cumNeg", sum("neg").over(w) - col("neg"))
+      .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cumNeg") + col("neg"))).as("u2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          format_string("%.6f", col("u2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))))
+  }
+
+  /** Cohen's κ between two categorical labelings (annotators, or a
+    * model vs ground truth): with N rows, A = agreements, and the
+    * chance mass C = Σ_c rowCount_a(c)·rowCount_b(c),
+    * κ = (N·A − C) / (N² − C) — exact integers (decimal(38,0) products
+    * so petabyte counts cannot wrap), one division. Two tiny
+    * marginal aggregates + one broadcast-sized join on the category.
+    *
+    * @return one row: (n, n_agree, kappa) */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val t = df.select(a.cast("string").as("a"), b.cast("string").as("b"))
+    val base = t.agg(count(lit(1)).as("n"),
+      sum(when(col("a") <=> col("b"), 1L).otherwise(0L)).as("n_agree"))
+    val ma = t.groupBy("a").agg(count(lit(1)).as("ca"))
+    val mb = t.groupBy("b").agg(count(lit(1)).as("cb"))
+    val chance = ma.join(mb, col("a") <=> col("b"))
+      .agg(coalesce(sum(col("ca").cast(dec) * col("cb").cast(dec)),
+        lit(0L).cast(dec)).as("c"))
+    base.crossJoin(broadcast(chance))
+      .withColumn("kappa",
+        when(col("n").cast(dec) * col("n").cast(dec) =!= col("c"),
+          format_string("%.6f",
+            (col("n").cast(dec) * col("n_agree").cast(dec) - col("c"))
+              .cast("double") /
+              (col("n").cast(dec) * col("n").cast(dec) - col("c"))
+                .cast("double"))))
+      .select("n", "n_agree", "kappa")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Evaluation
+
+/** Calibration bins / ECE, exact tie-corrected AUC, and Cohen's kappa:
+  * hand-checked values, brute-force model parity, degenerate edges. */
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("calibrationBins + ece: hand-checked exact evidence") {
+    // scale 100, 4 bins, bin = s*4 div 101
+    val d = Seq((10L, false), (20L, false), (30L, true),
+      (80L, true), (90L, true), (95L, false)).toDF("s", "y")
+    val bins = Evaluation.calibrationBins(d, col("s"), col("y"),
+        bins = 4, scale = 100L)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSeq
+    assert(bins == Seq(
+      (0L, 2L, 0L, 30L, "0.150000", "0.000000"),
+      (1L, 1L, 1L, 30L, "0.300000", "1.000000"),
+      (3L, 3L, 2L, 265L, "0.883333", "0.666667")))
+    // ECE numerator: |0-30| + |100-30| + |200-265| = 165; 165/600
+    val e = Evaluation.ece(d, col("s"), col("y"), bins = 4, scale = 100L)
+      .as[(Long, Long, String)].head()
+    assert(e == ((6L, 165L, "0.275000")))
+  }
+
+  test("aucExact: perfect ranking 1, all-tied 0.5, brute-force parity") {
+    val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+      .toDF("s", "y")
+    assert(Evaluation.aucExact(perfect, col("s"), col("y"))
+      .select("auc").as[String].head() == "1.000000")
+    val tied = Seq((5L, true), (5L, false), (5L, true), (5L, false))
+      .toDF("s", "y")
+    assert(Evaluation.aucExact(tied, col("s"), col("y"))
+      .select("auc").as[String].head() == "0.500000")
+    // brute force: mean over pos×neg pairs of [sp>sn] + 0.5·[sp==sn]
+    val rnd = new scala.util.Random(97)
+    val rows = Seq.tabulate(200)(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextBoolean()))
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expect = wins.toDouble / (2.0 * pos.size * neg.size)
+    val got = Evaluation.aucExact(rows.toDF("s", "y"), col("s"), col("y"))
+      .as[(Long, Long, Long, String)].head()
+    assert(got._1 == pos.size && got._2 == neg.size)
+    assert(got._3 == wins && got._4 == f"$expect%.6f")
+    // one-class input: auc undefined -> null
+    val one = Seq((1L, true), (2L, true)).toDF("s", "y")
+    assert(Evaluation.aucExact(one, col("s"), col("y"))
+      .select("auc").as[Option[String]].head().isEmpty)
+  }
+
+  test("cohenKappa: perfect 1, independent-model parity, degenerate null") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    assert(Evaluation.cohenKappa(perfect, col("a"), col("b"))
+      .select("kappa").as[String].head() == "1.000000")
+    // random multiclass labels vs independent model formula
+    val rnd = new scala.util.Random(13)
+    val cats = Seq("p", "q", "r")
+    val rows = Seq.tabulate(300)(_ =>
+      (cats(rnd.nextInt(3)), cats(rnd.nextInt(3))))
+    val n = rows.size.toLong
+    val agree = rows.count { case (x, y) => x == y }.toLong
+    val c = cats.map(cc => rows.count(_._1 == cc).toLong *
+      rows.count(_._2 == cc).toLong).sum
+    val expect = (n * agree - c).toDouble / (n * n - c).toDouble
+    val got = Evaluation.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, String)].head()
+    assert(got == ((n, agree, f"$expect%.6f")))
+    // both sides constant and equal: N² == C -> undefined -> null
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Evaluation.cohenKappa(const, col("a"), col("b"))
+      .select("kappa").as[Option[String]].head().isEmpty)
+  }
+}
