@@ -3200,6 +3200,49 @@ object SparkEntry {
         when(col("score") >= 60000L, lit("en")).otherwise(lit("xx")))
     }),
 
+    // Flagship composition — the WEB pipeline end to end (the crawl
+    // counterpart of q47's curation funnel): deterministic pages built
+    // per document (q159's template, q123's URL scheme) → HTML
+    // main-content extraction → all-boilerplate pages dropped → EXACT
+    // dedup on the content fingerprint (min doc id survives) → host
+    // rollup of the survivors → PSL registrable domains. Every stage is
+    // an operator gated on its own elsewhere; this certifies the
+    // COMPOSITION. The oracle replays the whole chain analytically from
+    // `text` (extraction recovers exactly the article; hosts/domains
+    // are closed-form under rules [com, example.com]).
+    "q172_web_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 7 < 2, lit("www.")).otherwise(lit("")),
+          col("source"), lit(".example.com/p/"), col("doc_id")))
+        .withColumn("html", concat(
+          lit("<html><head><title>News</title><style>p{margin:0}</style>" +
+            "</head><body><div><a href=\"/\">Home</a> <a href=\"/tags\">" +
+            "Tags</a> <a href=\"/about\">About</a></div><p>"),
+          col("text"),
+          lit("</p><div><a href=\"/terms\">Terms of Service</a> " +
+            "<a href=\"/privacy\">Privacy Policy</a> (c) 2026</div>" +
+            "</body></html>")))
+      val pages = d.select(col("doc_id"), col("url"))
+        .join(MainContent.extract(d, col("doc_id"), col("html")), "doc_id")
+        .filter(col("n_content") >= 1)
+      val survivors = pages.groupBy(md5(col("main_text")).as("fp"))
+        .agg(min("doc_id").as("doc_id"))
+      val kept = pages.join(survivors.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      val hosts = kept
+        .groupBy(WebCuration.host(col("url")).as("host"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(TextFunctions.spaceTokenCount(col("main_text")))
+            .as("n_tokens"))
+      WebCuration.pslDomains(hosts, col("host"),
+          Seq("com", "example.com").toDF("rule"))
+        .select("host", "psl_domain", "n_pages", "n_tokens")
+        .orderBy("host")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -6213,6 +6256,30 @@ object SparkEntry {
          |      / CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
          |        - c AS DOUBLE)) END AS kappa
          |FROM base, ch""".stripMargin,
+
+    // Analytic chain replay: extraction recovers exactly `text` (q159's
+    // proof), pages keep iff length(text) >= 25, exact dedup keeps the
+    // min doc id per md5(text), host is the q123 regex form, and under
+    // rules [com, example.com] the registrable domain of
+    // src*.example.com is the host itself (the 2-label suffix wins).
+    "q172_web_pipeline" ->
+      """WITH d AS (SELECT doc_id, text, source,
+        |    'https://' || (CASE WHEN doc_id % 7 < 2 THEN 'www.' ELSE '' END)
+        |      || source || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents WHERE length(text) > 0),
+        |keep AS (SELECT min(doc_id) AS doc_id
+        |  FROM d WHERE length(text) >= 25 GROUP BY md5(text)),
+        |k AS (SELECT d.* FROM d JOIN keep USING (doc_id)),
+        |h AS (SELECT
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)), '^www\.', '') AS host,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS toks
+        |  FROM k)
+        |SELECT host, host AS psl_domain,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pages,
+        |  CAST(SUM(toks) AS BIGINT) AS n_tokens
+        |FROM h GROUP BY host ORDER BY host""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

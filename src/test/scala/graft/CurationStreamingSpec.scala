@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{LineRules, WebCuration}
+
+/** The row-local curation scorers on STREAMS: line rules, blocklist
+  * hits, Unicode normalization, host extraction, and IPv4 parsing are
+  * pure projections (no window, no aggregate), so they run unchanged
+  * inside a streaming query in append mode — documents score as they
+  * arrive, bit-identical to the batch path. This is the property that
+  * lets a crawl pipeline score during INGEST rather than in a second
+  * pass. (MainContent.classify is deliberately absent here: neighbor
+  * promotion needs a lag/lead window, a batch-only construct.) */
+class CurationStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed curation scores == batch scores, appended per micro-batch") {
+    val docs = Seq(
+      (1L, "Proper sentences survive the cleaning rules here.\nClick here",
+        "https://www.Example.com/a", "10.0.0.1"),
+      (2L, "Enable javascript to continue reading this page.",
+        "https://docs.example.co.uk/b", "192.168.7.9"),
+      (3L, "café content with spark and data inside it today.",
+        "nonsense", "999.1.1.1"))
+    val score = (df: org.apache.spark.sql.DataFrame) =>
+      LineRules.withCleanLines(df, col("text"))
+        .select(col("id"),
+          col("n_kept"),
+          TextFunctions.phraseHits(col("text"), Seq("spark", "data"))
+            .as("hits"),
+          md5(TextFunctions.unicodeNorm(col("text"))).as("norm_md5"),
+          WebCuration.host(col("url")).as("host"),
+          WebCuration.ipv4ToLong(col("ip")).as("ip_num"))
+    val batch = score(docs.toDF("id", "text", "url", "ip"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, String, String, String)]
+    val q = score(src.toDS().toDF("id", "text", "url", "ip"))
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      docs.grouped(2).foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("curation_stream")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, row) =>
+        assert(row.toSeq == batch(id).toSeq, s"doc $id diverged on stream")
+      }
+    } finally q.stop()
+  }
+}
