@@ -60,6 +60,29 @@ object SparkEntry {
       |        AS BIGINT) AS score
       |  FROM documents)""".stripMargin
 
+  /** One radius row of the q173 neighborhood-function oracle: per-node
+    * bottom-`k` md5 hashes over the ball relation `rel(node, m)`, the
+    * exact-under-k / (k−1)·2⁶⁰/h_k estimator, 6-decimal rounded terms
+    * summed as exact decimal — mirroring
+    * [[operators.Neighborhood.neighborhoodFunction]] arithmetic. */
+  private def ballStatSql(rel: String, radius: Int, k: Int): String =
+    s"""SELECT CAST($radius AS BIGINT) AS radius,
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(CASE WHEN bs < $k THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |  CAST(CAST(SUM(CAST(printf('%.6f',
+       |      CASE WHEN bs < $k THEN CAST(bs AS DOUBLE)
+       |           ELSE ${k - 1}.0 * power(2, 60) / CAST(hk AS DOUBLE) END)
+       |    AS DECIMAL(30,6))) AS DECIMAL(30,6)) AS VARCHAR) AS sum_est
+       |FROM (
+       |  SELECT node, COUNT(*) AS bs,
+       |    MAX(CASE WHEN rn = $k THEN hv END) AS hk
+       |  FROM (SELECT node, hv,
+       |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY hv) AS rn
+       |    FROM (SELECT DISTINCT node,
+       |        ('0x' || substr(md5(CAST(m AS VARCHAR)), 1, 15))::BIGINT AS hv
+       |      FROM $rel))
+       |  WHERE rn <= $k GROUP BY node)""".stripMargin
+
   /** DuckDB argmax-dot assignment CTE body for [[operators.Similarity]]
     * oracles: every embedding against centroid set `cents(centroid_id,
     * cvec)` -> (vec_id, centroid_id), exact decimal dots, id tiebreak. */
@@ -3243,6 +3266,29 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // Graphs — neighborhood function / effective-diameter curve
+    // (Neighborhood.neighborhoodFunction, HyperBall on replayable KMV
+    // minsets): per-radius Σ|ball_r(v)| over the cust×supp graph —
+    // balls under k are EXACT, larger ones use the (k−1)·2⁶⁰/h_k
+    // estimator whose minset is a pure function of the reachable set,
+    // so the oracle replays every ball via two join rounds and the
+    // per-round totals hash-gate. Message width is bounded at k longs
+    // per edge; per-round localCheckpoint (the Bfs discipline).
+    "q173_neighborhood" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val p = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+      val e = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      Neighborhood.neighborhoodFunction(e, col("src"), col("dst"),
+          rounds = 2, k = 32)
+        .orderBy("radius")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -6280,6 +6326,25 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_pages,
         |  CAST(SUM(toks) AS BIGINT) AS n_tokens
         |FROM h GROUP BY host ORDER BY host""".stripMargin,
+
+    "q173_neighborhood" ->
+      s"""WITH prp AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) * 2 AS src,
+         |    CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT src, dst FROM prp
+         |      UNION ALL SELECT dst, src FROM prp),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |r0 AS (SELECT node, node AS m FROM n),
+         |r1 AS (SELECT DISTINCT node, m FROM (
+         |    SELECT node, m FROM r0
+         |    UNION ALL SELECT e.src, r0.m FROM e JOIN r0 ON r0.node = e.dst)),
+         |r2 AS (SELECT DISTINCT node, m FROM (
+         |    SELECT node, m FROM r1
+         |    UNION ALL SELECT e.src, r1.m FROM e JOIN r1 ON r1.node = e.dst))
+         |${Seq(ballStatSql("r0", 0, 32), ballStatSql("r1", 1, 32),
+                ballStatSql("r2", 2, 32))
+           .map(q => s"($q)").mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY radius""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Hashing
+
+/** Neighborhood function / effective-diameter estimation — HyperBall
+  * (Boldi & Vigna 2013) re-expressed on the repo's replayable KMV
+  * minsets instead of HLL registers: after round r, each node carries a
+  * bottom-k sketch of the set of nodes within distance ≤ r, built by
+  * the same synchronous relaxation as [[Bfs]] — one join + one
+  * map-side-combinable merge per round. N(r) = Σ_v |ball_r(v)| is THE
+  * classic web-graph statistic (effective diameter = the r where N(r)
+  * reaches 90% of its plateau; its growth curve separates spam farms
+  * from organic link neighborhoods).
+  *
+  * Why KMV and not HLL here: the bottom-k minset is a PURE FUNCTION of
+  * the reachable SET (the [[graft.expressions.KmvSketchAgg]] property),
+  * so an oracle can replay every node's ball exactly and the per-round
+  * totals HASH-GATE — HLL register contents are engine-private. Balls
+  * under k elements are EXACT (counted, not estimated); larger balls
+  * use the standard (k−1)·2⁶⁰/h_k estimator, each per-node estimate
+  * rounded once to 6 decimals and summed as exact decimal — the repo's
+  * ln/printf discipline, order-independent under any partitioning.
+  *
+  * Shape at 100 TB: per round the exchange carries ≤ k longs per EDGE
+  * (the message is the neighbor's minset) plus one merge aggregate on
+  * the node key; state is ≤ k longs per NODE; per-round
+  * `localCheckpoint` cuts the lineage exactly like [[Bfs]]/[[KCore]].
+  * k trades message width against estimator error (rsd ≈ 1/√(k−2)).
+  *
+  * @param edges DIRECTED edges (symmetrize upstream for undirected
+  *              balls); the ball grows along out-edges
+  * @return one row per radius 0..rounds:
+  *         (radius, n_nodes, n_exact, sum_est) — `n_exact` counts nodes
+  *         whose ball is still exact (< k members), `sum_est` = N(r) */
+object Neighborhood {
+
+  private val dec6 = DecimalType(30, 6)
+
+  def neighborhoodFunction(edges: DataFrame, src: Column, dst: Column,
+                           rounds: Int, k: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val e = edges.select(src.as("src"), dst.as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var state = nodes
+      .withColumn("mins", array(Hashing.hexLong(col("node").cast("string"))))
+      .localCheckpoint(true)
+    def summarize(st: DataFrame, r: Int): DataFrame = {
+      val cnt = size(col("mins"))
+      val est = when(cnt < k, cnt.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+          element_at(col("mins"), k).cast("double"))
+      st.agg(count(lit(1)).as("n_nodes"),
+          sum(when(cnt < k, 1L).otherwise(0L)).as("n_exact"),
+          sum(format_string("%.6f", est).cast(dec6)).cast(dec6)
+            .cast("string").as("sum_est"))
+        .select(lit(r.toLong).as("radius"), col("n_nodes"),
+          col("n_exact"), col("sum_est"))
+    }
+    val out = scala.collection.mutable.Buffer(summarize(state, 0))
+    for (r <- 1 to rounds) {
+      // ball_r(v) = ball_{r-1}(v) ∪ ⋃_{v→u} ball_{r-1}(u): each edge
+      // ships its head's minset to its tail, one merge per node
+      val msgs = e.join(state, e("dst") === state("node"))
+        .select(e("src").as("node"), col("mins"))
+      state = msgs.unionByName(state.select("node", "mins"))
+        .groupBy("node")
+        .agg(slice(array_sort(array_distinct(flatten(
+          collect_list(col("mins"))))), 1, k).as("mins"))
+        .localCheckpoint(true)
+      out += summarize(state, r)
+    }
+    out.reduce(_.unionByName(_))
+  }
+}

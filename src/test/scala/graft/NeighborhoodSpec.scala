@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expressions.HashOps
+import graft.operators.Neighborhood
+
+/** HyperBall-shaped neighborhood function: exact small-ball growth,
+  * directedness, the bottom-k truncation + estimator arithmetic, and
+  * brute-force reachability parity on a random graph. */
+class NeighborhoodSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)], rounds: Int, k: Int) =
+    Neighborhood.neighborhoodFunction(edges.toDF("s", "d"),
+        col("s"), col("d"), rounds, k)
+      .orderBy("radius")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("directed path: balls grow along out-edges only") {
+    // a -> b -> c: N(0)=3, N(1)=5 (a:{a,b} b:{b,c} c:{c}), N(2)=6
+    val got = run(Seq((1L, 2L), (2L, 3L)), rounds = 2, k = 64)
+    assert(got == Seq(
+      (0L, 3L, 3L, "3.000000"),
+      (1L, 3L, 3L, "5.000000"),
+      (2L, 3L, 3L, "6.000000")))
+  }
+
+  test("bottom-k truncation: minset is the k smallest hashes, estimator exact") {
+    // 5-clique (symmetrized): after round 1 every ball is all 5 nodes,
+    // over k=3 -> every node estimates from the identical global minset
+    val dir = for (i <- 1L to 5L; j <- 1L to 5L if i != j) yield (i, j)
+    val got = run(dir, rounds = 1, k = 3)
+    val hashes = (1L to 5L)
+      .map(v => HashOps.md5Long(UTF8String.fromString(v.toString))).sorted
+    val est = 2.0 * math.pow(2, 60) / hashes(2).toDouble
+    val expected = f"${5 * (math.rint(est * 1e6) / 1e6)}%.6f"
+    assert(got(1)._3 == 0L, "no ball stays exact past k")
+    // each node's rounded estimate summed 5 times
+    assert(got(1)._4 == expected, s"got ${got(1)._4}, want $expected")
+  }
+
+  test("random graph: per-radius totals match brute-force reachability") {
+    val rnd = new scala.util.Random(61)
+    val edges = Seq.tabulate(60)(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // frontier-expansion brute force: ball_r(v) = nodes within r hops
+    val expected = (0 to 3).map { r =>
+      nodes.map { v =>
+        var frontier = Set(v); var ball = Set(v)
+        for (_ <- 1 to r) {
+          frontier = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+          ball ++= frontier
+        }
+        ball.size
+      }.sum
+    }
+    val got = run(edges, rounds = 3, k = 1000)
+    assert(got.map(_._2).forall(_ == nodes.size.toLong))
+    assert(got.map(_._4) == expected.map(n => f"${n.toDouble}%.6f"))
+  }
+}
