@@ -3289,6 +3289,23 @@ object SparkEntry {
         .orderBy("radius")
     }),
 
+    // LLM ops — winnowing fingerprints (Schleimer et al. 2003, the
+    // MOSS selection): per-doc distinct window-minima of char-5-gram
+    // hashes at w=4 — the edit-robust fingerprint family between
+    // whole-doc md5 and full shingle sets. The gate hash-replays the
+    // ENTIRE selection per document (grams → hashes → window minima →
+    // distinct set) via order-insensitive xor/mod-sum witnesses.
+    "q174_winnowing" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .withColumn("fps", TextFunctions.winnowing(col("text")))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fps"),
+          aggregate(col("fps"), lit(0L),
+            (a, x) => a.bitwiseXOR(x)).as("fp_xor"),
+          aggregate(col("fps"), lit(0L),
+            (a, x) => a + x % 1000000007L).as("fp_modsum"))
+        .orderBy("doc_id")),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -6345,6 +6362,31 @@ object SparkEntry {
                 ballStatSql("r2", 2, 32))
            .map(q => s"($q)").mkString("", "\nUNION ALL\n", "")}
          |ORDER BY radius""".stripMargin,
+
+    "q174_winnowing" ->
+      """WITH t AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN length(t) >= 5 THEN
+        |    list_transform(range(1, length(t) - 3),
+        |      i -> ('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 5)),
+        |        1, 15))::BIGINT)
+        |    ELSE [] END AS hs
+        |  FROM t),
+        |sel AS (SELECT doc_id, CASE
+        |    WHEN len(hs) >= 4 THEN list_distinct(
+        |      list_transform(range(1, len(hs) - 2),
+        |        i -> list_min(hs[CAST(i AS INTEGER):CAST(i + 3 AS INTEGER)])))
+        |    WHEN len(hs) > 0 THEN [list_min(hs)]
+        |    ELSE [] END AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+        |  CAST(COALESCE(list_aggregate(fps, 'bit_xor'), 0) AS BIGINT)
+        |    AS fp_xor,
+        |  CAST(COALESCE(list_aggregate(
+        |    list_transform(fps, x -> x % 1000000007), 'sum'), 0) AS BIGINT)
+        |    AS fp_modsum
+        |FROM sel ORDER BY doc_id""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

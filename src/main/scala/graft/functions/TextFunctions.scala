@@ -165,6 +165,30 @@ object TextFunctions {
     greatest(lit(1L),
       size(regexp_extract_all(c, lit("[.!?]+"), lit(0))).cast("long"))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): hash every char k-gram of the normalized text
+    * ([[charNgrams]] form: lowercased, whitespace collapsed), slide a
+    * window of `w` consecutive hashes, keep each window's MINIMUM, and
+    * return the DISTINCT selected hashes. The guarantee: any shared
+    * substring of length ≥ k+w−1 between two documents yields at least
+    * one shared fingerprint, while the selected set is ~2/(w+1) of all
+    * grams — the edit-robust middle ground between one whole-document
+    * md5 (breaks on a single char) and full shingle sets (huge).
+    * Classic winnowing breaks ties by position; emitting the VALUE set
+    * makes tie choice irrelevant (equal minima are one value).
+    * Documents with fewer than `w` grams keep their single global
+    * minimum; gram-less text yields the empty set. Pure expressions:
+    * the gram-hash array is let-bound once, windows read slices of it. */
+  def winnowing(c: Column, k: Int = 5, w: Int = 4): Column =
+    ColumnOps.bound(transform(charNgrams(c, k), g => Hashing.hexLong(g))) {
+      hs =>
+        when(size(hs) >= w,
+          array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+            i => array_min(slice(hs, i, lit(w))))))
+          .when(size(hs) > 0, array(array_min(hs)))
+          .otherwise(array().cast("array<long>"))
+    }
+
   /** Unicode normalization (NFC/NFD/NFKC/NFKD) — the pre-hash
     * canonicalization dedup needs: `café` spelled e+U+0301 vs U+00E9 is
     * byte-different and dedup-invisible until normalized; NFKC also

@@ -815,4 +815,34 @@ object Dedup {
               struct(col("idx"), col("b"))))),
             x => x.getField("b")), " ").as("clean_text"))
   }
+
+  /** Winnowing-fingerprint candidate pairs (the MOSS pairing over
+    * [[TextFunctions.winnowing]] sets): documents sharing ≥ `minShared`
+    * selected fingerprints — by the winnowing guarantee, any pair
+    * sharing a substring of length ≥ k+w−1 per fingerprint. The
+    * posting-list join is the LSH-band shape: explode fingerprints,
+    * equi-join on the hash, count per pair; fingerprints appearing in
+    * more than `maxPostings` documents are dropped first (the
+    * stop-fingerprint guard — a boilerplate gram shared by half the
+    * corpus would otherwise fan out quadratically, the celebrity
+    * problem every posting join has).
+    *
+    * @return (doc_a, doc_b, n_shared) with doc_a < doc_b */
+  def winnowingPairs(docs: DataFrame, id: Column, text: Column,
+                     k: Int = 5, w: Int = 4, minShared: Int = 2,
+                     maxPostings: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxPostings >= 2,
+      s"bad minShared=$minShared maxPostings=$maxPostings")
+    // (doc, fp) is already distinct: winnowing emits a value SET
+    val fps = docs.select(id.as("doc_id"),
+      explode(TextFunctions.winnowing(text, k, w)).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxPostings).select("fp")
+    val kept = fps.join(rare, "fp")
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

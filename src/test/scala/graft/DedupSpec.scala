@@ -469,4 +469,24 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 3L)) == 1.0)
     assert(got.contains((1L, 2L)) && got((1L, 2L)) < 1.0)
   }
+
+  test("winnowingPairs: planted near-dups pair, stop-fingerprints can't fan out") {
+    val shared = "the quick brown fox jumps over the lazy dog paragraph"
+    val docs = Seq(
+      (1L, "intro words here " + shared + " and a closing remark"),
+      (2L, "completely different opening " + shared + " with another end"),
+      (3L, "nothing in common with anything else at all today"),
+      (4L, "a fourth unique document about unrelated topics entirely"))
+      .toDF("id", "t")
+    val got = Dedup.winnowingPairs(docs, col("id"), col("t"), minShared = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+    // the stop-fingerprint guard: identical docs select identical
+    // fingerprint sets, every fingerprint lands in all 10 postings and
+    // is dropped before the join — all-pairs never materialize
+    val common = Seq.tabulate(10)(i => (i.toLong, shared)).toDF("id", "t")
+    val capped = Dedup.winnowingPairs(common, col("id"), col("t"),
+      minShared = 1, maxPostings = 5)
+    assert(capped.count() == 0L, "ubiquitous fingerprints must be dropped")
+  }
 }

@@ -111,6 +111,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got == Seq(3L, 1L))
   }
 
+  test("winnowing: selection arithmetic, shared-substring guarantee, edit robustness") {
+    import graft.functions.Hashing
+    // tiny case verified against the definition: k=2, w=2 over "abcd"
+    // grams [ab, bc, cd] -> windows min(h(ab),h(bc)), min(h(bc),h(cd))
+    val hs = Seq("ab", "bc", "cd").map(g =>
+      graft.expressions.HashOps.md5Long(
+        org.apache.spark.unsafe.types.UTF8String.fromString(g)))
+    val expect = Seq(hs(0) min hs(1), hs(1) min hs(2)).distinct.toSet
+    val got = Seq("abcd").toDF("t")
+      .select(TextFunctions.winnowing(col("t"), k = 2, w = 2))
+      .as[Seq[Long]].head().toSet
+    assert(got == expect)
+    // guarantee: a shared substring of length >= k+w-1 yields a shared fp
+    val shared = "zzqjvkxw" // 8 >= 5+4-1
+    val fps = Seq("left padding " + shared + " one tail",
+        "other prefix " + shared + " different end")
+      .toDF("t").select(TextFunctions.winnowing(col("t")))
+      .as[Seq[Long]].collect().map(_.toSet)
+    assert((fps(0) intersect fps(1)).nonEmpty, "shared substring must share a fp")
+    // short docs: global-min fallback; empty text: empty set
+    val short = Seq("abc", "").toDF("t")
+      .select(TextFunctions.winnowing(col("t"), k = 3, w = 4))
+      .as[Seq[Long]].collect()
+    assert(short(0).size == 1 && short(1).isEmpty)
+  }
+
   test("spaceTokenCount ≡ size(split) on every edge shape") {
     // the invariant the r10 gate spelling rests on: #spaces+1 equals the
     // single-space split count for EVERY string — empties, doubles,
