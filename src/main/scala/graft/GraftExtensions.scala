@@ -46,6 +46,10 @@ import graft.expressions.{CmsSketchAgg, Dec9Dot, DecimalDotRewrite, FloatVecScal
   *    blocklist matcher: total phrase occurrences at one automaton step
   *    per byte, built once at plan time from the constant phrase array
   *    ([[graft.expressions.PhraseHits]]);
+  *  - `jaro_winkler12(string, string) -> bigint` — Jaro–Winkler
+  *    similarity as `floor(jw·10^12)` in exact integer arithmetic: the
+  *    record-linkage scorer with no float surface
+  *    ([[graft.expressions.JaroWinkler12]]);
   *  - `unicode_norm(string, form) -> string` — NFC/NFD/NFKC/NFKD
   *    normalization (java.text.Normalizer with an isNormalized fast
   *    path), the pre-hash canonicalization dedup needs
@@ -142,6 +146,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "unicode_norm takes exactly 2 arguments")
         graft.expressions.UnicodeNorm(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler12"),
+      new ExpressionInfo(classOf[graft.expressions.JaroWinkler12].getName,
+        "jaro_winkler12"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "jaro_winkler12 takes exactly 2 arguments")
+        graft.expressions.JaroWinkler12(children.head, children(1))
       }))
     // Spark's own runtime-filter membership expression (codegen'd), made
     // callable so operators can bloom-prefilter a join side explicitly

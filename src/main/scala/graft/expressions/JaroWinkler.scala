@@ -1,0 +1,128 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel for [[JaroWinkler12]] — also called from generated Java. */
+object JaroOps {
+
+  /** `floor(jaro_winkler(a, b) * 10^12)` in EXACT integer arithmetic.
+    *
+    * The Jaro similarity of two strings is a small rational: with `m`
+    * matches, `t2` transposed match positions (NOT halved), and byte
+    * lengths `l1`, `l2`,
+    *
+    *   jaro = (m/l1 + m/l2 + (2m − t2)/(2m)) / 3
+    *        = (2·m²·l2 + 2·m²·l1 + (2m − t2)·l1·l2) / (6·l1·l2·m)
+    *
+    * and the Winkler boost (prefix `p ≤ 4`, scale 1/10, applied only when
+    * jaro > 7/10) keeps it rational:
+    *
+    *   jw = jaro + p·(1 − jaro)/10 = (10·N + p·(D − N)) / (10·D).
+    *
+    * So the whole similarity is one exact fraction of two longs, and the
+    * returned scale-12 floor is computed by a 12-step long-division digit
+    * loop — no floating point anywhere, hence no engine-rounding surface
+    * in gates that threshold or sort on it.
+    *
+    * Semantics pinned to DuckDB's `jaro_winkler_similarity` (probed on
+    * v1.0.0, the oracle engine): operates on UTF-8 BYTES (a 2-byte é is
+    * two symbols), case-sensitive, returns 0 when EITHER side is empty
+    * (including both-empty), match window `max(l1,l2)/2 − 1` floored at 0,
+    * greedy left-to-right matching, boost iff jaro > 0.7 strictly.
+    *
+    * Inputs are capped at 100 000 bytes: beyond that the 10·N numerator
+    * (≈ 60·L³) would near 2^63; character-similarity on 100 KB strings is
+    * not a meaningful operation, so overflow fails loudly instead. */
+  def jw12(a: UTF8String, b: UTF8String): Long = {
+    val s = a.getBytes
+    val t = b.getBytes
+    val l1 = s.length
+    val l2 = t.length
+    if (l1 == 0 || l2 == 0) return 0L
+    require(l1 <= 100000 && l2 <= 100000,
+      s"jaro_winkler12: input exceeds 100000 bytes ($l1, $l2)")
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val sM = new Array[Boolean](l1)
+    val tM = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!tM(j) && s(i) == t(j)) {
+          sM(i) = true; tM(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0L
+    var t2 = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (sM(i)) {
+        while (!tM(k)) k += 1
+        if (s(i) != t(k)) t2 += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mL = m.toLong; val a1 = l1.toLong; val a2 = l2.toLong
+    val jNum = 2L * mL * mL * (a1 + a2) + (2L * mL - t2) * a1 * a2
+    val jDen = 6L * a1 * a2 * mL
+    var p = 0
+    while (p < 4 && p < l1 && p < l2 && s(p) == t(p)) p += 1
+    // boost iff jaro > 7/10, exactly: 10·N > 7·D
+    val boost = 10L * jNum > 7L * jDen
+    val num = if (boost) 10L * jNum + p * (jDen - jNum) else jNum
+    val den = if (boost) 10L * jDen else jDen
+    // floor(num·10^12 / den) one decimal digit at a time (num ≤ den here,
+    // so every intermediate stays < 10·den < 2^63)
+    var res = num / den
+    var r = num % den
+    var d = 0
+    while (d < 12) { r *= 10L; res = res * 10L + r / den; r %= den; d += 1 }
+    res
+  }
+}
+
+/** `jaro_winkler12(string, string) -> bigint`: Jaro–Winkler similarity as
+  * `floor(jw · 10^12)` — an exact integer, so fuzzy-match gates can
+  * threshold (`jw12 >= 840000000000` ⟺ jw ≥ 0.84) and sort on it with no
+  * float surface between engines. Registered by [[graft.GraftExtensions]];
+  * Column API: [[graft.functions.TextFunctions.jaroWinkler12]].
+  *
+  * Reference intent: the record-linkage companion to the blocked
+  * levenshtein of [[graft.operators.FuzzyJoin]] — JW favors shared
+  * prefixes (names, titles, product labels), edit distance favors global
+  * edits; real ER stacks run both. */
+case class JaroWinkler12(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "jaro_winkler12"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroOps.jw12(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.JaroOps.jw12($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler12 =
+    copy(left = newLeft, right = newRight)
+}

@@ -198,6 +198,26 @@ object TextFunctions {
   def unicodeNorm(c: Column, form: String = "NFC"): Column =
     call_function("unicode_norm", c, lit(form))
 
+  /** Accent/diacritic folding: NFD-decompose, then drop combining marks
+    * (`\p{Mn}`), so `café`→`cafe`, `Münster`→`Munster`, `ё`→`е` — the
+    * other half of text canonicalization before hashing/matching (dedup
+    * should not see `resume` and `résumé` as distinct keys). Letters
+    * whose "accent" is not a combining mark (ø, đ, ß, ı) are LEFT ALONE —
+    * exactly the behavior of DuckDB's `strip_accents` (utf8proc), probed
+    * on v1.0.0, so the gate hash-matches an independent implementation.
+    * Composes the native [[unicodeNorm]] with a codegen'd regexp —
+    * requires [[graft.GraftExtensions]]. */
+  def stripAccents(c: Column): Column =
+    regexp_replace(unicodeNorm(c, "NFD"), lit("\\p{Mn}+"), lit(""))
+
+  /** Jaro–Winkler similarity as `floor(jw · 10^12)` — an exact integer
+    * from the native [[graft.expressions.JaroWinkler12]] expression (the
+    * similarity is a small rational; no float surface). Threshold with
+    * `jaroWinkler12(a,b) >= (θ·1e12).toLong`. Requires
+    * [[graft.GraftExtensions]]. */
+  def jaroWinkler12(a: Column, b: Column): Column =
+    call_function("jaro_winkler12", a, b)
+
   /** Blocklist phrase-occurrence count via the native Aho–Corasick
     * expression (`phrase_hits`) — one automaton step per byte no matter
     * how many phrases; compose with [[normalizeWs]]/`lower`/
@@ -219,4 +239,50 @@ object TextFunctions {
     * materialized. Null text yields null. */
   def spaceTokenCount(c: Column): Column =
     (length(c) - length(replace(c, lit(" "), lit(""))) + 1).cast("long")
+
+  /** Credential/secret scan — the redaction gate training corpora run
+    * AFTER PII ([[Cleaning]]'s emails/phones): leaked cloud keys and
+    * private-key blocks must be dropped or masked, and high-entropy
+    * token smells flagged for review. Four row-local codegen'd counters
+    * (all RE2-compatible patterns, so an external engine replays them
+    * verbatim):
+    *  - `aws`: AWS access-key ids `AKIA` + 16 uppercase/digits;
+    *  - `pem`: `-----BEGIN … PRIVATE KEY-----` block headers;
+    *  - `hex32`: standalone lowercase-hex runs ≥ 32 chars (MD5/SHA/
+    *    session tokens);
+    *  - `b64`: base64-ish runs ≥ 40 chars (JWTs, key material).
+    * Counts, not booleans: the audit wants mass, and a boolean is one
+    * comparison away. */
+  /** Luhn checksum validity of a 16-digit string — the arithmetic that
+    * separates a real payment-card number from 16 random digits (every
+    * issuer mods the final digit so the doubled-alternate digit sum is
+    * ≡ 0 mod 10). Spelled as 16 positional substring terms so the SAME
+    * expression runs verbatim in any SQL engine: for a 16-char string,
+    * digits at odd LEFT positions are at odd distance from the right,
+    * i.e. the doubled ones. No validity pre-check: callers feed it
+    * exactly-16-digit candidates (see [[ccHits]]). */
+  def luhn16(c: Column): Column =
+    (1 to 16).map { k =>
+      val d = substring(c, k, 1).cast("int")
+      if (k % 2 == 1) when(d > 4, d * 2 - 9).otherwise(d * 2) else d
+    }.reduce(_ + _) % 10 === 0
+
+  /** Payment-card scan: 16-digit word-bounded runs in `c`, split into
+    * Luhn-valid hits (real card shapes — report/redact) and lookalikes
+    * (random digit runs — the false-positive mass a naive regex-only
+    * scanner would flag). Row-local; the regex and the checksum both
+    * replay verbatim in the oracle. */
+  def ccHits(c: Column): Column = {
+    val cands = regexp_extract_all(c, lit("\\b[0-9]{16}\\b"), lit(0))
+    struct(
+      size(filter(cands, x => luhn16(x))).cast("long").as("cc_valid"),
+      size(filter(cands, x => !luhn16(x))).cast("long").as("cc_lookalike"))
+  }
+
+  def secretHits(c: Column): Column = struct(
+    regexp_count(c, lit("AKIA[0-9A-Z]{16}")).cast("long").as("aws"),
+    regexp_count(c, lit("-----BEGIN [A-Z ]*PRIVATE KEY-----"))
+      .cast("long").as("pem"),
+    regexp_count(c, lit("\\b[0-9a-f]{32,}\\b")).cast("long").as("hex32"),
+    regexp_count(c, lit("[A-Za-z0-9+/]{40,}={0,2}")).cast("long").as("b64"))
 }

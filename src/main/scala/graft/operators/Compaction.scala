@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction planner — the maintenance half of the
+  * warehouse's write path: streaming ingestion leaves thousands of
+  * under-sized files per partition, and every planner stage afterwards
+  * pays per-file overhead until someone groups them into target-sized
+  * rewrites. The plan itself must be deterministic (re-running the
+  * planner on the same file listing must produce the same bins, or two
+  * maintenance jobs fight) and must never sort the DATA — only the
+  * file-listing table, which is orders of magnitude smaller.
+  *
+  * Binning rule: files are taken in file-id order and each file joins
+  * the bin its cumulative START offset falls in (`bin = ⌊start/target⌋`)
+  * — the streaming first-fit contract: bins fill to ≥ target except the
+  * last, each bin overflows by at most one file, and a file larger than
+  * `target` spans its own bin(s) without blocking neighbors. The
+  * cumulative offsets come from [[Sampling.weightedPrefixSum]] — the
+  * repo's layout-independent distributed prefix sum (bucketed windows +
+  * O(buckets) offsets, NEVER a global single-partition window), so the
+  * plan is a pure function of the listing at any partitioning.
+  */
+object Compaction {
+
+  /** Per-file bin assignment: (file_id, size, start, bin). Zero-sized
+    * files are dropped (nothing to compact — the prefix-sum contract). */
+  def assignBins(files: DataFrame, fileId: Column, size: Column,
+                 target: Long): DataFrame = {
+    require(target > 0, s"target must be positive, got $target")
+    Sampling.weightedPrefixSum(
+        files.select(fileId.as("file_id"), size.as("size")),
+        col("file_id"), col("size"))
+      .withColumn("start", col("cum") - col("size"))
+      .withColumn("bin", expr(s"start div ${target}L"))
+      .select(col("file_id"), col("size"), col("start"), col("bin"))
+  }
+
+  /** The compaction manifest: one row per output bin — how many input
+    * files merge, their total mass, and the id range (contiguous by
+    * construction, so the rewrite is a range read). */
+  def planBins(files: DataFrame, fileId: Column, size: Column,
+               target: Long): DataFrame =
+    assignBins(files, fileId, size, target)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("size")).as("total_size"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"))
+}

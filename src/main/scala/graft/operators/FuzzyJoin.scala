@@ -39,4 +39,43 @@ object FuzzyJoin {
       .select(col("l_id"), col("r_id"), col("l_key"), col("r_key"),
         col("dist").cast("long").as("dist"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández–Stolfo) — the OTHER classic
+    * candidate generator: sort the corpus once by a match-relevant key
+    * and pair each record with its `window − 1` successors, so near-
+    * identical keys land adjacent regardless of whether any equality
+    * block survives the corruption (equality blocking misses a typo IN
+    * the block key; sorting only needs the typo to not reorder far).
+    * Candidates are exactly `n·(window−1)` — linear, tunable, skew-free
+    * even when one block value dominates.
+    *
+    * Scale shape: the global sort position comes from
+    * [[GlobalIndex.withGlobalIndex]] (range-partitioned sort +
+    * zipWithIndex — NEVER a single-partition row_number window), the
+    * window fan-out is a plan-constant `explode(sequence(1, w−1))`, and
+    * pairing is one equi-join on the dense neighbor index, which is
+    * uniform by construction. Ties in `key` are broken by `id` so the
+    * pairing is a pure function of the data.
+    *
+    * @return (id_a, key_a, id_b, key_b, gap) candidate pairs with
+    *         gap = rank distance in [1, window−1]; verify with
+    *         [[editDistanceJoin]]'s levenshtein or
+    *         [[graft.functions.TextFunctions.jaroWinkler12]]. */
+  def sortedNeighborhood(df: DataFrame, id: Column, key: Column,
+                         window: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val idx = GlobalIndex.withGlobalIndex(
+      df.select(id.as("id"), key.as("key")),
+      Seq(col("key"), col("id")), idxCol = "rn")
+    val probes = idx
+      .withColumn("gap", explode(sequence(lit(1L), lit((window - 1).toLong))))
+      .select(col("id").as("id_a"), col("key").as("key_a"),
+        col("gap"), (col("rn") + col("gap")).as("rn_b"))
+    probes.join(
+        idx.select(col("rn").as("rn_b"), col("id").as("id_b"),
+          col("key").as("key_b")),
+        Seq("rn_b"))
+      .select(col("id_a"), col("key_a"), col("id_b"), col("key_b"),
+        col("gap"))
+  }
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Survivorship / golden-record merge — the step AFTER entity
+  * resolution: once candidate pairs ([[FuzzyJoin]]) have closed into
+  * entity clusters ([[Dedup.connectedComponents]]), each cluster's
+  * conflicting attribute copies must collapse to ONE surviving value
+  * per attribute. The classic MDM rule implemented here is
+  * most-frequent-non-null with a deterministic tie-break
+  * (lexicographically smallest value), so the golden record is a pure
+  * function of the cluster's contents — never of row arrival order.
+  *
+  * Scale shape: ALL attributes resolve in ONE exploded pass — rows fan
+  * out to (entity, attr, value), counts aggregate map-side on that
+  * triple (the value is in the key: no skew), one (entity, attr)-keyed
+  * window picks the winner, and the pivot back to one row per entity is
+  * a plain groupBy. Adding an attribute adds exploded rows, never a
+  * pass. The per-(entity, attr) window partition is bounded by the
+  * cluster's distinct values — cluster-sized, not corpus-sized.
+  */
+object GoldenRecord {
+
+  /** @param attrs attribute column names (compared in their string
+    *              rendering; nulls never survive unless an attribute is
+    *              entirely null in the cluster — then it stays null)
+    * @return one row per entity: (entity, attr...) golden values */
+  def mostFrequent(df: DataFrame, entity: Column,
+                   attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "need at least one attribute")
+    val exploded = df.select(entity.as("entity"),
+        explode(array(attrs.map(a =>
+          struct(lit(a).as("attr"), col(a).cast("string").as("v"))): _*))
+          .as("p"))
+      .select(col("entity"), col("p.attr").as("attr"), col("p.v").as("v"))
+      .where(col("v").isNotNull)
+    val w = Window.partitionBy(col("entity"), col("attr"))
+      .orderBy(col("cnt").desc, col("v"))
+    val winners = exploded
+      .groupBy("entity", "attr", "v")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val pivots = attrs.map(a =>
+      max(when(col("attr") === a, col("v"))).as(a))
+    winners.groupBy("entity")
+      .agg(pivots.head, pivots.tail: _*)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Newman modularity of a node partition, in EXACT integer arithmetic —
+  * the quality metric that closes the community loop: [[LabelPropagation]]
+  * PRODUCES communities, this scores them (and scores any competing
+  * assignment — nation-based, hash-random, k-means-on-embeddings — on
+  * the same scale, which is how you decide a clustering is better than
+  * chance at all).
+  *
+  *   Q = Σ_c [ e_c/m − (d_c/2m)² ]  =  (Σ_c 4m·e_c − d_c²) / (4m)²·¼
+  *
+  * spelled here as the exact fraction `q_num / q_den` with
+  * `q_num = Σ_c (4m·e_c − d_c²)` and `q_den = 4m²` (e_c = intra-
+  * community edge count, d_c = total degree of c, m = |E|): every term
+  * is an integer, the sums accumulate in decimal(38,0), and no division
+  * ever happens inside the operator — so the score gates bit-exact and
+  * callers choose their own precision (Q ∈ [−½, 1], so q_num ≤ q_den).
+  *
+  * Input contract: `edges` holds each UNDIRECTED edge exactly once (in
+  * either orientation, no self-loops — the convention of [[Triangles]]);
+  * `communities` maps every endpoint to exactly one community id.
+  *
+  * Scale shape: two equi-joins of edges against the node-keyed
+  * community map (shuffle joins on node id — the map is corpus-sized,
+  * never broadcast), one aggregate per community, one O(|communities|)
+  * rollup. No step materializes anything wider than the edge list.
+  */
+object Modularity {
+
+  /** Per-community evidence: (community, e_in, d_tot) — intra-community
+    * edges and total degree (nodes present only in `communities` but in
+    * no edge contribute zero degree and are absorbed silently). */
+  def communityStats(edges: DataFrame, src: Column, dst: Column,
+                     communities: DataFrame, node: Column,
+                     community: Column): DataFrame = {
+    val comm = communities.select(node.as("node"), community.as("community"))
+    val e = edges.select(src.as("src"), dst.as("dst"))
+    val labeled = e
+      .join(comm.withColumnRenamed("node", "src")
+        .withColumnRenamed("community", "c_src"), Seq("src"))
+      .join(comm.withColumnRenamed("node", "dst")
+        .withColumnRenamed("community", "c_dst"), Seq("dst"))
+    val eIn = labeled.filter(col("c_src") === col("c_dst"))
+      .groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val dTot = labeled
+      .select(col("c_src").as("community"))
+      .unionByName(labeled.select(col("c_dst").as("community")))
+      .groupBy("community")
+      .agg(count(lit(1)).as("d_tot"))
+    dTot.join(eIn, Seq("community"), "left")
+      .select(col("community"), coalesce(col("e_in"), lit(0L)).as("e_in"),
+        col("d_tot"))
+  }
+
+  /** One-row exact score: (m, q_num, q_den) with Q = q_num / q_den. */
+  def modularityScore(edges: DataFrame, src: Column, dst: Column,
+                      communities: DataFrame, node: Column,
+                      community: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val stats = communityStats(edges, src, dst, communities, node, community)
+    val m = edges.agg(count(lit(1)).cast(dec).as("m"))
+    stats.crossJoin(broadcast(m))
+      .select(col("m"),
+        (lit(4).cast(dec) * col("m") * col("e_in").cast(dec) -
+          col("d_tot").cast(dec) * col("d_tot").cast(dec)).as("term"))
+      .groupBy("m")
+      .agg(sum(col("term")).as("q_num"))
+      .select(col("m").cast("long").as("m"),
+        col("q_num").cast(dec).as("q_num"),
+        (lit(4).cast(dec) * col("m") * col("m")).as("q_den"))
+  }
+}

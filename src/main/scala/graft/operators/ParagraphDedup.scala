@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Paragraph/line-level exact deduplication — the C4/RefinedWeb curation
+  * step BETWEEN whole-document dedup and near-dup: boilerplate (cookie
+  * banners, nav text, license blurbs) repeats across millions of pages
+  * whose documents are otherwise unique, so the unit of dedup drops to
+  * the line/paragraph; each line is kept only at its FIRST occurrence in
+  * the corpus order and documents are reassembled from their surviving
+  * lines.
+  *
+  * Reference intent: the reference engine has no sub-document dedup at
+  * all (its dedup is row-level `drop_duplicates`, converter.py:61); this
+  * is the corpus-scale generalization every web-crawl pipeline runs.
+  *
+  * Scale shape (the whole point at 100 TB):
+  *  - [[chunkLines]] is ROW-LOCAL (split + slice arithmetic — no
+  *    explode until the caller asks for line rows);
+  *  - [[keepFirst]] is ONE aggregation on the line key with map-side
+  *    partial `min` (skew-safe: a line repeated 10^8 times — think
+  *    cookie-banner text — combines to one row per map partition before
+  *    the exchange, where a `Window.partitionBy(line)` would funnel
+  *    every copy through one reducer) plus one equi-join back;
+  *  - [[dedupDocs]] re-groups by doc id: one more keyed exchange, with
+  *    `array_sort` on collected (pos, line) structs so reassembly order
+  *    is a pure function of the data, never of arrival order.
+  */
+object ParagraphDedup {
+
+  /** Explode `text` into fixed-width pseudo-paragraphs of `wordsPerLine`
+    * single-space-separated words: (id, pos, line) rows. Corpora with
+    * real newlines should split on those instead (`split(text, "\n")`) —
+    * the fixed-width chunker exists so line-dedup semantics stay
+    * exercisable on single-line corpora, and it is what the q177 gate
+    * replays in DuckDB via list-slice arithmetic. */
+  def chunkLines(df: DataFrame, id: Column, text: Column,
+                 wordsPerLine: Int): DataFrame = {
+    require(wordsPerLine > 0, "wordsPerLine must be positive")
+    val words = split(text, " ")
+    val nLines = floor((size(words) + lit(wordsPerLine - 1))
+      / lit(wordsPerLine)).cast("int")
+    df.select(id.as("doc_id"),
+        posexplode(transform(sequence(lit(0), nLines - 1),
+          i => array_join(
+            slice(words, i * wordsPerLine + 1, lit(wordsPerLine)), " "))))
+      .withColumnRenamed("pos", "line_pos")
+      .withColumnRenamed("col", "line")
+  }
+
+  /** Mark each (doc_id, line_pos, line) row with `keep` = this is the
+    * line's first occurrence under the total order (doc_id, line_pos).
+    * One groupBy(line) with partial min(struct) + one join back. */
+  def keepFirst(lines: DataFrame): DataFrame = {
+    val firsts = lines
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_pos"))).as("first_at"))
+    lines.join(firsts, Seq("line"))
+      .withColumn("keep",
+        struct(col("doc_id"), col("line_pos")) === col("first_at"))
+      .drop("first_at")
+  }
+
+  /** Full pipeline: chunk → keep-first → reassemble. Output one row per
+    * document: n_lines, n_kept, and the surviving text (empty string for
+    * documents whose every line was seen earlier). */
+  def dedupDocs(df: DataFrame, id: Column, text: Column,
+                wordsPerLine: Int): DataFrame = {
+    val marked = keepFirst(chunkLines(df, id, text, wordsPerLine))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("line_pos"), col("line"))))),
+            s => s.getField("line")),
+          " ").as("text"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-key skew profiler — the pre-flight check before any big
+  * groupBy/join: how is the key's mass distributed, how far is the
+  * heaviest key from the average, and what salting factor would level
+  * it. [[SkewJoin]] CONSUMES a salting decision; this operator produces
+  * the evidence (and the suggested factor) from the data itself — the
+  * planning loop a 1000-executor job runs before committing to a
+  * partitioning, because one 10⁸-row key turns a uniform 5-minute stage
+  * into an hour-long straggler.
+  *
+  * Everything is exact integers: order statistics of the per-key count
+  * multiset come from a range-partitioned sort + zipWithIndex
+  * ([[GlobalIndex]] — NEVER a single-partition window), picked at the
+  * floor nearest-rank indices ⌊(n−1)·p/100⌋; the skew ratio
+  * max·n_keys/total (how many averages fit in the heaviest key) ships
+  * ×1000 as `skew_ratio_milli`, and `salt_hint` = ⌈max·n_keys/total⌉ is
+  * the sub-split count that brings the heaviest key back to average
+  * mass — exactly the `salt` parameter [[SkewJoin.saltedJoin]] takes.
+  *
+  * Scale shape: one map-side-combined count per key, one sort of the
+  * (distinct-key-sized) count table, three index lookups — the count
+  * table is |keys| rows, orders of magnitude under the input; nothing
+  * driver-side except the 1-row stats frame.
+  */
+object SkewAdvisor {
+
+  /** @return ONE row: (label, n_rows, n_keys, max_cnt, p50_cnt,
+    *         p90_cnt, p99_cnt, skew_ratio_milli, salt_hint). Null keys
+    *         count as a key (they land in one shuffle partition too). */
+  def keyProfile(df: DataFrame, key: Column, label: String): DataFrame = {
+    val cnts = df.groupBy(key.cast("string").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val idx = GlobalIndex.withGlobalIndex(
+      cnts.select(col("cnt"), coalesce(col("k"), lit("")).as("tie")),
+      Seq(col("cnt"), col("tie")), idxCol = "i")
+    val tot = cnts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_cnt"))
+    val picks = idx.crossJoin(broadcast(tot))
+      .withColumn("t50", expr("((n_keys - 1) * 50) div 100"))
+      .withColumn("t90", expr("((n_keys - 1) * 90) div 100"))
+      .withColumn("t99", expr("((n_keys - 1) * 99) div 100"))
+      .filter(col("i") === col("t50") || col("i") === col("t90") ||
+        col("i") === col("t99"))
+      .agg(max(when(col("i") === col("t50"), col("cnt"))).as("p50_cnt"),
+        max(when(col("i") === col("t90"), col("cnt"))).as("p90_cnt"),
+        max(when(col("i") === col("t99"), col("cnt"))).as("p99_cnt"))
+    tot.crossJoin(broadcast(picks))
+      .select(lit(label).as("label"), col("n_rows"), col("n_keys"),
+        col("max_cnt"), col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        expr("(1000 * max_cnt * n_keys) div n_rows").as("skew_ratio_milli"),
+        expr("(max_cnt * n_keys + n_rows - 1) div n_rows").as("salt_hint"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFunctions
+
+/** Zipf rank–frequency analysis — the corpus-health fingerprint: natural
+  * language follows freq ∝ rank^s with s ≈ −1; a slope far from −1 is
+  * the classic smell of machine-generated spam (too flat), template
+  * boilerplate (too steep), or a broken tokenizer. Run per corpus slice
+  * and diff the slopes — the [[Drift]] companion for vocabulary shape.
+  *
+  * Scale shape: global token counts are one map-side-combined aggregate;
+  * ranking the count table uses the range-partitioned sort +
+  * zipWithIndex of [[GlobalIndex]] (the count table is |vocab| rows —
+  * never the corpus — and no single-partition window ever appears); the
+  * log–log least-squares fold is over `topK` rows.
+  *
+  * Determinism: ln terms are rounded to 6 decimals BEFORE summation
+  * (the repo's printf→decimal discipline, cf. Neighborhood's estimator
+  * sums), all four moment sums accumulate as exact decimals, and the
+  * final slope/intercept are ONE double division each, rendered %.6f —
+  * so an independent engine replays the whole fit bit-for-bit.
+  */
+object Zipf {
+
+  /** Global rank-frequency table: (rank, token, cnt) for the `topK`
+    * most frequent tokens, rank 1-based by (cnt desc, token asc). */
+  def rankFrequency(df: DataFrame, text: Column, topK: Int): DataFrame = {
+    require(topK >= 2, "topK must be >= 2")
+    val cnts = df.select(explode(TextFunctions.tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    GlobalIndex.withGlobalIndex(cnts, Seq(col("cnt").desc, col("token")),
+        idxCol = "__r")
+      .filter(col("__r") < topK)
+      .select((col("__r") + 1L).as("rank"), col("token"), col("cnt"))
+  }
+
+  /** Least-squares fit of ln(cnt) on ln(rank) over a [[rankFrequency]]
+    * table: one row (n, slope, intercept), %.6f strings.
+    *
+    * Decimal widths are chosen so NO product ever hits the precision-38
+    * cap (whose scale-rescue rules differ between engines): n (10,0),
+    * Σx/Σy (16,6), Σxy/Σxx (24,12) keep every cross term ≤ precision 35
+    * — exact in both Spark and DuckDB, so the two doubles divided at the
+    * end are bit-identical. Domain: ≤ 10⁹ ranks of terms |ln| < 10⁴. */
+  def slopeFit(rf: DataFrame): DataFrame = {
+    // (10,6) terms: the x·y product is then (21,12) — comfortably under
+    // the precision-38 cap, where a (30,6)² product would be rescaled
+    // to scale 6 by Spark's precision-loss rule and break exactness
+    val d6 = DecimalType(10, 6)
+    val x = format_string("%.6f", log(col("rank").cast("double"))).cast(d6)
+    val y = format_string("%.6f", log(col("cnt").cast("double"))).cast(d6)
+    rf.select(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("nl"),
+        sum(col("x")).cast(DecimalType(16, 6)).as("sx"),
+        sum(col("y")).cast(DecimalType(16, 6)).as("sy"),
+        sum(col("x") * col("y")).cast(DecimalType(24, 12)).as("sxy"),
+        sum(col("x") * col("x")).cast(DecimalType(24, 12)).as("sxx"))
+      .withColumn("nd", col("nl").cast(DecimalType(10, 0)))
+      .withColumn("num",
+        (col("nd") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("den",
+        (col("nd") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("nl").as("n"),
+        format_string("%.6f", col("num") / col("den")).as("slope"),
+        format_string("%.6f",
+          (col("sy").cast("double") -
+            col("num") / col("den") * col("sx").cast("double")) /
+            col("nd").cast("double")).as("intercept"))
+  }
+}

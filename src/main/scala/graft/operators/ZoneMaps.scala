@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Zone maps — per-block min/max/count statistics and the predicate
+  * pruning decision built on them: the data-skipping index every lake
+  * format (parquet row groups, ORC stripes, Iceberg/Delta file stats)
+  * uses to turn a selective scan over 100 TB into a scan over the few
+  * blocks whose [min, max] intersects the predicate.
+  *
+  * The engine's warehouse already PRODUCES skippable layouts (quarter
+  * partitions + z-order, pipelines.FactsWarehouse); this operator is the
+  * other half — the stats table and the skip decision — as first-class,
+  * verifiable relational algebra: stats are ONE map-side-combined
+  * aggregate over the block key (no shuffle wider than one row per
+  * block × column), and pruning is a row-local interval test on the
+  * stats table, so "how many blocks does this predicate touch" is
+  * answerable WITHOUT reading data blocks at all.
+  *
+  * At 100 TB the stats table is ~one row per file/row-group — a dim-
+  * sized frame that broadcasts; the scan driver semi-joins its file
+  * list against `canSkip = false`. Zone maps only pay off when the
+  * block key correlates with the predicate column (clustered/z-ordered
+  * layouts) — the `selectivity`-vs-`skip_frac` gap measured by the q180
+  * gate is exactly the clustering-quality diagnostic.
+  */
+object ZoneMaps {
+
+  /** Per-block stats for one column: block, n_rows, n_null, vmin, vmax.
+    * `block` is any deterministic block id (file id, row-group id, or a
+    * key-range surrogate like `key div blockRows`). */
+  def blockStats(df: DataFrame, block: Column, value: Column): DataFrame =
+    df.groupBy(block.as("block"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(value.isNull, 1L).otherwise(0L)).as("n_null"),
+        min(value).as("vmin"),
+        max(value).as("vmax"))
+
+  /** Skip decision for `value BETWEEN lo AND hi` against a stats frame:
+    * a block is skippable iff its value range cannot intersect
+    * [lo, hi] — all-null blocks are skippable too (BETWEEN never
+    * matches NULL). Row-local over the stats table. */
+  def pruneBetween(stats: DataFrame, lo: Column, hi: Column): DataFrame =
+    stats.withColumn("can_skip",
+      col("vmax").isNull || col("vmax") < lo || col("vmin") > hi)
+}

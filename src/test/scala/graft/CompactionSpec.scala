@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Compaction
+
+/** Compaction planner: start-offset binning, the ≤-one-file overflow
+  * contract, oversized files, zero-size drop, and manifest ranges. */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("files bin by cumulative start offset; bins are contiguous") {
+    // sizes in id order: 40, 40, 40, 40 with target 100
+    // starts 0, 40, 80, 120 → bins 0, 0, 0, 1
+    val f = Seq((1L, 40L), (2L, 40L), (3L, 40L), (4L, 40L)).toDF("id", "sz")
+    val bins = Compaction.assignBins(f, col("id"), col("sz"), 100L)
+      .orderBy("file_id").select("file_id", "bin")
+      .as[(Long, Long)].collect().toSeq
+    assert(bins == Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)))
+  }
+
+  test("a bin overflows by at most one file; oversized file spans alone") {
+    // 30, 250, 30 target 100: starts 0, 30, 280 → bins 0, 0, 2
+    // (the 250 joins bin 0 — overflow by one file; next starts in bin 2)
+    val f = Seq((1L, 30L), (2L, 250L), (3L, 30L)).toDF("id", "sz")
+    val plan = Compaction.planBins(f, col("id"), col("sz"), 100L)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(plan == Seq((0L, 2L, 280L, 1L, 2L), (2L, 1L, 30L, 3L, 3L)))
+  }
+
+  test("zero-sized files are dropped; total mass is conserved") {
+    val f = Seq((1L, 50L), (2L, 0L), (3L, 70L)).toDF("id", "sz")
+    val plan = Compaction.planBins(f, col("id"), col("sz"), 1000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(plan == Seq((0L, 2L, 120L, 1L, 3L)))
+  }
+
+  test("plan is identical under different input partitionings") {
+    val sizes = (1L to 200L).map(i => (i, 10L + (i * 7L) % 90L))
+    val a = Compaction.planBins(sizes.toDF("id", "sz").repartition(1),
+      col("id"), col("sz"), 500L).orderBy("bin").collect().toSeq
+    val b = Compaction.planBins(sizes.toDF("id", "sz").repartition(13),
+      col("id"), col("sz"), 500L).orderBy("bin").collect().toSeq
+    assert(a == b)
+  }
+}

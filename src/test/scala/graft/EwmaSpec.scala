@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ewma
+
+/** Truncated rational EWMA: hand-checked weights, series-start partial
+  * denominators, null handling, multi-key isolation, and argument
+  * guards. α = 1/4, depth 3 → weights (16, 12, 9), full den 37. */
+class EwmaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Int, Option[Double])]) =
+    Ewma.withEwma(
+      rows.toDF("k", "t", "x")
+        .withColumn("xd", col("x").cast("decimal(18,6)")),
+      col("k"), Seq(col("t")), col("xd"),
+      aNum = 1, aDen = 4, depth = 3)
+      .orderBy("k", "t")
+      .select(col("k"), col("t"), col("ewma_num").cast("string"),
+        col("ewma_den"))
+      .as[(String, Int, String, Long)].collect().toSeq
+
+  test("weights are 16,12,9 and the denominator grows at series start") {
+    val out = run(Seq(("a", 0, Some(1.0)), ("a", 1, Some(2.0)),
+      ("a", 2, Some(4.0)), ("a", 3, Some(8.0))))
+    // t=0: 16·1 / 16; t=1: 16·2+12·1 / 28; t=2: 16·4+12·2+9·1 / 37
+    assert(out(0)._3 == "16.000000" && out(0)._4 == 16L)
+    assert(out(1)._3 == "44.000000" && out(1)._4 == 28L)
+    assert(out(2)._3 == "97.000000" && out(2)._4 == 37L)
+    // t=3 window slides: 16·8+12·4+9·2 / 37
+    assert(out(3)._3 == "194.000000" && out(3)._4 == 37L)
+  }
+
+  test("null observations contribute neither numerator nor weight") {
+    val out = run(Seq(("a", 0, Some(1.0)), ("a", 1, None),
+      ("a", 2, Some(4.0))))
+    // t=2: 16·4 + (12·null→0) + 9·1 → 73 / 25
+    assert(out(2)._3 == "73.000000" && out(2)._4 == 25L)
+    // t=1: the current value is null: 12·1 / 12
+    assert(out(1)._3 == "12.000000" && out(1)._4 == 12L)
+  }
+
+  test("keys are independent") {
+    val out = run(Seq(("a", 0, Some(1.0)), ("b", 0, Some(5.0))))
+    assert(out == Seq(("a", 0, "16.000000", 16L),
+      ("b", 0, "80.000000", 16L)))
+  }
+
+  test("guards: bad alpha, bad depth, overflowing weights") {
+    val df = Seq(("a", 0, 1.0)).toDF("k", "t", "x")
+    intercept[IllegalArgumentException] {
+      Ewma.withEwma(df, col("k"), Seq(col("t")), col("x"), 4, 4, 3)
+    }
+    intercept[IllegalArgumentException] {
+      Ewma.withEwma(df, col("k"), Seq(col("t")), col("x"), 1, 4, 0)
+    }
+    intercept[IllegalArgumentException] {
+      // 10^depth weights blow the 2^53 cap around depth 27 for aDen=100
+      Ewma.withEwma(df, col("k"), Seq(col("t")), col("x"), 1, 100, 30)
+    }
+  }
+}

@@ -38,4 +38,24 @@ class FuzzyJoinSpec extends SparkSpec {
       .count()
     assert(got == 0L, "different blocks produce no candidates at all")
   }
+
+  test("sortedNeighborhood pairs each record with its w-1 successors") {
+    val df = Seq((1L, "aab"), (2L, "aac"), (3L, "aad"), (4L, "zzz"))
+      .toDF("id", "k")
+    val pairs = FuzzyJoin.sortedNeighborhood(df, col("id"), col("k"), 3)
+      .select("id_a", "id_b", "gap").as[(Long, Long, Long)]
+      .collect().toSet
+    // sort order: aab aac aad zzz → (1,2,1) (1,3,2) (2,3,1) (2,4,2) (3,4,1)
+    assert(pairs == Set((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L),
+      (2L, 4L, 2L), (3L, 4L, 1L)))
+    // candidate count is exactly linear: n·(w−1) − tail truncation
+    assert(pairs.size == 5)
+  }
+
+  test("sortedNeighborhood: equal keys tie-break on id deterministically") {
+    val df = Seq((9L, "same"), (3L, "same"), (5L, "same")).toDF("id", "k")
+    val pairs = FuzzyJoin.sortedNeighborhood(df, col("id"), col("k"), 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 5L), (5L, 9L)))
+  }
 }

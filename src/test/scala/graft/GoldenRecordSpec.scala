@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GoldenRecord
+
+/** Survivorship: majority vote per attribute, lexicographic tie-break,
+  * null handling (nulls never outvote values; all-null stays null). */
+class GoldenRecordSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("attributes resolve independently by majority") {
+    val df = Seq(
+      (1L, Some("acme corp"), Some("NY")),
+      (1L, Some("acme corp"), Some("CA")),
+      (1L, Some("ACME Corp."), Some("CA")),
+      (2L, Some("zeta"), None)
+    ).toDF("e", "name", "state")
+    val g = GoldenRecord.mostFrequent(df, col("e"), Seq("name", "state"))
+      .orderBy("entity")
+      .as[(Long, Option[String], Option[String])].collect().toSeq
+    assert(g == Seq(
+      (1L, Some("acme corp"), Some("CA")),
+      (2L, Some("zeta"), None)))
+  }
+
+  test("ties break to the lexicographically smallest value") {
+    val df = Seq((1L, "beta"), (1L, "alpha")).toDF("e", "v")
+    val g = GoldenRecord.mostFrequent(df, col("e"), Seq("v"))
+      .as[(Long, String)].head()
+    assert(g == ((1L, "alpha")))
+  }
+
+  test("nulls never outvote a value, even in the majority") {
+    val df = Seq((1L, Some("x")), (1L, None), (1L, None)).toDF("e", "v")
+    val g = GoldenRecord.mostFrequent(df, col("e"), Seq("v"))
+      .as[(Long, Option[String])].head()
+    assert(g == ((1L, Some("x"))))
+  }
+}

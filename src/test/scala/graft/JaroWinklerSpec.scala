@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** jaro_winkler12 native expression: the classic record-linkage pairs as
+  * exact rationals (the similarity is a fraction of two longs — every
+  * expected value below is floor(num·10^12/den) computed by hand), the
+  * DuckDB-pinned edge semantics (bytes not code points, empty→0,
+  * boost only above 0.7, prefix cap 4), and null/codegen surfaces. */
+class JaroWinklerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Long =
+    Seq((a, b)).toDF("a", "b")
+      .select(TextFunctions.jaroWinkler12(col("a"), col("b")))
+      .as[Long].head()
+
+  test("classic pairs match their exact rationals") {
+    // MARTHA/MARHTA: m=6, t2=2 → jaro 17/18; p=3 → jw 173/180
+    assert(jw("MARTHA", "MARHTA") == 961111111111L)
+    // DIXON/DICKSONX: m=4, t2=0 → jaro 23/30; p=2 → jw 7808/9600
+    assert(jw("DIXON", "DICKSONX") == 813333333333L)
+    // CRATE/TRACE: jaro 11/15 > 0.7 but p=0 → boost is a no-op
+    assert(jw("CRATE", "TRACE") == 733333333333L)
+    // symmetric
+    assert(jw("DICKSONX", "DIXON") == jw("DIXON", "DICKSONX"))
+  }
+
+  test("DuckDB-pinned edges: empty, no-match, identity, low-jaro no boost") {
+    assert(jw("", "") == 0L)        // DuckDB returns 0, not 1
+    assert(jw("", "abc") == 0L)
+    assert(jw("a", "") == 0L)
+    assert(jw("ab", "ba") == 0L)    // window = max(2,2)/2−1 = 0
+    assert(jw("ab", "cd") == 0L)
+    assert(jw("abcdef", "abcdef") == 1000000000000L)
+    // jaro = 1/2 ≤ 0.7: shared prefix must NOT boost
+    assert(jw("abcdefgh", "abwxyzkl") == 500000000000L)
+    // case-sensitive: no byte matches at all
+    assert(jw("ABC", "abc") == 0L)
+  }
+
+  test("operates on UTF-8 bytes: 2-byte é is two symbols") {
+    // héllo/hello as bytes: l1=6, l2=5, m=4 → jaro 37/45; p=1 → exactly 0.84
+    assert(jw("héllo", "hello") == 840000000000L)
+  }
+
+  test("prefix is capped at 4") {
+    // 16-byte strings differing at one tail byte: m=15, t2=0
+    // jaro = (15/16 + 15/16 + 1)/3 = 23/24; p capped 4 → jw 236/240
+    assert(jw("prefix_same_long", "prefix_same_lung") == 975000000000L)
+  }
+
+  test("nulls propagate; SQL surface; threshold algebra is exact") {
+    val r = Seq((Some("abc"), None: Option[String]))
+      .toDF("a", "b")
+      .select(TextFunctions.jaroWinkler12(col("a"), col("b")))
+      .collect()
+    assert(r.head.isNullAt(0))
+    val sqlV = spark.sql(
+      "SELECT jaro_winkler12('MARTHA', 'MARHTA')").as[Long].head()
+    assert(sqlV == 961111111111L)
+    // θ = 0.84 threshold: the é pair sits EXACTLY on it and must pass
+    assert(jw("héllo", "hello") >= 840000000000L)
+    assert(jw("CRATE", "TRACE") < 840000000000L)
+  }
+}

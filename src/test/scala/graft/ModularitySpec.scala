@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Modularity
+
+/** Modularity: hand-checked two-triangle graph, the Q=0 trivial
+  * partition, a negative-Q anti-community partition, and per-community
+  * stats. */
+class ModularitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // two triangles {1,2,3} and {4,5,6} bridged by 3-4; m = 7
+  private val edges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 4L)
+  ).toDF("src", "dst")
+
+  private def score(comm: Seq[(Long, Long)]): (Long, BigDecimal, BigDecimal) =
+    Modularity.modularityScore(edges, col("src"), col("dst"),
+        comm.toDF("node", "community"), col("node"), col("community"))
+      .as[(Long, BigDecimal, BigDecimal)].head()
+
+  test("triangle partition: Q = 70/196") {
+    val good = Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 1L)
+    val (m, num, den) = score(good)
+    assert(m == 7L && num == BigDecimal(70) && den == BigDecimal(196))
+  }
+
+  test("single community scores exactly zero") {
+    val (_, num, _) = score((1L to 6L).map(_ -> 0L))
+    assert(num == BigDecimal(0))
+  }
+
+  test("anti-community partition scores negative") {
+    val bad = Seq(1L -> 0L, 4L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L, 6L -> 2L)
+    val (_, num, _) = score(bad)
+    assert(num == BigDecimal(-66))
+  }
+
+  test("communityStats: intra edges and degree mass per community") {
+    val good = Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 1L)
+    val s = Modularity.communityStats(edges, col("src"), col("dst"),
+        good.toDF("node", "community"), col("node"), col("community"))
+      .orderBy("community").as[(Long, Long, Long)].collect().toSeq
+    assert(s == Seq((0L, 3L, 7L), (1L, 3L, 7L)))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ParagraphDedup
+
+/** Paragraph/line dedup: chunking arithmetic, corpus-order keep-first
+  * (across and within documents), reassembly order, and the all-dup →
+  * empty-text edge. */
+class ParagraphDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkLines slices fixed-width word windows, last line ragged") {
+    val df = Seq((1L, "a b c d e f g")).toDF("id", "text")
+    val lines = ParagraphDedup.chunkLines(df, col("id"), col("text"), 3)
+      .orderBy("line_pos").as[(Long, Int, String)].collect()
+    assert(lines.toSeq == Seq((1L, 0, "a b c"), (1L, 1, "d e f"), (1L, 2, "g")))
+  }
+
+  test("empty text still yields one (empty) line") {
+    val df = Seq((1L, "")).toDF("id", "text")
+    val lines = ParagraphDedup.chunkLines(df, col("id"), col("text"), 5)
+      .as[(Long, Int, String)].collect()
+    assert(lines.toSeq == Seq((1L, 0, "")))
+  }
+
+  test("keepFirst keeps the (doc_id, pos)-least occurrence only") {
+    val lines = Seq(
+      (2L, 0, "dup"), (1L, 1, "dup"), (1L, 0, "uniq"),
+      (1L, 2, "dup"), (3L, 0, "other")
+    ).toDF("doc_id", "line_pos", "line")
+    val kept = ParagraphDedup.keepFirst(lines)
+      .filter(col("keep")).select("doc_id", "line_pos")
+      .as[(Long, Int)].collect().toSet
+    // "dup" survives only at (1,1); within-doc repeat (1,2) dropped too
+    assert(kept == Set((1L, 1), (1L, 0), (3L, 0)))
+  }
+
+  test("dedupDocs reassembles surviving lines in position order") {
+    val df = Seq(
+      (1L, "x x x y y y"),          // lines: "x x x", "y y y"
+      (2L, "x x x z z z"),          // "x x x" is a dup of doc 1's line
+      (3L, "x x x y y y")           // every line already seen -> empty
+    ).toDF("id", "text")
+    val out = ParagraphDedup.dedupDocs(df, col("id"), col("text"), 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 2L, 2L, "x x x y y y")))
+    assert(out(1) == ((2L, 2L, 1L, "z z z")))
+    assert(out(2) == ((3L, 2L, 0L, "")))
+  }
+
+  test("reassembly order is by position even when kept lines interleave") {
+    val df = Seq(
+      (1L, "b b"),                  // claims "b b"
+      (2L, "c c a a b b d d")       // loses "b b" (doc 1 is earlier)
+    ).toDF("id", "text")
+    val out = ParagraphDedup.dedupDocs(df, col("id"), col("text"), 2)
+      .filter(col("doc_id") === 2L).select("text").as[String].head()
+    assert(out == "c c a a d d")
+  }
+}

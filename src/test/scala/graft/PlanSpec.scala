@@ -324,4 +324,37 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.subsetOf(Set("doc_id")), s"unexpected exchanges $exchanges\n${p.take(2000)}")
     assert(!p.contains("Join"), "no join belongs in this plan")
   }
+
+  test("q175: JW scoring rides a brand equi-join — hash join, no nested loop") {
+    val p = plan("q175_jaro_winkler")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q177: paragraph keep-first is a partial-aggregated groupBy, not a line window") {
+    val p = plan("q177_paragraph_dedup")
+    // the skew-safety claim: min(first_at) must combine map-side
+    // (partial_min in HashAggregate), and no Window runs on the line key
+    assert(p.contains("partial_min") || p.contains("partial_first") ||
+      p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q183: modularity stays equi-joins + aggregates — no cartesian beyond the 1-row m frame") {
+    val p = plan("q183_modularity")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    // the only nested-loop is the broadcast of the single-row totals frame
+    assert(bnlj <= 2, s"unexpected nested loops ($bnlj):\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q187: compaction plan never sorts or shuffles the data table globally") {
+    val p = plan("q187_compaction")
+    // the prefix sum is bucketed windows — no single-partition global
+    // window over the listing (SinglePartition only in tiny collects)
+    assert(!p.contains("Window [sum") || p.contains("hashpartitioning"),
+      p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

@@ -76,4 +76,24 @@ class ProfilerSpec extends SparkSpec {
       math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
     assert(got == (("a", "b", both.size.toLong, f"$r%.6f")))
   }
+
+  test("functionalDependencies: holding, violated, and null semantics") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some("x")),
+      (Some(1L), Some("a"), Some("y")),   // det 1 maps dep2 to x AND y
+      (Some(2L), Some("b"), Some("z")),
+      (Some(2L), Some("b"), Some("z")),
+      (Some(3L), Some("c"), None),        // null dep = one ordinary value
+      (Some(3L), Some("c"), Some("w")),   // ... so det 3 has 2 dep values
+      (None, Some("d"), Some("v"))        // null det row is excluded
+    ).toDF("det", "dep1", "dep2")
+    val got = Profiler.functionalDependencies(df,
+        Seq("det" -> "dep1", "det" -> "dep2"))
+      .orderBy("dep_col")
+      .as[(String, String, Long, Long, Long, Boolean)].collect().toSeq
+    // det→dep1 holds over dets {1,2,3}; det→dep2 violated by 1 and 3
+    assert(got == Seq(
+      ("det", "dep1", 3L, 0L, 0L, true),
+      ("det", "dep2", 3L, 2L, 2L, false)))
+  }
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewAdvisor
+
+/** Skew advisor: hand-checked order statistics, skew ratio, salt hint,
+  * null-key handling, and the uniform no-skew baseline. */
+class SkewAdvisorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("skewed key: percentiles, ratio, and ceil salt hint") {
+    val df = (Seq.fill(10)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c") ++
+      Seq("d", "e")).toDF("k")
+    val r = SkewAdvisor.keyProfile(df, col("k"), "t")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // counts sorted: [1,1,2,2,10]; t50=t90=t99 indices 2,3,3 → 2,2,2
+    assert(r == (("t", 16L, 5L, 10L, 2L, 2L, 2L, 3125L, 4L)))
+  }
+
+  test("uniform keys: ratio 1000, salt hint 1") {
+    val df = (1 to 20).map(i => s"k${i % 4}").toDF("k")
+    val r = SkewAdvisor.keyProfile(df, col("k"), "u")
+      .select("skew_ratio_milli", "salt_hint").as[(Long, Long)].head()
+    assert(r == ((1000L, 1L)))
+  }
+
+  test("null keys count as one key") {
+    val df = Seq(Some("x"), None, None, None).toDF("k")
+    val r = SkewAdvisor.keyProfile(df, col("k"), "n")
+      .select("n_keys", "max_cnt").as[(Long, Long)].head()
+    assert(r == ((2L, 3L)))
+  }
+}

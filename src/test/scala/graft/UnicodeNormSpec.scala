@@ -37,6 +37,21 @@ class UnicodeNormSpec extends SparkSpec {
     assert(norm("\ufb01le", "NFC") == "\ufb01le")
   }
 
+  test("stripAccents folds combining marks, leaves stroked letters alone") {
+    def strip(s: String): String =
+      Seq(s).toDF("t").select(TextFunctions.stripAccents(col("t")))
+        .as[String].head()
+    assert(strip("café Münster naïve São")
+      == "cafe Munster naive Sao")
+    assert(strip("café") == "cafe")          // already-decomposed input
+    assert(strip("ё") == "е")            // ё → е (Cyrillic)
+    // NOT combining marks — pinned to DuckDB strip_accents behavior:
+    // ø đ ß ı and CJK pass through untouched
+    assert(strip("ø đ ß ı 北京")
+      == "ø đ ß ı 北京")
+    assert(strip("plain ascii") == "plain ascii")
+  }
+
   test("nulls pass through; SQL surface works; bad args fail at analysis") {
     val n = Seq[Option[String]](None).toDF("t")
       .select(TextFunctions.unicodeNorm(col("t"))).collect()

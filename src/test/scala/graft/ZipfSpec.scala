@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Zipf
+
+/** Zipf rank-frequency: ranking/tie-break, topK cut, and the fit on an
+  * exactly-Zipfian corpus (slope −1, intercept ln of the top count). */
+class ZipfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rankFrequency ranks by cnt desc then token asc, cut at topK") {
+    val df = Seq("a a a a a a b b b c c", "z z").toDF("text")
+    val rf = Zipf.rankFrequency(df, col("text"), topK = 3)
+      .orderBy("rank").as[(Long, String, Long)].collect().toSeq
+    // counts: a=6, b=3, c=2, z=2 — c beats z on the token tie-break
+    assert(rf == Seq((1L, "a", 6L), (2L, "b", 3L), (3L, "c", 2L)))
+  }
+
+  test("exact Zipf corpus fits slope -1, intercept ln(top cnt)") {
+    // counts 6, 3, 2 = 6/r for r = 1..3: y = ln 6 − ln r exactly
+    val df = Seq("a a a a a a b b b c c").toDF("text")
+    val fit = Zipf.slopeFit(Zipf.rankFrequency(df, col("text"), 3))
+      .as[(Long, String, String)].head()
+    assert(fit._1 == 3L)
+    assert(math.abs(fit._2.toDouble + 1.0) < 1e-4, s"slope ${fit._2}")
+    assert(math.abs(fit._3.toDouble - math.log(6.0)) < 1e-4,
+      s"intercept ${fit._3}")
+  }
+
+  test("flat (non-Zipf) corpus fits slope 0") {
+    val df = Seq("a a b b c c d d").toDF("text")
+    val fit = Zipf.slopeFit(Zipf.rankFrequency(df, col("text"), 4))
+      .as[(Long, String, String)].head()
+    assert(fit._2 == "0.000000" || fit._2 == "-0.000000")
+  }
+}

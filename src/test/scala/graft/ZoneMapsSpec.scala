@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ZoneMaps
+
+/** Zone maps: stats arithmetic, the skip decision (including the
+  * all-null block), and the soundness invariant can_skip ⇒ no matching
+  * rows. */
+class ZoneMapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    (0L, Some(10L)), (0L, Some(20L)),          // block 0: [10, 20]
+    (1L, Some(30L)), (1L, Some(35L)),          // block 1: [30, 35]
+    (2L, None), (2L, None),                    // block 2: all null
+    (3L, Some(5L)), (3L, None)                 // block 3: [5, 5] + a null
+  ).toDF("b", "v")
+
+  test("blockStats: counts, null counts, min/max per block") {
+    val s = ZoneMaps.blockStats(rows, col("b"), col("v"))
+      .orderBy("block")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+    assert(s(0) == ((0L, 2L, 0L, Some(10L), Some(20L))))
+    assert(s(2) == ((2L, 2L, 2L, None, None)))
+    assert(s(3) == ((3L, 2L, 1L, Some(5L), Some(5L))))
+  }
+
+  test("pruneBetween skips disjoint and all-null blocks only") {
+    val stats = ZoneMaps.blockStats(rows, col("b"), col("v"))
+    val pruned = ZoneMaps.pruneBetween(stats, lit(18L), lit(32L))
+      .orderBy("block").select("block", "can_skip")
+      .as[(Long, Boolean)].collect().toSeq
+    // [10,20] overlaps at 18-20; [30,35] overlaps at 30-32;
+    // all-null skippable; [5,5] below lo skippable
+    assert(pruned == Seq((0L, false), (1L, false), (2L, true), (3L, true)))
+  }
+
+  test("soundness: every skipped block truly has zero matching rows") {
+    val stats = ZoneMaps.blockStats(rows, col("b"), col("v"))
+    val skipped = ZoneMaps.pruneBetween(stats, lit(18L), lit(32L))
+      .filter(col("can_skip")).select(col("block").as("b"))
+    val leaked = rows.join(skipped, Seq("b"))
+      .filter(col("v").between(18L, 32L)).count()
+    assert(leaked == 0L)
+  }
+}
