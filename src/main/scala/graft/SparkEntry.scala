@@ -3543,6 +3543,96 @@ object SparkEntry {
           Seq("c_mktsegment", "c_nationkey", "c_name"))
         .orderBy("entity")),
 
+    // Profiling — Spearman rank correlation (RobustStats.spearman):
+    // permutation ranks via two GlobalIndex range-sorts (zero joins,
+    // never a global window), exact BIGINT Σd², ONE double division
+    // rendered %.9f. Tie-break o_orderkey makes both rank sets
+    // engine-portable permutations.
+    "q189_spearman" -> ((s, dir) =>
+      RobustStats.spearman(Tables.load(s, dir, "orders"),
+        col("o_totalprice"), unix_timestamp(col("o_orderdate")),
+        col("o_orderkey"))),
+
+    // Profiling — winsorized + trimmed location summary
+    // (RobustStats.winsorized): nearest-rank 5/95 cuts from the
+    // GlobalIndex sort, tails clamped (winsorize) and dropped (trim),
+    // exact decimal(38,6) sums, means as single double divisions.
+    "q190_winsorized" -> ((s, dir) =>
+      RobustStats.winsorized(Tables.load(s, dir, "orders"),
+          col("o_totalprice"), col("o_orderkey"))
+        // decimal → canonical scale-6 string on BOTH sides (q183's
+        // VARCHAR discipline — DuckDB's pandas bridge floats decimals)
+        .select(col("n"), col("lo_cut").cast("string").as("lo_cut"),
+          col("hi_cut").cast("string").as("hi_cut"),
+          col("wsum").cast("string").as("wsum"), col("n_trim"),
+          col("tsum").cast("string").as("tsum"), col("wmean"),
+          col("tmean"))),
+
+    // Profiling — MAD outlier audit (RobustStats.madOutliers): robust
+    // z-score |x−median| > 3·MAD with both medians floor-nearest-rank
+    // picks; exact decimal(38,6) arithmetic, no division anywhere.
+    "q191_mad_outliers" -> ((s, dir) =>
+      RobustStats.madOutliers(Tables.load(s, dir, "events")
+          .filter(col("value").isNotNull),
+          col("value"), col("event_id"))
+        .select(col("n"), col("median").cast("string").as("median"),
+          col("mad").cast("string").as("mad"), col("n_outliers"),
+          col("max_dev").cast("string").as("max_dev"))),
+
+    // Analytics — market-basket pair rules (Association.pairRules):
+    // orders as baskets, part-class (partkey mod 40) as items;
+    // support/confidence/lift all exact BIGINT / ×10⁶ floor fractions.
+    // Self-join ON BASKET only — never all item pairs.
+    "q192_pair_rules" -> ((s, dir) =>
+      Association.pairRules(Tables.load(s, dir, "lineitem"),
+          col("l_orderkey"), expr("l_partkey % 40"),
+          minPairSupport = 100L, maxBasketSize = 16)
+        .orderBy("item_a", "item_b")),
+
+    // Analytics — audience overlap via word-sharded presence bitmaps
+    // (Bitmaps.presence + overlap): event-type audiences over the
+    // user_id mod 256 domain; intersections/unions are popcounts of
+    // ANDed 64-bit words, exact integers end-to-end.
+    "q193_bitmap_overlap" -> ((s, dir) => {
+      val bm = Bitmaps.presence(Tables.load(s, dir, "events"),
+        col("event_type"), expr("user_id % 256"))
+      Bitmaps.overlap(bm).orderBy("group_a", "group_b")
+    }),
+
+    // Warehouse — incremental aggregate-view maintenance
+    // (Merge.applyDelta): the per-customer order view split at a date
+    // cutoff into base + delta, merged by ONE full outer join; the
+    // oracle recomputes from scratch — proving view(T∪Δ)=view(T)⊎view(Δ).
+    "q194_view_delta" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def aggOf(df: DataFrame) = df.groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec6)).cast(dec6).as("total"))
+      val cut = lit("1997-01-01").cast("timestamp")
+      Merge.applyDelta(aggOf(o.filter(col("o_orderdate") < cut)),
+          aggOf(o.filter(col("o_orderdate") >= cut)),
+          "custkey", Seq("n_orders", "total"), countCol = Some("n_orders"))
+        .select(col("custkey"), col("n_orders"),
+          col("total").cast(dec6).cast("string").as("total"))
+        .orderBy("custkey")
+    }),
+
+    // Graphs — HITS hubs/authorities (Hits.run): exact integer
+    // iterates (hub₀=1, two half-step sums per round, no
+    // normalization) on the directed cust→supp trade graph; the oracle
+    // replays both rounds as join/aggregate CTEs.
+    "q195_hits" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Hits.run(e, iters = 2).orderBy("node")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -6903,6 +6993,132 @@ object SparkEntry {
          |LEFT JOIN w2 ON w2.e = d.e
          |LEFT JOIN w3 ON w3.e = d.e
          |ORDER BY entity""".stripMargin
+    },
+
+    "q189_spearman" ->
+      """WITH b AS (SELECT o_totalprice AS vx,
+        |    epoch(o_orderdate) AS vy, o_orderkey AS t FROM orders),
+        |rx AS (SELECT vy, t,
+        |    ROW_NUMBER() OVER (ORDER BY vx, t) - 1 AS rx FROM b),
+        |ry AS (SELECT rx,
+        |    ROW_NUMBER() OVER (ORDER BY vy, t) - 1 AS ry FROM rx),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2 FROM ry)
+        |SELECT n, sum_d2,
+        |  printf('%.9f', CAST(n * (n * n - 1) - 6 * sum_d2 AS DOUBLE)
+        |    / CAST(n * (n * n - 1) AS DOUBLE)) AS rho
+        |FROM a""".stripMargin,
+
+    "q190_winsorized" ->
+      """WITH v AS (SELECT
+        |    CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,6)) AS v,
+        |    o_orderkey AS t FROM orders),
+        |i AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, t) - 1 AS i FROM v),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |lo AS (SELECT v AS lo_cut FROM i, nn WHERE i = ((n - 1) * 5) // 100),
+        |hi AS (SELECT v AS hi_cut FROM i, nn WHERE i = ((n - 1) * 95) // 100),
+        |w AS (SELECT lo_cut, hi_cut,
+        |    CASE WHEN v.v < lo_cut THEN lo_cut
+        |      WHEN v.v > hi_cut THEN hi_cut ELSE v.v END AS w,
+        |    CASE WHEN v.v >= lo_cut AND v.v <= hi_cut THEN v.v END AS tv
+        |  FROM v, lo, hi)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(lo_cut AS VARCHAR) AS lo_cut,
+        |  CAST(hi_cut AS VARCHAR) AS hi_cut,
+        |  CAST(CAST(SUM(w) AS DECIMAL(38,6)) AS VARCHAR) AS wsum,
+        |  CAST(COUNT(tv) AS BIGINT) AS n_trim,
+        |  CAST(CAST(SUM(tv) AS DECIMAL(38,6)) AS VARCHAR) AS tsum,
+        |  printf('%.9f', CAST(CAST(SUM(w) AS DECIMAL(38,6)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS wmean,
+        |  printf('%.9f', CAST(CAST(SUM(tv) AS DECIMAL(38,6)) AS DOUBLE)
+        |    / CAST(COUNT(tv) AS DOUBLE)) AS tmean
+        |FROM w GROUP BY lo_cut, hi_cut""".stripMargin,
+
+    "q191_mad_outliers" ->
+      """WITH v AS (SELECT
+        |    CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6)) AS v,
+        |    event_id AS t FROM events WHERE value IS NOT NULL),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |i AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, t) - 1 AS i FROM v),
+        |med AS (SELECT v AS median FROM i, nn
+        |    WHERE i = ((n - 1) * 50) // 100),
+        |d AS (SELECT median, CAST(abs(v.v - median) AS DECIMAL(38,6)) AS d,
+        |    t FROM v, med),
+        |i2 AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d, t) - 1 AS i FROM d),
+        |mad AS (SELECT d AS mad FROM i2, nn
+        |    WHERE i = ((n - 1) * 50) // 100)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(median AS VARCHAR) AS median, CAST(mad AS VARCHAR) AS mad,
+        |  CAST(SUM(CASE WHEN d.d > mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(MAX(d.d) AS VARCHAR) AS max_dev
+        |FROM d, mad GROUP BY median, mad""".stripMargin,
+
+    "q192_pair_rules" ->
+      """WITH it0 AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 40 AS i
+        |    FROM lineitem),
+        |ks AS (SELECT b FROM it0 GROUP BY b HAVING COUNT(*) <= 16),
+        |it AS (SELECT it0.b, it0.i FROM it0 JOIN ks ON ks.b = it0.b),
+        |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+        |    FROM it),
+        |ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM it GROUP BY i),
+        |p AS (SELECT a.i AS item_a, c.i AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt_ab
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 100)
+        |SELECT item_a, item_b, cnt_ab, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  n_baskets,
+        |  (1000000 * cnt_ab) // ca.cnt AS conf_ab_e6,
+        |  (1000000 * cnt_ab) // cb.cnt AS conf_ba_e6,
+        |  (1000000 * n_baskets * cnt_ab) // (ca.cnt * cb.cnt) AS lift_e6
+        |FROM p JOIN ic ca ON ca.i = p.item_a
+        |JOIN ic cb ON cb.i = p.item_b, nb
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q193_bitmap_overlap" ->
+      """WITH m AS (SELECT event_type AS g, user_id % 256 AS id FROM events),
+        |bm AS (SELECT g, id // 63 AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(id % 63 AS INT)) AS b
+        |  FROM m GROUP BY 1, 2),
+        |sz AS (SELECT g, CAST(SUM(bit_count(b)) AS BIGINT) AS sz
+        |    FROM bm GROUP BY g),
+        |iv AS (SELECT a.g AS ga, c.g AS gb,
+        |    CAST(SUM(bit_count(a.b & c.b)) AS BIGINT) AS inter
+        |  FROM bm a JOIN bm c ON a.w = c.w AND a.g < c.g GROUP BY 1, 2)
+        |SELECT ga AS group_a, gb AS group_b, inter, sa.sz AS size_a,
+        |  sb.sz AS size_b, sa.sz + sb.sz - inter AS uni,
+        |  (1000000 * inter) // (sa.sz + sb.sz - inter) AS jaccard_e6
+        |FROM iv JOIN sz sa ON sa.g = iv.ga JOIN sz sb ON sb.g = iv.gb
+        |ORDER BY group_a, group_b""".stripMargin,
+
+    "q194_view_delta" ->
+      """SELECT o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR)
+        |    AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR) AS total
+        |FROM orders GROUP BY 1 ORDER BY custkey""".stripMargin,
+
+    "q195_hits" -> {
+      // one HITS round: auth from hubs over in-edges, hub from auths
+      // over out-edges — LEFT joins keep edge-less nodes at 0
+      def round(h: String, a: String, hNext: String): String =
+        s"""$a AS (SELECT n.node,
+           |    CAST(COALESCE(SUM(h.hub), 0) AS BIGINT) AS auth
+           |  FROM n LEFT JOIN e ON e.dst = n.node
+           |  LEFT JOIN $h h ON h.node = e.src GROUP BY n.node),
+           |$hNext AS (SELECT n.node,
+           |    CAST(COALESCE(SUM(a.auth), 0) AS BIGINT) AS hub
+           |  FROM n LEFT JOIN e ON e.src = n.node
+           |  LEFT JOIN $a a ON a.node = e.dst GROUP BY n.node)""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT 2 * o_custkey AS src,
+         |    2 * l_suppkey + 1 AS dst
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM n),
+         |${round("h0", "a1", "h1")},
+         |${round("h1", "a2", "h2")}
+         |SELECT n.node, h2.hub, a2.auth FROM n
+         |JOIN h2 ON h2.node = n.node JOIN a2 ON a2.node = n.node
+         |ORDER BY n.node""".stripMargin
     },
 
     "q125_topgram_coverage" ->

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket association rules over item PAIRS — the co-occurrence
+  * miner behind "users who bought A also bought B", and in a training-
+  * data pipeline the detector for templated co-occurring boilerplate
+  * (token pairs that ride together far above chance). Support,
+  * confidence, and lift, all as exact integers: counts stay BIGINT and
+  * the two ratios ship as ×10⁶ floor fractions (`conf_ab_e6`,
+  * `lift_e6`) — no float ever enters, so the rule table replays on any
+  * engine bit-for-bit.
+  *
+  * Scale shape: the basket→item table is deduped once (one shuffle);
+  * the pair generation is a self-equi-join ON BASKET — fan-out is
+  * Σ k_b² over per-basket sizes, the classic Apriori hazard, so
+  * `maxBasketSize` drops pathological baskets FIRST (the standard cap:
+  * a 10⁵-item basket contributes 10¹⁰ pairs and no usable rule —
+  * transactions that big are bots or parse errors anyway). Item
+  * marginals join back on the (already small) surviving pair table;
+  * the basket total is a one-row broadcast. No stage ever touches all
+  * pairs of ITEMS — only pairs co-occurring in some basket.
+  */
+object Association {
+
+  /** Pair rules from a (basket, item) relation (rows may repeat; the
+    * operator dedupes). Emits one row per unordered co-occurring pair
+    * (item_a < item_b) with `cnt_ab >= minPairSupport`:
+    * (item_a, item_b, cnt_ab, cnt_a, cnt_b, n_baskets,
+    *  conf_ab_e6 = ⌊10⁶·P(b|a)⌋, conf_ba_e6 = ⌊10⁶·P(a|b)⌋,
+    *  lift_e6 = ⌊10⁶·P(ab)/(P(a)P(b))⌋).
+    *
+    * @param maxBasketSize drop baskets with more distinct items than
+    *        this BEFORE pairing (0 = keep all). Dropped baskets leave
+    *        every count, so supports stay mutually consistent. */
+  def pairRules(df: DataFrame, basket: Column, item: Column,
+                minPairSupport: Long, maxBasketSize: Int = 0): DataFrame = {
+    require(minPairSupport >= 1, "minPairSupport must be >= 1")
+    val items0 = df.select(basket.as("b"), item.as("i")).distinct()
+    val items =
+      if (maxBasketSize <= 0) items0
+      else {
+        val sizes = items0.groupBy("b").agg(count(lit(1)).as("__k"))
+          .filter(col("__k") <= maxBasketSize)
+        items0.join(sizes.select("b"), Seq("b"))
+      }
+    val nBaskets = items.select(countDistinct(col("b")).as("n_baskets"))
+    val itemCnt = items.groupBy("i").agg(count(lit(1)).as("cnt"))
+    val a = items.select(col("b"), col("i").as("item_a"))
+    val bb = items.select(col("b"), col("i").as("item_b"))
+    val pairs = a.join(bb, Seq("b"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= minPairSupport)
+    pairs
+      .join(itemCnt.select(col("i").as("item_a"), col("cnt").as("cnt_a")),
+        Seq("item_a"))
+      .join(itemCnt.select(col("i").as("item_b"), col("cnt").as("cnt_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("cnt_ab"), col("cnt_a"),
+        col("cnt_b"), col("n_baskets"),
+        expr("(1000000 * cnt_ab) div cnt_a").as("conf_ab_e6"),
+        expr("(1000000 * cnt_ab) div cnt_b").as("conf_ba_e6"),
+        expr("(1000000 * n_baskets * cnt_ab) div (cnt_a * cnt_b)")
+          .as("lift_e6"))
+  }
+}

@@ -53,4 +53,42 @@ object Merge {
         valueCols.map(c => when(col("in_new").isNotNull, col(s"n_$c"))
           .otherwise(col(s"o_$c")).as(c)): _*)
   }
+
+  /** Incremental AGGREGATE-view maintenance — the delta-apply step of a
+    * materialized `GROUP BY` view: given the current view (one row per
+    * key with ADDITIVE measures — counts, sums) and a pre-aggregated
+    * delta in the same shape, produce the refreshed view WITHOUT
+    * re-scanning the base table. The algebra of self-maintainable
+    * aggregates: additive measures merge by +, so
+    * view(T ∪ Δ) = view(T) ⊎ view(Δ) key-by-key. Retractions are
+    * deltas with negative measures; keys whose `countCol` reaches 0
+    * disappear (their remaining sums are definitionally 0 for additive
+    * measures over an empty group).
+    *
+    * Shape at 100 TB: ONE full outer join on the key — the delta is
+    * day-sized against a corpus-sized view, so AQE broadcasts it; on a
+    * bucketed warehouse view the base-side exchange vanishes. This is
+    * the O(|Δ|) nightly refresh vs the O(|T|) recompute.
+    *
+    * @param view     current view: (key, measures…)
+    * @param delta    aggregated delta: (key, measures…), same columns
+    * @param key      group key column name
+    * @param measures additive measure column names
+    * @param countCol measure whose merged value 0 drops the key (the
+    *                 group's row count; empty = never drop) */
+  def applyDelta(view: DataFrame, delta: DataFrame, key: String,
+                 measures: Seq[String],
+                 countCol: Option[String] = None): DataFrame = {
+    require(measures.nonEmpty, "measures must be non-empty")
+    require(countCol.forall(measures.contains),
+      "countCol must be one of measures")
+    val v = view.select((key +: measures).map(c => col(c).as(s"v_$c")): _*)
+    val d = delta.select((key +: measures).map(c => col(c).as(s"d_$c")): _*)
+    val merged = v.join(d, col(s"v_$key") === col(s"d_$key"), "full_outer")
+      .select(coalesce(col(s"d_$key"), col(s"v_$key")).as(key) +:
+        measures.map(c =>
+          (coalesce(col(s"v_$c"), lit(0L)) + coalesce(col(s"d_$c"), lit(0L)))
+            .as(c)): _*)
+    countCol.fold(merged)(c => merged.filter(col(c) =!= 0L))
+  }
 }

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Robust / rank-based statistics — the profiling shelf's answer to
+  * heavy-tailed columns, where the mean and Pearson r are one corrupt
+  * row away from garbage: Spearman rank correlation (monotone
+  * association that ignores outliers), winsorized / trimmed means
+  * (bounded-influence location), and MAD-based outlier flagging (the
+  * robust z-score — median ± k·MAD survives 50% contamination where
+  * mean ± k·σ breaks at one bad row).
+  *
+  * Scale shape: every rank comes from the range-partitioned sort +
+  * zipWithIndex of [[GlobalIndex]] — NEVER a single-partition window —
+  * so ranking n rows costs one range-shuffle sort regardless of n.
+  * Spearman is two such sorts and zero joins (the second sort carries
+  * the first sort's rank along as payload); the quantile/median picks
+  * are O(1) lookups against a broadcast one-row scalar frame, exactly
+  * the [[SkewAdvisor]] nearest-rank construction.
+  *
+  * Determinism: values are ranked under a caller-supplied unique
+  * tie-break, making every rank a permutation (reproducible run-over-
+  * run AND engine-over-engine); arithmetic is exact — BIGINT rank
+  * differences, decimal(38,6) value sums — with at most ONE double
+  * division at the end of each summary (the repo's q186 discipline).
+  */
+object RobustStats {
+
+  private val dec6 = DecimalType(38, 6)
+
+  /** Spearman rank correlation of `x` and `y` under the permutation
+    * ranks ORDER BY (value, tie) — the tie-broken variant: with a
+    * unique `tie` column both rank sets are permutations of 0..n-1, so
+    * ρ = 1 − 6·Σd²/(n(n²−1)) holds exactly and every term is a BIGINT.
+    *
+    * @return ONE row (n, sum_d2, rho) — rho a %.9f string from the
+    *         single double division num/den. Bounds: exact while
+    *         n(n²−1) < 2⁶³, i.e. n ≤ 2.0×10⁶; callers beyond that
+    *         should sample (documented, not silently wrong: the
+    *         guard column overflows loudly via ANSI arithmetic).
+    */
+  def spearman(df: DataFrame, x: Column, y: Column, tie: Column): DataFrame = {
+    val base = df.select(x.as("__vx"), y.as("__vy"), tie.as("__t"))
+    // sort 1: rank x, carrying y along; sort 2: rank y on the result —
+    // two range-shuffles, zero joins.
+    val rx = GlobalIndex.withGlobalIndex(base,
+      Seq(col("__vx"), col("__t")), idxCol = "__rx")
+    val rxy = GlobalIndex.withGlobalIndex(rx,
+      Seq(col("__vy"), col("__t")), idxCol = "__ry")
+    rxy.select(((col("__rx") - col("__ry")) * (col("__rx") - col("__ry")))
+        .as("d2"))
+      .agg(count(lit(1)).as("n"), sum("d2").as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        format_string("%.9f",
+          (col("n") * (col("n") * col("n") - 1L) - col("sum_d2") * 6L)
+            .cast("double") /
+            (col("n") * (col("n") * col("n") - 1L)).cast("double"))
+          .as("rho"))
+  }
+
+  /** Floor nearest-rank pick: the value of `v` at sorted position
+    * ⌊(n−1)·pct/100⌋ under ORDER BY (v, tie) — one range-sort of the
+    * column plus an O(1) filter, as a one-row (cut) frame. */
+  private def nearestRank(vals: DataFrame, v: Column, tie: Column,
+                          pct: Int): DataFrame = {
+    val idx = GlobalIndex.withGlobalIndex(
+      vals.select(v.as("__v"), tie.as("__t")),
+      Seq(col("__v"), col("__t")), idxCol = "__i")
+    val n = vals.agg(count(lit(1)).as("__n"))
+    idx.crossJoin(broadcast(n))
+      .filter(col("__i") === expr("((__n - 1) * " + pct + ") div 100"))
+      .select(col("__v").as("cut"))
+  }
+
+  /** Winsorized + trimmed location summary of `x` at the
+    * [pLo, pHi] nearest-rank cuts (e.g. 5/95): winsorizing CLAMPS the
+    * tails to the cut values, trimming DROPS them. One row:
+    * (n, lo_cut, hi_cut, wsum, n_trim, tsum, wmean, tmean) — sums
+    * exact decimal(38,6); each mean is one double division.
+    * Trim keeps values strictly inside the OPEN interval plus the cut
+    * values themselves (v in [lo_cut, hi_cut] — rank-free, so the rule
+    * replays on any engine without re-ranking). */
+  def winsorized(df: DataFrame, x: Column, tie: Column,
+                 pLo: Int = 5, pHi: Int = 95): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 100, "need 0<=pLo<pHi<=100")
+    val vals = df.select(x.cast(dec6).as("__v"), tie.as("__t"))
+    val lo = nearestRank(vals, col("__v"), col("__t"), pLo)
+      .select(col("cut").as("lo_cut"))
+    val hi = nearestRank(vals, col("__v"), col("__t"), pHi)
+      .select(col("cut").as("hi_cut"))
+    vals.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("lo_cut"), col("hi_cut"),
+        greatest(col("lo_cut"), least(col("hi_cut"), col("__v"))).as("w"),
+        when(col("__v") >= col("lo_cut") && col("__v") <= col("hi_cut"),
+          col("__v")).as("t"))
+      .groupBy("lo_cut", "hi_cut")
+      .agg(count(lit(1)).as("n"),
+        sum("w").cast(dec6).as("wsum"),
+        count(col("t")).as("n_trim"),
+        sum("t").cast(dec6).as("tsum"))
+      .select(col("n"), col("lo_cut"), col("hi_cut"), col("wsum"),
+        col("n_trim"), col("tsum"),
+        format_string("%.9f",
+          col("wsum").cast("double") / col("n").cast("double")).as("wmean"),
+        format_string("%.9f",
+          col("tsum").cast("double") / col("n_trim").cast("double"))
+          .as("tmean"))
+  }
+
+  /** MAD outlier audit of `x`: median m, MAD = median(|x−m|) (both
+    * floor nearest-rank at 50), and the count of rows with
+    * |x−m| > k·MAD — the robust z-score rule. One row:
+    * (n, median, mad, n_outliers, max_dev). Exact decimal(38,6)
+    * arithmetic throughout; no division anywhere. */
+  def madOutliers(df: DataFrame, x: Column, tie: Column,
+                  k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val vals = df.select(x.cast(dec6).as("__v"), tie.as("__t"))
+    val med = nearestRank(vals, col("__v"), col("__t"), 50)
+      .select(col("cut").as("median"))
+    val dev = vals.crossJoin(broadcast(med))
+      .select(col("median"), abs(col("__v") - col("median")).cast(dec6)
+        .as("__d"), col("__t"))
+    val mad = nearestRank(dev, col("__d"), col("__t"), 50)
+      .select(col("cut").as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .groupBy("median", "mad")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__d") > col("mad") * k, 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("__d")).as("max_dev"))
+      .select(col("n"), col("median"), col("mad"), col("n_outliers"),
+        col("max_dev"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Association
+
+/** Pair rules: hand-counted support/confidence/lift on a small basket
+  * fixture, the dedup contract, the basket-size cap, and the
+  * lift-above/below-chance directions. */
+class AssociationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // baskets: 1:{a,b}, 2:{a,b}, 3:{a,b,c}, 4:{a,c}, 5:{b}, 6:{c}
+  private val baskets = Seq(
+    (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (3L, "b"),
+    (3L, "c"), (4L, "a"), (4L, "c"), (5L, "b"), (6L, "c")
+  ).toDF("b", "i")
+
+  test("hand-counted pair table: counts, confidence, lift") {
+    val got = Association.pairRules(baskets, col("b"), col("i"),
+        minPairSupport = 1L)
+      .orderBy("item_a", "item_b").collect()
+    // cnt: a=4 b=4 c=3, n=6; pairs: ab=3, ac=2, bc=1
+    val ab = got.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getAs[Long]("cnt_ab") == 3L)
+    assert(ab.getAs[Long]("cnt_a") == 4L && ab.getAs[Long]("cnt_b") == 4L)
+    assert(ab.getAs[Long]("n_baskets") == 6L)
+    assert(ab.getAs[Long]("conf_ab_e6") == 750000L) // 3/4
+    assert(ab.getAs[Long]("conf_ba_e6") == 750000L)
+    assert(ab.getAs[Long]("lift_e6") == 1125000L)   // 6*3/(4*4)
+    val bc = got.find(r => r.getString(0) == "b" && r.getString(1) == "c").get
+    assert(bc.getAs[Long]("cnt_ab") == 1L)
+    assert(bc.getAs[Long]("lift_e6") == 500000L,    // 6*1/(4*3) = 0.5
+      "below-chance pair must have lift < 1e6")
+  }
+
+  test("minPairSupport prunes; duplicate (basket,item) rows count once") {
+    val dup = baskets.unionByName(Seq((1L, "a"), (1L, "a")).toDF("b", "i"))
+    val got = Association.pairRules(dup, col("b"), col("i"),
+      minPairSupport = 2L)
+    val pairs = got.select("item_a", "item_b").as[(String, String)]
+      .collect().toSet
+    assert(pairs == Set(("a", "b"), ("a", "c")),
+      s"support-2 pairs only, dedup required: $pairs")
+  }
+
+  test("maxBasketSize drops the oversized basket from EVERY count") {
+    val got = Association.pairRules(baskets, col("b"), col("i"),
+        minPairSupport = 1L, maxBasketSize = 2)
+      .orderBy("item_a", "item_b").collect()
+    // basket 3 {a,b,c} dropped: n=5, cnt a=3 b=3 c=2, ab=2, ac=1, bc gone
+    assert(got.forall(_.getAs[Long]("n_baskets") == 5L))
+    val ab = got.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getAs[Long]("cnt_ab") == 2L && ab.getAs[Long]("cnt_a") == 3L)
+    assert(!got.exists(r => r.getString(0) == "b" && r.getString(1) == "c"),
+      "the only b-c co-occurrence lived in the dropped basket")
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bitmaps
+
+/** Word-sharded bitmaps: known memberships round-trip through words,
+  * overlap matches brute-force set arithmetic (including across word
+  * boundaries), and duplicate memberships are idempotent. */
+class BitmapsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("presence packs ids into the right 63-bit word/bit") {
+    val bm = Bitmaps.presence(
+      Seq(("g", 0L), ("g", 62L), ("g", 63L), ("g", 64L), ("g", 64L))
+        .toDF("g", "id"),
+      col("g"), col("id"))
+      .orderBy("w").as[(String, Long, Long)].collect()
+    // word 0: bits 0 and 62 (the TOP bit of a 63-bit word — positive);
+    // word 1: ids 63→bit 0, 64→bit 1; duplicate 64 is idempotent
+    assert(bm.toSeq == Seq(("g", 0L, (1L << 62) | 1L), ("g", 1L, 3L)),
+      s"got ${bm.toSeq}")
+  }
+
+  test("overlap matches brute-force sets across word boundaries") {
+    val members = Seq(
+      "a" -> Set(1L, 5L, 63L, 64L, 100L, 200L),
+      "b" -> Set(5L, 64L, 150L, 200L, 201L),
+      "c" -> Set(300L)) // a,b share words 0,1,3; c sits alone in word 4
+    val df = members.flatMap { case (g, ids) => ids.map(g -> _) }
+      .toDF("g", "id")
+    val got = Bitmaps.overlap(Bitmaps.presence(df, col("g"), col("id")))
+      .orderBy("group_a", "group_b").collect()
+    def expect(a: String, b: String): (Long, Long) = {
+      val (sa, sb) = (members.toMap.apply(a), members.toMap.apply(b))
+      ((sa & sb).size.toLong, (sa | sb).size.toLong)
+    }
+    val ab = got.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert((ab.getAs[Long]("inter"), ab.getAs[Long]("uni")) == expect("a", "b"))
+    assert(ab.getAs[Long]("jaccard_e6") ==
+      1000000L * expect("a", "b")._1 / expect("a", "b")._2)
+    // c shares its word (4 = ids 252..314) with NOBODY → no pair row
+    assert(!got.exists(r => r.getString(1) == "c" || r.getString(0) == "c"),
+      "fully word-disjoint groups emit no pair (documented)")
+  }
+}

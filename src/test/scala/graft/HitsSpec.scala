@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Hits
+
+/** HITS: hand-iterated integer scores on a tiny hub/authority graph,
+  * edge-less-side zeros, and the multi-round growth law. */
+class HitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one round on a star: auth = in-degree, hub = sum of target auths") {
+    // hubs 1,2 each point at authorities 10,11; 3 points only at 10
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L))
+      .toDF("src", "dst")
+    val got = Hits.run(e, iters = 1).orderBy("node")
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap
+    assert(got(10L) == ((0L, 3L)), "authority 10: in-deg 3, no out-edges")
+    assert(got(11L) == ((0L, 2L)))
+    assert(got(1L) == ((3L + 2L, 0L)), "hub 1 sums its targets' auths")
+    assert(got(2L) == ((5L, 0L)))
+    assert(got(3L) == ((3L, 0L)))
+  }
+
+  test("two rounds reinforce: better-connected hub pulls ahead") {
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L))
+      .toDF("src", "dst")
+    val got = Hits.run(e, iters = 2).orderBy("node")
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> ((h, a)) }.toMap
+    // round 2: auth(10) = h(1)+h(2)+h(3) = 5+5+3 = 13; auth(11) = 10
+    // hub(1) = 13+10 = 23; hub(2) = 23; hub(3) = 13
+    assert(got(10L) == ((0L, 13L)))
+    assert(got(11L) == ((0L, 10L)))
+    assert(got(1L) == ((23L, 0L)) && got(2L) == ((23L, 0L)))
+    assert(got(3L) == ((13L, 0L)))
+  }
+
+  test("a cycle gives every node both roles") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Hits.run(e, iters = 3).collect()
+    assert(got.forall(r => r.getAs[Long]("hub") == 1L &&
+      r.getAs[Long]("auth") == 1L),
+      "on a simple cycle all scores stay 1 forever")
+  }
+}

@@ -48,4 +48,24 @@ class MergeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("FullOuter".r.findAllIn(p).length == 1, p.take(2000))
   }
+
+  test("applyDelta: merge, insert, retract-to-zero drop") {
+    val view = Seq((1L, 2L, 30L), (2L, 1L, 5L)).toDF("k", "cnt", "s")
+    val delta = Seq((1L, 3L, 70L),   // merge: 1 → (5, 100)
+      (3L, 1L, 9L),                  // insert: new key
+      (2L, -1L, -5L)                 // retraction: count hits 0 → drop
+    ).toDF("k", "cnt", "s")
+    val got = Merge.applyDelta(view, delta, "k", Seq("cnt", "s"),
+        countCol = Some("cnt"))
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 100L), (3L, 1L, 9L)))
+  }
+
+  test("applyDelta without countCol keeps zero-count keys") {
+    val view = Seq((2L, 1L, 5L)).toDF("k", "cnt", "s")
+    val delta = Seq((2L, -1L, -5L)).toDF("k", "cnt", "s")
+    val got = Merge.applyDelta(view, delta, "k", Seq("cnt", "s"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 0L, 0L)))
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RobustStats
+
+/** Rank-based statistics: Spearman against hand-computed permutation
+  * ranks (perfect monotone, perfect anti-monotone, a known middling
+  * case), winsorized/trimmed sums on a fixture with explicit tails,
+  * and MAD outliers where mean±3σ would miss or over-flag. */
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("spearman: monotone = 1, anti-monotone = -1 exactly") {
+    val up = (1L to 50L).map(i => (i.toDouble, (i * 3 + 7).toDouble, i))
+    val r1 = RobustStats.spearman(up.toDF("x", "y", "t"),
+      col("x"), col("y"), col("t")).collect()(0)
+    assert(r1.getAs[Long]("n") == 50L)
+    assert(r1.getAs[Long]("sum_d2") == 0L)
+    assert(r1.getAs[String]("rho") == "1.000000000")
+
+    val down = (1L to 50L).map(i => (i.toDouble, -i.toDouble, i))
+    val r2 = RobustStats.spearman(down.toDF("x", "y", "t"),
+      col("x"), col("y"), col("t")).collect()(0)
+    assert(r2.getAs[String]("rho") == "-1.000000000")
+  }
+
+  test("spearman: hand-computed d² on a 4-row permutation") {
+    // x ranks: a=0 b=1 c=2 d=3; y ranks: a=1 b=0 c=3 d=2 → Σd² = 4
+    // ρ = 1 − 6·4/(4·15) = 1 − 24/60 = 0.6
+    val df = Seq((1.0, 20.0, "a"), (2.0, 10.0, "b"),
+      (3.0, 40.0, "c"), (4.0, 30.0, "d")).toDF("x", "y", "t")
+    val r = RobustStats.spearman(df, col("x"), col("y"), col("t"))
+      .collect()(0)
+    assert(r.getAs[Long]("sum_d2") == 4L)
+    assert(r.getAs[String]("rho") == "0.600000000")
+  }
+
+  test("spearman is outlier-immune where Pearson is not") {
+    // a monotone series with one wild magnitude: ranks unchanged → ρ=1
+    val rows = (1L to 20L).map(i =>
+      (i.toDouble, if (i == 20) 1e12 else i.toDouble, i))
+    val r = RobustStats.spearman(rows.toDF("x", "y", "t"),
+      col("x"), col("y"), col("t")).collect()(0)
+    assert(r.getAs[String]("rho") == "1.000000000")
+  }
+
+  test("winsorized: cuts, clamped sum, and trimmed subset on a known tail") {
+    // 0..99 + two wild tails; n=102: lo idx = 101*5//100 = 5,
+    // hi idx = 101*95//100 = 95 under (value, tie) order
+    val vals = (Seq(-1e6, 1e6) ++ (0 until 100).map(_.toDouble)).zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }
+    val r = RobustStats.winsorized(vals.toDF("x", "t"), col("x"), col("t"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 102L)
+    // sorted: -1e6, 0,1,...,99, 1e6 → idx5 = 4.0, idx95 = 94.0
+    assert(r.getAs[java.math.BigDecimal]("lo_cut").doubleValue() == 4.0)
+    assert(r.getAs[java.math.BigDecimal]("hi_cut").doubleValue() == 94.0)
+    // winsorized: tails → 4 and 94; 0..3 clamp to 4 (5 rows incl -1e6…)
+    // exact check: clamp each value in Scala and compare
+    val wExpect = vals.map(_._1).map(v => math.max(4.0, math.min(94.0, v))).sum
+    assert(r.getAs[java.math.BigDecimal]("wsum").doubleValue() == wExpect)
+    val inside = vals.map(_._1).filter(v => v >= 4.0 && v <= 94.0)
+    assert(r.getAs[Long]("n_trim") == inside.size.toLong)
+    assert(r.getAs[java.math.BigDecimal]("tsum").doubleValue() == inside.sum)
+  }
+
+  test("madOutliers: robust flags where the mean rule is poisoned") {
+    // 24× 9.0, one 10.0, 24× 11.0, one 1000.0 → n=50, median idx
+    // ⌊49·50/100⌋=24 → 10.0; devs sorted = {0, 1×48, 990} → MAD idx24
+    // → 1.0; the spike is the ONLY row with |x−m| > 3·MAD. (mean/σ
+    // would need the spike in its own estimate.)
+    val rows = (1L to 24L).map(i => (9.0, i)) ++ Seq((10.0, 25L)) ++
+      (26L to 49L).map(i => (11.0, i)) ++ Seq((1000.0, 50L))
+    val r = RobustStats.madOutliers(rows.toDF("x", "t"), col("x"), col("t"))
+      .collect()(0)
+    assert(r.getAs[java.math.BigDecimal]("median").doubleValue() == 10.0)
+    assert(r.getAs[java.math.BigDecimal]("mad").doubleValue() == 1.0)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(r.getAs[java.math.BigDecimal]("max_dev").doubleValue() == 990.0)
+  }
+
+  test("madOutliers: constant column has MAD 0 and flags every deviant") {
+    val rows = (1L to 30L).map(i => (5.0, i)) :+ ((5.5, 31L))
+    val r = RobustStats.madOutliers(rows.toDF("x", "t"), col("x"), col("t"))
+      .collect()(0)
+    assert(r.getAs[java.math.BigDecimal]("mad").signum() == 0)
+    assert(r.getAs[Long]("n_outliers") == 1L, "any deviation from a " +
+      "constant column is infinite robust z — must flag")
+  }
+}
