@@ -3633,6 +3633,34 @@ object SparkEntry {
       Hits.run(e, iters = 2).orderBy("node")
     }),
 
+    // LLM ops — per-doc 5-gram novelty vs the corpus
+    // (Novelty.ngramNovelty): the memorization/templating profile —
+    // how many of a doc's grams exist NOWHERE else (df == 1). The
+    // Decontaminate gram pipeline pointed at one corpus.
+    "q196_ngram_novelty" -> ((s, dir) =>
+      Novelty.ngramNovelty(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("text"), n = 5).orderBy("doc_id")),
+
+    // Ops — autocorrelation of the hourly event-value series
+    // (Autocorr.acf): lags 1..26 catch the daily cycle at 24; lag
+    // pairing is an idx+k equi-join (never a global window); the
+    // canonical-mean / sized-decimal / one-division-per-lag q186
+    // discipline makes every r_k engine-exact.
+    "q197_acf" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 3600000000").as("h"))
+        .agg(sum(col("value").cast(dec6)).cast(dec6).as("x"))
+      Autocorr.acf(series, col("h"), col("x"), maxLag = 26).orderBy("lag")
+    }),
+
+    // Governance — Welch's t-test between the user_id-parity arms of
+    // an A/B split (AbTest.welch): ONE aggregate pass for six exact
+    // decimal moments, then a fixed IEEE double tree (mirrored
+    // token-for-token in the oracle) for t and the Satterthwaite df.
+    "q198_welch_ttest" -> ((s, dir) =>
+      AbTest.welch(Tables.load(s, dir, "events"),
+        expr("user_id % 2 = 0"), col("value"))),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -7120,6 +7148,78 @@ object SparkEntry {
          |JOIN h2 ON h2.node = n.node JOIN a2 ON a2.node = n.node
          |ORDER BY n.node""".stripMargin
     },
+
+    "q196_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |      w[i+3] || ' ' || w[i+4])) AS g
+        |  FROM t WHERE len(w) >= 5),
+        |c AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM g GROUP BY 1, 2),
+        |d AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM c GROUP BY g)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(SUM(CASE WHEN df = 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS novel_occ
+        |FROM c JOIN d USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q197_acf" ->
+      """WITH s AS (SELECT epoch_us(ts) // 3600000000 AS i,
+        |    CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(printf('%.6f', CAST(SUM(x) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,6)) AS xbar
+        |  FROM s),
+        |d AS (SELECT i, CAST(x - xbar AS DECIMAL(15,6)) AS d FROM s, t),
+        |den AS (SELECT CAST(SUM(CAST(d * d AS DECIMAL(31,12)))
+        |    AS DECIMAL(38,12)) AS den FROM d),
+        |l AS (SELECT range AS lag FROM range(1, 27)),
+        |p AS (SELECT l.lag, d0.d AS d0, d1.d AS d1
+        |  FROM l, d d0, d d1 WHERE d1.i = d0.i + l.lag),
+        |a AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CAST(d0 * d1 AS DECIMAL(31,12))) AS DECIMAL(38,12))
+        |      AS num
+        |  FROM p GROUP BY lag)
+        |SELECT lag, n_pairs, CAST(num AS VARCHAR) AS num,
+        |  CAST(den AS VARCHAR) AS den,
+        |  printf('%.6f', CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS r
+        |FROM a, den ORDER BY lag""".stripMargin,
+
+    "q198_welch_ttest" ->
+      """WITH v AS (SELECT user_id % 2 = 0 AS a,
+        |    CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT a, x, CAST(x * x AS DECIMAL(38,12)) AS x2 FROM v),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN a THEN x END) AS DECIMAL(38,6)) AS s_a,
+        |    CAST(SUM(CASE WHEN NOT a THEN x END) AS DECIMAL(38,6)) AS s_b,
+        |    CAST(SUM(CASE WHEN a THEN x2 END) AS DECIMAL(38,12)) AS q_a,
+        |    CAST(SUM(CASE WHEN NOT a THEN x2 END) AS DECIMAL(38,12)) AS q_b
+        |  FROM w),
+        |dd AS (SELECT n_a, n_b, s_a, s_b, q_a, q_b,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(s_a AS DOUBLE) AS sa, CAST(s_b AS DOUBLE) AS sb,
+        |    CAST(q_a AS DOUBLE) AS qa, CAST(q_b AS DOUBLE) AS qb
+        |  FROM m),
+        |e AS (SELECT *,
+        |    ((qa - sa * sa / na) / (na - 1.0)) / na AS wa,
+        |    ((qb - sb * sb / nb) / (nb - 1.0)) / nb AS wb
+        |  FROM dd)
+        |SELECT n_a, n_b, CAST(s_a AS VARCHAR) AS sum_a,
+        |  CAST(s_b AS VARCHAR) AS sum_b, CAST(q_a AS VARCHAR) AS ssq_a,
+        |  CAST(q_b AS VARCHAR) AS ssq_b,
+        |  printf('%.6f', (sa / na - sb / nb) / sqrt(wa + wb)) AS t,
+        |  printf('%.6f', (wa + wb) * (wa + wb)
+        |    / (wa * wa / (na - 1.0) + wb * wb / (nb - 1.0))) AS dof
+        |FROM e""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Welch's two-sample t-test — the experimentation primitive: did
+  * variant A move the metric vs variant B, without assuming equal
+  * variances (the unequal-n, unequal-σ case every real A/B test is).
+  * Companions on the governance shelf: [[DataQuality.chiSquare]]
+  * (categorical outcomes) and [[Drift]] (whole-distribution shift);
+  * this one is the canonical mean-shift test.
+  *
+  * Determinism: the six moments (n, Σx, Σx² per side) are EXACT
+  * decimals — one map-side-combined aggregate, no order dependence —
+  * and the t statistic / Welch–Satterthwaite df are then a FIXED tree
+  * of double ops over those six scalars (every IEEE op exactly
+  * specified, spelled identically in the DuckDB oracle), rendered
+  * %.6f. Nothing about the data's partitioning or arrival order can
+  * move a bit.
+  *
+  * Scale shape: ONE aggregate pass over the table (conditional sums —
+  * no split, no join, no shuffle beyond the single global agg); the
+  * final arithmetic runs on a one-row frame. Domain: |x| < 10¹² at
+  * scale 6 (decimal(18,6) input cast — ANSI-loud beyond), Σx² within
+  * decimal(38,12).
+  */
+object AbTest {
+
+  /** @param isA TRUE → sample A, FALSE → sample B (null rows dropped)
+    * @return one row: (n_a, n_b, sum_a, sum_b, ssq_a, ssq_b — exact
+    *         decimal strings — t, dof — %.6f strings). Requires ≥ 2
+    *         rows per side (else t/dof are null). */
+  def welch(df: DataFrame, isA: Column, x: Column): DataFrame = {
+    val d18 = DecimalType(18, 6)
+    val d38 = DecimalType(38, 6)
+    val q38 = DecimalType(38, 12)
+    val v = df.select(isA.as("a"), x.cast(d18).as("x"))
+      .filter(col("a").isNotNull && col("x").isNotNull)
+      .withColumn("x2", (col("x") * col("x")).cast(q38))
+    val m = v.agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("a"), col("x"))).cast(d38).as("s_a"),
+      sum(when(!col("a"), col("x"))).cast(d38).as("s_b"),
+      sum(when(col("a"), col("x2"))).cast(q38).as("q_a"),
+      sum(when(!col("a"), col("x2"))).cast(q38).as("q_b"))
+    // fixed double tree — mirrored token-for-token in the oracle
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val (sa, sb) = (col("s_a").cast("double"), col("s_b").cast("double"))
+    val (qa, qb) = (col("q_a").cast("double"), col("q_b").cast("double"))
+    val va = (qa - sa * sa / na) / (na - lit(1.0d))
+    val vb = (qb - sb * sb / nb) / (nb - lit(1.0d))
+    val (wa, wb) = (va / na, vb / nb)
+    val se2 = wa + wb
+    m.select(col("n_a"), col("n_b"),
+      col("s_a").cast("string").as("sum_a"),
+      col("s_b").cast("string").as("sum_b"),
+      col("q_a").cast("string").as("ssq_a"),
+      col("q_b").cast("string").as("ssq_b"),
+      format_string("%.6f", (sa / na - sb / nb) / sqrt(se2)).as("t"),
+      format_string("%.6f",
+        se2 * se2 / (wa * wa / (na - lit(1.0d)) + wb * wb / (nb - lit(1.0d))))
+        .as("dof"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Autocorrelation function of an integer-indexed series — the
+  * seasonality detector: a daily cycle in hourly event volume shows as
+  * an ACF spike at lag 24, a broken collector as near-1 ACF at every
+  * lag (the series stopped moving). Feeds the same ops shelf as
+  * [[Drift]] (distribution change) and [[Outliers]] (point anomalies):
+  * ACF answers "is this series periodic, and at what period?".
+  *
+  * Estimator: r_k = Σ_t (x_t−x̄)(x_{t+k}−x̄) / Σ_t (x_t−x̄)², pairs
+  * taken at EXACT index distance k — on a series with holes, missing
+  * pairs are skipped (both engines see the same pairs, so the gate
+  * holds; resample first with [[Segmentation]] if you need strict
+  * regularity).
+  *
+  * Determinism (the q186/Zipf discipline): the mean is ONE double
+  * division rendered %.6f then parsed back to decimal — after that
+  * every deviation is an exact decimal(15,6), every product an exact
+  * decimal(31,12) (sized so NO term hits the precision-38 rescale
+  * rules that differ between engines), and each r_k is ONE double
+  * division rendered %.6f. Domain: |x−x̄| < 10⁹ (ANSI decimal cast
+  * fails loudly beyond, never wraps).
+  *
+  * Scale shape: lag pairing is an equi-JOIN on idx+k — never a
+  * single-partition window — fanned out over the lag dimension by one
+  * broadcast of the tiny 1..maxLag frame; the denominator is one
+  * aggregate over the series, broadcast back as one row. A series of
+  * any length works: cost is maxLag · |series| join rows, all
+  * hash-partitioned on idx.
+  */
+object Autocorr {
+
+  /** @param series one row per index: `idx` integer positions (gaps
+    *               allowed), `x` the value
+    * @return one row per lag 1..maxLag: (lag, n_pairs, num, den, r) —
+    *         num/den the exact scale-12 decimal moment sums as
+    *         strings, r = num/den as a %.6f string */
+  def acf(series: DataFrame, idx: Column, x: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val s = series.select(idx.cast("long").as("i"),
+      x.cast(DecimalType(38, 6)).as("x"))
+    val tot = s.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      .select(col("n"),
+        // ONE double division, canonicalized through %.6f text — the
+        // engine-portable mean every deviation subtracts
+        format_string("%.6f", col("sx").cast("double") / col("n").cast("double"))
+          .cast(DecimalType(18, 6)).as("xbar"))
+    val dev = s.crossJoin(broadcast(tot))
+      .select(col("i"), (col("x") - col("xbar")).cast(DecimalType(15, 6))
+        .as("d"))
+    val den = dev.agg(sum((col("d") * col("d")).cast(DecimalType(31, 12)))
+      .cast(DecimalType(38, 12)).as("den"))
+    val lags = series.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    val left = dev.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("i") + col("lag")).as("j"), col("d").as("d0"))
+    left.join(dev.select(col("i").as("j"), col("d").as("d1")), Seq("j"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("d0") * col("d1")).cast(DecimalType(31, 12)))
+          .cast(DecimalType(38, 12)).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        col("num").cast("string").as("num"),
+        col("den").cast("string").as("den"),
+        format_string("%.6f",
+          col("num").cast("double") / col("den").cast("double")).as("r"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Per-document n-gram novelty against the whole corpus — the
+  * memorization-risk / templating signal: a document whose n-grams all
+  * appear in OTHER documents is boilerplate (or a duplicate the
+  * [[Dedup]] family should have caught); a document whose n-grams are
+  * mostly corpus-unique is fresh text worth a training slot. The
+  * df==1 fraction is also the standard "how much of this eval set
+  * leaks from train" instrument when run across two corpora via
+  * [[Decontaminate]] — this operator is the single-corpus profile.
+  *
+  * Scale shape: exactly the [[Decontaminate]] gram pipeline — explode
+  * to (doc, gram), ONE keyed aggregate per doc-gram, ONE keyed
+  * aggregate on gram for document frequency (map-side combined; grams
+  * follow a Zipf law so the df table is far smaller than the
+  * occurrence table), one join back on gram, one final per-doc
+  * aggregate. The gram-keyed shuffle is the unavoidable cost of exact
+  * global df; at 100 TB the same code runs with the df table
+  * bucket-partitioned on gram hash. All counts exact BIGINT.
+  */
+object Novelty {
+
+  /** (doc_id, n_grams, n_distinct, n_novel, novel_occ): total n-gram
+    * occurrences, distinct grams, distinct grams with corpus df == 1
+    * (they exist in THIS document only), and their occurrence count.
+    * Documents with fewer than `n` tokens emit no row (they have no
+    * n-grams — join against the corpus spine if you need zeros). */
+  def ngramNovelty(df: DataFrame, docId: Column, text: Column,
+                   n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val grams = df.select(docId.as("doc_id"),
+      explode(TextFunctions.shingles(TextFunctions.tokens(text), n)).as("g"))
+    val perDoc = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val dfreq = perDoc.groupBy("g").agg(count(lit(1)).as("df"))
+    perDoc.join(dfreq, Seq("g"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"),
+        sum(when(col("df") === 1, col("cnt")).otherwise(0L)).as("novel_occ"))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AbTest
+
+/** Welch's t: a hand-computed unequal-variance case, the zero-shift
+  * null, and moment exactness. */
+class AbTestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed t on a known shift") {
+    // A = {1,2,3,4,5} (mean 3, var 2.5), B = {7,9,11} (mean 9, var 4)
+    // wa = 2.5/5 = .5, wb = 4/3; t = (3-9)/sqrt(.5+4/3) = -4.431294
+    val df = (Seq(1, 2, 3, 4, 5).map(v => (true, v.toDouble)) ++
+      Seq(7, 9, 11).map(v => (false, v.toDouble))).toDF("a", "x")
+    val r = AbTest.welch(df, col("a"), col("x")).collect()(0)
+    assert(r.getAs[Long]("n_a") == 5L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[String]("sum_a") == "15.000000")
+    assert(r.getAs[String]("ssq_b") == "251.000000000000")
+    assert(r.getAs[String]("t") == "-4.431294")
+    // Satterthwaite: (11/6)²/((1/4)/4 + (16/9)/2) = 3.532847
+    assert(r.getAs[String]("dof") == "3.532847")
+  }
+
+  test("identical samples: t = 0") {
+    val df = (1 to 20).flatMap(v =>
+      Seq((true, v.toDouble), (false, v.toDouble))).toDF("a", "x")
+    val r = AbTest.welch(df, col("a"), col("x")).collect()(0)
+    assert(r.getAs[String]("t") == "0.000000")
+  }
+
+  test("null metric rows are dropped from both sides") {
+    val df = Seq((true, Some(1.0)), (true, Some(3.0)), (true, None),
+      (false, Some(2.0)), (false, Some(4.0)), (false, None)).toDF("a", "x")
+    val r = AbTest.welch(df, col("a"), col("x")).collect()(0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+  }
+}

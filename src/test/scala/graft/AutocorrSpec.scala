@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Autocorr
+
+/** ACF: a constant-free alternating series has exact r₁ = −1 and
+  * r₂ = +1 (up to pair truncation), a period-4 square wave peaks at
+  * lag 4, and index holes drop exactly the crossing pairs. */
+class AutocorrSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("alternating ±1 series: perfect negative lag-1, positive lag-2") {
+    // x = +1,-1,+1,… over 40 points: mean 0, every lag-1 product −1,
+    // every lag-2 product +1 → r1 = −(n−1)/n, r2 = (n−2)/n exactly
+    val s = (0L until 40L).map(i => (i, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("i", "x")
+    val got = Autocorr.acf(s, col("i"), col("x"), maxLag = 2)
+      .orderBy("lag").collect()
+    assert(got(0).getAs[Long]("n_pairs") == 39L)
+    assert(got(0).getAs[String]("r") == "-0.975000")  // −39/40
+    assert(got(1).getAs[String]("r") == "0.950000")   //  38/40
+  }
+
+  test("period-4 wave: lag-4 autocorrelation is exactly 1-ish, lag-2 negative") {
+    val s = (0L until 64L).map(i => (i, if (i % 4 < 2) 2.0 else -2.0))
+      .toDF("i", "x")
+    val got = Autocorr.acf(s, col("i"), col("x"), maxLag = 4)
+      .orderBy("lag").collect().map(r =>
+        r.getAs[Long]("lag") -> r.getAs[String]("r").toDouble).toMap
+    assert(got(4L) > 0.9, s"period-4 peak: ${got(4L)}")
+    assert(got(2L) < -0.9, s"half-period trough: ${got(2L)}")
+  }
+
+  test("index holes drop exactly the crossing pairs") {
+    val s = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0), (4L, 5.0), (5L, 6.0))
+      .toDF("i", "x") // index 3 missing
+    val got = Autocorr.acf(s, col("i"), col("x"), maxLag = 1).collect()(0)
+    assert(got.getAs[Long]("n_pairs") == 3L,
+      "pairs (0,1) (1,2) (4,5) survive; (2,3) and (3,4) are gone")
+  }
+
+  test("num and den are exact decimal strings; r = num/den") {
+    val s = (0L until 10L).map(i => (i, i.toDouble)).toDF("i", "x")
+    val r = Autocorr.acf(s, col("i"), col("x"), maxLag = 1).collect()(0)
+    val num = BigDecimal(r.getAs[String]("num"))
+    val den = BigDecimal(r.getAs[String]("den"))
+    // x = 0..9, x̄ = 4.5: den = Σ(i−4.5)² = 82.5
+    assert(den == BigDecimal("82.500000000000"))
+    assert(num == BigDecimal("57.750000000000"),
+      "Σ(i−4.5)(i+1−4.5) over i=0..8")
+    assert(r.getAs[String]("r") == "0.700000")
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Novelty
+
+/** n-gram novelty: hand-counted df==1 grams on a three-doc corpus,
+  * duplicate-document zeroing, and the short-document edge. */
+class NoveltySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-counted novelty on bigrams") {
+    val docs = Seq(
+      (1L, "a b c d"),   // bigrams: ab bc cd
+      (2L, "a b x y"),   // bigrams: ab bx xy
+      (3L, "c d c d")    // bigrams: cd dc cd
+    ).toDF("doc_id", "text")
+    val got = Novelty.ngramNovelty(docs, col("doc_id"), col("text"), n = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // df: ab=2, bc=1, cd=2, bx=1, xy=1, dc=1
+    assert(got == Seq(
+      (1L, 3L, 3L, 1L, 1L),  // bc novel
+      (2L, 3L, 3L, 2L, 2L),  // bx, xy novel
+      (3L, 3L, 2L, 1L, 1L))) // dc novel; cd appears in doc 1 too
+  }
+
+  test("exact duplicate documents have zero novel grams") {
+    val docs = Seq((1L, "p q r s t u"), (2L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = Novelty.ngramNovelty(docs, col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.forall(r => r._4 == 0L && r._5 == 0L),
+      "every gram of a duplicated doc has df = 2")
+    assert(got.forall(r => r._2 == 4L && r._3 == 4L))
+  }
+
+  test("documents shorter than n emit no row") {
+    val docs = Seq((1L, "only four tokens here"), (2L, "tiny"))
+      .toDF("doc_id", "text")
+    val got = Novelty.ngramNovelty(docs, col("doc_id"), col("text"), n = 5)
+    assert(got.count() == 0L)
+  }
+}
