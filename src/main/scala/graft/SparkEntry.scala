@@ -3661,6 +3661,48 @@ object SparkEntry {
       AbTest.welch(Tables.load(s, dir, "events"),
         expr("user_id % 2 = 0"), col("value"))),
 
+    // Warehouse — clustering-depth audit (ZoneMaps.clusteringDepth):
+    // endpoint sweep over block [min,max] ranges; the same blocks
+    // measured on the layout key (depth 1, perfectly clustered) and
+    // on an uncorrelated key (depth ≈ n_blocks, zone maps useless) —
+    // the re-cluster pricing signal.
+    "q199_clustering_depth" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val blk = expr("l_orderkey div 100")
+      ZoneMaps.clusteringDepth(
+          ZoneMaps.blockStats(li, blk, col("l_orderkey")), "clustered")
+        .unionByName(ZoneMaps.clusteringDepth(
+          ZoneMaps.blockStats(li, blk, col("l_partkey")), "unclustered"))
+        .orderBy("label")
+    }),
+
+    // ER — blocking-quality audit (Blocking.audit): candidate-pair
+    // mass and reduction ratio of the (segment, nation) blocking key
+    // over customers — all exact BIGINT, nothing touches record pairs.
+    "q200_blocking_audit" -> ((s, dir) =>
+      Blocking.audit(Tables.load(s, dir, "customer"),
+        concat_ws("|", col("c_mktsegment"), col("c_nationkey")))),
+
+    // Ops — CUSUM control chart per event series
+    // (Changepoint.cusumSummary): the closed-form prefix-sum spelling
+    // of the sequential recurrence, two PARTITIONED windows, target =
+    // the per-series %.6f canonical mean, threshold 100.
+    "q201_cusum" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      val means = ev.groupBy(col("event_type").as("et"))
+        .agg(format_string("%.6f",
+            sum(col("value").cast(dec6)).cast("double") /
+              count(lit(1)).cast("double"))
+          .cast(DecimalType(18, 6)).as("xbar"))
+      val joined = ev.join(broadcast(means), col("event_type") === col("et"))
+      Changepoint.cusumSummary(joined, col("event_type"),
+          Seq(col("ts"), col("event_id")), col("value"), col("xbar"),
+          lit(100), col("event_id"))
+        .select(col("series"), col("n"), col("n_alarms"),
+          col("max_s").cast("string").as("max_s"), col("first_alarm_ord"))
+        .orderBy("series")
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -7220,6 +7262,76 @@ object SparkEntry {
         |  printf('%.6f', (wa + wb) * (wa + wb)
         |    / (wa * wa / (na - 1.0) + wb * wb / (nb - 1.0))) AS dof
         |FROM e""".stripMargin,
+
+    "q199_clustering_depth" -> {
+      def side(value: String, label: String, t: String): String =
+        s"""st_$t AS (SELECT l_orderkey // 100 AS blk,
+           |    CAST(MIN($value) AS BIGINT) AS lo,
+           |    CAST(MAX($value) AS BIGINT) AS hi
+           |  FROM lineitem GROUP BY 1),
+           |e_$t AS (SELECT lo AS pos, 1 AS d, blk FROM st_$t
+           |  UNION ALL SELECT hi + 1, -1, blk FROM st_$t),
+           |c_$t AS (SELECT d, SUM(d) OVER (ORDER BY pos, d, blk
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+           |  FROM e_$t),
+           |a_$t AS (SELECT '$label' AS label,
+           |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           |    CAST(MAX(depth) AS BIGINT) AS max_depth,
+           |    CAST(SUM(depth) AS BIGINT) AS sum_start_depth
+           |  FROM c_$t WHERE d = 1)""".stripMargin
+      s"""WITH ${side("l_orderkey", "clustered", "c")},
+         |${side("l_partkey", "unclustered", "u")}
+         |SELECT label, n_blocks, max_depth, sum_start_depth,
+         |  (1000000 * sum_start_depth) // n_blocks AS avg_depth_e6
+         |FROM (SELECT * FROM a_c UNION ALL SELECT * FROM a_u)
+         |ORDER BY label""".stripMargin
+    },
+
+    "q200_blocking_audit" ->
+      """WITH k AS (SELECT c_mktsegment || '|' ||
+        |    CAST(c_nationkey AS VARCHAR) AS k FROM customer),
+        |b AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS kn FROM k
+        |  WHERE k IS NOT NULL GROUP BY k),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+        |    CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null_key FROM k)
+        |SELECT n_records, n_null_key,
+        |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(MAX(kn) AS BIGINT) AS largest_block,
+        |  CAST(SUM((kn * (kn - 1)) // 2) AS BIGINT) AS candidate_pairs,
+        |  (n_records * (n_records - 1)) // 2 AS total_pairs,
+        |  (1000000 * ((n_records * (n_records - 1)) // 2
+        |    - CAST(SUM((kn * (kn - 1)) // 2) AS BIGINT)))
+        |    // ((n_records * (n_records - 1)) // 2) AS reduction_ratio_e6
+        |FROM b, n GROUP BY n_records, n_null_key""".stripMargin,
+
+    "q201_cusum" ->
+      """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS us, event_id,
+        |    CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6)) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT g, CAST(printf('%.6f', CAST(SUM(x) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,6)) AS xbar
+        |  FROM e GROUP BY g),
+        |d AS (SELECT e.g, us, event_id, CAST(x - xbar AS DECIMAL(38,6))
+        |    AS dd FROM e JOIN m ON m.g = e.g),
+        |p AS (SELECT g, us, event_id, CAST(SUM(dd) OVER (PARTITION BY g
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(38,6)) AS p FROM d),
+        |mp AS (SELECT g, event_id, p, MIN(p) OVER (PARTITION BY g
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mp
+        |  FROM p),
+        |s AS (SELECT g, event_id,
+        |    CAST(CASE WHEN mp >= 0 THEN p ELSE p - mp END
+        |      AS DECIMAL(38,6)) AS s
+        |  FROM mp)
+        |SELECT g AS series, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN s > 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms,
+        |  CAST(MAX(s) AS VARCHAR) AS max_s,
+        |  MIN(CASE WHEN s > 100 THEN event_id END) AS first_alarm_ord
+        |FROM s GROUP BY g ORDER BY series""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

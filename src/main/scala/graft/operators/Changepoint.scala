@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** CUSUM control charts — the level-shift detector: [[Outliers]] flags
+  * single wild points, [[Drift]] compares whole snapshots; CUSUM
+  * catches the small persistent shift between them (a metric that
+  * drifts +2% per hour trips no z-score and no daily drift gate, but
+  * its cumulative sum marches straight up). The sequential recurrence
+  * S_t = max(0, S_{t−1} + (x_t − target)) has the closed form
+  * S_t = P_t − min(0, min_{j≤t} P_j) over the prefix sums
+  * P_t = Σ_{j≤t}(x_j − target) — which turns the textbook loop into
+  * two stacked PARTITIONED window functions, fully parallel across
+  * series and engine-replayable (no iteration, no state).
+  *
+  * Exact decimal(38,6) arithmetic throughout; `target` is a caller
+  * column (constant, or a per-group canonical mean like
+  * [[Autocorr]]'s %.6f-mediated x̄ — anything deterministic).
+  *
+  * Scale shape: windows are PARTITIONED BY the series key — one range
+  * sort per series group, the scalable window shape (contrast the
+  * global-window trap the repo's BOUNDED sites document). One pass,
+  * no joins.
+  */
+object Changepoint {
+
+  private val dec6 = DecimalType(38, 6)
+
+  /** Per-row CUSUM statistic and alarm flag.
+    * @param order  within-series tiebreak-complete ordering columns
+    * @return input group/order plus (p, s, alarm) — prefix sum,
+    *         one-sided upper CUSUM statistic, s > h flag */
+  def cusum(df: DataFrame, group: Column, order: Seq[Column], x: Column,
+            target: Column, h: Column): DataFrame = {
+    val w = Window.partitionBy(col("__g")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__g", group)
+      .withColumn("__d", (x.cast(dec6) - target.cast(dec6)).cast(dec6))
+      .withColumn("p", sum(col("__d")).over(w).cast(dec6))
+      .withColumn("s",
+        (col("p") - least(lit(0).cast(dec6), min(col("p")).over(w)))
+          .cast(dec6))
+      .withColumn("alarm", col("s") > h.cast(dec6))
+      .drop("__d")
+  }
+
+  /** Per-series summary of [[cusum]]: (series, n, n_alarms, max_s,
+    * first_alarm_ord) — `first_alarm_ord` the min of `firstOrd` over
+    * alarmed rows (null when the series never alarms). */
+  def cusumSummary(df: DataFrame, group: Column, order: Seq[Column],
+                   x: Column, target: Column, h: Column,
+                   firstOrd: Column): DataFrame =
+    cusum(df, group, order, x, target, h)
+      .groupBy(col("__g").as("series"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        max(col("s")).as("max_s"),
+        min(when(col("alarm"), firstOrd)).as("first_alarm_ord"))
+}

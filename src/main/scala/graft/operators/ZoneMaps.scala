@@ -44,4 +44,42 @@ object ZoneMaps {
   def pruneBetween(stats: DataFrame, lo: Column, hi: Column): DataFrame =
     stats.withColumn("can_skip",
       col("vmax").isNull || col("vmax") < lo || col("vmin") > hi)
+
+  /** Clustering-depth audit of a [[blockStats]] frame with INTEGER
+    * vmin/vmax — the "should I re-cluster?" metric: how many block
+    * [vmin, vmax] ranges overlap each other. Depth 1 everywhere means
+    * perfectly clustered (point predicates touch one block); depth ≈
+    * n_blocks means the sort key is uncorrelated with the layout and
+    * zone maps skip nothing — exactly the signal that prices a
+    * [[graft.pipelines.FactsWarehouse]] z-order/compaction pass.
+    *
+    * Method: the classic endpoint sweep — +1 at vmin, −1 at vmax+1,
+    * running sum in (pos, delta, block) order; the depth recorded AT
+    * each block's start event counts every block whose range contains
+    * that start (closed intervals, itself included). One row:
+    * (label, n_blocks, max_depth, sum_start_depth, avg_depth_e6).
+    *
+    * BOUNDED(stats table ≈ one row per file/row-group — dim-sized by
+    * construction, the premise of the whole zone-map design): the
+    * unpartitioned running-sum window is over 2·n_blocks endpoint
+    * rows, never over data rows. */
+  def clusteringDepth(stats: DataFrame, label: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = stats.select(col("vmin").cast("long").as("pos"),
+        lit(1L).as("d"), col("block").cast("long").as("blk"))
+      .unionByName(stats.select((col("vmax").cast("long") + 1L).as("pos"),
+        lit(-1L).as("d"), col("block").cast("long").as("blk")))
+    // ends sort before starts at equal pos (d = −1 < 1): a block ending
+    // at x−1 never counts into a block starting at x
+    val w = Window.orderBy(col("pos"), col("d"), col("blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("depth", sum("d").over(w))
+      .filter(col("d") === 1L)
+      .agg(count(lit(1)).as("n_blocks"),
+        max(col("depth")).as("max_depth"),
+        sum(col("depth")).as("sum_start_depth"))
+      .select(lit(label).as("label"), col("n_blocks"), col("max_depth"),
+        col("sum_start_depth"),
+        expr("(1000000 * sum_start_depth) div n_blocks").as("avg_depth_e6"))
+  }
 }

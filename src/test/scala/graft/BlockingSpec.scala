@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Blocking
+
+/** Blocking audit: hand-counted candidate masses, the null-key ledger,
+  * and the degenerate single-block (no reduction) case. */
+class BlockingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-counted reduction ratio") {
+    // blocks: a×3 (3 pairs), b×2 (1 pair), c×1 (0) + 1 null key
+    val df = Seq(Some("a"), Some("a"), Some("a"), Some("b"), Some("b"),
+      Some("c"), None).toDF("k")
+    val r = Blocking.audit(df, col("k")).collect()(0)
+    assert(r.getAs[Long]("n_records") == 7L)
+    assert(r.getAs[Long]("n_null_key") == 1L)
+    assert(r.getAs[Long]("n_blocks") == 3L)
+    assert(r.getAs[Long]("largest_block") == 3L)
+    assert(r.getAs[Long]("candidate_pairs") == 4L)
+    assert(r.getAs[Long]("total_pairs") == 21L)
+    assert(r.getAs[Long]("reduction_ratio_e6") == 1000000L * 17 / 21)
+  }
+
+  test("one giant block reduces nothing") {
+    val df = (1 to 10).map(_ => "same").toDF("k")
+    val r = Blocking.audit(df, col("k")).collect()(0)
+    assert(r.getAs[Long]("candidate_pairs") == 45L)
+    assert(r.getAs[Long]("reduction_ratio_e6") == 0L)
+  }
+
+  test("all-distinct keys reduce everything") {
+    val df = (1 to 10).map(_.toString).toDF("k")
+    val r = Blocking.audit(df, col("k")).collect()(0)
+    assert(r.getAs[Long]("candidate_pairs") == 0L)
+    assert(r.getAs[Long]("reduction_ratio_e6") == 1000000L)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Changepoint
+
+/** CUSUM: closed form vs the textbook sequential recurrence on random
+  * series, level-shift detection vs z-score blindness, and reset
+  * behavior after a dip. */
+class ChangepointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(rows: Seq[(String, Long, Double)], target: Double,
+                    h: Double): Map[(String, Long), (BigDecimal, Boolean)] =
+    Changepoint.cusum(rows.toDF("g", "i", "x"), col("g"), Seq(col("i")),
+        col("x"), lit(target), lit(h))
+      .select(col("g"), col("i"), col("s"), col("alarm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((BigDecimal(r.getDecimal(2)), r.getBoolean(3)))).toMap
+
+  test("closed form equals the sequential max(0, ·) recurrence") {
+    val rnd = new scala.util.Random(77)
+    val xs = (1L to 60L).map(i => (if (i % 2 == 0) "a" else "b", i,
+      rnd.nextInt(200) / 10.0))
+    val got = stats(xs, target = 9.5, h = 5.0)
+    for (g <- Seq("a", "b")) {
+      var s = BigDecimal(0)
+      for ((_, i, x) <- xs.filter(_._1 == g).sortBy(_._2)) {
+        s = (s + BigDecimal(x.toString) - BigDecimal("9.5")).max(BigDecimal(0))
+        assert(got((g, i))._1 == s.setScale(6),
+          s"closed form diverges from recurrence at ($g, $i)")
+      }
+    }
+  }
+
+  test("a +2 level shift alarms even though no single point is extreme") {
+    // 30 points at target, then 30 points at target+2: S climbs 2/step
+    val rows = (1L to 30L).map(i => ("g", i, 10.0)) ++
+      (31L to 60L).map(i => ("g", i, 12.0))
+    val got = stats(rows, target = 10.0, h = 15.0)
+    assert(!got.filter(_._1._2 <= 30L).values.exists(_._2),
+      "on-target half never alarms")
+    val firstAlarm = got.filter(_._2._2).keys.map(_._2).min
+    assert(firstAlarm == 38L, // ceil(15/2)=8th shifted point crosses h
+      s"S=2·k crosses h=15 at the 8th shifted point, got $firstAlarm")
+  }
+
+  test("a deep dip resets the statistic (max-with-zero floor)") {
+    val rows = Seq(("g", 1L, 100.0), ("g", 2L, -1000.0), ("g", 3L, 100.0))
+    val got = stats(rows, target = 0.0, h = 50.0)
+    assert(got(("g", 1L)) == ((BigDecimal(100).setScale(6), true)))
+    assert(got(("g", 2L))._1 == BigDecimal(0).setScale(6),
+      "the dip floors S at 0, not at -900")
+    assert(got(("g", 3L)) == ((BigDecimal(100).setScale(6), true)),
+      "post-dip climb restarts from 0")
+  }
+}

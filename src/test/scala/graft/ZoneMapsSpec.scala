@@ -43,4 +43,26 @@ class ZoneMapsSpec extends SparkSpec {
       .filter(col("v").between(18L, 32L)).count()
     assert(leaked == 0L)
   }
+
+  test("clusteringDepth: disjoint ranges depth 1, nested ranges stack") {
+    def depth(ranges: Seq[(Long, Long, Long)]) = {
+      val stats = ranges.toDF("block", "vmin", "vmax")
+        .withColumn("n_rows", lit(1L)).withColumn("n_null", lit(0L))
+      ZoneMaps.clusteringDepth(stats, "t").collect()(0)
+    }
+    // perfectly clustered: [0,9] [10,19] [20,29]
+    val flat = depth(Seq((0L, 0L, 9L), (1L, 10L, 19L), (2L, 20L, 29L)))
+    assert(flat.getAs[Long]("max_depth") == 1L)
+    assert(flat.getAs[Long]("avg_depth_e6") == 1000000L)
+    // fully nested: [0,100] ⊃ [10,90] ⊃ [20,80]
+    val nest = depth(Seq((0L, 0L, 100L), (1L, 10L, 90L), (2L, 20L, 80L)))
+    assert(nest.getAs[Long]("max_depth") == 3L)
+    assert(nest.getAs[Long]("sum_start_depth") == 1L + 2L + 3L)
+    // closed-interval touch: [0,10] and [10,20] DO overlap at 10;
+    // [0,9] and [10,20] do not
+    val touch = depth(Seq((0L, 0L, 10L), (1L, 10L, 20L)))
+    assert(touch.getAs[Long]("max_depth") == 2L)
+    val apart = depth(Seq((0L, 0L, 9L), (1L, 10L, 20L)))
+    assert(apart.getAs[Long]("max_depth") == 1L)
+  }
 }
