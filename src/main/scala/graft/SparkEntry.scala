@@ -3703,6 +3703,29 @@ object SparkEntry {
         .orderBy("series")
     }),
 
+    // Ops — exact join-cardinality prediction
+    // (SkewAdvisor.joinSizeEstimate): sum of per-key count products
+    // over the two count tables, next to the ACTUAL join count — the
+    // gate certifies the predictor's defining identity on real data.
+    "q202_join_size" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      val pred = SkewAdvisor.joinSizeEstimate(o, col("o_orderkey"),
+        l, col("l_orderkey"), "orders_x_lineitem")
+      val actual = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      pred.crossJoin(broadcast(actual))
+    }),
+
+    // LLM ops — inference padding-waste curve
+    // (SequencePack.paddingWaste): exact padded-token mass of the
+    // document length distribution under candidate bucket widths; one
+    // scan fanned over a broadcast width dim.
+    "q203_padding_waste" -> ((s, dir) =>
+      SequencePack.paddingWaste(Tables.load(s, dir, "documents"),
+          TextFunctions.spaceTokenCount(col("text")), Seq(16, 64, 256))
+        .orderBy("width")),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -7332,6 +7355,37 @@ object SparkEntry {
         |  CAST(MAX(s) AS VARCHAR) AS max_s,
         |  MIN(CASE WHEN s > 100 THEN event_id END) AS first_alarm_ord
         |FROM s GROUP BY g ORDER BY series""".stripMargin,
+
+    "q202_join_size" ->
+      """WITH cl AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |cr AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_common,
+        |    CAST(SUM(cl.c * cr.c) AS BIGINT) AS join_rows,
+        |    CAST(MAX(cl.c * cr.c) AS BIGINT) AS max_key_rows
+        |  FROM cl JOIN cr USING (k)),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+        |SELECT 'orders_x_lineitem' AS label, n_keys_common, join_rows,
+        |  max_key_rows, actual_rows
+        |FROM p, a""".stripMargin,
+
+    "q203_padding_waste" ->
+      """WITH d AS (SELECT length(text) - length(replace(text, ' ', ''))
+        |    + 1 AS len FROM documents),
+        |w AS (SELECT CAST(range AS BIGINT) AS width
+        |    FROM range(1, 257) WHERE range IN (16, 64, 256)),
+        |p AS (SELECT width, len,
+        |    ((len + width - 1) // width) * width AS padded FROM d, w)
+        |SELECT width, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(padded) AS BIGINT) AS padded_tokens,
+        |  CAST(SUM(padded) - SUM(len) AS BIGINT) AS waste,
+        |  (1000000 * (CAST(SUM(padded) AS BIGINT)
+        |    - CAST(SUM(len) AS BIGINT)))
+        |    // CAST(SUM(padded) AS BIGINT) AS waste_e6
+        |FROM p GROUP BY width ORDER BY width""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -105,4 +105,41 @@ object SequencePack {
         sum(nTokens.cast("long")).as("n_tokens"),
         (sum(nTokens.cast("long")) / lit(capacity.toDouble)).as("fill_rate"))
   }
+
+  /** Padding-waste audit for length-bucketed inference batching — the
+    * serving-side dual of [[packBins]] (training packs to a fixed
+    * capacity; inference pads each sequence UP to its bucket
+    * boundary): under bucket width W a length-L sequence pads to
+    * ⌈L/W⌉·W, wasting ⌈L/W⌉·W − L slots. One row per candidate width —
+    * the curve a serving team reads to pick W (small W = many bucket
+    * shapes to compile, large W = wasted FLOPs; this prices the FLOPs
+    * side exactly).
+    *
+    * Row-local arithmetic fanned over a broadcast width dim — one scan
+    * of the length column regardless of how many widths are priced;
+    * all counts exact BIGINT, the waste fraction a ×10⁶ floor ratio.
+    * Zero-length sequences pad to 0 (no bucket); negative lengths are
+    * a caller bug and fail the ANSI cast loudly. */
+  def paddingWaste(docs: DataFrame, nTokens: Column,
+                   widths: Seq[Int]): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ > 0),
+      "widths must be positive")
+    val spark = docs.sparkSession
+    val wdim = spark.createDataFrame(
+      widths.distinct.sorted.map(Tuple1(_))).toDF("width")
+    docs.select(nTokens.cast("long").as("len"))
+      .crossJoin(broadcast(wdim))
+      .select(col("width"),
+        col("len"),
+        (expr("((len + width - 1) div width)") * col("width")).as("padded"))
+      .groupBy("width")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("len").as("total_tokens"),
+        sum("padded").as("padded_tokens"))
+      .select(col("width").cast("long").as("width"), col("n_docs"),
+        col("total_tokens"), col("padded_tokens"),
+        (col("padded_tokens") - col("total_tokens")).as("waste"),
+        expr("(1000000 * (padded_tokens - total_tokens))" +
+          " div padded_tokens").as("waste_e6"))
+  }
 }

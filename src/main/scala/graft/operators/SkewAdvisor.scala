@@ -54,4 +54,31 @@ object SkewAdvisor {
         expr("(1000 * max_cnt * n_keys) div n_rows").as("skew_ratio_milli"),
         expr("(max_cnt * n_keys + n_rows - 1) div n_rows").as("salt_hint"))
   }
+
+  /** EXACT inner-join cardinality from per-key counts — the other
+    * pre-flight number ([[keyProfile]] prices the skew, this prices
+    * the OUTPUT): |L ⋈ R| = Σ_k c_L(k)·c_R(k), computed by joining the
+    * two count tables (each |keys| rows — never the fact tables).
+    * This is what the textbook histogram estimator converges to with
+    * per-key resolution; on exact counts it is not an estimate at all,
+    * which is the point — run it before a join that might explode.
+    * `max_key_rows` is the largest single key's contribution: the
+    * straggler bound that decides between plain, broadcast, and
+    * [[SkewJoin.saltedJoin]].
+    *
+    * Null keys never match in an inner join and are excluded. */
+  def joinSizeEstimate(left: DataFrame, lk: Column,
+                       right: DataFrame, rk: Column,
+                       label: String): DataFrame = {
+    val cl = left.select(lk.as("k")).filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("cl"))
+    val cr = right.select(rk.as("k")).filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("cr"))
+    cl.join(cr, Seq("k"))
+      .agg(count(lit(1)).as("n_keys_common"),
+        sum(col("cl") * col("cr")).as("join_rows"),
+        max(col("cl") * col("cr")).as("max_key_rows"))
+      .select(lit(label).as("label"), col("n_keys_common"),
+        col("join_rows"), col("max_key_rows"))
+  }
 }

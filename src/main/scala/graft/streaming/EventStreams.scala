@@ -235,4 +235,38 @@ object EventStreams {
           out.iterator
       }
   }
+
+  final case class SeriesPoint(series: String, i: Long, x_micro: Long)
+  final case class CusumOut(series: String, i: Long, s_micro: Long,
+                            alarm: Boolean)
+  final case class CusumState(sMicro: Long)
+
+  /** Streaming CUSUM — the stateful twin of
+    * [[graft.operators.Changepoint.cusum]]: where the batch operator
+    * uses the closed form S_t = P_t − min(0, min prefix P), the stream
+    * runs the textbook recurrence S := max(0, S + (x − target)) with S
+    * carried across micro-batches in `GroupState` — one long per
+    * series. The ChangepointSpec parity theorem (closed form ≡
+    * recurrence) is what licenses the pair: same alarms, batch or
+    * stream. Values in 10⁻⁶ fixed point (exact longs end-to-end, the
+    * streaming mirror of the batch decimal(38,6) discipline).
+    *
+    * Within a micro-batch rows sort by `i`; cross-batch order is the
+    * source's responsibility ([[markerSegments]]' contract). */
+  def cusumStream(points: Dataset[SeriesPoint], targetMicro: Long,
+                  hMicro: Long): Dataset[CusumOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.series)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (g, it, state: GroupState[CusumState]) =>
+          var s = state.getOption.map(_.sMicro).getOrElse(0L)
+          val out = it.toSeq.sortBy(_.i).map { p =>
+            s = math.max(0L, s + (p.x_micro - targetMicro))
+            CusumOut(g, p.i, s, s > hMicro)
+          }
+          state.update(CusumState(s))
+          out.iterator
+      }
+  }
 }

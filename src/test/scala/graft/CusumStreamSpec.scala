@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Changepoint
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{CusumOut, SeriesPoint}
+
+/** Streaming/batch CUSUM parity: the GroupState recurrence must emit
+  * exactly what the batch closed form computes on the same points —
+  * including state carried across a micro-batch boundary that splits a
+  * series mid-climb. */
+class CusumStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pts = Seq(
+    SeriesPoint("a", 1, 10_000_000L), SeriesPoint("a", 2, 12_000_000L),
+    SeriesPoint("a", 3, 2_000_000L), SeriesPoint("a", 4, 15_000_000L),
+    SeriesPoint("b", 1, 9_000_000L), SeriesPoint("b", 2, 9_000_000L),
+    SeriesPoint("b", 3, 30_000_000L))
+  private val target = 9_500_000L // 9.5 in micro units
+  private val h = 4_000_000L
+
+  private def batchStats: Map[(String, Long), (Long, Boolean)] =
+    Changepoint.cusum(pts.toDF(), col("series"), Seq(col("i")),
+        col("x_micro"), lit(target), lit(h))
+      .select(col("series"), col("i"),
+        col("s").cast("long").as("s"), col("alarm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+
+  test("stream emissions equal the batch closed form, across batches") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[SeriesPoint]
+    val q = EventStreams.cusumStream(src.toDS(), target, h)
+      .writeStream.format("memory").queryName("cusum_par")
+      .outputMode("append").start()
+    try {
+      // split series 'a' across the micro-batch boundary mid-climb
+      src.addData(pts.take(3): _*)
+      q.processAllAvailable()
+      src.addData(pts.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_par").as[CusumOut].collect()
+        .map(o => (o.series, o.i) -> ((o.s_micro, o.alarm))).toMap
+      val batch = batchStats
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (k, v) =>
+        assert(v == batch(k), s"parity broken at $k: stream=$v batch=${batch(k)}")
+      }
+      // and the fixture actually exercises both alarm states
+      assert(streamed.values.exists(_._2) && streamed.values.exists(!_._2))
+    } finally q.stop()
+  }
+}

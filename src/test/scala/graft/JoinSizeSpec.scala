@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{SequencePack, SkewAdvisor}
+
+/** Join-size prediction (exact identity vs a real join, null-key
+  * exclusion) and the padding-waste curve (hand-computed buckets,
+  * monotone waste in width). */
+class JoinSizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("joinSizeEstimate equals the actual inner-join count") {
+    val l = Seq(1L, 1L, 1L, 2L, 3L, 3L).toDF("k")
+    val r = Seq(1L, 2L, 2L, 4L).toDF("j")
+    val est = SkewAdvisor.joinSizeEstimate(l, col("k"), r, col("j"), "t")
+      .collect()(0)
+    val actual = l.join(r, col("k") === col("j")).count()
+    assert(est.getAs[Long]("join_rows") == actual)
+    assert(est.getAs[Long]("join_rows") == 3L * 1 + 1L * 2) // k=1, k=2
+    assert(est.getAs[Long]("n_keys_common") == 2L)
+    assert(est.getAs[Long]("max_key_rows") == 3L)
+  }
+
+  test("null keys are excluded — as an inner join would") {
+    val l = Seq(Some(1L), None, None).toDF("k")
+    val r = Seq(Some(1L), None).toDF("j")
+    val est = SkewAdvisor.joinSizeEstimate(l, col("k"), r, col("j"), "t")
+      .collect()(0)
+    assert(est.getAs[Long]("join_rows") == 1L,
+      "null never matches null in an inner join")
+  }
+
+  test("paddingWaste: hand-computed buckets; wider buckets waste more") {
+    val lens = Seq(1L, 7L, 8L, 9L, 16L).toDF("n")
+    val got = SequencePack.paddingWaste(lens, col("n"), Seq(8, 16))
+      .orderBy("width").collect()
+    // W=8: padded = 8+8+8+16+16 = 56, total = 41 → waste 15
+    assert(got(0).getAs[Long]("padded_tokens") == 56L)
+    assert(got(0).getAs[Long]("waste") == 15L)
+    assert(got(0).getAs[Long]("waste_e6") == 1000000L * 15 / 56)
+    // W=16: padded = 16·5 = 80 → waste 39
+    assert(got(1).getAs[Long]("padded_tokens") == 80L)
+    assert(got(1).getAs[Long]("waste") == 39L)
+    // exact multiples of W waste nothing
+    val exact = SequencePack.paddingWaste(Seq(8L, 16L, 24L).toDF("n"),
+      col("n"), Seq(8)).collect()(0)
+    assert(exact.getAs[Long]("waste") == 0L)
+  }
+}

@@ -357,4 +357,51 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q192: basket pairing is a hash equi-join on the basket, no nested loop") {
+    val p = plan("q192_pair_rules")
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), "pair generation must be an equi-join")
+  }
+
+  test("q193: bitmap overlap joins word tables — bit ops stay codegen'd, no UDF") {
+    val p = plan("q193_bitmap_overlap")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q195: HITS rounds join the score vector to edges — never edge x edge") {
+    val p = plan("q195_hits")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q197: ACF lag pairing is an equi-join on idx+lag with the lag dim broadcast") {
+    val p = plan("q197_acf")
+    assert(p.contains("BroadcastExchange"), "lag dim must broadcast")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // no unpartitioned data-sized window anywhere in the ACF plan
+    assert(!p.contains("Window ["), "ACF must not use windows at all")
+  }
+
+  test("q201: CUSUM windows are PARTITIONED by the series key") {
+    val p = plan("q201_cusum")
+    assert(p.contains("Window ["), "cusum is window-based")
+    // every Window operator must carry a partition spec (the series
+    // key) — an empty partitionBy would collapse to one task
+    val windows = p.split("\n").filter(_.contains("Window ["))
+    assert(windows.nonEmpty && windows.forall(_.contains("windowspecdefinition(__g")),
+      windows.mkString("\n"))
+  }
+
+  test("q199: clustering depth sweeps ONLY the dim-sized stats table") {
+    val p = plan("q199_clustering_depth")
+    // the block-stats aggregate reduces lineitem before any window; the
+    // single-partition window is over endpoint rows (2 per block)
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
