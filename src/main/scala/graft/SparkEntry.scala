@@ -3726,6 +3726,35 @@ object SparkEntry {
           TextFunctions.spaceTokenCount(col("text")), Seq(16, 64, 256))
         .orderBy("width")),
 
+    // Ops — largest-remainder budget apportionment
+    // (Apportion.largestRemainder): 10007 crawl slots over nations by
+    // customer mass; Σ alloc == budget exactly, every quota within 1,
+    // remainders ranked by GlobalIndex (never a global window).
+    "q204_apportion" -> ((s, dir) => {
+      val w = Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("cnt"))
+      Apportion.largestRemainder(w, col("nation"), col("cnt"),
+        budget = 10007L).orderBy("key")
+    }),
+
+    // Analytics — top-k user journeys (EventAnalytics.topPaths):
+    // per user-day ordered event-type paths, corpus-voted top 20;
+    // in-array sort makes the path a pure function of the group.
+    "q205_top_paths" -> ((s, dir) =>
+      EventAnalytics.topPaths(Tables.events(s, dir),
+        Seq(col("user_id"), expr("unix_micros(ts) div 86400000000")),
+        Seq(expr("unix_micros(ts)"), col("event_id")),
+        col("event_type"), k = 20)),
+
+    // Governance — information gain of `source` about a length label
+    // (InfoGain.categorical): the four Σ c·ln c terms of the count
+    // algebra as exact decimals under the %.6f-ln discipline, ONE
+    // double division — the feature-selection number, engine-exact.
+    "q206_info_gain" -> ((s, dir) =>
+      InfoGain.categorical(Tables.load(s, dir, "documents"),
+        col("source"), col("n_chars") >= 306)),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -7386,6 +7415,60 @@ object SparkEntry {
         |    - CAST(SUM(len) AS BIGINT)))
         |    // CAST(SUM(padded) AS BIGINT) AS waste_e6
         |FROM p GROUP BY width ORDER BY width""".stripMargin,
+
+    "q204_apportion" ->
+      """WITH w AS (SELECT c_nationkey AS key, CAST(COUNT(*) AS BIGINT)
+        |    AS w FROM customer GROUP BY 1),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+        |q AS (SELECT key, w, (10007 * w) // tw AS base,
+        |    (10007 * w) % tw AS rem FROM w, t),
+        |lf AS (SELECT 10007 - CAST(SUM(base) AS BIGINT) AS lft FROM q),
+        |r AS (SELECT key, w, base,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, key) - 1 AS rk FROM q)
+        |SELECT key, w, base,
+        |  CAST(CASE WHEN rk < lft THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        |  base + CAST(CASE WHEN rk < lft THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r, lf ORDER BY key""".stripMargin,
+
+    "q205_top_paths" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    string_agg(event_type, '>'
+        |      ORDER BY epoch_us(ts), event_id) AS path
+        |  FROM events GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_units FROM p
+        |GROUP BY path ORDER BY n_units DESC, path LIMIT 20""".stripMargin,
+
+    "q206_info_gain" -> {
+      def clnSql(c: String): String =
+        s"CAST(CAST($c AS DECIMAL(13,0)) * CAST(printf('%.6f', " +
+          s"ln(CAST($c AS DOUBLE))) AS DECIMAL(10,6)) AS DECIMAL(24,6))"
+      s"""WITH j AS (SELECT COALESCE(CAST(source AS VARCHAR), ' null')
+         |    AS f,
+         |    COALESCE(CAST(n_chars >= 306 AS VARCHAR), ' null') AS l,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(${clnSql("c")}) AS DECIMAL(38,6)) AS joint_term
+         |  FROM j),
+         |ft AS (SELECT CAST(SUM(${clnSql("nf")}) AS DECIMAL(38,6))
+         |    AS feat_term
+         |  FROM (SELECT f, CAST(SUM(c) AS BIGINT) AS nf FROM j
+         |    GROUP BY f)),
+         |lt AS (SELECT CAST(SUM(${clnSql("nl")}) AS DECIMAL(38,6))
+         |    AS label_term
+         |  FROM (SELECT l, CAST(SUM(c) AS BIGINT) AS nl FROM j
+         |    GROUP BY l)),
+         |nt AS (SELECT CAST(${clnSql("n")} AS DECIMAL(38,6)) AS n_term
+         |  FROM t)
+         |SELECT n, CAST(joint_term AS VARCHAR) AS joint_term,
+         |  CAST(feat_term AS VARCHAR) AS feat_term,
+         |  CAST(label_term AS VARCHAR) AS label_term,
+         |  CAST(n_term AS VARCHAR) AS n_term,
+         |  printf('%.6f', CAST(joint_term - feat_term - label_term
+         |    + n_term AS DOUBLE) / CAST(n AS DOUBLE)) AS ig_nats
+         |FROM t, ft, lt, nt""".stripMargin
+    },
 
     "q125_topgram_coverage" ->
       """WITH g AS (

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Largest-remainder (Hamilton) apportionment — divide an INTEGER
+  * budget over weighted keys exactly: crawl slots over hosts, sample
+  * quotas over strata, training-mix tokens over domains. Proportional
+  * rounding done wrong either loses budget (floor everywhere) or
+  * overspends (round-half-up everywhere); Hamilton's method floors
+  * every quota and hands the leftover, one unit each, to the largest
+  * fractional remainders — Σ alloc == budget EXACTLY, every
+  * allocation within 1 of its real quota.
+  *
+  * All arithmetic exact BIGINT: quota numerators budget·w over the
+  * common denominator W = Σw, remainders compared as integers
+  * (never floats), ties broken by key so the result is a pure
+  * function of the data. Domain: budget·max(w) < 2⁶³ — ANSI-loud.
+  *
+  * Scale shape: one aggregate for W (broadcast back as one row),
+  * row-local floors/remainders, and ONE [[GlobalIndex]] range-sort of
+  * the |keys|-sized table to rank remainders — never a global window.
+  * The +1 cut is an O(1) comparison against the broadcast leftover.
+  */
+object Apportion {
+
+  /** @param weight non-negative integer weight per key (pre-aggregate
+    *               duplicates upstream; duplicate keys here each get
+    *               their own allocation)
+    * @return (key, w, base, extra, alloc): floor quota, the 0/1
+    *         largest-remainder top-up, and their sum. Σ alloc over
+    *         the frame == budget (provable: Σ base = budget − r with
+    *         r < n_keys leftover units, exactly r rows get extra=1). */
+  def largestRemainder(df: DataFrame, key: Column, weight: Column,
+                       budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val w = df.select(key.as("key"), weight.cast("long").as("w"))
+    val tot = w.agg(sum("w").as("tw"), count(lit(1)).as("nk"))
+    val quotas = w.crossJoin(broadcast(tot))
+      .select(col("key"), col("w"),
+        expr(s"($budget * w) div tw").as("base"),
+        expr(s"($budget * w) % tw").as("rem"))
+    // leftover = budget − Σ base, distributed to the largest remainders
+    val leftover = quotas.agg((lit(budget) - sum("base")).as("left"))
+    val ranked = GlobalIndex.withGlobalIndex(quotas,
+      Seq(col("rem").desc, col("key")), idxCol = "__r")
+    ranked.crossJoin(broadcast(leftover))
+      .select(col("key"), col("w"), col("base"),
+        when(col("__r") < col("left"), 1L).otherwise(0L).as("extra"))
+      .withColumn("alloc", col("base") + col("extra"))
+  }
+}

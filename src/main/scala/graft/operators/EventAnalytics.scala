@@ -193,4 +193,34 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_conversions"),
         sum(col("v")).as("value_sum"))
   }
+
+  /** Top-k user journeys — the path-mining staple: per traversal unit
+    * (user-session, user-day) the ordered sequence of steps becomes
+    * one path string, and the corpus votes on the most common
+    * journeys. The [[transitionMatrix]] sibling counts single hops;
+    * this keeps whole sequences, which is what answers "HOW do users
+    * reach checkout" rather than "what follows what".
+    *
+    * Determinism: steps sort by the caller's total `order` INSIDE the
+    * aggregated array (`array_sort` over (order…, step) structs — a
+    * pure function of the group's rows, unlike raw `collect_list`
+    * order), and the top-k is (count desc, path asc).
+    *
+    * Scale shape: one groupBy per traversal unit (collect bounded by
+    * per-unit event counts — sessions are short by construction; cap
+    * upstream with [[Sessionize]] if a bot session could be huge), one
+    * count aggregate on the |paths|-sized table, TakeOrdered k. */
+  def topPaths(events: DataFrame, unit: Seq[Column], order: Seq[Column],
+               step: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val fields = order.zipWithIndex.map { case (c, i) => c.as(s"o$i") } :+
+      step.cast("string").as("s")
+    events.groupBy(unit: _*)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(fields: _*))),
+          s => s.getField("s")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_units"))
+      .orderBy(col("n_units").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Apportion
+
+/** Hamilton apportionment: the classic 3-way example, the exact-sum
+  * invariant under adversarial weights, quota bounds, and zero
+  * weights. */
+class ApportionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def alloc(ws: Seq[(String, Long)], budget: Long): Map[String, Long] =
+    Apportion.largestRemainder(ws.toDF("k", "w"), col("k"), col("w"), budget)
+      .select("key", "alloc").as[(String, Long)].collect().toMap
+
+  test("textbook case: remainders break the tie, sum is exact") {
+    // w = 5, 3, 2 over budget 7: quotas 3.5, 2.1, 1.4 → floors 3,2,1
+    // leftover 1 goes to the largest remainder (.5 on a)
+    val got = alloc(Seq(("a", 5L), ("b", 3L), ("c", 2L)), 7L)
+    assert(got == Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("sum equals budget exactly under awkward weights") {
+    val rnd = new scala.util.Random(11)
+    val ws = (1 to 97).map(i => (s"k$i", rnd.nextInt(1000) + 1L))
+    for (budget <- Seq(1L, 13L, 9999L, 100003L)) {
+      val got = alloc(ws, budget)
+      assert(got.values.sum == budget, s"budget $budget leaked")
+      // every allocation within 1 of the real quota
+      val tw = ws.map(_._2).sum
+      ws.foreach { case (k, w) =>
+        val quota = BigDecimal(budget) * w / tw
+        assert((BigDecimal(got(k)) - quota).abs < 1,
+          s"$k: alloc ${got(k)} vs quota $quota")
+      }
+    }
+  }
+
+  test("zero-weight keys get zero; ties resolve by key") {
+    val got = alloc(Seq(("a", 0L), ("b", 1L), ("c", 1L)), 1L)
+    assert(got("a") == 0L)
+    // quotas .5/.5: equal remainders — key order gives b the unit
+    assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 0L))
+  }
+}

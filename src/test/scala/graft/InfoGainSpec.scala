@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EventAnalytics, InfoGain}
+
+/** Information gain (perfectly predictive, independent, and a
+  * hand-checkable middle case) and top-paths journey mining. */
+class InfoGainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perfectly predictive feature: IG = H(label) = ln 2 for a 50/50 label") {
+    val df = (1 to 40).map(i => (if (i % 2 == 0) "f1" else "f2",
+      i % 2 == 0)).toDF("f", "l")
+    val r = InfoGain.categorical(df, col("f"), col("l")).collect()(0)
+    assert(r.getAs[String]("ig_nats") == "0.693147", // ln 2
+      r.getAs[String]("ig_nats"))
+  }
+
+  test("independent feature: IG = 0 exactly") {
+    // every (f, l) cell equal → joint factorizes
+    val df = (for { f <- Seq("a", "b"); l <- Seq(true, false); _ <- 1 to 10 }
+      yield (f, l)).toDF("f", "l")
+    val r = InfoGain.categorical(df, col("f"), col("l")).collect()(0)
+    assert(r.getAs[String]("ig_nats") == "0.000000")
+  }
+
+  test("nulls form their own category") {
+    val df = Seq((Some("a"), true), (None, false), (None, false),
+      (Some("a"), true)).toDF("f", "l")
+    val r = InfoGain.categorical(df, col("f"), col("l")).collect()(0)
+    // null-f rows are all false, a-rows all true → perfectly predictive
+    assert(r.getAs[String]("ig_nats") == "0.693147")
+  }
+
+  test("topPaths: order inside the group is by the caller's order, not arrival") {
+    val ev = Seq(
+      // user 1: events arrive out of order — path must still be A>B>C
+      (1L, 30L, 3L, "C"), (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"),
+      (2L, 10L, 4L, "A"), (2L, 20L, 5L, "B"), (2L, 30L, 6L, "C"),
+      (3L, 10L, 7L, "B"), (3L, 20L, 8L, "A")
+    ).toDF("u", "t", "id", "et")
+    val got = EventAnalytics.topPaths(ev, Seq(col("u")),
+        Seq(col("t"), col("id")), col("et"), k = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("A>B>C", 2L), ("B>A", 1L)))
+  }
+
+  test("topPaths: k cuts deterministically by (count desc, path)") {
+    val ev = (1L to 6L).map(u => (u, 1L, u, if (u <= 2) "X" else "Y"))
+      .toDF("u", "t", "id", "et")
+    val got = EventAnalytics.topPaths(ev, Seq(col("u")),
+        Seq(col("t"), col("id")), col("et"), k = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("Y", 4L)))
+  }
+}
