@@ -3755,6 +3755,50 @@ object SparkEntry {
       InfoGain.categorical(Tables.load(s, dir, "documents"),
         col("source"), col("n_chars") >= 306)),
 
+    // Ops — per-series OLS trend (Trend.slopePerGroup): one slope +
+    // intercept per event type over its hourly value series, five
+    // exact decimal moments in ONE groupBy, coefficients as %.9f
+    // fixed IEEE trees.
+    "q207_group_trend" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+        .agg(sum(col("value").cast(dec6)).cast(dec6).as("y"))
+      Trend.slopePerGroup(series, col("event_type"), col("h"), col("y"))
+        .orderBy("g")
+    }),
+
+    // LLM ops — TTL dedup (Dedup.ttlFresh): the recrawl rule — a key
+    // re-seen within 1h of its previous occurrence is a dup; ONE
+    // key-partitioned lag window, gap semantics shared with
+    // Sessionize, rolled up per event type.
+    "q208_ttl_dedup" -> ((s, dir) =>
+      Dedup.ttlFresh(Tables.events(s, dir),
+          concat_ws("|", col("user_id"), col("event_type")),
+          expr("unix_micros(ts)"), col("event_id"), ttlUs = 3600000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("fresh"), 1L).otherwise(0L)).as("n_fresh"))
+        .orderBy("event_type")),
+
+    // Graphs — degree assortativity (GraphStats.degreeAssortativity):
+    // Pearson of endpoint degrees over the symmetrized trade graph;
+    // exact BIGINT moments, fixed double tree with sqrt (IEEE
+    // correctly rounded), oracle mirrored token-for-token.
+    "q209_assortativity" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val p = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val e = p.unionByName(
+        p.select(col("dst").as("src"), col("src").as("dst")))
+      GraphStats.degreeAssortativity(e)
+    }),
+
     // LLM ops — LSH banding RECALL audit against a deterministic exact
     // baseline (Dedup.prefixJaccardPairs): per-Jaccard-decile recall of
     // the 16/4 banding's candidate set. The instrument that prices the
@@ -7469,6 +7513,79 @@ object SparkEntry {
          |    + n_term AS DOUBLE) / CAST(n AS DOUBLE)) AS ig_nats
          |FROM t, ft, lt, nt""".stripMargin
     },
+
+    "q207_group_trend" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    epoch_us(ts) // 3600000000 AS h,
+        |    CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS y
+        |  FROM events GROUP BY 1, 2),
+        |c AS (SELECT g, CAST(h AS DECIMAL(12,0)) AS x,
+        |    CAST(y AS DECIMAL(18,6)) AS y FROM s),
+        |m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DECIMAL(23,0)) AS sx,
+        |    CAST(SUM(y) AS DECIMAL(29,6)) AS sy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(25,0))) AS DECIMAL(36,0))
+        |      AS sxx,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(31,6))) AS DECIMAL(37,6))
+        |      AS sxy
+        |  FROM c GROUP BY g),
+        |d AS (SELECT *, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE)
+        |    AS sxd, CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE)
+        |    AS sxxd, CAST(sxy AS DOUBLE) AS sxyd FROM m)
+        |SELECT g, n, CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR)
+        |    AS sy, CAST(sxx AS VARCHAR) AS sxx,
+        |  CAST(sxy AS VARCHAR) AS sxy,
+        |  CASE WHEN n >= 2 AND nd * sxxd - sxd * sxd <> 0.0 THEN
+        |    printf('%.9f', (nd * sxyd - sxd * syd)
+        |      / (nd * sxxd - sxd * sxd)) END AS slope,
+        |  CASE WHEN n >= 2 AND nd * sxxd - sxd * sxd <> 0.0 THEN
+        |    printf('%.9f', (syd - (nd * sxyd - sxd * syd)
+        |      / (nd * sxxd - sxd * sxd) * sxd) / nd) END AS intercept
+        |FROM d ORDER BY g""".stripMargin,
+
+    "q208_ttl_dedup" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts)
+        |    AS us FROM events),
+        |l AS (SELECT event_type, us - LAG(us) OVER (
+        |    PARTITION BY user_id, event_type ORDER BY us, event_id)
+        |    AS gap FROM e)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q209_assortativity" ->
+      """WITH prp AS (SELECT DISTINCT 2 * o_custkey AS src,
+        |    2 * l_suppkey + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM prp
+        |  UNION ALL SELECT dst, src FROM prp),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
+        |    (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+        |  GROUP BY node),
+        |wd AS (SELECT dx.d AS dx, dy.d AS dy FROM e
+        |  JOIN deg dx ON dx.node = e.src
+        |  JOIN deg dy ON dy.node = e.dst),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(dx) AS BIGINT) AS sx,
+        |    CAST(SUM(dy) AS BIGINT) AS sy,
+        |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+        |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+        |    CAST(SUM(dy * dy) AS BIGINT) AS syy FROM wd)
+        |SELECT m, sx, sy, sxy, sxx, syy,
+        |  CASE WHEN m >= 2
+        |    AND CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+        |    AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0 THEN
+        |    printf('%.6f', (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) END AS r
+        |FROM m""".stripMargin,
 
     "q125_topgram_coverage" ->
       """WITH g AS (

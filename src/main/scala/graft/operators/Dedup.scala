@@ -845,4 +845,33 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** TTL dedup — time-bounded exact dedup for recurring keys: a key
+    * seen again within `ttlUs` of its PREVIOUS occurrence is a dup
+    * (the recrawl/refetch rule — a page refetched an hour after the
+    * last fetch is the same page; a year later it has earned a fresh
+    * slot). [[dropDuplicates]]-style global dedup is the ttl→∞ limit;
+    * the watermark streaming dedup is this rule's streaming twin.
+    *
+    * Gap semantics ([[Sessionize]]'s): a row is FRESH iff the gap to
+    * the immediately preceding same-key occurrence exceeds the TTL
+    * (or none exists) — so a steady sub-TTL drip keeps only its first
+    * row, exactly one fresh row per quiet-period-separated burst.
+    *
+    * Scale shape: ONE key-partitioned window (lag) — the scalable
+    * window shape; no joins, no state. Ties at equal timestamps
+    * break by `tie` (unique within key) so freshness is a pure
+    * function of the rows. */
+  def ttlFresh(df: DataFrame, key: Column, tsUs: Column, tie: Column,
+               ttlUs: Long): DataFrame = {
+    require(ttlUs >= 0, "ttlUs must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__t"))
+    df.withColumn("__k", key).withColumn("__ts", tsUs)
+      .withColumn("__t", tie)
+      .withColumn("fresh",
+        coalesce(col("__ts") - lag(col("__ts"), 1).over(w) > ttlUs,
+          lit(true)))
+      .drop("__k", "__ts", "__t")
+  }
 }

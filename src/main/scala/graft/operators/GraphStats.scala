@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph structure statistics. First resident: degree
+  * assortativity — the Pearson correlation of endpoint degrees over
+  * edges. Social graphs run positive (hubs befriend hubs), web and
+  * biological graphs negative (hubs link leaves); a crawl graph whose
+  * assortativity flips between snapshots changed its growth regime —
+  * a [[Drift]]-class signal computed from pure topology, the scalar
+  * companion to [[Neighborhood]]'s distance profile and
+  * [[Triangles]]' clustering.
+  *
+  * Exact BIGINT degree moments (Σd_u, Σd_u d_v, Σd_u² over directed
+  * edge instances — symmetrize first for the undirected convention),
+  * then the FIXED IEEE double tree r = (MΣxy − ΣxΣy) /
+  * (sqrt(MΣxx − (Σx)²)·sqrt(MΣyy − (Σy)²)), mirrored token-for-token
+  * in the oracle ([[AbTest]]'s determinism argument). Domain: moment
+  * sums < 2⁶³ — |E|·d_max² < 9.2×10¹⁸, ANSI-loud beyond.
+  *
+  * Scale shape: one groupBy for degrees (|nodes| rows), two equi-joins
+  * of the degree vector to the edge list (src then dst — the
+  * [[PageRank]] join shape), one moment aggregate. No windows, no
+  * driver state.
+  */
+object GraphStats {
+
+  /** @param edges (src, dst) DIRECTED edge instances; pass the
+    *        symmetrized list for undirected assortativity. Degree is
+    *        TOTAL degree (src + dst occurrences) — on a symmetrized
+    *        list that is 2× the undirected degree, a positive scalar
+    *        that cancels in Pearson r (the exposed moments are in
+    *        total-degree units).
+    * @return one row: (m, sx, sy, sxy, sxx, syy — exact BIGINT edge
+    *         moments of (deg(src), deg(dst)) — r %.6f, null for
+    *         degenerate graphs) */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("node").as("src"), col("d").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("d").as("dy")), Seq("dst"))
+    val m = withDeg.agg(count(lit(1)).as("m"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val (md, sx, sy) = (col("m").cast("double"), col("sx").cast("double"),
+      col("sy").cast("double"))
+    val num = md * col("sxy").cast("double") - sx * sy
+    val denx = md * col("sxx").cast("double") - sx * sx
+    val deny = md * col("syy").cast("double") - sy * sy
+    m.select(col("m"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+      col("syy"),
+      when(col("m") >= 2 && denx > lit(0.0d) && deny > lit(0.0d),
+        format_string("%.6f", num / (sqrt(denx) * sqrt(deny)))).as("r"))
+  }
+}

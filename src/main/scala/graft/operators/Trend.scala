@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Per-group OLS trend — the fleet-health primitive: one slope per
+  * series ("error rate drifting up on which services?"), thousands of
+  * groups in ONE aggregate pass. The scalar cousin of [[Autocorr]]
+  * (is it periodic?) and [[Changepoint]] (did it shift?): is it
+  * DRIFTING, and how fast?
+  *
+  * slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²), intercept = (Σy − b·Σx)/n —
+  * five exact decimal moments per group, then ONE double division per
+  * coefficient rendered %.9f (the q186 discipline). Decimal widths
+  * are sized so no product hits the precision-38 rescale rules:
+  * x as decimal(12,0) (|x| < 10¹², e.g. epoch-hours), y decimal(18,6),
+  * per-group row counts < 10¹⁰ — every cross term ≤ precision 35.
+  *
+  * Scale shape: ONE map-side-combined groupBy — no window, no join,
+  * no sort; group count is irrelevant to the shuffle width (one row
+  * per group). Degenerate groups (n < 2 or constant x) emit null
+  * coefficients rather than dividing by zero.
+  */
+object Trend {
+
+  def slopePerGroup(df: DataFrame, group: Column, x: Column,
+                    y: Column): DataFrame = {
+    val xd = x.cast(DecimalType(12, 0))
+    val yd = y.cast(DecimalType(18, 6))
+    val m = df.select(group.as("g"), xd.as("x"), yd.as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(DecimalType(23, 0)).as("sx"),
+        sum(col("y")).cast(DecimalType(29, 6)).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(25, 0)))
+          .cast(DecimalType(36, 0)).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(31, 6)))
+          .cast(DecimalType(37, 6)).as("sxy"))
+    val nd = col("n").cast(DecimalType(10, 0))
+    // num/den computed in DOUBLE (exact decimal sums → one rounding
+    // each, then a fixed IEEE tree — n·Σxy can exceed decimal(38) for
+    // big groups, doubles cannot overflow)
+    val num = nd.cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = nd.cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    m.select(col("g"), col("n"),
+      col("sx").cast("string").as("sx"), col("sy").cast("string").as("sy"),
+      col("sxx").cast("string").as("sxx"),
+      col("sxy").cast("string").as("sxy"),
+      when(col("n") >= 2 && den =!= lit(0.0d),
+        format_string("%.9f", num / den)).as("slope"),
+      when(col("n") >= 2 && den =!= lit(0.0d),
+        format_string("%.9f",
+          (col("sy").cast("double") - num / den * col("sx").cast("double"))
+            / nd.cast("double"))).as("intercept"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphStats, Trend}
+import graft.operators.Dedup
+
+/** Per-group OLS (exact lines recovered exactly, degenerate guards),
+  * degree assortativity (hand graphs at the ±1 extremes), and TTL
+  * dedup (burst/quiet-period semantics). */
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("slopePerGroup recovers exact lines per group") {
+    // g=a: y = 3x + 7; g=b: y = -0.5x + 100
+    val rows = (0L until 20L).flatMap(x => Seq(
+      ("a", x, 3.0 * x + 7), ("b", x, -0.5 * x + 100)))
+    val got = Trend.slopePerGroup(rows.toDF("g", "x", "y"),
+        col("g"), col("x"), col("y"))
+      .orderBy("g").collect()
+    assert(got(0).getAs[String]("slope") == "3.000000000")
+    assert(got(0).getAs[String]("intercept") == "7.000000000")
+    assert(got(1).getAs[String]("slope") == "-0.500000000")
+    assert(got(1).getAs[String]("intercept") == "100.000000000")
+  }
+
+  test("degenerate groups emit null coefficients, never divide by zero") {
+    val rows = Seq(("one", 5L, 2.0), // n = 1
+      ("cx", 3L, 1.0), ("cx", 3L, 9.0)) // constant x
+    val got = Trend.slopePerGroup(rows.toDF("g", "x", "y"),
+        col("g"), col("x"), col("y"))
+      .orderBy("g").collect()
+    assert(got.forall(r => r.getAs[String]("slope") == null &&
+      r.getAs[String]("intercept") == null))
+  }
+
+  test("assortativity: a perfect-matching graph of equal degrees is degenerate; star is -1") {
+    // star K1,4 symmetrized: hub degree 4 meets leaves degree 1 on
+    // every edge → r = -1 exactly
+    val star = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
+    val sym = star.unionByName(
+      star.select(col("dst").as("src"), col("src").as("dst")))
+    val r = GraphStats.degreeAssortativity(sym).collect()(0)
+    assert(r.getAs[String]("r") == "-1.000000")
+    // two disjoint edges: every endpoint degree 1 → zero variance → null
+    val flat = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    assert(GraphStats.degreeAssortativity(flat).collect()(0)
+      .getAs[String]("r") == null)
+  }
+
+  test("assortativity: mixed graph moments are exact integers") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r = GraphStats.degreeAssortativity(e).collect()(0)
+    // TOTAL degrees (in+out): 1→2, 2→4, 3→2 — on a symmetrized list
+    // that is 2× the undirected degree, which cancels in Pearson r
+    assert(r.getAs[Long]("m") == 4L)
+    assert(r.getAs[Long]("sxy") == 8L + 8L + 8L + 8L)
+    assert(r.getAs[Long]("sxx") == 4L + 16L + 16L + 4L)
+  }
+
+  test("ttlFresh: bursts keep one, quiet periods re-arm") {
+    val rows = Seq(
+      ("k", 0L, 1L), ("k", 100L, 2L), ("k", 200L, 3L), // burst: 1 fresh
+      ("k", 2000L, 4L),                                // quiet gap: fresh
+      ("k", 2500L, 5L),                                // inside ttl: dup
+      ("j", 50L, 6L))                                  // other key: fresh
+    val got = Dedup.ttlFresh(rows.toDF("k", "ts", "id"), col("k"),
+        col("ts"), col("id"), ttlUs = 1000L)
+      .select(col("id"), col("fresh")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> false, 6L -> true))
+  }
+
+  test("ttlFresh boundary: a gap of exactly ttl is still a dup (strict >)") {
+    val rows = Seq(("k", 0L, 1L), ("k", 1000L, 2L), ("k", 2001L, 3L))
+    val got = Dedup.ttlFresh(rows.toDF("k", "ts", "id"), col("k"),
+        col("ts"), col("id"), ttlUs = 1000L)
+      .select(col("id"), col("fresh")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+}
