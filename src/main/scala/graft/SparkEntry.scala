@@ -3781,6 +3781,16 @@ object SparkEntry {
           sum(when(col("fresh"), 1L).otherwise(0L)).as("n_fresh"))
         .orderBy("event_type")),
 
+    // LLM ops — exact-total proportional stratified sample
+    // (Sampling.quotaSample): 97 docs overall, apportioned over langs
+    // by mass (Hamilton), then the deterministic hash rank per
+    // stratum — the promise neither rate sampling nor fixed-k makes.
+    "q210_quota_sample" -> ((s, dir) =>
+      Sampling.quotaSample(Tables.load(s, dir, "documents"),
+          col("lang"), col("doc_id").cast("string"), budget = 97L)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")),
+
     // Graphs — degree assortativity (GraphStats.degreeAssortativity):
     // Pearson of endpoint degrees over the symmetrized trade graph;
     // exact BIGINT moments, fixed double tree with sqrt (IEEE
@@ -7554,6 +7564,23 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600000000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
         |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q210_quota_sample" ->
+      """WITH w AS (SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tw FROM w),
+        |q AS (SELECT s, (97 * cnt) // tw AS base, (97 * cnt) % tw AS rem
+        |    FROM w, t),
+        |lf AS (SELECT 97 - CAST(SUM(base) AS BIGINT) AS lft FROM q),
+        |qa AS (SELECT s, base + CASE WHEN
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, s) - 1 < lft
+        |    THEN 1 ELSE 0 END AS alloc FROM q, lf),
+        |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT, CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM documents)
+        |SELECT r.lang, r.doc_id FROM r JOIN qa ON qa.s = r.lang
+        |WHERE rn <= alloc ORDER BY lang, doc_id""".stripMargin,
 
     "q209_assortativity" ->
       """WITH prp AS (SELECT DISTINCT 2 * o_custkey AS src,

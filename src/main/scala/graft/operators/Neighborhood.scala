@@ -44,8 +44,12 @@ object Neighborhood {
                            rounds: Int, k: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     require(k >= 2, s"k must be >= 2, got $k")
+    // hash-partition edges by the join key ONCE; every round's join
+    // then exchanges only the (|nodes|-sized) state — the PageRank/Bfs
+    // discipline (saves rounds × |E| shuffle rows)
     val e = edges.select(src.as("src"), dst.as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
+      .repartition(col("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var state = nodes

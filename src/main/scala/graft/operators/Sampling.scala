@@ -127,6 +127,35 @@ object Sampling {
       .filter(col(rn) <= k).drop(rn)
   }
 
+  /** EXACT-TOTAL proportional stratified sample: precisely `budget`
+    * rows overall, split across strata proportional to their mass by
+    * [[Apportion.largestRemainder]] (each stratum's quota within 1 of
+    * proportional, Σ quotas == budget), then the first quota rows per
+    * stratum under the [[exactKPerStratum]] hash rank. The promise
+    * neither rate sampling (±√n noise on the total) nor fixed-k
+    * (ignores stratum mass) can make — "give me exactly 10⁶ docs,
+    * proportionally by language".
+    *
+    * Requires budget ≤ row count for the proportional reading (beyond
+    * it quotas exceed stratum sizes and every row returns). Same scale
+    * shape as exactKPerStratum (WindowGroupLimit bounds the shuffle)
+    * plus the |strata|-sized apportionment broadcast back. */
+  def quotaSample(df: DataFrame, stratum: Column, key: Column,
+                  budget: Long): DataFrame = {
+    val w = df.groupBy(stratum.as("__graft_s")).agg(count(lit(1)).as("__graft_cnt"))
+    val quota = Apportion.largestRemainder(
+        w, col("__graft_s"), col("__graft_cnt"), budget)
+      .select(col("key").as("__graft_s"), col("alloc").as("__graft_q"))
+    val rn = graft.core.Names.free(df, "__graft_rn")
+    df.withColumn("__graft_s", stratum)
+      .withColumn(rn, row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__graft_s")).orderBy(Hashing.hexLong(key), key)))
+      .join(broadcast(quota), Seq("__graft_s"))
+      .filter(col(rn) <= col("__graft_q"))
+      .drop(rn, "__graft_s", "__graft_q")
+  }
+
   /** Systematic PPS (probability-proportional-to-size) sampling:
     * ~`k` rows drawn with inclusion probability ∝ `weight` — "sample
     * documents proportional to token count", the weighted draw a

@@ -42,4 +42,22 @@ class ApportionSpec extends SparkSpec {
     // quotas .5/.5: equal remainders — key order gives b the unit
     assert(got == Map("a" -> 0L, "b" -> 1L, "c" -> 0L))
   }
+
+  test("quotaSample: exact total, proportional per stratum, deterministic") {
+    import graft.operators.Sampling
+    // strata of 60/30/10 rows, budget 10 → quotas 6/3/1
+    val rows = (1 to 60).map(i => ("big", s"k$i")) ++
+      (1 to 30).map(i => ("mid", s"m$i")) ++
+      (1 to 10).map(i => ("sml", s"s$i"))
+    val df = rows.toDF("s", "k")
+    val got = Sampling.quotaSample(df, col("s"), col("k"), budget = 10L)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(got == Map("big" -> 6L, "mid" -> 3L, "sml" -> 1L))
+    // same input twice → identical row set (pure function of the data)
+    val a = Sampling.quotaSample(df, col("s"), col("k"), 10L)
+      .select("k").as[String].collect().toSet
+    val b = Sampling.quotaSample(df, col("s"), col("k"), 10L)
+      .select("k").as[String].collect().toSet
+    assert(a == b && a.size == 10)
+  }
 }
