@@ -3791,6 +3791,27 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")),
 
+    // Warehouse — per-block Bloom skipping (ZoneMaps.blockBloom +
+    // bloomPruneEquals): equality pruning where min/max can't help;
+    // md5-replayable bits, and the gate re-proves SOUNDNESS on data —
+    // zero matching rows may hide in a skipped block.
+    "q211_block_bloom" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val blk = expr("l_orderkey div 100")
+      val bloom = ZoneMaps.blockBloom(li, blk, col("l_partkey"),
+        words = 64, k = 2)
+      val pruned = ZoneMaps.bloomPruneEquals(bloom, 64, 2, lit(1017L))
+      val leaked = li.withColumn("block", blk)
+        .join(pruned.filter(col("can_skip")).select("block"), Seq("block"))
+        .filter(col("l_partkey") === 1017L)
+        .agg(count(lit(1)).as("leaked"))
+      val matches = li.filter(col("l_partkey") === 1017L)
+        .agg(count(lit(1)).as("n_match_rows"))
+      pruned.agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("can_skip"), 1L).otherwise(0L)).as("n_skippable"))
+        .crossJoin(broadcast(leaked)).crossJoin(broadcast(matches))
+    }),
+
     // Graphs — degree assortativity (GraphStats.degreeAssortativity):
     // Pearson of endpoint degrees over the symmetrized trade graph;
     // exact BIGINT moments, fixed double tree with sqrt (IEEE
@@ -7564,6 +7585,41 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600000000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
         |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q211_block_bloom" ->
+      """WITH jj AS (SELECT range AS j FROM range(0, 2)),
+        |b AS (SELECT l_orderkey // 100 AS block,
+        |    CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+        |  WHERE l_partkey IS NOT NULL),
+        |pos AS (SELECT block, ('0x' || substr(md5(v || ':' ||
+        |    CAST(j AS VARCHAR)), 1, 15))::BIGINT % 4032 AS pos
+        |  FROM b, jj),
+        |bm AS (SELECT block, pos // 63 AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bm
+        |  FROM pos GROUP BY 1, 2),
+        |np AS (SELECT ('0x' || substr(md5('1017:' ||
+        |    CAST(j AS VARCHAR)), 1, 15))::BIGINT % 4032 AS pos FROM jj),
+        |need AS (SELECT pos // 63 AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS need
+        |  FROM np GROUP BY 1),
+        |req AS (SELECT CAST(SUM(bit_count(need)) AS BIGINT) AS need_bits
+        |  FROM need),
+        |have AS (SELECT block, CAST(SUM(bit_count(bm & need)) AS BIGINT)
+        |    AS have_bits FROM bm JOIN need USING (w) GROUP BY block),
+        |blocks AS (SELECT DISTINCT block FROM bm),
+        |pr AS (SELECT blocks.block, COALESCE(have_bits, 0) AS have_bits,
+        |    need_bits, COALESCE(have_bits, 0) < need_bits AS can_skip
+        |  FROM blocks LEFT JOIN have USING (block), req),
+        |lk AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaked FROM lineitem l
+        |  JOIN pr ON pr.block = l.l_orderkey // 100 AND pr.can_skip
+        |  WHERE l.l_partkey = 1017),
+        |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_match_rows
+        |  FROM lineitem WHERE l_partkey = 1017)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN can_skip THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_skippable,
+        |  leaked, n_match_rows
+        |FROM pr, lk, mt GROUP BY leaked, n_match_rows""".stripMargin,
 
     "q210_quota_sample" ->
       """WITH w AS (SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -45,6 +45,70 @@ object ZoneMaps {
     stats.withColumn("can_skip",
       col("vmax").isNull || col("vmax") < lo || col("vmin") > hi)
 
+  /** Per-block Bloom filter words — the equality-predicate companion
+    * to [[blockStats]]: min/max ranges prune range predicates on
+    * CLUSTERED keys, but `key = v` on a high-cardinality unclustered
+    * column intersects every [min, max]; a few bloom words per block
+    * still kill most blocks. This is parquet's column-index bloom /
+    * Delta's deterministic file-skipping index as verifiable
+    * relational algebra, built on the repo's engine-portable md5 hash
+    * (so a DuckDB oracle replays every bit).
+    *
+    * Layout: m = 63·`words` bits per block (63-bit words — the
+    * [[Bitmaps]] sign-bit rule); each value sets `k` positions
+    * hexLong(value ":" j) mod m. Build is ONE map-side-combinable
+    * bit_or aggregate; the sparse word table is ≤ `words` rows per
+    * block. False-positive rate ≈ (1−e^(−kn/m))^k — size `words` to
+    * the block's distinct count; false NEGATIVES are impossible
+    * (the [[bloomPruneEquals]] gate re-proves it on data). */
+  def blockBloom(df: DataFrame, block: Column, value: Column,
+                 words: Int, k: Int): DataFrame = {
+    require(words >= 1 && k >= 1, s"bad words=$words k=$k")
+    val m = 63L * words
+    val withPos = df.select(block.as("block"), value.cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
+      .crossJoin(broadcast(
+        df.sparkSession.range(k).select(col("id").as("__j"))))
+      .select(col("block"),
+        (graft.functions.Hashing.hexLong(
+          concat(col("__v"), lit(":"), col("__j"))) % m).as("__pos"))
+    withPos.select(col("block"), expr("__pos div 63").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 63 AS INT))")
+          .as("__bit"))
+      .groupBy("block", "w").agg(expr("bit_or(__bit)").as("bm"))
+  }
+
+  /** Skip decision for `value = probe` against a [[blockBloom]] frame:
+    * a block is skippable unless EVERY probe bit is present. `probe`
+    * must be a literal/driver-side expression (the probe positions are
+    * computed without row context). Returns one row per block:
+    * (block, have_bits, need_bits, can_skip). Blocks sharing no word
+    * with the probe have 0 bits and skip. */
+  def bloomPruneEquals(bloom: DataFrame, words: Int, k: Int,
+                       probe: Column): DataFrame = {
+    require(words >= 1 && k >= 1, s"bad words=$words k=$k")
+    val m = 63L * words
+    val need = bloom.sparkSession.range(k)
+      .select((graft.functions.Hashing.hexLong(
+        concat(probe.cast("string"), lit(":"), col("id"))) % m).as("__pos"))
+      .select(expr("__pos div 63").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 63 AS INT))")
+          .as("__bit"))
+      .groupBy("w").agg(expr("bit_or(__bit)").as("need"))
+    val req = need.agg(sum(expr("bit_count(need)")).cast("long").as("need_bits"))
+    val have = bloom.join(broadcast(need), Seq("w"))
+      .groupBy("block")
+      .agg(sum(expr("bit_count(bm & need)")).cast("long").as("have_bits"))
+    bloom.select("block").distinct()
+      .join(have, Seq("block"), "left")
+      .crossJoin(broadcast(req))
+      .select(col("block"),
+        coalesce(col("have_bits"), lit(0L)).as("have_bits"),
+        col("need_bits"),
+        (coalesce(col("have_bits"), lit(0L)) < col("need_bits"))
+          .as("can_skip"))
+  }
+
   /** Clustering-depth audit of a [[blockStats]] frame with INTEGER
     * vmin/vmax — the "should I re-cluster?" metric: how many block
     * [vmin, vmax] ranges overlap each other. Depth 1 everywhere means

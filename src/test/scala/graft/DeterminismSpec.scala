@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Layout-determinism stress for the round-10 stats shelf: every
+  * operator that CLAIMS to be a pure function of the rows proves it
+  * under AQE on/off × shuffle-partition counts over a multi-file
+  * parquet input — the exact axis the r8/r9 driver-only q122 mystery
+  * taught us to guard (SamplingSpec runs the same stress for PPS).
+  *
+  * One representative per new mechanism: rank-permutation stats
+  * (Spearman — GlobalIndex zipWithIndex), nearest-rank picks (MAD),
+  * canonical-mean decimal pipelines (ACF), closed-form windows
+  * (CUSUM summary), and remainder-ranked allocation (apportionment +
+  * quota sample). */
+class DeterminismSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val rnd = new scala.util.Random(97)
+    val d = java.nio.file.Files.createTempDirectory("graft_det").toString
+    Seq.tabulate(4000) { i =>
+      (i.toLong, s"g${i % 7}", rnd.nextInt(100000) / 100.0,
+        (i % 11).toLong * 37L)
+    }.toDF("id", "g", "x", "w").repartition(16)
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def axes[T](run: SparkSession => T): Unit = {
+    val base = run(spark.newSession())
+    for (aqe <- Seq(true, false); p <- Seq(1, 8, 200)) {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      s.conf.set("spark.sql.shuffle.partitions", p.toString)
+      assert(run(s) == base, s"diverged at aqe=$aqe parts=$p")
+    }
+  }
+
+  test("spearman is layout-invariant") {
+    axes { s =>
+      graft.operators.RobustStats.spearman(s.read.parquet(dir),
+          col("x"), col("w") + col("id") % 13, col("id"))
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("madOutliers and winsorized are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      (graft.operators.RobustStats.madOutliers(df, col("x"), col("id"))
+          .collect().map(_.toSeq).toSeq,
+        graft.operators.RobustStats.winsorized(df, col("x"), col("id"))
+          .collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("acf is layout-invariant") {
+    axes { s =>
+      graft.operators.Autocorr.acf(
+          s.read.parquet(dir).groupBy((col("id") % 500).as("i"))
+            .agg(sum(col("x")).as("v")),
+          col("i"), col("v"), maxLag = 3)
+        .orderBy("lag").collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("cusum summary is layout-invariant") {
+    axes { s =>
+      graft.operators.Changepoint.cusumSummary(s.read.parquet(dir),
+          col("g"), Seq(col("id")), col("x"), lit(500), lit(100),
+          col("id"))
+        .orderBy("series").collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("apportionment + quota sample are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      (graft.operators.Apportion.largestRemainder(
+          df.groupBy("g").agg(count(lit(1)).as("c")),
+          col("g"), col("c"), budget = 997L)
+          .orderBy("key").collect().map(_.toSeq).toSeq,
+        graft.operators.Sampling.quotaSample(df, col("g"),
+            col("id").cast("string"), budget = 101L)
+          .select("id").as[Long].collect().toSet)
+    }
+  }
+}

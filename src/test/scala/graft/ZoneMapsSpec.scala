@@ -44,6 +44,35 @@ class ZoneMapsSpec extends SparkSpec {
     assert(leaked == 0L)
   }
 
+  test("blockBloom: no false negatives ever; absent values mostly skip") {
+    val rows = (0L until 400L).map(i => (i / 100L, i % 37L)).toDF("b", "v")
+    val bloom = ZoneMaps.blockBloom(rows, col("b"), col("v"),
+      words = 16, k = 2)
+    // soundness: every present (block, value) pair must be maybe-present
+    for (probe <- Seq(0L, 5L, 36L)) {
+      val skips = ZoneMaps.bloomPruneEquals(bloom, 16, 2, lit(probe))
+        .filter(col("can_skip")).select(col("block").as("b"))
+      val leaked = rows.filter(col("v") === probe).join(skips, Seq("b"))
+        .count()
+      assert(leaked == 0L, s"false negative for $probe")
+    }
+    // values in NO block: with 37 distinct per block in 1008 bits,
+    // absent probes overwhelmingly skip (fp rate ~ (kn/m)^k ≈ 0.5%)
+    val absent = (1000L to 1019L).count { probe =>
+      ZoneMaps.bloomPruneEquals(bloom, 16, 2, lit(probe))
+        .filter(col("can_skip")).count() == 4L
+    }
+    assert(absent >= 17, s"only $absent/20 absent probes skipped all blocks")
+  }
+
+  test("blockBloom words stay in 63-bit positive range") {
+    val rows = (0L until 200L).map(i => (0L, i)).toDF("b", "v")
+    val bms = ZoneMaps.blockBloom(rows, col("b"), col("v"), words = 2, k = 3)
+      .select("bm").as[Long].collect()
+    assert(bms.nonEmpty && bms.forall(_ > 0L),
+      "bit 63 must never be set (sign-bit rule)")
+  }
+
   test("clusteringDepth: disjoint ranges depth 1, nested ranges stack") {
     def depth(ranges: Seq[(Long, Long, Long)]) = {
       val stats = ranges.toDF("block", "vmin", "vmax")
