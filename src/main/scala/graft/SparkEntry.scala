@@ -3791,6 +3791,28 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")),
 
+    // Graphs — per-edge triangle support (Triangles.edgeSupport): the
+    // k-truss building block over the supplier co-occurrence graph;
+    // oriented wedges carry node ids, each triangle explodes to its
+    // three edges, zero-support edges report via left join. The
+    // oracle counts common neighbors directly — a different algorithm
+    // for the same pure graph property.
+    "q212_edge_support" -> ((s, dir) => {
+      val e = Triangles.coOccurrenceEdges(
+        Tables.load(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_suppkey"))
+      Triangles.edgeSupport(e).orderBy("lo", "hi")
+    }),
+
+    // Analytics — transition dwell times (EventAnalytics.dwellTimes):
+    // how long each event-type hop takes per user, exact microsecond
+    // sums, one partitioned lag window.
+    "q213_dwell_time" -> ((s, dir) =>
+      EventAnalytics.dwellTimes(Tables.events(s, dir), col("user_id"),
+          Seq(expr("unix_micros(ts)"), col("event_id")),
+          expr("unix_micros(ts)"), col("event_type"))
+        .orderBy("from_step", "to_step")),
+
     // Warehouse — per-block Bloom skipping (ZoneMaps.blockBloom +
     // bloomPruneEquals): equality pruning where min/max can't help;
     // md5-replayable bits, and the gate re-proves SOUNDNESS on data —
@@ -7585,6 +7607,35 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600000000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
         |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q212_edge_support" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS i
+        |    FROM lineitem),
+        |e AS (SELECT DISTINCT a.i AS lo, b.i AS hi
+        |  FROM it a JOIN it b ON a.g = b.g AND a.i < b.i),
+        |adj AS (SELECT lo AS s, hi AS d FROM e
+        |  UNION ALL SELECT hi, lo FROM e),
+        |sup AS (SELECT e.lo, e.hi, CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM e JOIN adj a ON a.s = e.lo
+        |  JOIN adj b ON b.s = e.hi AND b.d = a.d
+        |  GROUP BY e.lo, e.hi)
+        |SELECT e.lo, e.hi, COALESCE(sup.support, 0) AS support
+        |FROM e LEFT JOIN sup USING (lo, hi) ORDER BY lo, hi""".stripMargin,
+
+    "q213_dwell_time" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    event_type FROM events),
+        |l AS (SELECT event_type AS to_step,
+        |    LAG(event_type) OVER w AS from_step,
+        |    us - LAG(us) OVER w AS gap
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY us, event_id))
+        |SELECT from_step, to_step, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(gap) AS BIGINT) AS total_us,
+        |  CAST(MIN(gap) AS BIGINT) AS min_us,
+        |  CAST(MAX(gap) AS BIGINT) AS max_us
+        |FROM l WHERE from_step IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_step, to_step""".stripMargin,
 
     "q211_block_bloom" ->
       """WITH jj AS (SELECT range AS j FROM range(0, 2)),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequential event-analytics operators over a (user, time, type) event
@@ -222,5 +223,28 @@ object EventAnalytics {
       .groupBy("path").agg(count(lit(1)).as("n_units"))
       .orderBy(col("n_units").desc, col("path"))
       .limit(k)
+  }
+
+  /** Dwell-time profile per transition — [[transitionMatrix]] counts
+    * WHERE users go next; this measures HOW LONG the hop takes (the
+    * time-in-state read: a checkout→confirm edge with a rising dwell
+    * is a slow payment provider before it is a lost user). One
+    * user-partitioned lag window then one (from, to) aggregate —
+    * exact integer microsecond sums.
+    *
+    * @param order within-user total order (ts + unique tiebreak)
+    * @return (from_step, to_step, n, total_us, min_us, max_us) over
+    *         consecutive same-user pairs */
+  def dwellTimes(events: DataFrame, user: Column, order: Seq[Column],
+                 tsUs: Column, step: Column): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(order: _*)
+    events.withColumn("__u", user).withColumn("__ts", tsUs)
+      .withColumn("__s", step.cast("string"))
+      .withColumn("from_step", lag(col("__s"), 1).over(w))
+      .withColumn("gap", col("__ts") - lag(col("__ts"), 1).over(w))
+      .filter(col("from_step").isNotNull)
+      .groupBy(col("from_step"), col("__s").as("to_step"))
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("total_us"),
+        min(col("gap")).as("min_us"), max(col("gap")).as("max_us"))
   }
 }

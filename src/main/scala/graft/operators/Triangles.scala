@@ -141,4 +141,54 @@ object Triangles {
         lit(3.0) * col("n_triangles").cast("double") / col("n_wedges").cast("double"))
         .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** Per-EDGE triangle support — |N(u) ∩ N(v)| for every undirected
+    * edge: the k-truss building block and the spam-edge signal (a
+    * co-occurrence edge supported by zero triangles is far more likely
+    * noise than community structure; k-truss = iterate a
+    * support < k−2 filter to fixpoint). Support is a pure graph
+    * property — orientation-independent — so any engine replays it.
+    *
+    * Same Schank–Wagner oriented-wedge shape (and O(m^1.5) bound) as
+    * [[triangleStats]], carrying node ids through struct keys; each
+    * found triangle explodes to its three undirected edges and ONE
+    * count aggregate yields support; edges in no triangle report 0
+    * via a left join back onto the edge list.
+    *
+    * @param edges (u, v) undirected (direction/duplicates normalized)
+    * @return (lo, hi, support) for every distinct edge */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("u"), col("v")).as("lo"),
+        greatest(col("u"), col("v")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("lo").as("node"))
+      .unionByName(und.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val klo = struct(col("deg_lo").as("d"), col("lo").as("i"))
+    val khi = struct(col("deg_hi").as("d"), col("hi").as("i"))
+    val oriented = und
+      .join(deg.toDF("lo", "deg_lo"), Seq("lo"))
+      .join(deg.toDF("hi", "deg_hi"), Seq("hi"))
+      .select(when(klo < khi, struct(klo.as("src"), khi.as("dst")))
+        .otherwise(struct(khi.as("src"), klo.as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
+    val wedges = oriented.toDF("src", "x")
+      .join(oriented.toDF("src", "y"), Seq("src"))
+      .filter(col("x") < col("y"))
+      .select(col("src").as("s"), col("x"), col("y"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+    val triEdges = tri.select(col("s.i").as("a"), col("x.i").as("b"))
+      .unionByName(tri.select(col("s.i").as("a"), col("y.i").as("b")))
+      .unionByName(tri.select(col("x.i").as("a"), col("y.i").as("b")))
+    val support = triEdges
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("__sup"))
+    und.join(support, Seq("lo", "hi"), "left")
+      .select(col("lo"), col("hi"),
+        coalesce(col("__sup"), lit(0L)).as("support"))
+  }
 }

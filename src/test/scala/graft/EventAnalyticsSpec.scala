@@ -124,4 +124,20 @@ class EventAnalyticsSpec extends SparkSpec {
       ("a", "b", 2L, 3L, "0.666667"), ("a", "c", 1L, 3L, "0.333333"),
       ("b", "a", 1L, 1L, "1.000000")))
   }
+
+  test("dwellTimes: per-user gaps land on the right transition") {
+    val ev = Seq(
+      // user 1: a@0 → b@10 → b@25; user 2: a@100 → b@160
+      (1L, 0L, 1L, "a"), (1L, 10L, 2L, "b"), (1L, 25L, 3L, "b"),
+      (2L, 100L, 4L, "a"), (2L, 160L, 5L, "b"),
+      (3L, 7L, 6L, "c")) // singleton user contributes nothing
+      .toDF("u", "ts", "id", "tpe")
+    val got = EventAnalytics.dwellTimes(ev, col("u"),
+        Seq(col("ts"), col("id")), col("ts"), col("tpe"))
+      .orderBy("from_step", "to_step")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 70L, 10L, 60L),  // gaps 10 and 60
+      ("b", "b", 1L, 15L, 15L, 15L)))
+  }
 }

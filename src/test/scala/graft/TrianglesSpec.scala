@@ -85,4 +85,35 @@ class TrianglesSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getDouble(4)) == base, "string ids (struct fallback) diverged")
   }
+
+  test("edgeSupport: hand graph, zero-support edges, 3x triangle identity") {
+    import spark.implicits._
+    // two triangles sharing edge (1,2), plus a pendant edge (4,5)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (2L, 4L),
+      (4L, 5L)).toDF("u", "v")
+    val got = Triangles.edgeSupport(e)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L,
+      (1L, 4L) -> 1L, (2L, 4L) -> 1L, (4L, 5L) -> 0L))
+    // Σ support = 3 × n_triangles — the triangle-edge identity
+    assert(got.values.sum == 3L * 2L)
+  }
+
+  test("edgeSupport equals brute-force common neighbors on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val nbrs = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    val got = Triangles.edgeSupport(edges.toDF("u", "v"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == edges.size)
+    got.foreach { case (lo, hi, s) =>
+      assert(s == (nbrs(lo) & nbrs(hi)).size.toLong, s"edge ($lo,$hi)")
+    }
+  }
 }
