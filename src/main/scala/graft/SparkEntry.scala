@@ -3791,6 +3791,55 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")),
 
+    // Analytics — Pareto concentration: per event type, how many users
+    // cover 80% of total value (the "how concentrated is this
+    // metric" read); per-type partitioned rank + running sum, the
+    // 80% cut as exact 5·cum ≥ 4·total decimal arithmetic.
+    "q214_pareto" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("v").desc, col("user_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      Tables.events(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast(dec6)).cast(dec6).as("v"))
+        .withColumn("cum", sum("v").over(w).cast(dec6))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("total", sum("v").over(wAll).cast(dec6))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          min(when(col("cum") * 5 >= col("total") * 4, col("rn")))
+            .as("k80"),
+          max(col("total")).cast(dec6).cast("string").as("total"))
+        .orderBy("event_type")
+    }),
+
+    // Ops — seasonality-adjusted outliers: residual vs the per-(type,
+    // hour-of-day) canonical %.6f mean (a broadcast 120-row dim), then
+    // a fixed exact-decimal threshold — the flag that survives a
+    // strong daily cycle where a raw threshold drowns in it.
+    "q215_seasonal_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+        .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      val means = ev.groupBy(col("event_type").as("et"), col("hod").as("h"))
+        .agg(format_string("%.6f",
+            sum(col("value").cast(dec6)).cast("double") /
+              count(lit(1)).cast("double"))
+          .cast(DecimalType(18, 6)).as("mu"))
+      ev.join(broadcast(means),
+          col("event_type") === col("et") && col("hod") === col("h"))
+        .withColumn("resid", (col("value").cast(dec6) - col("mu")).cast(dec6))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("resid")) > 50, 1L).otherwise(0L))
+            .as("n_outliers"),
+          max(abs(col("resid"))).cast(dec6).cast("string")
+            .as("max_abs_resid"))
+        .orderBy("event_type")
+    }),
+
     // Graphs — per-edge triangle support (Triangles.edgeSupport): the
     // k-truss building block over the supplier co-occurrence graph;
     // oriented wedges carry node ids, each triangle explodes to its
@@ -7607,6 +7656,43 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600000000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
         |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q214_pareto" ->
+      """WITH t AS (SELECT event_type, user_id,
+        |    CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type,
+        |    CAST(SUM(v) OVER w AS DECIMAL(38,6)) AS cum,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    CAST(SUM(v) OVER (PARTITION BY event_type) AS DECIMAL(38,6))
+        |      AS total
+        |  FROM t WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY v DESC, user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(MIN(CASE WHEN cum * 5 >= total * 4 THEN rn END) AS BIGINT)
+        |    AS k80,
+        |  CAST(MAX(total) AS VARCHAR) AS total
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q215_seasonal_outliers" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |    CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6)) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type AS et, hod AS h,
+        |    CAST(printf('%.6f', CAST(SUM(x) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,6)) AS mu
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(x - mu AS DECIMAL(38,6)) AS resid
+        |  FROM e JOIN m ON m.et = e.event_type AND m.h = e.hod)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN abs(resid) > 50 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(CAST(MAX(abs(resid)) AS DECIMAL(38,6)) AS VARCHAR)
+        |    AS max_abs_resid
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q212_edge_support" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS i
