@@ -3791,6 +3791,25 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")),
 
+    // Governance — Population Stability Index (Drift.psi): THE
+    // industry drift scalar between the first-half and second-half
+    // event populations over props.k deciles; add-one smoothing,
+    // exact integer (p−q) numerators, canonical %.6f ln ratios.
+    "q216_psi" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("cat",
+          expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 10"))
+      val cut = lit("2024-01-16").cast("timestamp")
+      Drift.psi(e.filter(col("ts") < cut), e.filter(col("ts") >= cut),
+        col("cat"))
+    }),
+
+    // Eval — Brier score (Evaluation.brier): the proper scoring rule
+    // over the shared eval-family scored frame; exact integer
+    // Σ(score − y·10⁶)², one double division.
+    "q217_brier" -> ((s, dir) =>
+      Evaluation.brier(evalScored(s, dir), col("score"), col("y"))),
+
     // Analytics — Pareto concentration: per event type, how many users
     // cover 80% of total value (the "how concentrated is this
     // metric" read); per-type partitioned rank + running sum, the
@@ -7656,6 +7675,51 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600000000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
         |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q216_psi" ->
+      """WITH e AS (SELECT ts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+        |      AS cat FROM events),
+        |c AS (SELECT CAST(cat AS VARCHAR) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM e
+        |  WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        |d AS (SELECT CAST(cat AS VARCHAR) AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS d FROM e
+        |  WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+        |j AS (SELECT COALESCE(c.c, 0) AS c, COALESCE(d.d, 0) AS d
+        |  FROM c FULL OUTER JOIN d USING (b)),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(d) AS BIGINT) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS bins FROM j),
+        |terms AS (SELECT n, m, bins,
+        |    CAST((c + 1) * (m + bins) - (d + 1) * (n + bins)
+        |      AS DECIMAL(20,0)) AS diff,
+        |    CAST(printf('%.6f', ln(CAST((c + 1) * (m + bins) AS DOUBLE)
+        |      / CAST((d + 1) * (n + bins) AS DOUBLE))) AS DECIMAL(10,6))
+        |      AS lnr
+        |  FROM j, t),
+        |agg AS (SELECT n, m, bins,
+        |    CAST(SUM(CAST(diff * lnr AS DECIMAL(31,6)))
+        |      AS DECIMAL(38,6)) AS num
+        |  FROM terms GROUP BY n, m, bins)
+        |SELECT n AS n_ref, m AS n_cur, bins AS n_bins,
+        |  CAST(num AS VARCHAR) AS num,
+        |  printf('%.6f', CAST(num AS DOUBLE)
+        |    / (CAST(n + bins AS DOUBLE) * CAST(m + bins AS DOUBLE)))
+        |    AS psi
+        |FROM agg""".stripMargin,
+
+    "q217_brier" -> {
+      s"""WITH $evalScoredSql,
+         |b AS (SELECT score,
+         |    CASE WHEN y THEN 1000000 ELSE 0 END AS ye6 FROM sc)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM((score - ye6) * (score - ye6)) AS BIGINT) AS sq_e12,
+         |  printf('%.9f', CAST(SUM((score - ye6) * (score - ye6))
+         |    AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000000000.0))
+         |    AS brier
+         |FROM b""".stripMargin
+    },
 
     "q214_pareto" ->
       """WITH t AS (SELECT event_type, user_id,

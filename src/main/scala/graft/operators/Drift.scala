@@ -73,4 +73,52 @@ object Drift {
         .cast(DecimalType(30, 6)))
       .drop("den")
   }
+
+  /** Population Stability Index over a categorical bucketing — THE
+    * industry drift scalar (credit-risk monitoring lingua franca:
+    * < 0.1 stable, 0.1–0.25 watch, > 0.25 shifted):
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) between a reference and a
+    * current population. [[l1Drift]] answers "how far apart"; PSI's
+    * log weighting makes near-empty buckets that GAIN mass scream —
+    * the failure mode L1 under-prices.
+    *
+    * Add-one smoothing on every bucket (counts c+1, d+1 over the
+    * UNION of categories, masses n+B, m+B) keeps PSI finite when a
+    * category exists on one side only — the standard practice,
+    * applied symmetrically and documented rather than an engine-
+    * private epsilon. Exactness: (p−q) is the exact integer
+    * c′m′ − d′n′ over the common denominator n′m′; each ln is the
+    * canonical %.6f of a ratio of exact integers; ONE double
+    * division at the end (the q186 discipline).
+    *
+    * Scale shape: two count aggregates, one full outer join on the
+    * |categories|-sized tables, one broadcast totals row. */
+  def psi(ref: DataFrame, cur: DataFrame, category: Column): DataFrame = {
+    val c = ref.select(category.cast("string").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val d = cur.select(category.cast("string").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("d"))
+    val j = c.join(d, Seq("b"), "full_outer")
+      .select(coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("d"), lit(0L)).as("d"))
+    val tot = j.agg(sum("c").as("n"), sum("d").as("m"),
+      count(lit(1)).as("bins"))
+    val d20 = DecimalType(20, 0)
+    j.crossJoin(broadcast(tot))
+      .select(col("n"), col("m"), col("bins"),
+        ((col("c") + 1L) * (col("m") + col("bins")) -
+          (col("d") + 1L) * (col("n") + col("bins"))).cast(d20).as("diff"),
+        format_string("%.6f", log(
+          ((col("c") + 1L) * (col("m") + col("bins"))).cast("double") /
+            ((col("d") + 1L) * (col("n") + col("bins"))).cast("double")))
+          .cast(DecimalType(10, 6)).as("lnr"))
+      .groupBy("n", "m", "bins")
+      .agg(sum((col("diff") * col("lnr")).cast(DecimalType(31, 6)))
+        .cast(DecimalType(38, 6)).as("num"))
+      .select(col("n").as("n_ref"), col("m").as("n_cur"),
+        col("bins").as("n_bins"), col("num").cast("string").as("num"),
+        format_string("%.6f", col("num").cast("double") /
+          ((col("n") + col("bins")).cast("double") *
+            (col("m") + col("bins")).cast("double"))).as("psi"))
+  }
 }

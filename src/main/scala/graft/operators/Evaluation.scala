@@ -116,4 +116,24 @@ object Evaluation {
                 .cast("double"))))
       .select("n", "n_agree", "kappa")
   }
+
+  /** Brier score — the proper scoring rule the calibration family was
+    * missing: mean (p − y)², rewarding BOTH calibration and
+    * resolution where [[ece]] reads calibration alone (a classifier
+    * predicting the base rate everywhere has perfect ECE and a
+    * useless Brier). Scores arrive ×10⁶ like the rest of the eval
+    * family, so (p − y)² is the exact integer (score − y·10⁶)² and
+    * the score is ONE double division by n·10¹². Domain: n < 9×10⁶
+    * rows keeps the ×10¹² sum in BIGINT — cast up for more.
+    *
+    * @return one row: (n, sq_e12 — exact Σ(score−y·10⁶)² — brier %.9f) */
+  def brier(df: DataFrame, scoreE6: Column, label: Column): DataFrame =
+    df.select(scoreE6.cast("long").as("s"),
+        when(label.cast("boolean"), 1000000L).otherwise(0L).as("ye6"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("s") - col("ye6")) * (col("s") - col("ye6")))
+          .as("sq_e12"))
+      .select(col("n"), col("sq_e12"),
+        format_string("%.9f", col("sq_e12").cast("double") /
+          (col("n").cast("double") * lit(1000000000000.0d))).as("brier"))
 }

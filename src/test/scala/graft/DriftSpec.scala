@@ -68,4 +68,28 @@ class DriftSpec extends SparkSpec {
     val rows = (1 to 30).map(i => (s"s${i % 2}", s"a$i b${i % 5} c"))
     assert(run(rows, 32, parts = 1) == run(rows, 32, parts = 11))
   }
+
+  test("psi: identical populations score ~0, a mass shift scores big") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def psiOf(ref: Seq[String], cur: Seq[String]): Double = {
+      val r = Drift.psi(ref.toDF("c"), cur.toDF("c"), col("c")).collect()(0)
+      r.getAs[String]("psi").toDouble
+    }
+    val base = Seq.fill(400)("a") ++ Seq.fill(400)("b") ++ Seq.fill(200)("c")
+    assert(math.abs(psiOf(base, base)) < 1e-9,
+      "same distribution must be ~0 (exactly 0 up to ln rounding)")
+    // c collapses into a: the watch-threshold lore says > 0.25 = shifted
+    val shifted = Seq.fill(600)("a") ++ Seq.fill(400)("b")
+    assert(psiOf(base, shifted) > 0.1, "visible shift must register")
+  }
+
+  test("psi: one-sided categories survive via add-one smoothing") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val got = Drift.psi(Seq("a", "a", "b").toDF("c"),
+      Seq("a", "z", "z").toDF("c"), col("c")).collect()(0)
+    assert(got.getAs[Long]("n_bins") == 3L)
+    assert(got.getAs[String]("psi").toDouble.isFinite)
+  }
 }

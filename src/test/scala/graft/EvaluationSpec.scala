@@ -75,4 +75,18 @@ class EvaluationSpec extends SparkSpec {
     assert(Evaluation.cohenKappa(const, col("a"), col("b"))
       .select("kappa").as[Option[String]].head().isEmpty)
   }
+
+  test("brier: perfect = 0, inverted = 1, base-rate predictor = p(1-p)") {
+    def brierOf(rows: Seq[(Long, Boolean)]): (Long, Long, String) =
+      Evaluation.brier(rows.toDF("score", "y"), col("score"), col("y"))
+        .as[(Long, Long, String)].head()
+    val perfect = Seq((1000000L, true), (0L, false), (1000000L, true))
+    assert(brierOf(perfect) == ((3L, 0L, "0.000000000")))
+    val inverted = Seq((0L, true), (1000000L, false))
+    assert(brierOf(inverted) == ((2L, 2000000000000L, "1.000000000")))
+    // predicting the 25% base rate everywhere: ECE-perfect, Brier
+    // p(1-p) = 0.1875 — the resolution term ECE cannot see
+    val base = Seq((250000L, true)) ++ Seq.fill(3)((250000L, false))
+    assert(brierOf(base)._3 == "0.187500000")
+  }
 }
