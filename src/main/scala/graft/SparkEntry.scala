@@ -3791,6 +3791,90 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")),
 
+    // Workload — TPC-H Q3 shape (shipping-priority revenue): segment
+    // dim filter → orders fact filter → lineitem fact join, revenue
+    // per order, top 10 — the canonical 3-way join every BI stack
+    // runs; customer side broadcasts, fact-fact join stays on the
+    // order key.
+    "q218_tpch_q3" -> ((s, dir) => {
+      val cut = lit("1998-03-15").cast("timestamp")
+      val c = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Workload — TPC-H Q5 shape (local-supplier volume): five-way
+    // snowflake join (region→nation→customer + supplier co-located by
+    // nation) over one order year; dims broadcast, the one fact-fact
+    // join keys on the order.
+    "q219_tpch_q5" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+        .join(Tables.load(s, dir, "region")
+            .filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val su = Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Workload — TPC-H Q10 shape (returned-item reporting): top 20
+    // customers by lost revenue in a quarter, nation-name enriched —
+    // the churn-triage query; returnflag filter reaches the scan.
+    "q220_tpch_q10" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      val c = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      val n = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Governance — Population Stability Index (Drift.psi): THE
     // industry drift scalar between the first-half and second-half
     // event populations over props.k deciles; add-one smoothing,
@@ -7675,6 +7759,44 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600000000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
         |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q218_tpch_q3" ->
+      s"""SELECT o_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q219_tpch_q5" ->
+      s"""SELECT n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q220_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q216_psi" ->
       """WITH e AS (SELECT ts,

@@ -397,6 +397,24 @@ class PlanSpec extends SparkSpec {
       windows.mkString("\n"))
   }
 
+  test("q218/q220: TPC-H shapes — dims broadcast, top-k never global-sorts") {
+    for (q <- Seq("q218_tpch_q3", "q220_tpch_q10")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dims must broadcast")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: LIMIT must be top-k, not a global sort")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("q219: Q5 snowflake pushes the date filter to the orders scan") {
+    val p = plan("q219_tpch_q5")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q199: clustering depth sweeps ONLY the dim-sized stats table") {
     val p = plan("q199_clustering_depth")
     // the block-stats aggregate reduces lineitem before any window; the
