@@ -3791,6 +3791,34 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")),
 
+    // Sources — fixed-width records (FixedWidth.read): the customer
+    // table rendered as a mainframe-style FWF file (fixture written
+    // by the harness via format_string — no driver collect), read
+    // back with the row-local substring parser, rolled up per nation.
+    // The oracle recomputes from the parquet table under the same
+    // %.2f canonicalization — a full round-trip proof.
+    "q221_fixed_width" -> ((s, dir) => {
+      import graft.sources.FixedWidth
+      import org.apache.spark.sql.types.{DecimalType => DT}
+      val fix = s"/tmp/graft_fwf_fixture_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.load(s, dir, "customer")
+        .select(format_string("%-10d%-25s%-5d%12.2f",
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(fix)
+      FixedWidth.read(s, fix, Seq(
+          FixedWidth.Field("custkey", 1, 10, org.apache.spark.sql.types.LongType),
+          FixedWidth.Field("name", 11, 25),
+          FixedWidth.Field("nationkey", 36, 5, org.apache.spark.sql.types.LongType),
+          FixedWidth.Field("acctbal", 41, 12, DT(18, 2))))
+        .groupBy("nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("acctbal")).cast(DT(38, 2)).cast("string").as("total_bal"),
+          max(col("name")).as("max_name"),
+          countDistinct(col("custkey")).as("n_keys"))
+        .orderBy("nationkey")
+    }),
+
     // Workload — TPC-H Q3 shape (shipping-priority revenue): segment
     // dim filter → orders fact filter → lineitem fact join, revenue
     // per order, top 10 — the canonical 3-way join every BI stack
@@ -7759,6 +7787,15 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600000000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
         |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q221_fixed_width" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(CAST(printf('%.2f', c_acctbal)
+        |    AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_bal,
+        |  MAX(c_name) AS max_name,
+        |  CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys
+        |FROM customer GROUP BY 1 ORDER BY nationkey""".stripMargin,
 
     "q218_tpch_q3" ->
       s"""SELECT o_orderkey,

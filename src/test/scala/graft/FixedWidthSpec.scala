@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+import graft.sources.FixedWidth
+import graft.sources.FixedWidth.Field
+
+/** Fixed-width parsing: exact slicing, padding/trim/null conventions,
+  * short-line leniency, and the file round-trip. */
+class FixedWidthSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val layout = Seq(
+    Field("id", 1, 4, LongType),
+    Field("name", 5, 8),
+    Field("amt", 13, 10, DecimalType(12, 2)))
+
+  test("slices land on the right columns, padding trims, blanks are null") {
+    val lines = Seq(
+      "  12" + "ALPHA   " + "    123.45",
+      "3456" + "BETABETA" + "    -99.10",
+      "   7" + "        " + "          " // name and amt blank → null
+    ).toDF("value")
+    val got = FixedWidth.parse(lines, col("value"), layout)
+      .orderBy("id")
+      .as[(Long, Option[String], Option[BigDecimal])].collect().toSeq
+    assert(got == Seq(
+      (7L, None, None),
+      (12L, Some("ALPHA"), Some(BigDecimal("123.45").setScale(2))),
+      (3456L, Some("BETABETA"), Some(BigDecimal("-99.10")))))
+  }
+
+  test("lines shorter than a field's extent yield null, not an error") {
+    val got = FixedWidth.parse(Seq("  99").toDF("value"), col("value"),
+        layout).as[(Long, Option[String], Option[BigDecimal])].head()
+    assert(got == ((99L, None, None)))
+  }
+
+  test("file round-trip via format_string") {
+    val dir = java.nio.file.Files.createTempDirectory("fwf").toString
+    val rows = Seq((1L, "a", BigDecimal("0.10")),
+      (22L, "bb", BigDecimal("-3.00")))
+    rows.toDF("id", "name", "amt")
+      .select(format_string("%-4d%-8s%10.2f", col("id"), col("name"),
+        col("amt").cast("double")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val back = FixedWidth.read(spark, dir,
+        Seq(Field("id", 1, 4, LongType), Field("name", 5, 8),
+          Field("amt", 13, 10, DecimalType(12, 2))))
+      .orderBy("id").as[(Long, String, BigDecimal)].collect().toSeq
+    assert(back.map(r => (r._1, r._2, r._3.setScale(2))) ==
+      rows.map(r => (r._1, r._2, r._3.setScale(2))))
+  }
+}
