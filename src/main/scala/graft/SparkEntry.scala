@@ -3791,6 +3791,33 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")),
 
+    // Graphs — strongly connected components (Scc.stronglyConnected):
+    // FW-BW coloring over a two-universe supplier ring graph (even/odd
+    // orders build disjoint ring systems, one literal one-way bridge
+    // keeps them connected but NOT mutually reachable). The oracle
+    // computes the transitive closure with a recursive CTE and takes
+    // max over mutual-reach sets — a completely different algorithm
+    // certifying the same fixpoint.
+    "q222_scc" -> ((s, dir) => {
+      val wO = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("sp")
+      val wA = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      val it = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("g"), col("l_suppkey").as("sp"))
+        .distinct()
+      val rings = it.withColumn("nxt", lead("sp", 1).over(wO))
+        .withColumn("frst", min("sp").over(wA))
+        .select(
+          when(col("g") % 2 === 0, col("sp") * 2)
+            .otherwise(col("sp") * 2 + 1).as("src"),
+          when(col("g") % 2 === 0, coalesce(col("nxt"), col("frst")) * 2)
+            .otherwise(coalesce(col("nxt"), col("frst")) * 2 + 1).as("dst"))
+        .distinct()
+      val bridge = s.range(1)
+        .select(lit(2L).as("src"), lit(3L).as("dst"))
+      Scc.stronglyConnected(rings.unionByName(bridge)).orderBy("node")
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -7787,6 +7814,31 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 3600000000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh
         |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q222_scc" ->
+      """WITH RECURSIVE
+        |it AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS sp
+        |    FROM lineitem),
+        |r AS (SELECT g, sp, LEAD(sp) OVER (PARTITION BY g ORDER BY sp)
+        |    AS nxt, MIN(sp) OVER (PARTITION BY g) AS frst FROM it),
+        |base AS (SELECT DISTINCT
+        |    CASE WHEN g % 2 = 0 THEN 2 * sp ELSE 2 * sp + 1 END AS src,
+        |    CASE WHEN g % 2 = 0 THEN 2 * COALESCE(nxt, frst)
+        |      ELSE 2 * COALESCE(nxt, frst) + 1 END AS dst
+        |  FROM r),
+        |e AS (SELECT src, dst FROM base
+        |  UNION SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT re.a, e.dst FROM reach re JOIN e ON e.src = re.b),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |mutual AS (SELECT r1.a AS v, r1.b AS u FROM reach r1
+        |  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
+        |SELECT n.node,
+        |  GREATEST(n.node, COALESCE(MAX(m.u), n.node)) AS scc
+        |FROM n LEFT JOIN mutual m ON m.v = n.node
+        |GROUP BY n.node ORDER BY node""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

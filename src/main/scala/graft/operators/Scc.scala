@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Strongly connected components — the DIRECTED closure
+  * [[Dedup.connectedComponents]] cannot see: u and v share an SCC iff
+  * each reaches the other. On a crawl graph SCCs are the link farms
+  * and the "core web"; on a dependency/citation graph every SCC is a
+  * cycle that must collapse before any topological processing.
+  *
+  * Algorithm: parallel FW–BW COLORING (Orzan's coloring / the
+  * Slota–Rajamanickam FW-BW family). Per outer round, on the
+  * still-unassigned subgraph:
+  *   1. colors: every node starts as its own id; propagate MAX along
+  *      edges to fixpoint — color(v) = max id over ancestors∪{v}.
+  *   2. every color class has exactly ONE root c (color(c) = c), and
+  *      SCC(c) = nodes of color c that REACH c — collected by a
+  *      backward BFS from c restricted to color-c nodes. The
+  *      restriction is lossless: any d > c that could recolor an
+  *      intermediate node w on a v→…→w→…→c path would be an ancestor
+  *      of c itself, contradicting c's rootness.
+  *   3. assign every collected SCC (all color classes in parallel),
+  *      remove them, repeat — each round retires ≥ 1 SCC per
+  *      surviving color class.
+  *
+  * Deterministic end to end: max-propagation and set algebra only —
+  * no randomness, no arrival-order sensitivity; the result is a pure
+  * function of the edge list (spec-certified against a driver-side
+  * Tarjan on random graphs).
+  *
+  * Scale shape: every step is an equi-join of a node-sized vector to
+  * the (once-partitioned) edge list plus a map-side-combined
+  * aggregate — the [[PageRank]]/[[Bfs]] round shape; per-step
+  * localCheckpoint keeps lineage flat; driver sees only per-round
+  * convergence counts ([[Bfs]]' frontier discipline). Round counts:
+  * max-propagation runs diameter rounds, outer rounds track the
+  * SCC-chain depth — web-scale graphs finish in tens (the FW-BW
+  * literature's observation); `maxRounds` fails LOUDLY rather than
+  * looping forever on an adversarial chain.
+  */
+object Scc {
+
+  /** @param edges (src, dst) directed; duplicates/self-loops tolerated
+    * @return (node, scc) — scc = the max node id of the component */
+  def stronglyConnected(edges: DataFrame, maxRounds: Int = 60): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    var remaining = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var assigned: DataFrame = null
+    var outer = 0
+    while (!remaining.isEmpty) {
+      outer += 1
+      require(outer <= maxRounds,
+        s"SCC did not converge in $maxRounds outer rounds")
+      val re = e.join(remaining.withColumnRenamed("node", "src"),
+          Seq("src"), "left_semi")
+        .join(remaining.withColumnRenamed("node", "dst"),
+          Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      // 1. forward max-color fixpoint
+      var color = remaining.withColumn("color", col("node"))
+        .localCheckpoint(true)
+      var rounds = 0
+      var changed = 1L
+      while (changed > 0) {
+        rounds += 1
+        require(rounds <= maxRounds * 50,
+          "color propagation did not converge")
+        val inmax = re
+          .join(color.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(max("color").as("inmax"))
+        val next = color.join(inmax, Seq("node"), "left")
+          .select(col("node"),
+            greatest(col("color"), coalesce(col("inmax"), col("color")))
+              .as("color"))
+          .localCheckpoint(true)
+        changed = next.join(color.withColumnRenamed("color", "old"),
+            Seq("node"))
+          .filter(col("color") =!= col("old")).count()
+        color = next
+      }
+      // 2. backward BFS from each root within its color class
+      var member = color.filter(col("node") === col("color"))
+        .select(col("node"), col("color").as("scc")).localCheckpoint(true)
+      var frontier = member
+      while (!frontier.isEmpty) {
+        val preds = re
+          .join(frontier.withColumnRenamed("node", "dst"), Seq("dst"))
+          .select(col("src").as("node"), col("scc")).distinct()
+          .join(color, Seq("node"))
+          .filter(col("color") === col("scc")).drop("color")
+        frontier = preds.join(member, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        member = member.unionByName(frontier).localCheckpoint(true)
+      }
+      // 3. retire
+      assigned = if (assigned == null) member
+        else assigned.unionByName(member).localCheckpoint(true)
+      remaining = remaining.join(member.select("node"), Seq("node"),
+        "left_anti").localCheckpoint(true)
+    }
+    if (assigned == null)
+      spark.emptyDataFrame.withColumn("node", lit(0L))
+        .withColumn("scc", lit(0L)).limit(0)
+    else assigned
+  }
+}

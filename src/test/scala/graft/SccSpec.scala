@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scc
+
+/** SCC: hand graphs at the semantic corners and random-graph parity
+  * against a driver-side Kosaraju reference. */
+class SccSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Kosaraju on the driver (small graphs): scc id = max member. */
+  private def kosaraju(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val fwd = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val rev = edges.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+    var visited = Set.empty[Long]
+    var order = List.empty[Long]
+    def dfs1(v: Long): Unit = if (!visited(v)) {
+      visited += v
+      fwd.getOrElse(v, Nil).foreach(dfs1)
+      order ::= v
+    }
+    nodes.sorted.foreach(dfs1)
+    visited = Set.empty
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    def dfs2(v: Long, buf: scala.collection.mutable.Buffer[Long]): Unit =
+      if (!visited(v)) {
+        visited += v; buf += v
+        rev.getOrElse(v, Nil).foreach(dfs2(_, buf))
+      }
+    order.foreach { v =>
+      if (!visited(v)) {
+        val comp = scala.collection.mutable.Buffer.empty[Long]
+        dfs2(v, comp)
+        val id = comp.max
+        comp.foreach(out(_) = id)
+      }
+    }
+    out.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Scc.stronglyConnected(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("cycle = one SCC, DAG = all singletons, bridge keeps two apart") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(run(cycle) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(run(dag) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // two 3-cycles joined by a ONE-WAY bridge stay separate SCCs
+    val two = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+    assert(run(two) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 6L, 5L -> 6L, 6L -> 6L))
+    // figure-eight: two cycles SHARING a node collapse to one SCC
+    val eight = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    assert(run(eight).values.toSet == Set(3L))
+  }
+
+  test("self-loops and isolated-by-direction nodes") {
+    val g = Seq((7L, 7L), (7L, 8L))
+    assert(run(g) == Map(7L -> 7L, 8L -> 8L))
+  }
+
+  test("random graphs match Kosaraju exactly") {
+    for (seed <- Seq(5, 23, 71)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 150).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)).distinct
+      assert(run(edges) == kosaraju(edges), s"seed $seed diverged")
+    }
+  }
+
+  test("a long SCC chain converges (one SCC retired per depth level)") {
+    // chain of 6 two-cycles linked one-way: depth forces outer rounds
+    val edges = (0L until 6L).flatMap { i =>
+      Seq((10 * i, 10 * i + 1), (10 * i + 1, 10 * i)) ++
+        (if (i > 0) Seq((10 * (i - 1), 10 * i)) else Nil)
+    }
+    assert(run(edges) == kosaraju(edges))
+  }
+}
