@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-hop weighted shortest paths — "cheapest route within ≤ H
+  * legs" from a seed set: link-distance weighted by crawl cost, supply
+  * routing with a leg cap, influence radius where each hop pays a toll.
+  * The weighted completion of [[Bfs.hopDistance]] (hop counts) and the
+  * directed dual of [[PageRank.personalized]] (probability mass).
+  *
+  * The hop bound is the SEMANTICS, not a convergence crutch: the
+  * result is "minimum total weight over walks of at most `maxHops`
+  * edges", a well-defined quantity on ANY graph (cycles included,
+  * negative weights included) that equals true shortest-path distance
+  * whenever `maxHops` ≥ the graph's longest shortest path. That makes
+  * the operator exactly replayable by a fixed unroll of relaxation
+  * rounds — no fixpoint detection enters the oracle contract.
+  *
+  * Algorithm: level-synchronous Bellman–Ford. Round h relaxes every
+  * edge out of the CHANGED set only (the nodes whose distance improved
+  * in round h−1 — the delta-stepping family's frontier discipline), so
+  * a settled region stops paying join cost; distances merge by
+  * min-aggregate, ties need no breaking (min is total on longs).
+  * Exact integer weights end to end — no float accumulation.
+  *
+  * Shape at 100 TB — the repo's iterative-graph discipline: edges are
+  * hash-partitioned on `src` ONCE and checkpointed; each round joins
+  * the (node-sized, usually much smaller) changed-set to that fixed
+  * layout and min-combines map-side; per-round `localCheckpoint` keeps
+  * lineage flat; the driver sees only per-round changed counts.
+  *
+  * @param edges   (src, dst, w) directed, long weights; parallel edges
+  *                fine (min wins); self-loops never improve and are
+  *                dropped
+  * @param seeds   one column of seed ids (distance 0)
+  * @param maxHops maximum number of edges in a walk (≥ 0)
+  * @return (node, dist) — min weight over ≤-maxHops-edge walks from
+  *         any seed; unreachable-within-bound nodes are absent
+  */
+object Sssp {
+
+  def boundedShortestPaths(edges: DataFrame, seeds: DataFrame,
+                           maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .repartition(col("src")).localCheckpoint(true)
+
+    var dist = seeds.select(seeds.columns.head).toDF("node")
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
+    // changed = nodes whose dist improved last round; only their out-
+    // edges can improve anything this round
+    var changed = dist
+    var h = 0
+    while (h < maxHops && !changed.isEmpty) {
+      h += 1
+      val relaxed = e
+        .join(changed.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + col("w")).as("cand"))
+      val merged = dist.join(relaxed, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("cand")),
+            coalesce(col("cand"), col("dist"))).as("dist"),
+          (col("dist").isNull || col("cand") < col("dist")).as("improved"))
+        .localCheckpoint(true)
+      changed = merged.filter(col("improved")).select("node", "dist")
+      dist = merged.select("node", "dist")
+    }
+    dist
+  }
+}
