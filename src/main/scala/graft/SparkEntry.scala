@@ -3818,6 +3818,25 @@ object SparkEntry {
       Scc.stronglyConnected(rings.unionByName(bridge)).orderBy("node")
     }),
 
+    // Graphs — link prediction (GraphStats.linkPrediction): for every
+    // non-adjacent supplier pair sharing a common neighbor in the
+    // co-occurrence graph, the three classic scores — common-neighbor
+    // count, FLOOR-scaled neighborhood Jaccard (cn·10⁶ div union, no
+    // division rounding surface), Adamic–Adar under the ln-round6-once
+    // discipline. Wedge join with the celebrity-hub guard; existing
+    // edges leave via one anti-join. The quantity filter thins the
+    // projection (the unfiltered supplier graph is near-complete, so
+    // every pair would be adjacent and the candidate set empty).
+    "q223_link_predict" -> ((s, dir) => {
+      val e = Triangles.coOccurrenceEdges(
+          Tables.load(s, dir, "lineitem").filter(col("l_quantity") <= 2),
+          col("l_orderkey"), col("l_suppkey"))
+        .select(col("u").as("lo"), col("v").as("hi"))
+      GraphStats.linkPrediction(e)
+        .withColumn("aa6", col("aa6").cast("string"))
+        .orderBy("a", "b")
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -7839,6 +7858,34 @@ object SparkEntry {
         |  GREATEST(n.node, COALESCE(MAX(m.u), n.node)) AS scc
         |FROM n LEFT JOIN mutual m ON m.v = n.node
         |GROUP BY n.node ORDER BY node""".stripMargin,
+
+    "q223_link_predict" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS i
+        |    FROM lineitem WHERE l_quantity <= 2),
+        |e AS (SELECT DISTINCT a.i AS lo, b.i AS hi
+        |  FROM it a JOIN it b ON a.g = b.g AND a.i < b.i),
+        |adj AS (SELECT lo AS z, hi AS n FROM e
+        |  UNION ALL SELECT hi, lo FROM e),
+        |deg AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM adj GROUP BY z),
+        |w AS (SELECT a.n AS a, b.n AS b,
+        |    CAST(printf('%.6f', 1.0 / ln(CAST(d.deg AS DOUBLE)))
+        |      AS DECIMAL(18,6)) AS term
+        |  FROM adj a JOIN adj b ON b.z = a.z AND a.n < b.n
+        |  JOIN deg d ON d.z = a.z),
+        |cand AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
+        |    CAST(SUM(term) AS DECIMAL(38,6)) AS aa6
+        |  FROM w GROUP BY a, b),
+        |nonadj AS (SELECT c.* FROM cand c
+        |  LEFT JOIN e ON e.lo = c.a AND e.hi = c.b
+        |  WHERE e.lo IS NULL)
+        |SELECT n.a, n.b, n.cn,
+        |  da.deg + db.deg - n.cn AS union_n,
+        |  n.cn * 1000000 // (da.deg + db.deg - n.cn) AS jaccard_1e6,
+        |  CAST(n.aa6 AS VARCHAR) AS aa6
+        |FROM nonadj n JOIN deg da ON da.z = n.a
+        |JOIN deg db ON db.z = n.b
+        |ORDER BY a, b""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -58,4 +58,72 @@ object GraphStats {
       when(col("m") >= 2 && denx > lit(0.0d) && deny > lit(0.0d),
         format_string("%.6f", num / (sqrt(denx) * sqrt(deny)))).as("r"))
   }
+
+  /** Link prediction over an undirected graph: for every NON-adjacent
+    * node pair sharing at least one common neighbor, the three classic
+    * scores — common-neighbor count, neighborhood Jaccard, and
+    * Adamic–Adar Σ_z 1/ln(deg z) — ranking which missing edges are
+    * most likely to exist (recommendation, crawl-frontier priority,
+    * knowledge-graph completion).
+    *
+    * Determinism discipline: Jaccard is the FLOOR-scaled integer
+    * cn·10⁶ div |Γa ∪ Γb| (exact on both engines — no decimal-division
+    * rounding surface); Adamic–Adar rounds each 1/ln(deg z) term to 6
+    * decimals ONCE ([[Entropy]]'s ln discipline) and sums in
+    * decimal(38,6) — order-independent under any partitioning. A
+    * common neighbor has degree ≥ 2 by construction, so ln(deg) ≥
+    * ln 2 > 0 and the terms are bounded.
+    *
+    * Scale shape: candidate pairs come from the wedge join (adjacency
+    * self-joined on the shared neighbor z) — Σ_z C(deg z, 2) rows, the
+    * [[Triangles]] fan-out — so the same celebrity-hub guard applies:
+    * any node with degree > `maxDegree` fails the job BEFORE the
+    * self-join emits (at 100 TB one hub would otherwise quadratically
+    * dominate the wedge shuffle). Existing edges leave via ONE
+    * left-anti join on the normalized pair; degrees are two broadcast-
+    * friendly equi-joins of a |nodes|-row frame. No windows, no
+    * driver state.
+    *
+    * @param edges normalized undirected edges: distinct (lo, hi) with
+    *              lo < hi (e.g. straight from
+    *              [[Triangles.coOccurrenceEdges]], renamed)
+    * @param maxDegree fail-fast cap on any node's degree
+    * @return (a, b, cn, union_n, jaccard_1e6, aa6) with a < b, one row
+    *         per non-adjacent pair with cn ≥ 1 */
+  def linkPrediction(edges: DataFrame, maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree > 0, "maxDegree must be positive")
+    val e = edges.select(col("lo"), col("hi")).localCheckpoint(true)
+    val adj = e.select(col("lo").as("z"), col("hi").as("n"))
+      .unionByName(e.select(col("hi").as("z"), col("lo").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // feeds the guard, the terms, and both ends
+    val guarded = adj.join(deg, Seq("z"))
+      .withColumn("n", when(col("deg") > maxDegree.toLong,
+          raise_error(lit("linkPrediction: a node exceeds maxDegree=" +
+            s"$maxDegree - the wedge join is quadratic in degree; cap or " +
+            "pre-filter hub nodes, or raise maxDegree explicitly")))
+        .otherwise(col("n")))
+    // each matched row is one common neighbor z of the pair (a, b);
+    // its Adamic–Adar term is computed HERE, before the pair groupBy,
+    // so the aggregate stays map-side combinable
+    val wedges = guarded.select(col("z"), col("n").as("a"), col("deg"))
+      .join(guarded.select(col("z"), col("n").as("b")), Seq("z"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        format_string("%.6f", lit(1.0d) / log(col("deg").cast("double")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("term"))
+    val cand = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum("term").cast(org.apache.spark.sql.types.DecimalType(38, 6))
+          .as("aa6"))
+      .join(e.select(col("lo").as("a"), col("hi").as("b")),
+        Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("z").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("z").as("b"), col("deg").as("db")), Seq("b"))
+      .withColumn("union_n", col("da") + col("db") - col("cn"))
+      .select(col("a"), col("b"), col("cn"), col("union_n"),
+        expr("cn * 1000000L div union_n").as("jaccard_1e6"),
+        col("aa6"))
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraphStats
+
+/** Link prediction: hand-checked scores on a 5-node graph, adjacency
+  * exclusion, floor-Jaccard semantics, and the celebrity-hub guard.
+  * (degreeAssortativity is covered in TrendSpec alongside the other
+  * moment-tree scalars.)
+  */
+class GraphStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  //   1-2, 1-3, 2-3, 2-4, 3-4, 4-5
+  // degrees: 1→2, 2→3, 3→3, 4→3, 5→1
+  private def house = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+    (3L, 4L), (4L, 5L)).toDF("lo", "hi")
+
+  test("hand-checked common neighbors, floor Jaccard, Adamic-Adar") {
+    val got = GraphStats.linkPrediction(house)
+      .orderBy("a", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDecimal(5).toPlainString))
+      .toMap
+    // (1,4): common {2,3}; union = 2+3-2 = 3; 2e6 div 3 = 666666;
+    // aa = 2 * round6(1/ln 3) = 2 * 0.910239
+    assert(got((1L, 4L)) == ((2L, 3L, 666666L, "1.820478")))
+    // (2,5) and (3,5): common {4}; union = 3+1-1 = 3
+    assert(got((2L, 5L)) == ((1L, 3L, 333333L, "0.910239")))
+    assert(got((3L, 5L)) == ((1L, 3L, 333333L, "0.910239")))
+    assert(got.size == 3) // adjacent pairs (e.g. 2-3, cn=2) never appear
+  }
+
+  test("pairs with no common neighbor are absent") {
+    val got = GraphStats.linkPrediction(house).collect()
+    assert(!got.exists(r => r.getLong(0) == 1L && r.getLong(1) == 5L))
+  }
+
+  test("celebrity-hub guard fails fast past maxDegree") {
+    val ex = intercept[Exception] {
+      GraphStats.linkPrediction(house, maxDegree = 2).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("maxDegree"))
+  }
+
+  test("isolated edge yields no candidates") {
+    val e = Seq((10L, 11L)).toDF("lo", "hi")
+    assert(GraphStats.linkPrediction(e).count() == 0L)
+  }
+}
