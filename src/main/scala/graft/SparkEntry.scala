@@ -3837,6 +3837,42 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // ER — Fellegi–Sunter probabilistic linkage (RecordLinkage.score):
+    // nation-blocked customer pairs scored by three agreement fields
+    // (segment, acctbal kilobucket, acctbal cents) under caller-given
+    // exact-rational m/u models; ln weights are driver-computed
+    // decimal(18,6) PLAN LITERALS shared verbatim with the oracle, so
+    // no runtime transcendental exists on either engine. Cents go
+    // through the %.2f decimal rendering (the double→cents hazard),
+    // and the +100000 shift keeps div/mod on nonnegative ground where
+    // Spark's truncation and DuckDB's floor agree.
+    "q224_fs_linkage" -> ((s, dir) => {
+      import graft.operators.RecordLinkage
+      import graft.operators.RecordLinkage.FieldModel
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val c = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("k"), col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+          .cast("long").as("cents"))
+      val pairs = c.select(col("k").as("k1"), col("nat"),
+          col("seg").as("seg1"), col("cents").as("cents1"))
+        .join(c.select(col("k").as("k2"), col("nat"),
+          col("seg").as("seg2"), col("cents").as("cents2")), Seq("nat"))
+        .filter(col("k1") < col("k2"))
+      RecordLinkage.score(pairs, Seq(
+          FieldModel("seg", col("seg1") === col("seg2"), 9, 10, 1, 5),
+          FieldModel("kb", expr("(cents1 + 100000) div 100000") ===
+            expr("(cents2 + 100000) div 100000"), 8, 10, 1, 11),
+          FieldModel("ct", expr("((cents1 % 100) + 100) % 100") ===
+            expr("((cents2 % 100) + 100) % 100"), 7, 10, 1, 100)),
+          "3.0", "0.0")
+        .groupBy("a_seg", "a_kb", "a_ct", "decision")
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("score6")).cast("string").as("score6"))
+        .orderBy("a_seg", "a_kb", "a_ct")
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -7886,6 +7922,41 @@ object SparkEntry {
         |FROM nonadj n JOIN deg da ON da.z = n.a
         |JOIN deg db ON db.z = n.b
         |ORDER BY a, b""".stripMargin,
+
+    "q224_fs_linkage" -> {
+      import graft.operators.RecordLinkage.weight6
+      val (wSegA, wSegD) = (weight6(9, 10, 1, 5), weight6(1, 10, 4, 5))
+      val (wKbA, wKbD) = (weight6(8, 10, 1, 11), weight6(2, 10, 10, 11))
+      val (wCtA, wCtD) = (weight6(7, 10, 1, 100), weight6(3, 10, 99, 100))
+      s"""WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+        |    c_mktsegment AS seg,
+        |    CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS cents
+        |  FROM customer),
+        |p AS (SELECT a.seg AS seg1, b.seg AS seg2,
+        |    a.cents AS c1, b.cents AS c2
+        |  FROM c a JOIN c b ON b.nat = a.nat AND a.k < b.k),
+        |f AS (SELECT seg1 = seg2 AS a_seg,
+        |    (c1 + 100000) // 100000 = (c2 + 100000) // 100000 AS a_kb,
+        |    ((c1 % 100) + 100) % 100 = ((c2 % 100) + 100) % 100 AS a_ct
+        |  FROM p),
+        |sc AS (SELECT a_seg, a_kb, a_ct, CAST(
+        |    CASE WHEN a_seg THEN CAST('$wSegA' AS DECIMAL(18,6))
+        |      ELSE CAST('$wSegD' AS DECIMAL(18,6)) END
+        |    + CASE WHEN a_kb THEN CAST('$wKbA' AS DECIMAL(18,6))
+        |      ELSE CAST('$wKbD' AS DECIMAL(18,6)) END
+        |    + CASE WHEN a_ct THEN CAST('$wCtA' AS DECIMAL(18,6))
+        |      ELSE CAST('$wCtD' AS DECIMAL(18,6)) END
+        |    AS DECIMAL(38,6)) AS score6 FROM f)
+        |SELECT a_seg, a_kb, a_ct,
+        |  CASE WHEN score6 >= CAST('3.0' AS DECIMAL(18,6)) THEN 'link'
+        |    WHEN score6 <= CAST('0.0' AS DECIMAL(18,6)) THEN 'nonlink'
+        |    ELSE 'possible' END AS decision,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(MAX(score6) AS VARCHAR) AS score6
+        |FROM sc GROUP BY 1, 2, 3, 4
+        |ORDER BY a_seg, a_kb, a_ct""".stripMargin
+    },
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

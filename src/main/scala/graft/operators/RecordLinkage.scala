@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fellegi–Sunter probabilistic record linkage (the 1969 decision
+  * theory behind every production ER engine: Splink, dedupe.io, the
+  * Census Bureau matchers). Candidate pairs — produced by ANY blocker
+  * ([[FuzzyJoin.sortedNeighborhood]], [[Blocking]], an equality
+  * block) — are scored by their field-agreement pattern: each field i
+  * carries an m-probability (P(agree | same entity)) and a
+  * u-probability (P(agree | different entities)); the pair's match
+  * weight is Σᵢ ln(mᵢ/uᵢ) over agreeing fields plus
+  * Σᵢ ln((1−mᵢ)/(1−uᵢ)) over disagreeing ones, and two thresholds cut
+  * link / possible-link (clerical review) / non-link.
+  *
+  * Determinism discipline: m and u are EXACT RATIONALS supplied by the
+  * caller; both per-field weights are computed ONCE on the driver with
+  * ln on the rational's double value, rounded HALF-UP to 6 decimals,
+  * and enter the plan as decimal(18,6) LITERALS — the executors (and
+  * the oracle, which inlines the same literals) only ever add
+  * plan-constant decimals, so no runtime transcendental exists
+  * anywhere. Score is the exact decimal(38,6) sum.
+  *
+  * Scale shape: one projection over the (already-blocked) pair frame —
+  * a row-local CASE per field plus a constant-folded sum; no shuffle,
+  * no window, no driver state. Cost is the blocker's, by design: F–S
+  * scoring itself is free.
+  */
+object RecordLinkage {
+
+  /** One field of the linkage model.
+    * @param name  output flag column becomes s"a_$name" (boolean)
+    * @param agree row-local agreement predicate over the pair frame
+    * @param mNum/mDen m = P(agree | match) as an exact rational
+    * @param uNum/uDen u = P(agree | non-match) as an exact rational */
+  final case class FieldModel(name: String, agree: Column,
+      mNum: Long, mDen: Long, uNum: Long, uDen: Long) {
+    require(mNum > 0 && mNum < mDen, s"field $name: need 0 < m < 1")
+    require(uNum > 0 && uNum < uDen, s"field $name: need 0 < u < 1")
+  }
+
+  /** round6(ln(n1/d1 / (n2/d2))) = round6(ln((n1·d2)/(d1·n2))) as a
+    * plain string like "-1.599388" — the literal both engines share. */
+  def weight6(n1: Long, d1: Long, n2: Long, d2: Long): String = {
+    val v = math.log((n1.toDouble * d2.toDouble) / (d1.toDouble * n2.toDouble))
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.toPlainString
+  }
+
+  /** Score every candidate pair. Appends, per field, the boolean
+    * agreement flag `a_<name>`; then `score6` (decimal(38,6) match
+    * weight) and `decision` ('link' when score6 ≥ upper6, 'nonlink'
+    * when score6 ≤ lower6, else 'possible').
+    *
+    * @param pairs  blocked candidate pairs (one row per pair)
+    * @param fields the field models; agreement predicates must be
+    *               row-local over `pairs`' columns
+    * @param upper6 / lower6 decision thresholds, scale-6 decimals as
+    *               strings (e.g. "2.5", "-0.5") */
+  def score(pairs: DataFrame, fields: Seq[FieldModel],
+            upper6: String, lower6: String): DataFrame = {
+    require(fields.nonEmpty, "need at least one field model")
+    require(BigDecimal(upper6) > BigDecimal(lower6),
+      "upper6 must exceed lower6")
+    val dec6 = DecimalType(18, 6)
+    val flagged = fields.foldLeft(pairs) { (df, f) =>
+      df.withColumn(s"a_${f.name}", coalesce(f.agree, lit(false)))
+    }
+    val terms = fields.map { f =>
+      val wA = weight6(f.mNum, f.mDen, f.uNum, f.uDen)
+      val wD = weight6(f.mDen - f.mNum, f.mDen, f.uDen - f.uNum, f.uDen)
+      when(col(s"a_${f.name}"), lit(wA).cast(dec6))
+        .otherwise(lit(wD).cast(dec6))
+    }
+    flagged
+      .withColumn("score6",
+        terms.reduce(_ + _).cast(DecimalType(38, 6)))
+      .withColumn("decision",
+        when(col("score6") >= lit(upper6).cast(dec6), "link")
+          .when(col("score6") <= lit(lower6).cast(dec6), "nonlink")
+          .otherwise("possible"))
+  }
+}

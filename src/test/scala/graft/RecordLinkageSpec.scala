@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RecordLinkage
+import graft.operators.RecordLinkage.FieldModel
+
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weight6 is round6(ln(m/u)) with HALF_UP") {
+    assert(RecordLinkage.weight6(9, 10, 1, 5) == "1.504077")  // ln 4.5
+    assert(RecordLinkage.weight6(1, 10, 4, 5) == "-2.079442") // ln 0.125
+    assert(RecordLinkage.weight6(7, 10, 1, 100) == "4.248495") // ln 70
+    assert(RecordLinkage.weight6(1, 2, 1, 2) == "0.000000")
+  }
+
+  test("agreement pattern sums the plan-literal weights") {
+    val pairs = Seq(
+      ("x", "x", 1L, 1L),  // both agree
+      ("x", "y", 1L, 1L),  // only f2 agrees
+      ("x", "y", 1L, 2L)   // neither agrees
+    ).toDF("s1", "s2", "v1", "v2")
+    val got = RecordLinkage.score(pairs, Seq(
+        FieldModel("s", col("s1") === col("s2"), 9, 10, 1, 5),
+        FieldModel("v", col("v1") === col("v2"), 7, 10, 1, 100)),
+        "3.0", "0.0")
+      .select("a_s", "a_v", "score6", "decision")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1),
+        r.getDecimal(2).toPlainString, r.getString(3)))
+    // ln4.5 + ln70 = 1.504077 + 4.248495
+    assert(got(0) == ((true, true, "5.752572", "link")))
+    // ln0.125 + ln70 = -2.079442 + 4.248495 = 2.169053 -> possible
+    assert(got(1) == ((false, true, "2.169053", "possible")))
+    // ln0.125 + ln(0.3/0.99) = -2.079442 + -1.193922
+    assert(got(2) == ((false, false, "-3.273364", "nonlink")))
+  }
+
+  test("null agreement counts as disagreement") {
+    val pairs = Seq((Option.empty[String], Option("x"))).toDF("s1", "s2")
+    val r = RecordLinkage.score(pairs,
+        Seq(FieldModel("s", col("s1") === col("s2"), 9, 10, 1, 5)),
+        "1.0", "-1.0").select("a_s", "decision").head()
+    assert(!r.getBoolean(0) && r.getString(1) == "nonlink")
+  }
+
+  test("threshold boundaries are inclusive") {
+    val pairs = Seq((1, 1), (1, 2)).toDF("v1", "v2")
+    // single field: agree weight ln(0.9/0.45)=ln 2, disagree ln(0.1/0.55)
+    val got = RecordLinkage.score(pairs, Seq(
+        FieldModel("v", col("v1") === col("v2"), 90, 100, 45, 100)),
+        "0.693147", "-1.704748")
+      .select("decision").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("link", "nonlink")) // both land ON a threshold
+  }
+
+  test("degenerate model rejected") {
+    intercept[IllegalArgumentException] {
+      FieldModel("bad", lit(true), 10, 10, 1, 5)
+    }
+    intercept[IllegalArgumentException] {
+      RecordLinkage.score(Seq((1, 1)).toDF("a", "b"), Seq(
+        FieldModel("v", col("a") === col("b"), 1, 2, 1, 3)), "0.0", "1.0")
+    }
+  }
+}
