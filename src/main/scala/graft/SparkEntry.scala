@@ -3873,6 +3873,16 @@ object SparkEntry {
         .orderBy("a_seg", "a_kb", "a_ct")
     }),
 
+    // Text — RAKE keyword extraction (Keywords.rake): stopword-bounded
+    // candidate phrases scored by Σ deg(w)·10⁶ div freq(w) (floor-
+    // scaled, division-free), top 3 per document with phrase-text tie
+    // break. Four doc-keyed map-side aggregates + one WindowGroupLimit
+    // top-k — nothing corpus-global.
+    "q225_rake_keywords" -> ((s, dir) =>
+      Keywords.rake(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), Seq("a", "the"), topK = 3)
+        .orderBy(col("doc_id"), col("score_1e6").desc, col("phrase"))),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -7957,6 +7967,41 @@ object SparkEntry {
         |FROM sc GROUP BY 1, 2, 3, 4
         |ORDER BY a_seg, a_kb, a_ct""".stripMargin
     },
+
+    "q225_rake_keywords" ->
+      """WITH t AS (SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END AS st
+        |  FROM t),
+        |s AS (SELECT *, SUM(st) OVER (PARTITION BY doc_id
+        |    ORDER BY pos) AS seg FROM f),
+        |w AS (SELECT doc_id, seg, pos, tok FROM s WHERE st = 0),
+        |pl AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM w GROUP BY 1, 2),
+        |freq AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM w GROUP BY 1, 2),
+        |deg AS (SELECT w.doc_id, w.tok,
+        |    CAST(SUM(pl.len) AS BIGINT) AS deg
+        |  FROM w JOIN pl ON pl.doc_id = w.doc_id AND pl.seg = w.seg
+        |  GROUP BY 1, 2),
+        |ws AS (SELECT fr.doc_id, fr.tok, d.deg * 1000000 // fr.freq AS s6
+        |  FROM freq fr JOIN deg d ON d.doc_id = fr.doc_id
+        |    AND d.tok = fr.tok),
+        |ps AS (SELECT w.doc_id, w.seg, CAST(SUM(ws.s6) AS BIGINT)
+        |    AS score_1e6
+        |  FROM w JOIN ws ON ws.doc_id = w.doc_id AND ws.tok = w.tok
+        |  GROUP BY 1, 2),
+        |ph AS (SELECT doc_id, seg,
+        |    string_agg(tok, ' ' ORDER BY pos) AS phrase
+        |  FROM w GROUP BY 1, 2),
+        |d AS (SELECT DISTINCT ph.doc_id, ph.phrase, ps.score_1e6
+        |  FROM ph JOIN ps ON ps.doc_id = ph.doc_id AND ps.seg = ph.seg),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score_1e6 DESC, phrase) AS rk FROM d)
+        |SELECT doc_id, phrase, score_1e6 FROM r WHERE rk <= 3
+        |ORDER BY doc_id, score_1e6 DESC, phrase""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+
+/** RAKE keyword extraction (Rose et al. 2010 — Rapid Automatic Keyword
+  * Extraction): candidate phrases are the maximal token runs between
+  * stopwords; each word scores deg(w)/freq(w) where freq counts the
+  * word's occurrences and deg sums the lengths of the phrases it
+  * appears in (co-occurrence degree, self included); a phrase scores
+  * the sum of its words' scores. The classic cheap single-document
+  * keyworder — here per document over the whole corpus in one pass,
+  * the extraction step between [[MainContent]] boilerplate removal and
+  * [[Retrieval]] indexing.
+  *
+  * Determinism discipline: no division survives — word score is the
+  * FLOOR-scaled integer deg·10⁶ div freq, phrase score the exact
+  * BIGINT sum of its members' scaled scores (sum-of-floors, pinned as
+  * the definition so both engines agree bit-for-bit). Top-k ties break
+  * on phrase text ascending — a total order, physical row order never
+  * decides.
+  *
+  * Scale shape: every stage keys on doc_id (or doc_id+token) — four
+  * map-side-combinable aggregates and one per-doc top-k window
+  * ([[org.apache.spark.sql.execution.window.WindowGroupLimitExec]]
+  * prunes below the limit); nothing corpus-global, no driver state.
+  * Work is linear in corpus tokens; the widest shuffle carries one row
+  * per non-stopword occurrence.
+  */
+object Keywords {
+
+  /** @param docs  corpus frame
+    * @param id    document id column
+    * @param text  space-tokenized text column
+    * @param stopwords phrase-boundary words (also excluded from
+    *              scoring), matched exactly
+    * @param topK  phrases kept per document (score desc, phrase asc)
+    * @return (doc_id, phrase, score_1e6) — distinct phrases, at most
+    *         topK per document */
+  def rake(docs: DataFrame, id: Column, text: Column,
+           stopwords: Seq[String], topK: Int = 3): DataFrame = {
+    require(stopwords.nonEmpty, "need at least one stopword")
+    require(topK > 0, "topK must be positive")
+    val toks = docs.select(id.as("doc_id"),
+        posexplode(TextFunctions.tokens(text)).as(Seq("pos", "tok")))
+      .withColumn("st", col("tok").isin(stopwords: _*).cast("long"))
+    // phrase id = running stopword count: constant within a run,
+    // bumps at each boundary
+    val seg = toks.withColumn("seg",
+      sum("st").over(Window.partitionBy("doc_id").orderBy("pos")))
+    val words = seg.filter(col("st") === 0L)
+      .select("doc_id", "seg", "pos", "tok")
+      .localCheckpoint(true) // feeds phrases, freq, deg, and the score join
+    val phraseLen = words.groupBy("doc_id", "seg")
+      .agg(count(lit(1)).as("len"))
+    val freq = words.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("freq"))
+    val deg = words.join(phraseLen, Seq("doc_id", "seg"))
+      .groupBy("doc_id", "tok").agg(sum("len").as("deg"))
+    val wordScore = freq.join(deg, Seq("doc_id", "tok"))
+      .select(col("doc_id"), col("tok"),
+        expr("deg * 1000000L div freq").as("s6"))
+    val phraseScore = words.join(wordScore, Seq("doc_id", "tok"))
+      .groupBy("doc_id", "seg").agg(sum("s6").as("score_1e6"))
+    val phrases = words.groupBy("doc_id", "seg")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("tok")))),
+        x => x("tok")), " ").as("phrase"))
+    val scored = phrases.join(phraseScore, Seq("doc_id", "seg"))
+      .select("doc_id", "phrase", "score_1e6").distinct()
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_1e6").desc, col("phrase"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topK).drop("__rk")
+  }
+}

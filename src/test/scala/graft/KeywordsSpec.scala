@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Keywords
+
+class KeywordsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rake(rows: Seq[(Long, String)], topK: Int = 3) =
+    Keywords.rake(rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        Seq("a", "the"), topK)
+      .orderBy(col("doc_id"), col("score_1e6").desc, col("phrase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+  test("hand-checked RAKE degrees, frequencies, and phrase scores") {
+    // phrases: [red apple] [red fruit] [ripe red apple]
+    // freq: red 3, apple 2, fruit 1, ripe 1
+    // deg:  red 2+2+3=7, apple 2+3=5, fruit 2, ripe 3
+    val got = rake(Seq(
+      (1L, "red apple the red fruit a ripe red apple")))
+    assert(got.toSeq == Seq(
+      (1L, "ripe red apple", 3000000L + 7000000L / 3 + 2500000L),
+      (1L, "red apple", 7000000L / 3 + 2500000L),
+      (1L, "red fruit", 7000000L / 3 + 2000000L)))
+  }
+
+  test("identical phrases dedup to one row") {
+    val got = rake(Seq((1L, "x y the x y")))
+    assert(got.toSeq == Seq((1L, "x y", 4000000L)))
+  }
+
+  test("topK cuts with phrase-text tie break") {
+    val got = rake(Seq((1L, "b the c the d the e")), topK = 2)
+    // four 1-word phrases, all score 10^6; ties break alphabetically
+    assert(got.toSeq == Seq((1L, "b", 1000000L), (1L, "c", 1000000L)))
+  }
+
+  test("document of only stopwords yields nothing") {
+    assert(rake(Seq((1L, "a the a the"))).isEmpty)
+  }
+
+  test("documents are scored independently") {
+    val got = rake(Seq((1L, "x y"), (2L, "x the x")))
+    // doc 2: freq x=2, deg x=1+1=2 -> score 10^6, one distinct "x";
+    // doc 1: deg x=deg y=2, freq 1 -> "x y" scores 2*2*10^6
+    assert(got.toSeq == Seq((1L, "x y", 4000000L), (2L, "x", 1000000L)))
+  }
+}
