@@ -3883,6 +3883,81 @@ object SparkEntry {
           col("doc_id"), col("text"), Seq("a", "the"), topK = 3)
         .orderBy(col("doc_id"), col("score_1e6").desc, col("phrase"))),
 
+    // Workload — TPC-H Q12 shape (late shipments by line status): the
+    // fact-fact join with BOTH date predicates pushed to the lineitem
+    // scan, then one conditional aggregation; the ship-after-order+30d
+    // lateness predicate evaluates row-local post-join. (The testdata
+    // schema has no shipmode/receiptdate; linestatus plays the group
+    // and ship-vs-order-date the lateness, same shape.)
+    "q226_tpch_q12" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linestatus", "l_shipdate")
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // Workload — TPC-H Q14 shape (promo revenue share): part dim
+    // broadcast into the year's lineitems, one aggregate computing
+    // both the conditional and total revenue, share rendered %.6f from
+    // the exact decimal sums (the dsum discipline).
+    "q227_tpch_q14" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      val p = Tables.load(s, dir, "part").select("p_partkey", "p_type")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0.0)).cast(dec6)).as("promo6"),
+          sum(col("rev").cast(dec6)).as("total6"))
+        .select(
+          format_string("%.6f", lit(100.0) *
+            col("promo6").cast("double") / col("total6").cast("double"))
+            .as("promo_share"),
+          col("promo6").cast("string").as("promo_revenue"),
+          col("total6").cast("string").as("total_revenue"))
+    }),
+
+    // Workload — TPC-H Q18 shape (large-volume orders): group-by-
+    // having on the fact builds a small "big orders" key set that then
+    // drives the orders/customer lookups; quantity sums stay in exact
+    // decimal. Top 100 by price via TakeOrderedAndProject.
+    "q228_tpch_q18" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val big = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(dec2)).as("sum_qty"))
+        .filter(col("sum_qty") > lit(180).cast(dec2))
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val c = Tables.load(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        // numeric sort first, THEN the %.2f canonicalization — a string
+        // sort would order "99.00" above "100.00"
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          format_string("%.2f", col("o_totalprice")).as("o_totalprice"),
+          col("sum_qty").cast("string").as("sum_qty"))
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -8002,6 +8077,51 @@ object SparkEntry {
         |    ORDER BY score_1e6 DESC, phrase) AS rk FROM d)
         |SELECT doc_id, phrase, score_1e6 FROM r WHERE rk <= 3
         |ORDER BY doc_id, score_1e6 DESC, phrase""".stripMargin,
+
+    "q226_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "q227_tpch_q14" ->
+      """WITH a AS (SELECT
+        |    SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |      AS DECIMAL(38,6))) AS promo6,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(38,6))) AS total6
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01')
+        |SELECT printf('%.6f', 100.0 * CAST(promo6 AS DOUBLE)
+        |    / CAST(total6 AS DOUBLE)) AS promo_share,
+        |  CAST(promo6 AS VARCHAR) AS promo_revenue,
+        |  CAST(total6 AS VARCHAR) AS total_revenue
+        |FROM a""".stripMargin,
+
+    "q228_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    > CAST(180 AS DECIMAL(18,2))),
+        |t AS (SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |    o_totalprice, sum_qty
+        |  FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  printf('%.2f', o_totalprice) AS o_totalprice,
+        |  CAST(sum_qty AS VARCHAR) AS sum_qty
+        |FROM t""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

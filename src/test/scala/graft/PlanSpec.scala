@@ -415,6 +415,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q226-q228: Q12/Q14/Q18 shapes — pushdown, broadcast dim, top-k") {
+    val p12 = plan("q226_tpch_q12")
+    // both shipdate bounds must reach the lineitem scan
+    assert(p12.contains("GreaterThanOrEqual(l_shipdate") &&
+      p12.contains("LessThan(l_shipdate"), p12.take(3000))
+    assert(!p12.contains("CartesianProduct"))
+    val p14 = plan("q227_tpch_q14")
+    assert(p14.contains("BroadcastHashJoin"),
+      "q227: the part dim must broadcast")
+    assert(!p14.contains("CartesianProduct"))
+    val p18 = plan("q228_tpch_q18")
+    assert(p18.contains("TakeOrderedAndProject"),
+      "q228: LIMIT 100 must be top-k, not a global sort")
+    assert(!p18.contains("CartesianProduct"))
+  }
+
   test("q199: clustering depth sweeps ONLY the dim-sized stats table") {
     val p = plan("q199_clustering_depth")
     // the block-stats aggregate reduces lineitem before any window; the
