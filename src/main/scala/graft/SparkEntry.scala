@@ -3958,6 +3958,47 @@ object SparkEntry {
           col("sum_qty").cast("string").as("sum_qty"))
     }),
 
+    // Sources — ORC sink + scan round-trip: the lineitem slice writes
+    // to columnar ORC (Spark-native, zlib) and is read back for the
+    // rollup; the oracle recomputes from the parquet source, so any
+    // value drift through the ORC writer/reader (timestamps, doubles,
+    // strings) fails the hash. Exercises the second warehouse format
+    // end-to-end next to the parquet/zip/tar/warc/xport/pdf shelf.
+    "q229_orc_roundtrip" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val fix = s"/tmp/graft_orc_fixture_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag",
+          "l_shipdate")
+        .write.mode("overwrite").orc(fix)
+      s.read.orc(fix)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec2))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .cast("string").as("sum_qty"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_ship"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Governance — Cramér's V association strength (DataQuality
+    // .cramersV): the χ² effect size over documents lang × length
+    // bucket; V parses the ROUNDED chi2 witness so both engines sqrt
+    // the identical literal.
+    "q230_cramers_v" -> ((s, dir) =>
+      DataQuality.cramersV(Tables.load(s, dir, "documents"),
+        col("lang"), expr("length(text) div 500"))),
+
+    // Text — term burstiness / index of dispersion (TermStats
+    // .dispersion): variance-to-mean of per-doc term counts (zeros
+    // included) as ONE floor-scaled integer per term — the template-
+    // spam detector that needs corpus statistics, not just one doc.
+    "q231_term_dispersion" -> ((s, dir) =>
+      TermStats.dispersion(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), minDf = 5L)
+        .orderBy("term")),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -8122,6 +8163,60 @@ object SparkEntry {
         |  printf('%.2f', o_totalprice) AS o_totalprice,
         |  CAST(sum_qty AS VARCHAR) AS sum_qty
         |FROM t""".stripMargin,
+
+    "q229_orc_roundtrip" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q230_cramers_v" ->
+      """WITH cells AS (SELECT lang AS a, length(text) // 500 AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY a),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY b),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+        |g AS (SELECT ra.a, cb.b, ra.r, cb.c, t.n, COALESCE(cells.o, 0) AS o
+        |      FROM ra CROSS JOIN cb
+        |      LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+        |      CROSS JOIN t),
+        |terms AS (SELECT n, a, b,
+        |    CAST(printf('%.6f',
+        |      CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+        |         * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * r * c AS DOUBLE))
+        |      AS DECIMAL(30,6)) AS term
+        |  FROM g),
+        |res AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT a) AS BIGINT) AS a_cats,
+        |    CAST(COUNT(DISTINCT b) AS BIGINT) AS b_cats,
+        |    CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+        |      AS BIGINT) AS dof,
+        |    CAST(CAST(SUM(term) AS DECIMAL(30,6)) AS VARCHAR) AS chi2
+        |  FROM terms)
+        |SELECT res.*,
+        |  CASE WHEN LEAST(a_cats, b_cats) - 1 >= 1 AND n > 0
+        |    THEN printf('%.6f', sqrt(CAST(chi2 AS DOUBLE)
+        |      / (n * (LEAST(a_cats, b_cats) - 1)))) END AS cramers_v
+        |FROM res""".stripMargin,
+
+    "q231_term_dispersion" ->
+      """WITH nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+        |    AS n_docs FROM documents),
+        |pd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |x AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM pd GROUP BY 1, 2),
+        |t AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(x) AS BIGINT) AS tf,
+        |    CAST(SUM(x * x) AS BIGINT) AS sum_sq FROM x GROUP BY 1)
+        |SELECT term, df, tf,
+        |  CASE WHEN n_docs >= 2 AND tf > 0
+        |    THEN (n_docs * sum_sq - tf * tf) * 1000000
+        |      // ((n_docs - 1) * tf) END AS vmr_1e6
+        |FROM t CROSS JOIN nd WHERE df >= 5 ORDER BY term""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

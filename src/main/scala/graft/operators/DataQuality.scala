@@ -157,6 +157,25 @@ object DataQuality {
         col("chi2_d").cast("string").as("chi2"))
   }
 
+  /** Cramér's V association strength — [[chiSquare]]'s effect size:
+    * V = sqrt(χ² / (n · min(a−1, b−1))) ∈ [0, 1], the scale-free "how
+    * strongly are these two categoricals associated" number that lets
+    * audits compare column pairs with different cardinalities (χ²
+    * alone grows with n and table size). Derived from the ROUNDED χ²
+    * witness string — both engines parse the identical 6-decimal
+    * literal, so the sqrt sees bit-identical input; one more %.6f
+    * rendering on top. Degenerate tables (a single category on either
+    * side) report null V. Same single pass as [[chiSquare]].
+    *
+    * @return one row: (n, a_cats, b_cats, dof, chi2, cramers_v) */
+  def cramersV(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val mindim = least(col("a_cats"), col("b_cats")) - lit(1L)
+    chiSquare(df, a, b).withColumn("cramers_v",
+      when(mindim >= 1L && col("n") > 0L, format_string("%.6f",
+        sqrt(col("chi2").cast("double") /
+          (col("n").cast("double") * mindim.cast("double"))))))
+  }
+
   /** Benford first-digit audit — the fraud/synthetic-data smell test:
     * naturally occurring multi-magnitude amounts follow
     * P(d) = log10(1 + 1/d); fabricated or truncated columns do not.

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-level per-term occurrence statistics. First resident: the
+  * index of dispersion (variance-to-mean ratio of a term's per-document
+  * counts, zeros included) — the burstiness signal that separates
+  * template/boilerplate spam from natural language: a term stamped k
+  * times into a few generated pages runs VMR ≫ 1, a term diffused by
+  * ordinary prose sits near Poisson (VMR ≈ 1). The corpus-statistics
+  * companion to the per-document signals ([[Entropy]],
+  * [[Repetition]]) — this one needs the whole corpus, they don't.
+  *
+  * Determinism discipline: with N docs, Σx and Σx² exact BIGINTs over
+  * per-doc counts, sample variance/mean collapses to one floor-scaled
+  * integer — vmr_1e6 = (N·Σx² − (Σx)²)·10⁶ div ((N−1)·Σx) — no
+  * floating point anywhere. Zero-count documents contribute nothing to
+  * either sum, so the identity needs only N, never a dense doc×term
+  * grid. Domain: N·Σx²·10⁶ must stay inside the 63-bit long — holds to
+  * ~10⁵ docs × 10⁶-token corpora per term; shard the corpus or lift to
+  * decimal(38,0) beyond.
+  *
+  * Scale shape: one token explode, one (doc, term) count, one per-term
+  * aggregate — two map-side-combinable shuffles keyed by term; the
+  * one-row doc count broadcasts. No windows, no driver state.
+  */
+object TermStats {
+
+  /** @param docs corpus frame
+    * @param id   document id column
+    * @param text space-tokenized text column
+    * @param minDf report only terms in at least this many documents
+    * @return (term, df, tf, vmr_1e6) — df = docs containing the term,
+    *         tf = total occurrences, vmr_1e6 = floor-scaled
+    *         variance-to-mean ratio over ALL N docs (zeros included);
+    *         null when N < 2 or tf = 0 */
+  def dispersion(docs: DataFrame, id: Column, text: Column,
+                 minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1L, "minDf must be >= 1")
+    val n = docs.select(id.as("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val perDoc = docs
+      .select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("x"))
+    perDoc.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("x").as("tf"),
+        sum(col("x") * col("x")).as("sum_sq"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("df"), col("tf"),
+        when(col("n_docs") >= 2L && col("tf") > 0L,
+          expr("(n_docs * sum_sq - tf * tf) * 1000000L " +
+            "div ((n_docs - 1) * tf)")).as("vmr_1e6"))
+  }
+}

@@ -118,4 +118,21 @@ class DataQualitySpec extends SparkSpec {
       .as[(Long, Long, Long, Long, String)].head()
     assert(g1 == ((4L, 2L, 2L, 1L, "4.000000")))
   }
+
+  test("cramersV: perfect association is 1, independence 0, degenerate null") {
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "v")
+    val v1 = DataQuality.cramersV(dep, col("u"), col("v"))
+      .select("cramers_v").head().getString(0)
+    assert(v1 == "1.000000") // sqrt(4 / (4 * 1))
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("u", "v")
+    val v0 = DataQuality.cramersV(ind, col("u"), col("v"))
+      .select("cramers_v").head().getString(0)
+    assert(v0 == "0.000000")
+    val deg = Seq(("a", "x"), ("a", "y")).toDF("u", "v")
+    val vn = DataQuality.cramersV(deg, col("u"), col("v"))
+      .select("cramers_v").head()
+    assert(vn.isNullAt(0), "single-category side must report null V")
+  }
 }

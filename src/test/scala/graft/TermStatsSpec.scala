@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TermStats
+
+class TermStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "x x y"), (2L, "x z"), (3L, "z z z")).toDF("doc_id", "text")
+
+  test("hand-checked dispersion: zeros included via the N identity") {
+    val got = TermStats.dispersion(corpus, col("doc_id"), col("text"))
+      .orderBy("term").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // x: counts (2,1,0) -> mean 1, var 1 -> VMR 1
+    assert(got("x") == ((2L, 3L, 1000000L)))
+    // y: counts (1,0,0) -> mean 1/3, var 1/3 -> VMR 1
+    assert(got("y") == ((1L, 1L, 1000000L)))
+    // z: counts (0,1,3) -> mean 4/3, var 7/3 -> VMR 7/4 (bursty)
+    assert(got("z") == ((2L, 4L, 1750000L)))
+  }
+
+  test("minDf filters rare terms") {
+    val terms = TermStats.dispersion(corpus, col("doc_id"), col("text"),
+      minDf = 2L).select("term").collect().map(_.getString(0)).sorted
+    assert(terms.toSeq == Seq("x", "z"))
+  }
+
+  test("single-document corpus reports null VMR") {
+    val one = Seq((1L, "x x")).toDF("doc_id", "text")
+    val r = TermStats.dispersion(one, col("doc_id"), col("text")).head()
+    assert(r.isNullAt(3))
+  }
+
+  test("constant term across all docs has zero dispersion") {
+    val const = Seq((1L, "w"), (2L, "w"), (3L, "w")).toDF("doc_id", "text")
+    val r = TermStats.dispersion(const, col("doc_id"), col("text")).head()
+    assert(r.getLong(3) == 0L)
+  }
+}
