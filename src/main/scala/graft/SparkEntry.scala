@@ -3999,6 +3999,33 @@ object SparkEntry {
           col("doc_id"), col("text"), minDf = 5L)
         .orderBy("term")),
 
+    // Retrieval — exact phrase search (Retrieval.phraseHits): the
+    // positional-index intersection for consecutive-token matches;
+    // postings pruned to the phrase words before any shuffle, k−1
+    // (doc, pos)-keyed joins.
+    "q232_phrase_search" -> ((s, dir) =>
+      Retrieval.phraseHits(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), Seq("table", "scan"))
+        .orderBy("doc_id")),
+
+    // Events — burst-rate bot screen (EventAnalytics.burstFlags):
+    // exact peak trailing-1-day event rate per user via a RANGE-frame
+    // window (no tumbling-bucket blind spot), flag at ≥ 8.
+    "q233_burst_flags" -> ((s, dir) =>
+      EventAnalytics.burstFlags(Tables.events(s, dir), col("user_id"),
+          expr("unix_micros(ts)"), windowUs = 86400000000L,
+          threshold = 8L)
+        .orderBy("actor")),
+
+    // ML features — smoothed target encoding (TargetEncode
+    // .meanEncode): per-user positive rate shrunk toward the global
+    // rate with pseudo-count 100, as ONE floor-scaled integer — the
+    // division-free rational (Σy·N + m·S)·10⁶ div ((n+m)·N).
+    "q234_target_encode" -> ((s, dir) =>
+      TargetEncode.meanEncode(Tables.events(s, dir), col("user_id"),
+          col("value") > 50.0, m = 100L)
+        .orderBy("category")),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -8217,6 +8244,38 @@ object SparkEntry {
         |    THEN (n_docs * sum_sq - tf * tf) * 1000000
         |      // ((n_docs - 1) * tf) END AS vmr_1e6
         |FROM t CROSS JOIN nd WHERE df >= 5 ORDER BY term""".stripMargin,
+
+    "q232_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT t0.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM t t0 JOIN t t1 ON t1.doc_id = t0.doc_id
+        |  AND t1.pos = t0.pos + 1
+        |WHERE t0.tok = 'table' AND t1.tok = 'scan'
+        |GROUP BY 1 ORDER BY t0.doc_id""".stripMargin,
+
+    "q233_burst_flags" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT user_id, COUNT(*) OVER (PARTITION BY user_id
+        |    ORDER BY us RANGE BETWEEN 86399999999 PRECEDING
+        |    AND CURRENT ROW) AS burst FROM e)
+        |SELECT user_id AS actor, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(burst) AS BIGINT) AS max_burst,
+        |  MAX(burst) >= 8 AS is_flagged
+        |FROM b GROUP BY 1 ORDER BY actor""".stripMargin,
+
+    "q234_target_encode" ->
+      """WITH e AS (SELECT user_id,
+        |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS y FROM events),
+        |p AS (SELECT user_id AS category, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sum_y FROM e GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+        |    CAST(SUM(y) AS BIGINT) AS s_tot FROM e)
+        |SELECT category, n, sum_y,
+        |  CASE WHEN n_tot > 0 THEN (sum_y * n_tot + 100 * s_tot)
+        |    * 1000000 // ((n + 100) * n_tot) END AS enc_1e6
+        |FROM p CROSS JOIN t ORDER BY category""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -247,4 +247,37 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"), sum(col("gap")).as("total_us"),
         min(col("gap")).as("min_us"), max(col("gap")).as("max_us"))
   }
+
+  /** Burst-rate actor flags — the rate-limit/bot screen every event
+    * pipeline runs before analytics (and every crawl pipeline runs on
+    * itself): an actor whose peak trailing-window event rate exceeds
+    * `threshold` is machine-like. Peak rate is EXACT, not bucketed:
+    * the trailing count over a RANGE frame of `windowUs` microseconds
+    * evaluates at every event (the true sliding-window maximum lands
+    * on some event timestamp), so a burst split across bucket
+    * boundaries — the classic tumbling-window blind spot — cannot
+    * hide.
+    *
+    * Scale shape: one actor-keyed RANGE window pass over the events
+    * plus the per-actor max — a single Exchange on the actor key, both
+    * aggregates map-side combinable after it. Ties inside the frame
+    * (equal timestamps) are INCLUDED by RANGE semantics — identical in
+    * Spark and DuckDB — so physical row order never enters.
+    *
+    * @param windowUs  trailing window width, microseconds (inclusive
+    *                  of the current instant: [t − windowUs + 1, t])
+    * @param threshold flag actors whose peak burst reaches this count
+    * @return (actor, n_events, max_burst, is_flagged) */
+  def burstFlags(events: DataFrame, actor: Column, tsUs: Column,
+                 windowUs: Long, threshold: Long): DataFrame = {
+    require(windowUs >= 1L, "windowUs must be positive")
+    require(threshold >= 1L, "threshold must be positive")
+    val w = Window.partitionBy(col("__a")).orderBy(col("__ts"))
+      .rangeBetween(-(windowUs - 1L), 0L)
+    events.select(actor.as("__a"), tsUs.as("__ts"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col("__a").as("actor"))
+      .agg(count(lit(1)).as("n_events"), max("burst").as("max_burst"))
+      .withColumn("is_flagged", col("max_burst") >= threshold)
+  }
 }

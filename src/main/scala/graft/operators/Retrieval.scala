@@ -118,6 +118,37 @@ object Retrieval {
     * @return (query_id, rnk, doc_id, score, n_lists) — n_lists = how
     *         many input lists voted for the document
     */
+  /** Exact phrase search over the positional index — the third
+    * retrieval mode next to ranked ([[bm25TopK]]) and fused
+    * ([[rrfFuse]]): find documents containing the tokens of `phrase`
+    * consecutively, with the match count ("how many times does
+    * 'table scan' literally occur"). The positional-join construction
+    * every inverted index uses: occurrences of token i are shifted
+    * left by i positions and intersected — a phrase hit is a position
+    * all k token streams share.
+    *
+    * Scale shape: the token explode is filtered to the k phrase words
+    * BEFORE any shuffle (the scan's pushed disjunction), so the joins
+    * carry only matching postings — k−1 equi-joins keyed (doc, pos),
+    * each side already tiny relative to the corpus. No windows, no
+    * driver state; cost tracks the rarest token's posting list.
+    *
+    * @param phrase ≥ 1 tokens, matched exactly and consecutively
+    * @return (doc_id, n_hits) — documents with ≥ 1 phrase occurrence */
+  def phraseHits(docs: DataFrame, id: Column, text: Column,
+                 phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val toks = docs.select(id.as("doc_id"),
+        posexplode(TextFunctions.tokens(text)).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*)) // prune before any shuffle
+      .localCheckpoint(true)
+    val starts = phrase.zipWithIndex.map { case (w, i) =>
+      toks.filter(col("tok") === w)
+        .select(col("doc_id"), (col("pos") - i).as("pos"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "pos")))
+    starts.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], rrfK: Int, k: Int): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one list")
     val terms = lists.map(_.select(col("query_id"), col("doc_id"),

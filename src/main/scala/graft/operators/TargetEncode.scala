@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Smoothed target (mean) encoding — the categorical-feature workhorse
+  * for tabular ML: replace each category with its observed positive
+  * rate, shrunk toward the global rate so rare categories don't
+  * memorize noise (additive / Laplace-style smoothing with pseudo-count
+  * m):  enc = (Σy + m·p₀) / (n + m),  p₀ = global Σy / N.
+  *
+  * Determinism discipline: with a 0/1 target everything is integer —
+  * substituting p₀ = S/N gives enc = (Σy·N + m·S) / ((n+m)·N), emitted
+  * as the FLOOR-scaled integer enc_1e6 = (Σy·N + m·S)·10⁶ div
+  * ((n+m)·N). No division, no floating point, no rounding surface.
+  * Domain: Σy·N·10⁶ inside the 63-bit long — holds to ~10⁶-row
+  * per-category counts on ~10⁶-row frames; lift the products to
+  * decimal(38,0) past that (the [[DataQuality.chiSquare]] move).
+  *
+  * Leakage note: this is the FIT half (per-category table, to be
+  * broadcast-joined onto train/serve rows). Out-of-fold encoding
+  * composes with [[Sampling]]'s hash splits: fit on the train split
+  * only, join everywhere.
+  *
+  * Scale shape: one map-side-combinable groupBy on the category plus
+  * a one-row totals broadcast. No windows, no driver state.
+  */
+object TargetEncode {
+
+  /** @param df frame of observations
+    * @param category encode key
+    * @param target   boolean (or null = false) label column
+    * @param m        pseudo-count weight of the global prior, ≥ 0
+    * @return (category, n, sum_y, enc_1e6); enc_1e6 null when the
+    *         frame is empty of labels (N = 0) */
+  def meanEncode(df: DataFrame, category: Column, target: Column,
+                 m: Long): DataFrame = {
+    require(m >= 0L, "pseudo-count m must be >= 0")
+    val y = when(coalesce(target, lit(false)), 1L).otherwise(0L)
+    val per = df.select(category.as("category"), y.as("__y"))
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"), sum("__y").as("sum_y"))
+    val tot = df.select(y.as("__y"))
+      .agg(count(lit(1)).as("n_tot"), sum("__y").as("s_tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("category"), col("n"), col("sum_y"),
+        when(col("n_tot") > 0L,
+          expr(s"(sum_y * n_tot + $m * s_tot) * 1000000L " +
+            s"div ((n + $m) * n_tot)")).as("enc_1e6"))
+  }
+}

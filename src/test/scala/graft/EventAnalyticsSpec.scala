@@ -140,4 +140,18 @@ class EventAnalyticsSpec extends SparkSpec {
       ("a", "b", 2L, 70L, 10L, 60L),  // gaps 10 and 60
       ("b", "b", 1L, 15L, 15L, 15L)))
   }
+
+  test("burstFlags: exact trailing-window peak, ties included, threshold") {
+    val ev = Seq((1L, 0L), (1L, 50L), (1L, 120L), (1L, 1000L),
+      (2L, 0L), (2L, 500L), (3L, 5L), (3L, 5L))
+      .toDF("u", "us")
+    val got = EventAnalytics.burstFlags(ev, col("u"), col("us"),
+        windowUs = 100L, threshold = 2L)
+      .orderBy("actor").as[(Long, Long, Long, Boolean)].collect().toSeq
+    // user 1: bursts 1,2,2,1 (frame [t-99, t] — the event at 0 has left
+    // by t=120); user 2: never two inside 100us; user 3: equal
+    // timestamps share a frame by RANGE semantics
+    assert(got == Seq((1L, 4L, 2L, true), (2L, 2L, 1L, false),
+      (3L, 2L, 2L, true)))
+  }
 }

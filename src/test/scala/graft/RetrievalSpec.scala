@@ -102,4 +102,17 @@ class RetrievalSpec extends SparkSpec {
       .select("doc_id", "score").as[(Long, String)].collect().toSeq
     assert(x == y)
   }
+
+  test("phraseHits: consecutive positions, overlaps counted, order matters") {
+    val docs = Seq((1L, "a b a b a"), (2L, "b a"), (3L, "x x x"))
+      .toDF("doc_id", "text")
+    def hits(ph: String*) =
+      Retrieval.phraseHits(docs, col("doc_id"), col("text"), ph)
+        .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(hits("a", "b") == Seq((1L, 2L)))       // positions 0 and 2
+    assert(hits("b", "a") == Seq((1L, 2L), (2L, 1L)))
+    assert(hits("a", "a").isEmpty)                // never consecutive
+    assert(hits("x", "x") == Seq((3L, 2L)))       // overlapping hits
+    assert(hits("a") == Seq((1L, 3L), (2L, 1L)))  // single-token phrase
+  }
 }

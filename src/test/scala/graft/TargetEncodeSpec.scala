@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TargetEncode
+
+class TargetEncodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val obs = Seq(("A", true), ("A", true), ("A", false),
+    ("B", false)).toDF("cat", "y")
+
+  test("hand-checked shrinkage toward the global rate") {
+    // N=4, S=2, m=2 (p0 = 1/2):
+    //   A: (2 + 2*0.5)/(3+2) = 3/5      B: (0 + 1)/(1+2) = 1/3
+    val got = TargetEncode.meanEncode(obs, col("cat"), col("y"), m = 2L)
+      .orderBy("category")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 3L, 2L, 600000L), ("B", 1L, 0L, 333333L)))
+  }
+
+  test("m = 0 is the raw per-category rate") {
+    val got = TargetEncode.meanEncode(obs, col("cat"), col("y"), m = 0L)
+      .orderBy("category")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 3L, 2L, 666666L), ("B", 1L, 0L, 0L)))
+  }
+
+  test("null target counts as negative") {
+    val withNull = Seq(("A", Some(true)), ("A", None)).toDF("cat", "y")
+    val r = TargetEncode.meanEncode(withNull, col("cat"), col("y"), 0L)
+      .head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L &&
+      r.getLong(3) == 500000L)
+  }
+
+  test("huge pseudo-count pins every category to the prior") {
+    val got = TargetEncode
+      .meanEncode(obs, col("cat"), col("y"), m = 1000000L)
+      .select("enc_1e6").as[Long].collect().toSeq
+    got.foreach(v => assert(math.abs(v - 500000L) < 500L))
+  }
+}
