@@ -4026,6 +4026,37 @@ object SparkEntry {
           col("value") > 50.0, m = 100L)
         .orderBy("category")),
 
+    // Governance — seeded-Laplace DP-shaped counts (Privacy
+    // .laplaceCounts): ε=1/2 histogram of event types; salted-md5
+    // uniform → inverse Laplace CDF → one %.6f rounding → exact
+    // decimal sum. Reproducible release, honest pseudo-DP.
+    "q235_dp_counts" -> ((s, dir) =>
+      Privacy.laplaceCounts(Tables.events(s, dir),
+          Seq(col("event_type")), epsNum = 1L, epsDen = 2L, salt = "r10")
+        .withColumn("noisy_n", col("noisy_n").cast("string"))
+        .orderBy("event_type")),
+
+    // ML features — point-in-time feature/label table (FeatureLabels
+    // .pointInTime): 10-day lookback features, 5-day lookahead label
+    // at the 2024-01-20 cutoff; half-open boundaries pinned (cutoff
+    // event is label-side).
+    "q236_pit_labels" -> ((s, dir) =>
+      FeatureLabels.pointInTime(Tables.events(s, dir), col("user_id"),
+          expr("unix_micros(ts)"), col("value"),
+          cutoffUs = 1705708800000000L, featureUs = 864000000000L,
+          labelUs = 432000000000L)
+        .withColumn("value_feat", col("value_feat").cast("string"))
+        .orderBy("actor")),
+
+    // ML features — the hashing trick (FeatureHash.hashedCounts):
+    // vocabulary-free 16-bucket featurization with the signed
+    // collision-cancelling variant; md5 bucket + parity sign on both
+    // engine sides.
+    "q237_feature_hash" -> ((s, dir) =>
+      FeatureHash.hashedCounts(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), dims = 16)
+        .orderBy("doc_id", "dim")),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -8276,6 +8307,50 @@ object SparkEntry {
         |  CASE WHEN n_tot > 0 THEN (sum_y * n_tot + 100 * s_tot)
         |    * 1000000 // ((n + 100) * n_tot) END AS enc_1e6
         |FROM p CROSS JOIN t ORDER BY category""".stripMargin,
+
+    "q235_dp_counts" ->
+      """WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT event_type, n,
+        |    ('0x' || substr(md5(CAST(event_type AS VARCHAR)
+        |      || '|' || 'r10'), 1, 15))::BIGINT % 1000000 AS h6
+        |  FROM c)
+        |SELECT event_type,
+        |  CAST(CAST(n AS DECIMAL(38,6)) + CAST(printf('%.6f',
+        |    -2.0 * sign((h6 + 0.5) / 1000000.0 - 0.5)
+        |      * ln(1 - 2 * abs((h6 + 0.5) / 1000000.0 - 0.5)))
+        |    AS DECIMAL(18,6)) AS VARCHAR) AS noisy_n
+        |FROM h ORDER BY event_type""".stripMargin,
+
+    "q236_pit_labels" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value
+        |    FROM events),
+        |w AS (SELECT user_id,
+        |    us >= 1705708800000000 - 864000000000
+        |      AND us < 1705708800000000 AS f,
+        |    us >= 1705708800000000
+        |      AND us < 1705708800000000 + 432000000000 AS l,
+        |    value FROM e)
+        |SELECT user_id AS actor,
+        |  CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_feat,
+        |  CAST(CAST(SUM(CAST(CASE WHEN f THEN value ELSE 0.0 END
+        |    AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS VARCHAR)
+        |    AS value_feat,
+        |  CAST(SUM(CASE WHEN l THEN 1 ELSE 0 END) AS BIGINT) AS n_label,
+        |  SUM(CASE WHEN l THEN 1 ELSE 0 END) > 0 AS label
+        |FROM w WHERE f OR l GROUP BY 1 ORDER BY actor""".stripMargin,
+
+    "q237_feature_hash" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents),
+        |h AS (SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 AS dim,
+        |    CASE WHEN ('0x' || substr(md5('sgn:' || tok), 1, 15))::BIGINT
+        |      % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM t)
+        |SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(sgn) AS BIGINT) AS n_signed
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import graft.functions.TextFunctions
+
+/** The hashing trick (feature hashing, Weinberger et al. 2009): map an
+  * unbounded token vocabulary into a FIXED dimensionality by hashing —
+  * the featurizer that needs no vocabulary fit, no dictionary
+  * broadcast, and no second pass, which is exactly what a 100 TB
+  * first-epoch featurization wants. Includes the signed variant: a
+  * second hash bit flips each token's sign so colliding tokens cancel
+  * in expectation instead of piling up (the unbiased estimator from
+  * the paper).
+  *
+  * Determinism: both the bucket and the sign come from
+  * [[Hashing.hexLong]] (engine-portable md5) — bucket from the token's
+  * hash mod dims, sign from the parity of the salted hash. Exact
+  * integer counts; no floats anywhere.
+  *
+  * Scale shape: one token explode + one (doc, dim)-keyed map-side-
+  * combinable aggregate. Output is corpus-linear but vocabulary-free:
+  * at most `dims` rows per document regardless of text size.
+  */
+object FeatureHash {
+
+  /** @param dims number of hashed buckets (> 0)
+    * @return (doc_id, dim, n, n_signed) — n = tokens hashed into the
+    *         bucket, n_signed = Σ ±1 under the sign hash */
+  def hashedCounts(docs: DataFrame, id: Column, text: Column,
+                   dims: Int): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val toks = docs.select(id.as("doc_id"),
+      explode(TextFunctions.tokens(text)).as("tok"))
+    toks
+      .withColumn("dim", pmod(Hashing.hexLong(col("tok")), lit(dims.toLong)))
+      .withColumn("sgn",
+        when(pmod(Hashing.hexLong(concat(lit("sgn:"), col("tok"))),
+          lit(2L)) === 0L, 1L).otherwise(-1L))
+      .groupBy("doc_id", "dim")
+      .agg(count(lit(1)).as("n"), sum("sgn").as("n_signed"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Point-in-time feature/label assembly — the leakage-safe training-
+  * table builder: at a cutoff instant, features may see only
+  * [cutoff − featureUs, cutoff) and the label only
+  * [cutoff, cutoff + labelUs). Getting this wrong (features peeking
+  * past the cutoff) is the single most common source of offline/online
+  * metric gaps; encoding both windows in ONE operator makes the
+  * boundary auditable instead of re-derived per query. Composes with
+  * [[TargetEncode]] (fit encodings on the feature window only) and
+  * [[Sampling]]'s leakage-safe group splits.
+  *
+  * Boundary semantics are pinned half-open: an event AT the cutoff is
+  * label-side, never feature-side; an event at cutoff + labelUs is
+  * outside. Value mass sums per-element in decimal(38,6) (the dsum
+  * discipline).
+  *
+  * Scale shape: one actor-keyed map-side-combinable aggregate over a
+  * scan filtered to the union window (both predicates push to the
+  * scan). No windows, no joins, no driver state.
+  */
+object FeatureLabels {
+
+  /** @param actor    entity key
+    * @param tsUs     event time, microseconds
+    * @param value    feature mass column (summed over the feature window)
+    * @param cutoffUs label boundary (feature window ends here, exclusive)
+    * @param featureUs feature lookback width
+    * @param labelUs  label lookahead width
+    * @return (actor, n_feat, value_feat, n_label, label) — one row per
+    *         actor with ≥ 1 event in EITHER window */
+  def pointInTime(events: DataFrame, actor: Column, tsUs: Column,
+                  value: Column, cutoffUs: Long, featureUs: Long,
+                  labelUs: Long): DataFrame = {
+    require(featureUs > 0 && labelUs > 0, "window widths must be positive")
+    val dec6 = DecimalType(38, 6)
+    val inFeat = tsUs >= lit(cutoffUs - featureUs) && tsUs < lit(cutoffUs)
+    val inLabel = tsUs >= lit(cutoffUs) && tsUs < lit(cutoffUs + labelUs)
+    events.filter(inFeat || inLabel)
+      .select(actor.as("actor"), inFeat.as("__f"), inLabel.as("__l"),
+        value.as("__v"))
+      .groupBy("actor")
+      .agg(
+        sum(when(col("__f"), 1L).otherwise(0L)).as("n_feat"),
+        sum(when(col("__f"), col("__v")).otherwise(lit(0.0d)).cast(dec6))
+          .cast(dec6).as("value_feat"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("n_label"))
+      .withColumn("label", col("n_label") > 0L)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Hashing
+
+/** Differentially-private-SHAPED release primitives. The real DP
+  * mechanism draws fresh Laplace noise per release; a data PIPELINE
+  * needs the noisy release to be REPRODUCIBLE (same inputs → same
+  * report, or the gate/diff tooling sees phantom drift), so the noise
+  * here is SEEDED: a salted md5 of the group key drives the inverse
+  * Laplace CDF. That is honest pseudo-DP — deterministic given (data,
+  * salt); rotate the salt per release epoch to recover fresh draws.
+  * The ε accounting matches the textbook mechanism: count queries have
+  * L1 sensitivity 1, so noise scale b = 1/ε.
+  *
+  * Determinism discipline: the uniform is an exact integer in
+  * [0, 10⁶) from [[Hashing.hexLong]] (bit-identical in both engines),
+  * centered to u = (h + 0.5)/10⁶ so it can never hit 0, ½, or 1
+  * exactly; the transform −b·sign(u−½)·ln(1−2|u−½|) runs once in
+  * doubles over that exact input and is rounded %.6f ONCE; the noisy
+  * count is the exact decimal sum n + noise₆.
+  *
+  * Scale shape: one map-side-combinable groupBy; the noise is a
+  * row-local expression over the group row. No windows, no driver
+  * state, no RNG.
+  */
+object Privacy {
+
+  /** @param keys   grouping key columns (the release's histogram axes)
+    * @param epsNum/epsDen privacy budget ε as an exact rational > 0
+    * @param salt   release-epoch seed; rotate per release
+    * @return (keys…, noisy_n) with noisy_n decimal(38,6) — the raw
+    *         count is NOT exposed (that would defeat the mechanism) */
+  def laplaceCounts(df: DataFrame, keys: Seq[Column],
+                    epsNum: Long, epsDen: Long,
+                    salt: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(epsNum > 0 && epsDen > 0, "epsilon must be positive")
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+    val keyNames = counts.columns.dropRight(1)
+    val h = pmod(Hashing.hexLong(concat_ws("|",
+        keyNames.map(c => col(c).cast("string")) :+ lit(salt): _*)),
+      lit(1000000L))
+    val u = (h.cast("double") + lit(0.5d)) / lit(1000000.0d)
+    val t = u - lit(0.5d)
+    val b = lit(epsDen.toDouble / epsNum.toDouble)
+    val noise6 = format_string("%.6f",
+        -b * signum(t) * log(lit(1.0d) - lit(2.0d) * abs(t)))
+      .cast(DecimalType(18, 6))
+    counts.select(keyNames.map(col) :+
+      (col("__n").cast(DecimalType(38, 6)) + noise6)
+        .cast(DecimalType(38, 6)).as("noisy_n"): _*)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.FeatureHash
+
+class FeatureHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq((1L, "x y x z"), (2L, "x q")).toDF("doc_id", "text")
+
+  test("buckets partition the token mass; dims bound holds") {
+    val got = FeatureHash.hashedCounts(docs, col("doc_id"), col("text"), 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.filter(_._1 == 1L).map(_._3).sum == 4L)
+    assert(got.filter(_._1 == 2L).map(_._3).sum == 2L)
+    got.foreach { case (_, dim, n, s) =>
+      assert(dim >= 0L && dim < 16L)
+      assert(s.abs <= n)
+      assert((s.abs % 2) == (n % 2)) // signs are +/-1 per token
+    }
+  }
+
+  test("a token lands in the same bucket in every document") {
+    val got = FeatureHash.hashedCounts(
+        Seq((1L, "w"), (2L, "w")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 16)
+      .select("dim").distinct().count()
+    assert(got == 1L)
+  }
+
+  test("dims=1 collapses everything; repeated token keeps its sign") {
+    val r = FeatureHash.hashedCounts(Seq((1L, "a a")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), 1).head()
+    assert(r.getLong(1) == 0L && r.getLong(2) == 2L &&
+      math.abs(r.getLong(3)) == 2L)
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.FeatureLabels
+
+class FeatureLabelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("half-open windows: cutoff event is label-side; outside drops") {
+    val ev = Seq(
+      (1L, 0L, 1.0),   // = cutoff - featureUs: feature-side (inclusive)
+      (1L, 5L, 2.5), (1L, 9L, 1.5),
+      (1L, 10L, 9.0),  // AT the cutoff: label-side, never a feature
+      (2L, 14L, 1.0),  // label window only
+      (3L, 15L, 1.0),  // = cutoff + labelUs: outside -> actor absent
+      (4L, -1L, 1.0))  // before the feature window -> absent
+      .toDF("u", "us", "v")
+    val got = FeatureLabels.pointInTime(ev, col("u"), col("us"), col("v"),
+        cutoffUs = 10L, featureUs = 10L, labelUs = 5L)
+      .orderBy("actor")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).toPlainString, r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, "5.000000", 1L, true),
+      (2L, 0L, "0.000000", 1L, true)))
+  }
+
+  test("feature activity without label events gives label = false") {
+    val ev = Seq((7L, 3L, 4.0)).toDF("u", "us", "v")
+    val r = FeatureLabels.pointInTime(ev, col("u"), col("us"), col("v"),
+      cutoffUs = 10L, featureUs = 10L, labelUs = 5L).head()
+    assert(r.getLong(1) == 1L && !r.getBoolean(4))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Privacy
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val obs = (Seq.fill(40)("a") ++ Seq.fill(25)("b") ++
+    Seq.fill(7)("c")).map(Tuple1(_)).toDF("g")
+
+  private def release(eps: (Long, Long), salt: String) =
+    Privacy.laplaceCounts(obs, Seq(col("g")), eps._1, eps._2, salt)
+      .orderBy("g").collect()
+      .map(r => r.getString(0) -> BigDecimal(r.getDecimal(1))).toMap
+
+  test("seeded: identical inputs produce the identical release") {
+    assert(release((1L, 2L), "s1") == release((1L, 2L), "s1"))
+  }
+
+  test("noise is bounded by b*ln(10^6) and nonzero somewhere") {
+    val got = release((1L, 2L), "s1") // b = 2
+    val n = Map("a" -> 40, "b" -> 25, "c" -> 7)
+    got.foreach { case (g, v) =>
+      assert((v - n(g)).abs <= BigDecimal(2.0 * math.log(1e6)) + 1)
+    }
+    assert(got.exists { case (g, v) => v != BigDecimal(n(g)) })
+  }
+
+  test("salt rotation changes the draw; epsilon scales it") {
+    val a = release((1L, 2L), "s1")
+    val b = release((1L, 2L), "s2")
+    assert(a != b)
+    val tight = release((2L, 1L), "s1") // b = 1/2, same uniforms
+    val n = Map("a" -> 40, "b" -> 25, "c" -> 7)
+    // same |u - 1/2| per group, 4x smaller scale (up to the rounding)
+    a.keys.foreach { g =>
+      val big = (a(g) - n(g)).abs
+      val small = (tight(g) - n(g)).abs
+      assert(small <= big / 4 + BigDecimal("0.000001"))
+    }
+  }
+
+  test("raw count column is not exposed") {
+    val cols = Privacy.laplaceCounts(obs, Seq(col("g")), 1, 2, "s").columns
+    assert(cols.toSeq == Seq("g", "noisy_n"))
+  }
+}
