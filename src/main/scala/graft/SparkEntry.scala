@@ -4057,6 +4057,48 @@ object SparkEntry {
           col("doc_id"), col("text"), dims = 16)
         .orderBy("doc_id", "dim")),
 
+    // Profiling — skewness / excess kurtosis per group (Moments
+    // .skewKurtosis): exact decimal(38,0) power sums, one fixed double
+    // tree mirrored token-for-token in the oracle, %.6f once.
+    "q238_skew_kurtosis" -> ((s, dir) =>
+      Moments.skewKurtosis(Tables.load(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_quantity"))
+        .withColumn("s1", col("s1").cast("string"))
+        .withColumn("s2", col("s2").cast("string"))
+        .withColumn("s3", col("s3").cast("string"))
+        .withColumn("s4", col("s4").cast("string"))
+        .orderBy("g")),
+
+    // Sources — JSONL corrupt-record quarantine (JsonLines
+    // .readWithQuarantine): every doc_id ≡ 3 (mod 10) line is mangled
+    // in the fixture; PERMISSIVE scan lands them in _corrupt_record
+    // with the raw line kept, clean rows roll up per language. The
+    // oracle re-derives both sides from the parquet corpus — a full
+    // write→corrupt→read→quarantine proof.
+    "q239_jsonl_quarantine" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType,
+        StructField, StructType}
+      val fix = s"/tmp/graft_jsonl_fixture_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.load(s, dir, "documents")
+        .select(when(col("doc_id") % 10 === 3, lit("{\"bad\":"))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"),
+            length(col("text")).as("len")))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(fix)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("len", LongType)))
+      val df = graft.sources.JsonLines.readWithQuarantine(s, fix, schema)
+      // one pass: quarantined rows fold into a '__corrupt__' group (a
+      // corrupt-only projection would trip SPARK-21610's restriction)
+      df.select(
+          when(col("_corrupt_record").isNotNull, lit("__corrupt__"))
+            .otherwise(col("lang")).as("lang"),
+          when(col("_corrupt_record").isNotNull, lit(0L))
+            .otherwise(col("len")).as("len"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
+        .orderBy("lang")
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -8351,6 +8393,48 @@ object SparkEntry {
         |SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(sgn) AS BIGINT) AS n_signed
         |FROM h GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
+
+    "q238_skew_kurtosis" ->
+      """WITH x AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS x FROM lineitem),
+        |s AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS s1,
+        |    SUM(CAST(x AS HUGEINT) * x) AS s2,
+        |    SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+        |    SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |  FROM x GROUP BY 1),
+        |d AS (SELECT g, n, s1, s2, s3, s4,
+        |    CAST(s1 AS DOUBLE) / n AS mu,
+        |    CAST(s2 AS DOUBLE) / n
+        |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2
+        |  FROM s),
+        |e AS (SELECT *,
+        |    CAST(s3 AS DOUBLE) / n - 3.0 * mu * CAST(s2 AS DOUBLE) / n
+        |      + 2.0 * mu * mu * mu AS m3,
+        |    CAST(s4 AS DOUBLE) / n - 4.0 * mu * CAST(s3 AS DOUBLE) / n
+        |      + 6.0 * mu * mu * CAST(s2 AS DOUBLE) / n
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM d)
+        |SELECT g, n, CAST(s1 AS VARCHAR) AS s1, CAST(s2 AS VARCHAR) AS s2,
+        |  CAST(s3 AS VARCHAR) AS s3, CAST(s4 AS VARCHAR) AS s4,
+        |  printf('%.6f', mu) AS mean,
+        |  CASE WHEN n >= 2 AND m2 > 0
+        |    THEN printf('%.6f', m3 / sqrt(m2 * m2 * m2)) END AS skewness,
+        |  CASE WHEN n >= 2 AND m2 > 0
+        |    THEN printf('%.6f', m4 / (m2 * m2) - 3.0) END
+        |    AS kurtosis_excess
+        |FROM e ORDER BY g""".stripMargin,
+
+    "q239_jsonl_quarantine" ->
+      """WITH good AS (SELECT lang, length(text) AS len FROM documents
+        |    WHERE doc_id % 10 <> 3)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len) AS BIGINT) AS sum_len FROM good GROUP BY 1
+        |UNION ALL
+        |SELECT '__corrupt__', CAST(COUNT(*) AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |FROM documents WHERE doc_id % 10 = 3
+        |ORDER BY 1""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

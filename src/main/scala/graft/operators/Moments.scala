@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Higher distribution moments per group — skewness and excess
+  * kurtosis next to the mean/variance the [[Profiler]] already
+  * reports: the shape audit that catches "this column became
+  * heavy-tailed / lopsided after the pipeline change" when mean and
+  * variance look unchanged ([[Drift]]'s PSI sees it only with the
+  * right binning; the moment pair sees it as two scalars).
+  *
+  * Determinism discipline ([[AbTest]]'s argument): the four raw power
+  * sums Σx, Σx², Σx³, Σx⁴ accumulate EXACTLY in decimal(38,0) over
+  * integer inputs (order-independent under any partitioning), and the
+  * population central-moment tree
+  *   m₂ = Σx²/n − μ², m₃ = Σx³/n − 3μΣx²/n + 2μ³,
+  *   m₄ = Σx⁴/n − 4μΣx³/n + 6μ²Σx²/n − 3μ⁴,
+  *   skew = m₃/m₂^{3/2}, kurt = m₄/m₂² − 3
+  * is ONE fixed IEEE double expression over those exact sums, mirrored
+  * token-for-token in the oracle and rendered %.6f once. Domain:
+  * Σx⁴ < 10³⁸ (|x| ≤ 10⁸ at a billion rows per group holds).
+  *
+  * Scale shape: one map-side-combinable groupBy — four sums and a
+  * count. No windows, no joins, no driver state.
+  */
+object Moments {
+
+  /** @param x integer-valued measure column (cast exact on both
+    *          engines; scale floats to units upstream)
+    * @return (group, n, s1..s4 as decimal(38,0), mean, skewness,
+    *         kurtosis_excess — %.6f strings, null when degenerate:
+    *         skew/kurt need positive variance) */
+  def skewKurtosis(df: DataFrame, group: Column, x: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val c = x.cast("long").cast(dec)
+    val sums = df.select(group.as("g"), c.as("x"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").cast(dec).as("s1"),
+        sum(col("x") * col("x")).cast(dec).as("s2"),
+        sum(col("x") * col("x") * col("x")).cast(dec).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).cast(dec).as("s4"))
+    val nd = col("n").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val m2 = col("s2").cast("double") / nd - mu * mu
+    val m3 = col("s3").cast("double") / nd -
+      lit(3.0d) * mu * col("s2").cast("double") / nd +
+      lit(2.0d) * mu * mu * mu
+    val m4 = col("s4").cast("double") / nd -
+      lit(4.0d) * mu * col("s3").cast("double") / nd +
+      lit(6.0d) * mu * mu * col("s2").cast("double") / nd -
+      lit(3.0d) * mu * mu * mu * mu
+    sums.select(col("g"), col("n"), col("s1"), col("s2"), col("s3"),
+      col("s4"),
+      format_string("%.6f", mu).as("mean"),
+      when(col("n") >= 2L && m2 > lit(0.0d),
+        format_string("%.6f", m3 / sqrt(m2 * m2 * m2))).as("skewness"),
+      when(col("n") >= 2L && m2 > lit(0.0d),
+        format_string("%.6f", m4 / (m2 * m2) - lit(3.0d)))
+        .as("kurtosis_excess"))
+  }
+}

@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** JSONL ingestion with a corrupt-record quarantine — the robustness
+  * posture every at-scale ingest needs: a single mangled line in a
+  * terabyte of JSONL must neither kill the job (FAILFAST) nor silently
+  * vanish (DROPMALFORMED); it lands in `_corrupt_record` with the raw
+  * line preserved, so the quarantine is itself queryable and
+  * re-parseable after a fix. PERMISSIVE is Spark's scan-level path —
+  * the parse, the schema projection, and the quarantine column all
+  * happen inside the distributed json scan, no second pass.
+  *
+  * Caller contract: rows with `_corrupt_record IS NULL` are clean;
+  * non-null rows carry the raw line and nulls elsewhere. Spark
+  * disallows queries that select ONLY the corrupt column from a raw
+  * json scan (SPARK-21610) — keep at least one data column in any
+  * quarantine-side projection, as the gate query does.
+  */
+object JsonLines {
+
+  /** Read newline-delimited JSON with an explicit schema plus the
+    * `_corrupt_record` quarantine column. */
+  def readWithQuarantine(spark: SparkSession, path: String,
+                         schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+}

@@ -253,6 +253,50 @@ object EventStreams {
     *
     * Within a micro-batch rows sort by `i`; cross-batch order is the
     * source's responsibility ([[markerSegments]]' contract). */
+  final case class BurstOut(user_id: Long, ts_us: Long, burst: Long)
+  final case class BurstState(recent: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.EventAnalytics.burstFlags]]'
+    * inner trailing-window count: per actor, the number of events in
+    * [t − windowUs + 1, t] at every event — the live bot screen.
+    * Batch-parity contract (the cusumStream stance): emissions are
+    * bit-equal to the batch RANGE frame on the same events, INCLUDING
+    * ties — simultaneous events are processed as one group so each
+    * tied event reports the count with ALL its peers in frame, exactly
+    * like RANGE semantics (a naive one-at-a-time fold would give the
+    * first tied event a smaller burst). Corollary: tied events must
+    * share a micro-batch — timestamps strictly increase across batch
+    * boundaries per actor, else the earlier-emitted peer can't be
+    * revised (Append mode has no retraction).
+    *
+    * State is the in-window timestamp buffer — bounded by the actor's
+    * peak in-window event count (the very thing being screened; cap
+    * upstream if an adversarial actor could exceed memory). Events
+    * must arrive time-ordered per actor across micro-batches (the
+    * streaming contract shared by every twin here).
+    */
+  def burstStream(events: Dataset[Ev], windowUs: Long): Dataset[BurstOut] = {
+    require(windowUs >= 1L, "windowUs must be positive")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[BurstState, BurstOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (u, it, state: GroupState[BurstState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val byTs = it.toSeq.sortBy(_.ts_us)
+          val out = Seq.newBuilder[BurstOut]
+          byTs.groupBy(_.ts_us).toSeq.sortBy(_._1).foreach {
+            case (ts, tied) =>
+              recent = recent.filter(_ >= ts - windowUs + 1L) ++
+                Seq.fill(tied.size)(ts)
+              val burst = recent.size.toLong
+              tied.foreach(_ => out += BurstOut(u, ts, burst))
+          }
+          state.update(BurstState(recent))
+          out.result().iterator
+      }
+  }
+
   def cusumStream(points: Dataset[SeriesPoint], targetMicro: Long,
                   hMicro: Long): Dataset[CusumOut] = {
     import points.sparkSession.implicits._

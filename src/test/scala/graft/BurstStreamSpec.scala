@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{BurstOut, Ev}
+
+/** Streaming/batch parity for the trailing-window burst count: the
+  * GroupState buffer must reproduce the batch RANGE frame exactly —
+  * including tied timestamps (peers count each other) and state
+  * carried across a micro-batch boundary mid-window. */
+class BurstStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("emissions match the RANGE-frame counts across batches and ties") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = EventStreams.burstStream(src.toDS(), windowUs = 100L)
+      .writeStream.format("memory").queryName("burst_par")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 with a tie at t=50; batch 2 continues inside
+      // the same 100us window (the 50s must still be in frame at 120)
+      src.addData(Ev(1L, 0L, "a"), Ev(1L, 50L, "a"), Ev(1L, 50L, "b"),
+        Ev(2L, 10L, "a"))
+      q.processAllAvailable()
+      src.addData(Ev(1L, 120L, "a"), Ev(1L, 1000L, "a"), Ev(2L, 300L, "a"))
+      q.processAllAvailable()
+      val got = spark.table("burst_par").as[BurstOut].collect()
+        .groupBy(o => (o.user_id, o.ts_us))
+        .map { case (k, v) => k -> v.map(_.burst).toSeq.sorted }
+      // user 1: t=0 ->1; both t=50 -> 3 (RANGE includes the peer);
+      // t=120 -> 3 (frame [21,120]: both 50s + itself); t=1000 -> 1
+      assert(got((1L, 0L)) == Seq(1L))
+      assert(got((1L, 50L)) == Seq(3L, 3L))
+      assert(got((1L, 120L)) == Seq(3L))
+      assert(got((1L, 1000L)) == Seq(1L))
+      assert(got((2L, 10L)) == Seq(1L) && got((2L, 300L)) == Seq(1L))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Moments
+
+class MomentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(xs: Seq[Long]) = {
+    val r = Moments.skewKurtosis(
+      xs.map(("g", _)).toDF("k", "v"), col("k"), col("v")).head()
+    (r.getLong(1), r.getString(6), Option(r.getString(7)),
+      Option(r.getString(8)))
+  }
+
+  test("symmetric sample: zero skew, uniform-3 kurtosis") {
+    // x = 1,2,3: mu=2, m2=2/3, m3=0, m4=2/3 -> kurt = 1.5 - 3
+    assert(stats(Seq(1L, 2L, 3L)) ==
+      ((3L, "2.000000", Some("0.000000"), Some("-1.500000"))))
+  }
+
+  test("Bernoulli(1/4) closed forms") {
+    // skew = (1-2p)/sqrt(p(1-p)) = 2/sqrt(3); kurt = (1-6p(1-p))/(p(1-p))
+    assert(stats(Seq(0L, 0L, 0L, 1L)) ==
+      ((4L, "0.250000", Some("1.154701"), Some("-0.666667"))))
+  }
+
+  test("constant column: positive n, null shape moments") {
+    assert(stats(Seq(7L, 7L, 7L)) == ((3L, "7.000000", None, None)))
+  }
+
+  test("groups are independent and sums exact") {
+    val df = Seq(("a", 2L), ("a", 4L), ("b", 10L)).toDF("k", "v")
+    val got = Moments.skewKurtosis(df, col("k"), col("v"))
+      .orderBy("g").collect()
+    assert(got(0).getDecimal(2).toPlainString == "6" &&
+      got(0).getDecimal(3).toPlainString == "20" &&
+      got(0).getDecimal(4).toPlainString == "72" &&
+      got(0).getDecimal(5).toPlainString == "272")
+    assert(got(1).getLong(1) == 1L && got(1).isNullAt(7))
+  }
+}
