@@ -4099,6 +4099,58 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Experimentation — Wald's SPRT (AbTest.sprt): sequential
+    // Bernoulli test of p1=2/5 vs p0=1/3 at α=β=1/20 per event type;
+    // all four ln constants are driver-computed plan literals shared
+    // with the oracle, llr is exact decimal over (k, n).
+    "q240_sprt" -> ((s, dir) =>
+      AbTest.sprt(Tables.events(s, dir), col("event_type"),
+          col("value") > 50.0, p0 = (1L, 3L), p1 = (2L, 5L),
+          alpha = (1L, 20L), beta = (1L, 20L))
+        .withColumn("llr6", col("llr6").cast("string"))
+        .orderBy("g")),
+
+    // Causal — difference-in-differences (AbTest.diffInDiff): even
+    // users "treated", the 2024-01-15 midpoint as the pre/post split;
+    // four cell means from one conditional aggregate, DiD as the
+    // fixed double tree over exact decimal sums.
+    "q241_diff_in_diff" -> ((s, dir) =>
+      AbTest.diffInDiff(Tables.events(s, dir),
+        col("user_id") % 2 === 0,
+        expr("unix_micros(ts)") >= lit(1705276800000000L),
+        col("value"))),
+
+    // Experimentation — CUPED variance reduction (AbTest.cuped): per
+    // user, pre-period value mass as the covariate against post-period
+    // mass; θ and ρ² from exact decimal(38,0) micro-unit moments.
+    "q242_cuped" -> ((s, dir) => {
+      val dec18 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val mid = 1705276800000000L
+      val units = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("value"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("us") < mid, col("value")).otherwise(lit(0.0d))
+            .cast(dec18)).cast(dec18).as("x"),
+          sum(when(col("us") >= mid, col("value")).otherwise(lit(0.0d))
+            .cast(dec18)).cast(dec18).as("y"))
+      AbTest.cuped(units, col("x"), col("y"))
+    }),
+
+    // Survival — Kaplan–Meier with right censoring (Survival
+    // .kaplanMeier): per-user active-span days, every 4th user
+    // censored; ln-sum product over the day grid, exact-decimal
+    // accumulation, zero-survivor flag instead of −∞.
+    "q243_kaplan_meier" -> ((s, dir) => {
+      val subj = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(expr("(max(unix_micros(ts)) - min(unix_micros(ts))) " +
+          "div 86400000000").as("t_days"))
+        .withColumn("obs", col("user_id") % 4 =!= 0)
+      Survival.kaplanMeier(subj, col("t_days"), col("obs"))
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -8435,6 +8487,125 @@ object SparkEntry {
         |  CAST(0 AS BIGINT)
         |FROM documents WHERE doc_id % 10 = 3
         |ORDER BY 1""".stripMargin,
+
+    "q240_sprt" -> {
+      import graft.operators.RecordLinkage.weight6
+      val wPos = weight6(2, 5, 1, 3)   // ln(p1/p0)
+      val wNeg = weight6(3, 5, 2, 3)   // ln((1-p1)/(1-p0))
+      val a6 = weight6(19, 20, 1, 20)  // ln((1-beta)/alpha)
+      val b6 = weight6(1, 20, 19, 20)  // ln(beta/(1-alpha))
+      s"""WITH g AS (SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT g, n, k, CAST(k * CAST('$wPos' AS DECIMAL(18,6))
+        |    + (n - k) * CAST('$wNeg' AS DECIMAL(18,6))
+        |    AS DECIMAL(38,6)) AS llr FROM g)
+        |SELECT g, n, k, CAST(llr AS VARCHAR) AS llr6,
+        |  CASE WHEN llr >= CAST('$a6' AS DECIMAL(18,6)) THEN 'accept_h1'
+        |    WHEN llr <= CAST('$b6' AS DECIMAL(18,6)) THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision
+        |FROM s ORDER BY g""".stripMargin
+    },
+
+    "q241_diff_in_diff" ->
+      """WITH v AS (SELECT user_id % 2 = 0 AS tr,
+        |    epoch_us(ts) >= 1705276800000000 AS po,
+        |    CAST(value AS DECIMAL(18,6)) AS x FROM events),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+        |    CAST(SUM(CASE WHEN tr AND NOT po THEN x END) AS DECIMAL(38,6)) AS s_t0,
+        |    CAST(SUM(CASE WHEN tr AND po THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+        |    CAST(SUM(CASE WHEN tr AND po THEN x END) AS DECIMAL(38,6)) AS s_t1,
+        |    CAST(SUM(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+        |    CAST(SUM(CASE WHEN NOT tr AND NOT po THEN x END) AS DECIMAL(38,6)) AS s_c0,
+        |    CAST(SUM(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+        |    CAST(SUM(CASE WHEN NOT tr AND po THEN x END) AS DECIMAL(38,6)) AS s_c1
+        |  FROM v)
+        |SELECT n_t0, CAST(s_t0 AS VARCHAR) AS sum_t0,
+        |  CASE WHEN n_t0 > 0 THEN printf('%.6f',
+        |    CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE)) END AS mean_t0,
+        |  n_t1, CAST(s_t1 AS VARCHAR) AS sum_t1,
+        |  CASE WHEN n_t1 > 0 THEN printf('%.6f',
+        |    CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)) END AS mean_t1,
+        |  n_c0, CAST(s_c0 AS VARCHAR) AS sum_c0,
+        |  CASE WHEN n_c0 > 0 THEN printf('%.6f',
+        |    CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE)) END AS mean_c0,
+        |  n_c1, CAST(s_c1 AS VARCHAR) AS sum_c1,
+        |  CASE WHEN n_c1 > 0 THEN printf('%.6f',
+        |    CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)) END AS mean_c1,
+        |  CASE WHEN n_t0 > 0 AND n_t1 > 0 AND n_c0 > 0 AND n_c1 > 0
+        |    THEN printf('%.6f',
+        |      (CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)
+        |        - CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE))
+        |      - (CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)
+        |        - CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE))) END
+        |    AS did
+        |FROM m""".stripMargin,
+
+    "q242_cuped" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value
+        |    FROM events),
+        |u AS (SELECT user_id,
+        |    CAST(SUM(CAST(CASE WHEN us < 1705276800000000 THEN value
+        |      ELSE 0.0 END AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x,
+        |    CAST(SUM(CAST(CASE WHEN us >= 1705276800000000 THEN value
+        |      ELSE 0.0 END AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+        |  FROM e GROUP BY 1),
+        |i AS (SELECT CAST(x * 1000000 AS HUGEINT) AS xu,
+        |    CAST(y * 1000000 AS HUGEINT) AS yu FROM u),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(xu AS HUGEINT)) AS sx, SUM(CAST(yu AS HUGEINT)) AS sy,
+        |    SUM(CAST(xu AS HUGEINT) * xu) AS sxx,
+        |    SUM(CAST(xu AS HUGEINT) * yu) AS sxy,
+        |    SUM(CAST(yu AS HUGEINT) * yu) AS syy
+        |  FROM i),
+        |d AS (SELECT *,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+        |  FROM m)
+        |SELECT n, CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+        |  CAST(sxx AS VARCHAR) AS sxx, CAST(sxy AS VARCHAR) AS sxy,
+        |  CAST(syy AS VARCHAR) AS syy,
+        |  CASE WHEN n >= 2 AND vx > 0
+        |    THEN printf('%.6f', cv / vx) END AS theta,
+        |  CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+        |    THEN printf('%.6f', 100.0 * cv * cv / (vx * vy)) END
+        |    AS rho2_pct
+        |FROM d""".stripMargin,
+
+    "q243_kaplan_meier" ->
+      """WITH s AS (SELECT user_id,
+        |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS t,
+        |    CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END AS o
+        |  FROM events GROUP BY user_id),
+        |grid AS (SELECT t, CAST(SUM(o) AS BIGINT) AS d,
+        |    CAST(SUM(1 - o) AS BIGINT) AS c FROM s GROUP BY t),
+        |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n0 FROM grid),
+        |r AS (SELECT t, d, c,
+        |    n0 - COALESCE(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_at_risk
+        |  FROM grid CROSS JOIN tot),
+        |w AS (SELECT *,
+        |    CASE WHEN d < n_at_risk THEN CAST(printf('%.6f',
+        |      ln(CAST(n_at_risk - d AS DOUBLE)
+        |        / CAST(n_at_risk AS DOUBLE))) AS DECIMAL(18,6)) END
+        |      AS term,
+        |    CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS dead
+        |  FROM r),
+        |z AS (SELECT t, n_at_risk, d, c,
+        |    SUM(term) OVER (ORDER BY t) AS lsum,
+        |    MAX(dead) OVER (ORDER BY t) AS hitzero FROM w)
+        |SELECT t, n_at_risk, d, c,
+        |  CASE WHEN hitzero = 1 THEN '0.000000'
+        |    ELSE printf('%.6f', exp(CAST(lsum AS DOUBLE))) END
+        |    AS survival
+        |FROM z ORDER BY t""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -63,4 +63,138 @@ object AbTest {
         se2 * se2 / (wa * wa / (na - lit(1.0d)) + wb * wb / (nb - lit(1.0d))))
         .as("dof"))
   }
+
+  /** Wald's SPRT for a Bernoulli rate — the SEQUENTIAL companion to
+    * [[welch]]: monitor a conversion metric continuously and stop the
+    * moment the evidence crosses a bound, instead of waiting for a
+    * fixed n (the "peeking problem" solved properly). Per group the
+    * log-likelihood ratio of H1: p = p1 vs H0: p = p0 is
+    * k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)); accept H1 at
+    * llr ≥ ln((1−β)/α), accept H0 at llr ≤ ln(β/(1−α)), else keep
+    * sampling.
+    *
+    * Determinism: p0/p1/α/β are EXACT RATIONALS; all four ln constants
+    * are driver-computed once via [[RecordLinkage.weight6]] (HALF-UP
+    * to 6 decimals) and enter the plan — and the oracle — as shared
+    * decimal literals; the llr is then exact decimal arithmetic over
+    * (k, n). No runtime transcendental on either engine.
+    *
+    * Scale shape: one map-side-combinable groupBy; constants fold.
+    *
+    * @return (group, n, k, llr6, decision ∈
+    *         accept_h1 | accept_h0 | continue) */
+  def sprt(df: DataFrame, group: Column, y: Column,
+           p0: (Long, Long), p1: (Long, Long),
+           alpha: (Long, Long), beta: (Long, Long)): DataFrame = {
+    Seq("p0" -> p0, "p1" -> p1, "alpha" -> alpha, "beta" -> beta)
+      .foreach { case (nm, (n, d)) =>
+        require(n > 0 && n < d, s"$nm: need 0 < $nm < 1") }
+    require(p0 != p1, "p0 and p1 must differ")
+    val d6 = DecimalType(18, 6)
+    val wPos = RecordLinkage.weight6(p1._1, p1._2, p0._1, p0._2)
+    val wNeg = RecordLinkage.weight6(p1._2 - p1._1, p1._2,
+      p0._2 - p0._1, p0._2)
+    val a6 = RecordLinkage.weight6(beta._2 - beta._1, beta._2,
+      alpha._1, alpha._2)
+    val b6 = RecordLinkage.weight6(beta._1, beta._2,
+      alpha._2 - alpha._1, alpha._2)
+    df.select(group.as("g"),
+        when(coalesce(y, lit(false)), 1L).otherwise(0L).as("__y"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("__y").as("k"))
+      .withColumn("llr6",
+        (col("k") * lit(wPos).cast(d6) +
+          (col("n") - col("k")) * lit(wNeg).cast(d6))
+          .cast(DecimalType(38, 6)))
+      .withColumn("decision",
+        when(col("llr6") >= lit(a6).cast(d6), "accept_h1")
+          .when(col("llr6") <= lit(b6).cast(d6), "accept_h0")
+          .otherwise("continue"))
+  }
+
+  /** Difference-in-differences — the workhorse causal estimator when
+    * treatment wasn't randomized but a pre period exists: the
+    * treated group's pre→post change minus the control group's
+    * (parallel-trends assumption documented by the caller). Four cell
+    * means from ONE conditional aggregate (the [[welch]] shape), DiD
+    * as a fixed double tree over the exact decimal sums, %.6f once.
+    *
+    * @return one row: per-cell (n, sum — exact decimal strings) for
+    *         t0/t1/c0/c1, the four %.6f means, and did — null if any
+    *         cell is empty */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+                 y: Column): DataFrame = {
+    val d18 = DecimalType(18, 6)
+    val d38 = DecimalType(38, 6)
+    val v = df.select(treated.as("tr"), post.as("po"),
+        y.cast(d18).as("x"))
+      .filter(col("tr").isNotNull && col("po").isNotNull &&
+        col("x").isNotNull)
+    def cell(nm: String, p: Column) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"n_$nm"),
+      sum(when(p, col("x"))).cast(d38).as(s"s_$nm"))
+    val aggs = cell("t0", col("tr") && !col("po")) ++
+      cell("t1", col("tr") && col("po")) ++
+      cell("c0", !col("tr") && !col("po")) ++
+      cell("c1", !col("tr") && col("po"))
+    val m = v.agg(aggs.head, aggs.tail: _*)
+    def mu(nm: String) =
+      col(s"s_$nm").cast("double") / col(s"n_$nm").cast("double")
+    val ok = Seq("t0", "t1", "c0", "c1")
+      .map(nm => col(s"n_$nm") > 0L).reduce(_ && _)
+    m.select(
+      Seq("t0", "t1", "c0", "c1").flatMap(nm => Seq(
+        col(s"n_$nm"),
+        col(s"s_$nm").cast("string").as(s"sum_$nm"),
+        when(col(s"n_$nm") > 0L, format_string("%.6f", mu(nm)))
+          .as(s"mean_$nm"))) :+
+      when(ok, format_string("%.6f",
+        (mu("t1") - mu("t0")) - (mu("c1") - mu("c0")))).as("did"): _*)
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) — the pre-experiment
+    * covariate adjustment every mature experimentation platform runs:
+    * with x the unit's PRE-period metric and y its experiment metric,
+    * θ = cov(x,y)/var(x) and y' = y − θ(x − x̄) has variance
+    * (1 − ρ²)·var(y) — same mean, tighter CI, faster tests.
+    *
+    * Determinism ([[Moments]]' argument): x and y become exact
+    * micro-unit integers (×10⁶ of the scale-6 decimals) and the five
+    * power/cross sums accumulate in decimal(38,0); θ and the reduction
+    * are a fixed double tree over them, %.6f once. Domain:
+    * Σ(x·10⁶)² < 10³⁸ — |x| ≤ 10⁹ at a billion units holds.
+    *
+    * @param units one row per experimental unit (already aggregated)
+    * @return one row: (n, sx, sy, sxx, sxy, syy — exact strings —
+    *         theta, rho2_pct — %.6f, null when var(x) or var(y) is 0
+    *         or n < 2) */
+  def cuped(units: DataFrame, x: Column, y: Column): DataFrame = {
+    val d18 = DecimalType(18, 6)
+    val dec = DecimalType(38, 0)
+    val v = units.select(
+        (x.cast(d18) * lit(1000000L)).cast(dec).as("xu"),
+        (y.cast(d18) * lit(1000000L)).cast(dec).as("yu"))
+      .filter(col("xu").isNotNull && col("yu").isNotNull)
+    val m = v.agg(count(lit(1)).as("n"),
+      sum("xu").cast(dec).as("sx"), sum("yu").cast(dec).as("sy"),
+      sum(col("xu") * col("xu")).cast(dec).as("sxx"),
+      sum(col("xu") * col("yu")).cast(dec).as("sxy"),
+      sum(col("yu") * col("yu")).cast(dec).as("syy"))
+    val nd = col("n").cast("double")
+    val (sx, sy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val vx = nd * col("sxx").cast("double") - sx * sx
+    val vy = nd * col("syy").cast("double") - sy * sy
+    val cv = nd * col("sxy").cast("double") - sx * sy
+    m.select(col("n"),
+      col("sx").cast("string").as("sx"),
+      col("sy").cast("string").as("sy"),
+      col("sxx").cast("string").as("sxx"),
+      col("sxy").cast("string").as("sxy"),
+      col("syy").cast("string").as("syy"),
+      when(col("n") >= 2L && vx > lit(0.0d),
+        format_string("%.6f", cv / vx)).as("theta"),
+      when(col("n") >= 2L && vx > lit(0.0d) && vy > lit(0.0d),
+        format_string("%.6f", lit(100.0d) * cv * cv / (vx * vy)))
+        .as("rho2_pct"))
+  }
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Kaplan–Meier survival estimator with right censoring — the
+  * retention/churn curve done properly: a user still active at the
+  * observation edge is CENSORED (we know they survived ≥ t, not that
+  * they churned at t), and naive retention curves that drop or
+  * death-count censored units bias the tail. S(t) = Π_{tᵢ ≤ t}
+  * (1 − dᵢ/nᵢ) over event times, with censored units leaving the risk
+  * set after their time (the standard ties convention: censored at a
+  * death time are still at risk for it).
+  *
+  * Determinism discipline: the product becomes a SUM of per-time
+  * ln((nᵢ−dᵢ)/nᵢ) terms, each over exact integers and rounded %.6f
+  * ONCE ([[Entropy]]'s ln discipline), accumulated in exact decimal by
+  * a cumulative window, exp'd and rendered %.6f at the end. A time
+  * where the whole risk set dies sends S to exactly 0 from there
+  * (flagged by a cumulative max, never a −∞ float).
+  *
+  * Scale shape: the subjects frame aggregates to the TIME GRID —
+  * one row per distinct duration, at most |subjects| and in practice
+  * the resolution of the duration unit — and the cumulative windows
+  * run UNPARTITIONED over that grid: BOUNDED by the grid size, which
+  * the caller controls via the duration unit (days → thousands of
+  * rows at century scale). The subjects aggregation itself is one
+  * map-side-combinable groupBy.
+  */
+object Survival {
+
+  /** @param subjects one row per subject
+    * @param duration exact integer survival time (caller-unitized:
+    *                 days, weeks…); negative durations rejected by
+    *                 construction downstream of max/min
+    * @param observed TRUE = the event (death/churn) happened at
+    *                 `duration`; FALSE/null = censored there
+    * @return time grid: (t, n_at_risk, d, c, survival %.6f) ordered
+    *         by t — censor-only times appear with d = 0 and an
+    *         unchanged survival */
+  def kaplanMeier(subjects: DataFrame, duration: Column,
+                  observed: Column): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val grid = subjects
+      .select(duration.cast("long").as("t"),
+        when(coalesce(observed, lit(false)), 1L).otherwise(0L).as("o"))
+      .groupBy("t")
+      .agg(sum("o").as("d"), sum(lit(1L) - col("o")).as("c"))
+    val n0 = grid.agg(sum(col("d") + col("c")).as("n0"))
+    // cumulative windows over the time GRID (bounded — see scaladoc)
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val risk = grid.crossJoin(broadcast(n0))
+      .withColumn("n_at_risk",
+        col("n0") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("term",
+        when(col("d") < col("n_at_risk"), format_string("%.6f",
+          log((col("n_at_risk") - col("d")).cast("double") /
+            col("n_at_risk").cast("double"))).cast(d6)))
+      .withColumn("dead",
+        when(col("d") >= col("n_at_risk"), 1L).otherwise(0L))
+    risk
+      .withColumn("lsum", sum("term").over(wCum))
+      .withColumn("hitzero", max("dead").over(wCum))
+      .select(col("t"), col("n_at_risk"), col("d"), col("c"),
+        when(col("hitzero") === 1L, lit("0.000000"))
+          .otherwise(format_string("%.6f", exp(col("lsum").cast("double"))))
+          .as("survival"))
+      .orderBy("t")
+  }
+}

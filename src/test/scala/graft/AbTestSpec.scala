@@ -35,4 +35,48 @@ class AbTestSpec extends SparkSpec {
     val r = AbTest.welch(df, col("a"), col("x")).collect()(0)
     assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
   }
+
+  test("sprt: hand-checked llr and all three decisions") {
+    // p0=1/3, p1=2/5: wPos=ln1.2=0.182322, wNeg=ln0.9=-0.105361;
+    // bounds +/-ln19 = +/-2.944439
+    val df = (Seq.fill(10)(("mid", true)) ++ Seq.fill(10)(("mid", false)) ++
+      Seq.fill(25)(("up", true)) ++ Seq.fill(5)(("up", false)) ++
+      Seq.fill(5)(("down", true)) ++ Seq.fill(55)(("down", false)))
+      .toDF("g", "y")
+    val got = AbTest.sprt(df, col("g"), col("y"),
+        (1L, 3L), (2L, 5L), (1L, 20L), (1L, 20L))
+      .orderBy("g").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDecimal(3).toPlainString, r.getString(4)))).toMap
+    assert(got("mid") == (("0.769610", "continue")))
+    assert(got("up") == (("4.031245", "accept_h1")))
+    assert(got("down") == (("-4.883245", "accept_h0")))
+  }
+
+  test("diffInDiff: hand-checked 2x2 and empty-cell null") {
+    val df = Seq((true, false, 1.0), (true, true, 3.0),
+      (false, false, 2.0), (false, true, 2.5)).toDF("tr", "po", "y")
+    val r = AbTest.diffInDiff(df, col("tr"), col("po"), col("y")).head()
+    assert(r.getAs[String]("did") == "1.500000")
+    assert(r.getAs[String]("mean_t1") == "3.000000")
+    val missing = Seq((true, false, 1.0), (false, false, 2.0),
+      (false, true, 2.5)).toDF("tr", "po", "y")
+    val m = AbTest.diffInDiff(missing, col("tr"), col("po"), col("y"))
+      .head()
+    assert(m.getAs[String]("did") == null)
+  }
+
+  test("cuped: perfect covariate gives theta=slope, rho2=100%") {
+    val u = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    val r = AbTest.cuped(u, col("x"), col("y")).head()
+    assert(r.getAs[String]("theta") == "2.000000")
+    assert(r.getAs[String]("rho2_pct") == "100.000000")
+  }
+
+  test("cuped: constant outcome -> zero theta, null rho2") {
+    val u = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "y")
+    val r = AbTest.cuped(u, col("x"), col("y")).head()
+    assert(r.getAs[String]("theta") == "0.000000")
+    assert(r.getAs[String]("rho2_pct") == null)
+  }
 }
