@@ -4151,6 +4151,24 @@ object SparkEntry {
       Survival.kaplanMeier(subj, col("t_days"), col("obs"))
     }),
 
+    // Eval — unbiased pass@k (Evaluation.passAtK): the HumanEval
+    // estimator 1 − Π(n−c−i)/(n−i) as an EXACT integer rational,
+    // floor-scaled; clamped factors make c > n−k collapse to exactly
+    // 1. Tasks = users, pass = value > 50, k = 5.
+    "q244_pass_at_k" -> ((s, dir) =>
+      Evaluation.passAtK(Tables.events(s, dir), col("user_id"),
+          col("value") > 50.0, k = 5)
+        .orderBy("task")),
+
+    // LLM — word2vec negative-sampling table (TermStats
+    // .smoothedUnigram): counts^(3/4) spelled exp(0.75·ln c) on both
+    // engines, rounded once, normalized against the exact decimal
+    // total.
+    "q245_neg_sampling" -> ((s, dir) =>
+      TermStats.smoothedUnigram(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("term")),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -8606,6 +8624,36 @@ object SparkEntry {
         |    ELSE printf('%.6f', exp(CAST(lsum AS DOUBLE))) END
         |    AS survival
         |FROM z ORDER BY t""".stripMargin,
+
+    "q244_pass_at_k" ->
+      """WITH g AS (SELECT user_id AS task, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c
+        |  FROM events GROUP BY 1)
+        |SELECT task, n, c,
+        |  CASE WHEN n >= 5 THEN 1000000 - (1000000
+        |    * (CASE WHEN n - c - 0 > 0 THEN n - c - 0 ELSE 0 END)
+        |    * (CASE WHEN n - c - 1 > 0 THEN n - c - 1 ELSE 0 END)
+        |    * (CASE WHEN n - c - 2 > 0 THEN n - c - 2 ELSE 0 END)
+        |    * (CASE WHEN n - c - 3 > 0 THEN n - c - 3 ELSE 0 END)
+        |    * (CASE WHEN n - c - 4 > 0 THEN n - c - 4 ELSE 0 END))
+        |    // (n * (n - 1) * (n - 2) * (n - 3) * (n - 4)) END
+        |    AS pass_1e6
+        |FROM g ORDER BY task""".stripMargin,
+
+    "q245_neg_sampling" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+        |    FROM documents),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1),
+        |w AS (SELECT term, c, CAST(printf('%.6f',
+        |    exp(0.75 * ln(CAST(c AS DOUBLE)))) AS DECIMAL(18,6)) AS w6
+        |  FROM c),
+        |tot AS (SELECT CAST(SUM(w6) AS DECIMAL(38,6)) AS total6 FROM w)
+        |SELECT term, c, CAST(w6 AS VARCHAR) AS w6,
+        |  printf('%.6f', CAST(w6 AS DOUBLE) / CAST(total6 AS DOUBLE))
+        |    AS share6
+        |FROM w CROSS JOIN tot ORDER BY term""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

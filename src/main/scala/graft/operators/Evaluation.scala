@@ -136,4 +136,45 @@ object Evaluation {
       .select(col("n"), col("sq_e12"),
         format_string("%.9f", col("sq_e12").cast("double") /
           (col("n").cast("double") * lit(1000000000000.0d))).as("brier"))
+
+  /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator): with
+    * n samples per task of which c pass, the probability that a
+    * random size-k subset contains ≥ 1 pass is
+    * 1 − C(n−c, k)/C(n, k) — the numerically-correct form is the
+    * telescoped product Π_{i=0}^{k−1} (n−c−i)/(n−i), never the raw
+    * binomials. The code-eval staple this engine's eval shelf was
+    * missing next to AUC/ECE/kappa/Brier.
+    *
+    * Determinism discipline: the product stays an EXACT integer
+    * rational — numerator and denominator each a k-term BIGINT product
+    * (factors clamped at 0 via CASE, so c > n−k collapses the
+    * numerator and pass@k = 1 exactly) — and the result is the
+    * FLOOR-scaled pass_1e6 = 10⁶ − 10⁶·num div den. No floating point
+    * anywhere. Domain: n^k·10⁶ < 2⁶³ — n ≤ 200 at k = 5; lift to
+    * decimal(38,0) beyond.
+    *
+    * Scale shape: one map-side-combinable groupBy per task; the
+    * product is k plan-constant row-local factors.
+    *
+    * @param correct TRUE = the sample passed (null = fail)
+    * @return (task, n, c, pass_1e6 — null when n < k) */
+  def passAtK(samples: DataFrame, task: Column, correct: Column,
+              k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = samples
+      .select(task.as("task"),
+        when(coalesce(correct, lit(false)), 1L).otherwise(0L).as("__c"))
+      .groupBy("task")
+      .agg(count(lit(1)).as("n"), sum("__c").as("c"))
+    val num = (0 until k).map { i =>
+      val f = col("n") - col("c") - lit(i.toLong)
+      when(f > 0L, f).otherwise(lit(0L))
+    }.reduce(_ * _)
+    val den = (0 until k).map(i => col("n") - lit(i.toLong)).reduce(_ * _)
+    counts.withColumn("__num", num).withColumn("__den", den)
+      .withColumn("pass_1e6",
+        when(col("n") >= k.toLong,
+          lit(1000000L) - expr("(1000000L * __num) div __den")))
+      .drop("__num", "__den")
+  }
 }

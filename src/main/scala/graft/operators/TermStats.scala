@@ -54,4 +54,38 @@ object TermStats {
           expr("(n_docs * sum_sq - tf * tf) * 1000000L " +
             "div ((n_docs - 1) * tf)")).as("vmr_1e6"))
   }
+
+  /** Smoothed unigram distribution — the word2vec negative-sampling
+    * table (Mikolov et al. 2013): raise each term's count to the 3/4
+    * power before normalizing, which lifts the tail so rare words get
+    * sampled as negatives at a useful rate. The fit half of any
+    * embedding-training negative sampler; pair with
+    * [[graft.functions.Hashing]] bucketing for the deterministic draw.
+    *
+    * Determinism discipline: c^0.75 is spelled exp(0.75·ln c) on BOTH
+    * engines (one spelling, one rounding — a native pow may differ by
+    * an ulp), rounded %.6f ONCE per term and summed in exact decimal;
+    * the share is ONE double division of the two decimal witnesses,
+    * rendered %.6f.
+    *
+    * Scale shape: one token explode + one term-keyed aggregate + a
+    * one-row total broadcast. No windows, no driver state.
+    *
+    * @return (term, c, w6 — the rounded c^{3/4} witness — share6) */
+  def smoothedUnigram(docs: DataFrame, id: Column,
+                      text: Column): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val counts = docs
+      .select(explode(TextFunctions.tokens(text)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+      .withColumn("w6", format_string("%.6f",
+        exp(lit(0.75d) * log(col("c").cast("double")))).cast(d6))
+    val tot = counts.agg(sum("w6").cast(d38).as("total6"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("term"), col("c"),
+        col("w6").cast("string").as("w6"),
+        format_string("%.6f", col("w6").cast("double") /
+          col("total6").cast("double")).as("share6"))
+  }
 }

@@ -89,4 +89,21 @@ class EvaluationSpec extends SparkSpec {
     val base = Seq((250000L, true)) ++ Seq.fill(3)((250000L, false))
     assert(brierOf(base)._3 == "0.187500000")
   }
+
+  test("passAtK: closed-form cases, clamped factors, insufficient n") {
+    val df = (Seq.fill(10)((1L, false)) ++ Seq.fill(10)((2L, true)) ++
+      (Seq.fill(1)((3L, true)) ++ Seq.fill(5)((3L, false))) ++
+      Seq.fill(4)((4L, true)) ++
+      (Seq.fill(4)((5L, true)) ++ Seq.fill(3)((5L, false))))
+      .toDF("task", "ok")
+    val got = Evaluation.passAtK(df, col("task"), col("ok"), k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(1L) == Some(0L))          // zero passes
+    assert(got(2L) == Some(1000000L))    // all pass
+    // n=6, c=1: 1 - C(5,5)/C(6,5) = 1 - 1/6
+    assert(got(3L) == Some(1000000L - 120L * 1000000L / 720L))
+    assert(got(4L) == None)              // n < k
+    assert(got(5L) == Some(1000000L))    // c > n-k: numerator clamps to 0
+  }
 }

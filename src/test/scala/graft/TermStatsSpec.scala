@@ -39,4 +39,18 @@ class TermStatsSpec extends SparkSpec {
     val r = TermStats.dispersion(const, col("doc_id"), col("text")).head()
     assert(r.getLong(3) == 0L)
   }
+
+  test("smoothedUnigram: 3/4-power weights and normalized shares") {
+    val docs = Seq((1L, "x x x x y")).toDF("doc_id", "text")
+    val got = graft.operators.TermStats
+      .smoothedUnigram(docs, col("doc_id"), col("text"))
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    // 4^(3/4) via the shared exp/ln spelling, rounded once
+    val wx = f"${math.exp(0.75 * math.log(4.0))}%.6f"
+    assert(got(0)._1 == "x" && got(0)._2 == 4L && got(0)._3 == wx)
+    assert(got(1) == (("y", 1L, "1.000000",
+      f"${1.0 / (BigDecimal(wx).doubleValue + 1.0)}%.6f")))
+  }
 }
