@@ -4169,6 +4169,57 @@ object SparkEntry {
           col("doc_id"), col("text"))
         .orderBy("term")),
 
+    // ANN — Matryoshka truncation audit (MRL practice): recall@10 of
+    // the 16-dim PREFIX against the full 64-dim exact ranking, both
+    // via the broadcast decimal-dot top-k. The dimension-vs-recall
+    // curve's single point a pipeline checks before shipping truncated
+    // embeddings.
+    "q246_matryoshka_recall" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = e.select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"))
+      val approx = Similarity.dotTopK(
+        qs.withColumn("qvec", slice(col("qvec"), 1, 16)),
+        cands.withColumn("cvec", slice(col("cvec"), 1, 16)),
+        k = 10, excludeSelf = false)
+      val exact = Similarity.dotTopK(qs, cands, k = 10,
+        excludeSelf = false)
+      Similarity.recallAtK(approx, exact, k = 10).orderBy("qid")
+    }),
+
+    // Experimentation — jackknife SE of a ratio metric (Jackknife
+    // .ratioSE): leave-one-user-out replicates in closed form from the
+    // totals, %.9f-rounded replicate witnesses, fixed double tree SE.
+    "q247_jackknife_ratio" -> ((s, dir) =>
+      Jackknife.ratioSE(
+        Tables.events(s, dir).groupBy("user_id")
+          .agg(sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("y"),
+            count(lit(1)).as("d")),
+        col("y"), col("d"))),
+
+    // Graphs — time-respecting earliest arrival (TemporalBfs
+    // .earliestArrival): the contact-chain graph (each event passes
+    // the baton to the next event of the same type) traversed with
+    // nondecreasing edge times from the lowest user id; the oracle
+    // closes the same fixpoint with a recursive CTE over (node, t)
+    // states — a different algorithm certifying the labels.
+    "q248_temporal_bfs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("us"), col("event_id"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          expr("unix_micros(ts)").as("us"))
+      val edges = ev
+        .withColumn("dst", lead("user_id", 1).over(w))
+        .withColumn("t", lead("us", 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("user_id").as("src"), col("dst"), col("t"))
+      val src = ev.agg(min("user_id").as("node"))
+      TemporalBfs.earliestArrival(edges, src).orderBy("node")
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -8654,6 +8705,88 @@ object SparkEntry {
         |  printf('%.6f', CAST(w6 AS DOUBLE) / CAST(total6 AS DOUBLE))
         |    AS share6
         |FROM w CROSS JOIN tot ORDER BY term""".stripMargin,
+
+    "q246_matryoshka_recall" ->
+      s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qvec
+         |    FROM embeddings WHERE vec_id % 50 = 0),
+         |p1 AS (SELECT q.qid, e.vec_id AS cid, unnest(q.qvec[1:16]) AS x,
+         |    unnest(e.embedding[1:16]) AS y
+         |  FROM qs q CROSS JOIN embeddings e),
+         |d1 AS (SELECT qid, cid, SUM(${dec9Sql("x")} * ${dec9Sql("y")})
+         |    AS dp FROM p1 GROUP BY 1, 2),
+         |ap AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER()
+         |    OVER (PARTITION BY qid ORDER BY dp DESC, cid ASC) AS rnk
+         |  FROM d1) WHERE rnk <= 10),
+         |p2 AS (SELECT q.qid, e.vec_id AS cid, unnest(q.qvec) AS x,
+         |    unnest(e.embedding) AS y FROM qs q CROSS JOIN embeddings e),
+         |d2 AS (SELECT qid, cid, SUM(${dec9Sql("x")} * ${dec9Sql("y")})
+         |    AS dp FROM p2 GROUP BY 1, 2),
+         |ex AS (SELECT qid, cid FROM (SELECT qid, cid, ROW_NUMBER()
+         |    OVER (PARTITION BY qid ORDER BY dp DESC, cid ASC) AS rnk
+         |  FROM d2) WHERE rnk <= 10),
+         |h AS (SELECT ex.qid, CAST(COUNT(ap.cid) AS BIGINT) AS n_hit
+         |  FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.cid = ex.cid
+         |  GROUP BY 1)
+         |SELECT qid, n_hit, CAST(n_hit AS DOUBLE) / 10 AS recall
+         |FROM h ORDER BY qid""".stripMargin,
+
+    "q247_jackknife_ratio" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS d FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(d) AS BIGINT) AS sn
+        |  FROM u),
+        |r AS (SELECT n_units, sy, sn, (sn - d) > 0 AS ok,
+        |    CASE WHEN (sn - d) > 0 THEN CAST(printf('%.9f',
+        |      CAST(sy - y AS DOUBLE) / CAST(sn - d AS DOUBLE))
+        |      AS DECIMAL(20,9)) END AS r9
+        |  FROM u CROSS JOIN t),
+        |m AS (SELECT MAX(n_units) AS n_units, MAX(sy) AS sy,
+        |    MAX(sn) AS sn,
+        |    CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bad,
+        |    CAST(SUM(r9) AS DECIMAL(38,9)) AS s1,
+        |    CAST(SUM(CAST(r9 * r9 AS DECIMAL(38,18)))
+        |      AS DECIMAL(38,18)) AS s2
+        |  FROM r)
+        |SELECT n_units, sy, sn,
+        |  CASE WHEN sn > 0 THEN printf('%.9f',
+        |    CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE)) END AS ratio,
+        |  CASE WHEN n_units >= 2 AND n_bad = 0 THEN printf('%.9f',
+        |    sqrt((CAST(n_units AS DOUBLE) - 1.0)
+        |      / CAST(n_units AS DOUBLE)
+        |      * (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+        |        * CAST(s1 AS DOUBLE) / CAST(n_units AS DOUBLE)))) END
+        |    AS se
+        |FROM m""".stripMargin,
+
+    "q248_temporal_bfs" ->
+      """WITH RECURSIVE
+        |e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |ed AS (SELECT user_id AS src, LEAD(user_id) OVER w AS dst,
+        |    LEAD(us) OVER w AS t
+        |  FROM e WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY us, event_id)),
+        |edges AS (SELECT src, dst, t FROM ed WHERE dst IS NOT NULL),
+        |s0 AS (SELECT MIN(user_id) AS node FROM e),
+        |r(node, t) AS (
+        |  SELECT edges.dst, edges.t FROM edges, s0 WHERE src = s0.node
+        |  UNION
+        |  SELECT e2.dst, e2.t FROM r JOIN edges e2
+        |    ON e2.src = r.node AND e2.t >= r.t),
+        |m AS (SELECT node, CAST(MIN(t) AS BIGINT) AS arrival
+        |  FROM r GROUP BY 1)
+        |SELECT m.node,
+        |  CASE WHEN m.node = s0.node THEN NULL ELSE m.arrival END
+        |    AS arrival
+        |FROM m CROSS JOIN s0
+        |UNION ALL
+        |SELECT s0.node, NULL FROM s0
+        |WHERE s0.node NOT IN (SELECT node FROM m)
+        |ORDER BY node""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Leave-one-out jackknife standard error for a RATIO metric — the
+  * experimentation-platform answer to "my metric is clicks/views, not
+  * a mean, and units are users": the naive per-row SE is wrong because
+  * the denominator is random too; the delta method needs derivatives;
+  * the jackknife just recomputes the ratio n times with one unit held
+  * out — and for a ratio of SUMS each leave-one-out replicate is
+  * CLOSED FORM from the totals, r_i = (Sy − yᵢ)/(Sn − nᵢ), so the
+  * whole thing is two aggregate passes, no resampling.
+  *
+  * Determinism discipline: unit contributions are exact integers; each
+  * replicate ratio is ONE double division rounded %.9f ONCE, and Σr,
+  * Σr² accumulate in exact decimal; SE = √((n−1)/n · (Σr² − (Σr)²/n))
+  * is a fixed double tree over those witnesses. A unit owning the
+  * entire denominator (some Sn − nᵢ ≤ 0) makes the replicate —
+  * and the SE — undefined: reported null, never ±∞.
+  *
+  * Scale shape: one map-side-combinable groupBy-free aggregate for the
+  * totals (one row, broadcast back), one row-local replicate
+  * projection, one final aggregate. No windows, no driver state.
+  */
+object Jackknife {
+
+  /** @param units one row per experimental unit
+    * @param num   unit's numerator contribution (exact integer units)
+    * @param den   unit's denominator contribution (exact integer units)
+    * @return one row: (n_units, sy, sn, ratio %.9f, se %.9f — null
+    *         when n < 2 or any leave-one-out denominator ≤ 0) */
+  def ratioSE(units: DataFrame, num: Column, den: Column): DataFrame = {
+    val d9 = DecimalType(20, 9)
+    val v = units.select(num.cast("long").as("y"), den.cast("long").as("d"))
+    val tot = v.agg(count(lit(1)).as("n_units"),
+      sum("y").as("sy"), sum("d").as("sn"))
+    val rep = v.crossJoin(broadcast(tot))
+      .withColumn("ok", (col("sn") - col("d")) > 0L)
+      .withColumn("r9", when(col("ok"), format_string("%.9f",
+        (col("sy") - col("y")).cast("double") /
+          (col("sn") - col("d")).cast("double")).cast(d9)))
+    val m = rep.agg(
+      max(col("n_units")).as("n_units"),
+      max(col("sy")).as("sy"), max(col("sn")).as("sn"),
+      sum(when(!col("ok"), 1L).otherwise(0L)).as("n_bad"),
+      sum(col("r9")).cast(DecimalType(38, 9)).as("s1"),
+      sum((col("r9") * col("r9")).cast(DecimalType(38, 18)))
+        .cast(DecimalType(38, 18)).as("s2"))
+    val nd = col("n_units").cast("double")
+    val varJ = (nd - lit(1.0d)) / nd *
+      (col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / nd)
+    m.select(col("n_units"), col("sy"), col("sn"),
+      when(col("sn") > 0L, format_string("%.9f",
+        col("sy").cast("double") / col("sn").cast("double"))).as("ratio"),
+      when(col("n_units") >= 2L && col("n_bad") === 0L,
+        format_string("%.9f", sqrt(varJ))).as("se"))
+  }
+}

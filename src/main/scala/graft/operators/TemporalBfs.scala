@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-respecting earliest-arrival search over a TEMPORAL graph —
+  * edges exist at an instant, and a path is valid only if its edge
+  * times never decrease (you can't take Tuesday's contact before
+  * Monday's). The static-BFS answer ("is v reachable") is WRONG on
+  * temporal data — an edge that fired before the infection arrived at
+  * its source doesn't transmit — which is exactly the
+  * contact-tracing / information-cascade / incident-blast-radius
+  * question. Companion to [[Bfs]] (static hops) and [[Scc]].
+  *
+  * Algorithm: label-correcting rounds. arrival[source] = −∞; each
+  * round relaxes edges leaving IMPROVED nodes only — candidate
+  * arrival at v is min t over usable edges (t ≥ arrival[u]) — and
+  * merges by min. Earliest-arrival dominance makes this converge in
+  * at most |V| rounds (each round the set of final labels grows);
+  * `maxRounds` is a loud guard, never a silent truncation.
+  *
+  * Scale shape ([[Bfs]]'s): edges are hash-partitioned by src ONCE and
+  * reused every round; each round shuffles only the FRONTIER (improved
+  * nodes) into the join and the per-dst min aggregate;
+  * `localCheckpoint` truncates the growing lineage per round. No
+  * windows, no driver state beyond the loop counter and the changed
+  * count.
+  */
+object TemporalBfs {
+
+  /** @param edges   (src, dst, t) — directed temporal edges, t long
+    * @param sources (node) — infected at −∞ (any outgoing edge usable)
+    * @param maxRounds fail-loud bound on label-correcting rounds
+    * @return (node, arrival) for every REACHED non-source node —
+    *         earliest infection instant — plus each source with null
+    *         arrival */
+  def earliestArrival(edges: DataFrame, sources: DataFrame,
+                      maxRounds: Int = 100): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be positive")
+    val e = edges.select(col("src"), col("dst"), col("t"))
+      .repartition(col("src")).localCheckpoint(true)
+    val srcs = sources.select(col("node")).distinct().localCheckpoint(true)
+    // arrival: reached non-source nodes; MinValue marks the sources
+    var arrival = srcs.select(col("node"), lit(Long.MinValue).as("arrival"))
+      .localCheckpoint(true)
+    var frontier = arrival
+    var round = 0
+    var changed = 1L
+    while (changed > 0L) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"TemporalBfs.earliestArrival: no fixpoint after $maxRounds " +
+            "rounds - raise maxRounds (bound is |V|) or check the graph")
+      val cand = frontier.join(e, col("node") === col("src"))
+        .filter(col("t") >= col("arrival"))
+        .groupBy(col("dst").as("node")).agg(min(col("t")).as("cand"))
+      val merged = arrival.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("arrival"), lit(Long.MaxValue)),
+            coalesce(col("cand"), lit(Long.MaxValue))).as("arrival"),
+          (col("cand").isNotNull &&
+            (col("arrival").isNull || col("cand") < col("arrival")))
+            .as("__improved"))
+        .localCheckpoint(true)
+      frontier = merged.filter(col("__improved"))
+        .select("node", "arrival").localCheckpoint(true)
+      changed = frontier.count()
+      arrival = merged.select("node", "arrival")
+    }
+    arrival.join(srcs.withColumn("__src", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__src").isNotNull, lit(null).cast("long"))
+          .otherwise(col("arrival")).as("arrival"))
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Jackknife
+
+class JackknifeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two-unit closed form") {
+    // Sy=1, Sn=4; replicates r1=0/2=0, r2=1/2
+    // varJ = (1/2)*(0.25 - 0.25/2) = 0.0625 -> se 0.25
+    val r = Jackknife.ratioSE(Seq((1L, 2L), (0L, 2L)).toDF("y", "d"),
+      col("y"), col("d")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L && r.getLong(2) == 4L)
+    assert(r.getString(3) == "0.250000000")
+    assert(r.getString(4) == "0.250000000")
+  }
+
+  test("identical units have zero jackknife variance") {
+    val r = Jackknife.ratioSE(
+      Seq((1L, 4L), (1L, 4L), (1L, 4L)).toDF("y", "d"),
+      col("y"), col("d")).head()
+    assert(r.getString(4) == "0.000000000")
+  }
+
+  test("degenerate leave-one-out denominator reports null, not infinity") {
+    val r = Jackknife.ratioSE(Seq((0L, 5L), (1L, 0L)).toDF("y", "d"),
+      col("y"), col("d")).head()
+    assert(r.getString(3) == "0.200000000" && r.getString(4) == null)
+  }
+
+  test("single unit gives null se") {
+    val r = Jackknife.ratioSE(Seq((3L, 10L)).toDF("y", "d"),
+      col("y"), col("d")).head()
+    assert(r.getString(4) == null)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalBfs
+
+class TemporalBfsSpec extends SparkSpec {
+  import spark.implicits._
+
+  //  1 -(t5)-> 2 -(t3)-> 3   (the t3 edge fires BEFORE 2 is reached)
+  //  2 -(t8)-> 3
+  //  1 -(t1)-> 4 -(t0)-> 5   (the t0 edge fires before 4 is reached)
+  private val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 3L, 8L),
+    (1L, 4L, 1L), (4L, 5L, 0L)).toDF("src", "dst", "t")
+  private val src = Seq(Tuple1(1L)).toDF("node")
+
+  test("time-respecting arrivals; statically-reachable nodes can miss") {
+    val got = TemporalBfs.earliestArrival(edges, src)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(5L), 3L -> Some(8L),
+      4L -> Some(1L)))
+    // node 5 is reachable in the STATIC graph but not the temporal one
+    assert(!got.contains(5L))
+  }
+
+  test("equal-time hops are allowed (t >= arrival)") {
+    val e = Seq((1L, 2L, 7L), (2L, 3L, 7L)).toDF("src", "dst", "t")
+    val got = TemporalBfs.earliestArrival(e, src)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(3L) == Some(7L))
+  }
+
+  test("maxRounds guard fails loud, not truncated") {
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 2L)).toDF("src", "dst", "t")
+    intercept[IllegalStateException] {
+      TemporalBfs.earliestArrival(e, src, maxRounds = 2).collect()
+    }
+  }
+}
