@@ -4220,6 +4220,37 @@ object SparkEntry {
       TemporalBfs.earliestArrival(edges, src).orderBy("node")
     }),
 
+    // Sampling — Efraimidis–Spirakis weighted draw WITHOUT replacement
+    // (Sampling.weightedSampleES): top-20 documents by the salted-hash
+    // u^(1/w) key (spelled ln(u)/w, %.9f once); weight = the invariant
+    // length-arithmetic token count. Decimal keys compared as decimals
+    // on both sides (tiny magnitudes would render scientifically in a
+    // string cast).
+    "q249_es_sampling" -> ((s, dir) =>
+      Sampling.weightedSampleES(Tables.load(s, dir, "documents"),
+          col("doc_id"), TextFunctions.spaceTokenCount(col("text")),
+          k = 20, salt = "draw1")
+        // %.9f re-render for the gate: a decimal→string cast goes
+        // scientific on tiny magnitudes, and pandas reads DuckDB
+        // decimals as floats
+        .select(col("id"), col("weight"),
+          format_string("%.9f", col("key9").cast("double")).as("key9"))),
+
+    // Warehouse — rendezvous re-shard audit (Rendezvous.resizeAudit):
+    // HRW placement from 8 → 9 shards; the moved fraction ≈ 1/9 and
+    // post-move balance from one row-local argmax + one shard rollup.
+    "q250_rendezvous" -> ((s, dir) =>
+      Rendezvous.resizeAudit(Tables.load(s, dir, "documents"),
+        col("doc_id"), nFrom = 8, nTo = 9)),
+
+    // Events — gapped sequence support (EventAnalytics
+    // .sequenceSupport): actors exhibiting a-then-later-b for every
+    // step pair via span arithmetic — no per-event pair join.
+    "q251_seq_support" -> ((s, dir) =>
+      EventAnalytics.sequenceSupport(Tables.events(s, dir),
+          col("user_id"), expr("unix_micros(ts)"), col("event_type"))
+        .orderBy("from_step", "to_step")),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -8787,6 +8818,54 @@ object SparkEntry {
         |SELECT s0.node, NULL FROM s0
         |WHERE s0.node NOT IN (SELECT node FROM m)
         |ORDER BY node""".stripMargin,
+
+    "q249_es_sampling" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |      AS BIGINT) AS weight
+        |  FROM documents),
+        |k AS (SELECT id, weight, CAST(printf('%.9f',
+        |    ln((('0x' || substr(md5(CAST(id AS VARCHAR) || ':draw1'),
+        |      1, 15))::BIGINT % 1000000 + 0.5) / 1000000.0)
+        |    / CAST(weight AS DOUBLE)) AS DECIMAL(20,9)) AS key9
+        |  FROM d WHERE weight > 0)
+        |SELECT id, weight,
+        |  printf('%.9f', CAST(key9 AS DOUBLE)) AS key9
+        |FROM k ORDER BY k.key9 DESC, id LIMIT 20""".stripMargin,
+
+    "q250_rendezvous" ->
+      """WITH c AS (SELECT doc_id, unnest(range(0, 9)) AS s
+        |    FROM documents),
+        |h AS (SELECT doc_id, s,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':hrw:'
+        |      || CAST(s AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM c),
+        |a9 AS (SELECT doc_id, s AS s9 FROM (SELECT doc_id, s,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY hv DESC, s) AS rn FROM h) WHERE rn = 1),
+        |a8 AS (SELECT doc_id, s AS s8 FROM (SELECT doc_id, s,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY hv DESC, s) AS rn FROM h WHERE s < 8)
+        |  WHERE rn = 1),
+        |p AS (SELECT s9, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS m
+        |  FROM a9 JOIN a8 USING (doc_id) GROUP BY 1)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(SUM(m) AS BIGINT) AS n_moved,
+        |  CAST(MIN(n) AS BIGINT) AS min_shard_n,
+        |  CAST(MAX(n) AS BIGINT) AS max_shard_n
+        |FROM p""".stripMargin,
+
+    "q251_seq_support" ->
+      """WITH sp AS (SELECT user_id AS u, event_type AS s,
+        |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_t,
+        |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_t
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.s AS from_step, b.s AS to_step,
+        |  CAST(COUNT(*) AS BIGINT) AS n_actors
+        |FROM sp a JOIN sp b ON b.u = a.u AND a.first_t < b.last_t
+        |GROUP BY 1, 2 ORDER BY from_step, to_step""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

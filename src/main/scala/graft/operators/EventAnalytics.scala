@@ -248,6 +248,34 @@ object EventAnalytics {
         min(col("gap")).as("min_us"), max(col("gap")).as("max_us"))
   }
 
+  /** Gapped sequence support — the first PrefixSpan step: for every
+    * ordered step pair (a, b), how many actors do a THEN LATER b with
+    * any gap (contiguous-hop counting is [[transitionMatrix]]; whole
+    * exact paths are [[topPaths]]; this is containment, the funnel-
+    * mining primitive that tolerates noise between the steps).
+    * Containment collapses to span arithmetic — an actor exhibits
+    * a…b iff min t(a) < max t(b) — so NO per-event pair join exists:
+    * one (actor, step) span aggregate, one within-actor span join
+    * (≤ |steps|² rows per actor), one count. a = b rows mean "did the
+    * step at least twice".
+    *
+    * @return (from_step, to_step, n_actors) — pairs no actor exhibits
+    *         are absent */
+  def sequenceSupport(events: DataFrame, actor: Column, tsUs: Column,
+                      step: Column): DataFrame = {
+    val spans = events
+      .select(actor.as("u"), step.cast("string").as("s"), tsUs.as("t"))
+      .groupBy("u", "s")
+      .agg(min("t").as("first_t"), max("t").as("last_t"))
+      .localCheckpoint(true) // both sides of the span join
+    spans.select(col("u"), col("s").as("from_step"), col("first_t"))
+      .join(spans.select(col("u"), col("s").as("to_step"),
+        col("last_t")), Seq("u"))
+      .filter(col("first_t") < col("last_t"))
+      .groupBy("from_step", "to_step")
+      .agg(count(lit(1)).as("n_actors"))
+  }
+
   /** Burst-rate actor flags — the rate-limit/bot screen every event
     * pipeline runs before analytics (and every crawl pipeline runs on
     * itself): an actor whose peak trailing-window event rate exceeds

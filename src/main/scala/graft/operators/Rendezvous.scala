@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Rendezvous (highest-random-weight) sharding — the data-placement
+  * primitive for an incrementally-growing corpus: each key goes to the
+  * shard whose salted hash(key, shard) is highest, so when the fleet
+  * grows from N to N+1 shards only ≈ 1/(N+1) of keys move (mod-N
+  * hashing moves almost everything). The audit half quantifies exactly
+  * that before a re-shard is committed — moved fraction and post-move
+  * balance — turning "will this re-shard stampede the cache" into a
+  * one-pass query.
+  *
+  * Determinism: the per-shard weights are [[Hashing.hexLong]] over
+  * `key:salt:shard` — engine-portable md5, no RNG; the argmax is a
+  * lexicographic max over (hash, shard) structs, so even a hash tie
+  * (2⁻⁶⁰) resolves identically everywhere.
+  *
+  * Scale shape: assignment is ROW-LOCAL (an N-element array max per
+  * row — N is the shard count, a plan constant); the audit adds one
+  * shard-keyed groupBy and a scalar rollup. No windows, no joins, no
+  * driver state.
+  */
+object Rendezvous {
+
+  /** Highest-random-weight shard of `key` among 0..nShards−1. */
+  def shard(key: Column, nShards: Int, salt: String = "hrw"): Column = {
+    require(nShards >= 1, "nShards must be positive")
+    val cands = (0 until nShards).map { s =>
+      struct(
+        Hashing.hexLong(concat(key.cast("string"), lit(s":$salt:$s")))
+          .as("h"),
+        lit(s.toLong).as("s"))
+    }
+    array_max(array(cands: _*)).getField("s")
+  }
+
+  /** Re-shard audit: one row — total keys, keys that would move going
+    * from `nFrom` to `nTo` shards, and the min/max post-move shard
+    * populations (balance). The HRW invariant says n_moved/n_rows ≈
+    * 1/nTo for nTo = nFrom+1. */
+  def resizeAudit(df: DataFrame, key: Column, nFrom: Int,
+                  nTo: Int, salt: String = "hrw"): DataFrame = {
+    val assigned = df.select(shard(key, nFrom, salt).as("s_from"),
+      shard(key, nTo, salt).as("s_to"))
+    assigned.groupBy("s_to")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("s_from") =!= col("s_to"), 1L).otherwise(0L))
+          .as("m"))
+      .agg(sum("n").as("n_rows"), sum("m").as("n_moved"),
+        min("n").as("min_shard_n"), max("n").as("max_shard_n"))
+  }
+}

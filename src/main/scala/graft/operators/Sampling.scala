@@ -221,6 +221,45 @@ object Sampling {
     * `__graft_b`/`__graft_cum` (the assembled global prefix sum), plus
     * the exact total weight (already in hand from the O(buckets) offset
     * collect — no extra job). */
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement (2006)
+    * — the other weighted draw next to [[systematicPps]]: PPS picks a
+    * deterministic systematic grid (every run the same "spread"
+    * sample); E–S assigns each row the key u^(1/w) with u uniform and
+    * keeps the top k, which IS a weighted random sample without
+    * replacement — and with the uniform coming from a salted hash of
+    * the row id ([[graft.functions.Hashing.hexLong]]), the draw is
+    * reproducible per salt and re-drawable by rotating it (the
+    * [[Privacy]] seeding stance).
+    *
+    * Determinism discipline: u = (h + 0.5)/10⁶ from the exact integer
+    * hash (never 0 or 1), the key is spelled ln(u)/w — the monotone
+    * log of u^(1/w), one double op pair — rounded %.9f ONCE into a
+    * decimal sort key; ties (astronomically rare) break on id. The
+    * top-k is a rank-limited global order — TakeOrderedAndProject,
+    * never a full sort at scale.
+    *
+    * @param id     unique row key (hash input + tiebreak)
+    * @param weight positive integer weight; w ≤ 0 rows are dropped
+    * @param k      sample size
+    * @param salt   draw seed; rotate for a fresh sample
+    * @return the k sampled rows: (id, weight, key9) by key desc */
+  def weightedSampleES(df: DataFrame, id: Column, weight: Column,
+                       k: Int, salt: String): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val d9 = org.apache.spark.sql.types.DecimalType(20, 9)
+    val h = pmod(graft.functions.Hashing.hexLong(
+      concat(col("id").cast("string"), lit(":"), lit(salt))),
+      lit(1000000L))
+    val u = (h.cast("double") + lit(0.5d)) / lit(1000000.0d)
+    df.select(id.as("id"), weight.cast("long").as("weight"))
+      .filter(col("weight") > 0L)
+      .withColumn("key9",
+        format_string("%.9f", log(u) / col("weight").cast("double"))
+          .cast(d9))
+      .orderBy(col("key9").desc, col("id"))
+      .limit(k)
+  }
+
   private def prefixParts(df: DataFrame, id: Column, weight: Column,
                           buckets: Int): (DataFrame, Long) = {
     require(buckets > 0, s"buckets must be positive, got $buckets")

@@ -154,4 +154,15 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 2L, true), (2L, 2L, 1L, false),
       (3L, 2L, 2L, true)))
   }
+
+  test("sequenceSupport: span containment, a=b repeats, no false order") {
+    val ev = Seq((1L, 1L, "a"), (1L, 5L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "b"), (2L, 2L, "a")).toDF("u", "us", "tpe")
+    val got = EventAnalytics.sequenceSupport(ev, col("u"), col("us"),
+        col("tpe"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", "a") -> 1L, ("a", "b") -> 1L,
+      ("b", "a") -> 1L))
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.Rendezvous
+import graft.functions.Hashing
+
+class RendezvousSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val keys = (1L to 300L).map(Tuple1(_)).toDF("k")
+
+  test("argmax assignment equals the explode-and-rank construction") {
+    val viaOp = keys.select(col("k"), Rendezvous.shard(col("k"), 9).as("s"))
+    val viaRank = keys
+      .select(col("k"), explode(array((0 until 9).map(lit(_)): _*)).as("s"))
+      .withColumn("hv", Hashing.hexLong(
+        concat(col("k").cast("string"), lit(":hrw:"), col("s"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("hv").desc, col("s"))))
+      .filter(col("rn") === 1).select(col("k"), col("s").cast("long").as("s"))
+    assert(viaOp.except(viaRank).count() == 0 &&
+      viaRank.except(viaOp).count() == 0)
+  }
+
+  test("growing the fleet moves roughly 1/nTo of keys, never more shards") {
+    val r = Rendezvous.resizeAudit(keys, col("k"), nFrom = 8, nTo = 9)
+      .head()
+    val (n, moved) = (r.getLong(0), r.getLong(1))
+    assert(n == 300L)
+    // HRW expectation 1/9 of keys; allow generous sampling slack
+    assert(moved > 0L && moved < n / 4)
+    assert(r.getLong(2) >= 0L && r.getLong(3) <= n)
+  }
+
+  test("assignment is stable and in range") {
+    val s = keys.select(Rendezvous.shard(col("k"), 5).as("s"))
+      .collect().map(_.getLong(0))
+    assert(s.forall(v => v >= 0 && v < 5))
+    val s2 = keys.select(Rendezvous.shard(col("k"), 5).as("s"))
+      .collect().map(_.getLong(0))
+    assert(s.toSeq == s2.toSeq)
+  }
+}

@@ -260,4 +260,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.withGroupSplit(rows, col("host"), 10, 11)
     }
   }
+
+  test("weightedSampleES: deterministic per salt, ordered, weight-guarded") {
+    val docs = (1L to 50L).map(i => (i, i % 7 + 1)).toDF("doc_id", "w")
+    def draw(salt: String) =
+      Sampling.weightedSampleES(docs, col("doc_id"), col("w"), 10, salt)
+        .collect().map(r => (r.getLong(0), r.getDecimal(2)))
+    val a = draw("s1"); val b = draw("s1"); val c = draw("s2")
+    assert(a.toSeq == b.toSeq)                  // seeded: bit-stable
+    assert(a.map(_._1).toSeq != c.map(_._1).toSeq) // salt rotates the draw
+    assert(a.length == 10)
+    // keys descend (u^(1/w) top-k equivalence via the log key)
+    val keys = a.map(_._2.doubleValue)
+    assert(keys.zip(keys.tail).forall { case (x, y) => x >= y })
+    // zero/negative weights are dropped, k > n returns all positive
+    val mixed = Seq((1L, 0L), (2L, -3L), (3L, 5L)).toDF("doc_id", "w")
+    val got = Sampling.weightedSampleES(mixed, col("doc_id"), col("w"),
+      10, "s").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(3L))
+  }
 }
