@@ -4251,6 +4251,63 @@ object SparkEntry {
           col("user_id"), expr("unix_micros(ts)"), col("event_type"))
         .orderBy("from_step", "to_step")),
 
+    // Graphs — per-node local clustering coefficient (Triangles
+    // .localClustering): node triangle counts as half the incident
+    // edge-support mass, lcc as the division-free floor-scaled
+    // ss·10⁶ div deg(deg−1); same thinned co-occurrence graph as the
+    // link-prediction gate.
+    "q252_local_clustering" -> ((s, dir) => {
+      val e = Triangles.coOccurrenceEdges(
+        Tables.load(s, dir, "lineitem").filter(col("l_quantity") <= 2),
+        col("l_orderkey"), col("l_suppkey"))
+      Triangles.localClustering(e).orderBy("node")
+    }),
+
+    // Ops — offline single changepoint by binary segmentation
+    // (Changepoint.bestSplit): the split of the daily value series
+    // minimizing summed within-segment SSE, from exact decimal prefix
+    // sums over the bounded day grid; cost keys rounded once, argmin
+    // tie-breaks earliest.
+    "q254_best_split" -> ((s, dir) => {
+      // WHOLE units (floor of the exact decimal day sum), not micro:
+      // the cost keys must stay inside ~15 significant digits — Java's
+      // %f pads doubles from the shortest repr while C printf expands
+      // the exact binary, so giant magnitudes diverge between engines
+      val byDay = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(floor(sum(col("value").cast(dec6))).cast("long")
+          .as("x_units"))
+      Changepoint.bestSplit(byDay, col("day"), col("x_units"))
+    }),
+
+    // ER — one Fellegi–Sunter EM iteration (RecordLinkage
+    // .emIteration): the unsupervised m/u/λ fit over the same
+    // nation-blocked customer pairs as q224; pair data collapses to 8
+    // pattern counts before any EM arithmetic, posteriors rounded
+    // %.9f once, M-step from exact decimal Σw·n sums.
+    "q253_fs_em" -> ((s, dir) => {
+      import graft.operators.RecordLinkage
+      import graft.operators.RecordLinkage.FieldModel
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val c = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("k"), col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+          .cast("long").as("cents"))
+      val pairs = c.select(col("k").as("k1"), col("nat"),
+          col("seg").as("seg1"), col("cents").as("cents1"))
+        .join(c.select(col("k").as("k2"), col("nat"),
+          col("seg").as("seg2"), col("cents").as("cents2")), Seq("nat"))
+        .filter(col("k1") < col("k2"))
+      RecordLinkage.emIteration(pairs, Seq(
+          FieldModel("seg", col("seg1") === col("seg2"), 9, 10, 1, 5),
+          FieldModel("kb", expr("(cents1 + 100000) div 100000") ===
+            expr("(cents2 + 100000) div 100000"), 8, 10, 1, 11),
+          FieldModel("ct", expr("((cents1 % 100) + 100) % 100") ===
+            expr("((cents2 % 100) + 100) % 100"), 7, 10, 1, 100)),
+        lambda = (1L, 100L))
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -8866,6 +8923,132 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_actors
         |FROM sp a JOIN sp b ON b.u = a.u AND a.first_t < b.last_t
         |GROUP BY 1, 2 ORDER BY from_step, to_step""".stripMargin,
+
+    "q252_local_clustering" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS g, l_suppkey AS i
+        |    FROM lineitem WHERE l_quantity <= 2),
+        |e AS (SELECT DISTINCT a.i AS lo, b.i AS hi
+        |  FROM it a JOIN it b ON a.g = b.g AND a.i < b.i),
+        |adj AS (SELECT lo AS s, hi AS d FROM e
+        |  UNION ALL SELECT hi, lo FROM e),
+        |sup AS (SELECT e.lo, e.hi, CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM e JOIN adj a ON a.s = e.lo
+        |  JOIN adj b ON b.s = e.hi AND b.d = a.d
+        |  GROUP BY e.lo, e.hi),
+        |se AS (SELECT e.lo, e.hi, COALESCE(sup.support, 0) AS support
+        |  FROM e LEFT JOIN sup USING (lo, hi)),
+        |inc AS (SELECT lo AS node, support FROM se
+        |  UNION ALL SELECT hi, support FROM se),
+        |r AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg,
+        |    CAST(SUM(support) AS BIGINT) AS ss FROM inc GROUP BY 1)
+        |SELECT node, deg, ss // 2 AS n_triangles,
+        |  CASE WHEN deg >= 2
+        |    THEN ss * 1000000 // (deg * (deg - 1)) END AS lcc_1e6
+        |FROM r ORDER BY node""".stripMargin,
+
+    "q254_best_split" ->
+      """WITH byday AS (SELECT epoch_us(ts) // 86400000000 AS t,
+        |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(38,6))))
+        |      AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS i,
+        |    SUM(CAST(x AS HUGEINT)) OVER (ORDER BY t) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) OVER (ORDER BY t) AS sxx
+        |  FROM byday),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS tx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS txx FROM byday),
+        |cand AS (SELECT g.t, g.i, tot.n,
+        |    CAST(printf('%.6f',
+        |      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE) / CAST(i AS DOUBLE))
+        |      + ((CAST(txx AS DOUBLE) - CAST(sxx AS DOUBLE))
+        |        - (CAST(tx AS DOUBLE) - CAST(sx AS DOUBLE))
+        |        * (CAST(tx AS DOUBLE) - CAST(sx AS DOUBLE))
+        |        / CAST(n - i AS DOUBLE))) AS DECIMAL(38,6)) AS cost6,
+        |    CAST(printf('%.6f', CAST(txx AS DOUBLE)
+        |      - CAST(tx AS DOUBLE) * CAST(tx AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) AS DECIMAL(38,6)) AS tsse6
+        |  FROM g CROSS JOIN tot WHERE g.i < tot.n)
+        |SELECT t AS split_t, CAST(i AS BIGINT) AS n_left,
+        |  CAST(n - i AS BIGINT) AS n_right,
+        |  CAST(cost6 AS VARCHAR) AS cost6,
+        |  CAST(tsse6 AS VARCHAR) AS total_sse6
+        |FROM cand ORDER BY cost6 ASC, t ASC LIMIT 1""".stripMargin,
+
+    "q253_fs_em" ->
+      """WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+        |    c_mktsegment AS seg,
+        |    CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS cents
+        |  FROM customer),
+        |p AS (SELECT a.seg AS seg1, b.seg AS seg2,
+        |    a.cents AS c1, b.cents AS c2
+        |  FROM c a JOIN c b ON b.nat = a.nat AND a.k < b.k),
+        |f AS (SELECT seg1 = seg2 AS a_seg,
+        |    (c1 + 100000) // 100000 = (c2 + 100000) // 100000 AS a_kb,
+        |    ((c1 % 100) + 100) % 100 = ((c2 % 100) + 100) % 100 AS a_ct
+        |  FROM p),
+        |pat AS (SELECT a_seg, a_kb, a_ct, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM f GROUP BY 1, 2, 3),
+        |pr AS (SELECT *,
+        |    (CASE WHEN a_seg THEN CAST(9 AS DOUBLE) / 10
+        |      ELSE CAST(1 AS DOUBLE) / 10 END)
+        |    * (CASE WHEN a_kb THEN CAST(8 AS DOUBLE) / 10
+        |      ELSE CAST(2 AS DOUBLE) / 10 END)
+        |    * (CASE WHEN a_ct THEN CAST(7 AS DOUBLE) / 10
+        |      ELSE CAST(3 AS DOUBLE) / 10 END) AS pm,
+        |    (CASE WHEN a_seg THEN CAST(1 AS DOUBLE) / 5
+        |      ELSE CAST(4 AS DOUBLE) / 5 END)
+        |    * (CASE WHEN a_kb THEN CAST(1 AS DOUBLE) / 11
+        |      ELSE CAST(10 AS DOUBLE) / 11 END)
+        |    * (CASE WHEN a_ct THEN CAST(1 AS DOUBLE) / 100
+        |      ELSE CAST(99 AS DOUBLE) / 100 END) AS pu
+        |  FROM pat),
+        |w AS (SELECT *, CAST(printf('%.9f',
+        |    CAST(1 AS DOUBLE) / 100 * pm
+        |      / (CAST(1 AS DOUBLE) / 100 * pm
+        |        + (1.0 - CAST(1 AS DOUBLE) / 100) * pu))
+        |    AS DECIMAL(20,9)) AS w9 FROM pr),
+        |m AS (SELECT CAST(SUM(n) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(w9 * n) AS DECIMAL(38,9)) AS sw,
+        |    CAST(SUM((CAST(1 AS DECIMAL(20,9)) - w9) * n)
+        |      AS DECIMAL(38,9)) AS s1w,
+        |    CAST(SUM(CASE WHEN a_seg THEN w9 * n
+        |      ELSE CAST(0 AS DECIMAL(20,9)) END) AS DECIMAL(38,9))
+        |      AS sw_seg,
+        |    CAST(SUM(CASE WHEN a_seg THEN (CAST(1 AS DECIMAL(20,9))
+        |      - w9) * n ELSE CAST(0 AS DECIMAL(20,9)) END)
+        |      AS DECIMAL(38,9)) AS s1w_seg,
+        |    CAST(SUM(CASE WHEN a_kb THEN w9 * n
+        |      ELSE CAST(0 AS DECIMAL(20,9)) END) AS DECIMAL(38,9))
+        |      AS sw_kb,
+        |    CAST(SUM(CASE WHEN a_kb THEN (CAST(1 AS DECIMAL(20,9))
+        |      - w9) * n ELSE CAST(0 AS DECIMAL(20,9)) END)
+        |      AS DECIMAL(38,9)) AS s1w_kb,
+        |    CAST(SUM(CASE WHEN a_ct THEN w9 * n
+        |      ELSE CAST(0 AS DECIMAL(20,9)) END) AS DECIMAL(38,9))
+        |      AS sw_ct,
+        |    CAST(SUM(CASE WHEN a_ct THEN (CAST(1 AS DECIMAL(20,9))
+        |      - w9) * n ELSE CAST(0 AS DECIMAL(20,9)) END)
+        |      AS DECIMAL(38,9)) AS s1w_ct
+        |  FROM w)
+        |SELECT n_pairs,
+        |  printf('%.6f', CAST(sw AS DOUBLE) / CAST(n_pairs AS DOUBLE))
+        |    AS lambda6,
+        |  printf('%.6f', CAST(sw_seg AS DOUBLE) / CAST(sw AS DOUBLE))
+        |    AS m_seg6,
+        |  printf('%.6f', CAST(s1w_seg AS DOUBLE) / CAST(s1w AS DOUBLE))
+        |    AS u_seg6,
+        |  printf('%.6f', CAST(sw_kb AS DOUBLE) / CAST(sw AS DOUBLE))
+        |    AS m_kb6,
+        |  printf('%.6f', CAST(s1w_kb AS DOUBLE) / CAST(s1w AS DOUBLE))
+        |    AS u_kb6,
+        |  printf('%.6f', CAST(sw_ct AS DOUBLE) / CAST(sw AS DOUBLE))
+        |    AS m_ct6,
+        |  printf('%.6f', CAST(s1w_ct AS DOUBLE) / CAST(s1w AS DOUBLE))
+        |    AS u_ct6
+        |FROM m""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -59,4 +59,61 @@ object Changepoint {
         sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
         max(col("s")).as("max_s"),
         min(when(col("alarm"), firstOrd)).as("first_alarm_ord"))
+
+  /** Offline single-changepoint detection by binary segmentation's
+    * first step: the split of an ordered series minimizing the summed
+    * within-segment SSE — "where did the level shift". [[cusum]] is
+    * the ONLINE monitor (known target, sequential alarm); this is the
+    * RETROSPECTIVE locator (no target needed). One split; recurse on
+    * the halves for more changepoints.
+    *
+    * Determinism discipline: per-point values are exact integers;
+    * prefix sums Σx, Σx² accumulate in decimal(38,0) over the ordered
+    * GRID (one bounded unpartitioned window — the series length is the
+    * caller's aggregation grid, not the raw data); each candidate
+    * split's cost SSE_L + SSE_R = (Σx²_L − (Σx_L)²/n_L) + (…R) is a
+    * fixed double tree over those exact prefixes, %.6f-rounded ONCE
+    * into the comparison key, and the argmin tie-breaks on the
+    * earliest split time. Splits leave ≥ 1 point on each side.
+    *
+    * @param series one row per grid point
+    * @param t      ordering key (the grid instant)
+    * @param x      exact integer measure at t
+    * @return one row: (split_t — last point of the LEFT segment —
+    *         n_left, n_right, cost6, total_sse6); EMPTY when the grid
+    *         has < 2 points (no legal split exists) */
+  def bestSplit(series: DataFrame, t: Column, x: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    // bounded grid window (|grid| rows) — see scaladoc
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val g = series.select(t.as("t"), x.cast("long").cast(dec).as("x"))
+      .withColumn("i", count(lit(1)).over(wCum))
+      .withColumn("sx", sum("x").over(wCum).cast(dec))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wCum).cast(dec))
+    val tot = g.agg(max("i").as("n"), max("t").as("__tmax"),
+      sum("x").cast(dec).as("tx"),
+      sum(col("x") * col("x")).cast(dec).as("txx"))
+    val (nL, nR) = (col("i").cast("double"),
+      (col("n") - col("i")).cast("double"))
+    val sseL = col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nL
+    val (rx, rxx) = (col("tx").cast("double") - col("sx").cast("double"),
+      col("txx").cast("double") - col("sxx").cast("double"))
+    val sseR = rxx - rx * rx / nR
+    val cand = g.crossJoin(broadcast(tot))
+      .filter(col("i") < col("n")) // >= 1 point on each side
+      .select(col("t"), col("i"), col("n"),
+        format_string("%.6f", sseL + sseR).cast(d6).as("cost6"),
+        format_string("%.6f",
+          col("txx").cast("double") - col("tx").cast("double") *
+            col("tx").cast("double") / col("n").cast("double"))
+          .cast(d6).as("tsse6"))
+    cand.orderBy(col("cost6").asc, col("t").asc).limit(1)
+      .select(col("t").as("split_t"), col("i").as("n_left"),
+        (col("n") - col("i")).as("n_right"),
+        col("cost6").cast("string").as("cost6"),
+        col("tsse6").cast("string").as("total_sse6"))
+  }
 }

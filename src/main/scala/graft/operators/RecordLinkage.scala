@@ -49,6 +49,74 @@ object RecordLinkage {
       .bigDecimal.toPlainString
   }
 
+  /** One EM iteration for the Fellegi–Sunter parameters (Winkler's
+    * unsupervised fit — how production linkers LEARN the m/u
+    * probabilities [[score]] consumes when no labeled pairs exist).
+    * E-step: under conditional independence, each agreement PATTERN γ
+    * gets the match posterior w(γ) = λ·P(γ|M) / (λ·P(γ|M) +
+    * (1−λ)·P(γ|U)); M-step: mⱼ' = Σ w·n·γⱼ / Σ w·n (and uⱼ', λ'
+    * likewise). Run once per round-trip; iterate to convergence by
+    * feeding the outputs back as the next call's rationals.
+    *
+    * Determinism discipline: the pair frame first collapses to ≤ 2^k
+    * PATTERN COUNTS (one map-side-combinable groupBy — the only pass
+    * over the data; EM arithmetic never touches pair rows). Initial
+    * parameters are exact rationals whose double quotients both
+    * engines compute identically; each pattern's posterior w is ONE
+    * fixed double tree rounded %.9f ONCE; all M-step numerators and
+    * denominators are exact decimal Σ w·n sums; final estimates are
+    * one %.6f division each.
+    *
+    * @return ONE wide row: (n_pairs, lambda6, then per field
+    *         m_<name>6 and u_<name>6) */
+  def emIteration(pairs: DataFrame, fields: Seq[FieldModel],
+                  lambda: (Long, Long)): DataFrame = {
+    require(fields.nonEmpty, "need at least one field model")
+    require(lambda._1 > 0 && lambda._1 < lambda._2,
+      "need 0 < lambda < 1")
+    val d9 = DecimalType(20, 9)
+    val d389 = DecimalType(38, 9)
+    val flagged = fields.foldLeft(pairs) { (df, f) =>
+      df.withColumn(s"a_${f.name}", coalesce(f.agree, lit(false)))
+    }
+    val pat = flagged
+      .groupBy(fields.map(f => col(s"a_${f.name}")): _*)
+      .agg(count(lit(1)).as("n"))
+    def prob(num: Long, den: Long) =
+      lit(num.toDouble) / lit(den.toDouble)
+    val pm = fields.map(f =>
+      when(col(s"a_${f.name}"), prob(f.mNum, f.mDen))
+        .otherwise(prob(f.mDen - f.mNum, f.mDen))).reduce(_ * _)
+    val pu = fields.map(f =>
+      when(col(s"a_${f.name}"), prob(f.uNum, f.uDen))
+        .otherwise(prob(f.uDen - f.uNum, f.uDen))).reduce(_ * _)
+    val lam = prob(lambda._1, lambda._2)
+    val w = format_string("%.9f",
+      lam * pm / (lam * pm + (lit(1.0d) - lam) * pu)).cast(d9)
+    val scored = pat.withColumn("w9", w)
+      .withColumn("w1", lit(1L).cast(d9) - col("w9"))
+    val aggs = Seq(
+      sum("n").as("n_pairs"),
+      sum(col("w9") * col("n")).cast(d389).as("sw"),
+      sum(col("w1") * col("n")).cast(d389).as("s1w")) ++
+      fields.flatMap { f => Seq(
+        sum(when(col(s"a_${f.name}"), col("w9") * col("n"))
+          .otherwise(lit(0L).cast(d9))).cast(d389).as(s"sw_${f.name}"),
+        sum(when(col(s"a_${f.name}"), col("w1") * col("n"))
+          .otherwise(lit(0L).cast(d9))).cast(d389).as(s"s1w_${f.name}"))
+      }
+    val m = scored.agg(aggs.head, aggs.tail: _*)
+    m.select(col("n_pairs") +:
+      format_string("%.6f", col("sw").cast("double") /
+        col("n_pairs").cast("double")).as("lambda6") +:
+      fields.flatMap { f => Seq(
+        format_string("%.6f", col(s"sw_${f.name}").cast("double") /
+          col("sw").cast("double")).as(s"m_${f.name}6"),
+        format_string("%.6f", col(s"s1w_${f.name}").cast("double") /
+          col("s1w").cast("double")).as(s"u_${f.name}6"))
+      }: _*)
+  }
+
   /** Score every candidate pair. Appends, per field, the boolean
     * agreement flag `a_<name>`; then `score6` (decimal(38,6) match
     * weight) and `decision` ('link' when score6 ≥ upper6, 'nonlink'

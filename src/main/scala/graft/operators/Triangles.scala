@@ -191,4 +191,30 @@ object Triangles {
       .select(col("lo"), col("hi"),
         coalesce(col("__sup"), lit(0L)).as("support"))
   }
+
+  /** Per-node local clustering coefficient — [[triangleStats]] reports
+    * the GLOBAL transitivity scalar; this one answers "which nodes sit
+    * in tight cliques vs hub-and-spoke stars", the node-level
+    * community/spam-ring signal. Derived from [[edgeSupport]] with
+    * pure integer identities: a node's triangle count is half the sum
+    * of its incident edges' supports (each of its triangles
+    * contributes to exactly two incident edges), and
+    * lcc = t/C(deg,2) floor-scales to Σsupport·10⁶ div (deg·(deg−1))
+    * — division-free to the last step.
+    *
+    * Scale shape: [[edgeSupport]]'s wedge join dominates; the rollup
+    * adds one node-keyed map-side-combinable aggregate over 2|E| rows.
+    *
+    * @return (node, deg, n_triangles, lcc_1e6 — null when deg < 2) */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val sup = edgeSupport(edges).localCheckpoint(true)
+    val incident = sup.select(col("lo").as("node"), col("support"))
+      .unionByName(sup.select(col("hi").as("node"), col("support")))
+    incident.groupBy("node")
+      .agg(count(lit(1)).as("deg"), sum("support").as("ss"))
+      .select(col("node"), col("deg"),
+        expr("ss div 2").as("n_triangles"),
+        when(col("deg") >= 2L,
+          expr("ss * 1000000L div (deg * (deg - 1))")).as("lcc_1e6"))
+  }
 }

@@ -54,4 +54,27 @@ class ChangepointSpec extends SparkSpec {
     assert(got(("g", 3L)) == ((BigDecimal(100).setScale(6), true)),
       "post-dip climb restarts from 0")
   }
+
+  test("bestSplit: clean level shift found with zero cost") {
+    import spark.implicits._
+    val series = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 10L),
+      (5L, 10L), (6L, 10L)).toDF("t", "x")
+    val r = Changepoint.bestSplit(series, col("t"), col("x")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getString(3) == "0.000000")
+    assert(r.getString(4) == "150.000000") // 300 - 900/6
+  }
+
+  test("bestSplit: constant series tie-breaks to the earliest split") {
+    import spark.implicits._
+    val series = (1L to 5L).map((_, 5L)).toDF("t", "x")
+    val r = Changepoint.bestSplit(series, col("t"), col("x")).head()
+    assert(r.getLong(0) == 1L && r.getString(3) == "0.000000")
+  }
+
+  test("bestSplit: singleton grid has no legal split") {
+    import spark.implicits._
+    val one = Seq((1L, 7L)).toDF("t", "x")
+    assert(Changepoint.bestSplit(one, col("t"), col("x")).count() == 0L)
+  }
 }

@@ -62,4 +62,19 @@ class RecordLinkageSpec extends SparkSpec {
         FieldModel("v", col("a") === col("b"), 1, 2, 1, 3)), "0.0", "1.0")
     }
   }
+
+  test("emIteration: hand-checked fixed point of a symmetric model") {
+    // one field, m=3/4, u=1/4, lambda=1/2; 2 agreeing + 2 disagreeing
+    // pairs -> posteriors 0.75/0.25; the M-step lands back on the
+    // inputs exactly (a fixed point), lambda' = 1/2
+    val pairs = Seq(("x", "x"), ("y", "y"), ("x", "y"), ("y", "x"))
+      .toDF("s1", "s2")
+    val r = RecordLinkage.emIteration(pairs,
+      Seq(FieldModel("s", col("s1") === col("s2"), 3, 4, 1, 4)),
+      lambda = (1L, 2L)).head()
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(r.getAs[String]("lambda6") == "0.500000")
+    assert(r.getAs[String]("m_s6") == "0.750000")
+    assert(r.getAs[String]("u_s6") == "0.250000")
+  }
 }

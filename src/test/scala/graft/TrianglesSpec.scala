@@ -116,4 +116,18 @@ class TrianglesSpec extends SparkSpec {
       assert(s == (nbrs(lo) & nbrs(hi)).size.toLong, s"edge ($lo,$hi)")
     }
   }
+
+  test("localClustering: hand-checked house graph") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("u", "v")
+    val got = Triangles.localClustering(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 1000000L)))
+    assert(got(2L) == ((3L, 2L, 666666L)))
+    assert(got(3L) == ((3L, 2L, 666666L)))
+    assert(got(4L) == ((3L, 1L, 333333L)))
+    assert(got(5L) == ((1L, 0L, -1L))) // leaf: no pairs, null lcc
+  }
 }
