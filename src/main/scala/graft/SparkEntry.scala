@@ -4308,6 +4308,34 @@ object SparkEntry {
         lambda = (1L, 100L))
     }),
 
+    // LM — interpolated Kneser–Ney bigram table (NgramLm
+    // .kneserNeyBigrams): absolute discount d=3/4 with continuation-
+    // count backoff, the WHOLE model exact rational — p_1e9 is one
+    // floor division over integer counts.
+    "q255_kneser_ney" -> ((s, dir) =>
+      NgramLm.kneserNeyBigrams(Tables.load(s, dir, "documents"),
+          col("text"))
+        .orderBy("w1", "w2")),
+
+    // Ops — Drain-style log template mining (LogTemplates.mine):
+    // synthetic log lines rendered from events (three formats), lines
+    // grouped by (token count, first token), variable positions masked
+    // by per-position distinct counting.
+    "q256_log_templates" -> ((s, dir) => {
+      val k = regexp_extract(col("props"), "(\\d+)", 1)
+      val lines = Tables.events(s, dir).select(
+        when(col("event_type") === "error",
+          concat(lit("error code "), k, lit(" at host h"),
+            col("user_id").cast("string")))
+        .when(col("event_type") === "purchase",
+          concat(lit("user "), col("user_id").cast("string"),
+            lit(" purchased item "), k))
+        .otherwise(concat(lit("user "), col("user_id").cast("string"),
+          lit(" did "), col("event_type"), lit(" on page p"), k))
+        .as("line"))
+      LogTemplates.mine(lines, col("line")).orderBy("template")
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -9049,6 +9077,51 @@ object SparkEntry {
         |  printf('%.6f', CAST(s1w_ct AS DOUBLE) / CAST(s1w AS DOUBLE))
         |    AS u_ct6
         |FROM m""".stripMargin,
+
+    "q255_kneser_ney" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |tr AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w)),
+        |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tr GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c_ctx,
+        |    CAST(COUNT(*) AS BIGINT) AS succ_v FROM bi GROUP BY 1),
+        |cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS pred_w
+        |  FROM bi GROUP BY 1),
+        |ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bi)
+        |SELECT w1, w2, c, c_ctx, succ_v, pred_w,
+        |  ((4 * c - 3) * n_types + 3 * succ_v * pred_w)
+        |    * 1000000000 // (4 * c_ctx * n_types) AS p_1e9
+        |FROM bi JOIN ctx USING (w1) JOIN cont USING (w2)
+        |CROSS JOIN ty ORDER BY w1, w2""".stripMargin,
+
+    "q256_log_templates" ->
+      """WITH ln AS (SELECT CASE
+        |    WHEN event_type = 'error' THEN 'error code '
+        |      || regexp_extract(props, '(\d+)', 1) || ' at host h'
+        |      || CAST(user_id AS VARCHAR)
+        |    WHEN event_type = 'purchase' THEN 'user '
+        |      || CAST(user_id AS VARCHAR) || ' purchased item '
+        |      || regexp_extract(props, '(\d+)', 1)
+        |    ELSE 'user ' || CAST(user_id AS VARCHAR) || ' did '
+        |      || event_type || ' on page p'
+        |      || regexp_extract(props, '(\d+)', 1) END AS l
+        |  FROM events),
+        |t AS (SELECT len(string_split(l, ' ')) AS n_tok,
+        |    string_split(l, ' ')[1] AS t0,
+        |    generate_subscripts(string_split(l, ' '), 1) AS pos,
+        |    unnest(string_split(l, ' ')) AS tok FROM ln),
+        |pp AS (SELECT n_tok, t0, pos,
+        |    CAST(COUNT(DISTINCT tok) AS BIGINT) AS nv, MIN(tok) AS tok1
+        |  FROM t GROUP BY 1, 2, 3),
+        |tm AS (SELECT n_tok, t0, string_agg(CASE WHEN nv = 1 THEN tok1
+        |    ELSE '<*>' END, ' ' ORDER BY pos) AS template
+        |  FROM pp GROUP BY 1, 2),
+        |cn AS (SELECT len(string_split(l, ' ')) AS n_tok,
+        |    string_split(l, ' ')[1] AS t0,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines FROM ln GROUP BY 1, 2)
+        |SELECT template, n_lines FROM tm JOIN cn USING (n_tok, t0)
+        |ORDER BY template""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Drain-style log template mining (He et al., ICWS 2017, shallow
+  * variant) — turn a firehose of free-text log lines into the handful
+  * of TEMPLATES that generated them, with variable positions masked:
+  * "user 42 did click" and "user 7 did view" → "user <*> did <*>".
+  * The structuring step every observability/ETL pipeline runs before
+  * counting, alerting, or joining on log events.
+  *
+  * Algorithm (Drain's fixed preamble, without the online tree): lines
+  * group by the signature (token count, first token) — Drain's
+  * insight that the first token and length are almost never variables
+  * — then each position keeps its token if the whole group agrees and
+  * masks `<*>` otherwise.
+  *
+  * Determinism: pure counting — per-(signature, position) distinct
+  * tokens and min token (the agreed value when distinct = 1), template
+  * reassembled in position order. No floats, no hashes, no order
+  * dependence.
+  *
+  * Scale shape: one token explode, one (sig, pos)-keyed aggregate
+  * (map-side combinable), one sig-keyed reassembly via sorted
+  * collect over ≤ max-token-count rows per signature, one line-count
+  * aggregate. Nothing corpus-global.
+  *
+  * @return (template, n_lines) — one row per discovered template */
+object LogTemplates {
+
+  def mine(logs: DataFrame, line: Column): DataFrame = {
+    val toks = logs.select(line.as("l"))
+      .withColumn("w", split(col("l"), " "))
+      .select(col("l"), size(col("w")).as("n_tok"),
+        element_at(col("w"), 1).as("t0"),
+        posexplode(col("w")).as(Seq("pos", "tok")))
+    val perPos = toks.groupBy("n_tok", "t0", "pos")
+      .agg(countDistinct("tok").as("n_vals"), min("tok").as("tok1"))
+      .withColumn("piece",
+        when(col("n_vals") === 1L, col("tok1")).otherwise(lit("<*>")))
+    val templates = perPos.groupBy("n_tok", "t0")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("piece")))),
+        x => x("piece")), " ").as("template"))
+    val counts = logs.select(line.as("l"))
+      .withColumn("w", split(col("l"), " "))
+      .groupBy(size(col("w")).as("n_tok"),
+        element_at(col("w"), 1).as("t0"))
+      .agg(count(lit(1)).as("n_lines"))
+    templates.join(counts, Seq("n_tok", "t0"))
+      .select("template", "n_lines")
+  }
+}

@@ -82,4 +82,48 @@ object NgramLm {
         col("ll_d").cast("string").as("ll"),
         (col("ll_d").cast("double") / col("n_trans").cast("double")).as("avg_ll"))
   }
+
+  /** Interpolated Kneser–Ney bigram table (Kneser & Ney 1995; Chen &
+    * Goodman's benchmark winner) — the smoothing that beats stupid
+    * backoff when the model itself ships (autocomplete, CCNet-style
+    * scoring with a PROPER distribution): probability mass comes from
+    * absolute discounting, and the backoff leg weights words by how
+    * many CONTEXTS they follow (continuation count), not raw
+    * frequency — "Francisco" is frequent but only ever follows "San",
+    * so KN correctly refuses to predict it elsewhere.
+    *
+    * With discount d = dNum/dDen < 1 the whole model is EXACT
+    * RATIONAL — every observed bigram has c ≥ 1 > d, so
+    * P(w₂|w₁) = (c(w₁w₂)−d)/c(w₁) + d·succ(w₁)/c(w₁) · pred(w₂)/B
+    * collapses over the common denominator dDen·c(w₁)·B to the
+    * division-free floor-scaled integer
+    * p_1e9 = ((dDen·c − dNum)·B + dNum·succ·pred)·10⁹ div
+    * (dDen·c(w₁)·B). No floating point anywhere. Domain:
+    * dDen·c·B·10⁹ < 2⁶³.
+    *
+    * Scale shape: three map-side-combinable aggregates over the
+    * transition stream (bigram, per-context, per-continuation) plus a
+    * one-row bigram-type total broadcast — the model is count tables,
+    * never |vocab|².
+    *
+    * @return one row per OBSERVED bigram: (w1, w2, c, c_ctx, succ_v,
+    *         pred_w, p_1e9) */
+  def kneserNeyBigrams(train: DataFrame, trainText: Column,
+                       dNum: Long = 3L, dDen: Long = 4L): DataFrame = {
+    require(dNum > 0 && dNum < dDen, "need 0 < d < 1")
+    val bi = transitions(train, lit(0L), trainText)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val ctx = bi.groupBy("w1")
+      .agg(sum("c").as("c_ctx"), count(lit(1)).as("succ_v"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("pred_w"))
+    val types = bi.agg(count(lit(1)).as("n_types"))
+    bi.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c"), col("c_ctx"),
+        col("succ_v"), col("pred_w"),
+        expr(s"(($dDen * c - $dNum) * n_types " +
+          s"+ $dNum * succ_v * pred_w) * 1000000000L " +
+          s"div ($dDen * c_ctx * n_types)").as("p_1e9"))
+  }
 }

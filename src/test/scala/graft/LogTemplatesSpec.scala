@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LogTemplates
+
+class LogTemplatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("variable positions mask, constants survive, signatures split") {
+    val logs = Seq("user 1 did x", "user 2 did x", "go 5", "user 9 run")
+      .map(Tuple1(_)).toDF("l")
+    val got = LogTemplates.mine(logs, col("l"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "user <*> did x" -> 2L, // same sig (4 tokens, 'user')
+      "go 5" -> 1L,           // singleton keeps its constants
+      "user 9 run" -> 1L))    // 3-token 'user' sig is a SEPARATE group
+  }
+
+  test("fully variable group masks every non-anchor position") {
+    val logs = Seq("err 1 a", "err 2 b", "err 3 c").map(Tuple1(_)).toDF("l")
+    val got = LogTemplates.mine(logs, col("l")).head()
+    assert(got.getString(0) == "err <*> <*>" && got.getLong(1) == 3L)
+  }
+}

@@ -69,4 +69,21 @@ class NgramLmSpec extends SparkSpec {
     val ll = new JBD(r.getString(3))
     assert(r.getDouble(4) == ll.doubleValue() / r.getLong(1))
   }
+
+  test("kneserNeyBigrams: hand-checked exact rationals") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val got = graft.operators.NgramLm
+      .kneserNeyBigrams(train, col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    // bigrams: (a,b):2 (b,a):1 (b,c):1; types=3
+    // P(b|a) = ((8-3)*3 + 3*1*1)/(4*2*3) = 18/24
+    assert(got(("a", "b")) == ((2L, 2L, 1L, 1L, 750000000L)))
+    // P(a|b) = ((4-3)*3 + 3*2*1)/(4*2*3) = 9/24
+    assert(got(("b", "a")) == ((1L, 2L, 2L, 1L, 375000000L)))
+    assert(got(("b", "c")) == ((1L, 2L, 2L, 1L, 375000000L)))
+    assert(got.size == 3)
+  }
 }
