@@ -4336,6 +4336,36 @@ object SparkEntry {
       LogTemplates.mine(lines, col("line")).orderBy("template")
     }),
 
+    // Anomaly — ECOD outlier scores (RankStats.ecodScores):
+    // parameter-free ECDF-tail scoring over three unitized lineitem
+    // measures; tails are exact grid rationals, −ln rounded once per
+    // (dim, value), top-20 with id tie break.
+    "q257_ecod" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      def cents(c: Column) =
+        (format_string("%.2f", c).cast(dec2) * 100).cast("long")
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber"))
+      RankStats.ecodScores(li, col("rid"),
+          Seq(col("l_quantity").cast("long"), cents(col("l_discount")),
+            cents(col("l_tax"))), topK = 20)
+        .withColumn("score6", col("score6").cast("string"))
+    }),
+
+    // Stats — exact Mann–Whitney U with midrank ties (RankStats
+    // .mannWhitney): purchase vs click value distributions; u2_a is
+    // the exact integer 2U, z the tie-corrected normal approximation
+    // as one mirrored double tree.
+    "q258_mann_whitney" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      RankStats.mannWhitney(
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click")),
+        col("event_type") === "purchase",
+        (format_string("%.2f", col("value")).cast(dec2) * 100)
+          .cast("long"))
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -9122,6 +9152,83 @@ object SparkEntry {
         |    CAST(COUNT(*) AS BIGINT) AS n_lines FROM ln GROUP BY 1, 2)
         |SELECT template, n_lines FROM tm JOIN cn USING (n_tok, t0)
         |ORDER BY template""".stripMargin,
+
+    "q257_ecod" ->
+      """WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+        |    CAST(l_quantity AS BIGINT) AS x0,
+        |    CAST(CAST(printf('%.2f', l_discount) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS x1,
+        |    CAST(CAST(printf('%.2f', l_tax) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS x2
+        |  FROM lineitem),
+        |g0 AS (SELECT x0, CAST(COUNT(*) AS BIGINT) AS cnt FROM li
+        |  GROUP BY 1),
+        |n0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g0),
+        |t0 AS (SELECT x0, CAST(printf('%.6f',
+        |    -ln(CAST(LEAST(cum_le, n - cum_le + cnt) AS DOUBLE)
+        |      / CAST(n AS DOUBLE))) AS DECIMAL(18,6)) AS t
+        |  FROM (SELECT x0, cnt, SUM(cnt) OVER (ORDER BY x0) AS cum_le
+        |    FROM g0) CROSS JOIN n0),
+        |g1 AS (SELECT x1, CAST(COUNT(*) AS BIGINT) AS cnt FROM li
+        |  GROUP BY 1),
+        |n1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g1),
+        |t1 AS (SELECT x1, CAST(printf('%.6f',
+        |    -ln(CAST(LEAST(cum_le, n - cum_le + cnt) AS DOUBLE)
+        |      / CAST(n AS DOUBLE))) AS DECIMAL(18,6)) AS t
+        |  FROM (SELECT x1, cnt, SUM(cnt) OVER (ORDER BY x1) AS cum_le
+        |    FROM g1) CROSS JOIN n1),
+        |g2 AS (SELECT x2, CAST(COUNT(*) AS BIGINT) AS cnt FROM li
+        |  GROUP BY 1),
+        |n2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM g2),
+        |t2 AS (SELECT x2, CAST(printf('%.6f',
+        |    -ln(CAST(LEAST(cum_le, n - cum_le + cnt) AS DOUBLE)
+        |      / CAST(n AS DOUBLE))) AS DECIMAL(18,6)) AS t
+        |  FROM (SELECT x2, cnt, SUM(cnt) OVER (ORDER BY x2) AS cum_le
+        |    FROM g2) CROSS JOIN n2),
+        |sc AS (SELECT li.id,
+        |    CAST(t0.t + t1.t + t2.t AS DECIMAL(38,6)) AS score6
+        |  FROM li JOIN t0 USING (x0) JOIN t1 USING (x1)
+        |  JOIN t2 USING (x2))
+        |SELECT id, CAST(score6 AS VARCHAR) AS score6
+        |FROM sc ORDER BY sc.score6 DESC, id LIMIT 20""".stripMargin,
+
+    "q258_mann_whitney" ->
+      """WITH v AS (SELECT event_type = 'purchase' AS a,
+        |    CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |g AS (SELECT x,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM v GROUP BY 1),
+        |c AS (SELECT *, COALESCE(SUM(nb) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_b_prev FROM g),
+        |m AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) AS BIGINT) AS n_b,
+        |    CAST(SUM(na * 2 * cum_b_prev + na * nb) AS BIGINT) AS u2_a,
+        |    CAST(SUM((na + nb) * (na + nb) * (na + nb) - (na + nb))
+        |      AS BIGINT) AS tie_cube
+        |  FROM c)
+        |SELECT n_a, n_b, u2_a, tie_cube,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |      * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0
+        |        - CAST(tie_cube AS DOUBLE)
+        |        / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+        |      > 0
+        |  THEN printf('%.6f',
+        |    (CAST(u2_a AS DOUBLE) / 2.0
+        |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |      * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0
+        |        - CAST(tie_cube AS DOUBLE)
+        |        / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
+        |  END AS z
+        |FROM m""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

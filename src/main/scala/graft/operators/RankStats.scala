@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Rank/ECDF statistics over VALUE GRIDS. Both residents follow one
+  * scale shape: the data collapses to a per-distinct-value grid first
+  * (one map-side-combinable groupBy), every rank quantity comes from
+  * cumulative windows over that BOUNDED grid (|distinct values| rows —
+  * use unitized measures so the grid stays far below the data), and
+  * per-row work is a broadcast join back. Nothing ranks the raw table.
+  */
+object RankStats {
+
+  /** ECOD outlier scores (Li et al., TKDE 2022 — "Unsupervised Outlier
+    * Detection Using Empirical Cumulative Distribution Functions"):
+    * parameter-free, no distance metric, no training — a point is
+    * anomalous when it sits in the tail of MANY coordinates at once:
+    * score = Σ_dims −ln(tail_d(x)) with tail = min(P(X ≤ x), P(X ≥ x)).
+    *
+    * Determinism: tails are exact rationals cnt/n from the grid; each
+    * −ln(tail) rounds %.6f ONCE and the score is the exact decimal
+    * sum ([[Entropy]]'s ln discipline); top-k ties break on id.
+    *
+    * @param cols exact-integer unitized measure columns
+    * @return top-k rows: (id, score6) by score desc, id asc */
+  def ecodScores(df: DataFrame, id: Column, cols: Seq[Column],
+                 topK: Int): DataFrame = {
+    require(cols.nonEmpty && topK >= 1, "need columns and topK >= 1")
+    val d6 = DecimalType(18, 6)
+    val base = df.select(id.as("id") +: cols.zipWithIndex.map {
+      case (c, i) => c.cast("long").as(s"x$i") }: _*)
+      .localCheckpoint(true)
+    val withTerms = cols.indices.foldLeft(base) { (acc, i) =>
+      val grid = base.groupBy(col(s"x$i")).agg(count(lit(1)).as("cnt"))
+      // bounded grid window (|distinct values| rows — unitize upstream)
+      val w = Window.orderBy(s"x$i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val n = grid.agg(sum("cnt").as("n"))
+      val terms = grid.withColumn("cum_le", sum("cnt").over(w))
+        .crossJoin(broadcast(n))
+        .select(col(s"x$i"),
+          format_string("%.6f", -log(
+            least(col("cum_le"), col("n") - col("cum_le") + col("cnt"))
+              .cast("double") / col("n").cast("double")))
+            .cast(d6).as(s"t$i"))
+      acc.join(broadcast(terms), Seq(s"x$i"))
+    }
+    withTerms
+      .withColumn("score6",
+        cols.indices.map(i => col(s"t$i")).reduce(_ + _)
+          .cast(DecimalType(38, 6)))
+      .select(col("id"), col("score6"))
+      .orderBy(col("score6").desc, col("id"))
+      .limit(topK)
+  }
+
+  /** Exact Mann–Whitney U with midrank ties — the nonparametric "did
+    * distribution A shift vs B" test (the rank-based companion to
+    * [[AbTest.welch]]: no normality assumption, robust to outliers).
+    * U_A = Σ_x n_A(x)·(#B below x) + n_A(x)·n_B(x)/2, reported as the
+    * EXACT integer u2_a = 2·U_A; the normal approximation z uses the
+    * tie-corrected variance var = (n_A n_B/12)·((n+1) − Σ(t³−t)/
+    * (n(n−1))) as a fixed double tree over exact sums, %.6f once.
+    *
+    * @param isA TRUE → sample A; null rows dropped
+    * @param x   exact-integer unitized measure
+    * @return one row: (n_a, n_b, u2_a, tie_cube — Σ(t³−t) — z) */
+  def mannWhitney(df: DataFrame, isA: Column, x: Column): DataFrame = {
+    val v = df.select(isA.as("a"), x.cast("long").as("x"))
+      .filter(col("a").isNotNull)
+    val grid = v.groupBy("x").agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+    // bounded grid window (see object scaladoc)
+    val wPrev = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("na") + col("nb")
+    val m = grid
+      .withColumn("cum_b_prev",
+        coalesce(sum("nb").over(wPrev), lit(0L)))
+      .agg(sum("na").as("n_a"), sum("nb").as("n_b"),
+        sum(col("na") * lit(2L) * col("cum_b_prev") +
+          col("na") * col("nb")).as("u2_a"),
+        sum(t * t * t - t).as("tie_cube"))
+    val (na, nb) = (col("n_a").cast("double"), col("n_b").cast("double"))
+    val nd = na + nb
+    val mean = na * nb / lit(2.0d)
+    val variance = na * nb / lit(12.0d) *
+      (nd + lit(1.0d) - col("tie_cube").cast("double") /
+        (nd * (nd - lit(1.0d))))
+    m.select(col("n_a"), col("n_b"), col("u2_a"), col("tie_cube"),
+      when(col("n_a") > 0L && col("n_b") > 0L && variance > lit(0.0d),
+        format_string("%.6f",
+          (col("u2_a").cast("double") / lit(2.0d) - mean) /
+            sqrt(variance))).as("z"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RankStats
+
+class RankStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ecod: hand-checked tails; constant dims contribute zero") {
+    val df = Seq((1L, 1L, 7L), (2L, 1L, 7L), (3L, 1L, 7L),
+      (4L, 10L, 7L)).toDF("rid", "a", "b")
+    val got = RankStats.ecodScores(df, col("rid"),
+        Seq(col("a"), col("b")), topK = 4)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).toPlainString)
+    // x=10: tail 1/4 -> -ln = 1.386294; x=1: tail 3/4 -> 0.287682;
+    // dim b is constant -> tail 1 -> 0.000000 everywhere
+    assert(got.head == ((4L, "1.386294")))
+    assert(got.tail.forall(_._2 == "0.287682"))
+    assert(got.tail.map(_._1).toSeq == Seq(1L, 2L, 3L)) // id tie break
+  }
+
+  test("mannWhitney: hand-checked U, ties, and z") {
+    // A = {1,3}, B = {2,2}: U_A = 2 (u2=4), tie_cube = 6, z = 0
+    val t1 = RankStats.mannWhitney(
+      Seq((true, 1L), (true, 3L), (false, 2L), (false, 2L)).toDF("a", "x"),
+      col("a"), col("x")).head()
+    assert((t1.getLong(0), t1.getLong(1), t1.getLong(2), t1.getLong(3))
+      == ((2L, 2L, 4L, 6L)))
+    assert(t1.getString(4) == "0.000000")
+    // A = {5,6} all above B = {1,2}: U=4, no ties, z = 2/sqrt(5/3)
+    val t2 = RankStats.mannWhitney(
+      Seq((true, 5L), (true, 6L), (false, 1L), (false, 2L)).toDF("a", "x"),
+      col("a"), col("x")).head()
+    assert(t2.getLong(2) == 8L && t2.getLong(3) == 0L)
+    assert(t2.getString(4) == "1.549193")
+  }
+
+  test("mannWhitney: one-sided sample gives null z") {
+    val r = RankStats.mannWhitney(
+      Seq((true, 1L), (true, 2L)).toDF("a", "x"),
+      col("a"), col("x")).head()
+    assert(r.getString(4) == null)
+  }
+}
