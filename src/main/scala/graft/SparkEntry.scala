@@ -4366,6 +4366,33 @@ object SparkEntry {
           .cast("long"))
     }),
 
+    // ER eval — B-cubed precision/recall/F1 (ClusterEval.bcubed): the
+    // pairwise-free linear B³ over customer clusters (predicted =
+    // acctbal kilobucket, gold = market segment); per-cell ratios
+    // rounded once, item averages as exact decimal sums.
+    "q259_bcubed" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      ClusterEval.bcubed(
+        Tables.load(s, dir, "customer")
+          .withColumn("cents",
+            (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+              .cast("long"))
+          .withColumn("p", expr("(cents + 100000) div 100000")),
+        col("c_custkey"), col("p"), col("c_mktsegment"))
+    }),
+
+    // Stats — Kendall's τ-b with tie correction (RankStats
+    // .kendallTau): monotone association of quantity vs tax cents;
+    // concordant/discordant mass from the 2D value-grid self-join,
+    // |grid|² never |data|².
+    "q260_kendall" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      RankStats.kendallTau(Tables.load(s, dir, "lineitem"),
+        col("l_quantity").cast("long"),
+        (format_string("%.2f", col("l_tax")).cast(dec2) * 100)
+          .cast("long"))
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -9229,6 +9256,75 @@ object SparkEntry {
         |          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))))
         |  END AS z
         |FROM m""".stripMargin,
+
+    "q259_bcubed" ->
+      """WITH i AS (SELECT (CAST(CAST(printf('%.2f', c_acctbal)
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000) // 100000
+        |      AS p,
+        |    c_mktsegment AS g FROM customer),
+        |cells AS (SELECT p, g, CAST(COUNT(*) AS BIGINT) AS n_pg
+        |  FROM i GROUP BY 1, 2),
+        |ps AS (SELECT p, CAST(SUM(n_pg) AS BIGINT) AS n_p
+        |  FROM cells GROUP BY 1),
+        |gs AS (SELECT g, CAST(SUM(n_pg) AS BIGINT) AS n_g
+        |  FROM cells GROUP BY 1),
+        |sc AS (SELECT n_pg,
+        |    CAST(printf('%.9f', CAST(n_pg AS DOUBLE)
+        |      / CAST(n_p AS DOUBLE)) AS DECIMAL(20,9)) AS prec,
+        |    CAST(printf('%.9f', CAST(n_pg AS DOUBLE)
+        |      / CAST(n_g AS DOUBLE)) AS DECIMAL(20,9)) AS rec
+        |  FROM cells JOIN ps USING (p) JOIN gs USING (g)),
+        |m AS (SELECT CAST(SUM(n_pg) AS BIGINT) AS n_items,
+        |    CAST(SUM(prec * n_pg) AS DECIMAL(38,9)) AS sp,
+        |    CAST(SUM(rec * n_pg) AS DECIMAL(38,9)) AS sr FROM sc)
+        |SELECT n_items,
+        |  printf('%.9f', CAST(sp AS DOUBLE) / CAST(n_items AS DOUBLE))
+        |    AS precision9,
+        |  printf('%.9f', CAST(sr AS DOUBLE) / CAST(n_items AS DOUBLE))
+        |    AS recall9,
+        |  CASE WHEN CAST(sp AS DOUBLE) / CAST(n_items AS DOUBLE)
+        |      + CAST(sr AS DOUBLE) / CAST(n_items AS DOUBLE) > 0
+        |    THEN printf('%.9f',
+        |      2.0 * (CAST(sp AS DOUBLE) / CAST(n_items AS DOUBLE))
+        |        * (CAST(sr AS DOUBLE) / CAST(n_items AS DOUBLE))
+        |      / (CAST(sp AS DOUBLE) / CAST(n_items AS DOUBLE)
+        |        + CAST(sr AS DOUBLE) / CAST(n_items AS DOUBLE))) END
+        |    AS f1_9
+        |FROM m""".stripMargin,
+
+    "q260_kendall" ->
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(printf('%.2f', l_tax) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS y FROM lineitem),
+        |cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM v GROUP BY 1, 2),
+        |p AS (SELECT a.y AS y1, b.y AS y2, a.n * b.n AS w
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |cd AS (SELECT
+        |    CAST(SUM(CASE WHEN y1 < y2 THEN w ELSE 0 END) AS BIGINT)
+        |      AS c_pairs,
+        |    CAST(SUM(CASE WHEN y1 > y2 THEN w ELSE 0 END) AS BIGINT)
+        |      AS d_pairs FROM p),
+        |tx AS (SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS tie_x2
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM v
+        |    GROUP BY x)),
+        |ty AS (SELECT CAST(SUM(t * (t - 1)) AS BIGINT) AS tie_y2
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM v
+        |    GROUP BY y)),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+        |SELECT n, c_pairs, d_pairs, tie_x2, tie_y2,
+        |  CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |      - CAST(tie_x2 AS DOUBLE) > 0
+        |    AND CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |      - CAST(tie_y2 AS DOUBLE) > 0
+        |  THEN printf('%.6f',
+        |    2.0 * CAST(c_pairs - d_pairs AS DOUBLE)
+        |    / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |        - CAST(tie_x2 AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |        - CAST(tie_y2 AS DOUBLE)))) END AS tau_b
+        |FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot"""
+        .stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

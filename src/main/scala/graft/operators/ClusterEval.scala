@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** B-cubed clustering evaluation (Bagga & Baldwin 1998; Amigó et al.
+  * 2009 showed it's the only common metric satisfying all four
+  * clustering-eval constraints) — THE entity-resolution scorecard:
+  * per-item precision = the fraction of the item's predicted cluster
+  * that truly belongs with it, recall = the fraction of its gold
+  * cluster the prediction kept together, averaged over items. Pair
+  * with [[Dedup]]'s connected components (predicted) and any labeled
+  * gold to score a dedup pipeline end to end.
+  *
+  * Determinism discipline: every item in the same (predicted, gold)
+  * CELL has identical precision n_pg/n_p and recall n_pg/n_g, so the
+  * item average collapses to cell arithmetic — each cell's ratio is
+  * ONE double division rounded %.9f ONCE, weighted by the exact cell
+  * count into a decimal sum. F1 is a final double tree over the two
+  * decimal witnesses.
+  *
+  * Scale shape: three map-side-combinable aggregates (cells, predicted
+  * sizes, gold sizes), two equi-joins of the cell frame against the
+  * size frames, one scalar rollup. Never touches item pairs — B³ is
+  * famously O(n²) when done pairwise; this is linear.
+  *
+  * @return one row: (n_items, precision9, recall9, f1_9) */
+object ClusterEval {
+
+  def bcubed(df: DataFrame, item: Column, predicted: Column,
+             gold: Column): DataFrame = {
+    val d9 = DecimalType(20, 9)
+    val d389 = DecimalType(38, 9)
+    val cells = df.select(item.as("i"), predicted.as("p"), gold.as("g"))
+      .groupBy("p", "g").agg(count(lit(1)).as("n_pg"))
+      .localCheckpoint(true)
+    val pSize = cells.groupBy("p").agg(sum("n_pg").as("n_p"))
+    val gSize = cells.groupBy("g").agg(sum("n_pg").as("n_g"))
+    val scored = cells.join(pSize, Seq("p")).join(gSize, Seq("g"))
+      .select(col("n_pg"),
+        format_string("%.9f", col("n_pg").cast("double") /
+          col("n_p").cast("double")).cast(d9).as("prec"),
+        format_string("%.9f", col("n_pg").cast("double") /
+          col("n_g").cast("double")).cast(d9).as("rec"))
+    // n_pg as decimal(17,0): a bare LONG is decimal(20,0) to the
+    // multiply, pushing (20,9)x(20,0) past precision 38 — Spark's
+    // precision-loss mode would silently truncate the scale to 6
+    val nSmall = col("n_pg").cast(DecimalType(17, 0))
+    val m = scored.agg(sum("n_pg").as("n_items"),
+      sum(col("prec") * nSmall).cast(d389).as("sp"),
+      sum(col("rec") * nSmall).cast(d389).as("sr"))
+    val p = col("sp").cast("double") / col("n_items").cast("double")
+    val r = col("sr").cast("double") / col("n_items").cast("double")
+    m.select(col("n_items"),
+      format_string("%.9f", p).as("precision9"),
+      format_string("%.9f", r).as("recall9"),
+      when(p + r > lit(0.0d),
+        format_string("%.9f", lit(2.0d) * p * r / (p + r))).as("f1_9"))
+  }
+}

@@ -46,7 +46,11 @@ object Jackknife {
       max(col("sy")).as("sy"), max(col("sn")).as("sn"),
       sum(when(!col("ok"), 1L).otherwise(0L)).as("n_bad"),
       sum(col("r9")).cast(DecimalType(38, 9)).as("s1"),
-      sum((col("r9") * col("r9")).cast(DecimalType(38, 18)))
+      // square at (18,9): a (20,9) self-product passes precision 38
+      // and Spark's loss mode would round the scale to 15; replicate
+      // ratios are < 10^9 so (18,9) is lossless and the square exact
+      sum((col("r9").cast(DecimalType(18, 9))
+          * col("r9").cast(DecimalType(18, 9))))
         .cast(DecimalType(38, 18)).as("s2"))
     val nd = col("n_units").cast("double")
     val varJ = (nd - lit(1.0d)) / nd *

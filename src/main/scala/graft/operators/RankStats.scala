@@ -97,4 +97,51 @@ object RankStats {
           (col("u2_a").cast("double") / lit(2.0d) - mean) /
             sqrt(variance))).as("z"))
   }
+
+  /** Kendall's τ-b rank correlation with tie correction — the
+    * monotone-association companion to Pearson ([[Profiler]]'s
+    * correlation matrix) and the robust choice when either margin is
+    * heavy-tailed or ordinal. Concordant/discordant pair counts come
+    * from the 2D value grid: cells (x, y, n), C = Σ n·n' over
+    * dominated cell pairs (x<x' ∧ y<y'), D over crossed ones — the
+    * grid self-join is |grid|², never |data|² (unitize so the grid
+    * stays small; the celebrity analog of [[Triangles]]' guard is the
+    * caller's unit choice). τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) over exact
+    * BIGINT counts, one %.6f rendering.
+    *
+    * @return one row: (n, c_pairs, d_pairs, tie_x2 = 2n₁, tie_y2 =
+    *         2n₂, tau_b — null when either margin is all ties) */
+  def kendallTau(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val v = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+    val cells = v.groupBy("x", "y").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val a = cells.select(col("x").as("x1"), col("y").as("y1"),
+      col("n").as("n1"))
+    val b = cells.select(col("x").as("x2"), col("y").as("y2"),
+      col("n").as("n2"))
+    val pairs = a.join(b, col("x1") < col("x2"))
+      .select(col("y1"), col("y2"), (col("n1") * col("n2")).as("w"))
+    val cd = pairs.agg(
+      sum(when(col("y1") < col("y2"), col("w")).otherwise(0L))
+        .as("c_pairs"),
+      sum(when(col("y1") > col("y2"), col("w")).otherwise(0L))
+        .as("d_pairs"))
+    val tx = v.groupBy("x").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1L)).as("tie_x2"))
+    val ty = v.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1L)).as("tie_y2"))
+    val tot = v.agg(count(lit(1)).as("n"))
+    val m = cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(tot))
+    val n0x2 = col("n").cast("double") * (col("n").cast("double") -
+      lit(1.0d)) // 2·n0
+    val denx = n0x2 - col("tie_x2").cast("double")
+    val deny = n0x2 - col("tie_y2").cast("double")
+    m.select(col("n"), col("c_pairs"), col("d_pairs"), col("tie_x2"),
+      col("tie_y2"),
+      when(denx > lit(0.0d) && deny > lit(0.0d),
+        format_string("%.6f",
+          lit(2.0d) * (col("c_pairs") - col("d_pairs")).cast("double") /
+            sqrt(denx * deny))).as("tau_b"))
+  }
 }

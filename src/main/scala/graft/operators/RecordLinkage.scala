@@ -93,16 +93,22 @@ object RecordLinkage {
     val lam = prob(lambda._1, lambda._2)
     val w = format_string("%.9f",
       lam * pm / (lam * pm + (lit(1.0d) - lam) * pu)).cast(d9)
-    val scored = pat.withColumn("w9", w)
-      .withColumn("w1", lit(1L).cast(d9) - col("w9"))
+    // posteriors re-typed (10,9) before the count multiply: a (20,9)
+    // x long product passes precision 38 and Spark's loss mode would
+    // silently truncate the scale to 6; w lives in [0,1] so (10,9) is
+    // lossless and (10,9)x(17,0) stays exact
+    val w10 = DecimalType(10, 9)
+    val scored = pat.withColumn("w9", w.cast(w10))
+      .withColumn("w1", (lit(1L).cast(d9) - col("w9")).cast(w10))
+      .withColumn("nc", col("n").cast(DecimalType(17, 0)))
     val aggs = Seq(
       sum("n").as("n_pairs"),
-      sum(col("w9") * col("n")).cast(d389).as("sw"),
-      sum(col("w1") * col("n")).cast(d389).as("s1w")) ++
+      sum(col("w9") * col("nc")).cast(d389).as("sw"),
+      sum(col("w1") * col("nc")).cast(d389).as("s1w")) ++
       fields.flatMap { f => Seq(
-        sum(when(col(s"a_${f.name}"), col("w9") * col("n"))
+        sum(when(col(s"a_${f.name}"), col("w9") * col("nc"))
           .otherwise(lit(0L).cast(d9))).cast(d389).as(s"sw_${f.name}"),
-        sum(when(col(s"a_${f.name}"), col("w1") * col("n"))
+        sum(when(col(s"a_${f.name}"), col("w1") * col("nc"))
           .otherwise(lit(0L).cast(d9))).cast(d389).as(s"s1w_${f.name}"))
       }
     val m = scored.agg(aggs.head, aggs.tail: _*)

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ClusterEval
+
+class ClusterEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-checked B-cubed on a classic split") {
+    // pred: {1,2,3}{4,5}; gold: {1,2}{3,4,5} -> P = R = 11/15
+    val items = Seq((1L, "p1", "g1"), (2L, "p1", "g1"), (3L, "p1", "g2"),
+      (4L, "p2", "g2"), (5L, "p2", "g2")).toDF("i", "p", "g")
+    val r = ClusterEval.bcubed(items, col("i"), col("p"), col("g")).head()
+    assert(r.getLong(0) == 5L)
+    assert(r.getString(1) == "0.733333333")
+    assert(r.getString(2) == "0.733333333")
+    assert(r.getString(3) == "0.733333333")
+  }
+
+  test("perfect clustering scores exactly 1") {
+    val items = Seq((1L, "a", "a"), (2L, "a", "a"), (3L, "b", "b"))
+      .toDF("i", "p", "g")
+    val r = ClusterEval.bcubed(items, col("i"), col("p"), col("g")).head()
+    assert(r.getString(1) == "1.000000000" &&
+      r.getString(2) == "1.000000000" && r.getString(3) == "1.000000000")
+  }
+
+  test("everything-in-one-cluster trades precision for recall") {
+    val items = Seq((1L, "p", "g1"), (2L, "p", "g1"), (3L, "p", "g2"),
+      (4L, "p", "g2")).toDF("i", "p", "g")
+    val r = ClusterEval.bcubed(items, col("i"), col("p"), col("g")).head()
+    assert(r.getString(2) == "1.000000000") // recall perfect
+    assert(r.getString(1) == "0.500000000") // each item: 2/4 precision
+  }
+}

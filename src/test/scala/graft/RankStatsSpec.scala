@@ -41,4 +41,16 @@ class RankStatsSpec extends SparkSpec {
       col("a"), col("x")).head()
     assert(r.getString(4) == null)
   }
+
+  test("kendallTau: perfect, reversed, and tied cases") {
+    def tau(rows: Seq[(Long, Long)]) =
+      RankStats.kendallTau(rows.toDF("x", "y"), col("x"), col("y"))
+        .head().getString(5)
+    assert(tau(Seq((1L, 1L), (2L, 2L), (3L, 3L))) == "1.000000")
+    assert(tau(Seq((1L, 3L), (2L, 2L), (3L, 1L))) == "-1.000000")
+    // x=(1,1,2), y=(1,2,2): C=1, D=0, tie_x2=tie_y2=2 -> tau = 0.5
+    assert(tau(Seq((1L, 1L), (1L, 2L), (2L, 2L))) == "0.500000")
+    // all-tied margin -> null
+    assert(tau(Seq((1L, 1L), (1L, 2L))) == null)
+  }
 }
