@@ -4393,6 +4393,61 @@ object SparkEntry {
           .cast("long"))
     }),
 
+    // CRM — RFM segmentation: per-user recency/frequency/monetary
+    // quintiles (NTILE over the BOUNDED user frame, ties broken by
+    // user id on both engines) composed into the classic 3-digit
+    // segment code.
+    "q261_rfm" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val per = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(expr("(1706659200000000 - max(unix_micros(ts))) " +
+          "div 86400000000").as("r_days"),
+          count(lit(1)).as("f"),
+          sum(col("value").cast(dec6)).cast(dec6).as("m"))
+      per
+        .withColumn("r_bin", ntile(5).over(
+          w.orderBy(col("r_days"), col("user_id"))))
+        .withColumn("f_bin", ntile(5).over(
+          w.orderBy(col("f").desc, col("user_id"))))
+        .withColumn("m_bin", ntile(5).over(
+          w.orderBy(col("m").desc, col("user_id"))))
+        .select(col("user_id"), col("r_days"), col("f"),
+          col("m").cast("string").as("m"),
+          col("r_bin").cast("long").as("r_bin"),
+          col("f_bin").cast("long").as("f_bin"),
+          col("m_bin").cast("long").as("m_bin"),
+          (col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
+            .cast("long").as("rfm_code"))
+        .orderBy("user_id")
+    }),
+
+    // Growth — cohort LTV curve: users cohorted by 7-day index of
+    // their first event, revenue accumulated per cohort over ages via
+    // one cohort-partitioned window; exact decimal money, integer day
+    // arithmetic (no calendar-function surface).
+    "q262_ltv_curve" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000")
+          .as("day"), col("value"))
+      val cohort = ev.groupBy("user_id")
+        .agg(expr("min(day) div 7").as("cohort"))
+      val cell = ev.join(cohort, Seq("user_id"))
+        .withColumn("age", expr("day div 7 - cohort"))
+        .groupBy("cohort", "age")
+        .agg(countDistinct("user_id").as("n_users"),
+          sum(col("value").cast(dec6)).cast(dec6).as("rev"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort").orderBy("age")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      cell.withColumn("cum_rev", sum("rev").over(wc).cast(dec6))
+        .select(col("cohort"), col("age"), col("n_users"),
+          col("rev").cast("string").as("rev"),
+          col("cum_rev").cast("string").as("cum_rev"))
+        .orderBy("cohort", "age")
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -9325,6 +9380,43 @@ object SparkEntry {
         |        - CAST(tie_y2 AS DOUBLE)))) END AS tau_b
         |FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot"""
         .stripMargin,
+
+    "q261_rfm" ->
+      """WITH per AS (SELECT user_id,
+        |    (1706659200000000 - MAX(epoch_us(ts))) // 86400000000
+        |      AS r_days,
+        |    CAST(COUNT(*) AS BIGINT) AS f,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |      AS m
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT *,
+        |    CAST(NTILE(5) OVER (ORDER BY r_days, user_id) AS BIGINT)
+        |      AS r_bin,
+        |    CAST(NTILE(5) OVER (ORDER BY f DESC, user_id) AS BIGINT)
+        |      AS f_bin,
+        |    CAST(NTILE(5) OVER (ORDER BY m DESC, user_id) AS BIGINT)
+        |      AS m_bin
+        |  FROM per)
+        |SELECT user_id, r_days, f, CAST(m AS VARCHAR) AS m,
+        |  r_bin, f_bin, m_bin,
+        |  r_bin * 100 + f_bin * 10 + m_bin AS rfm_code
+        |FROM b ORDER BY user_id""".stripMargin,
+
+    "q262_ltv_curve" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    value FROM events),
+        |c AS (SELECT user_id, MIN(day) // 7 AS cohort FROM e
+        |  GROUP BY 1),
+        |cell AS (SELECT cohort, e.day // 7 - cohort AS age,
+        |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6))
+        |      AS rev
+        |  FROM e JOIN c ON c.user_id = e.user_id GROUP BY 1, 2)
+        |SELECT cohort, age, n_users, CAST(rev AS VARCHAR) AS rev,
+        |  CAST(CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DECIMAL(38,6)) AS VARCHAR) AS cum_rev
+        |FROM cell ORDER BY cohort, age""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
