@@ -4448,6 +4448,30 @@ object SparkEntry {
         .orderBy("cohort", "age")
     }),
 
+    // Stats — Theil–Sen robust slope (Trend.theilSen): median of
+    // pairwise slopes over the daily value grid; %.9f slope keys,
+    // lower-middle order statistic under total order.
+    "q263_theil_sen" -> ((s, dir) => {
+      val byDay = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(floor(sum(col("value").cast(dec6))).cast("long")
+          .as("y_units"))
+      Trend.theilSen(byDay, col("day"), col("y_units"))
+    }),
+
+    // Forecast — seasonal-naive backtest with MASE (Forecast
+    // .seasonalNaiveBacktest): weekly-lag forecasts of daily value
+    // mass judged against the one-step naive; both legs exact-integer
+    // equi-joins on the shifted day grid.
+    "q264_mase" -> ((s, dir) => {
+      val byDay = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(floor(sum(col("value").cast(dec6))).cast("long")
+          .as("y_units"))
+      Forecast.seasonalNaiveBacktest(byDay, col("day"), col("y_units"),
+        season = 7L)
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -9417,6 +9441,47 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DECIMAL(38,6)) AS VARCHAR) AS cum_rev
         |FROM cell ORDER BY cohort, age""".stripMargin,
+
+    "q263_theil_sen" ->
+      """WITH byday AS (SELECT epoch_us(ts) // 86400000000 AS t,
+        |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(38,6))))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT a.t AS t1, b.t AS t2, CAST(printf('%.9f',
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE))
+        |    AS DECIMAL(20,9)) AS s9
+        |  FROM byday a JOIN byday b ON a.t < b.t),
+        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p),
+        |r AS (SELECT s9, t1, t2,
+        |    ROW_NUMBER() OVER (ORDER BY s9, t1, t2) AS rk FROM p),
+        |med AS (SELECT n_pairs, s9 FROM r CROSS JOIN np
+        |  WHERE rk = (n_pairs - 1) // 2 + 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM byday)
+        |SELECT n_points, n_pairs,
+        |  printf('%.9f', CAST(s9 AS DOUBLE)) AS slope9
+        |FROM n CROSS JOIN med""".stripMargin,
+
+    "q264_mase" ->
+      """WITH byday AS (SELECT epoch_us(ts) // 86400000000 AS t,
+        |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(38,6))))
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_f,
+        |    CAST(SUM(ABS(b.y - a.y)) AS BIGINT) AS sae_f
+        |  FROM byday b JOIN byday a ON a.t = b.t - 7),
+        |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_1,
+        |    CAST(SUM(ABS(b.y - a.y)) AS BIGINT) AS sae_1
+        |  FROM byday b JOIN byday a ON a.t = b.t - 1)
+        |SELECT n_f, sae_f, n_1, sae_1,
+        |  CASE WHEN n_f > 0 THEN printf('%.6f',
+        |    CAST(sae_f AS DOUBLE) / CAST(n_f AS DOUBLE)) END AS mae_f,
+        |  CASE WHEN n_1 > 0 THEN printf('%.6f',
+        |    CAST(sae_1 AS DOUBLE) / CAST(n_1 AS DOUBLE)) END AS mae_1,
+        |  CASE WHEN n_f > 0 AND sae_1 > 0 THEN printf('%.6f',
+        |    CAST(sae_f AS DOUBLE) / CAST(n_f AS DOUBLE)
+        |    / (CAST(sae_1 AS DOUBLE) / CAST(n_1 AS DOUBLE))) END
+        |    AS mase
+        |FROM f CROSS JOIN o""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Forecast backtesting primitives. First resident: the seasonal-naive
+  * backtest with MASE (Hyndman & Koehler 2006) — the scale-free "is
+  * this forecast better than doing nothing" number every capacity/
+  * demand pipeline should publish: MASE = MAE(forecast) / MAE of the
+  * in-sample one-step naive, < 1 beats naive. Seasonal-naive
+  * (ŷ_t = y_{t−m}) is simultaneously the baseline FORECAST and the
+  * bar any fancier model must clear, so this operator is both a
+  * forecaster and an evaluator.
+  *
+  * Determinism discipline: the series is an exact-integer grid;
+  * both error legs are equi-JOINS on the shifted grid key (t−m, t−1 —
+  * no windows, no ordering), absolute errors exact BIGINTs, and the
+  * three ratios are each ONE double division (mirrored token-for-token
+  * in the oracle), %.6f once. Grid gaps simply drop the pairs whose
+  * lag instant is missing — stated semantics, not an accident.
+  *
+  * Scale shape: two self-equi-joins keyed on the grid instant and two
+  * scalar rollups; the grid is the caller's aggregation unit (days,
+  * hours), bounded far below the raw data.
+  *
+  * @param season lag m of the seasonal naive, in grid units
+  * @return one row: (n_f, sae_f, n_1, sae_1, mae_f, mae_1, mase —
+  *         null when either leg is empty or the naive MAE is 0) */
+object Forecast {
+
+  def seasonalNaiveBacktest(series: DataFrame, t: Column, y: Column,
+                            season: Long): DataFrame = {
+    require(season >= 1L, "season must be >= 1 grid unit")
+    val g = series.select(t.cast("long").as("t"), y.cast("long").as("y"))
+      .localCheckpoint(true)
+    def leg(lag: Long) = g.toDF("t", "actual")
+      .join(g.select((col("t") + lag).as("t"), col("y").as("base")),
+        Seq("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("actual") - col("base"))).as("sae"))
+    val f = leg(season).toDF("n_f", "sae_f")
+    val o = leg(1L).toDF("n_1", "sae_1")
+    val m = f.crossJoin(broadcast(o))
+    val maeF = col("sae_f").cast("double") / col("n_f").cast("double")
+    val mae1 = col("sae_1").cast("double") / col("n_1").cast("double")
+    m.select(col("n_f"), col("sae_f"), col("n_1"), col("sae_1"),
+      when(col("n_f") > 0L, format_string("%.6f", maeF)).as("mae_f"),
+      when(col("n_1") > 0L, format_string("%.6f", mae1)).as("mae_1"),
+      when(col("n_f") > 0L && col("sae_1") > 0L,
+        format_string("%.6f", maeF / mae1)).as("mase"))
+  }
+}

@@ -57,4 +57,53 @@ object Trend {
           (col("sy").cast("double") - num / den * col("sx").cast("double"))
             / nd.cast("double"))).as("intercept"))
   }
+
+  /** Theil–Sen robust slope — the median of all pairwise slopes
+    * (y₂−y₁)/(t₂−t₁): one wild point swings [[slopePerGroup]]'s OLS
+    * arbitrarily but moves ONE pairwise slope, so the median barely
+    * shifts (29% breakdown point). The estimator of choice for noisy
+    * operational series.
+    *
+    * Determinism discipline: pairs come from the (t, y) GRID self-join
+    * (|grid|² — Theil–Sen is inherently quadratic in series LENGTH;
+    * aggregate to a bounded grid first, the [[RankStats]] contract);
+    * each slope is ONE double division rounded %.9f into a decimal
+    * key; the median is the lower-middle order statistic under
+    * (slope, t₁, t₂) total order — a TakeOrdered limit after a rank
+    * window, ties impossible to decide by arrival order.
+    *
+    * @param series one row per grid instant: exact integer (t, y)
+    * @return one row: (n_points, n_pairs, slope9 — the median pairwise
+    *         slope — null when fewer than 2 points) */
+  def theilSen(series: DataFrame, t: Column, y: Column): DataFrame = {
+    val d9 = org.apache.spark.sql.types.DecimalType(20, 9)
+    val g = series.select(t.cast("long").as("t"), y.cast("long").as("y"))
+      .localCheckpoint(true)
+    val pairs = g.toDF("t1", "y1")
+      .join(g.toDF("t2", "y2"), col("t1") < col("t2"))
+      .select(col("t1"), col("t2"),
+        format_string("%.9f", (col("y2") - col("y1")).cast("double") /
+          (col("t2") - col("t1")).cast("double")).cast(d9).as("s9"))
+      .localCheckpoint(true)
+    val n = g.agg(count(lit(1)).as("n_points"))
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    // lower-middle median: rank (n_pairs - 1) / 2 + 1 under total order
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s9"), col("t1"), col("t2")) // bounded: |grid|^2 rows
+    val med = pairs.withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(np))
+      .filter(col("__rk") === expr("(n_pairs - 1) div 2 + 1"))
+      .select(col("n_pairs"), col("s9"))
+    n.crossJoin(broadcast(med.select(col("n_pairs"), col("s9"))))
+      .unionByName(
+        n.filter(col("n_points") < 2L)
+          .select(col("n_points"), lit(0L).as("n_pairs"),
+            lit(null).cast(d9).as("s9")), allowMissingColumns = false)
+      .select(col("n_points"), col("n_pairs"),
+        // %.9f re-render: a decimal→string cast would render tiny
+        // slopes scientifically; the null guard matters —
+        // format_string renders a null arg as the STRING "null"
+        when(col("s9").isNotNull,
+          format_string("%.9f", col("s9").cast("double"))).as("slope9"))
+  }
 }

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Forecast
+
+class ForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("linear trend: seasonal errors are season x the naive's") {
+    val g = (1L to 10L).map(t => (t, t)).toDF("t", "y")
+    val r = Forecast.seasonalNaiveBacktest(g, col("t"), col("y"), 3L)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 21L, 9L, 9L)))
+    assert(r.getString(6) == "3.000000")
+  }
+
+  test("perfectly periodic series scores MASE 0") {
+    val ys = Seq(5L, 7L, 9L, 5L, 7L, 9L)
+    val g = ys.zipWithIndex.map { case (y, i) => (i.toLong + 1, y) }
+      .toDF("t", "y")
+    val r = Forecast.seasonalNaiveBacktest(g, col("t"), col("y"), 3L)
+      .head()
+    assert(r.getLong(1) == 0L && r.getString(6) == "0.000000")
+  }
+
+  test("grid gaps drop pairs instead of inventing them") {
+    val g = Seq((1L, 10L), (2L, 12L), (4L, 20L)).toDF("t", "y")
+    val r = Forecast.seasonalNaiveBacktest(g, col("t"), col("y"), 1L)
+      .head()
+    // only t=2 has a t-1 neighbor on BOTH legs (season = 1 here)
+    assert(r.getLong(0) == 1L && r.getLong(2) == 1L)
+  }
+}

@@ -80,4 +80,23 @@ class TrendSpec extends SparkSpec {
       .collect().toMap
     assert(got == Map(1L -> true, 2L -> false, 3L -> true))
   }
+
+  test("theilSen: median slope shrugs off the outlier OLS chases") {
+    import spark.implicits._
+    val pts = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 100L)).toDF("t", "y")
+    val r = graft.operators.Trend.theilSen(pts, col("t"), col("y")).head()
+    // slopes sorted: 1,1,1,33,49,97 -> lower-middle = 1
+    assert(r.getLong(0) == 4L && r.getLong(1) == 6L)
+    assert(r.getString(2) == "1.000000000")
+  }
+
+  test("theilSen: two points; and a single point degenerates to null") {
+    import spark.implicits._
+    val two = Seq((0L, 0L), (2L, 1L)).toDF("t", "y")
+    val r2 = graft.operators.Trend.theilSen(two, col("t"), col("y")).head()
+    assert(r2.getLong(1) == 1L && r2.getString(2) == "0.500000000")
+    val one = Seq((0L, 5L)).toDF("t", "y")
+    val r1 = graft.operators.Trend.theilSen(one, col("t"), col("y")).head()
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 0L && r1.getString(2) == null)
+  }
 }
