@@ -52,9 +52,25 @@ object TemporalBfs {
         throw new IllegalStateException(
           s"TemporalBfs.earliestArrival: no fixpoint after $maxRounds " +
             "rounds - raise maxRounds (bound is |V|) or check the graph")
-      val cand = frontier.join(e, col("node") === col("src"))
-        .filter(col("t") >= col("arrival"))
-        .groupBy(col("dst").as("node")).agg(min(col("t")).as("cand"))
+      // MULTI-HOP round: the convergence tail is long single-node
+      // cascades where per-round scheduling overhead — not data — is
+      // the whole cost, so each checkpointed round walks 6 temporal
+      // hops. Candidate labels chain forward WITHOUT re-merging into
+      // the arrival frame between hops (each hop references only the
+      // previous hop's min-per-node labels, so the un-checkpointed
+      // plan is a single chain — no subtree-doubling recompute); a
+      // label that turns out not to improve is harmless extra work
+      // bounded by |V| rows per hop, and the final merge takes the
+      // min. Any node whose FINAL label dropped re-enters the
+      // frontier — over-inclusive (a node already relaxed at its best
+      // label may re-relax once) but never under-inclusive.
+      def hop(labels: DataFrame) =
+        labels.join(e, col("node") === col("src"))
+          .filter(col("t") >= col("arrival"))
+          .groupBy(col("dst").as("node")).agg(min(col("t")).as("arrival"))
+      val hops = Iterator.iterate(frontier, 7)(hop).drop(1).toSeq
+      val cand = hops.reduce(_ unionByName _)
+        .groupBy("node").agg(min(col("arrival")).as("cand"))
       val merged = arrival.join(cand, Seq("node"), "full_outer")
         .select(col("node"),
           least(coalesce(col("arrival"), lit(Long.MaxValue)),
@@ -64,7 +80,7 @@ object TemporalBfs {
             .as("__improved"))
         .localCheckpoint(true)
       frontier = merged.filter(col("__improved"))
-        .select("node", "arrival").localCheckpoint(true)
+        .select("node", "arrival")
       changed = frontier.count()
       arrival = merged.select("node", "arrival")
     }

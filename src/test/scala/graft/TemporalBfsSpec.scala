@@ -32,9 +32,20 @@ class TemporalBfsSpec extends SparkSpec {
   }
 
   test("maxRounds guard fails loud, not truncated") {
-    val e = Seq((1L, 2L, 1L), (2L, 3L, 2L)).toDF("src", "dst", "t")
+    // a 12-hop time-increasing chain: 6 hops per round -> needs 3
+    // rounds; maxRounds = 2 must throw, never silently truncate
+    val e = (1L to 12L).map(i => (i, i + 1, i)).toDF("src", "dst", "t")
     intercept[IllegalStateException] {
       TemporalBfs.earliestArrival(e, src, maxRounds = 2).collect()
     }
+  }
+
+  test("long chain resolves exactly across multi-hop rounds") {
+    val e = (1L to 11L).map(i => (i, i + 1, i * 10L)).toDF("src", "dst", "t")
+    val got = TemporalBfs.earliestArrival(e, src)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(12L) == Some(110L) && got(2L) == Some(10L) &&
+      got(1L) == None && got.size == 12)
   }
 }

@@ -1,0 +1,48 @@
+package graft
+
+/** Dev probe (test scope): round count + wall for q248's input. */
+object TemporalRoundsProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.SparkSessionFactory.local(32, "probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("us"), col("event_id"))
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+    val edges = ev.withColumn("dst", lead("user_id", 1).over(w))
+      .withColumn("t", lead("us", 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("user_id").as("src"), col("dst"), col("t"))
+    val src = ev.agg(min("user_id").as("node"))
+    val t0 = System.nanoTime()
+    var rounds = 0
+    // inline copy of the loop with a counter
+    val e = edges.repartition(col("src")).localCheckpoint(true)
+    val srcs = src.select(col("node")).distinct().localCheckpoint(true)
+    var arrival = srcs.select(col("node"), lit(Long.MinValue).as("arrival"))
+      .localCheckpoint(true)
+    var frontier = arrival
+    var changed = 1L
+    while (changed > 0L) {
+      rounds += 1
+      val cand = frontier.join(e, col("node") === col("src"))
+        .filter(col("t") >= col("arrival"))
+        .groupBy(col("dst").as("node")).agg(min(col("t")).as("cand"))
+      val merged = arrival.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("arrival"), lit(Long.MaxValue)),
+            coalesce(col("cand"), lit(Long.MaxValue))).as("arrival"),
+          (col("cand").isNotNull &&
+            (col("arrival").isNull || col("cand") < col("arrival")))
+            .as("__improved")).localCheckpoint(true)
+      frontier = merged.filter(col("__improved")).select("node", "arrival")
+      changed = frontier.count()
+      arrival = merged.select("node", "arrival")
+      println(s"round $rounds changed=$changed wall=${(System.nanoTime()-t0)/1e9}")
+    }
+    spark.stop()
+  }
+}
