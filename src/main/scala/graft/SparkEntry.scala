@@ -4472,6 +4472,44 @@ object SparkEntry {
         season = 7L)
     }),
 
+    // Ranking — Wilson LCB rule ranking (RankStats.wilsonLcb): event
+    // transition confidences ranked by the 95% binomial lower bound —
+    // small-n rules can't beat well-supported ones on a lucky ratio.
+    "q265_wilson_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(expr("unix_micros(ts)"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("k"))
+      val totals = pairs.groupBy("from_type").agg(sum("k").as("n"))
+      pairs.join(totals, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("k"), col("n"),
+          format_string("%.6f",
+            RankStats.wilsonLcb(col("k"), col("n"), 196L)).as("lcb"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Ops — optimal two-changepoint segmentation (Changepoint
+    // .bestSplitPair): the exact 3-bucket V-optimal split of the daily
+    // series, every (i, j) pair costed from shared exact prefix sums.
+    "q266_three_segments" -> ((s, dir) => {
+      val byDay = Tables.events(s, dir)
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(floor(sum(col("value").cast(dec6))).cast("long")
+          .as("x_units"))
+      Changepoint.bestSplitPair(byDay, col("day"), col("x_units"))
+    }),
+
+    // Growth — DAU/WAU stickiness (EventAnalytics.stickiness): exact
+    // distinct actives per day over trailing-7-day distinct actives,
+    // from the presence frame with a plan-constant offset explode.
+    "q267_stickiness" -> ((s, dir) =>
+      EventAnalytics.stickiness(Tables.events(s, dir), col("user_id"),
+        expr("unix_micros(ts) div 86400000000"), windowDays = 7)),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -9482,6 +9520,74 @@ object SparkEntry {
         |    / (CAST(sae_1 AS DOUBLE) / CAST(n_1 AS DOUBLE))) END
         |    AS mase
         |FROM f CROSS JOIN o""".stripMargin,
+
+    "q265_wilson_rank" ->
+      """WITH o AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type FROM events),
+        |p AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(SUM(k) AS BIGINT) AS n
+        |  FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, k, n,
+        |  printf('%.6f',
+        |    (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+        |      + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |        / (2.0 * CAST(n AS DOUBLE))
+        |      - CAST(1.96 AS DOUBLE) * sqrt(((CAST(k AS DOUBLE)
+        |          / CAST(n AS DOUBLE)) * (1.0 - CAST(k AS DOUBLE)
+        |          / CAST(n AS DOUBLE))
+        |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |          / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
+        |    / (1.0 + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |      / CAST(n AS DOUBLE))) AS lcb
+        |FROM p JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q266_three_segments" ->
+      """WITH byday AS (SELECT epoch_us(ts) // 86400000000 AS t,
+        |    CAST(FLOOR(SUM(CAST(value AS DECIMAL(38,6))))
+        |      AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS i,
+        |    SUM(CAST(x AS HUGEINT)) OVER (ORDER BY t) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) OVER (ORDER BY t) AS sxx
+        |  FROM byday),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS tx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS txx FROM byday),
+        |p AS (SELECT a.t AS t1, b.t AS t2, a.i AS i1, b.i AS i2,
+        |    n, tx, txx, a.sx AS sx1, a.sxx AS sxx1,
+        |    b.sx AS sx2, b.sxx AS sxx2
+        |  FROM g a JOIN g b ON a.i < b.i CROSS JOIN tot
+        |  WHERE b.i < n),
+        |c AS (SELECT t1, t2, i1, i2, n, CAST(printf('%.6f',
+        |    (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+        |      * CAST(sx1 AS DOUBLE) / CAST(i1 AS DOUBLE))
+        |    + (CAST(sxx2 - sxx1 AS DOUBLE) - CAST(sx2 - sx1 AS DOUBLE)
+        |      * CAST(sx2 - sx1 AS DOUBLE) / CAST(i2 - i1 AS DOUBLE))
+        |    + (CAST(txx - sxx2 AS DOUBLE) - CAST(tx - sx2 AS DOUBLE)
+        |      * CAST(tx - sx2 AS DOUBLE) / CAST(n - i2 AS DOUBLE)))
+        |    AS DECIMAL(38,6)) AS cost6 FROM p)
+        |SELECT t1 AS split_t1, t2 AS split_t2,
+        |  CAST(i1 AS BIGINT) AS n_1, CAST(i2 - i1 AS BIGINT) AS n_2,
+        |  CAST(n - i2 AS BIGINT) AS n_3,
+        |  CAST(cost6 AS VARCHAR) AS cost6
+        |FROM c ORDER BY cost6 ASC, t1, t2 LIMIT 1""".stripMargin,
+
+    "q267_stickiness" ->
+      """WITH pres AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS d FROM events),
+        |days AS (SELECT DISTINCT d FROM pres),
+        |dau AS (SELECT d, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau
+        |  FROM pres GROUP BY 1),
+        |sp AS (SELECT u, d + o AS d FROM pres,
+        |  (SELECT unnest(range(0, 7)) AS o)),
+        |wau AS (SELECT sp.d, CAST(COUNT(DISTINCT u) AS BIGINT) AS wau
+        |  FROM sp JOIN days ON days.d = sp.d GROUP BY 1)
+        |SELECT dau.d AS day, dau, wau, printf('%.6f',
+        |    CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)) AS stickiness
+        |FROM dau JOIN wau ON wau.d = dau.d ORDER BY day""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -116,4 +116,54 @@ object Changepoint {
         col("cost6").cast("string").as("cost6"),
         col("tsse6").cast("string").as("total_sse6"))
   }
+
+  /** Optimal TWO-changepoint segmentation (the exact 3-bucket
+    * V-optimal histogram / second binary-segmentation level, solved
+    * GLOBALLY rather than greedily — greedy [[bestSplit]] recursion
+    * can miss the optimum when the two shifts mask each other): every
+    * split pair (i < j) is costed from the same exact decimal prefix
+    * sums, SSE(0,i] + SSE(i,j] + SSE(j,n], via the bounded grid's
+    * |grid|²/2 self-join ([[RankStats]]' grid contract). Same
+    * determinism discipline as [[bestSplit]]: %.6f cost keys, argmin
+    * tie-breaks on (t1, t2).
+    *
+    * @return one row: (split_t1, split_t2, n_1, n_2, n_3, cost6);
+    *         EMPTY when the grid has < 3 points */
+  def bestSplitPair(series: DataFrame, t: Column, x: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0) // bounded grid
+    val g = series.select(t.as("t"), x.cast("long").cast(dec).as("x"))
+      .withColumn("i", count(lit(1)).over(wCum))
+      .withColumn("sx", sum("x").over(wCum).cast(dec))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wCum).cast(dec))
+      .select("t", "i", "sx", "sxx")
+      .localCheckpoint(true)
+    // totals = the LAST grid row's prefixes; sx is NOT monotone for
+    // signed x, so take both via the (i, ·) struct max
+    val tot = g.agg(max("i").as("n"),
+      max(struct(col("i"), col("sx"))).getField("sx").as("tx"),
+      max(struct(col("i"), col("sxx"))).getField("sxx").as("txx"))
+    def sse(nSeg: Column, sx: Column, sxx: Column) =
+      sxx.cast("double") -
+        sx.cast("double") * sx.cast("double") / nSeg.cast("double")
+    val pairs = g.toDF("t1", "i1", "sx1", "sxx1")
+      .join(g.toDF("t2", "i2", "sx2", "sxx2"), col("i1") < col("i2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("i2") < col("n")) // >= 1 point in every segment
+    val cost = sse(col("i1"), col("sx1"), col("sxx1")) +
+      sse(col("i2") - col("i1"), col("sx2") - col("sx1"),
+        col("sxx2") - col("sxx1")) +
+      sse(col("n") - col("i2"), col("tx") - col("sx2"),
+        col("txx") - col("sxx2"))
+    pairs
+      .select(col("t1"), col("t2"), col("i1"), col("i2"), col("n"),
+        format_string("%.6f", cost).cast(d6).as("cost6"))
+      .orderBy(col("cost6").asc, col("t1").asc, col("t2").asc).limit(1)
+      .select(col("t1").as("split_t1"), col("t2").as("split_t2"),
+        col("i1").as("n_1"), (col("i2") - col("i1")).as("n_2"),
+        (col("n") - col("i2")).as("n_3"),
+        col("cost6").cast("string").as("cost6"))
+  }
 }

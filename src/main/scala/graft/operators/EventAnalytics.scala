@@ -248,6 +248,42 @@ object EventAnalytics {
         min(col("gap")).as("min_us"), max(col("gap")).as("max_us"))
   }
 
+  /** DAU/WAU stickiness — the growth team's engagement ratio ("what
+    * fraction of this week's actives came back TODAY"): per day, the
+    * distinct daily actives over the distinct trailing-W-day actives.
+    * Exact distinct counting through the blind spot sliding windows
+    * usually fumble: a user active twice in the window still counts
+    * once.
+    *
+    * Scale shape: the event stream collapses to DISTINCT (actor, day)
+    * presence first (one map-side-combinable distinct — everything
+    * after is presence-sized, not event-sized); the trailing window is
+    * a plan-constant W-way offset explode of presence joined to the
+    * observed-day spine, then one distinct count per day. No windows
+    * over raw events, no driver state.
+    *
+    * @param day exact integer day index (caller-unitized)
+    * @return (day, dau, wau, stickiness %.6f) for every day with ≥ 1
+    *         event, ordered by day */
+  def stickiness(events: DataFrame, actor: Column, day: Column,
+                 windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val presence = events.select(actor.as("u"), day.as("d")).distinct()
+      .localCheckpoint(true)
+    val days = presence.select(col("d")).distinct()
+    val dau = presence.groupBy("d").agg(countDistinct("u").as("dau"))
+    val wau = presence
+      .select(col("u"), explode(array((0 until windowDays)
+        .map(o => col("d") + lit(o.toLong)): _*)).as("d"))
+      .join(days, Seq("d"), "left_semi") // only observed report days
+      .groupBy("d").agg(countDistinct("u").as("wau"))
+    dau.join(wau, Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        format_string("%.6f", col("dau").cast("double") /
+          col("wau").cast("double")).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Gapped sequence support — the first PrefixSpan step: for every
     * ordered step pair (a, b), how many actors do a THEN LATER b with
     * any gap (contiguous-hop counting is [[transitionMatrix]]; whole

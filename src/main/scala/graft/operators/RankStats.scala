@@ -98,6 +98,30 @@ object RankStats {
             sqrt(variance))).as("z"))
   }
 
+  /** Wilson score lower confidence bound for a binomial rate — HOW TO
+    * RANK by a ratio when the denominators differ wildly: raw p̂ = k/n
+    * puts a 1/1 above a 95/100; the Wilson LCB (the Reddit/Evan Miller
+    * "how not to sort by average rating" fix) discounts small n
+    * exactly as the binomial uncertainty demands:
+    * (p̂ + z²/2n − z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n).
+    *
+    * Determinism: z enters as the exact rational zE2/100 (the caller's
+    * plan literal, identical in the oracle); the bound is ONE fixed
+    * double tree over exact (k, n), %.6f-rounded by the CALLER (keep
+    * this raw for ordering composition). Null when n = 0.
+    *
+    * @param zE2 z × 100 (196 → the classic 95% one-sided bound) */
+  def wilsonLcb(k: Column, n: Column, zE2: Long): Column = {
+    val z = lit(zE2.toDouble / 100.0d)
+    val nd = n.cast("double")
+    val p = k.cast("double") / nd
+    val z2 = z * z
+    when(n > 0L,
+      (p + z2 / (lit(2.0d) * nd) -
+        z * sqrt((p * (lit(1.0d) - p) + z2 / (lit(4.0d) * nd)) / nd)) /
+        (lit(1.0d) + z2 / nd))
+  }
+
   /** Kendall's τ-b rank correlation with tie correction — the
     * monotone-association companion to Pearson ([[Profiler]]'s
     * correlation matrix) and the robust choice when either margin is

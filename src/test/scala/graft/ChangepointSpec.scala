@@ -77,4 +77,20 @@ class ChangepointSpec extends SparkSpec {
     val one = Seq((1L, 7L)).toDF("t", "x")
     assert(Changepoint.bestSplit(one, col("t"), col("x")).count() == 0L)
   }
+
+  test("bestSplitPair: two clean shifts found globally at zero cost") {
+    import spark.implicits._
+    val series = Seq((1L, 0L), (2L, 0L), (3L, 5L), (4L, 5L),
+      (5L, 9L), (6L, 9L)).toDF("t", "x")
+    val r = Changepoint.bestSplitPair(series, col("t"), col("x")).head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 4L)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((2L, 2L, 2L)))
+    assert(r.getString(5) == "0.000000")
+  }
+
+  test("bestSplitPair: below three points there is no legal pair") {
+    import spark.implicits._
+    val two = Seq((1L, 1L), (2L, 9L)).toDF("t", "x")
+    assert(Changepoint.bestSplitPair(two, col("t"), col("x")).count() == 0L)
+  }
 }

@@ -165,4 +165,14 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Map(("a", "a") -> 1L, ("a", "b") -> 1L,
       ("b", "a") -> 1L))
   }
+
+  test("stickiness: exact distinct actives, once per window") {
+    val ev = Seq((1L, 1L), (1L, 1L), (2L, 1L), (1L, 2L))
+      .toDF("u", "d") // u1 twice on day 1 still counts once
+    val got = EventAnalytics.stickiness(ev, col("u"), col("d"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 2L, "1.000000")))
+    assert(got(2L) == ((1L, 2L, "0.500000"))) // u2 in window, not active
+  }
 }

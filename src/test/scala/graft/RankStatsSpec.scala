@@ -53,4 +53,20 @@ class RankStatsSpec extends SparkSpec {
     // all-tied margin -> null
     assert(tau(Seq((1L, 1L), (1L, 2L))) == null)
   }
+
+  test("wilsonLcb: known value, small-n discount, ordering flip") {
+    val df = Seq((1L, 1L, 1L), (2L, 95L, 100L)).toDF("id", "k", "n")
+    val got = df.select(col("id"), format_string("%.6f",
+        RankStats.wilsonLcb(col("k"), col("n"), 196L)).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ref(k: Double, n: Double): String = {
+      val z = 1.96; val p = k / n; val z2 = z * z
+      f"${(p + z2 / (2.0 * n) -
+        z * math.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n)) /
+        (1.0 + z2 / n)}%.6f"
+    }
+    assert(got(1L) == ref(1, 1) && got(2L) == ref(95, 100))
+    // the raw ratios order 1/1 > 95/100; the LCB flips it
+    assert(BigDecimal(got(1L)) < BigDecimal(got(2L)))
+  }
 }
