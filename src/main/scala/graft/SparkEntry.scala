@@ -4510,6 +4510,34 @@ object SparkEntry {
       EventAnalytics.stickiness(Tables.events(s, dir), col("user_id"),
         expr("unix_micros(ts) div 86400000000"), windowDays = 7)),
 
+    // Governance — group-fairness selection audit (Fairness
+    // .selectionRates): per-group selection rates, disparate-impact
+    // ratios vs the most-selected group, EEOC 80% flags — entirely
+    // integer, no rounding surface.
+    "q268_fairness_audit" -> ((s, dir) =>
+      Fairness.selectionRates(Tables.events(s, dir),
+          col("user_id") % 3, col("value") > 50.0)
+        .orderBy("group")),
+
+    // Events — Markov entropy rate (EventAnalytics.entropyRate): nats
+    // per transition of the behavior chain; per-cell −p·ln p terms
+    // rounded once, exact decimal sum.
+    "q269_entropy_rate" -> ((s, dir) =>
+      EventAnalytics.entropyRate(Tables.events(s, dir), col("user_id"),
+        Seq(expr("unix_micros(ts)"), col("event_id")),
+        col("event_type"))),
+
+    // Econometrics — log-log elasticity (Trend.logLogSlope):
+    // d ln(price)/d ln(quantity) over lineitem with the ln-round6-once
+    // discipline and exact decimal cross-moments.
+    "q270_elasticity" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      Trend.logLogSlope(Tables.load(s, dir, "lineitem"),
+        col("l_quantity").cast("long"),
+        (format_string("%.2f", col("l_extendedprice")).cast(dec2) * 100)
+          .cast("long"))
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -9588,6 +9616,73 @@ object SparkEntry {
         |SELECT dau.d AS day, dau, wau, printf('%.6f',
         |    CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)) AS stickiness
         |FROM dau JOIN wau ON wau.d = dau.d ORDER BY day""".stripMargin,
+
+    "q268_fairness_audit" ->
+      """WITH per AS (SELECT user_id % 3 AS grp,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT grp, n, k, k * 1000000 // n AS rate_1e6 FROM per),
+        |mx AS (SELECT MAX(rate_1e6) AS max_rate FROM r)
+        |SELECT grp AS "group", n, k, rate_1e6,
+        |  CASE WHEN max_rate > 0
+        |    THEN rate_1e6 * 1000000 // max_rate END AS di_1e6,
+        |  CASE WHEN max_rate > 0
+        |    THEN rate_1e6 * 1000000 // max_rate < 800000 END
+        |    AS below_80pct
+        |FROM r CROSS JOIN mx ORDER BY grp""".stripMargin,
+
+    "q269_entropy_rate" ->
+      """WITH o AS (SELECT event_type AS t_to,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS t_from FROM events),
+        |cells AS (SELECT t_from, t_to, CAST(COUNT(*) AS BIGINT) AS n_ft
+        |  FROM o WHERE t_from IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT t_from, CAST(SUM(n_ft) AS BIGINT) AS n_f
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_ft) AS BIGINT) AS n_total
+        |  FROM cells),
+        |terms AS (SELECT n_total, CAST(printf('%.6f',
+        |    -(CAST(n_ft AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      * ln(CAST(n_ft AS DOUBLE) / CAST(n_f AS DOUBLE)))
+        |    AS DECIMAL(18,6)) AS term
+        |  FROM cells JOIN ft USING (t_from) CROSS JOIN tot)
+        |SELECT n_total AS n_trans, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(CAST(SUM(term) AS DECIMAL(38,6)) AS VARCHAR) AS h_rate6
+        |FROM terms GROUP BY 1""".stripMargin,
+
+    "q270_elasticity" ->
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS xr,
+        |    CAST(CAST(printf('%.2f', l_extendedprice)
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS yr FROM lineitem),
+        |l AS (SELECT CAST(printf('%.6f', ln(CAST(xr AS DOUBLE)))
+        |      AS DECIMAL(18,6)) AS lx,
+        |    CAST(printf('%.6f', ln(CAST(yr AS DOUBLE)))
+        |      AS DECIMAL(18,6)) AS ly
+        |  FROM v WHERE xr > 0 AND yr > 0),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT lx) AS BIGINT) AS ndx,
+        |    CAST(COUNT(DISTINCT ly) AS BIGINT) AS ndy,
+        |    CAST(SUM(lx) AS DECIMAL(38,6)) AS sx,
+        |    CAST(SUM(ly) AS DECIMAL(38,6)) AS sy,
+        |    CAST(SUM(lx * lx) AS DECIMAL(38,12)) AS sxx,
+        |    CAST(SUM(lx * ly) AS DECIMAL(38,12)) AS sxy,
+        |    CAST(SUM(ly * ly) AS DECIMAL(38,12)) AS syy FROM l),
+        |d AS (SELECT n, ndx, ndy,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+        |  FROM m)
+        |SELECT n,
+        |  CASE WHEN n >= 2 AND ndx >= 2
+        |    THEN printf('%.6f', cv / vx) END AS slope6,
+        |  CASE WHEN n >= 2 AND ndx >= 2 AND ndy >= 2
+        |    THEN printf('%.6f', cv * cv / (vx * vy)) END AS r2_6
+        |FROM d""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -248,6 +248,49 @@ object EventAnalytics {
         min(col("gap")).as("min_us"), max(col("gap")).as("max_us"))
   }
 
+  /** Markov entropy rate of the behavior chain — HOW PREDICTABLE the
+    * next step is given the current one: H = Σ_{f,t} −(n_ft/N)·
+    * ln(n_ft/n_f) nats per transition (0 = deterministic navigation,
+    * ln|states| = uniform chaos). The single scalar that tracks
+    * whether a product's usage is becoming more or less habitual —
+    * the information-theoretic companion to [[transitionMatrix]]'s
+    * probabilities, on [[InfoGain]]'s shelf.
+    *
+    * Determinism: per-cell terms over exact integer counts, each
+    * rounded %.6f ONCE and summed in exact decimal (the [[Entropy]]
+    * discipline — a self-loop-only cell yields −0.0 which both
+    * engines render "-0.000000" and parse to 0).
+    *
+    * Scale shape: one actor-keyed lag window + one cell count + two
+    * broadcast rollups. No driver state.
+    *
+    * @return one row: (n_trans, n_states, h_rate6) */
+  def entropyRate(events: DataFrame, actor: Column, order: Seq[Column],
+                  step: Column): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val w = Window.partitionBy(col("__a")).orderBy(order: _*)
+    val cells = events.withColumn("__a", actor)
+      .withColumn("__s", step.cast("string"))
+      .withColumn("from", lag(col("__s"), 1).over(w))
+      .filter(col("from").isNotNull)
+      .groupBy(col("from"), col("__s").as("to"))
+      .agg(count(lit(1)).as("n_ft"))
+    val fromTot = cells.groupBy("from").agg(sum("n_ft").as("n_f"))
+    val tot = cells.agg(sum("n_ft").as("n_total"))
+    cells.join(fromTot, Seq("from")).crossJoin(broadcast(tot))
+      .select(col("n_total"),
+        format_string("%.6f",
+          -(col("n_ft").cast("double") / col("n_total").cast("double")) *
+            log(col("n_ft").cast("double") / col("n_f").cast("double")))
+          .cast(d6).as("term"))
+      .groupBy("n_total")
+      .agg(count(lit(1)).as("n_cells"),
+        sum("term").cast(org.apache.spark.sql.types.DecimalType(38, 6))
+          .as("h6"))
+      .select(col("n_total").as("n_trans"), col("n_cells"),
+        col("h6").cast("string").as("h_rate6"))
+  }
+
   /** DAU/WAU stickiness — the growth team's engagement ratio ("what
     * fraction of this week's actives came back TODAY"): per day, the
     * distinct daily actives over the distinct trailing-W-day actives.

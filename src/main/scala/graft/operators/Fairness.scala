@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Group-fairness selection audit — the governance gate a model or
+  * filter pipeline runs before shipping decisions: per-group selection
+  * rates and the disparate-impact ratio against the most-selected
+  * group, with the EEOC four-fifths (80%) rule flagged per group. A
+  * corpus-curation pipeline is itself a decision system (keep/drop per
+  * document), so this audits the curation funnel's language/source
+  * skew as readily as a classifier's.
+  *
+  * Determinism: ENTIRELY integer — rate_1e6 = k·10⁶ div n,
+  * di_1e6 = rate·10⁶ div max_rate; no floats, no rounding surface.
+  * The max-rate reference group resolves by (rate, group) total order,
+  * so a rate tie can't flap the reference.
+  *
+  * Scale shape: one group-keyed map-side-combinable aggregate + a
+  * one-row broadcast of the reference rate. No windows, no driver
+  * state.
+  *
+  * @return per group: (group, n, k, rate_1e6, di_1e6, below_80pct) —
+  *         di_1e6 null when the reference rate is 0 */
+object Fairness {
+
+  def selectionRates(df: DataFrame, group: Column,
+                     selected: Column): DataFrame = {
+    val per = df.select(group.as("group"),
+        when(coalesce(selected, lit(false)), 1L).otherwise(0L).as("__s"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"), sum("__s").as("k"))
+      .withColumn("rate_1e6", expr("k * 1000000L div n"))
+    val ref = per.agg(max(struct(col("rate_1e6"), col("group")))
+      .getField("rate_1e6").as("max_rate"))
+    per.crossJoin(broadcast(ref))
+      .select(col("group"), col("n"), col("k"), col("rate_1e6"),
+        when(col("max_rate") > 0L,
+          expr("rate_1e6 * 1000000L div max_rate")).as("di_1e6"))
+      .withColumn("below_80pct",
+        when(col("di_1e6").isNotNull, col("di_1e6") < 800000L))
+  }
+}

@@ -58,6 +58,53 @@ object Trend {
             / nd.cast("double"))).as("intercept"))
   }
 
+  /** Log-log OLS slope — the ELASTICITY estimator (econometrics'
+    * d ln y / d ln x: "a 1% change in x moves y by slope %"), and the
+    * power-law exponent fit when both margins are heavy-tailed (the
+    * regression sibling of [[Zipf]]'s rank-frequency fit).
+    *
+    * Determinism ([[Autocorr]]'s canonical-value move): each ln is
+    * rounded %.6f ONCE into decimal(18,6); all five moment sums
+    * accumulate exactly (cross-products at scale 12, precision 37 —
+    * inside the cap); slope and r² are one mirrored double tree each.
+    * Non-positive x or y rows are excluded (no ln domain).
+    *
+    * @return one row: (n, slope6, r2_6 — null when either margin is
+    *         degenerate) */
+  def logLogSlope(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val v = df.select(x.cast("long").as("xr"), y.cast("long").as("yr"))
+      .filter(col("xr") > 0L && col("yr") > 0L)
+      .select(
+        format_string("%.6f", log(col("xr").cast("double")))
+          .cast(d6).as("lx"),
+        format_string("%.6f", log(col("yr").cast("double")))
+          .cast(d6).as("ly"))
+    // degeneracy is detected EXACTLY (distinct counts), not via the
+    // float variance: a constant margin leaves vx as ~1e-8 rounding
+    // residue, and cv/vx of two residues reads as a plausible slope
+    val m = v.agg(count(lit(1)).as("n"),
+      countDistinct("lx").as("ndx"), countDistinct("ly").as("ndy"),
+      sum("lx").cast(d38).as("sx"), sum("ly").cast(d38).as("sy"),
+      sum(col("lx") * col("lx")).cast(d12).as("sxx"),
+      sum(col("lx") * col("ly")).cast(d12).as("sxy"),
+      sum(col("ly") * col("ly")).cast(d12).as("syy"))
+    val nd = col("n").cast("double")
+    val vx = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val cv = nd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    m.select(col("n"),
+      when(col("n") >= 2L && col("ndx") >= 2L,
+        format_string("%.6f", cv / vx)).as("slope6"),
+      when(col("n") >= 2L && col("ndx") >= 2L && col("ndy") >= 2L,
+        format_string("%.6f", cv * cv / (vx * vy))).as("r2_6"))
+  }
+
   /** Theil–Sen robust slope — the median of all pairwise slopes
     * (y₂−y₁)/(t₂−t₁): one wild point swings [[slopePerGroup]]'s OLS
     * arbitrarily but moves ONE pairwise slope, so the median barely

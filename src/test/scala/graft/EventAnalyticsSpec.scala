@@ -175,4 +175,18 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(1L) == ((2L, 2L, "1.000000")))
     assert(got(2L) == ((1L, 2L, "0.500000"))) // u2 in window, not active
   }
+
+  test("entropyRate: deterministic chain is 0; a fair branch is ln 2") {
+    val det = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"),
+      (1L, 3L, 3L, "a"), (1L, 4L, 4L, "b")).toDF("u", "us", "id", "tpe")
+    val r0 = EventAnalytics.entropyRate(det, col("u"),
+      Seq(col("us"), col("id")), col("tpe")).head()
+    assert(r0.getLong(0) == 3L && r0.getString(2) == "0.000000")
+    val branch = Seq((1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"),
+      (2L, 1L, 3L, "a"), (2L, 2L, 4L, "c")).toDF("u", "us", "id", "tpe")
+    val r1 = EventAnalytics.entropyRate(branch, col("u"),
+      Seq(col("us"), col("id")), col("tpe")).head()
+    // two cells, each round6(-(1/2)ln(1/2)) = 0.346574
+    assert(r1.getLong(1) == 2L && r1.getString(2) == "0.693148")
+  }
 }

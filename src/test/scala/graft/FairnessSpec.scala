@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Fairness
+
+class FairnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rates, DI ratios, and the 80% flag") {
+    val df = (Seq.fill(8)(("A", true)) ++ Seq.fill(2)(("A", false)) ++
+      Seq.fill(4)(("B", true)) ++ Seq.fill(6)(("B", false)) ++
+      Seq.fill(4)(("C", true)) ++ Seq.fill(1)(("C", false)))
+      .toDF("g", "s")
+    val got = Fairness.selectionRates(df, col("g"), col("s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got("A") == ((10L, 8L, 800000L, 1000000L, false)))
+    assert(got("B") == ((10L, 4L, 400000L, 500000L, true)))
+    assert(got("C") == ((5L, 4L, 800000L, 1000000L, false)))
+  }
+
+  test("nobody selected: null DI, no flags") {
+    val df = Seq(("A", false), ("B", false)).toDF("g", "s")
+    val got = Fairness.selectionRates(df, col("g"), col("s")).collect()
+    assert(got.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+  }
+}

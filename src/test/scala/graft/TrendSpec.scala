@@ -99,4 +99,33 @@ class TrendSpec extends SparkSpec {
     val r1 = graft.operators.Trend.theilSen(one, col("t"), col("y")).head()
     assert(r1.getLong(0) == 1L && r1.getLong(1) == 0L && r1.getString(2) == null)
   }
+
+  test("logLogSlope: identity is slope 1; quadratic law recovered") {
+    import spark.implicits._
+    val ident = Seq((2L, 2L), (4L, 4L), (8L, 8L)).toDF("x", "y")
+    val r1 = graft.operators.Trend.logLogSlope(ident, col("x"), col("y"))
+      .head()
+    assert(r1.getString(1) == "1.000000" && r1.getString(2) == "1.000000")
+    // y = x^2: mirror the round6-ln + double tree exactly
+    val pts = Seq((2L, 4L), (3L, 9L), (4L, 16L))
+    val r2 = graft.operators.Trend.logLogSlope(pts.toDF("x", "y"),
+      col("x"), col("y")).head()
+    val lx = pts.map(p => BigDecimal(f"${math.log(p._1.toDouble)}%.6f"))
+    val ly = pts.map(p => BigDecimal(f"${math.log(p._2.toDouble)}%.6f"))
+    val n = pts.size.toDouble
+    val (sx, sy) = (lx.sum.doubleValue, ly.sum.doubleValue)
+    val sxx = lx.map(v => v * v).sum.doubleValue
+    val sxy = lx.zip(ly).map { case (a, b) => a * b }.sum.doubleValue
+    val vx = n * sxx - sx * sx
+    val cv = n * sxy - sx * sy
+    assert(r2.getString(1) == f"${cv / vx}%.6f")
+  }
+
+  test("logLogSlope: non-positive rows excluded; constant x null") {
+    import spark.implicits._
+    val df = Seq((0L, 5L), (-2L, 5L), (3L, 5L), (3L, 7L)).toDF("x", "y")
+    val r = graft.operators.Trend.logLogSlope(df, col("x"), col("y"))
+      .head()
+    assert(r.getLong(0) == 2L && r.getString(1) == null)
+  }
 }
