@@ -4538,6 +4538,32 @@ object SparkEntry {
           .cast("long"))
     }),
 
+    // Experimentation — minimum detectable effect (AbTest
+    // .minDetectableEffect): per-arm power planning at the classic
+    // 95%/80% z pair; one double tree over exact (k, n).
+    "q271_mde_power" -> ((s, dir) =>
+      AbTest.minDetectableEffect(Tables.events(s, dir),
+          when(col("user_id") % 2 === 0, "treat").otherwise("control"),
+          col("value") > 50.0)
+        .orderBy("arm")),
+
+    // Experimentation — sample-ratio-mismatch check (AbTest
+    // .srmCheck): one-sample χ² of observed arm counts against the
+    // 50/50 design; undesigned arms fail loudly.
+    "q272_srm_check" -> ((s, dir) =>
+      AbTest.srmCheck(Tables.events(s, dir),
+        when(col("user_id") % 2 === 0, "treat").otherwise("control"),
+        Seq(("treat", 1L, 2L), ("control", 1L, 2L)))),
+
+    // Events — per-actor predictability (EventAnalytics
+    // .perActorPredictability): the behavioral bot signal — accounts
+    // whose next step is near-deterministic over ≥ 30 transitions.
+    "q273_user_predictability" -> ((s, dir) =>
+      EventAnalytics.perActorPredictability(Tables.events(s, dir),
+          col("user_id"), Seq(expr("unix_micros(ts)"), col("event_id")),
+          col("event_type"), minTrans = 30L)
+        .orderBy("actor")),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -9683,6 +9709,67 @@ object SparkEntry {
         |  CASE WHEN n >= 2 AND ndx >= 2 AND ndy >= 2
         |    THEN printf('%.6f', cv * cv / (vx * vy)) END AS r2_6
         |FROM d""".stripMargin,
+
+    "q271_mde_power" ->
+      """WITH per AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'treat'
+        |      ELSE 'control' END AS arm,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k
+        |  FROM events GROUP BY 1)
+        |SELECT arm, n, k,
+        |  CASE WHEN n > 0 THEN printf('%.6f',
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE)) END AS rate6,
+        |  CASE WHEN n > 0 AND k > 0 AND k < n THEN printf('%.6f',
+        |    (CAST(196 AS DOUBLE) / 100 + CAST(84 AS DOUBLE) / 100)
+        |    * sqrt(2.0 * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / CAST(n AS DOUBLE))) END AS mde6
+        |FROM per ORDER BY arm""".stripMargin,
+
+    "q272_srm_check" ->
+      """WITH obs AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'treat'
+        |      ELSE 'control' END AS arm,
+        |    CAST(COUNT(*) AS BIGINT) AS o FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM obs),
+        |terms AS (SELECT n_total, CAST(printf('%.6f',
+        |    (CAST(o AS DOUBLE) - CAST(n_total AS DOUBLE)
+        |      * CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))
+        |    * (CAST(o AS DOUBLE) - CAST(n_total AS DOUBLE)
+        |      * CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))
+        |    / (CAST(n_total AS DOUBLE) * CAST(1 AS DOUBLE)
+        |      / CAST(2 AS DOUBLE))) AS DECIMAL(18,6)) AS term
+        |  FROM obs CROSS JOIN t)
+        |SELECT CAST(MAX(n_total) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_arms,
+        |  CAST(CAST(SUM(term) AS DECIMAL(38,6)) AS VARCHAR) AS chi2_6,
+        |  CAST(COUNT(*) - 1 AS BIGINT) AS dof
+        |FROM terms""".stripMargin,
+
+    "q273_user_predictability" ->
+      """WITH o AS (SELECT user_id, event_type AS t_to,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS t_from FROM events),
+        |cells AS (SELECT user_id, t_from, t_to,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ft
+        |  FROM o WHERE t_from IS NOT NULL GROUP BY 1, 2, 3),
+        |ft AS (SELECT user_id, t_from, CAST(SUM(n_ft) AS BIGINT) AS n_f
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT user_id, CAST(SUM(n_ft) AS BIGINT) AS n_total
+        |  FROM cells GROUP BY 1),
+        |terms AS (SELECT cells.user_id, n_total, CAST(printf('%.6f',
+        |    -(CAST(n_ft AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      * ln(CAST(n_ft AS DOUBLE) / CAST(n_f AS DOUBLE)))
+        |    AS DECIMAL(18,6)) AS term
+        |  FROM cells
+        |  JOIN ft ON ft.user_id = cells.user_id
+        |    AND ft.t_from = cells.t_from
+        |  JOIN tot ON tot.user_id = cells.user_id)
+        |SELECT user_id AS actor, n_total AS n_trans,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(CAST(SUM(term) AS DECIMAL(38,6)) AS VARCHAR) AS h_rate6
+        |FROM terms GROUP BY 1, 2 HAVING n_total >= 30
+        |ORDER BY actor""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -64,6 +64,87 @@ object AbTest {
         .as("dof"))
   }
 
+  /** Minimum detectable effect for a Bernoulli metric — the
+    * experiment-PLANNING number ("with this traffic, what lift could
+    * we even see?"): MDE ≈ (z_{α/2} + z_β)·√(2·p̂(1−p̂)/n) absolute
+    * points at each arm's current size and rate. Reading it BEFORE the
+    * test prevents the classic failure of shipping an underpowered
+    * experiment and "learning" there's no effect.
+    *
+    * Determinism: z quantiles enter as exact rationals (÷100 at plan
+    * build — 196/84 are the 95%-two-sided / 80%-power classics); one
+    * double tree over exact (k, n) per arm, %.6f once.
+    *
+    * @return per arm: (arm, n, k, rate6, mde6 — null when n = 0 or
+    *         the rate is degenerate 0/1) */
+  def minDetectableEffect(df: DataFrame, arm: Column, y: Column,
+                          zAlphaE2: Long = 196L,
+                          zBetaE2: Long = 84L): DataFrame = {
+    val z = lit(zAlphaE2.toDouble / 100.0d) + lit(zBetaE2.toDouble / 100.0d)
+    val per = df.select(arm.as("arm"),
+        when(coalesce(y, lit(false)), 1L).otherwise(0L).as("__y"))
+      .groupBy("arm").agg(count(lit(1)).as("n"), sum("__y").as("k"))
+    val nd = col("n").cast("double")
+    val p = col("k").cast("double") / nd
+    per.select(col("arm"), col("n"), col("k"),
+      when(col("n") > 0L, format_string("%.6f", p)).as("rate6"),
+      when(col("n") > 0L && col("k") > 0L && col("k") < col("n"),
+        format_string("%.6f",
+          z * sqrt(lit(2.0d) * p * (lit(1.0d) - p) / nd))).as("mde6"))
+  }
+
+  /** Sample-ratio-mismatch check — the first thing to run on ANY
+    * experiment readout: if the assignment split doesn't match the
+    * design (48.7/51.3 on a 50/50), every downstream metric is suspect
+    * (broken bucketing, bot filtering skew, logging loss). One-sample
+    * χ² of observed arm counts against the design shares.
+    *
+    * Determinism: design shares are exact rationals; expected counts
+    * and per-arm terms are one double tree each over exact integers,
+    * each term %.6f-rounded ONCE and summed in exact decimal
+    * ([[DataQuality.chiSquare]]'s discipline). Arms observed but not
+    * in the design fail loudly via a null-expected row (a silent drop
+    * would hide exactly the bug this exists to catch).
+    *
+    * @param design (arm, shareNum, shareDen) exact design shares
+    * @return one row: (n, n_arms, chi2_6, dof) */
+  def srmCheck(df: DataFrame, arm: Column,
+               design: Seq[(String, Long, Long)]): DataFrame = {
+    require(design.nonEmpty, "need the design shares")
+    val d6 = DecimalType(18, 6)
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val dRows = spark.createDataFrame(
+      design.map(d => org.apache.spark.sql.Row(d._1, d._2, d._3)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("arm",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("num",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("den",
+          org.apache.spark.sql.types.LongType))))
+    val obs = df.select(arm.cast("string").as("arm"))
+      .groupBy("arm").agg(count(lit(1)).as("o"))
+    val tot = obs.agg(sum("o").as("n_total"))
+    val joined = obs.join(broadcast(dRows), Seq("arm"), "left")
+      .withColumn("arm", when(col("num").isNull,
+          raise_error(concat(lit("srmCheck: arm not in the design: "),
+            col("arm"))))
+        .otherwise(col("arm")))
+      .crossJoin(broadcast(tot))
+    val e = col("n_total").cast("double") * col("num").cast("double") /
+      col("den").cast("double")
+    joined
+      .withColumn("term", format_string("%.6f",
+        (col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+        .cast(d6))
+      .agg(max("n_total").as("n"), count(lit(1)).as("n_arms"),
+        sum("term").cast(DecimalType(38, 6)).as("chi2"))
+      .select(col("n"), col("n_arms"),
+        col("chi2").cast("string").as("chi2_6"),
+        (col("n_arms") - 1L).as("dof"))
+  }
+
   /** Wald's SPRT for a Bernoulli rate — the SEQUENTIAL companion to
     * [[welch]]: monitor a conversion metric continuously and stop the
     * moment the evidence crosses a bound, instead of waiting for a

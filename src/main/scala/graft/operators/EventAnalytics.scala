@@ -291,6 +291,48 @@ object EventAnalytics {
         col("h6").cast("string").as("h_rate6"))
   }
 
+  /** Per-actor predictability — [[entropyRate]] computed PER ACTOR:
+    * an account whose next step is near-deterministic over many
+    * transitions behaves like a script, which makes low per-actor
+    * entropy the behavioral bot signal complementing [[burstFlags]]'
+    * rate signal (a slow, perfectly regular scraper never trips a
+    * rate limit). Same per-cell ln discipline, cells keyed by
+    * (actor, from, to); actors below `minTrans` transitions are
+    * excluded (entropy of a 3-event actor is noise, not signal).
+    *
+    * @return (actor, n_trans, n_cells, h_rate6) for qualifying actors */
+  def perActorPredictability(events: DataFrame, actor: Column,
+                             order: Seq[Column], step: Column,
+                             minTrans: Long): DataFrame = {
+    require(minTrans >= 1L, "minTrans must be >= 1")
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val w = Window.partitionBy(col("__a")).orderBy(order: _*)
+    val cells = events.withColumn("__a", actor)
+      .withColumn("__s", step.cast("string"))
+      .withColumn("from", lag(col("__s"), 1).over(w))
+      .filter(col("from").isNotNull)
+      .groupBy(col("__a").as("actor"), col("from"),
+        col("__s").as("to"))
+      .agg(count(lit(1)).as("n_ft"))
+    val fromTot = cells.groupBy("actor", "from")
+      .agg(sum("n_ft").as("n_f"))
+    val tot = cells.groupBy("actor").agg(sum("n_ft").as("n_total"))
+    cells.join(fromTot, Seq("actor", "from"))
+      .join(tot, Seq("actor"))
+      .select(col("actor"), col("n_total"),
+        format_string("%.6f",
+          -(col("n_ft").cast("double") / col("n_total").cast("double")) *
+            log(col("n_ft").cast("double") / col("n_f").cast("double")))
+          .cast(d6).as("term"))
+      .groupBy("actor", "n_total")
+      .agg(count(lit(1)).as("n_cells"),
+        sum("term").cast(org.apache.spark.sql.types.DecimalType(38, 6))
+          .as("h6"))
+      .filter(col("n_total") >= minTrans)
+      .select(col("actor"), col("n_total").as("n_trans"),
+        col("n_cells"), col("h6").cast("string").as("h_rate6"))
+  }
+
   /** DAU/WAU stickiness — the growth team's engagement ratio ("what
     * fraction of this week's actives came back TODAY"): per day, the
     * distinct daily actives over the distinct trailing-W-day actives.

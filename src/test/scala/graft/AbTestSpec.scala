@@ -79,4 +79,29 @@ class AbTestSpec extends SparkSpec {
     assert(r.getAs[String]("theta") == "0.000000")
     assert(r.getAs[String]("rho2_pct") == null)
   }
+
+  test("minDetectableEffect: hand value and degenerate-rate null") {
+    val df = (Seq.fill(25)(("a", true)) ++ Seq.fill(75)(("a", false)) ++
+      Seq.fill(10)(("b", false))).toDF("arm", "y")
+    val got = AbTest.minDetectableEffect(df, col("arm"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(3), Option(r.getString(4))))).toMap
+    val ref = f"${(1.96 + 0.84) * math.sqrt(2.0 * 0.25 * 0.75 / 100.0)}%.6f"
+    assert(got("a") == ((100L, "0.250000", Some(ref))))
+    assert(got("b") == ((10L, "0.000000", None)))
+  }
+
+  test("srmCheck: hand chi2 on a 60/40 split; unknown arm fails loud") {
+    val df = (Seq.fill(60)("treat") ++ Seq.fill(40)("control"))
+      .map(Tuple1(_)).toDF("arm")
+    val r = AbTest.srmCheck(df, col("arm"),
+      Seq(("treat", 1L, 2L), ("control", 1L, 2L))).head()
+    // e = 50 each: (10^2)/50 * 2 = 4
+    assert(r.getLong(0) == 100L && r.getLong(1) == 2L)
+    assert(r.getString(2) == "4.000000" && r.getLong(3) == 1L)
+    val bad = Seq("treat", "mystery").map(Tuple1(_)).toDF("arm")
+    intercept[Exception] {
+      AbTest.srmCheck(bad, col("arm"), Seq(("treat", 1L, 1L))).collect()
+    }
+  }
 }

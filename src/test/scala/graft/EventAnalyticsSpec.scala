@@ -189,4 +189,19 @@ class EventAnalyticsSpec extends SparkSpec {
     // two cells, each round6(-(1/2)ln(1/2)) = 0.346574
     assert(r1.getLong(1) == 2L && r1.getString(2) == "0.693148")
   }
+
+  test("perActorPredictability: scripted actor 0, browser positive, minTrans") {
+    val bot = (1L to 9L).map(i =>
+      (1L, i, i, if (i % 2 == 1) "a" else "b"))   // a,b,a,b,... scripted
+    val human = Seq((2L, 1L, 10L, "a"), (2L, 2L, 11L, "b"),
+      (2L, 3L, 12L, "a"), (2L, 4L, 13L, "c"), (2L, 5L, 14L, "b"))
+    val tiny = Seq((3L, 1L, 20L, "a"), (3L, 2L, 21L, "b"))
+    val ev = (bot ++ human ++ tiny).toDF("u", "us", "id", "tpe")
+    val got = EventAnalytics.perActorPredictability(ev, col("u"),
+        Seq(col("us"), col("id")), col("tpe"), minTrans = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(1L) == "0.000000")            // fully scripted
+    assert(BigDecimal(got(2L)) > 0)          // branching behavior
+    assert(!got.contains(3L))                // below minTrans
+  }
 }
