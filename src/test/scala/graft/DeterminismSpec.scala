@@ -87,4 +87,50 @@ class DeterminismSpec extends SparkSpec {
           .select("id").as[Long].collect().toSet)
     }
   }
+
+  test("theilSen and kaplanMeier are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      val grid = df.groupBy((col("id") % 50).as("t"))
+        .agg(sum((col("w") + col("id") % 17).cast("long")).as("y"))
+      (graft.operators.Trend.theilSen(grid, col("t"), col("y"))
+          .collect().map(_.toSeq).toSeq,
+        graft.operators.Survival.kaplanMeier(
+            df.groupBy(col("id") % 97).agg(
+              max(col("w") % 13).as("t")),
+            col("t"), (col("(id % 97)") % 3) =!= 0)
+          .collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("ecod scores and RAKE are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      val docs = df.groupBy((col("id") % 59).as("doc_id"))
+        .agg(concat_ws(" ", collect_list(
+          concat(lit("w"), (col("w") % 7).cast("string")))).as("text"))
+      // collect_list order varies with layout — sort the tokens into a
+      // canonical document so the INPUT is layout-stable, then demand
+      // the operators are too
+      val canon = docs.select(col("doc_id"), array_join(
+        sort_array(split(col("text"), " ")), " ").as("text"))
+      (graft.operators.RankStats.ecodScores(df, col("id"),
+          Seq(col("w"), col("id") % 23), topK = 25)
+          .collect().map(_.toSeq).toSeq,
+        graft.operators.Keywords.rake(canon, col("doc_id"), col("text"),
+          Seq("w0", "w3"), topK = 3)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString))
+    }
+  }
+
+  test("jackknife ratio SE is layout-invariant") {
+    axes { s =>
+      graft.operators.Jackknife.ratioSE(
+          s.read.parquet(dir).groupBy(col("id") % 41)
+            .agg(sum(when(col("w") > 200L, 1L).otherwise(0L)).as("y"),
+              count(lit(1)).as("d")),
+          col("y"), col("d"))
+        .collect().map(_.toSeq).toSeq
+    }
+  }
 }

@@ -431,6 +431,35 @@ class PlanSpec extends SparkSpec {
     assert(!p18.contains("CartesianProduct"))
   }
 
+  test("q224/q253: F-S pair blocking is an equi-join, never a cartesian") {
+    for (q <- Seq("q224_fs_linkage", "q253_fs_em")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must block on the nation key: ${p.take(2000)}")
+    }
+  }
+
+  test("q257: ECOD grid terms broadcast back onto the fact") {
+    val p = plan("q257_ecod")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-dim term grids must broadcast, never shuffle the fact")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q233: the burst screen is one actor-keyed window pass") {
+    val p = plan("q233_burst_flags")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "no join belongs in this plan: " + p.take(2000))
+  }
+
+  test("q250: rendezvous audit has no join at all before the rollup") {
+    val p = plan("q250_rendezvous")
+    assert(!p.contains("Join"), "assignment is row-local: " + p.take(2000))
+  }
+
   test("q199: clustering depth sweeps ONLY the dim-sized stats table") {
     val p = plan("q199_clustering_depth")
     // the block-stats aggregate reduces lineitem before any window; the
