@@ -4564,6 +4564,41 @@ object SparkEntry {
           col("event_type"), minTrans = 30L)
         .orderBy("actor")),
 
+    // Stats — per-group exact nearest-rank quantiles at arbitrary
+    // percents (RankStats.groupQuantiles): partitioned grid windows,
+    // never a global sort; quantile treatment effects are row diffs
+    // of this output.
+    "q274_group_quantiles" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      RankStats.groupQuantiles(Tables.events(s, dir), col("event_type"),
+          (format_string("%.2f", col("value")).cast(dec2) * 100)
+            .cast("long"), Seq(25, 50, 75, 90))
+        .orderBy("group", "pct")
+    }),
+
+    // Stats — exact two-sample Kolmogorov–Smirnov (RankStats.ksTest):
+    // purchase vs click value distributions; D as the exact integer
+    // rational max over the pooled grid, no binning choice.
+    "q275_ks_test" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      RankStats.ksTest(
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click")),
+        col("event_type") === "purchase",
+        (format_string("%.2f", col("value")).cast(dec2) * 100)
+          .cast("long"))
+    }),
+
+    // Stats — exact Gini coefficient (RankStats.gini): account-balance
+    // concentration over customers, cents shifted nonnegative; the
+    // rank-weighted sum computed per grid run, one floor division.
+    "q276_gini" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      RankStats.gini(Tables.load(s, dir, "customer"),
+        (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+          .cast("long") + 100000L)
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -9770,6 +9805,65 @@ object SparkEntry {
         |  CAST(CAST(SUM(term) AS DECIMAL(38,6)) AS VARCHAR) AS h_rate6
         |FROM terms GROUP BY 1, 2 HAVING n_total >= 30
         |ORDER BY actor""".stripMargin,
+
+    "q274_group_quantiles" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS x FROM events),
+        |grid AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |c AS (SELECT g, x,
+        |    SUM(cnt) OVER (PARTITION BY g ORDER BY x) AS cum FROM grid),
+        |n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM v
+        |  GROUP BY 1),
+        |pcts AS (SELECT CAST(unnest([25, 50, 75, 90]) AS BIGINT)
+        |    AS pct),
+        |e AS (SELECT c.g, c.x, c.cum, n.n, pcts.pct
+        |  FROM c JOIN n ON n.g = c.g CROSS JOIN pcts)
+        |SELECT g AS "group", pct, CAST(MIN(x) AS BIGINT) AS q
+        |FROM e WHERE cum >= (pct * n + 99) // 100
+        |GROUP BY 1, 2 ORDER BY "group", pct""".stripMargin,
+
+    "q275_ks_test" ->
+      """WITH v AS (SELECT event_type = 'purchase' AS a,
+        |    CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |grid AS (SELECT x,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) AS BIGINT) AS n_b FROM grid),
+        |c AS (SELECT x, SUM(na) OVER (ORDER BY x) AS ca,
+        |    SUM(nb) OVER (ORDER BY x) AS cb FROM grid)
+        |SELECT n_a, n_b,
+        |  CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT) AS d_num,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(CAST(MAX(ABS(ca * n_b - cb * n_a)) AS HUGEINT)
+        |      * 1000000 // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END
+        |    AS d_1e6
+        |FROM c CROSS JOIN t GROUP BY n_a, n_b""".stripMargin,
+
+    "q276_gini" ->
+      """WITH v AS (SELECT CAST(CAST(printf('%.2f', c_acctbal)
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000 AS x
+        |  FROM customer),
+        |grid AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM v GROUP BY 1),
+        |r AS (SELECT x, cnt, COALESCE(SUM(cnt) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS cum_prev FROM grid),
+        |m AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(x * cnt) AS BIGINT) AS total,
+        |    CAST(SUM(x * cnt * (2 * cum_prev + cnt + 1)) AS BIGINT)
+        |      AS two_s FROM r)
+        |SELECT n, total, CASE WHEN total > 0 THEN
+        |    CAST((CAST(two_s AS HUGEINT) - (n + 1) * total) * 1000000
+        |      // (CAST(n AS HUGEINT) * total) AS BIGINT) END
+        |    AS gini_1e6
+        |FROM m""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -98,6 +98,107 @@ object RankStats {
             sqrt(variance))).as("z"))
   }
 
+  /** Per-group exact nearest-rank quantiles at ARBITRARY percents —
+    * the partitioned, sketch-free quantile report (q39's builtin
+    * `percentile` is exact only at dyadic fractions; [[QDigest]]
+    * sketches; this picks the true order statistic x_(⌈p·n/100⌉) per
+    * group from the value grid). Quantile TREATMENT effects compose
+    * directly: diff the rows of two groups.
+    *
+    * Scale shape: one (group, value) grid aggregate, one
+    * GROUP-PARTITIONED cumulative window over the grid (never a
+    * global sort), a plan-constant percent explode, one min-pick
+    * aggregate. Exact integers end to end.
+    *
+    * @param percents nearest-rank percents in (0, 100]
+    * @return (group, pct, q) — one row per group × percent */
+  def groupQuantiles(df: DataFrame, group: Column, x: Column,
+                     percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100),
+      "percents must lie in (0, 100]")
+    val grid = df.select(group.as("g"), x.cast("long").as("x"))
+      .groupBy("g", "x").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = grid.groupBy("g").agg(sum("cnt").as("n"))
+    grid.withColumn("cum", sum("cnt").over(w))
+      .join(n, Seq("g"))
+      .select(col("g"), col("x"), col("cum"), col("n"),
+        explode(array(percents.map(p => lit(p.toLong)): _*)).as("pct"))
+      // nearest-rank: the smallest x whose cumulative count reaches
+      // ceil(pct*n/100) = (pct*n + 99) div 100
+      .filter(col("cum") >= expr("(pct * n + 99) div 100"))
+      .groupBy(col("g").as("group"), col("pct"))
+      .agg(min("x").as("q"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the
+    * whole-distribution shift test ([[Drift]]'s PSI needs a binning
+    * choice; KS doesn't): D = max_x |F_A(x) − F_B(x)|, computed as the
+    * EXACT integer rational max|cumA·n_B − cumB·n_A| / (n_A·n_B) over
+    * the pooled value grid. No floats, no binning, no rounding until
+    * the one final scaled division (in decimal(38,0) — the numerator
+    * ×10⁶ can pass 2⁶³).
+    *
+    * @return one row: (n_a, n_b, d_num — the exact max numerator —
+    *         d_1e6; null when either side is empty) */
+  def ksTest(df: DataFrame, isA: Column, x: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val grid = df.select(isA.as("a"), x.cast("long").as("x"))
+      .filter(col("a").isNotNull)
+      .groupBy("x").agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, 0) // bounded grid
+    val tot = grid.agg(sum("na").as("n_a"), sum("nb").as("n_b"))
+    grid
+      .withColumn("ca", sum("na").over(w))
+      .withColumn("cb", sum("nb").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("ca") * col("n_b") - col("cb") * col("n_a")))
+          .as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          expr("cast(d_num as decimal(38,0)) * 1000000 " +
+            "div (cast(n_a as decimal(38,0)) * n_b)").cast("long"))
+          .as("d_1e6"))
+  }
+
+  /** Exact Gini coefficient from the value grid — inequality /
+    * concentration of a NONNEGATIVE quantity (token mass per host,
+    * revenue per customer): G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)
+    * with the rank-weighted sum computed per grid RUN (a value v
+    * occupying ranks r+1..r+c contributes v·c·(2r + c + 1)/2 — exact
+    * integers, no per-row global sort). One floor-scaled division at
+    * the end, in decimal (the ×10⁶ numerator can pass 2⁶³).
+    *
+    * @return one row: (n, total, gini_1e6 — null when total = 0) */
+  def gini(df: DataFrame, x: Column): DataFrame = {
+    val grid = df.select(x.cast("long").as("x"))
+      .groupBy("x").agg(count(lit(1)).as("cnt"))
+    val wPrev = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1) // bounded grid
+    val runs = grid
+      .withColumn("cum_prev", coalesce(sum("cnt").over(wPrev), lit(0L)))
+    runs
+      .agg(sum("cnt").as("n"),
+        sum(col("x") * col("cnt")).as("total"),
+        min(col("x")).as("min_x"),
+        // 2·Σ i·x per run: v·c·(2·cum_prev + c + 1)
+        sum(col("x") * col("cnt") *
+          (lit(2L) * col("cum_prev") + col("cnt") + 1L)).as("two_s"))
+      .select(col("n"), col("total"),
+        when(col("min_x") < 0L,
+          raise_error(lit("gini: negative values - shift the input " +
+            "to a nonnegative scale first")))
+          .otherwise(when(col("total") > 0L,
+            expr("(cast(two_s as decimal(38,0)) - (n + 1) * total) " +
+              "* 1000000 div (cast(n as decimal(38,0)) * total)")
+              .cast("long"))).as("gini_1e6"))
+  }
+
   /** Wilson score lower confidence bound for a binomial rate — HOW TO
     * RANK by a ratio when the denominators differ wildly: raw p̂ = k/n
     * puts a 1/1 above a 95/100; the Wilson LCB (the Reddit/Evan Miller

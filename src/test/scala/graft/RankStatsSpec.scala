@@ -69,4 +69,38 @@ class RankStatsSpec extends SparkSpec {
     // the raw ratios order 1/1 > 95/100; the LCB flips it
     assert(BigDecimal(got(1L)) < BigDecimal(got(2L)))
   }
+
+  test("groupQuantiles: nearest ranks, ties, group isolation") {
+    val df = ((1L to 10L).map(("a", _)) ++ Seq(("b", 1L), ("b", 1L),
+      ("b", 1L), ("b", 2L))).toDF("g", "x")
+    val got = RankStats.groupQuantiles(df, col("g"), col("x"),
+        Seq(25, 50, 90, 100))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got(("a", 25L)) == 3L && got(("a", 50L)) == 5L &&
+      got(("a", 90L)) == 9L && got(("a", 100L)) == 10L)
+    assert(got(("b", 50L)) == 1L && got(("b", 100L)) == 2L)
+  }
+
+  test("ksTest: disjoint supports D=1, interleaved D=1/2") {
+    def ks(a: Seq[Long], b: Seq[Long]) = RankStats.ksTest(
+      (a.map((true, _)) ++ b.map((false, _))).toDF("a", "x"),
+      col("a"), col("x")).head()
+    val r1 = ks(Seq(1L, 2L), Seq(3L, 4L))
+    assert(r1.getLong(2) == 4L && r1.getLong(3) == 1000000L)
+    val r2 = ks(Seq(1L, 3L), Seq(2L, 4L))
+    assert(r2.getLong(3) == 500000L)
+  }
+
+  test("gini: equal is 0, one-owner is (n-1)/n, negatives raise") {
+    val eq = RankStats.gini(Seq(5L, 5L, 5L, 5L).toDF("x"), col("x"))
+      .head()
+    assert(eq.getLong(2) == 0L)
+    val skew = RankStats.gini(Seq(0L, 0L, 0L, 12L).toDF("x"), col("x"))
+      .head()
+    assert(skew.getLong(2) == 750000L)
+    intercept[Exception] {
+      RankStats.gini(Seq(-1L, 5L).toDF("x"), col("x")).collect()
+    }
+  }
 }
