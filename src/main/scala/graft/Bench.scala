@@ -30,6 +30,10 @@ object Bench {
         catch { case _: Throwable => () }
       }
     var failed = List.empty[String]
+    // (name, pass, exception summary) per failed run — a silent catch made
+    // the r10 mass-failure bench undiagnosable; every failure now names its
+    // cause in the artifact and on stderr the moment it happens.
+    var failures = List.empty[(String, Int, String)]
     // optional dev filter (comma list of query names): isolate a query's
     // steady-state timing without benching the whole suite. The driver
     // passes no args, so its artifact always covers every query. A name
@@ -65,7 +69,7 @@ object Bench {
     // samples(name) accumulates (wall, cpu) per pass
     val samples = scala.collection.mutable.Map[String, List[(Double, Double)]]()
       .withDefaultValue(Nil)
-    val passTotals = (1 to passes).map { _ =>
+    val passTotals = (1 to passes).map { pass =>
       var passWall = 0.0
       names.foreach { name =>
         val fn = selected(name)
@@ -75,8 +79,17 @@ object Bench {
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable =>
+        catch { case e: Throwable =>
           if (!failed.contains(name)) failed ::= name
+          val root = {
+            var c: Throwable = e
+            while (c.getCause != null && c.getCause != c) c = c.getCause
+            c
+          }
+          val msg = (root.getClass.getSimpleName + ": " +
+            Option(root.getMessage).getOrElse("").takeWhile(_ != '\n').take(200))
+          failures ::= ((name, pass, msg))
+          System.err.println(s"BENCH FAIL pass=$pass $name -> $msg")
           false
         }
         val wall = (System.nanoTime() - t0) / 1e9
@@ -109,8 +122,15 @@ object Bench {
     val cpuTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val minTotal = if (results.nonEmpty) results.values.map(_._3).sum else 0.0
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jesc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => " "; case c => c.toString
+    }
+    val failDetailJson = failures.reverse
+      .map { case (n, p, m) => s"""["$n",$p,"${jesc(m)}"]""" }
+      .mkString("[", ",", "]")
     val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"min_sec":$minTotal,"cores":$cpus,"pass_totals":$passJson,"queries":$qs,"queries_cpu":$qsCpu,"queries_min":$qsMin,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"min_sec":$minTotal,"cores":$cpus,"pass_totals":$passJson,"queries":$qs,"queries_cpu":$qsCpu,"queries_min":$qsMin,"failed":$failedJson,"failed_detail":$failDetailJson,"sf":"$sfDir"}"""
     println(line)
     // Persist the FULL artifact verbatim: the driver scrapes sbt stdout, and
     // a plain file is the load-proof channel for the complete per-query maps.

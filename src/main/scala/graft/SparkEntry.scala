@@ -4599,6 +4599,132 @@ object SparkEntry {
           .cast("long") + 100000L)
     }),
 
+    // Stats — Hill tail-index (RankStats.hillTailIndex): HOW heavy is
+    // the per-user spend tail within each event type (the fit next to
+    // q214's k80 and q276's gini); top-51 per group via
+    // WindowGroupLimit, round-once lns, one final division.
+    "q277_hill_tail" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val spend = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum((format_string("%.2f", col("value")).cast(dec2) * 100)
+          .cast("long")).as("cents"))
+        .filter(col("cents") > 0L)
+      RankStats.hillTailIndex(spend, col("event_type"), col("cents"),
+          k = 50)
+        .orderBy("group")
+    }),
+
+    // Experimentation — per-nation KS screening through the BH-FDR
+    // step-up (RankStats.ksPerGroup + AbTest.bhFdr): 25 "does this
+    // nation's balance distribution deviate from the rest" hypotheses;
+    // the asymptotic p = min(1, 2·exp(−2·D²·n_eff)) is ONE fixed
+    // double tree over the exact (d_num, n_a, n_b), %.6f-rounded once
+    // and scaled to ×10⁶; the step-up itself is exact integer
+    // cross-multiplication at α = 5/100.
+    "q278_bh_fdr" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val ks = RankStats.ksPerGroup(Tables.load(s, dir, "customer"),
+        col("c_nationkey"),
+        (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+          .cast("long"))
+      val nad = col("n_a").cast("double")
+      val nbd = col("n_b").cast("double")
+      val dd = col("d_num").cast("double") / (nad * nbd)
+      val ne = (nad * nbd) / (nad + nbd)
+      val p = ks.withColumn("p_e6", least(lit(1000000L),
+        (format_string("%.6f",
+          lit(2.0d) * exp(lit(-2.0d) * dd * dd * ne))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+          .cast("long")))
+      AbTest.bhFdr(p, col("group"), col("p_e6"), alpha = (5L, 100L))
+    }),
+
+    // Survival — two-sample log-rank (Survival.logRank): do even and
+    // odd user cohorts share a churn hazard (q243's duration/censor
+    // construction, split by user parity); exact grid risk sets,
+    // floor-scaled expectation and variance terms, one final z.
+    "q279_log_rank" -> ((s, dir) => {
+      val subj = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(expr("(max(unix_micros(ts)) - min(unix_micros(ts))) " +
+          "div 86400000000").as("t_days"))
+        .withColumn("obs", col("user_id") % 4 =!= 0)
+      Survival.logRank(subj, col("user_id") % 2 === 0, col("t_days"),
+        col("obs"))
+    }),
+
+    // Web — CIDR longest-prefix-match (WebCuration.cidrLongestPrefix):
+    // a nested /8 ∪ /16 ∪ /24 feed over q167's synthetic document IPs
+    // — the /24 must beat the /16 must beat the /8, and even-octet
+    // docs match nothing (the null row of the left join). Rolled up
+    // per matched prefix length with an ip-sum pin.
+    "q280_cidr_match" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("ip", concat_ws(".",
+          (col("doc_id") % 223 + 1).cast("string"),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          ((col("doc_id") * 13) % 256).cast("string"),
+          (col("doc_id") % 251).cast("string")))
+        .withColumn("ip_num", WebCuration.ipv4ToLong(col("ip")))
+      val c8 = s.range(0, 112).select(
+        ((col("id") * 2L + 1L) * 16777216L).as("net"), lit(8L).as("len"),
+        concat(lit("b8_"), col("id")).as("label"))
+      val c16 = s.range(0, 512).select(
+        (((col("id") % 223L + 1L) * 256L + (col("id") * 7L) % 256L)
+          * 65536L).as("net"),
+        lit(16L).as("len"), concat(lit("b16_"), col("id")).as("label"))
+      val c24 = s.range(0, 128).select(
+        ((((col("id") % 223L + 1L) * 256L + (col("id") * 7L) % 256L)
+          * 256L + (col("id") * 13L) % 256L) * 256L).as("net"),
+        lit(24L).as("len"), concat(lit("b24_"), col("id")).as("label"))
+      val dim = c8.unionByName(c16).unionByName(c24)
+      WebCuration.cidrLongestPrefix(d, col("doc_id"), col("ip_num"),
+          dim, col("net"), col("len"), col("label"))
+        .groupBy("len")
+        .agg(count(lit(1)).as("n_pts"), sum("ip_num").as("sum_ip"))
+        .orderBy("len")
+    }),
+
+    // Stats — Poisson bootstrap SE of the mean token count
+    // (Bootstrap.meanSe): the distributed bootstrap — 64 deterministic
+    // LCG replicates, Poisson(1) weights from exact CDF thresholds,
+    // no engine RNG anywhere.
+    "q281_poisson_bootstrap" -> ((s, dir) =>
+      Bootstrap.meanSe(
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.spaceTokenCount(col("text")).as("n_tokens")),
+        col("doc_id"), col("n_tokens"), b = 64)),
+
+    // Stats — market concentration (RankStats.hhi): HHI + CR1 of each
+    // event type's per-user event share — the antitrust pair next to
+    // q276's gini, all floor-scaled exact rationals.
+    "q282_hhi" -> ((s, dir) =>
+      RankStats.hhi(
+        Tables.events(s, dir).groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("n_ev")),
+        col("event_type"), col("n_ev"))
+        .orderBy("group")),
+
+    // Similarity — mutual top-1 neighbors (Similarity.dotTopK both
+    // directions): reciprocal-NN pairs, the high-precision near-dup
+    // candidate set — a ranks b first AND b ranks a first.
+    "q283_mutual_nn" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 20 === 0)
+      val top1 = Similarity.dotTopK(
+        e.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        k = 1)
+      val ab = top1.select(col("qid").as("a"), col("cid").as("b"))
+      ab.as("l").join(ab.as("r"),
+          col("l.a") === col("r.b") && col("l.b") === col("r.a"))
+        .filter(col("l.a") < col("l.b"))
+        .select(col("l.a").as("a"), col("l.b").as("b"))
+        .orderBy("a")
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -9864,6 +9990,236 @@ object SparkEntry {
         |      // (CAST(n AS HUGEINT) * total) AS BIGINT) END
         |    AS gini_1e6
         |FROM m""".stripMargin,
+
+    "q277_hill_tail" ->
+      """WITH v AS (SELECT event_type AS g, user_id,
+        |    CAST(SUM(CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pos AS (SELECT g, x FROM v WHERE x > 0),
+        |np AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pos FROM pos
+        |  GROUP BY 1),
+        |r AS (SELECT g, x,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY x DESC) AS rn
+        |  FROM pos),
+        |t AS (SELECT r.g, r.x, r.rn,
+        |    CAST(printf('%.6f', ln(r.x)) AS DECIMAL(18,6)) AS ln6,
+        |    np.n_pos, LEAST(50, np.n_pos - 1) AS k_used
+        |  FROM r JOIN np ON np.g = r.g
+        |  WHERE r.rn <= LEAST(50, np.n_pos - 1) + 1),
+        |agg AS (SELECT g, n_pos, k_used,
+        |    CAST(MIN(CASE WHEN rn = k_used + 1 THEN x END) AS BIGINT)
+        |      AS x_tail,
+        |    MIN(CASE WHEN rn = k_used + 1 THEN ln6 END) AS ln_tail,
+        |    SUM(CASE WHEN rn <= k_used THEN ln6 END) AS ln_top
+        |  FROM t GROUP BY 1, 2, 3),
+        |s AS (SELECT g, n_pos, k_used, x_tail,
+        |    CASE WHEN k_used >= 1 THEN
+        |      CAST(ln_top - k_used * ln_tail AS DECIMAL(38,6)) END
+        |      AS sum_ln FROM agg)
+        |SELECT g AS "group", n_pos, k_used, x_tail,
+        |  CAST(sum_ln AS VARCHAR) AS sum_ln6,
+        |  CASE WHEN sum_ln > 0 THEN printf('%.6f',
+        |    CAST(k_used AS DOUBLE) / CAST(sum_ln AS DOUBLE)) END
+        |    AS alpha6
+        |FROM s ORDER BY "group"""".stripMargin,
+
+    "q278_bh_fdr" ->
+      """WITH v AS (SELECT c_nationkey AS g,
+        |    CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS x FROM customer),
+        |allg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt_all FROM v
+        |  GROUP BY 1),
+        |gg AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cnt_g FROM v
+        |  GROUP BY 1, 2),
+        |grp AS (SELECT DISTINCT g FROM v),
+        |f AS (SELECT grp.g, allg.x, allg.cnt_all,
+        |    COALESCE(gg.cnt_g, 0) AS cnt_g
+        |  FROM grp CROSS JOIN allg
+        |  LEFT JOIN gg ON gg.g = grp.g AND gg.x = allg.x),
+        |c AS (SELECT g, x,
+        |    SUM(cnt_g) OVER (PARTITION BY g ORDER BY x) AS ca,
+        |    SUM(cnt_all) OVER (PARTITION BY g ORDER BY x) AS call
+        |  FROM f),
+        |na AS (SELECT g, CAST(SUM(cnt_g) AS BIGINT) AS n_a FROM gg
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM v),
+        |ks AS (SELECT c.g, na.n_a, tot.n_all - na.n_a AS n_b,
+        |    CAST(MAX(ABS(c.ca * (tot.n_all - na.n_a)
+        |      - (c.call - c.ca) * na.n_a)) AS BIGINT) AS d_num
+        |  FROM c JOIN na ON na.g = c.g CROSS JOIN tot
+        |  GROUP BY 1, 2, 3),
+        |p AS (SELECT g AS test_id, LEAST(1000000, CAST(
+        |    CAST(printf('%.6f', 2.0 * exp(-2.0
+        |      * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |      * (CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |      * ((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))))
+        |      AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS p_e6
+        |  FROM ks),
+        |rk AS (SELECT test_id, p_e6, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY p_e6, test_id) AS INTEGER) AS "rank" FROM p),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM rk),
+        |st AS (SELECT rk.*, m.m,
+        |    CASE WHEN p_e6 * m.m * 100 <= "rank" * 5 * 1000000
+        |      THEN CAST("rank" AS BIGINT) END AS hit
+        |  FROM rk CROSS JOIN m),
+        |cut AS (SELECT MAX(hit) AS kmax FROM st)
+        |SELECT test_id, p_e6, "rank",
+        |  "rank" <= COALESCE(kmax, 0) AS rejected
+        |FROM st CROSS JOIN cut ORDER BY "rank"""".stripMargin,
+
+    "q279_log_rank" ->
+      """WITH subj AS (SELECT user_id,
+        |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000
+        |      AS t_days
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT user_id % 2 = 0 AS a, CAST(t_days AS BIGINT) AS t,
+        |    CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END AS o
+        |  FROM subj),
+        |grid AS (SELECT t,
+        |    CAST(SUM(CASE WHEN a THEN o ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN NOT a THEN o ELSE 0 END) AS BIGINT) AS d0,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS m0
+        |  FROM v GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(m1) AS BIGINT) AS na0,
+        |    CAST(SUM(m0) AS BIGINT) AS nb0 FROM grid),
+        |risk AS (SELECT g.t, g.d1, g.d0, tot.na0, tot.nb0,
+        |    tot.na0 - COALESCE(SUM(g.m1) OVER (ORDER BY g.t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+        |    tot.nb0 - COALESCE(SUM(g.m0) OVER (ORDER BY g.t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0
+        |  FROM grid g CROSS JOIN tot),
+        |r2 AS (SELECT *, n1 + n0 AS n, d1 + d0 AS d FROM risk
+        |  WHERE d1 + d0 > 0),
+        |terms AS (SELECT *,
+        |    CAST(CAST(d AS HUGEINT) * n1 * 1000000 // n AS BIGINT) AS e1,
+        |    CASE WHEN n > 1 THEN CAST(CAST(d AS HUGEINT) * n1 * n0
+        |      * (n - d) * 1000000000000
+        |      // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+        |      ELSE 0 END AS vt
+        |  FROM r2),
+        |agg AS (SELECT MAX(na0) AS n_a, MAX(nb0) AS n_b,
+        |    CAST(COALESCE(SUM(d1), 0) AS BIGINT) AS o_a,
+        |    COALESCE(SUM(e1), 0) AS e_a, COALESCE(SUM(vt), 0) AS v_t
+        |  FROM terms)
+        |SELECT n_a, n_b, o_a,
+        |  CAST(CAST(e_a AS DECIMAL(38,0)) AS VARCHAR) AS e_a_1e6,
+        |  CAST(CAST(v_t AS DECIMAL(38,0)) AS VARCHAR) AS v_1e12,
+        |  CASE WHEN v_t > 0 THEN printf('%.6f',
+        |    (CAST(o_a AS DOUBLE) - CAST(e_a AS DOUBLE) / 1000000.0)
+        |    / sqrt(CAST(v_t AS DOUBLE) / 1000000000000.0)) END AS z
+        |FROM agg""".stripMargin,
+
+    "q280_cidr_match" ->
+      """WITH d AS (SELECT doc_id,
+        |    (doc_id % 223 + 1) * 16777216 + ((doc_id * 7) % 256) * 65536
+        |      + ((doc_id * 13) % 256) * 256 + (doc_id % 251) AS ip_num
+        |  FROM documents),
+        |c8 AS (SELECT (i * 2 + 1) * 16777216 AS net, 8 AS len
+        |  FROM range(0, 112) t(i)),
+        |c16 AS (SELECT ((i % 223 + 1) * 256 + (i * 7) % 256) * 65536
+        |    AS net, 16 AS len FROM range(0, 512) t(i)),
+        |c24 AS (SELECT (((i % 223 + 1) * 256 + (i * 7) % 256) * 256
+        |    + (i * 13) % 256) * 256 AS net, 24 AS len
+        |  FROM range(0, 128) t(i)),
+        |dim AS (SELECT * FROM c8 UNION ALL SELECT * FROM c16
+        |  UNION ALL SELECT * FROM c24),
+        |cand AS (SELECT d.doc_id, d.ip_num, dim.len
+        |  FROM d JOIN dim ON (d.ip_num >> (32 - dim.len))
+        |    = (dim.net >> (32 - dim.len))),
+        |best AS (SELECT doc_id, CAST(MAX(len) AS INTEGER) AS len
+        |  FROM cand GROUP BY 1),
+        |m AS (SELECT d.doc_id, d.ip_num, b.len
+        |  FROM d LEFT JOIN best b ON b.doc_id = d.doc_id)
+        |SELECT len, CAST(COUNT(*) AS BIGINT) AS n_pts,
+        |  CAST(SUM(ip_num) AS BIGINT) AS sum_ip
+        |FROM m GROUP BY 1 ORDER BY len""".stripMargin,
+
+    "q281_poisson_bootstrap" ->
+      """WITH v AS (SELECT doc_id AS id,
+        |    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1
+        |      AS BIGINT) AS x
+        |  FROM documents WHERE text IS NOT NULL),
+        |reps AS (SELECT id, x, r.rep FROM v
+        |  CROSS JOIN range(0, 64) r(rep)),
+        |w2 AS (SELECT id, x, rep,
+        |    (1103515245 * ((1103515245 * (id * 64 + rep) + 12345)
+        |      % 2147483648) + 12345) % 2147483648 AS s2
+        |  FROM reps),
+        |w AS (SELECT id, x, rep, CASE
+        |    WHEN s2 * 1000000000 < 367879441 * 2147483648 THEN 0
+        |    WHEN s2 * 1000000000 < 735758882 * 2147483648 THEN 1
+        |    WHEN s2 * 1000000000 < 919698602 * 2147483648 THEN 2
+        |    WHEN s2 * 1000000000 < 981011843 * 2147483648 THEN 3
+        |    WHEN s2 * 1000000000 < 996340153 * 2147483648 THEN 4
+        |    WHEN s2 * 1000000000 < 999405815 * 2147483648 THEN 5
+        |    WHEN s2 * 1000000000 < 999916758 * 2147483648 THEN 6
+        |    WHEN s2 * 1000000000 < 999989750 * 2147483648 THEN 7
+        |    WHEN s2 * 1000000000 < 999998874 * 2147483648 THEN 8
+        |    ELSE 9 END AS w FROM w2),
+        |rep_means AS (SELECT rep,
+        |    CAST(printf('%.6f', CAST(SUM(w * x) AS DOUBLE)
+        |      / CAST(SUM(w) AS DOUBLE)) AS DECIMAL(15,6)) AS mean6
+        |  FROM w GROUP BY rep HAVING SUM(w) > 0),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_eff,
+        |    CAST(SUM(mean6) AS DECIMAL(15,6)) AS sm,
+        |    CAST(SUM(CAST(CAST(mean6 AS DECIMAL(19,6))
+        |      * CAST(mean6 AS DECIMAL(19,6)) AS DECIMAL(30,12)))
+        |      AS DECIMAL(30,12)) AS sq
+        |  FROM rep_means),
+        |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx FROM v)
+        |SELECT b_eff, n,
+        |  CASE WHEN n > 0 THEN printf('%.6f',
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) END AS mean6,
+        |  CASE WHEN b_eff > 0 THEN printf('%.6f',
+        |    CAST(sm AS DOUBLE) / CAST(b_eff AS DOUBLE)) END
+        |    AS boot_mean6,
+        |  CASE WHEN b_eff >= 2 THEN printf('%.6f', sqrt(
+        |    CAST(CAST(b_eff AS DECIMAL(4,0)) * sq
+        |      - CAST(sm AS DECIMAL(19,6)) * CAST(sm AS DECIMAL(19,6))
+        |      AS DOUBLE)
+        |    / (CAST(b_eff AS DOUBLE) * (CAST(b_eff AS DOUBLE) - 1.0))))
+        |    END AS se6
+        |FROM stats CROSS JOIN f""".stripMargin,
+
+    "q282_hhi" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, user_id),
+        |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS total,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ssq,
+        |    CAST(MAX(x) AS BIGINT) AS mx
+        |  FROM v GROUP BY 1)
+        |SELECT g AS "group", n, CAST(total AS BIGINT) AS total,
+        |  CASE WHEN total > 0 THEN
+        |    CAST(ssq * 1000000 // (total * total) AS BIGINT) END
+        |    AS hhi_1e6,
+        |  CASE WHEN total > 0 THEN
+        |    CAST(CAST(mx AS HUGEINT) * 1000000 // total AS BIGINT) END
+        |    AS cr1_1e6
+        |FROM a ORDER BY "group"""".stripMargin,
+
+    "q283_mutual_nn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 20 = 0),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    unnest(q.embedding) AS x, unnest(c.embedding) AS y
+        |  FROM e q CROSS JOIN e c WHERE q.vec_id <> c.vec_id),
+        |d AS (SELECT qid, cid,
+        |    SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+        |      * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR)
+        |        AS DECIMAL(18,9))) AS dp
+        |  FROM p GROUP BY 1, 2),
+        |r AS (SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY dp DESC, cid ASC) AS rnk FROM d),
+        |ab AS (SELECT qid AS a, cid AS b FROM r WHERE rnk = 1)
+        |SELECT l.a AS a, l.b AS b FROM ab l JOIN ab r2
+        |  ON l.a = r2.b AND l.b = r2.a
+        |WHERE l.a < l.b ORDER BY l.a""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -233,6 +233,53 @@ object AbTest {
         (mu("t1") - mu("t0")) - (mu("c1") - mu("c0")))).as("did"): _*)
   }
 
+  /** Benjamini–Hochberg FDR step-up — the multiple-comparisons gate a
+    * metrics platform needs the moment it tests MANY hypotheses at
+    * once (50 metrics × 5 segments = 250 p-values; α = 0.05 each
+    * yields ~12 false "wins" per readout). Sort p ascending, find the
+    * largest i with p₍ᵢ₎ ≤ (i/m)·α, reject hypotheses 1..i — controls
+    * the expected false-discovery RATE at α under independence /
+    * positive dependence (Benjamini & Hochberg 1995).
+    *
+    * Determinism: p arrives as an exact ×10⁶ integer (computed
+    * upstream; this operator is agnostic to the test that produced
+    * it); the step-up comparison is EXACT integer cross-multiplication
+    * p·m·αden ≤ i·αnum·10⁶ — no division anywhere; ties in p break by
+    * id so the rank — and therefore the reject set — is total-order
+    * stable.
+    *
+    * Scale shape: m is the number of HYPOTHESES (bounded — hundreds),
+    * so the rank window runs over the bounded hypothesis grid, never
+    * the data; the underlying per-hypothesis p computation is the
+    * caller's (already-aggregated) upstream.
+    *
+    * @param pE6 p-value × 10⁶, exact integer in [0, 10⁶]
+    * @param alpha exact rational FDR target (num, den), e.g. (5, 100)
+    * @return (test_id, p_e6, rank, rejected) ordered by rank */
+  def bhFdr(df: DataFrame, testId: Column, pE6: Column,
+            alpha: (Long, Long)): DataFrame = {
+    require(alpha._1 > 0 && alpha._1 < alpha._2, "need 0 < alpha < 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("p_e6", "test_id") // bounded hypothesis grid
+    val ranked = df.select(testId.as("test_id"),
+        pE6.cast("long").as("p_e6"))
+      .withColumn("p_e6",
+        when(col("p_e6") < 0L || col("p_e6") > 1000000L,
+          raise_error(lit("bhFdr: p_e6 out of [0, 1000000]")))
+          .otherwise(col("p_e6")))
+      .withColumn("rank", row_number().over(w))
+    val m = ranked.agg(count(lit(1)).as("m"))
+    val stepped = ranked.crossJoin(broadcast(m))
+      .withColumn("hit",
+        when(col("p_e6") * col("m") * lit(alpha._2) <=
+          col("rank") * lit(alpha._1) * lit(1000000L), col("rank")))
+    val cut = stepped.agg(max("hit").as("kmax"))
+    stepped.crossJoin(broadcast(cut))
+      .select(col("test_id"), col("p_e6"), col("rank"),
+        (col("rank") <= coalesce(col("kmax"), lit(0L))).as("rejected"))
+      .orderBy("rank")
+  }
+
   /** CUPED variance reduction (Deng et al. 2013) — the pre-experiment
     * covariate adjustment every mature experimentation platform runs:
     * with x the unit's PRE-period metric and y its experiment metric,

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Poisson bootstrap — the distributed bootstrap (Chamandy et al.,
+  * Google 2012): classic resampling draws n-out-of-n WITH replacement,
+  * which needs global coordination; the Poisson trick replaces each
+  * row's multinomial count with an independent Poisson(1) weight, so a
+  * replicate is just a per-row weight and ALL B replicates compute in
+  * one pass — the only shape that bootstraps a 100 TB table.
+  *
+  * Determinism (the repo's engine-invariance discipline): no engine
+  * RNG anywhere. The per-(row, replicate) weight comes from a FIXED
+  * 31-bit LCG (two steps of state ← 1103515245·state + 12345 mod 2³¹,
+  * seeded by id·B + rep) inverted through the exact Poisson(1) CDF
+  * thresholds ×10⁹ (plan literals, identical in the oracle). Same id,
+  * same rep ⇒ same weight, on any engine, any partitioning.
+  *
+  * Scale shape: explode B× (B is a bounded plan literal — 64/128),
+  * then ONE map-side-combinable groupBy(rep) producing B partial-sum
+  * rows; the SE computes on the B-row frame. Per-replicate means
+  * round %.6f ONCE; the SE over them is exact decimal sums + one
+  * final double tree ([[Jackknife]]'s discipline, replicate-style).
+  */
+object Bootstrap {
+
+  /** Cumulative Poisson(1) CDF ×10⁹ — P(W ≤ k) for k = 0..8; weights
+    * cap at 9 (mass beyond ≈ 1.1×10⁻⁷). Shared with the oracle. */
+  val poissonCumE9: Seq[Long] = Seq(367879441L, 735758882L, 919698602L,
+    981011843L, 996340153L, 999405815L, 999916758L, 999989750L,
+    999998874L)
+
+  /** The deterministic per-(id, rep) Poisson(1) weight — exposed for
+    * the spec and for composing other bootstrapped statistics. */
+  def weight(id: Column, rep: Column, b: Int): Column = {
+    val m = lit(2147483648L)
+    val s0 = id * lit(b.toLong) + rep
+    val s1 = pmod(lit(1103515245L) * s0 + 12345L, m)
+    val s2 = pmod(lit(1103515245L) * s1 + 12345L, m)
+    // u < cum/10⁹ as the 64-bit cross-multiplication s2·10⁹ < cum·2³¹
+    // (both sides < 2³¹·10⁹ ≈ 2.1×10¹⁸ — long-safe; no division, no
+    // decimals, token-identical in the oracle)
+    val lhs = s2 * 1000000000L
+    poissonCumE9.zipWithIndex.foldRight(lit(9L)) {
+      case ((cum, k), els) =>
+        when(lhs < lit(cum * 2147483648L), k.toLong).otherwise(els)
+    }
+  }
+
+  /** Bootstrap standard error of the mean of `x`.
+    *
+    * Variance discipline: the textbook `(Σm² − (Σm)²/B) / (B−1)` is a
+    * difference of two LARGE nearly-equal numbers — in doubles a
+    * last-ulp decimal→double skew amplifies through the cancellation
+    * and can flip the %.6f digit. The numerator here is instead the
+    * EXACT decimal `B·Σm² − (Σm)²`: mean6 is decimal(15,6) (|mean| <
+    * 10⁹ — raises on overflow under ANSI), so Σm² is (30,12), the
+    * squared sum (31,12), B·Σm² (35,12) — every product inside
+    * precision 38 on BOTH engines (Spark truncates SCALE past 38;
+    * the tight types make that impossible). Cancellation happens in
+    * exact arithmetic; only the final sqrt(num / (B·(B−1))) is double.
+    *
+    * @param id  stable row id (drives the weight stream)
+    * @param x   exact-integer unitized measure
+    * @param b   replicate count (plan literal; 64 is plenty for an SE)
+    * @return one row: (b_eff — replicates with nonzero mass — n,
+    *         mean6 — the full-sample mean — boot_mean6 — mean of the
+    *         replicate means — se6; null se when b_eff < 2) */
+  def meanSe(df: DataFrame, id: Column, x: Column, b: Int): DataFrame = {
+    require(b >= 2 && b <= 999, "need 2 <= b <= 999 replicates")
+    val d6 = DecimalType(15, 6)
+    val v = df.select(id.cast("long").as("id"), x.cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val reps = v.select(col("id"), col("x"),
+        explode(sequence(lit(0L), lit(b.toLong - 1L))).as("rep"))
+      .withColumn("w", weight(col("id"), col("rep"), b))
+      .groupBy("rep")
+      .agg(sum(col("w") * col("x")).as("s"), sum("w").as("m"))
+      .filter(col("m") > 0L)
+      .withColumn("mean6", format_string("%.6f",
+        col("s").cast("double") / col("m").cast("double")).cast(d6))
+    val stats = reps.agg(count(lit(1)).as("b_eff"),
+      sum("mean6").cast(d6).as("sm"),
+      sum((col("mean6") * col("mean6")).cast(DecimalType(30, 12)))
+        .cast(DecimalType(30, 12)).as("sq"))
+    val full = v.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(DecimalType(38, 0))).as("sx"))
+    val be = col("b_eff").cast("double")
+    // exact decimal numerator: B·Σm² − (Σm)² = B·(B−1)·sample-var
+    val num = col("b_eff").cast(DecimalType(4, 0)) * col("sq") -
+      col("sm") * col("sm")
+    stats.crossJoin(broadcast(full))
+      .select(col("b_eff"), col("n"),
+        when(col("n") > 0L, format_string("%.6f",
+          col("sx").cast("double") / col("n").cast("double"))).as("mean6"),
+        when(col("b_eff") > 0L, format_string("%.6f",
+          col("sm").cast("double") / be)).as("boot_mean6"),
+        when(col("b_eff") >= 2L, format_string("%.6f",
+          sqrt(num.cast("double") / (be * (be - lit(1.0d))))))
+          .as("se6"))
+  }
+}

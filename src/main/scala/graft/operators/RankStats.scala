@@ -166,6 +166,54 @@ object RankStats {
           .as("d_1e6"))
   }
 
+  /** Per-group exact KS against the REST of the population — the
+    * screening form of [[ksTest]]: "which segments' metric
+    * distributions deviate?" asked for EVERY group at once (the
+    * input a multiple-comparisons gate like [[AbTest.bhFdr]] wants).
+    * For group g: D_g = max_x |F_g(x) − F_rest(x)| — evaluated on the
+    * FULL pooled value grid (a group-only grid can miss the max: the
+    * supremum of a step-function gap sits at a jump of EITHER side).
+    *
+    * Determinism: same exact integer rational as [[ksTest]] —
+    * max|ca·n_b − cb·n_a| over the grid, one scaled division at the
+    * end in decimal(38,0).
+    *
+    * Scale shape: one global value-grid aggregate, one per-group grid
+    * aggregate, then |groups| × |grid| rows via an equi-join on the
+    * grid key with group-partitioned cumulative windows — bounded by
+    * the grid (unitize) times the group count, never the data.
+    *
+    * @return per group: (group, n_a — the group — n_b — the rest —
+    *         d_num, d_1e6; null d when either side is empty) */
+  def ksPerGroup(df: DataFrame, group: Column, x: Column): DataFrame = {
+    val v = df.select(group.as("g"), x.cast("long").as("x"))
+    val allGrid = v.groupBy("x").agg(count(lit(1)).as("cnt_all"))
+    val gGrid = v.groupBy("g", "x").agg(count(lit(1)).as("cnt_g"))
+    val groups = v.select("g").distinct()
+    // every group × every pooled grid value (bounded — see scaladoc)
+    val full = groups.crossJoin(allGrid)
+      .join(gGrid, Seq("g", "x"), "left")
+      .withColumn("cnt_g", coalesce(col("cnt_g"), lit(0L)))
+    val w = Window.partitionBy("g").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = v.agg(count(lit(1)).as("n_all"))
+    val nA = gGrid.groupBy("g").agg(sum("cnt_g").as("n_a"))
+    full
+      .withColumn("ca", sum("cnt_g").over(w))
+      .withColumn("call", sum("cnt_all").over(w))
+      .join(nA, Seq("g"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_b", col("n_all") - col("n_a"))
+      .groupBy(col("g").as("group"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("ca") * col("n_b") -
+        (col("call") - col("ca")) * col("n_a"))).as("d_num"))
+      .select(col("group"), col("n_a"), col("n_b"), col("d_num"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          expr("cast(d_num as decimal(38,0)) * 1000000 " +
+            "div (cast(n_a as decimal(38,0)) * n_b)").cast("long"))
+          .as("d_1e6"))
+  }
+
   /** Exact Gini coefficient from the value grid — inequality /
     * concentration of a NONNEGATIVE quantity (token mass per host,
     * revenue per customer): G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)
@@ -199,6 +247,64 @@ object RankStats {
               .cast("long"))).as("gini_1e6"))
   }
 
+  /** Hill tail-index estimator — HOW heavy is the tail, as a number
+    * (Hill 1975): for the top k+1 order statistics per group,
+    * α̂ = k / Σᵢ₌₁..k (ln x₍ᵢ₎ − ln x₍ₖ₊₁₎); α ≈ 1 means an extreme
+    * 80/20 economy ([[gini]]/q214's k80 describe it, this FITS it),
+    * α > 3 a tame tail. The Zipf companion on the text shelf is
+    * [[Zipf.slopeFit]]; this one runs on any positive measure.
+    *
+    * Determinism: each ln rounds %.6f ONCE ([[Entropy]]'s discipline;
+    * equal x ⇒ equal rounded term, so tie order among equal values
+    * cannot move the sum), the k-term sum is exact decimal, α̂ is one
+    * final double division %.6f. Nonpositive x raises — a silent drop
+    * would fake a lighter tail.
+    *
+    * Scale shape: top-(k+1) per group is a group-partitioned rank
+    * window (WindowGroupLimit pushdown — never a global sort), the
+    * rest runs on k·|groups| rows.
+    *
+    * @param x positive measure (caller-unitized exact integer)
+    * @return per group: (group, n_pos, k_used = min(k, n_pos − 1),
+    *         x_tail — the (k_used+1)-th largest — sum_ln6, alpha6;
+    *         null stats when n_pos < 2 or the top k+1 values are all
+    *         equal) */
+  def hillTailIndex(df: DataFrame, group: Column, x: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val d6 = DecimalType(18, 6)
+    val v = df.select(group.as("g"), x.cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .withColumn("x", when(col("x") <= 0L,
+        raise_error(lit("hillTailIndex: nonpositive values - filter " +
+          "or shift the input first"))).otherwise(col("x")))
+    val wTop = Window.partitionBy("g").orderBy(col("x").desc)
+    val top = v.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k + 1) // WindowGroupLimit: top k+1 per group
+      .withColumn("ln6", format_string("%.6f", log(col("x"))).cast(d6))
+    val nPos = v.groupBy("g").agg(count(lit(1)).as("n_pos"))
+    val per = top.join(nPos, Seq("g"))
+      .withColumn("k_used",
+        least(lit(k.toLong), col("n_pos") - 1L))
+      .filter(col("rn") <= col("k_used") + 1L)
+      .groupBy(col("g"), col("n_pos"), col("k_used"))
+      .agg(
+        min(when(col("rn") === col("k_used") + 1L, col("x"))).as("x_tail"),
+        min(when(col("rn") === col("k_used") + 1L, col("ln6"))).as("ln_tail"),
+        sum(when(col("rn") <= col("k_used"), col("ln6"))).as("ln_top"))
+    per
+      .withColumn("sum_ln",
+        when(col("k_used") >= 1L,
+          (col("ln_top") - col("k_used") * col("ln_tail"))
+            .cast(DecimalType(38, 6))))
+      .select(col("g").as("group"), col("n_pos"), col("k_used"),
+        col("x_tail"),
+        col("sum_ln").cast("string").as("sum_ln6"),
+        when(col("sum_ln") > lit(0L), format_string("%.6f",
+          col("k_used").cast("double") / col("sum_ln").cast("double")))
+          .as("alpha6"))
+  }
+
   /** Wilson score lower confidence bound for a binomial rate — HOW TO
     * RANK by a ratio when the denominators differ wildly: raw p̂ = k/n
     * puts a 1/1 above a 95/100; the Wilson LCB (the Reddit/Evan Miller
@@ -221,6 +327,40 @@ object RankStats {
       (p + z2 / (lit(2.0d) * nd) -
         z * sqrt((p * (lit(1.0d) - p) + z2 / (lit(4.0d) * nd)) / nd)) /
         (lit(1.0d) + z2 / nd))
+  }
+
+  /** Herfindahl–Hirschman concentration index per group — the
+    * antitrust-shelf companion to [[gini]] (inequality of a
+    * distribution) and q214's k80 (how many units cover 80%): HHI =
+    * Σᵢ shareᵢ² ∈ (0, 1], 1 = monopoly, 1/n = perfectly even. Reported
+    * with CR1 (top-1 share) — the two numbers a concentration review
+    * opens with.
+    *
+    * Determinism: shares never materialize — HHI×10⁶ is the single
+    * floor-scaled division (Σxᵢ²)·10⁶ div (Σx)², CR1×10⁶ is
+    * max(x)·10⁶ div Σx, both over exact decimal(38,0) sums. Negative
+    * x raises — a negative "share" has no concentration reading.
+    *
+    * @return per group: (group, n, total, hhi_1e6, cr1_1e6 — null
+    *         when total = 0) */
+  def hhi(df: DataFrame, group: Column, x: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    df.select(group.as("group"), x.cast("long").as("x"))
+      .withColumn("x", when(col("x") < 0L,
+        raise_error(lit("hhi: negative values - a share decomposition " +
+          "needs a nonnegative measure"))).otherwise(col("x")))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("total"),
+        sum(col("x").cast(dec) * col("x")).as("ssq"),
+        max("x").as("mx"))
+      .select(col("group"), col("n"), col("total").cast("long").as("total"),
+        when(col("total") > 0L,
+          expr("ssq * 1000000 div (total * total)").cast("long"))
+          .as("hhi_1e6"),
+        when(col("total") > 0L,
+          expr("cast(mx as decimal(38,0)) * 1000000 div total")
+            .cast("long")).as("cr1_1e6"))
   }
 
   /** Kendall's τ-b rank correlation with tie correction — the

@@ -72,4 +72,73 @@ object Survival {
           .as("survival"))
       .orderBy("t")
   }
+
+  /** Two-sample log-rank test — "are these two survival curves the
+    * same?", the inferential companion to [[kaplanMeier]] (which only
+    * DRAWS the curves): at every event time compare group A's observed
+    * deaths d1 with the expectation d·n1/n under the null that both
+    * groups share one hazard, and accumulate O−E and the
+    * hypergeometric variance V = d·n1·n0·(n−d)/(n²·(n−1)).
+    *
+    * Determinism: the time grid and risk sets are exact integers (the
+    * [[kaplanMeier]] shape, split by group); each expectation term is
+    * ONE floor-scaled division d·n1·10⁶ div n and each variance term
+    * ONE d·n1·n0·(n−d)·10¹² div (n²·(n−1)), both in decimal(38,0)
+    * (n ≤ 10⁹ keeps the ×10¹² numerator under 10³⁸), summed exactly;
+    * z is a final fixed double tree, %.6f once.
+    *
+    * Scale shape: one map-side-combinable groupBy to the time grid,
+    * cumulative windows over the BOUNDED grid (caller unitizes the
+    * duration), a one-row result. No per-subject windows.
+    *
+    * @param isA TRUE → group A (null rows dropped)
+    * @return one row: (n_a, n_b, o_a — A's observed deaths —
+    *         e_a_1e6, v_1e12 — exact scaled sums — z; z null when no
+    *         event time has both groups at risk) */
+  def logRank(subjects: DataFrame, isA: Column, duration: Column,
+              observed: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val v = subjects.select(isA.as("a"), duration.cast("long").as("t"),
+        when(coalesce(observed, lit(false)), 1L).otherwise(0L).as("o"))
+      .filter(col("a").isNotNull)
+    val grid = v.groupBy("t").agg(
+      sum(when(col("a"), col("o")).otherwise(0L)).as("d1"),
+      sum(when(!col("a"), col("o")).otherwise(0L)).as("d0"),
+      sum(when(col("a"), 1L).otherwise(0L)).as("m1"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("m0"))
+    val tot = grid.agg(sum("m1").as("na0"), sum("m0").as("nb0"))
+    // cumulative windows over the time GRID (bounded — see scaladoc)
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = grid.crossJoin(broadcast(tot))
+      .withColumn("n1",
+        col("na0") - coalesce(sum("m1").over(wPrev), lit(0L)))
+      .withColumn("n0",
+        col("nb0") - coalesce(sum("m0").over(wPrev), lit(0L)))
+      .withColumn("n", col("n1") + col("n0"))
+      .withColumn("d", col("d1") + col("d0"))
+      .filter(col("d") > 0L)
+    risk
+      .withColumn("e1", expr(
+        "cast(d as decimal(38,0)) * n1 * 1000000 div n"))
+      .withColumn("vt", when(col("n") > 1L, expr(
+        "cast(d as decimal(38,0)) * n1 * n0 * (n - d) * 1000000000000 " +
+          "div (cast(n as decimal(38,0)) * n * (n - 1))"))
+        .otherwise(lit(0L).cast(dec)))
+      .agg(max("na0").as("n_a"), max("nb0").as("n_b"),
+        sum("d1").as("o_a"),
+        sum("e1").cast(dec).as("e_a_1e6"),
+        sum("vt").cast(dec).as("v_1e12"))
+      .select(col("n_a"), col("n_b"), coalesce(col("o_a"), lit(0L)).as("o_a"),
+        coalesce(col("e_a_1e6"), lit(0L).cast(dec)).cast("string")
+          .as("e_a_1e6"),
+        coalesce(col("v_1e12"), lit(0L).cast(dec)).cast("string")
+          .as("v_1e12"),
+        when(coalesce(col("v_1e12"), lit(0L).cast(dec)) > lit(0L),
+          format_string("%.6f",
+            (col("o_a").cast("double") -
+              col("e_a_1e6").cast("double") / lit(1.0e6d)) /
+              sqrt(col("v_1e12").cast("double") / lit(1.0e12d))))
+          .as("z"))
+  }
 }

@@ -175,6 +175,56 @@ object WebCuration {
     * functions — no UDF); NULL for URLs with no `scheme://host`.
     * Deliberately NOT applied: trailing-slash or percent-encoding
     * normalization — both change semantics on real servers. */
+  /** Longest-prefix-match CIDR join — routing-table semantics for IP
+    * enrichment (ASN/geo/abuse feeds ship as CIDR blocks, and nested
+    * blocks are the NORM: 10.0.0.0/8 says "corp", 10.1.2.0/24 says
+    * "VPN" — the /24 must win). The range-join framing ([[RangeJoin]],
+    * q167) can't express "most specific wins" without a post-pass;
+    * this is the native shape: for each DISTINCT prefix length ℓ in
+    * the table, an EQUI-join on the ℓ-bit truncation, then one
+    * max-struct pick per point.
+    *
+    * Scale shape: the explode factor is |distinct prefix lengths| —
+    * at most 32, typically < 8 — and every join is an exact-key
+    * broadcast hash join against the (small, broadcast) CIDR dim;
+    * no range tiling, no inequality join, no window over the points.
+    * Duplicate (net, len) rows in the dim raise — two labels for one
+    * block would make the match nondeterministic.
+    *
+    * @param points frame carrying `id` and `ipNum` (uint32 as long)
+    * @param cidrs  dim frame: `net` (block base as long), `len`
+    *               (prefix bits 0..32), `label`
+    * @return (id, ip_num, len, label) — the most specific match per
+    *         point; unmatched points carry null len/label */
+  def cidrLongestPrefix(points: DataFrame, id: Column, ipNum: Column,
+                        cidrs: DataFrame, net: Column, len: Column,
+                        label: Column): DataFrame = {
+    val dim = cidrs.select(net.cast("long").as("net"),
+        len.cast("int").as("len"), label.cast("string").as("label"))
+      .withColumn("len", when(col("len") < 0 || col("len") > 32,
+        raise_error(lit("cidrLongestPrefix: len out of 0..32")))
+        .otherwise(col("len")))
+      // truncate the base too: a feed row 10.1.2.3/24 means 10.1.2.0/24
+      .withColumn("key", expr("shiftright(net, 32 - len)"))
+    val dup = dim.groupBy("len", "key").count().filter(col("count") > 1L)
+    require(dup.isEmpty,
+      "cidrLongestPrefix: duplicate (net, len) rows in the CIDR dim")
+    // bounded: at most 33 distinct lengths (documented explode factor)
+    val lens = dim.select("len").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val p = points.select(id.as("id"), ipNum.cast("long").as("ip_num"))
+    val candidates = p.select(col("id"), col("ip_num"),
+        explode(array(lens.map(l => lit(l)): _*)).as("len"))
+      .withColumn("key", expr("shiftright(ip_num, 32 - len)"))
+      .join(broadcast(dim.select("len", "key", "label")),
+        Seq("len", "key"))
+      .groupBy("id", "ip_num")
+      .agg(max(struct(col("len"), col("label"))).as("best"))
+      .select(col("id"), col("ip_num"),
+        col("best.len").as("len"), col("best.label").as("label"))
+    p.join(candidates.select("id", "len", "label"), Seq("id"), "left")
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?([^#]*))?"
     val scheme = lower(regexp_extract(url, pat, 1))

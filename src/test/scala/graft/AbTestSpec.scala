@@ -91,6 +91,38 @@ class AbTestSpec extends SparkSpec {
     assert(got("b") == ((10L, "0.000000", None)))
   }
 
+  test("bhFdr: textbook step-up cut at the largest passing rank") {
+    // thresholds i/5 * 0.05: 0.01, 0.02, 0.03, 0.04, 0.05
+    val p = Seq(("t1", 5000L), ("t2", 11000L), ("t3", 20000L),
+      ("t4", 40000L), ("t5", 130000L)).toDF("id", "p")
+    val got = AbTest.bhFdr(p, col("id"), col("p"), alpha = (5L, 100L))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(got == Map("t1" -> true, "t2" -> true, "t3" -> true,
+      "t4" -> true, "t5" -> false))
+  }
+
+  test("bhFdr: step-up revives a hypothesis below its own threshold") {
+    // p2 = 0.04 > 2/3*0.05 fails ITS line, but p3 = 0.045 <= 0.05
+    // passes rank 3 — the step-up rejects all three
+    val p = Seq(("a", 10000L), ("b", 40000L), ("c", 45000L))
+      .toDF("id", "p")
+    val got = AbTest.bhFdr(p, col("id"), col("p"), alpha = (5L, 100L))
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getBoolean(3)))
+    assert(got.toSet == Set(("a", 1, true), ("b", 2, true),
+      ("c", 3, true)))
+  }
+
+  test("bhFdr: nothing passes -> empty reject set; bad p raises") {
+    val p = Seq(("a", 500000L), ("b", 900000L)).toDF("id", "p")
+    val got = AbTest.bhFdr(p, col("id"), col("p"), alpha = (5L, 100L))
+      .collect().map(_.getBoolean(3))
+    assert(got.forall(!_))
+    intercept[Exception] {
+      AbTest.bhFdr(Seq(("a", 2000000L)).toDF("id", "p"),
+        col("id"), col("p"), alpha = (5L, 100L)).collect()
+    }
+  }
+
   test("srmCheck: hand chi2 on a 60/40 split; unknown arm fails loud") {
     val df = (Seq.fill(60)("treat") ++ Seq.fill(40)("control"))
       .map(Tuple1(_)).toDF("arm")

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bootstrap
+
+class BootstrapSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scala mirror of the engine-side weight: two LCG steps inverted
+    * through the exact Poisson(1) CDF thresholds. */
+  private def w(id: Long, rep: Long, b: Int): Long = {
+    val m = 2147483648L
+    val s1 = Math.floorMod(1103515245L * (id * b + rep) + 12345L, m)
+    val s2 = Math.floorMod(1103515245L * s1 + 12345L, m)
+    val lhs = s2 * 1000000000L
+    val idx = Bootstrap.poissonCumE9.indexWhere(c => lhs < c * m)
+    if (idx < 0) 9L else idx.toLong
+  }
+
+  test("weight: engine column matches the LCG+CDF mirror exactly") {
+    val grid = for (id <- 0L to 40L; rep <- 0L until 8L) yield (id, rep)
+    val got = grid.toDF("id", "rep")
+      .select(col("id"), col("rep"),
+        Bootstrap.weight(col("id"), col("rep"), 8).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    grid.foreach { case (id, rep) =>
+      assert(got((id, rep)) == w(id, rep, 8), s"(id=$id, rep=$rep)")
+    }
+  }
+
+  test("weight: mean mass near 1 — the Poisson(1) calibration") {
+    val mean = (0L until 2000L).map(w(_, 0L, 1)).sum.toDouble / 2000.0
+    assert(mean > 0.9 && mean < 1.1, mean)
+  }
+
+  test("meanSe: constant metric -> zero SE, exact means") {
+    val df = (1L to 50L).map((_, 7L)).toDF("id", "x")
+    val r = Bootstrap.meanSe(df, col("id"), col("x"), b = 64).head()
+    assert(r.getLong(0) == 64L && r.getLong(1) == 50L)
+    assert(r.getString(2) == "7.000000")
+    assert(r.getString(3) == "7.000000")
+    assert(r.getString(4) == "0.000000") // exact-decimal cancellation
+  }
+
+  test("meanSe: full hand mirror on a non-constant metric") {
+    val xs = (1L to 40L).map(i => (i, i * 3L))
+    val r = Bootstrap.meanSe(xs.toDF("id", "x"), col("id"), col("x"),
+      b = 16).head()
+    val means = (0L until 16L).flatMap { rep =>
+      val ws = xs.map { case (id, x) => (w(id, rep, 16), x) }
+      val m = ws.map(_._1).sum
+      if (m > 0) Some(BigDecimal(
+        f"${ws.map(t => t._1 * t._2).sum.toDouble / m.toDouble}%.6f"))
+      else None
+    }
+    val be = means.size
+    val sm = means.sum
+    val num = (BigDecimal(be) * means.map(x => x * x).sum - sm * sm)
+      .toDouble
+    assert(r.getLong(0) == be.toLong)
+    assert(r.getString(3) == f"${sm.toDouble / be.toDouble}%.6f")
+    assert(r.getString(4) ==
+      f"${math.sqrt(num / (be.toDouble * (be.toDouble - 1.0)))}%.6f")
+  }
+}

@@ -92,6 +92,63 @@ class RankStatsSpec extends SparkSpec {
     assert(r2.getLong(3) == 500000L)
   }
 
+  test("ksPerGroup: each group against the rest, pooled grid") {
+    val df = (Seq(1L, 2L).map(("A", _)) ++ Seq(1L, 3L).map(("B", _)) ++
+      Seq(5L).map(("C", _))).toDF("g", "x")
+    val got = RankStats.ksPerGroup(df, col("g"), col("x"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // C = {5} vs rest {1,1,2,3}: at x=3 F_C=0, F_rest=1 -> D = 1
+    assert(got("C") == ((1L, 4L, 4L, 1000000L)))
+    // A = {1,2} vs rest {1,3,5}: max gap at x=2 (2/2 vs 1/3) ->
+    // d_num = |2*3 - 1*2| = 4, D = 4/(2*3) = 2/3
+    assert(got("A") == ((2L, 3L, 4L, 666666L)))
+  }
+
+  test("ksPerGroup: two disjoint groups separate completely") {
+    val df = (Seq(1L, 2L).map(("A", _)) ++ Seq(3L, 4L).map(("B", _)))
+      .toDF("g", "x")
+    val got = RankStats.ksPerGroup(df, col("g"), col("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got == Map("A" -> 1000000L, "B" -> 1000000L))
+  }
+
+  test("hillTailIndex: hand alpha, k clamp, flat tail, raise") {
+    val df = Seq(1000L, 100L, 10L, 1L, 1L).map(("g", _)).toDF("g", "x")
+    val r = RankStats.hillTailIndex(df, col("g"), col("x"), k = 2).head()
+    // ln6(1000)+ln6(100)-2*ln6(10) = 6.907755 exactly; alpha = 2/that
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((5L, 2L, 10L)))
+    assert(r.getString(4) == "6.907755" && r.getString(5) == "0.289530")
+    // k past the group: k_used clamps to n_pos - 1
+    val clamp = RankStats.hillTailIndex(
+      Seq(100L, 10L, 1L).map(("g", _)).toDF("g", "x"),
+      col("g"), col("x"), k = 50).head()
+    assert(clamp.getLong(2) == 2L && clamp.getLong(3) == 1L)
+    // all-equal top: sum_ln = 0 -> alpha null (not a division blowup)
+    val flat = RankStats.hillTailIndex(
+      Seq(7L, 7L, 7L).map(("g", _)).toDF("g", "x"),
+      col("g"), col("x"), k = 2).head()
+    assert(flat.getString(4) == "0.000000" && flat.isNullAt(5))
+    intercept[Exception] {
+      RankStats.hillTailIndex(Seq(("g", 0L)).toDF("g", "x"),
+        col("g"), col("x"), k = 2).collect()
+    }
+  }
+
+  test("hhi: monopoly is 1e6, even split is 1e6/n, negatives raise") {
+    val df = (Seq(("mono", 10L)) ++ (1 to 4).map(i => ("even", 5L)))
+      .toDF("g", "x")
+    val got = RankStats.hhi(df, col("g"), col("x"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("mono") == ((1L, 10L, 1000000L, 1000000L)))
+    assert(got("even") == ((4L, 20L, 250000L, 250000L)))
+    intercept[Exception] {
+      RankStats.hhi(Seq(("g", -1L)).toDF("g", "x"), col("g"), col("x"))
+        .collect()
+    }
+  }
+
   test("gini: equal is 0, one-owner is (n-1)/n, negatives raise") {
     val eq = RankStats.gini(Seq(5L, 5L, 5L, 5L).toDF("x"), col("x"))
       .head()

@@ -41,4 +41,32 @@ class SurvivalSpec extends SparkSpec {
       .collect().map(_.getString(4)).distinct
     assert(got.toSeq == Seq("1.000000"))
   }
+
+  test("logRank: hand O-E and hypergeometric variance terms") {
+    // A: death@1, censor@2;  B: death@1, death@3
+    val subj = Seq((true, 1L, true), (true, 2L, false),
+      (false, 1L, true), (false, 3L, true)).toDF("a", "t", "o")
+    val r = Survival.logRank(subj, col("a"), col("t"), col("o")).head()
+    // t=1: n=4, d=2 -> e1 = 2*2*1e6 div 4 = 1e6;
+    //      v = 2*2*2*2*1e12 div (16*3) = 333333333333
+    // t=3: n1=0 -> e1 = 0, n=1 -> v term 0
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 1L)))
+    assert(r.getString(3) == "1000000")
+    assert(r.getString(4) == "333333333333")
+    assert(r.getString(5) == "0.000000") // O exactly equals E here
+  }
+
+  test("logRank: one-sided risk set only -> zero variance, null z") {
+    val subj = Seq((true, 1L, true), (true, 2L, true))
+      .toDF("a", "t", "o")
+    val r = Survival.logRank(subj, col("a"), col("t"), col("o")).head()
+    assert(r.getLong(1) == 0L && r.isNullAt(5))
+  }
+
+  test("logRank: symmetric groups give z = 0") {
+    val subj = Seq((true, 1L, true), (true, 5L, false),
+      (false, 1L, true), (false, 5L, false)).toDF("a", "t", "o")
+    val r = Survival.logRank(subj, col("a"), col("t"), col("o")).head()
+    assert(r.getString(5) == "0.000000")
+  }
 }

@@ -164,6 +164,45 @@ class WebCurationSpec extends SparkSpec {
       ("b.com", "a.com", 1L)))  // www-normalized source
   }
 
+  test("cidrLongestPrefix: most specific wins, nulls for unmatched") {
+    val pts = Seq((1L, "10.1.2.3"), (2L, "10.9.9.9"), (3L, "11.0.0.1"),
+      (4L, "192.168.1.1")).toDF("id", "ip")
+      .withColumn("ipn", WebCuration.ipv4ToLong(col("ip")))
+    // the /24 base is deliberately un-truncated (10.1.2.99/24): the
+    // operator must normalize it to 10.1.2.0/24
+    val dim = Seq((10L * 16777216L, 8, "corp"),
+      (10L * 16777216L + 1L * 65536L, 16, "office"),
+      (10L * 16777216L + 1L * 65536L + 2L * 256L + 99L, 24, "vpn"))
+      .toDF("net", "len", "label")
+    val got = WebCuration.cidrLongestPrefix(pts, col("id"), col("ipn"),
+        dim, col("net"), col("len"), col("label"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)), Option(r.getString(3))))).toMap
+    assert(got(1L) == ((Some(24), Some("vpn"))))
+    assert(got(2L) == ((Some(8), Some("corp"))))
+    assert(got(3L) == ((None, None)))
+    assert(got(4L) == ((None, None)))
+  }
+
+  test("cidrLongestPrefix: /0 default route catches everything") {
+    val pts = Seq((1L, 3232235777L)).toDF("id", "ipn") // 192.168.1.1
+    val dim = Seq((0L, 0, "default")).toDF("net", "len", "label")
+    val r = WebCuration.cidrLongestPrefix(pts, col("id"), col("ipn"),
+      dim, col("net"), col("len"), col("label")).head()
+    assert(r.getString(3) == "default")
+  }
+
+  test("cidrLongestPrefix: colliding dim blocks raise") {
+    val pts = Seq((1L, 1L)).toDF("id", "ipn")
+    // distinct net values, SAME truncated /24 block -> ambiguous label
+    val dim = Seq((167838209L, 24, "a"), (167838210L, 24, "b"))
+      .toDF("net", "len", "label")
+    intercept[Exception] {
+      WebCuration.cidrLongestPrefix(pts, col("id"), col("ipn"),
+        dim, col("net"), col("len"), col("label")).collect()
+    }
+  }
+
   test("hostRollup plan: blocklist side is a broadcast anti-join") {
     val docs = Seq((1L, "https://a.com/x", "t", "en")).toDF("id", "url", "text", "lang")
     val block = Seq("b.com").toDF("host")
