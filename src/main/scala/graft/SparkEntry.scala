@@ -4725,6 +4725,199 @@ object SparkEntry {
         .orderBy("a")
     }),
 
+    // Geo — grid-bucketed proximity self-join (Geo.proximityJoin):
+    // all point pairs within 250 km over synthetic ±60°-band
+    // coordinates; integer cell keys + 3×3 probe explode, one
+    // %.6f-rounded haversine per candidate.
+    "q284_geo_pairs" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          ((col("doc_id") * 7919) % 120000000L - 60000000L).as("lat_e6"),
+          ((col("doc_id") * 104729) % 360000000L - 180000000L)
+            .as("lon_e6"))
+      Geo.proximityJoin(d, col("doc_id"), col("lat_e6"), col("lon_e6"),
+          radiusMeters = 250000L, maxAbsLatDeg = 60)
+        .withColumn("dist6", col("dist6").cast("string"))
+        .orderBy("a", "b")
+    }),
+
+    // Events — position-based (U-shaped) attribution (EventAnalytics
+    // .positionBasedAttribution): 40/20/40 credit over the 7-day touch
+    // window, exact ×10⁶ integers, floor remainder to the first touch.
+    "q285_position_attribution" -> ((s, dir) =>
+      EventAnalytics.positionBasedAttribution(Tables.events(s, dir),
+          col("user_id"), expr("unix_micros(ts)"), col("event_id"),
+          col("event_type").isin("click", "view"),
+          col("event_type") === "purchase",
+          col("event_type"), lookbackUs = 604800000000L)
+        .orderBy("channel")),
+
+    // Econometrics — two-feature OLS (Trend.olsTwo): price cents on
+    // (quantity, discount cents) over lineitem; nine exact decimal
+    // moments, Cramer's-rule double tree, %.6f once per coefficient.
+    "q286_ols_two" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      Trend.olsTwo(Tables.load(s, dir, "lineitem"),
+        (format_string("%.2f", col("l_extendedprice")).cast(dec2) * 100)
+          .cast("long"),
+        col("l_quantity").cast("long"),
+        (format_string("%.2f", col("l_discount")).cast(dec2) * 100)
+          .cast("long"))
+    }),
+
+    // ML — multinomial Naive Bayes (NaiveBayes.trainPredict): train on
+    // doc_id%3==0 with lang labels, classify the rest; ln-round6
+    // Laplace likelihoods, exact decimal doc scores, (score desc,
+    // class asc) argmax.
+    "q287_naive_bayes" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      NaiveBayes.trainPredict(d.filter(col("doc_id") % 3 === 0),
+          col("text"), col("lang"),
+          d.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"))
+        .orderBy("id")
+    }),
+
+    // ML — isotonic (PAVA) calibration fit in closed form (Evaluation
+    // .isotonicFit): purchase rate as a non-decreasing function of the
+    // value bucket via the max-min characterization — bounded grid²
+    // interval means, %.9f-rounded once, exact min/max.
+    "q289_isotonic" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val ev = Tables.events(s, dir).select(
+        (format_string("%.2f", col("value")).cast(dec2) * 100)
+          .cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("y"))
+      Evaluation.isotonicFit(ev,
+          least(expr("greatest(cents, 0L) div 500"), lit(63L)),
+          col("y"))
+        .orderBy("bucket")
+    }),
+
+    // Governance — approximate-FD audit (DataQuality.fdAudit): TANE-
+    // style g3 violation counts for three candidate dependencies —
+    // the unique-key FD holds, the behavioral one doesn't.
+    "q290_fd_audit" -> ((s, dir) =>
+      DataQuality.fdAudit(Tables.load(s, dir, "orders"), Seq(
+          ("orderkey->custkey", col("o_orderkey"), col("o_custkey")),
+          ("custkey->priority", col("o_custkey"),
+            col("o_orderpriority"))))
+        .unionByName(DataQuality.fdAudit(Tables.load(s, dir, "nation"),
+          Seq(("nation->region", col("n_nationkey"),
+            col("n_regionkey")))))
+        .orderBy("fd")),
+
+    // Causal — stratified ATE (AbTest.stratifiedAte): treated-vs-
+    // control contrast per event type, size-weighted; per-stratum
+    // %.6f terms summed exactly (no float-order dependence).
+    "q291_stratified_ate" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      AbTest.stratifiedAte(Tables.events(s, dir),
+        col("event_type"), col("user_id") % 2 === 0,
+        (format_string("%.2f", col("value")).cast(dec2) * 100)
+          .cast("long"))
+    }),
+
+    // Stats — Mann–Kendall monotone-trend test (Trend.mannKendall):
+    // daily purchase counts; exact pair-grid S and tie-corrected
+    // 18·Var, one continuity-corrected z.
+    "q292_mann_kendall" -> ((s, dir) =>
+      Trend.mannKendall(
+        Tables.events(s, dir).filter(col("event_type") === "purchase")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n_ev")),
+        col("day"), col("n_ev"))),
+
+    // Stats — distribution-free median CI (RankStats.medianCI):
+    // order-statistic rank bracket on acctbal cents; round-once z√n,
+    // exact integer rank ceil/floor, nearest-rank grid picks.
+    "q293_median_ci" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      RankStats.medianCI(Tables.load(s, dir, "customer"),
+        (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+          .cast("long"))
+    }),
+
+    // Text — trigram posting-list substring search (TrigramIndex
+    // .search): candidates share ALL probe grams, exact contains
+    // verify; the oracle replays BOTH the index arithmetic and the
+    // direct scan, certifying the pruning sound.
+    "q294_trigram_search" -> ((s, dir) =>
+      TrigramIndex.search(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"),
+          Seq("window table", "fast merge batch", "zzzqqq"))
+        .orderBy("probe")),
+
+    // Eval — NDCG@10 (Evaluation.ndcgAtK): rank users per event type
+    // by spend, graded relevance = engagement count clamped to 3;
+    // round-once gain terms, exact decimal sums.
+    "q295_ndcg" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val per = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum((format_string("%.2f", col("value")).cast(dec2) * 100)
+          .cast("long")).as("cents"), count(lit(1)).as("n_ev"))
+      Evaluation.ndcgAtK(per, col("event_type"), col("user_id"),
+          least(col("n_ev"), lit(3L)), col("cents"), k = 10)
+        .orderBy("query")
+    }),
+
+    // LLM ops — hard-negative mining for retrieval training: per
+    // query vector, the top-5 most-similar DIFFERENT-label vectors
+    // (similar but wrong = the negatives contrastive training wants);
+    // q31's broadcast brute-force shape with a label-mismatch pair
+    // predicate, exact decimal dots.
+    "q296_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"),
+          Similarity.scale9(col("embedding")).as("qv"))
+      val c = emb.select(col("vec_id").as("cid"),
+        col("label").as("clab"),
+        Similarity.scale9(col("embedding")).as("cv"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("d").desc, col("cid").asc)
+      c.join(broadcast(q),
+          col("qid") =!= col("cid") && col("qlab") =!= col("clab"))
+        .select(col("qid"), col("cid"),
+          Similarity.dot9(col("qv"), col("cv")).as("d"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("cid"),
+          col("d").cast("string").as("score"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // Analytics — 2-D skyline / Pareto front (Skyline.pareto2d): users
+    // unbeaten on BOTH spend bucket and engagement; sort-scan identity
+    // over the bounded spend grid, exact integers, survivor SET is a
+    // pure function of the value multiset.
+    "q297_skyline" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val per = Tables.events(s, dir).groupBy("user_id")
+        .agg(sum((format_string("%.2f", col("value")).cast(dec2) * 100)
+          .cast("long")).as("cents"), count(lit(1)).as("n_ev"))
+        .select(col("user_id"),
+          expr("greatest(cents, 0L) div 1000").as("xb"), col("n_ev"))
+      Skyline.pareto2d(per, col("user_id"), col("xb"), col("n_ev"))
+        .orderBy("id")
+    }),
+
+    // Graphs — sampled harmonic centrality (Bfs.harmonicCentrality):
+    // Σ 10⁶ div d over q137's co-occurrence graph from the p_size=50
+    // seed sample, 3 hops; per-source frontier BFS, exact integers.
+    "q288_harmonic_centrality" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val e = Triangles.coOccurrenceEdges(li, col("l_orderkey"),
+        col("l_partkey"))
+      Bfs.harmonicCentrality(e,
+          p.filter(col("p_size") === 50)
+            .select(col("p_partkey").as("node")),
+          maxHops = 3)
+        .orderBy("src")
+    }),
+
     // Sources — fixed-width records (FixedWidth.read): the customer
     // table rendered as a mainframe-style FWF file (fixture written
     // by the harness via format_string — no driver collect), read
@@ -10220,6 +10413,430 @@ object SparkEntry {
         |SELECT l.a AS a, l.b AS b FROM ab l JOIN ab r2
         |  ON l.a = r2.b AND l.b = r2.a
         |WHERE l.a < l.b ORDER BY l.a""".stripMargin,
+
+    "q284_geo_pairs" -> {
+      // the SAME cell constant Geo.proximityJoin derives from
+      // (radius = 250 km, band = 60°) — one shared plan literal
+      val cell = math.ceil(
+        250000L * 1e6 / 111320.0 / math.cos(60 * math.Pi / 180.0)).toLong
+      val k = "1.7453292519943295e-8"
+      s"""WITH d AS (SELECT doc_id,
+         |    (doc_id * 7919) % 120000000 - 60000000 AS lat,
+         |    (doc_id * 104729) % 360000000 - 180000000 AS lon
+         |  FROM documents),
+         |g AS (SELECT doc_id, lat, lon,
+         |    CAST(FLOOR(lat / $cell) AS BIGINT) AS cy,
+         |    CAST(FLOOR(lon / $cell) AS BIGINT) AS cx FROM d),
+         |cand AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |    a.lat AS la, a.lon AS loa, b.lat AS lb, b.lon AS lob
+         |  FROM g a JOIN g b ON b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         |    AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         |    AND a.doc_id < b.doc_id),
+         |h AS (SELECT a, b, CAST(printf('%.6f',
+         |    12742000.0 * asin(sqrt(LEAST(1.0,
+         |      sin((lb - la) * $k / 2.0) * sin((lb - la) * $k / 2.0)
+         |      + cos(la * $k) * cos(lb * $k)
+         |        * sin((lob - loa) * $k / 2.0)
+         |        * sin((lob - loa) * $k / 2.0)))))
+         |    AS DECIMAL(18,6)) AS dist6
+         |  FROM cand)
+         |SELECT a, b, CAST(dist6 AS VARCHAR) AS dist6 FROM h
+         |WHERE dist6 <= 250000 ORDER BY a, b""".stripMargin
+    },
+
+    "q285_position_attribution" ->
+      """WITH t AS (SELECT user_id AS u, epoch_us(ts) AS tt,
+        |    event_type AS ch
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT user_id AS u, epoch_us(ts) AS tc,
+        |    event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT c.cid, t.tt, t.ch FROM c LEFT JOIN t ON t.u = c.u
+        |  AND t.tt <= c.tc AND t.tt >= c.tc - 604800000000),
+        |r AS (SELECT cid, tt, ch,
+        |    COUNT(tt) OVER (PARTITION BY cid) AS k,
+        |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tt, ch) AS rn
+        |  FROM p),
+        |cr AS (SELECT cid, tt, ch, k, rn,
+        |    CASE WHEN k >= 3 THEN 200000 // (k - 2) END AS mid FROM r),
+        |cc AS (SELECT *,
+        |    CASE WHEN k = 0 THEN 1000000 WHEN k = 1 THEN 1000000
+        |      WHEN k = 2 THEN 500000
+        |      WHEN rn = 1 THEN 400000 + (200000 - (k - 2) * mid)
+        |      WHEN rn = k THEN 400000 ELSE mid END AS credit,
+        |    CASE WHEN tt IS NULL THEN 'organic' ELSE ch END AS channel
+        |  FROM cr)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(credit) AS BIGINT) AS credit_e6
+        |FROM cc GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    "q286_ols_two" ->
+      """WITH v AS (SELECT
+        |    CAST(CAST(printf('%.2f', l_extendedprice) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS yy,
+        |    CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(CAST(printf('%.2f', l_discount) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS x2
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT x1) AS BIGINT) AS nd1,
+        |    CAST(COUNT(DISTINCT x2) AS BIGINT) AS nd2,
+        |    CAST(COUNT(DISTINCT yy) AS BIGINT) AS ndy,
+        |    CAST(SUM(x1) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(x2) AS DECIMAL(38,0)) AS s2,
+        |    CAST(SUM(yy) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DECIMAL(38,0)) AS s11,
+        |    CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DECIMAL(38,0)) AS s22,
+        |    CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DECIMAL(38,0)) AS s12,
+        |    CAST(SUM(CAST(x1 AS HUGEINT) * yy) AS DECIMAL(38,0)) AS s1y,
+        |    CAST(SUM(CAST(x2 AS HUGEINT) * yy) AS DECIMAL(38,0)) AS s2y,
+        |    CAST(SUM(CAST(yy AS HUGEINT) * yy) AS DECIMAL(38,0)) AS syy
+        |  FROM v),
+        |d AS (SELECT n, nd1, nd2, ndy,
+        |    CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS a11,
+        |    CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a22,
+        |    CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS a12,
+        |    CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS b1v,
+        |    CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS b2v,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS syc,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(s1 AS DOUBLE) AS s1d,
+        |    CAST(s2 AS DOUBLE) AS s2d
+        |  FROM m),
+        |e AS (SELECT *, a11 * a22 - a12 * a12 AS det FROM d),
+        |f AS (SELECT *,
+        |    (a22 * b1v - a12 * b2v) / det AS beta1,
+        |    (a11 * b2v - a12 * b1v) / det AS beta2,
+        |    n >= 3 AND nd1 >= 2 AND nd2 >= 2 AND NOT det = 0 AS ok
+        |  FROM e)
+        |SELECT n,
+        |  CASE WHEN ok THEN printf('%.6f',
+        |    (syd - beta1 * s1d - beta2 * s2d) / CAST(n AS DOUBLE)) END
+        |    AS b0_6,
+        |  CASE WHEN ok THEN printf('%.6f', beta1) END AS b1_6,
+        |  CASE WHEN ok THEN printf('%.6f', beta2) END AS b2_6,
+        |  CASE WHEN ok AND ndy >= 2 THEN printf('%.6f',
+        |    (beta1 * b1v + beta2 * b2v) / syc) END AS r2_6
+        |FROM f""".stripMargin,
+
+    "q287_naive_bayes" ->
+      """WITH tr AS (SELECT lang AS c,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ct AS (SELECT c, tok, CAST(COUNT(*) AS BIGINT) AS n_ct
+        |  FROM tr GROUP BY 1, 2),
+        |totc AS (SELECT c, CAST(SUM(n_ct) AS BIGINT) AS n_c FROM ct
+        |  GROUP BY 1),
+        |voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        |  FROM ct),
+        |pri0 AS (SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+        |ntot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM pri0),
+        |pri AS (SELECT c, CAST(printf('%.6f',
+        |    ln(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+        |    AS DECIMAL(18,6)) AS prior6 FROM pri0 CROSS JOIN ntot),
+        |tt AS (SELECT id, tok, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM (SELECT doc_id AS id,
+        |      unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE doc_id % 3 <> 0) GROUP BY 1, 2),
+        |grid AS (SELECT tc.c, dt.tok, CAST(printf('%.6f',
+        |    ln(CAST(COALESCE(ct.n_ct, 0) + 1 AS DOUBLE)
+        |      / CAST(tc.n_c + voc.v AS DOUBLE)))
+        |    AS DECIMAL(18,6)) AS lnp6
+        |  FROM (SELECT DISTINCT tok FROM tt) dt CROSS JOIN totc tc
+        |  CROSS JOIN voc
+        |  LEFT JOIN ct ON ct.c = tc.c AND ct.tok = dt.tok),
+        |sc AS (SELECT tt.id, g.c,
+        |    CAST(SUM(tt.m * g.lnp6) AS DECIMAL(38,6)) AS tok_score
+        |  FROM tt JOIN grid g ON g.tok = tt.tok GROUP BY 1, 2),
+        |fin AS (SELECT sc.id, sc.c,
+        |    CAST(pri.prior6 + sc.tok_score AS DECIMAL(38,6)) AS score
+        |  FROM sc JOIN pri ON pri.c = sc.c),
+        |r AS (SELECT id, c, score, ROW_NUMBER() OVER (PARTITION BY id
+        |    ORDER BY score DESC, c ASC) AS rn FROM fin)
+        |SELECT id, c AS pred, CAST(score AS VARCHAR) AS score6
+        |FROM r WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    "q289_isotonic" ->
+      """WITH ev AS (SELECT LEAST(GREATEST(CAST(CAST(printf('%.2f',
+        |      value) AS DECIMAL(18,2)) * 100 AS BIGINT), 0) // 500,
+        |      63) AS b,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS w,
+        |    CAST(SUM(y) AS BIGINT) AS s FROM ev GROUP BY 1),
+        |pre AS (SELECT b, w, s, SUM(w) OVER (ORDER BY b) AS cw,
+        |    SUM(s) OVER (ORDER BY b) AS cs FROM g),
+        |pairs AS (SELECT k.b AS kb, j.b AS jb,
+        |    CAST(printf('%.9f', CAST(j.cs - (k.cs - k.s) AS DOUBLE)
+        |      / CAST(j.cw - (k.cw - k.w) AS DOUBLE)) AS DECIMAL(28,9))
+        |      AS avg9
+        |  FROM pre k JOIN pre j ON k.b <= j.b),
+        |suf AS (SELECT kb, jb, MIN(avg9) OVER (PARTITION BY kb
+        |    ORDER BY jb DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS mkj FROM pairs),
+        |fit AS (SELECT jb AS b, MAX(mkj) AS f9 FROM suf GROUP BY 1)
+        |SELECT g.b AS bucket, g.w, g.s,
+        |  printf('%.9f', CAST(g.s AS DOUBLE) / CAST(g.w AS DOUBLE))
+        |    AS raw9,
+        |  CAST(f9 AS VARCHAR) AS fitted9
+        |FROM g JOIN fit ON fit.b = g.b ORDER BY bucket""".stripMargin,
+
+    "q290_fd_audit" ->
+      """WITH p1 AS (SELECT CAST(o_orderkey AS VARCHAR) AS a,
+        |    CAST(o_custkey AS VARCHAR) AS bv,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM orders GROUP BY 1, 2),
+        |g1 AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a,
+        |    CAST(MAX(n_ab) AS BIGINT) AS maxc,
+        |    CAST(COUNT(*) AS BIGINT) AS nd FROM p1 GROUP BY 1),
+        |r1 AS (SELECT 'orderkey->custkey' AS fd,
+        |    CAST(COALESCE(SUM(n_a), 0) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS violating_groups,
+        |    CAST(COALESCE(SUM(n_a - maxc), 0) AS BIGINT) AS violations
+        |  FROM g1),
+        |p2 AS (SELECT CAST(o_custkey AS VARCHAR) AS a,
+        |    CAST(o_orderpriority AS VARCHAR) AS bv,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM orders GROUP BY 1, 2),
+        |g2 AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a,
+        |    CAST(MAX(n_ab) AS BIGINT) AS maxc,
+        |    CAST(COUNT(*) AS BIGINT) AS nd FROM p2 GROUP BY 1),
+        |r2 AS (SELECT 'custkey->priority' AS fd,
+        |    CAST(COALESCE(SUM(n_a), 0) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS violating_groups,
+        |    CAST(COALESCE(SUM(n_a - maxc), 0) AS BIGINT) AS violations
+        |  FROM g2),
+        |p3 AS (SELECT CAST(n_nationkey AS VARCHAR) AS a,
+        |    CAST(n_regionkey AS VARCHAR) AS bv,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM nation GROUP BY 1, 2),
+        |g3 AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a,
+        |    CAST(MAX(n_ab) AS BIGINT) AS maxc,
+        |    CAST(COUNT(*) AS BIGINT) AS nd FROM p3 GROUP BY 1),
+        |r3 AS (SELECT 'nation->region' AS fd,
+        |    CAST(COALESCE(SUM(n_a), 0) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(COALESCE(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS violating_groups,
+        |    CAST(COALESCE(SUM(n_a - maxc), 0) AS BIGINT) AS violations
+        |  FROM g3)
+        |SELECT fd, n_rows, n_groups, violating_groups, violations,
+        |  violations = 0 AS holds
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |  UNION ALL SELECT * FROM r3) ORDER BY fd""".stripMargin,
+
+    "q291_stratified_ate" ->
+      """WITH v AS (SELECT event_type AS b, user_id % 2 = 0 AS t,
+        |    CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS y FROM events),
+        |per AS (SELECT b,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc,
+        |    CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS st,
+        |    CAST(SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT)
+        |      AS sc
+        |  FROM v GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(nt + nc) AS BIGINT) AS n_used
+        |  FROM per WHERE nt > 0 AND nc > 0),
+        |terms AS (SELECT per.*, tot.n_used,
+        |    nt > 0 AND nc > 0 AS used,
+        |    CASE WHEN nt > 0 AND nc > 0 THEN CAST(printf('%.6f',
+        |      (CAST(nt + nc AS DOUBLE) * (CAST(st AS DOUBLE)
+        |        * CAST(nc AS DOUBLE) - CAST(sc AS DOUBLE)
+        |        * CAST(nt AS DOUBLE)))
+        |      / (CAST(n_used AS DOUBLE) * CAST(nt AS DOUBLE)
+        |        * CAST(nc AS DOUBLE))) AS DECIMAL(18,6)) END AS term6
+        |  FROM per CROSS JOIN tot)
+        |SELECT CAST(COALESCE(MAX(n_used), 0) AS BIGINT) AS n_used,
+        |  CAST(COALESCE(SUM(CASE WHEN used THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_strata_used,
+        |  CAST(COALESCE(SUM(CASE WHEN NOT used THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_strata_dropped,
+        |  CASE WHEN COALESCE(SUM(CASE WHEN used THEN 1 ELSE 0 END), 0)
+        |      > 0
+        |    THEN CAST(CAST(SUM(term6) AS DECIMAL(38,6)) AS VARCHAR)
+        |    END AS ate6
+        |FROM terms""".stripMargin,
+
+    "q297_skyline" ->
+      """WITH per AS (SELECT user_id AS id,
+        |    GREATEST(CAST(SUM(CAST(CAST(printf('%.2f', value)
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT), 0)
+        |      // 1000 AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |grid AS (SELECT x, CAST(MAX(y) AS BIGINT) AS y FROM per
+        |  GROUP BY 1),
+        |f AS (SELECT x, y, MAX(y) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS my
+        |  FROM grid),
+        |front AS (SELECT x, y FROM f WHERE my IS NULL OR my < y)
+        |SELECT per.id, per.x, per.y FROM per
+        |JOIN front ON front.x = per.x AND front.y = per.y
+        |ORDER BY per.id""".stripMargin,
+
+    "q295_ndcg" ->
+      """WITH per AS (SELECT event_type AS q, user_id AS it,
+        |    CAST(SUM(CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT)) AS BIGINT) AS sc,
+        |    LEAST(CAST(COUNT(*) AS BIGINT), 3) AS rel
+        |  FROM events GROUP BY 1, 2),
+        |dr AS (SELECT q, it, rel, ROW_NUMBER() OVER (PARTITION BY q
+        |    ORDER BY sc DESC, it ASC) AS r FROM per),
+        |dcg AS (SELECT q, CAST(SUM(CAST(printf('%.6f',
+        |      CAST(rel AS DOUBLE) / log2(r + 1)) AS DECIMAL(18,6)))
+        |    AS DECIMAL(38,6)) AS dcg6
+        |  FROM dr WHERE r <= 10 GROUP BY 1),
+        |ir AS (SELECT q, it, rel, ROW_NUMBER() OVER (PARTITION BY q
+        |    ORDER BY rel DESC, it ASC) AS r FROM per),
+        |idcg AS (SELECT q, CAST(SUM(CAST(printf('%.6f',
+        |      CAST(rel AS DOUBLE) / log2(r + 1)) AS DECIMAL(18,6)))
+        |    AS DECIMAL(38,6)) AS idcg6
+        |  FROM ir WHERE r <= 10 GROUP BY 1)
+        |SELECT dcg.q AS query, CAST(dcg6 AS VARCHAR) AS dcg6,
+        |  CAST(idcg6 AS VARCHAR) AS idcg6,
+        |  CASE WHEN idcg6 > 0 THEN printf('%.6f',
+        |    CAST(dcg6 AS DOUBLE) / CAST(idcg6 AS DOUBLE)) END AS ndcg6
+        |FROM dcg JOIN idcg ON idcg.q = dcg.q
+        |ORDER BY query""".stripMargin,
+
+    "q296_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, label AS qlab,
+        |    embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS cid, label AS clab,
+        |    embedding AS cvec FROM embeddings),
+        |p AS (SELECT qid, cid, unnest(qvec) AS x, unnest(cvec) AS y
+        |  FROM q JOIN c ON qid <> cid AND qlab <> clab),
+        |d AS (SELECT qid, cid,
+        |    SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR)
+        |        AS DECIMAL(18,9))
+        |      * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR)
+        |        AS DECIMAL(18,9))) AS dp
+        |  FROM p GROUP BY 1, 2),
+        |r AS (SELECT qid, cid, dp, ROW_NUMBER() OVER (PARTITION BY qid
+        |    ORDER BY dp DESC, cid ASC) AS rnk FROM d)
+        |SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid,
+        |  CAST(dp AS VARCHAR) AS score
+        |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q292_mann_kendall" ->
+      """WITH g AS (SELECT epoch_us(ts) // 86400000000 AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |sA AS (SELECT CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+        |  FROM g a JOIN g b ON a.t < b.t),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+        |ties AS (SELECT CAST(COALESCE(SUM(tg * (tg - 1)
+        |      * (2 * tg + 5)), 0) AS BIGINT) AS tie_term
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tg FROM g
+        |    GROUP BY y)),
+        |v AS (SELECT s, n,
+        |    n * (n - 1) * (2 * n + 5) - tie_term AS var18
+        |  FROM sA CROSS JOIN n CROSS JOIN ties)
+        |SELECT n, s, CAST(var18 AS BIGINT) AS var18,
+        |  CASE WHEN var18 > 0 THEN printf('%.6f',
+        |    (CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+        |      WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) ELSE 0.0 END)
+        |    / sqrt(CAST(var18 AS DOUBLE) / 18.0)) END AS z6
+        |FROM v""".stripMargin,
+
+    "q293_median_ci" ->
+      """WITH v AS (SELECT CAST(CAST(printf('%.2f', c_acctbal)
+        |    AS DECIMAL(18,2)) * 100 AS BIGINT) AS x FROM customer),
+        |g AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM v
+        |  GROUP BY 1),
+        |c AS (SELECT x, SUM(cnt) OVER (ORDER BY x) AS cum FROM g),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |r AS (SELECT n, CAST(CAST(printf('%.6f',
+        |    1.959964 * sqrt(CAST(n AS DOUBLE))) AS DECIMAL(18,6))
+        |    * 1000000 AS BIGINT) AS he6 FROM n),
+        |r2 AS (SELECT n, he6,
+        |    GREATEST(1, (n * 1000000 - he6 + 1999999) // 2000000) AS l,
+        |    LEAST(n, (n * 1000000 + he6) // 2000000 + 1) AS u,
+        |    (n + 1) // 2 AS mid FROM r)
+        |SELECT MAX(n) AS n, CAST(MAX(l) AS BIGINT) AS l,
+        |  CAST(MAX(u) AS BIGINT) AS u,
+        |  CAST(MIN(CASE WHEN cum >= l THEN x END) AS BIGINT) AS x_lo,
+        |  CAST(MIN(CASE WHEN cum >= mid THEN x END) AS BIGINT)
+        |    AS x_med,
+        |  CAST(MIN(CASE WHEN cum >= u THEN x END) AS BIGINT) AS x_hi
+        |FROM c CROSS JOIN r2""".stripMargin,
+
+    "q294_trigram_search" -> {
+      val probes = Seq("window table", "fast merge batch", "zzzqqq")
+      val vals = probes.flatMap { p =>
+        val pl = p.toLowerCase
+        (0 to pl.length - 3).map(i => (p, pl.substring(i, i + 3)))
+      }.distinct.map { case (p, g) => s"('$p', '$g')" }.mkString(", ")
+      s"""WITH pg(probe, gram) AS (SELECT * FROM (VALUES $vals)),
+         |post AS (SELECT DISTINCT id, gram FROM (
+         |  SELECT doc_id AS id, unnest(list_transform(
+         |      range(1, length(lower(text)) - 1),
+         |      i -> substring(lower(text), i, 3))) AS gram
+         |    FROM documents WHERE length(lower(text)) >= 3)),
+         |need AS (SELECT probe, CAST(COUNT(DISTINCT gram) AS BIGINT)
+         |    AS need FROM pg GROUP BY 1),
+         |cand AS (SELECT pg.probe, post.id,
+         |    CAST(COUNT(*) AS BIGINT) AS have
+         |  FROM post JOIN pg ON pg.gram = post.gram GROUP BY 1, 2),
+         |ok AS (SELECT cand.probe, cand.id FROM cand
+         |  JOIN need ON need.probe = cand.probe
+         |  WHERE cand.have = need.need),
+         |ver AS (SELECT ok.probe, CAST(COUNT(*) AS BIGINT)
+         |      AS n_candidates,
+         |    CAST(SUM(CASE WHEN contains(lower(d.text),
+         |      lower(ok.probe)) THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_matches
+         |  FROM ok JOIN documents d ON d.doc_id = ok.id GROUP BY 1)
+         |SELECT need.probe,
+         |  COALESCE(n_candidates, 0) AS n_candidates,
+         |  COALESCE(n_matches, 0) AS n_matches
+         |FROM need LEFT JOIN ver ON ver.probe = need.probe
+         |ORDER BY need.probe""".stripMargin
+    },
+
+    "q288_harmonic_centrality" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM ps a
+        |  JOIN ps b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u AS s, v AS d FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |d0 AS (SELECT DISTINCT p_partkey AS src FROM part
+        |  WHERE p_size = 50),
+        |h0 AS (SELECT src, src AS node FROM d0),
+        |f1 AS (SELECT DISTINCT h.src, sym.d AS node FROM h0 h
+        |  JOIN sym ON sym.s = h.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM h0 x
+        |    WHERE x.src = h.src AND x.node = sym.d)),
+        |s1_ AS (SELECT * FROM h0 UNION ALL SELECT * FROM f1),
+        |f2 AS (SELECT DISTINCT h.src, sym.d AS node FROM f1 h
+        |  JOIN sym ON sym.s = h.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s1_ x
+        |    WHERE x.src = h.src AND x.node = sym.d)),
+        |s2_ AS (SELECT * FROM s1_ UNION ALL SELECT * FROM f2),
+        |f3 AS (SELECT DISTINCT h.src, sym.d AS node FROM f2 h
+        |  JOIN sym ON sym.s = h.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s2_ x
+        |    WHERE x.src = h.src AND x.node = sym.d)),
+        |alld AS (SELECT src, node, 1 AS hop FROM f1
+        |  UNION ALL SELECT src, node, 2 FROM f2
+        |  UNION ALL SELECT src, node, 3 FROM f3)
+        |SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |  CAST(SUM(1000000 // hop) AS BIGINT) AS harmonic_e6
+        |FROM alld GROUP BY 1 ORDER BY src""".stripMargin,
 
     "q221_fixed_width" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,

@@ -325,4 +325,57 @@ object AbTest {
         format_string("%.6f", lit(100.0d) * cv * cv / (vx * vy)))
         .as("rho2_pct"))
   }
+
+  /** Stratified (blocked) average treatment effect — the observational
+    * companion to [[diffInDiff]]/[[cuped]]: within each stratum b the
+    * treated-vs-control mean difference is an apples-to-apples
+    * contrast, and the ATE reweights those contrasts by stratum size:
+    * ATE = Σ_b (n_b/N)·(ȳ_t,b − ȳ_c,b), over strata carrying BOTH
+    * arms (one-armed strata have no contrast — reported, not
+    * silently averaged in).
+    *
+    * Determinism: per-stratum term = (n_b·(s_t·n_c − s_c·n_t)) /
+    * (N·n_t·n_c) — one fixed double tree from exact integers, rounded
+    * %.6f ONCE into decimal(18,6); the cross-strata sum is then EXACT
+    * decimal (an unordered float Σ would be partition-order-
+    * dependent — the repo's h-rate discipline).
+    *
+    * @param y exact-integer unitized outcome
+    * @return one row: (n_used — rows in two-armed strata —
+    *         n_strata_used, n_strata_dropped, ate6; null ate when no
+    *         stratum has both arms) */
+  def stratifiedAte(df: DataFrame, stratum: Column, treated: Column,
+                    y: Column): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val per = df.select(stratum.as("b"), treated.cast("boolean").as("t"),
+        y.cast("long").as("y"))
+      .filter(col("t").isNotNull)
+      .groupBy("b").agg(
+        sum(when(col("t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t"), col("y")).otherwise(0L)).as("st"),
+        sum(when(!col("t"), col("y")).otherwise(0L)).as("sc"))
+      .withColumn("used", col("nt") > 0L && col("nc") > 0L)
+    val tot = per.filter(col("used"))
+      .agg(sum(col("nt") + col("nc")).as("n_used"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("term6", when(col("used"), format_string("%.6f",
+        ((col("nt") + col("nc")).cast("double") *
+          (col("st").cast("double") * col("nc").cast("double") -
+            col("sc").cast("double") * col("nt").cast("double"))) /
+          (col("n_used").cast("double") * col("nt").cast("double") *
+            col("nc").cast("double"))).cast(d6)))
+      .agg(max("n_used").as("n_used"),
+        sum(when(col("used"), 1L).otherwise(0L)).as("n_strata_used"),
+        sum(when(!col("used"), 1L).otherwise(0L))
+          .as("n_strata_dropped"),
+        sum("term6").cast(org.apache.spark.sql.types.DecimalType(38, 6))
+          .as("ate_sum"))
+      .select(coalesce(col("n_used"), lit(0L)).as("n_used"),
+        coalesce(col("n_strata_used"), lit(0L)).as("n_strata_used"),
+        coalesce(col("n_strata_dropped"), lit(0L))
+          .as("n_strata_dropped"),
+        when(coalesce(col("n_strata_used"), lit(0L)) > 0L,
+          col("ate_sum").cast("string")).as("ate6"))
+  }
 }

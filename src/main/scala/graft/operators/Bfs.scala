@@ -72,4 +72,72 @@ object Bfs {
       .map { case (hop, f) => f.withColumn("hop", lit(hop)) }
       .reduce(_ unionByName _)
   }
+
+  /** Per-source hop distances — [[hopDistance]] with the frontier keyed
+    * (src, node) instead of node, so every source keeps its OWN
+    * distance field: the building block for sampled centralities
+    * (harmonic/closeness), k-hop ego features per account, and
+    * landmark-distance embeddings.
+    *
+    * Scale shape: identical loop discipline (edges symmetrized +
+    * partitioned once, frontier-only shuffles and checkpoints), but
+    * state is |sources| × reached nodes — the SOURCE SET is the cost
+    * dial. Sample sources (the intended use: centrality over a seeded
+    * sample, scaled up by the sampling rate); `maxSources` raises if a
+    * caller accidentally passes the whole node set.
+    *
+    * @return (src, node, hop), hop ≤ maxHops, including (src, src, 0);
+    *         deterministic — min-hop per (src, node) has no ties */
+  def perSourceHops(edges: DataFrame, sources: DataFrame, maxHops: Int,
+                    maxSources: Long = 100000L): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val und = edges.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = und.select(col("u").as("src_n"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src_n"), col("u").as("dst")))
+      .repartition(col("src_n")).localCheckpoint(true)
+    val seed = sources.select(sources.columns.head).toDF("src")
+      .distinct().withColumn("node", col("src")).localCheckpoint(true)
+    require(seed.count() <= maxSources,
+      s"perSourceHops: source set exceeds maxSources=$maxSources - " +
+        "sample sources; per-source state is |sources| x reach")
+    var frontiers = List(0L -> seed)
+    var frontier = seed
+    var settled = seed
+    var h = 1L
+    while (h <= maxHops && !frontier.isEmpty) {
+      val reached = sym
+        .join(frontier.withColumnRenamed("node", "src_n"),
+          Seq("src_n"))
+        .select(col("src"), col("dst").as("node")).distinct()
+      frontier = reached
+        .join(settled, Seq("src", "node"), "left_anti")
+        .localCheckpoint(true)
+      frontiers ::= h -> frontier
+      settled = settled.unionByName(frontier)
+      h += 1
+    }
+    frontiers.reverse
+      .map { case (hop, f) => f.withColumn("hop", lit(hop)) }
+      .reduce(_ unionByName _)
+      .select(col("src"), col("node"), col("hop"))
+  }
+
+  /** Sampled harmonic centrality — Σ 1/d(s, v) over v within `maxHops`
+    * of each sampled source s (Boldi & Vigna 2014's centrality, the
+    * closeness variant that handles disconnection gracefully: absent
+    * pairs contribute 0, no infinite means). Exact arithmetic: each
+    * term is the integer 10⁶ div d, summed exactly — no floats.
+    *
+    * @return per source: (src, n_reached — nodes within maxHops,
+    *         excluding itself — harmonic_e6) */
+  def harmonicCentrality(edges: DataFrame, sources: DataFrame,
+                         maxHops: Int): DataFrame =
+    perSourceHops(edges, sources, maxHops)
+      .filter(col("hop") > 0L)
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div hop")).as("harmonic_e6"))
 }

@@ -211,4 +211,45 @@ object DataQuality {
         abs(col("n").cast("double") / col("n_total").cast("double") - expected)))
       .drop("n_total")
   }
+
+  /** Approximate-functional-dependency audit — "does column A
+    * determine column B, and by how much does the data disagree?" —
+    * the schema-discovery / constraint-mining primitive (TANE-style g₃
+    * error): for each candidate FD, violations = Σ over A-groups of
+    * (group size − the group's majority-B count), i.e. the minimum
+    * number of rows to delete for the FD to hold exactly.
+    *
+    * Determinism: pure integer counting — the majority count is a max
+    * of counts (ties don't matter: only the COUNT enters). NULLs are
+    * compared as values (two NULL Bs agree), matching the SQL GROUP BY
+    * semantics both engines share.
+    *
+    * Scale shape: per candidate, one (A,B) aggregate, one A rollup,
+    * one total — all map-side-combinable; candidates are a bounded
+    * plan-literal list, each its own pass over the two columns only
+    * (column pruning keeps the scans narrow).
+    *
+    * @param fds (name, lhs, rhs) candidate dependencies
+    * @return per candidate: (fd, n_rows, n_groups — distinct LHS —
+    *         violating_groups, violations, holds) */
+  def fdAudit(df: DataFrame, fds: Seq[(String, Column, Column)]): DataFrame = {
+    require(fds.nonEmpty, "need at least one candidate FD")
+    fds.map { case (name, lhs, rhs) =>
+      val per = df.select(lhs.cast("string").as("a"),
+          rhs.cast("string").as("bv"))
+        .groupBy("a", "bv").agg(count(lit(1)).as("n_ab"))
+        .groupBy("a").agg(sum("n_ab").as("n_a"),
+          max("n_ab").as("maxc"), count(lit(1)).as("ndist"))
+      per.agg(
+          coalesce(sum("n_a"), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("ndist") > 1L, 1L).otherwise(0L)),
+            lit(0L)).as("violating_groups"),
+          coalesce(sum(col("n_a") - col("maxc")), lit(0L))
+            .as("violations"))
+        .select(lit(name).as("fd"), col("n_rows"), col("n_groups"),
+          col("violating_groups"), col("violations"),
+          (col("violations") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -177,4 +177,102 @@ object Evaluation {
           lit(1000000L) - expr("(1000000L * __num) div __den")))
       .drop("__num", "__den")
   }
+
+  /** NDCG@k — THE graded ranking metric ([[aucExact]] handles binary
+    * relevance; search/recommendation evals are graded): DCG@k =
+    * Σ_{r≤k} rel_r / log₂(r+1) under the system's ranking, normalized
+    * by the same sum under the IDEAL ranking (rel desc).
+    *
+    * Determinism: both rankings are total orders ((score desc, item
+    * asc) / (rel desc, item asc)); each gain term rounds %.6f ONCE
+    * (log₂ is libm — the round-once discipline absorbs last-ulp skew),
+    * sums are exact decimal, ndcg is one final division.
+    *
+    * Scale shape: two query-partitioned rank windows with the k-limit
+    * pushed down (WindowGroupLimit), one aggregate each, an equi-join
+    * on query. Nothing global.
+    *
+    * @param rel graded relevance as an exact integer (0 = irrelevant)
+    * @param score system score, exact integer (caller-unitized)
+    * @return per query: (query, dcg6, idcg6, ndcg6 — null when the
+    *         query has no relevant item at all) */
+  def ndcgAtK(df: DataFrame, query: Column, item: Column, rel: Column,
+              score: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.types.DecimalType
+    val d6 = DecimalType(18, 6)
+    val d38 = DecimalType(38, 6)
+    val v = df.select(query.as("q"), item.as("it"),
+      rel.cast("long").as("rel"), score.cast("long").as("sc"))
+    def gain(w: org.apache.spark.sql.expressions.WindowSpec,
+             out: String) =
+      v.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+        .withColumn("t", format_string("%.6f",
+          col("rel").cast("double") / log2(col("r") + 1)).cast(d6))
+        .groupBy("q").agg(sum("t").cast(d38).as(out))
+    val dcg = gain(Window.partitionBy("q")
+      .orderBy(col("sc").desc, col("it").asc), "dcg6")
+    val idcg = gain(Window.partitionBy("q")
+      .orderBy(col("rel").desc, col("it").asc), "idcg6")
+    dcg.join(idcg, Seq("q"))
+      .select(col("q").as("query"),
+        col("dcg6").cast("string").as("dcg6"),
+        col("idcg6").cast("string").as("idcg6"),
+        when(col("idcg6") > lit(0L), format_string("%.6f",
+          col("dcg6").cast("double") / col("idcg6").cast("double")))
+          .as("ndcg6"))
+  }
+
+  /** Isotonic (PAVA) calibration fit in CLOSED FORM — the monotone
+    * score→probability map model calibration actually ships (Platt's
+    * logistic rival; sklearn's `IsotonicRegression`), computed not by
+    * the sequential pool-adjacent-violators sweep (driver-side, order-
+    * dependent) but by its max-min characterization (Robertson, Wright
+    * & Dykstra 1988): fitted(i) = max_{k≤i} min_{j≥i} mean(y, k..j),
+    * which is pure relational algebra over the bucket grid.
+    *
+    * Determinism: each interval mean rounds %.9f ONCE into a decimal
+    * key; min/max over decimals are exact, so the fit — and its
+    * automatic monotonicity — replays bit-identically anywhere.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the data to
+    * the bucket grid (caller unitizes scores into ≤ maxBuckets
+    * buckets — enforced loudly), then grid² interval pairs with
+    * bucket-partitioned windows: all bounded work, the corpus is
+    * touched exactly once.
+    *
+    * @param y exact integer outcome (0/1 labels or unitized values)
+    * @return per bucket: (bucket, w — rows — s — Σy — raw9, fitted9);
+    *         fitted9 is non-decreasing in bucket by construction */
+  def isotonicFit(df: DataFrame, bucket: Column, y: Column,
+                  maxBuckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d9 = DecimalType(28, 9)
+    val g = df.select(bucket.cast("long").as("b"), y.cast("long").as("y"))
+      .groupBy("b").agg(count(lit(1)).as("w"), sum("y").as("s"))
+    val nb = g.count() // bounded-grid contract, checked loudly
+    require(nb <= maxBuckets,
+      s"isotonicFit: $nb buckets exceeds maxBuckets=$maxBuckets - " +
+        "unitize the score into a bounded grid first")
+    val wOrd = Window.orderBy("b") // bounded grid (require above)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = g.withColumn("cw", sum("w").over(wOrd))
+      .withColumn("cs", sum("s").over(wOrd))
+    val kSide = pre.select(col("b").as("kb"),
+      (col("cs") - col("s")).as("ps"), (col("cw") - col("w")).as("pw"))
+    val jSide = pre.select(col("b").as("jb"), col("cs"), col("cw"))
+    val pairs = kSide.join(jSide, col("kb") <= col("jb"))
+      .withColumn("avg9", format_string("%.9f",
+        (col("cs") - col("ps")).cast("double") /
+          (col("cw") - col("pw")).cast("double")).cast(d9))
+    val wSuf = Window.partitionBy("kb").orderBy(col("jb").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fitted = pairs.withColumn("mkj", min("avg9").over(wSuf))
+      .groupBy(col("jb").as("b")).agg(max("mkj").as("f9"))
+    g.join(fitted, Seq("b"))
+      .select(col("b").as("bucket"), col("w"), col("s"),
+        format_string("%.9f", col("s").cast("double") /
+          col("w").cast("double")).as("raw9"),
+        col("f9").cast("string").as("fitted9"))
+  }
 }

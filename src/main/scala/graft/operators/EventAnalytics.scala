@@ -429,4 +429,62 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_events"), max("burst").as("max_burst"))
       .withColumn("is_flagged", col("max_burst") >= threshold)
   }
+
+  /** Position-based (U-shaped) multi-touch attribution — the credit
+    * model between [[lastTouchAttribution]]'s winner-take-all and
+    * linear's flat split: per conversion, the FIRST in-window touch
+    * earns 40%, the LAST 40%, and the middles share the remaining 20%
+    * equally. Conversions with no in-window touch credit "organic".
+    *
+    * Determinism: credit is exact ×10⁶ integers — k=1 → 10⁶; k=2 →
+    * 500000 each; k≥3 → first 400000 + r, last 400000, each middle
+    * 200000 div (k−2) with the floor remainder r folded into the
+    * first touch, so every conversion's credit sums to EXACTLY 10⁶
+    * (Σ credit_e6 = n_conversions · 10⁶ — a spec-pinned invariant).
+    * Touches order by (time, channel); rows identical on both are
+    * interchangeable only within one channel, so per-CHANNEL sums —
+    * the reported grain — are total-order stable.
+    *
+    * Scale shape: one user-keyed equi-join of conversions to touches
+    * with the window predicate in the join condition (per-pair
+    * fan-out bounded by the lookback), then conversion-partitioned
+    * rank/count windows, then one channel rollup. No global windows.
+    *
+    * @param convId unique conversion id (evaluated on conversion rows)
+    * @return per channel: (channel, n_rows — credited touch rows, or
+    *         conversions for "organic" — credit_e6) */
+  def positionBasedAttribution(events: DataFrame, user: Column,
+                               ts: Column, convId: Column,
+                               isTouch: Column, isConversion: Column,
+                               channel: Column,
+                               lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 0, "lookbackUs must be positive")
+    val touches = events.filter(isTouch).select(user.as("tu"),
+      ts.cast("long").as("tt"), channel.cast("string").as("ch"))
+    val convs = events.filter(isConversion).select(user.as("u"),
+      ts.cast("long").as("tc"), convId.cast("long").as("cid"))
+    val paired = convs.join(touches,
+      col("u") === col("tu") && col("tt") <= col("tc") &&
+        col("tt") >= col("tc") - lookbackUs, "left")
+    val wC = Window.partitionBy("cid")
+    val wR = Window.partitionBy("cid").orderBy("tt", "ch")
+    val credited = paired
+      .withColumn("k", count(col("tt")).over(wC))
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("mid",
+        when(col("k") >= 3L, expr("200000 div (k - 2)")))
+      .withColumn("credit_e6",
+        when(col("k") === 0L, 1000000L)
+          .when(col("k") === 1L, 1000000L)
+          .when(col("k") === 2L, 500000L)
+          .when(col("rn") === 1L, lit(400000L) +
+            (lit(200000L) - (col("k") - 2L) * col("mid")))
+          .when(col("rn") === col("k"), 400000L)
+          .otherwise(col("mid")))
+      .withColumn("channel",
+        when(col("tt").isNull, "organic").otherwise(col("ch")))
+    credited.groupBy("channel")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("credit_e6").as("credit_e6"))
+  }
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Geospatial primitives — the location shelf a web/event corpus needs
+  * (store-visit joins, geo-dedup, POI enrichment) built on the repo's
+  * engine-invariance discipline: coordinates are exact integer
+  * MICRODEGREES (degree × 10⁶, the common telemetry wire format; ~11 cm
+  * of latitude), every trig evaluation is one fixed IEEE double tree
+  * rounded %.6f ONCE, and the candidate generation is pure integer
+  * arithmetic an external engine replays verbatim.
+  *
+  * Scale shape: [[proximityJoin]] is the classic spatial-bucketing
+  * join — ONE integer cell key per point, a 3×3 neighbor explode on
+  * the probe side only (bounded ×9), then an equi-join on the cell
+  * key. No range/theta join, no cross join, no R-tree to broadcast;
+  * density skew (cities) surfaces as ordinary hash-join key skew,
+  * handled by the same AQE/salting playbook as any hot key.
+  */
+object Geo {
+
+  /** 10⁻⁶ deg → radians as ONE double literal (π/180/10⁶): a single
+    * multiply per coordinate, identical token in the oracle — avoids
+    * the engines' radians() builtins, which associate the constant
+    * differently (Java divides by 180 first; DuckDB multiplies by a
+    * precomputed π/180). */
+  private val MicroDegToRad = 1.7453292519943295e-8
+
+  /** Great-circle distance in meters between two microdegree points —
+    * haversine on the 6 371 000 m sphere, NULL-propagating, one fixed
+    * double tree: a = sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2) (left-
+    * associated), d = 12 742 000 · asin(√min(1,a)). Callers wanting a
+    * gate-stable value wrap it in one %.6f round (as [[proximityJoin]]
+    * does). */
+  def haversineMeters(latA: Column, lonA: Column,
+                      latB: Column, lonB: Column): Column = {
+    val k = lit(MicroDegToRad)
+    val dphi2 = (latB - latA).cast("double") * k / lit(2.0d)
+    val dlam2 = (lonB - lonA).cast("double") * k / lit(2.0d)
+    val s1 = sin(dphi2)
+    val s2 = sin(dlam2)
+    val a = s1 * s1 +
+      cos(latA.cast("double") * k) * cos(latB.cast("double") * k) *
+        s2 * s2
+    lit(12742000.0d) * asin(sqrt(least(lit(1.0d), a)))
+  }
+
+  /** All pairs within `radiusMeters` — grid-bucketed self-join.
+    *
+    * Cell size: ceil(radius / 111 320 / cos(maxAbsLatDeg)) microdeg —
+    * one latitude-degree is ~111 320 m and a longitude degree shrinks
+    * by cos(lat), so within the declared latitude band any true
+    * neighbor differs by at most one cell index on each axis; rows
+    * outside the band RAISE (a silently missed pair is a silent wrong
+    * answer). Points straddling the ±180° antimeridian are documented
+    * out of scope (the seam splits cells; wrap-aware probing would
+    * triple the explode for a corpus slice that is almost always
+    * empty).
+    *
+    * Determinism: candidate generation is integer floor-division only;
+    * the final filter compares the %.6f-rounded haversine (rounded
+    * ONCE, then an exact decimal comparison) so both engines cut the
+    * same knife-edge pair the same way.
+    *
+    * @param points frame carrying an id and microdegree lat/lon
+    * @param radiusMeters exact meters (plan literal)
+    * @param maxAbsLatDeg declared latitude band, 0 < band ≤ 80
+    * @return (a, b, dist6) — id_a < id_b, dist6 the rounded meters */
+  def proximityJoin(points: DataFrame, id: Column, latE6: Column,
+                    lonE6: Column, radiusMeters: Long,
+                    maxAbsLatDeg: Int = 60): DataFrame = {
+    require(radiusMeters > 0, "need a positive radius")
+    require(maxAbsLatDeg > 0 && maxAbsLatDeg <= 80,
+      "need 0 < maxAbsLatDeg <= 80 (cells degenerate at the poles)")
+    val cosBand = math.cos(maxAbsLatDeg * math.Pi / 180.0)
+    val cellE6: Long =
+      math.ceil(radiusMeters * 1e6 / 111320.0 / cosBand).toLong
+    val bandE6 = maxAbsLatDeg * 1000000L
+    val p = points.select(id.cast("long").as("pid"),
+        latE6.cast("long").as("lat"), lonE6.cast("long").as("lon"))
+      .withColumn("lat", when(abs(col("lat")) > bandE6,
+        raise_error(lit(s"proximityJoin: |lat| beyond the declared " +
+          s"$maxAbsLatDeg-degree band"))).otherwise(col("lat")))
+      .withColumn("cy", floor(col("lat") / lit(cellE6)))
+      .withColumn("cx", floor(col("lon") / lit(cellE6)))
+    // probe side explodes its 3x3 neighborhood; build side keeps ONE
+    // cell per point, so each true pair meets exactly once
+    val probe = p.select(col("pid").as("a"), col("lat").as("lat_a"),
+        col("lon").as("lon_a"),
+        explode(array((-1 to 1).map(d => col("cy") + d): _*)).as("cy"),
+        col("cx").as("cx0"))
+      .select(col("a"), col("lat_a"), col("lon_a"), col("cy"),
+        explode(array((-1 to 1).map(d => col("cx0") + d): _*)).as("cx"))
+    val build = p.select(col("pid").as("b"), col("lat").as("lat_b"),
+      col("lon").as("lon_b"), col("cy"), col("cx"))
+    val d6 = DecimalType(18, 6)
+    probe.join(build, Seq("cy", "cx"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist6", format_string("%.6f",
+        haversineMeters(col("lat_a"), col("lon_a"),
+          col("lat_b"), col("lon_b"))).cast(d6))
+      .filter(col("dist6") <= lit(radiusMeters).cast(d6))
+      .select(col("a"), col("b"), col("dist6"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextFunctions
+
+/** Multinomial Naive Bayes text classifier with Laplace smoothing —
+  * the classic supervised companion to [[graft.operators.Tokenize]]'s
+  * class-share heuristic (q98): per class c and token w,
+  * ln P(w|c) = ln((n_wc + 1)/(n_c + V)), a doc scores
+  * ln P(c) + Σ_tokens m_w · ln P(w|c), predict the argmax. Still the
+  * strongest cheap baseline for language/source/quality routing before
+  * anyone reaches for a neural model.
+  *
+  * Determinism (the repo's ln-round6 discipline): every ln of an exact
+  * rational rounds %.6f ONCE into decimal(18,6); doc scores are exact
+  * decimal sums of those fixed terms (multiplicity × term is exact),
+  * so scores — and the (score desc, class asc) argmax — replay
+  * bit-identically in an external engine. Unseen-in-training tokens
+  * carry ln(1/(n_c + V)), which genuinely differs per class — they are
+  * scored, not dropped.
+  *
+  * Scale shape: training is one explode + map-side-combinable count
+  * per (class, token); scoring joins the test corpus's DISTINCT-token
+  * grid (|test vocab| × |classes| — classes are bounded) to per-doc
+  * token counts, then one (doc, class) aggregate and a per-doc
+  * row_number over the bounded class set. The corpus shuffles once on
+  * token and once on (doc, class); no cross join, no global window.
+  */
+object NaiveBayes {
+
+  /** Train on `train` (text + class), classify `test` (id + text).
+    *
+    * @return per test doc: (id, pred — argmax class, score6 — the
+    *         winning ln-posterior as an exact decimal string); docs
+    *         whose text is NULL are dropped (tokenless rows have no
+    *         likelihood — coalesce upstream to keep them) */
+  def trainPredict(train: DataFrame, text: Column, cls: Column,
+                   test: DataFrame, testId: Column,
+                   testText: Column): DataFrame = {
+    val d6 = DecimalType(18, 6)
+    val toks = train.select(cls.cast("string").as("c"),
+      explode(TextFunctions.tokens(text)).as("tok"))
+    val ct = toks.groupBy("c", "tok").agg(count(lit(1)).as("n_ct"))
+    val totc = ct.groupBy("c").agg(sum("n_ct").as("n_c"))
+    val vocab = ct.select("tok").distinct().agg(count(lit(1)).as("v"))
+    val priors = train.select(cls.cast("string").as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n_docs"))
+    val nTot = priors.agg(sum("n_docs").as("n_tot"))
+    val prior = priors.crossJoin(broadcast(nTot))
+      .select(col("c"), format_string("%.6f",
+        log(col("n_docs").cast("double") / col("n_tot").cast("double")))
+        .cast(d6).as("prior6"))
+    val tt = test.select(testId.cast("long").as("id"),
+        explode(TextFunctions.tokens(testText)).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("m"))
+    // ln-likelihood grid: |distinct test tokens| x |classes| (bounded)
+    val grid = tt.select("tok").distinct()
+      .crossJoin(broadcast(totc.crossJoin(vocab)))
+      .join(ct, Seq("c", "tok"), "left")
+      .select(col("c"), col("tok"), format_string("%.6f",
+        log((coalesce(col("n_ct"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_c") + col("v")).cast("double"))).cast(d6).as("lnp6"))
+    val wBest = Window.partitionBy("id")
+      .orderBy(col("score").desc, col("c").asc)
+    tt.join(grid, Seq("tok"))
+      .groupBy("id", "c")
+      .agg(sum(col("m") * col("lnp6")).cast(DecimalType(38, 6))
+        .as("tok_score"))
+      .join(broadcast(prior), Seq("c"))
+      .withColumn("score",
+        (col("prior6") + col("tok_score")).cast(DecimalType(38, 6)))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("c").as("pred"),
+        col("score").cast("string").as("score6"))
+  }
+}

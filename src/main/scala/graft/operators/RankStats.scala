@@ -329,6 +329,45 @@ object RankStats {
         (lit(1.0d) + z2 / nd))
   }
 
+  /** Distribution-free median confidence interval from order
+    * statistics — the binomial/normal-approximation rank bracket
+    * (Conover): the true median lies between order statistics
+    * x₍ₗ₎ and x₍ᵤ₎ with ≈95% confidence, where l ≈ (n − z√n)/2 and
+    * u ≈ (n + z√n)/2 + 1 at z = 1.959964. No bootstrap, no
+    * resampling — one grid pass.
+    *
+    * Determinism: z√n rounds %.6f ONCE into an exact ×10⁶ integer;
+    * the rank arithmetic is then EXACT integer ceil/floor
+    * (l = ⌈(n·10⁶ − h)/2·10⁶⌉ via the (a+b−1) div b identity, clamped
+    * to [1, n]), and each order statistic is the nearest-rank pick
+    * min{x : cum ≥ rank} over the value grid — the q274 construction.
+    *
+    * Scale shape: one grid aggregate, cumulative window over the
+    * bounded grid (caller unitizes x), one final row.
+    *
+    * @return one row: (n, l, u, x_lo, x_med — rank ⌈n/2⌉ — x_hi) */
+  def medianCI(df: DataFrame, x: Column): DataFrame = {
+    val v = df.select(x.cast("long").as("x")).filter(col("x").isNotNull)
+    val grid = v.groupBy("x").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("x") // bounded value grid
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = grid.withColumn("cum", sum("cnt").over(w))
+    val ranks = v.agg(count(lit(1)).as("n"))
+      .withColumn("he6", (format_string("%.6f",
+        lit(1.959964d) * sqrt(col("n").cast("double")))
+        .cast(DecimalType(18, 6)) * 1000000).cast("long"))
+      .withColumn("l", greatest(lit(1L),
+        expr("(n * 1000000 - he6 + 1999999) div 2000000")))
+      .withColumn("u", least(col("n"),
+        expr("(n * 1000000 + he6) div 2000000 + 1")))
+      .withColumn("mid", expr("(n + 1) div 2"))
+    c.crossJoin(broadcast(ranks))
+      .agg(max("n").as("n"), max("l").as("l"), max("u").as("u"),
+        min(when(col("cum") >= col("l"), col("x"))).as("x_lo"),
+        min(when(col("cum") >= col("mid"), col("x"))).as("x_med"),
+        min(when(col("cum") >= col("u"), col("x"))).as("x_hi"))
+  }
+
   /** Herfindahl–Hirschman concentration index per group — the
     * antitrust-shelf companion to [[gini]] (inequality of a
     * distribution) and q214's k80 (how many units cover 80%): HHI =

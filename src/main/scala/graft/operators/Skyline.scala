@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** 2-D skyline (Pareto front, maximize both axes) — "which users are
+  * not beaten on BOTH spend and engagement", the multi-criteria
+  * shortlist operator (Börzsönyi 2001's SKYLINE OF): a point survives
+  * iff no other point is ≥ on both axes and > on at least one.
+  *
+  * Algorithm — the sort-scan identity, relational form: with points
+  * GRID-deduped (one row per (x, y); duplicates of a surviving point
+  * all survive), a point is dominated iff a point with STRICTLY larger
+  * x has y ≥ its y, OR the same x holds a larger y. Both conditions
+  * read off one descending-x window: my = max(y) over x' > x (frame
+  * (unboundedPreceding, -1) on the x-grid ordered desc, ties collapsed
+  * by pre-aggregating each x to its max y — which itself kills same-x
+  * dominance), survive iff my < y (strict: an equal-y point further
+  * right dominates only weakly... equal corners BOTH survive, the
+  * standard skyline-of-distinct-values semantics).
+  *
+  * Determinism: exact integers end to end, no ranks over ties — the
+  * survivor SET is a pure function of the value multiset.
+  *
+  * Scale shape: one (x,y) grid aggregate (map-side combined), one
+  * x-grid aggregate, a window over the BOUNDED x-grid, and a semi-join
+  * of the points back onto surviving (x, y) cells. The corpus shuffles
+  * once; the window never sees raw rows. Caller unitizes x so the
+  * x-grid is bounded — the [[RankStats]] grid contract.
+  *
+  * @return the input's (id, x, y) rows that lie on the skyline */
+object Skyline {
+
+  def pareto2d(points: DataFrame, id: Column, x: Column,
+               y: Column): DataFrame = {
+    val p = points.select(id.as("id"), x.cast("long").as("x"),
+        y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    // per-x max y: anything below its own column's best is dominated
+    val grid = p.groupBy("x").agg(max("y").as("y"))
+    val w = Window.orderBy(col("x").desc) // bounded x-grid
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = grid
+      .withColumn("my", max("y").over(w))
+      .filter(col("my").isNull || col("my") < col("y"))
+      .select(col("x"), col("y"))
+    p.join(front, Seq("x", "y"), "left_semi")
+      .select(col("id"), col("x"), col("y"))
+  }
+}

@@ -105,6 +105,111 @@ object Trend {
         format_string("%.6f", cv * cv / (vx * vy))).as("r2_6"))
   }
 
+  /** Two-feature OLS by the closed-form normal equations — the
+    * multiple-regression step up from [[logLogSlope]]'s single
+    * regressor: y ≈ β₀ + β₁x₁ + β₂x₂ via Cramer's rule on the
+    * CENTERED 2×2 system (Aᵢⱼ = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ).
+    *
+    * Determinism (the q196 Welch discipline): nine moments accumulate
+    * as EXACT decimal(38,0) sums of caller-unitized integers; the
+    * centering, determinant, and solve are one fixed IEEE double tree
+    * evaluated identically by the oracle, each coefficient rounded
+    * %.6f once. Degeneracy is gated by EXACT distinct counts (a
+    * constant regressor) and an exact det = 0 check (collinear
+    * regressors whose centered matrix cancels to literal zero); near-
+    * collinear inputs are the caller's statistical problem, not a
+    * determinism one.
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the data —
+    * the solve runs on a single row. Nothing shuffles but partials.
+    *
+    * @return one row: (n, b0_6, b1_6, b2_6, r2_6; coefficient nulls
+    *         when n < 3, a regressor is constant, or det = 0; r2 also
+    *         needs non-constant y) */
+  def olsTwo(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.select(y.cast("long").as("yy"), x1.cast("long").as("x1"),
+        x2.cast("long").as("x2"))
+      .filter(col("yy").isNotNull && col("x1").isNotNull &&
+        col("x2").isNotNull)
+    val m = v.agg(count(lit(1)).as("n"),
+      countDistinct("x1").as("nd1"), countDistinct("x2").as("nd2"),
+      countDistinct("yy").as("ndy"),
+      sum(col("x1").cast(d38)).as("s1"),
+      sum(col("x2").cast(d38)).as("s2"),
+      sum(col("yy").cast(d38)).as("sy"),
+      sum(col("x1").cast(d18) * col("x1")).cast(d38).as("s11"),
+      sum(col("x2").cast(d18) * col("x2")).cast(d38).as("s22"),
+      sum(col("x1").cast(d18) * col("x2")).cast(d38).as("s12"),
+      sum(col("x1").cast(d18) * col("yy")).cast(d38).as("s1y"),
+      sum(col("x2").cast(d18) * col("yy")).cast(d38).as("s2y"),
+      sum(col("yy").cast(d18) * col("yy")).cast(d38).as("syy"))
+    val nd = col("n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    val a11 = nd * dd("s11") - dd("s1") * dd("s1")
+    val a22 = nd * dd("s22") - dd("s2") * dd("s2")
+    val a12 = nd * dd("s12") - dd("s1") * dd("s2")
+    val b1v = nd * dd("s1y") - dd("s1") * dd("sy")
+    val b2v = nd * dd("s2y") - dd("s2") * dd("sy")
+    val syc = nd * dd("syy") - dd("sy") * dd("sy")
+    val det = a11 * a22 - a12 * a12
+    val beta1 = (a22 * b1v - a12 * b2v) / det
+    val beta2 = (a11 * b2v - a12 * b1v) / det
+    val beta0 = (dd("sy") - beta1 * dd("s1") - beta2 * dd("s2")) / nd
+    val ok = col("n") >= 3L && col("nd1") >= 2L && col("nd2") >= 2L &&
+      !(det === 0.0d)
+    m.select(col("n"),
+      when(ok, format_string("%.6f", beta0)).as("b0_6"),
+      when(ok, format_string("%.6f", beta1)).as("b1_6"),
+      when(ok, format_string("%.6f", beta2)).as("b2_6"),
+      when(ok && col("ndy") >= 2L, format_string("%.6f",
+        (beta1 * b1v + beta2 * b2v) / syc)).as("r2_6"))
+  }
+
+  /** Mann–Kendall trend test — "is there a monotone trend at all?",
+    * the nonparametric companion closing the trend triple ([[olsTwo]]/
+    * [[logLogSlope]] fit a LINE, [[theilSen]] fits a robust slope,
+    * this one tests): S = Σ_{t_i<t_j} sgn(y_j − y_i), with the
+    * tie-corrected variance 18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)
+    * (2t_g+5) and the continuity-corrected z = (S∓1)/√Var.
+    *
+    * Determinism: S, the tie term, and 18·Var are EXACT integers from
+    * the pair grid; z is one fixed double tree rounded %.6f once.
+    * Duplicate time points RAISE (MK assumes one observation per
+    * instant — aggregate first; a silent dedup would change S).
+    *
+    * Scale shape: the pair stage is the (t, y) grid self-join —
+    * quadratic in SERIES LENGTH, the [[theilSen]] bounded-grid
+    * contract (unitize time upstream); everything else is one
+    * aggregate each.
+    *
+    * @return one row: (n, s, var18 — exact 18·Var(S) — z6; null z
+    *         when Var = 0) */
+  def mannKendall(series: DataFrame, t: Column, y: Column): DataFrame = {
+    val v = series.select(t.cast("long").as("t"), y.cast("long").as("y"))
+    val dup = v.groupBy("t").count().filter(col("count") > 1L)
+    require(dup.isEmpty,
+      "mannKendall: duplicate time points - aggregate to a grid first")
+    val sAgg = v.as("a").join(v.as("b"), col("a.t") < col("b.t"))
+      .select(when(col("b.y") > col("a.y"), 1L)
+        .when(col("b.y") < col("a.y"), -1L).otherwise(0L).as("sg"))
+      .agg(coalesce(sum("sg"), lit(0L)).as("s"))
+    val n = v.agg(count(lit(1)).as("n"))
+    val ties = v.groupBy("y").agg(count(lit(1)).as("tg"))
+      .agg(coalesce(sum(expr("tg * (tg - 1) * (2 * tg + 5)")), lit(0L))
+        .as("tie_term"))
+    sAgg.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .withColumn("var18",
+        expr("n * (n - 1) * (2 * n + 5) - tie_term"))
+      .select(col("n"), col("s"), col("var18"),
+        when(col("var18") > 0L, format_string("%.6f",
+          (when(col("s") > 0L, (col("s") - 1L).cast("double"))
+            .when(col("s") < 0L, (col("s") + 1L).cast("double"))
+            .otherwise(lit(0.0d))) /
+            sqrt(col("var18").cast("double") / lit(18.0d)))).as("z6"))
+  }
+
   /** Theil–Sen robust slope — the median of all pairwise slopes
     * (y₂−y₁)/(t₂−t₁): one wild point swings [[slopePerGroup]]'s OLS
     * arbitrarily but moves ONE pairwise slope, so the median barely

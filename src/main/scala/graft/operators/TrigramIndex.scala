@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trigram posting-list substring search — the pg_trgm / Lucene-wildcard
+  * pattern for accelerating `LIKE '%needle%'` at corpus scale: a
+  * substring match implies the document contains EVERY trigram of the
+  * needle, so an inverted (gram → doc) index turns an O(corpus) scan
+  * into an equi-join over the needle's handful of grams, and the exact
+  * `contains` verify runs only on the surviving candidates.
+  *
+  * Guarantee (and the gate's self-certification): candidates are a
+  * SUPERSET of true matches — the oracle replays both the candidate
+  * arithmetic and a direct full-scan count, so any pruning unsoundness
+  * hash-fails loudly (the q211 Bloom-skipping stance).
+  *
+  * Scale shape: the posting build explodes one row per character — the
+  * one-time indexing cost, map-side deduped by (id, gram); the search
+  * side is a BROADCAST of the probe grams (a plan-literal dim), one
+  * (probe, id) aggregate, and a verify join against only candidate
+  * docs. Nothing quadratic, no regex scan of the corpus per probe.
+  */
+object TrigramIndex {
+
+  /** Distinct (id, gram) postings over lowercased text; docs shorter
+    * than 3 chars index nothing (they can't contain any probe). */
+  def postings(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("id"), lower(text).as("tx"))
+      .filter(length(col("tx")) >= 3)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, length(tx) - 2), i -> substring(tx, i, 3))"))
+        .as("gram"))
+      .distinct()
+
+  /** Index-accelerated multi-probe substring search.
+    *
+    * @param probes literal needles, each ≥ 3 chars (shorter needles
+    *               have no trigram to prune on — scan those directly)
+    * @return per probe: (probe, n_candidates — docs sharing ALL probe
+    *         grams — n_matches — exact-verified containments) */
+  def search(docs: DataFrame, id: Column, text: Column,
+             probes: Seq[String]): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe")
+    require(probes.forall(_.length >= 3),
+      "probes under 3 chars have no trigram - scan those directly")
+    val s = docs.sparkSession
+    import s.implicits._
+    val pg = probes.flatMap { p =>
+      val pl = p.toLowerCase
+      (0 to pl.length - 3).map(i => (p, pl.substring(i, i + 3)))
+    }.distinct.toDF("probe", "gram")
+    val need = pg.groupBy("probe").agg(countDistinct("gram").as("need"))
+    val cand = postings(docs, id, text)
+      .join(broadcast(pg), Seq("gram"))
+      .groupBy("probe", "id")
+      .agg(count(lit(1)).as("have")) // (id, gram) distinct upstream
+      .join(broadcast(need), Seq("probe"))
+      .filter(col("have") === col("need"))
+    val verified = cand
+      .join(docs.select(id.as("id"), lower(text).as("tx")), Seq("id"))
+      .groupBy("probe")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("tx").contains(lower(col("probe"))), 1L)
+          .otherwise(0L)).as("n_matches"))
+    // probes with zero candidates still report (0, 0)
+    need.select(col("probe")).join(verified, Seq("probe"), "left")
+      .select(col("probe"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+  }
+}

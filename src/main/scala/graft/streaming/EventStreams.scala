@@ -297,6 +297,52 @@ object EventStreams {
       }
   }
 
+  final case class GeoPing(entity: Long, ts_us: Long, lat_e6: Long,
+                           lon_e6: Long)
+  final case class CellState(cy: Long, cx: Long)
+  final case class GeoTransition(entity: Long, ts_us: Long,
+                                 from_cy: Option[Long],
+                                 from_cx: Option[Long],
+                                 cy: Long, cx: Long)
+
+  /** Streaming geofence-cell transitions — the live companion of
+    * [[graft.operators.Geo]]'s integer cell grid: per entity, one row
+    * whenever its grid cell CHANGES (the entry event; the first ping
+    * emits with a null origin). Same-cell pings emit nothing — the
+    * state is one cell per entity, O(1) forever.
+    *
+    * Batch-parity contract: emissions equal the batch lag()-over-
+    * (entity ORDER BY ts, lat, lon) cell-change rows on the same
+    * pings (the spec proves bit-parity across micro-batch splits).
+    * Cells use Math.floorDiv — exact floor, no double division.
+    * Pings arrive time-ordered per entity across micro-batches (the
+    * twin contract shared here); in-batch ties sort (ts, lat, lon).
+    */
+  def geofenceStream(pings: Dataset[GeoPing],
+                     cellE6: Long): Dataset[GeoTransition] = {
+    require(cellE6 >= 1L, "cellE6 must be positive")
+    import pings.sparkSession.implicits._
+    pings.groupByKey(_.entity)
+      .flatMapGroupsWithState[CellState, GeoTransition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (e, it, state: GroupState[CellState]) =>
+          var cur = state.getOption
+          val out = Seq.newBuilder[GeoTransition]
+          it.toSeq.sortBy(p => (p.ts_us, p.lat_e6, p.lon_e6)).foreach {
+            p =>
+              val cy = Math.floorDiv(p.lat_e6, cellE6)
+              val cx = Math.floorDiv(p.lon_e6, cellE6)
+              if (!cur.contains(CellState(cy, cx))) {
+                out += GeoTransition(e, p.ts_us, cur.map(_.cy),
+                  cur.map(_.cx), cy, cx)
+                cur = Some(CellState(cy, cx))
+              }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   def cusumStream(points: Dataset[SeriesPoint], targetMicro: Long,
                   hMicro: Long): Dataset[CusumOut] = {
     import points.sparkSession.implicits._

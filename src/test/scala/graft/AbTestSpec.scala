@@ -91,6 +91,29 @@ class AbTestSpec extends SparkSpec {
     assert(got("b") == ((10L, "0.000000", None)))
   }
 
+  test("stratifiedAte: hand contrast, one-armed stratum dropped") {
+    // s1: treated {10,20} vs control {5}  -> diff 10, weight 3/6
+    // s2: treated {0} vs control {10,20}  -> diff -15, weight 3/6
+    // s3: treated only -> dropped
+    val df = Seq(("s1", true, 10L), ("s1", true, 20L), ("s1", false, 5L),
+      ("s2", true, 0L), ("s2", false, 10L), ("s2", false, 20L),
+      ("s3", true, 99L)).toDF("b", "t", "y")
+    val r = AbTest.stratifiedAte(df, col("b"), col("t"), col("y"))
+      .head()
+    assert(r.getLong(0) == 6L)
+    assert((r.getLong(1), r.getLong(2)) == ((2L, 1L)))
+    // 0.5*10 + 0.5*(-15) = -2.5
+    assert(r.getString(3) == "-2.500000")
+  }
+
+  test("stratifiedAte: no two-armed stratum -> null ATE, zero counts") {
+    val df = Seq(("a", true, 1L), ("b", false, 2L)).toDF("b", "t", "y")
+    val r = AbTest.stratifiedAte(df, col("b"), col("t"), col("y"))
+      .head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L &&
+      r.getLong(2) == 2L && r.isNullAt(3))
+  }
+
   test("bhFdr: textbook step-up cut at the largest passing rank") {
     // thresholds i/5 * 0.05: 0.01, 0.02, 0.03, 0.04, 0.05
     val p = Seq(("t1", 5000L), ("t2", 11000L), ("t3", 20000L),

@@ -52,4 +52,34 @@ class BfsSpec extends SparkSpec {
       assert(run(edges, seeds, 4) == exp.toMap)
     }
   }
+
+  test("perSourceHops: each source keeps its own distances") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Bfs.perSourceHops(chain.toDF("u", "v"),
+        Seq(1L, 4L).toDF("src"), maxHops = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L,
+      (4L, 4L) -> 0L, (4L, 3L) -> 1L, (4L, 2L) -> 2L))
+  }
+
+  test("harmonicCentrality: star center vs leaves, exact terms") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val got = Bfs.harmonicCentrality(star.toDF("u", "v"),
+        Seq(0L, 1L).toDF("src"), maxHops = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // center: three leaves at hop 1 -> 3 * 1e6
+    assert(got(0L) == ((3L, 3000000L)))
+    // leaf 1: center at 1, two sibling leaves at 2 -> 1e6 + 2*500000
+    assert(got(1L) == ((3L, 2000000L)))
+  }
+
+  test("harmonicCentrality: isolated source is absent, not zero") {
+    val got = Bfs.harmonicCentrality(Seq((1L, 2L)).toDF("u", "v"),
+        Seq(1L, 99L).toDF("src"), maxHops = 3)
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(got == Set(1L))
+  }
 }

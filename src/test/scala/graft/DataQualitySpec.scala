@@ -135,4 +135,22 @@ class DataQualitySpec extends SparkSpec {
       .select("cramers_v").head()
     assert(vn.isNullAt(0), "single-category side must report null V")
   }
+
+  test("fdAudit: g3 violation counts, holds flag, null agreement") {
+    val df = Seq((1L, Some("x")), (1L, Some("x")), (1L, Some("y")),
+      (2L, Some("z")), (3L, None), (3L, None))
+      .toDF("a", "b")
+    val got = DataQuality.fdAudit(df, Seq(("a->b", col("a"), col("b"))))
+      .head()
+    // group 1 majority x (2 of 3): 1 violation; groups 2 and 3 clean
+    // (two NULLs agree - they group together)
+    assert(got.getString(0) == "a->b")
+    assert((got.getLong(1), got.getLong(2)) == ((6L, 3L)))
+    assert((got.getLong(3), got.getLong(4)) == ((1L, 1L)))
+    assert(!got.getBoolean(5))
+    val key = DataQuality.fdAudit(df.withColumn("id",
+        monotonically_increasing_id()),
+      Seq(("id->b", col("id"), col("b")))).head()
+    assert(key.getBoolean(5) && key.getLong(4) == 0L)
+  }
 }

@@ -133,4 +133,35 @@ class DeterminismSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
     }
   }
+
+  test("poisson bootstrap SE is layout-invariant") {
+    axes { s =>
+      graft.operators.Bootstrap.meanSe(s.read.parquet(dir),
+          col("id"), col("w"), b = 16)
+        .collect().map(_.toSeq).toSeq
+    }
+  }
+
+  test("geo proximity join is layout-invariant") {
+    axes { s =>
+      graft.operators.Geo.proximityJoin(
+          s.read.parquet(dir).select(col("id"),
+            (col("id") * 7919L % 100000000L - 50000000L).as("lat"),
+            (col("id") * 104729L % 300000000L - 150000000L).as("lon")),
+          col("id"), col("lat"), col("lon"), radiusMeters = 400000L)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    }
+  }
+
+  test("log-rank and hill tail index are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      (graft.operators.Survival.logRank(df, col("id") % 2 === 0,
+          col("w") % 17, col("id") % 3 =!= 0)
+          .collect().map(_.toSeq).toSeq,
+        graft.operators.RankStats.hillTailIndex(
+          df.filter(col("w") > 0L), col("g"), col("w") + col("id") % 29,
+          k = 20).collect().map(_.toSeq).toSeq.sortBy(_.toString))
+    }
+  }
 }

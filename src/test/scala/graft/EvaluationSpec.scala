@@ -106,4 +106,55 @@ class EvaluationSpec extends SparkSpec {
     assert(got(4L) == None)              // n < k
     assert(got(5L) == Some(1000000L))    // c > n-k: numerator clamps to 0
   }
+
+  test("ndcgAtK: misranked relevance halves the gain; empty rel null") {
+    // q "a": the only relevant item sits at rank 3 (log2(4) = 2 exact)
+    // -> dcg = 2/2 = 1, idcg = 2/1 = 2, ndcg = 0.5
+    val df = Seq(("a", 1L, 0L, 30L), ("a", 2L, 0L, 20L),
+      ("a", 3L, 2L, 10L),
+      ("b", 1L, 0L, 5L), ("b", 2L, 0L, 4L)).toDF("q", "it", "rel", "sc")
+    val got = Evaluation.ndcgAtK(df, col("q"), col("it"), col("rel"),
+        col("sc"), k = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), Option(r.getString(3)))))
+      .toMap
+    assert(got("a") == (("1.000000", "2.000000", Some("0.500000"))))
+    assert(got("b") == (("0.000000", "0.000000", None)))
+  }
+
+  test("ndcgAtK: the k cutoff drops gain beyond rank k") {
+    // relevant item ranked 4th with k = 3: zero dcg, full idcg
+    val df = Seq(("a", 1L, 0L, 40L), ("a", 2L, 0L, 30L),
+      ("a", 3L, 0L, 20L), ("a", 4L, 5L, 10L)).toDF("q", "it", "rel", "sc")
+    val r = Evaluation.ndcgAtK(df, col("q"), col("it"), col("rel"),
+      col("sc"), k = 3).head()
+    assert(r.getString(1) == "0.000000" && r.getString(2) == "5.000000")
+    assert(r.getString(3) == "0.000000")
+  }
+
+  test("isotonicFit: textbook pool of an adjacent violation") {
+    // bucket means 1, 3, 2, 4 -> PAVA pools the middle: 1, 2.5, 2.5, 4
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L)).toDF("b", "y")
+    val got = Evaluation.isotonicFit(df, col("b"), col("y"))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got == Map(1L -> "1.000000000", 2L -> "2.500000000",
+      3L -> "2.500000000", 4L -> "4.000000000"))
+  }
+
+  test("isotonicFit: weighted pool, monotone input unchanged, cap") {
+    // weights 1 and 3: pooled mean = (2 + 0*3)/4 = 0.5 in BOTH buckets
+    val w = Seq((1L, 2L), (2L, 0L), (2L, 0L), (2L, 0L)).toDF("b", "y")
+    val gw = Evaluation.isotonicFit(w, col("b"), col("y"))
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(gw == Map(1L -> "0.500000000", 2L -> "0.500000000"))
+    val mono = Seq((1L, 1L), (2L, 5L), (3L, 9L)).toDF("b", "y")
+    val gm = Evaluation.isotonicFit(mono, col("b"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getString(4)))
+    gm.foreach { case (_, raw, fit) => assert(raw == fit) }
+    intercept[IllegalArgumentException] {
+      Evaluation.isotonicFit(
+        (1L to 50L).map((_, 1L)).toDF("b", "y"),
+        col("b"), col("y"), maxBuckets = 10)
+    }
+  }
 }

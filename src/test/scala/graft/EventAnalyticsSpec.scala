@@ -204,4 +204,43 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(BigDecimal(got(2L)) > 0)          // branching behavior
     assert(!got.contains(3L))                // below minTrans
   }
+
+  test("positionBasedAttribution: 40/20/40 split, remainder to first") {
+    // u1: A,B,C,D then convert (k=4: 400k / 100k / 100k / 400k)
+    // u2: single touch A (k=1: 1e6)
+    // u3: no touch -> organic 1e6
+    // u4: A..E then convert (k=5: mid = 66666, remainder 2 -> first)
+    val ev = (Seq((1L, 10L, "t", 0L, "A"), (1L, 20L, "t", 0L, "B"),
+      (1L, 30L, "t", 0L, "C"), (1L, 40L, "t", 0L, "D"),
+      (1L, 50L, "c", 101L, ""),
+      (2L, 10L, "t", 0L, "A"), (2L, 15L, "c", 102L, ""),
+      (3L, 99L, "c", 103L, ""),
+      (4L, 1L, "t", 0L, "A"), (4L, 2L, "t", 0L, "B"),
+      (4L, 3L, "t", 0L, "C"), (4L, 4L, "t", 0L, "D"),
+      (4L, 5L, "t", 0L, "E"), (4L, 9L, "c", 104L, "")))
+      .toDF("u", "ts", "tpe", "cid", "ch")
+    val got = EventAnalytics.positionBasedAttribution(ev, col("u"),
+        col("ts"), col("cid"), col("tpe") === "t", col("tpe") === "c",
+        col("ch"), lookbackUs = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("A") == ((3L, 400000L + 1000000L + 400002L)))
+    assert(got("B") == ((2L, 100000L + 66666L)))
+    assert(got("C") == ((2L, 100000L + 66666L)))
+    assert(got("D") == ((2L, 400000L + 66666L)))
+    assert(got("E") == ((1L, 400000L)))
+    assert(got("organic") == ((1L, 1000000L)))
+    // every conversion's credit sums to exactly 1e6
+    assert(got.values.map(_._2).sum == 4L * 1000000L)
+  }
+
+  test("positionBasedAttribution: lookback window excludes old touches") {
+    val ev = Seq((1L, 10L, "t", 0L, "A"), (1L, 5000L, "c", 7L, ""))
+      .toDF("u", "ts", "tpe", "cid", "ch")
+    val got = EventAnalytics.positionBasedAttribution(ev, col("u"),
+        col("ts"), col("cid"), col("tpe") === "t", col("tpe") === "c",
+        col("ch"), lookbackUs = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("organic" -> 1000000L))
+  }
 }

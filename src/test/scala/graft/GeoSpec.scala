@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Geo
+
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scala mirror of the operator's fixed haversine double tree. */
+  private def hav(latA: Long, lonA: Long, latB: Long, lonB: Long): String = {
+    val k = 1.7453292519943295e-8
+    val dphi2 = (latB - latA).toDouble * k / 2.0
+    val dlam2 = (lonB - lonA).toDouble * k / 2.0
+    val a = math.sin(dphi2) * math.sin(dphi2) +
+      math.cos(latA * k) * math.cos(latB * k) *
+        math.sin(dlam2) * math.sin(dlam2)
+    f"${12742000.0 * math.asin(math.sqrt(math.min(1.0, a)))}%.6f"
+  }
+
+  test("haversineMeters: equatorial degree, meridian degree, zero") {
+    val df = Seq((0L, 0L, 0L, 1000000L), (0L, 0L, 1000000L, 0L),
+      (45000000L, 10000000L, 45000000L, 10000000L))
+      .toDF("la", "loa", "lb", "lob")
+    val got = df.select(format_string("%.6f", Geo.haversineMeters(
+      col("la"), col("loa"), col("lb"), col("lob"))).as("d"))
+      .as[String].collect()
+    // one degree of longitude at the equator == one degree of latitude
+    // on the sphere: both ~111.2 km, and the mirror agrees exactly
+    assert(got(0) == hav(0L, 0L, 0L, 1000000L))
+    assert(got(1) == hav(0L, 0L, 1000000L, 0L))
+    assert(got(0) == got(1))
+    assert(BigDecimal(got(0)) > 111000 && BigDecimal(got(0)) < 111400)
+    assert(got(2) == "0.000000")
+  }
+
+  test("proximityJoin: close pair found once, far point excluded") {
+    // p2 is ~100 km east of p1 on the equator; p3 is on another continent
+    val pts = Seq((1L, 0L, 0L), (2L, 0L, 900000L),
+      (3L, 50000000L, 100000000L)).toDF("id", "lat", "lon")
+    val got = Geo.proximityJoin(pts, col("id"), col("lat"), col("lon"),
+        radiusMeters = 150000L)
+      .as[(Long, Long, java.math.BigDecimal)].collect()
+    assert(got.length == 1)
+    assert((got(0)._1, got(0)._2) == ((1L, 2L)))
+    assert(got(0)._3.toPlainString == hav(0L, 0L, 0L, 900000L))
+  }
+
+  test("proximityJoin: cross-cell neighbors still meet; cutoff exact") {
+    // ~166 km apart: inside a 200 km radius, outside a 150 km one
+    val pts = Seq((1L, 0L, 0L), (2L, 0L, 1500000L)).toDF("id", "lat", "lon")
+    def n(r: Long) = Geo.proximityJoin(pts, col("id"), col("lat"),
+      col("lon"), radiusMeters = r).count()
+    assert(n(200000L) == 1L)
+    assert(n(150000L) == 0L)
+  }
+
+  test("proximityJoin: latitude outside the declared band raises") {
+    val pts = Seq((1L, 70000000L, 0L)).toDF("id", "lat", "lon")
+    intercept[Exception] {
+      Geo.proximityJoin(pts, col("id"), col("lat"), col("lon"),
+        radiusMeters = 1000L, maxAbsLatDeg = 60).collect()
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{GeoPing, GeoTransition}
+
+/** Streaming geofence transitions: bit-parity with the batch lag-based
+  * reference across a micro-batch split, null origin on first ping,
+  * silence on same-cell pings, exact floor cells for negative coords. */
+class GeoStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cell = 1000000L
+  private val pings = Seq(
+    GeoPing(1L, 10L, 100000L, 100000L),    // cell (0,0)
+    GeoPing(1L, 20L, 900000L, 500000L),    // still (0,0): no emission
+    GeoPing(1L, 30L, 1500000L, 500000L),   // -> (1,0)
+    GeoPing(1L, 40L, 1500000L, -200000L),  // -> (1,-1): floor, not trunc
+    GeoPing(2L, 10L, -500000L, 0L),        // cell (-1,0): first ping
+    GeoPing(2L, 50L, -500000L, 0L))        // unchanged
+
+  /** In-memory reference: the batch lag fold. */
+  private def reference: Set[GeoTransition] =
+    pings.groupBy(_.entity).flatMap { case (e, ps) =>
+      var cur: Option[(Long, Long)] = None
+      ps.sortBy(p => (p.ts_us, p.lat_e6, p.lon_e6)).flatMap { p =>
+        val c = (Math.floorDiv(p.lat_e6, cell), Math.floorDiv(p.lon_e6, cell))
+        if (cur.contains(c)) None
+        else {
+          val t = GeoTransition(e, p.ts_us, cur.map(_._1), cur.map(_._2),
+            c._1, c._2)
+          cur = Some(c)
+          Some(t)
+        }
+      }
+    }.toSet
+
+  test("stream emissions equal the batch fold across a batch split") {
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[GeoPing]
+    val q = EventStreams.geofenceStream(src.toDS(), cell)
+      .writeStream.format("memory").queryName("geo_par")
+      .outputMode("append").start()
+    try {
+      // split entity 1 mid-journey: state must carry the (0,0) cell
+      src.addData(pings.take(2): _*)
+      q.processAllAvailable()
+      src.addData(pings.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("geo_par").as[GeoTransition].collect().toSet
+      assert(got == reference)
+      // fixture sanity: a null-origin entry, a move, and a floor cell
+      assert(got.exists(_.from_cy.isEmpty))
+      assert(got.exists(t => t.cy == 1L && t.cx == -1L))
+      assert(got.count(_.entity == 2L) == 1L) // same-cell ping silent
+    } finally q.stop()
+  }
+}

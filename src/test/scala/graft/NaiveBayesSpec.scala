@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.NaiveBayes
+
+class NaiveBayesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ln6(num: Long, den: Long): BigDecimal =
+    BigDecimal(f"${math.log(num.toDouble / den.toDouble)}%.6f")
+
+  test("textbook spam/ham: prediction and the exact mirrored score") {
+    val train = Seq(("s", "buy cheap pills"), ("s", "cheap pills now"),
+      ("h", "meeting at noon"), ("h", "lunch at noon"))
+      .toDF("cls", "text")
+    val test = Seq((1L, "cheap pills"), (2L, "at noon"))
+      .toDF("id", "text")
+    val got = NaiveBayes.trainPredict(train, col("text"), col("cls"),
+        test, col("id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2)))).toMap
+    // V = 8 distinct train tokens, n_s = n_h = 6 occurrences
+    // score_s(cheap pills) = ln6(2/4) + 2 * ln6(3/14)
+    val sSpam = ln6(2, 4) + ln6(3, 14) * 2
+    assert(got(1L) == (("s", f"$sSpam%.6f")))
+    // at and noon both occur twice in ham -> (2+1)/14 each
+    val sHam = ln6(2, 4) + ln6(3, 14) * 2
+    assert(got(2L) == (("h", f"$sHam%.6f")))
+  }
+
+  test("unseen tokens still separate classes via the smoothed floor") {
+    // class sizes differ, so ln(1/(n_c + V)) differs: the class with
+    // the SMALLER token mass wins an all-OOV doc on likelihood, but
+    // the prior pulls the other way - pin the actual argmax
+    val train = Seq(("a", "x x x x"), ("b", "y")).toDF("cls", "text")
+    val test = Seq((1L, "zzz")).toDF("id", "text")
+    val got = NaiveBayes.trainPredict(train, col("text"), col("cls"),
+      test, col("id"), col("text")).head()
+    // score_a = ln6(1/2) + ln6(1/6); score_b = ln6(1/2) + ln6(1/3)
+    // -> b wins (fewer tokens -> higher OOV likelihood)
+    assert(got.getString(1) == "b")
+    assert(got.getString(2) == f"${ln6(1, 2) + ln6(1, 3)}%.6f")
+  }
+
+  test("score ties break by class name ascending") {
+    val train = Seq(("a", "x"), ("b", "x")).toDF("cls", "text")
+    val test = Seq((1L, "x")).toDF("id", "text")
+    val got = NaiveBayes.trainPredict(train, col("text"), col("cls"),
+      test, col("id"), col("text")).head()
+    assert(got.getString(1) == "a") // identical scores -> class asc
+  }
+}

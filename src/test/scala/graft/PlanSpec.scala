@@ -467,4 +467,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("q284: geo proximity is a cell equi-join, never a theta join") {
+    val p = plan("q284_geo_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the integer cell grid: " + p.take(2000))
+  }
+
+  test("q280: CIDR longest-prefix joins are broadcast-only") {
+    val p = plan("q280_cidr_match")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the CIDR dim must broadcast onto the points: " + p.take(2000))
+  }
+
+  test("q287: NB scoring shuffles tokens, never cross-joins the corpus") {
+    val p = plan("q287_naive_bayes")
+    // the only nested-loop joins are one-row broadcasts (V, n_tot)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"),
+      "the class prior dim must broadcast: " + p.take(2000))
+  }
 }

@@ -135,6 +135,23 @@ class RankStatsSpec extends SparkSpec {
     }
   }
 
+  test("medianCI: rank bracket on 1..100, exact rank arithmetic") {
+    val df = (1L to 100L).toDF("x")
+    val r = RankStats.medianCI(df, col("x")).head()
+    // he6 = round6(1.959964 * 10) * 1e6 = 19599640
+    // l = ceil((100e6 - he6)/2e6) = 41, u = floor((100e6 + he6)/2e6)+1 = 60
+    assert(r.getLong(0) == 100L)
+    assert((r.getLong(1), r.getLong(2)) == ((41L, 60L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((41L, 50L, 60L)))
+  }
+
+  test("medianCI: tiny n clamps ranks into [1, n]") {
+    val r = RankStats.medianCI(Seq(5L, 9L).toDF("x"), col("x")).head()
+    assert(r.getLong(1) == 1L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 5L && r.getLong(5) == 9L)
+  }
+
   test("hhi: monopoly is 1e6, even split is 1e6/n, negatives raise") {
     val df = (Seq(("mono", 10L)) ++ (1 to 4).map(i => ("even", 5L)))
       .toDF("g", "x")

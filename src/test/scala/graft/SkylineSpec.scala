@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skyline
+
+class SkylineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pareto2d: staircase survives, interior and same-x fall") {
+    val pts = Seq((1L, 1L, 9L), (2L, 5L, 5L), (3L, 9L, 1L),
+      (4L, 3L, 3L),  // strictly inside the front
+      (6L, 5L, 2L))  // same x as 2, lower y
+      .toDF("id", "x", "y")
+    val got = Skyline.pareto2d(pts, col("id"), col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("pareto2d: duplicates of a front point all survive") {
+    val pts = Seq((1L, 5L, 5L), (2L, 5L, 5L), (3L, 1L, 1L))
+      .toDF("id", "x", "y")
+    val got = Skyline.pareto2d(pts, col("id"), col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("pareto2d: weak domination by an equal-y point further right") {
+    val pts = Seq((1L, 3L, 9L), (2L, 5L, 9L)).toDF("id", "x", "y")
+    val got = Skyline.pareto2d(pts, col("id"), col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(got == Set(2L))
+  }
+}

@@ -128,4 +128,52 @@ class TrendSpec extends SparkSpec {
       .head()
     assert(r.getLong(0) == 2L && r.getString(1) == null)
   }
+
+  test("mannKendall: monotone series, ties, duplicate-time raise") {
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("t", "y")
+    val r = graft.operators.Trend.mannKendall(up, col("t"), col("y"))
+      .head()
+    // all 10 pairs concordant; var18 = 5*4*15 = 300, Var = 50/3
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((5L, 10L, 300L)))
+    assert(r.getString(3) == f"${9.0 / math.sqrt(300.0 / 18.0)}%.6f")
+    // a tie pair contributes 0 to S and shrinks the variance
+    val tie = Seq((1L, 10L), (2L, 10L), (3L, 30L)).toDF("t", "y")
+    val rt = graft.operators.Trend.mannKendall(tie, col("t"), col("y"))
+      .head()
+    // S = 0 + 1 + 1 = 2; var18 = 3*2*11 - 2*1*9 = 48
+    assert((rt.getLong(1), rt.getLong(2)) == ((2L, 48L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Trend.mannKendall(
+        Seq((1L, 1L), (1L, 2L)).toDF("t", "y"), col("t"), col("y"))
+    }
+  }
+
+  test("olsTwo: exact planar fit recovers the coefficients") {
+    // y = 2 + 3*x1 + 5*x2 on a full non-collinear grid
+    val pts = for (x1 <- 0L to 2L; x2 <- 0L to 1L)
+      yield (2L + 3L * x1 + 5L * x2, x1, x2)
+    val r = graft.operators.Trend.olsTwo(pts.toDF("y", "x1", "x2"),
+      col("y"), col("x1"), col("x2")).head()
+    assert(r.getLong(0) == 6L)
+    assert(r.getString(1) == "2.000000")
+    assert(r.getString(2) == "3.000000")
+    assert(r.getString(3) == "5.000000")
+    assert(r.getString(4) == "1.000000")
+  }
+
+  test("olsTwo: constant regressor and exact collinearity gate to null") {
+    val const = Seq((1L, 1L, 7L), (2L, 2L, 7L), (3L, 3L, 7L))
+      .toDF("y", "x1", "x2")
+    val r1 = graft.operators.Trend.olsTwo(const, col("y"), col("x1"),
+      col("x2")).head()
+    assert(r1.getString(1) == null && r1.getString(2) == null)
+    // x2 = x1 exactly: the centered determinant cancels to literal 0
+    val col2 = Seq((1L, 1L, 1L), (2L, 2L, 2L), (4L, 3L, 3L))
+      .toDF("y", "x1", "x2")
+    val r2 = graft.operators.Trend.olsTwo(col2, col("y"), col("x1"),
+      col("x2")).head()
+    assert(r2.getString(2) == null)
+  }
 }

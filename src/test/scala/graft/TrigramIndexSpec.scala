@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TrigramIndex
+
+class TrigramIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq((1L, "hello world"), (2L, "hello there"),
+    (3L, "worldly affairs"), (4L, "abcx bcd here"))
+    .toDF("doc_id", "text")
+
+  test("postings: distinct grams per doc, short docs index nothing") {
+    val p = TrigramIndex.postings(
+      Seq((1L, "aaaa"), (2L, "ab")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSet
+    assert(p == Set((1L, "aaa"))) // two aaa windows dedupe; "ab" absent
+  }
+
+  test("search: candidate superset, exact verify separates the two") {
+    val got = TrigramIndex.search(docs, col("doc_id"), col("text"),
+        Seq("world", "abcd", "zzz"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // "world": docs 1 and 3 carry all grams and both truly contain it
+    assert(got("world") == ((2L, 2L)))
+    // "abcd": doc 4 has grams abc AND bcd but never the substring -
+    // a candidate the verify stage must reject
+    assert(got("abcd") == ((1L, 0L)))
+    // absent grams: zero candidates, zero matches, row still present
+    assert(got("zzz") == ((0L, 0L)))
+  }
+
+  test("search: matching is case-insensitive; short probes raise") {
+    val got = TrigramIndex.search(docs, col("doc_id"), col("text"),
+      Seq("WORLD")).head()
+    assert(got.getLong(2) == 2L)
+    intercept[IllegalArgumentException] {
+      TrigramIndex.search(docs, col("doc_id"), col("text"), Seq("ab"))
+    }
+  }
+}
