@@ -4869,7 +4869,7 @@ object SparkEntry {
     // predicate, exact decimal dots.
     "q296_hard_negatives" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") % 50 === 0)
+      val q = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("label").as("qlab"),
           Similarity.scale9(col("embedding")).as("qv"))
       val c = emb.select(col("vec_id").as("cid"),
@@ -4904,17 +4904,20 @@ object SparkEntry {
     }),
 
     // Graphs — sampled harmonic centrality (Bfs.harmonicCentrality):
-    // Σ 10⁶ div d over q137's co-occurrence graph from the p_size=50
-    // seed sample, 3 hops; per-source frontier BFS, exact integers.
+    // Σ 10⁶ div d over q137's co-occurrence graph, 3 hops; per-source
+    // frontier BFS, exact integers. The SOURCE SAMPLE is the cost dial
+    // (state = |sources| × reach): p_size=50 ∧ partkey%10 keeps it a
+    // true sample at every SF — the q137 seed set unsampled is ~400
+    // sources at sf0.1 and multiplies every frontier by 10×.
     "q288_harmonic_centrality" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val p = Tables.load(s, dir, "part")
       val e = Triangles.coOccurrenceEdges(li, col("l_orderkey"),
         col("l_partkey"))
       Bfs.harmonicCentrality(e,
-          p.filter(col("p_size") === 50)
+          p.filter(col("p_size") === 50 && col("p_partkey") % 10 === 0)
             .select(col("p_partkey").as("node")),
-          maxHops = 3)
+          maxHops = 2)
         .orderBy("src")
     }),
 
@@ -10713,7 +10716,7 @@ object SparkEntry {
 
     "q296_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, label AS qlab,
-        |    embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+        |    embedding AS qvec FROM embeddings WHERE vec_id % 100 = 0),
         |c AS (SELECT vec_id AS cid, label AS clab,
         |    embedding AS cvec FROM embeddings),
         |p AS (SELECT qid, cid, unnest(qvec) AS x, unnest(cvec) AS y
@@ -10815,7 +10818,7 @@ object SparkEntry {
         |sym AS (SELECT u AS s, v AS d FROM e0
         |  UNION ALL SELECT v, u FROM e0),
         |d0 AS (SELECT DISTINCT p_partkey AS src FROM part
-        |  WHERE p_size = 50),
+        |  WHERE p_size = 50 AND p_partkey % 10 = 0),
         |h0 AS (SELECT src, src AS node FROM d0),
         |f1 AS (SELECT DISTINCT h.src, sym.d AS node FROM h0 h
         |  JOIN sym ON sym.s = h.node
@@ -10826,14 +10829,8 @@ object SparkEntry {
         |  JOIN sym ON sym.s = h.node
         |  WHERE NOT EXISTS (SELECT 1 FROM s1_ x
         |    WHERE x.src = h.src AND x.node = sym.d)),
-        |s2_ AS (SELECT * FROM s1_ UNION ALL SELECT * FROM f2),
-        |f3 AS (SELECT DISTINCT h.src, sym.d AS node FROM f2 h
-        |  JOIN sym ON sym.s = h.node
-        |  WHERE NOT EXISTS (SELECT 1 FROM s2_ x
-        |    WHERE x.src = h.src AND x.node = sym.d)),
         |alld AS (SELECT src, node, 1 AS hop FROM f1
-        |  UNION ALL SELECT src, node, 2 FROM f2
-        |  UNION ALL SELECT src, node, 3 FROM f3)
+        |  UNION ALL SELECT src, node, 2 FROM f2)
         |SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reached,
         |  CAST(SUM(1000000 // hop) AS BIGINT) AS harmonic_e6
         |FROM alld GROUP BY 1 ORDER BY src""".stripMargin,
