@@ -4888,6 +4888,57 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // Experimentation — two-proportion z-test (AbTest.twoProportionZ):
+    // the conversion-rate readout on the parity split; exact counts,
+    // exact FLOOR-scaled signed rate diff (pmod-spelled floor — div
+    // truncates, // floors), one pooled-z double tree.
+    "q300_two_prop_z" -> ((s, dir) =>
+      AbTest.twoProportionZ(Tables.events(s, dir),
+        col("user_id") % 2 === 0, col("value") > 50.0)),
+
+    // Eval — multi-class confusion + macro-F1 (Evaluation.macroF1)
+    // over q287's Naive Bayes predictions: one-vs-rest exact counts,
+    // floor-scaled P/R/F1, the macro mean over the label∪pred class
+    // union.
+    "q301_macro_f1" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val preds = NaiveBayes.trainPredict(
+        d.filter(col("doc_id") % 3 === 0), col("text"), col("lang"),
+        d.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"))
+      Evaluation.macroF1(
+          preds.join(d.select(col("doc_id").as("id"), col("lang")),
+            Seq("id")),
+          col("lang"), col("pred"))
+        .orderBy("cls")
+    }),
+
+    // Stats — closed-form 2-feature PCA (Moments.pca2): principal
+    // direction + explained-variance ratio of (quantity, price) via
+    // the 2×2 eigen formula; exact decimal moments, one double tree,
+    // unitless outputs only (raw eigenvalues would breach the %f
+    // cross-engine digit window).
+    "q298_pca2" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      Moments.pca2(Tables.load(s, dir, "lineitem"),
+        col("l_quantity").cast("long"),
+        (format_string("%.2f", col("l_extendedprice")).cast(dec2) * 100)
+          .cast("long"))
+    }),
+
+    // Sampling — Neyman-optimal allocation (Sampling
+    // .neymanAllocation): 500 samples across event types ∝ N_h·σ_h;
+    // round-once weights into Apportion's exact integer quota —
+    // Σ alloc == 500 exactly.
+    "q299_neyman" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      Sampling.neymanAllocation(Tables.events(s, dir),
+          col("event_type"),
+          (format_string("%.2f", col("value")).cast(dec2) * 100)
+            .cast("long"),
+          budget = 500L)
+        .orderBy("stratum")
+    }),
+
     // Analytics — 2-D skyline / Pareto front (Skyline.pareto2d): users
     // unbeaten on BOTH spend bucket and engagement; sort-scan identity
     // over the bounded spend grid, exact integers, survivor SET is a
@@ -10671,6 +10722,161 @@ object SparkEntry {
         |    THEN CAST(CAST(SUM(term6) AS DECIMAL(38,6)) AS VARCHAR)
         |    END AS ate6
         |FROM terms""".stripMargin,
+
+    "q300_two_prop_z" ->
+      """WITH v AS (SELECT user_id % 2 = 0 AS a,
+        |    CASE WHEN COALESCE(value > 50, FALSE) THEN 1 ELSE 0 END
+        |      AS c FROM events),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN a THEN c ELSE 0 END) AS BIGINT) AS k_a,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN NOT a THEN c ELSE 0 END) AS BIGINT)
+        |      AS k_b
+        |  FROM v)
+        |SELECT n_a, k_a, n_b, k_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST((CAST(k_a AS HUGEINT) * n_b
+        |      - CAST(k_b AS HUGEINT) * n_a) * 1000000
+        |      // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) END
+        |    AS diff_1e6,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND k_a + k_b > 0
+        |      AND k_a + k_b < n_a + n_b THEN
+        |    printf('%.6f', (CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |      / sqrt((CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+        |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+        |        * (1.0 - (CAST(k_a AS DOUBLE) + CAST(k_b AS DOUBLE))
+        |          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+        |        * (1.0 / CAST(n_a AS DOUBLE)
+        |          + 1.0 / CAST(n_b AS DOUBLE)))) END AS z6
+        |FROM m""".stripMargin,
+
+    "q301_macro_f1" ->
+      """WITH tr AS (SELECT lang AS c,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ct AS (SELECT c, tok, CAST(COUNT(*) AS BIGINT) AS n_ct
+        |  FROM tr GROUP BY 1, 2),
+        |totc AS (SELECT c, CAST(SUM(n_ct) AS BIGINT) AS n_c FROM ct
+        |  GROUP BY 1),
+        |voc AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        |  FROM ct),
+        |pri0 AS (SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1),
+        |ntot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM pri0),
+        |pri AS (SELECT c, CAST(printf('%.6f',
+        |    ln(CAST(n_docs AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+        |    AS DECIMAL(18,6)) AS prior6 FROM pri0 CROSS JOIN ntot),
+        |tt AS (SELECT id, tok, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM (SELECT doc_id AS id,
+        |      unnest(string_split(text, ' ')) AS tok
+        |    FROM documents WHERE doc_id % 3 <> 0) GROUP BY 1, 2),
+        |grid AS (SELECT tc.c, dt.tok, CAST(printf('%.6f',
+        |    ln(CAST(COALESCE(ct.n_ct, 0) + 1 AS DOUBLE)
+        |      / CAST(tc.n_c + voc.v AS DOUBLE)))
+        |    AS DECIMAL(18,6)) AS lnp6
+        |  FROM (SELECT DISTINCT tok FROM tt) dt CROSS JOIN totc tc
+        |  CROSS JOIN voc
+        |  LEFT JOIN ct ON ct.c = tc.c AND ct.tok = dt.tok),
+        |sc AS (SELECT tt.id, g.c,
+        |    CAST(SUM(tt.m * g.lnp6) AS DECIMAL(38,6)) AS tok_score
+        |  FROM tt JOIN grid g ON g.tok = tt.tok GROUP BY 1, 2),
+        |fin AS (SELECT sc.id, sc.c,
+        |    CAST(pri.prior6 + sc.tok_score AS DECIMAL(38,6)) AS score
+        |  FROM sc JOIN pri ON pri.c = sc.c),
+        |rr AS (SELECT id, c, ROW_NUMBER() OVER (PARTITION BY id
+        |    ORDER BY score DESC, c ASC) AS rn FROM fin),
+        |pr AS (SELECT rr.id, d.lang AS l, rr.c AS p FROM rr
+        |  JOIN documents d ON d.doc_id = rr.id WHERE rn = 1),
+        |cells AS (SELECT l, p, CAST(COUNT(*) AS BIGINT) AS n FROM pr
+        |  GROUP BY 1, 2),
+        |cls AS (SELECT DISTINCT l AS cls FROM cells
+        |  UNION SELECT DISTINCT p FROM cells),
+        |tp AS (SELECT l AS cls, n AS tp FROM cells WHERE l = p),
+        |byl AS (SELECT l AS cls, CAST(SUM(n) AS BIGINT) AS nl
+        |  FROM cells GROUP BY 1),
+        |byp AS (SELECT p AS cls, CAST(SUM(n) AS BIGINT) AS np
+        |  FROM cells GROUP BY 1),
+        |per AS (SELECT cls.cls, COALESCE(tp.tp, 0) AS tp,
+        |    COALESCE(byp.np, 0) - COALESCE(tp.tp, 0) AS fp,
+        |    COALESCE(byl.nl, 0) - COALESCE(tp.tp, 0) AS fn
+        |  FROM cls LEFT JOIN tp ON tp.cls = cls.cls
+        |  LEFT JOIN byl ON byl.cls = cls.cls
+        |  LEFT JOIN byp ON byp.cls = cls.cls),
+        |per2 AS (SELECT cls, CAST(tp AS BIGINT) AS tp,
+        |    CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |    CASE WHEN tp + fp > 0 THEN CAST(tp * 1000000 // (tp + fp)
+        |      AS BIGINT) END AS prec_1e6,
+        |    CASE WHEN tp + fn > 0 THEN CAST(tp * 1000000 // (tp + fn)
+        |      AS BIGINT) END AS rec_1e6,
+        |    CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp * 1000000
+        |      // (2 * tp + fp + fn) AS BIGINT) ELSE 0 END AS f1_1e6
+        |  FROM per)
+        |SELECT * FROM per2
+        |UNION ALL
+        |SELECT '__macro', CAST(COUNT(*) AS BIGINT), 0, 0,
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(SUM(f1_1e6) // COUNT(*) AS BIGINT)
+        |FROM per2 ORDER BY cls""".stripMargin,
+
+    "q298_pca2" ->
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(printf('%.2f', l_extendedprice)
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS y FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT x) AS BIGINT) AS ndx,
+        |    CAST(COUNT(DISTINCT y) AS BIGINT) AS ndy,
+        |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
+        |  FROM v),
+        |d AS (SELECT n, ndx, ndy,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS a,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS c,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS b
+        |  FROM m)
+        |SELECT n,
+        |  CASE WHEN n >= 2 AND (ndx >= 2 OR ndy >= 2) THEN
+        |    printf('%.6f', (a + c + sqrt((a - c) * (a - c)
+        |      + 4.0 * b * b)) / (2.0 * (a + c))) END AS evr6,
+        |  CASE WHEN n >= 2 AND (ndx >= 2 OR ndy >= 2) THEN
+        |    printf('%.6f', atan2(2.0 * b, a - c) / 2.0) END AS theta6
+        |FROM d""".stripMargin,
+
+    "q299_neyman" ->
+      """WITH v AS (SELECT event_type AS h,
+        |    CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS x FROM events),
+        |per AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx
+        |  FROM v GROUP BY 1),
+        |wt AS (SELECT h, n, CASE WHEN n > 1 THEN
+        |    CAST(CAST(printf('%.6f', CAST(n AS DOUBLE)
+        |      * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+        |      AS DECIMAL(24,6)) * 1000000 AS BIGINT)
+        |    ELSE 0 END AS w FROM per),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wt),
+        |q AS (SELECT h, n, w, (500 * w) // tw AS base,
+        |    (500 * w) % tw AS rem FROM wt, t),
+        |lf AS (SELECT 500 - CAST(SUM(base) AS BIGINT) AS lft FROM q),
+        |qa AS (SELECT h, n, w, base,
+        |    CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, h) - 1
+        |      < lft THEN 1 ELSE 0 END AS extra
+        |  FROM q, lf)
+        |SELECT h AS stratum, n, CAST(w AS BIGINT) AS w,
+        |  CAST(base AS BIGINT) AS base, CAST(extra AS BIGINT) AS extra,
+        |  CAST(base + extra AS BIGINT) AS alloc
+        |FROM qa ORDER BY stratum""".stripMargin,
 
     "q297_skyline" ->
       """WITH per AS (SELECT user_id AS id,

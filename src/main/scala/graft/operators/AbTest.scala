@@ -326,6 +326,55 @@ object AbTest {
         .as("rho2_pct"))
   }
 
+  /** Two-proportion z-test — the conversion-rate A/B readout (the
+    * Welch t (q196) is for continuous metrics; rates get the pooled
+    * z): z = (p̂₁ − p̂₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)) with p̂ the pooled
+    * rate. Counts are exact integers; z is ONE fixed double tree
+    * rounded %.6f; the rate difference also reports as the exact
+    * floor-scaled (k₁·n₂ − k₂·n₁)·10⁶ div (n₁·n₂).
+    *
+    * @param isA  TRUE → arm A (null rows dropped)
+    * @param conv converted? (null = false)
+    * @return one row: (n_a, k_a, n_b, k_b, diff_1e6, z6; null z when
+    *         either arm is empty or the pooled rate is degenerate
+    *         (all or none converted — zero variance)) */
+  def twoProportionZ(df: DataFrame, isA: Column,
+                     conv: Column): DataFrame = {
+    val v = df.select(isA.cast("boolean").as("a"),
+        when(coalesce(conv, lit(false)), 1L).otherwise(0L).as("c"))
+      .filter(col("a").isNotNull)
+    val m = v.agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("a"), col("c")).otherwise(0L)).as("k_a"),
+      sum(when(!col("a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("a"), col("c")).otherwise(0L)).as("k_b"))
+    def dd(c: String) = col(c).cast("double")
+    val p1 = dd("k_a") / dd("n_a")
+    val p2 = dd("k_b") / dd("n_b")
+    val pp = (dd("k_a") + dd("k_b")) / (dd("n_a") + dd("n_b"))
+    val se = sqrt(pp * (lit(1.0d) - pp) *
+      (lit(1.0d) / dd("n_a") + lit(1.0d) / dd("n_b")))
+    val ok = col("n_a") > 0L && col("n_b") > 0L &&
+      col("k_a") + col("k_b") > 0L &&
+      col("k_a") + col("k_b") < col("n_a") + col("n_b")
+    // the diff is SIGNED: Spark's `div` truncates toward zero where
+    // DuckDB's `//` floors, so spell floor division explicitly via
+    // pmod (numd − pmod(numd, dend) is the exact floor multiple)
+    m.withColumn("numd", expr(
+        "(cast(k_a as decimal(38,0)) * n_b - " +
+          "cast(k_b as decimal(38,0)) * n_a) * 1000000"))
+      .withColumn("dend", expr("cast(n_a as decimal(38,0)) * n_b"))
+      .select(
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("k_a"), lit(0L)).as("k_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("k_b"), lit(0L)).as("k_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          expr("(numd - pmod(numd, dend)) div dend").cast("long"))
+          .as("diff_1e6"),
+        when(ok, format_string("%.6f", (p1 - p2) / se)).as("z6"))
+  }
+
   /** Stratified (blocked) average treatment effect — the observational
     * companion to [[diffInDiff]]/[[cuped]]: within each stratum b the
     * treated-vs-control mean difference is an apples-to-apples

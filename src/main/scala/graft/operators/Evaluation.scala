@@ -178,6 +178,61 @@ object Evaluation {
       .drop("__num", "__den")
   }
 
+  /** Multi-class confusion rollup + macro-F1 — the eval a multi-class
+    * classifier ([[NaiveBayes]], the class-share router) reports:
+    * per class, one-vs-rest tp/fp/fn with floor-scaled exact
+    * precision/recall/F1 (F1 = 2tp·10⁶ div (2tp+fp+fn) — the
+    * harmonic mean without a single float), plus a "__macro" summary
+    * row carrying the EXACT mean of the per-class F1s over all
+    * observed classes (union of label and prediction values — a
+    * never-predicted label still drags the macro down, the property
+    * macro-F1 exists to have).
+    *
+    * Scale shape: one (label, pred) aggregate, two margin rollups over
+    * the bounded class grid, a final one-row union. Exact integers
+    * throughout.
+    *
+    * @return per class: (cls, tp, fp, fn, prec_1e6, rec_1e6, f1_1e6)
+    *         + row ("__macro", n_classes, 0, 0, null, null,
+    *         macro_f1_1e6) */
+  def macroF1(df: DataFrame, label: Column, pred: Column): DataFrame = {
+    val cells = df.select(label.cast("string").as("l"),
+        pred.cast("string").as("p"))
+      .groupBy("l", "p").agg(count(lit(1)).as("n"))
+    val classes = cells.select(col("l").as("cls"))
+      .union(cells.select(col("p").as("cls"))).distinct()
+    val tp = cells.filter(col("l") === col("p"))
+      .select(col("l").as("cls"), col("n").as("tp"))
+    val byL = cells.groupBy(col("l").as("cls")).agg(sum("n").as("nl"))
+    val byP = cells.groupBy(col("p").as("cls")).agg(sum("n").as("np"))
+    val per = classes
+      .join(tp, Seq("cls"), "left")
+      .join(byL, Seq("cls"), "left")
+      .join(byP, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("np"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fp"),
+        (coalesce(col("nl"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+          .as("fn"))
+      .withColumn("prec_1e6", when(col("tp") + col("fp") > 0L,
+        expr("tp * 1000000 div (tp + fp)")))
+      .withColumn("rec_1e6", when(col("tp") + col("fn") > 0L,
+        expr("tp * 1000000 div (tp + fn)")))
+      .withColumn("f1_1e6", when(col("tp") * 2L + col("fp") +
+          col("fn") > 0L,
+        expr("2 * tp * 1000000 div (2 * tp + fp + fn)"))
+        .otherwise(lit(0L)))
+    val macroRow = per.agg(count(lit(1)).as("nc"),
+        sum("f1_1e6").as("sf"))
+      .select(lit("__macro").as("cls"), col("nc").as("tp"),
+        lit(0L).as("fp"), lit(0L).as("fn"),
+        lit(null).cast("long").as("prec_1e6"),
+        lit(null).cast("long").as("rec_1e6"),
+        expr("sf div nc").as("f1_1e6"))
+    per.unionByName(macroRow)
+  }
+
   /** NDCG@k — THE graded ranking metric ([[aucExact]] handles binary
     * relevance; search/recommendation evals are graded): DCG@k =
     * Σ_{r≤k} rel_r / log₂(r+1) under the system's ranking, normalized

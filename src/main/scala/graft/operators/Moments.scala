@@ -27,6 +27,51 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Moments {
 
+  /** Closed-form 2-feature PCA — the principal direction and explained
+    * variance of an (x, y) cloud without an eigensolver: for the 2×2
+    * centered scatter [[a, b], [b, c]] the eigenvalues are
+    * (a+c ± √((a−c)² + 4b²))/2 and the principal angle is
+    * ½·atan2(2b, a−c) — a pure formula, so the whole reduction is one
+    * aggregate plus a fixed double tree (the [[Trend.olsTwo]] / q196
+    * discipline: exact decimal moments, doubles only at the end, %.6f
+    * once per output).
+    *
+    * Outputs are UNITLESS (explained-variance ratio λ₁/(λ₁+λ₂) and the
+    * angle in radians) — raw eigenvalues at warehouse scale exceed the
+    * ~15-significant-digit %f window where Java and C formatting
+    * diverge (the q254 hazard), so they deliberately never print.
+    * Degeneracy gates on EXACT distinct counts (both margins constant),
+    * not the float trace — cancellation residue is not variance.
+    *
+    * @return one row: (n, evr6, theta6; nulls when n < 2 or both
+    *         margins constant) */
+  def pca2(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val d18 = DecimalType(18, 0)
+    val m = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        countDistinct("x").as("ndx"), countDistinct("y").as("ndy"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d18) * col("x")).cast(d38).as("sxx"),
+        sum(col("y").cast(d18) * col("y")).cast(d38).as("syy"),
+        sum(col("x").cast(d18) * col("y")).cast(d38).as("sxy"))
+    val nd = col("n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    val a = nd * dd("sxx") - dd("sx") * dd("sx")
+    val c2 = nd * dd("syy") - dd("sy") * dd("sy")
+    val b = nd * dd("sxy") - dd("sx") * dd("sy")
+    val tr = a + c2
+    val disc = sqrt((a - c2) * (a - c2) + lit(4.0d) * b * b)
+    val ok = col("n") >= 2L && (col("ndx") >= 2L || col("ndy") >= 2L)
+    m.select(col("n"),
+      when(ok, format_string("%.6f", (tr + disc) / (lit(2.0d) * tr)))
+        .as("evr6"),
+      when(ok, format_string("%.6f",
+        atan2(lit(2.0d) * b, a - c2) / lit(2.0d))).as("theta6"))
+  }
+
   /** @param x integer-valued measure column (cast exact on both
     *          engines; scale floats to units upstream)
     * @return (group, n, s1..s4 as decimal(38,0), mean, skewness,

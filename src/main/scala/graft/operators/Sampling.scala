@@ -297,4 +297,48 @@ object Sampling {
     (bucketed.withColumn("__graft_cum", offCol + sum("__graft_wt").over(w)),
       total)
   }
+
+  /** Neyman-optimal stratified allocation — HOW MANY samples each
+    * stratum deserves: n_h ∝ N_h·σ_h (Neyman 1934), the allocation
+    * that minimizes the estimator's variance for a fixed budget —
+    * high-variance strata earn more than proportional sampling gives
+    * them, constant strata earn none (one row already represents
+    * them). The integerization rides [[Apportion.largestRemainder]],
+    * so Σ alloc == budget EXACTLY.
+    *
+    * Determinism: σ comes from exact decimal moments; the weight
+    * N_h·σ_h rounds %.6f ONCE into a ×10⁶ integer, and everything
+    * after is Apportion's exact integer arithmetic.
+    *
+    * Precondition (fails loudly via ANSI div-by-zero): at least one
+    * stratum must have positive variance — an all-constant frame has
+    * no Neyman allocation.
+    *
+    * @param x exact-integer unitized measure
+    * @return per stratum: (stratum, n, w — the ×10⁶ Neyman weight —
+    *         base, extra, alloc) */
+  def neymanAllocation(df: DataFrame, stratum: Column, x: Column,
+                       budget: Long): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val per = df.select(stratum.as("h"), x.cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy("h").agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("x").cast(d18) * col("x")).cast(d38).as("sxx"))
+    val nd = col("n").cast("double")
+    val varNum = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val weighted = per.withColumn("wgt", when(col("n") > 1L,
+      (format_string("%.6f",
+        nd * sqrt(varNum / (nd * (nd - lit(1.0d)))))
+        .cast(org.apache.spark.sql.types.DecimalType(24, 6)) * 1000000)
+        .cast("long")).otherwise(0L))
+    Apportion.largestRemainder(weighted, col("h"), col("wgt"), budget)
+      .withColumnRenamed("key", "stratum")
+      .join(weighted.select(col("h").as("stratum"), col("n")),
+        Seq("stratum"))
+      .select(col("stratum"), col("n"), col("w"), col("base"),
+        col("extra"), col("alloc"))
+  }
 }

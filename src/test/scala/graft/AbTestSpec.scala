@@ -91,6 +91,26 @@ class AbTestSpec extends SparkSpec {
     assert(got("b") == ((10L, "0.000000", None)))
   }
 
+  test("twoProportionZ: hand z, signed floor diff, degenerate null") {
+    val df = ((1 to 100).map(i => (true, i <= 25)) ++
+      (1 to 100).map(i => (false, i <= 15))).toDF("a", "c")
+    val r = AbTest.twoProportionZ(df, col("a"), col("c")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((100L, 25L, 100L, 15L)))
+    assert(r.getLong(4) == 100000L)
+    val z = 0.1 / math.sqrt(0.2 * 0.8 * (1.0 / 100 + 1.0 / 100))
+    assert(r.getString(5) == f"$z%.6f")
+    // negative diff must FLOOR (DuckDB // semantics), not truncate
+    val neg = Seq((true, false), (true, false), (true, false),
+      (false, true), (false, false), (false, false)).toDF("a", "c")
+    assert(AbTest.twoProportionZ(neg, col("a"), col("c")).head()
+      .getLong(4) == -333334L)
+    // everyone converts: zero pooled variance -> null z
+    val all = Seq((true, true), (false, true)).toDF("a", "c")
+    assert(AbTest.twoProportionZ(all, col("a"), col("c")).head()
+      .isNullAt(5))
+  }
+
   test("stratifiedAte: hand contrast, one-armed stratum dropped") {
     // s1: treated {10,20} vs control {5}  -> diff 10, weight 3/6
     // s2: treated {0} vs control {10,20}  -> diff -15, weight 3/6

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Apportion
+import graft.operators.{Apportion, Sampling}
 
 /** Hamilton apportionment: the classic 3-way example, the exact-sum
   * invariant under adversarial weights, quota bounds, and zero
@@ -59,5 +59,23 @@ class ApportionSpec extends SparkSpec {
     val b = Sampling.quotaSample(df, col("s"), col("k"), 10L)
       .select("k").as[String].collect().toSet
     assert(a == b && a.size == 10)
+  }
+
+  test("neymanAllocation: sigma-weighted quotas, constant stratum zero") {
+    // A: {0,10} sd=sqrt(50); B constant; C: {0,20} sd=sqrt(200) = 2x A
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 5L), ("B", 5L), ("B", 5L),
+      ("C", 0L), ("C", 20L)).toDF("h", "x")
+    val got = Sampling.neymanAllocation(df, col("h"), col("x"),
+        budget = 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    val wA = (BigDecimal(f"${2.0 * math.sqrt(50.0)}%.6f") * 1000000)
+      .toLong
+    val wC = (BigDecimal(f"${2.0 * math.sqrt(200.0)}%.6f") * 1000000)
+      .toLong
+    assert(got("A") == ((2L, wA, 3L)))
+    assert(got("B") == ((3L, 0L, 0L))) // constant: no variance, no quota
+    assert(got("C") == ((2L, wC, 7L))) // largest remainder takes the +1
+    assert(got.values.map(_._3).sum == 10L)
   }
 }

@@ -107,6 +107,22 @@ class EvaluationSpec extends SparkSpec {
     assert(got(5L) == Some(1000000L))    // c > n-k: numerator clamps to 0
   }
 
+  test("macroF1: one-vs-rest counts, unpredicted class drags macro") {
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"),
+      ("c", "a")).toDF("l", "p")
+    val got = Evaluation.macroF1(df, col("l"), col("p"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]),
+          r.getLong(6)))).toMap
+    assert(got("a") == ((1L, 1L, 1L, Some(500000L), 500000L)))
+    assert(got("b") == ((2L, 1L, 0L, Some(666666L), 800000L)))
+    // c never predicted: precision undefined, F1 zero - and it still
+    // participates in the macro mean
+    assert(got("c") == ((0L, 0L, 1L, None, 0L)))
+    assert(got("__macro")._5 == (500000L + 800000L) / 3L)
+  }
+
   test("ndcgAtK: misranked relevance halves the gain; empty rel null") {
     // q "a": the only relevant item sits at rank 3 (log2(4) = 2 exact)
     // -> dcg = 2/2 = 1, idcg = 2/1 = 2, ndcg = 0.5

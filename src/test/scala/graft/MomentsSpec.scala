@@ -39,4 +39,24 @@ class MomentsSpec extends SparkSpec {
       got(0).getDecimal(5).toPlainString == "272")
     assert(got(1).getLong(1) == 1L && got(1).isNullAt(7))
   }
+
+  test("pca2: collinear cloud loads fully on the slope-2 axis") {
+    // y = 2x exactly: evr = 1, theta = the line's angle arctan(2)
+    val df = Seq((0L, 0L), (1L, 2L), (2L, 4L)).toDF("x", "y")
+    val r = Moments.pca2(df, col("x"), col("y")).head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getString(1) == "1.000000")
+    // a=6, c=24, b=12 -> theta = atan2(24, -18)/2
+    assert(r.getString(2) == f"${math.atan2(24.0, -18.0) / 2.0}%.6f")
+  }
+
+  test("pca2: one constant margin -> vertical axis; both -> nulls") {
+    val vert = Seq((7L, 0L), (7L, 5L), (7L, 9L)).toDF("x", "y")
+    val rv = Moments.pca2(vert, col("x"), col("y")).head()
+    assert(rv.getString(1) == "1.000000")
+    assert(rv.getString(2) == f"${math.atan2(0.0, -1.0) / 2.0}%.6f")
+    val flat = Seq((7L, 3L), (7L, 3L)).toDF("x", "y")
+    val rf = Moments.pca2(flat, col("x"), col("y")).head()
+    assert(rf.isNullAt(1) && rf.isNullAt(2))
+  }
 }
