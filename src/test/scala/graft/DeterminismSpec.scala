@@ -164,4 +164,29 @@ class DeterminismSpec extends SparkSpec {
           k = 20).collect().map(_.toSeq).toSeq.sortBy(_.toString))
     }
   }
+
+  test("isotonic fit, median CI, and pca2 are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      (graft.operators.Evaluation.isotonicFit(df, col("w") % 13,
+          when(col("id") % 3 === 0, 1L).otherwise(0L))
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString),
+        graft.operators.RankStats.medianCI(df, col("w") + col("id") % 7)
+          .collect().map(_.toSeq).toSeq,
+        graft.operators.Moments.pca2(df, col("w"), col("id") % 97)
+          .collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("macro-F1 and skyline are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      (graft.operators.Evaluation.macroF1(df, col("g"),
+          concat(lit("g"), (col("id") % 6).cast("string")))
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString),
+        graft.operators.Skyline.pareto2d(df, col("id"), col("w") % 23,
+          col("id") % 31).collect().map(_.toSeq).toSeq
+          .sortBy(_.toString))
+    }
+  }
 }
