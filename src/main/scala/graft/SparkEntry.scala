@@ -4912,6 +4912,67 @@ object SparkEntry {
         .orderBy("cls")
     }),
 
+    // Apportionment — highest-averages divisor methods (Apportion
+    // .divisorMethod): 21 crawl seats over nations weighted by
+    // customer count, D'Hondt (divisors 1,2,3,…) and Sainte-Laguë
+    // (1,3,5,…) side by side; quotients rank as exact (w·10¹²) div d
+    // BIGINTs, ties by (w desc, key asc), Σ alloc == 21 per method.
+    "q302_dhondt" -> ((s, dir) => {
+      val w = Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      Apportion.divisorMethod(w, col("nk"), col("n_cust"),
+          seats = 21, divStep = 1)
+        .withColumn("method", lit("dhondt"))
+        .unionByName(
+          Apportion.divisorMethod(w, col("nk"), col("n_cust"),
+              seats = 21, divStep = 2)
+            .withColumn("method", lit("sainte_lague")))
+        .orderBy("method", "key")
+    }),
+
+    // Clustering eval — Adjusted Rand Index (ClusterEval
+    // .adjustedRand): chance-corrected pair agreement between the
+    // source partition and the lang partition of documents; C(x,2)
+    // sums from linear cell/margin aggregates, the division-cleared
+    // 2(TS−AB)/(T(A+B)−2AB) identity in decimal(38,0), one %.6f.
+    "q303_adjusted_rand" -> ((s, dir) =>
+      ClusterEval.adjustedRand(Tables.load(s, dir, "documents"),
+        col("doc_id"), col("source"), col("lang"))),
+
+    // Stats — exact 1-D Wasserstein-1 distance (RankStats
+    // .wasserstein1): earth-mover distance in cents between purchase
+    // and click value distributions; integer |ca·n_b − cb·n_a|·dx
+    // terms on the pooled grid, one scaled division.
+    "q304_wasserstein1" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      RankStats.wasserstein1(
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click")),
+        col("event_type") === "purchase",
+        (format_string("%.2f", col("value")).cast(dec2) * 100)
+          .cast("long"))
+    }),
+
+    // Feature screening — Weight of Evidence + Information Value
+    // (InfoGain.woeIv): does order priority separate finished from
+    // open orders? Per-level ln(g·B/(b·G)) round-once, IV from exact
+    // integer weights over the constant G·B denominator.
+    "q305_woe_iv" -> ((s, dir) =>
+      InfoGain.woeIv(Tables.load(s, dir, "orders"),
+          col("o_orderpriority"), col("o_orderstatus") === "F")
+        .orderBy("f")),
+
+    // Recommenders — item-item collaborative filtering (Association
+    // .itemCosineTopK): top-3 co-purchase neighbors per part by
+    // co-occurrence cosine over order baskets; cos² as exact
+    // c_ab²·10¹² div (c_a·c_b), ties by neighbor, WindowGroupLimit.
+    "q306_item_cf" -> ((s, dir) =>
+      Association.itemCosineTopK(Tables.load(s, dir, "lineitem"),
+          col("l_orderkey"), col("l_partkey"), k = 3,
+          minPairSupport = 2)
+        .orderBy("item", "rnk")),
+
     // Stats — closed-form 2-feature PCA (Moments.pca2): principal
     // direction + explained-variance ratio of (quantity, price) via
     // the 2×2 eigen formula; exact decimal moments, one double tree,
@@ -10820,6 +10881,131 @@ object SparkEntry {
         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
         |  CAST(SUM(f1_1e6) // COUNT(*) AS BIGINT)
         |FROM per2 ORDER BY cls""".stripMargin,
+
+    "q302_dhondt" ->
+      """WITH w AS (SELECT c_nationkey AS key, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM customer GROUP BY 1),
+        |dh AS (SELECT key, w, (w * 1000000000000) // (j + 1) AS qf
+        |  FROM w, range(21) t(j)),
+        |rdh AS (SELECT key, ROW_NUMBER() OVER (
+        |    ORDER BY qf DESC, w DESC, key ASC) AS rn FROM dh),
+        |adh AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS alloc
+        |  FROM rdh WHERE rn <= 21 GROUP BY 1),
+        |sl AS (SELECT key, w, (w * 1000000000000) // (2 * j + 1) AS qf
+        |  FROM w, range(21) t(j)),
+        |rsl AS (SELECT key, ROW_NUMBER() OVER (
+        |    ORDER BY qf DESC, w DESC, key ASC) AS rn FROM sl),
+        |asl AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS alloc
+        |  FROM rsl WHERE rn <= 21 GROUP BY 1)
+        |SELECT w.key, w.w, COALESCE(a.alloc, 0) AS alloc,
+        |  'dhondt' AS method FROM w LEFT JOIN adh a USING (key)
+        |UNION ALL
+        |SELECT w.key, w.w, COALESCE(a.alloc, 0) AS alloc,
+        |  'sainte_lague' AS method FROM w LEFT JOIN asl a USING (key)
+        |ORDER BY method, key""".stripMargin,
+
+    "q303_adjusted_rand" ->
+      """WITH cells AS (SELECT source AS p, lang AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2),
+        |base AS (SELECT CAST(SUM(n) AS HUGEINT) AS n_items,
+        |    CAST(SUM(CAST(n AS HUGEINT) * (n - 1) // 2) AS HUGEINT) AS s
+        |  FROM cells),
+        |pa AS (SELECT CAST(SUM(CAST(np AS HUGEINT) * (np - 1) // 2)
+        |    AS HUGEINT) AS a
+        |  FROM (SELECT SUM(n) AS np FROM cells GROUP BY p)),
+        |pb AS (SELECT CAST(SUM(CAST(ng AS HUGEINT) * (ng - 1) // 2)
+        |    AS HUGEINT) AS b
+        |  FROM (SELECT SUM(n) AS ng FROM cells GROUP BY g)),
+        |m AS (SELECT n_items, s, a, b,
+        |    n_items * (n_items - 1) // 2 AS t FROM base, pa, pb)
+        |SELECT CAST(n_items AS BIGINT) AS n_items,
+        |  CAST(s AS BIGINT) AS sum_cells2, CAST(a AS BIGINT) AS sum_pred2,
+        |  CAST(b AS BIGINT) AS sum_gold2,
+        |  CASE WHEN t * (a + b) - 2 * a * b <> 0 THEN printf('%.6f',
+        |    CAST(2 * (t * s - a * b) AS DOUBLE) /
+        |    CAST(t * (a + b) - 2 * a * b AS DOUBLE)) END AS ari6
+        |FROM m""".stripMargin,
+
+    "q304_wasserstein1" ->
+      """WITH v AS (SELECT event_type = 'purchase' AS a,
+        |    CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |g AS (SELECT x,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) AS BIGINT) AS n_b FROM g),
+        |c AS (SELECT SUM(na) OVER (ORDER BY x) AS ca,
+        |    SUM(nb) OVER (ORDER BY x) AS cb,
+        |    LEAD(x) OVER (ORDER BY x) - x AS dx FROM g)
+        |SELECT t.n_a, t.n_b,
+        |  CAST(CAST(COALESCE(SUM(CASE WHEN dx IS NOT NULL THEN
+        |    abs(CAST(ca AS HUGEINT) * t.n_b - CAST(cb AS HUGEINT) * t.n_a)
+        |      * dx ELSE 0 END), 0) AS HUGEINT) AS VARCHAR) AS w1_num,
+        |  CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+        |    CAST(CAST(COALESCE(SUM(CASE WHEN dx IS NOT NULL THEN
+        |      abs(CAST(ca AS HUGEINT) * t.n_b - CAST(cb AS HUGEINT) * t.n_a)
+        |        * dx ELSE 0 END), 0) AS HUGEINT) * 1000000 //
+        |      (CAST(t.n_a AS HUGEINT) * t.n_b) AS BIGINT) END AS w1_1e6
+        |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+
+    "q305_woe_iv" ->
+      """WITH lv AS (SELECT COALESCE(CAST(o_orderpriority AS VARCHAR),
+        |    ' null') AS f, o_orderstatus = 'F' AS y FROM orders),
+        |g AS (SELECT f,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS good,
+        |    CAST(SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS bad,
+        |    CAST(SUM(CASE WHEN y IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dropped
+        |  FROM lv GROUP BY 1),
+        |t AS (SELECT CAST(SUM(good) AS BIGINT) AS g_tot,
+        |    CAST(SUM(bad) AS BIGINT) AS b_tot,
+        |    CAST(SUM(dropped) AS BIGINT) AS n_dropped FROM g),
+        |sc AS (SELECT g.f, g.good, g.bad, t.g_tot, t.b_tot, t.n_dropped,
+        |    CASE WHEN g.good > 0 AND g.bad > 0 THEN CAST(printf('%.6f',
+        |      ln((CAST(g.good AS DOUBLE) * t.b_tot) /
+        |         (CAST(g.bad AS DOUBLE) * t.g_tot))) AS DECIMAL(10,6))
+        |    END AS woe6
+        |  FROM g CROSS JOIN t),
+        |iv AS (SELECT
+        |    CAST(SUM(CASE WHEN woe6 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_degenerate,
+        |    CAST(SUM((CAST(good AS DECIMAL(25,0)) * b_tot -
+        |      CAST(bad AS DECIMAL(25,0)) * g_tot) * woe6)
+        |      AS DECIMAL(38,6)) AS iv_num
+        |  FROM sc)
+        |SELECT sc.f, sc.good, sc.bad, CAST(sc.woe6 AS VARCHAR) AS woe6,
+        |  sc.g_tot, sc.b_tot, iv.n_degenerate, sc.n_dropped,
+        |  CASE WHEN sc.g_tot > 0 AND sc.b_tot > 0 THEN printf('%.6f',
+        |    CAST(COALESCE(iv.iv_num, 0) AS DOUBLE) /
+        |    (CAST(sc.g_tot AS DOUBLE) * CAST(sc.b_tot AS DOUBLE)))
+        |  END AS iv6
+        |FROM sc CROSS JOIN iv ORDER BY sc.f""".stripMargin,
+
+    "q306_item_cf" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM it
+        |  GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, c.i AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt_ab
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT item_a AS item, item_b AS neighbor, cnt_ab FROM p
+        |  UNION ALL SELECT item_b, item_a, cnt_ab FROM p),
+        |j AS (SELECT s.item, s.neighbor, s.cnt_ab,
+        |    ci.cnt AS cnt_item, cn.cnt AS cnt_neighbor,
+        |    CAST(CAST(s.cnt_ab AS HUGEINT) * s.cnt_ab * 1000000000000 //
+        |      (CAST(ci.cnt AS HUGEINT) * cn.cnt) AS BIGINT) AS cos2_e12
+        |  FROM sym s JOIN cnt ci ON ci.i = s.item
+        |  JOIN cnt cn ON cn.i = s.neighbor),
+        |r AS (SELECT *, RANK() OVER (PARTITION BY item
+        |    ORDER BY cos2_e12 DESC, neighbor ASC) AS rnk FROM j)
+        |SELECT item, neighbor, cnt_ab, cnt_item, cnt_neighbor, cos2_e12,
+        |  CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin,
 
     "q298_pca2" ->
       """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,

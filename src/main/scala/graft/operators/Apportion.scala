@@ -49,4 +49,52 @@ object Apportion {
         when(col("__r") < col("left"), 1L).otherwise(0L).as("extra"))
       .withColumn("alloc", col("base") + col("extra"))
   }
+
+  /** Highest-averages (divisor-method) apportionment — D'Hondt
+    * (`divStep = 1`: divisors 1,2,3,…) and Sainte-Laguë (`divStep = 2`:
+    * divisors 1,3,5,…) as one parameterized rule: each key's weight is
+    * divided by its divisor sequence, and the `seats` LARGEST quotients
+    * win one seat each. D'Hondt favors large weights (use it to hand
+    * crawl slots to hosts you trust proportionally-but-concentrated);
+    * Sainte-Laguë is near-unbiased (training-mix shares). Unlike
+    * [[largestRemainder]] it is house-monotone — adding a seat never
+    * takes one away.
+    *
+    * Quotients are never materialized as floats: rows rank by
+    * `(w·10¹²) div d` (exact BIGINT). With integer weights and divisors
+    * d ≤ 2·seats−1, two true quotients are either exactly equal or
+    * differ by ≥ 1/(d₁·d₂) ≫ 10⁻¹², so the floored ranking is the true
+    * quotient ranking; residual ties (true equalities) break by
+    * (w desc, key asc) — a pure function of the data. Domain
+    * w < 2⁶³/10¹² ≈ 9.2·10⁶ is enforced ANSI-loud via assert_true.
+    *
+    * Scale shape: the quotient frame is |keys|·seats rows — explode on
+    * the dim-sized key table only, never on facts (pre-aggregate
+    * weights upstream). The winner cut is orderBy+limit = one
+    * TakeOrderedAndProject reduce of `seats` rows; the final alloc is a
+    * broadcast join of that seats-row frame back onto keys.
+    *
+    * @return (key, w, alloc) with Σ alloc == seats exactly. */
+  def divisorMethod(df: DataFrame, key: Column, weight: Column,
+                    seats: Int, divStep: Int = 1): DataFrame = {
+    require(seats >= 0, "seats must be >= 0")
+    require(divStep == 1 || divStep == 2, "divStep: 1=D'Hondt 2=Sainte-Lague")
+    val w = df.select(key.as("key"), weight.cast("long").as("w"))
+      .withColumn("w",
+        when(col("w") >= 0L && col("w") < 9200000L, col("w"))
+          .otherwise(raise_error(concat(lit(
+            "divisorMethod: weight out of [0, 9.2e6): "), col("w")))))
+    val quotients = w
+      .select(col("key"), col("w"),
+        explode(sequence(lit(1), lit(seats.max(1)))).as("j"))
+      .withColumn("d", lit(divStep) * col("j") - lit(divStep - 1))
+      .withColumn("qf", expr("(w * 1000000000000L) div d"))
+    val winners = quotients
+      .orderBy(col("qf").desc, col("w").desc, col("key"))
+      .limit(seats)
+      .groupBy("key").agg(count(lit(1)).as("alloc"))
+    w.join(winners, Seq("key"), "left")
+      .select(col("key"), col("w"),
+        coalesce(col("alloc"), lit(0L)).as("alloc"))
+  }
 }

@@ -66,4 +66,52 @@ object Association {
         expr("(1000000 * n_baskets * cnt_ab) div (cnt_a * cnt_b)")
           .as("lift_e6"))
   }
+
+  /** Item-item collaborative filtering — top-k nearest neighbors per
+    * item by co-occurrence COSINE sim(i,j) = c_ij/√(c_i·c_j) over
+    * binary basket vectors (Sarwar et al. 2001; the Amazon
+    * "item-to-item" recommender). [[pairRules]] ranks pairs globally
+    * by lift; this produces the per-item neighbor LIST a recommender
+    * serves, under a symmetric-normalized score lift doesn't give.
+    *
+    * The cosine never meets a square root: candidates rank by the
+    * monotone surrogate cos²·10¹² = c_ij²·10¹² div (c_i·c_j) — exact
+    * BIGINT (c_ij < 3·10⁶ keeps c_ij²·10¹² inside decimal(38,0);
+    * enforced loud), ties (cos² equal) break by (item_b asc), so the
+    * list is a pure function of the co-occurrence counts.
+    *
+    * Scale shape: pair generation + marginals exactly as [[pairRules]]
+    * (same basket-cap guard); the per-item cut is one
+    * rank-over-partition ≤ k — WindowGroupLimit pushes the filter into
+    * the sort, so no item ever materializes more than its candidate
+    * pairs. Both directions of each unordered pair are scored from the
+    * single (a<b) pair table via a symmetric union, not a second join.
+    *
+    * @return (item, neighbor, cnt_ab, cnt_item, cnt_neighbor,
+    *         cos2_e12, rnk) — rnk 1..k by cos² desc. */
+  def itemCosineTopK(df: DataFrame, basket: Column, item: Column,
+                     k: Int, minPairSupport: Long = 1,
+                     maxBasketSize: Int = 0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pairs = pairRules(df, basket, item, minPairSupport, maxBasketSize)
+    val sym = pairs.select(col("item_a").as("item"),
+        col("item_b").as("neighbor"), col("cnt_ab"),
+        col("cnt_a").as("cnt_item"), col("cnt_b").as("cnt_neighbor"))
+      .unionByName(pairs.select(col("item_b").as("item"),
+        col("item_a").as("neighbor"), col("cnt_ab"),
+        col("cnt_b").as("cnt_item"), col("cnt_a").as("cnt_neighbor")))
+    val guarded = sym.withColumn("cnt_ab",
+      when(col("cnt_ab") < 3000000L, col("cnt_ab"))
+        .otherwise(raise_error(concat(
+          lit("itemCosineTopK: cnt_ab >= 3e6 overflows cos2_e12: "),
+          col("cnt_ab")))))
+    val scored = guarded.withColumn("cos2_e12",
+      expr("cast(cnt_ab as decimal(38,0)) * cnt_ab * 1000000000000L" +
+        " div (cast(cnt_item as decimal(38,0)) * cnt_neighbor)")
+        .cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item").orderBy(col("cos2_e12").desc, col("neighbor"))
+    scored.withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

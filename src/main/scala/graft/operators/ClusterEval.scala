@@ -58,4 +58,54 @@ object ClusterEval {
       when(p + r > lit(0.0d),
         format_string("%.9f", lit(2.0d) * p * r / (p + r))).as("f1_9"))
   }
+
+  /** Adjusted Rand Index (Hubert & Arabie 1985) — pair-counting
+    * cluster agreement corrected for chance, the standard companion
+    * readout to [[bcubed]]: 1 = identical partitions, ~0 = random
+    * relabeling, < 0 = worse than chance. The pair counts are never
+    * enumerated: C(x,2) sums come from the same linear cell/margin
+    * aggregates as B³.
+    *
+    * Exactness: with S = Σ_cells C(n_pg,2), A = Σ_p C(n_p,2),
+    * B = Σ_g C(n_g,2), T = C(n,2), the textbook ARI
+    * (S − AB/T) / (½(A+B) − AB/T) is cleared of its inner divisions:
+    * ARI = 2(TS − AB) / (T(A+B) − 2AB) — every term an exact
+    * DECIMAL(38,0) integer (A,B,S ≤ T < 2⁶³ for n < 4.3·10⁹; products
+    * go through 38-digit decimals, sufficient to n ≈ 10⁷ items — far
+    * past any sane number of evaluated LABELED items; the audit frame
+    * is a sample at corpus scale). One final double division, %.6f
+    * once. Degenerate chance-free cases (both partitions all-singleton
+    * or both one-cluster make the denominator 0) return ari6 = null.
+    *
+    * @return one row: (n_items, sum_cells2, sum_pred2, sum_gold2,
+    *         ari6) */
+  def adjustedRand(df: DataFrame, item: Column, predicted: Column,
+                   gold: Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def c2(c: Column): Column =
+      (c.cast(d38) * (c.cast(d38) - 1) / 2).cast(d38)
+    val cells = df.select(item.as("i"), predicted.as("p"), gold.as("g"))
+      .groupBy("p", "g").agg(count(lit(1)).as("n_pg"))
+      .localCheckpoint(true)
+    val pSize = cells.groupBy("p").agg(sum("n_pg").as("n_p"))
+    val gSize = cells.groupBy("g").agg(sum("n_pg").as("n_g"))
+    val parts = cells.agg(sum("n_pg").cast(d38).as("n"),
+        sum(c2(col("n_pg"))).cast(d38).as("s"))
+      .crossJoin(broadcast(
+        pSize.agg(sum(c2(col("n_p"))).cast(d38).as("a"))))
+      .crossJoin(broadcast(
+        gSize.agg(sum(c2(col("n_g"))).cast(d38).as("b"))))
+    val t = c2(col("n"))
+    val num = (lit(2).cast(d38) * (t * col("s") - col("a") * col("b")))
+      .cast(d38)
+    val den = (t * (col("a") + col("b")) -
+      lit(2).cast(d38) * col("a") * col("b")).cast(d38)
+    parts.select(col("n").cast("long").as("n_items"),
+      col("s").cast("long").as("sum_cells2"),
+      col("a").cast("long").as("sum_pred2"),
+      col("b").cast("long").as("sum_gold2"),
+      when(den =!= 0,
+        format_string("%.6f",
+          num.cast("double") / den.cast("double"))).as("ari6"))
+  }
 }

@@ -166,6 +166,56 @@ object RankStats {
           .as("d_1e6"))
   }
 
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance between the A and
+    * B empirical distributions of an integer-valued metric —
+    * ∫|F_A − F_B| dt, the drift readout that prices HOW FAR mass
+    * moved, where [[ksTest]] prices only the single worst gap and
+    * [[graft.operators.Drift.psi]] ignores bucket adjacency entirely
+    * (shifting every value by one cent is invisible to a same-bucket
+    * PSI, maximal news to W₁).
+    *
+    * Exactness: on the pooled sorted value grid, W₁ = Σ_k |F_A(x_k) −
+    * F_B(x_k)|·(x_{k+1} − x_k) and every term clears to the integer
+    * |ca·n_b − cb·n_a|·dx over the constant denominator n_a·n_b —
+    * summed in decimal(38,0), ONE scaled division at the end
+    * (micro-units, floor), the [[ksTest]] discipline.
+    *
+    * Scale shape: one value-grid count aggregate, then the same
+    * bounded-grid cumulative window as [[ksTest]] (unitize the metric
+    * upstream if its distinct-value count is unbounded).
+    *
+    * @param x integer-valued (cents/micros — pre-scale floats
+    *          upstream); W₁ is reported in the SAME unit
+    * @return one row: (n_a, n_b, w1_num — Σ|ca·n_b−cb·n_a|·dx —
+    *         w1_1e6 = floor(10⁶·W₁); nulls when a side is empty) */
+  def wasserstein1(df: DataFrame, isA: Column, x: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val grid = df.select(isA.as("a"), x.cast("long").as("x"))
+      .filter(col("a").isNotNull)
+      .groupBy("x").agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, 0) // bounded grid
+    val tot = grid.agg(sum("na").as("n_a"), sum("nb").as("n_b"))
+    grid
+      .withColumn("ca", sum("na").over(w))
+      .withColumn("cb", sum("nb").over(w))
+      .withColumn("dx", lead("x", 1).over(Window.orderBy("x")) - col("x"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(when(col("dx").isNotNull,
+          abs(col("ca").cast(dec) * col("n_b") -
+            col("cb").cast(dec) * col("n_a")) * col("dx"))
+          .otherwise(lit(0).cast(dec))).cast(dec).as("w1_num"))
+      .select(col("n_a"), col("n_b"),
+        col("w1_num").cast("string").as("w1_num"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          expr("cast(w1_num as decimal(38,0)) * 1000000 " +
+            "div (cast(n_a as decimal(38,0)) * n_b)").cast("long"))
+          .as("w1_1e6"))
+  }
+
   /** Per-group exact KS against the REST of the population — the
     * screening form of [[ksTest]]: "which segments' metric
     * distributions deviate?" asked for EVERY group at once (the

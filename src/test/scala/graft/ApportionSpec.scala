@@ -78,4 +78,45 @@ class ApportionSpec extends SparkSpec {
     assert(got("C") == ((2L, wC, 7L))) // largest remainder takes the +1
     assert(got.values.map(_._3).sum == 10L)
   }
+
+  private def divAlloc(ws: Seq[(String, Long)], seats: Int,
+                       step: Int): Map[String, Long] =
+    Apportion.divisorMethod(ws.toDF("k", "w"), col("k"), col("w"),
+        seats, step)
+      .select("key", "alloc").as[(String, Long)].collect().toMap
+
+  test("divisorMethod: textbook D'Hondt 100/80/30/20 over 8 seats") {
+    // quotients: A 100,50,33.3,25; B 80,40,26.7,20; C 30,15; D 20
+    // top-8: 100 80 50 40 33.3 30 26.7 25 → A=4 B=3 C=1 D=0
+    val got = divAlloc(
+      Seq(("A", 100L), ("B", 80L), ("C", 30L), ("D", 20L)), 8, 1)
+    assert(got == Map("A" -> 4L, "B" -> 3L, "C" -> 1L, "D" -> 0L))
+  }
+
+  test("divisorMethod: Sainte-Laguë spreads; exact ties break by w desc") {
+    // divisors 1,3,5,7: A 100,33.3,20,14.3; B 80,26.7,16; C 30,10; D 20
+    // top-8: 100 80 33.3 30 26.7 20(A,=) 20(D,=) 16 → A=3 B=3 C=1 D=1;
+    // the 20-vs-20 true tie (A's 100/5, D's 20/1) ranks A first by w
+    val got = divAlloc(
+      Seq(("A", 100L), ("B", 80L), ("C", 30L), ("D", 20L)), 8, 2)
+    assert(got == Map("A" -> 3L, "B" -> 3L, "C" -> 1L, "D" -> 1L))
+  }
+
+  test("divisorMethod: sum == seats exactly; zero weight gets zero") {
+    val rnd = new scala.util.Random(7)
+    val ws = (1 to 23).map(i => (s"k$i", rnd.nextInt(100000).toLong)) :+
+      (("z", 0L))
+    for (step <- Seq(1, 2); seats <- Seq(1, 17, 200)) {
+      val got = divAlloc(ws, seats, step)
+      assert(got.values.sum == seats, s"step=$step seats=$seats leaked")
+      assert(got("z") == 0L)
+    }
+  }
+
+  test("divisorMethod: out-of-domain weight raises loud") {
+    val ex = intercept[Exception] {
+      divAlloc(Seq(("a", 10000000L)), 3, 1)
+    }
+    assert(ex.getMessage.contains("divisorMethod"))
+  }
 }

@@ -54,4 +54,35 @@ class AssociationSpec extends SparkSpec {
     assert(!got.exists(r => r.getString(0) == "b" && r.getString(1) == "c"),
       "the only b-c co-occurrence lived in the dropped basket")
   }
+
+  test("itemCosineTopK: hand cosines, symmetric directions, k cut") {
+    // baskets b1{A,B} b2{A,B} b3{A,C}: c_A=3 c_B=2 c_C=1, AB=2, AC=1
+    val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
+      ("b3", "A"), ("b3", "C")).toDF("b", "i")
+    val got = Association.itemCosineTopK(df, col("b"), col("i"), k = 2)
+      .select("item", "neighbor", "cos2_e12", "rnk")
+      .as[(String, String, Long, Int)].collect().toSet
+    // cos²(A,B) = 4/6 → 666666666666; cos²(A,C) = 1/3 → 333333333333
+    assert(got == Set(
+      ("A", "B", 666666666666L, 1), ("A", "C", 333333333333L, 2),
+      ("B", "A", 666666666666L, 1), ("C", "A", 333333333333L, 1)))
+  }
+
+  test("itemCosineTopK: k=1 keeps only the best neighbor per item") {
+    val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
+      ("b3", "A"), ("b3", "C")).toDF("b", "i")
+    val got = Association.itemCosineTopK(df, col("b"), col("i"), k = 1)
+      .select("item", "neighbor").as[(String, String)].collect().toSet
+    assert(got == Set(("A", "B"), ("B", "A"), ("C", "A")))
+  }
+
+  test("itemCosineTopK: cos² ties break by neighbor ascending") {
+    // A co-occurs once with each of B and C; c_B = c_C = 1 → equal cos²
+    val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "C"))
+      .toDF("b", "i")
+    val a = Association.itemCosineTopK(df, col("b"), col("i"), k = 2)
+      .filter(col("item") === "A").orderBy("rnk")
+      .select("neighbor").as[String].collect().toSeq
+    assert(a == Seq("B", "C"))
+  }
 }

@@ -32,4 +32,44 @@ class ClusterEvalSpec extends SparkSpec {
     assert(r.getString(2) == "1.000000000") // recall perfect
     assert(r.getString(1) == "0.500000000") // each item: 2/4 precision
   }
+
+  test("adjustedRand: identical partitions score exactly 1") {
+    val items = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y"),
+      (4L, "b", "y"), (5L, "c", "z")).toDF("i", "p", "g")
+    val r = ClusterEval.adjustedRand(items, col("i"), col("p"), col("g"))
+      .head()
+    assert(r.getAs[String]("ari6") == "1.000000")
+    assert(r.getAs[Long]("n_items") == 5L)
+  }
+
+  test("adjustedRand: crossed 2x2 partitions of 4 items score -0.5") {
+    // {12}{34} vs {13}{24}: all four cells size 1 → S=0, A=B=2, T=6
+    // ARI = 2(6·0 − 4)/(6·4 − 8) = −8/16 = −0.5
+    val items = Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "x"),
+      (4L, "b", "y")).toDF("i", "p", "g")
+    val r = ClusterEval.adjustedRand(items, col("i"), col("p"), col("g"))
+      .head()
+    assert(r.getAs[Long]("sum_cells2") == 0L)
+    assert(r.getAs[Long]("sum_pred2") == 2L)
+    assert(r.getAs[Long]("sum_gold2") == 2L)
+    assert(r.getAs[String]("ari6") == "-0.500000")
+  }
+
+  test("adjustedRand: all-singleton vs all-singleton is chance-free null") {
+    val items = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("i", "p", "g")
+    val r = ClusterEval.adjustedRand(items, col("i"), col("p"), col("g"))
+      .head()
+    assert(r.isNullAt(r.fieldIndex("ari6"))) // denominator exactly 0
+  }
+
+  test("adjustedRand: near-chance relabeling sits near 0") {
+    // one shared pair between otherwise-crossed partitions
+    val items = Seq((1L, "a", "x"), (2L, "a", "x"), (3L, "a", "y"),
+      (4L, "b", "y"), (5L, "b", "z"), (6L, "c", "z")).toDF("i", "p", "g")
+    val r = ClusterEval.adjustedRand(items, col("i"), col("p"), col("g"))
+      .head()
+    val ari = r.getAs[String]("ari6").toDouble
+    assert(math.abs(ari) < 0.5, s"expected near-chance, got $ari")
+  }
 }

@@ -53,4 +53,40 @@ class InfoGainSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("Y", 4L)))
   }
+
+  test("woeIv: hand WOE and IV on a symmetric 8/2 vs 2/8 split") {
+    val rows = Seq.fill(8)(("X", true)) ++ Seq.fill(2)(("X", false)) ++
+      Seq.fill(2)(("Y", true)) ++ Seq.fill(8)(("Y", false))
+    val got = InfoGain.woeIv(rows.toDF("f", "y"), col("f"), col("y"))
+      .orderBy("f").collect()
+    // WOE_X = ln(8·10/(2·10)) = ln 4 = 1.386294; WOE_Y symmetric −
+    assert(got(0).getAs[String]("woe6") == "1.386294")
+    assert(got(1).getAs[String]("woe6") == "-1.386294")
+    // IV = (60·1.386294 + (−60)·(−1.386294))/100 = 1.6635528
+    assert(got(0).getAs[String]("iv6") == "1.663553")
+    assert(got(0).getAs[Long]("n_degenerate") == 0L)
+  }
+
+  test("woeIv: one-sided level is null WOE, excluded from IV, counted") {
+    val rows = Seq.fill(8)(("X", true)) ++ Seq.fill(2)(("X", false)) ++
+      Seq.fill(2)(("Y", true)) ++ Seq.fill(8)(("Y", false)) ++
+      Seq.fill(5)(("Z", true)) // Z has zero bads → WOE undefined
+    val got = InfoGain.woeIv(rows.toDF("f", "y"), col("f"), col("y"))
+      .orderBy("f").collect()
+    val z = got(2)
+    assert(z.isNullAt(z.fieldIndex("woe6")))
+    assert(z.getAs[Long]("n_degenerate") == 1L)
+    // IV now over G=15, B=10: X: (8·10−2·15)·ln(8·10/(2·15)),
+    // Y: (2·10−8·15)·ln(2·10/(8·15)) — just assert it stays finite
+    assert(got(0).getAs[String]("iv6").toDouble > 0.0)
+  }
+
+  test("woeIv: null labels are dropped and reported") {
+    val df = Seq(("X", Some(true)), ("X", Some(false)),
+      ("X", None), ("Y", Some(true)), ("Y", Some(false)))
+      .toDF("f", "y")
+    val got = InfoGain.woeIv(df, col("f"), col("y")).collect()
+    assert(got.forall(_.getAs[Long]("n_dropped") == 1L))
+    assert(got.forall(_.getAs[Long]("g_tot") == 2L))
+  }
 }

@@ -177,4 +177,37 @@ class RankStatsSpec extends SparkSpec {
       RankStats.gini(Seq(-1L, 5L).toDF("x"), col("x")).collect()
     }
   }
+
+  test("wasserstein1: pure shift prices the shift distance exactly") {
+    // A = {0,0}, B = {10,10}: W1 = 10 units
+    val df = (Seq(0L, 0L).map((true, _)) ++ Seq(10L, 10L).map((false, _)))
+      .toDF("a", "x")
+    val r = RankStats.wasserstein1(df, col("a"), col("x")).head()
+    assert(r.getAs[String]("w1_num") == "40") // |2·2−0|·10
+    assert(r.getAs[Long]("w1_1e6") == 10000000L)
+  }
+
+  test("wasserstein1: identical samples are distance 0") {
+    val df = (Seq(0L, 10L).map((true, _)) ++ Seq(0L, 10L).map((false, _)))
+      .toDF("a", "x")
+    val r = RankStats.wasserstein1(df, col("a"), col("x")).head()
+    assert(r.getAs[Long]("w1_1e6") == 0L)
+  }
+
+  test("wasserstein1: split mass averages the transport, KS misses it") {
+    // A = {0}, B = {5,15}: W1 = (5+15)/2 = 10
+    val df = (Seq(0L).map((true, _)) ++ Seq(5L, 15L).map((false, _)))
+      .toDF("a", "x")
+    val r = RankStats.wasserstein1(df, col("a"), col("x")).head()
+    // grid: at 0 |1·2−0·1|·5 = 10, at 5 |1·2−1·1|·10 = 10 → 20/(1·2)
+    assert(r.getAs[String]("w1_num") == "20")
+    assert(r.getAs[Long]("w1_1e6") == 10000000L)
+  }
+
+  test("wasserstein1: empty side yields null distance, counts intact") {
+    val df = Seq((true, 1L), (true, 2L)).toDF("a", "x")
+    val r = RankStats.wasserstein1(df, col("a"), col("x")).head()
+    assert(r.getAs[Long]("n_b") == 0L)
+    assert(r.isNullAt(r.fieldIndex("w1_1e6")))
+  }
 }
