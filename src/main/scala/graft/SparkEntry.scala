@@ -4973,6 +4973,86 @@ object SparkEntry {
           minPairSupport = 2)
         .orderBy("item", "rnk")),
 
+    // Events — Shapley-value attribution (EventAnalytics
+    // .shapleyAttribution): average marginal contribution of click/
+    // view/signup exposure sets to first purchases over the 2³
+    // lattice; exact n!-scaled integers, pmod floor to φ_e6.
+    "q307_shapley" -> ((s, dir) =>
+      EventAnalytics.shapleyAttribution(Tables.events(s, dir),
+          col("user_id"), expr("unix_micros(ts)"),
+          col("event_type") === "purchase", col("event_type"),
+          Seq("click", "view", "signup"))
+        .orderBy("channel")),
+
+    // LLM data selection — k-center greedy coreset (Similarity
+    // .kCenterGreedy): 4 maximally-spread embedding exemplars; exact
+    // scale-18 squared distances, (dist² desc, id asc) argmax, each
+    // winner's dist² = the prior set's coverage radius².
+    "q308_kcenter" -> ((s, dir) =>
+      Similarity.kCenterGreedy(Tables.load(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), k = 4)
+        .orderBy("rnk")),
+
+    // Geo — grid-bucketed DBSCAN (Geo.dbscan): density clusters over
+    // the q284 synthetic points at ε = 250 km, minPts = 4; core by
+    // neighbor count, clusters = components of the core-core graph,
+    // borders to the MIN neighboring cluster — all stated-determinism.
+    "q309_dbscan" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          ((col("doc_id") * 7919) % 120000000L - 60000000L).as("lat_e6"),
+          ((col("doc_id") * 104729) % 360000000L - 180000000L)
+            .as("lon_e6"))
+      Geo.dbscan(d, col("doc_id"), col("lat_e6"), col("lon_e6"),
+          radiusMeters = 250000L, minPts = 4, maxAbsLatDeg = 60)
+        .orderBy("pid")
+    }),
+
+    // Eval — Fleiss' kappa (Evaluation.fleissKappa): 3 synthetic
+    // raters per document (rater r flips to 'xx' when (doc_id+r)%4=0,
+    // else the lang label); division-cleared (at−bs)/(b(t−s)) over
+    // exact decimal(38,0) witnesses, one %.6f.
+    "q310_fleiss" -> ((s, dir) => {
+      val ratings = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(array(lit(0L), lit(1L), lit(2L))).as("r"))
+        .select(col("doc_id"),
+          when((col("doc_id") + col("r")) % 4 === 0, lit("xx"))
+            .otherwise(col("lang")).as("lab"))
+      Evaluation.fleissKappa(ratings, col("doc_id"), col("lab"), m = 3)
+    }),
+
+    // Warehouse — Hilbert-curve layout key (ZOrder.hilbertValue): the
+    // order-8 Hilbert index of every distinct (partkey, suppkey) mod-
+    // 256 cell — the locality-tighter alternative to q104's z-order;
+    // per-bit-plane CASE descent, let-bound state, exact integers.
+    "q311_hilbert" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("x"),
+          (col("l_suppkey") % 256).as("y"))
+        .distinct()
+        .withColumn("h", ZOrder.hilbertValue(col("x"), col("y"), 8))
+        .orderBy("x", "y")),
+
+    // Causal — propensity-score matching ATT (AbTest.psmAtt):
+    // BUILDING-segment customers matched with replacement to nearest
+    // same-propensity controls (nation treated-share ×10⁶, caliper
+    // 0.02) on account balance cents; 1-D grid-bucket candidate join.
+    "q312_psm" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val c = Tables.load(s, dir, "customer")
+      val prop = c.groupBy("c_nationkey").agg(
+        expr("sum(case when c_mktsegment = 'BUILDING' then 1000000L " +
+          "else 0L end) div count(1)").as("p_e6"))
+      val units = c.join(prop, Seq("c_nationkey"))
+        .select(col("c_custkey"),
+          (col("c_mktsegment") === "BUILDING").as("t"), col("p_e6"),
+          (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+            .cast("long").as("cents"))
+      AbTest.psmAtt(units, col("c_custkey"), col("t"), col("p_e6"),
+        col("cents"), caliperE6 = 20000L)
+    }),
+
     // Stats — closed-form 2-feature PCA (Moments.pca2): principal
     // direction + explained-variance ratio of (quantity, price) via
     // the 2×2 eigen formula; exact decimal moments, one double tree,
@@ -11006,6 +11086,213 @@ object SparkEntry {
         |SELECT item, neighbor, cnt_ab, cnt_item, cnt_neighbor, cos2_e12,
         |  CAST(rnk AS INTEGER) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY item, rnk""".stripMargin,
+
+    "q307_shapley" ->
+      """WITH fc AS (SELECT user_id AS u, MIN(epoch_us(ts)) AS cts
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |ex AS (SELECT e.user_id AS u,
+        |    bit_or(CASE e.event_type WHEN 'click' THEN 1
+        |      WHEN 'view' THEN 2 WHEN 'signup' THEN 4 END) AS mask
+        |  FROM events e JOIN fc ON fc.u = e.user_id
+        |  WHERE e.event_type IN ('click', 'view', 'signup')
+        |    AND epoch_us(e.ts) < fc.cts
+        |  GROUP BY 1),
+        |vs AS (SELECT CAST(COALESCE(ex.mask, 0) AS BIGINT) AS mask,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM fc LEFT JOIN ex ON ex.u = fc.u GROUP BY 1),
+        |lat AS (SELECT CAST(r.range AS BIGINT) AS mask,
+        |    COALESCE(vs.v, 0) AS v
+        |  FROM range(8) r LEFT JOIN vs ON vs.mask = r.range),
+        |ch AS (SELECT * FROM (VALUES (0, 'click'), (1, 'view'),
+        |    (2, 'signup')) AS t(idx, channel)),
+        |terms AS (SELECT ch.channel,
+        |    (CASE bit_count(s.mask) WHEN 0 THEN 2 WHEN 1 THEN 1
+        |       WHEN 2 THEN 2 END) * (sc.v - s.v) AS term
+        |  FROM ch JOIN lat s ON (s.mask & (1 << ch.idx)) = 0
+        |  JOIN lat sc ON sc.mask = s.mask + (1 << ch.idx)),
+        |ve AS (SELECT MAX(CASE WHEN mask = 7 THEN v END) AS v_full,
+        |    MAX(CASE WHEN mask = 0 THEN v END) AS v_empty FROM lat)
+        |SELECT t.channel,
+        |  CAST(CAST(SUM(t.term) AS HUGEINT) AS VARCHAR) AS phi_num,
+        |  CAST((CAST(SUM(t.term) AS HUGEINT) * 1000000 -
+        |      ((CAST(SUM(t.term) AS HUGEINT) * 1000000 % 6 + 6) % 6))
+        |    // 6 AS BIGINT) AS phi_e6,
+        |  ve.v_full, ve.v_empty
+        |FROM terms t, ve GROUP BY t.channel, ve.v_full, ve.v_empty
+        |ORDER BY t.channel""".stripMargin,
+
+    "q308_kcenter" -> {
+      val e9 = "list_transform(embedding, x -> CAST(CAST(CAST(x AS " +
+        "DOUBLE) AS VARCHAR) AS DECIMAL(18,9)))"
+      // the diff is cast DOWN to (18,9) before squaring: a (19,9)
+      // square is precision 39 > DuckDB's 38 cap and silently falls to
+      // DOUBLE, poisoning the exact-decimal chain
+      def distTo(sel: String): String =
+        s"""(SELECT vec_id, SUM(CAST(x - y AS DECIMAL(18,9)) *
+           |      CAST(x - y AS DECIMAL(18,9))) AS d FROM (
+           |    SELECT e.vec_id, unnest(e.v) AS x, unnest(c.v) AS y
+           |    FROM e CROSS JOIN (SELECT e2.v FROM e e2
+           |      JOIN $sel ON e2.vec_id = $sel.id) c) GROUP BY vec_id)"""
+          .stripMargin
+      s"""WITH e AS (SELECT vec_id, $e9 AS v FROM embeddings),
+         |c1 AS (SELECT MIN(vec_id) AS id FROM e),
+         |d1 AS (SELECT vec_id, d AS best FROM ${distTo("c1")} t),
+         |s2 AS (SELECT vec_id AS id, best FROM d1
+         |  ORDER BY best DESC, vec_id LIMIT 1),
+         |d2 AS (SELECT d1.vec_id, CASE WHEN d1.best <= nd.d
+         |    THEN d1.best ELSE nd.d END AS best
+         |  FROM d1 JOIN ${distTo("s2")} nd ON nd.vec_id = d1.vec_id),
+         |s3 AS (SELECT vec_id AS id, best FROM d2
+         |  ORDER BY best DESC, vec_id LIMIT 1),
+         |d3 AS (SELECT d2.vec_id, CASE WHEN d2.best <= nd.d
+         |    THEN d2.best ELSE nd.d END AS best
+         |  FROM d2 JOIN ${distTo("s3")} nd ON nd.vec_id = d2.vec_id),
+         |s4 AS (SELECT vec_id AS id, best FROM d3
+         |  ORDER BY best DESC, vec_id LIMIT 1)
+         |SELECT CAST(1 AS INTEGER) AS rnk, c1.id AS center_id,
+         |  CAST(NULL AS VARCHAR) AS radius2 FROM c1
+         |UNION ALL SELECT 2, id, CAST(best AS VARCHAR) FROM s2
+         |UNION ALL SELECT 3, id, CAST(best AS VARCHAR) FROM s3
+         |UNION ALL SELECT 4, id, CAST(best AS VARCHAR) FROM s4
+         |ORDER BY rnk""".stripMargin
+    },
+
+    "q309_dbscan" -> {
+      val cell = math.ceil(
+        250000L * 1e6 / 111320.0 / math.cos(60 * math.Pi / 180.0)).toLong
+      val k = "1.7453292519943295e-8"
+      s"""WITH RECURSIVE d AS (SELECT doc_id,
+         |    (doc_id * 7919) % 120000000 - 60000000 AS lat,
+         |    (doc_id * 104729) % 360000000 - 180000000 AS lon
+         |  FROM documents),
+         |g AS (SELECT doc_id, lat, lon,
+         |    CAST(FLOOR(lat / $cell) AS BIGINT) AS cy,
+         |    CAST(FLOOR(lon / $cell) AS BIGINT) AS cx FROM d),
+         |cand AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |    a.lat AS la, a.lon AS loa, b.lat AS lb, b.lon AS lob
+         |  FROM g a JOIN g b ON b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         |    AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         |    AND a.doc_id < b.doc_id),
+         |p AS (SELECT a, b FROM (SELECT a, b, CAST(printf('%.6f',
+         |    12742000.0 * asin(sqrt(LEAST(1.0,
+         |      sin((lb - la) * $k / 2.0) * sin((lb - la) * $k / 2.0)
+         |      + cos(la * $k) * cos(lb * $k)
+         |        * sin((lob - loa) * $k / 2.0)
+         |        * sin((lob - loa) * $k / 2.0)))))
+         |    AS DECIMAL(18,6)) AS dist6 FROM cand)
+         |  WHERE dist6 <= 250000),
+         |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+         |deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS nbrs FROM sym
+         |  GROUP BY 1),
+         |core AS (SELECT d.doc_id AS pid,
+         |    COALESCE(deg.nbrs, 0) + 1 >= 4 AS is_core
+         |  FROM d LEFT JOIN deg ON deg.a = d.doc_id),
+         |ce AS (SELECT p.a, p.b FROM p
+         |  JOIN core ca ON ca.pid = p.a AND ca.is_core
+         |  JOIN core cb ON cb.pid = p.b AND cb.is_core),
+         |cesym AS (SELECT a AS src, b AS dst FROM ce
+         |  UNION SELECT b, a FROM ce),
+         |reach(node, lbl) AS (
+         |  SELECT src, src FROM cesym
+         |  UNION
+         |  SELECT e.src, r.lbl FROM cesym e JOIN reach r
+         |    ON r.node = e.dst),
+         |comp AS (SELECT node, MIN(lbl) AS component_id FROM reach
+         |  GROUP BY node),
+         |cc AS (SELECT c.pid AS cpid,
+         |    COALESCE(comp.component_id, c.pid) AS cluster
+         |  FROM core c LEFT JOIN comp ON comp.node = c.pid
+         |  WHERE c.is_core),
+         |bp AS (SELECT s.a AS bpid, MIN(cc.cluster) AS bcluster
+         |  FROM sym s JOIN cc ON cc.cpid = s.b GROUP BY 1)
+         |SELECT core.pid,
+         |  CASE WHEN core.is_core THEN 'core'
+         |    WHEN bp.bcluster IS NOT NULL THEN 'border'
+         |    ELSE 'noise' END AS role,
+         |  CASE WHEN core.is_core THEN cc.cluster
+         |    ELSE bp.bcluster END AS cluster
+         |FROM core LEFT JOIN cc ON cc.cpid = core.pid
+         |LEFT JOIN bp ON bp.bpid = core.pid
+         |ORDER BY core.pid""".stripMargin
+    },
+
+    "q310_fleiss" ->
+      """WITH ratings AS (SELECT doc_id,
+        |    CASE WHEN (doc_id + r.range) % 4 = 0 THEN 'xx'
+        |      ELSE lang END AS lab
+        |  FROM documents CROSS JOIN range(3) r),
+        |cells AS (SELECT doc_id AS u, lab AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS n_uc FROM ratings GROUP BY 1, 2),
+        |nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_units
+        |  FROM cells),
+        |aa AS (SELECT CAST(SUM(CAST(n_uc AS HUGEINT) * n_uc) AS HUGEINT)
+        |    AS sq FROM cells),
+        |ss AS (SELECT CAST(SUM(CAST(n_c AS HUGEINT) * n_c) AS HUGEINT)
+        |    AS s
+        |  FROM (SELECT SUM(n_uc) AS n_c FROM cells GROUP BY c)),
+        |m AS (SELECT nu.n_units, aa.sq - CAST(nu.n_units AS HUGEINT) * 3
+        |    AS a,
+        |  CAST(nu.n_units AS HUGEINT) * 6 AS b, ss.s,
+        |  CAST(nu.n_units AS HUGEINT) * nu.n_units * 9 AS t
+        |  FROM nu, aa, ss)
+        |SELECT n_units, CAST(3 AS INTEGER) AS m,
+        |  CAST(a AS VARCHAR) AS a_num, CAST(b AS VARCHAR) AS b_den,
+        |  CAST(s AS VARCHAR) AS s_num, CAST(t AS VARCHAR) AS t_den,
+        |  CASE WHEN t <> s THEN printf('%.6f',
+        |    CAST(a * t - b * s AS DOUBLE) /
+        |    CAST(b * (t - s) AS DOUBLE)) END AS kappa6
+        |FROM m""".stripMargin,
+
+    "q311_hilbert" ->
+      """WITH RECURSIVE cells AS (SELECT DISTINCT l_partkey % 256 AS x,
+        |    l_suppkey % 256 AS y FROM lineitem),
+        |hc(x0, y0, x, y, d, s) AS (
+        |  SELECT x, y, x, y, CAST(0 AS BIGINT), CAST(128 AS BIGINT)
+        |  FROM cells
+        |  UNION ALL
+        |  SELECT x0, y0,
+        |    CASE WHEN (y & s) > 0 THEN x
+        |      WHEN (x & s) > 0 THEN 255 - y ELSE y END,
+        |    CASE WHEN (y & s) > 0 THEN y
+        |      WHEN (x & s) > 0 THEN 255 - x ELSE x END,
+        |    d + s * s * (CASE WHEN (x & s) > 0 AND (y & s) > 0 THEN 2
+        |      WHEN (x & s) > 0 THEN 3
+        |      WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+        |    s // 2
+        |  FROM hc WHERE s > 0)
+        |SELECT x0 AS x, y0 AS y, d AS h FROM hc WHERE s = 0
+        |ORDER BY x, y""".stripMargin,
+
+    "q312_psm" ->
+      """WITH pr AS (SELECT c_nationkey AS nk,
+        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1000000
+        |      ELSE 0 END) // COUNT(*) AS BIGINT) AS p
+        |  FROM customer GROUP BY 1),
+        |u AS (SELECT c_custkey AS uid,
+        |    c_mktsegment = 'BUILDING' AS t, pr.p AS s,
+        |    CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS yv
+        |  FROM customer JOIN pr ON pr.nk = c_nationkey),
+        |tr AS (SELECT uid AS tid, s AS ts, yv AS ty FROM u WHERE t),
+        |ct AS (SELECT s AS cs, MIN(uid) AS cid, arg_min(yv, uid) AS cy,
+        |    s // 20000 AS band FROM u WHERE NOT t GROUP BY s),
+        |cand AS (SELECT t.tid, t.ts, t.ty, c.cs, c.cid, c.cy
+        |  FROM (SELECT tid, ts, ty, ts // 20000 + r.range - 1 AS band
+        |    FROM tr CROSS JOIN range(3) r) t
+        |  JOIN ct c USING (band) WHERE abs(t.ts - c.cs) <= 20000),
+        |best AS (SELECT tid, cy FROM (SELECT tid, cy, ROW_NUMBER()
+        |    OVER (PARTITION BY tid
+        |      ORDER BY abs(ts - cs), cs, cid) AS rn FROM cand)
+        |  WHERE rn = 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+        |  CAST(COUNT(b.cy) AS BIGINT) AS n_matched,
+        |  CAST(COUNT(*) - COUNT(b.cy) AS BIGINT) AS n_unmatched,
+        |  CAST(CAST(SUM(CASE WHEN b.cy IS NOT NULL THEN tr.ty - b.cy
+        |    END) AS HUGEINT) AS VARCHAR) AS att_num,
+        |  CASE WHEN COUNT(b.cy) > 0 THEN printf('%.6f',
+        |    CAST(SUM(CASE WHEN b.cy IS NOT NULL THEN tr.ty - b.cy END)
+        |      AS DOUBLE) / COUNT(b.cy)) END AS att6
+        |FROM tr LEFT JOIN best b USING (tid)""".stripMargin,
 
     "q298_pca2" ->
       """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,

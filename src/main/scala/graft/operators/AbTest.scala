@@ -427,4 +427,74 @@ object AbTest {
         when(coalesce(col("n_strata_used"), lit(0L)) > 0L,
           col("ate_sum").cast("string")).as("ate6"))
   }
+
+  /** Propensity-score matching ATT (Rosenbaum & Rubin 1983) — each
+    * treated unit matched WITH REPLACEMENT to its nearest control by
+    * propensity score within a caliper, the observational design for
+    * "what did treatment do to the treated" when [[stratifiedAte]]'s
+    * coarse strata leave residual confounding. Greedy without-
+    * replacement matching is order-dependent (a different scan order
+    * matches different pairs) — with-replacement is the standard
+    * deterministic variant and is what this operator states.
+    *
+    * Determinism: controls sharing a score collapse to the MIN-id
+    * control first; a treated unit then takes the candidate minimizing
+    * (|Δscore|, control score, control id) lexicographically — nearest,
+    * ties to the LOWER score, then lower id; a pure function of the
+    * data. ATT = Σ(y_t − y_c)/n_matched over exact integer outcomes:
+    * the numerator is an exact decimal sum, ONE final double division,
+    * %.6f once. Treated units with no control inside the caliper are
+    * reported unmatched, never silently averaged.
+    *
+    * Scale shape: the pair search is the 1-D grid-bucket pattern
+    * ([[graft.operators.Geo.proximityJoin]] in one dimension): band =
+    * score div caliper, treated rows probe bands {b−1, b, b+1} (×3
+    * explode), controls keep ONE band — every |Δ| ≤ caliper pair meets
+    * exactly once, no theta join, no global sort. One min-struct
+    * aggregate per treated unit, one scalar rollup.
+    *
+    * @param scoreE6 propensity ×10⁶ as exact non-negative integers
+    *                (estimate upstream — e.g. stratum treated-shares);
+    *                negatives raise (div/floor divergence surface)
+    * @param y       exact-integer outcome (cents/µ-units)
+    * @return one row: (n_treated, n_matched, n_unmatched, att_num —
+    *         exact Σ(y_t − y_c) — att6; nulls when nothing matched) */
+  def psmAtt(units: DataFrame, id: Column, treated: Column,
+             scoreE6: Column, y: Column, caliperE6: Long): DataFrame = {
+    require(caliperE6 > 0, "caliperE6 must be positive")
+    val u = units.select(id.cast("long").as("uid"),
+        treated.cast("boolean").as("t"),
+        scoreE6.cast("long").as("s"), y.cast("long").as("yv"))
+      .withColumn("s", when(col("s") >= 0L, col("s")).otherwise(
+        raise_error(concat(lit("psmAtt: negative scoreE6: "), col("s")))))
+    val tr = u.filter(col("t"))
+      .select(col("uid").as("tid"), col("s").as("ts"),
+        col("yv").as("ty"))
+    val ctl = u.filter(!col("t"))
+      .groupBy(col("s").as("cs"))
+      .agg(min(struct(col("uid"), col("yv"))).as("pick"))
+      .select(col("cs"), col("pick.uid").as("cid"),
+        col("pick.yv").as("cy"),
+        expr(s"cs div ${caliperE6}L").as("band"))
+    val probe = tr.select(col("tid"), col("ts"), col("ty"),
+      explode(array((-1 to 1).map(d =>
+        expr(s"ts div ${caliperE6}L") + d): _*)).as("band"))
+    val best = probe.join(ctl, Seq("band"))
+      .filter(abs(col("ts") - col("cs")) <= caliperE6)
+      .groupBy("tid", "ts", "ty")
+      .agg(min(struct(abs(col("ts") - col("cs")).as("ad"),
+        col("cs"), col("cid"), col("cy"))).as("m"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    tr.join(best.select(col("tid"), col("m")), Seq("tid"), "left")
+      .agg(count(lit(1)).as("n_treated"),
+        count(col("m")).as("n_matched"),
+        sum(when(col("m").isNotNull,
+          (col("ty") - col("m.cy")).cast(dec))).cast(dec).as("att_num"))
+      .select(col("n_treated"), col("n_matched"),
+        (col("n_treated") - col("n_matched")).as("n_unmatched"),
+        col("att_num").cast("string").as("att_num"),
+        when(col("n_matched") > 0L, format_string("%.6f",
+          col("att_num").cast("double") / col("n_matched").cast("double")))
+          .as("att6"))
+  }
 }

@@ -330,4 +330,60 @@ object Evaluation {
           col("w").cast("double")).as("raw9"),
         col("f9").cast("string").as("fitted9"))
   }
+
+  /** Fleiss' kappa (Fleiss 1971) — inter-annotator agreement for a
+    * FIXED number m of raters per unit, the multi-rater generalization
+    * [[cohenKappa]] (two raters) can't express: κ = (P̄ − P̄e)/(1 − P̄e)
+    * with P̄ the mean over units of the fraction of agreeing rater
+    * pairs and P̄e the chance agreement from pooled label shares. The
+    * label-quality gate for multiply-annotated training data: κ ≲ 0.4
+    * label guidelines, don't train.
+    *
+    * Exactness: with a = Σ_u Σ_c n_uc² − N·m, b = N·m·(m−1),
+    * s = Σ_c (Σ_u n_uc)², t = (N·m)², the textbook κ clears its inner
+    * divisions to κ = (a·t − b·s)/(b·(t − s)) — every term an exact
+    * decimal(38,0) integer, ONE final double division, %.6f once.
+    * Degenerate inputs (all raters one label everywhere → t = s)
+    * report null. Units whose rating count ≠ m RAISE loud: a silently
+    * varying m computes a DIFFERENT statistic (Krippendorff territory).
+    *
+    * Scale shape: one (unit, label) count aggregate; a and the margins
+    * re-aggregate that table, never the ratings.
+    *
+    * @return one row: (n_units, m, a_num, b_den, s_num, t_den — the
+    *         exact integer witnesses as strings — kappa6) */
+  def fleissKappa(df: DataFrame, unit: Column, label: Column,
+                  m: Int): DataFrame = {
+    require(m >= 2, "need at least 2 raters per unit")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.select(unit.as("u"), label.cast("string").as("c"))
+      .groupBy("u", "c").agg(count(lit(1)).as("n_uc"))
+      .localCheckpoint(true)
+    val guarded = cells.groupBy("u").agg(sum("n_uc").as("mu"))
+      .select(when(col("mu") =!= m,
+        raise_error(concat(lit(s"fleissKappa: unit with ratings != $m: "),
+          col("u").cast("string")))).otherwise(1L).as("ok"))
+      .agg(sum(col("ok")).as("n_units")) // sum FORCES the guard eval
+    val aTerm = cells.agg(
+      sum(col("n_uc").cast(dec) * col("n_uc")).cast(dec).as("sq"))
+    val sTerm = cells.groupBy("c").agg(sum("n_uc").as("n_c"))
+      .agg(sum(col("n_c").cast(dec) * col("n_c")).cast(dec).as("s"))
+    guarded.crossJoin(broadcast(aTerm)).crossJoin(broadcast(sTerm))
+      .select(col("n_units"), lit(m).as("m"),
+        (col("sq") - col("n_units").cast(dec) * m).cast(dec).as("a"),
+        (col("n_units").cast(dec) * (m.toLong * (m - 1))).cast(dec)
+          .as("b"),
+        col("s"),
+        (col("n_units").cast(dec) * col("n_units") * (m.toLong * m))
+          .cast(dec).as("t"))
+      .select(col("n_units"), col("m"),
+        col("a").cast("string").as("a_num"),
+        col("b").cast("string").as("b_den"),
+        col("s").cast("string").as("s_num"),
+        col("t").cast("string").as("t_den"),
+        when(col("t") =!= col("s"), format_string("%.6f",
+          (col("a") * col("t") - col("b") * col("s")).cast("double") /
+            (col("b") * (col("t") - col("s"))).cast("double")))
+          .as("kappa6"))
+  }
 }

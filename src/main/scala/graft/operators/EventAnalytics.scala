@@ -487,4 +487,99 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_rows"),
         sum("credit_e6").as("credit_e6"))
   }
+
+  /** Shapley-value channel attribution (Shapley 1953 applied to
+    * marketing touch data, the data-driven scheme of Zhao et al. 2018):
+    * the game-theoretic middle ground between [[lastTouchAttribution]]
+    * (all credit to one touch) and [[positionBasedAttribution]] (fixed
+    * positional split) — each channel earns its AVERAGE MARGINAL
+    * CONTRIBUTION over every possible ordering of the channel set, the
+    * unique allocation satisfying efficiency/symmetry/null-player.
+    *
+    * Characteristic function: v(S) = number of CONVERTING users whose
+    * exposure set — the set of channels touched STRICTLY BEFORE their
+    * first conversion — is exactly S (the count form: exact integers,
+    * no per-subset rate division). v(∅) is the organic cohort
+    * (converted untouched) and earns no channel credit; efficiency then
+    * reads Σ_c φ_c = v(full) − v(∅) over the scaled integers.
+    *
+    * Exactness: φ_c = Σ_{S ⊆ N∖{c}} |S|!·(n−1−|S|)!·(v(S∪c) − v(S)),
+    * an EXACT integer (factorials precomputed on the driver, n ≤ 16
+    * keeps 15! < 2⁶³; sums in decimal(38,0)); the reported φ_e6 =
+    * ⌊10⁶·φ_num/n!⌋ floors via the pmod spelling because marginals can
+    * be NEGATIVE and Spark's `div` truncates where DuckDB's `//`
+    * floors (the q300 hazard).
+    *
+    * Scale shape: one filtered aggregate for first conversions, one
+    * broadcast-joined exposure aggregate (bit_or of channel bits), a
+    * 2ⁿ-row lattice built from spark.range and broadcast everywhere —
+    * the subset algebra never touches the event stream.
+    *
+    * @param channels the channel label per bit, index = bit position;
+    *                 touches with labels outside the list are ignored
+    * @return one row per channel: (channel, phi_num — exact n!-scaled
+    *         credit — phi_e6, v_full, v_empty) */
+  def shapleyAttribution(events: DataFrame, user: Column, tsUs: Column,
+                         isConversion: Column, channel: Column,
+                         channels: Seq[String]): DataFrame = {
+    val n = channels.length
+    require(n >= 1 && n <= 16, "need 1..16 channels")
+    require(channels.distinct.length == n, "channel labels must be unique")
+    val spark = events.sparkSession
+    val fact: Array[Long] =
+      (0 until n).scanLeft(1L)((a, i) => a * (i + 1)).toArray // fact(i)=i!
+    val nFact = fact(n - 1) * n
+
+    val firstConv = events.filter(isConversion)
+      .groupBy(user.as("u")).agg(min(tsUs.cast("long")).as("cts"))
+    val chanBit = channels.zipWithIndex
+      .foldLeft(lit(null).cast("int")) { case (acc, (ch, i)) =>
+        when(channel.cast("string") === ch, 1 << i).otherwise(acc)
+      }
+    val exposures = events
+      .select(user.as("u"), tsUs.cast("long").as("t"), chanBit.as("bit"))
+      .filter(col("bit").isNotNull)
+      .join(firstConv, Seq("u"))
+      .filter(col("t") < col("cts"))
+      .groupBy("u").agg(bit_or(col("bit")).cast("long").as("mask"))
+    val vS = firstConv.join(exposures, Seq("u"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("v"))
+    val lattice = spark.range(1L << n).select(col("id").as("mask"))
+      .join(vS, Seq("mask"), "left")
+      .select(col("mask"), coalesce(col("v"), lit(0L)).as("v"))
+    val chanDf = spark.range(n).select(col("id").cast("int").as("idx"))
+    val wBySize = (0 until n).foldLeft(lit(null).cast("long")) {
+      case (acc, s) =>
+        when(bit_count(col("mask")) === s,
+          fact(s) * fact(n - 1 - s)).otherwise(acc)
+    }
+    val terms = broadcast(chanDf)
+      .join(broadcast(lattice.withColumnRenamed("v", "v_s")),
+        expr("(mask & shiftleft(1L, idx)) = 0L"))
+      .join(broadcast(lattice
+          .select(col("mask").as("mask_c"), col("v").as("v_sc"))),
+        col("mask_c") === expr("mask + shiftleft(1L, idx)"))
+      .select(col("idx"),
+        (wBySize.cast(DecimalType38) * (col("v_sc") - col("v_s")))
+          .as("term"))
+    val vEnds = lattice.agg(
+      max(when(col("mask") === (1L << n) - 1L, col("v"))).as("v_full"),
+      max(when(col("mask") === 0L, col("v"))).as("v_empty"))
+    val chanNames = channels.zipWithIndex
+      .foldLeft(lit(null).cast("string")) { case (acc, (ch, i)) =>
+        when(col("idx") === i, ch).otherwise(acc)
+      }
+    terms.groupBy("idx")
+      .agg(sum(col("term")).cast(DecimalType38).as("phi_num"))
+      .crossJoin(broadcast(vEnds))
+      .select(chanNames.as("channel"),
+        col("phi_num").cast("string").as("phi_num"),
+        expr(s"cast((phi_num * 1000000 - pmod(phi_num * 1000000, " +
+          s"$nFact)) div $nFact as long)").as("phi_e6"),
+        col("v_full"), col("v_empty"))
+  }
+
+  private val DecimalType38 =
+    org.apache.spark.sql.types.DecimalType(38, 0)
 }

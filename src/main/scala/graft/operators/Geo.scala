@@ -104,4 +104,73 @@ object Geo {
       .filter(col("dist6") <= lit(radiusMeters).cast(d6))
       .select(col("a"), col("b"), col("dist6"))
   }
+
+  /** Grid-bucketed DBSCAN (Ester et al. 1996) — density clustering
+    * composed from this shelf's own primitives: ε-neighbor pairs from
+    * [[proximityJoin]] (grid equi-join, never all-pairs), core points
+    * by neighbor count, clusters as connected components over the
+    * core-core graph, borders attached to a neighboring core's
+    * cluster, the rest noise.
+    *
+    * Determinism: classic DBSCAN's border assignment is scan-order-
+    * dependent (a border between two clusters joins whichever core
+    * claimed it first); here a border joins the MINIMUM cluster id
+    * among its core neighbors — a pure function of the point set,
+    * stated rather than inherited from arrival order. Cluster ids are
+    * the component's minimum core point id (an isolated core — possible
+    * when its ≥ minPts neighbors are all non-core — forms its own
+    * singleton cluster).
+    *
+    * Scale shape: everything downstream of the pair table is linear in
+    * pairs/points: one degree aggregate, one semi-join to the core-core
+    * edge set, the [[graft.operators.Dedup.connectedComponents]]
+    * label-propagation loop (frontier-style, converges in O(log
+    * diameter) rounds), two broadcast-scale joins back. Density skew =
+    * hot cells = ordinary join-key skew (AQE's problem, not a new
+    * operator's).
+    *
+    * @param minPts core threshold counting the point ITSELF (the
+    *               DBSCAN convention): core ⇔ |ε-ball ∩ points| ≥ minPts
+    * @return one row per input point: (pid, role core|border|noise,
+    *         cluster — null for noise) */
+  def dbscan(points: DataFrame, id: Column, latE6: Column, lonE6: Column,
+             radiusMeters: Long, minPts: Int,
+             maxAbsLatDeg: Int = 60): DataFrame = {
+    require(minPts >= 1, "minPts must be >= 1")
+    val pts = points.select(id.cast("long").as("pid"),
+      latE6.cast("long").as("lat"), lonE6.cast("long").as("lon"))
+    val pairs = proximityJoin(pts, col("pid"), col("lat"), col("lon"),
+        radiusMeters, maxAbsLatDeg)
+      .select("a", "b").localCheckpoint(true)
+    val sym = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("nbrs"))
+    val core = pts.join(deg, col("pid") === col("a"), "left")
+      .select(col("pid"),
+        (coalesce(col("nbrs"), lit(0L)) + 1L >= minPts).as("is_core"))
+      .localCheckpoint(true)
+    val coreIds = core.filter(col("is_core")).select("pid")
+    val coreEdges = pairs
+      .join(coreIds.select(col("pid").as("a")), Seq("a"))
+      .join(coreIds.select(col("pid").as("b")), Seq("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val comp = Dedup.connectedComponents(coreEdges)
+    val coreClusters = coreIds
+      .join(comp, col("pid") === col("doc_id"), "left")
+      .select(col("pid").as("cpid"),
+        coalesce(col("component_id"), col("pid")).as("cluster"))
+    val borderPick = sym
+      .join(coreClusters, col("b") === col("cpid"))
+      .groupBy(col("a").as("bpid"))
+      .agg(min(col("cluster")).as("bcluster"))
+    core
+      .join(coreClusters, col("pid") === col("cpid"), "left")
+      .join(borderPick, col("pid") === col("bpid"), "left")
+      .select(col("pid"),
+        when(col("is_core"), lit("core"))
+          .when(col("bcluster").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("is_core"), col("cluster"))
+          .otherwise(col("bcluster")).as("cluster"))
+  }
 }

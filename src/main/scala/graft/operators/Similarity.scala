@@ -465,4 +465,59 @@ object Similarity {
     import spark.implicits._
     picked.toSeq.toDF("rnk", "cid", "rel", "mmr")
   }
+
+  /** k-center greedy coreset selection (Gonzalez 1985; the "k-Center
+    * Greedy" of Sener & Savarese 2018 active learning) — pick k
+    * maximally-spread exemplars: seed with the smallest id, then
+    * repeatedly take the point FARTHEST from everything selected so
+    * far. The selected set 2-approximates the optimal k-center cover —
+    * the diversity-first data-selection counterpart to [[mmrSelect]]
+    * (which optimizes query relevance, not corpus coverage).
+    *
+    * Exactness: squared distances only — ‖x‖² + ‖c‖² − 2⟨x,c⟩ from the
+    * exact scale-18 decimal dot machinery, never a √; argmax orders by
+    * (dist² desc, id asc), so the selection is a pure function of the
+    * vector multiset. Each round's winning dist² is exactly the
+    * coverage radius² of the previously-selected set — reported on the
+    * winner's row (the seed row reports null).
+    *
+    * Scale shape: the point set keeps ONE running `best` column
+    * (min dist² to selected); each of the k−1 rounds is a one-row
+    * broadcast join + least() update + a TakeOrdered(1) reduce —
+    * O(k·n) dots total, k driver round-trips of ONE row each (the
+    * [[mmrSelect]] loop shape), lineage cut per round.
+    *
+    * @return k rows: (rnk 1..k, center_id, radius2 — winning dist² as
+    *         an exact decimal string, null on the seed) */
+  def kCenterGreedy(vectors: DataFrame, id: Column, vec: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = vectors.sparkSession
+    val v9 = graft.core.Parallelism.ensureWidth(vectors)
+      .select(id.cast("long").as("vid"), scale9(vec).as("v9"))
+      .withColumn("nrm", dot9(col("v9"), col("v9")))
+      .localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Option[String])]
+    val seed = v9.agg(min("vid")).head().getLong(0)
+    picked += ((1, seed, None))
+    def center(vid: Long) = broadcast(v9.filter(col("vid") === vid)
+      .select(col("v9").as("c9"), col("nrm").as("cnrm")))
+    def d2 = col("nrm") + col("cnrm") - (dot9(col("v9"), col("c9")) * 2)
+    var cur = v9.crossJoin(center(seed))
+      .select(col("vid"), col("v9"), col("nrm"), d2.as("best"))
+      .localCheckpoint(true)
+    for (rnk <- 2 to k) {
+      val far = cur.orderBy(col("best").desc, col("vid").asc).limit(1)
+        .select("vid", "best").head()
+      picked += ((rnk, far.getLong(0),
+        Some(far.getDecimal(1).toPlainString)))
+      cur = cur.crossJoin(center(far.getLong(0)))
+        .select(col("vid"), col("v9"), col("nrm"),
+          least(col("best"), d2).as("best"))
+        .localCheckpoint(true)
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rnk", "center_id", "radius2")
+  }
 }

@@ -118,4 +118,51 @@ object ZOrder {
       .filter(col(aCol).between(aRange._1, aRange._2) &&
         col(bCol).between(bRange._1, bRange._2))
   }
+
+  /** Hilbert-curve index of `(a, b)` on the 2^order × 2^order grid —
+    * the layout key that strictly beats [[zvalue]] on locality: every
+    * consecutive pair of Hilbert indices is an ADJACENT cell (Manhattan
+    * distance 1), so a sorted run never takes the z-curve's long
+    * diagonal jumps and a range query's tiles are tighter (Moon et al.
+    * 2001 measure ~⅓ fewer clusters per box). The price is ~order
+    * dependent-instruction rounds instead of z's 5 parallel mask steps
+    * — pay it when files are written once and range-read forever.
+    *
+    * The classic bit-descent (Wikipedia xy2d): per bit plane s (high →
+    * low) add s²·q where q is the quadrant under the CURRENT rotation,
+    * then rotate/reflect the frame: ry=1 keeps (x,y); ry=0 ∧ rx=1
+    * reflects both to (2^order−1)−v before the swap; ry=0 swaps. The
+    * quadrant arithmetic is spelled as a 4-way CASE (no xor builtin —
+    * engine-portable), every step exact integers. The per-plane state
+    * is let-bound ([[graft.functions.ColumnOps.bound]]) so the
+    * expression tree is LINEAR in `order`, not exponential. Inputs
+    * clamp into [0, 2^order) — the [[zvalue]] stance.
+    *
+    * Pure projection: no shuffle; pair with [[write]]'s tile pattern by
+    * substituting this for [[zvalue]] upstream of the tile id. */
+  def hilbertValue(a: Column, b: Column, order: Int = 16): Column = {
+    require(order >= 1 && order <= 31, s"order in [1,31], got $order")
+    val n1 = (1L << order) - 1
+    def clampN(c: Column): Column =
+      least(greatest(c.cast("long"), lit(0L)), lit(n1))
+    val init = struct(clampN(a).as("x"), clampN(b).as("y"),
+      lit(0L).as("d"))
+    val planes = (order - 1 to 0 by -1).map(i => 1L << i)
+    val fin = planes.foldLeft(init) { (st0, s) =>
+      graft.functions.ColumnOps.bound(st0) { st =>
+        val x = st.getField("x")
+        val y = st.getField("y")
+        val d = st.getField("d")
+        val rx = x.bitwiseAND(lit(s)) > 0L
+        val ry = y.bitwiseAND(lit(s)) > 0L
+        val q = when(rx && ry, 2L).when(rx, 3L).when(ry, 1L)
+          .otherwise(0L)
+        struct(
+          when(ry, x).when(rx, lit(n1) - y).otherwise(y).as("x"),
+          when(ry, y).when(rx, lit(n1) - x).otherwise(x).as("y"),
+          (d + lit(s * s) * q).as("d"))
+      }
+    }
+    fin.getField("d")
+  }
 }

@@ -179,4 +179,49 @@ class AbTestSpec extends SparkSpec {
       AbTest.srmCheck(bad, col("arm"), Seq(("treat", 1L, 1L))).collect()
     }
   }
+
+  test("psmAtt: nearest within caliper, tie to lower score, unmatched") {
+    // t1 score 100: controls at 90 (y 2) and 110 (y 4) tie on |d|=10
+    // → lower score wins → diff 10-2... y_t=10 → 10-2=8
+    // t2 score 500: nothing within the 15 caliper → unmatched
+    val u = Seq((1L, true, 100L, 10L), (2L, true, 500L, 30L),
+      (11L, false, 90L, 2L), (12L, false, 110L, 4L))
+      .toDF("id", "t", "s", "y")
+    val r = AbTest.psmAtt(u, col("id"), col("t"), col("s"), col("y"),
+      caliperE6 = 15L).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L && r.getLong(2) == 1L)
+    assert(r.getString(3) == "8")
+    assert(r.getString(4) == "8.000000")
+  }
+
+  test("psmAtt: with-replacement — one control serves many treated") {
+    val u = Seq((1L, true, 100L, 10L), (2L, true, 102L, 20L),
+      (11L, false, 101L, 5L)).toDF("id", "t", "s", "y")
+    val r = AbTest.psmAtt(u, col("id"), col("t"), col("s"), col("y"),
+      caliperE6 = 10L).head()
+    // both matched to control 11: (10-5) + (20-5) = 20 over 2
+    assert(r.getLong(1) == 2L && r.getString(3) == "20")
+    assert(r.getString(4) == "10.000000")
+  }
+
+  test("psmAtt: same-score controls collapse to the min id first") {
+    val u = Seq((1L, true, 100L, 10L),
+      (12L, false, 100L, 7L), (11L, false, 100L, 3L))
+      .toDF("id", "t", "s", "y")
+    val r = AbTest.psmAtt(u, col("id"), col("t"), col("s"), col("y"),
+      caliperE6 = 5L).head()
+    assert(r.getString(3) == "7") // matched 11 (y 3), not 12 (y 7)
+  }
+
+  test("psmAtt: negative scores raise; nothing matched yields nulls") {
+    intercept[Exception] {
+      AbTest.psmAtt(Seq((1L, true, -5L, 1L)).toDF("id", "t", "s", "y"),
+        col("id"), col("t"), col("s"), col("y"), 10L).collect()
+    }
+    val r = AbTest.psmAtt(
+      Seq((1L, true, 100L, 1L), (2L, false, 900L, 2L))
+        .toDF("id", "t", "s", "y"),
+      col("id"), col("t"), col("s"), col("y"), 10L).head()
+    assert(r.getLong(1) == 0L && r.isNullAt(4))
+  }
 }

@@ -173,4 +173,40 @@ class EvaluationSpec extends SparkSpec {
         col("b"), col("y"), maxBuckets = 10)
     }
   }
+
+  test("fleissKappa: hand 2-unit 3-rater case is exactly 0.25") {
+    // u1: a,a,b; u2: b,b,b → a=8, b=12, s=20, t=36 →
+    // kappa = (8·36 − 12·20)/(12·16) = 48/192
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "b"), (2L, "b"), (2L, "b")).toDF("u", "c")
+    val r = Evaluation.fleissKappa(df, col("u"), col("c"), m = 3).head()
+    assert(r.getAs[String]("a_num") == "8")
+    assert(r.getAs[String]("b_den") == "12")
+    assert(r.getAs[String]("s_num") == "20")
+    assert(r.getAs[String]("t_den") == "36")
+    assert(r.getAs[String]("kappa6") == "0.250000")
+  }
+
+  test("fleissKappa: unanimous single label is degenerate null") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "a")).toDF("u", "c")
+    val r = Evaluation.fleissKappa(df, col("u"), col("c"), m = 3).head()
+    assert(r.isNullAt(r.fieldIndex("kappa6"))) // t == s: no chance room
+  }
+
+  test("fleissKappa: perfect per-unit agreement across labels is 1") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("u", "c")
+    val r = Evaluation.fleissKappa(df, col("u"), col("c"), m = 2).head()
+    assert(r.getAs[String]("kappa6") == "1.000000")
+  }
+
+  test("fleissKappa: a unit with the wrong rating count raises loud") {
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "a"))
+      .toDF("u", "c")
+    val ex = intercept[Exception] {
+      Evaluation.fleissKappa(df, col("u"), col("c"), m = 3).collect()
+    }
+    assert(ex.getMessage.contains("fleissKappa"))
+  }
 }

@@ -243,4 +243,41 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(got == Map("organic" -> 1000000L))
   }
+
+  test("shapleyAttribution: hand lattice, efficiency, post-conv exclusion") {
+    // exposure sets (before FIRST purchase): u1a,u1b → {A}; u2 → {A,B};
+    // u3 → {B}; u4 → {} (organic); u6 touches A only AFTER converting
+    // → {}; u5 never converts → contributes to no v(S)
+    val ev = Seq(
+      (1L, 10L, "A", false), (1L, 20L, "", true),
+      (7L, 10L, "A", false), (7L, 20L, "", true),
+      (2L, 10L, "A", false), (2L, 11L, "B", false), (2L, 20L, "", true),
+      (3L, 10L, "B", false), (3L, 20L, "", true),
+      (4L, 20L, "", true),
+      (6L, 10L, "", true), (6L, 20L, "A", false),
+      (5L, 10L, "A", false)
+    ).toDF("u", "t", "ch", "conv")
+    // v(∅)=2 (u4,u6), v({A})=2, v({B})=1, v({A,B})=1
+    val got = EventAnalytics.shapleyAttribution(ev, col("u"), col("t"),
+        col("conv"), col("ch"), Seq("A", "B"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // phi_A = (v1-v0) + (v3-v2) = 0; phi_B = (v2-v0) + (v3-v1) = -2
+    assert(got("A") == (("0", 0L, 1L, 2L)))
+    assert(got("B") == (("-2", -1000000L, 1L, 2L))) // floor(-2e6/2)
+    // efficiency: sum phi_num == n!*(v_full - v_empty) = 2*(1-2)
+    assert(got.values.map(_._1.toLong).sum == -2L)
+  }
+
+  test("shapleyAttribution: single channel takes all non-organic credit") {
+    val ev = Seq((1L, 10L, "A", false), (1L, 20L, "", true),
+      (2L, 20L, "", true)).toDF("u", "t", "ch", "conv")
+    val got = EventAnalytics.shapleyAttribution(ev, col("u"), col("t"),
+      col("conv"), col("ch"), Seq("A")).head()
+    // v({A}) = 1, v(∅) = 1: phi_A = 0!·0!·(1-1)... wait n=1: S=∅ only:
+    // w = 0!·0! = 1, phi = v({A}) - v(∅) = 0 — organic never credited
+    assert(got.getString(1) == "0" && got.getLong(3) == 1L &&
+      got.getLong(4) == 1L)
+  }
 }

@@ -61,4 +61,51 @@ class GeoSpec extends SparkSpec {
         radiusMeters = 1000L, maxAbsLatDeg = 60).collect()
     }
   }
+
+  test("dbscan: chain cluster with borders, noise, one component") {
+    // p1..p5 on the equator 0.9 deg (~100.2 km) apart; eps = 150 km,
+    // minPts = 3: p2-p4 core (2 nbrs + self), p1/p5 border, p9 noise
+    val pts = ((1 to 5).map(i => (i.toLong, 0L, i * 900000L)) :+
+      ((9L, 50000000L, 100000000L))).toDF("id", "lat", "lon")
+    val got = Geo.dbscan(pts, col("id"), col("lat"), col("lon"),
+        radiusMeters = 150000L, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got(2) == (("core", Some(2L))))
+    assert(got(3) == (("core", Some(2L))))
+    assert(got(4) == (("core", Some(2L))))
+    assert(got(1) == (("border", Some(2L))))
+    assert(got(5) == (("border", Some(2L))))
+    assert(got(9) == (("noise", None)))
+  }
+
+  test("dbscan: isolated core (star) keeps its own singleton cluster") {
+    // center with 3 satellites ~140 km out (N, S, E): center sees 4
+    // points incl. itself → core at minPts = 4; satellites see 2 → not
+    // core but border; satellite-satellite distances exceed eps
+    val pts = Seq((10L, 0L, 0L), (11L, 1260000L, 0L),
+      (12L, -1260000L, 0L), (13L, 0L, 1260000L))
+      .toDF("id", "lat", "lon")
+    val got = Geo.dbscan(pts, col("id"), col("lat"), col("lon"),
+        radiusMeters = 150000L, minPts = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10) == "core")
+    assert(Seq(11L, 12L, 13L).forall(got(_) == "border"))
+    val clusters = Geo.dbscan(pts, col("id"), col("lat"), col("lon"),
+        150000L, 4)
+      .filter(col("cluster").isNotNull).select("cluster")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(clusters == Seq(10L)) // the isolated core labels itself
+  }
+
+  test("dbscan: two separated chains form two components") {
+    val chain1 = (1 to 3).map(i => (i.toLong, 0L, i * 900000L))
+    val chain2 = (11 to 13).map(i => (i.toLong, 0L, 90000000L + i * 900000L))
+    val got = Geo.dbscan((chain1 ++ chain2).toDF("id", "lat", "lon"),
+        col("id"), col("lat"), col("lon"), 150000L, minPts = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1 to 3).forall(i => got(i.toLong) == 1L))
+    assert((11 to 13).forall(i => got(i.toLong) == 11L))
+  }
 }

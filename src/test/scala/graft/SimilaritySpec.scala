@@ -167,4 +167,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
     assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
+
+  test("kCenterGreedy: seed is min id, argmax chain, exact radii") {
+    val vecs = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)),
+      (3L, Seq(4.0f, 0.0f))).toDF("vid", "v")
+    val got = Similarity.kCenterGreedy(vecs, col("vid"), col("v"), 3)
+      .orderBy("rnk").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0).isNullAt(2)) // the seed has no prior set
+    // dist2(1,2) = 100; after {1,2}: point 3 min(16, 36) = 16
+    assert(got(1).getString(2) == "100.000000000000000000")
+    assert(got(2).getString(2) == "16.000000000000000000")
+  }
+
+  test("kCenterGreedy: dist ties break by id ascending") {
+    // points 2 and 3 both at dist2 = 25 from the seed → pick id 2
+    val vecs = Seq((1L, Seq(0.0f)), (2L, Seq(5.0f)), (3L, Seq(-5.0f)))
+      .toDF("vid", "v")
+    val got = Similarity.kCenterGreedy(vecs, col("vid"), col("v"), 2)
+      .orderBy("rnk").collect()
+    assert(got(1).getLong(1) == 2L)
+  }
+
+  test("kCenterGreedy: rerun is identical (pure function of the data)") {
+    val vecs = (1L to 40L).map(i =>
+      (i, Seq((i * 37 % 11).toFloat, (i * 53 % 7).toFloat)))
+      .toDF("vid", "v")
+    def run() = Similarity.kCenterGreedy(vecs, col("vid"), col("v"), 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(run() == run())
+  }
 }

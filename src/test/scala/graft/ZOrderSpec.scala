@@ -137,4 +137,41 @@ class ZOrderSpec extends SparkSpec {
       assert(zs.sameElements(zs.sorted), "rows inside a tile are z-sorted")
     }
   }
+
+  test("hilbertValue: the order-1 quadrant walk is the U curve") {
+    val cells = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L))
+      .toDF("x", "y")
+    val got = cells
+      .withColumn("h", ZOrder.hilbertValue(col("x"), col("y"), 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L,
+      (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+  }
+
+  test("hilbertValue: consecutive indices are ADJACENT cells (order 3)") {
+    // the property z-order lacks: every step of the curve moves
+    // Manhattan distance exactly 1 — verified over the full 8x8 grid
+    val n = 8
+    val cells = (for (x <- 0 until n; y <- 0 until n)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val byH = cells
+      .withColumn("h", ZOrder.hilbertValue(col("x"), col("y"), 3))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1))))
+      .toMap
+    assert(byH.keySet == (0L until 64L).toSet, "h is a bijection")
+    for (d <- 0L until 63L) {
+      val (x1, y1) = byH(d); val (x2, y2) = byH(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"step $d: ($x1,$y1) -> ($x2,$y2) is not adjacent")
+    }
+  }
+
+  test("hilbertValue: out-of-range inputs clamp to the grid edge") {
+    val got = Seq((-5L, 300L)).toDF("x", "y")
+      .withColumn("h", ZOrder.hilbertValue(col("x"), col("y"), 8))
+      .withColumn("h2", ZOrder.hilbertValue(lit(0L), lit(255L), 8))
+      .head()
+    assert(got.getLong(2) == got.getLong(3))
+  }
 }
