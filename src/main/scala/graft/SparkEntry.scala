@@ -5034,6 +5034,94 @@ object SparkEntry {
         .withColumn("h", ZOrder.hilbertValue(col("x"), col("y"), 8))
         .orderBy("x", "y")),
 
+    // Graphs — sampled bounded-hop betweenness (Bfs
+    // .betweennessSampled): Brandes forward σ counts + backward
+    // round-once dependency accumulation over the part co-occurrence
+    // graph from 3-hop BFS of ~8 sampled sources.
+    "q315_betweenness" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val e = Triangles.coOccurrenceEdges(li, col("l_orderkey"),
+        col("l_partkey"))
+      Bfs.betweennessSampled(e,
+          p.filter(col("p_size") === 25 && col("p_partkey") % 5 === 0)
+            .select(col("p_partkey").as("node")),
+          maxHops = 3)
+        .orderBy("node")
+    }),
+
+    // Workload — TPC-H Q7 shape (volume shipping): bilateral revenue
+    // between two nations by ship year — supplier nation × customer
+    // nation cross-filter, dims broadcast, decimal-sum revenue.
+    "q313_tpch_q7" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+        .select("n_nationkey", "n_name")
+      val su = Tables.load(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cu = Tables.load(s, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Workload — TPC-H Q8 shape (national market share): NATION_3's
+    // share of EUROPE's PROMO-part revenue by order year; the share
+    // is a %.6f of two decimal-exact sums.
+    "q314_tpch_q8" -> ((s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+      val eur = n.join(Tables.load(s, dir, "region")
+            .filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("eur_nk"))
+      val cu = Tables.load(s, dir, "customer")
+        .join(broadcast(eur), col("c_nationkey") === col("eur_nk"))
+        .select("c_custkey")
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "PROMO").select("p_partkey")
+      val su = Tables.load(s, dir, "supplier")
+        .join(broadcast(n.filter(col("n_name") === "NATION_3")
+            .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"), "left")
+        .select(col("s_suppkey"),
+          col("n_nationkey").isNotNull.as("is_n3"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("rev"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(dsum(when(col("is_n3"), col("rev")).otherwise(lit(0.0)))
+            .as("nation_rev"),
+          dsum(col("rev")).as("total_rev"),
+          count(lit(1)).as("n_items"))
+        .withColumn("mkt_share6", format_string("%.6f",
+          col("nation_rev") / col("total_rev")))
+        .orderBy("o_year")
+    }),
+
     // Causal — propensity-score matching ATT (AbTest.psmAtt):
     // BUILDING-segment customers matched with replacement to nearest
     // same-propensity controls (nation treated-share ×10⁶, caliper
@@ -11293,6 +11381,110 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN b.cy IS NOT NULL THEN tr.ty - b.cy END)
         |      AS DOUBLE) / COUNT(b.cy)) END AS att6
         |FROM tr LEFT JOIN best b USING (tid)""".stripMargin,
+
+    "q315_betweenness" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM ps a
+        |  JOIN ps b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u AS s, v AS d FROM e0
+        |  UNION ALL SELECT v, u FROM e0),
+        |d0 AS (SELECT DISTINCT p_partkey AS src FROM part
+        |  WHERE p_size = 25 AND p_partkey % 5 = 0),
+        |l0 AS (SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma
+        |  FROM d0),
+        |f1 AS (SELECT h.src, sym.d AS node,
+        |    CAST(SUM(h.sigma) AS BIGINT) AS sigma
+        |  FROM l0 h JOIN sym ON sym.s = h.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM l0 x
+        |    WHERE x.src = h.src AND x.node = sym.d)
+        |  GROUP BY 1, 2),
+        |s1_ AS (SELECT src, node FROM l0
+        |  UNION ALL SELECT src, node FROM f1),
+        |f2 AS (SELECT h.src, sym.d AS node,
+        |    CAST(SUM(h.sigma) AS BIGINT) AS sigma
+        |  FROM f1 h JOIN sym ON sym.s = h.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s1_ x
+        |    WHERE x.src = h.src AND x.node = sym.d)
+        |  GROUP BY 1, 2),
+        |s2_ AS (SELECT * FROM s1_ UNION ALL SELECT src, node FROM f2),
+        |f3 AS (SELECT h.src, sym.d AS node,
+        |    CAST(SUM(h.sigma) AS BIGINT) AS sigma
+        |  FROM f2 h JOIN sym ON sym.s = h.node
+        |  WHERE NOT EXISTS (SELECT 1 FROM s2_ x
+        |    WHERE x.src = h.src AND x.node = sym.d)
+        |  GROUP BY 1, 2),
+        |d2 AS (SELECT f2.src, f2.node,
+        |    CAST(SUM(CAST(f2.sigma AS HUGEINT) * (1000000000 + 0)
+        |      // f3.sigma) AS HUGEINT) AS delta
+        |  FROM f2 JOIN sym ON sym.s = f2.node
+        |  JOIN f3 ON f3.src = f2.src AND f3.node = sym.d
+        |  GROUP BY 1, 2),
+        |d2f AS (SELECT f2.src, f2.node,
+        |    COALESCE(d2.delta, CAST(0 AS HUGEINT)) AS delta
+        |  FROM f2 LEFT JOIN d2 ON d2.src = f2.src
+        |    AND d2.node = f2.node),
+        |d1 AS (SELECT f1.src, f1.node,
+        |    CAST(SUM(CAST(f1.sigma AS HUGEINT) * (1000000000 + w.delta)
+        |      // w.sigma) AS HUGEINT) AS delta
+        |  FROM f1 JOIN sym ON sym.s = f1.node
+        |  JOIN (SELECT f2.src, f2.node, f2.sigma, d2f.delta
+        |    FROM f2 JOIN d2f ON d2f.src = f2.src
+        |      AND d2f.node = f2.node) w
+        |    ON w.src = f1.src AND w.node = sym.d
+        |  GROUP BY 1, 2),
+        |d1f AS (SELECT f1.src, f1.node,
+        |    COALESCE(d1.delta, CAST(0 AS HUGEINT)) AS delta
+        |  FROM f1 LEFT JOIN d1 ON d1.src = f1.src
+        |    AND d1.node = f1.node),
+        |allv AS (SELECT src, node, delta FROM d1f
+        |  UNION ALL SELECT src, node, delta FROM d2f
+        |  UNION ALL SELECT src, node, CAST(0 AS HUGEINT) FROM f3)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(CAST(SUM(delta) AS HUGEINT) AS VARCHAR) AS dep_e9
+        |FROM allv GROUP BY 1 ORDER BY node""".stripMargin,
+
+    "q313_tpch_q7" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation sn ON sn.n_nationkey = s_nationkey
+         |  AND sn.n_name IN ('NATION_3', 'NATION_7')
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN nation cn ON cn.n_nationkey = c_nationkey
+         |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND sn.n_name <> cn.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q314_tpch_q8" ->
+      s"""WITH eur AS (SELECT n_nationkey FROM nation
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'),
+         |n3 AS (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3'),
+         |base AS (SELECT year(o_orderdate) AS o_year,
+         |    l_extendedprice * (1.0 - l_discount) AS rev,
+         |    s_nationkey IN (SELECT n_nationkey FROM n3) AS is_n3
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN eur ON eur.n_nationkey = c_nationkey
+         |  JOIN supplier ON s_suppkey = l_suppkey)
+         |SELECT CAST(o_year AS INTEGER) AS o_year,
+         |  ${dsumSql("CASE WHEN is_n3 THEN rev ELSE 0.0 END")}
+         |    AS nation_rev,
+         |  ${dsumSql("rev")} AS total_rev,
+         |  COUNT(*) AS n_items,
+         |  printf('%.6f',
+         |    ${dsumSql("CASE WHEN is_n3 THEN rev ELSE 0.0 END")} /
+         |    ${dsumSql("rev")}) AS mkt_share6
+         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q298_pca2" ->
       """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,

@@ -82,4 +82,51 @@ class BfsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(_._1).toSet
     assert(got == Set(1L))
   }
+
+  private def btw(edges: Seq[(Long, Long)], srcs: Seq[Long],
+                  maxHops: Int): Map[Long, (Long, String)] =
+    Bfs.betweennessSampled(edges.toDF("u", "v"), srcs.toDF("src"),
+        maxHops)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("betweennessSampled: path a-b-c from a credits the middle") {
+    val got = btw(Seq((1L, 2L), (2L, 3L)), Seq(1L), maxHops = 3)
+    // delta(b) = (1*(1e9+0)) div 1 = 1e9; delta(c) = 0 (deepest)
+    assert(got(2L) == ((1L, "1000000000")))
+    assert(got(3L) == ((1L, "0")))
+  }
+
+  test("betweennessSampled: diamond splits credit by sigma") {
+    // a-b, a-c, b-d, c-d: sigma(d) = 2 → delta(b) = delta(c) =
+    // (1*(1e9+0)) div 2 = 5e8
+    val got = btw(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)),
+      Seq(1L), maxHops = 2)
+    assert(got(2L) == ((1L, "500000000")))
+    assert(got(3L) == ((1L, "500000000")))
+    assert(got(4L) == ((1L, "0")))
+  }
+
+  test("betweennessSampled: deeper chains compound (1+delta)") {
+    // a-b-c-d from a: delta(c) = 1e9; delta(b) = (1*(1e9+1e9)) div 1
+    val got = btw(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L),
+      maxHops = 3)
+    assert(got(3L) == ((1L, "1000000000")))
+    assert(got(2L) == ((1L, "2000000000")))
+    assert(got(4L) == ((1L, "0")))
+  }
+
+  test("betweennessSampled: two sources sum; n_pairs counts terms") {
+    // chain 1-2-3 sampled from both ends: node 2 earns 1e9 from EACH
+    val got = btw(Seq((1L, 2L), (2L, 3L)), Seq(1L, 3L), maxHops = 2)
+    assert(got(2L) == ((2L, "2000000000")))
+    // endpoints each reached once (from the opposite source), delta 0
+    assert(got(1L) == ((1L, "0")) && got(3L) == ((1L, "0")))
+  }
+
+  test("betweennessSampled: hop bound cuts dependencies, not crashes") {
+    val got = btw(Seq((1L, 2L), (2L, 3L), (3L, 4L)), Seq(1L),
+      maxHops = 1)
+    assert(got == Map(2L -> ((1L, "0"))))
+  }
 }
