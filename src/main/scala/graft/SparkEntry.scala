@@ -5034,6 +5034,57 @@ object SparkEntry {
         .withColumn("h", ZOrder.hilbertValue(col("x"), col("y"), 8))
         .orderBy("x", "y")),
 
+    // Causal — instrumental-variable Wald estimator (AbTest.ivWald):
+    // LATE on account balance with a parity instrument and a
+    // synthetically-correlated uptake; numerator/denominator clear
+    // their n1*n0 denominators to exact integers, one %.6f.
+    "q316_iv_wald" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val c = Tables.load(s, dir, "customer")
+      AbTest.ivWald(c,
+        col("c_custkey") % 2 === 0,
+        col("c_custkey") % 5 <
+          when(col("c_custkey") % 2 === 0, 4).otherwise(1),
+        (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+          .cast("long"))
+    }),
+
+    // Ranking — Bradley-Terry preference fit (BradleyTerry.fit): two
+    // Hunter-MM sweeps over brand-vs-brand order wins (priciest item's
+    // brand beats the cheapest's); strengths carried ×10⁶ as exact
+    // integers, one stated floor per term — no floats.
+    "q317_bradley_terry" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val li = Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+            .select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"),
+          (format_string("%.2f", col("l_extendedprice")).cast(dec2)
+            * 100).cast("long").as("cents"),
+          col("l_partkey"), col("l_linenumber"), col("p_brand"))
+      val duels = li.groupBy("o").agg(
+          count(lit(1)).as("n"),
+          max(struct(col("cents"), col("l_partkey"),
+            col("l_linenumber"), col("p_brand"))).as("hi"),
+          min(struct(col("cents"), col("l_partkey"),
+            col("l_linenumber"), col("p_brand"))).as("lo"))
+        .filter(col("n") >= 2 && col("hi.p_brand") =!= col("lo.p_brand"))
+        .select(col("hi.p_brand").as("winner"),
+          col("lo.p_brand").as("loser"))
+      BradleyTerry.fit(duels, col("winner"), col("loser"), steps = 2)
+        .orderBy("item")
+    }),
+
+    // Events — exact trailing-window distinct actors (EventAnalytics
+    // .rollingDistinct): 7-day rolling reach per active day via the
+    // explode-to-served-days spelling, never a RANGE-frame distinct.
+    "q318_rolling_distinct" -> ((s, dir) =>
+      EventAnalytics.rollingDistinct(Tables.events(s, dir),
+          expr("unix_micros(ts) div 86400000000"), col("user_id"),
+          windowDays = 7)
+        .orderBy("day")),
+
     // Graphs — sampled bounded-hop betweenness (Bfs
     // .betweennessSampled): Brandes forward σ counts + backward
     // round-once dependency accumulation over the part co-occurrence
@@ -11381,6 +11432,94 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN b.cy IS NOT NULL THEN tr.ty - b.cy END)
         |      AS DOUBLE) / COUNT(b.cy)) END AS att6
         |FROM tr LEFT JOIN best b USING (tid)""".stripMargin,
+
+    "q316_iv_wald" ->
+      """WITH v AS (SELECT c_custkey % 2 = 0 AS z,
+        |    CASE WHEN c_custkey % 5 <
+        |      (CASE WHEN c_custkey % 2 = 0 THEN 4 ELSE 1 END)
+        |      THEN 1 ELSE 0 END AS t,
+        |    CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS y
+        |  FROM customer),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT z THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN z IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dropped,
+        |    CAST(SUM(CASE WHEN z THEN y ELSE 0 END) AS HUGEINT) AS sy1,
+        |    CAST(SUM(CASE WHEN NOT z THEN y ELSE 0 END) AS HUGEINT)
+        |      AS sy0,
+        |    CAST(SUM(CASE WHEN z THEN t ELSE 0 END) AS HUGEINT) AS st1,
+        |    CAST(SUM(CASE WHEN NOT z THEN t ELSE 0 END) AS HUGEINT)
+        |      AS st0
+        |  FROM v)
+        |SELECT n1, n0, n_dropped,
+        |  CAST(sy1 * n0 - sy0 * n1 AS VARCHAR) AS num,
+        |  CAST(st1 * n0 - st0 * n1 AS VARCHAR) AS den,
+        |  CASE WHEN st1 * n0 - st0 * n1 <> 0 THEN printf('%.6f',
+        |    CAST(sy1 * n0 - sy0 * n1 AS DOUBLE) /
+        |    CAST(st1 * n0 - st0 * n1 AS DOUBLE)) END AS late6
+        |FROM m""".stripMargin,
+
+    "q317_bradley_terry" ->
+      """WITH li AS (SELECT l_orderkey AS o,
+        |    CAST(CAST(printf('%.2f', l_extendedprice) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS cents,
+        |    l_partkey, l_linenumber, p_brand
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |ranked AS (SELECT o, p_brand,
+        |    ROW_NUMBER() OVER (PARTITION BY o ORDER BY cents DESC,
+        |      l_partkey DESC, l_linenumber DESC) AS rhi,
+        |    ROW_NUMBER() OVER (PARTITION BY o ORDER BY cents ASC,
+        |      l_partkey ASC, l_linenumber ASC) AS rlo,
+        |    COUNT(*) OVER (PARTITION BY o) AS nn
+        |  FROM li),
+        |duels AS (SELECT hi.wb AS w, lo.lb AS l
+        |  FROM (SELECT o, p_brand AS wb FROM ranked
+        |    WHERE rhi = 1 AND nn >= 2) hi
+        |  JOIN (SELECT o, p_brand AS lb FROM ranked WHERE rlo = 1) lo
+        |    USING (o)
+        |  WHERE hi.wb <> lo.lb),
+        |counted AS (SELECT w, l, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM duels GROUP BY 1, 2),
+        |games AS (SELECT i, j, CAST(SUM(n) AS BIGINT) AS n_ij FROM (
+        |    SELECT w AS i, l AS j, n FROM counted
+        |    UNION ALL SELECT l, w, n FROM counted) GROUP BY 1, 2),
+        |per AS (SELECT g.i, COALESCE(wn.wins, 0) AS wins, g.games
+        |  FROM (SELECT i, CAST(SUM(n_ij) AS BIGINT) AS games
+        |    FROM games GROUP BY 1) g
+        |  LEFT JOIN (SELECT w AS i, CAST(SUM(n) AS BIGINT) AS wins
+        |    FROM counted GROUP BY 1) wn USING (i)),
+        |s1 AS (SELECT i, CAST(SUM(CAST(n_ij AS HUGEINT) *
+        |    1000000000000 // 2000000) AS HUGEINT) AS s_i
+        |  FROM games GROUP BY 1),
+        |g1 AS (SELECT per.i, CAST(CAST(per.wins AS HUGEINT) *
+        |    1000000000000 // s1.s_i AS HUGEINT) AS g
+        |  FROM per JOIN s1 USING (i)),
+        |s2 AS (SELECT games.i, CAST(SUM(CAST(games.n_ij AS HUGEINT) *
+        |    1000000000000 // (gi.g + gj.g)) AS HUGEINT) AS s_i
+        |  FROM games JOIN g1 gi ON gi.i = games.i
+        |  JOIN g1 gj ON gj.i = games.j GROUP BY 1),
+        |g2 AS (SELECT per.i, CAST(CAST(per.wins AS HUGEINT) *
+        |    1000000000000 // s2.s_i AS HUGEINT) AS g
+        |  FROM per JOIN s2 USING (i))
+        |SELECT per.i AS item, per.wins, per.games,
+        |  CAST(g2.g AS BIGINT) AS gamma_e6
+        |FROM per JOIN g2 USING (i) ORDER BY item""".stripMargin,
+
+    "q318_rolling_distinct" ->
+      """WITH p AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS d,
+        |    user_id AS k FROM events),
+        |grid AS (SELECT DISTINCT d FROM p),
+        |served AS (SELECT k, d + r.range AS d2
+        |  FROM p CROSS JOIN range(7) r),
+        |w AS (SELECT s.d2 AS d, COUNT(DISTINCT s.k) AS n_window
+        |  FROM served s JOIN grid g ON g.d = s.d2 GROUP BY 1),
+        |a AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM p GROUP BY 1)
+        |SELECT w.d AS day, a.n_active,
+        |  CAST(w.n_window AS BIGINT) AS n_window
+        |FROM w JOIN a USING (d) ORDER BY day""".stripMargin,
 
     "q315_betweenness" ->
       """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

@@ -428,6 +428,50 @@ object AbTest {
           col("ate_sum").cast("string")).as("ate6"))
   }
 
+  /** Instrumental-variable Wald estimator — the causal tool for when
+    * treatment is CHOSEN (confounded) but an instrument z nudges it:
+    * LATE = (ȳ_{z=1} − ȳ_{z=0}) / (t̄_{z=1} − t̄_{z=0}), the effect on
+    * compliers (Angrist-Imbens-Rubin). Completes the causal shelf:
+    * [[diffInDiff]] needs parallel trends, [[stratifiedAte]]/[[psmAtt]]
+    * need no unobserved confounding — IV needs only instrument
+    * validity.
+    *
+    * Exactness: both difference-of-means clear their n₁·n₀ denominator,
+    * so LATE = (sy₁·n₀ − sy₀·n₁) / (st₁·n₀ − st₀·n₁) — a ratio of two
+    * exact decimal(38,0) integers, reported as strings with ONE %.6f
+    * division. A weak instrument (denominator 0: t̄ identical across
+    * arms) yields null, never a blow-up. One aggregate pass.
+    *
+    * @param z boolean instrument; null-z rows dropped (reported)
+    * @param t boolean treatment taken
+    * @param y exact-integer outcome
+    * @return one row: (n1, n0, n_dropped, num, den, late6) */
+  def ivWald(df: DataFrame, z: Column, t: Column, y: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.select(z.cast("boolean").as("z"),
+      when(t.cast("boolean"), 1L).otherwise(0L).as("t"),
+      y.cast("long").as("y"))
+    v.agg(
+        sum(when(col("z"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("z"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("z").isNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("z"), col("y")).otherwise(0L)).as("sy1"),
+        sum(when(!col("z"), col("y")).otherwise(0L)).as("sy0"),
+        sum(when(col("z"), col("t")).otherwise(0L)).as("st1"),
+        sum(when(!col("z"), col("t")).otherwise(0L)).as("st0"))
+      .select(col("n1"), col("n0"), col("n_dropped"),
+        (col("sy1").cast(dec) * col("n0") -
+          col("sy0").cast(dec) * col("n1")).cast(dec).as("num"),
+        (col("st1").cast(dec) * col("n0") -
+          col("st0").cast(dec) * col("n1")).cast(dec).as("den"))
+      .select(col("n1"), col("n0"), col("n_dropped"),
+        col("num").cast("string").as("num"),
+        col("den").cast("string").as("den"),
+        when(col("den") =!= 0, format_string("%.6f",
+          col("num").cast("double") / col("den").cast("double")))
+          .as("late6"))
+  }
+
   /** Propensity-score matching ATT (Rosenbaum & Rubin 1983) — each
     * treated unit matched WITH REPLACEMENT to its nearest control by
     * propensity score within a caliper, the observational design for

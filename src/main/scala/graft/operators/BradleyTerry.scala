@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Bradley–Terry preference-strength fitting (Bradley & Terry 1952) via
+  * the Hunter 2004 MM iteration — THE model behind pairwise-preference
+  * data: RLHF preference pairs, A/B taste tests, chess-style ratings.
+  * Given pairwise win counts w_ij, BT posits P(i beats j) =
+  * γ_i/(γ_i+γ_j); each MM step is
+  * γ'_i = W_i / Σ_j n_ij/(γ_i+γ_j) — a closed-form sweep that
+  * monotonically climbs the likelihood.
+  *
+  * Determinism: strengths are carried ×10⁶ as exact integers from the
+  * uniform start γ=10⁶; each step's inner sum accumulates the exact
+  * floor ⌊n_ij·10¹²/(γ_i+γ_j)⌋ and the outer update is one more stated
+  * floor ⌊W_i·10¹²/s_i⌋ — the [[Bfs.betweennessSampled]] stance: no
+  * floats, the tiny floor bias is stated and engine-identical, an
+  * unordered float Σ is not. Strengths are identified only up to scale
+  * (the MM fixpoint is scale-free; callers wanting the γ=1 gauge can
+  * normalize by any anchor item).
+  *
+  * Scale shape: one aggregate to per-item W_i/N_i, then per step ONE
+  * equi-join of the pair table onto the current strengths (both
+  * directions via a symmetric union) + one per-item aggregate — linear
+  * in pairs, never items². Items with zero wins floor to γ'=0 and stay
+  * there (the MLE boundary; standard practice is to drop or smooth
+  * upstream).
+  *
+  * @param pairs one row per ORDERED observed pair: winner, loser
+  *              (repeats allowed — counted here)
+  * @param steps MM sweeps from the uniform start (each a join + agg)
+  * @return per item: (item, wins, games, gamma_e6 — strength ×10⁶
+  *         after `steps` sweeps) */
+object BradleyTerry {
+
+  def fit(pairs: DataFrame, winner: Column, loser: Column,
+          steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 64, "steps in [1,64]")
+    val dec = DecimalType(38, 0)
+    val counted = pairs
+      .select(winner.cast("string").as("w"), loser.cast("string").as("l"))
+      .groupBy("w", "l").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    // symmetric game table: (i, j, n_ij) both directions
+    val games = counted.select(col("w").as("i"), col("l").as("j"),
+        col("n"))
+      .unionByName(counted.select(col("l").as("i"), col("w").as("j"),
+        col("n")))
+      .groupBy("i", "j").agg(sum("n").as("n_ij"))
+      .localCheckpoint(true)
+    val per = games.groupBy("i").agg(sum("n_ij").as("games"))
+      .join(counted.groupBy(col("w").as("i"))
+          .agg(sum("n").as("wins")), Seq("i"), "left")
+      .select(col("i"), coalesce(col("wins"), lit(0L)).as("wins"),
+        col("games"))
+      .localCheckpoint(true)
+    var gamma = per.select(col("i"), lit(1000000L).cast(dec).as("g"))
+    for (_ <- 1 to steps) {
+      val gi = gamma.select(col("i"), col("g").as("g_i"))
+      val gj = gamma.select(col("i").as("j"), col("g").as("g_j"))
+      val s = games.join(gi, Seq("i")).join(gj, Seq("j"))
+        .groupBy("i")
+        .agg(sum(expr("(cast(n_ij as decimal(38,0)) * 1000000000000L)" +
+          " div (g_i + g_j)")).cast(dec).as("s_i"))
+      gamma = per.join(s, Seq("i"))
+        .select(col("i"),
+          expr("(cast(wins as decimal(38,0)) * 1000000000000L)" +
+            " div s_i").cast(dec).as("g"))
+        .localCheckpoint(true)
+    }
+    per.join(gamma, Seq("i"))
+      .select(col("i").as("item"), col("wins"), col("games"),
+        col("g").cast("long").as("gamma_e6"))
+  }
+}

@@ -488,6 +488,39 @@ object EventAnalytics {
         sum("credit_e6").as("credit_e6"))
   }
 
+  /** Trailing-window distinct actors per day — exact rolling reach
+    * (WAU/MAU at any window), the denominator of [[stickiness]]
+    * generalized: for each active day d, |distinct keys active in
+    * [d−w+1, d]|. COUNT(DISTINCT) OVER a RANGE frame either isn't
+    * supported or degenerates to a single-partition sort; this is the
+    * scalable spelling: dedup to (day, key) once, explode each pair to
+    * the ≤ w days it serves (the 1-D grid-bucket stance), semi-join to
+    * the ACTIVE day grid, count distinct per day.
+    *
+    * Exact integers end to end (days as epoch-day longs). Cost:
+    * |day-key pairs|·w rows through one aggregate — the fan-out is the
+    * window length, a plan literal, never data-sized.
+    *
+    * @param day epoch-day integer (date_trunc upstream)
+    * @return per active day: (day, n_active — that day's distinct
+    *         keys — n_window — distinct keys in the trailing w days) */
+  def rollingDistinct(events: DataFrame, day: Column, key: Column,
+                      windowDays: Int): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 3700,
+      "windowDays in [1, 3700]")
+    val pairs = events.select(day.cast("long").as("d"), key.as("k"))
+      .distinct().localCheckpoint(true)
+    val grid = pairs.select(col("d")).distinct()
+    val served = pairs
+      .select(col("k"), explode(sequence(col("d"),
+        col("d") + (windowDays - 1))).as("d"))
+    served.join(grid, Seq("d")) // only days that actually occur report
+      .groupBy("d").agg(countDistinct(col("k")).as("n_window"))
+      .join(pairs.groupBy("d").agg(count(lit(1)).as("n_active")),
+        Seq("d"))
+      .select(col("d").as("day"), col("n_active"), col("n_window"))
+  }
+
   /** Shapley-value channel attribution (Shapley 1953 applied to
     * marketing touch data, the data-driven scheme of Zhao et al. 2018):
     * the game-theoretic middle ground between [[lastTouchAttribution]]

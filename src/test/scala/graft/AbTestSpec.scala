@@ -180,6 +180,21 @@ class AbTestSpec extends SparkSpec {
     }
   }
 
+  test("ivWald: hand LATE, weak-instrument null") {
+    val df = Seq((true, true, 10L), (true, false, 6L),
+      (false, false, 4L), (false, false, 2L)).toDF("z", "t", "y")
+    val r = AbTest.ivWald(df, col("z"), col("t"), col("y")).head()
+    // num = 16*2 - 6*2 = 20, den = 1*2 - 0*2 = 2 → LATE 10
+    assert(r.getAs[String]("num") == "20")
+    assert(r.getAs[String]("den") == "2")
+    assert(r.getAs[String]("late6") == "10.000000")
+    val weak = AbTest.ivWald(
+      Seq((true, true, 1L), (false, true, 2L)).toDF("z", "t", "y"),
+      col("z"), col("t"), col("y")).head()
+    assert(weak.isNullAt(weak.fieldIndex("late6")))
+    assert(weak.getAs[String]("den") == "0")
+  }
+
   test("psmAtt: nearest within caliper, tie to lower score, unmatched") {
     // t1 score 100: controls at 90 (y 2) and 110 (y 4) tie on |d|=10
     // → lower score wins → diff 10-2... y_t=10 → 10-2=8

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BradleyTerry
+
+/** Bradley–Terry MM fit: the two-player exact MLE, zero-win boundary,
+  * transitive three-player ordering, and determinism. */
+class BradleyTerrySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fit(duels: Seq[(String, String)], steps: Int) =
+    BradleyTerry.fit(duels.toDF("w", "l"), col("w"), col("l"), steps)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("two players: one sweep lands the exact 3:1 MLE and stays") {
+    val duels = Seq.fill(3)(("A", "B")) :+ (("B", "A"))
+    // s_A = 4e12 // 2e6 = 2e6; g_A = 3e12 // 2e6 = 1.5e6, g_B = 0.5e6
+    val one = fit(duels, steps = 1)
+    assert(one("A") == ((3L, 4L, 1500000L)))
+    assert(one("B") == ((1L, 4L, 500000L)))
+    // the MLE is a fixpoint: another sweep does not move it
+    assert(fit(duels, steps = 2) == one)
+  }
+
+  test("zero-win item floors to strength 0; opponents absorb it") {
+    val duels = Seq(("A", "B"), ("B", "A"), ("A", "C"), ("A", "C"))
+    val got = fit(duels, steps = 2)
+    assert(got("C")._3 == 0L)
+    assert(got("A")._3 > got("B")._3, "A beat C twice, B did not")
+    assert(got("A")._1 == 3L && got("A")._2 == 4L)
+  }
+
+  test("dominance order is monotone in win share") {
+    val duels = Seq.fill(4)(("A", "B")) ++ Seq.fill(1)(("B", "A")) ++
+      Seq.fill(3)(("B", "C")) ++ Seq.fill(1)(("C", "B")) ++
+      Seq.fill(4)(("A", "C"))
+    val got = fit(duels, steps = 3)
+    assert(got("A")._3 > got("B")._3 && got("B")._3 > got("C")._3)
+  }
+
+  test("rerun identical: pure function of the duel multiset") {
+    val duels = (1 to 30).map(i =>
+      (s"P${i % 5}", s"P${(i * 3) % 5}")).filter(p => p._1 != p._2)
+    assert(fit(duels, 2) == fit(duels, 2))
+  }
+}

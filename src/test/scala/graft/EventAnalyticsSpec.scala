@@ -244,6 +244,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Map("organic" -> 1000000L))
   }
 
+  test("rollingDistinct: trailing union, only active days report") {
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "b"), (2L, "c"), (9L, "a"))
+      .toDF("d", "k")
+    val got = EventAnalytics.rollingDistinct(ev, col("d"), col("k"),
+        windowDays = 7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L)),  // {a,b}
+      2L -> ((2L, 3L)),  // {a,b,c} — day 1 still in the window
+      9L -> ((1L, 1L)))) // day 2 aged out (window [3,9])
+  }
+
+  test("rollingDistinct: window 1 degenerates to daily actives") {
+    val ev = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("d", "k")
+    val got = EventAnalytics.rollingDistinct(ev, col("d"), col("k"), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("shapleyAttribution: hand lattice, efficiency, post-conv exclusion") {
     // exposure sets (before FIRST purchase): u1a,u1b → {A}; u2 → {A,B};
     // u3 → {B}; u4 → {} (organic); u6 touches A only AFTER converting
