@@ -5034,6 +5034,77 @@ object SparkEntry {
         .withColumn("h", ZOrder.hilbertValue(col("x"), col("y"), 8))
         .orderBy("x", "y")),
 
+    // Forecast — Brown's linear exponential smoothing (Ewma
+    // .brownLes): level/trend/one-step forecast per user from two
+    // chained exact-EWMA passes, everything ×10⁶ integer with stated
+    // floors between passes.
+    "q319_brown_les" -> ((s, dir) =>
+      Ewma.brownLes(
+          Tables.events(s, dir)
+            .withColumn("x", col("value").cast("decimal(18,6)")),
+          col("user_id"), Seq(col("ts"), col("event_id")), col("x"),
+          aNum = 1, aDen = 4, depth = 8)
+        .select(col("user_id"), col("event_id"),
+          col("e1_e6").cast("long").as("e1_e6"),
+          col("e2_e6").cast("long").as("e2_e6"),
+          col("level_e6").cast("long").as("level_e6"),
+          col("trend_e6").cast("long").as("trend_e6"),
+          col("forecast1_e6").cast("long").as("forecast1_e6"))
+        .orderBy("user_id", "event_id")),
+
+    // Eval — MAP@10 (Evaluation.mapAtK): binary-relevance ranking
+    // quality over 50 synthetic order-ranking queries; per-hit
+    // ⌊cum·10⁹/i⌋ floors, AP over min(R, k), mean over scored queries.
+    "q320_map_at_k" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      Evaluation.mapAtK(
+        Tables.load(s, dir, "orders").select(
+          (col("o_custkey") % 50).as("qg"), col("o_orderkey"),
+          (format_string("%.2f", col("o_totalprice")).cast(dec2) * 100)
+            .cast("long").as("cents"),
+          (col("o_orderstatus") === "F").as("rel")),
+        col("qg"), col("o_orderkey"), col("cents"), col("rel"), k = 10)
+    }),
+
+    // Governance — Simpson's-paradox audit (Trend.simpsonAudit):
+    // pooled vs per-nation association sign between balance and order
+    // count — signs from exact covariance numerators, zero floats.
+    "q321_simpson" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val oc = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      val units = Tables.load(s, dir, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_nationkey"),
+          (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+            .cast("long").as("cents"),
+          coalesce(col("n_ord"), lit(0L)).as("n_ord"))
+      Trend.simpsonAudit(units, col("c_nationkey"), col("cents"),
+        col("n_ord"))
+    }),
+
+    // Corpus stats — Heaps'-law fit (composition + Trend
+    // .logLogSlope): vocabulary growth V(N) ~ K·N^β over the ordered
+    // document stream via first-occurrence counting — the corpus-
+    // diversity diagnostic next to q186's Zipf fit.
+    "q322_heaps" -> ((s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " "))
+          .as("tok"))
+      val perDoc = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("ntok"))
+      val firstNew = toks.groupBy("tok").agg(min("doc_id").as("fd"))
+        .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("nnew"))
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0) // bounded doc grid
+      val cp = perDoc.join(firstNew, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ntok"),
+          coalesce(col("nnew"), lit(0L)).as("nnew"))
+        .withColumn("big_n", sum("ntok").over(w))
+        .withColumn("v", sum("nnew").over(w))
+      Trend.logLogSlope(cp, col("big_n"), col("v"))
+    }),
+
     // Causal — instrumental-variable Wald estimator (AbTest.ivWald):
     // LATE on account balance with a parity instrument and a
     // synthetically-correlated uptake; numerator/denominator clear
@@ -11432,6 +11503,155 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN b.cy IS NOT NULL THEN tr.ty - b.cy END)
         |      AS DOUBLE) / COUNT(b.cy)) END AS att6
         |FROM tr LEFT JOIN best b USING (tid)""".stripMargin,
+
+    "q319_brown_les" -> {
+      val ws = Seq(16384, 12288, 9216, 6912, 5184, 3888, 2916, 2187)
+      val lags1 = ws.indices.map(i =>
+        if (i == 0) "x AS x0" else s"LAG(x, $i) OVER w AS x$i")
+        .mkString(", ")
+      val num1 = ws.zipWithIndex
+        .map { case (w, i) => s"COALESCE($w * x$i, 0)" }.mkString(" + ")
+      val den1 = ws.zipWithIndex
+        .map { case (w, i) =>
+          s"CASE WHEN x$i IS NOT NULL THEN $w ELSE 0 END" }
+        .mkString(" + ")
+      // pass-2 lag aliases MUST NOT collide with p1's e1 column — an
+      // alias named e1 leaves num2's "e1" ambiguous and DuckDB binds
+      // it to the CURRENT row, silently computing a different smoother
+      val lags2 = ws.indices.map(i =>
+        if (i == 0) "e1 AS g0" else s"LAG(e1, $i) OVER w AS g$i")
+        .mkString(", ")
+      val num2 = ws.zipWithIndex
+        .map { case (w, i) => s"COALESCE($w * CAST(g$i AS HUGEINT), 0)" }
+        .mkString(" + ")
+      val den2 = ws.zipWithIndex
+        .map { case (w, i) =>
+          s"CASE WHEN g$i IS NOT NULL THEN $w ELSE 0 END" }
+        .mkString(" + ")
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CAST(CAST(value AS VARCHAR) AS DECIMAL(18,6)) AS x
+         |  FROM events),
+         |l1 AS (SELECT user_id, event_id, ts_us, $lags1 FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |p1 AS (SELECT user_id, event_id, ts_us,
+         |    CAST(CAST(CAST(($num1) AS DECIMAL(38,6)) * 1000000
+         |      AS HUGEINT) // ($den1) AS HUGEINT) AS e1
+         |  FROM l1),
+         |l2 AS (SELECT user_id, event_id, e1, $lags2 FROM p1
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |p2 AS (SELECT user_id, event_id, e1,
+         |    CAST(($num2) // ($den2) AS HUGEINT) AS e2 FROM l2)
+         |SELECT user_id, event_id,
+         |  CAST(e1 AS BIGINT) AS e1_e6, CAST(e2 AS BIGINT) AS e2_e6,
+         |  CAST(2 * e1 - e2 AS BIGINT) AS level_e6,
+         |  CAST((1 * (e1 - e2) - ((1 * (e1 - e2) % 3 + 3) % 3)) // 3
+         |    AS BIGINT) AS trend_e6,
+         |  CAST(2 * e1 - e2 +
+         |    (1 * (e1 - e2) - ((1 * (e1 - e2) % 3 + 3) % 3)) // 3
+         |    AS BIGINT) AS forecast1_e6
+         |FROM p2 ORDER BY user_id, event_id""".stripMargin
+    },
+
+    "q320_map_at_k" ->
+      """WITH v AS (SELECT o_custkey % 50 AS q, o_orderkey AS i,
+        |    CAST(CAST(printf('%.2f', o_totalprice) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS s,
+        |    o_orderstatus = 'F' AS r FROM orders),
+        |rtot AS (SELECT q, CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rtot FROM v GROUP BY 1),
+        |ranked AS (SELECT q, r, rn, cum FROM (
+        |  SELECT q, r,
+        |    ROW_NUMBER() OVER (PARTITION BY q ORDER BY s DESC, i ASC)
+        |      AS rn,
+        |    SUM(CASE WHEN r THEN 1 ELSE 0 END) OVER (PARTITION BY q
+        |      ORDER BY s DESC, i ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM v) WHERE rn <= 10),
+        |ap AS (SELECT ranked.q, rtot.rtot,
+        |    CASE WHEN rtot.rtot > 0 THEN
+        |      CAST(SUM(CASE WHEN r THEN (cum * 1000000000) // rn
+        |        ELSE 0 END) // LEAST(rtot.rtot, 10) AS BIGINT)
+        |    END AS ap_e9
+        |  FROM ranked JOIN rtot USING (q) GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(COUNT(ap_e9) AS BIGINT) AS n_scored,
+        |  CASE WHEN COUNT(ap_e9) > 0 THEN
+        |    CAST(SUM(ap_e9) // COUNT(ap_e9) AS BIGINT) END AS map_e9
+        |FROM ap""".stripMargin,
+
+    "q321_simpson" ->
+      """WITH oc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |u AS (SELECT c_nationkey AS g,
+        |    CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS x,
+        |    COALESCE(oc.n_ord, 0) AS y
+        |  FROM customer LEFT JOIN oc ON o_custkey = c_custkey),
+        |cells AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM u GROUP BY 1),
+        |cv AS (SELECT g, n * sxy - sx * sy AS cv FROM cells),
+        |ps AS (SELECT CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+        |      WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS INTEGER)
+        |      AS pooled_sign,
+        |    CAST(n AS BIGINT) AS n_rows
+        |  FROM (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+        |    SUM(sxy) AS sxy FROM cells))
+        |SELECT ps.n_rows, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  ps.pooled_sign,
+        |  CAST(SUM(CASE WHEN cv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos,
+        |  CAST(SUM(CASE WHEN cv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_neg,
+        |  CAST(SUM(CASE WHEN cv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(SUM(CASE WHEN ps.pooled_sign <> 0 AND
+        |    (CASE WHEN cv > 0 THEN 1 WHEN cv < 0 THEN -1 ELSE 0 END)
+        |      = -ps.pooled_sign THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_opposing
+        |FROM cv, ps GROUP BY 1, 3""".stripMargin,
+
+    "q322_heaps" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+        |  FROM toks GROUP BY 1),
+        |firstnew AS (SELECT fd AS doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS nnew
+        |  FROM (SELECT tok, MIN(doc_id) AS fd FROM toks GROUP BY 1)
+        |  GROUP BY 1),
+        |cp AS (SELECT p.doc_id,
+        |    SUM(p.ntok) OVER (ORDER BY p.doc_id) AS xr,
+        |    SUM(COALESCE(f.nnew, 0)) OVER (ORDER BY p.doc_id) AS yr
+        |  FROM perdoc p LEFT JOIN firstnew f USING (doc_id)),
+        |l AS (SELECT CAST(printf('%.6f', ln(CAST(xr AS DOUBLE)))
+        |      AS DECIMAL(18,6)) AS lx,
+        |    CAST(printf('%.6f', ln(CAST(yr AS DOUBLE)))
+        |      AS DECIMAL(18,6)) AS ly
+        |  FROM cp WHERE xr > 0 AND yr > 0),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT lx) AS BIGINT) AS ndx,
+        |    CAST(COUNT(DISTINCT ly) AS BIGINT) AS ndy,
+        |    CAST(SUM(lx) AS DECIMAL(38,6)) AS sx,
+        |    CAST(SUM(ly) AS DECIMAL(38,6)) AS sy,
+        |    CAST(SUM(lx * lx) AS DECIMAL(38,12)) AS sxx,
+        |    CAST(SUM(lx * ly) AS DECIMAL(38,12)) AS sxy,
+        |    CAST(SUM(ly * ly) AS DECIMAL(38,12)) AS syy FROM l),
+        |d AS (SELECT n, ndx, ndy,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+        |  FROM m)
+        |SELECT n,
+        |  CASE WHEN n >= 2 AND ndx >= 2
+        |    THEN printf('%.6f', cv / vx) END AS slope6,
+        |  CASE WHEN n >= 2 AND ndx >= 2 AND ndy >= 2
+        |    THEN printf('%.6f', cv * cv / (vx * vy)) END AS r2_6
+        |FROM d""".stripMargin,
 
     "q316_iv_wald" ->
       """WITH v AS (SELECT c_custkey % 2 = 0 AS z,

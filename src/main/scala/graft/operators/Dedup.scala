@@ -530,12 +530,21 @@ object Dedup {
   /** Connected components over a near-duplicate pair list — the dedup
     * GROUP RESOLUTION step: LSH/banding emits pairwise matches, but
     * keep-one-per-group needs the transitive closure (a~b, b~c => one
-    * group). Iterative min-label propagation: every node starts as its
-    * own label; each round takes the min of its own and all neighbors'
-    * labels; converged when no label changes. Rounds needed = graph
-    * diameter (near-dup clusters are shallow); each round is one
-    * shuffle-join + aggregate, materialized via localCheckpoint so
-    * lineage stays flat. Deterministic: labels are min ids.
+    * group). Min-label propagation WITH POINTER JUMPING: every node
+    * starts as its own label; each round takes (a) the min of its own
+    * and all neighbors' labels, then (b) its label's label — the
+    * pointer-jump that halves label-chain depth, so convergence is
+    * O(log diameter) rounds, not O(diameter). Near-dup clusters are
+    * shallow and never noticed the difference; GEOMETRIC graphs
+    * ([[graft.operators.Geo.dbscan]]'s ε-chains along a coastline)
+    * have diameters in the hundreds, which blew the round budget of
+    * the plain propagation at sf0.1 — the jump is the difference
+    * between 8 rounds and 300. Labels are always node ids inside the
+    * component (the jump target is therefore always defined), so the
+    * result is identical to the plain iteration: component_id = min
+    * reachable id. Each round is one shuffle-join + aggregate + one
+    * label-table self-join, materialized via localCheckpoint so
+    * lineage stays flat.
     *
     * @param pairs (doc_a, doc_b) undirected near-dup edges
     * @return (doc_id, component_id) for every doc in `pairs`;
@@ -554,20 +563,27 @@ object Dedup {
     while (!converged) {
       iters += 1
       require(iters <= maxIters, s"components did not converge in $maxIters rounds")
-      // candidate label per node: min over neighbors' labels
+      // (a) candidate label per node: min over neighbors' labels
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("component_id")).as("n_lbl"))
-      // one materialization yields both the new labels and the
-      // convergence signal (#nodes whose label improved)
-      val step = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      val stepped = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"), col("component_id"),
-          coalesce(col("n_lbl"), col("component_id")).as("n_lbl"))
+          least(col("component_id"),
+            coalesce(col("n_lbl"), col("component_id"))).as("l1"))
+        .localCheckpoint(true) // self-joined below
+      // (b) pointer jump: l2 = label-of-label; labels are node ids in
+      // the same component, so the lookup hits except at a root (left)
+      val jumped = stepped
+        .join(stepped.select(col("doc_id").as("l1"), col("l1").as("l2")),
+          Seq("l1"), "left")
+        .select(col("doc_id"), col("component_id"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("n_lbl"))
         .localCheckpoint(true)
-      converged = step.filter(col("n_lbl") < col("component_id")).isEmpty
-      labels = step.select(col("doc_id"),
-        least(col("component_id"), col("n_lbl")).as("component_id"))
+      converged = jumped.filter(col("n_lbl") < col("component_id")).isEmpty
+      labels = jumped.select(col("doc_id"),
+        col("n_lbl").as("component_id"))
     }
     labels
   }

@@ -331,6 +331,52 @@ object Evaluation {
         col("f9").cast("string").as("fitted9"))
   }
 
+  /** MAP@k — mean average precision, the ranking-eval companion to
+    * [[ndcgAtK]] for BINARY relevance: AP@k rewards putting relevant
+    * items EARLY (each relevant hit at rank i contributes precision-
+    * at-i), MAP averages over queries. The retrieval scorecard for
+    * BM25/ANN stacks where graded labels don't exist.
+    *
+    * Exactness: ranks come from the total order (score desc, item
+    * asc); each hit's P@i clears to the integer ⌊cum_i·10⁹/i⌋ (floor
+    * stated once per hit), AP@k = ⌊Σ hits / min(R, k)⌋ with R the
+    * query's TOTAL relevant count (computed before the k cut — the
+    * standard normalizer), MAP = ⌊Σ AP / n_scored⌋. Queries with no
+    * relevant items are excluded from the mean and reported.
+    *
+    * Scale shape: one WindowGroupLimit rank cut, two aggregates.
+    *
+    * @return one row: (n_queries, n_scored, map_e9) */
+  def mapAtK(df: DataFrame, query: Column, item: Column, score: Column,
+             rel: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val v = df.select(query.as("q"), item.as("i"), score.as("s"),
+      rel.cast("boolean").as("r"))
+    val rtot = v.groupBy("q")
+      .agg(sum(when(col("r"), 1L).otherwise(0L)).as("rtot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy(col("s").desc, col("i"))
+    val ranked = v.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .withColumn("cum", sum(when(col("r"), 1L).otherwise(0L))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions
+          .Window.unboundedPreceding, 0)))
+    val ap = ranked
+      .withColumn("term", when(col("r"),
+        expr("(cum * 1000000000L) div rn")).otherwise(0L))
+      .groupBy("q").agg(sum("term").as("tsum"))
+      .join(rtot, Seq("q"))
+      .select(col("q"), col("rtot"),
+        when(col("rtot") > 0L,
+          expr(s"tsum div least(rtot, ${k}L)")).as("ap_e9"))
+    ap.agg(count(lit(1)).as("n_queries"),
+        count(col("ap_e9")).as("n_scored"),
+        sum("ap_e9").as("apsum"))
+      .select(col("n_queries"), col("n_scored"),
+        when(col("n_scored") > 0L,
+          expr("apsum div n_scored")).as("map_e9"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971) — inter-annotator agreement for a
     * FIXED number m of raters per unit, the multi-rater generalization
     * [[cohenKappa]] (two raters) can't express: κ = (P̄ − P̄e)/(1 − P̄e)

@@ -63,4 +63,43 @@ object Ewma {
           .cast(dec))
       .withColumn("ewma_den", denTerms.reduce(_ + _).cast("long"))
   }
+
+  /** Brown's linear (double) exponential smoothing — the trend-aware
+    * step up from [[withEwma]]: e1 = EWMA(x), e2 = EWMA(e1), then
+    * level = 2e1 − e2, trend = α/(1−α)·(e1 − e2), one-step forecast =
+    * level + trend (Brown 1959). A series with steady drift makes a
+    * plain EWMA lag permanently behind; Brown's pair cancels the lag.
+    *
+    * Determinism: two [[withEwma]] passes; between them e1's exact
+    * (num, den) pair floors ONCE to µ-units (num·10⁶ div den — stated),
+    * so pass 2 runs on exact integers and every downstream quantity is
+    * integer arithmetic; the trend's signed division floors via the
+    * pmod spelling (the q300 div-vs-// hazard). Output ×10⁶ columns.
+    *
+    * Scale shape: two keyed window passes over the same partitioning —
+    * Catalyst reuses the Exchange; no join, no state. */
+  def brownLes(df: DataFrame, part: Column, order: Seq[Column],
+               x: Column, aNum: Long, aDen: Long,
+               depth: Int): DataFrame = {
+    val p1 = withEwma(df, part, order, x, aNum, aDen, depth)
+      .withColumn("e1_e6",
+        expr("cast(ewma_num * 1000000 as decimal(38,0)) div ewma_den"))
+      .drop("ewma_num", "ewma_den")
+    val p2 = withEwma(p1, part, order,
+        col("e1_e6").cast(DecimalType(18, 6)), aNum, aDen, depth)
+      // pass-2 numerator is integer-valued (integer x2, integer
+      // weights): the (38,0) cast is exact, never a rounding
+      .withColumn("e2_e6",
+        expr("cast(ewma_num as decimal(38,0)) div ewma_den"))
+      .drop("ewma_num", "ewma_den")
+    val bNum = aNum
+    val bDen = aDen - aNum
+    p2.withColumn("level_e6", lit(2L) * col("e1_e6") - col("e2_e6"))
+      .withColumn("trend_e6",
+        expr(s"(($bNum * (e1_e6 - e2_e6)) - pmod($bNum * " +
+          s"(e1_e6 - e2_e6), ${bDen}L)) div ${bDen}L"))
+      .withColumn("forecast1_e6", col("level_e6") + col("trend_e6"))
+  }
+
+  private val DecimalType = org.apache.spark.sql.types.DecimalType
 }

@@ -71,6 +71,54 @@ object Trend {
     *
     * @return one row: (n, slope6, r2_6 — null when either margin is
     *         degenerate) */
+  /** Simpson's-paradox audit — does the pooled association between x
+    * and y REVERSE inside strata? The classic aggregation trap
+    * (Simpson 1951; Berkeley admissions): a pooled trend can point the
+    * opposite way from every stratum's trend when stratum sizes
+    * confound. This flags it BEFORE anyone ships the pooled number.
+    *
+    * Fully exact — the audit never touches a float: association signs
+    * come from the covariance NUMERATOR n·Σxy − Σx·Σy as an exact
+    * decimal(38,0) of caller-unitized integers, pooled and per-group
+    * from the same one-pass cells. (Magnitudes need division; SIGNS
+    * don't — and the audit only needs signs.)
+    *
+    * Scale shape: ONE map-side-combinable group aggregate; the pooled
+    * moments re-aggregate the group cells, never the data.
+    *
+    * @return one row: (n_rows, n_groups, pooled_sign ∈ {-1,0,1},
+    *         n_pos, n_neg, n_zero — group sign counts — n_opposing —
+    *         groups whose sign is the NEGATION of a nonzero pooled
+    *         sign: > 0 with a majority opposing = the paradox) */
+  def simpsonAudit(df: DataFrame, group: Column, x: Column,
+                   y: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.select(group.as("g"), x.cast("long").as("x"),
+        y.cast("long").as("y"))
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast(dec) * col("y")).cast(dec).as("sxy"))
+      .withColumn("cv", (col("n").cast(dec) * col("sxy") -
+        col("sx").cast(dec) * col("sy")).cast(dec))
+      .localCheckpoint(true)
+    def sgn(c: Column): Column = // exact integer sign, never a double
+      when(c > 0, 1).when(c < 0, -1).otherwise(0)
+    val pooled = cells.agg(sum("n").as("n"), sum("sx").as("sx"),
+        sum("sy").as("sy"), sum("sxy").cast(dec).as("sxy"))
+      .select(sgn((col("n").cast(dec) * col("sxy") -
+          col("sx").cast(dec) * col("sy")).cast(dec))
+        .as("pooled_sign"), col("n").as("n_rows"))
+    cells.crossJoin(broadcast(pooled))
+      .agg(max("n_rows").as("n_rows"), count(lit(1)).as("n_groups"),
+        max("pooled_sign").as("pooled_sign"),
+        sum(when(col("cv") > 0, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("cv") < 0, 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("cv") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("pooled_sign") =!= 0 &&
+          sgn(col("cv")) === -col("pooled_sign"), 1L)
+          .otherwise(0L)).as("n_opposing"))
+  }
+
   def logLogSlope(df: DataFrame, x: Column, y: Column): DataFrame = {
     val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 6)

@@ -205,6 +205,17 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents: a 300-node path converges inside 32 rounds") {
+    import graft.operators.Dedup
+    // plain min-label propagation needs ~300 rounds on a path this
+    // long; the pointer jump contracts label chains geometrically (the
+    // Geo.dbscan ε-chain regression found by the sf0.1 bench)
+    val path = (0L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(path)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 301 && got.values.forall(_ == 0L))
+  }
+
   test("connectedComponents fixpoint: relabeling the result is the identity") {
     import graft.operators.Dedup
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (4L, 5L))

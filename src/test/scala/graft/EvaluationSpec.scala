@@ -174,6 +174,37 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("mapAtK: hand AP terms, relevant-free query excluded") {
+    // q1 ranked (by score desc): rel, nonrel, rel → AP@3 =
+    // (1e9/1 + 2e9/3) // 2 = 833333333; q2 has no relevant → excluded
+    val df = Seq((1L, 10L, 30L, true), (1L, 11L, 20L, false),
+      (1L, 12L, 10L, true), (2L, 20L, 9L, false))
+      .toDF("q", "i", "s", "r")
+    val r = Evaluation.mapAtK(df, col("q"), col("i"), col("s"),
+      col("r"), k = 3).head()
+    assert(r.getAs[Long]("n_queries") == 2L)
+    assert(r.getAs[Long]("n_scored") == 1L)
+    assert(r.getAs[Long]("map_e9") == 833333333L)
+  }
+
+  test("mapAtK: perfect ranking scores 1.0; R beyond k normalizes by k") {
+    // 3 relevant at the top, k = 2, R = 3 → AP = (1e9 + 1e9) // 2 = 1e9
+    val df = Seq((1L, 1L, 30L, true), (1L, 2L, 20L, true),
+      (1L, 3L, 10L, true)).toDF("q", "i", "s", "r")
+    val r = Evaluation.mapAtK(df, col("q"), col("i"), col("s"),
+      col("r"), k = 2).head()
+    assert(r.getAs[Long]("map_e9") == 1000000000L)
+  }
+
+  test("mapAtK: score ties break by item ascending") {
+    // equal scores: item order decides rank; rel item 1 ranks first
+    val df = Seq((1L, 1L, 10L, true), (1L, 2L, 10L, false))
+      .toDF("q", "i", "s", "r")
+    val r = Evaluation.mapAtK(df, col("q"), col("i"), col("s"),
+      col("r"), k = 2).head()
+    assert(r.getAs[Long]("map_e9") == 1000000000L)
+  }
+
   test("fleissKappa: hand 2-unit 3-rater case is exactly 0.25") {
     // u1: a,a,b; u2: b,b,b → a=8, b=12, s=20, t=36 →
     // kappa = (8·36 − 12·20)/(12·16) = 48/192

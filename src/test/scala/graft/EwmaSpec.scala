@@ -59,4 +59,42 @@ class EwmaSpec extends SparkSpec {
       Ewma.withEwma(df, col("k"), Seq(col("t")), col("x"), 1, 100, 30)
     }
   }
+
+  test("brownLes: hand-checked two-point series, stated floors") {
+    val df = Seq((1L, 1L, BigDecimal(0)), (1L, 2L, BigDecimal(3)))
+      .toDF("k", "t", "x")
+      .withColumn("x", col("x").cast("decimal(18,6)"))
+    val got = Ewma.brownLes(df, col("k"), Seq(col("t")), col("x"),
+        aNum = 1, aDen = 4, depth = 2)
+      .orderBy("t")
+      .select(col("e1_e6").cast("long"), col("e2_e6").cast("long"),
+        col("level_e6").cast("long"), col("trend_e6").cast("long"),
+        col("forecast1_e6").cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got(0) == ((0L, 0L, 0L, 0L, 0L)))
+    // e1 = 12e6 div 7 = 1714285; e2 = (4*1714285) div 7 = 979591;
+    // level = 2448979; trend = 734694 div 3 = 244898; fc = 2693877
+    assert(got(1) == ((1714285L, 979591L, 2448979L, 244898L, 2693877L)))
+  }
+
+  test("brownLes: constant series has zero trend, forecast = level = x") {
+    val df = (1L to 6L).map(t => (1L, t, BigDecimal(5))).toDF("k", "t", "x")
+      .withColumn("x", col("x").cast("decimal(18,6)"))
+    val got = Ewma.brownLes(df, col("k"), Seq(col("t")), col("x"),
+        1, 4, 4)
+      .select(col("trend_e6").cast("long"),
+        col("forecast1_e6").cast("long"))
+      .as[(Long, Long)].collect()
+    assert(got.forall(_ == ((0L, 5000000L))))
+  }
+
+  test("brownLes: steadily rising series forecasts ABOVE the level") {
+    val df = (1L to 10L).map(t => (1L, t, BigDecimal(t))).toDF("k", "t", "x")
+      .withColumn("x", col("x").cast("decimal(18,6)"))
+    val last = Ewma.brownLes(df, col("k"), Seq(col("t")), col("x"),
+        1, 4, 8)
+      .orderBy(col("t").desc).limit(1)
+      .select(col("trend_e6").cast("long")).as[Long].head()
+    assert(last > 0L, "a rising series must show positive trend")
+  }
 }

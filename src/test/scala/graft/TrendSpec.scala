@@ -176,4 +176,37 @@ class TrendSpec extends SparkSpec {
       col("x2")).head()
     assert(r2.getString(2) == null)
   }
+
+  test("simpsonAudit: within-group positive, pooled negative — flagged") {
+    // the textbook reversal: both strata trend up, the pool trends down
+    val df = Seq(("A", 1L, 10L), ("A", 2L, 11L),
+      ("B", 10L, 1L), ("B", 11L, 2L)).toDF("g", "x", "y")
+    val r = graft.operators.Trend.simpsonAudit(df, col("g"), col("x"),
+      col("y")).head()
+    assert(r.getAs[Int]("pooled_sign") == -1)
+    assert(r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Long]("n_neg") == 0L)
+    assert(r.getAs[Long]("n_opposing") == 2L)
+  }
+
+  test("simpsonAudit: aligned strata report zero opposing") {
+    val df = Seq(("A", 1L, 1L), ("A", 2L, 2L),
+      ("B", 5L, 5L), ("B", 6L, 6L)).toDF("g", "x", "y")
+    val r = graft.operators.Trend.simpsonAudit(df, col("g"), col("x"),
+      col("y")).head()
+    assert(r.getAs[Int]("pooled_sign") == 1)
+    assert(r.getAs[Long]("n_opposing") == 0L)
+  }
+
+  test("simpsonAudit: constant stratum is zero-sign and never opposing") {
+    // A is flat (cv = 0); B trends up while the POOL trends down
+    // (pooled cv = 4·32 − 10·17 = −42) — so B opposes, A does not
+    val df = Seq(("A", 1L, 7L), ("A", 2L, 7L), ("B", 3L, 1L),
+      ("B", 4L, 2L)).toDF("g", "x", "y")
+    val r = graft.operators.Trend.simpsonAudit(df, col("g"), col("x"),
+      col("y")).head()
+    assert(r.getAs[Int]("pooled_sign") == -1)
+    assert(r.getAs[Long]("n_zero") == 1L)
+    assert(r.getAs[Long]("n_opposing") == 1L)
+  }
 }
