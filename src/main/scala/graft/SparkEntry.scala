@@ -5034,6 +5034,55 @@ object SparkEntry {
         .withColumn("h", ZOrder.hilbertValue(col("x"), col("y"), 8))
         .orderBy("x", "y")),
 
+    // Governance — referential-integrity audit (DataQuality.fkAudit):
+    // orphan rates for the star schema's FKs in one call, plus a
+    // synthetically-halved dim to prove orphans are counted.
+    "q323_fk_audit" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      DataQuality.fkAudit(Seq(
+          ("lineitem->part", li, col("l_partkey"),
+            Tables.load(s, dir, "part"), col("p_partkey")),
+          ("lineitem->supplier", li, col("l_suppkey"),
+            Tables.load(s, dir, "supplier"), col("s_suppkey")),
+          ("orders->customer", o, col("o_custkey"),
+            Tables.load(s, dir, "customer"), col("c_custkey")),
+          ("customer->nation", Tables.load(s, dir, "customer"),
+            col("c_nationkey"), Tables.load(s, dir, "nation"),
+            col("n_nationkey")),
+          ("lineitem->orders_even", li, col("l_orderkey"),
+            o.filter(col("o_orderkey") % 2 === 0), col("o_orderkey"))))
+        .orderBy("fk")
+    }),
+
+    // Experimentation — UCB1 bandit scores (AbTest.ucbScores): per
+    // event-type arm, mean reward + sqrt(2 ln N / n) as one %.6f
+    // double tree over exact counts/sums.
+    "q324_ucb" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      AbTest.ucbScores(Tables.events(s, dir), col("event_type"),
+          (format_string("%.2f", col("value")).cast(dec2) * 100)
+            .cast("long"))
+        .orderBy("arm")
+    }),
+
+    // Forecast eval — pinball (quantile) loss (Forecast.pinballLoss):
+    // p90 loss of the per-user naive last-value forecast; qDen·L
+    // exact integers, one %.6f mean.
+    "q325_pinball" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (format_string("%.2f", col("value")).cast(dec2) * 100)
+            .cast("long").as("y"))
+        .withColumn("yhat", lag("y", 1).over(w))
+        .filter(col("yhat").isNotNull)
+      Forecast.pinballLoss(e, col("y"), col("yhat"), qNum = 9,
+        qDen = 10)
+    }),
+
     // Forecast — Brown's linear exponential smoothing (Ewma
     // .brownLes): level/trend/one-step forecast per user from two
     // chained exact-EWMA passes, everything ×10⁶ integer with stated
@@ -11503,6 +11552,70 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN b.cy IS NOT NULL THEN tr.ty - b.cy END)
         |      AS DOUBLE) / COUNT(b.cy)) END AS att6
         |FROM tr LEFT JOIN best b USING (tid)""".stripMargin,
+
+    "q323_fk_audit" -> {
+      def fkSql(name: String, factSel: String, dimSel: String): String =
+        s"""SELECT '$name' AS fk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN fkv IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null,
+           |  CAST(SUM(CASE WHEN fkv IS NOT NULL AND dk IS NULL THEN 1
+           |    ELSE 0 END) AS BIGINT) AS n_orphan,
+           |  CAST((SUM(CASE WHEN fkv IS NOT NULL AND dk IS NULL THEN 1
+           |    ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+           |    AS orphan_ppm
+           |FROM ($factSel) f
+           |LEFT JOIN ($dimSel) d ON f.fkv = d.dk""".stripMargin
+      Seq(
+        fkSql("lineitem->part",
+          "SELECT l_partkey AS fkv FROM lineitem",
+          "SELECT DISTINCT p_partkey AS dk FROM part"),
+        fkSql("lineitem->supplier",
+          "SELECT l_suppkey AS fkv FROM lineitem",
+          "SELECT DISTINCT s_suppkey AS dk FROM supplier"),
+        fkSql("orders->customer",
+          "SELECT o_custkey AS fkv FROM orders",
+          "SELECT DISTINCT c_custkey AS dk FROM customer"),
+        fkSql("customer->nation",
+          "SELECT c_nationkey AS fkv FROM customer",
+          "SELECT DISTINCT n_nationkey AS dk FROM nation"),
+        fkSql("lineitem->orders_even",
+          "SELECT l_orderkey AS fkv FROM lineitem",
+          "SELECT DISTINCT o_orderkey AS dk FROM orders " +
+            "WHERE o_orderkey % 2 = 0"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    },
+
+    "q324_ucb" ->
+      """WITH per AS (SELECT event_type AS arm,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT)) AS BIGINT) AS reward_sum
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM per)
+        |SELECT arm, n, reward_sum,
+        |  printf('%.6f', CAST(reward_sum AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS mean6,
+        |  printf('%.6f', CAST(reward_sum AS DOUBLE) / CAST(n AS DOUBLE)
+        |    + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) /
+        |        CAST(n AS DOUBLE))) AS ucb6
+        |FROM per, t ORDER BY arm""".stripMargin,
+
+    "q325_pinball" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS y
+        |  FROM events),
+        |l AS (SELECT y, LAG(y, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id) AS yhat FROM e),
+        |p AS (SELECT GREATEST(9 * CAST(y - yhat AS HUGEINT),
+        |    -1 * CAST(y - yhat AS HUGEINT)) AS lq
+        |  FROM l WHERE yhat IS NOT NULL)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(lq) AS HUGEINT) AS VARCHAR) AS loss_num,
+        |  CASE WHEN COUNT(*) > 0 THEN printf('%.6f',
+        |    CAST(SUM(lq) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 10))
+        |  END AS mean_loss6
+        |FROM p""".stripMargin,
 
     "q319_brown_les" -> {
       val ws = Seq(16384, 12288, 9216, 6912, 5184, 3888, 2916, 2187)

@@ -428,6 +428,34 @@ object AbTest {
           col("ate_sum").cast("string")).as("ate6"))
   }
 
+  /** UCB1 exploration scores (Auer et al. 2002) — the deterministic
+    * bandit readout: per arm, mean reward + √(2·ln N / n). Ranking
+    * arms by UCB is the "optimism under uncertainty" allocation rule;
+    * unlike Thompson sampling it needs no randomness, so the scores
+    * are gate-able. Pair with [[sprt]] (stop early) and
+    * [[minDetectableEffect]] (plan) for the experimentation loop.
+    *
+    * Determinism: counts and reward sums are exact (caller-unitized
+    * integer rewards); each arm's score is ONE fixed double tree
+    * (sum/n + √(2·ln N/n)) rounded %.6f once — the [[welch]] stance.
+    *
+    * @return per arm: (arm, n, reward_sum, mean6, ucb6) */
+  def ucbScores(df: DataFrame, arm: Column, reward: Column): DataFrame = {
+    val per = df.select(arm.cast("string").as("arm"),
+        reward.cast("long").as("r"))
+      .groupBy("arm").agg(count(lit(1)).as("n"),
+        sum("r").as("reward_sum"))
+    val tot = per.agg(sum("n").as("big_n"))
+    per.crossJoin(broadcast(tot))
+      .select(col("arm"), col("n"), col("reward_sum"),
+        format_string("%.6f", col("reward_sum").cast("double") /
+          col("n").cast("double")).as("mean6"),
+        format_string("%.6f", col("reward_sum").cast("double") /
+          col("n").cast("double") +
+          sqrt(lit(2.0d) * log(col("big_n").cast("double")) /
+            col("n").cast("double"))).as("ucb6"))
+  }
+
   /** Instrumental-variable Wald estimator — the causal tool for when
     * treatment is CHOSEN (confounded) but an instrument z nudges it:
     * LATE = (ȳ_{z=1} − ȳ_{z=0}) / (t̄_{z=1} − t̄_{z=0}), the effect on

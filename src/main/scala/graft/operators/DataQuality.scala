@@ -252,4 +252,34 @@ object DataQuality {
           (col("violations") === 0L).as("holds"))
     }.reduce(_ unionByName _)
   }
+
+  /** Referential-integrity audit — orphan rates for every declared
+    * foreign key in one call: the star-schema health check run before
+    * anyone trusts a join ("how many lineitems reference a part that
+    * isn't there?"). NULL keys are counted separately from orphans —
+    * a null FK is a modeling choice, a dangling one is corruption.
+    *
+    * Exact: counts + one ⌊ppm⌋ per FK. Scale shape: per FK one
+    * LEFT SEMI-shaped aggregate — the dim key set joins the fact via
+    * a left join on the key only (dims broadcast when small, AQE's
+    * call); never a row-wise EXISTS subquery per fact row.
+    *
+    * @param fks (name, fact, factKey, dim, dimKey) declarations
+    * @return per FK: (fk, n_rows, n_null, n_orphan, orphan_ppm) */
+  def fkAudit(fks: Seq[(String, DataFrame, Column, DataFrame, Column)])
+      : DataFrame = {
+    require(fks.nonEmpty, "declare at least one FK")
+    fks.map { case (name, fact, factKey, dim, dimKey) =>
+      val keys = dim.select(dimKey.as("__dk")).distinct()
+      fact.select(factKey.as("__fk"))
+        .join(keys, col("__fk") === col("__dk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__fk").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("__fk").isNotNull && col("__dk").isNull, 1L)
+            .otherwise(0L)).as("n_orphan"))
+        .select(lit(name).as("fk"), col("n_rows"), col("n_null"),
+          col("n_orphan"),
+          expr("(n_orphan * 1000000) div n_rows").as("orphan_ppm"))
+    }.reduce(_ unionByName _)
+  }
 }

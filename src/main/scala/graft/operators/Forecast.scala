@@ -49,4 +49,31 @@ object Forecast {
       when(col("n_f") > 0L && col("sae_1") > 0L,
         format_string("%.6f", maeF / mae1)).as("mase"))
   }
+
+  /** Pinball (quantile) loss — the proper score for a QUANTILE
+    * forecast, the [[seasonalNaiveBacktest]] companion when the
+    * deliverable is "the p90 demand", not the mean: per row
+    * L_q = max(q·(y−ŷ), (q−1)·(y−ŷ)). Under-forecasting a high
+    * quantile is penalized q/(1−q) times harder than over — the
+    * asymmetry MAE can't express.
+    *
+    * Exact: with q = qNum/qDen rational, qDen·L = max(qNum·e,
+    * (qNum−qDen)·e) is an exact integer per row (e = y−ŷ in caller
+    * units); the sum is exact decimal(38,0) and the mean loss does
+    * ONE %.6f division by n·qDen. One aggregate pass.
+    *
+    * @return one row: (n, loss_num — Σ qDen·L exactly — mean_loss6) */
+  def pinballLoss(df: DataFrame, y: Column, yhat: Column,
+                  qNum: Long, qDen: Long): DataFrame = {
+    require(qNum > 0 && qNum < qDen, "need 0 < qNum/qDen < 1")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = (y.cast("long") - yhat.cast("long")).cast(dec)
+    df.select(greatest(lit(qNum).cast(dec) * e,
+        lit(qNum - qDen).cast(dec) * e).cast(dec).as("l"))
+      .agg(count(lit(1)).as("n"), sum("l").cast(dec).as("num"))
+      .select(col("n"), col("num").cast("string").as("loss_num"),
+        when(col("n") > 0L, format_string("%.6f",
+          col("num").cast("double") /
+            (col("n").cast("double") * qDen))).as("mean_loss6"))
+  }
 }

@@ -180,6 +180,22 @@ class AbTestSpec extends SparkSpec {
     }
   }
 
+  test("ucbScores: exploration bonus shrinks with n, exact means") {
+    // arm A: 4 pulls mean 10; arm B: 1 pull mean 12 → B's bonus is
+    // twice A's (sqrt(2 ln 5 / 1) vs sqrt(2 ln 5 / 4))
+    val df = (Seq.fill(4)(("A", 10L)) :+ (("B", 12L))).toDF("a", "r")
+    val got = AbTest.ucbScores(df, col("a"), col("r"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(3), r.getString(4)))).toMap
+    assert(got("A")._2 == "10.000000")
+    assert(got("B")._2 == "12.000000")
+    val bonusA = got("A")._3.toDouble - 10.0
+    val bonusB = got("B")._3.toDouble - 12.0
+    assert(math.abs(bonusB - 2 * bonusA) < 1e-5)
+    assert(got("B")._3.toDouble > got("A")._3.toDouble,
+      "the under-explored arm must rank first")
+  }
+
   test("ivWald: hand LATE, weak-instrument null") {
     val df = Seq((true, true, 10L), (true, false, 6L),
       (false, false, 4L), (false, false, 2L)).toDF("z", "t", "y")

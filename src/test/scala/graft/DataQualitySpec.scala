@@ -153,4 +153,27 @@ class DataQualitySpec extends SparkSpec {
       Seq(("id->b", col("id"), col("b")))).head()
     assert(key.getBoolean(5) && key.getLong(4) == 0L)
   }
+
+  test("fkAudit: clean FK, orphans, and nulls counted separately") {
+    val fact = Seq(Some(1L), Some(2L), Some(99L), None)
+      .toDF("k")
+    val dim = Seq(1L, 2L, 3L).toDF("d")
+    val got = DataQuality.fkAudit(Seq(
+        ("fact->dim", fact, col("k"), dim, col("d")),
+        ("dim->dim", dim, col("d"), dim, col("d"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // 4 rows: one null (not an orphan), one dangling 99 → 250000 ppm
+    assert(got("fact->dim") == ((4L, 1L, 1L, 250000L)))
+    assert(got("dim->dim") == ((3L, 0L, 0L, 0L)))
+  }
+
+  test("fkAudit: duplicate dim keys do not double-count facts") {
+    val fact = Seq(1L, 1L, 2L).toDF("k")
+    val dim = Seq(1L, 1L, 1L).toDF("d") // dup keys; 2 missing
+    val r = DataQuality.fkAudit(Seq(("f", fact, col("k"), dim,
+      col("d")))).head()
+    assert(r.getLong(1) == 3L && r.getLong(3) == 1L)
+  }
 }

@@ -31,4 +31,25 @@ class ForecastSpec extends SparkSpec {
     // only t=2 has a t-1 neighbor on BOTH legs (season = 1 here)
     assert(r.getLong(0) == 1L && r.getLong(2) == 1L)
   }
+
+  test("pinballLoss: asymmetric penalties, exact numerator") {
+    // q = 0.9: under-forecast by 10 costs 9·10 = 90 (×qDen units);
+    // over-forecast by 10 costs 1·10 = 10
+    val df = Seq((110L, 100L), (100L, 110L)).toDF("y", "yhat")
+    val r = Forecast.pinballLoss(df, col("y"), col("yhat"), 9, 10)
+      .head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getString(1) == "100") // 90 + 10
+    assert(r.getString(2) == "5.000000") // 100 / (2·10)
+  }
+
+  test("pinballLoss: perfect forecast costs zero; bad q raises") {
+    val r = Forecast.pinballLoss(Seq((5L, 5L)).toDF("y", "yhat"),
+      col("y"), col("yhat"), 1, 2).head()
+    assert(r.getString(1) == "0" && r.getString(2) == "0.000000")
+    intercept[IllegalArgumentException] {
+      Forecast.pinballLoss(Seq((1L, 1L)).toDF("y", "yhat"),
+        col("y"), col("yhat"), 10, 10)
+    }
+  }
 }
