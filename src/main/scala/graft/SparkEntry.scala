@@ -5034,6 +5034,66 @@ object SparkEntry {
         .withColumn("h", ZOrder.hilbertValue(col("x"), col("y"), 8))
         .orderBy("x", "y")),
 
+    // Text — TextRank keywords (Mihalcea-Tarau 2004 = PageRank.run on
+    // the word co-occurrence graph): adjacent ≥4-char word pairs
+    // across documents, symmetric edges, 4 exact-integer PR rounds,
+    // global top-20 by (pr desc, word).
+    "q326_textrank" -> ((s, dir) => {
+      val pairs = Tables.load(s, dir, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+            " (a, b) -> struct(a, b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(length(col("a")) >= 4 && length(col("b")) >= 4 &&
+          col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("src"),
+          greatest(col("a"), col("b")).as("dst"))
+        .distinct()
+      val e = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      PageRank.run(e, iters = 4)
+        .orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
+    // Causal — sharp regression discontinuity (Trend
+    // .regressionDiscontinuity): does crossing zero account balance
+    // jump order activity? Local-linear intercepts at the cutoff from
+    // exact moments, one %.6f per side, decimal effect difference.
+    "q327_rdd" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val oc = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      val units = Tables.load(s, dir, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+            .cast("long").as("cents"),
+          coalesce(col("n_ord"), lit(0L)).as("n_ord"))
+      Trend.regressionDiscontinuity(units, col("cents"), col("n_ord"),
+        cutoff = 0L, bandwidth = 500000L)
+    }),
+
+    // Uplift — Qini curve (AbTest.qiniCurve): incremental F-order
+    // conversions of BUILDING customers over an acctbal targeting
+    // score, 10 cumulative deciles; signed qini floors via pmod.
+    "q328_qini" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val conv = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("ck")).distinct()
+      val units = Tables.load(s, dir, "customer")
+        .join(conv, col("c_custkey") === col("ck"), "left")
+        .select(col("c_custkey"),
+          (col("c_mktsegment") === "BUILDING").as("t"),
+          col("ck").isNotNull.as("c"),
+          (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+            .cast("long").as("cents"))
+      AbTest.qiniCurve(units, col("c_custkey"), col("t"), col("c"),
+          col("cents"), buckets = 10)
+        .orderBy("bucket")
+    }),
+
     // Governance — referential-integrity audit (DataQuality.fkAudit):
     // orphan rates for the star schema's FKs in one call, plus a
     // synthetically-halved dim to prove orphans are counted.
@@ -11552,6 +11612,113 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN b.cy IS NOT NULL THEN tr.ty - b.cy END)
         |      AS DOUBLE) / COUNT(b.cy)) END AS att6
         |FROM tr LEFT JOIN best b USING (tid)""".stripMargin,
+
+    "q326_textrank" ->
+      s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |adj AS (SELECT unnest(list_transform(range(1, len(w)),
+         |    i -> struct_pack(a := w[i], b := w[i+1]))) AS p FROM ws),
+         |flt AS (SELECT p.a AS a, p.b AS b FROM adj
+         |  WHERE length(p.a) >= 4 AND length(p.b) >= 4 AND p.a <> p.b),
+         |e0 AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+         |  FROM flt),
+         |pre AS (SELECT u AS src, v AS dst FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |prnodes AS (SELECT src AS node FROM pre UNION SELECT dst FROM pre),
+         |prod AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+         |  FROM pre GROUP BY src),
+         |pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr
+         |  FROM prnodes),
+         |${prIterSql("pr0", "pr1")},
+         |${prIterSql("pr1", "pr2")},
+         |${prIterSql("pr2", "pr3")},
+         |${prIterSql("pr3", "pr4")}
+         |SELECT node, pr FROM pr4 ORDER BY pr DESC, node
+         |LIMIT 20""".stripMargin,
+
+    "q327_rdd" ->
+      """WITH oc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_ord
+        |  FROM orders GROUP BY 1),
+        |v AS (SELECT CAST(CAST(printf('%.2f', c_acctbal)
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT) AS r,
+        |    COALESCE(oc.n_ord, 0) AS yv
+        |  FROM customer LEFT JOIN oc ON o_custkey = c_custkey),
+        |f AS (SELECT r - 0 AS x, yv, r >= 0 AS is_r FROM v
+        |  WHERE r >= -500000 AND r < 500000),
+        |ml AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_l,
+        |    CAST(COUNT(DISTINCT x) AS BIGINT) AS ndx_l,
+        |    CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS sx_l,
+        |    CAST(COALESCE(SUM(yv), 0) AS HUGEINT) AS sy_l,
+        |    CAST(COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS HUGEINT)
+        |      AS sxx_l,
+        |    CAST(COALESCE(SUM(CAST(x AS HUGEINT) * yv), 0) AS HUGEINT)
+        |      AS sxy_l
+        |  FROM f WHERE NOT is_r),
+        |mr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_r,
+        |    CAST(COUNT(DISTINCT x) AS BIGINT) AS ndx_r,
+        |    CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS sx_r,
+        |    CAST(COALESCE(SUM(yv), 0) AS HUGEINT) AS sy_r,
+        |    CAST(COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS HUGEINT)
+        |      AS sxx_r,
+        |    CAST(COALESCE(SUM(CAST(x AS HUGEINT) * yv), 0) AS HUGEINT)
+        |      AS sxy_r
+        |  FROM f WHERE is_r),
+        |o AS (SELECT n_l AS n_left, n_r AS n_right,
+        |    CASE WHEN n_l >= 2 AND ndx_l >= 2 THEN printf('%.6f',
+        |      (CAST(sy_l AS DOUBLE) * CAST(sxx_l AS DOUBLE) -
+        |       CAST(sx_l AS DOUBLE) * CAST(sxy_l AS DOUBLE)) /
+        |      (CAST(n_l AS DOUBLE) * CAST(sxx_l AS DOUBLE) -
+        |       CAST(sx_l AS DOUBLE) * CAST(sx_l AS DOUBLE))) END
+        |      AS left6,
+        |    CASE WHEN n_r >= 2 AND ndx_r >= 2 THEN printf('%.6f',
+        |      (CAST(sy_r AS DOUBLE) * CAST(sxx_r AS DOUBLE) -
+        |       CAST(sx_r AS DOUBLE) * CAST(sxy_r AS DOUBLE)) /
+        |      (CAST(n_r AS DOUBLE) * CAST(sxx_r AS DOUBLE) -
+        |       CAST(sx_r AS DOUBLE) * CAST(sx_r AS DOUBLE))) END
+        |      AS right6
+        |  FROM ml, mr)
+        |SELECT n_left, n_right, left6, right6,
+        |  CAST(CAST(right6 AS DECIMAL(18,6)) -
+        |    CAST(left6 AS DECIMAL(18,6)) AS VARCHAR) AS effect6
+        |FROM o""".stripMargin,
+
+    "q328_qini" ->
+      """WITH conv AS (SELECT DISTINCT o_custkey AS ck FROM orders
+        |  WHERE o_orderstatus = 'F'),
+        |v AS (SELECT c_custkey AS uid,
+        |    c_mktsegment = 'BUILDING' AS t,
+        |    CASE WHEN conv.ck IS NOT NULL THEN 1 ELSE 0 END AS c,
+        |    CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS s
+        |  FROM customer LEFT JOIN conv ON conv.ck = c_custkey),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |rk AS (SELECT t, c,
+        |    ROW_NUMBER() OVER (ORDER BY s DESC, uid ASC) - 1 AS r0
+        |  FROM v),
+        |per AS (SELECT CAST((r0 * 10) // n.n AS INTEGER) + 1 AS bucket,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS bn_t,
+        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bn_c,
+        |    CAST(SUM(CASE WHEN t THEN c ELSE 0 END) AS BIGINT) AS bc_t,
+        |    CAST(SUM(CASE WHEN NOT t THEN c ELSE 0 END) AS BIGINT)
+        |      AS bc_c
+        |  FROM rk, n GROUP BY 1),
+        |cum AS (SELECT bucket,
+        |    SUM(bn_t) OVER (ORDER BY bucket) AS n_t,
+        |    SUM(bn_c) OVER (ORDER BY bucket) AS n_c,
+        |    SUM(bc_t) OVER (ORDER BY bucket) AS conv_t,
+        |    SUM(bc_c) OVER (ORDER BY bucket) AS conv_c
+        |  FROM per)
+        |SELECT bucket, CAST(n_t AS BIGINT) AS n_t,
+        |  CAST(n_c AS BIGINT) AS n_c,
+        |  CAST(conv_t AS BIGINT) AS conv_t,
+        |  CAST(conv_c AS BIGINT) AS conv_c,
+        |  CASE WHEN n_c > 0 THEN CAST((
+        |    (CAST(conv_t AS HUGEINT) * n_c - CAST(conv_c AS HUGEINT)
+        |      * n_t) * 1000000 -
+        |    (((CAST(conv_t AS HUGEINT) * n_c - CAST(conv_c AS HUGEINT)
+        |      * n_t) * 1000000 % n_c + n_c) % n_c)) // n_c AS BIGINT)
+        |  END AS qini_e6
+        |FROM cum ORDER BY bucket""".stripMargin,
 
     "q323_fk_audit" -> {
       def fkSql(name: String, factSel: String, dimSel: String): String =

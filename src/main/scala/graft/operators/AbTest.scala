@@ -428,6 +428,61 @@ object AbTest {
           col("ate_sum").cast("string")).as("ate6"))
   }
 
+  /** Qini curve (Radcliffe 2007) — uplift-model evaluation: order
+    * units by a targeting score, and at each bucket cut report the
+    * INCREMENTAL conversions vs the control baseline,
+    * qini(d) = C_t(d) − C_c(d)·N_t(d)/N_c(d). A useless score hugs 0;
+    * a good one front-loads positives. The ads/growth companion to the
+    * experimentation shelf — the readout for "who should we treat",
+    * where the A/B tools answer "did treating work".
+    *
+    * Determinism: the global order is (score desc, id asc) via the
+    * [[GlobalIndex]] range-sort (never a one-partition window);
+    * bucket = ⌊rank·buckets/N⌋; cumulative counts over the BOUNDED
+    * bucket grid; the (signed) qini clears to the exact integer
+    * (C_t·N_c − C_c·N_t)·10⁶ over N_c with the pmod floor spelling.
+    *
+    * @param converted boolean outcome; `score` caller-unitized integer
+    * @return per bucket (1-based, cumulative): (bucket, n_t, n_c,
+    *         conv_t, conv_c, qini_e6 — null while N_c = 0) */
+  def qiniCurve(units: DataFrame, id: Column, treated: Column,
+                converted: Column, score: Column,
+                buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = units.select(id.as("uid"), treated.cast("boolean").as("t"),
+      when(converted.cast("boolean"), 1L).otherwise(0L).as("c"),
+      score.cast("long").as("s"))
+    val ranked = GlobalIndex.withGlobalIndex(v,
+      Seq(col("s").desc, col("uid")), idxCol = "__r")
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    val per = ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        expr(s"(__r * ${buckets}L) div n").cast("int") + 1)
+      .groupBy("bucket").agg(
+        sum(when(col("t"), 1L).otherwise(0L)).as("bn_t"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("bn_c"),
+        sum(when(col("t"), col("c")).otherwise(0L)).as("bc_t"),
+        sum(when(!col("t"), col("c")).otherwise(0L)).as("bc_c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0) // bounded bucket grid
+    per
+      .withColumn("n_t", sum("bn_t").over(w))
+      .withColumn("n_c", sum("bn_c").over(w))
+      .withColumn("conv_t", sum("bc_t").over(w))
+      .withColumn("conv_c", sum("bc_c").over(w))
+      .withColumn("qini_e6", when(col("n_c") > 0L, expr(
+        "cast((cast(conv_t as decimal(38,0)) * n_c - " +
+          "cast(conv_c as decimal(38,0)) * n_t) * 1000000 as " +
+          "decimal(38,0))"))
+        .cast(dec))
+      .withColumn("qini_e6", when(col("n_c") > 0L, expr(
+        "cast((qini_e6 - pmod(qini_e6, cast(n_c as decimal(38,0)))) " +
+          "div n_c as long)")))
+      .select("bucket", "n_t", "n_c", "conv_t", "conv_c", "qini_e6")
+  }
+
   /** UCB1 exploration scores (Auer et al. 2002) — the deterministic
     * bandit readout: per arm, mean reward + √(2·ln N / n). Ranking
     * arms by UCB is the "optimism under uncertainty" allocation rule;

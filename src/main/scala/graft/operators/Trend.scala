@@ -119,6 +119,66 @@ object Trend {
           .otherwise(0L)).as("n_opposing"))
   }
 
+  /** Sharp regression discontinuity (Thistlethwaite & Campbell 1960;
+    * the Imbens-Lemieux local-linear recipe) — the causal design when
+    * treatment flips at a KNOWN cutoff of a running variable (score ≥
+    * threshold gets the intervention): fit a line on each side inside
+    * a bandwidth, read both intercepts AT the cutoff, and the jump is
+    * the effect. Completes the causal shelf's identification menu
+    * (strata/[[graft.operators.AbTest.psmAtt]] need unconfoundedness,
+    * [[graft.operators.AbTest.ivWald]] an instrument, diff-in-diff
+    * parallel trends — RD needs only no-manipulation at the cutoff).
+    *
+    * Determinism (the [[olsTwo]] discipline): per side the four exact
+    * decimal(38,0) moments of caller-unitized integers (x centered at
+    * the cutoff so the intercept IS the value at the cutoff); intercept
+    * a = (Σy·Σxx − Σx·Σxy)/(n·Σxx − (Σx)²) as ONE double tree, %.6f
+    * once per side; the effect is the rounded-intercept difference
+    * computed in decimal. Sides with n < 2 or a constant running
+    * value report null (and a null effect).
+    *
+    * Scale shape: one filtered aggregate per side over the bandwidth
+    * window — the filter reaches the scan; nothing shuffles but
+    * aggregate partials.
+    *
+    * @param running integer running variable; treatment at r ≥ cutoff
+    * @return one row: (n_left, n_right, left6, right6, effect6) */
+  def regressionDiscontinuity(df: DataFrame, running: Column, y: Column,
+                              cutoff: Long, bandwidth: Long): DataFrame = {
+    require(bandwidth > 0, "bandwidth must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val v = df.select(running.cast("long").as("r"),
+        y.cast("long").as("yv"))
+      .filter(col("r") >= cutoff - bandwidth &&
+        col("r") < cutoff + bandwidth)
+      .select((col("r") - cutoff).as("x"), col("yv"),
+        (col("r") >= cutoff).as("right"))
+    def side(isRight: Boolean): DataFrame = {
+      val nm = if (isRight) "r" else "l"
+      v.filter(col("right") === isRight).agg(
+        count(lit(1)).as(s"n_$nm"),
+        countDistinct("x").as(s"ndx_$nm"),
+        sum(col("x")).cast(dec).as(s"sx_$nm"),
+        sum(col("yv")).cast(dec).as(s"sy_$nm"),
+        sum(col("x").cast(dec) * col("x")).cast(dec).as(s"sxx_$nm"),
+        sum(col("x").cast(dec) * col("yv")).cast(dec).as(s"sxy_$nm"))
+    }
+    def intercept(nm: String): Column = {
+      def dd(c: String) = col(c + "_" + nm).cast("double")
+      val det = dd("n") * dd("sxx") - dd("sx") * dd("sx")
+      when(col(s"n_$nm") >= 2L && col(s"ndx_$nm") >= 2L,
+        format_string("%.6f",
+          (dd("sy") * dd("sxx") - dd("sx") * dd("sxy")) / det))
+    }
+    side(false).crossJoin(broadcast(side(true)))
+      .select(col("n_l").as("n_left"), col("n_r").as("n_right"),
+        intercept("l").as("left6"), intercept("r").as("right6"))
+      .withColumn("effect6",
+        (col("right6").cast(d6) - col("left6").cast(d6))
+          .cast("string"))
+  }
+
   def logLogSlope(df: DataFrame, x: Column, y: Column): DataFrame = {
     val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 6)

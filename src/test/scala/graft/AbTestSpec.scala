@@ -180,6 +180,31 @@ class AbTestSpec extends SparkSpec {
     }
   }
 
+  test("qiniCurve: front-loaded uplift scores, zero at parity") {
+    // top bucket: treated converter vs control non-converter → 1e6;
+    // full population: both arms 1/2 → qini 0
+    val u = Seq((1L, true, true, 100L), (2L, false, false, 90L),
+      (3L, true, false, 50L), (4L, false, true, 40L))
+      .toDF("id", "t", "c", "s")
+    val got = AbTest.qiniCurve(u, col("id"), col("t"), col("c"),
+        col("s"), buckets = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(5))
+          .map(_.asInstanceOf[Long])))).toMap
+    assert(got(1) == ((1L, 1L, Some(1000000L))))
+    assert(got(2) == ((2L, 2L, Some(0L))))
+  }
+
+  test("qiniCurve: control-free prefix reports null, not a blow-up") {
+    val u = Seq((1L, true, true, 100L), (2L, true, false, 90L),
+      (3L, false, false, 50L), (4L, false, true, 40L))
+      .toDF("id", "t", "c", "s")
+    val got = AbTest.qiniCurve(u, col("id"), col("t"), col("c"),
+        col("s"), buckets = 2)
+      .collect().map(r => r.getInt(0) -> r.isNullAt(5)).toMap
+    assert(got(1) && !got(2))
+  }
+
   test("ucbScores: exploration bonus shrinks with n, exact means") {
     // arm A: 4 pulls mean 10; arm B: 1 pull mean 12 → B's bonus is
     // twice A's (sqrt(2 ln 5 / 1) vs sqrt(2 ln 5 / 4))

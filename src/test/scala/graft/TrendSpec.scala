@@ -177,6 +177,30 @@ class TrendSpec extends SparkSpec {
     assert(r2.getString(2) == null)
   }
 
+  test("regressionDiscontinuity: hand intercepts, exact jump") {
+    // left: flat at 1; right: slope 2 with intercept 3 → effect 2
+    val df = Seq((-2L, 1L), (-1L, 1L), (0L, 3L), (1L, 5L))
+      .toDF("r", "y")
+    val got = graft.operators.Trend.regressionDiscontinuity(df,
+      col("r"), col("y"), cutoff = 0L, bandwidth = 3L).head()
+    assert(got.getAs[Long]("n_left") == 2L)
+    assert(got.getAs[String]("left6") == "1.000000")
+    assert(got.getAs[String]("right6") == "3.000000")
+    assert(got.getAs[String]("effect6") == "2.000000")
+  }
+
+  test("regressionDiscontinuity: degenerate side nulls, bandwidth cuts") {
+    // right side has a single x value → no local line → null
+    val df = Seq((-2L, 1L), (-1L, 2L), (0L, 9L), (0L, 11L),
+      (99L, 5L)).toDF("r", "y") // r=99 outside bandwidth 10
+    val got = graft.operators.Trend.regressionDiscontinuity(df,
+      col("r"), col("y"), 0L, 10L).head()
+    assert(got.getAs[Long]("n_right") == 2L)
+    assert(got.getAs[String]("right6") == null)
+    assert(got.getAs[String]("effect6") == null)
+    assert(got.getAs[Long]("n_left") == 2L)
+  }
+
   test("simpsonAudit: within-group positive, pooled negative — flagged") {
     // the textbook reversal: both strata trend up, the pool trends down
     val df = Seq(("A", 1L, 10L), ("A", 2L, 11L),
