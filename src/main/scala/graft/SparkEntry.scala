@@ -5034,6 +5034,28 @@ object SparkEntry {
         .withColumn("h", ZOrder.hilbertValue(col("x"), col("y"), 8))
         .orderBy("x", "y")),
 
+    // Survival — Nelson-Aalen cumulative hazard (Survival
+    // .nelsonAalen): q243's cohort under the additive-hazard
+    // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
+    // integer cumulative sum, no ln/exp detour.
+    "q329_nelson_aalen" -> ((s, dir) => {
+      val subj = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(expr("(max(unix_micros(ts)) - min(unix_micros(ts))) " +
+          "div 86400000000").as("t_days"))
+        .withColumn("obs", col("user_id") % 4 =!= 0)
+      Survival.nelsonAalen(subj, col("t_days"), col("obs"))
+    }),
+
+    // Recsys — recommendation-list audit (Association
+    // .recDiversityAudit): intra-list diversity + catalog coverage of
+    // q306's top-3 co-purchase lists; exact 10¹²−cos² distances,
+    // missing pairs read as distance 10¹².
+    "q330_rec_diversity" -> ((s, dir) =>
+      Association.recDiversityAudit(Tables.load(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"), k = 3,
+        minPairSupport = 2)),
+
     // Text — TextRank keywords (Mihalcea-Tarau 2004 = PageRank.run on
     // the word co-occurrence graph): adjacent ≥4-char word pairs
     // across documents, symmetric edges, 4 exact-integer PR rounds,
@@ -11612,6 +11634,79 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN b.cy IS NOT NULL THEN tr.ty - b.cy END)
         |      AS DOUBLE) / COUNT(b.cy)) END AS att6
         |FROM tr LEFT JOIN best b USING (tid)""".stripMargin,
+
+    "q329_nelson_aalen" ->
+      """WITH s AS (SELECT user_id,
+        |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS t,
+        |    CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END AS o
+        |  FROM events GROUP BY user_id),
+        |grid AS (SELECT t, CAST(SUM(o) AS BIGINT) AS d,
+        |    CAST(SUM(1 - o) AS BIGINT) AS c FROM s GROUP BY t),
+        |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n0 FROM grid),
+        |r AS (SELECT t, d,
+        |    n0 - COALESCE(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_at_risk
+        |  FROM grid CROSS JOIN tot),
+        |h AS (SELECT t, n_at_risk, d,
+        |    CAST((d * 1000000000) // n_at_risk AS BIGINT) AS term_e9,
+        |    CAST(SUM((d * 1000000000) // n_at_risk) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS h_e9
+        |  FROM r)
+        |SELECT t, n_at_risk, d, term_e9, h_e9 FROM h WHERE d > 0
+        |ORDER BY t""".stripMargin,
+
+    "q330_rec_diversity" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |cnt AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM it
+        |  GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, c.i AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt_ab
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2),
+        |p2 AS (SELECT * FROM p WHERE cnt_ab >= 2),
+        |sym AS (SELECT item_a AS item, item_b AS neighbor, cnt_ab FROM p2
+        |  UNION ALL SELECT item_b, item_a, cnt_ab FROM p2),
+        |j AS (SELECT s.item, s.neighbor,
+        |    CAST(CAST(s.cnt_ab AS HUGEINT) * s.cnt_ab * 1000000000000 //
+        |      (CAST(ci.cnt AS HUGEINT) * cn.cnt) AS BIGINT) AS cos2_e12
+        |  FROM sym s JOIN cnt ci ON ci.i = s.item
+        |  JOIN cnt cn ON cn.i = s.neighbor),
+        |recs AS (SELECT item, neighbor FROM (SELECT item, neighbor,
+        |    RANK() OVER (PARTITION BY item
+        |      ORDER BY cos2_e12 DESC, neighbor ASC) AS rnk FROM j)
+        |  WHERE rnk <= 3),
+        |simall AS (SELECT item_a, item_b,
+        |    CAST(CAST(cnt_ab AS HUGEINT) * cnt_ab * 1000000000000 //
+        |      (CAST(ci.cnt AS HUGEINT) * cn.cnt) AS BIGINT) AS cos2_e12
+        |  FROM p JOIN cnt ci ON ci.i = p.item_a
+        |  JOIN cnt cn ON cn.i = p.item_b),
+        |np AS (SELECT 1000000000000 - COALESCE(sa.cos2_e12, 0)
+        |    AS dist_e12
+        |  FROM recs a JOIN recs b ON a.item = b.item
+        |    AND a.neighbor < b.neighbor
+        |  LEFT JOIN simall sa
+        |    ON sa.item_a = LEAST(a.neighbor, b.neighbor)
+        |    AND sa.item_b = GREATEST(a.neighbor, b.neighbor)),
+        |cov AS (SELECT CAST(COUNT(DISTINCT item) AS BIGINT)
+        |      AS n_items_listed,
+        |    CAST(COUNT(DISTINCT neighbor) AS BIGINT) AS n_recommended
+        |  FROM recs),
+        |cat AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS catalog_n
+        |  FROM it)
+        |SELECT cov.n_items_listed,
+        |  CAST(COUNT(np.dist_e12) AS BIGINT) AS n_pairs,
+        |  CASE WHEN COUNT(np.dist_e12) > 0 THEN
+        |    CAST(SUM(np.dist_e12) // COUNT(np.dist_e12) AS BIGINT)
+        |  END AS mean_ild_e12,
+        |  cov.n_recommended, cat.catalog_n,
+        |  CAST((cov.n_recommended * 1000000) // cat.catalog_n AS BIGINT)
+        |    AS coverage_e6
+        |FROM np, cov, cat
+        |GROUP BY cov.n_items_listed, cov.n_recommended, cat.catalog_n"""
+        .stripMargin,
 
     "q326_textrank" ->
       s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -114,4 +114,56 @@ object Association {
     scored.withColumn("rnk", rank().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** Recommendation-list audit — the two list-quality numbers a
+    * recommender ships with (Ziegler 2005; Ge 2010): intra-list
+    * diversity ILD = mean pairwise distance (1 − cos) WITHIN each
+    * item's top-k list (all-substitutes lists score near 0 — the
+    * filter-bubble smell), and catalog coverage = the share of the
+    * catalog that appears in ANY list (a head-only recommender scores
+    * low). Audits [[itemCosineTopK]]'s own output.
+    *
+    * Exactness: distances are 10¹² − cos²·10¹² integers (the
+    * monotone surrogate again — exact, same ordering); neighbor pairs
+    * absent from the co-occurrence table have cosine 0 → distance
+    * 10¹²; means floor once. Scale shape: the list self-join fans out
+    * k² per item (k a plan literal); similarity lookup is one
+    * equi-join against the pair table; coverage is two distinct
+    * counts.
+    *
+    * @return one row: (n_items_listed, n_pairs, mean_ild_e12,
+    *         n_recommended, catalog_n, coverage_e6) */
+  def recDiversityAudit(df: DataFrame, basket: Column, item: Column,
+                        k: Int, minPairSupport: Long = 1,
+                        maxBasketSize: Int = 0): DataFrame = {
+    val recs = itemCosineTopK(df, basket, item, k, minPairSupport,
+        maxBasketSize)
+      .select("item", "neighbor").localCheckpoint(true)
+    val sims = pairRules(df, basket, item, 1, maxBasketSize)
+      .select(col("item_a"), col("item_b"),
+        expr("cast(cnt_ab as decimal(38,0)) * cnt_ab * 1000000000000L" +
+          " div (cast(cnt_a as decimal(38,0)) * cnt_b)").cast("long")
+          .as("cos2_e12"))
+    val np = recs.toDF("item", "n1")
+      .join(recs.toDF("item", "n2"), Seq("item"))
+      .filter(col("n1") < col("n2"))
+      .join(sims, least(col("n1"), col("n2")) === col("item_a") &&
+        greatest(col("n1"), col("n2")) === col("item_b"), "left")
+      .select((lit(1000000000000L) -
+        coalesce(col("cos2_e12"), lit(0L))).as("dist_e12"))
+    val cov = recs.agg(
+      countDistinct(col("item")).as("n_items_listed"),
+      countDistinct(col("neighbor")).as("n_recommended"))
+    val cat = df.select(item.as("i")).agg(
+      countDistinct(col("i")).as("catalog_n"))
+    np.agg(count(lit(1)).as("n_pairs"),
+        sum("dist_e12").as("ild_num"))
+      .crossJoin(broadcast(cov)).crossJoin(broadcast(cat))
+      .select(col("n_items_listed"), col("n_pairs"),
+        when(col("n_pairs") > 0L,
+          expr("ild_num div n_pairs")).as("mean_ild_e12"),
+        col("n_recommended"), col("catalog_n"),
+        expr("(n_recommended * 1000000) div catalog_n")
+          .as("coverage_e6"))
+  }
 }

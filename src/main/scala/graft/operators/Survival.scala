@@ -73,6 +73,44 @@ object Survival {
       .orderBy("t")
   }
 
+  /** Nelson–Aalen cumulative hazard — the other canonical survival
+    * estimator: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ. Where [[kaplanMeier]] answers
+    * "what fraction survives past t", H(t) reads as expected events
+    * per subject by t, is additive (hazards of independent causes
+    * sum), and its slope is the hazard RATE — the readout for "is
+    * churn accelerating".
+    *
+    * Determinism: same exact time grid and risk sets as
+    * [[kaplanMeier]]; each increment clears to the stated floor
+    * ⌊dᵢ·10⁹/nᵢ⌋ and the cumulative sum is exact integers — no ln/exp
+    * detour at all (unlike the KM product, the NA sum needs no
+    * transform).
+    *
+    * @return per event time (d > 0): (t, n_at_risk, d, term_e9,
+    *         h_e9 — the cumulative hazard ×10⁹) */
+  def nelsonAalen(subjects: DataFrame, duration: Column,
+                  observed: Column): DataFrame = {
+    val grid = subjects
+      .select(duration.cast("long").as("t"),
+        when(coalesce(observed, lit(false)), 1L).otherwise(0L).as("o"))
+      .groupBy("t")
+      .agg(sum("o").as("d"), sum(lit(1L) - col("o")).as("c"))
+    val n0 = grid.agg(sum(col("d") + col("c")).as("n0"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.crossJoin(broadcast(n0))
+      .withColumn("n_at_risk",
+        col("n0") - coalesce(sum(col("d") + col("c")).over(wPrev),
+          lit(0L)))
+      .withColumn("term_e9", expr("(d * 1000000000L) div n_at_risk"))
+      .withColumn("h_e9", sum("term_e9").over(wCum))
+      .filter(col("d") > 0L)
+      .select("t", "n_at_risk", "d", "term_e9", "h_e9")
+      .orderBy("t")
+  }
+
   /** Two-sample log-rank test — "are these two survival curves the
     * same?", the inferential companion to [[kaplanMeier]] (which only
     * DRAWS the curves): at every event time compare group A's observed

@@ -76,6 +76,28 @@ class AssociationSpec extends SparkSpec {
     assert(got == Set(("A", "B"), ("B", "A"), ("C", "A")))
   }
 
+  test("recDiversityAudit: hand ILD and full-coverage catalog") {
+    // b1{A,B} b2{A,B} b3{A,C} b4{B,C}: lists (k=2) A:[B,C] B:[A,C]
+    // C:[A,B]; pair dists 2×(1e12−1e12/6) + (1e12−4e12/9)
+    val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "B"),
+      ("b3", "A"), ("b3", "C"), ("b4", "B"), ("b4", "C")).toDF("b", "i")
+    val r = Association.recDiversityAudit(df, col("b"), col("i"), k = 2)
+      .head()
+    assert(r.getAs[Long]("n_items_listed") == 3L)
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("mean_ild_e12") == 740740740741L)
+    assert(r.getAs[Long]("coverage_e6") == 1000000L)
+  }
+
+  test("recDiversityAudit: identical-substitute lists score low ILD") {
+    // every basket holds all three items → pairwise cosines are 1
+    val df = (1 to 4).flatMap(b => Seq("X", "Y", "Z").map(i =>
+      (s"b$b", i))).toDF("b", "i")
+    val r = Association.recDiversityAudit(df, col("b"), col("i"), k = 2)
+      .head()
+    assert(r.getAs[Long]("mean_ild_e12") == 0L)
+  }
+
   test("itemCosineTopK: cos² ties break by neighbor ascending") {
     // A co-occurs once with each of B and C; c_B = c_C = 1 → equal cos²
     val df = Seq(("b1", "A"), ("b1", "B"), ("b2", "A"), ("b2", "C"))

@@ -69,4 +69,25 @@ class SurvivalSpec extends SparkSpec {
     val r = Survival.logRank(subj, col("a"), col("t"), col("o")).head()
     assert(r.getString(5) == "0.000000")
   }
+
+  test("nelsonAalen: hand hazard increments, censor-only times absent") {
+    // t=1: 2 events of 4 at risk → 5e8; t=2: 1 of 2 → +5e8;
+    // t=3: censor only → no output row, but it thinned t=2's risk set
+    val subj = Seq((1L, true), (1L, true), (2L, true), (3L, false))
+      .toDF("t", "o")
+    val got = Survival.nelsonAalen(subj, col("t"), col("o"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 500000000L, 500000000L)),
+      2L -> ((2L, 500000000L, 1000000000L))))
+  }
+
+  test("nelsonAalen: hazard is additive where KM is multiplicative") {
+    val subj = Seq((1L, true), (2L, true), (3L, true)).toDF("t", "o")
+    val got = Survival.nelsonAalen(subj, col("t"), col("o"))
+      .orderBy("t").select("h_e9").as[Long].collect()
+    // 1/3 + 1/2 + 1/1 with stated floors: 333333333, +500000000, +1e9
+    assert(got.toSeq == Seq(333333333L, 833333333L, 1833333333L))
+  }
 }
