@@ -189,4 +189,50 @@ class DeterminismSpec extends SparkSpec {
           .sortBy(_.toString))
     }
   }
+
+  test("itemCosineTopK and recDiversityAudit are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+        .select((col("id") % 211).as("b"), (col("id") % 13).as("i"))
+      (graft.operators.Association.itemCosineTopK(df, col("b"),
+          col("i"), k = 3).collect().map(_.toSeq).toSeq
+          .sortBy(_.toString),
+        graft.operators.Association.recDiversityAudit(df, col("b"),
+          col("i"), k = 3).collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("shapley attribution and qini curve are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      val ev = df.select((col("id") % 101).as("u"), col("id").as("t"),
+        concat(lit("c"), (col("id") % 3).cast("string")).as("ch"),
+        (col("id") % 7 === 0).as("conv"))
+      (graft.operators.EventAnalytics.shapleyAttribution(ev, col("u"),
+          col("t"), col("conv"), when(!col("conv"), col("ch")),
+          Seq("c0", "c1", "c2"))
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString),
+        graft.operators.AbTest.qiniCurve(df, col("id"),
+          col("id") % 2 === 0, col("w") % 3 === 0, col("w"),
+          buckets = 5).collect().map(_.toSeq).toSeq
+          .sortBy(_.toString))
+    }
+  }
+
+  test("betweenness and brown LES are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      val edges = df.select((col("id") % 97).as("u"),
+        ((col("id") * 7) % 97).as("v"))
+      (graft.operators.Bfs.betweennessSampled(edges,
+          df.select((col("id") % 11).as("src")).distinct(), maxHops = 3)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString),
+        graft.operators.Ewma.brownLes(
+          df.withColumn("xv", col("x").cast("decimal(18,6)")),
+          col("g"), Seq(col("id")), col("xv"), 1, 4, 4)
+          .select(col("id"), col("level_e6").cast("long"),
+            col("trend_e6").cast("long"))
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString))
+    }
+  }
 }

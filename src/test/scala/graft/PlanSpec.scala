@@ -490,4 +490,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the class prior dim must broadcast: " + p.take(2000))
   }
+
+  test("q306: the per-item neighbor cut is a WindowGroupLimit") {
+    val p = plan("q306_item_cf")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=k must push into the sort: " + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q312: PSM candidates come from the band equi-join, no theta") {
+    val p = plan("q312_psm")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "nearest-control search must be the grid-bucket join: " +
+        p.take(2000))
+  }
+
+  test("q309: DBSCAN never leaves equi-join land") {
+    val p = plan("q309_dbscan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q317: Bradley-Terry sweeps are joins on items, no cartesian") {
+    val p = plan("q317_bradley_terry")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q328: qini ranks via the range-sort, not a one-partition window") {
+    val p = plan("q328_qini")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the unit-table ranking is GlobalIndex (sort + zipWithIndex): no
+    // window over the raw rank column may appear — the only window
+    // allowed is the cumulative one over the bucket AGGREGATE (bounded
+    // by the bucket count)
+    assert(!p.contains("windowspecdefinition(__r"),
+      "ranking must not fall back to a global window: " + p.take(2000))
+    assert(p.contains("windowspecdefinition(bucket"),
+      "the cumulative pass must run on the bucket grid: " + p.take(2000))
+    assert(p.contains("HashAggregate(keys=[bucket"),
+      "the window input must be the per-bucket aggregate: " + p.take(2000))
+  }
 }
