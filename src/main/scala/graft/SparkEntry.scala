@@ -5034,6 +5034,81 @@ object SparkEntry {
         .withColumn("h", ZOrder.hilbertValue(col("x"), col("y"), 8))
         .orderBy("x", "y")),
 
+    // Graph ML — deterministic uniform random walks (RandomWalks
+    // .uniformWalks): the DeepWalk corpus over the part co-occurrence
+    // graph, 2 walks × 5 steps per node; every pick is the seeded
+    // md5 hash mod degree — engine-replayable, layout-independent.
+    "q331_random_walks" -> ((s, dir) => {
+      val e = Triangles.coOccurrenceEdges(
+        Tables.load(s, dir, "lineitem"), col("l_orderkey"),
+        col("l_partkey"))
+      RandomWalks.uniformWalks(e, walksPerNode = 2, length = 5,
+          seed = 7L)
+        .orderBy("start", "wid", "step")
+    }),
+
+    // Graph ML — walk corpus → skip-gram training pairs (RandomWalks
+    // .skipGramPairs): q331's walks windowed to (center, context, n) —
+    // the word2vec feed. LEADs over one walk-keyed pass, never a
+    // positional self-join.
+    "q332_walk_skipgrams" -> ((s, dir) => {
+      val e = Triangles.coOccurrenceEdges(
+        Tables.load(s, dir, "lineitem"), col("l_orderkey"),
+        col("l_partkey"))
+      RandomWalks.skipGramPairs(
+          RandomWalks.uniformWalks(e, walksPerNode = 2, length = 5,
+            seed = 7L), window = 2)
+        .orderBy("center", "context")
+    }),
+
+    // Graph ML — node2vec biased walks (RandomWalks.node2vecWalks):
+    // second-order p/q bias with integer weights 1:4:2
+    // (return:in:out), every pick the seeded hash landing in the
+    // neighbor's cumulative-weight slot — deterministic and
+    // engine-replayable like q331.
+    "q333_node2vec_walks" -> ((s, dir) => {
+      val e = Triangles.coOccurrenceEdges(
+        Tables.load(s, dir, "lineitem"), col("l_orderkey"),
+        col("l_partkey"))
+      RandomWalks.node2vecWalks(e, walksPerNode = 2, length = 4,
+          seed = 13L, wReturn = 1, wIn = 4, wOut = 2)
+        .orderBy("start", "wid", "step")
+    }),
+
+    // Serving — split-conformal calibration + coverage audit
+    // (Conformal.calibrate/coverageAudit): train/cal/test split by
+    // row-hash, per-quantity mean-price model, nonconformity =
+    // |cents residual|; qhat is the exact ceil((n+1)·9/10)-th order
+    // statistic via the zipWithIndex path (never a global window),
+    // and the test-set coverage lands as an exact floor ratio.
+    "q334_conformal" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val li = Tables.load(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_quantity").cast("long").as("q"),
+        (format_string("%.2f", col("l_extendedprice")).cast(dec2) * 100)
+          .cast("long").as("y"),
+        pmod(graft.functions.Hashing.hexLong(
+          concat_ws(":", lit("cp"), col("l_orderkey") * 10 +
+            col("l_linenumber"))), lit(4L)).as("b"))
+      val pred = li.filter(col("b") <= 1).groupBy("q")
+        .agg(expr("sum(y) div count(1)").as("p"))
+      val scored = li.join(broadcast(pred), Seq("q"))
+        .withColumn("s", abs(col("y") - col("p")))
+      val calib = Conformal.calibrate(scored.filter(col("b") === 2),
+        col("s"), col("rid"), 1, 10)
+      calib.crossJoin(Conformal.coverageAudit(
+        scored.filter(col("b") === 3), col("s"), calib))
+    }),
+
+    // Training labels — kNN label-disagreement audit (LabelNoise
+    // .knnDisagreement): every embedding against its 5 exact decimal-
+    // dot neighbors; a strict majority of disagreeing labels flags
+    // the row as a mislabeling suspect.
+    "q335_label_noise" -> ((s, dir) =>
+      LabelNoise.knnDisagreement(Tables.load(s, dir, "embeddings"), 5)
+        .orderBy("vec_id")),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -11634,6 +11709,174 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN b.cy IS NOT NULL THEN tr.ty - b.cy END)
         |      AS DOUBLE) / COUNT(b.cy)) END AS att6
         |FROM tr LEFT JOIN best b USING (tid)""".stripMargin,
+
+    "q331_random_walks" -> {
+      def stepSql(prev: String, out: String, s: Int): String =
+        s"""$out AS (SELECT f.start, f.wid, nbr.dst AS node
+           |  FROM $prev f
+           |  JOIN deg ON deg.src = f.node
+           |  JOIN nbr ON nbr.src = f.node
+           |    AND nbr.idx = ('0x' || substr(md5('7:' || f.start ||
+           |      ':' || f.wid || ':$s'), 1, 15))::BIGINT % deg.deg)"""
+          .stripMargin
+      s"""WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM ps a
+         |  JOIN ps b ON a.o = b.o AND a.p < b.p),
+         |sym AS (SELECT u AS src, v AS dst FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |nbr AS (SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+         |      AS idx FROM sym),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym
+         |  GROUP BY 1),
+         |w0 AS (SELECT d.src AS start, CAST(w.range AS INTEGER) AS wid,
+         |    d.src AS node FROM deg d CROSS JOIN range(2) w),
+         |${stepSql("w0", "w1", 1)},
+         |${stepSql("w1", "w2", 2)},
+         |${stepSql("w2", "w3", 3)},
+         |${stepSql("w3", "w4", 4)},
+         |${stepSql("w4", "w5", 5)}
+         |SELECT start, wid, CAST(0 AS INTEGER) AS step, node FROM w0
+         |UNION ALL SELECT start, wid, 1, node FROM w1
+         |UNION ALL SELECT start, wid, 2, node FROM w2
+         |UNION ALL SELECT start, wid, 3, node FROM w3
+         |UNION ALL SELECT start, wid, 4, node FROM w4
+         |UNION ALL SELECT start, wid, 5, node FROM w5
+         |ORDER BY start, wid, step""".stripMargin
+    },
+
+    "q332_walk_skipgrams" -> {
+      def stepSql(prev: String, out: String, s: Int): String =
+        s"""$out AS (SELECT f.start, f.wid, nbr.dst AS node
+           |  FROM $prev f
+           |  JOIN deg ON deg.src = f.node
+           |  JOIN nbr ON nbr.src = f.node
+           |    AND nbr.idx = ('0x' || substr(md5('7:' || f.start ||
+           |      ':' || f.wid || ':$s'), 1, 15))::BIGINT % deg.deg)"""
+          .stripMargin
+      s"""WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM ps a
+         |  JOIN ps b ON a.o = b.o AND a.p < b.p),
+         |sym AS (SELECT u AS src, v AS dst FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |nbr AS (SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+         |      AS idx FROM sym),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym
+         |  GROUP BY 1),
+         |w0 AS (SELECT d.src AS start, CAST(w.range AS INTEGER) AS wid,
+         |    d.src AS node FROM deg d CROSS JOIN range(2) w),
+         |${stepSql("w0", "w1", 1)},
+         |${stepSql("w1", "w2", 2)},
+         |${stepSql("w2", "w3", 3)},
+         |${stepSql("w3", "w4", 4)},
+         |${stepSql("w4", "w5", 5)},
+         |walks AS (
+         |  SELECT start, wid, 0 AS step, node FROM w0
+         |  UNION ALL SELECT start, wid, 1, node FROM w1
+         |  UNION ALL SELECT start, wid, 2, node FROM w2
+         |  UNION ALL SELECT start, wid, 3, node FROM w3
+         |  UNION ALL SELECT start, wid, 4, node FROM w4
+         |  UNION ALL SELECT start, wid, 5, node FROM w5),
+         |p0 AS (SELECT a.node AS center, b.node AS context
+         |  FROM walks a JOIN walks b ON a.start = b.start
+         |    AND a.wid = b.wid AND b.step - a.step BETWEEN 1 AND 2)
+         |SELECT center, context, COUNT(*) AS n FROM
+         |  (SELECT center, context FROM p0
+         |   UNION ALL SELECT context, center FROM p0)
+         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
+    },
+
+    "q333_node2vec_walks" -> {
+      def hashSql(s: Int): String =
+        s"""('0x' || substr(md5('13:' || start || ':' || wid ||
+           |      ':$s'), 1, 15))::BIGINT""".stripMargin
+      def stepSql(prev: String, s: Int): String =
+        s"""c$s AS (SELECT f.start, f.wid, f.node, n.dst,
+           |    CASE WHEN n.dst = f.prev THEN CAST(1 AS BIGINT)
+           |         WHEN e.u IS NOT NULL THEN 4 ELSE 2 END AS w
+           |  FROM $prev f JOIN sym n ON n.src = f.node
+           |  LEFT JOIN e0 e ON e.u = LEAST(f.prev, n.dst)
+           |    AND e.v = GREATEST(f.prev, n.dst)),
+           |w$s AS (SELECT start, wid, node AS prev, dst AS node FROM (
+           |    SELECT *,
+           |      SUM(w) OVER (PARTITION BY start, wid ORDER BY dst)
+           |        AS cw,
+           |      SUM(w) OVER (PARTITION BY start, wid) AS tw
+           |    FROM c$s)
+           |  WHERE cw - w <= ${hashSql(s)} % tw
+           |    AND ${hashSql(s)} % tw < cw)""".stripMargin
+      s"""WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM ps a
+         |  JOIN ps b ON a.o = b.o AND a.p < b.p),
+         |sym AS (SELECT u AS src, v AS dst FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |w0 AS (SELECT d.src AS start, CAST(w.range AS INTEGER) AS wid,
+         |    CAST(-1 AS BIGINT) AS prev, d.src AS node
+         |  FROM (SELECT DISTINCT src FROM sym) d CROSS JOIN range(2) w),
+         |${stepSql("w0", 1)},
+         |${stepSql("w1", 2)},
+         |${stepSql("w2", 3)},
+         |${stepSql("w3", 4)}
+         |SELECT start, wid, CAST(0 AS INTEGER) AS step, node FROM w0
+         |UNION ALL SELECT start, wid, 1, node FROM w1
+         |UNION ALL SELECT start, wid, 2, node FROM w2
+         |UNION ALL SELECT start, wid, 3, node FROM w3
+         |UNION ALL SELECT start, wid, 4, node FROM w4
+         |ORDER BY start, wid, step""".stripMargin
+    },
+
+    "q334_conformal" ->
+      """WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(CAST(printf('%.2f', l_extendedprice) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) AS y,
+        |    ('0x' || substr(md5('cp:' ||
+        |      (l_orderkey * 10 + l_linenumber)), 1, 15))::BIGINT % 4
+        |      AS b
+        |  FROM lineitem),
+        |pred AS (SELECT q, CAST(SUM(y) // COUNT(*) AS BIGINT) AS p
+        |  FROM li WHERE b <= 1 GROUP BY 1),
+        |sc AS (SELECT rid, b, ABS(y - p) AS s
+        |  FROM li JOIN pred USING (q)),
+        |kf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+        |    CAST(((COUNT(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+        |  FROM sc WHERE b = 2),
+        |qh AS (SELECT n_cal, k, s AS qhat FROM
+        |    (SELECT s, ROW_NUMBER() OVER (ORDER BY s, rid) AS rn
+        |     FROM sc WHERE b = 2) r, kf
+        |  WHERE rn = k),
+        |tst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+        |    CAST(SUM(CASE WHEN s <= qhat THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_covered
+        |  FROM sc CROSS JOIN qh WHERE b = 3)
+        |SELECT n_cal, k, qhat, n_test, n_covered,
+        |  CAST((n_covered * 1000000000) // n_test AS BIGINT) AS cov9
+        |FROM qh CROSS JOIN tst""".stripMargin,
+
+    "q335_label_noise" ->
+      """WITH c AS (SELECT vec_id, embedding, label FROM embeddings),
+        |p AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |    a.label AS ql, b.label AS cl,
+        |    unnest(a.embedding) AS x, unnest(b.embedding) AS y
+        |  FROM c a JOIN c b ON a.vec_id <> b.vec_id),
+        |d AS (SELECT qid, cid, ql, cl,
+        |    SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+        |      * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)))
+        |      AS dp
+        |  FROM p GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT qid, ql, cl,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY dp DESC, cid ASC) AS rn FROM d)
+        |SELECT qid AS vec_id, ql AS label,
+        |  CAST(SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_disagree,
+        |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
+        |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
+        .stripMargin,
 
     "q329_nelson_aalen" ->
       """WITH s AS (SELECT user_id,

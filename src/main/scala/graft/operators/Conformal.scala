@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Split-conformal prediction (Vovk et al.; Angelopoulos-Bates 2021
+  * tutorial form): hold out a calibration set, take qhat = the
+  * ceil((n+1)(1−α))-th smallest nonconformity score, and the interval
+  * "prediction ± qhat" covers fresh points with probability ≥ 1−α —
+  * the distribution-free guarantee every model-serving pipeline can
+  * bolt onto an existing model without retraining.
+  *
+  * Engine-exact: scores are caller-scaled LONGS, α = num/den a
+  * rational, k = ceil((n+1)(den−num)/den) in integer arithmetic, and
+  * qhat is an actual input score — everything hash-replays.
+  *
+  * Scale shape: the k-th order statistic comes from
+  * [[GlobalIndex.withGlobalIndex]] (range-partitioned sort +
+  * per-partition offset stamp — NEVER a global row_number window),
+  * the count rides a broadcast one-row frame, and the coverage audit
+  * is one scan with a broadcast scalar. Nothing collects.
+  */
+object Conformal {
+
+  /** Calibration: ONE row (n_cal, k, qhat) where qhat is the k-th
+    * smallest score, k = ceil((n_cal+1)·(alphaDen−alphaNum)/alphaDen).
+    * EMPTY when k > n_cal (too few calibration points for the target
+    * coverage — the honest "qhat = ∞" answer; add data or raise α).
+    *
+    * @param score    nonconformity, caller-scaled integral (cast to long)
+    * @param tieBreak unique key making the sort a total order
+    * @param alphaNum / alphaDen miscoverage α = num/den in (0,1) */
+  def calibrate(cal: DataFrame, score: Column, tieBreak: Column,
+                alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaNum >= 1 && alphaNum < alphaDen,
+      "alpha = alphaNum/alphaDen must be in (0,1)")
+    val cov = alphaDen - alphaNum
+    val s = cal.select(score.cast("long").as("qhat"), tieBreak.as("__tb"))
+    val idxed = GlobalIndex.withGlobalIndex(s,
+      Seq(col("qhat"), col("__tb")), "__idx")
+    val n = cal.groupBy().agg(count(lit(1)).as("n_cal"))
+    idxed.crossJoin(broadcast(n))
+      .withColumn("k",
+        expr(s"((n_cal + 1) * $cov + ${alphaDen - 1}) div $alphaDen"))
+      .filter(col("__idx") === col("k") - 1)
+      .select(col("n_cal"), col("k"), col("qhat"))
+  }
+
+  /** Coverage audit on a held-out test set: (n_test, n_covered, cov9)
+    * with cov9 = ⌊covered·10⁹/n⌋ — compare against (1−α)·10⁹; the
+    * conformal guarantee says cov9 ≥ that in expectation.
+    *
+    * @param calibrated the one-row frame from [[calibrate]] */
+  def coverageAudit(test: DataFrame, score: Column,
+                    calibrated: DataFrame): DataFrame =
+    test.select(score.cast("long").as("__s"))
+      .crossJoin(broadcast(calibrated.select("qhat")))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__s") <= col("qhat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("cov9",
+        expr("(n_covered * 1000000000) div n_test"))
+}

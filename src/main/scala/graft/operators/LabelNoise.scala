@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Label-noise screening by k-NN disagreement (the confident-learning
+  * / Deep-kNN family's simplest member): a labeled point whose nearest
+  * neighbors mostly carry a DIFFERENT label is a mislabeling suspect —
+  * the audit every training-label pipeline runs before fine-tuning on
+  * weakly-labeled data.
+  *
+  * Exactness: neighbors come from [[Similarity.dotTopK]] (exact
+  * decimal dot, id tiebreak), so the suspect list is deterministic and
+  * engine-replayable — no float argmax drift.
+  *
+  * Scale shape: dotTopK broadcasts the QUERY side, so audit millions
+  * of candidates against thousands of probes per pass; for a full-
+  * corpus audit at 100 TB, swap the neighbor source to the IVF path
+  * ([[Similarity.ivfTopK]] / [[IvfIndex]]) — this operator only
+  * consumes (qid, cid) neighbor pairs plus labels, and the two label
+  * joins and the per-point count are plain equi-joins/aggregates.
+  */
+object LabelNoise {
+
+  /** @param vectors (vec_id, embedding, label)
+    * @param k       neighbors per point (self excluded)
+    * @return (vec_id, label, n_disagree, flagged) — flagged when a
+    *         strict majority of the k neighbors disagree */
+  def knnDisagreement(vectors: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, "k in [1,1024]")
+    val v = vectors.select(col("vec_id"), col("embedding"), col("label"))
+    val nn = Similarity.dotTopK(
+      v.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      v.select(col("vec_id").as("cid"), col("embedding").as("cvec")), k)
+    nn.join(v.select(col("vec_id").as("cid"), col("label").as("__nl")),
+        Seq("cid"))
+      .join(v.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
+      .groupBy(col("qid").as("vec_id"), col("label"))
+      .agg(sum(when(col("__nl") =!= col("label"), 1L).otherwise(0L))
+        .as("n_disagree"))
+      .withColumn("flagged", col("n_disagree") * 2 > k)
+  }
+}

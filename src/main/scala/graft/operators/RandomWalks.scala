@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic uniform random-walk generation (the DeepWalk/node2vec
+  * p=q=1 corpus; Perozzi 2014, Grover-Leskovec 2016) — the walk tables
+  * graph-embedding training feeds on: `walksPerNode` walks of `length`
+  * steps from every node, each step a uniform pick among the current
+  * node's neighbors.
+  *
+  * "Random" is a seeded HASH, not an RNG: step s of walk (start, wid)
+  * picks neighbor index md5_60(seed:start:wid:s) mod deg — the repo's
+  * md5 hash family (engine-replayable bit-for-bit, layout-independent,
+  * and restartable: the walk corpus is a pure function of
+  * (graph, seed)). A PRNG stream would be partition-order-dependent —
+  * the exact failure the Poisson-bootstrap LCG design avoids.
+  *
+  * Scale shape: neighbors are indexed ONCE per node (row_number over
+  * the per-node neighbor list — a keyed window, never global), then
+  * each of the `length` steps is one equi-join of the walk frontier
+  * (|nodes|·walksPerNode rows) against the indexed edge list on
+  * (node, picked index); per-step localCheckpoint keeps lineage flat.
+  * Walk state never materializes paths — the output is the LONG table
+  * (start, wid, step, node), ready to window into skip-gram pairs.
+  *
+  * @param edges (u, v) undirected; symmetrized/deduped here
+  * @return (start, wid, step 0..length, node) — every walk advances
+  *         exactly `length` steps (symmetrized graphs have no dead
+  *         ends for nodes that appear in `edges`) */
+object RandomWalks {
+
+  def uniformWalks(edges: DataFrame, walksPerNode: Int, length: Int,
+                   seed: Long): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 1024,
+      "walksPerNode in [1,1024]")
+    require(length >= 1 && length <= 256, "length in [1,256]")
+    val und = edges.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    val nbr = sym
+      .withColumn("idx", row_number().over(wIdx) - 1)
+      .localCheckpoint(true)
+    val deg = nbr.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val starts = deg.select(col("src").as("start"))
+      .crossJoin(broadcast(
+        edges.sparkSession.range(walksPerNode).select(
+          col("id").cast("int").as("wid"))))
+    var frontier = starts.withColumn("node", col("start"))
+      .localCheckpoint(true)
+    val steps = scala.collection.mutable.ArrayBuffer(
+      frontier.withColumn("step", lit(0)))
+    for (s <- 1 to length) {
+      val pick = frontier
+        .join(deg, col("node") === col("src"))
+        .withColumn("idx",
+          pmod(graft.functions.Hashing.hexLong(concat_ws(":",
+            lit(seed), col("start"), col("wid"), lit(s))), col("deg")))
+        .select(col("start"), col("wid"), col("src"), col("idx"))
+      frontier = pick
+        .join(nbr, Seq("src", "idx"))
+        .select(col("start"), col("wid"), col("dst").as("node"))
+        .localCheckpoint(true)
+      steps += frontier.withColumn("step", lit(s))
+    }
+    steps.reduce(_ unionByName _)
+      .select("start", "wid", "step", "node")
+  }
+
+  /** Second-order (node2vec-shaped; Grover-Leskovec 2016) biased walks:
+    * step s+1 from `node` with previous hop `prev` weights each
+    * neighbor `dst` by INTEGER weight `wReturn` when dst == prev
+    * (backtrack), `wIn` when (prev, dst) is an edge (stay local),
+    * `wOut` otherwise (explore) — the p/q bias with the rationals
+    * cleared to engine-exact integers (wReturn:wIn:wOut ∝ 1/p:1:1/q).
+    * The pick is the seeded hash r = md5_60(seed:start:wid:s) mod
+    * Σweights landing in dst's cumulative-weight slot
+    * [cum−w, cum) — deterministic, layout-independent, replayable,
+    * like [[uniformWalks]]. The first step has no prev (sentinel −1,
+    * so ids must be ≥ 0): every neighbor weighs `wOut`, i.e. uniform.
+    *
+    * Scale shape: each step fans the frontier into its neighbor lists
+    * (Σ deg(cur) rows — the irreducible cost of SECOND-order walks),
+    * checks prev-adjacency with one equi-join against the normalized
+    * edge set (never a cross join), and picks via a (start,wid)-keyed
+    * cumulative-sum window (each partition ≤ max degree rows, never
+    * global). Per-step localCheckpoint keeps lineage flat.
+    *
+    * @return (start, wid, step 0..length, node) */
+  def node2vecWalks(edges: DataFrame, walksPerNode: Int, length: Int,
+                    seed: Long, wReturn: Int, wIn: Int,
+                    wOut: Int): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 1024,
+      "walksPerNode in [1,1024]")
+    require(length >= 1 && length <= 256, "length in [1,256]")
+    require(wReturn >= 1 && wIn >= 1 && wOut >= 1,
+      "weights must be positive integers")
+    val und = edges.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    val starts = sym.select(col("src")).distinct()
+      .select(col("src").as("start"))
+      .crossJoin(broadcast(
+        edges.sparkSession.range(walksPerNode).select(
+          col("id").cast("int").as("wid"))))
+    var frontier = starts
+      .withColumn("prev", lit(-1L).cast(starts.schema("start").dataType))
+      .withColumn("node", col("start"))
+      .localCheckpoint(true)
+    val steps = scala.collection.mutable.ArrayBuffer(
+      frontier.select(col("start"), col("wid"), lit(0).as("step"),
+        col("node")))
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("start", "wid")
+    for (s <- 1 to length) {
+      val cand = frontier
+        .join(sym, col("node") === col("src"))
+        .join(und.select(col("u").as("eu"), col("v").as("ev")),
+          least(col("prev"), col("dst")) === col("eu") &&
+            greatest(col("prev"), col("dst")) === col("ev"), "left")
+        .withColumn("w",
+          when(col("dst") === col("prev"), lit(wReturn.toLong))
+            .when(col("eu").isNotNull, lit(wIn.toLong))
+            .otherwise(lit(wOut.toLong)))
+      val picked = cand
+        .withColumn("cw", sum(col("w")).over(wKey.orderBy("dst")))
+        .withColumn("tw", sum(col("w")).over(wKey))
+        .withColumn("r",
+          pmod(graft.functions.Hashing.hexLong(concat_ws(":",
+            lit(seed), col("start"), col("wid"), lit(s))), col("tw")))
+        .filter(col("cw") - col("w") <= col("r") &&
+          col("r") < col("cw"))
+      frontier = picked
+        .select(col("start"), col("wid"), col("node").as("prev"),
+          col("dst").as("node"))
+        .localCheckpoint(true)
+      steps += frontier.select(col("start"), col("wid"),
+        lit(s).as("step"), col("node"))
+    }
+    steps.reduce(_ unionByName _)
+      .select("start", "wid", "step", "node")
+  }
+
+  /** Walk corpus → skip-gram training pairs: every (center, context)
+    * node pair within `window` STEPS of each other on the same walk,
+    * counted over the corpus — the table DeepWalk/node2vec feed to
+    * word2vec. Same shape as [[Collocations.skipgramCounts]]: `window`
+    * LEAD columns over one (start,wid)-keyed ordered pass (bounded
+    * frames — each partition is one walk of `length`+1 rows), both
+    * directions emitted, one count shuffle.
+    *
+    * @param walks (start, wid, step, node) from [[uniformWalks]] /
+    *              [[node2vecWalks]]
+    * @return (center, context, n) */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1 && window <= 64, "window in [1,64]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("start", "wid").orderBy("step")
+    val withLeads = (1 to window).foldLeft(
+      walks.select("start", "wid", "step", "node")) { (df, d) =>
+      df.withColumn(s"lead_$d", lead(col("node"), d).over(w))
+    }
+    val pairs = withLeads.select(col("node").as("center"),
+      explode(array((1 to window).map(d => col(s"lead_$d")): _*))
+        .as("context"))
+      .filter(col("context").isNotNull)
+    pairs.select(col("center"), col("context"))
+      .unionByName(pairs.select(col("context").as("center"),
+        col("center").as("context")))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+  }
+}

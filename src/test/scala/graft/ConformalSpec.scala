@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Conformal
+
+/** Hand-checked split-conformal arithmetic + the empty-qhat edge. */
+class ConformalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qhat is the ceil((n+1)(1-alpha))-th smallest score") {
+    // n = 9, alpha = 1/10: k = ceil(10 * 9/10) = 9 -> 9th smallest
+    val cal = (1 to 9).map(i => (i.toLong * 10, i.toLong))
+      .toDF("s", "id")
+    val got = Conformal.calibrate(cal, col("s"), col("id"), 1, 10)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((9L, 9L, 90L)))
+    // alpha = 1/2: k = ceil(10 * 1/2) = 5 -> 5th smallest = 50
+    val med = Conformal.calibrate(cal, col("s"), col("id"), 1, 2)
+      .as[(Long, Long, Long)].collect()
+    assert(med.toSeq == Seq((9L, 5L, 50L)))
+  }
+
+  test("k > n yields the empty (infinite-qhat) frame") {
+    val cal = Seq((1L, 1L), (2L, 2L)).toDF("s", "id")
+    // n = 2, alpha = 1/10: k = ceil(3*9/10) = 3 > 2
+    assert(Conformal.calibrate(cal, col("s"), col("id"), 1, 10)
+      .count() == 0)
+  }
+
+  test("ties resolve to the same VALUE regardless of tiebreak order") {
+    val a = Seq((5L, 1L), (5L, 2L), (5L, 3L), (7L, 4L)).toDF("s", "id")
+    val b = Seq((5L, 3L), (7L, 4L), (5L, 1L), (5L, 2L)).toDF("s", "id")
+    def q(df: org.apache.spark.sql.DataFrame) =
+      Conformal.calibrate(df, col("s"), col("id"), 1, 2)
+        .select("qhat").as[Long].collect().head
+    assert(q(a) == q(b))
+  }
+
+  test("coverage audit counts scores <= qhat with the floor ratio") {
+    val calib = Seq((4L, 3L, 10L)).toDF("n_cal", "k", "qhat")
+    val test_ = Seq(5L, 10L, 11L, 3L, 20L, 10L).toDF("s")
+    val got = Conformal.coverageAudit(test_, col("s"), calib)
+      .as[(Long, Long, Long)].collect().head
+    // covered: 5, 10, 3, 10 -> 4 of 6; floor(4e9/6) = 666666666
+    assert(got == ((6L, 4L, 666666666L)))
+  }
+}

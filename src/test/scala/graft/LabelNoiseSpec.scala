@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LabelNoise
+
+/** kNN disagreement on a hand-built constellation: two tight clusters
+  * with one planted mislabel. */
+class LabelNoiseSpec extends SparkSpec {
+  import spark.implicits._
+
+  // cluster A near (1,0): ids 1-3; cluster B near (0,1): ids 4-6.
+  // id 3 carries cluster B's label -> its 2 nearest (ids 1,2, label 0)
+  // both disagree; everyone else's neighbors agree.
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f), 0),
+    (2L, Array(0.9f, 0.1f), 0),
+    (3L, Array(0.95f, 0.05f), 1), // planted noise
+    (4L, Array(0.0f, 1.0f), 1),
+    (5L, Array(0.1f, 0.9f), 1),
+    (6L, Array(0.05f, 0.95f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("planted mislabel is the only flagged point at k=2") {
+    val got = LabelNoise.knnDisagreement(vecs, k = 2)
+      .orderBy("vec_id")
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == (1L to 6L))
+    val flagged = got.filter(_._4).map(_._1)
+    assert(flagged == Seq(3L), s"expected only id 3 flagged, got $got")
+    assert(got.find(_._1 == 3L).get._3 == 2L)
+    // agreement elsewhere: ids 4-6 have zero disagreement
+    assert(got.filter(t => t._1 >= 4L).forall(_._3 == 0L))
+  }
+
+  test("exact majority is NOT flagged (strict > k/2)") {
+    // k=2 with one disagreeing neighbor: 2*1 > 2 is false
+    val mixed = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.8f, 0.2f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = LabelNoise.knnDisagreement(mixed, k = 2)
+      .filter(col("vec_id") === 1L)
+      .as[(Long, Int, Long, Boolean)].collect().head
+    assert(got._3 == 1L && !got._4)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RandomWalks
+
+/** Deterministic walk corpus: walks follow edges, have exact shape,
+  * replay bit-for-bit, and move when the seed moves. */
+class RandomWalksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+    (1L, 3L)).toDF("u", "v")
+
+  test("every step is an edge of the graph; shape is exact") {
+    val w = RandomWalks.uniformWalks(edges, walksPerNode = 2,
+      length = 4, seed = 11L)
+    val n = w.count()
+    assert(n == 4L * 2 * 5, s"4 nodes x 2 walks x 5 positions, got $n")
+    val sym = edges.as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    val hops = w.selectExpr("start", "wid", "step", "node")
+      .as[(Long, Int, Int, Long)].collect()
+      .groupBy(t => (t._1, t._2)).values
+    hops.foreach { walk =>
+      val path = walk.sortBy(_._3).map(_._4)
+      path.sliding(2).foreach { p =>
+        assert(sym.contains((p(0), p(1))),
+          s"${p(0)}->${p(1)} is not an edge")
+      }
+    }
+  }
+
+  test("same seed replays identically; a new seed moves the corpus") {
+    def run(seed: Long) = RandomWalks.uniformWalks(edges, 2, 6, seed)
+      .orderBy("start", "wid", "step")
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    assert(run(11L) == run(11L))
+    assert(run(11L) != run(12L), "the seed must steer the picks")
+  }
+
+  test("walks start at their start node") {
+    val heads = RandomWalks.uniformWalks(edges, 1, 2, 5L)
+      .filter(col("step") === 0)
+      .select("start", "node").as[(Long, Long)].collect()
+    assert(heads.forall(p => p._1 == p._2))
+  }
+
+  test("node2vec walks: edges only, exact shape, one pick per step") {
+    val w = RandomWalks.node2vecWalks(edges, walksPerNode = 2,
+      length = 4, seed = 3L, wReturn = 1, wIn = 4, wOut = 2)
+    assert(w.count() == 4L * 2 * 5)
+    // exactly one row per (start, wid, step) — the cum-slot filter
+    // picked a single neighbor
+    assert(w.groupBy("start", "wid", "step").count()
+      .filter(col("count") =!= 1).count() == 0)
+    val sym = edges.as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    RandomWalks.node2vecWalks(edges, 1, 6, 9L, 1, 4, 2)
+      .as[(Long, Int, Int, Long)].collect()
+      .groupBy(t => (t._1, t._2)).values.foreach { walk =>
+        walk.sortBy(_._3).map(_._4).sliding(2).foreach { p =>
+          assert(sym.contains((p(0), p(1))))
+        }
+      }
+  }
+
+  test("node2vec bias steers: heavy wReturn backtracks, forbids it " +
+    "when wReturn is relatively tiny") {
+    // path graph 1-2-3, walks from 1: hop 1 is forced to 2, hop 2
+    // chooses between backtracking (1, weight wReturn) and crossing
+    // (3, weight wOut — (1,3) is not an edge)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    def secondHops(wr: Int, wo: Int): Seq[Long] =
+      RandomWalks.node2vecWalks(path, 8, 2, 21L, wr, 1, wo)
+        .filter(col("start") === 1L && col("step") === 2)
+        .as[(Long, Int, Int, Long)].collect().toSeq.map(_._4)
+    // wReturn dominates (1000 : 1): every second hop backtracks to 1
+    assert(secondHops(1000, 1).forall(_ == 1L))
+    // wOut dominates: every second hop crosses to 3
+    assert(secondHops(1, 1000).forall(_ == 3L))
+  }
+
+  test("skip-gram pairs: exact counts on a known corpus, symmetric") {
+    // two walks: [1,2,3] and [3,4] with window 2
+    val walks = Seq((1L, 0, 0, 1L), (1L, 0, 1, 2L), (1L, 0, 2, 3L),
+        (3L, 0, 0, 3L), (3L, 0, 1, 4L))
+      .toDF("start", "wid", "step", "node")
+    val got = RandomWalks.skipGramPairs(walks, window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Set((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L),
+      (3L, 2L, 1L), (1L, 3L, 1L), (3L, 1L, 1L), (3L, 4L, 1L),
+      (4L, 3L, 1L))
+    assert(got == want)
+    // symmetry holds on a generated corpus too
+    val gen = RandomWalks.skipGramPairs(
+      RandomWalks.uniformWalks(edges, 2, 5, 7L), 3)
+    val asMap = gen.as[(Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(asMap.forall { case ((a, b), n) => asMap((b, a)) == n })
+  }
+}
