@@ -5109,6 +5109,37 @@ object SparkEntry {
       LabelNoise.knnDisagreement(Tables.load(s, dir, "embeddings"), 5)
         .orderBy("vec_id")),
 
+    // Training labels — exact KNN-Shapley data valuation
+    // (DataValuation.knnShapley): every train embedding valued
+    // against 5 hash-picked test points under the K=5 NN surrogate's
+    // closed form; the 20 most valuable rows by summed sv9.
+    "q336_knn_shapley" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val tests = emb.filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("tid"), col("embedding").as("tvec"),
+          col("label").as("tlabel"))
+      DataValuation.knnShapley(
+          emb.join(tests.select(col("tid")),
+            col("vec_id") === col("tid"), "left_anti"), tests, k = 5)
+        .groupBy("vec_id", "label")
+        .agg(sum("sv9").as("total_sv9"))
+        .orderBy(col("total_sv9").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    // Curation — sqrt-temperature domain mixing (ColumnOps.isqrt +
+    // Apportion.largestRemainder): per-source doc counts flattened by
+    // the T=2 temperature (w = ⌊√n⌋ — the exact 3-step corrected
+    // integer sqrt), then a 10⁶-ppm sampling budget apportioned by
+    // Hamilton largest remainder; Σ alloc == 10⁶ exactly.
+    "q337_temperature_mix" -> ((s, dir) => {
+      val counts = Tables.load(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      Apportion.largestRemainder(counts, col("source"),
+          graft.functions.ColumnOps.isqrt(col("n")), 1000000L)
+        .orderBy("key")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -11877,6 +11908,65 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q336_knn_shapley" ->
+      """WITH t AS (SELECT vec_id AS tid, embedding AS tvec,
+        |    label AS tlabel FROM embeddings WHERE vec_id % 101 = 0),
+        |c AS (SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE vec_id % 101 <> 0),
+        |p AS (SELECT t.tid, t.tlabel, c.vec_id, c.label,
+        |    unnest(t.tvec) AS x, unnest(c.embedding) AS y FROM t, c),
+        |d AS (SELECT tid, tlabel, vec_id, label,
+        |    SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+        |      * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)))
+        |      AS dp
+        |  FROM p GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT tid, vec_id, label,
+        |    CAST(label = tlabel AS BIGINT) AS a,
+        |    ROW_NUMBER() OVER (PARTITION BY tid
+        |      ORDER BY dp DESC, vec_id) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY tid) AS n
+        |  FROM d),
+        |i AS (SELECT tid, vec_id, label, rnk,
+        |    CASE WHEN rnk = n THEN (a * 1000000000) // n
+        |         ELSE (a - LEAD(a) OVER (PARTITION BY tid
+        |             ORDER BY rnk)) *
+        |           ((LEAST(5, rnk) * 1000000000) // (5 * rnk))
+        |    END AS term
+        |  FROM r),
+        |sv AS (SELECT tid, vec_id, label,
+        |    SUM(term) OVER (PARTITION BY tid ORDER BY rnk
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS sv9
+        |  FROM i)
+        |SELECT vec_id, label, CAST(SUM(sv9) AS BIGINT) AS total_sv9
+        |FROM sv GROUP BY 1, 2
+        |ORDER BY total_sv9 DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q337_temperature_mix" ->
+      """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |sq AS (SELECT source, n,
+        |    s1 + CASE WHEN (s1+1)*(s1+1) <= n THEN 1 ELSE 0 END AS w
+        |  FROM (SELECT source, n,
+        |      s0 - CASE WHEN s0*s0 > n THEN 1 ELSE 0 END AS s1
+        |    FROM (SELECT source, n,
+        |        CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+        |      FROM s))),
+        |t AS (SELECT SUM(w) AS tw FROM sq),
+        |q AS (SELECT source AS key, w,
+        |    CAST((1000000 * w) // tw AS BIGINT) AS base,
+        |    CAST((1000000 * w) % tw AS BIGINT) AS rem
+        |  FROM sq, t),
+        |l AS (SELECT 1000000 - SUM(base) AS leftover FROM q),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |    (ORDER BY rem DESC, key) - 1 AS rr FROM q)
+        |SELECT key, w, base,
+        |  CAST(CASE WHEN rr < leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS extra,
+        |  base + CAST(CASE WHEN rr < leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM r, l ORDER BY key""".stripMargin,
 
     "q329_nelson_aalen" ->
       """WITH s AS (SELECT user_id,

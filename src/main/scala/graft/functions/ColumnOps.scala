@@ -15,4 +15,26 @@ object ColumnOps {
     * one tiny allocation per row, evaluated lazily per `when` branch. */
   def bound(e: Column)(f: Column => Column): Column =
     transform(array(e), f).getItem(0)
+
+  /** Exact integer square root ⌊√n⌋ for any non-negative long. The
+    * double `sqrt` estimate can be one off in either direction for
+    * large longs (53-bit mantissa), so the estimate is corrected by at
+    * most ±1 with exact comparisons — perfect squares and boundary
+    * values land exactly. The correction squares run in decimal so
+    * s² never overflows a long near 2⁶³ (an ANSI-mode error
+    * otherwise); a SQL mirror needs the same widening (HUGEINT /
+    * DECIMAL) only when n can exceed 2⁶². */
+  def isqrt(n: Column): Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def sq(c: Column): Column = c.cast(dec) * c.cast(dec)
+    bound(n.cast("long")) { nn =>
+      bound(floor(sqrt(nn.cast("double"))).cast("long")) { s0 =>
+        bound(s0 - when(sq(s0) > nn.cast(dec), lit(1L))
+            .otherwise(lit(0L))) { s1 =>
+          s1 + when(sq(s1 + 1) <= nn.cast(dec), lit(1L))
+            .otherwise(lit(0L))
+        }
+      }
+    }
+  }
 }

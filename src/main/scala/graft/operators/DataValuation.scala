@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact KNN-Shapley data valuation (Jia et al., VLDB 2019): for a
+  * K-NN surrogate model the Shapley value of every training point has
+  * a CLOSED FORM — sort train points by distance to a test point,
+  * then walk from the farthest in:
+  *
+  *   sv_N  = a_N / N
+  *   sv_i  = sv_{i+1} + (a_i − a_{i+1}) · min(K,i) / (K·i)
+  *
+  * where a_i = 1 if train point at rank i shares the test label. No
+  * Monte-Carlo, no retraining — the workhorse for "which training
+  * rows helped / hurt" curation decisions.
+  *
+  * Engine-exact rendering: each increment is floor-scaled at 10⁹ in
+  * SIGN-MAGNITUDE form — (a_i − a_{i+1}) ∈ {−1,0,1} multiplies the
+  * positive magnitude ⌊min(K,i)·10⁹/(K·i)⌋ — so no signed floor
+  * division ever happens (the engines disagree on it), and sv9 is a
+  * plain suffix sum of integers: bit-identical everywhere.
+  *
+  * Scale shape: "nearest" is the exact decimal dot ([[Similarity]]
+  * discipline, id tiebreak). The test side is broadcast (value
+  * against thousands of probes per pass, like [[Similarity.dotTopK]]);
+  * ranking and the suffix sum are (tid)-keyed windows over ≤|train|
+  * rows each — at 100 TB, value against a test SAMPLE per pass, or
+  * feed candidate pairs from the IVF path instead of the dense
+  * broadcast join (the recurrence only needs ranked (tid, cid, a)).
+  */
+object DataValuation {
+
+  /** @param train (vec_id, embedding, label)
+    * @param tests (tid, tvec, tlabel) — small; broadcast
+    * @param k     the K of the K-NN surrogate
+    * @return (tid, vec_id, label, rnk, sv9) — sv9 = Shapley value
+    *         ×10⁹ with one stated floor per recurrence increment */
+  def knnShapley(train: DataFrame, tests: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, "k in [1,1024]")
+    val c9 = train.select(col("vec_id"), col("label"),
+      Similarity.scale9(col("embedding")).as("cvec9"))
+    val t9 = tests.select(col("tid"), col("tlabel"),
+      Similarity.scale9(col("tvec")).as("tvec9"))
+    val scored = c9.join(broadcast(t9), lit(true))
+      .select(col("tid"), col("vec_id"), col("label"),
+        (col("label") === col("tlabel")).cast("long").as("a"),
+        Similarity.dot9(col("tvec9"), col("cvec9")).as("score_d"))
+    val byT = Window.partitionBy("tid")
+    val rankW = byT.orderBy(col("score_d").desc, col("vec_id").asc)
+    val ranked = scored
+      .withColumn("rnk", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(byT))
+      .withColumn("a_next", lead(col("a"), 1).over(rankW))
+    // per-rank increment: the farthest point seeds a_N*10^9 div N;
+    // inner ranks add sign * floor(min(K,i)*10^9 / (K*i))
+    val term = when(col("rnk") === col("n"),
+        expr("(a * 1000000000) div n"))
+      .otherwise((col("a") - col("a_next")) *
+        expr(s"(least(${k}L, rnk) * 1000000000L) div (${k}L * rnk)"))
+    val suffix = byT.orderBy(col("rnk").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked.withColumn("__t", term)
+      .withColumn("sv9", sum(col("__t")).over(suffix))
+      .select(col("tid"), col("vec_id"), col("label"), col("rnk"),
+        col("sv9"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ColumnOps
+
+/** Exact integer square root: boundary values where the double
+  * estimate is off by one in either direction. */
+class ColumnOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("isqrt is exact on perfect squares, off-by-one zones, and " +
+    "large longs") {
+    val cases = Seq(
+      0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      8L -> 2L, 9L -> 3L, 15L -> 3L, 16L -> 4L,
+      999999999999999999L -> 999999999L, // 1e18 - 1
+      1000000000000000000L -> 1000000000L, // exactly (1e9)^2
+      4611686018427387903L -> 2147483647L, // 2^62 - 1
+      (3037000499L * 3037000499L) -> 3037000499L,
+      (3037000499L * 3037000499L - 1) -> 3037000498L
+    )
+    val got = cases.map(_._1).toDF("n")
+      .select(col("n"), ColumnOps.isqrt(col("n")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    cases.foreach { case (n, want) =>
+      assert(got(n) == want, s"isqrt($n) = ${got(n)}, want $want")
+    }
+  }
+
+  test("isqrt agrees with BigInt sqrt over a dense sweep") {
+    val ns = (0L to 5000L) ++ (1 to 200).map(i =>
+      i.toLong * i * i * 7919 + i)
+    val got = ns.toDF("n")
+      .select(col("n"), ColumnOps.isqrt(col("n")).as("s"))
+      .as[(Long, Long)].collect()
+    def refSqrt(n: Long): Long = {
+      var s = math.sqrt(n.toDouble).toLong
+      while (s > 0 && BigInt(s) * BigInt(s) > BigInt(n)) s -= 1
+      while (BigInt(s + 1) * BigInt(s + 1) <= BigInt(n)) s += 1
+      s
+    }
+    got.foreach { case (n, s) =>
+      val want = refSqrt(n)
+      assert(s == want, s"isqrt($n) = $s, want $want")
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DataValuation
+
+/** Hand-checked KNN-Shapley recurrence + the efficiency axiom. */
+class DataValuationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, Array(0.9f, 0.0f), 0),
+    (2L, Array(0.5f, 0.0f), 1),
+    (3L, Array(0.1f, 0.0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+  private val test1 = Seq((10L, Array(1.0f, 0.0f), 0))
+    .toDF("tid", "tvec", "tlabel")
+
+  test("K=1 closed form matches the hand computation") {
+    // ranks by dot: 1 (0.9), 2 (0.5), 3 (0.1); a = (1, 0, 1), N = 3
+    // sv3 = 1/3; sv2 = 1/3 - 1/2; sv1 = sv2 + 1
+    val got = DataValuation.knnShapley(train, test1, k = 1)
+      .orderBy("rnk")
+      .select("vec_id", "sv9").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 833333333L), (2L, -166666667L),
+      (3L, 333333333L)))
+  }
+
+  test("efficiency: sv sums to v(full) = 1[K-NN majority correct]") {
+    // K=1, test label 0, nearest train point has label 0 -> v = 1
+    val tot = DataValuation.knnShapley(train, test1, k = 1)
+      .agg(sum("sv9")).as[Long].collect().head
+    assert(math.abs(tot - 1000000000L) <= 3,
+      s"sum sv9 = $tot, want ~1e9 (floor drift <= n terms)")
+  }
+
+  test("a harmful point (wrong-label nearest neighbor) gets sv < 0") {
+    val flipped = Seq(
+      (1L, Array(0.9f, 0.0f), 1), // nearest, wrong label
+      (2L, Array(0.5f, 0.0f), 0),
+      (3L, Array(0.1f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val sv = DataValuation.knnShapley(flipped, test1, k = 1)
+      .filter(col("vec_id") === 1L).select("sv9")
+      .as[Long].collect().head
+    assert(sv < 0L, s"nearest wrong-label point must hurt, sv9=$sv")
+  }
+
+  test("multiple test points stay independent (per-tid windows)") {
+    val tests = Seq((10L, Array(1.0f, 0.0f), 0),
+      (11L, Array(0.0f, 1.0f), 1)).toDF("tid", "tvec", "tlabel")
+    val got = DataValuation.knnShapley(train, tests, k = 2)
+    assert(got.count() == 6)
+    assert(got.groupBy("tid").count().filter(col("count") =!= 3)
+      .count() == 0)
+  }
+}
