@@ -57,21 +57,29 @@ object RandomWalks {
     val steps = scala.collection.mutable.ArrayBuffer(
       frontier.withColumn("step", lit(0)))
     for (s <- 1 to length) {
-      val pick = frontier
-        .join(deg, col("node") === col("src"))
-        .withColumn("idx",
-          pmod(graft.functions.Hashing.hexLong(concat_ws(":",
-            lit(seed), col("start"), col("wid"), lit(s))), col("deg")))
-        .select(col("start"), col("wid"), col("src"), col("idx"))
-      frontier = pick
-        .join(nbr, Seq("src", "idx"))
-        .select(col("start"), col("wid"), col("dst").as("node"))
+      frontier = uniformStep(frontier, nbr, deg, seed, s)
         .localCheckpoint(true)
       steps += frontier.withColumn("step", lit(s))
     }
     steps.reduce(_ unionByName _)
       .select("start", "wid", "step", "node")
   }
+
+  /** One uniform pick: frontier ⋈ deg (hash the step's r), then the
+    * (src, idx) equi-join into the indexed neighbor list. Exposed for
+    * plan pinning (the loop checkpoints each result, hiding the join
+    * shape from the assembled plan). */
+  private[graft] def uniformStep(frontier: DataFrame, nbr: DataFrame,
+                                 deg: DataFrame, seed: Long,
+                                 s: Int): DataFrame =
+    frontier
+      .join(deg, col("node") === col("src"))
+      .withColumn("idx",
+        pmod(graft.functions.Hashing.hexLong(concat_ws(":",
+          lit(seed), col("start"), col("wid"), lit(s))), col("deg")))
+      .select(col("start"), col("wid"), col("src"), col("idx"))
+      .join(nbr, Seq("src", "idx"))
+      .select(col("start"), col("wid"), col("dst").as("node"))
 
   /** Second-order (node2vec-shaped; Grover-Leskovec 2016) biased walks:
     * step s+1 from `node` with previous hop `prev` weights each
@@ -121,35 +129,44 @@ object RandomWalks {
     val steps = scala.collection.mutable.ArrayBuffer(
       frontier.select(col("start"), col("wid"), lit(0).as("step"),
         col("node")))
-    val wKey = org.apache.spark.sql.expressions.Window
-      .partitionBy("start", "wid")
     for (s <- 1 to length) {
-      val cand = frontier
-        .join(sym, col("node") === col("src"))
-        .join(und.select(col("u").as("eu"), col("v").as("ev")),
-          least(col("prev"), col("dst")) === col("eu") &&
-            greatest(col("prev"), col("dst")) === col("ev"), "left")
-        .withColumn("w",
-          when(col("dst") === col("prev"), lit(wReturn.toLong))
-            .when(col("eu").isNotNull, lit(wIn.toLong))
-            .otherwise(lit(wOut.toLong)))
-      val picked = cand
-        .withColumn("cw", sum(col("w")).over(wKey.orderBy("dst")))
-        .withColumn("tw", sum(col("w")).over(wKey))
-        .withColumn("r",
-          pmod(graft.functions.Hashing.hexLong(concat_ws(":",
-            lit(seed), col("start"), col("wid"), lit(s))), col("tw")))
-        .filter(col("cw") - col("w") <= col("r") &&
-          col("r") < col("cw"))
-      frontier = picked
-        .select(col("start"), col("wid"), col("node").as("prev"),
-          col("dst").as("node"))
-        .localCheckpoint(true)
+      frontier = node2vecStep(frontier, sym, und, seed, s,
+        wReturn, wIn, wOut).localCheckpoint(true)
       steps += frontier.select(col("start"), col("wid"),
         lit(s).as("step"), col("node"))
     }
     steps.reduce(_ unionByName _)
       .select("start", "wid", "step", "node")
+  }
+
+  /** One biased pick: neighbor fan-out (equi-join on src), prev-edge
+    * membership check (equi-join on the normalized pair), then the
+    * cumulative-weight slot filter in a (start,wid)-keyed window.
+    * Exposed for plan pinning, like [[uniformStep]]. */
+  private[graft] def node2vecStep(frontier: DataFrame, sym: DataFrame,
+                                  und: DataFrame, seed: Long, s: Int,
+                                  wReturn: Int, wIn: Int,
+                                  wOut: Int): DataFrame = {
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("start", "wid")
+    frontier
+      .join(sym, col("node") === col("src"))
+      .join(und.select(col("u").as("eu"), col("v").as("ev")),
+        least(col("prev"), col("dst")) === col("eu") &&
+          greatest(col("prev"), col("dst")) === col("ev"), "left")
+      .withColumn("w",
+        when(col("dst") === col("prev"), lit(wReturn.toLong))
+          .when(col("eu").isNotNull, lit(wIn.toLong))
+          .otherwise(lit(wOut.toLong)))
+      .withColumn("cw", sum(col("w")).over(wKey.orderBy("dst")))
+      .withColumn("tw", sum(col("w")).over(wKey))
+      .withColumn("r",
+        pmod(graft.functions.Hashing.hexLong(concat_ws(":",
+          lit(seed), col("start"), col("wid"), lit(s))), col("tw")))
+      .filter(col("cw") - col("w") <= col("r") &&
+        col("r") < col("cw"))
+      .select(col("start"), col("wid"), col("node").as("prev"),
+        col("dst").as("node"))
   }
 
   /** Walk corpus → skip-gram training pairs: every (center, context)

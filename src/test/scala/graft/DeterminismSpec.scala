@@ -235,4 +235,45 @@ class DeterminismSpec extends SparkSpec {
           .collect().map(_.toSeq).toSeq.sortBy(_.toString))
     }
   }
+
+  test("random/node2vec walks and skip-grams are layout-invariant") {
+    axes { s =>
+      val edges = s.read.parquet(dir)
+        .select((col("id") % 61).as("u"), ((col("id") * 13) % 61).as("v"))
+      val uw = graft.operators.RandomWalks.uniformWalks(
+        edges, walksPerNode = 2, length = 4, seed = 5L)
+      (uw.collect().map(_.toSeq).toSeq.sortBy(_.toString),
+        graft.operators.RandomWalks.node2vecWalks(edges, 1, 3, 9L,
+          1, 4, 2).collect().map(_.toSeq).toSeq.sortBy(_.toString),
+        graft.operators.RandomWalks.skipGramPairs(uw, 2)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString))
+    }
+  }
+
+  test("conformal calibration and knn-shapley are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      val cal = Conformal_cal(s, df)
+      val vecs = df.filter(col("id") < 40).select(col("id").as("vec_id"),
+        array(col("x").cast("float"), (col("w") % 17).cast("float"))
+          .as("embedding"), (col("id") % 3).cast("int").as("label"))
+      val tests = vecs.filter(col("vec_id") % 13 === 0)
+        .select(col("vec_id").as("tid"), col("embedding").as("tvec"),
+          col("label").as("tlabel"))
+      (cal,
+        graft.operators.DataValuation.knnShapley(
+          vecs.join(tests.select(col("tid")),
+            col("vec_id") === col("tid"), "left_anti"), tests, 3)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString))
+    }
+  }
+
+  private def Conformal_cal(s: SparkSession,
+      df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+    val c = graft.operators.Conformal.calibrate(df,
+      (col("x") * 100).cast("long"), col("id"), 1, 10)
+    c.crossJoin(graft.operators.Conformal.coverageAudit(
+        df.filter(col("id") % 3 === 0), (col("x") * 100).cast("long"), c))
+      .collect().map(_.toSeq).toSeq
+  }
 }

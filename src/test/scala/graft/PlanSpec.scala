@@ -531,4 +531,61 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate(keys=[bucket"),
       "the window input must be the per-bucket aggregate: " + p.take(2000))
   }
+
+  test("q331/q333: walk steps are hash equi-joins, never a data cartesian") {
+    // the assembled walk plan only shows checkpointed scans, so pin
+    // the STEP plans (the loop bodies) directly: every neighbor pick
+    // is an equi-join — a cartesian/BNLJ would square the graph — and
+    // the node2vec window is keyed on (start, wid), never global
+    import org.apache.spark.sql.functions._
+    import graft.operators.RandomWalks
+    val edges = spark.range(0, 2000)
+      .selectExpr("id % 97 AS u", "(id * 31) % 89 AS v")
+    val und = edges.selectExpr("least(u, v) AS u", "greatest(u, v) AS v")
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    val nbr = sym.withColumn("idx",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy("dst")) - 1).localCheckpoint(true)
+    val deg = nbr.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val frontier = deg.select(col("src").as("start"))
+      .withColumn("wid", lit(0))
+      .withColumn("prev", lit(-1L))
+      .withColumn("node", col("start")).localCheckpoint(true)
+    val up = RandomWalks.uniformStep(frontier, nbr, deg, 7L, 1)
+      .queryExecution.executedPlan.toString
+    assert(!up.contains("CartesianProduct") &&
+      !up.contains("BroadcastNestedLoopJoin"), up.take(2000))
+    assert(up.contains("Join"), up.take(2000))
+    val np = RandomWalks.node2vecStep(frontier, sym, und, 13L, 1,
+      1, 4, 2).queryExecution.executedPlan.toString
+    assert(!np.contains("CartesianProduct") &&
+      !np.contains("BroadcastNestedLoopJoin"), np.take(2000))
+    assert(np.contains("windowspecdefinition(start"),
+      "the pick window must key on (start, wid): " + np.take(2000))
+  }
+
+  test("q334: conformal audit broadcasts only one-row frames") {
+    // the model join broadcasts the per-quantity dim; calibration and
+    // coverage cross-join single-row frames (broadcast BNLJ) — no
+    // cartesian over data rows
+    val p = plan("q334_conformal")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q336: knn-shapley fans out via broadcast of the test side only") {
+    // train x tests is BNLJ over the BROADCAST tests frame; the suffix
+    // sum and rank run in (tid)-keyed windows — no cartesian, no
+    // unpartitioned window over the pair table
+    val p = plan("q336_knn_shapley")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("windowspecdefinition(score_d"),
+      "windows must key on tid: " + p.take(2000))
+  }
 }
