@@ -5140,6 +5140,66 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // ER — greedy 1:1 assignment by local-max matching
+    // (Matching.localMaxMatching): order-buckets paired to suppliers
+    // by spend; per round only pairs best-for-BOTH-sides marry
+    // (Preis ½-approx), ties broken (score desc, u, v) — exact
+    // integers, three rounds mirrored in the oracle.
+    "q338_local_max_matching" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val pairs = Tables.load(s, dir, "lineitem")
+        .groupBy((col("l_orderkey") % 997).as("u"),
+          col("l_suppkey").as("v"))
+        .agg(sum((format_string("%.2f", col("l_extendedprice"))
+          .cast(dec2) * 100).cast("long")).as("score"))
+      Matching.localMaxMatching(pairs, rounds = 3)
+        .orderBy("u", "v")
+    }),
+
+    // Multimodal — shot-boundary segmentation (Multimodal
+    // .shotSegments): MJPEG AVIs whose luminance-ramp frames flip
+    // direction at known cuts; shots segment in 64-bit dHash space
+    // (pixels never shuffle), shot_id = running cut count. The
+    // fixtures use byte-identical within-shot frames (distance 0) and
+    // near-complement hashes across cuts, so the oracle predicts
+    // shot ids arithmetically.
+    "q339_shot_segments" -> ((s, dir) => {
+      import s.implicits._
+      def ramp(rev: Boolean): Array[Byte] = {
+        val img = new java.awt.image.BufferedImage(
+          32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 24; x <- 0 until 32) {
+          val v = if (rev) 248 - x * 8 else x * 8
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      def le32(v: Int) = Array((v & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 24) & 0xff).toByte)
+      def chunk(cc: String, d: Array[Byte]) =
+        cc.getBytes("ISO-8859-1") ++ le32(d.length) ++ d ++
+          (if (d.length % 2 == 1) Array(0.toByte)
+           else Array.emptyByteArray)
+      val a = ramp(rev = false); val b = ramp(rev = true)
+      val fixtures = (1 to 4).map { i =>
+        val frames = Seq.fill(2 + i)(a) ++ Seq.fill(2)(b) ++
+          Seq.fill(1 + i % 2)(a)
+        val movi = chunk("LIST", "movi".getBytes("ISO-8859-1") ++
+          frames.flatMap(fb => chunk("00dc", fb)).toArray)
+        val body = "AVI ".getBytes("ISO-8859-1") ++ movi
+        (i.toLong,
+          "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body)
+      }
+      val media = Multimodal.ingest(
+        fixtures.toDF("doc_id", "bin")
+          .withColumn("fmt", lit("video/avi")), "doc_id", "bin", "fmt")
+      Multimodal.shotSegments(media, maxHamming = 16)
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -11908,6 +11968,40 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q338_local_max_matching" -> {
+      def roundSql(prev: String, m: String, next: String): String =
+        s"""$m AS (SELECT u, v, score FROM (
+           |    SELECT u, v, score,
+           |      ROW_NUMBER() OVER (PARTITION BY u
+           |        ORDER BY score DESC, v) AS ru,
+           |      ROW_NUMBER() OVER (PARTITION BY v
+           |        ORDER BY score DESC, u) AS rv
+           |    FROM $prev) WHERE ru = 1 AND rv = 1),
+           |$next AS (SELECT p.* FROM $prev p
+           |  WHERE NOT EXISTS (SELECT 1 FROM $m WHERE $m.u = p.u)
+           |    AND NOT EXISTS (SELECT 1 FROM $m WHERE $m.v = p.v))"""
+          .stripMargin
+      s"""WITH p0 AS (SELECT l_orderkey % 997 AS u, l_suppkey AS v,
+         |    CAST(SUM(CAST(CAST(printf('%.2f', l_extendedprice)
+         |      AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS score
+         |  FROM lineitem GROUP BY 1, 2),
+         |${roundSql("p0", "m1", "p1")},
+         |${roundSql("p1", "m2", "p2")},
+         |${roundSql("p2", "m3", "p3")}
+         |SELECT u, v, score, CAST(1 AS INTEGER) AS round FROM m1
+         |UNION ALL SELECT u, v, score, 2 FROM m2
+         |UNION ALL SELECT u, v, score, 3 FROM m3
+         |ORDER BY u, v""".stripMargin
+    },
+
+    "q339_shot_segments" ->
+      """SELECT i AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(CASE WHEN f < 2 + i THEN 0
+        |            WHEN f < 4 + i THEN 1 ELSE 2 END AS BIGINT)
+        |    AS shot_id
+        |FROM range(1, 5) t(i), UNNEST(range(0, 5 + i + (i % 2))) AS u(f)
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "q336_knn_shapley" ->
       """WITH t AS (SELECT vec_id AS tid, embedding AS tvec,

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed greedy 1:1 matching over scored candidate pairs — the
+  * assignment step after record-linkage scoring: each left entity may
+  * marry at most one right entity, preferring high scores. Sequential
+  * greedy (sort all pairs, accept if both free) is inherently serial;
+  * the distributed classic is LOCAL-MAX matching (Preis 1999 /
+  * message-passing form): per round, accept every pair that is
+  * simultaneously its left entity's best AND its right entity's best
+  * (ties broken by (score desc, u, v) — total order, so deterministic),
+  * drop all pairs touching matched entities, repeat. Each round is
+  * two max_by aggregates + one semi/anti join — no sorting of the
+  * global pair list, and at least half the remaining matchable weight
+  * resolves per round (Preis's ½-approximation carries over).
+  *
+  * Engine-exact: scores are caller-scaled longs, the per-side best is
+  * max over the struct (score, −u, −v) — an exact integer argmax. A
+  * fixed `rounds` budget keeps plans bounded; unresolved pairs after
+  * the last round are simply unmatched (report them — at 100 TB you
+  * cap rounds, not correctness).
+  *
+  * @param pairs  (u, v, score) candidate pairs (u: left id, v: right id)
+  * @param rounds fixed iteration budget (each round one shuffle set)
+  * @return (u, v, score, round) accepted matches, each u and v at most once */
+object Matching {
+
+  def localMaxMatching(pairs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, "rounds in [1,64]")
+    var remaining = pairs.select(col("u"), col("v"),
+        col("score").cast("long").as("score"))
+      .localCheckpoint(true)
+    var acc: DataFrame = null
+    for (r <- 1 to rounds) {
+      val matched = matchRound(remaining)
+        .withColumn("round", lit(r))
+      val kept = matched.localCheckpoint(true)
+      acc = if (acc == null) kept else acc.unionByName(kept)
+      remaining = remaining
+        .join(kept.select(col("u")), Seq("u"), "left_anti")
+        .join(kept.select(col("v")), Seq("v"), "left_anti")
+        .localCheckpoint(true)
+    }
+    acc.select("u", "v", "score", "round")
+  }
+
+  /** One local-max round: pairs that are the (score desc, u, v)-best
+    * for BOTH endpoints. Exposed for plan pinning. */
+  private[graft] def matchRound(remaining: DataFrame): DataFrame = {
+    // exact integer argmax: max over (score, -u, -v) orders exactly
+    // like (score desc, u asc, v asc) among candidates of one side
+    def best(side: String) = remaining
+      .groupBy(col(side))
+      .agg(max(struct(col("score"), (-col("u")).as("nu"),
+        (-col("v")).as("nv"))).as(s"b_$side"))
+    remaining
+      .join(best("u"), Seq("u"))
+      .join(best("v"), Seq("v"))
+      .filter(col("b_u.score") === col("score") &&
+        col("b_u.nu") === -col("u") && col("b_u.nv") === -col("v") &&
+        col("b_v.score") === col("score") &&
+        col("b_v.nu") === -col("u") && col("b_v.nv") === -col("v"))
+      .select(col("u"), col("v"), col("score"))
+  }
+}

@@ -533,4 +533,45 @@ object Multimodal {
         }
       }
   }
+
+  /** Shot-boundary segmentation over MJPEG videos: demux every frame,
+    * dHash it (the [[dhashFrames]] signature), and cut a new shot
+    * wherever the Hamming distance to the PREVIOUS frame exceeds
+    * `maxHamming` — the classic threshold-on-frame-difference detector,
+    * run entirely in 64-bit signature space (pixels never shuffle; the
+    * only exchange is the per-video window, bounded by frame count).
+    * shot_id is the running count of cuts, so it is a pure function of
+    * the frame sequence.
+    *
+    * @return (media_id, frame_idx, shot_id) — frame 0 opens shot 0 */
+  def shotSegments(media: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64, "maxHamming in [0,64]")
+    import media.sparkSession.implicits._
+    val hashes = graft.core.Parallelism.ensureWidth(media)
+      .select("media_id", "payload")
+      .mapPartitions { rows: Iterator[Row] =>
+        require(imageIoReady)
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          demuxAviFrames(r.getAs[Array[Byte]](1)).iterator.zipWithIndex
+            .flatMap { case (fb, i) =>
+              decodeImage(ensureJpegHuffman(fb)).map(img =>
+                (id, i, dhashOf(img)))
+            }
+        }
+      }.toDF("media_id", "frame_idx", "dhash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    hashes
+      .withColumn("__prev", lag(col("dhash"), 1).over(w))
+      .withColumn("__cut", when(col("__prev").isNull, 0)
+        .when(bit_count(expr("dhash ^ __prev")) > maxHamming, 1)
+        .otherwise(0))
+      .withColumn("shot_id", sum(col("__cut")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)).cast("long"))
+      .select(col("media_id"), col("frame_idx").cast("long"),
+        col("shot_id"))
+  }
 }

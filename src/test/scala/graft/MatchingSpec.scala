@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Matching
+
+/** Local-max matching: hand rounds, 1:1 property, tie determinism. */
+class MatchingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand example resolves over two rounds") {
+    val pairs = Seq((1L, 10L, 5L), (1L, 11L, 4L), (2L, 10L, 3L),
+      (2L, 11L, 2L)).toDF("u", "v", "score")
+    val got = Matching.localMaxMatching(pairs, rounds = 3)
+      .orderBy("u").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 10L, 5L, 1), (2L, 11L, 2L, 2)))
+  }
+
+  test("each side marries at most once; matching is maximal") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 400).map { _ =>
+      (rnd.nextInt(40).toLong, 100L + rnd.nextInt(40),
+        rnd.nextInt(1000).toLong)
+    }.distinct.toDF("u", "v", "score")
+    val m = Matching.localMaxMatching(pairs, rounds = 8)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(m.map(_._1).distinct.length == m.length, "u reused")
+    assert(m.map(_._2).distinct.length == m.length, "v reused")
+    // maximal: no remaining pair has both sides free
+    val us = m.map(_._1).toSet; val vs = m.map(_._2).toSet
+    val free = pairs.as[(Long, Long, Long)].collect()
+      .filter(p => !us.contains(p._1) && !vs.contains(p._2))
+    assert(free.isEmpty, s"unmatched matchable pairs: ${free.take(5).toSeq}")
+  }
+
+  test("score ties break on (u, v) deterministically") {
+    val pairs = Seq((1L, 10L, 7L), (1L, 11L, 7L), (2L, 10L, 7L),
+      (2L, 11L, 7L)).toDF("u", "v", "score")
+    val got = Matching.localMaxMatching(pairs, rounds = 4)
+      .orderBy("u").as[(Long, Long, Long, Int)].collect().toSeq
+    // round 1: u1's best is v10 (smaller v), v10's best is u1 -> (1,10);
+    // round 2: (2,11) remains
+    assert(got == Seq((1L, 10L, 7L, 1), (2L, 11L, 7L, 2)))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Shot-boundary detection on constructed MJPEG AVIs: ramp frames
+  * flip direction at known cuts; within-shot frames are byte-identical
+  * (distance 0), across-cut hashes are near-complements. */
+class ShotSegmentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rampJpeg(rev: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val v = if (rev) 248 - x * 8 else x * 8
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(cc: String, d: Array[Byte]) =
+      cc.getBytes("ISO-8859-1") ++ le32(d.length) ++ d ++
+        (if (d.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    val movi = chunk("LIST", "movi".getBytes("ISO-8859-1") ++
+      frames.flatMap(fb => chunk("00dc", fb)).toArray)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  test("direction flips cut shots; identical frames never do") {
+    val a = rampJpeg(rev = false); val b = rampJpeg(rev = true)
+    val media = Multimodal.ingest(
+      Seq((1L, avi(Seq(a, a, b, b, a))), (2L, avi(Seq(a, a, a))))
+        .toDF("id", "bin").withColumn("fmt", lit("video/avi")),
+      "id", "bin", "fmt")
+    val got = Multimodal.shotSegments(media, maxHamming = 16)
+      .orderBy("media_id", "frame_idx")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L), (1L, 1L, 0L), (1L, 2L, 1L),
+      (1L, 3L, 1L), (1L, 4L, 2L), (2L, 0L, 0L), (2L, 1L, 0L),
+      (2L, 2L, 0L)))
+  }
+
+  test("ramp hashes are near-complements (the cut signal is wide)") {
+    val a = rampJpeg(rev = false); val b = rampJpeg(rev = true)
+    val media = Multimodal.ingest(
+      Seq((1L, a), (2L, b)).toDF("id", "bin")
+        .withColumn("fmt", lit("image/jpeg")), "id", "bin", "fmt")
+    val hs = Multimodal.dhashFrames(media).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    val dist = java.lang.Long.bitCount(hs(1L) ^ hs(2L))
+    assert(dist > 32, s"expected a wide hamming gap, got $dist")
+  }
+}
