@@ -5200,6 +5200,40 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Graph — semi-synchronous Louvain local moving (Modularity
+    // .localMoving): two hash-parity move rounds over the supplier
+    // co-occurrence graph from singleton labels; gains are exact
+    // integer 2m·k_uc − k·d'_c comparisons, parity breaks the
+    // synchronous 2-cycle.
+    "q340_louvain_moves" -> ((s, dir) => {
+      val e = Triangles.coOccurrenceEdges(
+        Tables.load(s, dir, "lineitem").filter(col("l_quantity") <= 2),
+        col("l_orderkey"), col("l_suppkey"))
+      val init = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node"))).distinct()
+        .withColumn("community", col("node"))
+      Modularity.localMoving(e, init, rounds = 2)
+        .orderBy("node")
+    }),
+
+    // Retrieval — Dirichlet query likelihood (Retrieval
+    // .dirichletQlTopK): the second classic probabilistic ranker on
+    // q108's queries; sparse decomposition (matching postings +
+    // per-query constant + per-doc length penalty), each ln term
+    // %.6f-rounded once, exact decimal sums.
+    "q341_dirichlet_ql" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val q = Seq(
+        (1L, "spark"), (1L, "join"), (1L, "fast"),
+        (2L, "window"), (2L, "sort"), (2L, "key"),
+        (3L, "stream"), (3L, "batch"), (3L, "slow"))
+        .toDF("query_id", "term")
+      Retrieval.dirichletQlTopK(d, col("doc_id"), col("text"), q,
+          mu = 50, k = 5)
+        .orderBy("query_id", "rnk")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -11968,6 +12002,88 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q340_louvain_moves" -> {
+      def roundSql(prev: String, r: Int, out: String): String =
+        s"""k$r AS (SELECT s.src AS node, l.community AS c,
+           |    CAST(COUNT(*) AS BIGINT) AS k_uc
+           |  FROM sym s JOIN $prev l ON l.node = s.dst GROUP BY 1, 2),
+           |d$r AS (SELECT l.community, CAST(SUM(d.k) AS BIGINT) AS d_c
+           |  FROM $prev l JOIN deg d USING (node) GROUP BY 1),
+           |ck$r AS (SELECT node, c FROM k$r
+           |  UNION SELECT node, community FROM $prev),
+           |g$r AS (SELECT ck.node, ck.c,
+           |    2 * mm.m * COALESCE(k.k_uc, 0) - d.k *
+           |      (dc.d_c - CASE WHEN ck.c = cur.community
+           |                     THEN d.k ELSE 0 END) AS gain
+           |  FROM ck$r ck
+           |  LEFT JOIN k$r k ON k.node = ck.node AND k.c = ck.c
+           |  JOIN $prev cur ON cur.node = ck.node
+           |  JOIN deg d ON d.node = ck.node
+           |  JOIN d$r dc ON dc.community = ck.c
+           |  CROSS JOIN mm),
+           |p$r AS (SELECT node, c FROM (SELECT node, c,
+           |    ROW_NUMBER() OVER (PARTITION BY node
+           |      ORDER BY gain DESC, c ASC) AS rn FROM g$r)
+           |  WHERE rn = 1),
+           |$out AS (SELECT l.node,
+           |    CASE WHEN ('0x' || substr(md5('$r:' || l.node), 1, 15))
+           |           ::BIGINT % 2 = 0
+           |         THEN p.c ELSE l.community END AS community
+           |  FROM $prev l JOIN p$r p ON p.node = l.node)"""
+          .stripMargin
+      s"""WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS p
+         |  FROM lineitem WHERE l_quantity <= 2),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM ps a
+         |  JOIN ps b ON a.o = b.o AND a.p < b.p),
+         |sym AS (SELECT u AS src, v AS dst FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM sym GROUP BY 1),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+         |l0 AS (SELECT node, node AS community FROM deg),
+         |${roundSql("l0", 1, "l1")},
+         |${roundSql("l1", 2, "l2")}
+         |SELECT node, community FROM l2 ORDER BY node""".stripMargin
+    },
+
+    "q341_dirichlet_ql" ->
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |  FROM terms GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |  FROM terms GROUP BY doc_id),
+        |cf AS (SELECT term, CAST(SUM(n_occ) AS BIGINT) AS cf
+        |  FROM tf GROUP BY term),
+        |st AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS clen FROM dl),
+        |q(query_id, term) AS (VALUES (1,'spark'),(1,'join'),(1,'fast'),
+        |  (2,'window'),(2,'sort'),(2,'key'),
+        |  (3,'stream'),(3,'batch'),(3,'slow')),
+        |qc AS (SELECT CAST(q.query_id AS BIGINT) AS query_id,
+        |    SUM(CAST(printf('%.6f', ln(CAST(50 * cf.cf AS DOUBLE)
+        |      / CAST(st.clen AS DOUBLE))) AS DECIMAL(30,6))) AS qconst,
+        |    CAST(COUNT(*) AS BIGINT) AS nq
+        |  FROM q JOIN cf ON cf.term = q.term CROSS JOIN st GROUP BY 1),
+        |ms AS (SELECT CAST(q.query_id AS BIGINT) AS query_id,
+        |    tf.doc_id,
+        |    SUM(CAST(printf('%.6f',
+        |      ln(CAST(tf.n_occ * st.clen + 50 * cf.cf AS DOUBLE)
+        |        / CAST(50 * cf.cf AS DOUBLE))) AS DECIMAL(30,6)))
+        |      AS msum
+        |  FROM tf JOIN q ON q.term = tf.term
+        |  JOIN cf ON cf.term = tf.term CROSS JOIN st GROUP BY 1, 2),
+        |sc AS (SELECT ms.query_id, ms.doc_id,
+        |    ms.msum + qc.qconst - qc.nq * CAST(printf('%.6f',
+        |      ln(CAST(dl.n_tokens + 50 AS DOUBLE))) AS DECIMAL(30,6))
+        |      AS score_d
+        |  FROM ms JOIN dl USING (doc_id) JOIN qc USING (query_id)),
+        |r AS (SELECT query_id, doc_id, score_d,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_d DESC, doc_id ASC) AS rnk FROM sc)
+        |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, doc_id,
+        |  CAST(score_d AS VARCHAR) AS score
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "q338_local_max_matching" -> {
       def roundSql(prev: String, m: String, next: String): String =

@@ -73,4 +73,99 @@ object Modularity {
         col("q_num").cast(dec).as("q_num"),
         (lit(4).cast(dec) * col("m") * col("m")).as("q_den"))
   }
+
+  /** One SYNCHRONOUS Louvain-style local-moving round: every node
+    * simultaneously moves to the neighbor community with the best
+    * exact modularity gain (staying put when nothing beats the
+    * current community). The sequential Louvain sweep is inherently
+    * serial; the synchronous variant is the distributed classic — and
+    * unlike the asynchronous one it is a pure function of
+    * (edges, labels), so it gates bit-exact.
+    *
+    * Gain comparison in exact integers: moving u to c changes Q by a
+    * monotone transform of  2m·k_{u→c} − k_u·d'_c  where k_{u→c} =
+    * edges from u into c and d'_c = Σdeg over c minus k_u when c is
+    * u's current community (u must not count itself). Products run in
+    * decimal(38,0); argmax ties break on the smaller community id.
+    *
+    * Scale shape: one symmetrized edge pass for degrees, one
+    * node-keyed join to label neighbors, one (u, c) aggregate for
+    * k_{u→c}, a broadcast-sized community-degree frame joined back,
+    * and a per-node max_by aggregate — no windows, no driver state.
+    * Iterate by feeding the output back in; converged when labels
+    * stop changing (or after a fixed round budget, the
+    * [[graft.operators.Matching]] stance).
+    *
+    * @param edges       each undirected edge once, no self-loops
+    * @param communities (node, community)
+    * @return (node, community) after the simultaneous move */
+  def moveRound(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.select(col("u"), col("v"))
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val labels = communities.select(col("node"), col("community"))
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("k"))
+    val dTot = labels.join(deg, Seq("node"))
+      .groupBy("community").agg(sum("k").as("d_c"))
+    val m = e.agg(count(lit(1)).as("m"))
+    // edges from u into each adjacent community (incl. its own)
+    val kUc = sym
+      .join(labels.select(col("node").as("v"),
+        col("community").as("c")), Seq("v"))
+      .groupBy(col("u").as("node"), col("c"))
+      .agg(count(lit(1)).as("k_uc"))
+    val cur = labels.select(col("node"), col("community").as("cur"))
+    // the STAY option must compete even when no neighbor shares u's
+    // community (k_uc = 0 there): union it in explicitly
+    val candKeys = kUc.select("node", "c")
+      .unionByName(cur.select(col("node"), col("cur").as("c")))
+      .distinct()
+    val cand = candKeys
+      .join(kUc, Seq("node", "c"), "left")
+      .withColumn("k_uc", coalesce(col("k_uc"), lit(0L)))
+      .join(cur, Seq("node"))
+      .join(deg, Seq("node"))
+      .join(dTot.select(col("community").as("c"), col("d_c")), Seq("c"))
+      .crossJoin(broadcast(m))
+      .select(col("node"), col("c"),
+        (lit(2).cast(dec) * col("m").cast(dec) * col("k_uc").cast(dec) -
+          col("k").cast(dec) *
+            (col("d_c") - when(col("c") === col("cur"), col("k"))
+              .otherwise(lit(0L))).cast(dec)).as("gain"))
+    val moved = cand.groupBy("node")
+      .agg(max(struct(col("gain"), (-col("c")).as("nc"))).as("b"))
+      .select(col("node"), (-col("b.nc")).as("newc"))
+    // isolated nodes (no incident edge) keep their label
+    labels.join(moved, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("newc"), col("community")).as("community"))
+  }
+
+  /** Semi-synchronous local moving: [[moveRound]] applied for `rounds`
+    * iterations, but each round only the hash-parity HALF of the nodes
+    * (md5(round:node) mod 2 = 0) adopt their proposed move — the
+    * symmetry-breaking that kills the classic synchronous 2-cycle
+    * (two singletons that each adopt the OTHER's community forever;
+    * the semi-synchronous LPA trick, Cordasco-Gargano 2010, with
+    * hash-parity standing in for a proper coloring at scale). Pure
+    * function of (edges, init, rounds, the hash family) — gates
+    * bit-exact. Per-round localCheckpoint keeps lineage flat. */
+  def localMoving(edges: DataFrame, communities: DataFrame,
+                  rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, "rounds in [1,64]")
+    var labels = communities.select(col("node"), col("community"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val prop = moveRound(edges, labels)
+        .withColumnRenamed("community", "newc")
+      labels = labels.join(prop, Seq("node"))
+        .select(col("node"),
+          when(pmod(graft.functions.Hashing.hexLong(concat_ws(":",
+            lit(r), col("node"))), lit(2L)) === 0, col("newc"))
+            .otherwise(col("community")).as("community"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -118,6 +118,70 @@ object Retrieval {
     * @return (query_id, rnk, doc_id, score, n_lists) — n_lists = how
     *         many input lists voted for the document
     */
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2001) — the second classic probabilistic ranker next to
+    * [[bm25TopK]]:
+    *
+    *   score(q,d) = Σ_{t∈q∩d} ln(1 + tf·|C| / (μ·cf_t))
+    *              + Σ_{t∈q} ln(μ·cf_t / |C|)  −  |q|·ln(dl + μ)
+    *
+    * decomposed so only MATCHING postings join (the sparse identity:
+    * non-matching terms contribute only the background part, which
+    * splits into a per-query constant and a per-doc length penalty).
+    * Every ln argument is one IEEE division of exact integers, every
+    * term is %.6f-rounded ONCE, and the sums run in exact decimal —
+    * the [[bm25TopK]] determinism discipline. OOV query terms
+    * (cf = 0) are dropped, the standard convention.
+    *
+    * Scale: same diamond as BM25 — postings pruned by the broadcast
+    * query before any join; stats ride one-row broadcasts; the only
+    * window is the per-query top-k.
+    *
+    * @return (query_id, rnk, doc_id, score) — score the exact decimal
+    *         string of the 6-decimal term sum */
+  def dirichletQlTopK(docs: DataFrame, id: Column, text: Column,
+                      queryTerms: DataFrame, mu: Int, k: Int): DataFrame = {
+    require(mu >= 1, "mu must be >= 1")
+    val tf = graft.core.Parallelism.ensureWidth(
+        docs.select(id.as("doc_id"), explode(TextFunctions.tokens(text)).as("term")))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n_occ"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy("doc_id").agg(sum("n_occ").as("n_tokens"))
+    val cf = tf.groupBy("term").agg(sum("n_occ").as("cf"))
+    val st = dl.agg(sum("n_tokens").as("clen"))
+    val q = queryTerms.select(col("query_id"), col("term")).distinct()
+    def r6(c: Column) = format_string("%.6f", c).cast("decimal(30,6)")
+    // per-query constant over IN-CORPUS terms (and their count |q|)
+    val qc = q.join(cf, Seq("term")).crossJoin(broadcast(st))
+      .select(col("query_id"),
+        r6(log((lit(mu.toLong) * col("cf")).cast("double") /
+          col("clen").cast("double"))).as("c"))
+      .groupBy("query_id")
+      .agg(sum("c").as("qconst"), count(lit(1)).as("nq"))
+    val matchSum = tf
+      .join(broadcast(q), Seq("term"))
+      .join(cf, Seq("term"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id"),
+        r6(log((col("n_occ") * col("clen") +
+            lit(mu.toLong) * col("cf")).cast("double") /
+          (lit(mu.toLong) * col("cf")).cast("double"))).as("c"))
+      .groupBy("query_id", "doc_id").agg(sum("c").as("msum"))
+    val scored = matchSum
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(qc), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("msum") + col("qconst") -
+          col("nq") * r6(log((col("n_tokens") + lit(mu.toLong))
+            .cast("double")))).as("score_d"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_d").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("score_d").cast("string").as("score"))
+  }
+
   /** Exact phrase search over the positional index — the third
     * retrieval mode next to ranked ([[bm25TopK]]) and fused
     * ([[rrfFuse]]): find documents containing the tokens of `phrase`

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** Dirichlet query likelihood: ranking directions and OOV handling. */
+class DirichletQlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark join spark filter"),      // tf(spark)=2, dl=4
+    (2L, "spark window sort group"),      // tf(spark)=1, dl=4
+    (3L, "window sort group order"),      // no spark, dl=4
+    (4L, "spark join spark filter pad pad pad pad")  // tf=2, dl=8
+  ).toDF("doc_id", "text")
+
+  private def run(terms: Seq[(Long, String)], k: Int = 10) =
+    Retrieval.dirichletQlTopK(docs, col("doc_id"), col("text"),
+      terms.toDF("query_id", "term"), mu = 10, k = k)
+      .orderBy("query_id", "rnk")
+      .as[(Long, Int, Long, String)].collect().toSeq
+
+  test("higher tf ranks above lower tf at equal length; length " +
+    "penalty orders equal-tf docs") {
+    val got = run(Seq((1L, "spark")))
+    val order = got.map(_._3)
+    assert(order.indexOf(1L) < order.indexOf(2L), s"tf order: $got")
+    assert(order.indexOf(1L) < order.indexOf(4L), s"dl penalty: $got")
+    // doc 3 has no query term -> not retrieved (sparse identity)
+    assert(!order.contains(3L), got.toString)
+  }
+
+  test("OOV query terms are dropped, not scored") {
+    val withOov = run(Seq((1L, "spark"), (1L, "zzzunseen")))
+    val without = run(Seq((1L, "spark")))
+    assert(withOov == without)
+  }
+
+  test("scores replay exactly") {
+    assert(run(Seq((1L, "spark"), (1L, "join"))) ==
+      run(Seq((1L, "spark"), (1L, "join"))))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Modularity
+
+/** Synchronous local-moving round: hand-checked gains on the
+  * two-triangle bridge graph, and stability of the optimum. */
+class ModularityMoveSpec extends SparkSpec {
+  import spark.implicits._
+
+  // triangles {1,2,3} and {4,5,6} bridged by (3,4); m = 7
+  private val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+    (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+
+  test("singleton start: every node adopts its best neighbor " +
+    "(hand gains, smallest-id ties)") {
+    val init = (1L to 6L).map(n => (n, n)).toDF("node", "community")
+    val got = Modularity.moveRound(edges, init)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // gains 2m*k_uc - k_u*d'_c with 2m = 14; ties -> smaller id
+    assert(got == Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 5L),
+      (5L, 6L), (6L, 5L)))
+  }
+
+  test("the optimal partition is a fixed point") {
+    val opt = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 200L),
+      (5L, 200L), (6L, 200L)).toDF("node", "community")
+    val got = Modularity.moveRound(edges, opt)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 200L),
+      (5L, 200L), (6L, 200L)))
+  }
+
+  test("isolated labeled nodes keep their community") {
+    val init = ((1L to 6L) :+ 99L).map(n => (n, n))
+      .toDF("node", "community")
+    val got = Modularity.moveRound(edges, init)
+      .filter(col("node") === 99L).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((99L, 99L)))
+  }
+
+  test("semi-synchronous localMoving escapes the oscillation and " +
+    "reaches a split that modularityScore rates positive") {
+    val init = (1L to 6L).map(n => (n, n)).toDF("node", "community")
+    val labels = Modularity.localMoving(edges, init, rounds = 6)
+    val q = Modularity.modularityScore(edges, col("u"), col("v"),
+        labels, col("node"), col("community"))
+      .selectExpr("CAST(q_num AS DOUBLE) / CAST(q_den AS DOUBLE)")
+      .as[Double].collect().head
+    assert(q > 0.0, s"after 6 semi-synchronous rounds Q = $q")
+  }
+}
