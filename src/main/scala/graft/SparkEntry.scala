@@ -5234,6 +5234,14 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // Governance — Krippendorff's alpha (Evaluation
+    // .krippendorffAlpha): inter-rater agreement with missing
+    // ratings; orders are units, line numbers the raters,
+    // return flags the labels. Two stated floors; exact integers.
+    "q342_krippendorff" -> ((s, dir) =>
+      Evaluation.krippendorffAlpha(Tables.load(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_returnflag"))),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12002,6 +12010,31 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q342_krippendorff" ->
+      """WITH cells AS (SELECT l_orderkey AS u, l_returnflag AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS n_uc FROM lineitem
+        |  GROUP BY 1, 2),
+        |nu AS (SELECT u, CAST(SUM(n_uc) AS BIGINT) AS n_u
+        |  FROM cells GROUP BY 1),
+        |k AS (SELECT c.u, c.c, c.n_uc, nu.n_u FROM cells c
+        |  JOIN nu ON nu.u = c.u WHERE nu.n_u >= 2),
+        |su AS (SELECT u, n_u,
+        |    CAST(SUM(n_uc * (n_u - n_uc)) AS BIGINT) AS s_u
+        |  FROM k GROUP BY 1, 2),
+        |tt AS (SELECT CAST(SUM((s_u * 1000000000) // (n_u - 1))
+        |      AS HUGEINT) AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS n_units FROM su),
+        |nn AS (SELECT CAST(SUM(n_uc) AS BIGINT) AS n FROM k),
+        |nc AS (SELECT c, CAST(SUM(n_uc) AS BIGINT) AS n_c
+        |  FROM k GROUP BY 1),
+        |de AS (SELECT CAST(SUM(CAST(n_c AS HUGEINT) * (nn.n - n_c))
+        |    AS HUGEINT) AS de FROM nc, nn)
+        |SELECT n_units, nn.n AS n_ratings,
+        |  CAST(t AS VARCHAR) AS t_num, CAST(de AS VARCHAR) AS de_den,
+        |  CAST(1000000000 - (t * (nn.n - 1)) // de AS BIGINT)
+        |    AS alpha9
+        |FROM tt, nn, de""".stripMargin,
 
     "q340_louvain_moves" -> {
       def roundSql(prev: String, r: Int, out: String): String =

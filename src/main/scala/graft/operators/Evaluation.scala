@@ -432,4 +432,53 @@ object Evaluation {
             (col("b") * (col("t") - col("s"))).cast("double")))
           .as("kappa6"))
   }
+
+  /** Krippendorff's alpha, nominal metric — the inter-rater agreement
+    * that HANDLES MISSING RATINGS: [[fleissKappa]] requires exactly m
+    * ratings per unit; alpha uses whoever showed up (the real
+    * annotation-ops case) and drops single-rating units (no pair
+    * evidence, per the method). α = 1 − D_o/D_e with
+    *
+    *   D_o = (1/n) Σ_u Σ_c n_uc·(n_u − n_uc)/(n_u − 1)
+    *   D_e = Σ_c n_c·(n − n_c) / (n·(n−1))
+    *
+    * rendered with exactly two stated floors so engines agree
+    * bit-for-bit:  T = Σ_u ⌊S_u·10⁹/(n_u−1)⌋  (S_u the intra-unit
+    * disagreement pair count), then α9 = 10⁹ − ⌊T·(n−1)/Σ_c n_c(n−n_c)⌋
+    * — every term a positive integer, products widened to
+    * decimal(38,0). α9 < 0 = worse than chance; NULL when D_e = 0
+    * (a single observed category carries no expected disagreement).
+    *
+    * Scale shape: one (unit, label) count aggregate; everything else
+    * re-aggregates that table — the [[fleissKappa]] shape, plus one
+    * broadcast of the one-row n frame into the class margin.
+    *
+    * @return one row (n_units, n_ratings, t_num, de_den, alpha9) */
+  def krippendorffAlpha(df: DataFrame, unit: Column,
+                        label: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.select(unit.as("u"), label.cast("string").as("c"))
+      .groupBy("u", "c").agg(count(lit(1)).as("n_uc"))
+      .localCheckpoint(true)
+    val nu = cells.groupBy("u").agg(sum("n_uc").as("n_u"))
+    val kept = cells.join(nu.filter(col("n_u") >= 2), Seq("u"))
+    val su = kept.groupBy("u", "n_u")
+      .agg(sum(col("n_uc") * (col("n_u") - col("n_uc"))).as("s_u"))
+    val tt = su.agg(
+      sum(expr("(s_u * 1000000000L) div (n_u - 1)")).as("t"),
+      count(lit(1)).as("n_units"))
+    val nn = kept.agg(sum("n_uc").as("n"))
+    val de = kept.groupBy("c").agg(sum("n_uc").as("n_c"))
+      .crossJoin(broadcast(nn))
+      .agg(sum(col("n_c").cast(dec) *
+        (col("n") - col("n_c")).cast(dec)).cast(dec).as("de"))
+    tt.crossJoin(broadcast(nn)).crossJoin(broadcast(de))
+      .select(col("n_units"), col("n").as("n_ratings"),
+        col("t").cast("string").as("t_num"),
+        col("de").cast("string").as("de_den"),
+        when(col("de") =!= 0,
+          lit(1000000000L) - expr(
+            "CAST(CAST(t AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)) " +
+              "AS DECIMAL(38,0)) div de")).as("alpha9"))
+  }
 }

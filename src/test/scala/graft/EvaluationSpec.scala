@@ -240,4 +240,36 @@ class EvaluationSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("fleissKappa"))
   }
+
+  test("krippendorffAlpha: hand case with a dropped singleton") {
+    // u1: A,A (agree); u2: A,B; u3: B,B; u4: B alone (dropped)
+    // n=6, T=2e9, De=18 -> alpha9 = 1e9 - floor(2e9*5/18) = 444444445
+    val df = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "B"), (3L, "B"), (4L, "B")).toDF("u", "c")
+    val got = Evaluation.krippendorffAlpha(df, col("u"), col("c"))
+      .select("n_units", "n_ratings", "alpha9")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((3L, 6L, 444444445L)))
+  }
+
+  test("krippendorffAlpha: perfect agreement is exactly 1e9; a " +
+    "single observed category degenerates to null") {
+    val perfect = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B"))
+      .toDF("u", "c")
+    assert(Evaluation.krippendorffAlpha(perfect, col("u"), col("c"))
+      .select("alpha9").as[Long].collect().head == 1000000000L)
+    val mono = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A"))
+      .toDF("u", "c")
+    assert(Evaluation.krippendorffAlpha(mono, col("u"), col("c"))
+      .select("alpha9").as[Option[Long]].collect().head.isEmpty)
+  }
+
+  test("krippendorffAlpha: systematic disagreement goes negative") {
+    // every unit gets two different labels -> D_o maximal
+    val df = (1L to 4L).flatMap(u => Seq((u, "A"), (u, "B")))
+      .toDF("u", "c")
+    val a = Evaluation.krippendorffAlpha(df, col("u"), col("c"))
+      .select("alpha9").as[Long].collect().head
+    assert(a < 0L, s"alpha9 = $a")
+  }
 }
