@@ -5242,6 +5242,20 @@ object SparkEntry {
       Evaluation.krippendorffAlpha(Tables.load(s, dir, "lineitem"),
         col("l_orderkey"), col("l_returnflag"))),
 
+    // Serving — off-policy evaluation, IPS + SNIPS (OffPolicy
+    // .ipsSnips): "route even users to purchase, odd to click" target
+    // policy evaluated from the logged event stream under empirical
+    // propensities; three stated floors, decimal(38,0) products.
+    "q343_off_policy" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val ev = Tables.events(s, dir)
+      OffPolicy.ipsSnips(ev, col("event_type"),
+        (format_string("%.2f", col("value")).cast(dec2) * 100)
+          .cast("long"),
+        (col("user_id") % 2 === 0 && col("event_type") === "purchase") ||
+          (col("user_id") % 2 === 1 && col("event_type") === "click"))
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12010,6 +12024,34 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q343_off_policy" ->
+      """WITH b AS (SELECT event_type AS a,
+        |    CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS r,
+        |    ((user_id % 2 = 0 AND event_type = 'purchase') OR
+        |     (user_id % 2 = 1 AND event_type = 'click')) AS m
+        |  FROM events),
+        |pa AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN m THEN r ELSE 0 END) AS BIGINT) AS r_a,
+        |    CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS c_a
+        |  FROM b GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+        |t AS (SELECT nn.n,
+        |    (CAST(r_a AS HUGEINT) * nn.n * 1000000000) // n_a AS term,
+        |    (CAST(c_a AS HUGEINT) * nn.n * 1000000000) // n_a
+        |      AS wterm,
+        |    c_a
+        |  FROM pa, nn),
+        |s AS (SELECT n, CAST(SUM(term) AS HUGEINT) AS ips_num,
+        |    CAST(SUM(wterm) AS HUGEINT) AS w_den,
+        |    CAST(SUM(c_a) AS BIGINT) AS n_matched
+        |  FROM t GROUP BY n)
+        |SELECT n, n_matched, CAST(ips_num AS VARCHAR) AS ips_num,
+        |  CAST(w_den AS VARCHAR) AS w_den,
+        |  CAST(ips_num // n AS BIGINT) AS ips9c,
+        |  CAST((ips_num * 1000000) // w_den AS BIGINT) AS snips6c
+        |FROM s""".stripMargin,
 
     "q342_krippendorff" ->
       """WITH cells AS (SELECT l_orderkey AS u, l_returnflag AS c,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Off-policy evaluation from logged bandit feedback — "what would
+  * the new policy's mean reward have been?" answered from the OLD
+  * policy's logs (Horvitz-Thompson family; Li et al. 2011 replay,
+  * Swaminathan-Joachims SNIPS):
+  *
+  *   IPS   = (1/n) Σ_i  1[π(x_i)=a_i] · r_i / p(a_i)
+  *   SNIPS = Σ_i w_i r_i / Σ_i w_i     (w_i the same ratio)
+  *
+  * The logging propensity is the EMPIRICAL action marginal
+  * p(a) = n_a/n (the honest estimate when the logger's true
+  * propensities weren't recorded — document the assumption), so every
+  * weight is the exact rational n/n_a and the whole estimator reduces
+  * to per-action integer evidence: R_a = Σ matched rewards, c_a =
+  * matched count. Three stated floors render it engine-exact:
+  *
+  *   term_a  = ⌊R_a·n·10⁹ / n_a⌋     wterm_a = ⌊c_a·n·10⁹ / n_a⌋
+  *   ips9c   = ⌊Σ term_a / n⌋        snips6c = ⌊Σ term_a·10⁶ / Σ wterm_a⌋
+  *
+  * (ips9c = IPS ×10⁹ in reward units; snips6c = SNIPS ×10⁶.) Products
+  * run in decimal(38,0) — no long overflow for corpus-scale sums.
+  *
+  * Scale shape: ONE pass to the per-action aggregate (|actions| rows),
+  * then arithmetic on that tiny frame with the one-row n broadcast.
+  *
+  * @param logged  one row per logged decision
+  * @param action  the logged action
+  * @param reward  nonnegative integer reward (caller-scaled, e.g. cents)
+  * @param matched true when the TARGET policy would have chosen the
+  *                logged action in this context
+  * @return one row (n, n_matched, ips_num, w_den, ips9c, snips6c);
+  *         snips6c NULL when no row matches */
+object OffPolicy {
+
+  def ipsSnips(logged: DataFrame, action: Column, reward: Column,
+               matched: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = logged.select(action.as("a"),
+      reward.cast("long").as("r"), matched.as("m"))
+    val perA = base.groupBy("a").agg(
+      count(lit(1)).as("n_a"),
+      sum(when(col("m"), col("r")).otherwise(0L)).as("r_a"),
+      sum(when(col("m"), 1L).otherwise(0L)).as("c_a"))
+    val nn = base.agg(count(lit(1)).as("n"))
+    val terms = perA.crossJoin(broadcast(nn))
+      .select(col("n"),
+        expr("CAST(CAST(r_a AS DECIMAL(38,0)) * n * 1000000000 " +
+          "AS DECIMAL(38,0)) div n_a").cast(dec).as("term"),
+        expr("CAST(CAST(c_a AS DECIMAL(38,0)) * n * 1000000000 " +
+          "AS DECIMAL(38,0)) div n_a").cast(dec).as("wterm"),
+        col("c_a"))
+    terms.groupBy("n").agg(
+        sum("term").cast(dec).as("ips_num"),
+        sum("wterm").cast(dec).as("w_den"),
+        sum("c_a").as("n_matched"))
+      .select(col("n"), col("n_matched"),
+        col("ips_num").cast("string").as("ips_num"),
+        col("w_den").cast("string").as("w_den"),
+        expr("ips_num div CAST(n AS DECIMAL(38,0))").as("ips9c"),
+        when(col("w_den") =!= 0,
+          expr("CAST(ips_num * 1000000 AS DECIMAL(38,0)) div w_den"))
+          .as("snips6c"))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.OffPolicy
+
+/** Hand-checked IPS/SNIPS with empirical propensities. */
+class OffPolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand case: weights n/n_a, three stated floors") {
+    val logged = Seq(("A", 100L, true), ("A", 50L, false),
+      ("B", 10L, true), ("B", 30L, true)).toDF("a", "r", "m")
+    val got = OffPolicy.ipsSnips(logged, col("a"), col("r"), col("m"))
+      .select("n", "n_matched", "ips9c", "snips6c")
+      .as[(Long, Long, Long, Long)].collect().head
+    // w = 2 for both actions; IPS = (200+20+60)/4 = 70;
+    // SNIPS = 280/6 = 46.666666...
+    assert(got == ((4L, 3L, 70000000000L, 46666666L)))
+  }
+
+  test("no matched rows: IPS 0, SNIPS degenerates to null") {
+    val logged = Seq(("A", 100L, false), ("B", 10L, false))
+      .toDF("a", "r", "m")
+    val got = OffPolicy.ipsSnips(logged, col("a"), col("r"), col("m"))
+      .select(col("ips9c"), col("snips6c"))
+      .as[(Long, Option[Long])].collect().head
+    assert(got == ((0L, None)))
+  }
+
+  test("all traffic already on the target policy: both estimators " +
+    "equal the plain mean") {
+    val logged = Seq(("A", 10L, true), ("A", 20L, true),
+      ("A", 30L, true)).toDF("a", "r", "m")
+    val got = OffPolicy.ipsSnips(logged, col("a"), col("r"), col("m"))
+      .select("ips9c", "snips6c").as[(Long, Long)].collect().head
+    assert(got == ((20000000000L, 20000000L)))
+  }
+}
