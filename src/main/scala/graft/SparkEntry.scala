@@ -5256,6 +5256,56 @@ object SparkEntry {
           (col("user_id") % 2 === 1 && col("event_type") === "click"))
     }),
 
+    // §2.8 — linear-interpolated time-grid resample (Segmentation
+    // .resampleLinear): q119's grid with time-weighted interpolation
+    // between bracketing observations instead of carry-forward; the
+    // one floor is the sign-safe pmod spelling, products in
+    // decimal(38,0) (cents × µs spans pass 2⁶³).
+    "q344_resample_linear" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      Segmentation.resampleLinear(Tables.events(s, dir),
+          col("user_id"), unix_micros(col("ts")),
+          (format_string("%.2f", col("value")).cast(dec2) * 100)
+            .cast("long"),
+          step = 86400000000L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id", "grid_ts")
+    }),
+
+    // Governance — t-closeness audit (DataQuality.tCloseness):
+    // per-(nation, segment) class EMD of the balance-bucket
+    // distribution to the table's, over the shifted-nonnegative
+    // $1000 bucket ladder; one stated floor, decimal(38,0) products.
+    "q345_t_closeness" -> ((s, dir) => {
+      val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+      val cents = (format_string("%.2f", col("c_acctbal"))
+        .cast(dec2) * 100).cast("long")
+      DataQuality.tCloseness(Tables.load(s, dir, "customer"),
+          Seq("nat" -> col("c_nationkey"), "seg" -> col("c_mktsegment")),
+          call_function("div", cents + lit(100000L), lit(100000L)))
+        .orderBy("nat", "seg")
+    }),
+
+    // Geo — point-in-polygon join (Geo.pointInPolygon): hash-placed
+    // customer points against a triangle, a concave L, and a small
+    // square; exact even-odd ray casting in integer cross-multiplied
+    // arithmetic — no floats, polygons broadcast as a dimension.
+    "q346_point_in_polygon" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("pid"),
+        (col("c_custkey") * 7919 % 2001 - 1000).as("x"),
+        (col("c_custkey") * 104729 % 2001 - 1000).as("y"))
+      val polys = Seq(
+        (1L, Seq(-900L, 900L, 0L), Seq(-900L, -900L, 900L)),
+        (2L, Seq(-500L, 500L, 500L, 0L, 0L, -500L),
+          Seq(-500L, -500L, 500L, 500L, 0L, 0L)),
+        (3L, Seq(100L, 300L, 300L, 100L),
+          Seq(100L, 100L, 300L, 300L))
+      ).toDF("poly_id", "xs", "ys")
+      Geo.pointInPolygon(pts, polys).orderBy("pid", "poly_id")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12024,6 +12074,106 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q346_point_in_polygon" ->
+      """WITH pts AS (SELECT c_custkey AS pid,
+        |    (c_custkey * 7919) % 2001 - 1000 AS px,
+        |    (c_custkey * 104729) % 2001 - 1000 AS py
+        |  FROM customer),
+        |polys(poly_id, xs, ys) AS (VALUES
+        |  (1, [-900, 900, 0], [-900, -900, 900]),
+        |  (2, [-500, 500, 500, 0, 0, -500],
+        |      [-500, -500, 500, 500, 0, 0]),
+        |  (3, [100, 300, 300, 100], [100, 100, 300, 300])),
+        |e AS (SELECT poly_id,
+        |    CAST(xs[i] AS BIGINT) AS x1, CAST(ys[i] AS BIGINT) AS y1,
+        |    CAST(xs[(i % len(xs)) + 1] AS BIGINT) AS x2,
+        |    CAST(ys[(i % len(ys)) + 1] AS BIGINT) AS y2
+        |  FROM polys, UNNEST(range(1, len(xs) + 1)) AS t(i)),
+        |c AS (SELECT pid, poly_id, COUNT(*) AS c FROM pts JOIN e
+        |  ON ((e.y1 > pts.py) <> (e.y2 > pts.py))
+        |  AND (((e.y2 - e.y1) > 0 AND
+        |        (pts.px - e.x1) * (e.y2 - e.y1)
+        |          < (e.x2 - e.x1) * (pts.py - e.y1))
+        |    OR ((e.y2 - e.y1) < 0 AND
+        |        (pts.px - e.x1) * (e.y2 - e.y1)
+        |          > (e.x2 - e.x1) * (pts.py - e.y1)))
+        |  GROUP BY 1, 2)
+        |SELECT pid, CAST(poly_id AS BIGINT) AS poly_id FROM c
+        |WHERE c % 2 = 1 ORDER BY pid, poly_id""".stripMargin,
+
+    "q345_t_closeness" ->
+      """WITH basec AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    (CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2))
+        |       * 100 AS BIGINT) + 100000) // 100000 AS v
+        |  FROM customer),
+        |vals AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS i
+        |  FROM (SELECT DISTINCT v FROM basec)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM basec),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM vals),
+        |gcum AS (SELECT i, SUM(b) OVER (ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        |  FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS b FROM basec
+        |        GROUP BY 1) JOIN vals USING (v)),
+        |cls AS (SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS g
+        |  FROM basec GROUP BY 1, 2),
+        |cells AS (SELECT nat, seg, v, CAST(COUNT(*) AS BIGINT) AS a
+        |  FROM basec GROUP BY 1, 2, 3),
+        |sp AS (SELECT c.nat, c.seg, c.g, vals.v, vals.i,
+        |    COALESCE(ce.a, 0) AS a
+        |  FROM cls c CROSS JOIN vals
+        |  LEFT JOIN cells ce ON ce.nat = c.nat AND ce.seg = c.seg
+        |    AND ce.v = vals.v),
+        |cum AS (SELECT nat, seg, g, i,
+        |    SUM(a) OVER (PARTITION BY nat, seg ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+        |  FROM sp),
+        |agg AS (SELECT nat, seg, g,
+        |    CAST(SUM(ABS(CAST(ca AS HUGEINT) * nn.n
+        |      - CAST(cb AS HUGEINT) * g)) AS HUGEINT) AS s
+        |  FROM cum JOIN gcum USING (i), nn GROUP BY 1, 2, 3)
+        |SELECT nat, seg, g AS group_size,
+        |  CASE WHEN mm.m > 1
+        |       THEN CAST((s * 1000000000) // ((mm.m - 1) * g * nn.n)
+        |            AS BIGINT)
+        |       ELSE 0 END AS t9
+        |FROM agg, nn, mm ORDER BY nat, seg""".stripMargin,
+
+    "q344_resample_linear" ->
+      """WITH obs AS (SELECT user_id AS k, epoch_us(ts) AS t,
+        |    MAX(CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k,
+        |    (MIN(t) + 86400000000 - 1) // 86400000000 AS lo,
+        |    MAX(t) // 86400000000 AS hi FROM obs GROUP BY k),
+        |grid AS (SELECT k, unnest(range(lo, hi + 1)) * 86400000000
+        |    AS gt FROM b WHERE hi >= lo),
+        |u AS (SELECT k, gt AS t, 1 AS isg, gt,
+        |    CAST(NULL AS STRUCT(ot BIGINT, ov BIGINT)) AS p FROM grid
+        |  UNION ALL
+        |  SELECT k, t, 0, NULL, struct_pack(ot := t, ov := v)
+        |  FROM obs),
+        |w AS (SELECT k, gt, isg,
+        |    last_value(p IGNORE NULLS) OVER (PARTITION BY k
+        |      ORDER BY t, isg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p0,
+        |    first_value(p IGNORE NULLS) OVER (PARTITION BY k
+        |      ORDER BY t, 1 - isg
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p1
+        |  FROM u),
+        |r AS (SELECT k, gt,
+        |    CASE WHEN p1.ot = p0.ot THEN p0.ov
+        |         ELSE p0.ov + CAST((
+        |             (CAST(p1.ov - p0.ov AS HUGEINT) * (gt - p0.ot))
+        |             - ((CAST(p1.ov - p0.ov AS HUGEINT)
+        |                  * (gt - p0.ot)) % (p1.ot - p0.ot)
+        |                + (p1.ot - p0.ot)) % (p1.ot - p0.ot)
+        |           ) // (p1.ot - p0.ot) AS BIGINT)
+        |    END AS value
+        |  FROM w WHERE isg = 1)
+        |SELECT k AS user_id, gt AS grid_ts, value FROM r
+        |ORDER BY user_id, grid_ts""".stripMargin,
 
     "q343_off_policy" ->
       """WITH b AS (SELECT event_type AS a,

@@ -119,6 +119,80 @@ object DataQuality {
       .withColumn("is_risky", col("n_sensitive") < l)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung after [[kAnonymity]] and [[lDiversity]]: a QI class can be
+    * large AND diverse yet still leak when its sensitive-value
+    * DISTRIBUTION deviates from the table's (the skewness attack —
+    * "this class is 90% high-balance"). Distance is the ordered EMD
+    * over the observed value ladder v_1 < … < v_m:
+    *
+    *   t = (1/(m−1)) Σ_i |CumP_i − CumQ_i|
+    *
+    * rendered exactly: with class cumulative counts A_i (size g) and
+    * global B_i (size n), t9 = ⌊ Σ_i |A_i·n − B_i·g| · 10⁹ /
+    * ((m−1)·g·n) ⌋ — one stated floor, decimal(38,0) products (n² at
+    * warehouse scale passes 2⁶³). m = 1 degenerates to t = 0.
+    *
+    * Scale shape: the value ladder is a dimension frame (index it via
+    * the zipWithIndex range-sort, broadcast it back); the honest cost
+    * is the |classes|·m spine so absent values contribute their
+    * cumulative gap; cumulatives run in class-keyed windows bounded by
+    * m rows. Bucket continuous sensitive columns FIRST — m is a plan
+    * parameter, not data-driven.
+    *
+    * @param qi        (name, column) quasi-identifier keys (the
+    *                  [[WeightedQuantiles.quantiles]] convention)
+    * @param sensitive integral (bucketed) sensitive value
+    * @return one row per QI class: (qi…, group_size, t9) */
+  def tCloseness(df: DataFrame, qi: Seq[(String, Column)],
+                 sensitive: Column): DataFrame = {
+    require(qi.nonEmpty, "need QI columns")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val qiNames = qi.map(_._1)
+    val base = df.select(
+      qi.map { case (n, c) => c.as(n) } :+
+        sensitive.cast("long").as("__v"): _*)
+      .localCheckpoint(true)
+    val vals = GlobalIndex.withGlobalIndex(
+      base.select(col("__v")).distinct(), Seq(col("__v")), "__i")
+      .localCheckpoint(true)
+    val m = vals.agg(count(lit(1)).as("m"))
+    val nn = base.agg(count(lit(1)).as("n"))
+    val globalCum = base.groupBy("__v").agg(count(lit(1)).as("b"))
+      .join(vals, Seq("__v"))
+      .withColumn("cb", sum("b").over(
+        org.apache.spark.sql.expressions.Window.orderBy("__i")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)))
+      .select(col("__i"), col("cb"))
+    val classes = base.groupBy(qiNames.map(col): _*)
+      .agg(count(lit(1)).as("g"))
+    val cells = base.groupBy(qiNames.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("a"))
+    val spine = classes.crossJoin(broadcast(vals))
+      .join(cells, qiNames :+ "__v", "left")
+      .withColumn("a", coalesce(col("a"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiNames.map(col): _*).orderBy("__i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine
+      .withColumn("ca", sum("a").over(w))
+      .join(broadcast(globalCum), Seq("__i"))
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(m))
+      .groupBy((qiNames.map(col) :+ col("g") :+ col("n") :+
+        col("m")): _*)
+      .agg(sum(abs(col("ca").cast(dec) * col("n") -
+        col("cb").cast(dec) * col("g"))).cast(dec).as("s"))
+      .select(qiNames.map(col) ++ Seq(col("g").as("group_size"),
+        when(col("m") > 1,
+          expr("CAST(s * 1000000000 AS DECIMAL(38,0)) div " +
+            "(CAST(m - 1 AS DECIMAL(38,0)) * g * n)"))
+          .otherwise(0L).as("t9")): _*)
+  }
+
   /** Chi-square independence audit between two categorical columns —
     * "is language independent of source": the drift/bias test run on
     * label distributions before training. Exact-integer core: with

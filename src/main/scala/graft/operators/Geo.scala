@@ -173,4 +173,51 @@ object Geo {
         when(col("is_core"), col("cluster"))
           .otherwise(col("bcluster")).as("cluster"))
   }
+
+  /** Point-in-polygon join by exact even-odd ray casting — geofence
+    * enrichment against ARBITRARY (including concave) polygons, where
+    * [[proximityJoin]]'s circles don't cut it. Pure integer
+    * arithmetic: a rightward ray from (px,py) crosses edge
+    * (x1,y1)→(x2,y2) iff the edge straddles py ((y1>py) ≠ (y2>py))
+    * and the crossing sits right of px — the float-free
+    * cross-multiplied form (px−x1)·dy <: (x2−x1)·(py−y1) with the
+    * comparison flipped when dy < 0. Boundary points follow the
+    * half-open crossing convention (deterministic; the standard
+    * raster rule). Coordinate domain |x|,|y| < 2³⁰ keeps every
+    * product inside a long.
+    *
+    * Scale shape: polygons are a DIMENSION frame — exploded to edges
+    * once and broadcast; the point side streams through a broadcast
+    * nested-loop whose honest cost is |points|·Σ|edges| comparisons
+    * (pre-filter points by the polygons' bounding boxes upstream when
+    * the fence set is large); the parity count is one (pid, poly)
+    * aggregate.
+    *
+    * @param points (pid, x, y) integer coordinates
+    * @param polys  (poly_id, xs array<long>, ys array<long>) — closed
+    *               implicitly (last vertex connects to first)
+    * @return (pid, poly_id) — one row per containment */
+  def pointInPolygon(points: DataFrame, polys: DataFrame): DataFrame = {
+    val edges = polys
+      .select(col("poly_id"), posexplode(col("xs")).as(Seq("i", "x1")),
+        col("ys"), col("xs"))
+      .select(col("poly_id"), col("x1"),
+        element_at(col("ys"), col("i") + 1).as("y1"),
+        element_at(col("xs"),
+          pmod(col("i") + 1, size(col("xs"))) + 1).as("x2"),
+        element_at(col("ys"),
+          pmod(col("i") + 1, size(col("ys"))) + 1).as("y2"))
+    val p = points.select(col("pid"), col("x").cast("long").as("px"),
+      col("y").cast("long").as("py"))
+    val straddles = (col("y1") > col("py")) =!= (col("y2") > col("py"))
+    val dy = col("y2") - col("y1")
+    val lhs = (col("px") - col("x1")) * dy
+    val rhs = (col("x2") - col("x1")) * (col("py") - col("y1"))
+    val crosses = straddles &&
+      ((dy > 0 && lhs < rhs) || (dy < 0 && lhs > rhs))
+    p.join(broadcast(edges), crosses)
+      .groupBy("pid", "poly_id").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") % 2 === 1)
+      .select("pid", "poly_id")
+  }
 }

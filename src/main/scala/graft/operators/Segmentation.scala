@@ -79,4 +79,59 @@ object Segmentation {
       .filter(col("isg") === 1)
       .select(col("k").as("key"), col("gt").as("grid_ts"), col("fv").as("value"))
   }
+
+  /** Linear-interpolated twin of [[resampleCarryForward]]: each grid
+    * point takes v0 + ⌊(v1−v0)·(t−t0)/(t1−t0)⌋ between its bracketing
+    * observations (t0,v0) ≤ t ≤ (t1,v1) — time-weighted resampling for
+    * measures where carry-forward lies (rates, gauges).
+    *
+    * Engine-exact: values are caller-scaled LONGS and the one floor is
+    * spelled sign-safely ((x − ((x%d + d)%d))/d — Spark truncates
+    * toward zero while SQL `//` engines disagree on negatives, so the
+    * pmod spelling is the only portable floor). A grid point sitting
+    * exactly on an observation returns that observation's value.
+    *
+    * Same scale shape as carry-forward: union + TWO ordered window
+    * passes over the same key partition (forward last-obs, backward
+    * first-obs — no join), grid bounds keep every grid point
+    * bracketed. Same-timestamp observations collapse to max(v) first.
+    *
+    * @return (key, grid_ts, value) — value a floored long */
+  def resampleLinear(df: DataFrame, key: Column, ts: Column,
+                     value: Column, step: Long): DataFrame = {
+    require(step > 0, "step must be positive")
+    val obs = df.select(key.as("k"), ts.as("t"),
+        value.cast("long").as("v"))
+      .groupBy("k", "t").agg(max("v").as("v"))
+      .localCheckpoint(true)
+    val bounds = obs.groupBy("k").agg(
+      expr(s"(min(t) + $step - 1) div $step").as("lo"),
+      expr(s"max(t) div $step").as("hi"))
+    val grid = bounds.filter(col("hi") >= col("lo"))
+      .select(col("k"), explode(sequence(col("lo"), col("hi"))).as("gk"))
+      .select(col("k"), (col("gk") * step).as("gt"))
+    val obsP = struct(col("t").as("ot"), col("v").as("ov"))
+    val u = grid
+      .select(col("k"), col("gt").as("t"), lit(1).as("isg"), col("gt"),
+        lit(null).cast("struct<ot:bigint,ov:bigint>").as("p"))
+      .unionByName(obs.select(col("k"), col("t"), lit(0).as("isg"),
+        lit(null).cast("long").as("gt"), obsP.as("p")))
+    val fwd = Window.partitionBy("k").orderBy(col("t"), col("isg"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy("k").orderBy(col("t"), lit(1) - col("isg"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn("p0", last(col("p"), ignoreNulls = true).over(fwd))
+      .withColumn("p1", first(col("p"), ignoreNulls = true).over(bwd))
+      .filter(col("isg") === 1)
+      .withColumn("__num", expr(
+        "CAST(p1.ov - p0.ov AS DECIMAL(38,0)) * (t - p0.ot)"))
+      .withColumn("value",
+        when(col("p1.ot") === col("p0.ot"), col("p0.ov"))
+          .otherwise(col("p0.ov") +
+            expr("""CAST(__num - ((__num % (p1.ot - p0.ot)
+                   |  + (p1.ot - p0.ot)) % (p1.ot - p0.ot))
+                   |  AS DECIMAL(38,0)) div (p1.ot - p0.ot)"""
+              .stripMargin)))
+      .select(col("k").as("key"), col("gt").as("grid_ts"), col("value"))
+  }
 }

@@ -176,4 +176,29 @@ class DataQualitySpec extends SparkSpec {
       col("d")))).head()
     assert(r.getLong(1) == 3L && r.getLong(3) == 1L)
   }
+
+  test("tCloseness: hand ordered-EMD per class, absent values " +
+    "contribute their cumulative gap") {
+    // class X: [1,1,2]; class Y: [2,3,3,3]; global cum B = [2,4,7]
+    // S_X = 8+9+0 = 17 over den 2*3*7; S_Y = 17 over den 2*4*7
+    val df = Seq(("X", 1L), ("X", 1L), ("X", 2L),
+      ("Y", 2L), ("Y", 3L), ("Y", 3L), ("Y", 3L)).toDF("cls", "v")
+    val got = DataQuality.tCloseness(df, Seq("cls" -> col("cls")),
+        col("v"))
+      .orderBy("cls").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("X", 3L, 404761904L), ("Y", 4L, 303571428L)))
+  }
+
+  test("tCloseness: identical class distribution gives t 0; a single " +
+    "observed value degenerates to 0") {
+    val same = Seq(("X", 1L), ("X", 2L), ("Y", 1L), ("Y", 2L))
+      .toDF("cls", "v")
+    val got = DataQuality.tCloseness(same, Seq("cls" -> col("cls")),
+        col("v"))
+      .select("t9").as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L))
+    val mono = Seq(("X", 5L), ("Y", 5L)).toDF("cls", "v")
+    assert(DataQuality.tCloseness(mono, Seq("cls" -> col("cls")),
+      col("v")).select("t9").as[Long].collect().toSeq == Seq(0L, 0L))
+  }
 }

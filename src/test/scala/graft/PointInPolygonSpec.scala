@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Geo
+
+/** Exact ray-casting containment: convex, concave, and multi-polygon
+  * membership. */
+class PointInPolygonSpec extends SparkSpec {
+  import spark.implicits._
+
+  // triangle + concave L (the notch [0,2]x[2,4] is cut out)
+  private val polys = Seq(
+    (1L, Seq(0L, 10L, 0L), Seq(0L, 0L, 10L)),
+    (2L, Seq(0L, 4L, 4L, 2L, 2L, 0L), Seq(0L, 0L, 4L, 4L, 2L, 2L))
+  ).toDF("poly_id", "xs", "ys")
+
+  test("convex, concave, and outside points resolve correctly") {
+    val points = Seq(
+      (1L, 2L, 2L),   // inside triangle AND inside L
+      (2L, 9L, 9L),   // outside both
+      (3L, 3L, 3L),   // inside L's upper arm, inside triangle too
+      (4L, 1L, 3L),   // in the L's notch: outside L, inside triangle
+      (5L, -1L, 1L)   // left of everything
+    ).toDF("pid", "x", "y")
+    val got = Geo.pointInPolygon(points, polys)
+      .orderBy("pid", "poly_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (1L, 2L), (3L, 1L), (3L, 2L),
+      (4L, 1L)))
+  }
+
+  test("negative coordinates and winding direction do not matter") {
+    val sq = Seq((7L, Seq(-4L, -1L, -1L, -4L), Seq(-4L, -4L, -1L, -1L)),
+        (8L, Seq(-4L, -4L, -1L, -1L), Seq(-4L, -1L, -1L, -4L)))
+      .toDF("poly_id", "xs", "ys") // same square, opposite winding
+    val pts = Seq((1L, -2L, -2L), (2L, 0L, 0L)).toDF("pid", "x", "y")
+    val got = Geo.pointInPolygon(pts, sq)
+      .orderBy("pid", "poly_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 7L), (1L, 8L)))
+  }
+}

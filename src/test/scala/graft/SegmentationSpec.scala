@@ -73,4 +73,31 @@ class SegmentationSpec extends SparkSpec {
     // key 3: empty grid emits nothing
     assert(got == Seq((1L, 10L, 5.0), (1L, 20L, 5.0), (2L, 10L, 3.0)))
   }
+
+  test("resampleLinear: bracketing interpolation with the sign-safe " +
+    "floor, exact hits, and downward slopes") {
+    val obs = Seq(
+      (1L, 10L, 100L), (1L, 40L, 400L),  // up: grid 20 -> 200, 30 -> 300
+      (2L, 10L, 100L), (2L, 25L, 40L),   // down: grid 20 -> 100+floor(-60*10/15)
+      (3L, 20L, 7L))                     // single obs ON the grid
+      .toDF("k", "t", "v")
+    val got = graft.operators.Segmentation.resampleLinear(
+        obs, col("k"), col("t"), col("v"), step = 10L)
+      .orderBy("key", "grid_ts")
+      .as[(Long, Long, Long)].collect().toSeq
+    // key2 grid 20: v0=100,t0=10,v1=40,t1=25: 100 + floor(-600/15) = 60
+    assert(got == Seq((1L, 10L, 100L), (1L, 20L, 200L),
+      (1L, 30L, 300L), (1L, 40L, 400L), (2L, 10L, 100L),
+      (2L, 20L, 60L), (3L, 20L, 7L)))
+  }
+
+  test("resampleLinear floors toward -inf on inexact negative slopes") {
+    // v0=0 at t=0, v1=-1 at t=30: grid 10 -> floor(-10/30) = -1 (not 0)
+    val obs = Seq((1L, 0L, 0L), (1L, 30L, -1L)).toDF("k", "t", "v")
+    val got = graft.operators.Segmentation.resampleLinear(
+        obs, col("k"), col("t"), col("v"), step = 10L)
+      .orderBy("grid_ts").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0L), (1L, 10L, -1L), (1L, 20L, -1L),
+      (1L, 30L, -1L)))
+  }
 }
