@@ -156,40 +156,40 @@ object DataQuality {
     val vals = GlobalIndex.withGlobalIndex(
       base.select(col("__v")).distinct(), Seq(col("__v")), "__i")
       .localCheckpoint(true)
-    val m = vals.agg(count(lit(1)).as("m"))
-    val nn = base.agg(count(lit(1)).as("n"))
-    val globalCum = base.groupBy("__v").agg(count(lit(1)).as("b"))
+    val m = vals.agg(count(lit(1)).as("__m"))
+    val nn = base.agg(count(lit(1)).as("__n"))
+    val globalCum = base.groupBy("__v").agg(count(lit(1)).as("__b"))
       .join(vals, Seq("__v"))
-      .withColumn("cb", sum("b").over(
+      .withColumn("__cb", sum("__b").over(
         org.apache.spark.sql.expressions.Window.orderBy("__i")
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, org.apache.spark.sql.expressions.Window
             .currentRow)))
-      .select(col("__i"), col("cb"))
+      .select(col("__i"), col("__cb"))
     val classes = base.groupBy(qiNames.map(col): _*)
-      .agg(count(lit(1)).as("g"))
+      .agg(count(lit(1)).as("__g"))
     val cells = base.groupBy(qiNames.map(col) :+ col("__v"): _*)
-      .agg(count(lit(1)).as("a"))
+      .agg(count(lit(1)).as("__a"))
     val spine = classes.crossJoin(broadcast(vals))
       .join(cells, qiNames :+ "__v", "left")
-      .withColumn("a", coalesce(col("a"), lit(0L)))
+      .withColumn("__a", coalesce(col("__a"), lit(0L)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qiNames.map(col): _*).orderBy("__i")
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     spine
-      .withColumn("ca", sum("a").over(w))
+      .withColumn("__ca", sum("__a").over(w))
       .join(broadcast(globalCum), Seq("__i"))
       .crossJoin(broadcast(nn)).crossJoin(broadcast(m))
-      .groupBy((qiNames.map(col) :+ col("g") :+ col("n") :+
-        col("m")): _*)
-      .agg(sum(abs(col("ca").cast(dec) * col("n") -
-        col("cb").cast(dec) * col("g"))).cast(dec).as("s"))
-      .select(qiNames.map(col) ++ Seq(col("g").as("group_size"),
-        when(col("m") > 1,
-          expr("CAST(s * 1000000000 AS DECIMAL(38,0)) div " +
-            "(CAST(m - 1 AS DECIMAL(38,0)) * g * n)"))
+      .groupBy((qiNames.map(col) :+ col("__g") :+ col("__n") :+
+        col("__m")): _*)
+      .agg(sum(abs(col("__ca").cast(dec) * col("__n") -
+        col("__cb").cast(dec) * col("__g"))).cast(dec).as("__s"))
+      .select(qiNames.map(col) ++ Seq(col("__g").as("group_size"),
+        when(col("__m") > 1,
+          expr("CAST(__s * 1000000000 AS DECIMAL(38,0)) div " +
+            "(CAST(__m - 1 AS DECIMAL(38,0)) * __g * __n)"))
           .otherwise(0L).as("t9")): _*)
   }
 

@@ -276,4 +276,54 @@ class DeterminismSpec extends SparkSpec {
         df.filter(col("id") % 3 === 0), (col("x") * 100).cast("long"), c))
       .collect().map(_.toSeq).toSeq
   }
+
+  test("local-max matching and louvain local moving are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      val pairs = df.select((col("id") % 37).as("u"),
+        (lit(100L) + (col("id") * 11) % 41).as("v"),
+        (col("w") % 29).as("score")).distinct()
+      val edges = df.select((col("id") % 53).as("u"),
+        ((col("id") * 17) % 53).as("v")).filter(col("u") =!= col("v"))
+      val init = edges.select(col("u").as("node"))
+        .unionByName(edges.select(col("v").as("node"))).distinct()
+        .withColumn("community", col("node"))
+      (graft.operators.Matching.localMaxMatching(pairs, 4)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString),
+        graft.operators.Modularity.localMoving(edges, init, 2)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString))
+    }
+  }
+
+  test("t-closeness, resampleLinear, and point-in-polygon are " +
+    "layout-invariant") {
+    axes { s =>
+      import s.implicits._
+      val df = s.read.parquet(dir)
+      val polys = Seq((1L, Seq(-50L, 50L, 0L), Seq(-50L, -50L, 60L)))
+        .toDF("poly_id", "xs", "ys")
+      (graft.operators.DataQuality.tCloseness(df,
+          Seq("g" -> col("g")), col("w") % 13)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString),
+        graft.operators.Segmentation.resampleLinear(df, col("id") % 5,
+          col("id") * 3, (col("x") * 100).cast("long"), step = 100L)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString),
+        graft.operators.Geo.pointInPolygon(
+          df.select(col("id").as("pid"), (col("id") % 131 - 65).as("x"),
+            ((col("id") * 7) % 131 - 65).as("y")), polys)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString))
+    }
+  }
+
+  test("ips/snips and krippendorff are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      (graft.operators.OffPolicy.ipsSnips(df, col("g"),
+          (col("x") * 100).cast("long"), col("id") % 3 === 0)
+          .collect().map(_.toSeq).toSeq,
+        graft.operators.Evaluation.krippendorffAlpha(df,
+          col("id") % 400, col("w") % 5)
+          .collect().map(_.toSeq).toSeq)
+    }
+  }
 }

@@ -569,6 +569,60 @@ class PlanSpec extends SparkSpec {
       "the pick window must key on (start, wid): " + np.take(2000))
   }
 
+  test("q338: a matching round is argmax aggregates + equi-joins, " +
+    "no pair sort, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val pairs = spark.range(0, 3000).selectExpr("id % 40 AS u",
+      "100 + (id * 7) % 40 AS v", "id % 97 AS score")
+    val p = graft.operators.Matching.matchRound(pairs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("max(struct"), "argmax must be an aggregate, " +
+      "not a window sort: " + p.take(2000))
+    assert(!p.contains("windowspecdefinition"), p.take(2000))
+  }
+
+  test("q340: a louvain move round never leaves equi-join land") {
+    import org.apache.spark.sql.functions._
+    val edges = spark.range(0, 3000)
+      .selectExpr("id % 61 AS u", "(id * 13) % 61 AS v")
+      .filter(col("u") =!= col("v"))
+    val init = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node"))).distinct()
+      .withColumn("community", col("node"))
+    val p = graft.operators.Modularity.moveRound(edges, init)
+      .queryExecution.executedPlan.toString
+    // the one-row m frame legitimately broadcast-nested-loops; DATA
+    // must never cartesian
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("max(struct"), p.take(2000))
+  }
+
+  test("q341: QL postings are pruned by the broadcast query list") {
+    val p = plan("q341_dirichlet_ql")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q344: linear resample is union + windows — no join at all") {
+    val p = plan("q344_resample_linear")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("windowspecdefinition(k"),
+      "fills must run in k-keyed windows: " + p.take(2000))
+  }
+
+  test("q346: polygon edges broadcast; parity is an aggregate") {
+    val p = plan("q346_point_in_polygon")
+    // the theta-join against the broadcast DIMENSION edge list is the
+    // documented honest cost — but it must be a BROADCAST nested loop,
+    // never a shuffle cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("HashAggregate(keys=[pid"), p.take(2000))
+  }
+
   test("q334: conformal audit broadcasts only one-row frames") {
     // the model join broadcasts the per-quantity dim; calibration and
     // coverage cross-join single-row frames (broadcast BNLJ) — no
