@@ -5306,6 +5306,47 @@ object SparkEntry {
       Geo.pointInPolygon(pts, polys).orderBy("pid", "poly_id")
     }),
 
+    // Retrieval — gazetteer tagging (Retrieval.gazetteerTag): a
+    // 5-phrase dictionary matched in ONE term join; consecutive runs
+    // verified by the (doc, phrase, start) count == phrase length.
+    "q347_gazetteer" -> ((s, dir) => {
+      import s.implicits._
+      val dict = Seq((1L, "spark join"), (2L, "window"),
+        (3L, "sort key"), (4L, "stream batch"), (5L, "fast"))
+        .toDF("phrase_id", "phrase")
+      Retrieval.gazetteerTag(Tables.load(s, dir, "documents"),
+          col("doc_id"), col("text"), dict)
+        .orderBy("doc_id", "phrase_id")
+    }),
+
+    // Graph — seeded independent-cascade spread (Cascade
+    // .independentCascade): IC diffusion from the %7 seed suppliers
+    // over the co-occurrence graph at p = 3/10, coins the md5 hash
+    // family, 3 BFS-shaped rounds mirrored in the oracle.
+    "q348_cascade" -> ((s, dir) => {
+      val e = Triangles.coOccurrenceEdges(
+        Tables.load(s, dir, "lineitem").filter(col("l_quantity") <= 2),
+        col("l_orderkey"), col("l_suppkey"))
+      val nodes = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node"))).distinct()
+      Cascade.independentCascade(e,
+          nodes.filter(col("node") % 7 === 0), 3, 10, 5L, 3)
+        .orderBy("node")
+    }),
+
+    // Stats — seeded RANSAC consensus line (RobustFit.ransacLine):
+    // 32 hash-picked candidate pairs over 20%-contaminated customer
+    // points; float-free cross-multiplied inlier test, exact integer
+    // argmax winner.
+    "q349_ransac" -> ((s, dir) => {
+      val pts = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_custkey").as("x"),
+        when(col("c_custkey") % 5 === 0,
+          col("c_custkey") * 3 + 7 + col("c_custkey") * 17)
+          .otherwise(col("c_custkey") * 3 + 7).as("y"))
+      RobustFit.ransacLine(pts, k = 32, eps = 0L, seed = 11L)
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12074,6 +12115,81 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q349_ransac" ->
+      """WITH pts AS (SELECT c_custkey AS id, c_custkey AS x,
+        |    CASE WHEN c_custkey % 5 = 0
+        |         THEN 3 * c_custkey + 7 + c_custkey * 17
+        |         ELSE 3 * c_custkey + 7 END AS y
+        |  FROM customer),
+        |idx AS (SELECT id, x, y,
+        |    ROW_NUMBER() OVER (ORDER BY id) - 1 AS i FROM pts),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+        |cand AS (SELECT kk,
+        |    ('0x' || substr(md5('11:' || kk || ':1'), 1, 15))::BIGINT
+        |      % nn.n AS i1,
+        |    ('0x' || substr(md5('11:' || kk || ':2'), 1, 15))::BIGINT
+        |      % nn.n AS i2
+        |  FROM range(1, 33) t(kk), nn),
+        |c2 AS (SELECT kk, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+        |  FROM cand JOIN idx a ON a.i = cand.i1
+        |  JOIN idx b ON b.i = cand.i2
+        |  WHERE cand.i1 <> cand.i2 AND a.x <> b.x),
+        |sc AS (SELECT kk, x1, y1, x2, y2,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inliers
+        |  FROM pts, c2
+        |  WHERE ABS(CAST(pts.y - y1 AS HUGEINT) * (x2 - x1)
+        |      - CAST(pts.x - x1 AS HUGEINT) * (y2 - y1))
+        |    <= 0 * ABS(CAST(x2 - x1 AS HUGEINT))
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT kk AS k_winner, x1, y1, x2, y2, n_inliers FROM sc
+        |ORDER BY n_inliers DESC, kk LIMIT 1""".stripMargin,
+
+    "q347_gazetteer" ->
+      """WITH toks AS (SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |ph(phrase_id, phrase) AS (VALUES (1, 'spark join'),
+        |  (2, 'window'), (3, 'sort key'), (4, 'stream batch'),
+        |  (5, 'fast')),
+        |d AS (SELECT phrase_id,
+        |    generate_subscripts(string_split(phrase, ' '), 1) AS j,
+        |    unnest(string_split(phrase, ' ')) AS term FROM ph),
+        |dl AS (SELECT phrase_id, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM d GROUP BY 1),
+        |m AS (SELECT t.doc_id, d.phrase_id, t.pos - d.j AS start,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms
+        |  FROM toks t JOIN d ON d.term = t.term GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(phrase_id AS BIGINT) AS phrase_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hits
+        |FROM m JOIN dl USING (phrase_id) WHERE n_terms = len
+        |GROUP BY 1, 2 ORDER BY doc_id, phrase_id""".stripMargin,
+
+    "q348_cascade" -> {
+      def roundSql(act: String, fr: String, r: Int, newA: String,
+                   newF: String): String =
+        s"""$newF AS (SELECT DISTINCT s.dst AS node
+           |  FROM $fr f JOIN sym s ON s.src = f.node
+           |  WHERE ('0x' || substr(md5('5:' || s.src || ':' || s.dst),
+           |      1, 15))::BIGINT % 10 < 3
+           |    AND NOT EXISTS (SELECT 1 FROM $act a
+           |                    WHERE a.node = s.dst)),
+           |$newA AS (SELECT node, round FROM $act
+           |  UNION ALL SELECT node, $r FROM $newF)""".stripMargin
+      s"""WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS p
+         |  FROM lineitem WHERE l_quantity <= 2),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM ps a
+         |  JOIN ps b ON a.o = b.o AND a.p < b.p),
+         |sym AS (SELECT u AS src, v AS dst FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |f0 AS (SELECT DISTINCT src AS node FROM sym
+         |  WHERE src % 7 = 0),
+         |a0 AS (SELECT node, CAST(0 AS INTEGER) AS round FROM f0),
+         |${roundSql("a0", "f0", 1, "a1", "f1")},
+         |${roundSql("a1", "f1", 2, "a2", "f2")},
+         |${roundSql("a2", "f2", 3, "a3", "f3")}
+         |SELECT node, round FROM a3 ORDER BY node""".stripMargin
+    },
 
     "q346_point_in_polygon" ->
       """WITH pts AS (SELECT c_custkey AS pid,

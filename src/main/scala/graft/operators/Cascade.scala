@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Seeded independent-cascade diffusion (Kempe-Kleinberg-Tardos
+  * 2003) — the standard influence-spread model: starting from a seed
+  * set, every NEWLY activated node gets exactly one chance to
+  * activate each neighbor, succeeding with probability p. The
+  * building block of influence-maximization evaluation ("how far does
+  * this seed set reach?").
+  *
+  * The coin is the [[RandomWalks]] hash convention, not an RNG:
+  * edge (u→v) succeeds iff md5_60(seed:u:v) mod pDen < pNum — so a
+  * simulation is a PURE FUNCTION of (graph, seeds, p, seed):
+  * bit-replayable, layout-independent, and each edge's one-chance
+  * contract holds by construction (the coin is a property of the
+  * edge, and u enters the frontier at most once).
+  *
+  * Scale shape: BFS rounds — each round joins the FRONTIER (not the
+  * cumulative set) to the once-symmetrized edge list, filters by the
+  * coin, dedups, anti-joins the active set, and checkpoints
+  * frontier-only ([[Bfs]] discipline). Shuffle bytes track frontier
+  * adjacency, never the graph.
+  *
+  * @param edges     (u, v) undirected, each edge once
+  * @param seeds     (node) initial activations
+  * @param pNum/pDen activation probability as an exact rational
+  * @param seed      coin-family seed
+  * @param maxRounds fixed round budget
+  * @return (node, round) — seeds at round 0, one row per activated node */
+object Cascade {
+
+  def independentCascade(edges: DataFrame, seeds: DataFrame, pNum: Int,
+                         pDen: Int, seed: Long,
+                         maxRounds: Int): DataFrame = {
+    require(pNum >= 0 && pDen >= 1 && pNum <= pDen, "p = pNum/pDen in [0,1]")
+    require(maxRounds >= 1 && maxRounds <= 64, "maxRounds in [1,64]")
+    val und = edges.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    var active = seeds.select(col("node")).distinct()
+      .withColumn("round", lit(0)).localCheckpoint(true)
+    var frontier = active.select("node")
+    for (r <- 1 to maxRounds) {
+      val won = frontier
+        .join(sym, col("node") === col("src"))
+        .filter(pmod(graft.functions.Hashing.hexLong(concat_ws(":",
+          lit(seed), col("src"), col("dst"))), lit(pDen.toLong))
+          < pNum.toLong)
+        .select(col("dst").as("node")).distinct()
+      frontier = won.join(active.select("node"), Seq("node"),
+          "left_anti")
+        .localCheckpoint(true)
+      active = active.unionByName(
+          frontier.withColumn("round", lit(r)))
+        .localCheckpoint(true)
+    }
+    active
+  }
+}

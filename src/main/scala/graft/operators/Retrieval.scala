@@ -182,6 +182,47 @@ object Retrieval {
         col("score_d").cast("string").as("score"))
   }
 
+  /** Gazetteer tagging — match an entire DICTIONARY of multi-token
+    * phrases against the corpus in ONE join (entity/keyword tagging
+    * against product catalogs, name lists, controlled vocabularies).
+    * [[phraseHits]] generalized from one literal phrase to a phrase
+    * FRAME: explode the dictionary to (phrase_id, offset j, term) and
+    * the corpus to positional postings (doc, pos, term); one equi-join
+    * on term keyed back to start = pos − j, and a (doc, phrase, start)
+    * count equal to the phrase length is a complete consecutive match
+    * — every phrase of every length verified by the same single join.
+    *
+    * Scale shape: the join carries only postings whose term appears in
+    * the dictionary (broadcast the exploded dictionary; the semi-join
+    * prune happens in the hash join itself); the aggregate is
+    * map-side-combinable. No per-phrase loop, no window, no UDF.
+    *
+    * @param docs    corpus
+    * @param phrases (phrase_id, phrase) — whitespace-tokenized here
+    * @return (doc_id, phrase_id, n_hits) — phrases with ≥ 1 occurrence */
+  def gazetteerTag(docs: DataFrame, id: Column, text: Column,
+                   phrases: DataFrame): DataFrame = {
+    val dict = phrases.select(col("phrase_id"),
+        posexplode(TextFunctions.tokens(col("phrase")))
+          .as(Seq("j", "term")))
+      .localCheckpoint(true)
+    val dictLen = dict.groupBy("phrase_id")
+      .agg(count(lit(1)).as("len"))
+    val postings = graft.core.Parallelism.ensureWidth(
+      docs.select(id.as("doc_id"),
+        posexplode(TextFunctions.tokens(text)).as(Seq("pos", "term"))))
+    postings
+      .join(broadcast(dict), Seq("term"))
+      .select(col("doc_id"), col("phrase_id"),
+        (col("pos") - col("j")).as("start"))
+      .groupBy("doc_id", "phrase_id", "start")
+      .agg(count(lit(1)).as("n_terms"))
+      .join(broadcast(dictLen), Seq("phrase_id"))
+      .filter(col("n_terms") === col("len"))
+      .groupBy("doc_id", "phrase_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Exact phrase search over the positional index — the third
     * retrieval mode next to ranked ([[bm25TopK]]) and fused
     * ([[rrfFuse]]): find documents containing the tokens of `phrase`

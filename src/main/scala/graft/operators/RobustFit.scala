@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Seeded RANSAC line fitting (Fischler-Bolles 1981) — the robust
+  * complement to [[Trend.theilSen]]: K candidate lines, each through
+  * a hash-picked pair of points, scored by exact inlier count; the
+  * winner is the consensus line. Survives the >50% contamination that
+  * breaks medians-based fits.
+  *
+  * Determinism: candidate k picks indices md5_60(seed:k:1) mod n and
+  * md5_60(seed:k:2) mod n over the [[GlobalIndex]]-ranked points (a
+  * pure function of the rows — no RNG stream); degenerate picks
+  * (same index or equal x) drop out. The inlier test is float-free:
+  * |((y−y1)·dx − (x−x1)·dy)| ≤ eps·|dx| cross-multiplied in
+  * decimal(38,0) — a point is inlier iff its vertical residual to the
+  * candidate line is ≤ eps.
+  *
+  * Scale shape: K is a plan literal; candidates assemble via two
+  * joins against the indexed points (never a sort of all pairs), and
+  * scoring is ONE broadcast(K) × points pass with a map-side-combined
+  * count — cost K·n comparisons, shuffle K rows. Winner = exact
+  * integer argmax (inliers desc, k asc).
+  *
+  * @param points (id, x, y) integer coordinates (caller-scaled)
+  * @param k      number of candidate lines
+  * @param eps    inlier tolerance in y units
+  * @return one row: (k_winner, x1, y1, x2, y2, n_inliers) */
+object RobustFit {
+
+  def ransacLine(points: DataFrame, k: Int, eps: Long,
+                 seed: Long): DataFrame = {
+    require(k >= 1 && k <= 4096, "k in [1,4096]")
+    require(eps >= 0, "eps must be >= 0")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = points.select(col("id"), col("x").cast("long").as("x"),
+      col("y").cast("long").as("y"))
+    val idx = GlobalIndex.withGlobalIndex(pts, Seq(col("id")), "__i")
+      .localCheckpoint(true)
+    val n = idx.groupBy().agg(count(lit(1)).as("n"))
+    val cand = idx.sparkSession.range(1, k + 1)
+      .select(col("id").as("kk"))
+      .crossJoin(broadcast(n))
+      .select(col("kk"),
+        pmod(graft.functions.Hashing.hexLong(concat_ws(":",
+          lit(seed), col("kk"), lit(1))), col("n")).as("i1"),
+        pmod(graft.functions.Hashing.hexLong(concat_ws(":",
+          lit(seed), col("kk"), lit(2))), col("n")).as("i2"))
+      .filter(col("i1") =!= col("i2"))
+      .join(idx.select(col("__i").as("i1"), col("x").as("x1"),
+        col("y").as("y1")), Seq("i1"))
+      .join(idx.select(col("__i").as("i2"), col("x").as("x2"),
+        col("y").as("y2")), Seq("i2"))
+      .filter(col("x1") =!= col("x2"))
+      .select(col("kk"), col("x1"), col("y1"), col("x2"), col("y2"))
+    val scored = pts.crossJoin(broadcast(cand))
+      .filter(
+        abs((col("y") - col("y1")).cast(dec) *
+            (col("x2") - col("x1")).cast(dec) -
+          (col("x") - col("x1")).cast(dec) *
+            (col("y2") - col("y1")).cast(dec)) <=
+        lit(eps).cast(dec) * abs((col("x2") - col("x1")).cast(dec)))
+      .groupBy("kk", "x1", "y1", "x2", "y2")
+      .agg(count(lit(1)).as("n_inliers"))
+    scored
+      .groupBy()
+      .agg(max(struct(col("n_inliers"), (-col("kk")).as("nk"),
+        col("x1"), col("y1"), col("x2"), col("y2"))).as("b"))
+      .select((-col("b.nk")).as("k_winner"), col("b.x1").as("x1"),
+        col("b.y1").as("y1"), col("b.x2").as("x2"),
+        col("b.y2").as("y2"), col("b.n_inliers").as("n_inliers"))
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Cascade
+
+/** Seeded IC spread: p=1 is BFS, p=0 stays home, activations are
+  * monotone in p under the shared coin family. */
+class CascadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // path 1-2-3-4 plus triangle 4-5-6
+  private val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+    (4L, 6L), (5L, 6L)).toDF("u", "v")
+  private val seeds = Seq(1L).toDF("node")
+
+  test("p = 1 reduces to BFS hop counts; p = 0 activates only seeds") {
+    val bfs = Cascade.independentCascade(edges, seeds, 1, 1, 9L, 6)
+      .orderBy("node").as[(Long, Int)].collect().toSeq
+    assert(bfs == Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3), (5L, 4),
+      (6L, 4)))
+    val none = Cascade.independentCascade(edges, seeds, 0, 1, 9L, 6)
+      .as[(Long, Int)].collect().toSeq
+    assert(none == Seq((1L, 0)))
+  }
+
+  test("same seed replays; activation set is monotone in p") {
+    def run(pn: Int) = Cascade
+      .independentCascade(edges, seeds, pn, 10, 5L, 6)
+      .select("node").as[Long].collect().toSet
+    assert(run(4) == run(4))
+    val low = run(3); val high = run(8)
+    assert(low.subsetOf(high), s"$low not within $high")
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** One-join dictionary tagging: exact counts, overlaps, repeated
+  * tokens inside a phrase. */
+class GazetteerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "brown fox brown fox and a lone fox"),
+    (3L, "pad pad pad")
+  ).toDF("doc_id", "text")
+
+  test("multi-token phrases count every occurrence; absent pairs " +
+    "emit nothing") {
+    val dict = Seq((10L, "brown fox"), (20L, "lazy dog"),
+      (30L, "fox"), (40L, "quick lazy")).toDF("phrase_id", "phrase")
+    val got = Retrieval.gazetteerTag(docs, col("doc_id"), col("text"),
+        dict)
+      .orderBy("doc_id", "phrase_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 1L), (1L, 20L, 1L), (1L, 30L, 1L),
+      (2L, 10L, 2L), (2L, 30L, 3L)))
+  }
+
+  test("a phrase with repeated tokens needs the full consecutive run") {
+    val dict = Seq((1L, "pad pad"), (2L, "pad pad pad pad"))
+      .toDF("phrase_id", "phrase")
+    val got = Retrieval.gazetteerTag(docs, col("doc_id"), col("text"),
+        dict)
+      .filter(col("doc_id") === 3L)
+      .orderBy("phrase_id").as[(Long, Long, Long)].collect().toSeq
+    // "pad pad pad": two overlapping "pad pad" hits, no 4-run
+    assert(got == Seq((3L, 1L, 2L)))
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RobustFit
+
+/** RANSAC consensus: finds the 80%-support line under heavy
+  * contamination, deterministically. */
+class RobustFitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winner is a line through two inliers with full support") {
+    // 10 points on y = 2x + 1, 3 far-off outliers
+    val pts = ((1L to 10L).map(i => (i, i, 2 * i + 1)) ++
+      Seq((11L, 3L, 500L), (12L, 7L, -400L), (13L, 9L, 999L)))
+      .toDF("id", "x", "y")
+    val got = RobustFit.ransacLine(pts, k = 32, eps = 0L, seed = 11L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got._6 == 10L, s"expected the 10-inlier consensus, got $got")
+    // winning pair lies ON the line
+    assert(got._3 == 2 * got._2 + 1 && got._5 == 2 * got._4 + 1)
+  }
+
+  test("eps tolerance admits near-line points; replay is exact") {
+    val pts = ((1L to 8L).map(i => (i, i, 3 * i)) ++
+      Seq((9L, 4L, 13L), (10L, 5L, 100L))) // 13 = 3*4+1 within eps 1
+      .toDF("id", "x", "y")
+    def run() = RobustFit.ransacLine(pts, 24, eps = 1L, seed = 7L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val a = run()
+    assert(a == run())
+    assert(a._6 == 9L, s"8 on-line + 1 within eps, got $a")
+  }
+}
