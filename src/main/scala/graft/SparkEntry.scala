@@ -5347,6 +5347,239 @@ object SparkEntry {
       RobustFit.ransacLine(pts, k = 32, eps = 0L, seed = 11L)
     }),
 
+    // Eval — Matthews correlation (Evaluation.mcc): the
+    // imbalance-honest single number for the " the "-heuristic
+    // English detector vs the lang label; sign-magnitude floor,
+    // isqrtDec denominator (exact past 2⁶³).
+    "q350_mcc" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Evaluation.mcc(d, col("lang") === "en",
+        col("text").contains(" the "))
+    }),
+
+    // Eval — risk-coverage selective-prediction audit (Evaluation
+    // .riskCoverage): abstention curve for the same detector with
+    // doc length as the confidence signal; one point per distinct
+    // confidence, cumulative evidence from the top.
+    "q351_risk_coverage" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Evaluation.riskCoverage(d,
+          expr("n_chars div 20"),
+          (col("lang") === "en") === col("text").contains(" the "))
+        .orderBy(col("conf").desc)
+    }),
+
+    // Eval — rank-biased overlap (Evaluation.rbo): per-source top-10
+    // agreement between a chars-ranked and a nonspace-chars-ranked
+    // view of documents; exact-rational geometric weights (p = 9/10),
+    // one stated floor, zero-overlap queries still report.
+    "q352_rbo" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      def ranked(measure: Column) = d.select(col("source"),
+          col("doc_id"),
+          row_number().over(Window.partitionBy(col("source"))
+            .orderBy(measure.desc, col("doc_id"))).as("rk"))
+      Evaluation.rbo(
+          ranked(col("n_chars")),
+          ranked(length(regexp_replace(col("text"), " ", ""))),
+          col("source"), col("doc_id"), col("rk"), k = 10)
+        .orderBy("query")
+    }),
+
+    // Curation — Dawid-Skene-shaped annotator consensus (Annotation
+    // .weightedConsensus): lineitem rows as (order, supplier-rater,
+    // returnflag-label) votes; majority init, Laplace-smoothed rater
+    // accuracy, reweighted argmax; engine-portable (evidence, label)
+    // tie-breaks.
+    "q353_consensus" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+      Annotation.weightedConsensus(li, col("l_orderkey"),
+          col("l_suppkey") % 50, col("l_returnflag"))
+        .withColumn("weight9", col("weight9").cast("long"))
+        .orderBy("item")
+    }),
+
+    // Text — Good-Turing discounted counts (VocabEstimate
+    // .goodTuring): frequency-of-frequencies over document tokens,
+    // r* and unseen mass p0 as stated floors on a 1..10 spine.
+    "q354_good_turing" -> ((s, dir) => {
+      val terms = Tables.load(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      VocabEstimate.goodTuring(terms, col("term"), maxR = 10)
+        .orderBy("r")
+    }),
+
+    // Text — Chao1 richness (VocabEstimate.chao1): bias-corrected
+    // unseen-type estimate from the singleton/doubleton counts of the
+    // same token table.
+    "q355_chao1" -> ((s, dir) => {
+      val terms = Tables.load(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+      VocabEstimate.chao1(terms, col("term"))
+        .withColumn("chao1_9", col("chao1_9").cast("string"))
+    }),
+
+    // Stats — one-way ANOVA F (AbTest.anovaF): do the market
+    // segments differ in mean account balance? Exact integer
+    // evidence (cents), stated per-group floors, one f6 floor.
+    "q356_anova_f" -> ((s, dir) => {
+      val dec2 = DecimalType(18, 2)
+      AbTest.anovaF(Tables.load(s, dir, "customer"),
+        col("c_mktsegment"),
+        (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+          .cast("long"))
+    }),
+
+    // Stats — per-user trailing rolling median (RobustStats
+    // .rollingMedian): spike-proof event-value baseline over the last
+    // 7 events; lower median so even windows stay integer-exact.
+    "q357_rolling_median" -> ((s, dir) => {
+      val dec2 = DecimalType(18, 2)
+      val ev = Tables.events(s, dir).filter(col("user_id") % 20 === 0)
+      RobustStats.rollingMedian(ev, col("user_id"), col("event_id"),
+          (format_string("%.2f", col("value")).cast(dec2) * 100)
+            .cast("long"), w = 7)
+        .orderBy("key", "ord")
+    }),
+
+    // Sketch — AMS F2 / self-join-size estimate (AmsSketch
+    // .f2Estimate): 16 ±1-sign counters over l_partkey in ONE
+    // aggregate pass; median of squares; signs an md5 family both
+    // engines replay bit-for-bit.
+    "q358_ams_f2" -> ((s, dir) => {
+      AmsSketch.f2Estimate(Tables.load(s, dir, "lineitem"),
+        col("l_partkey"), r = 16, seed = 7L)
+    }),
+
+    // Assoc — Apriori frequent triples (Association.tripleCounts):
+    // level-3 step over (order, supplier-class) baskets; candidates
+    // only from frequent-pair occurrences, downward-closure pruned
+    // by two semi-joins before counting.
+    "q359_triples" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), (col("l_suppkey") % 12).as("itm"))
+      Association.tripleCounts(li, col("l_orderkey"), col("itm"),
+          minSupport = 40L)
+        .orderBy("item_a", "item_b", "item_c")
+    }),
+
+    // Web — politeness-scheduled crawl frontier (WebCuration
+    // .frontierSchedule): per-host rounds + best-first global slots
+    // + worker sharding, all deterministic total orders.
+    "q360_frontier" -> ((s, dir) => {
+      val f = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(concat(lit("https://host"), col("doc_id") % 7,
+            lit(".example.com/p/"), col("doc_id")).as("u"),
+          col("n_chars"))
+      WebCuration.frontierSchedule(f, col("u"), col("n_chars"),
+          workers = 4)
+        .orderBy("round", "slot")
+    }),
+
+    // Curation — IPF raking (Raking.rake): calibrate the (lang,
+    // source) corpus grid to target lang AND source margins
+    // simultaneously; 2 full sweeps, ppb weights, stated floors.
+    "q361_raking" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val rowT = d.groupBy(col("lang").as("row_key"))
+        .agg((count(lit(1)) * 2).as("target"))
+      val colT = d.groupBy(col("source").as("col_key"))
+        .agg((count(lit(1)) * 3).as("target"))
+      Raking.rake(d, col("lang"), col("source"), rowT, colT, sweeps = 2)
+        .withColumn("w9", col("w9").cast("long"))
+        .orderBy("row_key", "col_key")
+    }),
+
+    // Workload — TPC-H Q9 shape (product-type profit by nation and
+    // year): part-filtered lineitem ⋈ supplier ⋈ nation ⋈ orders,
+    // decimal-exact revenue sums.
+    "q362_tpch_q9" -> ((s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_name").contains("gear")).select("p_partkey")
+      val su = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("profit"),
+          count(lit(1)).as("n_items"))
+        .orderBy("nation", "o_year")
+    }),
+
+    // Workload — TPC-H Q18 shape (large-volume customers): orders
+    // whose total quantity passes a HAVING threshold, joined back to
+    // customer — the classic agg-subquery-IN plan.
+    "q363_tpch_q18" -> ((s, dir) => {
+      val big = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .filter(col("total_qty") >= 300L)
+      Tables.load(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(50)
+    }),
+
+    // Workload — TPC-H Q21 shape (suppliers who alone returned
+    // lines): returned line, EXISTS another supplier in the order,
+    // NOT EXISTS another supplier's returned line — the correlated
+    // multi-EXISTS plan (semi + anti on the same fact).
+    "q364_tpch_q21" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val l1 = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = l.select(col("l_orderkey"),
+        col("l_suppkey").as("s2"))
+      val othersR = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey").as("s3"))
+      val waiting = l1
+        .join(others, l1("l_orderkey") === others("l_orderkey") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(othersR, Seq("l_orderkey"))
+        .filter(col("l_suppkey") =!= col("s3"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      val lonely = l1
+        .join(others, l1("l_orderkey") === others("l_orderkey") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(waiting, Seq("l_orderkey", "l_suppkey"), "left_anti")
+      lonely
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // Embeddings — linear CKA alignment audit (Cka.linearCka): does
+    // the 16-dim truncation see the corpus like the full head 32
+    // dims? Exact n-scaled centered cross-moments over ⌊x·10⁴⌋
+    // integers, isqrtDec Frobenius norms, two stated floors.
+    "q365_cka" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Cka.linearCka(
+        e.select(col("embedding").as("xv"),
+          concat(slice(col("embedding"), 1, 16),
+            array_repeat(lit(0.0f), 16)).as("yv")),
+        col("xv"), col("yv"), dims = 32)
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12115,6 +12348,380 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q358_ams_f2" ->
+      """WITH z AS (SELECT j,
+        |    CAST(SUM(1 - 2 * (('0x' || substr(md5('7:' ||
+        |      CAST(j AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR)),
+        |      1, 15))::BIGINT % 2)) AS HUGEINT) AS zj
+        |  FROM lineitem CROSS JOIN (SELECT range AS j FROM range(0, 16))
+        |  GROUP BY j),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+        |s AS (SELECT list_sort(list(zj * zj)) AS zs FROM z)
+        |SELECT n.n,
+        |  CAST((zs[8] + zs[9]) // 2 AS VARCHAR) AS f2_est
+        |FROM s, n""".stripMargin,
+
+    "q359_triples" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b,
+        |    l_suppkey % 12 AS i FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+        |  FROM it),
+        |fp AS (SELECT a.i AS ia, c.i AS ib
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 40)
+        |SELECT a.i AS item_a, c.i AS item_b, d.i AS item_c,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt_abc, nb.n_baskets
+        |FROM it a
+        |JOIN it c ON a.b = c.b AND a.i < c.i
+        |JOIN it d ON a.b = d.b AND c.i < d.i
+        |JOIN fp p1 ON p1.ia = a.i AND p1.ib = c.i
+        |JOIN fp p2 ON p2.ia = a.i AND p2.ib = d.i
+        |JOIN fp p3 ON p3.ia = c.i AND p3.ib = d.i
+        |CROSS JOIN nb
+        |GROUP BY 1, 2, 3, nb.n_baskets HAVING COUNT(*) >= 40
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q360_frontier" ->
+      """WITH f AS (SELECT 'https://host' ||
+        |      CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' ||
+        |      CAST(doc_id AS VARCHAR) AS url,
+        |    n_chars AS priority,
+        |    'host' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+        |      AS host
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |r AS (SELECT url, host, priority,
+        |    ROW_NUMBER() OVER (PARTITION BY host
+        |      ORDER BY priority DESC, url) - 1 AS round
+        |  FROM f),
+        |sl AS (SELECT url, host, priority, round,
+        |    ROW_NUMBER() OVER (PARTITION BY round
+        |      ORDER BY priority DESC, host) - 1 AS slot
+        |  FROM r)
+        |SELECT url, host, priority, round, slot, slot % 4 AS worker
+        |FROM sl ORDER BY round, slot""".stripMargin,
+
+    "q361_raking" ->
+      """WITH cells0 AS (SELECT lang AS row_key, source AS col_key,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(1000000000 AS HUGEINT) AS w
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang AS row_key,
+        |    CAST(COUNT(*) * 2 AS BIGINT) AS t FROM documents GROUP BY 1),
+        |ct AS (SELECT source AS col_key,
+        |    CAST(COUNT(*) * 3 AS BIGINT) AS t FROM documents GROUP BY 1),
+        |r1 AS (SELECT c.row_key, c.col_key, c.n,
+        |    (c.w * rt.t * 1000000000) // m.m AS w
+        |  FROM cells0 c
+        |  JOIN (SELECT row_key, CAST(SUM(n * w) AS HUGEINT) AS m
+        |    FROM cells0 GROUP BY 1) m ON m.row_key = c.row_key
+        |  JOIN rt ON rt.row_key = c.row_key),
+        |c1 AS (SELECT c.row_key, c.col_key, c.n,
+        |    (c.w * ct.t * 1000000000) // m.m AS w
+        |  FROM r1 c
+        |  JOIN (SELECT col_key, CAST(SUM(n * w) AS HUGEINT) AS m
+        |    FROM r1 GROUP BY 1) m ON m.col_key = c.col_key
+        |  JOIN ct ON ct.col_key = c.col_key),
+        |r2 AS (SELECT c.row_key, c.col_key, c.n,
+        |    (c.w * rt.t * 1000000000) // m.m AS w
+        |  FROM c1 c
+        |  JOIN (SELECT row_key, CAST(SUM(n * w) AS HUGEINT) AS m
+        |    FROM c1 GROUP BY 1) m ON m.row_key = c.row_key
+        |  JOIN rt ON rt.row_key = c.row_key),
+        |c2 AS (SELECT c.row_key, c.col_key, c.n,
+        |    (c.w * ct.t * 1000000000) // m.m AS w
+        |  FROM r2 c
+        |  JOIN (SELECT col_key, CAST(SUM(n * w) AS HUGEINT) AS m
+        |    FROM r2 GROUP BY 1) m ON m.col_key = c.col_key
+        |  JOIN ct ON ct.col_key = c.col_key)
+        |SELECT row_key, col_key, n, CAST(w AS BIGINT) AS w9
+        |FROM c2 ORDER BY row_key, col_key""".stripMargin,
+
+    "q362_tpch_q9" ->
+      s"""SELECT n_name AS nation,
+         |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS profit,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%gear%'
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q363_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity
+        |    AS BIGINT)) >= 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q364_tpch_q21" ->
+      """WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |multi AS (SELECT l1.l_orderkey, l1.l_suppkey FROM l1
+        |  WHERE EXISTS (SELECT 1 FROM lineitem o
+        |    WHERE o.l_orderkey = l1.l_orderkey
+        |      AND o.l_suppkey <> l1.l_suppkey)),
+        |lonely AS (SELECT m.l_orderkey, m.l_suppkey FROM multi m
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem o
+        |    WHERE o.l_orderkey = m.l_orderkey
+        |      AND o.l_suppkey <> m.l_suppkey
+        |      AND o.l_returnflag = 'R'))
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lonely JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"""
+        .stripMargin,
+
+    "q365_cka" ->
+      """WITH base AS (SELECT vec_id,
+        |    list_transform(embedding[1:32],
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+        |      AS xq,
+        |    list_transform(embedding[1:16],
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+        |      || [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0, 0,
+        |          0, 0, 0, 0, 0, 0, 0, 0] AS yq
+        |  FROM embeddings),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        |xe AS (SELECT vec_id, unnest(xq) AS v,
+        |    generate_subscripts(xq, 1) AS i FROM base),
+        |ye AS (SELECT vec_id, unnest(yq) AS v,
+        |    generate_subscripts(yq, 1) AS j FROM base),
+        |sx AS (SELECT i, CAST(SUM(v) AS HUGEINT) AS s FROM xe GROUP BY 1),
+        |sy AS (SELECT j, CAST(SUM(v) AS HUGEINT) AS s FROM ye GROUP BY 1),
+        |mxy AS (SELECT CAST(SUM(mm * mm) AS HUGEINT) AS f2 FROM (
+        |  SELECT n.n * CAST(SUM(CAST(xe.v AS HUGEINT) * ye.v) AS HUGEINT)
+        |      - sx.s * sy.s AS mm
+        |  FROM xe JOIN ye ON xe.vec_id = ye.vec_id
+        |  CROSS JOIN n JOIN sx ON sx.i = xe.i JOIN sy ON sy.j = ye.j
+        |  GROUP BY xe.i, ye.j, n.n, sx.s, sy.s)),
+        |mxx AS (SELECT CAST(SUM(mm * mm) AS HUGEINT) AS f2 FROM (
+        |  SELECT n.n * CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT)
+        |      - sa.s * sb.s AS mm
+        |  FROM xe a JOIN xe b ON a.vec_id = b.vec_id
+        |  CROSS JOIN n JOIN sx sa ON sa.i = a.i JOIN sx sb ON sb.i = b.i
+        |  GROUP BY a.i, b.i, n.n, sa.s, sb.s)),
+        |myy AS (SELECT CAST(SUM(mm * mm) AS HUGEINT) AS f2 FROM (
+        |  SELECT n.n * CAST(SUM(CAST(a.v AS HUGEINT) * b.v) AS HUGEINT)
+        |      - sa.s * sb.s AS mm
+        |  FROM ye a JOIN ye b ON a.vec_id = b.vec_id
+        |  CROSS JOIN n JOIN sy sa ON sa.j = a.j JOIN sy sb ON sb.j = b.j
+        |  GROUP BY a.j, b.j, n.n, sa.s, sb.s)),
+        |rx AS (SELECT f2,
+        |    GREATEST(CAST(FLOOR(SQRT(CAST(f2 AS DOUBLE))) AS HUGEINT), 1)
+        |      AS s0 FROM mxx),
+        |rx1 AS (SELECT f2, (s0 + f2 // s0) // 2 AS s1 FROM rx),
+        |rx2 AS (SELECT f2, s1 - CASE WHEN s1 * s1 > f2 THEN 1 ELSE 0 END
+        |    AS s2 FROM rx1),
+        |sxv AS (SELECT s2 - CASE WHEN s2 * s2 > f2 THEN 1 ELSE 0 END
+        |    AS s_x FROM rx2),
+        |ry AS (SELECT f2,
+        |    GREATEST(CAST(FLOOR(SQRT(CAST(f2 AS DOUBLE))) AS HUGEINT), 1)
+        |      AS s0 FROM myy),
+        |ry1 AS (SELECT f2, (s0 + f2 // s0) // 2 AS s1 FROM ry),
+        |ry2 AS (SELECT f2, s1 - CASE WHEN s1 * s1 > f2 THEN 1 ELSE 0 END
+        |    AS s2 FROM ry1),
+        |syv AS (SELECT s2 - CASE WHEN s2 * s2 > f2 THEN 1 ELSE 0 END
+        |    AS s_y FROM ry2)
+        |SELECT n.n, 32 AS d, CAST(mxy.f2 AS VARCHAR) AS num,
+        |  CAST(s_x AS VARCHAR) AS s_x, CAST(s_y AS VARCHAR) AS s_y,
+        |  CASE WHEN s_x = 0 OR s_y = 0 THEN NULL
+        |    ELSE CAST(((mxy.f2 * 1000) // s_x * 1000) // s_y AS BIGINT)
+        |    END AS cka6
+        |FROM mxy, sxv, syv, n""".stripMargin,
+
+    "q350_mcc" ->
+      """WITH c AS (SELECT
+        |    CAST(SUM(CASE WHEN lang = 'en' AND text LIKE '% the %'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN lang <> 'en' AND text NOT LIKE '% the %'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN lang <> 'en' AND text LIKE '% the %'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN lang = 'en' AND text NOT LIKE '% the %'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM documents),
+        |p AS (SELECT tp, tn, fp, fn,
+        |    CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn)
+        |      AS prod
+        |  FROM c),
+        |n0 AS (SELECT *, GREATEST(CAST(FLOOR(SQRT(CAST(prod AS DOUBLE)))
+        |    AS HUGEINT), 1) AS s0 FROM p),
+        |n1 AS (SELECT *, (s0 + prod // s0) // 2 AS s1 FROM n0),
+        |n2 AS (SELECT *, s1 - CASE WHEN s1 * s1 > prod THEN 1 ELSE 0 END
+        |    AS s2 FROM n1),
+        |den AS (SELECT tp, tn, fp, fn, prod,
+        |    s2 - CASE WHEN s2 * s2 > prod THEN 1 ELSE 0 END AS den
+        |  FROM n2)
+        |SELECT tp, tn, fp, fn,
+        |  CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0
+        |         OR tn + fn = 0 THEN NULL
+        |    ELSE CAST(CASE WHEN CAST(tp AS HUGEINT) * tn
+        |          >= CAST(fp AS HUGEINT) * fn THEN 1 ELSE -1 END
+        |      * (ABS(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn)
+        |         * 1000000 // den) AS BIGINT) END AS mcc6
+        |FROM den""".stripMargin,
+
+    "q351_risk_coverage" ->
+      """WITH b AS (SELECT n_chars // 20 AS conf,
+        |    ((lang = 'en') = (text LIKE '% the %')) AS ok
+        |  FROM documents),
+        |g AS (SELECT conf, CAST(COUNT(*) AS BIGINT) AS n_at,
+        |    CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS err_at
+        |  FROM b GROUP BY 1),
+        |n AS (SELECT CAST(SUM(n_at) AS BIGINT) AS n FROM g),
+        |w AS (SELECT conf, n_at,
+        |    CAST(SUM(n_at) OVER (ORDER BY conf DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_n,
+        |    CAST(SUM(err_at) OVER (ORDER BY conf DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_err
+        |  FROM g)
+        |SELECT conf, n_at, cum_n, cum_err,
+        |  CAST((cum_err * 1000000000) // cum_n AS BIGINT) AS risk9,
+        |  CAST((cum_n * 1000000000) // n.n AS BIGINT) AS coverage9
+        |FROM w, n ORDER BY conf DESC""".stripMargin,
+
+    // RBO suffix weights S(m) for k=10, p=9/10, L=lcm(1..10)=2520:
+    // S(m) = sum_{d=m..10} 9^(d-1)*10^(10-d)*(2520/d); denom = 10^10*L.
+    "q352_rbo" ->
+      """WITH ra AS (SELECT source AS q, doc_id AS i,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS ra
+        |  FROM documents),
+        |rb AS (SELECT source AS q, doc_id AS i,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY length(replace(text, ' ', '')) DESC, doc_id) AS rb
+        |  FROM documents),
+        |m AS (SELECT ra.q, GREATEST(ra.ra, rb.rb) AS m
+        |  FROM ra JOIN rb ON ra.q = rb.q AND ra.i = rb.i
+        |  WHERE ra.ra <= 10 AND rb.rb <= 10),
+        |agg AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        |    CAST(SUM(CASE m
+        |      WHEN 1 THEN 5932493265528 WHEN 2 THEN 3412493265528
+        |      WHEN 3 THEN 2278493265528 WHEN 4 THEN 1598093265528
+        |      WHEN 5 THEN 1138823265528 WHEN 6 THEN 808148865528
+        |      WHEN 7 THEN 560143065528 WHEN 8 THEN 368824305528
+        |      WHEN 9 THEN 218160782028 WHEN 10 THEN 97629963228
+        |      END) AS HUGEINT) AS s
+        |  FROM m GROUP BY 1),
+        |qs AS (SELECT DISTINCT source AS q FROM documents)
+        |SELECT qs.q AS query,
+        |  COALESCE(n_overlap, 0) AS n_overlap,
+        |  COALESCE(CAST((s * 1000000000) // 25200000000000 AS BIGINT),
+        |    0) AS rbo9
+        |FROM qs LEFT JOIN agg ON qs.q = agg.q ORDER BY query"""
+        .stripMargin,
+
+    "q353_consensus" ->
+      """WITH v AS (SELECT l_orderkey AS it, l_suppkey % 50 AS w,
+        |    CAST(l_returnflag AS VARCHAR) AS l
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |cl AS (SELECT it, l, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM v GROUP BY 1, 2),
+        |maj0 AS (SELECT it, l, c, ROW_NUMBER() OVER
+        |    (PARTITION BY it ORDER BY c DESC, l) AS rn FROM cl),
+        |nv AS (SELECT it, CAST(SUM(c) AS BIGINT) AS n_votes
+        |  FROM cl GROUP BY 1),
+        |maj AS (SELECT m.it, nv.n_votes, m.l AS majority_label
+        |  FROM maj0 m JOIN nv ON nv.it = m.it WHERE m.rn = 1),
+        |acc AS (SELECT v.w,
+        |    CAST((CAST(SUM(CASE WHEN v.l = maj.majority_label
+        |        THEN 1 ELSE 0 END) + 1 AS HUGEINT) * 1000000000)
+        |      // (COUNT(*) + 2) AS BIGINT) AS acc9
+        |  FROM v JOIN maj ON v.it = maj.it GROUP BY v.w),
+        |wl AS (SELECT v.it, v.l, CAST(SUM(acc9) AS BIGINT) AS wsum
+        |  FROM v JOIN acc ON v.w = acc.w GROUP BY 1, 2),
+        |win AS (SELECT it, l, wsum, ROW_NUMBER() OVER
+        |    (PARTITION BY it ORDER BY wsum DESC, l) AS rn FROM wl)
+        |SELECT maj.it AS item, maj.n_votes, maj.majority_label,
+        |  win.l AS label, win.wsum AS weight9
+        |FROM maj JOIN win ON win.it = maj.it AND win.rn = 1
+        |ORDER BY item""".stripMargin,
+
+    "q354_good_turing" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tt AS (SELECT term FROM t WHERE term <> ''),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS r
+        |  FROM tt GROUP BY 1),
+        |ff AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+        |  FROM c GROUP BY 1),
+        |n AS (SELECT CAST(SUM(r) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1
+        |  FROM c),
+        |spine AS (SELECT range AS r FROM range(1, 11))
+        |SELECT spine.r AS r,
+        |  COALESCE(ff.n_r, 0) AS n_r,
+        |  COALESCE(f2.n_r, 0) AS n_r_next,
+        |  CASE WHEN COALESCE(ff.n_r, 0) = 0 THEN NULL
+        |    ELSE CAST((CAST(spine.r + 1 AS HUGEINT)
+        |      * COALESCE(f2.n_r, 0) * 1000000000) // ff.n_r AS BIGINT)
+        |    END AS r_star9,
+        |  CAST((CAST(f1 AS HUGEINT) * 1000000000) // n.n AS BIGINT)
+        |    AS p0_9
+        |FROM spine LEFT JOIN ff ON ff.r = spine.r
+        |  LEFT JOIN ff f2 ON f2.r = spine.r + 1
+        |  CROSS JOIN n ORDER BY spine.r""".stripMargin,
+
+    "q355_chao1" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS r
+        |  FROM t WHERE term <> '' GROUP BY 1),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+        |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM c)
+        |SELECT s_obs, f1, f2,
+        |  CAST(CAST(s_obs AS HUGEINT) * 1000000000
+        |    + (CAST(f1 AS HUGEINT) * (f1 - 1) * 1000000000)
+        |      // (2 * (f2 + 1)) AS VARCHAR) AS chao1_9
+        |FROM a""".stripMargin,
+
+    "q356_anova_f" ->
+      """WITH v AS (SELECT c_mktsegment AS g,
+        |    CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS x
+        |  FROM customer),
+        |pg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(x) AS BIGINT) AS t_g,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q_g
+        |  FROM v GROUP BY 1),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(t_g) AS HUGEINT) AS t,
+        |    CAST(SUM(q_g) AS HUGEINT) AS q,
+        |    CAST(SUM((CAST(t_g AS HUGEINT) * t_g * 1000000000) // n_g)
+        |      AS HUGEINT) AS sb
+        |  FROM pg),
+        |b AS (SELECT k, n, sb - (t * t * 1000000000) // n AS ssb9,
+        |    q * 1000000000 - sb AS ssw9 FROM a)
+        |SELECT k, n, CAST(ssb9 AS VARCHAR) AS ssb9,
+        |  CAST(ssw9 AS VARCHAR) AS ssw9,
+        |  CASE WHEN k < 2 OR n <= k OR ssw9 <= 0 THEN NULL
+        |    ELSE CAST(LEAST((GREATEST(ssb9, 0) * (n - k) * 1000000)
+        |      // (ssw9 * (k - 1)), 1000000000000) AS BIGINT) END AS f6
+        |FROM b""".stripMargin,
+
+    "q357_rolling_median" ->
+      """WITH e AS (SELECT user_id AS key, event_id AS ord,
+        |    CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS x
+        |  FROM events WHERE user_id % 20 = 0),
+        |w AS (SELECT key, ord, x,
+        |    list_sort(list(x) OVER (PARTITION BY key ORDER BY ord
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vals
+        |  FROM e)
+        |SELECT key, ord, x, CAST(len(vals) AS BIGINT) AS n_win,
+        |  list_extract(vals, CAST((len(vals) + 1) // 2 AS INT)) AS med
+        |FROM w ORDER BY key, ord""".stripMargin,
 
     "q349_ransac" ->
       """WITH pts AS (SELECT c_custkey AS id, c_custkey AS x,

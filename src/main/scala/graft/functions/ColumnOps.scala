@@ -37,4 +37,71 @@ object ColumnOps {
       }
     }
   }
+
+  /** Exact ⌊√n⌋ for a non-negative decimal(38,0) below 10³⁶ —
+    * [[isqrt]]'s wide-domain sibling for products that pass 2⁶³ (an
+    * MCC denominator (TP+FP)(TP+FN)(TN+FP)(TN+FN) reaches n⁴). Why ±1
+    * correction is no longer enough here: a decimal beyond 2⁵³ rounds
+    * when cast to double, so the `sqrt` seed can be off by up to
+    * ~√n·2⁻⁵² (thousands at √n = 10¹⁸). One INTEGER NEWTON step
+    * repairs it: s' = ⌊(s + ⌊n/s⌋)/2⌋ is ≥ ⌊√n⌋ for ANY s ≥ 1 (AM–GM;
+    * the floors lower it by < 1 each, and the result stays an integer
+    * ≥ the integer ⌊√n⌋), and overshoots ⌊√n⌋ by at most
+    * ⌈e²/(2√n)⌉ + 1 ≤ 2, since the seed error e ≤ 1 below 2⁵³ (exact
+    * double) and e ≈ √n·2⁻⁵² ≪ √(2√n) above it. TWO conditional
+    * decrements then land exactly; no upward step can be needed. The
+    * inner floor-division is decimal division (rounded at scale 6)
+    * made exact by one q·s > n correction. Inputs ≥ 10³⁶ raise
+    * loudly (their Newton quotient n/s could pass the decimal(38,6)
+    * integer-digit budget) rather than risk a silent wrong root.
+    * DuckDB mirror (HUGEINT): seed CAST(FLOOR(SQRT(CAST(n AS DOUBLE)))
+    * AS HUGEINT), s0 = GREATEST(seed, 1), s1 = (s0 + n//s0)//2, then
+    * the same two `CASE WHEN s*s > n THEN s-1` steps.
+    */
+  /** Exact ⌊a/b⌋ for NON-NEGATIVE decimal(38,0) operands whose
+    * quotient stays below 10³² — the wide-domain `div`: Spark's
+    * IntegralDivide always narrows to LONG, so any floor whose result
+    * can pass 2⁶³ (SSB terms T²·10⁹/n, isqrtDec's Newton step) needs
+    * this spelling instead. Decimal division rounds HALF_UP at scale
+    * 6, which across an integer boundary can only err UPWARD; the one
+    * multiply-back check restores the exact floor. (DuckDB mirror:
+    * plain `//` — HUGEINT division is already integral.) */
+  def divFloorDec(a: Column, b: Column): Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    bound(a.cast(dec)) { aa =>
+      bound(b.cast(dec)) { bb =>
+        bound(floor(aa / bb).cast(dec)) { q =>
+          (q - when((q * bb).cast(dec) > aa, lit(1L)).otherwise(lit(0L)))
+            .cast(dec)
+        }
+      }
+    }
+  }
+
+  def isqrtDec(n: Column): Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lim = lit("1" + "0" * 36).cast(dec)
+    def sq(c: Column): Column = (c * c).cast(dec)
+    // exact ⌊a/b⌋ for positives: decimal division rounds HALF_UP at
+    // scale 6, which can only err UPWARD across an integer; one
+    // multiply-back check restores the floor.
+    def divFloor(a: Column, b: Column): Column =
+      bound(floor(a / b).cast(dec)) { q =>
+        (q - when((q * b).cast(dec) > a, lit(1L)).otherwise(lit(0L))).cast(dec)
+      }
+    bound(n.cast(dec)) { nn0 =>
+      bound(when(nn0 >= lim, raise_error(concat(
+          lit("isqrtDec: input has 37+ digits - rescale first: "),
+          nn0.cast("string")))).otherwise(nn0)) { nn =>
+        bound(greatest(floor(sqrt(nn.cast("double"))).cast(dec),
+            lit(1L).cast(dec))) { s0 =>
+          bound(floor((s0 + divFloor(nn, s0)) / 2).cast(dec)) { s1 =>
+            bound((s1 - when(sq(s1) > nn, lit(1L)).otherwise(lit(0L))).cast(dec)) { s2 =>
+              (s2 - when(sq(s2) > nn, lit(1L)).otherwise(lit(0L))).cast(dec)
+            }
+          }
+        }
+      }
+    }
+  }
 }

@@ -624,4 +624,66 @@ object AbTest {
           col("att_num").cast("double") / col("n_matched").cast("double")))
           .as("att6"))
   }
+
+  /** One-way ANOVA F statistic over k groups — "do ANY of these arms /
+    * domains / strata differ in mean?", the k-arm generalization of
+    * [[welch]]'s pairwise question and the screening test before
+    * pairwise drill-downs. F = (SSB/(k−1)) / (SSW/(n−k)).
+    *
+    * Exact-evidence form (x a caller-scaled integer, |Σx| < 10¹⁴ so
+    * every square fits decimal(38,0) with the 10⁹ scale):
+    *
+    *   ssb9 = Σ_g ⌊T_g²·10⁹/n_g⌋ − ⌊T²·10⁹/n⌋
+    *   sst9 = (Σx²)·10⁹ − ⌊T²·10⁹/n⌋      ssw9 = sst9 − ssb9
+    *   f6   = min(⌊ssb9·(n−k)·10⁶ / (ssw9·(k−1))⌋, 10¹²)
+    *
+    * The per-group floors are the STATED evidence (both engines spell
+    * them identically); floored ssb9 can undershoot true SSB·10⁹ by
+    * < k+1 — irrelevant at the 10⁹ scale and deterministic. f6 is NULL
+    * when k < 2, n ≤ k, or ssw9 ≤ 0 (all-constant within groups).
+    *
+    * Scale shape: ONE per-group aggregate (k rows), then arithmetic
+    * with the one-row total broadcast.
+    *
+    * @return one row: (k, n, ssb9, ssw9, f6) */
+  def anovaF(df: DataFrame, group: Column, x: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val v = df.select(group.as("g"), x.cast("long").as("x"))
+      .filter(col("g").isNotNull && col("x").isNotNull)
+    val perG = v.groupBy("g").agg(count(lit(1)).as("n_g"),
+      sum("x").as("t_g"),
+      sum((col("x").cast(dec) * col("x").cast(dec)).cast(dec)).as("q_g"))
+    val divF = graft.functions.ColumnOps.divFloorDec _
+    perG.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+        sum("t_g").cast(dec).as("t"),
+        sum("q_g").cast(dec).as("q"),
+        // per-group floor terms can pass 2⁶³ — decimal floor-div,
+        // never IntegralDivide (which narrows to long)
+        sum(divF((col("t_g").cast(dec) * col("t_g")).cast(dec) *
+          lit(1000000000L), col("n_g").cast(dec))).cast(dec).as("sb"))
+      .select(col("k"), col("n"),
+        (col("sb") - divF((col("t") * col("t")).cast(dec) *
+          lit(1000000000L), col("n").cast(dec))).cast(dec).as("ssb9"),
+        (col("q") * lit(1000000000L) - col("sb")).cast(dec).as("ssw9"))
+      // f6 first, stringify after: a same-select `ssb9` string alias
+      // would shadow the decimal input via lateral-alias resolution
+      .withColumn("f6",
+        when(col("k") < 2 || col("n") <= col("k") || col("ssw9") <= 0,
+            lit(null).cast("long"))
+          .otherwise(least(
+            // greatest(ssb9,0): the floored SSB can dip a few units
+            // below 0 when true SSB = 0, and a negative numerator
+            // would hit the engines' signed-div disagreement;
+            // least(·, 10¹²): a near-zero SSW makes F astronomically
+            // large with no extra information — the cap keeps the
+            // quotient inside BIGINT in both engines
+            graft.functions.ColumnOps.divFloorDec(
+              greatest(col("ssb9"), lit(0L).cast(dec)) *
+                (col("n") - col("k")) * lit(1000000L),
+              col("ssw9") * (col("k") - 1)),
+            lit(1000000000000L).cast(dec)).cast("long")))
+      .select(col("k"), col("n"),
+        col("ssb9").cast("string").as("ssb9"),
+        col("ssw9").cast("string").as("ssw9"), col("f6"))
+  }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** AMS second-moment sketch (Alon-Matias-Szegedy 1996) — estimate
+  * F₂ = Σ_v c_v², the SELF-JOIN SIZE of a key column, in ONE pass with
+  * r counters and NO per-key state. This is the planner's question
+  * ("how big would this join get?") answered without the
+  * groupBy-count the question is trying to avoid: each estimator j
+  * keeps Z_j = Σ_rows ±1 (the sign a pure md5 function of (seed, j,
+  * key) — replayable, engine-portable, no RNG), and E[Z_j²] = F₂
+  * exactly (pairwise terms cancel under 4-wise-independent-enough
+  * signs); the estimate is the MEDIAN of the r squares (the classic
+  * median-of-estimators variance/tail reduction).
+  *
+  * Exactness of the GATE (not of the estimate — it's a sketch): both
+  * engines replay the identical sign family and the identical lower
+  * median, so the output is bit-reproducible even though it
+  * approximates F₂. Squares run in decimal(38,0): |Z_j| ≤ n keeps
+  * Z² exact to n = 10¹⁹ rows.
+  *
+  * Scale shape: ONE map-side-combined aggregate producing r+1 columns
+  * (no row fan-out, no shuffle beyond the single-row agg); the median
+  * is an array_sort over r plan-literal values.
+  *
+  * @param r even estimator count (the median is the mean of the two
+  *          middle squares, floored — stated)
+  * @return one row: (n, f2_est — decimal string) */
+object AmsSketch {
+
+  def f2Estimate(df: DataFrame, key: Column, r: Int = 16,
+                 seed: Long = 7L): DataFrame = {
+    require(r >= 2 && r <= 64 && r % 2 == 0, "r even in [2,64]")
+    val dec = DecimalType(38, 0)
+    val signSums = (0 until r).map { j =>
+      sum(lit(1L) - lit(2L) * pmod(graft.functions.Hashing.hexLong(
+        concat_ws(":", lit(seed), lit(j), key.cast("string"))),
+        lit(2L))).as(s"z$j")
+    }
+    val agg0 = df.select(key.cast("string").as("k"))
+      .agg(count(lit(1)).as("n"), signSums: _*)
+    agg0
+      .select(col("n"), array_sort(array((0 until r).map(j =>
+        (col(s"z$j").cast(dec) * col(s"z$j")).cast(dec)): _*)).as("zs"))
+      .select(col("n"),
+        graft.functions.ColumnOps.divFloorDec(
+          element_at(col("zs"), r / 2) + element_at(col("zs"), r / 2 + 1),
+          lit(2L)).cast("string").as("f2_est"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Noisy-annotator label aggregation — the step between "collect 3-5
+  * labels per item" and "train on one label per item". Majority vote
+  * treats a careless rater and a careful one alike; the Dawid-Skene
+  * (1979) family re-weights raters by their estimated reliability.
+  * This is the ONE-ROUND, log-free member of that family (weighted
+  * majority with empirically-estimated rater accuracy — GLAD/DS-shaped
+  * rather than a full EM fit, documented as such):
+  *
+  *   1. round 0: per-item MAJORITY label (ties → smallest label —
+  *      deterministic, engine-portable);
+  *   2. rater accuracy vs that majority, Laplace-smoothed so a rater
+  *      with one vote can't get weight 0 or 10⁹:
+  *        acc9_w = ⌊(n_match_w + 1)·10⁹ / (n_votes_w + 2)⌋
+  *   3. round 1: per-item argmax over labels of Σ acc9 of the raters
+  *      who chose that label (ties → smallest label).
+  *
+  * All evidence is exact integers; the ONE floor is stated in step 2.
+  *
+  * Scale shape: two aggregates over the votes (per-(item,label) and
+  * per-rater) plus one join of rater weights back onto votes — no
+  * window over the corpus; per-item argmaxes are min_by aggregates
+  * over (-evidence, label) structs, never sorts.
+  *
+  * @param votes  one row per (item, rater, label)
+  * @return per item: (item, n_votes, majority_label, label — the
+  *         reweighted consensus — and weight9 — its summed rater
+  *         accuracy) */
+object Annotation {
+
+  def weightedConsensus(votes: DataFrame, item: Column, rater: Column,
+                        label: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = votes.select(item.as("it"), rater.as("w"),
+      label.cast("string").as("l"))
+    // round 0: majority label per item (count desc, label asc)
+    val maj = v.groupBy("it", "l").agg(count(lit(1)).as("c"))
+      .groupBy("it")
+      .agg(sum("c").as("n_votes"),
+        min_by(col("l"), struct((-col("c")).as("nc"), col("l")))
+          .as("majority_label"))
+    // rater accuracy vs majority, Laplace (k+1)/(n+2)
+    val acc = v.join(maj.select(col("it"), col("majority_label")), Seq("it"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_w"),
+        sum(when(col("l") === col("majority_label"), 1L).otherwise(0L))
+          .as("m_w"))
+      .select(col("w"),
+        expr("CAST((m_w + 1) AS DECIMAL(38,0)) * 1000000000 div (n_w + 2)")
+          .as("acc9"))
+    // round 1: weighted argmax per item
+    val weighted = v.join(acc, Seq("w"))
+      .groupBy("it", "l").agg(sum("acc9").cast(dec).as("wsum"))
+      .groupBy("it")
+      .agg(min_by(struct(col("l"), col("wsum")),
+        struct((-col("wsum")).cast(dec).as("nw"), col("l"))).as("b"))
+      .select(col("it"), col("b.l").as("label"),
+        col("b.wsum").as("weight9"))
+    maj.join(weighted, Seq("it"))
+      .select(col("it").as("item"), col("n_votes"),
+        col("majority_label"), col("label"), col("weight9"))
+  }
+}

@@ -166,4 +166,59 @@ object Association {
         expr("(n_recommended * 1000000) div catalog_n")
           .as("coverage_e6"))
   }
+
+  /** Frequent TRIPLES by the Apriori level-3 step — [[pairRules]]'
+    * pair table promoted one level: a triple can only be frequent if
+    * all three of its pairs are (downward closure), so candidates are
+    * generated as (frequent pair (a,b) in basket) × (basket item
+    * c > b) and pruned by TWO semi-joins against the frequent-pair
+    * list ((a,c) and (b,c) both frequent) BEFORE the final count.
+    * Counting never sees a triple whose sub-pairs aren't all frequent
+    * — at 100 TB the prune is the operator (the naive b³ per-basket
+    * blow-up never materializes; per-basket work is bounded by
+    * (frequent-pair occurrences in the basket) × items, each pruned
+    * candidate dropped by a broadcast-sized hash lookup).
+    *
+    * @param maxBasketSize same guard and same semantics as
+    *        [[pairRules]] (dropped baskets leave every count)
+    * @return (item_a < item_b < item_c, cnt_abc, n_baskets) with
+    *         cnt_abc >= minSupport */
+  def tripleCounts(df: DataFrame, basket: Column, item: Column,
+                   minSupport: Long, maxBasketSize: Int = 0): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val items0 = df.select(basket.as("b"), item.as("i")).distinct()
+    val items =
+      if (maxBasketSize <= 0) items0
+      else {
+        val sizes = items0.groupBy("b").agg(count(lit(1)).as("__k"))
+          .filter(col("__k") <= maxBasketSize)
+        items0.join(sizes.select("b"), Seq("b"))
+      }
+    val nBaskets = items.select(countDistinct(col("b")).as("n_baskets"))
+    val a = items.select(col("b"), col("i").as("item_a"))
+    val bb = items.select(col("b"), col("i").as("item_b"))
+    val pairOcc = a.join(bb, Seq("b"))
+      .filter(col("item_a") < col("item_b"))
+    val freqPairs = pairOcc
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= minSupport)
+      .select("item_a", "item_b")
+      .localCheckpoint(true) // small by construction (support-cut)
+    val candidates = pairOcc
+      .join(freqPairs, Seq("item_a", "item_b")) // only frequent pairs extend
+      .join(items.select(col("b"), col("i").as("item_c")), Seq("b"))
+      .filter(col("item_c") > col("item_b"))
+      // downward closure: (a,c) and (b,c) must also be frequent
+      .join(freqPairs.select(col("item_a"), col("item_b").as("item_c")),
+        Seq("item_a", "item_c"), "left_semi")
+      .join(freqPairs.select(col("item_a").as("item_b"),
+        col("item_b").as("item_c")), Seq("item_b", "item_c"), "left_semi")
+    candidates
+      .groupBy("item_a", "item_b", "item_c")
+      .agg(count(lit(1)).as("cnt_abc"))
+      .filter(col("cnt_abc") >= minSupport)
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("item_c"),
+        col("cnt_abc"), col("n_baskets"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Linear Centered Kernel Alignment (Kornblith et al. 2019) — "do two
+  * embedding versions see the corpus the same way?", the
+  * representation-drift audit run before swapping an embedding model
+  * under a live ANN index (invariant to rotation and isotropic
+  * scaling, so it measures GEOMETRY change, not coordinate change):
+  *
+  *   CKA(X,Y) = ‖X̄ᵀȲ‖²_F / (‖X̄ᵀX̄‖_F · ‖ȲᵀȲ‖_F)
+  *
+  * Exact-evidence form: components quantize to integers q = ⌊x·10⁴⌋
+  * (float→double→⌊·10⁴⌋ is exact and identical in both engines), and
+  * every centered cross-moment uses the n-scaled identity
+  * n·C_ij = n·Σxᵢyⱼ − SᵢTⱼ — exact decimal(38,0) integers; the n²
+  * factors cancel in the ratio. Frobenius roots via
+  * [[graft.functions.ColumnOps.isqrtDec]]; the final ratio is TWO
+  * stated floors (⌊⌊num·10³/s_x⌋·10³/s_y⌋ — splitting the 10⁶ scale
+  * keeps every intermediate inside decimal(38,0)).
+  *
+  * This is an AUDIT statistic (q149's exact-baseline stance): the
+  * documented exact domain is n·(q·max|x|)² < 10¹⁵ per cross-moment
+  * cell — corpus-scale runs feed it a deterministic hash-sample, not
+  * 100 TB of rows. The d² cross-moment table is the only shuffle
+  * (map-side-combined, d² keys); rows fan out d² once.
+  *
+  * @param dims use the first `dims` components (d² cost control)
+  * @return one row: (n, d, num — ‖nC_xy‖²_F — s_x, s_y as strings,
+  *         cka6) */
+object Cka {
+
+  def linearCka(df: DataFrame, x: Column, y: Column,
+                dims: Int): DataFrame = {
+    require(dims >= 1 && dims <= 64, "dims in [1,64]")
+    val dec = DecimalType(38, 0)
+    def quant(v: Column) = transform(slice(v, 1, dims),
+      e => floor(e.cast("double") * 10000).cast("long"))
+    val base = df.select(quant(x).as("xq"), quant(y).as("yq"))
+      .localCheckpoint(true) // read once, feed three moment passes
+    def moments(a: String, b: String) = base
+      .select(posexplode(col(a)).as(Seq("i", "xi")), col(b))
+      .select(col("i"), col("xi"), posexplode(col(b)).as(Seq("j", "yj")))
+      .groupBy("i", "j")
+      .agg(sum((col("xi").cast(dec) * col("yj")).cast(dec)).cast(dec)
+        .as("sxy"))
+    def sums(a: String, alias: String, idx: String) = base
+      .select(posexplode(col(a)).as(Seq(idx, "v")))
+      .groupBy(idx).agg(sum("v").cast(dec).as(alias))
+    val n = base.agg(count(lit(1)).as("n"))
+    def frob2(a: String, b: String): DataFrame =
+      moments(a, b)
+        .join(broadcast(sums(a, "s_i", "i")), Seq("i"))
+        .join(broadcast(sums(b, "t_j", "j")), Seq("j"))
+        .crossJoin(broadcast(n))
+        .select(((col("n") * col("sxy")).cast(dec) -
+          (col("s_i") * col("t_j")).cast(dec)).cast(dec).as("m"))
+        .agg(sum((col("m") * col("m")).cast(dec)).cast(dec).as("f2"))
+    val divF = graft.functions.ColumnOps.divFloorDec _
+    frob2("xq", "yq").select(col("f2").as("num"))
+      .crossJoin(frob2("xq", "xq").select(
+        graft.functions.ColumnOps.isqrtDec(col("f2")).as("s_x")))
+      .crossJoin(frob2("yq", "yq").select(
+        graft.functions.ColumnOps.isqrtDec(col("f2")).as("s_y")))
+      .crossJoin(broadcast(n))
+      .select(col("n"), lit(dims).as("d"),
+        col("num").cast("string").as("num"),
+        col("s_x").cast("string").as("s_x"),
+        col("s_y").cast("string").as("s_y"),
+        when(col("s_x") === 0 || col("s_y") === 0, lit(null).cast("long"))
+          .otherwise(divF(divF((col("num") * lit(1000L)).cast(dec),
+            col("s_x")) * lit(1000L), col("s_y")).cast("long"))
+          .as("cka6"))
+  }
+}

@@ -481,4 +481,149 @@ object Evaluation {
             "CAST(CAST(t AS DECIMAL(38,0)) * CAST(n - 1 AS DECIMAL(38,0)) " +
               "AS DECIMAL(38,0)) div de")).as("alpha9"))
   }
+
+  /** Matthews correlation coefficient — the single-number binary
+    * summary that stays honest under class imbalance (a 99%-negative
+    * quality filter can post accuracy 0.99 AND F1 ≈ 0 AND MCC ≈ 0;
+    * MCC rewards nothing unless BOTH classes are called well):
+    *
+    *   MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    *
+    * Exactness: counts are one aggregate pass; the numerator is
+    * signed, so the floor is SIGN-MAGNITUDE (⌊|num|·10⁶/den⌋ then the
+    * sign re-applied — both engines agree without the signed-floor
+    * pmod dance); the denominator is [[graft.functions.ColumnOps
+    * .isqrtDec]] of the exact decimal(38,0) product — fine to n ≈ 10⁹
+    * rows (n⁴ < 10³⁶). Any zero marginal makes MCC undefined → NULL
+    * (the convention that reports "no evidence", not the fake 0).
+    *
+    * Scale shape: ONE map-side-combined aggregate; arithmetic on the
+    * one-row result.
+    *
+    * @return one row (tp, tn, fp, fn, mcc6 = MCC×10⁶) */
+  def mcc(df: DataFrame, label: Column, pred: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(dec)
+    df.select(label.as("y"), pred.as("p"))
+      .agg(
+        sum(when(col("y") && col("p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("y") && !col("p"), 1L).otherwise(0L)).as("tn"),
+        sum(when(!col("y") && col("p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") && !col("p"), 1L).otherwise(0L)).as("fn"))
+      .withColumn("den", graft.functions.ColumnOps.isqrtDec(
+        (d(col("tp") + col("fp")) * d(col("tp") + col("fn"))).cast(dec) *
+        (d(col("tn") + col("fp")) * d(col("tn") + col("fn"))).cast(dec)))
+      .select(col("tp"), col("tn"), col("fp"), col("fn"),
+        when((col("tp") + col("fp")) === 0 || (col("tp") + col("fn")) === 0 ||
+             (col("tn") + col("fp")) === 0 || (col("tn") + col("fn")) === 0,
+            lit(null).cast("long"))
+          .otherwise(
+            signum(d(col("tp")) * d(col("tn")) - d(col("fp")) * d(col("fn")))
+              .cast("long") *
+            expr("CAST(abs(CAST(tp AS DECIMAL(38,0)) * tn - " +
+              "CAST(fp AS DECIMAL(38,0)) * fn) * 1000000 " +
+              "AS DECIMAL(38,0)) div den"))
+          .as("mcc6"))
+  }
+
+  /** Rank-biased overlap at depth k (Webber et al. 2010) — how similar
+    * are two rankers' top-k lists, weighting the TOP of the lists most
+    * (Kendall/Spearman treat rank 1 and rank k alike; RBO's geometric
+    * p-discount matches how users read results):
+    *
+    *   RBO@k = (1−p) Σ_{d=1..k} p^{d−1} · |A_1..d ∩ B_1..d| / d
+    *
+    * Exact-rational form: with p = pNum/pDen and L = lcm(1..k), an item
+    * present in BOTH lists with ranks (ra, rb) enters every depth
+    * d ≥ m = max(ra, rb), so its total contribution is the suffix sum
+    * S(m) = Σ_{d=m..k} pNum^{d−1}·pDen^{k−d}·(L/d) — computed ONCE as
+    * BigInt plan literals (k ≤ 16). The whole metric is then ONE
+    * equi-join on (query, item) and ONE aggregate:
+    *
+    *   rbo9 = ⌊10⁹·(pDen−pNum)·Σ_items S(m_i) / (pDen^k·L)⌋
+    *
+    * Queries with zero overlap still report (rbo9 = 0) via a left join
+    * from the distinct-query spine of ranking A.
+    *
+    * Scale shape: the join fans out only matched items (≤ k per
+    * query); no window, no cartesian; literal table of k weights.
+    *
+    * @param a,b  rankings: one row per (query, item, rank), rank
+    *             1-based; rows with rank > k are ignored
+    * @return per query: (query, n_overlap = |A∩B| at k, rbo9) */
+  def rbo(a: DataFrame, b: DataFrame, query: Column, item: Column,
+          rank: Column, k: Int, pNum: Int = 9,
+          pDen: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 16, "k in [1,16] (plan-literal weights)")
+    require(pNum >= 1 && pNum < pDen, "p = pNum/pDen in (0,1)")
+    val lcm = (1 to k).map(BigInt(_)).reduce((x, y) => x * y / x.gcd(y))
+    // S(m) = sum_{d=m..k} pNum^(d-1) * pDen^(k-d) * (lcm/d)
+    val suffix: Seq[BigInt] = (1 to k).map { m =>
+      (m to k).map(d => BigInt(pNum).pow(d - 1) * BigInt(pDen).pow(k - d) *
+        (lcm / d)).sum
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val weightOf = (1 to k).foldLeft(lit(null).cast(dec)) { (acc, m) =>
+      when(col("m") === m, lit(suffix(m - 1).toString).cast(dec))
+        .otherwise(acc)
+    }
+    def side(df: DataFrame, rc: String) =
+      df.select(query.as("q"), item.as("i"), rank.cast("int").as(rc))
+        .filter(col(rc) <= k && col(rc) >= 1)
+    val aa = side(a, "ra")
+    val bb = side(b, "rb")
+    val denom = (BigInt(pDen).pow(k) * lcm).toString
+    val matched = aa.join(bb, Seq("q", "i"))
+      .withColumn("m", greatest(col("ra"), col("rb")))
+      .groupBy("q")
+      .agg(count(lit(1)).as("n_overlap"), sum(weightOf).cast(dec).as("s"))
+    aa.select("q").distinct()
+      .join(matched, Seq("q"), "left")
+      .select(col("q").as("query"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(
+          expr(s"CAST(s * ${(pDen - pNum)} * 1000000000 " +
+            s"AS DECIMAL(38,0)) div CAST($denom AS DECIMAL(38,0))"),
+          lit(0L)).as("rbo9"))
+  }
+
+  /** Risk–coverage curve for selective prediction ("answer only when
+    * confident") — at each confidence cutoff c, what fraction of the
+    * corpus is kept (coverage) and how wrong is what's kept (risk)?
+    * The audit behind abstention thresholds for LLM answering and
+    * quality-filter triage (Geifman & El-Yaniv 2017, selective
+    * classification).
+    *
+    * One curve point per DISTINCT confidence value — the only places
+    * a threshold can cut. Counts aggregate per confidence first
+    * (map-side combine, |grid| rows), then ONE ordered window over
+    * that bounded grid accumulates kept/errors from the most
+    * confident down. Confidence must be a caller-scaled integer of
+    * BOUNDED cardinality (like [[calibrationBins]]'s buckets) — the
+    * unpartitioned window runs on the grid, never the corpus.
+    *
+    * @param conf    bounded-cardinality integer confidence
+    * @param correct whether the prediction was right
+    * @return per distinct conf, descending: (conf, n_at, cum_n,
+    *         cum_err, risk9 = ⌊cum_err·10⁹/cum_n⌋, coverage9 =
+    *         ⌊cum_n·10⁹/n⌋) */
+  def riskCoverage(df: DataFrame, conf: Column,
+                   correct: Column): DataFrame = {
+    val grid = df.select(conf.cast("long").as("conf"), correct.as("ok"))
+      .groupBy("conf")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(!col("ok"), 1L).otherwise(0L)).as("err_at"))
+    val w = Window.orderBy(col("conf").desc) // bounded conf grid
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = grid.agg(sum("n_at").as("n"))
+    grid
+      .withColumn("cum_n", sum("n_at").over(w))
+      .withColumn("cum_err", sum("err_at").over(w))
+      .crossJoin(broadcast(n))
+      .select(col("conf"), col("n_at"), col("cum_n"), col("cum_err"),
+        expr("CAST(cum_err AS DECIMAL(38,0)) * 1000000000 div cum_n")
+          .as("risk9"),
+        expr("CAST(cum_n AS DECIMAL(38,0)) * 1000000000 div n")
+          .as("coverage9"))
+  }
 }

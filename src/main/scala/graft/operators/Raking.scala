@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative proportional fitting (raking) — reweight a 2-way
+  * contingency table to hit BOTH target margins (Deming-Stephan 1940;
+  * the survey-weighting / training-mix-calibration standard: "make
+  * the corpus match the target language margin AND the target source
+  * margin simultaneously"). Each sweep scales every cell weight so
+  * one margin matches exactly, alternating row/column; the fixture is
+  * the classic converging sequence, run a FIXED, stated number of
+  * sweeps (deterministic plans, no data-dependent iteration count —
+  * convergence in practice is geometric, a handful of sweeps).
+  *
+  * Arithmetic: cell weights are ppb multipliers (w⁰ = 10⁹). A row
+  * sweep sets  w' = ⌊w · target_r · 10⁹ / m_r⌋  where m_r =
+  * Σ_cells n·w is the current weighted row mass — ONE stated floor
+  * per sweep per cell; column sweeps mirror. A zero mass (all target
+  * weights floored to 0) keeps w unchanged rather than dividing by
+  * zero. Products stay ≤ 10⁹·(target)·10⁹ — decimal(38,0) holds to
+  * targets of 10¹⁸.
+  *
+  * Scale shape: the input collapses to the CELL GRID (|rows|×|cols|
+  * observed cells) in one aggregate; sweeps then run on that tiny
+  * frame (localCheckpoint per sweep — the loop never grows a plan),
+  * margins via broadcast joins.
+  *
+  * @param rowTargets (row_key, target) exact integer target margin
+  * @param colTargets (col_key, target) exact integer target margin
+  * @param sweeps     full row+column sweep count (1..8)
+  * @return per observed cell: (row_key, col_key, n, w9) */
+object Raking {
+
+  def rake(df: DataFrame, row: Column, colm: Column,
+           rowTargets: DataFrame, colTargets: DataFrame,
+           sweeps: Int): DataFrame = {
+    require(sweeps >= 1 && sweeps <= 8, "sweeps in [1,8]")
+    val dec = DecimalType(38, 0)
+    val rt = rowTargets.select(col("row_key"),
+      col("target").cast("long").as("t_r")).localCheckpoint(true)
+    val ct = colTargets.select(col("col_key"),
+      col("target").cast("long").as("t_c")).localCheckpoint(true)
+    var cells = df.select(row.as("row_key"), colm.as("col_key"))
+      .groupBy("row_key", "col_key").agg(count(lit(1)).as("n"))
+      .withColumn("w9", lit(1000000000L).cast(dec))
+      .localCheckpoint(true)
+    def sweep(key: String, targets: DataFrame, t: String): DataFrame = {
+      val mass = cells.groupBy(key)
+        .agg(sum((col("n").cast(dec) * col("w9")).cast(dec)).cast(dec)
+          .as("m"))
+      cells.join(broadcast(mass), Seq(key))
+        .join(broadcast(targets), Seq(key), "left")
+        .withColumn("w9",
+          when(col("m") === 0 || col(t).isNull, col("w9"))
+            .otherwise(graft.functions.ColumnOps.divFloorDec(
+              (col("w9") * col(t)).cast(dec) * lit(1000000000L),
+              col("m"))))
+        .select("row_key", "col_key", "n", "w9")
+    }
+    for (_ <- 1 to sweeps) {
+      cells = sweep("row_key", rt, "t_r").localCheckpoint(true)
+      cells = sweep("col_key", ct, "t_c").localCheckpoint(true)
+    }
+    cells
+  }
+}

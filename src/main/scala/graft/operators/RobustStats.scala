@@ -134,4 +134,36 @@ object RobustStats {
       .select(col("n"), col("median"), col("mad"), col("n_outliers"),
         col("max_dev"))
   }
+
+  /** Per-key trailing rolling median — the robust twin of
+    * [[Outliers.rollingZ]]'s mean/variance window: a sensor spike
+    * moves a W-row mean by spike/W but leaves the median untouched
+    * until half the window is corrupt. Median over the LAST w rows
+    * (fewer at the series head): the LOWER median — element
+    * ⌈m/2⌉ of the m sorted window values — so the answer is always an
+    * actual observation and stays integer-exact for even windows
+    * where the interpolated median would invent a half (DuckDB mirror:
+    * list_extract(list_sort(list(x) OVER w), (len+1)//2)).
+    *
+    * Scale shape: one key-partitioned ordered window; the
+    * collect_list/array_sort cost is W log W per row with W a small
+    * plan literal (≤ 512 enforced) — rows never leave their key
+    * partition.
+    *
+    * @param order total order within key (unique — ties would make
+    *              the window contents layout-dependent)
+    * @return input columns (key, ord, x) + (n_win, med) */
+  def rollingMedian(df: DataFrame, key: Column, order: Column,
+                    x: Column, w: Int): DataFrame = {
+    require(w >= 1 && w <= 512, "w in [1,512] (per-row sort cost)")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("ord"))
+      .rowsBetween(-(w - 1), 0)
+    df.select(key.as("key"), order.as("ord"), x.cast("long").as("x"))
+      .withColumn("vals", array_sort(collect_list(col("x")).over(win)))
+      .select(col("key"), col("ord"), col("x"),
+        size(col("vals")).cast("long").as("n_win"),
+        element_at(col("vals"),
+          expr("CAST((size(vals) + 1) div 2 AS INT)")).as("med"))
+  }
 }

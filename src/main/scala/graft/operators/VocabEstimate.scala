@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** "How big is the vocabulary REALLY?" — unseen-mass estimators over a
+  * term-count table. [[Zipf]] fits the shape of the seen distribution
+  * and Heaps ([[graft.SparkEntry]] q322) the growth curve; these two
+  * answer the complementary curation questions: how much probability
+  * mass belongs to words we have NOT seen yet (Good-Turing — the
+  * smoothing inside every n-gram LM), and how many distinct types the
+  * corpus would show at infinite sampling (Chao1 — species richness,
+  * standard in ecology and reused for vocabulary/dedup-coverage
+  * auditing).
+  *
+  * Both run on the frequency-of-frequencies table N_r = |{terms with
+  * count r}| — ONE term-count aggregate, ONE tiny N_r aggregate, exact
+  * integers throughout, floors stated below.
+  */
+object VocabEstimate {
+
+  /** Frequency-of-frequencies N_r for r = 1..maxR plus the Good-Turing
+    * discounted count r* and the unseen-mass estimate.
+    *
+    *   r*₉ = ⌊(r+1)·N_{r+1}·10⁹ / N_r⌋      (0 when N_{r+1} = 0)
+    *   p0₉ = ⌊N_1·10⁹ / N⌋                  (N = total tokens)
+    *
+    * A 1..maxR spine left-joins the observed N_r so sparse ranks
+    * report explicitly (N_r = 0 → r*₉ NULL: no evidence, not zero —
+    * [[DataQuality.benford]]'s spine stance).
+    *
+    * @param terms one row per token occurrence (pre-exploded)
+    * @return per r: (r, n_r, n_r_next, r_star9, p0_9 — the same
+    *         corpus-level unseen mass repeated per row for
+    *         convenience) */
+  def goodTuring(terms: DataFrame, term: Column, maxR: Int): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, "maxR in [1,1000]")
+    val counts = terms.select(term.as("t")).groupBy("t")
+      .agg(count(lit(1)).as("r"))
+    val freqFreq = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(true) // tiny: one row per distinct count
+    val n = counts.agg(sum("r").as("n"), // total tokens
+      sum(when(col("r") === 1, 1L).otherwise(0L)).as("f1"))
+    val spine = freqFreq.sparkSession.range(1, maxR + 1)
+      .select(col("id").as("r"))
+    spine
+      .join(freqFreq, Seq("r"), "left")
+      .join(freqFreq.select((col("r") - 1).as("r"),
+        col("n_r").as("n_r_next")), Seq("r"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("r"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"),
+        coalesce(col("n_r_next"), lit(0L)).as("n_r_next"),
+        when(coalesce(col("n_r"), lit(0L)) === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((r + 1) * coalesce(n_r_next, 0) " +
+            "AS DECIMAL(38,0)) * 1000000000 div n_r")).as("r_star9"),
+        expr("CAST(f1 AS DECIMAL(38,0)) * 1000000000 div n").as("p0_9"))
+  }
+
+  /** Bias-corrected Chao1 richness: S_chao1 = S_obs + f1(f1−1) /
+    * (2(f2+1)) — the f2+1 form stays defined when no term occurs
+    * exactly twice. ONE stated floor:
+    *
+    *   chao1₉ = S_obs·10⁹ + ⌊f1·(f1−1)·10⁹ / (2·(f2+1))⌋
+    *
+    * @return one row: (s_obs, f1, f2, chao1_9) */
+  def chao1(terms: DataFrame, term: Column): DataFrame =
+    terms.select(term.as("t")).groupBy("t")
+      .agg(count(lit(1)).as("r"))
+      .agg(count(lit(1)).as("s_obs"),
+        sum(when(col("r") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("r") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("s_obs"), col("f1"), col("f2"),
+        (col("s_obs") * lit(1000000000L).cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)) +
+          expr("CAST(f1 AS DECIMAL(38,0)) * (f1 - 1) * 1000000000 " +
+            "div (2 * (f2 + 1))"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("chao1_9"))
+}

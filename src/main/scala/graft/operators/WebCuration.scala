@@ -317,4 +317,46 @@ object WebCuration {
     rolled.join(if (broadcastBlocklist) broadcast(b) else b,
       Seq("host"), "left_anti")
   }
+
+  /** Politeness-scheduled crawl frontier — turn a scored URL frontier
+    * into a deterministic fetch plan that (a) never hits one host
+    * twice in the same round and (b) fills each round's global worker
+    * budget best-first. The two-level schedule every polite crawler
+    * runs (one-connection-per-host + bounded fleet):
+    *
+    *   round  = this URL's position in ITS HOST's priority order
+    *            (0-based — fetch k-th URL of a host k politeness
+    *            delays in; a host with one URL occupies one round)
+    *   slot   = position within the round by (priority desc, host)
+    *   worker = slot % workers   epoch = round·ceil + slot/workers —
+    *            NOT emitted: workers beyond the budget simply push
+    *            the slot into later real-time; `worker` is the
+    *            deterministic assignment the fetch fleet shards on.
+    *
+    * Determinism: both orders are total ((priority desc, url) within
+    * host; (priority desc, host) within round — host is unique within
+    * a round by construction).
+    *
+    * Scale shape: one host-keyed window (frontier rows stay in their
+    * host partition) + one round-keyed window (rounds are much
+    * smaller than the frontier; the round key re-shuffles once).
+    * No global sort of the frontier.
+    *
+    * @param priority higher fetches first (integer)
+    * @return (url, host, priority, round, slot, worker) */
+  def frontierSchedule(frontier: DataFrame, url: Column,
+                       priority: Column, workers: Int): DataFrame = {
+    require(workers >= 1, "workers must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val f = frontier.select(url.as("url"),
+      priority.cast("long").as("priority"))
+      .withColumn("host", host(col("url")))
+    val byHost = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("url"))
+    val byRound = Window.partitionBy(col("round"))
+      .orderBy(col("priority").desc, col("host"))
+    f.withColumn("round", row_number().over(byHost) - 1)
+      .withColumn("slot", row_number().over(byRound) - 1)
+      .withColumn("worker", pmod(col("slot"), lit(workers.toLong)))
+  }
 }

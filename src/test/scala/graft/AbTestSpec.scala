@@ -280,4 +280,31 @@ class AbTestSpec extends SparkSpec {
       col("id"), col("t"), col("s"), col("y"), 10L).head()
     assert(r.getLong(1) == 0L && r.isNullAt(4))
   }
+
+  test("anovaF: hand-checked sums of squares and F") {
+    // g1: 1,2,3 (T=6,n=3)  g2: 5,6,7 (T=18,n=3)
+    // grand T=24, n=6; sum x^2 = 1+4+9+25+36+49 = 124
+    // ssb9 = (36e9/3 + 324e9/3) - 576e9/6 = 120e9 - 96e9 = 24e9
+    // ssw9 = 124e9 - 120e9 = 4e9
+    // F = (24/1) / (4/4) = 24 -> f6 = 24e9*4*1e6 div (4e9*1) = 24e6
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 5L), ("b", 6L), ("b", 7L)).toDF("g", "x")
+    val r = AbTest.anovaF(d, col("g"), col("x"))
+      .as[(Long, Long, String, String, Option[Long])].head()
+    assert(r == ((2L, 6L, "24000000000", "4000000000",
+      Some(24000000L))), r.toString)
+  }
+
+  test("anovaF: identical groups -> F 0; constant data -> null F") {
+    val same = Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L))
+      .toDF("g", "x")
+    val r = AbTest.anovaF(same, col("g"), col("x"))
+      .as[(Long, Long, String, String, Option[Long])].head()
+    assert(r._3 == "0" && r._5.contains(0L), r.toString)
+    val const = Seq(("a", 3L), ("a", 3L), ("b", 3L), ("b", 3L))
+      .toDF("g", "x")
+    val rc = AbTest.anovaF(const, col("g"), col("x"))
+      .as[(Long, Long, String, String, Option[Long])].head()
+    assert(rc._5.isEmpty, rc.toString) // ssw = 0 -> undefined
+  }
 }

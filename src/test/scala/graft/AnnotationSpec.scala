@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Annotation
+
+/** Dawid-Skene-shaped weighted consensus: hand-checked rater weights,
+  * the reliable-rater override, and deterministic tie-breaks. */
+class AnnotationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("weighted consensus: hand-checked accuracies and argmax") {
+    // item 1: w1=A w2=A w3=B -> majority A
+    // item 2: w1=A w2=A w3=A -> majority A
+    // w1: 2/2 match -> acc9 = (2+1)*1e9 div (2+2) = 750000000
+    // w2: 2/2 match -> 750000000
+    // w3: 1/2 match (B vs maj A on item 1; A on item 2) ->
+    //     (1+1)*1e9 div (2+2) = 500000000
+    val votes = Seq(
+      (1L, "w1", "A"), (1L, "w2", "A"), (1L, "w3", "B"),
+      (2L, "w1", "A"), (2L, "w2", "A"), (2L, "w3", "A"))
+      .toDF("it", "w", "l")
+    val r = Annotation.weightedConsensus(votes, col("it"), col("w"),
+        col("l"))
+      .orderBy("item")
+      .as[(Long, Long, String, String, java.math.BigDecimal)]
+      .collect().toSeq
+    assert(r.map(x => (x._1, x._2, x._3, x._4, x._5.longValueExact())) ==
+      Seq((1L, 3L, "A", "A", 1500000000L),
+          (2L, 3L, "A", "A", 2000000000L)), r.toString)
+  }
+
+  test("a reliable majority outweighs an unreliable one") {
+    // w1, w2 agree with each other everywhere (high accuracy);
+    // w3, w4 disagree with the majority on the calibration items, so
+    // their weight drops; on the contested item the two LOW-weight
+    // raters vote Z vs ONE high-weight rater voting Y: majority says
+    // Z (2 votes vs 1) but the weighted consensus picks Y only if
+    // acc(w1) > acc(w3) + acc(w4). Calibration: 3 items where w3/w4
+    // each matched majority once of 3 -> acc = (1+1)/(3+2) = 0.4;
+    // w1 matched 4 of 4 (3 cal + contested maj counts w1 as the
+    // minority there) ... build so the arithmetic is hand-checkable.
+    val cal = (10L to 12L).flatMap(i => Seq(
+      (i, "w1", "A"), (i, "w2", "A"), (i, "w3", "B"), (i, "w4", "C")))
+    val contested = Seq((1L, "w1", "Y"), (1L, "w3", "Z"), (1L, "w4", "Z"))
+    val votes = (cal ++ contested).toDF("it", "w", "l")
+    val r = Annotation.weightedConsensus(votes, col("it"), col("w"),
+        col("l"))
+      .filter(col("item") === 1L)
+      .select("majority_label", "label")
+      .as[(String, String)].head()
+    // majority on item 1 is Z (2 vs 1); weights: w1 matched majority
+    // on 3 cal items, missed item1 (maj Z) -> acc9 = (3+1)e9 div (4+2)
+    // = 666666666; w3: matched only item1 -> (1+1)e9 div (4+2) =
+    // 333333333, w4 same. Y gets 666666666; Z gets 666666666 ->
+    // tie -> smallest label wins: Y < Z -> Y. The reweighting undoes
+    // the unreliable 2-vote majority.
+    assert(r == (("Z", "Y")), r.toString)
+  }
+
+  test("tie-breaks are deterministic: smallest label wins both rounds") {
+    val votes = Seq((1L, "w1", "B"), (1L, "w2", "A")).toDF("it", "w", "l")
+    val r = Annotation.weightedConsensus(votes, col("it"), col("w"),
+        col("l"))
+      .select("majority_label", "label").as[(String, String)].head()
+    assert(r == (("A", "A")), r.toString)
+  }
+}

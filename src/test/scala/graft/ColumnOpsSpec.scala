@@ -27,6 +27,55 @@ class ColumnOpsSpec extends SparkSpec {
     }
   }
 
+  test("isqrtDec is exact beyond the long domain (decimal inputs to " +
+    "10^36) and raises past it") {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // (value as BigInt string, expected floor sqrt as BigInt string)
+    def sq(s: String): BigInt = BigInt(s) * BigInt(s)
+    val cases: Seq[(BigInt, BigInt)] = Seq(
+      (BigInt(0), BigInt(0)), (BigInt(1), BigInt(1)),
+      (BigInt(2), BigInt(1)), (BigInt(99), BigInt(9)),
+      // around (1e18)^2 = 1e36 - 1: just below the guard
+      (sq("999999999999999999"), BigInt("999999999999999999")),
+      (sq("999999999999999999") - 1, BigInt("999999999999999998")),
+      (sq("999999999999999999") + 1, BigInt("999999999999999999")),
+      // a 35-digit non-square
+      (BigInt("12345678901234567890123456789012345"),
+        BigInt("111111110611111109"))
+    )
+    val got = cases.map(_._1.toString).toDF("s")
+      .select(col("s"),
+        ColumnOps.isqrtDec(col("s").cast(dec)).cast("string").as("r"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (n, want) =>
+      // independent reference: BigInt binary-search sqrt
+      var lo = BigInt(0); var hi = n + 1
+      while (hi - lo > 1) {
+        val m = (lo + hi) / 2
+        if (m * m <= n) lo = m else hi = m
+      }
+      assert(lo == want, s"test-case self-check failed for $n")
+      assert(BigInt(got(n.toString)) == want,
+        s"isqrtDec($n) = ${got(n.toString)}, want $want")
+    }
+    val err = intercept[Exception] {
+      Seq("1" + "0" * 36).toDF("s")
+        .select(ColumnOps.isqrtDec(col("s").cast(dec))).collect()
+    }
+    assert(err.getMessage.contains("isqrtDec"), err.getMessage)
+  }
+
+  test("isqrtDec agrees with isqrt across the shared long domain") {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ns = (0L to 3000L) ++ Seq(999999999999999999L,
+      4611686018427387903L, 3037000499L * 3037000499L)
+    val rows = ns.toDF("n")
+      .select(ColumnOps.isqrt(col("n")).as("a"),
+        ColumnOps.isqrtDec(col("n").cast(dec)).cast("long").as("b"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+
   test("isqrt agrees with BigInt sqrt over a dense sweep") {
     val ns = (0L to 5000L) ++ (1 to 200).map(i =>
       i.toLong * i * i * 7919 + i)

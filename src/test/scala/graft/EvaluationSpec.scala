@@ -272,4 +272,68 @@ class EvaluationSpec extends SparkSpec {
       .select("alpha9").as[Long].collect().head
     assert(a < 0L, s"alpha9 = $a")
   }
+
+  test("mcc: hand case, perfect/inverted/degenerate") {
+    // tp=4 tn=3 fp=2 fn=1: num = 12-2 = 10,
+    // den = sqrt(6*5*5*4) = sqrt(600) = 24.49..., isqrt = 24
+    // mcc6 = 10*1e6 div 24 = 416666
+    val d = Seq.fill(4)((true, true)) ++ Seq.fill(3)((false, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(1)((true, false))
+    val r = Evaluation.mcc(d.toDF("y", "p"), col("y"), col("p"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(r == ((4L, 3L, 2L, 1L, Some(416666L))), r.toString)
+    // perfect predictor: +1.0 exactly
+    val perf = Seq((true, true), (false, false), (true, true))
+      .toDF("y", "p")
+    assert(Evaluation.mcc(perf, col("y"), col("p"))
+      .select("mcc6").as[Option[Long]].head().contains(1000000L))
+    // inverted predictor: -1.0 exactly
+    val inv = Seq((true, false), (false, true)).toDF("y", "p")
+    assert(Evaluation.mcc(inv, col("y"), col("p"))
+      .select("mcc6").as[Option[Long]].head().contains(-1000000L))
+    // degenerate: predictor always true -> a zero marginal -> NULL
+    val deg = Seq((true, true), (false, true)).toDF("y", "p")
+    assert(Evaluation.mcc(deg, col("y"), col("p"))
+      .select("mcc6").as[Option[Long]].head().isEmpty)
+  }
+
+  test("rbo: identical lists = 1-p^k, disjoint = 0, hand partial case") {
+    def rk(items: Seq[(String, Long, Int)]) =
+      items.toDF("q", "i", "r")
+    // identical top-2 lists at k=2, p=9/10: rbo = 1 - 0.81 = 0.19
+    val a2 = rk(Seq(("q1", 10L, 1), ("q1", 20L, 2)))
+    val r2 = Evaluation.rbo(a2, a2, col("q"), col("i"), col("r"), k = 2)
+      .as[(String, Long, Long)].head()
+    assert(r2 == (("q1", 2L, 190000000L)), r2.toString)
+    // identical top-10 lists: rbo9 = floor((1 - 0.9^10)*1e9) = 651321559
+    val a10 = rk((1 to 10).map(i => ("q1", i.toLong, i)))
+    val r10 = Evaluation.rbo(a10, a10, col("q"), col("i"), col("r"), k = 10)
+      .as[(String, Long, Long)].head()
+    assert(r10 == (("q1", 10L, 651321559L)), r10.toString)
+    // disjoint lists: zero overlap, rbo 0 (query still reported)
+    val b10 = rk((1 to 10).map(i => ("q1", 100L + i, i)))
+    val rd = Evaluation.rbo(a10, b10, col("q"), col("i"), col("r"), k = 10)
+      .as[(String, Long, Long)].head()
+    assert(rd == (("q1", 0L, 0L)), rd.toString)
+    // hand case k=2: A=(x@1, y@2), B=(y@1, z@2) -> y has m=2 only.
+    // L=2, S(2) = 9^1*10^0*(2/2) = 9; rbo9 = 1e9*1*9 // (100*2) = 45e6
+    val ha = rk(Seq(("q1", 1L, 1), ("q1", 2L, 2)))
+    val hb = rk(Seq(("q1", 2L, 1), ("q1", 3L, 2)))
+    val rh = Evaluation.rbo(ha, hb, col("q"), col("i"), col("r"), k = 2)
+      .as[(String, Long, Long)].head()
+    assert(rh == (("q1", 1L, 45000000L)), rh.toString)
+  }
+
+  test("riskCoverage: hand curve, exact floors, full-coverage tail") {
+    // conf 3: 2 rows 0 errs | conf 2: 1 row 1 err | conf 1: 1 row 0
+    val d = Seq((3L, true), (3L, true), (2L, false), (1L, true))
+      .toDF("c", "ok")
+    val rows = Evaluation.riskCoverage(d, col("c"), col("ok"))
+      .orderBy(col("conf").desc)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      (3L, 2L, 2L, 0L, 0L, 500000000L),
+      (2L, 1L, 3L, 1L, 333333333L, 750000000L),
+      (1L, 1L, 4L, 1L, 250000000L, 1000000000L)), rows.toString)
+  }
 }

@@ -87,4 +87,30 @@ class RobustStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") == 1L, "any deviation from a " +
       "constant column is infinite robust z — must flag")
   }
+
+  test("rollingMedian: spike-proof trailing median, lower-median ties") {
+    // key k1, w=3: x = 10, 12, 1000(spike), 14, 16
+    // windows: [10] [10,12] [10,12,1000] [12,1000,14] [1000,14,16]
+    // lower medians: 10, 10, 12, 14, 16 — the spike never surfaces
+    val d = Seq((1L, 10L), (2L, 12L), (3L, 1000L), (4L, 14L), (5L, 16L))
+      .map { case (o, x) => ("k1", o, x) }.toDF("k", "o", "x")
+    val r = RobustStats.rollingMedian(d, col("k"), col("o"), col("x"),
+        w = 3)
+      .orderBy("ord").select("n_win", "med")
+      .as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 10L), (2L, 10L), (3L, 12L), (3L, 14L),
+      (3L, 16L)), r.toString)
+  }
+
+  test("rollingMedian: keys are independent; even window takes the " +
+    "lower middle") {
+    val d = Seq(("a", 1L, 1L), ("a", 2L, 9L), ("b", 1L, 100L))
+      .toDF("k", "o", "x")
+    val r = RobustStats.rollingMedian(d, col("k"), col("o"), col("x"),
+        w = 4)
+      .orderBy("key", "ord").select("key", "med")
+      .as[(String, Long)].collect().toSeq
+    // a@2: window [1,9] -> lower middle (2+1) div 2 = idx 1 -> 1
+    assert(r == Seq(("a", 1L), ("a", 1L), ("b", 100L)), r.toString)
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VocabEstimate
+
+/** Good-Turing discounts and Chao1 richness on hand-countable corpora. */
+class VocabEstimateSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: a a a b b c d -> counts: a=3 b=2 c=1 d=1
+  // N_1=2 N_2=1 N_3=1, N=7, f1=2, f2=1, S=4
+  private def terms = Seq("a", "a", "a", "b", "b", "c", "d").toDF("t")
+
+  test("goodTuring: hand-checked r*, spine zeros, unseen mass") {
+    val r = VocabEstimate.goodTuring(terms, col("t"), maxR = 4)
+      .orderBy("r")
+      .as[(Long, Long, Long, Option[Long], Long)].collect().toSeq
+    // r=1: r* = 2*N_2*1e9/N_1 = 2*1*1e9/2 = 1e9
+    // r=2: r* = 3*N_3*1e9/N_2 = 3e9
+    // r=3: r* = 4*N_4*1e9/N_3 = 0 (N_4 = 0)
+    // r=4: N_4 = 0 -> r* NULL (no evidence)
+    // p0 = f1*1e9/N = 2e9/7 = 285714285
+    assert(r == Seq(
+      (1L, 2L, 1L, Some(1000000000L), 285714285L),
+      (2L, 1L, 1L, Some(3000000000L), 285714285L),
+      (3L, 1L, 0L, Some(0L), 285714285L),
+      (4L, 0L, 0L, None, 285714285L)), r.toString)
+  }
+
+  test("chao1: bias-corrected estimate, f2=0 stays defined") {
+    val r = VocabEstimate.chao1(terms, col("t"))
+      .as[(Long, Long, Long, java.math.BigDecimal)].head()
+    // S=4, f1=2, f2=1: chao1_9 = 4e9 + 2*1*1e9 div (2*2) = 4e9 + 5e8
+    assert((r._1, r._2, r._3, r._4.longValueExact()) ==
+      ((4L, 2L, 1L, 4500000000L)), r.toString)
+    // all singletons: S=2, f1=2, f2=0 -> 2e9 + 2*1*1e9 div 2 = 3e9
+    val single = Seq("x", "y").toDF("t")
+    val r2 = VocabEstimate.chao1(single, col("t"))
+      .select("chao1_9").as[java.math.BigDecimal].head()
+    assert(r2.longValueExact() == 3000000000L, r2.toString)
+  }
+}
