@@ -5543,7 +5543,7 @@ object SparkEntry {
       val l = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_returnflag")
       val l1 = l.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
       val others = l.select(col("l_orderkey"),
         col("l_suppkey").as("s2"))
       val othersR = l.filter(col("l_returnflag") === "R")

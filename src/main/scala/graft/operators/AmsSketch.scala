@@ -36,7 +36,7 @@ object AmsSketch {
     val dec = DecimalType(38, 0)
     val signSums = (0 until r).map { j =>
       sum(lit(1L) - lit(2L) * pmod(graft.functions.Hashing.hexLong(
-        concat_ws(":", lit(seed), lit(j), key.cast("string"))),
+        concat_ws(":", lit(seed), lit(j), col("k"))),
         lit(2L))).as(s"z$j")
     }
     val agg0 = df.select(key.cast("string").as("k"))

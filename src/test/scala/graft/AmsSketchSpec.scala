@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AmsSketch
+
+/** AMS F2 sketch: replayability, exactness on degenerate inputs, and
+  * estimate quality against the true second moment. */
+class AmsSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("single repeated key: every estimator sees ±n, estimate exact") {
+    // one key: Z_j = ±n for every j, so Z² = n² and F2_est = n² = F2
+    val d = Seq.fill(40)("k").toDF("x")
+    val r = AmsSketch.f2Estimate(d, col("x"), r = 16, seed = 7L)
+      .as[(Long, String)].head()
+    assert(r == ((40L, "1600")), r.toString)
+  }
+
+  test("estimate is seed-replayable and within 3x of true F2") {
+    val d = (1 to 2000).map(i => (i % 37).toString).toDF("x")
+    val trueF2 = d.groupBy("x").count()
+      .agg(sum(col("count") * col("count"))).as[Long].head()
+    val e1 = AmsSketch.f2Estimate(d, col("x"), r = 16, seed = 7L)
+      .as[(Long, String)].head()
+    val e2 = AmsSketch.f2Estimate(d, col("x"), r = 16, seed = 7L)
+      .as[(Long, String)].head()
+    assert(e1 == e2, "same seed must replay bit-for-bit")
+    val est = e1._2.toLong
+    assert(est > trueF2 / 3 && est < trueF2 * 3,
+      s"estimate $est vs true $trueF2 — median-of-16 should land " +
+        "within the standard AMS error band on a benign input")
+    // a different seed moves the estimate (families independent)
+    val e3 = AmsSketch.f2Estimate(d, col("x"), r = 16, seed = 8L)
+      .as[(Long, String)].head()
+    assert(e3._2 != e1._2, "independent sign family expected")
+  }
+
+  test("odd r rejected; empty input yields n = 0") {
+    intercept[IllegalArgumentException] {
+      AmsSketch.f2Estimate(Seq("a").toDF("x"), col("x"), r = 15)
+    }
+    val r = AmsSketch.f2Estimate(
+      Seq.empty[String].toDF("x"), col("x"), r = 16)
+      .select("n").as[Long].head()
+    assert(r == 0L)
+  }
+}

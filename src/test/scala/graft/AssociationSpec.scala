@@ -107,4 +107,35 @@ class AssociationSpec extends SparkSpec {
       .select("neighbor").as[String].collect().toSeq
     assert(a == Seq("B", "C"))
   }
+
+  test("tripleCounts: hand-checked supports and downward-closure prune") {
+    // baskets: {A,B,C} x3, {A,B,D} x2, {A,B,C,D} x1
+    // pair counts: AB=6 AC=4 BC=4 AD=3 BD=3 CD=1
+    // minSupport=3: frequent pairs all but CD
+    // triples: ABC appears 4x (pairs AB,AC,BC all frequent) -> kept
+    //          ABD appears 3x (AB,AD,BD frequent) -> kept
+    //          ACD/BCD appear 1x and contain CD -> pruned before count
+    val rows =
+      (1 to 3).flatMap(b => Seq("A", "B", "C").map((s"x$b", _))) ++
+      (4 to 5).flatMap(b => Seq("A", "B", "D").map((s"y$b", _))) ++
+      Seq("A", "B", "C", "D").map(("z", _))
+    val df = rows.toDF("b", "i")
+    val t = Association.tripleCounts(df, col("b"), col("i"),
+        minSupport = 3L)
+      .orderBy("item_a", "item_b", "item_c")
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    assert(t == Seq(("A", "B", "C", 4L, 6L), ("A", "B", "D", 3L, 6L)),
+      t.toString)
+  }
+
+  test("tripleCounts: basket-size cap drops oversized baskets from " +
+    "every count") {
+    val rows = Seq("A", "B", "C", "D", "E").map(("big", _)) ++
+      (1 to 3).flatMap(b => Seq("A", "B", "C").map((s"s$b", _)))
+    val t = Association.tripleCounts(rows.toDF("b", "i"), col("b"),
+        col("i"), minSupport = 3L, maxBasketSize = 4)
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    // the 5-item basket is gone entirely: ABC support 3, n_baskets 3
+    assert(t == Seq(("A", "B", "C", 3L, 3L)), t.toString)
+  }
 }

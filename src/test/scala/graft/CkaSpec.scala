@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Cka
+
+/** Linear CKA: identity = 1, rotation invariance, independence -> 0,
+  * degenerate norms -> NULL. */
+class CkaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: Seq[(Seq[Float], Seq[Float])]) =
+    rows.toDF("x", "y")
+
+  test("CKA(X, X) = 1 exactly (up to the two stated floors)") {
+    val d = vecs(Seq(
+      (Seq(0.1f, 0.2f), Seq(0.1f, 0.2f)),
+      (Seq(0.3f, -0.1f), Seq(0.3f, -0.1f)),
+      (Seq(-0.2f, 0.4f), Seq(-0.2f, 0.4f))))
+    val r = Cka.linearCka(d, col("x"), col("y"), dims = 2)
+      .select("cka6").as[Option[Long]].head()
+    // num = s_x², floors: ⌊⌊s_x²·10³/s_x⌋·10³/s_y⌋ with s_y = s_x —
+    // each isqrt is ≤ the true root, so the ratio can shave ppm
+    assert(r.exists(v => v >= 999900L && v <= 1000000L), r.toString)
+  }
+
+  test("CKA is invariant to a 90° rotation of one space") {
+    val xs = Seq(Seq(0.1f, 0.2f), Seq(0.3f, -0.1f), Seq(-0.2f, 0.4f),
+      Seq(0.05f, -0.3f))
+    val rot = xs.map(v => Seq(-v(1), v(0))) // (x,y) -> (-y,x)
+    val r1 = Cka.linearCka(vecs(xs.zip(xs)), col("x"), col("y"), 2)
+      .select("cka6").as[Option[Long]].head().get
+    val r2 = Cka.linearCka(vecs(xs.zip(rot)), col("x"), col("y"), 2)
+      .select("cka6").as[Option[Long]].head().get
+    // identical geometry, different coordinates: same CKA (floors
+    // may differ by a few ppm since the norms differ in quantization)
+    assert(math.abs(r1 - r2) < 2000L, s"$r1 vs $r2")
+  }
+
+  test("a constant Y has zero centered norm -> NULL; anti-correlated " +
+    "1-D spaces still align (CKA sees geometry, not sign)") {
+    val d = vecs(Seq(
+      (Seq(0.1f, 0.2f), Seq(0.5f, 0.5f)),
+      (Seq(0.3f, -0.1f), Seq(0.5f, 0.5f))))
+    assert(Cka.linearCka(d, col("x"), col("y"), 2)
+      .select("cka6").as[Option[Long]].head().isEmpty)
+    val flip = vecs(Seq(
+      (Seq(0.1f, 0.0f), Seq(-0.1f, 0.0f)),
+      (Seq(0.3f, 0.0f), Seq(-0.3f, 0.0f)),
+      (Seq(-0.2f, 0.0f), Seq(0.2f, 0.0f))))
+    val r = Cka.linearCka(flip, col("x"), col("y"), 2)
+      .select("cka6").as[Option[Long]].head().get
+    assert(r >= 999900L && r <= 1000000L, r.toString)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Raking
+
+/** IPF raking: margin convergence, floor arithmetic, missing-target
+  * passthrough. */
+class RakingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("margins converge on a full-support grid; the final col sweep " +
+    "is exact up to floors") {
+    // grid: (r1,c1) 1, (r1,c2) 1, (r2,c1) 1, (r2,c2) 2
+    // targets: rows (4, 4), cols (4, 4) — consistent totals
+    val d = Seq(("r1", "c1"), ("r1", "c2"), ("r2", "c1"),
+      ("r2", "c2"), ("r2", "c2")).toDF("r", "c")
+    val rt = Seq(("r1", 4L), ("r2", 4L)).toDF("row_key", "target")
+    val ct = Seq(("c1", 4L), ("c2", 4L)).toDF("col_key", "target")
+    val w = Raking.rake(d, col("r"), col("c"), rt, ct, sweeps = 2)
+      .select(col("row_key"), col("col_key"), col("n"),
+        col("w9").cast("long").as("w9"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    // column masses match targets EXACTLY right after the final col
+    // sweep (each cell one stated floor): Σ n·w ∈ (t·1e9 − cells, t·1e9]
+    val colMass = w.groupBy(_._2).view.mapValues(
+      _.map(x => x._3 * x._4).sum).toMap
+    colMass.foreach { case (k, mass) =>
+      assert(mass <= 4000000000L && mass > 4000000000L - 10L,
+        s"$k col mass $mass must equal the target up to floors")
+    }
+    // row masses converge geometrically: within 1% after 2 sweeps
+    val rowMass = w.groupBy(_._1).view.mapValues(
+      _.map(x => x._3 * x._4).sum).toMap
+    rowMass.foreach { case (k, mass) =>
+      assert(math.abs(mass - 4000000000L) < 40000000L,
+        s"$k row mass $mass should be within 1% of 4e9")
+    }
+  }
+
+  test("a key with no target keeps its weight") {
+    val d = Seq(("r1", "c1"), ("r9", "c1")).toDF("r", "c")
+    val rt = Seq(("r1", 2L)).toDF("row_key", "target") // r9 absent
+    val ct = Seq(("c1", 2L)).toDF("col_key", "target")
+    val w = Raking.rake(d, col("r"), col("c"), rt, ct, sweeps = 1)
+      .filter(col("row_key") === "r9")
+      .select(col("w9").cast("long")).as[Long].head()
+    // row sweep leaves r9 at 1e9; col sweep rescales c1 to target 2:
+    // mass = 1*2e9 (r1 scaled) + 1*1e9 = 3e9 -> w = 1e9*2*1e9/3e9
+    assert(w == 666666666L, w.toString)
+  }
+}

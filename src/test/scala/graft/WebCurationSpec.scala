@@ -211,4 +211,28 @@ class WebCurationSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
   }
+
+  test("frontierSchedule: one host per round, best-first slots, " +
+    "worker sharding") {
+    // host a: 3 urls (pri 9, 5, 1); host b: 1 url (pri 7)
+    val f = Seq(
+      ("https://a.com/1", 9L), ("https://a.com/2", 5L),
+      ("https://a.com/3", 1L), ("https://b.com/1", 7L))
+      .toDF("u", "p")
+    val r = WebCuration.frontierSchedule(f, col("u"), col("p"),
+        workers = 2)
+      .orderBy("round", "slot")
+      .select("url", "round", "slot", "worker")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      // round 0: a/1 (pri 9) then b/1 (pri 7) — both hosts once
+      ("https://a.com/1", 0L, 0L, 0L), ("https://b.com/1", 0L, 1L, 1L),
+      // round 1: only a has a second URL
+      ("https://a.com/2", 1L, 0L, 0L),
+      ("https://a.com/3", 2L, 0L, 0L)), r.toString)
+    // no host appears twice within a round
+    val dup = WebCuration.frontierSchedule(f, col("u"), col("p"), 2)
+      .groupBy("round", "host").count().filter(col("count") > 1).count()
+    assert(dup == 0L)
+  }
 }
