@@ -5580,6 +5580,77 @@ object SparkEntry {
         col("xv"), col("yv"), dims = 32)
     }),
 
+    // Eval — precision-recall curve (Evaluation.prCurve): threshold
+    // sweep of the length-score English screen; one point per
+    // distinct score over the bounded grid window.
+    "q366_pr_curve" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Evaluation.prCurve(d, expr("n_chars div 20"),
+          col("lang") === "en")
+        .orderBy(col("score").desc)
+    }),
+
+    // Eval — mean reciprocal rank (Evaluation.mrrAtK): first-relevant
+    // rank per source under the length ranking, k = 5.
+    "q367_mrr" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Evaluation.mrrAtK(d, col("source"), col("doc_id"),
+        col("n_chars"), col("lang") === "en", k = 5)
+    }),
+
+    // Governance — equalized-odds audit (Fairness.equalizedOdds):
+    // per-source TPR/FPR of the " the " English detector + the
+    // max-min gap summary row.
+    "q368_equalized_odds" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Fairness.equalizedOdds(d, col("source"), col("lang") === "en",
+          col("text").contains(" the "))
+        .orderBy(col("group").asc_nulls_last)
+    }),
+
+    // Privacy — Warner randomized response (Privacy
+    // .randomizedResponse): seeded-coin local privatization of the
+    // English bit at p = 3/4; unbiased rate recovery, sign-magnitude
+    // floor.
+    "q369_randomized_response" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Privacy.randomizedResponse(d, col("doc_id"),
+        col("lang") === "en", pNum = 3, pDen = 4, seed = 5L)
+    }),
+
+    // Stats — two-sample Cramér–von Mises (RankStats.cvmTest): does
+    // the BUILDING segment's balance distribution match the rest?
+    // Integrated squared ECDF gap on the dollar grid.
+    "q370_cvm" -> ((s, dir) => {
+      val dec2 = DecimalType(18, 2)
+      val c = Tables.load(s, dir, "customer")
+      RankStats.cvmTest(c, col("c_mktsegment") === "BUILDING",
+        expr("(CAST(CAST(format_string('%.2f', c_acctbal) " +
+          "AS DECIMAL(18,2)) * 100 AS LONG) + 100000) div 100"))
+    }),
+
+    // Outliers — Local Outlier Factor (Lof.lof): density-relative
+    // outliers over a (custkey-band, balance) plane; exact all-pairs
+    // candidates on the %40 subset (the IVF path feeds candidates at
+    // scale), d²-exact arithmetic, three stated floors.
+    "q371_lof" -> ((s, dir) => {
+      val dec2 = DecimalType(18, 2)
+      val pts = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 40 === 0)
+        .select(col("c_custkey").as("id"),
+          (col("c_custkey") % 1000).as("x"),
+          expr("(CAST(CAST(format_string('%.2f', c_acctbal) " +
+            "AS DECIMAL(18,2)) * 100 AS LONG) + 100000) div 1000")
+            .as("y"))
+      val ids = pts.select(col("id"))
+      val cand = ids.select(col("id").as("qid"))
+        .crossJoin(broadcast(ids.select(col("id").as("cid"))))
+        .filter(col("qid") =!= col("cid"))
+      Lof.lof(pts, cand, k = 4)
+        .withColumn("kdist2", col("kdist2").cast("long"))
+        .orderBy("id")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12348,6 +12419,154 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q366_pr_curve" ->
+      """WITH g AS (SELECT n_chars // 20 AS score,
+        |    CAST(COUNT(*) AS BIGINT) AS n_at,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS pos_at
+        |  FROM documents GROUP BY 1),
+        |p AS (SELECT CAST(SUM(pos_at) AS BIGINT) AS p FROM g),
+        |w AS (SELECT score, n_at, pos_at,
+        |    CAST(SUM(n_at) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_n,
+        |    CAST(SUM(pos_at) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_pos
+        |  FROM g)
+        |SELECT score, n_at, pos_at, cum_n, cum_pos,
+        |  CAST((cum_pos * 1000000000) // cum_n AS BIGINT) AS prec9,
+        |  CASE WHEN p.p > 0 THEN
+        |    CAST((cum_pos * 1000000000) // p.p AS BIGINT) END AS rec9
+        |FROM w, p ORDER BY score DESC""".stripMargin,
+
+    "q367_mrr" ->
+      """WITH r AS (SELECT source AS q, doc_id AS i,
+        |    (lang = 'en') AS rel,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents),
+        |first AS (SELECT q, CAST(MIN(rn) AS BIGINT) AS fr
+        |  FROM r WHERE rn <= 5 AND rel GROUP BY 1),
+        |qs AS (SELECT DISTINCT source AS q FROM documents),
+        |rr AS (SELECT qs.q,
+        |    COALESCE(1000000000 // fr, 0) AS rr9
+        |  FROM qs LEFT JOIN first ON first.q = qs.q)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(SUM(CASE WHEN rr9 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hit,
+        |  CAST(SUM(rr9) // COUNT(*) AS BIGINT) AS mrr9
+        |FROM rr""".stripMargin,
+
+    "q368_equalized_odds" ->
+      """WITH per AS (SELECT source AS grp, CAST(COUNT(*) AS BIGINT)
+        |      AS n,
+        |    CAST(SUM(CASE WHEN lang = 'en' AND text LIKE '% the %'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN lang = 'en' AND text NOT LIKE '% the %'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN lang <> 'en' AND text LIKE '% the %'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN lang <> 'en' AND text NOT LIKE '% the %'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM documents GROUP BY 1),
+        |rates AS (SELECT grp AS "group", n,
+        |    CASE WHEN tp + fn > 0 THEN
+        |      CAST((tp * 1000000000) // (tp + fn) AS BIGINT) END AS tpr9,
+        |    CASE WHEN fp + tn > 0 THEN
+        |      CAST((fp * 1000000000) // (fp + tn) AS BIGINT) END AS fpr9
+        |  FROM per)
+        |SELECT * FROM rates
+        |UNION ALL
+        |SELECT NULL, CAST(SUM(n) AS BIGINT),
+        |  MAX(tpr9) - MIN(tpr9), MAX(fpr9) - MIN(fpr9) FROM rates
+        |ORDER BY "group" NULLS LAST""".stripMargin,
+
+    "q369_randomized_response" ->
+      """WITH noisy AS (SELECT
+        |    ((lang = 'en') = (('0x' || substr(md5('5:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 < 3))
+        |      AS yes
+        |  FROM documents),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN yes THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_yes
+        |  FROM noisy),
+        |b AS (SELECT n, n_yes,
+        |    CAST(n_yes AS HUGEINT) * 4 - CAST(n AS HUGEINT) * 1 AS num
+        |  FROM a)
+        |SELECT n, n_yes,
+        |  CASE WHEN n = 0 THEN NULL ELSE
+        |    CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END) *
+        |      ((ABS(num) * 1000000000) // (CAST(n AS HUGEINT) * 2))
+        |      AS BIGINT) END AS pi9
+        |FROM b""".stripMargin,
+
+    "q370_cvm" ->
+      """WITH v AS (SELECT c_mktsegment = 'BUILDING' AS a,
+        |    (CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) + 100000) // 100 AS x
+        |  FROM customer),
+        |g AS (SELECT x,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM v GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) AS BIGINT) AS n_b FROM g),
+        |c AS (SELECT na, nb,
+        |    CAST(SUM(na) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS HUGEINT) AS ca,
+        |    CAST(SUM(nb) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS HUGEINT) AS cb
+        |  FROM g),
+        |u AS (SELECT CAST(SUM((na + nb) *
+        |      (ca * tot.n_b - cb * tot.n_a) *
+        |      (ca * tot.n_b - cb * tot.n_a)) AS HUGEINT) AS u_num,
+        |    MAX(tot.n_a) AS n_a, MAX(tot.n_b) AS n_b
+        |  FROM c, tot)
+        |SELECT n_a, n_b, CAST(u_num AS VARCHAR) AS u_num,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST((u_num * 1000000) // (CAST(n_a AS HUGEINT) * n_b *
+        |      (n_a + n_b) * (n_a + n_b)) AS BIGINT) END AS t6
+        |FROM u""".stripMargin,
+
+    "q371_lof" ->
+      """WITH p AS (SELECT c_custkey AS id, c_custkey % 1000 AS x,
+        |    (CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2))
+        |      * 100 AS BIGINT) + 100000) // 1000 AS y
+        |  FROM customer WHERE c_custkey % 40 = 0),
+        |d AS (SELECT a.id AS qid, b.id AS cid,
+        |    CAST(a.x - b.x AS HUGEINT) * (a.x - b.x) +
+        |    CAST(a.y - b.y AS HUGEINT) * (a.y - b.y) AS d2
+        |  FROM p a JOIN p b ON a.id <> b.id),
+        |knn AS (SELECT qid, cid, d2 FROM (SELECT qid, cid, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid)
+        |      AS rn FROM d) WHERE rn <= 4),
+        |kd AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS k_eff,
+        |    MAX(d2) AS kdist2 FROM knn GROUP BY 1),
+        |lr AS (SELECT k.qid, CAST(COUNT(*) AS BIGINT) AS k_eff,
+        |    CAST(SUM(GREATEST(o.kdist2, k.d2)) AS HUGEINT) AS rsum
+        |  FROM knn k JOIN kd o ON o.qid = k.cid GROUP BY 1),
+        |lrd AS (SELECT qid, k_eff,
+        |    CASE WHEN rsum > 0 THEN
+        |      (k_eff * CAST(1000000000000000000 AS HUGEINT)) // rsum
+        |      END AS lrd18 FROM lr),
+        |lofs AS (SELECT k.qid, CAST(SUM(o.lrd18) AS HUGEINT) AS lrdsum,
+        |    CAST(COUNT(o.lrd18) AS BIGINT) AS n_scored
+        |  FROM knn k JOIN lrd o ON o.qid = k.cid GROUP BY 1)
+        |SELECT kd.qid AS id, kd.k_eff, CAST(kd.kdist2 AS BIGINT)
+        |    AS kdist2,
+        |  CAST(l2.lrd18 AS VARCHAR) AS lrd18,
+        |  CASE WHEN l2.lrd18 IS NOT NULL AND lofs.n_scored = l2.k_eff
+        |    THEN CAST((lofs.lrdsum * 1000000) //
+        |      (CAST(l2.k_eff AS HUGEINT) * l2.lrd18) AS BIGINT)
+        |    END AS lof6
+        |FROM kd JOIN lrd l2 ON l2.qid = kd.qid
+        |  JOIN lofs ON lofs.qid = kd.qid
+        |ORDER BY id""".stripMargin,
 
     "q358_ams_f2" ->
       """WITH z AS (SELECT j,

@@ -526,6 +526,71 @@ object Evaluation {
           .as("mcc6"))
   }
 
+  /** Precision-recall curve — the threshold-sweep companion of
+    * [[aucExact]] for IMBALANCED screening (a quality filter at 1%
+    * positive rate can post AUC 0.95 while precision at any usable
+    * recall is garbage; the PR curve shows it). One point per DISTINCT
+    * score (the only possible cut points — [[riskCoverage]]'s stance):
+    * per-score counts aggregate first (map-side combine), then ONE
+    * ordered window over the bounded score grid accumulates predicted
+    * positives and true positives from the top.
+    *
+    * @param score bounded-cardinality integer score
+    * @return per distinct score, descending: (score, n_at, pos_at,
+    *         cum_n, cum_pos, prec9 = ⌊cum_pos·10⁹/cum_n⌋, rec9 =
+    *         ⌊cum_pos·10⁹/P⌋; rec9 NULL when P = 0) */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val grid = df.select(score.cast("long").as("score"),
+        label.cast("boolean").as("y"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos_at"))
+    val w = Window.orderBy(col("score").desc) // bounded score grid
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = grid.agg(sum("pos_at").as("p"))
+    grid
+      .withColumn("cum_n", sum("n_at").over(w))
+      .withColumn("cum_pos", sum("pos_at").over(w))
+      .crossJoin(broadcast(p))
+      .select(col("score"), col("n_at"), col("pos_at"), col("cum_n"),
+        col("cum_pos"),
+        expr("CAST(cum_pos AS DECIMAL(38,0)) * 1000000000 div cum_n")
+          .as("prec9"),
+        when(col("p") > 0,
+          expr("CAST(cum_pos AS DECIMAL(38,0)) * 1000000000 div p"))
+          .as("rec9"))
+  }
+
+  /** Mean reciprocal rank at k — "how far down is the FIRST right
+    * answer?", the retrieval metric for single-answer tasks (QA,
+    * known-item search) where [[mapAtK]]'s full-list credit is noise.
+    * Per query: rr9 = ⌊10⁹/rank of first relevant ≤ k⌋, 0 when none.
+    *
+    * Scale shape: one query-keyed rank window with the rank ≤ k cut
+    * (WindowGroupLimit pushdown), one aggregate.
+    *
+    * @return one row: (n_queries, n_hit, mrr9 = ⌊Σ rr9/n_queries⌋) */
+  def mrrAtK(df: DataFrame, query: Column, item: Column, score: Column,
+             rel: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val v = df.select(query.as("q"), item.as("i"), score.as("s"),
+      rel.cast("boolean").as("r"))
+    val w = Window.partitionBy("q").orderBy(col("s").desc, col("i"))
+    val first = v.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k && col("r"))
+      .groupBy("q").agg(min("rn").as("fr"))
+    v.select("q").distinct()
+      .join(first, Seq("q"), "left")
+      .select(col("q"),
+        coalesce(expr("1000000000L div fr"), lit(0L)).as("rr9"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("rr9") > 0, 1L).otherwise(0L)).as("n_hit"),
+        sum("rr9").as("rrsum"))
+      .select(col("n_queries"), col("n_hit"),
+        when(col("n_queries") > 0,
+          expr("rrsum div n_queries")).as("mrr9"))
+  }
+
   /** Rank-biased overlap at depth k (Webber et al. 2010) — how similar
     * are two rankers' top-k lists, weighting the TOP of the lists most
     * (Kendall/Spearman treat rank 1 and rank k alike; RBO's geometric

@@ -40,4 +40,42 @@ object Fairness {
       .withColumn("below_80pct",
         when(col("di_1e6").isNotNull, col("di_1e6") < 800000L))
   }
+
+  /** Equalized-odds audit (Hardt et al. 2016) — [[selectionRates]]
+    * checks WHO gets selected; this checks whether the ERRORS are
+    * balanced: per group the true-positive rate and false-positive
+    * rate, plus the corpus-level max-min gap of each. A classifier
+    * satisfies equalized odds iff both gaps are 0; the gap row is the
+    * shippable gate number.
+    *
+    * Exactness: per-group confusion counts in one aggregate;
+    * tpr9 = ⌊tp·10⁹/(tp+fn)⌋, fpr9 = ⌊fp·10⁹/(fp+tn)⌋ (NULL when the
+    * group has no positives / negatives — no evidence, not 0); gaps
+    * are max−min over the non-NULL groups.
+    *
+    * @return per group: (group, n, tpr9, fpr9) plus ONE summary row
+    *         (group = NULL, n = total, tpr9 = tpr gap, fpr9 = fpr gap)
+    *         — the [[DataQuality]] audit-row convention */
+  def equalizedOdds(df: DataFrame, group: Column, label: Column,
+                    pred: Column): DataFrame = {
+    val per = df.select(group.cast("string").as("group"),
+        label.cast("boolean").as("y"), pred.cast("boolean").as("p"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y") && col("p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") && !col("p"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("y") && col("p"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("y") && !col("p"), 1L).otherwise(0L)).as("tn"))
+      .select(col("group"), col("n"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000000L div (tp + fn)")).as("tpr9"),
+        when(col("fp") + col("tn") > 0,
+          expr("fp * 1000000000L div (fp + tn)")).as("fpr9"))
+    val gap = per.agg(sum("n").as("n"),
+        (max("tpr9") - min("tpr9")).as("tpr9"),
+        (max("fpr9") - min("fpr9")).as("fpr9"))
+      .select(lit(null).cast("string").as("group"), col("n"),
+        col("tpr9"), col("fpr9"))
+    per.unionByName(gap)
+  }
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Local Outlier Factor (Breunig et al. 2000) — DENSITY-relative
+  * outliers: a point is anomalous if its neighborhood is much sparser
+  * than its neighbors' neighborhoods, which catches the "valid value,
+  * wrong cluster" rows that global rules ([[Outliers]] rolling-z,
+  * [[RankStats.ecodScores]] marginal tails, MAD) structurally miss —
+  * a point between two tight clusters has unremarkable marginals and
+  * an LOF ≫ 1.
+  *
+  * This implementation follows the repo's ANN discipline
+  * ([[LabelNoise.knnDisagreement]]): it consumes CALLER-SUPPLIED
+  * candidate pairs, so the gate can feed exact all-pairs candidates
+  * while a 100 TB run feeds IVF/LSH cells — the operator itself never
+  * goes quadratic. Distances are exact integer SQUARES throughout
+  * (2-D caller-scaled coordinates, the [[Geo.dbscan]] convention):
+  * the k-distance, reachability and density ratios use d² everywhere,
+  * a monotone transform of the textbook metric — neighbor sets and
+  * the ≫1 outlier reading are preserved, absolute scores differ from
+  * the Euclidean original (documented deviation, kept for exactness).
+  *
+  *   kdist2(p)  = k-th smallest d² among p's candidates
+  *   reach2(q,o) = max(kdist2(o), d²(q,o))
+  *   lrd18(q)   = ⌊k_eff(q)·10¹⁸ / Σ_o reach2(q,o)⌋
+  *   lof6(q)    = ⌊Σ_o lrd18(o)·10⁶ / (k_eff(q)·lrd18(q))⌋
+  *
+  * Three stated floors; every product in decimal(38,0). A point whose
+  * k nearest candidates are ALL exact duplicates (Σ reach2 = 0) has
+  * infinite density → lrd/lof NULL (the honest degenerate answer;
+  * dedupe upstream). k_eff = min(k, candidate count) so sparse
+  * candidate sets still score.
+  *
+  * Scale shape: one equi-join of pairs onto coordinates, one
+  * qid-keyed rank window (WindowGroupLimit — never a global sort),
+  * then two hash joins carrying kdist2/lrd of the NEIGHBOR back onto
+  * the k·n neighbor rows.
+  *
+  * @param points (id, x, y) integer coordinates
+  * @param cand   (qid, cid) candidate pairs, qid ≠ cid, a superset
+  *               of each point's true k nearest for exact results
+  * @return per id: (id, k_eff, kdist2, lrd18 — string — lof6) */
+object Lof {
+
+  def lof(points: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, "k in [1,1024]")
+    val dec = DecimalType(38, 0)
+    val pts = points.select(col("id"), col("x").cast("long").as("x"),
+      col("y").cast("long").as("y")).localCheckpoint(true)
+    val d2 = cand.select(col("qid"), col("cid"))
+      .filter(col("qid") =!= col("cid"))
+      .join(pts.select(col("id").as("qid"), col("x").as("qx"),
+        col("y").as("qy")), Seq("qid"))
+      .join(pts.select(col("id").as("cid"), col("x").as("cx"),
+        col("y").as("cy")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        (((col("qx") - col("cx")).cast(dec) *
+            (col("qx") - col("cx"))).cast(dec) +
+          ((col("qy") - col("cy")).cast(dec) *
+            (col("qy") - col("cy"))).cast(dec)).cast(dec).as("d2"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("cid"))
+    val knn = d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .localCheckpoint(true) // reused by kdist, lrd, and lof passes
+    val kdist = knn.groupBy("qid")
+      .agg(count(lit(1)).as("k_eff"), max("d2").as("kdist2"))
+    val divF = graft.functions.ColumnOps.divFloorDec _
+    // reach2(q,o) = max(kdist2(o), d2(q,o)); lrd from its sum
+    val lrd = knn
+      .join(kdist.select(col("qid").as("cid"),
+        col("kdist2").as("o_kdist2")), Seq("cid"))
+      .select(col("qid"),
+        greatest(col("o_kdist2"), col("d2")).as("reach2"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k_eff"), sum("reach2").cast(dec).as("rsum"))
+      .select(col("qid"), col("k_eff"),
+        when(col("rsum") > 0,
+          divF(col("k_eff").cast(dec) *
+            lit("1000000000000000000").cast(dec), col("rsum")))
+          .as("lrd18"))
+      .localCheckpoint(true)
+    val lofScores = knn
+      .join(lrd.select(col("qid").as("cid"), col("lrd18").as("o_lrd18")),
+        Seq("cid"))
+      .groupBy("qid")
+      .agg(sum("o_lrd18").cast(dec).as("lrdsum"),
+        count(col("o_lrd18")).as("n_scored"))
+      .join(lrd, Seq("qid"))
+      .select(col("qid"),
+        when(col("lrd18").isNotNull && col("n_scored") === col("k_eff"),
+          divF(col("lrdsum") * lit(1000000L),
+            col("k_eff").cast(dec) * col("lrd18")).cast("long"))
+          .as("lof6"))
+    kdist.join(lrd.select(col("qid"), col("lrd18")), Seq("qid"))
+      .join(lofScores, Seq("qid"))
+      .select(col("qid").as("id"), col("k_eff"), col("kdist2"),
+        col("lrd18").cast("string").as("lrd18"), col("lof6"))
+  }
+}

@@ -53,4 +53,48 @@ object Privacy {
       (col("__n").cast(DecimalType(38, 6)) + noise6)
         .cast(DecimalType(38, 6)).as("noisy_n"): _*)
   }
+
+  /** Warner randomized response (1965) — the LOCAL-privacy twin of
+    * [[laplaceCounts]]: each row reports its sensitive bit TRUTHFULLY
+    * with probability p = pNum/pDen and FLIPPED otherwise, so no
+    * individual row's answer is trustworthy, yet the population rate
+    * recovers unbiasedly:  π̂ = (p̂ + p − 1)/(2p − 1).
+    *
+    * The coin is the seeded-hash discipline of this file: flip iff
+    * hexLong(seed:id) mod pDen ≥ pNum — a pure function of (id, seed),
+    * replayable, engine-portable. The estimator clears to exact
+    * integers with ONE sign-magnitude floor (π̂ can dip below 0 or
+    * past 1 by sampling noise — that's the mechanism's honest answer,
+    * not clamped):
+    *
+    *   pi9 = sgn(num)·⌊|num|·10⁹ / (n·(2·pNum − pDen))⌋,
+    *   num = n_yes·pDen − n·(pDen − pNum)
+    *
+    * @param id    unique row key driving the coin
+    * @param truth the sensitive bit
+    * @param pNum/pDen truth probability, pNum/pDen > 1/2 strictly
+    * @return one row: (n, n_yes — the RELEASED noisy count — pi9) */
+  def randomizedResponse(df: DataFrame, id: Column, truth: Column,
+                         pNum: Int, pDen: Int, seed: Long): DataFrame = {
+    require(pDen >= 1 && pNum <= pDen && 2 * pNum > pDen,
+      "need 1/2 < p = pNum/pDen <= 1")
+    val dec = DecimalType(38, 0)
+    val noisy = df.select(id.cast("string").as("k"),
+        truth.cast("boolean").as("t"))
+      .withColumn("keep",
+        pmod(Hashing.hexLong(concat_ws(":", lit(seed), col("k"))),
+          lit(pDen.toLong)) < pNum.toLong)
+      .select((col("t") === col("keep")).as("yes")) // flip iff !keep
+    noisy.agg(count(lit(1)).as("n"),
+        sum(when(col("yes"), 1L).otherwise(0L)).as("n_yes"))
+      .withColumn("num",
+        (col("n_yes").cast(dec) * pDen -
+          col("n").cast(dec) * (pDen - pNum)).cast(dec))
+      .select(col("n"), col("n_yes"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(signum(col("num")).cast("long") *
+            expr(s"CAST(abs(num) * 1000000000 AS DECIMAL(38,0)) " +
+              s"div (CAST(n AS DECIMAL(38,0)) * ${2 * pNum - pDen})"))
+          .as("pi9"))
+  }
 }

@@ -498,4 +498,62 @@ object RankStats {
           lit(2.0d) * (col("c_pairs") - col("d_pairs")).cast("double") /
             sqrt(denx * deny))).as("tau_b"))
   }
+
+  /** Two-sample Cramér–von Mises statistic — the QUADRATIC
+    * empirical-distribution distance completing this file's
+    * two-sample shelf: [[ksTest]] prices the single worst CDF gap,
+    * [[wasserstein1]] the total mass moved, CvM the INTEGRATED
+    * SQUARED gap under the pooled distribution (sensitive across the
+    * whole range, not just at one point, and scale-free where W₁ is
+    * unit-bearing):
+    *
+    *   T = nm/(n+m) · ∫ (F_A − F_B)² dH,  H the pooled ECDF
+    *     = Σ_k (na_k+nb_k)·(ca_k·m − cb_k·n)² / (n·m·(n+m)²)
+    *
+    * on the pooled value grid — the ECDF-integral form handles ties
+    * without midrank machinery. All terms exact decimal(38,0)
+    * integers, ONE stated floor (t6 = ⌊T·10⁶⌋, T ≥ 0 by
+    * construction). Unitize the metric upstream if its distinct-value
+    * count is unbounded ([[wasserstein1]]'s note); the grid term sum
+    * needs Σ (na+nb)·(ca·m−cb·n)² < 10³² for the ·10⁶ headroom.
+    *
+    * Scale shape: one value-grid aggregate + the bounded-grid
+    * cumulative window of [[ksTest]].
+    *
+    * @return one row: (n_a, n_b, u_num — the exact grid sum as a
+    *         string — t6; nulls when a side is empty) */
+  def cvmTest(df: DataFrame, isA: Column, x: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val grid = df.select(isA.as("a"), x.cast("long").as("x"))
+      .filter(col("a").isNotNull)
+      .groupBy("x").agg(
+        sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, 0) // bounded grid
+    val tot = grid.agg(sum("na").as("n_a"), sum("nb").as("n_b"))
+    grid
+      .withColumn("ca", sum("na").over(w))
+      .withColumn("cb", sum("nb").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap",
+        (col("ca").cast(dec) * col("n_b") -
+          col("cb").cast(dec) * col("n_a")).cast(dec))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(((col("na") + col("nb")).cast(dec) *
+          (col("gap") * col("gap")).cast(dec)).cast(dec)).cast(dec)
+          .as("u_num"))
+      // t6 before the string alias: a same-select alias would shadow
+      // the decimal input via lateral-alias resolution
+      .withColumn("t6",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          graft.functions.ColumnOps.divFloorDec(
+            col("u_num") * lit(1000000L),
+            (col("n_a").cast(dec) * col("n_b")).cast(dec) *
+              ((col("n_a") + col("n_b")).cast(dec) *
+                (col("n_a") + col("n_b"))).cast(dec))
+            .cast("long")))
+      .select(col("n_a"), col("n_b"),
+        col("u_num").cast("string").as("u_num"), col("t6"))
+  }
 }

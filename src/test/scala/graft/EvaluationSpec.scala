@@ -336,4 +336,38 @@ class EvaluationSpec extends SparkSpec {
       (2L, 1L, 3L, 1L, 333333333L, 750000000L),
       (1L, 1L, 4L, 1L, 250000000L, 1000000000L)), rows.toString)
   }
+
+  test("prCurve: hand curve points; no-positives recall NULL") {
+    // score 9: 2 rows 2 pos | 5: 1 row 0 pos | 1: 1 row 1 pos; P=3
+    val d = Seq((9L, true), (9L, true), (5L, false), (1L, true))
+      .toDF("s", "y")
+    val rows = Evaluation.prCurve(d, col("s"), col("y"))
+      .orderBy(col("score").desc)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    assert(rows == Seq(
+      (9L, 2L, 2L, 2L, 2L, 1000000000L, Some(666666666L)),
+      (5L, 1L, 0L, 3L, 2L, 666666666L, Some(666666666L)),
+      (1L, 1L, 1L, 4L, 3L, 750000000L, Some(1000000000L))),
+      rows.toString)
+    val nop = Evaluation.prCurve(
+      Seq((2L, false)).toDF("s", "y"), col("s"), col("y"))
+      .select("rec9").as[Option[Long]].head()
+    assert(nop.isEmpty)
+  }
+
+  test("mrrAtK: first-hit ranks, miss scores 0, k cut respected") {
+    // q1: first relevant at rank 2 -> 5e8; q2: at rank 1 -> 1e9
+    // q3: relevant only at rank 3 with k=2 -> 0
+    val d = Seq(
+      ("q1", "a", 9L, false), ("q1", "b", 8L, true), ("q1", "c", 7L, true),
+      ("q2", "a", 9L, true),
+      ("q3", "a", 9L, false), ("q3", "b", 8L, false), ("q3", "c", 7L, true))
+      .toDF("q", "i", "s", "r")
+    val r = Evaluation.mrrAtK(d, col("q"), col("i"), col("s"), col("r"),
+        k = 2)
+      .as[(Long, Long, Option[Long])].head()
+    // mrr9 = (5e8 + 1e9 + 0) div 3 = 500000000
+    assert(r == ((3L, 2L, Some(500000000L))), r.toString)
+  }
 }

@@ -25,4 +25,34 @@ class FairnessSpec extends SparkSpec {
     val got = Fairness.selectionRates(df, col("g"), col("s")).collect()
     assert(got.forall(r => r.isNullAt(4) && r.isNullAt(5)))
   }
+
+  test("equalizedOdds: hand TPR/FPR per group and the gap row") {
+    import spark.implicits._
+    // g1: y+ -> tp=2 fn=1 (tpr 2/3); y- -> fp=1 tn=1 (fpr 1/2)
+    // g2: y+ -> tp=1 fn=0 (tpr 1);   y- -> fp=0 tn=2 (fpr 0)
+    val d = Seq(
+      ("g1", true, true), ("g1", true, true), ("g1", true, false),
+      ("g1", false, true), ("g1", false, false),
+      ("g2", true, true), ("g2", false, false), ("g2", false, false))
+      .toDF("g", "y", "p")
+    val r = Fairness.equalizedOdds(d, col("g"), col("y"), col("p"))
+      .orderBy(col("group").asc_nulls_last)
+      .as[(Option[String], Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(r == Seq(
+      (Some("g1"), 5L, Some(666666666L), Some(500000000L)),
+      (Some("g2"), 3L, Some(1000000000L), Some(0L)),
+      (None, 8L, Some(333333334L), Some(500000000L))), r.toString)
+  }
+
+  test("equalizedOdds: a group with no positives reports NULL tpr, " +
+    "not 0") {
+    import spark.implicits._
+    val d = Seq(("a", false, true), ("a", false, false),
+      ("b", true, true), ("b", false, false)).toDF("g", "y", "p")
+    val r = Fairness.equalizedOdds(d, col("g"), col("y"), col("p"))
+      .filter(col("group") === "a")
+      .select("tpr9").as[Option[Long]].head()
+    assert(r.isEmpty, r.toString)
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Lof
+
+/** LOF over exact all-pairs candidates: planted outlier scores ≫ 1,
+  * uniform cluster sits near 1, duplicate degeneracy reports NULL. */
+class LofSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def allPairs(ids: Seq[Long]) =
+    ids.flatMap(q => ids.filter(_ != q).map(c => (q, c)))
+      .toDF("qid", "cid")
+
+  test("planted outlier: lof >> 1 for the far point, ~1 inside the " +
+    "cluster") {
+    // tight 3x3 grid at spacing 1 plus one point far away
+    val grid = for (i <- 0L to 2L; j <- 0L to 2L)
+      yield (i * 3 + j, i, j)
+    val pts = (grid :+ ((99L, 100L, 100L))).toDF("id", "x", "y")
+    val r = Lof.lof(pts, allPairs(pts.select("id").as[Long].collect()
+        .toSeq), k = 3)
+      .select(col("id"), col("lof6")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(r(99L).get > 3000000L,
+      s"far point must score >> 1e6, got ${r(99L)}")
+    // center of the grid (id 4 at (1,1)) is locally typical — in the
+    // d² variant dense-core scores sit a bit BELOW 1 (deviation doc'd
+    // in the scaladoc); the point is the ~6 OOM gap to the outlier
+    assert(r(4L).get < 1500000L && r(4L).get >= 400000L, r(4L).toString)
+    assert(r(99L).get > 5L * r(4L).get,
+      s"outlier ${r(99L)} must dominate the core ${r(4L)}")
+  }
+
+  test("uniform ring: every point scores close to 1") {
+    // 8 points on a regular octagon scaled large enough for integer
+    // coords to stay near-symmetric
+    val pts = (0 until 8).map { t =>
+      val a = 2 * math.Pi * t / 8
+      (t.toLong, math.round(1000 * math.cos(a)),
+        math.round(1000 * math.sin(a)))
+    }.toDF("id", "x", "y")
+    val scores = Lof.lof(pts, allPairs(0L until 8L), k = 2)
+      .select("lof6").as[Option[Long]].collect().flatten
+    assert(scores.nonEmpty && scores.forall(s =>
+      s > 700000L && s < 1400000L), scores.mkString(","))
+  }
+
+  test("duplicate-point degeneracy: all-duplicate neighborhood " +
+    "reports NULL, not a fake score") {
+    val pts = Seq((1L, 5L, 5L), (2L, 5L, 5L), (3L, 5L, 5L),
+      (4L, 50L, 50L)).toDF("id", "x", "y")
+    val r = Lof.lof(pts, allPairs(Seq(1L, 2L, 3L, 4L)), k = 2)
+      .select(col("id"), col("lof6")).as[(Long, Option[Long])]
+      .collect().toMap
+    // ids 1-3: k=2 neighbors are exact duplicates -> lrd undefined
+    assert(r(1L).isEmpty && r(2L).isEmpty && r(3L).isEmpty, r.toString)
+    // id 4's neighbors are the degenerate points -> NULL propagates
+    assert(r(4L).isEmpty, r.toString)
+  }
+
+  test("k_eff falls back to the candidate count when fewer than k") {
+    val pts = Seq((1L, 0L, 0L), (2L, 1L, 0L)).toDF("id", "x", "y")
+    val r = Lof.lof(pts, allPairs(Seq(1L, 2L)), k = 5)
+      .select("k_eff").as[Long].collect().toSeq
+    assert(r == Seq(1L, 1L), r.toString)
+  }
+}

@@ -45,4 +45,30 @@ class PrivacySpec extends SparkSpec {
     val cols = Privacy.laplaceCounts(obs, Seq(col("g")), 1, 2, "s").columns
     assert(cols.toSeq == Seq("g", "noisy_n"))
   }
+
+  test("randomizedResponse: p=1 degenerates to the exact rate; " +
+    "estimates are replayable and unbiased-shaped") {
+    import spark.implicits._
+    val d = (1L to 400L).map(i => (i, i % 4 == 0)).toDF("id", "t")
+    // p = 1: no flips, pi9 = exact 25%
+    val exact = Privacy.randomizedResponse(d, col("id"), col("t"),
+        pNum = 1, pDen = 1, seed = 5L)
+      .as[(Long, Long, Option[Long])].head()
+    assert(exact == ((400L, 100L, Some(250000000L))), exact.toString)
+    // p = 3/4: noisy count differs from the truth, estimate lands
+    // near 25% (within 15 points on n=400), and replays bit-for-bit
+    val e1 = Privacy.randomizedResponse(d, col("id"), col("t"),
+        pNum = 3, pDen = 4, seed = 5L)
+      .as[(Long, Long, Option[Long])].head()
+    val e2 = Privacy.randomizedResponse(d, col("id"), col("t"),
+        pNum = 3, pDen = 4, seed = 5L)
+      .as[(Long, Long, Option[Long])].head()
+    assert(e1 == e2, "seeded mechanism must replay")
+    assert(e1._2 != 100L, "released count should be noisy")
+    assert(math.abs(e1._3.get - 250000000L) < 150000000L, e1.toString)
+    // p <= 1/2 rejected (estimator undefined)
+    intercept[IllegalArgumentException] {
+      Privacy.randomizedResponse(d, col("id"), col("t"), 1, 2, 5L)
+    }
+  }
 }

@@ -210,4 +210,28 @@ class RankStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_b") == 0L)
     assert(r.isNullAt(r.fieldIndex("w1_1e6")))
   }
+
+  test("cvmTest: identical samples are 0; hand-checked grid case; " +
+    "disjoint samples maximize") {
+    import spark.implicits._
+    val same = Seq((true, 1L), (false, 1L), (true, 2L), (false, 2L))
+      .toDF("a", "x")
+    val r0 = RankStats.cvmTest(same, col("a"), col("x"))
+      .as[(Long, Long, String, Option[Long])].head()
+    assert(r0 == ((2L, 2L, "0", Some(0L))), r0.toString)
+    // A = {1, 3}, B = {2}: grid x=1 (na=1,nb=0) ca=1 cb=0 gap=1*1-0*2=1
+    //   x=2 (0,1): ca=1 cb=1 gap=1*1-1*2=-1; x=3 (1,0): ca=2 cb=1 gap=0
+    // u = 1*1 + 1*1 + 1*0 = 2; t6 = 2e6 div (2*1*9) = 111111
+    val h = Seq((true, 1L), (false, 2L), (true, 3L)).toDF("a", "x")
+    val rh = RankStats.cvmTest(h, col("a"), col("x"))
+      .as[(Long, Long, String, Option[Long])].head()
+    assert(rh == ((2L, 1L, "2", Some(111111L))), rh.toString)
+    // fully separated samples: T approaches its maximum m*n/(m+n)...
+    // here just assert it dominates the interleaved case
+    val sep = Seq((true, 1L), (true, 2L), (false, 10L), (false, 11L))
+      .toDF("a", "x")
+    val rs = RankStats.cvmTest(sep, col("a"), col("x"))
+      .select("t6").as[Option[Long]].head().get
+    assert(rs > 111111L, rs.toString)
+  }
 }
