@@ -326,4 +326,73 @@ class DeterminismSpec extends SparkSpec {
           .collect().map(_.toSeq).toSeq)
     }
   }
+
+  test("risk-coverage, PR curve, and mcc are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      (graft.operators.Evaluation.riskCoverage(df,
+          expr("w div 20"), col("x") > 500)
+          .orderBy("conf").collect().map(_.toSeq).toSeq,
+        graft.operators.Evaluation.prCurve(df,
+          expr("w div 20"), col("x") > 500)
+          .orderBy("score").collect().map(_.toSeq).toSeq,
+        graft.operators.Evaluation.mcc(df, col("x") > 500,
+          col("w") > 150).collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("annotator consensus and rbo are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      val votes = df.select((col("id") % 100).as("it"),
+        (col("id") % 7).as("w"), col("g").as("l"))
+      def rk(m: org.apache.spark.sql.Column) = df.select(col("g"),
+        col("id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(m.desc, col("id"))).as("rk"))
+      (graft.operators.Annotation.weightedConsensus(votes, col("it"),
+          col("w"), col("l"))
+          .orderBy("item").collect().map(_.toSeq).toSeq,
+        graft.operators.Evaluation.rbo(rk(col("x")), rk(col("w")),
+          col("g"), col("id"), col("rk"), k = 10)
+          .orderBy("query").collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("anovaF, cvm, AMS F2, and raking are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      val rt = df.groupBy(col("g").as("row_key"))
+        .agg((count(lit(1)) * 2).as("target"))
+      val ct = df.groupBy((col("id") % 3).as("col_key"))
+        .agg((count(lit(1)) * 3).as("target"))
+      (graft.operators.AbTest.anovaF(df, col("g"), col("w"))
+          .collect().map(_.toSeq).toSeq,
+        graft.operators.RankStats.cvmTest(df, col("id") % 2 === 0,
+          col("w")).collect().map(_.toSeq).toSeq,
+        graft.operators.AmsSketch.f2Estimate(df, col("g"))
+          .collect().map(_.toSeq).toSeq,
+        graft.operators.Raking.rake(df, col("g"), col("id") % 3,
+          rt, ct, sweeps = 2)
+          .orderBy("row_key", "col_key")
+          .collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("LOF and rolling median are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      val pts = df.filter(col("id") < 150)
+        .select(col("id"), (col("id") % 50).as("x"), col("w").as("y"))
+      val ids = pts.select(col("id"))
+      val cand = ids.select(col("id").as("qid"))
+        .crossJoin(broadcast(ids.select(col("id").as("cid"))))
+        .filter(col("qid") =!= col("cid"))
+      (graft.operators.Lof.lof(pts, cand, k = 3)
+          .orderBy("id").collect().map(_.toSeq).toSeq,
+        graft.operators.RobustStats.rollingMedian(df, col("g"),
+          col("id"), col("w"), w = 5)
+          .orderBy("key", "ord").collect().map(_.toSeq).toSeq)
+    }
+  }
 }

@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
 /** Physical-plan assertions: the optimizations we rely on at scale must
   * actually appear in the executed plan — pushdown reaching the parquet
   * scan, dims broadcast, narrow ops staying shuffle-free, top-k not
@@ -641,5 +644,76 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     assert(!p.contains("windowspecdefinition(score_d"),
       "windows must key on tid: " + p.take(2000))
+  }
+
+  test("q350/q358: mcc and the AMS sketch are pure aggregates — " +
+    "no join anywhere") {
+    Seq("q350_mcc", "q358_ams_f2").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: " + p.take(2000))
+    }
+  }
+
+  test("q352: rbo is one equi-join + aggregates, never a cartesian") {
+    val p = plan("q352_rbo")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q353: consensus argmaxes are aggregates, not windows") {
+    val p = plan("q353_consensus")
+    assert(!p.contains("windowspecdefinition"),
+      "min_by aggregates must carry both argmax rounds: " + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q359: triple candidates are pruned through semi-joins") {
+    val p = plan("q359_triples")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    // the one BNLJ is the one-row n_baskets totals broadcast — fine;
+    // a shuffle cartesian is not
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q361: raking never goes cartesian (sweep joins are " +
+    "broadcast-hinted at build; checkpoints hide them from this plan)") {
+    val p = plan("q361_raking")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q365: CKA cross-moments never go cartesian; moment joins " +
+    "broadcast the d-row sum frames") {
+    val p = plan("q365_cka")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q371: LOF joins stay equi after the checkpointed kNN cut; " +
+    "the kNN window keys on qid") {
+    // the knn frame is checkpointed inside the operator, so pin its
+    // window on the un-checkpointed prefix directly
+    val pts = Tables.load(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 40 === 0)
+      .select(col("c_custkey").as("id"),
+        (col("c_custkey") % 1000).as("x"), col("c_nationkey").as("y"))
+    val ids = pts.select(col("id"))
+    val cand = ids.select(col("id").as("qid"))
+      .crossJoin(broadcast(ids.select(col("id").as("cid"))))
+      .filter(col("qid") =!= col("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d2"), col("cid"))
+    val knnPrefix = cand
+      .join(pts.select(col("id").as("qid"), col("x").as("qx")), Seq("qid"))
+      .join(pts.select(col("id").as("cid"), col("x").as("cx")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        ((col("qx") - col("cx")) * (col("qx") - col("cx"))).as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+    val prefix = knnPrefix.queryExecution.executedPlan.toString
+    assert(prefix.contains("windowspecdefinition(qid"),
+      "kNN rank must key on qid: " + prefix.take(2000))
+    // and the full query never goes cartesian
+    val p = plan("q371_lof")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 }
