@@ -5651,6 +5651,61 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Series — classical additive decomposition (Forecast.decompose):
+    // weekly seasonality of daily revenue per order priority; centered
+    // 7-row trend, sign-safe pmod seasonal means, exact residuals.
+    "q372_decompose" -> ((s, dir) => {
+      val dec2 = DecimalType(18, 2)
+      val g = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("key"),
+          unix_date(col("o_orderdate").cast("date")).cast("long").as("t"))
+        .agg(sum((format_string("%.2f", col("o_totalprice")).cast(dec2)
+          * 100).cast("long")).as("y"))
+      Forecast.decompose(g, col("key"), col("t"), col("y"),
+          period = 7, half = 3)
+        .orderBy("key", "t")
+    }),
+
+    // Causal — doubly-robust AIPW ATE (AbTest.aipw): cross-model
+    // binned nuisances (outcome means by segment, propensity by
+    // nation band); signed wide-domain pmod floors throughout.
+    "q373_aipw" -> ((s, dir) => {
+      val dec2 = DecimalType(18, 2)
+      val c = Tables.load(s, dir, "customer")
+      AbTest.aipw(c,
+        col("c_custkey") % 2 === 0,
+        (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+          .cast("long"),
+        col("c_mktsegment"), col("c_nationkey") % 5)
+    }),
+
+    // Text — centroid extractive summary (Summarize
+    // .centroidSentences): top-2 most-representative sentences per
+    // document by exact cos²(sentence tf, doc tf); portable ". "
+    // sentence split, position ties.
+    "q374_summary" -> ((s, dir) => {
+      Summarize.centroidSentences(
+          Tables.load(s, dir, "documents")
+            .filter(col("doc_id") % 5 === 0),
+          col("doc_id"), col("text"), k = 2)
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // Text — tokenizer fertility audit (composition): BPE-ish
+    // subwords per whitespace word, per language — the "how many
+    // tokens does this lang cost" number a tokenizer change ships
+    // with.
+    "q375_fertility" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCountRegex(col("text"))).as("subwords"),
+          sum(TextFunctions.spaceTokenCount(col("text"))).as("words"))
+        .withColumn("fertility6",
+          expr("subwords * 1000000L div words"))
+        .orderBy("lang")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12419,6 +12474,143 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q372_decompose" ->
+      """WITH g AS (SELECT o_orderpriority AS key,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |      AS BIGINT) AS t,
+        |    CAST(SUM(CAST(CAST(printf('%.2f', o_totalprice)
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |tr AS (SELECT key, t, y,
+        |    CASE WHEN COUNT(*) OVER w = 7 THEN
+        |      CAST((CAST(SUM(y) OVER w AS HUGEINT) * 1000000000) // 7
+        |        AS BIGINT) END AS trend9,
+        |    t % 7 AS phase
+        |  FROM g WINDOW w AS (PARTITION BY key ORDER BY t
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (SELECT key, phase,
+        |    CAST((d - (((d % dn) + dn) % dn)) // dn AS BIGINT)
+        |      AS seasonal9
+        |  FROM (SELECT key, phase,
+        |      CAST(SUM(CAST(y AS HUGEINT) * 1000000000 - trend9)
+        |        AS HUGEINT) AS d,
+        |      CAST(COUNT(*) AS HUGEINT) AS dn
+        |    FROM tr WHERE trend9 IS NOT NULL GROUP BY 1, 2))
+        |SELECT tr.key, tr.t, tr.y, tr.trend9, se.seasonal9,
+        |  CAST(CAST(tr.y AS HUGEINT) * 1000000000 - tr.trend9
+        |    - se.seasonal9 AS BIGINT) AS resid9
+        |FROM tr LEFT JOIN se ON se.key = tr.key AND se.phase = tr.phase
+        |ORDER BY tr.key, tr.t""".stripMargin,
+
+    "q373_aipw" ->
+      """WITH b AS (SELECT c_custkey % 2 = 0 AS tr,
+        |    CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS y,
+        |    c_mktsegment AS bm, c_nationkey % 5 AS bp
+        |  FROM customer),
+        |mb0 AS (SELECT bm,
+        |    CAST(SUM(CASE WHEN tr THEN y ELSE 0 END) AS HUGEINT)
+        |      * 1000000000 AS s1,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        |    CAST(SUM(CASE WHEN tr THEN 0 ELSE y END) AS HUGEINT)
+        |      * 1000000000 AS s0,
+        |    CAST(SUM(CASE WHEN tr THEN 0 ELSE 1 END) AS HUGEINT) AS n0
+        |  FROM b GROUP BY 1),
+        |mb AS (SELECT bm,
+        |    CASE WHEN n1 > 0 THEN
+        |      (s1 - (((s1 % n1) + n1) % n1)) // n1 END AS m19,
+        |    CASE WHEN n0 > 0 THEN
+        |      (s0 - (((s0 % n0) + n0) % n0)) // n0 END AS m09
+        |  FROM mb0),
+        |eb AS (SELECT bp, CAST(COUNT(*) AS HUGEINT) AS np,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS HUGEINT) AS ntp
+        |  FROM b GROUP BY 1),
+        |u AS (SELECT b.tr, b.y, b.bp, mb.m19, mb.m09 FROM b
+        |  JOIN mb ON mb.bm = b.bm
+        |  WHERE mb.m19 IS NOT NULL AND mb.m09 IS NOT NULL),
+        |pp AS (SELECT bp, CAST(COUNT(*) AS BIGINT) AS n_scored_b,
+        |    CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treated_b,
+        |    CAST(SUM(CAST(m19 AS HUGEINT) - m09) AS HUGEINT)
+        |      AS direct_b,
+        |    CAST(SUM(CASE WHEN tr THEN CAST(y AS HUGEINT) * 1000000000
+        |      - m19 ELSE 0 END) AS HUGEINT) AS sum_t,
+        |    CAST(SUM(CASE WHEN tr THEN 0 ELSE CAST(y AS HUGEINT)
+        |      * 1000000000 - m09 END) AS HUGEINT) AS sum_c
+        |  FROM u GROUP BY 1),
+        |cc AS (SELECT n_scored_b, n_treated_b, direct_b,
+        |    (CASE WHEN ntp > 0 THEN
+        |       ((sum_t * np) - ((((sum_t * np) % ntp) + ntp) % ntp))
+        |         // ntp ELSE 0 END)
+        |    - (CASE WHEN np - ntp > 0 THEN
+        |       ((sum_c * np) - ((((sum_c * np) % (np - ntp))
+        |         + (np - ntp)) % (np - ntp))) // (np - ntp)
+        |       ELSE 0 END) AS corr_b
+        |  FROM pp JOIN eb ON eb.bp = pp.bp),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+        |tot AS (SELECT CAST(SUM(n_scored_b) AS BIGINT) AS n_scored,
+        |    CAST(SUM(n_treated_b) AS BIGINT) AS n_treated,
+        |    CAST(SUM(direct_b) AS HUGEINT) AS direct9,
+        |    CAST(SUM(corr_b) AS HUGEINT) AS corr9
+        |  FROM cc)
+        |SELECT n.n, n_scored, n_treated,
+        |  CAST(direct9 AS VARCHAR) AS direct9,
+        |  CAST(corr9 AS VARCHAR) AS corr9,
+        |  CAST((direct9 + corr9 - ((((direct9 + corr9) % n_scored)
+        |    + n_scored) % n_scored)) // n_scored AS BIGINT) AS ate9
+        |FROM tot, n""".stripMargin,
+
+    "q374_summary" ->
+      """WITH sents AS (SELECT doc_id,
+        |    generate_subscripts(string_split(text, '. '), 1) - 1
+        |      AS sent_idx,
+        |    unnest(string_split(text, '. ')) AS sentence
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |s2 AS (SELECT * FROM sents WHERE sentence <> ''),
+        |terms AS (SELECT doc_id, sent_idx, unnest(string_split(
+        |    sentence, ' ')) AS term FROM s2),
+        |t2 AS (SELECT * FROM terms WHERE term <> ''),
+        |tfs AS (SELECT doc_id, sent_idx, term,
+        |    CAST(COUNT(*) AS BIGINT) AS tf_s FROM t2 GROUP BY 1, 2, 3),
+        |tfd AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf_d
+        |  FROM t2 GROUP BY 1, 2),
+        |ns AS (SELECT doc_id, sent_idx,
+        |    CAST(SUM(tf_s * tf_s) AS HUGEINT) AS ss
+        |  FROM tfs GROUP BY 1, 2),
+        |nd AS (SELECT doc_id, CAST(SUM(tf_d * tf_d) AS HUGEINT) AS dd
+        |  FROM tfd GROUP BY 1),
+        |dots AS (SELECT tfs.doc_id, tfs.sent_idx,
+        |    CAST(SUM(tf_s * tf_d) AS HUGEINT) AS dot
+        |  FROM tfs JOIN tfd ON tfd.doc_id = tfs.doc_id
+        |    AND tfd.term = tfs.term GROUP BY 1, 2),
+        |scored AS (SELECT s2.doc_id, s2.sent_idx, s2.sentence,
+        |    COALESCE(CAST((dot * dot * 1000000000000) // (ss * dd)
+        |      AS BIGINT), 0) AS cos2_e12
+        |  FROM s2
+        |  LEFT JOIN dots ON dots.doc_id = s2.doc_id
+        |    AND dots.sent_idx = s2.sent_idx
+        |  LEFT JOIN ns ON ns.doc_id = s2.doc_id
+        |    AND ns.sent_idx = s2.sent_idx
+        |  JOIN nd ON nd.doc_id = s2.doc_id)
+        |SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence,
+        |  cos2_e12, CAST(rnk AS INTEGER) AS rnk
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY cos2_e12 DESC, sent_idx) AS rnk FROM scored)
+        |WHERE rnk <= 2 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q375_fertility" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(length(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9]+', 'x', 'g'), '\s', '', 'g'))) AS BIGINT)
+        |    AS subwords,
+        |  CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+        |    AS BIGINT) AS words,
+        |  CAST((SUM(length(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9]+', 'x', 'g'), '\s', '', 'g'))) * 1000000)
+        |    // SUM(length(text) - length(replace(text, ' ', '')) + 1)
+        |    AS BIGINT) AS fertility6
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q366_pr_curve" ->
       """WITH g AS (SELECT n_chars // 20 AS score,

@@ -38,6 +38,23 @@ object ColumnOps {
     }
   }
 
+  /** Exact SIGNED floor ⌊a/d⌋ for decimal(38,0) a and POSITIVE
+    * decimal(38,0) d — the wide-domain sibling of the pmod floor
+    * spelling ([[graft.operators.RangeJoin]] floorDiv): shift a down
+    * to the grid with pmod (result divisible by d), then divide.
+    * Because the shifted numerator is exactly divisible, the decimal
+    * division has remainder 0 — no rounding surface — and DuckDB's
+    * toward-zero `//` agrees with every floor engine after the same
+    * shift: mirror as `(a - ((a % d + d) % d)) // d`. */
+  def floorDivSignedDec(a: Column, d: Column): Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    bound(a.cast(dec)) { aa =>
+      bound(d.cast(dec)) { dd =>
+        ((aa - pmod(aa, dd)) / dd).cast(dec)
+      }
+    }
+  }
+
   /** Exact ⌊√n⌋ for a non-negative decimal(38,0) below 10³⁶ —
     * [[isqrt]]'s wide-domain sibling for products that pass 2⁶³ (an
     * MCC denominator (TP+FP)(TP+FN)(TN+FP)(TN+FN) reaches n⁴). Why ±1

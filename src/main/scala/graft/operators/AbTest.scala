@@ -625,6 +625,91 @@ object AbTest {
           .as("att6"))
   }
 
+  /** Doubly-robust AIPW ATE (Robins-Rotnitzky-Zhao 1994; the
+    * augmented-IPW estimator modern causal pipelines default to) with
+    * CROSS-MODEL binned nuisances: outcome means from one covariate's
+    * bins, propensities from ANOTHER's —
+    *
+    *   ATE = 1/n Σᵢ [ m₁(bᵢ) − m₀(bᵢ)
+    *                  + Tᵢ(yᵢ − m₁(bᵢ))/e(pᵢ)
+    *                  − (1−Tᵢ)(yᵢ − m₀(bᵢ))/(1−e(pᵢ)) ]
+    *
+    * Doubly robust: consistent if EITHER the outcome bins or the
+    * propensity bins capture the confounding. (With the SAME bins for
+    * both, the corrections vanish and this collapses to
+    * [[stratifiedAte]] — the distinct bins are the point.)
+    *
+    * Exact-evidence form: m₁₉/m₀₉ are sign-safe pmod floors of the
+    * outcome-bin sums; correction terms aggregate per propensity bin
+    * as  ⌊Σ_{T∈b}(y·10⁹ − m₁₉)·n_b / n_{Tb}⌋  via
+    * [[graft.functions.ColumnOps.floorDivSignedDec]] (signed,
+    * wide-domain, engine-portable); ate9 is one final signed floor
+    * over n_scored. Units whose outcome bin lacks an arm can't be scored —
+    * they are EXCLUDED and reported (n_scored < n), not silently
+    * zeroed; a propensity bin with no treated (or no control) rows
+    * contributes no correction for that arm (its Σ is empty).
+    *
+    * Scale shape: two bin aggregates (broadcast-joined back), one
+    * per-unit pass, one propensity-bin aggregate; no windows.
+    *
+    * @param y caller-scaled integer outcome
+    * @return one row: (n, n_scored, n_treated, direct9 — Σ(m₁₉−m₀₉)
+    *         string — corr9 — Σ corrections string — ate9) */
+  def aipw(df: DataFrame, treated: Column, y: Column,
+           outcomeBin: Column, propensityBin: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val divS = graft.functions.ColumnOps.floorDivSignedDec _
+    val base = df.select(treated.cast("boolean").as("tr"),
+      y.cast("long").as("y"), outcomeBin.as("bm"), propensityBin.as("bp"))
+    val mBins = base.groupBy("bm").agg(
+        sum(when(col("tr"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("tr"), col("y")).otherwise(0L)).as("s1"),
+        sum(when(!col("tr"), 1L).otherwise(0L)).as("n0"),
+        sum(when(!col("tr"), col("y")).otherwise(0L)).as("s0"))
+      .select(col("bm"),
+        when(col("n1") > 0, divS(col("s1").cast(dec) * 1000000000L,
+          col("n1").cast(dec))).as("m19"),
+        when(col("n0") > 0, divS(col("s0").cast(dec) * 1000000000L,
+          col("n0").cast(dec))).as("m09"))
+    val eBins = base.groupBy("bp").agg(count(lit(1)).as("np"),
+      sum(when(col("tr"), 1L).otherwise(0L)).as("ntp"))
+    val unit = base
+      .join(broadcast(mBins), Seq("bm"))
+      .filter(col("m19").isNotNull && col("m09").isNotNull)
+    val perP = unit.groupBy("bp").agg(
+        count(lit(1)).as("n_scored_b"),
+        sum(when(col("tr"), 1L).otherwise(0L)).as("n_treated_b"),
+        sum((col("m19") - col("m09")).cast(dec)).cast(dec).as("direct_b"),
+        sum(when(col("tr"),
+          (col("y").cast(dec) * 1000000000L - col("m19")).cast(dec))
+          .otherwise(lit(0L).cast(dec))).cast(dec).as("sum_t"),
+        sum(when(!col("tr"),
+          (col("y").cast(dec) * 1000000000L - col("m09")).cast(dec))
+          .otherwise(lit(0L).cast(dec))).cast(dec).as("sum_c"))
+      .join(broadcast(eBins), Seq("bp"))
+      .select(col("n_scored_b"), col("n_treated_b"), col("direct_b"),
+        (when(col("ntp") > 0,
+          divS(col("sum_t") * col("np").cast(dec), col("ntp").cast(dec)))
+          .otherwise(lit(0L).cast(dec)) -
+         when(col("np") - col("ntp") > 0,
+           divS(col("sum_c") * col("np").cast(dec),
+             (col("np") - col("ntp")).cast(dec)))
+           .otherwise(lit(0L).cast(dec))).cast(dec).as("corr_b"))
+    val n = base.agg(count(lit(1)).as("n"))
+    perP.agg(sum("n_scored_b").as("n_scored"),
+        sum("n_treated_b").as("n_treated"),
+        sum("direct_b").cast(dec).as("direct9"),
+        sum("corr_b").cast(dec).as("corr9"))
+      .crossJoin(broadcast(n))
+      .withColumn("ate9",
+        when(col("n_scored") > 0,
+          divS(col("direct9") + col("corr9"),
+            col("n_scored").cast(dec)).cast("long")))
+      .select(col("n"), col("n_scored"), col("n_treated"),
+        col("direct9").cast("string").as("direct9"),
+        col("corr9").cast("string").as("corr9"), col("ate9"))
+  }
+
   /** One-way ANOVA F statistic over k groups — "do ANY of these arms /
     * domains / strata differ in mean?", the k-arm generalization of
     * [[welch]]'s pairwise question and the screening test before

@@ -76,4 +76,69 @@ object Forecast {
           col("num").cast("double") /
             (col("n").cast("double") * qDen))).as("mean_loss6"))
   }
+
+  /** Classical additive seasonal decomposition — y = trend + seasonal
+    * + residual, the series triage BEFORE model choice (is there
+    * seasonality worth a seasonal model? how big is the residual the
+    * model must beat? [[seasonalNaiveBacktest]] scores a forecast;
+    * this explains the series):
+    *
+    *   trend9_t    = ⌊Σ_{|i|≤h} y_{t+i} ·10⁹ / (2h+1)⌋  (centered
+    *                 rolling mean, NULL at the edges — no fake trend)
+    *   seasonal9_p = floor-mean over the series of (y·10⁹ − trend9)
+    *                 at phase p = t mod period  (sign-safe pmod floor)
+    *   resid9_t    = y·10⁹ − trend9 − seasonal9
+    *
+    * Two stated floors; the detrended mean floor is the portable
+    * pmod spelling (Spark `div` truncates toward zero, SQL `//`
+    * engines disagree on negatives). Seasonal indices are NOT
+    * re-centered (documented: the classical method's optional
+    * mean-adjustment step is omitted — indices absorb any residual
+    * level offset, exactly as statsmodels' `seasonal_decompose`
+    * doesn't re-center either).
+    *
+    * Scale shape: one key-ordered trend window (rows stay in their
+    * key partition), one (key, phase) aggregate joined back — no
+    * global state.
+    *
+    * @param t      integer grid position (resample upstream — the
+    *               window is ROWS-based and assumes a dense grid)
+    * @param period seasonal period in grid units
+    * @param half   h: the centered window is 2h+1 rows
+    * @return (key, t, y, trend9, seasonal9, resid9) */
+  def decompose(series: DataFrame, key: Column, t: Column, y: Column,
+                period: Int, half: Int): DataFrame = {
+    require(period >= 2 && period <= 10000, "period in [2,10000]")
+    require(half >= 1 && half <= 5000, "half in [1,5000]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("t"))
+      .rowsBetween(-half, half)
+    val width = 2 * half + 1
+    def pmodFloor(a: Column, d: Column): Column =
+      call_function("div", a - pmod(a, d), d)
+    val trended = series
+      .select(key.as("key"), t.cast("long").as("t"),
+        y.cast("long").as("y"))
+      .withColumn("trend9",
+        when(count(lit(1)).over(w) === width,
+          expr(s"CAST(sum(y) OVER (PARTITION BY key ORDER BY t " +
+            s"ROWS BETWEEN $half PRECEDING AND $half FOLLOWING) " +
+            s"AS DECIMAL(38,0)) * 1000000000 div $width")))
+      .withColumn("phase", pmod(col("t"), lit(period.toLong)))
+    val seasonal = trended.filter(col("trend9").isNotNull)
+      .groupBy("key", "phase")
+      .agg(sum((col("y") * lit(1000000000L) - col("trend9"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("dsum"),
+        count(lit(1)).as("dn"))
+      .select(col("key"), col("phase"),
+        pmodFloor(col("dsum"), col("dn").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("seasonal9"))
+    trended.join(seasonal, Seq("key", "phase"), "left")
+      .select(col("key"), col("t"), col("y"), col("trend9"),
+        col("seasonal9"),
+        (col("y") * lit(1000000000L) - col("trend9") -
+          col("seasonal9")).as("resid9"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Centroid extractive summarization (Radev et al. 2004 shape) — pick
+  * the k sentences most representative of their document, the cheap
+  * deterministic summarizer a curation pipeline runs to build dataset
+  * cards / previews without an LLM call: score every sentence by
+  * cosine²(sentence tf, document tf) and keep the top k.
+  *
+  * Exactness: term frequencies are exact integer counts; the cosine
+  * never meets a square root — sentences rank by the monotone
+  * surrogate cos²ₑ₁₂ = ⌊dot²·10¹² / (‖s‖²·‖d‖²)⌋ (the
+  * [[Association.itemCosineTopK]] discipline), ties by sentence
+  * position, so the summary is a pure function of the text. Sentence
+  * boundaries are the PORTABLE literal split on ". " (both engines
+  * split identically; no lookbehind regex — RE2 engines lack it).
+  *
+  * Scale shape: one (doc, sent, term) explode → two count aggregates
+  * (sentence tf, document tf) → one equi-join on (doc, term) → one
+  * doc-keyed rank window with the ≤ k cut (WindowGroupLimit).
+  * Sentences with no token overlap with the document centroid score
+  * 0 but still rank (position-tie-broken).
+  *
+  * @return (doc_id, sent_idx — 0-based position — sentence, cos2_e12,
+  *         rnk 1..k) */
+object Summarize {
+
+  def centroidSentences(docs: DataFrame, id: Column, text: Column,
+                        k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, "k in [1,100]")
+    val dec = DecimalType(38, 0)
+    val sents = docs.select(id.as("doc_id"),
+        posexplode(split(text, "\\. ")).as(Seq("sent_idx", "sentence")))
+      .filter(col("sentence") =!= "")
+      .localCheckpoint(true) // reused: terms below + final output join
+    val terms = sents
+      .select(col("doc_id"), col("sent_idx"),
+        explode(split(col("sentence"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tfS = terms.groupBy("doc_id", "sent_idx", "term")
+      .agg(count(lit(1)).as("tf_s"))
+    val tfD = terms.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf_d"))
+    val normS = tfS.groupBy("doc_id", "sent_idx")
+      .agg(sum(col("tf_s") * col("tf_s")).as("ss"))
+    val normD = tfD.groupBy("doc_id")
+      .agg(sum(col("tf_d") * col("tf_d")).as("dd"))
+    val dots = tfS.join(tfD, Seq("doc_id", "term"))
+      .groupBy("doc_id", "sent_idx")
+      .agg(sum(col("tf_s") * col("tf_d")).as("dot"))
+    val scored = sents
+      .join(dots, Seq("doc_id", "sent_idx"), "left")
+      .join(normS, Seq("doc_id", "sent_idx"), "left")
+      .join(normD, Seq("doc_id")) // per-doc frame: corpus-sized, no broadcast
+      .select(col("doc_id"), col("sent_idx"), col("sentence"),
+        coalesce(
+          expr("CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000000000 " +
+            "AS DECIMAL(38,0)) div (CAST(ss AS DECIMAL(38,0)) * dd)"),
+          lit(0L)).as("cos2_e12"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("cos2_e12").desc, col("sent_idx"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -281,6 +281,57 @@ class AbTestSpec extends SparkSpec {
     assert(r.getLong(1) == 0L && r.isNullAt(4))
   }
 
+  test("aipw: collapses to the stratified ATE when both models use " +
+    "the same bins; hand-checked corrections when they differ") {
+    import spark.implicits._
+    // same bins: corrections vanish exactly (sum_t = sum_c = 0)
+    val d = Seq(
+      ("b1", true, 10L), ("b1", true, 14L), ("b1", false, 5L),
+      ("b2", true, 30L), ("b2", false, 20L), ("b2", false, 22L))
+      .toDF("b", "tr", "y")
+    val same = AbTest.aipw(d, col("tr"), col("y"), col("b"), col("b"))
+      .as[(Long, Long, Long, String, String, Option[Long])].head()
+    // m1(b1)=12e9 m0(b1)=5e9; m1(b2)=30e9 m0(b2)=21e9
+    // direct = 3*(7e9) + 3*(9e9) = 48e9; corr = 0; ate = 48e9/6 = 8e9
+    assert(same == ((6L, 6L, 3L, "48000000000", "0",
+      Some(8000000000L))), same.toString)
+    // different propensity bins: corrections are nonzero and exact
+    val dp = d.withColumn("bp", when(col("y") >= 20L, "hi")
+      .otherwise("lo"))
+    val r = AbTest.aipw(dp, col("tr"), col("y"), col("b"), col("bp"))
+      .as[(Long, Long, Long, String, String, Option[Long])].head()
+    // bp=lo: rows (b1 T 10),(b1 T 14),(b1 C 5): np=3 ntp=2
+    //   sum_t = (10e9-12e9)+(14e9-12e9) = 0; sum_c = 5e9-5e9 = 0
+    // bp=hi: rows (b2 T 30),(b2 C 20),(b2 C 22): np=3 ntp=1
+    //   sum_t = 30e9-30e9 = 0; sum_c = (20e9-21e9)+(22e9-21e9) = 0
+    // all corrections still 0 here (bins happen to align with means)
+    assert(r._5 == "0" && r._6.contains(8000000000L), r.toString)
+    // a genuinely imbalanced case: outcome bins global, prop bins odd
+    val d2 = Seq(
+      ("all", true, 10L, "p1"), ("all", false, 0L, "p1"),
+      ("all", true, 20L, "p2"))
+      .toDF("b", "tr", "y", "bp")
+    val r2 = AbTest.aipw(d2, col("tr"), col("y"), col("b"), col("bp"))
+      .as[(Long, Long, Long, String, String, Option[Long])].head()
+    // m1 = 15e9, m0 = 0; direct = 3*15e9 = 45e9
+    // p1: np=2 ntp=1: sum_t = 10e9-15e9 = -5e9 -> floor(-5e9*2/1)
+    //   = -10e9; sum_c = 0-0 = 0 -> corr = -10e9
+    // p2: np=1 ntp=1: sum_t = 20e9-15e9 = 5e9 -> 5e9*1/1 = 5e9
+    // corr total = -5e9; ate9 = (45e9-5e9)/3 = 13333333333 (floor)
+    assert(r2 == ((3L, 3L, 2L, "45000000000", "-5000000000",
+      Some(13333333333L))), r2.toString)
+  }
+
+  test("aipw: units in a one-armed outcome bin are excluded and " +
+    "reported") {
+    import spark.implicits._
+    val d = Seq(("b1", true, 10L, "p"), ("b1", false, 6L, "p"),
+      ("b2", true, 99L, "p")).toDF("b", "tr", "y", "bp")
+    val r = AbTest.aipw(d, col("tr"), col("y"), col("b"), col("bp"))
+      .as[(Long, Long, Long, String, String, Option[Long])].head()
+    assert(r._1 == 3L && r._2 == 2L, r.toString) // b2's unit excluded
+  }
+
   test("anovaF: hand-checked sums of squares and F") {
     // g1: 1,2,3 (T=6,n=3)  g2: 5,6,7 (T=18,n=3)
     // grand T=24, n=6; sum x^2 = 1+4+9+25+36+49 = 124

@@ -52,4 +52,55 @@ class ForecastSpec extends SparkSpec {
         col("y"), col("yhat"), 10, 10)
     }
   }
+
+  test("decompose: pure seasonal square wave separates exactly") {
+    import spark.implicits._
+    // period 2, half 1 (window 3): y alternates 10, 30 on a dense grid
+    // trend = (10+30+10)/3 or (30+10+30)/3 -> 16.666/23.333 e9 floors;
+    // known closed forms below are hand-checked
+    val d = (0L to 9L).map(t => ("k", t, if (t % 2 == 0) 10L else 30L))
+      .toDF("k", "t", "y")
+    val r = graft.operators.Forecast.decompose(d, col("k"), col("t"),
+        col("y"), period = 2, half = 1)
+      .orderBy("t")
+      .as[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    // edges (t=0, t=9) have no full window -> trend/resid null
+    assert(r.head._4.isEmpty && r.last._4.isEmpty)
+    // interior even t (y=10, neighbors 30): window sum 70 ->
+    //   trend = floor(70e9/3) = 23333333333,
+    //   detrended = 10e9 - 23333333333 = -13333333333
+    // interior odd t (y=30, neighbors 10): window sum 50 ->
+    //   trend = floor(50e9/3) = 16666666666,
+    //   detrended = 30e9 - 16666666666 = 13333333334
+    // seasonal means equal those constants; residuals exactly 0
+    val mid = r.filter(_._4.nonEmpty)
+    mid.foreach { row =>
+      val (_, t, _, tr, se, res) = row
+      if (t % 2 == 0) {
+        assert(tr.contains(23333333333L) && se.contains(-13333333333L),
+          row.toString)
+      } else {
+        assert(tr.contains(16666666666L) && se.contains(13333333334L),
+          row.toString)
+      }
+      assert(res.contains(0L), row.toString)
+    }
+  }
+
+  test("decompose: keys are independent and phases don't leak") {
+    import spark.implicits._
+    val d = ((0L to 5L).map(t => ("a", t, 100L)) ++
+      (0L to 5L).map(t => ("b", t, 200L))).toDF("k", "t", "y")
+    val r = graft.operators.Forecast.decompose(d, col("k"), col("t"),
+        col("y"), period = 3, half = 1)
+      .filter(col("trend9").isNotNull)
+      .select("key", "trend9", "seasonal9", "resid9")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // constant series: trend = y*1e9, seasonal = 0, resid = 0, per key
+    r.foreach { case (k, tr, se, res) =>
+      val want = if (k == "a") 100000000000L else 200000000000L
+      assert(tr == want && se == 0L && res == 0L, (k, tr, se, res))
+    }
+  }
 }
