@@ -5706,6 +5706,59 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Graph — rich-club ladder (GraphStats.richClub): do high-degree
+    // suppliers in the co-occurrence graph wire together? Suffix
+    // counts over two tiny degree histograms, never per-k subgraphs.
+    "q376_rich_club" -> ((s, dir) => {
+      val e = Triangles.coOccurrenceEdges(
+        Tables.load(s, dir, "lineitem").filter(col("l_quantity") <= 2),
+        col("l_orderkey"), col("l_suppkey"))
+      GraphStats.richClub(e, Seq(0, 2, 4, 8, 16)).orderBy("k")
+    }),
+
+    // Series — OHLC candles (composition): per (event_type, day)
+    // open/high/low/close with the (ts, event_id) unique order —
+    // min_by/max_by aggregates, no windows.
+    "q377_ohlc" -> ((s, dir) => {
+      val dec2 = DecimalType(18, 2)
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          unix_micros(col("ts")).as("tu"), col("event_id"),
+          (format_string("%.2f", col("value")).cast(dec2) * 100)
+            .cast("long").as("cents"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          min_by(col("cents"), struct(col("tu"), col("event_id")))
+            .as("open"),
+          max(col("cents")).as("high"),
+          min(col("cents")).as("low"),
+          max_by(col("cents"), struct(col("tu"), col("event_id")))
+            .as("close"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Stats — QQ decile pairs (composition over RankStats
+    // .groupQuantiles): BUILDING vs rest balance distributions lined
+    // up quantile-by-quantile — the drift diagnostic that SHOWS WHERE
+    // the distributions diverge.
+    "q378_qq" -> ((s, dir) => {
+      val dec2 = DecimalType(18, 2)
+      val c = Tables.load(s, dir, "customer")
+        .select(when(col("c_mktsegment") === "BUILDING", "a")
+            .otherwise("b").as("side"),
+          (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+            .cast("long").as("cents"))
+      val q = RankStats.groupQuantiles(c, col("side"), col("cents"),
+        percents = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 100))
+      q.filter(col("group") === "a")
+        .select(col("pct"), col("q").as("q_a"))
+        .join(q.filter(col("group") === "b")
+          .select(col("pct"), col("q").as("q_b")), Seq("pct"))
+        .withColumn("gap", col("q_a") - col("q_b"))
+        .orderBy("pct")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12474,6 +12527,80 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q376_rich_club" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS p
+        |  FROM lineitem WHERE l_quantity <= 2),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM ps a
+        |  JOIN ps b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |  (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1),
+        |dh AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS hn
+        |  FROM deg GROUP BY 1),
+        |mh AS (SELECT LEAST(du.deg, dv.deg) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS he
+        |  FROM e0 JOIN deg du ON du.node = e0.u
+        |    JOIN deg dv ON dv.node = e0.v GROUP BY 1),
+        |ladder AS (SELECT CAST(unnest([0, 2, 4, 8, 16]) AS BIGINT)
+        |  AS k),
+        |nk AS (SELECT k, CAST(COALESCE(SUM(hn), 0) AS BIGINT) AS n_k
+        |  FROM ladder LEFT JOIN dh ON dh.deg > ladder.k GROUP BY 1),
+        |ek AS (SELECT k, CAST(COALESCE(SUM(he), 0) AS BIGINT) AS e_k
+        |  FROM ladder LEFT JOIN mh ON mh.m > ladder.k GROUP BY 1)
+        |SELECT nk.k, n_k, e_k,
+        |  CASE WHEN n_k >= 2 THEN
+        |    CAST((2 * CAST(e_k AS HUGEINT) * 1000000000)
+        |      // (CAST(n_k AS HUGEINT) * (n_k - 1)) AS BIGINT) END
+        |    AS phi9
+        |FROM nk JOIN ek ON ek.k = nk.k ORDER BY nk.k""".stripMargin,
+
+    "q377_ohlc" ->
+      """WITH e AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day, epoch_us(ts) AS tu,
+        |    event_id,
+        |    CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT event_type, day, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, day
+        |      ORDER BY tu, event_id) AS rn,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, day
+        |      ORDER BY tu DESC, event_id DESC) AS rrn
+        |  FROM e)
+        |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS open,
+        |  CAST(MAX(cents) AS BIGINT) AS high,
+        |  CAST(MIN(cents) AS BIGINT) AS low,
+        |  CAST(MAX(CASE WHEN rrn = 1 THEN cents END) AS BIGINT)
+        |    AS close
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q378_qq" ->
+      """WITH v AS (SELECT CASE WHEN c_mktsegment = 'BUILDING'
+        |      THEN 'a' ELSE 'b' END AS g,
+        |    CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS x
+        |  FROM customer),
+        |grid AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |cum AS (SELECT g, x,
+        |    CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM grid),
+        |n AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM grid GROUP BY 1),
+        |pcts AS (SELECT CAST(unnest([10, 20, 30, 40, 50, 60, 70, 80,
+        |  90, 100]) AS BIGINT) AS pct),
+        |qs AS (SELECT cum.g, pcts.pct, CAST(MIN(x) AS BIGINT) AS q
+        |  FROM cum JOIN n ON n.g = cum.g CROSS JOIN pcts
+        |  WHERE cum.cum >= (pcts.pct * n.n + 99) // 100
+        |  GROUP BY 1, 2)
+        |SELECT a.pct, a.q AS q_a, b.q AS q_b, a.q - b.q AS gap
+        |FROM qs a JOIN qs b ON a.pct = b.pct
+        |  AND a.g = 'a' AND b.g = 'b'
+        |ORDER BY a.pct""".stripMargin,
 
     "q372_decompose" ->
       """WITH g AS (SELECT o_orderpriority AS key,

@@ -126,4 +126,56 @@ object GraphStats {
         expr("cn * 1000000L div union_n").as("jaccard_1e6"),
         col("aa6"))
   }
+
+  /** Rich-club coefficient ladder (Zhou-Mondragón 2004) — do the
+    * hubs form their own densely-wired club? φ(k) = 2·E_k /
+    * (N_k·(N_k−1)) over the subgraph of nodes with degree > k, for a
+    * ladder of k values. Rising φ(k) = an elite core (router-level
+    * internet); flat/falling = hubs that avoid each other. The
+    * scalar-ladder companion to [[degreeAssortativity]] (one number)
+    * and [[graft.operators.KCore]] (a per-node decomposition).
+    *
+    * Exact shape: ONE degree aggregate; per edge the min endpoint
+    * degree m — E_k = |{edges : m > k}| and N_k = |{nodes : deg > k}|
+    * are SUFFIX COUNTS of two tiny histograms (distinct-degree rows),
+    * taken by broadcast theta-joins against the ≤64-row ladder —
+    * never a per-k subgraph pass over nodes or edges.
+    * φ₉ = ⌊2E_k·10⁹/(N_k(N_k−1))⌋, NULL when N_k < 2.
+    *
+    * @param edges undirected edge list (u, v); dedup/self-loop-safe
+    * @param ks    strictly increasing degree thresholds (≤ 64)
+    * @return per k: (k, n_k, e_k, phi9) */
+  def richClub(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.size <= 64 && ks == ks.sorted &&
+      ks.distinct.size == ks.size && ks.forall(_ >= 0),
+      "ks: <= 64 strictly increasing nonnegative thresholds")
+    val und = edges.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("u").as("node"))
+      .unionByName(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ladder = und.sparkSession.createDataFrame(
+      ks.map(k => Tuple1(k.toLong))).toDF("k")
+    // tiny histograms first — the per-k suffix counts then run on
+    // |distinct degrees| rows, never on nodes/edges
+    val degHist = deg.groupBy("deg").agg(count(lit(1)).as("hn"))
+    val nk = ladder.join(broadcast(degHist), col("deg") > col("k"),
+        "left")
+      .groupBy("k").agg(coalesce(sum("hn"), lit(0L)).as("n_k"))
+    val minHist = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(least(col("du"), col("dv")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("he"))
+    val ek = ladder.join(broadcast(minHist), col("m") > col("k"), "left")
+      .groupBy("k").agg(coalesce(sum("he"), lit(0L)).as("e_k"))
+    nk.join(ek, Seq("k"))
+      .select(col("k"), col("n_k"), col("e_k"),
+        when(col("n_k") >= 2,
+          expr("CAST(2 * e_k AS DECIMAL(38,0)) * 1000000000 " +
+            "div (CAST(n_k AS DECIMAL(38,0)) * (n_k - 1))"))
+          .as("phi9"))
+  }
 }

@@ -49,4 +49,36 @@ class GraphStatsSpec extends SparkSpec {
     val e = Seq((10L, 11L)).toDF("lo", "hi")
     assert(GraphStats.linkPrediction(e).count() == 0L)
   }
+
+  test("richClub: complete graph is 1.0 at every feasible k; a star " +
+    "has no club") {
+    import spark.implicits._
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("u", "v")
+    val r = GraphStats.richClub(k4, Seq(0, 1, 2, 3))
+      .orderBy("k")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(r == Seq(
+      (0L, 4L, 6L, Some(1000000000L)),
+      (1L, 4L, 6L, Some(1000000000L)),
+      (2L, 4L, 6L, Some(1000000000L)),
+      (3L, 0L, 0L, None)), r.toString)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    val rs = GraphStats.richClub(star, Seq(0, 1))
+      .orderBy("k")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    // k=0: whole graph, phi = 2*3/(4*3) = 0.5; k=1: only the hub -> null
+    assert(rs == Seq((0L, 4L, 3L, Some(500000000L)),
+      (1L, 1L, 0L, None)), rs.toString)
+  }
+
+  test("richClub: dedup and self-loops don't inflate the club") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L)).toDF("u", "v")
+    val r = GraphStats.richClub(e, Seq(0))
+      .as[(Long, Long, Long, Option[Long])].head()
+    // distinct undirected edges: (1,2), (2,3) -> N=3, E=2,
+    // phi = 4/(3*2) = 0.666...
+    assert(r == ((0L, 3L, 2L, Some(666666666L))), r.toString)
+  }
 }

@@ -109,4 +109,31 @@ class SketchStreamingSpec extends SparkSpec {
       assert(row.getSeq[Long](1) == all.distinct.sorted.take(32))
     } finally q.stop()
   }
+
+  test("AMS F2 streamed equals batch EXACTLY (sign sums are " +
+    "order-free)") {
+    // the estimator state is 16 plain SUMs — streaming merges are
+    // addition, so the streamed estimate is bit-identical to a batch
+    // run over the concatenation; the OPERATOR itself runs unchanged
+    // on the streaming frame
+    val batches = Seq(
+      (1 to 300).map(i => (i % 23).toString),
+      (1 to 300).map(i => (i % 31).toString),
+      (1 to 200).map(i => (i % 7).toString))
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[String]
+    val q = graft.operators.AmsSketch.f2Estimate(
+        src.toDS().toDF("w"), col("w"), r = 16, seed = 7L)
+      .writeStream.format("memory").queryName("ams_stream")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("ams_stream").head()
+      val batch = graft.operators.AmsSketch.f2Estimate(
+        batches.flatten.toDF("w"), col("w"), r = 16, seed = 7L).head()
+      assert(streamed.getLong(0) == batch.getLong(0))
+      assert(streamed.getString(1) == batch.getString(1),
+        s"streamed ${streamed.getString(1)} != batch ${batch.getString(1)}")
+    } finally q.stop()
+  }
 }
