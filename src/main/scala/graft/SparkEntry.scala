@@ -5759,6 +5759,50 @@ object SparkEntry {
         .orderBy("pct")
     }),
 
+    // Events — inter-arrival burstiness (EventAnalytics.burstiness):
+    // the Goh-Barabási B = (σ−μ)/(σ+μ) bot screen; isqrtDec σ, one
+    // sign-magnitude floor.
+    "q379_burstiness" -> ((s, dir) => {
+      EventAnalytics.burstiness(
+          Tables.events(s, dir).filter(col("user_id") % 10 === 0),
+          col("user_id"), unix_micros(col("ts")))
+        .orderBy("actor")
+    }),
+
+    // Series — seasonal-adjusted anomaly audit (composition:
+    // Forecast.decompose residuals → RobustStats.madOutliers): how
+    // many daily-revenue points are anomalous AFTER removing the
+    // weekly pattern — the honest anomaly count a raw-value screen
+    // overstates every weekend.
+    "q380_seasonal_anomaly" -> ((s, dir) => {
+      val dec2 = DecimalType(18, 2)
+      val g = Tables.load(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("key"),
+          unix_date(col("o_orderdate").cast("date")).cast("long").as("t"))
+        .agg(sum((format_string("%.2f", col("o_totalprice")).cast(dec2)
+          * 100).cast("long")).as("y"))
+      val resid = Forecast.decompose(g, col("key"), col("t"), col("y"),
+          period = 7, half = 3)
+        .filter(col("resid9").isNotNull)
+      RobustStats.madOutliers(resid, col("resid9"),
+          concat_ws(":", col("key"), col("t")))
+        .select(col("n"), col("median").cast("string").as("median"),
+          col("mad").cast("string").as("mad"), col("n_outliers"),
+          col("max_dev").cast("string").as("max_dev"))
+    }),
+
+    // Causal — seeded permutation test (AbTest.permutationTest):
+    // assumption-free p-value for the BUILDING balance gap; division-
+    // free cross-multiplied |Δ| comparisons, md5 pseudo-assignments.
+    "q381_perm_test" -> ((s, dir) => {
+      val dec2 = DecimalType(18, 2)
+      AbTest.permutationTest(Tables.load(s, dir, "customer"),
+        col("c_custkey"), col("c_mktsegment") === "BUILDING",
+        (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
+          .cast("long"),
+        b = 32, seed = 9L)
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12527,6 +12571,113 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q379_burstiness" ->
+      """WITH e AS (SELECT user_id AS a, epoch_us(ts) AS t
+        |  FROM events WHERE user_id % 10 = 0),
+        |g AS (SELECT a, t - LAG(t) OVER (PARTITION BY a ORDER BY t)
+        |    AS gap FROM e),
+        |g2 AS (SELECT a, gap FROM g WHERE gap IS NOT NULL),
+        |s AS (SELECT a AS actor, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(gap) AS HUGEINT) AS aa,
+        |    CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS q
+        |  FROM g2 GROUP BY 1),
+        |r0 AS (SELECT *, n_gaps * q - aa * aa AS dd FROM s),
+        |r1 AS (SELECT *, GREATEST(CAST(FLOOR(SQRT(CAST(dd AS DOUBLE)))
+        |    AS HUGEINT), 1) AS s0 FROM r0),
+        |r2 AS (SELECT *, (s0 + dd // s0) // 2 AS s1 FROM r1),
+        |r3 AS (SELECT *, s1 - CASE WHEN s1 * s1 > dd THEN 1 ELSE 0 END
+        |    AS s2 FROM r2),
+        |r4 AS (SELECT *, s2 - CASE WHEN s2 * s2 > dd THEN 1 ELSE 0 END
+        |    AS r FROM r3)
+        |SELECT actor, n_gaps, CAST(aa AS BIGINT) AS gap_sum,
+        |  CASE WHEN n_gaps < 2 OR r + aa = 0 THEN NULL
+        |    ELSE CAST((CASE WHEN r >= aa THEN 1 ELSE -1 END) *
+        |      ((ABS(r - aa) * 1000000) // (r + aa)) AS BIGINT) END
+        |    AS b6
+        |FROM r4 ORDER BY actor""".stripMargin,
+
+    "q380_seasonal_anomaly" ->
+      """WITH g AS (SELECT o_orderpriority AS key,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+        |      AS BIGINT) AS t,
+        |    CAST(SUM(CAST(CAST(printf('%.2f', o_totalprice)
+        |      AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |tr AS (SELECT key, t, y,
+        |    CASE WHEN COUNT(*) OVER w = 7 THEN
+        |      CAST((CAST(SUM(y) OVER w AS HUGEINT) * 1000000000) // 7
+        |        AS BIGINT) END AS trend9,
+        |    t % 7 AS phase
+        |  FROM g WINDOW w AS (PARTITION BY key ORDER BY t
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |se AS (SELECT key, phase,
+        |    CAST((d - (((d % dn) + dn) % dn)) // dn AS BIGINT)
+        |      AS seasonal9
+        |  FROM (SELECT key, phase,
+        |      CAST(SUM(CAST(y AS HUGEINT) * 1000000000 - trend9)
+        |        AS HUGEINT) AS d,
+        |      CAST(COUNT(*) AS HUGEINT) AS dn
+        |    FROM tr WHERE trend9 IS NOT NULL GROUP BY 1, 2)),
+        |res AS (SELECT tr.key, tr.t,
+        |    CAST(CAST(tr.y AS HUGEINT) * 1000000000 - tr.trend9
+        |      - se.seasonal9 AS BIGINT) AS resid9
+        |  FROM tr JOIN se ON se.key = tr.key AND se.phase = tr.phase
+        |  WHERE tr.trend9 IS NOT NULL),
+        |v AS (SELECT CAST(resid9 AS DECIMAL(38,6)) AS v,
+        |    key || ':' || CAST(t AS VARCHAR) AS t FROM res),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |i AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, t) - 1 AS i
+        |  FROM v),
+        |med AS (SELECT v AS median FROM i, nn
+        |    WHERE i = ((n - 1) * 50) // 100),
+        |d AS (SELECT median, CAST(abs(v.v - median) AS DECIMAL(38,6))
+        |    AS d, t FROM v, med),
+        |i2 AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d, t) - 1 AS i
+        |  FROM d),
+        |mad AS (SELECT d AS mad FROM i2, nn
+        |    WHERE i = ((n - 1) * 50) // 100)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(median AS VARCHAR) AS median,
+        |  CAST(mad AS VARCHAR) AS mad,
+        |  CAST(SUM(CASE WHEN d.d > mad * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(MAX(d.d) AS VARCHAR) AS max_dev
+        |FROM d, mad GROUP BY median, mad""".stripMargin,
+
+    "q381_perm_test" ->
+      """WITH b AS (SELECT CAST(c_custkey AS VARCHAR) AS k,
+        |    c_mktsegment = 'BUILDING' AS tr,
+        |    CAST(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS y
+        |  FROM customer),
+        |p AS (SELECT k, tr, y, pb FROM b CROSS JOIN
+        |  (SELECT range AS pb FROM range(0, 33))),
+        |pt AS (SELECT pb,
+        |    CASE WHEN pb = 0 THEN tr ELSE
+        |      (('0x' || substr(md5('9:' || CAST(pb AS VARCHAR) || ':'
+        |        || k), 1, 15))::BIGINT % 2 = 1) END AS ptr, y
+        |  FROM p),
+        |pa AS (SELECT pb,
+        |    CAST(SUM(CASE WHEN ptr THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN ptr THEN y ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN ptr THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN ptr THEN 0 ELSE y END) AS BIGINT) AS s0
+        |  FROM pt GROUP BY 1),
+        |c AS (SELECT pb,
+        |    ABS(CAST(s1 AS HUGEINT) * n0 - CAST(s0 AS HUGEINT) * n1)
+        |      AS num,
+        |    CAST(n1 AS HUGEINT) * n0 AS den, n1 + n0 AS n
+        |  FROM pa),
+        |obs AS (SELECT num AS onum, den AS oden, n FROM c WHERE pb = 0)
+        |SELECT obs.n, CAST(32 AS BIGINT) AS b,
+        |  CAST(SUM(CASE WHEN c.den = 0
+        |    OR c.num * obs.oden >= obs.onum * c.den
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+        |  CAST(((1 + SUM(CASE WHEN c.den = 0
+        |    OR c.num * obs.oden >= obs.onum * c.den
+        |    THEN 1 ELSE 0 END)) * 1000000) // 33 AS BIGINT) AS p6
+        |FROM c, obs WHERE c.pb <> 0 GROUP BY obs.n""".stripMargin,
 
     "q376_rich_club" ->
       """WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS p

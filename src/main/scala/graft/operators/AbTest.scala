@@ -710,6 +710,72 @@ object AbTest {
         col("corr9").cast("string").as("corr9"), col("ate9"))
   }
 
+  /** Seeded permutation test for a difference in means — the
+    * assumption-free inference companion to [[welch]] (no normality,
+    * no variance model; under H₀ labels are exchangeable, so the
+    * observed |Δ| is ranked against B pseudo-assignments):
+    *
+    *   p̂ = (1 + #{b : |Δ_b| ≥ |Δ_obs|}) / (B + 1)
+    *
+    * (the add-one form — the observed split is itself one of the
+    * B+1 exchangeable assignments; never reports p = 0.)
+    * Pseudo-assignments are the md5-coin discipline: unit i joins
+    * pseudo-treatment in permutation b iff hexLong(seed:b:id) is odd
+    * — a pure function of (id, seed), replayable, engine-portable
+    * (documented deviation: coins fix P(T)=½ instead of preserving
+    * the exact treated count — the Bernoulli randomization test).
+    *
+    * Exactness: Δ comparisons clear denominators — |Δ_b| ≥ |Δ_obs|
+    * ⟺ |S_b·n_obs_t·n_obs_c... both sides multiplied out in
+    * decimal(38,0): |s1_b·n0_b − s0_b·n1_b|·(n1·n0)_obs vs
+    * |s1·n0 − s0·n1|_obs·(n1_b·n0_b) — NO division anywhere, the
+    * comparison is exact integers. Degenerate permutations with an
+    * empty arm count as ≥ (conservative, documented).
+    *
+    * Scale shape: ONE pass over units × (B+1) literal permutation
+    * ids (explode of a ≤128-element literal array), one (b) aggregate
+    * of four sums, one tiny reduction.
+    *
+    * @param y caller-scaled integer outcome
+    * @return one row: (n, b, n_ge, p6 = ⌊(1+n_ge)·10⁶/(B+1)⌋) */
+  def permutationTest(df: DataFrame, id: Column, treated: Column,
+                      y: Column, b: Int, seed: Long): DataFrame = {
+    require(b >= 1 && b <= 128, "b in [1,128]")
+    val dec = DecimalType(38, 0)
+    val base = df.select(id.cast("string").as("k"),
+      treated.cast("boolean").as("tr"), y.cast("long").as("y"))
+    val perms = base.select(col("k"), col("tr"), col("y"),
+        explode(array((0 to b).map(lit(_)): _*)).as("pb"))
+      .withColumn("ptr",
+        when(col("pb") === 0, col("tr"))
+          .otherwise(pmod(graft.functions.Hashing.hexLong(
+            concat_ws(":", lit(seed), col("pb"), col("k"))),
+            lit(2L)) === 1))
+    val perB = perms.groupBy("pb").agg(
+        sum(when(col("ptr"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ptr"), col("y")).otherwise(0L)).as("s1"),
+        sum(when(!col("ptr"), 1L).otherwise(0L)).as("n0"),
+        sum(when(!col("ptr"), col("y")).otherwise(0L)).as("s0"))
+      .withColumn("num", abs((col("s1").cast(dec) * col("n0") -
+        col("s0").cast(dec) * col("n1")).cast(dec)))
+      .withColumn("den", (col("n1").cast(dec) * col("n0")).cast(dec))
+    val obs = perB.filter(col("pb") === 0)
+      .select(col("num").as("onum"), col("den").as("oden"),
+        (col("n1") + col("n0")).as("n"))
+    perB.filter(col("pb") =!= 0)
+      .crossJoin(broadcast(obs))
+      // |Δ_b| ≥ |Δ_obs| ⟺ num_b·oden ≥ onum·den_b; an empty arm
+      // (den_b = 0) counts as ≥ — conservative
+      .select(col("n"),
+        when(col("den") === 0 ||
+          (col("num") * col("oden")).cast(dec) >=
+            (col("onum") * col("den")).cast(dec), 1L).otherwise(0L)
+          .as("ge"))
+      .groupBy("n").agg(sum("ge").as("n_ge"))
+      .select(col("n"), lit(b.toLong).as("b"), col("n_ge"),
+        expr(s"(1 + n_ge) * 1000000L div ${b + 1}").as("p6"))
+  }
+
   /** One-way ANOVA F statistic over k groups — "do ANY of these arms /
     * domains / strata differ in mean?", the k-arm generalization of
     * [[welch]]'s pairwise question and the screening test before

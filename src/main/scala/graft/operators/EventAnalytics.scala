@@ -613,6 +613,51 @@ object EventAnalytics {
         col("v_full"), col("v_empty"))
   }
 
+  /** Inter-event burstiness per actor (Goh-Barabási 2008) —
+    * B = (σ − μ)/(σ + μ) of the inter-arrival gaps: B → −1 for a
+    * metronome (bot heartbeats), ≈ 0 for Poisson arrivals, → +1 for
+    * human bursts. The bot screen that works WITHOUT a rate threshold
+    * ([[burstFlags]] needs one; periodicity itself is the tell here).
+    *
+    * Exactness: with A = Σgap, Q = Σgap², D = n·Q − A² (≥ 0, exact
+    * decimal), population σ·n = √D, so
+    *
+    *   b6 = sgn(r − A)·⌊|r − A|·10⁶ / (r + A)⌋,  r = isqrtDec(D)
+    *
+    * — ONE isqrt floor + ONE sign-magnitude division floor, both
+    * stated. NULL with fewer than 3 events (fewer than 2 gaps has no
+    * dispersion) or when every gap is 0 AND A = 0 (r + A = 0).
+    *
+    * Scale shape: gaps from one actor-keyed lag window; one per-actor
+    * aggregate.
+    *
+    * @param tsUs event time in µs
+    * @return per actor: (actor, n_gaps, gap_sum, b6) */
+  def burstiness(events: DataFrame, actor: Column,
+                 tsUs: Column): DataFrame = {
+    val dec = DecimalType38
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("t"))
+    val gaps = events.select(actor.as("a"), tsUs.cast("long").as("t"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy(col("a").as("actor"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap").cast(dec).as("aa"),
+        sum((col("gap").cast(dec) * col("gap")).cast(dec)).cast(dec)
+          .as("q"))
+      .withColumn("r", graft.functions.ColumnOps.isqrtDec(
+        (col("n_gaps") * col("q") - col("aa") * col("aa")).cast(dec)))
+      .select(col("actor"), col("n_gaps"),
+        col("aa").cast("long").as("gap_sum"),
+        when(col("n_gaps") < 2 || col("r") + col("aa") === 0,
+            lit(null).cast("long"))
+          .otherwise(signum((col("r") - col("aa")).cast("double"))
+            .cast("long") *
+            expr("CAST(abs(r - aa) * 1000000 AS DECIMAL(38,0)) " +
+              "div (r + aa)")).as("b6"))
+  }
+
   private val DecimalType38 =
     org.apache.spark.sql.types.DecimalType(38, 0)
 }

@@ -332,6 +332,33 @@ class AbTestSpec extends SparkSpec {
     assert(r._1 == 3L && r._2 == 2L, r.toString) // b2's unit excluded
   }
 
+  test("permutationTest: huge real effect -> smallest possible p; " +
+    "label-independent outcome -> large p; replayable") {
+    import spark.implicits._
+    // y perfectly separated by treatment: no random coin split can
+    // beat the observed |delta| unless it reproduces the partition
+    val strong = (1L to 200L)
+      .map(i => (i, i <= 100, if (i <= 100) 1000L else 0L))
+      .toDF("id", "tr", "y")
+    val r = AbTest.permutationTest(strong, col("id"), col("tr"),
+        col("y"), b = 32, seed = 7L)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r._1 == 200L && r._2 == 32L, r.toString)
+    assert(r._4 <= 200000L, s"strong effect should be small-p: $r")
+    // constant outcome: every |delta| is 0 >= 0 -> p = 1 exactly
+    val flat = (1L to 50L).map(i => (i, i % 2 == 0, 7L))
+      .toDF("id", "tr", "y")
+    val rf = AbTest.permutationTest(flat, col("id"), col("tr"),
+        col("y"), b = 32, seed = 7L)
+      .as[(Long, Long, Long, Long)].head()
+    assert(rf._3 == 32L && rf._4 == 1000000L, rf.toString)
+    // replay
+    val r2 = AbTest.permutationTest(strong, col("id"), col("tr"),
+        col("y"), b = 32, seed = 7L)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == r2)
+  }
+
   test("anovaF: hand-checked sums of squares and F") {
     // g1: 1,2,3 (T=6,n=3)  g2: 5,6,7 (T=18,n=3)
     // grand T=24, n=6; sum x^2 = 1+4+9+25+36+49 = 124

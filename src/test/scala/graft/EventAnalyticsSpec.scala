@@ -300,4 +300,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.getString(1) == "0" && got.getLong(3) == 1L &&
       got.getLong(4) == 1L)
   }
+
+  test("burstiness: metronome -> -1, hand bursty case, degenerate " +
+    "nulls") {
+    import spark.implicits._
+    // metronome: equal gaps -> sigma 0 -> B = (0-mu)/(0+mu) = -1
+    val metro = (0L to 5L).map(i => ("m", i * 100L))
+    // bursty: gaps 1,1,1,97 -> A=100 Q=9412 D=4*9412-10000=27648
+    //   r=isqrt=166; b6 = (166-100)*1e6 div 266 = 248120
+    val burst = Seq(("b", 0L), ("b", 1L), ("b", 2L), ("b", 3L),
+      ("b", 100L))
+    // two events: one gap -> null; all-same-ts: gaps 0 -> r+aa=0 null
+    val two = Seq(("t", 0L), ("t", 5L))
+    val same = Seq(("s", 7L), ("s", 7L), ("s", 7L))
+    val d = (metro ++ burst ++ two ++ same).toDF("a", "t")
+    val r = EventAnalytics.burstiness(d, col("a"), col("t"))
+      .orderBy("actor")
+      .as[(String, Long, Long, Option[Long])].collect().toMap2
+    assert(r("m") == ((5L, 500L, Some(-1000000L))), r.toString)
+    assert(r("b") == ((4L, 100L, Some(248120L))), r.toString)
+    assert(r("t")._3.isEmpty && r("s")._3.isEmpty, r.toString)
+  }
+
+  private implicit class Map4[A, B, C, D](
+      rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] =
+      rows.map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+  }
 }
