@@ -5803,6 +5803,38 @@ object SparkEntry {
         b = 32, seed = 9L)
     }),
 
+    // Text — mojibake audit (TextFunctions.mojibakeCount): the
+    // double-encoded-UTF-8 smell counter over a corpus with
+    // deterministically injected artifacts (every 7th doc re-encoded
+    // the way a bad charset pass would); pure length arithmetic.
+    "q382_mojibake" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .withColumn("t2",
+          when(col("doc_id") % 7 === 0,
+            replace(col("text"), lit("e"), lit("Ã©")))
+            .otherwise(col("text")))
+      d.select(col("doc_id"),
+          TextFunctions.mojibakeCount(col("t2")).as("mojibake"))
+        .withColumn("flagged", col("mojibake") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // Graph — bow-tie decomposition (Bowtie.classify): CORE/IN/OUT/
+    // OTHER of a deterministic 40-node functional web (cycles +
+    // cross-links); SCC via the pointer-jumped Scc, directed
+    // frontier BFS both ways from the largest component.
+    "q383_bowtie" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "supplier")
+        .filter(col("s_suppkey") >= 1 && col("s_suppkey") <= 40)
+        .select((col("s_suppkey") - 1).as("s"))
+      val e = v.select(col("s").as("src"),
+          pmod(col("s") * 7 + 3, lit(40L)).as("dst"))
+        .unionByName(v.filter(pmod(col("s"), lit(4L)) === 0)
+          .select(col("s").as("src"),
+            pmod(col("s") * 3 + 11, lit(40L)).as("dst")))
+      Bowtie.classify(e, maxRounds = 40).orderBy("node")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12571,6 +12603,55 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q382_mojibake" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN replace(text, 'e', chr(195) || chr(169))
+        |      ELSE text END AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST((length(t) - length(replace(t, chr(195), '')))
+        |      + (length(t) - length(replace(t, chr(226) || chr(8364),
+        |        ''))) // 2 AS BIGINT) AS mojibake
+        |  FROM d)
+        |SELECT doc_id, mojibake, mojibake > 0 AS flagged
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q383_bowtie" ->
+      """WITH RECURSIVE v AS (SELECT s_suppkey - 1 AS s FROM supplier
+        |  WHERE s_suppkey BETWEEN 1 AND 40),
+        |e0 AS (SELECT s AS src, (s * 7 + 3) % 40 AS dst FROM v
+        |  UNION SELECT s, (s * 3 + 11) % 40 FROM v WHERE s % 4 = 0),
+        |e2 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |r(a, b) AS (SELECT src, dst FROM e2
+        |  UNION SELECT r.a, e2.dst FROM r JOIN e2 ON e2.src = r.b),
+        |mut AS (SELECT r1.a AS x, r1.b AS y FROM r r1
+        |  JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a),
+        |comp AS (SELECT s AS x, s AS y FROM v
+        |  UNION SELECT x, y FROM mut),
+        |lab AS (SELECT x, CAST(MAX(y) AS BIGINT) AS scc,
+        |    CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM comp GROUP BY x),
+        |cs AS (SELECT scc, MAX(sz) AS sz FROM lab GROUP BY scc),
+        |core AS (SELECT scc FROM cs ORDER BY sz DESC, scc LIMIT 1),
+        |coreN AS (SELECT x AS node FROM lab, core
+        |  WHERE lab.scc = core.scc),
+        |outR AS (SELECT DISTINCT node FROM (
+        |  SELECT b AS node FROM r JOIN coreN ON coreN.node = r.a
+        |  UNION ALL SELECT node FROM coreN)),
+        |inR AS (SELECT DISTINCT node FROM (
+        |  SELECT a AS node FROM r JOIN coreN ON coreN.node = r.b
+        |  UNION ALL SELECT node FROM coreN))
+        |SELECT v.s AS node,
+        |  CASE WHEN c.node IS NOT NULL THEN 'CORE'
+        |       WHEN i.node IS NOT NULL THEN 'IN'
+        |       WHEN o.node IS NOT NULL THEN 'OUT'
+        |       ELSE 'OTHER' END AS cls
+        |FROM v LEFT JOIN coreN c ON c.node = v.s
+        |  LEFT JOIN inR i ON i.node = v.s
+        |  LEFT JOIN outR o ON o.node = v.s
+        |ORDER BY node""".stripMargin,
 
     "q379_burstiness" ->
       """WITH e AS (SELECT user_id AS a, epoch_us(ts) AS t

@@ -285,4 +285,19 @@ object TextFunctions {
       .cast("long").as("pem"),
     regexp_count(c, lit("\\b[0-9a-f]{32,}\\b")).cast("long").as("hex32"),
     regexp_count(c, lit("[A-Za-z0-9+/]{40,}={0,2}")).cast("long").as("b64"))
+
+  /** Mojibake smell count — the double-encoded-UTF-8 artifacts every
+    * web crawl carries ("Ã©" where "é" was meant, "â€™" for a curly
+    * quote): occurrences of the telltale lead characters 'Ã' and the
+    * 'â€' pair. Counted by PORTABLE length arithmetic (both engines
+    * count codepoints identically; `replace` of a 2-char needle
+    * removes 2 per hit, hence the halving) — no regex, no Unicode
+    * class tables, so an external engine replays it verbatim. A
+    * nonzero count is a re-decode signal, not proof — 'Ã' is a real
+    * letter in some languages; route flagged docs to [[langid]]
+    * before dropping. Null text yields null. */
+  def mojibakeCount(c: Column): Column =
+    ((length(c) - length(replace(c, lit("Ã"), lit("")))) +
+      (length(c) - length(replace(c, lit("â€"), lit("")))) / 2)
+      .cast("long")
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bow-tie decomposition of a directed graph (Broder et al. 2000, the
+  * canonical map of the web): the largest strongly-connected component
+  * is the CORE; IN can reach the core, OUT is reachable from it;
+  * everything else — tendrils, tubes, disconnected islands — reports
+  * as OTHER (Broder's finer tendril taxonomy is a documented
+  * simplification). A crawl pipeline reads the four sizes as the
+  * structural health of its frontier: a shrinking CORE or a bloating
+  * OTHER means the crawler is wandering off the web's main body.
+  *
+  * Composition shape: [[Scc]] labels components (pointer-jumped,
+  * O(log diameter) rounds); the core is the LARGEST component with a
+  * deterministic (size desc, label asc) tie; IN/OUT come from two
+  * directed frontier BFS walks seeded at the core — frontier-only
+  * shuffles, per-round localCheckpoint, the [[Bfs]] discipline —
+  * over the edge list and its reversal.
+  *
+  * @param edges     (src, dst) directed
+  * @param maxRounds BFS round budget per direction (graph-diameter
+  *                  bound; unreached-in-budget nodes fall to OTHER —
+  *                  size the budget like [[Bfs.hopDistance]]'s)
+  * @return (node, cls) with cls ∈ {'CORE','IN','OUT','OTHER'} */
+object Bowtie {
+
+  def classify(edges: DataFrame, maxRounds: Int = 32): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64, "maxRounds in [1,64]")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val scc = Scc.stronglyConnected(e)
+    val core = scc.groupBy("scc").agg(count(lit(1)).as("sz"))
+      .agg(min_by(col("scc"), struct((-col("sz")).as("ns"), col("scc")))
+        .as("core_scc"))
+    val coreNodes = scc.crossJoin(broadcast(core))
+      .filter(col("scc") === col("core_scc"))
+      .select("node").localCheckpoint(true)
+    // directed reachability from the core over `rel` (frontier-only)
+    def reach(rel: DataFrame): DataFrame = {
+      val r = rel.repartition(col("src")).localCheckpoint(true)
+      var visited = coreNodes
+      var frontier = coreNodes
+      var round = 0
+      while (round < maxRounds && !frontier.isEmpty) {
+        val next = frontier.join(r, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+        round += 1
+      }
+      visited
+    }
+    val out = reach(e)
+    val in = reach(e.select(col("dst").as("src"), col("src").as("dst")))
+    nodes
+      .join(coreNodes.withColumn("c", lit(true)), Seq("node"), "left")
+      .join(out.withColumn("o", lit(true)).distinct(), Seq("node"), "left")
+      .join(in.withColumn("i", lit(true)).distinct(), Seq("node"), "left")
+      .select(col("node"),
+        when(col("c"), "CORE")
+          .when(col("i"), "IN")
+          .when(col("o"), "OUT")
+          .otherwise("OTHER").as("cls"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bowtie
+
+/** Bow-tie decomposition on a hand-built web: a 3-cycle core, an IN
+  * tail, an OUT tail, a tendril, and an island. */
+class BowtieSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand graph classifies CORE/IN/OUT/OTHER correctly") {
+    // core: 1 -> 2 -> 3 -> 1
+    // in:   10 -> 11 -> 1
+    // out:  3 -> 20 -> 21
+    // tendril off IN (reaches 11, never the core's reach): 10 -> 30
+    // island: 40 -> 41
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 1L), (3L, 20L), (20L, 21L),
+      (10L, 30L), (40L, 41L)).toDF("src", "dst")
+    val r = Bowtie.classify(e, maxRounds = 8)
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "CORE" && r(2L) == "CORE" && r(3L) == "CORE", r)
+    assert(r(10L) == "IN" && r(11L) == "IN", r)
+    assert(r(20L) == "OUT" && r(21L) == "OUT", r)
+    assert(r(30L) == "OTHER" && r(40L) == "OTHER" && r(41L) == "OTHER", r)
+  }
+
+  test("largest SCC wins the core; ties break to the smaller label") {
+    // two 2-cycles (same size): {1,2} and {5,6} -> Scc labels are the
+    // component MAX ids (2 and 6); tie on size -> label 2 wins
+    val e = Seq((1L, 2L), (2L, 1L), (5L, 6L), (6L, 5L))
+      .toDF("src", "dst")
+    val r = Bowtie.classify(e, maxRounds = 4)
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "CORE" && r(2L) == "CORE", r)
+    assert(r(5L) == "OTHER" && r(6L) == "OTHER", r)
+  }
+
+  test("an acyclic graph has singleton SCCs; the core is one node") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Bowtie.classify(e, maxRounds = 4)
+      .as[(Long, String)].collect().toMap
+    // all SCCs size 1 -> smallest label wins: node 1 is the core,
+    // 2 and 3 are downstream of it
+    assert(r(1L) == "CORE" && r(2L) == "OUT" && r(3L) == "OUT", r)
+  }
+}

@@ -155,4 +155,24 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.spaceTokenCount(col("t"))).collect()
     assert(n(0).isNullAt(0))
   }
+
+  test("mojibakeCount: double-encoded artifacts counted, clean text 0") {
+    val A = "\u00c3"        // the double-encoded-UTF-8 lead char
+    val ae = "\u00e2\u20ac" // the smart-quote artifact pair
+    val cases = Seq(
+      (s"caf$A\u00a9 and more", 1L),
+      (s"it$ae\u2122s here", 1L),
+      (s"$A\u00a9$A\u00bc twice $ae", 3L),
+      ("perfectly clean ascii", 0L),
+      ("", 0L))
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), TextFunctions.mojibakeCount(col("t")).as("m"))
+      .as[(String, Long)].collect().toMap
+    cases.foreach { case (t, want) =>
+      assert(got(t) == want, s"'$t' -> ${got(t)}, want $want")
+    }
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(TextFunctions.mojibakeCount(col("t"))).collect()
+    assert(n(0).isNullAt(0))
+  }
 }
