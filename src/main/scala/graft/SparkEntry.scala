@@ -5835,6 +5835,21 @@ object SparkEntry {
       Bowtie.classify(e, maxRounds = 40).orderBy("node")
     }),
 
+    // Curation — balanced per-class cap (composition): at most k
+    // docs per language, chosen by the deterministic md5 rank (the
+    // q46/q75 hash-sample discipline, keyed) — the "cap English"
+    // mixing primitive; WindowGroupLimit pushes the cut.
+    "q384_class_cap" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(Hashing.hexLong(concat_ws(":", lit(31L),
+          col("doc_id"))), col("doc_id"))
+      d.select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 40)
+        .orderBy("lang", "rk")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -6098,7 +6113,7 @@ object SparkEntry {
       val e = Triangles.coOccurrenceEdges(li, col("l_orderkey"),
         col("l_partkey"))
       Bfs.betweennessSampled(e,
-          p.filter(col("p_size") === 25 && col("p_partkey") % 5 === 0)
+          p.filter(col("p_size") === 25 && col("p_partkey") % 20 === 0)
             .select(col("p_partkey").as("node")),
           maxHops = 3)
         .orderBy("node")
@@ -12604,6 +12619,15 @@ object SparkEntry {
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
 
+    "q384_class_cap" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5('31:' || CAST(doc_id AS VARCHAR)),
+        |        1, 15))::BIGINT, doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 40 ORDER BY lang, rk""".stripMargin,
+
     "q382_mojibake" ->
       """WITH d AS (SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0
@@ -14385,7 +14409,7 @@ object SparkEntry {
         |sym AS (SELECT u AS s, v AS d FROM e0
         |  UNION ALL SELECT v, u FROM e0),
         |d0 AS (SELECT DISTINCT p_partkey AS src FROM part
-        |  WHERE p_size = 25 AND p_partkey % 5 = 0),
+        |  WHERE p_size = 25 AND p_partkey % 20 = 0),
         |l0 AS (SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma
         |  FROM d0),
         |f1 AS (SELECT h.src, sym.d AS node,

@@ -379,6 +379,46 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("decompose, burstiness, and permutation test are " +
+    "layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      val series = df.groupBy(col("g").as("k"),
+          (col("id") % 40).as("t"))
+        .agg(sum("w").as("y"))
+      (graft.operators.Forecast.decompose(series, col("k"), col("t"),
+          col("y"), period = 7, half = 3)
+          .orderBy("key", "t").collect().map(_.toSeq).toSeq,
+        graft.operators.EventAnalytics.burstiness(df, col("g"),
+          col("id") * 13 % 997)
+          .orderBy("actor").collect().map(_.toSeq).toSeq,
+        graft.operators.AbTest.permutationTest(df, col("id"),
+          col("id") % 2 === 0, col("w"), b = 16, seed = 3L)
+          .collect().map(_.toSeq).toSeq)
+    }
+  }
+
+  test("AIPW, rich-club, and bow-tie are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      // halving edges give a log-diameter DAG into the 3-cycle core
+      // at {0,1,2} — the BFS loop stays O(log n) rounds per axis
+      val edges = df.select((col("id") % 97).as("src"),
+          expr("(id % 97) div 2").as("dst"))
+        .unionByName(df.filter(col("id") < 3).select(
+          col("id").as("src"), ((col("id") + 1) % 3).as("dst")))
+      (graft.operators.AbTest.aipw(df, col("id") % 2 === 0, col("w"),
+          col("g"), col("id") % 5)
+          .collect().map(_.toSeq).toSeq,
+        graft.operators.GraphStats.richClub(
+          edges.select(col("src").as("u"), col("dst").as("v")),
+          Seq(0, 2, 4))
+          .orderBy("k").collect().map(_.toSeq).toSeq,
+        graft.operators.Bowtie.classify(edges, maxRounds = 12)
+          .orderBy("node").collect().map(_.toSeq).toSeq)
+    }
+  }
+
   test("LOF and rolling median are layout-invariant") {
     axes { s =>
       val df = s.read.parquet(dir)

@@ -689,6 +689,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q372/q379: decompose and burstiness run in keyed windows — " +
+    "no global sort, no join in the trend/gap paths") {
+    val p = plan("q372_decompose")
+    assert(p.contains("windowspecdefinition(key"),
+      "trend must key on the series: " + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val b = plan("q379_burstiness")
+    assert(b.contains("windowspecdefinition(a"),
+      "gaps must key on the actor: " + b.take(2000))
+    assert(!b.contains("Join"), "burstiness is window + aggregate: " +
+      b.take(2000))
+  }
+
+  test("q373/q381: AIPW and the permutation test broadcast their " +
+    "tiny frames and never go cartesian over units") {
+    Seq("q373_aipw", "q381_perm_test").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: " + p.take(2000))
+      assert(!p.contains("SortMergeJoin"), s"$q: " + p.take(2000))
+    }
+  }
+
+  test("q374: summary dots are equi-joins on (doc, term); the top-k " +
+    "cut keys on the doc") {
+    val p = plan("q374_summary")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("windowspecdefinition(doc_id"), p.take(2000))
+  }
+
+  test("q376: rich-club histograms broadcast against the ladder") {
+    val p = plan("q376_rich_club")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "ladder theta-joins must broadcast the tiny histogram: " +
+        p.take(2000))
+  }
+
   test("q371: LOF joins stay equi after the checkpointed kNN cut; " +
     "the kNN window keys on qid") {
     // the knn frame is checkpointed inside the operator, so pin its
