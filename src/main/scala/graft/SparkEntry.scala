@@ -5850,6 +5850,33 @@ object SparkEntry {
         .orderBy("lang", "rk")
     }),
 
+    // ML features — out-of-fold target encoding (TargetEncode
+    // .cvMeanEncode): the leakage-safe k-fold encoder table; a row's
+    // own fold carries none of its evidence, priors out-of-fold too.
+    "q385_cv_target_encode" -> ((s, dir) => {
+      TargetEncode.cvMeanEncode(Tables.events(s, dir), col("event_id"),
+          col("user_id") % 50, col("value") > 50.0, m = 100L, k = 4,
+          seed = 5L)
+        .orderBy("category", "fold")
+    }),
+
+    // Graph — harmonic label spreading (LabelSpread.harmonic): soft
+    // semi-supervised scores over the supplier co-occurrence graph
+    // from ±10⁹ clamped seeds; three synchronous floor-mean rounds,
+    // sign-safe pmod floors.
+    "q386_label_spread" -> ((s, dir) => {
+      val e = Triangles.coOccurrenceEdges(
+        Tables.load(s, dir, "lineitem").filter(col("l_quantity") <= 2),
+        col("l_orderkey"), col("l_suppkey"))
+      val nodes = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") % 9 <= 1)
+        .select(col("node"),
+          when(col("node") % 9 === 0, 1000000000L)
+            .otherwise(-1000000000L).as("score"))
+      LabelSpread.harmonic(e, seeds, iters = 3).orderBy("node")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12618,6 +12645,66 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q385_cv_target_encode" ->
+      """WITH b AS (SELECT user_id % 50 AS category,
+        |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y,
+        |    ('0x' || substr(md5('5:' || CAST(event_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 4 AS fold
+        |  FROM events),
+        |pcf AS (SELECT category, fold, CAST(COUNT(*) AS BIGINT) AS n_f,
+        |    CAST(SUM(y) AS BIGINT) AS s_f FROM b GROUP BY 1, 2),
+        |pc AS (SELECT category, CAST(SUM(n_f) AS BIGINT) AS n,
+        |    CAST(SUM(s_f) AS BIGINT) AS s FROM pcf GROUP BY 1),
+        |pf AS (SELECT fold, CAST(SUM(n_f) AS BIGINT) AS nf_tot,
+        |    CAST(SUM(s_f) AS BIGINT) AS sf_tot FROM pcf GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_f) AS BIGINT) AS n_tot,
+        |    CAST(SUM(s_f) AS BIGINT) AS s_tot FROM pcf),
+        |sp AS (SELECT c.category, pf.fold, pf.nf_tot, pf.sf_tot
+        |  FROM (SELECT DISTINCT category FROM pc) c CROSS JOIN pf)
+        |SELECT sp.category, sp.fold,
+        |  pc.n - COALESCE(pcf.n_f, 0) AS n_oof,
+        |  pc.s - COALESCE(pcf.s_f, 0) AS sum_oof,
+        |  CASE WHEN t.n_tot - sp.nf_tot > 0 THEN
+        |    CAST(((pc.s - COALESCE(pcf.s_f, 0)) * (t.n_tot - sp.nf_tot)
+        |      + 100 * (t.s_tot - sp.sf_tot)) * 1000000
+        |      // ((pc.n - COALESCE(pcf.n_f, 0) + 100)
+        |        * (t.n_tot - sp.nf_tot)) AS BIGINT) END AS enc_1e6
+        |FROM sp JOIN pc ON pc.category = sp.category
+        |  LEFT JOIN pcf ON pcf.category = sp.category
+        |    AND pcf.fold = sp.fold
+        |  CROSS JOIN t ORDER BY sp.category, sp.fold""".stripMargin,
+
+    "q386_label_spread" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS (SELECT s.node,
+           |    CASE WHEN s.is_seed THEN s.score
+           |      ELSE COALESCE(m.nm, 0) END AS score, s.is_seed
+           |  FROM $prev s LEFT JOIN (SELECT sym.dst AS node,
+           |      (SUM(sc.score) - (((SUM(sc.score) % COUNT(*))
+           |        + COUNT(*)) % COUNT(*))) // COUNT(*) AS nm
+           |    FROM sym JOIN $prev sc ON sc.node = sym.src
+           |    GROUP BY sym.dst) m ON m.node = s.node)""".stripMargin
+      s"""WITH ps AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS p
+         |  FROM lineitem WHERE l_quantity <= 2),
+         |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v FROM ps a
+         |  JOIN ps b ON a.o = b.o AND a.p < b.p),
+         |sym AS (SELECT u AS src, v AS dst FROM e0
+         |  UNION ALL SELECT v, u FROM e0),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |sd AS (SELECT node,
+         |    CASE WHEN node % 9 = 0 THEN 1000000000
+         |      ELSE -1000000000 END AS seed
+         |  FROM nodes WHERE node % 9 <= 1),
+         |s0 AS (SELECT n.node, COALESCE(sd.seed, 0) AS score,
+         |    sd.node IS NOT NULL AS is_seed
+         |  FROM nodes n LEFT JOIN sd ON sd.node = n.node),
+         |${round("s0", "s1")},
+         |${round("s1", "s2")},
+         |${round("s2", "s3")}
+         |SELECT node, CAST(score AS BIGINT) AS score, is_seed
+         |FROM s3 ORDER BY node""".stripMargin
+    },
 
     "q384_class_cap" ->
       """WITH r AS (SELECT doc_id, lang,

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Harmonic label spreading (Zhu-Ghahramani-Lafferty 2003, the
+  * fixed-iteration member) — SOFT semi-supervised scores where
+  * [[LabelPropagation]] spreads HARD majority labels: seeds hold a
+  * clamped score, every other node repeatedly takes the mean of its
+  * neighbors' scores, and the fixed point is the harmonic function —
+  * the random-walk absorption probability into the seed set. The
+  * label-budget stretcher for curation: score 10⁵ hand-labeled docs,
+  * spread over the similarity graph, threshold the scores.
+  *
+  * Integer-exact form: scores are caller-scaled integers (seeds e.g.
+  * ±10⁹); an iteration computes s'_v = ⌊Σ_{u∈N(v)} s_u / deg(v)⌋ for
+  * non-seeds (ONE stated floor per node per round, the sign-safe pmod
+  * spelling so engines agree on negative scores), seeds stay clamped.
+  * A FIXED iteration count keeps the plan deterministic (documented:
+  * the truncated-iteration approximation of the harmonic limit —
+  * geometric convergence makes a handful of rounds the standard
+  * choice).
+  *
+  * Scale shape: per round ONE equi-join of the score vector onto the
+  * symmetrized edges + ONE neighbor aggregate (frontier = all nodes,
+  * like PageRank — this is a dense iteration, not a BFS), per-round
+  * localCheckpoint so the plan never grows.
+  *
+  * @param seeds (node, score) clamped rows, caller-scaled integers
+  * @param iters 1..16 rounds
+  * @return (node, score, is_seed) for every node of the graph */
+object LabelSpread {
+
+  def harmonic(edges: DataFrame, seeds: DataFrame,
+               iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters in [1,16]")
+    val und = edges.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val sym = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = sym.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    val sd = seeds.select(col("node"), col("score").cast("long")
+      .as("seed_score")).distinct().localCheckpoint(true)
+    var scores = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("seed_score"), lit(0L)).as("score"),
+        col("seed_score").isNotNull.as("is_seed"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val nbrMean = sym
+        .join(scores.select(col("node").as("src"), col("score")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("score").as("ssum"), count(lit(1)).as("deg"))
+        .select(col("node"),
+          // sign-safe floor: (s - pmod(s, d)) div d
+          expr("(ssum - pmod(ssum, deg)) div deg").as("nbr_mean"))
+      scores = scores.join(nbrMean, Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed"), col("score"))
+            .otherwise(coalesce(col("nbr_mean"), lit(0L))).as("score"),
+          col("is_seed"))
+        .localCheckpoint(true)
+    }
+    scores
+  }
+}

@@ -48,4 +48,61 @@ object TargetEncode {
           expr(s"(sum_y * n_tot + $m * s_tot) * 1000000L " +
             s"div ((n + $m) * n_tot)")).as("enc_1e6"))
   }
+
+  /** OUT-OF-FOLD smoothed target encoding — [[meanEncode]] with the
+    * leakage removed for TRAINING rows: a row's own fold contributes
+    * nothing to its encoding (a category's encoding otherwise carries
+    * each row's own label — the classic target-encoding leak that
+    * inflates offline metrics and dies in production). Folds are the
+    * seeded-md5 discipline: fold(id) = hexLong(seed:id) mod k — a
+    * pure function of the id, so train/serve assign rows identically.
+    *
+    * For fold f, the evidence is everything OUTSIDE f — per category
+    * n' = n − n_f, s' = s − s_f, and the PRIOR is out-of-fold too
+    * (N' = N − N_f, S' = S − S_f): enc = (s'·N' + m·S')·10⁶ div
+    * ((n'+m)·N'), the same division-free rational as [[meanEncode]].
+    * NULL when the out-of-fold frame is empty (k = 1 degenerate).
+    *
+    * Scale shape: ONE (category, fold) aggregate + a category
+    * re-aggregate joined back + a k-row totals broadcast — the k-fold
+    * table costs one extra tiny join over the plain encoder, never k
+    * passes.
+    *
+    * @return (category, fold, n_oof, sum_oof, enc_1e6) — join train
+    *         rows on (category, fold(id)); serve rows use
+    *         [[meanEncode]]'s full-data table */
+  def cvMeanEncode(df: DataFrame, id: Column, category: Column,
+                   target: Column, m: Long, k: Int,
+                   seed: Long): DataFrame = {
+    require(m >= 0L, "pseudo-count m must be >= 0")
+    require(k >= 2 && k <= 64, "k folds in [2,64]")
+    val y = when(coalesce(target, lit(false)), 1L).otherwise(0L)
+    val base = df.select(category.as("category"), y.as("__y"),
+      pmod(graft.functions.Hashing.hexLong(
+        concat_ws(":", lit(seed), id.cast("string"))), lit(k.toLong))
+        .as("fold"))
+    val perCF = base.groupBy("category", "fold")
+      .agg(count(lit(1)).as("n_f"), sum("__y").as("s_f"))
+      .localCheckpoint(true) // reused for the category and fold margins
+    val perC = perCF.groupBy("category")
+      .agg(sum("n_f").as("n"), sum("s_f").as("s"))
+    val perF = perCF.groupBy("fold")
+      .agg(sum("n_f").as("nf_tot"), sum("s_f").as("sf_tot"))
+    val tot = perCF.agg(sum("n_f").as("n_tot"), sum("s_f").as("s_tot"))
+    // spine: every (category, fold) pair reports, even folds with no
+    // rows of that category (their OOF evidence is the full category)
+    val spine = perC.select("category")
+      .crossJoin(broadcast(perF.select("fold", "nf_tot", "sf_tot")))
+    spine
+      .join(perCF, Seq("category", "fold"), "left")
+      .join(perC, Seq("category"))
+      .crossJoin(broadcast(tot))
+      .select(col("category"), col("fold"),
+        (col("n") - coalesce(col("n_f"), lit(0L))).as("n_oof"),
+        (col("s") - coalesce(col("s_f"), lit(0L))).as("sum_oof"),
+        when(col("n_tot") - col("nf_tot") > 0L,
+          expr(s"(sum_oof * (n_tot - nf_tot) + $m * (s_tot - sf_tot))" +
+            s" * 1000000L div ((n_oof + $m) * (n_tot - nf_tot))"))
+          .as("enc_1e6"))
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LabelSpread
+
+/** Harmonic spreading: clamped seeds, hand-checked floor means,
+  * sign-safe negatives, convergence direction on a path. */
+class LabelSpreadSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("path between opposite seeds: the middle takes the floor mean; " +
+    "seeds stay clamped") {
+    // 1(seed +1e9) - 2 - 3(seed -1e9)
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val seeds = Seq((1L, 1000000000L), (3L, -1000000000L))
+      .toDF("node", "score")
+    val r = LabelSpread.harmonic(e, seeds, iters = 4)
+      .as[(Long, Long, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r(1L) == ((1000000000L, true)) &&
+      r(3L) == ((-1000000000L, true)), r.toString)
+    // node 2: mean(+1e9, -1e9) = 0 exactly, stable across rounds
+    assert(r(2L) == ((0L, false)), r.toString)
+  }
+
+  test("hand-checked two-round spread with the pmod floor on an " +
+    "asymmetric chain") {
+    // 10(seed 900) - 20 - 30, iters = 2; rounds are SYNCHRONOUS
+    // (each round reads the previous round's scores):
+    // r1: s20 = floor((900 + 0)/2) = 450; s30 = floor(0/1) = 0
+    // r2: s20 = floor((900 + 0)/2) = 450; s30 = floor(450/1) = 450
+    val e = Seq((10L, 20L), (20L, 30L)).toDF("u", "v")
+    val seeds = Seq((10L, 900L)).toDF("node", "score")
+    val r = LabelSpread.harmonic(e, seeds, iters = 2)
+      .as[(Long, Long, Boolean)].collect()
+      .map(x => x._1 -> x._2).toMap
+    assert(r == Map(10L -> 900L, 20L -> 450L, 30L -> 450L), r.toString)
+    // negative seeds floor sign-safely: -900 halves to -450, not -449
+    val rn = LabelSpread.harmonic(e,
+        Seq((10L, -900L)).toDF("node", "score"), iters = 2)
+      .as[(Long, Long, Boolean)].collect().map(x => x._1 -> x._2).toMap
+    assert(rn(20L) == -450L && rn(30L) == -450L, rn.toString)
+    // odd negative: floor(-901/2) = -451 (floor, not truncation)
+    val ro = LabelSpread.harmonic(e,
+        Seq((10L, -901L)).toDF("node", "score"), iters = 1)
+      .as[(Long, Long, Boolean)].collect().map(x => x._1 -> x._2).toMap
+    assert(ro(20L) == -451L, ro.toString)
+  }
+
+  test("scores drift toward the absorbing seed with more rounds") {
+    // star around a single positive seed: everything converges to it
+    val e = (2L to 6L).map(i => (1L, i)).toDF("u", "v")
+    val seeds = Seq((1L, 1000000L)).toDF("node", "score")
+    val r1 = LabelSpread.harmonic(e, seeds, iters = 1)
+      .filter(!col("is_seed")).select("score").as[Long].collect()
+    val r4 = LabelSpread.harmonic(e, seeds, iters = 4)
+      .filter(!col("is_seed")).select("score").as[Long].collect()
+    assert(r1.forall(_ == 1000000L) && r4.forall(_ == 1000000L),
+      "leaves of a seed star absorb the seed score in one hop: " +
+        r1.toSeq + " / " + r4.toSeq)
+  }
+}

@@ -39,4 +39,51 @@ class TargetEncodeSpec extends SparkSpec {
       .select("enc_1e6").as[Long].collect().toSeq
     got.foreach(v => assert(math.abs(v - 500000L) < 500L))
   }
+
+  test("cvMeanEncode: a fold's own rows carry no weight — the planted " +
+    "leak vanishes out-of-fold") {
+    import spark.implicits._
+    // category "x": one positive row; every other x-row negative.
+    // The plain encoder gives x's rows a boosted rate that LEAKS the
+    // positive's own label; out-of-fold, the positive row's fold sees
+    // only the negatives.
+    val rows = (1L to 40L).map(i => (i, "x", i == 2L)) ++
+      (41L to 80L).map(i => (i, "z", i % 2 == 0L))
+    val d = rows.toDF("id", "cat", "y")
+    val enc = graft.operators.TargetEncode.cvMeanEncode(d, col("id"),
+        col("cat"), col("y"), m = 0L, k = 4, seed = 5L)
+      .filter(col("category") === "x")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+    // find the fold holding id=2 (the sole positive): its OOF sum is 0
+    val leakFold = enc.filter(_._4 == 0L)
+    assert(leakFold.length == 1, enc.mkString(","))
+    assert(leakFold.head._5.contains(0L),
+      "the positive's own fold must see rate 0: " + leakFold.head)
+    // other folds still see the positive
+    enc.filter(_._4 == 1L).foreach(r =>
+      assert(r._5.exists(_ > 0L), r.toString))
+    // evidence accounting: n_oof + fold rows = n_cat
+    enc.foreach(r => assert(r._3 <= 40L && r._3 >= 20L, r.toString))
+  }
+
+  test("cvMeanEncode: folds replay by seed; empty-category folds " +
+    "report full-category evidence") {
+    import spark.implicits._
+    val d = (1L to 60L).map(i => (i, if (i <= 3) "rare" else "c",
+      i % 3 == 0L)).toDF("id", "cat", "y")
+    val a = graft.operators.TargetEncode.cvMeanEncode(d, col("id"),
+      col("cat"), col("y"), m = 10L, k = 5, seed = 9L)
+      .orderBy("category", "fold").collect().map(_.toSeq).toSeq
+    val b = graft.operators.TargetEncode.cvMeanEncode(d, col("id"),
+      col("cat"), col("y"), m = 10L, k = 5, seed = 9L)
+      .orderBy("category", "fold").collect().map(_.toSeq).toSeq
+    assert(a == b, "seeded folds must replay")
+    // rare (3 rows) cannot cover 5 folds: the uncovered folds' OOF
+    // evidence equals the whole category
+    val rare = graft.operators.TargetEncode.cvMeanEncode(d, col("id"),
+        col("cat"), col("y"), m = 10L, k = 5, seed = 9L)
+      .filter(col("category") === "rare")
+      .select("n_oof").as[Long].collect().toSeq
+    assert(rare.size == 5 && rare.max == 3L, rare.toString)
+  }
 }
