@@ -419,6 +419,23 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("OOF target encoding and harmonic spreading are " +
+    "layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      val edges = df.select((col("id") % 61).as("u"),
+        ((col("id") * 5 + 2) % 61).as("v"))
+      val seeds = df.filter(col("id") < 6)
+        .select((col("id") % 61).as("node"),
+          (col("id") * 100 - 250).as("score"))
+      (graft.operators.TargetEncode.cvMeanEncode(df, col("id"),
+          col("g"), col("w") > 150, m = 10L, k = 4, seed = 7L)
+          .orderBy("category", "fold").collect().map(_.toSeq).toSeq,
+        graft.operators.LabelSpread.harmonic(edges, seeds, iters = 3)
+          .orderBy("node").collect().map(_.toSeq).toSeq)
+    }
+  }
+
   test("LOF and rolling median are layout-invariant") {
     axes { s =>
       val df = s.read.parquet(dir)
