@@ -5877,6 +5877,18 @@ object SparkEntry {
       LabelSpread.harmonic(e, seeds, iters = 3).orderBy("node")
     }),
 
+    // Sketch — AMS join-size estimate (AmsSketch
+    // .innerProductEstimate): |lineitem ⋈ orders-subset on orderkey|
+    // from one pass over each side with the shared sign family —
+    // the broadcast-vs-shuffle planner question, no count tables.
+    "q387_join_size_est" -> ((s, dir) => {
+      AmsSketch.innerProductEstimate(
+        Tables.load(s, dir, "lineitem"), col("l_orderkey"),
+        Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+        col("o_orderkey"), r = 16, seed = 7L)
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12645,6 +12657,31 @@ object SparkEntry {
         |  2 * SUM(CASE WHEN cl <> ql THEN 1 ELSE 0 END) > 5 AS flagged
         |FROM r WHERE rn <= 5 GROUP BY 1, 2 ORDER BY vec_id"""
         .stripMargin,
+
+    "q387_join_size_est" ->
+      """WITH za AS (SELECT j,
+        |    CAST(SUM(1 - 2 * (('0x' || substr(md5('7:' ||
+        |      CAST(j AS VARCHAR) || ':' || CAST(l_orderkey AS VARCHAR)),
+        |      1, 15))::BIGINT % 2)) AS HUGEINT) AS zj
+        |  FROM lineitem CROSS JOIN (SELECT range AS j FROM range(0, 16))
+        |  GROUP BY j),
+        |zb AS (SELECT j,
+        |    CAST(SUM(1 - 2 * (('0x' || substr(md5('7:' ||
+        |      CAST(j AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)),
+        |      1, 15))::BIGINT % 2)) AS HUGEINT) AS zj
+        |  FROM orders CROSS JOIN (SELECT range AS j FROM range(0, 16))
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  GROUP BY j),
+        |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |s AS (SELECT list_sort(list(za.zj * zb.zj)) AS zs
+        |  FROM za JOIN zb ON zb.j = za.j),
+        |m AS (SELECT zs[8] + zs[9] AS two FROM s)
+        |SELECT n_a, n_b,
+        |  CAST((two - (((two % 2) + 2) % 2)) // 2 AS VARCHAR)
+        |    AS join_est
+        |FROM m, na, nb""".stripMargin,
 
     "q385_cv_target_encode" ->
       """WITH b AS (SELECT user_id % 50 AS category,

@@ -30,6 +30,47 @@ import org.apache.spark.sql.types.DecimalType
   * @return one row: (n, f2_est — decimal string) */
 object AmsSketch {
 
+  /** AMS inner-product estimate — the JOIN-SIZE estimator:
+    * |A ⋈ B on k| = Σ_k a_k·b_k, estimated from one pass over EACH
+    * side with the SAME sign family: E[Z_j^A · Z_j^B] = Σ a_k b_k
+    * (cross terms cancel), median over the r products. This is the
+    * question a planner asks before choosing broadcast vs shuffle vs
+    * salting — answered without building either side's count table.
+    *
+    * The median runs over SIGNED products (a product can be negative),
+    * so the two middle values average under the sign-safe pmod floor.
+    * Same replay/portability stance as [[f2Estimate]]; A ⋈ A
+    * degenerates to exactly f2Estimate's answer.
+    *
+    * @return one row: (n_a, n_b, join_est — decimal string, can be
+    *         negative on tiny inputs: the estimator is unbiased, not
+    *         nonnegative) */
+  def innerProductEstimate(a: DataFrame, keyA: Column, b: DataFrame,
+                           keyB: Column, r: Int = 16,
+                           seed: Long = 7L): DataFrame = {
+    require(r >= 2 && r <= 64 && r % 2 == 0, "r even in [2,64]")
+    val dec = DecimalType(38, 0)
+    def side(df: DataFrame, key: Column, n: String) = {
+      val sums = (0 until r).map { j =>
+        sum(lit(1L) - lit(2L) * pmod(graft.functions.Hashing.hexLong(
+          concat_ws(":", lit(seed), lit(j), col("k"))),
+          lit(2L))).as(s"${n}z$j")
+      }
+      df.select(key.cast("string").as("k"))
+        .agg(count(lit(1)).as(n), sums: _*)
+    }
+    val divF = graft.functions.ColumnOps.floorDivSignedDec _
+    side(a, keyA, "n_a").crossJoin(side(b, keyB, "n_b"))
+      .select(col("n_a"), col("n_b"),
+        array_sort(array((0 until r).map(j =>
+          (col(s"n_az$j").cast(dec) * col(s"n_bz$j")).cast(dec)): _*))
+          .as("zs"))
+      .select(col("n_a"), col("n_b"),
+        divF(element_at(col("zs"), r / 2) +
+          element_at(col("zs"), r / 2 + 1), lit(2L))
+          .cast("string").as("join_est"))
+  }
+
   def f2Estimate(df: DataFrame, key: Column, r: Int = 16,
                  seed: Long = 7L): DataFrame = {
     require(r >= 2 && r <= 64 && r % 2 == 0, "r even in [2,64]")

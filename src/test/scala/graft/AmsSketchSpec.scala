@@ -35,6 +35,35 @@ class AmsSketchSpec extends SparkSpec {
     assert(e3._2 != e1._2, "independent sign family expected")
   }
 
+  test("innerProductEstimate: A join A equals f2Estimate exactly; " +
+    "disjoint keys estimate near zero; join size within band") {
+    val a = (1 to 1500).map(i => (i % 29).toString).toDF("x")
+    val self = AmsSketch.innerProductEstimate(a, col("x"), a, col("x"))
+      .as[(Long, Long, String)].head()
+    val f2 = AmsSketch.f2Estimate(a, col("x"))
+      .as[(Long, String)].head()
+    assert(self._3 == f2._2, s"${self._3} != ${f2._2}")
+    // disjoint key spaces: true inner product 0
+    val b = (1 to 1500).map(i => s"zz${i % 29}").toDF("x")
+    val dis = AmsSketch.innerProductEstimate(a, col("x"), b, col("x"))
+      .select("join_est").as[String].head().toLong
+    val trueF2 = 29L * (1500L / 29 + 1) * (1500L / 29 + 1) // ~ scale
+    assert(math.abs(dis) < trueF2,
+      s"disjoint estimate $dis should be far below the self-join scale")
+    // real join size: skewed A vs uniform B on the same 7 keys.
+    // Inner-product AMS has std ~ sqrt(F2(A)·F2(B)) per estimator —
+    // an order-of-magnitude instrument at small key supports, so the
+    // band is a decade, and r = 64 tightens the median's tails.
+    val skew = (1 to 2000).map(i => (i % 7).toString).toDF("x")
+    val uni = (1 to 700).map(i => (i % 7).toString).toDF("x")
+    // per key: a_k ~ 286, b_k = 100 -> true ~ 7 * 28600 = 200200
+    val trueSize = 200200L
+    val est = AmsSketch.innerProductEstimate(skew, col("x"), uni,
+        col("x"), r = 64).select("join_est").as[String].head().toLong
+    assert(est > trueSize / 10 && est < trueSize * 10,
+      s"estimate $est vs true ~$trueSize")
+  }
+
   test("odd r rejected; empty input yields n = 0") {
     intercept[IllegalArgumentException] {
       AmsSketch.f2Estimate(Seq("a").toDF("x"), col("x"), r = 15)
