@@ -3532,6 +3532,19 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // DIAGNOSTIC stage gate (the q122a-c mold): q187's file listing
+    // with its distributed prefix-sum START offsets, BEFORE binning —
+    // a red here indicts the prefix sum; a red only in q187 indicts
+    // the bin division / rollup spelling.
+    "q187a_compaction_files" -> ((s, dir) => {
+      val files = Tables.load(s, dir, "lineitem")
+        .groupBy(expr("l_orderkey div 100").as("file_id"))
+        .agg(count(lit(1)).as("rows"))
+      Compaction.assignBins(files, col("file_id"), col("rows"), target = 5000L)
+        .select("file_id", "size", "start")
+        .orderBy("file_id")
+    }),
+
     // LLM ops — survivorship / golden record: entity clusters (custkey
     // fours) collapse to one row, each attribute independently by
     // most-frequent-non-null with the lexicographic tie-break; the
@@ -4140,8 +4153,9 @@ object SparkEntry {
 
     // Survival — Kaplan–Meier with right censoring (Survival
     // .kaplanMeier): per-user active-span days, every 4th user
-    // censored; ln-sum product over the day grid, exact-decimal
-    // accumulation, zero-survivor flag instead of −∞.
+    // censored; the survival product as the EXACT integer recurrence
+    // s=⌊s·(n−d)/n⌋ over the day grid — no ln/exp on either engine
+    // (the oracle replays it as a recursive CTE).
     "q243_kaplan_meier" -> ((s, dir) => {
       val subj = Tables.events(s, dir)
         .groupBy("user_id")
@@ -5104,7 +5118,10 @@ object SparkEntry {
     // Training labels — kNN label-disagreement audit (LabelNoise
     // .knnDisagreement): every embedding against its 5 exact decimal-
     // dot neighbors; a strict majority of disagreeing labels flags
-    // the row as a mislabeling suspect.
+    // the row as a mislabeling suspect. EXACT-NEIGHBOR spelling —
+    // broadcast-corpus dotTopK, quadratic by design as the recall
+    // baseline; q388 gates the same audit on the IVF neighbor source,
+    // which is the full-corpus scale path.
     "q335_label_noise" -> ((s, dir) =>
       LabelNoise.knnDisagreement(Tables.load(s, dir, "embeddings"), 5)
         .orderBy("vec_id")),
@@ -5889,6 +5906,24 @@ object SparkEntry {
         col("o_orderkey"), r = 16, seed = 7L)
     }),
 
+    // Training labels — q335's kNN label-disagreement audit on its
+    // 100 TB NEIGHBOR SOURCE (LabelNoise.disagreementFrom ∘
+    // Similarity.ivfTopK): same audit columns, but neighbors come
+    // from the IVF probed-cell search (hash-picked coarse centroids,
+    // nprobe 2) — the plan has NO full-corpus broadcast (PlanSpec
+    // pins it); cell-equi joins bound the pair count by
+    // |Q|·nprobe·|N|/cells instead of |N|².
+    "q388_label_noise_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = emb.filter(col("vec_id") % 211 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("ctr"))
+      val vecs = emb.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val qs = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      LabelNoise.disagreementFrom(
+          Similarity.ivfTopK(vecs, cents, qs, k = 5, nprobe = 2), emb, 5)
+        .orderBy("vec_id")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -5901,6 +5936,19 @@ object SparkEntry {
         .withColumn("obs", col("user_id") % 4 =!= 0)
       Survival.nelsonAalen(subj, col("t_days"), col("obs"))
     }),
+
+    // DIAGNOSTIC stage gate: the survival cohort's subject table alone
+    // — (user_id, t_days, obs) from the unix_micros-div day grid that
+    // q243 and q329 share; a red here indicts the grid construction,
+    // a red only in the estimators indicts their risk-set/recurrence
+    // spelling.
+    "q329a_survival_subjects" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(expr("(max(unix_micros(ts)) - min(unix_micros(ts))) " +
+          "div 86400000000").as("t_days"))
+        .withColumn("obs", col("user_id") % 4 =!= 0)
+        .orderBy("user_id")),
 
     // Recsys — recommendation-list audit (Association
     // .recDiversityAudit): intra-list diversity + catalog coverage of
@@ -9880,15 +9928,25 @@ object SparkEntry {
       """WITH f AS (SELECT l_orderkey // 100 AS file_id,
         |    CAST(COUNT(*) AS BIGINT) AS sz FROM lineitem GROUP BY 1),
         |a AS (SELECT file_id, sz,
-        |    SUM(sz) OVER (ORDER BY file_id
+        |    CAST(SUM(sz) OVER (ORDER BY file_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sz
-        |      AS strt
+        |      AS BIGINT) AS strt
         |  FROM f WHERE sz > 0)
-        |SELECT strt // 5000 AS bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |SELECT CAST(strt // 5000 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files,
         |  CAST(SUM(sz) AS BIGINT) AS total_size,
         |  CAST(MIN(file_id) AS BIGINT) AS first_file,
         |  CAST(MAX(file_id) AS BIGINT) AS last_file
         |FROM a GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q187a_compaction_files" ->
+      """WITH f AS (SELECT CAST(l_orderkey // 100 AS BIGINT) AS file_id,
+        |    CAST(COUNT(*) AS BIGINT) AS size FROM lineitem GROUP BY 1)
+        |SELECT file_id, size,
+        |  CAST(SUM(size) OVER (ORDER BY file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - size
+        |    AS BIGINT) AS start
+        |FROM f WHERE size > 0 ORDER BY file_id""".stripMargin,
 
     "q188_golden_record" -> {
       def winner(attr: String, cte: String): String =
@@ -10737,7 +10795,7 @@ object SparkEntry {
         |FROM d""".stripMargin,
 
     "q243_kaplan_meier" ->
-      """WITH s AS (SELECT user_id,
+      """WITH RECURSIVE s AS (SELECT user_id,
         |    (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS t,
         |    CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END AS o
         |  FROM events GROUP BY user_id),
@@ -10745,25 +10803,23 @@ object SparkEntry {
         |    CAST(SUM(1 - o) AS BIGINT) AS c FROM s GROUP BY t),
         |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n0 FROM grid),
         |r AS (SELECT t, d, c,
-        |    n0 - COALESCE(SUM(d + c) OVER (ORDER BY t
+        |    CAST(n0 - COALESCE(SUM(d + c) OVER (ORDER BY t
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS n_at_risk
+        |      AS BIGINT) AS n_at_risk,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rn
         |  FROM grid CROSS JOIN tot),
-        |w AS (SELECT *,
-        |    CASE WHEN d < n_at_risk THEN CAST(printf('%.6f',
-        |      ln(CAST(n_at_risk - d AS DOUBLE)
-        |        / CAST(n_at_risk AS DOUBLE))) AS DECIMAL(18,6)) END
-        |      AS term,
-        |    CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS dead
-        |  FROM r),
-        |z AS (SELECT t, n_at_risk, d, c,
-        |    SUM(term) OVER (ORDER BY t) AS lsum,
-        |    MAX(dead) OVER (ORDER BY t) AS hitzero FROM w)
-        |SELECT t, n_at_risk, d, c,
-        |  CASE WHEN hitzero = 1 THEN '0.000000'
-        |    ELSE printf('%.6f', exp(CAST(lsum AS DOUBLE))) END
-        |    AS survival
-        |FROM z ORDER BY t""".stripMargin,
+        |rec AS (
+        |  SELECT rn, t, n_at_risk, d, c,
+        |    CAST((1000000 * (n_at_risk - d)) // n_at_risk AS BIGINT)
+        |      AS survival_e6
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT g.rn, g.t, g.n_at_risk, g.d, g.c,
+        |    CAST((rec.survival_e6 * (g.n_at_risk - g.d)) // g.n_at_risk
+        |      AS BIGINT)
+        |  FROM rec JOIN r g ON g.rn = rec.rn + 1)
+        |SELECT t, n_at_risk, d, c, survival_e6 FROM rec
+        |ORDER BY t""".stripMargin,
 
     "q244_pass_at_k" ->
       """WITH g AS (SELECT user_id AS task, CAST(COUNT(*) AS BIGINT) AS n,
@@ -12683,6 +12739,52 @@ object SparkEntry {
         |    AS join_est
         |FROM m, na, nb""".stripMargin,
 
+    "q388_label_noise_ivf" ->
+      """WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ctr
+        |              FROM embeddings WHERE vec_id % 211 = 0),
+        |ap AS (SELECT e.vec_id, c.centroid_id,
+        |    unnest(e.embedding) AS x, unnest(c.ctr) AS y
+        |  FROM embeddings e CROSS JOIN cent c),
+        |ad AS (SELECT vec_id, centroid_id,
+        |    SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+        |      * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)))
+        |      AS dp
+        |  FROM ap GROUP BY vec_id, centroid_id),
+        |cells AS (SELECT vec_id AS cid, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY dp DESC, centroid_id ASC) AS rn
+        |    FROM ad) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY dp DESC, centroid_id ASC) AS pr
+        |    FROM ad) WHERE pr <= 2),
+        |pairs AS (SELECT p.qid, cl.cid
+        |  FROM probes p JOIN cells cl USING (centroid_id)
+        |  WHERE p.qid <> cl.cid),
+        |px AS (SELECT pairs.qid, pairs.cid,
+        |    unnest(q.embedding) AS x, unnest(v.embedding) AS y
+        |  FROM pairs JOIN embeddings q ON q.vec_id = pairs.qid
+        |             JOIN embeddings v ON v.vec_id = pairs.cid),
+        |d2 AS (SELECT qid, cid,
+        |    SUM(CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9))
+        |      * CAST(CAST(CAST(y AS DOUBLE) AS VARCHAR) AS DECIMAL(18,9)))
+        |      AS dp
+        |  FROM px GROUP BY qid, cid),
+        |r AS (SELECT qid, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY qid
+        |      ORDER BY dp DESC, cid ASC) AS rnk FROM d2),
+        |nn AS (SELECT qid, cid FROM r WHERE rnk <= 5)
+        |SELECT nn.qid AS vec_id, ql.label AS label,
+        |  CAST(SUM(CASE WHEN cl.label <> ql.label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_disagree,
+        |  2 * SUM(CASE WHEN cl.label <> ql.label THEN 1 ELSE 0 END) > 5
+        |    AS flagged
+        |FROM nn JOIN embeddings ql ON ql.vec_id = nn.qid
+        |        JOIN embeddings cl ON cl.vec_id = nn.cid
+        |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+
     "q385_cv_target_encode" ->
       """WITH b AS (SELECT user_id % 50 AS category,
         |    CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y,
@@ -13064,8 +13166,9 @@ object SparkEntry {
         |SELECT n.n, n_scored, n_treated,
         |  CAST(direct9 AS VARCHAR) AS direct9,
         |  CAST(corr9 AS VARCHAR) AS corr9,
-        |  CAST((direct9 + corr9 - ((((direct9 + corr9) % n_scored)
-        |    + n_scored) % n_scored)) // n_scored AS BIGINT) AS ate9
+        |  CASE WHEN n_scored > 0 THEN
+        |    CAST((direct9 + corr9 - ((((direct9 + corr9) % n_scored)
+        |      + n_scored) % n_scored)) // n_scored AS BIGINT) END AS ate9
         |FROM tot, n""".stripMargin,
 
     "q374_summary" ->
@@ -14053,9 +14156,9 @@ object SparkEntry {
         |    CAST(SUM(1 - o) AS BIGINT) AS c FROM s GROUP BY t),
         |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n0 FROM grid),
         |r AS (SELECT t, d,
-        |    n0 - COALESCE(SUM(d + c) OVER (ORDER BY t
+        |    CAST(n0 - COALESCE(SUM(d + c) OVER (ORDER BY t
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS n_at_risk
+        |      AS BIGINT) AS n_at_risk
         |  FROM grid CROSS JOIN tot),
         |h AS (SELECT t, n_at_risk, d,
         |    CAST((d * 1000000000) // n_at_risk AS BIGINT) AS term_e9,
@@ -14065,6 +14168,13 @@ object SparkEntry {
         |  FROM r)
         |SELECT t, n_at_risk, d, term_e9, h_e9 FROM h WHERE d > 0
         |ORDER BY t""".stripMargin,
+
+    "q329a_survival_subjects" ->
+      """SELECT user_id,
+        |  CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000
+        |    AS BIGINT) AS t_days,
+        |  user_id % 4 <> 0 AS obs
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q330_rec_diversity" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i

@@ -55,11 +55,17 @@ object Fairness {
     *
     * @return per group: (group, n, tpr9, fpr9) plus ONE summary row
     *         (group = NULL, n = total, tpr9 = tpr gap, fpr9 = fpr gap)
-    *         — the [[DataQuality]] audit-row convention */
+    *         — the [[DataQuality]] audit-row convention. Rows whose
+    *         group is NULL are excluded from the audit (the summary
+    *         row owns that marker). */
   def equalizedOdds(df: DataFrame, group: Column, label: Column,
                     pred: Column): DataFrame = {
     val per = df.select(group.cast("string").as("group"),
         label.cast("boolean").as("y"), pred.cast("boolean").as("p"))
+      // NULL input groups are excluded: the summary row below uses
+      // group = NULL as its marker, and a legitimate NULL data group
+      // would be indistinguishable from the audit row
+      .filter(col("group").isNotNull)
       .groupBy("group")
       .agg(count(lit(1)).as("n"),
         sum(when(col("y") && col("p"), 1L).otherwise(0L)).as("tp"),

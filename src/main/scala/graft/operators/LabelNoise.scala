@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: dotTopK broadcasts the QUERY side, so audit millions
   * of candidates against thousands of probes per pass; for a full-
-  * corpus audit at 100 TB, swap the neighbor source to the IVF path
-  * ([[Similarity.ivfTopK]] / [[IvfIndex]]) — this operator only
-  * consumes (qid, cid) neighbor pairs plus labels, and the two label
-  * joins and the per-point count are plain equi-joins/aggregates.
+  * corpus audit at 100 TB, feed [[disagreementFrom]] from the IVF
+  * path instead ([[Similarity.ivfTopK]] / [[IvfIndex]] — the gated
+  * q388 spelling): the audit stage only consumes (qid, cid) neighbor
+  * pairs plus labels, and the two label joins and the per-point count
+  * are plain equi-joins/aggregates at any corpus size.
   */
 object LabelNoise {
 
@@ -32,7 +33,26 @@ object LabelNoise {
     val nn = Similarity.dotTopK(
       v.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
       v.select(col("vec_id").as("cid"), col("embedding").as("cvec")), k)
-    nn.join(v.select(col("vec_id").as("cid"), col("label").as("__nl")),
+    disagreementFrom(nn, v, k)
+  }
+
+  /** The audit stage alone, over ANY (qid, cid) neighbor-pair source —
+    * [[Similarity.dotTopK]] for probe-set audits, [[Similarity.ivfTopK]]
+    * for the full-corpus scale path (no corpus broadcast anywhere).
+    * `flagged` compares against the NOMINAL k: a query whose source
+    * returned fewer than k neighbors needs the same strict majority of
+    * k to flag (missing evidence never flags), and a query with no
+    * neighbors at all is absent from the audit.
+    *
+    * @param neighbors (qid, cid) pairs, self-pairs already excluded
+    * @param vectors   (vec_id, label) — extra columns ignored
+    * @return (vec_id, label, n_disagree, flagged) */
+  def disagreementFrom(neighbors: DataFrame, vectors: DataFrame,
+                       k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, "k in [1,1024]")
+    val v = vectors.select(col("vec_id"), col("label"))
+    neighbors.select("qid", "cid")
+      .join(v.select(col("vec_id").as("cid"), col("label").as("__nl")),
         Seq("cid"))
       .join(v.select(col("vec_id").as("qid"), col("label")), Seq("qid"))
       .groupBy(col("qid").as("vec_id"), col("label"))

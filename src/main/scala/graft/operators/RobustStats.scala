@@ -152,7 +152,8 @@ object RobustStats {
     *
     * @param order total order within key (unique — ties would make
     *              the window contents layout-dependent)
-    * @return input columns (key, ord, x) + (n_win, med) */
+    * @return input columns (key, ord, x) + (n_win, med); NULL x rows
+    *         are dropped (mirror them with WHERE x IS NOT NULL) */
   def rollingMedian(df: DataFrame, key: Column, order: Column,
                     x: Column, w: Int): DataFrame = {
     require(w >= 1 && w <= 512, "w in [1,512] (per-row sort cost)")
@@ -160,6 +161,11 @@ object RobustStats {
       .partitionBy(col("key")).orderBy(col("ord"))
       .rowsBetween(-(w - 1), 0)
     df.select(key.as("key"), order.as("ord"), x.cast("long").as("x"))
+      // NULL x rows are dropped BEFORE the window: collect_list skips
+      // NULLs while DuckDB's list() keeps them, so a nullable value
+      // column would otherwise give the two engines different window
+      // contents (and silently shrink n_win mid-window here)
+      .filter(col("x").isNotNull)
       .withColumn("vals", array_sort(collect_list(col("x")).over(win)))
       .select(col("key"), col("ord"), col("x"),
         size(col("vals")).cast("long").as("n_win"),

@@ -55,7 +55,9 @@ object Summarize {
     val scored = sents
       .join(dots, Seq("doc_id", "sent_idx"), "left")
       .join(normS, Seq("doc_id", "sent_idx"), "left")
-      .join(normD, Seq("doc_id")) // per-doc frame: corpus-sized, no broadcast
+      // left: a document whose text yields zero non-empty terms has no
+      // normD row — its sentences still report, scoring 0 (doc contract)
+      .join(normD, Seq("doc_id"), "left") // per-doc frame: corpus-sized, no broadcast
       .select(col("doc_id"), col("sent_idx"), col("sentence"),
         coalesce(
           expr("CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000000000 " +

@@ -14,20 +14,24 @@ import org.apache.spark.sql.types.DecimalType
   * set after their time (the standard ties convention: censored at a
   * death time are still at risk for it).
   *
-  * Determinism discipline: the product becomes a SUM of per-time
-  * ln((nᵢ−dᵢ)/nᵢ) terms, each over exact integers and rounded %.6f
-  * ONCE ([[Entropy]]'s ln discipline), accumulated in exact decimal by
-  * a cumulative window, exp'd and rendered %.6f at the end. A time
-  * where the whole risk set dies sends S to exactly 0 from there
-  * (flagged by a cumulative max, never a −∞ float).
+  * Determinism discipline: NO libm anywhere — the survival product is
+  * an exact integer recurrence s₀ = 10⁶, sᵢ = ⌊sᵢ₋₁·(nᵢ−dᵢ)/nᵢ⌋, one
+  * stated floor per event time (the q181 EWMA num/den discipline; the
+  * earlier ln-sum/exp spelling round-tripped Java's `Math.log` against
+  * the oracle box's C libm and lived one ulp from a %.6f boundary
+  * flip). A time where the whole risk set dies multiplies by exactly
+  * 0 and every later time stays 0 — no −∞, no flag column. Overflow
+  * bound: sᵢ ≤ 10⁶ always (monotone non-increasing), so each step's
+  * numerator is ≤ 10⁶·nᵢ — exact in a long for cohorts up to ~9·10¹².
   *
   * Scale shape: the subjects frame aggregates to the TIME GRID —
   * one row per distinct duration, at most |subjects| and in practice
-  * the resolution of the duration unit — and the cumulative windows
-  * run UNPARTITIONED over that grid: BOUNDED by the grid size, which
-  * the caller controls via the duration unit (days → thousands of
-  * rows at century scale). The subjects aggregation itself is one
-  * map-side-combinable groupBy.
+  * the resolution of the duration unit (days → thousands of rows at
+  * century scale) — then the grid collapses to ONE array row and the
+  * recurrence runs as per-position prefix folds (`slice` +
+  * `aggregate`), O(grid²) row-local long ops on one task:
+  * BOUNDED(grid), which the caller controls via the duration unit.
+  * The subjects aggregation itself is one map-side-combinable groupBy.
   */
 object Survival {
 
@@ -37,39 +41,36 @@ object Survival {
     *                 construction downstream of max/min
     * @param observed TRUE = the event (death/churn) happened at
     *                 `duration`; FALSE/null = censored there
-    * @return time grid: (t, n_at_risk, d, c, survival %.6f) ordered
-    *         by t — censor-only times appear with d = 0 and an
-    *         unchanged survival */
+    * @return time grid: (t, n_at_risk, d, c, survival_e6 — S(t)×10⁶
+    *         as an exact long) ordered by t — censor-only times
+    *         appear with d = 0 and an unchanged survival */
   def kaplanMeier(subjects: DataFrame, duration: Column,
                   observed: Column): DataFrame = {
-    val d6 = DecimalType(18, 6)
     val grid = subjects
       .select(duration.cast("long").as("t"),
         when(coalesce(observed, lit(false)), 1L).otherwise(0L).as("o"))
       .groupBy("t")
       .agg(sum("o").as("d"), sum(lit(1L) - col("o")).as("c"))
     val n0 = grid.agg(sum(col("d") + col("c")).as("n0"))
-    // cumulative windows over the time GRID (bounded — see scaladoc)
+    // cumulative window over the time GRID (bounded — see scaladoc)
     val wPrev = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, 0)
     val risk = grid.crossJoin(broadcast(n0))
       .withColumn("n_at_risk",
         col("n0") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
-      .withColumn("term",
-        when(col("d") < col("n_at_risk"), format_string("%.6f",
-          log((col("n_at_risk") - col("d")).cast("double") /
-            col("n_at_risk").cast("double"))).cast(d6)))
-      .withColumn("dead",
-        when(col("d") >= col("n_at_risk"), 1L).otherwise(0L))
+      .select("t", "n_at_risk", "d", "c")
+    // BOUNDED(grid): the whole grid folds through one array row; each
+    // output row's survival is the exact prefix recurrence over its
+    // slice — one floor per event time, longs throughout (see scaladoc)
     risk
-      .withColumn("lsum", sum("term").over(wCum))
-      .withColumn("hitzero", max("dead").over(wCum))
-      .select(col("t"), col("n_at_risk"), col("d"), col("c"),
-        when(col("hitzero") === 1L, lit("0.000000"))
-          .otherwise(format_string("%.6f", exp(col("lsum").cast("double"))))
-          .as("survival"))
+      .agg(array_sort(collect_list(struct(col("t"), col("n_at_risk"),
+        col("d"), col("c")))).as("g"))
+      .select(col("g"), posexplode(col("g")))
+      .select(col("col.t").as("t"), col("col.n_at_risk").as("n_at_risk"),
+        col("col.d").as("d"), col("col.c").as("c"),
+        expr("aggregate(slice(g, 1, pos + 1), 1000000L, " +
+          "(acc, x) -> (acc * (x.n_at_risk - x.d)) div x.n_at_risk)")
+          .as("survival_e6"))
       .orderBy("t")
   }
 

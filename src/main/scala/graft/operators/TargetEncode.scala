@@ -100,7 +100,11 @@ object TargetEncode {
       .select(col("category"), col("fold"),
         (col("n") - coalesce(col("n_f"), lit(0L))).as("n_oof"),
         (col("s") - coalesce(col("s_f"), lit(0L))).as("sum_oof"),
-        when(col("n_tot") - col("nf_tot") > 0L,
+        // both denominator factors guarded: the out-of-fold frame can be
+        // empty (k = 1 degenerate) AND, with m = 0, a category living
+        // entirely inside one fold makes n_oof + m = 0
+        when(col("n_tot") - col("nf_tot") > 0L &&
+            col("n") - coalesce(col("n_f"), lit(0L)) + lit(m) > 0L,
           expr(s"(sum_oof * (n_tot - nf_tot) + $m * (s_tot - sf_tot))" +
             s" * 1000000L div ((n_oof + $m) * (n_tot - nf_tot))"))
           .as("enc_1e6"))

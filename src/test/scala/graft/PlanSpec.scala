@@ -754,4 +754,20 @@ class PlanSpec extends SparkSpec {
     val p = plan("q371_lof")
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q388: IVF audit path — no corpus×corpus fan-out; candidates via equi-joins") {
+    val p = plan("q388_label_noise_ivf")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the ONLY nested-loop fan-outs allowed are the two broadcast
+    // CENTROID joins (cell assignment + query probing); the corpus
+    // side must never be a nested-loop operand — that is exactly the
+    // q335 broadcast-corpus shape this query exists to avoid
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2,
+      s"only the two centroid fan-outs may nested-loop (got $bnlj):\n${p.take(1500)}")
+    // cell membership, candidate lookup, and the two label joins are
+    // keyed — they must plan as hash/sort-merge EQUI joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"candidate/label joins must be equi-joins:\n${p.take(1500)}")
+  }
 }

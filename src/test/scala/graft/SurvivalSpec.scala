@@ -6,40 +6,34 @@ import graft.operators.Survival
 class SurvivalSpec extends SparkSpec {
   import spark.implicits._
 
-  private def round6(v: Double): java.math.BigDecimal =
-    new java.math.BigDecimal(f"$v%.6f")
-
   test("classic censored example: risk sets, survival steps") {
     // durations: 1+ (death), 2 (censored), 3, 3 (deaths), 4 (censored)
     val subj = Seq((1L, true), (2L, false), (3L, true), (3L, true),
       (4L, false)).toDF("t", "o")
     val got = Survival.kaplanMeier(subj, col("t"), col("o"))
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
-    // the ln-round6-then-exp discipline, mirrored here
-    val s1 = f"${math.exp(round6(math.log(4.0 / 5.0)).doubleValue)}%.6f"
-    val s3 = f"${math.exp(round6(math.log(4.0 / 5.0))
-      .add(round6(math.log(1.0 / 3.0))).doubleValue)}%.6f"
-    assert(got(1L) == ((5L, 1L, 0L, s1)))
-    assert(got(2L) == ((4L, 0L, 1L, s1))) // censor-only: S unchanged
-    assert(got(3L) == ((3L, 2L, 0L, s3)))
-    assert(got(4L) == ((1L, 0L, 1L, s3)))
+    // exact integer recurrence: s = ⌊s·(n−d)/n⌋ per event time
+    assert(got(1L) == ((5L, 1L, 0L, 800000L))) // ⌊1e6·4/5⌋
+    assert(got(2L) == ((4L, 0L, 1L, 800000L))) // censor-only: S unchanged
+    assert(got(3L) == ((3L, 2L, 0L, 266666L))) // ⌊800000·1/3⌋
+    assert(got(4L) == ((1L, 0L, 1L, 266666L)))
   }
 
   test("whole risk set dying pins S to exactly zero from there") {
     val subj = Seq((1L, true), (2L, true), (2L, true)).toDF("t", "o")
     val got = Survival.kaplanMeier(subj, col("t"), col("o"))
-      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
-    assert(got(1L) == f"${math.exp(round6(math.log(2.0 / 3.0)).doubleValue)}%.6f")
-    assert(got(2L) == "0.000000")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got(1L) == 666666L) // ⌊1e6·2/3⌋
+    assert(got(2L) == 0L)      // 666666·0 div 2
   }
 
   test("no deaths at all: survival stays 1") {
     val subj = Seq((5L, false), (9L, false)).toDF("t", "o")
     val got = Survival.kaplanMeier(subj, col("t"), col("o"))
-      .collect().map(_.getString(4)).distinct
-    assert(got.toSeq == Seq("1.000000"))
+      .collect().map(_.getLong(4)).distinct
+    assert(got.toSeq == Seq(1000000L))
   }
 
   test("logRank: hand O-E and hypergeometric variance terms") {

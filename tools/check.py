@@ -43,6 +43,19 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             n_fail += 1
             continue
         try:
+            rel = con.sql(sql)
+            # r10 forensics: an uncast DuckDB windowed/HUGEINT SUM in the
+            # FINAL select converts to float64 in the driver's pandas and
+            # flips the value hash (q187/q243/q329) while this script's
+            # check_dtype=False compare stays green — so HUGEINT output
+            # columns are a hard local FAIL even when values match.
+            huge = [c for c, t in zip(rel.columns, map(str, rel.types))
+                    if str(t) in ("HUGEINT", "UHUGEINT")]
+            if huge:
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) "
+                      f"{huge} — CAST to BIGINT in the oracle SQL")
+                n_fail += 1
+                continue
             exp = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
