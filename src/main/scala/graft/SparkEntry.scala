@@ -5924,6 +5924,87 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // FLAGSHIP — the reference's own join story as ONE gated query
+    // (BASELINE.md: facts(rssd, mdrm, quarter) ⋈ mdrm_dict ⋈ taxonomy):
+    // an XPORT-shaped wide frame (one row per bank-quarter, MDRM-coded
+    // measure columns) runs the REAL pipeline chain — converter.py EAV
+    // unpivot (UnpivotEav.floats, null cells dropped) → broadcast
+    // dictionary enrichment → EP2 taxonomy attach (XmlLinkbase →
+    // Hierarchy.pathsToRoot → Taxonomy.structure on a constant
+    // mini-linkbase, so the taxonomy side is replayable as golden
+    // VALUES) → per-(quarter, mdrm) rollup. The facts side is replayed
+    // analytically by the oracle; dims broadcast, facts never shuffle
+    // before the final aggregate.
+    "q389_call_report_flagship" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.XmlLinkbase
+      import graft.pipelines.Taxonomy
+      val wide = Tables.load(s, dir, "orders").select(
+        col("o_custkey").as("rssd"),
+        concat(year(col("o_orderdate")), lit("Q"),
+          quarter(col("o_orderdate"))).as("qtr"),
+        col("o_totalprice").as("RCON2170"),
+        when(col("o_orderkey") % 5 =!= 0, col("o_totalprice"))
+          .as("RCFD3210"),
+        (col("o_orderkey") % 100).cast("double").as("RIAD4340"))
+      val facts = UnpivotEav.floats(wide, Seq("rssd", "qtr"),
+        Seq("RCON2170", "RCFD3210", "RIAD4340"))
+      val dict = Seq(("rcon2170", "RCON", false),
+          ("rcfd3210", "RCFD", true), ("riad4340", "RIAD", false))
+        .toDF("mdrm", "series", "is_conf")
+      val pres = XmlLinkbase.parseString(
+        """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink">
+          |<presentationLink>
+          |  <presentationArc xlink:from="root" xlink:to="sch-RC"/>
+          |  <presentationArc xlink:from="sch-RC" xlink:to="colset-RC"/>
+          |  <presentationArc xlink:from="colset-RC" xlink:to="column_a-RC"/>
+          |  <presentationArc xlink:from="column_a-RC" xlink:to="cc_RCON2170"/>
+          |  <presentationArc xlink:from="sch-RC" xlink:to="line_2-RC"/>
+          |  <presentationArc xlink:from="line_2-RC" xlink:to="cc_RCFD3210"/>
+          |  <presentationArc xlink:from="root" xlink:to="sch-RI"/>
+          |  <presentationArc xlink:from="sch-RI" xlink:to="line_1-RI"/>
+          |  <presentationArc xlink:from="line_1-RI" xlink:to="cc_RIAD4340"/>
+          |</presentationLink>
+          |</linkbase>""".stripMargin)
+      val lab = XmlLinkbase.parseString(
+        """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink">
+          |<labelLink>
+          |  <labelArc xlink:from="sch-RC" xlink:to="lbl1"/>
+          |  <label xlink:label="lbl1">Balance Sheet</label>
+          |  <labelArc xlink:from="column_a-RC" xlink:to="lbl2"/>
+          |  <label xlink:label="lbl2">Column A</label>
+          |  <labelArc xlink:from="line_1-RI" xlink:to="lbl3"/>
+          |  <label xlink:label="lbl3">Line 1</label>
+          |</labelLink>
+          |</linkbase>""".stripMargin)
+      val refs = XmlLinkbase.parseString(
+        """<linkbase xmlns:xlink="http://www.w3.org/1999/xlink">
+          |<referenceLink>
+          |  <reference xlink:label="cc_RCON2170_ref">
+          |    <ScheduleRef>RC</ScheduleRef><LineRef>1.a</LineRef><ColumnRef>A</ColumnRef>
+          |  </reference>
+          |  <reference xlink:label="cc_RIAD4340_ref">
+          |    <ScheduleRef>RI</ScheduleRef><LineRef>4</LineRef><ColumnRef>B</ColumnRef>
+          |  </reference>
+          |</referenceLink>
+          |</linkbase>""".stripMargin)
+      val tax = Taxonomy.structure(
+          XmlLinkbase.arcs(s, pres, "presentationArc"),
+          XmlLinkbase.arcs(s, lab, "labelArc"),
+          XmlLinkbase.labels(s, lab),
+          XmlLinkbase.references(s, refs))
+        .select(lower(regexp_replace(col("mdrm"), "^cc_", "")).as("mdrm"),
+          col("schedule"), col("kind"), col("ref_line"), col("ref_column"))
+      facts.join(broadcast(dict), Seq("mdrm"))
+        .join(broadcast(tax), Seq("mdrm"), "left")
+        .groupBy("qtr", "mdrm", "schedule", "kind", "series", "is_conf",
+          "ref_line", "ref_column")
+        .agg(count(lit(1)).as("n_facts"),
+          countDistinct(col("rssd")).as("n_banks"),
+          dsum(col("float_data")).as("total"))
+        .orderBy("qtr", "mdrm")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12784,6 +12865,41 @@ object SparkEntry {
         |FROM nn JOIN embeddings ql ON ql.vec_id = nn.qid
         |        JOIN embeddings cl ON cl.vec_id = nn.cid
         |GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+
+    // the taxonomy side is a CONSTANT mini-linkbase (the Spark side
+    // computes it through the real EP2 chain; the oracle carries the
+    // hand-derived golden rows as VALUES — the q172 composition style)
+    "q389_call_report_flagship" ->
+      s"""WITH wide AS (SELECT o_custkey AS rssd,
+         |    CAST(year(o_orderdate) AS VARCHAR) || 'Q' ||
+         |      CAST(quarter(o_orderdate) AS VARCHAR) AS qtr,
+         |    o_totalprice AS rcon2170,
+         |    CASE WHEN o_orderkey % 5 <> 0 THEN o_totalprice END
+         |      AS rcfd3210,
+         |    CAST(o_orderkey % 100 AS DOUBLE) AS riad4340
+         |  FROM orders),
+         |facts AS (
+         |  SELECT rssd, qtr, 'rcon2170' AS mdrm, rcon2170 AS float_data
+         |    FROM wide WHERE rcon2170 IS NOT NULL
+         |  UNION ALL SELECT rssd, qtr, 'rcfd3210', rcfd3210
+         |    FROM wide WHERE rcfd3210 IS NOT NULL
+         |  UNION ALL SELECT rssd, qtr, 'riad4340', riad4340
+         |    FROM wide WHERE riad4340 IS NOT NULL),
+         |dict(mdrm, series, is_conf) AS (VALUES
+         |  ('rcon2170', 'RCON', false), ('rcfd3210', 'RCFD', true),
+         |  ('riad4340', 'RIAD', false)),
+         |tax(mdrm, schedule, kind, ref_line, ref_column) AS (VALUES
+         |  ('rcon2170', 'RC', 'column_ids', '1.a', 'A'),
+         |  ('rcfd3210', 'RC', 'line_ids', NULL, NULL),
+         |  ('riad4340', 'RI', 'line_ids', '4', 'B'))
+         |SELECT qtr, mdrm, schedule, kind, series, is_conf,
+         |  ref_line, ref_column,
+         |  CAST(COUNT(*) AS BIGINT) AS n_facts,
+         |  CAST(COUNT(DISTINCT rssd) AS BIGINT) AS n_banks,
+         |  ${dsumSql("float_data")} AS total
+         |FROM facts JOIN dict USING (mdrm) LEFT JOIN tax USING (mdrm)
+         |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+         |ORDER BY qtr, mdrm""".stripMargin,
 
     "q385_cv_target_encode" ->
       """WITH b AS (SELECT user_id % 50 AS category,

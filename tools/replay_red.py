@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Replay a driver-red query standalone and name the diverging column.
+
+Institutionalizes the round-9/10 forensics loop (dev tooling only — the
+shipped Scala library has no Python dependency):
+
+    python3 tools/replay_red.py q243_kaplan_meier [sfDir] [driver_checksums.json]
+
+1. runs graft.Verify for JUST that query at local[4] AND local[32]
+   (layout sensitivity: a layout-dependent plan diverges between them),
+2. runs the DuckDB compare (tools/check.py) on each dump,
+3. diffs the two runs' `_column_checksums.json` per column, and — when a
+   driver-side checksum file is supplied — diffs the local run against it,
+   printing exactly WHICH column's (xor, sum, nulls) moved.
+
+A hash-red whose replay passes here with identical checksums at both
+parallelism levels is an ENVIRONMENT divergence (engine version, libm,
+pandas dtype coercion) — go look at the oracle SQL's output types first
+(see check.py's HUGEINT guard, the r10 root cause).
+"""
+import json
+import subprocess
+import sys
+
+
+def run(cmd, env_extra=None):
+    import os
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    print(f"+ {' '.join(cmd)}", flush=True)
+    return subprocess.run(cmd, env=env).returncode
+
+
+def checksums(out_dir, query):
+    with open(f"{out_dir}/_column_checksums.json") as f:
+        return json.load(f)[query]
+
+
+def diff(tag_a, a, tag_b, b):
+    keys = sorted(set(a) | set(b))
+    moved = [k for k in keys if a.get(k) != b.get(k)]
+    if not moved:
+        print(f"  {tag_a} vs {tag_b}: identical ({len(keys)} channels)")
+        return False
+    print(f"  {tag_a} vs {tag_b}: {len(moved)} channel(s) differ:")
+    for k in moved:
+        print(f"    {k}: {tag_a}={a.get(k)}  {tag_b}={b.get(k)}")
+    return True
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    query = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    driver_file = sys.argv[3] if len(sys.argv) > 3 else None
+
+    outs = {}
+    for cpus in ("4", "32"):
+        out = f"/tmp/red_{query}_c{cpus}"
+        rc = run(["sbt", "-batch",
+                  f"runMain graft.Verify {sf_dir} {out} {query}"],
+                 {"SPARK_GRAFT_CPUS": cpus})
+        if rc:
+            print(f"FAIL: Verify exited {rc} at local[{cpus}]")
+            return 1
+        outs[cpus] = out
+
+    ok = True
+    for cpus, out in outs.items():
+        print(f"\n== DuckDB compare (local[{cpus}]) ==")
+        rc = run([sys.executable, "tools/check.py", sf_dir, out, query])
+        ok = ok and rc == 0
+
+    print("\n== column checksums ==")
+    c4, c32 = checksums(outs["4"], query), checksums(outs["32"], query)
+    layout_moved = diff("local[4]", c4, "local[32]", c32)
+    if driver_file:
+        with open(driver_file) as f:
+            drv = json.load(f)[query]
+        diff("local[32]", c32, "driver", drv)
+
+    if layout_moved:
+        print("\nVERDICT: layout-dependent plan — the divergence is in "
+              "the engine spelling (unpartitioned window order, float "
+              "summation order, non-deterministic tiebreak).")
+    elif ok:
+        print("\nVERDICT: local replay fully green and layout-invariant "
+              "— suspect the ORACLE's output types / engine-version "
+              "behavior on the driver box (HUGEINT→float64 coercion, "
+              "libm ulp, DuckDB version).")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
