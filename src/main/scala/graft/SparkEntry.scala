@@ -6005,6 +6005,28 @@ object SparkEntry {
         .orderBy("qtr", "mdrm")
     }),
 
+    // Drift — kernel two-sample MMD² between two embedding slices
+    // (Drift.mmdQuadratic): quadratic kernel via its EXPLICIT feature
+    // map, so the statistic is one O(n·d²) map-side aggregate over the
+    // two d×d moment matrices — never a pairwise kernel sum. Exact
+    // scale-9 longs, one stated magnitude-floor per (i,j) term.
+    "q390_mmd_drift" -> ((s, dir) =>
+      Drift.mmdQuadratic(Tables.load(s, dir, "embeddings"),
+        col("embedding"), col("label") < 5)),
+
+    // Graphs — k-truss peel (Triangles.ktruss): co-purchase edges from
+    // every 5th order, two synchronous support-peel rounds at k = 4
+    // (each edge must sit in ≥ 2 triangles of the current subgraph);
+    // the edge-level community-core filter one level stronger than
+    // KCore's degree peel. The oracle replays both rounds as
+    // common-neighbor join CTEs.
+    "q391_ktruss" -> ((s, dir) => {
+      val e = Triangles.coOccurrenceEdges(
+        Tables.load(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0),
+        col("l_orderkey"), col("l_partkey"))
+      Triangles.ktruss(e, k = 4, rounds = 2).orderBy("lo", "hi")
+    }),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12900,6 +12922,64 @@ object SparkEntry {
          |FROM facts JOIN dict USING (mdrm) LEFT JOIN tax USING (mdrm)
          |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
          |ORDER BY qtr, mdrm""".stripMargin,
+
+    "q390_mmd_drift" ->
+      """WITH e AS (SELECT vec_id, label < 5 AS ref, embedding
+        |    FROM embeddings),
+        |f AS (SELECT vec_id, ref,
+        |    generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS VARCHAR)
+        |      AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS x9
+        |  FROM e),
+        |p AS (SELECT a.ref, a.i AS i, b.i AS j, a.x9 * b.x9 AS p
+        |  FROM f a JOIN f b USING (vec_id)),
+        |m AS (SELECT i, j,
+        |    CAST(SUM(CASE WHEN ref THEN p ELSE 0 END) AS HUGEINT) AS mx,
+        |    CAST(SUM(CASE WHEN NOT ref THEN p ELSE 0 END) AS HUGEINT)
+        |      AS my
+        |  FROM p GROUP BY 1, 2),
+        |n AS (SELECT
+        |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS nx,
+        |    CAST(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ny
+        |  FROM e),
+        |t AS (SELECT nx, ny,
+        |    CASE WHEN nx > 0 AND ny > 0 THEN
+        |      CAST(abs(mx * ny - my * nx)
+        |        // (CAST(nx AS HUGEINT) * ny * 1000000000000)
+        |        AS BIGINT) END AS t
+        |  FROM m, n)
+        |SELECT nx AS n_ref, ny AS n_cur,
+        |  CAST(SUM(t * t) AS BIGINT) AS mmd2_e12
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "q391_ktruss" -> {
+      def round(prev: String, adj: String, sup: String,
+                next: String): String =
+        s"""$adj AS (SELECT lo AS s, hi AS d FROM $prev
+           |  UNION ALL SELECT hi, lo FROM $prev),
+           |$sup AS (SELECT e.lo, e.hi, COUNT(*) AS sup FROM $prev e
+           |  JOIN $adj a ON a.s = e.lo
+           |  JOIN $adj b ON b.s = e.hi AND b.d = a.d
+           |  GROUP BY 1, 2),
+           |$next AS (SELECT lo, hi FROM $sup WHERE sup >= 2)""".stripMargin
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+         |    FROM lineitem WHERE l_orderkey % 5 = 0),
+         |e0 AS (SELECT a.i AS lo, b.i AS hi FROM it a
+         |  JOIN it b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2),
+         |${round("e0", "a0", "s0", "e1")},
+         |${round("e1", "a1", "s1", "e2")},
+         |a2 AS (SELECT lo AS s, hi AS d FROM e2
+         |  UNION ALL SELECT hi, lo FROM e2),
+         |s2 AS (SELECT e.lo, e.hi, COUNT(*) AS sup FROM e2 e
+         |  JOIN a2 a ON a.s = e.lo
+         |  JOIN a2 b ON b.s = e.hi AND b.d = a.d
+         |  GROUP BY 1, 2)
+         |SELECT e.lo AS lo, e.hi AS hi,
+         |  CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+         |FROM e2 e LEFT JOIN s2 s ON s.lo = e.lo AND s.hi = e.hi
+         |ORDER BY e.lo, e.hi""".stripMargin
+    },
 
     "q385_cv_target_encode" ->
       """WITH b AS (SELECT user_id % 50 AS category,

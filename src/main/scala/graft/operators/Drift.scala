@@ -121,4 +121,68 @@ object Drift {
           ((col("n") + col("bins")).cast("double") *
             (col("m") + col("bins")).cast("double"))).as("psi"))
   }
+
+  /** Kernel two-sample MMD² between two EMBEDDING slices under the
+    * quadratic kernel k(x,y) = (x·y)² — the drift monitor for the
+    * vector side of a corpus ([[l1Drift]]/[[psi]] watch tokens and
+    * categories; this one catches an embedding-model swap, an encoder
+    * regression, or a semantic shift that leaves token stats alone).
+    *
+    * The scale trick is the kernel's EXPLICIT feature map: for the
+    * quadratic kernel φ(x) = vec(xxᵀ), so
+    * MMD² = ‖mean φ(x) − mean φ(y)‖²_F needs only the two d×d moment
+    * matrices M[i,j] = Σ x_i·x_j — ONE O(n·d²) map-side-combinable
+    * aggregate (d² = 4096 groups at d = 64), never a pairwise stage:
+    * the textbook O(n²) kernel-sum formulation is unusable at corpus
+    * scale, this form streams.
+    *
+    * Exactness: elements go through the engine's scale-9 form
+    * ([[graft.expressions.DecimalVectorOps]]), per-row products are
+    * exact longs (DOMAIN: |element| ≤ 3.0, enforced with a row-local
+    * raise_error — 3e9² is the long-overflow edge), the moment sums
+    * are exact decimal(38,0), and each (i,j) term clears to ONE stated
+    * magnitude-floor t = ⌊|Mx·ny − My·nx| / (nx·ny·10¹²)⌋ (e6 scale;
+    * the sign drops in the square), so mmd2_e12 = Σ t² is an exact
+    * long every engine reproduces.
+    *
+    * @param df    rows carrying an embedding and a slice flag
+    * @param vec   array<float> embedding column
+    * @param isRef TRUE → reference slice, FALSE → current slice
+    *              (null rows dropped)
+    * @return one row: (n_ref, n_cur, mmd2_e12) — null mmd2_e12 when
+    *         either slice is empty (no distribution to compare) */
+  def mmdQuadratic(df: DataFrame, vec: Column, isRef: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.select(isRef.as("ref"),
+        graft.expressions.DecimalVectorOps.scale9Col(vec).as("e9"))
+      .filter(col("ref").isNotNull)
+      // long-product domain gate, fused into the consumed column (the
+      // Outliers assert discipline): silent wrap would corrupt sums
+      .withColumn("e9", expr(
+        "CASE WHEN forall(e9, x -> x IS NULL OR abs(x) <= 3000000000) " +
+          "THEN e9 ELSE raise_error(" +
+          "'mmdQuadratic: |element| > 3.0 overflows the long product') END"))
+    val prods = rows.select(col("ref"), explode(expr(
+        "flatten(transform(e9, (xi, i) -> transform(e9, (xj, j) -> " +
+          "named_struct('i', i, 'j', j, 'p', xi * xj))))")).as("t"))
+      .select(col("ref"), col("t.i").as("i"), col("t.j").as("j"),
+        col("t.p").as("p"))
+    val m = prods.groupBy("i", "j")
+      .agg(sum(when(col("ref"), col("p")).otherwise(0L).cast(dec)).as("mx"),
+        sum(when(!col("ref"), col("p")).otherwise(0L).cast(dec)).as("my"))
+    val n = rows.agg(
+      sum(when(col("ref"), 1L).otherwise(0L)).as("nx"),
+      sum(when(!col("ref"), 1L).otherwise(0L)).as("ny"))
+    m.crossJoin(broadcast(n))
+      .select(col("nx"), col("ny"),
+        when(col("nx") > 0L && col("ny") > 0L,
+          graft.functions.ColumnOps.divFloorDec(
+            abs((col("mx") * col("ny") - col("my") * col("nx")).cast(dec)),
+            (col("nx").cast(dec) * col("ny") * lit(1000000000000L)).cast(dec))
+            .cast("long")).as("t"))
+      .groupBy("nx", "ny")
+      .agg(sum(col("t") * col("t")).as("mmd2_e12"))
+      .select(col("nx").as("n_ref"), col("ny").as("n_cur"),
+        col("mmd2_e12"))
+  }
 }

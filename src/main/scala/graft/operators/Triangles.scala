@@ -192,6 +192,44 @@ object Triangles {
         coalesce(col("__sup"), lit(0L)).as("support"))
   }
 
+  /** k-truss peel — the EDGE-level cohesion filter ([[KCore]] is the
+    * node-level one): repeatedly drop every edge lying in fewer than
+    * k−2 triangles of the CURRENT subgraph. What survives is the
+    * k-truss — each remaining edge is reinforced by ≥ k−2 common
+    * neighbors — the standard community-core / spam-ring cleanup one
+    * level stronger than a degree filter (a star hub has high degree
+    * but zero triangle support on every spoke).
+    *
+    * Synchronous peel with an EXACT round count (the [[KCore.run]]
+    * discipline — deterministic job count, oracle-replayable): each
+    * round recomputes [[edgeSupport]] on the surviving subgraph
+    * (dropping an edge can only lower its neighbors' support, so
+    * rounds converge; `rounds` bounds the loop and rounds past the
+    * fixpoint are no-ops), filters support ≥ k−2, and localCheckpoints
+    * the survivors to keep lineage flat. Cost = rounds+1 oriented-wedge
+    * passes, each O(m^1.5)-bounded like [[triangleStats]].
+    *
+    * @param edges  (u, v) undirected; normalized + distinct here
+    * @param k      truss level (≥ 2; k = 2 keeps every edge)
+    * @param rounds exact number of peel rounds
+    * @return (lo, hi, support) for surviving edges, support measured
+    *         in the FINAL surviving subgraph */
+  def ktruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 2, "truss level k must be >= 2")
+    require(rounds >= 1 && rounds <= 64, "rounds in [1,64]")
+    var e = edges.select(least(col("u"), col("v")).as("lo"),
+        greatest(col("u"), col("v")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      e = edgeSupport(e.select(col("lo").as("u"), col("hi").as("v")))
+        .filter(col("support") >= (k - 2).toLong)
+        .select("lo", "hi")
+        .localCheckpoint(true)
+    }
+    edgeSupport(e.select(col("lo").as("u"), col("hi").as("v")))
+  }
+
   /** Per-node local clustering coefficient — [[triangleStats]] reports
     * the GLOBAL transitivity scalar; this one answers "which nodes sit
     * in tight cliques vs hub-and-spoke stars", the node-level

@@ -92,4 +92,36 @@ class DriftSpec extends SparkSpec {
     assert(got.getAs[Long]("n_bins") == 3L)
     assert(got.getAs[String]("psi").toDouble.isFinite)
   }
+
+  test("mmdQuadratic: identical slices give exactly zero") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val vs = Seq((true, Seq(0.25f, -0.5f)), (true, Seq(0.125f, 1.0f)),
+      (false, Seq(0.25f, -0.5f)), (false, Seq(0.125f, 1.0f)))
+    val r = Drift.mmdQuadratic(vs.toDF("ref", "v"), col("v"), col("ref")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 0L)))
+  }
+
+  test("mmdQuadratic: hand value in 1-d") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // ref [1.0] vs cur [0.5]: Mx = 1e18, My = 25e16, raw = 75e16,
+    // t = ⌊75e16 / 1e12⌋ = 750000 → mmd2_e12 = 5.625e11
+    val vs = Seq((true, Seq(1.0f)), (false, Seq(0.5f)))
+    val r = Drift.mmdQuadratic(vs.toDF("ref", "v"), col("v"), col("ref")).head()
+    assert(r.getLong(2) == 562500000000L)
+  }
+
+  test("mmdQuadratic: empty slice reports null, domain violation raises") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val one = Drift.mmdQuadratic(Seq((true, Seq(1.0f))).toDF("ref", "v"),
+      col("v"), col("ref")).head()
+    assert(one.getLong(0) == 1L && one.getLong(1) == 0L && one.isNullAt(2))
+    val bad = Seq((true, Seq(4.0f)), (false, Seq(0.5f)))
+    val ex = intercept[Exception] {
+      Drift.mmdQuadratic(bad.toDF("ref", "v"), col("v"), col("ref")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -130,4 +130,36 @@ class TrianglesSpec extends SparkSpec {
     assert(got(4L) == ((3L, 1L, 333333L)))
     assert(got(5L) == ((1L, 0L, -1L))) // leaf: no pairs, null lcc
   }
+
+  // K4 on 1-4 (every edge in 2 triangles) ∪ triangle 10-12 (every edge
+  // in 1) with pendant 12-13 (support 0)
+  private val trussGraph: Seq[(Long, Long)] = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L))
+
+  test("ktruss k=3 keeps both cliques, sheds the pendant") {
+    val got = Triangles.ktruss(trussGraph.toDF("u", "v"), k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == trussGraph.dropRight(1).toSet)
+    assert(got((1L, 2L)) == 2L && got((10L, 11L)) == 1L)
+  }
+
+  test("ktruss k=4 keeps only the 4-clique") {
+    val got = Triangles.ktruss(trussGraph.toDF("u", "v"), k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == trussGraph.take(6).toSet)
+    assert(got.values.toSet == Set(2L)) // every K4 edge: 2 triangles
+  }
+
+  test("ktruss peel cascades: losing a triangle drags survivors next round") {
+    // two triangles sharing edge (1,2): at k=4 every edge has support
+    // ≤ 1 except the shared one (2) — round 1 keeps only (1,2), whose
+    // support in the peeled subgraph is 0 — round 2 empties the graph
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    assert(Triangles.ktruss(g.toDF("u", "v"), k = 4, rounds = 2).count() == 0L)
+    // with one round only, the shared edge is still standing
+    val one = Triangles.ktruss(g.toDF("u", "v"), k = 4, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.toSeq == Seq((1L, 2L)))
+  }
 }
