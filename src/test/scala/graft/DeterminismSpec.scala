@@ -452,4 +452,19 @@ class DeterminismSpec extends SparkSpec {
           .orderBy("key", "ord").collect().map(_.toSeq).toSeq)
     }
   }
+
+  test("mmdQuadratic and ktruss are layout-invariant") {
+    axes { s =>
+      val df = s.read.parquet(dir)
+      val vecs = df.select(col("id"), (col("id") % 2 === 0).as("ref"),
+        array((col("x") / 100000.0).cast("float"),
+          ((col("w") % 19).cast("double") / 19.0).cast("float")).as("v"))
+      val edges = df.filter(col("id") < 600)
+        .select((col("id") % 40).as("u"), (col("w") % 37).as("v"))
+      (graft.operators.Drift.mmdQuadratic(vecs, col("v"), col("ref"))
+          .collect().map(_.toSeq).toSeq,
+        graft.operators.Triangles.ktruss(edges, k = 3, rounds = 2)
+          .orderBy("lo", "hi").collect().map(_.toSeq).toSeq)
+    }
+  }
 }
