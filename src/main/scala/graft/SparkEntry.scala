@@ -2312,32 +2312,45 @@ object SparkEntry {
     // certifying the full write→gzip→parse→http-split→aggregate loop.
     "q124_warc_ingest" -> ((s, dir) => {
       import graft.sources.WarcSource
-      val docs = Tables.load(s, dir, "documents")
+      // fixture corpus is written FROM EXECUTORS (foreachPartition), not
+      // a driver collect (r11 verdict #3): rows are hash-repartitioned
+      // on the shard key so each deterministic doc_id%4 shard lands
+      // whole inside one partition, and each task writes only the
+      // shards it owns. Local mode shares one filesystem; at cluster
+      // scale the same writer targets a shared/DFS path.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_q124")
+      val outDir = tmp.toString
+      val date = "2026-08-14T00:00:00Z"
+      Tables.load(s, dir, "documents")
         .filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("source"), col("text"))
-        .collect()
-      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_q124")
-      val date = "2026-08-14T00:00:00Z"
-      docs.groupBy(r => (r.getLong(0) % 4).toInt).foreach { case (shard, rows) =>
-        val bos = new java.io.ByteArrayOutputStream()
-        bos.write(WarcSource.gzipMember(WarcSource.record("warcinfo",
-          s"<urn:uuid:info-$shard>", "", date, "application/warc-fields",
-          WarcSource.utf8("software: graft\r\n"))))
-        rows.sortBy(_.getLong(0)).foreach { r =>
-          val (id, src, text) = (r.getLong(0), r.getString(1), r.getString(2))
-          val uri = s"https://$src.example.com/p/$id"
-          bos.write(WarcSource.gzipMember(WarcSource.record("request",
-            s"<urn:uuid:rq-$id>", uri, date,
-            "application/http; msgtype=request",
-            WarcSource.utf8(s"GET /p/$id HTTP/1.1\r\n"))))
-          val status = if (id % 17 == 0) 404 else 200
-          bos.write(WarcSource.gzipMember(WarcSource.responseRecord(uri,
-            s"<urn:uuid:$id>", date, status, "text/html",
-            WarcSource.utf8(text))))
+        .repartition(4, pmod(col("doc_id"), lit(4)))
+        .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          it.toSeq.groupBy(r => (r.getLong(0) % 4).toInt).foreach {
+            case (shard, rows) =>
+              val bos = new java.io.ByteArrayOutputStream()
+              bos.write(WarcSource.gzipMember(WarcSource.record("warcinfo",
+                s"<urn:uuid:info-$shard>", "", date,
+                "application/warc-fields",
+                WarcSource.utf8("software: graft\r\n"))))
+              rows.sortBy(_.getLong(0)).foreach { r =>
+                val (id, src, text) =
+                  (r.getLong(0), r.getString(1), r.getString(2))
+                val uri = s"https://$src.example.com/p/$id"
+                bos.write(WarcSource.gzipMember(WarcSource.record("request",
+                  s"<urn:uuid:rq-$id>", uri, date,
+                  "application/http; msgtype=request",
+                  WarcSource.utf8(s"GET /p/$id HTTP/1.1\r\n"))))
+                val status = if (id % 17 == 0) 404 else 200
+                bos.write(WarcSource.gzipMember(WarcSource.responseRecord(
+                  uri, s"<urn:uuid:$id>", date, status, "text/html",
+                  WarcSource.utf8(text))))
+              }
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(outDir, s"shard-$shard.warc.gz"),
+                bos.toByteArray)
+          }
         }
-        java.nio.file.Files.write(tmp.resolve(s"shard-$shard.warc.gz"),
-          bos.toByteArray)
-      }
       s.read.format("warc").load(tmp.toString)
         .filter(col("warc_type") === "response" && col("http_status") === 200)
         .groupBy(WebCuration.host(col("target_uri")).as("host"))
@@ -13398,7 +13411,7 @@ object SparkEntry {
         |    AND dots.sent_idx = s2.sent_idx
         |  LEFT JOIN ns ON ns.doc_id = s2.doc_id
         |    AND ns.sent_idx = s2.sent_idx
-        |  JOIN nd ON nd.doc_id = s2.doc_id)
+        |  LEFT JOIN nd ON nd.doc_id = s2.doc_id)
         |SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, sentence,
         |  cos2_e12, CAST(rnk AS INTEGER) AS rnk
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -13468,7 +13481,7 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
         |    CAST(SUM(CASE WHEN lang <> 'en' AND text NOT LIKE '% the %'
         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
-        |  FROM documents GROUP BY 1),
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
         |rates AS (SELECT grp AS "group", n,
         |    CASE WHEN tp + fn > 0 THEN
         |      CAST((tp * 1000000000) // (tp + fn) AS BIGINT) END AS tpr9,
@@ -13931,7 +13944,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id AS key, event_id AS ord,
         |    CAST(CAST(printf('%.2f', value) AS DECIMAL(18,2)) * 100
         |      AS BIGINT) AS x
-        |  FROM events WHERE user_id % 20 = 0),
+        |  FROM events WHERE user_id % 20 = 0 AND value IS NOT NULL),
         |w AS (SELECT key, ord, x,
         |    list_sort(list(x) OVER (PARTITION BY key ORDER BY ord
         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vals

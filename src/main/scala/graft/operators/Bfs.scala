@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multi-source BFS hop distance over an undirected graph — "how far is
@@ -20,12 +20,27 @@ import org.apache.spark.sql.functions._
   *
   * Shape at 100 TB — the repo's iterative-graph discipline
   * ([[PageRank]], [[KCore]], [[LabelPropagation]]): edges are
-  * symmetrized and hash-partitioned on `src` ONCE, checkpointed, and
-  * reused by every round's join, so each round shuffles only the
-  * frontier (which tracks nodes, never edges); per-round
-  * `localCheckpoint` keeps lineage flat. Frontiers are deduped BEFORE
-  * the edge join (one aggregate on node ids) so a dense round cannot
-  * fan the same node into the join twice.
+  * symmetrized in ONE scan (explode of both directions — a union of
+  * two selects would compute the upstream edge pipeline twice inside
+  * the checkpoint job), hash-partitioned AND sorted on the join key,
+  * then checkpointed, so a sort-merge round reuses both the
+  * partitioning and the ordering and shuffles only the frontier
+  * (which tracks nodes, never edges); per-round `localCheckpoint`
+  * keeps lineage flat. Frontiers are deduped BEFORE the edge join (one
+  * aggregate on node ids) so a dense round cannot fan the same node
+  * into the join twice.
+  *
+  * Frontier joins pick broadcast-vs-shuffle AT RUNTIME from the
+  * frontier's row count: every frontier is already materialized by its
+  * checkpoint (the count doubles as the loop's emptiness test, so it
+  * costs no extra job), and a frontier under `broadcastRowLimit` rows
+  * is hint-broadcast so the edge fan-out runs map-side against the
+  * stationary edge partitions with NO exchange at all. Checkpointed
+  * RDDs carry no size statistics, so the static planner alone would
+  * fall back to sort-merge even for an 18-row seed frontier; above the
+  * limit the hint is withheld and the plan degrades to the sort-merge
+  * the 100 TB case needs. The limit is rows, not bytes, because
+  * frontier rows are fixed-width (2–3 longs).
   *
   * @param edges   (u, v) undirected; self-loops dropped, duplicates and
   *                direction normalized here
@@ -38,16 +53,34 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
-  def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    require(maxHops >= 0, "maxHops must be >= 0")
+  /** Rows under which a frontier/level frame is hint-broadcast (3
+    * longs/row ≈ tens of MB at the limit — inside the session's 64 MB
+    * broadcast ceiling with headroom). */
+  private val BroadcastRowLimit = 2000000L
+
+  /** Symmetrize + dedupe + partition + sort + checkpoint the edge list
+    * in one job: the stationary side every round joins against. */
+  private def symEdges(edges: DataFrame, a: String, b: String): DataFrame = {
     val und = edges.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val sym = und.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
-      .repartition(col("src")).localCheckpoint(true)
+    und.select(explode(array(
+        struct(col("u").as(a), col("v").as(b)),
+        struct(col("v").as(a), col("u").as(b)))).as("e"))
+      .select(col("e." + a).as(a), col("e." + b).as(b))
+      .repartition(col(a)).sortWithinPartitions(a)
+      .localCheckpoint(true)
+  }
 
+  /** Broadcast hint iff the (already materialized) frame is small —
+    * the runtime stand-in for the statistics a checkpoint loses. */
+  private def hinted(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BroadcastRowLimit) broadcast(df) else df
+
+  def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val sym = symEdges(edges, "src", "dst")
     // each round checkpoints ONLY its frontier; the settled set is a
     // union of those already-materialized frontiers, so no round
     // re-materializes the cumulative state
@@ -55,17 +88,22 @@ object Bfs {
       .distinct().localCheckpoint(true)
     var frontiers = List(0L -> seed)
     var frontier = seed
+    var fRows = frontier.count()
     var settled = seed
+    var settledRows = fRows
     var h = 1L
-    while (h <= maxHops && !frontier.isEmpty) {
+    while (h <= maxHops && fRows > 0L) {
       val reached = sym
-        .join(frontier.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(hinted(frontier.withColumnRenamed("node", "src"), fRows),
+          Seq("src"), "left_semi")
         .select(col("dst").as("node")).distinct()
       frontier = reached
-        .join(settled, Seq("node"), "left_anti")
+        .join(hinted(settled, settledRows), Seq("node"), "left_anti")
         .localCheckpoint(true)
+      fRows = frontier.count()
       frontiers ::= h -> frontier
       settled = settled.unionByName(frontier)
+      settledRows += fRows
       h += 1
     }
     frontiers.reverse
@@ -80,43 +118,42 @@ object Bfs {
     * landmark-distance embeddings.
     *
     * Scale shape: identical loop discipline (edges symmetrized +
-    * partitioned once, frontier-only shuffles and checkpoints), but
-    * state is |sources| × reached nodes — the SOURCE SET is the cost
-    * dial. Sample sources (the intended use: centrality over a seeded
-    * sample, scaled up by the sampling rate); `maxSources` raises if a
-    * caller accidentally passes the whole node set.
+    * partitioned + sorted once, frontier-only shuffles and
+    * checkpoints, counted-frontier broadcast), but state is |sources| ×
+    * reached nodes — the SOURCE SET is the cost dial. Sample sources
+    * (the intended use: centrality over a seeded sample, scaled up by
+    * the sampling rate); `maxSources` raises if a caller accidentally
+    * passes the whole node set.
     *
     * @return (src, node, hop), hop ≤ maxHops, including (src, src, 0);
     *         deterministic — min-hop per (src, node) has no ties */
   def perSourceHops(edges: DataFrame, sources: DataFrame, maxHops: Int,
                     maxSources: Long = 100000L): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val und = edges.select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    val sym = und.select(col("u").as("src_n"), col("v").as("dst"))
-      .unionByName(und.select(col("v").as("src_n"), col("u").as("dst")))
-      .repartition(col("src_n")).localCheckpoint(true)
+    val sym = symEdges(edges, "src_n", "dst")
     val seed = sources.select(sources.columns.head).toDF("src")
       .distinct().withColumn("node", col("src")).localCheckpoint(true)
-    require(seed.count() <= maxSources,
+    var fRows = seed.count()
+    require(fRows <= maxSources,
       s"perSourceHops: source set exceeds maxSources=$maxSources - " +
         "sample sources; per-source state is |sources| x reach")
     var frontiers = List(0L -> seed)
     var frontier = seed
     var settled = seed
+    var settledRows = fRows
     var h = 1L
-    while (h <= maxHops && !frontier.isEmpty) {
+    while (h <= maxHops && fRows > 0L) {
       val reached = sym
-        .join(frontier.withColumnRenamed("node", "src_n"),
+        .join(hinted(frontier.withColumnRenamed("node", "src_n"), fRows),
           Seq("src_n"))
         .select(col("src"), col("dst").as("node")).distinct()
       frontier = reached
-        .join(settled, Seq("src", "node"), "left_anti")
+        .join(hinted(settled, settledRows), Seq("src", "node"), "left_anti")
         .localCheckpoint(true)
+      fRows = frontier.count()
       frontiers ::= h -> frontier
       settled = settled.unionByName(frontier)
+      settledRows += fRows
       h += 1
     }
     frontiers.reverse
@@ -160,11 +197,18 @@ object Bfs {
     * ~10-significant-digit ratios — integer floor division has no such
     * surface.
     *
-    * Scale shape: identical to [[perSourceHops]] (edges partitioned
-    * once + frontier-only shuffles) plus one backward join per level —
-    * each joins a LEVEL frame (nodes) to the edge list, never
-    * level×level. State is |sources|·reach, the same dial, guarded by
-    * the same maxSources raise.
+    * Scale shape: identical to [[perSourceHops]] (edges partitioned +
+    * sorted once, counted-frontier broadcast, frontier-only shuffles)
+    * plus one backward join per level. The backward fan-out — each
+    * level-v node paired with its edges, filtered to level-(v+1)
+    * successors — is the inherent Σdeg(level) work; with both the
+    * level and its successor frame under the broadcast limit the whole
+    * fan-out runs map-side over the stationary edge partitions and the
+    * ONLY shuffle is the final partially-aggregated (src, node) sum,
+    * never the fanned intermediate (measured r12: that intermediate is
+    * ~22M rows at sf0.1 while every keyed frame is ≤ 184k). State is
+    * |sources|·reach, the same dial, guarded by the same maxSources
+    * raise.
     *
     * @return per reached node (hop ≥ 1 from any sampled source):
     *         (node, n_pairs — (src,node) dependency terms — dep_e9 —
@@ -176,33 +220,34 @@ object Bfs {
                          maxSources: Long = 100000L): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
     val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val und = edges.select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    val sym = und.select(col("u").as("ev"), col("v").as("ew"))
-      .unionByName(und.select(col("v").as("ev"), col("u").as("ew")))
-      .repartition(col("ev")).localCheckpoint(true)
+    val sym = symEdges(edges, "ev", "ew")
     val seed = sources.select(sources.columns.head).toDF("src")
       .distinct().withColumn("node", col("src"))
       .withColumn("sigma", lit(1L)).localCheckpoint(true)
-    require(seed.count() <= maxSources,
+    var fRows = seed.count()
+    require(fRows <= maxSources,
       s"betweennessSampled: source set exceeds maxSources=$maxSources" +
         " - sample sources; per-source state is |sources| x reach")
     // forward: levels(h) = (src, node, sigma) settled at hop h
     var levels = Vector(seed)
+    var levelRows = Vector(fRows)
     var settled = seed.select("src", "node")
+    var settledRows = fRows
     var h = 1
-    while (h <= maxHops && !levels.last.isEmpty) {
+    while (h <= maxHops && fRows > 0L) {
       val reached = sym
-        .join(levels.last.withColumnRenamed("node", "ev"), Seq("ev"))
+        .join(hinted(levels.last.withColumnRenamed("node", "ev"), fRows),
+          Seq("ev"))
         .groupBy(col("src"), col("ew").as("node"))
         .agg(sum("sigma").as("sigma"))
       val frontier = reached
-        .join(settled, Seq("src", "node"), "left_anti")
+        .join(hinted(settled, settledRows), Seq("src", "node"), "left_anti")
         .localCheckpoint(true)
+      fRows = frontier.count()
       levels :+= frontier
+      levelRows :+= fRows
       settled = settled.unionByName(frontier.select("src", "node"))
+      settledRows += fRows
       h += 1
     }
     val top = levels.length - 1 // deepest materialized level
@@ -210,20 +255,23 @@ object Bfs {
     var deltas = Map(top -> levels(top)
       .select(col("src"), col("node"), lit(0L).cast(d380).as("delta")))
     for (lev <- top - 1 to 1 by -1) {
+      // (src, successor, σ_w, δ_w): both inputs are checkpointed
+      // level-sized frames, so the join inherits the broadcast hint
+      // and the WHOLE succ frame stays eligible as a build side below
       val succ = levels(lev + 1)
-        .join(deltas(lev + 1), Seq("src", "node"))
+        .join(hinted(deltas(lev + 1), levelRows(lev + 1)), Seq("src", "node"))
         .select(col("src"), col("node").as("ew"),
           col("sigma").as("sw"), col("delta").as("dw"))
-      val terms = levels(lev)
+      val terms = hinted(levels(lev), levelRows(lev))
         .join(sym, col("node") === col("ev"))
-        .join(succ, Seq("src", "ew"))
+        .join(hinted(succ, levelRows(lev + 1)), Seq("src", "ew"))
         .select(col("src"), col("node"),
           expr("(cast(sigma as decimal(38,0)) * (1000000000L + dw))" +
             " div sw").cast(d380).as("term"))
+      val agg = terms.groupBy("src", "node")
+        .agg(sum("term").cast(d380).as("delta"))
       val dlev = levels(lev).select("src", "node")
-        .join(terms.groupBy("src", "node")
-            .agg(sum("term").cast(d380).as("delta")),
-          Seq("src", "node"), "left")
+        .join(hinted(agg, levelRows(lev)), Seq("src", "node"), "left")
         .select(col("src"), col("node"),
           coalesce(col("delta"), lit(0L).cast(d380)).as("delta"))
         .localCheckpoint(true)

@@ -38,13 +38,32 @@ object Drift {
     *         6-decimal normalized Σ|p−q| ∈ [0,2]. Slices with zero
     *         tokens are absent (they have no distribution to drift). */
   def l1Drift(docs: DataFrame, slice: Column, text: Column,
-              buckets: Int): DataFrame = {
+              buckets: Int): DataFrame =
+    l1FromHistogram(histogram(docs, slice, text, buckets), buckets)
+
+  /** The drift monitor's STATE: hashed-unigram histogram per slice —
+    * the one stateful aggregate in [[l1Drift]], split out so a
+    * Structured Streaming job can maintain it incrementally (complete-
+    * mode groupBy; merges are plain long sums, so the streamed
+    * histogram is bit-identical to a batch run over the concatenation
+    * — DriftStreamingSpec pins it). Feed the streamed table to
+    * [[l1FromHistogram]] for the per-ingest-day alarm readout. */
+  def histogram(docs: DataFrame, slice: Column, text: Column,
+                buckets: Int): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    val dec = DecimalType(38, 0)
-    val sliceCounts = docs
+    docs
       .select(slice.as("slice"), explode(TextFunctions.tokens(text)).as("tok"))
       .select(col("slice"), (Hashing.hexLong(col("tok")) % buckets).as("bucket"))
       .groupBy("slice", "bucket").agg(count(lit(1)).as("c_s"))
+  }
+
+  /** Finishing math of [[l1Drift]] from a (slice, bucket, c_s)
+    * histogram: reference rollup, dense grid, exact cross-scaled L1.
+    * All inputs are |slices|·B rows — batch-cheap however big the
+    * corpus behind the histogram was. */
+  def l1FromHistogram(sliceCounts: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val dec = DecimalType(38, 0)
     val refCounts = sliceCounts.groupBy("bucket")
       .agg(sum("c_s").as("c_r"))
     val sliceTotals = sliceCounts.groupBy("slice")
@@ -54,7 +73,7 @@ object Drift {
     // |0·N_r − c_r,b·N_s|
     val grid = sliceTotals
       .crossJoin(broadcast(
-        docs.sparkSession.range(buckets).toDF("bucket")))
+        sliceCounts.sparkSession.range(buckets).toDF("bucket")))
       .join(sliceCounts, Seq("slice", "bucket"), "left")
       .join(broadcast(refCounts), Seq("bucket"), "left")
       .crossJoin(broadcast(refTotal))
@@ -181,8 +200,67 @@ object Drift {
             (col("nx").cast(dec) * col("ny") * lit(1000000000000L)).cast(dec))
             .cast("long")).as("t"))
       .groupBy("nx", "ny")
-      .agg(sum(col("t") * col("t")).as("mmd2_e12"))
+      // Σt² as DECIMAL(38,0): a per-(i,j) t tops out near 1.8e7 on
+      // the gated domain, so >~28k terms would silently wrap a long
+      // accumulator while the DECIMAL oracle raises — match the
+      // mx/my exact-decimal discipline and cast once at the end.
+      .agg(sum((col("t") * col("t")).cast(dec)).as("mmd2dec"))
       .select(col("nx").as("n_ref"), col("ny").as("n_cur"),
-        col("mmd2_e12"))
+        col("mmd2dec").cast("long").as("mmd2_e12"))
+  }
+
+  /** [[mmdQuadratic]]'s STATE as ONE aggregate, for Structured
+    * Streaming: the (i, j) moment grid with per-cell row counts folded
+    * in (cx/cy — every non-empty vector contributes to every cell, so
+    * cell (0,0) carries the slice row counts and no second aggregate
+    * is needed; a streaming query supports only one). Merges are plain
+    * decimal/long sums, so the streamed grid is bit-identical to a
+    * batch run over the concatenation (DriftStreamingSpec). Feed the
+    * streamed table to [[mmdFromMoments]].
+    *
+    * Caveat vs the batch [[mmdQuadratic]]: a row whose embedding is
+    * EMPTY contributes no cells, so it is invisible to the streamed
+    * n_ref/n_cur, while the batch counts it (it still has no moment
+    * mass either way). Identical outputs whenever vectors are
+    * non-empty — the embedding-table contract. */
+  def mmdMoments(df: DataFrame, vec: Column, isRef: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.select(isRef.as("ref"),
+        graft.expressions.DecimalVectorOps.scale9Col(vec).as("e9"))
+      .filter(col("ref").isNotNull)
+      .withColumn("e9", expr(
+        "CASE WHEN forall(e9, x -> x IS NULL OR abs(x) <= 3000000000) " +
+          "THEN e9 ELSE raise_error(" +
+          "'mmdMoments: |element| > 3.0 overflows the long product') END"))
+    rows.select(col("ref"), explode(expr(
+        "flatten(transform(e9, (xi, i) -> transform(e9, (xj, j) -> " +
+          "named_struct('i', i, 'j', j, 'p', xi * xj))))")).as("t"))
+      .select(col("ref"), col("t.i").as("i"), col("t.j").as("j"),
+        col("t.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(when(col("ref"), col("p")).otherwise(0L).cast(dec)).as("mx"),
+        sum(when(!col("ref"), col("p")).otherwise(0L).cast(dec)).as("my"),
+        sum(when(col("ref"), 1L).otherwise(0L)).as("cx"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("cy"))
+  }
+
+  /** Finishing math of [[mmdQuadratic]] from a [[mmdMoments]] grid:
+    * d² rows in, one row out — batch-cheap regardless of how much
+    * stream flowed into the moments. */
+  def mmdFromMoments(moments: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val n = moments.filter(col("i") === 0 && col("j") === 0)
+      .select(col("cx").as("nx"), col("cy").as("ny"))
+    moments.crossJoin(broadcast(n))
+      .select(col("nx"), col("ny"),
+        when(col("nx") > 0L && col("ny") > 0L,
+          graft.functions.ColumnOps.divFloorDec(
+            abs((col("mx") * col("ny") - col("my") * col("nx")).cast(dec)),
+            (col("nx").cast(dec) * col("ny") * lit(1000000000000L)).cast(dec))
+            .cast("long")).as("t"))
+      .groupBy("nx", "ny")
+      .agg(sum((col("t") * col("t")).cast(dec)).as("mmd2dec"))
+      .select(col("nx").as("n_ref"), col("ny").as("n_cur"),
+        col("mmd2dec").cast("long").as("mmd2_e12"))
   }
 }

@@ -65,6 +65,15 @@ object Survival {
     risk
       .agg(array_sort(collect_list(struct(col("t"), col("n_at_risk"),
         col("d"), col("c")))).as("g"))
+      // BOUNDED-op guard (the AsOfJoin/Bfs require() discipline, but
+      // data-dependent so enforced in-plan): the prefix refold below
+      // is O(grid²) on one task — a caller feeding a fine duration
+      // unit (seconds instead of weeks) must hear about it, not get a
+      // silent quadratic single-task stage. 10k grid ≈ 5e7 folds.
+      .withColumn("g", expr(
+        "CASE WHEN size(g) <= 10000 THEN g ELSE raise_error(concat(" +
+          "'kaplanMeier: time grid has ', size(g), ' distinct times " +
+          "(max 10000) - coarsen the duration unit')) END"))
       .select(col("g"), posexplode(col("g")))
       .select(col("col.t").as("t"), col("col.n_at_risk").as("n_at_risk"),
         col("col.d").as("d"), col("col.c").as("c"),

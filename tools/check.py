@@ -33,6 +33,18 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # per-query artifact rows (driver CORRECTNESS schema + col_mismatch):
+    # a red names its COLUMN(S) right in the artifact, no manual
+    # replay_red.py run needed (r11 verdict ask #4)
+    report = {}
+
+    def record(name, rows_m, schema_m, hash_m, s_rows, o_rows,
+               err=None, cols=None):
+        report[name] = {"rows_match": rows_m, "schema_match": schema_m,
+                        "hash_match": hash_m, "spark_rows": s_rows,
+                        "oracle_rows": o_rows, "err": err,
+                        "col_mismatch": sorted(cols or [])}
+
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -40,6 +52,8 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})")
+            record(name, False, False, False, None, None,
+                   err=f"no spark output: {e}")
             n_fail += 1
             continue
         try:
@@ -54,34 +68,49 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             if huge:
                 print(f"FAIL {name}: oracle emits HUGEINT column(s) "
                       f"{huge} — CAST to BIGINT in the oracle SQL")
+                record(name, True, False, False, len(got), None,
+                       err="oracle emits HUGEINT", cols=huge)
                 n_fail += 1
                 continue
             exp = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            record(name, False, False, False, len(got), None,
+                   err=f"oracle error: {e}")
             n_fail += 1
             continue
         g, x = canon(got), canon(exp)
         if list(g.columns) != list(x.columns):
             print(f"FAIL {name}: columns spark={list(g.columns)} oracle={list(x.columns)}")
+            record(name, len(g) == len(x), False, False, len(g), len(x),
+                   cols=set(g.columns) ^ set(x.columns))
             n_fail += 1
             continue
         if len(g) != len(x):
             print(f"FAIL {name}: rows spark={len(g)} oracle={len(x)}")
+            record(name, False, True, False, len(g), len(x))
             n_fail += 1
             continue
         try:
             pd.testing.assert_frame_equal(g, x, check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(g)} rows)")
+            record(name, True, True, True, len(g), len(x))
             n_pass += 1
         except AssertionError as e:
-            print(f"FAIL {name}: values differ:\n{str(e)[:2000]}")
+            # name the column(s): NaN-tolerant per-cell compare (same
+            # row counts and canonical order are guaranteed above)
             diff = (g != x) & ~(g.isna() & x.isna())
+            bad_cols = [c for c in g.columns if diff[c].any()]
+            print(f"FAIL {name}: values differ in column(s) {bad_cols}:"
+                  f"\n{str(e)[:2000]}")
             rows = diff.any(axis=1)
             if rows.any():
                 print("spark:\n", g[rows].head(5))
                 print("oracle:\n", x[rows].head(5))
+            record(name, True, True, False, len(g), len(x), cols=bad_cols)
             n_fail += 1
+    with open(f"{out_dir}/check_result.json", "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True, default=str)
     if only:
         # the exit code below reflects ONLY the selected subset — make it
         # impossible to mistake a filtered run for a full certification
