@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/** Counted-broadcast hint for iterative graph loops (r12): the frames
+  * an iteration re-joins every round are `localCheckpoint`ed RDD scans,
+  * which carry NO size statistics — the static planner sees them as
+  * huge and falls back to sort-merge even for an 18-row frontier,
+  * re-sorting the stationary million-edge side every round. But the
+  * loop usually KNOWS the row count (the per-round count doubles as
+  * the emptiness test), so the driver can make the decision AQE can't:
+  * hint-broadcast a frame known to be small, and withhold the hint —
+  * degrading to the sort-merge plan the 100 TB case needs — when it
+  * isn't. The limit is rows, not bytes, because these frames are
+  * fixed-width (2–4 longs). */
+private[graft] object Hints {
+
+  /** 2M rows of 2–4 longs ≈ tens of MB: inside the session's 64 MB
+    * broadcast ceiling with headroom. */
+  val BroadcastRowLimit = 2000000L
+
+  /** Broadcast `df` iff the caller-known `rows` is under the limit.
+    * `rows` may be an upper BOUND (e.g. a parent frame's count) —
+    * over-estimating only costs a missed hint, never a too-big
+    * broadcast. Long.MaxValue (the default at call sites that predate
+    * the count) always withholds the hint. */
+  def hinted(df: DataFrame, rows: Long,
+             limit: Long = BroadcastRowLimit): DataFrame =
+    if (rows <= limit) broadcast(df) else df
+}

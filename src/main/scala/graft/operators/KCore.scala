@@ -46,9 +46,13 @@ object KCore {
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    // both directions so degree = one groupBy on src; partitioned once
-    var e = und.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    // both directions in ONE scan (explode — a union of two selects
+    // would compute the upstream distinct twice inside the checkpoint
+    // job) so degree = one groupBy on src; partitioned once
+    var e = und.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .repartition(col("src")).localCheckpoint(true)
     var alive: DataFrame = null
     for (_ <- 1 to iters) {

@@ -21,8 +21,14 @@ import org.apache.spark.sql.functions._
   * each of the `length` steps is one equi-join of the walk frontier
   * (|nodes|·walksPerNode rows) against the indexed edge list on
   * (node, picked index); per-step localCheckpoint keeps lineage flat.
-  * Walk state never materializes paths — the output is the LONG table
-  * (start, wid, step, node), ready to window into skip-gram pairs.
+  * The walker count is CONSTANT (|nodes|·walksPerNode — walkers never
+  * die on a symmetrized graph), so it is counted once and every step's
+  * frontier-side join takes the counted-broadcast hint
+  * ([[Hints.hinted]]): under the limit the indexed edge list is
+  * probed map-side with no per-step shuffle or re-sort; above it the
+  * plan degrades to sort-merge. Walk state never materializes paths —
+  * the output is the LONG table (start, wid, step, node), ready to
+  * window into skip-gram pairs.
   *
   * @param edges (u, v) undirected; symmetrized/deduped here
   * @return (start, wid, step 0..length, node) — every walk advances
@@ -39,8 +45,12 @@ object RandomWalks {
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val sym = und.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    // one-scan symmetrization (a union of two selects would compute
+    // the upstream edge pipeline twice inside the checkpoint job)
+    val sym = und.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val wIdx = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy("dst")
     val nbr = sym
@@ -48,6 +58,8 @@ object RandomWalks {
       .localCheckpoint(true)
     val deg = nbr.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    val degRows = deg.count()
+    val walkers = degRows * walksPerNode
     val starts = deg.select(col("src").as("start"))
       .crossJoin(broadcast(
         edges.sparkSession.range(walksPerNode).select(
@@ -57,7 +69,7 @@ object RandomWalks {
     val steps = scala.collection.mutable.ArrayBuffer(
       frontier.withColumn("step", lit(0)))
     for (s <- 1 to length) {
-      frontier = uniformStep(frontier, nbr, deg, seed, s)
+      frontier = uniformStep(frontier, nbr, deg, seed, s, degRows, walkers)
         .localCheckpoint(true)
       steps += frontier.withColumn("step", lit(s))
     }
@@ -66,19 +78,24 @@ object RandomWalks {
   }
 
   /** One uniform pick: frontier ⋈ deg (hash the step's r), then the
-    * (src, idx) equi-join into the indexed neighbor list. Exposed for
+    * (src, idx) equi-join into the indexed neighbor list — both joins
+    * counted-broadcast ([[Hints.hinted]]; degRows/walkers are loop
+    * constants, so under the limit the million-edge nbr frame is
+    * probed map-side instead of re-sorted every step). Exposed for
     * plan pinning (the loop checkpoints each result, hiding the join
     * shape from the assembled plan). */
   private[graft] def uniformStep(frontier: DataFrame, nbr: DataFrame,
-                                 deg: DataFrame, seed: Long,
-                                 s: Int): DataFrame =
+                                 deg: DataFrame, seed: Long, s: Int,
+                                 degRows: Long = Long.MaxValue,
+                                 walkers: Long = Long.MaxValue): DataFrame =
     frontier
-      .join(deg, col("node") === col("src"))
+      .join(Hints.hinted(deg, degRows), col("node") === col("src"))
       .withColumn("idx",
         pmod(graft.functions.Hashing.hexLong(concat_ws(":",
           lit(seed), col("start"), col("wid"), lit(s))), col("deg")))
       .select(col("start"), col("wid"), col("src"), col("idx"))
-      .join(nbr, Seq("src", "idx"))
+      .transform(picked =>
+        nbr.join(Hints.hinted(picked, walkers), Seq("src", "idx")))
       .select(col("start"), col("wid"), col("dst").as("node"))
 
   /** Second-order (node2vec-shaped; Grover-Leskovec 2016) biased walks:
@@ -114,8 +131,12 @@ object RandomWalks {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    val sym = und.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
+    val undRows = und.count()
+    // one-scan symmetrization over the (checkpointed) normalized pairs
+    val sym = und.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     val starts = sym.select(col("src")).distinct()
       .select(col("src").as("start"))
@@ -126,12 +147,13 @@ object RandomWalks {
       .withColumn("prev", lit(-1L).cast(starts.schema("start").dataType))
       .withColumn("node", col("start"))
       .localCheckpoint(true)
+    val walkers = frontier.count() // constant: walkers never die
     val steps = scala.collection.mutable.ArrayBuffer(
       frontier.select(col("start"), col("wid"), lit(0).as("step"),
         col("node")))
     for (s <- 1 to length) {
       frontier = node2vecStep(frontier, sym, und, seed, s,
-        wReturn, wIn, wOut).localCheckpoint(true)
+        wReturn, wIn, wOut, walkers, undRows).localCheckpoint(true)
       steps += frontier.select(col("start"), col("wid"),
         lit(s).as("step"), col("node"))
     }
@@ -139,30 +161,42 @@ object RandomWalks {
       .select("start", "wid", "step", "node")
   }
 
-  /** One biased pick: neighbor fan-out (equi-join on src), prev-edge
-    * membership check (equi-join on the normalized pair), then the
-    * cumulative-weight slot filter in a (start,wid)-keyed window.
-    * Exposed for plan pinning, like [[uniformStep]]. */
+  /** One biased pick: neighbor fan-out (equi-join on src,
+    * counted-broadcast on the walker side so the edge list streams
+    * map-side), prev-edge membership check (equi-join on the
+    * normalized pair, counted-broadcast on the edge set when it fits),
+    * then the cumulative-weight slot filter in a (start,wid)-keyed
+    * window — the running slot sum and the total weight share ONE
+    * window ordering (the total is the unbounded-frame sum over the
+    * same sort), so the fanned rows are exchanged and sorted once per
+    * step, not twice. Exposed for plan pinning, like [[uniformStep]]. */
   private[graft] def node2vecStep(frontier: DataFrame, sym: DataFrame,
                                   und: DataFrame, seed: Long, s: Int,
-                                  wReturn: Int, wIn: Int,
-                                  wOut: Int): DataFrame = {
-    val wKey = org.apache.spark.sql.expressions.Window
-      .partitionBy("start", "wid")
-    frontier
+                                  wReturn: Int, wIn: Int, wOut: Int,
+                                  walkers: Long = Long.MaxValue,
+                                  undRows: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("start", "wid").orderBy("dst")
+    // the pick hash is a per-WALKER value: compute it on the frontier
+    // (|walkers| md5s) before the fan-out, not on the fanned rows
+    // (Σdeg md5s — measured r12: the md5 dominated the step CPU)
+    val seeded = frontier.withColumn("h",
+      graft.functions.Hashing.hexLong(concat_ws(":",
+        lit(seed), col("start"), col("wid"), lit(s))))
+    Hints.hinted(seeded, walkers)
       .join(sym, col("node") === col("src"))
-      .join(und.select(col("u").as("eu"), col("v").as("ev")),
+      .join(Hints.hinted(und.select(col("u").as("eu"), col("v").as("ev")),
+          undRows),
         least(col("prev"), col("dst")) === col("eu") &&
           greatest(col("prev"), col("dst")) === col("ev"), "left")
-      .withColumn("w",
+      .select(col("start"), col("wid"), col("node"), col("dst"), col("h"),
         when(col("dst") === col("prev"), lit(wReturn.toLong))
           .when(col("eu").isNotNull, lit(wIn.toLong))
-          .otherwise(lit(wOut.toLong)))
-      .withColumn("cw", sum(col("w")).over(wKey.orderBy("dst")))
-      .withColumn("tw", sum(col("w")).over(wKey))
-      .withColumn("r",
-        pmod(graft.functions.Hashing.hexLong(concat_ws(":",
-          lit(seed), col("start"), col("wid"), lit(s))), col("tw")))
+          .otherwise(lit(wOut.toLong)).as("w"))
+      .withColumn("cw", sum(col("w")).over(wOrd))
+      .withColumn("tw", sum(col("w")).over(wOrd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("r", pmod(col("h"), col("tw")))
       .filter(col("cw") - col("w") <= col("r") &&
         col("r") < col("cw"))
       .select(col("start"), col("wid"), col("node").as("prev"),

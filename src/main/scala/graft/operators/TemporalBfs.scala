@@ -38,7 +38,10 @@ object TemporalBfs {
                       maxRounds: Int = 100): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be positive")
     val e = edges.select(col("src"), col("dst"), col("t"))
-      .repartition(col("src")).localCheckpoint(true)
+      // partitioned AND sorted on the join key once: every hop's
+      // sort-merge join then re-sorts only the (small) label side
+      .repartition(col("src")).sortWithinPartitions("src")
+      .localCheckpoint(true)
     val srcs = sources.select(col("node")).distinct().localCheckpoint(true)
     // arrival: reached non-source nodes; MinValue marks the sources
     var arrival = srcs.select(col("node"), lit(Long.MinValue).as("arrival"))

@@ -101,11 +101,17 @@ object Triangles {
       !r.isNullAt(0) && r.getLong(0) >= 0 &&
         r.getLong(1) < (1L << 32) && r.getLong(2) < (1L << 31)
     }
+    // counted-broadcast dials (both frames are checkpointed, so the
+    // counts are cached scans): under the limit the wedge fan-out and
+    // the closing semi-join probe the edge set map-side instead of
+    // shuffling the O(m^1.5) wedge stream into a sort-merge join
+    val m = und.count()
+    val nNodes = deg.count()
     val oriented = (if (packable) {
       // key = deg·2^32 + id: injective, same total order as (deg, id)
       val keyed = und
-        .join(deg.toDF("lo", "deg_lo"), Seq("lo"))
-        .join(deg.toDF("hi", "deg_hi"), Seq("hi"))
+        .join(Hints.hinted(deg.toDF("lo", "deg_lo"), nNodes), Seq("lo"))
+        .join(Hints.hinted(deg.toDF("hi", "deg_hi"), nNodes), Seq("hi"))
         .select(
           (shiftleft(col("deg_lo"), 32) + col("lo").cast("long")).as("klo"),
           (shiftleft(col("deg_hi"), 32) + col("hi").cast("long")).as("khi"))
@@ -117,8 +123,8 @@ object Triangles {
       val klo = struct(col("deg_lo").as("d"), col("lo").as("i"))
       val khi = struct(col("deg_hi").as("d"), col("hi").as("i"))
       und
-        .join(deg.toDF("lo", "deg_lo"), Seq("lo"))
-        .join(deg.toDF("hi", "deg_hi"), Seq("hi"))
+        .join(Hints.hinted(deg.toDF("lo", "deg_lo"), nNodes), Seq("lo"))
+        .join(Hints.hinted(deg.toDF("hi", "deg_hi"), nNodes), Seq("hi"))
         .select(
           when(klo < khi, struct(klo.as("src"), khi.as("dst")))
             .otherwise(struct(khi.as("src"), klo.as("dst"))).as("e"))
@@ -127,10 +133,12 @@ object Triangles {
     // wedges at the unique low node of each triangle: out-neighbor pairs
     // ordered by the SAME (deg, id) key, so the closing edge — if present
     // — is oriented x -> y and one equi-join finds it
-    val wedgePairs = oriented.toDF("src", "x").join(oriented.toDF("src", "y"), Seq("src"))
+    val wedgePairs = oriented.toDF("src", "x")
+      .join(Hints.hinted(oriented.toDF("src", "y"), m), Seq("src"))
       .filter(col("x") < col("y"))
       .select(col("x").as("src"), col("y").as("dst"))
-    val tri = wedgePairs.join(oriented, Seq("src", "dst"), "left_semi")
+    val tri = wedgePairs.join(Hints.hinted(oriented, m),
+      Seq("src", "dst"), "left_semi")
     val nTri = tri.agg(count(lit(1)).as("n_triangles"))
     val stats = und.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
@@ -162,24 +170,28 @@ object Triangles {
         greatest(col("u"), col("v")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
       .localCheckpoint(true)
+    // m is the counted-broadcast dial for the wedge joins below (the
+    // node count is bounded by 2m, so one count serves both hints)
+    val m = und.count()
     val deg = und.select(col("lo").as("node"))
       .unionByName(und.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val klo = struct(col("deg_lo").as("d"), col("lo").as("i"))
     val khi = struct(col("deg_hi").as("d"), col("hi").as("i"))
     val oriented = und
-      .join(deg.toDF("lo", "deg_lo"), Seq("lo"))
-      .join(deg.toDF("hi", "deg_hi"), Seq("hi"))
+      .join(Hints.hinted(deg.toDF("lo", "deg_lo"), 2 * m), Seq("lo"))
+      .join(Hints.hinted(deg.toDF("hi", "deg_hi"), 2 * m), Seq("hi"))
       .select(when(klo < khi, struct(klo.as("src"), khi.as("dst")))
         .otherwise(struct(khi.as("src"), klo.as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     val wedges = oriented.toDF("src", "x")
-      .join(oriented.toDF("src", "y"), Seq("src"))
+      .join(Hints.hinted(oriented.toDF("src", "y"), m), Seq("src"))
       .filter(col("x") < col("y"))
       .select(col("src").as("s"), col("x"), col("y"))
     val tri = wedges.join(
-      oriented.select(col("src").as("x"), col("dst").as("y")), Seq("x", "y"))
+      Hints.hinted(oriented.select(col("src").as("x"), col("dst").as("y")),
+        m), Seq("x", "y"))
     val triEdges = tri.select(col("s.i").as("a"), col("x.i").as("b"))
       .unionByName(tri.select(col("s.i").as("a"), col("y.i").as("b")))
       .unionByName(tri.select(col("x.i").as("a"), col("y.i").as("b")))
@@ -187,7 +199,7 @@ object Triangles {
       .select(least(col("a"), col("b")).as("lo"),
         greatest(col("a"), col("b")).as("hi"))
       .groupBy("lo", "hi").agg(count(lit(1)).as("__sup"))
-    und.join(support, Seq("lo", "hi"), "left")
+    und.join(Hints.hinted(support, m), Seq("lo", "hi"), "left")
       .select(col("lo"), col("hi"),
         coalesce(col("__sup"), lit(0L)).as("support"))
   }
