@@ -6040,6 +6040,34 @@ object SparkEntry {
       Triangles.ktruss(e, k = 4, rounds = 2).orderBy("lo", "hi")
     }),
 
+    // Drift (streaming state path) — the SPLIT spelling of q144's L1
+    // drift: Drift.histogram (the one stateful aggregate a complete-
+    // mode streaming query maintains; DriftStreamingSpec pins
+    // streamed ≡ batch) finished by Drift.l1FromHistogram. Gated on a
+    // DIFFERENT slicing (lang, 32 buckets) so this is its own
+    // evidence, not a q144 alias: a red here with q144 green indicts
+    // the split/finish seam itself.
+    "q392_drift_histogram_path" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      Drift.l1FromHistogram(
+          Drift.histogram(d, col("lang"), col("text"), buckets = 32),
+          buckets = 32)
+        .withColumn("l1_cross", col("l1_cross").cast("long"))
+        .withColumn("drift", col("drift").cast("string"))
+        .orderBy("slice")
+    }),
+
+    // Drift (streaming state path) — the SPLIT spelling of q390's
+    // MMD²: Drift.mmdMoments (one (i,j)-grid aggregate with the slice
+    // counts folded into the (0,0) cells — the single aggregate a
+    // streaming query is allowed) finished by Drift.mmdFromMoments.
+    // Different slice predicate (label % 3) than q390, same exact
+    // integer discipline.
+    "q393_mmd_moments_path" -> ((s, dir) =>
+      Drift.mmdFromMoments(Drift.mmdMoments(
+        Tables.load(s, dir, "embeddings"),
+        col("embedding"), col("label") % 3 === 0))),
+
     // Survival — Nelson-Aalen cumulative hazard (Survival
     // .nelsonAalen): q243's cohort under the additive-hazard
     // estimator; per event time the stated floor ⌊d·10⁹/n⌋, exact
@@ -12956,6 +12984,64 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT)
         |      AS ny
         |  FROM e),
+        |t AS (SELECT nx, ny,
+        |    CASE WHEN nx > 0 AND ny > 0 THEN
+        |      CAST(abs(mx * ny - my * nx)
+        |        // (CAST(nx AS HUGEINT) * ny * 1000000000000)
+        |        AS BIGINT) END AS t
+        |  FROM m, n)
+        |SELECT nx AS n_ref, ny AS n_cur,
+        |  CAST(SUM(t * t) AS BIGINT) AS mmd2_e12
+        |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "q392_drift_histogram_path" ->
+      """WITH toks AS (SELECT lang AS slice,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32 AS bucket
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |sc AS (SELECT slice, bucket, CAST(COUNT(*) AS BIGINT) AS c_s
+        |       FROM toks GROUP BY slice, bucket),
+        |rc AS (SELECT bucket, CAST(SUM(c_s) AS BIGINT) AS c_r
+        |       FROM sc GROUP BY bucket),
+        |stot AS (SELECT slice, CAST(SUM(c_s) AS BIGINT) AS n_s
+        |         FROM sc GROUP BY slice),
+        |rtot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r FROM rc),
+        |b AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(32)),
+        |g AS (SELECT st.slice, st.n_s, rt.n_r, b.bucket,
+        |        COALESCE(sc.c_s, 0) AS c_s, COALESCE(rc.c_r, 0) AS c_r
+        |      FROM stot st CROSS JOIN b
+        |      LEFT JOIN sc ON sc.slice = st.slice AND sc.bucket = b.bucket
+        |      LEFT JOIN rc ON rc.bucket = b.bucket
+        |      CROSS JOIN rtot rt),
+        |a AS (SELECT slice, MIN(n_s) AS n_s, MIN(n_r) AS n_r,
+        |        SUM(ABS(CAST(c_s AS HUGEINT) * n_r
+        |          - CAST(c_r AS HUGEINT) * n_s)) AS l1
+        |      FROM g GROUP BY slice)
+        |SELECT slice, CAST(n_s AS BIGINT) AS n_tokens,
+        |  CAST(l1 AS BIGINT) AS l1_cross,
+        |  printf('%.6f', CAST(l1 AS DOUBLE)
+        |    / (CAST(n_s AS DOUBLE) * CAST(n_r AS DOUBLE))) AS drift
+        |FROM a ORDER BY slice""".stripMargin,
+
+    "q393_mmd_moments_path" ->
+      """WITH e AS (SELECT vec_id, label % 3 = 0 AS ref, embedding
+        |    FROM embeddings),
+        |f AS (SELECT vec_id, ref,
+        |    generate_subscripts(embedding, 1) - 1 AS i,
+        |    CAST(CAST(CAST(CAST(unnest(embedding) AS DOUBLE) AS VARCHAR)
+        |      AS DECIMAL(18,9)) * 1000000000 AS BIGINT) AS x9
+        |  FROM e),
+        |p AS (SELECT a.ref, a.i AS i, b.i AS j, a.x9 * b.x9 AS p
+        |  FROM f a JOIN f b USING (vec_id)),
+        |m AS (SELECT i, j,
+        |    CAST(SUM(CASE WHEN ref THEN p ELSE 0 END) AS HUGEINT) AS mx,
+        |    CAST(SUM(CASE WHEN NOT ref THEN p ELSE 0 END) AS HUGEINT)
+        |      AS my,
+        |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+        |    CAST(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cy
+        |  FROM p GROUP BY 1, 2),
+        |n AS (SELECT cx AS nx, cy AS ny FROM m WHERE i = 0 AND j = 0),
         |t AS (SELECT nx, ny,
         |    CASE WHEN nx > 0 AND ny > 0 THEN
         |      CAST(abs(mx * ny - my * nx)
