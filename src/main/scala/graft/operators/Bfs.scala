@@ -255,27 +255,9 @@ object Bfs {
     var deltas = Map(top -> levels(top)
       .select(col("src"), col("node"), lit(0L).cast(d380).as("delta")))
     for (lev <- top - 1 to 1 by -1) {
-      // (src, successor, σ_w, δ_w): both inputs are checkpointed
-      // level-sized frames, so the join inherits the broadcast hint
-      // and the WHOLE succ frame stays eligible as a build side below
-      val succ = levels(lev + 1)
-        .join(hinted(deltas(lev + 1), levelRows(lev + 1)), Seq("src", "node"))
-        .select(col("src"), col("node").as("ew"),
-          col("sigma").as("sw"), col("delta").as("dw"))
-      val terms = hinted(levels(lev), levelRows(lev))
-        .join(sym, col("node") === col("ev"))
-        .join(hinted(succ, levelRows(lev + 1)), Seq("src", "ew"))
-        .select(col("src"), col("node"),
-          expr("(cast(sigma as decimal(38,0)) * (1000000000L + dw))" +
-            " div sw").cast(d380).as("term"))
-      val agg = terms.groupBy("src", "node")
-        .agg(sum("term").cast(d380).as("delta"))
-      val dlev = levels(lev).select("src", "node")
-        .join(hinted(agg, levelRows(lev)), Seq("src", "node"), "left")
-        .select(col("src"), col("node"),
-          coalesce(col("delta"), lit(0L).cast(d380)).as("delta"))
+      deltas += lev -> backwardRound(levels(lev), levels(lev + 1),
+        deltas(lev + 1), sym, levelRows(lev), levelRows(lev + 1))
         .localCheckpoint(true)
-      deltas += lev -> dlev
     }
     (1 to top).map(deltas(_)).reduce(_ unionByName _)
       .groupBy("node")
@@ -283,5 +265,39 @@ object Bfs {
         sum("delta").cast(d380).as("dep"))
       .select(col("node"), col("n_pairs"),
         col("dep").cast("string").as("dep_e9"))
+  }
+
+  /** One Brandes backward round: δ(levelLo) pulled from (levelLo+1)'s
+    * σ/δ through the edge list. Both keyed frames take the counted-
+    * broadcast hint, so under the limit the Σdeg(level) fan-out and
+    * the successor filter run map-side over the stationary edge
+    * partitions and the ONLY shuffle is the partially-aggregated
+    * (src, node) term sum — never the fanned intermediate (~22M rows
+    * at sf0.1 vs ≤184k for every keyed frame). Exposed for plan
+    * pinning (the loop checkpoints each round's result, which hides
+    * the join shape from the assembled plan). */
+  private[graft] def backwardRound(levelLo: DataFrame, levelHi: DataFrame,
+                                   deltaHi: DataFrame, sym: DataFrame,
+                                   loRows: Long, hiRows: Long): DataFrame = {
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // (src, successor, σ_w, δ_w): both inputs are checkpointed
+    // level-sized frames, so the join inherits the broadcast hint
+    // and the WHOLE succ frame stays eligible as a build side below
+    val succ = levelHi
+      .join(hinted(deltaHi, hiRows), Seq("src", "node"))
+      .select(col("src"), col("node").as("ew"),
+        col("sigma").as("sw"), col("delta").as("dw"))
+    val terms = hinted(levelLo, loRows)
+      .join(sym, col("node") === col("ev"))
+      .join(hinted(succ, hiRows), Seq("src", "ew"))
+      .select(col("src"), col("node"),
+        expr("(cast(sigma as decimal(38,0)) * (1000000000L + dw))" +
+          " div sw").cast(d380).as("term"))
+    val agg = terms.groupBy("src", "node")
+      .agg(sum("term").cast(d380).as("delta"))
+    levelLo.select("src", "node")
+      .join(hinted(agg, loRows), Seq("src", "node"), "left")
+      .select(col("src"), col("node"),
+        coalesce(col("delta"), lit(0L).cast(d380)).as("delta"))
   }
 }

@@ -164,11 +164,17 @@ object Triangles {
     * via a left join back onto the edge list.
     *
     * @param edges (u, v) undirected (direction/duplicates normalized)
+    * @param normalized the input is ALREADY distinct u < v pairs (the
+    *              [[triangleStats]] flag): [[ktruss]] rounds feed the
+    *              previous round's survivors back, which stay
+    *              normalized — skipping a full normalize+distinct
+    *              shuffle of the edge list per peel round
     * @return (lo, hi, support) for every distinct edge */
-  def edgeSupport(edges: DataFrame): DataFrame = {
-    val und = edges.select(least(col("u"), col("v")).as("lo"),
-        greatest(col("u"), col("v")).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct()
+  def edgeSupport(edges: DataFrame, normalized: Boolean = false): DataFrame = {
+    val und = (if (normalized) edges.select(col("u").as("lo"), col("v").as("hi"))
+      else edges.select(least(col("u"), col("v")).as("lo"),
+          greatest(col("u"), col("v")).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct())
       .localCheckpoint(true)
     // m is the counted-broadcast dial for the wedge joins below (the
     // node count is bounded by 2m, so one count serves both hints)
@@ -234,12 +240,16 @@ object Triangles {
       .filter(col("lo") =!= col("hi")).distinct()
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      e = edgeSupport(e.select(col("lo").as("u"), col("hi").as("v")))
+      // survivors stay normalized (u < v, distinct) — skip the
+      // per-round normalize+distinct shuffle
+      e = edgeSupport(e.select(col("lo").as("u"), col("hi").as("v")),
+          normalized = true)
         .filter(col("support") >= (k - 2).toLong)
         .select("lo", "hi")
         .localCheckpoint(true)
     }
-    edgeSupport(e.select(col("lo").as("u"), col("hi").as("v")))
+    edgeSupport(e.select(col("lo").as("u"), col("hi").as("v")),
+      normalized = true)
   }
 
   /** Per-node local clustering coefficient — [[triangleStats]] reports

@@ -770,4 +770,80 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
       s"candidate/label joins must be equi-joins:\n${p.take(1500)}")
   }
+
+  test("Hints.hinted: counted broadcast fires under the limit and is " +
+    "withheld above it (the 100 TB degradation path)") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS a")
+      .repartition(col("k")).localCheckpoint(true)
+    val small = spark.range(0, 100).selectExpr("id AS k", "id * 7 AS b")
+      .localCheckpoint(true)
+    // under the limit: the hint must force a BroadcastHashJoin even
+    // though both sides are stat-less checkpointed RDD scans
+    val hintOn = big.join(graft.operators.Hints.hinted(small, 100L),
+      Seq("k")).queryExecution.executedPlan.toString
+    assert(hintOn.contains("BroadcastHashJoin"),
+      s"counted hint under limit must broadcast:\n${hintOn.take(1500)}")
+    // above the limit the hint is WITHHELD — hinted() is the identity
+    // (returns the frame untouched), so the planner decides from its
+    // own statistics exactly as if Hints were never involved; the
+    // operators never FORCE a broadcast of a frame counted too big
+    assert(graft.operators.Hints.hinted(small, Long.MaxValue) eq small,
+      "withheld hint must be the identity")
+    assert(graft.operators.Hints.hinted(small,
+      graft.operators.Hints.BroadcastRowLimit + 1L) eq small,
+      "one row over the limit must withhold the hint")
+  }
+
+  test("q315: a counted Brandes backward round broadcasts the level " +
+    "frames — the fanned dependency stream never sort-merges") {
+    import org.apache.spark.sql.functions._
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sym = spark.range(0, 400)
+      .selectExpr("id % 37 AS ev", "(id * 13) % 41 + 37 AS ew")
+      .localCheckpoint(true)
+    val lo = spark.range(0, 30).selectExpr("id % 5 AS src", "id AS node",
+      "1 AS sigma").localCheckpoint(true)
+    val hi = spark.range(37, 78).selectExpr("id % 5 AS src", "id AS node",
+      "2 AS sigma").localCheckpoint(true)
+    val dHi = hi.select(col("src"), col("node"),
+      lit(0L).cast(d380).as("delta")).localCheckpoint(true)
+    val p = graft.operators.Bfs
+      .backwardRound(lo, hi, dHi, sym, loRows = 30L, hiRows = 41L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"counted level frames must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"no SMJ may touch the fanned stream at this size:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q331: a counted uniform-walk step probes the indexed neighbor " +
+    "list map-side (broadcast), never re-sorting it") {
+    import org.apache.spark.sql.functions._
+    val edges = spark.range(0, 2000)
+      .selectExpr("id % 97 AS u", "(id * 31) % 89 AS v")
+      .filter(col("u") =!= col("v"))
+    val und = edges.selectExpr("least(u, v) AS u", "greatest(u, v) AS v")
+      .distinct().localCheckpoint(true)
+    val sym = und.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val nbr = sym.withColumn("idx",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy("dst")) - 1).localCheckpoint(true)
+    val deg = nbr.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val frontier = deg.select(col("src").as("start"))
+      .withColumn("wid", lit(0)).withColumn("node", col("start"))
+      .localCheckpoint(true)
+    val p = graft.operators.RandomWalks
+      .uniformStep(frontier, nbr, deg, 7L, 1,
+        degRows = deg.count(), walkers = frontier.count())
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      s"the neighbor list must not re-sort on a counted step:\n${p.take(1500)}")
+  }
 }
