@@ -255,8 +255,20 @@ object Bfs {
     var deltas = Map(top -> levels(top)
       .select(col("src"), col("node"), lit(0L).cast(d380).as("delta")))
     for (lev <- top - 1 to 1 by -1) {
+      // long fast path dial: the per-edge term σ_v·(10⁹ + δ_w) div σ_w
+      // runs in plain longs (codegen'd, no BigDecimal) whenever the
+      // level's maxima PROVE the product fits — σ and δ live on
+      // materialized checkpoints, so the two maxima are one cheap
+      // cached-scan job; identical exact integers either way
+      val mx = levels(lev).agg(max("sigma")).head()
+      val md = deltas(lev + 1).agg(max("delta")).head()
+      val fitsLong = !mx.isNullAt(0) && {
+        val s = BigDecimal(mx.getLong(0))
+        val d = if (md.isNullAt(0)) BigDecimal(0) else BigDecimal(md.getDecimal(0))
+        s * (d + BigDecimal(1000000000L)) < BigDecimal(Long.MaxValue)
+      }
       deltas += lev -> backwardRound(levels(lev), levels(lev + 1),
-        deltas(lev + 1), sym, levelRows(lev), levelRows(lev + 1))
+        deltas(lev + 1), sym, levelRows(lev), levelRows(lev + 1), fitsLong)
         .localCheckpoint(true)
     }
     (1 to top).map(deltas(_)).reduce(_ unionByName _)
@@ -278,7 +290,8 @@ object Bfs {
     * the join shape from the assembled plan). */
   private[graft] def backwardRound(levelLo: DataFrame, levelHi: DataFrame,
                                    deltaHi: DataFrame, sym: DataFrame,
-                                   loRows: Long, hiRows: Long): DataFrame = {
+                                   loRows: Long, hiRows: Long,
+                                   fitsLong: Boolean = false): DataFrame = {
     val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
     // (src, successor, σ_w, δ_w): both inputs are checkpointed
     // level-sized frames, so the join inherits the broadcast hint
@@ -287,12 +300,22 @@ object Bfs {
       .join(hinted(deltaHi, hiRows), Seq("src", "node"))
       .select(col("src"), col("node").as("ew"),
         col("sigma").as("sw"), col("delta").as("dw"))
+    // fitsLong (proved by the caller from the level maxima): the term
+    // multiply/div runs on codegen'd longs; only the SUM goes through
+    // decimal — whose compact-long fast path keeps it cheap. The
+    // decimal spelling is the general path (σ·(10⁹+δ) can exceed 2⁶³
+    // on dense deep graphs); both are the same exact integers.
+    val termExpr =
+      if (fitsLong)
+        expr("(sigma * (1000000000L + cast(dw as bigint)))" +
+          " div cast(sw as bigint)").cast(d380)
+      else
+        expr("(cast(sigma as decimal(38,0)) * (1000000000L + dw))" +
+          " div sw").cast(d380)
     val terms = hinted(levelLo, loRows)
       .join(sym, col("node") === col("ev"))
       .join(hinted(succ, hiRows), Seq("src", "ew"))
-      .select(col("src"), col("node"),
-        expr("(cast(sigma as decimal(38,0)) * (1000000000L + dw))" +
-          " div sw").cast(d380).as("term"))
+      .select(col("src"), col("node"), termExpr.as("term"))
     val agg = terms.groupBy("src", "node")
       .agg(sum("term").cast(d380).as("delta"))
     levelLo.select("src", "node")
