@@ -6057,6 +6057,17 @@ object SparkEntry {
         .orderBy("slice")
     }),
 
+    // Drift (streaming state path) — the SPLIT spelling of q216's PSI:
+    // Drift.psiCounts (both populations' per-category counts in ONE
+    // aggregate — the streaming-legal state) finished by
+    // Drift.psiFromCounts. Different population split (doc parity over
+    // source) than q216's time split, same add-one smoothing and
+    // canonical %.6f ln ratios.
+    "q394_psi_counts_path" -> ((s, dir) =>
+      Drift.psiFromCounts(Drift.psiCounts(
+        Tables.load(s, dir, "documents"),
+        col("source"), col("doc_id") % 2 === 0))),
+
     // Drift (streaming state path) — the SPLIT spelling of q390's
     // MMD²: Drift.mmdMoments (one (i,j)-grid aggregate with the slice
     // counts folded into the (0,0) cells — the single aggregate a
@@ -12993,6 +13004,34 @@ object SparkEntry {
         |SELECT nx AS n_ref, ny AS n_cur,
         |  CAST(SUM(t * t) AS BIGINT) AS mmd2_e12
         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "q394_psi_counts_path" ->
+      """WITH j AS (SELECT CAST(source AS VARCHAR) AS b,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS d
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(d) AS BIGINT) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS bins FROM j),
+        |terms AS (SELECT n, m, bins,
+        |    CAST((c + 1) * (m + bins) - (d + 1) * (n + bins)
+        |      AS DECIMAL(20,0)) AS diff,
+        |    CAST(printf('%.6f', ln(CAST((c + 1) * (m + bins) AS DOUBLE)
+        |      / CAST((d + 1) * (n + bins) AS DOUBLE))) AS DECIMAL(10,6))
+        |      AS lnr
+        |  FROM j, t),
+        |agg AS (SELECT n, m, bins,
+        |    CAST(SUM(CAST(diff * lnr AS DECIMAL(31,6)))
+        |      AS DECIMAL(38,6)) AS num
+        |  FROM terms GROUP BY n, m, bins)
+        |SELECT n AS n_ref, m AS n_cur, bins AS n_bins,
+        |  CAST(num AS VARCHAR) AS num,
+        |  printf('%.6f', CAST(num AS DOUBLE)
+        |    / (CAST(n + bins AS DOUBLE) * CAST(m + bins AS DOUBLE)))
+        |    AS psi
+        |FROM agg""".stripMargin,
 
     "q392_drift_histogram_path" ->
       """WITH toks AS (SELECT lang AS slice,

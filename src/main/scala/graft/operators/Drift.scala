@@ -120,6 +120,31 @@ object Drift {
     val j = c.join(d, Seq("b"), "full_outer")
       .select(coalesce(col("c"), lit(0L)).as("c"),
         coalesce(col("d"), lit(0L)).as("d"))
+    psiFinish(j)
+  }
+
+  /** [[psi]]'s STATE as ONE aggregate, for Structured Streaming (the
+    * [[histogram]]/[[mmdMoments]] pattern): per-category row counts of
+    * both populations in a single groupBy — plain long sums, so the
+    * streamed counts are bit-identical to a batch run over the
+    * concatenation (DriftStreamingSpec). Feed the streamed table to
+    * [[psiFromCounts]]. Rows with a null `isRef` are dropped (no
+    * population to attribute them to). */
+  def psiCounts(df: DataFrame, category: Column, isRef: Column): DataFrame =
+    df.select(category.cast("string").as("b"), isRef.as("ref"))
+      .filter(col("ref").isNotNull)
+      .groupBy("b")
+      .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("d"))
+
+  /** Finishing math of [[psi]] from a (b, c, d) counts table:
+    * |categories| rows in, one row out. A category seen by only one
+    * population already carries 0 on the other side (the single
+    * aggregate's sums), matching the batch full-outer + coalesce. */
+  def psiFromCounts(counts: DataFrame): DataFrame =
+    psiFinish(counts.select(col("c"), col("d")))
+
+  private def psiFinish(j: DataFrame): DataFrame = {
     val tot = j.agg(sum("c").as("n"), sum("d").as("m"),
       count(lit(1)).as("bins"))
     val d20 = DecimalType(20, 0)

@@ -51,6 +51,30 @@ class DriftStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("psi streamed counts equal batch EXACTLY") {
+    val batches = Seq(
+      Seq((true, "a"), (true, "a"), (false, "b"), (true, "c")),
+      Seq((false, "a"), (true, "b"), (false, "b"), (false, "c")),
+      Seq((true, "a"), (false, "d"), (true, "d"), (false, "a")))
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Boolean, String)]
+    val q = Drift.psiCounts(src.toDS().toDF("ref", "cat"),
+        col("cat"), col("ref"))
+      .writeStream.format("memory").queryName("drift_psi")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      val streamed = Drift.psiFromCounts(spark.table("drift_psi"))
+        .collect().toSeq
+      val all = batches.flatten.toDF("ref", "cat")
+      val batch = Drift.psi(all.filter(col("ref")),
+          all.filter(!col("ref")), col("cat"))
+        .collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"streamed psi != batch:\n$streamed\nvs\n$batch")
+    } finally q.stop()
+  }
+
   test("mmdQuadratic streamed moments equal batch EXACTLY") {
     val batches = Seq(
       Seq((true, Array(0.5f, -1.0f, 0.25f)), (false, Array(1.5f, 0.5f, -0.75f))),
