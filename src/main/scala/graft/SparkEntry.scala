@@ -3881,8 +3881,13 @@ object SparkEntry {
         col("c_mktsegment").as("seg"),
         (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
           .cast("long").as("cents"))
+      // the streamed side repartitions BEFORE the blocking fan-out:
+      // the customer file is one scan partition, so the broadcast
+      // join would otherwise fan all |pairs| rows in a single task —
+      // fan-out parallelism must track the OUTPUT size, not the input
       val pairs = c.select(col("k").as("k1"), col("nat"),
           col("seg").as("seg1"), col("cents").as("cents1"))
+        .repartition(col("k1"))
         .join(c.select(col("k").as("k2"), col("nat"),
           col("seg").as("seg2"), col("cents").as("cents2")), Seq("nat"))
         .filter(col("k1") < col("k2"))
@@ -4321,8 +4326,13 @@ object SparkEntry {
         col("c_mktsegment").as("seg"),
         (format_string("%.2f", col("c_acctbal")).cast(dec2) * 100)
           .cast("long").as("cents"))
+      // the streamed side repartitions BEFORE the blocking fan-out:
+      // the customer file is one scan partition, so the broadcast
+      // join would otherwise fan all |pairs| rows in a single task —
+      // fan-out parallelism must track the OUTPUT size, not the input
       val pairs = c.select(col("k").as("k1"), col("nat"),
           col("seg").as("seg1"), col("cents").as("cents1"))
+        .repartition(col("k1"))
         .join(c.select(col("k").as("k2"), col("nat"),
           col("seg").as("seg2"), col("cents").as("cents2")), Seq("nat"))
         .filter(col("k1") < col("k2"))

@@ -206,7 +206,13 @@ object Drift {
         "CASE WHEN forall(e9, x -> x IS NULL OR abs(x) <= 3000000000) " +
           "THEN e9 ELSE raise_error(" +
           "'mmdQuadratic: |element| > 3.0 overflows the long product') END"))
-    val prods = rows.select(col("ref"), explode(expr(
+    // the O(n·d²) feature-map fan-out must not inherit the scan's
+    // partitioning (a small embedding table is ONE scan split, which
+    // would run the whole explode serially): spread rows round-robin
+    // first — downstream is pure aggregation, so placement is free
+    val prods = rows
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism)
+      .select(col("ref"), explode(expr(
         "flatten(transform(e9, (xi, i) -> transform(e9, (xj, j) -> " +
           "named_struct('i', i, 'j', j, 'p', xi * xj))))")).as("t"))
       .select(col("ref"), col("t.i").as("i"), col("t.j").as("j"),
@@ -257,7 +263,9 @@ object Drift {
         "CASE WHEN forall(e9, x -> x IS NULL OR abs(x) <= 3000000000) " +
           "THEN e9 ELSE raise_error(" +
           "'mmdMoments: |element| > 3.0 overflows the long product') END"))
-    rows.select(col("ref"), explode(expr(
+    rows
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism)
+      .select(col("ref"), explode(expr(
         "flatten(transform(e9, (xi, i) -> transform(e9, (xj, j) -> " +
           "named_struct('i', i, 'j', j, 'p', xi * xj))))")).as("t"))
       .select(col("ref"), col("t.i").as("i"), col("t.j").as("j"),
