@@ -53,11 +53,6 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
-  /** Rows under which a frontier/level frame is hint-broadcast (3
-    * longs/row ≈ tens of MB at the limit — inside the session's 64 MB
-    * broadcast ceiling with headroom). */
-  private val BroadcastRowLimit = 2000000L
-
   /** Symmetrize + dedupe + partition + sort + checkpoint the edge list
     * in one job: the stationary side every round joins against. */
   private def symEdges(edges: DataFrame, a: String, b: String): DataFrame = {
@@ -74,9 +69,10 @@ object Bfs {
   }
 
   /** Broadcast hint iff the (already materialized) frame is small —
-    * the runtime stand-in for the statistics a checkpoint loses. */
+    * the runtime stand-in for the statistics a checkpoint loses
+    * (shared [[Hints]] dial). */
   private def hinted(df: DataFrame, rows: Long): DataFrame =
-    if (rows <= BroadcastRowLimit) broadcast(df) else df
+    Hints.hinted(df, rows)
 
   def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
