@@ -22,6 +22,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // cumulative stop-the-world GC time across all collectors (ms): the
+    // per-query DELTA is the artifact's own storm evidence — r11 (q315)
+    // and r12 (q335) each burned a round on a per-query number nobody
+    // could adjudicate without re-running the query (r12 verdict #1)
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     // Warm up JIT/codegen paths (scan, join, window, text, arrays) on the
     // smallest SF so the first timed query doesn't absorb startup cost.
     Seq("q01_pricing_agg", "q04_join_fact", "q08_window_rank", "q21_jaccard_pairs")
@@ -66,8 +75,10 @@ object Bench {
     // predecessors.
     val names = selected.keys.toSeq
     val passes = 3
-    // samples(name) accumulates (wall, cpu) per pass
-    val samples = scala.collection.mutable.Map[String, List[(Double, Double)]]()
+    // samples(name) accumulates (wall, cpu, gc) per pass — the RAW
+    // samples ship in the full artifact so a polluted pass is provable
+    // from the artifact alone, no rerun needed
+    val samples = scala.collection.mutable.Map[String, List[(Double, Double, Double)]]()
       .withDefaultValue(Nil)
     val passTotals = (1 to passes).map { pass =>
       var passWall = 0.0
@@ -76,6 +87,7 @@ object Bench {
         // drop cached blocks accumulated by localCheckpoint-ing queries so
         // earlier queries' storage doesn't skew later measurements
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        val g0 = gcMillis()
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -94,22 +106,23 @@ object Bench {
         }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        val gc = (gcMillis() - g0) / 1e3
         passWall += wall
-        if (ok) samples(name) = samples(name) :+ ((wall, cpu))
+        if (ok) samples(name) = samples(name) :+ ((wall, cpu, gc))
       }
       passWall
     }
     val results = names.map { name =>
       val runs = samples(name)
-      if (runs.isEmpty) name -> (0.0, 0.0, 0.0)
+      if (runs.isEmpty) name -> (0.0, 0.0, 0.0, 0.0)
       else {
         val medWall = median(runs.map(_._1))
-        // the CPU delta of the run whose wall time IS the median
-        val cpu = runs.find(_._1 == medWall).map(_._2).getOrElse(0.0)
+        // the CPU/GC deltas of the run whose wall time IS the median
+        val medRun = runs.find(_._1 == medWall).get
         // min wall alongside the median: if one pass was polluted, the gap
         // between a query's median and min (and between pass totals) shows
         // it without switching the headline metric to best-case
-        name -> (medWall, cpu, runs.map(_._1).min)
+        name -> (medWall, medRun._2, runs.map(_._1).min, medRun._3)
       }
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
@@ -118,6 +131,17 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMin = results.map { case (k, v) => s"\"" + k + "\":" + v._3 }
       .mkString("{", ",", "}")
+    val qsGc = results.map { case (k, v) => s"\"" + k + "\":" + v._4 }
+      .mkString("{", ",", "}")
+    // raw (wall, cpu, gc) triples per successful pass, in pass order:
+    // the in-artifact adjudication channel — a storm shows as ONE
+    // sample with wall >> the others and a matching GC spike
+    val qsSamples = names.map { name =>
+      val runs = samples(name).map { case (w, c, g) =>
+        f"[$w%.3f,$c%.3f,$g%.3f]"
+      }.mkString("[", ",", "]")
+      s"\"" + name + "\":" + runs
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val cpuTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
     val minTotal = if (results.nonEmpty) results.values.map(_._3).sum else 0.0
@@ -130,12 +154,23 @@ object Bench {
       .map { case (n, p, m) => s"""["$n",$p,"${jesc(m)}"]""" }
       .mkString("[", ",", "]")
     val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"min_sec":$minTotal,"cores":$cpus,"pass_totals":$passJson,"queries":$qs,"queries_cpu":$qsCpu,"queries_min":$qsMin,"failed":$failedJson,"failed_detail":$failDetailJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"min_sec":$minTotal,"cores":$cpus,"pass_totals":$passJson,"queries":$qs,"queries_cpu":$qsCpu,"queries_min":$qsMin,"queries_gc":$qsGc,"queries_samples":$qsSamples,"failed":$failedJson,"failed_detail":$failDetailJson,"sf":"$sfDir"}"""
     println(line)
     // Persist the FULL artifact verbatim: the driver scrapes sbt stdout, and
     // a plain file is the load-proof channel for the complete per-query maps.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))
+    // ALSO write a git-TRACKED copy (bench_out.json is gitignored and
+    // overwritten by every dev run — the r12 full map survived only in
+    // verdict extracts, r12 verdict #2): a full-suite run updates
+    // bench_full_latest.json in place, so the round-close commit (or the
+    // driver's end-of-round auto-commit) makes every round's complete
+    // per-query map durable and diffable. Filtered dev runs skip it —
+    // a one-query iteration must not clobber the suite-wide archive.
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full_latest.json"),
+        (line + "\n").getBytes("UTF-8"))
     // The driver keeps only the LAST ~2000 chars of stdout. With 90 queries
     // the full line is ~8 KB, so the tail window lands mid-JSON and the
     // official BENCH artifact arrives unparseable ("parsed": null in r7).

@@ -292,8 +292,13 @@ object Bfs {
     // (src, successor, σ_w, δ_w): both inputs are checkpointed
     // level-sized frames, so the join inherits the broadcast hint
     // and the WHOLE succ frame stays eligible as a build side below
+    // the δ-carrying frames are WIDE (DECIMAL(38,0) delta ≈ 100+ B/row
+    // vs the narrow frontier frames' 2-4 longs), so they take the
+    // tighter WideRowLimit — same tens-of-MB broadcast budget
+    def hintedW(df: DataFrame, rows: Long): DataFrame =
+      Hints.hinted(df, rows, Hints.WideRowLimit)
     val succ = levelHi
-      .join(hinted(deltaHi, hiRows), Seq("src", "node"))
+      .join(hintedW(deltaHi, hiRows), Seq("src", "node"))
       .select(col("src"), col("node").as("ew"),
         col("sigma").as("sw"), col("delta").as("dw"))
     // fitsLong (proved by the caller from the level maxima): the term
@@ -310,12 +315,12 @@ object Bfs {
           " div sw").cast(d380)
     val terms = hinted(levelLo, loRows)
       .join(sym, col("node") === col("ev"))
-      .join(hinted(succ, hiRows), Seq("src", "ew"))
+      .join(hintedW(succ, hiRows), Seq("src", "ew"))
       .select(col("src"), col("node"), termExpr.as("term"))
     val agg = terms.groupBy("src", "node")
       .agg(sum("term").cast(d380).as("delta"))
     levelLo.select("src", "node")
-      .join(hinted(agg, loRows), Seq("src", "node"), "left")
+      .join(hintedW(agg, loRows), Seq("src", "node"), "left")
       .select(col("src"), col("node"),
         coalesce(col("delta"), lit(0L).cast(d380)).as("delta"))
   }

@@ -279,20 +279,31 @@ object Drift {
 
   /** Finishing math of [[mmdQuadratic]] from a [[mmdMoments]] grid:
     * d² rows in, one row out — batch-cheap regardless of how much
-    * stream flowed into the moments. */
+    * stream flowed into the moments. ALWAYS exactly one output row,
+    * matching the batch path's shape: an EMPTY grid (all embeddings
+    * empty, or no input reached the stream yet) yields (0, 0, null)
+    * rather than zero rows, so an alarm readout never sees its row
+    * vanish between the batch and streamed paths (r12 ADVICE). */
   def mmdFromMoments(moments: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
-    val n = moments.filter(col("i") === 0 && col("j") === 0)
-      .select(col("cx").as("nx"), col("cy").as("ny"))
-    moments.crossJoin(broadcast(n))
-      .select(col("nx"), col("ny"),
+    // slice counts live in the (0,0) cell; a global agg (not a filter)
+    // keeps this ONE row even when the grid is empty
+    val n = moments.agg(
+      coalesce(max(when(col("i") === 0 && col("j") === 0, col("cx"))),
+        lit(0L)).as("nx"),
+      coalesce(max(when(col("i") === 0 && col("j") === 0, col("cy"))),
+        lit(0L)).as("ny"))
+    // Σt² as a global agg too (one row, null over no terms); the final
+    // crossJoin of two 1-row frames preserves the one-row contract
+    val t2 = moments.crossJoin(broadcast(n))
+      .select(
         when(col("nx") > 0L && col("ny") > 0L,
           graft.functions.ColumnOps.divFloorDec(
             abs((col("mx") * col("ny") - col("my") * col("nx")).cast(dec)),
             (col("nx").cast(dec) * col("ny") * lit(1000000000000L)).cast(dec))
             .cast("long")).as("t"))
-      .groupBy("nx", "ny")
       .agg(sum((col("t") * col("t")).cast(dec)).as("mmd2dec"))
+    n.crossJoin(broadcast(t2))
       .select(col("nx").as("n_ref"), col("ny").as("n_cur"),
         col("mmd2dec").cast("long").as("mmd2_e12"))
   }

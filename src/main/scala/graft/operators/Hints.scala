@@ -13,12 +13,29 @@ import org.apache.spark.sql.functions.broadcast
   * hint-broadcast a frame known to be small, and withhold the hint —
   * degrading to the sort-merge plan the 100 TB case needs — when it
   * isn't. The limit is rows, not bytes, because these frames are
-  * fixed-width (2–4 longs). */
+  * fixed-width (2–4 longs).
+  *
+  * What actually bounds a HINTED broadcast (r12 ADVICE): the
+  * `broadcast()` hint BYPASSES `autoBroadcastJoinThreshold` entirely,
+  * so the session's 64 MB setting is not a guard here — the real
+  * guards are this row limit itself and Spark's hard 8 GB / 512M-row
+  * broadcast cap. The limits below are therefore sized so the worst
+  * case stays tens-of-MB: [[BroadcastRowLimit]] assumes narrow rows
+  * (2–4 longs ≈ 32 B unsafe-row footprint → ≤64 MB at 2M rows);
+  * frames carrying DECIMAL(38,0) or struct keys (~100+ B/row) must
+  * use [[WideRowLimit]] instead, or iterative loops would pin several
+  * hundred MB per round on every executor. */
 private[graft] object Hints {
 
-  /** 2M rows of 2–4 longs ≈ tens of MB: inside the session's 64 MB
-    * broadcast ceiling with headroom. */
+  /** 2M narrow rows (2–4 longs) ≈ tens of MB broadcast. */
   val BroadcastRowLimit = 2000000L
+
+  /** Limit for WIDE rows — non-compact DECIMAL(38,0) columns, struct
+    * keys, strings: ~100+ B/row unsafe footprint, so 500k rows keeps
+    * the broadcast at the same tens-of-MB budget as the narrow limit.
+    * Callers whose frame width depends on a dispatch (e.g. Triangles'
+    * packed-long vs struct-key orientation) pick per branch. */
+  val WideRowLimit = 500000L
 
   /** Broadcast `df` iff the caller-known `rows` is under the limit.
     * `rows` may be an upper BOUND (e.g. a parent frame's count) —

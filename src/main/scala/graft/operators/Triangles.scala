@@ -133,11 +133,15 @@ object Triangles {
     // wedges at the unique low node of each triangle: out-neighbor pairs
     // ordered by the SAME (deg, id) key, so the closing edge — if present
     // — is oriented x -> y and one equi-join finds it
+    // struct-keyed edges (general path) are ~3× wider than packed
+    // longs, so that branch takes the tighter wide-row limit
+    val edgeLimit =
+      if (packable) Hints.BroadcastRowLimit else Hints.WideRowLimit
     val wedgePairs = oriented.toDF("src", "x")
-      .join(Hints.hinted(oriented.toDF("src", "y"), m), Seq("src"))
+      .join(Hints.hinted(oriented.toDF("src", "y"), m, edgeLimit), Seq("src"))
       .filter(col("x") < col("y"))
       .select(col("x").as("src"), col("y").as("dst"))
-    val tri = wedgePairs.join(Hints.hinted(oriented, m),
+    val tri = wedgePairs.join(Hints.hinted(oriented, m, edgeLimit),
       Seq("src", "dst"), "left_semi")
     val nTri = tri.agg(count(lit(1)).as("n_triangles"))
     val stats = und.agg(count(lit(1)).as("n_edges"))
@@ -191,13 +195,15 @@ object Triangles {
         .otherwise(struct(khi.as("src"), klo.as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
+    // the struct-keyed edge list is wide (~100+ B/row): tighter limit
     val wedges = oriented.toDF("src", "x")
-      .join(Hints.hinted(oriented.toDF("src", "y"), m), Seq("src"))
+      .join(Hints.hinted(oriented.toDF("src", "y"), m, Hints.WideRowLimit),
+        Seq("src"))
       .filter(col("x") < col("y"))
       .select(col("src").as("s"), col("x"), col("y"))
     val tri = wedges.join(
       Hints.hinted(oriented.select(col("src").as("x"), col("dst").as("y")),
-        m), Seq("x", "y"))
+        m, Hints.WideRowLimit), Seq("x", "y"))
     val triEdges = tri.select(col("s.i").as("a"), col("x.i").as("b"))
       .unionByName(tri.select(col("s.i").as("a"), col("y.i").as("b")))
       .unionByName(tri.select(col("x.i").as("a"), col("y.i").as("b")))

@@ -100,4 +100,16 @@ class DriftStreamingSpec extends SparkSpec {
         streamed.head.getLong(1) == 3L)
     } finally q.stop()
   }
+
+  test("mmdFromMoments on an EMPTY grid is one (0, 0, null) row") {
+    // an alarm readout polling the streamed path before any data (or
+    // over all-empty embeddings) must see the SAME one-row shape as
+    // the batch path, not a vanished row (r12 ADVICE)
+    val empty = Seq.empty[(Long, Long, BigDecimal, BigDecimal, Long, Long)]
+      .toDF("i", "j", "mx", "my", "cx", "cy")
+    val out = Drift.mmdFromMoments(empty).collect().toSeq
+    assert(out.size == 1)
+    assert(out.head.getLong(0) == 0L && out.head.getLong(1) == 0L &&
+      out.head.isNullAt(2), s"expected (0, 0, null), got ${out.head}")
+  }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repo-hygiene gate (r12 verdict #7): `src/main` must stay fully
+  * text-greppable. A single raw control byte (the r12 finding: literal
+  * 0x00 NUL sentinels in `InfoGain.scala`) makes grep/ripgrep classify
+  * the file as BINARY and silently drop it from every text search —
+  * including LEAKCHECK-style audits — so sentinels must be spelled as
+  * escapes (`"\\u0000"`), never raw bytes. */
+class SourceHygieneSpec extends AnyFunSuite {
+
+  private def sources(root: Path): Seq[Path] =
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.toString.endsWith(".scala"))
+      .toSeq
+
+  test("no source file under src/main or src/test contains binary bytes") {
+    val roots = Seq("src/main", "src/test").map(Paths.get(_))
+      .filter(Files.isDirectory(_))
+    assert(roots.nonEmpty, "expected to run from the repo root")
+    val offenders = roots.flatMap(sources).flatMap { p =>
+      val bytes = Files.readAllBytes(p)
+      // control bytes below 0x09, plus 0x0B-0x0C and 0x0E-0x1F except
+      // the text whitespace TAB/LF/CR — exactly what flips grep's
+      // binary heuristic (NUL being the canonical trigger)
+      val bad = bytes.indices.filter { i =>
+        val b = bytes(i) & 0xff
+        b < 0x20 && b != '\t' && b != '\n' && b != '\r'
+      }
+      if (bad.isEmpty) None
+      else Some(s"$p: raw control byte(s) at offset(s) ${bad.take(5).mkString(", ")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

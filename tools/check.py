@@ -45,7 +45,8 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
                         "oracle_rows": o_rows, "err": err,
                         "col_mismatch": sorted(cols or [])}
 
-    for name, sql in sorted(oracle.items()):
+    try:
+      for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         try:
@@ -98,19 +99,30 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             n_pass += 1
         except AssertionError as e:
             # name the column(s): NaN-tolerant per-cell compare (same
-            # row counts and canonical order are guaranteed above)
-            diff = (g != x) & ~(g.isna() & x.isna())
-            bad_cols = [c for c in g.columns if diff[c].any()]
-            print(f"FAIL {name}: values differ in column(s) {bad_cols}:"
-                  f"\n{str(e)[:2000]}")
-            rows = diff.any(axis=1)
-            if rows.any():
-                print("spark:\n", g[rows].head(5))
-                print("oracle:\n", x[rows].head(5))
+            # row counts and canonical order are guaranteed above).
+            # The elementwise diff can itself raise on object/array
+            # cells pandas can't compare (r12 ADVICE) — a localization
+            # failure must degrade to "columns unknown", never abort
+            # the run before check_result.json is written.
+            bad_cols = []
+            try:
+                diff = (g != x) & ~(g.isna() & x.isna())
+                bad_cols = [c for c in g.columns if diff[c].any()]
+                print(f"FAIL {name}: values differ in column(s) {bad_cols}:"
+                      f"\n{str(e)[:2000]}")
+                rows = diff.any(axis=1)
+                if rows.any():
+                    print("spark:\n", g[rows].head(5))
+                    print("oracle:\n", x[rows].head(5))
+            except Exception as e2:
+                print(f"FAIL {name}: values differ (column localization "
+                      f"failed: {e2}):\n{str(e)[:2000]}")
             record(name, True, True, False, len(g), len(x), cols=bad_cols)
             n_fail += 1
-    with open(f"{out_dir}/check_result.json", "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True, default=str)
+    finally:
+        # the artifact must survive any per-query crash (r12 ADVICE)
+        with open(f"{out_dir}/check_result.json", "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True, default=str)
     if only:
         # the exit code below reflects ONLY the selected subset — make it
         # impossible to mistake a filtered run for a full certification

@@ -1,0 +1,188 @@
+#!/usr/bin/env python3
+"""Claims-vs-artifact tripwire (r12 verdict #3; dev tooling only).
+
+Two rounds in a row (r11 q315, r12 q335) a per-query number quoted in
+SURVEY's narrative contradicted the committed bench artifact and burned
+a judge round on adjudication. This script makes that a pre-commit red:
+it extracts per-query wall/CPU seconds quoted in SURVEY.md's LATEST
+round narrative and fails if any contradicts the committed bench map by
+more than 1.5x in either direction.
+
+Usage: python3 tools/claims_check.py [SURVEY.md] [bench_map.json]
+
+The bench map defaults to the newest of BENCH_r*_full.json /
+bench_full_latest.json / bench_out.json (all carry the Bench.scala
+full-artifact schema: {"queries": {...}, "queries_cpu": {...}}).
+
+Extraction rules (deliberately conservative — a missed claim is fine,
+a false red is not):
+  - scope: text after the LAST '^## ' heading matching 'round ... N'
+    with the highest N (session narratives / engineering notes);
+  - claims: a 'qNNN...' token followed within 120 chars by
+    '<num> s' (wall) or '<num> CPU-s' (cpu); ranges 'a-b s' accept
+    anything inside [a/1.5, b*1.5];
+  - 'X -> Y' arrow chains claim Y (the post state); '(was ...)'
+    parentheticals and 'BENCH_rNN'-attributed numbers are history,
+    not claims about the current artifact, and are skipped;
+  - sub-2-second disagreements never trip (scheduler noise floor).
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+RATIO = 1.5
+FLOOR_SEC = 2.0
+WINDOW = 120
+
+
+def latest_bench_map():
+    cands = sorted(glob.glob("BENCH_r*_full.json")) + \
+        [p for p in ("bench_full_latest.json", "bench_out.json")
+         if os.path.exists(p)]
+    if not cands:
+        sys.exit("claims_check: no bench map found "
+                 "(BENCH_r*_full.json / bench_full_latest.json / bench_out.json)")
+    path = cands[-1]
+    with open(path) as f:
+        data = json.loads(f.read().strip() or "{}")
+    return path, data.get("queries", {}), data.get("queries_cpu", {})
+
+
+def latest_narrative(text):
+    best_n, best_pos = -1, None
+    for m in re.finditer(r"^## .*?round[ -]*(\d+)", text,
+                         re.IGNORECASE | re.MULTILINE):
+        n = int(m.group(1))
+        if n >= best_n:
+            best_n, best_pos = n, m.start()
+    if best_pos is None:
+        return ""
+    nxt = text.find("\n## ", best_pos + 1)
+    # narratives may span multiple '## ' headings for the same round;
+    # simplest correct scope: last matching heading to end of file
+    # unless a non-matching round heading follows — keep to EOF.
+    return text[best_pos:]
+
+
+def clean(window):
+    # history, not current claims
+    window = re.sub(r"\(was[^)]*\)", " ", window)
+    window = re.sub(r"\bwas\b[^.;]*?(?=[.;]|$)", " ", window)
+    # numbers attributed to a prior artifact
+    window = re.sub(r"[^.;]*BENCH_r\d+[^.;]*", " ", window)
+    # bounds/bars ('the <=25 s bar') are targets, not measurements
+    window = re.sub(r"[≤≥<>]\s*[\d.]+\s*(CPU-)?s\b", " ", window)
+    # arrow chains claim the POST state: drop everything up to the
+    # final arrow in each chain ('64->56' -> '56')
+    window = re.sub(r"[\d.~≈]+(?:\s*[-–][\d.]+)?\s*(?:→|->)\s*",
+                    "", window)
+    return window
+
+
+NUM = r"~?≈?\s*(\d+(?:\.\d+)?)(?:\s*[-–]\s*(\d+(?:\.\d+)?))?"
+# windows talking about suite/family aggregates or explicitly-historical
+# measurements are not per-query claims about the current artifact
+SKIP = re.compile(
+    r"median-sum|min-sum|total|suite|family|over \d+ quer|standalone|"
+    r"pre-fix|one-off", re.IGNORECASE)
+
+
+def claims_in(section):
+    out = []  # (query, unit, lo, hi, excerpt)
+    for qm in re.finditer(r"\bq(\d{1,3})(?:_[a-z0-9_]+)?\b", section):
+        raw = section[qm.end():qm.end() + WINDOW]
+        # stop the window at the next query token (its numbers are its
+        # own) and at the sentence end (a claim never spans sentences)
+        nxt = re.search(r"\bq\d{1,3}(_|\b)", raw)
+        if nxt:
+            raw = raw[:nxt.start()]
+        dot = raw.find(". ")
+        if dot >= 0:
+            raw = raw[:dot]
+        if SKIP.search(raw):
+            continue
+        win = clean(raw)
+        qnum = qm.group(1)
+        for m in re.finditer(NUM + r"\s*(CPU-s|s\b)", win):
+            lo = float(m.group(1))
+            hi = float(m.group(2)) if m.group(2) else lo
+            unit = "cpu" if m.group(3) == "CPU-s" else "wall"
+            out.append((qnum, unit, min(lo, hi), max(lo, hi),
+                        (qm.group(0) + raw[:60]).replace("\n", " ")))
+    return out
+
+
+def selftest():
+    """A seeded false claim MUST trip (r12 verdict #3 'done' bar)."""
+    fake_narr = ("## Round 99 session narrative\n\n"
+                 "q7_fast now runs in 3.1 s / 9 CPU-s after the fix; "
+                 "q9_slow holds at ~40 s median.\n")
+    fake_map = {"q7_fast": (3.0, 8.5), "q9_slow": (12.0, 30.0)}
+    wall = {k: v[0] for k, v in fake_map.items()}
+    cpu = {k: v[1] for k, v in fake_map.items()}
+    by = {"wall": {}, "cpu": {}}
+    for u, mp in (("wall", wall), ("cpu", cpu)):
+        for name, v in mp.items():
+            by[u][re.match(r"q(\d+)_", name).group(1)] = (name, v)
+    reds = []
+    for qnum, unit, lo, hi, _ in claims_in(latest_narrative(fake_narr)):
+        name, actual = by[unit][qnum]
+        if not ((lo / RATIO) <= actual <= (hi * RATIO)):
+            reds.append((name, unit))
+    assert ("q9_slow", "wall") in reds, "seeded false claim did not trip"
+    assert ("q7_fast", "wall") not in reds, "true claim tripped"
+    assert ("q7_fast", "cpu") not in reds, "true cpu claim tripped"
+    print("claims_check selftest: seeded false claim trips, true claims pass")
+    return 0
+
+
+def main(argv):
+    if len(argv) > 1 and argv[1] == "--selftest":
+        return selftest()
+    survey = argv[1] if len(argv) > 1 else "SURVEY.md"
+    if len(argv) > 2:
+        with open(argv[2]) as f:
+            data = json.loads(f.read().strip() or "{}")
+        path, wall, cpu = argv[2], data.get("queries", {}), \
+            data.get("queries_cpu", {})
+    else:
+        path, wall, cpu = latest_bench_map()
+    section = latest_narrative(open(survey).read())
+    if not section:
+        print("claims_check: no round narrative found — nothing to check")
+        return 0
+    by_prefix = {"wall": {}, "cpu": {}}
+    for name, v in wall.items():
+        m = re.match(r"q(\d+)_", name)
+        if m:
+            by_prefix["wall"][m.group(1)] = (name, v)
+    for name, v in cpu.items():
+        m = re.match(r"q(\d+)_", name)
+        if m:
+            by_prefix["cpu"][m.group(1)] = (name, v)
+    n_checked, reds = 0, []
+    for qnum, unit, lo, hi, excerpt in claims_in(section):
+        hit = by_prefix[unit].get(qnum)
+        if not hit:
+            continue
+        name, actual = hit
+        n_checked += 1
+        ok = (lo / RATIO) <= actual <= (hi * RATIO)
+        if not ok and not (actual < FLOOR_SEC and hi < FLOOR_SEC):
+            reds.append(
+                f"  {name} [{unit}]: narrative claims "
+                f"{lo if lo == hi else f'{lo}-{hi}'} s but {path} has "
+                f"{actual:.1f} s (>{RATIO}x apart)\n    near: ...{excerpt}...")
+    if reds:
+        print(f"claims_check: {len(reds)} claim(s) contradict {path}:")
+        print("\n".join(reds))
+        return 1
+    print(f"claims_check: {n_checked} narrative claim(s) checked "
+          f"against {path} — all within {RATIO}x")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
