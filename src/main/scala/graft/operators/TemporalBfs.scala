@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Time-respecting earliest-arrival search over a TEMPORAL graph —
   * edges exist at an instant, and a path is valid only if its edge
@@ -12,8 +13,22 @@ import org.apache.spark.sql.functions._
   * contact-tracing / information-cascade / incident-blast-radius
   * question. Companion to [[Bfs]] (static hops) and [[Scc]].
   *
-  * Algorithm: label-correcting rounds. arrival[source] = −∞; each
-  * round relaxes edges leaving IMPROVED nodes only — candidate
+  * Size-dispatched, like [[Hierarchy]]'s bounded-probe walk: earliest
+  * arrival admits a SINGLE-SWEEP algorithm over edges sorted by time
+  * (the one-pass stream scan of Wu et al., "Path Problems in Temporal
+  * Graphs", VLDB 2014) — process edges in nondecreasing t, and an edge
+  * (u,v,t) relaxes v iff arrival(u) ≤ t. One sort, one pass, done; no
+  * fixpoint rounds at all. The sweep is inherently sequential, so it
+  * runs on the driver and is gated on the MATERIALIZED edge count
+  * (≤ [[Hints.WideRowLimit]] rows — boxed driver rows are wide): at
+  * that size the sort-and-sweep is milliseconds, while the distributed
+  * fixpoint pays ~2 scheduling stages per hop across the temporal
+  * diameter (measured 8 s wall on 12 CPU-s at sf0.1 — pure latency).
+  * Above the bound the iterative path below engages — that is the
+  * 100 TB shape, and the dispatch is by data, never by config.
+  *
+  * Distributed path — label-correcting rounds. arrival[source] = −∞;
+  * each round relaxes edges leaving IMPROVED nodes only — candidate
   * arrival at v is min t over usable edges (t ≥ arrival[u]) — and
   * merges by min. Earliest-arrival dominance makes this converge in
   * at most |V| rounds (each round the set of final labels grows);
@@ -31,11 +46,16 @@ object TemporalBfs {
   /** @param edges   (src, dst, t) — directed temporal edges, t long
     * @param sources (node) — infected at −∞ (any outgoing edge usable)
     * @param maxRounds fail-loud bound on label-correcting rounds
+    * @param localEdgeLimit edge-count bound under which the driver
+    *        single-sweep runs instead of the distributed fixpoint
+    *        (0 forces the distributed path — used by the equivalence
+    *        spec, never by production callers)
     * @return (node, arrival) for every REACHED non-source node —
     *         earliest infection instant — plus each source with null
     *         arrival */
   def earliestArrival(edges: DataFrame, sources: DataFrame,
-                      maxRounds: Int = 100): DataFrame = {
+                      maxRounds: Int = 100,
+                      localEdgeLimit: Long = Hints.WideRowLimit): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be positive")
     val e = edges.select(col("src"), col("dst"), col("t"))
       // partitioned AND sorted on the join key once: every hop's
@@ -43,6 +63,94 @@ object TemporalBfs {
       .repartition(col("src")).sortWithinPartitions("src")
       .localCheckpoint(true)
     val srcs = sources.select(col("node")).distinct().localCheckpoint(true)
+    // count on the checkpointed frame is one cheap job; it picks the
+    // algorithm the way Hierarchy's edge count picks its walk
+    val edgeCount = e.count()
+    if (edgeCount <= localEdgeLimit) sweepLocal(e, srcs)
+    else fixpointDistributed(e, srcs, maxRounds)
+  }
+
+  /** Driver-side time-ordered sweep (bounded by the edge-count gate).
+    * Equal timestamps: the reference semantics (pinned by
+    * TemporalBfsSpec) allow a relay across edges with the SAME t —
+    * arrival(u) = t satisfies t ≥ arrival(u) — so each equal-t run is
+    * closed with a tiny BFS over the run's adjacency (linear in the
+    * run, not quadratic) before the sweep moves to the next instant. */
+  private def sweepLocal(e: DataFrame, srcs: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    // node type is caller-defined (long user ids here, strings in
+    // other graphs): keep keys as boxed Any, preserve the type in the
+    // output schema below
+    val nodeType = srcs.schema("node").dataType
+    def tOf(r: Row): Long = r.get(2) match {
+      case n: java.lang.Number => n.longValue
+      case other => throw new IllegalArgumentException(
+        s"TemporalBfs: edge time must be numeric, got $other")
+    }
+    val sorted = e.collect().sortBy(tOf)
+    val arrival = new java.util.HashMap[Any, java.lang.Long]()
+    srcs.collect().foreach(r => arrival.put(r.get(0), Long.MinValue))
+    val sourceSet = new java.util.HashSet[Any](arrival.keySet())
+    var i = 0
+    val n = sorted.length
+    while (i < n) {
+      val t = tOf(sorted(i))
+      var j = i
+      while (j < n && tOf(sorted(j)) == t) j += 1
+      // run [i, j) shares timestamp t. Single pass relaxes edges whose
+      // src already arrived before t; the queue then relays same-t
+      // chains (u→v→w all at t) without rescanning the whole run.
+      val bySrc = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+      val queue = new java.util.ArrayDeque[Any]()
+      var k = i
+      while (k < j) {
+        val r = sorted(k)
+        val u = r.get(0); val v = r.get(1)
+        val au = arrival.get(u)
+        if (au != null && au.longValue <= t) {
+          val av = arrival.get(v)
+          if (av == null || av.longValue > t) {
+            arrival.put(v, t)
+            queue.add(v)
+          }
+        } else {
+          // not yet usable — index it in case a same-t relay makes it so
+          var lst = bySrc.get(u)
+          if (lst == null) { lst = new java.util.ArrayList[Any](); bySrc.put(u, lst) }
+          lst.add(v)
+        }
+        k += 1
+      }
+      while (!queue.isEmpty) {
+        val u = queue.poll()
+        val lst = bySrc.remove(u)
+        if (lst != null) {
+          val it = lst.iterator()
+          while (it.hasNext) {
+            val v = it.next()
+            val av = arrival.get(v)
+            if (av == null || av.longValue > t) {
+              arrival.put(v, t)
+              queue.add(v)
+            }
+          }
+        }
+      }
+      i = j
+    }
+    val rows = new java.util.ArrayList[Row](arrival.size())
+    arrival.forEach { (node, arr) =>
+      rows.add(Row(node,
+        if (sourceSet.contains(node)) null else java.lang.Long.valueOf(arr)))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("node", nodeType), StructField("arrival", LongType))))
+  }
+
+  /** The 100 TB path: frontier-only label-correcting rounds over the
+    * once-partitioned edge frame. */
+  private def fixpointDistributed(e: DataFrame, srcs: DataFrame,
+                                  maxRounds: Int): DataFrame = {
     // arrival: reached non-source nodes; MinValue marks the sources
     var arrival = srcs.select(col("node"), lit(Long.MinValue).as("arrival"))
       .localCheckpoint(true)

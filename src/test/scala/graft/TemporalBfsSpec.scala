@@ -13,39 +13,72 @@ class TemporalBfsSpec extends SparkSpec {
     (1L, 4L, 1L), (4L, 5L, 0L)).toDF("src", "dst", "t")
   private val src = Seq(Tuple1(1L)).toDF("node")
 
+  // every semantic pin runs against BOTH dispatch arms: the default
+  // (driver single-sweep — these graphs are under the edge gate) and
+  // localEdgeLimit = 0, which forces the distributed fixpoint
+  private def both(e: org.apache.spark.sql.DataFrame,
+                   s: org.apache.spark.sql.DataFrame)
+      : Seq[Map[Long, Option[Long]]] =
+    Seq(TemporalBfs.earliestArrival(e, s),
+        TemporalBfs.earliestArrival(e, s, localEdgeLimit = 0L))
+      .map(_.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap)
+
   test("time-respecting arrivals; statically-reachable nodes can miss") {
-    val got = TemporalBfs.earliestArrival(edges, src)
-      .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-    assert(got == Map(1L -> None, 2L -> Some(5L), 3L -> Some(8L),
-      4L -> Some(1L)))
-    // node 5 is reachable in the STATIC graph but not the temporal one
-    assert(!got.contains(5L))
+    both(edges, src).foreach { got =>
+      assert(got == Map(1L -> None, 2L -> Some(5L), 3L -> Some(8L),
+        4L -> Some(1L)))
+      // node 5 is reachable in the STATIC graph but not the temporal one
+      assert(!got.contains(5L))
+    }
   }
 
   test("equal-time hops are allowed (t >= arrival)") {
     val e = Seq((1L, 2L, 7L), (2L, 3L, 7L)).toDF("src", "dst", "t")
-    val got = TemporalBfs.earliestArrival(e, src)
-      .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-    assert(got(3L) == Some(7L))
+    both(e, src).foreach(got => assert(got(3L) == Some(7L)))
   }
 
-  test("maxRounds guard fails loud, not truncated") {
+  test("equal-time relay out of scan order (sweep run closes a cycle)") {
+    // within the t=7 run the enabling edge (1->2) is listed LAST, so a
+    // single in-order pass over the run would miss 2->3 and 3->4; the
+    // run-local relay queue must still close them
+    val e = Seq((3L, 4L, 7L), (2L, 3L, 7L), (1L, 2L, 7L))
+      .toDF("src", "dst", "t")
+    both(e, src).foreach { got =>
+      assert(got(2L) == Some(7L) && got(3L) == Some(7L) &&
+        got(4L) == Some(7L))
+    }
+  }
+
+  test("maxRounds guard fails loud, not truncated (distributed path)") {
     // a 12-hop time-increasing chain: 6 hops per round -> needs 3
     // rounds; maxRounds = 2 must throw, never silently truncate
     val e = (1L to 12L).map(i => (i, i + 1, i)).toDF("src", "dst", "t")
     intercept[IllegalStateException] {
-      TemporalBfs.earliestArrival(e, src, maxRounds = 2).collect()
+      TemporalBfs.earliestArrival(e, src, maxRounds = 2,
+        localEdgeLimit = 0L).collect()
     }
   }
 
   test("long chain resolves exactly across multi-hop rounds") {
     val e = (1L to 11L).map(i => (i, i + 1, i * 10L)).toDF("src", "dst", "t")
-    val got = TemporalBfs.earliestArrival(e, src)
-      .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-    assert(got(12L) == Some(110L) && got(2L) == Some(10L) &&
-      got(1L) == None && got.size == 12)
+    both(e, src).foreach { got =>
+      assert(got(12L) == Some(110L) && got(2L) == Some(10L) &&
+        got(1L) == None && got.size == 12)
+    }
+  }
+
+  test("sweep == distributed fixpoint on a seeded random temporal graph") {
+    // 60 nodes, 600 edges, 10 distinct timestamps (dense equal-t runs
+    // exercise the relay queue), 3 sources — the dispatch seam itself
+    // is the thing under test, so the two arms must agree EXACTLY
+    val rnd = new scala.util.Random(42)
+    val e = Seq.fill(600)(
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong,
+        rnd.nextInt(10).toLong)).toDF("src", "dst", "t")
+    val s = Seq(0L, 17L, 41L).map(Tuple1(_)).toDF("node")
+    val Seq(sweep, dist) = both(e, s)
+    assert(sweep == dist)
+    assert(sweep.size > 10) // non-degenerate: the graph actually spreads
   }
 }
