@@ -1,0 +1,331 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Scale-stress harness (r12 verdict #4): every 100×-scale claim in
+  * SURVEY rides on plan shape — PlanSpec pins and design notes — but at
+  * sf0.1 the counted-broadcast withhold path NEVER actually fires past
+  * its limit, and the fail-fast guards never meet an over-limit block.
+  * This main converts "the plan degrades correctly" from argument to
+  * measurement, in two parts:
+  *
+  * Part A — guard engagement on dedicated seeded graphs big enough to
+  * cross each dial: a 6M-node BFS whose level 10 holds 3.5M nodes
+  * (> [[Hints.BroadcastRowLimit]]), a 2.6M-edge triangle count
+  * (> the packed-key edge limit), a 2.6M-walker uniform-walk step,
+  * a 1.5M-edge temporal graph (> [[Hints.WideRowLimit]], so
+  * [[TemporalBfs]] dispatches to the distributed fixpoint), and an
+  * over-limit Jaccard block that must FAIL FAST. Engagement is proved
+  * by [[Hints.hintedCount]]/[[Hints.withheldCount]] (driver-side
+  * decision counters), by exact level cardinalities, and by the raised
+  * error — not narrated.
+  *
+  * Part B — a 10× data ladder: synthesize seeded tables with the
+  * sf0.1 schemas and distributions at 10× the rows (lineitem 6M,
+  * part 200k, events 1M, documents 50k, embeddings 20k) into a
+  * temp dir, then run the heaviest gated queries unmodified against
+  * both sf0.1 and the 10× dir, recording the wall-clock ratio. A
+  * near-linear ratio is the measured counterpart of the "would this
+  * survive a 100× scale-up" design notes. (Everything is generated
+  * from xxhash64(id, seed) — rerunning reproduces the same bytes.)
+  *
+  * Output: one JSON line on stdout + scale_stress_out.json, quoted by
+  * SCALE_STRESS.md. Dev tooling — never on the library's runtime path.
+  */
+object ScaleStress {
+
+  private def j(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => " "; case c => c.toString
+  } + "\""
+
+  def main(args: Array[String]): Unit = {
+    val workDir = if (args.nonEmpty) args(0) else "/tmp/graft_stress"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.SparkSessionFactory.configure(
+        SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def freeCaches(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
+    // ---------------- Part A: guard engagement ----------------
+
+    // A1. Bfs.hopDistance on a 6M-node 5-ary tree: level k holds 5^k
+    // nodes up to the truncation, so level 9 = 1,953,125 (hinted) and
+    // level 10 = 6,000,000 − 2,441,406 = 3,558,594 — OVER the 2M
+    // narrow-row limit: the hint must be withheld at least once and
+    // the search must still settle every node.
+    {
+      val n = 6000000L
+      val edges = spark.range(1, n)
+        .select(expr("(id - 1) div 5").as("u"), col("id").as("v"))
+      Hints.hintedCount.set(0); Hints.withheldCount.set(0)
+      val (levels, secs) = timed {
+        Bfs.hopDistance(edges, Seq(0L).toDF("node"), maxHops = 12)
+          .groupBy("hop").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val maxLevel = levels.values.max
+      val settled = levels.values.sum
+      assert(settled == n,
+        s"bfs_withhold: settled $settled of $n nodes")
+      assert(maxLevel == 3558594L,
+        s"bfs_withhold: expected level-10 cardinality 3558594, got $maxLevel")
+      assert(Hints.withheldCount.get > 0,
+        "bfs_withhold: no broadcast hint was withheld on a 3.5M-row level")
+      out("bfs_withhold") =
+        s"""{"nodes":$n,"max_level_rows":$maxLevel,"hinted":${Hints.hintedCount.get},""" +
+        s""""withheld":${Hints.withheldCount.get},"wall_sec":${"%.1f".format(secs)}}"""
+      freeCaches()
+    }
+
+    // A2. TemporalBfs on a 1.5M-edge tree (edge time = child id, so
+    // times increase down every path): 1,499,999 edges > WideRowLimit
+    // forces the DISTRIBUTED fixpoint by data; every node must arrive.
+    {
+      val n = 1500000L
+      val edges = spark.range(1, n)
+        .select(expr("(id - 1) div 5").as("src"), col("id").as("dst"),
+          col("id").as("t"))
+      val (rows, secs) = timed {
+        TemporalBfs.earliestArrival(edges, Seq(0L).toDF("node")).count()
+      }
+      assert(rows == n, s"temporal_fixpoint: reached $rows of $n nodes")
+      out("temporal_fixpoint") =
+        s"""{"edges":${n - 1},"gate":${Hints.WideRowLimit},"reached":$rows,""" +
+        s""""wall_sec":${"%.1f".format(secs)}}"""
+      freeCaches()
+    }
+
+    // A3. Triangles on a seeded 2.6M-edge random graph (260k nodes):
+    // the packed-long edge list exceeds BroadcastRowLimit, so the
+    // wedge-closing probe must degrade to the sort-merge shape and
+    // still produce the exact count.
+    {
+      val nNodes = 260000L
+      val draws = 2600000L
+      val edges = spark.range(draws).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("u"),
+        pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("v"))
+      Hints.hintedCount.set(0); Hints.withheldCount.set(0)
+      val (row, secs) = timed {
+        Triangles.triangleStats(edges).collect()(0)
+      }
+      val nEdges = row.getAs[Long]("n_edges")
+      val nTri = row.getAs[Long]("n_triangles")
+      assert(nEdges > Hints.BroadcastRowLimit,
+        s"triangles_withhold: only $nEdges edges - under the dial, stress is void")
+      assert(Hints.withheldCount.get > 0,
+        "triangles_withhold: no hint withheld on a 2.6M-row edge list")
+      out("triangles_withhold") =
+        s"""{"edges":$nEdges,"triangles":$nTri,"hinted":${Hints.hintedCount.get},""" +
+        s""""withheld":${Hints.withheldCount.get},"wall_sec":${"%.1f".format(secs)}}"""
+      freeCaches()
+    }
+
+    // A4. RandomWalks with 2.6M walkers (10 per node on the A3 graph):
+    // the walker frame exceeds BroadcastRowLimit, so every per-step
+    // walker join must run unhinted — and still finish.
+    {
+      val nNodes = 260000L
+      val draws = 2600000L
+      val edges = spark.range(draws).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("u"),
+        pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("v"))
+      Hints.hintedCount.set(0); Hints.withheldCount.set(0)
+      val (steps, secs) = timed {
+        RandomWalks.uniformWalks(edges, walksPerNode = 10, length = 3,
+          seed = 7L).count()
+      }
+      assert(Hints.withheldCount.get > 0,
+        "walks_withhold: no hint withheld on a 2.6M-walker frame")
+      out("walks_withhold") =
+        s"""{"walkers":2600000,"steps":$steps,"hinted":${Hints.hintedCount.get},""" +
+        s""""withheld":${Hints.withheldCount.get},"wall_sec":${"%.1f".format(secs)}}"""
+      freeCaches()
+    }
+
+    // A5. The all-pairs Jaccard SCALE TRAP: a block over maxBlockDocs
+    // must fail BEFORE the self-join emits a pair — fail-fast, never a
+    // silent quadratic grind.
+    {
+      val words = Seq("spark", "line", "column", "order", "sort", "scan",
+        "hash", "group", "batch", "table", "query", "filter")
+      val docs = spark.range(300).select(
+        col("id").as("doc_id"), lit("one-block").as("blk"),
+        concat_ws(" ", (0 until 12).map(k =>
+          element_at(
+            array(words.map(lit): _*),
+            (pmod(xxhash64(col("id"), lit(k)), lit(words.size)) + 1)
+              .cast("int"))): _*).as("text"))
+      val fired =
+        try {
+          Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+            col("blk"), n = 3, minJ = 0.1, maxBlockDocs = 200).count()
+          false
+        } catch {
+          case e: Throwable =>
+            var c: Throwable = e
+            while (c.getCause != null && c.getCause != c) c = c.getCause
+            Option(c.getMessage).exists(_.contains("maxBlockDocs"))
+        }
+      assert(fired, "jaccard_guard: over-limit block did NOT fail fast")
+      out("jaccard_guard") = """{"block_docs":300,"max_block_docs":200,"fired":true}"""
+      freeCaches()
+    }
+
+    // ---------------- Part B: 10x data ladder ----------------
+
+    genBig(spark, workDir)
+
+    val heavy = Seq(
+      "q113_triangles", "q315_betweenness", "q333_node2vec_walks",
+      "q331_random_walks", "q248_temporal_bfs", "q360_frontier",
+      "q35_ivf_topk", "q388_label_noise_ivf", "q36_embedding_neardup",
+      "q93_semantic_dedup", "q22_minhash_lsh", "q60_lsh_verified_jaccard",
+      "q144_corpus_drift", "q390_mmd_drift", "q67_kmeans", "q148_pq_adc",
+      "q115_lsh_recall_audit", "q85_ivf_recall")
+    // one warmup on the smallest SF so JIT/codegen cost lands nowhere
+    heavy.foreach { q =>
+      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+      freeCaches()
+    }
+    val ladder = heavy.map { q =>
+      val fn = SparkEntry.queries(q)
+      def run(dir: String): Either[String, Double] =
+        try { val (_, s) = timed(fn(spark, dir).count()); Right(s) }
+        catch {
+          case e: Throwable =>
+            var c: Throwable = e
+            while (c.getCause != null && c.getCause != c) c = c.getCause
+            Left(c.getClass.getSimpleName + ": " +
+              Option(c.getMessage).getOrElse("").takeWhile(_ != '\n').take(160))
+        } finally freeCaches()
+      val base = run("/root/testdata/sf0.1")
+      val big = run(workDir)
+      val entry = (base, big) match {
+        case (Right(b), Right(g)) =>
+          s"""{"sf01_sec":${"%.2f".format(b)},"x10_sec":${"%.2f".format(g)},""" +
+          s""""ratio":${"%.2f".format(g / math.max(b, 0.001))}}"""
+        case (b, g) =>
+          def side(x: Either[String, Double]) = x match {
+            case Right(v) => "%.2f".format(v)
+            case Left(m) => j(m)
+          }
+          s"""{"sf01_sec":${side(b)},"x10_sec":${side(g)}}"""
+      }
+      println(s"LADDER $q -> $entry")
+      q -> entry
+    }
+    ladder.foreach { case (q, e) => out(s"ladder:$q") = e }
+
+    val line = out.map { case (k, v) => j(k) + ":" + v }
+      .mkString("{", ",", "}")
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("scale_stress_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+
+  /** Seeded 10× synthetic tables with the sf0.1 schemas/distributions.
+    * Deliberate choices: 33 parts match q315's source filter (p_size 25
+    * AND p_partkey % 20 = 0) so betweenness source count stays O(10);
+    * every 20th document repeats its predecessor's text so the near-dup
+    * families have real duplicates to find; embeddings carry 10
+    * label-correlated clusters so IVF/kmeans have structure. */
+  private def genBig(spark: SparkSession, dir: String): Unit = {
+    val done = new java.io.File(s"$dir/_GENERATED")
+    if (done.exists()) return
+    // lineitem: 6M lines, 1.5M orders (~4 lines each), 200k parts,
+    // 10k suppliers — co-occurrence graph ~10x the sf0.1 one
+    spark.range(6000000L).select(
+        expr("id div 4").as("l_orderkey"),
+        pmod(xxhash64(col("id"), lit(1)), lit(200000L)).as("l_partkey"),
+        pmod(xxhash64(col("id"), lit(2)), lit(10000L)).as("l_suppkey"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(50L)) + 1).cast("int").as("l_linenumber"),
+        (pmod(xxhash64(col("id"), lit(4)), lit(50L)) + 1).cast("double").as("l_quantity"),
+        (pmod(xxhash64(col("id"), lit(5)), lit(9000000L)).cast("double") / 100.0 + 1000.0).as("l_extendedprice"),
+        (pmod(xxhash64(col("id"), lit(6)), lit(11L)).cast("double") / 100.0).as("l_discount"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(9L)).cast("double") / 100.0).as("l_tax"),
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (pmod(xxhash64(col("id"), lit(8)), lit(3L)) + 1).cast("int")).as("l_returnflag"),
+        element_at(array(lit("F"), lit("O")),
+          (pmod(xxhash64(col("id"), lit(9)), lit(2L)) + 1).cast("int")).as("l_linestatus"),
+        timestamp_micros(lit(1704067200000000L) +
+          pmod(xxhash64(col("id"), lit(10)), lit(31536000L)) * 1000000L).as("l_shipdate"))
+      .coalesce(8).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // part: 200k; p_size=25 ONLY where p_partkey % 6000 == 0 (33 parts,
+    // all % 20 == 0) — q315's source set stays ~33 at 10x data
+    spark.range(200000L).select(
+        col("id").as("p_partkey"),
+        concat(lit("part#"), col("id")).as("p_name"),
+        concat(lit("Brand#"), pmod(xxhash64(col("id"), lit(11)), lit(25L))).as("p_brand"),
+        concat(lit("TYPE "), pmod(xxhash64(col("id"), lit(12)), lit(15L))).as("p_type"),
+        when(col("id") % 6000 === 0, lit(25))
+          .otherwise((pmod(xxhash64(col("id"), lit(13)), lit(49L)) + 26))
+          .cast("int").as("p_size"),
+        (pmod(xxhash64(col("id"), lit(14)), lit(100000L)).cast("double") / 100.0 + 900.0).as("p_retailprice"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // events: 1M over 15k users, 5 types, 30 days — same shape as sf0.1
+    spark.range(1000000L).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) +
+          pmod(xxhash64(col("id"), lit(20)), lit(2592000000000L))).as("ts"),
+        pmod(xxhash64(col("id"), lit(21)), lit(15000L)).as("user_id"),
+        element_at(array(lit("click"), lit("view"), lit("purchase"),
+            lit("signup"), lit("error")),
+          (pmod(xxhash64(col("id"), lit(22)), lit(5L)) + 1).cast("int")).as("event_type"),
+        (pmod(xxhash64(col("id"), lit(23)), lit(100000L)).cast("double") / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(xxhash64(col("id"), lit(24)), lit(100L)),
+          lit("}")).as("props"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // documents: 50k over 20 sources / 5 langs; text = 15-60 words from
+    // the corpus vocab; every 20th doc duplicates its predecessor
+    val vocab = Seq("spark", "line", "column", "order", "small", "sort",
+      "fast", "value", "scan", "hash", "slow", "group", "batch", "table",
+      "query", "agg", "vector", "filter", "customer", "stream", "key",
+      "the", "window", "join", "part", "a", "g", "supplier", "nation", "region")
+    val seedCol = when(col("id") % 20 === 1, col("id") - 1).otherwise(col("id"))
+    val nWords = (pmod(xxhash64(seedCol, lit(30)), lit(46L)) + 15).cast("int")
+    val textCol = concat_ws(" ", transform(sequence(lit(0), nWords - 1),
+      k => element_at(array(vocab.map(lit): _*),
+        (pmod(xxhash64(seedCol, k + 31), lit(vocab.size)) + 1).cast("int"))))
+    spark.range(50000L).select(
+        col("id").as("doc_id"),
+        textCol.as("text"),
+        element_at(array(lit("en"), lit("en"), lit("de"), lit("es"),
+            lit("fr"), lit("zh")),
+          (pmod(xxhash64(col("id"), lit(32)), lit(6L)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(xxhash64(col("id"), lit(33)), lit(20L))).as("source"),
+        length(textCol).cast("long").as("n_chars"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: 20k unit-scale 64-dim vectors in 10 label clusters
+    val label = pmod(xxhash64(col("id"), lit(40)), lit(10L))
+    spark.range(20000L).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), k =>
+          ((pmod(xxhash64(label, k + 41), lit(2000L)) - 1000L).cast("double") / 1250.0 +
+            (pmod(xxhash64(col("id"), k + 42), lit(2000L)) - 1000L).cast("double") / 5000.0)
+            .cast("float")).as("embedding"),
+        label.cast("int").as("label"))
+      .coalesce(4).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    done.getParentFile.mkdirs()
+    java.nio.file.Files.write(done.toPath, "ok\n".getBytes("UTF-8"))
+  }
+}

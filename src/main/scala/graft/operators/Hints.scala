@@ -30,6 +30,15 @@ private[graft] object Hints {
   /** 2M narrow rows (2–4 longs) ≈ tens of MB broadcast. */
   val BroadcastRowLimit = 2000000L
 
+  /** Driver-side decision counters (diagnostics only — read by
+    * [[graft.ScaleStress]] to PROVE the withhold path engaged on an
+    * over-limit frame rather than narrating that it would; a unit test
+    * can't see the decision once the hint is buried in an iterative
+    * loop's checkpointed plan). Incremented on the driver at
+    * plan-construction time: zero executor/hot-path cost. */
+  val hintedCount = new java.util.concurrent.atomic.AtomicLong
+  val withheldCount = new java.util.concurrent.atomic.AtomicLong
+
   /** Limit for WIDE rows — non-compact DECIMAL(38,0) columns, struct
     * keys, strings: ~100+ B/row unsafe footprint, so 500k rows keeps
     * the broadcast at the same tens-of-MB budget as the narrow limit.
@@ -44,5 +53,6 @@ private[graft] object Hints {
     * the count) always withholds the hint. */
   def hinted(df: DataFrame, rows: Long,
              limit: Long = BroadcastRowLimit): DataFrame =
-    if (rows <= limit) broadcast(df) else df
+    if (rows <= limit) { hintedCount.incrementAndGet(); broadcast(df) }
+    else { withheldCount.incrementAndGet(); df }
 }

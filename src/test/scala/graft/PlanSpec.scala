@@ -793,6 +793,17 @@ class PlanSpec extends SparkSpec {
     assert(graft.operators.Hints.hinted(small,
       graft.operators.Hints.BroadcastRowLimit + 1L) eq small,
       "one row over the limit must withhold the hint")
+    // decision counters (read by ScaleStress as in-run engagement
+    // evidence): one hinted and one withheld call must move exactly
+    // their own counter
+    val h0 = graft.operators.Hints.hintedCount.get
+    val w0 = graft.operators.Hints.withheldCount.get
+    graft.operators.Hints.hinted(small, 100L)
+    graft.operators.Hints.hinted(small,
+      graft.operators.Hints.BroadcastRowLimit + 1L)
+    assert(graft.operators.Hints.hintedCount.get == h0 + 1 &&
+      graft.operators.Hints.withheldCount.get == w0 + 1,
+      "Hints decision counters must track each dial outcome")
   }
 
   test("q315: a counted Brandes backward round broadcasts the level " +
