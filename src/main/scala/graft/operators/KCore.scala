@@ -39,13 +39,29 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  def run(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** @param localEdgeLimit normalized-edge-count bound under which the
+    *        synchronous peel runs on the driver (integral ids only;
+    *        0 forces the distributed rounds — spec hook). The driver
+    *        arm replays the EXACT same schedule round for round, so
+    *        the `iters` contract (oracle replay) is unchanged. */
+  def run(edges: DataFrame, k: Int, iters: Int,
+          localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
-    val und = edges.select(least(col("u"), col("v")).as("u"),
+    val undRaw = edges.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    // Size dispatch ([[TemporalBfs]]/[[Scc]] discipline): each peel
+    // round is 3 checkpointed shuffles of scheduling latency; under
+    // the counted gate the same synchronous unroll is an O(iters·E)
+    // array sweep on the driver. Above the gate — the 100 TB case —
+    // the iterative rounds below run unchanged.
+    val integral = undRaw.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val und = if (integral) undRaw.localCheckpoint(true) else undRaw
+    if (integral && und.count() <= localEdgeLimit)
+      return peelLocal(und, k, iters)
     // both directions in ONE scan (explode — a union of two selects
     // would compute the upstream distinct twice inside the checkpoint
     // job) so degree = one groupBy on src; partitioned once
@@ -85,5 +101,63 @@ object KCore {
       run(edges, k, iters).select(col("node"), lit(k).as("coreness"))
     }.reduce(_ unionByName _)
       .groupBy("node").agg(max("coreness").cast("int").as("coreness"))
+  }
+
+  /** Driver arm of [[run]]: the identical synchronous schedule —
+    * round r computes degrees over the round-(r−1) subgraph, drops
+    * every node under k AT ONCE, then restricts the edges — as plain
+    * array sweeps over the collected normalized edge list. */
+  private def peelLocal(und: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = und.sparkSession
+    val rows = und.collect()
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def ix(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue
+      else { val i = ids.length; idx.put(x, i); ids += x; i }
+    }
+    val m = rows.length
+    val eu = new Array[Int](m)
+    val ev = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      eu(i) = ix(rows(i).getLong(0)); ev(i) = ix(rows(i).getLong(1))
+      i += 1
+    }
+    val n = ids.length
+    var deg = new Array[Long](n)
+    i = 0; while (i < m) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+    val eLive = new Array[Boolean](m)
+    java.util.Arrays.fill(eLive, true)
+    var alive: Array[Boolean] = null
+    var r = 0
+    while (r < iters) {
+      alive = deg.map(_ >= k.toLong)
+      val next = new Array[Long](n)
+      i = 0
+      while (i < m) {
+        if (eLive(i)) {
+          if (alive(eu(i)) && alive(ev(i))) {
+            next(eu(i)) += 1; next(ev(i)) += 1
+          } else eLive(i) = false
+        }
+        i += 1
+      }
+      deg = next
+      r += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    i = 0
+    while (i < n) {
+      if (alive(i)) out.add(org.apache.spark.sql.Row(ids(i), deg(i)))
+      i += 1
+    }
+    spark.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("deg",
+          org.apache.spark.sql.types.LongType))))
   }
 }

@@ -79,13 +79,38 @@ object Triangles {
     *              straight from [[coOccurrenceEdges]]) — skips a full
     *              normalize+distinct shuffle of the edge list
     */
-  def triangleStats(edges: DataFrame, normalized: Boolean = false): DataFrame = {
+  def triangleStats(edges: DataFrame, normalized: Boolean = false,
+                    localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     val und = (if (normalized) edges.select(col("u").as("lo"), col("v").as("hi"))
       else edges.select(least(col("u"), col("v")).as("lo"),
           greatest(col("u"), col("v")).as("hi"))
         .filter(col("lo") =!= col("hi"))
         .distinct())
       .localCheckpoint(true) // feeds degrees, orientation, and the close join
+    val m = und.count()
+    // Size dispatch ([[Scc]]/[[KCore]] discipline): under the counted
+    // gate the same oriented-wedge enumeration runs on the driver —
+    // O(Σ min-deg) with int-rank adjacency — in a fraction of the
+    // distributed plan's scheduling cost; above it (the 100 TB case)
+    // the wedge joins below run unchanged. Long ids only.
+    if (und.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType) &&
+        m <= localEdgeLimit) {
+      val rows = und.collect()
+      val lo = rows.map(_.getLong(0)); val hi = rows.map(_.getLong(1))
+      localTriangles(lo, hi, wantSupports = false) match {
+        case Some((nTri, nWedge, _, nN)) =>
+          val out = new java.util.ArrayList[org.apache.spark.sql.Row](1)
+          out.add(org.apache.spark.sql.Row(nN, m, nWedge, nTri,
+            if (nWedge > 0) 3.0 * nTri.toDouble / nWedge.toDouble else 0.0))
+          import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+          return und.sparkSession.createDataFrame(out, StructType(Seq(
+            StructField("n_nodes", LongType), StructField("n_edges", LongType),
+            StructField("n_wedges", LongType), StructField("n_triangles", LongType),
+            StructField("clustering", DoubleType))))
+        case None => () // wedge budget exceeded: fall through to the joins
+      }
+    }
     val deg = und.select(col("lo").as("node"))
       .unionByName(und.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -105,7 +130,6 @@ object Triangles {
     // counts are cached scans): under the limit the wedge fan-out and
     // the closing semi-join probe the edge set map-side instead of
     // shuffling the O(m^1.5) wedge stream into a sort-merge join
-    val m = und.count()
     val nNodes = deg.count()
     val oriented = (if (packable) {
       // key = deg·2^32 + id: injective, same total order as (deg, id)
@@ -174,7 +198,8 @@ object Triangles {
     *              normalized — skipping a full normalize+distinct
     *              shuffle of the edge list per peel round
     * @return (lo, hi, support) for every distinct edge */
-  def edgeSupport(edges: DataFrame, normalized: Boolean = false): DataFrame = {
+  def edgeSupport(edges: DataFrame, normalized: Boolean = false,
+                  localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     val und = (if (normalized) edges.select(col("u").as("lo"), col("v").as("hi"))
       else edges.select(least(col("u"), col("v")).as("lo"),
           greatest(col("u"), col("v")).as("hi"))
@@ -183,6 +208,29 @@ object Triangles {
     // m is the counted-broadcast dial for the wedge joins below (the
     // node count is bounded by 2m, so one count serves both hints)
     val m = und.count()
+    // Size dispatch, mirroring [[triangleStats]]: per-edge supports via
+    // the same driver-side oriented enumeration. Accelerates every
+    // [[ktruss]] round and [[localClustering]] under the gate too.
+    if (und.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType) &&
+        m <= localEdgeLimit) {
+      val rows = und.collect()
+      val lo = rows.map(_.getLong(0)); val hi = rows.map(_.getLong(1))
+      localTriangles(lo, hi, wantSupports = true) match {
+        case Some((_, _, sup, _)) =>
+          val out = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+          var i = 0
+          while (i < rows.length) {
+            out.add(org.apache.spark.sql.Row(lo(i), hi(i), sup(i)))
+            i += 1
+          }
+          import org.apache.spark.sql.types.{LongType, StructField, StructType}
+          return und.sparkSession.createDataFrame(out, StructType(Seq(
+            StructField("lo", LongType), StructField("hi", LongType),
+            StructField("support", LongType))))
+        case None => () // wedge budget exceeded: fall through to the joins
+      }
+    }
     val deg = und.select(col("lo").as("node"))
       .unionByName(und.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -238,7 +286,8 @@ object Triangles {
     * @param rounds exact number of peel rounds
     * @return (lo, hi, support) for surviving edges, support measured
     *         in the FINAL surviving subgraph */
-  def ktruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def ktruss(edges: DataFrame, k: Int, rounds: Int,
+             localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(k >= 2, "truss level k must be >= 2")
     require(rounds >= 1 && rounds <= 64, "rounds in [1,64]")
     var e = edges.select(least(col("u"), col("v")).as("lo"),
@@ -249,13 +298,13 @@ object Triangles {
       // survivors stay normalized (u < v, distinct) — skip the
       // per-round normalize+distinct shuffle
       e = edgeSupport(e.select(col("lo").as("u"), col("hi").as("v")),
-          normalized = true)
+          normalized = true, localEdgeLimit = localEdgeLimit)
         .filter(col("support") >= (k - 2).toLong)
         .select("lo", "hi")
         .localCheckpoint(true)
     }
     edgeSupport(e.select(col("lo").as("u"), col("hi").as("v")),
-      normalized = true)
+      normalized = true, localEdgeLimit = localEdgeLimit)
   }
 
   /** Per-node local clustering coefficient — [[triangleStats]] reports
@@ -282,5 +331,133 @@ object Triangles {
         expr("ss div 2").as("n_triangles"),
         when(col("deg") >= 2L,
           expr("ss * 1000000L div (deg * (deg - 1))")).as("lcc_1e6"))
+  }
+
+  /** Shared driver arm for [[triangleStats]] / [[edgeSupport]] under
+    * the counted gate: degree-orient the collected edge list by
+    * (deg, id) rank, store out-neighbors as rank-sorted int arrays,
+    * and count each triangle once at its unique two-out-edge node by
+    * merge-intersecting the two out-lists — the exact Schank–Wagner
+    * shape the distributed joins implement, so both arms compute the
+    * same numbers by construction (and the specs pin it).
+    *
+    * Work budget: the merge cost is bounded by the wedge count, which
+    * degrees reveal BEFORE any enumeration — a near-clique inside the
+    * edge gate (q212's supplier graph: 1k nodes, ~430k edges, >100M
+    * wedges and ~10^8 triangles) would grind a single driver core for
+    * minutes while the codegen'd distributed joins chew the same rows
+    * at cluster parallelism. Over budget → None, caller falls through
+    * to the joins; the only waste is one bounded collect. Support
+    * accumulation indexes straight into arrays via the per-edge
+    * original index carried through the CSR sort (rank<<21 | idx fits:
+    * idx < 2^21 at the 2M gate, rank < 2^22) — no boxed maps in the
+    * hot loop.
+    *
+    * @return Some((nTriangles, nWedges = Σ C(deg,2), per-edge supports
+    *         aligned with the input arrays (null unless requested),
+    *         nNodes)), or None when the wedge budget says the
+    *         distributed arm is the right tool */
+  private def localTriangles(lo: Array[Long], hi: Array[Long],
+                             wantSupports: Boolean)
+      : Option[(Long, Long, Array[Long], Long)] = {
+    val m = lo.length
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def ix(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue
+      else { val i = ids.length; idx.put(x, i); ids += x; i }
+    }
+    val eu = new Array[Int](m)
+    val ev = new Array[Int](m)
+    var i = 0
+    while (i < m) { eu(i) = ix(lo(i)); ev(i) = ix(hi(i)); i += 1 }
+    val n = ids.length
+    val deg = new Array[Int](n)
+    i = 0; while (i < m) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+    var nWedges = 0L
+    i = 0
+    while (i < n) {
+      nWedges += deg(i).toLong * (deg(i) - 1L) / 2L
+      i += 1
+    }
+    // budget: merge steps ≈ wedges (+ m), plus 3 array bumps per
+    // triangle when supports are wanted — tighter there
+    val budget = if (wantSupports) 32000000L else 128000000L
+    if (nWedges > budget) return None
+    // rank = position in the (deg, id) total order — the orientation key
+    val byKey = (0 until n).sortBy(v => (deg(v), ids(v)))
+    val rank = new Array[Int](n)
+    i = 0; while (i < n) { rank(byKey(i)) = i; i += 1 }
+    // CSR of ORIENTED edges (lower rank -> higher): per-src segments,
+    // each sorted by (rank(dst) << 21 | original edge index) — segment
+    // order IS rank order, and the original index rides along so
+    // support bumps are plain array increments
+    val off = new Array[Int](n + 1)
+    i = 0
+    while (i < m) {
+      val s = if (rank(eu(i)) < rank(ev(i))) eu(i) else ev(i)
+      off(s + 1) += 1
+      i += 1
+    }
+    i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+    val packed = new Array[Long](m)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) {
+      val (s, d) = if (rank(eu(i)) < rank(ev(i))) (eu(i), ev(i))
+        else (ev(i), eu(i))
+      packed(fill(s)) = (rank(d).toLong << 21) | i.toLong
+      fill(s) += 1
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      java.util.Arrays.sort(packed, off(i), off(i + 1))
+      i += 1
+    }
+    val adjR = new Array[Int](m)  // out-neighbor RANKS, sorted per node
+    val orig = new Array[Int](m)  // original edge index at each position
+    i = 0
+    while (i < m) {
+      adjR(i) = (packed(i) >>> 21).toInt
+      orig(i) = (packed(i) & 0x1fffffL).toInt
+      i += 1
+    }
+    val sup = if (wantSupports) new Array[Long](m) else null
+    var nTri = 0L
+    var u = 0
+    while (u < n) {
+      var p = off(u)
+      val pEnd = off(u + 1)
+      while (p < pEnd) {
+        // wedge apex u: pair the edge at p (u -> v) with every later
+        // out-edge of u (u -> y, rank(y) > rank(v)); the triangle
+        // closes iff v -> y is oriented — i.e. y appears in v's
+        // rank-sorted out-list — so one merge finds all closures
+        val vRank = adjR(p)
+        val v = byKey(vRank)
+        var q = p + 1
+        var r = off(v)
+        val qEnd = pEnd
+        val rEnd = off(v + 1)
+        while (q < qEnd && r < rEnd) {
+          val yq = adjR(q); val yr = adjR(r)
+          if (yq == yr) {
+            nTri += 1
+            if (wantSupports) {
+              sup(orig(p)) += 1   // edge (u, v)
+              sup(orig(q)) += 1   // edge (u, y)
+              sup(orig(r)) += 1   // edge (v, y)
+            }
+            q += 1; r += 1
+          } else if (yq < yr) q += 1
+          else r += 1
+        }
+        p += 1
+      }
+      u += 1
+    }
+    Some((nTri, nWedges, sup, n.toLong))
   }
 }

@@ -26,9 +26,18 @@ class KCoreSpec extends SparkSpec {
       .view.mapValues(_.size.toLong).toMap
   }
 
-  private def run(edges: Seq[(Long, Long)], k: Int, iters: Int): Map[Long, Long] =
-    KCore.run(edges.toDF("u", "v"), k, iters)
+  /** Both dispatch arms (driver peel by default at these sizes;
+    * localEdgeLimit = 0 forces the distributed rounds) must agree
+    * exactly on every pin. */
+  private def run(edges: Seq[(Long, Long)], k: Int, iters: Int): Map[Long, Long] = {
+    val local = KCore.run(edges.toDF("u", "v"), k, iters)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = KCore.run(edges.toDF("u", "v"), k, iters,
+        localEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, "driver peel diverged from distributed rounds")
+    local
+  }
 
   test("K4 with a pendant path: 2-core strips the path, keeps K4") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)

@@ -212,8 +212,17 @@ class PlanSpec extends SparkSpec {
   test("q113: triangle close is a LeftSemi equi-join, never a cartesian") {
     // the one-row stat frames legitimately cross-join (BNLJ over single
     // rows); what must NOT appear is a cartesian over DATA: the wedge
-    // self-join and close join are hash equi-joins, the close a LeftSemi
-    val p = plan("q113_triangles")
+    // self-join and close join are hash equi-joins, the close a LeftSemi.
+    // localEdgeLimit = 0 forces the DISTRIBUTED arm (at gate sizes the
+    // size dispatch would answer from the driver enumeration instead —
+    // this pin is about the 100 TB plan shape)
+    import org.apache.spark.sql.functions.col
+    val li = graft.core.Tables.load(spark, sfDir, "lineitem")
+    val e = graft.operators.Triangles.coOccurrenceEdges(
+      li, col("l_orderkey"), col("l_partkey"))
+    val p = graft.operators.Triangles
+      .triangleStats(e, normalized = true, localEdgeLimit = 0L)
+      .queryExecution.executedPlan.toString
     assert(p.contains("LeftSemi"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin).*LeftSemi".r

@@ -39,9 +39,19 @@ class SccSpec extends SparkSpec {
     out.toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Scc.stronglyConnected(edges.toDF("src", "dst"))
+  /** Every semantic pin runs BOTH dispatch arms — the default (driver
+    * Tarjan; these graphs are under the edge gate) and localEdgeLimit
+    * = 0, which forces the distributed FW–BW rounds — and they must
+    * agree exactly. */
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val local = Scc.stronglyConnected(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
+    val dist = Scc.stronglyConnected(edges.toDF("src", "dst"),
+        localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, "Tarjan fast path diverged from FW-BW rounds")
+    local
+  }
 
   test("cycle = one SCC, DAG = all singletons, bridge keeps two apart") {
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))

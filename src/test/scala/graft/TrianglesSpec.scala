@@ -6,9 +6,17 @@ import graft.operators.Triangles
 class TrianglesSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Both dispatch arms (driver enumeration by default at these sizes;
+    * localEdgeLimit = 0 forces the distributed wedge joins) must agree
+    * exactly on every pin. */
   private def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) = {
-    val r = Triangles.triangleStats(edges.toDF("u", "v")).head()
-    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val local = tup(Triangles.triangleStats(edges.toDF("u", "v")).head())
+    val dist = tup(Triangles.triangleStats(edges.toDF("u", "v"),
+      localEdgeLimit = 0L).head())
+    assert(local == dist, "driver enumeration diverged from wedge joins")
+    local
   }
 
   /** Independent brute-force model over node triples. */
@@ -114,6 +122,27 @@ class TrianglesSpec extends SparkSpec {
     assert(got.length == edges.size)
     got.foreach { case (lo, hi, s) =>
       assert(s == (nbrs(lo) & nbrs(hi)).size.toLong, s"edge ($lo,$hi)")
+    }
+  }
+
+  test("edgeSupport and ktruss: driver arm == distributed arm exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val e = edges.toDF("u", "v")
+    val supLocal = Triangles.edgeSupport(e)
+      .as[(Long, Long, Long)].collect().toSet
+    val supDist = Triangles.edgeSupport(e, localEdgeLimit = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(supLocal == supDist, "edgeSupport arms diverged")
+    for (k <- Seq(3, 4, 5)) {
+      val tLocal = Triangles.ktruss(e, k, rounds = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      val tDist = Triangles.ktruss(e, k, rounds = 3, localEdgeLimit = 0L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(tLocal == tDist, s"ktruss arms diverged at k=$k")
     }
   }
 
