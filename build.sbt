@@ -33,4 +33,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 10x run-to-run with the slow query moving around); the box has
   // 128 GiB, so default high and let CI override downward if needed.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // r13 storm-class suspect (r11 q315 / r12+r13 q335: one pass at ~9x
+  // process CPU with near-zero GC time): JDK 17's default code cache is
+  // 240 MB, and a full bench run whole-stage-codegens 402 queries x 3
+  // passes + warmup in ONE JVM. Code-cache exhaustion flushes compiled
+  // methods and churns deopt/recompile — CPU-heavy, GC-free, migrating
+  // between queries run to run, exactly the observed signature. 1 GB
+  // removes the ceiling; flushing stays on as the backstop. Bench's
+  // per-query JIT-time column is the matching in-artifact evidence.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

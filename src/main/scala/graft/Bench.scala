@@ -11,15 +11,39 @@ object Bench {
     s((s.size - 1) / 2)
   }
 
+  /** Atomic write: tmp file + ATOMIC_MOVE, so a kill mid-write can
+    * never leave a half-JSON artifact (the r13 failure mode was worse —
+    * NOTHING was written until all passes finished; now every pass
+    * persists the artifact-so-far and a torn write is impossible). */
+  private def writeAtomic(path: String, line: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Wall budget measured from Bench entry (sbt/JVM startup is outside
+    // it): the driver kills the whole sbt invocation at ~1500 s, and
+    // r13's three passes + startup overshot by ~1–3% → rc=124 with NO
+    // artifact. The budget makes the suite stop STARTING passes it
+    // cannot finish, so the run always ends rc=0 with every completed
+    // pass in the artifact (passes completed is recorded).
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1260").toDouble
     val spark = graft.core.SparkSessionFactory.configure(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // native engine expressions
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the localCheckpoint-unpersist WARN spam otherwise fills the
+    // driver's stdout tail window (r13 verdict #3)
+    graft.core.SparkSessionFactory.quietRddWarnings()
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     // cumulative stop-the-world GC time across all collectors (ms): the
@@ -31,6 +55,15 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // cumulative JIT compilation time (ms): the storm-class probe. The
+    // r13 q335 storm burned 1,148 CPU-s with 0.49 GC-s — GC exonerated
+    // in-band, leaving compile churn (code-cache exhaustion → method
+    // flushing → deopt/recompile) as the named suspect. A storm pass
+    // whose jit delta spikes proves it; one whose jit delta is flat
+    // excludes it. Paired with -XX:ReservedCodeCacheSize=1g (build.sbt).
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    val jitSupported = jitBean != null && jitBean.isCompilationTimeMonitoringSupported
+    def jitMillis(): Long = if (jitSupported) jitBean.getTotalCompilationTime else 0L
     // Warm up JIT/codegen paths (scan, join, window, text, arrays) on the
     // smallest SF so the first timed query doesn't absorb startup cost.
     Seq("q01_pricing_agg", "q04_join_fact", "q08_window_rank", "q21_jaccard_pairs")
@@ -59,28 +92,99 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
-    // Steady-state timing: per-query MEDIAN of three runs, but the three
-    // runs are INTERLEAVED as three full passes over the whole suite rather
-    // than back-to-back repetitions of one query. Rationale (observed r5/r6):
-    // a JVM storm — GC/JIT churn burning in-process CPU — can pin a single
-    // query at 100-200× its steady-state cost for a stretch that easily
-    // spans three consecutive repetitions, so back-to-back median AND min
+    // Steady-state timing: per-query MEDIAN of up to three runs, the
+    // runs INTERLEAVED as full passes over the whole suite rather than
+    // back-to-back repetitions of one query. Rationale (observed r5/r6):
+    // a JVM storm — CPU churn in-process — can pin a single query at
+    // 100-200× its steady-state cost for a stretch that easily spans
+    // three consecutive repetitions, so back-to-back median AND min
     // both absorb it. Spreading a query's samples across passes puts
-    // minutes between them; a localized storm then pollutes at most one of
-    // the three samples and the median stays truthful. Per-pass totals are
-    // reported so a polluted pass is visible in the artifact itself.
-    // Only SUCCESSFUL runs compete — a fast failure must not masquerade as
-    // a fast query. Query order within a pass is the stable Map iteration
-    // order (identical across passes) so cross-pass samples see the same
-    // predecessors.
+    // minutes between them; a localized storm then pollutes at most one
+    // of the three samples and the median stays truthful. Per-pass
+    // totals are reported so a polluted pass is visible in the artifact
+    // itself. Only SUCCESSFUL runs compete — a fast failure must not
+    // masquerade as a fast query. Query order within a pass is the
+    // stable Map iteration order (identical across passes) so
+    // cross-pass samples see the same predecessors.
     val names = selected.keys.toSeq
-    val passes = 3
-    // samples(name) accumulates (wall, cpu, gc) per pass — the RAW
+    val maxPasses = 3
+    // samples(name) accumulates (wall, cpu, gc, jit) per pass — the RAW
     // samples ship in the full artifact so a polluted pass is provable
     // from the artifact alone, no rerun needed
-    val samples = scala.collection.mutable.Map[String, List[(Double, Double, Double)]]()
+    val samples = scala.collection.mutable.Map[String, List[(Double, Double, Double, Double)]]()
       .withDefaultValue(Nil)
-    val passTotals = (1 to passes).map { pass =>
+    val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
+
+    def jesc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => " "; case c => c.toString
+    }
+
+    /** Render the full artifact line AND the compact tail line from
+      * whatever samples exist so far. Called after EVERY pass (r13
+      * verdict #1: computing output only after the final pass left
+      * rc=124 with nothing parseable). */
+    def render(passesDone: Int): (String, String) = {
+      val results = names.map { name =>
+        val runs = samples(name)
+        if (runs.isEmpty) name -> (0.0, 0.0, 0.0, 0.0, 0.0)
+        else {
+          val medWall = median(runs.map(_._1))
+          // the CPU/GC/JIT deltas of the run whose wall time IS the median
+          val medRun = runs.find(_._1 == medWall).get
+          // min wall alongside the median: if one pass was polluted, the
+          // gap between a query's median and min (and between pass
+          // totals) shows it without switching the headline to best-case
+          name -> (medWall, medRun._2, runs.map(_._1).min, medRun._3, medRun._4)
+        }
+      }.toMap
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
+        .mkString("{", ",", "}")
+      val qsCpu = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+        .mkString("{", ",", "}")
+      val qsMin = results.map { case (k, v) => s"\"" + k + "\":" + v._3 }
+        .mkString("{", ",", "}")
+      val qsGc = results.map { case (k, v) => s"\"" + k + "\":" + v._4 }
+        .mkString("{", ",", "}")
+      val qsJit = results.map { case (k, v) => s"\"" + k + "\":" + v._5 }
+        .mkString("{", ",", "}")
+      // raw (wall, cpu, gc, jit) per successful pass, in pass order:
+      // the in-artifact adjudication channel — a storm shows as ONE
+      // sample with wall >> the others, and the gc/jit columns say
+      // which churn (collector vs compiler) burned the CPU
+      val qsSamples = names.map { name =>
+        val runs = samples(name).map { case (w, c, g, j) =>
+          f"[$w%.3f,$c%.3f,$g%.3f,$j%.3f]"
+        }.mkString("[", ",", "]")
+        s"\"" + name + "\":" + runs
+      }.mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+      val cpuTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
+      val minTotal = if (results.nonEmpty) results.values.map(_._3).sum else 0.0
+      val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val failDetailJson = failures.reverse
+        .map { case (n, p, m) => s"""["$n",$p,"${jesc(m)}"]""" }
+        .mkString("[", ",", "]")
+      val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"min_sec":$minTotal,"cores":$cpus,"passes_done":$passesDone,"pass_totals":$passJson,"queries":$qs,"queries_cpu":$qsCpu,"queries_min":$qsMin,"queries_gc":$qsGc,"queries_jit":$qsJit,"queries_samples":$qsSamples,"failed":$failedJson,"failed_detail":$failDetailJson,"sf":"$sfDir"}"""
+      // The driver keeps only the LAST ~2000 chars of stdout. With 400
+      // queries the full line is ~40 KB, so the tail window would land
+      // mid-JSON and the official BENCH artifact arrive unparseable
+      // ("parsed": null in r7). The compact (<1 KB) line carries the
+      // headline totals, per-pass totals (storm visibility), and the 10
+      // slowest queries by median; full per-query maps live in
+      // bench_out.json.
+      val slowest = results.toSeq.sortBy(-_._2._1).take(10)
+        .map { case (k, v) => s"\"" + k + "\":" + f"${v._1}%.3f" }
+        .mkString("{", ",", "}")
+      val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_sec":$cpuTotal%.3f,"min_sec":$minTotal%.3f,"cores":$cpus,"passes_done":$passesDone%d,"pass_totals":$passJson,"queries":$slowest,"queries_n":${results.size}%d,"failed":$failedJson,"sf":"$sfDir","full":"bench_out.json"}"""
+      (full, compact)
+    }
+
+    var pass = 0
+    var stoppedEarly = false
+    while (pass < maxPasses && !stoppedEarly) {
+      pass += 1
       var passWall = 0.0
       names.foreach { name =>
         val fn = selected(name)
@@ -88,6 +192,7 @@ object Bench {
         // earlier queries' storage doesn't skew later measurements
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         val g0 = gcMillis()
+        val j0 = jitMillis()
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -107,82 +212,33 @@ object Bench {
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
         val gc = (gcMillis() - g0) / 1e3
+        val jit = (jitMillis() - j0) / 1e3
         passWall += wall
-        if (ok) samples(name) = samples(name) :+ ((wall, cpu, gc))
+        if (ok) samples(name) = samples(name) :+ ((wall, cpu, gc, jit))
       }
-      passWall
-    }
-    val results = names.map { name =>
-      val runs = samples(name)
-      if (runs.isEmpty) name -> (0.0, 0.0, 0.0, 0.0)
-      else {
-        val medWall = median(runs.map(_._1))
-        // the CPU/GC deltas of the run whose wall time IS the median
-        val medRun = runs.find(_._1 == medWall).get
-        // min wall alongside the median: if one pass was polluted, the gap
-        // between a query's median and min (and between pass totals) shows
-        // it without switching the headline metric to best-case
-        name -> (medWall, medRun._2, runs.map(_._1).min, medRun._3)
+      passTotals += passWall
+      // Persist the artifact-so-far after EVERY pass (atomic rename) and
+      // print the compact summary: a later timeout/kill still leaves the
+      // completed passes on disk and a complete JSON object in the
+      // stdout tail. Filtered dev runs skip the git-tracked archive — a
+      // one-query iteration must not clobber the suite-wide map.
+      val (full, compact) = render(pass)
+      writeAtomic("bench_out.json", full)
+      if (only.isEmpty) writeAtomic("bench_full_latest.json", full)
+      println(compact)
+      // Budget check BEFORE starting another pass: project the next pass
+      // at the worst completed pass + 10% (a storm pass inflates the
+      // projection — conservative in exactly the runs that need it).
+      if (pass < maxPasses) {
+        val projected = passTotals.max * 1.1
+        if (elapsedSec + projected > budgetSec) {
+          stoppedEarly = true
+          System.err.println(f"BENCH BUDGET: stopping after pass $pass — " +
+            f"elapsed ${elapsedSec}%.0f s + projected ${projected}%.0f s " +
+            f"> budget ${budgetSec}%.0f s")
+        }
       }
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
-      .mkString("{", ",", "}")
-    val qsCpu = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
-      .mkString("{", ",", "}")
-    val qsMin = results.map { case (k, v) => s"\"" + k + "\":" + v._3 }
-      .mkString("{", ",", "}")
-    val qsGc = results.map { case (k, v) => s"\"" + k + "\":" + v._4 }
-      .mkString("{", ",", "}")
-    // raw (wall, cpu, gc) triples per successful pass, in pass order:
-    // the in-artifact adjudication channel — a storm shows as ONE
-    // sample with wall >> the others and a matching GC spike
-    val qsSamples = names.map { name =>
-      val runs = samples(name).map { case (w, c, g) =>
-        f"[$w%.3f,$c%.3f,$g%.3f]"
-      }.mkString("[", ",", "]")
-      s"\"" + name + "\":" + runs
-    }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val cpuTotal = if (results.nonEmpty) results.values.map(_._2).sum else 0.0
-    val minTotal = if (results.nonEmpty) results.values.map(_._3).sum else 0.0
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def jesc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => " "; case c => c.toString
     }
-    val failDetailJson = failures.reverse
-      .map { case (n, p, m) => s"""["$n",$p,"${jesc(m)}"]""" }
-      .mkString("[", ",", "]")
-    val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"min_sec":$minTotal,"cores":$cpus,"pass_totals":$passJson,"queries":$qs,"queries_cpu":$qsCpu,"queries_min":$qsMin,"queries_gc":$qsGc,"queries_samples":$qsSamples,"failed":$failedJson,"failed_detail":$failDetailJson,"sf":"$sfDir"}"""
-    println(line)
-    // Persist the FULL artifact verbatim: the driver scrapes sbt stdout, and
-    // a plain file is the load-proof channel for the complete per-query maps.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
-    // ALSO write a git-TRACKED copy (bench_out.json is gitignored and
-    // overwritten by every dev run — the r12 full map survived only in
-    // verdict extracts, r12 verdict #2): a full-suite run updates
-    // bench_full_latest.json in place, so the round-close commit (or the
-    // driver's end-of-round auto-commit) makes every round's complete
-    // per-query map durable and diffable. Filtered dev runs skip it —
-    // a one-query iteration must not clobber the suite-wide archive.
-    if (only.isEmpty)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full_latest.json"),
-        (line + "\n").getBytes("UTF-8"))
-    // The driver keeps only the LAST ~2000 chars of stdout. With 90 queries
-    // the full line is ~8 KB, so the tail window lands mid-JSON and the
-    // official BENCH artifact arrives unparseable ("parsed": null in r7).
-    // Print a compact (<1 KB) summary as the FINAL stdout line so any tail
-    // window of >=1 KB contains one complete JSON object: headline totals,
-    // per-pass totals (storm visibility), and the 10 slowest queries by
-    // median. The full per-query maps live in bench_out.json.
-    val slowest = results.toSeq.sortBy(-_._2._1).take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + f"${v._1}%.3f" }
-      .mkString("{", ",", "}")
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","cpu_sec":$cpuTotal%.3f,"min_sec":$minTotal%.3f,"cores":$cpus,"pass_totals":$passJson,"queries":$slowest,"queries_n":${results.size}%d,"failed":$failedJson,"sf":"$sfDir","full":"bench_out.json"}"""
-    println(compact)
     spark.stop()
   }
 }

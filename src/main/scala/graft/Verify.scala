@@ -27,6 +27,9 @@ object Verify {
       .withExtensions(new GraftExtensions) // native engine expressions
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // localCheckpoint-unpersist WARN spam fills the driver's stdout
+    // tail window otherwise (r13 verdict #3)
+    graft.core.SparkSessionFactory.quietRddWarnings()
     new java.io.File(outDir).mkdirs()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

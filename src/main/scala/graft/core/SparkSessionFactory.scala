@@ -21,6 +21,18 @@ object SparkSessionFactory {
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.shuffle.partitions", parallelism.toString)
 
+  /** Drop the per-unpersist `WARN MapPartitionsRDD: RDD N was locally
+    * checkpointed` chatter the iterative loops' unpersist discipline
+    * emits (one line per retired RDD — a full bench run produces
+    * thousands, which costs log I/O during timed queries and, worse,
+    * fills the driver's ~4 KB stdout tail so the BENCH artifact line
+    * gets pushed out of the parse window; r13 verdict #3). Scoped to
+    * the o.a.s.rdd package of THIS JVM's log4j2 config — never a
+    * global conf change, and real errors still surface. */
+  def quietRddWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+
   /** Local session for tools/tests, with the engine's native functions
     * registered via [[graft.GraftExtensions]]. */
   def local(cores: Int, appName: String = "graft"): SparkSession =

@@ -45,10 +45,14 @@ object TemporalBfs {
 
   /** @param edges   (src, dst, t) — directed temporal edges, t long
     * @param sources (node) — infected at −∞ (any outgoing edge usable)
-    * @param maxRounds fail-loud bound on label-correcting rounds
+    * @param maxRounds fail-loud bound on label-correcting rounds.
+    *        Applies ONLY to the distributed fixpoint arm — the driver
+    *        sweep is exact and round-free (one sort, one pass), so
+    *        under the edge gate this parameter is never consulted.
     * @param localEdgeLimit edge-count bound under which the driver
     *        single-sweep runs instead of the distributed fixpoint
-    *        (0 forces the distributed path — used by the equivalence
+    *        (integral LONG node ids only — see the gate below; 0
+    *        forces the distributed path — used by the equivalence
     *        spec, never by production callers)
     * @return (node, arrival) for every REACHED non-source node —
     *         earliest infection instant — plus each source with null
@@ -64,9 +68,16 @@ object TemporalBfs {
       .localCheckpoint(true)
     val srcs = sources.select(col("node")).distinct().localCheckpoint(true)
     // count on the checkpointed frame is one cheap job; it picks the
-    // algorithm the way Hierarchy's edge count picks its walk
+    // algorithm the way Hierarchy's edge count picks its walk.
+    // Type gate (Scc/KCore/Triangles discipline): the sweep keys its
+    // HashMap on boxed values, so mixed numeric node types (Integer
+    // edge endpoints vs Long sources) would silently miss lookups
+    // where the distributed join coerces — require all three node
+    // columns LongType, else the fixpoint runs regardless of size.
+    val integral = Seq(e.schema("src").dataType, e.schema("dst").dataType,
+      srcs.schema("node").dataType).forall(_ == LongType)
     val edgeCount = e.count()
-    if (edgeCount <= localEdgeLimit) sweepLocal(e, srcs)
+    if (integral && edgeCount <= localEdgeLimit) sweepLocal(e, srcs)
     else fixpointDistributed(e, srcs, maxRounds)
   }
 
@@ -78,9 +89,9 @@ object TemporalBfs {
     * run, not quadratic) before the sweep moves to the next instant. */
   private def sweepLocal(e: DataFrame, srcs: DataFrame): DataFrame = {
     val spark = e.sparkSession
-    // node type is caller-defined (long user ids here, strings in
-    // other graphs): keep keys as boxed Any, preserve the type in the
-    // output schema below
+    // the dispatch gate guarantees all node columns are LongType, so
+    // boxed-Any keys are uniform java.lang.Long — no cross-type
+    // equality hazard; the output schema still echoes the source type
     val nodeType = srcs.schema("node").dataType
     def tOf(r: Row): Long = r.get(2) match {
       case n: java.lang.Number => n.longValue

@@ -361,6 +361,14 @@ object Triangles {
                              wantSupports: Boolean)
       : Option[(Long, Long, Array[Long], Long)] = {
     val m = lo.length
+    // the CSR packs (rank << 21 | original edge index) into one long:
+    // both fields must fit 21 bits, so any edge list at or past 2^21
+    // edges (2,097,152) would silently bleed index bits into the rank
+    // field and corrupt counts/supports. localEdgeLimit is a PUBLIC
+    // parameter on triangleStats/edgeSupport/ktruss — the default gate
+    // (2,000,000) sits under this, but a caller-raised limit must fall
+    // through to the distributed joins, not corrupt here.
+    if (m >= (1 << 21)) return None
     val idx = new java.util.HashMap[Long, Integer]()
     val ids = new scala.collection.mutable.ArrayBuffer[Long]()
     def ix(x: Long): Int = {
