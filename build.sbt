@@ -43,4 +43,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // per-query JIT-time column is the matching in-artifact evidence.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
+  // Collector selector (r14 storm experiment): G1's CONCURRENT cycle
+  // threads burn process CPU that GarbageCollectorMXBean.collectionTime
+  // never reports — a storm pass with flat GC and flat JIT columns but
+  // a large non-Java-thread CPU residual is concurrent marking of the
+  // 24g heap. ParallelGC has no concurrent threads: all collector work
+  // is stop-the-world and therefore VISIBLE in the gc column, and for
+  // a throughput batch workload it is typically no slower. Override
+  // with SPARK_GRAFT_GC=G1 to A/B.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
 )

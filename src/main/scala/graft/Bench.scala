@@ -64,6 +64,25 @@ object Bench {
     val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
     val jitSupported = jitBean != null && jitBean.isCompilationTimeMonitoringSupported
     def jitMillis(): Long = if (jitSupported) jitBean.getTotalCompilationTime else 0L
+    // cumulative CPU of all JAVA threads (ns): process CPU minus this
+    // delta is the NON-JAVA residual — GC worker/concurrent threads,
+    // JIT compiler threads, VM internals. The r14 storm probe: a storm
+    // pass with flat GC (stop-the-world collectionTime) and flat JIT
+    // but a large residual is CONCURRENT collector CPU — G1's marking
+    // cycles burn process CPU that collectionTime never reports, which
+    // matches the r11-r13 signature exactly. Approximate by design
+    // (threads that die between samples drop out of the sum), good
+    // enough to attribute a 9× CPU spike.
+    val threadBean = java.lang.management.ManagementFactory.getThreadMXBean
+    def javaThreadCpu(): Long = {
+      if (!threadBean.isThreadCpuTimeSupported) return 0L
+      var sum = 0L
+      threadBean.getAllThreadIds.foreach { id =>
+        val c = threadBean.getThreadCpuTime(id)
+        if (c > 0L) sum += c
+      }
+      sum
+    }
     // Warm up JIT/codegen paths (scan, join, window, text, arrays) on the
     // smallest SF so the first timed query doesn't absorb startup cost.
     Seq("q01_pricing_agg", "q04_join_fact", "q08_window_rank", "q21_jaccard_pairs")
@@ -108,10 +127,10 @@ object Bench {
     // cross-pass samples see the same predecessors.
     val names = selected.keys.toSeq
     val maxPasses = 3
-    // samples(name) accumulates (wall, cpu, gc, jit) per pass — the RAW
-    // samples ship in the full artifact so a polluted pass is provable
-    // from the artifact alone, no rerun needed
-    val samples = scala.collection.mutable.Map[String, List[(Double, Double, Double, Double)]]()
+    // samples(name) accumulates (wall, cpu, gc, jit, resid) per pass —
+    // the RAW samples ship in the full artifact so a polluted pass is
+    // provable from the artifact alone, no rerun needed
+    val samples = scala.collection.mutable.Map[String, List[(Double, Double, Double, Double, Double)]]()
       .withDefaultValue(Nil)
     val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
 
@@ -127,7 +146,7 @@ object Bench {
     def render(passesDone: Int): (String, String) = {
       val results = names.map { name =>
         val runs = samples(name)
-        if (runs.isEmpty) name -> (0.0, 0.0, 0.0, 0.0, 0.0)
+        if (runs.isEmpty) name -> (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
         else {
           val medWall = median(runs.map(_._1))
           // the CPU/GC/JIT deltas of the run whose wall time IS the median
@@ -135,7 +154,8 @@ object Bench {
           // min wall alongside the median: if one pass was polluted, the
           // gap between a query's median and min (and between pass
           // totals) shows it without switching the headline to best-case
-          name -> (medWall, medRun._2, runs.map(_._1).min, medRun._3, medRun._4)
+          name -> (medWall, medRun._2, runs.map(_._1).min, medRun._3,
+            medRun._4, medRun._5)
         }
       }.toMap
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
@@ -148,13 +168,16 @@ object Bench {
         .mkString("{", ",", "}")
       val qsJit = results.map { case (k, v) => s"\"" + k + "\":" + v._5 }
         .mkString("{", ",", "}")
-      // raw (wall, cpu, gc, jit) per successful pass, in pass order:
-      // the in-artifact adjudication channel — a storm shows as ONE
-      // sample with wall >> the others, and the gc/jit columns say
-      // which churn (collector vs compiler) burned the CPU
+      val qsResid = results.map { case (k, v) => s"\"" + k + "\":" + v._6 }
+        .mkString("{", ",", "}")
+      // raw (wall, cpu, gc, jit, resid) per successful pass, in pass
+      // order: the in-artifact adjudication channel — a storm shows as
+      // ONE sample with wall >> the others, and the gc/jit/resid
+      // columns say which churn (STW collector, compiler, or non-Java
+      // threads — concurrent GC) burned the CPU
       val qsSamples = names.map { name =>
-        val runs = samples(name).map { case (w, c, g, j) =>
-          f"[$w%.3f,$c%.3f,$g%.3f,$j%.3f]"
+        val runs = samples(name).map { case (w, c, g, j, r) =>
+          f"[$w%.3f,$c%.3f,$g%.3f,$j%.3f,$r%.3f]"
         }.mkString("[", ",", "]")
         s"\"" + name + "\":" + runs
       }.mkString("{", ",", "}")
@@ -166,7 +189,7 @@ object Bench {
         .map { case (n, p, m) => s"""["$n",$p,"${jesc(m)}"]""" }
         .mkString("[", ",", "]")
       val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"min_sec":$minTotal,"cores":$cpus,"passes_done":$passesDone,"pass_totals":$passJson,"queries":$qs,"queries_cpu":$qsCpu,"queries_min":$qsMin,"queries_gc":$qsGc,"queries_jit":$qsJit,"queries_samples":$qsSamples,"failed":$failedJson,"failed_detail":$failDetailJson,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"min_sec":$minTotal,"cores":$cpus,"passes_done":$passesDone,"pass_totals":$passJson,"queries":$qs,"queries_cpu":$qsCpu,"queries_min":$qsMin,"queries_gc":$qsGc,"queries_jit":$qsJit,"queries_resid":$qsResid,"queries_samples":$qsSamples,"failed":$failedJson,"failed_detail":$failDetailJson,"sf":"$sfDir"}"""
       // The driver keeps only the LAST ~2000 chars of stdout. With 400
       // queries the full line is ~40 KB, so the tail window would land
       // mid-JSON and the official BENCH artifact arrive unparseable
@@ -193,6 +216,7 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         val g0 = gcMillis()
         val j0 = jitMillis()
+        val jt0 = javaThreadCpu()
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -213,8 +237,10 @@ object Bench {
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
         val gc = (gcMillis() - g0) / 1e3
         val jit = (jitMillis() - j0) / 1e3
+        // non-Java-thread CPU (concurrent GC workers, compiler threads)
+        val resid = cpu - (javaThreadCpu() - jt0) / 1e9
         passWall += wall
-        if (ok) samples(name) = samples(name) :+ ((wall, cpu, gc, jit))
+        if (ok) samples(name) = samples(name) :+ ((wall, cpu, gc, jit, resid))
       }
       passTotals += passWall
       // Persist the artifact-so-far after EVERY pass (atomic rename) and

@@ -37,4 +37,18 @@ object Hashing {
     * minhash (one per permutation index). */
   def saltedHexLong(salt: Column, c: Column): Column =
     hexLong(concat(salt.cast("string"), lit(":"), c))
+
+  /** Driver-side twin of [[hexLong]] for the size-dispatched local
+    * arms ([[graft.operators.RandomWalks]]/[[graft.operators.Neighborhood]]):
+    * first 60 bits of md5(s) as a non-negative Long, bit-identical to
+    * the column expression evaluated on the same string. The 15-hex-char
+    * prefix is bytes 0..6 (14 chars) plus the HIGH nibble of byte 7. */
+  def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Multi-source BFS hop distance over an undirected graph — "how far is
   * every node from the seed set", the crawl-frontier / link-distance
@@ -18,12 +19,21 @@ import org.apache.spark.sql.functions._
   * (graph, seeds, maxHops): deterministic, no tie-breaking, replayable
   * by an oracle as a fixed unroll of rounds.
   *
+  * Size-dispatched ([[Scc]]/[[KCore]]/[[TemporalBfs]] discipline):
+  * level-synchronous BFS is a pure function of (graph, seeds), so the
+  * driver arm — plain frontier expansion over a collected adjacency —
+  * produces the IDENTICAL settled set, and under the counted edge gate
+  * (LONG node ids only) it answers in milliseconds where the
+  * distributed rounds pay ~2 scheduling stages per hop (measured r13:
+  * q288 7.0 s wall on 38.5 CPU-s — pure latency). Above the gate the
+  * frontier loops below are the 100 TB shape; dispatch is by data,
+  * never by config.
+  *
   * Shape at 100 TB — the repo's iterative-graph discipline
   * ([[PageRank]], [[KCore]], [[LabelPropagation]]): edges are
-  * symmetrized in ONE scan (explode of both directions — a union of
-  * two selects would compute the upstream edge pipeline twice inside
-  * the checkpoint job), hash-partitioned AND sorted on the join key,
-  * then checkpointed, so a sort-merge round reuses both the
+  * symmetrized in ONE scan (explode of both directions over the
+  * checkpointed normalized pairs), hash-partitioned AND sorted on the
+  * join key, then checkpointed, so a sort-merge round reuses both the
   * partitioning and the ordering and shuffles only the frontier
   * (which tracks nodes, never edges); per-round `localCheckpoint`
   * keeps lineage flat. Frontiers are deduped BEFORE the edge join (one
@@ -53,19 +63,47 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
-  /** Symmetrize + dedupe + partition + sort + checkpoint the edge list
-    * in one job: the stationary side every round joins against. */
-  private def symEdges(edges: DataFrame, a: String, b: String): DataFrame = {
-    val und = edges.select(least(col("u"), col("v")).as("u"),
+  /** Normalized undirected pairs (u < v, no self-loops), deduped and
+    * checkpointed: the frame the dispatch gate counts, and the single
+    * scan both arms start from. */
+  private def undEdges(edges: DataFrame): DataFrame =
+    edges.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(true)
+
+  /** Symmetrize + partition + sort + checkpoint the (already
+    * checkpointed) normalized pairs in one job: the stationary side
+    * every distributed round joins against. */
+  private def symFromUnd(und: DataFrame, a: String, b: String): DataFrame =
     und.select(explode(array(
         struct(col("u").as(a), col("v").as(b)),
         struct(col("v").as(a), col("u").as(b)))).as("e"))
       .select(col("e." + a).as(a), col("e." + b).as(b))
       .repartition(col(a)).sortWithinPartitions(a)
       .localCheckpoint(true)
+
+  /** LONG node ids on every column the driver arms key their maps on —
+    * mixed numeric types would silently miss HashMap lookups where the
+    * distributed join coerces (the [[TemporalBfs]] hazard). */
+  private def integralLong(und: DataFrame, seedCol: org.apache.spark.sql.types.DataType): Boolean =
+    und.schema.fields.forall(_.dataType == LongType) && seedCol == LongType
+
+  /** Collected adjacency, both directions (neighbor order is irrelevant
+    * to BFS — settled hops have no ties). */
+  private def adjacency(rows: Array[Row])
+      : java.util.HashMap[Long, Array[Long]] = {
+    val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    def add(x: Long, y: Long): Unit = {
+      var lst = tmp.get(x)
+      if (lst == null) { lst = new scala.collection.mutable.ArrayBuffer[Long](); tmp.put(x, lst) }
+      lst += y
+    }
+    rows.foreach { r => val u = r.getLong(0); val v = r.getLong(1); add(u, v); add(v, u) }
+    val adj = new java.util.HashMap[Long, Array[Long]](tmp.size())
+    tmp.forEach { (k, v) => adj.put(k, v.toArray) }
+    adj
   }
 
   /** Broadcast hint iff the (already materialized) frame is small —
@@ -74,9 +112,18 @@ object Bfs {
   private def hinted(df: DataFrame, rows: Long): DataFrame =
     Hints.hinted(df, rows)
 
-  def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  /** @param localEdgeLimit normalized-edge-count bound under which the
+    *        driver BFS runs instead of the distributed rounds (LONG
+    *        node ids only; 0 forces the distributed path — spec hook,
+    *        never a production setting) */
+  def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                  localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val sym = symEdges(edges, "src", "dst")
+    val und = undEdges(edges)
+    val seedCol = seeds.schema.fields.head.dataType
+    if (integralLong(und, seedCol) && und.count() <= localEdgeLimit)
+      return hopLocal(und, seeds, maxHops)
+    val sym = symFromUnd(und, "src", "dst")
     // each round checkpoints ONLY its frontier; the settled set is a
     // union of those already-materialized frontiers, so no round
     // re-materializes the cumulative state
@@ -107,6 +154,43 @@ object Bfs {
       .reduce(_ unionByName _)
   }
 
+  /** Driver multi-source BFS (bounded by the edge gate): identical
+    * settled set — hop minimality has no ties to break. */
+  private def hopLocal(und: DataFrame, seeds: DataFrame,
+                       maxHops: Int): DataFrame = {
+    val spark = und.sparkSession
+    val adj = adjacency(und.collect())
+    val dist = new java.util.HashMap[Long, Long]()
+    var frontier = new java.util.ArrayList[Long]()
+    seeds.select(seeds.columns.head).distinct().collect().foreach { r =>
+      val s = r.getLong(0)
+      if (!dist.containsKey(s)) { dist.put(s, 0L); frontier.add(s) }
+    }
+    var h = 1L
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = new java.util.ArrayList[Long]()
+      val it = frontier.iterator()
+      while (it.hasNext) {
+        val u = it.next()
+        val nbrs = adj.get(u)
+        if (nbrs != null) {
+          var i = 0
+          while (i < nbrs.length) {
+            val v = nbrs(i)
+            if (!dist.containsKey(v)) { dist.put(v, h); next.add(v) }
+            i += 1
+          }
+        }
+      }
+      frontier = next
+      h += 1
+    }
+    val out = new java.util.ArrayList[Row](dist.size())
+    dist.forEach { (node, hop) => out.add(Row(node, hop)) }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("node", LongType), StructField("hop", LongType))))
+  }
+
   /** Per-source hop distances — [[hopDistance]] with the frontier keyed
     * (src, node) instead of node, so every source keeps its OWN
     * distance field: the building block for sampled centralities
@@ -119,14 +203,19 @@ object Bfs {
     * reached nodes — the SOURCE SET is the cost dial. Sample sources
     * (the intended use: centrality over a seeded sample, scaled up by
     * the sampling rate); `maxSources` raises if a caller accidentally
-    * passes the whole node set.
+    * passes the whole node set. Size-dispatched like [[hopDistance]].
     *
     * @return (src, node, hop), hop ≤ maxHops, including (src, src, 0);
     *         deterministic — min-hop per (src, node) has no ties */
   def perSourceHops(edges: DataFrame, sources: DataFrame, maxHops: Int,
-                    maxSources: Long = 100000L): DataFrame = {
+                    maxSources: Long = 100000L,
+                    localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val sym = symEdges(edges, "src_n", "dst")
+    val und = undEdges(edges)
+    val seedCol = sources.schema.fields.head.dataType
+    if (integralLong(und, seedCol) && und.count() <= localEdgeLimit)
+      return perSourceLocal(und, sources, maxHops, maxSources)
+    val sym = symFromUnd(und, "src_n", "dst")
     val seed = sources.select(sources.columns.head).toDF("src")
       .distinct().withColumn("node", col("src")).localCheckpoint(true)
     var fRows = seed.count()
@@ -156,6 +245,52 @@ object Bfs {
       .map { case (hop, f) => f.withColumn("hop", lit(hop)) }
       .reduce(_ unionByName _)
       .select(col("src"), col("node"), col("hop"))
+  }
+
+  /** Driver per-source BFS (bounded by the edge gate): one plain BFS
+    * per source over the shared adjacency — |sources| × (V+E) work,
+    * milliseconds at gate-sized graphs. */
+  private def perSourceLocal(und: DataFrame, sources: DataFrame,
+                             maxHops: Int, maxSources: Long): DataFrame = {
+    val spark = und.sparkSession
+    val adj = adjacency(und.collect())
+    val srcs = sources.select(sources.columns.head).distinct().collect()
+      .map(_.getLong(0))
+    require(srcs.length <= maxSources,
+      s"perSourceHops: source set exceeds maxSources=$maxSources - " +
+        "sample sources; per-source state is |sources| x reach")
+    val out = new java.util.ArrayList[Row]()
+    srcs.foreach { s =>
+      val dist = new java.util.HashMap[Long, Long]()
+      dist.put(s, 0L)
+      out.add(Row(s, s, 0L))
+      var frontier = new java.util.ArrayList[Long]()
+      frontier.add(s)
+      var h = 1L
+      while (h <= maxHops && !frontier.isEmpty) {
+        val next = new java.util.ArrayList[Long]()
+        val it = frontier.iterator()
+        while (it.hasNext) {
+          val u = it.next()
+          val nbrs = adj.get(u)
+          if (nbrs != null) {
+            var i = 0
+            while (i < nbrs.length) {
+              val v = nbrs(i)
+              if (!dist.containsKey(v)) {
+                dist.put(v, h); next.add(v); out.add(Row(s, v, h))
+              }
+              i += 1
+            }
+          }
+        }
+        frontier = next
+        h += 1
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("src", LongType), StructField("node", LongType),
+      StructField("hop", LongType))))
   }
 
   /** Sampled harmonic centrality — Σ 1/d(s, v) over v within `maxHops`
@@ -193,6 +328,12 @@ object Bfs {
     * ~10-significant-digit ratios — integer floor division has no such
     * surface.
     *
+    * Size-dispatched like [[perSourceHops]]: the driver arm runs the
+    * same synchronized-level Brandes with BigInteger terms — the same
+    * exact integers, every floor stated on the same per-edge term — so
+    * the arms agree bit-for-bit (pinned by BfsSpec); the join/aggregate
+    * rounds below are the 100 TB shape.
+    *
     * Scale shape: identical to [[perSourceHops]] (edges partitioned +
     * sorted once, counted-frontier broadcast, frontier-only shuffles)
     * plus one backward join per level. The backward fan-out — each
@@ -213,10 +354,15 @@ object Bfs {
     *         the full-graph statistic) */
   def betweennessSampled(edges: DataFrame, sources: DataFrame,
                          maxHops: Int,
-                         maxSources: Long = 100000L): DataFrame = {
+                         maxSources: Long = 100000L,
+                         localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
     val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val sym = symEdges(edges, "ev", "ew")
+    val und = undEdges(edges)
+    val seedCol = sources.schema.fields.head.dataType
+    if (integralLong(und, seedCol) && und.count() <= localEdgeLimit)
+      return betweennessLocal(und, sources, maxHops, maxSources)
+    val sym = symFromUnd(und, "ev", "ew")
     val seed = sources.select(sources.columns.head).toDF("src")
       .distinct().withColumn("node", col("src"))
       .withColumn("sigma", lit(1L)).localCheckpoint(true)
@@ -224,6 +370,9 @@ object Bfs {
     require(fRows <= maxSources,
       s"betweennessSampled: source set exceeds maxSources=$maxSources" +
         " - sample sources; per-source state is |sources| x reach")
+    // empty sample (tiny SFs): no levels to recurse — an empty result,
+    // not an empty-reduce crash (same contract as the driver arm)
+    if (fRows == 0L) return emptyBetweenness(edges.sparkSession)
     // forward: levels(h) = (src, node, sigma) settled at hop h
     var levels = Vector(seed)
     var levelRows = Vector(fRows)
@@ -274,6 +423,208 @@ object Bfs {
       .select(col("node"), col("n_pairs"),
         col("dep").cast("string").as("dep_e9"))
   }
+
+  /** Driver Brandes (bounded by the edge gate): per-source BFS with σ
+    * path counts, then the level-synchronized backward pass with the
+    * SAME per-edge exact-integer floor ⌊σ_v·(10⁹ + δ_w)/σ_w⌋ in
+    * BigInteger — bit-identical to the join rounds. The level
+    * structure (including the δ=0 deepest level when maxHops truncates
+    * the walk) is replicated per source, which is equivalent to the
+    * distributed GLOBAL level loop because levels are per-(src, node)
+    * throughout. */
+  private def betweennessLocal(und: DataFrame, sources: DataFrame,
+                               maxHops: Int, maxSources: Long): DataFrame = {
+    val spark = und.sparkSession
+    val rows = und.collect()
+    val srcs = sources.select(sources.columns.head).distinct().collect()
+      .map(_.getLong(0))
+    require(srcs.length <= maxSources,
+      s"betweennessSampled: source set exceeds maxSources=$maxSources" +
+        " - sample sources; per-source state is |sources| x reach")
+    if (srcs.isEmpty) return emptyBetweenness(spark)
+    // int-indexed CSR (the Scc.tarjanLocal/localTriangles discipline):
+    // the backward pass scans |sources| × 2|E| neighbor slots — boxed
+    // HashMap lookups there were measured ~3-4 s at sf0.1; primitive
+    // arrays make the scan cheap and the per-source reset is a sweep
+    // over the touched lists only
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def ix(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue
+      else { val i = ids.length; idx.put(x, i); ids += x; i }
+    }
+    val m = rows.length
+    val eu = new Array[Int](m); val ev = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      eu(i) = ix(rows(i).getLong(0)); ev(i) = ix(rows(i).getLong(1)); i += 1
+    }
+    val n = ids.length
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < m) { off(eu(i) + 1) += 1; off(ev(i) + 1) += 1; i += 1 }
+    i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+    val adjI = new Array[Int](2 * m)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) {
+      adjI(fill(eu(i))) = ev(i); fill(eu(i)) += 1
+      adjI(fill(ev(i))) = eu(i); fill(ev(i)) += 1
+      i += 1
+    }
+    // forward state, reset per source via the touched levels
+    val hop = Array.fill(n)(-1)
+    val sigma = new Array[Long](n)
+    val deltaL = new Array[Long](n)           // δ (long fast path)
+    val deltaB = new Array[java.math.BigInteger](n) // δ when escalated
+    val e9 = java.math.BigInteger.valueOf(1000000000L)
+    // output accumulators across sources
+    val nPairs = new Array[Long](n)
+    val dep = new Array[java.math.BigInteger](n)
+    // The distributed loop's `top` is GLOBAL: it keeps expanding while
+    // ANY source has a frontier (up to maxHops), and the deepest
+    // materialized level gets δ = 0. Per-source levels are identical to
+    // that global structure restricted to the source, so running the
+    // forward pass per source and applying δ = 0 at the GLOBAL deepest
+    // level reproduces the rounds exactly. Two sweeps: forward all
+    // sources (records each source's levels + the global top), then
+    // backward per source.
+    val srcIdx = srcs.filter(idx.containsKey(_)).map(ix)
+    val allLevels = new Array[Array[Array[Int]]](srcIdx.length)
+    // σ stored SPARSELY per level (parallel to the level's node array):
+    // total state is |sources| × reach — the same dial as the
+    // distributed arm — never |sources| × n
+    val allSigma = new Array[Array[Array[Long]]](srcIdx.length)
+    var globalTop = 0
+    var si = 0
+    while (si < srcIdx.length) {
+      val s = srcIdx(si)
+      val levels = scala.collection.mutable.ArrayBuffer(Array(s))
+      hop(s) = 0; sigma(s) = 1L
+      var h = 1
+      var cur = Array(s)
+      while (h <= maxHops && cur.nonEmpty) {
+        val next = new scala.collection.mutable.ArrayBuffer[Int]()
+        var ci = 0
+        while (ci < cur.length) {
+          val u = cur(ci)
+          val su = sigma(u)
+          var p = off(u)
+          while (p < off(u + 1)) {
+            val v = adjI(p)
+            if (hop(v) == -1) { hop(v) = h; sigma(v) = su; next += v }
+            else if (hop(v) == h) sigma(v) += su
+            p += 1
+          }
+          ci += 1
+        }
+        cur = next.toArray
+        levels += cur
+        h += 1
+      }
+      if (levels.length - 1 > globalTop) globalTop = levels.length - 1
+      // keep σ sparsely per level, then reset the shared hop stamps
+      // (sigma entries go stale but are only ever read behind a hop
+      // stamp, and the backward sweep re-stamps both)
+      allLevels(si) = levels.toArray
+      allSigma(si) = levels.toArray.map(l => l.map(sigma))
+      levels.foreach(_.foreach { v => hop(v) = -1 })
+      si += 1
+    }
+    si = 0
+    while (si < srcIdx.length) {
+      val levels = allLevels(si)
+      val sigs = allSigma(si)
+      // re-stamp hops + σ for this source (needed by the successor test)
+      var lev = 0
+      while (lev < levels.length) {
+        val l = levels(lev); val sl = sigs(lev)
+        var j = 0
+        while (j < l.length) { hop(l(j)) = lev; sigma(l(j)) = sl(j); j += 1 }
+        lev += 1
+      }
+      val myTop = levels.length - 1
+      lev = myTop
+      while (lev >= 1) {
+        val nodes = levels(lev)
+        var vi = 0
+        while (vi < nodes.length) {
+          val v = nodes(vi)
+          if (lev == globalTop) { deltaL(v) = 0L; deltaB(v) = null }
+          else {
+            // Σ over neighbors w at lev+1 of ⌊σ_v·(10⁹ + δ_w)/σ_w⌋ —
+            // one floor per edge. Long fast path with exact-overflow
+            // escalation to BigInteger: identical integers either way
+            // (all values non-negative, so truncating division IS the
+            // floor in both).
+            val sv = sigma(v)
+            var accL = 0L
+            var accB: java.math.BigInteger = null
+            var p = off(v)
+            while (p < off(v + 1)) {
+              val w = adjI(p)
+              if (hop(w) == lev + 1) {
+                val dwB = deltaB(w)
+                if (accB == null && dwB == null) {
+                  // both operands in long range — try exact long math
+                  val mw = deltaL(w) + 1000000000L
+                  if (deltaL(w) <= Long.MaxValue - 1000000000L &&
+                      (sv == 0L || mw <= Long.MaxValue / sv)) {
+                    val term = sv * mw / sigma(w)
+                    if (accL <= Long.MaxValue - term) accL += term
+                    else accB = java.math.BigInteger.valueOf(accL)
+                      .add(java.math.BigInteger.valueOf(term))
+                  } else
+                    accB = java.math.BigInteger.valueOf(accL)
+                      .add(java.math.BigInteger.valueOf(sv)
+                        .multiply(e9.add(java.math.BigInteger.valueOf(deltaL(w))))
+                        .divide(java.math.BigInteger.valueOf(sigma(w))))
+                } else {
+                  val dw = if (dwB != null) dwB
+                    else java.math.BigInteger.valueOf(deltaL(w))
+                  val term = java.math.BigInteger.valueOf(sv)
+                    .multiply(e9.add(dw))
+                    .divide(java.math.BigInteger.valueOf(sigma(w)))
+                  accB = (if (accB != null) accB
+                    else java.math.BigInteger.valueOf(accL)).add(term)
+                }
+              }
+              p += 1
+            }
+            if (accB != null) { deltaB(v) = accB; deltaL(v) = 0L }
+            else { deltaB(v) = null; deltaL(v) = accL }
+          }
+          nPairs(v) += 1L
+          val dv = if (deltaB(v) != null) deltaB(v)
+            else java.math.BigInteger.valueOf(deltaL(v))
+          dep(v) = (if (dep(v) == null) java.math.BigInteger.ZERO
+            else dep(v)).add(dv)
+          vi += 1
+        }
+        lev -= 1
+      }
+      // reset shared state for the next source
+      levels.foreach(_.foreach { v =>
+        hop(v) = -1; deltaL(v) = 0L; deltaB(v) = null
+      })
+      si += 1
+    }
+    val out = new java.util.ArrayList[Row]()
+    i = 0
+    while (i < n) {
+      if (nPairs(i) > 0L) out.add(Row(ids(i), nPairs(i), dep(i).toString))
+      i += 1
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("node", LongType), StructField("n_pairs", LongType),
+      StructField("dep_e9", StringType))))
+  }
+
+  private def emptyBetweenness(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](0),
+      StructType(Seq(
+        StructField("node", LongType), StructField("n_pairs", LongType),
+        StructField("dep_e9", StringType))))
 
   /** One Brandes backward round: δ(levelLo) pulled from (levelLo+1)'s
     * σ/δ through the edge list. Both keyed frames take the counted-

@@ -46,10 +46,24 @@ object LabelPropagation {
       .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("nl")))
         .as("win"))
 
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  /** @param localEdgeLimit edge-count bound under which the driver
+    *        vote loop runs instead of the per-round join/aggregates
+    *        (LONG node ids only; 0 forces the distributed path — spec
+    *        hook). The update rule is synchronous and its argmax
+    *        deterministic ((count desc, label asc)), so the arms agree
+    *        exactly (pinned by LabelPropagationSpec); under the gate
+    *        the driver loop skips iters × 3 shuffle stages of pure
+    *        scheduling latency (measured r13: q117 4.6 s wall on 22
+    *        CPU-s). */
+  def run(edges: DataFrame, iters: Int,
+          localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(true)
+    val integral = e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (integral && e.count() <= localEdgeLimit)
+      return voteLocal(e, iters)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
@@ -61,5 +75,58 @@ object LabelPropagation {
         .localCheckpoint(true)
     }
     labels
+  }
+
+  /** Driver vote loop (bounded by the edge gate): same synchronous
+    * reads, same (count desc, label asc) argmax, same edge
+    * multiplicity (raw rows, not deduped) — identical labels. */
+  private def voteLocal(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val nodeSet = new java.util.LinkedHashSet[java.lang.Long]()
+    rows.foreach { r => nodeSet.add(r.getLong(0)); nodeSet.add(r.getLong(1)) }
+    var labels = new java.util.HashMap[Long, Long](nodeSet.size())
+    nodeSet.forEach(n => labels.put(n, n))
+    for (_ <- 1 to iters) {
+      // votes(dst)(label) -> count, read entirely from the PREVIOUS
+      // round's labels (synchronous). Boxed counts — a Scala-primitive
+      // map unboxes null to 0 silently (Scc.tarjanLocal discipline).
+      val votes = new java.util.HashMap[Long, java.util.HashMap[Long, java.lang.Long]]()
+      rows.foreach { r =>
+        val s = r.getLong(0); val d = r.getLong(1)
+        val lab = labels.get(s)
+        var m = votes.get(d)
+        if (m == null) {
+          m = new java.util.HashMap[Long, java.lang.Long]()
+          votes.put(d, m)
+        }
+        val c = m.get(lab)
+        m.put(lab, java.lang.Long.valueOf(
+          (if (c == null) 0L else c.longValue) + 1L))
+      }
+      val next = new java.util.HashMap[Long, Long](labels.size())
+      nodeSet.forEach { n =>
+        val m = votes.get(n.longValue)
+        if (m == null) next.put(n, labels.get(n))
+        else {
+          var bestLabel = 0L
+          var bestCount = -1L
+          m.forEach { (lab, c) =>
+            if (c > bestCount || (c == bestCount && lab < bestLabel)) {
+              bestLabel = lab; bestCount = c
+            }
+          }
+          next.put(n, bestLabel)
+        }
+      }
+      labels = next
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](labels.size())
+    labels.forEach { (n, lab) => out.add(org.apache.spark.sql.Row(n, lab)) }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.LongType))))
   }
 }

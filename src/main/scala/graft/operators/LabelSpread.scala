@@ -31,12 +31,30 @@ import org.apache.spark.sql.functions._
   * @return (node, score, is_seed) for every node of the graph */
 object LabelSpread {
 
+  /** @param localEdgeLimit normalized-edge-count bound under which the
+    *        driver floor-mean loop runs instead of the per-round
+    *        join/aggregates (LONG node ids, unique seed nodes; 0
+    *        forces the distributed path — spec hook). The iteration is
+    *        synchronous integer arithmetic (one stated floor per node
+    *        per round), so the arms agree exactly (pinned by
+    *        LabelSpreadSpec). */
   def harmonic(edges: DataFrame, seeds: DataFrame,
-               iters: Int): DataFrame = {
+               iters: Int,
+               localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(iters >= 1 && iters <= 16, "iters in [1,16]")
     val und = edges.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val integral = und.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType) &&
+      seeds.schema("node").dataType == org.apache.spark.sql.types.LongType
+    if (integral && und.count() <= localEdgeLimit) {
+      val local = spreadLocal(und, seeds, iters)
+      if (local != null) return local
+      // fall through (duplicate seed nodes: the distributed join
+      // fan-out semantics are the contract; local declines)
+    }
     val sym = und.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
       .repartition(col("src")).localCheckpoint(true)
@@ -66,5 +84,62 @@ object LabelSpread {
         .localCheckpoint(true)
     }
     scores
+  }
+
+  /** Driver floor-mean loop (bounded by the edge gate): same
+    * synchronous update s'_v = ⌊Σ_{u∈N(v)} s_u / deg(v)⌋ in
+    * Math.floorDiv (the (ssum − pmod)/deg spelling IS floor division),
+    * seeds clamped. Returns null when a seed node repeats (the
+    * distributed join fan-out is the contract there). */
+  private def spreadLocal(und: DataFrame, seeds: DataFrame,
+                          iters: Int): DataFrame = {
+    val spark = und.sparkSession
+    val rows = und.collect()
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    def add(a: Long, b: Long): Unit = {
+      var lst = adj.get(a)
+      if (lst == null) { lst = new scala.collection.mutable.ArrayBuffer[Long](); adj.put(a, lst) }
+      lst += b
+    }
+    rows.foreach { r => val u = r.getLong(0); val v = r.getLong(1); add(u, v); add(v, u) }
+    val sd = seeds.select(col("node"), col("score").cast("long")
+      .as("seed_score")).distinct().collect()
+    val seedMap = new java.util.HashMap[Long, java.lang.Long](sd.length)
+    var dup = false
+    sd.foreach { r =>
+      val n = r.getLong(0)
+      if (seedMap.containsKey(n)) dup = true
+      else seedMap.put(n, java.lang.Long.valueOf(r.getLong(1)))
+    }
+    if (dup) return null
+    val score = new java.util.HashMap[Long, Long](adj.size())
+    adj.keySet().forEach { n =>
+      val s = seedMap.get(n)
+      score.put(n, if (s == null) 0L else s.longValue)
+    }
+    for (_ <- 1 to iters) {
+      val next = new java.util.HashMap[Long, Long](score.size())
+      adj.forEach { (v, nbrs) =>
+        if (seedMap.containsKey(v)) next.put(v, score.get(v))
+        else {
+          var ssum = 0L
+          nbrs.foreach(u => ssum += score.get(u))
+          next.put(v, Math.floorDiv(ssum, nbrs.length.toLong))
+        }
+      }
+      score.clear(); score.putAll(next)
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](score.size())
+    adj.keySet().forEach { n =>
+      out.add(org.apache.spark.sql.Row(n, score.get(n).longValue,
+        seedMap.containsKey(n)))
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("is_seed",
+        org.apache.spark.sql.types.BooleanType))))
   }
 }

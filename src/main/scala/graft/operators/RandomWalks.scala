@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Deterministic uniform random-walk generation (the DeepWalk/node2vec
   * p=q=1 corpus; Perozzi 2014, Grover-Leskovec 2016) — the walk tables
@@ -16,14 +17,25 @@ import org.apache.spark.sql.functions._
   * (graph, seed)). A PRNG stream would be partition-order-dependent —
   * the exact failure the Poisson-bootstrap LCG design avoids.
   *
-  * Scale shape: neighbors are indexed ONCE per node (row_number over
-  * the per-node neighbor list — a keyed window, never global), then
-  * each of the `length` steps is one equi-join of the walk frontier
-  * (|nodes|·walksPerNode rows) against the indexed edge list on
-  * (node, picked index); per-step localCheckpoint keeps lineage flat.
-  * The walker count is CONSTANT (|nodes|·walksPerNode — walkers never
-  * die on a symmetrized graph), so it is counted once and every step's
-  * frontier-side join takes the counted-broadcast hint
+  * Size-dispatched ([[Scc]]/[[KCore]]/[[TemporalBfs]] discipline): each
+  * distributed step is 2 joins + a checkpoint — at sf-scale graphs the
+  * walk loop pays `length` × scheduling stages of pure latency
+  * (measured r13: 4.6–12.3 s wall on graphs of ~430k edges). Under the
+  * counted edge gate (LONG node ids only) the same hash-per-step walk
+  * runs as a driver loop over the sorted adjacency — bit-identical
+  * output, because every pick is the SAME md5 of the SAME
+  * "seed:start:wid:s" string mod the SAME sorted neighbor list. Above
+  * the gate the iterative path below is the 100 TB shape; the dispatch
+  * is by data, never by config.
+  *
+  * Scale shape (distributed arm): neighbors are indexed ONCE per node
+  * (row_number over the per-node neighbor list — a keyed window, never
+  * global), then each of the `length` steps is one equi-join of the
+  * walk frontier (|nodes|·walksPerNode rows) against the indexed edge
+  * list on (node, picked index); per-step localCheckpoint keeps lineage
+  * flat. The walker count is CONSTANT (|nodes|·walksPerNode — walkers
+  * never die on a symmetrized graph), so it is counted once and every
+  * step's frontier-side join takes the counted-broadcast hint
   * ([[Hints.hinted]]): under the limit the indexed edge list is
   * probed map-side with no per-step shuffle or re-sort; above it the
   * plan degrades to sort-merge. Walk state never materializes paths —
@@ -36,17 +48,55 @@ import org.apache.spark.sql.functions._
   *         ends for nodes that appear in `edges`) */
 object RandomWalks {
 
-  def uniformWalks(edges: DataFrame, walksPerNode: Int, length: Int,
-                   seed: Long): DataFrame = {
-    require(walksPerNode >= 1 && walksPerNode <= 1024,
-      "walksPerNode in [1,1024]")
-    require(length >= 1 && length <= 256, "length in [1,256]")
-    val und = edges.select(least(col("u"), col("v")).as("u"),
+  private val walkSchema = StructType(Seq(
+    StructField("start", LongType), StructField("wid", IntegerType),
+    StructField("step", IntegerType), StructField("node", LongType)))
+
+  /** Normalized undirected pairs (u < v), deduped, checkpointed — the
+    * dispatch gate counts THIS frame (each undirected edge once). */
+  private def undEdges(edges: DataFrame): DataFrame =
+    edges.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    // one-scan symmetrization (a union of two selects would compute
-    // the upstream edge pipeline twice inside the checkpoint job)
+      .localCheckpoint(true)
+
+  private def integralLong(und: DataFrame): Boolean =
+    und.schema.fields.forall(_.dataType == LongType)
+
+  /** Collected sorted adjacency: node -> neighbor ids ASCENDING — the
+    * driver twin of the distributed row_number-over-(orderBy dst)
+    * neighbor index, so `idx` means the same neighbor in both arms. */
+  private def localAdjacency(rows: Array[Row])
+      : java.util.HashMap[Long, Array[Long]] = {
+    val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    def add(a: Long, b: Long): Unit = {
+      var lst = tmp.get(a)
+      if (lst == null) { lst = new scala.collection.mutable.ArrayBuffer[Long](); tmp.put(a, lst) }
+      lst += b
+    }
+    rows.foreach { r =>
+      val u = r.getLong(0); val v = r.getLong(1); add(u, v); add(v, u)
+    }
+    val adj = new java.util.HashMap[Long, Array[Long]](tmp.size())
+    tmp.forEach { (k, v) => adj.put(k, v.toArray.sorted) }
+    adj
+  }
+
+  /** @param localEdgeLimit normalized-edge-count bound under which the
+    *        driver walk loop runs instead of the per-step joins (LONG
+    *        node ids only; 0 forces the distributed path — spec hook,
+    *        never a production setting) */
+  def uniformWalks(edges: DataFrame, walksPerNode: Int, length: Int,
+                   seed: Long,
+                   localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
+    require(walksPerNode >= 1 && walksPerNode <= 1024,
+      "walksPerNode in [1,1024]")
+    require(length >= 1 && length <= 256, "length in [1,256]")
+    val und = undEdges(edges)
+    if (integralLong(und) && und.count() <= localEdgeLimit)
+      return uniformLocal(und, walksPerNode, length, seed)
+    // one-scan symmetrization over the (checkpointed) normalized pairs
     val sym = und.select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
@@ -75,6 +125,44 @@ object RandomWalks {
     }
     steps.reduce(_ unionByName _)
       .select("start", "wid", "step", "node")
+  }
+
+  /** Driver walk loop (bounded by the edge gate): the SAME
+    * md5_60(seed:start:wid:s) mod deg pick over the SAME
+    * ascending-sorted neighbor list as [[uniformStep]] — bit-identical
+    * corpus, zero scheduling stages. */
+  private def uniformLocal(und: DataFrame, walksPerNode: Int, length: Int,
+                           seed: Long): DataFrame = {
+    val spark = und.sparkSession
+    val adj = localAdjacency(und.collect())
+    val starts = {
+      val a = new Array[Long](adj.size()); var i = 0
+      val it = adj.keySet().iterator()
+      while (it.hasNext) { a(i) = it.next(); i += 1 }
+      a
+    }
+    val out = new java.util.ArrayList[Row](
+      starts.length * walksPerNode * (length + 1))
+    var si = 0
+    while (si < starts.length) {
+      val start = starts(si)
+      var wid = 0
+      while (wid < walksPerNode) {
+        var node = start
+        out.add(Row(start, wid, 0, node))
+        var s = 1
+        while (s <= length) {
+          val nbrs = adj.get(node)
+          val h = graft.functions.Hashing.md5Long60(s"$seed:$start:$wid:$s")
+          node = nbrs((h % nbrs.length).toInt)
+          out.add(Row(start, wid, s, node))
+          s += 1
+        }
+        wid += 1
+      }
+      si += 1
+    }
+    spark.createDataFrame(out, walkSchema)
   }
 
   /** One uniform pick: frontier ⋈ deg (hash the step's r), then the
@@ -110,28 +198,34 @@ object RandomWalks {
     * like [[uniformWalks]]. The first step has no prev (sentinel −1,
     * so ids must be ≥ 0): every neighbor weighs `wOut`, i.e. uniform.
     *
-    * Scale shape: each step fans the frontier into its neighbor lists
-    * (Σ deg(cur) rows — the irreducible cost of SECOND-order walks),
-    * checks prev-adjacency with one equi-join against the normalized
-    * edge set (never a cross join), and picks via a (start,wid)-keyed
-    * cumulative-sum window (each partition ≤ max degree rows, never
-    * global). Per-step localCheckpoint keeps lineage flat.
+    * Size-dispatched like [[uniformWalks]]: the driver arm walks the
+    * same cumulative-weight slots over the same dst-ascending neighbor
+    * order — bit-identical picks — under the counted edge gate; the
+    * per-step join/window pipeline below is the 100 TB shape.
+    *
+    * Scale shape (distributed arm): each step fans the frontier into
+    * its neighbor lists (Σ deg(cur) rows — the irreducible cost of
+    * SECOND-order walks), checks prev-adjacency with one equi-join
+    * against the normalized edge set (never a cross join), and picks
+    * via a (start,wid)-keyed cumulative-sum window (each partition ≤
+    * max degree rows, never global). Per-step localCheckpoint keeps
+    * lineage flat.
     *
     * @return (start, wid, step 0..length, node) */
   def node2vecWalks(edges: DataFrame, walksPerNode: Int, length: Int,
                     seed: Long, wReturn: Int, wIn: Int,
-                    wOut: Int): DataFrame = {
+                    wOut: Int,
+                    localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(walksPerNode >= 1 && walksPerNode <= 1024,
       "walksPerNode in [1,1024]")
     require(length >= 1 && length <= 256, "length in [1,256]")
     require(wReturn >= 1 && wIn >= 1 && wOut >= 1,
       "weights must be positive integers")
-    val und = edges.select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+    val und = undEdges(edges)
     val undRows = und.count()
+    if (integralLong(und) && undRows <= localEdgeLimit)
+      return node2vecLocal(und, walksPerNode, length, seed,
+        wReturn, wIn, wOut)
     // one-scan symmetrization over the (checkpointed) normalized pairs
     val sym = und.select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
@@ -159,6 +253,82 @@ object RandomWalks {
     }
     steps.reduce(_ unionByName _)
       .select("start", "wid", "step", "node")
+  }
+
+  /** Driver biased-walk loop (bounded by the edge gate): same weights
+    * in the same dst-ascending order, same r = md5 mod Σw slot pick as
+    * [[node2vecStep]] — bit-identical corpus. */
+  private def node2vecLocal(und: DataFrame, walksPerNode: Int, length: Int,
+                            seed: Long, wReturn: Int, wIn: Int,
+                            wOut: Int): DataFrame = {
+    val spark = und.sparkSession
+    val adj = localAdjacency(und.collect())
+    // wIn membership (is dst adjacent to prev?) runs as a MERGE of the
+    // two sorted neighbor lists — co-occurrence graphs are hub-skewed,
+    // so per-step work is Σ(deg(node)+deg(prev)) primitive compares;
+    // a hash-set spelling was measured 5-8× slower (boxed lookup per
+    // fanned neighbor — ~160M of them at sf0.1)
+    val wReturnL = wReturn.toLong
+    val wInL = wIn.toLong
+    val wOutL = wOut.toLong
+    val starts = {
+      val a = new Array[Long](adj.size()); var i = 0
+      val it = adj.keySet().iterator()
+      while (it.hasNext) { a(i) = it.next(); i += 1 }
+      a
+    }
+    val out = new java.util.ArrayList[Row](
+      starts.length * walksPerNode * (length + 1))
+    var si = 0
+    while (si < starts.length) {
+      val start = starts(si)
+      var wid = 0
+      while (wid < walksPerNode) {
+        var prev = -1L
+        var node = start
+        out.add(Row(start, wid, 0, node))
+        var s = 1
+        while (s <= length) {
+          val nbrs = adj.get(node)
+          val pn = if (prev < 0) null else adj.get(prev)
+          val h = graft.functions.Hashing.md5Long60(s"$seed:$start:$wid:$s")
+          // pass 1: total weight (merge j tracks prev's sorted list)
+          var tw = 0L
+          var i = 0
+          var j = 0
+          while (i < nbrs.length) {
+            val dst = nbrs(i)
+            if (pn != null) { while (j < pn.length && pn(j) < dst) j += 1 }
+            tw += (if (dst == prev) wReturnL
+                   else if (pn != null && j < pn.length && pn(j) == dst) wInL
+                   else wOutL)
+            i += 1
+          }
+          // pass 2: walk the same slots to the picked neighbor
+          val r = h % tw
+          var cw = 0L
+          var picked = nbrs(nbrs.length - 1)
+          i = 0; j = 0
+          var found = false
+          while (i < nbrs.length && !found) {
+            val dst = nbrs(i)
+            if (pn != null) { while (j < pn.length && pn(j) < dst) j += 1 }
+            cw += (if (dst == prev) wReturnL
+                   else if (pn != null && j < pn.length && pn(j) == dst) wInL
+                   else wOutL)
+            if (r < cw) { picked = dst; found = true }
+            i += 1
+          }
+          prev = node
+          node = picked
+          out.add(Row(start, wid, s, node))
+          s += 1
+        }
+        wid += 1
+      }
+      si += 1
+    }
+    spark.createDataFrame(out, walkSchema)
   }
 
   /** One biased pick: neighbor fan-out (equi-join on src,

@@ -9,9 +9,20 @@ import graft.operators.Bfs
 class BfsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def run(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int) =
-    Bfs.hopDistance(edges.toDF("u", "v"), seeds.toDF("node"), maxHops)
+  /** Every semantic pin runs BOTH dispatch arms — the default (driver
+    * BFS; these graphs are under the edge gate) and localEdgeLimit =
+    * 0, which forces the distributed rounds — and they must agree
+    * exactly (the SccSpec discipline). */
+  private def run(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int) = {
+    val local = Bfs.hopDistance(edges.toDF("u", "v"), seeds.toDF("node"),
+        maxHops)
       .as[(Long, Long)].collect().toMap
+    val dist = Bfs.hopDistance(edges.toDF("u", "v"), seeds.toDF("node"),
+        maxHops, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, "driver BFS diverged from distributed rounds")
+    local
+  }
 
   test("chain: hops count from the nearest seed; maxHops truncates") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
@@ -55,13 +66,37 @@ class BfsSpec extends SparkSpec {
 
   test("perSourceHops: each source keeps its own distances") {
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
-    val got = Bfs.perSourceHops(chain.toDF("u", "v"),
-        Seq(1L, 4L).toDF("src"), maxHops = 2)
+    def both(limit: Option[Long]) = limit.fold(
+        Bfs.perSourceHops(chain.toDF("u", "v"), Seq(1L, 4L).toDF("src"),
+          maxHops = 2))(l =>
+        Bfs.perSourceHops(chain.toDF("u", "v"), Seq(1L, 4L).toDF("src"),
+          maxHops = 2, localEdgeLimit = l))
       .as[(Long, Long, Long)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
+    val got = both(None)
+    assert(got == both(Some(0L)),
+      "driver per-source BFS diverged from distributed rounds")
     assert(got == Map(
       (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L,
       (4L, 4L) -> 0L, (4L, 3L) -> 1L, (4L, 2L) -> 2L))
+  }
+
+  test("dual-arm parity on random graphs: perSourceHops + betweenness") {
+    val rnd = new scala.util.Random(91)
+    for (_ <- 1 to 2) {
+      val edges = Seq.fill(200)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      val srcs = Seq.fill(5)(rnd.nextInt(30).toLong).distinct
+      val pLocal = Bfs.perSourceHops(edges.toDF("u", "v"),
+          srcs.toDF("src"), maxHops = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      val pDist = Bfs.perSourceHops(edges.toDF("u", "v"),
+          srcs.toDF("src"), maxHops = 3, localEdgeLimit = 0L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(pLocal == pDist, "perSourceHops arms diverged")
+      // btw() already asserts arm parity internally
+      btw(edges, srcs, maxHops = 3)
+    }
   }
 
   test("harmonicCentrality: star center vs leaves, exact terms") {
@@ -84,11 +119,19 @@ class BfsSpec extends SparkSpec {
   }
 
   private def btw(edges: Seq[(Long, Long)], srcs: Seq[Long],
-                  maxHops: Int): Map[Long, (Long, String)] =
-    Bfs.betweennessSampled(edges.toDF("u", "v"), srcs.toDF("src"),
-        maxHops)
+                  maxHops: Int): Map[Long, (Long, String)] = {
+    val local = Bfs.betweennessSampled(edges.toDF("u", "v"),
+        srcs.toDF("src"), maxHops)
       .as[(Long, Long, String)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
+    val dist = Bfs.betweennessSampled(edges.toDF("u", "v"),
+        srcs.toDF("src"), maxHops, localEdgeLimit = 0L)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(local == dist,
+      "driver Brandes diverged from the distributed rounds")
+    local
+  }
 
   test("betweennessSampled: path a-b-c from a credits the middle") {
     val got = btw(Seq((1L, 2L), (2L, 3L)), Seq(1L), maxHops = 3)

@@ -25,9 +25,18 @@ class LabelPropagationSpec extends SparkSpec {
     lab
   }
 
-  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
-    LabelPropagation.run(edges.toDF("src", "dst"), iters)
+  /** Both dispatch arms — default (driver vote loop; these graphs are
+    * under the edge gate) and localEdgeLimit = 0 (forces the
+    * join/aggregate rounds) — must agree exactly. */
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val local = LabelPropagation.run(edges.toDF("src", "dst"), iters)
       .as[(Long, Long)].collect().toMap
+    val dist = LabelPropagation.run(edges.toDF("src", "dst"), iters,
+        localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, "driver vote loop diverged from the rounds")
+    local
+  }
 
   private def sym(e: Seq[(Long, Long)]): Seq[(Long, Long)] =
     e ++ e.map { case (a, b) => (b, a) }

@@ -8,6 +8,19 @@ import graft.operators.LabelSpread
 class LabelSpreadSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dual-arm parity: driver floor-mean loop ≡ distributed rounds") {
+    val rnd = new scala.util.Random(77)
+    val e = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(p => p._1 != p._2).toDF("u", "v")
+    val seeds = Seq((0L, 1000000000L), (7L, -1000000000L),
+      (13L, 500000000L)).toDF("node", "score")
+    def rows(limit: Long) = LabelSpread.harmonic(e, seeds, iters = 4,
+        localEdgeLimit = limit)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(rows(graft.operators.Hints.BroadcastRowLimit) == rows(0L),
+      "driver floor-mean loop diverged from the distributed rounds")
+  }
+
   test("path between opposite seeds: the middle takes the floor mean; " +
     "seeds stay clamped") {
     // 1(seed +1e9) - 2 - 3(seed -1e9)

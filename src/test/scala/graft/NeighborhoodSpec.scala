@@ -12,11 +12,23 @@ import graft.operators.Neighborhood
 class NeighborhoodSpec extends SparkSpec {
   import spark.implicits._
 
-  private def run(edges: Seq[(Long, Long)], rounds: Int, k: Int) =
-    Neighborhood.neighborhoodFunction(edges.toDF("s", "d"),
+  /** Every pin runs BOTH dispatch arms — default (driver minset loop;
+    * these graphs are under the edge gate) and localEdgeLimit = 0
+    * (forces the per-round joins) — and they must agree bit-for-bit,
+    * estimator strings included (the SccSpec discipline). */
+  private def run(edges: Seq[(Long, Long)], rounds: Int, k: Int) = {
+    val local = Neighborhood.neighborhoodFunction(edges.toDF("s", "d"),
         col("s"), col("d"), rounds, k)
       .orderBy("radius")
       .as[(Long, Long, Long, String)].collect().toSeq
+    val dist = Neighborhood.neighborhoodFunction(edges.toDF("s", "d"),
+        col("s"), col("d"), rounds, k, localEdgeLimit = 0L)
+      .orderBy("radius")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(local == dist,
+      "driver minset loop diverged from the distributed rounds")
+    local
+  }
 
   test("directed path: balls grow along out-edges only") {
     // a -> b -> c: N(0)=3, N(1)=5 (a:{a,b} b:{b,c} c:{c}), N(2)=6

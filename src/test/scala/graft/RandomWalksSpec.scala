@@ -80,6 +80,28 @@ class RandomWalksSpec extends SparkSpec {
     assert(secondHops(1, 1000).forall(_ == 3L))
   }
 
+  test("dual-arm parity: driver walk loop ≡ distributed per-step joins") {
+    // seeded random graph, dense enough for multi-neighbor picks —
+    // the local arm (default: these graphs are under the edge gate)
+    // and the distributed arm (localEdgeLimit = 0) must produce the
+    // IDENTICAL corpus, because every pick is the same md5 of the same
+    // seed:start:wid:s string over the same sorted neighbor order
+    val rnd = new scala.util.Random(42)
+    val g = (1 to 300).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct.toDF("u", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Int, Long)].collect().toSet
+    val uLocal = rows(RandomWalks.uniformWalks(g, 2, 5, 17L))
+    val uDist = rows(RandomWalks.uniformWalks(g, 2, 5, 17L,
+      localEdgeLimit = 0L))
+    assert(uLocal == uDist, "uniform driver arm diverged from joins")
+    val nLocal = rows(RandomWalks.node2vecWalks(g, 2, 4, 23L, 1, 4, 2))
+    val nDist = rows(RandomWalks.node2vecWalks(g, 2, 4, 23L, 1, 4, 2,
+      localEdgeLimit = 0L))
+    assert(nLocal == nDist, "node2vec driver arm diverged from joins")
+  }
+
   test("skip-gram pairs: exact counts on a known corpus, symmetric") {
     // two walks: [1,2,3] and [3,4] with window 2
     val walks = Seq((1L, 0, 0, 1L), (1L, 0, 1, 2L), (1L, 0, 2, 3L),
