@@ -32,7 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // full-suite benches at sf0.1/local[32] (a query's process-CPU jumping
   // 10x run-to-run with the slow query moving around); the box has
   // 128 GiB, so default high and let CI override downward if needed.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g: GC work scales with the LIVE set, not the heap size — the
+  // r14 storm forensics showed the suite's broadcast/checkpoint
+  // residue filling 24g until the collector churned continuously in
+  // later passes (>100 GC-CPU-s inside single queries); doubling the
+  // headroom plus the periodic cleaner GC removes the churn. The box
+  // has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   // r13 storm-class suspect (r11 q315 / r12+r13 q335: one pass at ~9x
   // process CPU with near-zero GC time): JDK 17's default code cache is
   // 240 MB, and a full bench run whole-stage-codegens 402 queries x 3

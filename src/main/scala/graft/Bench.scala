@@ -38,6 +38,16 @@ object Bench {
     val spark = graft.core.SparkSessionFactory.configure(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")
+      // The storm class, finally attributed (r14): ParallelGC made it
+      // VISIBLE — a storm pass shows 15-26 s of STW gc plus >100 CPU-s
+      // of GC-worker resid on the allocation-heavy queries, appearing
+      // only after ~500 queries of history. Broadcast/checkpoint
+      // residue is freed by the ContextCleaner only AFTER a driver GC
+      // collects the plan references, so a long suite accumulates
+      // near-live heap until the collector churns continuously. This
+      // is Spark's own designed countermeasure (default 30min — far
+      // too slow for a 20-minute suite): force the cleanup GC often.
+      .config("spark.cleaner.periodicGC.interval", "90s")
       .withExtensions(new GraftExtensions) // native engine expressions
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -243,6 +253,14 @@ object Bench {
         if (ok) samples(name) = samples(name) :+ ((wall, cpu, gc, jit, resid))
       }
       passTotals += passWall
+      // Drain accumulated broadcast/checkpoint residue at the pass
+      // boundary: a full GC here lets the ContextCleaner release the
+      // dead blocks OUTSIDE any query's timed window (storm fix, r14 —
+      // 3 bounded GCs per run instead of continuous churn inside
+      // pass 2/3). clearCache first so relation caches don't pin.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
       // Persist the artifact-so-far after EVERY pass (atomic rename) and
       // print the compact summary: a later timeout/kill still leaves the
       // completed passes on disk and a complete JSON object in the

@@ -550,11 +550,23 @@ object Dedup {
     * @return (doc_id, component_id) for every doc in `pairs`;
     *         component_id = min doc id reachable
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 32): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 32,
+                          localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint(true) // reused every iteration
+    // Size dispatch (the Scc/Bfs discipline): component_id = min
+    // reachable id is a pure function of the edge set, so a driver
+    // union-find answers in milliseconds where the pointer-jump rounds
+    // pay ~4 shuffle stages per round (LONG ids only; the sym count is
+    // one cheap job on the checkpoint; maxIters guards only the
+    // distributed rounds — the union-find has no rounds). 0 forces the
+    // distributed path (spec hook).
+    val integral = sym.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (integral && localEdgeLimit > 0L && sym.count() <= 2L * localEdgeLimit)
+      return ccLocal(sym)
     var labels = sym.groupBy(col("src").as("doc_id"))
       .agg(min(least(col("src"), col("dst"))).as("component_id"))
       .localCheckpoint(true)
@@ -586,6 +598,56 @@ object Dedup {
         col("n_lbl").as("component_id"))
     }
     labels
+  }
+
+  /** Driver union-find (bounded by the edge gate): path-compressed
+    * disjoint sets over an int-indexed id table, then component_id =
+    * min member id — identical to the converged min-label iteration by
+    * definition. */
+  private def ccLocal(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    val rows = sym.collect()
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def ix(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue
+      else { val i = ids.length; idx.put(x, i); ids += x; i }
+    }
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+    def find(a: Int): Int = {
+      var r = a
+      while (parent(r) != r) r = parent(r)
+      var c = a
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    rows.foreach { row =>
+      val a = ix(row.getLong(0)); val b = ix(row.getLong(1))
+      while (parent.length < ids.length) parent += parent.length
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    val n = ids.length
+    val minId = new Array[Long](n)
+    java.util.Arrays.fill(minId, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      if (ids(i) < minId(r)) minId(r) = ids(i)
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    i = 0
+    while (i < n) {
+      out.add(org.apache.spark.sql.Row(ids(i), minId(find(i))))
+      i += 1
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("component_id",
+        org.apache.spark.sql.types.LongType))))
   }
 
   /** Canonical selection + drop list — the step that turns

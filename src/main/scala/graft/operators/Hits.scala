@@ -35,10 +35,19 @@ import org.apache.spark.sql.functions._
   */
 object Hits {
 
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  /** @param localEdgeLimit edge-count bound under which the driver
+    *        loop runs (LONG node ids only; 0 forces the distributed
+    *        path — spec hook). Exact integer sums — the arms agree bit
+    *        for bit (the [[Scc]]/[[PageRank]] dispatch discipline). */
+  def run(edges: DataFrame, iters: Int,
+          localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val eBySrc = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(true)
+    val integral = eBySrc.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (integral && eBySrc.count() <= localEdgeLimit)
+      return hitsLocal(eBySrc, iters)
     val eByDst = eBySrc.repartition(col("dst")).localCheckpoint(true)
     val nodes = eBySrc.select(col("src").as("node"))
       .unionByName(eBySrc.select(col("dst").as("node")))
@@ -61,5 +70,48 @@ object Hits {
     }
     hub.join(auth, Seq("node"))
       .select(col("node"), col("hub"), col("auth"))
+  }
+
+  /** Driver HITS loop (bounded by the edge gate): the same two integer
+    * half-steps per round over the raw edge rows (multiplicity
+    * preserved) — identical BIGINT scores. */
+  private def hitsLocal(e: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def ix(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue
+      else { val i = ids.length; idx.put(x, i); ids += x; i }
+    }
+    val m = rows.length
+    val es = new Array[Int](m); val ed = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      es(i) = ix(rows(i).getLong(0)); ed(i) = ix(rows(i).getLong(1)); i += 1
+    }
+    val n = ids.length
+    val hub = new Array[Long](n)
+    val auth = new Array[Long](n)
+    java.util.Arrays.fill(hub, 1L)
+    for (_ <- 1 to iters) {
+      java.util.Arrays.fill(auth, 0L)
+      i = 0; while (i < m) { auth(ed(i)) += hub(es(i)); i += 1 }
+      java.util.Arrays.fill(hub, 0L)
+      i = 0; while (i < m) { hub(es(i)) += auth(ed(i)); i += 1 }
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    i = 0
+    while (i < n) {
+      out.add(org.apache.spark.sql.Row(ids(i), hub(i), auth(i))); i += 1
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("hub",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("auth",
+        org.apache.spark.sql.types.LongType))))
   }
 }

@@ -55,14 +55,25 @@ object PageRank {
       .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
       .groupBy("node").agg(sum("c").as("m"))
 
+  /** LONG node columns and a counted edge gate pick the driver loop —
+    * the iterates are exact integers (floor divisions on non-negative
+    * longs), so the arms agree bit for bit; 0 forces the distributed
+    * path (spec hook). The [[Scc]]/[[Bfs]] dispatch discipline. */
+  private def integralLong(e: DataFrame): Boolean =
+    e.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000000L,
-          dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+          dampNum: Long = 85L, dampDen: Long = 100L,
+          localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
     val base = (scale * (dampDen - dampNum)) / dampDen
     // partition edges by the join key ONCE; every iteration reuses it
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(true)
+    if (integralLong(e) && e.count() <= localEdgeLimit)
+      return powerLocal(e, null, iters, scale, base, dampNum, dampDen)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
@@ -95,12 +106,17 @@ object PageRank {
     */
   def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
                    scale: Long = 1000000000L, dampNum: Long = 85L,
-                   dampDen: Long = 100L): DataFrame = {
+                   dampDen: Long = 100L,
+                   localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampNum > 0 && dampNum < dampDen, "damping must be in (0,1)")
     val base = (scale * (dampDen - dampNum)) / dampDen
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(true)
+    if (integralLong(e) &&
+        seeds.schema("node").dataType == org.apache.spark.sql.types.LongType &&
+        e.count() <= localEdgeLimit)
+      return powerLocal(e, seeds, iters, scale, base, dampNum, dampDen)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
@@ -121,5 +137,71 @@ object PageRank {
         .localCheckpoint(true)
     }
     ranks
+  }
+
+  /** Driver power loop (bounded by the edge gate): the same exact
+    * integer iterates — pr div outdeg per edge (multiplicity
+    * preserved), long sums, base + (dampNum·m) div dampDen — so the
+    * arms agree bit for bit. `seeds == null` means uniform teleport
+    * ([[run]]); otherwise the personalized variant. */
+  private def powerLocal(e: DataFrame, seeds: DataFrame, iters: Int,
+                         scale: Long, base: Long, dampNum: Long,
+                         dampDen: Long): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val idx = new java.util.HashMap[Long, Integer]()
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+    def ix(x: Long): Int = {
+      val got = idx.get(x)
+      if (got != null) got.intValue
+      else { val i = ids.length; idx.put(x, i); ids += x; i }
+    }
+    val m = rows.length
+    val es = new Array[Int](m); val ed = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      es(i) = ix(rows(i).getLong(0)); ed(i) = ix(rows(i).getLong(1)); i += 1
+    }
+    val n = ids.length
+    val outdeg = new Array[Long](n)
+    i = 0; while (i < m) { outdeg(es(i)) += 1L; i += 1 }
+    val seed = new Array[Long](n) // 1 where seeded (personalized only)
+    if (seeds != null)
+      seeds.select(col("node")).distinct().collect().foreach { r =>
+        val g = idx.get(r.getLong(0))
+        if (g != null) seed(g.intValue) = 1L // off-graph seeds ignored
+      }
+    var pr = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      pr(i) = if (seeds == null) scale else seed(i) * scale
+      i += 1
+    }
+    val sums = new Array[Long](n)
+    for (_ <- 1 to iters) {
+      java.util.Arrays.fill(sums, 0L)
+      i = 0
+      while (i < m) {
+        val s = es(i)
+        sums(ed(i)) += pr(s) / outdeg(s)
+        i += 1
+      }
+      val next = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        val b = if (seeds == null) base else seed(i) * base
+        next(i) = b + (dampNum * sums(i)) / dampDen
+        i += 1
+      }
+      pr = next
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    i = 0
+    while (i < n) { out.add(org.apache.spark.sql.Row(ids(i), pr(i))); i += 1 }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pr",
+        org.apache.spark.sql.types.LongType))))
   }
 }

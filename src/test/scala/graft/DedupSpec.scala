@@ -209,11 +209,26 @@ class DedupSpec extends SparkSpec {
     import graft.operators.Dedup
     // plain min-label propagation needs ~300 rounds on a path this
     // long; the pointer jump contracts label chains geometrically (the
-    // Geo.dbscan ε-chain regression found by the sf0.1 bench)
+    // Geo.dbscan ε-chain regression found by the sf0.1 bench).
+    // localEdgeLimit = 0 forces the distributed rounds — the round
+    // budget is exactly what this test pins
     val path = (0L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(path)
+    val got = Dedup.connectedComponents(path, localEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got.size == 301 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents dual-arm parity: union-find ≡ pointer jump") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(55)
+    val pairs = Seq.fill(250)(
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, "driver union-find diverged from the rounds")
   }
 
   test("connectedComponents fixpoint: relabeling the result is the identity") {

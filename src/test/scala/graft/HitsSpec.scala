@@ -36,6 +36,16 @@ class HitsSpec extends SparkSpec {
     assert(got(3L) == ((13L, 0L)))
   }
 
+  test("dual-arm parity: driver loop ≡ distributed half-steps") {
+    val rnd = new scala.util.Random(33)
+    val e = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+    def both(limit: Long) = Hits.run(e, iters = 2, localEdgeLimit = limit)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(both(graft.operators.Hints.BroadcastRowLimit) == both(0L),
+      "driver HITS loop diverged from the distributed half-steps")
+  }
+
   test("a cycle gives every node both roles") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val got = Hits.run(e, iters = 3).collect()

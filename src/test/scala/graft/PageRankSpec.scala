@@ -22,9 +22,31 @@ class PageRankSpec extends SparkSpec {
     pr
   }
 
-  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
-    PageRank.run(edges.toDF("src", "dst"), iters)
+  /** Both dispatch arms — default (driver power loop; under the edge
+    * gate) and localEdgeLimit = 0 (forces the join rounds) — must
+    * agree exactly. */
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val local = PageRank.run(edges.toDF("src", "dst"), iters)
       .as[(Long, Long)].collect().toMap
+    val dist = PageRank.run(edges.toDF("src", "dst"), iters,
+        localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, "driver power loop diverged from the rounds")
+    local
+  }
+
+  test("dual-arm parity: personalized, random graph") {
+    val rnd = new scala.util.Random(19)
+    val edges = Seq.fill(150)(
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2)
+    val seeds = Seq(0L, 3L, 11L).toDF("node")
+    def both(limit: Long) = PageRank.personalized(
+        edges.toDF("src", "dst"), seeds, iters = 4, localEdgeLimit = limit)
+      .as[(Long, Long)].collect().toMap
+    assert(both(graft.operators.Hints.BroadcastRowLimit) == both(0L),
+      "personalized driver loop diverged from the rounds")
+  }
 
   test("cycle is a fixed point: every node keeps exactly scale") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
