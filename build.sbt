@@ -32,13 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // full-suite benches at sf0.1/local[32] (a query's process-CPU jumping
   // 10x run-to-run with the slow query moving around); the box has
   // 128 GiB, so default high and let CI override downward if needed.
-  // 48g: GC work scales with the LIVE set, not the heap size — the
-  // r14 storm forensics showed the suite's broadcast/checkpoint
-  // residue filling 24g until the collector churned continuously in
-  // later passes (>100 GC-CPU-s inside single queries); doubling the
-  // headroom plus the periodic cleaner GC removes the churn. The box
-  // has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // r13 storm-class suspect (r11 q315 / r12+r13 q335: one pass at ~9x
   // process CPU with near-zero GC time): JDK 17's default code cache is
   // 240 MB, and a full bench run whole-stage-codegens 402 queries x 3
@@ -49,13 +43,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // per-query JIT-time column is the matching in-artifact evidence.
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
-  // Collector selector (r14 storm experiment): G1's CONCURRENT cycle
-  // threads burn process CPU that GarbageCollectorMXBean.collectionTime
-  // never reports — a storm pass with flat GC and flat JIT columns but
-  // a large non-Java-thread CPU residual is concurrent marking of the
-  // 24g heap. ParallelGC has no concurrent threads: all collector work
-  // is stop-the-world and therefore VISIBLE in the gc column, and for
-  // a throughput batch workload it is typically no slower. Override
-  // with SPARK_GRAFT_GC=G1 to A/B.
-  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
+  // Collector choice, settled by the r14 A/B series (forensics in
+  // BENCH_r14_gc_forensics_parallel48.json and the round narrative):
+  // the r11-r13 "storm" class is GARBAGE COLLECTION — broadcast/
+  // checkpoint residue accumulates across hundreds of queries (the
+  // ContextCleaner frees blocks only after a driver GC collects the
+  // plan references) until the collector churns CPU that
+  // collectionTime never reports. A ParallelGC run made the class
+  // visible in-artifact (storm pass: 26 s STW + 134 GC-worker CPU-s on
+  // one query); mid-query forced full GCs (periodic cleaner at 90 s)
+  // and a 48g heap each made whole passes WORSE (812-890 s vs ~465) —
+  // both A/B arms are preserved in the artifacts. The shipped fix is
+  // minimal: keep G1 at 24g (the known-good r13 profile) and drain the
+  // residue with ONE bounded full GC at each pass boundary, outside
+  // any timed window (Bench.scala). SPARK_GRAFT_GC=Parallel restores
+  // the A/B arm.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "G1")}GC",
 )

@@ -38,16 +38,6 @@ object Bench {
     val spark = graft.core.SparkSessionFactory.configure(
         SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .config("spark.ui.enabled", "false")
-      // The storm class, finally attributed (r14): ParallelGC made it
-      // VISIBLE — a storm pass shows 15-26 s of STW gc plus >100 CPU-s
-      // of GC-worker resid on the allocation-heavy queries, appearing
-      // only after ~500 queries of history. Broadcast/checkpoint
-      // residue is freed by the ContextCleaner only AFTER a driver GC
-      // collects the plan references, so a long suite accumulates
-      // near-live heap until the collector churns continuously. This
-      // is Spark's own designed countermeasure (default 30min — far
-      // too slow for a 20-minute suite): force the cleanup GC often.
-      .config("spark.cleaner.periodicGC.interval", "90s")
       .withExtensions(new GraftExtensions) // native engine expressions
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -93,6 +83,21 @@ object Bench {
       }
       sum
     }
+    // host-level CPU STEAL (seconds, summed across cores): this box is
+    // a shared VM — 4% steal was measured at idle during r14, and a
+    // noisy co-tenant shows up as queries whose wall ≫ their process
+    // CPU with flat gc/jit/resid columns (threads runnable but
+    // descheduled by the hypervisor). The delta column separates "the
+    // engine got slower" from "the box was busy" without a rerun.
+    def stealJiffies(): Long =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        val parts = line.trim.split("\\s+")
+        // fields: cpu user nice system idle iowait irq softirq steal
+        if (parts.length > 8) parts(8).toLong else 0L
+      } catch { case _: Throwable => 0L }
+    val jiffyHz = 100.0 // USER_HZ on linux
     // Warm up JIT/codegen paths (scan, join, window, text, arrays) on the
     // smallest SF so the first timed query doesn't absorb startup cost.
     Seq("q01_pricing_agg", "q04_join_fact", "q08_window_rank", "q21_jaccard_pairs")
@@ -137,10 +142,10 @@ object Bench {
     // cross-pass samples see the same predecessors.
     val names = selected.keys.toSeq
     val maxPasses = 3
-    // samples(name) accumulates (wall, cpu, gc, jit, resid) per pass —
-    // the RAW samples ship in the full artifact so a polluted pass is
-    // provable from the artifact alone, no rerun needed
-    val samples = scala.collection.mutable.Map[String, List[(Double, Double, Double, Double, Double)]]()
+    // samples(name) accumulates (wall, cpu, gc, jit, resid, steal) per
+    // pass — the RAW samples ship in the full artifact so a polluted
+    // pass is provable from the artifact alone, no rerun needed
+    val samples = scala.collection.mutable.Map[String, List[(Double, Double, Double, Double, Double, Double)]]()
       .withDefaultValue(Nil)
     val passTotals = scala.collection.mutable.ArrayBuffer[Double]()
 
@@ -156,7 +161,7 @@ object Bench {
     def render(passesDone: Int): (String, String) = {
       val results = names.map { name =>
         val runs = samples(name)
-        if (runs.isEmpty) name -> (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        if (runs.isEmpty) name -> (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
         else {
           val medWall = median(runs.map(_._1))
           // the CPU/GC/JIT deltas of the run whose wall time IS the median
@@ -165,7 +170,7 @@ object Bench {
           // gap between a query's median and min (and between pass
           // totals) shows it without switching the headline to best-case
           name -> (medWall, medRun._2, runs.map(_._1).min, medRun._3,
-            medRun._4, medRun._5)
+            medRun._4, medRun._5, medRun._6)
         }
       }.toMap
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
@@ -180,14 +185,18 @@ object Bench {
         .mkString("{", ",", "}")
       val qsResid = results.map { case (k, v) => s"\"" + k + "\":" + v._6 }
         .mkString("{", ",", "}")
-      // raw (wall, cpu, gc, jit, resid) per successful pass, in pass
-      // order: the in-artifact adjudication channel — a storm shows as
-      // ONE sample with wall >> the others, and the gc/jit/resid
-      // columns say which churn (STW collector, compiler, or non-Java
-      // threads — concurrent GC) burned the CPU
+      val qsSteal = results.map { case (k, v) => s"\"" + k + "\":" + v._7 }
+        .mkString("{", ",", "}")
+      // raw (wall, cpu, gc, jit, resid, steal) per successful pass, in
+      // pass order: the in-artifact adjudication channel — a storm
+      // shows as ONE sample with wall >> the others, and the columns
+      // say which churn burned the time (STW collector, compiler,
+      // non-Java threads — concurrent GC — or the HYPERVISOR: steal is
+      // host CPU taken by co-tenants while this JVM's threads were
+      // runnable)
       val qsSamples = names.map { name =>
-        val runs = samples(name).map { case (w, c, g, j, r) =>
-          f"[$w%.3f,$c%.3f,$g%.3f,$j%.3f,$r%.3f]"
+        val runs = samples(name).map { case (w, c, g, j, r, st) =>
+          f"[$w%.3f,$c%.3f,$g%.3f,$j%.3f,$r%.3f,$st%.3f]"
         }.mkString("[", ",", "]")
         s"\"" + name + "\":" + runs
       }.mkString("{", ",", "}")
@@ -199,7 +208,7 @@ object Bench {
         .map { case (n, p, m) => s"""["$n",$p,"${jesc(m)}"]""" }
         .mkString("[", ",", "]")
       val passJson = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"min_sec":$minTotal,"cores":$cpus,"passes_done":$passesDone,"pass_totals":$passJson,"queries":$qs,"queries_cpu":$qsCpu,"queries_min":$qsMin,"queries_gc":$qsGc,"queries_jit":$qsJit,"queries_resid":$qsResid,"queries_samples":$qsSamples,"failed":$failedJson,"failed_detail":$failDetailJson,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"min_sec":$minTotal,"cores":$cpus,"passes_done":$passesDone,"pass_totals":$passJson,"queries":$qs,"queries_cpu":$qsCpu,"queries_min":$qsMin,"queries_gc":$qsGc,"queries_jit":$qsJit,"queries_resid":$qsResid,"queries_steal":$qsSteal,"queries_samples":$qsSamples,"failed":$failedJson,"failed_detail":$failDetailJson,"sf":"$sfDir"}"""
       // The driver keeps only the LAST ~2000 chars of stdout. With 400
       // queries the full line is ~40 KB, so the tail window would land
       // mid-JSON and the official BENCH artifact arrive unparseable
@@ -227,6 +236,7 @@ object Bench {
         val g0 = gcMillis()
         val j0 = jitMillis()
         val jt0 = javaThreadCpu()
+        val st0 = stealJiffies()
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -249,8 +259,9 @@ object Bench {
         val jit = (jitMillis() - j0) / 1e3
         // non-Java-thread CPU (concurrent GC workers, compiler threads)
         val resid = cpu - (javaThreadCpu() - jt0) / 1e9
+        val steal = (stealJiffies() - st0) / jiffyHz
         passWall += wall
-        if (ok) samples(name) = samples(name) :+ ((wall, cpu, gc, jit, resid))
+        if (ok) samples(name) = samples(name) :+ ((wall, cpu, gc, jit, resid, steal))
       }
       passTotals += passWall
       // Drain accumulated broadcast/checkpoint residue at the pass
@@ -271,10 +282,13 @@ object Bench {
       if (only.isEmpty) writeAtomic("bench_full_latest.json", full)
       println(compact)
       // Budget check BEFORE starting another pass: project the next pass
-      // at the worst completed pass + 10% (a storm pass inflates the
-      // projection — conservative in exactly the runs that need it).
+      // at the MOST RECENT pass + 10% — pass 1 carries JIT warmup (and,
+      // on this shared box, whatever the co-tenant was doing), so the
+      // max would systematically veto a pass 2 that fits; the latest
+      // pass is the best predictor of the next, and a stormed latest
+      // pass over-projects, which errs safe.
       if (pass < maxPasses) {
-        val projected = passTotals.max * 1.1
+        val projected = passTotals.last * 1.1
         if (elapsedSec + projected > budgetSec) {
           stoppedEarly = true
           System.err.println(f"BENCH BUDGET: stopping after pass $pass — " +
