@@ -257,8 +257,13 @@ object Bench {
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
         val gc = (gcMillis() - g0) / 1e3
         val jit = (jitMillis() - j0) / 1e3
-        // non-Java-thread CPU (concurrent GC workers, compiler threads)
-        val resid = cpu - (javaThreadCpu() - jt0) / 1e9
+        // non-Java-thread CPU (concurrent GC workers, compiler threads).
+        // Clamped to [0, cpu]: threads that DIED during the query drop
+        // out of the java-thread sum, which would otherwise inflate the
+        // residual past the process total (observed: a 2585 s "resid"
+        // on a 90 CPU-s query after an executor-pool turnover).
+        val resid = math.max(0.0,
+          math.min(cpu, cpu - (javaThreadCpu() - jt0) / 1e9))
         val steal = (stealJiffies() - st0) / jiffyHz
         passWall += wall
         if (ok) samples(name) = samples(name) :+ ((wall, cpu, gc, jit, resid, steal))
