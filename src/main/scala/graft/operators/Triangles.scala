@@ -357,8 +357,11 @@ object Triangles {
     *         aligned with the input arrays (null unless requested),
     *         nNodes)), or None when the wedge budget says the
     *         distributed arm is the right tool */
-  private def localTriangles(lo: Array[Long], hi: Array[Long],
-                             wantSupports: Boolean)
+  // private[graft] so TrianglesSpec can pin the 2^21 refusal directly
+  // (building a >2M-edge DataFrame just to watch the dispatch decline
+  // would cost minutes per test run)
+  private[graft] def localTriangles(lo: Array[Long], hi: Array[Long],
+                                    wantSupports: Boolean)
       : Option[(Long, Long, Array[Long], Long)] = {
     val m = lo.length
     // the CSR packs (rank << 21 | original edge index) into one long:

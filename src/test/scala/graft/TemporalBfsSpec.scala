@@ -81,4 +81,20 @@ class TemporalBfsSpec extends SparkSpec {
     assert(sweep == dist)
     assert(sweep.size > 10) // non-degenerate: the graph actually spreads
   }
+
+  test("mixed node types keep the distributed arm (r13 advice: boxed " +
+    "Integer vs Long keys would silently miss in the sweep's HashMap)") {
+    import org.apache.spark.sql.functions.col
+    // INT edge endpoints + LONG sources: the type gate must route to
+    // the fixpoint (which coerces via the join) and still answer
+    // correctly — not sweep with cross-type boxed keys
+    val eInt = Seq((1, 2, 5L), (2, 3, 8L)).toDF("src", "dst", "t")
+      .select(col("src").cast("int").as("src"),
+        col("dst").cast("int").as("dst"), col("t"))
+    val s = Seq(Tuple1(1L)).toDF("node")
+    val got = TemporalBfs.earliestArrival(eInt, s).collect()
+      .map(r => r.get(0).toString.toLong ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(5L), 3L -> Some(8L)))
+  }
 }

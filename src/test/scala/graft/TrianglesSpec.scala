@@ -180,6 +180,24 @@ class TrianglesSpec extends SparkSpec {
     assert(got.values.toSet == Set(2L)) // every K4 edge: 2 triangles
   }
 
+  test("localTriangles refuses edge lists at or past 2^21 (r13 advice: " +
+    "the packed rank<<21|index field would corrupt counts)") {
+    // a caller-raised localEdgeLimit must fall through to the
+    // distributed joins, never enumerate with bleeding index bits:
+    // the refusal happens BEFORE any indexing, so building the full
+    // 2^21-long arrays is cheap
+    val m = 1 << 21
+    val lo = Array.tabulate(m)(i => i.toLong)
+    val hi = Array.tabulate(m)(i => i.toLong + 10000000L)
+    assert(Triangles.localTriangles(lo, hi, wantSupports = true).isEmpty)
+    assert(Triangles.localTriangles(lo, hi, wantSupports = false).isEmpty)
+    // one under the line still enumerates (these edges share no
+    // endpoints, so the count is 0 triangles — but the arm RAN)
+    val ok = Triangles.localTriangles(lo.take(m - 1), hi.take(m - 1),
+      wantSupports = false)
+    assert(ok.nonEmpty && ok.get._1 == 0L)
+  }
+
   test("ktruss peel cascades: losing a triangle drags survivors next round") {
     // two triangles sharing edge (1,2): at k=4 every edge has support
     // ≤ 1 except the shared one (2) — round 1 keeps only (1,2), whose
