@@ -63,19 +63,25 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Bfs {
 
-  /** Normalized undirected pairs (u < v, no self-loops), deduped and
-    * checkpointed: the frame the dispatch gate counts, and the single
-    * scan both arms start from. */
+  /** Normalized undirected pairs (u < v, no self-loops), deduped — NOT
+    * checkpointed (r14 ADVICE #3): the gate count runs the distinct
+    * once without materializing it, and the SINGLE checkpoint of the
+    * whole call is [[symFromUnd]]'s (which folds the distinct into its
+    * own job). Below the gate the local arm's collect recomputes the
+    * distinct — bounded by the gate, so cheap by construction; above
+    * it the 100 TB shape stores ONE edge frame, not two, and pays one
+    * extra distinct shuffle instead of a second materialization
+    * barrier + double checkpoint storage. */
   private def undEdges(edges: DataFrame): DataFrame =
     edges.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
 
-  /** Symmetrize + partition + sort + checkpoint the (already
-    * checkpointed) normalized pairs in one job: the stationary side
-    * every distributed round joins against. */
+  /** Symmetrize + partition + sort + checkpoint the normalized pairs
+    * in one job (the distinct folds in): the stationary side every
+    * distributed round joins against, and the call's ONLY edge
+    * checkpoint. */
   private def symFromUnd(und: DataFrame, a: String, b: String): DataFrame =
     und.select(explode(array(
         struct(col("u").as(a), col("v").as(b)),
@@ -120,15 +126,25 @@ object Bfs {
                   localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val und = undEdges(edges)
-    val seedCol = seeds.schema.fields.head.dataType
-    if (integralLong(und, seedCol) && und.count() <= localEdgeLimit)
-      return hopLocal(und, seeds, maxHops)
+    // NULL seed ids are dropped BEFORE the dispatch (a null id is not a
+    // node): the driver arm's getLong would unbox null to 0 while the
+    // distributed equi-join silently drops the row — both arms must see
+    // the same effective seed set (r14 ADVICE #2).
+    val sd = seeds.select(seeds.columns.head).toDF("node")
+      .filter(col("node").isNotNull)
+    val seedCol = sd.schema.fields.head.dataType
+    // localEdgeLimit > 0L: the documented spec hook "0 forces the
+    // distributed path" must hold on EMPTY graphs too (0 <= 0 would
+    // otherwise run the driver arm; r14 ADVICE #1, the
+    // Dedup.connectedComponents guard).
+    if (localEdgeLimit > 0L && integralLong(und, seedCol) &&
+        und.count() <= localEdgeLimit)
+      return hopLocal(und, sd, maxHops)
     val sym = symFromUnd(und, "src", "dst")
     // each round checkpoints ONLY its frontier; the settled set is a
     // union of those already-materialized frontiers, so no round
     // re-materializes the cumulative state
-    val seed = seeds.select(seeds.columns.head).toDF("node")
-      .distinct().localCheckpoint(true)
+    val seed = sd.distinct().localCheckpoint(true)
     var frontiers = List(0L -> seed)
     var frontier = seed
     var fRows = frontier.count()
@@ -212,11 +228,15 @@ object Bfs {
                     localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val und = undEdges(edges)
-    val seedCol = sources.schema.fields.head.dataType
-    if (integralLong(und, seedCol) && und.count() <= localEdgeLimit)
-      return perSourceLocal(und, sources, maxHops, maxSources)
+    // NULL source ids dropped before the dispatch — see [[hopDistance]]
+    val srcs = sources.select(sources.columns.head).toDF("src")
+      .filter(col("src").isNotNull)
+    val seedCol = srcs.schema.fields.head.dataType
+    if (localEdgeLimit > 0L && integralLong(und, seedCol) &&
+        und.count() <= localEdgeLimit)
+      return perSourceLocal(und, srcs, maxHops, maxSources)
     val sym = symFromUnd(und, "src_n", "dst")
-    val seed = sources.select(sources.columns.head).toDF("src")
+    val seed = srcs
       .distinct().withColumn("node", col("src")).localCheckpoint(true)
     var fRows = seed.count()
     require(fRows <= maxSources,
@@ -359,11 +379,15 @@ object Bfs {
     require(maxHops >= 1, "maxHops must be >= 1")
     val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
     val und = undEdges(edges)
-    val seedCol = sources.schema.fields.head.dataType
-    if (integralLong(und, seedCol) && und.count() <= localEdgeLimit)
-      return betweennessLocal(und, sources, maxHops, maxSources)
+    // NULL source ids dropped before the dispatch — see [[hopDistance]]
+    val srcs = sources.select(sources.columns.head).toDF("src")
+      .filter(col("src").isNotNull)
+    val seedCol = srcs.schema.fields.head.dataType
+    if (localEdgeLimit > 0L && integralLong(und, seedCol) &&
+        und.count() <= localEdgeLimit)
+      return betweennessLocal(und, srcs, maxHops, maxSources)
     val sym = symFromUnd(und, "ev", "ew")
-    val seed = sources.select(sources.columns.head).toDF("src")
+    val seed = srcs
       .distinct().withColumn("node", col("src"))
       .withColumn("sigma", lit(1L)).localCheckpoint(true)
     var fRows = seed.count()

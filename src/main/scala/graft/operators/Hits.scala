@@ -46,7 +46,9 @@ object Hits {
       .repartition(col("src")).localCheckpoint(true)
     val integral = eBySrc.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (integral && eBySrc.count() <= localEdgeLimit)
+    // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
+    // empty graphs too (r14 ADVICE #1)
+    if (localEdgeLimit > 0L && integral && eBySrc.count() <= localEdgeLimit)
       return hitsLocal(eBySrc, iters)
     val eByDst = eBySrc.repartition(col("dst")).localCheckpoint(true)
     val nodes = eBySrc.select(col("src").as("node"))

@@ -60,7 +60,9 @@ object KCore {
     val integral = undRaw.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     val und = if (integral) undRaw.localCheckpoint(true) else undRaw
-    if (integral && und.count() <= localEdgeLimit)
+    // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
+    // empty graphs too (r14 ADVICE #1)
+    if (localEdgeLimit > 0L && integral && und.count() <= localEdgeLimit)
       return peelLocal(und, k, iters)
     // both directions in ONE scan (explode — a union of two selects
     // would compute the upstream distinct twice inside the checkpoint

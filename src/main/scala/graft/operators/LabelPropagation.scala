@@ -62,7 +62,9 @@ object LabelPropagation {
       .repartition(col("src")).localCheckpoint(true)
     val integral = e.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (integral && e.count() <= localEdgeLimit)
+    // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
+    // empty graphs too (r14 ADVICE #1)
+    if (localEdgeLimit > 0L && integral && e.count() <= localEdgeLimit)
       return voteLocal(e, iters)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))

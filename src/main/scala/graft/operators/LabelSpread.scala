@@ -46,11 +46,20 @@ object LabelSpread {
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
+    // NULL seed rows (null node OR null score) are dropped BEFORE the
+    // dispatch: the driver arm's getLong would unbox a null score to 0
+    // and clamp the node there, while the distributed left-join treats
+    // seed_score IS NULL as not-a-seed — both arms must see the same
+    // effective seed set (r14 ADVICE #2).
+    val sd0 = seeds.select(col("node"), col("score"))
+      .filter(col("node").isNotNull && col("score").isNotNull)
     val integral = und.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType) &&
-      seeds.schema("node").dataType == org.apache.spark.sql.types.LongType
-    if (integral && und.count() <= localEdgeLimit) {
-      val local = spreadLocal(und, seeds, iters)
+      sd0.schema("node").dataType == org.apache.spark.sql.types.LongType
+    // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
+    // empty graphs too (r14 ADVICE #1)
+    if (localEdgeLimit > 0L && integral && und.count() <= localEdgeLimit) {
+      val local = spreadLocal(und, sd0, iters)
       if (local != null) return local
       // fall through (duplicate seed nodes: the distributed join
       // fan-out semantics are the contract; local declines)
@@ -60,7 +69,7 @@ object LabelSpread {
       .repartition(col("src")).localCheckpoint(true)
     val nodes = sym.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
-    val sd = seeds.select(col("node"), col("score").cast("long")
+    val sd = sd0.select(col("node"), col("score").cast("long")
       .as("seed_score")).distinct().localCheckpoint(true)
     var scores = nodes.join(sd, Seq("node"), "left")
       .select(col("node"),

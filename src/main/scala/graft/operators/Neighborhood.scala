@@ -63,7 +63,11 @@ object Neighborhood {
       .repartition(col("dst")).localCheckpoint(true)
     val integral = e.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (integral && e.count() <= localEdgeLimit)
+    // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
+    // empty graphs too (r14 ADVICE #1 — and the arms genuinely differ
+    // there: local emits n_exact=0 where the empty distributed
+    // aggregate yields NULL)
+    if (localEdgeLimit > 0L && integral && e.count() <= localEdgeLimit)
       return localBalls(e, rounds, k)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()

@@ -72,7 +72,9 @@ object PageRank {
     // partition edges by the join key ONCE; every iteration reuses it
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(true)
-    if (integralLong(e) && e.count() <= localEdgeLimit)
+    // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
+    // empty graphs too (r14 ADVICE #1)
+    if (localEdgeLimit > 0L && integralLong(e) && e.count() <= localEdgeLimit)
       return powerLocal(e, null, iters, scale, base, dampNum, dampDen)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
@@ -113,14 +115,18 @@ object PageRank {
     val base = (scale * (dampDen - dampNum)) / dampDen
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).localCheckpoint(true)
-    if (integralLong(e) &&
-        seeds.schema("node").dataType == org.apache.spark.sql.types.LongType &&
+    // NULL seed ids dropped before the dispatch (a null id is not a
+    // node): the driver arm's getLong would unbox null to 0 while the
+    // distributed join drops the row (r14 ADVICE #2 class).
+    val sd = seeds.select(col("node")).filter(col("node").isNotNull)
+    if (localEdgeLimit > 0L && integralLong(e) &&
+        sd.schema("node").dataType == org.apache.spark.sql.types.LongType &&
         e.count() <= localEdgeLimit)
-      return powerLocal(e, seeds, iters, scale, base, dampNum, dampDen)
+      return powerLocal(e, sd, iters, scale, base, dampNum, dampDen)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .join(seeds.select(col("node")).distinct().withColumn("__seed", lit(1L)),
+      .join(sd.distinct().withColumn("__seed", lit(1L)),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(0L)).as("seed"))
       .localCheckpoint(true)

@@ -52,14 +52,19 @@ object RandomWalks {
     StructField("start", LongType), StructField("wid", IntegerType),
     StructField("step", IntegerType), StructField("node", LongType)))
 
-  /** Normalized undirected pairs (u < v), deduped, checkpointed — the
-    * dispatch gate counts THIS frame (each undirected edge once). */
+  /** Normalized undirected pairs (u < v), deduped — the dispatch gate
+    * counts THIS frame (each undirected edge once). NOT checkpointed
+    * (r14 ADVICE #3): the gate count runs the distinct without
+    * materializing it; the call's single edge checkpoint is the
+    * downstream indexed/symmetrized frame (`nbr` in [[uniformWalks]],
+    * `sym` in [[node2vecWalks]]), which folds the distinct into its own
+    * job. Below the gate the local collect recomputes the distinct —
+    * bounded by the gate, cheap by construction. */
   private def undEdges(edges: DataFrame): DataFrame =
     edges.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
 
   private def integralLong(und: DataFrame): Boolean =
     und.schema.fields.forall(_.dataType == LongType)
@@ -94,9 +99,12 @@ object RandomWalks {
       "walksPerNode in [1,1024]")
     require(length >= 1 && length <= 256, "length in [1,256]")
     val und = undEdges(edges)
-    if (integralLong(und) && und.count() <= localEdgeLimit)
+    // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
+    // empty graphs too (r14 ADVICE #1)
+    if (localEdgeLimit > 0L && integralLong(und) &&
+        und.count() <= localEdgeLimit)
       return uniformLocal(und, walksPerNode, length, seed)
-    // one-scan symmetrization over the (checkpointed) normalized pairs
+    // one-scan symmetrization folding in the normalized distinct
     val sym = und.select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
@@ -223,10 +231,11 @@ object RandomWalks {
       "weights must be positive integers")
     val und = undEdges(edges)
     val undRows = und.count()
-    if (integralLong(und) && undRows <= localEdgeLimit)
+    if (localEdgeLimit > 0L && integralLong(und) &&
+        undRows <= localEdgeLimit)
       return node2vecLocal(und, walksPerNode, length, seed,
         wReturn, wIn, wOut)
-    // one-scan symmetrization over the (checkpointed) normalized pairs
+    // one-scan symmetrization folding in the normalized distinct
     val sym = und.select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))

@@ -63,7 +63,10 @@ object Scc {
     // distributed path regardless of size.
     val integral = e.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType)
-    if (integral && e.count() <= localEdgeLimit) return tarjanLocal(e)
+    // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
+    // empty graphs too (r14 ADVICE #1)
+    if (localEdgeLimit > 0L && integral && e.count() <= localEdgeLimit)
+      return tarjanLocal(e)
     var remaining = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)

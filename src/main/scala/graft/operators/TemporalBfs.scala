@@ -66,7 +66,12 @@ object TemporalBfs {
       // sort-merge join then re-sorts only the (small) label side
       .repartition(col("src")).sortWithinPartitions("src")
       .localCheckpoint(true)
-    val srcs = sources.select(col("node")).distinct().localCheckpoint(true)
+    // NULL source ids dropped before the dispatch (a null id is not a
+    // node): the sweep would key its HashMap on a boxed null while the
+    // distributed fixpoint carries the row — both arms must see the
+    // same effective source set (r14 ADVICE #2 class).
+    val srcs = sources.select(col("node")).filter(col("node").isNotNull)
+      .distinct().localCheckpoint(true)
     // count on the checkpointed frame is one cheap job; it picks the
     // algorithm the way Hierarchy's edge count picks its walk.
     // Type gate (Scc/KCore/Triangles discipline): the sweep keys its
@@ -77,7 +82,10 @@ object TemporalBfs {
     val integral = Seq(e.schema("src").dataType, e.schema("dst").dataType,
       srcs.schema("node").dataType).forall(_ == LongType)
     val edgeCount = e.count()
-    if (integral && edgeCount <= localEdgeLimit) sweepLocal(e, srcs)
+    // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
+    // empty graphs too (r14 ADVICE #1)
+    if (localEdgeLimit > 0L && integral && edgeCount <= localEdgeLimit)
+      sweepLocal(e, srcs)
     else fixpointDistributed(e, srcs, maxRounds)
   }
 

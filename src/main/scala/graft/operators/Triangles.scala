@@ -93,7 +93,10 @@ object Triangles {
     // O(Σ min-deg) with int-rank adjacency — in a fraction of the
     // distributed plan's scheduling cost; above it (the 100 TB case)
     // the wedge joins below run unchanged. Long ids only.
-    if (und.schema.fields.forall(_.dataType ==
+    // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
+    // empty graphs too (r14 ADVICE #1)
+    if (localEdgeLimit > 0L &&
+        und.schema.fields.forall(_.dataType ==
           org.apache.spark.sql.types.LongType) &&
         m <= localEdgeLimit) {
       val rows = und.collect()
@@ -211,7 +214,10 @@ object Triangles {
     // Size dispatch, mirroring [[triangleStats]]: per-edge supports via
     // the same driver-side oriented enumeration. Accelerates every
     // [[ktruss]] round and [[localClustering]] under the gate too.
-    if (und.schema.fields.forall(_.dataType ==
+    // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
+    // empty graphs too (r14 ADVICE #1)
+    if (localEdgeLimit > 0L &&
+        und.schema.fields.forall(_.dataType ==
           org.apache.spark.sql.types.LongType) &&
         m <= localEdgeLimit) {
       val rows = und.collect()

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators._
+
+/** r14 ADVICE pins on the size-dispatch gates shared by the iterative
+  * graph family.
+  *
+  *  #1 — `localEdgeLimit = 0` must force the DISTRIBUTED arm even on an
+  *  EMPTY edge set: `0 <= 0` satisfied the old gate, so specs forcing
+  *  the distributed arm on a degenerate empty graph silently tested the
+  *  local arm. Every gate now requires `localEdgeLimit > 0L` (the
+  *  Dedup.connectedComponents guard). Observable pin: empty edges +
+  *  limit 0 answers (no crash) and agrees with the default-limit arm.
+  *
+  *  #2 — NULL seed/source rows must be dropped BEFORE the dispatch:
+  *  the driver arms' getLong would unbox null to 0 (inventing node 0 as
+  *  a seed) while the distributed joins drop or carry the row — the two
+  *  arms saw DIFFERENT effective seed sets. Pin: a null seed row yields
+  *  identical results on both arms, equal to the same input without the
+  *  null row. */
+class DispatchGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edges = Seq((1L, 2L), (2L, 3L))
+  private def empty: DataFrame = Seq.empty[(Long, Long)].toDF("u", "v")
+  private def emptySD: DataFrame = Seq.empty[(Long, Long)].toDF("src", "dst")
+
+  test("empty edges + localEdgeLimit=0: every gated operator answers") {
+    // undirected-family (u, v)
+    assert(Bfs.hopDistance(empty, Seq(1L).toDF("node"), 2,
+      localEdgeLimit = 0L).collect().toSeq ===
+      Bfs.hopDistance(empty, Seq(1L).toDF("node"), 2).collect().toSeq)
+    assert(Bfs.perSourceHops(empty, Seq(1L).toDF("src"), 2,
+      localEdgeLimit = 0L).count() ===
+      Bfs.perSourceHops(empty, Seq(1L).toDF("src"), 2).count())
+    assert(Bfs.betweennessSampled(empty, Seq(1L).toDF("src"), 2,
+      localEdgeLimit = 0L).count() === 0L)
+    assert(KCore.run(empty, k = 2, iters = 3, localEdgeLimit = 0L)
+      .count() === 0L)
+    assert(Triangles.triangleStats(empty, localEdgeLimit = 0L)
+      .count() ===
+      Triangles.triangleStats(empty).count())
+    assert(RandomWalks.uniformWalks(empty, walksPerNode = 1, length = 2,
+      seed = 7L, localEdgeLimit = 0L).count() === 0L)
+    assert(LabelSpread.harmonic(empty, Seq((1L, 10L)).toDF("node", "score"),
+      iters = 2, localEdgeLimit = 0L).count() === 0L)
+    // directed-family (src, dst)
+    assert(Hits.run(emptySD, iters = 2, localEdgeLimit = 0L).count() === 0L)
+    assert(LabelPropagation.run(emptySD, iters = 2, localEdgeLimit = 0L)
+      .count() === 0L)
+    assert(PageRank.run(emptySD, iters = 2, localEdgeLimit = 0L)
+      .count() === 0L)
+    assert(PageRank.personalized(emptySD, Seq(1L).toDF("node"), iters = 2,
+      localEdgeLimit = 0L).count() === 0L)
+    assert(Scc.stronglyConnected(emptySD, localEdgeLimit = 0L)
+      .count() === 0L)
+    // Neighborhood is the operator whose arms genuinely DIFFER on an
+    // empty graph (the r14 ADVICE example): one summary row per radius
+    // either way, but the local arm emits n_exact=0 where the
+    // distributed global aggregate over zero nodes yields NULL. With
+    // limit 0 the spec hook must surface the DISTRIBUTED shape.
+    import org.apache.spark.sql.functions.col
+    val nbDist = Neighborhood.neighborhoodFunction(emptySD, col("src"),
+      col("dst"), rounds = 1, k = 4, localEdgeLimit = 0L)
+      .as[(Long, Long, Option[Long], Option[String])].collect().toSeq
+    assert(nbDist.map(r => (r._1, r._2)) === Seq((0L, 0L), (1L, 0L)))
+    assert(nbDist.forall(_._3.isEmpty),
+      "limit 0 ran the LOCAL arm (n_exact=0) on an empty graph")
+    assert(TemporalBfs.earliestArrival(
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "t"),
+      Seq(1L).toDF("node"), localEdgeLimit = 0L).count() ===
+      TemporalBfs.earliestArrival(
+        Seq.empty[(Long, Long, Long)].toDF("src", "dst", "t"),
+        Seq(1L).toDF("node")).count())
+  }
+
+  test("Bfs: a NULL seed row is dropped — both arms, same result") {
+    val seeds = Seq[Option[Long]](Some(1L), None).toDF("node")
+    val clean = Seq(1L).toDF("node")
+    def m(s: DataFrame, lim: Long) =
+      Bfs.hopDistance(edges.toDF("u", "v"), s, 2, localEdgeLimit = lim)
+        .as[(Long, Long)].collect().toMap
+    val expect = m(clean, Hints.BroadcastRowLimit)
+    assert(m(seeds, Hints.BroadcastRowLimit) === expect,
+      "local arm treated a NULL seed as node 0")
+    assert(m(seeds, 0L) === expect,
+      "distributed arm carried the NULL seed row")
+  }
+
+  test("LabelSpread: NULL seed node/score rows dropped — arm parity") {
+    // node 2 seeded with a NULL score: the old local arm clamped it at
+    // 0 with is_seed=true; the distributed arm let it update freely
+    val seeds = Seq((Some(1L), Some(1000L)), (Some(2L), None),
+      (None, Some(5L))).toDF("node", "score")
+    val clean = Seq((1L, 1000L)).toDF("node", "score")
+    def m(s: DataFrame, lim: Long) =
+      LabelSpread.harmonic(edges.toDF("u", "v"), s, iters = 2,
+          localEdgeLimit = lim)
+        .as[(Long, Long, Boolean)].collect().toSet
+    val expect = m(clean, Hints.BroadcastRowLimit)
+    assert(m(seeds, Hints.BroadcastRowLimit) === expect)
+    assert(m(seeds, 0L) === expect)
+  }
+
+  test("PageRank.personalized: NULL seed row dropped — arm parity") {
+    val e = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst") // node 0 exists
+    val seeds = Seq[Option[Long]](Some(1L), None).toDF("node")
+    val clean = Seq(1L).toDF("node")
+    def m(s: DataFrame, lim: Long) =
+      PageRank.personalized(e, s, iters = 3, localEdgeLimit = lim)
+        .as[(Long, Long)].collect().toMap
+    val expect = m(clean, Hints.BroadcastRowLimit)
+    // the old local arm unboxed the NULL to 0L and seeded node 0
+    assert(m(seeds, Hints.BroadcastRowLimit) === expect)
+    assert(m(seeds, 0L) === expect)
+  }
+
+  test("TemporalBfs: NULL source row dropped — arm parity") {
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 20L)).toDF("src", "dst", "t")
+    val srcs = Seq[Option[Long]](Some(1L), None).toDF("node")
+    val clean = Seq(1L).toDF("node")
+    def m(s: DataFrame, lim: Long) =
+      TemporalBfs.earliestArrival(e, s, localEdgeLimit = lim)
+        .as[(Long, Option[Long])].collect().toMap
+    val expect = m(clean, Hints.WideRowLimit)
+    assert(m(srcs, Hints.WideRowLimit) === expect)
+    assert(m(srcs, 0L) === expect)
+  }
+}
