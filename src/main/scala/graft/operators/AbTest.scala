@@ -260,9 +260,9 @@ object AbTest {
             alpha: (Long, Long)): DataFrame = {
     require(alpha._1 > 0 && alpha._1 < alpha._2, "need 0 < alpha < 1")
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy("p_e6", "test_id") // bounded hypothesis grid
-    val ranked = df.select(testId.as("test_id"),
-        pE6.cast("long").as("p_e6"))
+      .orderBy("p_e6", "test_id") // bounded hypothesis grid (guarded)
+    val ranked = BoundedGrid.guarded(df.select(testId.as("test_id"),
+        pE6.cast("long").as("p_e6")), "p_e6", "AbTest.bhFdr")
       .withColumn("p_e6",
         when(col("p_e6") < 0L || col("p_e6") > 1000000L,
           raise_error(lit("bhFdr: p_e6 out of [0, 1000000]")))

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fail-loud ceiling for the BOUNDED-GRID window family (r14 verdict
+  * #5). [[RankStats]], [[Evaluation]], Survival, Changepoint, Skyline,
+  * AbTest.bhFdr and DataQuality.lDiversity all follow one scale shape:
+  * collapse the data to a per-distinct-value grid first (one
+  * map-side-combinable aggregate), then run the rank/cumulative window
+  * over that grid in a SINGLE partition — correct at 100 TB exactly
+  * when the caller honors the documented contract "unitize the measure
+  * upstream so the grid stays far below the data". Until r15 nothing
+  * ENFORCED it: a caller passing a high-cardinality double column got
+  * a silent single-partition sort of the whole table — the same silent
+  * degradation class the repo's other guards (Dedup.maxBlockDocs, the
+  * Triangles wedge budget, the 2²¹ refusal) exist to prevent.
+  *
+  * The guard is the [[Dedup.ngramJaccardPairs]] maxBlockDocs idiom, not
+  * a driver-side count action: the grid's row count is one cheap
+  * narrow aggregate, kept only when it violates the ceiling (normally
+  * an EMPTY frame), left-joined back onto the grid, and raised on a
+  * LOAD-BEARING column — so the check adds no Spark action, costs one
+  * small aggregate inside the same DAG, survives column pruning, and
+  * fires while rows are still STREAMING INTO the window sort, before
+  * the single partition absorbs a data-sized frame.
+  *
+  * Override: the ceiling reads system property `graft.maxGridRows`
+  * once per JVM (documented raise for callers whose unitized grid is
+  * legitimately larger); tests pass an explicit `max`.
+  */
+private[graft] object BoundedGrid {
+
+  /** 4M grid rows: a one-task sort of 4M narrow rows (2–4 longs) is a
+    * few hundred MB and low seconds — far above any honestly unitized
+    * grid (a 10⁶-cent price grid, a 10⁴-bucket score grid), far below
+    * data scale, and the same order as [[Hints.BroadcastRowLimit]]'s
+    * "fits in one place" budget. */
+  val DefaultMaxGridRows = 4000000L
+
+  val MaxGridRows: Long =
+    sys.props.get("graft.maxGridRows").map(_.toLong)
+      .getOrElse(DefaultMaxGridRows)
+
+  /** Returns `grid` with column `keep` wrapped so the plan raises when
+    * the grid exceeds `max` rows. `keep` must be a column the caller's
+    * window/aggregate actually consumes (all call sites wrap the grid's
+    * count/measure column — pruning the guard would prune the query's
+    * own data). */
+  def guarded(grid: DataFrame, keep: String, what: String,
+              max: Long = MaxGridRows): DataFrame = {
+    val over = grid.groupBy().agg(count(lit(1)).as("__grid_rows"))
+      .filter(col("__grid_rows") > max)
+    grid.join(over, lit(true), "left")
+      .withColumn(keep, when(col("__grid_rows").isNotNull,
+        raise_error(concat(
+          lit(s"$what: the value grid has "), col("__grid_rows"),
+          lit(s" rows > maxGridRows=$max - the rank/cumulative window" +
+            " runs in ONE partition by design (RankStats contract:" +
+            " unitize the measure upstream so the grid stays far below" +
+            " the data); bucket/unitize the column, or raise" +
+            " -Dgraft.maxGridRows explicitly"))))
+        .otherwise(col(keep)))
+      .drop("__grid_rows")
+  }
+}

@@ -85,10 +85,12 @@ object Changepoint {
   def bestSplit(series: DataFrame, t: Column, x: Column): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val d6 = org.apache.spark.sql.types.DecimalType(38, 6)
-    // bounded grid window (|grid| rows) — see scaladoc
+    // bounded grid window (|grid| rows) — see scaladoc; guarded
     val wCum = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val g = series.select(t.as("t"), x.cast("long").cast(dec).as("x"))
+    val g = BoundedGrid.guarded(
+        series.select(t.as("t"), x.cast("long").cast(dec).as("x")),
+        "x", "Changepoint.bestSplit")
       .withColumn("i", count(lit(1)).over(wCum))
       .withColumn("sx", sum("x").over(wCum).cast(dec))
       .withColumn("sxx", sum(col("x") * col("x")).over(wCum).cast(dec))
@@ -133,8 +135,10 @@ object Changepoint {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val d6 = org.apache.spark.sql.types.DecimalType(38, 6)
     val wCum = Window.orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, 0) // bounded grid
-    val g = series.select(t.as("t"), x.cast("long").cast(dec).as("x"))
+      .rowsBetween(Window.unboundedPreceding, 0) // bounded grid (guarded)
+    val g = BoundedGrid.guarded(
+        series.select(t.as("t"), x.cast("long").cast(dec).as("x")),
+        "x", "Changepoint.bestSplitPair")
       .withColumn("i", count(lit(1)).over(wCum))
       .withColumn("sx", sum("x").over(wCum).cast(dec))
       .withColumn("sxx", sum(col("x") * col("x")).over(wCum).cast(dec))

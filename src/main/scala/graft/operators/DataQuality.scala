@@ -158,8 +158,10 @@ object DataQuality {
       .localCheckpoint(true)
     val m = vals.agg(count(lit(1)).as("__m"))
     val nn = base.agg(count(lit(1)).as("__n"))
-    val globalCum = base.groupBy("__v").agg(count(lit(1)).as("__b"))
-      .join(vals, Seq("__v"))
+    val globalCum = BoundedGrid.guarded(
+        base.groupBy("__v").agg(count(lit(1)).as("__b"))
+          .join(vals, Seq("__v")),
+        "__b", "DataQuality.tCloseness")
       .withColumn("__cb", sum("__b").over(
         org.apache.spark.sql.expressions.Window.orderBy("__i")
           .rowsBetween(org.apache.spark.sql.expressions.Window

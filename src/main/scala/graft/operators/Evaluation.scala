@@ -69,13 +69,14 @@ object Evaluation {
     *
     * @return one row: (n_pos, n_neg, u2, auc) */
   def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val byScore = df
+    val byScore = BoundedGrid.guarded(df
       .select(score.cast("long").as("s"),
         when(label, 1L).otherwise(0L).as("y"))
       .groupBy("s")
-      .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg"))
+      .agg(sum("y").as("pos"), sum(lit(1L) - col("y")).as("neg")),
+      "pos", "Evaluation.aucExact")
     // BOUNDED(|distinct scores|): the unpartitioned window runs over
-    // the value-grouped frame, never over input rows
+    // the value-grouped frame, never over input rows (guarded above)
     val w = Window.orderBy("s")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byScore
@@ -540,12 +541,14 @@ object Evaluation {
     *         cum_n, cum_pos, prec9 = ⌊cum_pos·10⁹/cum_n⌋, rec9 =
     *         ⌊cum_pos·10⁹/P⌋; rec9 NULL when P = 0) */
   def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val grid = df.select(score.cast("long").as("score"),
-        label.cast("boolean").as("y"))
-      .groupBy("score")
-      .agg(count(lit(1)).as("n_at"),
-        sum(when(col("y"), 1L).otherwise(0L)).as("pos_at"))
-    val w = Window.orderBy(col("score").desc) // bounded score grid
+    val grid = BoundedGrid.guarded(
+      df.select(score.cast("long").as("score"),
+          label.cast("boolean").as("y"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("n_at"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("pos_at")),
+      "n_at", "Evaluation.prCurve")
+    val w = Window.orderBy(col("score").desc) // bounded score grid (guarded)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val p = grid.agg(sum("pos_at").as("p"))
     grid
@@ -674,11 +677,13 @@ object Evaluation {
     *         ⌊cum_n·10⁹/n⌋) */
   def riskCoverage(df: DataFrame, conf: Column,
                    correct: Column): DataFrame = {
-    val grid = df.select(conf.cast("long").as("conf"), correct.as("ok"))
-      .groupBy("conf")
-      .agg(count(lit(1)).as("n_at"),
-        sum(when(!col("ok"), 1L).otherwise(0L)).as("err_at"))
-    val w = Window.orderBy(col("conf").desc) // bounded conf grid
+    val grid = BoundedGrid.guarded(
+      df.select(conf.cast("long").as("conf"), correct.as("ok"))
+        .groupBy("conf")
+        .agg(count(lit(1)).as("n_at"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("err_at")),
+      "n_at", "Evaluation.riskCoverage")
+    val w = Window.orderBy(col("conf").desc) // bounded conf grid (guarded)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val n = grid.agg(sum("n_at").as("n"))
     grid

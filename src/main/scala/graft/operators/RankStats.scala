@@ -34,8 +34,11 @@ object RankStats {
       case (c, i) => c.cast("long").as(s"x$i") }: _*)
       .localCheckpoint(true)
     val withTerms = cols.indices.foldLeft(base) { (acc, i) =>
-      val grid = base.groupBy(col(s"x$i")).agg(count(lit(1)).as("cnt"))
-      // bounded grid window (|distinct values| rows — unitize upstream)
+      val grid = BoundedGrid.guarded(
+        base.groupBy(col(s"x$i")).agg(count(lit(1)).as("cnt")),
+        "cnt", "RankStats.ecodScores")
+      // bounded grid window (|distinct values| rows — unitize upstream;
+      // the guard above fails loud past maxGridRows)
       val w = Window.orderBy(s"x$i")
         .rowsBetween(Window.unboundedPreceding, 0)
       val n = grid.agg(sum("cnt").as("n"))
@@ -71,10 +74,11 @@ object RankStats {
   def mannWhitney(df: DataFrame, isA: Column, x: Column): DataFrame = {
     val v = df.select(isA.as("a"), x.cast("long").as("x"))
       .filter(col("a").isNotNull)
-    val grid = v.groupBy("x").agg(
+    val grid = BoundedGrid.guarded(v.groupBy("x").agg(
       sum(when(col("a"), 1L).otherwise(0L)).as("na"),
-      sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
-    // bounded grid window (see object scaladoc)
+      sum(when(!col("a"), 1L).otherwise(0L)).as("nb")),
+      "na", "RankStats.mannWhitney")
+    // bounded grid window (see object scaladoc; guarded above)
     val wPrev = Window.orderBy("x")
       .rowsBetween(Window.unboundedPreceding, -1)
     val t = col("na") + col("nb")
@@ -144,13 +148,15 @@ object RankStats {
     *         d_1e6; null when either side is empty) */
   def ksTest(df: DataFrame, isA: Column, x: Column): DataFrame = {
     val dec = DecimalType(38, 0)
-    val grid = df.select(isA.as("a"), x.cast("long").as("x"))
-      .filter(col("a").isNotNull)
-      .groupBy("x").agg(
-        sum(when(col("a"), 1L).otherwise(0L)).as("na"),
-        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+    val grid = BoundedGrid.guarded(
+      df.select(isA.as("a"), x.cast("long").as("x"))
+        .filter(col("a").isNotNull)
+        .groupBy("x").agg(
+          sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("nb")),
+      "na", "RankStats.ksTest")
     val w = Window.orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, 0) // bounded grid
+      .rowsBetween(Window.unboundedPreceding, 0) // bounded grid (guarded)
     val tot = grid.agg(sum("na").as("n_a"), sum("nb").as("n_b"))
     grid
       .withColumn("ca", sum("na").over(w))
@@ -190,13 +196,15 @@ object RankStats {
     *         w1_1e6 = floor(10⁶·W₁); nulls when a side is empty) */
   def wasserstein1(df: DataFrame, isA: Column, x: Column): DataFrame = {
     val dec = DecimalType(38, 0)
-    val grid = df.select(isA.as("a"), x.cast("long").as("x"))
-      .filter(col("a").isNotNull)
-      .groupBy("x").agg(
-        sum(when(col("a"), 1L).otherwise(0L)).as("na"),
-        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+    val grid = BoundedGrid.guarded(
+      df.select(isA.as("a"), x.cast("long").as("x"))
+        .filter(col("a").isNotNull)
+        .groupBy("x").agg(
+          sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("nb")),
+      "na", "RankStats.wasserstein1")
     val w = Window.orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, 0) // bounded grid
+      .rowsBetween(Window.unboundedPreceding, 0) // bounded grid (guarded)
     val tot = grid.agg(sum("na").as("n_a"), sum("nb").as("n_b"))
     grid
       .withColumn("ca", sum("na").over(w))
@@ -274,10 +282,12 @@ object RankStats {
     *
     * @return one row: (n, total, gini_1e6 — null when total = 0) */
   def gini(df: DataFrame, x: Column): DataFrame = {
-    val grid = df.select(x.cast("long").as("x"))
-      .groupBy("x").agg(count(lit(1)).as("cnt"))
+    val grid = BoundedGrid.guarded(
+      df.select(x.cast("long").as("x"))
+        .groupBy("x").agg(count(lit(1)).as("cnt")),
+      "cnt", "RankStats.gini")
     val wPrev = Window.orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, -1) // bounded grid
+      .rowsBetween(Window.unboundedPreceding, -1) // bounded grid (guarded)
     val runs = grid
       .withColumn("cum_prev", coalesce(sum("cnt").over(wPrev), lit(0L)))
     runs
@@ -398,8 +408,10 @@ object RankStats {
     * @return one row: (n, l, u, x_lo, x_med — rank ⌈n/2⌉ — x_hi) */
   def medianCI(df: DataFrame, x: Column): DataFrame = {
     val v = df.select(x.cast("long").as("x")).filter(col("x").isNotNull)
-    val grid = v.groupBy("x").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy("x") // bounded value grid
+    val grid = BoundedGrid.guarded(
+      v.groupBy("x").agg(count(lit(1)).as("cnt")),
+      "cnt", "RankStats.medianCI")
+    val w = Window.orderBy("x") // bounded value grid (guarded)
       .rowsBetween(Window.unboundedPreceding, 0)
     val c = grid.withColumn("cum", sum("cnt").over(w))
     val ranks = v.agg(count(lit(1)).as("n"))
@@ -524,13 +536,15 @@ object RankStats {
     *         string — t6; nulls when a side is empty) */
   def cvmTest(df: DataFrame, isA: Column, x: Column): DataFrame = {
     val dec = DecimalType(38, 0)
-    val grid = df.select(isA.as("a"), x.cast("long").as("x"))
-      .filter(col("a").isNotNull)
-      .groupBy("x").agg(
-        sum(when(col("a"), 1L).otherwise(0L)).as("na"),
-        sum(when(!col("a"), 1L).otherwise(0L)).as("nb"))
+    val grid = BoundedGrid.guarded(
+      df.select(isA.as("a"), x.cast("long").as("x"))
+        .filter(col("a").isNotNull)
+        .groupBy("x").agg(
+          sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("nb")),
+      "na", "RankStats.cvmTest")
     val w = Window.orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, 0) // bounded grid
+      .rowsBetween(Window.unboundedPreceding, 0) // bounded grid (guarded)
     val tot = grid.agg(sum("na").as("n_a"), sum("nb").as("n_b"))
     grid
       .withColumn("ca", sum("na").over(w))

@@ -38,8 +38,9 @@ object Skyline {
         y.cast("long").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
     // per-x max y: anything below its own column's best is dominated
-    val grid = p.groupBy("x").agg(max("y").as("y"))
-    val w = Window.orderBy(col("x").desc) // bounded x-grid
+    val grid = BoundedGrid.guarded(
+      p.groupBy("x").agg(max("y").as("y")), "y", "Skyline.pareto2d")
+    val w = Window.orderBy(col("x").desc) // bounded x-grid (guarded)
       .rowsBetween(Window.unboundedPreceding, -1)
     val front = grid
       .withColumn("my", max("y").over(w))

@@ -46,11 +46,12 @@ object Survival {
     *         appear with d = 0 and an unchanged survival */
   def kaplanMeier(subjects: DataFrame, duration: Column,
                   observed: Column): DataFrame = {
-    val grid = subjects
+    val grid = BoundedGrid.guarded(subjects
       .select(duration.cast("long").as("t"),
         when(coalesce(observed, lit(false)), 1L).otherwise(0L).as("o"))
       .groupBy("t")
-      .agg(sum("o").as("d"), sum(lit(1L) - col("o")).as("c"))
+      .agg(sum("o").as("d"), sum(lit(1L) - col("o")).as("c")),
+      "d", "Survival time grid")
     val n0 = grid.agg(sum(col("d") + col("c")).as("n0"))
     // cumulative window over the time GRID (bounded — see scaladoc)
     val wPrev = Window.orderBy("t")
@@ -100,11 +101,12 @@ object Survival {
     *         h_e9 — the cumulative hazard ×10⁹) */
   def nelsonAalen(subjects: DataFrame, duration: Column,
                   observed: Column): DataFrame = {
-    val grid = subjects
+    val grid = BoundedGrid.guarded(subjects
       .select(duration.cast("long").as("t"),
         when(coalesce(observed, lit(false)), 1L).otherwise(0L).as("o"))
       .groupBy("t")
-      .agg(sum("o").as("d"), sum(lit(1L) - col("o")).as("c"))
+      .agg(sum("o").as("d"), sum(lit(1L) - col("o")).as("c")),
+      "d", "Survival time grid")
     val n0 = grid.agg(sum(col("d") + col("c")).as("n0"))
     val wPrev = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -149,11 +151,12 @@ object Survival {
     val v = subjects.select(isA.as("a"), duration.cast("long").as("t"),
         when(coalesce(observed, lit(false)), 1L).otherwise(0L).as("o"))
       .filter(col("a").isNotNull)
-    val grid = v.groupBy("t").agg(
+    val grid = BoundedGrid.guarded(v.groupBy("t").agg(
       sum(when(col("a"), col("o")).otherwise(0L)).as("d1"),
       sum(when(!col("a"), col("o")).otherwise(0L)).as("d0"),
       sum(when(col("a"), 1L).otherwise(0L)).as("m1"),
-      sum(when(!col("a"), 1L).otherwise(0L)).as("m0"))
+      sum(when(!col("a"), 1L).otherwise(0L)).as("m0")),
+      "d1", "Survival.logRank")
     val tot = grid.agg(sum("m1").as("na0"), sum("m0").as("nb0"))
     // cumulative windows over the time GRID (bounded — see scaladoc)
     val wPrev = Window.orderBy("t")

@@ -350,7 +350,10 @@ object Trend {
     // lower-middle median: rank (n_pairs - 1) / 2 + 1 under total order
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("s9"), col("t1"), col("t2")) // bounded: |grid|^2 rows
-    val med = pairs.withColumn("__rk", row_number().over(w))
+    // the PAIRS frame takes the unpartitioned rank — guard the square,
+    // not the series (|grid|² is what the one-partition sort absorbs)
+    val med = BoundedGrid.guarded(pairs, "s9", "Trend.theilSen")
+      .withColumn("__rk", row_number().over(w))
       .crossJoin(broadcast(np))
       .filter(col("__rk") === expr("(n_pairs - 1) div 2 + 1"))
       .select(col("n_pairs"), col("s9"))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{BoundedGrid, RankStats, Skyline}
+
+/** r14 verdict #5: the bounded-grid window family's "unitize upstream
+  * so the grid stays far below the data" contract is now ENFORCED —
+  * a grid past maxGridRows raises before the single-partition window
+  * sort absorbs a data-sized frame, instead of silently degrading. */
+class BoundedGridSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def grid(n: Int) =
+    (1 to n).map(i => (i.toLong, 1L)).toDF("x", "cnt")
+
+  test("under the ceiling: values pass through unchanged") {
+    val g = BoundedGrid.guarded(grid(10), "cnt", "spec", max = 10L)
+    assert(g.as[(Long, Long)].collect().toSet ===
+      (1 to 10).map(i => (i.toLong, 1L)).toSet)
+  }
+
+  test("over the ceiling: raises with a counted, named message") {
+    val ex = intercept[Exception] {
+      BoundedGrid.guarded(grid(11), "cnt", "specOp", max = 10L)
+        .agg(sum("cnt")).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("specOp") && msg.contains("11") &&
+      msg.contains("maxGridRows=10"), s"unexpected message: $msg")
+  }
+
+  test("the guard survives Catalyst under the real site shape " +
+    "(grid -> guard -> unpartitioned cumulative window -> aggregate)") {
+    val g = BoundedGrid.guarded(grid(11), "cnt", "siteShape", max = 10L)
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    val ex = intercept[Exception] {
+      g.withColumn("cum", sum("cnt").over(w))
+        .agg(max("cum")).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("siteShape"),
+      s"guard was pruned out of the windowed plan: $msg")
+  }
+
+  test("wired sites still answer under the ceiling (gini, pareto2d)") {
+    val gini = RankStats.gini(Seq(1L, 2L, 3L, 4L).toDF("x"), col("x"))
+      .select("n").as[Long].head()
+    assert(gini === 4L)
+    val sky = Skyline.pareto2d(
+      Seq((1L, 1L, 5L), (2L, 2L, 4L), (3L, 0L, 9L)).toDF("id", "x", "y"),
+      col("id"), col("x"), col("y"))
+    assert(sky.count() === 3L)
+  }
+
+  test("default ceiling reads -Dgraft.maxGridRows (documented override)") {
+    // the property may or may not be set in this JVM; pin the CONTRACT:
+    // MaxGridRows equals the property when present, else the default
+    val expected = sys.props.get("graft.maxGridRows").map(_.toLong)
+      .getOrElse(BoundedGrid.DefaultMaxGridRows)
+    assert(BoundedGrid.MaxGridRows === expected)
+  }
+}

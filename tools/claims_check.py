@@ -10,9 +10,14 @@ more than 1.5x in either direction.
 
 Usage: python3 tools/claims_check.py [SURVEY.md] [bench_map.json]
 
-The bench map defaults to the newest of BENCH_r*_full.json /
-bench_full_latest.json / bench_out.json (all carry the Bench.scala
-full-artifact schema: {"queries": {...}, "queries_cpu": {...}}).
+The bench map defaults to the COMMITTED BENCH_r*_full.json with the
+highest round number (all carry the Bench.scala full-artifact schema:
+{"queries": {...}, "queries_cpu": {...}}). The mutable, untracked
+bench_full_latest.json / bench_out.json are used only when NO committed
+map exists (r14 verdict #2: a later local/driver run overwriting
+bench_out.json must never turn an honest narrative red — the tripwire
+pins claims against the artifact the narrative was written about, which
+is the committed one).
 
 Extraction rules (deliberately conservative — a missed claim is fine,
 a false red is not):
@@ -38,7 +43,13 @@ WINDOW = 120
 
 
 def latest_bench_map():
-    cands = sorted(glob.glob("BENCH_r*_full.json")) + \
+    # committed maps only, highest ROUND number (numeric, not lexical —
+    # r9 must not beat r10); untracked local artifacts are a fallback
+    # for repos that have no committed map yet, never an override
+    committed = sorted(
+        glob.glob("BENCH_r*_full.json"),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)_full", p).group(1)))
+    cands = committed if committed else \
         [p for p in ("bench_full_latest.json", "bench_out.json")
          if os.path.exists(p)]
     if not cands:
