@@ -42,16 +42,28 @@ private[graft] object BoundedGrid {
     sys.props.get("graft.maxGridRows").map(_.toLong)
       .getOrElse(DefaultMaxGridRows)
 
-  /** Returns `grid` with column `keep` wrapped so the plan raises when
-    * the grid exceeds `max` rows. `keep` must be a column the caller's
-    * window/aggregate actually consumes (all call sites wrap the grid's
-    * count/measure column — pruning the guard would prune the query's
-    * own data). */
+  /** Returns `grid` (materialized) with column `keep` wrapped so the
+    * plan raises when the grid exceeds `max` rows. `keep` must be a
+    * column the caller's window/aggregate actually consumes (all call
+    * sites wrap the grid's count/measure column — pruning the guard
+    * would prune the query's own data).
+    *
+    * The grid is `localCheckpoint`ed here unless the caller says it
+    * already is (`materialized = true`): the probe must NOT recompute
+    * the grid's upstream pipeline — Catalyst cannot reuse the exchange
+    * because the probe's pruned scan differs — and measured at sf0.1
+    * the lazy double-compute cost the guarded family ~2× (q266
+    * 0.9 → 3.5 s). With the checkpoint, upstream runs ONCE, the probe
+    * is a count over materialized blocks, and an over-limit grid still
+    * raises BEFORE the single-partition window sort absorbs it (the
+    * checkpoint materializes distributed, never one partition). */
   def guarded(grid: DataFrame, keep: String, what: String,
-              max: Long = MaxGridRows): DataFrame = {
-    val over = grid.groupBy().agg(count(lit(1)).as("__grid_rows"))
+              max: Long = MaxGridRows,
+              materialized: Boolean = false): DataFrame = {
+    val g = if (materialized) grid else grid.localCheckpoint(true)
+    val over = g.groupBy().agg(count(lit(1)).as("__grid_rows"))
       .filter(col("__grid_rows") > max)
-    grid.join(over, lit(true), "left")
+    g.join(over, lit(true), "left")
       .withColumn(keep, when(col("__grid_rows").isNotNull,
         raise_error(concat(
           lit(s"$what: the value grid has "), col("__grid_rows"),

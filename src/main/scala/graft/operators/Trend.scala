@@ -351,8 +351,11 @@ object Trend {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("s9"), col("t1"), col("t2")) // bounded: |grid|^2 rows
     // the PAIRS frame takes the unpartitioned rank — guard the square,
-    // not the series (|grid|² is what the one-partition sort absorbs)
-    val med = BoundedGrid.guarded(pairs, "s9", "Trend.theilSen")
+    // not the series (|grid|² is what the one-partition sort absorbs);
+    // pairs is already checkpointed above, so the probe is a count on
+    // its blocks — no second materialization
+    val med = BoundedGrid.guarded(pairs, "s9", "Trend.theilSen",
+        materialized = true)
       .withColumn("__rk", row_number().over(w))
       .crossJoin(broadcast(np))
       .filter(col("__rk") === expr("(n_pairs - 1) div 2 + 1"))
