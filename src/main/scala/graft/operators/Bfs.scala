@@ -31,9 +31,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *
   * Shape at 100 TB — the repo's iterative-graph discipline
   * ([[PageRank]], [[KCore]], [[LabelPropagation]]): edges are
-  * symmetrized in ONE scan (explode of both directions over the
-  * checkpointed normalized pairs), hash-partitioned AND sorted on the
-  * join key, then checkpointed, so a sort-merge round reuses both the
+  * normalized, deduped AND symmetrized in ONE job (explode of both
+  * directions over the distinct), hash-partitioned AND sorted on the
+  * join key, then checkpointed — the call's single edge
+  * materialization, which the dispatch gate counts and both arms
+  * consume — so a sort-merge round reuses both the
   * partitioning and the ordering and shuffles only the frontier
   * (which tracks nodes, never edges); per-round `localCheckpoint`
   * keeps lineage flat. Frontiers are deduped BEFORE the edge join (one
@@ -63,27 +65,24 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object Bfs {
 
-  /** Normalized undirected pairs (u < v, no self-loops), deduped — NOT
-    * checkpointed (r14 ADVICE #3): the gate count runs the distinct
-    * once without materializing it, and the SINGLE checkpoint of the
-    * whole call is [[symFromUnd]]'s (which folds the distinct into its
-    * own job). Below the gate the local arm's collect recomputes the
-    * distinct — bounded by the gate, so cheap by construction; above
-    * it the 100 TB shape stores ONE edge frame, not two, and pays one
-    * extra distinct shuffle instead of a second materialization
-    * barrier + double checkpoint storage. */
-  private def undEdges(edges: DataFrame): DataFrame =
+  /** Symmetrized normalized edges — both directions of each deduped
+    * undirected pair (no self-loops), hash-partitioned AND sorted on
+    * `a`, checkpointed: the ONE edge materialization of every call
+    * (the [[Dedup.connectedComponents]] shape, r14 ADVICE #3). The
+    * dispatch gate counts THIS frame (rows = 2 × normalized edges,
+    * cheap — it is materialized), the driver arms collect it, and the
+    * distributed rounds join against it. One job, one checkpoint, no
+    * upstream recompute on either arm: the r14 spelling checkpointed
+    * the normalized pairs AND this frame (double storage + an extra
+    * barrier), and the first r15 spelling counted a non-checkpointed
+    * distinct (which re-ran the whole upstream pipeline per derived
+    * frame — measured 42.5 → 48.7 s on the 6M-node SCALE_STRESS BFS). */
+  private def symEdges(edges: DataFrame, a: String, b: String): DataFrame =
     edges.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-
-  /** Symmetrize + partition + sort + checkpoint the normalized pairs
-    * in one job (the distinct folds in): the stationary side every
-    * distributed round joins against, and the call's ONLY edge
-    * checkpoint. */
-  private def symFromUnd(und: DataFrame, a: String, b: String): DataFrame =
-    und.select(explode(array(
+      .select(explode(array(
         struct(col("u").as(a), col("v").as(b)),
         struct(col("v").as(a), col("u").as(b)))).as("e"))
       .select(col("e." + a).as(a), col("e." + b).as(b))
@@ -93,10 +92,11 @@ object Bfs {
   /** LONG node ids on every column the driver arms key their maps on —
     * mixed numeric types would silently miss HashMap lookups where the
     * distributed join coerces (the [[TemporalBfs]] hazard). */
-  private def integralLong(und: DataFrame, seedCol: org.apache.spark.sql.types.DataType): Boolean =
-    und.schema.fields.forall(_.dataType == LongType) && seedCol == LongType
+  private def integralLong(sym: DataFrame, seedCol: org.apache.spark.sql.types.DataType): Boolean =
+    sym.schema.fields.forall(_.dataType == LongType) && seedCol == LongType
 
-  /** Collected adjacency, both directions (neighbor order is irrelevant
+  /** Collected adjacency from the SYMMETRIZED rows (each direction
+    * appears once — add one side per row; neighbor order is irrelevant
     * to BFS — settled hops have no ties). */
   private def adjacency(rows: Array[Row])
       : java.util.HashMap[Long, Array[Long]] = {
@@ -106,7 +106,7 @@ object Bfs {
       if (lst == null) { lst = new scala.collection.mutable.ArrayBuffer[Long](); tmp.put(x, lst) }
       lst += y
     }
-    rows.foreach { r => val u = r.getLong(0); val v = r.getLong(1); add(u, v); add(v, u) }
+    rows.foreach { r => add(r.getLong(0), r.getLong(1)) }
     val adj = new java.util.HashMap[Long, Array[Long]](tmp.size())
     tmp.forEach { (k, v) => adj.put(k, v.toArray) }
     adj
@@ -125,7 +125,7 @@ object Bfs {
   def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int,
                   localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val und = undEdges(edges)
+    val sym = symEdges(edges, "src", "dst")
     // NULL seed ids are dropped BEFORE the dispatch (a null id is not a
     // node): the driver arm's getLong would unbox null to 0 while the
     // distributed equi-join silently drops the row — both arms must see
@@ -137,10 +137,9 @@ object Bfs {
     // distributed path" must hold on EMPTY graphs too (0 <= 0 would
     // otherwise run the driver arm; r14 ADVICE #1, the
     // Dedup.connectedComponents guard).
-    if (localEdgeLimit > 0L && integralLong(und, seedCol) &&
-        und.count() <= localEdgeLimit)
-      return hopLocal(und, sd, maxHops)
-    val sym = symFromUnd(und, "src", "dst")
+    if (localEdgeLimit > 0L && integralLong(sym, seedCol) &&
+        sym.count() <= 2L * localEdgeLimit)
+      return hopLocal(sym, sd, maxHops)
     // each round checkpoints ONLY its frontier; the settled set is a
     // union of those already-materialized frontiers, so no round
     // re-materializes the cumulative state
@@ -172,10 +171,10 @@ object Bfs {
 
   /** Driver multi-source BFS (bounded by the edge gate): identical
     * settled set — hop minimality has no ties to break. */
-  private def hopLocal(und: DataFrame, seeds: DataFrame,
+  private def hopLocal(sym: DataFrame, seeds: DataFrame,
                        maxHops: Int): DataFrame = {
-    val spark = und.sparkSession
-    val adj = adjacency(und.collect())
+    val spark = sym.sparkSession
+    val adj = adjacency(sym.collect())
     val dist = new java.util.HashMap[Long, Long]()
     var frontier = new java.util.ArrayList[Long]()
     seeds.select(seeds.columns.head).distinct().collect().foreach { r =>
@@ -227,15 +226,14 @@ object Bfs {
                     maxSources: Long = 100000L,
                     localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val und = undEdges(edges)
+    val sym = symEdges(edges, "src_n", "dst")
     // NULL source ids dropped before the dispatch — see [[hopDistance]]
     val srcs = sources.select(sources.columns.head).toDF("src")
       .filter(col("src").isNotNull)
     val seedCol = srcs.schema.fields.head.dataType
-    if (localEdgeLimit > 0L && integralLong(und, seedCol) &&
-        und.count() <= localEdgeLimit)
-      return perSourceLocal(und, srcs, maxHops, maxSources)
-    val sym = symFromUnd(und, "src_n", "dst")
+    if (localEdgeLimit > 0L && integralLong(sym, seedCol) &&
+        sym.count() <= 2L * localEdgeLimit)
+      return perSourceLocal(sym, srcs, maxHops, maxSources)
     val seed = srcs
       .distinct().withColumn("node", col("src")).localCheckpoint(true)
     var fRows = seed.count()
@@ -270,10 +268,10 @@ object Bfs {
   /** Driver per-source BFS (bounded by the edge gate): one plain BFS
     * per source over the shared adjacency — |sources| × (V+E) work,
     * milliseconds at gate-sized graphs. */
-  private def perSourceLocal(und: DataFrame, sources: DataFrame,
+  private def perSourceLocal(sym: DataFrame, sources: DataFrame,
                              maxHops: Int, maxSources: Long): DataFrame = {
-    val spark = und.sparkSession
-    val adj = adjacency(und.collect())
+    val spark = sym.sparkSession
+    val adj = adjacency(sym.collect())
     val srcs = sources.select(sources.columns.head).distinct().collect()
       .map(_.getLong(0))
     require(srcs.length <= maxSources,
@@ -378,15 +376,14 @@ object Bfs {
                          localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
     val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val und = undEdges(edges)
+    val sym = symEdges(edges, "ev", "ew")
     // NULL source ids dropped before the dispatch — see [[hopDistance]]
     val srcs = sources.select(sources.columns.head).toDF("src")
       .filter(col("src").isNotNull)
     val seedCol = srcs.schema.fields.head.dataType
-    if (localEdgeLimit > 0L && integralLong(und, seedCol) &&
-        und.count() <= localEdgeLimit)
-      return betweennessLocal(und, srcs, maxHops, maxSources)
-    val sym = symFromUnd(und, "ev", "ew")
+    if (localEdgeLimit > 0L && integralLong(sym, seedCol) &&
+        sym.count() <= 2L * localEdgeLimit)
+      return betweennessLocal(sym, srcs, maxHops, maxSources)
     val seed = srcs
       .distinct().withColumn("node", col("src"))
       .withColumn("sigma", lit(1L)).localCheckpoint(true)
@@ -456,10 +453,10 @@ object Bfs {
     * the walk) is replicated per source, which is equivalent to the
     * distributed GLOBAL level loop because levels are per-(src, node)
     * throughout. */
-  private def betweennessLocal(und: DataFrame, sources: DataFrame,
+  private def betweennessLocal(sym: DataFrame, sources: DataFrame,
                                maxHops: Int, maxSources: Long): DataFrame = {
-    val spark = und.sparkSession
-    val rows = und.collect()
+    val spark = sym.sparkSession
+    val rows = sym.collect()
     val srcs = sources.select(sources.columns.head).distinct().collect()
       .map(_.getLong(0))
     require(srcs.length <= maxSources,
@@ -478,6 +475,8 @@ object Bfs {
       if (got != null) got.intValue
       else { val i = ids.length; idx.put(x, i); ids += x; i }
     }
+    // rows are the SYMMETRIZED directed edges (each undirected pair
+    // appears once per direction) — each row contributes ONE slot
     val m = rows.length
     val eu = new Array[Int](m); val ev = new Array[Int](m)
     var i = 0
@@ -486,14 +485,13 @@ object Bfs {
     }
     val n = ids.length
     val off = new Array[Int](n + 1)
-    i = 0; while (i < m) { off(eu(i) + 1) += 1; off(ev(i) + 1) += 1; i += 1 }
+    i = 0; while (i < m) { off(eu(i) + 1) += 1; i += 1 }
     i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
-    val adjI = new Array[Int](2 * m)
+    val adjI = new Array[Int](m)
     val fill = java.util.Arrays.copyOf(off, n)
     i = 0
     while (i < m) {
       adjI(fill(eu(i))) = ev(i); fill(eu(i)) += 1
-      adjI(fill(ev(i))) = eu(i); fill(ev(i)) += 1
       i += 1
     }
     // forward state, reset per source via the touched levels

@@ -53,25 +53,33 @@ object RandomWalks {
     StructField("step", IntegerType), StructField("node", LongType)))
 
   /** Normalized undirected pairs (u < v), deduped — the dispatch gate
-    * counts THIS frame (each undirected edge once). NOT checkpointed
-    * (r14 ADVICE #3): the gate count runs the distinct without
-    * materializing it; the call's single edge checkpoint is the
-    * downstream indexed/symmetrized frame (`nbr` in [[uniformWalks]],
-    * `sym` in [[node2vecWalks]]), which folds the distinct into its own
-    * job. Below the gate the local collect recomputes the distinct —
-    * bounded by the gate, cheap by construction. */
-  private def undEdges(edges: DataFrame): DataFrame =
+    * counts THIS frame — built, normalized, deduped, symmetrized and
+    * checkpointed in ONE job (the [[Dedup.connectedComponents]] shape,
+    * r14 ADVICE #3): the call's single edge materialization, which the
+    * gate counts cheaply (rows = 2 × undirected edges), the driver arm
+    * collects, and the distributed steps derive their indexed frames
+    * from — no double checkpoint, no upstream recompute on either arm
+    * (the first r15 spelling counted a non-checkpointed distinct and
+    * re-ran the upstream pipeline per derived frame — measured
+    * 31.5 → 94 s on the 2.6M-walker SCALE_STRESS walk). */
+  private def symEdges(edges: DataFrame): DataFrame =
     edges.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
 
-  private def integralLong(und: DataFrame): Boolean =
-    und.schema.fields.forall(_.dataType == LongType)
+  private def integralLong(sym: DataFrame): Boolean =
+    sym.schema.fields.forall(_.dataType == LongType)
 
-  /** Collected sorted adjacency: node -> neighbor ids ASCENDING — the
-    * driver twin of the distributed row_number-over-(orderBy dst)
-    * neighbor index, so `idx` means the same neighbor in both arms. */
+  /** Collected sorted adjacency from the SYMMETRIZED rows (one
+    * direction per row): node -> neighbor ids ASCENDING — the driver
+    * twin of the distributed row_number-over-(orderBy dst) neighbor
+    * index, so `idx` means the same neighbor in both arms. */
   private def localAdjacency(rows: Array[Row])
       : java.util.HashMap[Long, Array[Long]] = {
     val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
@@ -80,9 +88,7 @@ object RandomWalks {
       if (lst == null) { lst = new scala.collection.mutable.ArrayBuffer[Long](); tmp.put(a, lst) }
       lst += b
     }
-    rows.foreach { r =>
-      val u = r.getLong(0); val v = r.getLong(1); add(u, v); add(v, u)
-    }
+    rows.foreach { r => add(r.getLong(0), r.getLong(1)) }
     val adj = new java.util.HashMap[Long, Array[Long]](tmp.size())
     tmp.forEach { (k, v) => adj.put(k, v.toArray.sorted) }
     adj
@@ -98,17 +104,13 @@ object RandomWalks {
     require(walksPerNode >= 1 && walksPerNode <= 1024,
       "walksPerNode in [1,1024]")
     require(length >= 1 && length <= 256, "length in [1,256]")
-    val und = undEdges(edges)
+    val sym = symEdges(edges)
     // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
     // empty graphs too (r14 ADVICE #1)
-    if (localEdgeLimit > 0L && integralLong(und) &&
-        und.count() <= localEdgeLimit)
-      return uniformLocal(und, walksPerNode, length, seed)
-    // one-scan symmetrization folding in the normalized distinct
-    val sym = und.select(explode(array(
-        struct(col("u").as("src"), col("v").as("dst")),
-        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    if (localEdgeLimit > 0L && integralLong(sym) &&
+        sym.count() <= 2L * localEdgeLimit)
+      return uniformLocal(sym, walksPerNode, length, seed)
+    // per-node neighbor index over the materialized symmetrized frame
     val wIdx = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy("dst")
     val nbr = sym
@@ -139,10 +141,10 @@ object RandomWalks {
     * md5_60(seed:start:wid:s) mod deg pick over the SAME
     * ascending-sorted neighbor list as [[uniformStep]] — bit-identical
     * corpus, zero scheduling stages. */
-  private def uniformLocal(und: DataFrame, walksPerNode: Int, length: Int,
+  private def uniformLocal(sym: DataFrame, walksPerNode: Int, length: Int,
                            seed: Long): DataFrame = {
-    val spark = und.sparkSession
-    val adj = localAdjacency(und.collect())
+    val spark = sym.sparkSession
+    val adj = localAdjacency(sym.collect())
     val starts = {
       val a = new Array[Long](adj.size()); var i = 0
       val it = adj.keySet().iterator()
@@ -229,18 +231,12 @@ object RandomWalks {
     require(length >= 1 && length <= 256, "length in [1,256]")
     require(wReturn >= 1 && wIn >= 1 && wOut >= 1,
       "weights must be positive integers")
-    val und = undEdges(edges)
-    val undRows = und.count()
-    if (localEdgeLimit > 0L && integralLong(und) &&
-        undRows <= localEdgeLimit)
-      return node2vecLocal(und, walksPerNode, length, seed,
+    val sym = symEdges(edges)
+    val symRows = sym.count()
+    if (localEdgeLimit > 0L && integralLong(sym) &&
+        symRows <= 2L * localEdgeLimit)
+      return node2vecLocal(sym, walksPerNode, length, seed,
         wReturn, wIn, wOut)
-    // one-scan symmetrization folding in the normalized distinct
-    val sym = und.select(explode(array(
-        struct(col("u").as("src"), col("v").as("dst")),
-        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint(true)
     val starts = sym.select(col("src")).distinct()
       .select(col("src").as("start"))
       .crossJoin(broadcast(
@@ -255,8 +251,8 @@ object RandomWalks {
       frontier.select(col("start"), col("wid"), lit(0).as("step"),
         col("node")))
     for (s <- 1 to length) {
-      frontier = node2vecStep(frontier, sym, und, seed, s,
-        wReturn, wIn, wOut, walkers, undRows).localCheckpoint(true)
+      frontier = node2vecStep(frontier, sym, seed, s,
+        wReturn, wIn, wOut, walkers, symRows).localCheckpoint(true)
       steps += frontier.select(col("start"), col("wid"),
         lit(s).as("step"), col("node"))
     }
@@ -267,11 +263,11 @@ object RandomWalks {
   /** Driver biased-walk loop (bounded by the edge gate): same weights
     * in the same dst-ascending order, same r = md5 mod Σw slot pick as
     * [[node2vecStep]] — bit-identical corpus. */
-  private def node2vecLocal(und: DataFrame, walksPerNode: Int, length: Int,
+  private def node2vecLocal(sym: DataFrame, walksPerNode: Int, length: Int,
                             seed: Long, wReturn: Int, wIn: Int,
                             wOut: Int): DataFrame = {
-    val spark = und.sparkSession
-    val adj = localAdjacency(und.collect())
+    val spark = sym.sparkSession
+    val adj = localAdjacency(sym.collect())
     // wIn membership (is dst adjacent to prev?) runs as a MERGE of the
     // two sorted neighbor lists — co-occurrence graphs are hub-skewed,
     // so per-step work is Σ(deg(node)+deg(prev)) primitive compares;
@@ -342,18 +338,19 @@ object RandomWalks {
 
   /** One biased pick: neighbor fan-out (equi-join on src,
     * counted-broadcast on the walker side so the edge list streams
-    * map-side), prev-edge membership check (equi-join on the
-    * normalized pair, counted-broadcast on the edge set when it fits),
+    * map-side), prev-edge membership check (equi-join on the directed
+    * symmetrized pair — sym carries both directions, so (prev, dst)
+    * membership is one equi-join; counted-broadcast when it fits),
     * then the cumulative-weight slot filter in a (start,wid)-keyed
     * window — the running slot sum and the total weight share ONE
     * window ordering (the total is the unbounded-frame sum over the
     * same sort), so the fanned rows are exchanged and sorted once per
     * step, not twice. Exposed for plan pinning, like [[uniformStep]]. */
   private[graft] def node2vecStep(frontier: DataFrame, sym: DataFrame,
-                                  und: DataFrame, seed: Long, s: Int,
+                                  seed: Long, s: Int,
                                   wReturn: Int, wIn: Int, wOut: Int,
                                   walkers: Long = Long.MaxValue,
-                                  undRows: Long = Long.MaxValue): DataFrame = {
+                                  symRows: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy("start", "wid").orderBy("dst")
     // the pick hash is a per-WALKER value: compute it on the frontier
@@ -364,10 +361,9 @@ object RandomWalks {
         lit(seed), col("start"), col("wid"), lit(s))))
     Hints.hinted(seeded, walkers)
       .join(sym, col("node") === col("src"))
-      .join(Hints.hinted(und.select(col("u").as("eu"), col("v").as("ev")),
-          undRows),
-        least(col("prev"), col("dst")) === col("eu") &&
-          greatest(col("prev"), col("dst")) === col("ev"), "left")
+      .join(Hints.hinted(sym.select(col("src").as("eu"), col("dst").as("ev")),
+          symRows),
+        col("prev") === col("eu") && col("dst") === col("ev"), "left")
       .select(col("start"), col("wid"), col("node"), col("dst"), col("h"),
         when(col("dst") === col("prev"), lit(wReturn.toLong))
           .when(col("eu").isNotNull, lit(wIn.toLong))

@@ -573,7 +573,7 @@ class PlanSpec extends SparkSpec {
     assert(!up.contains("CartesianProduct") &&
       !up.contains("BroadcastNestedLoopJoin"), up.take(2000))
     assert(up.contains("Join"), up.take(2000))
-    val np = RandomWalks.node2vecStep(frontier, sym, und, 13L, 1,
+    val np = RandomWalks.node2vecStep(frontier, sym, 13L, 1,
       1, 4, 2).queryExecution.executedPlan.toString
     assert(!np.contains("CartesianProduct") &&
       !np.contains("BroadcastNestedLoopJoin"), np.take(2000))
