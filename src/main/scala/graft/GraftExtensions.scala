@@ -42,6 +42,11 @@ import graft.expressions.{CmsSketchAgg, Dec9Dot, DecimalDotRewrite, FloatVecScal
   *    chosen AFTER the scan; the buffer is a pure function of the input
   *    multiset, so the whole counter array hash-gates against an md5
   *    replay ([[graft.expressions.CmsSketchAgg]]);
+  *  - `rank_select(v, num, den, mode) -> struct<n, k, cut>` — EXACT
+  *    order statistics (nearest-rank percentile / conformal order pick)
+  *    in one map-side-combined pass over a value→count map bounded by
+  *    distinct cardinality, fail-loud beyond `graft.maxRankDistinct`
+  *    ([[graft.expressions.RankSelectAgg]]);
   *  - `phrase_hits(string, array<string>) -> bigint` — Aho–Corasick
   *    blocklist matcher: total phrase occurrences at one automaton step
   *    per byte, built once at plan time from the constant phrase array
@@ -132,6 +137,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "kmv_theta takes exactly 2 arguments")
         KmvSketchAgg(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rank_select"),
+      new ExpressionInfo(classOf[graft.expressions.RankSelectAgg].getName,
+        "rank_select"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 4, "rank_select takes exactly 4 arguments")
+        graft.expressions.RankSelectAgg(children.head, children(1),
+          children(2), children(3))
       }))
     ext.injectFunction((
       FunctionIdentifier("phrase_hits"),

@@ -5133,7 +5133,8 @@ object SparkEntry {
       val scored = li.join(broadcast(pred), Seq("q"))
         .withColumn("s", abs(col("y") - col("p")))
       val calib = Conformal.calibrate(scored.filter(col("b") === 2),
-        col("s"), col("rid"), 1, 10)
+          col("s"), col("rid"), 1, 10)
+        .localCheckpoint(true) // one row; feeds the audit AND the output
       calib.crossJoin(Conformal.coverageAudit(
         scored.filter(col("b") === 3), col("s"), calib))
     }),

@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   * rational, k = ceil((n+1)(den−num)/den) in integer arithmetic, and
   * qhat is an actual input score — everything hash-replays.
   *
-  * Scale shape: the k-th order statistic comes from
-  * [[GlobalIndex.withGlobalIndex]] (range-partitioned sort +
-  * per-partition offset stamp — NEVER a global row_number window),
-  * the count rides a broadcast one-row frame, and the coverage audit
-  * is one scan with a broadcast scalar. Nothing collects.
+  * Scale shape: the k-th order statistic comes from the one-pass
+  * [[graft.expressions.RankSelectAgg]] value→count summary (map-side
+  * combined, exchange O(distinct scores) not O(n), fail-loud beyond
+  * `graft.maxRankDistinct` — NEVER a global row_number window), and
+  * the coverage audit is one scan with a broadcast scalar. Nothing
+  * collects.
   */
 object Conformal {
 
@@ -35,15 +36,18 @@ object Conformal {
     require(alphaNum >= 1 && alphaNum < alphaDen,
       "alpha = alphaNum/alphaDen must be in (0,1)")
     val cov = alphaDen - alphaNum
-    val s = cal.select(score.cast("long").as("qhat"), tieBreak.as("__tb"))
-    val idxed = GlobalIndex.withGlobalIndex(s,
-      Seq(col("qhat"), col("__tb")), "__idx")
-    val n = cal.groupBy().agg(count(lit(1)).as("n_cal"))
-    idxed.crossJoin(broadcast(n))
-      .withColumn("k",
-        expr(s"((n_cal + 1) * $cov + ${alphaDen - 1}) div $alphaDen"))
-      .filter(col("__idx") === col("k") - 1)
-      .select(col("n_cal"), col("k"), col("qhat"))
+    // ONE map-side-combined pass: the k-th order statistic depends only
+    // on the score MULTISET, so the full sort + positional pass is
+    // replaced by [[graft.expressions.RankSelectAgg]] mode 1 (k =
+    // ceil((n+1)·cov/den), 1-based; cut NULL when k > n — filtered to
+    // the same empty frame as before). `tieBreak` is retained for
+    // signature stability; a row total order never changes the VALUE
+    // at a rank.
+    cal.agg(call_function("rank_select", score.cast("long"),
+        lit(cov), lit(alphaDen), lit(1)).as("__rs"))
+      .select(col("__rs.n").as("n_cal"), col("__rs.k").as("k"),
+        col("__rs.cut").as("qhat"))
+      .filter(col("qhat").isNotNull)
   }
 
   /** Coverage audit on a held-out test set: (n_test, n_covered, cov9)

@@ -12,13 +12,15 @@ import org.apache.spark.sql.types.DecimalType
   * robust z-score — median ± k·MAD survives 50% contamination where
   * mean ± k·σ breaks at one bad row).
   *
-  * Scale shape: every rank comes from the range-partitioned sort +
-  * zipWithIndex of [[GlobalIndex]] — NEVER a single-partition window —
-  * so ranking n rows costs one range-shuffle sort regardless of n.
-  * Spearman is two such sorts and zero joins (the second sort carries
-  * the first sort's rank along as payload); the quantile/median picks
-  * are O(1) lookups against a broadcast one-row scalar frame, exactly
-  * the [[SkewAdvisor]] nearest-rank construction.
+  * Scale shape: FULL rankings (Spearman) come from the range-
+  * partitioned sort + zipWithIndex of [[GlobalIndex]] — NEVER a
+  * single-partition window — two such sorts and zero joins (the second
+  * sort carries the first sort's rank along as payload). Quantile/
+  * median PICKS need no ranking at all: they ride the one-pass
+  * [[graft.expressions.RankSelectAgg]] value→count summary (map-side
+  * combined, exchange O(distinct) not O(n), fail-loud beyond
+  * `graft.maxRankDistinct`) and land as broadcast one-row scalar
+  * frames.
   *
   * Determinism: values are ranked under a caller-supplied unique
   * tie-break, making every rank a permutation (reproducible run-over-
@@ -61,18 +63,22 @@ object RobustStats {
   }
 
   /** Floor nearest-rank pick: the value of `v` at sorted position
-    * ⌊(n−1)·pct/100⌋ under ORDER BY (v, tie) — one range-sort of the
-    * column plus an O(1) filter, as a one-row (cut) frame. */
+    * ⌊(n−1)·pct/100⌋, as a one-row (cut) frame (empty on empty input).
+    *
+    * ONE map-side-combined aggregation via [[graft.expressions
+    * .RankSelectAgg]] — the value at a rank depends only on the value
+    * MULTISET, so the prior full range-sort + zipWithIndex positional
+    * pass (three sequential jobs per percentile) collapses to a
+    * value→count map bounded by distinct cardinality (fail-loud
+    * beyond `graft.maxRankDistinct`). `tie` is retained for signature
+    * stability: a row-level total order disambiguates which equal-
+    * valued ROW holds the rank, never the value returned. */
   private def nearestRank(vals: DataFrame, v: Column, tie: Column,
-                          pct: Int): DataFrame = {
-    val idx = GlobalIndex.withGlobalIndex(
-      vals.select(v.as("__v"), tie.as("__t")),
-      Seq(col("__v"), col("__t")), idxCol = "__i")
-    val n = vals.agg(count(lit(1)).as("__n"))
-    idx.crossJoin(broadcast(n))
-      .filter(col("__i") === expr("((__n - 1) * " + pct + ") div 100"))
-      .select(col("__v").as("cut"))
-  }
+                          pct: Int): DataFrame =
+    vals.agg(call_function("rank_select", v, lit(pct), lit(100), lit(0))
+        .as("__rs"))
+      .select(col("__rs.cut").as("cut"))
+      .filter(col("cut").isNotNull)
 
   /** Winsorized + trimmed location summary of `x` at the
     * [pLo, pHi] nearest-rank cuts (e.g. 5/95): winsorizing CLAMPS the
@@ -86,11 +92,15 @@ object RobustStats {
                  pLo: Int = 5, pHi: Int = 95): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 100, "need 0<=pLo<pHi<=100")
     val vals = df.select(x.cast(dec6).as("__v"), tie.as("__t"))
-    val lo = nearestRank(vals, col("__v"), col("__t"), pLo)
-      .select(col("cut").as("lo_cut"))
-    val hi = nearestRank(vals, col("__v"), col("__t"), pHi)
-      .select(col("cut").as("hi_cut"))
-    vals.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+    // both percentiles of the same column in ONE aggregation pass
+    val cuts = vals.agg(
+        call_function("rank_select", col("__v"), lit(pLo), lit(100), lit(0))
+          .as("__lo"),
+        call_function("rank_select", col("__v"), lit(pHi), lit(100), lit(0))
+          .as("__hi"))
+      .select(col("__lo.cut").as("lo_cut"), col("__hi.cut").as("hi_cut"))
+      .filter(col("lo_cut").isNotNull)
+    vals.crossJoin(broadcast(cuts))
       .select(col("lo_cut"), col("hi_cut"),
         greatest(col("lo_cut"), least(col("hi_cut"), col("__v"))).as("w"),
         when(col("__v") >= col("lo_cut") && col("__v") <= col("hi_cut"),

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.expressions.RankSelectSummary
+
+class RankSelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pick(values: Seq[Long], num: Int, den: Int, mode: Int,
+                   parts: Int = 3): (Long, Long, Option[Long]) = {
+    val r = values.toDF("v").repartition(parts)
+      .agg(call_function("rank_select", col("v"), lit(num), lit(den),
+        lit(mode)).as("s"))
+      .select(col("s.n"), col("s.k"), col("s.cut")).head()
+    (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))
+  }
+
+  test("mode 0 is the floor nearest-rank: k = ((n-1)*pct) div 100") {
+    val vs = Seq(50L, 10L, 30L, 10L, 40L, 20L, 30L) // sorted: 10,10,20,30,30,40,50
+    assert(pick(vs, 50, 100, 0) == ((7L, 3L, Some(30L)))) // median idx 3
+    assert(pick(vs, 0, 100, 0) == ((7L, 0L, Some(10L))))
+    assert(pick(vs, 100, 100, 0) == ((7L, 6L, Some(50L))))
+    // duplicates collapse in the map but ranks count the multiset
+    assert(pick(vs, 25, 100, 0) == ((7L, 1L, Some(10L))))
+  }
+
+  test("mode 1 is the conformal pick: k = ceil((n+1)*num/den), 1-based, NULL past n") {
+    val vs = (1L to 9L).toSeq
+    // alpha=1/10 -> cov=9: k = ceil(10*9/10) = 9 -> 9th smallest = 9
+    assert(pick(vs, 9, 10, 1) == ((9L, 9L, Some(9L))))
+    // alpha=1/100 -> cov=99: k = ceil(10*99/100) = 10 > n -> NULL (qhat = inf)
+    assert(pick(vs, 99, 100, 1) == ((9L, 10L, None)))
+  }
+
+  test("pure function of the value multiset: identical across partition layouts") {
+    val rnd = new scala.util.Random(11)
+    val vs = Seq.fill(4000)(rnd.nextLong(500L)) // heavy duplication
+    val sorted = vs.sorted
+    for (p <- Seq(1, 7, 32); pct <- Seq(1, 25, 50, 75, 99)) {
+      val k = ((vs.size - 1L) * pct) / 100L
+      assert(pick(vs, pct, 100, 0, p) == ((vs.size.toLong, k,
+        Some(sorted(k.toInt)))), s"parts=$p pct=$pct")
+    }
+  }
+
+  test("decimal children ride the unscaled long exactly") {
+    val dec6 = DecimalType(38, 6)
+    val r = Seq("1.500000", "-2.250000", "0.000001", "1.500000")
+      .toDF("s").select(col("s").cast(dec6).as("v"))
+      .agg(call_function("rank_select", col("v"), lit(50), lit(100),
+        lit(0)).as("rs"))
+      .select(col("rs.n"), col("rs.cut").cast("string")).head()
+    // sorted: -2.25, 0.000001, 1.5, 1.5 -> idx ((4-1)*50) div 100 = 1
+    assert(r.getLong(0) == 4L && r.getString(1) == "0.000001")
+  }
+
+  test("empty input and nulls: n=0 yields NULL cut; nulls are skipped") {
+    val e = Seq.empty[Long].toDF("v")
+      .agg(call_function("rank_select", col("v"), lit(50), lit(100),
+        lit(0)).as("s"))
+      .select(col("s.n"), col("s.cut")).head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+    val withNull = Seq[java.lang.Long](5L, null, 7L).toDF("v")
+      .agg(call_function("rank_select", col("v"), lit(50), lit(100),
+        lit(0)).as("s"))
+      .select(col("s.n"), col("s.cut")).head()
+    assert(withNull.getLong(0) == 2L && withNull.getLong(1) == 5L)
+  }
+
+  test("summary serialization round-trips and merges across orders") {
+    val a = new RankSelectSummary(1 << 10)
+    val b = new RankSelectSummary(1 << 10)
+    Seq(9L, 1L, 5L, 1L).foreach(a.update)
+    Seq(3L, 5L, -4L).foreach(b.update)
+    val ser = RankSelectSummary.deserialize(a.serialize())
+    ser.merge(b)
+    assert(ser.n == 7L && ser.size == 5)
+    assert(ser.kth(0) == ((-1L, -4L)) && ser.kth(3) == ((0L, 3L)) &&
+      ser.kth(6) == ((0L, 9L)))
+  }
+
+  test("decimal unscaled values beyond 63 bits stay exact (128-bit keys)") {
+    val dec6 = DecimalType(38, 6)
+    // unscaled = v*10^6 ~ 1.23e19 > 2^63: the q380 resid9-cents class
+    val big = Seq("12345678901234.567890", "-12345678901234.567890",
+      "12345678901234.567891")
+    val r = big.toDF("s").select(col("s").cast(dec6).as("v"))
+      .agg(call_function("rank_select", col("v"), lit(50), lit(100),
+        lit(0)).as("rs"))
+      .select(col("rs.cut").cast("string")).head()
+    assert(r.getString(0) == "12345678901234.567890") // idx (2*50)/100 = 1
+  }
+
+  test("the distinct-cardinality guard refuses loudly, not silently") {
+    val s = new RankSelectSummary(4)
+    Seq(1L, 2L, 3L, 4L).foreach(s.update)
+    s.update(2L) // duplicate: no new slot, fine
+    val ex = intercept[IllegalStateException](s.update(99L))
+    assert(ex.getMessage.contains("maxRankDistinct"))
+  }
+}
