@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only plan/latency probe: run one registry query N times in a
+  * warmed session, print per-run wall and the formatted physical plan.
+  * Never invoked by the driver — `Bench` is the artifact surface; this
+  * exists to answer "where do the seconds go" for one query without
+  * benching the whole suite.
+  *
+  * Usage: runMain graft.Probe <queryName> [sfDir] [runs] [explain]
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 5
+    val doExplain = args.length > 3 && args(3) == "explain"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark: SparkSession = graft.core.SparkSessionFactory.local(cpus, "graft-probe")
+    val fn = SparkEntry.queries(name)
+    if (doExplain) fn(spark, sfDir).explain("formatted")
+    for (i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val tPlan = System.nanoTime()
+      val n = df.count()
+      val t1 = System.nanoTime()
+      println(f"[probe] $name run $i: build=${(tPlan - t0) / 1e9}%.3f s " +
+        f"exec=${(t1 - tPlan) / 1e9}%.3f s rows=$n")
+    }
+    spark.stop()
+  }
+}

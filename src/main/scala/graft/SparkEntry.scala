@@ -5120,7 +5120,10 @@ object SparkEntry {
     // and the test-set coverage lands as an exact floor ratio.
     "q334_conformal" -> ((s, dir) => {
       val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
-      val li = Tables.load(s, dir, "lineitem").select(
+      // widen before the per-row md5/cents derivations: the sf0.1 scan
+      // is one row group = one task (Parallelism.ensureWidth rationale)
+      val li = graft.core.Parallelism.ensureWidth(
+        Tables.load(s, dir, "lineitem")).select(
         (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
         col("l_quantity").cast("long").as("q"),
         (format_string("%.2f", col("l_extendedprice")).cast(dec2) * 100)
@@ -5132,6 +5135,7 @@ object SparkEntry {
         .agg(expr("sum(y) div count(1)").as("p"))
       val scored = li.join(broadcast(pred), Seq("q"))
         .withColumn("s", abs(col("y") - col("p")))
+        .localCheckpoint(true) // one scan feeds calibration AND audit
       val calib = Conformal.calibrate(scored.filter(col("b") === 2),
           col("s"), col("rid"), 1, 10)
         .localCheckpoint(true) // one row; feeds the audit AND the output

@@ -35,14 +35,28 @@ import org.apache.spark.sql.types.DecimalType
   *         after `steps` sweeps) */
 object BradleyTerry {
 
+  /** @param localPairLimit distinct-ordered-pair bound under which the
+    *        MM sweeps run on the driver instead of as per-step join +
+    *        aggregate + checkpoint jobs (0 forces the distributed path —
+    *        spec hook). The pair table after the first aggregate is
+    *        items², typically tiny even when `pairs` is huge, and the
+    *        local arm replays the SAME stated floors in BigInteger
+    *        (div-by-zero raises, matching ANSI `div`) — pinned local ≡
+    *        distributed by BradleyTerrySpec. */
   def fit(pairs: DataFrame, winner: Column, loser: Column,
-          steps: Int): DataFrame = {
+          steps: Int,
+          localPairLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(steps >= 1 && steps <= 64, "steps in [1,64]")
     val dec = DecimalType(38, 0)
     val counted = pairs
       .select(winner.cast("string").as("w"), loser.cast("string").as("l"))
+      .filter(col("w").isNotNull && col("l").isNotNull)
       .groupBy("w", "l").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
+    // localPairLimit > 0L: "0 forces the distributed path" must hold on
+    // empty inputs too (the r14 ADVICE #1 stance)
+    if (localPairLimit > 0L && counted.count() <= localPairLimit)
+      return fitLocal(counted, steps)
     // symmetric game table: (i, j, n_ij) both directions
     val games = counted.select(col("w").as("i"), col("l").as("j"),
         col("n"))
@@ -73,5 +87,67 @@ object BradleyTerry {
     per.join(gamma, Seq("i"))
       .select(col("i").as("item"), col("wins"), col("games"),
         col("g").cast("long").as("gamma_e6"))
+  }
+
+  /** Driver MM sweeps (bounded by the pair gate): same symmetric game
+    * table, same exact floors ⌊n_ij·10¹²/(γ_i+γ_j)⌋ and
+    * ⌊W_i·10¹²/s_i⌋ in BigInteger, same inner-join reach (an item is
+    * scored iff it appears in a game). Division by zero raises — the
+    * ANSI `div` behavior of the distributed arm. */
+  private def fitLocal(counted: DataFrame, steps: Int): DataFrame = {
+    import java.math.BigInteger
+    val spark = counted.sparkSession
+    val rows = counted.collect()
+    val E12 = BigInteger.valueOf(1000000000000L)
+    // symmetric games (i -> j -> n_ij), per-item totals, wins
+    val games = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+    val tot = new java.util.LinkedHashMap[String, Long]()
+    val wins = new java.util.HashMap[String, Long]()
+    def addGame(i: String, j: String, n: Long): Unit = {
+      var m = games.get(i)
+      if (m == null) { m = new java.util.HashMap[String, Long](); games.put(i, m) }
+      m.merge(j, n, _ + _)
+      tot.merge(i, n, _ + _)
+    }
+    rows.foreach { r =>
+      val w = r.getString(0); val l = r.getString(1); val n = r.getLong(2)
+      addGame(w, l, n); addGame(l, w, n)
+      wins.merge(w, n, _ + _)
+    }
+    var gamma = new java.util.HashMap[String, BigInteger]()
+    tot.forEach((i, _) => gamma.put(i, BigInteger.valueOf(1000000L)))
+    for (_ <- 1 to steps) {
+      val next = new java.util.HashMap[String, BigInteger]()
+      tot.forEach { (i, _) =>
+        var s = BigInteger.ZERO
+        val gi = gamma.get(i)
+        games.get(i).forEach { (j, nij) =>
+          val denom = gi.add(gamma.get(j))
+          if (denom.signum() == 0)
+            throw new ArithmeticException("bradley_terry: gamma_i + gamma_j = 0")
+          s = s.add(BigInteger.valueOf(nij).multiply(E12).divide(denom))
+        }
+        if (s.signum() == 0)
+          throw new ArithmeticException("bradley_terry: s_i = 0")
+        val w = { val x = wins.get(i); if (x == null) 0L else x.longValue() }
+        next.put(i, BigInteger.valueOf(w).multiply(E12).divide(s))
+      }
+      gamma = next
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](tot.size())
+    tot.forEach { (i, g) =>
+      val w = { val x = wins.get(i); if (x == null) 0L else x.longValue() }
+      out.add(org.apache.spark.sql.Row(i, w, g,
+        gamma.get(i).longValueExact()))
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("wins",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("games",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("gamma_e6",
+        org.apache.spark.sql.types.LongType))))
   }
 }

@@ -150,14 +150,40 @@ object Modularity {
     * the semi-synchronous LPA trick, Cordasco-Gargano 2010, with
     * hash-parity standing in for a proper coloring at scale). Pure
     * function of (edges, init, rounds, the hash family) — gates
-    * bit-exact. Per-round localCheckpoint keeps lineage flat. */
+    * bit-exact. Per-round localCheckpoint keeps lineage flat.
+    *
+    * @param localEdgeLimit edge-count bound under which the driver
+    *        move loop runs instead of the ~8 join/aggregate stages per
+    *        round (LONG node/community ids only; 0 forces the
+    *        distributed path — spec hook). Both arms see the same
+    *        effective inputs: null edge endpoints / label rows are
+    *        filtered before the dispatch (the r14 ADVICE #2 stance —
+    *        a driver-arm getLong would unbox null to node 0 while the
+    *        distributed joins drop the row), the gain arithmetic is
+    *        the same integers (|gain| ≤ 4m² < 2⁶³ at any m under the
+    *        gate), and the md5 adoption parity replays via
+    *        [[graft.functions.Hashing.md5Long60]]. Pinned local ≡
+    *        distributed by ModularityMoveSpec. */
   def localMoving(edges: DataFrame, communities: DataFrame,
-                  rounds: Int): DataFrame = {
+                  rounds: Int,
+                  localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(rounds >= 1 && rounds <= 64, "rounds in [1,64]")
-    var labels = communities.select(col("node"), col("community"))
+    val e = edges.select(col("u"), col("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true) // one materialization: gate count + every round
+    val lab0 = communities.select(col("node"), col("community"))
+      .filter(col("node").isNotNull && col("community").isNotNull)
       .localCheckpoint(true)
+    val longType = org.apache.spark.sql.types.LongType
+    val integral = e.schema.fields.forall(_.dataType == longType) &&
+      lab0.schema.fields.forall(_.dataType == longType)
+    // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
+    // empty graphs too (r14 ADVICE #1)
+    if (localEdgeLimit > 0L && integral && e.count() <= localEdgeLimit)
+      return moveLocal(e, lab0, rounds)
+    var labels = lab0
     for (r <- 1 to rounds) {
-      val prop = moveRound(edges, labels)
+      val prop = moveRound(e, labels)
         .withColumnRenamed("community", "newc")
       labels = labels.join(prop, Seq("node"))
         .select(col("node"),
@@ -167,5 +193,80 @@ object Modularity {
         .localCheckpoint(true)
     }
     labels
+  }
+
+  /** Driver move loop (bounded by the edge gate): the same synchronous
+    * [[moveRound]] proposal — deg/dTot/k_uc from the same joins' reach
+    * (labeled nodes with ≥1 incident edge propose; isolated labeled
+    * nodes keep), the same exact gain 2m·k_uc − k·(d_c − [c=cur]·k),
+    * the same (gain desc, community asc) argmax — and the same
+    * hash-parity adoption. Long arithmetic is exact here: every term
+    * is ≤ 4m², and m ≤ localEdgeLimit keeps that far under 2⁶³. */
+  private def moveLocal(e: DataFrame, lab0: DataFrame,
+                        rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    val erows = e.collect()
+    val m = erows.length.toLong
+    // degree with multiplicity over the symmetrized edge set
+    val deg = new java.util.HashMap[Long, Long]()
+    erows.foreach { r =>
+      val u = r.getLong(0); val v = r.getLong(1)
+      deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _)
+    }
+    // insertion-ordered so the output layout is deterministic
+    var labels = new java.util.LinkedHashMap[Long, Long]()
+    lab0.collect().foreach(r => labels.put(r.getLong(0), r.getLong(1)))
+    for (round <- 1 to rounds) {
+      // d_c = sum of degree over the community's LABELED nodes that
+      // appear in deg (the dTot inner join)
+      val dTot = new java.util.HashMap[Long, Long]()
+      labels.forEach { (n, c) =>
+        val k = deg.get(n)
+        if (k != null) dTot.merge(c, k, _ + _)
+      }
+      // k_uc: sym edges into LABELED neighbors, per (u, community)
+      val kUc = new java.util.HashMap[Long, java.util.HashMap[Long, Long]]()
+      def vote(u: Long, v: Long): Unit = {
+        val cv = labels.get(v)
+        if (cv != null) {
+          var mm = kUc.get(u)
+          if (mm == null) { mm = new java.util.HashMap[Long, Long](); kUc.put(u, mm) }
+          mm.merge(cv, 1L, _ + _)
+        }
+      }
+      erows.foreach { r => vote(r.getLong(0), r.getLong(1))
+        vote(r.getLong(1), r.getLong(0)) }
+      val next = new java.util.LinkedHashMap[Long, Long]()
+      labels.forEach { (n, cur) =>
+        val kBox = deg.get(n)
+        if (kBox == null) next.put(n, cur) // isolated: no proposal
+        else {
+          val k = kBox.longValue()
+          val into = kUc.get(n)
+          var bestC = 0L
+          var bestGain = Long.MinValue
+          var seen = false
+          def consider(c: Long, kuc: Long): Unit = {
+            val dC = { val d = dTot.get(c); if (d == null) 0L else d.longValue() }
+            val gain = 2L * m * kuc - k * (dC - (if (c == cur) k else 0L))
+            if (!seen || gain > bestGain || (gain == bestGain && c < bestC)) {
+              bestC = c; bestGain = gain; seen = true
+            }
+          }
+          if (into != null) into.forEach((c, kuc) => consider(c, kuc))
+          if (into == null || !into.containsKey(cur)) consider(cur, 0L)
+          val adopt = graft.functions.Hashing.md5Long60(s"$round:$n") % 2L == 0L
+          next.put(n, if (adopt) bestC else cur)
+        }
+      }
+      labels = next
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](labels.size())
+    labels.forEach { (n, c) => out.add(org.apache.spark.sql.Row(n, c)) }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("community",
+        org.apache.spark.sql.types.LongType))))
   }
 }

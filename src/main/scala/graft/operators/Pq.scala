@@ -32,17 +32,28 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Train per-subspace codebooks. @return (m, centroid_id, cvec) —
-    * M·k rows, always broadcastable. */
+    * M·k rows, always broadcastable.
+    *
+    * The M subspace fits are INDEPENDENT (disjoint slices, no shared
+    * state) and each drives its own eager-checkpoint job chain, so they
+    * launch on concurrent driver threads and the scheduler interleaves
+    * their stages — wall tracks the slowest fit, not the sum of M
+    * serial chains. Results are identical to the serial spelling: each
+    * fit is a pure function of its slice. */
   def train(vectors: DataFrame, m: Int, subDim: Int, k: Int, iters: Int)
       : DataFrame = {
     require(m >= 1 && subDim >= 1 && k >= 1 && iters >= 0)
-    (0 until m).map { mi =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fits = (0 until m).map { mi => Future {
       val sliced = vectors.select(col("vec_id"),
         slice(col("embedding"), mi * subDim + 1, subDim).as("embedding"))
       Similarity.kmeansFit(sliced, k, iters)
         .withColumn("m", lit(mi.toLong))
         .select("m", "centroid_id", "cvec")
-    }.reduce(_ unionByName _)
+    } }
+    fits.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
   }
 
   private def subSplit(vec: Column, m: Int, subDim: Int): Column =

@@ -30,26 +30,40 @@ object RankStats {
                  topK: Int): DataFrame = {
     require(cols.nonEmpty && topK >= 1, "need columns and topK >= 1")
     val d6 = DecimalType(18, 6)
-    val base = df.select(id.as("id") +: cols.zipWithIndex.map {
-      case (c, i) => c.cast("long").as(s"x$i") }: _*)
+    // widen BEFORE deriving: a single-row-group parquet scan is one
+    // task, so the per-row measure expressions (cents format, casts)
+    // would otherwise run on one core no matter the cluster
+    val base = graft.core.Parallelism.ensureWidth(df)
+      .select(id.as("id") +: cols.zipWithIndex.map {
+        case (c, i) => c.cast("long").as(s"x$i") }: _*)
       .localCheckpoint(true)
+    // ALL dimensions' grids in ONE pass: explode each row to (dim,
+    // value) and aggregate once (map-side combined), instead of one
+    // sequential grid pipeline per column (measured: 3 serial
+    // checkpoint+window chains cost q257 ~2.7 s wall on 4.5 CPU-s).
+    // The cumulative window is PARTITIONED by dim — per-dim grids sort
+    // in parallel tasks; the guard ceiling applies to the combined
+    // grid (Σ per-dim distincts), same unitize-upstream contract.
+    val pairs = base.select(explode(array(cols.indices.map(i =>
+        struct(lit(i).as("dim"), col(s"x$i").as("v"))): _*)).as("p"))
+      .select(col("p.dim").as("dim"), col("p.v").as("v"))
+    val grid = BoundedGrid.guarded(
+      pairs.groupBy("dim", "v").agg(count(lit(1)).as("cnt")),
+      "cnt", "RankStats.ecodScores")
+    val w = Window.partitionBy("dim").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = grid.groupBy("dim").agg(sum("cnt").as("n"))
+    val terms = grid.withColumn("cum_le", sum("cnt").over(w))
+      .join(n, Seq("dim"))
+      .select(col("dim"), col("v"),
+        format_string("%.6f", -log(
+          least(col("cum_le"), col("n") - col("cum_le") + col("cnt"))
+            .cast("double") / col("n").cast("double")))
+          .cast(d6).as("t"))
+      .localCheckpoint(true) // one job feeds every per-dim broadcast below
     val withTerms = cols.indices.foldLeft(base) { (acc, i) =>
-      val grid = BoundedGrid.guarded(
-        base.groupBy(col(s"x$i")).agg(count(lit(1)).as("cnt")),
-        "cnt", "RankStats.ecodScores")
-      // bounded grid window (|distinct values| rows — unitize upstream;
-      // the guard above fails loud past maxGridRows)
-      val w = Window.orderBy(s"x$i")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val n = grid.agg(sum("cnt").as("n"))
-      val terms = grid.withColumn("cum_le", sum("cnt").over(w))
-        .crossJoin(broadcast(n))
-        .select(col(s"x$i"),
-          format_string("%.6f", -log(
-            least(col("cum_le"), col("n") - col("cum_le") + col("cnt"))
-              .cast("double") / col("n").cast("double")))
-            .cast(d6).as(s"t$i"))
-      acc.join(broadcast(terms), Seq(s"x$i"))
+      acc.join(broadcast(terms.filter(col("dim") === i)
+        .select(col("v").as(s"x$i"), col("t").as(s"t$i"))), Seq(s"x$i"))
     }
     withTerms
       .withColumn("score6",

@@ -44,4 +44,24 @@ class BradleyTerrySpec extends SparkSpec {
       (s"P${i % 5}", s"P${(i * 3) % 5}")).filter(p => p._1 != p._2)
     assert(fit(duels, 2) == fit(duels, 2))
   }
+
+  test("driver arm == distributed arm (localPairLimit = 0 forces " +
+    "distributed), incl. the zero-win boundary") {
+    def both(duels: Seq[(String, String)], steps: Int) = {
+      def run(lim: Long) =
+        BradleyTerry.fit(duels.toDF("w", "l"), col("w"), col("l"), steps,
+            localPairLimit = lim)
+          .orderBy("item")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+      (run(1000000L), run(0L))
+    }
+    val mixed = (1 to 40).map(i => (s"P${i % 7}", s"P${(i * 3) % 7}"))
+      .filter(p => p._1 != p._2) ++ Seq(("A", "B"), ("A", "C"), ("A", "C"))
+    for (steps <- Seq(1, 2, 4)) {
+      val (local, dist) = both(mixed, steps)
+      assert(local == dist, s"steps=$steps")
+      assert(local.nonEmpty)
+    }
+  }
 }

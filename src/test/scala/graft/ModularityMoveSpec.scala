@@ -49,4 +49,42 @@ class ModularityMoveSpec extends SparkSpec {
       .as[Double].collect().head
     assert(q > 0.0, s"after 6 semi-synchronous rounds Q = $q")
   }
+
+  test("driver arm == distributed arm (localEdgeLimit = 0 forces " +
+    "distributed) on the bridge graph and a seeded random graph") {
+    def run(e: org.apache.spark.sql.DataFrame,
+            init: org.apache.spark.sql.DataFrame, rounds: Int,
+            lim: Long): Seq[(Long, Long)] =
+      Modularity.localMoving(e, init, rounds, localEdgeLimit = lim)
+        .orderBy("node").as[(Long, Long)].collect().toSeq
+    val init6 = (1L to 6L).map(n => (n, n)).toDF("node", "community")
+    for (r <- Seq(1, 3, 6))
+      assert(run(edges, init6, r, 1000000L) == run(edges, init6, r, 0L),
+        s"rounds=$r")
+    val rnd = new scala.util.Random(23)
+    val re = Seq.fill(300)((rnd.nextLong(60L), rnd.nextLong(60L)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .distinct.toDF("u", "v")
+    val rinit = (0L until 60L).map(n => (n, n)).toDF("node", "community")
+    assert(run(re, rinit, 3, 1000000L) == run(re, rinit, 3, 0L))
+  }
+
+  test("null edge endpoints and null label rows are dropped before " +
+    "the dispatch in both arms") {
+    val eNull = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (1L, 3L), (2L, 3L), (null, 5L), (4L, null))
+      .toDF("u", "v")
+    val initNull = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 1L), (2L, 2L), (3L, 3L), (null, 7L), (9L, null))
+      .toDF("node", "community")
+    val local = Modularity.localMoving(eNull, initNull, 2,
+      localEdgeLimit = 1000000L).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    val dist = Modularity.localMoving(eNull, initNull, 2,
+      localEdgeLimit = 0L).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(local == dist)
+    assert(local.map(_._1) == Seq(1L, 2L, 3L)) // null rows never invent node 0
+  }
 }

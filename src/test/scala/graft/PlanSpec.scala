@@ -636,12 +636,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q334: conformal audit broadcasts only one-row frames") {
-    // the model join broadcasts the per-quantity dim; calibration and
-    // coverage cross-join single-row frames (broadcast BNLJ) — no
-    // cartesian over data rows
+    // the scored frame (per-quantity model dim joined as a broadcast
+    // BHJ) is materialized ONCE by localCheckpoint during build — the
+    // final plan consumes it as an RDD scan, and every join left in
+    // the plan is a one-row broadcast BNLJ (calibration scalar,
+    // coverage scalar) — no cartesian over data rows
     val p = plan("q334_conformal")
     assert(!p.contains("CartesianProduct"), p.take(2000))
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
   test("q336: knn-shapley fans out via broadcast of the test side only") {
