@@ -18,6 +18,22 @@ object Probe {
     val doExplain = args.length > 3 && args(3) == "explain"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark: SparkSession = graft.core.SparkSessionFactory.local(cpus, "graft-probe")
+    if (name == "__cooc") {
+      import org.apache.spark.sql.functions.col
+      for (i <- 1 to runs) {
+        val t0 = System.nanoTime()
+        val e = graft.operators.Triangles.coOccurrenceEdges(
+          graft.core.Tables.load(spark, sfDir, "lineitem"),
+          col("l_orderkey"), col("l_partkey"))
+        val tB = System.nanoTime()
+        val n = e.count()
+        val t1 = System.nanoTime()
+        println(f"[probe] __cooc run $i: build=${(tB - t0) / 1e9}%.3f s " +
+          f"exec=${(t1 - tB) / 1e9}%.3f s rows=$n")
+      }
+      spark.stop()
+      return
+    }
     val fn = SparkEntry.queries(name)
     if (doExplain) fn(spark, sfDir).explain("formatted")
     for (i <- 1 to runs) {

@@ -39,8 +39,12 @@ object DataValuation {
     *         ×10⁹ with one stated floor per recurrence increment */
   def knnShapley(train: DataFrame, tests: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 1024, "k in [1,1024]")
-    val c9 = train.select(col("vec_id"), col("label"),
-      Similarity.scale9(col("embedding")).as("cvec9"))
+    // widen before the fan-out: a single-row-group embeddings scan is
+    // one task, and the broadcast test join + decimal dots would run
+    // on one core without it (the Similarity.dotTopK rule)
+    val c9 = graft.core.Parallelism.ensureWidth(train)
+      .select(col("vec_id"), col("label"),
+        Similarity.scale9(col("embedding")).as("cvec9"))
     val t9 = tests.select(col("tid"), col("tlabel"),
       Similarity.scale9(col("tvec")).as("tvec9"))
     val scored = c9.join(broadcast(t9), lit(true))

@@ -208,8 +208,22 @@ object Tokenize {
     * same bounded-driver-loop discipline as
     * [[Similarity.kmeansFit]]'s centroid updates. Ties break
     * deterministically on (count desc, left, right). Stops early if
-    * every word is down to one symbol. */
-  def bpeMerges(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    * every word is down to one symbol.
+    *
+    * @param localWordLimit distinct-word bound under which the WHOLE
+    *        merge loop runs on the driver (0 forces the distributed
+    *        loop — spec hook): the word table is vocabulary-sized by
+    *        construction, and the distributed loop already collects a
+    *        row per round, so when the table itself fits, collecting
+    *        it once replaces ~nMerges sequential aggregate jobs with
+    *        in-memory sweeps. Same pair statistics, same
+    *        (count desc, left, right) tie-break — string order
+    *        compared on UTF-8 BYTES, Spark's binary string order, not
+    *        Java's UTF-16 compareTo — and the same restart-after-merge
+    *        [[mergePair]] fold; pinned local ≡ distributed by
+    *        TokenizeSpec. */
+  def bpeMerges(docs: DataFrame, text: Column, nMerges: Int,
+                localWordLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -226,6 +240,15 @@ object Tokenize {
       .select(col("n"), split(col("word"), "").as("syms"))
       .coalesce(8)
       .localCheckpoint(true)
+    // localWordLimit > 0L: "0 forces the distributed path" must hold
+    // on empty corpora too (the r14 ADVICE #1 stance)
+    if (localWordLimit > 0L && wordTable.count() <= localWordLimit) {
+      val rows = wordTable.collect().map(r =>
+        (r.getLong(0), r.getSeq[String](1)))
+      wordTable.unpersist(blocking = false)
+      return bpeMergesLocal(rows, nMerges).toDF("rank", "left", "right",
+        "n_pairs")
+    }
     // AQE is a net loss inside the loop itself: every round is a tiny
     // shuffle whose plan is already final, and AQE's per-stage
     // materialization adds driver round-trips to each of the nMerges
@@ -244,6 +267,77 @@ object Tokenize {
     val merges = try bpeMergesLoop(loopTable, nMerges)
     finally wordTable.unpersist(blocking = false)
     merges.toDF("rank", "left", "right", "n_pairs")
+  }
+
+  /** Spark's binary string order (UTF8String compares UTF-8 bytes
+    * unsigned) — Java's compareTo orders by UTF-16 code units, which
+    * disagrees for supplementary-plane vs U+E000..U+FFFF symbols. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** One [[mergePair]] pass in driver code: left-to-right,
+    * non-overlapping, restart AFTER each merge — [a,a,a] with (a,a)
+    * yields [aa, a], bit-identical to the Catalyst fold. */
+  private def mergePairLocal(syms: Seq[String], left: String,
+                             right: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var pend: String = null
+    syms.foreach { s =>
+      if (pend == null) pend = s
+      else if (pend == left && s == right) { out += (left + right); pend = null }
+      else { out += pend; pend = s }
+    }
+    if (pend != null) out += pend
+    out.result()
+  }
+
+  /** Driver merge loop (bounded by the word gate): same word-weighted
+    * adjacent-pair statistics, same (count desc, left, right) argmax
+    * with UTF-8-byte string order, same merge application and
+    * exhaustion rule as [[bpeMergesLoop]]. */
+  private def bpeMergesLocal(words0: Array[(Long, Seq[String])],
+                             nMerges: Int): Seq[(Long, String, String, Long)] = {
+    var words = words0
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (n, syms) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts.merge((syms(i), syms(i + 1)), n, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var bl: String = null
+        var br: String = null
+        var bc = -1L
+        counts.forEach { (k, c) =>
+          if (c > bc || (c == bc && (utf8Lt(k._1, bl) ||
+              (k._1 == bl && utf8Lt(k._2, br))))) {
+            bl = k._1; br = k._2; bc = c
+          }
+        }
+        merges += ((rank.toLong, bl, br, bc))
+        words = words.map { case (n, syms) =>
+          (n, mergePairLocal(syms, bl, br))
+        }
+        rank += 1
+      }
+    }
+    merges.result()
   }
 
   private def bpeMergesLoop(wordTable: DataFrame,

@@ -39,7 +39,16 @@ object Triangles {
   def coOccurrenceEdges(rows: DataFrame, group: Column, item: Column,
                         maxGroupItems: Int = 10000): DataFrame = {
     require(maxGroupItems > 0, "maxGroupItems must be positive")
-    val g = rows.select(group.as("g"), item.as("i")).distinct()
+    // hash(g) partitioning established ONCE and checkpointed with the
+    // frame (the LabelPropagation edge idiom): the (g,i) dedup's
+    // clustering requirement is satisfied by hash(g) (a subset of the
+    // keys), and every later stage keys on g — the oversize guard's
+    // aggregate, its left join, and the pair self-join all plan with
+    // ZERO further exchanges. The only remaining shuffle is the final
+    // (u,v) distinct.
+    val g = rows.select(group.as("g"), item.as("i"))
+      .repartition(col("g"))
+      .distinct()
       .localCheckpoint(true)
     val oversized = g.groupBy("g").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxGroupItems.toLong)

@@ -197,6 +197,26 @@ class TokenizeSpec extends SparkSpec {
       Tokenize.bpeMerges(corpus, col("text"), nMerges = 0))
   }
 
+  test("bpeMerges driver arm == distributed loop (localWordLimit = 0 " +
+    "forces distributed), incl. ties and early stop") {
+    def run(text: Seq[String], n: Int, lim: Long) =
+      Tokenize.bpeMerges(
+          text.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text"),
+          col("text"), nMerges = n, localWordLimit = lim)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    val corpora = Seq(
+      Seq("aaab ab", "aaab"),
+      Seq("xy yx"),
+      Seq("low lower lowest", "low low newest"),
+      Seq("aaaa"))
+    for (c <- corpora; n <- Seq(1, 4, 10)) {
+      val local = run(c, n, 1000000L)
+      val dist = run(c, n, 0L)
+      assert(local == dist, s"corpus=$c n=$n")
+    }
+  }
+
   test("bpeEncode applies merges in rank order with trainer semantics") {
     val docs = Seq((1L, "aaab aab b"), (2L, "")).toDF("doc_id", "text")
     val out = Tokenize.bpeEncode(docs, col("doc_id"), col("text"),
