@@ -267,7 +267,11 @@ object Bfs {
 
   /** Driver per-source BFS (bounded by the edge gate): one plain BFS
     * per source over the shared adjacency — |sources| × (V+E) work,
-    * milliseconds at gate-sized graphs. */
+    * milliseconds at gate-sized graphs. Sources are INDEPENDENT (the
+    * adjacency is read-only after build, per-source state is local),
+    * so they fan out on driver threads; per-source row blocks
+    * concatenate in source order, making the output a pure function of
+    * the input regardless of thread scheduling. */
   private def perSourceLocal(sym: DataFrame, sources: DataFrame,
                              maxHops: Int, maxSources: Long): DataFrame = {
     val spark = sym.sparkSession
@@ -277,11 +281,14 @@ object Bfs {
     require(srcs.length <= maxSources,
       s"perSourceHops: source set exceeds maxSources=$maxSources - " +
         "sample sources; per-source state is |sources| x reach")
-    val out = new java.util.ArrayList[Row]()
-    srcs.foreach { s =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perSource = srcs.map { s => Future {
+      val block = new java.util.ArrayList[Row]()
       val dist = new java.util.HashMap[Long, Long]()
       dist.put(s, 0L)
-      out.add(Row(s, s, 0L))
+      block.add(Row(s, s, 0L))
       var frontier = new java.util.ArrayList[Long]()
       frontier.add(s)
       var h = 1L
@@ -296,7 +303,7 @@ object Bfs {
             while (i < nbrs.length) {
               val v = nbrs(i)
               if (!dist.containsKey(v)) {
-                dist.put(v, h); next.add(v); out.add(Row(s, v, h))
+                dist.put(v, h); next.add(v); block.add(Row(s, v, h))
               }
               i += 1
             }
@@ -305,7 +312,10 @@ object Bfs {
         frontier = next
         h += 1
       }
-    }
+      block
+    } }
+    val out = new java.util.ArrayList[Row]()
+    perSource.foreach(f => out.addAll(Await.result(f, Duration.Inf)))
     spark.createDataFrame(out, StructType(Seq(
       StructField("src", LongType), StructField("node", LongType),
       StructField("hop", LongType))))
