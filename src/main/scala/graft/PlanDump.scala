@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dev-only plan archiver: write `.explain("formatted")` for a list of
+  * registry queries to `<outDir>/<query>.txt`, one file per query. Never
+  * invoked by the driver — this exists to commit the plan evidence the
+  * optimization rounds cite (`plans/rNN/<query>_{before,after}.txt`)
+  * without hand-copying Probe output.
+  *
+  * Usage: runMain graft.PlanDump <outDir> <q1,q2,...|all> [sfDir] [suffix]
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val names =
+      if (args.length < 2 || args(1) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else args(1).split(",").toSeq
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val suffix = if (args.length > 3) args(3) else ""
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark: SparkSession = graft.core.SparkSessionFactory.local(cpus, "graft-plandump")
+    graft.core.SparkSessionFactory.quietRddWarnings()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"PlanDump: unknown query $name"))
+      val plan =
+        try fn(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("formatted"))
+        catch { case e: Throwable =>
+          s"PLAN UNAVAILABLE for $name: ${e.getClass.getSimpleName}: ${e.getMessage}\n"
+        }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/$name$suffix.txt"),
+        plan.getBytes("UTF-8"))
+      println(s"[plandump] wrote $outDir/$name$suffix.txt")
+    }
+    spark.stop()
+  }
+}

@@ -2395,7 +2395,7 @@ object SparkEntry {
       val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val k = deg.agg(ceil(expr("percentile(deg, 0.5)"))).head().getLong(0)
-      KCore.run(e, k.toInt, iters = 3)
+      KCore.run(e, k.toInt, iters = 3, normalized = true)
         .withColumn("k", lit(k))
         .orderBy("node")
     }),
@@ -2592,7 +2592,7 @@ object SparkEntry {
       val e = Triangles.coOccurrenceEdges(li, col("l_orderkey"), col("l_partkey"))
       Bfs.hopDistance(e,
           p.filter(col("p_size") === 50).select(col("p_partkey").as("node")),
-          maxHops = 3)
+          maxHops = 3, normalized = true)
         .orderBy("node")
     }),
 
@@ -4292,7 +4292,7 @@ object SparkEntry {
       val e = Triangles.coOccurrenceEdges(
         Tables.load(s, dir, "lineitem").filter(col("l_quantity") <= 2),
         col("l_orderkey"), col("l_suppkey"))
-      Triangles.localClustering(e).orderBy("node")
+      Triangles.localClustering(e, normalized = true).orderBy("node")
     }),
 
     // Ops — offline single changepoint by binary segmentation
@@ -5080,7 +5080,7 @@ object SparkEntry {
         Tables.load(s, dir, "lineitem"), col("l_orderkey"),
         col("l_partkey"))
       RandomWalks.uniformWalks(e, walksPerNode = 2, length = 5,
-          seed = 7L)
+          seed = 7L, normalized = true)
         .orderBy("start", "wid", "step")
     }),
 
@@ -5094,7 +5094,7 @@ object SparkEntry {
         col("l_partkey"))
       RandomWalks.skipGramPairs(
           RandomWalks.uniformWalks(e, walksPerNode = 2, length = 5,
-            seed = 7L), window = 2)
+            seed = 7L, normalized = true), window = 2)
         .orderBy("center", "context")
     }),
 
@@ -5108,7 +5108,7 @@ object SparkEntry {
         Tables.load(s, dir, "lineitem"), col("l_orderkey"),
         col("l_partkey"))
       RandomWalks.node2vecWalks(e, walksPerNode = 2, length = 4,
-          seed = 13L, wReturn = 1, wIn = 4, wOut = 2)
+          seed = 13L, wReturn = 1, wIn = 4, wOut = 2, normalized = true)
         .orderBy("start", "wid", "step")
     }),
 
@@ -5375,7 +5375,8 @@ object SparkEntry {
       val nodes = e.select(col("u").as("node"))
         .unionByName(e.select(col("v").as("node"))).distinct()
       Cascade.independentCascade(e,
-          nodes.filter(col("node") % 7 === 0), 3, 10, 5L, 3)
+          nodes.filter(col("node") % 7 === 0), 3, 10, 5L, 3,
+          normalized = true)
         .orderBy("node")
     }),
 
@@ -5758,7 +5759,8 @@ object SparkEntry {
       val e = Triangles.coOccurrenceEdges(
         Tables.load(s, dir, "lineitem").filter(col("l_quantity") <= 2),
         col("l_orderkey"), col("l_suppkey"))
-      GraphStats.richClub(e, Seq(0, 2, 4, 8, 16)).orderBy("k")
+      GraphStats.richClub(e, Seq(0, 2, 4, 8, 16), normalized = true)
+        .orderBy("k")
     }),
 
     // Series — OHLC candles (composition): per (event_type, day)
@@ -5919,7 +5921,8 @@ object SparkEntry {
         .select(col("node"),
           when(col("node") % 9 === 0, 1000000000L)
             .otherwise(-1000000000L).as("score"))
-      LabelSpread.harmonic(e, seeds, iters = 3).orderBy("node")
+      LabelSpread.harmonic(e, seeds, iters = 3, normalized = true)
+        .orderBy("node")
     }),
 
     // Sketch — AMS join-size estimate (AmsSketch
@@ -6052,7 +6055,7 @@ object SparkEntry {
       val e = Triangles.coOccurrenceEdges(
         Tables.load(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0),
         col("l_orderkey"), col("l_partkey"))
-      Triangles.ktruss(e, k = 4, rounds = 2).orderBy("lo", "hi")
+      Triangles.ktruss(e, k = 4, rounds = 2, normalized = true).orderBy("lo", "hi")
     }),
 
     // Drift (streaming state path) — the SPLIT spelling of q144's L1
@@ -6372,7 +6375,7 @@ object SparkEntry {
       Bfs.betweennessSampled(e,
           p.filter(col("p_size") === 25 && col("p_partkey") % 20 === 0)
             .select(col("p_partkey").as("node")),
-          maxHops = 3)
+          maxHops = 3, normalized = true)
         .orderBy("node")
     }),
 
@@ -6523,7 +6526,7 @@ object SparkEntry {
       Bfs.harmonicCentrality(e,
           p.filter(col("p_size") === 50 && col("p_partkey") % 10 === 0)
             .select(col("p_partkey").as("node")),
-          maxHops = 2)
+          maxHops = 2, normalized = true)
         .orderBy("src")
     }),
 
@@ -6717,7 +6720,7 @@ object SparkEntry {
       val e = Triangles.coOccurrenceEdges(
         Tables.load(s, dir, "lineitem"),
         col("l_orderkey"), col("l_suppkey"))
-      Triangles.edgeSupport(e).orderBy("lo", "hi")
+      Triangles.edgeSupport(e, normalized = true).orderBy("lo", "hi")
     }),
 
     // Analytics — transition dwell times (EventAnalytics.dwellTimes):

@@ -43,9 +43,21 @@ object Hashing {
     * first 60 bits of md5(s) as a non-negative Long, bit-identical to
     * the column expression evaluated on the same string. The 15-hex-char
     * prefix is bytes 0..6 (14 chars) plus the HIGH nibble of byte 7. */
+  // one digest instance per thread, reset between uses: the walk/pick
+  // loops call md5Long60 millions of times per query and
+  // MessageDigest.getInstance is a provider lookup + allocation per
+  // call (measured hot in the driver-arm profiles); reset() + digest()
+  // yields bit-identical output
+  private val md5Digest =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   def md5Long60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

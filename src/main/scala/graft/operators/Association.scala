@@ -37,7 +37,14 @@ object Association {
   def pairRules(df: DataFrame, basket: Column, item: Column,
                 minPairSupport: Long, maxBasketSize: Int = 0): DataFrame = {
     require(minPairSupport >= 1, "minPairSupport must be >= 1")
-    val items0 = df.select(basket.as("b"), item.as("i")).distinct()
+    // hash(b) partitioning established BEFORE the distinct and
+    // checkpointed ONCE (the coOccurrenceEdges idiom): the basket
+    // self-join, the basket-size guard, and the per-basket fan-outs all
+    // key on b, so every downstream use plans with zero further
+    // exchanges over the cached blocks instead of re-running the
+    // scan+distinct per derived frame (items0 was consumed 4×)
+    val items0 = df.select(basket.as("b"), item.as("i"))
+      .repartition(col("b")).distinct().localCheckpoint(true)
     val items =
       if (maxBasketSize <= 0) items0
       else {
@@ -93,7 +100,10 @@ object Association {
                      k: Int, minPairSupport: Long = 1,
                      maxBasketSize: Int = 0): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // the symmetric union below consumes `pairs` twice — one
+    // checkpoint, not two pair-generation subtrees
     val pairs = pairRules(df, basket, item, minPairSupport, maxBasketSize)
+      .localCheckpoint(true)
     val sym = pairs.select(col("item_a").as("item"),
         col("item_b").as("neighbor"), col("cnt_ab"),
         col("cnt_a").as("cnt_item"), col("cnt_b").as("cnt_neighbor"))
@@ -186,7 +196,11 @@ object Association {
   def tripleCounts(df: DataFrame, basket: Column, item: Column,
                    minSupport: Long, maxBasketSize: Int = 0): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
-    val items0 = df.select(basket.as("b"), item.as("i")).distinct()
+    // hash(b) partitioning + one checkpoint before the fan-outs — see
+    // [[pairRules]] (items0 here is consumed by nBaskets, both pair
+    // sides, and the triple extension)
+    val items0 = df.select(basket.as("b"), item.as("i"))
+      .repartition(col("b")).distinct().localCheckpoint(true)
     val items =
       if (maxBasketSize <= 0) items0
       else {

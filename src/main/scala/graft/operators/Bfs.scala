@@ -77,17 +77,27 @@ object Bfs {
     * barrier), and the first r15 spelling counted a non-checkpointed
     * distinct (which re-ran the whole upstream pipeline per derived
     * frame — measured 42.5 → 48.7 s on the 6M-node SCALE_STRESS BFS). */
-  private def symEdges(edges: DataFrame, a: String, b: String): DataFrame =
-    edges.select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+  private def symEdges(edges: DataFrame, a: String, b: String,
+                       normalized: Boolean = false): DataFrame = {
+    // normalized = the caller GUARANTEES distinct u < v pairs (e.g.
+    // straight from Triangles.coOccurrenceEdges, whose contract is
+    // exactly that) — the least/greatest + filter + distinct pass is
+    // then a redundant full shuffle of the edge list and is skipped
+    // (the triangleStats `normalized` dial, extended band-wide).
+    val und =
+      if (normalized) edges.select(col("u"), col("v"))
+      else edges.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    und
       .select(explode(array(
         struct(col("u").as(a), col("v").as(b)),
         struct(col("v").as(a), col("u").as(b)))).as("e"))
       .select(col("e." + a).as(a), col("e." + b).as(b))
       .repartition(col(a)).sortWithinPartitions(a)
       .localCheckpoint(true)
+  }
 
   /** LONG node ids on every column the driver arms key their maps on —
     * mixed numeric types would silently miss HashMap lookups where the
@@ -95,9 +105,13 @@ object Bfs {
   private def integralLong(sym: DataFrame, seedCol: org.apache.spark.sql.types.DataType): Boolean =
     sym.schema.fields.forall(_.dataType == LongType) && seedCol == LongType
 
-  /** Collected adjacency from the SYMMETRIZED rows (each direction
-    * appears once — add one side per row; neighbor order is irrelevant
-    * to BFS — settled hops have no ties). */
+  /** Collected adjacency for the driver arms. The symmetrized frame
+    * holds each undirected pair TWICE (once per direction); collecting
+    * only the `a < b` half (a narrow filter over the already
+    * materialized checkpoint blocks) halves the rows and bytes crossing
+    * the driver boundary, and each collected row contributes BOTH
+    * directions here. Neighbor order is irrelevant to BFS — settled
+    * hops have no ties. */
   private def adjacency(rows: Array[Row])
       : java.util.HashMap[Long, Array[Long]] = {
     val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
@@ -106,11 +120,19 @@ object Bfs {
       if (lst == null) { lst = new scala.collection.mutable.ArrayBuffer[Long](); tmp.put(x, lst) }
       lst += y
     }
-    rows.foreach { r => add(r.getLong(0), r.getLong(1)) }
+    rows.foreach { r =>
+      val x = r.getLong(0); val y = r.getLong(1)
+      add(x, y); add(y, x)
+    }
     val adj = new java.util.HashMap[Long, Array[Long]](tmp.size())
     tmp.forEach { (k, v) => adj.put(k, v.toArray) }
     adj
   }
+
+  /** One direction of the symmetrized frame — the collect-side half of
+    * the [[adjacency]] contract. */
+  private def undHalf(sym: DataFrame, a: String, b: String): Array[Row] =
+    sym.filter(col(a) < col(b)).collect()
 
   /** Broadcast hint iff the (already materialized) frame is small —
     * the runtime stand-in for the statistics a checkpoint loses
@@ -123,9 +145,10 @@ object Bfs {
     *        node ids only; 0 forces the distributed path — spec hook,
     *        never a production setting) */
   def hopDistance(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-                  localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
+                  localEdgeLimit: Long = Hints.BroadcastRowLimit,
+                  normalized: Boolean = false): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val sym = symEdges(edges, "src", "dst")
+    val sym = symEdges(edges, "src", "dst", normalized)
     // NULL seed ids are dropped BEFORE the dispatch (a null id is not a
     // node): the driver arm's getLong would unbox null to 0 while the
     // distributed equi-join silently drops the row — both arms must see
@@ -174,7 +197,7 @@ object Bfs {
   private def hopLocal(sym: DataFrame, seeds: DataFrame,
                        maxHops: Int): DataFrame = {
     val spark = sym.sparkSession
-    val adj = adjacency(sym.collect())
+    val adj = adjacency(undHalf(sym, "src", "dst"))
     val dist = new java.util.HashMap[Long, Long]()
     var frontier = new java.util.ArrayList[Long]()
     seeds.select(seeds.columns.head).distinct().collect().foreach { r =>
@@ -224,9 +247,10 @@ object Bfs {
     *         deterministic — min-hop per (src, node) has no ties */
   def perSourceHops(edges: DataFrame, sources: DataFrame, maxHops: Int,
                     maxSources: Long = 100000L,
-                    localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
+                    localEdgeLimit: Long = Hints.BroadcastRowLimit,
+                    normalized: Boolean = false): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val sym = symEdges(edges, "src_n", "dst")
+    val sym = symEdges(edges, "src_n", "dst", normalized)
     // NULL source ids dropped before the dispatch — see [[hopDistance]]
     val srcs = sources.select(sources.columns.head).toDF("src")
       .filter(col("src").isNotNull)
@@ -275,7 +299,7 @@ object Bfs {
   private def perSourceLocal(sym: DataFrame, sources: DataFrame,
                              maxHops: Int, maxSources: Long): DataFrame = {
     val spark = sym.sparkSession
-    val adj = adjacency(sym.collect())
+    val adj = adjacency(undHalf(sym, "src_n", "dst"))
     val srcs = sources.select(sources.columns.head).distinct().collect()
       .map(_.getLong(0))
     require(srcs.length <= maxSources,
@@ -330,8 +354,9 @@ object Bfs {
     * @return per source: (src, n_reached — nodes within maxHops,
     *         excluding itself — harmonic_e6) */
   def harmonicCentrality(edges: DataFrame, sources: DataFrame,
-                         maxHops: Int): DataFrame =
-    perSourceHops(edges, sources, maxHops)
+                         maxHops: Int,
+                         normalized: Boolean = false): DataFrame =
+    perSourceHops(edges, sources, maxHops, normalized = normalized)
       .filter(col("hop") > 0L)
       .groupBy("src")
       .agg(count(lit(1)).as("n_reached"),
@@ -383,10 +408,11 @@ object Bfs {
   def betweennessSampled(edges: DataFrame, sources: DataFrame,
                          maxHops: Int,
                          maxSources: Long = 100000L,
-                         localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
+                         localEdgeLimit: Long = Hints.BroadcastRowLimit,
+                         normalized: Boolean = false): DataFrame = {
     require(maxHops >= 1, "maxHops must be >= 1")
     val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val sym = symEdges(edges, "ev", "ew")
+    val sym = symEdges(edges, "ev", "ew", normalized)
     // NULL source ids dropped before the dispatch — see [[hopDistance]]
     val srcs = sources.select(sources.columns.head).toDF("src")
       .filter(col("src").isNotNull)
@@ -466,7 +492,9 @@ object Bfs {
   private def betweennessLocal(sym: DataFrame, sources: DataFrame,
                                maxHops: Int, maxSources: Long): DataFrame = {
     val spark = sym.sparkSession
-    val rows = sym.collect()
+    // half-collect (see [[adjacency]]): each undirected row below
+    // contributes BOTH CSR slots
+    val rows = undHalf(sym, "ev", "ew")
     val srcs = sources.select(sources.columns.head).distinct().collect()
       .map(_.getLong(0))
     require(srcs.length <= maxSources,
@@ -485,13 +513,16 @@ object Bfs {
       if (got != null) got.intValue
       else { val i = ids.length; idx.put(x, i); ids += x; i }
     }
-    // rows are the SYMMETRIZED directed edges (each undirected pair
-    // appears once per direction) — each row contributes ONE slot
-    val m = rows.length
+    // rows are the UNDIRECTED half of the symmetrized frame — each row
+    // contributes BOTH slots (u→v and v→u)
+    val m = rows.length * 2
     val eu = new Array[Int](m); val ev = new Array[Int](m)
     var i = 0
-    while (i < m) {
-      eu(i) = ix(rows(i).getLong(0)); ev(i) = ix(rows(i).getLong(1)); i += 1
+    while (i < rows.length) {
+      val a = ix(rows(i).getLong(0)); val b = ix(rows(i).getLong(1))
+      eu(2 * i) = a; ev(2 * i) = b
+      eu(2 * i + 1) = b; ev(2 * i + 1) = a
+      i += 1
     }
     val n = ids.length
     val off = new Array[Int](n + 1)

@@ -33,12 +33,18 @@ object Cascade {
 
   def independentCascade(edges: DataFrame, seeds: DataFrame, pNum: Int,
                          pDen: Int, seed: Long,
-                         maxRounds: Int): DataFrame = {
+                         maxRounds: Int,
+                         normalized: Boolean = false): DataFrame = {
     require(pNum >= 0 && pDen >= 1 && pNum <= pDen, "p = pNum/pDen in [0,1]")
     require(maxRounds >= 1 && maxRounds <= 64, "maxRounds in [1,64]")
-    val und = edges.select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+    // normalized = caller-guaranteed distinct u < v pairs (the
+    // coOccurrenceEdges contract): skip the redundant
+    // normalize+distinct shuffle (triangleStats dial)
+    val und =
+      if (normalized) edges.select(col("u"), col("v"))
+      else edges.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
     val sym = und.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
       .localCheckpoint(true)

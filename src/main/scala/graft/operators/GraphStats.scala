@@ -145,13 +145,18 @@ object GraphStats {
     * @param edges undirected edge list (u, v); dedup/self-loop-safe
     * @param ks    strictly increasing degree thresholds (≤ 64)
     * @return per k: (k, n_k, e_k, phi9) */
-  def richClub(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+  def richClub(edges: DataFrame, ks: Seq[Int],
+               normalized: Boolean = false): DataFrame = {
     require(ks.nonEmpty && ks.size <= 64 && ks == ks.sorted &&
       ks.distinct.size == ks.size && ks.forall(_ >= 0),
       "ks: <= 64 strictly increasing nonnegative thresholds")
-    val und = edges.select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+    // normalized = caller-guaranteed distinct u < v pairs (the
+    // coOccurrenceEdges contract): skip the redundant
+    // normalize+distinct shuffle (triangleStats dial)
+    val und = (if (normalized) edges.select(col("u"), col("v"))
+      else edges.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
       .localCheckpoint(true)
     val deg = und.select(col("u").as("node"))
       .unionByName(und.select(col("v").as("node")))

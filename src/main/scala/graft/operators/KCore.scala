@@ -45,13 +45,19 @@ object KCore {
     *        arm replays the EXACT same schedule round for round, so
     *        the `iters` contract (oracle replay) is unchanged. */
   def run(edges: DataFrame, k: Int, iters: Int,
-          localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
+          localEdgeLimit: Long = Hints.BroadcastRowLimit,
+          normalized: Boolean = false): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 1, "iters must be >= 1")
-    val undRaw = edges.select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    // normalized = caller-guaranteed distinct u < v pairs (the
+    // coOccurrenceEdges contract): skip the redundant
+    // normalize+distinct shuffle (triangleStats dial)
+    val undRaw =
+      if (normalized) edges.select(col("u"), col("v"))
+      else edges.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
     // Size dispatch ([[TemporalBfs]]/[[Scc]] discipline): each peel
     // round is 3 checkpointed shuffles of scheduling latency; under
     // the counted gate the same synchronous unroll is an O(iters·E)

@@ -40,11 +40,16 @@ object LabelSpread {
     *        LabelSpreadSpec). */
   def harmonic(edges: DataFrame, seeds: DataFrame,
                iters: Int,
-               localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
+               localEdgeLimit: Long = Hints.BroadcastRowLimit,
+               normalized: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 16, "iters in [1,16]")
-    val und = edges.select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+    // normalized = caller-guaranteed distinct u < v pairs (the
+    // coOccurrenceEdges contract): skip the redundant
+    // normalize+distinct shuffle (triangleStats dial)
+    val und = (if (normalized) edges.select(col("u"), col("v"))
+      else edges.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
       .localCheckpoint(true)
     // NULL seed rows (null node OR null score) are dropped BEFORE the
     // dispatch: the driver arm's getLong would unbox a null score to 0

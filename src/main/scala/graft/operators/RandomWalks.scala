@@ -62,24 +62,33 @@ object RandomWalks {
     * (the first r15 spelling counted a non-checkpointed distinct and
     * re-ran the upstream pipeline per derived frame — measured
     * 31.5 → 94 s on the 2.6M-walker SCALE_STRESS walk). */
-  private def symEdges(edges: DataFrame): DataFrame =
-    edges.select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+  private def symEdges(edges: DataFrame,
+                       normalized: Boolean = false): DataFrame = {
+    // normalized = caller-guaranteed distinct u < v pairs (the
+    // coOccurrenceEdges contract): the normalize+distinct pass is then
+    // a redundant full shuffle and is skipped (triangleStats dial).
+    val und =
+      if (normalized) edges.select(col("u"), col("v"))
+      else edges.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    und
       .select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
+  }
 
   private def integralLong(sym: DataFrame): Boolean =
     sym.schema.fields.forall(_.dataType == LongType)
 
-  /** Collected sorted adjacency from the SYMMETRIZED rows (one
-    * direction per row): node -> neighbor ids ASCENDING — the driver
-    * twin of the distributed row_number-over-(orderBy dst) neighbor
-    * index, so `idx` means the same neighbor in both arms. */
+  /** Collected sorted adjacency from the UNDIRECTED half of the
+    * symmetrized frame (each row adds both directions): node ->
+    * neighbor ids ASCENDING — the driver twin of the distributed
+    * row_number-over-(orderBy dst) neighbor index, so `idx` means the
+    * same neighbor in both arms. */
   private def localAdjacency(rows: Array[Row])
       : java.util.HashMap[Long, Array[Long]] = {
     val tmp = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
@@ -88,11 +97,22 @@ object RandomWalks {
       if (lst == null) { lst = new scala.collection.mutable.ArrayBuffer[Long](); tmp.put(a, lst) }
       lst += b
     }
-    rows.foreach { r => add(r.getLong(0), r.getLong(1)) }
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      add(a, b); add(b, a)
+    }
     val adj = new java.util.HashMap[Long, Array[Long]](tmp.size())
     tmp.forEach { (k, v) => adj.put(k, v.toArray.sorted) }
     adj
   }
+
+  /** One direction of the symmetrized frame — the collect-side half of
+    * the [[localAdjacency]] contract (each collected row contributes
+    * both directions there): halves the rows and bytes crossing the
+    * driver boundary; a narrow filter over materialized checkpoint
+    * blocks. */
+  private def undHalf(sym: DataFrame): Array[Row] =
+    sym.filter(col("src") < col("dst")).collect()
 
   /** @param localEdgeLimit normalized-edge-count bound under which the
     *        driver walk loop runs instead of the per-step joins (LONG
@@ -100,11 +120,12 @@ object RandomWalks {
     *        never a production setting) */
   def uniformWalks(edges: DataFrame, walksPerNode: Int, length: Int,
                    seed: Long,
-                   localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
+                   localEdgeLimit: Long = Hints.BroadcastRowLimit,
+                   normalized: Boolean = false): DataFrame = {
     require(walksPerNode >= 1 && walksPerNode <= 1024,
       "walksPerNode in [1,1024]")
     require(length >= 1 && length <= 256, "length in [1,256]")
-    val sym = symEdges(edges)
+    val sym = symEdges(edges, normalized)
     // localEdgeLimit > 0L: "0 forces the distributed path" must hold on
     // empty graphs too (r14 ADVICE #1)
     if (localEdgeLimit > 0L && integralLong(sym) &&
@@ -144,35 +165,64 @@ object RandomWalks {
   private def uniformLocal(sym: DataFrame, walksPerNode: Int, length: Int,
                            seed: Long): DataFrame = {
     val spark = sym.sparkSession
-    val adj = localAdjacency(sym.collect())
+    val adj = localAdjacency(undHalf(sym))
     val starts = {
       val a = new Array[Long](adj.size()); var i = 0
       val it = adj.keySet().iterator()
       while (it.hasNext) { a(i) = it.next(); i += 1 }
       a
     }
-    val out = new java.util.ArrayList[Row](
-      starts.length * walksPerNode * (length + 1))
-    var si = 0
-    while (si < starts.length) {
-      val start = starts(si)
-      var wid = 0
-      while (wid < walksPerNode) {
+    // starts are INDEPENDENT (read-only shared adjacency, per-walk
+    // state): fan contiguous start-chunks out on driver threads and
+    // concatenate the chunk blocks in chunk order — row order (and
+    // content) identical to the serial loop regardless of scheduling
+    // (the perSourceLocal discipline)
+    val out = chunkedWalks(starts, walksPerNode, length + 1) {
+      (start, wid, block) =>
         var node = start
-        out.add(Row(start, wid, 0, node))
+        block.add(Row(start, wid, 0, node))
         var s = 1
         while (s <= length) {
           val nbrs = adj.get(node)
           val h = graft.functions.Hashing.md5Long60(s"$seed:$start:$wid:$s")
           node = nbrs((h % nbrs.length).toInt)
-          out.add(Row(start, wid, s, node))
+          block.add(Row(start, wid, s, node))
           s += 1
         }
-        wid += 1
-      }
-      si += 1
     }
     spark.createDataFrame(out, walkSchema)
+  }
+
+  /** Run `walk(start, wid, block)` for every (start, wid) on a pool of
+    * driver threads, chunked by contiguous start ranges; blocks
+    * concatenate in chunk order so the output row order equals the
+    * serial loop's. */
+  private def chunkedWalks(starts: Array[Long], walksPerNode: Int,
+                           rowsPerWalk: Int)(
+      walk: (Long, Int, java.util.ArrayList[Row]) => Unit)
+      : java.util.ArrayList[Row] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val nChunks = math.max(1, math.min(64, starts.length / 2048))
+    val bounds = (0 to nChunks).map(c =>
+      (c.toLong * starts.length / nChunks).toInt)
+    val futures = (0 until nChunks).map { c => Future {
+      val lo = bounds(c); val hi = bounds(c + 1)
+      val block = new java.util.ArrayList[Row](
+        (hi - lo) * walksPerNode * rowsPerWalk)
+      var si = lo
+      while (si < hi) {
+        var wid = 0
+        while (wid < walksPerNode) { walk(starts(si), wid, block); wid += 1 }
+        si += 1
+      }
+      block
+    } }
+    val out = new java.util.ArrayList[Row](
+      starts.length * walksPerNode * rowsPerWalk)
+    futures.foreach(f => out.addAll(Await.result(f, Duration.Inf)))
+    out
   }
 
   /** One uniform pick: frontier ⋈ deg (hash the step's r), then the
@@ -225,13 +275,14 @@ object RandomWalks {
   def node2vecWalks(edges: DataFrame, walksPerNode: Int, length: Int,
                     seed: Long, wReturn: Int, wIn: Int,
                     wOut: Int,
-                    localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
+                    localEdgeLimit: Long = Hints.BroadcastRowLimit,
+                    normalized: Boolean = false): DataFrame = {
     require(walksPerNode >= 1 && walksPerNode <= 1024,
       "walksPerNode in [1,1024]")
     require(length >= 1 && length <= 256, "length in [1,256]")
     require(wReturn >= 1 && wIn >= 1 && wOut >= 1,
       "weights must be positive integers")
-    val sym = symEdges(edges)
+    val sym = symEdges(edges, normalized)
     val symRows = sym.count()
     if (localEdgeLimit > 0L && integralLong(sym) &&
         symRows <= 2L * localEdgeLimit)
@@ -267,7 +318,7 @@ object RandomWalks {
                             seed: Long, wReturn: Int, wIn: Int,
                             wOut: Int): DataFrame = {
     val spark = sym.sparkSession
-    val adj = localAdjacency(sym.collect())
+    val adj = localAdjacency(undHalf(sym))
     // wIn membership (is dst adjacent to prev?) runs as a MERGE of the
     // two sorted neighbor lists — co-occurrence graphs are hub-skewed,
     // so per-step work is Σ(deg(node)+deg(prev)) primitive compares;
@@ -282,16 +333,12 @@ object RandomWalks {
       while (it.hasNext) { a(i) = it.next(); i += 1 }
       a
     }
-    val out = new java.util.ArrayList[Row](
-      starts.length * walksPerNode * (length + 1))
-    var si = 0
-    while (si < starts.length) {
-      val start = starts(si)
-      var wid = 0
-      while (wid < walksPerNode) {
+    // independent starts fan out on driver threads ([[chunkedWalks]])
+    val out = chunkedWalks(starts, walksPerNode, length + 1) {
+      (start, wid, block) =>
         var prev = -1L
         var node = start
-        out.add(Row(start, wid, 0, node))
+        block.add(Row(start, wid, 0, node))
         var s = 1
         while (s <= length) {
           val nbrs = adj.get(node)
@@ -326,12 +373,9 @@ object RandomWalks {
           }
           prev = node
           node = picked
-          out.add(Row(start, wid, s, node))
+          block.add(Row(start, wid, s, node))
           s += 1
         }
-        wid += 1
-      }
-      si += 1
     }
     spark.createDataFrame(out, walkSchema)
   }

@@ -302,12 +302,14 @@ object Triangles {
     * @return (lo, hi, support) for surviving edges, support measured
     *         in the FINAL surviving subgraph */
   def ktruss(edges: DataFrame, k: Int, rounds: Int,
-             localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
+             localEdgeLimit: Long = Hints.BroadcastRowLimit,
+             normalized: Boolean = false): DataFrame = {
     require(k >= 2, "truss level k must be >= 2")
     require(rounds >= 1 && rounds <= 64, "rounds in [1,64]")
-    var e = edges.select(least(col("u"), col("v")).as("lo"),
-        greatest(col("u"), col("v")).as("hi"))
-      .filter(col("lo") =!= col("hi")).distinct()
+    var e = (if (normalized) edges.select(col("u").as("lo"), col("v").as("hi"))
+      else edges.select(least(col("u"), col("v")).as("lo"),
+          greatest(col("u"), col("v")).as("hi"))
+        .filter(col("lo") =!= col("hi")).distinct())
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       // survivors stay normalized (u < v, distinct) — skip the
@@ -336,8 +338,9 @@ object Triangles {
     * adds one node-keyed map-side-combinable aggregate over 2|E| rows.
     *
     * @return (node, deg, n_triangles, lcc_1e6 — null when deg < 2) */
-  def localClustering(edges: DataFrame): DataFrame = {
-    val sup = edgeSupport(edges).localCheckpoint(true)
+  def localClustering(edges: DataFrame,
+                      normalized: Boolean = false): DataFrame = {
+    val sup = edgeSupport(edges, normalized = normalized).localCheckpoint(true)
     val incident = sup.select(col("lo").as("node"), col("support"))
       .unionByName(sup.select(col("hi").as("node"), col("support")))
     incident.groupBy("node")

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators._
+
+/** r15 optimization pin: the `normalized = true` dial (caller
+  * guarantees distinct u < v pairs — the [[Triangles.coOccurrenceEdges]]
+  * output contract) skips the operators' redundant normalize+distinct
+  * shuffle. The pin: for a messy edge list (duplicates, both
+  * directions, self-loops), `op(messy)` ≡ `op(normalize(messy),
+  * normalized = true)` row-for-row — on BOTH dispatch arms (default
+  * gate → driver arm at this size; localEdgeLimit = 0 → distributed). */
+class NormalizedEdgesSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // dups, reversed dups, a self-loop — normalize() must collapse to
+  // 5 distinct u < v pairs over a connected graph with a hub at 1
+  private val messy = Seq(
+    (1L, 2L), (2L, 1L), (1L, 2L), (3L, 1L), (1L, 4L), (4L, 5L),
+    (5L, 4L), (2L, 3L), (3L, 3L)).toDF("u", "v")
+  private def norm(df: DataFrame): DataFrame =
+    df.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  private def pin(name: String)(run: (DataFrame, Boolean) => DataFrame): Unit =
+    test(s"$name: normalized=true ≡ normalize-inside") {
+      assert(sortedRows(run(messy, false)) === sortedRows(run(norm(messy), true)),
+        s"$name driver-arm parity")
+    }
+
+  pin("Bfs.hopDistance") { (e, n) =>
+    Bfs.hopDistance(e, Seq(1L).toDF("node"), 3, normalized = n) }
+  pin("Bfs.hopDistance distributed") { (e, n) =>
+    Bfs.hopDistance(e, Seq(1L).toDF("node"), 3, localEdgeLimit = 0L,
+      normalized = n) }
+  pin("Bfs.perSourceHops") { (e, n) =>
+    Bfs.perSourceHops(e, Seq(1L, 4L).toDF("src"), 3, normalized = n) }
+  pin("Bfs.harmonicCentrality") { (e, n) =>
+    Bfs.harmonicCentrality(e, Seq(1L, 4L).toDF("src"), 2, normalized = n) }
+  pin("Bfs.betweennessSampled") { (e, n) =>
+    Bfs.betweennessSampled(e, Seq(1L, 5L).toDF("src"), 3, normalized = n) }
+  pin("Bfs.betweennessSampled distributed") { (e, n) =>
+    Bfs.betweennessSampled(e, Seq(1L, 5L).toDF("src"), 3,
+      localEdgeLimit = 0L, normalized = n) }
+  pin("RandomWalks.uniformWalks") { (e, n) =>
+    RandomWalks.uniformWalks(e, walksPerNode = 2, length = 4, seed = 11L,
+      normalized = n) }
+  pin("RandomWalks.uniformWalks distributed") { (e, n) =>
+    RandomWalks.uniformWalks(e, walksPerNode = 2, length = 4, seed = 11L,
+      localEdgeLimit = 0L, normalized = n) }
+  pin("RandomWalks.node2vecWalks") { (e, n) =>
+    RandomWalks.node2vecWalks(e, walksPerNode = 1, length = 3, seed = 5L,
+      wReturn = 1, wIn = 4, wOut = 2, normalized = n) }
+  pin("KCore.run") { (e, n) =>
+    KCore.run(e, k = 2, iters = 3, normalized = n) }
+  pin("KCore.run distributed") { (e, n) =>
+    KCore.run(e, k = 2, iters = 3, localEdgeLimit = 0L, normalized = n) }
+  pin("Triangles.ktruss") { (e, n) =>
+    Triangles.ktruss(e, k = 3, rounds = 2, normalized = n) }
+  pin("Triangles.localClustering") { (e, n) =>
+    Triangles.localClustering(e, normalized = n) }
+  pin("LabelSpread.harmonic") { (e, n) =>
+    LabelSpread.harmonic(e,
+      Seq((1L, 1000000L), (5L, -1000000L)).toDF("node", "score"),
+      iters = 3, normalized = n) }
+  pin("Cascade.independentCascade") { (e, n) =>
+    Cascade.independentCascade(e, Seq(1L).toDF("node"), 3, 10, 5L, 3,
+      normalized = n) }
+  pin("GraphStats.richClub") { (e, n) =>
+    GraphStats.richClub(e, Seq(0, 1, 2), normalized = n) }
+
+  test("half-collect driver adjacency: hub graph hop distances exact") {
+    // star + path: distances from the hub cover multi-hop fan-out, so
+    // a direction lost in the halved collect would show as a missing
+    // or deeper node
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = Bfs.hopDistance(star, Seq(10L).toDF("node"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 2L, 5L -> 3L))
+  }
+}
