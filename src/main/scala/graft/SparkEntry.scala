@@ -3088,12 +3088,19 @@ object SparkEntry {
     // r is one rounded double division — the oracle replays the exact
     // same moments and arithmetic.
     "q162_correlation" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      // project the four longs FIRST, then widen (guide §2.3/§2.5: the
+      // sf0.1 scan is one row group = one task, so the decimal(38)
+      // moment sums ran on a single core; the shuffle ships 4 longs per
+      // row). Same per-row values — derivations are deterministic.
+      val li = graft.core.Parallelism.ensureWidth(
+        Tables.load(s, dir, "lineitem").select(
+          col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long").as("price"),
+          floor(col("l_discount") * lit(100.0)).cast("long").as("disc"),
+          floor(col("l_tax") * lit(100.0)).cast("long").as("tax")))
       Profiler.correlationMatrix(li, Seq(
-          "qty" -> col("l_quantity").cast("long"),
-          "price" -> floor(col("l_extendedprice") * lit(100.0)).cast("long"),
-          "disc" -> floor(col("l_discount") * lit(100.0)).cast("long"),
-          "tax" -> floor(col("l_tax") * lit(100.0)).cast("long")))
+          "qty" -> col("qty"), "price" -> col("price"),
+          "disc" -> col("disc"), "tax" -> col("tax")))
         .orderBy("col_a", "col_b")
     }),
 
@@ -3298,7 +3305,7 @@ object SparkEntry {
         .distinct()
       val e = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       Neighborhood.neighborhoodFunction(e, col("src"), col("dst"),
-          rounds = 2, k = 32)
+          rounds = 2, k = 32, distinctEdges = true)
         .orderBy("radius")
     }),
 
@@ -3841,7 +3848,8 @@ object SparkEntry {
         .distinct()
       val bridge = s.range(1)
         .select(lit(2L).as("src"), lit(3L).as("dst"))
-      Scc.stronglyConnected(rings.unionByName(bridge)).orderBy("node")
+      Scc.stronglyConnected(rings.unionByName(bridge),
+        distinctEdges = true).orderBy("node")
     }),
 
     // Graphs — link prediction (GraphStats.linkPrediction): for every
@@ -4909,9 +4917,15 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("label").as("qlab"),
           Similarity.scale9(col("embedding")).as("qv"))
-      val c = emb.select(col("vec_id").as("cid"),
-        col("label").as("clab"),
-        Similarity.scale9(col("embedding")).as("cv"))
+      // widen the corpus side BEFORE the per-row scale9 + 100-query dot
+      // fan-out: the sf0.1 embeddings scan is one row group = one task,
+      // so the whole broadcast-join dot pass ran on a single core
+      // (par 1.1 in the r15 map). Fixed-width array rows shuffle cheap.
+      val c = graft.core.Parallelism.ensureWidth(
+          emb.select(col("vec_id").as("cid"), col("label").as("clab"),
+            col("embedding")))
+        .select(col("cid"), col("clab"),
+          Similarity.scale9(col("embedding")).as("cv"))
       val w = Window.partitionBy("qid")
         .orderBy(col("d").desc, col("cid").asc)
       c.join(broadcast(q),
@@ -4939,6 +4953,11 @@ object SparkEntry {
     // union.
     "q301_macro_f1" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
+      // MEASURED (twice, r15): widening the text before tokenize LOSES —
+      // a per-branch ensureWidth read 2.0→2.9 s, and a shared
+      // ensureWidth over (doc_id, lang, text) read 3.4→10+ s (keyless
+      // repartition pays sort-before-repartition over the full text,
+      // guide §2.5). The single-task tokenize is the cheaper evil here.
       val preds = NaiveBayes.trainPredict(
         d.filter(col("doc_id") % 3 === 0), col("text"), col("lang"),
         d.filter(col("doc_id") % 3 =!= 0), col("doc_id"), col("text"))

@@ -52,14 +52,20 @@ object Neighborhood {
     *        48.4 CPU-s — scheduling latency). */
   def neighborhoodFunction(edges: DataFrame, src: Column, dst: Column,
                            rounds: Int, k: Int,
-                           localEdgeLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
+                           localEdgeLimit: Long = Hints.BroadcastRowLimit,
+                           distinctEdges: Boolean = false): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     require(k >= 2, s"k must be >= 2, got $k")
     // hash-partition edges by the join key ONCE; every round's join
     // then exchanges only the (|nodes|-sized) state — the PageRank/Bfs
-    // discipline (saves rounds × |E| shuffle rows)
-    val e = edges.select(src.as("src"), dst.as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull).distinct()
+    // discipline (saves rounds × |E| shuffle rows).
+    // distinctEdges = caller guarantees the directed pairs are already
+    // deduped (e.g. a distinct+symmetric-union build): skips a full
+    // |E|-row dedup exchange before the keyed repartition (the
+    // triangleStats `normalized` dial, directed spelling)
+    val e0 = edges.select(src.as("src"), dst.as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e = (if (distinctEdges) e0 else e0.distinct())
       .repartition(col("dst")).localCheckpoint(true)
     val integral = e.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)

@@ -441,13 +441,16 @@ object RandomWalks {
       walks.select("start", "wid", "step", "node")) { (df, d) =>
       df.withColumn(s"lead_$d", lead(col("node"), d).over(w))
     }
-    val pairs = withLeads.select(col("node").as("center"),
-      explode(array((1 to window).map(d => col(s"lead_$d")): _*))
-        .as("context"))
-      .filter(col("context").isNotNull)
-    pairs.select(col("center"), col("context"))
-      .unionByName(pairs.select(col("context").as("center"),
-        col("center").as("context")))
+    // both directions of each (center, context) pair emit from ONE
+    // explode — the former symmetric unionByName duplicated the whole
+    // window+lead subtree (two exchanges and two sorts of the corpus);
+    // same pair multiset, one pass
+    withLeads.select(explode(array((1 to window).flatMap(d => Seq(
+        struct(col("node").as("center"), col(s"lead_$d").as("context")),
+        struct(col(s"lead_$d").as("center"), col("node").as("context")))): _*))
+        .as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .filter(col("center").isNotNull && col("context").isNotNull)
       .groupBy("center", "context").agg(count(lit(1)).as("n"))
   }
 }

@@ -48,10 +48,14 @@ object Scc {
     *        spec hook, never a production setting)
     * @return (node, scc) — scc = the max node id of the component */
   def stronglyConnected(edges: DataFrame, maxRounds: Int = 60,
-                        localEdgeLimit: Long = Hints.BroadcastRowLimit)
+                        localEdgeLimit: Long = Hints.BroadcastRowLimit,
+                        distinctEdges: Boolean = false)
       : DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // distinctEdges = caller guarantees deduped directed pairs: skips
+    // a full |E|-row dedup exchange (triangleStats `normalized` dial)
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = (if (distinctEdges) e0 else e0.distinct())
       .localCheckpoint(true)
     // Size dispatch ([[TemporalBfs]]/[[Hierarchy]] discipline): the
     // FW–BW rounds pay tens of scheduling stages per OUTER round,

@@ -159,7 +159,11 @@ object Similarity {
       .select(col("cid"), scale9(col("cvec")).as("cvec9"))
       .localCheckpoint(true)
     val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
-    val qs9 = queries.select(col("qid"), scale9(col("qvec")).as("qvec9"))
+    // the query side pays |Q| × |centroids| probe dots — widen it too
+    // (q388 passes the WHOLE corpus as queries; a one-row-group scan
+    // would run that entire pass on a single core)
+    val qs9 = graft.core.Parallelism.ensureWidth(queries)
+      .select(col("qid"), scale9(col("qvec")).as("qvec9"))
     val cells = assignCells(vecs9, cents9)
     val probes = probeCells(qs9, cents9, nprobe)
     // exact search within probed cells
