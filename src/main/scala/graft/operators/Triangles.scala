@@ -411,8 +411,14 @@ object Triangles {
       i += 1
     }
     // budget: merge steps ≈ wedges (+ m), plus 3 array bumps per
-    // triangle when supports are wanted — tighter there
-    val budget = if (wantSupports) 32000000L else 128000000L
+    // triangle when supports are wanted — tighter there. The base
+    // budget bounds SERIAL latency; the enumeration below fans out on
+    // `enumThreads` driver threads (chunked apexes, per-thread exact
+    // accumulators), so the refusal scales with the pool width and the
+    // wall envelope it guards is unchanged.
+    val enumThreads = math.min(8, Runtime.getRuntime.availableProcessors)
+    val budget = (if (wantSupports) 32000000L else 128000000L) *
+      math.max(1, enumThreads)
     if (nWedges > budget) return None
     // rank = position in the (deg, id) total order — the orientation key
     val byKey = (0 until n).sortBy(v => (deg(v), ids(v)))
@@ -453,40 +459,86 @@ object Triangles {
       orig(i) = (packed(i) & 0x1fffffL).toInt
       i += 1
     }
-    val sup = if (wantSupports) new Array[Long](m) else null
-    var nTri = 0L
-    var u = 0
-    while (u < n) {
-      var p = off(u)
-      val pEnd = off(u + 1)
-      while (p < pEnd) {
-        // wedge apex u: pair the edge at p (u -> v) with every later
-        // out-edge of u (u -> y, rank(y) > rank(v)); the triangle
-        // closes iff v -> y is oriented — i.e. y appears in v's
-        // rank-sorted out-list — so one merge finds all closures
-        val vRank = adjR(p)
-        val v = byKey(vRank)
-        var q = p + 1
-        var r = off(v)
-        val qEnd = pEnd
-        val rEnd = off(v + 1)
-        while (q < qEnd && r < rEnd) {
-          val yq = adjR(q); val yr = adjR(r)
-          if (yq == yr) {
-            nTri += 1
-            if (wantSupports) {
-              sup(orig(p)) += 1   // edge (u, v)
-              sup(orig(q)) += 1   // edge (u, y)
-              sup(orig(r)) += 1   // edge (v, y)
-            }
-            q += 1; r += 1
-          } else if (yq < yr) q += 1
-          else r += 1
+    // Enumeration fans out on driver threads: apex nodes are
+    // independent (CSR read-only; a chunk owns every p/q bump of its
+    // apexes' segments, while the r bump can land on another chunk's
+    // edge, so each thread accumulates into its OWN support array and
+    // the arrays sum at the end — exact long adds, order-independent,
+    // same counts as the serial loop). Small graphs stay serial: the
+    // pool + per-thread arrays only pay for themselves past ~wedge
+    // millions.
+    def enumerate(uFrom: Int, uTo: Int,
+                  sup: Array[Long]): Long = {
+      var nTri = 0L
+      var u = uFrom
+      while (u < uTo) {
+        var p = off(u)
+        val pEnd = off(u + 1)
+        while (p < pEnd) {
+          // wedge apex u: pair the edge at p (u -> v) with every later
+          // out-edge of u (u -> y, rank(y) > rank(v)); the triangle
+          // closes iff v -> y is oriented — i.e. y appears in v's
+          // rank-sorted out-list — so one merge finds all closures
+          val vRank = adjR(p)
+          val v = byKey(vRank)
+          var q = p + 1
+          var r = off(v)
+          val qEnd = pEnd
+          val rEnd = off(v + 1)
+          while (q < qEnd && r < rEnd) {
+            val yq = adjR(q); val yr = adjR(r)
+            if (yq == yr) {
+              nTri += 1
+              if (sup != null) {
+                sup(orig(p)) += 1   // edge (u, v)
+                sup(orig(q)) += 1   // edge (u, y)
+                sup(orig(r)) += 1   // edge (v, y)
+              }
+              q += 1; r += 1
+            } else if (yq < yr) q += 1
+            else r += 1
+          }
+          p += 1
         }
-        p += 1
+        u += 1
       }
-      u += 1
+      nTri
     }
-    Some((nTri, nWedges, sup, n.toLong))
+    val nThreads = enumThreads
+    if (nWedges < 2000000L || nThreads <= 1) {
+      val sup = if (wantSupports) new Array[Long](m) else null
+      val nTri = enumerate(0, n, sup)
+      Some((nTri, nWedges, sup, n.toLong))
+    } else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // more chunks than threads so a hub-heavy range doesn't straggle;
+      // chunk bounds split the apex range evenly
+      val nChunks = nThreads * 4
+      val bounds = (0 to nChunks).map(c => (c.toLong * n / nChunks).toInt)
+      val next = new java.util.concurrent.atomic.AtomicInteger(0)
+      val futures = (0 until nThreads).map { _ => Future {
+        val sup = if (wantSupports) new Array[Long](m) else null
+        var nTri = 0L
+        var c = next.getAndIncrement()
+        while (c < nChunks) {
+          nTri += enumerate(bounds(c), bounds(c + 1), sup)
+          c = next.getAndIncrement()
+        }
+        (nTri, sup)
+      } }
+      val results = futures.map(f => Await.result(f, Duration.Inf))
+      val nTri = results.map(_._1).sum
+      val sup = if (!wantSupports) null else {
+        val acc = new Array[Long](m)
+        results.foreach { case (_, s) =>
+          var i = 0
+          while (i < m) { acc(i) += s(i); i += 1 }
+        }
+        acc
+      }
+      Some((nTri, nWedges, sup, n.toLong))
+    }
   }
 }

@@ -146,6 +146,28 @@ class TrianglesSpec extends SparkSpec {
     }
   }
 
+  test("parallel enumeration (>= 2M wedges) == distributed arm exactly " +
+      "(r15: chunked-apex thread fan-out, per-thread accumulators)") {
+    import spark.implicits._
+    // hub of degree 2200 (C(2200,2) ≈ 2.42M wedges triggers the thread
+    // pool) + a ring among the spokes so triangles and nonzero supports
+    // exist on hub AND ring edges
+    val hub = (1L to 2200L).map(s => (0L, s))
+    val ring = (1L until 2200L).map(s => (s, s + 1L)) :+ (2200L, 1L)
+    val e = (hub ++ ring).toDF("u", "v")
+    val statsLocal = Triangles.triangleStats(e)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val statsDist = Triangles.triangleStats(e, localEdgeLimit = 0L)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(statsLocal == statsDist, "triangleStats arms diverged")
+    assert(statsLocal.head._4 == 2200L, "expected one triangle per ring edge")
+    val supLocal = Triangles.edgeSupport(e)
+      .as[(Long, Long, Long)].collect().toSet
+    val supDist = Triangles.edgeSupport(e, localEdgeLimit = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(supLocal == supDist, "edgeSupport arms diverged on the hub graph")
+  }
+
   test("localClustering: hand-checked house graph") {
     import spark.implicits._
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
