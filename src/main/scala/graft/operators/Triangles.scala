@@ -411,14 +411,21 @@ object Triangles {
       i += 1
     }
     // budget: merge steps ≈ wedges (+ m), plus 3 array bumps per
-    // triangle when supports are wanted — tighter there. The base
-    // budget bounds SERIAL latency; the enumeration below fans out on
-    // `enumThreads` driver threads (chunked apexes, per-thread exact
-    // accumulators), so the refusal scales with the pool width and the
-    // wall envelope it guards is unchanged.
+    // triangle when supports are wanted — tighter there. The COUNTS
+    // budget scales with the thread pool below (chunked-apex fan-out,
+    // per-thread exact accumulators): the serial latency the base
+    // budget guards is divided by the pool, so the wall envelope is
+    // unchanged while count-only graphs up to ~1G wedges stay on the
+    // driver arm (q113's 147.8M-wedge sf0.1 graph: wedge-join 6.9 s →
+    // 2.3 s). The SUPPORTS budget stays serial-sized: that arm must
+    // also ship a per-edge result table back through the driver
+    // (createDataFrame of |E| rows), which the suite measured at or
+    // above the distributed wedge join's cost at sf0.1 — past the
+    // serial budget the distributed rounds stay the better shape.
     val enumThreads = math.min(8, Runtime.getRuntime.availableProcessors)
-    val budget = (if (wantSupports) 32000000L else 128000000L) *
-      math.max(1, enumThreads)
+    val budget =
+      if (wantSupports) 32000000L
+      else 128000000L * math.max(1, enumThreads)
     if (nWedges > budget) return None
     // rank = position in the (deg, id) total order — the orientation key
     val byKey = (0 until n).sortBy(v => (deg(v), ids(v)))
