@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (r15 verdict #2): the driver parses the LAST line
+// of `sbt "runMain graft.Bench"` output as the bench JSON; r13–r15 read
+// "parsed": null because sbt [info]-prefixed the line and appended a
+// [success] banner after it. Pass forked-JVM output through verbatim and
+// drop the banner so the program's own final println IS the last line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -278,6 +278,11 @@ object Bench {
 
     var pass = 0
     var stoppedEarly = false
+    // last rendered compact line — re-printed as the FINAL stdout line of
+    // the process (r15 verdict #2: the per-pass println arrived sbt-
+    // [info]-prefixed and followed by the [success] banner, so the driver
+    // parsed null three rounds running)
+    var lastCompact = ""
     while (pass < maxPasses && !stoppedEarly) {
       pass += 1
       var passWall = 0.0
@@ -349,7 +354,13 @@ object Bench {
       // one-query iteration must not clobber the suite-wide map.
       val (full, compact) = render(pass)
       writeAtomic("bench_out.json", full)
-      if (only.isEmpty) writeAtomic("bench_full_latest.json", full)
+      if (only.isEmpty) {
+        writeAtomic("bench_full_latest.json", full)
+        // fixed SMALL artifact for the driver (r15 verdict #2): the compact
+        // line on disk, independent of stdout-tail parsing entirely
+        writeAtomic("bench_compact.json", compact)
+      }
+      lastCompact = compact
       println(compact)
       // Budget check BEFORE starting another pass: project the next pass
       // at the MOST RECENT pass + 10% — pass 1 carries JIT warmup (and,
@@ -373,6 +384,25 @@ object Bench {
         }
       }
     }
+    // Driver bench contract (r15 verdict #2): make the compact JSON the
+    // LAST line of the process's output. Belt: a lowest-priority Hadoop
+    // shutdown hook re-prints it after every Spark shutdown hook (Spark's
+    // own hooks register at priority >= 25, higher runs first) in case
+    // anything logs after main returns. Braces: quiet the root logger
+    // before spark.stop() so the shutdown INFO chatter never prints, then
+    // print the line once more as the final act of main. build.sbt forks
+    // run with StdoutOutput and showSuccess := false so sbt neither
+    // prefixes the line nor appends a [success] banner after it.
+    if (lastCompact.nonEmpty) {
+      val line = lastCompact
+      org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+        new Runnable {
+          def run(): Unit = { System.out.println(line); System.out.flush() }
+        }, 0)
+    }
+    org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
     spark.stop()
+    if (lastCompact.nonEmpty) { println(lastCompact); System.out.flush() }
   }
 }

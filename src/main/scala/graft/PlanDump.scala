@@ -28,7 +28,7 @@ object PlanDump {
         sys.error(s"PlanDump: unknown query $name"))
       val plan =
         try fn(spark, sfDir).queryExecution.explainString(ExplainMode.fromString("formatted"))
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           s"PLAN UNAVAILABLE for $name: ${e.getClass.getSimpleName}: ${e.getMessage}\n"
         }
       java.nio.file.Files.write(

@@ -33,8 +33,11 @@ import org.apache.spark.sql.types._
   * scaled scores — whose D is bounded far below row count at 100 TB.
   * A column whose D approaches n (raw doubles, unique ids) would
   * silently eat executor memory, so the buffer REFUSES beyond
-  * `graft.maxRankDistinct` (default 2²²) instead of degrading:
-  * unitize/scale upstream or raise the property deliberately.
+  * `graft.maxRankDistinct` (default 2²²) instead of degrading.
+  * Callers do not stop there: [[graft.operators.RankCuts]] catches
+  * this refusal and recomputes the same exact cuts via the
+  * distributed sort path, so over-cardinality inputs get the r14
+  * answer instead of an error.
   */
 final class RankSelectSummary(val maxDistinct: Int) {
   // open-addressed linear-probe map, EMPTY slot marked by cnts(i)==0

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the k-th order statistic comes from the one-pass
   * [[graft.expressions.RankSelectAgg]] value→count summary (map-side
-  * combined, exchange O(distinct scores) not O(n), fail-loud beyond
-  * `graft.maxRankDistinct` — NEVER a global row_number window), and
+  * combined, exchange O(distinct scores) not O(n); beyond
+  * `graft.maxRankDistinct` the exact pick degrades to the distributed
+  * sort path, [[RankCuts]] — NEVER a global row_number window), and
   * the coverage audit is one scan with a broadcast scalar. Nothing
   * collects.
   */
@@ -43,8 +44,8 @@ object Conformal {
     // the same empty frame as before). `tieBreak` is retained for
     // signature stability; a row total order never changes the VALUE
     // at a rank.
-    cal.agg(call_function("rank_select", score.cast("long"),
-        lit(cov), lit(alphaDen), lit(1)).as("__rs"))
+    RankCuts.select(cal, score.cast("long"),
+        Seq(("__rs", cov, alphaDen, 1)))
       .select(col("__rs.n").as("n_cal"), col("__rs.k").as("k"),
         col("__rs.cut").as("qhat"))
       .filter(col("qhat").isNotNull)

@@ -209,8 +209,10 @@ object RandomWalks {
       (c.toLong * starts.length / nChunks).toInt)
     val futures = (0 until nChunks).map { c => Future {
       val lo = bounds(c); val hi = bounds(c + 1)
-      val block = new java.util.ArrayList[Row](
-        (hi - lo) * walksPerNode * rowsPerWalk)
+      // capacity in Long: at the parameter bounds the Int product can
+      // overflow negative and ArrayList would throw (r15 ADVICE #3)
+      val block = new java.util.ArrayList[Row](math.min(
+        (hi - lo).toLong * walksPerNode * rowsPerWalk, Int.MaxValue.toLong).toInt)
       var si = lo
       while (si < hi) {
         var wid = 0
@@ -219,8 +221,8 @@ object RandomWalks {
       }
       block
     } }
-    val out = new java.util.ArrayList[Row](
-      starts.length * walksPerNode * rowsPerWalk)
+    val out = new java.util.ArrayList[Row](math.min(
+      starts.length.toLong * walksPerNode * rowsPerWalk, Int.MaxValue.toLong).toInt)
     futures.foreach(f => out.addAll(Await.result(f, Duration.Inf)))
     out
   }

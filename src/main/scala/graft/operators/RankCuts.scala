@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Eager one-pass exact order statistics with a distributed sort
+  * fallback (r15 verdict #1).
+  *
+  * Fast path: every requested pick rides ONE map-side-combined
+  * [[graft.expressions.RankSelectAgg]] pass — the value→count summary
+  * whose exchange is O(distinct), not O(rows). That summary is
+  * deliberately bounded: past `graft.maxRankDistinct` (default 2²²)
+  * distinct values it refuses rather than silently eating executor
+  * memory. The r15 spelling STOPPED there — at 100 TB a continuous
+  * decimal column routinely exceeds 2²² distincts, so a median that
+  * round 14 could answer became a refusal.
+  *
+  * This helper restores the answer: the aggregate is evaluated EAGERLY
+  * (the one-row pick frame is consumed via broadcast at every call
+  * site, so the work moves, not grows), and on the bounded-summary
+  * refusal the SAME exact cuts are recomputed via the distributed sort
+  * path ([[GlobalIndex]] range-sort + zipWithIndex — the r14 plan:
+  * O(n) shuffle, O(1) executor memory), producing an identical one-row
+  * frame. The fast path costs no pre-count and keeps its r15 walls;
+  * the over-cardinality case degrades to the sort plan instead of
+  * failing. [[fallbackCount]] lets a spec pin which arm answered.
+  */
+private[graft] object RankCuts {
+
+  /** how many times the sort fallback engaged (diagnostics/spec hook —
+    * the dispatch happens inside a catch, invisible to a plan pin) */
+  val fallbackCount = new java.util.concurrent.atomic.AtomicLong
+
+  private def isRefusal(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var hops = 0
+    while (c != null && hops < 64) {
+      c match {
+        case ise: IllegalStateException
+          if Option(ise.getMessage).exists(_.contains("maxRankDistinct")) =>
+          return true
+        case _ =>
+      }
+      c = if (c.getCause eq c) null else c.getCause
+      hops += 1
+    }
+    false
+  }
+
+  /** Evaluate `rank_select(v, num, den, mode)` for every pick
+    * `(name, num, den, mode)` in one pass over `vals`, eagerly, and
+    * return the one-row frame (one `struct<n,k,cut>` column per pick,
+    * named as given — the exact schema of the lazy aggregate). */
+  def select(vals: DataFrame, v: Column,
+             picks: Seq[(String, Int, Int, Int)]): DataFrame = {
+    require(picks.nonEmpty, "at least one pick")
+    val aggCols = picks.map { case (name, num, den, mode) =>
+      call_function("rank_select", v, lit(num), lit(den), lit(mode)).as(name)
+    }
+    val lazyAgg = vals.agg(aggCols.head, aggCols.tail: _*)
+    val schema = lazyAgg.schema
+    val row: Row =
+      try lazyAgg.first()
+      catch {
+        case e: Throwable if isRefusal(e) =>
+          fallbackCount.incrementAndGet()
+          sortFallback(vals, v, picks)
+      }
+    vals.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
+
+  /** The r14 sort spelling, exact at ANY cardinality: range-sort the
+    * non-null values once (zipWithIndex stamps global positions), pick
+    * the needed ranks. The value at a rank is a function of the value
+    * multiset alone, so the tie order among equal values is
+    * irrelevant. k/cut arithmetic mirrors
+    * [[graft.expressions.RankSelectAgg.eval]] exactly. */
+  private def sortFallback(vals: DataFrame, v: Column,
+                           picks: Seq[(String, Int, Int, Int)]): Row = {
+    val base = vals.select(v.as("__v")).filter(col("__v").isNotNull)
+    // one materialized sort serves the count AND every pick
+    val indexed = GlobalIndex
+      .withGlobalIndex(base, Seq(col("__v")), "__gi").localCheckpoint()
+    val n = indexed.count()
+    val ks = picks.map { case (_, num, den, mode) =>
+      if (mode == 0) {
+        val k0 = if (n == 0) 0L else ((n - 1) * num.toLong) / den
+        (k0, if (n == 0) -1L else k0)
+      } else {
+        val k1 = ((n + 1) * num.toLong + den - 1) / den
+        (k1, if (k1 > n || k1 < 1) -1L else k1 - 1)
+      }
+    }
+    val need = ks.map(_._2).filter(_ >= 0).distinct
+    val byIdx: Map[Long, Any] =
+      if (need.isEmpty) Map.empty
+      else indexed.filter(col("__gi").isin(need: _*))
+        .select(col("__gi"), col("__v"))
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    Row.fromSeq(ks.map { case (k, idx) =>
+      Row(n, k, if (idx < 0) null else byIdx(idx))
+    })
+  }
+}

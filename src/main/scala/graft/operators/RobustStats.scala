@@ -18,9 +18,9 @@ import org.apache.spark.sql.types.DecimalType
   * sort carries the first sort's rank along as payload). Quantile/
   * median PICKS need no ranking at all: they ride the one-pass
   * [[graft.expressions.RankSelectAgg]] value→count summary (map-side
-  * combined, exchange O(distinct) not O(n), fail-loud beyond
-  * `graft.maxRankDistinct`) and land as broadcast one-row scalar
-  * frames.
+  * combined, exchange O(distinct) not O(n); beyond
+  * `graft.maxRankDistinct` the pick degrades to the distributed sort
+  * path — [[RankCuts]]) and land as broadcast one-row scalar frames.
   *
   * Determinism: values are ranked under a caller-supplied unique
   * tie-break, making every rank a permutation (reproducible run-over-
@@ -69,14 +69,14 @@ object RobustStats {
     * .RankSelectAgg]] — the value at a rank depends only on the value
     * MULTISET, so the prior full range-sort + zipWithIndex positional
     * pass (three sequential jobs per percentile) collapses to a
-    * value→count map bounded by distinct cardinality (fail-loud
-    * beyond `graft.maxRankDistinct`). `tie` is retained for signature
+    * value→count map bounded by distinct cardinality (beyond
+    * `graft.maxRankDistinct` the sort path answers — [[RankCuts]]).
+    * `tie` is retained for signature
     * stability: a row-level total order disambiguates which equal-
     * valued ROW holds the rank, never the value returned. */
   private def nearestRank(vals: DataFrame, v: Column, tie: Column,
                           pct: Int): DataFrame =
-    vals.agg(call_function("rank_select", v, lit(pct), lit(100), lit(0))
-        .as("__rs"))
+    RankCuts.select(vals, v, Seq(("__rs", pct, 100, 0)))
       .select(col("__rs.cut").as("cut"))
       .filter(col("cut").isNotNull)
 
@@ -93,11 +93,9 @@ object RobustStats {
     require(0 <= pLo && pLo < pHi && pHi <= 100, "need 0<=pLo<pHi<=100")
     val vals = df.select(x.cast(dec6).as("__v"), tie.as("__t"))
     // both percentiles of the same column in ONE aggregation pass
-    val cuts = vals.agg(
-        call_function("rank_select", col("__v"), lit(pLo), lit(100), lit(0))
-          .as("__lo"),
-        call_function("rank_select", col("__v"), lit(pHi), lit(100), lit(0))
-          .as("__hi"))
+    // (eager, with the sort fallback past maxRankDistinct — RankCuts)
+    val cuts = RankCuts.select(vals, col("__v"),
+        Seq(("__lo", pLo, 100, 0), ("__hi", pHi, 100, 0)))
       .select(col("__lo.cut").as("lo_cut"), col("__hi.cut").as("hi_cut"))
       .filter(col("lo_cut").isNotNull)
     vals.crossJoin(broadcast(cuts))

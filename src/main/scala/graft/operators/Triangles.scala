@@ -422,7 +422,12 @@ object Triangles {
     // (createDataFrame of |E| rows), which the suite measured at or
     // above the distributed wedge join's cost at sf0.1 — past the
     // serial budget the distributed rounds stay the better shape.
-    val enumThreads = math.min(8, Runtime.getRuntime.availableProcessors)
+    // derived from $SPARK_GRAFT_CPUS when set so arm dispatch (and the
+    // committed plan evidence) is reproducible across hosts (r15 ADVICE #2);
+    // ambient processor count only as the no-env fallback
+    val enumThreads = math.min(8, sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(_.toIntOption).filter(_ > 0)
+      .getOrElse(Runtime.getRuntime.availableProcessors))
     val budget =
       if (wantSupports) 32000000L
       else 128000000L * math.max(1, enumThreads)
