@@ -139,6 +139,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvSketchAgg(children.head, children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("eval_once"),
+      new ExpressionInfo(classOf[graft.expressions.EvalOnce].getName,
+        "eval_once"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "eval_once takes exactly 1 argument")
+        graft.expressions.EvalOnce(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("rank_select"),
       new ExpressionInfo(classOf[graft.expressions.RankSelectAgg].getName,
         "rank_select"),

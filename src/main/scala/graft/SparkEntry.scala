@@ -456,9 +456,9 @@ object SparkEntry {
       // scale to decimal form once per row, BEFORE the label-block fan-out
       val q = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("label"),
-          Similarity.scale9(col("embedding")).as("qvec9"))
+          Similarity.scale9Once(col("embedding")).as("qvec9"))
       val c = emb.select(col("vec_id").as("cid"), col("label"),
-        Similarity.scale9(col("embedding")).as("cvec9"))
+        Similarity.scale9Once(col("embedding")).as("cvec9"))
       val scored = q.join(c, Seq("label")).filter(col("qid") =!= col("cid"))
         .select(col("qid"), col("cid"),
           Similarity.dot9(col("qvec9"), col("cvec9")).as("score_d"))
@@ -546,7 +546,7 @@ object SparkEntry {
     // IEEE ops after the exact decimals, so doubles are bit-identical)
     "q32_cosine_topk" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
-        .withColumn("e9", Similarity.scale9(col("embedding")))
+        .withColumn("e9", Similarity.scale9Once(col("embedding")))
         .withColumn("nrm", sqrt(Similarity.dot9(col("e9"), col("e9")).cast("double")))
       val q = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("label"),
@@ -1558,10 +1558,12 @@ object SparkEntry {
       val corpus = d.filter(col("doc_id") % 5 =!= 0)
       val delta = d.filter(col("doc_id") % 5 === 0)
       val idx = java.nio.file.Files.createTempDirectory("graft_q94_lsh").toString
-      LshIndex.write(corpus, col("doc_id"), col("text"),
+      // store write and delta signing are independent legs — overlapped
+      // (bands-from-sigs ≡ direct minhashBands by the shared encoding)
+      val (_, dbands) = LshIndex.writeAndSignDelta(corpus, delta,
+        col("doc_id"), col("text"),
         numHashes = 16, bands = 4, shingleN = 3, outDir = idx)
-      LshIndex.deltaCandidatePairs(s, idx, delta, col("doc_id"), col("text"),
-          numHashes = 16, bands = 4, shingleN = 3)
+      LshIndex.deltaCandidatePairsFrom(s, idx, dbands)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -1577,10 +1579,11 @@ object SparkEntry {
       val corpus = d.filter(col("doc_id") % 5 =!= 0)
       val delta = d.filter(col("doc_id") % 5 === 0)
       val idx = java.nio.file.Files.createTempDirectory("graft_q95_lsh").toString
-      LshIndex.write(corpus, col("doc_id"), col("text"),
+      // store write and delta signing overlapped (§2.6 — independent legs)
+      val (dsigs, dbands) = LshIndex.writeAndSignDelta(corpus, delta,
+        col("doc_id"), col("text"),
         numHashes = 16, bands = 4, shingleN = 3, outDir = idx)
-      LshIndex.deltaCandidatesWithEstimate(s, idx, delta, col("doc_id"), col("text"),
-          numHashes = 16, bands = 4, shingleN = 3)
+      LshIndex.estimateFrom(s, idx, dsigs, dbands, numHashes = 16)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -1619,10 +1622,12 @@ object SparkEntry {
       val corpus = d.filter(col("doc_id") % 5 =!= 0)
       val delta = d.filter(col("doc_id") % 5 === 0)
       val idx = java.nio.file.Files.createTempDirectory("graft_q97_lsh").toString
-      LshIndex.write(corpus, col("doc_id"), col("text"),
+      // store write and delta signing overlapped (§2.6 — independent legs)
+      val (dsigs, dbands) = LshIndex.writeAndSignDelta(corpus, delta,
+        col("doc_id"), col("text"),
         numHashes = 16, bands = 4, shingleN = 3, outDir = idx)
-      val triaged = LshIndex.deltaCandidatesWithEstimate(s, idx, delta,
-          col("doc_id"), col("text"), numHashes = 16, bands = 4, shingleN = 3)
+      val triaged = LshIndex.estimateFrom(s, idx, dsigs, dbands,
+          numHashes = 16)
         .filter(col("est_jaccard") >= 0.5)
       val verified = Dedup.verifyJaccardPairs(triaged, d,
         col("doc_id"), col("text"), shingleN = 3, minJ = 0.2)
@@ -4916,7 +4921,7 @@ object SparkEntry {
       val emb = Tables.load(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("label").as("qlab"),
-          Similarity.scale9(col("embedding")).as("qv"))
+          Similarity.scale9Once(col("embedding")).as("qv"))
       // widen the corpus side BEFORE the per-row scale9 + 100-query dot
       // fan-out: the sf0.1 embeddings scan is one row group = one task,
       // so the whole broadcast-join dot pass ran on a single core
@@ -4925,7 +4930,7 @@ object SparkEntry {
           emb.select(col("vec_id").as("cid"), col("label").as("clab"),
             col("embedding")))
         .select(col("cid"), col("clab"),
-          Similarity.scale9(col("embedding")).as("cv"))
+          Similarity.scale9Once(col("embedding")).as("cv"))
       val w = Window.partitionBy("qid")
         .orderBy(col("d").desc, col("cid").asc)
       c.join(broadcast(q),

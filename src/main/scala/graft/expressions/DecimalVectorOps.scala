@@ -190,6 +190,15 @@ object DecimalVectorOps {
     requireExtensions("float_vec_scale9")
     call_function("float_vec_scale9", a)
   }
+  /** [[scale9Col]] with evaluation PINNED to once per input row
+    * ([[EvalOnce]]): use on scaled-vector projections that feed a
+    * (broadcast) nested-loop join — codegen otherwise defers the
+    * conversion into the pair loop and re-runs it per PAIR. Projection
+    * use only (never in join conditions / grouping keys). */
+  def scale9OnceCol(a: Column): Column = {
+    requireExtensions("eval_once")
+    call_function("eval_once", call_function("float_vec_scale9", a))
+  }
   def dot9Col(a: Column, b: Column): Column = {
     requireExtensions("dec9_dot")
     call_function("dec9_dot", a, b)

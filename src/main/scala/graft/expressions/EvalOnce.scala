@@ -1,0 +1,47 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.DataType
+
+/** Identity wrapper that pins WHERE its child evaluates: once per input
+  * row of the projection it appears in.
+  *
+  * Why it exists (measured, r16): whole-stage codegen defers a
+  * deterministic projection's code to its point of USE. When the
+  * projection feeds a (broadcast) nested-loop join and the projected
+  * column is consumed by the join's output, the deferred code lands
+  * INSIDE the per-build-row loop — the expression re-evaluates once per
+  * PAIR, not once per input row. For [[FloatVecScale9]] over a 64-dim
+  * vector that turned the 2,000-row scale-9 conversion in
+  * [[graft.operators.Similarity.dotTopK]] into 4M re-evaluations
+  * (~130 CPU-s of BigDecimal churn per audit query; the pair stage ran
+  * 4.3 s against 0.7 s with the projection materialized).
+  *
+  * Declaring the wrapper non-deterministic makes ProjectExec evaluate
+  * it eagerly, exactly once per input row ("evaluation of
+  * non-deterministic expressions can't be deferred"), and stops
+  * CollapseProject from inlining it into a wider-cardinality
+  * projection — the guide §4.4 remedy, at zero extra jobs (the
+  * alternative, localCheckpoint of the scaled side, costs a job per
+  * call site). The child MUST itself be deterministic: the flag pins
+  * evaluation placement, it never changes semantics, so results stay
+  * bit-identical and hash-replayable.
+  *
+  * Do NOT use the wrapped column in a join condition, grouping key or
+  * window frame — analysis rejects non-deterministic expressions
+  * there (the wrapper is for fan-out-feeding PROJECTIONS only). */
+case class EvalOnce(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def foldable: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "eval_once"
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override def genCode(ctx: CodegenContext): ExprCode = child.genCode(ctx)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    throw new IllegalStateException("EvalOnce.genCode delegates to the child")
+  override protected def withNewChildInternal(newChild: Expression): EvalOnce =
+    copy(child = newChild)
+}

@@ -44,9 +44,9 @@ object DataValuation {
     // on one core without it (the Similarity.dotTopK rule)
     val c9 = graft.core.Parallelism.ensureWidth(train)
       .select(col("vec_id"), col("label"),
-        Similarity.scale9(col("embedding")).as("cvec9"))
+        Similarity.scale9Once(col("embedding")).as("cvec9"))
     val t9 = tests.select(col("tid"), col("tlabel"),
-      Similarity.scale9(col("tvec")).as("tvec9"))
+      Similarity.scale9Once(col("tvec")).as("tvec9"))
     val scored = c9.join(broadcast(t9), lit(true))
       .select(col("tid"), col("vec_id"), col("label"),
         (col("label") === col("tlabel")).cast("long").as("a"),

@@ -44,7 +44,7 @@ object IvfIndex {
     val vecs9 = graft.core.Parallelism.ensureWidth(vectors)
       .select(col("cid"), col("cvec"), scale9(col("cvec")).as("cvec9"))
       .localCheckpoint(true) // feeds assignment AND the stored payload
-    val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
+    val cents9 = centroids.select(col("centroid_id"), Similarity.scale9Once(col("ctr")).as("ctr9"))
     vecs9.join(Similarity.assignCells(vecs9, cents9), Seq("cid"))
       .write.mode(mode).partitionBy("centroid_id").parquet(outDir)
   }
@@ -62,8 +62,8 @@ object IvfIndex {
     */
   def searchStored(spark: SparkSession, indexDir: String, queries: DataFrame,
                    centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
-    val qs9 = queries.select(col("qid"), scale9(col("qvec")).as("qvec9"))
+    val cents9 = centroids.select(col("centroid_id"), Similarity.scale9Once(col("ctr")).as("ctr9"))
+    val qs9 = queries.select(col("qid"), Similarity.scale9Once(col("qvec")).as("qvec9"))
     val probes = Similarity.probeCells(qs9, cents9, nprobe)
       .localCheckpoint(true) // feeds the cell-id collect AND the join
     val probedCells = probes.select("centroid_id").distinct()

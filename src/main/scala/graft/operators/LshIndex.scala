@@ -48,6 +48,32 @@ object LshIndex {
              numHashes: Int, bands: Int, shingleN: Int, indexDir: String): Unit =
     store(docs, id, text, numHashes, bands, shingleN, indexDir, "append")
 
+  /** Write the corpus store AND materialize the delta's signature
+    * halves, the two legs OVERLAPPED: they are pure functions of
+    * disjoint inputs (corpus text vs batch text), so the store write
+    * runs on a concurrent driver thread while the delta signatures
+    * checkpoint — the ingest pays max(corpus leg, delta leg) instead
+    * of their sum. Returns (deltaSigs, deltaBands), both materialized,
+    * once BOTH legs are done; feed them to [[deltaCandidatePairsFrom]]
+    * / [[estimateFrom]] for the probe stages. */
+  def writeAndSignDelta(corpus: DataFrame, delta: DataFrame,
+                        id: Column, text: Column,
+                        numHashes: Int, bands: Int, shingleN: Int,
+                        outDir: String): (DataFrame, DataFrame) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fStore = Future {
+      write(corpus, id, text, numHashes, bands, shingleN, outDir)
+    }
+    val deltaSigs = Dedup.minhashSignatures(delta, id, text, numHashes, shingleN)
+      .localCheckpoint(true)
+    val deltaBands = Dedup.bandsFromSignatures(deltaSigs, numHashes, bands)
+      .localCheckpoint(true)
+    Await.result(fStore, Duration.Inf)
+    (deltaSigs, deltaBands)
+  }
+
   private def store(docs: DataFrame, id: Column, text: Column,
                     numHashes: Int, bands: Int, shingleN: Int,
                     outDir: String, mode: String): Unit = {
@@ -98,6 +124,13 @@ object LshIndex {
     candidatesFromBands(spark, indexDir, deltaSigs, broadcastDelta)
   }
 
+  /** [[deltaCandidatePairs]] from an already-materialized delta band
+    * frame (the [[writeAndSignDelta]] handoff). */
+  def deltaCandidatePairsFrom(spark: SparkSession, indexDir: String,
+                              deltaBands: DataFrame,
+                              broadcastDelta: Boolean = true): DataFrame =
+    candidatesFromBands(spark, indexDir, deltaBands, broadcastDelta)
+
   /** Candidate pairs from an already-computed delta band frame. */
   private def candidatesFromBands(spark: SparkSession, indexDir: String,
                                   deltaBands: DataFrame,
@@ -141,6 +174,16 @@ object LshIndex {
       .localCheckpoint(true)
     val deltaBands = Dedup.bandsFromSignatures(deltaSigs, numHashes, bands)
       .localCheckpoint(true)
+    estimateFrom(spark, indexDir, deltaSigs, deltaBands, numHashes,
+      broadcastDelta)
+  }
+
+  /** [[deltaCandidatesWithEstimate]] from already-materialized delta
+    * halves (the [[writeAndSignDelta]] handoff). */
+  def estimateFrom(spark: SparkSession, indexDir: String,
+                   deltaSigs: DataFrame, deltaBands: DataFrame,
+                   numHashes: Int,
+                   broadcastDelta: Boolean = true): DataFrame = {
     val cand = candidatesFromBands(spark, indexDir, deltaBands, broadcastDelta)
     val allSigs = spark.read.parquet(s"$indexDir/sigs").unionByName(deltaSigs)
     val matches = aggregate(

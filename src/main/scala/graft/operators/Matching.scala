@@ -24,14 +24,35 @@ import org.apache.spark.sql.functions._
   *
   * @param pairs  (u, v, score) candidate pairs (u: left id, v: right id)
   * @param rounds fixed iteration budget (each round one shuffle set)
+  * @param localPairLimit pair-count bound under which the driver loop
+  *        runs instead of the ~5 join/aggregate jobs per round (LONG
+  *        columns with no null endpoint/score only — a null-v pair can
+  *        SHADOW a side's best in the distributed argmax, which the
+  *        driver loop does not model, so any null keeps the distributed
+  *        path; 0 forces the distributed path — spec hook). Pinned
+  *        local ≡ distributed by MatchingSpec.
   * @return (u, v, score, round) accepted matches, each u and v at most once */
 object Matching {
 
-  def localMaxMatching(pairs: DataFrame, rounds: Int): DataFrame = {
+  def localMaxMatching(pairs: DataFrame, rounds: Int,
+                       localPairLimit: Long = Hints.BroadcastRowLimit): DataFrame = {
     require(rounds >= 1 && rounds <= 64, "rounds in [1,64]")
     var remaining = pairs.select(col("u"), col("v"),
         col("score").cast("long").as("score"))
       .localCheckpoint(true)
+    val longType = org.apache.spark.sql.types.LongType
+    val integral = remaining.schema.fields.forall(_.dataType == longType)
+    if (localPairLimit > 0L && integral) {
+      // one gate job over the already-materialized checkpoint: total
+      // row count AND per-column non-null counts (dispatching a frame
+      // with null endpoints would change results — see scaladoc)
+      val g = remaining.agg(count(lit(1)), count(col("u")),
+        count(col("v")), count(col("score"))).first()
+      val n = g.getLong(0)
+      if (n <= localPairLimit && g.getLong(1) == n && g.getLong(2) == n &&
+          g.getLong(3) == n)
+        return matchLocal(remaining, rounds)
+    }
     var acc: DataFrame = null
     for (r <- 1 to rounds) {
       val matched = matchRound(remaining)
@@ -45,6 +66,84 @@ object Matching {
     }
     acc.select("u", "v", "score", "round")
   }
+
+  /** Driver loop under the counted pair gate: the SAME local-max rule
+    * as [[matchRound]] — per round, a pair is accepted iff its
+    * (score, −u, −v) triple is the lexicographic max among both its
+    * endpoints' remaining candidates — in two hash-map argmax sweeps
+    * per round instead of two aggregates + two joins. Exact integer
+    * comparisons throughout; output multiset identical to the
+    * distributed rounds (MatchingSpec pins it). */
+  private def matchLocal(remaining: DataFrame, rounds: Int): DataFrame = {
+    val rows = remaining.select("u", "v", "score").collect()
+    val n = rows.length
+    val us = new Array[Long](n); val vs = new Array[Long](n)
+    val sc = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      us(i) = rows(i).getLong(0); vs(i) = rows(i).getLong(1)
+      sc(i) = rows(i).getLong(2); i += 1
+    }
+    // (score, -u, -v) lexicographic: candidate i beats incumbent j?
+    def beats(i: Int, j: Int): Boolean = {
+      if (sc(i) != sc(j)) return sc(i) > sc(j)
+      if (us(i) != us(j)) return -us(i) > -us(j)
+      -vs(i) > -vs(j)
+    }
+    val alive = new Array[Boolean](n)
+    java.util.Arrays.fill(alive, true)
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    val bestU = new java.util.HashMap[java.lang.Long, Integer]()
+    val bestV = new java.util.HashMap[java.lang.Long, Integer]()
+    val deadU = new java.util.HashSet[java.lang.Long]()
+    val deadV = new java.util.HashSet[java.lang.Long]()
+    var r = 1
+    while (r <= rounds) {
+      bestU.clear(); bestV.clear()
+      i = 0
+      while (i < n) {
+        if (alive(i)) {
+          val bu = bestU.get(us(i))
+          if (bu == null || beats(i, bu)) bestU.put(us(i), i)
+          val bv = bestV.get(vs(i))
+          if (bv == null || beats(i, bv)) bestV.put(vs(i), i)
+        }
+        i += 1
+      }
+      deadU.clear(); deadV.clear()
+      // accept every row whose TRIPLE equals both sides' best triple —
+      // exact duplicates of the winning pair all pass the distributed
+      // filter, so they all emit here too
+      def sameTriple(i: Int, j: Integer): Boolean =
+        j != null && sc(i) == sc(j.intValue) && us(i) == us(j.intValue) &&
+          vs(i) == vs(j.intValue)
+      i = 0
+      while (i < n) {
+        if (alive(i) && sameTriple(i, bestU.get(us(i))) &&
+            sameTriple(i, bestV.get(vs(i)))) {
+          out.add(org.apache.spark.sql.Row(us(i), vs(i), sc(i), r))
+          deadU.add(us(i)); deadV.add(vs(i))
+        }
+        i += 1
+      }
+      i = 0
+      while (i < n) {
+        if (alive(i) && (deadU.contains(us(i)) || deadV.contains(vs(i))))
+          alive(i) = false
+        i += 1
+      }
+      r += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u", longType(), false),
+      org.apache.spark.sql.types.StructField("v", longType(), false),
+      org.apache.spark.sql.types.StructField("score", longType(), false),
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.IntegerType, false)))
+    remaining.sparkSession.createDataFrame(out, schema)
+  }
+
+  private def longType() = org.apache.spark.sql.types.LongType
 
   /** One local-max round: pairs that are the (score desc, u, v)-best
     * for BOTH endpoints. Exposed for plan pinning. */

@@ -70,9 +70,9 @@ object Pq {
       .select(col("vec_id"),
         posexplode(subSplit(col("embedding"), m, subDim)).as(Seq("m", "sub")))
       .select(col("vec_id"), col("m").cast("long").as("m"),
-        Similarity.scale9(col("sub")).as("s9"))
+        Similarity.scale9Once(col("sub")).as("s9"))
     val cb9 = codebooks.select(col("m"), col("centroid_id"),
-      Similarity.scale9(col("cvec")).as("c9"))
+      Similarity.scale9Once(col("cvec")).as("c9"))
     sub.join(broadcast(cb9), Seq("m"))
       .select(col("vec_id"), col("m"), col("centroid_id"),
         Similarity.dot9(col("s9"), col("c9")).as("dp"))
@@ -91,9 +91,9 @@ object Pq {
     val qSub = queries.select(col("qid"),
         posexplode(subSplit(col("qvec"), m, subDim)).as(Seq("m", "sub")))
       .select(col("qid"), col("m").cast("long").as("m"),
-        Similarity.scale9(col("sub")).as("q9"))
+        Similarity.scale9Once(col("sub")).as("q9"))
     val cb9 = codebooks.select(col("m"), col("centroid_id").as("code"),
-      Similarity.scale9(col("cvec")).as("c9"))
+      Similarity.scale9Once(col("cvec")).as("c9"))
     val lut = qSub.join(cb9, Seq("m"))
       .select(col("qid"), col("m"), col("code"),
         Similarity.dot9(col("q9"), col("c9")).as("dp"))

@@ -58,6 +58,13 @@ object Similarity {
     * precompute BEFORE join fan-out. */
   def scale9(a: Column): Column = graft.expressions.DecimalVectorOps.scale9Col(a)
 
+  /** [[scale9]] pinned to evaluate once per input row — REQUIRED on any
+    * scaled projection feeding a nested-loop pair join (codegen defers
+    * the conversion into the pair loop otherwise; measured ~130 CPU-s
+    * of per-pair BigDecimal churn on a 4M-pair audit). */
+  def scale9Once(a: Column): Column =
+    graft.expressions.DecimalVectorOps.scale9OnceCol(a)
+
   /** Exact decimal(30,18) dot of two [[scale9]] vectors. */
   def dot9(a: Column, b: Column): Column = graft.expressions.DecimalVectorOps.dot9Col(a, b)
 
@@ -89,11 +96,13 @@ object Similarity {
     */
   def dotTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               excludeSelf: Boolean = true): DataFrame = {
-    // scale to decimal form ONCE per row on each side; the pair loop is
-    // then a primitive long multiply-accumulate
+    // scale to decimal form ONCE per row on each side (scale9Once: the
+    // pin is what makes "once" true — deferred codegen would re-run the
+    // conversion per pair); the pair loop is then a primitive long
+    // multiply-accumulate
     val wide = graft.core.Parallelism.ensureWidth(candidates)
-      .select(col("cid"), scale9(col("cvec")).as("cvec9"))
-    val q9 = queries.select(col("qid"), scale9(col("qvec")).as("qvec9"))
+      .select(col("cid"), scale9Once(col("cvec")).as("cvec9"))
+    val q9 = queries.select(col("qid"), scale9Once(col("qvec")).as("qvec9"))
     val pairs = wide.join(broadcast(q9),
       if (excludeSelf) col("qid") =!= col("cid") else lit(true))
     val scored = pairs.select(col("qid"), col("cid"),
@@ -158,12 +167,12 @@ object Similarity {
     val vecs9 = graft.core.Parallelism.ensureWidth(vectors)
       .select(col("cid"), scale9(col("cvec")).as("cvec9"))
       .localCheckpoint(true)
-    val cents9 = centroids.select(col("centroid_id"), scale9(col("ctr")).as("ctr9"))
+    val cents9 = centroids.select(col("centroid_id"), scale9Once(col("ctr")).as("ctr9"))
     // the query side pays |Q| × |centroids| probe dots — widen it too
     // (q388 passes the WHOLE corpus as queries; a one-row-group scan
     // would run that entire pass on a single core)
     val qs9 = graft.core.Parallelism.ensureWidth(queries)
-      .select(col("qid"), scale9(col("qvec")).as("qvec9"))
+      .select(col("qid"), scale9Once(col("qvec")).as("qvec9"))
     val cells = assignCells(vecs9, cents9)
     val probes = probeCells(qs9, cents9, nprobe)
     // exact search within probed cells
@@ -404,8 +413,8 @@ object Similarity {
     */
   def centroidAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val v9 = graft.core.Parallelism.ensureWidth(vectors)
-      .select(col("vec_id"), scale9(col("embedding")).as("embedding9"))
-    val c9 = centroids.select(col("centroid_id"), scale9(col("cvec")).as("cvec9"))
+      .select(col("vec_id"), scale9Once(col("embedding")).as("embedding9"))
+    val c9 = centroids.select(col("centroid_id"), scale9Once(col("cvec")).as("cvec9"))
     // argmax via max_by aggregate (not a window): map-side partial
     // aggregation collapses the N x C scored fan-out to one row per
     // vector BEFORE the exchange — see [[ivfTopK]]'s cell stage

@@ -41,4 +41,38 @@ class MatchingSpec extends SparkSpec {
     // round 2: (2,11) remains
     assert(got == Seq((1L, 10L, 7L, 1), (2L, 11L, 7L, 2)))
   }
+
+  test("driver arm equals the distributed rounds on a random pair set " +
+    "with heavy ties (localPairLimit = 0 forces distributed)") {
+    val rnd = new scala.util.Random(42)
+    val pairs = (1 to 600).map { _ =>
+      (rnd.nextInt(30).toLong, 100L + rnd.nextInt(30),
+        rnd.nextInt(5).toLong) // few distinct scores: exercise tiebreaks
+    }.distinct.toDF("u", "v", "score")
+    def run(limit: Long) = Matching
+      .localMaxMatching(pairs, rounds = 3, localPairLimit = limit)
+      .orderBy("u", "v").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(run(0L) == run(graft.operators.Hints.BroadcastRowLimit))
+  }
+
+  test("exact duplicate winning pairs emit on both arms identically") {
+    val pairs = Seq((1L, 10L, 9L), (1L, 10L, 9L), (2L, 10L, 3L))
+      .toDF("u", "v", "score")
+    def run(limit: Long) = Matching
+      .localMaxMatching(pairs, rounds = 2, localPairLimit = limit)
+      .orderBy("u", "v", "round").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(run(0L) == run(graft.operators.Hints.BroadcastRowLimit))
+  }
+
+  test("null endpoints keep the distributed path (a null-v pair can " +
+    "shadow a side's best — the arms must not be mixed)") {
+    val pairs = Seq((Some(1L), Option.empty[Long], Some(100L)),
+      (Some(1L), Some(10L), Some(50L)), (Some(2L), Some(10L), Some(40L)))
+      .toDF("u", "v", "score")
+    val a = Matching.localMaxMatching(pairs, rounds = 2)
+      .orderBy("u", "v").as[(Long, Long, Long, Int)].collect().toSeq
+    val b = Matching.localMaxMatching(pairs, rounds = 2, localPairLimit = 0L)
+      .orderBy("u", "v").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(a == b)
+  }
 }
